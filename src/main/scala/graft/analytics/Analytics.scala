@@ -1,0 +1,94 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Standardize
+
+/** The reference's analytics surface (SURVEY.md §2.3 J1/J2, §3.2):
+  * `v_airline_analytics` — fact_sales star-joined to all five dimensions
+  * (dim_airport twice under origin/dest aliases), airline resolved by the
+  * 2-char flight-key prefix, plus the derived insurance-eligibility column
+  * (`for supabase/denorm view:1-41`).
+  *
+  * Scale: every dimension is broadcast — the plan is a shuffle-free chain of
+  * BroadcastHashJoins over a single fact scan, so it holds at 100 TB of fact
+  * as long as dims stay dimension-sized. The left join on
+  * `substring(flight_key,1,2)` is also broadcast (J2), keeping the whole view
+  * inside one whole-stage-codegen span per joined probe.
+  */
+object Analytics {
+
+  final case class Warehouse(factSales: DataFrame, dimDate: DataFrame,
+                             dimPassenger: DataFrame, dimFlight: DataFrame,
+                             dimAirport: DataFrame, dimAirline: DataFrame)
+
+  /** `v_airline_analytics` (`for supabase/denorm view:1-41`). Column names
+    * follow the view's aliases. */
+  def airlineAnalytics(w: Warehouse): DataFrame = {
+    val f  = w.factSales.as("f")
+    val d  = broadcast(w.dimDate).as("d")
+    val p  = broadcast(w.dimPassenger).as("p")
+    val fl = broadcast(w.dimFlight).as("fl")
+    val ao = broadcast(w.dimAirport).as("orig")
+    val ad = broadcast(w.dimAirport).as("dest")
+    val al = broadcast(w.dimAirline).as("al")
+
+    f.join(d, col("f.date_key") === col("d.date_key"))
+      .join(p, col("f.passenger_key") === col("p.passenger_key"))
+      .join(fl, col("f.flight_key") === col("fl.flight_key"))
+      .join(ao, col("fl.origin_airport_key") === col("orig.airport_key"))
+      .join(ad, col("fl.destination_airport_key") === col("dest.airport_key"))
+      .join(al, Standardize.airlinePrefix(col("f.flight_key")) === col("al.airline_key"), "left")
+      .select(
+        col("f.transaction_id"),
+        col("f.ticket_price"), col("f.taxes"), col("f.baggage_fees"),
+        col("f.total_amount"), col("f.sales_source"),
+        col("d.full_date"), col("d.year"), col("d.quarter"), col("d.month_name"),
+        col("d.day_name"),
+        col("p.passenger_key"), col("p.full_name").as("passenger_name"),
+        col("p.email"), col("p.loyalty_status"),
+        col("f.flight_key"), col("fl.aircraft_type"),
+        col("orig.airport_name").as("origin_airport"),
+        col("orig.city").as("origin_city"),
+        col("orig.country").as("origin_country"),
+        col("dest.airport_name").as("destination_airport"),
+        col("dest.city").as("destination_city"),
+        col("dest.country").as("destination_country"),
+        col("al.airline_name"), col("al.alliance"),
+        col("f.flight_status"), col("f.delay_minutes"),
+        Standardize.insuranceEligibility(col("f.delay_minutes")).as("insurance_eligibility"))
+  }
+
+  /** Register the view for SQL access, mirroring the Postgres view name. */
+  def registerView(spark: SparkSession, w: Warehouse): Unit =
+    airlineAnalytics(w).createOrReplaceTempView("v_airline_analytics")
+
+  /** Rollup helpers — the view's year/quarter/month_name columns exist to
+    * enable time rollups downstream (SURVEY.md §2.4 note); exposed for parity
+    * with intended use. */
+  def revenueRollup(view: DataFrame, dims: Seq[String]): DataFrame =
+    view.rollup(dims.map(col): _*)
+      .agg(
+        sum("total_amount").as("revenue"),
+        count(lit(1)).as("n_sales"),
+        avg("ticket_price").as("avg_ticket_price"))
+
+  def revenueByLoyaltyYear(view: DataFrame): DataFrame =
+    view.groupBy(col("loyalty_status"), col("year"))
+      .agg(sum("total_amount").as("revenue"), count(lit(1)).as("n_sales"))
+
+  /** A5 — dirty-data monitor: newest 100 rows (`server.js:212-226`).
+    * Catalyst compiles orderBy+limit to TakeOrderedAndProject — no full sort. */
+  def dirtyDataMonitor(dirty: DataFrame, limit: Int = 100): DataFrame =
+    dirty.orderBy(col("created_at").desc).limit(limit)
+
+  /** A3 — duplicate-key audit (`scripts/checkDuplicates.js:10-47`). */
+  def duplicateKeyReport(df: DataFrame, key: String): DataFrame = {
+    val auditCols = df.columns.map(col)
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("occurrences"),
+           first(struct(auditCols: _*)).as("first_row"),
+           collect_list(struct(auditCols: _*)).as("all_rows"))
+      .filter(col("occurrences") > 1)
+  }
+}

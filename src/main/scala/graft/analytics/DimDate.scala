@@ -1,0 +1,26 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Standardize
+
+/** dim_date generator (SURVEY.md §7.1 item 6).
+  *
+  * Reference: `for supabase/dim date:1-33` — Postgres `generate_series`
+  * 2023-01-01..2024-12-31 (731 rows) with EXTRACT/TO_CHAR attributes (the
+  * reference's seed INSERT has a `day_of__week` typo; we implement the
+  * intent, SURVEY.md §0.1). Spark mapping: `sequence()` + `explode` — a
+  * built-in Generator, evaluated distributed, no driver loop. */
+object DimDate {
+
+  def generate(spark: SparkSession,
+               start: String = "2023-01-01",
+               end: String = "2024-12-31"): DataFrame = {
+    val days = spark.range(1).select(
+      explode(sequence(
+        to_date(lit(start)), to_date(lit(end)), expr("interval 1 day")
+      )).as("d"))
+    val attrs = Standardize.dateAttributes(col("d"))
+    days.select(attrs.map { case (name, c) => c.as(name) }: _*)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.cleanse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's signature operator: clean/dirty bifurcation with a per-row
+  * rejection reason (SURVEY.md §2.8), plus first-wins dedup-with-audit (A6/A7).
+  *
+  * Reference behavior: every validation failure emits
+  * `{source_table, original_data: <row JSON>, error_reason, created_at}` to
+  * the `dirty_data` table (`smartFileProcessor.js:428-441`,
+  * `uploadPassengers.js:70-93`); bad rows are diverted, never error the load.
+  *
+  * Scale notes: the split is ONE pass — a single `when` chain computes the
+  * first matching reason, then two filters on the same (cached) plan produce
+  * both sides. No shuffle is introduced by `cleanse`; `dedupFirstWins` needs
+  * exactly one shuffle (hash partition by the dedup key for its window).
+  */
+object Cleanse {
+
+  /** One validation rule: rows where `isDirty` is true are rejected with
+    * `reason`. Rules are evaluated in order; first match wins (mirrors the
+    * reference's sequential `if (...) { dirty; continue }` loops). */
+  final case class Rule(isDirty: Column, reason: Column)
+  object Rule {
+    def apply(isDirty: Column, reason: String): Rule = Rule(isDirty, lit(reason))
+  }
+
+  private val ReasonCol = "__error_reason"
+
+  /** First-matching-rule reason, null when the row is clean. */
+  def reasonExpr(rules: Seq[Rule]): Column = rules match {
+    case Seq() => lit(null).cast("string")
+    case head +: tail =>
+      tail.foldLeft(when(head.isDirty, head.reason)) { (acc, r) =>
+        acc.when(r.isDirty, r.reason)
+      }.otherwise(lit(null).cast("string"))
+  }
+
+  /** Split `df` into (clean, dirty) in a single pass. The dirty side carries
+    * the ORIGINAL row as JSON (audit fidelity: pre-standardization values,
+    * matching the reference's JSONB `original_data`). `auditCols` defaults to
+    * all current columns; pass the raw columns explicitly when `df` already
+    * mixes raw + derived columns. */
+  def cleanse(df: DataFrame, sourceTable: String, rules: Seq[Rule],
+              auditCols: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val audit   = if (auditCols.nonEmpty) auditCols else df.columns.toSeq
+    val flagged = df.withColumn(ReasonCol, reasonExpr(rules))
+    val clean   = flagged.filter(col(ReasonCol).isNull).drop(ReasonCol)
+    val dirty   = flagged.filter(col(ReasonCol).isNotNull).select(
+      lit(sourceTable).as("source_table"),
+      to_json(struct(audit.map(col): _*)).as("original_data"),
+      col(ReasonCol).as("error_reason"),
+      current_timestamp().as("created_at"))
+    (clean, dirty)
+  }
+
+  /** First-wins dedup with audit (A6/A7): keep the first row per key in
+    * `orderBy` order; later duplicates go to the dirty side with
+    * `"<reasonPrefix><key value>"` (e.g. "Duplicate passenger key: P001",
+    * `uploadPassengers.js:143-154`).
+    *
+    * The reference's "first" is file order; callers must supply an explicit
+    * order column (e.g. `monotonically_increasing_id()` captured at read time,
+    * or a source-precedence column for the cross-file case A7 —
+    * `uploadAllSales.js:164-188`). `dropDuplicates` is NOT equivalent: it
+    * loses the reject side and picks an arbitrary survivor. */
+  def dedupFirstWins(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                     sourceTable: Column, reasonPrefix: String,
+                     auditCols: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val audit = if (auditCols.nonEmpty) auditCols else df.columns.toSeq
+    val w     = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    val rn    = df.withColumn("__rn", row_number().over(w))
+    val clean = rn.filter(col("__rn") === 1).drop("__rn")
+    val dirty = rn.filter(col("__rn") > 1).select(
+      sourceTable.as("source_table"),
+      to_json(struct(audit.map(col): _*)).as("original_data"),
+      concat(lit(reasonPrefix), concat_ws("/", keys.map(col): _*)).as("error_reason"),
+      current_timestamp().as("created_at"))
+    (clean, dirty)
+  }
+
+  /** Upsert semantics over an immutable store (S6): new rows win over
+    * existing rows with the same key (PostgREST `upsert(onConflict=key)`).
+    * Implemented as union + first-wins window; result is the full new table
+    * contents (caller overwrites). One shuffle on the key. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val precedence = incoming.withColumn("__prec", lit(0))
+      .unionByName(existing.withColumn("__prec", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec"))
+    precedence.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prec", "__rn")
+  }
+}

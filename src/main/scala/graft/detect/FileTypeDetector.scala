@@ -1,0 +1,105 @@
+package graft.detect
+
+import org.apache.spark.sql.SparkSession
+
+/** Smart file-type detection from CSV headers (SURVEY.md §2.7, D1-D3).
+  *
+  * Reference: `smartFileProcessor.js:15-104`. The reference's exact-signature
+  * branch is dead code (headers are trimmed but not lowercased before the
+  * lowercase compare — SURVEY.md §0.1); we implement the INTENT:
+  * case-insensitive signature match first, then the fuzzy substring fallback.
+  *
+  * Driver-side only — operates on a header list, no distributed work.
+  */
+object FileTypeDetector {
+
+  final case class Signature(requiredColumns: Seq[String],
+                             amountColumns: Seq[String],
+                             targetTable: String,
+                             conflictKey: String)
+
+  /** Detection order matters: JS object-property order at
+    * `smartFileProcessor.js:15-53`. Conflict keys per `getConflictColumn`
+    * (`smartFileProcessor.js:202-211`). */
+  val fileSignatures: Seq[(String, Signature)] = Seq(
+    "passengers" -> Signature(Seq("PassengerKey", "FullName"), Nil,
+      "dim_passenger", "passenger_key"),
+    "airports" -> Signature(Seq("AirportKey", "AirportName", "City", "Country"), Nil,
+      "dim_airport", "airport_key"),
+    "airlines" -> Signature(Seq("AirlineKey", "AirlineName"), Nil,
+      "dim_airline", "airline_key"),
+    "flights" -> Signature(Seq("FlightKey", "OriginAirportKey", "DestinationAirportKey"), Nil,
+      "dim_flight", "flight_key"),
+    "travel_agency_sales" -> Signature(
+      Seq("TransactionID", "TransactionDate", "PassengerID", "FlightID"),
+      Seq("TicketPrice", "Taxes", "BaggageFees", "TotalAmount"),
+      "fact_sales", "transaction_id"),
+    "corporate_sales" -> Signature(
+      Seq("TransactionID", "DateKey", "PassengerKey", "FlightKey"),
+      Seq("TicketPrice", "Taxes", "BaggageFees", "TotalAmount"),
+      "fact_sales", "transaction_id")
+  )
+
+  /** D1 signature match (case-insensitive, per intent) + D2 fuzzy fallback
+    * (`smartFileProcessor.js:83-103`). */
+  def detectFileType(headers: Seq[String]): String = {
+    val lower = headers.map(_.trim.toLowerCase)
+
+    val bySignature = fileSignatures.collectFirst {
+      case (tpe, sig)
+        if sig.requiredColumns.forall(c => lower.contains(c.toLowerCase)) &&
+           (sig.amountColumns.isEmpty ||
+            sig.amountColumns.exists(c => lower.contains(c.toLowerCase))) => tpe
+    }
+
+    bySignature.getOrElse {
+      def any(sub: String) = lower.exists(_.contains(sub))
+      if (any("passenger")) "passengers"
+      else if (any("airport")) "airports"
+      else if (any("airline")) "airlines"
+      else if (any("flight")) "flights"
+      else if (any("transaction")) {
+        if (any("travel") || any("agency")) "travel_agency_sales"
+        else if (any("corporate") || any("datekey")) "corporate_sales"
+        else "travel_agency_sales" // reference default
+      } else "unknown"
+    }
+  }
+
+  /** S2 — header sniff: read only the first line of the file (driver-side;
+    * the reference streams just the header event, `smartFileProcessor.js:107-121`).
+    * For multi-GB or remote files use `sniffHeadersDistributed`. */
+  def sniffHeaders(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      src.getLines().nextOption()
+        .map(_.split(",", -1).toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Seq.empty)
+    } finally src.close()
+  }
+
+  /** Header sniff that works on any Hadoop-visible path (HDFS/S3/local):
+    * `limit(1)` over a text read — the scan stops after one row. */
+  def sniffHeadersDistributed(spark: SparkSession, path: String): Seq[String] = {
+    spark.read.textFile(path).limit(1).collect().headOption
+      .map(_.split(",", -1).toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Shape heuristic for header-less files (S3 intent extension, SURVEY.md
+    * §7.4): the corporate sales file's first line is data (8 numeric-ish,
+    * quoted fields), so no signature can match. Classify by arity + field
+    * shape instead. */
+  def detectHeaderless(firstLine: Seq[String]): String = {
+    val unq = firstLine.map(_.trim.stripPrefix("'").stripSuffix("'"))
+    if (unq.length == 8 && unq.head.forall(_.isDigit) &&
+        unq(1).matches("[0-9]{8}") && unq(2).matches("(?i)P?[0-9]+.*"))
+      "corporate_sales"
+    else "unknown"
+  }
+
+  /** True when the first line looks like data rather than column names
+    * (any purely-numeric cell ⇒ not a header row). */
+  def looksHeaderless(firstLine: Seq[String]): Boolean =
+    firstLine.exists(f => f.trim.matches("[0-9]+([.][0-9]+)?"))
+}

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The standardization library (SURVEY.md §2.6, F1–F15) as pure
+  * `Column => Column` functions — native Catalyst expressions only, zero UDFs,
+  * so every call stays inside whole-stage codegen and remains optimizable
+  * (pushdown/pruning still apply to the underlying scans).
+  *
+  * Canonical semantics = the reference's JS data path (`smartFileProcessor.js`,
+  * `scripts/upload*.js`); divergences between the JS and plpgsql variants are
+  * resolved in favor of JS per SURVEY.md §0.1/§2.6 and documented per function.
+  */
+object Standardize {
+
+  private def digitsOnly(c: Column): Column = regexp_replace(c, "[^0-9]", "")
+
+  /** F1 — `standardizePassengerKey` (`smartFileProcessor.js:295-301`):
+    * null unless the string contains a literal 'P' (case-sensitive, JS
+    * `includes('P')`) and has >= 3 digits; result = 'P' + last 3 digits.
+    * Collapses P1001 -> P001 (mod-1000 collisions feed the dedup path). */
+  def standardizePassengerKey(c: Column): Column = {
+    val d = digitsOnly(c)
+    when(c.isNotNull && c.contains(lit("P")) && length(d) >= 3,
+      concat(lit("P"), lpad(substring(d, -3, 3), 3, "0")))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** F1' — loader variant (`uploadPassengers.js:12-37`): also accepts keys
+    * without 'P' as long as they contain a digit (trims first). */
+  def standardizePassengerKeyLenient(c: Column): Column = {
+    val t = trim(c)
+    val d = digitsOnly(t)
+    when(c.isNotNull && t.rlike("[0-9]") && length(d) >= 3,
+      concat(lit("P"), lpad(substring(d, -3, 3), 3, "0")))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  private val EmailRe = "^[^\\s@]+@[^\\s@]+\\.[^\\s@]+$"
+
+  /** F2 — `standardizeEmail` (`smartFileProcessor.js:304-317`,
+    * `uploadPassengers.js:53-67`): keep+lowercase a valid existing email, else
+    * synthesize `first.last@example.com` from the FIRST and LAST whitespace
+    * tokens of the full name ('user' when the name is missing). */
+  def standardizeEmail(fullName: Column, existingEmail: Column): Column = {
+    val toks  = split(trim(coalesce(fullName, lit(""))), " ")
+    val first = coalesce(nullif(lower(element_at(toks, 1)), lit("")), lit("user"))
+    val last  = when(size(toks) > 1, lower(element_at(toks, -1))).otherwise(lit(""))
+    val synth = when(last =!= "", concat(first, lit("."), last, lit("@example.com")))
+      .otherwise(concat(first, lit("@example.com")))
+    when(existingEmail.isNotNull && existingEmail.rlike(EmailRe), lower(existingEmail))
+      .otherwise(synth)
+  }
+
+  /** Country alias map used by the airport loader (`uploadAirports.js:110-141`)
+    * — superset of the processor's map (`smartFileProcessor.js:320-331`). */
+  val countryAliases: Map[String, String] = Map(
+    "US" -> "United States", "USA" -> "United States",
+    "UNITED STATES" -> "United States",
+    "UNITED STATES OF AMERICA" -> "United States",
+    "U.S.A." -> "United States", "U.S." -> "United States",
+    "UK" -> "United Kingdom", "UNITED KINGDOM" -> "United Kingdom",
+    "GREAT BRITAIN" -> "United Kingdom", "ENGLAND" -> "United Kingdom",
+    "UAE" -> "United Arab Emirates",
+    "UNITED ARAB EMIRATES" -> "United Arab Emirates",
+    "U.A.E." -> "United Arab Emirates",
+    "JAPAN" -> "Japan", "CANADA" -> "Canada", "AUSTRALIA" -> "Australia",
+    "GERMANY" -> "Germany", "FRANCE" -> "France", "MEXICO" -> "Mexico",
+    "CHINA" -> "China", "BRAZIL" -> "Brazil", "INDIA" -> "India"
+  )
+
+  /** F3 — `standardizeCountry` (`uploadAirports.js:110-141` semantics):
+    * alias-map on upper(trim(c)), else first-char-upper + rest-lower of the
+    * UPPERCASED trimmed string (JS `charAt(0) + slice(1).toLowerCase()` —
+    * NOT per-word initcap), 'Unknown' when null.
+    * The map is tiny and fixed, so a folded `when` chain (pure expression,
+    * broadcast-free, codegen'd) beats a lookup-table join here; the *open*
+    * dim_country_hierarchy fuzzy lookup is a broadcast join in the airport
+    * loader instead (J5). */
+  def standardizeCountry(c: Column): Column = {
+    val u = upper(trim(c))
+    val fallback = concat(substring(u, 1, 1), lower(substring(u, 2, 1000000)))
+    val mapped = countryAliases.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (k, v)) => acc.when(u === k, v)
+    }
+    when(c.isNull, "Unknown").otherwise(coalesce(mapped.otherwise(lit(null)), fallback))
+  }
+
+  /** F4 — `standardizeAmount` (`uploadAllSales.js:21-26`): strip `[^0-9.]`,
+    * parse, NaN/null -> 0.00, 2dp. (The processor variant keeps '-'
+    * — `smartFileProcessor.js:392-394`; loader is canonical for loads.)
+    * Handles `"$1,540.00"` -> 1540.00. */
+  def standardizeAmount(c: Column): Column =
+    coalesce(
+      regexp_replace(c.cast("string"), "[^0-9.]", "").cast(DecimalType(10, 2)),
+      lit(BigDecimal(0)).cast(DecimalType(10, 2)))
+
+  /** F5 — `standardizeDate` (`uploadAllSales.js:28-36`): the three formats
+    * observed in the shipped CSVs, plus bare `yyyyMMdd` ints (intent for the
+    * corporate `DateKey`; JS `new Date('20230105')` is Invalid Date, but the
+    * signature declares DateKey the corporate date column — SURVEY.md §0.1). */
+  def standardizeDate(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    coalesce(
+      to_date(s, "yyyy-MM-dd"),
+      to_date(s, "MM/dd/yyyy"),
+      to_date(s, "dd-MMM-yy"),
+      when(s.rlike("^[0-9]{8}$"), to_date(s, "yyyyMMdd")))
+  }
+
+  /** F6 — date_key derivation (`uploadAllSales.js:111`): yyyyMMdd int. */
+  def dateKey(d: Column): Column = date_format(d, "yyyyMMdd").cast("int")
+
+  /** F7 — transaction-id normalization (`uploadAllSales.js:52-59`):
+    * prefix + digits-of-source-id left-padded to 6. */
+  def transactionId(c: Column, prefix: String): Column =
+    concat(lit(prefix), lpad(coalesce(nullif(digitsOnly(trim(c.cast("string"))), lit("")), lit("0")), 6, "0"))
+
+  /** F8 — `standardizeLoyaltyStatus` (`uploadPassengers.js:39-51`):
+    * uppercase contains-match with abbreviations, default Bronze. */
+  def standardizeLoyaltyStatus(c: Column): Column = {
+    val u = upper(trim(c))
+    when(c.isNull, "Bronze")
+      .when(u.contains(lit("PLATINUM")) || u === "PLAT", "Platinum")
+      .when(u.contains(lit("GOLD")), "Gold")
+      .when(u.contains(lit("SILVER")) || u === "SILV", "Silver")
+      .when(u.contains(lit("BRONZE")) || u === "BRNZ", "Bronze")
+      .otherwise("Bronze")
+  }
+
+  /** F9 — airport key normalization (`uploadAirports.js:24-27`). Validity
+    * (length==3) is a cleanse rule, not silently enforced here. */
+  def airportKey(c: Column): Column = upper(trim(c))
+
+  /** F10 — airline alliance null-ing (`smartFileProcessor.js:448`). */
+  def alliance(c: Column): Column =
+    when(trim(c) === "N/A", lit(null).cast("string")).otherwise(trim(c))
+
+  /** F11 — insurance eligibility (`for supabase/denorm view:31-34`,
+    * `server.js:162-163`): strictly greater than 240 minutes. */
+  def insuranceEligibility(delayMinutes: Column): Column =
+    when(delayMinutes > 240, "Eligible").otherwise("Not Eligible")
+
+  /** F11' — boolean form used for the fact-table flag (`server.js:162-171`). */
+  def isEligibleInsurance(delayMinutes: Column): Column = delayMinutes > 240
+
+  /** F12 — airline prefix from flight key (`for supabase/denorm view:41`). */
+  def airlinePrefix(flightKey: Column): Column = substring(flightKey, 1, 2)
+
+  /** F13 — date-dim attributes (`for supabase/dim date:19-28`). Spark's
+    * `dayofweek` is 1=Sunday, matching Postgres `EXTRACT(DOW)+1`. */
+  def dateAttributes(d: Column): Seq[(String, Column)] = Seq(
+    "date_key"     -> dateKey(d),
+    "full_date"    -> d,
+    "day_of_month" -> dayofmonth(d),
+    "day_name"     -> date_format(d, "EEEE"),
+    "day_of_week"  -> dayofweek(d),
+    "month"        -> month(d),
+    "month_name"   -> date_format(d, "MMMM"),
+    "quarter"      -> quarter(d),
+    "year"         -> year(d)
+  )
+
+  /** F14 — row -> JSON for dirty-data audit / Kafka payloads
+    * (`smartFileProcessor.js:429-434`, `kafkaConfig.js:32`). */
+  def rowJson(cols: Seq[Column]): Column = to_json(struct(cols: _*))
+}

@@ -1,0 +1,273 @@
+package graft.load
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cleanse.Cleanse
+import graft.cleanse.Cleanse.Rule
+import graft.functions.Standardize._
+import graft.schema.Schemas
+
+/** Per-entity batch loaders (SURVEY.md §7.1 item 5): read dirty CSV →
+  * standardize (§2.6) → validate/split (§2.8) → dedup-with-audit (A6/A7) →
+  * star-schema shape. Each returns `(clean, dirty)`; persistence (append /
+  * upsert via `Cleanse.upsert`) is the caller's choice of sink.
+  *
+  * Scale: each loader is a single declarative plan — one CSV scan, one
+  * projection of standardization expressions (whole-stage codegen'd), one
+  * shuffle for the dedup window, two filter branches. At 100 TB the scan
+  * parallelizes by file split; nothing is driver-side except header sniffing.
+  */
+object Loaders {
+
+  final case class LoadResult(clean: DataFrame, dirty: DataFrame)
+
+  /** Input-order column: the reference's dedup is first-wins in FILE order
+    * (`uploadPassengers.js:120-173`). `monotonically_increasing_id` is
+    * (partitionId << 33) + in-partition offset, and for a single-file CSV read
+    * partition index follows byte offset, so it reproduces file order. */
+  val RowIdx = "__row_idx"
+
+  /** S1/S4 — headered CSV scan, PERMISSIVE with corrupt-record capture so a
+    * malformed line (wrong arity, stray quote) never kills the load. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(path)
+      .withColumn(RowIdx, monotonically_increasing_id())
+
+  /** S3 — header-less corporate sales scan: positional schema, single-quoted
+    * padded values (` 'P00001'`). */
+  def readCorporateCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", false)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("ignoreLeadingWhiteSpace", true)
+      .option("ignoreTrailingWhiteSpace", true)
+      .schema(Schemas.rawCorporateSales)
+      .csv(path)
+      .withColumn(RowIdx, monotonically_increasing_id())
+
+  private def unquote(c: Column): Column =
+    regexp_replace(trim(c), "^'|'$", "")
+
+  // ------------------------------------------------------------- passengers
+
+  /** passengers.csv → dim_passenger (`scripts/uploadPassengers.js`):
+    * lenient key standardization, invalid-key reject, first-wins dedup on the
+    * standardized key (mod-1000 collisions are real duplicates here), email
+    * synthesis, loyalty default Bronze. */
+  def loadPassengers(raw: DataFrame): LoadResult = {
+    val auditCols = Seq("PassengerKey", "FullName", "Email", "LoyaltyStatus")
+    val std = raw.withColumn("__key", standardizePassengerKeyLenient(col("PassengerKey")))
+
+    val (valid, invalid) = Cleanse.cleanse(std, "passengers", Seq(
+      Rule(col("__key").isNull,
+        concat(lit("Invalid passenger key format: "),
+               coalesce(trim(col("PassengerKey")), lit("undefined"))))
+    ), auditCols)
+
+    val (unique, dupes) = Cleanse.dedupFirstWins(
+      valid, Seq("__key"), Seq(col(RowIdx)),
+      lit("passengers"), "Duplicate passenger key: ", auditCols)
+
+    val name = coalesce(trim(col("FullName")), lit("Unknown"))
+    val clean = unique.select(
+      col("__key").as("passenger_key"),
+      name.as("full_name"),
+      standardizeEmail(name, trim(col("Email"))).as("email"),
+      standardizeLoyaltyStatus(col("LoyaltyStatus")).as("loyalty_status"))
+    LoadResult(clean, invalid.unionByName(dupes))
+  }
+
+  // --------------------------------------------------------------- airports
+
+  /** airports.csv → dim_airport (`scripts/uploadAirports.js:12-53`):
+    * key = upper(trim), must be length 3; first-wins dedup; country alias-map
+    * standardization. NOTE: the reference *skips* (logs) invalid/duplicate
+    * airports rather than writing dirty_data — we still return them on the
+    * dirty side so the caller has the full audit, flagged by reason. */
+  def loadAirports(raw: DataFrame): LoadResult = {
+    val auditCols = Seq("AirportKey", "AirportName", "City", "Country")
+    val std = raw.withColumn("__key", airportKey(col("AirportKey")))
+
+    val (valid, invalid) = Cleanse.cleanse(std, "airports", Seq(
+      Rule(col("__key").isNull || length(col("__key")) =!= 3,
+        concat(lit("Skipping invalid airport key: "),
+               coalesce(col("AirportKey"), lit("undefined"))))
+    ), auditCols)
+
+    val (unique, dupes) = Cleanse.dedupFirstWins(
+      valid, Seq("__key"), Seq(col(RowIdx)),
+      lit("airports"), "Skipping duplicate airport: ", auditCols)
+
+    val clean = unique.select(
+      col("__key").as("airport_key"),
+      trim(col("AirportName")).as("airport_name"),
+      trim(col("City")).as("city"),
+      standardizeCountry(col("Country")).as("country"))
+    LoadResult(clean, invalid.unionByName(dupes))
+  }
+
+  /** J5 — processor-path airport enrichment (`smartFileProcessor.js:269-283`):
+    * left join the (small, broadcast) country hierarchy to attach country_id
+    * after standardization. */
+  def enrichWithCountryId(airports: DataFrame, hierarchy: DataFrame): DataFrame =
+    airports.join(
+      broadcast(hierarchy.select(col("country_name"), col("country_id"))),
+      airports("country") === col("country_name"), "left")
+      .drop("country_name")
+
+  // --------------------------------------------------------------- airlines
+
+  /** airlines.csv → dim_airline (`smartFileProcessor.js:443-451`): trim+upper
+    * key, 'N/A' alliance → NULL, drop rows without a key (no dirty side in
+    * the reference — filtered silently). */
+  def loadAirlines(raw: DataFrame): LoadResult = {
+    val clean = raw
+      .select(
+        upper(trim(col("AirlineKey"))).as("airline_key"),
+        trim(col("AirlineName")).as("airline_name"),
+        alliance(col("Alliance")).as("alliance"))
+      .filter(col("airline_key").isNotNull && col("airline_key") =!= "")
+    LoadResult(clean, emptyDirty(raw.sparkSession))
+  }
+
+  // ---------------------------------------------------------------- flights
+
+  /** flights.csv → dim_flight (`scripts/uploadFlights.js`,
+    * `smartFileProcessor.js:455-480`): missing key/origin/dest → dirty. */
+  def loadFlights(raw: DataFrame): LoadResult = {
+    val auditCols = Seq("FlightKey", "OriginAirportKey", "DestinationAirportKey", "AircraftType")
+    val std = raw
+      .withColumn("__fk", trim(col("FlightKey")))
+      .withColumn("__org", airportKey(col("OriginAirportKey")))
+      .withColumn("__dst", airportKey(col("DestinationAirportKey")))
+
+    val (valid, invalid) = Cleanse.cleanse(std, "flights", Seq(
+      Rule(col("__fk").isNull || col("__fk") === "" ||
+           col("__org").isNull || col("__org") === "" ||
+           col("__dst").isNull || col("__dst") === "",
+        lit("Missing required flight data"))
+    ), auditCols)
+
+    val clean = valid.select(
+      col("__fk").as("flight_key"),
+      col("__org").as("origin_airport_key"),
+      col("__dst").as("destination_airport_key"),
+      trim(col("AircraftType")).as("aircraft_type"))
+    LoadResult(clean, invalid)
+  }
+
+  /** J4 — lookup-or-create placeholder airports (`uploadFlights.js:15-50`):
+    * referenced origin/dest codes absent from dim_airport become
+    * `{code, "<code> Airport", Unknown, Unknown}` rows to union into the dim
+    * BEFORE the FK validation join. Left-anti against the (small) dim —
+    * the distinct key set is tiny relative to flights, so this broadcasts. */
+  def placeholderAirports(flights: DataFrame, airports: DataFrame): DataFrame = {
+    val referenced = flights.select(col("origin_airport_key").as("airport_key"))
+      .unionByName(flights.select(col("destination_airport_key").as("airport_key")))
+      .filter(col("airport_key").isNotNull && col("airport_key") =!= "")
+      .distinct()
+    referenced.join(broadcast(airports.select("airport_key")), Seq("airport_key"), "left_anti")
+      .select(
+        col("airport_key"),
+        concat(col("airport_key"), lit(" Airport")).as("airport_name"),
+        lit("Unknown").as("city"),
+        lit("Unknown").as("country"))
+  }
+
+  /** J3 — FK-existence validation: flights whose origin AND dest exist in
+    * dim_airport survive (left_semi); violations → dirty (left_anti). */
+  def validateFlightFks(flights: DataFrame, airports: DataFrame): LoadResult = {
+    val keys = broadcast(airports.select("airport_key"))
+    val ok = flights
+      .join(keys, flights("origin_airport_key") === keys("airport_key"), "left_semi")
+    val ok2 = ok
+      .join(keys, ok("destination_airport_key") === keys("airport_key"), "left_semi")
+    val bad = flights.exceptAll(ok2)
+    val dirty = bad.select(
+      lit("flights").as("source_table"),
+      to_json(struct(bad.columns.map(col): _*)).as("original_data"),
+      lit("Unknown origin or destination airport").as("error_reason"),
+      current_timestamp().as("created_at"))
+    LoadResult(ok2, dirty)
+  }
+
+  // ------------------------------------------------------------------ sales
+
+  /** One sales file → fact_sales shape (`uploadAllSales.js:38-156`).
+    * Rule order mirrors the reference exactly: the in-file duplicate check on
+    * the *standardized* transaction id runs FIRST (a row that later fails
+    * validation still claims its id), then invalid passenger key, missing
+    * flight key, invalid date, missing ticket price.
+    *
+    * @param sourceType "travel_agency" | "corporate"
+    */
+  def loadSalesFile(raw: DataFrame, sourceType: String): LoadResult = {
+    val prefix = if (sourceType == "travel_agency") "TA" else "CO"
+    val auditCols = raw.columns.filter(c => c != RowIdx && c != "_corrupt_record").toSeq
+
+    val dateCol = if (auditCols.contains("TransactionDate")) col("TransactionDate")
+                  else unquote(col("DateKey"))
+    val paxCol  = if (auditCols.contains("PassengerID")) col("PassengerID")
+                  else unquote(col("PassengerKey"))
+    val fltCol  = if (auditCols.contains("FlightID")) col("FlightID")
+                  else unquote(col("FlightKey"))
+    val idCol   = unquote(col("TransactionID"))
+
+    val std = raw
+      .withColumn("__txn", transactionId(idCol, prefix))
+      .withColumn("__pax", standardizePassengerKey(paxCol))
+      .withColumn("__flt", fltCol)
+      .withColumn("__date", standardizeDate(dateCol))
+      .withColumn("__price_raw", unquote(col("TicketPrice")))
+
+    // duplicate-id check first (reference: seen-set insert precedes validation)
+    val (firstPerId, dupes) = Cleanse.dedupFirstWins(
+      std, Seq("__txn"), Seq(col(RowIdx)),
+      lit(sourceType), "Duplicate transaction ID within file: ", auditCols)
+
+    val (valid, rejected) = Cleanse.cleanse(firstPerId, sourceType, Seq(
+      Rule(col("__pax").isNull, "Invalid passenger key"),
+      Rule(col("__flt").isNull || col("__flt") === "", "Missing flight key"),
+      Rule(col("__date").isNull, "Invalid date"),
+      Rule((col("__price_raw").isNull || col("__price_raw") === "") &&
+           !(col("__price_raw") <=> lit("0")), "Missing ticket price")
+    ), auditCols)
+
+    val clean = valid.select(
+      col("__txn").as("transaction_id"),
+      dateKey(col("__date")).as("date_key"),
+      col("__pax").as("passenger_key"),
+      col("__flt").as("flight_key"),
+      standardizeAmount(col("__price_raw")).as("ticket_price"),
+      standardizeAmount(unquote(col("Taxes"))).as("taxes"),
+      standardizeAmount(unquote(col("BaggageFees"))).as("baggage_fees"),
+      standardizeAmount(unquote(col("TotalAmount"))).as("total_amount"),
+      lit(sourceType).as("sales_source"))
+    LoadResult(clean, dupes.unionByName(rejected))
+  }
+
+  /** U1/A7 — union heterogeneous sales sources then cross-source first-wins
+    * dedup (`uploadAllSales.js:158-188`): travel_agency precedes corporate
+    * (array order), duplicates keep the *processed* row as original_data. */
+  def unionSalesWithDedup(travel: DataFrame, corporate: DataFrame): LoadResult = {
+    val all = travel.withColumn("__prec", lit(0)).withColumn(RowIdx, monotonically_increasing_id())
+      .unionByName(corporate.withColumn("__prec", lit(1)).withColumn(RowIdx, monotonically_increasing_id()))
+    val auditCols = travel.columns.toSeq
+    val (clean, dirty) = Cleanse.dedupFirstWins(
+      all, Seq("transaction_id"), Seq(col("__prec"), col(RowIdx)),
+      col("sales_source"), "Duplicate transaction ID across files: ", auditCols)
+    LoadResult(clean.drop("__prec", RowIdx), dirty)
+  }
+
+  private def emptyDirty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.dirtyData)
+}

@@ -1,0 +1,166 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Warehouse table schemas + raw CSV input schemas + streaming event schema.
+  *
+  * Star schema per the reference DDL:
+  *  - fact_sales              (`for supabase/fact table:1-16`)
+  *  - dim_passenger/airport/airline/flight (`for supabase/dim tables:2-30`)
+  *  - dim_date                (`for supabase/dim date:1-33`)
+  *  - flight_status_updates   (`for supabase/flight status table:1-7`)
+  *  - dirty_data              (`for supabase/dim tables:33-39`; JSONB -> JSON string)
+  */
+object Schemas {
+
+  // ---------------------------------------------------------------- warehouse
+  val factSales: StructType = StructType(Seq(
+    StructField("transaction_id", StringType, nullable = false),
+    StructField("date_key", IntegerType),
+    StructField("passenger_key", StringType),
+    StructField("flight_key", StringType),
+    StructField("ticket_price", DecimalType(10, 2), nullable = false),
+    StructField("taxes", DecimalType(10, 2), nullable = false),
+    StructField("baggage_fees", DecimalType(10, 2), nullable = false),
+    StructField("total_amount", DecimalType(10, 2), nullable = false),
+    StructField("sales_source", StringType),          // CHECK IN ('travel_agency','corporate')
+    StructField("flight_status", StringType),         // DEFAULT 'scheduled'
+    StructField("delay_minutes", IntegerType),        // DEFAULT 0
+    StructField("is_eligible_insurance", BooleanType),// DEFAULT FALSE
+    StructField("created_at", TimestampType)
+  ))
+
+  val dimPassenger: StructType = StructType(Seq(
+    StructField("passenger_key", StringType, nullable = false),
+    StructField("full_name", StringType, nullable = false),
+    StructField("email", StringType, nullable = false),
+    StructField("loyalty_status", StringType)         // CHECK IN (Bronze/Silver/Gold/Platinum)
+  ))
+
+  val dimAirport: StructType = StructType(Seq(
+    StructField("airport_key", StringType, nullable = false),
+    StructField("airport_name", StringType, nullable = false),
+    StructField("city", StringType, nullable = false),
+    StructField("country", StringType, nullable = false)
+  ))
+
+  val dimAirline: StructType = StructType(Seq(
+    StructField("airline_key", StringType, nullable = false),
+    StructField("airline_name", StringType, nullable = false),
+    StructField("alliance", StringType)               // nullable
+  ))
+
+  val dimFlight: StructType = StructType(Seq(
+    StructField("flight_key", StringType, nullable = false),
+    StructField("origin_airport_key", StringType),
+    StructField("destination_airport_key", StringType),
+    StructField("aircraft_type", StringType)
+  ))
+
+  val dimDate: StructType = StructType(Seq(
+    StructField("date_key", IntegerType, nullable = false), // yyyyMMdd
+    StructField("full_date", DateType),
+    StructField("day_of_month", IntegerType),
+    StructField("day_name", StringType),
+    StructField("day_of_week", IntegerType),          // 1=Sunday .. 7=Saturday
+    StructField("month", IntegerType),
+    StructField("month_name", StringType),
+    StructField("quarter", IntegerType),
+    StructField("year", IntegerType)
+  ))
+
+  val flightStatusUpdates: StructType = StructType(Seq(
+    StructField("flight_key", StringType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("delay_minutes", IntegerType),
+    StructField("update_timestamp", TimestampType)
+  ))
+
+  /** Reject-side audit sink. `original_data` holds the raw row as a JSON
+    * string (reference stores JSONB), so one table fits every source schema. */
+  val dirtyData: StructType = StructType(Seq(
+    StructField("source_table", StringType),
+    StructField("original_data", StringType),
+    StructField("error_reason", StringType),
+    StructField("created_at", TimestampType)
+  ))
+
+  // ---------------------------------------------------------- raw CSV inputs
+  // All-string raw schemas: standardization happens in typed expressions, and
+  // a bad cell must dirty-route the row rather than kill the scan.
+  val rawPassengers: StructType = StructType(Seq(
+    StructField("PassengerKey", StringType),
+    StructField("FullName", StringType),
+    StructField("Email", StringType),
+    StructField("LoyaltyStatus", StringType),
+    StructField("_corrupt_record", StringType)
+  ))
+
+  val rawAirports: StructType = StructType(Seq(
+    StructField("AirportKey", StringType),
+    StructField("AirportName", StringType),
+    StructField("City", StringType),
+    StructField("Country", StringType),
+    StructField("_corrupt_record", StringType)
+  ))
+
+  val rawAirlines: StructType = StructType(Seq(
+    StructField("AirlineKey", StringType),
+    StructField("AirlineName", StringType),
+    StructField("Alliance", StringType),
+    StructField("_corrupt_record", StringType)
+  ))
+
+  val rawFlights: StructType = StructType(Seq(
+    StructField("FlightKey", StringType),
+    StructField("OriginAirportKey", StringType),
+    StructField("DestinationAirportKey", StringType),
+    StructField("AircraftType", StringType),
+    StructField("_corrupt_record", StringType)
+  ))
+
+  val rawTravelSales: StructType = StructType(Seq(
+    StructField("TransactionID", StringType),
+    StructField("TransactionDate", StringType),
+    StructField("PassengerID", StringType),
+    StructField("FlightID", StringType),
+    StructField("TicketPrice", StringType),
+    StructField("Taxes", StringType),
+    StructField("BaggageFees", StringType),
+    StructField("TotalAmount", StringType),
+    StructField("_corrupt_record", StringType)
+  ))
+
+  /** Header-less corporate file: positional schema declared by the reference's
+    * corporate_sales signature (`smartFileProcessor.js:47-51`). */
+  val rawCorporateSales: StructType = StructType(Seq(
+    StructField("TransactionID", StringType),
+    StructField("DateKey", StringType),
+    StructField("PassengerKey", StringType),
+    StructField("FlightKey", StringType),
+    StructField("TicketPrice", StringType),
+    StructField("Taxes", StringType),
+    StructField("BaggageFees", StringType),
+    StructField("TotalAmount", StringType),
+    StructField("_corrupt_record", StringType)
+  ))
+
+  /** Kafka flight-status event payload (`kafkaConfig.js:27-35`, `server.js:191-196`). */
+  val statusEvent: StructType = StructType(Seq(
+    StructField("flight_key", StringType),
+    StructField("status", StringType),
+    StructField("delay_minutes", IntegerType),
+    StructField("update_timestamp", TimestampType)
+  ))
+
+  // --------------------------------------------------------------- typed rows
+  case class Passenger(passenger_key: String, full_name: String, email: String,
+                       loyalty_status: String)
+  case class Airport(airport_key: String, airport_name: String, city: String,
+                     country: String)
+  case class Airline(airline_key: String, airline_name: String, alliance: Option[String])
+  case class Flight(flight_key: String, origin_airport_key: String,
+                    destination_airport_key: String, aircraft_type: String)
+  case class StatusEvent(flight_key: String, status: String, delay_minutes: Int,
+                         update_timestamp: java.sql.Timestamp)
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import graft.functions.Standardize
+import graft.schema.Schemas
+
+/** Streaming flight-status pipeline (SURVEY.md §2.9, §3.3).
+  *
+  * Reference: Kafka topic `flight-status-updates` (JSON events keyed by
+  * flight_key, `kafkaConfig.js:25-58`) consumed from earliest into
+  * `flight_status_updates`; `/check-insurance` then reads the LATEST status
+  * per flight and flags fact rows whose delay exceeds 240 minutes
+  * (`server.js:144-184`).
+  *
+  * Structured Streaming mapping: `readStream.format("kafka")` →
+  * `from_json` → append sink (ST2); latest-per-key is a batch window over the
+  * appended table (the reference decides at query time — ST3); the fact-flag
+  * update is a `foreachBatch` merge (ST4). A 1-hour watermark variant bounds
+  * state for the always-on aggregation path (ST5 — the reference has no
+  * late-data handling; the watermark is our scale hardening).
+  */
+object FlightStatus {
+
+  val Topic = "flight-status-updates"
+
+  // ---------------------------------------------------------------- ST1 / S8
+
+  /** Build status events from (flight_key, delay_minutes) pairs —
+    * `status = delayed iff delay_minutes > 0 else on-time` (`server.js:191-196`). */
+  def buildEvents(delays: DataFrame): DataFrame =
+    delays.select(
+      col("flight_key"),
+      when(col("delay_minutes") > 0, "delayed").otherwise("on-time").as("status"),
+      col("delay_minutes").cast("int").as("delay_minutes"),
+      coalesce(col("update_timestamp"), current_timestamp()).as("update_timestamp"))
+
+  /** S8 — shape a batch of events for a Kafka sink: key = flight_key,
+    * value = JSON payload (`kafkaConfig.js:25-40`). The caller attaches
+    * `.format("kafka").option("kafka.bootstrap.servers", …)`. */
+  def toKafkaShape(events: DataFrame): DataFrame =
+    events.select(
+      col("flight_key").cast("string").as("key"),
+      to_json(struct(col("flight_key"), col("status"), col("delay_minutes"),
+        date_format(col("update_timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSX")
+          .as("update_timestamp"))).as("value"))
+
+  // ---------------------------------------------------------------- ST2 / S9
+
+  /** S9 — Kafka source → parsed status events (consume from earliest, like
+    * the reference's `fromBeginning: true`). */
+  def readKafkaStream(spark: SparkSession, bootstrapServers: String,
+                      topic: String = Topic): DataFrame =
+    parseEvents(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load())
+
+  /** JSON payload → typed columns (`from_json` with the event schema). Kept
+    * separate from the source so tests can drive it with MemoryStream/files. */
+  def parseEvents(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped
+      .select(from_json(col("value").cast("string"), Schemas.statusEvent).as("e"))
+      .select(col("e.flight_key"), col("e.status"),
+        coalesce(col("e.delay_minutes"), lit(0)).as("delay_minutes"),
+        col("e.update_timestamp"))
+
+  /** ST2 — append the parsed stream to the status table (parquet sink). */
+  def appendToStatusTable(events: DataFrame, path: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  // --------------------------------------------------------------------- ST3
+
+  /** ST3/A4 — latest status per flight. `max_by(struct(...))` does it in ONE
+    * hash aggregation with map-side partial combine — no window sort, no
+    * row_number shuffle-then-filter; ties break toward the larger struct
+    * (later event_id wins on equal timestamps via the struct ordering). */
+  def latestStatusPerFlight(statusTable: DataFrame): DataFrame =
+    statusTable
+      .groupBy(col("flight_key"))
+      .agg(max_by(
+        struct(col("status"), col("delay_minutes"), col("update_timestamp")),
+        struct(col("update_timestamp"), col("delay_minutes"))).as("latest"))
+      .select(col("flight_key"), col("latest.status"), col("latest.delay_minutes"),
+        col("latest.update_timestamp"))
+
+  /** Latest status for ONE flight (`server.js:153-158` — ORDER BY ts DESC
+    * LIMIT 1 after a key filter; the filter prunes before the sort). */
+  def latestStatus(statusTable: DataFrame, flightKey: String): DataFrame =
+    statusTable.filter(col("flight_key") === flightKey)
+      .orderBy(col("update_timestamp").desc).limit(1)
+
+  // --------------------------------------------------------------------- ST4
+
+  /** ST4/S7 — conditional fact update: set is_eligible_insurance=true for
+    * flights whose LATEST delay exceeds 240 minutes; never unset
+    * (`server.js:162-171`). Broadcast the (small) eligible-key set so the
+    * fact table is updated in a single map-side pass — no shuffle. */
+  def flagEligibleFacts(factSales: DataFrame, statusTable: DataFrame): DataFrame = {
+    val eligible = latestStatusPerFlight(statusTable)
+      .filter(Standardize.isEligibleInsurance(col("delay_minutes")))
+      .select(col("flight_key").as("__elig_key"))
+    factSales
+      .join(broadcast(eligible), factSales("flight_key") === col("__elig_key"), "left")
+      .withColumn("is_eligible_insurance",
+        col("is_eligible_insurance") || col("__elig_key").isNotNull)
+      .drop("__elig_key")
+  }
+
+  /** Streaming variant of ST3 with bounded state (ST5): watermarked
+    * latest-per-key maintained incrementally in update mode. */
+  def latestStatusStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("update_timestamp", watermark)
+      .groupBy(col("flight_key"))
+      .agg(max_by(
+        struct(col("status"), col("delay_minutes"), col("update_timestamp")),
+        col("update_timestamp")).as("latest"))
+      .select(col("flight_key"), col("latest.status"), col("latest.delay_minutes"),
+        col("latest.update_timestamp"))
+}
