@@ -114,9 +114,13 @@ object Standardize {
   def dateKey(d: Column): Column = date_format(d, "yyyyMMdd").cast("int")
 
   /** F7 — transaction-id normalization (`uploadAllSales.js:52-59`):
-    * prefix + digits-of-source-id left-padded to 6. */
-  def transactionId(c: Column, prefix: String): Column =
-    concat(lit(prefix), lpad(coalesce(nullif(digitsOnly(trim(c.cast("string"))), lit("")), lit("0")), 6, "0"))
+    * prefix + digits-of-source-id left-padded to 6. JS `padStart` never
+    * truncates, so ids with >6 digits keep all their digits (Spark's `lpad`
+    * truncates — hence the length guard). */
+  def transactionId(c: Column, prefix: String): Column = {
+    val d = coalesce(nullif(digitsOnly(trim(c.cast("string"))), lit("")), lit("0"))
+    concat(lit(prefix), when(length(d) >= 6, d).otherwise(lpad(d, 6, "0")))
+  }
 
   /** F8 — `standardizeLoyaltyStatus` (`uploadPassengers.js:39-51`):
     * uppercase contains-match with abbreviations, default Bronze. */

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape of the problem:
+  *
+  *  - exact: hash-groupBy on a normalized content hash — one shuffle on the
+  *    hash (near-uniform keys, no skew), first-wins survivor.
+  *  - MinHash + LSH: shingles → k minhashes → b bands; candidate pairs only
+  *    form inside identical band buckets, so the all-pairs O(n²) never
+  *    materializes — the only shuffle is groupBy band-bucket, and bucket
+  *    sizes are bounded before pairing to survive pathological buckets.
+  *  - SimHash: 64-bit signature computed ROW-LOCALLY (no explode/shuffle);
+  *    near-dups = equal signatures on rotated band prefixes.
+  *  - n-gram Jaccard: exact verify step applied only to LSH candidates.
+  *  - embedding cosine: see [[Similarity]]; near-dup = cosine above threshold
+  *    on hyperplane-LSH candidates.
+  *
+  * All signature computation is pure Column expressions — codegen'd,
+  * scan-speed, resumable per-partition.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup on normalized content: keep the first document (smallest
+    * `orderCol`) per content hash; return (unique, duplicates). */
+  def exact(docs: DataFrame, textCol: String = "text",
+            orderCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val hashed = docs.withColumn("__h", TextAnalysis.fingerprint(col(textCol)))
+    val w  = Window.partitionBy(col("__h")).orderBy(col(orderCol))
+    val rn = hashed.withColumn("__rn", row_number().over(w))
+    (rn.filter(col("__rn") === 1).drop("__h", "__rn"),
+     rn.filter(col("__rn") > 1).drop("__h", "__rn"))
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Word-level shingles (n-grams of tokens) of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(TextAnalysis.normalizeText(text), " ")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the document's shingle set. Row-local (array expressions —
+    * no explode, no shuffle). */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column = {
+    val sh = shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of equal width and
+    * hash each band; two docs sharing ANY band hash are candidates.
+    * Emits (bandId, bandHash) rows — `numHashes` must divide by `bands`. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+          .as("bucket")))
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band bucket.
+    * One shuffle (explode bands → groupBy bucket); buckets larger than
+    * `maxBucket` are dropped (logged upstream) rather than exploding into
+    * O(bucket²) pairs — at 100 TB a degenerate bucket (e.g. empty docs)
+    * otherwise dominates the job. Pairs are distinct with idA < idB. */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 64,
+                        bands: Int = 16, shingleK: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val banded = sig.select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
+  /** All unordered pairs (a<b) of an array — expression-level, applied to a
+    * bounded bucket (≤ maxBucket) so the quadratic stays small and local. */
+  private def pairsOf(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("a"), b.as("b")))))
+  }
+
+  /** Jaccard similarity of token-shingle SETS for candidate verification
+    * (exact n-gram Jaccard — applied post-LSH only). */
+  def jaccard(textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = array_distinct(shingles(textA, k))
+    val sb = array_distinct(shingles(textB, k))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni   = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates → exact Jaccard verify →
+    * pairs with similarity ≥ threshold. Joining text back costs two shuffles
+    * on id (or broadcasts when one side is small). */
+  def minhashNearDups(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", threshold: Double = 0.8,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleK: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, textCol, idCol, numHashes, bands, shingleK)
+    val txt = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    cands
+      .join(txt, cands("id_a") === txt("__id")).withColumnRenamed("__text", "__text_a").drop("__id")
+      .join(txt, cands("id_b") === txt("__id")).withColumnRenamed("__text", "__text_b").drop("__id")
+      .withColumn("jaccard", jaccard(col("__text_a"), col("__text_b"), shingleK))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over tokens, entirely row-local: per-token 64-bit hash,
+    * per-bit +1/-1 vote, sign of each bit's sum becomes the signature bit. */
+  def simhash(text: Column): Column = {
+    val toks = split(TextAnalysis.normalizeText(text), " ")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup candidates by the rotation trick: two signatures within
+    * `maxHammingBands` differing bands collide on at least one of the 4
+    * 16-bit band keys. Same bounded-bucket guard as MinHash-LSH. */
+  def simhashCandidates(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", maxBucket: Int = 1000): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b.cast("int") * 16).bitwiseAND(0xFFFFL).as("bucket")))).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets
+      .select(explode(pairsOfStruct(col("xs"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        hammingDistance(col("p.a.sig"), col("p.b.sig")).as("hamming"))
+      .distinct()
+  }
+
+  private def pairsOfStruct(xs: Column): Column = {
+    val sorted = array_sort(xs)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("a"), b.as("b")))))
+  }
+
+  /** Hamming distance between two 64-bit signatures: bit_count(xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side plumbing (schema, partition sizing, batch iteration, typed
+  * output) is real; the actual media decode is STUBBED with a deterministic
+  * fake (`fakeDecode`) because no image/audio codec libraries ship in this
+  * environment — swap `decodeFn` for a real codec in production.
+  *
+  * Scale notes: payloads stay in executor memory one partition at a time —
+  * size `spark.sql.files.maxPartitionBytes` so (rows/partition × max payload)
+  * fits the executor; decode is `mapPartitions` (the JVM analogue of
+  * `mapInPandas`: one iterator per batch, amortized per-partition setup for
+  * the codec context), so nothing round-trips through the driver.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata travelling together. */
+  case class MediaRow(media_id: Long, modality: String, payload: Array[Byte],
+                      source: String)
+
+  /** Decoded feature row — what a real image/audio decoder would emit. */
+  case class MediaFeatures(media_id: Long, modality: String, byte_len: Int,
+                           width: Int, height: Int, channels: Int,
+                           sample_rate: Int, duration_ms: Long,
+                           content_hash: Long)
+
+  /** Wrap a documents-like table into media rows (text bytes stand in for
+    * image/audio payloads — the plumbing under test is payload-agnostic). */
+  def asMediaTable(docs: DataFrame, idCol: String = "doc_id",
+                   payloadFrom: String = "text", sourceCol: String = "source"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio").otherwise("video").as("modality"),
+      encode(col(payloadFrom), "UTF-8").as("payload"),
+      col(sourceCol).as("source"))
+
+  /** Deterministic fake decode: features derived purely from the payload
+    * bytes, so tests are stable and the stub is honest about being fake.
+    * ??? -> replace with a real codec (e.g. javax.imageio / ffmpeg binding). */
+  def fakeDecode(row: MediaRow): MediaFeatures = {
+    val len  = row.payload.length
+    val hash = row.payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    MediaFeatures(
+      media_id = row.media_id,
+      modality = row.modality,
+      byte_len = len,
+      width  = if (row.modality == "image") 64 + math.floorMod(hash, 1024).toInt else 0,
+      height = if (row.modality == "image") 64 + math.floorMod(hash >> 10, 1024).toInt else 0,
+      channels = if (row.modality == "image") 3 else if (row.modality == "audio") 2 else 0,
+      sample_rate = if (row.modality == "audio") 16000 else 0,
+      duration_ms = if (row.modality != "image") math.floorMod(hash, 60000L) else 0L,
+      content_hash = hash)
+  }
+
+  /** Batch decode: one decoder context per partition (mirrors mapInPandas
+    * batch shape — setup once, stream the iterator, never materialize the
+    * partition as a list). */
+  def decodeFeatures(media: Dataset[MediaRow],
+                     decodeFn: MediaRow => MediaFeatures = fakeDecode): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder/codec init would go here (amortized, like
+      // mapInPandas' per-batch setup)
+      rows.map(decodeFn)
+    }
+  }
+
+  /** Column-level (codegen'd) subset of the features — for pipelines that
+    * only need cheap byte-level metadata, skip mapPartitions entirely. */
+  def byteFeatures(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("modality"),
+      length(col("payload")).as("byte_len"),
+      xxhash64(col("payload")).as("content_hash"))
+
+  /** Frame-sample stub: pick `n` deterministic offsets into the payload (a
+    * real video path would seek keyframes); demonstrates nested array output
+    * shape from a batch operator. */
+  def frameSample(media: Dataset[MediaRow], n: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = math.max(1, r.payload.length)
+        val offsets = (0 until n).map(i => (i.toLong * len) / n)
+        (r.media_id, offsets.map(o => r.payload(o.toInt).toInt))
+      }
+    }.toDF("media_id", "frame_bytes")
+  }
+
+  /** End-to-end: documents table → media table → decoded features DF. */
+  def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(asMediaTable(docs).as[MediaRow]).toDF()
+  }
+}

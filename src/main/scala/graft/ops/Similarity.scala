@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set, one
+  *    codegen'd pass over the corpus, per-query top-k via window. Exact;
+  *    O(|corpus|·|queries|·dim) FLOPs but only ONE corpus scan and one
+  *    shuffle partitioned by query id — the 100 TB-safe exact baseline.
+  *  - Hyperplane-LSH (random projections): corpus and queries are bucketed by
+  *    sign-bit signatures; cosine is evaluated only inside matching buckets.
+  *    Sub-linear probe cost at recall < 1 — the scale path. Multiple tables
+  *    (independent hyperplane sets) trade memory for recall.
+  *
+  * Dot products run in double via `zip_with` + `aggregate` (deterministic
+  * left-to-right summation — engine-exact and oracle-reproducible).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double, strict element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k: for each query row, the k nearest corpus rows
+    * by cosine. Queries must be broadcast-sized (typical: a probe batch).
+    * Ties break on corpus id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: hyperplane h, component i =
+    * a fixed hash mapped into [-1, 1). Generated as expressions so corpus and
+    * query sides agree without shipping state. */
+  private def hyperplaneComponent(h: Column, i: Column): Column =
+    (pmod(xxhash64(h, i), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-bit signature of `vec` against `numPlanes` hyperplanes, packed into
+    * a long — vectors with equal signatures lie in the same LSH bucket. */
+  def hyperplaneSignature(vec: Column, numPlanes: Int = 16, seed: Int = 0): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), h => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * hyperplaneComponent(h + lit(seed * 1000), i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), h.cast("int"))).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** LSH-bucketed ANN: probe only corpus vectors sharing a bucket signature
+    * with the query in ANY of `tables` independent hyperplane tables, then
+    * exact-cosine rank within candidates. Recall < 1; cost ~ bucket sizes
+    * instead of |corpus|. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numPlanes: Int = 12, tables: Int = 4): DataFrame = {
+    def withSigs(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(transform(sequence(lit(0), lit(tables - 1)),
+          t => struct(t.as("table"),
+            hyperplaneSignatureSeeded(col(vecCol), numPlanes, t).as("bucket")))).as("s"))
+        .select(col(id), col(vec), col("s.table"), col("s.bucket"))
+
+    val c = withSigs(corpus, "neighbor_id", "__cv")
+    val q = broadcast(withSigs(queries, "query_id", "__qv"))
+    val scored = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private def hyperplaneSignatureSeeded(vec: Column, numPlanes: Int, table: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), h => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * hyperplaneComponent(h + table * 1000, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), h.cast("int"))).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH candidates
+    * (the embedding-space analogue of MinHash near-dup). */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.95,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        numPlanes: Int = 12, tables: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(transform(sequence(lit(0), lit(tables - 1)),
+        t => struct(t.as("table"),
+          hyperplaneSignatureSeeded(col(vecCol), numPlanes, t).as("bucket")))).as("s"))
+      .select(col("id"), col("v"), col("s.table"), col("s.bucket"))
+    val buckets = sigs.groupBy("table", "bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    val sorted = array_sort(col("xs"))
+    buckets
+      .select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * pure Column expressions (codegen'd, row-local — ZERO shuffles), so they
+  * stream over 100 TB of documents at scan speed; any aggregation the caller
+  * adds is the only exchange.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `split` on `\s+` after trim; empty text → 0. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-boundary regex split — letters
+    * runs, digit runs, and individual punctuation all count, approximating a
+    * byte-pair tokenizer's granularity without a vocab. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation count over a fixed class (engine-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Ratio helpers return double; guard len=0. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Stopword ratio: fraction of tokens in a small english-ish stopword set. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(Stopwords: _*)))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(stopwordCount(text).cast("double") / n)
+  }
+
+  /** Count of occurrences of a specific token (word-boundary, non-overlapping
+    * replace-count — portable across engines). */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val target = s" $word "
+    (length(padded) - length(replace(padded, lit(target), lit(" ")))) / (target.length - 1)
+  }
+
+  /** Quality score components + a coarse bucket. Deliberately integer/bool
+    * driven so the classification is engine-exact (no float thresholds). */
+  def qualityBucket(text: Column, nChars: Column): Column = {
+    val nTokens = tokenCount(text)
+    val nPunct  = punctCount(text)
+    val nStop   = wordOccurrences(lower(text), "the").cast("int")
+    when(nChars >= 300 && nTokens >= 50 && nStop > 0, "high")
+      .when(nChars >= 150 && nTokens >= 20, "medium")
+      .when(nPunct > nTokens, "garbled")
+      .otherwise("low")
+  }
+
+  /** Language ID via marker-token counts (n-gram/stopword heuristic). Scores
+    * each candidate language by occurrences of its high-frequency function
+    * words; highest count wins, 'und' when all zero. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"),
+    "it" -> Seq("il", "e", "di")
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => wordOccurrences(lower(text), m)).reduce(_ + _)
+
+  /** Highest marker score wins; earlier language wins ties (strict `>` in the
+    * fold); 'und' when every score is zero. */
+  def detectLanguage(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val (langExpr, scoreExpr) = scored.foldLeft((lit("und"), lit(0.0))) {
+      case ((curLang, curScore), (lang, s)) =>
+        (when(s > curScore, lit(lang)).otherwise(curLang),
+         when(s > curScore, s).otherwise(curScore))
+    }
+    when(scoreExpr > 0, langExpr).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit xxhash of the normalized text (lowercase,
+    * whitespace-collapsed, punctuation-stripped) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalizeText(text))
+
+  /** MD5 content hash (engine-portable for oracles). */
+  def contentHash(text: Column): Column = md5(normalizeText(text))
+
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** One-call enrichment: attach analysis columns to a documents DataFrame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("quality", qualityBucket(t, length(t)))
+      .withColumn("lang_detected", detectLanguage(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
