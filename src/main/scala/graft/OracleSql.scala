@@ -1,0 +1,393 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible entry in [[SparkEntry.queries]].
+  *
+  * Engine-exactness rules used throughout (so value hashes match):
+  *  - counts/ints → BIGINT (DuckDB SUM(int) is HUGEINT otherwise);
+  *  - money → summed as DECIMAL(18,2) exactly, cast to DOUBLE at the end;
+  *  - DuckDB `regexp_replace` gets the 'g' flag (Spark's is global already);
+  *  - timestamps → formatted strings (no raw timestamp columns);
+  *  - float dot products → CAST to DOUBLE[] first, strict element order.
+  *
+  * Queries q27/q28/q31 (xxhash64-based LSH internals) are deliberately
+  * omitted → driver records the weaker rows-only check.
+  */
+object OracleSql {
+
+  private val q01 = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  private val q02 = """
+    SELECT r_name, n_name,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name"""
+
+  private val q03 = """
+    SELECT n_name,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    LEFT JOIN nation ON c_custkey % 25 = CAST(n_nationkey AS BIGINT)
+    GROUP BY n_name"""
+
+  private val q04 = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment"""
+
+  private val q05 = """
+    SELECT p_brand, COUNT(*) AS n_parts
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand"""
+
+  private val q06 = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_type, value AS last_value,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1"""
+
+  private val q07 = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type"""
+
+  private val q08 = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100"""
+
+  private val q09 = """
+    WITH merged AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, '0-UPDATED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM merged GROUP BY o_orderpriority"""
+
+  private val q10 = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)"""
+
+  private val q11 = """
+    SELECT o_orderkey, o_custkey,
+      CAST(row_number() OVER w AS BIGINT) AS rn,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  private val q12 = """
+    SELECT user_id, event_type, COUNT(*) AS occurrences
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 1"""
+
+  private val q13 = """
+    SELECT CASE
+        WHEN value > 400 THEN 'value out of range'
+        WHEN event_type = 'error' THEN 'error event'
+        WHEN NOT contains(props, '"k"') THEN 'missing k prop'
+        ELSE 'clean' END AS error_reason,
+      COUNT(*) AS n
+    FROM events GROUP BY 1"""
+
+  private val q14 = """
+    WITH raw AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN 'X-' || CAST(c_custkey AS VARCHAR)
+                  ELSE 'P-' || CAST(c_custkey AS VARCHAR) END AS k
+      FROM customer),
+    std AS (
+      SELECT CASE WHEN contains(k, 'P')
+                   AND length(regexp_replace(k, '[^0-9]', '', 'g')) >= 3
+                  THEN 'P' || right(regexp_replace(k, '[^0-9]', '', 'g'), 3)
+                  ELSE 'INVALID' END AS std_key
+      FROM raw)
+    SELECT std_key, COUNT(*) AS n FROM std GROUP BY std_key"""
+
+  private val q15 = """
+    WITH base AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 3 = 0 THEN c_name || '@Example.COM'
+             WHEN c_custkey % 3 = 1 THEN 'not-an-email' END AS existing,
+        replace(c_name, '#', ' ') AS name
+      FROM customer),
+    toks AS (
+      SELECT c_custkey, existing,
+        string_split(trim(name), ' ') AS tk
+      FROM base),
+    parts AS (
+      SELECT c_custkey, existing,
+        COALESCE(NULLIF(lower(tk[1]), ''), 'user') AS fn,
+        CASE WHEN len(tk) > 1 THEN lower(tk[-1]) ELSE '' END AS ln
+      FROM toks)
+    SELECT c_custkey,
+      CASE WHEN existing IS NOT NULL
+             AND regexp_matches(existing, '^[^\s@]+@[^\s@]+\.[^\s@]+$')
+           THEN lower(existing)
+           WHEN ln <> '' THEN fn || '.' || ln || '@example.com'
+           ELSE fn || '@example.com' END AS email
+    FROM parts"""
+
+  private val q16 = """
+    WITH raw AS (
+      SELECT o_orderstatus,
+        '$' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || ' USD' AS s
+      FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(COALESCE(TRY_CAST(regexp_replace(s, '[^0-9.]', '', 'g') AS DECIMAL(10,2)),
+                        CAST(0 AS DECIMAL(10,2)))) AS DOUBLE) AS sum_amount
+    FROM raw GROUP BY o_orderstatus"""
+
+  private val q17 = """
+    WITH raw AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+                  ELSE strftime(o_orderdate, '%Y%m%d') END AS s
+      FROM orders),
+    parsed AS (
+      SELECT CASE WHEN regexp_matches(s, '^\d{4}-\d{2}-\d{2}$') THEN strptime(s, '%Y-%m-%d')
+                  WHEN regexp_matches(s, '^\d{2}/\d{2}/\d{4}$') THEN strptime(s, '%m/%d/%Y')
+                  WHEN regexp_matches(s, '^\d{8}$') THEN strptime(s, '%Y%m%d') END AS d
+      FROM raw)
+    SELECT CAST(year(d) AS BIGINT) AS order_year, COUNT(*) AS n,
+      MIN(CAST(strftime(d, '%Y%m%d') AS BIGINT)) AS min_date_key,
+      MAX(CAST(strftime(d, '%Y%m%d') AS BIGINT)) AS max_date_key
+    FROM parsed GROUP BY 1"""
+
+  private val q18 = """
+    WITH raw AS (
+      SELECT CASE WHEN c_custkey % 6 = 0 THEN 'gold member'
+                  WHEN c_custkey % 6 = 1 THEN 'PLAT'
+                  WHEN c_custkey % 6 = 2 THEN '  Silver '
+                  WHEN c_custkey % 6 = 3 THEN 'brnz'
+                  WHEN c_custkey % 6 = 4 THEN 'VIP' END AS r
+      FROM customer),
+    std AS (
+      SELECT CASE WHEN r IS NULL THEN 'Bronze'
+                  WHEN contains(upper(trim(r)), 'PLATINUM') OR upper(trim(r)) = 'PLAT' THEN 'Platinum'
+                  WHEN contains(upper(trim(r)), 'GOLD') THEN 'Gold'
+                  WHEN contains(upper(trim(r)), 'SILVER') OR upper(trim(r)) = 'SILV' THEN 'Silver'
+                  WHEN contains(upper(trim(r)), 'BRONZE') OR upper(trim(r)) = 'BRNZ' THEN 'Bronze'
+                  ELSE 'Bronze' END AS loyalty_status
+      FROM raw)
+    SELECT loyalty_status, COUNT(*) AS n FROM std GROUP BY loyalty_status"""
+
+  private val q19 = """
+    WITH u AS (SELECT n_name, upper(trim(n_name)) AS k FROM nation)
+    SELECT n_name,
+      CASE WHEN n_name IS NULL THEN 'Unknown'
+           WHEN k = 'US' THEN 'United States'
+           WHEN k = 'USA' THEN 'United States'
+           WHEN k = 'UNITED STATES' THEN 'United States'
+           WHEN k = 'UNITED STATES OF AMERICA' THEN 'United States'
+           WHEN k = 'U.S.A.' THEN 'United States'
+           WHEN k = 'U.S.' THEN 'United States'
+           WHEN k = 'UK' THEN 'United Kingdom'
+           WHEN k = 'UNITED KINGDOM' THEN 'United Kingdom'
+           WHEN k = 'GREAT BRITAIN' THEN 'United Kingdom'
+           WHEN k = 'ENGLAND' THEN 'United Kingdom'
+           WHEN k = 'UAE' THEN 'United Arab Emirates'
+           WHEN k = 'UNITED ARAB EMIRATES' THEN 'United Arab Emirates'
+           WHEN k = 'U.A.E.' THEN 'United Arab Emirates'
+           WHEN k = 'JAPAN' THEN 'Japan'
+           WHEN k = 'CANADA' THEN 'Canada'
+           WHEN k = 'AUSTRALIA' THEN 'Australia'
+           WHEN k = 'GERMANY' THEN 'Germany'
+           WHEN k = 'FRANCE' THEN 'France'
+           WHEN k = 'MEXICO' THEN 'Mexico'
+           WHEN k = 'CHINA' THEN 'China'
+           WHEN k = 'BRAZIL' THEN 'Brazil'
+           WHEN k = 'INDIA' THEN 'India'
+           ELSE substr(k, 1, 1) || lower(substr(k, 2)) END AS country_std
+    FROM u"""
+
+  private val q20 = """
+    WITH d AS (SELECT CAST(floor(value) AS BIGINT) AS delay FROM events)
+    SELECT CASE WHEN delay > 0 THEN 'delayed' ELSE 'on-time' END AS status,
+      CASE WHEN delay > 240 THEN 'Eligible' ELSE 'Not Eligible' END AS insurance_eligibility,
+      COUNT(*) AS n
+    FROM d GROUP BY 1, 2"""
+
+  private val q21 = """
+    WITH txns AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'TA' ELSE 'CO' END ||
+        CASE WHEN length(CAST(o_orderkey AS VARCHAR)) >= 6 THEN CAST(o_orderkey AS VARCHAR)
+             ELSE lpad(CAST(o_orderkey AS VARCHAR), 6, '0') END AS txn
+      FROM orders)
+    SELECT substr(txn, 1, 2) AS source_prefix, COUNT(*) AS n,
+      MIN(txn) AS min_txn, MAX(txn) AS max_txn
+    FROM txns GROUP BY 1"""
+
+  private val q22 = """
+    WITH shaped AS (
+      SELECT CAST(user_id AS VARCHAR) AS flight_key,
+        CAST(floor(value) AS INT) AS delay_minutes, ts, event_id
+      FROM events),
+    ranked AS (
+      SELECT flight_key, delay_minutes,
+        row_number() OVER (PARTITION BY flight_key ORDER BY ts DESC, delay_minutes DESC) AS rn
+      FROM shaped)
+    SELECT flight_key,
+      CAST(delay_minutes AS BIGINT) AS latest_delay,
+      CAST(delay_minutes > 240 AS VARCHAR) AS eligible
+    FROM ranked WHERE rn = 1"""
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private val q23 = s"""
+    SELECT source, COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5($normSql)) AS n_unique
+    FROM documents GROUP BY source"""
+
+  private val q24 = """
+    WITH x AS (
+      SELECT lang, n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_bpeish) AS BIGINT) AS total_bpeish,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM x GROUP BY lang"""
+
+  private val q25 = """
+    WITH x AS (
+      SELECT lang, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        CAST((length(' ' || lower(text) || ' ') -
+              length(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4 AS INT) AS n_the
+      FROM documents),
+    b AS (
+      SELECT lang,
+        CASE WHEN n_chars >= 300 AND n_tokens >= 50 AND n_the > 0 THEN 'high'
+             WHEN n_chars >= 150 AND n_tokens >= 20 THEN 'medium'
+             WHEN n_punct > n_tokens THEN 'garbled'
+             ELSE 'low' END AS quality
+      FROM x)
+    SELECT lang, quality, COUNT(*) AS n FROM b GROUP BY lang, quality"""
+
+  /** occ(w) = non-overlapping replace-count of ' w ' in the padded text. */
+  private def occ(w: String): String =
+    s"(length(p) - length(replace(p, ' $w ', ' '))) / ${w.length + 1}"
+
+  private val q26 = s"""
+    WITH padded AS (
+      SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
+    scores AS (
+      SELECT lang,
+        ${occ("the")} + ${occ("and")} + ${occ("of")} AS s_en,
+        ${occ("der")} + ${occ("und")} + ${occ("die")} AS s_de,
+        ${occ("le")} + ${occ("et")} + ${occ("les")} AS s_fr,
+        ${occ("el")} + ${occ("y")} + ${occ("los")} AS s_es,
+        ${occ("il")} + ${occ("e")} + ${occ("di")} AS s_it
+      FROM padded),
+    detected AS (
+      SELECT lang,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+             ELSE 'it' END AS lang_detected
+      FROM scores)
+    SELECT lang, lang_detected, COUNT(*) AS n FROM detected GROUP BY lang, lang_detected"""
+
+  private val q29 = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
+  private val q30 = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+      CASE WHEN doc_id % 3 = 0 THEN 'image'
+           WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents"""
+
+  private val q32 = """
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        octet_length(encode(text)) AS byte_len
+      FROM documents)
+    SELECT modality, COUNT(*) AS n, CAST(SUM(byte_len) AS BIGINT) AS total_bytes
+    FROM m GROUP BY modality"""
+
+  private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
+
+  val all: Map[String, String] = Map(
+    "q01_filter_agg"        -> q01,
+    "q02_star_join"         -> q02,
+    "q03_expr_key_join"     -> q03,
+    "q04_semi_join"         -> q04,
+    "q05_anti_join"         -> q05,
+    "q06_latest_per_key"    -> q06,
+    "q07_first_wins_dedup"  -> q07,
+    "q08_topn"              -> q08,
+    "q09_upsert"            -> q09,
+    "q10_rollup"            -> q10,
+    "q11_window_running"    -> q11,
+    "q12_dup_report"        -> q12,
+    "q13_cleanse_split"     -> q13,
+    "q14_std_passenger_key" -> q14,
+    "q15_std_email"         -> q15,
+    "q16_std_amount"        -> q16,
+    "q17_std_date"          -> q17,
+    "q18_std_loyalty"       -> q18,
+    "q19_std_country"       -> q19,
+    "q20_insurance"         -> q20,
+    "q21_txn_id"            -> q21,
+    "q22_latest_eligibility"-> q22,
+    "q23_dedup_exact"       -> q23,
+    "q24_token_stats"       -> q24,
+    "q25_quality"           -> q25,
+    "q26_langid"            -> q26,
+    "q29_ann_topk"          -> q29,
+    "q30_binary_features"   -> q30,
+    "q32_media_decode"      -> q32
+  ).map { case (k, v) => k -> clean(v) }
+}

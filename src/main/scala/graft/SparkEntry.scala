@@ -1,13 +1,384 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.analytics.Analytics
+import graft.cleanse.Cleanse
+import graft.cleanse.Cleanse.Rule
+import graft.functions.Standardize
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.FlightStatus
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-data-pipeline operators), each with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Output discipline (oracle hash-match): every result column is bigint,
+  * double, or string; money math is summed EXACTLY as DECIMAL(18,2) and cast
+  * to double only at the end; float dot-products run in double with strict
+  * left-to-right summation on both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true` — set in Verify/Bench);
+    * convert to µs-precision timestamps (integral DIV — a double division
+    * would lose precision at 1.7e18 ns). DuckDB reads the same file at µs
+    * precision natively, so ordering/formatting agree exactly. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private val Dec = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the star-join
+    * revenue summary — the engine's §3.2 analytics shape on the sf tables. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q02StarJoin(spark, "/root/testdata/sf0.001")
+
+  // =================================================================== queries
+
+  /** A1/A2/P2/P3 — scan + filter pushdown + hash aggregate with map-side
+    * partial combine. Decimal-exact sums. */
+  private def q01FilterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** J1 — star join: fact (lineitem) ⋈ supplier ⋈ nation ⋈ region, dims
+    * broadcast ⇒ shuffle only for the final aggregation. */
+  private def q02StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val su = broadcast(t(s, dir, "supplier"))
+    val na = broadcast(t(s, dir, "nation"))
+    val re = broadcast(t(s, dir, "region"))
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(na, su("s_nationkey") === na("n_nationkey"))
+      .join(re, na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+          .cast("double").as("revenue"))
+  }
+
+  /** J2 — expression-key left join (analogue of LEFT(flight_key,2)=airline_key):
+    * derived key, broadcast right side. */
+  private def q03ExprKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    val cu = t(s, dir, "customer")
+    val na = broadcast(t(s, dir, "nation"))
+    cu.join(na, pmod(cu("c_custkey"), lit(25)) === na("n_nationkey").cast("long"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  /** J3 — FK-existence semi join (EXISTS). */
+  private def q04SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** J4 (reject side) — anti join (NOT EXISTS): parts never sold. */
+  private def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+
+  /** A4/ST3 — latest record per key via max_by: ONE hash aggregate with
+    * map-side combine (no window sort shuffle). */
+  private def q06LatestPerKey(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+
+  /** A6 — first-wins dedup with audit (library combinator), aggregated. */
+  private def q07FirstWinsDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val (clean, _) = Cleanse.dedupFirstWins(
+      ev, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")),
+      lit("events"), "Duplicate: ")
+    clean.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  /** A5 — top-N newest (TakeOrderedAndProject — no full sort). */
+  private def q08TopN(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** S6 — upsert (merge-on-key): incoming wins over existing; one shuffle. */
+  private def q09Upsert(s: SparkSession, dir: String): DataFrame = {
+    val existing = t(s, dir, "orders")
+    val incoming = existing.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("o_orderpriority", lit("0-UPDATED"))
+    Cleanse.upsert(existing, incoming, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+  }
+
+  /** §2.4 note — time rollup over the fact (year × priority hierarchy). */
+  private def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+
+  /** §2.5 — window: per-customer order sequence + running total. */
+  private def q11WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("o_totalprice").cast(Dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+  }
+
+  /** A3 — duplicate-key detection report. */
+  private def q12DupReport(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+
+  /** §2.8 — clean/dirty bifurcation: ordered rules, first match wins. */
+  private def q13CleanseSplit(s: SparkSession, dir: String): DataFrame = {
+    val reason = Cleanse.reasonExpr(Seq(
+      Rule(col("value") > 400, "value out of range"),
+      Rule(col("event_type") === "error", "error event"),
+      Rule(!col("props").contains("\"k\""), "missing k prop")))
+    events(s, dir)
+      .withColumn("error_reason", coalesce(reason, lit("clean")))
+      .groupBy(col("error_reason"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F1 — standardizePassengerKey over synthesized raw keys. */
+  private def q14StdPassengerKey(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(pmod(col("c_custkey"), lit(7)) === 0,
+        concat(lit("X-"), col("c_custkey").cast("string")))
+      .otherwise(concat(lit("P-"), col("c_custkey").cast("string")))
+    t(s, dir, "customer")
+      .select(coalesce(Standardize.standardizePassengerKey(raw), lit("INVALID")).as("std_key"))
+      .groupBy(col("std_key"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F2 — standardizeEmail: keep-valid-lowercase vs synthesize-from-name. */
+  private def q15StdEmail(s: SparkSession, dir: String): DataFrame = {
+    val existing = when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(col("c_name"), lit("@Example.COM")))
+      .when(pmod(col("c_custkey"), lit(3)) === 1, lit("not-an-email"))
+      .otherwise(lit(null).cast("string"))
+    val name = replace(col("c_name"), lit("#"), lit(" "))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), Standardize.standardizeEmail(name, existing).as("email"))
+  }
+
+  /** F4 — standardizeAmount over currency-formatted strings. */
+  private def q16StdAmount(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("$"), col("o_totalprice").cast(DecimalType(12, 2)).cast("string"),
+      lit(" USD"))
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), Standardize.standardizeAmount(raw).as("amt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("sum_amount"))
+  }
+
+  /** F5/F6 — standardizeDate over three formats + date_key derivation. */
+  private def q17StdDate(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("o_orderkey"), lit(3))
+    val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(m === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+      .otherwise(date_format(col("o_orderdate"), "yyyyMMdd"))
+    val d = Standardize.standardizeDate(raw)
+    t(s, dir, "orders")
+      .select(year(d).cast("long").as("order_year"),
+        Standardize.dateKey(d).cast("long").as("date_key"))
+      .groupBy(col("order_year"))
+      .agg(count(lit(1)).as("n"),
+        min(col("date_key")).as("min_date_key"),
+        max(col("date_key")).as("max_date_key"))
+  }
+
+  /** F8 — standardizeLoyaltyStatus over messy variants. */
+  private def q18StdLoyalty(s: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("c_custkey"), lit(6))
+    val raw = when(m === 0, lit("gold member")).when(m === 1, lit("PLAT"))
+      .when(m === 2, lit("  Silver ")).when(m === 3, lit("brnz"))
+      .when(m === 4, lit("VIP")).otherwise(lit(null).cast("string"))
+    t(s, dir, "customer")
+      .select(Standardize.standardizeLoyaltyStatus(raw).as("loyalty_status"))
+      .groupBy(col("loyalty_status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F3 — standardizeCountry: alias map + first-upper fallback. */
+  private def q19StdCountry(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_name"), Standardize.standardizeCountry(col("n_name")).as("country_std"))
+
+  /** F11 + ST1 — insurance eligibility (strict > 240) and status derivation. */
+  private def q20Insurance(s: SparkSession, dir: String): DataFrame = {
+    val delay = floor(col("value")).cast("long")
+    events(s, dir)
+      .select(
+        when(delay > 0, "delayed").otherwise("on-time").as("status"),
+        Standardize.insuranceEligibility(delay).as("insurance_eligibility"))
+      .groupBy(col("status"), col("insurance_eligibility"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F7 — transaction-id normalization with source prefix. */
+  private def q21TxnId(s: SparkSession, dir: String): DataFrame = {
+    val prefix = when(pmod(col("o_orderkey"), lit(2)) === 0, "TA").otherwise("CO")
+    val txn = when(prefix === "TA", Standardize.transactionId(col("o_orderkey"), "TA"))
+      .otherwise(Standardize.transactionId(col("o_orderkey"), "CO"))
+    t(s, dir, "orders")
+      .select(substring(txn, 1, 2).as("source_prefix"), txn.as("txn"))
+      .groupBy(col("source_prefix"))
+      .agg(count(lit(1)).as("n"), min(col("txn")).as("min_txn"), max(col("txn")).as("max_txn"))
+  }
+
+  /** ST3+ST4+F11' — latest status per key → eligibility flag (the
+    * check-insurance composition over the events stream table). */
+  private def q22LatestEligibility(s: SparkSession, dir: String): DataFrame = {
+    val statusShaped = events(s, dir).select(
+      col("user_id").cast("string").as("flight_key"),
+      col("event_type").as("status"),
+      floor(col("value")).cast("int").as("delay_minutes"),
+      col("ts").as("update_timestamp"))
+    FlightStatus.latestStatusPerFlight(statusShaped)
+      .select(col("flight_key"),
+        col("delay_minutes").cast("long").as("latest_delay"),
+        Standardize.isEligibleInsurance(col("delay_minutes")).cast("string").as("eligible"))
+  }
+
+  /** Exact dedup — unique normalized-content count per source. */
+  private def q23DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.contentHash(col("text"))).as("n_unique"))
+
+  /** Token counting (whitespace + BPE-ish) per language. */
+  private def q24TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long")).as("total_bpeish"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** Quality scoring buckets per (lang, quality). */
+  private def q25Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.qualityBucket(col("text"), length(col("text"))).as("quality"))
+      .groupBy(col("lang"), col("quality"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Language-ID heuristic vs. labeled lang (confusion counts). */
+  private def q26LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.detectLanguage(col("text")).as("lang_detected"))
+      .groupBy(col("lang"), col("lang_detected"))
+      .agg(count(lit(1)).as("n"))
+
+  /** MinHash + LSH near-dup candidates (not SQL-expressible — rows-only). */
+  private def q27MinhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 16, shingleK = 2)
+      .agg(count(lit(1)).as("n_candidate_pairs"))
+
+  /** SimHash signatures + banded near-dup candidates (rows-only). */
+  private def q28Simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.simhashCandidates(docs)
+    cands.agg(count(lit(1)).as("n_candidate_pairs"),
+      min(col("hamming")).cast("long").as("min_hamming"))
+  }
+
+  /** ANN — brute-force cosine top-5 for 10 probe vectors; double math with
+    * strict summation order on both engines. */
+  private def q29AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Multimodal — binary payload plumbing: byte-level features (column path). */
+  private def q30BinaryFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteFeatures(Multimodal.asMediaTable(t(s, dir, "documents")))
+      .select(col("media_id"), col("modality"), col("byte_len").cast("long").as("byte_len"))
+
+  /** n-gram Jaccard verify on MinHash candidates (rows-only; xxhash-based). */
+  private def q31NearDupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.2,
+        numHashes = 32, bands = 16, shingleK = 2)
+      .agg(count(lit(1)).as("n_near_dups"))
+
+  /** Multimodal — mapPartitions decode stub (typed batch path; rows-only). */
+  private def q32MediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePipeline(s, t(s, dir, "documents"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"), sum(col("byte_len").cast("long")).as("total_bytes"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_agg"        -> q01FilterAgg _,
+    "q02_star_join"         -> q02StarJoin _,
+    "q03_expr_key_join"     -> q03ExprKeyJoin _,
+    "q04_semi_join"         -> q04SemiJoin _,
+    "q05_anti_join"         -> q05AntiJoin _,
+    "q06_latest_per_key"    -> q06LatestPerKey _,
+    "q07_first_wins_dedup"  -> q07FirstWinsDedup _,
+    "q08_topn"              -> q08TopN _,
+    "q09_upsert"            -> q09Upsert _,
+    "q10_rollup"            -> q10Rollup _,
+    "q11_window_running"    -> q11WindowRunning _,
+    "q12_dup_report"        -> q12DupReport _,
+    "q13_cleanse_split"     -> q13CleanseSplit _,
+    "q14_std_passenger_key" -> q14StdPassengerKey _,
+    "q15_std_email"         -> q15StdEmail _,
+    "q16_std_amount"        -> q16StdAmount _,
+    "q17_std_date"          -> q17StdDate _,
+    "q18_std_loyalty"       -> q18StdLoyalty _,
+    "q19_std_country"       -> q19StdCountry _,
+    "q20_insurance"         -> q20Insurance _,
+    "q21_txn_id"            -> q21TxnId _,
+    "q22_latest_eligibility"-> q22LatestEligibility _,
+    "q23_dedup_exact"       -> q23DedupExact _,
+    "q24_token_stats"       -> q24TokenStats _,
+    "q25_quality"           -> q25Quality _,
+    "q26_langid"            -> q26LangId _,
+    "q27_minhash_candidates"-> q27MinhashCandidates _,
+    "q28_simhash"           -> q28Simhash _,
+    "q29_ann_topk"          -> q29AnnTopK _,
+    "q30_binary_features"   -> q30BinaryFeatures _,
+    "q31_near_dup_jaccard"  -> q31NearDupJaccard _,
+    "q32_media_decode"      -> q32MediaDecode _
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+
+For each <name> dir in verify_out (spark parquet result), run the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = parquet files in sf_dir),
+then compare: schema (column names), row count, and a hash over the
+column-name-sorted, row-sorted values.
+"""
+import sys, os, json, glob
+import duckdb
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.10g}"
+            elif v is None:
+                v = "<NULL>"
+            else:
+                v = str(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort()
+    return sorted(c for c in cols), out
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(outdir, "q*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        scols, srows = normalize(rel.fetchall(), [c for c in rel.columns])
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(srows)}" + (" EMPTY!" if not srows else "")
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols, orows = normalize(orel.fetchall(), [c for c in orel.columns])
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {e}"
+            continue
+        if scols != ocols:
+            results[name] = f"SCHEMA_MISMATCH spark={scols} oracle={ocols}"
+        elif len(srows) != len(orows):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} oracle={len(orows)}"
+        elif srows != orows:
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
+        else:
+            results[name] = f"OK rows={len(srows)}"
+    width = max(len(k) for k in results)
+    nok = 0
+    for k in sorted(results):
+        status = results[k]
+        if status.startswith("OK") or status.startswith("ROWS_ONLY rows") and "EMPTY" not in status:
+            nok += 1
+        print(f"{k:<{width}}  {status[:300]}")
+    print(f"\n{nok}/{len(results)} queries pass")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
