@@ -308,7 +308,7 @@ object SparkEntry {
 
   /** MinHash + LSH near-dup candidates (not SQL-expressible — rows-only). */
   private def q27MinhashCandidates(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 32, bands = 16, shingleK = 2)
+    Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 64, bands = 16, shingleK = 3)
       .agg(count(lit(1)).as("n_candidate_pairs"))
 
   /** SimHash signatures + banded near-dup candidates (rows-only). */
@@ -336,7 +336,7 @@ object SparkEntry {
   /** n-gram Jaccard verify on MinHash candidates (rows-only; xxhash-based). */
   private def q31NearDupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.2,
-        numHashes = 32, bands = 16, shingleK = 2)
+        numHashes = 64, bands = 16, shingleK = 3)
       .agg(count(lit(1)).as("n_near_dups"))
 
   /** Multimodal — mapPartitions decode stub (typed batch path; rows-only). */

@@ -50,11 +50,14 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum over the document's shingle set. Row-local (array expressions —
     * no explode, no shuffle). */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column = {
-    val sh = shingles(text, shingleK)
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
+    minhashFromShingles(shingles(text, shingleK), numHashes)
+
+  /** Signature from a precomputed shingle array (lets plans reuse ONE shingle
+    * computation for both the signature and the exact-Jaccard verify). */
+  def minhashFromShingles(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(sh, s => xxhash64(seed, s))))
-  }
 
   /** LSH banding: split the signature into `bands` bands of equal width and
     * hash each band; two docs sharing ANY band hash are candidates.
@@ -108,20 +111,47 @@ object Dedup {
   }
 
   /** MinHash near-dup pipeline: LSH candidates → exact Jaccard verify →
-    * pairs with similarity ≥ threshold. Joining text back costs two shuffles
-    * on id (or broadcasts when one side is small). */
+    * pairs with similarity ≥ threshold.
+    *
+    * The shingle SET is computed once per document and carried through the
+    * band shuffle, so the verify step is a cheap array_intersect/union on
+    * materialized arrays — NOT a re-tokenization per candidate pair (which
+    * multiplies the regex cost by the candidate count) and NOT a join back
+    * to the text (two extra shuffles). `jaccardSets` dedups verification to
+    * one evaluation per distinct pair. */
   def minhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", threshold: Double = 0.8,
                       numHashes: Int = 64, bands: Int = 16,
-                      shingleK: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, textCol, idCol, numHashes, bands, shingleK)
-    val txt = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
-    cands
-      .join(txt, cands("id_a") === txt("__id")).withColumnRenamed("__text", "__text_a").drop("__id")
-      .join(txt, cands("id_b") === txt("__id")).withColumnRenamed("__text", "__text_b").drop("__id")
-      .withColumn("jaccard", jaccard(col("__text_a"), col("__text_b"), shingleK))
+                      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    val banded = base
+      .select(col("id"), col("sh"),
+        explode(lshBands(minhashFromShingles(col("sh"), numHashes), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    val sorted = array_sort(col("xs"))
+    buckets
+      .select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        col("p.a.sh").as("__sa"), col("p.b.sh").as("__sb"))
+      .groupBy("id_a", "id_b").agg(first("__sa").as("__sa"), first("__sb").as("__sb"))
+      .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Jaccard of two precomputed distinct-shingle arrays. */
+  def jaccardSets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni   = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
   // ---------------------------------------------------------------- simhash
