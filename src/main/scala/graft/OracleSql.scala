@@ -9,8 +9,10 @@ package graft
   *  - timestamps → formatted strings (no raw timestamp columns);
   *  - float dot products → CAST to DOUBLE[] first, strict element order.
   *
-  * Queries q27/q28/q31 (xxhash64-based LSH internals) are deliberately
-  * omitted → driver records the weaker rows-only check.
+  * The LSH queries (q27/q28/q31/q33/q34) are fully oracle-checked: every
+  * internal hash is md5-derived (see [[graft.ops.Dedup]] /
+  * [[graft.ops.Similarity]] class docs), so DuckDB reproduces the exact
+  * candidate sets via `('0x' || substr(md5(s), a, b))::BIGINT`.
   */
 object OracleSql {
 
@@ -325,6 +327,133 @@ object OracleSql {
       FROM scores)
     SELECT lang, lang_detected, COUNT(*) AS n FROM detected GROUP BY lang, lang_detected"""
 
+  // ------------------------------------------------------- LSH shared pieces
+
+  /** 28-bit portable hash halves (mirror of Dedup.h1/h2). */
+  private def ph1(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+  private def ph2(x: String) = s"('0x' || substr(md5($x), 8, 7))::BIGINT"
+
+  /** Shared MinHash-LSH CTE chain: normalize → shingle → 64-perm signature
+    * (double hashing mod 2^31-1) → 16 band buckets (md5 of the joined
+    * slice) → bounded-bucket candidate pairs. Mirrors Dedup.minhashCandidates
+    * with k=3, numHashes=64, bands=16, rowsPerBand=4, maxBucket=1000. */
+  private val minhashCtes = s"""
+    toks AS (SELECT doc_id AS id, regexp_split_to_array($normSql, ' ') AS tk FROM documents),
+    base AS (SELECT id,
+        list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END) AS sh
+      FROM toks),
+    sig AS (SELECT id, sh,
+        list_transform(range(0, 64), i ->
+          list_min(list_transform(sh, s -> (${ph1("s")} + i * ${ph2("s")}) % 2147483647))) AS sig
+      FROM base),
+    banded AS (SELECT id,
+        md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')) AS bucket, band
+      FROM sig, range(0, 16) r(band)),
+    sized AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+      JOIN sized sz ON a.band = sz.band AND a.bucket = sz.bucket
+      WHERE sz.n BETWEEN 2 AND 1000)"""
+
+  private val q27 = s"""
+    WITH $minhashCtes
+    SELECT COUNT(*) AS n_candidate_pairs,
+      COALESCE(SUM(id_a), 0)::BIGINT AS sum_id_a,
+      COALESCE(SUM(id_b), 0)::BIGINT AS sum_id_b,
+      (SELECT COUNT(*) FROM sized WHERE n > 1000)::BIGINT AS n_dropped_buckets
+    FROM pairs"""
+
+  private val q28 = s"""
+    WITH toks AS (SELECT doc_id AS id, regexp_split_to_array($normSql, ' ') AS tk FROM documents),
+    sig AS (SELECT id,
+        list_sum(list_transform(range(0, 60), j -> CASE WHEN
+            list_sum(list_transform(tk, t -> CASE WHEN
+              (CASE WHEN j < 32 THEN (('0x' || substr(md5(t), 8, 8))::BIGINT >> j)
+                    ELSE (('0x' || substr(md5(t), 1, 7))::BIGINT >> (j - 32)) END) & 1 = 1
+              THEN 1 ELSE -1 END)) > 0
+          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
+      FROM toks),
+    banded AS (SELECT id, sig, band, (sig >> (band * 15)) & 32767 AS bucket
+      FROM sig, range(0, 4) r(band)),
+    sized AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+      JOIN sized sz ON a.band = sz.band AND a.bucket = sz.bucket
+      WHERE sz.n BETWEEN 2 AND 1000)
+    SELECT COUNT(*) AS n_candidate_pairs,
+      COALESCE(MIN(hamming), 0)::BIGINT AS min_hamming,
+      COALESCE(SUM(id_a), 0)::BIGINT AS sum_id_a,
+      COALESCE(SUM(id_b), 0)::BIGINT AS sum_id_b
+    FROM pairs"""
+
+  private val q31 = s"""
+    WITH $minhashCtes,
+    jac AS (SELECT p.id_a, p.id_b,
+        CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+      FROM pairs p
+      JOIN base a ON p.id_a = a.id
+      JOIN base b ON p.id_b = b.id)
+    SELECT COUNT(*) AS n_near_dups,
+      COALESCE(SUM(id_a), 0)::BIGINT AS sum_id_a,
+      COALESCE(SUM(id_b), 0)::BIGINT AS sum_id_b
+    FROM jac WHERE j >= 0.7"""
+
+  /** Hyperplane component — mirror of Similarity.planeComponent. */
+  private val hpComp =
+    "((('0x' || substr(md5('hp:' || (t * 1000 + h) || ':' || i), 1, 7))::BIGINT % 2000000) / 1000000.0 - 1.0)"
+
+  /** Shared hyperplane-LSH CTEs: 4 tables × 12 sign-bit planes over the
+    * 64-dim embeddings (mirror of Similarity.withSigs). */
+  private val hyperplaneCtes = s"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (SELECT vec_id, t AS tbl,
+        list_sum(list_transform(range(0, 12), h -> CASE WHEN
+            list_sum(list_transform(range(0, 64), i -> v[i + 1] * $hpComp)) > 0
+          THEN (1::BIGINT << h) ELSE 0 END))::BIGINT AS bucket
+      FROM e, range(0, 4) r(t))"""
+
+  private val cosineSql =
+    """list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+       sqrt(list_sum(list_transform(b.v, x -> x * x))))"""
+
+  private val q33 = s"""
+    WITH $hyperplaneCtes,
+    cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+      FROM sigs qs
+      JOIN sigs cs ON qs.tbl = cs.tbl AND qs.bucket = cs.bucket AND cs.vec_id <> qs.vec_id
+      WHERE qs.vec_id < 10),
+    scored AS (SELECT query_id, neighbor_id, $cosineSql AS cosine
+      FROM cand
+      JOIN e a ON a.vec_id = query_id
+      JOIN e b ON b.vec_id = neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
+  private val q34 = s"""
+    WITH $hyperplaneCtes,
+    sized AS (SELECT tbl, bucket, count(*) AS n FROM sigs GROUP BY 1, 2),
+    pairs AS (SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+      FROM sigs sa
+      JOIN sigs sb ON sa.tbl = sb.tbl AND sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+      JOIN sized sz ON sa.tbl = sz.tbl AND sa.bucket = sz.bucket
+      WHERE sz.n BETWEEN 2 AND 1000),
+    cos AS (SELECT id_a, id_b, $cosineSql AS cosine
+      FROM pairs
+      JOIN e a ON a.vec_id = id_a
+      JOIN e b ON b.vec_id = id_b)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM cos WHERE cosine >= 0.6"""
+
   private val q29 = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -386,8 +515,13 @@ object OracleSql {
     "q24_token_stats"       -> q24,
     "q25_quality"           -> q25,
     "q26_langid"            -> q26,
+    "q27_minhash_candidates"-> q27,
+    "q28_simhash"           -> q28,
     "q29_ann_topk"          -> q29,
     "q30_binary_features"   -> q30,
-    "q32_media_decode"      -> q32
+    "q31_near_dup_jaccard"  -> q31,
+    "q32_media_decode"      -> q32,
+    "q33_lsh_topk"          -> q33,
+    "q34_embedding_near_dups" -> q34
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -306,18 +306,27 @@ object SparkEntry {
       .groupBy(col("lang"), col("lang_detected"))
       .agg(count(lit(1)).as("n"))
 
-  /** MinHash + LSH near-dup candidates (not SQL-expressible — rows-only). */
-  private def q27MinhashCandidates(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(t(s, dir, "documents"), numHashes = 64, bands = 16, shingleK = 3)
-      .agg(count(lit(1)).as("n_candidate_pairs"))
-
-  /** SimHash signatures + banded near-dup candidates (rows-only). */
-  private def q28Simhash(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash + LSH near-dup candidates — portable md5 double-hashing, so the
+    * DuckDB oracle reproduces the exact candidate set. The dropped-bucket
+    * count rides along (no silent caps); its banding subplan is identical to
+    * the candidates' and reuses the same shuffle (ReuseExchange). */
+  private def q27MinhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val cands = Dedup.simhashCandidates(docs)
+    val cands = Dedup.minhashCandidates(docs, numHashes = 64, bands = 16, shingleK = 3)
+    val stats = Dedup.lshBucketStats(Dedup.minhashBanded(docs, numHashes = 64, bands = 16, shingleK = 3))
     cands.agg(count(lit(1)).as("n_candidate_pairs"),
-      min(col("hamming")).cast("long").as("min_hamming"))
+        coalesce(sum("id_a"), lit(0L)).as("sum_id_a"),
+        coalesce(sum("id_b"), lit(0L)).as("sum_id_b"))
+      .crossJoin(stats.select(col("n_dropped_buckets")))
   }
+
+  /** SimHash signatures + banded near-dup candidates (portable hash). */
+  private def q28Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(t(s, dir, "documents"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        coalesce(min(col("hamming")).cast("long"), lit(0L)).as("min_hamming"),
+        coalesce(sum("id_a"), lit(0L)).as("sum_id_a"),
+        coalesce(sum("id_b"), lit(0L)).as("sum_id_b"))
 
   /** ANN — brute-force cosine top-5 for 10 probe vectors; double math with
     * strict summation order on both engines. */
@@ -333,17 +342,38 @@ object SparkEntry {
     Multimodal.byteFeatures(Multimodal.asMediaTable(t(s, dir, "documents")))
       .select(col("media_id"), col("modality"), col("byte_len").cast("long").as("byte_len"))
 
-  /** n-gram Jaccard verify on MinHash candidates (rows-only; xxhash-based). */
+  /** n-gram Jaccard verify on MinHash candidates, at a realistic near-dup
+    * threshold (0.2 made nearly everything a candidate — a stress test, not
+    * a pipeline setting). */
   private def q31NearDupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.2,
+    Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.7,
         numHashes = 64, bands = 16, shingleK = 3)
-      .agg(count(lit(1)).as("n_near_dups"))
+      .agg(count(lit(1)).as("n_near_dups"),
+        coalesce(sum("id_a"), lit(0L)).as("sum_id_a"),
+        coalesce(sum("id_b"), lit(0L)).as("sum_id_b"))
 
   /** Multimodal — mapPartitions decode stub (typed batch path; rows-only). */
   private def q32MediaDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePipeline(s, t(s, dir, "documents"))
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n"), sum(col("byte_len").cast("long")).as("total_bytes"))
+
+  /** ANN — hyperplane-LSH top-k (the scale path): candidates only from
+    * matching sign-bit buckets, exact cosine rank within. Deterministic
+    * md5-derived hyperplanes → full DuckDB oracle. */
+  private def q33LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numPlanes = 12, tables = 4, dim = 64)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold inside LSH buckets. */
+  private def q34EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.6,
+        numPlanes = 12, tables = 4, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
@@ -377,7 +407,9 @@ object SparkEntry {
     "q29_ann_topk"          -> q29AnnTopK _,
     "q30_binary_features"   -> q30BinaryFeatures _,
     "q31_near_dup_jaccard"  -> q31NearDupJaccard _,
-    "q32_media_decode"      -> q32MediaDecode _
+    "q32_media_decode"      -> q32MediaDecode _,
+    "q33_lsh_topk"          -> q33LshTopK _,
+    "q34_embedding_near_dups" -> q34EmbeddingNearDups _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

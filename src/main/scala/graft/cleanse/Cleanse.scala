@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * the `dirty_data` table (`smartFileProcessor.js:428-441`,
   * `uploadPassengers.js:70-93`); bad rows are diverted, never error the load.
   *
-  * Scale notes: the split is ONE pass — a single `when` chain computes the
-  * first matching reason, then two filters on the same (cached) plan produce
-  * both sides. No shuffle is introduced by `cleanse`; `dedupFirstWins` needs
-  * exactly one shuffle (hash partition by the dedup key for its window).
+  * Scale notes: the split is ONE pass of expression work — a single `when`
+  * chain computes the first matching reason, then two filters select each
+  * side. The two sides share a PLAN, not materialized data: a caller that
+  * consumes both (e.g. writes clean AND dirty) re-executes the upstream scan
+  * once per side unless it persists first — cache/localCheckpoint the INPUT
+  * DataFrame before chaining cleanse + dedupFirstWins when both sides are
+  * written (the Pipeline façade does exactly this). No shuffle is introduced
+  * by `cleanse`; `dedupFirstWins` needs exactly one shuffle (hash partition
+  * by the dedup key for its window).
   */
 object Cleanse {
 
@@ -84,11 +89,17 @@ object Cleanse {
   /** Upsert semantics over an immutable store (S6): new rows win over
     * existing rows with the same key (PostgREST `upsert(onConflict=key)`).
     * Implemented as union + first-wins window; result is the full new table
-    * contents (caller overwrites). One shuffle on the key. */
-  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    * contents (caller overwrites). One shuffle on the key.
+    *
+    * `tieBreak` orders rows WITHIN the same precedence class — when
+    * `incoming` can contain internal duplicates of a key, pass a stable
+    * column (e.g. the loader's `__row_idx`) or the survivor is
+    * partition-order dependent. With unique keys per side it is optional. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             tieBreak: Seq[Column] = Nil): DataFrame = {
     val precedence = incoming.withColumn("__prec", lit(0))
       .unionByName(existing.withColumn("__prec", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec") +: tieBreak: _*)
     precedence.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__prec", "__rn")

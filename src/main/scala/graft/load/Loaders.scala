@@ -76,7 +76,9 @@ object Loaders {
       valid, Seq("__key"), Seq(col(RowIdx)),
       lit("passengers"), "Duplicate passenger key: ", auditCols)
 
-    val name = coalesce(trim(col("FullName")), lit("Unknown"))
+    // JS `row.FullName?.trim() || 'Unknown'` maps empty-but-present names to
+    // 'Unknown' too — hence nullif('') before the fallback.
+    val name = coalesce(nullif(trim(col("FullName")), lit("")), lit("Unknown"))
     val clean = unique.select(
       col("__key").as("passenger_key"),
       name.as("full_name"),
@@ -114,14 +116,29 @@ object Loaders {
     LoadResult(clean, invalid.unionByName(dupes))
   }
 
-  /** J5 — processor-path airport enrichment (`smartFileProcessor.js:269-283`):
-    * left join the (small, broadcast) country hierarchy to attach country_id
-    * after standardization. */
-  def enrichWithCountryId(airports: DataFrame, hierarchy: DataFrame): DataFrame =
-    airports.join(
-      broadcast(hierarchy.select(col("country_name"), col("country_id"))),
-      airports("country") === col("country_name"), "left")
-      .drop("country_name")
+  /** J5 + P4 — processor-path airport enrichment (`smartFileProcessor.js:
+    * 269-283,341-345`): attach country_id from the hierarchy by exact name
+    * match, falling back to the reference's fuzzy probe
+    * (`.ilike('%country%')` — hierarchy name CONTAINS the airport's country,
+    * case-insensitive; first match by smallest country_id for determinism).
+    *
+    * Scale shape: the fuzzy theta-join runs over DISTINCT country values
+    * (dozens), never over the airport rows; the resolved (country →
+    * country_id) map is then broadcast back onto the full table, so the
+    * non-equi join cost is O(|countries| × |hierarchy|), independent of the
+    * fact-side row count. */
+  def enrichWithCountryId(airports: DataFrame, hierarchy: DataFrame): DataFrame = {
+    val h = hierarchy.select(col("country_name"), col("country_id"))
+    val countries = airports.select(col("country")).distinct()
+    val exact = countries.join(broadcast(h), col("country") === col("country_name"), "left")
+      .select(col("country"), col("country_id").as("__id_exact"))
+    val fuzzy = exact.filter(col("__id_exact").isNull).select(col("country"))
+      .join(broadcast(h), lower(col("country_name")).contains(lower(col("country"))), "left")
+      .groupBy(col("country")).agg(min(col("country_id")).as("__id_fuzzy"))
+    val mapping = exact.join(fuzzy, Seq("country"), "left")
+      .select(col("country"), coalesce(col("__id_exact"), col("__id_fuzzy")).as("country_id"))
+    airports.join(broadcast(mapping), Seq("country"), "left")
+  }
 
   // --------------------------------------------------------------- airlines
 
@@ -182,21 +199,30 @@ object Loaders {
         lit("Unknown").as("country"))
   }
 
-  /** J3 — FK-existence validation: flights whose origin AND dest exist in
-    * dim_airport survive (left_semi); violations → dirty (left_anti). */
+  /** J3 — FK-existence validation, single-pass mark-and-split: two broadcast
+    * left joins attach origin/dest existence markers, then the standard
+    * clean/dirty filter split. (An exceptAll-based reject side would hash-
+    * shuffle the whole flight table on ALL columns and scan it twice — a
+    * scale-killer; the markers cost two map-side broadcast probes.) */
   def validateFlightFks(flights: DataFrame, airports: DataFrame): LoadResult = {
-    val keys = broadcast(airports.select("airport_key"))
-    val ok = flights
-      .join(keys, flights("origin_airport_key") === keys("airport_key"), "left_semi")
-    val ok2 = ok
-      .join(keys, ok("destination_airport_key") === keys("airport_key"), "left_semi")
-    val bad = flights.exceptAll(ok2)
-    val dirty = bad.select(
+    val flightCols = flights.columns.toSeq
+    val orgKeys = broadcast(airports.select(col("airport_key").as("__org_key")).distinct())
+    val dstKeys = broadcast(airports.select(col("airport_key").as("__dst_key")).distinct())
+    val marked = flights
+      .join(orgKeys, flights("origin_airport_key") === col("__org_key"), "left")
+      .join(dstKeys, col("destination_airport_key") === col("__dst_key"), "left")
+    val ok = col("__org_key").isNotNull && col("__dst_key").isNotNull
+    val clean = marked.filter(ok).select(flightCols.map(col): _*)
+    val dirty = marked.filter(!ok).select(
       lit("flights").as("source_table"),
-      to_json(struct(bad.columns.map(col): _*)).as("original_data"),
-      lit("Unknown origin or destination airport").as("error_reason"),
+      to_json(struct(flightCols.map(col): _*)).as("original_data"),
+      concat(lit("Unknown "),
+        concat_ws(" and ",
+          when(col("__org_key").isNull, lit("origin")),
+          when(col("__dst_key").isNull, lit("destination"))),
+        lit(" airport")).as("error_reason"),
       current_timestamp().as("created_at"))
-    LoadResult(ok2, dirty)
+    LoadResult(clean, dirty)
   }
 
   // ------------------------------------------------------------------ sales
@@ -241,6 +267,9 @@ object Loaders {
            !(col("__price_raw") <=> lit("0")), "Missing ticket price")
     ), auditCols)
 
+    // RowIdx is carried through so the cross-file dedup (A7) can break ties
+    // in ORIGINAL file order — minting a fresh id after this plan's window
+    // shuffle would be partition-order dependent, not file-order.
     val clean = valid.select(
       col("__txn").as("transaction_id"),
       dateKey(col("__date")).as("date_key"),
@@ -250,17 +279,21 @@ object Loaders {
       standardizeAmount(unquote(col("Taxes"))).as("taxes"),
       standardizeAmount(unquote(col("BaggageFees"))).as("baggage_fees"),
       standardizeAmount(unquote(col("TotalAmount"))).as("total_amount"),
-      lit(sourceType).as("sales_source"))
+      lit(sourceType).as("sales_source"),
+      col(RowIdx))
     LoadResult(clean, dupes.unionByName(rejected))
   }
 
   /** U1/A7 — union heterogeneous sales sources then cross-source first-wins
     * dedup (`uploadAllSales.js:158-188`): travel_agency precedes corporate
-    * (array order), duplicates keep the *processed* row as original_data. */
+    * (array order), duplicates keep the *processed* row as original_data.
+    * Inputs must carry [[RowIdx]] from [[loadSalesFile]] — the within-source
+    * tiebreak is the ORIGINAL file order it captured at read time (stable
+    * under any later repartitioning), with source precedence in front. */
   def unionSalesWithDedup(travel: DataFrame, corporate: DataFrame): LoadResult = {
-    val all = travel.withColumn("__prec", lit(0)).withColumn(RowIdx, monotonically_increasing_id())
-      .unionByName(corporate.withColumn("__prec", lit(1)).withColumn(RowIdx, monotonically_increasing_id()))
-    val auditCols = travel.columns.toSeq
+    val all = travel.withColumn("__prec", lit(0))
+      .unionByName(corporate.withColumn("__prec", lit(1)))
+    val auditCols = travel.columns.toSeq.filterNot(_ == RowIdx)
     val (clean, dirty) = Cleanse.dedupFirstWins(
       all, Seq("transaction_id"), Seq(col("__prec"), col(RowIdx)),
       col("sales_source"), "Duplicate transaction ID across files: ", auditCols)

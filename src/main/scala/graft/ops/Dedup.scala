@@ -13,16 +13,42 @@ import org.apache.spark.sql.functions._
   *    form inside identical band buckets, so the all-pairs O(n²) never
   *    materializes — the only shuffle is groupBy band-bucket, and bucket
   *    sizes are bounded before pairing to survive pathological buckets.
-  *  - SimHash: 64-bit signature computed ROW-LOCALLY (no explode/shuffle);
-  *    near-dups = equal signatures on rotated band prefixes.
+  *  - SimHash: 60-bit signature computed ROW-LOCALLY (no explode/shuffle);
+  *    near-dups = equal signatures on 15-bit bands.
   *  - n-gram Jaccard: exact verify step applied only to LSH candidates.
   *  - embedding cosine: see [[Similarity]]; near-dup = cosine above threshold
   *    on hyperplane-LSH candidates.
   *
-  * All signature computation is pure Column expressions — codegen'd,
-  * scan-speed, resumable per-partition.
+  * == Portable hashing ==
+  * All LSH-internal hashes derive from md5 so an external SQL engine (the
+  * DuckDB oracle) can reproduce candidate sets bit-for-bit:
+  * `h1 = int(md5(s)[0:7])`, `h2 = int(md5(s)[7:14])` (28-bit halves), and the
+  * i-th MinHash permutation is `(h1 + i*h2) mod (2^31-1)` (Kirsch–
+  * Mitzenmacher double hashing — ONE md5 per shingle, the 63 other "hash
+  * functions" are two arithmetic ops each). All arithmetic stays < 2^63.
+  *
+  * == Single-evaluation discipline ==
+  * Catalyst's CollapseProject freely inlines a projected column back into the
+  * expression that consumes it when it is referenced once — and a non-trivial
+  * array expression inlined into a multi-iteration higher-order-function
+  * lambda is then RE-EVALUATED per iteration (HOFs are interpreted, not
+  * codegen'd, and no cross-lambda CSE exists). Two defenses used throughout:
+  *  1. signatures are a single `aggregate` fold whose expensive input array
+  *     is the aggregate's INPUT — evaluated once per row no matter how the
+  *     optimizer inlines it;
+  *  2. per-band work happens ABOVE an `explode` (a Generate node), which
+  *     CollapseProject cannot merge across, so the signature is computed once
+  *     per row and only sliced per band.
   */
 object Dedup {
+
+  /** 2^31 - 1: modulus for the MinHash permutation universe. */
+  val HashP = 2147483647L
+
+  /** 28-bit portable hash halves of one md5 (see class doc). DuckDB:
+    * `('0x' || substr(md5(s), 1, 7))::BIGINT` / `substr(md5(s), 8, 7)`. */
+  private def h1(s: Column): Column = conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+  private def h2(s: Column): Column = conv(substring(md5(s), 8, 7), 16, 10).cast("long")
 
   // ------------------------------------------------------------------ exact
 
@@ -47,43 +73,52 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the document's shingle set. Row-local (array expressions —
-    * no explode, no shuffle). */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
-    minhashFromShingles(shingles(text, shingleK), numHashes)
+  /** MinHash signature from a shingle array: one md5 per DISTINCT shingle,
+    * then `numHashes` affine permutations folded into running minima in a
+    * single `aggregate` pass (the shingle-hash array is the aggregate input,
+    * so it is evaluated exactly once per row — see class doc). */
+  def minhashSignature(sh: Column, numHashes: Int = 64): Column = {
+    val hashPairs = transform(array_distinct(sh),
+      s => struct(h1(s).as("h1"), h2(s).as("h2")))
+    aggregate(
+      hashPairs,
+      array_repeat(lit(HashP), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, pmod(h.getField("h1") + i.cast("long") * h.getField("h2"), lit(HashP)))))
+  }
 
-  /** Signature from a precomputed shingle array (lets plans reuse ONE shingle
-    * computation for both the signature and the exact-Jaccard verify). */
-  def minhashFromShingles(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+  /** Signature straight from text (row-local, single expression). */
+  def minhashSignatureOfText(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
+    minhashSignature(shingles(text, shingleK), numHashes)
 
-  /** LSH banding: split the signature into `bands` bands of equal width and
-    * hash each band; two docs sharing ANY band hash are candidates.
-    * Emits (bandId, bandHash) rows — `numHashes` must divide by `bands`. */
-  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(signature, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
-          .as("bucket")))
+  /** Band bucket: md5 of the comma-joined band slice of the signature
+    * (portable: DuckDB `md5(array_to_string(list_slice(sig, a, b), ','))`). */
+  private def bandBucket(sig: Column, band: Column, rowsPerBand: Int): Column =
+    md5(concat_ws(",", slice(sig, band * lit(rowsPerBand) + 1, lit(rowsPerBand)).cast("array<string>")))
+
+  /** Explode one row per band BELOW the bucket projection: the Generate node
+    * is a CollapseProject barrier, so `sigExpr` evaluates once per input row
+    * and each band row only slices the materialized array. Output columns:
+    * the `carry` columns + `band` + `bucket`. */
+  private def banded(df: DataFrame, sigExpr: Column, bands: Int, rowsPerBand: Int,
+                     carry: Seq[String]): DataFrame =
+    df.select(carry.map(col) :+ sigExpr.as("__sig"): _*)
+      .select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(carry.map(col) :+ col("band") :+
+        bandBucket(col("__sig"), col("band"), rowsPerBand).as("bucket"): _*)
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band bucket.
     * One shuffle (explode bands → groupBy bucket); buckets larger than
-    * `maxBucket` are dropped (logged upstream) rather than exploding into
-    * O(bucket²) pairs — at 100 TB a degenerate bucket (e.g. empty docs)
-    * otherwise dominates the job. Pairs are distinct with idA < idB. */
+    * `maxBucket` are DROPPED rather than exploding into O(bucket²) pairs —
+    * at 100 TB a degenerate bucket (e.g. empty docs) otherwise dominates the
+    * job. Dropped buckets are not silent: use [[lshBucketStats]] (and the
+    * driver queries report the dropped count). Pairs are distinct, idA < idB. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 64,
                         bands: Int = 16, shingleK: Int = 3,
                         maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
-    val banded = sig.select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bucket"))
-    val buckets = banded.groupBy("band", "bucket")
+    val b = minhashBanded(docs, textCol, idCol, numHashes, bands, shingleK)
+    val buckets = b.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     buckets
@@ -91,6 +126,30 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
+
+  /** (id, band, bucket) rows for the MinHash-LSH banding (shared by the
+    * candidate generator and the bucket-stats audit). */
+  def minhashBanded(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", numHashes: Int = 64,
+                    bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    banded(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+      minhashSignatureOfText(col("__text"), numHashes, shingleK),
+      bands, rowsPerBand, carry = Seq("id"))
+  }
+
+  /** No-silent-caps audit for any (…, band, bucket) banding: per-band bucket
+    * counts, the largest bucket, and how many buckets the `maxBucket` guard
+    * would drop (with how many member rows). */
+  def lshBucketStats(bandedRows: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bandedRows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket_size"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(0L)).as("n_dropped_rows"))
 
   /** All unordered pairs (a<b) of an array — expression-level, applied to a
     * bounded bucket (≤ maxBucket) so the quadratic stays small and local. */
@@ -102,13 +161,8 @@ object Dedup {
 
   /** Jaccard similarity of token-shingle SETS for candidate verification
     * (exact n-gram Jaccard — applied post-LSH only). */
-  def jaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(shingles(textA, k))
-    val sb = array_distinct(shingles(textB, k))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni   = size(array_union(sa, sb)).cast("double")
-    when(uni === 0, 0.0).otherwise(inter / uni)
-  }
+  def jaccard(textA: Column, textB: Column, k: Int = 3): Column =
+    jaccardSets(array_distinct(shingles(textA, k)), array_distinct(shingles(textB, k)))
 
   /** MinHash near-dup pipeline: LSH candidates → exact Jaccard verify →
     * pairs with similarity ≥ threshold.
@@ -125,13 +179,13 @@ object Dedup {
                       shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // sh is referenced twice below (carried + signature input), which keeps it
+    // a materialized projection; the signature is collapse-safe regardless.
     val base = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-    val banded = base
-      .select(col("id"), col("sh"),
-        explode(lshBands(minhashFromShingles(col("sh"), numHashes), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.bucket"))
-    val buckets = banded.groupBy("band", "bucket")
+    val bandedRows = banded(base, minhashSignature(col("sh"), numHashes),
+      bands, rowsPerBand, carry = Seq("id", "sh"))
+    val buckets = bandedRows.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
     val sorted = array_sort(col("xs"))
@@ -156,36 +210,44 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over tokens, entirely row-local: per-token 64-bit hash,
-    * per-bit +1/-1 vote, sign of each bit's sum becomes the signature bit. */
+  /** Bits of the signature (60 = 4 bands × 15 bits; ≤ 60 keeps every packed
+    * value positive in a signed 64-bit int on every engine). */
+  val SimhashBits  = 60
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+
+  /** 60-bit SimHash over tokens, entirely row-local: per-token portable hash
+    * (bits 0-31 from md5[7:15], bits 32-59 from md5[0:7]), per-bit ±1 vote,
+    * sign of each bit's sum becomes the signature bit. The token-hash array
+    * is the input of the vote `aggregate`, so each token is md5'd once. */
   def simhash(text: Column): Column = {
     val toks = split(TextAnalysis.normalizeText(text), " ")
+    val tokHashes = transform(toks, t => struct(
+      conv(substring(md5(t), 1, 7), 16, 10).cast("long").as("hi"),   // 28 bits
+      conv(substring(md5(t), 8, 8), 16, 10).cast("long").as("lo")))  // 32 bits
+    val bitOf = (h: Column, j: Column) =>
+      when(j < 32, call_function("shiftright", h.getField("lo"), j.cast("int")))
+        .otherwise(call_function("shiftright", h.getField("hi"), (j - 32).cast("int")))
+        .bitwiseAND(1L)
     val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
+      tokHashes,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimhashBits - 1)),
+        (a, j) => a + when(bitOf(h, j) === 1L, 1L).otherwise(-1L)))
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      zip_with(votes, sequence(lit(0), lit(SimhashBits - 1)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup candidates by the rotation trick: two signatures within
-    * `maxHammingBands` differing bands collide on at least one of the 4
-    * 16-bit band keys. Same bounded-bucket guard as MinHash-LSH. */
+  /** SimHash near-dup candidates: two signatures within `SimhashBands - 1`
+    * differing bands collide on at least one 15-bit band key. Same
+    * bounded-bucket guard as MinHash-LSH; same Generate barrier so the
+    * signature is computed once per row. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", maxBucket: Int = 1000): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("sig"), b.cast("int") * 16).bitwiseAND(0xFFFFL).as("bucket")))).as("b"))
-      .select(col("id"), col("sig"), col("b.band"), col("b.bucket"))
-    val buckets = banded.groupBy("band", "bucket")
+    val b = simhashBanded(docs, textCol, idCol)
+    val buckets = b.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
     buckets
@@ -195,12 +257,21 @@ object Dedup {
       .distinct()
   }
 
+  /** (id, sig, band, bucket) rows for the SimHash banding. */
+  def simhashBanded(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .select(col("*"), explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        call_function("shiftright", col("sig"), (col("band") * SimhashBandBits).cast("int"))
+          .bitwiseAND((1L << SimhashBandBits) - 1).as("bucket"))
+
   private def pairsOfStruct(xs: Column): Column = {
     val sorted = array_sort(xs)
     flatten(transform(sorted, (a, i) =>
       transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("a"), b.as("b")))))
   }
 
-  /** Hamming distance between two 64-bit signatures: bit_count(xor). */
+  /** Hamming distance between two signatures: bit_count(xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   *    Sub-linear probe cost at recall < 1 — the scale path. Multiple tables
   *    (independent hyperplane sets) trade memory for recall.
   *
+  * == Hyperplane determinism ==
+  * The hyperplane matrix is PARAMETERS, not data: it is derived on the driver
+  * from md5 (`component(t,h,i) = (int(md5("hp:" + (t*1000+h) + ":" + i)[0:7])
+  * % 2e6) / 1e6 - 1`) and embedded as literal arrays in the plan, so
+  * executors do pure fused multiply-adds — no per-row hashing — and an
+  * external SQL engine (the DuckDB oracle) regenerates the identical matrix
+  * from the same formula.
+  *
   * Dot products run in double via `zip_with` + `aggregate` (deterministic
   * left-to-right summation — engine-exact and oracle-reproducible).
   */
@@ -49,74 +57,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: hyperplane h, component i =
-    * a fixed hash mapped into [-1, 1). Generated as expressions so corpus and
-    * query sides agree without shipping state. */
-  private def hyperplaneComponent(h: Column, i: Column): Column =
-    (pmod(xxhash64(h, i), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Sign-bit signature of `vec` against `numPlanes` hyperplanes, packed into
-    * a long — vectors with equal signatures lie in the same LSH bucket. */
-  def hyperplaneSignature(vec: Column, numPlanes: Int = 16, seed: Int = 0): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), h => {
+  /** One hyperplane component in [-1, 1) — see class doc for the formula. */
+  def planeComponent(table: Int, plane: Int, i: Int): Double =
+    (java.lang.Long.parseLong(md5Hex(s"hp:${table * 1000 + plane}:$i").substring(0, 7), 16)
+      % 2000000L) / 1e6 - 1.0
+
+  /** The `numPlanes × dim` hyperplane matrix for one LSH table. */
+  def planeMatrix(table: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(h => (0 until dim).map(i => planeComponent(table, h, i)))
+
+  /** Sign-bit signature of `vec` against the table's hyperplanes, packed into
+    * a long — vectors with equal signatures lie in the same LSH bucket.
+    * Pure arithmetic per row (literal plane arrays, no hashing). */
+  def hyperplaneSignature(vec: Column, table: Int, numPlanes: Int, dim: Int): Column =
+    planeMatrix(table, numPlanes, dim).zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (plane, h)) =>
         val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * hyperplaneComponent(h + lit(seed * 1000), i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, call_function("shiftleft", lit(1L), h.cast("int"))).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+          zip_with(vec, typedLit(plane), (x, p) => x.cast("double") * p),
+          lit(0.0), (a, x) => a + x)
+        acc.bitwiseOR(when(proj > 0, lit(1L << h)).otherwise(lit(0L)))
+    }
+
+  /** One row per (vector, table) with the table's bucket signature. */
+  private def withSigs(df: DataFrame, idCol: String, vecCol: String,
+                       idAlias: String, vecAlias: String,
+                       numPlanes: Int, tables: Int, dim: Int): DataFrame =
+    df.select(col(idCol).as(idAlias), col(vecCol).as(vecAlias),
+      explode(array((0 until tables).map(t => struct(lit(t).as("table"),
+        hyperplaneSignature(col(vecCol), t, numPlanes, dim).as("bucket"))): _*)).as("s"))
+      .select(col(idAlias), col(vecAlias), col("s.table"), col("s.bucket"))
 
   /** LSH-bucketed ANN: probe only corpus vectors sharing a bucket signature
     * with the query in ANY of `tables` independent hyperplane tables, then
     * exact-cosine rank within candidates. Recall < 1; cost ~ bucket sizes
-    * instead of |corpus|. */
+    * instead of |corpus|. Candidate pairs are deduped BEFORE the cosine so
+    * each pair's dot product runs once, not once per agreeing table. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              numPlanes: Int = 12, tables: Int = 4): DataFrame = {
-    def withSigs(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(transform(sequence(lit(0), lit(tables - 1)),
-          t => struct(t.as("table"),
-            hyperplaneSignatureSeeded(col(vecCol), numPlanes, t).as("bucket")))).as("s"))
-        .select(col(id), col(vec), col("s.table"), col("s.bucket"))
-
-    val c = withSigs(corpus, "neighbor_id", "__cv")
-    val q = broadcast(withSigs(queries, "query_id", "__qv"))
+              numPlanes: Int = 12, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val c = withSigs(corpus, idCol, vecCol, "neighbor_id", "__cv", numPlanes, tables, dim)
+    val q = broadcast(withSigs(queries, idCol, vecCol, "query_id", "__qv", numPlanes, tables, dim))
     val scored = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  private def hyperplaneSignatureSeeded(vec: Column, numPlanes: Int, table: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), h => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * hyperplaneComponent(h + table * 1000, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, call_function("shiftleft", lit(1L), h.cast("int"))).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH candidates
-    * (the embedding-space analogue of MinHash near-dup). */
+    * (the embedding-space analogue of MinHash near-dup). Buckets larger than
+    * `maxBucket` are dropped (see [[Dedup.lshBucketStats]] for the audit). */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.95,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        numPlanes: Int = 12, tables: Int = 4,
+                        numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
                         maxBucket: Int = 1000): DataFrame = {
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(transform(sequence(lit(0), lit(tables - 1)),
-        t => struct(t.as("table"),
-          hyperplaneSignatureSeeded(col(vecCol), numPlanes, t).as("bucket")))).as("s"))
-      .select(col("id"), col("v"), col("s.table"), col("s.bucket"))
+    val sigs = withSigs(corpus, idCol, vecCol, "id", "v", numPlanes, tables, dim)
     val buckets = sigs.groupBy("table", "bucket")
       .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
@@ -126,8 +129,9 @@ object Similarity {
         transform(slice(sorted, i + 2, size(sorted)),
           b => struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        cosine(col("p.a.v"), col("p.b.v")).as("cosine"))
+        col("p.a.v").as("__va"), col("p.b.v").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

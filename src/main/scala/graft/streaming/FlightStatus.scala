@@ -83,14 +83,16 @@ object FlightStatus {
 
   /** ST3/A4 — latest status per flight. `max_by(struct(...))` does it in ONE
     * hash aggregation with map-side partial combine — no window sort, no
-    * row_number shuffle-then-filter; ties break toward the larger struct
-    * (later event_id wins on equal timestamps via the struct ordering). */
+    * row_number shuffle-then-filter. The comparator is
+    * (update_timestamp, delay_minutes, status): the trailing status makes the
+    * survivor deterministic even when two events fully tie on timestamp and
+    * delay (the status table carries no unique event id to break ties with). */
   def latestStatusPerFlight(statusTable: DataFrame): DataFrame =
     statusTable
       .groupBy(col("flight_key"))
       .agg(max_by(
         struct(col("status"), col("delay_minutes"), col("update_timestamp")),
-        struct(col("update_timestamp"), col("delay_minutes"))).as("latest"))
+        struct(col("update_timestamp"), col("delay_minutes"), col("status"))).as("latest"))
       .select(col("flight_key"), col("latest.status"), col("latest.delay_minutes"),
         col("latest.update_timestamp"))
 
