@@ -333,12 +333,19 @@ object OracleSql {
   private def ph1(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
   private def ph2(x: String) = s"('0x' || substr(md5($x), 8, 7))::BIGINT"
 
+  /** Dedup-op text normalization: NULL text coalesces to '' BEFORE the
+    * normalize (mirror of Dedup.shingles/simhash — without it the SQL side
+    * null-propagates and drops the row from candidate joins while Spark
+    * keeps it). */
+  private val dedupNormSql =
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   /** Shared MinHash-LSH CTE chain: normalize → shingle → 64-perm signature
     * (double hashing mod 2^31-1) → 16 band buckets (md5 of the joined
     * slice) → bounded-bucket candidate pairs. Mirrors Dedup.minhashCandidates
     * with k=3, numHashes=64, bands=16, rowsPerBand=4, maxBucket=1000. */
   private val minhashCtes = s"""
-    toks AS (SELECT doc_id AS id, regexp_split_to_array($normSql, ' ') AS tk FROM documents),
+    toks AS (SELECT doc_id AS id, regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
     base AS (SELECT id,
         list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
           ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END) AS sh
@@ -366,12 +373,13 @@ object OracleSql {
     FROM pairs"""
 
   private val q28 = s"""
-    WITH toks AS (SELECT doc_id AS id, regexp_split_to_array($normSql, ' ') AS tk FROM documents),
+    WITH toks AS (SELECT doc_id AS id,
+        list_transform(regexp_split_to_array($dedupNormSql, ' '),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+      FROM documents),
     sig AS (SELECT id,
         list_sum(list_transform(range(0, 60), j -> CASE WHEN
-            list_sum(list_transform(tk, t -> CASE WHEN
-              (CASE WHEN j < 32 THEN (('0x' || substr(md5(t), 8, 8))::BIGINT >> j)
-                    ELSE (('0x' || substr(md5(t), 1, 7))::BIGINT >> (j - 32)) END) & 1 = 1
+            list_sum(list_transform(th, h -> CASE WHEN (h >> j) & 1 = 1
               THEN 1 ELSE -1 END)) > 0
           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
       FROM toks),
@@ -418,10 +426,15 @@ object OracleSql {
           THEN (1::BIGINT << h) ELSE 0 END))::BIGINT AS bucket
       FROM e, range(0, 4) r(t))"""
 
+  /** Zero-norm guard mirrors Similarity.cosine's `when(d === 0, 0.0)`: a zero
+    * vector (which collides in bucket 0 of every LSH table) must score 0.0,
+    * not NaN (DuckDB sorts NaN above all values and NaN >= t is true). */
   private val cosineSql =
-    """list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
-      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-       sqrt(list_sum(list_transform(b.v, x -> x * x))))"""
+    """CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.v, x -> x * x))) = 0 THEN 0.0
+       ELSE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.v, x -> x * x)))) END"""
 
   private val q33 = s"""
     WITH $hyperplaneCtes,
@@ -459,9 +472,11 @@ object OracleSql {
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
+        CASE WHEN sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.v, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
           (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
-           sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+           sqrt(list_sum(list_transform(c.v, x -> x * x)))) END AS cosine
       FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,

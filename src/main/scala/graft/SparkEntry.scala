@@ -320,9 +320,11 @@ object SparkEntry {
       .crossJoin(stats.select(col("n_dropped_buckets")))
   }
 
-  /** SimHash signatures + banded near-dup candidates (portable hash). */
+  /** SimHash signatures + banded near-dup candidates — `portable = true`
+    * selects the md5-derived token hash the DuckDB oracle reproduces
+    * (production callers keep the default xxhash64 path). */
   private def q28Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(t(s, dir, "documents"))
+    Dedup.simhashCandidates(t(s, dir, "documents"), portable = true)
       .agg(count(lit(1)).as("n_candidate_pairs"),
         coalesce(min(col("hamming")).cast("long"), lit(0L)).as("min_hamming"),
         coalesce(sum("id_a"), lit(0L)).as("sum_id_a"),

@@ -130,8 +130,10 @@ object Loaders {
   def enrichWithCountryId(airports: DataFrame, hierarchy: DataFrame): DataFrame = {
     val h = hierarchy.select(col("country_name"), col("country_id"))
     val countries = airports.select(col("country")).distinct()
+    // min() on BOTH paths: duplicate country_name rows in the hierarchy must
+    // not fan out the mapping (and the survivor stays deterministic).
     val exact = countries.join(broadcast(h), col("country") === col("country_name"), "left")
-      .select(col("country"), col("country_id").as("__id_exact"))
+      .groupBy(col("country")).agg(min(col("country_id")).as("__id_exact"))
     val fuzzy = exact.filter(col("__id_exact").isNull).select(col("country"))
       .join(broadcast(h), lower(col("country_name")).contains(lower(col("country"))), "left")
       .groupBy(col("country")).agg(min(col("country_id")).as("__id_fuzzy"))
@@ -234,6 +236,10 @@ object Loaders {
     * flight key, invalid date, missing ticket price.
     *
     * @param sourceType "travel_agency" | "corporate"
+    * @return clean side = fact_sales columns PLUS the carried [[RowIdx]]
+    *         tie-break column — [[unionSalesWithDedup]] consumes and drops
+    *         it; a caller writing `clean` straight to fact_sales must
+    *         `.drop(Loaders.RowIdx)` first (the star schema is closed).
     */
   def loadSalesFile(raw: DataFrame, sourceType: String): LoadResult = {
     val prefix = if (sourceType == "travel_agency") "TA" else "CO"

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB shape of the problem:
@@ -20,12 +21,15 @@ import org.apache.spark.sql.functions._
   *    on hyperplane-LSH candidates.
   *
   * == Portable hashing ==
-  * All LSH-internal hashes derive from md5 so an external SQL engine (the
+  * MinHash-internal hashes derive from md5 so an external SQL engine (the
   * DuckDB oracle) can reproduce candidate sets bit-for-bit:
   * `h1 = int(md5(s)[0:7])`, `h2 = int(md5(s)[7:14])` (28-bit halves), and the
   * i-th MinHash permutation is `(h1 + i*h2) mod (2^31-1)` (Kirsch–
   * Mitzenmacher double hashing — ONE md5 per shingle, the 63 other "hash
   * functions" are two arithmetic ops each). All arithmetic stays < 2^63.
+  * SimHash defaults to the faster native `xxhash64` per token and takes
+  * `portable = true` for the md5-derived oracle-reproducible variant — see
+  * [[simhash]].
   *
   * == Single-evaluation discipline ==
   * Catalyst's CollapseProject freely inlines a projected column back into the
@@ -45,11 +49,6 @@ object Dedup {
   /** 2^31 - 1: modulus for the MinHash permutation universe. */
   val HashP = 2147483647L
 
-  /** 28-bit portable hash halves of one md5 (see class doc). DuckDB:
-    * `('0x' || substr(md5(s), 1, 7))::BIGINT` / `substr(md5(s), 8, 7)`. */
-  private def h1(s: Column): Column = conv(substring(md5(s), 1, 7), 16, 10).cast("long")
-  private def h2(s: Column): Column = conv(substring(md5(s), 8, 7), 16, 10).cast("long")
-
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup on normalized content: keep the first document (smallest
@@ -65,9 +64,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** Word-level shingles (n-grams of tokens) of the normalized text. */
+  /** Word-level shingles (n-grams of tokens) of the normalized text.
+    * NULL text is coalesced to '' at entry so both engines agree: without it
+    * Spark's concat_ws swallows the null into [""] while a SQL oracle
+    * null-propagates and silently drops the row from candidate joins. */
   def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(TextAnalysis.normalizeText(text), " ")
+    val toks = split(TextAnalysis.normalizeText(coalesce(text, lit(""))), " ")
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
@@ -76,10 +78,19 @@ object Dedup {
   /** MinHash signature from a shingle array: one md5 per DISTINCT shingle,
     * then `numHashes` affine permutations folded into running minima in a
     * single `aggregate` pass (the shingle-hash array is the aggregate input,
-    * so it is evaluated exactly once per row — see class doc). */
+    * so it is evaluated exactly once per row — see class doc).
+    *
+    * The md5 is materialized in its own `transform` BEFORE the (h1, h2) split:
+    * HOF lambdas are interpreted with no common-subexpression elimination, so
+    * `struct(h1(s), h2(s))` in one lambda would run the digest twice per
+    * shingle — the nested transform halves the hashing cost at identical
+    * output values. */
   def minhashSignature(sh: Column, numHashes: Int = 64): Column = {
-    val hashPairs = transform(array_distinct(sh),
-      s => struct(h1(s).as("h1"), h2(s).as("h2")))
+    val hashPairs = transform(
+      transform(array_distinct(sh), s => md5(s)),
+      m => struct(
+        conv(substring(m, 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 8, 7), 16, 10).cast("long").as("h2")))
     aggregate(
       hashPairs,
       array_repeat(lit(HashP), numHashes),
@@ -167,35 +178,37 @@ object Dedup {
   /** MinHash near-dup pipeline: LSH candidates → exact Jaccard verify →
     * pairs with similarity ≥ threshold.
     *
-    * The shingle SET is computed once per document and carried through the
-    * band shuffle, so the verify step is a cheap array_intersect/union on
-    * materialized arrays — NOT a re-tokenization per candidate pair (which
-    * multiplies the regex cost by the candidate count) and NOT a join back
-    * to the text (two extra shuffles). `jaccardSets` dedups verification to
-    * one evaluation per distinct pair. */
+    * Shuffle shape (the 100 TB lens): the band explode carries ONLY the doc
+    * id — banding with the full shingle set attached multiplies the corpus
+    * token volume by `bands` (16×) through the one big shuffle, which
+    * dominates the job at scale. Instead the `(id, shingle-set)` projection
+    * is persisted ONCE (tokenization runs once per document, not once per
+    * band row and not once per candidate side) and the tiny post-LSH
+    * candidate pair set joins back to it for the exact-Jaccard verify — two
+    * thin shuffles (pairs are orders of magnitude smaller than band rows)
+    * instead of one 16×-amplified fat one. */
   def minhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", threshold: Double = 0.8,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // sh is referenced twice below (carried + signature input), which keeps it
-    // a materialized projection; the signature is collapse-safe regardless.
+    // Persisted: consumed by the banding pass AND twice by the verify join —
+    // without it each consumer re-tokenizes the full corpus.
     val base = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandedRows = banded(base, minhashSignature(col("sh"), numHashes),
-      bands, rowsPerBand, carry = Seq("id", "sh"))
-    val buckets = bandedRows.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-    val sorted = array_sort(col("xs"))
-    buckets
-      .select(explode(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        col("p.a.sh").as("__sa"), col("p.b.sh").as("__sb"))
-      .groupBy("id_a", "id_b").agg(first("__sa").as("__sa"), first("__sb").as("__sb"))
+      bands, rowsPerBand, carry = Seq("id"))
+    val candidates = bandedRows.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
       .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -216,19 +229,24 @@ object Dedup {
   val SimhashBands = 4
   val SimhashBandBits = 15
 
-  /** 60-bit SimHash over tokens, entirely row-local: per-token portable hash
-    * (bits 0-31 from md5[7:15], bits 32-59 from md5[0:7]), per-bit ±1 vote,
-    * sign of each bit's sum becomes the signature bit. The token-hash array
-    * is the input of the vote `aggregate`, so each token is md5'd once. */
-  def simhash(text: Column): Column = {
-    val toks = split(TextAnalysis.normalizeText(text), " ")
-    val tokHashes = transform(toks, t => struct(
-      conv(substring(md5(t), 1, 7), 16, 10).cast("long").as("hi"),   // 28 bits
-      conv(substring(md5(t), 8, 8), 16, 10).cast("long").as("lo")))  // 32 bits
+  /** 60-bit SimHash over tokens, entirely row-local: one 60-bit hash per
+    * token, per-bit ±1 vote, sign of each bit's sum becomes the signature
+    * bit. The token-hash array is the input of the vote `aggregate`, so each
+    * token is hashed once.
+    *
+    * `portable = false` (the production default) hashes tokens with
+    * `xxhash64` — a single codegen'd native call. `portable = true` derives
+    * the 60 bits from one md5 (`int(md5(t)[0:15])`) so an external SQL engine
+    * reproduces signatures bit-for-bit (the DuckDB oracle:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`) — md5 costs ~2.5× xxhash64
+    * per token, so only the oracle-checked queries opt in. */
+  def simhash(text: Column, portable: Boolean = false): Column = {
+    val toks = split(TextAnalysis.normalizeText(coalesce(text, lit(""))), " ")
+    val tokHashes =
+      if (portable) transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+      else transform(toks, t => xxhash64(t))
     val bitOf = (h: Column, j: Column) =>
-      when(j < 32, call_function("shiftright", h.getField("lo"), j.cast("int")))
-        .otherwise(call_function("shiftright", h.getField("hi"), (j - 32).cast("int")))
-        .bitwiseAND(1L)
+      call_function("shiftright", h, j.cast("int")).bitwiseAND(1L)
     val votes = aggregate(
       tokHashes,
       array_repeat(lit(0L), SimhashBits),
@@ -245,8 +263,9 @@ object Dedup {
     * bounded-bucket guard as MinHash-LSH; same Generate barrier so the
     * signature is computed once per row. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id", maxBucket: Int = 1000): DataFrame = {
-    val b = simhashBanded(docs, textCol, idCol)
+                        idCol: String = "doc_id", maxBucket: Int = 1000,
+                        portable: Boolean = false): DataFrame = {
+    val b = simhashBanded(docs, textCol, idCol, portable)
     val buckets = b.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
@@ -259,8 +278,8 @@ object Dedup {
 
   /** (id, sig, band, bucket) rows for the SimHash banding. */
   def simhashBanded(docs: DataFrame, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+                    idCol: String = "doc_id", portable: Boolean = false): DataFrame =
+    docs.select(col(idCol).as("id"), simhash(col(textCol), portable).as("sig"))
       .select(col("*"), explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         call_function("shiftright", col("sig"), (col("band") * SimhashBandBits).cast("int"))

@@ -40,6 +40,28 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Per-query top-k in two stages so no reducer absorbs a full corpus's
+    * scores. A single `Window.partitionBy(query_id)` ships EVERY scored row
+    * to |queries| reducers — with a handful of probe queries that is a
+    * straggler at scale. Stage 1 ranks within (query, input-partition) — the
+    * shuffle spreads uniformly over |queries| × |partitions| keys and each
+    * group keeps only its local top k; stage 2 merges the surviving
+    * ≤ k·|partitions| rows per query (tiny). Top-k of per-partition top-k's
+    * is exactly the global top-k because every globally-ranked row is also
+    * top-k within its own partition under the same total order. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val order  = Seq(col("cosine").desc, col("neighbor_id"))
+    val local  = Window.partitionBy(col("query_id"), col("__part")).orderBy(order: _*)
+    val global = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact brute-force top-k: for each query row, the k nearest corpus rows
     * by cosine. Queries must be broadcast-sized (typical: a probe batch).
     * Ties break on corpus id for determinism. */
@@ -50,11 +72,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topK(scored, k)
   }
 
   private def md5Hex(s: String): String =
@@ -106,10 +124,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH candidates
