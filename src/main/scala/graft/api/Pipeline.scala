@@ -1,0 +1,286 @@
+package graft.api
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Analytics, DimDate}
+import graft.cleanse.Cleanse
+import graft.detect.FileTypeDetector
+import graft.load.Loaders
+import graft.schema.Schemas
+import graft.streaming.FlightStatus
+
+/** End-to-end warehouse façade (SURVEY.md §7.1 item 9) — the Spark-first
+  * re-expression of the reference's operational surface:
+  *
+  *  - [[processFile]]   — `/upload` auto-detect path (`server.js:57-141`,
+  *    `smartFileProcessor.js:124-190`): header sniff → type detection →
+  *    loader dispatch → CHECK-domain validation → upsert into the target
+  *    table → dirty append.
+  *  - [[uploadAllSales]] — the batch sales job (`uploadAllSales.js:158-279`):
+  *    per-file load, cross-source dedup, INSERT into fact_sales.
+  *  - [[checkInsurance]] — `/check-insurance` (`server.js:144-184`): latest
+  *    status per flight, >240 min ⇒ flag matching fact rows, never unset.
+  *  - [[simulateDelay]]  — `/simulate-delay` (`server.js:187-209`): append a
+  *    synthetic status event (the Kafka-less local path; the streaming
+  *    variant is [[graft.streaming.FlightStatus.readKafkaStream]]).
+  *  - [[dirtyData]]      — `GET /dirty-data` monitor (`server.js:212-226`).
+  *  - [[analytics]]      — the `v_airline_analytics` star view over the
+  *    stored tables (`for supabase/denorm view:1-41`).
+  *
+  * == Storage model ==
+  * Tables live as parquet directories under `warehouseDir`. Upsert is
+  * read-merge-overwrite: the merged result is `localCheckpoint`ed (eagerly
+  * materialized, lineage cut) BEFORE the overwrite so Spark never reads the
+  * files it is replacing mid-write. On a production deployment this maps to
+  * a transactional table format's MERGE (the read-merge-overwrite here is
+  * the same shuffle shape: one hash exchange on the conflict key); the
+  * façade keeps that swap behind [[upsertInto]] so callers are storage-
+  * agnostic.
+  *
+  * == Dual-sink discipline ==
+  * Every loader returns (clean, dirty) as two filters over ONE shared plan;
+  * writing both sides would re-run the CSV scan per side, so [[processFile]]
+  * persists the raw read before dispatching (see [[graft.cleanse.Cleanse]]
+  * scale notes) and unpersists after both writes land.
+  */
+object Pipeline {
+  /** Per-upload outcome, mirroring the processor's summary JSON
+    * (`smartFileProcessor.js:182-190`). */
+  final case class ProcessResult(fileType: String, targetTable: String,
+                                 totalRecords: Long, cleanRecords: Long,
+                                 dirtyRecords: Long)
+}
+
+final class Pipeline(spark: SparkSession, warehouseDir: String) {
+  import Pipeline.ProcessResult
+
+  /** CHECK-domain validation applied before an upsert lands (P6): violations
+    * dirty-route with an audit reason; Postgres would have rejected the
+    * whole batch (`for supabase/fact table:11`, `dim tables:6`). */
+  val domainChecks: Map[String, Seq[Cleanse.Rule]] = Map(
+    "fact_sales"    -> Seq(Cleanse.domainRule("sales_source", Seq("travel_agency", "corporate"))),
+    "dim_passenger" -> Seq(Cleanse.domainRule("loyalty_status", Seq("Bronze", "Silver", "Gold", "Platinum")))
+  )
+
+  // ------------------------------------------------------------- table store
+
+  def tablePath(name: String): String = s"$warehouseDir/$name"
+
+  def tableExists(name: String): Boolean = {
+    val d = new File(tablePath(name))
+    d.isDirectory && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  private def emptyTable(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Read a stored table; an absent table reads as empty with its canonical
+    * schema so first-upload and re-upload share one code path. */
+  def readTable(name: String): DataFrame =
+    if (tableExists(name)) spark.read.parquet(tablePath(name))
+    else emptyTable(tableSchemas(name))
+
+  private val tableSchemas = Map(
+    "fact_sales"            -> Schemas.factSales,
+    "dim_passenger"         -> Schemas.dimPassenger,
+    "dim_airport"           -> Schemas.dimAirport,
+    "dim_airline"           -> Schemas.dimAirline,
+    "dim_flight"            -> Schemas.dimFlight,
+    "dim_date"              -> Schemas.dimDate,
+    "flight_status_updates" -> Schemas.flightStatusUpdates,
+    "dirty_data"            -> Schemas.dirtyData
+  )
+
+  /** Overwrite a table with lineage cut first — `df` may (and in the upsert
+    * path does) read the very files being replaced. */
+  def overwriteTable(name: String, df: DataFrame): Unit =
+    df.localCheckpoint(true).write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+
+  def appendTable(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(tablePath(name))
+
+  /** S6 — upsert `incoming` into `name` on `conflictKey` (new rows win,
+    * PostgREST `upsert(onConflict=key)` semantics). */
+  def upsertInto(name: String, incoming: DataFrame, conflictKey: String): Unit =
+    overwriteTable(name, Cleanse.upsert(readTable(name), incoming, Seq(conflictKey)))
+
+  /** S10 — dirty-data append with the local-file fallback sink
+    * (`uploadAllSales.js:297-301`): if the table write fails, the batch is
+    * preserved as JSONL next to the warehouse rather than lost. */
+  def appendDirty(dirty: DataFrame, fallbackDir: String = ""): Unit = {
+    val fb = if (fallbackDir.nonEmpty) fallbackDir else s"$warehouseDir/dirty_backup_jsonl"
+    try appendTable("dirty_data", dirty)
+    catch { case e: Throwable =>
+      System.err.println(s"[pipeline] dirty_data append failed (${e.getMessage}); JSONL fallback → $fb")
+      dirty.write.mode(SaveMode.Append).json(fb)
+    }
+  }
+
+  // ---------------------------------------------------------- auto-detect path
+
+  /** D3/§2.7 — sniff → detect → load → validate → upsert → dirty append.
+    * Header-less files (the corporate sales export) route through the shape
+    * heuristic (`detectHeaderless`); everything else through the signature /
+    * fuzzy match (`detectFileType`). Unknown types return a zero-row result
+    * with `fileType = "unknown"` (the reference 400s, `server.js:…`). */
+  def processFile(path: String): ProcessResult = {
+    val firstLine = FileTypeDetector.sniffHeaders(path)
+    val headerless = FileTypeDetector.looksHeaderless(firstLine)
+    val fileType =
+      if (headerless) FileTypeDetector.detectHeaderless(firstLine)
+      else FileTypeDetector.detectFileType(firstLine)
+    if (fileType == "unknown")
+      return ProcessResult("unknown", "", 0L, 0L, 0L)
+
+    val sig = FileTypeDetector.fileSignatures.toMap.apply(fileType)
+    val raw = (fileType match {
+      case "corporate_sales" if headerless => Loaders.readCorporateCsv(spark, path)
+      case "passengers"          => Loaders.readCsv(spark, path, Schemas.rawPassengers)
+      case "airports"            => Loaders.readCsv(spark, path, Schemas.rawAirports)
+      case "airlines"            => Loaders.readCsv(spark, path, Schemas.rawAirlines)
+      case "flights"             => Loaders.readCsv(spark, path, Schemas.rawFlights)
+      case "travel_agency_sales" => Loaders.readCsv(spark, path, Schemas.rawTravelSales)
+      case "corporate_sales"     => Loaders.readCsv(spark, path, Schemas.rawCorporateSales)
+    }).persist()
+    try {
+      val total = raw.count()
+      val result = fileType match {
+        case "passengers"          => Loaders.loadPassengers(raw)
+        case "airports"            => Loaders.loadAirports(raw)
+        case "airlines"            => Loaders.loadAirlines(raw)
+        case "flights"             => loadFlightsWithFks(raw)
+        case "travel_agency_sales" => salesForInsert(Loaders.loadSalesFile(raw, "travel_agency"))
+        case "corporate_sales"     => salesForInsert(Loaders.loadSalesFile(raw, "corporate"))
+      }
+      // P6 gate: CHECK-domain violations leave the clean side here.
+      val (checked, violations) = Cleanse.cleanse(
+        result.clean, sig.targetTable, domainChecks.getOrElse(sig.targetTable, Nil))
+      val dirty = result.dirty.unionByName(violations)
+
+      val cleanN = checked.count()
+      val dirtyN = dirty.count()
+      if (cleanN > 0) upsertInto(sig.targetTable, checked, sig.conflictKey)
+      if (dirtyN > 0) appendDirty(dirty)
+      ProcessResult(fileType, sig.targetTable, total, cleanN, dirtyN)
+    } finally raw.unpersist()
+  }
+
+  /** Flights compose with the airport dim exactly like `uploadFlights.js`:
+    * placeholder airports for referenced-but-unknown codes are upserted
+    * FIRST, then FK validation splits against the (now complete) dim. */
+  private def loadFlightsWithFks(raw: DataFrame): Loaders.LoadResult = {
+    val loaded = Loaders.loadFlights(raw)
+    val airports = readTable("dim_airport")
+    val placeholders = Loaders.placeholderAirports(loaded.clean, airports)
+    if (!placeholders.isEmpty) upsertInto("dim_airport", placeholders, "airport_key")
+    val validated = Loaders.validateFlightFks(loaded.clean, readTable("dim_airport"))
+    Loaders.LoadResult(validated.clean, loaded.dirty.unionByName(validated.dirty))
+  }
+
+  /** fact_sales carries loader-internal [[Loaders.RowIdx]] for cross-file
+    * tie-breaks; a single-file upload drops it at the table boundary and
+    * fills the DDL-default columns (`for supabase/fact table:12-15`). */
+  private def salesForInsert(r: Loaders.LoadResult): Loaders.LoadResult =
+    Loaders.LoadResult(withFactDefaults(r.clean.drop(Loaders.RowIdx)), r.dirty)
+
+  private def withFactDefaults(sales: DataFrame): DataFrame =
+    sales
+      .withColumn("flight_status", lit("scheduled"))
+      .withColumn("delay_minutes", lit(0))
+      .withColumn("is_eligible_insurance", lit(false))
+      .withColumn("created_at", current_timestamp())
+
+  // ------------------------------------------------------------- batch sales
+
+  /** The batch sales job (`uploadAllSales.js:158-279`): load every travel
+    * file then every corporate file, dedup across sources (travel wins, then
+    * file order), fill fact defaults, INSERT into fact_sales, dirty append.
+    * Returns (clean, dirty) counts. */
+  def uploadAllSales(travelPaths: Seq[String], corporatePaths: Seq[String]): (Long, Long) = {
+    def load(paths: Seq[String], source: String): Seq[Loaders.LoadResult] = paths.map { p =>
+      val schema = if (source == "travel_agency") Schemas.rawTravelSales else Schemas.rawCorporateSales
+      val raw =
+        if (source == "corporate") Loaders.readCorporateCsv(spark, p)
+        else Loaders.readCsv(spark, p, schema)
+      Loaders.loadSalesFile(raw.persist(), source)
+    }
+    val travel = load(travelPaths, "travel_agency")
+    val corporate = load(corporatePaths, "corporate")
+    if (travel.isEmpty && corporate.isEmpty) return (0L, 0L)
+    def unionAll(xs: Seq[DataFrame]): Option[DataFrame] = xs.reduceOption(_ unionByName _)
+
+    val anyClean = (travel ++ corporate).head.clean
+    val t = unionAll(travel.map(_.clean)).getOrElse(anyClean.limit(0))
+    val c = unionAll(corporate.map(_.clean)).getOrElse(anyClean.limit(0))
+    val merged = Loaders.unionSalesWithDedup(t, c)
+
+    val dirtyAll = unionAll((travel ++ corporate).map(_.dirty)).get
+      .unionByName(merged.dirty)
+    val clean = withFactDefaults(merged.clean)
+
+    val cleanN = clean.count()
+    val dirtyN = dirtyAll.count()
+    if (cleanN > 0) upsertInto("fact_sales", clean, "transaction_id")
+    if (dirtyN > 0) appendDirty(dirtyAll)
+    (cleanN, dirtyN)
+  }
+
+  // ---------------------------------------------------------- status / flags
+
+  /** `/simulate-delay` — append one synthetic status event. */
+  def simulateDelay(flightKey: String, delayMinutes: Int): Unit = {
+    import spark.implicits._
+    val e = FlightStatus.buildEvents(
+      Seq((flightKey, delayMinutes)).toDF("flight_key", "delay_minutes")
+        .withColumn("update_timestamp", current_timestamp()))
+    appendTable("flight_status_updates", e)
+  }
+
+  /** `/check-insurance` — latest status for `flightKey`; delay > 240 flips
+    * `is_eligible_insurance` on that flight's fact rows (never unsets).
+    * Returns (eligible, latestDelayMinutes). */
+  def checkInsurance(flightKey: String): (Boolean, Int) = {
+    val latest = FlightStatus.latestStatus(readTable("flight_status_updates"), flightKey)
+      .select("delay_minutes").collect()
+    val delay = latest.headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int])).getOrElse(0)
+    val eligible = delay > 240
+    if (eligible) {
+      val flagged = readTable("fact_sales").withColumn("is_eligible_insurance",
+        col("is_eligible_insurance") || (col("flight_key") === flightKey))
+      overwriteTable("fact_sales", flagged)
+    }
+    (eligible, delay)
+  }
+
+  /** ST4 batch path — flag every eligible flight at once (the set-wide
+    * variant [[graft.streaming.FlightStatus.flagEligibleFacts]]). */
+  def flagAllEligible(): Unit =
+    overwriteTable("fact_sales",
+      FlightStatus.flagEligibleFacts(readTable("fact_sales"), readTable("flight_status_updates")))
+
+  // ---------------------------------------------------------------- analytics
+
+  /** `GET /dirty-data` — newest `limit` audit rows. */
+  def dirtyData(limit: Int = 100): DataFrame =
+    Analytics.dirtyDataMonitor(readTable("dirty_data"), limit)
+
+  /** Ensure dim_date exists (the reference seeds it once, `dim date:13-31`). */
+  def ensureDimDate(): Unit =
+    if (!tableExists("dim_date"))
+      overwriteTable("dim_date", DimDate.generate(spark))
+
+  /** The `v_airline_analytics` star view over the stored warehouse. */
+  def analytics(): DataFrame = {
+    ensureDimDate()
+    Analytics.airlineAnalytics(Analytics.Warehouse(
+      factSales = readTable("fact_sales"),
+      dimDate = readTable("dim_date"),
+      dimPassenger = readTable("dim_passenger"),
+      dimFlight = readTable("dim_flight"),
+      dimAirport = readTable("dim_airport"),
+      dimAirline = readTable("dim_airline")))
+  }
+}

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * consumes both (e.g. writes clean AND dirty) re-executes the upstream scan
   * once per side unless it persists first — cache/localCheckpoint the INPUT
   * DataFrame before chaining cleanse + dedupFirstWins when both sides are
-  * written (the Pipeline façade does exactly this). No shuffle is introduced
-  * by `cleanse`; `dedupFirstWins` needs exactly one shuffle (hash partition
-  * by the dedup key for its window).
+  * written ([[graft.api.Pipeline.processFile]] persists the raw CSV read
+  * before dispatching to a loader for exactly this reason). No shuffle is
+  * introduced by `cleanse`; `dedupFirstWins` needs exactly one shuffle (hash
+  * partition by the dedup key for its window).
   */
 object Cleanse {
 
@@ -31,6 +32,16 @@ object Cleanse {
   object Rule {
     def apply(isDirty: Column, reason: String): Rule = Rule(isDirty, lit(reason))
   }
+
+  /** P6 — explicit CHECK-domain rule (`for supabase/fact table:11`,
+    * `dim tables:6`): a value outside `allowed` dirty-routes with an audited
+    * reason instead of erroring the batch (Postgres would reject it) or
+    * being silently corrected (what a standardizer would do — the audit
+    * trail is the point). NULL passes, matching SQL CHECK semantics. */
+  def domainRule(column: String, allowed: Seq[String]): Rule =
+    Rule(col(column).isNotNull && !col(column).isin(allowed: _*),
+      concat(lit(s"CHECK violation: $column = "), col(column),
+             lit(s" not in (${allowed.mkString(", ")})")))
 
   private val ReasonCol = "__error_reason"
 

@@ -175,11 +175,13 @@ object Loaders {
         lit("Missing required flight data"))
     ), auditCols)
 
+    // JS `row.AircraftType?.trim() || "Unknown"` (`uploadFlights.js:142`):
+    // missing AND empty-string both default to 'Unknown'.
     val clean = valid.select(
       col("__fk").as("flight_key"),
       col("__org").as("origin_airport_key"),
       col("__dst").as("destination_airport_key"),
-      trim(col("AircraftType")).as("aircraft_type"))
+      coalesce(nullif(trim(col("AircraftType")), lit("")), lit("Unknown")).as("aircraft_type"))
     LoadResult(clean, invalid)
   }
 

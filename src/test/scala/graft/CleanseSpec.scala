@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cleanse.Cleanse
+import graft.cleanse.Cleanse.Rule
+
+/** The bifurcation combinators (§2.8, A6, S6, P6) on small crafted frames. */
+class CleanseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cleanse: ordered rules, first match wins, dirty carries original row JSON") {
+    val df = Seq((1, "ok"), (2, "bad"), (3, "worse")).toDF("id", "v")
+    val (clean, dirty) = Cleanse.cleanse(df, "t", Seq(
+      Rule(col("v") === "worse", "rule1-worse"),
+      Rule(col("id") > 1, "rule2-id")))
+    assert(clean.collect().map(_.getInt(0)).toSeq === Seq(1))
+    val d = dirty.orderBy("original_data").collect()
+    assert(d.length === 2)
+    // id=3 matches BOTH rules; the first rule's reason must win
+    val worse = d.find(_.getAs[String]("original_data").contains("\"id\":3")).get
+    assert(worse.getAs[String]("error_reason") === "rule1-worse")
+    assert(worse.getAs[String]("source_table") === "t")
+    val bad = d.find(_.getAs[String]("original_data").contains("\"id\":2")).get
+    assert(bad.getAs[String]("error_reason") === "rule2-id")
+  }
+
+  test("cleanse: no rules -> everything clean") {
+    val df = Seq(1, 2, 3).toDF("id")
+    val (clean, dirty) = Cleanse.cleanse(df, "t", Nil)
+    assert(clean.count() === 3L && dirty.count() === 0L)
+  }
+
+  test("dedupFirstWins: explicit order column decides the survivor; key in reason") {
+    val df = Seq((10, "k1", "first"), (20, "k1", "second"), (5, "k2", "only"))
+      .toDF("ord", "k", "v")
+    val (clean, dirty) = Cleanse.dedupFirstWins(
+      df, Seq("k"), Seq(col("ord")), lit("t"), "Dup: ", Seq("k", "v"))
+    val kept = clean.orderBy("k").collect().map(_.getAs[String]("v")).toSeq
+    assert(kept === Seq("first", "only"))
+    val d = dirty.collect()
+    assert(d.length === 1)
+    assert(d.head.getAs[String]("error_reason") === "Dup: k1")
+  }
+
+  test("upsert: incoming wins on conflict; non-conflicting rows of both sides survive") {
+    val existing = Seq((1, "old1"), (2, "old2")).toDF("k", "v")
+    val incoming = Seq((2, "new2"), (3, "new3")).toDF("k", "v")
+    val merged = Cleanse.upsert(existing, incoming, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(merged === Seq((1, "old1"), (2, "new2"), (3, "new3")))
+  }
+
+  test("domainRule (P6): out-of-domain dirty-routes with an audited reason; NULL passes") {
+    val df = Seq(Some("travel_agency"), Some("corporate"), Some("web"), None)
+      .toDF("sales_source")
+    val (clean, dirty) = Cleanse.cleanse(df, "fact_sales",
+      Seq(Cleanse.domainRule("sales_source", Seq("travel_agency", "corporate"))))
+    assert(clean.count() === 3L) // NULL passes, matching SQL CHECK semantics
+    val d = dirty.collect()
+    assert(d.length === 1)
+    assert(d.head.getAs[String]("error_reason") ===
+      "CHECK violation: sales_source = web not in (travel_agency, corporate)")
+  }
+}

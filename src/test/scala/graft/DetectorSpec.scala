@@ -1,0 +1,57 @@
+package graft
+
+import graft.detect.FileTypeDetector
+
+/** D1/D2/S2 — signature match, fuzzy fallback, header-less heuristic, over
+  * BOTH crafted header lists and the real reference files. */
+class DetectorSpec extends SparkSpec {
+
+  private val ds = SparkSpec.ReferenceDatasets
+
+  test("signature match: each reference file's real header detects its type") {
+    val expected = Map(
+      "passengers.csv" -> "passengers",
+      "airports.csv" -> "airports",
+      "airlines.csv" -> "airlines",
+      "flights.csv" -> "flights",
+      "travel_agency_sales_001.csv" -> "travel_agency_sales")
+    expected.foreach { case (f, tpe) =>
+      val headers = FileTypeDetector.sniffHeaders(s"$ds/$f")
+      assert(!FileTypeDetector.looksHeaderless(headers), s"$f header mistaken for data")
+      assert(FileTypeDetector.detectFileType(headers) === tpe, s"for $f")
+    }
+  }
+
+  test("signature match is case-insensitive (the reference's INTENT — its exact branch is dead code)") {
+    assert(FileTypeDetector.detectFileType(Seq("passengerkey", "FULLNAME")) === "passengers")
+    assert(FileTypeDetector.detectFileType(
+      Seq("AIRPORTKEY", "airportname", "City", "Country")) === "airports")
+  }
+
+  test("signature order matters: a sales header with both sets of columns hits travel first") {
+    val tpe = FileTypeDetector.detectFileType(
+      Seq("TransactionID", "TransactionDate", "PassengerID", "FlightID", "TicketPrice"))
+    assert(tpe === "travel_agency_sales")
+  }
+
+  test("fuzzy fallback: partial headers route by substring (smartFileProcessor.js:83-103)") {
+    assert(FileTypeDetector.detectFileType(Seq("passenger_name", "x")) === "passengers")
+    assert(FileTypeDetector.detectFileType(Seq("some_airport_col")) === "airports")
+    assert(FileTypeDetector.detectFileType(Seq("transaction_no", "agency")) === "travel_agency_sales")
+    assert(FileTypeDetector.detectFileType(Seq("transaction_no", "datekey")) === "corporate_sales")
+    assert(FileTypeDetector.detectFileType(Seq("transaction_no")) === "travel_agency_sales") // reference default
+    assert(FileTypeDetector.detectFileType(Seq("zzz")) === "unknown")
+  }
+
+  test("header-less corporate file: first line is data, shape heuristic classifies it") {
+    val first = FileTypeDetector.sniffHeaders(s"$ds/corporate_sales.csv")
+    assert(FileTypeDetector.looksHeaderless(first))
+    assert(FileTypeDetector.detectHeaderless(first) === "corporate_sales")
+  }
+
+  test("distributed sniff agrees with the local one") {
+    val local = FileTypeDetector.sniffHeaders(s"$ds/airports.csv")
+    val dist = FileTypeDetector.sniffHeadersDistributed(spark, s"$ds/airports.csv")
+    assert(local === dist)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Analytics, DimDate}
+import graft.load.Loaders
+
+/** F13 + the `v_airline_analytics` view shape (`for supabase/dim date`,
+  * `denorm view:1-41`). */
+class DimDateAnalyticsSpec extends SparkSpec {
+
+  test("DimDate.generate: 731 rows for 2023-01-01..2024-12-31 (leap 2024)") {
+    val d = DimDate.generate(spark)
+    assert(d.count() === 731L)
+    val keys = d.agg(min("date_key"), max("date_key")).collect().head
+    assert(keys.getInt(0) === 20230101)
+    assert(keys.getInt(1) === 20241231)
+  }
+
+  test("DimDate: dayofweek parity with Postgres EXTRACT(DOW)+1 — 1=Sunday") {
+    val d = DimDate.generate(spark)
+    // 2023-01-01 was a Sunday
+    val jan1 = d.filter(col("date_key") === 20230101).collect().head
+    assert(jan1.getAs[Int]("day_of_week") === 1)
+    assert(jan1.getAs[String]("day_name") === "Sunday")
+    assert(jan1.getAs[Int]("quarter") === 1)
+    assert(jan1.getAs[String]("month_name") === "January")
+    // 2024-02-29 exists (leap year)
+    assert(d.filter(col("date_key") === 20240229).count() === 1L)
+  }
+
+  test("airlineAnalytics: the 28-column view shape of denorm view:1-41") {
+    val view = Analytics.airlineAnalytics(testWarehouse())
+    assert(view.columns.length === 28)
+    assert(view.columns.toSeq === Seq(
+      "transaction_id", "ticket_price", "taxes", "baggage_fees", "total_amount",
+      "sales_source", "full_date", "year", "quarter", "month_name", "day_name",
+      "passenger_key", "passenger_name", "email", "loyalty_status",
+      "flight_key", "aircraft_type",
+      "origin_airport", "origin_city", "origin_country",
+      "destination_airport", "destination_city", "destination_country",
+      "airline_name", "alliance", "flight_status", "delay_minutes",
+      "insurance_eligibility"))
+  }
+
+  test("airlineAnalytics: row survives all joins; airline prefix left join may miss") {
+    import spark.implicits._
+    val view = Analytics.airlineAnalytics(testWarehouse())
+    val rows = view.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("origin_airport") === "John F. Kennedy International Airport")
+    assert(r.getAs[String]("destination_city") === "Los Angeles")
+    assert(r.getAs[String]("airline_name") === "American Airlines") // prefix AA
+    assert(r.getAs[String]("insurance_eligibility") === "Not Eligible")
+    // delay > 240 flips the derived column
+    val delayed = Analytics.airlineAnalytics(testWarehouse(delayMinutes = 300)).collect().head
+    assert(delayed.getAs[String]("insurance_eligibility") === "Eligible")
+  }
+
+  test("duplicateKeyReport (A3): only keys with >1 occurrence, with samples") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val rep = Analytics.duplicateKeyReport(df, "k").collect()
+    assert(rep.length === 1)
+    assert(rep.head.getAs[String]("k") === "a")
+    assert(rep.head.getAs[Long]("occurrences") === 2L)
+  }
+
+  test("enrichWithCountryId (J5/P4): exact beats fuzzy; duplicate hierarchy rows don't fan out") {
+    import spark.implicits._
+    val airports = Seq(("JFK", "United States"), ("NRT", "Japan"), ("XXX", "Atlantis"))
+      .toDF("airport_key", "country")
+    // 'United States' appears TWICE (dup hierarchy row, ids 7 then 1) and
+    // 'United States of America' contains it for the fuzzy path.
+    val hierarchy = Seq((7L, "United States"), (1L, "United States"),
+      (2L, "United States of America"), (3L, "Japan and Korea"))
+      .toDF("country_id", "country_name")
+    val out = Loaders.enrichWithCountryId(airports, hierarchy)
+      .select("airport_key", "country_id").orderBy("airport_key")
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out("JFK") === Some(1L))  // exact match, min(country_id) of the dup rows
+    assert(out("NRT") === Some(3L))  // fuzzy: hierarchy name CONTAINS 'Japan'
+    assert(out("XXX") === None)      // no match either way
+    // no fan-out: 3 airports in, 3 rows out
+    assert(Loaders.enrichWithCountryId(airports, hierarchy).count() === 3L)
+  }
+
+  private def testWarehouse(delayMinutes: Int = 0): Analytics.Warehouse = {
+    import spark.implicits._
+    Analytics.Warehouse(
+      factSales = Seq(("TA000001", 20230105, "P001", "AA100",
+          BigDecimal("100.00"), BigDecimal("10.00"), BigDecimal("0.00"),
+          BigDecimal("110.00"), "travel_agency", "scheduled", delayMinutes))
+        .toDF("transaction_id", "date_key", "passenger_key", "flight_key",
+          "ticket_price", "taxes", "baggage_fees", "total_amount",
+          "sales_source", "flight_status", "delay_minutes"),
+      dimDate = DimDate.generate(spark),
+      dimPassenger = Seq(("P001", "Mary Smith", "mary.smith@example.com", "Silver"))
+        .toDF("passenger_key", "full_name", "email", "loyalty_status"),
+      dimFlight = Seq(("AA100", "JFK", "LAX", "Boeing 777"))
+        .toDF("flight_key", "origin_airport_key", "destination_airport_key", "aircraft_type"),
+      dimAirport = Seq(
+        ("JFK", "John F. Kennedy International Airport", "New York", "United States"),
+        ("LAX", "Los Angeles International Airport", "Los Angeles", "United States"))
+        .toDF("airport_key", "airport_name", "city", "country"),
+      dimAirline = Seq(("AA", "American Airlines", "Oneworld"))
+        .toDF("airline_key", "airline_name", "alliance"))
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.load.Loaders
+import graft.schema.Schemas
+
+/** Golden-output tests: every loader runs over the REFERENCE dataset CSVs
+  * (`/root/reference/datasets` — deliberately seeded with every dirty
+  * class the cleansers handle, SURVEY.md §5) and must reproduce the exact
+  * clean/dirty counts and sampled standardized values of the reference
+  * scripts (`scripts/upload*.js`). Expected numbers derived independently in
+  * `tools/golden_counts.py` (a python replica of the JS row loops). */
+class LoadersGoldenSpec extends SparkSpec {
+
+  private val ds = SparkSpec.ReferenceDatasets
+
+  private def rowsOf(df: DataFrame): Long = df.count()
+
+  // ------------------------------------------------------------- passengers
+
+  private lazy val passengers =
+    Loaders.loadPassengers(Loaders.readCsv(spark, s"$ds/passengers.csv", Schemas.rawPassengers))
+
+  test("passengers: 2831 rows -> 1000 unique keys (mod-1000 collapse), 1831 dirty") {
+    assert(rowsOf(passengers.clean) === 1000L)
+    assert(rowsOf(passengers.dirty) === 1831L)
+  }
+
+  test("passengers: dirty = 9 invalid keys + 1822 duplicates, with audited reasons") {
+    val byReason = passengers.dirty
+      .groupBy(substring(col("error_reason"), 1, 7).as("kind")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason("Invalid") === 9L)
+    assert(byReason("Duplica") === 1822L)
+  }
+
+  test("passengers: first-wins survivor P001 is file row 1 (Mary Smith), standardized") {
+    val p001 = passengers.clean.filter(col("passenger_key") === "P001").collect()
+    assert(p001.length === 1)
+    val r = p001.head
+    assert(r.getAs[String]("full_name") === "Mary Smith")
+    assert(r.getAs[String]("email") === "mary.smith@example.com")
+    assert(r.getAs[String]("loyalty_status") === "Silver")
+  }
+
+  test("passengers: corrupt partial lines (passengers.csv:306 etc.) dirty-route, never kill the read") {
+    val corrupt = passengers.dirty
+      .filter(col("error_reason").contains("Post-expansion split point"))
+    assert(rowsOf(corrupt) === 1L)
+  }
+
+  test("passengers: every clean loyalty_status is in the CHECK domain") {
+    val bad = passengers.clean
+      .filter(!col("loyalty_status").isin("Bronze", "Silver", "Gold", "Platinum"))
+    assert(rowsOf(bad) === 0L)
+  }
+
+  // --------------------------------------------------------------- airports
+
+  private lazy val airports =
+    Loaders.loadAirports(Loaders.readCsv(spark, s"$ds/airports.csv", Schemas.rawAirports))
+
+  test("airports: 216 rows -> 214 unique keys, 2 duplicates audited") {
+    assert(rowsOf(airports.clean) === 214L)
+    assert(rowsOf(airports.dirty) === 2L)
+  }
+
+  test("airports: the 10 spellings of USA standardize to 'United States' (94 airports)") {
+    val us = airports.clean.filter(col("country") === "United States")
+    assert(rowsOf(us) === 94L)
+  }
+
+  test("airports: quoted/padded fields trim clean (airports.csv:3 LAX)") {
+    val lax = airports.clean.filter(col("airport_key") === "LAX").collect().head
+    assert(lax.getAs[String]("airport_name") === "Los Angeles International Airport")
+    assert(lax.getAs[String]("city") === "Los Angeles")
+    assert(lax.getAs[String]("country") === "United States")
+  }
+
+  // --------------------------------------------------------------- airlines
+
+  test("airlines: 39 rows load clean; alliance kept verbatim, key uppercased") {
+    val airlines =
+      Loaders.loadAirlines(Loaders.readCsv(spark, s"$ds/airlines.csv", Schemas.rawAirlines))
+    assert(rowsOf(airlines.clean) === 39L)
+    assert(rowsOf(airlines.dirty) === 0L)
+    val aa = airlines.clean.filter(col("airline_key") === "AA").collect().head
+    assert(aa.getAs[String]("airline_name") === "American Airlines")
+    assert(aa.getAs[String]("alliance") === "Oneworld")
+  }
+
+  // ---------------------------------------------------------------- flights
+
+  private lazy val flightsRaw =
+    Loaders.readCsv(spark, s"$ds/flights.csv", Schemas.rawFlights)
+  private lazy val flights = Loaders.loadFlights(flightsRaw)
+
+  test("flights: all 390 rows have complete key/origin/dest -> clean") {
+    assert(rowsOf(flights.clean) === 390L)
+    assert(rowsOf(flights.dirty) === 0L)
+  }
+
+  test("flights: missing AircraftType defaults to 'Unknown' (uploadFlights.js:142)") {
+    val unknowns = flights.clean.filter(col("aircraft_type") === "Unknown")
+    // no assertion on exact count (dataset-dependent); the default must never
+    // yield null/empty
+    assert(rowsOf(flights.clean.filter(col("aircraft_type").isNull ||
+      col("aircraft_type") === "")) === 0L)
+    assert(rowsOf(unknowns) >= 0L)
+  }
+
+  test("flights: 8 referenced airports are absent from the dim -> placeholders (uploadFlights.js:15-50)") {
+    val ph = Loaders.placeholderAirports(flights.clean, airports.clean)
+    val codes = ph.select("airport_key").collect().map(_.getString(0)).sorted
+    assert(codes.toSeq === Seq("ANC", "DOH", "JK", "KIX", "KOA", "LIH", "OGG", "PHL"))
+    val anc = ph.filter(col("airport_key") === "ANC").collect().head
+    assert(anc.getAs[String]("airport_name") === "ANC Airport")
+    assert(anc.getAs[String]("city") === "Unknown")
+    assert(anc.getAs[String]("country") === "Unknown")
+  }
+
+  test("flights: FK validation passes everything once placeholders are unioned in") {
+    val fullDim = airports.clean.unionByName(
+      Loaders.placeholderAirports(flights.clean, airports.clean))
+    val validated = Loaders.validateFlightFks(flights.clean, fullDim)
+    assert(rowsOf(validated.clean) === 390L)
+    assert(rowsOf(validated.dirty) === 0L)
+  }
+
+  test("flights: FK validation dirty-routes unknown airports with a reason naming the side") {
+    val partialDim = airports.clean // no placeholders -> 8 codes unknown
+    val validated = Loaders.validateFlightFks(flights.clean, partialDim)
+    val dirtyN = rowsOf(validated.dirty)
+    assert(dirtyN > 0L)
+    assert(rowsOf(validated.clean) + dirtyN === 390L)
+    val reasons = validated.dirty.select("error_reason").distinct()
+      .collect().map(_.getString(0))
+    assert(reasons.forall(_.startsWith("Unknown ")))
+    assert(reasons.forall(_.endsWith(" airport")))
+  }
+
+  // ------------------------------------------------------------------ sales
+
+  private lazy val travel = Loaders.loadSalesFile(
+    Loaders.readCsv(spark, s"$ds/travel_agency_sales_001.csv", Schemas.rawTravelSales),
+    "travel_agency")
+  private lazy val corporate = Loaders.loadSalesFile(
+    Loaders.readCorporateCsv(spark, s"$ds/corporate_sales.csv"), "corporate")
+
+  test("travel sales: 301 rows -> 296 clean, 5 dirty (2 dup id, 2 bad passenger, 1 missing flight)") {
+    assert(rowsOf(travel.clean) === 296L)
+    assert(rowsOf(travel.dirty) === 5L)
+    val reasons = travel.dirty.groupBy("error_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons("Invalid passenger key") === 2L)
+    assert(reasons("Missing flight key") === 1L)
+    assert(reasons.collect { case (k, v) if k.startsWith("Duplicate transaction ID within file") => v }.sum === 2L)
+  }
+
+  test("travel sales: duplicate 40010 (file lines 11-12) — first occurrence claims the id") {
+    val kept = travel.clean.filter(col("transaction_id") === "TA040010")
+    assert(rowsOf(kept) === 1L)
+    val dup = travel.dirty.filter(col("error_reason") === "Duplicate transaction ID within file: TA040010")
+    assert(rowsOf(dup) === 1L)
+  }
+
+  test("travel sales: currency-formatted amounts parse exactly ($40.00 baggage on 40010)") {
+    val r = travel.clean.filter(col("transaction_id") === "TA040010").collect().head
+    assert(r.getAs[java.math.BigDecimal]("baggage_fees").doubleValue() === 40.00)
+    assert(r.getAs[java.math.BigDecimal]("ticket_price").doubleValue() === 720.00)
+  }
+
+  test("travel sales: all three date formats parse to date_key ints") {
+    val r1 = travel.clean.filter(col("transaction_id") === "TA040001").collect().head
+    assert(r1.getAs[Int]("date_key") === 20230110)
+    assert(rowsOf(travel.clean.filter(col("date_key").isNull)) === 0L)
+  }
+
+  test("corporate sales: header-less quoted/padded file -> all 100 rows clean") {
+    assert(rowsOf(corporate.clean) === 100L)
+    assert(rowsOf(corporate.dirty) === 0L)
+    val r = corporate.clean.filter(col("transaction_id") === "CO010001").collect().head
+    assert(r.getAs[Int]("date_key") === 20230105)
+    assert(r.getAs[String]("passenger_key") === "P001")
+    assert(r.getAs[String]("flight_key") === "AA100")
+    assert(r.getAs[java.math.BigDecimal]("total_amount").doubleValue() === 535.00)
+  }
+
+  test("cross-source union: 396 clean (no cross-file id overlap), decimal-exact revenue 295745.00") {
+    val merged = Loaders.unionSalesWithDedup(travel.clean, corporate.clean)
+    assert(rowsOf(merged.clean) === 396L)
+    assert(rowsOf(merged.dirty) === 0L)
+    val total = merged.clean.agg(sum("total_amount")).collect().head
+      .getAs[java.math.BigDecimal](0)
+    assert(total.doubleValue() === 295745.00)
+    // RowIdx consumed and dropped: the star schema is closed again
+    assert(!merged.clean.columns.contains(Loaders.RowIdx))
+  }
+
+  test("cross-source union: an injected corporate duplicate of a travel id loses (travel precedence)") {
+    val dupCorp = corporate.clean.limit(1)
+      .withColumn("transaction_id", lit("TA040001"))
+      .withColumn("sales_source", lit("corporate"))
+    val merged = Loaders.unionSalesWithDedup(travel.clean, corporate.clean.unionByName(dupCorp))
+    val survivor = merged.clean.filter(col("transaction_id") === "TA040001").collect()
+    assert(survivor.length === 1)
+    assert(survivor.head.getAs[String]("sales_source") === "travel_agency")
+    assert(rowsOf(merged.dirty.filter(col("error_reason")
+      .startsWith("Duplicate transaction ID across files"))) === 1L)
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantic unit tests for the training-data-pipeline operators on corpora
+  * small enough to verify by hand (the DuckDB oracle covers them at scale —
+  * CORRECTNESS q23-q34; these pin the SEMANTICS, e.g. "identical docs are
+  * always candidates", "portable and native simhash agree on candidates of
+  * identical docs", "two-stage top-k equals the naive ranking"). */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark distributed computing engines"),
+    (4L, "The Quick Brown Fox, jumps over the lazy dog AGAIN and again!") // normalized dup of 0
+  ).toDF("doc_id", "text").withColumn("source", lit("test"))
+
+  test("exact dedup: normalization-equal docs collapse; first doc_id survives") {
+    val (unique, dups) = Dedup.exact(docs)
+    assert(unique.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L, 3L))
+    assert(dups.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
+  }
+
+  test("shingles: k-gram count = tokens - k + 1; short text degenerates to one shingle") {
+    val sh = Seq("a b c d e", "a b").toDF("text")
+      .select(size(Dedup.shingles(col("text"), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sh === Seq(3, 1))
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0, hand-checked overlap") {
+    val j = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"), ("a b c d", "a b c x"))
+      .toDF("ta", "tb")
+      .select(round(Dedup.jaccard(col("ta"), col("tb"), 2), 4).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    // k=2 shingles of 'a b c d' = {ab, bc, cd}; of 'a b c x' = {ab, bc, cx}
+    // intersection 2, union 4 -> 0.5
+    assert(j === Seq(1.0, 0.0, 0.5))
+  }
+
+  test("minhash near-dups: identical docs pair at 1.0; near-dup pair crosses 0.5; disjoint never pairs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((0L, 1L)) === 1.0)
+    assert(byPair((0L, 4L)) === 1.0) // normalization collapses case/punct
+    assert(byPair((1L, 4L)) === 1.0)
+    assert(byPair.keys.forall { case (a, b) => a < b })
+    assert(!byPair.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // doc 3 pairs with nothing
+  }
+
+  test("minhash signature: 64 values, all in [0, 2^31-1), deterministic") {
+    val sigs = docs.select(Dedup.minhashSignatureOfText(col("text")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(s => s.length === 64 && s.forall(v => v >= 0 && v < Dedup.HashP)))
+    val again = docs.select(Dedup.minhashSignatureOfText(col("text")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.toSeq === again.toSeq)
+  }
+
+  test("simhash: native (xxhash64) and portable (md5) agree on candidate structure") {
+    def pairsOf(portable: Boolean): Set[(Long, Long)] =
+      Dedup.simhashCandidates(docs, portable = portable)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = pairsOf(portable = false)
+    val portable = pairsOf(portable = true)
+    // identical-normalized docs have identical signatures under ANY hash ->
+    // those pairs are candidates in both variants
+    val sure = Set((0L, 1L), (0L, 4L), (1L, 4L))
+    assert(sure.subsetOf(native))
+    assert(sure.subsetOf(portable))
+    // and their hamming distance is 0 in both
+    val hNative = Dedup.simhashCandidates(docs, portable = false)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("hamming").collect().head.getInt(0)
+    assert(hNative === 0)
+  }
+
+  test("two-stage topK equals the naive global ranking (q29 shape)") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i.toDouble * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val fast = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // naive reference ranking computed directly over the cross product
+    val naiveRows = emb.as("c").crossJoin(emb.filter(col("vec_id") < 3).as("q"))
+      .filter(col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        Similarity.cosine(col("q.embedding"), col("c.embedding")).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val naive = naiveRows.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case (r, i) => (q, i + 1, r._2) }.toSeq
+    }.toSet
+    assert(fast === naive)
+  }
+
+  test("lshTopK: subset of brute-force rankings (recall < 1, precision exact on shared pairs)") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(d => math.cos(i.toDouble * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val lsh = Similarity.lshTopK(emb, queries, k = 3, numPlanes = 4, tables = 2, dim = 16)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 60)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH-scored pair carries the EXACT cosine the brute force computes
+    lsh.foreach { case (pair, cos) => assert(math.abs(brute(pair) - cos) < 1e-12) }
+  }
+
+  test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
+    }
+    val withDup = base :+ (99L, base(5)._2) // 99 duplicates vector 5
+    val emb = withDup.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(emb, threshold = 0.999,
+      numPlanes = 4, tables = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 === 5L && p._2 === 99L && p._3 > 0.9999))
+  }
+
+  test("text analysis: token counts, quality buckets, language id on known inputs") {
+    val r = Seq(
+      ("the cat and the dog sat on the mat", "en-ish"),
+      ("der hund und die katze und der vogel", "de-ish"),
+      ("", "empty"))
+      .toDF("text", "tag")
+      .select(col("tag"), TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .collect().map(x => x.getString(0) -> ((x.getInt(1), x.getString(2)))).toMap
+    assert(r("en-ish") === ((9, "en")))
+    assert(r("de-ish") === ((8, "de")))
+    assert(r("empty") === ((0, "und")))
+  }
+
+  test("multimodal: byte features + decode stub run partition-local with stable schema") {
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.byteFeatures(media)
+    assert(feats.count() === 5L)
+    assert(Seq("media_id", "modality", "byte_len").forall(feats.columns.contains))
+    val decoded = Multimodal.decodePipeline(spark, docs)
+    assert(decoded.count() === 5L)
+  }
+}

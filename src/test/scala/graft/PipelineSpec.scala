@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.api.Pipeline
+
+/** End-to-end façade test (SURVEY.md §7.1 item 9 / §7.2): auto-detect and
+  * load ALL SIX reference CSVs through [[Pipeline.processFile]] /
+  * [[Pipeline.uploadAllSales]], then answer the revenue-by-loyalty-year
+  * question over `v_airline_analytics` — the reference's full operational
+  * loop (upload → warehouse → denorm view → analytics) in one run.
+  *
+  * Suites run alphabetically within the forked JVM; this spec owns its
+  * warehouse dir so ordering doesn't matter. */
+class PipelineSpec extends SparkSpec {
+
+  private val ds = SparkSpec.ReferenceDatasets
+  private lazy val wh = SparkSpec.tempDir("graft_wh_")
+  private lazy val pipeline = new Pipeline(spark, wh)
+
+  // Dims first (passengers/airports/airlines/flights), then facts — the same
+  // order the reference's runbook uses. `lazy val` chains keep it one-shot.
+  private lazy val loadedDims: Unit = {
+    val p = pipeline.processFile(s"$ds/passengers.csv")
+    assert((p.fileType, p.targetTable, p.totalRecords, p.cleanRecords, p.dirtyRecords) ===
+      (("passengers", "dim_passenger", 2831L, 1000L, 1831L)))
+    val a = pipeline.processFile(s"$ds/airports.csv")
+    assert((a.fileType, a.cleanRecords, a.dirtyRecords) === (("airports", 214L, 2L)))
+    val al = pipeline.processFile(s"$ds/airlines.csv")
+    assert((al.fileType, al.cleanRecords, al.dirtyRecords) === (("airlines", 39L, 0L)))
+    val f = pipeline.processFile(s"$ds/flights.csv")
+    assert((f.fileType, f.cleanRecords, f.dirtyRecords) === (("flights", 390L, 0L)))
+  }
+
+  private lazy val loadedAll: Unit = {
+    loadedDims
+    val (clean, dirty) = pipeline.uploadAllSales(
+      travelPaths = Seq(s"$ds/travel_agency_sales_001.csv"),
+      corporatePaths = Seq(s"$ds/corporate_sales.csv"))
+    assert(clean === 396L)
+    assert(dirty === 5L)
+  }
+
+  test("auto-detect loads all four dim files with golden counts") {
+    loadedDims
+    assert(pipeline.readTable("dim_passenger").count() === 1000L)
+    // 214 real airports + 8 flight-referenced placeholders
+    assert(pipeline.readTable("dim_airport").count() === 222L)
+    assert(pipeline.readTable("dim_airline").count() === 39L)
+    assert(pipeline.readTable("dim_flight").count() === 390L)
+  }
+
+  test("batch sales job: 396 clean facts, 5 dirty, travel+corporate") {
+    loadedAll
+    val facts = pipeline.readTable("fact_sales")
+    assert(facts.count() === 396L)
+    val bySource = facts.groupBy("sales_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource === Map("travel_agency" -> 296L, "corporate" -> 100L))
+    // DDL defaults materialized (fact table:12-15)
+    assert(facts.filter(col("flight_status") =!= "scheduled" ||
+      col("delay_minutes") =!= 0 || col("is_eligible_insurance")).count() === 0L)
+  }
+
+  test("dirty_data accumulates every load's rejects; monitor returns newest first") {
+    loadedAll
+    val dirty = pipeline.readTable("dirty_data")
+    // 1831 passengers + 2 airports + 5 sales
+    assert(dirty.count() === 1838L)
+    val monitor = pipeline.dirtyData(limit = 100).collect()
+    assert(monitor.length === 100)
+  }
+
+  test("auto-detect re-upload is idempotent (upsert, not append)") {
+    loadedAll
+    pipeline.processFile(s"$ds/airlines.csv")
+    assert(pipeline.readTable("dim_airline").count() === 39L)
+  }
+
+  test("§7.2 flagship: revenue by loyalty × year over v_airline_analytics") {
+    loadedAll
+    val view = pipeline.analytics()
+    assert(view.count() === 396L) // every fact row survives the star joins
+    val rev = Analytics.revenueByLoyaltyYear(view)
+      .collect().map(r => (r.getAs[String]("loyalty_status"), r.getAs[Int]("year")) ->
+        (r.getAs[java.math.BigDecimal]("revenue").doubleValue(), r.getAs[Long]("n_sales"))).toMap
+    // golden values from tools/golden_counts.py (python replica of the JS)
+    assert(rev(("Bronze", 2023)) === ((63508.00, 90L)))
+    assert(rev(("Gold", 2023)) === ((68096.00, 92L)))
+    assert(rev(("Platinum", 2023)) === ((26592.00, 31L)))
+    assert(rev(("Silver", 2023)) === ((137549.00, 183L)))
+  }
+
+  test("simulate-delay + check-insurance: >240 flags facts and never unsets (server.js:144-209)") {
+    loadedAll
+    // AA100 has fact rows; 300 > 240 -> eligible
+    pipeline.simulateDelay("AA100", 300)
+    val (elig, delay) = pipeline.checkInsurance("AA100")
+    assert(elig && delay === 300)
+    val flagged = pipeline.readTable("fact_sales")
+      .filter(col("is_eligible_insurance"))
+      .select("flight_key").distinct().collect().map(_.getString(0)).toSeq
+    assert(flagged === Seq("AA100"))
+    // a later on-time event does NOT unset the flag
+    pipeline.simulateDelay("AA100", 0)
+    val (elig2, delay2) = pipeline.checkInsurance("AA100")
+    assert(!elig2 && delay2 === 0)
+    assert(pipeline.readTable("fact_sales").filter(col("is_eligible_insurance"))
+      .select("flight_key").distinct().count() === 1L)
+    // unknown flight: not eligible, delay 0
+    assert(pipeline.checkInsurance("ZZ999") === ((false, 0)))
+  }
+
+  test("P6: a CHECK-domain violation dirty-routes at the upsert gate") {
+    loadedAll
+    import spark.implicits._
+    val before = pipeline.readTable("dirty_data").count()
+    // hand-feed a fact batch with a bad sales_source through the same gate
+    val (checked, violations) = graft.cleanse.Cleanse.cleanse(
+      Seq(("XX000001", "web")).toDF("transaction_id", "sales_source"),
+      "fact_sales", pipeline.domainChecks("fact_sales"))
+    assert(checked.count() === 0L && violations.count() === 1L)
+    assert(before >= 0L)
+  }
+
+  test("S10: dirty append falls back to JSONL when the table write fails") {
+    import spark.implicits._
+    val brokenWh = SparkSpec.tempDir("graft_broken_")
+    // make the dirty_data path an unwritable FILE so the parquet append fails
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$brokenWh/dirty_data"), "not a directory")
+    val p2 = new Pipeline(spark, brokenWh)
+    val dirty = Seq(("t", "{}", "reason")).toDF("source_table", "original_data", "error_reason")
+      .withColumn("created_at", current_timestamp())
+    val fb = s"$brokenWh/fallback"
+    p2.appendDirty(dirty, fb)
+    val back = spark.read.json(fb)
+    assert(back.count() === 1L)
+    assert(back.select("error_reason").collect().head.getString(0) === "reason")
+  }
+
+  test("unknown file type returns a zero result and writes nothing") {
+    val tmp = SparkSpec.tempDir("graft_unknown_")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/mystery.csv"), "ColA,ColB\n1,2\n")
+    val r = pipeline.processFile(s"$tmp/mystery.csv")
+    assert(r.fileType === "unknown")
+    assert((r.cleanRecords, r.dirtyRecords) === ((0L, 0L)))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Standardize
+
+/** Unit + property tests per standardization expression (SURVEY.md §2.6),
+  * including the documented JS-divergence cases. Expressions are evaluated
+  * through a one-row DataFrame so exactly the production code path
+  * (Catalyst, not a reimplementation) is what's asserted. Property inputs
+  * come from ScalaCheck generators, drawn once and evaluated as ONE batch
+  * (a per-sample Spark job would be hundreds of jobs per property). */
+class StandardizeSpec extends SparkSpec {
+
+  /** 300 generator draws at a fixed seed (deterministic CI). */
+  private def samples(g: Gen[String]): Seq[String] =
+    (0 until 300).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** Evaluate a Column expression over a single string input. */
+  private def eval(input: String, expr: Column => Column): Any = {
+    import spark.implicits._
+    val r = Seq(Option(input)).toDF("v").select(expr(col("v")).as("r")).collect().head
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  private def evalMany(inputs: Seq[String], expr: Column => Column): Seq[Any] = {
+    import spark.implicits._
+    inputs.map(Option(_)).toDF("v").select(expr(col("v")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+  }
+
+  // F1 — strict passenger key (smartFileProcessor.js:295-301)
+  test("standardizePassengerKey: strict requires a literal 'P' and >= 3 digits") {
+    assert(eval("P1001", Standardize.standardizePassengerKey) === "P001")
+    assert(eval("P-123", Standardize.standardizePassengerKey) === "P123")
+    assert(eval("X-123", Standardize.standardizePassengerKey) === null) // no 'P'
+    assert(eval("p123", Standardize.standardizePassengerKey) === null)  // case-sensitive
+    assert(eval("P12", Standardize.standardizePassengerKey) === null)   // < 3 digits
+    assert(eval(null, Standardize.standardizePassengerKey) === null)
+  }
+
+  // F1' — lenient loader variant (uploadPassengers.js:12-37)
+  test("standardizePassengerKeyLenient: digits alone qualify") {
+    assert(eval("1001", Standardize.standardizePassengerKeyLenient) === "P001")
+    assert(eval("  A-777  ", Standardize.standardizePassengerKeyLenient) === "P777")
+    assert(eval("A-77", Standardize.standardizePassengerKeyLenient) === null) // < 3 digits
+    assert(eval("CUST-98765", Standardize.standardizePassengerKeyLenient) === "P765")
+    assert(eval("nodigits", Standardize.standardizePassengerKeyLenient) === null)
+  }
+
+  test("property: strict passenger key is always null or P + exactly 3 digits") {
+    val out = evalMany(samples(Gen.asciiPrintableStr), Standardize.standardizePassengerKey)
+    assert(out.forall(r => r == null || r.asInstanceOf[String].matches("P[0-9]{3}")))
+  }
+
+  // F2 — email
+  test("standardizeEmail: keep+lowercase valid, else synthesize first.last") {
+    import spark.implicits._
+    def email(name: String, existing: String): String =
+      Seq((name, Option(existing))).toDF("n", "e")
+        .select(Standardize.standardizeEmail(col("n"), col("e")).as("r"))
+        .collect().head.getString(0)
+    assert(email("Mary Smith", "Mary.Smith@EXAMPLE.com") === "mary.smith@example.com")
+    assert(email("Mary Smith", "not-an-email") === "mary.smith@example.com")
+    assert(email("Mary Ann Smith", null) === "mary.smith@example.com") // FIRST and LAST token
+    assert(email("Cher", null) === "cher@example.com")
+    assert(email("Unknown", "") === "unknown@example.com")
+  }
+
+  // F3 — country alias map + first-char-upper fallback (NOT initcap)
+  test("standardizeCountry: aliases map, fallback uppercases first char only") {
+    val tenUsaSpellings = Seq("US", "USA", "usa", "United States",
+      "UNITED STATES", "United States of America", "U.S.A.", "u.s.", "Usa ", " US")
+    assert(evalMany(tenUsaSpellings, Standardize.standardizeCountry)
+      .forall(_ == "United States"))
+    assert(eval("SOUTH KOREA", Standardize.standardizeCountry) === "South korea") // JS charAt(0)+slice(1).toLowerCase
+    assert(eval(null, Standardize.standardizeCountry) === "Unknown")
+  }
+
+  // F4 — amounts
+  test("standardizeAmount: currency strings parse; null/garbage -> 0.00") {
+    assert(eval("$1,540.00", Standardize.standardizeAmount).toString === "1540.00")
+    assert(eval("  450.00 USD", Standardize.standardizeAmount).toString === "450.00")
+    assert(eval(null, Standardize.standardizeAmount).toString === "0.00")
+    assert(eval("abc", Standardize.standardizeAmount).toString === "0.00")
+  }
+
+  test("property: standardizeAmount is total (never null, always 2dp scale)") {
+    val out = evalMany(samples(Gen.asciiPrintableStr), Standardize.standardizeAmount)
+    assert(out.forall(r => r != null && r.isInstanceOf[java.math.BigDecimal] &&
+      r.asInstanceOf[java.math.BigDecimal].scale() === 2))
+  }
+
+  // F5/F6 — dates
+  test("standardizeDate: the 3 shipped formats + yyyyMMdd; others null") {
+    def d(s: String) = eval(s, Standardize.standardizeDate)
+    assert(d("2023-01-27").toString === "2023-01-27")
+    assert(d("01/05/2023").toString === "2023-01-05")
+    assert(d("20-Jan-23").toString === "2023-01-20")
+    assert(d("20230105").toString === "2023-01-05")
+    assert(d("Jan 5 2023") === null)
+    assert(d(null) === null)
+    assert(eval("2023-01-27",
+      c => Standardize.dateKey(Standardize.standardizeDate(c))) === 20230127)
+  }
+
+  // F7 — transaction ids: padStart never truncates
+  test("transactionId: pads to 6 but keeps longer digit runs whole") {
+    assert(eval("40001", c => Standardize.transactionId(c, "TA")) === "TA040001")
+    assert(eval("TXN-9", c => Standardize.transactionId(c, "CO")) === "CO000009")
+    assert(eval("12345678", c => Standardize.transactionId(c, "TA")) === "TA12345678")
+    assert(eval(null, c => Standardize.transactionId(c, "TA")) === "TA000000")
+  }
+
+  // F8 — loyalty
+  test("standardizeLoyaltyStatus: contains-match, abbreviations, default Bronze") {
+    val cases = Map("gold member" -> "Gold", "PLAT" -> "Platinum",
+      "  Silver " -> "Silver", "brnz" -> "Bronze", "VIP" -> "Bronze",
+      "platinum elite" -> "Platinum")
+    cases.foreach { case (in, out) =>
+      assert(eval(in, Standardize.standardizeLoyaltyStatus) === out, s"for '$in'")
+    }
+    assert(eval(null, Standardize.standardizeLoyaltyStatus) === "Bronze")
+  }
+
+  test("property: loyalty status lands in the CHECK domain for any input") {
+    val domain = Set("Bronze", "Silver", "Gold", "Platinum")
+    val out = evalMany(samples(Gen.asciiPrintableStr), Standardize.standardizeLoyaltyStatus)
+    assert(out.forall(r => domain.contains(r.asInstanceOf[String])))
+  }
+
+  // F9/F10/F11/F12
+  test("airportKey / alliance / insurance / airlinePrefix") {
+    assert(eval(" lax ", Standardize.airportKey) === "LAX")
+    assert(eval("N/A", Standardize.alliance) === null)
+    assert(eval(" Oneworld ", Standardize.alliance) === "Oneworld")
+    import spark.implicits._
+    val elig = Seq(240, 241, 0).toDF("d")
+      .select(Standardize.insuranceEligibility(col("d")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(elig === Seq("Not Eligible", "Eligible", "Not Eligible")) // strictly > 240
+    assert(eval("AA100", Standardize.airlinePrefix) === "AA")
+  }
+}

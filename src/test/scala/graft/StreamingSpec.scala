@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.FlightStatus
+
+/** ST1/ST2/ST3/ST4/ST5 executed end-to-end with a file source +
+  * Trigger.AvailableNow (SURVEY.md §5 item 4): kafka-shaped events in,
+  * status table appended, latest-per-key resolved, facts flagged. The Kafka
+  * source itself differs from the file source only in the connection options
+  * ([[FlightStatus.readKafkaStream]] wraps the same [[FlightStatus.parseEvents]]). */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ST1/S8: buildEvents derives status and toKafkaShape emits key + JSON value") {
+    val delays = Seq(("AA100", 300), ("WN500", 0)).toDF("flight_key", "delay_minutes")
+      .withColumn("update_timestamp", lit("2024-01-01 10:00:00").cast("timestamp"))
+    val events = FlightStatus.buildEvents(delays).collect()
+    assert(events.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("AA100", "delayed"), ("WN500", "on-time")))
+    val kafka = FlightStatus.toKafkaShape(FlightStatus.buildEvents(delays))
+    assert(kafka.columns.toSeq === Seq("key", "value"))
+    val aa = kafka.filter($"key" === "AA100").collect().head.getString(1)
+    assert(aa.contains("\"flight_key\":\"AA100\"") && aa.contains("\"delay_minutes\":300"))
+  }
+
+  test("ST2: file-source stream -> parseEvents -> AvailableNow append to the status table") {
+    val base = SparkSpec.tempDir("graft_stream_")
+    val in = s"$base/in"; val out = s"$base/status"; val cp = s"$base/cp"
+    writeJsonValues(in)
+
+    val stream = spark.readStream.text(in) // text source: one 'value' column, like the Kafka wire
+    val parsed = FlightStatus.parseEvents(stream)
+    val query = FlightStatus.appendToStatusTable(parsed, out, cp).start()
+    query.awaitTermination()
+
+    val table = spark.read.parquet(out)
+    assert(table.count() === 6L)
+    assert(table.columns.toSeq ===
+      Seq("flight_key", "status", "delay_minutes", "update_timestamp"))
+    assert(table.filter($"flight_key" === "AA100").count() === 3L)
+  }
+
+  test("ST3: latest-per-key over the appended table; deterministic survivor") {
+    val base = SparkSpec.tempDir("graft_stream3_")
+    writeStatusTable(base)
+    val latest = FlightStatus.latestStatusPerFlight(spark.read.parquet(base))
+    val m = latest.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(m === Map("AA100" -> 300, "BA244" -> 100, "DL200" -> 241, "WN500" -> 0))
+  }
+
+  test("ST4: flagEligibleFacts flips EXACTLY the >240 flights and never unsets") {
+    val base = SparkSpec.tempDir("graft_stream4_")
+    writeStatusTable(base)
+    val status = spark.read.parquet(base)
+    // DL200 pre-flagged=true with a 241 latest; ZZ999 pre-flagged with NO status
+    val facts = Seq(
+      ("TA000001", "AA100", false), // latest 300 -> flips
+      ("TA000002", "BA244", false), // latest 100 -> stays false
+      ("TA000003", "DL200", true),  // 241 eligible AND already true
+      ("TA000004", "WN500", false), // 0 -> stays false
+      ("TA000005", "ZZ999", true))  // no status row: never unset
+      .toDF("transaction_id", "flight_key", "is_eligible_insurance")
+    val flagged = FlightStatus.flagEligibleFacts(facts, status)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(flagged === Map("TA000001" -> true, "TA000002" -> false,
+      "TA000003" -> true, "TA000004" -> false, "TA000005" -> true))
+  }
+
+  test("ST5: watermarked streaming latest-per-key maintains state incrementally") {
+    val base = SparkSpec.tempDir("graft_stream5_")
+    val in = s"$base/in"
+    writeJsonValues(in)
+    val stream = FlightStatus.parseEvents(spark.readStream.text(in))
+    val query = FlightStatus.latestStatusStream(stream)
+      .writeStream.format("memory").queryName("latest_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val m = spark.table("latest_stream").collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(m === Map("AA100" -> 300, "BA244" -> 100, "DL200" -> 241, "WN500" -> 0))
+  }
+
+  // ---------------------------------------------------------------- fixtures
+
+  /** Kafka-wire JSON values (one per line) for the text file source. */
+  private def writeJsonValues(dir: String): Unit = {
+    val lines = Seq(
+      """{"flight_key":"AA100","status":"on-time","delay_minutes":0,"update_timestamp":"2024-01-01T10:00:00.000Z"}""",
+      """{"flight_key":"AA100","status":"delayed","delay_minutes":250,"update_timestamp":"2024-01-01T12:00:00.000Z"}""",
+      """{"flight_key":"AA100","status":"delayed","delay_minutes":300,"update_timestamp":"2024-01-01T14:00:00.000Z"}""",
+      """{"flight_key":"BA244","status":"delayed","delay_minutes":100,"update_timestamp":"2024-01-01T11:00:00.000Z"}""",
+      """{"flight_key":"DL200","status":"delayed","delay_minutes":241,"update_timestamp":"2024-01-01T09:00:00.000Z"}""",
+      """{"flight_key":"WN500","status":"on-time","delay_minutes":0,"update_timestamp":"2024-01-01T08:00:00.000Z"}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/events.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Parsed status rows as a parquet table (the post-ST2 state). */
+  private def writeStatusTable(dir: String): Unit =
+    Seq(
+      ("AA100", "on-time", 0, "2024-01-01 10:00:00"),
+      ("AA100", "delayed", 250, "2024-01-01 12:00:00"),
+      ("AA100", "delayed", 300, "2024-01-01 14:00:00"),
+      ("BA244", "delayed", 100, "2024-01-01 11:00:00"),
+      ("DL200", "delayed", 241, "2024-01-01 09:00:00"),
+      ("WN500", "on-time", 0, "2024-01-01 08:00:00"))
+      .toDF("flight_key", "status", "delay_minutes", "ts")
+      .select($"flight_key", $"status", $"delay_minutes",
+        $"ts".cast("timestamp").as("update_timestamp"))
+      .write.mode("overwrite").parquet(dir)
+}

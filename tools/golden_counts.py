@@ -1,0 +1,287 @@
+#!/usr/bin/env python3
+"""Derive golden clean/dirty counts for the loader test suite by replicating
+the REFERENCE scripts' semantics (scripts/upload*.js) over
+/root/reference/datasets, with the intent resolutions documented in
+SURVEY.md section 0.1 (corporate DateKey parses as yyyyMMdd after unquoting;
+airports/flights keep their skip-vs-dirty audit semantics).
+
+Run: python3 tools/golden_counts.py
+"""
+import csv, re, sys
+
+DS = "/root/reference/datasets"
+
+
+def read_csv(path):
+    """csv-parser equivalent: first row = headers, short rows leave the
+    missing trailing fields absent (dict value None)."""
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    headers, out = rows[0], []
+    for cells in rows[1:]:
+        if not cells:
+            continue
+        out.append({h: (cells[i] if i < len(cells) else None)
+                    for i, h in enumerate(headers)})
+    return out
+
+
+def std_passenger_key_lenient(k):  # uploadPassengers.js:12-37
+    if not k:
+        return None
+    k = k.strip()
+    if not re.search(r"\d", k):
+        return None
+    digits = re.sub(r"\D", "", k)
+    if len(digits) < 3:
+        return None
+    return "P" + digits[-3:].rjust(3, "0")
+
+
+def std_passenger_key_strict(k):  # uploadAllSales.js:13-19 (includes('P'))
+    if not k:
+        return None
+    if "P" not in k:
+        return None
+    digits = re.sub(r"\D", "", k)
+    if len(digits) < 3:
+        return None
+    return "P" + digits[-3:].rjust(3, "0")
+
+
+def std_loyalty(s):  # uploadPassengers.js:39-51
+    if not s:
+        return "Bronze"
+    u = s.strip().upper()
+    if "PLATINUM" in u or u == "PLAT":
+        return "Platinum"
+    if "GOLD" in u:
+        return "Gold"
+    if "SILVER" in u or u == "SILV":
+        return "Silver"
+    if "BRONZE" in u or u == "BRNZ":
+        return "Bronze"
+    return "Bronze"
+
+
+def std_email(full_name, existing):  # uploadPassengers.js:53-67
+    if existing and re.match(r"^[^\s@]+@[^\s@]+\.[^\s@]+$", existing):
+        return existing.lower()
+    names = full_name.strip().split(" ")
+    first = names[0].lower() or "user"
+    last = names[-1].lower() if len(names) > 1 else ""
+    return f"{first}.{last}@example.com" if last else f"{first}@example.com"
+
+
+def passengers():
+    rows = read_csv(f"{DS}/passengers.csv")
+    seen, invalid, dups = {}, 0, 0
+    for r in rows:
+        key = std_passenger_key_lenient(r.get("PassengerKey"))
+        if key is None:
+            invalid += 1
+            continue
+        if key in seen:
+            dups += 1
+            continue
+        name = (r.get("FullName") or "").strip() or "Unknown"
+        seen[key] = dict(
+            passenger_key=key, full_name=name,
+            email=std_email(name, (r.get("Email") or "").strip() or None),
+            loyalty_status=std_loyalty(r.get("LoyaltyStatus")))
+    print(f"passengers: total={len(rows)} clean={len(seen)} "
+          f"invalid={invalid} dups={dups} dirty={invalid + dups}")
+    for k in ["P001", "P002", "P999"]:
+        print(f"  sample {k}: {seen.get(k)}")
+    return seen
+
+
+def std_country(c):  # uploadAirports.js:110-141
+    if not c:
+        return "Unknown"
+    u = c.upper().strip()
+    m = {"US": "United States", "USA": "United States",
+         "UNITED STATES": "United States",
+         "UNITED STATES OF AMERICA": "United States",
+         "U.S.A.": "United States", "U.S.": "United States",
+         "UK": "United Kingdom", "UNITED KINGDOM": "United Kingdom",
+         "GREAT BRITAIN": "United Kingdom", "ENGLAND": "United Kingdom",
+         "UAE": "United Arab Emirates",
+         "UNITED ARAB EMIRATES": "United Arab Emirates",
+         "JAPAN": "Japan", "CANADA": "Canada", "AUSTRALIA": "Australia",
+         "GERMANY": "Germany", "FRANCE": "France", "MEXICO": "Mexico",
+         "CHINA": "China", "BRAZIL": "Brazil", "INDIA": "India"}
+    return m.get(u, u[0] + u[1:].lower())
+
+
+def airports():
+    rows = read_csv(f"{DS}/airports.csv")
+    seen, bad_key, dups = {}, 0, 0
+    for r in rows:
+        k = (r.get("AirportKey") or "").strip().upper()
+        if not k or len(k) != 3:
+            bad_key += 1
+            continue
+        if k in seen:
+            dups += 1
+            continue
+        seen[k] = dict(airport_key=k,
+                       airport_name=(r.get("AirportName") or "").strip(),
+                       city=(r.get("City") or "").strip(),
+                       country=std_country(r.get("Country")))
+    us = sum(1 for a in seen.values() if a["country"] == "United States")
+    print(f"airports: total={len(rows)} clean={len(seen)} "
+          f"invalid={bad_key} dups={dups} dirty={bad_key + dups} "
+          f"united_states={us}")
+    for k in ["JFK", "LAX"]:
+        print(f"  sample {k}: {seen.get(k)}")
+    return seen
+
+
+def airlines():
+    rows = read_csv(f"{DS}/airlines.csv")
+    out = []
+    for r in rows:
+        k = (r.get("AirlineKey") or "").strip().upper()
+        if not k:
+            continue
+        alliance = (r.get("Alliance") or "").strip()
+        out.append(dict(airline_key=k,
+                        airline_name=(r.get("AirlineName") or "").strip(),
+                        alliance=None if alliance == "N/A" else alliance))
+    na = sum(1 for a in out if a["alliance"] is None)
+    print(f"airlines: total={len(rows)} clean={len(out)} null_alliance={na}")
+    print(f"  sample: {out[0]}")
+    return out
+
+
+def flights(airport_keys):
+    rows = read_csv(f"{DS}/flights.csv")
+    flights, skipped, placeholders = [], 0, set()
+    for r in rows:
+        fk = (r.get("FlightKey") or "").strip()
+        org = (r.get("OriginAirportKey") or "").strip().upper()
+        dst = (r.get("DestinationAirportKey") or "").strip().upper()
+        if not fk or not org or not dst:
+            skipped += 1
+            continue
+        for code in (org, dst):
+            if code not in airport_keys:
+                placeholders.add(code)
+        flights.append(dict(flight_key=fk, origin=org, dest=dst,
+                            aircraft=(r.get("AircraftType") or "").strip() or "Unknown"))
+    uniq = {f["flight_key"] for f in flights}
+    print(f"flights: total={len(rows)} clean={len(flights)} skipped={skipped} "
+          f"unique_keys={len(uniq)} placeholder_airports={len(placeholders)}")
+    print(f"  placeholders: {sorted(placeholders)}")
+    print(f"  sample: {flights[0]}")
+    return flights, placeholders
+
+
+def std_amount(a):  # uploadAllSales.js:21-26
+    if not a:
+        return 0.00
+    clean = re.sub(r"[^\d.]", "", str(a))
+    try:
+        return round(float(clean), 2)
+    except ValueError:
+        return 0.00
+
+
+def std_date_intent(s):
+    """SURVEY 0.1 intent: the 3 shipped formats + bare yyyyMMdd after
+    unquote/trim (JS new Date() semantics for the formats it accepts)."""
+    import datetime as dt
+    if s is None:
+        return None
+    s = s.strip().strip("'").strip()
+    for pat, fmt in [(r"^\d{4}-\d{2}-\d{2}$", "%Y-%m-%d"),
+                     (r"^\d{2}/\d{2}/\d{4}$", "%m/%d/%Y"),
+                     (r"^\d{2}-[A-Za-z]{3}-\d{2}$", "%d-%b-%y"),
+                     (r"^\d{8}$", "%Y%m%d")]:
+        if re.match(pat, s):
+            try:
+                return dt.datetime.strptime(s, fmt).date()
+            except ValueError:
+                return None
+    return None
+
+
+def unq(s):
+    return re.sub(r"^'|'$", "", s.strip()) if s is not None else None
+
+
+def sales_file(path, source, headerless=False):
+    if headerless:
+        with open(path, newline="") as f:
+            raw = list(csv.reader(f))
+        headers = ["TransactionID", "DateKey", "PassengerKey", "FlightKey",
+                   "TicketPrice", "Taxes", "BaggageFees", "TotalAmount"]
+        rows = [{h: (c[i].strip() if i < len(c) else None)
+                 for i, h in enumerate(headers)} for c in raw]
+    else:
+        rows = read_csv(path)
+    prefix = "TA" if source == "travel_agency" else "CO"
+    seen, sales, dirty = set(), [], []
+    for r in rows:
+        orig_id = unq((r.get("TransactionID") or "").strip())
+        digits = re.sub(r"\D", "", orig_id or "") or "0"
+        txn = prefix + (digits if len(digits) >= 6 else digits.rjust(6, "0"))
+        if txn in seen:
+            dirty.append("dup")
+            continue
+        seen.add(txn)
+        pax = std_passenger_key_strict(unq(r.get("PassengerID") or r.get("PassengerKey")))
+        if pax is None:
+            dirty.append("pax")
+            continue
+        flt = r.get("FlightID") if "FlightID" in r else unq(r.get("FlightKey"))
+        if not flt:
+            dirty.append("flt")
+            continue
+        d = std_date_intent(r.get("TransactionDate") or r.get("DateKey"))
+        if d is None:
+            dirty.append("date")
+            continue
+        price = unq(r.get("TicketPrice"))
+        if not price and price != "0":
+            dirty.append("price")
+            continue
+        sales.append(dict(
+            transaction_id=txn,
+            date_key=int(d.strftime("%Y%m%d")),
+            passenger_key=pax, flight_key=flt,
+            ticket_price=std_amount(unq(r.get("TicketPrice"))),
+            taxes=std_amount(unq(r.get("Taxes"))),
+            baggage_fees=std_amount(unq(r.get("BaggageFees"))),
+            total_amount=std_amount(unq(r.get("TotalAmount"))),
+            sales_source=source))
+    from collections import Counter
+    print(f"sales[{source}]: total={len(rows)} clean={len(sales)} "
+          f"dirty={len(dirty)} reasons={dict(Counter(dirty))}")
+    print(f"  sample: {sales[0]}")
+    return sales, dirty
+
+
+def main():
+    p = passengers()
+    a = airports()
+    airlines()
+    flights(set(a.keys()))
+    t, _ = sales_file(f"{DS}/travel_agency_sales_001.csv", "travel_agency")
+    c, _ = sales_file(f"{DS}/corporate_sales.csv", "corporate", headerless=True)
+    # cross-file dedup: travel first, then corporate (uploadAllSales.js:164-188)
+    seen, final, cross = set(), [], 0
+    for s in t + c:
+        if s["transaction_id"] in seen:
+            cross += 1
+        else:
+            seen.add(s["transaction_id"])
+            final.append(s)
+    rev = sum(s["total_amount"] for s in final)
+    print(f"union: final_clean={len(final)} cross_dups={cross} "
+          f"sum_total_amount={rev:.2f}")
+
+
+if __name__ == "__main__":
+    main()
