@@ -329,10 +329,6 @@ object OracleSql {
 
   // ------------------------------------------------------- LSH shared pieces
 
-  /** 28-bit portable hash halves (mirror of Dedup.h1/h2). */
-  private def ph1(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
-  private def ph2(x: String) = s"('0x' || substr(md5($x), 8, 7))::BIGINT"
-
   /** Dedup-op text normalization: NULL text coalesces to '' BEFORE the
     * normalize (mirror of Dedup.shingles/simhash — without it the SQL side
     * null-propagates and drops the row from candidate joins while Spark
@@ -340,19 +336,24 @@ object OracleSql {
   private val dedupNormSql =
     "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
-  /** Shared MinHash-LSH CTE chain: normalize → shingle → 64-perm signature
-    * (double hashing mod 2^31-1) → 16 band buckets (md5 of the joined
-    * slice) → bounded-bucket candidate pairs. Mirrors Dedup.minhashCandidates
-    * with k=3, numHashes=64, bands=16, rowsPerBand=4, maxBucket=1000. */
+  /** Shared MinHash-LSH CTE chain: normalize → shingle → packed 56-bit
+    * shingle hashes (the first 14 md5 hex nibbles = (h1 << 28) | h2, exactly
+    * graft.functions.HashExprs.ShingleHashes) → 64-perm signature (double
+    * hashing mod 2^31-1 on the unpacked halves) → 16 band buckets (md5 of
+    * the joined slice) → bounded-bucket candidate pairs. Mirrors
+    * Dedup.minhashCandidates with k=3, numHashes=64, bands=16, rowsPerBand=4,
+    * maxBucket=1000. */
   private val minhashCtes = s"""
     toks AS (SELECT doc_id AS id, regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
     base AS (SELECT id,
-        list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-          ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END) AS sh
+        list_distinct(list_transform(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
+          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT)) AS sh
       FROM toks),
     sig AS (SELECT id, sh,
         list_transform(range(0, 64), i ->
-          list_min(list_transform(sh, s -> (${ph1("s")} + i * ${ph2("s")}) % 2147483647))) AS sig
+          list_min(list_transform(sh, h -> ((h >> 28) + i * (h & 268435455)) % 2147483647))) AS sig
       FROM base),
     banded AS (SELECT id,
         md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')) AS bucket, band

@@ -1,0 +1,373 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the LSH signature hot loops.
+  *
+  * The pure-Column formulations (an `aggregate` fold whose lambda runs a
+  * `zip_with` over 64 permutations) are semantically right but execute as
+  * INTERPRETED expression trees — higher-order functions have no codegen and
+  * no cross-lambda CSE, so every (element × permutation) step pays tree-walk
+  * overhead. These expressions evaluate the identical arithmetic in one
+  * compiled JVM loop per row; outputs are bit-for-bit the same as the Column
+  * versions (and therefore still reproducible by the DuckDB oracle SQL in
+  * [[graft.OracleSql]]).
+  *
+  * `CodegenFallback` is deliberate: the expression is ONE virtual call per
+  * row into a tight loop, which is what whole-stage codegen would buy anyway;
+  * a `doGenCode` emitting a static-method call would only shave the boxing of
+  * one ArrayData reference.
+  */
+object HashExprs {
+
+  private val P = 2147483647L // 2^31 - 1, the MinHash permutation modulus
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Value of hex nibbles [0, n) of the md5 digest (n <= 15 keeps it in a
+    * positive signed long) — equals `conv(substring(md5(s), 1, n), 16, 10)`. */
+  private def md5Prefix(bytes: Array[Byte], from: Int, n: Int): Long = {
+    val d = md5Local.get().digest(bytes)
+    var v = 0L
+    var i = from
+    while (i < from + n) {
+      val nib = if (i % 2 == 0) (d(i / 2) >> 4) & 0xF else d(i / 2) & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  /** Both 28-bit halves in one digest pass (nibbles 0-6 and 7-13). */
+  private def md5Halves(bytes: Array[Byte]): (Long, Long) = {
+    val d = md5Local.get().digest(bytes)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 7)  { h1 = (h1 << 4) | nibble(d, i); i += 1 }
+    while (i < 14) { h2 = (h2 << 4) | nibble(d, i); i += 1 }
+    (h1, h2)
+  }
+
+  @inline private def nibble(d: Array[Byte], i: Int): Int =
+    if (i % 2 == 0) (d(i / 2) >> 4) & 0xF else d(i / 2) & 0xF
+
+  /** MinHash signature of a shingle array (mirror of the Column fold in
+    * [[graft.ops.Dedup.minhashSignature]] and the DuckDB `sig` CTE):
+    * `sig[i] = min over shingles of (h1 + i*h2) mod (2^31-1)` with
+    * `h1 = int(md5(s)[0:7])`, `h2 = int(md5(s)[7:14])` (Kirsch–Mitzenmacher).
+    * Empty array → all-P signature; null elements are skipped (Column
+    * `least` ignores nulls). */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(P)
+      var e = 0
+      while (e < arr.numElements()) {
+        if (!arr.isNullAt(e)) {
+          val (h1, h2) = md5Halves(arr.getUTF8String(e).getBytes)
+          kmFold(mins, h1, h2, numHashes)
+        }
+        e += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** Running minima of (h1 + i*h2) mod P for i in [0, n). h1, h2 < 2^28 < P,
+    * so the residue is maintained with ONE conditional subtract per step —
+    * no division. Identical values to `pmod(h1 + i*h2, P)`. */
+  @inline private def kmFold(mins: Array[Long], h1: Long, h2: Long, n: Int): Unit = {
+    var r = h1
+    var i = 0
+    while (i < n) {
+      if (r < mins(i)) mins(i) = r
+      r += h2
+      if (r >= P) r -= P
+      i += 1
+    }
+  }
+
+  /** Distinct packed shingle hashes straight from the TOKEN array: build each
+    * k-gram (tokens joined by one space — exactly `concat_ws(" ", slice)`),
+    * md5 it once, pack the two 28-bit halves into `(h1 << 28) | h2` (= the
+    * first 14 md5 hex nibbles: DuckDB `('0x' || substr(md5(s), 1, 14))::BIGINT`),
+    * and emit first-occurrence-distinct values.
+    *
+    * Replaces the interpreted `transform`(slice+concat_ws) + `array_distinct`
+    * + per-string re-md5 chain with one loop; a signature or Jaccard computed
+    * from these hashes equals the string-set version (the signature only ever
+    * consumed (h1, h2), and set sizes agree absent 56-bit md5 collisions —
+    * with the oracle computing over the SAME packed values either way).
+    * `size(tokens) < k` degenerates to one whole-text shingle, matching
+    * [[graft.ops.Dedup.shingles]]. Null tokens render as empty strings
+    * (concat_ws semantics). */
+  case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sb = new java.lang.StringBuilder(64)
+      def tokenAt(i: Int): String =
+        if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      def add(s: String): Unit = {
+        val (h1, h2) = md5Halves(s.getBytes("UTF-8"))
+        seen.add((h1 << 28) | h2)
+      }
+      if (n < k) {
+        var i = 0
+        while (i < n) { if (i > 0) sb.append(' '); sb.append(tokenAt(i)); i += 1 }
+        add(sb.toString)
+      } else {
+        var start = 0
+        while (start <= n - k) {
+          sb.setLength(0)
+          var i = start
+          while (i < start + k) {
+            if (i > start) sb.append(' ')
+            sb.append(tokenAt(i))
+            i += 1
+          }
+          add(sb.toString)
+          start += 1
+        }
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+  }
+
+  /** MinHash signature from packed shingle hashes ([[ShingleHashes]] output):
+    * unpack h1 = h >>> 28, h2 = h & (2^28-1), same KM fold. Values identical
+    * to [[MinHashSignature]] over the corresponding shingle strings. */
+  case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    private val Mask = (1L << 28) - 1
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_from_hashes"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(P)
+      var e = 0
+      while (e < arr.numElements()) {
+        if (!arr.isNullAt(e)) {
+          val h = arr.getLong(e)
+          kmFold(mins, h >>> 28, h & Mask, numHashes)
+        }
+        e += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
+      copy(child = c)
+  }
+
+  /** 60-bit SimHash of a token array (mirror of the Column fold in
+    * [[graft.ops.Dedup.simhash]]): per-token 60-bit hash, ±1 vote per bit,
+    * sign of the vote sum becomes the signature bit. `portable = true` uses
+    * `int(md5(t)[0:15])` (DuckDB-reproducible); default is Spark's native
+    * xxhash64 (seed 42 — identical to the `xxhash64()` SQL function). Null
+    * tokens vote -1 on every bit (what the Column `when` chain did). */
+  case class SimHashSignature(child: Expression, portable: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+    private val Bits = 60
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_signature"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      // Votes are additive across occurrences, so hash each DISTINCT token
+      // once and weight its ±1 votes by the occurrence count — md5/xxhash64
+      // per distinct token instead of per token. (UTF8String views stay
+      // valid for the duration of one eval.)
+      val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+      var nulls = 0
+      var e = 0
+      while (e < arr.numElements()) {
+        if (arr.isNullAt(e)) nulls += 1
+        else counts.merge(arr.getUTF8String(e), 1, (a, b) => a + b)
+        e += 1
+      }
+      val votes = new Array[Int](Bits)
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val entry = it.next()
+        val c = entry.getValue.intValue()
+        val h =
+          if (portable) md5Prefix(entry.getKey.getBytes, 0, 15)
+          else XxHash64Function.hash(entry.getKey, StringType, 42L)
+        var j = 0
+        while (j < Bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += c else votes(j) -= c
+          j += 1
+        }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < Bits) {
+        // null tokens hash to nothing set -> vote -1 each (Column `when`
+        // semantics): subtract them here
+        if (votes(j) - nulls > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHashSignature =
+      copy(child = c)
+  }
+
+  /** Language-ID marker scoring in one pass (mirror of the Column chain in
+    * [[graft.ops.TextAnalysis.detectLanguage]]): pad+lowercase ONCE, count
+    * non-overlapping ` marker ` occurrences by indexOf-stepping — the Column
+    * version materializes a fresh `replace` copy of the text per marker (15
+    * allocations/row). Scoring, tie-breaks (first language wins on strict
+    * `>`), and the null→'und' quirk match the fold exactly; lowercasing goes
+    * through UTF8String.toLowerCase, the same code path as `lower()`. */
+  case class DetectLanguage(child: Expression,
+                            markers: IndexedSeq[(String, IndexedSeq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "detect_language"
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      // Column fold on null text: all scores null -> every `when` falls
+      // through -> 'und' (a non-null result from null input)
+      if (v == null) return org.apache.spark.unsafe.types.UTF8String.fromString("und")
+      val padded = " " + v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toLowerCase.toString + " "
+      var bestLang = "und"
+      var bestScore = 0
+      var m = 0
+      while (m < markers.length) {
+        val (lang, words) = markers(m)
+        var score = 0
+        var w = 0
+        while (w < words.length) {
+          val pat = " " + words(w) + " "
+          var from = 0
+          var i = padded.indexOf(pat, from)
+          while (i >= 0) {
+            score += 1
+            from = i + pat.length
+            i = padded.indexOf(pat, from)
+          }
+          w += 1
+        }
+        if (score > bestScore) { bestScore = score; bestLang = lang }
+        m += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (bestScore > 0) bestLang else "und")
+    }
+
+    override protected def withNewChildInternal(c: Expression): DetectLanguage =
+      copy(child = c)
+  }
+
+  /** Sign-bit hyperplane signature of an embedding (mirror of the Column
+    * foldLeft in [[graft.ops.Similarity.hyperplaneSignature]]): bit h is set
+    * iff `vec · planes(h) > 0`. The dot products run in one compiled loop
+    * with the same left-to-right double summation as the `aggregate`/
+    * `zip_with` fold, so signatures are bit-identical (and still match the
+    * DuckDB oracle's regenerated plane matrix). `planes` is an IndexedSeq so
+    * case-class equality stays structural (expression canonicalization). */
+  case class HyperplaneSignature(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_signature"
+
+    private lazy val matrix: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+    private lazy val elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val n = vec.numElements()
+      // materialize once: each component is read `planes.length` times
+      val xs = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        xs(i) = if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        i += 1
+      }
+      var sig = 0L
+      var h = 0
+      while (h < matrix.length) {
+        val plane = matrix(h)
+        val d = math.min(n, plane.length)
+        var proj = 0.0
+        var j = 0
+        while (j < d) { proj += xs(j) * plane(j); j += 1 }
+        if (proj > 0) sig |= (1L << h)
+        h += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------------ Column sugar
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  def shingleHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(hashes), numHashes))
+
+  def simhashSignature(tokens: Column, portable: Boolean): Column =
+    ColumnBridge.column(SimHashSignature(ColumnBridge.expression(tokens), portable))
+
+  def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HyperplaneSignature(ColumnBridge.expression(vec),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
+
+  def detectLanguage(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(DetectLanguage(ColumnBridge.expression(text),
+      markers.map { case (l, ws) => (l, ws.toIndexedSeq) }.toIndexedSeq))
+}

@@ -76,31 +76,30 @@ object Dedup {
   }
 
   /** MinHash signature from a shingle array: one md5 per DISTINCT shingle,
-    * then `numHashes` affine permutations folded into running minima in a
-    * single `aggregate` pass (the shingle-hash array is the aggregate input,
-    * so it is evaluated exactly once per row — see class doc).
+    * `numHashes` affine permutations folded into running minima.
     *
-    * The md5 is materialized in its own `transform` BEFORE the (h1, h2) split:
-    * HOF lambdas are interpreted with no common-subexpression elimination, so
-    * `struct(h1(s), h2(s))` in one lambda would run the digest twice per
-    * shingle — the nested transform halves the hashing cost at identical
-    * output values. */
-  def minhashSignature(sh: Column, numHashes: Int = 64): Column = {
-    val hashPairs = transform(
-      transform(array_distinct(sh), s => md5(s)),
-      m => struct(
-        conv(substring(m, 1, 7), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 8, 7), 16, 10).cast("long").as("h2")))
-    aggregate(
-      hashPairs,
-      array_repeat(lit(HashP), numHashes),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, i) => least(m, pmod(h.getField("h1") + i.cast("long") * h.getField("h2"), lit(HashP)))))
-  }
+    * Evaluated by the custom [[graft.functions.HashExprs.MinHashSignature]]
+    * expression — one compiled loop per row instead of an interpreted
+    * `aggregate`/`zip_with` HOF chain (no codegen, no cross-lambda CSE),
+    * which made the signature the dominant cost of every MinHash query.
+    * Output values are bit-identical to the fold (same md5-derived
+    * Kirsch–Mitzenmacher arithmetic), so the DuckDB oracle SQL is unchanged. */
+  def minhashSignature(sh: Column, numHashes: Int = 64): Column =
+    graft.functions.HashExprs.minhashSignature(array_distinct(sh), numHashes)
 
-  /** Signature straight from text (row-local, single expression). */
+  /** Distinct packed 56-bit shingle hashes straight from text — the compact
+    * carrier for signature + Jaccard work ([[graft.functions.HashExprs.ShingleHashes]]:
+    * one loop builds each k-gram, md5s it once, packs `(h1 << 28) | h2`).
+    * ~8 bytes/shingle through shuffles and caches instead of a ~25-byte
+    * string, and the downstream set ops compare longs, not strings. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    graft.functions.HashExprs.shingleHashes(
+      split(TextAnalysis.normalizeText(coalesce(text, lit(""))), " "), k)
+
+  /** Signature straight from text (row-local): fused tokens → hashed
+    * shingles → KM fold, no intermediate shingle strings. */
   def minhashSignatureOfText(text: Column, numHashes: Int = 64, shingleK: Int = 3): Column =
-    minhashSignature(shingles(text, shingleK), numHashes)
+    graft.functions.HashExprs.minhashFromHashes(shingleHashes(text, shingleK), numHashes)
 
   /** Band bucket: md5 of the comma-joined band slice of the signature
     * (portable: DuckDB `md5(array_to_string(list_slice(sig, a, b), ','))`). */
@@ -194,11 +193,15 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // Persisted: consumed by the banding pass AND twice by the verify join —
-    // without it each consumer re-tokenizes the full corpus.
+    // without it each consumer re-tokenizes the full corpus. The carrier is
+    // the PACKED HASH set (8 bytes/shingle), not shingle strings; Jaccard
+    // over the hash sets equals string-set Jaccard (both engines compute it
+    // over the same packed values — see shingleHashes).
     val base = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      shingleHashes(col(textCol), shingleK).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandedRows = banded(base, minhashSignature(col("sh"), numHashes),
+    val bandedRows = banded(base,
+      graft.functions.HashExprs.minhashFromHashes(col("sh"), numHashes),
       bands, rowsPerBand, carry = Seq("id"))
     val candidates = bandedRows.groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
@@ -242,20 +245,9 @@ object Dedup {
     * per token, so only the oracle-checked queries opt in. */
   def simhash(text: Column, portable: Boolean = false): Column = {
     val toks = split(TextAnalysis.normalizeText(coalesce(text, lit(""))), " ")
-    val tokHashes =
-      if (portable) transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-      else transform(toks, t => xxhash64(t))
-    val bitOf = (h: Column, j: Column) =>
-      call_function("shiftright", h, j.cast("int")).bitwiseAND(1L)
-    val votes = aggregate(
-      tokHashes,
-      array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimhashBits - 1)),
-        (a, j) => a + when(bitOf(h, j) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(SimhashBits - 1)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    // Custom expression (compiled per-row loop) — same votes/bits as the
+    // previous aggregate/zip_with fold, see HashExprs.SimHashSignature.
+    graft.functions.HashExprs.simhashSignature(toks, portable)
   }
 
   /** SimHash near-dup candidates: two signatures within `SimhashBands - 1`

@@ -90,15 +90,13 @@ object Similarity {
 
   /** Sign-bit signature of `vec` against the table's hyperplanes, packed into
     * a long — vectors with equal signatures lie in the same LSH bucket.
-    * Pure arithmetic per row (literal plane arrays, no hashing). */
+    * Pure arithmetic per row (literal plane matrix, no hashing), evaluated by
+    * the custom [[graft.functions.HashExprs.HyperplaneSignature]] expression:
+    * one compiled numPlanes×dim multiply-add loop per row instead of
+    * numPlanes interpreted `aggregate`/`zip_with` folds. Identical doubles
+    * (same summation order), identical signatures. */
   def hyperplaneSignature(vec: Column, table: Int, numPlanes: Int, dim: Int): Column =
-    planeMatrix(table, numPlanes, dim).zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, (plane, h)) =>
-        val proj = aggregate(
-          zip_with(vec, typedLit(plane), (x, p) => x.cast("double") * p),
-          lit(0.0), (a, x) => a + x)
-        acc.bitwiseOR(when(proj > 0, lit(1L << h)).otherwise(lit(0L)))
-    }
+    graft.functions.HashExprs.hyperplaneSignature(vec, planeMatrix(table, numPlanes, dim))
 
   /** One row per (vector, table) with the table's bucket signature. */
   private def withSigs(df: DataFrame, idCol: String, vecCol: String,

@@ -80,17 +80,13 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     markers.map(m => wordOccurrences(lower(text), m)).reduce(_ + _)
 
-  /** Highest marker score wins; earlier language wins ties (strict `>` in the
-    * fold); 'und' when every score is zero. */
-  def detectLanguage(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
-    val (langExpr, scoreExpr) = scored.foldLeft((lit("und"), lit(0.0))) {
-      case ((curLang, curScore), (lang, s)) =>
-        (when(s > curScore, lit(lang)).otherwise(curLang),
-         when(s > curScore, s).otherwise(curScore))
-    }
-    when(scoreExpr > 0, langExpr).otherwise(lit("und"))
-  }
+  /** Highest marker score wins; earlier language wins ties (strict `>`);
+    * 'und' when every score is zero. Evaluated by the single-pass custom
+    * expression [[graft.functions.HashExprs.DetectLanguage]] — the Column
+    * `when`-fold over [[langScore]]s allocates one `replace` copy of the
+    * text per marker (15/row); same scores, same tie-breaks. */
+  def detectLanguage(text: Column): Column =
+    graft.functions.HashExprs.detectLanguage(text, LangMarkers)
 
   /** Document fingerprint: 64-bit xxhash of the normalized text (lowercase,
     * whitespace-collapsed, punctuation-stripped) — the exact-dedup key. */

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge for the custom Catalyst expressions in
+  * `graft.functions.HashExprs`.
+  *
+  * Spark 4 moved classic Column construction behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is `private[sql]` at
+  * the Scala-signature level (the bytecode is public). Extension libraries
+  * that add native expressions without going through
+  * `SparkSessionExtensions`/`FunctionRegistry` (which would force a
+  * per-session registration step onto every caller of a pure-Column API) use
+  * a bridge declared inside the `org.apache.spark.sql` package namespace —
+  * this object is the repo's single such access point. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

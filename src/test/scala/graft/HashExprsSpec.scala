@@ -1,0 +1,125 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Parity tests for the custom Catalyst expressions: each is asserted
+  * against an INDEPENDENT reference computed here from the published formula
+  * (md5 hex prefixes, Kirsch–Mitzenmacher, replace-count language scoring) —
+  * the same formulas the DuckDB oracle SQL implements. */
+class HashExprsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val P = 2147483647L
+
+  test("MinHashSignature == formula: min over shingles of (h1 + i*h2) mod P") {
+    val shingles = Seq("the quick brown", "quick brown fox", "brown fox jumps")
+    val expected = (0 until 64).map { i =>
+      shingles.map { s =>
+        val hex = md5Hex(s)
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(7, 14), 16)
+        (h1 + i * h2) % P
+      }.min
+    }
+    val got = Seq(shingles).toDF("sh")
+      .select(HashExprs.minhashSignature(col("sh"), 64).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(got.toSeq === expected)
+  }
+
+  test("ShingleHashes == distinct packed first-14-hex-nibbles of each k-gram") {
+    val text = "The quick brown fox jumps over the quick brown fox"
+    // reference: normalize -> tokens -> 3-grams -> md5[0:14] packed, distinct
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+      .replaceAll("\\s+", " ").trim.split(" ").toSeq
+    val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+    val expected = grams.map(g => java.lang.Long.parseLong(md5Hex(g).substring(0, 14), 16)).distinct
+    val got = Seq(text).toDF("text")
+      .select(Dedup.shingleHashes(col("text"), 3).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(got.toSeq.sorted === expected.sorted)
+    // and the packed value unpacks to the halves MinHashSignature uses
+    val hex = md5Hex(grams.head)
+    val packed = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    assert((packed >>> 28) === java.lang.Long.parseLong(hex.substring(0, 7), 16))
+    assert((packed & ((1L << 28) - 1)) === java.lang.Long.parseLong(hex.substring(7, 14), 16))
+  }
+
+  test("minhashFromHashes(shingleHashes) == minhashSignature(string shingles)") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "").toDF("text")
+    val viaHashes = docs.select(Dedup.minhashSignatureOfText(col("text")).as("s"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val viaStrings = docs.select(
+      HashExprs.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("s"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(viaHashes.toSeq === viaStrings.toSeq)
+  }
+
+  test("SimHashSignature (portable) == formula: votes over md5[0:15] bits") {
+    val text = "alpha beta gamma alpha"
+    val toks = text.split(" ").toSeq
+    val votes = new Array[Int](60)
+    toks.foreach { t =>
+      val h = java.lang.Long.parseLong(md5Hex(t).substring(0, 15), 16)
+      (0 until 60).foreach(j => if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+    }
+    val expected = (0 until 60).foldLeft(0L)((acc, j) =>
+      if (votes(j) > 0) acc | (1L << j) else acc)
+    val got = Seq(text).toDF("text")
+      .select(Dedup.simhash(col("text"), portable = true).as("s"))
+      .collect().head.getLong(0)
+    assert(got === expected)
+  }
+
+  test("SimHashSignature: empty text -> signature 0; null text -> signature 0 (coalesced)") {
+    val got = Seq(Some(""), None).toDF("text")
+      .select(Dedup.simhash(col("text"), portable = true).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    // "" normalizes to a single empty token whose hash decides every bit the
+    // same way for both rows (null coalesces to "")
+    assert(got(0) === got(1))
+  }
+
+  test("HyperplaneSignature == formula: sign bits of md5-derived plane dot products") {
+    val vec = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val expected = (0 until 12).foldLeft(0L) { (acc, h) =>
+      val proj = (0 until 64).map(i => vec(i).toDouble * Similarity.planeComponent(1, h, i)).sum
+      if (proj > 0) acc | (1L << h) else acc
+    }
+    val got = Seq(Tuple1(vec)).toDF("v")
+      .select(Similarity.hyperplaneSignature(col("v"), table = 1, numPlanes = 12, dim = 64).as("s"))
+      .collect().head.getLong(0)
+    assert(got === expected)
+  }
+
+  test("DetectLanguage == replace-count scoring with first-wins ties and null->'und'") {
+    val rows = Seq(
+      Some("the cat and the dog of the house"),   // en
+      Some("le chat et le chien et les oiseaux"), // fr
+      Some("el gato y los perros y el sol"),      // es
+      Some("xyzzy plugh"),                        // und
+      Some(""),                                   // und
+      None)                                       // und (Column-fold quirk)
+    val got = rows.toDF("text")
+      .select(TextAnalysis.detectLanguage(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en", "fr", "es", "und", "und", "und"))
+    // tie goes to the EARLIER language: 'e il e' scores it=2... craft a tie:
+    // 'the und' -> en 1 (the), de 1 (und): en declared first -> en
+    val tie = Seq("the und").toDF("text")
+      .select(TextAnalysis.detectLanguage(col("text")).as("l"))
+      .collect().head.getString(0)
+    assert(tie === "en")
+  }
+}
