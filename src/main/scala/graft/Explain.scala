@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: `runMain graft.Explain q01 q02` prints the formatted
+  * physical plan of each matching query at SPARK_GRAFT_SF_DIR — the
+  * pushdown/broadcast/codegen audit loop (scan `PushedFilters`/`ReadSchema`,
+  * broadcast vs shuffle joins, WholeStageCodegen spans). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = SparkEntry.queries.filter { case (n, _) =>
+      args.isEmpty || args.exists(n.startsWith) }
+    wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      println(s"\n================= $name =================")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
