@@ -468,6 +468,34 @@ object OracleSql {
     SELECT id_a, id_b, round(cosine, 6) AS cosine
     FROM cos WHERE cosine >= 0.6"""
 
+  private val q35 = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+    ccos AS (SELECT e.vec_id AS id, c.cid,
+        CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos
+      FROM e CROSS JOIN cent c),
+    cells AS (SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos) WHERE rn = 1),
+    qcells AS (SELECT id AS query_id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos WHERE id < 10) WHERE rn <= 4),
+    cand AS (SELECT q.query_id, c.id AS neighbor_id
+      FROM qcells q JOIN cells c ON q.cid = c.cid AND c.id <> q.query_id),
+    scored AS (SELECT query_id, neighbor_id, $cosineSql AS cosine
+      FROM cand
+      JOIN e a ON a.vec_id = query_id
+      JOIN e b ON b.vec_id = neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
   private val q29 = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -538,6 +566,7 @@ object OracleSql {
     "q31_near_dup_jaccard"  -> q31,
     "q32_media_decode"      -> q32,
     "q33_lsh_topk"          -> q33,
-    "q34_embedding_near_dups" -> q34
+    "q34_embedding_near_dups" -> q34,
+    "q35_ivf_topk"          -> q35
   ).map { case (k, v) => k -> clean(v) }
 }

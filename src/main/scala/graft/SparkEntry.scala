@@ -377,6 +377,18 @@ object SparkEntry {
         numPlanes = 12, tables = 4, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
+  /** ANN — IVF-flat cell probing (the second scale path): deterministic
+    * sampled centroids, nprobe nearest cells per query, exact cosine rank
+    * within candidates. Fully oracle-checked (cell assignment reproduces in
+    * SQL via the shared cosine formula). */
+  private def q35IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        sampleMod = 31, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -411,7 +423,8 @@ object SparkEntry {
     "q31_near_dup_jaccard"  -> q31NearDupJaccard _,
     "q32_media_decode"      -> q32MediaDecode _,
     "q33_lsh_topk"          -> q33LshTopK _,
-    "q34_embedding_near_dups" -> q34EmbeddingNearDups _
+    "q34_embedding_near_dups" -> q34EmbeddingNearDups _,
+    "q35_ivf_topk"          -> q35IvfTopK _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

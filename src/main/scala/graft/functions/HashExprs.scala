@@ -349,6 +349,62 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** The `n` nearest centroids (by cosine desc, centroid id asc) of an
+    * embedding — the IVF coarse quantizer ([[graft.ops.Similarity.ivfTopK]]).
+    * Centroids are quantizer PARAMETERS embedded in the plan (a bounded,
+    * broadcast-sized sample of corpus vectors), like the hyperplane matrix.
+    * Cosine runs with the same left-to-right double summation and zero-norm
+    * guard as [[graft.ops.Similarity.cosine]] so an external SQL engine
+    * reproduces cell assignments exactly. */
+  case class NearestCentroids(child: Expression,
+                              centroids: IndexedSeq[(Long, IndexedSeq[Double])],
+                              n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    private lazy val ids: Array[Long] = centroids.map(_._1).toArray
+    private lazy val vecs: Array[Array[Double]] = centroids.map(_._2.toArray).toArray
+    private lazy val norms: Array[Double] = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+
+    private lazy val elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val xs = new Array[Double](m)
+      var i = 0
+      var sq = 0.0
+      while (i < m) {
+        xs(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        sq += xs(i) * xs(i)
+        i += 1
+      }
+      val xNorm = math.sqrt(sq)
+      val scored = new Array[(Double, Long)](ids.length)
+      var c = 0
+      while (c < ids.length) {
+        val cv = vecs(c)
+        val d = math.min(m, cv.length)
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += xs(j) * cv(j); j += 1 }
+        val den = xNorm * norms(c)
+        scored(c) = (if (den == 0) 0.0 else dot / den, ids(c))
+        c += 1
+      }
+      val top = scored.sortBy { case (cos, id) => (-cos, id) }.take(n).map(_._2)
+      new GenericArrayData(top)
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroids =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -370,4 +426,8 @@ object HashExprs {
   def detectLanguage(text: Column, markers: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(DetectLanguage(ColumnBridge.expression(text),
       markers.map { case (l, ws) => (l, ws.toIndexedSeq) }.toIndexedSeq))
+
+  def nearestCentroids(vec: Column, centroids: Seq[(Long, Seq[Double])], n: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
+      centroids.map { case (id, v) => (id, v.toIndexedSeq) }.toIndexedSeq, n))
 }

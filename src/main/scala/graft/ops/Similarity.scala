@@ -125,6 +125,48 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-flat ANN (the cell-probing scale path, complementing the
+    * hyperplane-LSH one): a deterministic sample of corpus vectors
+    * (`vec_id % sampleMod == 0`) serves as the coarse-quantizer centroids;
+    * every corpus vector is assigned to its nearest centroid's cell, and a
+    * query probes only the `nprobe` cells nearest to it — cost scales with
+    * probed-cell sizes, not |corpus|. Recall < 1, exact cosine rank within
+    * candidates.
+    *
+    * The centroid set is collected to the driver as quantizer PARAMETERS
+    * (bounded: |corpus|/sampleMod rows — the same driver-side footprint as a
+    * broadcast) and embedded as literals, so cell assignment is one compiled
+    * argmax loop per row ([[graft.functions.HashExprs.NearestCentroids]]) —
+    * no per-row join against a centroid table. A production pipeline would
+    * refine centroids with k-means; the assignment/probe plan is identical.
+    * Deterministic end-to-end: ties break on centroid id, then neighbor id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              sampleMod: Int = 31, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val centroids: Seq[(Long, Seq[Double])] =
+      corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+        .select(col(idCol).cast("long"), col(vecCol).cast(ArrayType(DoubleType)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toIndexedSeq
+    val cellOf = (v: Column, n: Int) =>
+      graft.functions.HashExprs.nearestCentroids(v, centroids, n)
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("cell", element_at(cellOf(col("__cv"), 1), 1))
+    val queryCells = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(cellOf(col("__qv"), nprobe))))
+    // each corpus vector lives in exactly ONE cell, so (query, neighbor)
+    // pairs are already unique across the probed cells — no dedup needed
+    val scored = corpusCells.join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH candidates
     * (the embedding-space analogue of MinHash near-dup). Buckets larger than
     * `maxBucket` are dropped (see [[Dedup.lshBucketStats]] for the audit). */

@@ -116,6 +116,24 @@ class OpsSpec extends SparkSpec {
     lsh.foreach { case (pair, cos) => assert(math.abs(brute(pair) - cos) < 1e-12) }
   }
 
+  test("ivfTopK: candidate cosines exactly match brute force; one cell per corpus vector") {
+    val emb = (0L until 80L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 0.31 + d * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, sampleMod = 13, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 80)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (pair, cos) => assert(math.abs(brute(pair) - cos) < 1e-12) }
+    // no (query, neighbor) pair can appear twice: each corpus vec has 1 cell
+    val rows = Similarity.ivfTopK(emb, queries, k = 80, sampleMod = 13, nprobe = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.distinct.length === rows.length)
+  }
+
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
     val base = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
