@@ -496,6 +496,22 @@ object OracleSql {
     SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5"""
 
+  private val q36 = s"""
+    WITH norm AS (SELECT doc_id, source, $dedupNormSql AS s FROM documents),
+    grams AS (SELECT doc_id, source,
+        CASE WHEN length(s) < 8 THEN [('0x' || substr(md5(s), 1, 14))::BIGINT]
+        ELSE list_transform(range(1, length(s) - 8 + 2),
+          i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 14))::BIGINT) END AS kg
+      FROM norm),
+    fps AS (SELECT doc_id, source,
+        list_distinct(list_transform(range(0, greatest(len(kg) - 4 + 1, 1)),
+          j -> list_min(list_slice(kg, j + 1, j + 4)))) AS fp
+      FROM grams),
+    x AS (SELECT doc_id, source, unnest(fp) AS f FROM fps)
+    SELECT source, count(DISTINCT doc_id) AS n_docs,
+      count(*) AS total_fps, count(DISTINCT f) AS distinct_fps
+    FROM x GROUP BY source"""
+
   private val q29 = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -567,6 +583,7 @@ object OracleSql {
     "q32_media_decode"      -> q32,
     "q33_lsh_topk"          -> q33,
     "q34_embedding_near_dups" -> q34,
-    "q35_ivf_topk"          -> q35
+    "q35_ivf_topk"          -> q35,
+    "q36_winnow"            -> q36
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -389,6 +389,18 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Winnowing fingerprints (rolling k-gram hashes, window minima): per
+    * source, document count, total selected fingerprints, distinct
+    * fingerprints — the document-fingerprinting coverage query. */
+  private def q36Winnow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"), k = 8, w = 4)).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_fps"),
+        countDistinct(col("fp")).as("distinct_fps"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -424,7 +436,8 @@ object SparkEntry {
     "q32_media_decode"      -> q32MediaDecode _,
     "q33_lsh_topk"          -> q33LshTopK _,
     "q34_embedding_near_dups" -> q34EmbeddingNearDups _,
-    "q35_ivf_topk"          -> q35IvfTopK _
+    "q35_ivf_topk"          -> q35IvfTopK _,
+    "q36_winnow"            -> q36Winnow _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

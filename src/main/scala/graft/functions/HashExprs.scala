@@ -349,6 +349,53 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+    * k-CHARACTER gram of the (already normalized) text, slide a window of
+    * `w` gram hashes, keep each window's minimum, return the distinct
+    * selected hashes — a position-robust fingerprint set sized ~2/(w+1) of
+    * the gram count. Gram hash = the packed 56-bit md5 prefix (DuckDB:
+    * `('0x' || substr(md5(substr(s, i, k)), 1, 14))::BIGINT`), so the oracle
+    * regenerates the exact set. Texts shorter than `k` hash as one whole-text
+    * gram; fewer than `w` grams form one window. */
+  case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnowing_fingerprints"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val grams: Array[Long] =
+        if (s.length < k) Array(packed(s))
+        else Array.tabulate(s.length - k + 1)(i => packed(s.substring(i, i + k)))
+      val nWindows = math.max(grams.length - w + 1, 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      while (j < nWindows) {
+        var m = grams(j)
+        var i = j + 1
+        val end = math.min(j + w, grams.length)
+        while (i < end) { if (grams(i) < m) m = grams(i); i += 1 }
+        seen.add(m)
+        j += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new GenericArrayData(out)
+    }
+
+    private def packed(g: String): Long = {
+      val (h1, h2) = md5Halves(g.getBytes("UTF-8"))
+      (h1 << 28) | h2
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowingFingerprints =
+      copy(child = c)
+  }
+
   /** The `n` nearest centroids (by cosine desc, centroid id asc) of an
     * embedding — the IVF coarse quantizer ([[graft.ops.Similarity.ivfTopK]]).
     * Centroids are quantizer PARAMETERS embedded in the plan (a bounded,
@@ -430,4 +477,7 @@ object HashExprs {
   def nearestCentroids(vec: Column, centroids: Seq[(Long, Seq[Double])], n: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       centroids.map { case (id, v) => (id, v.toIndexedSeq) }.toIndexedSeq, n))
+
+  def winnowingFingerprints(normText: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingFingerprints(ColumnBridge.expression(normText), k, w))
 }

@@ -96,6 +96,15 @@ object TextAnalysis {
   /** MD5 content hash (engine-portable for oracles). */
   def contentHash(text: Column): Column = md5(normalizeText(text))
 
+  /** Winnowing fingerprint set over the normalized text (rolling k-char-gram
+    * hashes, per-window minima — see
+    * [[graft.functions.HashExprs.WinnowingFingerprints]]): the
+    * position-robust document fingerprint for near-copy detection at corpus
+    * scale. Row-local; sharing detection is then a fingerprint-set join. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.HashExprs.winnowingFingerprints(
+      normalizeText(coalesce(text, lit(""))), k, w)
+
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

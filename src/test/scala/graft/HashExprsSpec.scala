@@ -103,6 +103,35 @@ class HashExprsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("WinnowingFingerprints == formula: distinct window-minima of k-gram hashes") {
+    val text = "the quick brown fox jumps"
+    val norm = text // already normalized
+    val k = 8; val w = 4
+    def packed(g: String): Long =
+      java.lang.Long.parseLong(md5Hex(g).substring(0, 14), 16)
+    val grams = (0 to norm.length - k).map(i => packed(norm.substring(i, i + k)))
+    val expected = (0 until math.max(grams.length - w + 1, 1))
+      .map(j => grams.slice(j, math.min(j + w, grams.length)).min).distinct
+    val got = Seq(text).toDF("text")
+      .select(TextAnalysis.winnowingFingerprints(col("text"), k, w).as("fp"))
+      .collect().head.getSeq[Long](0)
+    assert(got.toSeq === expected)
+    // identical docs share all fingerprints; a shifted copy shares most
+    val Seq(a, b) = Seq("the quick brown fox jumps over the lazy dog",
+        "PREFIX the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+      .select(TextAnalysis.winnowingFingerprints(lower(col("text")), k, w).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet).toSeq
+    assert((a intersect b).size >= (a.size * 2) / 3)
+  }
+
+  test("WinnowingFingerprints: short text degenerates to one whole-text gram") {
+    val got = Seq("tiny", "").toDF("text")
+      .select(TextAnalysis.winnowingFingerprints(col("text"), 8, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got.forall(_.length === 1))
+  }
+
   test("DetectLanguage == replace-count scoring with first-wins ties and null->'und'") {
     val rows = Seq(
       Some("the cat and the dog of the house"),   // en
