@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.HashExprs
+import graft.ops.TextAnalysis
+
+/** SQL surface for the custom expressions: installs `minhash_signature`,
+  * `shingle_hashes`, `minhash_from_hashes`, `simhash_signature`,
+  * `winnowing_fingerprints`, and `detect_language` so `spark.sql(...)` users
+  * get the same operators as the Column API.
+  *
+  * Two installation paths:
+  *  - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`);
+  *  - on a live session: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.HashExprs", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register every function on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => ColumnBridge.registerFunction(spark, name, b) }
+
+  private def lit[T](e: Expression, what: String): T = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[T]
+  }
+  private def intLit(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { args =>
+      HashExprs.MinHashSignature(args.head,
+        if (args.length > 1) intLit(args(1), "numHashes") else 64)
+    },
+    "shingle_hashes" -> { args =>
+      HashExprs.ShingleHashes(args.head,
+        if (args.length > 1) intLit(args(1), "k") else 3)
+    },
+    "minhash_from_hashes" -> { args =>
+      HashExprs.MinHashFromHashes(args.head,
+        if (args.length > 1) intLit(args(1), "numHashes") else 64)
+    },
+    "simhash_signature" -> { args =>
+      HashExprs.SimHashSignature(args.head,
+        if (args.length > 1) lit[Boolean](args(1), "portable") else false)
+    },
+    "winnowing_fingerprints" -> { args =>
+      HashExprs.WinnowingFingerprints(args.head,
+        if (args.length > 1) intLit(args(1), "k") else 8,
+        if (args.length > 2) intLit(args(2), "w") else 4)
+    },
+    "detect_language" -> { args =>
+      HashExprs.DetectLanguage(args.head,
+        TextAnalysis.LangMarkers.map { case (l, ws) => (l, ws.toIndexedSeq) }.toIndexedSeq)
+    }
+  )
+}

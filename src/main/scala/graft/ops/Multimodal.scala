@@ -92,6 +92,24 @@ object Multimodal {
     }.toDF("media_id", "frame_bytes")
   }
 
+  /** Resize stub: the Spark-side shape of an image resize (a real codec
+    * would decode → scale → re-encode inside the same partition batch).
+    * The stub strides the payload down to ≈ width×height bytes so output
+    * sizing is deterministic and the batch plumbing (typed rows in,
+    * dimensioned rows out, per-partition execution) is real. */
+  def resizeStub(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition scaler context would init here
+      rows.map { r =>
+        val target = math.max(1, width * height)
+        val stride = math.max(1, r.payload.length / target)
+        val resized = r.payload.indices.by(stride).map(r.payload(_)).toArray
+        (r.media_id, r.modality, width, height, resized.length)
+      }
+    }.toDF("media_id", "modality", "width", "height", "resized_len")
+  }
+
   /** End-to-end: documents table → media table → decoded features DF. */
   def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** The SQL surface: registered functions must agree with the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("registered SQL functions agree with the Column API") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+
+    val sql = spark.sql("""
+      SELECT minhash_from_hashes(shingle_hashes(split(text, ' '), 3), 64) AS sig,
+             simhash_signature(split(text, ' '), true) AS sim,
+             winnowing_fingerprints(text, 8, 4) AS fps,
+             detect_language(text) AS lang
+      FROM ext_docs""").collect().head
+
+    val api = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(
+        Dedup.minhashSignatureOfText(col("text")).as("sig"),
+        Dedup.simhash(col("text"), portable = true).as("sim"),
+        TextAnalysis.winnowingFingerprints(col("text")).as("fps"),
+        TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .collect().head
+
+    // the SQL path skips the normalizeText prep on an already-clean string,
+    // so outputs line up exactly
+    assert(sql.getSeq[Long](0) === api.getSeq[Long](0))
+    assert(sql.getLong(1) === api.getLong(1))
+    assert(sql.getSeq[Long](2).toSet === api.getSeq[Long](2).toSet)
+    assert(sql.getString(3) === api.getString(3))
+  }
+
+  test("defaults apply when optional literal args are omitted") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(minhash_signature(array('a b c', 'b c d'))) AS n").collect().head
+    assert(r.getInt(0) === 64)
+  }
+}

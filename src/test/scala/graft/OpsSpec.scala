@@ -168,4 +168,20 @@ class OpsSpec extends SparkSpec {
     val decoded = Multimodal.decodePipeline(spark, docs)
     assert(decoded.count() === 5L)
   }
+
+  test("multimodal: frame sampling emits n deterministic offsets; resize bounds output size") {
+    val media = Multimodal.asMediaTable(docs).as[Multimodal.MediaRow]
+    val frames = Multimodal.frameSample(media, n = 4).collect()
+    assert(frames.length === 5)
+    assert(frames.forall(_.getSeq[Int](1).length === 4))
+    // deterministic: same input -> same frames
+    val again = Multimodal.frameSample(media, n = 4).collect()
+    assert(frames.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    val resized = Multimodal.resizeStub(media, width = 4, height = 2).collect()
+    assert(resized.forall { r =>
+      val len = r.getAs[Int]("resized_len")
+      len >= 1 && len <= 16 // ≈ width×height with stride rounding slack
+    })
+    assert(resized.forall(r => r.getAs[Int]("width") === 4 && r.getAs[Int]("height") === 2))
+  }
 }
