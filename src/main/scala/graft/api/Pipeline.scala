@@ -162,7 +162,18 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
 
       val cleanN = checked.count()
       val dirtyN = dirty.count()
-      if (cleanN > 0) upsertInto(sig.targetTable, checked, sig.conflictKey)
+      if (cleanN > 0) {
+        // trigger-hierarchy analogue: observe new countries on the airport
+        // insert path and surface them (the RAISE NOTICE of the reference)
+        val obs = if (fileType == "airports")
+          Some(new org.apache.spark.sql.Observation(s"airport_insert")) else None
+        val toWrite = obs.map(Loaders.observeNewCountries(checked, _)).getOrElse(checked)
+        upsertInto(sig.targetTable, toWrite, sig.conflictKey)
+        obs.foreach { o =>
+          val n = o.get.getOrElse("new_countries", 0L)
+          if (n != 0) System.err.println(s"[pipeline] $n airports with countries outside the reviewed set (marked for review)")
+        }
+      }
       if (dirtyN > 0) appendDirty(dirty)
       ProcessResult(fileType, sig.targetTable, total, cleanN, dirtyN)
     } finally raw.unpersist()

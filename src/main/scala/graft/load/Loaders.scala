@@ -116,6 +116,24 @@ object Loaders {
     LoadResult(clean, invalid.unionByName(dupes))
   }
 
+  /** §2.10 trigger mapping (`trigger hierarchy:1-17`): the reference's
+    * BEFORE INSERT trigger RAISEs a NOTICE for airports whose country is
+    * outside its reviewed set. Spark analogue: an `observe` metric on the
+    * insert-path plan — zero extra passes, the metric rides the write action
+    * and the caller surfaces it ([[graft.api.Pipeline.processFile]] logs it,
+    * the NOTICE analogue). The reviewed list is the trigger's LITERAL one —
+    * short spellings the standardizer never emits for USA/UK/UAE, a
+    * reference inconsistency preserved as-is. */
+  val ReviewedCountries: Seq[String] =
+    Seq("USA", "UK", "UAE", "Canada", "Australia", "Japan")
+
+  def observeNewCountries(inserts: DataFrame,
+                          obs: org.apache.spark.sql.Observation): DataFrame =
+    inserts.observe(obs,
+      sum(when(!col("country").isin(ReviewedCountries: _*), 1L).otherwise(0L))
+        .as("new_countries"),
+      count(lit(1)).as("inserted"))
+
   /** J5 + P4 — processor-path airport enrichment (`smartFileProcessor.js:
     * 269-283,341-345`): attach country_id from the hierarchy by exact name
     * match, falling back to the reference's fuzzy probe

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at scale.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default here) already splits oversized SORT-MERGE partitions at runtime —
+  * prefer it. These helpers cover the cases AQE does not:
+  *
+  *  - [[saltedJoin]]: a fact⋈dim equi-join where one dim key is so hot that
+  *    even a split partition leaves one task scanning the hot key's entire
+  *    fact slice. Salting spreads ONE key's rows over `numSalts` tasks by
+  *    joining on (key, salt): the fact side gets a deterministic per-row
+  *    salt, the dim side is replicated once per salt value (dim × numSalts
+  *    rows — keep the dim small). Results are row-identical to the plain
+  *    join.
+  *  - [[saltedCounts]]: heavy-hitter counting where a single group would
+  *    bottleneck its reducer. Two-stage aggregation — partial count by
+  *    (key, salt), final sum by key — bounds any task's input to ~1/numSalts
+  *    of the hot key. For ALGEBRAIC aggregates Spark's map-side partial
+  *    aggregation already does this when upstream partitioning is random;
+  *    explicit salting matters when the input arrives ALREADY partitioned by
+  *    the hot key (e.g. read back from a bucketed/pre-shuffled source), or
+  *    for holistic aggregates like exact distinct counts
+  *    ([[saltedDistinctCounts]]).
+  *
+  * Salt derivation is `pmod(xxhash64(whole row), numSalts)` — deterministic
+  * for a given row (no RNG in the plan; retried tasks re-derive identical
+  * salts, which a `rand()`-based salt would NOT under task retry, silently
+  * duplicating or dropping rows in the join replication).
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, numSalts). */
+  def rowSalt(df: DataFrame, numSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(numSalts)).cast("int")
+
+  /** Equi-join `facts ⋈ dim` on `key` with the fact side salted and the dim
+    * side replicated `numSalts`×. Same rows as `facts.join(dim, key, how)`;
+    * the hot key's probe work spreads over `numSalts` tasks.
+    * `how` supports inner/left variants (the dim side is the replicated one,
+    * so right/full joins would multiply unmatched dim rows — rejected). */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 numSalts: Int = 16, how: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(how),
+      s"saltedJoin supports inner/left joins, got $how")
+    val salted = facts.withColumn("__salt", rowSalt(facts, numSalts))
+    val replicated = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(numSalts - 1)).cast("array<int>")))
+    salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  /** Two-stage heavy-hitter count: partial by (keys, salt), final by keys.
+    * Identical to `df.groupBy(keys).count()`. */
+  def saltedCounts(df: DataFrame, keys: Seq[String], numSalts: Int = 16): DataFrame =
+    df.withColumn("__salt", rowSalt(df, numSalts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("count"))
+
+  /** Exact distinct-count per key without shipping every occurrence of a hot
+    * key to one reducer: stage 1 dedups (key, value) pairs — uniform-ish by
+    * value — stage 2 counts survivors per key. Identical to
+    * `df.groupBy(key).agg(countDistinct(value))`. */
+  def saltedDistinctCounts(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key))
+      .agg(count(col(value)).as("distinct_count"))
+}

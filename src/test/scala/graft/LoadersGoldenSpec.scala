@@ -72,6 +72,13 @@ class LoadersGoldenSpec extends SparkSpec {
     assert(rowsOf(us) === 94L)
   }
 
+  test("trigger analogue: 194 of 214 clean airports sit outside the reviewed country set") {
+    val obs = new org.apache.spark.sql.Observation("trigger_test")
+    Loaders.observeNewCountries(airports.clean, obs).collect()
+    assert(obs.get("new_countries") === 194L)
+    assert(obs.get("inserted") === 214L)
+  }
+
   test("airports: quoted/padded fields trim clean (airports.csv:3 LAX)") {
     val lax = airports.clean.filter(col("airport_key") === "LAX").collect().head
     assert(lax.getAs[String]("airport_name") === "Los Angeles International Airport")

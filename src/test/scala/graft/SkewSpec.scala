@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+
+/** Salting must never change results — every helper is asserted equal to its
+  * unsalted counterpart on a skewed synthetic table (one key owns 90% of
+  * rows). */
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 900 rows on the hot key, ~100 spread over 10 cold keys
+  private lazy val facts = spark.range(1000)
+    .select(
+      when(col("id") < 900, "HOT").otherwise(concat(lit("k"), pmod(col("id"), lit(10)))).as("k"),
+      col("id").as("v"))
+  private lazy val dim = Seq(("HOT", "hot dim"), ("k1", "one"), ("k2", "two"))
+    .toDF("k", "label")
+
+  test("saltedJoin (inner) == plain join, hot key spread over salts") {
+    val plain = facts.join(dim, Seq("k")).orderBy("v")
+      .collect().map(_.toString).toSeq
+    val salted = Skew.saltedJoin(facts, dim, "k", numSalts = 8).orderBy("v")
+      .collect().map(_.toString).toSeq
+    assert(salted === plain)
+  }
+
+  test("saltedJoin (left) keeps unmatched fact rows exactly once") {
+    val plain = facts.join(dim, Seq("k"), "left").orderBy("v")
+      .collect().map(_.toString).toSeq
+    val salted = Skew.saltedJoin(facts, dim, "k", numSalts = 8, how = "left").orderBy("v")
+      .collect().map(_.toString).toSeq
+    assert(salted === plain)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dim, "k", how = "right")
+    }
+  }
+
+  test("saltedCounts == groupBy().count()") {
+    val plain = facts.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCounts(facts, Seq("k"), numSalts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(plain("HOT") === 900L)
+  }
+
+  test("saltedDistinctCounts == countDistinct") {
+    val df = facts.withColumn("v", pmod(col("v"), lit(37))) // collisions -> real distinct work
+    val plain = df.groupBy("k").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedDistinctCounts(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+}
