@@ -70,8 +70,10 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
   def tablePath(name: String): String = s"$warehouseDir/$name"
 
   def tableExists(name: String): Boolean = {
-    val d = new File(tablePath(name))
-    d.isDirectory && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    def hasParquet(f: File): Boolean =
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+        (f.isDirectory && Option(f.listFiles()).exists(_.exists(hasParquet)))
+    hasParquet(new File(tablePath(name)))
   }
 
   private def emptyTable(schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -94,10 +96,20 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     "dirty_data"            -> Schemas.dirtyData
   )
 
+  /** Physical layout (SURVEY.md §4 note): the fact table partitions by
+    * date_key — at warehouse scale that is daily partition pruning for every
+    * date-ranged query, and ingest touches only the affected days. Dims stay
+    * unpartitioned (dimension-sized). */
+  val partitionedTables: Map[String, Seq[String]] = Map(
+    "fact_sales" -> Seq("date_key"))
+
   /** Overwrite a table with lineage cut first — `df` may (and in the upsert
     * path does) read the very files being replaced. */
-  def overwriteTable(name: String, df: DataFrame): Unit =
-    df.localCheckpoint(true).write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+  def overwriteTable(name: String, df: DataFrame): Unit = {
+    val w = df.localCheckpoint(true).write.mode(SaveMode.Overwrite)
+    partitionedTables.get(name).fold(w)(cols => w.partitionBy(cols: _*))
+      .parquet(tablePath(name))
+  }
 
   def appendTable(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(tablePath(name))

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing — the co-located-join layout for fact⋈fact / fact⋈big-dim at
+  * warehouse scale (SURVEY.md §4): both sides bucketed on the join key can
+  * sort-merge WITHOUT a shuffle (zero Exchange). Plain-path tables in this
+  * repo are directory parquet (bucket metadata needs a catalog table), so
+  * this spec pins the recipe + the plan property against the session
+  * catalog. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact join: zero exchanges; unbucketed baseline shuffles both sides") {
+    // catalog warehouse dir is set (statically) in SparkSpec's session
+
+    val facts = spark.range(10000)
+      .select(pmod(col("id"), lit(500)).as("flight_key_id"), col("id").as("amount"))
+    val status = spark.range(500)
+      .select(col("id").as("flight_key_id"), (pmod(col("id"), lit(300)) * 2).as("delay"))
+
+    spark.sql("DROP TABLE IF EXISTS bkt_facts")
+    spark.sql("DROP TABLE IF EXISTS bkt_status")
+    facts.write.bucketBy(8, "flight_key_id").sortBy("flight_key_id")
+      .format("parquet").saveAsTable("bkt_facts")
+    status.write.bucketBy(8, "flight_key_id").sortBy("flight_key_id")
+      .format("parquet").saveAsTable("bkt_status")
+
+    // disable auto-broadcast so the join shape (not size) decides the plan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      val joined = spark.table("bkt_facts")
+        .join(spark.table("bkt_status"), "flight_key_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() === 10000L)
+
+      val unbucketed = facts.join(status, "flight_key_id")
+      val basePlan = unbucketed.queryExecution.executedPlan.toString
+      assert(basePlan.contains("Exchange"), "baseline should shuffle — config suspect otherwise")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_status")
+    }
+  }
+}

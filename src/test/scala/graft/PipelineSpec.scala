@@ -140,6 +140,20 @@ class PipelineSpec extends SparkSpec {
     assert(back.select("error_reason").collect().head.getString(0) === "reason")
   }
 
+  test("fact_sales is date-partitioned and date filters prune partitions") {
+    loadedAll
+    val pruned = pipeline.readTable("fact_sales").filter(col("date_key") === 20230105)
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning), not a
+    // post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters") && scan.contains("20230105"), scan.take(2000))
+    assert(pruned.count() > 0)
+    // partition directories exist on disk
+    val dirs = new java.io.File(pipeline.tablePath("fact_sales"))
+      .listFiles().filter(_.getName.startsWith("date_key="))
+    assert(dirs.nonEmpty)
+  }
+
   test("unknown file type returns a zero result and writes nothing") {
     val tmp = SparkSpec.tempDir("graft_unknown_")
     java.nio.file.Files.writeString(

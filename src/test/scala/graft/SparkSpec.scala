@@ -11,6 +11,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      .config("spark.sql.warehouse.dir", tempDir("graft_wh_catalog_"))
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
