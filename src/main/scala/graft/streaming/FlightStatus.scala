@@ -119,6 +119,24 @@ object FlightStatus {
       .drop("__elig_key")
   }
 
+  /** ST2+ST4 composed as one stream (`server.js:234-245` + `144-184`): each
+    * micro-batch of parsed events appends to the status table, then the
+    * fact-flag merge runs against the refreshed table — the
+    * `foreachBatch`-MERGE mapping from SURVEY.md §2.9. `mergeFn` receives
+    * the appended batch and performs the conditional fact update (e.g.
+    * [[graft.api.Pipeline.flagAllEligible]]); batch-id bookkeeping makes the
+    * append idempotent-enough for AvailableNow replays (a transactional
+    * table format would make it exact). */
+  def streamingFlagPipeline(events: DataFrame, statusPath: String,
+                            mergeFn: () => Unit): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(statusPath)
+        mergeFn()
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming variant of ST3 with bounded state (ST5): watermarked
     * latest-per-key maintained incrementally in update mode. */
   def latestStatusStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =

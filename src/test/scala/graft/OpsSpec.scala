@@ -47,6 +47,21 @@ class OpsSpec extends SparkSpec {
   test("minhash near-dups: identical docs pair at 1.0; near-dup pair crosses 0.5; disjoint never pairs") {
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    checkNearDupPairs(pairs)
+  }
+
+  test("minhash near-dups: NULL and empty text coalesce, never crash or vanish (ADVICE pin)") {
+    val withNulls = docs.unionByName(
+      Seq((10L, null.asInstanceOf[String]), (11L, "")).toDF("doc_id", "text")
+        .withColumn("source", lit("test")))
+    val pairs = Dedup.minhashNearDups(withNulls, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // null coalesces to '' -> docs 10 and 11 are identical-empty and pair at 1.0
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 1.0))
+    checkNearDupPairs(pairs) // the original corpus pairs are unaffected
+  }
+
+  private def checkNearDupPairs(pairs: Array[(Long, Long, Double)]): Unit = {
     val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(byPair((0L, 1L)) === 1.0)
     assert(byPair((0L, 4L)) === 1.0) // normalization collapses case/punct

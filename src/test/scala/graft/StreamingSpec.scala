@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpec {
       "TA000003" -> true, "TA000004" -> false, "TA000005" -> true))
   }
 
+  test("ST2+ST4 composed: foreachBatch appends the batch then flags facts (streaming merge)") {
+    val base = SparkSpec.tempDir("graft_streamfb_")
+    val in = s"$base/in"; val status = s"$base/status"
+    writeJsonValues(in)
+    val facts = Seq(("TA000001", "AA100", false), ("TA000002", "BA244", false))
+      .toDF("transaction_id", "flight_key", "is_eligible_insurance")
+    var flagged: Option[Map[String, Boolean]] = None
+    val mergeFn = () => {
+      flagged = Some(FlightStatus.flagEligibleFacts(facts, spark.read.parquet(status))
+        .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap)
+    }
+    val q = FlightStatus.streamingFlagPipeline(
+      FlightStatus.parseEvents(spark.readStream.text(in)), status, mergeFn)
+      .option("checkpointLocation", s"$base/cp").start()
+    q.awaitTermination()
+    assert(spark.read.parquet(status).count() === 6L)
+    // AA100's latest delay 300 > 240 -> flagged; BA244 at 100 -> not
+    assert(flagged === Some(Map("TA000001" -> true, "TA000002" -> false)))
+  }
+
   test("ST5: watermarked streaming latest-per-key maintains state incrementally") {
     val base = SparkSpec.tempDir("graft_stream5_")
     val in = s"$base/in"
