@@ -115,9 +115,34 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     df.write.mode(SaveMode.Append).parquet(tablePath(name))
 
   /** S6 — upsert `incoming` into `name` on `conflictKey` (new rows win,
-    * PostgREST `upsert(onConflict=key)` semantics). */
+    * PostgREST `upsert(onConflict=key)` semantics).
+    *
+    * Partitioned tables upsert PARTITION-SCOPED: only the partitions present
+    * in the incoming batch are read (partition pruning), merged, and
+    * rewritten (dynamic partition overwrite) — day-scoped ingest touches
+    * only the affected days instead of rewriting 100 TB of fact history.
+    * Assumes a key never migrates between partitions (true here:
+    * transaction_id determines date_key); a migrating key would leave its
+    * old-partition copy in place. */
   def upsertInto(name: String, incoming: DataFrame, conflictKey: String): Unit =
-    overwriteTable(name, Cleanse.upsert(readTable(name), incoming, Seq(conflictKey)))
+    partitionedTables.get(name) match {
+      case Some(Seq(partCol)) if tableExists(name) =>
+        val touched = incoming.select(col(partCol)).distinct().collect().map(_.get(0))
+        val values = touched.filter(_ != null)
+        val touchPred = {
+          val in = if (values.nonEmpty) col(partCol).isin(values: _*) else lit(false)
+          if (touched.contains(null)) in || col(partCol).isNull else in
+        }
+        val existingTouched = readTable(name).filter(touchPred)
+        Cleanse.upsert(existingTouched, incoming, Seq(conflictKey))
+          .localCheckpoint(true)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol)
+          .parquet(tablePath(name))
+      case _ =>
+        overwriteTable(name, Cleanse.upsert(readTable(name), incoming, Seq(conflictKey)))
+    }
 
   /** S10 — dirty-data append with the local-file fallback sink
     * (`uploadAllSales.js:297-301`): if the table write fails, the batch is

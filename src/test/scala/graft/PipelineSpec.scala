@@ -154,6 +154,29 @@ class PipelineSpec extends SparkSpec {
     assert(dirs.nonEmpty)
   }
 
+  test("partition-scoped upsert rewrites only the touched day") {
+    loadedAll
+    import spark.implicits._
+    val before = pipeline.readTable("fact_sales").count()
+    def partDir(dateKey: Int) =
+      new java.io.File(pipeline.tablePath("fact_sales"), s"date_key=$dateKey")
+    assert(partDir(20230105).isDirectory && partDir(20230110).isDirectory)
+    val untouchedBefore = partDir(20230110).lastModified()
+
+    // update one existing transaction on 20230105
+    val incoming = pipeline.readTable("fact_sales")
+      .filter($"transaction_id" === "CO010001")
+      .withColumn("total_amount", lit(BigDecimal("9999.00")).cast("decimal(10,2)"))
+    pipeline.upsertInto("fact_sales", incoming, "transaction_id")
+
+    val after = pipeline.readTable("fact_sales")
+    assert(after.count() === before) // merge, not append
+    assert(after.filter($"transaction_id" === "CO010001")
+      .select("total_amount").collect().head.getDecimal(0).doubleValue() === 9999.00)
+    // the untouched partition's directory was not rewritten
+    assert(partDir(20230110).lastModified() === untouchedBefore)
+  }
+
   test("unknown file type returns a zero result and writes nothing") {
     val tmp = SparkSpec.tempDir("graft_unknown_")
     java.nio.file.Files.writeString(
