@@ -1,0 +1,41 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration — the one
+  * place the settings that correctness depends on are written down:
+  *
+  *  - `ansi.enabled=false`: the reference's JS data path is lenient — an
+  *    unparseable date/number becomes null and dirty-routes; ANSI mode would
+  *    throw mid-scan instead.
+  *  - UTC session timezone: date/timestamp formatting must not depend on
+  *    cluster locale (oracle comparisons and date_key derivation).
+  *  - `legacy.parquet.nanosAsLong=true`: TIMESTAMP(NANOS) inputs (the events
+  *    table) read as long for explicit µs conversion.
+  *  - shuffle partitions default to the core count (not 200) for local use;
+  *    a real cluster sizes this to data volume (see SURVEY.md §4) and AQE
+  *    coalesces from there.
+  *  - [[graft.GraftExtensions]] registered: the SQL surface
+  *    (minhash_signature etc.) is available to `spark.sql` users.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .withExtensions(new graft.GraftExtensions)
+
+  def create(): SparkSession = {
+    val spark = builder().getOrCreate()
+    // getOrCreate on a pre-existing session skips extensions — make the SQL
+    // functions present either way
+    graft.GraftExtensions.register(spark)
+    spark
+  }
+}

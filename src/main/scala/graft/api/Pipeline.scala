@@ -276,6 +276,63 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     (cleanN, dirtyN)
   }
 
+  /** F14 reverse path / operational repair: re-run rejected rows through
+    * their loader after a fix (the reference keeps the ORIGINAL row as JSONB
+    * in dirty_data precisely so this is possible). Rows whose
+    * `original_data` now passes standardization+validation upsert into the
+    * target table; still-dirty rows are returned (NOT re-appended — the
+    * original audit rows remain the record). Returns (repaired, stillDirty)
+    * counts. */
+  def replayDirty(fileType: String): (Long, Long) = {
+    val sig = FileTypeDetector.fileSignatures.toMap.apply(fileType)
+    val rawSchema = fileType match {
+      case "passengers"          => Schemas.rawPassengers
+      case "airports"            => Schemas.rawAirports
+      case "airlines"            => Schemas.rawAirlines
+      case "flights"             => Schemas.rawFlights
+      case "travel_agency_sales" => Schemas.rawTravelSales
+      case "corporate_sales"     => Schemas.rawCorporateSales
+    }
+    val source = fileType match {
+      case "travel_agency_sales" => "travel_agency"
+      case "corporate_sales"     => "corporate"
+      case other                 => other
+    }
+    val parsed = readTable("dirty_data")
+      .filter(col("source_table") === source)
+      .select(from_json(col("original_data"), rawSchema).as("r"))
+      .select(col("r.*"))
+      .withColumn(Loaders.RowIdx, monotonically_increasing_id())
+      .persist()
+    try {
+      val result = fileType match {
+        case "passengers"          => Loaders.loadPassengers(parsed)
+        case "airports"            => Loaders.loadAirports(parsed)
+        case "airlines"            => Loaders.loadAirlines(parsed)
+        case "flights"             => loadFlightsWithFks(parsed)
+        case "travel_agency_sales" => salesForInsert(Loaders.loadSalesFile(parsed, source))
+        case "corporate_sales"     => salesForInsert(Loaders.loadSalesFile(parsed, source))
+      }
+      val (checked, violations) = Cleanse.cleanse(
+        result.clean, sig.targetTable, domainChecks.getOrElse(sig.targetTable, Nil))
+      // insert-if-absent, NOT upsert: a replayed duplicate must not displace
+      // the row that won first-wins at original load time
+      val newOnly = checked.join(
+        readTable(sig.targetTable).select(col(sig.conflictKey)),
+        Seq(sig.conflictKey), "left_anti")
+      val repaired = newOnly.count()
+      val stillDirty = result.dirty.unionByName(violations).count()
+      if (repaired > 0) upsertInto(sig.targetTable, newOnly, sig.conflictKey)
+      (repaired, stillDirty)
+    } finally parsed.unpersist()
+  }
+
+  /** Append-heavy tables (dirty_data, flight_status_updates) accrete one
+    * file per batch — the small-file problem at scale. Rewrite into
+    * `targetFiles` files; contents unchanged. */
+  def compactTable(name: String, targetFiles: Int = 8): Unit =
+    overwriteTable(name, readTable(name).coalesce(targetFiles))
+
   // ---------------------------------------------------------- status / flags
 
   /** `/simulate-delay` — append one synthetic status event. */

@@ -177,6 +177,46 @@ class PipelineSpec extends SparkSpec {
     assert(partDir(20230110).lastModified() === untouchedBefore)
   }
 
+  test("replayDirty: repaired rows insert-if-absent; originals never displaced") {
+    loadedAll
+    import spark.implicits._
+    // seed a dirty flight whose original_data is now perfectly loadable
+    // (as if an earlier outage had rejected it)
+    val fixable = Seq(("flights",
+      """{"FlightKey":"ZZ999","OriginAirportKey":"JFK","DestinationAirportKey":"LAX","AircraftType":"Test Jet"}""",
+      "historic outage", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("source_table", "original_data", "error_reason", "created_at")
+    pipeline.appendDirty(fixable)
+    val (repairedF, stillDirtyF) = pipeline.replayDirty("flights")
+    assert((repairedF, stillDirtyF) === ((1L, 0L)))
+    assert(pipeline.readTable("dim_flight")
+      .filter($"flight_key" === "ZZ999" && $"aircraft_type" === "Test Jet").count() === 1L)
+
+    // passengers: all 1000 P-keys are already occupied, so every replayed
+    // reject either fails validation again or is a duplicate of a key whose
+    // first-wins survivor must NOT be displaced -> repaired = 0
+    val p001Before = pipeline.readTable("dim_passenger")
+      .filter($"passenger_key" === "P001").collect().head.toString
+    val (repairedP, stillDirtyP) = pipeline.replayDirty("passengers")
+    assert(repairedP === 0L)
+    assert(stillDirtyP >= 9L) // the truly-invalid keys reject again
+    assert(pipeline.readTable("dim_passenger").count() === 1000L)
+    assert(pipeline.readTable("dim_passenger")
+      .filter($"passenger_key" === "P001").collect().head.toString === p001Before)
+  }
+
+  test("compactTable: file count drops, contents identical") {
+    loadedAll
+    val table = "dirty_data"
+    def parquetFiles = new java.io.File(pipeline.tablePath(table))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = pipeline.readTable(table).count()
+    assert(parquetFiles > 2) // several appends happened
+    pipeline.compactTable(table, targetFiles = 1)
+    assert(parquetFiles === 1)
+    assert(pipeline.readTable(table).count() === before)
+  }
+
   test("unknown file type returns a zero result and writes nothing") {
     val tmp = SparkSpec.tempDir("graft_unknown_")
     java.nio.file.Files.writeString(
