@@ -137,6 +137,15 @@ object FlightStatus {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** In-flight event dedup with bounded state: drop exact replays (same key,
+    * same timestamp — e.g. producer retries) arriving within the watermark.
+    * The state store only remembers keys inside the watermark window, so
+    * memory is bounded no matter how long the stream runs. */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("update_timestamp", watermark)
+      .dropDuplicatesWithinWatermark("flight_key", "update_timestamp")
+
   /** Streaming variant of ST3 with bounded state (ST5): watermarked
     * latest-per-key maintained incrementally in update mode. */
   def latestStatusStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =

@@ -104,6 +104,25 @@ class StreamingSpec extends SparkSpec {
     assert(m === Map("AA100" -> 300, "BA244" -> 100, "DL200" -> 241, "WN500" -> 0))
   }
 
+  test("deduped stream: exact replays within the watermark are dropped, state bounded") {
+    val base = SparkSpec.tempDir("graft_streamdd_")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val line = """{"flight_key":"AA100","status":"delayed","delay_minutes":250,"update_timestamp":"2024-01-01T12:00:00.000Z"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/events.jsonl"),
+      (Seq(line, line, line) :+ // producer retries: 3 identical events
+        """{"flight_key":"AA100","status":"delayed","delay_minutes":300,"update_timestamp":"2024-01-01T14:00:00.000Z"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val q = FlightStatus.dedupedStream(FlightStatus.parseEvents(spark.readStream.text(in)))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("dedup_stream").collect()
+    assert(rows.length === 2) // 3 replays collapse to 1, plus the later event
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Kafka-wire JSON values (one per line) for the text file source. */
