@@ -42,7 +42,11 @@ object Bench {
     val results = runs.head.indices.map { i =>
       val samples = runs.map(_(i))
       val (name, _, _) = samples.head
-      (name, samples.map(_._2).min, samples.flatMap(_._3).headOption)
+      // a failed pass's (short) duration must not masquerade as a fast run:
+      // time comes from successful passes only; err set iff ALL passes failed
+      val ok = samples.filter(_._3.isEmpty)
+      if (ok.nonEmpty) (name, ok.map(_._2).min, None)
+      else (name, samples.map(_._2).max, samples.flatMap(_._3).headOption)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }

@@ -36,10 +36,13 @@ object GraftExtensions {
     require(e.foldable, s"$what must be a literal")
     e.eval().asInstanceOf[T]
   }
-  private def intLit(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
   }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -173,28 +173,18 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
       return ProcessResult("unknown", "", 0L, 0L, 0L)
 
     val sig = FileTypeDetector.fileSignatures.toMap.apply(fileType)
-    val raw = (fileType match {
-      case "corporate_sales" if headerless => Loaders.readCorporateCsv(spark, path)
-      case "passengers"          => Loaders.readCsv(spark, path, Schemas.rawPassengers)
-      case "airports"            => Loaders.readCsv(spark, path, Schemas.rawAirports)
-      case "airlines"            => Loaders.readCsv(spark, path, Schemas.rawAirlines)
-      case "flights"             => Loaders.readCsv(spark, path, Schemas.rawFlights)
-      case "travel_agency_sales" => Loaders.readCsv(spark, path, Schemas.rawTravelSales)
-      case "corporate_sales"     => Loaders.readCsv(spark, path, Schemas.rawCorporateSales)
-    }).persist()
+    val raw = (
+      if (fileType == "corporate_sales" && headerless) Loaders.readCorporateCsv(spark, path)
+      else Loaders.readCsv(spark, path, rawSchemaOf(fileType))
+    ).persist()
     try {
       val total = raw.count()
-      val result = fileType match {
-        case "passengers"          => Loaders.loadPassengers(raw)
-        case "airports"            => Loaders.loadAirports(raw)
-        case "airlines"            => Loaders.loadAirlines(raw)
-        case "flights"             => loadFlightsWithFks(raw)
-        case "travel_agency_sales" => salesForInsert(Loaders.loadSalesFile(raw, "travel_agency"))
-        case "corporate_sales"     => salesForInsert(Loaders.loadSalesFile(raw, "corporate"))
-      }
-      // P6 gate: CHECK-domain violations leave the clean side here.
+      val result = runLoader(fileType, raw)
+      // P6 gate: CHECK-domain violations leave the clean side here. The
+      // dirty label is the SOURCE name (same taxonomy as loader rejects —
+      // one grouping key in the monitor and one replay filter).
       val (checked, violations) = Cleanse.cleanse(
-        result.clean, sig.targetTable, domainChecks.getOrElse(sig.targetTable, Nil))
+        result.clean, sourceOf(fileType), domainChecks.getOrElse(sig.targetTable, Nil))
       val dirty = result.dirty.unionByName(violations)
 
       val cleanN = checked.count()
@@ -215,6 +205,39 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
       ProcessResult(fileType, sig.targetTable, total, cleanN, dirtyN)
     } finally raw.unpersist()
   }
+
+  // ------------------------------------------- file-type dispatch (one copy)
+
+  /** Raw schema / source label / loader per detected type — the SINGLE
+    * dispatch registry shared by [[processFile]] and [[replayDirty]] (a
+    * second copy is a MatchError waiting for the path tests don't cover). */
+  private def rawSchemaOf(fileType: String): org.apache.spark.sql.types.StructType =
+    fileType match {
+      case "passengers"          => Schemas.rawPassengers
+      case "airports"            => Schemas.rawAirports
+      case "airlines"            => Schemas.rawAirlines
+      case "flights"             => Schemas.rawFlights
+      case "travel_agency_sales" => Schemas.rawTravelSales
+      case "corporate_sales"     => Schemas.rawCorporateSales
+    }
+
+  /** The dirty-audit / sales_source label for a file type (the reference's
+    * `sourceType`). */
+  private def sourceOf(fileType: String): String = fileType match {
+    case "travel_agency_sales" => "travel_agency"
+    case "corporate_sales"     => "corporate"
+    case other                 => other
+  }
+
+  private def runLoader(fileType: String, raw: DataFrame): Loaders.LoadResult =
+    fileType match {
+      case "passengers" => Loaders.loadPassengers(raw)
+      case "airports"   => Loaders.loadAirports(raw)
+      case "airlines"   => Loaders.loadAirlines(raw)
+      case "flights"    => loadFlightsWithFks(raw)
+      case "travel_agency_sales" | "corporate_sales" =>
+        salesForInsert(Loaders.loadSalesFile(raw, sourceOf(fileType)))
+    }
 
   /** Flights compose with the airport dim exactly like `uploadFlights.js`:
     * placeholder airports for referenced-but-unknown codes are upserted
@@ -248,32 +271,45 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     * file order), fill fact defaults, INSERT into fact_sales, dirty append.
     * Returns (clean, dirty) counts. */
   def uploadAllSales(travelPaths: Seq[String], corporatePaths: Seq[String]): (Long, Long) = {
-    def load(paths: Seq[String], source: String): Seq[Loaders.LoadResult] = paths.map { p =>
-      val schema = if (source == "travel_agency") Schemas.rawTravelSales else Schemas.rawCorporateSales
-      val raw =
-        if (source == "corporate") Loaders.readCorporateCsv(spark, p)
-        else Loaders.readCsv(spark, p, schema)
-      Loaders.loadSalesFile(raw.persist(), source)
-    }
-    val travel = load(travelPaths, "travel_agency")
-    val corporate = load(corporatePaths, "corporate")
-    if (travel.isEmpty && corporate.isEmpty) return (0L, 0L)
-    def unionAll(xs: Seq[DataFrame]): Option[DataFrame] = xs.reduceOption(_ unionByName _)
+    // The cross-file first-wins tie-break is (source precedence, file order,
+    // row order). RowIdx spaces of SEPARATE reads overlap, so the per-source
+    // file index is folded in above the row bits — without it a duplicate id
+    // in file 2 could beat its file-1 original (the reference processes
+    // files sequentially; earlier file wins).
+    val FileStride = 1L << 48 // far above monotonically_increasing_id's range here
+    var cached = List.empty[DataFrame]
+    def load(paths: Seq[String], source: String): Seq[Loaders.LoadResult] =
+      paths.zipWithIndex.map { case (p, fileIdx) =>
+        val raw = (
+          if (source == "corporate") Loaders.readCorporateCsv(spark, p)
+          else Loaders.readCsv(spark, p, Schemas.rawTravelSales)
+        ).persist()
+        cached ::= raw
+        val r = Loaders.loadSalesFile(raw, source)
+        r.copy(clean = r.clean.withColumn(Loaders.RowIdx,
+          lit(fileIdx * FileStride) + col(Loaders.RowIdx)))
+      }
+    try {
+      val travel = load(travelPaths, "travel_agency")
+      val corporate = load(corporatePaths, "corporate")
+      if (travel.isEmpty && corporate.isEmpty) return (0L, 0L)
+      def unionAll(xs: Seq[DataFrame]): Option[DataFrame] = xs.reduceOption(_ unionByName _)
 
-    val anyClean = (travel ++ corporate).head.clean
-    val t = unionAll(travel.map(_.clean)).getOrElse(anyClean.limit(0))
-    val c = unionAll(corporate.map(_.clean)).getOrElse(anyClean.limit(0))
-    val merged = Loaders.unionSalesWithDedup(t, c)
+      val anyClean = (travel ++ corporate).head.clean
+      val t = unionAll(travel.map(_.clean)).getOrElse(anyClean.limit(0))
+      val c = unionAll(corporate.map(_.clean)).getOrElse(anyClean.limit(0))
+      val merged = Loaders.unionSalesWithDedup(t, c)
 
-    val dirtyAll = unionAll((travel ++ corporate).map(_.dirty)).get
-      .unionByName(merged.dirty)
-    val clean = withFactDefaults(merged.clean)
+      val dirtyAll = unionAll((travel ++ corporate).map(_.dirty)).get
+        .unionByName(merged.dirty)
+      val clean = withFactDefaults(merged.clean)
 
-    val cleanN = clean.count()
-    val dirtyN = dirtyAll.count()
-    if (cleanN > 0) upsertInto("fact_sales", clean, "transaction_id")
-    if (dirtyN > 0) appendDirty(dirtyAll)
-    (cleanN, dirtyN)
+      val cleanN = clean.count()
+      val dirtyN = dirtyAll.count()
+      if (cleanN > 0) upsertInto("fact_sales", clean, "transaction_id")
+      if (dirtyN > 0) appendDirty(dirtyAll)
+      (cleanN, dirtyN)
+    } finally cached.foreach(_.unpersist())
   }
 
   /** F14 reverse path / operational repair: re-run rejected rows through
@@ -285,36 +321,20 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     * counts. */
   def replayDirty(fileType: String): (Long, Long) = {
     val sig = FileTypeDetector.fileSignatures.toMap.apply(fileType)
-    val rawSchema = fileType match {
-      case "passengers"          => Schemas.rawPassengers
-      case "airports"            => Schemas.rawAirports
-      case "airlines"            => Schemas.rawAirlines
-      case "flights"             => Schemas.rawFlights
-      case "travel_agency_sales" => Schemas.rawTravelSales
-      case "corporate_sales"     => Schemas.rawCorporateSales
-    }
-    val source = fileType match {
-      case "travel_agency_sales" => "travel_agency"
-      case "corporate_sales"     => "corporate"
-      case other                 => other
-    }
+    // Note on shape: loader rejects carry RAW-named original_data and replay
+    // cleanly; CHECK-domain violations (same source_table label) carry
+    // STANDARDIZED names, parse to all-null under the raw schema, and fall
+    // back out as still-dirty — safe, never corrupting.
     val parsed = readTable("dirty_data")
-      .filter(col("source_table") === source)
-      .select(from_json(col("original_data"), rawSchema).as("r"))
+      .filter(col("source_table") === sourceOf(fileType))
+      .select(from_json(col("original_data"), rawSchemaOf(fileType)).as("r"))
       .select(col("r.*"))
       .withColumn(Loaders.RowIdx, monotonically_increasing_id())
       .persist()
     try {
-      val result = fileType match {
-        case "passengers"          => Loaders.loadPassengers(parsed)
-        case "airports"            => Loaders.loadAirports(parsed)
-        case "airlines"            => Loaders.loadAirlines(parsed)
-        case "flights"             => loadFlightsWithFks(parsed)
-        case "travel_agency_sales" => salesForInsert(Loaders.loadSalesFile(parsed, source))
-        case "corporate_sales"     => salesForInsert(Loaders.loadSalesFile(parsed, source))
-      }
+      val result = runLoader(fileType, parsed)
       val (checked, violations) = Cleanse.cleanse(
-        result.clean, sig.targetTable, domainChecks.getOrElse(sig.targetTable, Nil))
+        result.clean, sourceOf(fileType), domainChecks.getOrElse(sig.targetTable, Nil))
       // insert-if-absent, NOT upsert: a replayed duplicate must not displace
       // the row that won first-wins at original load time
       val newOnly = checked.join(

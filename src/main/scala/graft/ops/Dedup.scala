@@ -196,7 +196,11 @@ object Dedup {
     // without it each consumer re-tokenizes the full corpus. The carrier is
     // the PACKED HASH set (8 bytes/shingle), not shingle strings; Jaccard
     // over the hash sets equals string-set Jaccard (both engines compute it
-    // over the same packed values — see shingleHashes).
+    // over the same packed values — see shingleHashes). Cache lifetime: the
+    // blocks release when the returned plan becomes unreachable (Spark's
+    // ContextCleaner) or the session ends; callers sweeping MANY corpora in
+    // one session should materialize (id, shingleHashes) themselves and
+    // manage its persistence explicitly.
     val base = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)

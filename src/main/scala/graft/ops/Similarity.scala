@@ -150,6 +150,9 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
         .sortBy(_._1).toIndexedSeq
+    // empty quantizer => every probe silently gets zero neighbors; fail fast
+    require(centroids.nonEmpty,
+      s"ivfTopK: no corpus $idCol satisfies $idCol % $sampleMod == 0 — no centroids")
     val cellOf = (v: Column, n: Int) =>
       graft.functions.HashExprs.nearestCentroids(v, centroids, n)
     val corpusCells = corpus

@@ -120,13 +120,16 @@ object FlightStatus {
   }
 
   /** ST2+ST4 composed as one stream (`server.js:234-245` + `144-184`): each
-    * micro-batch of parsed events appends to the status table, then the
-    * fact-flag merge runs against the refreshed table — the
-    * `foreachBatch`-MERGE mapping from SURVEY.md §2.9. `mergeFn` receives
-    * the appended batch and performs the conditional fact update (e.g.
-    * [[graft.api.Pipeline.flagAllEligible]]); batch-id bookkeeping makes the
-    * append idempotent-enough for AvailableNow replays (a transactional
-    * table format would make it exact). */
+    * micro-batch of parsed events appends to the status table, then
+    * `mergeFn` runs the conditional fact update against the refreshed table
+    * (e.g. [[graft.api.Pipeline.flagAllEligible]]) — the `foreachBatch`
+    * MERGE mapping from SURVEY.md §2.9.
+    *
+    * Delivery is AT-LEAST-ONCE: if the job dies between the parquet append
+    * and the checkpoint commit, the replayed batch appends again. That is
+    * safe for THIS table's consumers — latest-per-key `max_by` and the
+    * never-unset flag are duplicate-insensitive — but an exactly-once status
+    * table needs a transactional sink (batch-id-conditional MERGE). */
   def streamingFlagPipeline(events: DataFrame, statusPath: String,
                             mergeFn: () => Unit): DataStreamWriter[Row] =
     events.writeStream

@@ -177,6 +177,24 @@ class PipelineSpec extends SparkSpec {
     assert(partDir(20230110).lastModified() === untouchedBefore)
   }
 
+  test("multi-file sales upload: earlier file's duplicate wins (file-order precedence)") {
+    import spark.implicits._
+    val dir = SparkSpec.tempDir("graft_multifile_")
+    val header = "TransactionID,TransactionDate,PassengerID,FlightID,TicketPrice,Taxes,BaggageFees,TotalAmount"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f1.csv"),
+      s"$header\n70001,2023-03-01,P00101,AA100,111.00,11.00,0.00,122.00\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f2.csv"),
+      s"$header\n70001,2023-03-01,P00101,AA100,999.00,99.00,0.00,1098.00\n" +
+      s"70002,2023-03-02,P00102,AA100,50.00,5.00,0.00,55.00\n")
+    val wh2 = SparkSpec.tempDir("graft_wh_multi_")
+    val p2 = new Pipeline(spark, wh2)
+    val (clean, dirty) = p2.uploadAllSales(Seq(s"$dir/f1.csv", s"$dir/f2.csv"), Nil)
+    assert((clean, dirty) === ((2L, 1L))) // 70001 once + 70002; f2's 70001 dirty
+    val survivor = p2.readTable("fact_sales").filter($"transaction_id" === "TA070001")
+      .select("ticket_price").collect().head.getDecimal(0)
+    assert(survivor.doubleValue() === 111.00) // file 1 won, not file 2
+  }
+
   test("replayDirty: repaired rows insert-if-absent; originals never displaced") {
     loadedAll
     import spark.implicits._
