@@ -512,6 +512,25 @@ object OracleSql {
       count(*) AS total_fps, count(DISTINCT f) AS distinct_fps
     FROM x GROUP BY source"""
 
+  private val q37 = """
+    WITH e AS (SELECT user_id, event_id, value, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+    lagged AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS st FROM lagged),
+    sess AS (SELECT user_id, value, tsec,
+        sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    stats AS (SELECT user_id, session_id, count(*) AS n_events,
+        max(tsec) - min(tsec) AS span_seconds, sum(value) AS sum_value
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions,
+      CAST(sum(n_events) AS BIGINT) AS n_events,
+      CAST(max(n_events) AS BIGINT) AS max_session_events,
+      CAST(max(span_seconds) AS BIGINT) AS max_span_seconds,
+      CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM stats GROUP BY user_id"""
+
   private val q29 = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -584,6 +603,7 @@ object OracleSql {
     "q33_lsh_topk"          -> q33,
     "q34_embedding_near_dups" -> q34,
     "q35_ivf_topk"          -> q35,
-    "q36_winnow"            -> q36
+    "q36_winnow"            -> q36,
+    "q37_sessionize"        -> q37
   ).map { case (k, v) => k -> clean(v) }
 }

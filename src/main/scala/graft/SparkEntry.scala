@@ -401,6 +401,18 @@ object SparkEntry {
         count(lit(1)).as("total_fps"),
         countDistinct(col("fp")).as("distinct_fps"))
 
+  /** Gap-based sessionization (30-min gap) over the events stream table:
+    * per-user session counts and shape — one window shuffle by user. */
+  private def q37Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessionStats(events(s, dir), maxGapSeconds = 1800L)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("span_seconds")).as("max_span_seconds"),
+        dsum(col("sum_value")).as("total_value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -437,7 +449,8 @@ object SparkEntry {
     "q33_lsh_topk"          -> q33LshTopK _,
     "q34_embedding_near_dups" -> q34EmbeddingNearDups _,
     "q35_ivf_topk"          -> q35IvfTopK _,
-    "q36_winnow"            -> q36Winnow _
+    "q36_winnow"            -> q36Winnow _,
+    "q37_sessionize"        -> q37Sessionize _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event stream — the behavioral-data
+  * primitive for training pipelines (conversation/episode segmentation,
+  * session-level quality filtering).
+  *
+  * A new session starts when the gap to the user's previous event exceeds
+  * `maxGapSeconds`; the session id is the running count of session starts
+  * (`lag` + conditional `sum` over one user-ordered window). Exactly one
+  * shuffle, partitioned by user — the classic scale shape: state per user is
+  * a sort, never a cross-user exchange. Deterministic: ties on the timestamp
+  * break by `idCol`.
+  *
+  * The batch formulation is exact and reproducible by any SQL engine (the
+  * DuckDB oracle runs the same lag/sum); the always-on streaming analogue is
+  * `session_window` / `flatMapGroupsWithState`, which trades exactness of
+  * late data for bounded state (see [[graft.streaming.FlightStatus]] for the
+  * watermark pattern).
+  */
+object Sessionize {
+
+  /** Attach `session_id` (1-based per user) and `is_session_start`. */
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", idCol: String = "event_id",
+                 maxGapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isStart = when(prevTs.isNull ||
+      col(tsCol).cast("long") - prevTs.cast("long") > maxGapSeconds, 1L).otherwise(0L)
+    events
+      .withColumn("is_session_start", isStart)
+      .withColumn("session_id",
+        sum(col("is_session_start")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: event count, span seconds, value sum. */
+  def sessionStats(events: DataFrame, userCol: String = "user_id",
+                   tsCol: String = "ts", idCol: String = "event_id",
+                   maxGapSeconds: Long = 1800L): DataFrame =
+    sessionize(events, userCol, tsCol, idCol, maxGapSeconds)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long")).as("span_seconds"),
+        sum(col("value")).as("sum_value"))
+}

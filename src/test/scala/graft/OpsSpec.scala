@@ -161,6 +161,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 === 5L && p._2 === 99L && p._3 > 0.9999))
   }
 
+  test("sessionize: gap splits sessions, ids are 1-based per user, ties deterministic") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val events = Seq(
+      (1L, 1L, plus(0), 1.0),     // u1 session 1
+      (1L, 2L, plus(600), 2.0),   // +10 min  -> same session
+      (1L, 3L, plus(3000), 3.0),  // +40 min  -> session 2
+      (1L, 4L, plus(3100), 4.0),  // session 2
+      (2L, 5L, plus(0), 5.0))     // u2 session 1
+      .toDF("user_id", "event_id", "ts", "value")
+    val s = graft.ops.Sessionize.sessionize(events, maxGapSeconds = 1800L)
+      .select("user_id", "event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s === Map((1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (1L, 4L) -> 2L, (2L, 5L) -> 1L))
+    val stats = graft.ops.Sessionize.sessionStats(events, maxGapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats((1L, 1L)) === ((2L, 600L)))
+    assert(stats((1L, 2L)) === ((2L, 100L)))
+    assert(stats((2L, 1L)) === ((1L, 0L)))
+  }
+
   test("text analysis: token counts, quality buckets, language id on known inputs") {
     val r = Seq(
       ("the cat and the dog sat on the mat", "en-ish"),
