@@ -47,4 +47,28 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long")).as("span_seconds"),
         sum(col("value")).as("sum_value"))
+
+  /** Always-on variant: Spark's native `session_window` gap aggregation with
+    * a watermark bounding state — the streaming mirror of [[sessionStats]]
+    * (same gap-merge semantics up to the boundary: an event EXACTLY gap
+    * seconds after its predecessor extends the session in the lag form
+    * (`> gap` splits) but starts a new one under `session_window`'s
+    * half-open window; session identity is the window span rather than a
+    * per-user ordinal, since an unbounded stream has no stable ordinal).
+    * Works on batch frames too, which is how the parity test pins the two
+    * formulations against each other. */
+  def sessionStatsStream(events: DataFrame, userCol: String = "user_id",
+                         tsCol: String = "ts", maxGapSeconds: Long = 1800L,
+                         watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(session_window(col(tsCol), s"$maxGapSeconds seconds"), col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
 }

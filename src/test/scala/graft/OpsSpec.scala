@@ -184,6 +184,24 @@ class OpsSpec extends SparkSpec {
     assert(stats((2L, 1L)) === ((1L, 0L)))
   }
 
+  test("session_window formulation agrees with the lag-based one on session shapes") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val events = (0L until 50L).map { i =>
+      // user i%3; bursts of 5 events 60s apart, then a 2-hour jump
+      val burst = i / 5
+      (i % 3 + 1, i, plus(burst * 7200 + (i % 5) * 60), i.toDouble)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val lagBased = graft.ops.Sessionize.sessionStats(events, maxGapSeconds = 1800L)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val windowed = graft.ops.Sessionize.sessionStatsStream(events, maxGapSeconds = 1800L)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(lagBased === windowed)
+  }
+
   test("text analysis: token counts, quality buckets, language id on known inputs") {
     val r = Seq(
       ("the cat and the dog sat on the mat", "en-ish"),
