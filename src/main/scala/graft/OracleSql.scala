@@ -531,6 +531,23 @@ object OracleSql {
       CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM stats GROUP BY user_id"""
 
+  /** Patterns shared with the Spark side (single source — no drift); they
+    * are RE2-safe and contain no single quotes, so they embed verbatim in
+    * SQL literals (standard SQL strings do not process backslashes). */
+  private val q38 = {
+    val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
+    val redacted = graft.ops.TextAnalysis.PiiPatterns.foldLeft("text") {
+      case (acc, (kind, p)) => s"regexp_replace($acc, '$p', '<$kind>', 'g')"
+    }
+    s"""
+    SELECT source,
+      CAST(SUM(len(regexp_extract_all(text, '${ps("email")}'))) AS BIGINT) AS n_email,
+      CAST(SUM(len(regexp_extract_all(text, '${ps("phone")}'))) AS BIGINT) AS n_phone,
+      CAST(SUM(len(regexp_extract_all(text, '${ps("ipv4")}'))) AS BIGINT) AS n_ipv4,
+      CAST(SUM(length(text) - length($redacted)) AS BIGINT) AS chars_removed
+    FROM documents GROUP BY source"""
+  }
+
   private val q29 = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
@@ -604,6 +621,7 @@ object OracleSql {
     "q34_embedding_near_dups" -> q34,
     "q35_ivf_topk"          -> q35,
     "q36_winnow"            -> q36,
-    "q37_sessionize"        -> q37
+    "q37_sessionize"        -> q37,
+    "q38_redact"            -> q38
   ).map { case (k, v) => k -> clean(v) }
 }

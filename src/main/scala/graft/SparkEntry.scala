@@ -413,6 +413,20 @@ object SparkEntry {
         max(col("span_seconds")).as("max_span_seconds"),
         dsum(col("sum_value")).as("total_value"))
 
+  /** PII scrub audit per source: match counts per class and the size delta
+    * redaction would apply — the scan-speed scrub tier of a training
+    * pipeline (row-local regexes, identical RE2-safe patterns both engines). */
+  private def q38Redact(s: SparkSession, dir: String): DataFrame = {
+    val t0 = t(s, dir, "documents")
+    val counts = TextAnalysis.PiiPatterns.map { case (kind, p) =>
+      sum(TextAnalysis.piiCount(col("text"), p).cast("long")).as(s"n_$kind")
+    }
+    t0.groupBy(col("source"))
+      .agg(counts.head, counts.tail :+
+        sum((length(col("text")) - length(TextAnalysis.redactPii(col("text")))).cast("long"))
+          .as("chars_removed"): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -450,7 +464,8 @@ object SparkEntry {
     "q34_embedding_near_dups" -> q34EmbeddingNearDups _,
     "q35_ivf_topk"          -> q35IvfTopK _,
     "q36_winnow"            -> q36Winnow _,
-    "q37_sessionize"        -> q37Sessionize _
+    "q37_sessionize"        -> q37Sessionize _,
+    "q38_redact"            -> q38Redact _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -108,6 +108,29 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** PII patterns for scrub-before-training (emails, phone-like digit runs,
+    * IPv4). Deliberately RE2-compatible (no lookaround) so an external SQL
+    * engine evaluates the IDENTICAL patterns; conservative by design — a
+    * production scrubber layers NER on top, but the regex tier is the one
+    * that must run at scan speed over 100 TB. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  )
+
+  /** Count of matches for one PII class. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace every PII occurrence with a typed placeholder, applied in
+    * [[PiiPatterns]] order (email first so phone-like digit runs inside
+    * addresses are gone before the phone pass). Row-local, codegen'd. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (kind, pattern)) =>
+      regexp_replace(acc, pattern, s"<$kind>")
+    }
+
   /** One-call enrichment: attach analysis columns to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

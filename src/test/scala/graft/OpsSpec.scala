@@ -216,6 +216,22 @@ class OpsSpec extends SparkSpec {
     assert(r("empty") === ((0, "und")))
   }
 
+  test("redactPii: typed placeholders, email-before-phone ordering, counts match") {
+    val r = Seq(
+      "contact jane.doe+x@example.org or call +1 (555) 123-4567 from 10.0.0.1",
+      "no pii here at all")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns.toMap.apply("email")).as("ne"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns.toMap.apply("phone")).as("np"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns.toMap.apply("ipv4")).as("ni"))
+      .collect()
+    assert(r(0).getString(0) === "contact <email> or call <phone> from <ipv4>")
+    assert((r(0).getInt(1), r(0).getInt(2), r(0).getInt(3)) === ((1, 1, 1)))
+    assert(r(1).getString(0) === "no pii here at all")
+    assert((r(1).getInt(1), r(1).getInt(2), r(1).getInt(3)) === ((0, 0, 0)))
+  }
+
   test("multimodal: byte features + decode stub run partition-local with stable schema") {
     val media = Multimodal.asMediaTable(docs)
     val feats = Multimodal.byteFeatures(media)
