@@ -119,24 +119,38 @@ object FlightStatus {
       .drop("__elig_key")
   }
 
+  /** Batch-id-conditional append: the effectively-once building block for
+    * file-backed `foreachBatch` sinks. Each committed batch leaves a marker
+    * (`_committed_batches/<id>`) written AFTER its data; a replayed batch id
+    * (job died between data write and the streaming checkpoint commit)
+    * short-circuits instead of double-appending. The residue of a crash
+    * BETWEEN data and marker is one duplicate batch — the window shrinks
+    * from "since the last checkpoint" to "one marker write"; a transactional
+    * table format closes it entirely. Single-writer per path assumed (true
+    * for a streaming query's foreachBatch). */
+  def appendBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Boolean = {
+    val marker = new java.io.File(s"$path/_committed_batches/$batchId")
+    if (marker.exists()) false
+    else {
+      batch.write.mode("append").parquet(path)
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.createFile(marker.toPath)
+      true
+    }
+  }
+
   /** ST2+ST4 composed as one stream (`server.js:234-245` + `144-184`): each
-    * micro-batch of parsed events appends to the status table, then
-    * `mergeFn` runs the conditional fact update against the refreshed table
-    * (e.g. [[graft.api.Pipeline.flagAllEligible]]) — the `foreachBatch`
-    * MERGE mapping from SURVEY.md §2.9.
-    *
-    * Delivery is AT-LEAST-ONCE: if the job dies between the parquet append
-    * and the checkpoint commit, the replayed batch appends again. That is
-    * safe for THIS table's consumers — latest-per-key `max_by` and the
-    * never-unset flag are duplicate-insensitive — but an exactly-once status
-    * table needs a transactional sink (batch-id-conditional MERGE). */
+    * micro-batch of parsed events appends to the status table
+    * (effectively-once via [[appendBatchIdempotent]]), then `mergeFn` runs
+    * the conditional fact update against the refreshed table (e.g.
+    * [[graft.api.Pipeline.flagAllEligible]], itself idempotent — the flag
+    * never unsets) — the `foreachBatch` MERGE mapping from SURVEY.md §2.9. */
   def streamingFlagPipeline(events: DataFrame, statusPath: String,
                             mergeFn: () => Unit): DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(statusPath)
-        mergeFn()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (appendBatchIdempotent(batch, statusPath, batchId)) mergeFn()
       }
       .trigger(Trigger.AvailableNow())
 

@@ -88,6 +88,18 @@ class StreamingSpec extends SparkSpec {
     assert(flagged === Some(Map("TA000001" -> true, "TA000002" -> false)))
   }
 
+  test("appendBatchIdempotent: a replayed batch id never double-appends") {
+    val path = SparkSpec.tempDir("graft_idem_") + "/status"
+    val batch = Seq(("AA100", "delayed", 250, "2024-01-01 12:00:00"))
+      .toDF("flight_key", "status", "delay_minutes", "ts")
+      .select($"flight_key", $"status", $"delay_minutes",
+        $"ts".cast("timestamp").as("update_timestamp"))
+    assert(FlightStatus.appendBatchIdempotent(batch, path, batchId = 0L) === true)
+    assert(FlightStatus.appendBatchIdempotent(batch, path, batchId = 0L) === false) // replay
+    assert(FlightStatus.appendBatchIdempotent(batch, path, batchId = 1L) === true)
+    assert(spark.read.parquet(path).count() === 2L) // not 3: replay skipped
+  }
+
   test("ST5: watermarked streaming latest-per-key maintains state incrementally") {
     val base = SparkSpec.tempDir("graft_stream5_")
     val in = s"$base/in"
