@@ -40,13 +40,14 @@ object Sessionize {
   /** Per-session rollup: event count, span seconds, value sum. */
   def sessionStats(events: DataFrame, userCol: String = "user_id",
                    tsCol: String = "ts", idCol: String = "event_id",
+                   valueCol: String = "value",
                    maxGapSeconds: Long = 1800L): DataFrame =
     sessionize(events, userCol, tsCol, idCol, maxGapSeconds)
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long")).as("span_seconds"),
-        sum(col("value")).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
 
   /** Always-on variant: Spark's native `session_window` gap aggregation with
     * a watermark bounding state — the streaming mirror of [[sessionStats]]
@@ -58,7 +59,8 @@ object Sessionize {
     * Works on batch frames too, which is how the parity test pins the two
     * formulations against each other. */
   def sessionStatsStream(events: DataFrame, userCol: String = "user_id",
-                         tsCol: String = "ts", maxGapSeconds: Long = 1800L,
+                         tsCol: String = "ts", valueCol: String = "value",
+                         maxGapSeconds: Long = 1800L,
                          watermark: String = "1 hour"): DataFrame = {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
@@ -66,7 +68,7 @@ object Sessionize {
       .groupBy(session_window(col(tsCol), s"$maxGapSeconds seconds"), col(userCol))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))

@@ -112,16 +112,22 @@ object TextAnalysis {
     * IPv4). Deliberately RE2-compatible (no lookaround) so an external SQL
     * engine evaluates the IDENTICAL patterns; conservative by design — a
     * production scrubber layers NER on top, but the regex tier is the one
-    * that must run at scan speed over 100 TB. */
+    * that must run at scan speed over 100 TB.
+    *
+    * The phone class deliberately EXCLUDES spaces: a space-tolerant greedy
+    * run bleeds across whitespace into adjacent independent numbers (e.g.
+    * consuming the first octet of a following IP and leaving ".0.0.1"
+    * residue). Space-separated phones are the NER tier's job. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "phone" -> "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+    "phone" -> "\\+?[0-9][0-9()\\-]{6,}[0-9]",
     "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   )
 
-  /** Count of matches for one PII class. */
+  /** Count of matches for one PII class. NULL text counts 0 (`size` would
+    * report -1 for null under legacy sizeOfNull semantics). */
   def piiCount(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0)))
+    size(regexp_extract_all(coalesce(text, lit("")), lit(pattern), lit(0)))
 
   /** Replace every PII occurrence with a typed placeholder, applied in
     * [[PiiPatterns]] order (email first so phone-like digit runs inside

@@ -129,12 +129,16 @@ object FlightStatus {
     * table format closes it entirely. Single-writer per path assumed (true
     * for a streaming query's foreachBatch). */
   def appendBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Boolean = {
-    val marker = new java.io.File(s"$path/_committed_batches/$batchId")
-    if (marker.exists()) false
+    // markers go through the Hadoop FileSystem of the TABLE path — a local
+    // java.io marker would silently degrade to at-least-once on hdfs/s3
+    // paths or when the driver relocates
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed_batches/$batchId")
+    val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
     else {
       batch.write.mode("append").parquet(path)
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.createFile(marker.toPath)
+      fs.mkdirs(marker.getParent)
+      fs.createNewFile(marker)
       true
     }
   }
@@ -150,7 +154,11 @@ object FlightStatus {
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (appendBatchIdempotent(batch, statusPath, batchId)) mergeFn()
+        appendBatchIdempotent(batch, statusPath, batchId)
+        // mergeFn runs even for a replayed append: a crash can land between
+        // marker and merge, and the merge is idempotent — re-running is
+        // safe, skipping can lose the batch's flag update forever
+        mergeFn()
       }
       .trigger(Trigger.AvailableNow())
 

@@ -218,18 +218,31 @@ class OpsSpec extends SparkSpec {
 
   test("redactPii: typed placeholders, email-before-phone ordering, counts match") {
     val r = Seq(
-      "contact jane.doe+x@example.org or call +1 (555) 123-4567 from 10.0.0.1",
-      "no pii here at all")
+      Some("contact a5551234567@example.org or call 555-123-4567 from 10.0.0.1"),
+      Some("no pii here at all"),
+      None)
       .toDF("text")
       .select(TextAnalysis.redactPii(col("text")).as("red"),
         TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns.toMap.apply("email")).as("ne"),
         TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns.toMap.apply("phone")).as("np"),
         TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns.toMap.apply("ipv4")).as("ni"))
       .collect()
+    // email pass runs FIRST: the phone-length digit run inside the address
+    // is consumed as part of <email>, never as a separate <phone>
     assert(r(0).getString(0) === "contact <email> or call <phone> from <ipv4>")
-    assert((r(0).getInt(1), r(0).getInt(2), r(0).getInt(3)) === ((1, 1, 1)))
+    // the audit counts RAW matches per pattern independently — the digit run
+    // inside the email is phone-shaped too (n_phone = 2); redaction order is
+    // what prevents it being redacted twice
+    assert((r(0).getInt(1), r(0).getInt(2), r(0).getInt(3)) === ((1, 2, 1)))
     assert(r(1).getString(0) === "no pii here at all")
     assert((r(1).getInt(1), r(1).getInt(2), r(1).getInt(3)) === ((0, 0, 0)))
+    // NULL text: counts 0 (not -1), redaction stays null
+    assert(r(2).isNullAt(0))
+    assert((r(2).getInt(1), r(2).getInt(2), r(2).getInt(3)) === ((0, 0, 0)))
+    // a space-separated run must NOT bleed across whitespace into the IP
+    val bleed = Seq("call 555 123 4567 10.0.0.1").toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(bleed === "call 555 123 4567 <ipv4>")
   }
 
   test("multimodal: byte features + decode stub run partition-local with stable schema") {
