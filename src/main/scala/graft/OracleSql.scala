@@ -470,7 +470,8 @@ object OracleSql {
 
   private val q35 = s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id LIMIT 32),
     ccos AS (SELECT e.vec_id AS id, c.cid,
         CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
                   sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0

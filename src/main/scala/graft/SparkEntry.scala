@@ -377,14 +377,15 @@ object SparkEntry {
         numPlanes = 12, tables = 4, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
-  /** ANN — IVF-flat cell probing (the second scale path): deterministic
-    * sampled centroids, nprobe nearest cells per query, exact cosine rank
-    * within candidates. Fully oracle-checked (cell assignment reproduces in
-    * SQL via the shared cosine formula). */
+  /** ANN — IVF-flat cell probing (the second scale path): a bounded
+    * deterministic centroid sample (top-32 by portable md5 id-hash —
+    * corpus-independent K), nprobe nearest cells per query, exact cosine
+    * rank within candidates. Fully oracle-checked (both the centroid
+    * selection and cell assignment reproduce in SQL). */
   private def q35IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        sampleMod = 31, nprobe = 4)
+        numCentroids = 32, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }

@@ -1,8 +1,6 @@
 package graft.api
 
-import java.io.File
-
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Analytics, DimDate}
@@ -69,21 +67,38 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
 
   def tablePath(name: String): String = s"$warehouseDir/$name"
 
+  /** Probes through the Hadoop FileSystem of `warehouseDir`, so a remote
+    * warehouse (hdfs://, s3a://) resolves correctly — a java.io.File walk
+    * would read every remote table as absent and the next upsert would
+    * silently replace it with just the incoming batch (data loss). Early-exit
+    * recursive listing: stops at the first parquet file. */
   def tableExists(name: String): Boolean = {
-    def hasParquet(f: File): Boolean =
-      (f.isFile && f.getName.endsWith(".parquet")) ||
-        (f.isDirectory && Option(f.listFiles()).exists(_.exists(hasParquet)))
-    hasParquet(new File(tablePath(name)))
+    val p = new org.apache.hadoop.fs.Path(tablePath(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
   }
 
   private def emptyTable(schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Read a stored table; an absent table reads as empty with its canonical
-    * schema so first-upload and re-upload share one code path. */
+    * schema so first-upload and re-upload share one code path. Columns the
+    * canonical schema has gained since the files were written (e.g.
+    * `country_id` on a pre-hierarchy dim_airport) fill as typed nulls, so
+    * old and new warehouse generations union cleanly in the upsert path. */
   def readTable(name: String): DataFrame =
-    if (tableExists(name)) spark.read.parquet(tablePath(name))
-    else emptyTable(tableSchemas(name))
+    if (tableExists(name)) {
+      val df = spark.read.parquet(tablePath(name))
+      tableSchemas.get(name).fold(df) { schema =>
+        schema.fields.filterNot(f => df.columns.contains(f.name))
+          .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      }
+    } else emptyTable(tableSchemas(name))
 
   private val tableSchemas = Map(
     "fact_sales"            -> Schemas.factSales,
@@ -92,6 +107,7 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     "dim_airline"           -> Schemas.dimAirline,
     "dim_flight"            -> Schemas.dimFlight,
     "dim_date"              -> Schemas.dimDate,
+    "dim_country_hierarchy" -> Schemas.dimCountryHierarchy,
     "flight_status_updates" -> Schemas.flightStatusUpdates,
     "dirty_data"            -> Schemas.dirtyData
   )
@@ -128,20 +144,50 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     partitionedTables.get(name) match {
       case Some(Seq(partCol)) if tableExists(name) =>
         val touched = incoming.select(col(partCol)).distinct().collect().map(_.get(0))
-        val values = touched.filter(_ != null)
-        val touchPred = {
-          val in = if (values.nonEmpty) col(partCol).isin(values: _*) else lit(false)
-          if (touched.contains(null)) in || col(partCol).isNull else in
-        }
-        val existingTouched = readTable(name).filter(touchPred)
-        Cleanse.upsert(existingTouched, incoming, Seq(conflictKey))
-          .localCheckpoint(true)
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partCol)
-          .parquet(tablePath(name))
+        val existingTouched = readTable(name).filter(partitionPred(partCol, touched))
+        overwriteTouchedPartitions(name, partCol,
+          Cleanse.upsert(existingTouched, incoming, Seq(conflictKey)))
       case _ =>
         overwriteTable(name, Cleanse.upsert(readTable(name), incoming, Seq(conflictKey)))
+    }
+
+  /** Null-safe membership predicate over the distinct partition values in
+    * `touched` — the pruning gate shared by the scoped upsert and the scoped
+    * flag update. */
+  private def partitionPred(partCol: String, touched: Array[Any]): Column = {
+    val values = touched.filter(_ != null)
+    val in = if (values.nonEmpty) col(partCol).isin(values: _*) else lit(false)
+    if (touched.contains(null)) in || col(partCol).isNull else in
+  }
+
+  /** Dynamic partition overwrite: rewrites ONLY the partition directories
+    * present in `df`; untouched directories keep their existing files
+    * byte-for-byte. */
+  private def overwriteTouchedPartitions(name: String, partCol: String, df: DataFrame): Unit =
+    df.localCheckpoint(true)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(tablePath(name))
+
+  /** Partition-scoped point update over fact_sales: find the partitions
+    * holding rows selected by `touchedRows` (a pruned, column-pruned scan),
+    * apply `update` to ONLY those partitions, and dynamic-overwrite them —
+    * flipping one flight's insurance flag reads and rewrites the flight's
+    * days, not 100 TB of fact history. No touched rows ⇒ no write at all.
+    * Unpartitioned or absent tables fall back to the full rewrite. */
+  private def updateFactSales(touchedRows: DataFrame => DataFrame,
+                              update: DataFrame => DataFrame): Unit =
+    partitionedTables.get("fact_sales") match {
+      case Some(Seq(partCol)) if tableExists("fact_sales") =>
+        val touched = touchedRows(readTable("fact_sales"))
+          .select(col(partCol)).distinct().collect().map(_.get(0))
+        if (touched.nonEmpty) {
+          val scoped = readTable("fact_sales").filter(partitionPred(partCol, touched))
+          overwriteTouchedPartitions("fact_sales", partCol, update(scoped))
+        }
+      case _ =>
+        overwriteTable("fact_sales", update(readTable("fact_sales")))
     }
 
   /** S10 — dirty-data append with the local-file fallback sink
@@ -164,7 +210,14 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     * fuzzy match (`detectFileType`). Unknown types return a zero-row result
     * with `fileType = "unknown"` (the reference 400s, `server.js:…`). */
   def processFile(path: String): ProcessResult = {
-    val firstLine = FileTypeDetector.sniffHeaders(path)
+    // scheme-aware sniff: bare local paths use the one-line java.io read;
+    // anything with a scheme (file://, hdfs://, s3a://) goes through the
+    // Hadoop-FS-backed limit(1) text read so the façade works on any
+    // Spark-visible filesystem
+    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+    val firstLine =
+      if (scheme.isEmpty) FileTypeDetector.sniffHeaders(path)
+      else FileTypeDetector.sniffHeadersDistributed(spark, path)
     val headerless = FileTypeDetector.looksHeaderless(firstLine)
     val fileType =
       if (headerless) FileTypeDetector.detectHeaderless(firstLine)
@@ -183,9 +236,12 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
       // P6 gate: CHECK-domain violations leave the clean side here. The
       // dirty label is the SOURCE name (same taxonomy as loader rejects —
       // one grouping key in the monitor and one replay filter).
-      val (checked, violations) = Cleanse.cleanse(
+      val (gated, violations) = Cleanse.cleanse(
         result.clean, sourceOf(fileType), domainChecks.getOrElse(sig.targetTable, Nil))
       val dirty = result.dirty.unionByName(violations)
+      // J5 — processor-path hierarchy enrichment (`smartFileProcessor.js:
+      // 269-283`): airports gain country_id from dim_country_hierarchy
+      val checked = if (fileType == "airports") withCountryId(gated) else gated
 
       val cleanN = checked.count()
       val dirtyN = dirty.count()
@@ -239,13 +295,23 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
         salesForInsert(Loaders.loadSalesFile(raw, sourceOf(fileType)))
     }
 
+  /** J5 — attach `country_id` from the hierarchy when it exists (exact name
+    * match, then the reference's fuzzy contains-probe —
+    * [[Loaders.enrichWithCountryId]]); absent hierarchy ⇒ typed null, so the
+    * stored dim_airport schema is uniform across both configurations. */
+  private def withCountryId(airports: DataFrame): DataFrame =
+    if (tableExists("dim_country_hierarchy"))
+      Loaders.enrichWithCountryId(airports, readTable("dim_country_hierarchy"))
+        .withColumn("country_id", col("country_id").cast("int"))
+    else airports.withColumn("country_id", lit(null).cast("int"))
+
   /** Flights compose with the airport dim exactly like `uploadFlights.js`:
     * placeholder airports for referenced-but-unknown codes are upserted
     * FIRST, then FK validation splits against the (now complete) dim. */
   private def loadFlightsWithFks(raw: DataFrame): Loaders.LoadResult = {
     val loaded = Loaders.loadFlights(raw)
     val airports = readTable("dim_airport")
-    val placeholders = Loaders.placeholderAirports(loaded.clean, airports)
+    val placeholders = withCountryId(Loaders.placeholderAirports(loaded.clean, airports))
     if (!placeholders.isEmpty) upsertInto("dim_airport", placeholders, "airport_key")
     val validated = Loaders.validateFlightFks(loaded.clean, readTable("dim_airport"))
     Loaders.LoadResult(validated.clean, loaded.dirty.unionByName(validated.dirty))
@@ -273,10 +339,10 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
   def uploadAllSales(travelPaths: Seq[String], corporatePaths: Seq[String]): (Long, Long) = {
     // The cross-file first-wins tie-break is (source precedence, file order,
     // row order). RowIdx spaces of SEPARATE reads overlap, so the per-source
-    // file index is folded in above the row bits — without it a duplicate id
-    // in file 2 could beat its file-1 original (the reference processes
-    // files sequentially; earlier file wins).
-    val FileStride = 1L << 48 // far above monotonically_increasing_id's range here
+    // file index rides ABOVE the row id as a struct field — struct ordering
+    // is lexicographic by field, so (fileIdx, rowIdx) compares exactly as
+    // intended at ANY scale (the previous arithmetic fold assumed row ids
+    // below 2^48 and would silently collide past partition id 32767).
     var cached = List.empty[DataFrame]
     def load(paths: Seq[String], source: String): Seq[Loaders.LoadResult] =
       paths.zipWithIndex.map { case (p, fileIdx) =>
@@ -287,7 +353,7 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
         cached ::= raw
         val r = Loaders.loadSalesFile(raw, source)
         r.copy(clean = r.clean.withColumn(Loaders.RowIdx,
-          lit(fileIdx * FileStride) + col(Loaders.RowIdx)))
+          struct(lit(fileIdx).as("file"), col(Loaders.RowIdx).as("row"))))
       }
     try {
       val travel = load(travelPaths, "travel_agency")
@@ -349,9 +415,19 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
 
   /** Append-heavy tables (dirty_data, flight_status_updates) accrete one
     * file per batch — the small-file problem at scale. Rewrite into
-    * `targetFiles` files; contents unchanged. */
+    * `targetFiles` files; contents unchanged. `repartition`, not `coalesce`:
+    * coalesce folds the READ side into `targetFiles` tasks too, so a large
+    * table would be scanned by 8 readers; repartition keeps full scan
+    * parallelism and only the write narrows. Partitioned tables compact
+    * per-partition instead (shuffle by the partition column ⇒ one writer —
+    * hence one file — per partition directory, preserving pruning). */
   def compactTable(name: String, targetFiles: Int = 8): Unit =
-    overwriteTable(name, readTable(name).coalesce(targetFiles))
+    partitionedTables.get(name) match {
+      case Some(Seq(partCol)) if tableExists(name) =>
+        overwriteTable(name, readTable(name).repartition(col(partCol)))
+      case _ =>
+        overwriteTable(name, readTable(name).repartition(targetFiles))
+    }
 
   // ---------------------------------------------------------- status / flags
 
@@ -366,25 +442,33 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
 
   /** `/check-insurance` — latest status for `flightKey`; delay > 240 flips
     * `is_eligible_insurance` on that flight's fact rows (never unsets).
-    * Returns (eligible, latestDelayMinutes). */
+    * Partition-scoped: only the flight's touched days are read and
+    * rewritten ([[updateFactSales]]). Returns (eligible, latestDelayMinutes). */
   def checkInsurance(flightKey: String): (Boolean, Int) = {
     val latest = FlightStatus.latestStatus(readTable("flight_status_updates"), flightKey)
       .select("delay_minutes").collect()
     val delay = latest.headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int])).getOrElse(0)
     val eligible = delay > 240
-    if (eligible) {
-      val flagged = readTable("fact_sales").withColumn("is_eligible_insurance",
-        col("is_eligible_insurance") || (col("flight_key") === flightKey))
-      overwriteTable("fact_sales", flagged)
-    }
+    if (eligible) updateFactSales(
+      _.filter(col("flight_key") === flightKey),
+      _.withColumn("is_eligible_insurance",
+        col("is_eligible_insurance") || (col("flight_key") === flightKey)))
     (eligible, delay)
   }
 
   /** ST4 batch path — flag every eligible flight at once (the set-wide
-    * variant [[graft.streaming.FlightStatus.flagEligibleFacts]]). */
-  def flagAllEligible(): Unit =
-    overwriteTable("fact_sales",
-      FlightStatus.flagEligibleFacts(readTable("fact_sales"), readTable("flight_status_updates")))
+    * variant [[graft.streaming.FlightStatus.flagEligibleFacts]]).
+    * Partition-scoped: the touched-row probe is a broadcast semi join
+    * against the (small) eligible key set — no driver-side key collect —
+    * and only days containing an eligible flight's rows are rewritten. */
+  def flagAllEligible(): Unit = {
+    val eligibleKeys = FlightStatus.latestStatusPerFlight(readTable("flight_status_updates"))
+      .filter(graft.functions.Standardize.isEligibleInsurance(col("delay_minutes")))
+      .select(col("flight_key").as("__elig_key"))
+    updateFactSales(
+      _.join(broadcast(eligibleKeys), col("flight_key") === col("__elig_key"), "left_semi"),
+      FlightStatus.flagEligibleFacts(_, readTable("flight_status_updates")))
+  }
 
   // ---------------------------------------------------------------- analytics
 

@@ -116,8 +116,10 @@ object HashExprs {
     * consumed (h1, h2), and set sizes agree absent 56-bit md5 collisions —
     * with the oracle computing over the SAME packed values either way).
     * `size(tokens) < k` degenerates to one whole-text shingle, matching
-    * [[graft.ops.Dedup.shingles]]. Null tokens render as empty strings
-    * (concat_ws semantics). */
+    * [[graft.ops.Dedup.shingles]]. Null tokens are SKIPPED — no separator,
+    * exactly `concat_ws` semantics — so the SQL-registered surface agrees
+    * with the Column formulation on arrays containing nulls (the internal
+    * `split()`-fed path never produces them). */
   case class ShingleHashes(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -128,28 +130,32 @@ object HashExprs {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val sb = new java.lang.StringBuilder(64)
-      def tokenAt(i: Int): String =
-        if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       def add(s: String): Unit = {
         val (h1, h2) = md5Halves(s.getBytes("UTF-8"))
         seen.add((h1 << 28) | h2)
       }
-      if (n < k) {
-        var i = 0
-        while (i < n) { if (i > 0) sb.append(' '); sb.append(tokenAt(i)); i += 1 }
+      // joins the non-null tokens of [start, start+len) with single spaces —
+      // null elements contribute neither text nor separator (concat_ws)
+      def addGram(start: Int, len: Int): Unit = {
+        sb.setLength(0)
+        var first = true
+        var i = start
+        while (i < start + len) {
+          if (!arr.isNullAt(i)) {
+            if (!first) sb.append(' ')
+            sb.append(arr.getUTF8String(i).toString)
+            first = false
+          }
+          i += 1
+        }
         add(sb.toString)
-      } else {
+      }
+      if (n < k) addGram(0, n)
+      else {
         var start = 0
         while (start <= n - k) {
-          sb.setLength(0)
-          var i = start
-          while (i < start + k) {
-            if (i > start) sb.append(' ')
-            sb.append(tokenAt(i))
-            i += 1
-          }
-          add(sb.toString)
+          addGram(start, k)
           start += 1
         }
       }
@@ -314,6 +320,11 @@ object HashExprs {
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_signature"
 
+    // plane matrix is parameters, not worth numPlanes×dim doubles of plan text
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"planes=${planes.length}x${planes.headOption.map(_.length).getOrElse(0)}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
     private lazy val matrix: Array[Array[Double]] = planes.map(_.toArray).toArray
 
     private lazy val elemIsFloat: Boolean = child.dataType match {
@@ -398,8 +409,10 @@ object HashExprs {
 
   /** The `n` nearest centroids (by cosine desc, centroid id asc) of an
     * embedding — the IVF coarse quantizer ([[graft.ops.Similarity.ivfTopK]]).
-    * Centroids are quantizer PARAMETERS embedded in the plan (a bounded,
-    * broadcast-sized sample of corpus vectors), like the hyperplane matrix.
+    * Centroids are quantizer PARAMETERS carried as constructor data (a
+    * bounded `numCentroids`-sized sample of corpus vectors — see
+    * [[graft.ops.Similarity.sampleCentroids]]), serialized with the task
+    * binary (broadcast to executors) and kept OUT of plan strings.
     * Cosine runs with the same left-to-right double summation and zero-norm
     * guard as [[graft.ops.Similarity.cosine]] so an external SQL engine
     * reproduces cell assignments exactly. */
@@ -410,6 +423,15 @@ object HashExprs {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "nearest_centroids"
+
+    // The centroid matrix is constructor DATA (shipped with the task binary,
+    // which Spark broadcasts) — keep it out of plan strings, where a few
+    // hundred 64-dim vectors would otherwise dominate (and truncate) every
+    // explain/UI rendering. Equality/canonicalization still compare the full
+    // case-class structure.
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"K=${centroids.length}", n)
+    override def stringArgs: Iterator[Any] = flatArguments
 
     private lazy val ids: Array[Long] = centroids.map(_._1).toArray
     private lazy val vecs: Array[Array[Double]] = centroids.map(_._2.toArray).toArray

@@ -196,11 +196,11 @@ object Dedup {
     // without it each consumer re-tokenizes the full corpus. The carrier is
     // the PACKED HASH set (8 bytes/shingle), not shingle strings; Jaccard
     // over the hash sets equals string-set Jaccard (both engines compute it
-    // over the same packed values — see shingleHashes). Cache lifetime: the
-    // blocks release when the returned plan becomes unreachable (Spark's
-    // ContextCleaner) or the session ends; callers sweeping MANY corpora in
-    // one session should materialize (id, shingleHashes) themselves and
-    // manage its persistence explicitly.
+    // over the same packed values — see shingleHashes). Cache lifetime is
+    // explicit: Dataset.persist registers in CacheManager, which holds a
+    // strong reference (blocks would otherwise accumulate until session end
+    // across repeated calls), so the verified pair set is materialized
+    // EAGERLY below and `base` unpersisted before returning.
     val base = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleK).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -213,12 +213,18 @@ object Dedup {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(base.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
       .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // eager cut: the (small) verified pair set is computed here, while
+      // `base` is hot; its blocks are plain RDD storage (not CacheManager),
+      // released by ContextCleaner once the caller drops the result
+      .localCheckpoint(true)
+    base.unpersist()
+    verified
   }
 
   /** Jaccard of two precomputed distinct-shingle arrays. */

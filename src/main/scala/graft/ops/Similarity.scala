@@ -125,34 +125,109 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic, corpus-INDEPENDENT centroid sample for the IVF coarse
+    * quantizer: the `numCentroids` corpus rows with the smallest portable
+    * md5 id-hash (ties on id) — a uniform K-sample that stays exactly
+    * `min(|corpus|, numCentroids)` no matter how large the corpus grows.
+    * Spark executes the selection as `TakeOrderedAndProject` (per-partition
+    * top-K, merged on the driver — no global sort, no shuffle of the corpus),
+    * so both the cluster cost and the driver-side collect are bounded by
+    * `numCentroids`. The hash — `int(md5(cast(id as string))[0:14])` — is the
+    * repo's standard portable 56-bit md5 prefix, regenerated verbatim by the
+    * DuckDB oracle (`('0x' || substr(md5(id::VARCHAR), 1, 14))::BIGINT`). */
+  def sampleCentroids(corpus: DataFrame, numCentroids: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(numCentroids > 0, s"sampleCentroids: numCentroids must be > 0, got $numCentroids")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 14), 16, 10).cast("long")
+    corpus
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("cv"), h.as("__h"))
+      .orderBy(col("__h"), col("cid"))
+      .limit(numCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+  }
+
+  /** Deterministic k-means refinement of IVF centroids (Lloyd iterations).
+    * Per-cell means are accumulated as `DECIMAL(30,12)` per dimension — a
+    * decimal sum is EXACT and therefore independent of Spark's aggregation
+    * order, unlike a double sum — so repeated runs over the same corpus yield
+    * bit-identical centroids (the float-determinism blocker documented in
+    * round 3 yields to fixed-point accumulation, the same trick the repo uses
+    * for money). Each iteration is one assignment pass (compiled argmax, no
+    * join) plus one `(cell, dim)` aggregation; the collect is bounded at
+    * `numCentroids × dim` rows. Cells that attract no vectors keep their
+    * previous centroid. Centroid ids are stable across iterations. */
+  def refineCentroids(corpus: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                      iters: Int, vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
+    val dec = DecimalType(30, 12)
+    var cents = centroids.toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus
+        .select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+        .withColumn("cell", element_at(
+          graft.functions.HashExprs.nearestCentroids(col("__v"), cents, 1), 1))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val means: Map[Long, Map[Int, Double]] = sums
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.map { r =>
+            r.getInt(1) -> r.getDecimal(2)
+              .divide(java.math.BigDecimal.valueOf(r.getLong(3)), java.math.MathContext.DECIMAL64)
+              .doubleValue()
+          }.toMap
+        }
+      cents = cents.map { case (cid, v) =>
+        means.get(cid) match {
+          case Some(byDim) => (cid, v.indices.map(i => byDim.getOrElse(i, v(i))).toIndexedSeq)
+          case None        => (cid, v)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-flat ANN (the cell-probing scale path, complementing the
-    * hyperplane-LSH one): a deterministic sample of corpus vectors
-    * (`vec_id % sampleMod == 0`) serves as the coarse-quantizer centroids;
-    * every corpus vector is assigned to its nearest centroid's cell, and a
-    * query probes only the `nprobe` cells nearest to it — cost scales with
-    * probed-cell sizes, not |corpus|. Recall < 1, exact cosine rank within
-    * candidates.
+    * hyperplane-LSH one): a bounded deterministic sample of corpus vectors
+    * ([[sampleCentroids]] — exactly `numCentroids`, corpus-independent)
+    * serves as the coarse-quantizer centroids; every corpus vector is
+    * assigned to its nearest centroid's cell, and a query probes only the
+    * `nprobe` cells nearest to it — cost scales with probed-cell sizes, not
+    * |corpus|. Recall < 1, exact cosine rank within candidates.
     *
-    * The centroid set is collected to the driver as quantizer PARAMETERS
-    * (bounded: |corpus|/sampleMod rows — the same driver-side footprint as a
-    * broadcast) and embedded as literals, so cell assignment is one compiled
-    * argmax loop per row ([[graft.functions.HashExprs.NearestCentroids]]) —
-    * no per-row join against a centroid table. A production pipeline would
-    * refine centroids with k-means; the assignment/probe plan is identical.
+    * The centroid set rides inside the [[graft.functions.HashExprs.NearestCentroids]]
+    * expression as quantizer PARAMETERS — constructor data serialized once
+    * per stage with the task binary (which Spark broadcasts to executors),
+    * NOT as plan literals: the expression prints as
+    * `nearest_centroids(v, K=…, n=…)` so plan strings stay flat no matter
+    * the quantizer size, and cell assignment is one compiled argmax loop per
+    * row — no per-row join against a centroid table. (A broadcast-join argmin
+    * was considered and rejected: it re-shuffles the full corpus for the
+    * `groupBy(id).min_by` while the task binary already gives broadcast
+    * distribution for ≤ a few MB of centroids.)
+    *
+    * `refineIters > 0` runs deterministic Lloyd iterations
+    * ([[refineCentroids]]) over the sampled seeds before assignment.
     * Deterministic end-to-end: ties break on centroid id, then neighbor id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              sampleMod: Int = 31, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val centroids: Seq[(Long, Seq[Double])] =
-      corpus.filter(pmod(col(idCol), lit(sampleMod)) === 0)
-        .select(col(idCol).cast("long"), col(vecCol).cast(ArrayType(DoubleType)))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-        .sortBy(_._1).toIndexedSeq
+              numCentroids: Int = 256, nprobe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
+    val sampled = sampleCentroids(corpus, numCentroids, idCol, vecCol)
     // empty quantizer => every probe silently gets zero neighbors; fail fast
-    require(centroids.nonEmpty,
-      s"ivfTopK: no corpus $idCol satisfies $idCol % $sampleMod == 0 — no centroids")
+    require(sampled.nonEmpty, "ivfTopK: empty corpus — no centroids")
+    val centroids =
+      if (refineIters > 0) refineCentroids(corpus, sampled, refineIters, vecCol)
+      else sampled
     val cellOf = (v: Column, n: Int) =>
       graft.functions.HashExprs.nearestCentroids(v, centroids, n)
     val corpusCells = corpus

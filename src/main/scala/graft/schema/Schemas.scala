@@ -37,11 +37,22 @@ object Schemas {
     StructField("loyalty_status", StringType)         // CHECK IN (Bronze/Silver/Gold/Platinum)
   ))
 
+  /** `country_id` is the processor-path hierarchy attachment
+    * (`smartFileProcessor.js:269-283`): null when no
+    * `dim_country_hierarchy` row resolves (or the hierarchy is absent). */
   val dimAirport: StructType = StructType(Seq(
     StructField("airport_key", StringType, nullable = false),
     StructField("airport_name", StringType, nullable = false),
     StructField("city", StringType, nullable = false),
-    StructField("country", StringType, nullable = false)
+    StructField("country", StringType, nullable = false),
+    StructField("country_id", IntegerType)
+  ))
+
+  /** Country hierarchy lookup (`smartFileProcessor.js:273-277,341-345` — the
+    * reference ships no DDL; these are the two columns its probes select). */
+  val dimCountryHierarchy: StructType = StructType(Seq(
+    StructField("country_id", IntegerType, nullable = false),
+    StructField("country_name", StringType, nullable = false)
   ))
 
   val dimAirline: StructType = StructType(Seq(

@@ -136,7 +136,7 @@ class OpsSpec extends SparkSpec {
       (i, Array.tabulate(16)(d => math.sin(i * 0.31 + d * 0.7).toFloat))
     }.toDF("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 2)
-    val ivf = Similarity.ivfTopK(emb, queries, k = 3, sampleMod = 13, nprobe = 3)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, numCentroids = 6, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(ivf.nonEmpty)
     val brute = Similarity.bruteForceTopK(emb, queries, k = 80)
@@ -144,9 +144,47 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     ivf.foreach { case (pair, cos) => assert(math.abs(brute(pair) - cos) < 1e-12) }
     // no (query, neighbor) pair can appear twice: each corpus vec has 1 cell
-    val rows = Similarity.ivfTopK(emb, queries, k = 80, sampleMod = 13, nprobe = 3)
+    val rows = Similarity.ivfTopK(emb, queries, k = 80, numCentroids = 6, nprobe = 3)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.distinct.length === rows.length)
+  }
+
+  test("sampleCentroids: quantizer size stays K as the corpus doubles; sample is deterministic") {
+    def corpus(n: Long) = (0L until n).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.13 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val k = 16
+    val small = Similarity.sampleCentroids(corpus(200L), k)
+    val big   = Similarity.sampleCentroids(corpus(400L), k)
+    assert(small.size === k)
+    assert(big.size === k)   // corpus doubled, quantizer did NOT grow
+    assert(small === Similarity.sampleCentroids(corpus(200L), k)) // deterministic
+    // the hash-sample is uniform over ids, not a prefix: ids are spread out
+    assert(small.map(_._1).max > 100L)
+    // fewer rows than K degenerates to the whole corpus
+    assert(Similarity.sampleCentroids(corpus(5L), k).size === 5)
+  }
+
+  test("refineCentroids: deterministic across runs, preserves ids, moves toward cell means") {
+    val emb = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 0.41 + d * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val seeds = Similarity.sampleCentroids(emb, 8)
+    val r1 = Similarity.refineCentroids(emb, seeds, iters = 2)
+    val r2 = Similarity.refineCentroids(emb, seeds, iters = 2)
+    assert(r1 === r2)                              // decimal sums -> order-free
+    assert(r1.map(_._1) === seeds.map(_._1))       // ids stable
+    assert(r1 !== seeds)                           // something actually moved
+    // refined quantizer still drives a valid ivfTopK with exact cosines
+    val queries = emb.filter(col("vec_id") < 2)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, numCentroids = 8,
+        nprobe = 2, refineIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 120)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, cos) => assert(math.abs(brute(pair) - cos) < 1e-12) }
   }
 
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {

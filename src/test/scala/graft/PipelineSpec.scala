@@ -235,6 +235,60 @@ class PipelineSpec extends SparkSpec {
     assert(pipeline.readTable(table).count() === before)
   }
 
+  test("partition-scoped insurance flag rewrites only the flagged flight's days") {
+    loadedAll
+    import spark.implicits._
+    val facts = pipeline.readTable("fact_sales")
+    // pick an unflagged flight and a day that carries NONE of its rows
+    val fk = facts.filter(!$"is_eligible_insurance" && $"flight_key" =!= "AA100")
+      .select("flight_key").head().getString(0)
+    val fkDays = facts.filter($"flight_key" === fk)
+      .select("date_key").distinct().collect().map(_.getInt(0)).toSet
+    val untouchedDay = facts.select("date_key").distinct().collect()
+      .map(_.getInt(0)).filterNot(fkDays).head
+    def partFiles(dateKey: Int) =
+      new java.io.File(pipeline.tablePath("fact_sales"), s"date_key=$dateKey")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1).toSeq
+    val untouchedBefore = partFiles(untouchedDay)
+
+    pipeline.simulateDelay(fk, 400)
+    val (elig, delay) = pipeline.checkInsurance(fk)
+    assert(elig && delay === 400)
+    // the flag landed on every one of the flight's rows
+    assert(pipeline.readTable("fact_sales")
+      .filter($"flight_key" === fk && !$"is_eligible_insurance").count() === 0L)
+    // a day without this flight's rows kept its files byte-identical
+    assert(partFiles(untouchedDay) === untouchedBefore)
+  }
+
+  test("J5: processFile attaches country_id from a seeded hierarchy (exact + fuzzy)") {
+    import spark.implicits._
+    val wh3 = SparkSpec.tempDir("graft_wh_hier_")
+    val p3 = new Pipeline(spark, wh3)
+    // seeded BEFORE the airports load, as the reference assumes
+    // (`smartFileProcessor.js:269-283`): exact name + a fuzzy-only name
+    // (hierarchy name CONTAINS the airport's standardized country)
+    p3.overwriteTable("dim_country_hierarchy",
+      Seq((1, "United States"), (2, "Kingdom of Spain"))
+        .toDF("country_id", "country_name"))
+    val a = p3.processFile(s"$ds/airports.csv")
+    assert((a.fileType, a.cleanRecords) === (("airports", 214L)))
+    val byCountry = p3.readTable("dim_airport")
+      .groupBy($"country", $"country_id").count()
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(byCountry("United States") === Some(1)) // exact (USA/US/… standardized first)
+    assert(byCountry("Spain") === Some(2))         // fuzzy contains-probe
+    assert(byCountry("Canada") === None)           // no hierarchy row -> null
+  }
+
+  test("processFile accepts a file:// URI (scheme-aware header sniff)") {
+    loadedDims
+    val r = pipeline.processFile(s"file://$ds/airlines.csv")
+    assert((r.fileType, r.cleanRecords, r.dirtyRecords) === (("airlines", 39L, 0L)))
+    assert(pipeline.readTable("dim_airline").count() === 39L) // upsert, no dupes
+  }
+
   test("unknown file type returns a zero result and writes nothing") {
     val tmp = SparkSpec.tempDir("graft_unknown_")
     java.nio.file.Files.writeString(
