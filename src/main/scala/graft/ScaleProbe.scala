@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Two-point scaling probe for the LSH/ANN operators (VERDICT r3 item 5):
+  * generate deterministic synthetic `documents`/`embeddings` corpora at N and
+  * 10N rows (the driver's testdata tops out at sf0.1), run each operator at
+  * both sizes, and print per-operator wall times. Sub-linear-vs-brute
+  * evidence lands in PLANS.md.
+  *
+  * Content is hash-derived (xxhash64 of (id, position)) so the 10N corpus is
+  * NOT ten copies of the N corpus — replication would flood the near-dup
+  * operators with artificial candidate pairs and measure pair explosion, not
+  * scan/shuffle scaling.
+  *
+  * Usage: `runMain graft.ScaleProbe [baseRows] [outDir]` (defaults 20000,
+  * /tmp/graft_scale).
+  */
+object ScaleProbe {
+
+  /** ~`len(id)`-token pseudo-random text, len in [20, 200). */
+  private def docs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), (pmod(col("doc_id"), lit(180)) + 19).cast("int")),
+          p => concat(lit("w"), pmod(xxhash64(col("doc_id"), p), lit(500))))))
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(4))))
+
+  /** 64-dim pseudo-random embeddings in [-1, 1). */
+  private def embeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(col("vec_id"), d), lit(2000)).cast("double") / 1000.0 - 1.0)
+            .cast("float")))
+
+  private def timed(label: String, rows: Long)(body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val out = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"op":"$label","rows":$rows,"sec":$sec%.3f,"out":$out}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseRows = args.headOption.map(_.toLong).getOrElse(20000L)
+    val outDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (mult <- Seq(1L, 10L)) {
+      val n = baseRows * mult
+      val dPath = s"$outDir/docs_$n"; val ePath = s"$outDir/emb_$n"
+      docs(spark, n).write.mode("overwrite").parquet(dPath)
+      embeddings(spark, n).write.mode("overwrite").parquet(ePath)
+      val d = spark.read.parquet(dPath)
+      val e = spark.read.parquet(ePath)
+      val probes = e.filter(col("vec_id") < 10)
+
+      timed("minhash_candidates", n) {
+        Dedup.minhashCandidates(d, numHashes = 64, bands = 16, shingleK = 3).count()
+      }
+      timed("minhash_near_dups", n) {
+        Dedup.minhashNearDups(d, threshold = 0.7, numHashes = 64, bands = 16, shingleK = 3).count()
+      }
+      timed("simhash_candidates", n) {
+        Dedup.simhashCandidates(d).count()
+      }
+      timed("lsh_topk", n) {
+        Similarity.lshTopK(e, probes, k = 5, numPlanes = 12, tables = 4, dim = 64).count()
+      }
+      timed("ivf_topk", n) {
+        Similarity.ivfTopK(e, probes, k = 5, numCentroids = 256, nprobe = 4).count()
+      }
+      timed("brute_force_topk", n) {
+        Similarity.bruteForceTopK(e, probes, k = 5).count()
+      }
+    }
+    spark.stop()
+  }
+}

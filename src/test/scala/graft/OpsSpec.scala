@@ -187,6 +187,30 @@ class OpsSpec extends SparkSpec {
     ivf.foreach { case (pair, cos) => assert(math.abs(brute(pair) - cos) < 1e-12) }
   }
 
+  test("pathological bucket: maxBucket drops the degenerate bucket loudly, candidates stay bounded") {
+    // 60 identical documents: every band bucket holds all 60 ids — with
+    // maxBucket=20 the pairing must DROP those buckets (not explode into
+    // 60*59/2 pairs per band) and the audit must report exactly what dropped
+    val identical = (0L until 60L).map(i => (i, "the same degenerate text every time"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(identical, maxBucket = 20)
+    assert(cands.count() === 0L) // no silent quadratic: the bucket was dropped
+    val stats = Dedup.lshBucketStats(Dedup.minhashBanded(identical), maxBucket = 20)
+      .collect().head
+    assert(stats.getAs[Long]("n_buckets") === 16L)          // one bucket per band
+    assert(stats.getAs[Long]("max_bucket_size") === 60L)
+    assert(stats.getAs[Long]("n_dropped_buckets") === 16L)  // every one, loudly
+    assert(stats.getAs[Long]("n_dropped_rows") === 960L)    // 16 bands x 60 ids
+    // a mixed corpus still pairs its legitimate near-dups at the same setting
+    val mixed = identical.unionByName(Seq(
+      (100L, "a perfectly unique document about alpha beta gamma"),
+      (101L, "a perfectly unique document about alpha beta gamma delta"))
+      .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashCandidates(mixed, maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((100L, 101L)))
+  }
+
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
     val base = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))

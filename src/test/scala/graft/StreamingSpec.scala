@@ -100,6 +100,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 2L) // not 3: replay skipped
   }
 
+  test("crash-replay: a query killed after append but before checkpoint commit recovers exactly-once") {
+    val base = SparkSpec.tempDir("graft_crash_")
+    val in = s"$base/in"; val status = s"$base/status"; val cp = s"$base/cp"
+    writeJsonValues(in)
+    val facts = Seq(("TA000001", "AA100", false), ("TA000002", "BA244", false))
+      .toDF("transaction_id", "flight_key", "is_eligible_insurance")
+    var crash = true
+    var flagged: Option[Map[String, Boolean]] = None
+    val mergeFn = () => {
+      // the injected crash lands in the documented window: AFTER the batch's
+      // data (and marker) hit the status path, BEFORE the streaming
+      // checkpoint records the batch as committed
+      if (crash) throw new RuntimeException("injected crash")
+      flagged = Some(FlightStatus.flagEligibleFacts(facts, spark.read.parquet(status))
+        .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap)
+    }
+    def start() = FlightStatus.streamingFlagPipeline(
+      FlightStatus.parseEvents(spark.readStream.text(in)), status, mergeFn)
+      .option("checkpointLocation", cp).start()
+
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // the crash window is real: data landed, checkpoint did not commit
+    assert(spark.read.parquet(status).count() === 6L)
+
+    // more events arrive while the job is down
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/late.jsonl"),
+      """{"flight_key":"WN500","status":"delayed","delay_minutes":20,"update_timestamp":"2024-01-02T08:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+
+    crash = false
+    val q2 = start() // NEW query, SAME checkpoint: batch 0 replays
+    q2.awaitTermination()
+    val table = spark.read.parquet(status)
+    // replayed batch skipped by its marker (no double-append); late batch landed
+    assert(table.count() === 7L)
+    assert(table.filter($"flight_key" === "AA100").count() === 3L)
+    // the merge the crash suppressed ran on recovery: flags are correct
+    assert(flagged === Some(Map("TA000001" -> true, "TA000002" -> false)))
+  }
+
   test("ST5: watermarked streaming latest-per-key maintains state incrementally") {
     val base = SparkSpec.tempDir("graft_stream5_")
     val in = s"$base/in"
