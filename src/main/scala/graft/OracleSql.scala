@@ -583,6 +583,46 @@ object OracleSql {
     SELECT modality, COUNT(*) AS n, CAST(SUM(byte_len) AS BIGINT) AS total_bytes
     FROM m GROUP BY modality"""
 
+  /** Decontamination — 8-token shingles over the shared normalization, same
+    * packed 56-bit md5 hashes as graft.functions.HashExprs.ShingleHashes;
+    * benchmark = doc_id < 20, training = the rest. */
+  private val q39 = s"""
+    WITH toks AS (SELECT doc_id, source,
+        regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id, source,
+        list_distinct(list_transform(
+          CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 6),
+            i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END,
+          g -> ('0x' || substr(md5(g), 1, 14))::BIGINT)) AS hs
+      FROM toks),
+    bh AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 20),
+    cont AS (SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 20) t
+      JOIN bh USING (h))
+    SELECT source, COUNT(*) AS n_docs, COUNT(c.doc_id) AS n_contaminated
+    FROM sh LEFT JOIN cont c USING (doc_id)
+    WHERE sh.doc_id >= 20
+    GROUP BY source"""
+
+  /** Deterministic stratified sampling — same md5('graft:' || id) bucket as
+    * graft.ops.Sampling.hashBucket; rates mirror SparkEntry.SampleRates. */
+  private val q40 = """
+    SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 <
+      CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 35 WHEN 'src2' THEN 90 ELSE 50 END
+    GROUP BY source"""
+
+  private val q41 = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_distinct_tokens,
+      CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM tf GROUP BY source"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -623,6 +663,9 @@ object OracleSql {
     "q35_ivf_topk"          -> q35,
     "q36_winnow"            -> q36,
     "q37_sessionize"        -> q37,
-    "q38_redact"            -> q38
+    "q38_redact"            -> q38,
+    "q39_decontaminate"     -> q39,
+    "q40_stratified_sample" -> q40,
+    "q41_vocab"             -> q41
   ).map { case (k, v) => k -> clean(v) }
 }

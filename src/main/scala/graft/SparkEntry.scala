@@ -9,7 +9,7 @@ import graft.analytics.Analytics
 import graft.cleanse.Cleanse
 import graft.cleanse.Cleanse.Rule
 import graft.functions.Standardize
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.FlightStatus
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -428,6 +428,45 @@ object SparkEntry {
           .as("chars_removed"): _*)
   }
 
+  /** Train/test decontamination: training docs (doc_id ≥ 20) sharing any
+    * 8-token shingle with the benchmark slice (doc_id < 20) — per-source
+    * leak counts. Benchmark hashes broadcast; training side is a map-side
+    * semi probe ([[Dedup.contamination]]). */
+  private def q39Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs  = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    val bad   = Dedup.contamination(train, bench).withColumn("__c", lit(1L))
+    train.join(bad, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("__c")).as("n_contaminated"))
+  }
+
+  /** Per-source sampling rates for the mixture-weighting query (percent). */
+  private val SampleRates = Map("src0" -> 10, "src1" -> 35, "src2" -> 90)
+
+  /** Deterministic stratified sampling — mixture weighting by source with a
+    * pure hash-of-id membership test (reproducible across runs, retries, and
+    * engines; no rand()). */
+  private def q40StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), "source", SampleRates,
+        idCol = "doc_id", defaultRate = 50)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+
+  /** Vocabulary statistics per source: distinct tokens, hapax legomena, and
+    * total token occurrences — the token-frequency profile of a mixture.
+    * Two hash aggregations, both with map-side combine. */
+  private def q41Vocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c")).as("n_tokens"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -466,7 +505,10 @@ object SparkEntry {
     "q35_ivf_topk"          -> q35IvfTopK _,
     "q36_winnow"            -> q36Winnow _,
     "q37_sessionize"        -> q37Sessionize _,
-    "q38_redact"            -> q38Redact _
+    "q38_redact"            -> q38Redact _,
+    "q39_decontaminate"     -> q39Decontaminate _,
+    "q40_stratified_sample" -> q40StratifiedSample _,
+    "q41_vocab"             -> q41Vocab _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -227,6 +227,29 @@ object Dedup {
     verified
   }
 
+  /** Train/test decontamination: the training documents that share at least
+    * one k-token shingle with ANY benchmark document (n-gram overlap — the
+    * standard leakage check before a training run; k=8 ≈ the 8–13-gram
+    * windows used in practice). Returns the distinct contaminated ids.
+    *
+    * 100 TB shape: the benchmark side is small by definition — its distinct
+    * shingle-hash set broadcasts, and the training side streams through a
+    * map-side `left_semi` probe carrying only (id, 8-byte hash) pairs; the
+    * lone shuffle is the id-only distinct. Nothing quadratic, nothing
+    * driver-side. */
+  def contamination(train: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleK: Int = 8): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .distinct()
+    train
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .join(broadcast(benchHashes), Seq("__h"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
   /** Jaccard of two precomputed distinct-shingle arrays. */
   def jaccardSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")

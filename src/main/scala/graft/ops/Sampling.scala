@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixtures.
+  *
+  * `rand()` is the wrong tool in a distributed pipeline: a retried task
+  * re-draws its rows (the sample silently changes under failure), and two
+  * runs over the same corpus disagree — a training mixture must be
+  * REPRODUCIBLE. Here membership is a pure function of (seed, id): the
+  * portable md5 bucket of the id decides, so any engine — and any re-run,
+  * retry, or the DuckDB oracle — selects the identical sample. Row-local
+  * expression work only; no shuffle, no state.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the portable md5 prefix of
+    * `seed + ":" + id` — DuckDB: `('0x' || substr(md5(seed || ':' || id), 1,
+    * 14))::BIGINT % buckets`. Different seeds give independent samples. */
+  def hashBucket(id: Column, seed: String, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 14), 16, 10)
+      .cast("long"), lit(buckets))
+
+  /** Keep each row with probability `rate(stratum)`/100 (deterministic per
+    * id): per-stratum rates for mixture weighting — e.g. downsample web
+    * crawl to 10% while keeping books at 90%. Strata missing from `rates`
+    * fall back to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, rates: Map[String, Int],
+                       idCol: String, defaultRate: Int = 0,
+                       seed: String = "graft"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 100) &&
+      defaultRate >= 0 && defaultRate <= 100, "rates are percentages in [0, 100]")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(defaultRate))) {
+        case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(v))
+      }.otherwise(lit(defaultRate))
+    df.filter(hashBucket(col(idCol), seed) < rate)
+  }
+
+  /** Uniform deterministic sample at `rate`% — the unstratified case. */
+  def uniformSample(df: DataFrame, rate: Int, idCol: String,
+                    seed: String = "graft"): DataFrame =
+    stratifiedSample(df, strataCol = idCol, rates = Map.empty, idCol = idCol,
+      defaultRate = rate, seed = seed)
+}

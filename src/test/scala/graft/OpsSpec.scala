@@ -211,6 +211,42 @@ class OpsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("contamination: only docs sharing a full k-token shingle with the benchmark flag") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the benchmark's 8-gram "quick brown fox jumps over the lazy dog"
+      (10L, "she said the quick brown fox jumps over the lazy dog again"),
+      (11L, "quick brown fox jumps over seven lazy dogs"), // overlap < 8 tokens
+      (12L, "completely unrelated content about databases and shuffles"))
+      .toDF("doc_id", "text")
+    val bad = Dedup.contamination(train, bench, shingleK = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bad === Seq(10L))
+  }
+
+  test("stratified sample: deterministic, rate-respecting, seed-independent strata") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 0, "src1" -> 25, "src2" -> 100)
+    val s1 = graft.ops.Sampling.stratifiedSample(docs, "source", rates, "doc_id", defaultRate = 50)
+    val counts = s1.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("src0"))            // 0% -> nothing survives
+    assert(counts("src2") === 500L)             // 100% -> everything survives
+    assert(counts("src1") > 75L && counts("src1") < 175L)   // ~125 of 500
+    assert(counts("src3") > 175L && counts("src3") < 325L)  // default 50% of 500
+    // deterministic: the exact same ids every run
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = graft.ops.Sampling.stratifiedSample(docs, "source", rates, "doc_id", defaultRate = 50)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+    // a different seed draws a genuinely different sample at the same rates
+    val other = graft.ops.Sampling.stratifiedSample(docs, "source", rates, "doc_id",
+      defaultRate = 50, seed = "other")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 !== other)
+  }
+
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
     val base = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
