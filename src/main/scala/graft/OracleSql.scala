@@ -623,6 +623,38 @@ object OracleSql {
       CAST(SUM(c) AS BIGINT) AS n_tokens
     FROM tf GROUP BY source"""
 
+  /** Sequence packing — token count mirrors q24's formula; the ROWS-framed
+    * running sum and floor-div shard assignment mirror Packing.packGreedy. */
+  private val q42 = """
+    WITH d AS (SELECT source, doc_id,
+        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens
+      FROM documents),
+    packed AS (SELECT source, n_tokens,
+        CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+          / 2000.0) AS BIGINT) AS shard_id
+      FROM d),
+    shards AS (SELECT source, shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+      FROM packed GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_shards,
+      CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens,
+      CAST(MAX(shard_tokens) AS BIGINT) AS max_shard_tokens,
+      CAST(MIN(shard_tokens) AS BIGINT) AS min_shard_tokens
+    FROM shards GROUP BY source"""
+
+  /** int8 quantization — same double math order as the cosine queries;
+    * outputs are integers so the comparison is exact by construction. */
+  private val q43 = """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nm AS (SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n FROM e),
+    q AS (SELECT CASE WHEN n = 0 THEN list_transform(v, x -> 0::BIGINT)
+          ELSE list_transform(v, x -> CAST(floor(x * 127.0 / n) AS BIGINT)) END AS qv
+      FROM nm),
+    x AS (SELECT unnest(qv) AS qval FROM q)
+    SELECT qval, COUNT(*) AS n FROM x GROUP BY qval"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -666,6 +698,8 @@ object OracleSql {
     "q38_redact"            -> q38,
     "q39_decontaminate"     -> q39,
     "q40_stratified_sample" -> q40,
-    "q41_vocab"             -> q41
+    "q41_vocab"             -> q41,
+    "q42_pack"              -> q42,
+    "q43_quantize_int8"     -> q43
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -9,7 +9,7 @@ import graft.analytics.Analytics
 import graft.cleanse.Cleanse
 import graft.cleanse.Cleanse.Rule
 import graft.functions.Standardize
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.FlightStatus
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -467,6 +467,21 @@ object SparkEntry {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
         sum(col("c")).as("n_tokens"))
 
+  /** Sequence packing: greedy token-budget sharding per source (one window
+    * shuffle; shards never cross strata, so strata are the parallelism
+    * unit). Per-source fill summary. */
+  private def q42Pack(s: SparkSession, dir: String): DataFrame =
+    Packing.packingSummary(
+      Packing.packGreedy(t(s, dir, "documents"), targetTokens = 2000L))
+
+  /** Embedding int8 quantization — global histogram of quantized values
+    * (integer outputs ⇒ exact cross-engine comparison). */
+  private def q43QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(explode(Embeddings.quantizeInt8(col("embedding"))).as("qval"))
+      .groupBy(col("qval"))
+      .agg(count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -508,7 +523,9 @@ object SparkEntry {
     "q38_redact"            -> q38Redact _,
     "q39_decontaminate"     -> q39Decontaminate _,
     "q40_stratified_sample" -> q40StratifiedSample _,
-    "q41_vocab"             -> q41Vocab _
+    "q41_vocab"             -> q41Vocab _,
+    "q42_pack"              -> q42Pack _,
+    "q43_quantize_int8"     -> q43QuantizeInt8 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

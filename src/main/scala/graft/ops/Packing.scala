@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to training shards so each shard holds
+  * ~`targetTokens` tokens — the shard-building step between curation and
+  * tokenization in a training pipeline.
+  *
+  * Greedy in a fixed document order (deterministic: order by `orderCol`
+  * within each stratum): a document's shard is `floor(tokens-before-it /
+  * target)` — the standard streaming approximation of first-fit (a shard can
+  * overflow by at most one document, never underfill by more than the last
+  * document's length).
+  *
+  * Scale shape: ONE window shuffle, partitioned by stratum. Shards never
+  * cross strata, so at 100 TB the stratum column (source, or source × date)
+  * is the parallelism unit — each partition packs independently; there is no
+  * global sequential dependency. Token counts are computed row-locally. */
+object Packing {
+
+  /** Adds `n_tokens`, `shard_id` (0-based per stratum). */
+  def packGreedy(docs: DataFrame, targetTokens: Long,
+                 textCol: String = "text", orderCol: String = "doc_id",
+                 strataCol: String = "source"): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    // explicit ROWS frame: the default RANGE frame is equivalent only while
+    // orderCol is unique — ROWS keeps the semantics pinned either way
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double")
+          / targetTokens.toDouble).cast("long"))
+  }
+
+  /** Per-stratum packing summary over [[packGreedy]] output. */
+  def packingSummary(packed: DataFrame, strataCol: String = "source"): DataFrame =
+    packed.groupBy(col(strataCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("shard_tokens")).as("total_tokens"),
+        max(col("shard_tokens")).as("max_shard_tokens"),
+        min(col("shard_tokens")).as("min_shard_tokens"))
+}

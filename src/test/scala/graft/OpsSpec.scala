@@ -247,6 +247,41 @@ class OpsSpec extends SparkSpec {
     assert(ids1 !== other)
   }
 
+  test("packGreedy: shard breaks at the token budget, per-stratum, deterministic order") {
+    val docs = Seq(
+      (1L, "a", "one two three four"),        // 4 tokens, cumBefore 0  -> shard 0
+      (2L, "a", "one two three four"),        // cumBefore 4            -> shard 0
+      (3L, "a", "one two three four"),        // cumBefore 8            -> shard 0
+      (4L, "a", "one two three four"),        // cumBefore 12           -> shard 1
+      (5L, "b", "x y"),                       // other stratum restarts at shard 0
+      (6L, "b", ""))                          // empty text: 0 tokens
+      .toDF("doc_id", "source", "text")
+    val packed = graft.ops.Packing.packGreedy(docs, targetTokens = 10L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+    val summary = graft.ops.Packing.packingSummary(
+        graft.ops.Packing.packGreedy(docs, targetTokens = 10L))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary === Map("a" -> ((2L, 16L)), "b" -> ((1L, 2L))))
+  }
+
+  test("quantizeInt8: known values, zero-vector guard, error bounded by one step") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)),      // norm 5: floor(76.2)=76, floor(101.6)=101
+      (2L, Array(0.0f, 0.0f)),      // zero vector -> all zero, no NaN
+      (3L, Array(-1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id"), graft.ops.Embeddings.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(q(1L) === Seq(76L, 101L))
+    assert(q(2L) === Seq(0L, 0L))
+    assert(q(3L).forall(v => v >= -128L && v <= 127L))
+    val maxErr = emb.filter(col("vec_id") =!= 2L)
+      .select(max(graft.ops.Embeddings.quantError(col("embedding")))).head().getDouble(0)
+    assert(maxErr <= 1.0) // floor truncates at most one quantization step
+  }
+
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
     val base = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
