@@ -236,12 +236,9 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
       // P6 gate: CHECK-domain violations leave the clean side here. The
       // dirty label is the SOURCE name (same taxonomy as loader rejects —
       // one grouping key in the monitor and one replay filter).
-      val (gated, violations) = Cleanse.cleanse(
+      val (checked, violations) = Cleanse.cleanse(
         result.clean, sourceOf(fileType), domainChecks.getOrElse(sig.targetTable, Nil))
       val dirty = result.dirty.unionByName(violations)
-      // J5 — processor-path hierarchy enrichment (`smartFileProcessor.js:
-      // 269-283`): airports gain country_id from dim_country_hierarchy
-      val checked = if (fileType == "airports") withCountryId(gated) else gated
 
       val cleanN = checked.count()
       val dirtyN = dirty.count()
@@ -288,7 +285,12 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
   private def runLoader(fileType: String, raw: DataFrame): Loaders.LoadResult =
     fileType match {
       case "passengers" => Loaders.loadPassengers(raw)
-      case "airports"   => Loaders.loadAirports(raw)
+      case "airports"   =>
+        // J5 — hierarchy enrichment lives in the SHARED dispatch so every
+        // airports path (processFile AND replayDirty) emits the same
+        // dim_airport shape (`smartFileProcessor.js:269-283`)
+        val r = Loaders.loadAirports(raw)
+        r.copy(clean = withCountryId(r.clean))
       case "airlines"   => Loaders.loadAirlines(raw)
       case "flights"    => loadFlightsWithFks(raw)
       case "travel_agency_sales" | "corporate_sales" =>
@@ -424,7 +426,13 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
   def compactTable(name: String, targetFiles: Int = 8): Unit =
     partitionedTables.get(name) match {
       case Some(Seq(partCol)) if tableExists(name) =>
-        overwriteTable(name, readTable(name).repartition(col(partCol)))
+        // targetFiles = max files PER PARTITION DIRECTORY here: shuffling by
+        // (partition, deterministic full-row hash bucket) splits a skewed
+        // partition across up to targetFiles writers instead of forcing one
+        // straggler task + one giant file per day
+        val t = readTable(name)
+        val bucket = pmod(xxhash64(struct(t.columns.map(col): _*)), lit(targetFiles))
+        overwriteTable(name, t.repartition(col(partCol), bucket))
       case _ =>
         overwriteTable(name, readTable(name).repartition(targetFiles))
     }
@@ -448,7 +456,7 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     val latest = FlightStatus.latestStatus(readTable("flight_status_updates"), flightKey)
       .select("delay_minutes").collect()
     val delay = latest.headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int])).getOrElse(0)
-    val eligible = delay > 240
+    val eligible = delay > graft.functions.Standardize.InsuranceDelayThreshold
     if (eligible) updateFactSales(
       _.filter(col("flight_key") === flightKey),
       _.withColumn("is_eligible_insurance",
@@ -462,12 +470,14 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     * against the (small) eligible key set — no driver-side key collect —
     * and only days containing an eligible flight's rows are rewritten. */
   def flagAllEligible(): Unit = {
-    val eligibleKeys = FlightStatus.latestStatusPerFlight(readTable("flight_status_updates"))
-      .filter(graft.functions.Standardize.isEligibleInsurance(col("delay_minutes")))
-      .select(col("flight_key").as("__elig_key"))
+    // materialized ONCE (small key set): the probe and the update are
+    // separate jobs, and each would otherwise re-scan + re-aggregate the
+    // status table; the localCheckpoint blocks release with the plan
+    val eligibleKeys = FlightStatus.eligibleFlightKeys(readTable("flight_status_updates"))
+      .localCheckpoint(true)
     updateFactSales(
       _.join(broadcast(eligibleKeys), col("flight_key") === col("__elig_key"), "left_semi"),
-      FlightStatus.flagEligibleFacts(_, readTable("flight_status_updates")))
+      FlightStatus.flagEligibleFactsByKeys(_, eligibleKeys))
   }
 
   // ---------------------------------------------------------------- analytics

@@ -145,13 +145,19 @@ object Standardize {
   def alliance(c: Column): Column =
     when(trim(c) === "N/A", lit(null).cast("string")).otherwise(trim(c))
 
+  /** F11 — the single copy of the >240-minute eligibility threshold
+    * (`server.js:162-163`); every caller — view, flag update, single-flight
+    * endpoint — must reference it here. */
+  val InsuranceDelayThreshold = 240
+
   /** F11 — insurance eligibility (`for supabase/denorm view:31-34`,
     * `server.js:162-163`): strictly greater than 240 minutes. */
   def insuranceEligibility(delayMinutes: Column): Column =
-    when(delayMinutes > 240, "Eligible").otherwise("Not Eligible")
+    when(delayMinutes > InsuranceDelayThreshold, "Eligible").otherwise("Not Eligible")
 
   /** F11' — boolean form used for the fact-table flag (`server.js:162-171`). */
-  def isEligibleInsurance(delayMinutes: Column): Column = delayMinutes > 240
+  def isEligibleInsurance(delayMinutes: Column): Column =
+    delayMinutes > InsuranceDelayThreshold
 
   /** F12 — airline prefix from flight key (`for supabase/denorm view:41`). */
   def airlinePrefix(flightKey: Column): Column = substring(flightKey, 1, 2)

@@ -104,20 +104,30 @@ object FlightStatus {
 
   // --------------------------------------------------------------------- ST4
 
-  /** ST4/S7 — conditional fact update: set is_eligible_insurance=true for
-    * flights whose LATEST delay exceeds 240 minutes; never unset
-    * (`server.js:162-171`). Broadcast the (small) eligible-key set so the
-    * fact table is updated in a single map-side pass — no shuffle. */
-  def flagEligibleFacts(factSales: DataFrame, statusTable: DataFrame): DataFrame = {
-    val eligible = latestStatusPerFlight(statusTable)
+  /** The flights whose LATEST status makes them insurance-eligible, as a
+    * single-column frame (`__elig_key`) — computed once and shared by the
+    * probe and update sides of a flag run. */
+  def eligibleFlightKeys(statusTable: DataFrame): DataFrame =
+    latestStatusPerFlight(statusTable)
       .filter(Standardize.isEligibleInsurance(col("delay_minutes")))
       .select(col("flight_key").as("__elig_key"))
+
+  /** ST4/S7 — conditional fact update: set is_eligible_insurance=true for
+    * flights whose LATEST delay exceeds the threshold; never unset
+    * (`server.js:162-171`). Broadcast the (small) eligible-key set so the
+    * fact table is updated in a single map-side pass — no shuffle. */
+  def flagEligibleFacts(factSales: DataFrame, statusTable: DataFrame): DataFrame =
+    flagEligibleFactsByKeys(factSales, eligibleFlightKeys(statusTable))
+
+  /** [[flagEligibleFacts]] with a precomputed [[eligibleFlightKeys]] frame —
+    * callers that also probe with the key set avoid re-aggregating the
+    * status table. */
+  def flagEligibleFactsByKeys(factSales: DataFrame, eligibleKeys: DataFrame): DataFrame =
     factSales
-      .join(broadcast(eligible), factSales("flight_key") === col("__elig_key"), "left")
+      .join(broadcast(eligibleKeys), factSales("flight_key") === col("__elig_key"), "left")
       .withColumn("is_eligible_insurance",
         col("is_eligible_insurance") || col("__elig_key").isNotNull)
       .drop("__elig_key")
-  }
 
   /** Batch-id-conditional append: the effectively-once building block for
     * file-backed `foreachBatch` sinks. Each committed batch leaves a marker

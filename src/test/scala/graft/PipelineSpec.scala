@@ -210,6 +210,18 @@ class PipelineSpec extends SparkSpec {
     assert(pipeline.readTable("dim_flight")
       .filter($"flight_key" === "ZZ999" && $"aircraft_type" === "Test Jet").count() === 1L)
 
+    // airports replay must emit the SAME dim_airport shape as processFile
+    // (incl. country_id) — a schema drift here breaks the upsert union
+    val fixableAirport = Seq(("airports",
+      """{"AirportKey":"qqq","AirportName":"Quiet Quay","City":"Qtown","Country":"usa"}""",
+      "historic outage", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("source_table", "original_data", "error_reason", "created_at")
+    pipeline.appendDirty(fixableAirport)
+    val (repairedA, _) = pipeline.replayDirty("airports")
+    assert(repairedA === 1L)
+    assert(pipeline.readTable("dim_airport")
+      .filter($"airport_key" === "QQQ" && $"country" === "United States").count() === 1L)
+
     // passengers: all 1000 P-keys are already occupied, so every replayed
     // reject either fails validation again or is a duplicate of a key whose
     // first-wins survivor must NOT be displaced -> repaired = 0
@@ -233,6 +245,16 @@ class PipelineSpec extends SparkSpec {
     pipeline.compactTable(table, targetFiles = 1)
     assert(parquetFiles === 1)
     assert(pipeline.readTable(table).count() === before)
+    // partitioned path: targetFiles bounds files PER PARTITION DIRECTORY
+    val factsBefore = pipeline.readTable("fact_sales").count()
+    pipeline.compactTable("fact_sales", targetFiles = 2)
+    val dirs = new java.io.File(pipeline.tablePath("fact_sales"))
+      .listFiles().filter(_.getName.startsWith("date_key="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) <= 2)
+    }
+    assert(pipeline.readTable("fact_sales").count() === factsBefore)
   }
 
   test("partition-scoped insurance flag rewrites only the flagged flight's days") {
