@@ -655,6 +655,25 @@ object OracleSql {
     x AS (SELECT unnest(qv) AS qval FROM q)
     SELECT qval, COUNT(*) AS n FROM x GROUP BY qval"""
 
+  /** Repetition filter — bigrams over the shared normalization; the fraction
+    * is a division of identical integers on both engines. */
+  private val q44 = s"""
+    WITH toks AS (SELECT source, doc_id,
+        regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
+    bg AS (SELECT source, doc_id,
+        unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(1, len(tk)),
+            i -> array_to_string(list_slice(tk, i, i + 1), ' ')) END) AS b
+      FROM toks),
+    cnt AS (SELECT source, doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+    doc AS (SELECT source, doc_id,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS frac
+      FROM cnt GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN frac > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      round(MAX(frac), 6) AS max_top_bigram_frac
+    FROM doc GROUP BY source"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -700,6 +719,7 @@ object OracleSql {
     "q40_stratified_sample" -> q40,
     "q41_vocab"             -> q41,
     "q42_pack"              -> q42,
-    "q43_quantize_int8"     -> q43
+    "q43_quantize_int8"     -> q43,
+    "q44_repetition"        -> q44
   ).map { case (k, v) => k -> clean(v) }
 }

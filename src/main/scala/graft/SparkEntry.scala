@@ -482,6 +482,24 @@ object SparkEntry {
       .groupBy(col("qval"))
       .agg(count(lit(1)).as("n"))
 
+  /** Repetition quality filter: per document, the fraction of all token
+    * bigrams claimed by its single most frequent bigram; docs above 0.18 are
+    * flagged (the repetition-rules family of corpus filters). Two hash
+    * aggregations with map-side combine — no windows, no self-joins. */
+  private def q44Repetition(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(TextAnalysis.tokenBigrams(col("text"))).as("bg"))
+    val perDoc = bi.groupBy(col("source"), col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("frac"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("frac") > 0.18, 1L).otherwise(0L)).as("n_flagged"),
+        round(max(col("frac")), 6).as("max_top_bigram_frac"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -525,7 +543,8 @@ object SparkEntry {
     "q40_stratified_sample" -> q40StratifiedSample _,
     "q41_vocab"             -> q41Vocab _,
     "q42_pack"              -> q42Pack _,
-    "q43_quantize_int8"     -> q43QuantizeInt8 _
+    "q43_quantize_int8"     -> q43QuantizeInt8 _,
+    "q44_repetition"        -> q44Repetition _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

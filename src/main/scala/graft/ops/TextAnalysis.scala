@@ -105,6 +105,17 @@ object TextAnalysis {
     graft.functions.HashExprs.winnowingFingerprints(
       normalizeText(coalesce(text, lit(""))), k, w)
 
+  /** Token bigrams of the normalized text — the carrier for the repetition
+    * quality filter (a document whose single most frequent bigram covers a
+    * large fraction of all bigrams is boilerplate/spam; the "repetition
+    * rules" family of corpus filters). Fewer than 2 tokens → empty array. */
+  def tokenBigrams(text: Column): Column = {
+    val toks = split(normalizeText(coalesce(text, lit(""))), " ")
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+  }
+
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

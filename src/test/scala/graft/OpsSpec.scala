@@ -282,6 +282,22 @@ class OpsSpec extends SparkSpec {
     assert(maxErr <= 1.0) // floor truncates at most one quantization step
   }
 
+  test("tokenBigrams: adjacent pairs over normalized text; degenerate inputs empty") {
+    val rows = Seq(
+      (1L, "The quick brown fox!"),      // normalized: the quick brown fox
+      (2L, "spam spam spam spam"),       // one bigram repeated 3x
+      (3L, "word"),                      // < 2 tokens -> no bigrams
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bg = rows.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenBigrams(col("text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(bg(1L) === Seq("the quick", "quick brown", "brown fox"))
+    assert(bg(2L) === Seq("spam spam", "spam spam", "spam spam"))
+    assert(bg(3L) === Seq.empty)
+    assert(bg(4L) === Seq.empty)
+  }
+
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
     val base = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
