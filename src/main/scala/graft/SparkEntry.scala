@@ -484,17 +484,21 @@ object SparkEntry {
 
   /** Repetition quality filter: per document, the fraction of all token
     * bigrams claimed by its single most frequent bigram; docs above 0.18 are
-    * flagged (the repetition-rules family of corpus filters). Two hash
-    * aggregations with map-side combine — no windows, no self-joins. */
+    * flagged (the repetition-rules family of corpus filters). The per-doc
+    * statistic is ROW-LOCAL ([[graft.functions.HashExprs.BigramTopStats]] —
+    * one compiled loop per row; the explode+groupBy formulation shuffled
+    * every bigram string of the corpus and was 12× slower at sf0.1), so the
+    * only shuffle is the final per-source aggregate. */
   private def q44Repetition(s: SparkSession, dir: String): DataFrame = {
-    val bi = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        explode(TextAnalysis.tokenBigrams(col("text"))).as("bg"))
-    val perDoc = bi.groupBy(col("source"), col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("frac"))
-    perDoc.groupBy(col("source"))
+    val toks = split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")
+    t(s, dir, "documents")
+      .select(col("source"), graft.functions.HashExprs.bigramTopStats(toks).as("st"))
+      .select(col("source"),
+        element_at(col("st"), 1).as("maxc"), element_at(col("st"), 2).as("totc"))
+      .filter(col("totc") > 0)
+      .select(col("source"),
+        (col("maxc").cast("double") / col("totc").cast("double")).as("frac"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("frac") > 0.18, 1L).otherwise(0L)).as("n_flagged"),
         round(max(col("frac")), 6).as("max_top_bigram_frac"))

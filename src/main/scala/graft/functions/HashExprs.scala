@@ -474,6 +474,43 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Per-row bigram frequency profile of a TOKEN array: `[max_count,
+    * n_bigrams]`, where max_count is the count of the single most frequent
+    * adjacent pair and n_bigrams = tokens - 1 (0 for < 2 tokens). The
+    * repetition-filter statistic ([[graft.ops.TextAnalysis.tokenBigrams]]
+    * semantics) computed ROW-LOCALLY — the explode + groupBy(doc, bigram)
+    * formulation shuffles every bigram string of the corpus; this is one
+    * compiled loop per row and the only shuffle left is the final per-source
+    * aggregate. Counting is exact (string-keyed), so `max_count / n_bigrams`
+    * equals the group-by formulation bit-for-bit. */
+  case class BigramTopStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bigram_top_stats"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 2) return new GenericArrayData(Array(0L, 0L))
+      val counts = new java.util.HashMap[String, Integer]()
+      var best = 0
+      var i = 0
+      var prev = if (arr.isNullAt(0)) "" else arr.getUTF8String(0).toString
+      while (i < n - 1) {
+        val next = if (arr.isNullAt(i + 1)) "" else arr.getUTF8String(i + 1).toString
+        val c = counts.merge(prev + " " + next, 1, (a, b) => a + b)
+        if (c > best) best = c
+        prev = next
+        i += 1
+      }
+      new GenericArrayData(Array(best.toLong, (n - 1).toLong))
+    }
+
+    override protected def withNewChildInternal(c: Expression): BigramTopStats =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -502,4 +539,7 @@ object HashExprs {
 
   def winnowingFingerprints(normText: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprints(ColumnBridge.expression(normText), k, w))
+
+  def bigramTopStats(tokens: Column): Column =
+    ColumnBridge.column(BigramTopStats(ColumnBridge.expression(tokens)))
 }

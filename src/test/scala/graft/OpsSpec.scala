@@ -296,6 +296,15 @@ class OpsSpec extends SparkSpec {
     assert(bg(2L) === Seq("spam spam", "spam spam", "spam spam"))
     assert(bg(3L) === Seq.empty)
     assert(bg(4L) === Seq.empty)
+    // the row-local BigramTopStats expression agrees with the exploded form
+    val toks = split(graft.ops.TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")
+    val st = rows.select(col("doc_id"),
+        graft.functions.HashExprs.bigramTopStats(toks).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(st(1L) === Seq(1L, 3L)) // 3 distinct bigrams, max count 1
+    assert(st(2L) === Seq(3L, 3L)) // "spam spam" claims all 3
+    assert(st(3L) === Seq(0L, 0L))
+    assert(st(4L) === Seq(0L, 0L))
   }
 
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
