@@ -492,12 +492,10 @@ object SparkEntry {
   private def q44Repetition(s: SparkSession, dir: String): DataFrame = {
     val toks = split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")
     t(s, dir, "documents")
-      .select(col("source"), graft.functions.HashExprs.bigramTopStats(toks).as("st"))
-      .select(col("source"),
-        element_at(col("st"), 1).as("maxc"), element_at(col("st"), 2).as("totc"))
-      .filter(col("totc") > 0)
-      .select(col("source"),
-        (col("maxc").cast("double") / col("totc").cast("double")).as("frac"))
+      // the cheap size() gate replaces a post-hoc filter on the expensive
+      // statistic (which predicate pushdown would re-evaluate per row)
+      .filter(size(toks) >= 2)
+      .select(col("source"), graft.functions.HashExprs.bigramTopFraction(toks).as("frac"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("frac") > 0.18, 1L).otherwise(0L)).as("n_flagged"),

@@ -420,9 +420,11 @@ final class Pipeline(spark: SparkSession, warehouseDir: String) {
     * `targetFiles` files; contents unchanged. `repartition`, not `coalesce`:
     * coalesce folds the READ side into `targetFiles` tasks too, so a large
     * table would be scanned by 8 readers; repartition keeps full scan
-    * parallelism and only the write narrows. Partitioned tables compact
-    * per-partition instead (shuffle by the partition column ⇒ one writer —
-    * hence one file — per partition directory, preserving pruning). */
+    * parallelism and only the write narrows. For PARTITIONED tables,
+    * `targetFiles` bounds files PER PARTITION DIRECTORY: the shuffle key is
+    * (partition column, full-row hash % targetFiles), so a skewed partition
+    * spreads across up to `targetFiles` writers while pruning layout is
+    * preserved. */
   def compactTable(name: String, targetFiles: Int = 8): Unit =
     partitionedTables.get(name) match {
       case Some(Seq(partCol)) if tableExists(name) =>

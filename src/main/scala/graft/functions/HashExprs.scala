@@ -474,25 +474,28 @@ object HashExprs {
       copy(child = c)
   }
 
-  /** Per-row bigram frequency profile of a TOKEN array: `[max_count,
-    * n_bigrams]`, where max_count is the count of the single most frequent
-    * adjacent pair and n_bigrams = tokens - 1 (0 for < 2 tokens). The
-    * repetition-filter statistic ([[graft.ops.TextAnalysis.tokenBigrams]]
-    * semantics) computed ROW-LOCALLY — the explode + groupBy(doc, bigram)
-    * formulation shuffles every bigram string of the corpus; this is one
-    * compiled loop per row and the only shuffle left is the final per-source
-    * aggregate. Counting is exact (string-keyed), so `max_count / n_bigrams`
-    * equals the group-by formulation bit-for-bit. */
-  case class BigramTopStats(child: Expression)
+  /** Fraction of a TOKEN array's adjacent bigrams claimed by its single most
+    * frequent bigram (0.0 for < 2 tokens) — the repetition-filter statistic
+    * ([[graft.ops.TextAnalysis.tokenBigrams]] semantics) computed ROW-LOCALLY:
+    * the explode + groupBy(doc, bigram) formulation shuffles every bigram
+    * string of the corpus; this is one compiled loop per row, and the only
+    * shuffle left in q44 is the final per-source aggregate. Counting is
+    * exact (string-keyed) and the division is `max_count.toDouble /
+    * n_bigrams.toDouble` — identical to the oracle's `CAST(MAX(c) AS DOUBLE)
+    * / CAST(SUM(c) AS DOUBLE)` over the same integers. Returned as a SINGLE
+    * double so callers reference the expression once (a two-field result
+    * read twice can be re-evaluated per reference once CollapseProject
+    * inlines it — interpreted expressions get no cross-reference CSE). */
+  case class BigramTopFraction(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "bigram_top_stats"
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "bigram_top_fraction"
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (n < 2) return new GenericArrayData(Array(0L, 0L))
+      if (n < 2) return 0.0
       val counts = new java.util.HashMap[String, Integer]()
       var best = 0
       var i = 0
@@ -504,10 +507,10 @@ object HashExprs {
         prev = next
         i += 1
       }
-      new GenericArrayData(Array(best.toLong, (n - 1).toLong))
+      best.toDouble / (n - 1).toDouble
     }
 
-    override protected def withNewChildInternal(c: Expression): BigramTopStats =
+    override protected def withNewChildInternal(c: Expression): BigramTopFraction =
       copy(child = c)
   }
 
@@ -540,6 +543,6 @@ object HashExprs {
   def winnowingFingerprints(normText: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprints(ColumnBridge.expression(normText), k, w))
 
-  def bigramTopStats(tokens: Column): Column =
-    ColumnBridge.column(BigramTopStats(ColumnBridge.expression(tokens)))
+  def bigramTopFraction(tokens: Column): Column =
+    ColumnBridge.column(BigramTopFraction(ColumnBridge.expression(tokens)))
 }

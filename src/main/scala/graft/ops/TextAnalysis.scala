@@ -105,10 +105,13 @@ object TextAnalysis {
     graft.functions.HashExprs.winnowingFingerprints(
       normalizeText(coalesce(text, lit(""))), k, w)
 
-  /** Token bigrams of the normalized text — the carrier for the repetition
-    * quality filter (a document whose single most frequent bigram covers a
-    * large fraction of all bigrams is boilerplate/spam; the "repetition
-    * rules" family of corpus filters). Fewer than 2 tokens → empty array. */
+  /** Token bigrams of the normalized text — the SEMANTIC REFERENCE for the
+    * repetition quality filter (a document whose single most frequent bigram
+    * covers a large fraction of all bigrams is boilerplate/spam). The
+    * production path (q44) computes the statistic row-locally via
+    * [[graft.functions.HashExprs.BigramTopFraction]]; OpsSpec pins that the
+    * two formulations agree, so a semantics change here MUST be mirrored
+    * there. Fewer than 2 tokens → empty array. */
   def tokenBigrams(text: Column): Column = {
     val toks = split(normalizeText(coalesce(text, lit(""))), " ")
     when(size(toks) < 2, array().cast("array<string>"))

@@ -296,15 +296,15 @@ class OpsSpec extends SparkSpec {
     assert(bg(2L) === Seq("spam spam", "spam spam", "spam spam"))
     assert(bg(3L) === Seq.empty)
     assert(bg(4L) === Seq.empty)
-    // the row-local BigramTopStats expression agrees with the exploded form
+    // the row-local BigramTopFraction expression agrees with the exploded form
     val toks = split(graft.ops.TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")
     val st = rows.select(col("doc_id"),
-        graft.functions.HashExprs.bigramTopStats(toks).as("st"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    assert(st(1L) === Seq(1L, 3L)) // 3 distinct bigrams, max count 1
-    assert(st(2L) === Seq(3L, 3L)) // "spam spam" claims all 3
-    assert(st(3L) === Seq(0L, 0L))
-    assert(st(4L) === Seq(0L, 0L))
+        graft.functions.HashExprs.bigramTopFraction(toks).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(st(1L) - 1.0 / 3.0) < 1e-15) // 3 distinct bigrams, max count 1
+    assert(st(2L) === 1.0)                       // "spam spam" claims all 3
+    assert(st(3L) === 0.0)
+    assert(st(4L) === 0.0)
   }
 
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
