@@ -10,8 +10,8 @@ import graft.ops.TextAnalysis
 
 /** SQL surface for the custom expressions: installs `minhash_signature`,
   * `shingle_hashes`, `minhash_from_hashes`, `simhash_signature`,
-  * `winnowing_fingerprints`, and `detect_language` so `spark.sql(...)` users
-  * get the same operators as the Column API.
+  * `winnowing_fingerprints`, `detect_language`, and `bigram_top_fraction`
+  * so `spark.sql(...)` users get the same operators as the Column API.
   *
   * Two installation paths:
   *  - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -70,6 +70,7 @@ object GraftExtensions {
     "detect_language" -> { args =>
       HashExprs.DetectLanguage(args.head,
         TextAnalysis.LangMarkers.map { case (l, ws) => (l, ws.toIndexedSeq) }.toIndexedSeq)
-    }
+    },
+    "bigram_top_fraction" -> { args => HashExprs.BigramTopFraction(args.head) }
   )
 }

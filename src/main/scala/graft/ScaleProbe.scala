@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Packing, Similarity}
 
 /** Two-point scaling probe for the LSH/ANN operators (VERDICT r3 item 5):
   * generate deterministic synthetic `documents`/`embeddings` corpora at N and
@@ -79,6 +79,24 @@ object ScaleProbe {
       }
       timed("brute_force_topk", n) {
         Similarity.bruteForceTopK(e, probes, k = 5).count()
+      }
+      timed("contamination", n) {
+        Dedup.contamination(d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100)).count()
+      }
+      timed("pack_greedy", n) {
+        // collect the token total, not count(): count() lets the optimizer
+        // prune the aggregated columns and under-measure the work
+        Packing.packingSummary(Packing.packGreedy(d, targetTokens = 2000L))
+          .agg(coalesce(sum(col("total_tokens")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("repetition_fraction", n) {
+        // collect the aggregate VALUE — a count() over a global aggregate
+        // can short-circuit without evaluating the per-row expression
+        d.select(graft.functions.HashExprs.bigramTopFraction(
+            split(graft.ops.TextAnalysis.normalizeText(col("text")), " ")).as("f"))
+          .agg(coalesce(sum(when(col("f") > 0.18, 1L).otherwise(0L)), lit(0L)))
+          .collect().head.getLong(0)
       }
     }
     spark.stop()

@@ -18,7 +18,8 @@ class GraftExtensionsSpec extends SparkSpec {
       SELECT minhash_from_hashes(shingle_hashes(split(text, ' '), 3), 64) AS sig,
              simhash_signature(split(text, ' '), true) AS sim,
              winnowing_fingerprints(text, 8, 4) AS fps,
-             detect_language(text) AS lang
+             detect_language(text) AS lang,
+             bigram_top_fraction(split(text, ' ')) AS frac
       FROM ext_docs""").collect().head
 
     val api = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
@@ -26,7 +27,8 @@ class GraftExtensionsSpec extends SparkSpec {
         Dedup.minhashSignatureOfText(col("text")).as("sig"),
         Dedup.simhash(col("text"), portable = true).as("sim"),
         TextAnalysis.winnowingFingerprints(col("text")).as("fps"),
-        TextAnalysis.detectLanguage(col("text")).as("lang"))
+        TextAnalysis.detectLanguage(col("text")).as("lang"),
+        graft.functions.HashExprs.bigramTopFraction(split(col("text"), " ")).as("frac"))
       .collect().head
 
     // the SQL path skips the normalizeText prep on an already-clean string,
@@ -35,6 +37,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.getLong(1) === api.getLong(1))
     assert(sql.getSeq[Long](2).toSet === api.getSeq[Long](2).toSet)
     assert(sql.getString(3) === api.getString(3))
+    assert(sql.getDouble(4) === api.getDouble(4))
   }
 
   test("defaults apply when optional literal args are omitted") {
