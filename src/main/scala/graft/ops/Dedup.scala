@@ -232,20 +232,24 @@ object Dedup {
     * standard leakage check before a training run; k=8 ≈ the 8–13-gram
     * windows used in practice). Returns the distinct contaminated ids.
     *
-    * 100 TB shape: the benchmark side is small by definition — its distinct
+    * 100 TB shape: a benchmark set is small by definition — its distinct
     * shingle-hash set broadcasts, and the training side streams through a
     * map-side `left_semi` probe carrying only (id, 8-byte hash) pairs; the
     * lone shuffle is the id-only distinct. Nothing quadratic, nothing
-    * driver-side. */
+    * driver-side. For the rare huge "benchmark" (e.g. decontaminating
+    * against another full corpus), pass `broadcastBenchmark = false` to use
+    * a shuffled semi join on the hash instead of materializing the set on
+    * every executor. */
   def contamination(train: DataFrame, benchmark: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
-                    shingleK: Int = 8): DataFrame = {
+                    shingleK: Int = 8, broadcastBenchmark: Boolean = true): DataFrame = {
     val benchHashes = benchmark
       .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
       .distinct()
+    val probe = if (broadcastBenchmark) broadcast(benchHashes) else benchHashes
     train
       .select(col(idCol), explode(shingleHashes(col(textCol), shingleK)).as("__h"))
-      .join(broadcast(benchHashes), Seq("__h"), "left_semi")
+      .join(probe, Seq("__h"), "left_semi")
       .select(col(idCol))
       .distinct()
   }
