@@ -674,6 +674,20 @@ object OracleSql {
       round(MAX(frac), 6) AS max_top_bigram_frac
     FROM doc GROUP BY source"""
 
+  /** Top terms — integer-only TF/DF ranking over the shared normalization;
+    * row_number with the same (tf desc, tok) tie-break. */
+  private val q45 = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    ranked AS (SELECT tf.source, tf.tok, tf.tf, df.df,
+        row_number() OVER (PARTITION BY tf.source ORDER BY tf.tf DESC, tf.tok) AS rank
+      FROM tf JOIN df USING (tok))
+    SELECT source, CAST(rank AS BIGINT) AS rank, tok,
+      CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rank <= 5"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -720,6 +734,7 @@ object OracleSql {
     "q41_vocab"             -> q41,
     "q42_pack"              -> q42,
     "q43_quantize_int8"     -> q43,
-    "q44_repetition"        -> q44
+    "q44_repetition"        -> q44,
+    "q45_top_terms"         -> q45
   ).map { case (k, v) => k -> clean(v) }
 }

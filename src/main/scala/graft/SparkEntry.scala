@@ -502,6 +502,24 @@ object SparkEntry {
         round(max(col("frac")), 6).as("max_top_bigram_frac"))
   }
 
+  /** Term profile: the top-5 tokens per source by in-source frequency, each
+    * carrying its document-frequency across sources — the integer-only
+    * cousin of TF-IDF (no floating log, so both engines rank identically;
+    * ties break on the token). A caller building a distinctiveness filter
+    * thresholds on the returned df. */
+  private def q45TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source")).orderBy(col("tf").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("tok"), col("tf"), col("df"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -546,7 +564,8 @@ object SparkEntry {
     "q41_vocab"             -> q41Vocab _,
     "q42_pack"              -> q42Pack _,
     "q43_quantize_int8"     -> q43QuantizeInt8 _,
-    "q44_repetition"        -> q44Repetition _
+    "q44_repetition"        -> q44Repetition _,
+    "q45_top_terms"         -> q45TopTerms _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

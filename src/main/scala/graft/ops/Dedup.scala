@@ -62,6 +62,22 @@ object Dedup {
      rn.filter(col("__rn") > 1).drop("__h", "__rn"))
   }
 
+  /** Streaming twin of [[exact]] for live document ingest: drop any document
+    * whose normalized content hash already arrived within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keys state by the 64-bit hash
+    * only (not the text), and the watermark bounds state size no matter how
+    * long the stream runs — the two properties a 100 TB/day ingest needs.
+    * Exactness holds within the horizon; cross-horizon replays fall through
+    * to the batch [[exact]] pass the pipeline runs over the landed table. */
+  def streamingExactDedup(docs: DataFrame, textCol: String = "text",
+                          tsCol: String = "ingest_ts",
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__h", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   // ---------------------------------------------------------------- minhash
 
   /** Word-level shingles (n-grams of tokens) of the normalized text.

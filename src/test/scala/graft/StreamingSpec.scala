@@ -178,6 +178,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length === 2) // 3 replays collapse to 1, plus the later event
   }
 
+  test("streaming exact doc dedup: same normalized content collapses within the watermark") {
+    val base = SparkSpec.tempDir("graft_streamdoc_")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/docs.jsonl"), Seq(
+      """{"doc_id":1,"text":"The quick brown fox!","ingest_ts":"2024-01-01T10:00:00.000Z"}""",
+      """{"doc_id":2,"text":"the QUICK brown fox","ingest_ts":"2024-01-01T10:05:00.000Z"}""",
+      """{"doc_id":3,"text":"something else entirely","ingest_ts":"2024-01-01T10:06:00.000Z"}""",
+      """{"doc_id":4,"text":"something else entirely","ingest_ts":"2024-01-01T10:07:00.000Z"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ingest_ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = graft.ops.Dedup.streamingExactDedup(stream)
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("doc_dedup").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 normalizes to doc 1's content; 4 duplicates 3 — first arrival wins
+    assert(ids === Seq(1L, 3L))
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Kafka-wire JSON values (one per line) for the text file source. */
