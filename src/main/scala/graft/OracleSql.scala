@@ -674,19 +674,20 @@ object OracleSql {
       round(MAX(frac), 6) AS max_top_bigram_frac
     FROM doc GROUP BY source"""
 
-  /** Top terms — integer-only TF/DF ranking over the shared normalization;
-    * row_number with the same (tf desc, tok) tie-break. */
+  /** Top terms — integer-only ranking over the shared normalization;
+    * row_number with the same (tf desc, tok) tie-break; `n_sources` =
+    * sources containing the token (mirrors the Spark column). */
   private val q45 = s"""
     WITH toks AS (SELECT source,
         unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
     tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-    ranked AS (SELECT tf.source, tf.tok, tf.tf, df.df,
-        row_number() OVER (PARTITION BY tf.source ORDER BY tf.tf DESC, tf.tok) AS rank
-      FROM tf JOIN df USING (tok))
-    SELECT source, CAST(rank AS BIGINT) AS rank, tok,
-      CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
-    FROM ranked WHERE rank <= 5"""
+    bysrc AS (SELECT tok, COUNT(*) AS n_sources FROM tf GROUP BY 1),
+    ranked AS (SELECT source, tok, tf,
+        row_number() OVER (PARTITION BY source ORDER BY tf DESC, tok) AS rank
+      FROM tf)
+    SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.tok,
+      CAST(r.tf AS BIGINT) AS tf, CAST(b.n_sources AS BIGINT) AS n_sources
+    FROM ranked r JOIN bysrc b USING (tok) WHERE r.rank <= 5"""
 
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 

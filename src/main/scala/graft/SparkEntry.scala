@@ -454,18 +454,25 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
 
+  /** Per-(source, token) occurrence counts over the shared normalization —
+    * the ONE tokenization both vocabulary queries (q41, q45) build on, so
+    * they can never desynchronize from each other or the oracle's
+    * `dedupNormSql`. */
+  private def sourceTokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+
   /** Vocabulary statistics per source: distinct tokens, hapax legomena, and
     * total token occurrences — the token-frequency profile of a mixture.
     * Two hash aggregations, both with map-side combine. */
   private def q41Vocab(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("source"),
-        explode(split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    sourceTokenCounts(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct_tokens"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
-        sum(col("c")).as("n_tokens"))
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("tf")).as("n_tokens"))
 
   /** Sequence packing: greedy token-budget sharding per source (one window
     * shuffle; shards never cross strata, so strata are the parallelism
@@ -503,21 +510,19 @@ object SparkEntry {
   }
 
   /** Term profile: the top-5 tokens per source by in-source frequency, each
-    * carrying its document-frequency across sources — the integer-only
-    * cousin of TF-IDF (no floating log, so both engines rank identically;
-    * ties break on the token). A caller building a distinctiveness filter
-    * thresholds on the returned df. */
+    * carrying `n_sources` — the number of SOURCES (not documents) the token
+    * appears in. Integer-only, so both engines rank identically (ties break
+    * on the token); a distinctiveness filter thresholds on low `n_sources`.
+    * The window ranks BEFORE the n_sources join, so the join probes ≤ 5 rows
+    * per source instead of the whole vocabulary. */
   private def q45TopTerms(s: SparkSession, dir: String): DataFrame = {
-    val tf = t(s, dir, "documents")
-      .select(col("source"),
-        explode(split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = sourceTokenCounts(s, dir)
+    val bySource = tf.groupBy(col("tok")).agg(count(lit(1)).as("n_sources"))
     val w = Window.partitionBy(col("source")).orderBy(col("tf").desc, col("tok"))
-    tf.join(df, Seq("tok"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    tf.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
-      .select(col("source"), col("rank"), col("tok"), col("tf"), col("df"))
+      .join(bySource, Seq("tok"))
+      .select(col("source"), col("rank"), col("tok"), col("tf"), col("n_sources"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -223,6 +223,11 @@ class OpsSpec extends SparkSpec {
     val bad = Dedup.contamination(train, bench, shingleK = 8)
       .collect().map(_.getLong(0)).toSeq
     assert(bad === Seq(10L))
+    // the huge-benchmark shuffled-semi path returns the identical set
+    val badShuffled = Dedup.contamination(train, bench, shingleK = 8,
+        broadcastBenchmark = false)
+      .collect().map(_.getLong(0)).toSeq
+    assert(badShuffled === bad)
   }
 
   test("stratified sample: deterministic, rate-respecting, seed-independent strata") {
