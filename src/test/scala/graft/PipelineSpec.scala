@@ -311,6 +311,40 @@ class PipelineSpec extends SparkSpec {
     assert(pipeline.readTable("dim_airline").count() === 39L) // upsert, no dupes
   }
 
+  test("upsert into a NULL-date_key partition merges without touching other days") {
+    import spark.implicits._
+    loadedAll
+    val before = pipeline.readTable("fact_sales").count()
+    // a row whose date_key is null lands in the default partition; the
+    // null-safe partitionPred must target it (isin() alone would miss it)
+    val incoming = pipeline.readTable("fact_sales").limit(1)
+      .withColumn("transaction_id", lit("XX999999"))
+      .withColumn("date_key", lit(null).cast("int"))
+    pipeline.upsertInto("fact_sales", incoming, "transaction_id")
+    val after = pipeline.readTable("fact_sales")
+    assert(after.count() === before + 1)
+    assert(after.filter($"transaction_id" === "XX999999" && $"date_key".isNull).count() === 1L)
+    // re-upserting the same row replaces, not duplicates, inside the null partition
+    pipeline.upsertInto("fact_sales", incoming, "transaction_id")
+    assert(pipeline.readTable("fact_sales").count() === before + 1)
+  }
+
+  test("readTable back-fills columns the canonical schema gained since the files were written") {
+    import spark.implicits._
+    val wh4 = SparkSpec.tempDir("graft_wh_backfill_")
+    val p4 = new Pipeline(spark, wh4)
+    // simulate an old-generation dim_airport written WITHOUT country_id
+    Seq(("AAA", "Alpha", "Atown", "Japan"))
+      .toDF("airport_key", "airport_name", "city", "country")
+      .write.parquet(p4.tablePath("dim_airport"))
+    val read = p4.readTable("dim_airport")
+    assert(read.columns.contains("country_id"))
+    assert(read.filter($"airport_key" === "AAA" && $"country_id".isNull).count() === 1L)
+    // and the old table still upserts cleanly against new-schema incoming rows
+    p4.processFile(s"$ds/airports.csv")
+    assert(p4.readTable("dim_airport").filter($"airport_key" === "AAA").count() === 1L)
+  }
+
   test("unknown file type returns a zero result and writes nothing") {
     val tmp = SparkSpec.tempDir("graft_unknown_")
     java.nio.file.Files.writeString(
