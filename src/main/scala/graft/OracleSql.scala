@@ -689,6 +689,27 @@ object OracleSql {
       CAST(r.tf AS BIGINT) AS tf, CAST(b.n_sources AS BIGINT) AS n_sources
     FROM ranked r JOIN bysrc b USING (tok) WHERE r.rank <= 5"""
 
+  /** Near-dup clusters — the same verified-pair chain as q31 at threshold
+    * 0.7, then exact transitive closure by recursive CTE; cluster id =
+    * smallest member (mirrors Dedup.nearDupClusters' fixpoint labels). */
+  private val q46 = s"""
+    WITH RECURSIVE $minhashCtes,
+    jac AS (SELECT p.id_a, p.id_b,
+        CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+      FROM pairs p
+      JOIN base a ON p.id_a = a.id
+      JOIN base b ON p.id_b = b.id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE j >= 0.7
+      UNION SELECT id_b, id_a FROM jac WHERE j >= 0.7),
+    walk AS (
+      SELECT src AS id, dst AS reach FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id)
+    SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -736,6 +757,7 @@ object OracleSql {
     "q42_pack"              -> q42,
     "q43_quantize_int8"     -> q43,
     "q44_repetition"        -> q44,
-    "q45_top_terms"         -> q45
+    "q45_top_terms"         -> q45,
+    "q46_near_dup_clusters" -> q46
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -525,6 +525,18 @@ object SparkEntry {
       .select(col("source"), col("rank"), col("tok"), col("tf"), col("n_sources"))
   }
 
+  /** Near-dup clustering: MinHash-verified pairs → connected components →
+    * per-cluster member counts (the canonical id is the smallest member —
+    * the first-wins survivor). The oracle reproduces the transitive closure
+    * with a recursive CTE. */
+  private def q46Clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.7,
+      numHashes = 64, bands = 16, shingleK = 3)
+    Dedup.nearDupClusters(pairs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -570,7 +582,8 @@ object SparkEntry {
     "q42_pack"              -> q42Pack _,
     "q43_quantize_int8"     -> q43QuantizeInt8 _,
     "q44_repetition"        -> q44Repetition _,
-    "q45_top_terms"         -> q45TopTerms _
+    "q45_top_terms"         -> q45TopTerms _,
+    "q46_near_dup_clusters" -> q46Clusters _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -270,6 +270,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-duplicate pairs — the step after pair
+    * generation in a real dedup pipeline: pairs → clusters → keep one
+    * canonical document per cluster. Returns `(id, cluster)` where `cluster`
+    * is the smallest doc id in the component (deterministic canonical
+    * choice; the survivor a first-wins policy keeps).
+    *
+    * Min-label propagation iterated to FIXPOINT (driver-checked convergence,
+    * each round one join + one min-aggregation, labels are id-only pairs):
+    * rounds needed = component diameter, and near-dup components are
+    * shallow by construction (a chain longer than a few hops means the
+    * threshold is too loose, not that the algorithm should cope silently) —
+    * `maxIterations` fails loudly instead of looping forever on a
+    * pathological graph. Each round's labels are `localCheckpoint`ed so
+    * lineage stays flat across iterations. */
+  def nearDupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
+      val updated = labels
+        .join(nbrMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.select(col("id"), col("cluster").as("__old")), Seq("id"))
+        .filter(col("cluster") =!= col("__old")).isEmpty
+      labels = updated
+      it += 1
+    }
+    require(converged,
+      s"nearDupClusters: no fixpoint after $maxIterations rounds — component diameter exceeds the bound (threshold too loose?)")
+    labels
+  }
+
   /** Jaccard of two precomputed distinct-shingle arrays. */
   def jaccardSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")

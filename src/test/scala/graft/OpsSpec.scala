@@ -312,6 +312,23 @@ class OpsSpec extends SparkSpec {
     assert(st(4L) === 0.0)
   }
 
+  test("nearDupClusters: chains collapse to min-id components beyond 2 hops; loud non-convergence bound") {
+    // chain 1-2-3-4-5-6 (diameter 5 forces several propagation rounds),
+    // a separate pair (10, 11), and a singleton edge pair (20, 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(clusters(_) === 1L))
+    assert(clusters(10L) === 10L && clusters(11L) === 10L)
+    assert(clusters(20L) === 20L && clusters(21L) === 20L)
+    // the iteration bound trips loudly instead of spinning
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters(pairs, maxIterations = 1)
+    }
+  }
+
   test("embeddingNearDups: an exact duplicate vector pairs at cosine 1.0") {
     val base = (0L until 30L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
