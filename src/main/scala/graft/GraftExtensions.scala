@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.HashExprs
+import graft.functions.{HashExprs, VectorExprs}
 import graft.ops.TextAnalysis
 
 /** SQL surface for the custom expressions: installs `minhash_signature`,
   * `shingle_hashes`, `minhash_from_hashes`, `simhash_signature`,
-  * `winnowing_fingerprints`, `detect_language`, and `bigram_top_fraction`
-  * so `spark.sql(...)` users get the same operators as the Column API.
+  * `winnowing_fingerprints`, `detect_language`, `bigram_top_fraction`,
+  * `cosine_sim`, `unit_normalize`, and `quantize_int8` so `spark.sql(...)`
+  * users get the same operators as the Column API.
   *
   * Two installation paths:
   *  - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -71,6 +72,9 @@ object GraftExtensions {
       HashExprs.DetectLanguage(args.head,
         TextAnalysis.LangMarkers.map { case (l, ws) => (l, ws.toIndexedSeq) }.toIndexedSeq)
     },
-    "bigram_top_fraction" -> { args => HashExprs.BigramTopFraction(args.head) }
+    "bigram_top_fraction" -> { args => HashExprs.BigramTopFraction(args.head) },
+    "cosine_sim" -> { args => VectorExprs.CosineSim(args.head, args(1)) },
+    "unit_normalize" -> { args => VectorExprs.UnitNormalize(args.head) },
+    "quantize_int8" -> { args => VectorExprs.QuantizeInt8(args.head) }
   )
 }

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Compiled embedding-vector math (cosine, L2 normalization, int8
+  * quantization) — the [[HashExprs]] treatment applied to the vector hot
+  * loops.
+  *
+  * The Column formulations (`sqrt(aggregate(zip_with(v, v, …)))` feeding a
+  * `transform` / `when` tree) are semantically right but execute as
+  * INTERPRETED higher-order functions, and Catalyst gives them no
+  * cross-lambda CSE: a norm subtree referenced inside a `transform` lambda
+  * is re-evaluated PER ELEMENT (O(dim²) per row), and a norm referenced by
+  * both the `when` condition and the `otherwise` branch is evaluated twice
+  * per pair. These expressions run the identical arithmetic — same
+  * left-to-right double summation, same zero guards, same floor — in one
+  * loop per row, so outputs are bit-for-bit the Column versions' and the
+  * DuckDB oracle SQL ([[graft.OracleSql]]) is unchanged.
+  *
+  * Null semantics mirror the HOF trees exactly (pinned by OpsSpec parity
+  * tests):
+  *  - a null ELEMENT anywhere poisons the fold: cosine → null,
+  *    normalize/quantize → an all-null array of the input's length
+  *    (`x / null` per element);
+  *  - cosine of different-length arrays is null (`zip_with` pads with
+  *    nulls) — unless a zero norm short-circuits to 0.0 first, exactly like
+  *    `when(d === 0, 0.0)` before the null-poisoned division;
+  *  - a null INPUT array → null (standard null-intolerant expressions).
+  */
+object VectorExprs {
+
+  /** Elements of a float/double array as doubles; null if any element is
+    * null (the poisoned-fold signal). */
+  private def readVector(arr: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      xs(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    xs
+  }
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Σ xᵢ² left-to-right — the exact `aggregate(zip_with(v, v, _*_), 0.0, _+_)`
+    * fold order, so `sqrt` of it equals [[graft.ops.Similarity.norm]]. */
+  private def sumSquares(xs: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) { s += xs(i) * xs(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity of two embedding arrays in one pass per row:
+    * `dot(a,b) / (‖a‖·‖b‖)`, 0.0 when either norm is zero. Each of the three
+    * sums is an independent left-to-right double fold — bit-identical to the
+    * `aggregate`/`zip_with` formulation it replaces (which evaluated the two
+    * norm subtrees TWICE each: once in the `when` condition, once in the
+    * `otherwise` branch). */
+  case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+
+    private lazy val leftIsFloat = isFloatArray(left.dataType)
+    private lazy val rightIsFloat = isFloatArray(right.dataType)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = readVector(a.asInstanceOf[ArrayData], leftIsFloat)
+      val ys = readVector(b.asInstanceOf[ArrayData], rightIsFloat)
+      if (xs == null || ys == null) return null // null element → null cosine
+      val d = math.sqrt(sumSquares(xs)) * math.sqrt(sumSquares(ys))
+      if (d == 0) return 0.0 // zero-norm guard fires BEFORE the length check
+      if (xs.length != ys.length) return null // zip_with null padding → null
+      var dot = 0.0
+      var i = 0
+      while (i < xs.length) { dot += xs(i) * ys(i); i += 1 }
+      dot / d
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Unit-L2-normalized copy of an embedding (zero vectors stay all-zero):
+    * the norm is computed ONCE per row and reused across elements — the
+    * `transform(v, x => x / norm(v))` formulation re-evaluated the O(dim)
+    * norm fold per element (O(dim²) per row). */
+  case class UnitNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def prettyName: String = "unit_normalize"
+
+    private lazy val elemIsFloat = isFloatArray(child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val xs = readVector(arr, elemIsFloat)
+      if (xs == null) // null element → null norm → x/null per element
+        return new GenericArrayData(new Array[Any](arr.numElements()))
+      val n = math.sqrt(sumSquares(xs))
+      val out = new Array[Any](xs.length)
+      var i = 0
+      if (n == 0) while (i < xs.length) { out(i) = 0.0; i += 1 }
+      else while (i < xs.length) { out(i) = xs(i) / n; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): UnitNormalize =
+      copy(child = c)
+  }
+
+  /** Symmetric int8 quantization against the vector's own L2 norm:
+    * `qᵢ = floor(xᵢ · 127 / ‖x‖)` ∈ [-128, 127], zero vectors all-zero.
+    * Same single-norm-evaluation fix as [[UnitNormalize]]; the arithmetic
+    * (`(x * 127.0) / n`, then floor, then long) matches the Column
+    * `floor(x.cast("double") * 127.0 / n).cast("long")` and the oracle's
+    * `CAST(floor(x * 127.0 / n) AS BIGINT)` exactly. */
+  case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "quantize_int8"
+
+    private lazy val elemIsFloat = isFloatArray(child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val xs = readVector(arr, elemIsFloat)
+      if (xs == null)
+        return new GenericArrayData(new Array[Any](arr.numElements()))
+      val n = math.sqrt(sumSquares(xs))
+      val out = new Array[Any](xs.length)
+      var i = 0
+      if (n == 0) while (i < xs.length) { out(i) = 0L; i += 1 }
+      else while (i < xs.length) { out(i) = math.floor(xs(i) * 127.0 / n).toLong; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): QuantizeInt8 =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------------ Column sugar
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def unitNormalize(vec: Column): Column =
+    ColumnBridge.column(UnitNormalize(ColumnBridge.expression(vec)))
+
+  def quantizeInt8(vec: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
+}

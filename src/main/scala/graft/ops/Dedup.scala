@@ -299,14 +299,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
+      // The old label rides through the update projection, so convergence is
+      // read off the SAME frame the update join produced (a filter over the
+      // eagerly-materialized checkpoint blocks) — one join and one job per
+      // round, not a second labels-join + isEmpty job re-shuffling the edge
+      // set. Rounds needed = component diameter, unchanged.
       val updated = labels
         .join(nbrMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      converged = updated.join(labels.select(col("id"), col("cluster").as("__old")), Seq("id"))
-        .filter(col("cluster") =!= col("__old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("cluster") =!= col("__old")).isEmpty
+      labels = updated.select(col("id"), col("cluster"))
       it += 1
     }
     require(converged,

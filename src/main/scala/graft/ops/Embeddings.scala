@@ -8,28 +8,28 @@ import org.apache.spark.sql.functions._
   * systems ship to disk — 4× smaller than float32, recall loss ≪ 1% at
   * retrieval time).
   *
-  * All math is row-local `transform` expressions in double with the same
-  * strict evaluation order as [[Similarity.dot]], so an external SQL engine
-  * (the DuckDB oracle) reproduces results bit-for-bit; quantized outputs are
-  * INTEGERS, making cross-engine comparison exact by construction. */
+  * All math is row-local, in double, with the same strict evaluation order
+  * as [[Similarity.dot]], so an external SQL engine (the DuckDB oracle)
+  * reproduces results bit-for-bit; quantized outputs are INTEGERS, making
+  * cross-engine comparison exact by construction. Both operators evaluate
+  * via compiled [[graft.functions.VectorExprs]] expressions: the previous
+  * `transform`-lambda formulation embedded the O(dim) norm fold inside the
+  * per-element lambda, and interpreted HOFs re-evaluate non-lambda subtrees
+  * per element with no CSE — O(dim²) per row (~1000× redundant FLOPs at a
+  * realistic 1024-dim column). One loop per row now; identical doubles
+  * (OpsSpec pins compiled-vs-Column parity). */
 object Embeddings {
 
   /** Unit-L2-normalized copy (zero vectors stay all-zero, not NaN). */
-  def unitNormalize(vec: Column): Column = {
-    val n = Similarity.norm(vec)
-    when(n === 0, transform(vec, _ => lit(0.0)))
-      .otherwise(transform(vec, x => x.cast("double") / n))
-  }
+  def unitNormalize(vec: Column): Column =
+    graft.functions.VectorExprs.unitNormalize(vec)
 
   /** Symmetric int8 quantization against the vector's own L2 norm:
     * `q_i = floor(x_i * 127 / ||x||)` ∈ [-128, 127] (floor, not round —
     * floor is unambiguous on both engines; round's half-way tie rule
     * differs). Zero vectors quantize to all-zero. */
-  def quantizeInt8(vec: Column): Column = {
-    val n = Similarity.norm(vec)
-    when(n === 0, transform(vec, _ => lit(0L)))
-      .otherwise(transform(vec, x => floor(x.cast("double") * 127.0 / n).cast("long")))
-  }
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.VectorExprs.quantizeInt8(vec)
 
   /** Max absolute reconstruction error of [[quantizeInt8]] against the
     * unit-normalized vector, in quantization steps (≤ 1 by construction —

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by per-partition batch operators.
   *
   * The Spark-side plumbing (schema, partition sizing, batch iteration, typed
-  * output) is real; the actual media decode is STUBBED with a deterministic
-  * fake (`fakeDecode`) because no image/audio codec libraries ship in this
-  * environment — swap `decodeFn` for a real codec in production.
+  * output) is real. The IMAGE path decodes for real via `javax.imageio`
+  * (PNG/JPEG/GIF/BMP codecs ship in the JDK — zero extra dependencies);
+  * audio/video decode is STUBBED with a deterministic fake (`fakeDecode`)
+  * because no audio/video codec libraries ship in this environment — swap
+  * `decodeFn` for an ffmpeg-style binding in production.
   *
   * Scale notes: payloads stay in executor memory one partition at a time —
   * size `spark.sql.files.maxPartitionBytes` so (rows/partition × max payload)
@@ -40,9 +42,33 @@ object Multimodal {
       encode(col(payloadFrom), "UTF-8").as("payload"),
       col(sourceCol).as("source"))
 
+  /** Real decode: images go through `javax.imageio` (`ImageIO.read` sniffs
+    * the container format from the payload's magic bytes and returns actual
+    * width/height/channels); payloads ImageIO has no reader for — and the
+    * audio/video modalities, whose codecs the JDK does not ship — fall back
+    * to the deterministic [[fakeDecode]] so the pipeline never throws on a
+    * corrupt or unsupported payload (the decode tier of a crawl pipeline
+    * must absorb garbage, not die on it). */
+  def realDecode(row: MediaRow): MediaFeatures = {
+    if (row.modality == "image") {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      if (img != null) {
+        val base = fakeDecode(row) // byte_len + content_hash stay payload-derived
+        return base.copy(
+          width = img.getWidth,
+          height = img.getHeight,
+          channels = img.getColorModel.getNumComponents)
+      }
+    }
+    fakeDecode(row)
+  }
+
   /** Deterministic fake decode: features derived purely from the payload
     * bytes, so tests are stable and the stub is honest about being fake.
-    * ??? -> replace with a real codec (e.g. javax.imageio / ffmpeg binding). */
+    * Kept as the audio/video path (no JDK codecs for those) and the
+    * undecodable-payload fallback of [[realDecode]]. */
   def fakeDecode(row: MediaRow): MediaFeatures = {
     val len  = row.payload.length
     val hash = row.payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
@@ -60,9 +86,10 @@ object Multimodal {
 
   /** Batch decode: one decoder context per partition (mirrors mapInPandas
     * batch shape — setup once, stream the iterator, never materialize the
-    * partition as a list). */
+    * partition as a list). Defaults to [[realDecode]] — real `javax.imageio`
+    * for images, deterministic stub for audio/video. */
   def decodeFeatures(media: Dataset[MediaRow],
-                     decodeFn: MediaRow => MediaFeatures = fakeDecode): Dataset[MediaFeatures] = {
+                     decodeFn: MediaRow => MediaFeatures = realDecode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder/codec init would go here (amortized, like

@@ -35,10 +35,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, 0.0).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity, evaluated by the compiled
+    * [[graft.functions.VectorExprs.CosineSim]] expression — one three-fold
+    * loop per scored pair. The Column formulation
+    * (`when(d === 0, 0.0).otherwise(dot / d)` with `d = norm(a) * norm(b)`)
+    * referenced `d` in both branches, and interpreted expressions get no
+    * cross-reference CSE: both norms evaluated TWICE per pair in every
+    * exact-rank stage. Identical doubles (same left-to-right summation and
+    * zero guard) — the oracle SQL is unchanged; OpsSpec pins parity. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Per-query top-k in two stages so no reducer absorbs a full corpus's
     * scores. A single `Window.partitionBy(query_id)` ships EVERY scored row

@@ -287,6 +287,67 @@ class OpsSpec extends SparkSpec {
     assert(maxErr <= 1.0) // floor truncates at most one quantization step
   }
 
+  test("vector exprs: compiled cosine/normalize/quantize are bit-identical to the HOF formulation") {
+    // the interpreted Column trees the compiled expressions replaced — kept
+    // here as the parity reference (identical doubles, not approximate)
+    def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def normC(a: org.apache.spark.sql.Column) = sqrt(dotC(a, a))
+    def cosineC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val d = normC(a) * normC(b)
+      when(d === 0, 0.0).otherwise(dotC(a, b) / d)
+    }
+    def unitC(v: org.apache.spark.sql.Column) = {
+      val n = normC(v)
+      when(n === 0, transform(v, _ => lit(0.0)))
+        .otherwise(transform(v, x => x.cast("double") / n))
+    }
+    def quantC(v: org.apache.spark.sql.Column) = {
+      val n = normC(v)
+      when(n === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x.cast("double") * 127.0 / n).cast("long")))
+    }
+    val vecs = (0L until 40L).map(i =>
+        (i, Array.tabulate(16)(d => (math.sin(i * 17.0 + d) * 3).toFloat))) ++
+      Seq((100L, Array.fill(16)(0.0f)),                    // zero vector
+          (101L, Array.tabulate(16)(_.toFloat)),
+          (102L, Array.empty[Float]))                      // empty array
+    val emb = vecs.toDF("vec_id", "embedding")
+    // unary ops: every row must agree exactly (null-safe comparison)
+    val unaryDiff = emb.select(
+        graft.ops.Embeddings.unitNormalize(col("embedding")).as("u_new"), unitC(col("embedding")).as("u_old"),
+        graft.ops.Embeddings.quantizeInt8(col("embedding")).as("q_new"), quantC(col("embedding")).as("q_old"))
+      .filter(!(col("u_new") <=> col("u_old")) || !(col("q_new") <=> col("q_old")))
+    assert(unaryDiff.isEmpty)
+    // cosine over all pairs (incl. zero and empty vectors)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val cosDiff = a.crossJoin(b)
+      .select(Similarity.cosine(col("va"), col("vb")).as("c_new"),
+        cosineC(col("va"), col("vb")).as("c_old"))
+      .filter(!(col("c_new") <=> col("c_old")))
+    assert(cosDiff.isEmpty)
+    // null-element and length-mismatch semantics mirror the HOF trees
+    val weird = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (3L, Array[java.lang.Float](0.0f, 0.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("id", "va", "vb")
+    val weirdDiff = weird.select(
+        Similarity.cosine(col("va"), col("vb")).as("c_new"), cosineC(col("va"), col("vb")).as("c_old"),
+        graft.ops.Embeddings.unitNormalize(col("va")).as("u_new"), unitC(col("va")).as("u_old"),
+        graft.ops.Embeddings.quantizeInt8(col("va")).as("q_new"), quantC(col("va")).as("q_old"))
+      .filter(!(col("c_new") <=> col("c_old")) || !(col("u_new") <=> col("u_old")) ||
+        !(col("q_new") <=> col("q_old")))
+    assert(weirdDiff.isEmpty)
+    // spot-check the semantics themselves (not just parity): zero-norm -> 0.0,
+    // length mismatch -> null, null element -> null
+    val byId = weird.select(col("id"), Similarity.cosine(col("va"), col("vb")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(byId(1L) == null && byId(2L) == null && byId(3L) === 0.0)
+  }
+
   test("tokenBigrams: adjacent pairs over normalized text; degenerate inputs empty") {
     val rows = Seq(
       (1L, "The quick brown fox!"),      // normalized: the quick brown fox
@@ -432,6 +493,28 @@ class OpsSpec extends SparkSpec {
     assert(Seq("media_id", "modality", "byte_len").forall(feats.columns.contains))
     val decoded = Multimodal.decodePipeline(spark, docs)
     assert(decoded.count() === 5L)
+  }
+
+  test("multimodal: real PNG payloads decode to actual dimensions via javax.imageio") {
+    // encode a real 7×5 PNG in-test (javax.imageio ships in the JDK)
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(x => (0 until 5).foreach(y => img.setRGB(x, y, (x * 40 + y) << 8)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, "test"),               // real PNG
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes, "test"), // garbage -> fallback
+      Multimodal.MediaRow(3L, "audio", png, "test"))               // wrong modality -> stub
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 7 && feats(1L).height === 5 && feats(1L).channels === 3)
+    assert(feats(1L).byte_len === png.length)
+    // undecodable image payload falls back to the deterministic stub, never throws
+    assert(feats(2L).width === Multimodal.fakeDecode(
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes, "test")).width)
+    // audio stays on the stub path (no JDK codec)
+    assert(feats(3L).sample_rate === 16000 && feats(3L).width === 0)
   }
 
   test("multimodal: frame sampling emits n deterministic offsets; resize bounds output size") {
