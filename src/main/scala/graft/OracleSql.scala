@@ -710,6 +710,58 @@ object OracleSql {
     lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id)
     SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster"""
 
+  /** Per-line dedup — the same 3-token line synthesis over the shared
+    * normalization, then global first-occurrence survival per packed 56-bit
+    * line hash ordered by (doc_id, pos), blank lines always kept, documents
+    * reassembled from survivors in position order (mirrors
+    * graft.ops.LineDedup.perLineDedup + SparkEntry.q47's synthesis). */
+  private val q47 = s"""
+    WITH norm AS (SELECT doc_id, source,
+        regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
+    ml AS (SELECT doc_id, source,
+        list_transform(range(0, ((len(tk) - 1) // 3) + 1),
+          i -> array_to_string(list_slice(tk, 3 * i + 1, 3 * i + 3), ' ')) AS lines
+      FROM norm),
+    lx AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(lines) + 1),
+          i -> {'pos': i - 1, 'line': lines[i]})) AS s
+      FROM ml),
+    l2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM lx),
+    elig AS (SELECT doc_id, pos, line,
+        row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 14))::BIGINT
+          ORDER BY doc_id, pos) AS rn
+      FROM l2 WHERE length(trim(line)) >= 1),
+    kept AS (SELECT doc_id, pos, line FROM elig WHERE rn = 1
+      UNION ALL SELECT doc_id, pos, line FROM l2 WHERE length(trim(line)) < 1),
+    re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT m.source, COUNT(*) AS n_docs,
+      CAST(SUM(coalesce(r.n_kept, 0)) AS BIGINT) AS n_lines_kept,
+      CAST(SUM(len(m.lines) - coalesce(r.n_kept, 0)) AS BIGINT) AS n_lines_dropped,
+      CAST(SUM(length(coalesce(r.text, ''))) AS BIGINT) AS dedup_chars
+    FROM ml m LEFT JOIN re r USING (doc_id)
+    GROUP BY m.source"""
+
+  /** TF-IDF term profile — q45's integer aggregates with
+    * idf = ln(total_sources / n_sources) in the same fixed double
+    * evaluation order as the Spark column. */
+  private val q48 = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    bysrc AS (SELECT tok, COUNT(*) AS n_sources FROM tf GROUP BY 1),
+    nt AS (SELECT COUNT(DISTINCT source) AS n_total FROM documents),
+    scored AS (SELECT f.source, f.tok, f.tf, b.n_sources,
+        CAST(f.tf AS DOUBLE) * ln(CAST(n.n_total AS DOUBLE) / CAST(b.n_sources AS DOUBLE)) AS tfidf
+      FROM tf f JOIN bysrc b USING (tok) CROSS JOIN nt n),
+    ranked AS (SELECT source, tok, tf, n_sources, tfidf,
+        row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, tok) AS rank
+      FROM scored)
+    SELECT source, CAST(rank AS BIGINT) AS rank, tok, CAST(tf AS BIGINT) AS tf,
+      CAST(n_sources AS BIGINT) AS n_sources, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rank <= 5"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -758,6 +810,8 @@ object OracleSql {
     "q43_quantize_int8"     -> q43,
     "q44_repetition"        -> q44,
     "q45_top_terms"         -> q45,
-    "q46_near_dup_clusters" -> q46
+    "q46_near_dup_clusters" -> q46,
+    "q47_line_dedup"        -> q47,
+    "q48_tfidf_terms"       -> q48
   ).map { case (k, v) => k -> clean(v) }
 }

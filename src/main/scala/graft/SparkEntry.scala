@@ -9,7 +9,7 @@ import graft.analytics.Analytics
 import graft.cleanse.Cleanse
 import graft.cleanse.Cleanse.Rule
 import graft.functions.Standardize
-import graft.ops.{Dedup, Embeddings, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, LineDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.FlightStatus
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -537,6 +537,48 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_members"))
   }
 
+  /** Per-line dedup (boilerplate removal): the sf text is single-line token
+    * soup, so the query synthesizes multi-line documents first — 3-token
+    * lines from the shared normalization, joined by `\n` (the same
+    * synthesize-raw-inputs pattern as q14–q18) — then runs the real operator:
+    * every line keeps only its globally-first occurrence and documents are
+    * reassembled from their survivors ([[LineDedup.perLineDedup]]). */
+  private def q47LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")
+    val lastChunk = ((size(toks) - 1) / lit(3)).cast("int") // floor: ≥ 0 (split('') = [''])
+    val mlText = array_join(
+      transform(sequence(lit(0), lastChunk),
+        i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))), "\n")
+    val ml = t(s, dir, "documents").select(col("doc_id"), col("source"), mlText.as("text"))
+    LineDedup.perLineDedup(ml)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines_kept")).as("n_lines_kept"),
+        sum(col("n_lines_dropped")).as("n_lines_dropped"),
+        sum(length(col("text")).cast("long")).as("dedup_chars"))
+  }
+
+  /** TF-IDF distinctive-term profile (q45 extended): idf = ln(total sources /
+    * n_sources) over the same integer aggregates, rank per source by tf·idf.
+    * The double math is one fixed-order formula —
+    * `CAST(tf) * ln(CAST(total) / CAST(n_sources))` — evaluated identically
+    * by both engines; ties (e.g. the tfidf = 0 mass of everywhere-tokens)
+    * break on the token. The join and window operate on the vocab-sized
+    * (source × token) aggregate, never the corpus. */
+  private def q48Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = sourceTokenCounts(s, dir)
+    val bySource = tf.groupBy(col("tok")).agg(count(lit(1)).as("n_sources"))
+    val total = t(s, dir, "documents").agg(countDistinct(col("source")).as("__nt"))
+    val scored = tf.join(bySource, Seq("tok")).crossJoin(broadcast(total))
+      .withColumn("tfidf", col("tf").cast("double")
+        * log(col("__nt").cast("double") / col("n_sources").cast("double")))
+    val w = Window.partitionBy(col("source")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("tok"), col("tf"), col("n_sources"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -583,7 +625,9 @@ object SparkEntry {
     "q43_quantize_int8"     -> q43QuantizeInt8 _,
     "q44_repetition"        -> q44Repetition _,
     "q45_top_terms"         -> q45TopTerms _,
-    "q46_near_dup_clusters" -> q46Clusters _
+    "q46_near_dup_clusters" -> q46Clusters _,
+    "q47_line_dedup"        -> q47LineDedup _,
+    "q48_tfidf_terms"       -> q48Tfidf _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -270,6 +270,51 @@ object Dedup {
       .distinct()
   }
 
+  /** One micro-batch of ingest-time decontamination: mark each document
+    * whose text shares a `shingleK`-token shingle with the (precomputed)
+    * benchmark hash set. `benchHashes` must be the single-column `__h` frame
+    * of distinct packed shingle hashes — pass it broadcast: the probe is
+    * then one map-side semi join per batch, and the only wide op is the
+    * per-batch id distinct (batch-sized, tiny). */
+  def flagContaminated(batch: DataFrame, benchHashes: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       shingleK: Int = 8): DataFrame = {
+    val bad = batch
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .join(benchHashes, Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__bad", lit(true))
+    batch.join(bad, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__bad"), lit(false)))
+      .drop("__bad")
+  }
+
+  /** Streaming twin of [[contamination]] — decontaminate at INGEST time, so
+    * leaked benchmark text never lands unmarked (the batch pass then only
+    * handles benchmark updates). The benchmark's distinct shingle-hash set
+    * is computed and materialized ONCE at stream start (`localCheckpoint` —
+    * not re-derived per micro-batch) and broadcast into every batch's
+    * map-side probe; each micro-batch is flagged via [[flagContaminated]]
+    * and handed to `sink` (e.g. an idempotent append — see
+    * [[graft.streaming.FlightStatus.appendBatchIdempotent]]). State lives in
+    * the broadcast only: nothing accumulates across batches, so the stream
+    * runs indefinitely at constant memory. */
+  def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             shingleK: Int = 8)(
+                             sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .distinct()
+      .localCheckpoint(true)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(flagContaminated(batch, broadcast(benchHashes), textCol, idCol, shingleK))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+  }
+
   /** Connected components over near-duplicate pairs — the step after pair
     * generation in a real dedup pipeline: pairs → clusters → keep one
     * canonical document per cluster. Returns `(id, cluster)` where `cluster`

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-line exact deduplication — the boilerplate-removal pass a web-crawl
+  * pipeline runs BEFORE document-level dedup (nav bars, cookie banners, and
+  * footer lines repeat across millions of pages and poison both quality
+  * scores and near-dup detection): every line keeps only its globally-first
+  * occurrence, ordered by (doc id, line position); later occurrences are
+  * dropped and the documents reassembled from their surviving lines.
+  *
+  * == 100 TB shape ==
+  * No shuffle ever carries line TEXT:
+  *  1. the explode → trim-gate → hash projection is entirely row-local, so
+  *     the first wide op sees only `(id, pos, 8-byte line hash)` rows;
+  *  2. survivors are `min(struct(id, pos))` per hash — a hash aggregate with
+  *     map-side partial combine, which makes the billion-occurrence
+  *     boilerplate line a non-problem (each map task pre-reduces it to one
+  *     candidate; a window/row_number formulation would instead ship every
+  *     occurrence of the hottest line to one reducer);
+  *  3. keep-marks (`(id, pos)` ints) group back to one position list per
+  *     document;
+  *  4. reassembly joins the ORIGINAL documents to those lists on id — the
+  *     single shuffle of document text in the whole operator — and filters
+  *     the re-split lines row-locally.
+  *
+  * Line identity is the packed 56-bit md5 prefix (the repo-standard portable
+  * hash — DuckDB: `('0x' || substr(md5(line), 1, 14))::BIGINT`), so the
+  * oracle reproduces survivor choices exactly; 56-bit collisions conflate
+  * distinct lines identically on both engines.
+  */
+object LineDedup {
+
+  /** Packed 56-bit md5 of a line — `conv(substring(md5(l), 1, 14), 16, 10)`. */
+  def lineHash(line: Column): Column =
+    conv(substring(md5(line), 1, 14), 16, 10).cast("long")
+
+  /** Documents with each line kept only at its global first occurrence.
+    * Lines whose trimmed length is below `minLineLen` (blank separators and
+    * the like) never participate in dedup — they are always kept, so
+    * document structure survives. Returns the input columns with `textCol`
+    * rewritten to the surviving lines (joined by `\n`) plus
+    * `n_lines_total` / `n_lines_kept` / `n_lines_dropped` audit columns;
+    * every input document is preserved (a fully-duplicate document comes
+    * back with empty text and kept = 0). */
+  def perLineDedup(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", minLineLen: Int = 1): DataFrame = {
+    val arr = split(coalesce(col(textCol), lit("")), "\n")
+    val lines = docs.select(col(idCol).as("__ld_id"),
+      posexplode(arr).as(Seq("pos", "line")))
+    val isEligible = length(trim(col("line"))) >= minLineLen
+    // row-local projection to (id, pos, hash): the line string never enters
+    // a shuffle
+    val eligible = lines.filter(isEligible)
+      .select(col("__ld_id"), col("pos"), lineHash(col("line")).as("__h"))
+    val survivors = eligible.groupBy(col("__h"))
+      .agg(min(struct(col("__ld_id").as("id"), col("pos").as("p"))).as("k"))
+      .select(col("k.id").as("__ld_id"), col("k.p").as("pos"))
+    val keptMarks = survivors.unionByName(
+      lines.filter(!isEligible).select(col("__ld_id"), col("pos")))
+    val keepLists = keptMarks.groupBy(col("__ld_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    docs.join(keepLists, col(idCol) === col("__ld_id"), "left")
+      .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
+      .withColumn("n_lines_total", size(arr).cast("long"))
+      // reassemble row-locally: re-split the original text, keep marked
+      // positions in order (filter preserves array order = pos ascending)
+      .withColumn(textCol,
+        array_join(filter(arr, (_, i) => array_contains(col("__keep"), i)), "\n"))
+      .withColumn("n_lines_kept", size(col("__keep")).cast("long"))
+      .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
+      .drop("__ld_id", "__keep")
+  }
+}

@@ -373,6 +373,31 @@ class OpsSpec extends SparkSpec {
     assert(st(4L) === 0.0)
   }
 
+  test("perLineDedup: global first occurrence survives, blank lines always kept, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "alpha\nshared boilerplate\nbeta"),
+      (2L, "shared boilerplate\n\ngamma"),    // boilerplate dropped (doc 1 owns it); blank kept
+      (3L, "shared boilerplate"),             // fully duplicate -> empty text, 0 kept
+      (4L, null.asInstanceOf[String]),        // null -> '' -> one blank line, kept
+      (5L, "alpha"))                          // dup of doc 1's first line
+      .toDF("doc_id", "text").withColumn("source", lit("t"))
+    val out = graft.ops.LineDedup.perLineDedup(docs)
+      .select("doc_id", "text", "n_lines_total", "n_lines_kept", "n_lines_dropped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("alpha\nshared boilerplate\nbeta", 3L, 3L, 0L)))
+    assert(out(2L) === (("\ngamma", 3L, 2L, 1L)))
+    assert(out(3L) === (("", 1L, 0L, 1L)))
+    assert(out(4L) === (("", 1L, 1L, 0L)))
+    assert(out(5L) === (("", 1L, 0L, 1L)))
+    // a longer minLineLen exempts short lines from dedup entirely
+    val loose = graft.ops.LineDedup.perLineDedup(docs, minLineLen = 6)
+      .select("doc_id", "n_lines_dropped").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose(5L) === 0L) // "alpha" (5 chars) is below the gate -> kept
+    assert(loose(2L) === 1L) // "shared boilerplate" still dedups
+  }
+
   test("nearDupClusters: chains collapse to min-id components beyond 2 hops; loud non-convergence bound") {
     // chain 1-2-3-4-5-6 (diameter 5 forces several propagation rounds),
     // a separate pair (10, 11), and a singleton edge pair (20, 21)

@@ -204,6 +204,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 3L))
   }
 
+  test("streaming decontamination: benchmark-overlapping docs are flagged at ingest, clean docs pass") {
+    val base = SparkSpec.tempDir("graft_streamdecon_")
+    val in = s"$base/in"
+    val outDir = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // benchmark: one 10-token sentence; doc 1 embeds its full 8-gram window,
+    // doc 2 shares nothing
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/docs.jsonl"), Seq(
+      s"""{"doc_id":1,"text":"PREFIX $benchText SUFFIX"}""",
+      """{"doc_id":2,"text":"completely unrelated content about spark distributed computing engines"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = graft.ops.Dedup.streamingDecontaminate(stream, benchmark) { flagged =>
+      flagged.write.mode("append").parquet(outDir)
+    }.option("checkpointLocation", s"$base/cp").start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(rows === Map(1L -> true, 2L -> false))
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Kafka-wire JSON values (one per line) for the text file source. */
