@@ -710,18 +710,19 @@ object OracleSql {
     lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id)
     SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster"""
 
-  /** Per-line dedup — the same 3-token line synthesis over the shared
-    * normalization, then global first-occurrence survival per packed 56-bit
-    * line hash ordered by (doc_id, pos), blank lines always kept, documents
-    * reassembled from survivors in position order (mirrors
-    * graft.ops.LineDedup.perLineDedup + SparkEntry.q47's synthesis). */
+  /** Per-line dedup — the same every-3rd-space → newline line synthesis
+    * over the shared normalization (left-to-right non-overlapping regex
+    * replace, identical semantics in RE2 and Java regex), then global
+    * first-occurrence survival per packed 56-bit line hash ordered by
+    * (doc_id, pos), blank lines always kept, documents reassembled from
+    * survivors in position order (mirrors graft.ops.LineDedup.perLineDedup
+    * + SparkEntry.q47's synthesis). */
   private val q47 = s"""
-    WITH norm AS (SELECT doc_id, source,
-        regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
-    ml AS (SELECT doc_id, source,
-        list_transform(range(0, ((len(tk) - 1) // 3) + 1),
-          i -> array_to_string(list_slice(tk, 3 * i + 1, 3 * i + 3), ' ')) AS lines
-      FROM norm),
+    WITH ml AS (SELECT doc_id, source,
+        regexp_split_to_array(
+          regexp_replace($dedupNormSql, '(\\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g'),
+          chr(10)) AS lines
+      FROM documents),
     lx AS (SELECT doc_id,
         unnest(list_transform(range(1, len(lines) + 1),
           i -> {'pos': i - 1, 'line': lines[i]})) AS s

@@ -98,6 +98,31 @@ object ScaleProbe {
           .agg(coalesce(sum(when(col("f") > 0.18, 1L).otherwise(0L)), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("quantize_int8", n) {
+        // sum a value derived from every quantized element so the compiled
+        // expression runs for every row (q43's histogram shape)
+        e.select(explode(graft.ops.Embeddings.quantizeInt8(col("embedding"))).as("q"))
+          .agg(coalesce(sum(col("q")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("near_dup_clusters", n) {
+        Dedup.nearDupClusters(
+          Dedup.minhashNearDups(d, threshold = 0.7, numHashes = 64, bands = 16,
+            shingleK = 3)).count()
+      }
+      timed("line_dedup", n) {
+        // 3-token synthesized lines (q47's shape — single regex pass, NOT a
+        // transform lambda: an interpreted HOF re-evaluates the normalize
+        // subtree per chunk, which this probe caught at ~37× per doc);
+        // collect total kept chars so the reassembly projection evaluates
+        val ml = d.select(col("doc_id"), col("source"),
+          regexp_replace(
+            graft.ops.TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
+            "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+        graft.ops.LineDedup.perLineDedup(ml)
+          .agg(coalesce(sum(length(col("text")).cast("long")), lit(0L)))
+          .collect().head.getLong(0)
+      }
     }
     spark.stop()
   }

@@ -539,16 +539,22 @@ object SparkEntry {
 
   /** Per-line dedup (boilerplate removal): the sf text is single-line token
     * soup, so the query synthesizes multi-line documents first — 3-token
-    * lines from the shared normalization, joined by `\n` (the same
-    * synthesize-raw-inputs pattern as q14–q18) — then runs the real operator:
-    * every line keeps only its globally-first occurrence and documents are
-    * reassembled from their survivors ([[LineDedup.perLineDedup]]). */
+    * lines from the shared normalization (the same synthesize-raw-inputs
+    * pattern as q14–q18) — then runs the real operator: every line keeps
+    * only its globally-first occurrence and documents are reassembled from
+    * their survivors ([[LineDedup.perLineDedup]]).
+    *
+    * The synthesis is ONE regex pass — every 3rd space becomes `\n`
+    * (left-to-right non-overlapping replace, identical in Java regex and
+    * RE2) — NOT a `transform` lambda slicing a token array: an interpreted
+    * HOF re-evaluates the normalize+split subtree per chunk (~n_tokens/3
+    * full normalizations per document — the CollapseProject trap documented
+    * in [[graft.ops.Dedup]]), which a two-point probe caught as a
+    * scale-killer before this formulation replaced it. */
   private def q47LineDedup(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")
-    val lastChunk = ((size(toks) - 1) / lit(3)).cast("int") // floor: ≥ 0 (split('') = [''])
-    val mlText = array_join(
-      transform(sequence(lit(0), lastChunk),
-        i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3)))), "\n")
+    val mlText = regexp_replace(
+      TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
+      "(\\S+ \\S+ \\S+) ", "$1\n")
     val ml = t(s, dir, "documents").select(col("doc_id"), col("source"), mlText.as("text"))
     LineDedup.perLineDedup(ml)
       .groupBy(col("source"))

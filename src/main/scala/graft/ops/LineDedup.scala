@@ -43,7 +43,15 @@ object LineDedup {
     * rewritten to the surviving lines (joined by `\n`) plus
     * `n_lines_total` / `n_lines_kept` / `n_lines_dropped` audit columns;
     * every input document is preserved (a fully-duplicate document comes
-    * back with empty text and kept = 0). */
+    * back with empty text and kept = 0).
+    *
+    * `textCol` must be a STORED (or cheap) column: the plan references it in
+    * the line explode, the total count, and the reassembly filter, and
+    * Catalyst's CollapseProject inlines a derived-column definition into
+    * every reference — a synthesized expensive text expression would be
+    * re-evaluated three times per document (localCheckpoint such inputs
+    * first, or better, derive them with non-HOF single-pass expressions —
+    * see the q47 synthesis note in [[graft.SparkEntry]]). */
   def perLineDedup(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", minLineLen: Int = 1): DataFrame = {
     val arr = split(coalesce(col(textCol), lit("")), "\n")
