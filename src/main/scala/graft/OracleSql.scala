@@ -763,6 +763,115 @@ object OracleSql {
       CAST(n_sources AS BIGINT) AS n_sources, round(tfidf, 6) AS tfidf
     FROM ranked WHERE rank <= 5"""
 
+  /** Quality gates — the same integer statistics and cross-multiplied
+    * thresholds as graft.ops.QualityGates (list_intersect dedups like
+    * Spark's array_intersect; '' splits to [''] on both engines). */
+  private val q49 = s"""
+    WITH x0 AS (SELECT source,
+        CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' the cat and the dog of it to go'
+             ELSE coalesce(text, '') END AS text
+      FROM documents),
+    x AS (SELECT source, coalesce(text, '') AS raw, $dedupNormSql AS nm FROM x0),
+    st AS (SELECT source,
+        CASE WHEN length(nm) = 0 THEN 0 ELSE len(regexp_split_to_array(nm, ' ')) END AS n_tokens,
+        CASE WHEN length(nm) = 0 THEN 0 ELSE length(nm) - (len(regexp_split_to_array(nm, ' ')) - 1) END AS n_word_chars,
+        length(raw) - length(regexp_replace(raw, '[.,!?;:]', '', 'g')) AS n_symbols,
+        len(list_filter(regexp_split_to_array(nm, ' '), t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+        len(list_intersect(regexp_split_to_array(nm, ' '), ['the', 'and', 'of', 'to'])) AS n_stop
+      FROM x),
+    g AS (SELECT source,
+        (n_tokens >= 50 AND n_tokens <= 100000) AS g1,
+        (n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10) AS g2,
+        (n_symbols * 10 <= n_tokens * 1) AS g3,
+        (n_alpha * 100 >= n_tokens * 80) AS g4,
+        (n_stop >= 2) AS g5
+      FROM st)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+      CAST(SUM(CASE WHEN NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+      CAST(SUM(CASE WHEN NOT g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+      CAST(SUM(CASE WHEN NOT g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+      CAST(SUM(CASE WHEN NOT g5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+      CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM g GROUP BY source"""
+
+  /** OOV profile — top-20 head vocabulary by (tf desc, tok), per-doc OOV
+    * counts, 20% threshold cross-multiplied (mirrors graft.ops.Lexicon). */
+  private val q50 = s"""
+    WITH toks AS (SELECT doc_id, source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tfall AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM tfall ORDER BY tf DESC, tok LIMIT 20),
+    perdoc AS (SELECT t.doc_id, t.source, COUNT(*) AS n_tokens,
+        SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+      CAST(SUM(CASE WHEN n_oov * 5 > n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
+    FROM perdoc GROUP BY source"""
+
+  /** SemDeDup — corpus ∪ exact clones of vec_id < 50 (ids + 1000000), q35's
+    * centroid-sample/cell-assignment CTEs over the unioned corpus, bounded
+    * within-cell pairs at cosine ≥ 0.95, recursive-CTE closure (q46's
+    * pattern), survivors = cluster minimum (mirrors
+    * graft.ops.Similarity.semDedup + SparkEntry.q51's synthesis). */
+  private val q51 = s"""
+    WITH RECURSIVE eb AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id AS BIGINT) + 1000000, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 50),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM eb
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id LIMIT 32),
+    ccos AS (SELECT e.vec_id AS id, c.cid,
+        CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos
+      FROM eb e CROSS JOIN cent c),
+    cells AS (SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos) WHERE rn = 1),
+    sized AS (SELECT cid, COUNT(*) AS n FROM cells GROUP BY cid),
+    cpairs AS (SELECT ca.id AS id_a, cb.id AS id_b
+      FROM cells ca JOIN cells cb ON ca.cid = cb.cid AND ca.id < cb.id
+      JOIN sized sz ON ca.cid = sz.cid WHERE sz.n BETWEEN 2 AND 1000),
+    dup AS (SELECT id_a, id_b FROM cpairs
+      JOIN eb a ON a.vec_id = id_a
+      JOIN eb b ON b.vec_id = id_b
+      WHERE $cosineSql >= 0.95),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM dup UNION SELECT id_b, id_a FROM dup),
+    walk AS (SELECT src AS id, dst AS reach FROM edges
+      UNION SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id),
+    verd AS (SELECT c.id, c.cid AS cell,
+        (l.cluster IS NULL OR l.cluster = c.id) AS keep
+      FROM cells c LEFT JOIN lab l ON c.id = l.id)
+    SELECT cell, COUNT(*) AS n_vecs,
+      CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      CAST(COALESCE(SUM(CASE WHEN NOT keep THEN id END), 0) AS BIGINT) AS sum_dropped_ids
+    FROM verd GROUP BY cell"""
+
+  /** Nearest-rank percentiles — token count mirrors q24/q42's formula; the
+    * target rank floor((p·n + 99) / 100.0) is the same double-exact
+    * expression on both engines (mirrors
+    * graft.ops.TextAnalysis.nearestRankPercentiles). */
+  private val q52 = """
+    WITH d AS (SELECT source, doc_id,
+        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens
+      FROM documents),
+    r AS (SELECT source, n_tokens,
+        row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d),
+    px AS (SELECT r.*, p FROM r, (VALUES (50), (90), (99)) pv(p))
+    SELECT source, CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n_rows,
+      CAST(n_tokens AS BIGINT) AS value_at_p
+    FROM px WHERE rn = CAST(floor((p * n + 99) / 100.0) AS BIGINT)"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -813,6 +922,10 @@ object OracleSql {
     "q45_top_terms"         -> q45,
     "q46_near_dup_clusters" -> q46,
     "q47_line_dedup"        -> q47,
-    "q48_tfidf_terms"       -> q48
+    "q48_tfidf_terms"       -> q48,
+    "q49_quality_gates"     -> q49,
+    "q50_oov_profile"       -> q50,
+    "q51_semdedup"          -> q51,
+    "q52_length_percentiles"-> q52
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -9,7 +9,7 @@ import graft.analytics.Analytics
 import graft.cleanse.Cleanse
 import graft.cleanse.Cleanse.Rule
 import graft.functions.Standardize
-import graft.ops.{Dedup, Embeddings, LineDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Lexicon, LineDedup, Multimodal, Packing, QualityGates, Sampling, Similarity, TextAnalysis}
 import graft.streaming.FlightStatus
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -585,6 +585,58 @@ object SparkEntry {
         round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Gopher-style rule gates ([[QualityGates]]): per-source counts of
+    * documents failing each gate and passing all — every verdict an integer
+    * comparison, so the audit is engine-exact. The synthetic corpus contains
+    * no English function words, which would fail the stopword gate on EVERY
+    * document and never exercise the full conjunction — so every 5th
+    * document gets a stopword-bearing suffix appended (the q14–q18
+    * synthesize-inputs pattern), making `n_pass` a real variable. */
+  private def q49QualityGates(s: SparkSession, dir: String): DataFrame = {
+    val suffixed = t(s, dir, "documents").withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(coalesce(col("text"), lit("")), lit(" the cat and the dog of it to go")))
+        .otherwise(col("text")))
+    QualityGates.gateAudit(suffixed, "source")
+  }
+
+  /** Lexical coverage ([[Lexicon]]): per-source OOV profile against the
+    * corpus's own top-20 head vocabulary (the synthetic corpus holds ~31
+    * distinct tokens, so a 20-token head leaves a real OOV tail; production
+    * K is 10⁴–10⁵ — same plan, bigger broadcast). */
+  private def q50OovProfile(s: SparkSession, dir: String): DataFrame =
+    Lexicon.oovAudit(t(s, dir, "documents"), k = 20)
+
+  /** SemDeDup-style cluster-scoped embedding dedup ([[Similarity.semDedup]]).
+    * Random synthetic embeddings hold no natural near-dups at sf scale (q34
+    * finds zero at 0.6), so the query unions in EXACT duplicates of the
+    * first 50 vectors under shifted ids — the same synthesize-inputs pattern
+    * as q09/q14-q18 — and the operator must then drop precisely the 50
+    * clones (each clone pairs with its original at cosine 1.0 inside the
+    * original's cell, and the canonical survivor is the smaller id). */
+  private def q51SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val clones = base.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    Similarity.semDedup(base.unionByName(clones), threshold = 0.95, numCentroids = 32)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(!col("keep"), col("id"))), lit(0L)).as("sum_dropped_ids"))
+  }
+
+  /** Token-length distribution percentiles per source
+    * ([[TextAnalysis.nearestRankPercentiles]] — nearest-rank, integer-exact;
+    * the profile a packing stage's token budget is tuned against). */
+  private def q52LengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nearestRankPercentiles(
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tokens")),
+      valueCol = "n_tokens", groupCol = "source", idCol = "doc_id",
+      percentiles = Seq(50, 90, 99))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -633,7 +685,11 @@ object SparkEntry {
     "q45_top_terms"         -> q45TopTerms _,
     "q46_near_dup_clusters" -> q46Clusters _,
     "q47_line_dedup"        -> q47LineDedup _,
-    "q48_tfidf_terms"       -> q48Tfidf _
+    "q48_tfidf_terms"       -> q48Tfidf _,
+    "q49_quality_gates"     -> q49QualityGates _,
+    "q50_oov_profile"       -> q50OovProfile _,
+    "q51_semdedup"          -> q51SemDedup _,
+    "q52_length_percentiles"-> q52LengthPercentiles _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical-coverage operators: corpus vocabulary extraction and per-document
+  * out-of-vocabulary (OOV) profiling — the "does this document look like the
+  * language the tokenizer was trained on" signal a pre-training pipeline uses
+  * for quality scoring and mixture diagnostics (a high OOV rate against the
+  * corpus's own head vocabulary marks gibberish, boilerplate markup, or
+  * wrong-language contamination).
+  *
+  * Scale shape: the vocabulary is a `TakeOrderedAndProject` over the
+  * (vocab-sized, NOT corpus-sized) token-frequency aggregate — per-partition
+  * top-K merged on the driver, no global sort — and rides into the probe join
+  * as a broadcast. The per-document aggregation shuffles only
+  * `(doc_id, group, 2 ints)` with map-side partial combine; token strings
+  * never cross the wire after the frequency aggregate.
+  *
+  * Engine-exactness: counts are integers; the high-OOV verdict cross-
+  * multiplies (`5 * n_oov > n_tokens` for the 20% threshold) instead of
+  * dividing; top-K cutoff ties break on the token string — a total order both
+  * engines reproduce.
+  */
+object Lexicon {
+
+  /** Corpus-wide token frequencies over the shared normalization (one hash
+    * aggregate with map-side combine). */
+  def tokenFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The head vocabulary: top-`k` tokens by (tf desc, tok) — deterministic
+    * cutoff, executed as TakeOrderedAndProject over the frequency aggregate. */
+  def topVocab(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    tokenFrequencies(docs, textCol)
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(k)
+
+  /** Per-document token/OOV counts against the top-`k` head vocabulary.
+    * Keeps `idCol` and `groupCol`; an empty document contributes its single
+    * empty-string token (split('') = ['']) on both engines. */
+  def oovStats(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), col(groupCol),
+      explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+    val vocab = broadcast(topVocab(docs, k, textCol).select(col("tok"), lit(1).as("__v")))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Per-group OOV audit: document counts, token/OOV totals, and the number
+    * of documents whose OOV rate exceeds 20% (integer cross-multiply). */
+  def oovAudit(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               groupCol: String = "source", textCol: String = "text"): DataFrame =
+    oovStats(docs, k, idCol, groupCol, textCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_oov")).as("total_oov"),
+        sum(when(col("n_oov") * 5 > col("n_tokens"), 1L).otherwise(0L)).as("n_high_oov"))
+}

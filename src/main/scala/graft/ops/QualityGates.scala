@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality gates (the Gopher/C4 family of corpus
+  * filters): cheap integer statistics over the normalized text, each compared
+  * against a fixed threshold, with a document passing only when every gate
+  * holds. The production use is the pre-training corpus hygiene pass that
+  * runs BEFORE the expensive dedup/ANN stages and typically removes a double-
+  * digit percentage of crawled documents.
+  *
+  * Engine-exactness: every gate is an INTEGER comparison (ratio thresholds
+  * are cross-multiplied, e.g. `10 * n_symbols <= n_tokens` instead of
+  * `n_symbols / n_tokens <= 0.1`), so the DuckDB oracle reproduces each
+  * verdict bit-for-bit with no float rounding surface.
+  *
+  * Scale shape: all statistics are row-local Column expressions — the only
+  * exchange in a gate query is whatever aggregation the caller adds. The
+  * normalize subtree is referenced by several gates and Catalyst's
+  * CollapseProject inlines it per reference (~5 evaluations/row); that is a
+  * deliberate constant-factor trade against a custom expression — each gate
+  * stays an independently testable Column, and unlike the q44/q43 cases the
+  * re-evaluated subtree is one regex pass, not a per-element loop (no O(n²)
+  * blow-up; see graft.ops.Dedup's single-evaluation discipline note).
+  */
+object QualityGates {
+
+  /** Stopword presence set (Gopher's "contains at least 2 stop words" gate,
+    * reduced to the 4 highest-frequency English function words shared with
+    * [[TextAnalysis.LangMarkers]]). */
+  val StopSet: Seq[String] = Seq("the", "and", "of", "to")
+
+  /** Gate thresholds (Gopher-inspired, integer-exact). */
+  val MinTokens = 50
+  val MaxTokens = 100000
+  val MinMeanWordLen = 3  // 3 <= total_chars/n_tokens
+  val MaxMeanWordLen = 10 // total_chars/n_tokens <= 10
+  val MaxSymbolRatioTimes10 = 1  // n_symbols/n_tokens <= 0.1
+  val MinAlphaTokenPct = 80      // >= 80% of tokens contain a letter
+  val MinStopKinds = 2
+
+  /** Attach the gate statistics and verdicts to a documents frame. Columns:
+    * `n_tokens`, `n_word_chars`, `n_symbols`, `n_alpha_tokens`,
+    * `n_stop_kinds`, the five `gate_*` booleans, and `passes_all`. */
+  def withGates(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val raw  = coalesce(col(textCol), lit(""))
+    val norm = TextAnalysis.normalizeText(raw)
+    val toks = split(norm, " ")
+    // '' splits to [''] (size 1) on both engines — guard to 0 via length
+    val nTokens = when(length(norm) === 0, 0).otherwise(size(toks))
+    // norm is single-spaced: total word chars = len - (n-1) separators
+    val nWordChars = when(length(norm) === 0, 0).otherwise(length(norm) - (size(toks) - 1))
+    val nSymbols = TextAnalysis.punctCount(raw)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    // distinct stopwords present: array_intersect dedups on both engines
+    val nStopKinds = size(array_intersect(toks, lit(StopSet.toArray)))
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_word_chars", nWordChars)
+      .withColumn("n_symbols", nSymbols)
+      .withColumn("n_alpha_tokens", nAlpha)
+      .withColumn("n_stop_kinds", nStopKinds)
+      .withColumn("gate_word_count",
+        col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens)
+      .withColumn("gate_mean_word_len",
+        col("n_word_chars") >= col("n_tokens") * MinMeanWordLen &&
+          col("n_word_chars") <= col("n_tokens") * MaxMeanWordLen)
+      .withColumn("gate_symbol_ratio",
+        col("n_symbols") * 10 <= col("n_tokens") * MaxSymbolRatioTimes10)
+      .withColumn("gate_alpha_tokens",
+        col("n_alpha_tokens") * 100 >= col("n_tokens") * MinAlphaTokenPct)
+      .withColumn("gate_stopwords", col("n_stop_kinds") >= MinStopKinds)
+      .withColumn("passes_all",
+        col("gate_word_count") && col("gate_mean_word_len") &&
+          col("gate_symbol_ratio") && col("gate_alpha_tokens") && col("gate_stopwords"))
+  }
+
+  /** The filter form: keep only documents passing every gate. */
+  def applyGates(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val gated = withGates(docs, textCol)
+    gated.filter(col("passes_all")).drop(gated.columns.diff(docs.columns): _*)
+  }
+
+  /** Per-group audit: how many documents each gate rejects (a document can
+    * fail several gates — the fail counts are per-gate, not a partition). */
+  def gateAudit(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame = {
+    def fails(gate: String): Column = sum(when(!col(gate), 1L).otherwise(0L))
+    withGates(docs, textCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        fails("gate_word_count").as("n_fail_word_count"),
+        fails("gate_mean_word_len").as("n_fail_word_len"),
+        fails("gate_symbol_ratio").as("n_fail_symbol"),
+        fails("gate_alpha_tokens").as("n_fail_alpha"),
+        fails("gate_stopwords").as("n_fail_stop"),
+        sum(when(col("passes_all"), 1L).otherwise(0L)).as("n_pass"))
+  }
+}

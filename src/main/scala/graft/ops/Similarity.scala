@@ -251,6 +251,73 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the corpus with the IVF quantizer
+    * ([[sampleCentroids]] + one compiled nearest-centroid argmax per row),
+    * then find near-duplicate pairs ONLY within a cell (bounded pairing, the
+    * same explode-combinations shape as [[embeddingNearDups]]), connect them
+    * into components ([[Dedup.nearDupClusters]]) and keep one canonical
+    * vector per component (the smallest id). Returns
+    * `(id, cell, cluster, keep)` for every corpus row.
+    *
+    * Scale shape: the quadratic is doubly bounded — pairs form only inside a
+    * cell (corpus/K rows on average) and cells larger than `maxCell` are
+    * skipped (their members keep `cluster = null` / `keep = true`; count
+    * them via [[semDedupCellStats]] — the same loud-drop discipline as
+    * `Dedup.lshBucketStats`). The CC fixpoint operates on the (tiny) pair
+    * graph only. Centroids ride the task binary as expression parameters,
+    * never plan literals.
+    *
+    * The final label join is deliberately NOT hinted broadcast: SemDeDup's
+    * duplicate mass scales with the corpus's redundancy (tens of percent at
+    * web scale), so the label side is only SOMETIMES broadcast-sized — AQE
+    * converts the shuffle join to a broadcast join at runtime exactly when
+    * the pair graph turns out small, and degrades to a real shuffle join
+    * when it doesn't, instead of OOMing on a hint. */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.95,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               numCentroids: Int = 32, maxCell: Int = 1000): DataFrame = {
+    val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
+    require(centroids.nonEmpty, "semDedup: empty corpus — no centroids")
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .withColumn("cell", element_at(
+        graft.functions.HashExprs.nearestCentroids(col("__v"), centroids, 1), 1))
+    val buckets = assigned.groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("__v"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxCell))
+    val sorted = array_sort(col("xs"))
+    val pairs = buckets
+      .select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.__v"), col("p.b.__v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val clusters = Dedup.nearDupClusters(pairs)
+    assigned.select(col("id"), col("cell"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("keep", col("cluster").isNull || col("cluster") === col("id"))
+  }
+
+  /** Cell-size audit for [[semDedup]]: members of cells past `maxCell` are
+    * never paired — surface how many so the cap is a LOUD bound, not a
+    * silent one. */
+  def semDedupCellStats(corpus: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding", numCentroids: Int = 32,
+                        maxCell: Int = 1000): DataFrame = {
+    val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
+    require(centroids.nonEmpty, "semDedupCellStats: empty corpus — no centroids")
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .withColumn("cell", element_at(
+        graft.functions.HashExprs.nearestCentroids(col("__v"), centroids, 1), 1))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(when(col("n") > maxCell, 1L).otherwise(0L)), lit(0L)).as("n_oversize_cells"),
+        coalesce(sum(when(col("n") > maxCell, col("n")).otherwise(0L)), lit(0L)).as("n_unpaired_members"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH candidates
     * (the embedding-space analogue of MinHash near-dup). Buckets larger than
     * `maxBucket` are dropped (see [[Dedup.lshBucketStats]] for the audit). */

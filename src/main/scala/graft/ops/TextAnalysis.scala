@@ -151,6 +151,33 @@ object TextAnalysis {
       regexp_replace(acc, pattern, s"<$kind>")
     }
 
+  /** Per-group nearest-rank percentiles of an integer value column — the
+    * length-distribution profile a packing/batching stage is tuned against
+    * (e.g. p50/p90/p99 token counts per source). Nearest-rank (the value at
+    * row `ceil(p/100 · n)` of the group's sorted sequence) is INTEGER-exact:
+    * no interpolation, so two engines agree bit-for-bit where a linear-
+    * interpolated percentile would expose float formula differences. The
+    * target rank is `floor((p·n + 99) / 100.0)` — exact in double for any
+    * realistic group size, identical on both engines.
+    *
+    * One window shuffle per group (row_number + count over the same
+    * partition); percentile rows are then a row-local filter. Ties order by
+    * `(value, idCol)` so the ranked sequence is a total order. */
+  def nearestRankPercentiles(df: DataFrame, valueCol: String, groupCol: String,
+                             idCol: String, percentiles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val wg = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .select(col(groupCol), col(valueCol), col("__rn"), col("__n"),
+        explode(array(percentiles.map(p => lit(p.toLong)): _*)).as("p"))
+      .filter(col("__rn") === floor((col("p") * col("__n") + 99) / lit(100.0)).cast("long"))
+      .select(col(groupCol), col("p"), col("__n").as("n_rows"),
+        col(valueCol).as("value_at_p"))
+  }
+
   /** One-call enrichment: attach analysis columns to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

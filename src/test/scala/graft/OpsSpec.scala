@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Lexicon, Multimodal, QualityGates, Similarity, TextAnalysis}
 
 /** Semantic unit tests for the training-data-pipeline operators on corpora
   * small enough to verify by hand (the DuckDB oracle covers them at scale —
@@ -556,5 +556,78 @@ class OpsSpec extends SparkSpec {
       len >= 1 && len <= 16 // ≈ width×height with stride rounding slack
     })
     assert(resized.forall(r => r.getAs[Int]("width") === 4 && r.getAs[Int]("height") === 2))
+  }
+
+  test("quality gates: each gate trips on its own pathology; clean prose passes all") {
+    val clean = ("the lazy and clever foxes jumped right over those sleeping dogs " * 8).trim
+    val gated = QualityGates.withGates(Seq(
+      (0L, clean),                                     // 80 tokens, stopworded, alpha
+      (1L, "too short the and"),                       // < 50 tokens
+      (2L, Seq.fill(60)("1").mkString(" ")),           // numeric: alpha + word-len fail
+      (3L, Seq.fill(60)("abcdefghijklmnop").mkString(" ")), // mean word len 16 > 10
+      (4L, (clean.split(" ").map(_ + ".").mkString(" "))),  // 80 symbols > 8
+      (5L, ("alpha beta gamma delta epsilon zeta " * 10).trim) // no stopwords
+    ).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("gate_word_count"), col("gate_mean_word_len"),
+        col("gate_symbol_ratio"), col("gate_alpha_tokens"), col("gate_stopwords"),
+        col("passes_all"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(gated(0L) === ((true, true, true, true, true, true)))
+    assert(!gated(1L)._1 && !gated(1L)._6)             // word count
+    assert(!gated(2L)._4 && !gated(2L)._2)             // alpha + mean word len
+    assert(!gated(3L)._2 && gated(3L)._4)              // mean word len only
+    assert(!gated(4L)._3)                              // symbol ratio
+    assert(!gated(5L)._5 && gated(5L)._4)              // stopwords only
+    // the filter form keeps exactly the passing docs and the input schema
+    val kept = QualityGates.applyGates(Seq((0L, clean), (1L, "x")).toDF("doc_id", "text"))
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
+  test("lexicon: top-K vocab cutoff is deterministic; OOV counts match by hand") {
+    val d = Seq((0L, "x x x y"), (1L, "y z w")).toDF("doc_id", "text")
+      .withColumn("source", concat(lit("s"), col("doc_id")))
+    // tf: x=3, y=2, z=1, w=1 -> top-2 = {x, y} (z/w tie-broken away by tf)
+    assert(Lexicon.topVocab(d, 2).select("tok").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("x", "y"))
+    val stats = Lexicon.oovStats(d, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats(0L) === ((4L, 0L)))                   // all in vocab
+    assert(stats(1L) === ((3L, 2L)))                   // z, w OOV
+    val audit = Lexicon.oovAudit(d, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: 2*5 > 3 -> high-OOV; doc 0: 0*5 > 4 false
+    assert(audit.toSet === Set(("s0", 1L, 4L, 0L, 0L), ("s1", 1L, 3L, 2L, 1L)))
+  }
+
+  test("semDedup: exact clones drop within their cell, originals and uniques survive") {
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
+    }
+    val clones = Seq((100L, base(3)._2), (101L, base(7)._2))
+    val emb = (base ++ clones).toDF("vec_id", "embedding")
+    val verdicts = Similarity.semDedup(emb, threshold = 0.999, numCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts.size === 42)
+    assert(!verdicts(100L) && !verdicts(101L))         // clones dropped
+    assert(verdicts(3L) && verdicts(7L))               // canonical originals kept
+    assert((0L until 40L).forall(verdicts(_)))         // nothing else dropped
+    // the audit sees every cell and reports no oversize drops at this size
+    val stats = Similarity.semDedupCellStats(emb, numCentroids = 4).collect().head
+    assert(stats.getLong(1) === 0L && stats.getLong(2) === 0L)
+  }
+
+  test("nearestRankPercentiles: ranks land on exact order statistics; singleton group") {
+    val d = ((1 to 10).map(i => ("g", i.toLong, i.toLong)) :+ (("solo", 99L, 7L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val out = TextAnalysis.nearestRankPercentiles(d, "n_tokens", "source", "doc_id",
+        Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // n=10: ranks ceil(5)=5, ceil(9)=9, ceil(9.9)=10
+    assert(out(("g", 50L)) === 5L && out(("g", 90L)) === 9L && out(("g", 99L)) === 10L)
+    // n=1: every percentile is the single value
+    assert(out(("solo", 50L)) === 7L && out(("solo", 99L)) === 7L)
   }
 }
