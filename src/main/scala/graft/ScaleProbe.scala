@@ -110,6 +110,24 @@ object ScaleProbe {
           Dedup.minhashNearDups(d, threshold = 0.7, numHashes = 64, bands = 16,
             shingleK = 3)).count()
       }
+      timed("quality_gates", n) {
+        graft.ops.QualityGates.withGates(d)
+          .agg(coalesce(sum(when(col("passes_all"), 1L).otherwise(0L)), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("oov_profile", n) {
+        graft.ops.Lexicon.oovAudit(d, k = 100)
+          .agg(coalesce(sum(col("total_oov")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("semdedup", n) {
+        // K scales with the corpus (cell size held ~100) — the deployment
+        // shape: SemDeDup's in-cell quadratic is bounded by cell SIZE, so
+        // the operator scales by growing K, not cells
+        Similarity.semDedup(e, threshold = 0.99, numCentroids = (n / 100).toInt)
+          .agg(coalesce(sum(when(!col("keep"), 1L).otherwise(0L)), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("line_dedup", n) {
         // 3-token synthesized lines (q47's shape — single regex pass, NOT a
         // transform lambda: an interpreted HOF re-evaluates the normalize

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the one-call pipeline a pre-training data
+  * team actually runs, composing the library's individually oracle-checked
+  * stages in their canonical order:
+  *
+  *   1. rule-based quality gates ([[QualityGates.applyGates]])
+  *   2. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
+  *      whose every line was boilerplate drop out)
+  *   3. exact document dedup ([[Dedup.exact]], first-wins)
+  *   4. near-duplicate removal ([[Dedup.minhashNearDups]] →
+  *      [[Dedup.nearDupClusters]]; only min-id canonicals survive)
+  *   5. benchmark decontamination ([[Dedup.contamination]])
+  *   6. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *
+  * The order matters and is the industry-standard one: gates first (cheapest,
+  * biggest kill rate), line dedup before document dedup (shared boilerplate
+  * masks real near-dups AND fakes false ones), decontamination after dedup
+  * (fewer docs to probe), sampling last (rates apply to the CLEAN corpus).
+  *
+  * == Materialization ==
+  * Every enabled stage `localCheckpoint`s its survivor frame: each stage's
+  * work runs exactly once (the per-stage audit counts and all downstream
+  * stages read the checkpoint, not the lineage), and the near-dup stage's
+  * iterative clustering starts from a flat plan. On a cluster, swap the
+  * checkpoints for writes to the warehouse between stages — the audit is the
+  * same either way.
+  *
+  * == Scale shape ==
+  * Inherited from the stages themselves (each documented at its definition):
+  * gates are scan-speed, line/exact/near dedup shuffle ids+hashes (never
+  * text, except line-dedup's single reassembly join), contamination probes a
+  * broadcast benchmark hash set, sampling is a row-local hash filter.
+  */
+object Curation {
+
+  /** Which stages run, and their knobs. `benchmark = None` skips
+    * decontamination; `sampleRates = Map.empty` with `defaultRate = 100`
+    * keeps everything (sampling disabled). */
+  case class Config(
+      gates: Boolean = true,
+      lineDedup: Boolean = true,
+      exactDedup: Boolean = true,
+      nearDupThreshold: Option[Double] = Some(0.85),
+      shingleK: Int = 3,
+      decontaminationShingleK: Int = 8,
+      sampleRates: Map[String, Int] = Map.empty,
+      defaultRate: Int = 100)
+
+  /** Surviving corpus plus a per-stage audit `(stage, n_in, n_out)` in
+    * execution order. */
+  case class Result(corpus: DataFrame, audit: DataFrame)
+
+  def curate(docs: DataFrame, benchmark: Option[DataFrame] = None,
+             config: Config = Config(),
+             textCol: String = "text", idCol: String = "doc_id",
+             strataCol: String = "source"): Result = {
+    val spark = docs.sparkSession
+    var stages = List.empty[(String, Long, Long)]
+    var cur = docs.localCheckpoint(true)
+    var n = cur.count()
+
+    def step(name: String, enabled: Boolean)(f: DataFrame => DataFrame): Unit =
+      if (enabled) {
+        val out = f(cur).localCheckpoint(true)
+        val m = out.count()
+        stages ::= ((name, n, m))
+        cur = out; n = m
+      }
+
+    step("quality_gates", config.gates) { d =>
+      QualityGates.applyGates(d, textCol)
+    }
+    step("line_dedup", config.lineDedup) { d =>
+      LineDedup.perLineDedup(d, textCol, idCol)
+        .filter(col("n_lines_kept") > 0)
+        .drop("n_lines_total", "n_lines_kept", "n_lines_dropped")
+    }
+    step("exact_dedup", config.exactDedup) { d =>
+      Dedup.exact(d, textCol, idCol)._1
+    }
+    step("near_dup", config.nearDupThreshold.isDefined) { d =>
+      val pairs = Dedup.minhashNearDups(d, textCol, idCol,
+        threshold = config.nearDupThreshold.get, shingleK = config.shingleK)
+      val dropped = Dedup.nearDupClusters(pairs)
+        .filter(col("cluster") =!= col("id"))
+        .select(col("id").as(idCol))
+      d.join(dropped, Seq(idCol), "left_anti")
+    }
+    step("decontaminate", benchmark.isDefined) { d =>
+      val bad = Dedup.contamination(d, benchmark.get, textCol, idCol,
+        config.decontaminationShingleK)
+      d.join(bad, Seq(idCol), "left_anti")
+    }
+    step("sample", config.sampleRates.nonEmpty || config.defaultRate < 100) { d =>
+      Sampling.stratifiedSample(d, strataCol, config.sampleRates, idCol,
+        config.defaultRate)
+    }
+
+    import spark.implicits._
+    val audit = stages.reverse.toDF("stage", "n_in", "n_out")
+    Result(cur, audit)
+  }
+}

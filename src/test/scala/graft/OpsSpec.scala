@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Lexicon, Multimodal, QualityGates, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Lexicon, Multimodal, QualityGates, Similarity, TextAnalysis}
 
 /** Semantic unit tests for the training-data-pipeline operators on corpora
   * small enough to verify by hand (the DuckDB oracle covers them at scale —
@@ -617,6 +617,44 @@ class OpsSpec extends SparkSpec {
     // the audit sees every cell and reports no oversize drops at this size
     val stats = Similarity.semDedupCellStats(emb, numCentroids = 4).collect().head
     assert(stats.getLong(1) === 0L && stats.getLong(2) === 0L)
+  }
+
+  test("curation pipeline: each stage catches exactly its pathology, audit counts match") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val l = (0 until 8).map(j => s"the and ${words(s"zeta${j}x", 8)}") // 8 distinct 10-token lines
+    val d0 = l.mkString("\n")
+    val d2 = (Seq(l(0), l(1)) ++ (0 until 6).map(j => s"the and ${words(s"eta${j}x", 8)}")).mkString("\n")
+    val line1 = s"the and ${words("gamma", 28)}"; val line2 = words("delta", 30)
+    val d5 = s"the and ${words("alpha", 58)}"
+    val d6 = s"the and ${words("alpha", 56)} beta57 beta58"
+    val contamRun = words("mu", 8)
+    val d7 = s"the and ${words("iota", 50)} $contamRun"
+    val corpus = Seq(
+      (0L, d0, "keep"),                       // survives everything
+      (1L, d0, "keep"),                       // all lines dup of d0 -> dies at line dedup
+      (2L, d2, "keep"),                       // loses 2 boilerplate lines, survives
+      (3L, s"$line1\n$line2", "keep"),        // survives
+      (4L, s"$line1 $line2", "keep"),         // same normalized content -> exact dedup
+      (5L, d5, "keep"),                       // near-dup canonical, survives
+      (6L, d6, "keep"),                       // jaccard ~0.93 with d5 -> near-dup drop
+      (7L, d7, "keep"),                       // shares an 8-token run with benchmark
+      (8L, s"the and ${words("kappa", 58)}", "drop"), // sampled out (rate 0 stratum)
+      (9L, "the and tiny", "keep")            // fails the word-count gate
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, contamRun)).toDF("doc_id", "text")
+    val r = Curation.curate(corpus, benchmark = Some(bench),
+      config = Curation.Config(nearDupThreshold = Some(0.8),
+        sampleRates = Map("keep" -> 100, "drop" -> 0)))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 2L, 3L, 5L))
+    assert(r.corpus.columns.toSeq === Seq("doc_id", "text", "source"))
+    // d2 comes back with exactly its 6 unique lines
+    val d2Text = r.corpus.filter(col("doc_id") === 2L).select("text").collect().head.getString(0)
+    assert(d2Text.split("\n").length === 6 && !d2Text.contains("zeta"))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit === Seq(
+      ("quality_gates", 10L, 9L), ("line_dedup", 9L, 8L), ("exact_dedup", 8L, 7L),
+      ("near_dup", 7L, 6L), ("decontaminate", 6L, 5L), ("sample", 5L, 4L)))
   }
 
   test("nearestRankPercentiles: ranks land on exact order statistics; singleton group") {
