@@ -926,6 +926,9 @@ object OracleSql {
     "q49_quality_gates"     -> q49,
     "q50_oov_profile"       -> q50,
     "q51_semdedup"          -> q51,
-    "q52_length_percentiles"-> q52
+    "q52_length_percentiles"-> q52,
+    // the Bloom pre-filter is exactness-preserving: q53's contract is
+    // "same answer as the exact path", so its oracle IS q39's SQL
+    "q53_decontaminate_bloom" -> q39
   ).map { case (k, v) => k -> clean(v) }
 }

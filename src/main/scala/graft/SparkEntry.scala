@@ -637,6 +637,21 @@ object SparkEntry {
       valueCol = "n_tokens", groupCol = "source", idCol = "doc_id",
       percentiles = Seq(50, 90, 99))
 
+  /** Bloom-accelerated decontamination ([[Dedup.contaminationBloom]]) — the
+    * huge-benchmark scale path. The Bloom pass only PRUNES (no false
+    * negatives) and the confirm join removes its false positives, so the
+    * answer is exactly q39's: the oracle SQL is the identical q39 text. */
+  private def q53DecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs  = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    val bad   = Dedup.contaminationBloom(train, bench, expectedItems = 10000L)
+      .withColumn("__c", lit(1L))
+    train.join(bad, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("__c")).as("n_contaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -689,7 +704,8 @@ object SparkEntry {
     "q49_quality_gates"     -> q49QualityGates _,
     "q50_oov_profile"       -> q50OovProfile _,
     "q51_semdedup"          -> q51SemDedup _,
-    "q52_length_percentiles"-> q52LengthPercentiles _
+    "q52_length_percentiles"-> q52LengthPercentiles _,
+    "q53_decontaminate_bloom" -> q53DecontaminateBloom _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -545,4 +545,221 @@ object HashExprs {
 
   def bigramTopFraction(tokens: Column): Column =
     ColumnBridge.column(BigramTopFraction(ColumnBridge.expression(tokens)))
+
+  /** Bloom-sketch membership probe over a LONG column. The serialized sketch
+    * is constructor DATA (rides the task binary like [[NearestCentroids]]'s
+    * centroids — plan strings render only its byte size), deserialized once
+    * per executor via the transient lazy. Spark's own `might_contain`
+    * insists on a constant/scalar-subquery sketch argument, which a
+    * driver-collected aggregate column is not — carrying the bytes as a
+    * parameter sidesteps that and keeps megabyte sketches out of plan
+    * renderings (the round-3 IVF literal-centroid lesson). An EMPTY byte
+    * array means "empty benchmark": every probe answers false. */
+  case class BloomProbe(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_probe"
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"sketchBytes=${bloomBytes.length}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+      if (bloomBytes.isEmpty) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    override protected def nullSafeEval(input: Any): Any =
+      bf != null && bf.mightContainLong(input.asInstanceOf[Long])
+
+    override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+      copy(child = newChild)
+  }
+
+  def bloomProbe(value: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomProbe(ColumnBridge.expression(value), bloomBytes))
+
+  /** Single-pass quality-gate verdict bitmask over the NORMALIZED text
+    * (child 1; lowercase alnum single-spaced — [[graft.ops.TextAnalysis]]'s
+    * `normalizeText`) plus a pre-computed raw-text symbol count (child 2).
+    * One character walk per row computes token count, word chars, alpha-token
+    * count, and distinct-stopword mask, then folds the five gate comparisons
+    * into bits 0–4 of an INT — returning ONE scalar so CollapseProject
+    * cannot re-evaluate the walk per consumer (the q44 lesson; a 5-field
+    * struct read five times runs five walks). The Column formulation in
+    * [[graft.ops.QualityGates.withGates]] is the semantic reference — OpsSpec
+    * pins bit-for-bit agreement, so a threshold change must touch both.
+    *
+    * Gate bits: 0 = word count, 1 = mean word length, 2 = symbol ratio,
+    * 3 = alpha tokens, 4 = stopwords. All five set = 0x1F = passes all. */
+  case class QualityGateBits(norm: Expression, nSymbols: Expression,
+                             minTokens: Int, maxTokens: Int,
+                             minMeanWordLen: Int, maxMeanWordLen: Int,
+                             maxSymbolRatioTimes10: Int, minAlphaTokenPct: Int,
+                             minStopKinds: Int, stopSet: IndexedSeq[String])
+    extends Expression with CodegenFallback {
+
+    override def children: Seq[Expression] = Seq(norm, nSymbols)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = norm.nullable || nSymbols.nullable
+    override def prettyName: String = "quality_gate_bits"
+    override def flatArguments: Iterator[Any] =
+      Iterator(norm, nSymbols, s"gates=5", s"stopSet=${stopSet.length}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private lazy val stops: Array[String] = stopSet.toArray
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val n0 = norm.eval(input)
+      val s0 = nSymbols.eval(input)
+      if (n0 == null || s0 == null) return null
+      val s = n0.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val nSym = s0.asInstanceOf[Int]
+      var nTokens = 0; var nAlpha = 0; var stopMask = 0
+      val len = s.length
+      if (len > 0) {
+        var start = 0
+        var i = 0
+        while (i <= len) {
+          if (i == len || s.charAt(i) == ' ') {
+            nTokens += 1
+            var hasAlpha = false
+            var j = start
+            while (j < i && !hasAlpha) {
+              val c = s.charAt(j)
+              if (c >= 'a' && c <= 'z') hasAlpha = true
+              j += 1
+            }
+            if (hasAlpha) nAlpha += 1
+            val tl = i - start
+            var k = 0
+            while (k < stops.length) {
+              val w = stops(k)
+              if (tl == w.length && s.regionMatches(start, w, 0, tl)) stopMask |= 1 << k
+              k += 1
+            }
+            start = i + 1
+          }
+          i += 1
+        }
+      }
+      val nWordChars = if (nTokens == 0) 0 else len - (nTokens - 1)
+      val nStopKinds = Integer.bitCount(stopMask)
+      var bits = 0
+      if (nTokens >= minTokens && nTokens <= maxTokens) bits |= 1
+      if (nWordChars >= nTokens * minMeanWordLen &&
+          nWordChars <= nTokens * maxMeanWordLen) bits |= 2
+      if (nSym * 10 <= nTokens * maxSymbolRatioTimes10) bits |= 4
+      if (nAlpha * 100 >= nTokens * minAlphaTokenPct) bits |= 8
+      if (nStopKinds >= minStopKinds) bits |= 16
+      bits
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): QualityGateBits =
+      copy(norm = newChildren(0), nSymbols = newChildren(1))
+  }
+
+  /** Two-level (hierarchical) coarse-quantizer cell assignment: argmax
+    * cosine over S super-centroids, then argmax over only THAT super's
+    * member centroids — O((S + K/S)·dim) per row instead of the flat
+    * [[NearestCentroids]]'s O(K·dim). With S ≈ √K that is the difference
+    * between a quantizer that can hold cell size constant as the corpus
+    * grows (K ∝ corpus ⇒ flat assignment cost grows linearly per ROW — the
+    * scale-killer a two-point probe measured at 17.8×/10× rows) and one
+    * whose per-row cost grows only with √K. Assignment is approximate
+    * relative to flat argmax (standard IVF-HNSW-style trade) but
+    * deterministic: ties break on smaller super id, then smaller cid, and
+    * identical vectors always land in identical cells — the property
+    * cluster-scoped dedup needs. Groups are constructor data (task binary,
+    * not plan strings). */
+  case class HierarchicalCell(child: Expression,
+      groups: IndexedSeq[((Long, IndexedSeq[Double]), IndexedSeq[(Long, IndexedSeq[Double])])])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hierarchical_cell"
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"S=${groups.length}", s"K=${groups.map(_._2.length).sum}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private lazy val superIds: Array[Long] = groups.map(_._1._1).toArray
+    private lazy val superVecs: Array[Array[Double]] = groups.map(_._1._2.toArray).toArray
+    private lazy val superNorms: Array[Double] =
+      superVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    private lazy val memberIds: Array[Array[Long]] =
+      groups.map(_._2.map(_._1).toArray).toArray
+    private lazy val memberVecs: Array[Array[Array[Double]]] =
+      groups.map(_._2.map(_._2.toArray).toArray).toArray
+    private lazy val memberNorms: Array[Array[Double]] =
+      memberVecs.map(_.map(v => math.sqrt(v.map(x => x * x).sum)))
+
+    private lazy val elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val xs = new Array[Double](m)
+      var sq = 0.0
+      var i = 0
+      while (i < m) {
+        xs(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        sq += xs(i) * xs(i)
+        i += 1
+      }
+      val xNorm = math.sqrt(sq)
+      def cos(v: Array[Double], n: Double): Double = {
+        val d = math.min(m, v.length)
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += xs(j) * v(j); j += 1 }
+        val den = xNorm * n
+        if (den == 0) 0.0 else dot / den
+      }
+      var bestS = 0; var bestSCos = Double.NegativeInfinity
+      var s = 0
+      while (s < superIds.length) {
+        val c = cos(superVecs(s), superNorms(s))
+        if (c > bestSCos || (c == bestSCos && superIds(s) < superIds(bestS))) {
+          bestS = s; bestSCos = c
+        }
+        s += 1
+      }
+      val ids = memberIds(bestS); val vecs = memberVecs(bestS); val norms = memberNorms(bestS)
+      var bestC = 0; var bestCCos = Double.NegativeInfinity
+      var k = 0
+      while (k < ids.length) {
+        val c = cos(vecs(k), norms(k))
+        if (c > bestCCos || (c == bestCCos && ids(k) < ids(bestC))) {
+          bestC = k; bestCCos = c
+        }
+        k += 1
+      }
+      ids(bestC)
+    }
+
+    override protected def withNewChildInternal(c: Expression): HierarchicalCell =
+      copy(child = c)
+  }
+
+  def hierarchicalCell(vec: Column,
+      groups: Seq[((Long, Seq[Double]), Seq[(Long, Seq[Double])])]): Column =
+    ColumnBridge.column(HierarchicalCell(ColumnBridge.expression(vec),
+      groups.map { case ((sid, sv), ms) =>
+        ((sid, sv.toIndexedSeq), ms.map { case (id, v) => (id, v.toIndexedSeq) }.toIndexedSeq)
+      }.toIndexedSeq))
+
+  def qualityGateBits(norm: Column, nSymbols: Column,
+                      minTokens: Int, maxTokens: Int,
+                      minMeanWordLen: Int, maxMeanWordLen: Int,
+                      maxSymbolRatioTimes10: Int, minAlphaTokenPct: Int,
+                      minStopKinds: Int, stopSet: Seq[String]): Column =
+    ColumnBridge.column(QualityGateBits(
+      ColumnBridge.expression(norm), ColumnBridge.expression(nSymbols),
+      minTokens, maxTokens, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatioTimes10, minAlphaTokenPct, minStopKinds,
+      stopSet.toIndexedSeq))
 }

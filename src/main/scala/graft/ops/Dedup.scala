@@ -270,6 +270,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Bloom-accelerated decontamination for the corpus-sized-benchmark case
+    * ([[contamination]]'s `broadcastBenchmark = false` regime): when the
+    * benchmark's distinct shingle-hash set is too large to broadcast, its
+    * EXACT set must meet the training side in a shuffled semi join — and
+    * shuffling every (id, hash) pair of a 100 TB training corpus to do it is
+    * the dominant cost. A Bloom filter of the benchmark hashes is hundreds
+    * of times smaller than the set itself (9.6 bits/item at 1% fp vs 64-bit
+    * hashes + set overhead), so it DOES broadcast: the training side drops
+    * all definite non-members at scan speed, and only the survivors —
+    * true hits plus the ~fp% — pay the exact confirm join. Same exact answer
+    * as [[contamination]] (the Bloom pass admits false positives, never
+    * false negatives, and the confirm join removes them), verified by the
+    * q53 oracle being byte-identical to q39's.
+    *
+    * Built on Spark's own runtime-filter sketch (`BloomFilterAggregate` —
+    * exactly what AQE injects for join pruning, here applied deliberately as
+    * a semantic pre-filter). The aggregated sketch is collected to the
+    * driver — ONE row of `numBits/8` bytes, bounded by construction — and
+    * probed via [[graft.functions.HashExprs.BloomProbe]], which carries the
+    * bytes as expression data in the task binary (Spark's `might_contain`
+    * requires a constant sketch, and a multi-MB binary literal would flood
+    * plan strings — the round-3 IVF lesson). `numBits` defaults to ~9.6 bits
+    * per expected item ≈ 1% false positives. */
+  def contaminationBloom(train: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleK: Int = 8, expectedItems: Long = 4000000L,
+                         numBits: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bits = if (numBits > 0) numBits else math.max(expectedItems * 96L / 10L, 64L)
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .distinct()
+    val sketchRow = benchHashes.agg(ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("__h")),
+        Literal(expectedItems), Literal(bits)).toAggregateExpression()).as("__bf"))
+      .collect().head
+    // an empty benchmark aggregates to a NULL sketch -> empty bytes -> the
+    // probe answers false everywhere: no contamination, matching the exact path
+    val bloomBytes =
+      if (sketchRow.isNullAt(0)) Array.empty[Byte] else sketchRow.getAs[Array[Byte]](0)
+    train
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .filter(graft.functions.HashExprs.bloomProbe(col("__h"), bloomBytes))
+      .join(benchHashes, Seq("__h"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
   /** One micro-batch of ingest-time decontamination: mark each document
     * whose text shares a `shingleK`-token shingle with the (precomputed)
     * benchmark hash set. `benchHashes` must be the single-column `__h` frame

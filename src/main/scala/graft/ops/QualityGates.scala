@@ -40,7 +40,27 @@ object QualityGates {
   val MinAlphaTokenPct = 80      // >= 80% of tokens contain a letter
   val MinStopKinds = 2
 
-  /** Attach the gate statistics and verdicts to a documents frame. Columns:
+  /** Gate-verdict bitmask (bits 0–4 = the five gates, 0x1F = passes all),
+    * computed by the compiled single-pass
+    * [[graft.functions.HashExprs.QualityGateBits]] — ONE normalize + ONE
+    * character walk per row. This is the production path ([[applyGates]] /
+    * [[gateAudit]] — the stage that scans EVERY crawled byte); the Column
+    * formulation in [[withGates]] is the semantic reference and OpsSpec pins
+    * their bit-for-bit agreement (the q44 reference-vs-compiled discipline).
+    * The 5-pass Column form measured 31 s / 200k docs in the two-point probe;
+    * the walk is one pass over already-normalized text. */
+  def gateBits(text: Column): Column = {
+    val raw = coalesce(text, lit(""))
+    graft.functions.HashExprs.qualityGateBits(
+      TextAnalysis.normalizeText(raw), TextAnalysis.punctCount(raw),
+      MinTokens, MaxTokens, MinMeanWordLen, MaxMeanWordLen,
+      MaxSymbolRatioTimes10, MinAlphaTokenPct, MinStopKinds, StopSet)
+  }
+
+  /** Attach the gate statistics and verdicts to a documents frame — the
+    * SEMANTIC REFERENCE formulation (independently testable Columns; a gate
+    * change here MUST be mirrored in [[graft.functions.HashExprs.QualityGateBits]],
+    * and OpsSpec fails loudly if the two drift). Columns:
     * `n_tokens`, `n_word_chars`, `n_symbols`, `n_alpha_tokens`,
     * `n_stop_kinds`, the five `gate_*` booleans, and `passes_all`. */
   def withGates(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -76,25 +96,33 @@ object QualityGates {
           col("gate_symbol_ratio") && col("gate_alpha_tokens") && col("gate_stopwords"))
   }
 
-  /** The filter form: keep only documents passing every gate. */
-  def applyGates(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val gated = withGates(docs, textCol)
-    gated.filter(col("passes_all")).drop(gated.columns.diff(docs.columns): _*)
-  }
+  /** The filter form: keep only documents passing every gate — one compiled
+    * walk per row ([[gateBits]]), evaluated exactly once (sole filter ref). */
+  def applyGates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(gateBits(col(textCol)) === 0x1F)
 
   /** Per-group audit: how many documents each gate rejects (a document can
-    * fail several gates — the fail counts are per-gate, not a partition). */
+    * fail several gates — the fail counts are per-gate, not a partition).
+    *
+    * Two-level aggregation so the compiled bitmask is evaluated ONCE per row
+    * (as a grouping key — six `when(bit…)` aggregate inputs would each
+    * re-evaluate the walk under CollapseProject): rows first collapse to the
+    * tiny (group × ≤32 bitmask values) frame with map-side combine, and the
+    * per-gate bit tests then run on that aggregate, not the corpus. */
   def gateAudit(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame = {
-    def fails(gate: String): Column = sum(when(!col(gate), 1L).otherwise(0L))
-    withGates(docs, textCol)
+    def fails(bit: Int): Column =
+      sum(when((shiftright(col("__g"), bit).bitwiseAND(1)) === 0, col("__n")).otherwise(0L))
+    docs
+      .groupBy(col(groupCol), gateBits(col(textCol)).as("__g"))
+      .agg(count(lit(1)).as("__n"))
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n_docs"),
-        fails("gate_word_count").as("n_fail_word_count"),
-        fails("gate_mean_word_len").as("n_fail_word_len"),
-        fails("gate_symbol_ratio").as("n_fail_symbol"),
-        fails("gate_alpha_tokens").as("n_fail_alpha"),
-        fails("gate_stopwords").as("n_fail_stop"),
-        sum(when(col("passes_all"), 1L).otherwise(0L)).as("n_pass"))
+        sum(col("__n")).as("n_docs"),
+        fails(0).as("n_fail_word_count"),
+        fails(1).as("n_fail_word_len"),
+        fails(2).as("n_fail_symbol"),
+        fails(3).as("n_fail_alpha"),
+        fails(4).as("n_fail_stop"),
+        sum(when(col("__g") === 0x1F, col("__n")).otherwise(0L)).as("n_pass"))
   }
 }

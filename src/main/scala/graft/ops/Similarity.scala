@@ -274,15 +274,50 @@ object Similarity {
     * converts the shuffle join to a broadcast join at runtime exactly when
     * the pair graph turns out small, and degrades to a real shuffle join
     * when it doesn't, instead of OOMing on a hint. */
+  /** Partition a centroid set into `numSupers` groups for the two-level
+    * quantizer: supers are the `numSupers` centroids with the smallest
+    * portable md5 id-hash (the [[sampleCentroids]] ordering — deterministic
+    * and independent of centroid count), and every centroid joins the group
+    * of its nearest super by cosine (ties to the smaller super id). Every
+    * super is its own nearest super (cosine 1), so no group is empty. Runs
+    * on the driver: K × S cosines over data already bounded by K. */
+  def groupCentroids(centroids: Seq[(Long, Seq[Double])], numSupers: Int)
+      : Seq[((Long, Seq[Double]), Seq[(Long, Seq[Double])])] = {
+    require(numSupers > 0 && centroids.nonEmpty, "groupCentroids: need centroids and supers > 0")
+    def md5h(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 14), 16)
+    val supers = centroids.sortBy(c => (md5h(c._1), c._1)).take(numSupers)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (den == 0) 0.0 else dot / den
+    }
+    val bySuper = centroids.groupBy { c =>
+      supers.map(s => (s._1, cos(c._2, s._2))).maxBy { case (sid, sc) => (sc, -sid) }._1
+    }
+    supers.map(s => (s, bySuper.getOrElse(s._1, Seq.empty)))
+      .filter(_._2.nonEmpty)
+  }
+
   def semDedup(corpus: DataFrame, threshold: Double = 0.95,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               numCentroids: Int = 32, maxCell: Int = 1000): DataFrame = {
+               numCentroids: Int = 32, maxCell: Int = 1000,
+               hierarchical: Boolean = false): DataFrame = {
     val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
     require(centroids.nonEmpty, "semDedup: empty corpus — no centroids")
+    // flat argmax is exact (and oracle-reproducible — q51); the two-level
+    // assignment keeps per-row cost O(√K·dim) when K scales with the corpus
+    val cellOf: Column => Column =
+      if (hierarchical) {
+        val groups = groupCentroids(centroids,
+          math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt))
+        v => graft.functions.HashExprs.hierarchicalCell(v, groups)
+      } else {
+        v => element_at(graft.functions.HashExprs.nearestCentroids(v, centroids, 1), 1)
+      }
     val assigned = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .withColumn("cell", element_at(
-        graft.functions.HashExprs.nearestCentroids(col("__v"), centroids, 1), 1))
+      .withColumn("cell", cellOf(col("__v")))
     val buckets = assigned.groupBy(col("cell"))
       .agg(collect_list(struct(col("id"), col("__v"))).as("xs"))
       .filter(size(col("xs")).between(2, maxCell))

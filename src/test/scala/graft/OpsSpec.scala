@@ -586,6 +586,32 @@ class OpsSpec extends SparkSpec {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("quality gate bits: compiled bitmask agrees with the Column reference on every pathology") {
+    val clean = ("the lazy and clever foxes jumped right over those sleeping dogs " * 8).trim
+    val corpus = Seq(
+      (0L, clean),
+      (1L, "too short the and"),
+      (2L, Seq.fill(60)("1").mkString(" ")),
+      (3L, Seq.fill(60)("abcdefghijklmnop").mkString(" ")),
+      (4L, clean.split(" ").map(_ + ".").mkString(" ")),
+      (5L, ("alpha beta gamma delta epsilon zeta " * 10).trim),
+      (6L, ""),
+      (7L, null.asInstanceOf[String]),
+      (8L, "...!!!,,,")                                 // symbols-only: norm empty, raw punct > 0
+    ).toDF("doc_id", "text")
+    val ref = QualityGates.withGates(corpus)
+      .select(col("doc_id"), col("gate_word_count"), col("gate_mean_word_len"),
+        col("gate_symbol_ratio"), col("gate_alpha_tokens"), col("gate_stopwords"))
+      .collect().map(r => r.getLong(0) ->
+        (0 until 5).map(i => r.getBoolean(i + 1))).toMap
+    val bits = corpus.select(col("doc_id"), QualityGates.gateBits(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (id <- ref.keys) {
+      val expected = ref(id).zipWithIndex.map { case (g, i) => if (g) 1 << i else 0 }.sum
+      assert(bits(id) === expected, s"doc $id: bits ${bits(id)} vs Column gates ${ref(id)}")
+    }
+  }
+
   test("lexicon: top-K vocab cutoff is deterministic; OOV counts match by hand") {
     val d = Seq((0L, "x x x y"), (1L, "y z w")).toDF("doc_id", "text")
       .withColumn("source", concat(lit("s"), col("doc_id")))
@@ -617,6 +643,37 @@ class OpsSpec extends SparkSpec {
     // the audit sees every cell and reports no oversize drops at this size
     val stats = Similarity.semDedupCellStats(emb, numCentroids = 4).collect().head
     assert(stats.getLong(1) === 0L && stats.getLong(2) === 0L)
+    // hierarchical (two-level) assignment: still deterministic, clones still
+    // share their original's cell, dedup still drops exactly the clones
+    val hv = Similarity.semDedup(emb, threshold = 0.999, numCentroids = 16,
+        hierarchical = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(hv.size === 42 && !hv(100L) && !hv(101L))
+    assert((0L until 40L).forall(hv(_)))
+    // groupCentroids covers every centroid exactly once, no empty groups
+    val cents = Similarity.sampleCentroids(emb, 16)
+    val groups = Similarity.groupCentroids(cents, 4)
+    assert(groups.flatMap(_._2.map(_._1)).sorted === cents.map(_._1).sorted)
+    assert(groups.forall(_._2.nonEmpty))
+  }
+
+  test("contaminationBloom: identical answer to the exact path; empty benchmark finds nothing") {
+    val train = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta trailing words here"),
+      (21L, "completely unrelated training content with no benchmark overlap at all"),
+      (22L, "prefix words then alpha beta gamma delta epsilon zeta eta theta suffix")
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val exact = Dedup.contamination(train, bench)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val bloom = Dedup.contaminationBloom(train, bench, expectedItems = 1000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact === Seq(20L, 22L))
+    assert(bloom === exact)
+    // empty benchmark: NULL sketch -> no contamination, matching the exact path
+    val none = Dedup.contaminationBloom(train, bench.filter(col("doc_id") < 0),
+      expectedItems = 1000L)
+    assert(none.count() === 0L)
   }
 
   test("curation pipeline: each stage catches exactly its pathology, audit counts match") {
