@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing (schema, partition sizing, batch iteration, typed
   * output) is real. The IMAGE path decodes for real via `javax.imageio`
-  * (PNG/JPEG/GIF/BMP codecs ship in the JDK — zero extra dependencies);
-  * audio/video decode is STUBBED with a deterministic fake (`fakeDecode`)
-  * because no audio/video codec libraries ship in this environment — swap
-  * `decodeFn` for an ffmpeg-style binding in production.
+  * (PNG/JPEG/GIF/BMP codecs ship in the JDK) and the AUDIO path via
+  * `javax.sound.sampled` (WAV/AIFF/AU containers ship in the JDK) — zero
+  * extra dependencies for either; VIDEO decode is STUBBED with a
+  * deterministic fake (`fakeDecode`) because no video codec ships in the
+  * JDK — swap `decodeFn` for an ffmpeg-style binding in production.
   *
   * Scale notes: payloads stay in executor memory one partition at a time —
   * size `spark.sql.files.maxPartitionBytes` so (rows/partition × max payload)
@@ -44,11 +45,12 @@ object Multimodal {
 
   /** Real decode: images go through `javax.imageio` (`ImageIO.read` sniffs
     * the container format from the payload's magic bytes and returns actual
-    * width/height/channels); payloads ImageIO has no reader for — and the
-    * audio/video modalities, whose codecs the JDK does not ship — fall back
-    * to the deterministic [[fakeDecode]] so the pipeline never throws on a
-    * corrupt or unsupported payload (the decode tier of a crawl pipeline
-    * must absorb garbage, not die on it). */
+    * width/height/channels) and audio through `javax.sound.sampled`
+    * (WAV/AIFF/AU headers → sample rate, channels, frame-exact duration);
+    * payloads neither reader supports — and the video modality, whose codecs
+    * the JDK does not ship — fall back to the deterministic [[fakeDecode]]
+    * so the pipeline never throws on a corrupt or unsupported payload (the
+    * decode tier of a crawl pipeline must absorb garbage, not die on it). */
   def realDecode(row: MediaRow): MediaFeatures = {
     if (row.modality == "image") {
       val img =
@@ -62,12 +64,33 @@ object Multimodal {
           channels = img.getColorModel.getNumComponents)
       }
     }
+    if (row.modality == "audio") {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val base = fakeDecode(row)
+          val durationMs =
+            if (fmt.getFrameRate > 0 && frames >= 0)
+              (frames * 1000.0 / fmt.getFrameRate).toLong
+            else base.duration_ms
+          return base.copy(
+            channels = fmt.getChannels,
+            sample_rate = fmt.getSampleRate.toInt,
+            duration_ms = durationMs)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException => ()
+      }
+    }
     fakeDecode(row)
   }
 
   /** Deterministic fake decode: features derived purely from the payload
     * bytes, so tests are stable and the stub is honest about being fake.
-    * Kept as the audio/video path (no JDK codecs for those) and the
+    * Kept as the video path (no JDK video codec) and the
     * undecodable-payload fallback of [[realDecode]]. */
   def fakeDecode(row: MediaRow): MediaFeatures = {
     val len  = row.payload.length

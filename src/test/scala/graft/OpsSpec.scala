@@ -527,10 +527,21 @@ class OpsSpec extends SparkSpec {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     val png = baos.toByteArray
+    // encode a real 0.5 s mono 8 kHz WAV in-test (javax.sound.sampled ships
+    // in the JDK): 4000 frames × 2 bytes of silence behind a RIFF header
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](4000 * fmt.getFrameSize)
+    val aisIn = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 4000L)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(aisIn,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
     val media = Seq(
       Multimodal.MediaRow(1L, "image", png, "test"),               // real PNG
       Multimodal.MediaRow(2L, "image", "not an image".getBytes, "test"), // garbage -> fallback
-      Multimodal.MediaRow(3L, "audio", png, "test"))               // wrong modality -> stub
+      Multimodal.MediaRow(3L, "audio", png, "test"),               // undecodable audio -> stub
+      Multimodal.MediaRow(4L, "audio", wav, "test"))               // real WAV
       .toDS()
     val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).width === 7 && feats(1L).height === 5 && feats(1L).channels === 3)
@@ -538,8 +549,11 @@ class OpsSpec extends SparkSpec {
     // undecodable image payload falls back to the deterministic stub, never throws
     assert(feats(2L).width === Multimodal.fakeDecode(
       Multimodal.MediaRow(2L, "image", "not an image".getBytes, "test")).width)
-    // audio stays on the stub path (no JDK codec)
+    // PNG bytes under the audio modality: no WAV/AIFF/AU header -> stub
     assert(feats(3L).sample_rate === 16000 && feats(3L).width === 0)
+    // real WAV: header-exact rate/channels, frame-exact duration
+    assert(feats(4L).sample_rate === 8000 && feats(4L).channels === 1)
+    assert(feats(4L).duration_ms === 500L && feats(4L).byte_len === wav.length)
   }
 
   test("multimodal: frame sampling emits n deterministic offsets; resize bounds output size") {
