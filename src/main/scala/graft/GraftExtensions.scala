@@ -75,6 +75,16 @@ object GraftExtensions {
     "bigram_top_fraction" -> { args => HashExprs.BigramTopFraction(args.head) },
     "cosine_sim" -> { args => VectorExprs.CosineSim(args.head, args(1)) },
     "unit_normalize" -> { args => VectorExprs.UnitNormalize(args.head) },
-    "quantize_int8" -> { args => VectorExprs.QuantizeInt8(args.head) }
+    "quantize_int8" -> { args => VectorExprs.QuantizeInt8(args.head) },
+    // (normalized_text, n_symbols) -> gate-verdict bitmask at the library's
+    // default Gopher-style thresholds; 0x1F = passes all five gates
+    "quality_gate_bits" -> { args =>
+      import graft.ops.QualityGates
+      HashExprs.QualityGateBits(args.head, args(1),
+        QualityGates.MinTokens, QualityGates.MaxTokens,
+        QualityGates.MinMeanWordLen, QualityGates.MaxMeanWordLen,
+        QualityGates.MaxSymbolRatioTimes10, QualityGates.MinAlphaTokenPct,
+        QualityGates.MinStopKinds, QualityGates.StopSet.toIndexedSeq)
+    }
   )
 }

@@ -1,0 +1,82 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document-corpus sources beyond parquet: JSONL (the lingua franca of
+  * crawl/training-data interchange) and raw text files — with the same
+  * clean/dirty bifurcation discipline as the airline CSV loaders (every
+  * malformed record is ROUTED with its raw line preserved, never silently
+  * dropped; reference smartFileProcessor.js:139-163 routes bad CSV rows the
+  * same way).
+  *
+  * Scale notes: JSONL is splittable (newline-framed) — Spark parallelizes a
+  * single large file by byte ranges, so this is the 100 TB ingest path.
+  * `readTextFiles` reads WHOLE files (one document per file, `wholetext`) —
+  * right for document-per-file corpora; cap file size via
+  * `spark.sql.files.maxPartitionBytes` awareness, and prefer JSONL when
+  * documents are small and numerous.
+  */
+object DocumentSources {
+
+  /** The documents-table schema (`TESTDATA.md` shape). */
+  val DocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** Read newline-delimited JSON into (clean, dirty): PERMISSIVE parse with
+    * the raw line captured in `_corrupt_record`; a record is dirty when it
+    * fails to parse OR misses a required field (`doc_id`, `text`). The dirty
+    * frame carries (raw_line, error_reason) — the JSONL twin of the CSV
+    * loaders' reject audit. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = DocumentSchema,
+                requiredFields: Seq[String] = Seq("doc_id", "text")): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // PERMISSIVE keeps the corrupt row with all data fields null; cache so
+      // the clean/dirty split reads one parse, not two
+      .localCheckpoint(true)
+    val missing = requiredFields.map(f => col(f).isNull).reduce(_ || _)
+    val isDirty = col("_corrupt_record").isNotNull || missing
+    val clean = parsed.filter(!isDirty).drop("_corrupt_record")
+    val dirty = parsed.filter(isDirty).select(
+      coalesce(col("_corrupt_record"), to_json(struct(schema.fieldNames.map(col): _*)))
+        .as("raw_line"),
+      when(col("_corrupt_record").isNotNull, "malformed json")
+        .otherwise(concat(lit("missing required field: "),
+          concat_ws(",", requiredFields.map(f =>
+            when(col(f).isNull, f).otherwise(null)): _*))).as("error_reason"))
+    (clean, dirty)
+  }
+
+  /** One document per FILE: `(path, text)` via wholetext read, with a
+    * deterministic `doc_id` (xxhash64 of the file path — stable across runs,
+    * retries, and listing order). */
+  def readTextFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"), col("value").as("text"))
+      .withColumn("doc_id", xxhash64(col("path")))
+
+  /** One document per LINE of each file, with a deterministic
+    * `(file, line_pos)` identity: files are read whole and split row-locally,
+    * because Spark's line-mode text source does not expose line numbers and
+    * `monotonically_increasing_id` is partition-layout-dependent (not stable
+    * across retries — the same reason the sampling ops refuse `rand()`). */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"),
+        posexplode(split(col("value"), "\n")).as(Seq("line_pos", "text")))
+      .withColumn("doc_id", xxhash64(col("path"), col("line_pos")))
+
+  /** JSONL sink (Spark's json writer is newline-delimited by construction). */
+  def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+}

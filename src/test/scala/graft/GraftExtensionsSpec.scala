@@ -40,6 +40,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.getDouble(4) === api.getDouble(4))
   }
 
+  test("quality_gate_bits over SQL agrees with the compiled Column path") {
+    GraftExtensions.register(spark)
+    val text = ("the lazy and clever foxes jumped right over those sleeping dogs " * 8).trim
+    Seq((1L, text), (2L, "too short the and"), (3L, ""))
+      .toDF("id", "text").createOrReplaceTempView("gate_docs")
+    val sql = spark.sql("""
+      SELECT id, quality_gate_bits(
+          trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9\\s]', ' '), '\\s+', ' ')),
+          length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,!?;:]', ''))) AS b
+      FROM gate_docs""").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val api = Seq((1L, text), (2L, "too short the and"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), graft.ops.QualityGates.gateBits(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sql === api)
+    assert(sql(1L) === 0x1F)
+    assert(sql(2L) !== 0x1F)
+  }
+
   test("defaults apply when optional literal args are omitted") {
     GraftExtensions.register(spark)
     val r = spark.sql(
