@@ -872,6 +872,26 @@ object OracleSql {
       CAST(n_tokens AS BIGINT) AS value_at_p
     FROM px WHERE rn = CAST(floor((p * n + 99) / 100.0) AS BIGINT)"""
 
+  /** Unigram surprisal — per-VOCAB-entry `-ln(tf/total)` rounded to 9
+    * decimals and fixed as DECIMAL(20,9) (exact order-independent sums —
+    * the money discipline in log space); high-surprisal verdict compares
+    * exact decimals via cross-multiplication (mirrors
+    * graft.ops.Lexicon.unigramSurprisal). */
+  private val q54 = s"""
+    WITH toks AS (SELECT doc_id, source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+    lp AS (SELECT tok,
+        CAST(round(-ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS DECIMAL(20,9)) AS lp
+      FROM tf CROSS JOIN tot),
+    doc AS (SELECT t.doc_id, t.source, SUM(l.lp) AS s, COUNT(*) AS n
+      FROM toks t JOIN lp l USING (tok) GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      round(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS mean_surprisal,
+      CAST(SUM(CASE WHEN s > CAST(3.45 AS DECIMAL(4,2)) * n THEN 1 ELSE 0 END) AS BIGINT) AS n_high_surprisal
+    FROM doc GROUP BY source"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -929,6 +949,7 @@ object OracleSql {
     "q52_length_percentiles"-> q52,
     // the Bloom pre-filter is exactness-preserving: q53's contract is
     // "same answer as the exact path", so its oracle IS q39's SQL
-    "q53_decontaminate_bloom" -> q39
+    "q53_decontaminate_bloom" -> q39,
+    "q54_surprisal"         -> q54
   ).map { case (k, v) => k -> clean(v) }
 }

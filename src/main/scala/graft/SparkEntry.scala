@@ -652,6 +652,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), count(col("__c")).as("n_contaminated"))
   }
 
+  /** Unigram-surprisal quality profile ([[Lexicon.unigramSurprisal]]):
+    * per-source document count, corpus-wide mean token surprisal (exact
+    * decimal sums divided once at the end), and the count of high-surprisal
+    * documents (mean > 3.45 nats, compared in exact decimal via
+    * cross-multiplication — no float threshold). */
+  private def q54Surprisal(s: SparkSession, dir: String): DataFrame =
+    Lexicon.unigramSurprisal(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("surprisal_sum")).cast("double")
+          / sum(col("n_tokens")).cast("double"), 6).as("mean_surprisal"),
+        sum(when(col("surprisal_sum") >
+            lit(new java.math.BigDecimal("3.45")) * col("n_tokens"), 1L)
+          .otherwise(0L)).as("n_high_surprisal"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -705,7 +720,8 @@ object SparkEntry {
     "q50_oov_profile"       -> q50OovProfile _,
     "q51_semdedup"          -> q51SemDedup _,
     "q52_length_percentiles"-> q52LengthPercentiles _,
-    "q53_decontaminate_bloom" -> q53DecontaminateBloom _
+    "q53_decontaminate_bloom" -> q53DecontaminateBloom _,
+    "q54_surprisal"         -> q54Surprisal _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

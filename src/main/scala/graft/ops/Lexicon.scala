@@ -53,6 +53,40 @@ object Lexicon {
         sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Per-document unigram surprisal — the cheap tier of the CCNet/Gopher
+    * LM-based quality family: score each document by the mean negative log
+    * probability of its tokens under the corpus's own unigram distribution
+    * (gibberish and wrong-language text is built of corpus-rare tokens and
+    * scores high; boilerplate scores low). Returns
+    * `(idCol, groupCol, surprisal_sum DECIMAL(20,9), n_tokens)` — divide at
+    * the end, so every aggregate stays order-independent.
+    *
+    * Engine-exactness: per-token `-ln(tf/total)` is computed once per VOCAB
+    * entry (not per occurrence), rounded to 9 decimals and fixed as
+    * DECIMAL(20,9); per-doc sums of decimals are exact and therefore
+    * aggregation-order-independent (the money-sum discipline applied to log
+    * space). The residual cross-engine risk is a libm `ln` ULP landing
+    * exactly on a 9-decimal rounding boundary — vocabulary-sized trials,
+    * same accepted class as q48's tf·idf.
+    *
+    * Scale shape: vocab-sized lp table broadcasts; the per-doc aggregation
+    * shuffles `(doc, group, decimal, long)` with map-side combine. */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol), col(groupCol),
+      explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+    val tf = tokenFrequencies(docs, textCol)
+    val tot = tf.agg(sum(col("tf")).cast("long").as("total"))
+    val lp = tf.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(-log(col("tf").cast("double") / col("total").cast("double")), 9)
+          .cast(DecimalType(20, 9)).as("lp"))
+    toks.join(broadcast(lp), Seq("tok"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(sum(col("lp")).as("surprisal_sum"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Per-group OOV audit: document counts, token/OOV totals, and the number
     * of documents whose OOV rate exceeds 20% (integer cross-multiply). */
   def oovAudit(docs: DataFrame, k: Int, idCol: String = "doc_id",

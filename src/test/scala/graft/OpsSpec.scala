@@ -642,6 +642,20 @@ class OpsSpec extends SparkSpec {
     assert(audit.toSet === Set(("s0", 1L, 4L, 0L, 0L), ("s1", 1L, 3L, 2L, 1L)))
   }
 
+  test("unigramSurprisal: exact decimal sums match an independent computation") {
+    val d = Seq((0L, "x x y"), (1L, "y z")).toDF("doc_id", "text")
+      .withColumn("source", lit("t"))
+    // tf: x=2, y=2, z=1, total=5
+    def lp(tf: Long): BigDecimal =
+      BigDecimal(-math.log(tf.toDouble / 5.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val out = Lexicon.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (BigDecimal(r.getDecimal(2)), r.getLong(3))).toMap
+    assert(out(0L) === ((lp(2) * 2 + lp(2), 3L)))   // x x y
+    assert(out(1L) === ((lp(2) + lp(1), 2L)))       // y z
+    // rarer tokens -> strictly higher mean surprisal
+    assert(out(1L)._1 / 2 > out(0L)._1 / 3)
+  }
+
   test("semDedup: exact clones drop within their cell, originals and uniques survive") {
     val base = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i.toDouble + d).toFloat))
