@@ -3,7 +3,8 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -514,6 +515,45 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Reassemble a document from the lines at the given SORTED-ascending
+    * positions: split `text` on `\n`, pick `positions` in order, join with
+    * `\n` — one O(lines + kept) pass per row. Replaces the
+    * `array_join(filter(split(text), (_, i) => array_contains(keep, i)))`
+    * formulation, whose per-element `array_contains` membership test is
+    * O(kept) — O(lines × kept) per document, a single-task straggler on a
+    * pathological 100k-line crawl page. Out-of-range positions are skipped
+    * (they match no index in the filter formulation either), so outputs are
+    * byte-identical and the q47 oracle SQL is unchanged. */
+  case class KeptLines(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "kept_lines"
+
+    override protected def nullSafeEval(t: Any, k: Any): Any = {
+      // -1 limit: keep trailing empty strings, exactly like Spark's split()
+      val lines = t.asInstanceOf[UTF8String].toString.split("\n", -1)
+      val keep = k.asInstanceOf[ArrayData]
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var i = 0
+      val n = keep.numElements()
+      while (i < n) {
+        val p = keep.getInt(i)
+        if (p >= 0 && p < lines.length) {
+          if (!first) sb.append('\n')
+          sb.append(lines(p))
+          first = false
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): KeptLines =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -545,6 +585,9 @@ object HashExprs {
 
   def bigramTopFraction(tokens: Column): Column =
     ColumnBridge.column(BigramTopFraction(ColumnBridge.expression(tokens)))
+
+  def keptLines(text: Column, positions: Column): Column =
+    ColumnBridge.column(KeptLines(ColumnBridge.expression(text), ColumnBridge.expression(positions)))
 
   /** Bloom-sketch membership probe over a LONG column. The serialized sketch
     * is constructor DATA (rides the task binary like [[NearestCentroids]]'s

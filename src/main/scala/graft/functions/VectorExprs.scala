@@ -73,6 +73,11 @@ object VectorExprs {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
+    // Returns null on a null ELEMENT or a length mismatch even when both
+    // input columns are non-nullable — without this override the inherited
+    // `left.nullable || right.nullable` would let NullPropagation fold
+    // isNull(cosine) to false and unbox eval()'s null into a primitive.
+    override def nullable: Boolean = true
 
     private lazy val leftIsFloat = isFloatArray(left.dataType)
     private lazy val rightIsFloat = isFloatArray(right.dataType)

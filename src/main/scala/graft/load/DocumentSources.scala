@@ -27,29 +27,32 @@ object DocumentSources {
     StructField("lang", StringType),
     StructField("text", StringType)))
 
-  /** Read newline-delimited JSON into (clean, dirty): PERMISSIVE parse with
-    * the raw line captured in `_corrupt_record`; a record is dirty when it
-    * fails to parse OR misses a required field (`doc_id`, `text`). The dirty
-    * frame carries (raw_line, error_reason) — the JSONL twin of the CSV
-    * loaders' reject audit. */
+  /** Read newline-delimited JSON into (clean, dirty): the file is scanned as
+    * TEXT and parsed with `from_json` in one projection, so the TRUE raw line
+    * rides alongside the parsed fields — dirty records (parse failure OR a
+    * missing required field, default `doc_id`/`text`) are audited with the
+    * original bytes, including extra fields outside the schema, exactly like
+    * the CSV loaders' reject rows. No materialization: each consumer of
+    * clean/dirty re-reads the (splittable, recoverable) source files rather
+    * than pinning a corpus-sized localCheckpoint to executor-local disk —
+    * lineage recomputation survives executor loss; checkpoint blocks do not.
+    * Whitespace-only lines are skipped to match `spark.read.json`. */
   def readJsonl(spark: SparkSession, path: String,
                 schema: StructType = DocumentSchema,
                 requiredFields: Seq[String] = Seq("doc_id", "text")): (DataFrame, DataFrame) = {
     val withCorrupt = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
-    val parsed = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      // PERMISSIVE keeps the corrupt row with all data fields null; cache so
-      // the clean/dirty split reads one parse, not two
-      .localCheckpoint(true)
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+      .select(col("raw_line"), col("rec.*"))
     val missing = requiredFields.map(f => col(f).isNull).reduce(_ || _)
     val isDirty = col("_corrupt_record").isNotNull || missing
-    val clean = parsed.filter(!isDirty).drop("_corrupt_record")
+    val clean = parsed.filter(!isDirty).drop("raw_line", "_corrupt_record")
     val dirty = parsed.filter(isDirty).select(
-      coalesce(col("_corrupt_record"), to_json(struct(schema.fieldNames.map(col): _*)))
-        .as("raw_line"),
+      col("raw_line"),
       when(col("_corrupt_record").isNotNull, "malformed json")
         .otherwise(concat(lit("missing required field: "),
           concat_ws(",", requiredFields.map(f =>
@@ -73,7 +76,9 @@ object DocumentSources {
   def readTextLines(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("path"),
-        posexplode(split(col("value"), "\n")).as(Seq("line_pos", "text")))
+        // \r\n|\r|\n: CRLF (and bare-CR) files must not leave a trailing \r
+        // in every line — it would silently defeat downstream line hashing
+        posexplode(split(col("value"), "\r\n|\r|\n")).as(Seq("line_pos", "text")))
       .withColumn("doc_id", xxhash64(col("path"), col("line_pos")))
 
   /** JSONL sink (Spark's json writer is newline-delimited by construction). */

@@ -301,9 +301,14 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val bits = if (numBits > 0) numBits else math.max(expectedItems * 96L / 10L, 64L)
+    // Materialized once: the benchmark-side explode + distinct shuffle is the
+    // expensive pass this operator amortizes — without the checkpoint it runs
+    // twice (once collected into the sketch, once re-derived for the confirm
+    // join). Same discipline as streamingDecontaminate's benchHashes.
     val benchHashes = benchmark
       .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
       .distinct()
+      .localCheckpoint(true)
     val sketchRow = benchHashes.agg(ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col("__h")),
         Literal(expectedItems), Literal(bits)).toAggregateExpression()).as("__bf"))
@@ -351,7 +356,13 @@ object Dedup {
     * runs indefinitely at constant memory. */
   def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame,
                              textCol: String = "text", idCol: String = "doc_id",
-                             shingleK: Int = 8)(
+                             shingleK: Int = 8,
+                             // AvailableNow drains the backlog then STOPS —
+                             // right for tests and catch-up runs; an always-on
+                             // ingest guard must pass a processing-time
+                             // trigger or every later arrival lands unflagged
+                             trigger: org.apache.spark.sql.streaming.Trigger =
+                               org.apache.spark.sql.streaming.Trigger.AvailableNow())(
                              sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val benchHashes = benchmark
       .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
@@ -362,7 +373,7 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(flagContaminated(batch, broadcast(benchHashes), textCol, idCol, shingleK))
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
   }
 
   /** Connected components over near-duplicate pairs — the step after pair

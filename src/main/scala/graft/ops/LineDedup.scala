@@ -72,10 +72,11 @@ object LineDedup {
     docs.join(keepLists, col(idCol) === col("__ld_id"), "left")
       .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
       .withColumn("n_lines_total", size(arr).cast("long"))
-      // reassemble row-locally: re-split the original text, keep marked
-      // positions in order (filter preserves array order = pos ascending)
-      .withColumn(textCol,
-        array_join(filter(arr, (_, i) => array_contains(col("__keep"), i)), "\n"))
+      // reassemble row-locally in one compiled O(lines + kept) pass per doc
+      // (__keep is sorted ascending, so output order = pos ascending — the
+      // filter/array_contains formulation was O(lines × kept) per doc)
+      .withColumn(textCol, graft.functions.HashExprs.keptLines(
+        coalesce(col(textCol), lit("")), col("__keep")))
       .withColumn("n_lines_kept", size(col("__keep")).cast("long"))
       .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
       .drop("__ld_id", "__keep")

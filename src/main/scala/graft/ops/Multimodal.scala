@@ -55,7 +55,10 @@ object Multimodal {
     if (row.modality == "image") {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-        catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: the JDK image readers throw
+        // RuntimeExceptions (NegativeArraySize, ArrayIndexOutOfBounds, …) on
+        // fuzzed headers, and a deterministic payload would fail every retry
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img != null) {
         val base = fakeDecode(row) // byte_len + content_hash stay payload-derived
         return base.copy(
@@ -82,7 +85,7 @@ object Multimodal {
             duration_ms = durationMs)
         } finally ais.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException => ()
+        case scala.util.control.NonFatal(_) => () // see image-path note
       }
     }
     fakeDecode(row)
@@ -110,7 +113,8 @@ object Multimodal {
   /** Batch decode: one decoder context per partition (mirrors mapInPandas
     * batch shape — setup once, stream the iterator, never materialize the
     * partition as a list). Defaults to [[realDecode]] — real `javax.imageio`
-    * for images, deterministic stub for audio/video. */
+    * for images and `javax.sound.sampled` for audio, deterministic stub for
+    * video only. */
   def decodeFeatures(media: Dataset[MediaRow],
                      decodeFn: MediaRow => MediaFeatures = realDecode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -299,22 +299,28 @@ object Similarity {
       .filter(_._2.nonEmpty)
   }
 
+  /** The cell-assignment column shared by [[semDedup]] and
+    * [[semDedupCellStats]] — the audit MUST count cells of the same
+    * partition the dedup used, so both paths derive it here. Flat argmax is
+    * exact (and oracle-reproducible — q51); the two-level assignment keeps
+    * per-row cost O(√K·dim) when K scales with the corpus. */
+  private def cellAssignment(centroids: Seq[(Long, Seq[Double])],
+                             hierarchical: Boolean): Column => Column =
+    if (hierarchical) {
+      val groups = groupCentroids(centroids,
+        math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt))
+      v => graft.functions.HashExprs.hierarchicalCell(v, groups)
+    } else {
+      v => element_at(graft.functions.HashExprs.nearestCentroids(v, centroids, 1), 1)
+    }
+
   def semDedup(corpus: DataFrame, threshold: Double = 0.95,
                idCol: String = "vec_id", vecCol: String = "embedding",
                numCentroids: Int = 32, maxCell: Int = 1000,
                hierarchical: Boolean = false): DataFrame = {
     val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
     require(centroids.nonEmpty, "semDedup: empty corpus — no centroids")
-    // flat argmax is exact (and oracle-reproducible — q51); the two-level
-    // assignment keeps per-row cost O(√K·dim) when K scales with the corpus
-    val cellOf: Column => Column =
-      if (hierarchical) {
-        val groups = groupCentroids(centroids,
-          math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt))
-        v => graft.functions.HashExprs.hierarchicalCell(v, groups)
-      } else {
-        v => element_at(graft.functions.HashExprs.nearestCentroids(v, centroids, 1), 1)
-      }
+    val cellOf = cellAssignment(centroids, hierarchical)
     val assigned = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .withColumn("cell", cellOf(col("__v")))
@@ -340,13 +346,12 @@ object Similarity {
     * silent one. */
   def semDedupCellStats(corpus: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding", numCentroids: Int = 32,
-                        maxCell: Int = 1000): DataFrame = {
+                        maxCell: Int = 1000, hierarchical: Boolean = false): DataFrame = {
     val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
     require(centroids.nonEmpty, "semDedupCellStats: empty corpus — no centroids")
     corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .withColumn("cell", element_at(
-        graft.functions.HashExprs.nearestCentroids(col("__v"), centroids, 1), 1))
+      .withColumn("cell", cellAssignment(centroids, hierarchical)(col("__v")))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"),
         coalesce(sum(when(col("n") > maxCell, 1L).otherwise(0L)), lit(0L)).as("n_oversize_cells"),
