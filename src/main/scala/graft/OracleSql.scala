@@ -689,6 +689,80 @@ object OracleSql {
       CAST(r.tf AS BIGINT) AS tf, CAST(b.n_sources AS BIGINT) AS n_sources
     FROM ranked r JOIN bysrc b USING (tok) WHERE r.rank <= 5"""
 
+  /** Parameterized MinHash banding chain over an arbitrary `(id, text)`
+    * source subquery — q55's incremental case needs TWO chains (the corpus
+    * index and the synthesized batch), so the fixed [[minhashCtes]] doesn't
+    * fit. Same normalize → 3-shingle → packed 56-bit hash → 64-perm KM
+    * signature → 16 band buckets as minhashCtes; CTE names are prefixed. */
+  private def minhashChainFor(p: String, src: String): String = s"""
+    ${p}_toks AS (SELECT id, regexp_split_to_array($dedupNormSql, ' ') AS tk
+      FROM ($src)),
+    ${p}_sh AS (SELECT id,
+        list_distinct(list_transform(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
+          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT)) AS sh
+      FROM ${p}_toks),
+    ${p}_sig AS (SELECT id,
+        list_transform(range(0, 64), i ->
+          list_min(list_transform(sh, h -> ((h >> 28) + i * (h & 268435455)) % 2147483647))) AS sig
+      FROM ${p}_sh),
+    ${p}_banded AS (SELECT id,
+        md5(array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',')) AS bucket, band
+      FROM ${p}_sig, range(0, 16) r(band))"""
+
+  /** Incremental near-dup dedup — corpus band index + batch-only banding
+    * (batch = clones of doc_id < 30 under ids + 1000000), candidates from
+    * the band join bounded at 1000 on the index side, exact Jaccard verify
+    * on the shingle-hash sets (mirrors graft.ops.Dedup.incrementalNearDups
+    * + SparkEntry.q55's synthesis). */
+  private val q55 = s"""
+    WITH ${minhashChainFor("cx", "SELECT doc_id AS id, text FROM documents")},
+    ${minhashChainFor("bx",
+      "SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id < 30")},
+    sized AS (SELECT band, bucket FROM cx_banded
+      GROUP BY band, bucket HAVING COUNT(*) <= 1000),
+    cand AS (SELECT DISTINCT b.id AS id_new, ix.id AS id_old
+      FROM bx_banded b
+      JOIN sized sz ON b.band = sz.band AND b.bucket = sz.bucket
+      JOIN cx_banded ix ON b.band = ix.band AND b.bucket = ix.bucket
+      WHERE b.id <> ix.id),
+    jac AS (SELECT c.id_new, c.id_old,
+        CASE WHEN len(list_distinct(list_concat(bs.sh, cs.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(bs.sh, cs.sh))::DOUBLE
+                  / len(list_distinct(list_concat(bs.sh, cs.sh)))::DOUBLE END AS j
+      FROM cand c
+      JOIN bx_sh bs ON c.id_new = bs.id
+      JOIN cx_sh cs ON c.id_old = cs.id)
+    SELECT COUNT(*) AS n_pairs,
+      COALESCE(SUM(id_new), 0)::BIGINT AS sum_id_new,
+      COALESCE(SUM(id_old), 0)::BIGINT AS sum_id_old,
+      COALESCE(round(MIN(j), 6), 0.0) AS min_jaccard,
+      COALESCE(round(MAX(j), 6), 0.0) AS max_jaccard
+    FROM jac WHERE j >= 0.7"""
+
+  /** Token-budget mixture sampling — q42's token-count formula, the same
+    * md5('graft:' || id) hash order as q40's bucket (full 56-bit value, id
+    * tie-break), ROWS-framed cumulative sum, keep while cum ≤ budget
+    * (mirrors graft.ops.Sampling.tokenBudgetSample + SparkEntry.TokenBudgets). */
+  private val q56 = """
+    WITH d AS (SELECT source, doc_id,
+        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS nt,
+        ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+      FROM documents),
+    cum AS (SELECT source, doc_id, nt,
+        SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM d)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM cum
+    WHERE c <= CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 1500
+                           WHEN 'src2' THEN 100000 ELSE 1000 END
+    GROUP BY source"""
+
   /** Near-dup clusters — the same verified-pair chain as q31 at threshold
     * 0.7, then exact transitive closure by recursive CTE; cluster id =
     * smallest member (mirrors Dedup.nearDupClusters' fixpoint labels). */
@@ -950,6 +1024,8 @@ object OracleSql {
     // the Bloom pre-filter is exactness-preserving: q53's contract is
     // "same answer as the exact path", so its oracle IS q39's SQL
     "q53_decontaminate_bloom" -> q39,
+    "q55_incremental_near_dups" -> q55,
+    "q56_token_budget_sample" -> q56,
     "q54_surprisal"         -> q54
   ).map { case (k, v) => k -> clean(v) }
 }

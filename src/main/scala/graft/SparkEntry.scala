@@ -667,6 +667,49 @@ object SparkEntry {
             lit(new java.math.BigDecimal("3.45")) * col("n_tokens"), 1L)
           .otherwise(0L)).as("n_high_surprisal"))
 
+  /** Incremental near-dup dedup ([[Dedup.incrementalNearDups]]) — the
+    * new-crawl-increment vs accumulated-corpus case: the corpus's band index
+    * is built once (in production it is a persisted append-only table), the
+    * increment bands ONLY itself and joins the index for candidates, and the
+    * verify touches corpus text only for the candidate ids. The increment is
+    * synthesized as clones of the first 30 documents under shifted ids (the
+    * q51 pattern), so each clone must find its original through the index at
+    * jaccard 1.0 — plus any genuine corpus near-dups of those 30 (the q31
+    * pair) at their exact jaccard. min/max (order-independent) summarize the
+    * double column; id sums pin the exact pair set. */
+  private def q55IncrementalNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = Dedup.minhashBanded(docs)
+    val batch = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.incrementalNearDups(batch, index, docs, threshold = 0.7)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum("id_new"), lit(0L)).as("sum_id_new"),
+        coalesce(sum("id_old"), lit(0L)).as("sum_id_old"),
+        coalesce(round(min("jaccard"), 6), lit(0.0)).as("min_jaccard"),
+        coalesce(round(max("jaccard"), 6), lit(0.0)).as("max_jaccard"))
+  }
+
+  /** Per-source TOKEN budgets for the mixture query (q56). src2's budget
+    * exceeds its whole corpus at test scale (full take), src0/src1 truncate,
+    * the unmapped sources exercise the default — so the cumulative cutoff is
+    * a real variable in every regime. */
+  private val TokenBudgets = Map("src0" -> 500L, "src1" -> 1500L, "src2" -> 100000L)
+
+  /** Token-budget mixture sampling ([[Sampling.tokenBudgetSample]]):
+    * per-source token budgets filled in deterministic hash order — the
+    * "N billion tokens per source" selection a training mixture actually
+    * specifies. `sum_doc_id` pins the exact membership (the cumulative
+    * cutoff must land on identical documents on both engines). */
+  private def q56TokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetSample(t(s, dir, "documents"), "source", TokenBudgets,
+        idCol = "doc_id", defaultBudget = 1000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(coalesce(col("text"), lit(""))).cast("long"))
+          .as("n_tokens"),
+        sum(col("doc_id")).as("sum_doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -721,7 +764,9 @@ object SparkEntry {
     "q51_semdedup"          -> q51SemDedup _,
     "q52_length_percentiles"-> q52LengthPercentiles _,
     "q53_decontaminate_bloom" -> q53DecontaminateBloom _,
-    "q54_surprisal"         -> q54Surprisal _
+    "q54_surprisal"         -> q54Surprisal _,
+    "q55_incremental_near_dups" -> q55IncrementalNearDups _,
+    "q56_token_budget_sample" -> q56TokenBudgetSample _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -48,7 +48,10 @@ object DocumentSources {
           Map("mode" -> "PERMISSIVE",
               "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
       .select(col("raw_line"), col("rec.*"))
-    val missing = requiredFields.map(f => col(f).isNull).reduce(_ || _)
+    // reduceOption: requiredFields = Seq.empty means "nothing required", not
+    // an UnsupportedOperationException from reduce on an empty collection
+    val missing = requiredFields.map(f => col(f).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val isDirty = col("_corrupt_record").isNotNull || missing
     val clean = parsed.filter(!isDirty).drop("raw_line", "_corrupt_record")
     val dirty = parsed.filter(isDirty).select(

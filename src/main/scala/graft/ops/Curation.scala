@@ -22,12 +22,22 @@ import org.apache.spark.sql.functions._
   * (fewer docs to probe), sampling last (rates apply to the CLEAN corpus).
   *
   * == Materialization ==
-  * Every enabled stage `localCheckpoint`s its survivor frame: each stage's
-  * work runs exactly once (the per-stage audit counts and all downstream
-  * stages read the checkpoint, not the lineage), and the near-dup stage's
-  * iterative clustering starts from a flat plan. On a cluster, swap the
-  * checkpoints for writes to the warehouse between stages — the audit is the
-  * same either way.
+  * Every enabled stage materializes its survivor frame through
+  * `Config.materialize`: each stage's work runs exactly once (the per-stage
+  * audit counts and all downstream stages read the materialized frame, not
+  * the lineage), and the near-dup stage's iterative clustering starts from a
+  * flat plan. The DEFAULT is `localCheckpoint(true)` — right for tests and
+  * single-node runs, WRONG for a long cluster job: checkpoint blocks live on
+  * executor-local disk and die with the executor, and six stages of
+  * corpus-sized survivors multiply cluster disk. On a cluster pass
+  * [[Curation.parquetMaterializer]] (write-through to durable storage +
+  * readback — each stage's output doubles as a restartable checkpoint and
+  * the lineage behind it is dropped) or your own warehouse writer. The audit
+  * is identical under any materializer ([[graft.OpsSpec]] pins this). The
+  * INPUT frame is never materialized — stage 1 reads it through whatever
+  * source it came from (splittable files recover from executor loss on
+  * their own; see the same rationale at
+  * [[graft.load.DocumentSources.readJsonl]]).
   *
   * == Scale shape ==
   * Inherited from the stages themselves (each documented at its definition):
@@ -39,7 +49,10 @@ object Curation {
 
   /** Which stages run, and their knobs. `benchmark = None` skips
     * decontamination; `sampleRates = Map.empty` with `defaultRate = 100`
-    * keeps everything (sampling disabled). */
+    * keeps everything (sampling disabled). `materialize` is applied to every
+    * stage's survivor frame — default `localCheckpoint(true)` (single-node /
+    * test scale); pass [[parquetMaterializer]] (or a warehouse writer) on a
+    * cluster. */
   case class Config(
       gates: Boolean = true,
       lineDedup: Boolean = true,
@@ -48,7 +61,24 @@ object Curation {
       shingleK: Int = 3,
       decontaminationShingleK: Int = 8,
       sampleRates: Map[String, Int] = Map.empty,
-      defaultRate: Int = 100)
+      defaultRate: Int = 100,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+
+  /** Durable inter-stage materializer: writes each stage's survivors to
+    * `dir/stage_<N>` as parquet and reads them back — fault-tolerant (a lost
+    * executor re-reads the file, nothing recomputes from stage-0 lineage) and
+    * restartable (each stage's output is a named, inspectable table), at the
+    * cost of one write+read round-trip per stage. This is the 100 TB-shape
+    * default; the stage paths are the natural audit artifacts a curation run
+    * keeps anyway. */
+  def parquetMaterializer(dir: String): DataFrame => DataFrame = {
+    val stage = new java.util.concurrent.atomic.AtomicInteger(0)
+    df => {
+      val path = s"$dir/stage_${stage.getAndIncrement()}"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+  }
 
   /** Surviving corpus plus a per-stage audit `(stage, n_in, n_out)` in
     * execution order. */
@@ -60,12 +90,15 @@ object Curation {
              strataCol: String = "source"): Result = {
     val spark = docs.sparkSession
     var stages = List.empty[(String, Long, Long)]
-    var cur = docs.localCheckpoint(true)
+    // the INPUT is deliberately not materialized: its source is recoverable
+    // on its own terms (files re-read, tables re-scan); only stage outputs —
+    // which otherwise exist solely as lineage — go through `materialize`
+    var cur = docs
     var n = cur.count()
 
     def step(name: String, enabled: Boolean)(f: DataFrame => DataFrame): Unit =
       if (enabled) {
-        val out = f(cur).localCheckpoint(true)
+        val out = config.materialize(f(cur))
         val m = out.count()
         stages ::= ((name, n, m))
         cur = out; n = m

@@ -243,6 +243,81 @@ object Dedup {
     verified
   }
 
+  /** Incremental near-dup detection: dedup a NEW crawl increment against the
+    * ACCUMULATED corpus's persisted MinHash band index — without rescanning
+    * (or re-banding) the corpus. This is the production shape of continuous
+    * ingest: [[minhashNearDups]] dedups a corpus against itself in one batch;
+    * here the accepted corpus's `(id, band, bucket)` rows ([[minhashBanded]])
+    * live in an append-only table, each increment bands ONLY ITSELF, joins
+    * its band rows against the index for candidates, and appends its own band
+    * rows afterwards. The exact-hash streaming twin is
+    * [[streamingExactDedup]]; this is the near-dup tier of the same story.
+    *
+    * - `index`: the persisted band table — exactly [[minhashBanded]]'s output
+    *   schema `(id, band, bucket)`, built with the SAME (numHashes, bands,
+    *   shingleK) as this call. Grows append-only; never rescanned beyond the
+    *   one candidate join.
+    * - `corpus`: the accepted documents table `(idCol, textCol, …)` — touched
+    *   ONLY to re-derive shingle sets for the (tiny) candidate id set via a
+    *   semi join, so the verify cost scales with candidates, not corpus size.
+    * - Batch and corpus ids must be disjoint (they are, in an append-only
+    *   ingest — ids are content hashes or monotonic crawl ids).
+    *
+    * Shuffle shape: the batch is banded row-locally and shuffled on
+    * (band, bucket) into the index join — batch-sized, 16 id-only rows per
+    * doc; the corpus side moves only its matching (band, bucket) partitions'
+    * id rows. Hot index buckets (boilerplate shingle sets accumulate FOREVER
+    * in an append-only index) are dropped at `maxBucket` with the same loud
+    * [[lshBucketStats]] audit as the batch path. Verify joins move candidate
+    * pairs + their two shingle sets only. Returns
+    * `(id_new, id_old, jaccard)` — batch docs near-duplicating an indexed
+    * corpus doc at `threshold`. Batch-INTERNAL near-dups are a separate
+    * [[minhashNearDups]] call over the (small) batch. */
+  def incrementalNearDups(batch: DataFrame, index: DataFrame, corpus: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          threshold: Double = 0.8, numHashes: Int = 64,
+                          bands: Int = 16, shingleK: Int = 3,
+                          maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // batch shingle sets persist across the banding pass and the verify join
+    // (same eager-cut discipline as minhashNearDups)
+    val batchSh = batch.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchBands = banded(batchSh,
+      graft.functions.HashExprs.minhashFromHashes(col("sh"), numHashes),
+      bands, rowsPerBand, carry = Seq("id"))
+    // bound on the INDEX side: an append-only index accumulates degenerate
+    // buckets without limit, and one hot bucket otherwise fans every matching
+    // batch doc into bucket-sized candidate lists
+    val sized = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val cand = batchBands
+      .join(sized, Seq("band", "bucket"), "left_semi")
+      .join(index.select(col("band"), col("bucket"), col("id").as("id_old")),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("id_old"))
+      .select(col("id").as("id_new"), col("id_old"))
+      .distinct()
+    // corpus is touched only for the candidate ids: semi-probe then shingle
+    val oldSh = corpus
+      .select(col(idCol).as("id_old"), col(textCol).as("__t"))
+      .join(cand.select(col("id_old")).distinct(), Seq("id_old"), "left_semi")
+      .select(col("id_old"), shingleHashes(col("__t"), shingleK).as("__so"))
+    val verified = cand
+      .join(batchSh.select(col("id").as("id_new"), col("sh").as("__sn")), Seq("id_new"))
+      .join(oldSh, Seq("id_old"))
+      .withColumn("jaccard", jaccardSets(col("__sn"), col("__so")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+      .localCheckpoint(true)
+    batchSh.unpersist()
+    verified
+  }
+
   /** Train/test decontamination: the training documents that share at least
     * one k-token shingle with ANY benchmark document (n-gram overlap — the
     * standard leakage check before a training run; k=8 ≈ the 8–13-gram
@@ -301,6 +376,22 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val bits = if (numBits > 0) numBits else math.max(expectedItems * 96L / 10L, 64L)
+    // BloomFilterAggregate silently CLAMPS its arguments to the runtime-filter
+    // session caps — past them the sketch quietly degrades to a worse false-
+    // positive rate and the confirm join pays the difference. A silent cap is
+    // against this library's loud-bound discipline, so refuse instead: the
+    // caller raises the confs (they exist to bound AQE's automatic filters,
+    // not a deliberate one) or shards the benchmark.
+    val spark = benchmark.sparkSession
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && bits <= maxBits,
+      s"contaminationBloom: expectedItems=$expectedItems / numBits=$bits exceed " +
+      s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems / " +
+      s"maxNumBits=$maxBits — Spark would silently clamp the sketch and degrade " +
+      "its false-positive rate; raise those session confs to cover the benchmark size")
     // Materialized once: the benchmark-side explode + distinct shuffle is the
     // expensive pass this operator amortizes — without the checkpoint it runs
     // twice (once collected into the sketch, once re-derived for the confirm

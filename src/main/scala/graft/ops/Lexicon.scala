@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Lexical-coverage operators: corpus vocabulary extraction and per-document
   * out-of-vocabulary (OOV) profiling — the "does this document look like the
@@ -17,6 +18,18 @@ import org.apache.spark.sql.functions._
   * `(doc_id, group, 2 ints)` with map-side partial combine; token strings
   * never cross the wire after the frequency aggregate.
   *
+  * == Single-tokenization discipline ==
+  * Each probe query needs the corpus tokens TWICE — once aggregated into the
+  * vocabulary/frequency side, once exploded per document for the probe — and
+  * the normalize regex is the dominant per-row cost of this family (the q49/
+  * q44 ScaleProbe rows). Both sides therefore derive from ONE persisted
+  * per-document token-array projection (`(id, group, tokens)` — array rows,
+  * not exploded rows, so the cache holds one row per document): the regex
+  * runs once per document per query, the cache spills to disk past memory,
+  * and the (doc-count-sized, ints-only) result is eagerly cut before the
+  * token cache is released — the same persist → eager-cut → unpersist
+  * discipline as [[Dedup.minhashNearDups]].
+  *
   * Engine-exactness: counts are integers; the high-OOV verdict cross-
   * multiplies (`5 * n_oov > n_tokens` for the 20% threshold) instead of
   * dividing; top-K cutoff ties break on the token string — a total order both
@@ -24,33 +37,56 @@ import org.apache.spark.sql.functions._
   */
 object Lexicon {
 
-  /** Corpus-wide token frequencies over the shared normalization (one hash
-    * aggregate with map-side combine). */
-  def tokenFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .select(explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+  /** The shared per-document tokenization: one normalize-regex pass per
+    * document, carried as an ARRAY row (explode where consumed). An empty
+    * document contributes its single empty-string token (split('') = [''])
+    * on both engines. */
+  private def docTokens(docs: DataFrame, idCol: String, groupCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol), col(groupCol),
+      split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ").as("__tk"))
+
+  /** Token frequencies from a [[docTokens]] frame (one hash aggregate with
+    * map-side combine). */
+  private def tokenFrequenciesOf(toks: DataFrame): DataFrame =
+    toks.select(explode(col("__tk")).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"))
 
-  /** The head vocabulary: top-`k` tokens by (tf desc, tok) — deterministic
-    * cutoff, executed as TakeOrderedAndProject over the frequency aggregate. */
+  /** Top-`k` head vocabulary of a [[docTokens]] frame by (tf desc, tok) —
+    * deterministic cutoff, executed as TakeOrderedAndProject over the
+    * frequency aggregate. */
+  private def topVocabOf(toks: DataFrame, k: Int): DataFrame =
+    tokenFrequenciesOf(toks).orderBy(col("tf").desc, col("tok")).limit(k)
+
+  /** Corpus-wide token frequencies over the shared normalization. */
+  def tokenFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    tokenFrequenciesOf(docs.select(lit(0L).as("__id"), lit("").as("__g"),
+      split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ").as("__tk")))
+
+  /** The head vocabulary: top-`k` tokens by (tf desc, tok). */
   def topVocab(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
     tokenFrequencies(docs, textCol)
       .orderBy(col("tf").desc, col("tok"))
       .limit(k)
 
   /** Per-document token/OOV counts against the top-`k` head vocabulary.
-    * Keeps `idCol` and `groupCol`; an empty document contributes its single
-    * empty-string token (split('') = ['']) on both engines. */
+    * Keeps `idCol` and `groupCol`. Vocab and probe share one tokenization
+    * (see the class note); the result is doc-count-sized (2 ints/doc) and
+    * returned eagerly materialized. */
   def oovStats(docs: DataFrame, k: Int, idCol: String = "doc_id",
                groupCol: String = "source", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), col(groupCol),
-      explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
-    val vocab = broadcast(topVocab(docs, k, textCol).select(col("tok"), lit(1).as("__v")))
-    toks.join(vocab, Seq("tok"), "left")
+    val tk = docTokens(docs, idCol, groupCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = broadcast(topVocabOf(tk, k).select(col("tok"), lit(1).as("__v")))
+    val out = tk.select(col(idCol), col(groupCol), explode(col("__tk")).as("tok"))
+      .join(vocab, Seq("tok"), "left")
       .groupBy(col(idCol), col(groupCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .localCheckpoint(true)
+    tk.unpersist()
+    out
   }
 
   /** Per-document unigram surprisal — the cheap tier of the CCNet/Gopher
@@ -70,21 +106,26 @@ object Lexicon {
     * same accepted class as q48's tf·idf.
     *
     * Scale shape: vocab-sized lp table broadcasts; the per-doc aggregation
-    * shuffles `(doc, group, decimal, long)` with map-side combine. */
+    * shuffles `(doc, group, decimal, long)` with map-side combine; frequency
+    * and probe sides share one tokenization (see the class note). */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        groupCol: String = "source", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = docs.select(col(idCol), col(groupCol),
-      explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
-    val tf = tokenFrequencies(docs, textCol)
+    val tk = docTokens(docs, idCol, groupCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tf = tokenFrequenciesOf(tk)
     val tot = tf.agg(sum(col("tf")).cast("long").as("total"))
     val lp = tf.crossJoin(broadcast(tot))
       .select(col("tok"),
         round(-log(col("tf").cast("double") / col("total").cast("double")), 9)
           .cast(DecimalType(20, 9)).as("lp"))
-    toks.join(broadcast(lp), Seq("tok"))
+    val out = tk.select(col(idCol), col(groupCol), explode(col("__tk")).as("tok"))
+      .join(broadcast(lp), Seq("tok"))
       .groupBy(col(idCol), col(groupCol))
       .agg(sum(col("lp")).as("surprisal_sum"), count(lit(1)).as("n_tokens"))
+      .localCheckpoint(true)
+    tk.unpersist()
+    out
   }
 
   /** Per-group OOV audit: document counts, token/OOV totals, and the number

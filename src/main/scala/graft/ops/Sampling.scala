@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data mixtures.
@@ -36,6 +37,41 @@ object Sampling {
         case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(v))
       }.otherwise(lit(defaultRate))
     df.filter(hashBucket(col(idCol), seed) < rate)
+  }
+
+  /** Mixture sampling by TOKEN budget: production training mixtures target
+    * per-source TOKEN counts ("200B tokens of web, 30B of books"), not row
+    * percentages — a rate-based sample over-weights strata with long
+    * documents. Documents are taken per stratum in the deterministic
+    * [[hashBucket]]-family order (the full 56-bit md5 value — a reproducible
+    * shuffle of the stratum, so the selection is an unbiased prefix, not
+    * "smallest ids first") until the budget fills: a document is kept iff
+    * the running token total INCLUDING it is ≤ the stratum's budget.
+    *
+    * Same no-`rand()` discipline as [[stratifiedSample]]: membership is a
+    * pure function of (seed, id, corpus), identical across runs, retries,
+    * and engines. Scale shape: ONE window shuffle partitioned by stratum
+    * (the [[Packing.packGreedy]] shape — strata are the parallelism unit;
+    * cumulative sums are exact longs); token counts are row-local.
+    * Strata missing from `budgets` fall back to `defaultBudget`. */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, budgets: Map[String, Long],
+                        idCol: String, defaultBudget: Long = 0L,
+                        textCol: String = "text", seed: String = "graft"): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "budgets are token counts >= 0")
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(defaultBudget))) {
+        case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(v))
+      }.otherwise(lit(defaultBudget))
+    val h = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 14), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__nt",
+        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+      .withColumn("__cum", sum(col("__nt")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__nt", "__cum")
   }
 
   /** Uniform deterministic sample at `rate`% — the unstratified case. */

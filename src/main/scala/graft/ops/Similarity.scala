@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -321,9 +322,16 @@ object Similarity {
     val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
     require(centroids.nonEmpty, "semDedup: empty corpus — no centroids")
     val cellOf = cellAssignment(centroids, hierarchical)
+    // Persisted: the O(K·dim)-per-row (O(√K·dim) hierarchical) argmax is the
+    // operator's dominant per-row cost and `assigned` feeds BOTH the bucket
+    // aggregation and the final label join — without the persist each
+    // consumer re-scans the corpus and re-runs the assignment. Same eager-cut
+    // discipline as minhashNearDups: the (id-and-ints-only) result frame is
+    // checkpointed below and the vector-bearing cache released before return.
     val assigned = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .withColumn("cell", cellOf(col("__v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = assigned.groupBy(col("cell"))
       .agg(collect_list(struct(col("id"), col("__v"))).as("xs"))
       .filter(size(col("xs")).between(2, maxCell))
@@ -336,9 +344,12 @@ object Similarity {
         cosine(col("p.a.__v"), col("p.b.__v")).as("cosine"))
       .filter(col("cosine") >= threshold)
     val clusters = Dedup.nearDupClusters(pairs)
-    assigned.select(col("id"), col("cell"))
+    val out = assigned.select(col("id"), col("cell"))
       .join(clusters, Seq("id"), "left")
       .withColumn("keep", col("cluster").isNull || col("cluster") === col("id"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 
   /** Cell-size audit for [[semDedup]]: members of cells past `maxCell` are

@@ -252,6 +252,34 @@ class OpsSpec extends SparkSpec {
     assert(ids1 !== other)
   }
 
+  test("tokenBudgetSample: budget-respecting deterministic prefix per stratum") {
+    val docs = (0L until 300L).map(i =>
+      (i, s"src${i % 3}", (1 to (3 + (i % 5).toInt)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val budgets = Map("src0" -> 40L, "src1" -> 100000L) // src2 -> default
+    def run(b: Map[String, Long], d: Long) =
+      graft.ops.Sampling.tokenBudgetSample(docs, "source", b, "doc_id", defaultBudget = d)
+    val sel = run(budgets, 60L)
+    val tok = graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+    val bysrc = sel.groupBy("source").agg(sum(tok).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // budget is respected, and the cutoff actually truncates src0/src2
+    assert(bysrc("src0")._1 <= 40L && bysrc("src0")._2 < 100L)
+    assert(bysrc("src2")._1 <= 60L && bysrc("src2")._2 < 100L)
+    // a huge budget takes the whole stratum (100 docs of src1)
+    assert(bysrc("src1")._2 === 100L)
+    // deterministic across runs
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(sel) === ids(run(budgets, 60L)))
+    // growing a budget only EXTENDS the prefix (same hash order underneath)
+    val small = ids(run(Map("src0" -> 20L), 0L))
+    val big = ids(run(Map("src0" -> 40L), 0L))
+    assert(small.toSet.subsetOf(big.toSet) && small.nonEmpty && big.size > small.size)
+    // schema is untouched (decision columns dropped)
+    assert(sel.columns.toSeq === docs.columns.toSeq)
+  }
+
   test("packGreedy: shard breaks at the token budget, per-stratum, deterministic order") {
     val docs = Seq(
       (1L, "a", "one two three four"),        // 4 tokens, cumBefore 0  -> shard 0
@@ -685,6 +713,33 @@ class OpsSpec extends SparkSpec {
     assert(groups.forall(_._2.nonEmpty))
   }
 
+  test("incrementalNearDups: each increment dedups against the persisted index without re-banding prior increments") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val a = words("alpha", 30)
+    val b = words("beta", 30)
+    val inc1 = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    // the index is a real persisted append-only parquet table
+    val dir = SparkSpec.tempDir("graft_bandindex_")
+    Dedup.minhashBanded(inc1).write.mode("append").parquet(dir)
+    // increment 2: a near-dup of doc 0 (same text minus two words) + a unique doc
+    val inc2 = Seq((10L, words("alpha", 28)), (11L, words("gamma", 30)))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.incrementalNearDups(inc2, spark.read.parquet(dir), inc1,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(p2 === Seq((10L, 0L)))
+    // accept increment 2, append ONLY its band rows
+    Dedup.minhashBanded(inc2).write.mode("append").parquet(dir)
+    val corpus = inc1.unionByName(inc2)
+    // increment 3: an exact clone of inc2's unique doc — found via the
+    // appended index rows, inc1 never re-banded, jaccard exactly 1.0
+    val inc3 = Seq((20L, words("gamma", 30))).toDF("doc_id", "text")
+    val p3 = Dedup.incrementalNearDups(inc3, spark.read.parquet(dir), corpus,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(p3 === Seq((20L, 11L, 1.0)))
+  }
+
   test("contaminationBloom: identical answer to the exact path; empty benchmark finds nothing") {
     val train = Seq(
       (20L, "alpha beta gamma delta epsilon zeta eta theta trailing words here"),
@@ -740,6 +795,30 @@ class OpsSpec extends SparkSpec {
     assert(audit === Seq(
       ("quality_gates", 10L, 9L), ("line_dedup", 9L, 8L), ("exact_dedup", 8L, 7L),
       ("near_dup", 7L, 6L), ("decontaminate", 6L, 5L), ("sample", 5L, 4L)))
+  }
+
+  test("curation: parquet write-through materializer gives identical survivors and audit") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val d5 = s"the and ${words("alpha", 58)}"
+    val d6 = s"the and ${words("alpha", 56)} beta57 beta58"
+    val corpus = Seq(
+      (0L, s"the and ${words("zeta", 55)}", "keep"),
+      (1L, s"the and ${words("zeta", 55)}", "keep"), // exact dup of 0
+      (5L, d5, "keep"),
+      (6L, d6, "keep"),                              // near-dup of 5
+      (9L, "the and tiny", "keep")                   // gate fail
+    ).toDF("doc_id", "text", "source")
+    val cfg = Curation.Config(nearDupThreshold = Some(0.8))
+    val viaCheckpoint = Curation.curate(corpus, config = cfg)
+    val viaParquet = Curation.curate(corpus, config = cfg.copy(
+      materialize = Curation.parquetMaterializer(SparkSpec.tempDir("graft_curate_"))))
+    def ids(r: Curation.Result) =
+      r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def audit(r: Curation.Result) =
+      r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(ids(viaParquet) === ids(viaCheckpoint))
+    assert(ids(viaParquet) === Seq(0L, 5L))
+    assert(audit(viaParquet) === audit(viaCheckpoint))
   }
 
   test("nearestRankPercentiles: ranks land on exact order statistics; singleton group") {
