@@ -243,6 +243,61 @@ object Dedup {
     verified
   }
 
+  /** `(band, bucket, n)` bucket-size counts of a band-row frame — the side
+    * table an incremental ingest maintains ALONGSIDE the band index so
+    * [[incrementalNearDups]] never has to re-aggregate the (ever-growing)
+    * index to find hot buckets. Build it once from the initial index, then
+    * fold each accepted increment in with [[mergeBandCounts]]. */
+  def bandBucketCounts(bandRows: DataFrame): DataFrame =
+    bandRows.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Fold an increment's band rows into the persisted counts table: union the
+    * prior counts with the DELTA's counts and re-sum. Counts only grow
+    * (the index is append-only), so this is a fold over
+    * O(counts + delta) rows — never a recompute over the index itself. The
+    * result replaces the prior counts table (overwrite-swap or a view over an
+    * append-only count log compacted on this schedule). */
+  def mergeBandCounts(counts: DataFrame, deltaBandRows: DataFrame): DataFrame =
+    counts.select(col("band"), col("bucket"), col("n"))
+      .unionByName(bandBucketCounts(deltaBandRows))
+      .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
+
+  /** Candidate `(id_new, id_old)` pairs of a banded batch against the
+    * persisted index — the probe half of [[incrementalNearDups]], exposed so
+    * its physical plan is testable on its own.
+    *
+    * - `batchBands`: the increment's `(id, band, bucket)` rows
+    *   ([[minhashBanded]] over the batch).
+    * - `hotBuckets`: `(band, bucket)` pairs whose INDEX bucket size exceeds
+    *   the cap — derived from the maintained counts table
+    *   (`counts.filter(n > maxBucket)`). Hot buckets are rare by construction
+    *   (they are the degenerate boilerplate shingle sets), so this side
+    *   always broadcasts.
+    * - `broadcastBatch = true` (the increment regime, batch ≪ corpus): the
+    *   surviving batch bands BROADCAST into the index probe, so the index is
+    *   scanned once — no Exchange, no Sort, no re-aggregation of the index
+    *   side, per-increment cost O(index scan + batch + candidates) with the
+    *   scan a 3-int-column columnar read. `false` (a batch too large to
+    *   broadcast): plain equi-join — pair it with an index stored
+    *   `bucketBy(N, "band", "bucket").sortBy(…)` (the BucketingSpec recipe)
+    *   so only the batch side exchanges; an unbucketed parquet index would
+    *   shuffle entirely, which is the scale-killer this operator exists to
+    *   avoid. */
+  def incrementalCandidates(batchBands: DataFrame, index: DataFrame,
+                            hotBuckets: DataFrame,
+                            broadcastBatch: Boolean = true): DataFrame = {
+    val probe = batchBands
+      .join(broadcast(hotBuckets.select(col("band"), col("bucket"))),
+        Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+    val probeSide = if (broadcastBatch) broadcast(probe) else probe
+    index.select(col("band"), col("bucket"), col("id").as("id_old"))
+      .join(probeSide, Seq("band", "bucket"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select(col("id_new"), col("id_old"))
+      .distinct()
+  }
+
   /** Incremental near-dup detection: dedup a NEW crawl increment against the
     * ACCUMULATED corpus's persisted MinHash band index — without rescanning
     * (or re-banding) the corpus. This is the production shape of continuous
@@ -255,21 +310,29 @@ object Dedup {
     *
     * - `index`: the persisted band table — exactly [[minhashBanded]]'s output
     *   schema `(id, band, bucket)`, built with the SAME (numHashes, bands,
-    *   shingleK) as this call. Grows append-only; never rescanned beyond the
-    *   one candidate join.
+    *   shingleK) as this call. Grows append-only; touched once per increment
+    *   by the candidate probe — scanned, never shuffled, never re-aggregated
+    *   (see `bucketCounts`).
     * - `corpus`: the accepted documents table `(idCol, textCol, …)` — touched
     *   ONLY to re-derive shingle sets for the (tiny) candidate id set via a
     *   semi join, so the verify cost scales with candidates, not corpus size.
+    * - `bucketCounts`: the maintained `(band, bucket, n)` side table
+    *   ([[bandBucketCounts]] at bootstrap, [[mergeBandCounts]] per accepted
+    *   increment) — REQUIRED for the incremental contract: without it
+    *   (`None`, the one-shot convenience path) the counts are re-derived by
+    *   aggregating the full index, an O(corpus) pass per call that defeats
+    *   the operator over a long ingest history.
     * - Batch and corpus ids must be disjoint (they are, in an append-only
     *   ingest — ids are content hashes or monotonic crawl ids).
     *
-    * Shuffle shape: the batch is banded row-locally and shuffled on
-    * (band, bucket) into the index join — batch-sized, 16 id-only rows per
-    * doc; the corpus side moves only its matching (band, bucket) partitions'
-    * id rows. Hot index buckets (boilerplate shingle sets accumulate FOREVER
-    * in an append-only index) are dropped at `maxBucket` with the same loud
-    * [[lshBucketStats]] audit as the batch path. Verify joins move candidate
-    * pairs + their two shingle sets only. Returns
+    * Shuffle shape: the batch is banded row-locally; its surviving band rows
+    * broadcast into the index probe ([[incrementalCandidates]] — the index is
+    * scanned once with NO Exchange/Sort; set `broadcastBatch = false` + a
+    * band-bucketed index table for an oversized batch). Hot index buckets
+    * (boilerplate shingle sets accumulate FOREVER in an append-only index)
+    * are dropped at `maxBucket` via the counts table — same loud
+    * [[lshBucketStats]] audit discipline as the batch path. Verify joins move
+    * candidate pairs + their two shingle sets only. Returns
     * `(id_new, id_old, jaccard)` — batch docs near-duplicating an indexed
     * corpus doc at `threshold`. Batch-INTERNAL near-dups are a separate
     * [[minhashNearDups]] call over the (small) batch. */
@@ -277,7 +340,9 @@ object Dedup {
                           textCol: String = "text", idCol: String = "doc_id",
                           threshold: Double = 0.8, numHashes: Int = 64,
                           bands: Int = 16, shingleK: Int = 3,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxBucket: Int = 1000,
+                          bucketCounts: Option[DataFrame] = None,
+                          broadcastBatch: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // batch shingle sets persist across the banding pass and the verify join
@@ -290,18 +355,13 @@ object Dedup {
       bands, rowsPerBand, carry = Seq("id"))
     // bound on the INDEX side: an append-only index accumulates degenerate
     // buckets without limit, and one hot bucket otherwise fans every matching
-    // batch doc into bucket-sized candidate lists
-    val sized = index.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+    // batch doc into bucket-sized candidate lists. The hot set comes from the
+    // maintained counts table; the fallback full-index aggregation is the
+    // one-shot path only.
+    val hot = bucketCounts.getOrElse(bandBucketCounts(index))
+      .filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
-    val cand = batchBands
-      .join(sized, Seq("band", "bucket"), "left_semi")
-      .join(index.select(col("band"), col("bucket"), col("id").as("id_old")),
-        Seq("band", "bucket"))
-      .filter(col("id") =!= col("id_old"))
-      .select(col("id").as("id_new"), col("id_old"))
-      .distinct()
+    val cand = incrementalCandidates(batchBands, index, hot, broadcastBatch)
     // corpus is touched only for the candidate ids: semi-probe then shingle
     val oldSh = corpus
       .select(col(idCol).as("id_old"), col(textCol).as("__t"))

@@ -718,26 +718,92 @@ class OpsSpec extends SparkSpec {
     val a = words("alpha", 30)
     val b = words("beta", 30)
     val inc1 = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
-    // the index is a real persisted append-only parquet table
+    // the index AND its bucket-count side table are real persisted tables,
+    // maintained the way an ingest loop would: index appended, counts folded
+    // via mergeBandCounts (overwrite-swap)
     val dir = SparkSpec.tempDir("graft_bandindex_")
+    val cntA = SparkSpec.tempDir("graft_bandcounts_") + "/a"
+    val cntB = SparkSpec.tempDir("graft_bandcounts_") + "/b"
     Dedup.minhashBanded(inc1).write.mode("append").parquet(dir)
+    Dedup.bandBucketCounts(Dedup.minhashBanded(inc1)).write.parquet(cntA)
     // increment 2: a near-dup of doc 0 (same text minus two words) + a unique doc
     val inc2 = Seq((10L, words("alpha", 28)), (11L, words("gamma", 30)))
       .toDF("doc_id", "text")
     val p2 = Dedup.incrementalNearDups(inc2, spark.read.parquet(dir), inc1,
-        threshold = 0.5)
+        threshold = 0.5, bucketCounts = Some(spark.read.parquet(cntA)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(p2 === Seq((10L, 0L)))
-    // accept increment 2, append ONLY its band rows
+    // accept increment 2: append ONLY its band rows; fold ONLY its delta
+    // into the counts side table
     Dedup.minhashBanded(inc2).write.mode("append").parquet(dir)
+    Dedup.mergeBandCounts(spark.read.parquet(cntA), Dedup.minhashBanded(inc2))
+      .write.parquet(cntB)
+    // side-table parity: the folded counts equal a from-scratch recompute
+    // over the full index (the delta-merge IS the aggregate)
+    val folded = spark.read.parquet(cntB)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = Dedup.bandBucketCounts(spark.read.parquet(dir))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(folded === full)
     val corpus = inc1.unionByName(inc2)
     // increment 3: an exact clone of inc2's unique doc — found via the
     // appended index rows, inc1 never re-banded, jaccard exactly 1.0
     val inc3 = Seq((20L, words("gamma", 30))).toDF("doc_id", "text")
     val p3 = Dedup.incrementalNearDups(inc3, spark.read.parquet(dir), corpus,
-        threshold = 0.8)
+        threshold = 0.8, bucketCounts = Some(spark.read.parquet(cntB)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(p3 === Seq((20L, 11L, 1.0)))
+  }
+
+  test("incrementalCandidates plan: the index side is scanned, never shuffled") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val corpus = (0L until 50L).map(i => (i, words(s"w$i-", 20))).toDF("doc_id", "text")
+    val batch = Seq((1000L, words("w7-", 20))).toDF("doc_id", "text")
+    val dir = SparkSpec.tempDir("graft_bandindex_plan_") + "/idx"
+    Dedup.minhashBanded(corpus).write.parquet(dir)
+    val counts = Dedup.bandBucketCounts(spark.read.parquet(dir))
+      .localCheckpoint(true)
+    val hot = counts.filter(col("n") > 1000).select("band", "bucket")
+    val batchBands = Dedup.minhashBanded(batch)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // auto-broadcast off: the plan shape must come from the operator's own
+      // hints, not from Spark noticing the test data is tiny
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // default (broadcast) path: batch bands broadcast into the index probe —
+      // the ONLY shuffle Exchange in the whole candidate plan is the final
+      // pair distinct; the index never exchanges or sorts
+      val cand = Dedup.incrementalCandidates(batchBands, spark.read.parquet(dir), hot)
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected only the pair-distinct shuffle:\n${plan.take(2500)}")
+      assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1000L, 7L)))
+
+      // oversized-batch fallback: broadcastBatch = false over a
+      // bucketBy(band, bucket) index table — only the batch side exchanges
+      // (plus the pair distinct); an unbucketed index shuffles entirely
+      spark.sql("DROP TABLE IF EXISTS inc_band_index")
+      spark.read.parquet(dir).write.bucketBy(8, "band", "bucket")
+        .sortBy("band", "bucket").format("parquet").saveAsTable("inc_band_index")
+      val bucketed = Dedup.incrementalCandidates(batchBands,
+        spark.table("inc_band_index"), hot, broadcastBatch = false)
+      val bucketedShuffles = "Exchange hashpartitioning".r
+        .findAllIn(bucketed.queryExecution.executedPlan.toString).length
+      val unbucketed = Dedup.incrementalCandidates(batchBands,
+        spark.read.parquet(dir), hot, broadcastBatch = false)
+      val unbucketedShuffles = "Exchange hashpartitioning".r
+        .findAllIn(unbucketed.queryExecution.executedPlan.toString).length
+      assert(bucketedShuffles === 2, "bucketed index: batch-side exchange + pair distinct only")
+      assert(unbucketedShuffles === 3, "unbucketed baseline should shuffle the index — config suspect otherwise")
+      assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1000L, 7L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS inc_band_index")
+    }
   }
 
   test("contaminationBloom: identical answer to the exact path; empty benchmark finds nothing") {

@@ -230,6 +230,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Map(1L -> true, 2L -> false))
   }
 
+  test("streaming incremental near-dup ingest: batch 2 drops batch 1's near-dup via the index, without re-banding batch 1") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = SparkSpec.tempDir("graft_streaminc_")
+    val in = s"$base/in"
+    val indexDir = s"$base/index"; val corpusDir = s"$base/corpus"
+    val countsDir = s"$base/counts"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    // micro-batch 1: two distinct docs; micro-batch 2: a near-dup of doc 1
+    // (2 words shy of its text) + a genuinely new doc. maxFilesPerTrigger=1
+    // makes each file its own micro-batch, oldest first.
+    val f1 = java.nio.file.Paths.get(s"$in/b1.jsonl")
+    val f2 = java.nio.file.Paths.get(s"$in/b2.jsonl")
+    java.nio.file.Files.write(f1, Seq(
+      s"""{"doc_id":1,"text":"${words("alpha", 30)}"}""",
+      s"""{"doc_id":2,"text":"${words("beta", 30)}"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(f2, Seq(
+      s"""{"doc_id":10,"text":"${words("alpha", 28)}"}""",
+      s"""{"doc_id":11,"text":"${words("gamma", 30)}"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    f2.toFile.setLastModified(f1.toFile.lastModified() + 10000)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // the ingest loop: probe the index, drop near-dups, land survivors, append
+    // ONLY the survivors' band rows, fold ONLY their counts into the side table
+    var latestCounts: Option[String] = None
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        val dropped = latestCounts match {
+          case None => b.select(col("doc_id")).limit(0)
+          case Some(cnt) =>
+            graft.ops.Dedup.incrementalNearDups(
+                b, s.read.parquet(indexDir), s.read.parquet(corpusDir),
+                threshold = 0.5, bucketCounts = Some(s.read.parquet(cnt)))
+              .select(col("id_new").as("doc_id")).distinct()
+        }
+        val accepted = b.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        accepted.write.mode("append").parquet(corpusDir)
+        val bands = graft.ops.Dedup.minhashBanded(accepted)
+        bands.write.mode("append").parquet(indexDir)
+        val newCounts = latestCounts match {
+          case None      => graft.ops.Dedup.bandBucketCounts(bands)
+          case Some(cnt) => graft.ops.Dedup.mergeBandCounts(s.read.parquet(cnt), bands)
+        }
+        val v = s"$countsDir/v$batchId"
+        newCounts.write.parquet(v)
+        latestCounts = Some(v)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    q.awaitTermination()
+    // doc 10 (near-dup of batch 1's doc 1) dropped; 11 landed
+    val landed = spark.read.parquet(corpusDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed === Seq(1L, 2L, 11L))
+    // the index holds band rows for exactly the accepted docs — batch 1's
+    // rows written once (never re-banded: batch 2 appended only doc 11's)
+    val indexed = spark.read.parquet(indexDir).select("id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Seq(1L, 2L, 11L))
+    assert(spark.read.parquet(indexDir).count() === 48L) // 3 docs × 16 bands
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Kafka-wire JSON values (one per line) for the text file source. */
