@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.load.DocumentSources
+import graft.ops.Curation
+
+/** One-command corpus curation — the composed entry point a data team runs
+  * first: JSONL corpus in, curated JSONL + per-stage audit + rejected records
+  * out. Everything it calls is the library's own oracle-checked surface
+  * ([[graft.load.DocumentSources.readJsonl]] → [[graft.ops.Curation.curate]]
+  * → [[graft.load.DocumentSources.writeJsonl]]); this main only wires them in
+  * their canonical order and lays out the output directory:
+  *
+  * {{{
+  * runMain graft.Curate <corpus.jsonl> <benchmark.jsonl|none> <outDir>
+  *
+  * outDir/
+  *   curated/    surviving documents, JSONL
+  *   rejects/    malformed/incomplete input lines + error_reason, JSONL
+  *   audit/      per-stage (stage, n_in, n_out), JSONL
+  *   stages/     stage_N parquet survivors (the restartable checkpoints —
+  *               Curation.parquetMaterializer write-through, loud on reuse)
+  * }}}
+  *
+  * `benchmark.jsonl` is the decontamination reference set (`none` skips that
+  * stage). Inter-stage materialization is the durable parquet write-through —
+  * the cluster-safe default for an entry point that may run for hours (see
+  * the [[graft.ops.Curation]] materialization note); pointing a second run at
+  * the same `outDir` refuses loudly instead of clobbering the first run's
+  * stage artifacts.
+  *
+  * Scale notes: JSONL is splittable, so the read parallelizes by byte range;
+  * every stage's shuffle/broadcast shape is documented at its operator. The
+  * session comes from [[graft.api.GraftSession]] — under spark-submit pass
+  * `--master`/conf as usual (the builder's local default only applies when
+  * nothing else set one).
+  */
+object Curate {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: runMain graft.Curate <corpus.jsonl> <benchmark.jsonl|none> <outDir>")
+    val Array(corpusPath, benchPath, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (clean, dirty) = DocumentSources.readJsonl(spark, corpusPath)
+    val benchmark =
+      if (benchPath == "none") None
+      else Some(DocumentSources.readJsonl(spark, benchPath)._1)
+
+    val result = Curation.curate(clean, benchmark,
+      Curation.Config(materialize = Curation.parquetMaterializer(s"$outDir/stages")))
+
+    DocumentSources.writeJsonl(result.corpus, s"$outDir/curated")
+    DocumentSources.writeJsonl(dirty, s"$outDir/rejects")
+    DocumentSources.writeJsonl(result.audit, s"$outDir/audit")
+
+    val audit = result.audit.collect()
+    val nIn = audit.headOption.map(_.getLong(1)).getOrElse(0L)
+    val nOut = audit.lastOption.map(_.getLong(2)).getOrElse(nIn)
+    val nRejects = dirty.count()
+    println(s"""{"in":$nIn,"curated":$nOut,"rejected_lines":$nRejects,"stages":${audit.length},"out":"$outDir"}""")
+    audit.foreach(r =>
+      println(f"""  ${r.getString(0)}%-15s ${r.getLong(1)}%8d -> ${r.getLong(2)}%8d"""))
+  }
+}

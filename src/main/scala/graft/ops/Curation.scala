@@ -70,12 +70,18 @@ object Curation {
     * restartable (each stage's output is a named, inspectable table), at the
     * cost of one write+read round-trip per stage. This is the 100 TB-shape
     * default; the stage paths are the natural audit artifacts a curation run
-    * keeps anyway. */
+    * keeps anyway.
+    *
+    * One materializer per run: stage paths fail LOUDLY on collision
+    * (`errorifexists` — same discipline as the other loud bounds) instead of
+    * silently clobbering a prior run's stage artifacts, so give each run a
+    * fresh `dir`. Reusing one instance across `curate()` calls also keeps
+    * incrementing stage numbers — another reason it is per-run. */
   def parquetMaterializer(dir: String): DataFrame => DataFrame = {
     val stage = new java.util.concurrent.atomic.AtomicInteger(0)
     df => {
       val path = s"$dir/stage_${stage.getAndIncrement()}"
-      df.write.mode("overwrite").parquet(path)
+      df.write.mode("errorifexists").parquet(path)
       df.sparkSession.read.parquet(path)
     }
   }
@@ -84,6 +90,13 @@ object Curation {
     * execution order. */
   case class Result(corpus: DataFrame, audit: DataFrame)
 
+  /** Contract: `docs` must be DETERMINISTIC under re-evaluation (a file/table
+    * scan, or any plan free of `rand()`/time/partition-order dependence — the
+    * library-wide no-`rand()` discipline). The input is deliberately NOT
+    * materialized, so the stage-1 audit's `n_in` count and stage 1's read are
+    * separate evaluations of the input lineage; a nondeterministic input
+    * would make them disagree (and an expensive derived input is computed
+    * twice — materialize it yourself first if that matters). */
   def curate(docs: DataFrame, benchmark: Option[DataFrame] = None,
              config: Config = Config(),
              textCol: String = "text", idCol: String = "doc_id",

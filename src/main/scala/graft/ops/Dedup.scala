@@ -201,7 +201,14 @@ object Dedup {
     * band row and not once per candidate side) and the tiny post-LSH
     * candidate pair set joins back to it for the exact-Jaccard verify — two
     * thin shuffles (pairs are orders of magnitude smaller than band rows)
-    * instead of one 16×-amplified fat one. */
+    * instead of one 16×-amplified fat one.
+    *
+    * EAGER: the returned pair set is materialized (`localCheckpoint`) inside
+    * this call — the shared shingle cache must be consumed and released here,
+    * so the result cannot stay lazy. Pairs are candidate-sized (orders of
+    * magnitude below the corpus), so the executor-local checkpoint is safe at
+    * any scale — unlike the corpus-row-count-sized results that take a
+    * `materialize` hook ([[graft.ops.Curation.Config.materialize]]). */
   def minhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", threshold: Double = 0.8,
                       numHashes: Int = 64, bands: Int = 16,
@@ -335,7 +342,11 @@ object Dedup {
     * candidate pairs + their two shingle sets only. Returns
     * `(id_new, id_old, jaccard)` — batch docs near-duplicating an indexed
     * corpus doc at `threshold`. Batch-INTERNAL near-dups are a separate
-    * [[minhashNearDups]] call over the (small) batch. */
+    * [[minhashNearDups]] call over the (small) batch.
+    *
+    * EAGER: the returned pair set is materialized inside this call (the batch
+    * shingle cache is released here) — pairs are candidate-sized, same
+    * rationale as [[minhashNearDups]]. */
   def incrementalNearDups(batch: DataFrame, index: DataFrame, corpus: DataFrame,
                           textCol: String = "text", idCol: String = "doc_id",
                           threshold: Double = 0.8, numHashes: Int = 64,

@@ -73,18 +73,25 @@ object Lexicon {
   /** Per-document token/OOV counts against the top-`k` head vocabulary.
     * Keeps `idCol` and `groupCol`. Vocab and probe share one tokenization
     * (see the class note); the result is doc-count-sized (2 ints/doc) and
-    * returned eagerly materialized. */
+    * returned EAGERLY through `materialize` — the shared token cache must be
+    * both consumed and released inside this call, so the result cannot stay
+    * lazy. The default `localCheckpoint(true)` is right for single-node /
+    * test runs; on a cluster pass [[Curation.parquetMaterializer]] (or a
+    * warehouse writer) — checkpoint blocks live on executor-local disk and
+    * die with the executor, and at 100 B docs even an ints-only frame is
+    * multi-TB (same hook contract as [[Curation.Config.materialize]]). */
   def oovStats(docs: DataFrame, k: Int, idCol: String = "doc_id",
-               groupCol: String = "source", textCol: String = "text"): DataFrame = {
+               groupCol: String = "source", textCol: String = "text",
+               materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val tk = docTokens(docs, idCol, groupCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vocab = broadcast(topVocabOf(tk, k).select(col("tok"), lit(1).as("__v")))
-    val out = tk.select(col(idCol), col(groupCol), explode(col("__tk")).as("tok"))
-      .join(vocab, Seq("tok"), "left")
-      .groupBy(col(idCol), col(groupCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .localCheckpoint(true)
+    val out = materialize(
+      tk.select(col(idCol), col(groupCol), explode(col("__tk")).as("tok"))
+        .join(vocab, Seq("tok"), "left")
+        .groupBy(col(idCol), col(groupCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov")))
     tk.unpersist()
     out
   }
@@ -107,9 +114,14 @@ object Lexicon {
     *
     * Scale shape: vocab-sized lp table broadcasts; the per-doc aggregation
     * shuffles `(doc, group, decimal, long)` with map-side combine; frequency
-    * and probe sides share one tokenization (see the class note). */
+    * and probe sides share one tokenization (see the class note). The result
+    * is returned EAGERLY through `materialize` (the shared token cache is
+    * released inside this call) — same hook contract as [[oovStats]]: default
+    * `localCheckpoint(true)` for single-node runs, pass
+    * [[Curation.parquetMaterializer]] or a warehouse writer on a cluster. */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
-                       groupCol: String = "source", textCol: String = "text"): DataFrame = {
+                       groupCol: String = "source", textCol: String = "text",
+                       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val tk = docTokens(docs, idCol, groupCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -119,11 +131,11 @@ object Lexicon {
       .select(col("tok"),
         round(-log(col("tf").cast("double") / col("total").cast("double")), 9)
           .cast(DecimalType(20, 9)).as("lp"))
-    val out = tk.select(col(idCol), col(groupCol), explode(col("__tk")).as("tok"))
-      .join(broadcast(lp), Seq("tok"))
-      .groupBy(col(idCol), col(groupCol))
-      .agg(sum(col("lp")).as("surprisal_sum"), count(lit(1)).as("n_tokens"))
-      .localCheckpoint(true)
+    val out = materialize(
+      tk.select(col(idCol), col(groupCol), explode(col("__tk")).as("tok"))
+        .join(broadcast(lp), Seq("tok"))
+        .groupBy(col(idCol), col(groupCol))
+        .agg(sum(col("lp")).as("surprisal_sum"), count(lit(1)).as("n_tokens")))
     tk.unpersist()
     out
   }

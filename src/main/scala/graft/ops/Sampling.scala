@@ -53,7 +53,15 @@ object Sampling {
     * and engines. Scale shape: ONE window shuffle partitioned by stratum
     * (the [[Packing.packGreedy]] shape — strata are the parallelism unit;
     * cumulative sums are exact longs); token counts are row-local.
-    * Strata missing from `budgets` fall back to `defaultBudget`. */
+    * Strata missing from `budgets` fall back to `defaultBudget`.
+    *
+    * Contract: `idCol` must be UNIQUE within each stratum — it is the hash
+    * order's tie-breaker, so duplicate ids make the cumulative cutoff
+    * nondeterministic at ties (and a training corpus has unique doc ids by
+    * construction). Zero-token documents cost nothing against the budget and
+    * are admitted wherever the cumulative total allows — including under a
+    * 0 budget (cum 0 ≤ 0); pre-filter empty documents (a quality gate's job)
+    * if they should not ride along. */
   def tokenBudgetSample(df: DataFrame, strataCol: String, budgets: Map[String, Long],
                         idCol: String, defaultBudget: Long = 0L,
                         textCol: String = "text", seed: String = "graft"): DataFrame = {

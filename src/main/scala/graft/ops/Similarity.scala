@@ -315,10 +315,17 @@ object Similarity {
       v => element_at(graft.functions.HashExprs.nearestCentroids(v, centroids, 1), 1)
     }
 
+  /** `materialize` (default `localCheckpoint(true)`): the result is returned
+    * EAGERLY — the vector-bearing assignment cache is released inside this
+    * call — and the id-and-ints result frame is corpus-row-count-sized, so on
+    * a cluster pass [[graft.ops.Curation.parquetMaterializer]] or a warehouse
+    * writer instead of the executor-local-disk default (same hook contract as
+    * [[graft.ops.Curation.Config.materialize]]). */
   def semDedup(corpus: DataFrame, threshold: Double = 0.95,
                idCol: String = "vec_id", vecCol: String = "embedding",
                numCentroids: Int = 32, maxCell: Int = 1000,
-               hierarchical: Boolean = false): DataFrame = {
+               hierarchical: Boolean = false,
+               materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
     require(centroids.nonEmpty, "semDedup: empty corpus — no centroids")
     val cellOf = cellAssignment(centroids, hierarchical)
@@ -344,10 +351,9 @@ object Similarity {
         cosine(col("p.a.__v"), col("p.b.__v")).as("cosine"))
       .filter(col("cosine") >= threshold)
     val clusters = Dedup.nearDupClusters(pairs)
-    val out = assigned.select(col("id"), col("cell"))
+    val out = materialize(assigned.select(col("id"), col("cell"))
       .join(clusters, Seq("id"), "left")
-      .withColumn("keep", col("cluster").isNull || col("cluster") === col("id"))
-      .localCheckpoint(true)
+      .withColumn("keep", col("cluster").isNull || col("cluster") === col("id")))
     assigned.unpersist()
     out
   }

@@ -45,6 +45,54 @@ class DocumentSourcesSpec extends SparkSpec {
       === Seq((10L, "s1", "en", "alpha beta"), (11L, "s2", "fr", "gamma delta")))
   }
 
+  test("graft.Curate end-to-end: JSONL in -> curated JSONL + audit + rejects out") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = tmpDir("graft_curate_e2e")
+    val corpusDir = s"$base/corpus"; val benchDir = s"$base/bench"
+    val outDir = s"$base/out"
+    Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    Files.createDirectories(java.nio.file.Paths.get(benchDir))
+    val line1 = s"the and ${words("gamma", 28)}"; val line2 = words("delta", 30)
+    val d5 = s"the and ${words("alpha", 58)}"
+    val d6 = s"the and ${words("alpha", 56)} beta57 beta58" // near-dup of d5
+    val contamRun = words("mu", 8)
+    val d7 = s"the and ${words("iota", 50)} $contamRun"     // shares bench 8-gram
+    // \\n: the s-interpolator processes escapes even in triple quotes, so
+    // this yields the two-char JSON escape \n, parsed back to a newline
+    val corpusLines = Seq(
+      s"""{"doc_id":3,"source":"web","text":"$line1\\n$line2"}""", // survives
+      s"""{"doc_id":4,"source":"web","text":"$line1 $line2"}""",   // exact dup of 3
+      s"""{"doc_id":5,"source":"web","text":"$d5"}""",             // survives (canonical)
+      s"""{"doc_id":6,"source":"web","text":"$d6"}""",             // near-dup drop
+      s"""{"doc_id":7,"source":"web","text":"$d7"}""",             // decontaminated
+      s"""{"doc_id":9,"source":"web","text":"the and tiny"}""",    // gate fail
+      """{oops not json""",                                        // reject: malformed
+      """{"doc_id":42,"source":"web"}""")                          // reject: no text
+    Files.write(java.nio.file.Paths.get(corpusDir, "corpus.jsonl"),
+      corpusLines.mkString("\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(benchDir, "bench.jsonl"),
+      s"""{"doc_id":100,"text":"$contamRun"}""".getBytes("UTF-8"))
+
+    Curate.main(Array(corpusDir, benchDir, outDir))
+
+    val (curated, curatedDirty) = DocumentSources.readJsonl(spark, s"$outDir/curated")
+    assert(curatedDirty.count() === 0L)
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(3L, 5L))
+    val rejects = spark.read.json(s"$outDir/rejects")
+    assert(rejects.count() === 2L)
+    assert(rejects.select("error_reason").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("malformed json", "missing required field: text"))
+    val audit = spark.read.json(s"$outDir/audit")
+      .select("stage", "n_in", "n_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit.toSet === Set(
+      ("quality_gates", 6L, 5L), ("line_dedup", 5L, 5L), ("exact_dedup", 5L, 4L),
+      ("near_dup", 4L, 3L), ("decontaminate", 3L, 2L)))
+    // the durable stage checkpoints landed too (restartability artifacts)
+    assert(new java.io.File(s"$outDir/stages/stage_0").exists)
+  }
+
   test("text sources: per-file and per-line docs with deterministic ids") {
     val dir = tmpDir("graft_text")
     Files.write(java.nio.file.Paths.get(dir, "a.txt"), "line one\nline two".getBytes("UTF-8"))

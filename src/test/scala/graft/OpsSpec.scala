@@ -885,6 +885,47 @@ class OpsSpec extends SparkSpec {
     assert(ids(viaParquet) === ids(viaCheckpoint))
     assert(ids(viaParquet) === Seq(0L, 5L))
     assert(audit(viaParquet) === audit(viaCheckpoint))
+    // a second run pointed at the SAME dir must refuse, not clobber the
+    // first run's stage artifacts (a reused INSTANCE keeps incrementing
+    // stage numbers instead — also fine; the collision is a fresh
+    // materializer over an old run's dir)
+    val reuseDir = SparkSpec.tempDir("graft_curate_reuse_")
+    Curation.curate(corpus,
+      config = cfg.copy(materialize = Curation.parquetMaterializer(reuseDir)))
+    intercept[Exception] {
+      Curation.curate(corpus,
+        config = cfg.copy(materialize = Curation.parquetMaterializer(reuseDir)))
+    }
+  }
+
+  test("materialize hooks: oovStats/unigramSurprisal/semDedup identical under parquet write-through") {
+    val docs = Seq(
+      (1L, "s0", "the quick brown fox jumps over the lazy dog"),
+      (2L, "s0", "the quick brown fox naps"),
+      (3L, "s1", "zzz qqq xxx vvv unusual tokens entirely"),
+      (4L, "s1", "the the the quick quick brown")
+    ).toDF("doc_id", "source", "text")
+    def pq(prefix: String) =
+      Curation.parquetMaterializer(SparkSpec.tempDir(prefix))
+    val oovCp = Lexicon.oovStats(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val oovPq = Lexicon.oovStats(docs, k = 5, materialize = pq("graft_oov_pq_"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(oovPq === oovCp && oovCp.nonEmpty)
+    val surCp = Lexicon.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(2), r.getLong(3))).toMap
+    val surPq = Lexicon.unigramSurprisal(docs, materialize = pq("graft_sur_pq_"))
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(2), r.getLong(3))).toMap
+    assert(surPq === surCp && surCp.nonEmpty)
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i % 4) * 8 + d).toFloat / 32f))
+    }.toDF("vec_id", "embedding")
+    val sdCp = Similarity.semDedup(emb, threshold = 0.999, numCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val sdPq = Similarity.semDedup(emb, threshold = 0.999, numCentroids = 4,
+        materialize = pq("graft_sd_pq_"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sdPq === sdCp && sdCp.size === 40)
   }
 
   test("nearestRankPercentiles: ranks land on exact order statistics; singleton group") {
