@@ -37,12 +37,19 @@ object ScaleProbe {
           d => (pmod(xxhash64(col("vec_id"), d), lit(2000)).cast("double") / 1000.0 - 1.0)
             .cast("float")))
 
-  private def timed(label: String, rows: Long)(body: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val out = body
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"op":"$label","rows":$rows,"sec":$sec%.3f,"out":$out}""")
-  }
+  /** Optional subset filter (re-measure a few ops without the full sweep):
+    * SPARK_GRAFT_PROBE_ONLY=contamination_bloom,oov — prefix match, like
+    * Bench's SPARK_GRAFT_ONLY. */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+
+  private def timed(label: String, rows: Long)(body: => Long): Unit =
+    if (only.forall(_.exists(label.startsWith))) {
+      val t0 = System.nanoTime()
+      val out = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$label","rows":$rows,"sec":$sec%.3f,"out":$out}""")
+    }
 
   def main(args: Array[String]): Unit = {
     val baseRows = args.headOption.map(_.toLong).getOrElse(20000L)
@@ -133,6 +140,52 @@ object ScaleProbe {
             hierarchical = true)
           .agg(coalesce(sum(when(!col("keep"), 1L).otherwise(0L)), lit(0L)))
           .collect().head.getLong(0)
+      }
+      timed("surprisal", n) {
+        // q54 shape: collect total tokens so the per-doc decimal aggregation
+        // fully evaluates
+        graft.ops.Lexicon.unigramSurprisal(d)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("token_budget_sample", n) {
+        // q56 shape: FIXED per-source budgets, so truncation is real at both
+        // sizes and the measured cost is the per-stratum window shuffle
+        graft.ops.Sampling.tokenBudgetSample(d, "source",
+            Map("s0" -> 100000L, "s1" -> 100000L, "s2" -> 100000L, "s3" -> 100000L),
+            idCol = "doc_id")
+          .agg(coalesce(sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      // q39-shuffled vs q53 shape: a benchmark too big to broadcast (10% of
+      // the corpus) — the exact path shuffles every (id, hash) pair of the
+      // training side into the semi join; the Bloom path broadcasts a sketch
+      // and only survivors pay the confirm join
+      val benchCut = n / 10
+      timed("contamination_exact_shuffled", n) {
+        Dedup.contamination(d.filter(col("doc_id") >= benchCut),
+          d.filter(col("doc_id") < benchCut), broadcastBenchmark = false).count()
+      }
+      timed("contamination_bloom", n) {
+        Dedup.contaminationBloom(d.filter(col("doc_id") >= benchCut),
+          d.filter(col("doc_id") < benchCut), expectedItems = 4000000L).count()
+      }
+      // q55 shape: a FIXED-size increment (2000 exact clones of corpus docs,
+      // shifted ids) probed against the FULL corpus's persisted band index +
+      // maintained counts side table. Index build/write happens OUTSIDE the
+      // timer — the operator's contract is per-increment cost, and the flat
+      // growth of this row against a 10× index is its whole point.
+      if (only.forall(_.exists("incremental_near_dups".startsWith))) {
+        val idxPath = s"$outDir/bandidx_$n"; val cntPath = s"$outDir/bandcnt_$n"
+        Dedup.minhashBanded(d).write.mode("overwrite").parquet(idxPath)
+        Dedup.bandBucketCounts(spark.read.parquet(idxPath))
+          .write.mode("overwrite").parquet(cntPath)
+        val fixedBatch = d.filter(col("doc_id") < 2000)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        timed("incremental_near_dups", n) {
+          Dedup.incrementalNearDups(fixedBatch, spark.read.parquet(idxPath), d,
+            threshold = 0.7, bucketCounts = Some(spark.read.parquet(cntPath))).count()
+        }
       }
       timed("line_dedup", n) {
         // 3-token synthesized lines (q47's shape — single regex pass, NOT a
