@@ -928,6 +928,48 @@ class OpsSpec extends SparkSpec {
     assert(sdPq === sdCp && sdCp.size === 40)
   }
 
+  test("lexicon single-tokenization: vocab and probe sides share ONE cached normalize subtree") {
+    // The r6 rewrite's claim (VERDICT r6 item 3): the normalize regex runs
+    // once per document per query. Pin it on the plan, captured INSIDE the
+    // materialize hook — that is the only point where the shared token cache
+    // is both registered and still live (oovStats unpersists before
+    // returning, so a plan planned after the call would legitimately show
+    // two normalize subtrees — the documented reason the result must be
+    // materialized eagerly). File-backed input, not a local Seq:
+    // ConvertToLocalRelation would fold a LocalRelation's projections
+    // eagerly and bypass the cache entirely.
+    val dir = SparkSpec.tempDir("graft_lex_plan_") + "/docs"
+    Seq((1L, "s0", "a b c"), (2L, "s1", "c d e"))
+      .toDF("doc_id", "source", "text").write.parquet(dir)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    var plan: SparkPlan = null
+    // AQE off for the capture only: AdaptiveSparkPlanExec hides its stages
+    // from collect(), and this assertion is about the static plan shape
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Lexicon.oovStats(spark.read.parquet(dir), k = 2,
+      materialize = { df => plan = df.queryExecution.executedPlan; df.localCheckpoint(true) })
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val scans = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(scans.size === 2, s"expected vocab+probe scans of the token cache:\n$plan")
+    assert(scans.map(_.relation.cacheBuilder.cachedPlan).distinct.size === 1,
+      "both sides must share one cached tokenization")
+    val normPat = "[^a-z0-9"                           // normalizeText's regex
+    // structural, not string: plan.toString re-renders the cached subtree
+    // (regex included) under EACH scan, so count evaluation sites instead —
+    // nodes outside the cache boundary must not re-run normalize
+    def outsideCache(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: InMemoryTableScanExec => Seq.empty
+      case n => n +: n.children.flatMap(outsideCache)
+    }
+    assert(!outsideCache(plan).exists(_.expressions.exists(_.toString.contains(normPat))),
+      s"a consumer re-evaluates normalizeText outside the cache:\n$plan")
+    val cached = scans.head.relation.cacheBuilder.cachedPlan
+    assert(cached.flatMap(_.expressions).count(_.toString.contains(normPat)) === 1,
+      s"the cached tokenization must hold exactly one normalize subtree:\n$cached")
+  }
+
   test("nearestRankPercentiles: ranks land on exact order statistics; singleton group") {
     val d = ((1 to 10).map(i => ("g", i.toLong, i.toLong)) :+ (("solo", 99L, 7L)))
       .toDF("source", "doc_id", "n_tokens")
