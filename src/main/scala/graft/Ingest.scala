@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.ops.Dedup
+
+/** One-command STREAMING corpus ingest — the always-on twin of
+  * [[graft.Curate]] (which curates a corpus that already landed): watch a
+  * directory of JSONL files, and per micro-batch run the three dedup tiers a
+  * production ingest actually runs, maintaining the band index + counts side
+  * table that make the near-dup tier O(batch) per increment:
+  *
+  *  1. exact tier — [[graft.ops.Dedup.streamingExactDedup]]: duplicate
+  *     normalized content within the watermark horizon never reaches the
+  *     sink (hash-only, watermark-bounded state);
+  *  2. contamination tier — [[graft.ops.Dedup.flagContaminated]] against the
+  *     benchmark's shingle-hash set (computed once at stream start,
+  *     broadcast into every batch): leaked benchmark text lands FLAGGED, not
+  *     dropped — benchmarks change, and the flag is what downstream sampling
+  *     filters on ([[graft.ops.Dedup.streamingDecontaminate]] semantics);
+  *  3. near-dup tier — the [[graft.ops.Dedup.incrementalNearDups]] loop:
+  *     each batch probes the PERSISTED index (scanned once, never re-banded
+  *     — counts side table via [[graft.ops.Dedup.mergeBandCounts]]), drops
+  *     batch docs near-duplicating the accepted corpus, lands survivors,
+  *     appends ONLY their band rows, and folds ONLY their counts.
+  *
+  * {{{
+  * runMain graft.Ingest <inDir> <benchmark.jsonl|none> <outDir>
+  *
+  * outDir/
+  *   corpus/      accepted documents + contaminated flag (parquet, append)
+  *   index/       (id, band, bucket) band rows of every accepted doc
+  *   counts/vN    the (band, bucket, n) side table, one version per batch
+  *   dropped/     (id_new, id_old, jaccard, batch_id) near-dup drop audit
+  *   checkpoint/  stream checkpoint (restart-safe: replayed batches re-land
+  *                idempotently only if the sink table dedups on doc_id —
+  *                see FlightStatus.appendBatchIdempotent for the recipe)
+  * }}}
+  *
+  * Input JSONL: `{"doc_id": long, "text": string[, "ingest_ts": timestamp]}`
+  * — a missing `ingest_ts` is stamped at read time (arrival time IS event
+  * time for a crawl that stamps nothing better).
+  *
+  * Scale notes: every per-batch wide operation is batch-sized or
+  * candidate-sized; the accumulated corpus is touched only by the index
+  * SCAN and the candidate-id semi-probe (both documented at
+  * [[graft.ops.Dedup.incrementalNearDups]]). The counts fold rewrites a
+  * (band × bucket)-sized table per batch — counts-sized, not index-sized.
+  * Exact-dup drops happen inside the stateful stream stage, so they never
+  * reach the sink: their count is `input lines − accepted − near-dup drops`.
+  */
+object Ingest {
+
+  final case class Result(batches: Long, accepted: Long, droppedNearDup: Long,
+                          flaggedContaminated: Long)
+
+  val InputSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** Run the composed ingest until the trigger completes (AvailableNow
+    * drains the backlog then stops — right for tests and catch-up; an
+    * always-on ingest passes a processing-time trigger and never returns).
+    * `readerOptions` reach the file source (e.g. maxFilesPerTrigger). */
+  def run(spark: SparkSession, inDir: String, benchmark: Option[DataFrame],
+          outDir: String, threshold: Double = 0.8, watermark: String = "1 hour",
+          trigger: Trigger = Trigger.AvailableNow(),
+          readerOptions: Map[String, String] = Map.empty): Result = {
+    val corpusDir = s"$outDir/corpus"
+    val indexDir = s"$outDir/index"
+    val droppedDir = s"$outDir/dropped"
+    val benchHashes = benchmark.map(b =>
+      b.select(explode(Dedup.shingleHashes(col("text"), k = 8)).as("__h"))
+        .distinct()
+        .localCheckpoint(true))
+    var latestCounts: Option[String] = None
+    var batches = 0L; var accepted = 0L; var dropped = 0L; var flagged = 0L
+
+    val raw = readerOptions.foldLeft(spark.readStream.schema(InputSchema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.json(inDir).withColumn("ingest_ts",
+      coalesce(col("ingest_ts"), current_timestamp()))
+
+    val q = Dedup.streamingExactDedup(raw, watermark = watermark)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val s = batch0.sparkSession
+        // cut the micro-batch once: it is consumed by the flag join, the
+        // near-dup probe, and the landing write
+        val b = batch0.localCheckpoint(true)
+        if (!b.isEmpty) {
+          val flaggedB = benchHashes match {
+            case Some(h) => Dedup.flagContaminated(b, broadcast(h))
+            case None    => b.withColumn("contaminated", lit(false))
+          }
+          val pairs = latestCounts match {
+            case None => None // first batch: nothing accepted yet to collide with
+            case Some(cnt) =>
+              Some(Dedup.incrementalNearDups(b, s.read.parquet(indexDir),
+                s.read.parquet(corpusDir), threshold = threshold,
+                bucketCounts = Some(s.read.parquet(cnt))))
+          }
+          val dropIds = pairs match {
+            case None => b.select(col("doc_id")).limit(0)
+            case Some(p) => p.select(col("id_new").as("doc_id")).distinct()
+          }
+          pairs.foreach(_.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(droppedDir))
+          val acceptedB = flaggedB.join(dropIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          acceptedB.write.mode("append").parquet(corpusDir)
+          val bands = Dedup.minhashBanded(acceptedB)
+          bands.write.mode("append").parquet(indexDir)
+          val newCounts = latestCounts match {
+            case None      => Dedup.bandBucketCounts(bands)
+            case Some(cnt) => Dedup.mergeBandCounts(s.read.parquet(cnt), bands)
+          }
+          val v = s"$outDir/counts/v$batchId"
+          newCounts.write.parquet(v)
+          latestCounts = Some(v)
+          batches += 1
+          accepted += acceptedB.count()
+          dropped += dropIds.count()
+          flagged += acceptedB.filter(col("contaminated")).count()
+        }
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .start()
+    q.awaitTermination()
+    Result(batches, accepted, dropped, flagged)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: runMain graft.Ingest <inDir> <benchmark.jsonl|none> <outDir>")
+    val Array(inDir, benchPath, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val benchmark =
+      if (benchPath == "none") None
+      else Some(graft.load.DocumentSources.readJsonl(spark, benchPath)._1)
+    val r = run(spark, inDir, benchmark, outDir)
+    println(s"""{"batches":${r.batches},"accepted":${r.accepted},""" +
+      s""""dropped_near_dup":${r.droppedNearDup},""" +
+      s""""flagged_contaminated":${r.flaggedContaminated},"out":"$outDir"}""")
+  }
+}

@@ -966,6 +966,58 @@ object OracleSql {
       CAST(SUM(CASE WHEN s > CAST(3.45 AS DECIMAL(4,2)) * n THEN 1 ELSE 0 END) AS BIGINT) AS n_high_surprisal
     FROM doc GROUP BY source"""
 
+  /** Substring-level cross-document span dedup — mirrors
+    * graft.ops.SpanDedup.spanDedup (k=20, w=8, minDf=2, minRun=40): winnowing
+    * selection with positions (per window of 8 gram hashes, the LEFTMOST
+    * minimum via list_position; packed 56-bit md5 gram hashes), document
+    * frequency per fingerprint, hot-position chain-merge (gap <= k) into
+    * runs, runs >= minRun chars cut per char, residual space-collapsed and
+    * trimmed. */
+  private val q57 = s"""
+    WITH nm AS (SELECT doc_id, source, $dedupNormSql AS s FROM documents),
+    n2 AS (SELECT doc_id, source, s, length(s) AS len FROM nm),
+    grams AS (SELECT doc_id,
+        CASE WHEN len < 20 THEN [('0x' || substr(md5(s), 1, 14))::BIGINT]
+        ELSE list_transform(range(1, len - 20 + 2),
+          i -> ('0x' || substr(md5(substr(s, i, 20)), 1, 14))::BIGINT) END AS kg
+      FROM n2),
+    sel AS (SELECT doc_id, kg,
+        list_sort(list_distinct(list_transform(range(0, greatest(len(kg) - 8 + 1, 1)),
+          j -> j + list_position(list_slice(kg, j + 1, j + 8),
+                 list_min(list_slice(kg, j + 1, j + 8)))))) AS poss
+      FROM grams),
+    sf AS (SELECT doc_id, pos, kg[pos] AS f
+      FROM (SELECT doc_id, unnest(poss) AS pos, kg FROM sel)),
+    hot AS (SELECT f FROM sf GROUP BY f HAVING count(DISTINCT doc_id) >= 2),
+    hp AS (SELECT doc_id, pos FROM sf JOIN hot USING (f)),
+    brk AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+          THEN 0 ELSE 1 END AS b
+      FROM hp),
+    grp AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM brk),
+    runs0 AS (SELECT doc_id, g, min(pos) AS rs, max(pos) + 20 - 1 AS re0
+      FROM grp GROUP BY 1, 2),
+    runs AS (SELECT r.doc_id, rs, least(re0, n.len) AS re
+      FROM runs0 r JOIN n2 n USING (doc_id)
+      WHERE least(re0, n.len) - rs + 1 >= 40),
+    chars AS (SELECT doc_id, unnest(range(1, len + 1)) AS i FROM n2),
+    keptc AS (SELECT c.doc_id, c.i FROM chars c
+      WHERE NOT EXISTS (SELECT 1 FROM runs r
+        WHERE r.doc_id = c.doc_id AND c.i BETWEEN r.rs AND r.re)),
+    resid AS (SELECT kc.doc_id, string_agg(substr(n.s, kc.i, 1), '' ORDER BY kc.i) AS rt
+      FROM keptc kc JOIN n2 n USING (doc_id) GROUP BY kc.doc_id),
+    spans AS (SELECT doc_id, count(*) AS n_spans FROM runs GROUP BY doc_id),
+    outq AS (SELECT n.doc_id, n.source, n.len,
+        trim(regexp_replace(
+          CASE WHEN sp.doc_id IS NULL THEN n.s ELSE coalesce(r.rt, '') END,
+          ' +', ' ', 'g')) AS text,
+        CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans_removed
+      FROM n2 n LEFT JOIN resid r USING (doc_id) LEFT JOIN spans sp USING (doc_id))
+    SELECT doc_id, source, text, n_spans_removed,
+      CAST(len - length(text) AS BIGINT) AS n_chars_removed
+    FROM outq"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1026,6 +1078,10 @@ object OracleSql {
     "q53_decontaminate_bloom" -> q39,
     "q55_incremental_near_dups" -> q55,
     "q56_token_budget_sample" -> q56,
-    "q54_surprisal"         -> q54
+    "q54_surprisal"         -> q54,
+    // q58_sketch_stats has NO oracle on purpose: DuckDB's approx sketches
+    // are different implementations with different estimates (see
+    // graft.ops.Sketches) — the driver records its rows-only check
+    "q57_span_dedup"        -> q57
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -187,6 +187,33 @@ object ScaleProbe {
             threshold = 0.7, bucketCounts = Some(spark.read.parquet(cntPath))).count()
         }
       }
+      timed("span_dedup", n) {
+        // q57 shape: collect removed-char total so the cut projection fully
+        // evaluates (hash-random content means few hot runs — the measured
+        // cost is selection + the df agg + reassembly, i.e. the scan-scaling
+        // part; pair-heavy behavior is bounded by minRun/minDf semantics)
+        graft.ops.SpanDedup.spanDedup(d)
+          .agg(coalesce(sum(col("n_chars_removed")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("vocab_exact", n) {
+        // q41 shape (the exact vocabulary agg the sketch tier replaces):
+        // every distinct token string crosses the (source, tok) shuffle
+        d.select(col("source"),
+            explode(split(graft.ops.TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("v"), sum(when(col("tf") === 1, 1L).otherwise(0L)).as("h"))
+          .agg(coalesce(sum(col("v")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("sketch_stats", n) {
+        // q58 shape: HLL vocab + GK percentiles — the shuffle carries
+        // fixed-size sketch blocks instead of token strings
+        graft.ops.Sketches.corpusStatsSketch(d)
+          .agg(coalesce(sum(col("vocab_est")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("line_dedup", n) {
         // 3-token synthesized lines (q47's shape — single regex pass, NOT a
         // transform lambda: an interpreted HOF re-evaluates the normalize

@@ -710,6 +710,25 @@ object SparkEntry {
           .as("n_tokens"),
         sum(col("doc_id")).as("sum_doc_id"))
 
+  /** Substring-level cross-document dedup ([[graft.ops.SpanDedup]]): per
+    * document, the normalized text with every hot span (winnowing
+    * fingerprints selected by ≥ 2 documents, chain-merged, runs ≥ 40 chars)
+    * cut out, plus span/char audit counts. Per-doc output so the oracle
+    * hash pins the exact cleaned STRINGS, not just aggregates. */
+  private def q57SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SpanDedup.spanDedup(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_spans_removed"), col("n_chars_removed"))
+
+  /** Sketch-tier corpus statistics ([[graft.ops.Sketches]]): HLL++ vocab
+    * estimate + GK approximate length percentiles per source — the scale
+    * companions to exact q41/q52. No DuckDB oracle (different sketch
+    * implementations produce different estimates); accuracy is pinned in
+    * OpsSpec against the exact aggregates, so the driver's rows-only check
+    * here is the honest contract. */
+  private def q58SketchStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.corpusStatsSketch(t(s, dir, "documents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -766,7 +785,9 @@ object SparkEntry {
     "q53_decontaminate_bloom" -> q53DecontaminateBloom _,
     "q54_surprisal"         -> q54Surprisal _,
     "q55_incremental_near_dups" -> q55IncrementalNearDups _,
-    "q56_token_budget_sample" -> q56TokenBudgetSample _
+    "q56_token_budget_sample" -> q56TokenBudgetSample _,
+    "q57_span_dedup"        -> q57SpanDedup _,
+    "q58_sketch_stats"      -> q58SketchStats _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -408,6 +408,149 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Winnowing SELECTION — [[WinnowingFingerprints]] keeping positions: the
+    * distinct selected `(pos, fp)` pairs (1-based gram start positions,
+    * ascending), where each window of `w` gram hashes selects its LEFTMOST
+    * minimum. Identical substrings select identical `(relative pos, fp)`
+    * interiors, which is what makes the cross-document span join of
+    * [[graft.ops.SpanDedup]] work. Same gram hash as
+    * [[WinnowingFingerprints]] (packed 56-bit md5 prefix), so DuckDB
+    * regenerates the exact pairs:
+    * `j + list_position(list_slice(kg, j+1, j+w), list_min(list_slice(…)))`.
+    * Selected positions are non-decreasing across windows (a window's
+    * minimum never moves left of the previous window's), so adjacent-dedup
+    * yields the sorted distinct set. */
+  case class WinnowingSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("pos", IntegerType, nullable = false),
+        StructField("fp", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "winnowing_select"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val grams: Array[Long] =
+        if (s.length < k) Array(packed(s))
+        else Array.tabulate(s.length - k + 1)(i => packed(s.substring(i, i + k)))
+      val nWindows = math.max(grams.length - w + 1, 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.catalyst.InternalRow]
+      var last = -1
+      var j = 0
+      while (j < nWindows) {
+        var best = j
+        var i = j + 1
+        val end = math.min(j + w, grams.length)
+        while (i < end) { if (grams(i) < grams(best)) best = i; i += 1 }
+        if (best != last) {
+          out += org.apache.spark.sql.catalyst.InternalRow(best + 1, grams(best))
+          last = best
+        }
+        j += 1
+      }
+      new GenericArrayData(out.toArray[Any])
+    }
+
+    private def packed(g: String): Long = {
+      val (h1, h2) = md5Halves(g.getBytes("UTF-8"))
+      (h1 << 28) | h2
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowingSelect =
+      copy(child = c)
+  }
+
+  /** Merge sorted 1-based k-gram start positions into character runs
+    * (chain-merge: a position extends the current run when it starts within
+    * `k` chars of the previous position; run end clamps to the text length),
+    * keep runs spanning at least `minRun` chars, and return the text with
+    * those runs cut out — residual segments concatenated directly, then
+    * space-collapsed and trimmed (the input is normalized single-spaced
+    * text, so only removal boundaries can create doubled spaces). One
+    * compiled O(len + positions) pass per row; DuckDB mirrors with
+    * lag-based gaps-and-islands + per-char NOT EXISTS
+    * ([[graft.OracleSql]] q57). */
+  case class RemoveSpans(left: Expression, right: Expression, k: Int, minRun: Int)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "remove_spans"
+
+    override protected def nullSafeEval(t: Any, p: Any): Any = {
+      val s = t.asInstanceOf[UTF8String].toString
+      val runs = mergedRuns(p.asInstanceOf[ArrayData], s.length, k, minRun)
+      if (runs.isEmpty) return t.asInstanceOf[UTF8String]
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      var r = 0
+      while (i < s.length) {
+        while (r < runs.length && i + 1 > runs(r)._2) r += 1
+        val covered = r < runs.length && i + 1 >= runs(r)._1 && i + 1 <= runs(r)._2
+        if (!covered) sb.append(s.charAt(i))
+        i += 1
+      }
+      // collapse doubled spaces introduced at cut boundaries, then trim
+      val raw = sb.toString
+      val out = new java.lang.StringBuilder(raw.length)
+      var prevSpace = false
+      var c = 0
+      while (c < raw.length) {
+        val ch = raw.charAt(c)
+        if (ch == ' ') { if (!prevSpace && out.length > 0) out.append(' '); prevSpace = true }
+        else { out.append(ch); prevSpace = false }
+        c += 1
+      }
+      var len = out.length
+      while (len > 0 && out.charAt(len - 1) == ' ') len -= 1
+      UTF8String.fromString(out.substring(0, len))
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveSpans =
+      copy(left = l, right = r)
+  }
+
+  /** Number of qualifying merged runs [[RemoveSpans]] would cut — same merge
+    * and `minRun` filter over the (ints-only) position array, without
+    * touching the text (`len` arrives as a column so the normalize chain is
+    * not re-evaluated). */
+  case class CountSpans(left: Expression, right: Expression, k: Int, minRun: Int)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "count_spans"
+
+    override protected def nullSafeEval(p: Any, l: Any): Any =
+      mergedRuns(p.asInstanceOf[ArrayData], l.asInstanceOf[Int], k, minRun).length
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CountSpans =
+      copy(left = l, right = r)
+  }
+
+  /** Shared run merge for [[RemoveSpans]]/[[CountSpans]]: sorted 1-based
+    * positions → merged `[start, end]` char runs (both 1-based, inclusive),
+    * chained while `pos - prev <= k`, end = `min(maxPos + k - 1, len)`,
+    * filtered to `end - start + 1 >= minRun`. */
+  private def mergedRuns(positions: ArrayData, len: Int, k: Int,
+                         minRun: Int): Array[(Int, Int)] = {
+    val n = positions.numElements()
+    if (n == 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = positions.getInt(0)
+    var prev = start
+    var i = 1
+    while (i <= n) {
+      val p = if (i < n) positions.getInt(i) else Int.MaxValue
+      if (i == n || p - prev > k) {
+        val end = math.min(prev + k - 1, len)
+        if (end - start + 1 >= minRun) out += ((start, end))
+        if (i < n) { start = p }
+      }
+      if (i < n) prev = p
+      i += 1
+    }
+    out.toArray
+  }
+
   /** The `n` nearest centroids (by cosine desc, centroid id asc) of an
     * embedding — the IVF coarse quantizer ([[graft.ops.Similarity.ivfTopK]]).
     * Centroids are quantizer PARAMETERS carried as constructor data (a
@@ -582,6 +725,17 @@ object HashExprs {
 
   def winnowingFingerprints(normText: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprints(ColumnBridge.expression(normText), k, w))
+
+  def winnowingSelect(normText: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingSelect(ColumnBridge.expression(normText), k, w))
+
+  def removeSpans(normText: Column, positions: Column, k: Int, minRun: Int): Column =
+    ColumnBridge.column(RemoveSpans(ColumnBridge.expression(normText),
+      ColumnBridge.expression(positions), k, minRun))
+
+  def countSpans(positions: Column, len: Column, k: Int, minRun: Int): Column =
+    ColumnBridge.column(CountSpans(ColumnBridge.expression(positions),
+      ColumnBridge.expression(len), k, minRun))
 
   def bigramTopFraction(tokens: Column): Column =
     ColumnBridge.column(BigramTopFraction(ColumnBridge.expression(tokens)))

@@ -269,6 +269,25 @@ object Dedup {
       .unionByName(bandBucketCounts(deltaBandRows))
       .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
 
+  /** Write a band-row frame ([[minhashBanded]] output) as the
+    * `bucketBy(buckets, "band", "bucket")` catalog table the oversized-batch
+    * path of [[incrementalNearDups]] requires (`broadcastBatch = false`):
+    * against a bucketed index only the BATCH side exchanges in the candidate
+    * join; an unbucketed parquet index shuffles entirely per increment
+    * (OpsSpec pins the 2-vs-3-exchange difference). Without this helper a
+    * caller can silently get the slow plan by writing the index with plain
+    * `.parquet(...)` — use `.parquet` for the broadcast regime, this for the
+    * oversized-batch regime. Append increments with
+    * `mode = SaveMode.Append` (same bucket spec is enforced by the catalog;
+    * `buckets` sizes the parallel unit of the probe join — pick
+    * index rows / ~1M, NOT the increment size). */
+  def writeBandIndex(bandRows: DataFrame, table: String, buckets: Int = 256,
+                     mode: org.apache.spark.sql.SaveMode =
+                       org.apache.spark.sql.SaveMode.ErrorIfExists): Unit =
+    bandRows.select(col("id"), col("band"), col("bucket"))
+      .write.mode(mode).bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket").format("parquet").saveAsTable(table)
+
   /** Candidate `(id_new, id_old)` pairs of a banded batch against the
     * persisted index — the probe half of [[incrementalNearDups]], exposed so
     * its physical plan is testable on its own.
@@ -285,11 +304,11 @@ object Dedup {
     *   scanned once — no Exchange, no Sort, no re-aggregation of the index
     *   side, per-increment cost O(index scan + batch + candidates) with the
     *   scan a 3-int-column columnar read. `false` (a batch too large to
-    *   broadcast): plain equi-join — pair it with an index stored
-    *   `bucketBy(N, "band", "bucket").sortBy(…)` (the BucketingSpec recipe)
-    *   so only the batch side exchanges; an unbucketed parquet index would
-    *   shuffle entirely, which is the scale-killer this operator exists to
-    *   avoid. */
+    *   broadcast): plain equi-join — pair it with an index table written by
+    *   [[writeBandIndex]] (`bucketBy(N, "band", "bucket").sortBy(…)`, the
+    *   BucketingSpec recipe) so only the batch side exchanges; an unbucketed
+    *   parquet index would shuffle entirely, which is the scale-killer this
+    *   operator exists to avoid. */
   def incrementalCandidates(batchBands: DataFrame, index: DataFrame,
                             hotBuckets: DataFrame,
                             broadcastBatch: Boolean = true): DataFrame = {

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-tier corpus statistics — the 100 TB companions to the EXACT
+  * aggregates (q41 vocabulary, q52 length percentiles). The exact paths stay
+  * the oracle of record; these are the scale paths for when exact stops
+  * being affordable:
+  *
+  *  - q41's exact vocabulary ships every distinct token STRING through a
+  *    shuffle (two-stage `(source, tok)` hash agg — the widest shuffle in
+  *    the suite at corpus scale). [[vocabSketch]] replaces it with
+  *    `approx_count_distinct` (HyperLogLog++): the shuffle carries one
+  *    fixed-size HLL register block per (group × partition), independent of
+  *    vocabulary size. HLL merges take the per-register max, so the estimate
+  *    is partition-order-independent — deterministic for a given corpus and
+  *    `rsd` (the test pins run-to-run equality and the relative-error bound).
+  *  - q52's exact nearest-rank percentiles sort every row inside one window
+  *    shuffle per group. [[lengthPercentilesSketch]] uses
+  *    `percentile_approx` (Greenwald-Khanna): per-partition summaries of
+  *    bounded size merge into the final quantile — no global sort, no full
+  *    window materialization.
+  *
+  * What stays exact on purpose: hapax counts (tokens with tf = 1) have no
+  * sketchable form — distinct-count sketches cannot distinguish tf = 1 from
+  * tf = 2, and a counting sketch large enough to do so approaches the exact
+  * agg's cost — so q41 remains the only hapax source; total token counts are
+  * already cheap (a row-local `size()` summed with map-side combine, no
+  * token strings shuffled) and stay exact here.
+  *
+  * No DuckDB oracle by design: DuckDB's `approx_count_distinct`/
+  * `approx_quantile` are different sketch implementations with different
+  * estimates, so the driver records the weaker rows-only check for q58; the
+  * accuracy contract is pinned in ScalaTest against the exact aggregates
+  * (OpsSpec "sketch stats") and probed at 20k/200k (PLANS.md).
+  */
+object Sketches {
+
+  /** Per-group `(vocab_est, n_tokens)` via HLL++. `rsd` is the target
+    * relative standard deviation (Spark default 0.05; 0.01 costs a larger
+    * register block — still KB-scale — and is the right default for corpus
+    * reporting). Tokenization is the repo-shared normalize+split, identical
+    * to the exact q41 path, so the two are directly comparable. */
+  def vocabSketch(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text", rsd: Double = 0.01): DataFrame =
+    docs.select(col(groupCol),
+        explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " "))
+          .as("tok"))
+      .groupBy(col(groupCol))
+      .agg(approx_count_distinct(col("tok"), rsd).as("vocab_est"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Per-group approximate token-length percentiles (`percentile_approx`,
+    * accuracy = 1/relErr). Returns one row per group with `n_docs` and a
+    * `p{N}` column per requested percentile. */
+  def lengthPercentilesSketch(docs: DataFrame, groupCol: String = "source",
+                              textCol: String = "text",
+                              percentiles: Seq[Int] = Seq(50, 90, 99),
+                              relErr: Double = 0.001): DataFrame = {
+    val nTokens = TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).cast("long")
+    val accuracy = math.max(math.ceil(1.0 / relErr).toInt, 100)
+    val pArray = array(percentiles.map(p => lit(p / 100.0)): _*)
+    val aggs = count(lit(1)).as("n_docs") +:
+      percentiles.zipWithIndex.map { case (p, i) =>
+        element_at(percentile_approx(col("__n"), pArray, lit(accuracy)), i + 1)
+          .as(s"p$p")
+      }
+    docs.select(col(groupCol), nTokens.as("__n"))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-call sketch profile: vocab + length percentiles joined per group —
+    * the q58 shape. Two narrow aggregations (HLL blocks + GK summaries), one
+    * small join of group-count-sized frames. */
+  def corpusStatsSketch(docs: DataFrame, groupCol: String = "source",
+                        textCol: String = "text",
+                        percentiles: Seq[Int] = Seq(50, 90, 99),
+                        rsd: Double = 0.01, relErr: Double = 0.001): DataFrame =
+    vocabSketch(docs, groupCol, textCol, rsd)
+      .join(lengthPercentilesSketch(docs, groupCol, textCol, percentiles, relErr),
+        Seq(groupCol))
+}

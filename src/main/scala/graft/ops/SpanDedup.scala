@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.HashExprs
+
+/** Substring-level CROSS-document deduplication — the exact-substring tier of
+  * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+  * (2022): [[LineDedup]] removes duplicate whole lines and
+  * [[Dedup.minhashNearDups]] duplicate whole documents, but mid-document
+  * repeated spans (license boilerplate, templated headers/footers) survive
+  * both. Lee et al. find them with a corpus-wide suffix array — inherently
+  * sequential and memory-resident, the wrong shape for Spark. This operator
+  * gets the same effect with winnowing fingerprints (Schleimer et al., SIGMOD
+  * 2003 — already the repo's document-fingerprint substrate,
+  * [[TextAnalysis.winnowingFingerprints]]):
+  *
+  *  1. each document selects its winnowing `(pos, fp)` pairs row-locally
+  *     ([[graft.functions.HashExprs.WinnowingSelect]] — k-char grams, window
+  *     minima with positions);
+  *  2. a global aggregation counts, per fingerprint, the number of DISTINCT
+  *     documents selecting it; fingerprints at or above `minDf` are "hot"
+  *     (winnowing guarantees any substring of length ≥ k + w - 1 shared
+  *     verbatim by two documents selects at least one identical `(relative
+  *     pos, fp)` in both, so real boilerplate is always hot);
+  *  3. per document, hot positions chain-merge into character runs (gap ≤ k)
+  *     and runs spanning ≥ `minRun` chars are cut out of the NORMALIZED text
+  *     ([[graft.functions.HashExprs.RemoveSpans]], one compiled pass/row);
+  *     `minRun` is what separates a genuinely repeated span from an
+  *     incidental shared k-gram.
+  *
+  * Removal policy: a hot run is removed from EVERY document containing it
+  * (the C4 discipline applied to spans, not lines) — boilerplate that appears
+  * in `minDf`+ documents is noise, not content, and a keep-first variant
+  * would need per-fingerprint first-occurrence exemptions that shred runs
+  * whose fingerprints first appeared in different documents.
+  *
+  * Output: the input columns with `textCol` rewritten to the span-deduped
+  * NORMALIZED text (spans are located in normalized coordinates, which do
+  * not map back to raw offsets — same contract as the rest of the dedup
+  * tier), plus `n_spans_removed` / `n_chars_removed` audit columns
+  * (char counts relative to the normalized text).
+  *
+  * == 100 TB shape ==
+  * Document text crosses the wire exactly once (the reassembly join, like
+  * [[LineDedup]]):
+  *  1. fingerprint selection is row-local; the first wide op sees only
+  *     `(id, pos int, fp long)` rows — ~2/(w+1) of the gram count per doc;
+  *  2. the document-frequency aggregate is a two-stage hash agg with
+  *     map-side partial combine; the hot set (df ≥ minDf) is
+  *     boilerplate-vocabulary-sized, NOT corpus-sized;
+  *  3. the hot join back to the selection frame is deliberately un-hinted:
+  *     AQE broadcasts the hot side when it is small, and when a pathological
+  *     corpus makes it huge a forced broadcast would OOM exactly when the
+  *     operator matters (q51's label-join reasoning);
+  *  4. keep-marks group back to one sorted int array per affected document;
+  *  5. the final left join attaches marks to the original documents and cuts
+  *     spans row-locally.
+  * The selection frame is consumed twice (df agg + hot join), so it persists
+  * for the duration of the call; `marks` (ints only, affected-doc-sized) is
+  * returned EAGERLY through `materialize` so the persist can be released
+  * inside this call — same hook contract as [[Lexicon.oovStats]]: default
+  * `localCheckpoint(true)` for single-node runs, pass
+  * [[Curation.parquetMaterializer]] or a warehouse writer on a cluster.
+  *
+  * Reference behavior coverage: the reference pipeline has no substring
+  * tier (its dedup is row-keyed — `scripts/checkDuplicates.js:8-21` scans
+  * for duplicate airport codes); this is part of the beyond-parity
+  * LLM-curation surface (SURVEY §2.11).
+  */
+object SpanDedup {
+
+  /** Span-dedup `docs` — see class doc. Defaults (k=20, w=8, minDf=2,
+    * minRun=40) target ~3-4-token grams and runs of at least a few tokens;
+    * winnowing's merge guarantee needs `w <= k` (selected positions inside a
+    * shared run are at most `w` grams apart, so their k-char intervals
+    * overlap and chain-merge into one run). */
+  def spanDedup(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", k: Int = 20, w: Int = 8,
+                minDf: Int = 2, minRun: Int = 40,
+                materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(w <= k, s"w ($w) must be <= k ($k) so hot runs chain-merge")
+    val norm = TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
+    val sel = docs.select(col(idCol).as("__sd_id"),
+        explode(HashExprs.winnowingSelect(norm, k, w)).as("s"))
+      .select(col("__sd_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = sel.groupBy(col("fp"))
+      .agg(countDistinct(col("__sd_id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("fp"))
+    val marks = materialize(
+      sel.join(hot, Seq("fp"))
+        .groupBy(col("__sd_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("__pos")))
+    sel.unpersist()
+    docs.join(marks, col(idCol) === col("__sd_id"), "left")
+      .withColumn("__pos", coalesce(col("__pos"), array().cast("array<int>")))
+      .withColumn("__norm", norm)
+      .withColumn("__clean", HashExprs.removeSpans(col("__norm"), col("__pos"), k, minRun))
+      .withColumn("n_spans_removed",
+        HashExprs.countSpans(col("__pos"), length(col("__norm")), k, minRun).cast("long"))
+      .withColumn("n_chars_removed",
+        (length(col("__norm")) - length(col("__clean"))).cast("long"))
+      .withColumn(textCol, col("__clean"))
+      .drop("__sd_id", "__pos", "__norm", "__clean")
+  }
+}

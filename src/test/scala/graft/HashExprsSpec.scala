@@ -132,6 +132,51 @@ class HashExprsSpec extends SparkSpec {
     assert(got.forall(_.length === 1))
   }
 
+  test("WinnowingSelect == formula: leftmost window minimum with 1-based positions") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val k = 8; val w = 4
+    def packed(g: String): Long =
+      java.lang.Long.parseLong(md5Hex(g).substring(0, 14), 16)
+    val grams = (0 to text.length - k).map(i => packed(text.substring(i, i + k)))
+    val expected = (0 until math.max(grams.length - w + 1, 1)).map { j =>
+      val win = grams.slice(j, math.min(j + w, grams.length))
+      val best = win.indexOf(win.min) + j          // leftmost minimum
+      (best + 1, grams(best))
+    }.distinct
+    val got = Seq(text).toDF("text")
+      .select(HashExprs.winnowingSelect(col("text"), k, w).as("s"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+    // positions strictly increase and every fp matches its gram hash
+    assert(got.map(_._1) === got.map(_._1).sorted.distinct)
+    got.foreach { case (pos, fp) =>
+      assert(fp === packed(text.substring(pos - 1, pos - 1 + k)))
+    }
+  }
+
+  test("RemoveSpans/CountSpans: chain-merge, minRun filter, clamp, collapse") {
+    //            1234567890123456789012345678
+    val text = "aa bb cc dd ee ff gg hh ii jj"
+    def cut(ps: Seq[Int], k: Int, minRun: Int): (String, Int) = {
+      val df = Seq((text, ps)).toDF("t", "p")
+        .select(HashExprs.removeSpans(col("t"), col("p"), k, minRun).as("c"),
+          HashExprs.countSpans(col("p"), length(col("t")), k, minRun).as("n"))
+      val r = df.collect().head
+      (r.getString(0), r.getInt(1))
+    }
+    // positions 4 and 10 are 6 apart <= k=6 → one merged run [4, 15] (12 chars)
+    assert(cut(Seq(4, 10), 6, 10) === (("aa ff gg hh ii jj", 1)))
+    // same run fails a higher minRun → untouched
+    assert(cut(Seq(4, 10), 6, 13) === ((text, 0)))
+    // gap > k breaks runs: [4,9] and [16,21] both 6 chars (two runs at minRun=6)
+    assert(cut(Seq(4, 16), 6, 6) === (("aa dd ee hh ii jj", 2)))
+    // clamp: a position near the end cannot run past the text
+    assert(cut(Seq(28), 6, 2) === (("aa bb cc dd ee ff gg hh ii", 1)))
+    // empty positions → identity
+    assert(cut(Seq.empty, 6, 2) === ((text, 0)))
+  }
+
   test("DetectLanguage == replace-count scoring with first-wins ties and null->'und'") {
     val rows = Seq(
       Some("the cat and the dog of the house"),   // en

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Lexicon, Multimodal, QualityGates, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Lexicon, Multimodal, QualityGates, Similarity, Sketches, SpanDedup, TextAnalysis}
 
 /** Semantic unit tests for the training-data-pipeline operators on corpora
   * small enough to verify by hand (the DuckDB oracle covers them at scale —
@@ -786,8 +786,7 @@ class OpsSpec extends SparkSpec {
       // bucketBy(band, bucket) index table — only the batch side exchanges
       // (plus the pair distinct); an unbucketed index shuffles entirely
       spark.sql("DROP TABLE IF EXISTS inc_band_index")
-      spark.read.parquet(dir).write.bucketBy(8, "band", "bucket")
-        .sortBy("band", "bucket").format("parquet").saveAsTable("inc_band_index")
+      Dedup.writeBandIndex(spark.read.parquet(dir), "inc_band_index", buckets = 8)
       val bucketed = Dedup.incrementalCandidates(batchBands,
         spark.table("inc_band_index"), hot, broadcastBatch = false)
       val bucketedShuffles = "Exchange hashpartitioning".r
@@ -953,7 +952,10 @@ class OpsSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     val scans = plan.collect { case s: InMemoryTableScanExec => s }
     assert(scans.size === 2, s"expected vocab+probe scans of the token cache:\n$plan")
-    assert(scans.map(_.relation.cacheBuilder.cachedPlan).distinct.size === 1,
+    // identity, not structural equality: two independent but structurally
+    // identical caches would pass a cachedPlan comparison (ADVICE r8)
+    assert(scans.map(s => System.identityHashCode(s.relation.cacheBuilder.cachedPlan))
+      .distinct.size === 1,
       "both sides must share one cached tokenization")
     val normPat = "[^a-z0-9"                           // normalizeText's regex
     // structural, not string: plan.toString re-renders the cached subtree
@@ -980,5 +982,123 @@ class OpsSpec extends SparkSpec {
     assert(out(("g", 50L)) === 5L && out(("g", 90L)) === 9L && out(("g", 99L)) === 10L)
     // n=1: every percentile is the single value
     assert(out(("solo", 50L)) === 7L && out(("solo", 99L)) === 7L)
+  }
+
+  // --- substring-level cross-document dedup (SpanDedup, q57) ---
+
+  private val license =
+    "licensed under the apache license version two point zero you may not use this file except in compliance"
+
+  test("span dedup: shared boilerplate removed from every copy; unique text untouched") {
+    val sd = Seq(
+      (0L, s"$license alpha bravo charlie delta echo unique narrative payload zero"),
+      (1L, s"$license foxtrot golf hotel india juliet distinct body content one"),
+      (2L, s"$license kilo lima mike november oscar separate story text body two"),
+      (3L, "papa quebec romeo sierra tango wholly original document nothing shared here")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val out = SpanDedup.spanDedup(sd).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_spans_removed"),
+          r.getAs[Long]("n_chars_removed"))).toMap
+    // the license interior is gone from every sharing doc (winnowing may
+    // leave sub-k fragments at the very edges of the run, never the middle)
+    for (id <- Seq(0L, 1L, 2L)) {
+      val (txt, spans, chars) = out(id)
+      assert(!txt.contains("apache license version"), s"doc $id kept boilerplate: $txt")
+      assert(spans >= 1L && chars >= 40L, s"doc $id audits: spans=$spans chars=$chars")
+    }
+    // each doc's unique payload survives
+    assert(out(0L)._1.contains("unique narrative payload zero"))
+    assert(out(1L)._1.contains("distinct body content one"))
+    assert(out(2L)._1.contains("separate story text body two"))
+    // the doc with no shared spans is byte-identical to its normalized text
+    assert(out(3L)._1 ===
+      "papa quebec romeo sierra tango wholly original document nothing shared here")
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L)
+  }
+
+  test("span dedup: fully-boilerplate doc empties; sub-minRun sharing survives") {
+    val sd = Seq(
+      (0L, license),                                   // nothing but the license
+      (1L, s"$license with an original continuation that keeps this document alive"),
+      (2L, "short shared bit plus a long tail of entirely original material apples"),
+      (3L, "short shared bit and then something else completely its own bananas")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val out = SpanDedup.spanDedup(sd, minRun = 40).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_spans_removed"))).toMap
+    // doc 0 is one big hot run → (near-)empty residue, never the full text
+    assert(out(0L)._1.length < license.length / 4, s"doc 0 kept: ${out(0L)._1}")
+    assert(out(0L)._2 >= 1L)
+    // "short shared bit" (16 chars) is hot but under minRun=40 → kept
+    assert(out(2L)._1.contains("short shared bit") && out(2L)._2 === 0L)
+    assert(out(3L)._1.contains("short shared bit") && out(3L)._2 === 0L)
+  }
+
+  test("span dedup: one remove_spans and one normalize eval in the reassembly plan") {
+    // CollapseProject must NOT inline __clean/__norm into their multiple
+    // consumers (n_chars_removed references both) — that would re-run the
+    // span cut / the normalize regexes per reference (the q47 re-eval trap).
+    val dir = SparkSpec.tempDir("graft_span_plan_") + "/docs"
+    Seq((1L, "s", "a b c d e f g h i j k"), (2L, "s", "a b c d e f g h i j l"))
+      .toDF("doc_id", "source", "text").write.parquet(dir)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SpanDedup.spanDedup(spark.read.parquet(dir))
+        .queryExecution.executedPlan
+      val exprs = plan.collect { case n => n }.flatMap(_.expressions)
+        .flatMap(e => e +: e.collect { case c => c })
+      assert(exprs.count(_.isInstanceOf[graft.functions.HashExprs.RemoveSpans]) === 1,
+        s"remove_spans must evaluate once:\n$plan")
+      assert(exprs.count(_.isInstanceOf[graft.functions.HashExprs.CountSpans]) === 1,
+        s"count_spans must evaluate once:\n$plan")
+      val normSites = plan.collect { case n => n }
+        .count(_.expressions.exists(_.toString.contains("[^a-z0-9")))
+      assert(normSites === 1, s"normalize must evaluate at one site:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  // --- sketch-tier corpus statistics (Sketches, q58) ---
+
+  test("sketch stats: deterministic across runs; within error bound of exact") {
+    val n = 2000
+    val docs = spark.range(n).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(2))))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), (pmod(col("doc_id"), lit(120)) + 9).cast("int")),
+          p => concat(lit("tok"), pmod(xxhash64(col("doc_id"), p), lit(3000))))))
+    val run1 = Sketches.corpusStatsSketch(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val run2 = Sketches.corpusStatsSketch(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val exactVocab = docs.select(col("source"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " ")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lens = docs.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    for (src <- Seq("s0", "s1")) {
+      val (r1, r2) = (run1(src), run2(src))
+      // determinism: HLL register maxes and GK merges are re-run on the
+      // same partitioned input → identical estimates
+      assert(r1.toSeq === r2.toSeq, s"$src sketch not deterministic")
+      val est = r1.getAs[Long]("vocab_est")
+      val exact = exactVocab(src)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$src vocab_est $est vs exact $exact exceeds 5% (rsd=0.01)")
+      val sorted = lens(src)
+      for (p <- Seq(50, 90, 99)) {
+        val v = r1.getAs[Long](s"p$p")
+        val target = math.ceil(p / 100.0 * sorted.length).toInt
+        val lo = sorted(math.max(target - 6, 0))
+        val hi = sorted(math.min(target + 5, sorted.length - 1))
+        assert(v >= lo && v <= hi, s"$src p$p=$v outside rank band [$lo,$hi]")
+      }
+      // n_tokens stays exact (row-local size + sum)
+      assert(r1.getAs[Long]("n_tokens") === sorted.sum)
+    }
   }
 }

@@ -297,6 +297,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() === 48L) // 3 docs × 16 bands
   }
 
+  test("Ingest end-to-end: exact tier drops in-batch dup, near-dup tier drops via index, benchmark doc lands flagged") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = SparkSpec.tempDir("graft_ingest_e2e_")
+    val in = s"$base/in"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val f1 = java.nio.file.Paths.get(s"$in/b1.jsonl")
+    val f2 = java.nio.file.Paths.get(s"$in/b2.jsonl")
+    // batch 1: docs 1, 2 + doc 3 an exact NORMALIZED dup of doc 1 (case +
+    // punctuation differences only) — the exact tier drops it in-batch
+    java.nio.file.Files.write(f1, Seq(
+      s"""{"doc_id":1,"text":"${words("alpha", 30)}"}""",
+      s"""{"doc_id":2,"text":"${words("beta", 30)}"}""",
+      s"""{"doc_id":3,"text":"${words("ALPHA", 30)}!"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    // batch 2: doc 10 near-dups batch 1's doc 1 (2 words shy, found via the
+    // index without re-banding batch 1); doc 11 is new AND embeds the
+    // benchmark's 8-gram window → lands flagged
+    java.nio.file.Files.write(f2, Seq(
+      s"""{"doc_id":10,"text":"${words("alpha", 28)}"}""",
+      s"""{"doc_id":11,"text":"${words("gamma", 30)}"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    f2.toFile.setLastModified(f1.toFile.lastModified() + 10000)
+    val benchmark = Seq((100L, words("gamma", 10))).toDF("doc_id", "text")
+    val r = Ingest.run(spark, in, Some(benchmark), out,
+      readerOptions = Map("maxFilesPerTrigger" -> "1"))
+    assert(r === Ingest.Result(batches = 2, accepted = 3, droppedNearDup = 1,
+      flaggedContaminated = 1))
+    // corpus: accepted docs with their contamination flags
+    val landed = spark.read.parquet(s"$out/corpus").collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[Boolean]("contaminated")).toMap
+    assert(landed === Map(1L -> false, 2L -> false, 11L -> true))
+    // drop audit names the colliding pair
+    val droppedPairs = spark.read.parquet(s"$out/dropped").collect()
+      .map(row => (row.getAs[Long]("id_new"), row.getAs[Long]("id_old"))).toSeq
+    assert(droppedPairs === Seq((10L, 1L)))
+    // index grew by exactly the accepted docs' band rows (16 bands each)
+    val idx = spark.read.parquet(s"$out/index")
+    assert(idx.select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 11L))
+    assert(idx.count() === 48L)
+    // the folded counts side table equals a from-scratch recompute
+    val folded = spark.read.parquet(s"$out/counts/v1")
+      .collect().map(row => (row.getInt(0), row.getString(1)) -> row.getLong(2)).toMap
+    val full = graft.ops.Dedup.bandBucketCounts(idx)
+      .collect().map(row => (row.getInt(0), row.getString(1)) -> row.getLong(2)).toMap
+    assert(folded === full)
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Kafka-wire JSON values (one per line) for the text file source. */
