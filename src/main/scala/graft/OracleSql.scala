@@ -1018,6 +1018,58 @@ object OracleSql {
       CAST(len - length(text) AS BIGINT) AS n_chars_removed
     FROM outq"""
 
+  /** Graded contamination — mirrors graft.ops.Dedup.contaminationOverlap
+    * (k=8, benchmark = doc_id < 20): per training doc, distinct-shingle
+    * count, benchmark hits, ratio at 6 dp. Same shingle chain as q39. */
+  private val q59 = s"""
+    WITH toks AS (SELECT doc_id,
+        regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
+    sh AS (SELECT doc_id,
+        list_distinct(list_transform(
+          CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 6),
+            i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END,
+          g -> ('0x' || substr(md5(g), 1, 14))::BIGINT)) AS hs
+      FROM toks),
+    bh AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id < 20),
+    tr AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id >= 20)
+    SELECT tr.doc_id, COUNT(*) AS n_shingles, COUNT(bh.h) AS n_hits,
+      round(CAST(COUNT(bh.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_ratio
+    FROM tr LEFT JOIN bh ON tr.h = bh.h
+    GROUP BY tr.doc_id"""
+
+  /** DSIR hashed-unigram importance weights — mirrors
+    * graft.ops.Importance.dsirWeights (buckets=4096, Laplace +1, per-bucket
+    * ln rounded to 9 dp as DECIMAL(20,9), exact decimal doc sums) over the
+    * doc_id >= 20 slice against doc_id < 20 as target, plus the top-50
+    * selection flag (ties to smaller id). */
+  private val q60 = s"""
+    WITH toks AS (SELECT doc_id,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    bt AS (SELECT doc_id,
+        ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS b FROM toks),
+    tc AS (SELECT b, COUNT(*) AS ct FROM bt WHERE doc_id < 20 GROUP BY b),
+    db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bt WHERE doc_id >= 20
+      GROUP BY doc_id, b),
+    rc AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cr FROM db GROUP BY b),
+    tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt FROM tc),
+    rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS rt FROM rc),
+    w AS (SELECT rc.b,
+        CAST(round(ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+            / CAST(tt.tt + 4096 AS DOUBLE)), 9) AS DECIMAL(20,9))
+        - CAST(round(ln(CAST(rc.cr + 1 AS DOUBLE)
+            / CAST(rt.rt + 4096 AS DOUBLE)), 9) AS DECIMAL(20,9)) AS lw
+      FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN rt),
+    ds AS (SELECT db.doc_id, SUM(db.cnt * w.lw) AS s,
+        CAST(SUM(db.cnt) AS BIGINT) AS n_tokens
+      FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id),
+    sel AS (SELECT doc_id FROM (SELECT doc_id,
+        row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM ds)
+      WHERE rn <= 50)
+    SELECT ds.doc_id, ds.n_tokens, CAST(round(ds.s, 6) AS DOUBLE) AS dsir_weight,
+      (sel.doc_id IS NOT NULL) AS selected
+    FROM ds LEFT JOIN sel ON ds.doc_id = sel.doc_id"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1082,6 +1134,8 @@ object OracleSql {
     // q58_sketch_stats has NO oracle on purpose: DuckDB's approx sketches
     // are different implementations with different estimates (see
     // graft.ops.Sketches) — the driver records its rows-only check
-    "q57_span_dedup"        -> q57
+    "q57_span_dedup"        -> q57,
+    "q59_contamination_overlap" -> q59,
+    "q60_dsir_weights"      -> q60
   ).map { case (k, v) => k -> clean(v) }
 }

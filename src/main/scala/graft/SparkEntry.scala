@@ -729,6 +729,36 @@ object SparkEntry {
   private def q58SketchStats(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.corpusStatsSketch(t(s, dir, "documents"))
 
+  /** Graded contamination ([[Dedup.contaminationOverlap]]): per training
+    * document, the fraction of its distinct 8-token shingles found in the
+    * benchmark slice — the GPT-3/PaLM dirty-document metric. Per-doc output
+    * so the oracle hash pins every ratio, not just a tally. */
+  private def q59ContaminationOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs  = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    Dedup.contaminationOverlap(train, bench)
+  }
+
+  /** DSIR data selection ([[graft.ops.Importance.dsirWeights]]): hashed-
+    * unigram log importance weights of the training slice (doc_id ≥ 20)
+    * against the benchmark slice as the target distribution, plus the
+    * membership flag of the top-50 selection (ties to smaller id). Exact
+    * decimal sums make the ranking deterministic on both engines. */
+  private def q60DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs   = t(s, dir, "documents")
+    val target = docs.filter(col("doc_id") < 20)
+    val raw    = docs.filter(col("doc_id") >= 20)
+    val w = graft.ops.Importance.dsirWeights(raw, target)
+    val top = graft.ops.Importance.dsirTopK(w, 50).withColumn("__sel", lit(true))
+    w.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        // round the EXACT decimal, then cast: rounding after the double
+        // cast can land a scale-9 ...5000 tie on different sides per engine
+        round(col("dsir_sum"), 6).cast("double").as("dsir_weight"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -787,7 +817,9 @@ object SparkEntry {
     "q55_incremental_near_dups" -> q55IncrementalNearDups _,
     "q56_token_budget_sample" -> q56TokenBudgetSample _,
     "q57_span_dedup"        -> q57SpanDedup _,
-    "q58_sketch_stats"      -> q58SketchStats _
+    "q58_sketch_stats"      -> q58SketchStats _,
+    "q59_contamination_overlap" -> q59ContaminationOverlap _,
+    "q60_dsir_weights"      -> q60DsirWeights _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -435,6 +435,47 @@ object Dedup {
       .distinct()
   }
 
+  /** GRADED contamination: per training document, what FRACTION of its
+    * distinct k-token shingles appears in the benchmark — the dirty-document
+    * metric of the GPT-3 appendix-C / PaLM decontamination analyses, where a
+    * document is quarantined when ≥ X% of its n-grams overlap a test set
+    * rather than on any single hit. [[contamination]] answers "touched at
+    * all?"; this answers "how much?", which is what an actual curation run
+    * thresholds on (a 13-gram quote inside a long survey article is fine; a
+    * 70%-overlapping paraphrase is not).
+    *
+    * Returns one row per training document: `(idCol, n_shingles, n_hits,
+    * overlap_ratio)` — distinct-shingle count, how many of them the
+    * benchmark contains, and their ratio rounded to 6 dp. Thresholding and
+    * the join back to the documents are the caller's (they know their
+    * cutoff); `n_shingles` stays in the output so a caller can also gate on
+    * absolute length (ratio over 3 shingles is noise).
+    *
+    * 100 TB shape — identical to [[contamination]] except the reduction:
+    * the benchmark's distinct shingle-hash set broadcasts (or meets a
+    * shuffled join under `broadcastBenchmark = false`); the training side
+    * streams (id, 8-byte hash) pairs through a map-side probe; the one wide
+    * op is the per-id count aggregation, which combines map-side. The left
+    * join (not semi) is what buys the denominator — every shingle row
+    * survives to the count, hit or miss. [[graft.functions.HashExprs.ShingleHashes]]
+    * already emits DISTINCT hashes per row, so no extra dedup pass. */
+  def contaminationOverlap(train: DataFrame, benchmark: DataFrame,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           shingleK: Int = 8, broadcastBenchmark: Boolean = true): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val probe = if (broadcastBenchmark) broadcast(benchHashes) else benchHashes
+    train
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .join(probe, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+      .withColumn("overlap_ratio",
+        round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** Bloom-accelerated decontamination for the corpus-sized-benchmark case
     * ([[contamination]]'s `broadcastBenchmark = false` regime): when the
     * benchmark's distinct shingle-hash set is too large to broadcast, its

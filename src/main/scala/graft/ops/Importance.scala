@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+/** Data Selection via Importance Resampling (DSIR — Xie et al., NeurIPS
+  * 2023, arXiv:2302.03169): score every raw-corpus document by how much more
+  * likely its text is under a TARGET distribution (the high-quality corpus
+  * you wish you had more of) than under the raw distribution it came from,
+  * using hashed n-gram features — then keep the top-weighted documents. The
+  * published recipe is exactly bag-of-hashed-unigrams with two smoothed
+  * multinomials; its log importance weight for document d is
+  * `Σ_tokens [ln p_target(bucket(tok)) − ln p_raw(bucket(tok))]`.
+  *
+  * Why hashed buckets (and not the vocabulary): the feature space is FIXED
+  * at `buckets` entries regardless of corpus size, so both model tables and
+  * their log-ratio difference are always broadcast-sized — at 100 TB the
+  * vocabulary is billions of strings (q41's shuffle problem) but the DSIR
+  * weight table never outgrows `buckets` rows of `(int, decimal)`.
+  *
+  * Engine-exactness (the [[Lexicon.unigramSurprisal]] discipline): each
+  * bucket's `ln((c+1)/(T+B))` is computed once per bucket in double, rounded
+  * to 9 decimals and fixed as DECIMAL(20,9); per-document sums multiply the
+  * decimal log-ratio by exact occurrence counts, so document scores are
+  * aggregation-order-independent and reproducible across engines. Laplace
+  * (+1) smoothing keeps every bucket finite on both sides.
+  *
+  * Scale shape — ONE pass over each corpus:
+  *  1. tokens hash to `int` buckets BEFORE any wide op (the md5-56 portable
+  *     hash mod `buckets`) — no token string ever shuffles;
+  *  2. the raw side reduces to `(id, bucket, cnt)` in one map-side-combining
+  *     aggregation; per-bucket raw totals fold from THAT frame (a second
+  *     tiny agg, not a second corpus scan);
+  *  3. the weight table (≤ `buckets` rows) broadcasts into the per-doc
+  *     scoring join; the only corpus-sized shuffle carries ints + one
+  *     decimal.
+  * The `(id, bucket, cnt)` frame is consumed twice (raw totals + scoring),
+  * so it persists for the duration of the call; the result is returned
+  * EAGERLY through `materialize` so the persist can be released here —
+  * same hook contract as [[Lexicon.oovStats]]: default `localCheckpoint
+  * (true)` on a single box, pass [[Curation.parquetMaterializer]] or a
+  * warehouse writer on a cluster.
+  */
+object Importance {
+
+  private def bucketOf(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 14), 16, 10).cast("long") % buckets
+
+  /** Per-document DSIR log importance weights of `raw` against `target` —
+    * see class doc. Returns `(idCol, n_tokens, dsir_sum DECIMAL)`; the
+    * caller thresholds / top-ks (divide-at-the-end is not needed — DSIR
+    * weights are sums, not means, by construction). */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  buckets: Int = 4096,
+                  materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be > 0, got $buckets")
+    val dec = DecimalType(20, 9)
+    def toks(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ explode(split(TextAnalysis.normalizeText(
+        coalesce(col(textCol), lit(""))), " ")).as("tok"): _*)
+      .select(keep :+ bucketOf(col("tok"), buckets).as("b"): _*)
+
+    val docBuckets = toks(raw, Seq(col(idCol)))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rawCounts = docBuckets.groupBy(col("b")).agg(sum(col("cnt")).as("cr"))
+    val targetCounts = toks(target, Seq.empty)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rawTotal = broadcast(rawCounts.agg(sum(col("cr")).cast("long").as("rt")))
+    val targetTotal = broadcast(targetCounts.agg(sum(col("ct")).cast("long").as("tt")))
+
+    // only buckets some raw document references can contribute to a score,
+    // so the weight table builds FROM the raw side (left join to target)
+    val lw = rawCounts.join(targetCounts, Seq("b"), "left")
+      .crossJoin(rawTotal).crossJoin(targetTotal)
+      .select(col("b"),
+        (round(log((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
+            / (coalesce(col("tt"), lit(0L)) + buckets).cast("double")), 9).cast(dec)
+          - round(log((col("cr") + 1L).cast("double")
+            / (col("rt") + buckets).cast("double")), 9).cast(dec)).as("lw"))
+
+    // cnt must narrow before the multiply: long is DECIMAL(20,0), and
+    // (20,0) × (21,9) overflows precision 38, so Spark would silently
+    // REDUCE the product scale to 6 — per-row rounding that breaks the
+    // exact-sum contract. DECIMAL(12,0) × (21,9) = (34,9) stays exact
+    // (12 digits ≥ any per-doc-per-bucket occurrence count).
+    val out = materialize(
+      docBuckets.join(broadcast(lw), Seq("b"))
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt").cast(DecimalType(12, 0)) * col("lw")).as("dsir_sum"),
+          sum(col("cnt")).cast("long").as("n_tokens")))
+    docBuckets.unpersist()
+    out
+  }
+
+  /** The ids a DSIR selection keeps: the `k` highest-weighted documents of a
+    * [[dsirWeights]] frame, ties to the smaller id — deterministic, and a
+    * driver-bounded `TakeOrderedAndProject` (per-partition top-k, merged
+    * once; no global sort shuffle). */
+  def dsirTopK(weights: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame =
+    weights.orderBy(col("dsir_sum").desc, col(idCol)).limit(k).select(col(idCol))
+}

@@ -1101,4 +1101,59 @@ class OpsSpec extends SparkSpec {
       assert(r1.getAs[Long]("n_tokens") === sorted.sum)
     }
   }
+
+  test("contaminationOverlap: hand-checked ratios; denominator is distinct shingles; paths agree") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a b c d e"),   // shingles {abc,bcd,cde}: 3/3 hit
+      (11L, "a b c d x"),   // {abc,bcd,cdx}: 2/3 hit
+      (12L, "p q r s t"),   // 0/3
+      (13L, "a b c a b c")) // {abc,bca,cab} DISTINCT -> 1/3 despite abc appearing twice
+      .toDF("doc_id", "text")
+    def run(bcast: Boolean) = Dedup.contaminationOverlap(train, bench,
+        shingleK = 3, broadcastBenchmark = bcast)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val out = run(bcast = true)
+    assert(out(10L) === ((3L, 3L, 1.0)))
+    assert(out(11L) === ((3L, 2L, 0.666667)))
+    assert(out(12L) === ((3L, 0L, 0.0)))
+    assert(out(13L) === ((3L, 1L, 0.333333)))
+    // the huge-benchmark shuffled path computes the identical frame
+    assert(run(bcast = false).toSeq.sortBy(_._1) === out.toSeq.sortBy(_._1))
+  }
+
+  test("dsirWeights: exact decimal weights match an independent computation; target-like doc ranks first") {
+    import graft.ops.Importance
+    val target = Seq((0L, "x x x y")).toDF("doc_id", "text")
+    val raw = Seq((10L, "x x x y"), (11L, "q r s t")).toDF("doc_id", "text")
+    val B = 4096
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % B
+    }
+    val rawToks = Seq("x", "x", "x", "y", "q", "r", "s", "t")
+    val tgtToks = Seq("x", "x", "x", "y")
+    // tiny vocab in 4096 buckets: the hand computation below assumes no
+    // collisions, so make that explicit
+    assert(rawToks.distinct.map(bucket).distinct.size === rawToks.distinct.size)
+    val rc = rawToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val tc = tgtToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (rt, tt) = (rawToks.size.toLong, tgtToks.size.toLong)
+    def lp(c: Long, t: Long): BigDecimal =
+      BigDecimal(math.log((c + 1).toDouble / (t + B).toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def lw(b: Long): BigDecimal = lp(tc.getOrElse(b, 0L), tt) - lp(rc(b), rt)
+    def expected(toks: Seq[String]): BigDecimal =
+      toks.groupBy(bucket).map { case (b, g) => lw(b) * g.size }.sum
+    val w = Importance.dsirWeights(raw, target)
+    val out = w.collect()
+      .map(r => r.getLong(0) -> ((BigDecimal(r.getDecimal(1)), r.getLong(2)))).toMap
+    assert(out(10L) === ((expected(Seq("x", "x", "x", "y")), 4L)))
+    assert(out(11L) === ((expected(Seq("q", "r", "s", "t")), 4L)))
+    // the doc drawn from the target distribution outranks the unlike one
+    assert(out(10L)._1 > out(11L)._1)
+    assert(Importance.dsirTopK(w, 1).collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
 }
