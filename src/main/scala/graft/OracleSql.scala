@@ -1070,6 +1070,48 @@ object OracleSql {
       (sel.doc_id IS NOT NULL) AS selected
     FROM ds LEFT JOIN sel ON ds.doc_id = sel.doc_id"""
 
+  /** PQ ANN — mirrors graft.ops.Similarity.pqTopK (m=8 subquantizers × 16
+    * codes over 64 dims): codebook = the md5-ordered 16-vector sample
+    * (q35's cent), code index = position in cid order; encode = per-sub
+    * argmin squared L2 (ties → smaller code); score = cosine of the exact
+    * query vector against the code reconstruction; top-5, ties → neighbor
+    * id. */
+  private val q61 = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS code, cv FROM
+      (SELECT vec_id AS cid, v AS cv FROM e
+        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id
+        LIMIT 16)),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    subs AS (SELECT code, j, list_slice(cv, j * 8 + 1, j * 8 + 8) AS scv
+      FROM cent CROSS JOIN js),
+    esub AS (SELECT vec_id, j, list_slice(v, j * 8 + 1, j * 8 + 8) AS sv
+      FROM e CROSS JOIN js),
+    dist AS (SELECT es.vec_id, es.j, s.code,
+        list_sum(list_transform(list_zip(es.sv, s.scv),
+          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+      FROM esub es JOIN subs s ON es.j = s.j),
+    enc AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code,
+        row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+      FROM dist) WHERE rn = 1),
+    dec AS (SELECT en.vec_id, flatten(list(s.scv ORDER BY en.j)) AS rv
+      FROM enc en JOIN subs s ON en.j = s.j AND en.code = s.code
+      GROUP BY en.vec_id),
+    scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        CASE WHEN sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(d.rv, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(q.v, d.rv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(d.rv, x -> x * x)))) END AS cosine
+      FROM e q JOIN dec d ON d.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+      CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1136,6 +1178,7 @@ object OracleSql {
     // graft.ops.Sketches) — the driver records its rows-only check
     "q57_span_dedup"        -> q57,
     "q59_contamination_overlap" -> q59,
-    "q60_dsir_weights"      -> q60
+    "q60_dsir_weights"      -> q60,
+    "q61_pq_topk"           -> q61
   ).map { case (k, v) => k -> clean(v) }
 }

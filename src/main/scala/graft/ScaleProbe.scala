@@ -214,6 +214,32 @@ object ScaleProbe {
           .agg(coalesce(sum(col("vocab_est")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("contamination_overlap", n) {
+        // q59 shape: same broadcast probe as `contamination`, but every
+        // (id, hash) row survives into the per-id count — collect the hit
+        // total so the join + agg fully evaluate
+        Dedup.contaminationOverlap(d.filter(col("doc_id") >= 100),
+            d.filter(col("doc_id") < 100))
+          .agg(coalesce(sum(col("n_hits")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("dsir_weights", n) {
+        // q60 shape: target = 10% slice; collect a weight-derived aggregate
+        // so the broadcast scoring join and decimal sums fully evaluate
+        graft.ops.Importance.dsirWeights(d.filter(col("doc_id") >= benchCut),
+            d.filter(col("doc_id") < benchCut))
+          .agg(coalesce(sum(col("dsir_sum").cast("double")), lit(0.0)))
+          .collect().head.getDouble(0).toLong
+      }
+      timed("pq_topk", n) {
+        // q61 shape (pure ADC): corpus scan carries 8 ints/vector; compare
+        // against brute_force_topk (full 64-double scan) at the same points
+        Similarity.pqTopK(e, probes, k = 5, m = 8, numCodes = 16).count()
+      }
+      timed("pq_topk_rerank", n) {
+        // ADC + exact refine of 50 candidates/query — the production recipe
+        Similarity.pqTopK(e, probes, k = 5, m = 8, numCodes = 16, rerank = 50).count()
+      }
       timed("line_dedup", n) {
         // 3-token synthesized lines (q47's shape — single regex pass, NOT a
         // transform lambda: an interpreted HOF re-evaluates the normalize

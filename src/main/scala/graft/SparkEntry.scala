@@ -759,6 +759,19 @@ object SparkEntry {
         coalesce(col("__sel"), lit(false)).as("selected"))
   }
 
+  /** PQ-compressed ANN ([[Similarity.pqTopK]]): top-5 neighbors by
+    * asymmetric distance over 8×16 product-quantized codes — the
+    * memory-bound scale path beside brute force (q29), LSH (q33) and IVF
+    * (q35). Approx cosines, exact within the quantization on both engines
+    * (codebook = the md5-ordered vector sample, sliced). */
+  private def q61PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        m = 8, numCodes = 16)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -819,7 +832,8 @@ object SparkEntry {
     "q57_span_dedup"        -> q57SpanDedup _,
     "q58_sketch_stats"      -> q58SketchStats _,
     "q59_contamination_overlap" -> q59ContaminationOverlap _,
-    "q60_dsir_weights"      -> q60DsirWeights _
+    "q60_dsir_weights"      -> q60DsirWeights _,
+    "q61_pq_topk"           -> q61PqTopK _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

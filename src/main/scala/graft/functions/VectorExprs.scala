@@ -159,6 +159,114 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Product-quantization encode (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split the vector into
+    * `codebooks.length` disjoint sub-vectors and replace each with the index
+    * of its nearest sub-codeword by squared L2 (ties → smaller code). A
+    * 64-dim double vector becomes `m` small ints — the memory-bound ANN
+    * regime where even the int8 path (8× of [[QuantizeInt8]]) doesn't fit.
+    *
+    * `codebooks(j)(c)` is sub-codeword `c` of subquantizer `j`; the codebook
+    * rides the task binary as constructor data, NOT plan literals (the
+    * [[graft.functions.HashExprs.NearestCentroids]] discipline — plan
+    * strings print only the shape). Null input array, any null element, or
+    * a vector whose length ≠ the codebooks' total dim → null. */
+  case class PQEncode(child: Expression,
+                      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"m=${codebooks.length}", s"codes=${codebooks.headOption.map(_.length).getOrElse(0)}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private lazy val cbs: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    private lazy val totalDim: Int = cbs.map(_.head.length).sum
+
+    private lazy val elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val xs = readVector(input.asInstanceOf[ArrayData], elemIsFloat)
+      if (xs == null || xs.length != totalDim) return null
+      val out = new Array[Int](cbs.length)
+      var off = 0
+      var j = 0
+      while (j < cbs.length) {
+        val cb = cbs(j)
+        val sd = cb(0).length
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cb.length) {
+          val cw = cb(c)
+          var d = 0.0
+          var i = 0
+          while (i < sd) {
+            val diff = xs(off + i) - cw(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best
+        off += sd
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PQEncode =
+      copy(child = c)
+  }
+
+  /** Product-quantization decode: codes → the concatenation of their
+    * sub-codewords (the reconstruction ADC scores against — sub-vectors
+    * occupy disjoint dims, so any distance over the reconstruction
+    * decomposes per subquantizer with no cross terms). Null input, null
+    * element, wrong code count, or out-of-range code → null. */
+  case class PQDecode(child: Expression,
+                      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "pq_decode"
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"m=${codebooks.length}", s"codes=${codebooks.headOption.map(_.length).getOrElse(0)}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private lazy val cbs: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    private lazy val totalDim: Int = cbs.map(_.head.length).sum
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      if (arr.numElements() != cbs.length) return null
+      val out = new Array[Double](totalDim)
+      var off = 0
+      var j = 0
+      while (j < cbs.length) {
+        if (arr.isNullAt(j)) return null
+        val c = arr.getInt(j)
+        val cb = cbs(j)
+        if (c < 0 || c >= cb.length) return null
+        val cw = cb(c)
+        System.arraycopy(cw, 0, out, off, cw.length)
+        off += cw.length
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): PQDecode =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def cosineSim(a: Column, b: Column): Column =
@@ -169,4 +277,10 @@ object VectorExprs {
 
   def quantizeInt8(vec: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
+
+  def pqEncode(vec: Column, codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    ColumnBridge.column(PQEncode(ColumnBridge.expression(vec), codebooks))
+
+  def pqDecode(codes: Column, codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    ColumnBridge.column(PQDecode(ColumnBridge.expression(codes), codebooks))
 }

@@ -252,6 +252,74 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Split an id-sorted centroid sample into `m` per-subquantizer PQ
+    * codebooks: code `c` of subquantizer `j` is dims `[j·d/m, (j+1)·d/m)` of
+    * the `c`-th sampled vector. Sampling full vectors and slicing them keeps
+    * the codebook derivation identical on both engines (the [[sampleCentroids]]
+    * md5-order contract); a k-means-refined codebook can be swapped in via
+    * [[refineCentroids]] upstream, same trade as IVF's `refineIters`. */
+  def pqCodebooks(centroids: Seq[(Long, Seq[Double])], m: Int)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    require(centroids.nonEmpty, "pqCodebooks: empty centroid sample")
+    val dim = centroids.head._2.length
+    require(m > 0 && dim % m == 0,
+      s"pqCodebooks: dim $dim must divide into m=$m equal sub-vectors")
+    val sd = dim / m
+    IndexedSeq.tabulate(m) { j =>
+      centroids.map(_._2.slice(j * sd, (j + 1) * sd).toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** PQ-compressed ANN (Jégou et al., TPAMI 2011) — the MEMORY-bound scale
+    * path: [[ivfTopK]] bounds how much of the corpus a query touches, this
+    * bounds how many BYTES each touched vector costs. The corpus is encoded
+    * once into `m` small ints per vector (64-dim double = 512 B → 8 codes
+    * ≈ 32× smaller; at 100 TB of embeddings that is the difference between
+    * scanning parquet and serving from executor memory), and queries score
+    * ASYMMETRICALLY: the exact query vector against each candidate's
+    * reconstruction ([[graft.functions.VectorExprs.PQDecode]] — sub-vectors
+    * occupy disjoint dims, so the reconstruction's norm and dot decompose per
+    * subquantizer with no cross terms). Approximate cosine, exact ranking
+    * within the approximation; ties → smaller neighbor id.
+    *
+    * `rerank > 0` re-scores the top-`rerank` PQ candidates per query with
+    * EXACT cosine against the full vectors (the standard ADC + refine
+    * pipeline): only `queries × rerank` full vectors are ever fetched, via a
+    * join on the (tiny) candidate id set — output cosines are then exact.
+    *
+    * Scale shape: codebooks (m × numCodes × dim/m doubles) ride the task
+    * binary; encode is one compiled argmin pass per corpus row; the scan
+    * carries `(id, m ints)` instead of `(id, dim doubles)`; queries
+    * broadcast. No shuffle of the corpus at any point ([[bruteForceTopK]]'s
+    * per-partition top-k merge). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             m: Int = 8, numCodes: Int = 16, rerank: Int = 0): DataFrame = {
+    val sampled = sampleCentroids(corpus, numCodes, idCol, vecCol)
+    require(sampled.nonEmpty, "pqTopK: empty corpus — no codebook")
+    val cb = pqCodebooks(sampled, m)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.VectorExprs.pqEncode(col(vecCol), cb).as("__codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = codes.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosine(col("__qv"), graft.functions.VectorExprs.pqDecode(col("__codes"), cb)))
+    if (rerank <= 0) topK(scored, k)
+    else {
+      // queries × rerank rows by construction — broadcast into the corpus
+      // fetch (the q31 candidate-verify discipline)
+      val cand = broadcast(
+        topK(scored, math.max(rerank, k)).select(col("query_id"), col("neighbor_id"))
+          .join(q, Seq("query_id")))
+      val exact = cand
+        .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+          Seq("neighbor_id"))
+        .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      topK(exact, k)
+    }
+  }
+
   /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the corpus with the IVF quantizer
     * ([[sampleCentroids]] + one compiled nearest-centroid argmax per row),

@@ -1156,4 +1156,40 @@ class OpsSpec extends SparkSpec {
     assert(out(10L)._1 > out(11L)._1)
     assert(Importance.dsirTopK(w, 1).collect().map(_.getLong(0)).toSeq === Seq(10L))
   }
+
+  test("pq: codewords reconstruct exactly; wrong-length vector encodes to null; full rerank equals brute force") {
+    import graft.functions.VectorExprs
+    val corpus = (0L until 40L).map(i =>
+        (i, (0 until 16).map(d => math.sin(i * 7.0 + d)).toArray))
+      .toDF("vec_id", "embedding")
+    val sampled = Similarity.sampleCentroids(corpus, 8)
+    val cb = Similarity.pqCodebooks(sampled, 4)
+    assert(cb.length === 4 && cb.forall(_.length === 8) && cb.forall(_.forall(_.length === 4)))
+    // a sampled vector's own sub-vectors are in the codebook at distance 0,
+    // so encode→decode reproduces it bit-for-bit
+    val sampledDf = sampled.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+    val rt = sampledDf.select(col("vec_id"),
+        VectorExprs.pqDecode(VectorExprs.pqEncode(col("embedding"), cb), cb).as("rv"),
+        col("embedding"))
+      .collect()
+    rt.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2), s"codeword ${r.getLong(0)} not exact")
+    }
+    // dim mismatch -> null codes (loud, not garbage)
+    val bad = Seq((99L, Array.fill(15)(0.5))).toDF("vec_id", "embedding")
+      .select(VectorExprs.pqEncode(col("embedding"), cb).as("c")).collect()
+    assert(bad.head.isNullAt(0))
+    // rerank >= |corpus| re-scores every candidate exactly -> brute-force parity
+    val queries = corpus.filter(col("vec_id") < 3)
+    val pq = Similarity.pqTopK(corpus, queries, k = 5, m = 4, numCodes = 8, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(pq.toSeq === bf.toSeq)
+    // the pure-ADC path still ranks deterministically: 5 per query, ranks 1..5
+    val adc = Similarity.pqTopK(corpus, queries, k = 5, m = 4, numCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(adc.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ===
+      Map(0L -> Seq(1, 2, 3, 4, 5), 1L -> Seq(1, 2, 3, 4, 5), 2L -> Seq(1, 2, 3, 4, 5)))
+  }
 }
