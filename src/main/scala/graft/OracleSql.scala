@@ -1112,6 +1112,38 @@ object OracleSql {
       CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5"""
 
+  /** Near-dup resolution — mirrors graft.ops.Dedup.resolveNearDups
+    * (threshold 0.7, quality = normalized length, ties → smaller id): q46's
+    * pair graph + CC labels, then one winner per cluster; unclustered docs
+    * keep. */
+  private val q62 = s"""
+    WITH RECURSIVE $minhashCtes,
+    jac AS (SELECT p.id_a, p.id_b,
+        CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+      FROM pairs p
+      JOIN base a ON p.id_a = a.id
+      JOIN base b ON p.id_b = b.id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE j >= 0.7
+      UNION SELECT id_b, id_a FROM jac WHERE j >= 0.7),
+    walk AS (
+      SELECT src AS id, dst AS reach FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id),
+    ql AS (SELECT doc_id, length($dedupNormSql) AS q FROM documents),
+    ld AS (SELECT d.doc_id, l.cluster FROM documents d
+      LEFT JOIN lab l ON d.doc_id = l.id),
+    win AS (SELECT cluster, doc_id AS keep_id FROM (
+        SELECT ld.cluster, ld.doc_id,
+          row_number() OVER (PARTITION BY ld.cluster ORDER BY ql.q DESC, ld.doc_id) AS rn
+        FROM ld JOIN ql USING (doc_id) WHERE ld.cluster IS NOT NULL)
+      WHERE rn = 1)
+    SELECT ld.doc_id, ld.cluster,
+      (ld.cluster IS NULL OR ld.doc_id = w.keep_id) AS keep
+    FROM ld LEFT JOIN win w ON ld.cluster = w.cluster"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1179,6 +1211,7 @@ object OracleSql {
     "q57_span_dedup"        -> q57,
     "q59_contamination_overlap" -> q59,
     "q60_dsir_weights"      -> q60,
-    "q61_pq_topk"           -> q61
+    "q61_pq_topk"           -> q61,
+    "q62_resolve_near_dups" -> q62
   ).map { case (k, v) => k -> clean(v) }
 }

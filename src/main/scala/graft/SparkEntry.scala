@@ -772,6 +772,14 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Near-dup resolution ([[Dedup.resolveNearDups]]): q46's clusters taken
+    * to their actionable end — one kept representative per cluster (longest
+    * normalized text, ties → smaller id), unclustered docs kept. Per-doc
+    * output pins every keep decision. */
+  private def q62ResolveNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.resolveNearDups(t(s, dir, "documents"), threshold = 0.7)
+      .select(col("doc_id"), col("cluster"), col("keep"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -833,7 +841,8 @@ object SparkEntry {
     "q58_sketch_stats"      -> q58SketchStats _,
     "q59_contamination_overlap" -> q59ContaminationOverlap _,
     "q60_dsir_weights"      -> q60DsirWeights _,
-    "q61_pq_topk"           -> q61PqTopK _
+    "q61_pq_topk"           -> q61PqTopK _,
+    "q62_resolve_near_dups" -> q62ResolveNearDups _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

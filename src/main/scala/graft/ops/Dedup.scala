@@ -250,6 +250,47 @@ object Dedup {
     verified
   }
 
+  /** End-to-end near-dup RESOLUTION: find near-duplicate pairs
+    * ([[minhashNearDups]]), connect them into clusters
+    * ([[nearDupClusters]]), and keep ONE representative per cluster — the
+    * highest-`quality` member, ties to the smaller id. This is the operator
+    * a curation run actually executes ("drop near-dups, keep the best
+    * copy"); the pieces exist separately for pipelines that need the pair
+    * graph or the labels, this is their one-call composition.
+    *
+    * `quality` defaults to normalized text length (the common keep-longest
+    * heuristic); pass any deterministic per-row Column (e.g. a
+    * [[QualityGates]] score or [[Lexicon.unigramSurprisal]]-derived rank)
+    * to change the policy. Returns the input columns plus `cluster` (null
+    * for documents in no near-dup cluster) and `keep`.
+    *
+    * 100 TB shape: pair generation and CC inherit their audited bounds
+    * (banding, bounded buckets, fixpoint on the pair graph only). The
+    * winner-per-cluster aggregation runs on the LABELED rows — `max_by`
+    * over a strict total order `(quality, -id)` is order-independent, one
+    * map-side-combining agg of cluster-count rows. The label and winner
+    * joins are deliberately un-hinted (q51's reasoning: duplicate mass
+    * scales with corpus redundancy, so the label side is only SOMETIMES
+    * broadcast-sized — AQE decides at runtime). */
+  def resolveNearDups(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", threshold: Double = 0.8,
+                      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                      maxBucket: Int = 1000, quality: Column = null): DataFrame = {
+    val q = Option(quality).getOrElse(
+      length(TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))).cast("long"))
+    val pairs = minhashNearDups(docs, textCol, idCol, threshold, numHashes,
+      bands, shingleK, maxBucket)
+    val labels = nearDupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val labeled = docs.join(labels, Seq(idCol), "left")
+    val winners = labeled.filter(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(max_by(col(idCol), struct(q.as("q"), (-col(idCol)).as("nid"))).as("__keep_id"))
+    labeled.join(winners, Seq("cluster"), "left")
+      .withColumn("keep", col("cluster").isNull || col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** `(band, bucket, n)` bucket-size counts of a band-row frame — the side
     * table an incremental ingest maintains ALONGSIDE the band index so
     * [[incrementalNearDups]] never has to re-aggregate the (ever-growing)

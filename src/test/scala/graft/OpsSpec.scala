@@ -1192,4 +1192,77 @@ class OpsSpec extends SparkSpec {
     assert(adc.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ===
       Map(0L -> Seq(1, 2, 3, 4, 5), 1L -> Seq(1, 2, 3, 4, 5), 2L -> Seq(1, 2, 3, 4, 5)))
   }
+
+  test("resolveNearDups: one winner per cluster by quality, ties to smaller id; unclustered keep") {
+    // docs fixture: 0,1,4 normalization-identical, 2 near-dup of them, 3 unique
+    // -> one cluster {0,1,2,4}; all four normalize to the same length, so the
+    // tie-break keeps the smallest id
+    val out = Dedup.resolveNearDups(docs, threshold = 0.5)
+      .select("doc_id", "cluster", "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(out(3L) === ((-1L, true)))
+    assert(out(0L) === ((0L, true)))
+    for (i <- Seq(1L, 2L, 4L)) assert(out(i) === ((0L, false)), s"doc $i")
+    // a caller-supplied quality column changes the policy: highest id wins
+    val best = Dedup.resolveNearDups(docs, threshold = 0.5, quality = col("doc_id"))
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(best === Seq(3L, 4L))
+  }
+
+  test("new-op plans: overlap probe broadcasts, DSIR shuffles no strings, PQ corpus never exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.types.StringType
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // auto-broadcast off: plan shape must come from the operators' hints
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = (0L until 60L).map(i => (i, s"w${i % 7} x$i y${i % 3} z$i a b c d e f"))
+        .toDF("doc_id", "text")
+      val bench = d.filter(col("doc_id") < 10)
+      val train = d.filter(col("doc_id") >= 10)
+
+      // q59: benchmark probe is a broadcast join; the only wide ops are the
+      // bench-hash distinct and the map-side-combining per-id count
+      val ovPlan = Dedup.contaminationOverlap(train, bench)
+        .queryExecution.executedPlan
+      assert(ovPlan.toString.contains("BroadcastHashJoin"), ovPlan.toString.take(2000))
+      assert("Exchange hashpartitioning".r.findAllIn(ovPlan.toString).length === 2,
+        s"expected bench-distinct + per-id agg only:\n${ovPlan.toString.take(2500)}")
+
+      // q60: token strings hash to int buckets BEFORE any wide op — no
+      // shuffle in the whole plan carries a string column; the scoring join
+      // broadcasts the weight table
+      val w = graft.ops.Importance.dsirWeights(train, bench, materialize = df => df)
+      val exec = w.queryExecution.executedPlan
+      val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "sanity: DSIR has aggregation shuffles")
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.dataType == StringType),
+          s"a DSIR shuffle carries a string column: ${s.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+      assert(exec.toString.contains("BroadcastHashJoin"), exec.toString.take(2000))
+
+      // q61: the corpus side of the ADC cross join is scan+encode only —
+      // no exchange at or below the join on the streamed (corpus) side
+      val e = (0L until 40L).map(i => (i, (0 until 16).map(x => math.sin(i * 3.0 + x)).toArray))
+        .toDF("vec_id", "embedding")
+      val pqExec = Similarity.pqTopK(e, e.filter(col("vec_id") < 2), k = 3,
+          m = 4, numCodes = 8)
+        .queryExecution.executedPlan
+      val nlj = pqExec.collectFirst { case j: BroadcastNestedLoopJoinExec => j }
+      assert(nlj.isDefined, s"ADC scoring should be a broadcast cross join:\n${pqExec.toString.take(2000)}")
+      // the build side is the broadcast queries; the streamed corpus subtree
+      // must contain no shuffle
+      val corpusShuffles = nlj.get.collect { case s: ShuffleExchangeExec => s }
+      assert(corpusShuffles.isEmpty,
+        s"corpus side of PQ ADC must not shuffle:\n${nlj.get.toString.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
