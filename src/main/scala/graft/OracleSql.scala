@@ -1043,8 +1043,11 @@ object OracleSql {
     * ln rounded to 9 dp as DECIMAL(20,9), exact decimal doc sums) over the
     * doc_id >= 20 slice against doc_id < 20 as target, plus the top-50
     * selection flag (ties to smaller id). */
-  private val q60 = s"""
-    WITH toks AS (SELECT doc_id,
+  /** Shared DSIR CTE chain (q60/q63): hashed-unigram bucket counts of the
+    * doc_id < 20 target vs the ≥ 20 raw slice, Laplace-smoothed log-ratio
+    * weight table at DECIMAL(20,9), exact decimal per-doc sums. */
+  private val dsirCtes = s"""
+    toks AS (SELECT doc_id,
         unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
     bt AS (SELECT doc_id,
         ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS b FROM toks),
@@ -1062,13 +1065,31 @@ object OracleSql {
       FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN rt),
     ds AS (SELECT db.doc_id, SUM(db.cnt * w.lw) AS s,
         CAST(SUM(db.cnt) AS BIGINT) AS n_tokens
-      FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id),
+      FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id)"""
+
+  private val q60 = s"""
+    WITH $dsirCtes,
     sel AS (SELECT doc_id FROM (SELECT doc_id,
         row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM ds)
       WHERE rn <= 50)
     SELECT ds.doc_id, ds.n_tokens, CAST(round(ds.s, 6) AS DOUBLE) AS dsir_weight,
       (sel.doc_id IS NOT NULL) AS selected
     FROM ds LEFT JOIN sel ON ds.doc_id = sel.doc_id"""
+
+  /** Gumbel-top-k importance resampling — mirrors
+    * graft.ops.Importance.dsirResample (temperature 1, seed 'graft',
+    * u = (md5_56 mod 2^52 + 0.5)/2^52, g = -ln(-ln(u)), top-50 by
+    * (weight + g) desc, doc_id). */
+  private val q63 = s"""
+    WITH $dsirCtes,
+    keys AS (SELECT doc_id,
+        CAST(s AS DOUBLE) + (-ln(-ln(
+          (((('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 14))::BIGINT
+             % 4503599627370496) + 0.5) / 4503599627370496.0)))) AS gk
+      FROM ds),
+    sel AS (SELECT doc_id, gk,
+        row_number() OVER (ORDER BY gk DESC, doc_id) AS rn FROM keys)
+    SELECT doc_id, round(gk, 6) AS gumbel_key FROM sel WHERE rn <= 50"""
 
   /** PQ ANN — mirrors graft.ops.Similarity.pqTopK (m=8 subquantizers × 16
     * codes over 64 dims): codebook = the md5-ordered 16-vector sample
@@ -1144,6 +1165,41 @@ object OracleSql {
       (ld.cluster IS NULL OR ld.doc_id = w.keep_id) AS keep
     FROM ld LEFT JOIN win w ON ld.cluster = w.cluster"""
 
+  /** Deterministic shard shuffle — mirrors graft.ops.Sampling.shuffleShards
+    * (8 shards, seed 'graft': shard = md5_56('graft:shard:'||id) mod 8,
+    * intra-shard order by md5_56('graft:order:'||id) then id). */
+  private val q64 = s"""
+    WITH h AS (SELECT doc_id,
+        ('0x' || substr(md5('graft:shard:' || doc_id::VARCHAR), 1, 14))::BIGINT % 8 AS shard,
+        ('0x' || substr(md5('graft:order:' || doc_id::VARCHAR), 1, 14))::BIGINT AS ord
+      FROM documents),
+    p AS (SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+      FROM h)
+    SELECT shard, COUNT(*) AS n_docs,
+      CAST(MIN(pos) AS BIGINT) AS min_pos, CAST(MAX(pos) AS BIGINT) AS max_pos,
+      CAST(SUM(pos * doc_id) AS BIGINT) AS order_pin
+    FROM p GROUP BY shard"""
+
+  /** Fractional-epoch upsampling — mirrors graft.ops.Sampling.upsampleMixture
+    * (src0 ×2.5, src1 ×0.25, default ×1.0; extra copy iff
+    * md5_56('graft:'||id) mod 10^6 < frac·10^6). */
+  private val q65 = s"""
+    WITH f AS (SELECT doc_id, source,
+        CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 250000
+          ELSE 1000000 END AS mf
+      FROM documents),
+    c AS (SELECT doc_id, source,
+        mf // 1000000 + CASE WHEN
+          ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 14))::BIGINT % 1000000
+            < mf % 1000000 THEN 1 ELSE 0 END AS n
+      FROM f),
+    r AS (SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
+      FROM c WHERE n >= 1)
+    SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+      CAST(SUM(doc_id * copy) AS BIGINT) AS copy_pin
+    FROM r GROUP BY source"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1212,6 +1268,9 @@ object OracleSql {
     "q59_contamination_overlap" -> q59,
     "q60_dsir_weights"      -> q60,
     "q61_pq_topk"           -> q61,
-    "q62_resolve_near_dups" -> q62
+    "q62_resolve_near_dups" -> q62,
+    "q63_dsir_resample"     -> q63,
+    "q64_shuffle_shards"    -> q64,
+    "q65_upsample_mixture"  -> q65
   ).map { case (k, v) => k -> clean(v) }
 }

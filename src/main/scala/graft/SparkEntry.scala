@@ -780,6 +780,45 @@ object SparkEntry {
     Dedup.resolveNearDups(t(s, dir, "documents"), threshold = 0.7)
       .select(col("doc_id"), col("cluster"), col("keep"))
 
+  /** Gumbel-top-k importance resampling ([[graft.ops.Importance.dsirResample]]):
+    * the sampling step DSIR is named for — 50 docs drawn without replacement
+    * ∝ exp(weight), noise derived from the hash so both engines draw the
+    * SAME sample. */
+  private def q63DsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs   = t(s, dir, "documents")
+    val target = docs.filter(col("doc_id") < 20)
+    val raw    = docs.filter(col("doc_id") >= 20)
+    graft.ops.Importance.dsirResample(
+        graft.ops.Importance.dsirWeights(raw, target), 50)
+      .select(col("doc_id"), round(col("gumbel_key"), 6).as("gumbel_key"))
+  }
+
+  /** Deterministic shard shuffle ([[Sampling.shuffleShards]]): the
+    * write-training-shards permutation — 8 shards, per-shard positions.
+    * `order_pin = Σ pos·doc_id` pins the EXACT positional assignment, not
+    * just membership. */
+  private def q64ShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(t(s, dir, "documents"), numShards = 8, idCol = "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+        sum(col("pos") * col("doc_id")).as("order_pin"))
+
+  /** Per-source epoch factors for the upsampling query: >1 with a fraction
+    * (floor + hash-fraction extra copy), <1 (pure fractional keep), and the
+    * default 1.0 pass-through all exercised. */
+  private val EpochFactors = Map("src0" -> 2.5, "src1" -> 0.25)
+
+  /** Fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]]):
+    * `copy_pin = Σ doc_id·copy` pins exact replication counts per doc. */
+  private def q65UpsampleMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.upsampleMixture(t(s, dir, "documents"), "source", EpochFactors,
+        idCol = "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id") * col("copy")).as("copy_pin"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -842,7 +881,10 @@ object SparkEntry {
     "q59_contamination_overlap" -> q59ContaminationOverlap _,
     "q60_dsir_weights"      -> q60DsirWeights _,
     "q61_pq_topk"           -> q61PqTopK _,
-    "q62_resolve_near_dups" -> q62ResolveNearDups _
+    "q62_resolve_near_dups" -> q62ResolveNearDups _,
+    "q63_dsir_resample"     -> q63DsirResample _,
+    "q64_shuffle_shards"    -> q64ShuffleShards _,
+    "q65_upsample_mixture"  -> q65UpsampleMixture _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -103,4 +103,34 @@ object Importance {
     * once; no global sort shuffle). */
   def dsirTopK(weights: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame =
     weights.orderBy(col("dsir_sum").desc, col(idCol)).limit(k).select(col(idCol))
+
+  /** The RESAMPLING step DSIR is named for: draw `k` documents WITHOUT
+    * replacement with probability ∝ exp(weight / temperature), via the
+    * Gumbel-top-k equivalence (perturb each key by independent Gumbel noise,
+    * take the top k). [[dsirTopK]] is the argmax policy (temperature → 0);
+    * this is the published recipe, which preserves tail diversity instead
+    * of saturating the selection with one dominant mode.
+    *
+    * The Gumbel noise is DERIVED, not drawn: `u = (md5_56(seed:id) mod 2^52
+    * + 0.5) / 2^52`, `g = -ln(-ln(u))` — reproducible across runs, task
+    * retries, and engines (the [[Sampling.hashBucket]] no-`rand()`
+    * discipline). The `mod 2^52` keeps `u` strictly inside (0, 1) in EXACT
+    * double territory: a raw 56-bit hash can round to 2^56 as a double,
+    * sending `u → 1.0` and the key to +∞. Selection is a
+    * `TakeOrderedAndProject` over `(key desc, id)` like [[dsirTopK]].
+    *
+    * Returns `(idCol, gumbel_key)` for the `k` sampled documents. */
+  def dsirResample(weights: DataFrame, k: Int, idCol: String = "doc_id",
+                   temperature: Double = 1.0, seed: String = "graft"): DataFrame = {
+    require(temperature > 0, s"dsirResample: temperature must be > 0, got $temperature")
+    val twoTo52 = 4503599627370496L
+    val h = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 14), 16, 10)
+      .cast("long")
+    val u = ((h % twoTo52).cast("double") + 0.5) / lit(twoTo52.toDouble)
+    val key = col("dsir_sum").cast("double") / temperature + -log(-log(u))
+    weights.withColumn("__gk", key)
+      .orderBy(col("__gk").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("__gk").as("gumbel_key"))
+  }
 }

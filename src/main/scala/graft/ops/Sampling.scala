@@ -87,4 +87,63 @@ object Sampling {
                     seed: String = "graft"): DataFrame =
     stratifiedSample(df, strataCol = idCol, rates = Map.empty, idCol = idCol,
       defaultRate = rate, seed = seed)
+
+  /** Fractional-epoch mixture upsampling: training recipes weight sources by
+    * EPOCH COUNTS, not just down-sampling rates — "2.5 epochs of books, 0.7
+    * of web" (the LLaMA/Gopher mixture idiom). A factor `f` replicates every
+    * row `floor(f)` times and adds one more copy for a deterministic
+    * `frac(f)` fraction of ids (the [[hashBucket]] family at 10^6 buckets,
+    * so factors are honored to 6 decimal places). Emits a `copy` column
+    * (1-based) — downstream shuffling/packing treats copies as distinct
+    * rows; (id, copy) stays unique for retry-stable lineage.
+    *
+    * Same no-`rand()` discipline as the samplers: which ids get the extra
+    * copy is a pure function of (seed, id), so runs, retries, and engines
+    * agree. Scale shape: row-local — one `explode(sequence)` per row, no
+    * shuffle, no state; output size is Σ f_s · |stratum s| by construction.
+    * Strata missing from `factors` fall back to `defaultFactor`; factor 0
+    * drops the stratum. */
+  def upsampleMixture(df: DataFrame, strataCol: String, factors: Map[String, Double],
+                      idCol: String, defaultFactor: Double = 1.0,
+                      seed: String = "graft"): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f <= 1000) &&
+      defaultFactor >= 0 && defaultFactor <= 1000,
+      "epoch factors must be in [0, 1000]")
+    val M = 1000000L
+    def micro(f: Double): Long = math.round(f * M)
+    val microF = factors.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(micro(defaultFactor)))) {
+        case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(micro(v)))
+      }.otherwise(lit(micro(defaultFactor)))
+    val copies = (microF / M).cast("long") +
+      when(hashBucket(col(idCol), seed, M.toInt) < (microF % M), 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
+  /** Deterministic global shuffle + sharding — the LAST step before writing
+    * training shards: break association between corpus order (crawl order,
+    * source grouping) and training order, reproducibly. Each row gets
+    * `shard = hashBucket(id) mod numShards` and `pos` = its rank within the
+    * shard under a SECOND independent hash (full 56-bit, ties → id) — a
+    * uniform random permutation materialized as (shard, intra-shard
+    * position), identical across runs, retries, and engines.
+    *
+    * Scale shape: ONE hash-partition shuffle on `shard` + a per-shard sort —
+    * never a global RangePartitioner sort (a total order over 100 TB pays a
+    * sampling pass plus skew-prone range exchange; per-shard ordering is
+    * embarrassingly parallel and training loaders read shards
+    * independently). `numShards` controls shard size: pick corpus_rows /
+    * numShards ≈ 10-100M rows so each sort fits an executor. */
+  def shuffleShards(df: DataFrame, numShards: Int, idCol: String,
+                    seed: String = "graft"): DataFrame = {
+    require(numShards > 0, s"shuffleShards: numShards must be > 0, got $numShards")
+    val order = conv(substring(md5(concat(lit(s"$seed:order:"), col(idCol).cast("string"))), 1, 14), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(order, col(idCol))
+    df.withColumn("shard", hashBucket(col(idCol), s"$seed:shard", numShards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -1193,6 +1193,72 @@ class OpsSpec extends SparkSpec {
       Map(0L -> Seq(1, 2, 3, 4, 5), 1L -> Seq(1, 2, 3, 4, 5), 2L -> Seq(1, 2, 3, 4, 5)))
   }
 
+  test("dsirResample: deterministic, temperature→0 recovers argmax, seed perturbs the draw") {
+    import graft.ops.Importance
+    import org.apache.spark.sql.types.DecimalType
+    val w = (0L until 100L).map(i => (i, i.toDouble / 7.0)).toDF("doc_id", "w")
+      .withColumn("dsir_sum", col("w").cast(DecimalType(20, 9))).drop("w")
+    def draw(temp: Double, seed: String = "graft") =
+      Importance.dsirResample(w, 20, temperature = temp, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+    // derived noise: the same call is the same sample
+    assert(draw(1.0) === draw(1.0))
+    assert(Importance.dsirResample(w, 20).collect().forall(r =>
+      !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+    // temperature -> 0: weights dominate the bounded noise -> argmax set
+    val top = Importance.dsirTopK(w, 20).collect().map(_.getLong(0)).toSet
+    assert(draw(1e-9) === top)
+    // temperature -> inf: noise dominates -> the draw departs from argmax
+    // and responds to the seed (hash-random 20-of-100: collision odds ~0)
+    assert(draw(1e9) !== top)
+    assert(draw(1e9) !== draw(1e9, seed = "other"))
+  }
+
+  test("upsampleMixture: integer factors replicate exactly, fractions keep a hash-subset, 0 drops") {
+    import graft.ops.Sampling
+    val d = (0L until 200L).map(i => (i, if (i < 100) "a" else "b")).toDF("doc_id", "source")
+    val up = Sampling.upsampleMixture(d, "source",
+      Map("a" -> 3.0, "b" -> 0.5), idCol = "doc_id")
+    val byDoc = up.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        max(col("copy")).as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // factor 3.0: every 'a' doc appears exactly 3 times, copies 1..3
+    (0L until 100L).foreach(i => assert(byDoc(i) === ((3L, 3L)), s"doc $i"))
+    // factor 0.5: a strict hash-subset of 'b' docs, single copies
+    val bDocs = byDoc.keys.filter(_ >= 100L)
+    assert(bDocs.nonEmpty && bDocs.size < 100)
+    bDocs.foreach(i => assert(byDoc(i) === ((1L, 1L)), s"doc $i"))
+    // determinism + factor 0 drops the stratum entirely
+    val again = Sampling.upsampleMixture(d, "source",
+        Map("a" -> 3.0, "b" -> 0.5), idCol = "doc_id")
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === byDoc.view.mapValues(_._1).toMap)
+    assert(Sampling.upsampleMixture(d, "source", Map("a" -> 0.0), idCol = "doc_id",
+      defaultFactor = 0.0).isEmpty)
+  }
+
+  test("shuffleShards: total partition into contiguous per-shard positions; seed changes the permutation") {
+    import graft.ops.Sampling
+    val d = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val sh = Sampling.shuffleShards(d, numShards = 4, idCol = "doc_id")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sh.length === 300 && sh.map(_._1).distinct.length === 300)
+    // per shard: positions are exactly 1..n (a permutation, no gaps/dupes)
+    sh.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"shard $s")
+    }
+    // reproducible; a different seed draws a different permutation
+    val again = Sampling.shuffleShards(d, numShards = 4, idCol = "doc_id")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq === sh.sorted.toSeq)
+    val other = Sampling.shuffleShards(d, numShards = 4, idCol = "doc_id", seed = "other")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sorted.toSeq !== sh.sorted.toSeq)
+  }
+
   test("resolveNearDups: one winner per cluster by quality, ties to smaller id; unclustered keep") {
     // docs fixture: 0,1,4 normalization-identical, 2 near-dup of them, 3 unique
     // -> one cluster {0,1,2,4}; all four normalize to the same length, so the
