@@ -1038,11 +1038,6 @@ object OracleSql {
     FROM tr LEFT JOIN bh ON tr.h = bh.h
     GROUP BY tr.doc_id"""
 
-  /** DSIR hashed-unigram importance weights — mirrors
-    * graft.ops.Importance.dsirWeights (buckets=4096, Laplace +1, per-bucket
-    * ln rounded to 9 dp as DECIMAL(20,9), exact decimal doc sums) over the
-    * doc_id >= 20 slice against doc_id < 20 as target, plus the top-50
-    * selection flag (ties to smaller id). */
   /** Shared DSIR CTE chain (q60/q63): hashed-unigram bucket counts of the
     * doc_id < 20 target vs the ≥ 20 raw slice, Laplace-smoothed log-ratio
     * weight table at DECIMAL(20,9), exact decimal per-doc sums. */
@@ -1067,6 +1062,11 @@ object OracleSql {
         CAST(SUM(db.cnt) AS BIGINT) AS n_tokens
       FROM db JOIN w ON db.b = w.b GROUP BY db.doc_id)"""
 
+  /** DSIR hashed-unigram importance weights — mirrors
+    * graft.ops.Importance.dsirWeights (buckets=4096, Laplace +1, per-bucket
+    * ln rounded to 9 dp as DECIMAL(20,9), exact decimal doc sums) over the
+    * doc_id >= 20 slice against doc_id < 20 as target, plus the top-50
+    * selection flag (ties to smaller id). */
   private val q60 = s"""
     WITH $dsirCtes,
     sel AS (SELECT doc_id FROM (SELECT doc_id,

@@ -15,11 +15,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration subset filter, same contract as Bench's
-    // SPARK_GRAFT_ONLY: comma-separated substrings of query names
+    // SPARK_GRAFT_ONLY: comma-separated query-name PREFIXES (an empty
+    // value selects everything, like the other filters)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.split(",").map(_.trim).toSeq)
     val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.exists(n.contains)) }
+      only.forall(_.exists(n.startsWith)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

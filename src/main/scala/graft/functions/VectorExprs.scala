@@ -177,6 +177,10 @@ object VectorExprs {
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "pq_encode"
+    // nullSafeEval returns null for a wrong-length vector or null element
+    // even when the child is non-nullable — without this override,
+    // NullPropagation folds isnull() guards away (the CosineSim lesson)
+    override def nullable: Boolean = true
     override def flatArguments: Iterator[Any] =
       Iterator(child, s"m=${codebooks.length}", s"codes=${codebooks.headOption.map(_.length).getOrElse(0)}")
     override def stringArgs: Iterator[Any] = flatArguments
@@ -236,6 +240,9 @@ object VectorExprs {
 
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def prettyName: String = "pq_decode"
+    // null on wrong code count / null element / out-of-range code — see
+    // PQEncode's nullable note
+    override def nullable: Boolean = true
     override def flatArguments: Iterator[Any] =
       Iterator(child, s"m=${codebooks.length}", s"codes=${codebooks.headOption.map(_.length).getOrElse(0)}")
     override def stringArgs: Iterator[Any] = flatArguments

@@ -282,11 +282,17 @@ object Dedup {
       bands, shingleK, maxBucket)
     val labels = nearDupClusters(pairs)
       .select(col("id").as(idCol), col("cluster"))
-    val labeled = docs.join(labels, Seq(idCol), "left")
-    val winners = labeled.filter(col("cluster").isNotNull)
+    // winners from the INNER join: the quality expression evaluates only
+    // over clustered rows, and Catalyst prunes this branch's docs scan to
+    // (id, textCol). docs is read twice (winners + output) — `labels` is
+    // already checkpointed by nearDupClusters, so both joins probe a
+    // materialized frame, and a second column-pruned scan beats persisting
+    // the full-width corpus for the call's duration.
+    val winners = docs.join(labels, Seq(idCol))
       .groupBy(col("cluster"))
       .agg(max_by(col(idCol), struct(q.as("q"), (-col(idCol)).as("nid"))).as("__keep_id"))
-    labeled.join(winners, Seq("cluster"), "left")
+    docs.join(labels, Seq(idCol), "left")
+      .join(winners, Seq("cluster"), "left")
       .withColumn("keep", col("cluster").isNull || col(idCol) === col("__keep_id"))
       .drop("__keep_id")
   }

@@ -23,6 +23,16 @@ object Sampling {
     pmod(conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 14), 16, 10)
       .cast("long"), lit(buckets))
 
+  /** Per-stratum scalar lookup as a CASE chain (deterministic: keys in
+    * sorted order), falling back to `default` — the shared shape of every
+    * per-stratum parameter map here (rates, budgets, epoch factors). */
+  private def strataLookup(strataCol: Column, values: Map[String, Long],
+                           default: Long): Column =
+    values.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(default))) {
+        case (acc, (k, v)) => acc.when(strataCol === k, lit(v))
+      }.otherwise(lit(default))
+
   /** Keep each row with probability `rate(stratum)`/100 (deterministic per
     * id): per-stratum rates for mixture weighting — e.g. downsample web
     * crawl to 10% while keeping books at 90%. Strata missing from `rates`
@@ -32,10 +42,8 @@ object Sampling {
                        seed: String = "graft"): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 100) &&
       defaultRate >= 0 && defaultRate <= 100, "rates are percentages in [0, 100]")
-    val rate = rates.toSeq.sortBy(_._1)
-      .foldLeft(when(lit(false), lit(defaultRate))) {
-        case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(v))
-      }.otherwise(lit(defaultRate))
+    val rate = strataLookup(col(strataCol), rates.view.mapValues(_.toLong).toMap,
+      defaultRate.toLong)
     df.filter(hashBucket(col(idCol), seed) < rate)
   }
 
@@ -67,10 +75,7 @@ object Sampling {
                         textCol: String = "text", seed: String = "graft"): DataFrame = {
     require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
       "budgets are token counts >= 0")
-    val budget = budgets.toSeq.sortBy(_._1)
-      .foldLeft(when(lit(false), lit(defaultBudget))) {
-        case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(v))
-      }.otherwise(lit(defaultBudget))
+    val budget = strataLookup(col(strataCol), budgets, defaultBudget)
     val h = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 14), 16, 10)
       .cast("long")
     val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
@@ -111,10 +116,8 @@ object Sampling {
       "epoch factors must be in [0, 1000]")
     val M = 1000000L
     def micro(f: Double): Long = math.round(f * M)
-    val microF = factors.toSeq.sortBy(_._1)
-      .foldLeft(when(lit(false), lit(micro(defaultFactor)))) {
-        case (acc, (k, v)) => acc.when(col(strataCol) === k, lit(micro(v)))
-      }.otherwise(lit(micro(defaultFactor)))
+    val microF = strataLookup(col(strataCol),
+      factors.view.mapValues(micro).toMap, micro(defaultFactor))
     val copies = (microF / M).cast("long") +
       when(hashBucket(col(idCol), seed, M.toInt) < (microF % M), 1L).otherwise(0L)
     df.withColumn("__n", copies)
