@@ -1200,6 +1200,30 @@ object OracleSql {
       CAST(SUM(doc_id * copy) AS BIGINT) AS copy_pin
     FROM r GROUP BY source"""
 
+  /** Intra-document line dedup — mirrors graft.ops.LineDedup.perDocLineDedup
+    * (minLineLen 1) over the q47 line synthesis: keep = blank OR first
+    * occurrence within the document (list_position = first 1-based index,
+    * exactly Spark's array_position / the expression's hash-set pass). */
+  private val q66 = s"""
+    WITH ml AS (SELECT doc_id, source,
+        regexp_replace($dedupNormSql, '(\\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS t
+      FROM documents),
+    l AS (SELECT doc_id, source, str_split(t, chr(10)) AS lines FROM ml),
+    k AS (SELECT doc_id, source, lines,
+        list_filter(list_transform(range(1, len(lines) + 1), i ->
+          CASE WHEN length(trim(lines[i])) < 1
+                 OR list_position(lines, lines[i]) = i
+            THEN i ELSE NULL END), x -> x IS NOT NULL) AS keep
+      FROM l),
+    o AS (SELECT doc_id, source,
+        array_to_string(list_transform(keep, i -> lines[i]), chr(10)) AS text,
+        len(lines) - len(keep) AS dropped
+      FROM k)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(dropped) AS BIGINT) AS n_lines_dropped,
+      CAST(SUM(length(text)) AS BIGINT) AS dedup_chars
+    FROM o GROUP BY source"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1271,6 +1295,7 @@ object OracleSql {
     "q62_resolve_near_dups" -> q62,
     "q63_dsir_resample"     -> q63,
     "q64_shuffle_shards"    -> q64,
-    "q65_upsample_mixture"  -> q65
+    "q65_upsample_mixture"  -> q65,
+    "q66_doc_line_dedup"    -> q66
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -819,6 +819,21 @@ object SparkEntry {
         countDistinct(col("doc_id")).as("n_docs"),
         sum(col("doc_id") * col("copy")).as("copy_pin"))
 
+  /** Intra-document line dedup ([[LineDedup.perDocLineDedup]]) over the q47
+    * line synthesis — per-source doc counts, dropped-line totals, and
+    * post-dedup char sums (pins every surviving string by length mass). */
+  private def q66DocLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val mlText = regexp_replace(
+      TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
+      "(\\S+ \\S+ \\S+) ", "$1\n")
+    LineDedup.perDocLineDedup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), mlText.as("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines_dropped")).as("n_lines_dropped"),
+        sum(length(col("text")).cast("long")).as("dedup_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -884,7 +899,8 @@ object SparkEntry {
     "q62_resolve_near_dups" -> q62ResolveNearDups _,
     "q63_dsir_resample"     -> q63DsirResample _,
     "q64_shuffle_shards"    -> q64ShuffleShards _,
-    "q65_upsample_mixture"  -> q65UpsampleMixture _
+    "q65_upsample_mixture"  -> q65UpsampleMixture _,
+    "q66_doc_line_dedup"    -> q66DocLineDedup _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -697,6 +697,54 @@ object HashExprs {
       copy(left = l, right = r)
   }
 
+  /** INTRA-document line dedup (RefinedWeb-style repetition removal): keep
+    * each line's FIRST occurrence within the document, drop later repeats —
+    * one hash-set pass per row, no corpus coordination at all (the global
+    * cross-document pass is [[graft.ops.LineDedup.perLineDedup]]). Lines
+    * whose space-trimmed length is below `minLineLen` are structure (blank
+    * separators): always kept, never registered as occurrences — the
+    * [[graft.ops.LineDedup]] eligibility contract, with SQL `trim`
+    * semantics (spaces only, NOT Java's `<= ' '` control-char trim) so the
+    * DuckDB oracle reproduces keeps exactly. Single-value discipline
+    * (the [[BigramTopFraction]] note): returns only the deduped text;
+    * derive drop counts from `size(split(...))` of input vs output. */
+  case class DedupDocLines(child: Expression, minLineLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "dedup_doc_lines"
+
+    private def spaceTrimmedLen(s: String): Int = {
+      var a = 0
+      var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      b - a
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      // -1 limit: keep trailing empty strings, exactly like Spark's split()
+      val lines = input.asInstanceOf[UTF8String].toString.split("\n", -1)
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var i = 0
+      while (i < lines.length) {
+        val l = lines(i)
+        if (spaceTrimmedLen(l) < minLineLen || seen.add(l)) {
+          if (!first) sb.append('\n')
+          sb.append(l)
+          first = false
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildInternal(c: Expression): DedupDocLines =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -742,6 +790,9 @@ object HashExprs {
 
   def keptLines(text: Column, positions: Column): Column =
     ColumnBridge.column(KeptLines(ColumnBridge.expression(text), ColumnBridge.expression(positions)))
+
+  def dedupDocLines(text: Column, minLineLen: Int = 1): Column =
+    ColumnBridge.column(DedupDocLines(ColumnBridge.expression(text), minLineLen))
 
   /** Bloom-sketch membership probe over a LONG column. The serialized sketch
     * is constructor DATA (rides the task binary like [[NearestCentroids]]'s

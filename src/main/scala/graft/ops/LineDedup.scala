@@ -81,4 +81,31 @@ object LineDedup {
       .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
       .drop("__ld_id", "__keep")
   }
+
+  /** INTRA-document line dedup (the RefinedWeb-style repetition-removal
+    * step): within each document, every line keeps only its FIRST occurrence
+    * — later repeats (template artifacts, generation loops, repeated
+    * headers) drop. Complements [[perLineDedup]]: that pass needs a global
+    * aggregation because its duplicates live across documents; this one is
+    * a pure row-local rewrite ([[graft.functions.HashExprs.DedupDocLines]],
+    * one hash-set pass per row) — NO shuffle, no state, composes under any
+    * partitioning. Same eligibility contract: lines with space-trimmed
+    * length below `minLineLen` are structure, always kept, never counted
+    * as occurrences.
+    *
+    * Returns the input columns with `textCol` rewritten plus an
+    * `n_lines_dropped` audit column. The dedup expression is referenced
+    * twice (text + the drop count's split-size), i.e. up to two row-local
+    * passes per document — the q57 accepted shape; callers needing one
+    * pass at 100 TB drop the audit column's branch. */
+  def perDocLineDedup(docs: DataFrame, textCol: String = "text",
+                      minLineLen: Int = 1): DataFrame = {
+    val src = coalesce(col(textCol), lit(""))
+    docs
+      .withColumn("__pdl", graft.functions.HashExprs.dedupDocLines(src, minLineLen))
+      .withColumn("n_lines_dropped",
+        (size(split(src, "\n")) - size(split(col("__pdl"), "\n"))).cast("long"))
+      .withColumn(textCol, col("__pdl"))
+      .drop("__pdl")
+  }
 }

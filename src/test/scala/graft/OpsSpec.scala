@@ -1214,6 +1214,26 @@ class OpsSpec extends SparkSpec {
     assert(draw(1e9) !== draw(1e9, seed = "other"))
   }
 
+  test("perDocLineDedup: repeats drop within a doc only, blanks and short lines always kept") {
+    import graft.ops.LineDedup
+    val d = Seq(
+      (0L, "a b c\nx y z\na b c\n\nx y z\nunique"),
+      (1L, "a b c\na b c")).toDF("doc_id", "text")
+    val out = LineDedup.perDocLineDedup(d)
+      .select("doc_id", "text", "n_lines_dropped").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // within doc 0: second 'a b c' and second 'x y z' drop; the blank stays
+    assert(out(0L) === (("a b c\nx y z\n\nunique", 2L)))
+    // doc 1 keeps ITS OWN first occurrence — doc 0 having the line is
+    // irrelevant (intra-doc semantics, unlike perLineDedup's global pass)
+    assert(out(1L) === (("a b c", 1L)))
+    // minLineLen: short lines are structure — duplicated short lines survive
+    val short = Seq((2L, "abcd\na b\na b\nabcd")).toDF("doc_id", "text")
+    val o2 = LineDedup.perDocLineDedup(short, minLineLen = 4)
+      .select("text", "n_lines_dropped").collect().head
+    assert(o2.getString(0) === "abcd\na b\na b" && o2.getLong(1) === 1L)
+  }
+
   test("upsampleMixture: integer factors replicate exactly, fractions keep a hash-subset, 0 drops") {
     import graft.ops.Sampling
     val d = (0L until 200L).map(i => (i, if (i < 100) "a" else "b")).toDF("doc_id", "source")
