@@ -821,7 +821,12 @@ object SparkEntry {
 
   /** Intra-document line dedup ([[LineDedup.perDocLineDedup]]) over the q47
     * line synthesis — per-source doc counts, dropped-line totals, and
-    * post-dedup char sums (pins every surviving string by length mass). */
+    * post-dedup char sums (pins every surviving string by length mass).
+    * Bench-cost note (q47's accepted shape): the synthesized text column
+    * inlines into each reference after CollapseProject, so the normalize
+    * chain evaluates ~3× per document here; a production caller feeds a
+    * STORED text column (the [[graft.ops.LineDedup.perLineDedup]] input
+    * contract) and pays the row-local dedup pass at most twice. */
   private def q66DocLineDedup(s: SparkSession, dir: String): DataFrame = {
     val mlText = regexp_replace(
       TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
