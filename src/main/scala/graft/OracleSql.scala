@@ -1224,6 +1224,26 @@ object OracleSql {
       CAST(SUM(length(text)) AS BIGINT) AS dedup_chars
     FROM o GROUP BY source"""
 
+  /** Character entropy — mirrors graft.functions.HashExprs.CharEntropy over
+    * the shared normalization: per distinct char, (cnt/n)·ln(n/cnt) rounded
+    * to 9 dp as DECIMAL(20,9), exact decimal sum (order-independent), sum
+    * rounded to 6 dp as DOUBLE. Normalized text is ASCII, so DuckDB chars =
+    * UTF-16 units. */
+  private val q67 = s"""
+    WITH nm AS (SELECT doc_id, source, $dedupNormSql AS s FROM documents),
+    ch AS (SELECT doc_id,
+        unnest(list_transform(range(1, length(s) + 1), i -> s[i])) AS c
+      FROM nm),
+    cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+    nn AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY 1),
+    et AS (SELECT cc.doc_id,
+        SUM(CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9))) AS e
+      FROM cc JOIN nn ON cc.doc_id = nn.doc_id GROUP BY 1)
+    SELECT nm.doc_id, nm.source, CAST(length(nm.s) AS BIGINT) AS n_chars,
+      CAST(round(COALESCE(et.e, 0), 6) AS DOUBLE) AS char_entropy
+    FROM nm LEFT JOIN et ON nm.doc_id = et.doc_id"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1296,6 +1316,7 @@ object OracleSql {
     "q63_dsir_resample"     -> q63,
     "q64_shuffle_shards"    -> q64,
     "q65_upsample_mixture"  -> q65,
-    "q66_doc_line_dedup"    -> q66
+    "q66_doc_line_dedup"    -> q66,
+    "q67_char_entropy"      -> q67
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -839,6 +839,17 @@ object SparkEntry {
         sum(length(col("text")).cast("long")).as("dedup_chars"))
   }
 
+  /** Character-entropy quality profile ([[TextAnalysis.charEntropy]]):
+    * per-doc normalized length + entropy in nats — per-doc output pins every
+    * value (a per-source MEAN of doubles would be aggregation-order-
+    * dependent and break cross-engine hashing). */
+  private def q67CharEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        length(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_chars"),
+        TextAnalysis.charEntropy(col("text")).as("char_entropy"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -905,7 +916,8 @@ object SparkEntry {
     "q63_dsir_resample"     -> q63DsirResample _,
     "q64_shuffle_shards"    -> q64ShuffleShards _,
     "q65_upsample_mixture"  -> q65UpsampleMixture _,
-    "q66_doc_line_dedup"    -> q66DocLineDedup _
+    "q66_doc_line_dedup"    -> q66DocLineDedup _,
+    "q67_char_entropy"      -> q67CharEntropy _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -745,6 +745,51 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Shannon character entropy (nats) of a string — the
+    * gibberish/compressibility signal of the quality family: natural prose
+    * sits in a characteristic band, while base64 blobs and minified code
+    * score high and repeated-character runs score near zero. One counting
+    * pass per row.
+    *
+    * Engine-exactness (the q54 decimal discipline): each distinct
+    * character's term `(cnt/n)·ln(n/cnt)` is computed in double, rounded to
+    * 9 decimals (`BigDecimal.valueOf` HALF_UP — bit-identical to Spark's
+    * `round` builtin, which DuckDB's `round` reproduces), and summed as
+    * EXACT decimals — so the sum is independent of iteration order on both
+    * engines; the result is the decimal sum rounded to 6 dp as a double.
+    * Empty/whitespace-free-empty input → 0.0. */
+  case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "char_entropy"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      if (n == 0) return 0.0
+      val counts = new java.util.HashMap[Character, Int]()
+      var i = 0
+      while (i < n) {
+        counts.merge(s.charAt(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      var sum = java.math.BigDecimal.ZERO
+      val it = counts.values().iterator()
+      val nd = n.toDouble
+      while (it.hasNext) {
+        val cnt = it.next().toDouble
+        val term = (cnt / nd) * math.log(nd / cnt)
+        sum = sum.add(java.math.BigDecimal.valueOf(term)
+          .setScale(9, java.math.RoundingMode.HALF_UP))
+      }
+      sum.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    override protected def withNewChildInternal(c: Expression): CharEntropy =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -793,6 +838,9 @@ object HashExprs {
 
   def dedupDocLines(text: Column, minLineLen: Int = 1): Column =
     ColumnBridge.column(DedupDocLines(ColumnBridge.expression(text), minLineLen))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   /** Bloom-sketch membership probe over a LONG column. The serialized sketch
     * is constructor DATA (rides the task binary like [[NearestCentroids]]'s

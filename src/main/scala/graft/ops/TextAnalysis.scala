@@ -96,6 +96,14 @@ object TextAnalysis {
   /** MD5 content hash (engine-portable for oracles). */
   def contentHash(text: Column): Column = md5(normalizeText(text))
 
+  /** Shannon character entropy (nats) over the NORMALIZED text — the
+    * gibberish/compressibility quality signal (natural prose sits in a
+    * characteristic band; base64-ish blobs score high, repeated-run spam
+    * near zero). Row-local compiled pass with decimal-exact summation —
+    * engine-reproducible, see [[graft.functions.HashExprs.CharEntropy]]. */
+  def charEntropy(text: Column): Column =
+    graft.functions.HashExprs.charEntropy(normalizeText(coalesce(text, lit(""))))
+
   /** Winnowing fingerprint set over the normalized text (rolling k-char-gram
     * hashes, per-window minima — see
     * [[graft.functions.HashExprs.WinnowingFingerprints]]): the

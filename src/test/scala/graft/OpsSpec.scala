@@ -1214,6 +1214,26 @@ class OpsSpec extends SparkSpec {
     assert(draw(1e9) !== draw(1e9, seed = "other"))
   }
 
+  test("charEntropy: hand-checked values, degenerate inputs zero, uniform text = ln k") {
+    val out = Seq((0L, "aabb"), (1L, "aaaa"), (2L, "abcd"), (3L, ""),
+        (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def term(cnt: Int, n: Int): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(
+        (cnt.toDouble / n) * math.log(n.toDouble / cnt))
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+    def round6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === round6(term(2, 4) * 2))          // two chars at p=1/2 -> ln 2
+    assert(out(1L) === 0.0)                             // single-char run
+    assert(out(2L) === round6(term(1, 4) * 4))          // uniform over 4 -> ln 4
+    assert(out(3L) === 0.0 && out(4L) === 0.0)          // empty and null
+    // sanity on magnitude: ln 2 ≈ 0.693147
+    assert(math.abs(out(0L) - math.log(2)) < 1e-5)
+  }
+
   test("perDocLineDedup: repeats drop within a doc only, blanks and short lines always kept") {
     import graft.ops.LineDedup
     val d = Seq(
