@@ -203,16 +203,19 @@ object Dedup {
     * thin shuffles (pairs are orders of magnitude smaller than band rows)
     * instead of one 16×-amplified fat one.
     *
-    * EAGER: the returned pair set is materialized (`localCheckpoint`) inside
-    * this call — the shared shingle cache must be consumed and released here,
-    * so the result cannot stay lazy. Pairs are candidate-sized (orders of
-    * magnitude below the corpus), so the executor-local checkpoint is safe at
-    * any scale — unlike the corpus-row-count-sized results that take a
-    * `materialize` hook ([[graft.ops.Curation.Config.materialize]]). */
+    * EAGER: the returned pair set is materialized through `materialize`
+    * inside this call — the shared shingle cache must be consumed and
+    * released here, so the result cannot stay lazy. Pairs are
+    * candidate-sized (orders of magnitude below the corpus), so the default
+    * executor-local checkpoint is safe at any scale; callers that want the
+    * pair set durable anyway (cluster decommissioning, audit) plug
+    * [[graft.ops.Curation.parquetMaterializer]] or a warehouse writer —
+    * the [[Lexicon.oovStats]] hook contract. */
   def minhashNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", threshold: Double = 0.8,
                       numHashes: Int = 64, bands: Int = 16,
-                      shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                      shingleK: Int = 3, maxBucket: Int = 1000,
+                      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // Persisted: consumed by the banding pass AND twice by the verify join —
@@ -242,12 +245,13 @@ object Dedup {
       .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      // eager cut: the (small) verified pair set is computed here, while
-      // `base` is hot; its blocks are plain RDD storage (not CacheManager),
-      // released by ContextCleaner once the caller drops the result
-      .localCheckpoint(true)
+    // eager cut: the (small) verified pair set is computed here, while
+    // `base` is hot; the default localCheckpoint's blocks are plain RDD
+    // storage (not CacheManager), released by ContextCleaner once the
+    // caller drops the result
+    val out = materialize(verified)
     base.unpersist()
-    verified
+    out
   }
 
   /** End-to-end near-dup RESOLUTION: find near-duplicate pairs
@@ -410,16 +414,18 @@ object Dedup {
     * corpus doc at `threshold`. Batch-INTERNAL near-dups are a separate
     * [[minhashNearDups]] call over the (small) batch.
     *
-    * EAGER: the returned pair set is materialized inside this call (the batch
-    * shingle cache is released here) — pairs are candidate-sized, same
-    * rationale as [[minhashNearDups]]. */
+    * EAGER: the returned pair set is materialized through `materialize`
+    * inside this call (the batch shingle cache is released here) — pairs are
+    * candidate-sized, same default and hook contract as
+    * [[minhashNearDups]]. */
   def incrementalNearDups(batch: DataFrame, index: DataFrame, corpus: DataFrame,
                           textCol: String = "text", idCol: String = "doc_id",
                           threshold: Double = 0.8, numHashes: Int = 64,
                           bands: Int = 16, shingleK: Int = 3,
                           maxBucket: Int = 1000,
                           bucketCounts: Option[DataFrame] = None,
-                          broadcastBatch: Boolean = true): DataFrame = {
+                          broadcastBatch: Boolean = true,
+                          materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     // batch shingle sets persist across the banding pass and the verify join
@@ -450,9 +456,11 @@ object Dedup {
       .withColumn("jaccard", jaccardSets(col("__sn"), col("__so")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_old"), col("jaccard"))
-      .localCheckpoint(true)
+    // same eager-cut contract as minhashNearDups: batch-sized pairs, default
+    // localCheckpoint, hook for callers that want them durable
+    val out = materialize(verified)
     batchSh.unpersist()
-    verified
+    out
   }
 
   /** Train/test decontamination: the training documents that share at least

@@ -925,6 +925,14 @@ class OpsSpec extends SparkSpec {
         materialize = pq("graft_sd_pq_"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(sdPq === sdCp && sdCp.size === 40)
+    // the pair-sized dedup paths take the same hook (r8 verdict consistency
+    // note): write-through produces the identical pair set
+    val ndCp = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ndPq = Dedup.minhashNearDups(docs, threshold = 0.5,
+        materialize = pq("graft_nd_pq_"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(ndPq === ndCp)
   }
 
   test("lexicon single-tokenization: vocab and probe sides share ONE cached normalize subtree") {
