@@ -13,7 +13,7 @@ import graft.ops.Curation
   * their canonical order and lays out the output directory:
   *
   * {{{
-  * runMain graft.Curate <corpus.jsonl> <benchmark.jsonl|none> <outDir>
+  * runMain graft.Curate <corpus.jsonl> <benchmark.jsonl|none> <outDir> [key=value ...]
   *
   * outDir/
   *   curated/    surviving documents, JSONL
@@ -21,6 +21,27 @@ import graft.ops.Curation
   *   audit/      per-stage (stage, n_in, n_out), JSONL
   *   stages/     stage_N parquet survivors (the restartable checkpoints —
   *               Curation.parquetMaterializer write-through, loud on reuse)
+  * }}}
+  *
+  * The optional `key=value` args open the full [[graft.ops.Curation.Config]]
+  * stage set from the command line (defaults reproduce the classic
+  * gates→line→exact→near-dup→decontaminate run):
+  *
+  * {{{
+  * docLineDedup=true          intra-document line dedup
+  * spanDedup=true             substring-level span excision
+  * spanMinDf=10               ...its hot-run document-frequency floor
+  * nearDupThreshold=0.85      near-dup jaccard cut (none disables the stage)
+  * dsirTarget=<target.jsonl>  DSIR selection target corpus
+  * dsirKeep=100000            ...keep the k best target-matching docs
+  * dsirTemperature=1.0        ...Gumbel resampling instead of argmax top-k
+  * sampleRates=web:50,books:100   per-source percentage rates
+  * defaultRate=100            ...rate for unlisted sources
+  * tokenBudgets=web:1000000   per-source token budgets
+  * upsample=books:2.5,web:0.7 fractional-epoch factors (adds `copy`)
+  * numShards=1024             final deterministic shard shuffle (adds
+  *                            `shard`/`pos` — the training-shard layout)
+  * seed=graft                 deterministic-hash seed for every sampler
   * }}}
   *
   * `benchmark.jsonl` is the decontamination reference set (`none` skips that
@@ -38,10 +59,43 @@ import graft.ops.Curation
   */
 object Curate {
 
+  /** Parse the optional `key=value` overrides into a Config (exposed for the
+    * spec). Unknown keys fail loudly — a typo must not silently run the
+    * default pipeline. `dsirTarget` is a path, resolved by the caller. */
+  def parseConfig(base: Curation.Config, opts: Seq[String]): (Curation.Config, Option[String]) = {
+    def strataMap[V](v: String, f: String => V): Map[String, V] =
+      v.split(",").iterator.map { kv =>
+        val Array(s, x) = kv.split(":", 2); s -> f(x)
+      }.toMap
+    var target: Option[String] = None
+    val cfg = opts.foldLeft(base) { (c, opt) =>
+      val Array(k, v) = opt.split("=", 2)
+      k match {
+        case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
+        case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
+        case "spanMinDf"        => c.copy(spanMinDf = v.toInt)
+        case "nearDupThreshold" => c.copy(nearDupThreshold =
+          if (v == "none") None else Some(v.toDouble))
+        case "dsirTarget"       => target = Some(v); c
+        case "dsirKeep"         => c.copy(dsirKeep = Some(v.toInt))
+        case "dsirTemperature"  => c.copy(dsirTemperature = Some(v.toDouble))
+        case "sampleRates"      => c.copy(sampleRates = strataMap(v, _.toInt))
+        case "defaultRate"      => c.copy(defaultRate = v.toInt)
+        case "tokenBudgets"     => c.copy(tokenBudgets = strataMap(v, _.toLong))
+        case "upsample"         => c.copy(upsampleFactors = strataMap(v, _.toDouble))
+        case "numShards"        => c.copy(numShards = Some(v.toInt))
+        case "seed"             => c.copy(seed = v)
+        case other => throw new IllegalArgumentException(
+          s"graft.Curate: unknown option '$other' (in '$opt')")
+      }
+    }
+    (cfg, target)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: runMain graft.Curate <corpus.jsonl> <benchmark.jsonl|none> <outDir>")
-    val Array(corpusPath, benchPath, outDir) = args
+    require(args.length >= 3,
+      "usage: runMain graft.Curate <corpus.jsonl> <benchmark.jsonl|none> <outDir> [key=value ...]")
+    val Seq(corpusPath, benchPath, outDir) = args.take(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -53,8 +107,13 @@ object Curate {
       if (benchPath == "none") None
       else Some(DocumentSources.readJsonl(spark, benchPath)._1)
 
-    val result = Curation.curate(clean, benchmark,
-      Curation.Config(materialize = Curation.parquetMaterializer(s"$outDir/stages")))
+    val (config, targetPath) = parseConfig(
+      Curation.Config(materialize = Curation.parquetMaterializer(s"$outDir/stages")),
+      args.drop(3).toSeq)
+    val dsirTarget = targetPath.map(p => DocumentSources.readJsonl(spark, p)._1)
+
+    val result = Curation.curate(clean, benchmark, config,
+      dsirTarget = dsirTarget)
 
     DocumentSources.writeJsonl(result.corpus, s"$outDir/curated")
     DocumentSources.writeJsonl(dirty, s"$outDir/rejects")

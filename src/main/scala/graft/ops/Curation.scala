@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the one-call pipeline a pre-training data
@@ -10,58 +10,124 @@ import org.apache.spark.sql.functions._
   *   1. rule-based quality gates ([[QualityGates.applyGates]])
   *   2. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
   *      whose every line was boilerplate drop out)
-  *   3. exact document dedup ([[Dedup.exact]], first-wins)
-  *   4. near-duplicate removal ([[Dedup.minhashNearDups]] →
-  *      [[Dedup.nearDupClusters]]; only min-id canonicals survive)
-  *   5. benchmark decontamination ([[Dedup.contamination]])
-  *   6. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *   3. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
+  *      repeated lines WITHIN a document keep only their first occurrence)
+  *   4. exact document dedup ([[Dedup.exact]], first-wins)
+  *   5. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
+  *      cross-document hot character runs are excised in place)
+  *   6. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
+  *      keeps its BEST copy — highest quality, ties to the smaller id)
+  *   7. benchmark decontamination ([[Dedup.contamination]])
+  *   8. DSIR target-matching selection ([[Importance.dsirWeights]] →
+  *      [[Importance.dsirTopK]] / [[Importance.dsirResample]], opt-in)
+  *   9. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *  10. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
+  *  11. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
+  *      opt-in; adds a `copy` column — (id, copy) is the unique key after)
+  *  12. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
+  *      adds `shard`/`pos` — the training-shard layout, the LAST step)
   *
   * The order matters and is the industry-standard one: gates first (cheapest,
   * biggest kill rate), line dedup before document dedup (shared boilerplate
-  * masks real near-dups AND fakes false ones), decontamination after dedup
-  * (fewer docs to probe), sampling last (rates apply to the CLEAN corpus).
+  * masks real near-dups AND fakes false ones), span dedup AFTER exact dedup
+  * but BEFORE near-dup — span excision removes a hot run from EVERY holder,
+  * so running it on un-deduped text would see each exact-duplicate pair as a
+  * document-length hot run and destroy BOTH copies (exact dedup first
+  * collapses that mass to one holder, df=1, untouched), while running it
+  * before near-dup means boilerplate spans can no longer fake near-duplicate
+  * pairs (and two documents differing ONLY in boilerplate correctly merge) —
+  * decontamination after dedup (fewer docs to probe), selection and sampling
+  * on the CLEAN corpus, token budgets on UNIQUE ids (before upsampling makes
+  * copies), the shard shuffle last (training order is drawn over the final
+  * mixture).
   *
   * == Materialization ==
   * Every enabled stage materializes its survivor frame through
   * `Config.materialize`: each stage's work runs exactly once (the per-stage
   * audit counts and all downstream stages read the materialized frame, not
   * the lineage), and the near-dup stage's iterative clustering starts from a
-  * flat plan. The DEFAULT is `localCheckpoint(true)` — right for tests and
-  * single-node runs, WRONG for a long cluster job: checkpoint blocks live on
-  * executor-local disk and die with the executor, and six stages of
-  * corpus-sized survivors multiply cluster disk. On a cluster pass
-  * [[Curation.parquetMaterializer]] (write-through to durable storage +
-  * readback — each stage's output doubles as a restartable checkpoint and
-  * the lineage behind it is dropped) or your own warehouse writer. The audit
-  * is identical under any materializer ([[graft.OpsSpec]] pins this). The
-  * INPUT frame is never materialized — stage 1 reads it through whatever
-  * source it came from (splittable files recover from executor loss on
-  * their own; see the same rationale at
+  * flat plan. The same hook is FORWARDED into the stages that take one
+  * ([[SpanDedup.spanDedup]], [[Dedup.resolveNearDups]],
+  * [[Importance.dsirWeights]]), so their internal eager cuts follow the
+  * run's durability policy too. The DEFAULT is `localCheckpoint(true)` —
+  * right for tests and single-node runs, WRONG for a long cluster job:
+  * checkpoint blocks live on executor-local disk and die with the executor,
+  * and many stages of corpus-sized survivors multiply cluster disk. On a
+  * cluster pass [[Curation.parquetMaterializer]] (write-through to durable
+  * storage + readback — each stage's output doubles as a restartable
+  * checkpoint and the lineage behind it is dropped) or your own warehouse
+  * writer. The audit is identical under any materializer ([[graft.OpsSpec]]
+  * pins this). The INPUT frame is never materialized — stage 1 reads it
+  * through whatever source it came from (splittable files recover from
+  * executor loss on their own; see the same rationale at
   * [[graft.load.DocumentSources.readJsonl]]).
   *
   * == Scale shape ==
   * Inherited from the stages themselves (each documented at its definition):
   * gates are scan-speed, line/exact/near dedup shuffle ids+hashes (never
-  * text, except line-dedup's single reassembly join), contamination probes a
-  * broadcast benchmark hash set, sampling is a row-local hash filter.
+  * text, except the single reassembly join of line- and span-dedup),
+  * intra-doc line dedup is row-local, DSIR shuffles ints only with a
+  * broadcast weight table, contamination probes a broadcast benchmark hash
+  * set, sampling/upsampling are row-local hash filters, and the shard
+  * shuffle is ONE hash partition + per-shard sort (never a global sort).
   */
 object Curation {
 
-  /** Which stages run, and their knobs. `benchmark = None` skips
-    * decontamination; `sampleRates = Map.empty` with `defaultRate = 100`
-    * keeps everything (sampling disabled). `materialize` is applied to every
-    * stage's survivor frame — default `localCheckpoint(true)` (single-node /
-    * test scale); pass [[parquetMaterializer]] (or a warehouse writer) on a
-    * cluster. */
+  /** Which stages run, and their knobs.
+    *
+    * Defaults reproduce the six classic stages: gates, cross-doc line
+    * dedup, exact dedup, best-copy near-dup resolution, decontamination
+    * (when a benchmark is passed), stratified sampling (when rates are
+    * set). The round-9 tier is opt-in:
+    *
+    *  - `docLineDedup = true` enables intra-document line dedup;
+    *  - `spanDedup = true` enables substring-level span excision
+    *    (`spanK`/`spanW`/`spanMinDf`/`spanMinRun` are
+    *    [[SpanDedup.spanDedup]]'s knobs);
+    *  - `nearDupQuality` overrides the best-copy policy (default:
+    *    keep-longest normalized text; pass any deterministic per-row
+    *    Column, e.g. a [[QualityGates]] score);
+    *  - `dsirKeep = Some(k)` + a `dsirTarget` on [[curate]] enables DSIR
+    *    selection of the k best target-matching documents
+    *    (`dsirTemperature = None` → argmax top-k; `Some(t)` → Gumbel
+    *    resampling at temperature t);
+    *  - `tokenBudgets` enables per-stratum token-budget sampling;
+    *  - `upsampleFactors`/`upsampleDefault != 1.0` enables fractional-epoch
+    *    upsampling (output gains a `copy` column);
+    *  - `numShards = Some(n)` enables the final deterministic shard
+    *    shuffle (output gains `shard` and `pos` columns).
+    *
+    * `materialize` is applied to every stage's survivor frame — default
+    * `localCheckpoint(true)` (single-node / test scale); pass
+    * [[parquetMaterializer]] (or a warehouse writer) on a cluster. `seed`
+    * feeds every deterministic-hash stage (sampling, upsampling, shard
+    * shuffle, DSIR resampling). */
   case class Config(
       gates: Boolean = true,
       lineDedup: Boolean = true,
+      docLineDedup: Boolean = false,
+      docLineMinLen: Int = 1,
+      spanDedup: Boolean = false,
+      spanK: Int = 20,
+      spanW: Int = 8,
+      spanMinDf: Int = 2,
+      spanMinRun: Int = 40,
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = Some(0.85),
+      nearDupQuality: Option[Column] = None,
       shingleK: Int = 3,
       decontaminationShingleK: Int = 8,
+      dsirKeep: Option[Int] = None,
+      dsirTemperature: Option[Double] = None,
+      dsirBuckets: Int = 4096,
       sampleRates: Map[String, Int] = Map.empty,
       defaultRate: Int = 100,
+      tokenBudgets: Map[String, Long] = Map.empty,
+      tokenBudgetDefault: Long = 0L,
+      upsampleFactors: Map[String, Double] = Map.empty,
+      upsampleDefault: Double = 1.0,
+      numShards: Option[Int] = None,
+      seed: String = "graft",
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
 
   /** Durable inter-stage materializer: writes each stage's survivors to
@@ -96,11 +162,18 @@ object Curation {
     * materialized, so the stage-1 audit's `n_in` count and stage 1's read are
     * separate evaluations of the input lineage; a nondeterministic input
     * would make them disagree (and an expensive derived input is computed
-    * twice — materialize it yourself first if that matters). */
+    * twice — materialize it yourself first if that matters).
+    *
+    * `dsirTarget` is the DSIR selection's target distribution (e.g. a
+    * held-out high-quality corpus with the same `textCol`); required when
+    * `config.dsirKeep` is set, ignored otherwise. */
   def curate(docs: DataFrame, benchmark: Option[DataFrame] = None,
              config: Config = Config(),
              textCol: String = "text", idCol: String = "doc_id",
-             strataCol: String = "source"): Result = {
+             strataCol: String = "source",
+             dsirTarget: Option[DataFrame] = None): Result = {
+    require(config.dsirKeep.isEmpty || dsirTarget.isDefined,
+      "curate: config.dsirKeep is set but no dsirTarget was passed")
     val spark = docs.sparkSession
     var stages = List.empty[(String, Long, Long)]
     // the INPUT is deliberately not materialized: its source is recoverable
@@ -125,25 +198,71 @@ object Curation {
         .filter(col("n_lines_kept") > 0)
         .drop("n_lines_total", "n_lines_kept", "n_lines_dropped")
     }
+    step("doc_line_dedup", config.docLineDedup) { d =>
+      LineDedup.perDocLineDedup(d, textCol, config.docLineMinLen)
+        .drop("n_lines_dropped")
+    }
     step("exact_dedup", config.exactDedup) { d =>
       Dedup.exact(d, textCol, idCol)._1
     }
+    step("span_dedup", config.spanDedup) { d =>
+      val cleaned = SpanDedup.spanDedup(d, textCol, idCol, config.spanK,
+          config.spanW, config.spanMinDf, config.spanMinRun, config.materialize)
+        .drop("n_spans_removed", "n_chars_removed")
+      // span excision can hollow a document out (a fully-boilerplate doc
+      // comes back as a sub-minRun residue, never its full text) — when the
+      // gate stage is on, re-apply the gates to the REWRITTEN text so hollow
+      // residues leave here; otherwise drop only the exactly-empty ones
+      if (config.gates) QualityGates.applyGates(cleaned, textCol)
+      else cleaned.filter(length(col(textCol)) > 0)
+    }
     step("near_dup", config.nearDupThreshold.isDefined) { d =>
-      val pairs = Dedup.minhashNearDups(d, textCol, idCol,
-        threshold = config.nearDupThreshold.get, shingleK = config.shingleK)
-      val dropped = Dedup.nearDupClusters(pairs)
-        .filter(col("cluster") =!= col("id"))
-        .select(col("id").as(idCol))
-      d.join(dropped, Seq(idCol), "left_anti")
+      Dedup.resolveNearDups(d, textCol, idCol,
+          threshold = config.nearDupThreshold.get, shingleK = config.shingleK,
+          quality = config.nearDupQuality.orNull,
+          materialize = config.materialize)
+        .filter(col("keep"))
+        .drop("cluster", "keep")
     }
     step("decontaminate", benchmark.isDefined) { d =>
       val bad = Dedup.contamination(d, benchmark.get, textCol, idCol,
         config.decontaminationShingleK)
       d.join(bad, Seq(idCol), "left_anti")
     }
+    step("dsir_select", config.dsirKeep.isDefined) { d =>
+      val w = Importance.dsirWeights(d, dsirTarget.get, textCol, idCol,
+        config.dsirBuckets, config.materialize)
+      val kept = config.dsirTemperature match {
+        case None    => Importance.dsirTopK(w, config.dsirKeep.get, idCol)
+        case Some(t) => Importance.dsirResample(w, config.dsirKeep.get, idCol,
+          temperature = t, seed = config.seed).select(col(idCol))
+      }
+      d.join(kept, Seq(idCol), "left_semi")
+    }
     step("sample", config.sampleRates.nonEmpty || config.defaultRate < 100) { d =>
       Sampling.stratifiedSample(d, strataCol, config.sampleRates, idCol,
-        config.defaultRate)
+        config.defaultRate, config.seed)
+    }
+    step("token_budget", config.tokenBudgets.nonEmpty) { d =>
+      Sampling.tokenBudgetSample(d, strataCol, config.tokenBudgets, idCol,
+        config.tokenBudgetDefault, textCol, config.seed)
+    }
+    val upsampled = config.upsampleFactors.nonEmpty || config.upsampleDefault != 1.0
+    step("upsample", upsampled) { d =>
+      Sampling.upsampleMixture(d, strataCol, config.upsampleFactors, idCol,
+        config.upsampleDefault, config.seed)
+    }
+    step("shuffle_shards", config.numShards.isDefined) { d =>
+      // after upsampling, idCol alone is not unique — shard and order on the
+      // (id, copy) composite so replicated copies land deterministically
+      val (keyed, key) =
+        if (upsampled)
+          (d.withColumn("__mix_id",
+            concat(col(idCol).cast("string"), lit(":"), col("copy").cast("string"))),
+            "__mix_id")
+        else (d, idCol)
+      Sampling.shuffleShards(keyed, config.numShards.get, key, config.seed)
+        .drop("__mix_id")
     }
 
     import spark.implicits._

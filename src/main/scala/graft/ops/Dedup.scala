@@ -275,15 +275,21 @@ object Dedup {
     * map-side-combining agg of cluster-count rows. The label and winner
     * joins are deliberately un-hinted (q51's reasoning: duplicate mass
     * scales with corpus redundancy, so the label side is only SOMETIMES
-    * broadcast-sized — AQE decides at runtime). */
+    * broadcast-sized — AQE decides at runtime). `materialize` is forwarded
+    * to [[minhashNearDups]]'s eager pair-set cut (same hook contract:
+    * default `localCheckpoint(true)` on a single box, pass
+    * [[Curation.parquetMaterializer]] or a warehouse writer on a cluster —
+    * cluster callers of this one-call composition were previously pinned to
+    * the executor-local default). */
   def resolveNearDups(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", threshold: Double = 0.8,
                       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-                      maxBucket: Int = 1000, quality: Column = null): DataFrame = {
+                      maxBucket: Int = 1000, quality: Column = null,
+                      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val q = Option(quality).getOrElse(
       length(TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))).cast("long"))
     val pairs = minhashNearDups(docs, textCol, idCol, threshold, numHashes,
-      bands, shingleK, maxBucket)
+      bands, shingleK, maxBucket, materialize)
     val labels = nearDupClusters(pairs)
       .select(col("id").as(idCol), col("cluster"))
     // winners from the INNER join: the quality expression evaluates only

@@ -93,6 +93,44 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$outDir/stages/stage_0").exists)
   }
 
+  test("graft.Curate options: key=value args reach the full stage set") {
+    import graft.ops.Curation
+    val (cfg, target) = Curate.parseConfig(Curation.Config(), Seq(
+      "docLineDedup=true", "spanDedup=true", "spanMinDf=5", "nearDupThreshold=none",
+      "dsirTarget=/t.jsonl", "dsirKeep=7", "dsirTemperature=0.5",
+      "sampleRates=web:50,books:100", "defaultRate=80", "tokenBudgets=web:1000",
+      "upsample=books:2.5", "numShards=16", "seed=s1"))
+    assert(cfg.docLineDedup && cfg.spanDedup && cfg.spanMinDf === 5)
+    assert(cfg.nearDupThreshold === None && cfg.dsirKeep === Some(7))
+    assert(cfg.dsirTemperature === Some(0.5) && target === Some("/t.jsonl"))
+    assert(cfg.sampleRates === Map("web" -> 50, "books" -> 100) && cfg.defaultRate === 80)
+    assert(cfg.tokenBudgets === Map("web" -> 1000L))
+    assert(cfg.upsampleFactors === Map("books" -> 2.5))
+    assert(cfg.numShards === Some(16) && cfg.seed === "s1")
+    // a typo must refuse, not silently run the default pipeline
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("nope=1"))
+    }
+
+    // end-to-end: the mixture stages reach the written output
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = tmpDir("graft_curate_opts")
+    val corpusDir = s"$base/corpus"; val outDir = s"$base/out"
+    Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    val corpusLines = (0 until 3).map(i =>
+      s"""{"doc_id":$i,"source":"web","text":"the and ${words(s"w${i}x", 55)}"}""")
+    Files.write(java.nio.file.Paths.get(corpusDir, "corpus.jsonl"),
+      corpusLines.mkString("\n").getBytes("UTF-8"))
+    Curate.main(Array(corpusDir, "none", outDir, "upsample=web:2.0", "numShards=2"))
+    val curated = spark.read.json(s"$outDir/curated")
+    // every doc doubled (factor 2.0), shard/pos landed in the output
+    assert(curated.count() === 6L)
+    assert(Seq("copy", "shard", "pos").forall(curated.columns.contains))
+    val audit = spark.read.json(s"$outDir/audit")
+      .select("stage").collect().map(_.getString(0)).toSet
+    assert(Set("upsample", "shuffle_shards").subsetOf(audit))
+  }
+
   test("text sources: per-file and per-line docs with deterministic ids") {
     val dir = tmpDir("graft_text")
     Files.write(java.nio.file.Paths.get(dir, "a.txt"), "line one\nline two".getBytes("UTF-8"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Lexicon, Multimodal, QualityGates, Similarity, Sketches, SpanDedup, TextAnalysis}
+import graft.ops.{Curation, Dedup, Importance, Lexicon, Multimodal, QualityGates, Sampling, Similarity, Sketches, SpanDedup, TextAnalysis}
 
 /** Semantic unit tests for the training-data-pipeline operators on corpora
   * small enough to verify by hand (the DuckDB oracle covers them at scale —
@@ -1377,6 +1377,107 @@ class OpsSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  // --- curation pipeline: the round-9 tier composed (L41/L47/L50 stages) ---
+
+  test("curation: doc-line dedup, span dedup after exact dedup, best-copy near-dup compose") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boil = words("boil", 55)                  // hot run shared by docs 0,1,2
+    val lineA = s"the and ${words("mu", 27)}"
+    val lineB = s"the and ${words("nu", 27)}"
+    val corpus = Seq(
+      (0L, s"the and ${words("alpha", 55)} $boil", "a"), // loses boil, survives
+      (1L, s"the and ${words("beta", 55)} $boil", "a"),  // loses boil, survives
+      (2L, s"the and $boil", "a"),                       // ALL boilerplate -> hollow residue fails regate
+      (3L, s"$lineA\n$lineA\n$lineB", "a"),              // intra-doc repeated line
+      (4L, s"the and ${words("delta", 55)}", "a"),       // exact-dup canonical (first wins)
+      (5L, s"the and ${words("delta", 55)}", "a"),       // exact dup -> drops BEFORE span sees df=2
+      (6L, s"the and ${words("gamma", 55)}", "a"),       // near-dup, shorter
+      (7L, s"the and ${words("gamma", 55)} gammax gammay", "a") // near-dup of 6, LONGER -> best copy
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.curate(corpus, config = Curation.Config(
+      lineDedup = false, docLineDedup = true, spanDedup = true, spanMinDf = 3,
+      nearDupThreshold = Some(0.8)))
+    assert(r.corpus.columns.toSeq === Seq("doc_id", "text", "source"))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 1L, 3L, 4L, 7L))
+    val byId = r.corpus.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // span stage excised the df=3 boilerplate run but not unique payloads
+    assert(byId(0L).contains("alpha55") && !byId(0L).contains("boil30"))
+    assert(byId(1L).contains("beta55") && !byId(1L).contains("boil30"))
+    // exact dedup ran FIRST, so the delta canonical was df=1 at span stage —
+    // its text is intact (span-before-exact would have destroyed BOTH copies)
+    assert(byId(4L).contains("delta55"))
+    // intra-doc line dedup kept exactly one copy of the repeated line
+    assert(byId(3L).split("mu27").length === 2 && byId(3L).contains("nu27"))
+    // best-copy near-dup resolution kept the LONGER, higher-id doc 7
+    assert(byId(7L).contains("gammay") && !byId.contains(6L))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit === Seq(
+      ("quality_gates", 8L, 8L), ("doc_line_dedup", 8L, 8L), ("exact_dedup", 8L, 7L),
+      ("span_dedup", 7L, 6L), ("near_dup", 6L, 5L)))
+  }
+
+  test("curation: DSIR selection + token budget + upsample + shard shuffle wire through") {
+    val web = (0L to 7L).map(i => (i, s"the web page number w$i click here now", "web"))
+    val book = (8L to 11L).map(i => (i, s"a long book chapter about b$i prose narrative", "book"))
+    val corpus = (web ++ book).toDF("doc_id", "text", "source")
+    val target = Seq((100L, "book chapter prose narrative literature reading"),
+      (101L, "novel chapter book prose fiction narrative")).toDF("doc_id", "text")
+    val budgets = Map("web" -> 24L, "book" -> 1000L)
+    val factors = Map("book" -> 2.0)
+    val cfg = Curation.Config(gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None, dsirKeep = Some(6), tokenBudgets = budgets,
+      upsampleFactors = factors, numShards = Some(2))
+    val r = Curation.curate(corpus, config = cfg, dsirTarget = Some(target))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit.map(_._1) === Seq("dsir_select", "token_budget", "upsample", "shuffle_shards"))
+    assert(audit.head._2 === 12L && audit.head._3 === 6L)
+
+    // each stage matches the directly-composed operators (wiring, incl. seed)
+    val s1 = corpus.join(Importance.dsirTopK(
+      Importance.dsirWeights(corpus, target), 6), Seq("doc_id"), "left_semi")
+    val s2 = Sampling.tokenBudgetSample(s1, "source", budgets, "doc_id")
+    val s3 = Sampling.upsampleMixture(s2, "source", factors, "doc_id")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "copy", "source").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(rowSet(r.corpus) === rowSet(s3))
+    // the web stratum respected its token budget
+    val webTokens = s2.filter(col("source") === "web")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long")).collect().map(_.getLong(0))
+    assert(webTokens.sum <= 24L && webTokens.nonEmpty)
+    // book docs were doubled: (doc_id, copy) unique, copies 1 and 2 present
+    val copies = r.corpus.filter(col("source") === "book")
+      .groupBy(col("doc_id")).agg(countDistinct(col("copy")).as("c"))
+      .collect().map(_.getLong(1)).toSet
+    assert(copies === Set(2L))
+    // shards partition the mixture into contiguous 1..n positions
+    val shardPos = r.corpus.select("shard", "pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+    assert(shardPos.keySet.subsetOf(Set(0L, 1L)))
+    shardPos.foreach { case (_, ps) =>
+      assert(ps.map(_._2).sorted.toSeq === (1L to ps.length).toSeq) }
+    // a second identical run reproduces the corpus exactly (shard/pos included)
+    val r2 = Curation.curate(corpus, config = cfg, dsirTarget = Some(target))
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "copy", "shard", "pos").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(full(r2.corpus) === full(r.corpus))
+    // the resampling path wires through too (ids match a direct dsirResample)
+    val rT = Curation.curate(corpus, config = cfg.copy(
+      dsirTemperature = Some(1.0), tokenBudgets = Map.empty,
+      upsampleFactors = Map.empty, numShards = None), dsirTarget = Some(target))
+    val direct = Importance.dsirResample(
+      Importance.dsirWeights(corpus, target), 6, temperature = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rT.corpus.select("doc_id").collect().map(_.getLong(0)).toSet === direct)
+    // dsirKeep without a target refuses loudly
+    intercept[IllegalArgumentException] {
+      Curation.curate(corpus, config = cfg)
     }
   }
 }
