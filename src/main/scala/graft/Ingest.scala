@@ -31,14 +31,42 @@ import graft.ops.Dedup
   * runMain graft.Ingest <inDir> <benchmark.jsonl|none> <outDir>
   *
   * outDir/
-  *   corpus/      accepted documents + contaminated flag (parquet, append)
-  *   index/       (id, band, bucket) band rows of every accepted doc
-  *   counts/vN    the (band, bucket, n) side table, one version per batch
-  *   dropped/     (id_new, id_old, jaccard, batch_id) near-dup drop audit
-  *   checkpoint/  stream checkpoint (restart-safe: replayed batches re-land
-  *                idempotently only if the sink table dedups on doc_id —
-  *                see FlightStatus.appendBatchIdempotent for the recipe)
+  *   corpus/batch_id=N/   accepted documents + contaminated flag (parquet)
+  *   index/batch_id=N/    (id, band, bucket) band rows of accepted docs
+  *   counts/vN            the (band, bucket, n) side table — latest version
+  *                        plus one predecessor (older versions are GC'd)
+  *   dropped/batch_id=N/  (id_new, id_old, jaccard) near-dup drop audit
+  *   checkpoint/          stream checkpoint
   * }}}
+  *
+  * == Crash idempotence (effectively-once) ==
+  * Every artifact of batch N lives in its own `batch_id=N` partition
+  * directory, written with OVERWRITE: a batch replayed after a crash (any
+  * crash point between the first write and the checkpoint commit) rewrites
+  * exactly its own partitions and nothing else — no duplicate documents, no
+  * duplicate index rows, no double-counted buckets. Three properties make
+  * the replay byte-identical to the crashed attempt:
+  *
+  *  - the per-batch input is deterministic (file source + the exact-dedup
+  *    state store both roll back to the last committed checkpoint);
+  *  - every probe of prior state FILTERS to `batch_id < N` (partition
+  *    pruning — a replayed batch never sees its own partially-landed
+  *    artifacts, so it cannot near-dup-match against itself);
+  *  - the prior counts version is re-discovered from DISK per batch (the
+  *    newest `counts/vK` with `K < N` — never an in-memory variable, so a
+  *    restarted driver resumes the chain where the committed state left it;
+  *    a partially-written `vN` from the crashed attempt is excluded by
+  *    `K < N` and simply overwritten).
+  *
+  * After landing `vN`, count versions older than its predecessor are
+  * deleted: the predecessor must outlive the pre-commit window (a crash
+  * after GC but before the checkpoint commit replays N, which reads
+  * `v(prev)`), anything older is unreachable. [[StreamingSpec]] pins the
+  * replay invariants by re-running a landed batch id directly.
+  *
+  * The per-run [[Result]] counters tally what THIS run processed — a batch
+  * replayed from a previous run's crash is counted here (its effects on
+  * disk are still exactly-once).
   *
   * Input JSONL: `{"doc_id": long, "text": string[, "ingest_ts": timestamp]}`
   * — a missing `ingest_ts` is stamped at read time (arrival time IS event
@@ -51,6 +79,7 @@ import graft.ops.Dedup
   * (band × bucket)-sized table per batch — counts-sized, not index-sized.
   * Exact-dup drops happen inside the stateful stream stage, so they never
   * reach the sink: their count is `input lines − accepted − near-dup drops`.
+  * The per-batch FS housekeeping (version listing, GC) is metadata-only.
   */
 object Ingest {
 
@@ -62,6 +91,87 @@ object Ingest {
     StructField("text", StringType),
     StructField("ingest_ts", TimestampType)))
 
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Newest committed counts version strictly below `below`, from disk —
+    * the replay-safe way to resume the counts chain (see class doc). */
+  private[graft] def latestCountsBelow(spark: SparkSession, countsDir: String,
+                                       below: Long): Option[Long] = {
+    val (fs, p) = fsOf(spark, countsDir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .filter(_ < below)
+      .reduceOption(_ max _)
+  }
+
+  /** Read a `batch_id=N`-partitioned artifact dir, pruned to batches BELOW
+    * `batchId` (a replayed batch must never probe its own partial output),
+    * with the partition column dropped. `None` when nothing is landed yet. */
+  private def readBelow(spark: SparkSession, dir: String,
+                        batchId: Long): Option[DataFrame] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(dir)
+      .filter(col("batch_id") < batchId).drop("batch_id"))
+  }
+
+  /** Land one micro-batch — the full per-batch pipeline (flag, probe, land,
+    * index, fold counts, GC), exposed so the spec can replay a batch id
+    * directly and assert the on-disk state is unchanged. Returns
+    * `(accepted, droppedNearDup, flaggedContaminated)` for the attempt. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, outDir: String,
+                                  benchHashes: Option[DataFrame],
+                                  threshold: Double): (Long, Long, Long) = {
+    val s = batch.sparkSession
+    val corpusDir = s"$outDir/corpus"
+    val indexDir = s"$outDir/index"
+    val countsDir = s"$outDir/counts"
+    // cut the micro-batch once: it is consumed by the flag join, the
+    // near-dup probe, and the landing write
+    val b = batch.localCheckpoint(true)
+    val flaggedB = benchHashes match {
+      case Some(h) => Dedup.flagContaminated(b, broadcast(h))
+      case None    => b.withColumn("contaminated", lit(false))
+    }
+    val prior = latestCountsBelow(s, countsDir, batchId)
+    val pairs = (prior, readBelow(s, indexDir, batchId), readBelow(s, corpusDir, batchId)) match {
+      case (Some(v), Some(index), Some(corpus)) =>
+        Some(Dedup.incrementalNearDups(b, index, corpus, threshold = threshold,
+          bucketCounts = Some(s.read.parquet(s"$countsDir/v$v"))))
+      case _ => None // nothing accepted yet to collide with
+    }
+    val dropIds = pairs match {
+      case None    => b.select(col("doc_id")).limit(0)
+      case Some(p) => p.select(col("id_new").as("doc_id")).distinct()
+    }
+    pairs.foreach(_.write.mode("overwrite").parquet(s"$outDir/dropped/batch_id=$batchId"))
+    val acceptedB = flaggedB.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    acceptedB.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+    val bands = Dedup.minhashBanded(acceptedB)
+    bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    val newCounts = prior match {
+      case None    => Dedup.bandBucketCounts(bands)
+      case Some(v) => Dedup.mergeBandCounts(s.read.parquet(s"$countsDir/v$v"), bands)
+    }
+    newCounts.write.mode("overwrite").parquet(s"$countsDir/v$batchId")
+    // GC: keep vN and its predecessor (a pre-commit crash replays N against
+    // the predecessor); everything older is unreachable
+    val (fs, cp) = fsOf(s, countsDir)
+    prior.foreach { keep =>
+      fs.listStatus(cp).map(_.getPath)
+        .filter(p => scala.util.Try(p.getName.drop(1).toLong).toOption.exists(_ < keep))
+        .foreach(p => fs.delete(p, true))
+    }
+    (acceptedB.count(), dropIds.count(),
+      acceptedB.filter(col("contaminated")).count())
+  }
+
   /** Run the composed ingest until the trigger completes (AvailableNow
     * drains the backlog then stops — right for tests and catch-up; an
     * always-on ingest passes a processing-time trigger and never returns).
@@ -70,14 +180,10 @@ object Ingest {
           outDir: String, threshold: Double = 0.8, watermark: String = "1 hour",
           trigger: Trigger = Trigger.AvailableNow(),
           readerOptions: Map[String, String] = Map.empty): Result = {
-    val corpusDir = s"$outDir/corpus"
-    val indexDir = s"$outDir/index"
-    val droppedDir = s"$outDir/dropped"
     val benchHashes = benchmark.map(b =>
       b.select(explode(Dedup.shingleHashes(col("text"), k = 8)).as("__h"))
         .distinct()
         .localCheckpoint(true))
-    var latestCounts: Option[String] = None
     var batches = 0L; var accepted = 0L; var dropped = 0L; var flagged = 0L
 
     val raw = readerOptions.foldLeft(spark.readStream.schema(InputSchema)) {
@@ -88,44 +194,9 @@ object Ingest {
     val q = Dedup.streamingExactDedup(raw, watermark = watermark)
       .writeStream.outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val s = batch0.sparkSession
-        // cut the micro-batch once: it is consumed by the flag join, the
-        // near-dup probe, and the landing write
-        val b = batch0.localCheckpoint(true)
-        if (!b.isEmpty) {
-          val flaggedB = benchHashes match {
-            case Some(h) => Dedup.flagContaminated(b, broadcast(h))
-            case None    => b.withColumn("contaminated", lit(false))
-          }
-          val pairs = latestCounts match {
-            case None => None // first batch: nothing accepted yet to collide with
-            case Some(cnt) =>
-              Some(Dedup.incrementalNearDups(b, s.read.parquet(indexDir),
-                s.read.parquet(corpusDir), threshold = threshold,
-                bucketCounts = Some(s.read.parquet(cnt))))
-          }
-          val dropIds = pairs match {
-            case None => b.select(col("doc_id")).limit(0)
-            case Some(p) => p.select(col("id_new").as("doc_id")).distinct()
-          }
-          pairs.foreach(_.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(droppedDir))
-          val acceptedB = flaggedB.join(dropIds, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true)
-          acceptedB.write.mode("append").parquet(corpusDir)
-          val bands = Dedup.minhashBanded(acceptedB)
-          bands.write.mode("append").parquet(indexDir)
-          val newCounts = latestCounts match {
-            case None      => Dedup.bandBucketCounts(bands)
-            case Some(cnt) => Dedup.mergeBandCounts(s.read.parquet(cnt), bands)
-          }
-          val v = s"$outDir/counts/v$batchId"
-          newCounts.write.parquet(v)
-          latestCounts = Some(v)
-          batches += 1
-          accepted += acceptedB.count()
-          dropped += dropIds.count()
-          flagged += acceptedB.filter(col("contaminated")).count()
+        if (!batch0.isEmpty) {
+          val (a, d, f) = processBatch(batch0, batchId, outDir, benchHashes, threshold)
+          batches += 1; accepted += a; dropped += d; flagged += f
         }
       }
       .trigger(trigger)

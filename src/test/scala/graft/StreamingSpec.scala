@@ -345,6 +345,89 @@ class StreamingSpec extends SparkSpec {
     assert(folded === full)
   }
 
+  test("Ingest crash-idempotence: replayed batch rewrites its own partitions; restart resumes from disk") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = SparkSpec.tempDir("graft_ingest_replay_")
+    val in = s"$base/in"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val f1 = java.nio.file.Paths.get(s"$in/b1.jsonl")
+    val f2 = java.nio.file.Paths.get(s"$in/b2.jsonl")
+    java.nio.file.Files.write(f1, Seq(
+      s"""{"doc_id":1,"text":"${words("alpha", 30)}"}""",
+      s"""{"doc_id":2,"text":"${words("beta", 30)}"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(f2, Seq(
+      s"""{"doc_id":10,"text":"${words("alpha", 28)}"}""", // near-dup of doc 1
+      s"""{"doc_id":11,"text":"${words("gamma", 30)}"}""") // new + contaminated
+      .mkString("\n").getBytes("UTF-8"))
+    f2.toFile.setLastModified(f1.toFile.lastModified() + 10000)
+    val benchmark = Seq((100L, words("gamma", 10))).toDF("doc_id", "text")
+    val benchHashes = benchmark.select(
+        explode(graft.ops.Dedup.shingleHashes(col("text"), k = 8)).as("__h"))
+      .distinct().localCheckpoint(true)
+    val r1 = Ingest.run(spark, in, Some(benchmark), out,
+      readerOptions = Map("maxFilesPerTrigger" -> "1"))
+    assert(r1 === Ingest.Result(batches = 2, accepted = 3, droppedNearDup = 1,
+      flaggedContaminated = 1))
+
+    def state() = {
+      val corpus = spark.read.parquet(s"$out/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val idx = spark.read.parquet(s"$out/index")
+      val idxRows = idx.count()
+      val counts = spark.read.parquet(
+          s"$out/counts/v${Ingest.latestCountsBelow(spark, s"$out/counts", Long.MaxValue).get}")
+        .collect().map(row => (row.getInt(0), row.getString(1)) -> row.getLong(2)).toMap
+      val fromScratch = graft.ops.Dedup.bandBucketCounts(idx)
+        .collect().map(row => (row.getInt(0), row.getString(1)) -> row.getLong(2)).toMap
+      (corpus, idxRows, counts, fromScratch)
+    }
+    val before = state()
+    assert(before._1 === Seq(1L, 2L, 11L) && before._2 === 48L)
+    assert(before._3 === before._4)
+
+    // REPLAY batch 1 (docs 10, 11) with its artifacts already landed — the
+    // crash-between-writes-and-commit case. The batch_id < N probe filter
+    // must keep doc 11 from near-dup-matching its OWN index rows, and the
+    // overwrite must leave zero duplicate docs/band rows/counts.
+    val batch1 = Seq((10L, words("alpha", 28)), (11L, words("gamma", 30)))
+      .toDF("doc_id", "text").withColumn("ingest_ts", current_timestamp())
+    val (a, d, f) = Ingest.processBatch(batch1, 1L, out, Some(benchHashes), 0.8)
+    assert((a, d, f) === ((1L, 1L, 1L)))
+    val after = state()
+    assert(after._1 === before._1 && after._2 === before._2)
+    assert(after._3 === before._3 && after._3 === after._4)
+    val droppedPairs = spark.read.parquet(s"$out/dropped").collect()
+      .map(row => (row.getAs[Long]("id_new"), row.getAs[Long]("id_old"))).toSeq
+    assert(droppedPairs === Seq((10L, 1L)))
+
+    // RESTART with new backlog: a fresh run() discovers the counts chain and
+    // index from DISK (no in-memory state survives) and dedups against them
+    val f3 = java.nio.file.Paths.get(s"$in/b3.jsonl")
+    java.nio.file.Files.write(f3, Seq(
+      s"""{"doc_id":20,"text":"${words("beta", 28)}"}""",  // near-dup of doc 2
+      s"""{"doc_id":21,"text":"${words("delta", 30)}"}""") // new
+      .mkString("\n").getBytes("UTF-8"))
+    f3.toFile.setLastModified(f2.toFile.lastModified() + 10000)
+    val r2 = Ingest.run(spark, in, Some(benchmark), out,
+      readerOptions = Map("maxFilesPerTrigger" -> "1"))
+    assert(r2 === Ingest.Result(batches = 1, accepted = 1, droppedNearDup = 1,
+      flaggedContaminated = 0))
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 11L, 21L))
+    // counts GC kept only the latest version and its predecessor (batch ids
+    // need not be contiguous across restarts — empty batches consume ids)
+    val versions = new java.io.File(s"$out/counts").listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
+    assert(versions.length === 2 && versions.head === 1L)
+    assert(versions.last ===
+      Ingest.latestCountsBelow(spark, s"$out/counts", Long.MaxValue).get)
+    // and the surviving chain still equals a from-scratch recompute
+    val s2 = state()
+    assert(s2._3 === s2._4)
+  }
+
   // ---------------------------------------------------------------- fixtures
 
   /** Kafka-wire JSON values (one per line) for the text file source. */
