@@ -146,22 +146,49 @@ object Multimodal {
     }.toDF("media_id", "frame_bytes")
   }
 
-  /** Resize stub: the Spark-side shape of an image resize (a real codec
-    * would decode → scale → re-encode inside the same partition batch).
-    * The stub strides the payload down to ≈ width×height bytes so output
-    * sizing is deterministic and the batch plumbing (typed rows in,
-    * dimensioned rows out, per-partition execution) is real. */
-  def resizeStub(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
+  /** REAL image resize — decode → bilinear scale → re-encode, entirely
+    * JDK-builtin and inside the partition batch: `javax.imageio` decodes
+    * (same codecs as [[realDecode]]), `Graphics2D` with BILINEAR
+    * interpolation scales into a fixed `TYPE_INT_RGB` raster, and the
+    * result re-encodes as PNG (the JDK PNG writer emits no timestamps or
+    * metadata, so the bytes are DETERMINISTIC — identical across runs and
+    * task retries, which a lineage-recomputable binary column requires).
+    *
+    * Payloads ImageIO cannot decode (corrupt crawl bytes, or a non-image
+    * modality routed here) fall back to the deterministic byte-stride
+    * shape — ≈ width×height payload bytes — with `decoded = false`, so the
+    * operator absorbs garbage instead of dying on it (the [[realDecode]]
+    * contract). Returns `(media_id, modality, width, height, resized
+    * binary, resized_len, decoded)`. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"resizeImages: target ${width}x$height must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition scaler context would init here
       rows.map { r =>
-        val target = math.max(1, width * height)
-        val stride = math.max(1, r.payload.length / target)
-        val resized = r.payload.indices.by(stride).map(r.payload(_)).toArray
-        (r.media_id, r.modality, width, height, resized.length)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null } // see realDecode note
+        if (img != null) {
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val bytes = bos.toByteArray
+          (r.media_id, r.modality, width, height, bytes, bytes.length, true)
+        } else {
+          val target = math.max(1, width * height)
+          val stride = math.max(1, r.payload.length / target)
+          val resized = r.payload.indices.by(stride).map(r.payload(_)).toArray
+          (r.media_id, r.modality, width, height, resized, resized.length, false)
+        }
       }
-    }.toDF("media_id", "modality", "width", "height", "resized_len")
+    }.toDF("media_id", "modality", "width", "height", "resized", "resized_len", "decoded")
   }
 
   /** End-to-end: documents table → media table → decoded features DF. */

@@ -592,12 +592,43 @@ class OpsSpec extends SparkSpec {
     // deterministic: same input -> same frames
     val again = Multimodal.frameSample(media, n = 4).collect()
     assert(frames.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
-    val resized = Multimodal.resizeStub(media, width = 4, height = 2).collect()
+    // text payloads are not decodable images -> all take the stride fallback
+    val resized = Multimodal.resizeImages(media, width = 4, height = 2).collect()
+    assert(resized.forall(r => !r.getAs[Boolean]("decoded")))
     assert(resized.forall { r =>
       val len = r.getAs[Int]("resized_len")
       len >= 1 && len <= 16 // ≈ width×height with stride rounding slack
     })
     assert(resized.forall(r => r.getAs[Int]("width") === 4 && r.getAs[Int]("height") === 2))
+  }
+
+  test("multimodal: real Java2D resize — exact output dims, deterministic PNG bytes") {
+    // synthesize a 8x6 gradient PNG in-memory
+    val src = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 6) src.setRGB(x, y, (x * 32 << 16) | (y * 42 << 8) | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, "test"),
+      Multimodal.MediaRow(2L, "image", "garbage bytes".getBytes, "test"))
+      .toDS()
+    def run() = Multimodal.resizeImages(media, width = 4, height = 3).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Array[Byte]]("resized"), r.getAs[Boolean]("decoded"))).toMap
+    val out = run()
+    // the real path re-decodes to exactly the target raster
+    assert(out(1L)._2 === true)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(back.getWidth === 4 && back.getHeight === 3)
+    // corner pixel survives the bilinear scale as a sane RGB value
+    assert((back.getRGB(0, 0) & 0xFFFFFF) >= 0)
+    // garbage payload takes the fallback, never throws
+    assert(out(2L)._2 === false && out(2L)._1.nonEmpty)
+    // byte-deterministic across runs (retry-stable binary column)
+    val again = run()
+    assert(java.util.Arrays.equals(out(1L)._1, again(1L)._1))
+    assert(java.util.Arrays.equals(out(2L)._1, again(2L)._1))
   }
 
   test("quality gates: each gate trips on its own pathology; clean prose passes all") {
