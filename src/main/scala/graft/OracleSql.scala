@@ -1244,6 +1244,21 @@ object OracleSql {
       CAST(round(COALESCE(et.e, 0), 6) AS DOUBLE) AS char_entropy
     FROM nm LEFT JOIN et ON nm.doc_id = et.doc_id"""
 
+  /** q68's contract is SET-EXACTNESS (the sketch recounts its provably
+    * complete candidate set exactly), so unlike q58 its oracle is the plain
+    * exact top-5 — q45 minus the n_sources column, with empty tokens
+    * excluded (the sketch counts terms, not blank-document artifacts). */
+  private val q68 = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks WHERE tok <> ''
+      GROUP BY 1, 2),
+    ranked AS (SELECT source, tok, tf,
+        row_number() OVER (PARTITION BY source ORDER BY tf DESC, tok) AS rank
+      FROM tf)
+    SELECT source, CAST(rank AS BIGINT) AS rank, tok, CAST(tf AS BIGINT) AS tf
+    FROM ranked WHERE rank <= 5"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1317,6 +1332,7 @@ object OracleSql {
     "q64_shuffle_shards"    -> q64,
     "q65_upsample_mixture"  -> q65,
     "q66_doc_line_dedup"    -> q66,
-    "q67_char_entropy"      -> q67
+    "q67_char_entropy"      -> q67,
+    "q68_top_terms_sketch"  -> q68
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -215,11 +215,14 @@ object ScaleProbe {
           .collect().head.getLong(0)
       }
       timed("contamination_overlap", n) {
-        // q59 shape: same broadcast probe as `contamination`, but every
-        // (id, hash) row survives into the per-id count — collect the hit
-        // total so the join + agg fully evaluate
-        Dedup.contaminationOverlap(d.filter(col("doc_id") >= 100),
-            d.filter(col("doc_id") < 100))
+        // q59 shape: same 10% benchmark slice as the contamination/dsir
+        // probes (the benchmark grows with n — overlap stays in its own
+        // broadcast-benchmark default regime, unlike `contamination`'s
+        // broadcastBenchmark=false row); every (id, hash) row survives into
+        // the per-id count — collect the hit total so the join + agg fully
+        // evaluate
+        Dedup.contaminationOverlap(d.filter(col("doc_id") >= benchCut),
+            d.filter(col("doc_id") < benchCut))
           .agg(coalesce(sum(col("n_hits")), lit(0L)))
           .collect().head.getLong(0)
       }
@@ -239,6 +242,38 @@ object ScaleProbe {
       timed("pq_topk_rerank", n) {
         // ADC + exact refine of 50 candidates/query — the production recipe
         Similarity.pqTopK(e, probes, k = 5, m = 8, numCodes = 16, rerank = 50).count()
+      }
+      // top-terms probes run on a WIDE-vocab Zipf-ish variant (30% of token
+      // mass on a 100-term head, the rest spread over a 2M-token tail): the
+      // standard 500-token probe corpus makes the exact (source, token)
+      // shuffle artificially tiny — hiding exactly the cost the sketch
+      // removes — while a uniform wide vocab has no heavy hitters at all
+      // (the MG worst case, and not what text looks like)
+      // materialized to parquet: the sketch scans twice, and paying the
+      // synthesis expression twice would charge it for work a real stored
+      // column never does (the q66 synthesized-text precedent)
+      d.select(col("doc_id"), col("source"), concat_ws(" ",
+        transform(sequence(lit(0), (pmod(col("doc_id"), lit(180)) + 19).cast("int")),
+          p => {
+            val h = xxhash64(col("doc_id"), p, lit(7))
+            when(pmod(h, lit(10)) < 3, concat(lit("h"), pmod(h, lit(100))))
+              .otherwise(concat(lit("w"), pmod(h, lit(2000000))))
+          })).as("text"))
+        .write.mode("overwrite").parquet(s"$outDir/docs_wide_$n")
+      val wide = spark.read.parquet(s"$outDir/docs_wide_$n")
+      timed("top_terms_exact", n) {
+        // q45 shape: every distinct (source, token) STRING pair shuffles
+        val tf = wide.select(col("source"), explode(split(
+            graft.ops.TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("tf").desc, col("tok"))
+        tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count()
+      }
+      timed("top_terms_sketch", n) {
+        // L52 shape: MG summaries (<= capacity × partitions rows) shuffle,
+        // then an exact recount of the candidate-sized key space
+        graft.ops.Sketches.topTermsSketch(wide, k = 5, capacity = 4096).count()
       }
       timed("line_dedup", n) {
         // 3-token synthesized lines (q47's shape — single regex pass, NOT a

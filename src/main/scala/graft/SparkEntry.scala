@@ -850,6 +850,18 @@ object SparkEntry {
           .cast("long").as("n_chars"),
         TextAnalysis.charEntropy(col("text")).as("char_entropy"))
 
+  /** Heavy-hitter top-5 terms per source ([[graft.ops.Sketches.topTermsSketch]]): the
+    * sketch-tier companion to exact q45 — Misra-Gries candidate summaries +
+    * exact recount, never shuffling the full (source, token) space. The
+    * capacity binding (65536) keeps every test-scale partition summary
+    * un-decremented, so `complete` holds and the output provably EQUALS the
+    * exact top-5 — which is exactly what the DuckDB oracle checks (unlike
+    * q58's estimates, this sketch's contract is set-exactness, so it gets a
+    * full hash oracle; the low-capacity regime is ScalaTest-pinned). */
+  private def q68TopTermsSketch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.topTermsSketch(t(s, dir, "documents"), k = 5, capacity = 1 << 16)
+      .select(col("source"), col("rank"), col("tok"), col("tf"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -917,7 +929,8 @@ object SparkEntry {
     "q64_shuffle_shards"    -> q64ShuffleShards _,
     "q65_upsample_mixture"  -> q65UpsampleMixture _,
     "q66_doc_line_dedup"    -> q66DocLineDedup _,
-    "q67_char_entropy"      -> q67CharEntropy _
+    "q67_char_entropy"      -> q67CharEntropy _,
+    "q68_top_terms_sketch"  -> q68TopTermsSketch _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

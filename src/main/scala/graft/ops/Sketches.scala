@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-tier corpus statistics — the 100 TB companions to the EXACT
@@ -81,4 +82,123 @@ object Sketches {
     vocabSketch(docs, groupCol, textCol, rsd)
       .join(lengthPercentilesSketch(docs, groupCol, textCol, percentiles, relErr),
         Seq(groupCol))
+
+  /** Heavy-hitter top-K terms per group — the sketch companion to the EXACT
+    * q45/q48 term profiles, which ship every distinct `(source, token)`
+    * STRING pair through a shuffle. This never does: it is the standard
+    * two-pass "candidates, then exact recount" heavy-hitter recipe built on
+    * Misra-Gries mergeable summaries (Misra & Gries 1982; mergeability per
+    * Agarwal et al. 2013, "Mergeable summaries"):
+    *
+    *  1. one MG summary of `capacity` counters per (group × input
+    *     partition), built imperatively inside `mapPartitions` (genuine
+    *     per-partition state — the documented last-resort tier, and the
+    *     right one here: MG's decrement-all step has no Column form). The
+    *     ONLY shuffle of pass 1 carries ≤ capacity × partitions summary
+    *     rows — independent of vocabulary size.
+    *  2. summaries merge by summing per-term lower bounds (`est`); the
+    *     per-group undercount is bounded by `err_bound` = Σ per-partition
+    *     decrements (a term absent from every summary has true count ≤
+    *     err_bound). Candidates keep every term with
+    *     `est + err_bound >= kth_est` — provably a superset of the true
+    *     top-K.
+    *  3. a SECOND corpus scan recounts ONLY candidate tokens exactly
+    *     (broadcast semi-filter, then a map-side-combining agg whose key
+    *     space is candidate-sized).
+    *
+    * The result carries per-group `err_bound` and `complete`: when
+    * `complete` (err_bound < kth-largest lower bound), the output is
+    * PROVABLY the exact top-K — terms outside the candidate set cannot
+    * reach it. When false (capacity too small for the group's skew), the
+    * output is best-effort and the flag says so loudly. The trade against
+    * exact q45 is a second tokenization scan for a vocabulary-independent
+    * shuffle — the DSIR two-scan trade, and the winning side at 100 TB
+    * where the (source, token) shuffle is the bottleneck.
+    *
+    * Empty tokens (blank documents) are excluded from counting — they are
+    * tokenization artifacts, not terms.
+    *
+    * Returns `(groupCol, rank, tok, tf, err_bound, complete)` with exact
+    * `tf`, ranked by `(tf desc, tok)`, rank <= k. */
+  def topTermsSketch(docs: DataFrame, k: Int, capacity: Int = 4096,
+                     groupCol: String = "source", textCol: String = "text",
+                     materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(k > 0, s"topTermsSketch: k must be > 0, got $k")
+    require(capacity > k, s"topTermsSketch: capacity ($capacity) must exceed k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normed = docs.select(col(groupCol).cast("string").as("g"),
+      TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))).as("t"))
+    // pass 1: per-(group, partition) Misra-Gries summaries. Decrement-all
+    // is amortized O(1)/token: every full-map scan removes `capacity`+1
+    // units of count that arrivals paid for.
+    val summaries = materialize(normed.as[(String, String)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // unboxed java maps (Array(count) cells, in-place iterator removal):
+      // this loop touches every token of the corpus, so allocation per
+      // token is the difference between scan-speed and 2× scan
+      val counters = new java.util.HashMap[String, java.util.HashMap[String, Array[Long]]]()
+      val decs = new java.util.HashMap[String, Array[Long]]()
+      it.foreach { case (g, t) =>
+        var m = counters.get(g)
+        if (m == null) { m = new java.util.HashMap(); counters.put(g, m) }
+        val toks = t.split(' ')
+        var i = 0
+        while (i < toks.length) {
+          val tok = toks(i)
+          if (tok.nonEmpty) {
+            val cell = m.get(tok)
+            if (cell != null) cell(0) += 1L
+            else if (m.size < capacity) m.put(tok, Array(1L))
+            else {
+              var d = decs.get(g)
+              if (d == null) { d = Array(0L); decs.put(g, d) }
+              d(0) += 1L
+              val entries = m.entrySet().iterator()
+              while (entries.hasNext) {
+                val e = entries.next()
+                val a = e.getValue
+                a(0) -= 1L
+                if (a(0) == 0L) entries.remove()
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      counters.entrySet().iterator().asScala.flatMap { ge =>
+        val g = ge.getKey
+        val d = { val a = decs.get(g); if (a == null) 0L else a(0) }
+        ge.getValue.entrySet().iterator().asScala.map { te =>
+          (g, te.getKey, te.getValue()(0), pid, d)
+        }
+      }
+    }.toDF("g", "tok", "cnt", "pid", "decs"))
+
+    val est = summaries.groupBy(col("g"), col("tok")).agg(sum(col("cnt")).as("est"))
+    val errB = summaries.groupBy(col("g"), col("pid")).agg(first(col("decs")).as("d"))
+      .groupBy(col("g")).agg(sum(col("d")).as("err_bound"))
+    val wEst = Window.partitionBy(col("g")).orderBy(col("est").desc, col("tok"))
+    val kth = est.withColumn("__r", row_number().over(wEst))
+      .filter(col("__r") <= k)
+      .groupBy(col("g")).agg(min(col("est")).as("kth_est"))
+    val cands = est.join(errB, Seq("g")).join(kth, Seq("g"))
+      .filter(col("est") + col("err_bound") >= col("kth_est"))
+      .select(col("g"), col("tok"))
+
+    // pass 2: exact recount of candidate tokens only
+    val toks2 = docs.select(col(groupCol).cast("string").as("g"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val exact = toks2.join(broadcast(cands), Seq("g", "tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("tf"))
+    val wTf = Window.partitionBy(col("g")).orderBy(col("tf").desc, col("tok"))
+    exact.withColumn("rank", row_number().over(wTf).cast("long"))
+      .filter(col("rank") <= k)
+      .join(errB, Seq("g")).join(kth, Seq("g"))
+      .withColumn("complete", col("err_bound") < col("kth_est"))
+      .select(col("g").as(groupCol), col("rank"), col("tok"), col("tf"),
+        col("err_bound"), col("complete"))
+  }
 }

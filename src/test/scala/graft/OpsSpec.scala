@@ -1141,6 +1141,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("topTermsSketch: exact top-k under skew at tiny capacity; incomplete flag is honest") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed corpus: a heavy head per source + a long unique tail that
+    // overflows capacity=8 and forces real Misra-Gries decrements
+    val head0 = Seq.fill(5)("alpha alpha alpha alpha beta beta beta gamma gamma delta").mkString(" ")
+    val head1 = Seq.fill(5)("omega omega omega omega psi psi psi chi chi phi").mkString(" ")
+    val docs = ((0 until 20).map { i =>
+      val tail = (0 until 12).map(j => s"t${i}u$j").mkString(" ")
+      (i.toLong, "s0", s"$head0 $tail")
+    } ++ (0 until 20).map { i =>
+      val tail = (0 until 12).map(j => s"v${i}w$j").mkString(" ")
+      (20L + i, "s1", s"$head1 $tail")
+    }).toDF("doc_id", "source", "text").repartition(4)
+
+    val sk = Sketches.topTermsSketch(docs, k = 3, capacity = 8)
+    val rows = sk.collect()
+    assert(rows.forall(_.getAs[Boolean]("complete")))
+    // decrements really happened (the tail overflows 8 counters)...
+    assert(rows.exists(_.getAs[Long]("err_bound") > 0L))
+    // ...and the result still equals the exact top-3 per source
+    val exact = docs.select(col("source"), explode(split(
+        TextAnalysis.normalizeText(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("tf").desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= 3)
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[String]("tok"), r.getAs[Long]("tf"))).toSet
+    assert(keyed(rows) === keyed(exact.collect()))
+    // deterministic across runs
+    assert(keyed(Sketches.topTermsSketch(docs, k = 3, capacity = 8).collect())
+      === keyed(rows))
+
+    // pathological: an all-distinct stream at tiny capacity cannot certify
+    // its top-k — the flag must say so instead of silently guessing
+    val uniform = (0 until 40).map(i =>
+      (i.toLong, "u", (0 until 10).map(j => s"q${i}r$j").mkString(" ")))
+      .toDF("doc_id", "source", "text").repartition(2)
+    val flat = Sketches.topTermsSketch(uniform, k = 2, capacity = 4).collect()
+    assert(flat.forall(!_.getAs[Boolean]("complete")))
+  }
+
   test("contaminationOverlap: hand-checked ratios; denominator is distinct shingles; paths agree") {
     val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val train = Seq(
