@@ -790,6 +790,92 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Real-vocabulary subword token count: greedy LONGEST-MATCH segmentation
+    * of each whitespace-delimited word against a caller-supplied vocabulary,
+    * with a single-character fallback for anything the vocabulary cannot
+    * cover — one compiled trie walk per row, no UDF. This is the opt-in
+    * companion to the vocab-free heuristics ([[graft.ops.TextAnalysis
+    * .tokenCount]] whitespace words, `bpeishTokenCount` regex runs):
+    * production token budgets are specified in TOKENIZER tokens, and a
+    * caller who ships their tokenizer's vocabulary gets counts in that unit.
+    *
+    * Documented divergence from a real byte-pair tokenizer: BPE applies
+    * MERGE-RANK order, which can segment differently from greedy
+    * longest-match (the WordPiece-style greedy rule used here — e.g. with
+    * vocab {"ab","bc","abc","c"} greedy takes "abc" where rank order might
+    * take "ab"+"c"); there is no byte-level fallback (unknown CHARS count 1
+    * each, not their UTF-8 byte count) and no word-boundary marker ("Ġ"/
+    * "##") handling — strip markers from the vocab before passing it.
+    * Counts are therefore an exact function of (text, vocab) and engine-
+    * portable, but approximate a specific tokenizer's count to within its
+    * merge-order effects.
+    *
+    * The vocabulary is constructor DATA (rides the broadcast task binary —
+    * the NearestCentroids/PQ codebook precedent) with a compact `V=…` plan
+    * rendering; the trie builds once per JVM (transient lazy). */
+  case class BpeTokenCount(child: Expression, vocab: IndexedSeq[String])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bpe_token_count"
+
+    override def flatArguments: Iterator[Any] = Iterator(child, s"V=${vocab.length}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private final class Node {
+      var terminal = false
+      val next = new java.util.HashMap[Character, Node]()
+    }
+
+    @transient private lazy val root: Node = {
+      val r = new Node
+      vocab.foreach { w =>
+        var cur = r
+        var i = 0
+        while (i < w.length) {
+          var nx = cur.next.get(w.charAt(i))
+          if (nx == null) { nx = new Node; cur.next.put(w.charAt(i), nx) }
+          cur = nx
+          i += 1
+        }
+        cur.terminal = true
+      }
+      r
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      var count = 0
+      var i = 0
+      while (i < n) {
+        if (Character.isWhitespace(s.charAt(i))) i += 1
+        else {
+          // longest vocab match starting at i, stopping at the word boundary
+          var node = root
+          var lastEnd = -1
+          var k = i
+          var dead = false
+          while (k < n && !dead && !Character.isWhitespace(s.charAt(k))) {
+            val nx = node.next.get(s.charAt(k))
+            if (nx == null) dead = true
+            else {
+              node = nx
+              k += 1
+              if (node.terminal) lastEnd = k
+            }
+          }
+          count += 1
+          i = if (lastEnd > i) lastEnd else i + 1
+        }
+      }
+      count
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -839,8 +925,23 @@ object HashExprs {
   def dedupDocLines(text: Column, minLineLen: Int = 1): Column =
     ColumnBridge.column(DedupDocLines(ColumnBridge.expression(text), minLineLen))
 
+  /** PRECONDITION (oracle parity): [[CharEntropy]] counts UTF-16 code UNITS
+    * (`charAt`/`length`), while SQL engines like DuckDB count code POINTS —
+    * the two agree only on BMP text (no surrogate pairs). The library path
+    * ([[graft.ops.TextAnalysis.charEntropy]]) normalizes to ASCII first, so
+    * parity holds by construction; direct callers of this sugar must feed
+    * BMP-only (e.g. normalized) text or accept cross-engine divergence on
+    * non-BMP characters. */
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "bpeTokenCount: vocab must be non-empty")
+    require(vocab.forall(v => v.nonEmpty && !v.exists(Character.isWhitespace)),
+      "bpeTokenCount: vocab entries must be non-empty and whitespace-free " +
+        "(strip word-boundary markers before passing a tokenizer vocab)")
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), vocab.toIndexedSeq))
+  }
 
   /** Bloom-sketch membership probe over a LONG column. The serialized sketch
     * is constructor DATA (rides the task binary like [[NearestCentroids]]'s

@@ -23,15 +23,18 @@ object Packing {
   /** Adds `n_tokens`, `shard_id` (0-based per stratum). */
   def packGreedy(docs: DataFrame, targetTokens: Long,
                  textCol: String = "text", orderCol: String = "doc_id",
-                 strataCol: String = "source"): DataFrame = {
+                 strataCol: String = "source",
+                 countTokens: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     require(targetTokens > 0, "targetTokens must be positive")
     // explicit ROWS frame: the default RANGE frame is equivalent only while
     // orderCol is unique — ROWS keeps the semantics pinned either way
     val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
+      // countTokens = the shard budget's unit; pass TextAnalysis
+      // .bpeTokenCount(_, vocab) to pack in tokenizer tokens
       .withColumn("n_tokens",
-        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+        countTokens(coalesce(col(textCol), lit(""))).cast("long"))
       .withColumn("shard_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")).cast("double")
           / targetTokens.toDouble).cast("long"))

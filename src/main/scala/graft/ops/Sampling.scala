@@ -72,7 +72,8 @@ object Sampling {
     * if they should not ride along. */
   def tokenBudgetSample(df: DataFrame, strataCol: String, budgets: Map[String, Long],
                         idCol: String, defaultBudget: Long = 0L,
-                        textCol: String = "text", seed: String = "graft"): DataFrame = {
+                        textCol: String = "text", seed: String = "graft",
+                        countTokens: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
       "budgets are token counts >= 0")
     val budget = strataLookup(col(strataCol), budgets, defaultBudget)
@@ -80,8 +81,12 @@ object Sampling {
       .cast("long")
     val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // countTokens is the budget's UNIT (default: whitespace words). Pass
+    // e.g. `TextAnalysis.bpeTokenCount(_, vocab)` when budgets are
+    // specified in tokenizer tokens — the count must be a deterministic
+    // row-local Column either way.
     df.withColumn("__nt",
-        TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+        countTokens(coalesce(col(textCol), lit(""))).cast("long"))
       .withColumn("__cum", sum(col("__nt")).over(w))
       .filter(col("__cum") <= budget)
       .drop("__nt", "__cum")

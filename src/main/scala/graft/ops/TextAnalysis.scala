@@ -25,6 +25,15 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Real-vocabulary subword count: greedy longest-match against a
+    * caller-supplied tokenizer vocabulary (compiled trie walk, single-char
+    * fallback for uncovered text) — the opt-in exact-vocab upgrade to the
+    * heuristics above when budgets/packing must count TOKENIZER tokens.
+    * Divergences from true merge-rank BPE are documented at
+    * [[graft.functions.HashExprs.BpeTokenCount]]. */
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
+    graft.functions.HashExprs.bpeTokenCount(text, vocab)
+
   /** Punctuation count over a fixed class (engine-portable). */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

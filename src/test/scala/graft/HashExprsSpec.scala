@@ -196,4 +196,70 @@ class HashExprsSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(tie === "en")
   }
+
+  test("BpeTokenCount == hand-computed greedy longest-match with char fallback") {
+    val vocab = Seq("ab", "bc", "abc", "c", "hello", "wor", "ld", "lo", "abcd")
+    def count(s: String): Int =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.bpeTokenCount(col("text"), vocab).as("n"))
+        .collect().head.getInt(0)
+    // greedy takes the LONGEST match: "abc" is one token, not "ab"+"c"
+    // (the documented divergence from merge-rank BPE, which could pick
+    // "ab"+"c" if that merge outranks "abc")
+    assert(count("abc") === 1)
+    assert(count("abcbc") === 2)     // "abc" + "bc"
+    assert(count("abce") === 2)      // "abc" + fallback "e"
+    // backtrack to the last TERMINAL node: with only {"ab","abcd"} the walk
+    // descends a-b-c (non-terminal, hoping for "abcd"), dies at 'z', and
+    // must retreat to "ab" — then "c" and "z" are single-char fallbacks
+    val narrow = Seq("ab", "abcd")
+    val bk = Seq("abcz").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"), narrow).as("n"))
+      .collect().head.getInt(0)
+    assert(bk === 3)
+    // words segment independently; uncovered chars count 1 each
+    assert(count("hello world") === 3)  // "hello" + "wor" + "ld"
+    assert(count("a b") === 2)          // matches never cross whitespace
+    assert(count("xyz") === 3)          // full fallback
+    assert(count("  hello   world  ") === 3) // whitespace runs are free
+    assert(count("") === 0)
+    // null propagates (standard unary null semantics)
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"), vocab).as("n"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+    // the heuristics count DIFFERENT units — that is the point of the
+    // opt-in: "hello world" is 2 whitespace words but 3 vocab subwords
+    val h = Seq("hello world").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("w"),
+        TextAnalysis.bpeTokenCount(col("text"), vocab).as("b"))
+      .collect().head
+    assert(h.getInt(0) === 2 && h.getInt(1) === 3)
+    // malformed vocabs refuse loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokenCount(col("text"), Seq("has space"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokenCount(col("text"), Seq.empty)
+    }
+  }
+
+  test("bpe token budgets: tokenBudgetSample and packGreedy count in vocab units when asked") {
+    import graft.ops.{Packing, Sampling}
+    val vocab = Seq("aa", "bb", "aabb")
+    // each doc = "aabb aabb" = 2 bpe tokens/doc (greedy "aabb"), 2 words/doc
+    val docs = (0L until 6L).map(i => (i, "s", "aabb aabb")).toDF("doc_id", "source", "text")
+    val bpeCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextAnalysis.bpeTokenCount(_, vocab)
+    // budget 4 bpe tokens -> exactly 2 docs survive (deterministic hash order)
+    val kept = Sampling.tokenBudgetSample(docs, "source", Map("s" -> 4L), "doc_id",
+      countTokens = bpeCount)
+    assert(kept.count() === 2L)
+    // packGreedy shards break on bpe counts: 3 docs/shard at target 6
+    val packed = Packing.packGreedy(docs, targetTokens = 6L, countTokens = bpeCount)
+    val byShard = packed.groupBy(col("shard_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard === Map(0L -> 3L, 1L -> 3L))
+    assert(packed.select("n_tokens").collect().forall(_.getLong(0) === 2L))
+  }
 }
