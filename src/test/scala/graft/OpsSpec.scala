@@ -1455,6 +1455,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("topTermsSketch plan: the token stream reaches ONLY the broadcast candidate join — no vocabulary shuffle") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // auto-broadcast off: the candidate probe must broadcast from the
+      // operator's explicit hint, not a size estimate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = (0L until 60L).map(i => (i, "s" + (i % 2), s"w${i % 7} x$i y${i % 3} a b"))
+        .toDF("doc_id", "source", "text")
+      val plan = Sketches.topTermsSketch(d, k = 3, capacity = 64)
+        .queryExecution.executedPlan
+      // the pass-2 recount joins the exploded token stream against the
+      // broadcast candidate set; everything vocabulary-sized stays on the
+      // map side — the streamed (token) subtree must contain the explode
+      // and ZERO shuffles (exact q45's (source, token) exchange is exactly
+      // what this operator exists to avoid)
+      val bhjs = plan.collect { case j: BroadcastHashJoinExec => j }
+      def streamed(j: BroadcastHashJoinExec) =
+        if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft) j.right else j.left
+      val probe = bhjs.find(j =>
+        streamed(j).collect { case g: GenerateExec => g }.nonEmpty)
+      assert(probe.isDefined,
+        s"expected a broadcast candidate probe over the exploded tokens:\n${plan.toString.take(2500)}")
+      val streamedShuffles = streamed(probe.get)
+        .collect { case s: ShuffleExchangeExec => s }
+      assert(streamedShuffles.isEmpty,
+        s"token stream must not shuffle before the candidate probe:\n${probe.get.toString.take(2500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   // --- curation pipeline: the round-9 tier composed (L41/L47/L50 stages) ---
 
   test("curation: doc-line dedup, span dedup after exact dedup, best-copy near-dup compose") {
