@@ -38,6 +38,8 @@ import graft.ops.Curation
   * sampleRates=web:50,books:100   per-source percentage rates
   * defaultRate=100            ...rate for unlisted sources
   * tokenBudgets=web:1000000   per-source token budgets
+  * tokenBudgetDefault=500000  ...budget for unlisted sources (alone, a
+  *                            global budget: any value > 0 enables the stage)
   * upsample=books:2.5,web:0.7 fractional-epoch factors (adds `copy`)
   * numShards=1024             final deterministic shard shuffle (adds
   *                            `shard`/`pos` — the training-shard layout)
@@ -65,11 +67,19 @@ object Curate {
   def parseConfig(base: Curation.Config, opts: Seq[String]): (Curation.Config, Option[String]) = {
     def strataMap[V](v: String, f: String => V): Map[String, V] =
       v.split(",").iterator.map { kv =>
-        val Array(s, x) = kv.split(":", 2); s -> f(x)
+        kv.split(":", 2) match {
+          case Array(s, x) => s -> f(x)
+          case _ => throw new IllegalArgumentException(
+            s"graft.Curate: strata entry '$kv' must be <stratum>:<value>")
+        }
       }.toMap
     var target: Option[String] = None
     val cfg = opts.foldLeft(base) { (c, opt) =>
-      val Array(k, v) = opt.split("=", 2)
+      val Array(k, v) = opt.split("=", 2) match {
+        case kv @ Array(_, _) => kv
+        case _ => throw new IllegalArgumentException(
+          s"graft.Curate: option '$opt' must be <key>=<value>")
+      }
       k match {
         case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
         case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
@@ -82,6 +92,7 @@ object Curate {
         case "sampleRates"      => c.copy(sampleRates = strataMap(v, _.toInt))
         case "defaultRate"      => c.copy(defaultRate = v.toInt)
         case "tokenBudgets"     => c.copy(tokenBudgets = strataMap(v, _.toLong))
+        case "tokenBudgetDefault" => c.copy(tokenBudgetDefault = v.toLong)
         case "upsample"         => c.copy(upsampleFactors = strataMap(v, _.toDouble))
         case "numShards"        => c.copy(numShards = Some(v.toInt))
         case "seed"             => c.copy(seed = v)

@@ -109,15 +109,30 @@ object Ingest {
       .reduceOption(_ max _)
   }
 
-  /** Read a `batch_id=N`-partitioned artifact dir, pruned to batches BELOW
-    * `batchId` (a replayed batch must never probe its own partial output),
-    * with the partition column dropped. `None` when nothing is landed yet. */
+  /** Read a `batch_id=N`-partitioned artifact dir, restricted to batches
+    * BELOW `batchId` (a replayed batch must never probe its own partial
+    * output), with the partition column dropped. `None` when no batch below
+    * landed. Selection happens by EXPLICIT partition-directory paths, not a
+    * post-read filter: a crashed write leaves a partition dir with zero
+    * committed parquet footers, and `spark.read.parquet(root)` would fail
+    * SCHEMA INFERENCE on it before any pruning filter could hide it —
+    * turning the one situation this mechanism exists for (replay after a
+    * mid-write crash) into a permanent read error. Listing the committed
+    * sibling dirs and reading only those never touches the partial one. */
   private def readBelow(spark: SparkSession, dir: String,
                         batchId: Long): Option[DataFrame] = {
     val (fs, p) = fsOf(spark, dir)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(dir)
-      .filter(col("batch_id") < batchId).drop("batch_id"))
+    if (!fs.exists(p)) return None
+    val committed = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter { d =>
+        val name = d.getName
+        name.startsWith("batch_id=") &&
+          scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption.exists(_ < batchId)
+      }
+    if (committed.isEmpty) None
+    else Some(spark.read.option("basePath", dir)
+      .parquet(committed.map(_.toString): _*)
+      .drop("batch_id"))
   }
 
   /** Land one micro-batch — the full per-batch pipeline (flag, probe, land,
@@ -126,7 +141,8 @@ object Ingest {
     * `(accepted, droppedNearDup, flaggedContaminated)` for the attempt. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long, outDir: String,
                                   benchHashes: Option[DataFrame],
-                                  threshold: Double): (Long, Long, Long) = {
+                                  threshold: Double,
+                                  materialize: DataFrame => DataFrame = _.localCheckpoint(true)): (Long, Long, Long) = {
     val s = batch.sparkSession
     val corpusDir = s"$outDir/corpus"
     val indexDir = s"$outDir/index"
@@ -142,7 +158,8 @@ object Ingest {
     val pairs = (prior, readBelow(s, indexDir, batchId), readBelow(s, corpusDir, batchId)) match {
       case (Some(v), Some(index), Some(corpus)) =>
         Some(Dedup.incrementalNearDups(b, index, corpus, threshold = threshold,
-          bucketCounts = Some(s.read.parquet(s"$countsDir/v$v"))))
+          bucketCounts = Some(s.read.parquet(s"$countsDir/v$v")),
+          materialize = materialize))
       case _ => None // nothing accepted yet to collide with
     }
     val dropIds = pairs match {
@@ -176,10 +193,17 @@ object Ingest {
     * drains the backlog then stops — right for tests and catch-up; an
     * always-on ingest passes a processing-time trigger and never returns).
     * `readerOptions` reach the file source (e.g. maxFilesPerTrigger). */
+  /** `materialize` is the per-batch eager-cut hook, forwarded into the
+    * near-dup tier's pair-set cut ([[graft.ops.Dedup.incrementalNearDups]])
+    * — same contract as [[graft.ops.Curation.Config.materialize]]: the
+    * `localCheckpoint` default is right for a single box; a long-running
+    * cluster ingest passes a durable write-through so an executor loss
+    * mid-batch cannot strand the checkpointed pair blocks. */
   def run(spark: SparkSession, inDir: String, benchmark: Option[DataFrame],
           outDir: String, threshold: Double = 0.8, watermark: String = "1 hour",
           trigger: Trigger = Trigger.AvailableNow(),
-          readerOptions: Map[String, String] = Map.empty): Result = {
+          readerOptions: Map[String, String] = Map.empty,
+          materialize: DataFrame => DataFrame = _.localCheckpoint(true)): Result = {
     val benchHashes = benchmark.map(b =>
       b.select(explode(Dedup.shingleHashes(col("text"), k = 8)).as("__h"))
         .distinct()
@@ -195,7 +219,8 @@ object Ingest {
       .writeStream.outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
-          val (a, d, f) = processBatch(batch0, batchId, outDir, benchHashes, threshold)
+          val (a, d, f) = processBatch(batch0, batchId, outDir, benchHashes,
+            threshold, materialize)
           batches += 1; accepted += a; dropped += d; flagged += f
         }
       }

@@ -256,7 +256,11 @@ object ScaleProbe {
         transform(sequence(lit(0), (pmod(col("doc_id"), lit(180)) + 19).cast("int")),
           p => {
             val h = xxhash64(col("doc_id"), p, lit(7))
-            when(pmod(h, lit(10)) < 3, concat(lit("h"), pmod(h, lit(100))))
+            // head index from an INDEPENDENT hash: pmod(h,100) would share
+            // h's last digit with the pmod(h,10) branch test, collapsing
+            // the head to the 30 values ending in 0-2
+            when(pmod(h, lit(10)) < 3,
+                concat(lit("h"), pmod(xxhash64(col("doc_id"), p, lit(8)), lit(100))))
               .otherwise(concat(lit("w"), pmod(h, lit(2000000))))
           })).as("text"))
         .write.mode("overwrite").parquet(s"$outDir/docs_wide_$n")

@@ -812,7 +812,38 @@ object HashExprs {
     *
     * The vocabulary is constructor DATA (rides the broadcast task binary —
     * the NearestCentroids/PQ codebook precedent) with a compact `V=…` plan
-    * rendering; the trie builds once per JVM (transient lazy). */
+    * rendering. Each TASK deserializes its own expression instance, so the
+    * trie lives in a JVM-wide cache keyed by the vocab itself (full
+    * structural equality on hit — no collision risk; one entry per distinct
+    * vocab an executor ever sees): a 100k-entry trie builds once per
+    * executor, not once per task. Per-char trie lookups box via
+    * `Character.valueOf`, whose cache covers 0–127 — allocation-free on
+    * ASCII/normalized text, one box per exotic char otherwise. */
+  object BpeTokenCount {
+    private[HashExprs] final class Node {
+      var terminal = false
+      val next = new java.util.HashMap[Character, Node]()
+    }
+    private val tries =
+      new java.util.concurrent.ConcurrentHashMap[IndexedSeq[String], Node]()
+    private[HashExprs] def trieFor(vocab: IndexedSeq[String]): Node =
+      tries.computeIfAbsent(vocab, v => {
+        val r = new Node
+        v.foreach { w =>
+          var cur = r
+          var i = 0
+          while (i < w.length) {
+            var nx = cur.next.get(w.charAt(i))
+            if (nx == null) { nx = new Node; cur.next.put(w.charAt(i), nx) }
+            cur = nx
+            i += 1
+          }
+          cur.terminal = true
+        }
+        r
+      })
+  }
+
   case class BpeTokenCount(child: Expression, vocab: IndexedSeq[String])
     extends UnaryExpression with CodegenFallback {
 
@@ -822,26 +853,7 @@ object HashExprs {
     override def flatArguments: Iterator[Any] = Iterator(child, s"V=${vocab.length}")
     override def stringArgs: Iterator[Any] = flatArguments
 
-    private final class Node {
-      var terminal = false
-      val next = new java.util.HashMap[Character, Node]()
-    }
-
-    @transient private lazy val root: Node = {
-      val r = new Node
-      vocab.foreach { w =>
-        var cur = r
-        var i = 0
-        while (i < w.length) {
-          var nx = cur.next.get(w.charAt(i))
-          if (nx == null) { nx = new Node; cur.next.put(w.charAt(i), nx) }
-          cur = nx
-          i += 1
-        }
-        cur.terminal = true
-      }
-      r
-    }
+    @transient private lazy val root: BpeTokenCount.Node = BpeTokenCount.trieFor(vocab)
 
     override protected def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString

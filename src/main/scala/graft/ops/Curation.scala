@@ -75,10 +75,16 @@ object Curation {
 
   /** Which stages run, and their knobs.
     *
-    * Defaults reproduce the six classic stages: gates, cross-doc line
-    * dedup, exact dedup, best-copy near-dup resolution, decontamination
-    * (when a benchmark is passed), stratified sampling (when rates are
-    * set). The round-9 tier is opt-in:
+    * Defaults run the six classic stages: gates, cross-doc line dedup,
+    * exact dedup, near-dup resolution, decontamination (when a benchmark is
+    * passed), stratified sampling (when rates are set). NOTE one deliberate
+    * default-behavior change from the pre-round-10 pipeline: the near-dup
+    * stage now keeps the BEST copy of each cluster (highest quality —
+    * default keep-longest — ties to the smaller id) instead of the min-id
+    * copy, so re-curating a corpus can keep different (better) survivors
+    * than an older run; pin `nearDupQuality = Some(-col(idCol))`-style
+    * ordering only if bit-compatibility with old runs matters more than
+    * the quality signal. The rest of the tier is opt-in:
     *
     *  - `docLineDedup = true` enables intra-document line dedup;
     *  - `spanDedup = true` enables substring-level span excision
@@ -91,7 +97,8 @@ object Curation {
     *    selection of the k best target-matching documents
     *    (`dsirTemperature = None` → argmax top-k; `Some(t)` → Gumbel
     *    resampling at temperature t);
-    *  - `tokenBudgets` enables per-stratum token-budget sampling;
+    *  - `tokenBudgets` (or `tokenBudgetDefault > 0` alone, a global
+    *    budget) enables per-stratum token-budget sampling;
     *  - `upsampleFactors`/`upsampleDefault != 1.0` enables fractional-epoch
     *    upsampling (output gains a `copy` column);
     *  - `numShards = Some(n)` enables the final deterministic shard
@@ -243,7 +250,7 @@ object Curation {
       Sampling.stratifiedSample(d, strataCol, config.sampleRates, idCol,
         config.defaultRate, config.seed)
     }
-    step("token_budget", config.tokenBudgets.nonEmpty) { d =>
+    step("token_budget", config.tokenBudgets.nonEmpty || config.tokenBudgetDefault > 0) { d =>
       Sampling.tokenBudgetSample(d, strataCol, config.tokenBudgets, idCol,
         config.tokenBudgetDefault, textCol, config.seed)
     }

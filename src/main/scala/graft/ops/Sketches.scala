@@ -110,7 +110,13 @@ object Sketches {
     * `complete` (err_bound < kth-largest lower bound), the output is
     * PROVABLY the exact top-K — terms outside the candidate set cannot
     * reach it. When false (capacity too small for the group's skew), the
-    * output is best-effort and the flag says so loudly. The trade against
+    * output is best-effort and the flag says so loudly. Every (group ×
+    * partition) summary emits a sentinel row carrying its decrement total,
+    * so err_bound survives even a summary whose final decrement-all emptied
+    * the counter map; the one unrepresentable degeneracy is a group whose
+    * EVERY partition ends that way (no candidates at all → the group is
+    * absent from the output) — a stream of all-distinct tokens at a
+    * capacity far below its variety, which `capacity ≫ k` is for. The trade against
     * exact q45 is a second tokenization scan for a vocabulary-independent
     * shuffle — the DSIR two-scan trade, and the winning side at 100 TB
     * where the (source, token) shuffle is the bottleneck.
@@ -170,13 +176,20 @@ object Sketches {
       counters.entrySet().iterator().asScala.flatMap { ge =>
         val g = ge.getKey
         val d = { val a = decs.get(g); if (a == null) 0L else a(0) }
-        ge.getValue.entrySet().iterator().asScala.map { te =>
-          (g, te.getKey, te.getValue()(0), pid, d)
-        }
+        // the "" sentinel row carries this (group, partition)'s decrement
+        // total even when the FINAL decrement-all emptied the counter map —
+        // without it that partition's decrements silently vanish from
+        // err_bound and `complete` could certify an unproven top-k ("" is
+        // never a real term: empty tokens are skipped above)
+        Iterator.single((g, "", 0L, pid, d)) ++
+          ge.getValue.entrySet().iterator().asScala.map { te =>
+            (g, te.getKey, te.getValue()(0), pid, d)
+          }
       }
     }.toDF("g", "tok", "cnt", "pid", "decs"))
 
-    val est = summaries.groupBy(col("g"), col("tok")).agg(sum(col("cnt")).as("est"))
+    val est = summaries.filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok")).agg(sum(col("cnt")).as("est"))
     val errB = summaries.groupBy(col("g"), col("pid")).agg(first(col("decs")).as("d"))
       .groupBy(col("g")).agg(sum(col("d")).as("err_bound"))
     val wEst = Window.partitionBy(col("g")).orderBy(col("est").desc, col("tok"))

@@ -401,6 +401,26 @@ class StreamingSpec extends SparkSpec {
       .map(row => (row.getAs[Long]("id_new"), row.getAs[Long]("id_old"))).toSeq
     assert(droppedPairs === Seq((10L, 1L)))
 
+    // MID-WRITE CRASH: batch 1's partition dirs exist but hold zero
+    // committed parquet footers (the state a crash during the write leaves
+    // behind). The replay must REPAIR this — reading prior state by
+    // explicit committed-partition paths, never tripping schema inference
+    // on the hollow dirs — and rebuild the batch's artifacts.
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hollow(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      hfs.delete(p, true); hfs.mkdirs(p)
+    }
+    hollow(s"$out/corpus/batch_id=1")
+    hollow(s"$out/index/batch_id=1")
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/counts/v1"), true)
+    val (rAcc, rDrop, rFlag) = Ingest.processBatch(batch1, 1L, out, Some(benchHashes), 0.8)
+    assert((rAcc, rDrop, rFlag) === ((1L, 1L, 1L)))
+    val repaired = state()
+    assert(repaired._1 === before._1 && repaired._2 === before._2)
+    assert(repaired._3 === before._3)
+
     // RESTART with new backlog: a fresh run() discovers the counts chain and
     // index from DISK (no in-memory state survives) and dedups against them
     val f3 = java.nio.file.Paths.get(s"$in/b3.jsonl")
