@@ -1259,6 +1259,31 @@ object OracleSql {
     SELECT source, CAST(rank AS BIGINT) AS rank, tok, CAST(tf AS BIGINT) AS tf
     FROM ranked WHERE rank <= 5"""
 
+  /** q69 rebuilds the packed-sequence construction independently: per-doc
+    * token positions (post-empty-filter), per-stratum running start offsets
+    * in doc_id order, global position → seq_id by integer division, and
+    * each sequence's exact token ORDER pinned via md5 of the space-joined
+    * stream (string_agg ORDER BY = Spark's sort_array(collect_list)). */
+  private val q69 = s"""
+    WITH arrs AS (SELECT source, doc_id,
+        regexp_split_to_array($dedupNormSql, ' ') AS l FROM documents),
+    toks0 AS (SELECT source, doc_id, unnest(l) AS tok,
+        unnest(range(1, len(l) + 1)) AS ord FROM arrs),
+    toks AS (SELECT source, doc_id, tok,
+        row_number() OVER (PARTITION BY source, doc_id ORDER BY ord) - 1 AS pos
+      FROM toks0 WHERE tok <> ''),
+    counts AS (SELECT source, doc_id, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    starts AS (SELECT source, doc_id,
+        SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS strt
+      FROM counts),
+    g AS (SELECT t.source, t.tok, s.strt + t.pos AS gpos
+      FROM toks t JOIN starts s ON t.source = s.source AND t.doc_id = s.doc_id)
+    SELECT source, CAST(gpos // 512 AS BIGINT) AS seq_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      md5(string_agg(tok, ' ' ORDER BY gpos)) AS token_hash
+    FROM g GROUP BY 1, 2"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1333,6 +1358,7 @@ object OracleSql {
     "q65_upsample_mixture"  -> q65,
     "q66_doc_line_dedup"    -> q66,
     "q67_char_entropy"      -> q67,
-    "q68_top_terms_sketch"  -> q68
+    "q68_top_terms_sketch"  -> q68,
+    "q69_pack_sequences"    -> q69
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -862,6 +862,18 @@ object SparkEntry {
     graft.ops.Sketches.topTermsSketch(t(s, dir, "documents"), k = 5, capacity = 1 << 16)
       .select(col("source"), col("rank"), col("tok"), col("tf"))
 
+  /** Fixed-length sequence assembly ([[Packing.packSequences]]): per-source
+    * token streams cut into exact 512-token training rows, documents
+    * splitting across boundaries. The oracle reproduces the construction
+    * from the same window arithmetic; each sequence's content is compared
+    * as `md5(space-joined tokens)` so the check pins exact token ORDER
+    * within every sequence without shipping arrays through the comparator. */
+  private def q69PackSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(t(s, dir, "documents"), seqLen = 512)
+      .select(col("source"), col("seq_id"),
+        col("n_tokens"),
+        md5(concat_ws(" ", col("tokens"))).as("token_hash"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -930,7 +942,8 @@ object SparkEntry {
     "q65_upsample_mixture"  -> q65UpsampleMixture _,
     "q66_doc_line_dedup"    -> q66DocLineDedup _,
     "q67_char_entropy"      -> q67CharEntropy _,
-    "q68_top_terms_sketch"  -> q68TopTermsSketch _
+    "q68_top_terms_sketch"  -> q68TopTermsSketch _,
+    "q69_pack_sequences"    -> q69PackSequences _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -50,4 +50,52 @@ object Packing {
         sum(col("shard_tokens")).as("total_tokens"),
         max(col("shard_tokens")).as("max_shard_tokens"),
         min(col("shard_tokens")).as("min_shard_tokens"))
+
+  /** FIXED-LENGTH sequence assembly — the step that actually materializes
+    * packed pretraining batches: within each stratum, concatenate every
+    * document's token stream in deterministic `orderCol` order and cut the
+    * concatenation into consecutive windows of exactly `seqLen` tokens
+    * (documents SPLIT across sequence boundaries — the standard packed-
+    * batch construction; only each stratum's final sequence may be short).
+    * [[packGreedy]] assigns whole documents to ~budget-sized shards; this
+    * produces the exact-length rows a trainer consumes.
+    *
+    * Returns `(strataCol, seq_id, tokens array, n_tokens)` with `seq_id`
+    * 0-based per stratum and `tokens` in stream order. `tokenize` maps the
+    * text column to the token ARRAY (default: normalize + whitespace split,
+    * empties dropped — the repo-shared unit); pass e.g. a vocab-id
+    * tokenizer to pack ids instead of strings.
+    *
+    * Scale shape: one window shuffle of doc-level ints (the per-stratum
+    * running offset — [[packGreedy]]'s shape), then ONE token-level shuffle
+    * grouping `(stratum, gpos/seqLen)`: that shuffle IS the output
+    * materialization (packed sequences ≈ corpus size, there is no smaller
+    * answer), and per-group state is bounded by `seqLen` (`collect_list`
+    * never holds more than one sequence). Strata stay independent — the
+    * parallelism unit — and `seq_id` is a pure function of (corpus, order),
+    * so runs and retries agree. Feed the output to
+    * [[graft.ops.Sampling.shuffleShards]] keyed on (stratum, seq_id) for
+    * training-order randomization. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    textCol: String = "text", orderCol: String = "doc_id",
+                    strataCol: String = "source",
+                    tokenize: Column => Column = c =>
+                      filter(split(TextAnalysis.normalizeText(coalesce(c, lit(""))), " "),
+                        t => t =!= "")): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be > 0, got $seqLen")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(strataCol), col(orderCol), tokenize(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .select(col(strataCol), col("__start"), posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      .withColumn("__gpos", col("__start") + col("__p"))
+      .withColumn("seq_id", floor(col("__gpos") / seqLen).cast("long"))
+      .groupBy(col(strataCol), col("seq_id"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("__gpos"), col("__tok")))),
+          s => s.getField("__tok")).as("tokens"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

@@ -1455,6 +1455,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: docs split across exact seqLen boundaries; last sequence short; deterministic") {
+    import graft.ops.Packing
+    // stratum s0: docs of 3, 4, 2 tokens -> stream of 9 tokens at seqLen=4:
+    //   seq0 = [a1 a2 a3 b1], seq1 = [b2 b3 b4 c1], seq2 = [c2]  (short)
+    // stratum s1: one 4-token doc -> exactly one full sequence
+    val docs = Seq(
+      (1L, "s0", "a1 a2 a3"),
+      (2L, "s0", "b1 b2 b3 b4"),
+      (3L, "s0", "c1 c2"),
+      (10L, "s1", "d1 d2 d3 d4"),
+      (11L, "s1", "")  // empty doc contributes nothing, shifts nothing
+    ).toDF("doc_id", "source", "text")
+    val out = Packing.packSequences(docs, seqLen = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getSeq[String](2).toList, r.getLong(3))).toMap
+    assert(out(("s0", 0L)) === (List("a1", "a2", "a3", "b1"), 4L))
+    assert(out(("s0", 1L)) === (List("b2", "b3", "b4", "c1"), 4L))
+    assert(out(("s0", 2L)) === (List("c2"), 1L))
+    assert(out(("s1", 0L)) === (List("d1", "d2", "d3", "d4"), 4L))
+    assert(out.size === 4)
+    // deterministic under re-evaluation and repartitioning
+    val again = Packing.packSequences(docs.repartition(7), seqLen = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getSeq[String](2).toList, r.getLong(3))).toMap
+    assert(again === out)
+    // a custom tokenizer (vocab ids) packs ids instead of strings
+    val idsOut = Packing.packSequences(docs, seqLen = 4,
+        tokenize = c => transform(
+          filter(split(graft.ops.TextAnalysis.normalizeText(coalesce(c, lit(""))), " "),
+            t => t =!= ""),
+          t => length(t)))
+      .filter(col("source") === "s1")
+      .collect().map(r => r.getSeq[Int](2).toList)
+    assert(idsOut.toList === List(List(2, 2, 2, 2)))
+  }
+
   test("topTermsSketch plan: the token stream reaches ONLY the broadcast candidate join — no vocabulary shuffle") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
