@@ -28,6 +28,10 @@ import graft.ops.Curation
   * gates→line→exact→near-dup→decontaminate run):
   *
   * {{{
+  * urlCol=url                 enable URL blocklist filtering (first stage) on
+  *                            this column, with:
+  * blockedDomains=a.com,b.org   ...blocked registered domains (suffix match)
+  * urlPatterns=casino,gambl     ...banned URL regex patterns
   * docLineDedup=true          intra-document line dedup
   * spanDedup=true             substring-level span excision
   * spanMinDf=10               ...its hot-run document-frequency floor
@@ -81,6 +85,9 @@ object Curate {
           s"graft.Curate: option '$opt' must be <key>=<value>")
       }
       k match {
+        case "urlCol"           => c.copy(urlCol = Some(v))
+        case "blockedDomains"   => c.copy(blockedDomains = v.split(",").toSeq)
+        case "urlPatterns"      => c.copy(urlPatterns = v.split(",").toSeq)
         case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
         case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
         case "spanMinDf"        => c.copy(spanMinDf = v.toInt)

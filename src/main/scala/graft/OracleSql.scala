@@ -1284,6 +1284,35 @@ object OracleSql {
       md5(string_agg(tok, ' ' ORDER BY gpos)) AS token_hash
     FROM g GROUP BY 1, 2"""
 
+  /** q70 rebuilds the synthesized URLs, the one-regex host extraction, and
+    * the suffix-semantics blocklist as explicit equality/LIKE disjunctions
+    * (the fixed two-domain list makes the generic suffix chain enumerable). */
+  private val q70 = s"""
+    WITH u AS (SELECT source, doc_id,
+        'https://' ||
+        CASE WHEN doc_id % 7 = 0 THEN 'ads.blocked-a.com'
+             WHEN doc_id % 7 = 1 THEN 'blocked-b.org'
+             ELSE 'site' || (doc_id % 11) || '.example.net' END ||
+        '/p/' || doc_id ||
+        CASE WHEN doc_id % 13 = 0 THEN '?q=casino' ELSE '' END AS url
+      FROM documents),
+    h AS (SELECT source, url,
+        lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+      FROM u),
+    m AS (SELECT source, host,
+        CASE WHEN host = 'blocked-a.com' OR host LIKE '%.blocked-a.com'
+               OR host = 'blocked-b.org' OR host LIKE '%.blocked-b.org'
+          THEN 1 ELSE 0 END AS bd,
+        CASE WHEN lower(url) LIKE '%casino%' THEN 1 ELSE 0 END AS bp
+      FROM h)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(bd) AS BIGINT) AS n_blocked_domain,
+      CAST(SUM(bp) AS BIGINT) AS n_blocked_pattern,
+      CAST(SUM(CASE WHEN bd = 0 AND bp = 0 AND length(host) > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_ok
+    FROM m GROUP BY 1"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1359,6 +1388,7 @@ object OracleSql {
     "q66_doc_line_dedup"    -> q66,
     "q67_char_entropy"      -> q67,
     "q68_top_terms_sketch"  -> q68,
-    "q69_pack_sequences"    -> q69
+    "q69_pack_sequences"    -> q69,
+    "q70_url_filter"        -> q70
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -279,6 +279,14 @@ object ScaleProbe {
         // then an exact recount of the candidate-sized key space
         graft.ops.Sketches.topTermsSketch(wide, k = 5, capacity = 4096).count()
       }
+      timed("pack_sequences", n) {
+        // q69 shape: window offsets + the output-sized grouping shuffle —
+        // sum a tokens-derived length so the sequence ASSEMBLY (collect_list
+        // + sort) evaluates and cannot be pruned away by count-only aggs
+        Packing.packSequences(d, seqLen = 512)
+          .agg(coalesce(sum(length(concat_ws(" ", col("tokens"))).cast("long")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("line_dedup", n) {
         // 3-token synthesized lines (q47's shape — single regex pass, NOT a
         // transform lambda: an interpreted HOF re-evaluates the normalize

@@ -874,6 +874,29 @@ object SparkEntry {
         col("n_tokens"),
         md5(concat_ws(" ", col("tokens"))).as("token_hash"))
 
+  /** URL/domain blocklist filtering ([[graft.ops.UrlFilter]]): the
+    * documents table carries no URL, so one is SYNTHESIZED deterministically
+    * from doc_id (the q49 synthesize-inputs pattern) — every 7th doc lands
+    * under a blocked domain (one as a subdomain, exercising suffix
+    * semantics), every 13th carries a banned query keyword. Per-source
+    * integer tallies keep the oracle comparison exact. */
+  private def q70UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("url",
+      concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("ads.blocked-a.com"))
+          .when(pmod(col("doc_id"), lit(7)) === 1, lit("blocked-b.org"))
+          .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(11)), lit(".example.net"))),
+        lit("/p/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit("?q=casino")).otherwise(lit(""))))
+    graft.ops.UrlFilter.markBlocked(docs, "url",
+        Seq("blocked-a.com", "blocked-b.org"), Seq("casino"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("blocked_domain").cast("long")).as("n_blocked_domain"),
+        sum(col("blocked_pattern").cast("long")).as("n_blocked_pattern"),
+        sum(col("url_ok").cast("long")).as("n_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -943,7 +966,8 @@ object SparkEntry {
     "q66_doc_line_dedup"    -> q66DocLineDedup _,
     "q67_char_entropy"      -> q67CharEntropy _,
     "q68_top_terms_sketch"  -> q68TopTermsSketch _,
-    "q69_pack_sequences"    -> q69PackSequences _
+    "q69_pack_sequences"    -> q69PackSequences _,
+    "q70_url_filter"        -> q70UrlFilter _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

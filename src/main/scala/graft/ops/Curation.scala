@@ -86,6 +86,9 @@ object Curation {
     * ordering only if bit-compatibility with old runs matters more than
     * the quality signal. The rest of the tier is opt-in:
     *
+    *  - `urlCol = Some(...)` with `blockedDomains`/`urlPatterns` enables
+    *    URL/domain blocklist filtering as the FIRST stage
+    *    ([[UrlFilter.applyFilter]] — unparseable URLs fail closed);
     *  - `docLineDedup = true` enables intra-document line dedup;
     *  - `spanDedup = true` enables substring-level span excision
     *    (`spanK`/`spanW`/`spanMinDf`/`spanMinRun` are
@@ -110,6 +113,9 @@ object Curation {
     * feeds every deterministic-hash stage (sampling, upsampling, shard
     * shuffle, DSIR resampling). */
   case class Config(
+      urlCol: Option[String] = None,
+      blockedDomains: Seq[String] = Nil,
+      urlPatterns: Seq[String] = Nil,
       gates: Boolean = true,
       lineDedup: Boolean = true,
       docLineDedup: Boolean = false,
@@ -197,6 +203,14 @@ object Curation {
         cur = out; n = m
       }
 
+    step("url_filter",
+      config.urlCol.isDefined &&
+        (config.blockedDomains.nonEmpty || config.urlPatterns.nonEmpty)) { d =>
+      // FIRST, before even the gates: a URL verdict needs no text scan at
+      // all (the C4 ordering — kill blocked sources before touching bytes)
+      UrlFilter.applyFilter(d, config.urlCol.get, config.blockedDomains,
+        config.urlPatterns)
+    }
     step("quality_gates", config.gates) { d =>
       QualityGates.applyGates(d, textCol)
     }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain filtering — the C4/RefinedWeb blocklist stage of a crawl
+  * curation pipeline: drop documents whose source URL's host falls under a
+  * blocked registered domain (suffix semantics: `ads.tracker.example.com`
+  * is blocked by `example.com`) or whose URL matches a banned keyword
+  * pattern.
+  *
+  * Engine-portable by construction: host extraction is ONE regex (no
+  * `parse_url`, which external engines lack), suffix logic is pure string
+  * work, and every verdict lands as an integer-summable flag — so q70's
+  * DuckDB oracle reproduces each count exactly.
+  *
+  * Scale shape: the `Seq`-blocklist path ([[markBlocked]]) is entirely
+  * row-local (the blocklist rides the plan as an array literal;
+  * `arrays_overlap` against the host's suffix chain — a host has ≤ label
+  * count suffixes, typically 3-5). The DataFrame-blocklist path
+  * ([[markBlockedAgainst]]) is for real-world blocklists (millions of
+  * registered domains — too big for a literal): the only exploded payload
+  * is `(id, suffix)` — never text — and the blocklist join is deliberately
+  * un-hinted (AQE broadcasts a small list at runtime; a corpus-scale list
+  * shuffles id+suffix only — the q51 label-join reasoning).
+  */
+object UrlFilter {
+
+  /** Lowercased host of a URL: scheme-mandatory, userinfo stripped, cut at
+    * the first `/`, `:`, `?`, or `#`. No-match (schemeless/garbage) → ''
+    * — a document with an unparseable URL is NOT silently kept;
+    * [[markBlocked]] marks it `url_ok = false`. */
+  def host(url: Column): Column =
+    lower(regexp_extract(coalesce(url, lit("")),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** The host's domain-suffix chain, most-specific first:
+    * `a.b.c` → `[a.b.c, b.c, c]` (empty host → empty array). */
+  def domainSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    filter(
+      transform(sequence(lit(0), size(parts) - 1),
+        i => array_join(slice(parts, i + 1, size(parts) - i), ".")),
+      s => s =!= "")
+  }
+
+  /** Mark each document's URL verdicts: adds `host`, `blocked_domain`
+    * (host or any parent domain in `blockedDomains`), `blocked_pattern`
+    * (lowercased URL matches any of `patterns` — RE2-safe regexes, the
+    * [[TextAnalysis.redactPii]] discipline), and `url_ok` (neither blocked
+    * AND the host parsed). Row-local; blocklist as a plan literal — use
+    * [[markBlockedAgainst]] when the blocklist itself is a table. */
+  def markBlocked(docs: DataFrame, urlCol: String,
+                  blockedDomains: Seq[String],
+                  patterns: Seq[String] = Nil): DataFrame = {
+    val h = host(col(urlCol))
+    val dom =
+      if (blockedDomains.isEmpty) lit(false)
+      else arrays_overlap(domainSuffixes(h),
+        lit(blockedDomains.map(_.toLowerCase).distinct.toArray))
+    val pat = patterns.foldLeft(lit(false))((acc, p) =>
+      acc || lower(coalesce(col(urlCol), lit(""))).rlike(p))
+    docs.withColumn("host", h)
+      .withColumn("blocked_domain", dom)
+      .withColumn("blocked_pattern", pat)
+      .withColumn("url_ok",
+        !col("blocked_domain") && !col("blocked_pattern") && length(col("host")) > 0)
+  }
+
+  /** The filter form: keep only documents passing [[markBlocked]]. */
+  def applyFilter(docs: DataFrame, urlCol: String,
+                  blockedDomains: Seq[String],
+                  patterns: Seq[String] = Nil): DataFrame =
+    markBlocked(docs, urlCol, blockedDomains, patterns)
+      .filter(col("url_ok"))
+      .drop("host", "blocked_domain", "blocked_pattern", "url_ok")
+
+  /** Blocklist-AT-SCALE variant: `domains` is a one-column (`domain`)
+    * DataFrame of registered domains (public blocklists run to millions of
+    * rows — too big for a plan literal, and sometimes for a broadcast).
+    * Adds `host` and `blocked_domain`. Shape: explode the suffix chain to
+    * `(id, suffix)` rows, un-hinted join against the deduped blocklist,
+    * distinct hit ids join back — id+suffix strings only, never text. */
+  def markBlockedAgainst(docs: DataFrame, urlCol: String, domains: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val h = host(col(urlCol))
+    val hits = docs
+      .select(col(idCol), explode(domainSuffixes(h)).as("__suf"))
+      .join(domains.select(lower(col("domain")).as("__suf")).distinct(), Seq("__suf"))
+      .select(col(idCol)).distinct()
+      .withColumn("__bl", lit(true))
+    docs.withColumn("host", h)
+      .join(hits, Seq(idCol), "left")
+      .withColumn("blocked_domain", coalesce(col("__bl"), lit(false)))
+      .drop("__bl")
+  }
+}

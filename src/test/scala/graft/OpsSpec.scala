@@ -1455,6 +1455,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation: url filter runs FIRST when configured; audit counts the drops") {
+    val corpus = Seq(
+      (1L, "s", "some text", "https://good.org/a"),
+      (2L, "s", "some text", "https://spam.bad.com/b"),   // blocked subdomain
+      (3L, "s", "some text", "not a url")                 // fails closed
+    ).toDF("doc_id", "text", "source", "url")
+    val r = Curation.curate(corpus, config = Curation.Config(
+      urlCol = Some("url"), blockedDomains = Seq("bad.com"),
+      gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit === Seq(("url_filter", 3L, 1L)))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(r.corpus.columns.toSeq === Seq("doc_id", "text", "source", "url"))
+  }
+
+  test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {
+    import graft.ops.UrlFilter
+    val rows = Seq(
+      (1L, "https://ads.tracker.example.com/a"),   // subdomain of blocked example.com
+      (2L, "https://example.com/b"),               // exact blocked domain
+      (3L, "https://notexample.com/c"),            // suffix must respect label boundary
+      (4L, "https://ok.org/casino/night"),         // pattern hit
+      (5L, "https://user:p@ok.org:8080/fine?x=1"), // userinfo + port stripped, clean
+      (6L, "not a url"),                           // unparseable -> fails closed
+      (7L, null.asInstanceOf[String])              // null -> fails closed
+    ).toDF("doc_id", "url")
+    val m = UrlFilter.markBlocked(rows, "url", Seq("example.com"), Seq("casino"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("host"), r.getAs[Boolean]("blocked_domain"),
+          r.getAs[Boolean]("blocked_pattern"), r.getAs[Boolean]("url_ok"))).toMap
+    assert(m(1L) === (("ads.tracker.example.com", true, false, false)))
+    assert(m(2L) === (("example.com", true, false, false)))
+    assert(m(3L) === (("notexample.com", false, false, true)))
+    assert(m(4L) === (("ok.org", false, true, false)))
+    assert(m(5L) === (("ok.org", false, false, true)))
+    assert(m(6L) === (("", false, false, false)))
+    assert(m(7L) === (("", false, false, false)))
+    // the at-scale (DataFrame blocklist) path reaches the same domain verdicts
+    val domains = Seq("EXAMPLE.com").toDF("domain") // case-insensitive
+    val viaJoin = UrlFilter.markBlockedAgainst(rows, "url", domains)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked_domain")).toMap
+    assert(viaJoin === m.view.mapValues(_._2).toMap)
+    // applyFilter keeps exactly the ok rows with original columns
+    val kept = UrlFilter.applyFilter(rows, "url", Seq("example.com"), Seq("casino"))
+    assert(kept.columns.toSeq === Seq("doc_id", "url"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 5L))
+  }
+
   test("packSequences: docs split across exact seqLen boundaries; last sequence short; deterministic") {
     import graft.ops.Packing
     // stratum s0: docs of 3, 4, 2 tokens -> stream of 9 tokens at seqLen=4:
