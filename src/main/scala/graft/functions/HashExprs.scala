@@ -820,8 +820,10 @@ object HashExprs {
     * `Character.valueOf`, whose cache covers 0–127 — allocation-free on
     * ASCII/normalized text, one box per exotic char otherwise. */
   object BpeTokenCount {
+    /** Trie node: `termId >= 0` marks a vocab entry's end and carries its
+      * index in the vocab seq (first index wins on duplicate entries). */
     private[HashExprs] final class Node {
-      var terminal = false
+      var termId: Int = -1
       val next = new java.util.HashMap[Character, Node]()
     }
     private val tries =
@@ -829,6 +831,7 @@ object HashExprs {
     private[HashExprs] def trieFor(vocab: IndexedSeq[String]): Node =
       tries.computeIfAbsent(vocab, v => {
         val r = new Node
+        var idx = 0
         v.foreach { w =>
           var cur = r
           var i = 0
@@ -838,7 +841,8 @@ object HashExprs {
             cur = nx
             i += 1
           }
-          cur.terminal = true
+          if (cur.termId < 0) cur.termId = idx
+          idx += 1
         }
         r
       })
@@ -874,7 +878,7 @@ object HashExprs {
             else {
               node = nx
               k += 1
-              if (node.terminal) lastEnd = k
+              if (node.termId >= 0) lastEnd = k
             }
           }
           count += 1
@@ -885,6 +889,58 @@ object HashExprs {
     }
 
     override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+      copy(child = c)
+  }
+
+  /** [[BpeTokenCount]]'s materializing twin: the SAME greedy longest-match
+    * walk, emitting each matched piece's VOCAB INDEX (its position in the
+    * passed vocab; duplicates keep the first index) — the actual
+    * tokenize-to-ids step a training pipeline runs before
+    * [[graft.ops.Packing.packSequences]] assembles fixed-length id rows.
+    * Uncovered characters emit `unkId` (the tokenizer's UNK id; one per
+    * char, matching the count semantics). Same trie cache, same
+    * divergence-from-merge-rank-BPE contract as the counting form. */
+  case class BpeTokenizeIds(child: Expression, vocab: IndexedSeq[String], unkId: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "bpe_tokenize_ids"
+
+    override def flatArguments: Iterator[Any] = Iterator(child, s"V=${vocab.length}", unkId)
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    @transient private lazy val root: BpeTokenCount.Node = BpeTokenCount.trieFor(vocab)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val n = s.length
+      val ids = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < n) {
+        if (Character.isWhitespace(s.charAt(i))) i += 1
+        else {
+          var node = root
+          var lastEnd = -1
+          var lastId = -1
+          var k = i
+          var dead = false
+          while (k < n && !dead && !Character.isWhitespace(s.charAt(k))) {
+            val nx = node.next.get(s.charAt(k))
+            if (nx == null) dead = true
+            else {
+              node = nx
+              k += 1
+              if (node.termId >= 0) { lastEnd = k; lastId = node.termId }
+            }
+          }
+          if (lastEnd > i) { ids += lastId; i = lastEnd }
+          else { ids += unkId; i += 1 }
+        }
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ids.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeTokenizeIds =
       copy(child = c)
   }
 
@@ -948,11 +1004,20 @@ object HashExprs {
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column = {
-    require(vocab.nonEmpty, "bpeTokenCount: vocab must be non-empty")
-    require(vocab.forall(v => v.nonEmpty && !v.exists(Character.isWhitespace)),
-      "bpeTokenCount: vocab entries must be non-empty and whitespace-free " +
-        "(strip word-boundary markers before passing a tokenizer vocab)")
+    requireVocab(vocab, "bpeTokenCount")
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), vocab.toIndexedSeq))
+  }
+
+  def bpeTokenizeIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column = {
+    requireVocab(vocab, "bpeTokenizeIds")
+    ColumnBridge.column(BpeTokenizeIds(ColumnBridge.expression(text), vocab.toIndexedSeq, unkId))
+  }
+
+  private def requireVocab(vocab: Seq[String], op: String): Unit = {
+    require(vocab.nonEmpty, s"$op: vocab must be non-empty")
+    require(vocab.forall(v => v.nonEmpty && !v.exists(Character.isWhitespace)),
+      s"$op: vocab entries must be non-empty and whitespace-free " +
+        "(strip word-boundary markers before passing a tokenizer vocab)")
   }
 
   /** Bloom-sketch membership probe over a LONG column. The serialized sketch

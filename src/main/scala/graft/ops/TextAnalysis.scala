@@ -34,6 +34,13 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
     graft.functions.HashExprs.bpeTokenCount(text, vocab)
 
+  /** Tokenize-to-ids twin of [[bpeTokenCount]]: the matched pieces' vocab
+    * indices as `array<int>` (uncovered chars → `unkId`). Plug into
+    * [[graft.ops.Packing.packSequences]]'s `tokenize` hook to materialize
+    * packed ID sequences — the training-ready corpus artifact. */
+  def bpeTokenizeIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column =
+    graft.functions.HashExprs.bpeTokenizeIds(text, vocab, unkId)
+
   /** Punctuation count over a fixed class (engine-portable). */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

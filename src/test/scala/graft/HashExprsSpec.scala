@@ -244,6 +244,36 @@ class HashExprsSpec extends SparkSpec {
     }
   }
 
+  test("BpeTokenizeIds: vocab indices with unk fallback; size always equals the count form") {
+    val vocab = Seq("ab", "bc", "abc", "c", "hello", "wor", "ld", "lo", "abcd")
+    def ids(s: String, unk: Int = -1): List[Int] =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.bpeTokenizeIds(col("text"), vocab, unk).as("i"))
+        .collect().head.getSeq[Int](0).toList
+    assert(ids("abcbc") === List(2, 1))          // "abc"(idx 2) + "bc"(idx 1)
+    assert(ids("hello world") === List(4, 5, 6)) // "hello","wor","ld"
+    assert(ids("xyz", unk = -7) === List(-7, -7, -7))
+    assert(ids("abce") === List(2, -1))          // "abc" + unk 'e'
+    assert(ids("") === Nil)
+    // the ids form and the count form are the same walk: sizes agree always
+    val probes = Seq("abc", "abcbc", "abce", "hello world", "xyz", "a b", "  ")
+    val both = probes.toDF("text").select(
+        size(TextAnalysis.bpeTokenizeIds(col("text"), vocab)).as("ni"),
+        TextAnalysis.bpeTokenCount(col("text"), vocab).as("nc"))
+      .collect()
+    assert(both.forall(r => r.getInt(0) === r.getInt(1)))
+    // end-to-end: packSequences over the ids tokenizer materializes packed
+    // ID rows of exactly seqLen (the training-ready artifact)
+    val docs = (0L until 4L).map(i => (i, "s", "hello world hello"))
+      .toDF("doc_id", "source", "text") // 4 ids/doc (world = wor+ld) -> 16 ids
+    val packed = graft.ops.Packing.packSequences(docs, seqLen = 4,
+        tokenize = c => TextAnalysis.bpeTokenizeIds(c, vocab))
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getSeq[Int](2).toList).toMap
+    assert(packed === Map(
+      0L -> List(4, 5, 6, 4), 1L -> List(4, 5, 6, 4),
+      2L -> List(4, 5, 6, 4), 3L -> List(4, 5, 6, 4)))
+  }
+
   test("bpe token budgets: tokenBudgetSample and packGreedy count in vocab units when asked") {
     import graft.ops.{Packing, Sampling}
     val vocab = Seq("aa", "bb", "aabb")
