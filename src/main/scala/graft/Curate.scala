@@ -85,9 +85,11 @@ object Curate {
           s"graft.Curate: option '$opt' must be <key>=<value>")
       }
       k match {
+        // empty entries from stray commas are DROPPED, never passed on: an
+        // empty regex matches every URL and would silently delete the corpus
         case "urlCol"           => c.copy(urlCol = Some(v))
-        case "blockedDomains"   => c.copy(blockedDomains = v.split(",").toSeq)
-        case "urlPatterns"      => c.copy(urlPatterns = v.split(",").toSeq)
+        case "blockedDomains"   => c.copy(blockedDomains = v.split(",").toSeq.filter(_.nonEmpty))
+        case "urlPatterns"      => c.copy(urlPatterns = v.split(",").toSeq.filter(_.nonEmpty))
         case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
         case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
         case "spanMinDf"        => c.copy(spanMinDf = v.toInt)
@@ -120,14 +122,24 @@ object Curate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (clean, dirty) = DocumentSources.readJsonl(spark, corpusPath)
-    val benchmark =
-      if (benchPath == "none") None
-      else Some(DocumentSources.readJsonl(spark, benchPath)._1)
-
     val (config, targetPath) = parseConfig(
       Curation.Config(materialize = Curation.parquetMaterializer(s"$outDir/stages")),
       args.drop(3).toSeq)
+
+    // a configured url column must survive the JSONL parse: extend the
+    // fixed document schema with it (string), else the url_filter stage
+    // would fail on an unresolvable column
+    val schema = config.urlCol match {
+      case Some(u) if !DocumentSources.DocumentSchema.fieldNames.contains(u) =>
+        org.apache.spark.sql.types.StructType(
+          DocumentSources.DocumentSchema.fields :+
+            org.apache.spark.sql.types.StructField(u, org.apache.spark.sql.types.StringType))
+      case _ => DocumentSources.DocumentSchema
+    }
+    val (clean, dirty) = DocumentSources.readJsonl(spark, corpusPath, schema)
+    val benchmark =
+      if (benchPath == "none") None
+      else Some(DocumentSources.readJsonl(spark, benchPath)._1)
     val dsirTarget = targetPath.map(p => DocumentSources.readJsonl(spark, p)._1)
 
     val result = Curation.curate(clean, benchmark, config,

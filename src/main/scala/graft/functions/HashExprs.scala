@@ -828,7 +828,13 @@ object HashExprs {
     }
     private val tries =
       new java.util.concurrent.ConcurrentHashMap[IndexedSeq[String], Node]()
-    private[HashExprs] def trieFor(vocab: IndexedSeq[String]): Node =
+    // bounded: a long-lived shared application cycling through many vocabs
+    // (experiments, per-tenant tokenizers) must not grow the executor heap
+    // monotonically — on overflow the whole cache drops and rebuilds on
+    // demand (vocab churn is rare; steady state is one or two entries)
+    private val MaxCachedVocabs = 8
+    private[HashExprs] def trieFor(vocab: IndexedSeq[String]): Node = {
+      if (tries.size >= MaxCachedVocabs && !tries.containsKey(vocab)) tries.clear()
       tries.computeIfAbsent(vocab, v => {
         val r = new Node
         var idx = 0
@@ -846,6 +852,7 @@ object HashExprs {
         }
         r
       })
+    }
   }
 
   case class BpeTokenCount(child: Expression, vocab: IndexedSeq[String])

@@ -66,14 +66,18 @@ object Packing {
     * empties dropped — the repo-shared unit); pass e.g. a vocab-id
     * tokenizer to pack ids instead of strings.
     *
-    * Scale shape: one window shuffle of doc-level ints (the per-stratum
-    * running offset — [[packGreedy]]'s shape), then ONE token-level shuffle
-    * grouping `(stratum, gpos/seqLen)`: that shuffle IS the output
-    * materialization (packed sequences ≈ corpus size, there is no smaller
-    * answer), and per-group state is bounded by `seqLen` (`collect_list`
-    * never holds more than one sequence). Strata stay independent — the
-    * parallelism unit — and `seq_id` is a pure function of (corpus, order),
-    * so runs and retries agree. Feed the output to
+    * Scale shape: ONE corpus-wide shuffle total (plan-pinned in OpsSpec) —
+    * the per-stratum window exchange, which carries each document's token
+    * array exactly once (the output ≈ corpus size, so SOME corpus-wide
+    * movement is unavoidable; once is optimal). The `(stratum, seq_id)`
+    * grouping then runs PARTITION-LOCALLY: hash partitioning on the
+    * stratum already co-locates every `(stratum, seq)` group (Catalyst's
+    * subset rule), so no second exchange exists, and per-group state is
+    * bounded by `seqLen` (`collect_list` never holds more than one
+    * sequence). Strata are the parallelism unit — a stratum's stream
+    * assembles within one partition (inherent to its prefix sum; split
+    * giant strata by source × date upstream). `seq_id` is a pure function
+    * of (corpus, order), so runs and retries agree. Feed the output to
     * [[graft.ops.Sampling.shuffleShards]] keyed on (stratum, seq_id) for
     * training-order randomization. */
   def packSequences(docs: DataFrame, seqLen: Int,

@@ -44,15 +44,19 @@ object UrlFilter {
       s => s =!= "")
   }
 
-  /** Mark each document's URL verdicts: adds `host`, `blocked_domain`
-    * (host or any parent domain in `blockedDomains`), `blocked_pattern`
-    * (lowercased URL matches any of `patterns` — RE2-safe regexes, the
-    * [[TextAnalysis.redactPii]] discipline), and `url_ok` (neither blocked
-    * AND the host parsed). Row-local; blocklist as a plan literal — use
-    * [[markBlockedAgainst]] when the blocklist itself is a table. */
-  def markBlocked(docs: DataFrame, urlCol: String,
-                  blockedDomains: Seq[String],
-                  patterns: Seq[String] = Nil): DataFrame = {
+  /** The three verdict columns, shared by the mark and filter forms.
+    * Patterns match against the LOWERCASED URL, so they must be lowercase
+    * themselves and non-empty — both enforced loudly (an uppercase pattern
+    * could never match and an empty regex matches EVERYTHING, silently
+    * deleting the corpus). RE2-safe regexes, the [[TextAnalysis.redactPii]]
+    * discipline. */
+  private def verdicts(urlCol: String, blockedDomains: Seq[String],
+                       patterns: Seq[String]): (Column, Column, Column) = {
+    patterns.foreach { p =>
+      require(p.nonEmpty, "UrlFilter: empty pattern would match every URL")
+      require(!p.exists(_.isUpper),
+        s"UrlFilter: pattern '$p' has uppercase — matching runs on the LOWERCASED url")
+    }
     val h = host(col(urlCol))
     val dom =
       if (blockedDomains.isEmpty) lit(false)
@@ -60,6 +64,29 @@ object UrlFilter {
         lit(blockedDomains.map(_.toLowerCase).distinct.toArray))
     val pat = patterns.foldLeft(lit(false))((acc, p) =>
       acc || lower(coalesce(col(urlCol), lit(""))).rlike(p))
+    (h, dom, pat)
+  }
+
+  private def requireNoClash(docs: DataFrame, cols: Seq[String], op: String): Unit = {
+    val clash = cols.filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"UrlFilter.$op: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first (the verdict columns are part of the output contract)")
+  }
+
+  /** Mark each document's URL verdicts: adds `host`, `blocked_domain`
+    * (host or any parent domain in `blockedDomains`), `blocked_pattern`
+    * (lowercase URL matches any of `patterns` — see [[verdicts]] for the
+    * pattern contract), and `url_ok` (neither blocked AND the host parsed).
+    * Refuses loudly if the input already carries any verdict column.
+    * Row-local; blocklist as a plan literal — use [[markBlockedAgainst]]
+    * when the blocklist itself is a table. */
+  def markBlocked(docs: DataFrame, urlCol: String,
+                  blockedDomains: Seq[String],
+                  patterns: Seq[String] = Nil): DataFrame = {
+    requireNoClash(docs, Seq("host", "blocked_domain", "blocked_pattern", "url_ok"),
+      "markBlocked")
+    val (h, dom, pat) = verdicts(urlCol, blockedDomains, patterns)
     docs.withColumn("host", h)
       .withColumn("blocked_domain", dom)
       .withColumn("blocked_pattern", pat)
@@ -67,13 +94,16 @@ object UrlFilter {
         !col("blocked_domain") && !col("blocked_pattern") && length(col("host")) > 0)
   }
 
-  /** The filter form: keep only documents passing [[markBlocked]]. */
+  /** The filter form: keep only passing documents. The verdicts are inlined
+    * in the filter predicate — NO columns are added or dropped, so the
+    * input schema (including any pre-existing `host` column) passes through
+    * untouched. */
   def applyFilter(docs: DataFrame, urlCol: String,
                   blockedDomains: Seq[String],
-                  patterns: Seq[String] = Nil): DataFrame =
-    markBlocked(docs, urlCol, blockedDomains, patterns)
-      .filter(col("url_ok"))
-      .drop("host", "blocked_domain", "blocked_pattern", "url_ok")
+                  patterns: Seq[String] = Nil): DataFrame = {
+    val (h, dom, pat) = verdicts(urlCol, blockedDomains, patterns)
+    docs.filter(!dom && !pat && length(h) > 0)
+  }
 
   /** Blocklist-AT-SCALE variant: `domains` is a one-column (`domain`)
     * DataFrame of registered domains (public blocklists run to millions of
@@ -83,6 +113,7 @@ object UrlFilter {
     * distinct hit ids join back — id+suffix strings only, never text. */
   def markBlockedAgainst(docs: DataFrame, urlCol: String, domains: DataFrame,
                          idCol: String = "doc_id"): DataFrame = {
+    requireNoClash(docs, Seq("host", "blocked_domain"), "markBlockedAgainst")
     val h = host(col(urlCol))
     val hits = docs
       .select(col(idCol), explode(domainSuffixes(h)).as("__suf"))

@@ -112,23 +112,30 @@ class DocumentSourcesSpec extends SparkSpec {
       Curate.parseConfig(Curation.Config(), Seq("nope=1"))
     }
 
-    // end-to-end: the mixture stages reach the written output
+    // end-to-end: the url filter + mixture stages reach the written output
+    // (the url column survives the JSONL parse via the extended schema)
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
     val base = tmpDir("graft_curate_opts")
     val corpusDir = s"$base/corpus"; val outDir = s"$base/out"
     Files.createDirectories(java.nio.file.Paths.get(corpusDir))
-    val corpusLines = (0 until 3).map(i =>
-      s"""{"doc_id":$i,"source":"web","text":"the and ${words(s"w${i}x", 55)}"}""")
+    val corpusLines = (0 until 3).map { i =>
+      val url = if (i == 1) "https://x.bad.com/p" else s"https://ok$i.org/p"
+      s"""{"doc_id":$i,"source":"web","text":"the and ${words(s"w${i}x", 55)}","url":"$url"}"""
+    }
     Files.write(java.nio.file.Paths.get(corpusDir, "corpus.jsonl"),
       corpusLines.mkString("\n").getBytes("UTF-8"))
-    Curate.main(Array(corpusDir, "none", outDir, "upsample=web:2.0", "numShards=2"))
+    Curate.main(Array(corpusDir, "none", outDir, "upsample=web:2.0", "numShards=2",
+      "urlCol=url", "blockedDomains=bad.com"))
     val curated = spark.read.json(s"$outDir/curated")
-    // every doc doubled (factor 2.0), shard/pos landed in the output
-    assert(curated.count() === 6L)
+    // doc 1 blocked by domain; the 2 survivors doubled (factor 2.0)
+    assert(curated.count() === 4L)
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 2L))
     assert(Seq("copy", "shard", "pos").forall(curated.columns.contains))
     val audit = spark.read.json(s"$outDir/audit")
-      .select("stage").collect().map(_.getString(0)).toSet
-    assert(Set("upsample", "shuffle_shards").subsetOf(audit))
+      .select("stage", "n_in", "n_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit("url_filter") === ((3L, 2L)))
+    assert(Set("upsample", "shuffle_shards").subsetOf(audit.keySet))
   }
 
   test("text sources: per-file and per-line docs with deterministic ids") {

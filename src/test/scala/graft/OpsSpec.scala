@@ -1538,6 +1538,18 @@ class OpsSpec extends SparkSpec {
       .filter(col("source") === "s1")
       .collect().map(r => r.getSeq[Int](2).toList)
     assert(idsOut.toList === List(List(2, 2, 2, 2)))
+    // plan pin: ONE corpus-wide exchange total — the window's stratum
+    // shuffle moves the token arrays once, and the (stratum, seq_id)
+    // grouping reuses that partitioning (subset rule), adding none
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = Packing.packSequences(docs, seqLen = 4)
+        .queryExecution.executedPlan
+        .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.length === 1,
+        s"expected the single window exchange, got ${exchanges.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("topTermsSketch plan: the token stream reaches ONLY the broadcast candidate join — no vocabulary shuffle") {
