@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
   * team actually runs, composing the library's individually oracle-checked
   * stages in their canonical order:
   *
+  *   0. URL/domain blocklist filtering ([[UrlFilter.applyFilter]], opt-in;
+  *      the only stage that never reads the text at all, so it runs first)
   *   1. rule-based quality gates ([[QualityGates.applyGates]])
   *   2. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
   *      whose every line was boilerplate drop out)
