@@ -107,9 +107,23 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(cfg.tokenBudgets === Map("web" -> 1000L))
     assert(cfg.upsampleFactors === Map("books" -> 2.5))
     assert(cfg.numShards === Some(16) && cfg.seed === "s1")
+    // url keys parse, and stray-comma empties are DROPPED (an empty regex
+    // would match every URL)
+    val (uCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
+      "urlCol=u", "blockedDomains=a.com,,b.org", "urlPatterns=casino,"))
+    assert(uCfg.urlCol === Some("u"))
+    assert(uCfg.blockedDomains === Seq("a.com", "b.org"))
+    assert(uCfg.urlPatterns === Seq("casino"))
     // a typo must refuse, not silently run the default pipeline
     intercept[IllegalArgumentException] {
       Curate.parseConfig(Curation.Config(), Seq("nope=1"))
+    }
+    // malformed key=value / stratum:value fail with the usage error, not MatchError
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("docLineDedup"))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("sampleRates=web50"))
     }
 
     // end-to-end: the url filter + mixture stages reach the written output
