@@ -142,14 +142,15 @@ object Ingest {
   private[graft] def processBatch(batch: DataFrame, batchId: Long, outDir: String,
                                   benchHashes: Option[DataFrame],
                                   threshold: Double,
-                                  materialize: DataFrame => DataFrame = _.localCheckpoint(true)): (Long, Long, Long) = {
+                                  materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+                                  prepare: DataFrame => DataFrame = identity): (Long, Long, Long) = {
     val s = batch.sparkSession
     val corpusDir = s"$outDir/corpus"
     val indexDir = s"$outDir/index"
     val countsDir = s"$outDir/counts"
-    // cut the micro-batch once: it is consumed by the flag join, the
-    // near-dup probe, and the landing write
-    val b = batch.localCheckpoint(true)
+    // cut the micro-batch once (after the caller's prepare stage): it is
+    // consumed by the flag join, the near-dup probe, and the landing write
+    val b = prepare(batch).localCheckpoint(true)
     val flaggedB = benchHashes match {
       case Some(h) => Dedup.flagContaminated(b, broadcast(h))
       case None    => b.withColumn("contaminated", lit(false))
@@ -198,12 +199,23 @@ object Ingest {
     * — same contract as [[graft.ops.Curation.Config.materialize]]: the
     * `localCheckpoint` default is right for a single box; a long-running
     * cluster ingest passes a durable write-through so an executor loss
-    * mid-batch cannot strand the checkpointed pair blocks. */
+    * mid-batch cannot strand the checkpointed pair blocks.
+    *
+    * `prepare` runs on each micro-batch BEFORE the contamination flag and
+    * the dedup tiers — the injection point for the row-local quality
+    * stages a real ingest gates with (e.g.
+    * `graft.ops.QualityGates.applyGates(_)`,
+    * `graft.ops.UrlFilter.applyFilter(_, ...)`, PII redaction). It MUST be
+    * deterministic and row-local (filter/rewrite only — no aggregation, no
+    * `rand()`): a replayed batch re-runs it, and crash idempotence needs
+    * the replay to land the identical survivor set. Documents it drops
+    * simply never reach the corpus (they show as input − accepted). */
   def run(spark: SparkSession, inDir: String, benchmark: Option[DataFrame],
           outDir: String, threshold: Double = 0.8, watermark: String = "1 hour",
           trigger: Trigger = Trigger.AvailableNow(),
           readerOptions: Map[String, String] = Map.empty,
-          materialize: DataFrame => DataFrame = _.localCheckpoint(true)): Result = {
+          materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+          prepare: DataFrame => DataFrame = identity): Result = {
     val benchHashes = benchmark.map(b =>
       b.select(explode(Dedup.shingleHashes(col("text"), k = 8)).as("__h"))
         .distinct()
@@ -220,7 +232,7 @@ object Ingest {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
           val (a, d, f) = processBatch(batch0, batchId, outDir, benchHashes,
-            threshold, materialize)
+            threshold, materialize, prepare)
           batches += 1; accepted += a; dropped += d; flagged += f
         }
       }

@@ -345,6 +345,23 @@ class StreamingSpec extends SparkSpec {
     assert(folded === full)
   }
 
+  test("Ingest prepare hook: a row-local pre-stage gates the batch before the dedup tiers") {
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val base = SparkSpec.tempDir("graft_ingest_prepare_")
+    val in = s"$base/in"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.jsonl"), Seq(
+      s"""{"doc_id":1,"text":"the and ${words("alpha", 55)}"}""", // passes gates
+      s"""{"doc_id":2,"text":"tiny"}""")                          // fails word-count gate
+      .mkString("\n").getBytes("UTF-8"))
+    val r = Ingest.run(spark, in, None, out,
+      prepare = graft.ops.QualityGates.applyGates(_))
+    assert(r === Ingest.Result(batches = 1, accepted = 1, droppedNearDup = 0,
+      flaggedContaminated = 0))
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("Ingest crash-idempotence: replayed batch rewrites its own partitions; restart resumes from disk") {
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
     val base = SparkSpec.tempDir("graft_ingest_replay_")
