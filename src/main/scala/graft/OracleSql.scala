@@ -1313,6 +1313,53 @@ object OracleSql {
         AS BIGINT) AS n_ok
     FROM m GROUP BY 1"""
 
+  /** C4 line-rule cleaning — mirrors graft.ops.QualityGates.cleanLines
+    * (minWords 5, the PolicyPhrases set) over the q71 synthesized pages:
+    * 4-8 template lines per doc (cycle by (doc_id + i) % 6) plus a "lorem
+    * ipsum" line on every 11th doc. Rule order policy → short → noterm on
+    * the space-trimmed line; kept lines reassemble in order and hash. */
+  private val q71 = s"""
+    WITH base AS (SELECT doc_id, source, (doc_id % 5) + 4 AS nl,
+        (doc_id % 11 = 0) AS blocked FROM documents),
+    idx AS (SELECT doc_id, source, blocked, nl,
+        unnest(range(0, nl + CASE WHEN blocked THEN 1 ELSE 0 END)) AS i
+      FROM base),
+    lines AS (SELECT doc_id, source, blocked, i,
+        CASE WHEN i >= nl THEN 'lorem ipsum dolor sit amet.'
+             WHEN (doc_id + i) % 6 = 0 THEN 'document ' || doc_id || ' line '
+               || i || ' carries plenty of words to keep.'
+             WHEN (doc_id + i) % 6 = 1 THEN 'too short.'
+             WHEN (doc_id + i) % 6 = 2
+               THEN 'this line has enough words but no terminal punctuation'
+             WHEN (doc_id + i) % 6 = 3
+               THEN 'please enable javascript to continue reading this page.'
+             WHEN (doc_id + i) % 6 = 4
+               THEN 'we value your privacy policy preferences every single day.'
+             ELSE 'another valid sentence number ' || i
+               || ' with sufficient length!' END AS line
+      FROM idx),
+    ruled AS (SELECT doc_id, source, blocked, i, line,
+        CASE WHEN lower(trim(line)) LIKE '%javascript%'
+               OR lower(trim(line)) LIKE '%lorem ipsum%'
+               OR lower(trim(line)) LIKE '%terms of use%'
+               OR lower(trim(line)) LIKE '%privacy policy%'
+               OR lower(trim(line)) LIKE '%cookie%' THEN 'policy'
+             WHEN len(list_filter(string_split(trim(line), ' '),
+               x -> x <> '')) < 5 THEN 'short'
+             WHEN right(trim(line), 1) NOT IN ('.', '!', '?', '"')
+               THEN 'noterm'
+             ELSE 'kept' END AS verdict
+      FROM lines)
+    SELECT doc_id, ANY_VALUE(source) AS source,
+      CAST(COUNT(*) FILTER (WHERE verdict = 'kept') AS BIGINT) AS n_lines_kept,
+      CAST(COUNT(*) FILTER (WHERE verdict = 'short') AS BIGINT) AS n_lines_short,
+      CAST(COUNT(*) FILTER (WHERE verdict = 'noterm') AS BIGINT) AS n_lines_noterm,
+      CAST(COUNT(*) FILTER (WHERE verdict = 'policy') AS BIGINT) AS n_lines_policy,
+      ANY_VALUE(blocked) AS doc_blocked,
+      md5(COALESCE(string_agg(line, chr(10) ORDER BY i)
+        FILTER (WHERE verdict = 'kept'), '')) AS clean_hash
+    FROM ruled GROUP BY doc_id"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1389,6 +1436,7 @@ object OracleSql {
     "q67_char_entropy"      -> q67,
     "q68_top_terms_sketch"  -> q68,
     "q69_pack_sequences"    -> q69,
-    "q70_url_filter"        -> q70
+    "q70_url_filter"        -> q70,
+    "q71_clean_lines"       -> q71
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -897,6 +897,48 @@ object SparkEntry {
         sum(col("url_ok").cast("long")).as("n_ok"))
   }
 
+  /** C4-style line-rule cleaning ([[graft.ops.QualityGates.cleanLines]]):
+    * the documents table is single-line, so a multi-line page is SYNTHESIZED
+    * deterministically from doc_id (the q70 synthesize-inputs pattern) —
+    * each doc gets 4-8 lines drawn from a fixed template cycle covering
+    * every rule (kept / short / no-terminal / javascript / privacy-policy),
+    * and every 11th doc gains a "lorem ipsum" line that also trips the
+    * page-level block. Integer tallies per rule plus `md5(text_clean)` pin
+    * the exact reassembled text (including the zero-kept documents whose
+    * template window happens to contain no clean line). The synthesis is a
+    * transform over ints + literals (cheap per element), and the one
+    * expensive consumer reference is the single compiled
+    * [[graft.functions.HashExprs.CleanLineStats]] pass behind its Generate
+    * barrier; `doc_blocked` re-reads only the synthesized string. */
+  private def q71CleanLines(s: SparkSession, dir: String): DataFrame = {
+    val nl = pmod(col("doc_id"), lit(5)) + lit(4)
+    val lineFor = (i: Column) => {
+      val m = pmod(col("doc_id") + i, lit(6))
+      when(m === 0, concat(lit("document "), col("doc_id").cast("string"),
+          lit(" line "), i.cast("string"), lit(" carries plenty of words to keep.")))
+        .when(m === 1, lit("too short."))
+        .when(m === 2, lit("this line has enough words but no terminal punctuation"))
+        .when(m === 3, lit("please enable javascript to continue reading this page."))
+        .when(m === 4, lit("we value your privacy policy preferences every single day."))
+        .otherwise(concat(lit("another valid sentence number "), i.cast("string"),
+          lit(" with sufficient length!")))
+    }
+    val arr = transform(sequence(lit(0), nl - 1), lineFor)
+    val page = when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(arr, array(lit("lorem ipsum dolor sit amet."))))
+      .otherwise(arr)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), array_join(page, "\n").as("text"))
+    graft.ops.QualityGates.cleanLines(docs, minWords = 5)
+      .select(col("doc_id"), col("source"),
+        col("n_lines_kept").cast("long").as("n_lines_kept"),
+        col("n_lines_short").cast("long").as("n_lines_short"),
+        col("n_lines_noterm").cast("long").as("n_lines_noterm"),
+        col("n_lines_policy").cast("long").as("n_lines_policy"),
+        col("doc_blocked"),
+        md5(col("text")).as("clean_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -967,7 +1009,8 @@ object SparkEntry {
     "q67_char_entropy"      -> q67CharEntropy _,
     "q68_top_terms_sketch"  -> q68TopTermsSketch _,
     "q69_pack_sequences"    -> q69PackSequences _,
-    "q70_url_filter"        -> q70UrlFilter _
+    "q70_url_filter"        -> q70UrlFilter _,
+    "q71_clean_lines"       -> q71CleanLines _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -745,6 +745,91 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** C4-style line-level rule cleaning (Raffel et al., JMLR 2020,
+    * arXiv:1910.10683 §2.2): classify every line of a document and keep only
+    * the clean ones. Rules run on the space-trimmed line (lowercased for the
+    * phrase check); the ORIGINAL line text is what survives. First matching
+    * rule wins, in C4's application order:
+    *   1. `policy` — the lowercased line contains any of `phrases` (the
+    *      javascript / cookie-notice / placeholder boilerplate set);
+    *   2. `short`  — fewer than `minWords` space-separated words;
+    *   3. `noterm` — does not end in terminal punctuation (`.` `!` `?` `"`,
+    *      C4's set);
+    *   4. otherwise `kept` (the line joins the cleaned text).
+    * One pass per row, returned as a STRUCT (cleaned text + the four
+    * per-rule tallies). Evaluate it behind a Generate barrier
+    * ([[graft.ops.QualityGates.cleanLines]] does) so the pass runs once per
+    * row rather than once per referenced field — interpreted expressions get
+    * no cross-reference CSE (the [[BigramTopFraction]] note). Space-only
+    * trim and word-split semantics (the [[DedupDocLines]] contract) keep the
+    * DuckDB oracle exact; phrases must be lowercase and non-empty (enforced
+    * by the wrapper). */
+  case class CleanLineStats(child: Expression, minWords: Int, phrases: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean", StringType, nullable = false),
+      StructField("kept", IntegerType, nullable = false),
+      StructField("short", IntegerType, nullable = false),
+      StructField("noterm", IntegerType, nullable = false),
+      StructField("policy", IntegerType, nullable = false)))
+    override def prettyName: String = "clean_line_stats"
+
+    private def wordCount(t: String): Int = {
+      var c = 0
+      var in = false
+      var i = 0
+      while (i < t.length) {
+        val sp = t.charAt(i) == ' '
+        if (!sp && !in) c += 1
+        in = !sp
+        i += 1
+      }
+      c
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      // -1 limit: keep trailing empty strings, exactly like Spark's split()
+      val lines = input.asInstanceOf[UTF8String].toString.split("\n", -1)
+      val sb = new java.lang.StringBuilder
+      var kept = 0
+      var short = 0
+      var noterm = 0
+      var policy = 0
+      var first = true
+      var i = 0
+      while (i < lines.length) {
+        val raw = lines(i)
+        var a = 0
+        var b = raw.length
+        while (a < b && raw.charAt(a) == ' ') a += 1
+        while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+        val t = raw.substring(a, b)
+        val lt = t.toLowerCase(java.util.Locale.ROOT)
+        if (phrases.exists(lt.contains)) policy += 1
+        else if (wordCount(t) < minWords) short += 1
+        else {
+          // t is non-empty here whenever minWords >= 1; the isEmpty guard
+          // covers the degenerate minWords = 0 configuration
+          val last = if (t.isEmpty) ' ' else t.charAt(t.length - 1)
+          if (last != '.' && last != '!' && last != '?' && last != '"') noterm += 1
+          else {
+            if (!first) sb.append('\n')
+            sb.append(raw)
+            first = false
+            kept += 1
+          }
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(sb.toString), kept, short, noterm, policy)
+    }
+
+    override protected def withNewChildInternal(c: Expression): CleanLineStats =
+      copy(child = c)
+  }
+
   /** Shannon character entropy (nats) of a string — the
     * gibberish/compressibility signal of the quality family: natural prose
     * sits in a characteristic band, while base64 blobs and minified code
@@ -999,6 +1084,9 @@ object HashExprs {
 
   def dedupDocLines(text: Column, minLineLen: Int = 1): Column =
     ColumnBridge.column(DedupDocLines(ColumnBridge.expression(text), minLineLen))
+
+  def cleanLineStats(text: Column, minWords: Int, phrases: Seq[String]): Column =
+    ColumnBridge.column(CleanLineStats(ColumnBridge.expression(text), minWords, phrases))
 
   /** PRECONDITION (oracle parity): [[CharEntropy]] counts UTF-16 code UNITS
     * (`charAt`/`length`), while SQL engines like DuckDB count code POINTS —

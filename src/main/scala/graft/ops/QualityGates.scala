@@ -125,4 +125,68 @@ object QualityGates {
         fails(4).as("n_fail_stop"),
         sum(when(col("__g") === 0x1F, col("__n")).otherwise(0L)).as("n_pass"))
   }
+
+  /** C4's line-level boilerplate phrase set (Raffel et al., JMLR 2020,
+    * arXiv:1910.10683 §2.2): a line containing any of these (checked on the
+    * lowercased line) is dropped as `policy` — javascript prompts, cookie /
+    * privacy-policy notices, and filler placeholders. Lowercase by
+    * construction (the check lowercases the LINE, never the phrase). */
+  val PolicyPhrases: Seq[String] =
+    Seq("javascript", "lorem ipsum", "terms of use", "privacy policy", "cookie")
+
+  /** C4's PAGE-level kill rules: a document containing the "lorem ipsum"
+    * placeholder or a curly brace (source code) is dropped whole, regardless
+    * of its lines. Row-local boolean. */
+  def docBlocked(text: Column): Column =
+    contains(lower(coalesce(text, lit(""))), lit("lorem ipsum")) ||
+      contains(coalesce(text, lit("")), lit("{"))
+
+  /** C4-style line cleaning, mark form: `textCol` is rewritten to its kept
+    * lines ([[graft.functions.HashExprs.CleanLineStats]] — terminal
+    * punctuation, >= `minWords` words, no `phrases` boilerplate; first
+    * failing rule tallied), plus `n_lines_kept` / `n_lines_short` /
+    * `n_lines_noterm` / `n_lines_policy` and the page-level [[docBlocked]]
+    * verdict as `doc_blocked`. Every input document is preserved — the
+    * filter form is [[applyLineRules]].
+    *
+    * Scale shape: one compiled pass per row behind a Generate barrier (the
+    * struct is computed ONCE per document, then its fields project out —
+    * the [[graft.ops.Dedup.simhashCandidates]] barrier pattern); zero
+    * shuffles. `textCol` should be a stored (or cheap) column — the
+    * [[graft.ops.LineDedup.perLineDedup]] contract: the plan references it
+    * twice (the line pass + `doc_blocked`). */
+  def cleanLines(docs: DataFrame, textCol: String = "text", minWords: Int = 5,
+                 phrases: Seq[String] = PolicyPhrases): DataFrame = {
+    require(phrases.nonEmpty, "cleanLines: phrases must be non-empty")
+    phrases.foreach { p =>
+      require(p.nonEmpty && p == p.toLowerCase(java.util.Locale.ROOT),
+        s"cleanLines: phrases must be non-empty lowercase (matched against " +
+          s"the LOWERCASED line — an uppercase phrase never matches): '$p'")
+    }
+    val stats = graft.functions.HashExprs.cleanLineStats(
+      coalesce(col(textCol), lit("")), minWords, phrases)
+    val marked = docs
+      .withColumn("__doc_blocked", docBlocked(col(textCol)))
+      .select(col("*"), explode(array(stats)).as("__lr"))
+    val outCols = docs.columns.map { c =>
+      if (c == textCol) col("__lr.clean").as(textCol) else col(c)
+    } ++ Seq(
+      col("__lr.kept").as("n_lines_kept"),
+      col("__lr.short").as("n_lines_short"),
+      col("__lr.noterm").as("n_lines_noterm"),
+      col("__lr.policy").as("n_lines_policy"),
+      col("__doc_blocked").as("doc_blocked"))
+    marked.select(outCols: _*)
+  }
+
+  /** C4-style line cleaning, filter form: line-rule-rewritten documents
+    * ([[cleanLines]]) that are not [[docBlocked]] and keep at least
+    * `minKeptLines` lines; the audit columns are dropped. */
+  def applyLineRules(docs: DataFrame, textCol: String = "text",
+                     minWords: Int = 5, minKeptLines: Int = 1,
+                     phrases: Seq[String] = PolicyPhrases): DataFrame =
+    cleanLines(docs, textCol, minWords, phrases)
+      .filter(!col("doc_blocked") && col("n_lines_kept") >= minKeptLines)
+      .drop("n_lines_kept", "n_lines_short", "n_lines_noterm",
+        "n_lines_policy", "doc_blocked")
 }

@@ -685,6 +685,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("clean lines: each C4 rule trips on its line; kept lines reassemble in order") {
+    val page = Seq(
+      "this first sentence easily carries enough words to keep.", // kept
+      "too short.",                                               // short (2 words)
+      "this line has plenty of words but never terminates",       // noterm
+      "please enable JavaScript to continue reading here.",       // policy (case-insensitive)
+      "  padded line with spaces around it keeps its raw form.  ",// kept (rules on trim)
+      "We use cookie banners to annoy every visitor today.",      // policy ("cookie")
+      "exactly five words right here!",                           // kept (boundary: 5 >= 5)
+      "only four words here?"                                     // short (4 < 5)
+    ).mkString("\n")
+    val out = QualityGates.cleanLines(Seq((0L, page)).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("n_lines_kept") === 3)
+    assert(out.getAs[Int]("n_lines_short") === 2)
+    assert(out.getAs[Int]("n_lines_noterm") === 1)
+    assert(out.getAs[Int]("n_lines_policy") === 2)
+    assert(!out.getAs[Boolean]("doc_blocked"))
+    // the ORIGINAL (untrimmed) kept lines, joined in input order
+    assert(out.getAs[String]("text") === Seq(
+      "this first sentence easily carries enough words to keep.",
+      "  padded line with spaces around it keeps its raw form.  ",
+      "exactly five words right here!").mkString("\n"))
+  }
+
+  test("clean lines: rule precedence is policy > short > noterm; page-level blocks") {
+    // a 3-word javascript line fails policy AND short: tallied policy only
+    val r = QualityGates.cleanLines(Seq(
+      (0L, "enable javascript now"),
+      (1L, "lorem ipsum text means this whole page dies here."),
+      (2L, "a code sample { return 1; } blocks the page too."),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_lines_policy"), x.getAs[Int]("n_lines_short"),
+          x.getAs[Boolean]("doc_blocked")))).toMap
+    assert(r(0L) === ((1, 0, false)))
+    assert(r(1L)._3 && r(2L)._3)                      // lorem ipsum + curly brace
+    assert(r(3L) === ((0, 1, false)))                 // null -> '' -> one short line
+    // filter form: blocked pages and zero-kept docs leave; schema restored
+    val kept = QualityGates.applyLineRules(Seq(
+      (0L, "this surviving sentence easily carries enough words to keep."),
+      (1L, "lorem ipsum text means this whole page dies here."),
+      (2L, "enable javascript now")
+    ).toDF("doc_id", "text"))
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // loud contract: uppercase or empty phrases are configuration errors
+    intercept[IllegalArgumentException] {
+      QualityGates.cleanLines(Seq((0L, "x")).toDF("doc_id", "text"),
+        phrases = Seq("JavaScript"))
+    }
+  }
+
   test("lexicon: top-K vocab cutoff is deterministic; OOV counts match by hand") {
     val d = Seq((0L, "x x x y"), (1L, "y z w")).toDF("doc_id", "text")
       .withColumn("source", concat(lit("s"), col("doc_id")))
