@@ -1360,6 +1360,41 @@ object OracleSql {
         FILTER (WHERE verdict = 'kept'), '')) AS clean_hash
     FROM ruled GROUP BY doc_id"""
 
+  /** Hashed linear classifier — mirrors graft.ops.Classifier (buckets 4096,
+    * unigrams, bias 0): NBSVM log-odds weights from lang='en' vs the rest
+    * (per-side ln rounded to 9 dp as DECIMAL(20,9), full-outer over seen
+    * buckets, count-0 default for unseen), exact decimal per-doc logits,
+    * mean-pooled score as ONE double division of exact inputs. */
+  private val q72 = s"""
+    WITH toks AS (SELECT doc_id, lang,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    bt AS (SELECT doc_id, lang,
+        ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS b FROM toks),
+    cp AS (SELECT b, COUNT(*) AS np FROM bt WHERE lang = 'en' GROUP BY b),
+    cn AS (SELECT b, COUNT(*) AS nn FROM bt WHERE lang <> 'en' GROUP BY b),
+    tp AS (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) AS tp FROM cp),
+    tn AS (SELECT CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS tn FROM cn),
+    w AS (SELECT COALESCE(cp.b, cn.b) AS b,
+        CAST(round(ln(CAST(COALESCE(cp.np, 0) + 1 AS DOUBLE)
+            / CAST(tp.tp + 4096 AS DOUBLE)), 9) AS DECIMAL(20,9))
+        - CAST(round(ln(CAST(COALESCE(cn.nn, 0) + 1 AS DOUBLE)
+            / CAST(tn.tn + 4096 AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w
+      FROM cp FULL OUTER JOIN cn ON cp.b = cn.b CROSS JOIN tp CROSS JOIN tn),
+    w0 AS (SELECT
+        CAST(round(ln(1.0 / CAST(tp.tp + 4096 AS DOUBLE)), 9) AS DECIMAL(20,9))
+        - CAST(round(ln(1.0 / CAST(tn.tn + 4096 AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w0
+      FROM tp CROSS JOIN tn),
+    db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bt GROUP BY 1, 2),
+    sc AS (SELECT db.doc_id,
+        SUM(db.cnt * COALESCE(w.w, w0.w0)) AS s,
+        CAST(SUM(db.cnt) AS BIGINT) AS n
+      FROM db LEFT JOIN w ON db.b = w.b CROSS JOIN w0 GROUP BY 1)
+    SELECT doc_id, n AS n_features,
+      CAST(round(s, 6) AS DOUBLE) AS logit,
+      CAST(round(CAST(s AS DOUBLE) / n, 6) AS DOUBLE) AS score,
+      (s > 0) AS label
+    FROM sc"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1437,6 +1472,7 @@ object OracleSql {
     "q68_top_terms_sketch"  -> q68,
     "q69_pack_sequences"    -> q69,
     "q70_url_filter"        -> q70,
-    "q71_clean_lines"       -> q71
+    "q71_clean_lines"       -> q71,
+    "q72_classifier"        -> q72
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -939,6 +939,23 @@ object SparkEntry {
         md5(col("text")).as("clean_hash"))
   }
 
+  /** Hashed linear quality classifier ([[graft.ops.Classifier]]): NBSVM
+    * log-odds weights fitted on the `lang = 'en'` documents (positive)
+    * against everything else (negative), then the WHOLE corpus scored —
+    * the quality-classifier filter shape of a GPT-3/LLaMA-style pipeline,
+    * with the fit and the scoring both oracle-reproduced. Exact decimal
+    * logits make `label` an integer-exact comparison; `logit`/`score`
+    * surface as 6-dp doubles (the q60 rounding contract). */
+  private def q72Classifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = graft.ops.Classifier.fitLogOdds(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"))
+    graft.ops.Classifier.scoreDocs(docs, w)
+      .select(col("doc_id"), col("n_features"),
+        round(col("logit"), 6).cast("double").as("logit"),
+        col("score"), col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1010,7 +1027,8 @@ object SparkEntry {
     "q68_top_terms_sketch"  -> q68TopTermsSketch _,
     "q69_pack_sequences"    -> q69PackSequences _,
     "q70_url_filter"        -> q70UrlFilter _,
-    "q71_clean_lines"       -> q71CleanLines _
+    "q71_clean_lines"       -> q71CleanLines _,
+    "q72_classifier"        -> q72Classifier _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

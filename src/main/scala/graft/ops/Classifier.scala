@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based quality filtering — the classifier stage of a pre-training
+  * curation pipeline (score every document against a small labeled seed set,
+  * keep the ones that look like the good side), as a hashed LINEAR text
+  * classifier: fastText's architecture (Joulin et al., EACL 2017,
+  * arXiv:1607.01759 — bag of hashed n-gram features, mean-pooled, one linear
+  * head) with Naive-Bayes log-count-ratio weights (the NBSVM baseline of
+  * Wang & Manning, ACL 2012) fitted from a positive and a negative corpus.
+  * This is the published shape of the GPT-3/LLaMA-style "quality classifier"
+  * filter, minus gradient training — log-odds fitting is closed-form, exact,
+  * and engine-reproducible, which is what the oracle discipline demands.
+  *
+  * Why hashed buckets (the [[Importance]] argument verbatim): the feature
+  * space is FIXED at `buckets` entries regardless of corpus size, so the
+  * fitted weight table is always broadcast-sized — vocabulary growth at
+  * 100 TB changes collision rates, never memory shape. Seen-bucket weights
+  * are `ln((cp+1)/(Tp+B)) − ln((cn+1)/(Tn+B))` (Laplace-smoothed class
+  * log-odds); buckets unseen in BOTH classes get the same formula at count
+  * 0, carried as one sentinel row (`b = -1`) so scoring never needs a
+  * second table.
+  *
+  * Engine-exactness (the [[Importance.dsirWeights]] decimal discipline):
+  * each `ln` is computed once per bucket in double, rounded to 9 decimals,
+  * fixed as DECIMAL(20,9); per-document logits multiply exact occurrence
+  * counts by those decimals and sum — aggregation-order-independent, so the
+  * DuckDB oracle reproduces every logit and label bit-for-bit. The mean
+  * pooled `score` divides the exact decimal logit by the exact feature
+  * count in ONE double division (deterministic IEEE rounding of exact
+  * inputs — both engines agree).
+  *
+  * Scale shape — one pass over each corpus:
+  *  1. n-grams hash to `int` buckets row-locally BEFORE any wide op (no
+  *     token string ever shuffles; bigram STRINGS exist only inside the
+  *     row-local gram array);
+  *  2. fitting aggregates to at most `buckets` rows per class (map-side
+  *     combine makes the shuffle bucket-bounded, not corpus-bounded), and
+  *     every post-agg frame is bucket- or single-row-sized;
+  *  3. scoring's only corpus-sized shuffle is the per-doc `(id, bucket,
+  *     cnt)` aggregation — ints only — probed by the DSIR rows in PLANS.md
+  *     (identical plan shape); the weight table broadcasts by construction.
+  */
+object Classifier {
+
+  /** `(keep..., b)` hashed feature rows of a corpus: unigram buckets, plus
+    * adjacent-bigram buckets when `wordNgrams = 2` (fastText's wordNgrams).
+    * Gram strings are built by a row-local transform; the md5 bucketing
+    * itself runs AFTER the explode, in a codegen'd projection (the
+    * [[Importance.dsirWeights]] path). Empty text contributes its single
+    * empty-string token — every document has at least one feature, so no
+    * document silently drops out of scoring. */
+  private def featureRows(df: DataFrame, textCol: String, keep: Seq[Column],
+                          buckets: Int, wordNgrams: Int): DataFrame = {
+    val toks = split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")
+    val grams =
+      if (wordNgrams == 1) toks
+      else concat(toks, TextAnalysis.tokenBigrams(col(textCol)))
+    df.select(keep :+ explode(grams).as("tok"): _*)
+      .select(keep :+ Importance.bucketOf(col("tok"), buckets).as("b"): _*)
+  }
+
+  private val Dec = DecimalType(20, 9)
+
+  /** Fit NBSVM log-count-ratio weights from a positive and a negative
+    * corpus: `(b, w DECIMAL(20,9))` for every bucket seen in either class,
+    * plus one sentinel row `b = -1` holding the unseen-bucket default
+    * (both counts 0 — the same smoothed formula, so scoring coalesces to it
+    * instead of consulting a second table). The class-prior bias
+    * `ln(Np/Nn)` is deliberately NOT folded in — pass it to [[scoreDocs]]'s
+    * `bias` if wanted (0 keeps the decision boundary at equal class
+    * likelihood, the usual choice when the seed sets' sizes are arbitrary).
+    *
+    * Everything after the two feature scans is bucket-bounded: the weight
+    * table never exceeds `buckets + 1` rows no matter the corpus. */
+  def fitLogOdds(pos: DataFrame, neg: DataFrame, textCol: String = "text",
+                 buckets: Int = 4096, wordNgrams: Int = 1): DataFrame = {
+    require(buckets > 0, s"fitLogOdds: buckets must be > 0, got $buckets")
+    require(wordNgrams == 1 || wordNgrams == 2,
+      s"fitLogOdds: wordNgrams must be 1 or 2, got $wordNgrams")
+    val cp = featureRows(pos, textCol, Seq.empty, buckets, wordNgrams)
+      .groupBy(col("b")).agg(count(lit(1)).as("cp"))
+    val cn = featureRows(neg, textCol, Seq.empty, buckets, wordNgrams)
+      .groupBy(col("b")).agg(count(lit(1)).as("cn"))
+    val tp = broadcast(cp.agg(coalesce(sum(col("cp")), lit(0L)).cast("long").as("tp")))
+    val tn = broadcast(cn.agg(coalesce(sum(col("cn")), lit(0L)).cast("long").as("tn")))
+    def side(cnt: Column, total: Column): Column =
+      round(log((cnt + 1L).cast("double") / (total + buckets).cast("double")), 9).cast(Dec)
+    val seen = cp.join(cn, Seq("b"), "full_outer")
+      .crossJoin(tp).crossJoin(tn)
+      .select(col("b"),
+        (side(coalesce(col("cp"), lit(0L)), col("tp"))
+          - side(coalesce(col("cn"), lit(0L)), col("tn"))).as("w"))
+    val sentinel = tp.crossJoin(tn)
+      .select(lit(-1L).as("b"),
+        (side(lit(0L), col("tp")) - side(lit(0L), col("tn"))).as("w"))
+    seen.unionByName(sentinel)
+  }
+
+  /** Score a corpus against a fitted weight table ([[fitLogOdds]]'s
+    * contract: `(b, w)` rows plus the `b = -1` unseen-bucket sentinel).
+    * Returns one row per document: `n_features` (unigram + optional bigram
+    * occurrences), `logit` (exact decimal `Σ cnt·w + bias`), `score`
+    * (mean-pooled `round(logit / n_features, 6)` double — fastText's
+    * pooling, length-invariant for thresholding), and `label`
+    * (`logit > 0`, an exact decimal comparison).
+    *
+    * `wordNgrams` and `buckets` MUST match the fit (enforced for the
+    * sentinel's presence, trusted for the rest — a bucket count is not
+    * recoverable from the table). */
+  def scoreDocs(docs: DataFrame, weights: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", buckets: Int = 4096,
+                wordNgrams: Int = 1, bias: Double = 0.0): DataFrame = {
+    require(wordNgrams == 1 || wordNgrams == 2,
+      s"scoreDocs: wordNgrams must be 1 or 2, got $wordNgrams")
+    val biasDec = lit(java.math.BigDecimal.valueOf(bias)
+      .setScale(9, java.math.RoundingMode.HALF_UP)).cast(Dec)
+    val w0 = broadcast(weights.filter(col("b") === -1L).select(col("w").as("w0")))
+    val db = featureRows(docs, textCol, Seq(col(idCol)), buckets, wordNgrams)
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // cnt narrows to DECIMAL(12,0) before the multiply — the
+    // [[Importance.dsirWeights]] overflow note (long × (21,9) would silently
+    // lose scale at precision 38)
+    db.join(broadcast(weights.filter(col("b") >= 0L)), Seq("b"), "left")
+      .crossJoin(w0)
+      .groupBy(col(idCol))
+      .agg(
+        // the sum arrives as DECIMAL(38,9); adding the (20,9) bias to THAT
+        // would need precision 39, and Spark resolves the overflow by
+        // silently dropping to scale 8 — per-doc rounding that breaks the
+        // exact-logit contract. |logit| < n_features · max|w| stays far
+        // under 10^19, so narrowing the sum to (28,9) first is exact and
+        // keeps the bias add inside precision 38.
+        (sum(col("cnt").cast(DecimalType(12, 0)) * coalesce(col("w"), col("w0")))
+          .cast(DecimalType(28, 9)) + biasDec).as("logit"),
+        sum(col("cnt")).cast("long").as("n_features"))
+      .select(col(idCol), col("n_features"), col("logit"),
+        round(col("logit").cast("double") / col("n_features"), 6).as("score"),
+        (col("logit") > 0).as("label"))
+  }
+
+  /** The filter form: documents the classifier labels positive — fit on the
+    * seed sets, score, keep `label`. One left-semi join on id; the corpus
+    * columns pass through untouched. */
+  def filterByClassifier(docs: DataFrame, pos: DataFrame, neg: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         buckets: Int = 4096, wordNgrams: Int = 1,
+                         bias: Double = 0.0): DataFrame = {
+    val w = fitLogOdds(pos, neg, textCol, buckets, wordNgrams)
+    val kept = scoreDocs(docs, w, textCol, idCol, buckets, wordNgrams, bias)
+      .filter(col("label")).select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+}

@@ -45,7 +45,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Importance {
 
-  private def bucketOf(tok: Column, buckets: Int): Column =
+  private[ops] def bucketOf(tok: Column, buckets: Int): Column =
     conv(substring(md5(tok), 1, 14), 16, 10).cast("long") % buckets
 
   /** Per-document DSIR log importance weights of `raw` against `target` —

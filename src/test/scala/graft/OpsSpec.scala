@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Importance, Lexicon, Multimodal, QualityGates, Sampling, Similarity, Sketches, SpanDedup, TextAnalysis}
+import graft.ops.{Classifier, Curation, Dedup, Importance, Lexicon, Multimodal, QualityGates, Sampling, Similarity, Sketches, SpanDedup, TextAnalysis}
 
 /** Semantic unit tests for the training-data-pipeline operators on corpora
   * small enough to verify by hand (the DuckDB oracle covers them at scale —
@@ -737,6 +737,60 @@ class OpsSpec extends SparkSpec {
       QualityGates.cleanLines(Seq((0L, "x")).toDF("doc_id", "text"),
         phrases = Seq("JavaScript"))
     }
+  }
+
+  test("classifier: log-odds fit separates topical corpora on held-out docs") {
+    val pos = Seq.tabulate(8)(i => (100L + i,
+      s"the cat and the dog played in the sunny garden today number $i")).toDF("doc_id", "text")
+    val neg = Seq.tabulate(8)(i => (200L + i,
+      s"quarterly stock market earnings fell before the trading deadline number $i")).toDF("doc_id", "text")
+    val held = Seq(
+      (0L, "a cat sat near the dog in the garden"),
+      (1L, "stock prices rallied as market trading opened"),
+      (2L, "zzz qqq unseen tokens only")).toDF("doc_id", "text")
+    val w = Classifier.fitLogOdds(pos, neg)
+    val out = Classifier.scoreDocs(held, w).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("label"), r.getAs[Double]("score")))).toMap
+    assert(out(0L)._1 && out(0L)._2 > 0)               // garden doc -> positive
+    assert(!out(1L)._1 && out(1L)._2 < 0)              // market doc -> negative
+    // score is length-invariant mean pooling: label sign == logit sign
+    assert(out.values.forall { case (l, s) => l == (s > 0) || s == 0.0 })
+  }
+
+  test("classifier: all-unseen docs score exactly n * sentinel weight") {
+    // tokens chosen collision-free mod 4096 (checked offline): every held
+    // feature coalesces to the b = -1 sentinel, so the logit is EXACTLY
+    // n * (round9(ln(1/(Tp+B))) - round9(ln(1/(Tn+B)))), Tp=3, Tn=2
+    val w = Classifier.fitLogOdds(
+      Seq((0L, "aa bb cc")).toDF("doc_id", "text"),
+      Seq((1L, "dd ee")).toDF("doc_id", "text"))
+    def r9(x: Double) = java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    val w0 = r9(math.log(1.0 / (3 + 4096))).subtract(r9(math.log(1.0 / (2 + 4096))))
+    val logit = Classifier.scoreDocs(Seq((9L, "zz yy")).toDF("doc_id", "text"), w)
+      .select(col("logit").cast("string")).collect().head.getString(0)
+    assert(new java.math.BigDecimal(logit).compareTo(
+      w0.multiply(java.math.BigDecimal.valueOf(2))) === 0)
+  }
+
+  test("classifier: wordNgrams=2 separates order-only corpora that unigrams cannot") {
+    val pos = Seq.tabulate(6)(i => (100L + i, "a b a b a b")).toDF("doc_id", "text")
+    val neg = Seq.tabulate(6)(i => (200L + i, "b a b a b a")).toDF("doc_id", "text")
+    val held = Seq((0L, "a b"), (1L, "b a")).toDF("doc_id", "text")
+    // unigram counts are IDENTICAL (3 a, 3 b per doc): unigram scores tie
+    val w1 = Classifier.fitLogOdds(pos, neg, wordNgrams = 1)
+    val s1 = Classifier.scoreDocs(held, w1, wordNgrams = 1)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1(0L) === s1(1L))
+    // bigrams break the tie: "a b" leans pos ("a b" x3 vs x2), "b a" leans neg
+    val w2 = Classifier.fitLogOdds(pos, neg, wordNgrams = 2)
+    val s2 = Classifier.scoreDocs(held, w2, wordNgrams = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("label")).toMap
+    assert(s2(0L) && !s2(1L))
+    // filter form keeps exactly the positively-labeled docs, schema intact
+    val kept = Classifier.filterByClassifier(held, pos, neg, wordNgrams = 2)
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
   test("lexicon: top-K vocab cutoff is deterministic; OOV counts match by hand") {
