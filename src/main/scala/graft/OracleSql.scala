@@ -1395,6 +1395,17 @@ object OracleSql {
       (s > 0) AS label
     FROM sc"""
 
+  /** Train/val/test hash split — mirrors graft.ops.Sampling.hashSplit
+    * (seed 'graft', weights 8/1/1): bucket = md5-56 of 'graft:split:' || id
+    * mod 10, cumulative CASE. */
+  private val q73 = s"""
+    SELECT doc_id,
+      CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+        ('0x' || substr(md5('graft:split:' || doc_id::VARCHAR), 1, 14))::BIGINT
+          % 10 AS b
+      FROM documents)"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1473,6 +1484,7 @@ object OracleSql {
     "q69_pack_sequences"    -> q69,
     "q70_url_filter"        -> q70,
     "q71_clean_lines"       -> q71,
-    "q72_classifier"        -> q72
+    "q72_classifier"        -> q72,
+    "q73_hash_split"        -> q73
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -956,6 +956,15 @@ object SparkEntry {
         col("score"), col("label"))
   }
 
+  /** Deterministic train/val/test split ([[graft.ops.Sampling.hashSplit]],
+    * 8/1/1): every assignment is a pure function of (seed, doc_id), so the
+    * oracle reproduces the full per-document labeling — the strongest
+    * possible check for a splitter (not just the counts). */
+  private def q73HashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSplit(t(s, dir, "documents"),
+        Seq(("train", 8), ("val", 1), ("test", 1)))
+      .select(col("doc_id"), col("split"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1028,7 +1037,8 @@ object SparkEntry {
     "q69_pack_sequences"    -> q69PackSequences _,
     "q70_url_filter"        -> q70UrlFilter _,
     "q71_clean_lines"       -> q71CleanLines _,
-    "q72_classifier"        -> q72Classifier _
+    "q72_classifier"        -> q72Classifier _,
+    "q73_hash_split"        -> q73HashSplit _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -75,9 +75,16 @@ object Classifier {
     * likelihood, the usual choice when the seed sets' sizes are arbitrary).
     *
     * Everything after the two feature scans is bucket-bounded: the weight
-    * table never exceeds `buckets + 1` rows no matter the corpus. */
+    * table never exceeds `buckets + 1` rows no matter the corpus. The
+    * result returns EAGERLY through `materialize` (the [[Importance]] hook
+    * contract — default `localCheckpoint(true)`, pass
+    * [[Curation.parquetMaterializer]] or a warehouse writer on a cluster):
+    * [[scoreDocs]] references the table twice (sentinel + seen buckets),
+    * and an un-materialized fit would re-scan both seed corpora per
+    * reference. */
   def fitLogOdds(pos: DataFrame, neg: DataFrame, textCol: String = "text",
-                 buckets: Int = 4096, wordNgrams: Int = 1): DataFrame = {
+                 buckets: Int = 4096, wordNgrams: Int = 1,
+                 materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(buckets > 0, s"fitLogOdds: buckets must be > 0, got $buckets")
     require(wordNgrams == 1 || wordNgrams == 2,
       s"fitLogOdds: wordNgrams must be 1 or 2, got $wordNgrams")
@@ -97,7 +104,7 @@ object Classifier {
     val sentinel = tp.crossJoin(tn)
       .select(lit(-1L).as("b"),
         (side(lit(0L), col("tp")) - side(lit(0L), col("tn"))).as("w"))
-    seen.unionByName(sentinel)
+    materialize(seen.unionByName(sentinel))
   }
 
   /** Score a corpus against a fitted weight table ([[fitLogOdds]]'s
@@ -149,8 +156,9 @@ object Classifier {
   def filterByClassifier(docs: DataFrame, pos: DataFrame, neg: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          buckets: Int = 4096, wordNgrams: Int = 1,
-                         bias: Double = 0.0): DataFrame = {
-    val w = fitLogOdds(pos, neg, textCol, buckets, wordNgrams)
+                         bias: Double = 0.0,
+                         materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val w = fitLogOdds(pos, neg, textCol, buckets, wordNgrams, materialize)
     val kept = scoreDocs(docs, w, textCol, idCol, buckets, wordNgrams, bias)
       .filter(col("label")).select(col(idCol))
     docs.join(kept, Seq(idCol), "left_semi")

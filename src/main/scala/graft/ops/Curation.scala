@@ -9,28 +9,36 @@ import org.apache.spark.sql.functions._
   *
   *   0. URL/domain blocklist filtering ([[UrlFilter.applyFilter]], opt-in;
   *      the only stage that never reads the text at all, so it runs first)
-  *   1. rule-based quality gates ([[QualityGates.applyGates]])
-  *   2. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
+  *   1. C4 line-level rule cleaning ([[QualityGates.applyLineRules]],
+  *      opt-in; boilerplate/short/unterminated lines are cut IN PLACE and
+  *      "lorem ipsum"/curly-brace pages dropped whole)
+  *   2. rule-based quality gates ([[QualityGates.applyGates]])
+  *   3. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
   *      whose every line was boilerplate drop out)
-  *   3. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
+  *   4. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
   *      repeated lines WITHIN a document keep only their first occurrence)
-  *   4. exact document dedup ([[Dedup.exact]], first-wins)
-  *   5. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
+  *   5. exact document dedup ([[Dedup.exact]], first-wins)
+  *   6. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
   *      cross-document hot character runs are excised in place)
-  *   6. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
+  *   7. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
   *      keeps its BEST copy — highest quality, ties to the smaller id)
-  *   7. benchmark decontamination ([[Dedup.contamination]])
-  *   8. DSIR target-matching selection ([[Importance.dsirWeights]] →
+  *   8. benchmark decontamination ([[Dedup.contamination]])
+  *   9. model-based quality filtering ([[Classifier.filterByClassifier]],
+  *      opt-in; NBSVM log-odds classifier fitted on caller seed sets)
+  *  10. DSIR target-matching selection ([[Importance.dsirWeights]] →
   *      [[Importance.dsirTopK]] / [[Importance.dsirResample]], opt-in)
-  *   9. deterministic mixture sampling ([[Sampling.stratifiedSample]])
-  *  10. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
-  *  11. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
+  *  11. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *  12. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
+  *  13. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
   *      opt-in; adds a `copy` column — (id, copy) is the unique key after)
-  *  12. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
+  *  14. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
   *      adds `shard`/`pos` — the training-shard layout, the LAST step)
   *
-  * The order matters and is the industry-standard one: gates first (cheapest,
-  * biggest kill rate), line dedup before document dedup (shared boilerplate
+  * The order matters and is the industry-standard one: line rules BEFORE the
+  * gates (they rewrite the text, and the gates should judge the CLEANED
+  * document — C4 applies its line filters first for the same reason), gates
+  * early (cheapest whole-doc verdict, biggest kill rate), line dedup before
+  * document dedup (shared boilerplate
   * masks real near-dups AND fakes false ones), span dedup AFTER exact dedup
   * but BEFORE near-dup — span excision removes a hot run from EVERY holder,
   * so running it on un-deduped text would see each exact-duplicate pair as a
@@ -38,8 +46,10 @@ import org.apache.spark.sql.functions._
   * collapses that mass to one holder, df=1, untouched), while running it
   * before near-dup means boilerplate spans can no longer fake near-duplicate
   * pairs (and two documents differing ONLY in boilerplate correctly merge) —
-  * decontamination after dedup (fewer docs to probe), selection and sampling
-  * on the CLEAN corpus, token budgets on UNIQUE ids (before upsampling makes
+  * decontamination after dedup (fewer docs to probe), the classifier after
+  * dedup + decontamination (duplicate mass would otherwise weight what the
+  * model sees, and scoring fewer documents is cheaper — the LLaMA-style
+  * ordering), selection and sampling on the CLEAN corpus, token budgets on UNIQUE ids (before upsampling makes
   * copies), the shard shuffle last (training order is drawn over the final
   * mixture).
   *
@@ -98,6 +108,12 @@ object Curation {
     *  - `nearDupQuality` overrides the best-copy policy (default:
     *    keep-longest normalized text; pass any deterministic per-row
     *    Column, e.g. a [[QualityGates]] score);
+    *  - `lineRules = true` enables C4 line-level rule cleaning
+    *    (`lineRuleMinWords`/`lineRuleMinKept`/`lineRulePhrases` are
+    *    [[QualityGates.applyLineRules]]'s knobs);
+    *  - a `classifierSeeds` pair on [[curate]] enables model-based quality
+    *    filtering (`classifierBuckets`/`classifierNgrams`/`classifierBias`
+    *    are [[Classifier.filterByClassifier]]'s knobs);
     *  - `dsirKeep = Some(k)` + a `dsirTarget` on [[curate]] enables DSIR
     *    selection of the k best target-matching documents
     *    (`dsirTemperature = None` → argmax top-k; `Some(t)` → Gumbel
@@ -119,6 +135,13 @@ object Curation {
       blockedDomains: Seq[String] = Nil,
       urlPatterns: Seq[String] = Nil,
       gates: Boolean = true,
+      lineRules: Boolean = false,
+      lineRuleMinWords: Int = 5,
+      lineRuleMinKept: Int = 1,
+      lineRulePhrases: Seq[String] = QualityGates.PolicyPhrases,
+      classifierBuckets: Int = 4096,
+      classifierNgrams: Int = 1,
+      classifierBias: Double = 0.0,
       lineDedup: Boolean = true,
       docLineDedup: Boolean = false,
       docLineMinLen: Int = 1,
@@ -181,12 +204,15 @@ object Curation {
     *
     * `dsirTarget` is the DSIR selection's target distribution (e.g. a
     * held-out high-quality corpus with the same `textCol`); required when
-    * `config.dsirKeep` is set, ignored otherwise. */
+    * `config.dsirKeep` is set, ignored otherwise. `classifierSeeds` is the
+    * model-based filter's (positive, negative) labeled seed pair — passing
+    * it enables the classifier stage. */
   def curate(docs: DataFrame, benchmark: Option[DataFrame] = None,
              config: Config = Config(),
              textCol: String = "text", idCol: String = "doc_id",
              strataCol: String = "source",
-             dsirTarget: Option[DataFrame] = None): Result = {
+             dsirTarget: Option[DataFrame] = None,
+             classifierSeeds: Option[(DataFrame, DataFrame)] = None): Result = {
     require(config.dsirKeep.isEmpty || dsirTarget.isDefined,
       "curate: config.dsirKeep is set but no dsirTarget was passed")
     val spark = docs.sparkSession
@@ -212,6 +238,10 @@ object Curation {
       // all (the C4 ordering — kill blocked sources before touching bytes)
       UrlFilter.applyFilter(d, config.urlCol.get, config.blockedDomains,
         config.urlPatterns)
+    }
+    step("line_rules", config.lineRules) { d =>
+      QualityGates.applyLineRules(d, textCol, config.lineRuleMinWords,
+        config.lineRuleMinKept, config.lineRulePhrases)
     }
     step("quality_gates", config.gates) { d =>
       QualityGates.applyGates(d, textCol)
@@ -251,6 +281,12 @@ object Curation {
       val bad = Dedup.contamination(d, benchmark.get, textCol, idCol,
         config.decontaminationShingleK)
       d.join(bad, Seq(idCol), "left_anti")
+    }
+    step("classifier", classifierSeeds.isDefined) { d =>
+      val (p, n) = classifierSeeds.get
+      Classifier.filterByClassifier(d, p, n, textCol, idCol,
+        config.classifierBuckets, config.classifierNgrams,
+        config.classifierBias, config.materialize)
     }
     step("dsir_select", config.dsirKeep.isDefined) { d =>
       val w = Importance.dsirWeights(d, dsirTarget.get, textCol, idCol,

@@ -98,6 +98,37 @@ object Sampling {
     stratifiedSample(df, strataCol = idCol, rates = Map.empty, idCol = idCol,
       defaultRate = rate, seed = seed)
 
+  /** Deterministic dataset split — the train/validation/test partition every
+    * training corpus needs, as a pure function of (seed, id): the id's
+    * [[hashBucket]] over `Σ weights` buckets lands in the first split whose
+    * cumulative weight exceeds it. A document's split NEVER changes as the
+    * corpus grows (adding docs reassigns nobody — the property a
+    * contamination-free eval split needs, and why splitting by row_number
+    * or `rand()` is wrong), and disjointness + exhaustiveness hold by
+    * construction. Expected proportions are `weight/Σ weights` with the
+    * usual hash variance; exact-quota splits are [[tokenBudgetSample]]'s
+    * territory.
+    *
+    * `splits` order matters (cumulative ranges) and names must be unique;
+    * weights are positive integers (e.g. `("train", 8) :: ("val", 1) ::
+    * ("test", 1) :: Nil`). Adds `split`; row-local, zero shuffles. */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Int)],
+                idCol: String = "doc_id", seed: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: splits must be non-empty")
+    require(splits.forall(_._2 > 0),
+      s"hashSplit: weights must be positive, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"hashSplit: split names must be unique, got ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    val b = hashBucket(col(idCol), s"$seed:split", total)
+    val cum = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val label = splits.zip(cum).tail.foldLeft(
+      when(b < cum.head, lit(splits.head._1))) {
+      case (expr, ((name, _), hi)) => expr.when(b < hi, lit(name))
+    }
+    df.withColumn("split", label)
+  }
+
   /** Fractional-epoch mixture upsampling: training recipes weight sources by
     * EPOCH COUNTS, not just down-sampling rates — "2.5 epochs of books, 0.7
     * of web" (the LLaMA/Gopher mixture idiom). A factor `f` replicates every

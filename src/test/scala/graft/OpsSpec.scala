@@ -739,6 +739,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hash split: disjoint, exhaustive, and stable under corpus growth") {
+    val d1 = spark.range(0, 500).toDF("doc_id")
+    val splits = Seq(("train", 8), ("val", 1), ("test", 1))
+    val s1 = Sampling.hashSplit(d1, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.size === 500)                             // every doc labeled once
+    val byName = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > 300)                       // ~80% of 500, hash variance
+    // growing the corpus 4x reassigns NOBODY (the anti-leak property)
+    val s2 = Sampling.hashSplit(spark.range(0, 2000).toDF("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // a different seed draws an INDEPENDENT split (some docs move)
+    val s3 = Sampling.hashSplit(d1, splits, seed = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.exists { case (id, sp) => s3(id) != sp })
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(d1, Seq(("a", 1), ("a", 2)))   // duplicate names
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(d1, Seq(("a", 0)))             // non-positive weight
+    }
+  }
+
   test("classifier: log-odds fit separates topical corpora on held-out docs") {
     val pos = Seq.tabulate(8)(i => (100L + i,
       s"the cat and the dog played in the sunny garden today number $i")).toDF("doc_id", "text")
@@ -1796,5 +1821,47 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.curate(corpus, config = cfg)
     }
+  }
+
+  test("curation: line rules run before gates; classifier stage filters after dedup") {
+    val goodLine = "this perfectly ordinary sentence carries plenty of words to keep."
+    val corpus = Seq(
+      // doc 0: one clean line + one javascript line -> line rules cut the
+      // noise, the cleaned doc must still be judged by what REMAINS
+      (0L, s"$goodLine\nplease enable javascript to continue here.", "web"),
+      (1L, "lorem ipsum dolor sit amet fills this entire page.", "web"), // page-blocked
+      (2L, goodLine, "web"),
+      (3L, goodLine, "web")                              // exact dup of 2
+    ).toDF("doc_id", "text", "source")
+    val cfg = Curation.Config(lineRules = true, gates = false, lineDedup = false,
+      nearDupThreshold = None)
+    val r = Curation.curate(corpus, config = cfg)
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit.map(_._1) === Seq("line_rules", "exact_dedup"))
+    assert(audit.head === (("line_rules", 4L, 3L)))      // doc 1 page-blocked
+    // doc 0's surviving text is EXACTLY the clean line -> all three
+    // survivors are now exact duplicates; first-wins keeps doc 0 alone
+    // (the line-rules-before-dedup ordering at work)
+    assert(audit(1) === (("exact_dedup", 3L, 1L)))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
+
+    // classifier stage: seeds separate prose from markets; survivors match
+    // the directly-composed filter on the deduped corpus
+    val pos = Seq((100L, "ordinary prose sentences carry words to keep and read")).toDF("doc_id", "text")
+    val neg = Seq((200L, "stock market earnings trading deadline quarterly report")).toDF("doc_id", "text")
+    val mixed = Seq(
+      (0L, "ordinary prose words to keep reading along", "web"),
+      (1L, "stock market trading report earnings fell", "web"),
+      (2L, "ordinary prose words to keep reading along", "web")  // exact dup of 0
+    ).toDF("doc_id", "text", "source")
+    val cfg2 = Curation.Config(gates = false, lineDedup = false,
+      nearDupThreshold = None)
+    val r2 = Curation.curate(mixed, config = cfg2, classifierSeeds = Some((pos, neg)))
+    assert(r2.audit.collect().map(_.getString(0)).toSeq === Seq("exact_dedup", "classifier"))
+    val direct = Classifier.filterByClassifier(
+      Dedup.exact(mixed)._1, pos, neg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r2.corpus.select("doc_id").collect().map(_.getLong(0)).toSet === direct)
+    assert(direct === Set(0L))                           // market doc filtered
   }
 }
