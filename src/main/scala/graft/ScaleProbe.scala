@@ -234,6 +234,17 @@ object ScaleProbe {
           .agg(coalesce(sum(col("dsir_sum").cast("double")), lit(0.0)))
           .collect().head.getDouble(0).toLong
       }
+      timed("classifier", n) {
+        // q72 shape: fit NBSVM log-odds on the 10% slice vs the rest, then
+        // score the WHOLE corpus — dsir_weights' bucket-int discipline plus
+        // the bucket-bounded fit aggs; fold the mean-pooled scores so the
+        // broadcast scoring join and exact decimal logits fully evaluate
+        val w = graft.ops.Classifier.fitLogOdds(
+          d.filter(col("doc_id") < benchCut), d.filter(col("doc_id") >= benchCut))
+        graft.ops.Classifier.scoreDocs(d, w)
+          .agg(coalesce(sum(col("score")), lit(0.0)))
+          .collect().head.getDouble(0).toLong
+      }
       timed("pq_topk", n) {
         // q61 shape (pure ADC): corpus scan carries 8 ints/vector; compare
         // against brute_force_topk (full 64-double scan) at the same points

@@ -1588,6 +1588,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("round-11 plans: classifier shuffles no strings, weights broadcast; clean lines never exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = (0L until 60L).map(i => (i, s"w${i % 7} x$i y${i % 3} z$i a b c d e f"))
+        .toDF("doc_id", "text")
+      // q72 scoring: n-grams hash to int buckets row-locally — no shuffle
+      // carries a string; the weight table (bucket-bounded) broadcasts
+      val w = Classifier.fitLogOdds(d.filter(col("doc_id") < 10),
+        d.filter(col("doc_id") >= 10), materialize = df => df)
+      val exec = Classifier.scoreDocs(d, w).queryExecution.executedPlan
+      val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "sanity: scoring has the per-doc bucket agg shuffle")
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.dataType == StringType),
+          s"a classifier shuffle carries a string column: ${s.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+      assert(exec.toString.contains("BroadcastHashJoin"), exec.toString.take(2000))
+      // q71: line cleaning is one compiled pass per row — ZERO exchanges
+      val clPlan = QualityGates.cleanLines(d).queryExecution.executedPlan
+      assert(clPlan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"cleanLines must be row-local:\n${clPlan.toString.take(2000)}")
+      // and the compiled struct appears ONCE in the plan (the Generate
+      // barrier holds — no per-field re-evaluation after CollapseProject)
+      assert("clean_line_stats".r.findAllIn(clPlan.toString).length === 1,
+        s"CleanLineStats must evaluate once:\n${clPlan.toString.take(2500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("curation: url filter runs FIRST when configured; audit counts the drops") {
     val corpus = Seq(
       (1L, "s", "some text", "https://good.org/a"),
