@@ -1406,6 +1406,91 @@ object OracleSql {
           % 10 AS b
       FROM documents)"""
 
+  /** Gopher repetition statistics — mirrors
+    * graft.ops.TextAnalysis.repetitionStats over the q66 line synthesis:
+    * line tier over raw chr(10) lines (space-trim-empty lines excluded,
+    * duplicate occurrences beyond the first), n-gram tier over the
+    * whitespace token stream (claim = occurrences x gram char length,
+    * max-claim per n), each fraction ONE double division of exact ints. */
+  private val q74 = s"""
+    WITH ml AS (SELECT doc_id, source,
+        regexp_replace($dedupNormSql, '(\\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS t
+      FROM documents),
+    l0 AS (SELECT doc_id, unnest(str_split(t, chr(10))) AS line FROM ml),
+    l AS (SELECT doc_id, line FROM l0 WHERE trim(line) <> ''),
+    lc AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+      FROM l GROUP BY doc_id, line),
+    lagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+        CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+        CAST(SUM((c - 1) * len) AS BIGINT) AS dup_chars,
+        CAST(SUM(c * len) AS BIGINT) AS line_chars
+      FROM lc GROUP BY doc_id),
+    tks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS tks
+      FROM ml),
+    sc AS (SELECT doc_id, tks,
+        CASE WHEN len(tks) = 0 THEN 0
+             ELSE CAST(list_sum(list_transform(tks, x -> length(x))) AS BIGINT)
+               + len(tks) - 1 END AS stream_chars
+      FROM tks),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+        i -> array_to_string(list_slice(tks, i, i + 1), ' '))) AS g
+      FROM sc WHERE len(tks) >= 2),
+    c2 AS (SELECT doc_id, CAST(MAX(cnt * length(g)) AS BIGINT) AS top FROM
+      (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+    g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tks) - 1),
+        i -> array_to_string(list_slice(tks, i, i + 2), ' '))) AS g
+      FROM sc WHERE len(tks) >= 3),
+    c3 AS (SELECT doc_id, CAST(MAX(cnt * length(g)) AS BIGINT) AS top FROM
+      (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
+    g4 AS (SELECT doc_id, unnest(list_transform(range(1, len(tks) - 2),
+        i -> array_to_string(list_slice(tks, i, i + 3), ' '))) AS g
+      FROM sc WHERE len(tks) >= 4),
+    c4 AS (SELECT doc_id, CAST(MAX(cnt * length(g)) AS BIGINT) AS top FROM
+      (SELECT doc_id, g, COUNT(*) AS cnt FROM g4 GROUP BY doc_id, g) GROUP BY doc_id)
+    SELECT ml.doc_id, ml.source,
+      CAST(COALESCE(lagg.n_lines, 0) AS BIGINT) AS rep_n_lines,
+      round(CASE WHEN COALESCE(lagg.n_lines, 0) = 0 THEN 0
+        ELSE CAST(lagg.dup_lines AS DOUBLE) / lagg.n_lines END, 6) AS dup_line_frac,
+      round(CASE WHEN COALESCE(lagg.line_chars, 0) = 0 THEN 0
+        ELSE CAST(lagg.dup_chars AS DOUBLE) / lagg.line_chars END, 6) AS dup_line_char_frac,
+      round(CASE WHEN COALESCE(sc.stream_chars, 0) = 0 THEN 0
+        ELSE CAST(COALESCE(c2.top, 0) AS DOUBLE) / sc.stream_chars END, 6) AS top2gram_char_frac,
+      round(CASE WHEN COALESCE(sc.stream_chars, 0) = 0 THEN 0
+        ELSE CAST(COALESCE(c3.top, 0) AS DOUBLE) / sc.stream_chars END, 6) AS top3gram_char_frac,
+      round(CASE WHEN COALESCE(sc.stream_chars, 0) = 0 THEN 0
+        ELSE CAST(COALESCE(c4.top, 0) AS DOUBLE) / sc.stream_chars END, 6) AS top4gram_char_frac
+    FROM ml
+    LEFT JOIN lagg ON ml.doc_id = lagg.doc_id
+    LEFT JOIN sc ON ml.doc_id = sc.doc_id
+    LEFT JOIN c2 ON ml.doc_id = c2.doc_id
+    LEFT JOIN c3 ON ml.doc_id = c3.doc_id
+    LEFT JOIN c4 ON ml.doc_id = c4.doc_id"""
+
+  /** Cluster-balanced sampling — mirrors
+    * graft.ops.Similarity.clusterBalancedSample (16 md5-ordered sample
+    * centroids = q35's quantizer; argmax cosine, ties to smaller cid; per
+    * cell keep the 20 smallest by (md5-56 of 'graft:id', id)). */
+  private val q75 = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id LIMIT 16),
+    ccos AS (SELECT e.vec_id AS id, c.cid,
+        CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos
+      FROM e CROSS JOIN cent c),
+    cells AS (SELECT id, cid AS cell FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos) WHERE rn = 1),
+    ranked AS (SELECT id, cell, row_number() OVER (PARTITION BY cell
+        ORDER BY ('0x' || substr(md5('graft:' || id::VARCHAR), 1, 14))::BIGINT, id) AS rn
+      FROM cells)
+    SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell
+    FROM ranked WHERE rn <= 20"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1485,6 +1570,8 @@ object OracleSql {
     "q70_url_filter"        -> q70,
     "q71_clean_lines"       -> q71,
     "q72_classifier"        -> q72,
-    "q73_hash_split"        -> q73
+    "q73_hash_split"        -> q73,
+    "q74_repetition_stats"  -> q74,
+    "q75_cluster_sample"    -> q75
   ).map { case (k, v) => k -> clean(v) }
 }

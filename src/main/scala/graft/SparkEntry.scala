@@ -965,6 +965,36 @@ object SparkEntry {
         Seq(("train", 8), ("val", 1), ("test", 1)))
       .select(col("doc_id"), col("split"))
 
+  /** Gopher repetition statistics ([[TextAnalysis.repetitionStats]]) over
+    * the q47/q66 line synthesis (3-token lines) — per-doc duplicate-line
+    * fractions and top-n-gram character claims, every fraction a single
+    * double division of exact integers (engine-identical), rounded to 6 dp
+    * for the comparator. The q66 synthesized-text evaluation-cost note
+    * applies here too (production callers feed a stored column). */
+  private def q74RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val mlText = regexp_replace(
+      TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
+      "(\\S+ \\S+ \\S+) ", "$1\n")
+    TextAnalysis.repetitionStats(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), mlText.as("text")))
+      .select(col("doc_id"), col("source"),
+        col("rep_n_lines").cast("long").as("rep_n_lines"),
+        round(col("dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        round(col("top2gram_char_frac"), 6).as("top2gram_char_frac"),
+        round(col("top3gram_char_frac"), 6).as("top3gram_char_frac"),
+        round(col("top4gram_char_frac"), 6).as("top4gram_char_frac"))
+  }
+
+  /** Cluster-balanced diversity sampling
+    * ([[graft.ops.Similarity.clusterBalancedSample]]): q35's 16-centroid
+    * quantizer, each cell capped at 20 members in deterministic hash order —
+    * the full kept (vec_id, cell) assignment is oracle-reproduced. */
+  private def q75ClusterSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.clusterBalancedSample(
+        t(s, dir, "embeddings"), cap = 20, numCentroids = 16)
+      .select(col("vec_id"), col("cell"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1038,7 +1068,9 @@ object SparkEntry {
     "q70_url_filter"        -> q70UrlFilter _,
     "q71_clean_lines"       -> q71CleanLines _,
     "q72_classifier"        -> q72Classifier _,
-    "q73_hash_split"        -> q73HashSplit _
+    "q73_hash_split"        -> q73HashSplit _,
+    "q74_repetition_stats"  -> q74RepetitionStats _,
+    "q75_cluster_sample"    -> q75ClusterSample _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

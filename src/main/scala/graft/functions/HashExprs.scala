@@ -830,6 +830,96 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Gopher-style repetition statistics (Rae et al. 2021, arXiv:2112.11446
+    * Table A1) in one pass per row — the OTHER half of the published
+    * rule-filter family next to [[graft.ops.QualityGates]]'s document gates:
+    *  - line stats over the raw `\n`-split lines (trim-empty lines are
+    *    structure and never counted): total counted lines, duplicate
+    *    occurrences beyond each line's first, characters in those duplicate
+    *    occurrences, total line characters;
+    *  - top n-gram CHAR claims for n = 2, 3, 4 over the whitespace token
+    *    stream: `max over n-grams of (occurrences × gram char length)`
+    *    (gram length counts single-space joints). Claim-maximization makes
+    *    the statistic deterministic WITHOUT a tie-break rule — Gopher's
+    *    "most frequent n-gram" is ambiguous when counts tie at different
+    *    gram lengths; the max-product form is what the filter thresholds
+    *    actually bound (characters covered);
+    *  - the token stream's char length (`Σ token len + gaps`) as the claim
+    *    denominator.
+    * Returns the raw INTEGER numerators/denominators as a struct (evaluate
+    * behind a Generate barrier — the [[CleanLineStats]] contract); the
+    * wrapper ([[graft.ops.TextAnalysis.repetitionStats]]) forms each
+    * fraction as one double division of exact ints, which both engines
+    * round identically. */
+  case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", IntegerType, nullable = false),
+      StructField("dup_lines", IntegerType, nullable = false),
+      StructField("dup_line_chars", IntegerType, nullable = false),
+      StructField("line_chars", IntegerType, nullable = false),
+      StructField("top2", LongType, nullable = false),
+      StructField("top3", LongType, nullable = false),
+      StructField("top4", LongType, nullable = false),
+      StructField("stream_chars", IntegerType, nullable = false)))
+    override def prettyName: String = "repetition_stats"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      // line tier: raw lines, identity = the exact raw line
+      val lines = s.split("\n", -1)
+      val seen = new java.util.HashMap[String, Int]()
+      var nLines = 0
+      var dupLines = 0
+      var dupChars = 0
+      var lineChars = 0
+      var i = 0
+      while (i < lines.length) {
+        val l = lines(i)
+        if (!l.forall(_ == ' ')) {
+          nLines += 1
+          lineChars += l.length
+          val prev = seen.merge(l, 1, (a, b) => a + b)
+          if (prev > 1) { dupLines += 1; dupChars += l.length }
+        }
+        i += 1
+      }
+      // n-gram tier: whitespace token stream (newlines are separators too)
+      val toks = s.split("\\s+", -1).filter(_.nonEmpty)
+      var streamChars = 0
+      var t = 0
+      while (t < toks.length) { streamChars += toks(t).length; t += 1 }
+      if (toks.length > 1) streamChars += toks.length - 1
+      def topClaim(n: Int): Long = {
+        if (toks.length < n) return 0L
+        val counts = new java.util.HashMap[String, Int]()
+        var j = 0
+        while (j + n <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(j))
+          var k = 1
+          while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
+          counts.merge(sb.toString, 1, (a, b) => a + b)
+          j += 1
+        }
+        var best = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val claim = e.getValue.toLong * e.getKey.length
+          if (claim > best) best = claim
+        }
+        best
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        nLines, dupLines, dupChars, lineChars,
+        topClaim(2), topClaim(3), topClaim(4), streamChars)
+    }
+
+    override protected def withNewChildInternal(c: Expression): RepetitionStats =
+      copy(child = c)
+  }
+
   /** Shannon character entropy (nats) of a string — the
     * gibberish/compressibility signal of the quality family: natural prose
     * sits in a characteristic band, while base64 blobs and minified code
@@ -1087,6 +1177,9 @@ object HashExprs {
 
   def cleanLineStats(text: Column, minWords: Int, phrases: Seq[String]): Column =
     ColumnBridge.column(CleanLineStats(ColumnBridge.expression(text), minWords, phrases))
+
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 
   /** PRECONDITION (oracle parity): [[CharEntropy]] counts UTF-16 code UNITS
     * (`charAt`/`length`), while SQL engines like DuckDB count code POINTS —

@@ -225,6 +225,43 @@ object Similarity {
     * `refineIters > 0` runs deterministic Lloyd iterations
     * ([[refineCentroids]]) over the sampled seeds before assignment.
     * Deterministic end-to-end: ties break on centroid id, then neighbor id. */
+  /** Cluster-balanced diversity sampling (the k-means data-pruning family —
+    * Sorscher et al., NeurIPS 2022, arXiv:2206.14486; SemDeDup's selection
+    * cousin): cap every quantizer cell at `cap` members so over-dense
+    * regions of embedding space stop dominating the mixture, keeping
+    * coverage of the tails. Cells are the [[sampleCentroids]] quantizer
+    * (bounded, corpus-independent, oracle-reproducible — q35's); within a
+    * cell, survivors are chosen in deterministic hash-of-id order (the
+    * [[Sampling.hashBucket]] no-`rand()` discipline: an unbiased,
+    * retry-stable subsample — NOT prefer-low-id, which would correlate with
+    * ingest order). Returns the input columns plus `cell`.
+    *
+    * Scale shape: assignment is one row-local compiled argmax per vector
+    * (centroids ride the task binary); the per-cell cap ranks an
+    * `(id, cell, hash)` ints-only projection — vectors never enter the
+    * window shuffle — and the kept ids (≤ numCentroids × cap rows) join
+    * back un-hinted (AQE broadcasts a small keep-list; the q51 label-join
+    * reasoning). */
+  def clusterBalancedSample(corpus: DataFrame, cap: Int, numCentroids: Int = 16,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            seed: String = "graft"): DataFrame = {
+    require(cap > 0, s"clusterBalancedSample: cap must be > 0, got $cap")
+    val sampled = sampleCentroids(corpus, numCentroids, idCol, vecCol)
+    require(sampled.nonEmpty, "clusterBalancedSample: empty corpus — no centroids")
+    val h = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 14), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("cell")).orderBy(col("__h"), col(idCol))
+    val kept = corpus
+      .select(col(idCol),
+        element_at(graft.functions.HashExprs.nearestCentroids(col(vecCol), sampled, 1), 1)
+          .as("cell"),
+        h.as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .select(col(idCol), col("cell"))
+    corpus.join(kept, Seq(idCol))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               numCentroids: Int = 256, nprobe: Int = 4,

@@ -120,6 +120,51 @@ object TextAnalysis {
   def charEntropy(text: Column): Column =
     graft.functions.HashExprs.charEntropy(normalizeText(coalesce(text, lit(""))))
 
+  /** Gopher repetition statistics (Rae et al. 2021, arXiv:2112.11446 Table
+    * A1) as audit columns: `rep_n_lines`, `dup_line_frac` (duplicate line
+    * occurrences / counted lines), `dup_line_char_frac` (their characters /
+    * line characters), and `top{2,3,4}gram_char_frac` (characters claimed by
+    * the highest-claiming n-gram / token-stream characters; overlapping
+    * occurrences can push a claim past 1.0 — the thresholds don't care).
+    * Statistics run on the RAW text (lines are real document structure;
+    * normalization would erase them) with the whitespace token stream for
+    * the n-gram tier. One compiled pass per row behind a Generate barrier
+    * ([[graft.functions.HashExprs.RepetitionStats]]); each fraction is one
+    * double division of exact ints, so both engines agree bit-for-bit.
+    * Zero shuffles. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stats = graft.functions.HashExprs.repetitionStats(
+      coalesce(col(textCol), lit("")))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    docs.select(col("*"), explode(array(stats)).as("__rp"))
+      .select(docs.columns.map(col) ++ Seq(
+        col("__rp.n_lines").as("rep_n_lines"),
+        frac(col("__rp.dup_lines"), col("__rp.n_lines")).as("dup_line_frac"),
+        frac(col("__rp.dup_line_chars"), col("__rp.line_chars")).as("dup_line_char_frac"),
+        frac(col("__rp.top2"), col("__rp.stream_chars")).as("top2gram_char_frac"),
+        frac(col("__rp.top3"), col("__rp.stream_chars")).as("top3gram_char_frac"),
+        frac(col("__rp.top4"), col("__rp.stream_chars")).as("top4gram_char_frac")): _*)
+  }
+
+  /** Gopher's published repetition thresholds (arXiv:2112.11446 Table A1):
+    * drop when duplicate lines claim > 30% of lines or > 20% of characters,
+    * or when the top 2-/3-/4-gram claims > 20%/18%/16% of characters. The
+    * filter form of [[repetitionStats]]; audit columns are dropped. */
+  def applyRepetitionGates(docs: DataFrame, textCol: String = "text",
+                           maxDupLineFrac: Double = 0.30,
+                           maxDupLineCharFrac: Double = 0.20,
+                           maxTop2: Double = 0.20, maxTop3: Double = 0.18,
+                           maxTop4: Double = 0.16): DataFrame =
+    repetitionStats(docs, textCol)
+      .filter(col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac &&
+        col("top2gram_char_frac") <= maxTop2 &&
+        col("top3gram_char_frac") <= maxTop3 &&
+        col("top4gram_char_frac") <= maxTop4)
+      .drop("rep_n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
+
   /** Winnowing fingerprint set over the normalized text (rolling k-char-gram
     * hashes, per-window minima — see
     * [[graft.functions.HashExprs.WinnowingFingerprints]]): the

@@ -764,6 +764,66 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cluster-balanced sample: per-cell cap in hash order, assignment matches argmax") {
+    val vecs = (0L until 120L).map(i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.7 + d * 0.9)).toArray)).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(vecs, cap = 5, numCentroids = 4)
+    val rows = out.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._1).distinct.length === rows.length)       // each id once
+    val perCell = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 5))                        // cap respected
+    assert(rows.length === math.min(120, perCell.size * 5))      // cells full here
+    // survivors' cells equal the quantizer's argmax assignment (wiring)
+    val cents = Similarity.sampleCentroids(vecs, 4)
+    val expect = vecs.select(col("vec_id"), element_at(
+        graft.functions.HashExprs.nearestCentroids(col("embedding"), cents, 1), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cell) => assert(expect(id) === cell) }
+    // deterministic across runs; input schema survives plus `cell`
+    val again = Similarity.clusterBalancedSample(vecs, cap = 5, numCentroids = 4)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toSet === rows.toSet)
+    assert(out.columns.toSeq === Seq("vec_id", "embedding", "cell"))
+  }
+
+  test("repetition stats: hand-checked duplicate-line and top-gram claims") {
+    // lines: "x y" x3 (dup: 2 extra occurrences, 3 chars each), "a b" x1,
+    // "   " (space-only: never counted), "" (never counted)
+    val page = Seq("x y", "a b", "x y", "   ", "x y", "").mkString("\n")
+    val r = TextAnalysis.repetitionStats(Seq((0L, page)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Int]("rep_n_lines") === 4)
+    assert(r.getAs[Double]("dup_line_frac") === 2.0 / 4)
+    // line chars: 3+3+3+3 = 12; duplicate occurrences: 3+3 = 6
+    assert(r.getAs[Double]("dup_line_char_frac") === 6.0 / 12)
+    // token stream: x y a b x y x y -> stream chars = 8 + 7 = 15
+    // bigrams: "x y" x3 (claim 9), "y a" 1, "a b" 1, "b x" 1, "y x" 2 (claim 6)
+    assert(r.getAs[Double]("top2gram_char_frac") === 9.0 / 15)
+    // trigrams: x y a / y a b / a b x / b x y / x y x / y x y — all distinct,
+    // claim = 1 x 5 chars
+    assert(r.getAs[Double]("top3gram_char_frac") === 5.0 / 15)
+    // 4-grams likewise all distinct: claim = 1 x 7 chars
+    assert(r.getAs[Double]("top4gram_char_frac") === 7.0 / 15)
+    // degenerate inputs: empty and null -> all zeros, no crash
+    val z = TextAnalysis.repetitionStats(
+      Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .collect()
+    z.foreach { x =>
+      assert(x.getAs[Int]("rep_n_lines") === 0)
+      assert(x.getAs[Double]("top2gram_char_frac") === 0.0)
+    }
+    // gate form: a boilerplate page dies, diverse prose survives (a FIXED
+    // line template would itself trip the top-2-gram gate — its bigrams
+    // repeat every line, which is exactly what the gate is for)
+    val clean = (0 until 30).map(i =>
+      s"u${4 * i} u${4 * i + 1} u${4 * i + 2} u${4 * i + 3}").mkString("\n")
+    val kept = TextAnalysis.applyRepetitionGates(Seq(
+      (0L, page), (1L, clean)).toDF("doc_id", "text"))
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("classifier: log-odds fit separates topical corpora on held-out docs") {
     val pos = Seq.tabulate(8)(i => (100L + i,
       s"the cat and the dog played in the sunny garden today number $i")).toDF("doc_id", "text")
