@@ -39,6 +39,16 @@ import graft.ops.Curation
   * dsirTarget=<target.jsonl>  DSIR selection target corpus
   * dsirKeep=100000            ...keep the k best target-matching docs
   * dsirTemperature=1.0        ...Gumbel resampling instead of argmax top-k
+  * lineRules=true             C4 line-level rule cleaning (before the gates)
+  * lineRuleMinWords=5         ...its minimum words-per-line
+  * repetitionGates=true       Gopher repetition thresholds (published defaults)
+  * classifierPos=<pos.jsonl>  model-based quality filter: positive seeds
+  * classifierNeg=<neg.jsonl>  ...negative seeds (both or neither)
+  * classifierBias=0.0         ...decision-boundary shift (logit units)
+  * classifierNgrams=1         ...1 = unigram features, 2 = +bigrams
+  * embeddings=<emb.parquet>   (doc_id, embedding) parquet for:
+  * clusterCap=1000            per-quantizer-cell diversity cap
+  * clusterNumCentroids=256    ...quantizer size
   * sampleRates=web:50,books:100   per-source percentage rates
   * defaultRate=100            ...rate for unlisted sources
   * tokenBudgets=web:1000000   per-source token budgets
@@ -65,10 +75,19 @@ import graft.ops.Curation
   */
 object Curate {
 
+  /** The side inputs named by path options — resolved by the caller
+    * ([[main]] reads each as JSONL except `embeddings`, a parquet of
+    * `(doc_id, embedding)`). */
+  case class Inputs(dsirTarget: Option[String] = None,
+                    classifierPos: Option[String] = None,
+                    classifierNeg: Option[String] = None,
+                    embeddings: Option[String] = None)
+
   /** Parse the optional `key=value` overrides into a Config (exposed for the
     * spec). Unknown keys fail loudly — a typo must not silently run the
-    * default pipeline. `dsirTarget` is a path, resolved by the caller. */
-  def parseConfig(base: Curation.Config, opts: Seq[String]): (Curation.Config, Option[String]) = {
+    * default pipeline. Path-valued options land in [[Inputs]], resolved by
+    * the caller. */
+  def parseConfig(base: Curation.Config, opts: Seq[String]): (Curation.Config, Inputs) = {
     def strataMap[V](v: String, f: String => V): Map[String, V] =
       v.split(",").iterator.map { kv =>
         kv.split(":", 2) match {
@@ -77,7 +96,7 @@ object Curate {
             s"graft.Curate: strata entry '$kv' must be <stratum>:<value>")
         }
       }.toMap
-    var target: Option[String] = None
+    var inputs = Inputs()
     val cfg = opts.foldLeft(base) { (c, opt) =>
       val Array(k, v) = opt.split("=", 2) match {
         case kv @ Array(_, _) => kv
@@ -95,7 +114,17 @@ object Curate {
         case "spanMinDf"        => c.copy(spanMinDf = v.toInt)
         case "nearDupThreshold" => c.copy(nearDupThreshold =
           if (v == "none") None else Some(v.toDouble))
-        case "dsirTarget"       => target = Some(v); c
+        case "dsirTarget"       => inputs = inputs.copy(dsirTarget = Some(v)); c
+        case "lineRules"        => c.copy(lineRules = v.toBoolean)
+        case "lineRuleMinWords" => c.copy(lineRuleMinWords = v.toInt)
+        case "repetitionGates"  => c.copy(repetitionGates = v.toBoolean)
+        case "classifierPos"    => inputs = inputs.copy(classifierPos = Some(v)); c
+        case "classifierNeg"    => inputs = inputs.copy(classifierNeg = Some(v)); c
+        case "classifierBias"   => c.copy(classifierBias = v.toDouble)
+        case "classifierNgrams" => c.copy(classifierNgrams = v.toInt)
+        case "embeddings"       => inputs = inputs.copy(embeddings = Some(v)); c
+        case "clusterCap"       => c.copy(clusterCap = Some(v.toInt))
+        case "clusterNumCentroids" => c.copy(clusterNumCentroids = v.toInt)
         case "dsirKeep"         => c.copy(dsirKeep = Some(v.toInt))
         case "dsirTemperature"  => c.copy(dsirTemperature = Some(v.toDouble))
         case "sampleRates"      => c.copy(sampleRates = strataMap(v, _.toInt))
@@ -109,7 +138,9 @@ object Curate {
           s"graft.Curate: unknown option '$other' (in '$opt')")
       }
     }
-    (cfg, target)
+    require(inputs.classifierPos.isDefined == inputs.classifierNeg.isDefined,
+      "graft.Curate: classifierPos and classifierNeg must be passed together")
+    (cfg, inputs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +153,7 @@ object Curate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (config, targetPath) = parseConfig(
+    val (config, inputs) = parseConfig(
       Curation.Config(materialize = Curation.parquetMaterializer(s"$outDir/stages")),
       args.drop(3).toSeq)
 
@@ -140,10 +171,16 @@ object Curate {
     val benchmark =
       if (benchPath == "none") None
       else Some(DocumentSources.readJsonl(spark, benchPath)._1)
-    val dsirTarget = targetPath.map(p => DocumentSources.readJsonl(spark, p)._1)
+    val dsirTarget = inputs.dsirTarget.map(p => DocumentSources.readJsonl(spark, p)._1)
+    val classifierSeeds = inputs.classifierPos.map { p =>
+      (DocumentSources.readJsonl(spark, p)._1,
+        DocumentSources.readJsonl(spark, inputs.classifierNeg.get)._1)
+    }
+    val embeddings = inputs.embeddings.map(p => spark.read.parquet(p))
 
     val result = Curation.curate(clean, benchmark, config,
-      dsirTarget = dsirTarget)
+      dsirTarget = dsirTarget, classifierSeeds = classifierSeeds,
+      embeddings = embeddings)
 
     DocumentSources.writeJsonl(result.corpus, s"$outDir/curated")
     DocumentSources.writeJsonl(dirty, s"$outDir/rejects")

@@ -13,25 +13,30 @@ import org.apache.spark.sql.functions._
   *      opt-in; boilerplate/short/unterminated lines are cut IN PLACE and
   *      "lorem ipsum"/curly-brace pages dropped whole)
   *   2. rule-based quality gates ([[QualityGates.applyGates]])
-  *   3. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
+  *   3. Gopher repetition gates ([[TextAnalysis.applyRepetitionGates]],
+  *      opt-in; duplicate-line and top-n-gram character-claim thresholds)
+  *   4. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
   *      whose every line was boilerplate drop out)
-  *   4. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
+  *   5. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
   *      repeated lines WITHIN a document keep only their first occurrence)
-  *   5. exact document dedup ([[Dedup.exact]], first-wins)
-  *   6. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
+  *   6. exact document dedup ([[Dedup.exact]], first-wins)
+  *   7. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
   *      cross-document hot character runs are excised in place)
-  *   7. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
+  *   8. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
   *      keeps its BEST copy — highest quality, ties to the smaller id)
-  *   8. benchmark decontamination ([[Dedup.contamination]])
-  *   9. model-based quality filtering ([[Classifier.filterByClassifier]],
+  *   9. benchmark decontamination ([[Dedup.contamination]])
+  *  10. cluster-balanced diversity capping
+  *      ([[Similarity.clusterBalancedSample]], opt-in; needs an
+  *      `embeddings` frame keyed by the doc id)
+  *  11. model-based quality filtering ([[Classifier.filterByClassifier]],
   *      opt-in; NBSVM log-odds classifier fitted on caller seed sets)
-  *  10. DSIR target-matching selection ([[Importance.dsirWeights]] →
+  *  12. DSIR target-matching selection ([[Importance.dsirWeights]] →
   *      [[Importance.dsirTopK]] / [[Importance.dsirResample]], opt-in)
-  *  11. deterministic mixture sampling ([[Sampling.stratifiedSample]])
-  *  12. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
-  *  13. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
+  *  13. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *  14. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
+  *  15. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
   *      opt-in; adds a `copy` column — (id, copy) is the unique key after)
-  *  14. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
+  *  16. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
   *      adds `shard`/`pos` — the training-shard layout, the LAST step)
   *
   * The order matters and is the industry-standard one: line rules BEFORE the
@@ -111,6 +116,12 @@ object Curation {
     *  - `lineRules = true` enables C4 line-level rule cleaning
     *    (`lineRuleMinWords`/`lineRuleMinKept`/`lineRulePhrases` are
     *    [[QualityGates.applyLineRules]]'s knobs);
+    *  - `repetitionGates = true` enables the Gopher repetition thresholds
+    *    (published defaults; call
+    *    [[TextAnalysis.applyRepetitionGates]] directly to tune them);
+    *  - `clusterCap = Some(n)` + an `embeddings` frame on [[curate]]
+    *    enables per-cell diversity capping (`clusterNumCentroids` sizes the
+    *    quantizer);
     *  - a `classifierSeeds` pair on [[curate]] enables model-based quality
     *    filtering (`classifierBuckets`/`classifierNgrams`/`classifierBias`
     *    are [[Classifier.filterByClassifier]]'s knobs);
@@ -142,6 +153,9 @@ object Curation {
       classifierBuckets: Int = 4096,
       classifierNgrams: Int = 1,
       classifierBias: Double = 0.0,
+      repetitionGates: Boolean = false,
+      clusterCap: Option[Int] = None,
+      clusterNumCentroids: Int = 16,
       lineDedup: Boolean = true,
       docLineDedup: Boolean = false,
       docLineMinLen: Int = 1,
@@ -206,15 +220,20 @@ object Curation {
     * held-out high-quality corpus with the same `textCol`); required when
     * `config.dsirKeep` is set, ignored otherwise. `classifierSeeds` is the
     * model-based filter's (positive, negative) labeled seed pair — passing
-    * it enables the classifier stage. */
+    * it enables the classifier stage. `embeddings` (id-keyed by `idCol`,
+    * vector column `embedding`) powers the cluster-balance stage when
+    * `config.clusterCap` is set. */
   def curate(docs: DataFrame, benchmark: Option[DataFrame] = None,
              config: Config = Config(),
              textCol: String = "text", idCol: String = "doc_id",
              strataCol: String = "source",
              dsirTarget: Option[DataFrame] = None,
-             classifierSeeds: Option[(DataFrame, DataFrame)] = None): Result = {
+             classifierSeeds: Option[(DataFrame, DataFrame)] = None,
+             embeddings: Option[DataFrame] = None): Result = {
     require(config.dsirKeep.isEmpty || dsirTarget.isDefined,
       "curate: config.dsirKeep is set but no dsirTarget was passed")
+    require(config.clusterCap.isEmpty || embeddings.isDefined,
+      "curate: config.clusterCap is set but no embeddings frame was passed")
     val spark = docs.sparkSession
     var stages = List.empty[(String, Long, Long)]
     // the INPUT is deliberately not materialized: its source is recoverable
@@ -245,6 +264,9 @@ object Curation {
     }
     step("quality_gates", config.gates) { d =>
       QualityGates.applyGates(d, textCol)
+    }
+    step("repetition_gates", config.repetitionGates) { d =>
+      TextAnalysis.applyRepetitionGates(d, textCol)
     }
     step("line_dedup", config.lineDedup) { d =>
       LineDedup.perLineDedup(d, textCol, idCol)
@@ -281,6 +303,16 @@ object Curation {
       val bad = Dedup.contamination(d, benchmark.get, textCol, idCol,
         config.decontaminationShingleK)
       d.join(bad, Seq(idCol), "left_anti")
+    }
+    step("cluster_balance", config.clusterCap.isDefined) { d =>
+      // only ids the CURRENT survivor set still holds participate: capping
+      // runs on the deduped corpus's vectors, not the raw corpus's
+      val kept = Similarity.clusterBalancedSample(
+          embeddings.get.join(d.select(col(idCol)), Seq(idCol), "left_semi"),
+          config.clusterCap.get, config.clusterNumCentroids,
+          idCol, "embedding", config.seed)
+        .select(col(idCol))
+      d.join(kept, Seq(idCol), "left_semi")
     }
     step("classifier", classifierSeeds.isDefined) { d =>
       val (p, n) = classifierSeeds.get

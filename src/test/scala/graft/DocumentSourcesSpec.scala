@@ -95,14 +95,23 @@ class DocumentSourcesSpec extends SparkSpec {
 
   test("graft.Curate options: key=value args reach the full stage set") {
     import graft.ops.Curation
-    val (cfg, target) = Curate.parseConfig(Curation.Config(), Seq(
+    val (cfg, inputs) = Curate.parseConfig(Curation.Config(), Seq(
       "docLineDedup=true", "spanDedup=true", "spanMinDf=5", "nearDupThreshold=none",
       "dsirTarget=/t.jsonl", "dsirKeep=7", "dsirTemperature=0.5",
       "sampleRates=web:50,books:100", "defaultRate=80", "tokenBudgets=web:1000",
-      "upsample=books:2.5", "numShards=16", "seed=s1"))
+      "upsample=books:2.5", "numShards=16", "seed=s1",
+      "lineRules=true", "lineRuleMinWords=3", "repetitionGates=true",
+      "classifierPos=/p.jsonl", "classifierNeg=/n.jsonl", "classifierBias=0.5",
+      "classifierNgrams=2", "embeddings=/e.parquet", "clusterCap=9",
+      "clusterNumCentroids=8"))
     assert(cfg.docLineDedup && cfg.spanDedup && cfg.spanMinDf === 5)
     assert(cfg.nearDupThreshold === None && cfg.dsirKeep === Some(7))
-    assert(cfg.dsirTemperature === Some(0.5) && target === Some("/t.jsonl"))
+    assert(cfg.dsirTemperature === Some(0.5) && inputs.dsirTarget === Some("/t.jsonl"))
+    assert(cfg.lineRules && cfg.lineRuleMinWords === 3 && cfg.repetitionGates)
+    assert(inputs.classifierPos === Some("/p.jsonl") && inputs.classifierNeg === Some("/n.jsonl"))
+    assert(cfg.classifierBias === 0.5 && cfg.classifierNgrams === 2)
+    assert(inputs.embeddings === Some("/e.parquet"))
+    assert(cfg.clusterCap === Some(9) && cfg.clusterNumCentroids === 8)
     assert(cfg.sampleRates === Map("web" -> 50, "books" -> 100) && cfg.defaultRate === 80)
     assert(cfg.tokenBudgets === Map("web" -> 1000L))
     assert(cfg.upsampleFactors === Map("books" -> 2.5))
@@ -124,6 +133,10 @@ class DocumentSourcesSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Curate.parseConfig(Curation.Config(), Seq("sampleRates=web50"))
+    }
+    // classifier seeds must come as a pair
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("classifierPos=/p.jsonl"))
     }
 
     // end-to-end: the url filter + mixture stages reach the written output

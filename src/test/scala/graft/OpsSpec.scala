@@ -1919,6 +1919,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation: repetition gates and cluster-balance stages wire through") {
+    val spam = (0 until 20).map(_ => "buy now").mkString("\n")  // dup lines + hot bigram
+    val okDoc = (0 until 12).map(i =>
+      s"v${3 * i} v${3 * i + 1} v${3 * i + 2}").mkString("\n")
+    val corpus = Seq((0L, spam, "web"), (1L, okDoc, "web"), (2L, okDoc + "\nextra unique line", "web"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.curate(corpus, config = Curation.Config(gates = false,
+      lineDedup = false, exactDedup = false, nearDupThreshold = None,
+      repetitionGates = true))
+    assert(r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+      === Seq(("repetition_gates", 3L, 2L)))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+
+    // cluster balance: caps per cell on the SURVIVOR set's embeddings
+    val docs = (0L until 60L).map(i => (i, s"doc number $i text", "web"))
+      .toDF("doc_id", "text", "source")
+    val embs = (0L until 60L).map(i =>
+      (i, (0 until 8).map(d => math.sin(i * 1.7 + d * 0.9)).toArray)).toDF("doc_id", "embedding")
+    val cfg = Curation.Config(gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None, clusterCap = Some(4), clusterNumCentroids = 4)
+    val rc = Curation.curate(docs, config = cfg, embeddings = Some(embs))
+    val direct = Similarity.clusterBalancedSample(embs, 4, 4, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rc.corpus.select("doc_id").collect().map(_.getLong(0)).toSet === direct)
+    assert(rc.audit.collect().map(_.getString(0)).toSeq === Seq("cluster_balance"))
+    // clusterCap without embeddings refuses loudly
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, config = cfg)
+    }
+  }
+
   test("curation: line rules run before gates; classifier stage filters after dedup") {
     val goodLine = "this perfectly ordinary sentence carries plenty of words to keep."
     val corpus = Seq(
