@@ -1126,6 +1126,124 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Shared model cache for [[BpeMergeTokenizeIds]] — same bounded JVM-wide
+    * discipline as [[BpeTokenCount]]'s trie cache: the (vocab, merges) model
+    * builds once per executor, not once per task. */
+  object BpeMerge {
+    private[HashExprs] final class Model(vocab: IndexedSeq[String],
+                                         merges: IndexedSeq[(String, String)]) {
+      val ids = new java.util.HashMap[String, Integer]()
+      vocab.zipWithIndex.foreach { case (w, i) => ids.putIfAbsent(w, i) }
+      val ranks = new java.util.HashMap[(String, String), Integer]()
+      merges.zipWithIndex.foreach { case (p, r) => ranks.putIfAbsent(p, r) }
+    }
+    private val models = new java.util.concurrent.ConcurrentHashMap[
+      (IndexedSeq[String], IndexedSeq[(String, String)]), Model]()
+    private val MaxCachedModels = 8
+    private[HashExprs] def modelFor(vocab: IndexedSeq[String],
+                                    merges: IndexedSeq[(String, String)]): Model = {
+      val key = (vocab, merges)
+      if (models.size >= MaxCachedModels && !models.containsKey(key)) models.clear()
+      models.computeIfAbsent(key, k => new Model(k._1, k._2))
+    }
+  }
+
+  /** TRUE merge-rank byte-pair tokenization (Sennrich et al., ACL 2016,
+    * arXiv:1508.07909; the GPT-2 `bpe()` application order): each
+    * whitespace word starts as single-character symbols, and the
+    * lowest-RANK adjacent pair present is merged everywhere (left-to-right,
+    * non-overlapping) until no ranked pair remains; surviving symbols map
+    * to their vocab index, unknowns to `unkId`. This is the exact-tokenizer
+    * upgrade over [[BpeTokenizeIds]]'s greedy longest-match — the two can
+    * legitimately segment differently (vocab {a,b,c,ab,bc} with the single
+    * merge (b,c): merge-rank gives [a, bc] where greedy gives [ab, c]),
+    * and budgets/packing quoted in a SPECIFIC tokenizer's tokens need the
+    * merge-rank answer. Caveats shared with the greedy form: no byte-level
+    * fallback (unknown chars are one UNK each) and no word-boundary-marker
+    * handling (strip "Ġ"/"##" from vocab + merges first).
+    *
+    * Model data (vocab + ranked merges) is constructor data riding the task
+    * binary, with a compact `V=…/M=…` plan string; per-word cost is
+    * O(merges applied × word length) — the standard BPE inference loop,
+    * one compiled pass per row, no UDF. NOT SQL-expressible (an iterated
+    * rank-priority rewrite has no DuckDB form), so correctness is pinned by
+    * fixture tests rather than the oracle — the L53 contract. */
+  case class BpeMergeTokenizeIds(child: Expression, vocab: IndexedSeq[String],
+                                 merges: IndexedSeq[(String, String)], unkId: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "bpe_merge_tokenize_ids"
+
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"V=${vocab.length}", s"M=${merges.length}", unkId)
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    @transient private lazy val model: BpeMerge.Model = BpeMerge.modelFor(vocab, merges)
+
+    private def bpeWord(word: String, out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+      var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var c = 0
+      while (c < word.length) { syms += String.valueOf(word.charAt(c)); c += 1 }
+      var done = syms.length < 2
+      while (!done) {
+        // lowest-rank adjacent pair present in this word
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = model.ranks.get((syms(i), syms(i + 1)))
+          if (r != null && r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          // merge every non-overlapping occurrence, left to right
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && {
+                val r = model.ranks.get((syms(j), syms(j + 1))); r != null && r == best
+              }) {
+              next += syms(j) + syms(j + 1)
+              j += 2
+            } else {
+              next += syms(j)
+              j += 1
+            }
+          }
+          syms = next
+          done = syms.length < 2
+        }
+      }
+      var k = 0
+      while (k < syms.length) {
+        val id = model.ids.get(syms(k))
+        out += (if (id == null) unkId else id.intValue())
+        k += 1
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        if (Character.isWhitespace(s.charAt(i))) i += 1
+        else {
+          var k = i
+          while (k < n && !Character.isWhitespace(s.charAt(k))) k += 1
+          bpeWord(s.substring(i, k), out)
+          i = k
+        }
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeMergeTokenizeIds =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -1180,6 +1298,13 @@ object HashExprs {
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+
+  def bpeMergeTokenizeIds(text: Column, vocab: Seq[String],
+                          merges: Seq[(String, String)], unkId: Int = -1): Column = {
+    requireVocab(vocab, "bpeMergeTokenizeIds")
+    ColumnBridge.column(BpeMergeTokenizeIds(ColumnBridge.expression(text),
+      vocab.toIndexedSeq, merges.toIndexedSeq, unkId))
+  }
 
   /** PRECONDITION (oracle parity): [[CharEntropy]] counts UTF-16 code UNITS
     * (`charAt`/`length`), while SQL engines like DuckDB count code POINTS —

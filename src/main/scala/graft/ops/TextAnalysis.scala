@@ -41,6 +41,23 @@ object TextAnalysis {
   def bpeTokenizeIds(text: Column, vocab: Seq[String], unkId: Int = -1): Column =
     graft.functions.HashExprs.bpeTokenizeIds(text, vocab, unkId)
 
+  /** TRUE merge-rank BPE tokenization (Sennrich et al. 2016; GPT-2's
+    * application order) — the exact-tokenizer upgrade over the greedy
+    * [[bpeTokenizeIds]] when the caller ships the tokenizer's MERGES table
+    * too: budgets/packing quoted in a specific tokenizer's tokens get that
+    * tokenizer's segmentation, not a longest-match approximation. See
+    * [[graft.functions.HashExprs.BpeMergeTokenizeIds]] for the divergence
+    * example and caveats (no byte fallback, strip boundary markers). */
+  def bpeMergeTokenizeIds(text: Column, vocab: Seq[String],
+                          merges: Seq[(String, String)], unkId: Int = -1): Column =
+    graft.functions.HashExprs.bpeMergeTokenizeIds(text, vocab, merges, unkId)
+
+  /** Token COUNT under merge-rank BPE — `size` of [[bpeMergeTokenizeIds]]
+    * (one expression reference; `size` is a codegen'd builtin). */
+  def bpeMergeTokenCount(text: Column, vocab: Seq[String],
+                         merges: Seq[(String, String)]): Column =
+    size(bpeMergeTokenizeIds(text, vocab, merges))
+
   /** Punctuation count over a fixed class (engine-portable). */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

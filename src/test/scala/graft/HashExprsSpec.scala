@@ -274,6 +274,54 @@ class HashExprsSpec extends SparkSpec {
       2L -> List(4, 5, 6, 4), 3L -> List(4, 5, 6, 4)))
   }
 
+  test("BpeMergeTokenizeIds: merge-rank application order, hand-computed fixtures") {
+    // the Sennrich/GPT-2 example shape: merges apply lowest rank first
+    val vocab = Seq("h", "u", "g", "p", "n", "hu", "ug", "hug", "pu")
+    val merges = Seq(("u", "g"), ("h", "ug"), ("p", "u"))
+    def ids(s: String, unk: Int = -1): List[Int] =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.bpeMergeTokenizeIds(col("text"), vocab, merges, unk).as("i"))
+        .collect().head.getSeq[Int](0).toList
+    assert(ids("hug") === List(7))        // h u g -(u,g)-> h ug -(h,ug)-> hug
+    assert(ids("pug") === List(3, 6))     // p u g -(u,g)-> p ug; (p,ug) unranked
+    assert(ids("pun") === List(8, 4))     // p u n -(p,u)-> pu n
+    assert(ids("hug pug") === List(7, 3, 6)) // words segment independently
+    assert(ids("xy", unk = -7) === List(-7, -7)) // unknown chars -> unk each
+    assert(ids("") === Nil)
+    // merge-rank vs greedy longest-match: the DOCUMENTED divergence case —
+    // vocab {a,b,c,ab,bc}, single merge (b,c): merge-rank yields [a, bc]
+    // where greedy takes [ab, c]
+    val dVocab = Seq("a", "b", "c", "ab", "bc")
+    val d = Seq("abc").toDF("text").select(
+        TextAnalysis.bpeMergeTokenizeIds(col("text"), dVocab, Seq(("b", "c"))).as("m"),
+        TextAnalysis.bpeTokenizeIds(col("text"), dVocab).as("g"))
+      .collect().head
+    assert(d.getSeq[Int](0).toList === List(0, 4))   // a + bc
+    assert(d.getSeq[Int](1).toList === List(3, 2))   // ab + c
+    // all occurrences of the selected pair merge in one step, left to right
+    // (aaaa with merge (a,a): -> [aa, aa] -> [aaaa] if ranked)
+    val r = Seq("aaaa", "aaa").toDF("text")
+      .select(TextAnalysis.bpeMergeTokenizeIds(col("text"),
+        Seq("a", "aa", "aaaa"), Seq(("a", "a"), ("aa", "aa"))).as("i"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(r(0) === List(2))              // aaaa
+    assert(r(1) === List(1, 0))           // aa + a (odd tail never pairs)
+    // count form = size of the ids form; null propagates
+    val both = Seq("hug pug pun", "aaaa").toDF("text").select(
+        size(TextAnalysis.bpeMergeTokenizeIds(col("text"), vocab, merges)).as("ni"),
+        TextAnalysis.bpeMergeTokenCount(col("text"), vocab, merges).as("nc"))
+      .collect()
+    assert(both.forall(x => x.getInt(0) === x.getInt(1)))
+    val nr = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.bpeMergeTokenizeIds(col("text"), vocab, merges).as("i"))
+      .collect().head
+    assert(nr.isNullAt(0))
+    // malformed vocab refuses loudly (shared requireVocab contract)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergeTokenizeIds(col("text"), Seq.empty, merges)
+    }
+  }
+
   test("bpe token budgets: tokenBudgetSample and packGreedy count in vocab units when asked") {
     import graft.ops.{Packing, Sampling}
     val vocab = Seq("aa", "bb", "aabb")
