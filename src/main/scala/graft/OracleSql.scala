@@ -1491,6 +1491,52 @@ object OracleSql {
     SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell
     FROM ranked WHERE rn <= 20"""
 
+  /** CCNet perplexity tier — mirrors graft.ops.LanguageModel (buckets=4096,
+    * λ=0.9, Laplace +1, per-term ln rounded to 9 dp as DECIMAL(20,9), exact
+    * decimal doc sums, 6-dp ce, ntile(3) per source over (ce, doc_id)):
+    * LM fitted on lang='en', whole corpus scored. The interpolation weights
+    * are CAST AS DOUBLE and (1−λ) is COMPUTED in double — Spark's
+    * `lit(1.0 - 0.9)` is the IEEE result 0.09999999999999998, which a
+    * DECIMAL literal 0.1 would NOT reproduce. */
+  private val q76 = s"""
+    WITH bs AS (SELECT doc_id, source, lang,
+        list_transform(regexp_split_to_array($dedupNormSql, ' '),
+          t -> ('0x' || substr(md5(t), 1, 14))::BIGINT % 4096) AS bs
+      FROM documents),
+    pairs AS (SELECT doc_id, source, lang,
+        unnest(list_transform(range(1, len(bs) + 1),
+          i -> CASE WHEN i = 1 THEN CAST(-1 AS BIGINT) ELSE bs[i - 1] END)) AS pb,
+        unnest(list_transform(range(1, len(bs) + 1), i -> bs[i])) AS cb
+      FROM bs),
+    uni AS (SELECT cb AS b, COUNT(*) AS cu FROM pairs WHERE lang = 'en' GROUP BY 1),
+    bi AS (SELECT pb, cb, COUNT(*) AS cbi FROM pairs
+      WHERE lang = 'en' AND pb >= 0 GROUP BY 1, 2),
+    tt AS (SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS tt FROM uni),
+    db AS (SELECT doc_id, source, pb, cb, COUNT(*) AS cnt FROM pairs
+      GROUP BY 1, 2, 3, 4),
+    terms AS (SELECT db.doc_id, db.source, db.cnt,
+        CASE WHEN db.pb = -1 THEN
+          -ln(CAST(COALESCE(uc.cu, 0) + 1 AS DOUBLE) / CAST(tt.tt + 4096 AS DOUBLE))
+        ELSE -ln(CAST(0.9 AS DOUBLE)
+            * (CAST(COALESCE(bi.cbi, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(up.cu, 0) + 4096 AS DOUBLE))
+          + (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+            * (CAST(COALESCE(uc.cu, 0) + 1 AS DOUBLE)
+               / CAST(tt.tt + 4096 AS DOUBLE))) END AS term
+      FROM db LEFT JOIN bi ON db.pb = bi.pb AND db.cb = bi.cb
+      LEFT JOIN uni up ON db.pb = up.b
+      LEFT JOIN uni uc ON db.cb = uc.b
+      CROSS JOIN tt),
+    ds AS (SELECT doc_id, source,
+        SUM(cnt * CAST(round(term, 9) AS DECIMAL(20,9))) AS s,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens
+      FROM terms GROUP BY 1, 2),
+    scored AS (SELECT doc_id, source, n_tokens,
+        round(CAST(s AS DOUBLE) / n_tokens, 6) AS ce FROM ds)
+    SELECT doc_id, source, n_tokens, ce,
+      CAST(ntile(3) OVER (PARTITION BY source ORDER BY ce, doc_id) AS BIGINT) AS ppl_tile
+    FROM scored"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1572,6 +1618,7 @@ object OracleSql {
     "q72_classifier"        -> q72,
     "q73_hash_split"        -> q73,
     "q74_repetition_stats"  -> q74,
-    "q75_cluster_sample"    -> q75
+    "q75_cluster_sample"    -> q75,
+    "q76_perplexity"        -> q76
   ).map { case (k, v) => k -> clean(v) }
 }

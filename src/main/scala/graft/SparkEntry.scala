@@ -995,6 +995,22 @@ object SparkEntry {
         t(s, dir, "embeddings"), cap = 20, numCentroids = 16)
       .select(col("vec_id"), col("cell"))
 
+  /** CCNet perplexity tier ([[graft.ops.LanguageModel]]): interpolated
+    * hashed-bigram LM fitted on the `lang = 'en'` documents (the q72 seed
+    * split), the WHOLE corpus scored by per-token cross-entropy, and
+    * head/middle/tail tiles drawn per source — fit, score, and tiling all
+    * oracle-reproduced (exact decimal `ce_sum` → 6-dp `ce` → ntile over
+    * the rounded value with id tie-break). */
+  private def q76Perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lm = graft.ops.LanguageModel.fitBigramLm(docs.filter(col("lang") === "en"))
+    graft.ops.LanguageModel.perplexityTiles(
+        graft.ops.LanguageModel.scoreBigramLm(docs, lm, extraCols = Seq("source")),
+        n = 3, partitionCols = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("ce"), col("ppl_tile").cast("long").as("ppl_tile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1070,7 +1086,8 @@ object SparkEntry {
     "q72_classifier"        -> q72Classifier _,
     "q73_hash_split"        -> q73HashSplit _,
     "q74_repetition_stats"  -> q74RepetitionStats _,
-    "q75_cluster_sample"    -> q75ClusterSample _
+    "q75_cluster_sample"    -> q75ClusterSample _,
+    "q76_perplexity"        -> q76Perplexity _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

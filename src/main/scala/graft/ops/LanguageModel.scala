@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Perplexity-based quality filtering — the CCNet stage (Wenzek et al.,
+  * LREC 2020, arXiv:1911.00359): fit a language model on a high-quality
+  * TARGET corpus (CCNet uses Wikipedia), score every candidate document by
+  * its per-token cross-entropy under that model, and keep/bucket documents
+  * by score — low perplexity means "looks like the target". The published
+  * recipe scores with a KenLM 5-gram; this implementation is an
+  * interpolated hashed-BIGRAM model (`p = λ·p_bi(cur|prev) +
+  * (1−λ)·p_uni(cur)`, Laplace-smoothed — Jelinek-Mercer interpolation,
+  * Chen & Goodman 1999), which keeps every model table bounded and the
+  * whole computation oracle-reproducible; [[Lexicon.unigramSurprisal]] is
+  * the λ=0 degenerate case of this tier.
+  *
+  * Why hashed buckets (the [[Importance]] argument): tokens hash to
+  * `buckets` ints row-locally BEFORE any wide op, so the unigram table is
+  * ≤ `buckets` rows (always broadcast-sized) and the bigram table is
+  * bounded by the target's distinct OBSERVED bucket pairs (≤ buckets²
+  * in the worst case, vocabulary-independent — at 100 TB the raw bigram
+  * vocabulary is unbounded, the bucket-pair space is not). No token string
+  * ever shuffles.
+  *
+  * Model definition (exact, both engines): with `cu(b)` the target count
+  * of bucket `b`, `T = Σ cu`, `cbi(p,c)` the target count of adjacent pair
+  * `(p,c)`, and `B = buckets`:
+  *   - `p_uni(c)   = (cu(c) + 1) / (T + B)`
+  *   - `p_bi(c|p)  = (cbi(p,c) + 1) / (cu(p) + B)`  (context denominator =
+  *     the unigram count — the plain-interpolation convention)
+  *   - position 1 of a document has no context and is scored by
+  *     `−ln p_uni` alone; positions 2..n score `−ln(λ·p_bi + (1−λ)·p_uni)`.
+  *
+  * Engine-exactness (the [[Importance.dsirWeights]] decimal discipline):
+  * every per-pair term is a pure function of exact integer counts — the
+  * double arithmetic `(λ·p_bi + (1−λ)·p_uni)` is deterministic IEEE on
+  * exact inputs, the `ln` is computed once per distinct `(doc, prev, cur)`
+  * group, rounded to 9 decimals, fixed as DECIMAL(20,9), and multiplied by
+  * exact occurrence counts — so document sums are aggregation-order
+  * independent and the DuckDB oracle reproduces every score bit-for-bit.
+  *
+  * Scale shape — one pass over each corpus:
+  *  1. bucket arrays and adjacent pairs are built row-locally (array
+  *     transforms over the split — no window, no self-join);
+  *  2. fitting aggregates to the bucket(-pair)-bounded tables under
+  *     map-side combine; totals fold from the unigram table (bucket-sized
+  *     agg, not a second corpus scan);
+  *  3. scoring's only corpus-sized shuffle is the per-doc
+  *     `(id, prev, cur, cnt)` aggregation — ints only. The unigram table
+  *     broadcasts by construction; the bigram join is deliberately
+  *     UN-HINTED (small targets broadcast via AQE, a dense buckets² table
+  *     must not — the q51 reasoning).
+  */
+object LanguageModel {
+
+  /** Fitted model: `uni` = `(b, cu)` target bucket counts (≤ buckets
+    * rows), `bi` = `(pb, cb, cbi)` adjacent-pair counts (observed pairs
+    * only — smoothing covers the rest at score time). Both frames are
+    * materialized by [[fitBigramLm]]; `buckets` and `lambda` ride along so
+    * scoring cannot silently mismatch the fit. */
+  final case class BigramLm(uni: DataFrame, bi: DataFrame,
+                            buckets: Int, lambda: Double)
+
+  /** `(keep..., bs ARRAY<LONG>)` — the per-document bucket sequence, built
+    * row-locally. Empty/null text contributes its single empty-string
+    * token (the [[Classifier.featureRows]] convention): every document has
+    * ≥ 1 position, so none silently drops out of scoring. */
+  private def bucketSeq(df: DataFrame, textCol: String, keep: Seq[Column],
+                        buckets: Int): DataFrame =
+    df.select(keep :+ transform(
+      split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " "),
+      t => Importance.bucketOf(t, buckets)).as("bs"): _*)
+
+  /** `(keep..., pb, cb)` scoring positions: position 1 carries the
+    * no-context sentinel `pb = -1`, positions 2..n carry the adjacent
+    * bucket pair. One row per TOKEN — `count(*)` per doc is its token
+    * count. Built by a row-local transform over `sequence(1, n)` (n ≥ 1
+    * always, so the sequence never descends). */
+  private def pairRows(df: DataFrame, textCol: String, keep: Seq[Column],
+                       buckets: Int): DataFrame =
+    bucketSeq(df, textCol, keep, buckets)
+      .select(keep :+ explode(transform(sequence(lit(1), size(col("bs"))),
+        i => struct(
+          when(i === 1, lit(-1L)).otherwise(element_at(col("bs"), i - 1)).as("pb"),
+          element_at(col("bs"), i).as("cb")))).as("p"): _*)
+      .select(keep :+ col("p.pb").as("pb") :+ col("p.cb").as("cb"): _*)
+
+  /** Fit the interpolated hashed-bigram model on `target` — see class doc.
+    * Both model tables return EAGERLY through `materialize` (the
+    * [[Importance]] hook contract: default `localCheckpoint(true)` on a
+    * single box, [[Curation.parquetMaterializer]] or a warehouse writer on
+    * a cluster): [[scoreBigramLm]] references `uni` three times (prev
+    * context + current token + total), and an un-materialized fit would
+    * re-scan the target corpus per reference. */
+  def fitBigramLm(target: DataFrame, textCol: String = "text",
+                  buckets: Int = 4096, lambda: Double = 0.9,
+                  materialize: DataFrame => DataFrame = _.localCheckpoint(true)): BigramLm = {
+    require(buckets > 0, s"fitBigramLm: buckets must be > 0, got $buckets")
+    require(lambda > 0 && lambda < 1,
+      s"fitBigramLm: lambda must be in (0, 1), got $lambda")
+    val pairs = pairRows(target, textCol, Seq.empty, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = materialize(
+      pairs.groupBy(col("cb").as("b")).agg(count(lit(1)).as("cu")))
+    val bi = materialize(
+      pairs.filter(col("pb") >= 0L)
+        .groupBy(col("pb"), col("cb")).agg(count(lit(1)).as("cbi")))
+    pairs.unpersist()
+    BigramLm(uni, bi, buckets, lambda)
+  }
+
+  private val Dec = DecimalType(20, 9)
+
+  /** Score a corpus under a fitted [[BigramLm]]: one row per document —
+    * `n_tokens` (scored positions), `ce_sum` (exact DECIMAL sum of the
+    * per-token −ln terms), and `ce` (`round(ce_sum / n_tokens, 6)` double —
+    * per-token cross-entropy, the length-invariant threshold quantity;
+    * perplexity is `exp(ce)`, monotone in it, so thresholds quote `ce` and
+    * no `exp` crosses the engine boundary). `extraCols` are carried through
+    * the grouping (must be functionally dependent on the id — e.g.
+    * `source`). */
+  def scoreBigramLm(docs: DataFrame, lm: BigramLm, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    extraCols: Seq[String] = Seq.empty): DataFrame = {
+    val keep = col(idCol) +: extraCols.map(col)
+    val tTotal = broadcast(
+      lm.uni.agg(coalesce(sum(col("cu")), lit(0L)).cast("long").as("tt")))
+    val grouped = pairRows(docs, textCol, keep, lm.buckets)
+      .groupBy(keep :+ col("pb") :+ col("cb"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val uniPrev = broadcast(lm.uni.select(col("b").as("pb"), col("cu").as("cup")))
+    val uniCur = broadcast(lm.uni.select(col("b").as("cb"), col("cu").as("cuc")))
+    val b = lm.buckets
+    val pUni = (coalesce(col("cuc"), lit(0L)) + 1L).cast("double") /
+      (col("tt") + b).cast("double")
+    val pBi = (coalesce(col("cbi"), lit(0L)) + 1L).cast("double") /
+      (coalesce(col("cup"), lit(0L)) + b).cast("double")
+    val term = when(col("pb") === -1L, -log(pUni))
+      .otherwise(-log(lit(lm.lambda) * pBi + lit(1.0 - lm.lambda) * pUni))
+    grouped
+      .join(lm.bi, Seq("pb", "cb"), "left")
+      .join(uniPrev, Seq("pb"), "left")
+      .join(uniCur, Seq("cb"), "left")
+      .crossJoin(tTotal)
+      // cnt narrows to DECIMAL(12,0) before the multiply — the
+      // [[Importance.dsirWeights]] overflow note (long × (21,9) would
+      // silently lose scale at precision 38)
+      .groupBy(keep: _*)
+      .agg(sum(col("cnt").cast(DecimalType(12, 0))
+          * round(term, 9).cast(Dec)).as("ce_sum"),
+        sum(col("cnt")).cast("long").as("n_tokens"))
+      .select(keep :+ col("n_tokens") :+ col("ce_sum") :+
+        round(col("ce_sum").cast("double") / col("n_tokens"), 6).as("ce"): _*)
+  }
+
+  /** CCNet's head/middle/tail assignment: rank documents by `ce` within
+    * each partition group and cut into `n` equal-frequency tiles
+    * (`ppl_tile` 1..n; tile 1 = lowest cross-entropy = most target-like =
+    * CCNet's "head"). Deterministic: ordered by the already-rounded `ce`
+    * with the id as tie-break, so both engines draw identical tile edges.
+    *
+    * Scale: the window shuffles `(id, ce)` — ints + one double per
+    * document, never text. An exact per-group rank is the oracle-checkable
+    * choice; at extreme group sizes the approximate alternative is
+    * GK-sketch cutoffs ([[Sketches]]) applied as a row-local compare, at
+    * the cost of rank exactness at the tile edges. */
+  def perplexityTiles(scored: DataFrame, n: Int = 3,
+                      partitionCols: Seq[String] = Seq.empty,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"perplexityTiles: n must be > 0, got $n")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("ce"), col(idCol))
+    scored.withColumn("ppl_tile", ntile(n).over(w))
+  }
+
+  /** The filter form: fit on `target`, score `docs`, keep documents with
+    * per-token cross-entropy ≤ `maxCe` (CCNet keeps head+middle ≈ the
+    * best-scoring fraction; quote the threshold in `ce` — `ln` of the
+    * perplexity cutoff). One left-semi join on id; corpus columns pass
+    * through untouched. */
+  def filterByPerplexity(docs: DataFrame, target: DataFrame, maxCe: Double,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         buckets: Int = 4096, lambda: Double = 0.9,
+                         materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val lm = fitBigramLm(target, textCol, buckets, lambda, materialize)
+    val kept = scoreBigramLm(docs, lm, textCol, idCol)
+      .filter(col("ce") <= maxCe).select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+}

@@ -1991,4 +1991,126 @@ class OpsSpec extends SparkSpec {
     assert(r2.corpus.select("doc_id").collect().map(_.getLong(0)).toSet === direct)
     assert(direct === Set(0L))                           // market doc filtered
   }
+
+  test("bigram LM: exact decimal ce matches an independent computation; target-like doc scores lower") {
+    import graft.ops.LanguageModel
+    val B = 4096
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % B
+    }
+    val tgtToks = Seq("apple", "banana", "apple", "cherry", "apple", "banana")
+    val target = Seq((0L, tgtToks.mkString(" "))).toDF("doc_id", "text")
+    // tiny vocab in 4096 buckets: the hand computation assumes no collisions
+    assert(tgtToks.distinct.map(bucket).distinct.size === tgtToks.distinct.size)
+    val uni = tgtToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val bi = tgtToks.zip(tgtToks.tail).map { case (p, c) => (bucket(p), bucket(c)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tt = tgtToks.size.toLong
+    val lambda = 0.9
+    def pUni(c: String): Double =
+      (uni.getOrElse(bucket(c), 0L) + 1).toDouble / (tt + B).toDouble
+    def term(p: Option[String], c: String): BigDecimal = {
+      val v = p match {
+        case None => -math.log(pUni(c))
+        case Some(pp) =>
+          val pBi = (bi.getOrElse((bucket(pp), bucket(c)), 0L) + 1).toDouble /
+            (uni.getOrElse(bucket(pp), 0L) + B).toDouble
+          -math.log(lambda * pBi + (1.0 - lambda) * pUni(c))
+      }
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def expected(toks: Seq[String]): (BigDecimal, Long, Double) = {
+      val sum = term(None, toks.head) +
+        toks.zip(toks.tail).map { case (p, c) => term(Some(p), c) }.sum
+      val ce = BigDecimal(sum.toDouble / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (sum, toks.size.toLong, ce)
+    }
+    val docs = Seq(
+      (10L, "apple banana apple"),          // drawn from the target
+      (11L, "quince durian quince durian"), // fully out-of-target
+      (12L, null.asInstanceOf[String])      // null -> one empty-string token
+    ).toDF("doc_id", "text")
+    val lm = LanguageModel.fitBigramLm(target, materialize = df => df)
+    val out = LanguageModel.scoreBigramLm(docs, lm).collect()
+      .map(r => r.getLong(0) -> ((BigDecimal(r.getDecimal(2)), r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(out(10L) === expected(Seq("apple", "banana", "apple")))
+    assert(out(11L) === expected(Seq("quince", "durian", "quince", "durian")))
+    // per-token cross-entropy, not the sum, is the comparable quantity
+    assert(out(10L)._3 < out(11L)._3)
+    // null text scores as its single empty-string token — no NaN, no drop
+    assert(out(12L)._2 === 1L && !out(12L)._3.isNaN)
+    // the seen bigram beats the unseen one under the SAME unigram mass:
+    // 'apple banana' (target bigram) scores below 'banana apple' reversed?
+    // both orders occur here, so instead pin the model tables directly
+    assert(lm.uni.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      uni.map { case (k, v) => k -> v })
+    assert(lm.bi.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ===
+      bi.map { case (k, v) => k -> v })
+  }
+
+  test("perplexity tiles and filter: tile 1 = most target-like; threshold keeps the head") {
+    import graft.ops.LanguageModel
+    val target = Seq((0L, "the cat sat on the mat the cat ran")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "the cat ran on the mat", "a"),
+      (3L, "zeta omega gamma delta epsilon", "a"),
+      (4L, "the mat sat the cat on", "a"),
+      (5L, "wholly unrelated gibberish tokens xylophone", "a"),
+      (6L, "the cat sat", "a")
+    ).toDF("doc_id", "text", "source")
+    val lm = LanguageModel.fitBigramLm(target, materialize = df => df)
+    val scored = LanguageModel.scoreBigramLm(docs, lm, extraCols = Seq("source"))
+    val tiles = LanguageModel.perplexityTiles(scored, n = 3,
+        partitionCols = Seq("source"))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("ppl_tile"))).toMap
+    val ces = scored.collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("ce"))).toMap
+    // tiles follow the ce order exactly: 6 docs -> 2 per tile
+    val byCe = ces.toSeq.sortBy { case (id, ce) => (ce, id) }.map(_._1)
+    assert(byCe.take(2).map(tiles).forall(_ === 1))
+    assert(byCe.slice(2, 4).map(tiles).forall(_ === 2))
+    assert(byCe.drop(4).map(tiles).forall(_ === 3))
+    // target-like docs occupy the head tile, gibberish the tail
+    assert(tiles(1) === 1)
+    assert(Seq(tiles(3), tiles(5)).max === 3)
+    // the filter form keeps exactly the docs at or under the cutoff
+    val cut = ces(byCe(2))   // admit three
+    val kept = LanguageModel.filterByPerplexity(docs, target, maxCe = cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === ces.filter(_._2 <= cut).keySet)
+  }
+
+  test("bigram LM plans: no scoring shuffle carries a string; unigram tables broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    import graft.ops.LanguageModel
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = (0L until 60L).map(i => (i, s"w${i % 7} x$i y${i % 3} z$i a b c d e f"))
+        .toDF("doc_id", "text")
+      val lm = LanguageModel.fitBigramLm(d.filter(col("doc_id") < 10),
+        materialize = df => df.localCheckpoint(true))
+      val exec = LanguageModel.scoreBigramLm(d, lm)
+        .queryExecution.executedPlan
+      val shuffles = exec.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "sanity: scoring has the per-doc pair agg shuffle")
+      shuffles.foreach { s =>
+        assert(!s.output.exists(_.dataType == StringType),
+          s"an LM scoring shuffle carries a string column: ${s.output.map(a => s"${a.name}:${a.dataType}")}")
+      }
+      // the two unigram probes + the total are explicit broadcasts
+      assert("BroadcastHashJoin".r.findAllIn(exec.toString).length >= 2,
+        exec.toString.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
