@@ -41,6 +41,10 @@ import graft.ops.Curation
   * dsirTemperature=1.0        ...Gumbel resampling instead of argmax top-k
   * lineRules=true             C4 line-level rule cleaning (before the gates)
   * lineRuleMinWords=5         ...its minimum words-per-line
+  * badWords=w1,w2             C4 banned-word page filter (after line rules)
+  * maxBadTokens=0             ...occurrences tolerated (0 = drop on any)
+  * perplexityTarget=<t.jsonl> CCNet LM-filter target corpus, with:
+  * perplexityMaxCe=6.5        ...keep per-token cross-entropy <= this
   * repetitionGates=true       Gopher repetition thresholds (published defaults)
   * classifierPos=<pos.jsonl>  model-based quality filter: positive seeds
   * classifierNeg=<neg.jsonl>  ...negative seeds (both or neither)
@@ -81,7 +85,8 @@ object Curate {
   case class Inputs(dsirTarget: Option[String] = None,
                     classifierPos: Option[String] = None,
                     classifierNeg: Option[String] = None,
-                    embeddings: Option[String] = None)
+                    embeddings: Option[String] = None,
+                    perplexityTarget: Option[String] = None)
 
   /** Parse the optional `key=value` overrides into a Config (exposed for the
     * spec). Unknown keys fail loudly — a typo must not silently run the
@@ -117,6 +122,10 @@ object Curate {
         case "dsirTarget"       => inputs = inputs.copy(dsirTarget = Some(v)); c
         case "lineRules"        => c.copy(lineRules = v.toBoolean)
         case "lineRuleMinWords" => c.copy(lineRuleMinWords = v.toInt)
+        case "badWords"         => c.copy(badWords = v.split(",").toSeq.filter(_.nonEmpty))
+        case "maxBadTokens"     => c.copy(maxBadTokens = v.toInt)
+        case "perplexityTarget" => inputs = inputs.copy(perplexityTarget = Some(v)); c
+        case "perplexityMaxCe"  => c.copy(perplexityMaxCe = Some(v.toDouble))
         case "repetitionGates"  => c.copy(repetitionGates = v.toBoolean)
         case "classifierPos"    => inputs = inputs.copy(classifierPos = Some(v)); c
         case "classifierNeg"    => inputs = inputs.copy(classifierNeg = Some(v)); c
@@ -140,6 +149,8 @@ object Curate {
     }
     require(inputs.classifierPos.isDefined == inputs.classifierNeg.isDefined,
       "graft.Curate: classifierPos and classifierNeg must be passed together")
+    require(inputs.perplexityTarget.isDefined == cfg.perplexityMaxCe.isDefined,
+      "graft.Curate: perplexityTarget and perplexityMaxCe must be passed together")
     (cfg, inputs)
   }
 
@@ -177,10 +188,12 @@ object Curate {
         DocumentSources.readJsonl(spark, inputs.classifierNeg.get)._1)
     }
     val embeddings = inputs.embeddings.map(p => spark.read.parquet(p))
+    val perplexityTarget =
+      inputs.perplexityTarget.map(p => DocumentSources.readJsonl(spark, p)._1)
 
     val result = Curation.curate(clean, benchmark, config,
       dsirTarget = dsirTarget, classifierSeeds = classifierSeeds,
-      embeddings = embeddings)
+      embeddings = embeddings, perplexityTarget = perplexityTarget)
 
     DocumentSources.writeJsonl(result.corpus, s"$outDir/curated")
     DocumentSources.writeJsonl(dirty, s"$outDir/rejects")

@@ -1537,6 +1537,19 @@ object OracleSql {
       CAST(ntile(3) OVER (PARTITION BY source ORDER BY ce, doc_id) AS BIGINT) AS ppl_tile
     FROM scored"""
 
+  /** C4 banned-word filter — mirrors graft.ops.QualityGates.withBadWords
+    * (token-equality over the normalized text; occurrence count keeps
+    * multiplicity, distinct count dedups — DuckDB list_intersect and Spark
+    * array_intersect both return distinct matches). */
+  private val q77 = s"""
+    WITH ts AS (SELECT doc_id,
+        regexp_split_to_array($dedupNormSql, ' ') AS ts FROM documents)
+    SELECT doc_id,
+      CAST(len(list_filter(ts, t -> list_contains(['slow', 'vector', 'spam'], t))) AS BIGINT) AS n_bad_tokens,
+      CAST(len(list_intersect(ts, ['slow', 'vector', 'spam'])) AS BIGINT) AS n_bad_distinct,
+      len(list_intersect(ts, ['slow', 'vector', 'spam'])) > 0 AS has_bad_word
+    FROM ts"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1619,6 +1632,7 @@ object OracleSql {
     "q73_hash_split"        -> q73,
     "q74_repetition_stats"  -> q74,
     "q75_cluster_sample"    -> q75,
-    "q76_perplexity"        -> q76
+    "q76_perplexity"        -> q76,
+    "q77_bad_words"         -> q77
   ).map { case (k, v) => k -> clean(v) }
 }

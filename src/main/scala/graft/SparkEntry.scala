@@ -1011,6 +1011,17 @@ object SparkEntry {
         col("ce"), col("ppl_tile").cast("long").as("ppl_tile"))
   }
 
+  /** C4 banned-word page filter ([[graft.ops.QualityGates.withBadWords]]):
+    * token-equality matching of a 3-word blocklist over every document —
+    * occurrence + distinct tallies and the drop verdict, all integer-exact
+    * ("spam" never occurs in the corpus, pinning the zero path). */
+  private def q77BadWords(s: SparkSession, dir: String): DataFrame =
+    QualityGates.withBadWords(t(s, dir, "documents"), Seq("slow", "vector", "spam"))
+      .select(col("doc_id"),
+        col("n_bad_tokens").cast("long").as("n_bad_tokens"),
+        col("n_bad_distinct").cast("long").as("n_bad_distinct"),
+        col("has_bad_word"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1087,7 +1098,8 @@ object SparkEntry {
     "q73_hash_split"        -> q73HashSplit _,
     "q74_repetition_stats"  -> q74RepetitionStats _,
     "q75_cluster_sample"    -> q75ClusterSample _,
-    "q76_perplexity"        -> q76Perplexity _
+    "q76_perplexity"        -> q76Perplexity _,
+    "q77_bad_words"         -> q77BadWords _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

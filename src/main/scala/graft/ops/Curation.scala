@@ -12,31 +12,37 @@ import org.apache.spark.sql.functions._
   *   1. C4 line-level rule cleaning ([[QualityGates.applyLineRules]],
   *      opt-in; boilerplate/short/unterminated lines are cut IN PLACE and
   *      "lorem ipsum"/curly-brace pages dropped whole)
-  *   2. rule-based quality gates ([[QualityGates.applyGates]])
-  *   3. Gopher repetition gates ([[TextAnalysis.applyRepetitionGates]],
+  *   2. C4 banned-word page filter ([[QualityGates.applyBadWords]],
+  *      opt-in; judges the line-rule-CLEANED text — a banned word on a
+  *      dropped boilerplate line shouldn't kill the page)
+  *   3. rule-based quality gates ([[QualityGates.applyGates]])
+  *   4. Gopher repetition gates ([[TextAnalysis.applyRepetitionGates]],
   *      opt-in; duplicate-line and top-n-gram character-claim thresholds)
-  *   4. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
+  *   5. per-line boilerplate removal ([[LineDedup.perLineDedup]]; documents
   *      whose every line was boilerplate drop out)
-  *   5. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
+  *   6. intra-document line dedup ([[LineDedup.perDocLineDedup]], opt-in;
   *      repeated lines WITHIN a document keep only their first occurrence)
-  *   6. exact document dedup ([[Dedup.exact]], first-wins)
-  *   7. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
+  *   7. exact document dedup ([[Dedup.exact]], first-wins)
+  *   8. substring-level span dedup ([[SpanDedup.spanDedup]], opt-in;
   *      cross-document hot character runs are excised in place)
-  *   8. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
+  *   9. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
   *      keeps its BEST copy — highest quality, ties to the smaller id)
-  *   9. benchmark decontamination ([[Dedup.contamination]])
-  *  10. cluster-balanced diversity capping
+  *  10. benchmark decontamination ([[Dedup.contamination]])
+  *  11. CCNet perplexity filtering ([[LanguageModel.filterByPerplexity]],
+  *      opt-in; bigram-LM cross-entropy against a target corpus, on the
+  *      deduped + decontaminated survivors — the CCNet ordering)
+  *  12. cluster-balanced diversity capping
   *      ([[Similarity.clusterBalancedSample]], opt-in; needs an
   *      `embeddings` frame keyed by the doc id)
-  *  11. model-based quality filtering ([[Classifier.filterByClassifier]],
+  *  13. model-based quality filtering ([[Classifier.filterByClassifier]],
   *      opt-in; NBSVM log-odds classifier fitted on caller seed sets)
-  *  12. DSIR target-matching selection ([[Importance.dsirWeights]] →
+  *  14. DSIR target-matching selection ([[Importance.dsirWeights]] →
   *      [[Importance.dsirTopK]] / [[Importance.dsirResample]], opt-in)
-  *  13. deterministic mixture sampling ([[Sampling.stratifiedSample]])
-  *  14. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
-  *  15. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
+  *  15. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *  16. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
+  *  17. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
   *      opt-in; adds a `copy` column — (id, copy) is the unique key after)
-  *  16. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
+  *  18. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
   *      adds `shard`/`pos` — the training-shard layout, the LAST step)
   *
   * The order matters and is the industry-standard one: line rules BEFORE the
@@ -116,6 +122,13 @@ object Curation {
     *  - `lineRules = true` enables C4 line-level rule cleaning
     *    (`lineRuleMinWords`/`lineRuleMinKept`/`lineRulePhrases` are
     *    [[QualityGates.applyLineRules]]'s knobs);
+    *  - `badWords = Seq(...)` enables the C4 banned-word page filter
+    *    (`maxBadTokens` occurrences tolerated — 0 is C4's
+    *    drop-on-any-match);
+    *  - `perplexityMaxCe = Some(ce)` + a `perplexityTarget` on [[curate]]
+    *    enables CCNet LM filtering (keep per-token cross-entropy ≤ ce;
+    *    `perplexityBuckets`/`perplexityLambda` are
+    *    [[LanguageModel.fitBigramLm]]'s knobs);
     *  - `repetitionGates = true` enables the Gopher repetition thresholds
     *    (published defaults; call
     *    [[TextAnalysis.applyRepetitionGates]] directly to tune them);
@@ -150,6 +163,11 @@ object Curation {
       lineRuleMinWords: Int = 5,
       lineRuleMinKept: Int = 1,
       lineRulePhrases: Seq[String] = QualityGates.PolicyPhrases,
+      badWords: Seq[String] = Nil,
+      maxBadTokens: Int = 0,
+      perplexityMaxCe: Option[Double] = None,
+      perplexityBuckets: Int = 4096,
+      perplexityLambda: Double = 0.9,
       classifierBuckets: Int = 4096,
       classifierNgrams: Int = 1,
       classifierBias: Double = 0.0,
@@ -229,9 +247,12 @@ object Curation {
              strataCol: String = "source",
              dsirTarget: Option[DataFrame] = None,
              classifierSeeds: Option[(DataFrame, DataFrame)] = None,
-             embeddings: Option[DataFrame] = None): Result = {
+             embeddings: Option[DataFrame] = None,
+             perplexityTarget: Option[DataFrame] = None): Result = {
     require(config.dsirKeep.isEmpty || dsirTarget.isDefined,
       "curate: config.dsirKeep is set but no dsirTarget was passed")
+    require(config.perplexityMaxCe.isEmpty || perplexityTarget.isDefined,
+      "curate: config.perplexityMaxCe is set but no perplexityTarget was passed")
     require(config.clusterCap.isEmpty || embeddings.isDefined,
       "curate: config.clusterCap is set but no embeddings frame was passed")
     val spark = docs.sparkSession
@@ -261,6 +282,14 @@ object Curation {
     step("line_rules", config.lineRules) { d =>
       QualityGates.applyLineRules(d, textCol, config.lineRuleMinWords,
         config.lineRuleMinKept, config.lineRulePhrases)
+    }
+    step("bad_words", config.badWords.nonEmpty) { d =>
+      // C4's order: the banned-word verdict judges the line-rule-CLEANED
+      // text (a banned word on a dropped boilerplate line shouldn't kill
+      // the page), and runs before the statistical gates — it's the
+      // cheapest text-reading kill
+      QualityGates.applyBadWords(d, config.badWords, textCol,
+        config.maxBadTokens)
     }
     step("quality_gates", config.gates) { d =>
       QualityGates.applyGates(d, textCol)
@@ -303,6 +332,14 @@ object Curation {
       val bad = Dedup.contamination(d, benchmark.get, textCol, idCol,
         config.decontaminationShingleK)
       d.join(bad, Seq(idCol), "left_anti")
+    }
+    step("perplexity", config.perplexityMaxCe.isDefined) { d =>
+      // the CCNet ordering: LM filtering runs on the deduped, decontaminated
+      // corpus (duplicate mass would otherwise dominate what survives a
+      // threshold tuned on the clean distribution)
+      LanguageModel.filterByPerplexity(d, perplexityTarget.get,
+        config.perplexityMaxCe.get, textCol, idCol,
+        config.perplexityBuckets, config.perplexityLambda, config.materialize)
     }
     step("cluster_balance", config.clusterCap.isDefined) { d =>
       // only ids the CURRENT survivor set still holds participate: capping

@@ -189,4 +189,60 @@ object QualityGates {
       .filter(!col("doc_blocked") && col("n_lines_kept") >= minKeptLines)
       .drop("n_lines_kept", "n_lines_short", "n_lines_noterm",
         "n_lines_policy", "doc_blocked")
+
+  /** Validate + normalize a banned-word list driver-side: lowercase, and
+    * each entry must survive text normalization as EXACTLY ONE token — a
+    * multi-token entry (e.g. "foo-bar", which normalizes to "foo bar") can
+    * never match a single token and would silently never fire, so it is
+    * refused loudly (the [[cleanLines]] precondition discipline). */
+  private def normalizedWords(words: Seq[String], caller: String): Seq[String] = {
+    require(words.nonEmpty, s"$caller: words must be non-empty")
+    words.map { w =>
+      val n = w.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+      require(n.nonEmpty && !n.contains(' '),
+        s"$caller: each banned word must normalize to exactly one token " +
+          s"(got '$w' -> '$n'); multi-word phrases belong in cleanLines' " +
+          "phrase rules instead")
+      n
+    }.distinct
+  }
+
+  /** C4's banned-word page filter (Raffel et al., JMLR 2020,
+    * arXiv:1910.10683 §2.2: any page containing a word from the public
+    * "Dirty, Naughty, Obscene or Otherwise Bad Words" list is removed
+    * whole), mark form — attaches to each document:
+    *  - `n_bad_tokens`: banned-token OCCURRENCES (multiplicity counts, the
+    *    thresholdable density signal);
+    *  - `n_bad_distinct`: DISTINCT banned words present;
+    *  - `has_bad_word`: the C4 drop verdict (any match).
+    *
+    * Matching is token-equality over the normalized text — the engine-exact
+    * choice (substring matching would flag "class" for "ass"; C4's own
+    * filter is word-level). Scale shape: entirely row-local — the word
+    * list compiles into the plan (an `InSet` hash probe per token for the
+    * occurrence count, a hash-set `array_intersect` for the distinct
+    * count), so the stage composes at scan speed under any partitioning,
+    * like every other gate. Lists are a few hundred words per language
+    * (the published list's size) — far under any plan-size concern. */
+  def withBadWords(docs: DataFrame, words: Seq[String],
+                   textCol: String = "text"): DataFrame = {
+    val ws = normalizedWords(words, "withBadWords")
+    val toks = split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")
+    docs
+      .withColumn("n_bad_tokens",
+        size(filter(toks, t => t.isin(ws: _*))))
+      .withColumn("n_bad_distinct",
+        size(array_intersect(toks, lit(ws.toArray))))
+      .withColumn("has_bad_word", col("n_bad_distinct") > 0)
+  }
+
+  /** Banned-word filter form: documents with at most `maxBadTokens` banned
+    * occurrences survive (0 = C4's drop-on-any-match); audit columns are
+    * dropped. */
+  def applyBadWords(docs: DataFrame, words: Seq[String],
+                    textCol: String = "text", maxBadTokens: Int = 0): DataFrame =
+    withBadWords(docs, words, textCol)
+      .filter(col("n_bad_tokens") <= maxBadTokens)
+      .drop("n_bad_tokens", "n_bad_distinct", "has_bad_word")
 }

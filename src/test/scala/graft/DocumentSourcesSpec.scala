@@ -103,7 +103,8 @@ class DocumentSourcesSpec extends SparkSpec {
       "lineRules=true", "lineRuleMinWords=3", "repetitionGates=true",
       "classifierPos=/p.jsonl", "classifierNeg=/n.jsonl", "classifierBias=0.5",
       "classifierNgrams=2", "embeddings=/e.parquet", "clusterCap=9",
-      "clusterNumCentroids=8"))
+      "clusterNumCentroids=8", "badWords=foo,,bar", "maxBadTokens=2",
+      "perplexityTarget=/w.jsonl", "perplexityMaxCe=6.5"))
     assert(cfg.docLineDedup && cfg.spanDedup && cfg.spanMinDf === 5)
     assert(cfg.nearDupThreshold === None && cfg.dsirKeep === Some(7))
     assert(cfg.dsirTemperature === Some(0.5) && inputs.dsirTarget === Some("/t.jsonl"))
@@ -116,6 +117,10 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(cfg.tokenBudgets === Map("web" -> 1000L))
     assert(cfg.upsampleFactors === Map("books" -> 2.5))
     assert(cfg.numShards === Some(16) && cfg.seed === "s1")
+    // stray-comma empties drop from the banned-word list too
+    assert(cfg.badWords === Seq("foo", "bar") && cfg.maxBadTokens === 2)
+    assert(inputs.perplexityTarget === Some("/w.jsonl"))
+    assert(cfg.perplexityMaxCe === Some(6.5))
     // url keys parse, and stray-comma empties are DROPPED (an empty regex
     // would match every URL)
     val (uCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
@@ -137,6 +142,13 @@ class DocumentSourcesSpec extends SparkSpec {
     // classifier seeds must come as a pair
     intercept[IllegalArgumentException] {
       Curate.parseConfig(Curation.Config(), Seq("classifierPos=/p.jsonl"))
+    }
+    // the perplexity target and threshold must come as a pair too
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("perplexityTarget=/w.jsonl"))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("perplexityMaxCe=6.5"))
     }
 
     // end-to-end: the url filter + mixture stages reach the written output

@@ -1992,6 +1992,77 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("badWords: token-equality (never substring), multiplicity vs distinct, filter forms, loud preconditions") {
+    import graft.ops.QualityGates
+    val d = Seq(
+      (1L, "the spam and SPAM, spam again"),       // 3x spam (case/punct normalize)
+      (2L, "classic glass has no bad substring"),  // 'ass' must NOT match inside words
+      (3L, "spam scam here"),                      // one of each
+      (4L, "perfectly clean words only"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = QualityGates.withBadWords(d, Seq("Spam", "scam", "ass"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(r.fieldIndex("n_bad_tokens")),
+          r.getInt(r.fieldIndex("n_bad_distinct")),
+          r.getBoolean(r.fieldIndex("has_bad_word"))))).toMap
+    assert(m(1L) === ((3, 1, true)))
+    assert(m(2L) === ((0, 0, false)))   // substring 'ass' in 'classic'/'glass' ignored
+    assert(m(3L) === ((2, 2, true)))
+    assert(m(4L) === ((0, 0, false)))
+    assert(m(5L) === ((0, 0, false)))   // null text never crashes
+    // C4 drop-on-any-match vs a tolerance threshold
+    assert(QualityGates.applyBadWords(d, Seq("spam"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L, 5L))
+    assert(QualityGates.applyBadWords(d, Seq("spam"), maxBadTokens = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L, 5L))
+    // preconditions refuse loudly: empty list, multi-token entry
+    intercept[IllegalArgumentException] { QualityGates.withBadWords(d, Nil) }
+    intercept[IllegalArgumentException] {
+      QualityGates.withBadWords(d, Seq("foo-bar"))  // normalizes to 'foo bar'
+    }
+  }
+
+  test("curation: bad-words judges line-rule-cleaned text; perplexity stage wires through") {
+    import graft.ops.{Curation, LanguageModel}
+    // doc 1's banned word sits ONLY on a boilerplate line that the line
+    // rules drop — the page must survive the bad-words stage (C4 ordering)
+    val corpus = Seq(
+      (1L, "this sentence carries plenty of good words to keep today.\nspam", "web"),
+      (2L, "this sentence carries plenty of good words to keep today, spam included.", "web"),
+      (3L, "another perfectly ordinary sentence with enough words to keep.", "web")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.curate(corpus, config = Curation.Config(
+      lineRules = true, badWords = Seq("spam"),
+      gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None))
+    assert(r.audit.collect().map(_.getString(0)).toSeq === Seq("line_rules", "bad_words"))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+
+    // perplexity stage: target-like survivors match the direct filter
+    val target = Seq((100L, "the cat sat on the mat the cat ran")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "zeta omega gamma delta epsilon", "web"),
+      (3L, "the cat ran on the mat", "web")
+    ).toDF("doc_id", "text", "source")
+    val lm = LanguageModel.fitBigramLm(target, materialize = df => df)
+    val ces = LanguageModel.scoreBigramLm(docs, lm).collect()
+      .map(x => x.getLong(0) -> x.getDouble(x.fieldIndex("ce"))).toMap
+    val cut = (ces(1L) max ces(3L)) + 1e-6
+    val r2 = Curation.curate(docs, config = Curation.Config(
+      gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None, perplexityMaxCe = Some(cut)),
+      perplexityTarget = Some(target))
+    assert(r2.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ===
+      Seq(("perplexity", 3L, 2L)))
+    assert(r2.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // a missing target refuses loudly
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, config = Curation.Config(perplexityMaxCe = Some(1.0)))
+    }
+  }
+
   test("bigram LM: exact decimal ce matches an independent computation; target-like doc scores lower") {
     import graft.ops.LanguageModel
     val B = 4096
