@@ -1550,6 +1550,51 @@ object OracleSql {
       len(list_intersect(ts, ['slow', 'vector', 'spam'])) > 0 AS has_bad_word
     FROM ts"""
 
+  /** Corpus-overlap matrix — mirrors graft.ops.Overlap.sourceOverlap
+    * (k=3 shingles, 64-perm KM signatures — the minhashCtes arithmetic with
+    * `source` carried): per-source distinct shingle-hash sets give exact
+    * Jaccard/containment; the per-source union signature (elementwise MIN
+    * over the set) gives the sketch estimate; zero-overlap pairs kept via
+    * the sizes cross-pairing. */
+  private val q78 = s"""
+    WITH toks AS (SELECT source, regexp_split_to_array($dedupNormSql, ' ') AS tk
+      FROM documents),
+    shl AS (SELECT source,
+        unnest(list_distinct(list_transform(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
+          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT))) AS h
+      FROM toks),
+    dsh AS (SELECT DISTINCT source, h FROM shl),
+    sizes AS (SELECT source, COUNT(*) AS n FROM dsh GROUP BY 1),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        COUNT(*) AS nc
+      FROM dsh a JOIN dsh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2),
+    mins AS (SELECT source, i,
+        MIN(((h >> 28) + i * (h & 268435455)) % 2147483647) AS v
+      FROM dsh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+    mtch AS (SELECT a.source AS source_a, b.source AS source_b,
+        SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS nm
+      FROM mins a JOIN mins b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2),
+    prs AS (SELECT sa.source AS source_a, sb.source AS source_b,
+        sa.n AS n_a, sb.n AS n_b
+      FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+    SELECT p.source_a, p.source_b,
+      CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+      CAST(COALESCE(i.nc, 0) AS BIGINT) AS n_common,
+      round(CAST(COALESCE(i.nc, 0) AS DOUBLE)
+        / (p.n_a + p.n_b - COALESCE(i.nc, 0)), 6) AS jaccard,
+      round(CAST(COALESCE(i.nc, 0) AS DOUBLE) / p.n_a, 6) AS containment_a,
+      round(CAST(COALESCE(i.nc, 0) AS DOUBLE) / p.n_b, 6) AS containment_b,
+      CAST(m.nm AS BIGINT) AS n_match,
+      round(CAST(m.nm AS DOUBLE) / 64, 6) AS j_est
+    FROM prs p
+    LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b
+    JOIN mtch m ON p.source_a = m.source_a AND p.source_b = m.source_b"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1633,6 +1678,7 @@ object OracleSql {
     "q74_repetition_stats"  -> q74,
     "q75_cluster_sample"    -> q75,
     "q76_perplexity"        -> q76,
-    "q77_bad_words"         -> q77
+    "q77_bad_words"         -> q77,
+    "q78_source_overlap"    -> q78
   ).map { case (k, v) => k -> clean(v) }
 }

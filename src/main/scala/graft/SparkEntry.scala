@@ -1022,6 +1022,18 @@ object SparkEntry {
         col("n_bad_distinct").cast("long").as("n_bad_distinct"),
         col("has_bad_word"))
 
+  /** Corpus-overlap matrix ([[graft.ops.Overlap.sourceOverlap]]): exact
+    * pairwise Jaccard/containment over per-source distinct shingle sets,
+    * joined with the mergeable per-source MinHash estimate — every count,
+    * signature component, and 6-dp ratio oracle-reproduced over all 190
+    * source pairs. */
+  private def q78SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Overlap.sourceOverlap(t(s, dir, "documents"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        col("jaccard"), col("containment_a"), col("containment_b"),
+        col("n_match"), col("j_est"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1099,7 +1111,8 @@ object SparkEntry {
     "q74_repetition_stats"  -> q74RepetitionStats _,
     "q75_cluster_sample"    -> q75ClusterSample _,
     "q76_perplexity"        -> q76Perplexity _,
-    "q77_bad_words"         -> q77BadWords _
+    "q77_bad_words"         -> q77BadWords _,
+    "q78_source_overlap"    -> q78SourceOverlap _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

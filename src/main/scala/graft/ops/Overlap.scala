@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level overlap estimation — "how much of dataset A is also in
+  * dataset B?", the question a data team answers before mixing corpora
+  * (duplicate mass across sources silently reweights a training mixture,
+  * and a high-containment source is a candidate for dropping entirely).
+  * Pairwise set similarity over each group's UNION of k-token shingles,
+  * at two price points:
+  *
+  *  - [[sourceOverlapExact]]: exact Jaccard + containment from the distinct
+  *    `(group, shingle-hash)` sets — the verification tier. Its shuffle
+  *    carries every distinct shingle hash of the corpus (the q41
+  *    vocabulary-shuffle shape; right at audit scale, wrong as the default
+  *    at 100 TB).
+  *  - [[sourceOverlapSketch]]: MinHash estimate from per-GROUP signatures.
+  *    The union signature is the elementwise MIN of per-document signatures
+  *    (min distributes over union — the Broder 1997 mergeability property),
+  *    so it folds in ONE map-side-combining aggregation: after the combine,
+  *    the shuffle carries `groups × numHashes` ints TOTAL, independent of
+  *    corpus size — the sketch never sees a corpus-sized wide op. The
+  *    pairwise compare is `groups²/2 × numHashes` ints — trivial for any
+  *    realistic source count.
+  *
+  * Both paths are md5-derived ([[Dedup.shingleHashes]] /
+  * [[Dedup.minhashSignatureOfText]] — the portable 56-bit packing and
+  * Kirsch–Mitzenmacher permutations of the LSH tier), so the DuckDB oracle
+  * reproduces every signature component and count exactly; estimator
+  * accuracy (J ± ~1/√numHashes) is additionally pinned against the exact
+  * tier in OpsSpec.
+  */
+object Overlap {
+
+  /** Per-group union-of-shingles MinHash signature, long form:
+    * `(groupCol, pos, v)` — `numHashes` rows per group, `v` = the
+    * elementwise minimum across the group's documents. Row-local compiled
+    * signature per document, then ONE min aggregation (map-side combine
+    * makes the shuffle group-bounded). */
+  def sourceMinhash(docs: DataFrame, textCol: String = "text",
+                    groupCol: String = "source", numHashes: Int = 64,
+                    shingleK: Int = 3): DataFrame =
+    docs
+      .select(col(groupCol),
+        posexplode(Dedup.minhashSignatureOfText(col(textCol), numHashes, shingleK))
+          .as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(min(col("v")).as("v"))
+
+  /** MinHash overlap estimate for every group pair (`a < b` lexically):
+    * `(source_a, source_b, n_match, j_est)` — `j_est` = matching signature
+    * components / `numHashes`, the standard unbiased Jaccard estimator. */
+  def sourceOverlapSketch(docs: DataFrame, textCol: String = "text",
+                          groupCol: String = "source", numHashes: Int = 64,
+                          shingleK: Int = 3): DataFrame = {
+    val mins = sourceMinhash(docs, textCol, groupCol, numHashes, shingleK)
+    val a = mins.select(col(groupCol).as("source_a"), col("pos"), col("v").as("va"))
+    val b = mins.select(col(groupCol).as("source_b"), col("pos"), col("v").as("vb"))
+    a.join(b, Seq("pos"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        round(col("n_match").cast("double") / numHashes, 6).as("j_est"))
+  }
+
+  /** Distinct `(groupCol, h)` shingle-hash sets — the exact tier's carrier
+    * (and its corpus-sized shuffle; see class doc). */
+  private def distinctShingles(docs: DataFrame, textCol: String,
+                               groupCol: String, shingleK: Int): DataFrame =
+    docs.select(col(groupCol),
+        explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
+      .distinct()
+
+  /** Exact pairwise overlap for every group pair (`a < b` lexically):
+    * `(source_a, source_b, n_a, n_b, n_common, jaccard, containment_a,
+    * containment_b)` — `containment_a` = |A∩B| / |A| ("how much of A is in
+    * B", the drop-this-source signal; asymmetric by design). Pairs with no
+    * common shingle are KEPT at zero (the full matrix, built from the
+    * sizes cross-pairing — an inner join on `h` alone would silently drop
+    * them). */
+  def sourceOverlapExact(docs: DataFrame, textCol: String = "text",
+                         groupCol: String = "source",
+                         shingleK: Int = 3): DataFrame = {
+    val sh = distinctShingles(docs, textCol, groupCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(groupCol).as("source_a"), col("h"))
+      .join(sh.select(col(groupCol).as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.select(col(groupCol).as("source_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col(groupCol).as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val out = pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .select(col("*"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"),
+        round(col("n_common").cast("double") / col("n_a"), 6).as("containment_a"),
+        round(col("n_common").cast("double") / col("n_b"), 6).as("containment_b"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** The audit matrix: exact overlap joined with the sketch estimate per
+    * pair — what a mixing decision reads at verification scale (at
+    * production scale run [[sourceOverlapSketch]] alone; see class doc). */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+                    groupCol: String = "source", numHashes: Int = 64,
+                    shingleK: Int = 3): DataFrame =
+    sourceOverlapExact(docs, textCol, groupCol, shingleK)
+      .join(sourceOverlapSketch(docs, textCol, groupCol, numHashes, shingleK),
+        Seq("source_a", "source_b"))
+}

@@ -1992,6 +1992,46 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("sourceOverlap: identical pair at 1, disjoint pair kept at 0, subset containment; sketch tracks exact") {
+    import graft.ops.Overlap
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "A"),
+      (2L, "alpha beta gamma delta epsilon zeta", "B"),                  // B = A
+      (3L, "one two three four five six seven", "C"),                   // disjoint
+      (4L, "alpha beta gamma delta epsilon zeta extra tokens here", "D") // A ⊂ D
+    ).toDF("doc_id", "text", "source")
+    val m = Overlap.sourceOverlap(docs).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(r.fieldIndex("jaccard")),
+          r.getDouble(r.fieldIndex("containment_a")),
+          r.getLong(r.fieldIndex("n_match")),
+          r.getDouble(r.fieldIndex("j_est"))))
+    }.toMap
+    assert(m.size === 6)                       // the full 4-choose-2 matrix
+    val ab = m(("A", "B"))
+    assert(ab._1 === 4L && ab._2 === 4L && ab._3 === 4L)  // 6 tokens -> 4 shingles
+    assert(ab._4 === 1.0 && ab._6 === 64L && ab._7 === 1.0)
+    val ac = m(("A", "C"))                     // zero-overlap pair KEPT
+    assert(ac._3 === 0L && ac._4 === 0.0)
+    assert(ac._6 <= 2L, s"disjoint sources should share (almost) no minima: $ac")
+    val ad = m(("A", "D"))                     // subset: containment_a = 1
+    assert(ad._3 === 4L && ad._5 === 1.0 && ad._4 < 1.0)
+    // estimator accuracy on a wider mixed corpus: 64 hashes -> σ ≤ 0.0625,
+    // assert a 4σ envelope against the exact tier for every pair
+    val wide = (0L until 90L).map { i =>
+      val src = s"s${i % 3}"
+      val base = (0 until 12).map(j => s"tok${(i * 7 + j * 13) % 40}").mkString(" ")
+      (i, base, src)
+    }.toDF("doc_id", "text", "source")
+    val w = Overlap.sourceOverlap(wide).collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      val (j, est) = (r.getDouble(r.fieldIndex("jaccard")), r.getDouble(r.fieldIndex("j_est")))
+      assert(math.abs(j - est) <= 0.25, s"estimate off: exact=$j est=$est")
+    }
+  }
+
   test("badWords: token-equality (never substring), multiplicity vs distinct, filter forms, loud preconditions") {
     import graft.ops.QualityGates
     val d = Seq(
