@@ -1244,6 +1244,42 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Apply ONE BPE merge `(a, b) → ab` to a symbol array, left to right,
+    * non-overlapping — the inner step of BPE TRAINING ([[graft.ops.BpeTrain]];
+    * identical application semantics to [[BpeMergeTokenizeIds]]'s inference
+    * loop, which is what makes the trained merges and the tokenizer agree).
+    * Null elements cannot occur (symbols come from `split`). */
+  case class MergeSymbolPair(child: Expression, a: String, b: String)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "merge_symbol_pair"
+
+    @transient private lazy val ua = UTF8String.fromString(a)
+    @transient private lazy val ub = UTF8String.fromString(b)
+    @transient private lazy val uab = UTF8String.fromString(a + b)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        if (j < n - 1 && arr.getUTF8String(j) == ua && arr.getUTF8String(j + 1) == ub) {
+          out += uab
+          j += 2
+        } else {
+          out += arr.getUTF8String(j)
+          j += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MergeSymbolPair =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
@@ -1298,6 +1334,11 @@ object HashExprs {
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+
+  def mergeSymbolPair(symbols: Column, a: String, b: String): Column = {
+    require(a.nonEmpty && b.nonEmpty, "mergeSymbolPair: symbols must be non-empty")
+    ColumnBridge.column(MergeSymbolPair(ColumnBridge.expression(symbols), a, b))
+  }
 
   def bpeMergeTokenizeIds(text: Column, vocab: Seq[String],
                           merges: Seq[(String, String)], unkId: Int = -1): Column = {

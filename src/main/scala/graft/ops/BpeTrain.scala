@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-table TRAINING (Sennrich et al., ACL 2016,
+  * arXiv:1508.07909 — the algorithm behind the GPT-2/RoBERTa tokenizers):
+  * learn `numMerges` byte-pair merges from a corpus, most-frequent adjacent
+  * symbol pair first. Closes the library's tokenizer loop end-to-end:
+  * [[trainBpe]] → [[graft.functions.HashExprs.BpeMergeTokenizeIds]] (apply
+  * the learned merges) → [[Packing.packSequences]] (pack the ids) — train,
+  * tokenize, and pack without leaving the engine.
+  *
+  * Algorithm shape (the published one, distributed):
+  *  1. ONE corpus-sized aggregation builds the word-frequency table —
+  *     after this, the corpus is never read again (the standard trainer
+  *     design: BPE statistics are a pure function of word counts);
+  *  2. each of the `numMerges` iterations runs on the WORD table: count
+  *     adjacent symbol pairs weighted by word frequency (overlapping
+  *     occurrences count, exactly Sennrich's `get_stats`), take the global
+  *     argmax (ties → lexicographically smaller pair, pinned for
+  *     determinism), apply the merge to every word (left-to-right
+  *     non-overlapping — IDENTICAL application semantics to the inference
+  *     loop, via the same-convention compiled
+  *     [[graft.functions.HashExprs.MergeSymbolPair]]), repeat.
+  *
+  * Scale shape: the word table is distinct-words-sized (not corpus-sized)
+  * and stays DISTRIBUTED — per-iteration pair counting map-side-combines to
+  * the pair-vocabulary, the argmax is a 1-row `TakeOrderedAndProject`, and
+  * the driver holds only the merge list (`numMerges` entries by
+  * construction). Each iteration's rewritten word table materializes
+  * through `materialize` (default `localCheckpoint(true)`;
+  * [[Curation.parquetMaterializer]] on a cluster), so iteration `i+1`
+  * starts from a flat plan instead of `i` stacked rewrites — the
+  * [[Dedup.nearDupClusters]] iteration discipline. `maxWords` caps the
+  * table to the most frequent words (the standard practical move — merge
+  * statistics are dominated by the head, and a cap bounds every iteration
+  * regardless of corpus vocabulary).
+  *
+  * Not SQL-expressible (a driver-sequenced argmax loop has no DuckDB
+  * form) — correctness is fixture-pinned in OpsSpec against a
+  * hand-computed Sennrich run, plus the train/apply round-trip property
+  * (the trained merges re-segment every training word to exactly the
+  * symbols training left). */
+object BpeTrain {
+
+  /** A trained model: `merges` in rank order, and a `vocab` laid out the
+    * GPT-2 way — base characters (sorted) first, then one entry per merge
+    * product in rank order (deduplicated: two different pairs can produce
+    * the same string). Feed both straight into
+    * [[TextAnalysis.bpeMergeTokenizeIds]]. */
+  final case class BpeModel(merges: Seq[(String, String)], vocab: Seq[String])
+
+  /** `(a, b)` structs for every ADJACENT symbol position (overlapping —
+    * `get_stats` semantics; `aaa` yields `(a,a)` twice). Empty for
+    * single-symbol words. */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** Train `numMerges` merges — see class doc. Stops early when no pair
+    * reaches `minFreq` (Sennrich's convergence guard: merging singleton
+    * pairs memorizes the corpus tail). */
+  def trainBpe(docs: DataFrame, textCol: String = "text", numMerges: Int = 100,
+               minFreq: Long = 2L, maxWords: Option[Int] = None,
+               materialize: DataFrame => DataFrame = _.localCheckpoint(true)): BpeModel = {
+    require(numMerges > 0, s"trainBpe: numMerges must be > 0, got $numMerges")
+    require(minFreq >= 1, s"trainBpe: minFreq must be >= 1, got $minFreq")
+
+    val wordCounts = {
+      val wc = docs
+        .select(explode(split(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      maxWords match {
+        // head cap: deterministic (freq desc, word) TakeOrderedAndProject
+        case Some(m) => wc.orderBy(col("freq").desc, col("w")).limit(m)
+        case None    => wc
+      }
+    }
+    var words = materialize(
+      wordCounts.select(split(col("w"), "").as("syms"), col("freq")))
+
+    // base alphabet: every character of the (capped) word table — bounded
+    // by the character set, safe to collect
+    val baseChars = words
+      .select(explode(col("syms")).as("c")).distinct()
+      .orderBy(col("c")).collect().map(_.getString(0)).toSeq
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val top = words
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minFreq) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        words = materialize(words.select(
+          graft.functions.HashExprs.mergeSymbolPair(col("syms"), a, b).as("syms"),
+          col("freq")))
+      }
+    }
+    BpeModel(merges.toSeq,
+      (baseChars ++ merges.map { case (a, b) => a + b }).distinct)
+  }
+
+  /** The trained model applied back to a corpus — sugar over
+    * [[TextAnalysis.bpeMergeTokenizeIds]] with this model's tables. */
+  def tokenizeWith(model: BpeModel, text: Column, unkId: Int = -1): Column =
+    TextAnalysis.bpeMergeTokenizeIds(text, model.vocab, model.merges, unkId)
+}

@@ -1992,6 +1992,39 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("trainBpe: hand-computed Sennrich run; train/apply round-trip; overlap counts; early stop") {
+    import graft.ops.BpeTrain
+    // word frequencies: hug:10 pug:5 pun:12 bun:4 hugs:5 — by hand:
+    //   (u,g)=20 -> ug; (u,n)=16 -> un; (h,ug)=15 -> hug; (p,un)=12 -> pun
+    val freqs = Seq("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+    val corpus = freqs.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val model = BpeTrain.trainBpe(corpus, numMerges = 4, materialize = df => df)
+    assert(model.merges === Seq(("u", "g"), ("u", "n"), ("h", "ug"), ("p", "un")))
+    // vocab: sorted base chars then merge products, deduped
+    assert(model.vocab === Seq("b", "g", "h", "n", "p", "s", "u",
+      "ug", "un", "hug", "pun"))
+    // round-trip: the trained merges re-segment every training word to the
+    // exact symbols training left behind
+    val segs = Seq((1L, "hug pug pun bun hugs")).toDF("doc_id", "text")
+      .select(BpeTrain.tokenizeWith(model, col("text")).as("ids"))
+      .collect().head.getSeq[Int](0).map(model.vocab)
+    assert(segs === Seq("hug", "p", "ug", "pun", "b", "un", "hug", "s"))
+    // overlapping pair counting (get_stats): 'aaaa' x3 -> (a,a)=9 merges
+    // first; the non-overlapping APPLY then leaves (aa,aa)=3 for rank 2
+    val aaaa = (0L until 3L).map((_, "aaaa")).toDF("doc_id", "text")
+    val m2 = BpeTrain.trainBpe(aaaa, numMerges = 2, materialize = df => df)
+    assert(m2.merges === Seq(("a", "a"), ("aa", "aa")))
+    // early stop: nothing reaches minFreq 25 after the first two merges
+    val m3 = BpeTrain.trainBpe(corpus, numMerges = 10, minFreq = 16,
+      materialize = df => df)
+    assert(m3.merges === Seq(("u", "g"), ("u", "n")))
+    // the head cap keeps training deterministic and bounded
+    val m4 = BpeTrain.trainBpe(corpus, numMerges = 2, maxWords = Some(2),
+      materialize = df => df)
+    assert(m4.merges.nonEmpty)
+  }
+
   test("sourceOverlap: identical pair at 1, disjoint pair kept at 0, subset containment; sketch tracks exact") {
     import graft.ops.Overlap
     val docs = Seq(
