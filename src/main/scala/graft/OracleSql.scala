@@ -1595,6 +1595,24 @@ object OracleSql {
     LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b
     JOIN mtch m ON p.source_a = m.source_a AND p.source_b = m.source_b"""
 
+  /** Soft-dedup weights — mirrors graft.ops.Dedup.softDedupWeights over the
+    * q79 synthesized duplicate groups (group = normalized-content
+    * equivalence class; Spark keys on xxhash64(norm), the oracle on the
+    * class itself — identical partitions). `//` is DuckDB integer division
+    * (Spark's DIV); 1.0 casts to DOUBLE so the weight division is IEEE on
+    * both engines. */
+  private val q79 = s"""
+    WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text
+        ELSE 'shared boilerplate block ' || (doc_id // 12)::VARCHAR END AS text
+      FROM documents),
+    w AS (SELECT doc_id,
+        COUNT(*) OVER (PARTITION BY $normSql) AS n_copies
+      FROM d)
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+      round(CAST(1.0 AS DOUBLE) / n_copies, 6) AS weight
+    FROM w"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1679,6 +1697,7 @@ object OracleSql {
     "q75_cluster_sample"    -> q75,
     "q76_perplexity"        -> q76,
     "q77_bad_words"         -> q77,
-    "q78_source_overlap"    -> q78
+    "q78_source_overlap"    -> q78,
+    "q79_soft_dedup"        -> q79
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1034,6 +1034,22 @@ object SparkEntry {
         col("jaccard"), col("containment_a"), col("containment_b"),
         col("n_match"), col("j_est"))
 
+  /** Soft-dedup weights ([[graft.ops.Dedup.softDedupWeights]]): the
+    * documents table has no exact duplicates, so duplicate GROUPS are
+    * SYNTHESIZED deterministically (the q70 pattern) — every doc_id not
+    * divisible by 3 shares a boilerplate text with its `DIV 12` bucket,
+    * multiples of 3 keep their unique real text (weight exactly 1). Every
+    * per-doc count and 6-dp weight is oracle-reproduced. */
+  private def q79SoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+        .otherwise(concat(lit("shared boilerplate block "),
+          expr("doc_id DIV 12").cast("string"))).as("text"))
+    Dedup.softDedupWeights(d)
+      .select(col("doc_id"), col("n_copies").cast("long").as("n_copies"),
+        col("weight"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1112,7 +1128,8 @@ object SparkEntry {
     "q75_cluster_sample"    -> q75ClusterSample _,
     "q76_perplexity"        -> q76Perplexity _,
     "q77_bad_words"         -> q77BadWords _,
-    "q78_source_overlap"    -> q78SourceOverlap _
+    "q78_source_overlap"    -> q78SourceOverlap _,
+    "q79_soft_dedup"        -> q79SoftDedup _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -62,6 +62,47 @@ object Dedup {
      rn.filter(col("__rn") > 1).drop("__h", "__rn"))
   }
 
+  /** SOFT deduplication, exact tier — the reweight-don't-remove alternative
+    * (the duplication-aware sampling idea of the Gopher/SlimPajama analyses:
+    * hard removal throws away the signal that a document was independently
+    * crawled k times; soft dedup keeps every copy but weights it `1/k`, so
+    * the cluster contributes ONE document's worth of expected training mass
+    * and downstream samplers can consume the weight directly). Attaches
+    * `n_copies` (normalized content-hash group size — [[exact]]'s
+    * equivalence classes) and `weight` (`round(1/n_copies, 6)`).
+    *
+    * Scale shape: ONE window count over the `(row, 64-bit hash)` shuffle —
+    * no text moves, no join back. Near-dup tier: [[softDedupWeightsNear]]. */
+  def softDedupWeights(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__h", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
+      .drop("__h")
+
+  /** SOFT deduplication, near-dup tier: `1/|cluster|` weights over the
+    * MinHash near-duplicate clusters ([[minhashNearDups]] →
+    * [[nearDupClusters]]); unclustered documents weigh 1. The reweighting
+    * complement of [[resolveNearDups]] (which keeps one copy and drops the
+    * rest); composition-of-audited-parts, so the label join stays un-hinted
+    * (the q51 reasoning) and `materialize` follows the pair-set contract. */
+  def softDedupWeightsNear(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", threshold: Double = 0.8,
+                           numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                           maxBucket: Int = 1000,
+                           materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val pairs = minhashNearDups(docs, textCol, idCol, threshold, numHashes,
+      bands, shingleK, maxBucket, materialize)
+    val labels = nearDupClusters(pairs)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+    val labeled = labels.join(sizes, Seq("cluster"))
+      .select(col("id").as(idCol), col("__n"))
+    docs.join(labeled, Seq(idCol), "left")
+      .withColumn("n_copies", coalesce(col("__n"), lit(1L)))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 6))
+      .drop("__n")
+  }
+
   /** Streaming twin of [[exact]] for live document ingest: drop any document
     * whose normalized content hash already arrived within the watermark
     * horizon. `dropDuplicatesWithinWatermark` keys state by the 64-bit hash

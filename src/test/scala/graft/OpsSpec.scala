@@ -1992,6 +1992,27 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("softDedupWeights: 1/n over exact classes and near-dup clusters; unclustered weigh 1; mass conserved") {
+    import graft.ops.Dedup
+    // exact tier over the shared fixture: docs 0/1/4 are one normalized
+    // class (n=3), docs 2 and 3 are singletons
+    val w = Dedup.softDedupWeights(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("n_copies")), r.getDouble(r.fieldIndex("weight"))))).toMap
+    assert(w(0L) === ((3L, 0.333333)) && w(1L) === ((3L, 0.333333)) && w(4L) === ((3L, 0.333333)))
+    assert(w(2L) === ((1L, 1.0)) && w(3L) === ((1L, 1.0)))
+    // near tier: the 0/1/4 exact class plus near-dup 2 form ONE cluster of
+    // 4; doc 3 stays unclustered at weight 1 — and the total expected mass
+    // is one document per cluster
+    val nw = Dedup.softDedupWeightsNear(docs, threshold = 0.5,
+        materialize = df => df).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_copies")), r.getDouble(r.fieldIndex("weight"))))).toMap
+    assert(Seq(0L, 1L, 2L, 4L).forall(id => nw(id) === ((4L, 0.25))))
+    assert(nw(3L) === ((1L, 1.0)))
+    assert(math.abs(nw.values.map(_._2).sum - 2.0) < 1e-9) // 2 clusters -> mass 2
+  }
+
   test("trainBpe: hand-computed Sennrich run; train/apply round-trip; overlap counts; early stop") {
     import graft.ops.BpeTrain
     // word frequencies: hug:10 pug:5 pun:12 bun:4 hugs:5 — by hand:
