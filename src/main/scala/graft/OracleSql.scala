@@ -1613,6 +1613,26 @@ object OracleSql {
       round(CAST(1.0 AS DOUBLE) / n_copies, 6) AS weight
     FROM w"""
 
+  /** Overlapping token-window chunking — mirrors
+    * graft.ops.Packing.chunkDocuments (chunkSize=16, stride=8): whitespace
+    * tokens of the RAW trimmed text, window starts every 8 tokens, extra
+    * windows = ceil((n-16)/8) in integer arithmetic, last window first to
+    * reach the end; empty text yields one empty chunk. */
+  private val q80 = s"""
+    WITH t AS (SELECT doc_id, trim(coalesce(text, '')) AS tt FROM documents),
+    d AS (SELECT doc_id, regexp_split_to_array(tt, '\\s+') AS ts,
+        CASE WHEN length(tt) = 0 THEN 0
+        ELSE len(regexp_split_to_array(tt, '\\s+')) END AS n
+      FROM t),
+    e AS (SELECT doc_id, ts, n,
+        CASE WHEN n <= 16 THEN 0 ELSE (n - 16 + 7) // 8 END AS k FROM d),
+    c AS (SELECT doc_id, ts, n, unnest(range(0, k + 1)) AS chunk_id FROM e)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      CAST(n AS BIGINT) AS n_tokens,
+      CAST(greatest(least(n - chunk_id * 8, 16), 0) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(list_slice(ts, chunk_id * 8 + 1, chunk_id * 8 + 16), ' ') AS chunk_text
+    FROM c"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1698,6 +1718,7 @@ object OracleSql {
     "q76_perplexity"        -> q76,
     "q77_bad_words"         -> q77,
     "q78_source_overlap"    -> q78,
-    "q79_soft_dedup"        -> q79
+    "q79_soft_dedup"        -> q79,
+    "q80_chunk_docs"        -> q80
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -311,6 +311,45 @@ object ScaleProbe {
           .agg(coalesce(sum(length(col("text")).cast("long")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("perplexity", n) {
+        // q76 shape: fit the bigram LM on the 10% slice, score the whole
+        // corpus — two tokenize passes (target fit + scoring), ints-only
+        // scoring shuffle, unigram tables broadcast; fold the ce sum so
+        // the joins and decimal sums fully evaluate
+        val lm = graft.ops.LanguageModel.fitBigramLm(
+          d.filter(col("doc_id") < benchCut))
+        graft.ops.LanguageModel.scoreBigramLm(d, lm)
+          .agg(coalesce(sum(col("ce")), lit(0.0)))
+          .collect().head.getDouble(0).toLong
+      }
+      timed("source_overlap_exact", n) {
+        // the corpus-distinct (source, shingle-hash) shuffle — the
+        // verification tier, expected ~linear in distinct shingles
+        graft.ops.Overlap.sourceOverlapExact(d)
+          .agg(coalesce(sum(col("n_common")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("source_overlap_sketch", n) {
+        // the mergeable path: row-local signatures + a group-bounded min
+        // agg — the shuffle after map-side combine is sources × 64 ints
+        // regardless of n (compare against the exact row above)
+        graft.ops.Overlap.sourceOverlapSketch(d)
+          .agg(coalesce(sum(col("n_match")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("soft_dedup", n) {
+        // one (row, 64-bit hash) window shuffle
+        Dedup.softDedupWeights(d)
+          .agg(coalesce(sum(col("n_copies")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("bpe_train", n) {
+        // 10 merges: the corpus-sized part is the ONE word-count agg; every
+        // iteration then runs on the (bounded) word table — expect near-flat
+        // growth versus the corpus-scan floor
+        graft.ops.BpeTrain.trainBpe(d, numMerges = 10, maxWords = Some(10000))
+          .merges.size.toLong
+      }
     }
     spark.stop()
   }

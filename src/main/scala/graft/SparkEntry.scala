@@ -1050,6 +1050,17 @@ object SparkEntry {
         col("weight"))
   }
 
+  /** Overlapping token-window chunking ([[graft.ops.Packing.chunkDocuments]],
+    * size 16 / stride 8): every chunk boundary, count, and reassembled
+    * chunk text oracle-reproduced — pure integer window arithmetic over
+    * whitespace tokens. */
+  private def q80ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocuments(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        chunkSize = 16, stride = 8)
+      .select(col("doc_id"), col("chunk_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_chunk_tokens"), col("chunk_text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1129,7 +1140,8 @@ object SparkEntry {
     "q76_perplexity"        -> q76Perplexity _,
     "q77_bad_words"         -> q77BadWords _,
     "q78_source_overlap"    -> q78SourceOverlap _,
-    "q79_soft_dedup"        -> q79SoftDedup _
+    "q79_soft_dedup"        -> q79SoftDedup _,
+    "q80_chunk_docs"        -> q80ChunkDocs _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

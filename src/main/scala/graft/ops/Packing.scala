@@ -102,4 +102,51 @@ object Packing {
           s => s.getField("__tok")).as("tokens"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Overlapping token-window chunking — the retrieval/embedding-side
+    * complement of [[packSequences]] (packing concatenates documents into
+    * training windows; chunking splits ONE document into overlapping
+    * windows an embedding model or retriever consumes). Windows start every
+    * `stride` tokens over the WHITESPACE tokens of the raw text (chunks are
+    * for retrieval — the text is not case/punctuation-normalized), and the
+    * last window is the first one reaching the document's end (a start that
+    * would only re-cover earlier tokens is never emitted). Every document
+    * yields ≥ 1 chunk — an empty/null text produces one empty chunk with
+    * `n_chunk_tokens = 0`, so no document silently drops (the library-wide
+    * convention).
+    *
+    * Output: the id column, `chunk_id` (0-based), `n_tokens` (document
+    * total), `n_chunk_tokens`, `chunk_text` (tokens re-joined with single
+    * spaces — runs of whitespace don't round-trip; store offsets yourself
+    * if byte-exact provenance matters).
+    *
+    * Scale shape: entirely row-local — one split, one `transform` over the
+    * start sequence, one Generate. Chunk counts are pure integer arithmetic
+    * (`K = ceil((n − chunkSize)/stride)` starts after the first), so the
+    * DuckDB oracle reproduces every chunk boundary exactly. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 128, stride: Int = 64,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0, s"chunkDocuments: chunkSize must be > 0, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"chunkDocuments: stride must be in [1, chunkSize], got $stride")
+    val trimmed = trim(coalesce(col(textCol), lit("")))
+    val toks = split(trimmed, "\\s+")
+    val n = when(length(trimmed) === 0, 0).otherwise(size(toks))
+    // number of EXTRA windows past the first: 0 when the doc fits whole,
+    // else ceil((n - chunkSize)/stride) in exact integer arithmetic
+    val extra = when(n <= chunkSize, 0)
+      .otherwise((n - chunkSize + stride - 1).cast("long") / stride)
+      .cast("int")
+    val carry = docs.columns.filter(_ != textCol).map(col)
+    docs
+      .select(carry :+ toks.as("__toks") :+ n.cast("long").as("n_tokens") :+ extra.as("__k"): _*)
+      .select((carry :+ col("n_tokens") :+ col("__toks")) :+
+        posexplode(transform(sequence(lit(0), col("__k")),
+          k => (k * stride).cast("long"))).as(Seq("chunk_id", "__start")): _*)
+      .select((carry :+ col("n_tokens") :+ col("chunk_id").cast("long").as("chunk_id")) :+
+        greatest(least(col("n_tokens") - col("__start"), lit(chunkSize.toLong)), lit(0L))
+          .as("n_chunk_tokens") :+
+        array_join(slice(col("__toks"), col("__start").cast("int") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"): _*)
+  }
 }

@@ -1992,6 +1992,34 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("chunkDocuments: stride windows cover exactly to the end; short/empty docs; loud preconditions") {
+    import graft.ops.Packing
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, c=8 s=4 -> starts 0,4
+      (2L, "a b c"),                                   // fits whole -> 1 chunk
+      (3L, ""),                                        // empty -> one empty chunk
+      (4L, null.asInstanceOf[String]),
+      (5L, (1 to 12).map(i => s"u$i").mkString("  "))  // runs of spaces; 12 toks -> starts 0,4
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(d, chunkSize = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("chunk_id"))) ->
+        ((r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("n_chunk_tokens")),
+          r.getString(r.fieldIndex("chunk_text"))))).toMap
+    assert(out((1L, 0L)) === ((10L, 8L, (1 to 8).map(i => s"t$i").mkString(" "))))
+    assert(out((1L, 1L)) === ((10L, 6L, (5 to 10).map(i => s"t$i").mkString(" "))))
+    assert(!out.contains((1L, 2L)))          // start 8 would only re-cover
+    assert(out((2L, 0L)) === ((3L, 3L, "a b c")))
+    assert(out((3L, 0L)) === ((0L, 0L, "")))
+    assert(out((4L, 0L)) === ((0L, 0L, "")))
+    assert(out((5L, 1L))._3 === (5 to 12).map(i => s"u$i").mkString(" ")) // \s+ split
+    // every token index is covered by some chunk, and the last chunk ends
+    // exactly at the document end
+    assert(out((5L, 0L))._2 === 8L && out((5L, 1L))._2 === 8L)
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocuments(d, chunkSize = 8, stride = 9) // stride > chunk
+    }
+  }
+
   test("softDedupWeights: 1/n over exact classes and near-dup clusters; unclustered weigh 1; mass conserved") {
     import graft.ops.Dedup
     // exact tier over the shared fixture: docs 0/1/4 are one normalized
