@@ -1719,6 +1719,11 @@ object OracleSql {
     "q77_bad_words"         -> q77,
     "q78_source_overlap"    -> q78,
     "q79_soft_dedup"        -> q79,
-    "q80_chunk_docs"        -> q80
+    "q80_chunk_docs"        -> q80,
+    // the persisted-index ANN is exactness-preserving over q35's semantics
+    // (same quantizer sample, same scoring, same ties — only the storage
+    // layout and pruning differ), so its oracle is q35's SQL verbatim, the
+    // q53 pattern
+    "q81_ivf_indexed"       -> q35
   ).map { case (k, v) => k -> clean(v) }
 }

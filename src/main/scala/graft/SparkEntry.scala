@@ -1061,6 +1061,21 @@ object SparkEntry {
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_chunk_tokens"), col("chunk_text"))
 
+  /** Persisted-IVF-index ANN ([[graft.ops.Similarity.writeIvfIndex]] →
+    * [[graft.ops.Similarity.ivfTopKIndexed]]): q35's exact semantics served
+    * through the partitioned on-disk index (build + disk round-trip +
+    * dynamically-pruned probe), so its oracle is q35's SQL VERBATIM — the
+    * q53 exactness-preserving-scale-path pattern. */
+  private def q81IvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q81_ivf_index"
+    Similarity.writeIvfIndex(emb, path, numCentroids = 32)
+    Similarity.ivfTopKIndexed(s, path, emb.filter(col("vec_id") < 10),
+        k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1141,7 +1156,8 @@ object SparkEntry {
     "q77_bad_words"         -> q77BadWords _,
     "q78_source_overlap"    -> q78SourceOverlap _,
     "q79_soft_dedup"        -> q79SoftDedup _,
-    "q80_chunk_docs"        -> q80ChunkDocs _
+    "q80_chunk_docs"        -> q80ChunkDocs _,
+    "q81_ivf_indexed"       -> q81IvfIndexed _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

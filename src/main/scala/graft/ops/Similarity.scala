@@ -289,6 +289,95 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Build a PERSISTED IVF index: the vector twin of
+    * [[graft.ops.Dedup.writeBandIndex]], for the continuous-ingest regime
+    * where the corpus accumulates and queries arrive forever — the index is
+    * built once, appended incrementally ([[appendIvfIndex]]), and probed
+    * per query batch ([[ivfTopKIndexed]]) without ever rescanning or
+    * re-assigning the accumulated corpus.
+    *
+    * Layout: `path/centroids` — the frozen quantizer (`numCentroids` rows;
+    * cell assignments are only comparable under ONE quantizer, so it is
+    * sampled at build time and never changes); `path/cells` — `(id, vector)`
+    * parquet PARTITIONED BY the assigned `cell`, so a probe's
+    * `cells IN (...)` reaches the reader as partition pruning and a query
+    * batch physically reads `nprobe × queries` cells, not the corpus (the
+    * OpsSpec plan pin: the probe join's scan carries a dynamic-pruning
+    * partition filter).
+    *
+    * Returns the frozen centroids (also readable via
+    * [[readIvfCentroids]]). */
+  def writeIvfIndex(corpus: DataFrame, path: String, numCentroids: Int = 256,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[(Long, Seq[Double])] = {
+    val centroids = sampleCentroids(corpus, numCentroids, idCol, vecCol)
+    require(centroids.nonEmpty, "writeIvfIndex: empty corpus — no centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids
+  }
+
+  /** The frozen quantizer of a [[writeIvfIndex]] index, in cid order. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  private def assignCells(vectors: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                          idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      element_at(graft.functions.HashExprs.nearestCentroids(
+        col(vecCol), centroids, 1), 1).as("cell"))
+
+  /** Append new vectors to a persisted index: assign cells under the FROZEN
+    * build-time quantizer (never resample — a new sample would scatter old
+    * and new vectors across incompatible cells) and append into the
+    * partitioned layout. Per-increment cost is one scan of the increment —
+    * the accumulated index is untouched. */
+  def appendIvfIndex(newVectors: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assignCells(newVectors,
+        readIvfCentroids(newVectors.sparkSession, path), idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+
+  /** ANN top-k against a persisted [[writeIvfIndex]] index — [[ivfTopK]]'s
+    * semantics (same scoring, same ties) with the corpus side served from
+    * the partitioned index: the broadcast probe join on the PARTITION
+    * column prunes every cell no query probes (dynamic partition pruning —
+    * the query batch reads `≤ nprobe × |queries|` cells from disk). The
+    * probe side casts to the index's stored cell type so the pruning
+    * comparison is cast-free on the index side.
+    *
+    * DPP caveat (OpsSpec-pinned): Spark only inserts the pruning subquery
+    * when the probe side shows a selective Filter — a `Seq(...).toDF`
+    * LocalRelation gets its filter constant-folded away
+    * (`ConvertToLocalRelation`) and scans every cell. Production query
+    * batches come from files/tables, where the filter survives and pruning
+    * fires; feed file-backed queries if the read volume matters. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val index = spark.read.parquet(s"$path/cells")
+    val cellType = index.schema("cell").dataType
+    val queryCells = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(graft.functions.HashExprs.nearestCentroids(
+        col("__qv"), centroids, nprobe)))
+      .withColumn("cell", col("__cell").cast(cellType)).drop("__cell"))
+    val scored = index
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Split an id-sorted centroid sample into `m` per-subquantizer PQ
     * codebooks: code `c` of subquantizer `j` is dims `[j·d/m, (j+1)·d/m)` of
     * the `c`-th sampled vector. Sampling full vectors and slicing them keeps

@@ -1992,6 +1992,43 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("persisted IVF index: indexed search equals in-memory ivfTopK; append assigns under the frozen quantizer; probe prunes partitions") {
+    import graft.ops.Similarity
+    val emb = (0L until 60L).map { i =>
+      (i, (0 until 8).map(d => ((i * 7 + d * 13) % 19).toDouble / 19.0))
+    }.toDF("vec_id", "embedding")
+    val path = SparkSpec.tempDir("graft_ivf_idx_") + "/idx"
+    Similarity.writeIvfIndex(emb, path, numCentroids = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, path, queries, k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(r.fieldIndex("rank")))).toSet
+    val direct = Similarity.ivfTopK(emb, queries, k = 4, numCentroids = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(r.fieldIndex("rank")))).toSet
+    assert(viaIndex === direct && viaIndex.nonEmpty)
+    // append under the FROZEN quantizer: the new vector lands in exactly
+    // one cell and is immediately findable — querying (a tiny perturbation
+    // of) it returns it as the top neighbor
+    val nv = Seq((1000L, (0 until 8).map(_ => 0.5))).toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(nv, path)
+    val probe = Seq((2000L, (0 until 8).map(d => 0.5 + (if (d == 0) 0.01 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.ivfTopKIndexed(spark, path, probe, k = 1, nprobe = 1).collect()
+    assert(hit.length === 1 && hit.head.getLong(1) === 1000L)
+    // every appended id is present exactly once in the layout
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.filter(col("vec_id") === 1000L).count() === 1)
+    // the probe plan prunes by partition: with FILE-backed queries (the
+    // production shape — a LocalRelation's filter constant-folds away and
+    // disqualifies DPP, see the ivfTopKIndexed scaladoc) the index scan
+    // carries a dynamic-pruning partition filter
+    val qPath = SparkSpec.tempDir("graft_ivf_q_")
+    emb.write.mode("overwrite").parquet(qPath)
+    val fileQueries = spark.read.parquet(qPath).filter(col("vec_id") < 3)
+    val plan = Similarity.ivfTopKIndexed(spark, path, fileQueries, k = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2500))
+  }
+
   test("chunkDocuments: stride windows cover exactly to the end; short/empty docs; loud preconditions") {
     import graft.ops.Packing
     val d = Seq(
