@@ -1633,6 +1633,27 @@ object OracleSql {
       array_to_string(list_slice(ts, chunk_id * 8 + 1, chunk_id * 8 + 16), ' ') AS chunk_text
     FROM c"""
 
+  /** Inverted index — mirrors graft.ops.InvertedIndex.buildPostings
+    * (maxDf=20) over the q82 synthesized corpus: per-doc DISTINCT terms,
+    * sorted postings + delta encoding for under-cap terms, CAPPED sentinel
+    * above. */
+  private val q82 = s"""
+    WITH d AS (SELECT doc_id,
+        text || ' rare' || (doc_id // 4)::VARCHAR AS text FROM documents),
+    toks AS (SELECT doc_id, unnest(list_distinct(
+        regexp_split_to_array($dedupNormSql, ' '))) AS term FROM d),
+    t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT term, COUNT(*) AS df FROM t2 GROUP BY 1),
+    p AS (SELECT term, list_sort(list(doc_id)) AS ps FROM t2 GROUP BY 1)
+    SELECT tf.term, CAST(tf.df AS BIGINT) AS df,
+      CASE WHEN tf.df <= 20 THEN array_to_string(p.ps, ',')
+        ELSE 'CAPPED' END AS postings,
+      CASE WHEN tf.df <= 20 THEN array_to_string(
+          list_transform(range(1, len(p.ps) + 1),
+            i -> CASE WHEN i = 1 THEN p.ps[1] ELSE p.ps[i] - p.ps[i - 1] END), ',')
+        ELSE 'CAPPED' END AS deltas
+    FROM tf JOIN p ON tf.term = p.term"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1724,6 +1745,7 @@ object OracleSql {
     // (same quantizer sample, same scoring, same ties — only the storage
     // layout and pruning differ), so its oracle is q35's SQL verbatim, the
     // q53 pattern
-    "q81_ivf_indexed"       -> q35
+    "q81_ivf_indexed"       -> q35,
+    "q82_inverted_index"    -> q82
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1076,6 +1076,20 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Inverted index ([[graft.ops.InvertedIndex.buildPostings]], maxDf=20):
+    * the natural vocabulary (df ≥ 25 everywhere at sf0.01) exercises the
+    * capped tier; a SYNTHESIZED rare token per `DIV 4` id-bucket (df ≤ 4)
+    * exercises stored postings + delta encoding. Lists surface as joined
+    * strings (the q69 array-hash discipline). */
+  private def q82InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" rare"), expr("doc_id DIV 4").cast("string")).as("text"))
+    graft.ops.InvertedIndex.buildPostings(d, maxDf = 20)
+      .select(col("term"), col("df"),
+        coalesce(array_join(col("postings").cast("array<string>"), ","), lit("CAPPED")).as("postings"),
+        coalesce(array_join(col("deltas").cast("array<string>"), ","), lit("CAPPED")).as("deltas"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1157,7 +1171,8 @@ object SparkEntry {
     "q78_source_overlap"    -> q78SourceOverlap _,
     "q79_soft_dedup"        -> q79SoftDedup _,
     "q80_chunk_docs"        -> q80ChunkDocs _,
-    "q81_ivf_indexed"       -> q81IvfIndexed _
+    "q81_ivf_indexed"       -> q81IvfIndexed _,
+    "q82_inverted_index"    -> q82InvertedIndex _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

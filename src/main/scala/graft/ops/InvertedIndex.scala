@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Inverted index construction — term → sorted posting list over the
+  * normalized token vocabulary, the corpus-search primitive a data team
+  * reaches for right after curation ("which documents mention X?", spot
+  * audits, targeted decontamination, leakage forensics). Postings are
+  * per-document DISTINCT (df semantics, one entry per holding document)
+  * and delta-encoded alongside (first id, then gaps — the standard
+  * compression-ready layout; gaps of a sorted list are small ints).
+  *
+  * Scale shape: the `(term, doc_id)` shuffle is the vocabulary shuffle —
+  * INHERENT to text indexing (the index IS that mapping). What must not
+  * happen at 100 TB is an unbounded per-term state: a stop-word's posting
+  * list is corpus-sized, and `collect_list` on it is the OOM. So building
+  * is two-phase: document frequencies aggregate first (map-side-combined,
+  * vocabulary-sized result), and posting lists are collected ONLY for
+  * terms with `df <= maxDf` — hot terms keep their exact `df` but carry
+  * NULL postings (they match everything; a conjunctive query gains nothing
+  * from their list). The cap bounds every `collect_list` group by
+  * construction, and the drop is never silent: `postings IS NULL` is the
+  * audit, and [[searchAll]] REFUSES capped terms loudly.
+  */
+object InvertedIndex {
+
+  /** Build the index: `(term, df, postings ARRAY<LONG> sorted | NULL when
+    * df > maxDf, deltas ARRAY<LONG> | NULL)` — see class doc. */
+  def buildPostings(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", maxDf: Int = 1000): DataFrame = {
+    require(maxDf > 0, s"buildPostings: maxDf must be > 0, got $maxDf")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the semi-join keeps only under-cap terms flowing into collect_list —
+    // per-group state is bounded by maxDf BEFORE any list materializes;
+    // un-hinted (the small side is vocabulary-sized, AQE decides)
+    val small = df.filter(col("df") <= maxDf).select(col("term"))
+    val postings = toks.join(small, Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("id"))).as("postings"))
+    val out = df.join(postings, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings"),
+        transform(col("postings"), (x, i) =>
+          when(i === 0, x).otherwise(x - element_at(col("postings"), i)))
+          .as("deltas"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
+  /** Conjunctive search: ids of documents holding EVERY term. Loud
+    * contract: unknown terms and df-capped terms (NULL postings) throw —
+    * a capped term's list was deliberately not stored, and silently
+    * dropping it from the conjunction would return a superset. The check
+    * collects only the queried terms' index rows (≤ `terms.size` rows). */
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAll: terms must be non-empty")
+    val norm = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim).distinct
+    val hit = index.filter(col("term").isin(norm: _*))
+      .select(col("term"), col("postings").isNotNull.as("stored")).collect()
+    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val missing = norm.filterNot(found.contains)
+    require(missing.isEmpty, s"searchAll: terms not in the index: ${missing.mkString(", ")}")
+    val capped = norm.filter(t => !found(t))
+    require(capped.isEmpty,
+      s"searchAll: df-capped terms have no stored postings: ${capped.mkString(", ")}")
+    index.filter(col("term").isin(norm: _*))
+      .select(explode(col("postings")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === norm.size)
+      .select(col("id"))
+  }
+}

@@ -1992,6 +1992,36 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("invertedIndex: df semantics, sorted postings + deltas, hot-term cap, conjunctive search refuses capped terms") {
+    import graft.ops.InvertedIndex
+    val d = Seq(
+      (5L, "apple banana apple cherry"),   // 'apple' twice -> df counts ONCE
+      (2L, "banana cherry"),
+      (9L, "apple stopword banana"),
+      (1L, "stopword only here"),
+      (4L, "stopword again truly")
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.buildPostings(d, maxDf = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1),
+          Option(r.getSeq[Long](2)).map(_.toList),
+          Option(r.getSeq[Long](3)).map(_.toList)))).toMap
+    assert(idx("apple") === ((2L, Some(List(5L, 9L)), Some(List(5L, 4L))))) // sorted + deltas
+    assert(idx("cherry") === ((2L, Some(List(2L, 5L)), Some(List(2L, 3L)))))
+    assert(idx("banana")._1 === 3L && idx("banana")._2 === None)   // capped, df kept
+    assert(idx("stopword")._1 === 3L && idx("stopword")._2 === None)
+    // conjunctive search over stored terms
+    val hits = InvertedIndex.searchAll(
+      InvertedIndex.buildPostings(d, maxDf = 2), Seq("Apple", "cherry"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(5L))
+    // capped and unknown terms refuse loudly — a silent drop would return
+    // a superset of the conjunction
+    val built = InvertedIndex.buildPostings(d, maxDf = 2)
+    intercept[IllegalArgumentException] { InvertedIndex.searchAll(built, Seq("banana")) }
+    intercept[IllegalArgumentException] { InvertedIndex.searchAll(built, Seq("durian")) }
+  }
+
   test("persisted IVF index: indexed search equals in-memory ivfTopK; append assigns under the frozen quantizer; probe prunes partitions") {
     import graft.ops.Similarity
     val emb = (0L until 60L).map { i =>
