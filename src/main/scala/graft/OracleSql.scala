@@ -1654,6 +1654,17 @@ object OracleSql {
         ELSE 'CAPPED' END AS deltas
     FROM tf JOIN p ON tf.term = p.term"""
 
+  /** k-per-group sample — mirrors graft.ops.Sampling.kPerGroup (k=7,
+    * seed 'graft': row_number per source over the md5-56 hash of
+    * 'graft:doc_id', ties to the smaller id). */
+  private val q83 = s"""
+    WITH r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY
+          ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 14))::BIGINT,
+          doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 7"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1746,6 +1757,7 @@ object OracleSql {
     // layout and pruning differ), so its oracle is q35's SQL verbatim, the
     // q53 pattern
     "q81_ivf_indexed"       -> q35,
-    "q82_inverted_index"    -> q82
+    "q82_inverted_index"    -> q82,
+    "q83_k_per_group"       -> q83
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -343,6 +343,26 @@ object ScaleProbe {
           .agg(coalesce(sum(col("n_copies")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("inverted_index", n) {
+        // q82 shape: the vocabulary shuffle (inherent), with per-term list
+        // state bounded by maxDf — fold df + stored-postings length
+        graft.ops.InvertedIndex.buildPostings(d, maxDf = 10000)
+          .agg(coalesce(sum(col("df")), lit(0L))
+            + coalesce(sum(size(col("postings"))), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("ivf_index_build", n) {
+        // write the cell-partitioned index + frozen quantizer to disk
+        graft.ops.Similarity.writeIvfIndex(e, s"$outDir/ivf_$n", numCentroids = 64)
+        spark.read.parquet(s"$outDir/ivf_$n/cells").count()
+      }
+      timed("ivf_index_probe", n) {
+        // probe 10 queries against the PERSISTED index — constant query
+        // work against a growing corpus is the design point; compare the
+        // ivf_topk row (which rebuilds its quantizer and rescans per call)
+        graft.ops.Similarity.ivfTopKIndexed(spark, s"$outDir/ivf_$n",
+          probes, k = 5, nprobe = 4).count()
+      }
       timed("bpe_train", n) {
         // 10 merges: the corpus-sized part is the ONE word-count agg; every
         // iteration then runs on the (bounded) word table — expect near-flat

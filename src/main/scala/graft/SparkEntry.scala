@@ -1090,6 +1090,14 @@ object SparkEntry {
         coalesce(array_join(col("deltas").cast("array<string>"), ","), lit("CAPPED")).as("deltas"))
   }
 
+  /** Deterministic k-per-group sampling ([[graft.ops.Sampling.kPerGroup]],
+    * k=7 over 20 sources of 25 docs): the full kept membership is
+    * oracle-reproduced — both engines must draw the identical 7 documents
+    * per source from the (seed, id) hash order. */
+  private def q83KPerGroup(s: SparkSession, dir: String): DataFrame =
+    Sampling.kPerGroup(t(s, dir, "documents"), k = 7)
+      .select(col("doc_id"), col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1172,7 +1180,8 @@ object SparkEntry {
     "q79_soft_dedup"        -> q79SoftDedup _,
     "q80_chunk_docs"        -> q80ChunkDocs _,
     "q81_ivf_indexed"       -> q81IvfIndexed _,
-    "q82_inverted_index"    -> q82InvertedIndex _
+    "q82_inverted_index"    -> q82InvertedIndex _,
+    "q83_k_per_group"       -> q83KPerGroup _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -93,6 +93,30 @@ object Sampling {
   }
 
   /** Uniform deterministic sample at `rate`% — the unstratified case. */
+  /** Deterministic k-per-group sample: the first `k` rows of each stratum
+    * in the (seed, id) md5 hash order — the "fixed-size eval slice per
+    * source" draw (held-out dev sets, per-domain spot-check samples,
+    * labeling batches). An unbiased prefix of a reproducible per-stratum
+    * shuffle: same no-`rand()` discipline as [[stratifiedSample]] (pure
+    * function of (seed, id) — identical under re-run, task retry, and in
+    * the DuckDB oracle), and growth-friendly in expectation: adding
+    * documents reshuffles ranks but any k-subset remains an unbiased draw.
+    *
+    * Scale shape: ONE window shuffle partitioned by stratum carrying
+    * `(group, id, 56-bit hash)` — rank + filter, no global sort. Groups
+    * smaller than `k` keep everything. `idCol` must be unique per stratum
+    * (the hash order's tie-break — the [[tokenBudgetSample]] contract). */
+  def kPerGroup(df: DataFrame, k: Int, strataCol: String = "source",
+                idCol: String = "doc_id", seed: String = "graft"): DataFrame = {
+    require(k > 0, s"kPerGroup: k must be > 0, got $k")
+    val h = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 14), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def uniformSample(df: DataFrame, rate: Int, idCol: String,
                     seed: String = "graft"): DataFrame =
     stratifiedSample(df, strataCol = idCol, rates = Map.empty, idCol = idCol,

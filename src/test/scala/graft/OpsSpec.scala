@@ -1992,6 +1992,25 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("kPerGroup: exactly k per stratum in hash order, small groups keep all, seed perturbs the draw") {
+    import graft.ops.Sampling
+    val d = (0L until 50L).map(i => (i, s"s${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+      .unionByName(Seq((100L, "tiny", "t")).toDF("doc_id", "source", "text"))
+    val kept = Sampling.kPerGroup(d, k = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(kept.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("s0" -> 5, "s1" -> 5, "s2" -> 5, "tiny" -> 1))
+    // deterministic across invocations; a different seed draws differently
+    val again = Sampling.kPerGroup(d, k = 5).collect().map(r => r.getLong(0)).toSet
+    assert(again === kept.map(_._2).toSet)
+    val other = Sampling.kPerGroup(d, k = 5, seed = "other").collect()
+      .map(_.getLong(0)).toSet
+    assert(other !== again)
+    // columns pass through untouched
+    assert(Sampling.kPerGroup(d, k = 5).columns.toSeq === d.columns.toSeq)
+  }
+
   test("invertedIndex: df semantics, sorted postings + deltas, hot-term cap, conjunctive search refuses capped terms") {
     import graft.ops.InvertedIndex
     val d = Seq(
