@@ -164,9 +164,9 @@ object LanguageModel {
     *
     * Scale: the window shuffles `(id, ce)` — ints + one double per
     * document, never text. An exact per-group rank is the oracle-checkable
-    * choice; at extreme group sizes the approximate alternative is
-    * GK-sketch cutoffs ([[Sketches]]) applied as a row-local compare, at
-    * the cost of rank exactness at the tile edges. */
+    * choice; at extreme group sizes use [[Sketches.approxTiles]] — GK
+    * cutoffs applied as a row-local compare (no per-group sort), at the
+    * cost of rank exactness at the tile edges. */
   def perplexityTiles(scored: DataFrame, n: Int = 3,
                       partitionCols: Seq[String] = Seq.empty,
                       idCol: String = "doc_id"): DataFrame = {

@@ -214,4 +214,36 @@ object Sketches {
       .select(col("g").as(groupCol), col("rank"), col("tok"), col("tf"),
         col("err_bound"), col("complete"))
   }
+
+  /** Sketch-tier equal-frequency tiles — the 100 TB companion to an exact
+    * per-group `ntile` (e.g. [[LanguageModel.perplexityTiles]]'s
+    * head/middle/tail): instead of one full sort per group, compute the
+    * `n−1` tile CUTOFFS with `percentile_approx` (Greenwald-Khanna —
+    * bounded per-partition summaries, no global sort), broadcast the
+    * group-bounded cutoff table, and assign each row by a row-local
+    * compare. `tile = 1 + |cutoffs < score|`; rows exactly AT a cutoff take
+    * the lower tile (an exact ntile splits a tie-run across tiles by rank —
+    * near tile edges the two necessarily differ, which is the accuracy
+    * trade; OpsSpec pins the agreement rate against exact).
+    *
+    * Scale shape: one sketch aggregation (map-side-combined GK summaries)
+    * + one broadcast join + a row-local array compare — the corpus is never
+    * sorted and the only corpus-sized movement is whatever partitioning the
+    * input already had. */
+  def approxTiles(scored: DataFrame, scoreCol: String, n: Int = 3,
+                  partitionCols: Seq[String] = Seq.empty,
+                  accuracy: Int = 10000): DataFrame = {
+    require(n > 0, s"approxTiles: n must be > 0, got $n")
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val cuts = scored
+      .groupBy(partitionCols.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), probs, lit(accuracy)).as("__cuts"))
+    val joined =
+      if (partitionCols.isEmpty) scored.crossJoin(broadcast(cuts))
+      else scored.join(broadcast(cuts), partitionCols)
+    joined
+      .withColumn("tile_approx",
+        (lit(1) + size(filter(col("__cuts"), c => c < col(scoreCol)))).cast("int"))
+      .drop("__cuts")
+  }
 }

@@ -1992,6 +1992,28 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("approxTiles: agrees with exact ntile away from tile edges; grouped and global forms") {
+    import graft.ops.{LanguageModel, Sketches}
+    // deterministic scores with distinct values -> tile edges are crisp
+    val d = (0L until 300L).map(i => (i, s"g${i % 2}", (i * 37 % 301).toDouble / 301.0))
+      .toDF("doc_id", "source", "ce")
+    val exact = LanguageModel.perplexityTiles(d, n = 3, partitionCols = Seq("source"))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("ppl_tile"))).toMap
+    val approx = Sketches.approxTiles(d, "ce", n = 3, partitionCols = Seq("source"))
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getInt(r.fieldIndex("tile_approx"))).toMap
+    val agree = exact.keys.count(k => exact(k) === approx(k))
+    assert(agree >= (exact.size * 0.95).toInt,
+      s"approx tiles diverge from exact beyond the edge band: $agree/${exact.size}")
+    // any disagreement is at most one tile off (an edge effect, never a
+    // gross misplacement)
+    exact.keys.foreach(k => assert(math.abs(exact(k) - approx(k)) <= 1))
+    // global (ungrouped) form covers every row with tiles 1..n
+    val g = Sketches.approxTiles(d, "ce", n = 4).collect()
+      .map(r => r.getInt(r.fieldIndex("tile_approx")))
+    assert(g.length === 300 && g.min === 1 && g.max === 4)
+  }
+
   test("kPerGroup: exactly k per stratum in hash order, small groups keep all, seed perturbs the draw") {
     import graft.ops.Sampling
     val d = (0L until 50L).map(i => (i, s"s${i % 3}", s"text $i"))
