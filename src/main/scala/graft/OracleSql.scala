@@ -1665,6 +1665,31 @@ object OracleSql {
       FROM documents)
     SELECT doc_id, source FROM r WHERE rn <= 7"""
 
+  /** PMI collocations — mirrors graft.ops.Collocations.pmiBigrams
+    * (minCount=5): unigrams over the token stream, bigrams over adjacent
+    * in-document pairs, pmi = ln((cxy/Nb)/((cx/Nt)(cy/Nt))) in double from
+    * exact counts, 6 dp. */
+  private val q84 = s"""
+    WITH ts AS (SELECT regexp_split_to_array($dedupNormSql, ' ') AS t
+      FROM documents),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM
+      (SELECT unnest(t) AS tok FROM ts) WHERE tok <> '' GROUP BY 1),
+    nt AS (SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS nt FROM uni),
+    pr AS (SELECT unnest(list_transform(range(1, len(t)),
+        i -> {'x': t[i], 'y': t[i + 1]})) AS p FROM ts),
+    bi AS (SELECT p.x AS x, p.y AS y, COUNT(*) AS n_xy FROM pr
+      WHERE p.x <> '' AND p.y <> '' GROUP BY 1, 2),
+    nb AS (SELECT CAST(COALESCE(SUM(n_xy), 0) AS BIGINT) AS nb FROM bi)
+    SELECT bi.x, bi.y, CAST(bi.n_xy AS BIGINT) AS n_xy,
+      round(ln((CAST(bi.n_xy AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+        / ((CAST(ux.cu AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+          * (CAST(uy.cu AS DOUBLE) / CAST(nt.nt AS DOUBLE)))), 6) AS pmi
+    FROM bi
+    JOIN uni ux ON bi.x = ux.tok
+    JOIN uni uy ON bi.y = uy.tok
+    CROSS JOIN nt CROSS JOIN nb
+    WHERE bi.n_xy >= 5"""
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1758,6 +1783,7 @@ object OracleSql {
     // q53 pattern
     "q81_ivf_indexed"       -> q35,
     "q82_inverted_index"    -> q82,
-    "q83_k_per_group"       -> q83
+    "q83_k_per_group"       -> q83,
+    "q84_pmi_bigrams"       -> q84
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1098,6 +1098,14 @@ object SparkEntry {
     Sampling.kPerGroup(t(s, dir, "documents"), k = 7)
       .select(col("doc_id"), col("source"))
 
+  /** PMI collocations ([[graft.ops.Collocations.pmiBigrams]], minCount=5):
+    * every surviving pair's exact counts and 6-dp PMI oracle-reproduced
+    * (integer counts in, one double expression out — the q54 ln-parity
+    * discipline). */
+  private def q84PmiBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Collocations.pmiBigrams(t(s, dir, "documents"))
+      .select(col("x"), col("y"), col("n_xy"), col("pmi"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1181,7 +1189,8 @@ object SparkEntry {
     "q80_chunk_docs"        -> q80ChunkDocs _,
     "q81_ivf_indexed"       -> q81IvfIndexed _,
     "q82_inverted_index"    -> q82InvertedIndex _,
-    "q83_k_per_group"       -> q83KPerGroup _
+    "q83_k_per_group"       -> q83KPerGroup _,
+    "q84_pmi_bigrams"       -> q84PmiBigrams _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

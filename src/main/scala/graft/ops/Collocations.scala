@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pointwise-mutual-information collocations (Church & Hanks, CL 1990) —
+  * the phrase-mining / tokenizer-diagnostic pass: which adjacent token
+  * pairs co-occur far more than their unigram frequencies predict ("new
+  * york", "machine learning")? The direct consumers in a training-data
+  * pipeline: candidate multi-word vocabulary entries for tokenizer
+  * training ([[BpeTrain]] learns characters-up; PMI surfaces word-level
+  * units), and corpus drift diagnostics (a collocation table is a cheap
+  * corpus fingerprint).
+  *
+  * Definition (documented convention, mirrored exactly by the oracle):
+  * unigram counts `c(x)` over the full token stream (`Nt` total tokens),
+  * bigram counts `c(x,y)` over ADJACENT pairs within each document (`Nb`
+  * total pairs, never crossing documents);
+  * `pmi = ln( (c(x,y)/Nb) / ((c(x)/Nt) · (c(y)/Nt)) )`, computed in double
+  * from exact integer counts (deterministic IEEE; the q54 ln-parity
+  * precedent) and rounded to 6 dp.
+  *
+  * Scale shape: pair extraction is row-local (array zip — no window, no
+  * self-join); both count aggregations map-side-combine, so the shuffles
+  * are vocabulary- and observed-pair-bounded — the q45 exact-term-stats
+  * family (term IDENTITY is the point here, so the DSIR hashing trick does
+  * not apply; the `minCount` floor keeps the OUTPUT to statistically
+  * meaningful pairs, and `Nb` folds from the pre-filter counts frame, not
+  * a second corpus scan). The unigram probes are deliberately UN-HINTED
+  * (vocabulary-sized — AQE broadcasts them when they fit). */
+object Collocations {
+
+  /** `(x, y, n_xy, pmi)` for adjacent pairs with `n_xy >= minCount` —
+    * see class doc. Rank/threshold downstream (`orderBy(desc("pmi"))
+    * .limit(k)` is a TakeOrderedAndProject). */
+  def pmiBigrams(docs: DataFrame, textCol: String = "text",
+                 minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"pmiBigrams: minCount must be >= 1, got $minCount")
+    val toks = split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")
+    val base = docs.select(toks.as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val uni = base.select(explode(col("__t")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val nt = broadcast(uni.agg(coalesce(sum(col("cu")), lit(0L)).cast("long").as("nt")))
+
+    val pairs = base.select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .filter(col("p.x") =!= "" && col("p.y") =!= "")
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nb = broadcast(pairs.agg(coalesce(sum(col("n_xy")), lit(0L)).cast("long").as("nb")))
+
+    val out = pairs.filter(col("n_xy") >= minCount)
+      .join(uni.select(col("tok").as("x"), col("cu").as("cx")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("cu").as("cy")), Seq("y"))
+      .crossJoin(nt).crossJoin(nb)
+      .select(col("x"), col("y"), col("n_xy"),
+        round(log((col("n_xy").cast("double") / col("nb").cast("double"))
+          / ((col("cx").cast("double") / col("nt").cast("double"))
+            * (col("cy").cast("double") / col("nt").cast("double")))), 6).as("pmi"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+}

@@ -1992,6 +1992,31 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("pmiBigrams: hand-computed PMI, minCount floor, pairs never cross documents") {
+    import graft.ops.Collocations
+    val d = Seq(
+      (1L, "new york new york"),
+      (2L, "new york city"),
+      (3L, "dog"),                 // single token -> no pairs
+      (4L, "york new")             // exercises the reverse pair (count 2 with doc 1's)
+    ).toDF("doc_id", "text")
+    // unigrams: new 4, york 4, city 1, dog 1 (Nt=10)
+    // pairs: (new,york) 3, (york,new) 2, (york,city) 1 (Nb=6)
+    val out = Collocations.pmiBigrams(d, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def pmi(cxy: Long, cx: Long, cy: Long): Double =
+      BigDecimal(math.log((cxy.toDouble / 6.0) / ((cx.toDouble / 10.0) * (cy.toDouble / 10.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(("new", "york"), ("york", "new"))) // city pair under floor
+    assert(out(("new", "york")) === ((3L, pmi(3, 4, 4))))
+    assert(out(("york", "new")) === ((2L, pmi(2, 4, 4))))
+    // doc boundaries never pair: doc 3's 'dog' and doc 4's 'york' are
+    // adjacent in no document, so no (dog, york) pair exists at minCount 1
+    val all = Collocations.pmiBigrams(d, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!all.contains(("dog", "york")) && all.contains(("york", "city")))
+  }
+
   test("approxTiles: agrees with exact ntile away from tile edges; grouped and global forms") {
     import graft.ops.{LanguageModel, Sketches}
     // deterministic scores with distinct values -> tile edges are crisp
