@@ -1690,6 +1690,78 @@ object OracleSql {
     CROSS JOIN nt CROSS JOIN nb
     WHERE bi.n_xy >= 5"""
 
+  /** Per-source corpus report — mirrors graft.ops.TextAnalysis.corpusReport:
+    * one rollup over the per-doc statistics of q24 (tokens), q26 (langid),
+    * q38 (PII counts), q49 (gates, un-synthesized), and q67 (entropy,
+    * decimal-summed 6-dp means — never avg(double)). */
+  private val q85 = {
+    val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
+    s"""
+    WITH base AS (SELECT doc_id, source, coalesce(text, '') AS raw,
+        trim(coalesce(text, '')) AS tt,
+        ' ' || lower(coalesce(text, '')) || ' ' AS p,
+        $dedupNormSql AS nm
+      FROM documents),
+    tokc AS (SELECT doc_id,
+        CASE WHEN length(tt) = 0 THEN 0
+        ELSE len(regexp_split_to_array(tt, '\\s+')) END AS ntok
+      FROM base),
+    scores AS (SELECT doc_id,
+        ${occ("the")} + ${occ("and")} + ${occ("of")} AS s_en,
+        ${occ("der")} + ${occ("und")} + ${occ("die")} AS s_de,
+        ${occ("le")} + ${occ("et")} + ${occ("les")} AS s_fr,
+        ${occ("el")} + ${occ("y")} + ${occ("los")} AS s_es,
+        ${occ("il")} + ${occ("e")} + ${occ("di")} AS s_it
+      FROM base),
+    langs AS (SELECT doc_id,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+             ELSE 'it' END AS lang_detected
+      FROM scores),
+    st AS (SELECT doc_id,
+        CASE WHEN length(nm) = 0 THEN 0 ELSE len(regexp_split_to_array(nm, ' ')) END AS n_tokens,
+        CASE WHEN length(nm) = 0 THEN 0 ELSE length(nm) - (len(regexp_split_to_array(nm, ' ')) - 1) END AS n_word_chars,
+        length(raw) - length(regexp_replace(raw, '[.,!?;:]', '', 'g')) AS n_symbols,
+        len(list_filter(regexp_split_to_array(nm, ' '), t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+        len(list_intersect(regexp_split_to_array(nm, ' '), ['the', 'and', 'of', 'to'])) AS n_stop
+      FROM base),
+    g AS (SELECT doc_id,
+        ((n_tokens >= 50 AND n_tokens <= 100000)
+          AND (n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10)
+          AND (n_symbols * 10 <= n_tokens * 1)
+          AND (n_alpha * 100 >= n_tokens * 80)
+          AND (n_stop >= 2)) AS pass
+      FROM st),
+    ch AS (SELECT doc_id,
+        unnest(list_transform(range(1, length(nm) + 1), i -> nm[i])) AS c
+      FROM base),
+    cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+    nn AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY 1),
+    et AS (SELECT cc.doc_id,
+        SUM(CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 9) AS DECIMAL(20,9))) AS e
+      FROM cc JOIN nn ON cc.doc_id = nn.doc_id GROUP BY 1)
+    SELECT b.source, COUNT(*) AS n_docs,
+      CAST(SUM(t.ntok) AS BIGINT) AS total_tokens,
+      round(CAST(SUM(t.ntok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+      CAST(COUNT(DISTINCT l.lang_detected) AS BIGINT) AS n_langs,
+      CAST(SUM(len(regexp_extract_all(b.raw, '${ps("email")}'))
+        + len(regexp_extract_all(b.raw, '${ps("phone")}'))
+        + len(regexp_extract_all(b.raw, '${ps("ipv4")}'))) AS BIGINT) AS n_pii,
+      CAST(SUM(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gates,
+      round(CAST(SUM(CAST(round(COALESCE(et.e, 0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_entropy
+    FROM base b
+    JOIN tokc t ON b.doc_id = t.doc_id
+    JOIN langs l ON b.doc_id = l.doc_id
+    JOIN g ON b.doc_id = g.doc_id
+    LEFT JOIN et ON b.doc_id = et.doc_id
+    GROUP BY b.source"""
+  }
+
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
   val all: Map[String, String] = Map(
@@ -1784,6 +1856,7 @@ object OracleSql {
     "q81_ivf_indexed"       -> q35,
     "q82_inverted_index"    -> q82,
     "q83_k_per_group"       -> q83,
-    "q84_pmi_bigrams"       -> q84
+    "q84_pmi_bigrams"       -> q84,
+    "q85_corpus_report"     -> q85
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1106,6 +1106,12 @@ object SparkEntry {
     graft.ops.Collocations.pmiBigrams(t(s, dir, "documents"))
       .select(col("x"), col("y"), col("n_xy"), col("pmi"))
 
+  /** Per-source corpus report ([[TextAnalysis.corpusReport]]): the one-scan
+    * curation dashboard — token totals, language spread, PII, gate pass
+    * counts, decimal-exact mean entropy — every cell oracle-reproduced. */
+  private def q85CorpusReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusReport(t(s, dir, "documents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1190,7 +1196,8 @@ object SparkEntry {
     "q81_ivf_indexed"       -> q81IvfIndexed _,
     "q82_inverted_index"    -> q82InvertedIndex _,
     "q83_k_per_group"       -> q83KPerGroup _,
-    "q84_pmi_bigrams"       -> q84PmiBigrams _
+    "q84_pmi_bigrams"       -> q84PmiBigrams _,
+    "q85_corpus_report"     -> q85CorpusReport _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -275,4 +275,42 @@ object TextAnalysis {
       .withColumn("lang_detected", detectLanguage(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Single-pass per-group corpus report — the curation dashboard a data
+    * team refreshes after every pipeline run, as ONE scan and one grouped
+    * aggregation over the row-local statistics the library already proves
+    * individually: document/token counts, distinct detected languages,
+    * total PII occurrences (all [[PiiPatterns]] classes), quality-gate pass
+    * count ([[QualityGates.gateBits]] — the compiled single walk), and mean
+    * character entropy.
+    *
+    * Engine-exactness: the entropy MEAN is the only float aggregation, and
+    * a plain `avg(double)` is summation-order-dependent — so per-doc 6-dp
+    * entropies sum as DECIMAL(18,6) (exact, order-independent) and divide
+    * by the count once (the q72 mean-pooling discipline). Everything else
+    * is integer sums. Scale shape: all inputs row-local, one
+    * map-side-combining agg; `countDistinct` over detected languages adds
+    * the standard expand (bounded: groups × languages). */
+  def corpusReport(docs: DataFrame, groupCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    // coalesce HERE: tokenCount/detectLanguage null-propagate, which would
+    // under-count tokens (size(null) = -1) and silently drop null-text docs
+    // from the language spread — the oracle (and honesty) count them as
+    // empty documents
+    val t = coalesce(col(textCol), lit(""))
+    val pii = PiiPatterns.map { case (_, p) => piiCount(t, p).cast("long") }
+      .reduce(_ + _)
+    docs.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).as("total_tokens"),
+        countDistinct(detectLanguage(t)).as("n_langs"),
+        sum(pii).as("n_pii"),
+        sum(when(QualityGates.gateBits(t) === 0x1F, 1L).otherwise(0L)).as("n_pass_gates"),
+        sum(round(charEntropy(t), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("__esum"))
+      .select(col(groupCol), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"),
+        col("n_langs"), col("n_pii"), col("n_pass_gates"),
+        round(col("__esum").cast("double") / col("n_docs"), 6).as("mean_entropy"))
+  }
 }

@@ -1992,6 +1992,34 @@ class OpsSpec extends SparkSpec {
     assert(direct === Set(0L))                           // market doc filtered
   }
 
+  test("corpusReport: one-pass rollup matches independently computed cells") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, "a", "the cat and the dog of it to go now today really fine"),
+      (2L, "a", "der hund und die katze und der vogel"),
+      (3L, "a", "contact me at a.b@example.com or 19-555-123456 today"),
+      (4L, "b", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.corpusReport(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(a.fieldIndex("n_docs")) === 3L)
+    // tokens: 13 + 8 + 7 = 28 -> mean 28/3 at 6 dp
+    assert(a.getLong(a.fieldIndex("total_tokens")) === 28L)
+    assert(a.getDouble(a.fieldIndex("mean_tokens")) === 9.333333)
+    assert(a.getLong(a.fieldIndex("n_langs")) === 3L)    // en + de + und (no markers in doc 3)
+    assert(a.getLong(a.fieldIndex("n_pii")) === 2L)      // email + phone
+    // independent entropy mean: decimal-summed 6-dp per-doc entropies
+    val ents = TextAnalysis.analyze(d.filter(col("source") === "a"))
+      .select(round(TextAnalysis.charEntropy(col("text")), 6).as("e"))
+      .collect().map(x => BigDecimal(x.getDouble(0)).setScale(6))
+    val want = BigDecimal(ents.sum.toDouble / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(a.getDouble(a.fieldIndex("mean_entropy")) === want.toDouble)
+    val b = r("b")
+    assert(b.getLong(b.fieldIndex("n_docs")) === 1L &&
+      b.getLong(b.fieldIndex("total_tokens")) === 0L)
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount floor, pairs never cross documents") {
     import graft.ops.Collocations
     val d = Seq(
