@@ -363,6 +363,23 @@ object ScaleProbe {
         graft.ops.Similarity.ivfTopKIndexed(spark, s"$outDir/ivf_$n",
           probes, k = 5, nprobe = 4).count()
       }
+      timed("pmi_bigrams", n) {
+        // q84 shape: row-local pair extraction, vocabulary-bounded aggs
+        graft.ops.Collocations.pmiBigrams(d, minCount = 5)
+          .agg(coalesce(sum(col("n_xy")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("corpus_report", n) {
+        // q85 shape: one scan, one grouped agg over row-local stats —
+        // fold EVERY output column (summing only total_tokens lets column
+        // pruning delete the entropy/gate/PII aggregates entirely and
+        // measures a token count, not the report)
+        graft.ops.TextAnalysis.corpusReport(d)
+          .agg(coalesce(sum(col("total_tokens") + col("n_pii")
+              + col("n_pass_gates") + col("n_langs")
+              + col("mean_entropy").cast("long")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("bpe_train", n) {
         // 10 merges: the corpus-sized part is the ONE word-count agg; every
         // iteration then runs on the (bounded) word table — expect near-flat
