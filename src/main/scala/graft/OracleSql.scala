@@ -1694,6 +1694,90 @@ object OracleSql {
     * one rollup over the per-doc statistics of q24 (tokens), q26 (langid),
     * q38 (PII counts), q49 (gates, un-synthesized), and q67 (entropy,
     * decimal-summed 6-dp means — never avg(double)). */
+  /** BM25 top-k retrieval — mirrors graft.ops.Ranking.bm25TopK(k1=1.2,
+    * b=0.75, Lucene idf). Every double subexpression is parenthesized
+    * exactly like the Spark Column tree (IEEE ops on identical operands);
+    * per-(doc, term) contributions become DECIMAL(20,9), doc totals are
+    * exact decimal sums, and the top-20 cut orders on the EXACT decimal
+    * score (ties by id) before the 6-dp double projection. */
+  private val q86 = s"""
+    WITH ct AS (SELECT CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS b),
+    tk AS (SELECT doc_id AS id, regexp_split_to_array($dedupNormSql, ' ') AS tk
+      FROM documents),
+    d AS (SELECT id, len(tk) AS dl, tk FROM tk),
+    st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d),
+    tf AS (SELECT id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM (SELECT id, dl, unnest(tk) AS tok FROM d)
+      WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+    idf AS (SELECT tok,
+        ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf,
+        avgdl
+      FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) CROSS JOIN st),
+    sc AS (SELECT id, CAST(round(idf * (CAST(tf AS DOUBLE) * (k1 + 1.0))
+        / (CAST(tf AS DOUBLE) + k1 * ((1.0 - b) + b * CAST(dl AS DOUBLE) / avgdl)),
+        9) AS DECIMAL(20,9)) AS s
+      FROM tf JOIN idf USING (tok) CROSS JOIN ct),
+    agg AS (SELECT id, SUM(s) AS score, COUNT(*) AS n_terms FROM sc GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS doc_id, round(CAST(score AS DOUBLE), 6) AS score,
+      CAST(n_terms AS BIGINT) AS n_terms
+    FROM agg ORDER BY score DESC, id LIMIT 20"""
+
+  /** As-of join — DuckDB's NATIVE ASOF LEFT JOIN checks
+    * graft.ops.AsofJoin.asofJoin's union+window formulation: each purchase
+    * picks the user's latest click with click.ts <= purchase.ts, unmatched
+    * purchases keep NULL click columns. (user_id, ts) is unique in events,
+    * so the tie rule is unexercised — determinism of the tiebreak is pinned
+    * in OpsSpec instead. */
+  private val q87 = """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+      strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, p.value,
+      strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, c.value AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+  /** Shingle novelty — mirrors graft.ops.Dedup.noveltyProfile(k=3): the
+    * minhash CTE's packed-md5 shingle construction (whole-text fallback
+    * under 3 tokens), global min-id per hash, min-id counts re-keyed by
+    * document, zero-novel docs kept via the left join. */
+  private val q88 = s"""
+    WITH toks AS (SELECT doc_id AS id, regexp_split_to_array($dedupNormSql, ' ') AS tk
+      FROM documents),
+    base AS (SELECT id,
+        list_distinct(list_transform(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
+          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT)) AS sh
+      FROM toks),
+    per AS (SELECT id, len(sh) AS n_shingles FROM base),
+    firsts AS (SELECT h, MIN(id) AS first_id
+      FROM (SELECT id, unnest(sh) AS h FROM base) GROUP BY h),
+    novel AS (SELECT first_id, COUNT(*) AS n_novel FROM firsts GROUP BY first_id)
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+      round(CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty
+    FROM per LEFT JOIN novel ON per.id = novel.first_id"""
+
+  /** Embedding centroid drift — mirrors graft.ops.Embeddings.centroidDrift:
+    * floats widen to double exactly, round once at 9 dp into DECIMAL(20,9),
+    * per-(label, dim) exact sums divide decimal→double per dimension, and
+    * the pairwise cosine is the shared strict left-to-right form. */
+  private val q89 = s"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    ex AS (SELECT label, p.dim AS dim, CAST(round(p.x, 9) AS DECIMAL(20,9)) AS xd
+      FROM (SELECT label, unnest(list_transform(range(1, len(vv) + 1),
+          i -> {'dim': i, 'x': vv[i]})) AS p FROM e)),
+    cd AS (SELECT label, dim, SUM(xd) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, MIN(n) AS n_vectors,
+        list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim) AS v
+      FROM cd GROUP BY label)
+    SELECT a.label AS group_a, b.label AS group_b,
+      CAST(a.n_vectors AS BIGINT) AS n_a, CAST(b.n_vectors AS BIGINT) AS n_b,
+      round($cosineSql, 6) AS drift_cosine
+    FROM cent a JOIN cent b ON a.label < b.label"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -1857,6 +1941,10 @@ object OracleSql {
     "q82_inverted_index"    -> q82,
     "q83_k_per_group"       -> q83,
     "q84_pmi_bigrams"       -> q84,
-    "q85_corpus_report"     -> q85
+    "q85_corpus_report"     -> q85,
+    "q86_bm25"              -> q86,
+    "q87_asof_join"         -> q87,
+    "q88_novelty"           -> q88,
+    "q89_centroid_drift"    -> q89
   ).map { case (k, v) => k -> clean(v) }
 }

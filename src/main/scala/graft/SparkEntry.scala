@@ -1112,6 +1112,46 @@ object SparkEntry {
   private def q85CorpusReport(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusReport(t(s, dir, "documents"))
 
+  /** BM25 top-k retrieval ([[graft.ops.Ranking.bm25TopK]], the Lucene-idf
+    * Okapi form): per-(doc, term) contributions rounded into DECIMAL(20,9),
+    * exact order-independent doc sums, ties by id — full hash oracle. */
+  private def q86Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "merge", "window"), k = 20)
+      .select(col("doc_id"),
+        round(col("score").cast("double"), 6).as("score"), col("n_terms"))
+
+  /** As-of join ([[graft.ops.AsofJoin.asofJoin]]): each purchase event paired
+    * with the user's latest at-or-before click — oracled by DuckDB's native
+    * ASOF JOIN. Timestamps exported as strings (the q06 discipline). */
+  private def q87AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.ops.AsofJoin.asofJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("ts", "value"), rightTiebreak = "event_id")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_value").as("click_value"))
+  }
+
+  /** Shingle novelty profile ([[Dedup.noveltyProfile]], k=3 token shingles —
+    * the md5-packed portable carrier, so DuckDB reproduces hashes): per-doc
+    * first-occurrence fractions, min-id agg collapsing to vocabulary size. */
+  private def q88Novelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyProfile(t(s, dir, "documents"))
+
+  /** Embedding centroid drift ([[graft.ops.Embeddings.centroidDrift]]):
+    * decimal-exact per-dimension centroid means per label, pairwise cosine
+    * with strict left-to-right double summation. */
+  private def q89CentroidDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.centroidDrift(t(s, dir, "embeddings"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1197,7 +1237,11 @@ object SparkEntry {
     "q82_inverted_index"    -> q82InvertedIndex _,
     "q83_k_per_group"       -> q83KPerGroup _,
     "q84_pmi_bigrams"       -> q84PmiBigrams _,
-    "q85_corpus_report"     -> q85CorpusReport _
+    "q85_corpus_report"     -> q85CorpusReport _,
+    "q86_bm25"              -> q86Bm25 _,
+    "q87_asof_join"         -> q87AsofJoin _,
+    "q88_novelty"           -> q88Novelty _,
+    "q89_centroid_drift"    -> q89CentroidDrift _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (backward temporal) join: for each left row, the single latest right
+  * row with the same key and `rightTs <= leftTs` (or `<` when
+  * `inclusive = false`) — the point-in-time lookup behind feature stores,
+  * slowly-changing enrichment, and "state of X when Y happened" queries.
+  *
+  * Implementation is the distributed merge formulation, NOT a range join: tag
+  * both sides, union, and run ONE window per key ordered by
+  * `(time, side, tiebreak)` taking the last non-null right payload at or
+  * before each left row. Cost = one hash shuffle on the key + one
+  * per-partition sort over |L| + |R| rows — against the O(|L|·|R|)
+  * worst-case of the naive `l.ts >= r.ts` theta-join Spark would otherwise
+  * plan (BroadcastNestedLoop at scale = nonstarter). Per-key window state is
+  * a single carried struct (running "latest right so far"), so memory is
+  * O(1) per key regardless of history length; skew follows per-key row
+  * counts, same regime as every keyed window in this engine.
+  *
+  * Determinism: right-side ties at the same `(key, ts)` are resolved by the
+  * caller-supplied `rightTiebreak` column (latest wins); left rows keep their
+  * full original schema, right payloads arrive null when no match exists
+  * (left-outer semantics).
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse's point lookups are
+  * exact-key only (§2.2 P7); the temporal form extends the join tier
+  * (SURVEY §2.3) the way DuckDB's ASOF JOIN extends SQL — which is exactly
+  * the oracle used to check it.
+  */
+object AsofJoin {
+
+  /** @param keys          equality-join key columns (both sides)
+    * @param leftTs        left timestamp/ordering column name
+    * @param rightTs       right timestamp/ordering column name
+    * @param rightPayload  right columns to carry (each emitted as
+    *                      `asof_<name>`, null when no match)
+    * @param rightTiebreak breaks right-side ties at equal (key, ts) —
+    *                      greatest value wins; pass a unique column
+    * @param inclusive     true → match `rightTs <= leftTs` (ASOF default);
+    *                      false → strictly earlier
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String], rightTiebreak: String,
+               inclusive: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "asofJoin: at least one key column")
+    require(rightPayload.nonEmpty, "asofJoin: rightPayload must be non-empty")
+    val leftCols = left.columns.toSeq
+    // Right sorts BEFORE left at equal ts for inclusive (<=) semantics,
+    // AFTER it for strict (<): the window's "last right seen so far" then
+    // includes/excludes same-instant right rows respectively.
+    val (rSide, lSide) = if (inclusive) (0, 1) else (2, 1)
+
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__t"), lit(lSide).as("__side"),
+        lit(null).cast(right.schema(rightTiebreak).dataType).as("__tie"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => right.schema(c)))).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__t"), lit(rSide).as("__side"),
+        col(rightTiebreak).as("__tie"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          leftCols.map(c => left.schema(c)))).as("__l"),
+        struct(rightPayload.map(col): _*).as("__r")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lSide)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+  }
+}

@@ -816,4 +816,50 @@ object Dedup {
 
   /** Hamming distance between two signatures: bit_count(xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------- novelty
+
+  /** Per-document shingle novelty: what fraction of a document's distinct
+    * k-token shingles appear here FIRST (globally, by ascending id)? The
+    * cross-document redundancy curve — novelty ≈ 1 everywhere means the
+    * corpus is fresh; a long tail of low-novelty documents is the
+    * "boilerplate mass" near-dup removal will reclaim, measured BEFORE
+    * committing to an expensive dedup pass (and, ordered by crawl time, the
+    * per-snapshot yield metric: how much of this crawl is new text).
+    *
+    * Scale shape — no corpus-sized join: per-document distinct counts are
+    * row-local (`array_distinct` over the packed 56-bit shingle hashes, the
+    * [[shingleHashes]] carrier); the global pass is ONE `(hash, id)` explode
+    * into a min-id agg that map-side-combines to the shingle vocabulary, and
+    * its `first_id` output re-aggregates BY ID into per-document novel
+    * counts — so the only thing ever shuffled is ints, first to vocabulary
+    * size, then to document count. The final enrich join is per-document
+    * sized on both sides.
+    *
+    * Output: `(idCol, n_shingles, n_novel, novelty DOUBLE 6dp)` — one row
+    * per input document; empty/short docs hash their whole text as a single
+    * shingle (the [[shingleHashes]] short-text fallback), so `n_shingles`
+    * is always ≥ 1 and the fraction is total.
+    */
+  def noveltyProfile(docs: DataFrame, shingleK: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    // Generate barrier: the shingle-hash array evaluates once per row and is
+    // shared by the row-local distinct count and the exploded global pass
+    // (ShingleHashes emits first-occurrence-distinct values already).
+    val sh = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("__sh"))
+    val perDoc = sh.select(col("id"), size(col("__sh")).as("n_shingles"))
+    // (hash → min id) collapses to vocabulary size under partial agg, then
+    // (min id → count) collapses to document count: two int-only shuffles,
+    // each strictly smaller than the corpus token stream.
+    val novel = sh.select(explode(col("__sh")).as("h"), col("id"))
+      .groupBy(col("h")).agg(min(col("id")).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, perDoc("id") === novel("first_id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
 }

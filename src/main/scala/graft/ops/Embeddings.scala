@@ -39,4 +39,64 @@ object Embeddings {
       zip_with(quantizeInt8(vec), unitNormalize(vec),
         (q, x) => abs(x * 127.0 - q.cast("double"))),
       lit(0.0), (acc, e) => greatest(acc, e))
+
+  /** Per-group embedding centroids: mean vector per `groupCol`, computed as
+    * EXACT per-dimension decimal sums (each float widens to double exactly,
+    * rounds once at 9 dp into DECIMAL(20,9), and the sum is
+    * order-independent — the q54 money discipline applied per dimension), so
+    * centroids are bit-deterministic across runs, partitionings, and
+    * engines. The mean divides once, decimal→double, at the end.
+    *
+    * Scale shape: ONE posexplode (corpus × dim rows, ints + one decimal)
+    * into a `(group, dim)` agg that map-side-combines to |groups| × dim
+    * rows, then a |groups|-row reassembly — vectors never shuffle whole, and
+    * nothing downstream is corpus-sized.
+    *
+    * Output: `(groupCol, n_vectors, centroid ARRAY<DOUBLE>)` ordered by dim.
+    */
+  def groupCentroids(emb: org.apache.spark.sql.DataFrame,
+                     groupCol: String = "label",
+                     vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    emb.select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("g"), col("dim"),
+        round(col("x").cast("double"), 9).cast(DecimalType(20, 9)).as("xd"))
+      .groupBy(col("g"), col("dim"))
+      .agg(sum(col("xd")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("g"))
+      .agg(min(col("n")).as("n_vectors"),
+        transform(array_sort(collect_list(struct(col("dim"), col("s"), col("n")))),
+          e => e.getField("s").cast("double") / e.getField("n").cast("double"))
+          .as("centroid"))
+      .select(col("g").as(groupCol), col("n_vectors"), col("centroid"))
+  }
+
+  /** Pairwise centroid drift: cosine similarity between every pair of group
+    * centroids (`group_a < group_b`) — the corpus-mixing diagnostic ("how
+    * far apart are these sources/shards in embedding space", and tracked
+    * over time, "is the crawl drifting"). The pair table is |groups|²/2
+    * rows of dim-length arrays — driver-trivial at any corpus size, because
+    * [[groupCentroids]] already collapsed the corpus. Cosine runs in double
+    * with the same strict left-to-right summation as [[Similarity.cosine]].
+    *
+    * Output: `(group_a, group_b, n_a, n_b, drift_cosine DOUBLE 6dp)`.
+    */
+  def centroidDrift(emb: org.apache.spark.sql.DataFrame,
+                    groupCol: String = "label",
+                    vecCol: String = "embedding",
+                    materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+                      _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
+    // |groups| rows — materialized so BOTH sides of the pair join read the
+    // computed centroids instead of re-running the corpus-sized aggregation
+    // (plan-audited: the un-checkpointed form scanned the corpus twice).
+    val c = materialize(groupCentroids(emb, groupCol, vecCol))
+    val a = c.select(col(groupCol).as("group_a"), col("n_vectors").as("n_a"),
+      col("centroid").as("__ca"))
+    val b = c.select(col(groupCol).as("group_b"), col("n_vectors").as("n_b"),
+      col("centroid").as("__cb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(Similarity.cosine(col("__ca"), col("__cb")), 6).as("drift_cosine"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** BM25 ranked retrieval (Robertson & Spärck Jones probabilistic family, the
+  * Okapi BM25 form with the Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))` idf —
+  * always positive, so a term occurring in most documents damps instead of
+  * flipping sign).
+  *
+  * The retrieval-side complement of [[InvertedIndex]]'s conjunctive search:
+  * disjunctive (OR-of-terms) scoring with a relevance ranking, the standard
+  * first-stage retriever in front of embedding rerankers — and, in a curation
+  * pipeline, the "find documents about X" debugging query over a corpus.
+  *
+  * Scale shape (the reason this is NOT "build the index, then score"):
+  * query-time scoring needs only the |query| terms' postings, so the corpus
+  * scan FILTERS tokens against the broadcast query set before anything wide —
+  * the only corpus-sized shuffle is the per-doc `(id, tok, tf, dl)` partial
+  * agg, bounded by |query| rows per document, ints plus one short token
+  * string. Document length and `avgdl` are row-local/one tiny agg; `df` and
+  * `idf` collapse to ≤ |query| rows and broadcast back. Top-k is a
+  * `TakeOrderedAndProject` (no global sort).
+  *
+  * Determinism (the q54 money-in-log-space discipline): each per-(doc, term)
+  * BM25 contribution is one double expression rounded to 9 decimals and fixed
+  * as DECIMAL(20,9); per-doc totals are exact order-independent decimal sums,
+  * so ranking ties and hashes reproduce bit-for-bit on any engine/partitioning
+  * (ties broken by ascending id).
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse has no free-text
+  * retrieval tier; this extends the engine's corpus toolkit (SURVEY §2.12).
+  */
+object Ranking {
+
+  /** Top-k documents for a bag-of-terms query under BM25.
+    *
+    * Output: `(idCol, score DECIMAL, n_terms)` — `score` kept as the exact
+    * decimal sum (callers wanting a double should cast; the oracle-checked
+    * query rounds at 6 dp), `n_terms` = number of distinct query terms
+    * matched.
+    *
+    * @param queryTerms normalized query tokens (deduplicated internally);
+    *                   terms are matched against [[TextAnalysis.normalizeText]]
+    *                   output, so pass lowercase alphanumerics
+    * @param k1 term-frequency saturation (BM25 default 1.2)
+    * @param b  length normalization (BM25 default 0.75)
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(k > 0, "bm25TopK: k must be positive")
+    val terms = queryTerms.distinct
+
+    // Row-local: normalized token array + document length. The Generate
+    // below explodes the SAME array (CollapseProject barrier keeps the
+    // normalize chain evaluated once per row).
+    val tk = docs.select(col(idCol).as("id"),
+      split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ").as("__tk"))
+      .select(col("id"), size(col("__tk")).as("dl"), col("__tk"))
+
+    // ONE tiny agg → (N, avgdl); broadcast to every consumer. This pass
+    // never explodes — column pruning keeps it a row-local tokenize+size
+    // scan (avgdl needs EVERY document's length, matched or not, so it
+    // cannot derive from tf below).
+    val stats = tk.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    // Token filter BEFORE the wide agg: only query-term rows survive the
+    // explode (an InSet probe over the broadcast literal list), so the
+    // per-doc partial agg carries ≤ |terms| rows per document. Materialized
+    // (docs × |terms| ints — tiny) so df/idf and the scoring join read it
+    // WITHOUT re-tokenizing the corpus: without this the idf branch re-ran
+    // the whole explode+agg a second time (plan-audited).
+    val tf = materialize(
+      tk.select(col("id"), col("dl"), explode(col("__tk")).as("tok"))
+        .filter(col("tok").isin(terms.map(x => x: Any): _*))
+        .groupBy(col("id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl")))
+
+    // df/idf: ≤ |terms| rows — always broadcast.
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          .as("idf"),
+        col("avgdl"))
+
+    // Per-(doc, term) contribution: one double expression, rounded and fixed
+    // as decimal so the per-doc sum is order-independent. The arithmetic
+    // shape (including parenthesization) is mirrored verbatim in the oracle
+    // SQL — double ops are IEEE-deterministic given the same tree.
+    val contrib = round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
+      .cast(DecimalType(20, 9))
+
+    tf.join(broadcast(idf), Seq("tok"))
+      .select(col("id"), contrib.as("__s"))
+      .groupBy(col("id"))
+      .agg(sum(col("__s")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("score"), col("n_terms"))
+  }
+}

@@ -2467,4 +2467,88 @@ class OpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("asofJoin: inclusive/strict boundary, right-tie resolution, no-match nulls, full left schema") {
+    import graft.ops.AsofJoin
+    val left = Seq(
+      (1L, 10L, "l10"), (1L, 20L, "l20"), (2L, 5L, "l5"), (3L, 9L, "l9")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      // k=1: two rows tied at t=10 (ids 100/101 — larger tiebreak wins),
+      // one later row at t=15; k=2 has only a FUTURE row (no match at t=5)
+      (1L, 10L, 100L, "r10a"), (1L, 10L, 101L, "r10b"), (1L, 15L, 102L, "r15"),
+      (2L, 7L, 103L, "r7")
+    ).toDF("k", "t", "rid", "rv")
+
+    val inc = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        rightPayload = Seq("rv"), rightTiebreak = "rid")
+      .orderBy("k", "t").collect()
+    // same-instant rows match inclusively; the t=10 tie resolves to rid=101
+    assert(inc.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getString(3))).toSeq === Seq(
+      (1L, 10L, "l10", "r10b"), (1L, 20L, "l20", "r15"),
+      (2L, 5L, "l5", null), (3L, 9L, "l9", null)))
+
+    val strict = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        rightPayload = Seq("rv"), rightTiebreak = "rid", inclusive = false)
+      .orderBy("k", "t").collect()
+    // strictly-earlier: the t=10 left row no longer sees the t=10 rights
+    assert(strict.map(r => Option(r.getString(3)).orNull).toSeq ===
+      Seq(null, "r15", null, null))
+  }
+
+  test("bm25TopK: multi-term docs outrank single-term, rarity boosts idf, decimal ties break by id") {
+    import graft.ops.Ranking
+    val d = Seq(
+      (0L, "alpha beta alpha filler filler filler"),
+      (1L, "alpha filler filler filler filler filler"),
+      (2L, "beta filler filler filler filler filler"),
+      (3L, "alpha filler filler filler filler filler"), // identical stats to 1
+      (4L, "filler filler filler filler filler filler"),
+      (5L, "gamma filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val r = Ranking.bm25TopK(d, Seq("alpha", "beta"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    // doc 0 matches both terms (and beta is rarer than alpha) → rank 1;
+    // beta-only doc 2 (df=2) outranks alpha-only docs (df=3); the identical
+    // docs 1 and 3 tie exactly and order by id
+    assert(r.map(_._1).toSeq === Seq(0L, 2L, 1L, 3L))
+    assert(r.map(_._2).toSeq === Seq(2L, 1L, 1L, 1L))
+    // docs with no query term never appear
+    assert(!r.map(_._1).contains(4L) && !r.map(_._1).contains(5L))
+  }
+
+  test("noveltyProfile: first copy owns every shingle, exact dup scores 0, fresh doc scores 1") {
+    val d = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e f"), // dup of 0
+      (2L, "x y z w q r"),                      // all fresh
+      (3L, "a b c x y z")                       // mixes seen shingles + fresh ones
+    ).toDF("doc_id", "text")
+    val m = Dedup.noveltyProfile(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(0L) === ((4, 4L, 1.0)))
+    assert(m(1L) === ((4, 0L, 0.0)))
+    assert(m(2L) === ((4, 4L, 1.0)))
+    // doc 3's shingles: "a b c" claimed by doc 0, "x y z" claimed by doc 2,
+    // "b c x" and "c x y" are fresh → 2/4
+    assert(m(3L) === ((4, 2L, 0.5)))
+  }
+
+  test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
+    import graft.ops.Embeddings
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(3.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(3.0f, 0.0f), 1),
+      (4L, Array(0.0f, 2.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.groupCentroids(e).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toSeq))).toMap
+    assert(cents(0) === ((2L, Seq(2.0, 0.0))))
+    assert(cents(2) === ((1L, Seq(0.0, 2.0))))
+    val drift = Embeddings.centroidDrift(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(drift((0, 1)) === 1.0)   // identical centroids
+    assert(drift((0, 2)) === 0.0)   // orthogonal
+    assert(drift((1, 2)) === 0.0)
+  }
 }
