@@ -1778,6 +1778,94 @@ object OracleSql {
       round($cosineSql, 6) AS drift_cosine
     FROM cent a JOIN cent b ON a.label < b.label"""
 
+  /** Hopping-window rollup — mirrors graft.ops.EventWindows.hoppingCounts
+    * (10 min / 5 min): each event lands in exactly two epoch-aligned
+    * 5-min-start buckets (unnest of [b, b-1]); value sums are exact
+    * DECIMAL(18,2), cast once. */
+  private val q90 = """
+    WITH ex AS (SELECT event_type, value,
+        (epoch_us(ts) // 300000000) AS b FROM events),
+    wx AS (SELECT event_type, value, unnest([b, b - 1]) AS wb FROM ex)
+    SELECT strftime(to_timestamp(wb * 300), '%Y-%m-%d %H:%M:%S') AS win_start,
+      event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM wx GROUP BY 1, 2"""
+
+  /** Lexical JS drift — mirrors graft.ops.Overlap.lexicalDrift(4096 md5
+    * buckets): JS = Σ_shared ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    * + ½ln2·(1−Σp) + ½ln2·(1−Σq), with per-bucket terms and masses fixed
+    * as DECIMAL(20,9) (exact order-independent sums) and zero-shared pairs
+    * kept via the sizes cross-pairing. Double expressions are parenthesized
+    * exactly like the Column tree. */
+  private val q91 = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    bc AS (SELECT source, bkt AS b, COUNT(*) AS c FROM
+        (SELECT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS bkt
+         FROM toks) GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY source),
+    p AS (SELECT bc.source, bc.b,
+        CAST(bc.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS pd,
+        CAST(round(CAST(bc.c AS DOUBLE) / CAST(tot.n AS DOUBLE), 9) AS DECIMAL(20,9)) AS pq
+      FROM bc JOIN tot USING (source)),
+    shared AS (SELECT a.source AS source_a, b2.source AS source_b,
+        SUM(CAST(round((a.pd * ln(2.0 * a.pd / (a.pd + b2.pd))
+          + b2.pd * ln(2.0 * b2.pd / (a.pd + b2.pd))) * 0.5, 9) AS DECIMAL(20,9))) AS ts,
+        SUM(a.pq) AS sp, SUM(b2.pq) AS sq
+      FROM p a JOIN p b2 ON a.b = b2.b AND a.source < b2.source GROUP BY 1, 2),
+    pairs AS (SELECT a.source AS source_a, b2.source AS source_b,
+        a.n AS n_a, b2.n AS n_b
+      FROM tot a CROSS JOIN tot b2 WHERE a.source < b2.source)
+    SELECT pairs.source_a, pairs.source_b, pairs.n_a, pairs.n_b,
+      round(COALESCE(CAST(ts AS DOUBLE), 0.0)
+        + 0.5 * ln(2.0) * ((1.0 - COALESCE(CAST(sp AS DOUBLE), 0.0))
+          + (1.0 - COALESCE(CAST(sq AS DOUBLE), 0.0))), 6) AS js_divergence
+    FROM pairs LEFT JOIN shared
+      ON pairs.source_a = shared.source_a AND pairs.source_b = shared.source_b"""
+
+  /** Canonical-URL latest-crawl dedup — mirrors
+    * graft.ops.UrlFilter.canonicalizeUrl/latestPerUrl over the q92 synthetic
+    * variants: lowercased scheme+host, default port cut, fragment cut,
+    * utm_ prefixes / fbclid / gclid cut with separator tidy-up, trailing
+    * slashes cut;
+    * newest (crawl_ts, doc_id) survives, n_versions counts the collapse.
+    * DuckDB regexp_replace needs the explicit 'g' flag where Spark's is
+    * always-global. */
+  private val q92 = """
+    WITH du AS (SELECT doc_id, doc_id AS crawl_ts,
+        CASE doc_id % 5
+          WHEN 0 THEN 'HTTPS://Site' || (doc_id % 7) || '.Example.COM:443/page/' || (doc_id % 40) || '/'
+          WHEN 1 THEN 'https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '?utm_source=feed&utm_campaign=x'
+          WHEN 2 THEN 'https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '#section2'
+          WHEN 3 THEN 'https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '?id=9&fbclid=abc'
+          ELSE 'http://other' || (doc_id % 13) || '.example.net:80/p/' || (doc_id % 40)
+        END AS url
+      FROM documents),
+    parts AS (SELECT doc_id, crawl_ts,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1)) AS hostport,
+        regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', '') AS rest0
+      FROM du),
+    canon AS (SELECT doc_id, crawl_ts,
+        CASE WHEN scheme = '' THEN ''
+        ELSE scheme || '://' ||
+          (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END) ||
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest0, '(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+              '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g'),
+            '/+$', '', 'g')
+        END AS canonical_url
+      FROM parts),
+    keep AS (SELECT canonical_url, doc_id,
+        row_number() OVER (PARTITION BY canonical_url
+          ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_versions
+      FROM canon)
+    SELECT canonical_url, doc_id, n_versions FROM keep WHERE rn = 1"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -1945,6 +2033,9 @@ object OracleSql {
     "q86_bm25"              -> q86,
     "q87_asof_join"         -> q87,
     "q88_novelty"           -> q88,
-    "q89_centroid_drift"    -> q89
+    "q89_centroid_drift"    -> q89,
+    "q90_window_rollup"     -> q90,
+    "q91_lexical_drift"     -> q91,
+    "q92_canonical_url"     -> q92
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -380,6 +380,54 @@ object ScaleProbe {
               + col("mean_entropy").cast("long")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("bm25", n) {
+        // q86 shape: the only corpus-sized work is one tokenize+filter scan
+        // (stats pass + tf pass over the checkpoint); the scoring join and
+        // top-k run on the docs × |query| tf table
+        graft.ops.Ranking.bm25TopK(d, Seq("w1", "w2", "w3"), k = 20)
+          .agg(coalesce(sum(col("score").cast("double")), lit(0.0)))
+          .collect().head.getDouble(0).toLong
+      }
+      timed("asof_join", n) {
+        // q87 shape: ONE key shuffle + per-partition sort over L+R; ~20
+        // events/user at any n, 1:4 purchase:click — count matched rows so
+        // the window and final projection fully evaluate
+        // side from an INDEPENDENT hash: user = id % (n/20) and side =
+        // id % 5 correlate (n/20 ≡ 0 mod 5 ⇒ each user single-sided ⇒ zero
+        // matches — the q84 head-index lesson)
+        val ev = spark.range(n).toDF("event_id")
+          .withColumn("user_id", pmod(col("event_id"), lit(n / 20)))
+          .withColumn("t", pmod(xxhash64(col("event_id")), lit(1000000000L)))
+          .withColumn("v", pmod(col("event_id"), lit(97)))
+          .withColumn("side", pmod(xxhash64(col("event_id"), lit(3)), lit(5)))
+        val purchases = ev.filter(col("side") === 0).drop("side")
+        val clicks = ev.filter(col("side") =!= 0).drop("side")
+        graft.ops.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"),
+            "t", "t", rightPayload = Seq("v"), rightTiebreak = "event_id")
+          .filter(col("asof_v").isNotNull).count()
+      }
+      timed("novelty", n) {
+        // q88 shape: ints-only min-id agg to vocabulary size, then to doc
+        // count — fold BOTH output aggregates (the corpus_report lesson)
+        Dedup.noveltyProfile(d)
+          .agg(coalesce(sum(col("n_novel") + col("n_shingles")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("centroid_drift", n) {
+        // q89 shape: one posexplode agg collapses the corpus to 16×64 rows;
+        // the pair join reads the checkpointed centroid table
+        graft.ops.Embeddings.centroidDrift(
+            e.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int")))
+          .agg(coalesce(sum(col("drift_cosine")), lit(0.0)))
+          .collect().head.getDouble(0).toLong
+      }
+      timed("lexical_drift", n) {
+        // q91 shape: ONE tokenize+bucket agg (map-side combine to
+        // sources × 4096), everything pairwise on the checkpointed table
+        graft.ops.Overlap.lexicalDrift(d)
+          .agg(coalesce(sum(col("js_divergence")), lit(0.0)))
+          .collect().head.getDouble(0).toLong
+      }
       timed("bpe_train", n) {
         // 10 merges: the corpus-sized part is the ONE word-count agg; every
         // iteration then runs on the (bounded) word table — expect near-flat

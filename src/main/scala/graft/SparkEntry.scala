@@ -1152,6 +1152,50 @@ object SparkEntry {
   private def q89CentroidDrift(s: SparkSession, dir: String): DataFrame =
     graft.ops.Embeddings.centroidDrift(t(s, dir, "embeddings"))
 
+  /** Hopping-window event rollup ([[graft.ops.EventWindows.hoppingCounts]],
+    * 10 min windows every 5 min): epoch-aligned grid, money-discipline value
+    * sums; the same expression runs under readStream (StreamingSpec). */
+  private def q90WindowRollup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.hoppingCounts(events(s, dir), "10 minutes", "5 minutes")
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Lexical JS-divergence drift matrix ([[graft.ops.Overlap.lexicalDrift]],
+    * 4096 md5 buckets): per-shared-bucket terms and probability masses fixed
+    * as DECIMAL(20,9), one double expression at the end. */
+  private def q91LexicalDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Overlap.lexicalDrift(t(s, dir, "documents"))
+
+  /** URL canonicalization + latest-crawl dedup
+    * ([[graft.ops.UrlFilter.canonicalizeUrl]]/[[graft.ops.UrlFilter.latestPerUrl]]):
+    * synthesized variant URLs (case, default port, fragment, tracking
+    * params, trailing slash) collapse to one canonical key; newest crawl
+    * survives via one max_by agg. */
+  private def q92CanonicalUrl(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("HTTPS://Site"), pmod(col("doc_id"), lit(7)),
+            lit(".Example.COM:443/page/"), pmod(col("doc_id"), lit(40)), lit("/")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("https://site"), pmod(col("doc_id"), lit(7)),
+            lit(".example.com/page/"), pmod(col("doc_id"), lit(40)),
+            lit("?utm_source=feed&utm_campaign=x")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("https://site"), pmod(col("doc_id"), lit(7)),
+            lit(".example.com/page/"), pmod(col("doc_id"), lit(40)), lit("#section2")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit("https://site"), pmod(col("doc_id"), lit(7)),
+            lit(".example.com/page/"), pmod(col("doc_id"), lit(40)),
+            lit("?id=9&fbclid=abc")))
+        .otherwise(
+          concat(lit("http://other"), pmod(col("doc_id"), lit(13)),
+            lit(".example.net:80/p/"), pmod(col("doc_id"), lit(40)))))
+      .withColumn("crawl_ts", col("doc_id"))
+    graft.ops.UrlFilter.latestPerUrl(docs, "url", "crawl_ts")
+      .select(col("canonical_url"), col("doc_id"), col("n_versions"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1241,7 +1285,10 @@ object SparkEntry {
     "q86_bm25"              -> q86Bm25 _,
     "q87_asof_join"         -> q87AsofJoin _,
     "q88_novelty"           -> q88Novelty _,
-    "q89_centroid_drift"    -> q89CentroidDrift _
+    "q89_centroid_drift"    -> q89CentroidDrift _,
+    "q90_window_rollup"     -> q90WindowRollup _,
+    "q91_lexical_drift"     -> q91LexicalDrift _,
+    "q92_canonical_url"     -> q92CanonicalUrl _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

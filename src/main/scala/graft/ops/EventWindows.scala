@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-window event rollups — tumbling and hopping (sliding) time windows,
+  * the batch form of Structured Streaming's `window()` aggregations and the
+  * fixed-grid complement of [[Sessionize]]'s gap windows. One expression
+  * serves BOTH execution modes: `hoppingCounts(readStream…)` is a valid
+  * streaming aggregation (append mode once a watermark is set), and
+  * [[graft.StreamingSpec]] pins batch/stream agreement on the same input.
+  *
+  * Scale shape: window assignment is row-local (Spark's `window()` generator;
+  * a hop of `size/slide` windows per row multiplies the pre-shuffle row count
+  * by that factor — keep the ratio small); the only shuffle is the
+  * `(window, type)` grouped agg, which map-side-combines to
+  * |grid cells| × |types| rows regardless of event count. Value sums follow
+  * the money discipline (DECIMAL(18,2), cast once at the end) so totals are
+  * exact and engine-portable.
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse aggregates its event
+  * stream only per-key-latest (§2.9 ST3); fixed-grid rollups extend the
+  * streaming tier (SURVEY §2.9) with the standard dashboard shape.
+  */
+object EventWindows {
+
+  /** Hopping-window counts/sums per event type: windows of `size` every
+    * `slide`, epoch-aligned (Spark `window()` semantics); `size = slide`
+    * degenerates to tumbling. Output:
+    * `(win_start TIMESTAMP, event_type, n_events, sum_value DOUBLE)`. */
+  def hoppingCounts(events: DataFrame, size: String, slide: String,
+                    tsCol: String = "ts", typeCol: String = "event_type",
+                    valueCol: String = "value"): DataFrame =
+    events.groupBy(window(col(tsCol), size, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col(typeCol),
+        col("n_events"), col("sum_value"))
+
+  /** Tumbling special case: non-overlapping windows of `size`. */
+  def tumblingCounts(events: DataFrame, size: String,
+                     tsCol: String = "ts", typeCol: String = "event_type",
+                     valueCol: String = "value"): DataFrame =
+    hoppingCounts(events, size, size, tsCol, typeCol, valueCol)
+}

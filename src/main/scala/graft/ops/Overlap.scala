@@ -116,4 +116,75 @@ object Overlap {
     sourceOverlapExact(docs, textCol, groupCol, shingleK)
       .join(sourceOverlapSketch(docs, textCol, groupCol, numHashes, shingleK),
         Seq("source_a", "source_b"))
+
+  /** Pairwise lexical drift: Jensen–Shannon divergence between per-group
+    * hashed-unigram distributions — the LEXICAL complement of
+    * [[Embeddings.centroidDrift]] (word choice instead of embedding
+    * geometry), and the symmetric, bounded ([0, ln 2]) alternative to the
+    * one-sided DSIR log-ratio ([[Importance]]). Set-overlap above asks "is
+    * this the same TEXT"; JS asks "is this the same LANGUAGE" — two corpora
+    * can share zero documents and still be lexically identical.
+    *
+    * Tokens hash into `buckets` ints before anything wide ([[Importance]]'s
+    * md5 bucketing, so the oracle reproduces it): the ONE corpus-sized op is
+    * the `(group, bucket)` count agg, which map-side-combines to
+    * ≤ groups × buckets rows; everything pairwise runs on that bounded,
+    * materialized table. Zero-shared-bucket pairs are kept via the sizes
+    * cross-pairing (the [[sourceOverlapExact]] pattern).
+    *
+    * Determinism: JS decomposes as
+    * `Σ_shared ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) + ½ln2·(1−Σ_shared p) +
+    * ½ln2·(1−Σ_shared q)` — per-shared-bucket terms and per-bucket
+    * probabilities are rounded at 9 dp into DECIMAL(20,9) and summed
+    * exactly (order-independent), with one double expression at the end.
+    * The ±5e-10-per-bucket rounding bias is ≤ ~2e-6 on the 6-dp output —
+    * identical on every engine/partitioning, which is what the oracle
+    * checks.
+    *
+    * Output: `(source_a, source_b, n_a, n_b, js_divergence DOUBLE 6dp)` —
+    * `n_a`/`n_b` are token totals.
+    */
+  def lexicalDrift(docs: DataFrame, textCol: String = "text",
+                   groupCol: String = "source", buckets: Int = 4096,
+                   materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets > 0, s"lexicalDrift: buckets must be > 0, got $buckets")
+    val dec = DecimalType(20, 9)
+    val bc = docs.select(col(groupCol).as("g"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .select(col("g"), Importance.bucketOf(col("tok"), buckets).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = bc.groupBy(col("g")).agg(sum(col("c")).cast("long").as("n"))
+    // ≤ groups × buckets rows: probabilities fixed as decimals HERE so both
+    // the shared-term sum and the Σ_shared p mass are exact downstream
+    val p = materialize(bc.join(tot, Seq("g"))
+      .select(col("g"), col("b"), col("n"),
+        (col("c").cast("double") / col("n").cast("double")).as("pd"),
+        round(col("c").cast("double") / col("n").cast("double"), 9).cast(dec).as("pq")))
+
+    val a = p.select(col("g").as("source_a"), col("b"), col("pd").as("pa"), col("pq").as("paq"))
+    val b = p.select(col("g").as("source_b"), col("b"), col("pd").as("pb"), col("pq").as("pbq"))
+    val shared = a.join(b, Seq("b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        sum(round((col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb")))) * lit(0.5), 9)
+          .cast(dec)).as("ts"),
+        sum(col("paq")).as("sp"), sum(col("pbq")).as("sq"))
+    // group sizes from the MATERIALIZED bucket table (n is constant per g) —
+    // reading `tot` here would re-run the corpus-sized agg on both sides of
+    // the cross pairing (plan-audited)
+    val sizes = p.groupBy(col("g")).agg(max(col("n")).as("n"))
+    val pairs = sizes.select(col("g").as("source_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("g").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(coalesce(col("ts").cast("double"), lit(0.0))
+          + lit(0.5) * log(lit(2.0))
+            * ((lit(1.0) - coalesce(col("sp").cast("double"), lit(0.0)))
+              + (lit(1.0) - coalesce(col("sq").cast("double"), lit(0.0)))), 6)
+          .as("js_divergence"))
+  }
 }

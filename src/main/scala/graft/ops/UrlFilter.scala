@@ -125,4 +125,60 @@ object UrlFilter {
       .withColumn("blocked_domain", coalesce(col("__bl"), lit(false)))
       .drop("__bl")
   }
+
+  // -------------------------------------------------------- canonicalization
+
+  /** Canonical form of a URL — the crawl-dedup key (the same page arrives as
+    * `HTTP://Site.COM:80/a/?utm_source=x#frag` and `http://site.com/a`
+    * across snapshots; URL-level dedup without canonicalization silently
+    * keeps every variant). Entirely row-local regex/string work, RE2-safe,
+    * with a DuckDB-reproducible rule set applied in a FIXED order:
+    *
+    *  1. scheme and host(:port) lowercased (path/query case preserved);
+    *  2. userinfo (`user@`) dropped; default ports stripped (`:80` for
+    *     http, `:443` for https);
+    *  3. fragment dropped;
+    *  4. tracking params dropped (`utm_*`, `fbclid`, `gclid`), separator
+    *     debris tidied (`?&`→`?`, `&&`→`&`, trailing `?`/`&` cut);
+    *  5. trailing slashes cut (root becomes the bare authority).
+    *
+    * Unparseable URLs (no `scheme://`) canonicalize to `''` — fail-closed,
+    * the [[host]] discipline: downstream grouping buckets them together and
+    * a latest-per-URL dedup drops all but one garbage row, never a real
+    * page. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = coalesce(url, lit(""))
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)", 1))
+    val hostNoPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    // path?query#fragment tail, fragment dropped
+    val rest0 = regexp_replace(
+      regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+      "#.*$", "")
+    val rest1 = regexp_replace(rest0, "(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    val rest2 = regexp_replace(regexp_replace(regexp_replace(
+      rest1, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    val rest = regexp_replace(rest2, "/+$", "")
+    when(scheme === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), hostNoPort, rest))
+  }
+
+  /** Latest-version-per-canonical-URL dedup (the crawl-snapshot A4: one
+    * survivor per page, newest `versionCol` wins, ties → greatest `idCol`).
+    * ONE `max_by` aggregation on the canonical key — no window sort, no
+    * self-join; adds `n_versions` per survivor. Output = survivor rows with
+    * `canonical_url` + `n_versions` appended. */
+  def latestPerUrl(docs: DataFrame, urlCol: String, versionCol: String,
+                   idCol: String = "doc_id"): DataFrame = {
+    requireNoClash(docs, Seq("canonical_url", "n_versions"), "latestPerUrl")
+    val rows = docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    rows.groupBy(col("canonical_url"))
+      .agg(max_by(struct(rows.columns.map(col): _*),
+          struct(col(versionCol), col(idCol))).as("__keep"),
+        count(lit(1)).as("n_versions"))
+      .select(col("__keep.*"), col("n_versions"))
+  }
 }

@@ -2534,6 +2534,58 @@ class OpsSpec extends SparkSpec {
     assert(m(3L) === ((4, 2L, 0.5)))
   }
 
+  test("lexicalDrift: identical distributions ~0, disjoint vocabularies = ln 2, symmetric inputs") {
+    import graft.ops.Overlap
+    val d = Seq(
+      (0L, "alpha beta gamma alpha", "s1"), (1L, "beta gamma alpha alpha", "s2"), // same bag
+      (2L, "delta epsilon zeta eta", "s3")                                        // disjoint
+    ).toDF("doc_id", "text", "source")
+    val js = Overlap.lexicalDrift(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // identical unigram bags → JS 0 up to the documented ≤2e-6 decimal bias
+    assert(math.abs(js(("s1", "s2"))) < 2e-6)
+    // zero shared buckets → maximal JS = ln 2 (exactly: the ½ln2 masses)
+    assert(js(("s1", "s3")) === math.round(math.log(2.0) * 1e6) / 1e6)
+    assert(js(("s2", "s3")) === js(("s1", "s3")))
+    // n_a/n_b are token totals
+    val row = Overlap.lexicalDrift(d).filter(col("source_a") === "s1")
+      .filter(col("source_b") === "s2").collect().head
+    assert(row.getLong(2) === 4L && row.getLong(3) === 4L)
+  }
+
+  test("canonicalizeUrl: case, ports, userinfo, fragments, tracking params, slashes; garbage fails closed") {
+    import graft.ops.UrlFilter
+    val cases = Seq(
+      // NB: the path's own trailing slash survives when a query follows —
+      // only the END of path?query is slash-trimmed
+      "HTTPS://User@Site.COM:443/A/b/?utm_source=x&id=3&fbclid=y#frag"
+        -> "https://site.com/A/b/?id=3",
+      "http://site.com:80/" -> "http://site.com",
+      "http://site.com:8080/x/" -> "http://site.com:8080/x",
+      "https://site.com/?utm_campaign=a&utm_medium=b" -> "https://site.com",
+      "https://site.com/p?gclid=1&q=2&r=3" -> "https://site.com/p?q=2&r=3",
+      "not a url" -> "",
+      (null: String) -> "")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlFilter.canonicalizeUrl(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("latestPerUrl: variants collapse to one survivor, newest crawl wins, schema passes through") {
+    import graft.ops.UrlFilter
+    val d = Seq(
+      (1L, "http://a.com/p?utm_source=x", 10L, "v1"),
+      (2L, "HTTP://A.COM:80/p/", 20L, "v2"),      // same page, newer
+      (3L, "http://a.com/p#frag", 15L, "v3"),     // same page, middle
+      (4L, "http://b.com/q", 5L, "only")
+    ).toDF("doc_id", "url", "crawl_ts", "text")
+    val out = UrlFilter.latestPerUrl(d, "url", "crawl_ts").collect()
+      .map(r => r.getAs[String]("canonical_url") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("n_versions")))).toMap
+    assert(out("http://a.com/p") === ((2L, "v2", 3L)))
+    assert(out("http://b.com/q") === ((4L, "only", 1L)))
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(

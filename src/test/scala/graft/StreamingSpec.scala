@@ -204,6 +204,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 3L))
   }
 
+  test("hopping-window rollup: the same expression aggregates batch and stream identically") {
+    val base = SparkSpec.tempDir("graft_streamwin_")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/ev.jsonl"), Seq(
+      """{"ts":"2024-01-01T10:01:00.000Z","event_type":"click","value":1.25}""",
+      """{"ts":"2024-01-01T10:06:00.000Z","event_type":"click","value":2.50}""",
+      """{"ts":"2024-01-01T10:06:30.000Z","event_type":"view","value":0.75}""",
+      """{"ts":"2024-01-01T10:14:00.000Z","event_type":"click","value":4.00}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val q = graft.ops.EventWindows.hoppingCounts(
+        spark.readStream.schema(schema).json(in), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_rollup")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val streamed = rows(spark.table("win_rollup"))
+    val batch = rows(graft.ops.EventWindows.hoppingCounts(
+      spark.read.schema(schema).json(in), "10 minutes", "5 minutes"))
+    assert(streamed === batch)
+    // each event lands in exactly two 5-min-aligned windows: 4 events → the
+    // 10:01 click hits (09:55, 10:00), the 10:06 pair (10:00, 10:05), …
+    assert(batch.map(_._3).sum === 8L)
+    // hand-check one overlap cell: the (10:00, click) window spans 10:00-10:10
+    // → 1.25 + 2.50
+    assert(batch.collect { case (w, "click", n, s) if w.startsWith("2024-01-01 10:00") => (n, s) }
+      === Seq((2L, 3.75)))
+  }
+
   test("streaming decontamination: benchmark-overlapping docs are flagged at ingest, clean docs pass") {
     val base = SparkSpec.tempDir("graft_streamdecon_")
     val in = s"$base/in"
