@@ -46,6 +46,8 @@ import graft.ops.Curation
   * perplexityTarget=<t.jsonl> CCNet LM-filter target corpus, with:
   * perplexityMaxCe=6.5        ...keep per-token cross-entropy <= this
   * repetitionGates=true       Gopher repetition thresholds (published defaults)
+  * redactPii=true             scrub email/phone/IPv4 on the survivor set
+  * redactCards=true           scrub Luhn-valid card numbers (before redactPii)
   * classifierPos=<pos.jsonl>  model-based quality filter: positive seeds
   * classifierNeg=<neg.jsonl>  ...negative seeds (both or neither)
   * classifierBias=0.0         ...decision-boundary shift (logit units)
@@ -127,6 +129,8 @@ object Curate {
         case "perplexityTarget" => inputs = inputs.copy(perplexityTarget = Some(v)); c
         case "perplexityMaxCe"  => c.copy(perplexityMaxCe = Some(v.toDouble))
         case "repetitionGates"  => c.copy(repetitionGates = v.toBoolean)
+        case "redactPii"        => c.copy(redactPii = v.toBoolean)
+        case "redactCards"      => c.copy(redactCards = v.toBoolean)
         case "classifierPos"    => inputs = inputs.copy(classifierPos = Some(v)); c
         case "classifierNeg"    => inputs = inputs.copy(classifierNeg = Some(v)); c
         case "classifierBias"   => c.copy(classifierBias = v.toDouble)

@@ -1866,6 +1866,92 @@ object OracleSql {
       FROM canon)
     SELECT canonical_url, doc_id, n_versions FROM keep WHERE rn = 1"""
 
+  /** Table profiler — mirrors graft.ops.Profiler.profile(orders): one SELECT
+    * per column UNION ALL'd (DuckDB's planner fuses the scans); min/max on
+    * native types then cast, timestamps floored to whole epoch seconds
+    * (min/max commute with floor). */
+  private val q93 = {
+    val cols = Seq(
+      ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+      ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+    cols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "num" => (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+        case "ts"  => (s"CAST(epoch_us(MIN($c)) // 1000000 AS DOUBLE)",
+                       s"CAST(epoch_us(MAX($c)) // 1000000 AS DOUBLE)")
+        case _     => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+        $mn AS min_num, $mx AS max_num FROM orders"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
+  /** Event funnel — mirrors graft.ops.Funnel.funnel(view→click→purchase):
+    * stage entries chain as "earliest at-or-after the previous entry";
+    * µs diffs sum as DECIMAL(38,0), one double division at the end. */
+  private val q94 = """
+    WITH v AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.u WHERE e.event_type = 'click' AND e.ts >= v.t
+      GROUP BY 1),
+    p AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.u WHERE e.event_type = 'purchase' AND e.ts >= c.t
+      GROUP BY 1),
+    s1 AS (SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        round(CAST(SUM(CAST(epoch_us(v.t) - epoch_us(v0.t) AS DECIMAL(38,0))) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_seconds_from_start
+      FROM v JOIN v v0 ON v.u = v0.u),
+    s2 AS (SELECT CAST(2 AS INT) AS stage, 'click' AS event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        round(CAST(SUM(CAST(epoch_us(c.t) - epoch_us(v.t) AS DECIMAL(38,0))) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_seconds_from_start
+      FROM c JOIN v ON c.u = v.u),
+    s3 AS (SELECT CAST(3 AS INT) AS stage, 'purchase' AS event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        round(CAST(SUM(CAST(epoch_us(p.t) - epoch_us(v.t) AS DECIMAL(38,0))) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_seconds_from_start
+      FROM p JOIN v ON p.u = v.u)
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3"""
+
+  /** Luhn card audit — mirrors TextAnalysis.cardCounts over the q95
+    * synthetic card suffixes: candidates by the shared RE2 pattern, validity
+    * by the same integer Luhn fold (list_transform over 1-based right
+    * positions). */
+  private val q95 = """
+    WITH du AS (SELECT doc_id, source,
+        CASE doc_id % 10
+          WHEN 0 THEN text || ' pay 4539 1488 0343 6467 now'
+          WHEN 1 THEN text || ' ref 4539-1488-0343-6468 x'
+          WHEN 2 THEN text || ' card 4111111111111111 and 1234567890123456789 tail'
+          ELSE text END AS text2
+      FROM documents),
+    cc AS (SELECT doc_id, source,
+        regexp_extract_all(coalesce(text2, ''), '(?:[0-9][ -]?){12,18}[0-9]') AS cands
+      FROM du),
+    val AS (SELECT doc_id, source, len(cands) AS n_cand,
+        len(list_filter(cands, cand -> (
+          length(regexp_replace(cand, '[ -]', '', 'g')) >= 13 AND
+          list_sum(list_transform(range(1, length(regexp_replace(cand, '[ -]', '', 'g')) + 1),
+            i -> CASE WHEN i % 2 = 0 THEN
+                (CASE WHEN CAST(substr(regexp_replace(cand, '[ -]', '', 'g'),
+                    CAST(length(regexp_replace(cand, '[ -]', '', 'g')) - i + 1 AS INT), 1) AS BIGINT) * 2 > 9
+                  THEN CAST(substr(regexp_replace(cand, '[ -]', '', 'g'),
+                    CAST(length(regexp_replace(cand, '[ -]', '', 'g')) - i + 1 AS INT), 1) AS BIGINT) * 2 - 9
+                  ELSE CAST(substr(regexp_replace(cand, '[ -]', '', 'g'),
+                    CAST(length(regexp_replace(cand, '[ -]', '', 'g')) - i + 1 AS INT), 1) AS BIGINT) * 2 END)
+              ELSE CAST(substr(regexp_replace(cand, '[ -]', '', 'g'),
+                CAST(length(regexp_replace(cand, '[ -]', '', 'g')) - i + 1 AS INT), 1) AS BIGINT) END
+          )) % 10 = 0))) AS n_valid
+      FROM cc)
+    SELECT source, CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+      CAST(SUM(n_valid) AS BIGINT) AS n_valid,
+      CAST(SUM(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_card
+    FROM val GROUP BY source"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2036,6 +2122,9 @@ object OracleSql {
     "q89_centroid_drift"    -> q89,
     "q90_window_rollup"     -> q90,
     "q91_lexical_drift"     -> q91,
-    "q92_canonical_url"     -> q92
+    "q92_canonical_url"     -> q92,
+    "q93_profile"           -> q93,
+    "q94_funnel"            -> q94,
+    "q95_card_pii"          -> q95
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -428,6 +428,23 @@ object ScaleProbe {
           .agg(coalesce(sum(col("js_divergence")), lit(0.0)))
           .collect().head.getDouble(0).toLong
       }
+      timed("profile_exact", n) {
+        // q93 exact tier: multi-distinct Expand (rows × #distinct-cols
+        // pre-combine) — fold every stat column
+        graft.ops.Profiler.profile(d)
+          .agg(coalesce(sum(col("n") + col("n_null") + col("n_distinct")
+            + coalesce(col("min_num"), lit(0.0)).cast("long")
+            + coalesce(col("max_num"), lit(0.0)).cast("long")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("profile_approx", n) {
+        // HLL tier: plain mergeable sketch aggs, no Expand — the 100 TB path
+        graft.ops.Profiler.profile(d, approxDistinct = true)
+          .agg(coalesce(sum(col("n") + col("n_null") + col("n_distinct")
+            + coalesce(col("min_num"), lit(0.0)).cast("long")
+            + coalesce(col("max_num"), lit(0.0)).cast("long")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("bpe_train", n) {
         // 10 merges: the corpus-sized part is the ONE word-count agg; every
         // iteration then runs on the (bounded) word table — expect near-flat

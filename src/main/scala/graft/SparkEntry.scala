@@ -1196,6 +1196,38 @@ object SparkEntry {
       .select(col("canonical_url"), col("doc_id"), col("n_versions"))
   }
 
+  /** Table profiler ([[graft.ops.Profiler.profile]], exact tier): per-column
+    * null/distinct/range audit of `orders` in one scan; ranges on native
+    * types, exported as doubles (timestamps as whole epoch seconds). */
+  private def q93Profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profile(t(s, dir, "orders"))
+
+  /** Event funnel ([[graft.ops.Funnel.funnel]] view → click → purchase):
+    * per-stage ordered-conversion counts with decimal-exact mean latency
+    * from funnel entry. */
+  private def q94Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(events(s, dir), Seq("view", "click", "purchase"))
+
+  /** Luhn-validated card-number audit ([[TextAnalysis.cardCounts]]): synthetic
+    * card strings (valid, checksum-broken, and an overlong digit run) appended
+    * to documents; candidates counted by regex, validity by the integer Luhn
+    * fold — both engines compute the same checksum. */
+  private def q95CardPii(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("text2",
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" pay 4539 1488 0343 6467 now")))
+      .when(pmod(col("doc_id"), lit(10)) === 1,
+        concat(col("text"), lit(" ref 4539-1488-0343-6468 x")))
+      .when(pmod(col("doc_id"), lit(10)) === 2,
+        concat(col("text"), lit(" card 4111111111111111 and 1234567890123456789 tail")))
+      .otherwise(col("text")))
+    docs.select(col("source"), TextAnalysis.cardCounts(col("text2")).as("cc"))
+      .groupBy(col("source"))
+      .agg(sum(col("cc.n_card_candidates")).cast("long").as("n_candidates"),
+        sum(col("cc.n_card_valid")).cast("long").as("n_valid"),
+        sum(when(col("cc.n_card_valid") > 0, 1L).otherwise(0L)).as("n_docs_with_card"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1288,7 +1320,10 @@ object SparkEntry {
     "q89_centroid_drift"    -> q89CentroidDrift _,
     "q90_window_rollup"     -> q90WindowRollup _,
     "q91_lexical_drift"     -> q91LexicalDrift _,
-    "q92_canonical_url"     -> q92CanonicalUrl _
+    "q92_canonical_url"     -> q92CanonicalUrl _,
+    "q93_profile"           -> q93Profile _,
+    "q94_funnel"            -> q94Funnel _,
+    "q95_card_pii"          -> q95CardPii _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

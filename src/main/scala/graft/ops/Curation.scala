@@ -172,6 +172,8 @@ object Curation {
       classifierNgrams: Int = 1,
       classifierBias: Double = 0.0,
       repetitionGates: Boolean = false,
+      redactPii: Boolean = false,
+      redactCards: Boolean = false,
       clusterCap: Option[Int] = None,
       clusterNumCentroids: Int = 16,
       lineDedup: Boolean = true,
@@ -332,6 +334,20 @@ object Curation {
       val bad = Dedup.contamination(d, benchmark.get, textCol, idCol,
         config.decontaminationShingleK)
       d.join(bad, Seq(idCol), "left_anti")
+    }
+    step("pii_redact", config.redactPii || config.redactCards) { d =>
+      // rewrite-only (drops nothing): runs on the deduped, decontaminated
+      // survivor set — regex cost is paid once per KEPT document — and
+      // BEFORE the model-based stages, which then score the text that
+      // actually ships. Card redaction precedes the generic patterns: the
+      // phone regex also matches long digit runs, and a card number
+      // half-eaten as "<phone>" would dodge the Luhn check.
+      val base = col(textCol)
+      val afterCards =
+        if (config.redactCards) TextAnalysis.redactCards(base) else base
+      val scrubbed =
+        if (config.redactPii) TextAnalysis.redactPii(afterCards) else afterCards
+      d.withColumn(textCol, scrubbed)
     }
     step("perplexity", config.perplexityMaxCe.isDefined) { d =>
       // the CCNet ordering: LM filtering runs on the deduped, decontaminated

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered event-funnel analysis: how many users completed stage 1, then
+  * stage 2 AT OR AFTER their stage-1 time, then stage 3 after that, … — the
+  * standard product-analytics conversion query (view → click → purchase),
+  * and on a crawl/ingest event log, the pipeline-health twin (fetched →
+  * parsed → landed).
+  *
+  * Semantics: per user, stage k's entry time is the EARLIEST stage-k event
+  * at-or-after the user's stage-(k−1) entry time (first-touch attribution;
+  * `strict = true` demands strictly-after, disambiguating same-instant
+  * events). A user counts for stage k only if the whole chain holds in
+  * order.
+  *
+  * Shape — one hash shuffle per stage on the user key, each over the
+  * PRE-FILTERED single-type event slice (partial `min` combine makes every
+  * shuffle ≤ one row per (user, stage)); entry times then chain through
+  * per-user joins of those aggregated (user, ts) tables. No windows over
+  * full per-user histories, no `collect_list` of a user's events — per-user
+  * state anywhere is one timestamp, so a million-event power user costs the
+  * same as a 3-event one (heavy-user skew lands on the partial combine,
+  * which is exactly where Spark absorbs it).
+  *
+  * Output: one row per stage — `(stage, event_type, n_users,
+  * mean_seconds_from_start DOUBLE 6dp)`, the mean over converted users of
+  * (stage entry − stage-1 entry), decimal-exact (µs diffs summed as
+  * DECIMAL(38,0) — a long sum can overflow at fleet scale — divided once).
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse's event tier stops at
+  * latest-status-per-key (§2.9 ST3); the funnel extends the event-analytics
+  * tier (SURVEY §2.9) with multi-stage ordered conversion.
+  */
+object Funnel {
+
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type", strict: Boolean = false,
+             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(stages.size >= 2, "funnel: at least two stages")
+    require(stages.distinct.size == stages.size, "funnel: stages must be distinct")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+    // stage 1: first event of the entry type per user. Each stage's entry
+    // table (≤ one (user, ts) row per converted user) is materialized: it is
+    // read by the NEXT stage's probe join AND by its own output row — the
+    // un-checkpointed DAG re-derived every upstream stage per consumer
+    // (plan-audited; events itself is still scanned once per stage, each a
+    // type-pushed-down filter scan).
+    var entry = materialize(events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t")))
+    var out = Vector((stages.head, entry))
+    for (stage <- stages.tail) {
+      val cmp = if (strict) col(tsCol) > col("t_prev") else col(tsCol) >= col("t_prev")
+      entry = materialize(events.filter(col(typeCol) === stage)
+        .join(entry.select(col("u"), col("t").as("t_prev")),
+          events(userCol) === col("u"))
+        .filter(cmp)
+        .groupBy(col("u"))
+        .agg(min(col(tsCol)).as("t")))
+      out = out :+ ((stage, entry))
+    }
+
+    val start = out.head._2.select(col("u"), col("t").as("t0"))
+    out.zipWithIndex.map { case ((stage, e), i) =>
+      e.join(start, Seq("u"))
+        .agg(count(lit(1)).as("n_users"),
+          sum((unix_micros(col("t")) - unix_micros(col("t0"))).cast(dec)).as("us"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+          col("n_users"),
+          round(col("us").cast("double")
+            / (col("n_users").cast("double") * lit(1000000.0)), 6)
+            .as("mean_seconds_from_start"))
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiler — the warehouse-side `ANALYZE` dashboard: per-column row
+  * counts, null counts, distinct cardinalities, and numeric/temporal ranges
+  * in ONE scan. What a data team reads before trusting a new feed (null
+  * bursts, cardinality collapse, out-of-range dates are the three classic
+  * upstream breakages), and what a query planner's stats collection computes.
+  *
+  * Shape: one `agg` carrying every column's aggregates. The exact-distinct
+  * tier compiles to Spark's multi-distinct Expand (one pass, rows ×
+  * #distinct-columns before partial aggregation — the exact answer's honest
+  * price, right at audit scale); `approxDistinct = true` swaps in HLL++
+  * `approx_count_distinct`, collapsing the Expand to plain mergeable sketch
+  * aggregates — the 100 TB default (the q58 two-tier discipline; accuracy
+  * pinned vs exact in OpsSpec).
+  *
+  * Ranges go out as DOUBLE (numerics cast; timestamps as WHOLE epoch
+  * seconds — `unix_timestamp` floors, and min/max commute with floor) —
+  * min/max compute on the NATIVE type first, so ordering is never string
+  * ordering, and string-typed columns emit NULL ranges rather than a
+  * format-fragile lexical min/max.
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse hand-rolls per-load
+  * row tallies (§2.4 A1/A2); the profiler generalizes that audit to every
+  * column of any table (SURVEY §2.4 extension).
+  */
+object Profiler {
+
+  /** Long-format profile: one row per column —
+    * `(column, n, n_null, n_distinct, min_num, max_num)`. */
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val cols = df.schema.fields.toSeq
+    require(cols.nonEmpty, "profile: empty schema")
+    def isNumeric(t: DataType): Boolean = t match {
+      case _: NumericType => true
+      case _ => false
+    }
+    def numView(f: StructField) = f.dataType match {
+      case t if isNumeric(t) => col(f.name).cast("double")
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        unix_timestamp(col(f.name)).cast("double")
+      case _ => lit(null).cast("double")
+    }
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"n__${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn__${f.name}"),
+        (if (approxDistinct) approx_count_distinct(c) else count_distinct(c))
+          .as(s"nd__${f.name}"),
+        min(numView(f)).as(s"mn__${f.name}"),
+        max(numView(f)).as(s"mx__${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // one row → explode into the long format (driver-free: stack over the
+    // single aggregated row)
+    val stacked = cols.map { f =>
+      struct(lit(f.name).as("column"),
+        col(s"n__${f.name}").as("n"),
+        col(s"nn__${f.name}").as("n_null"),
+        col(s"nd__${f.name}").as("n_distinct"),
+        col(s"mn__${f.name}").as("min_num"),
+        col(s"mx__${f.name}").as("max_num"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+}

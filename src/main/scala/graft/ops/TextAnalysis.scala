@@ -237,6 +237,54 @@ object TextAnalysis {
       regexp_replace(acc, pattern, s"<$kind>")
     }
 
+  /** Candidate payment-card number runs: 13–19 digits, single space/dash
+    * separators allowed (ISO/IEC 7812 lengths). A regex alone over-fires on
+    * arbitrary long digit runs — couple with [[luhnValid]], which is the
+    * validation real PII scanners apply. RE2-safe. */
+  val CardCandidatePattern: String = "(?:[0-9][ -]?){12,18}[0-9]"
+
+  /** Luhn checksum (ISO/IEC 7812) over the digits of `candidate` after
+    * separator stripping: from the RIGHTMOST digit, every second digit
+    * doubles (minus 9 when > 9); valid iff the total ≡ 0 (mod 10). Pure
+    * integer HOF arithmetic — cross-engine exact by construction. */
+  def luhnValid(candidate: Column): Column = {
+    val ds = regexp_replace(candidate, "[ -]", "")
+    val n = length(ds)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      // i-th digit from the RIGHT (1-based)
+      val d = substring(ds, (n - i + 1).cast("int"), lit(1)).cast("long")
+      val dd = when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    n >= 13 && total % 10 === 0
+  }
+
+  /** Per-row card-number audit: `(n_card_candidates, n_card_valid)` — the
+    * candidate run count and the Luhn-validated subset. Row-local. */
+  def cardCounts(text: Column): Column = {
+    val cands = regexp_extract_all(coalesce(text, lit("")),
+      lit(CardCandidatePattern), lit(0))
+    struct(size(cands).as("n_card_candidates"),
+      size(filter(cands, c => luhnValid(c))).as("n_card_valid"))
+  }
+
+  /** Redact Luhn-valid card numbers (candidates that fail the checksum are
+    * left alone — a 16-digit order id is not PII). Row-local; pairs with
+    * [[redactPii]] for the full scrub. */
+  def redactCards(text: Column): Column = {
+    val parts = split(coalesce(text, lit("")), s"($CardCandidatePattern)")
+    val cands = regexp_extract_all(coalesce(text, lit("")),
+      lit(CardCandidatePattern), lit(0))
+    // rebuild: non-candidate segments interleaved with per-candidate verdicts
+    concat_ws("",
+      flatten(transform(sequence(lit(0), size(parts) - 1), i =>
+        array(element_at(parts, (i + 1).cast("int")),
+          when(i < size(cands),
+            when(luhnValid(element_at(cands, (i + 1).cast("int"))), lit("<card>"))
+              .otherwise(element_at(cands, (i + 1).cast("int"))))
+            .otherwise(lit(""))))))
+  }
+
   /** Per-group nearest-rank percentiles of an integer value column — the
     * length-distribution profile a packing/batching stage is tuned against
     * (e.g. p50/p90/p99 token counts per source). Nearest-rank (the value at

@@ -2346,6 +2346,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation pii_redact: rewrite-only stage, cards scrubbed before the phone pattern can eat them") {
+    val d = Seq(
+      (1L, "contact me at bob@example.com or +1 (555) 123-4567 today", "s"),
+      (2L, "pay with 4539 1488 0343 6467 thanks a lot friend okay", "s"),
+      (3L, "ref 4539-1488-0343-6468 is an order id not a card word", "s")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.curate(d,
+      config = Curation.Config(gates = false, lineDedup = false,
+        exactDedup = false, nearDupThreshold = None,
+        redactPii = true, redactCards = true))
+    val texts = r.corpus.collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    assert(r.corpus.count() === 3) // nothing dropped
+    assert(texts(1L).contains("<email>") && texts(1L).contains("<phone>"))
+    assert(texts(2L).contains("<card>") && !texts(2L).exists(_.isDigit))
+    // Luhn-invalid run: NOT a card; the phone pattern then claims the digits
+    assert(!texts(3L).contains("<card>") && texts(3L).contains("<phone>"))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(audit.exists { case (s, i, o) => s == "pii_redact" && i == 3 && o == 3 })
+  }
+
   test("bigram LM: exact decimal ce matches an independent computation; target-like doc scores lower") {
     import graft.ops.LanguageModel
     val B = 4096
@@ -2584,6 +2604,71 @@ class OpsSpec extends SparkSpec {
         ((r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("n_versions")))).toMap
     assert(out("http://a.com/p") === ((2L, "v2", 3L)))
     assert(out("http://b.com/q") === ((4L, "only", 1L)))
+  }
+
+  test("profile: null/distinct/range semantics per type; approx tier tracks exact") {
+    import graft.ops.Profiler
+    val d = Seq(
+      (Some(1L), Some("a"), Some(1.5)), (Some(2L), None, Some(-0.5)),
+      (Some(2L), Some("b"), None), (None, Some("a"), Some(4.0))
+    ).toDF("k", "s", "x")
+    val m = Profiler.profile(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(m("k") === ((4L, 1L, 2L, Some(1.0), Some(2.0))))
+    // string columns: exact null/distinct, NULL ranges (never lexical min/max)
+    assert(m("s") === ((4L, 1L, 2L, None, None)))
+    assert(m("x") === ((4L, 1L, 3L, Some(-0.5), Some(4.0))))
+    // HLL tier: same shape, cardinalities within the ±5% HLL++ envelope here
+    val a = Profiler.profile(d, approxDistinct = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("k") === 2L && a("s") === 2L && a("x") === 3L)
+  }
+
+  test("funnel: order matters, same-instant boundary, strict mode, stage counts monotone") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1 converts fully in order; u2 clicks BEFORE viewing (no conversion
+      // past stage 1); u3 view+click same instant (inclusive matches,
+      // strict does not)
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 100L), (2L, "view", 200L), (2L, "purchase", 300L),
+      (3L, "view", 100L), (3L, "click", 100L)
+    ).toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us") * 1000000L))
+    val f = Funnel.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // stage 1: u1,u2,u3 viewed; stage 2: u1 (click at 200 ≥ view 100) and
+    // u3 (same instant); stage 3: u1 only — u2's purchase follows a click
+    // that precedes the view
+    assert(f(1) === ((3L, 0.0)))
+    assert(f(2)._1 === 2L)
+    assert(f(2)._2 === 50.0) // (100s + 0s) / 2
+    assert(f(3) === ((1L, 200.0)))
+    val strict = Funnel.funnel(ev, Seq("view", "click", "purchase"), strict = true)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(strict(2) === 1L) // u3's same-instant click no longer counts
+  }
+
+  test("card PII: Luhn separates real checksums, separators allowed, redaction leaves invalid runs") {
+    val d = Seq(
+      "pay 4539 1488 0343 6467 now",      // valid, space-separated
+      "ref 4539-1488-0343-6468 x",        // checksum broken
+      "card 4111111111111111 ok",         // valid, bare
+      "short 4111 1111 111 end",          // 11 digits — not a candidate
+      "no numbers here"
+    ).toDF("text")
+    val counts = d.select(TextAnalysis.cardCounts(col("text")).as("c"))
+      .select(col("c.n_card_candidates"), col("c.n_card_valid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(counts === Seq((1, 1), (1, 0), (1, 1), (0, 0), (0, 0)))
+    val red = d.select(TextAnalysis.redactCards(col("text"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(red(0) === "pay <card> now")
+    assert(red(1) === "ref 4539-1488-0343-6468 x") // invalid checksum: untouched
+    assert(red(2) === "card <card> ok")
+    assert(red(4) === "no numbers here")
   }
 
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
