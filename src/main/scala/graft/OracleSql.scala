@@ -1952,6 +1952,71 @@ object OracleSql {
       CAST(SUM(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_card
     FROM val GROUP BY source"""
 
+  /** Windowed rate anomalies — mirrors
+    * graft.ops.EventWindows.rateAnomalies("5 minutes", z=3): tumbling
+    * buckets, densified per-type grid (range over [lo, hi]), population
+    * variance as one double expression over exact integer sums (greatest(…,0)
+    * guards sqrt(−ε)), anomaly flag on the ROUNDED z. */
+  private val q96 = """
+    WITH c AS (SELECT (epoch_us(ts) // 300000000) AS b, event_type,
+        COUNT(*) AS n FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+    types AS (SELECT DISTINCT event_type FROM c),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS b
+      FROM types CROSS JOIN bounds),
+    f AS (SELECT g.event_type, g.b, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN c ON g.b = c.b AND g.event_type = c.event_type),
+    st AS (SELECT event_type, COUNT(*) AS cnt, CAST(SUM(n) AS BIGINT) AS s,
+        CAST(SUM(n * n) AS BIGINT) AS sq FROM f GROUP BY 1),
+    st2 AS (SELECT event_type, CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+        sqrt(greatest(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+          - (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)), 0.0)) AS std
+      FROM st)
+    SELECT strftime(to_timestamp(f.b * 300), '%Y-%m-%d %H:%M:%S') AS win_start,
+      f.event_type, CAST(f.n AS BIGINT) AS n_events,
+      round(CASE WHEN std > 0.0 THEN (CAST(f.n AS DOUBLE) - mean) / std
+        ELSE 0.0 END, 6) AS z,
+      (abs(round(CASE WHEN std > 0.0 THEN (CAST(f.n AS DOUBLE) - mean) / std
+        ELSE 0.0 END, 6)) >= 3.0) AS is_anomaly
+    FROM f JOIN st2 USING (event_type)"""
+
+  /** Flesch readability — mirrors TextAnalysis.readability: words =
+    * whitespace runs of trimmed raw, sentences = [.!?]+ runs floored at 1
+    * for non-empty text, syllables = [aeiouy]+ runs of the lowercase;
+    * the 206.835 − 1.015·(w/s) − 84.6·(syl/w) formula in the same double
+    * shape; wordless text scores NULL. */
+  private val q97 = """
+    WITH r AS (SELECT doc_id, coalesce(text, '') AS raw,
+        trim(coalesce(text, '')) AS tt FROM documents),
+    cnt AS (SELECT doc_id,
+        CASE WHEN length(tt) = 0 THEN 0
+          ELSE len(regexp_split_to_array(tt, '\s+')) END AS w,
+        CASE WHEN length(tt) = 0 THEN 0
+          ELSE greatest(len(regexp_extract_all(raw, '[.!?]+')), 1) END AS s,
+        len(regexp_extract_all(lower(raw), '[aeiouy]+')) AS syl
+      FROM r)
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+      CAST(syl AS BIGINT) AS n_syllables,
+      CASE WHEN w > 0 THEN round(206.835
+        - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6) END AS flesch
+    FROM cnt"""
+
+  /** Day-cohort retention — mirrors graft.ops.Funnel.retention(7): distinct
+    * (user, day) activity, cohort = first day, observed (cohort, k) cells
+    * only. */
+  private val q98 = """
+    WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    coh AS (SELECT u, MIN(d) AS cd FROM days GROUP BY u),
+    sz AS (SELECT cd, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM coh GROUP BY cd),
+    act AS (SELECT coh.cd, (days.d - coh.cd) AS k, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM days JOIN coh USING (u) WHERE (days.d - coh.cd) <= 7 GROUP BY 1, 2)
+    SELECT strftime(act.cd, '%Y-%m-%d') AS cohort_day, CAST(k AS BIGINT) AS k,
+      n_active, n_cohort,
+      round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS retention
+    FROM act JOIN sz ON act.cd = sz.cd"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2125,6 +2190,9 @@ object OracleSql {
     "q92_canonical_url"     -> q92,
     "q93_profile"           -> q93,
     "q94_funnel"            -> q94,
-    "q95_card_pii"          -> q95
+    "q95_card_pii"          -> q95,
+    "q96_rate_anomalies"    -> q96,
+    "q97_readability"       -> q97,
+    "q98_retention"         -> q98
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1228,6 +1228,29 @@ object SparkEntry {
         sum(when(col("cc.n_card_valid") > 0, 1L).otherwise(0L)).as("n_docs_with_card"))
   }
 
+  /** Windowed rate anomalies ([[graft.ops.EventWindows.rateAnomalies]],
+    * 5-min tumbling, z ≥ 3): densified grid, exact integer window counts,
+    * one fixed-shape double mean/variance expression. */
+  private def q96RateAnomalies(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.rateAnomalies(events(s, dir), "5 minutes")
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("z"), col("is_anomaly"))
+
+  /** Flesch readability ([[TextAnalysis.readability]]): regex-defined
+    * word/sentence/vowel-group counts, one double formula, 6 dp. */
+  private def q97Readability(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.flesch"))
+
+  /** Day-cohort retention ([[graft.ops.Funnel.retention]], offsets 0–7):
+    * one ints-only (user, day) distinct, cohort grid join. */
+  private def q98Retention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.retention(events(s, dir))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("k"), col("n_active"), col("n_cohort"), col("retention"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1323,7 +1346,10 @@ object SparkEntry {
     "q92_canonical_url"     -> q92CanonicalUrl _,
     "q93_profile"           -> q93Profile _,
     "q94_funnel"            -> q94Funnel _,
-    "q95_card_pii"          -> q95CardPii _
+    "q95_card_pii"          -> q95CardPii _,
+    "q96_rate_anomalies"    -> q96RateAnomalies _,
+    "q97_readability"       -> q97Readability _,
+    "q98_retention"         -> q98Retention _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -43,4 +43,58 @@ object EventWindows {
                      tsCol: String = "ts", typeCol: String = "event_type",
                      valueCol: String = "value"): DataFrame =
     hoppingCounts(events, size, size, tsCol, typeCol, valueCol)
+
+  /** Per-type event-rate anomalies: tumbling-window counts z-scored against
+    * the type's own window-count distribution — the monitoring query behind
+    * "errors spiked at 14:05" and, on an ingest log, "the crawler stalled".
+    *
+    * The grid is DENSIFIED before scoring (every type × every window between
+    * the observed min and max window start, absent cells = 0): a silent
+    * outage is a MISSING window, and scoring only observed windows would
+    * blind the detector to exactly the anomaly that matters most.
+    *
+    * Determinism: window counts are exact longs; mean and the (population)
+    * variance `E[n²]−mean²` evaluate as one fixed-shape double expression
+    * over exact integer sums — no decimal products to overflow-audit (the
+    * q72 lesson), no order-dependent float accumulation. Constant-rate types
+    * (variance 0) score z = 0 everywhere rather than dividing by zero.
+    *
+    * Scale shape: the ONE corpus-sized op is the tumbling count agg
+    * (map-side combine to grid × types); densification, stats, and scoring
+    * all run on that bounded grid. Output per grid cell:
+    * `(win_start, event_type, n_events, z DOUBLE 6dp, is_anomaly)`.
+    */
+  def rateAnomalies(events: DataFrame, size: String, zThreshold: Double = 3.0,
+                    tsCol: String = "ts", typeCol: String = "event_type",
+                    materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val counts = materialize(
+      events.groupBy(window(col(tsCol), size), col(typeCol))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("ws"), col(typeCol), col("n_events")))
+    val bounds = counts.agg(min(col("ws")).as("lo"), max(col("ws")).as("hi"))
+    val grid = counts.select(col(typeCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(typeCol),
+        explode(sequence(col("lo"), col("hi"), expr(s"interval $size"))).as("ws"))
+    val full = grid.join(counts, Seq("ws", typeCol), "left")
+      .select(col("ws"), col(typeCol),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val stats = full.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("sq"))
+      .select(col(typeCol),
+        (col("s").cast("double") / col("cnt").cast("double")).as("mean"),
+        // greatest(…, 0): E[n²]−mean² can land ~−1e-18 in float error for a
+        // constant-rate type, and sqrt(−ε) is NaN on both engines
+        sqrt(greatest((col("sq").cast("double") / col("cnt").cast("double"))
+          - (col("s").cast("double") / col("cnt").cast("double"))
+            * (col("s").cast("double") / col("cnt").cast("double")), lit(0.0))).as("std"))
+    full.join(broadcast(stats), Seq(typeCol))
+      .select(col("ws").as("win_start"), col(typeCol), col("n_events"),
+        round(when(col("std") > 0.0,
+          (col("n_events").cast("double") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= zThreshold)
+  }
 }

@@ -76,4 +76,39 @@ object Funnel {
             .as("mean_seconds_from_start"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Day-cohort retention: users grouped by FIRST-active day, the fraction
+    * still active k days later for k = 0…`maxOffsetDays` — the
+    * product-analytics standard, and on an ingest log, per-source feed
+    * continuity. "Active on day k" means ≥1 event on exactly cohort+k
+    * (daily buckets, not "since").
+    *
+    * Scale shape: ONE distinct over `(user, day)` (ints-only — the
+    * corpus-sized op) materialized and reused by cohort derivation, the
+    * activity join, and cohort sizing; cohorts collapse to ≤ users rows
+    * under map-side combine, the final grid is cohorts × offsets. Per-user
+    * state anywhere is one date.
+    *
+    * Output: `(cohort_day DATE, k, n_active, n_cohort, retention 6dp)` —
+    * only observed (cohort, k) cells (day 0 is always present; a fully
+    * churned offset is absent, not 0 — join against a densified offset grid
+    * downstream if zeros are needed). */
+  def retention(events: DataFrame, maxOffsetDays: Int = 7,
+                userCol: String = "user_id", tsCol: String = "ts",
+                materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(maxOffsetDays >= 0, "retention: maxOffsetDays must be >= 0")
+    val days = materialize(
+      events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct())
+    val cohorts = days.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    days.join(cohorts, Seq("u"))
+      .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("k"))
+      .filter(col("k") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("k"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
 }

@@ -237,6 +237,38 @@ object TextAnalysis {
       regexp_replace(acc, pattern, s"<$kind>")
     }
 
+  /** Flesch reading-ease scores (Flesch 1948; the readability signal quality
+    * pipelines bucket on — very low scores flag legalese/gibberish, very
+    * high scores flag fragment soup). Counts are regex-defined and therefore
+    * engine-portable heuristics, stated exactly:
+    * words = whitespace token runs of the trimmed raw text; sentences =
+    * `[.!?]+` delimiter runs, floored at 1 for non-empty text; syllables =
+    * `[aeiouy]+` vowel-group runs of the lowercased text (the standard
+    * cheap approximation — no lexicon, no silent-e modeling).
+    *
+    * `flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,
+    * one fixed-shape double expression over exact integer counts, 6 dp;
+    * empty/wordless text scores NULL rather than a fake number. Row-local.
+    *
+    * Returns a struct `(n_words, n_sentences, n_syllables, flesch)`. */
+  def readability(text: Column): Column = {
+    val raw = coalesce(text, lit(""))
+    val tt = trim(raw)
+    val words = when(length(tt) === 0, 0)
+      .otherwise(size(split(tt, "\\s+")))
+    val sentences = when(length(tt) === 0, 0)
+      .otherwise(greatest(size(regexp_extract_all(raw, lit("[.!?]+"), lit(0))), lit(1)))
+    val syllables = size(regexp_extract_all(lower(raw), lit("[aeiouy]+"), lit(0)))
+    val flesch = when(words > 0,
+      round(lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - lit(84.6) * (syllables.cast("double") / words.cast("double")), 6))
+    struct(words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      flesch.as("flesch"))
+  }
+
   /** Candidate payment-card number runs: 13–19 digits, single space/dash
     * separators allowed (ISO/IEC 7812 lengths). A regex alone over-fires on
     * arbitrary long digit runs — couple with [[luhnValid]], which is the

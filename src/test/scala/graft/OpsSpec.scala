@@ -2671,6 +2671,64 @@ class OpsSpec extends SparkSpec {
     assert(red(4) === "no numbers here")
   }
 
+  test("rateAnomalies: densified gaps score negative, spikes flag, constant rate scores 0") {
+    import graft.ops.EventWindows
+    // type "steady": 1 event/min for 10 min (constant), type "bursty":
+    // 1/min except minute 5 (silent) and minute 8 (a 30-event spike)
+    val ev = (
+      (0 until 10).map(m => ("steady", m, 1)) ++
+      (0 until 10).filter(m => m != 5 && m != 8).map(m => ("bursty", m, 1)) ++
+      Seq(("bursty", 8, 30))
+    ).flatMap { case (ty, m, n) => Seq.fill(n)((ty, m)) }
+      .toDF("event_type", "m")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) + col("m") * 60000000L))
+    val out = EventWindows.rateAnomalies(ev, "1 minute", zThreshold = 2.0)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val steady = out.filter(_._1 == "steady")
+    assert(steady.length === 10 && steady.forall(x => x._4 === 0.0 && !x._5))
+    val bursty = out.filter(_._1 == "bursty").sortBy(_._2.getTime)
+    assert(bursty.length === 10) // densified: the silent minute IS a row
+    assert(bursty(5)._3 === 0L && bursty(5)._4 < 0) // gap scored below mean
+    assert(bursty(8)._3 === 30L && bursty(8)._5)    // spike flagged
+  }
+
+  test("readability: counts are regex-exact, formula hand-checked, empty text scores NULL") {
+    val rows = Seq(
+      "The cat sat. The dog ran!", // 6 words, 2 sentences, 6 vowel groups
+      "word",                      // no terminator → sentences floored at 1
+      "   ",                       // wordless → NULL flesch
+      "Hmm."                       // zero vowel groups is fine
+    ).toDF("text").select(TextAnalysis.readability(col("text")).as("r"))
+      .select(col("r.n_words"), col("r.n_sentences"), col("r.n_syllables"), col("r.flesch"))
+      .collect()
+    assert(rows(0).getLong(0) === 6L && rows(0).getLong(1) === 2L && rows(0).getLong(2) === 6L)
+    val expected = BigDecimal(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0).getDouble(3) === expected)
+    assert(rows(1).getLong(1) === 1L)
+    assert(rows(2).isNullAt(3) && rows(2).getLong(0) === 0L)
+    assert(rows(3).getLong(2) === 0L)
+  }
+
+  test("retention: cohorts by first day, daily buckets not 'since', offset cap respected") {
+    import graft.ops.Funnel
+    def ts(day: Int, hour: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 9)), (1L, ts(2, 9)), (1L, ts(4, 9)),  // cohort 01-01, active k=0,1,3
+      (2L, ts(1, 12)),                                 // cohort 01-01, k=0 only
+      (3L, ts(2, 8)), (3L, ts(12, 8))                  // cohort 01-02, k=10 beyond cap
+    ).toDF("user_id", "ts")
+    val r = Funnel.retention(ev, maxOffsetDays = 7).collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1)) -> ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(("2024-01-01", 0)) === ((2L, 2L, 1.0)))
+    assert(r(("2024-01-01", 1)) === ((1L, 2L, 0.5)))
+    assert(r(("2024-01-01", 3)) === ((1L, 2L, 0.5)))
+    assert(!r.contains(("2024-01-01", 2))) // observed cells only
+    assert(r(("2024-01-02", 0)) === ((1L, 1L, 1.0)))
+    assert(!r.keys.exists(_._2 > 7)) // k=10 filtered by the cap
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
