@@ -2017,6 +2017,68 @@ object OracleSql {
       round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS retention
     FROM act JOIN sz ON act.cd = sz.cd"""
 
+  /** Mixture-rate solver — mirrors graft.ops.Sampling.mixtureRates(60/30/10):
+    * per-stratum whitespace token supply (the q24 count), T = min tokens/w
+    * over the weighted strata, rate = w·T/tokens, unweighted strata at 0. */
+  private val q99 = """
+    WITH w(source, weight) AS (VALUES
+      ('src0', CAST(0.6 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+      ('src2', CAST(0.1 AS DOUBLE))),
+    tok AS (SELECT source, CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    j AS (SELECT tok.source, n_tokens, w.weight FROM tok LEFT JOIN w USING (source)),
+    t AS (SELECT MIN(CAST(n_tokens AS DOUBLE) / weight) AS t_total FROM j
+      WHERE weight IS NOT NULL)
+    SELECT source, n_tokens, COALESCE(weight, 0.0) AS weight,
+      round(COALESCE(weight * t_total / CAST(n_tokens AS DOUBLE), 0.0), 6) AS rate,
+      CAST(COALESCE(floor(weight * t_total), 0) AS BIGINT) AS planned_tokens
+    FROM j CROSS JOIN t"""
+
+  /** Zipf slope — mirrors graft.ops.Lexicon.zipfSlope(k=100): exact (rank,
+    * tf) ints, per-term regression contributions rounded into DECIMAL(20,9),
+    * closed-form OLS in the same double shape; single-token groups fit no
+    * line (NULL, never NaN). */
+  private val q100 = s"""
+    WITH tf AS (SELECT g, tok, COUNT(*) AS tf FROM (
+        SELECT source AS g, unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok
+        FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+    top AS (SELECT * FROM (SELECT g, tok, tf,
+        row_number() OVER (PARTITION BY g ORDER BY tf DESC, tok) AS r FROM tf)
+      WHERE r <= 100),
+    s AS (SELECT g, COUNT(*) AS n,
+        SUM(CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(20,9))) AS sx,
+        SUM(CAST(round(ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(20,9))) AS sy,
+        SUM(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(20,9))) AS sxy,
+        SUM(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(20,9))) AS sxx
+      FROM top GROUP BY g),
+    d AS (SELECT g, n, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx FROM s),
+    e AS (SELECT g, n, sx, sy,
+        CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
+          THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS sl
+      FROM d)
+    SELECT g AS source, CAST(n AS BIGINT) AS n_terms, round(sl, 6) AS slope,
+      round((sy - sl * sx) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM e"""
+
+  /** Skew report — mirrors graft.ops.Skew.skewReport(l_orderkey, top 10):
+    * per-key counts (the salted two-stage form equals a plain group-count),
+    * max/mean skew factor, top-k by (count desc, key). */
+  private val q101 = """
+    WITH c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+        CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1),
+    st AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys,
+        MAX(n_rows) AS mx FROM c),
+    top AS (SELECT key, n_rows,
+        row_number() OVER (ORDER BY n_rows DESC, key) AS rank FROM c)
+    SELECT CAST(rank AS BIGINT) AS rank, key, n_rows,
+      round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+      round(CAST(mx AS DOUBLE)
+        / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_factor
+    FROM top CROSS JOIN st WHERE rank <= 10"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2193,6 +2255,9 @@ object OracleSql {
     "q95_card_pii"          -> q95,
     "q96_rate_anomalies"    -> q96,
     "q97_readability"       -> q97,
-    "q98_retention"         -> q98
+    "q98_retention"         -> q98,
+    "q99_mixture_rates"     -> q99,
+    "q100_zipf_slope"       -> q100,
+    "q101_skew_report"      -> q101
   ).map { case (k, v) => k -> clean(v) }
 }

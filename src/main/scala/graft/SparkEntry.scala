@@ -1251,6 +1251,25 @@ object SparkEntry {
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("k"), col("n_active"), col("n_cohort"), col("retention"))
 
+  /** Mixture-rate solver ([[Sampling.mixtureRates]], 60/30/10 over three
+    * sources): largest downsampling-only plan, unweighted strata excluded
+    * loudly at rate 0. */
+  private def q99MixtureRates(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureRates(t(s, dir, "documents"),
+      Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1))
+
+  /** Zipf rank–frequency slope ([[graft.ops.Lexicon.zipfSlope]], top-100):
+    * decimal-exact regression sums over integer (rank, tf), closed-form
+    * OLS in one double shape. */
+  private def q100ZipfSlope(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Lexicon.zipfSlope(t(s, dir, "documents"))
+
+  /** Join-key skew report ([[graft.ops.Skew.skewReport]] on
+    * lineitem.l_orderkey, top-10): two-stage salted counts, top-k via
+    * TakeOrderedAndProject, max/mean skew factor. */
+  private def q101SkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.skewReport(t(s, dir, "lineitem"), "l_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1349,7 +1368,10 @@ object SparkEntry {
     "q95_card_pii"          -> q95CardPii _,
     "q96_rate_anomalies"    -> q96RateAnomalies _,
     "q97_readability"       -> q97Readability _,
-    "q98_retention"         -> q98Retention _
+    "q98_retention"         -> q98Retention _,
+    "q99_mixture_rates"     -> q99MixtureRates _,
+    "q100_zipf_slope"       -> q100ZipfSlope _,
+    "q101_skew_report"      -> q101SkewReport _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -150,4 +150,57 @@ object Lexicon {
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_oov")).as("total_oov"),
         sum(when(col("n_oov") * 5 > col("n_tokens"), 1L).otherwise(0L)).as("n_high_oov"))
+
+  /** Per-group Zipf rank–frequency slope: OLS fit of `ln tf` against
+    * `ln rank` over the group's top-`k` terms — natural text sits near −1
+    * (Zipf 1949); a flattened slope flags template/boilerplate mass, a
+    * steepened one flags vocabulary collapse (both classic synthetic-data
+    * tells, which makes this a cheap corpus-drift fingerprint alongside
+    * [[graft.ops.Overlap.lexicalDrift]]).
+    *
+    * Determinism (the q54 discipline): ranks and tfs are exact ints (window
+    * ties broken by token); each regression term — `ln r`, `ln tf`, their
+    * product and square — is ONE double expression rounded at 9 dp into
+    * DECIMAL(20,9), summed exactly, with the closed-form slope/intercept
+    * computed once in double from those exact sums.
+    *
+    * Scale shape: the tf agg is the q45 exact vocabulary shuffle (term
+    * identity is the point; the L52 sketch is the 100 TB path for the same
+    * ranking), the rank window sees (group, token, tf) rows, and the
+    * regression runs on groups × k rows.
+    *
+    * Output: `(groupCol, n_terms, slope 6dp, intercept 6dp)`. */
+  def zipfSlope(docs: DataFrame, k: Int = 100, groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, s"zipfSlope: k must be >= 2, got $k")
+    val dec = DecimalType(20, 9)
+    val tf = docs.select(col(groupCol).as("g"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("tf").desc, col("tok"))
+    val ranked = tf.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+    val x = log(col("r").cast("double"))
+    val y = log(col("tf").cast("double"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(x, 9).cast(dec)).as("sx"),
+        sum(round(y, 9).cast(dec)).as("sy"),
+        sum(round(x * y, 9).cast(dec)).as("sxy"),
+        sum(round(x * x, 9).cast(dec)).as("sxx"))
+      .select(col("g").as(groupCol), col("n_terms").as("n"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"), col("sxx").cast("double").as("sxx"))
+      // a single-distinct-token group has sx = sxx = 0 (ln 1): no line to
+      // fit — NULL, never NaN
+      .withColumn("__den", col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__slope", when(col("__den") =!= 0.0,
+        (col("n").cast("double") * col("sxy") - col("sx") * col("sy")) / col("__den")))
+      .select(col(groupCol), col("n").as("n_terms"),
+        round(col("__slope"), 6).as("slope"),
+        round((col("sy") - col("__slope") * col("sx")) / col("n").cast("double"), 6)
+          .as("intercept"))
+  }
 }

@@ -209,4 +209,42 @@ object Sampling {
     df.withColumn("shard", hashBucket(col(idCol), s"$seed:shard", numShards))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Mixture-rate solver: given target mixture WEIGHTS and the corpus's
+    * actual per-stratum token supply, the largest downsampling-only plan —
+    * `T = min_s tokens_s / w_s` is the biggest total token budget reachable
+    * without upsampling any stratum, and `rate_s = w_s·T / tokens_s ≤ 1` is
+    * each stratum's keep fraction. The planning step in front of
+    * [[stratifiedSample]]/[[tokenBudgetSample]] (feed `rate_s` /
+    * `w_s·T` respectively); strata absent from `weights` get weight 0 —
+    * excluded loudly in the output rather than silently kept.
+    *
+    * Scale shape: ONE row-local tokenize + map-side-combining agg to
+    * |strata| rows; the solver arithmetic runs on that broadcast-tiny
+    * table (fixed-shape double ops — both engines agree bit-for-bit).
+    *
+    * Output per stratum: `(strataCol, n_tokens, weight, rate 6dp,
+    * planned_tokens = floor(w·T))`. */
+  def mixtureRates(docs: DataFrame, weights: Map[String, Double],
+                   strataCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "mixtureRates: weights must be non-empty")
+    require(weights.values.forall(_ > 0), "mixtureRates: weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toSeq.toDF(strataCol, "weight"))
+    val supply = docs.groupBy(col(strataCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val joined = supply.join(w, Seq(strataCol), "left")
+    // T over the weighted strata only; one tiny agg, broadcast back
+    val t = joined.filter(col("weight").isNotNull)
+      .agg(min(col("n_tokens").cast("double") / col("weight")).as("t_total"))
+    joined.crossJoin(broadcast(t))
+      .select(col(strataCol), col("n_tokens"),
+        coalesce(col("weight"), lit(0.0)).as("weight"),
+        round(coalesce(col("weight") * col("t_total") / col("n_tokens").cast("double"),
+          lit(0.0)), 6).as("rate"),
+        coalesce(floor(col("weight") * col("t_total")), lit(0L)).cast("long")
+          .as("planned_tokens"))
+  }
 }

@@ -69,4 +69,43 @@ object Skew {
     df.select(col(key), col(value)).distinct()
       .groupBy(col(key))
       .agg(count(col(value)).as("distinct_count"))
+
+  /** Join-key skew report: the top-`k` heaviest key values with their row
+    * share, plus the distribution's skew factor (`max/mean` — 1 means
+    * uniform; the number that decides whether [[saltedJoin]]/AQE skew
+    * handling is worth switching on, read BEFORE the join melts a reducer).
+    *
+    * Shape: the per-key count agg runs through [[saltedCounts]] (two-stage —
+    * the report must itself survive the skew it measures: a plain
+    * `groupBy(key)` over a 100 TB hot key ships that key's every partial to
+    * one reducer... which map-side combine already bounds, but the salted
+    * form also bounds the COMBINER hash-map spill on a monster partition);
+    * totals/mean collapse to one row, the top-k cut is a
+    * TakeOrderedAndProject over |distinct keys| rows.
+    *
+    * Output: `(rank, key STRING, n_rows, share 6dp, skew_factor 6dp)` —
+    * `skew_factor` repeats on every row (a report, not a join input). */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10,
+                 numSalts: Int = 16,
+                 materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(topK > 0, s"skewReport: topK must be > 0, got $topK")
+    // materialized: read by the top-k cut AND the totals agg — the lazy form
+    // ran the corpus-sized count twice (plan-audited)
+    val counts = materialize(saltedCounts(df.select(col(key)), Seq(key), numSalts)
+      .select(col(key).cast("string").as("key"), col("count").cast("long").as("n_rows")))
+    val stats = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"), max(col("n_rows")).as("mx"))
+    // top-k cut FIRST (TakeOrderedAndProject — no global single-partition
+    // sort); the rank window then runs over topK rows only
+    val top = counts.orderBy(col("n_rows").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key"))
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total").cast("double"), 6).as("share"),
+        round(col("mx").cast("double")
+          / (col("total").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_factor"))
+  }
 }

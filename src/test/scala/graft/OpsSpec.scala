@@ -2729,6 +2729,47 @@ class OpsSpec extends SparkSpec {
     assert(!r.keys.exists(_._2 > 7)) // k=10 filtered by the cap
   }
 
+  test("mixtureRates: binding stratum at rate 1, others scaled, unweighted excluded at 0") {
+    // s1: 100 tokens, s2: 100 tokens, s3: 50 tokens (unweighted)
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = Seq(("s1", doc(100)), ("s2", doc(100)), ("s3", doc(50)))
+      .toDF("source", "text")
+    // weights 0.8/0.2: T = min(100/0.8, 100/0.2) = 125 → s1 binds at rate 1,
+    // s2 keeps 25 of 100
+    val r = Sampling.mixtureRates(d, Map("s1" -> 0.8, "s2" -> 0.2)).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4)))).toMap
+    assert(r("s1") === ((100L, 0.8, 1.0, 100L)))
+    assert(r("s2") === ((100L, 0.2, 0.25, 25L)))
+    assert(r("s3") === ((50L, 0.0, 0.0, 0L)))
+  }
+
+  test("zipfSlope: two-point group fits exactly, single-token group refuses a line") {
+    import graft.ops.Lexicon
+    val d = Seq(
+      // "a"×8, "b"×2 → ranks (1,2), tfs (8,2): slope = (ln2−ln8)/(ln2−ln1) = −2
+      (1L, ("a " * 8 + "b b").trim, "g1"),
+      (2L, "only only only", "g2") // one distinct token: no line
+    ).toDF("doc_id", "text", "source")
+    val m = Lexicon.zipfSlope(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), Option(x.get(2)), Option(x.get(3))))).toMap
+    assert(m("g1")._1 === 2L)
+    assert(math.abs(m("g1")._2.get.asInstanceOf[Double] - (-2.0)) < 1e-5)
+    // intercept = ln 8 at x = 0
+    assert(math.abs(m("g1")._3.get.asInstanceOf[Double] - math.log(8.0)) < 1e-5)
+    assert(m("g2") === ((1L, None, None)))
+  }
+
+  test("skewReport: shares, max/mean factor, deterministic tie order, topK cut") {
+    import graft.ops.Skew
+    val d = (Seq.fill(6)("A") ++ Seq.fill(2)("B") ++ Seq("C", "D")).toDF("k")
+    val r = Skew.skewReport(d, "k", topK = 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    // total 10 over 4 keys → mean 2.5, max 6 → skew 2.4; C/D tie broken by
+    // key and D falls past topK
+    assert(r.toSeq === Seq(
+      (1, "A", 6L, 0.6, 2.4), (2, "B", 2L, 0.2, 2.4), (3, "C", 1L, 0.1, 2.4)))
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
