@@ -2079,6 +2079,41 @@ object OracleSql {
         / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_factor
     FROM top CROSS JOIN st WHERE rank <= 10"""
 
+  /** SCD2 — mirrors graft.ops.Scd.scd2 over (user_id, ts, event_type):
+    * heartbeat collapse via lag over the tracked attrs, half-open versions
+    * via lead over the survivors, same (ts, event_id) order. */
+  private val q102 = """
+    WITH ordered AS (SELECT user_id, ts, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    changed AS (SELECT user_id, ts, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (SELECT user_id, event_type, ts AS vf,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+      FROM changed)
+    SELECT user_id, event_type,
+      strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      (vt IS NULL) AS is_current
+    FROM v"""
+
+  /** Top user journeys — mirrors graft.ops.Funnel.topPaths(n=3, k=20):
+    * lead-window trigrams per user in (ts, event_id) order, complete paths
+    * only, top-k by (count desc, path). */
+  private val q103 = """
+    WITH seq AS (SELECT event_type AS t0,
+        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM events),
+    paths AS (SELECT t0 || '>' || t1 || '>' || t2 AS path FROM seq
+      WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM paths GROUP BY path),
+    r AS (SELECT path, n_occurrences,
+        row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank FROM c)
+    SELECT CAST(rank AS BIGINT) AS rank, path, n_occurrences
+    FROM r WHERE rank <= 20"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2258,6 +2293,8 @@ object OracleSql {
     "q98_retention"         -> q98,
     "q99_mixture_rates"     -> q99,
     "q100_zipf_slope"       -> q100,
-    "q101_skew_report"      -> q101
+    "q101_skew_report"      -> q101,
+    "q102_scd2"             -> q102,
+    "q103_top_paths"        -> q103
   ).map { case (k, v) => k -> clean(v) }
 }

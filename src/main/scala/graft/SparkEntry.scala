@@ -1270,6 +1270,23 @@ object SparkEntry {
   private def q101SkewReport(s: SparkSession, dir: String): DataFrame =
     graft.ops.Skew.skewReport(t(s, dir, "lineitem"), "l_orderkey")
 
+  /** SCD Type 2 history ([[graft.ops.Scd.scd2]] over each user's event-type
+    * stream): heartbeat collapse, half-open versions, one key shuffle. */
+  private def q102Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.scd2(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        attrCols = Seq("event_type"), tiebreak = "event_id")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("is_current"))
+
+  /** Top user journeys ([[graft.ops.Funnel.topPaths]], 3-step, top-20):
+    * lead-window n-grams — O(n) per-user state, no collect_list. */
+  private def q103TopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.topPaths(events(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1371,7 +1388,9 @@ object SparkEntry {
     "q98_retention"         -> q98Retention _,
     "q99_mixture_rates"     -> q99MixtureRates _,
     "q100_zipf_slope"       -> q100ZipfSlope _,
-    "q101_skew_report"      -> q101SkewReport _
+    "q101_skew_report"      -> q101SkewReport _,
+    "q102_scd2"             -> q102Scd2 _,
+    "q103_top_paths"        -> q103TopPaths _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

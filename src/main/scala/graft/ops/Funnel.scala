@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered event-funnel analysis: how many users completed stage 1, then
@@ -75,6 +76,43 @@ object Funnel {
             / (col("n_users").cast("double") * lit(1000000.0)), 6)
             .as("mean_seconds_from_start"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Top-k user journeys: the most common length-`n` event-type sequences
+    * across per-user timelines — "what do users DO around a purchase", and
+    * on a pipeline log, the common stage paths. A sequence is `n`
+    * CONSECUTIVE events of one user ordered by `(ts, tiebreak)`.
+    *
+    * Shape: `lead(type, i)` windows over ONE key shuffle — per-user window
+    * state is the next `n−1` types, O(n), NEVER a per-user `collect_list`
+    * (the power-user trap every naive path query falls into); the n-gram
+    * count agg map-side-combines to |distinct paths| and the top-k cut is a
+    * TakeOrderedAndProject.
+    *
+    * Output: `(rank, path "a>b>c", n_occurrences)`, ties by path. */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 20,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type",
+               tiebreak: String = "event_id"): DataFrame = {
+    require(n >= 2, s"topPaths: n must be >= 2, got $n")
+    require(k > 0, s"topPaths: k must be > 0, got $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val steps = (0 until n).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    val withPath = events
+      .withColumn("__path", concat_ws(">", steps: _*))
+      // a window shorter than n has NULL tail leads — concat_ws drops nulls,
+      // so count separators to keep only complete paths
+      .filter(size(split(col("__path"), ">")) === n)
+    val counts = withPath.groupBy(col("__path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("__path"))
+      .limit(k)
+    val rk = Window.orderBy(col("n_occurrences").desc, col("__path"))
+    counts.withColumn("rank", row_number().over(rk))
+      .select(col("rank"), col("__path").as("path"), col("n_occurrences"))
   }
 
   /** Day-cohort retention: users grouped by FIRST-active day, the fraction

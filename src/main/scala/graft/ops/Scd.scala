@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Slowly-changing-dimension Type 2 history builder: an update log
+  * `(key, ts, attributes…)` becomes versioned dimension rows with
+  * `[valid_from, valid_to)` intervals and an `is_current` flag — the
+  * warehouse-standard answer to "what was this customer's tier WHEN the
+  * order shipped", and the dimension side every as-of join
+  * ([[AsofJoin]]) probes.
+  *
+  * Semantics: per key, updates order by `(ts, tiebreak…)`; consecutive
+  * updates with IDENTICAL tracked attributes collapse into the earlier row
+  * (a heartbeat that re-asserts the same state opens no new version);
+  * `valid_to` is the NEXT surviving version's start (NULL on the current
+  * row — half-open intervals, so versions tile each key's timeline with no
+  * gaps or overlaps).
+  *
+  * Shape: ONE hash shuffle on the key feeds both windows (change detection
+  * via `lag` over the tracked attrs, then `lead` over the survivors — same
+  * partitioning, Spark plans a single Exchange); per-key window state is
+  * O(1) (the previous row), so per-key history length never concentrates
+  * memory — the [[AsofJoin]] regime.
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse keeps latest-only
+  * status (§2.9 ST3 q06) and in-place fact flips (S7); Type 2 retention is
+  * the standard extension of its dimension tier (SURVEY §2.2/§2.9).
+  */
+object Scd {
+
+  /** @param attrCols tracked attributes: a change in ANY opens a version
+    * @param tiebreak orders same-instant updates (last wins as the
+    *                 surviving state of that instant only if it differs —
+    *                 pass a unique column, e.g. the event id) */
+  def scd2(updates: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String], tiebreak: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2: at least one key column")
+    require(attrCols.nonEmpty, "scd2: at least one tracked attribute")
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = updates
+      .withColumn("__prev", lag(attrs, 1).over(byKey))
+      .filter(col("__prev").isNull || col("__prev") =!= attrs)
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

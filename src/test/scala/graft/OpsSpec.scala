@@ -2770,6 +2770,45 @@ class OpsSpec extends SparkSpec {
       (1, "A", 6L, 0.6, 2.4), (2, "B", 2L, 0.2, 2.4), (3, "C", 1L, 0.1, 2.4)))
   }
 
+  test("scd2: heartbeat collapse, half-open tiling, same-instant tiebreak, is_current") {
+    import graft.ops.Scd
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val up = Seq(
+      (1L, ts(0), "gold", 100L), (1L, ts(5), "gold", 101L),  // heartbeat: no new version
+      (1L, ts(10), "silver", 102L), (1L, ts(20), "gold", 103L),
+      // same instant: ids 104 then 105 order; 105's attr differs from 104's
+      (2L, ts(0), "bronze", 104L), (2L, ts(0), "silver", 105L)
+    ).toDF("user_id", "ts", "tier", "event_id")
+    val v = Scd.scd2(up, Seq("user_id"), "ts", Seq("tier"), "event_id")
+      .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      .sortBy(x => (x._1, x._3.getTime))
+    assert(v.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, "gold"), (1L, "silver"), (1L, "gold"), (2L, "bronze"), (2L, "silver")))
+    // half-open tiling: each valid_to equals the next version's valid_from
+    val u1 = v.filter(_._1 == 1L)
+    assert(u1(0)._4.get === u1(1)._3 && u1(1)._4.get === u1(2)._3)
+    assert(u1(2)._5 && !u1(0)._5 && !u1(1)._5)
+    // the same-instant pair still produces two versions in tiebreak order
+    val u2 = v.filter(_._1 == 2L)
+    assert(u2.map(_._2).toSeq === Seq("bronze", "silver") && u2(1)._5)
+  }
+
+  test("topPaths: hand-counted trigrams, incomplete tails excluded, deterministic ties") {
+    import graft.ops.Funnel
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L), (1L, ts(2), "c", 3L), (1L, ts(3), "b", 4L),
+      (2L, ts(0), "a", 5L), (2L, ts(1), "b", 6L), (2L, ts(2), "c", 7L),
+      (3L, ts(0), "x", 8L), (3L, ts(1), "y", 9L) // too short for any trigram
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val r = Funnel.topPaths(ev, n = 3, k = 10).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+    // u1 yields a>b>c and b>c>b; u2 yields a>b>c → counts 2 and 1
+    assert(r === Seq((1, "a>b>c", 2L), (2, "b>c>b", 1L)))
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
