@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming funnel: the incremental twin of [[graft.ops.Funnel.funnel]],
+  * maintained per user with CUSTOM state via `flatMapGroupsWithState` — the
+  * Structured Streaming tier the built-in windowed aggregations can't
+  * express (a funnel's state is a cross-event ORDER constraint, not a
+  * commutative aggregate).
+  *
+  * State per user: one epoch-µs entry time per stage (first-touch, the batch
+  * semantics) — O(#stages) longs regardless of event volume, the bounded
+  * analog of the batch form's one-timestamp-per-stage aggregates. Each
+  * micro-batch's events for a user apply in event-time order; a stage-k
+  * event sets stage k's entry iff stage k−1 is entered at-or-before it and
+  * stage k is still unentered. Completions EMIT exactly once (append mode),
+  * as `(user, stage, event_type, entry ts)` rows.
+  *
+  * Honest semantics note (pinned in StreamingSpec): state advances
+  * monotonically — a LATE event that would have entered a stage earlier
+  * than the recorded entry does not rewrite history (the recorded funnel is
+  * the funnel as observed; buffering for full out-of-order repair would
+  * need a watermark-bounded event buffer per user, the exactness-for-state
+  * trade [[graft.ops.Sessionize]] already documents). When events arrive in
+  * event-time order the emitted completions equal the batch
+  * [[graft.ops.Funnel.funnel]] stage entries exactly — that equivalence is
+  * the test contract.
+  *
+  * Runs identically under `Trigger.AvailableNow` on a file source (the
+  * engine's replayable-ingest pattern) or a live stream; state persists in
+  * the checkpoint across restarts like every stateful operator here.
+  */
+object StreamingFunnel {
+
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelHit(user_id: Long, stage: Int, event_type: String,
+                       entered_at: java.sql.Timestamp)
+
+  /** @param stages ordered distinct event types of the funnel */
+  def funnelStream(events: DataFrame, stages: Seq[String]): Dataset[FunnelHit] = {
+    require(stages.size >= 2, "funnelStream: at least two stages")
+    require(stages.distinct.size == stages.size, "funnelStream: stages must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageOf = stages.zipWithIndex.toMap
+    val n = stages.size
+
+    // full µs precision: getTime is millis-truncated, nanos carry the rest
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    def update(user: Long, it: Iterator[FunnelEvent],
+               state: GroupState[Array[Long]]): Iterator[FunnelHit] = {
+      val entries = state.getOption.getOrElse(Array.fill(n)(Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      // event-time order within the batch; ties by type's stage index so a
+      // same-instant (stage k−1, stage k) pair applies in funnel order
+      val evs = it.toArray.sortBy(e => (micros(e.ts), stageOf(e.event_type)))
+      evs.foreach { e =>
+        val k = stageOf(e.event_type)
+        val us = micros(e.ts)
+        val prevOk = k == 0 || (entries(k - 1) != Long.MinValue && entries(k - 1) <= us)
+        if (prevOk && entries(k) == Long.MinValue) {
+          entries(k) = us
+          out += FunnelHit(user, k + 1, e.event_type, e.ts)
+        }
+      }
+      state.update(entries)
+      out.iterator
+    }
+
+    events
+      .filter(col("event_type").isin(stages.map(x => x: Any): _*))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type").cast("string").as("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -241,6 +241,50 @@ class StreamingSpec extends SparkSpec {
       === Seq((2L, 3.75)))
   }
 
+  test("streaming funnel: flatMapGroupsWithState completions equal the batch funnel on in-order arrival") {
+    val base = SparkSpec.tempDir("graft_streamfunnel_")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/ev.jsonl"), Seq(
+      // u1 converts fully; u2 clicks before viewing (stalls at stage 1);
+      // u3 view+click same instant (funnel order applies the view first)
+      """{"user_id":1,"ts":"2024-01-01T10:00:00.000Z","event_type":"view"}""",
+      """{"user_id":1,"ts":"2024-01-01T10:01:00.000Z","event_type":"click"}""",
+      """{"user_id":1,"ts":"2024-01-01T10:02:00.000Z","event_type":"purchase"}""",
+      """{"user_id":2,"ts":"2024-01-01T10:00:00.000Z","event_type":"click"}""",
+      """{"user_id":2,"ts":"2024-01-01T10:01:00.000Z","event_type":"view"}""",
+      """{"user_id":3,"ts":"2024-01-01T10:00:00.000Z","event_type":"view"}""",
+      """{"user_id":3,"ts":"2024-01-01T10:00:00.000Z","event_type":"click"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val q = graft.streaming.StreamingFunnel.funnelStream(
+        spark.readStream.schema(schema).json(in), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hits = spark.table("funnel_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    // u1 enters all three stages; u2 only view (its click preceded the
+    // view); u3 enters view and the same-instant click
+    assert(hits === Seq(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"),
+      (3L, 1, "view"), (3L, 2, "click")))
+    // parity contract: per-stage completion counts equal the batch funnel
+    val batch = graft.ops.Funnel.funnel(
+        spark.read.schema(schema).json(in).withColumn("event_id", col("user_id")),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val byStage = hits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(byStage === batch)
+  }
+
   test("streaming decontamination: benchmark-overlapping docs are flagged at ingest, clean docs pass") {
     val base = SparkSpec.tempDir("graft_streamdecon_")
     val in = s"$base/in"
