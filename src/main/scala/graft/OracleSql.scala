@@ -2114,6 +2114,26 @@ object OracleSql {
     SELECT CAST(rank AS BIGINT) AS rank, path, n_occurrences
     FROM r WHERE rank <= 20"""
 
+  /** Interval join — mirrors the q104 composition over
+    * graft.ops.RangeJoin.intervalJoin (bucketization is exactness-preserving
+    * — it only prunes pairs — so the oracle is the plain theta join):
+    * clicks in each purchase's inclusive 10-minute window, zero-click
+    * purchases kept, DECIMAL(18,2) value sums. */
+  private val q104 = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS w_start,
+        ts + INTERVAL 10 MINUTE AS w_end FROM events
+      WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.ts >= p.w_start AND c.ts <= p.w_end
+      GROUP BY 1)
+    SELECT p.purchase_id, p.user_id,
+      COALESCE(m.n_clicks, 0) AS n_clicks,
+      COALESCE(m.click_value, 0.0) AS click_value
+    FROM p LEFT JOIN m USING (purchase_id)"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2295,6 +2315,7 @@ object OracleSql {
     "q100_zipf_slope"       -> q100,
     "q101_skew_report"      -> q101,
     "q102_scd2"             -> q102,
-    "q103_top_paths"        -> q103
+    "q103_top_paths"        -> q103,
+    "q104_interval_join"    -> q104
   ).map { case (k, v) => k -> clean(v) }
 }

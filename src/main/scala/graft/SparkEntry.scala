@@ -1287,6 +1287,30 @@ object SparkEntry {
   private def q103TopPaths(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.topPaths(events(s, dir))
 
+  /** Interval join ([[graft.ops.RangeJoin.intervalJoin]]): clicks inside
+    * each purchase's 10-minute attribution window, bucketized (key, cell)
+    * equi-join — zero-click purchases restored by the composing left join,
+    * money-discipline value sums. */
+  private def q104IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("interval 10 minutes")).as("w_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val matched = graft.ops.RangeJoin.intervalJoin(clicks, windows,
+        keys = Seq("user_id"), pointTs = "ts",
+        startCol = "w_start", endCol = "w_end",
+        payload = Seq("purchase_id"), bucketSeconds = 600L)
+      .groupBy(col("iv_purchase_id").as("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), dsum(col("value")).as("click_value"))
+    windows.join(matched, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1390,7 +1414,8 @@ object SparkEntry {
     "q100_zipf_slope"       -> q100ZipfSlope _,
     "q101_skew_report"      -> q101SkewReport _,
     "q102_scd2"             -> q102Scd2 _,
-    "q103_top_paths"        -> q103TopPaths _
+    "q103_top_paths"        -> q103TopPaths _,
+    "q104_interval_join"    -> q104IntervalJoin _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

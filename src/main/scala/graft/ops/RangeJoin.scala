@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join at scale: match point-timestamped rows to
+  * `[start, end]` interval rows with the same key — attribution windows
+  * ("clicks within 10 minutes of the purchase"), maintenance/outage window
+  * tagging, sensor-reading-to-test-run alignment.
+  *
+  * Spark plans a bare `p.ts BETWEEN i.start AND i.end` theta-join as a
+  * BroadcastNestedLoop (or a sort-merge on the key alone with a residual
+  * range filter — every point of a hot key still meets every interval of
+  * that key). The scalable shape is BUCKETIZATION: slice time into
+  * `bucketSeconds` cells, explode each interval to the cells it touches
+  * (`span/bucketSeconds + 1` rows — size the bucket to the typical interval,
+  * NOT the timeline), tag each point with its one cell, and equi-join on
+  * `(key, cell)` before the exact `BETWEEN` filter. The join is then a plain
+  * hash join whose build/probe sides are bounded per cell, AQE-splittable,
+  * and shuffle-partitioned on `(key, cell)` — hot keys spread across their
+  * active cells instead of funneling.
+  *
+  * Correct by construction: a point inside `[start, end]` always shares a
+  * cell with the interval (floor is monotone), each point has exactly ONE
+  * cell so no dedup pass is needed, and the final filter applies full
+  * timestamp precision — bucketing only PRUNES pairs, never admits or
+  * drops.
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse joins on equality
+  * keys only (§2.3); the range form extends the join tier alongside L73's
+  * as-of join.
+  */
+object RangeJoin {
+
+  /** Inner interval join: one output row per (point, containing interval)
+    * pair — many-to-many by design (overlapping intervals each match).
+    * Unmatched-point semantics compose downstream: anti/left-join the result
+    * back on a point id (one bounded join), which avoids the spurious-row
+    * trap a "left" mode would have here (a bucket-collision row that fails
+    * the range check must not survive as a fake no-match row).
+    *
+    * @param payload interval columns carried to the output (as `iv_<name>`) */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   pointTs: String, startCol: String, endCol: String,
+                   payload: Seq[String], bucketSeconds: Long = 600L): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin: at least one key column")
+    require(payload.nonEmpty, "intervalJoin: payload must be non-empty")
+    require(bucketSeconds > 0, "intervalJoin: bucketSeconds must be > 0")
+    // epoch SECONDS keep every value far inside double's exact-integer range
+    // (µs epochs overflow 2^53 — floor(x/width) on them silently misbuckets)
+    def cellOf(ts: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(ts).cast("double") / lit(bucketSeconds.toDouble)).cast("long")
+    val p = points.withColumn("__cell", cellOf(col(pointTs)))
+    val iv = intervals
+      .withColumn("__cell", explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
+      .select((keys.map(col) :+ col("__cell") :+ col(startCol).as("__start") :+
+        col(endCol).as("__end")) ++ payload.map(c => col(c).as(s"iv_$c")): _*)
+    p.join(iv, keys :+ "__cell")
+      .filter(col(pointTs).between(col("__start"), col("__end")))
+      .drop("__cell", "__start", "__end")
+  }
+}

@@ -2809,6 +2809,30 @@ class OpsSpec extends SparkSpec {
     assert(r === Seq((1, "a>b>c", 2L), (2, "b>c>b", 1L)))
   }
 
+  test("intervalJoin: inclusive bounds, bucket collisions filtered, overlaps many-to-many, long spans covered") {
+    import graft.ops.RangeJoin
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val points = Seq(
+      (1L, ts(0), "at-start"), (1L, ts(100), "inside"), (1L, ts(200), "at-end"),
+      (1L, ts(201), "just-after"),            // past A's end, still inside B
+      (1L, ts(300), "no-match"),              // shares A/B's bucket: range filter must drop it
+      (1L, ts(150), "overlap-zone"),
+      (2L, ts(100), "other-key"),             // key mismatch
+      (1L, ts(5000), "in-long")
+    ).toDF("k", "t", "tag")
+    val ivs = Seq(
+      (1L, ts(0), ts(200), "A"),
+      (1L, ts(120), ts(260), "B"),            // overlaps A
+      (1L, ts(4000), ts(9000), "LONG")        // spans many 600s buckets
+    ).toDF("k", "s", "e", "name")
+    val got = RangeJoin.intervalJoin(points, ivs, Seq("k"), "t", "s", "e",
+        payload = Seq("name"), bucketSeconds = 600L)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[String]("iv_name"))).sorted.toSeq
+    assert(got === Seq(
+      ("at-end", "A"), ("at-end", "B"), ("at-start", "A"), ("in-long", "LONG"),
+      ("inside", "A"), ("just-after", "B"), ("overlap-zone", "A"), ("overlap-zone", "B")))
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
