@@ -2134,6 +2134,20 @@ object OracleSql {
       COALESCE(m.click_value, 0.0) AS click_value
     FROM p LEFT JOIN m USING (purchase_id)"""
 
+  /** Phrase search — the LAYOUT-INDEPENDENT oracle for q105 (the positional
+    * index is an access path; the answer is token adjacency): positions i
+    * where tk[i]='table' and tk[i+1]='value' in the normalized token array,
+    * matching docs only. */
+  private val q105 = s"""
+    WITH tk AS (SELECT doc_id, regexp_split_to_array($dedupNormSql, ' ') AS t
+      FROM documents),
+    m AS (SELECT doc_id,
+        len(list_filter(range(1, len(t)),
+          i -> t[i] = 'table' AND t[i + 1] = 'value')) AS n_matches
+      FROM tk)
+    SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+    FROM m WHERE n_matches > 0"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2316,6 +2330,7 @@ object OracleSql {
     "q101_skew_report"      -> q101,
     "q102_scd2"             -> q102,
     "q103_top_paths"        -> q103,
-    "q104_interval_join"    -> q104
+    "q104_interval_join"    -> q104,
+    "q105_phrase_search"    -> q105
   ).map { case (k, v) => k -> clean(v) }
 }

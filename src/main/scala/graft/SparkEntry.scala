@@ -1311,6 +1311,16 @@ object SparkEntry {
         coalesce(col("click_value"), lit(0.0)).as("click_value"))
   }
 
+  /** Phrase search ([[graft.ops.InvertedIndex.buildPositionalPostings]] +
+    * [[graft.ops.InvertedIndex.phraseSearch]]): exact consecutive-position
+    * matching via base alignment — the oracle checks the layout-independent
+    * answer (token adjacency over the normalized text). */
+  private def q105PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ops.InvertedIndex.buildPositionalPostings(t(s, dir, "documents"))
+    graft.ops.InvertedIndex.phraseSearch(idx, Seq("table", "value"))
+      .select(col("id").as("doc_id"), col("n_matches"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1415,7 +1425,8 @@ object SparkEntry {
     "q101_skew_report"      -> q101SkewReport _,
     "q102_scd2"             -> q102Scd2 _,
     "q103_top_paths"        -> q103TopPaths _,
-    "q104_interval_join"    -> q104IntervalJoin _
+    "q104_interval_join"    -> q104IntervalJoin _,
+    "q105_phrase_search"    -> q105PhraseSearch _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -77,4 +77,72 @@ object InvertedIndex {
       .filter(col("__n") === norm.size)
       .select(col("id"))
   }
+
+  // ------------------------------------------------------------- positional
+
+  /** Positional index: `(term, df, postings ARRAY<STRUCT<id, pos ARRAY<INT>>>
+    * | NULL when df > maxDf)` — token positions per (term, document), the
+    * layout phrase and proximity queries need. Same two-phase discipline as
+    * [[buildPostings]]: df first, lists collected only under the cap, hot
+    * terms keep exact df with NULL postings, never a silent drop. Per-group
+    * state is bounded by maxDf documents × that term's in-doc frequency. */
+  def buildPositionalPostings(docs: DataFrame, textCol: String = "text",
+                              idCol: String = "doc_id", maxDf: Int = 1000): DataFrame = {
+    require(maxDf > 0, s"buildPositionalPostings: maxDf must be > 0, got $maxDf")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))), " ")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perDoc = toks.groupBy(col("term"), col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("pos"))
+    val df = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val small = df.filter(col("df") <= maxDf).select(col("term"))
+    val lists = perDoc.join(small, Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("postings"))
+    val out = df.join(lists, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
+  /** Exact phrase search over a [[buildPositionalPostings]] index: documents
+    * where the phrase's terms occur at CONSECUTIVE positions, with the match
+    * count per document. The classic base-alignment trick: occurrence `p` of
+    * query term `i` votes for phrase start `p − i`; a start with votes from
+    * all |phrase| term slots is a match (repeated terms in the phrase work —
+    * votes count DISTINCT slots). Work is |phrase| index rows exploded to
+    * their posting positions — query-sized, never corpus-sized.
+    *
+    * Same loud contract as [[searchAll]]: unknown and df-capped terms throw.
+    * Output: `(id, n_matches)` for matching documents only. */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: phrase needs at least two terms")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val norm = phrase.map(_.toLowerCase(java.util.Locale.ROOT).trim)
+    require(norm.forall(_.nonEmpty), "phraseSearch: empty term in phrase")
+    val distinctTerms = norm.distinct
+    val hit = index.filter(col("term").isin(distinctTerms: _*))
+      .select(col("term"), col("postings").isNotNull.as("stored")).collect()
+    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val missing = distinctTerms.filterNot(found.contains)
+    require(missing.isEmpty, s"phraseSearch: terms not in the index: ${missing.mkString(", ")}")
+    val capped = distinctTerms.filter(t => !found(t))
+    require(capped.isEmpty,
+      s"phraseSearch: df-capped terms have no stored postings: ${capped.mkString(", ")}")
+    val slots = broadcast(norm.zipWithIndex.toDF("term", "qidx"))
+    index.filter(col("term").isin(distinctTerms: _*))
+      .join(slots, Seq("term"))
+      .select(col("qidx"), explode(col("postings")).as("p"))
+      .select(col("qidx"), col("p.id").as("id"), explode(col("p.pos")).as("pos"))
+      .select(col("qidx"), col("id"), (col("pos") - col("qidx")).as("base"))
+      .groupBy(col("id"), col("base"))
+      .agg(count_distinct(col("qidx")).as("__slots"))
+      .filter(col("__slots") === norm.size)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -2833,6 +2833,34 @@ class OpsSpec extends SparkSpec {
       ("inside", "A"), ("just-after", "B"), ("overlap-zone", "A"), ("overlap-zone", "B")))
   }
 
+  test("phraseSearch: adjacency matching, repeated phrase terms, match counts, loud refusals") {
+    import graft.ops.InvertedIndex
+    val d = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "cat sat here"),
+      (3L, "sat cat reversed order"),
+      (4L, "the the the stutter test")
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.buildPositionalPostings(d)
+    val m = InvertedIndex.phraseSearch(idx, Seq("cat", "sat")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 holds "cat sat" twice; doc 3 has both terms but never adjacent
+    assert(m === Map(1L -> 2L, 2L -> 1L))
+    // repeated term in the phrase: "the the" matches doc 4's run twice
+    val rep = InvertedIndex.phraseSearch(idx, Seq("the", "the")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(4L -> 2L))
+    // unknown term → loud
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearch(idx, Seq("cat", "zebra"))
+    }
+    // df-capped term → loud
+    val capped = InvertedIndex.buildPositionalPostings(d, maxDf = 2)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearch(capped, Seq("the", "cat")) // "the" df=3 > 2
+    }
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
