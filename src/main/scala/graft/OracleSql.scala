@@ -2148,6 +2148,16 @@ object OracleSql {
     SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
     FROM m WHERE n_matches > 0"""
 
+  /** Rolling distinct actors — mirrors
+    * graft.ops.EventWindows.hoppingDistinct("7 days", "1 day"): each event
+    * lands in the 7 day-aligned windows covering it. */
+  private val q106 = """
+    WITH ex AS (SELECT user_id, (epoch_us(ts) // 86400000000) AS b FROM events),
+    wx AS (SELECT user_id, unnest(range(b - 6, b + 1)) AS wb FROM ex)
+    SELECT strftime(to_timestamp(wb * 86400), '%Y-%m-%d %H:%M:%S') AS win_start,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_actors
+    FROM wx GROUP BY 1"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2331,6 +2341,7 @@ object OracleSql {
     "q102_scd2"             -> q102,
     "q103_top_paths"        -> q103,
     "q104_interval_join"    -> q104,
-    "q105_phrase_search"    -> q105
+    "q105_phrase_search"    -> q105,
+    "q106_rolling_actors"   -> q106
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -421,6 +421,29 @@ object ScaleProbe {
           .agg(coalesce(sum(col("drift_cosine")), lit(0.0)))
           .collect().head.getDouble(0).toLong
       }
+      timed("interval_join", n) {
+        // q104 shape: interval explode bounded by span/bucket (600s windows,
+        // 600s cells → ≤2 cells each), plain hash join on (key, cell)
+        val ev = spark.range(n).toDF("event_id")
+          .withColumn("user_id", pmod(col("event_id"), lit(n / 20)))
+          .withColumn("ts", timestamp_micros(lit(1700000000000000L)
+            + pmod(xxhash64(col("event_id")), lit(86400L * 30L)) * 1000000L))
+          .withColumn("side", pmod(xxhash64(col("event_id"), lit(3)), lit(5)))
+        val ivs = ev.filter(col("side") === 0)
+          .select(col("event_id").as("iv_id"), col("user_id"),
+            col("ts").as("st"), (col("ts") + expr("interval 10 minutes")).as("en"))
+        val pts = ev.filter(col("side") =!= 0)
+          .select(col("user_id"), col("ts"))
+        graft.ops.RangeJoin.intervalJoin(pts, ivs, Seq("user_id"),
+          "ts", "st", "en", payload = Seq("iv_id"), bucketSeconds = 600L).count()
+      }
+      timed("positional_index", n) {
+        // q105 build shape: the (term, id, pos) explode is corpus-sized
+        // (inherent) but per-(term, doc) lists bound under maxDf before any
+        // term-level collect — compare inverted_index (distinct-only tier)
+        graft.ops.InvertedIndex.buildPositionalPostings(d, maxDf = 10000)
+          .agg(coalesce(sum(col("df")), lit(0L))).collect().head.getLong(0)
+      }
       timed("lexical_drift", n) {
         // q91 shape: ONE tokenize+bucket agg (map-side combine to
         // sources × 4096), everything pairwise on the checkpointed table

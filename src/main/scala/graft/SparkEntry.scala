@@ -1321,6 +1321,14 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_matches"))
   }
 
+  /** Rolling distinct actors ([[graft.ops.EventWindows.hoppingDistinct]],
+    * trailing 7 days daily — the WAU curve): exact tier oracle-checked,
+    * HLL tier OpsSpec-pinned. */
+  private def q106RollingActors(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.hoppingDistinct(events(s, dir), "7 days", "1 day")
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_actors"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1426,7 +1434,8 @@ object SparkEntry {
     "q102_scd2"             -> q102Scd2 _,
     "q103_top_paths"        -> q103TopPaths _,
     "q104_interval_join"    -> q104IntervalJoin _,
-    "q105_phrase_search"    -> q105PhraseSearch _
+    "q105_phrase_search"    -> q105PhraseSearch _,
+    "q106_rolling_actors"   -> q106RollingActors _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -44,6 +44,21 @@ object EventWindows {
                      valueCol: String = "value"): DataFrame =
     hoppingCounts(events, size, size, tsCol, typeCol, valueCol)
 
+  /** Hopping-window distinct actors — the DAU/WAU/rolling-actives shape
+    * ("distinct users over the trailing 7 days, daily"): windows of `size`
+    * every `slide`, one distinct-count per window. Exact tier
+    * (`count_distinct` — the Expand, audit answer) or HLL++
+    * (`approxDistinct = true`, mergeable sketches — the 100 TB default;
+    * same two-tier discipline as [[Profiler]], accuracy pinned in OpsSpec).
+    * Output: `(win_start, n_actors)`. */
+  def hoppingDistinct(events: DataFrame, size: String, slide: String,
+                      actorCol: String = "user_id", tsCol: String = "ts",
+                      approxDistinct: Boolean = false): DataFrame =
+    events.groupBy(window(col(tsCol), size, slide))
+      .agg((if (approxDistinct) approx_count_distinct(col(actorCol))
+            else count_distinct(col(actorCol))).as("n_actors"))
+      .select(col("window.start").as("win_start"), col("n_actors"))
+
   /** Per-type event-rate anomalies: tumbling-window counts z-scored against
     * the type's own window-count distribution — the monitoring query behind
     * "errors spiked at 14:05" and, on an ingest log, "the crawler stalled".

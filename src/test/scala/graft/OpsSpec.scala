@@ -2861,6 +2861,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hoppingDistinct: rolling window membership, distinct not count, HLL tier tracks exact") {
+    import graft.ops.EventWindows
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(1)), (2L, ts(1)), // day 1: users {1,2}, dup event
+      (1L, ts(3)),                           // day 3: {1}
+      (3L, ts(9))                            // day 9: {3} — outside day-1's window
+    ).toDF("user_id", "ts")
+    val exact = EventWindows.hoppingDistinct(ev, "7 days", "1 day").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    // the window STARTING day 1 covers days 1-7: users {1,2}; the one
+    // starting 2023-12-29 covers day 1 and 3 only: {1,2}; a window covering
+    // days 3-9 sees {1,3}
+    assert(exact("2024-01-01") === 2L)
+    assert(exact("2023-12-29") === 2L)
+    assert(exact("2024-01-03") === 2L) // days 3-9: users {1,3}
+    val approx = EventWindows.hoppingDistinct(ev, "7 days", "1 day",
+      approxDistinct = true).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    // tiny cardinalities: HLL++ is exact here; same window set
+    assert(approx === exact)
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
