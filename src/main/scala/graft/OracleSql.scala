@@ -2158,6 +2158,30 @@ object OracleSql {
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_actors
     FROM wx GROUP BY 1"""
 
+  /** Snapshot diff — mirrors graft.ops.Dedup.snapshotDiff over the q107
+    * synthetic next crawl: normalized-md5 content identity, full outer id
+    * join, per-source status rollup. */
+  private val q107 = s"""
+    WITH nxt AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+      WHERE doc_id % 13 = 0),
+    oh AS (SELECT doc_id AS id, source AS g_old, md5($dedupNormSql) AS h_old
+      FROM documents),
+    nh AS (SELECT doc_id AS id, source AS g_new, md5($dedupNormSql) AS h_new
+      FROM nxt),
+    j AS (SELECT COALESCE(nh.g_new, oh.g_old) AS source,
+        CASE WHEN h_old IS NULL THEN 'added'
+             WHEN h_new IS NULL THEN 'removed'
+             WHEN h_old = h_new THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM oh FULL OUTER JOIN nh ON oh.id = nh.id)
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1, 2"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2342,6 +2366,7 @@ object OracleSql {
     "q103_top_paths"        -> q103,
     "q104_interval_join"    -> q104,
     "q105_phrase_search"    -> q105,
-    "q106_rolling_actors"   -> q106
+    "q106_rolling_actors"   -> q106,
+    "q107_snapshot_diff"    -> q107
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1329,6 +1329,23 @@ object SparkEntry {
       .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("n_actors"))
 
+  /** Snapshot diff ([[Dedup.snapshotDiff]]): the documents table against a
+    * simulated next crawl (every 7th doc edited, every 11th dropped, a
+    * shifted-id block added) — per-source status rollup. */
+  private def q107SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents")
+    val next = old.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+      .unionByName(
+        old.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.snapshotDiff(old, next)
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1435,7 +1452,8 @@ object SparkEntry {
     "q103_top_paths"        -> q103TopPaths _,
     "q104_interval_join"    -> q104IntervalJoin _,
     "q105_phrase_search"    -> q105PhraseSearch _,
-    "q106_rolling_actors"   -> q106RollingActors _
+    "q106_rolling_actors"   -> q106RollingActors _,
+    "q107_snapshot_diff"    -> q107SnapshotDiff _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

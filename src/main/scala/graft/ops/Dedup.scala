@@ -817,6 +817,40 @@ object Dedup {
   /** Hamming distance between two signatures: bit_count(xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---------------------------------------------------------- snapshot diff
+
+  /** Corpus snapshot diff: per-document status between two crawl/pipeline
+    * versions — `added` (id only in new), `removed` (id only in old),
+    * `changed` (both, different normalized content), `unchanged` — the
+    * data-versioning audit run before re-triggering an expensive downstream
+    * rebuild ("did this refresh actually change anything?"), and the input
+    * to incremental processing (feed only added+changed into
+    * [[incrementalNearDups]] / [[graft.Ingest]]).
+    *
+    * Content identity is the NORMALIZED md5 ([[graft.ops.TextAnalysis.contentHash]]
+    * — exact-dedup semantics, engine-portable): formatting-only churn reads
+    * as `unchanged`, which is the audit answer that prevents false rebuilds.
+    *
+    * Shape: each side collapses row-locally to `(id, group, hash)` before
+    * ONE full outer id join — the only shuffle carries ids + 32-char hashes,
+    * never text. Output: one row per id with `status` and the (new-side
+    * preferred) group, ready for per-source rollups.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   groupCol: String = "source"): DataFrame = {
+    def slim(df: DataFrame, side: String) = df.select(
+      col(idCol).as("id"), col(groupCol).as(s"__g_$side"),
+      TextAnalysis.contentHash(coalesce(col(textCol), lit(""))).as(s"__h_$side"))
+    slim(oldDocs, "old").join(slim(newDocs, "new"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("__g_new"), col("__g_old")).as(groupCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ------------------------------------------------------------- novelty
 
   /** Per-document shingle novelty: what fraction of a document's distinct

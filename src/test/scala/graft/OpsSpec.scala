@@ -2884,6 +2884,23 @@ class OpsSpec extends SparkSpec {
     assert(approx === exact)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged; formatting-only churn reads unchanged") {
+    val old = Seq(
+      (1L, "Hello World", "s"), (2L, "stays the same", "s"),
+      (3L, "will change", "s"), (4L, "will be removed", "s")
+    ).toDF("doc_id", "text", "source")
+    val next = Seq(
+      (1L, "  hello,   WORLD!  ", "s"), // normalization-equal → unchanged
+      (2L, "stays the same", "s"),
+      (3L, "has changed", "s"),
+      (5L, "brand new", "s")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.snapshotDiff(old, next).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m === Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("groupCentroids/centroidDrift: exact means, identical groups at cosine 1, orthogonal at 0") {
     import graft.ops.Embeddings
     val e = Seq(
