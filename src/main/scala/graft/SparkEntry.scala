@@ -1316,7 +1316,12 @@ object SparkEntry {
     * matching via base alignment — the oracle checks the layout-independent
     * answer (token adjacency over the normalized text). */
   private def q105PhraseSearch(s: SparkSession, dir: String): DataFrame = {
-    val idx = graft.ops.InvertedIndex.buildPositionalPostings(t(s, dir, "documents"))
+    // the query phrase is head vocabulary (present in most synthetic docs),
+    // so the df cap must clear the corpus size at every tested sf — the
+    // default cap correctly REFUSED it at sf0.1, which is the op's loud
+    // contract working as designed
+    val idx = graft.ops.InvertedIndex.buildPositionalPostings(
+      t(s, dir, "documents"), maxDf = 1000000)
     graft.ops.InvertedIndex.phraseSearch(idx, Seq("table", "value"))
       .select(col("id").as("doc_id"), col("n_matches"))
   }
