@@ -2182,6 +2182,24 @@ object OracleSql {
     SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM j GROUP BY 1, 2"""
 
+  /** Proximity search — layout-independent oracle for q108 (like q105):
+    * position pairs of 'spark' and 'merge' within 5 tokens, either order,
+    * over the normalized token array. */
+  private val q108 = s"""
+    WITH tk AS (SELECT doc_id, regexp_split_to_array($dedupNormSql, ' ') AS t
+      FROM documents),
+    pos AS (SELECT doc_id,
+        list_filter(range(1, len(t) + 1), i -> t[i] = 'spark') AS pa,
+        list_filter(range(1, len(t) + 1), i -> t[i] = 'merge') AS pb
+      FROM tk),
+    d AS (SELECT doc_id,
+        list_filter(flatten(list_transform(pa,
+          x -> list_transform(pb, y -> abs(x - y)))), v -> v <= 5) AS ok
+      FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
+    SELECT doc_id, CAST(len(ok) AS BIGINT) AS n_pairs,
+      CAST(list_min(ok) AS BIGINT) AS min_dist
+    FROM d WHERE len(ok) > 0"""
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2367,6 +2385,7 @@ object OracleSql {
     "q104_interval_join"    -> q104,
     "q105_phrase_search"    -> q105,
     "q106_rolling_actors"   -> q106,
-    "q107_snapshot_diff"    -> q107
+    "q107_snapshot_diff"    -> q107,
+    "q108_near_search"      -> q108
   ).map { case (k, v) => k -> clean(v) }
 }

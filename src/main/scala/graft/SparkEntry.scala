@@ -1351,6 +1351,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Proximity search ([[graft.ops.InvertedIndex.nearSearch]], within 5
+    * tokens either order): layout-independent oracle, like q105. */
+  private def q108NearSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.ops.InvertedIndex.buildPositionalPostings(
+      t(s, dir, "documents"), maxDf = 1000000)
+    graft.ops.InvertedIndex.nearSearch(idx, "spark", "merge", maxDist = 5)
+      .select(col("id").as("doc_id"), col("n_pairs"), col("min_dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1458,7 +1467,8 @@ object SparkEntry {
     "q104_interval_join"    -> q104IntervalJoin _,
     "q105_phrase_search"    -> q105PhraseSearch _,
     "q106_rolling_actors"   -> q106RollingActors _,
-    "q107_snapshot_diff"    -> q107SnapshotDiff _
+    "q107_snapshot_diff"    -> q107SnapshotDiff _,
+    "q108_near_search"      -> q108NearSearch _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

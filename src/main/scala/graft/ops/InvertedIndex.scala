@@ -145,4 +145,40 @@ object InvertedIndex {
       .filter(col("__slots") === norm.size)
       .groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Proximity search over a [[buildPositionalPostings]] index: documents
+    * where `termA` and `termB` occur within `maxDist` token positions
+    * (either order), with the qualifying pair count and the minimum
+    * distance. Work is TWO index rows joined on id and their position lists
+    * compared row-locally (each list bounded by the doc's term frequency) —
+    * query-sized, like [[phraseSearch]], with the same loud refusals.
+    *
+    * Output: `(id, n_pairs, min_dist)` for matching documents. */
+  def nearSearch(index: DataFrame, termA: String, termB: String,
+                 maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"nearSearch: maxDist must be >= 1, got $maxDist")
+    val norm = Seq(termA, termB).map(_.toLowerCase(java.util.Locale.ROOT).trim)
+    require(norm.forall(_.nonEmpty), "nearSearch: empty term")
+    require(norm.head != norm.last, "nearSearch: terms must differ")
+    val hit = index.filter(col("term").isin(norm: _*))
+      .select(col("term"), col("postings").isNotNull.as("stored")).collect()
+    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val missing = norm.filterNot(found.contains)
+    require(missing.isEmpty, s"nearSearch: terms not in the index: ${missing.mkString(", ")}")
+    val capped = norm.filter(t => !found(t))
+    require(capped.isEmpty,
+      s"nearSearch: df-capped terms have no stored postings: ${capped.mkString(", ")}")
+    def side(t: String, a: String) = index.filter(col("term") === t)
+      .select(explode(col("postings")).as("p"))
+      .select(col("p.id").as("id"), col("p.pos").as(a))
+    // row-local cross of the two position lists, |pa|×|pb| ints per doc —
+    // bounded by in-doc term frequencies; distances via one flatten
+    val dists = flatten(transform(col("pa"),
+      x => transform(col("pb"), y => abs(x - y))))
+    side(norm.head, "pa").join(side(norm.last, "pb"), Seq("id"))
+      .select(col("id"), filter(dists, d => d <= maxDist).as("ok"))
+      .filter(size(col("ok")) > 0)
+      .select(col("id"), size(col("ok")).cast("long").as("n_pairs"),
+        array_min(col("ok")).cast("long").as("min_dist"))
+  }
 }

@@ -2859,6 +2859,14 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InvertedIndex.phraseSearch(capped, Seq("the", "cat")) // "the" df=3 > 2
     }
+    // proximity: doc 1 has cat at {1, 8}, mat at {5} (0-based): distances
+    // 4 and 3, both within 5, min 3; either order counts
+    val near = InvertedIndex.nearSearch(idx, "cat", "mat", maxDist = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(near === Map(1L -> ((2L, 3L))))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.nearSearch(idx, "cat", "zebra", maxDist = 3)
+    }
   }
 
   test("hoppingDistinct: rolling window membership, distinct not count, HLL tier tracks exact") {
