@@ -444,6 +444,32 @@ object ScaleProbe {
         graft.ops.InvertedIndex.buildPositionalPostings(d, maxDf = 10000)
           .agg(coalesce(sum(col("df")), lit(0L))).collect().head.getLong(0)
       }
+      timed("scd2", n) {
+        // q102 shape: ONE key shuffle, two same-partitioning windows with
+        // O(1) state — fold version counts so both windows evaluate
+        val ev = spark.range(n).toDF("event_id")
+          .withColumn("user_id", pmod(col("event_id"), lit(n / 20)))
+          .withColumn("ts", timestamp_micros(lit(1700000000000000L)
+            + pmod(xxhash64(col("event_id")), lit(86400L * 30L)) * 1000000L))
+          .withColumn("status", concat(lit("s"),
+            pmod(xxhash64(col("event_id"), lit(5)), lit(4))))
+        graft.ops.Scd.scd2(ev, Seq("user_id"), "ts", Seq("status"), "event_id")
+          .agg(coalesce(sum(when(col("is_current"), 1L).otherwise(2L)), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("top_paths", n) {
+        // q103 shape: lead windows (O(n) state), path-count agg map-side
+        // combining to |distinct paths|, TakeOrderedAndProject
+        val ev = spark.range(n).toDF("event_id")
+          .withColumn("user_id", pmod(col("event_id"), lit(n / 20)))
+          .withColumn("ts", timestamp_micros(lit(1700000000000000L)
+            + pmod(xxhash64(col("event_id")), lit(86400L * 30L)) * 1000000L))
+          .withColumn("event_type", concat(lit("t"),
+            pmod(xxhash64(col("event_id"), lit(7)), lit(6))))
+        graft.ops.Funnel.topPaths(ev, n = 3, k = 20)
+          .agg(coalesce(sum(col("n_occurrences")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("lexical_drift", n) {
         // q91 shape: ONE tokenize+bucket agg (map-side combine to
         // sources × 4096), everything pairwise on the checkpointed table
