@@ -28,21 +28,26 @@ import org.apache.spark.sql.functions._
   *   9. near-duplicate removal ([[Dedup.resolveNearDups]]; each cluster
   *      keeps its BEST copy — highest quality, ties to the smaller id)
   *  10. benchmark decontamination ([[Dedup.contamination]])
-  *  11. CCNet perplexity filtering ([[LanguageModel.filterByPerplexity]],
+  *  11. PII/card redaction ([[TextAnalysis.redactCards]] then
+  *      [[TextAnalysis.redactPii]], opt-in; rewrite-only on the SURVIVOR
+  *      set — regex paid once per kept doc, cards before phones so a
+  *      half-eaten "<phone>" can't dodge the Luhn check — and before the
+  *      model stages, which then score the text that ships)
+  *  12. CCNet perplexity filtering ([[LanguageModel.filterByPerplexity]],
   *      opt-in; bigram-LM cross-entropy against a target corpus, on the
   *      deduped + decontaminated survivors — the CCNet ordering)
-  *  12. cluster-balanced diversity capping
+  *  13. cluster-balanced diversity capping
   *      ([[Similarity.clusterBalancedSample]], opt-in; needs an
   *      `embeddings` frame keyed by the doc id)
-  *  13. model-based quality filtering ([[Classifier.filterByClassifier]],
+  *  14. model-based quality filtering ([[Classifier.filterByClassifier]],
   *      opt-in; NBSVM log-odds classifier fitted on caller seed sets)
-  *  14. DSIR target-matching selection ([[Importance.dsirWeights]] →
+  *  15. DSIR target-matching selection ([[Importance.dsirWeights]] →
   *      [[Importance.dsirTopK]] / [[Importance.dsirResample]], opt-in)
-  *  15. deterministic mixture sampling ([[Sampling.stratifiedSample]])
-  *  16. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
-  *  17. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
+  *  16. deterministic mixture sampling ([[Sampling.stratifiedSample]])
+  *  17. token-budget sampling ([[Sampling.tokenBudgetSample]], opt-in)
+  *  18. fractional-epoch mixture upsampling ([[Sampling.upsampleMixture]],
   *      opt-in; adds a `copy` column — (id, copy) is the unique key after)
-  *  18. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
+  *  19. deterministic shard shuffle ([[Sampling.shuffleShards]], opt-in;
   *      adds `shard`/`pos` — the training-shard layout, the LAST step)
   *
   * The order matters and is the industry-standard one: line rules BEFORE the
