@@ -2200,6 +2200,41 @@ object OracleSql {
       CAST(list_min(ok) AS BIGINT) AS min_dist
     FROM d WHERE len(ok) > 0"""
 
+  /** PageRank over the symmetrized customer↔supplier trade graph — q109.
+    * Same integer fixed-point recurrence as [[graft.ops.Graph.pageRank]]
+    * (scale 1e9, damping 85/100, 5 iterations, floor division at every
+    * step), unrolled as chained CTEs r0..r5. The graph is symmetric, so
+    * every node has out-edges and the dangling-share term is exactly 0 —
+    * omitted here; Spark computes it as 0 DIV n = 0. */
+  private val q109 = {
+    val scale = 1000000000L
+    val base = (100L - 85L) * scale / 100L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+      SELECT nodes.node,
+        CAST($base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.out_w) AS c
+        FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY ew.dst) s
+        USING (node))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst, COUNT(*) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+    edges AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0),
+    ow AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w,
+             CAST(o.out_w AS BIGINT) AS out_w
+           FROM edges e JOIN ow o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+    $iters
+    SELECT node, rank FROM r5"""
+  }
+
   private val q85 = {
     val ps = graft.ops.TextAnalysis.PiiPatterns.toMap
     s"""
@@ -2386,6 +2421,7 @@ object OracleSql {
     "q105_phrase_search"    -> q105,
     "q106_rolling_actors"   -> q106,
     "q107_snapshot_diff"    -> q107,
-    "q108_near_search"      -> q108
+    "q108_near_search"      -> q108,
+    "q109_pagerank"         -> q109
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1360,6 +1360,25 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_pairs"), col("min_dist"))
   }
 
+  /** PageRank ([[graft.ops.Graph.pageRank]]) over the customer↔supplier
+    * trade graph (edge weight = line items exchanged, symmetrized so the
+    * bipartite graph has no dangling nodes and the share term is exactly
+    * 0 on both engines). Integer fixed-point rank units — bit-identical
+    * across engines by construction. `scale = 1e9` clears the overflow
+    * guard at every tested sf (n ≈ 16.5k nodes at sf0.1). */
+  private def q109PageRank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.ops.Graph.pageRank(edges, weightCol = "w", iterations = 5,
+      scale = 1000000000L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1468,7 +1487,8 @@ object SparkEntry {
     "q105_phrase_search"    -> q105PhraseSearch _,
     "q106_rolling_actors"   -> q106RollingActors _,
     "q107_snapshot_diff"    -> q107SnapshotDiff _,
-    "q108_near_search"      -> q108NearSearch _
+    "q108_near_search"      -> q108NearSearch _,
+    "q109_pagerank"         -> q109PageRank _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

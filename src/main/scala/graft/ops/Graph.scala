@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph centrality — weighted PageRank (Page et al. 1999) over
+  * an edge DataFrame, the link-quality signal a crawl-curation pipeline
+  * derives from its host graph (and a warehouse derives from any
+  * entity-reference graph: customer↔supplier, airport routes, citation
+  * links).
+  *
+  * == Integer fixed-point arithmetic (cross-engine exactness) ==
+  * Ranks are BIGINT "micro-rank" units (`scale` units = mass 1.0 per node at
+  * start). Every per-iteration step is integer math with floor division:
+  *
+  *   contrib(u→v) = (rank(u) * w(u,v)) DIV out_w(u)
+  *   share        = dangling_sum DIV n          (mass of out-degree-0 nodes)
+  *   rank'(v)     = base + dampNum·(Σ contrib(·→v) + share) DIV dampDen
+  *   base         = (dampDen − dampNum)·scale DIV dampDen
+  *
+  * Integer addition is associative/commutative EXACTLY, so partial
+  * aggregation order, partitioning, and engine cannot change a single bit of
+  * the result — the same discipline as the decimal-exact centroid sums
+  * (q54/q75), but closed under the multiply-divide of rank propagation,
+  * where Spark/DuckDB DECIMAL rescaling rules diverge (the q60/q72 trap).
+  * Total mass decays slightly through the floors; that loss is itself
+  * deterministic.
+  *
+  * == 100 TB shape ==
+  * Per iteration: ONE shuffle join of the node-sized rank table into the
+  * (persisted, out-weight-prejoined) edge table on `src`, ONE
+  * map-side-combining LongSum aggregation on `dst`, a left join back to the
+  * node table, and a 1-row cross join attaching the dangling total (the
+  * Importance.scala 1-row pattern — no per-iteration driver collect).
+  * `localCheckpoint` cuts lineage each round exactly like
+  * [[Dedup.nearDupClusters]]; on a real cluster, pre-partitioning `edges`
+  * by `src` (bucketed write) makes the rank join reuse one partitioning
+  * across all iterations. State per node is one BIGINT — no per-node
+  * adjacency list is ever collected.
+  *
+  * == Overflow contract ==
+  * All math stays inside signed 64 bits iff `dampDen · n · maxW · scale <
+  * 2^63` (worst case: the whole corpus mass on one node crossing its
+  * heaviest edge). The builder computes `n` and `maxW` once and fails
+  * LOUDLY if the caller's `scale` breaks the bound — at web scale
+  * (n ~ 10^9 hosts) pass `scale = 10^6`, which still separates ranks far
+  * below any curation threshold's resolution.
+  */
+object Graph {
+
+  /** Weighted PageRank. `edges` needs `srcCol`/`dstCol` (+ `weightCol`,
+    * else weight 1); vertices = every node appearing as src or dst.
+    * Returns `(node, rank)` — rank in `scale`-denominated integer units.
+    *
+    * Self-loops participate like any edge (a node may feed its own rank);
+    * parallel edges should be pre-aggregated by the caller (they are
+    * otherwise independent mass channels, which is also well-defined). */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               weightCol: String = null, iterations: Int = 5,
+               dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"pageRank: damping $dampNum/$dampDen must be in (0, 1)")
+    val w = Option(weightCol).map(col).getOrElse(lit(1L)).cast("long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one pass for the overflow guard inputs; n is reused for the dangling
+    // share, so this agg is not overhead added by the check
+    val Array(nRow) = nodes.agg(count(lit(1))).collect()
+    val n = nRow.getLong(0)
+    require(n > 0, "pageRank: empty graph")
+    val maxW = e.agg(max(col("w"))).collect().head.getLong(0)
+    require(maxW > 0, "pageRank: edge weights must be positive")
+    require(BigInt(dampDen) * BigInt(n) * BigInt(maxW) * BigInt(scale) < BigInt(Long.MaxValue),
+      s"pageRank: dampDen*n*maxW*scale = ${BigInt(dampDen) * BigInt(n) * BigInt(maxW) * BigInt(scale)} " +
+        s"overflows 64-bit rank math - lower `scale` (n=$n, maxW=$maxW)")
+
+    // out-weight pre-joined ONCE; this frame is the per-iteration probe side
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val ew = e.join(outW, Seq("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    ew.count() // materialize before iterating (cut the re-read of `edges`)
+    // the dangling check probes the PERSISTED edge frame, not the input
+    val srcs = ew.select(col("src")).distinct()
+
+    val base = (dampDen - dampNum) * scale / dampDen
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank * w DIV out_w").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      // dangling mass: nodes with no out-edges (left anti on the src set)
+      val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dsum"))
+      val updated = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit(base) + expr(
+            s"$dampNum * (coalesce(c, 0L) + __dsum DIV $n) DIV $dampDen"))
+            .as("rank"))
+        .localCheckpoint(true)
+      ranks = updated
+      it += 1
+    }
+    ew.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** [[graft.ops.Graph.pageRank]] — pinned against an INDEPENDENT plain-Scala
+  * integer PageRank (same recurrence, driver-side loop over in-memory maps),
+  * so a regression in the distributed join/agg formulation cannot hide
+  * behind a matching implementation. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference recurrence: the scaladoc formulas, verbatim, in one box. */
+  private def refPageRank(edges: Seq[(String, String, Long)], iterations: Int,
+                          scale: Long, dampNum: Long = 85,
+                          dampDen: Long = 100): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = (dampDen - dampNum) * scale / dampDen
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (s, _, w) => rank(s) * w / outW(s) }.sum }
+      val dangling = nodes.filterNot(outW.contains).map(rank).sum
+      val share = dangling / n
+      rank = nodes.map(v =>
+        v -> (base + dampNum * (contrib.getOrElse(v, 0L) + share) / dampDen)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String, Long)], iterations: Int,
+                  scale: Long): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), weightCol = "w",
+        iterations = iterations, scale = scale)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the independent reference on a weighted digraph") {
+    // a: hub fed by all; d: fed only by a; c→a heavy edge
+    val edges = Seq(
+      ("a", "d", 1L), ("b", "a", 2L), ("c", "a", 5L),
+      ("c", "b", 1L), ("d", "a", 1L), ("d", "c", 3L))
+    val got = run(edges, iterations = 5, scale = 1000000L)
+    val want = refPageRank(edges, iterations = 5, scale = 1000000L)
+    assert(got === want)
+    // a is fed by three nodes; d is fed a's ENTIRE mass (a's only
+    // out-edge), so d ends richest of all — and both outrank b and c
+    assert(got("d") > got("a") && got("a") > got("b") && got("a") > got("c"))
+    assert(got.values.toSet.size >= 3)
+  }
+
+  test("pageRank redistributes dangling mass (sink node, no out-edges)") {
+    val edges = Seq(("a", "sink", 1L), ("b", "sink", 1L), ("b", "a", 1L))
+    val got = run(edges, iterations = 4, scale = 1000000L)
+    val want = refPageRank(edges, iterations = 4, scale = 1000000L)
+    assert(got === want)
+    // the sink collects mass but leaks it back uniformly — nobody starves:
+    // every rank stays above base (the share term is nonzero)
+    val base = (100L - 85L) * 1000000L / 100L
+    assert(got.values.forall(_ > base))
+    assert(got("sink") > got("a"))
+  }
+
+  test("pageRank total mass never grows and ranks are deterministic") {
+    val edges = Seq(
+      ("x", "y", 1L), ("y", "z", 2L), ("z", "x", 3L), ("z", "y", 1L))
+    val a = run(edges, iterations = 6, scale = 1000000000L)
+    val b = run(edges, iterations = 6, scale = 1000000000L)
+    assert(a === b)
+    assert(a.values.sum <= 3L * 1000000000L)
+  }
+
+  test("pageRank refuses a scale that overflows 64-bit rank math") {
+    val edges = Seq(("a", "b", 1000000L), ("b", "a", 1L))
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("src", "dst", "w"), weightCol = "w",
+        iterations = 1, scale = 1000000000000000L)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("pageRank on unweighted edges defaults every weight to 1") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 3,
+        scale = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refPageRank(edges.map { case (s, d) => (s, d, 1L) },
+      iterations = 3, scale = 1000000L)
+    assert(got === want)
+  }
+}
