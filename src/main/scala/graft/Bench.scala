@@ -52,7 +52,14 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only the stdout TAIL, which front-truncates once
+    // the per-query map outgrows it (BENCH_r11 lost 49/109 timings) — so
+    // the full line is ALSO written to a committed file artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -784,6 +784,32 @@ object OracleSql {
     lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id)
     SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster"""
 
+  /** Connected components over the q31 verified-pair graph with STRING
+    * nodes ('d' || doc_id) — q110. Exact transitive closure by recursive
+    * CTE; component = lexicographic minimum member (binary collation in
+    * both engines), mirroring Graph.connectedComponents' min-label
+    * fixpoint on an orderable non-numeric key. */
+  private val q110 = s"""
+    WITH RECURSIVE $minhashCtes,
+    jac AS (SELECT p.id_a, p.id_b,
+        CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+      FROM pairs p
+      JOIN base a ON p.id_a = a.id
+      JOIN base b ON p.id_b = b.id),
+    edges AS (
+      SELECT 'd' || CAST(id_a AS VARCHAR) AS src,
+             'd' || CAST(id_b AS VARCHAR) AS dst FROM jac WHERE j >= 0.7
+      UNION
+      SELECT 'd' || CAST(id_b AS VARCHAR),
+             'd' || CAST(id_a AS VARCHAR) FROM jac WHERE j >= 0.7),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT node, least(node, MIN(reach)) AS component FROM walk GROUP BY node"""
+
   /** Per-line dedup — the same every-3rd-space → newline line synthesis
     * over the shared normalization (left-to-right non-overlapping regex
     * replace, identical semantics in RE2 and Java regex), then global
@@ -2422,6 +2448,7 @@ object OracleSql {
     "q106_rolling_actors"   -> q106,
     "q107_snapshot_diff"    -> q107,
     "q108_near_search"      -> q108,
-    "q109_pagerank"         -> q109
+    "q109_pagerank"         -> q109,
+    "q110_connected_components" -> q110
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -501,6 +501,34 @@ object ScaleProbe {
         graft.ops.BpeTrain.trainBpe(d, numMerges = 10, maxWords = Some(10000))
           .merges.size.toLong
       }
+      timed("pagerank", n) {
+        // q109 shape: edges ∝ rows (avg degree 10 over n/10 nodes, weights
+        // 1-5), 3 iterations — per iteration ONE rank-join shuffle into the
+        // persisted out-weight-prejoined edge table + a map-side-combining
+        // LongSum + a 1-row dangling cross join; localCheckpoint holds
+        // lineage flat, so expect ~linear growth (guard headroom:
+        // 100 * (n/10) * 5 * 1e6 = 1e14 at 10x, far under 2^63)
+        val nn = n / 10
+        val edg = spark.range(n).toDF("eid")
+          .select(pmod(xxhash64(col("eid")), lit(nn)).as("src"),
+            pmod(xxhash64(col("eid"), lit(1)), lit(nn)).as("dst"),
+            (pmod(xxhash64(col("eid"), lit(2)), lit(5)) + 1).as("w"))
+        graft.ops.Graph.pageRank(edg, weightCol = "w", iterations = 3,
+            scale = 1000000L)
+          .agg(coalesce(sum(col("rank")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("connected_components", n) {
+        // q110 shape: disjoint 8-node chains (diameter 7 ⇒ a FIXED ~8 label
+        // rounds at any n) — per round ONE label join into the checkpointed
+        // symmetric edges + a min agg; expect ~linear growth
+        val edg = spark.range(n).toDF("id")
+          .filter(pmod(col("id"), lit(8)) =!= 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        graft.ops.Graph.connectedComponents(edg)
+          .agg(coalesce(sum(col("component")), lit(0L)))
+          .collect().head.getLong(0)
+      }
     }
     spark.stop()
   }

@@ -1379,6 +1379,21 @@ object SparkEntry {
       scale = 1000000000L)
   }
 
+  /** Connected components ([[graft.ops.Graph.connectedComponents]]) over
+    * the verified near-dup pair graph (q31's chain, threshold 0.7) with
+    * STRING node ids (`'d' || doc_id`) — exercises the type-generic
+    * min-label path (component = LEXICOGRAPHIC minimum member; binary
+    * collation on both engines, so "d10" < "d2" deliberately). Per-node
+    * labels, where q46 reports only cluster sizes; oracle = exact
+    * transitive closure by recursive CTE. */
+  private def q110ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.7,
+        numHashes = 64, bands = 16, shingleK = 3)
+      .select(concat(lit("d"), col("id_a")).as("src"),
+        concat(lit("d"), col("id_b")).as("dst"))
+    graft.ops.Graph.connectedComponents(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1488,7 +1503,8 @@ object SparkEntry {
     "q106_rolling_actors"   -> q106RollingActors _,
     "q107_snapshot_diff"    -> q107SnapshotDiff _,
     "q108_near_search"      -> q108NearSearch _,
-    "q109_pagerank"         -> q109PageRank _
+    "q109_pagerank"         -> q109PageRank _,
+    "q110_connected_components" -> q110ConnectedComponents _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1005,11 +1005,15 @@ object HashExprs {
       new java.util.concurrent.ConcurrentHashMap[IndexedSeq[String], Node]()
     // bounded: a long-lived shared application cycling through many vocabs
     // (experiments, per-tenant tokenizers) must not grow the executor heap
-    // monotonically — on overflow the whole cache drops and rebuilds on
-    // demand (vocab churn is rare; steady state is one or two entries)
+    // monotonically — on overflow ONE arbitrary entry is evicted per insert
+    // (a full clear() lets a concurrent task observe an empty cache
+    // mid-build and rebuild tries repeatedly under vocab churn)
     private val MaxCachedVocabs = 8
     private[HashExprs] def trieFor(vocab: IndexedSeq[String]): Node = {
-      if (tries.size >= MaxCachedVocabs && !tries.containsKey(vocab)) tries.clear()
+      if (tries.size >= MaxCachedVocabs && !tries.containsKey(vocab)) {
+        val it = tries.keySet.iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       tries.computeIfAbsent(vocab, v => {
         val r = new Node
         var idx = 0

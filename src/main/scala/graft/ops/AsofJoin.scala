@@ -25,6 +25,11 @@ import org.apache.spark.sql.expressions.Window
   * full original schema, right payloads arrive null when no match exists
   * (left-outer semantics).
   *
+  * NULL keys follow SQL equality-join semantics: a right row with a NULL in
+  * any key column matches NOTHING and is dropped before the union (window
+  * `partitionBy` would otherwise group NULL keys together and hand NULL-key
+  * left rows "matches"); NULL-key left rows still come back, payload null.
+  *
   * Reference behavior: ctrl-gee/airline-data-warehouse's point lookups are
   * exact-key only (§2.2 P7); the temporal form extends the join tier
   * (SURVEY §2.3) the way DuckDB's ASOF JOIN extends SQL — which is exactly
@@ -61,7 +66,9 @@ object AsofJoin {
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           rightPayload.map(c => right.schema(c)))).as("__r")): _*)
-    val r = right.select(
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__t"), lit(rSide).as("__side"),
         col(rightTiebreak).as("__tie"),

@@ -706,47 +706,19 @@ object Dedup {
     * is the smallest doc id in the component (deterministic canonical
     * choice; the survivor a first-wins policy keeps).
     *
-    * Min-label propagation iterated to FIXPOINT (driver-checked convergence,
-    * each round one join + one min-aggregation, labels are id-only pairs):
-    * rounds needed = component diameter, and near-dup components are
-    * shallow by construction (a chain longer than a few hops means the
-    * threshold is too loose, not that the algorithm should cope silently) —
-    * `maxIterations` fails loudly instead of looping forever on a
-    * pathological graph. Each round's labels are `localCheckpoint`ed so
-    * lineage stays flat across iterations. */
+    * The min-label fixpoint loop itself is the public
+    * [[Graph.connectedComponents]] (one join + one min-aggregation per
+    * round, per-round `localCheckpoint`, driver-checked convergence, loud
+    * `maxIterations` bound — a chain longer than a few hops means the
+    * threshold is too loose, not that the algorithm should cope silently);
+    * this wrapper pins the doc-id contract: long ids, `(id, cluster)`
+    * output. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                      maxIterations: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIterations) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("__nc")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
-      // The old label rides through the update projection, so convergence is
-      // read off the SAME frame the update join produced (a filter over the
-      // eagerly-materialized checkpoint blocks) — one join and one job per
-      // round, not a second labels-join + isEmpty job re-shuffling the edge
-      // set. Rounds needed = component diameter, unchanged.
-      val updated = labels
-        .join(nbrMin.select(col("src").as("id"), col("__nmin")), Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__old"),
-          least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("cluster") =!= col("__old")).isEmpty
-      labels = updated.select(col("id"), col("cluster"))
-      it += 1
-    }
-    require(converged,
-      s"nearDupClusters: no fixpoint after $maxIterations rounds — component diameter exceeds the bound (threshold too loose?)")
-    labels
-  }
+                      maxIterations: Int = 50): DataFrame =
+    Graph.connectedComponents(
+      pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+      maxIterations = maxIterations)
+      .select(col("node").as("id"), col("component").as("cluster"))
 
   /** Jaccard of two precomputed distinct-shingle arrays. */
   def jaccardSets(sa: Column, sb: Column): Column = {

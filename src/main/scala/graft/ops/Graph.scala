@@ -40,10 +40,12 @@ import org.apache.spark.storage.StorageLevel
   * adjacency list is ever collected.
   *
   * == Overflow contract ==
-  * All math stays inside signed 64 bits iff `dampDen · n · maxW · scale <
-  * 2^63` (worst case: the whole corpus mass on one node crossing its
-  * heaviest edge). The builder computes `n` and `maxW` once and fails
-  * LOUDLY if the caller's `scale` breaks the bound — at web scale
+  * All math stays inside signed 64 bits iff BOTH `dampDen · n · maxW ·
+  * scale < 2^63` (contrib side — the whole corpus mass on one node crossing
+  * its heaviest edge) AND `dampNum · (n+1) · scale < 2^63` (update side —
+  * the pre-division intermediate `dampNum·(c + share)`; it dominates only
+  * on tiny graphs, n ≤ 5 with unit weights). The builder computes `n` and
+  * `maxW` once and fails LOUDLY if the caller's `scale` breaks either bound — at web scale
   * (n ~ 10^9 hosts) pass `scale = 10^6`, which still separates ranks far
   * below any curation threshold's resolution.
   */
@@ -55,12 +57,27 @@ object Graph {
     *
     * Self-loops participate like any edge (a node may feed its own rank);
     * parallel edges should be pre-aggregated by the caller (they are
-    * otherwise independent mass channels, which is also well-defined). */
+    * otherwise independent mass channels, which is also well-defined).
+    *
+    * `tolerance = Some(t)` adds an early-stop: after each round the L1 rank
+    * delta `Σ|rank′ − rank|` — EXACTLY computable because ranks are
+    * integers — is folded to one scalar (an extra 1-row agg over the
+    * already-checkpointed round result; the per-round convergence read
+    * [[connectedComponents]] also pays), and iteration stops once
+    * `delta <= t`. `iterations` then BOUNDS the rounds instead of
+    * prescribing them, so 100×-scale callers neither over-iterate a
+    * converged graph nor under-iterate a slow-mixing one. `Some(0)` stops
+    * at the exact integer fixpoint (delta 0 ⇒ every later round is a
+    * no-op, so the result equals any larger fixed iteration count —
+    * test-pinned). `None` (default) keeps the fixed-iteration contract —
+    * bit-identical rounds, no extra jobs. */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                weightCol: String = null, iterations: Int = 5,
                dampNum: Long = 85, dampDen: Long = 100,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               tolerance: Option[Long] = None): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(tolerance.forall(_ >= 0), "pageRank: tolerance must be >= 0")
     require(dampNum > 0 && dampNum < dampDen,
       s"pageRank: damping $dampNum/$dampDen must be in (0, 1)")
     val w = Option(weightCol).map(col).getOrElse(lit(1L)).cast("long")
@@ -80,6 +97,13 @@ object Graph {
     require(BigInt(dampDen) * BigInt(n) * BigInt(maxW) * BigInt(scale) < BigInt(Long.MaxValue),
       s"pageRank: dampDen*n*maxW*scale = ${BigInt(dampDen) * BigInt(n) * BigInt(maxW) * BigInt(scale)} " +
         s"overflows 64-bit rank math - lower `scale` (n=$n, maxW=$maxW)")
+    // the UPDATE intermediate dampNum*(c + share) is bounded by
+    // dampNum*(n+1)*scale (c <= total mass n*scale, share <= scale) — for
+    // tiny graphs (n <= 5, maxW = 1) this exceeds the contrib-side bound
+    // above, so it needs its own guard
+    require(BigInt(dampNum) * BigInt(n + 1) * BigInt(scale) < BigInt(Long.MaxValue),
+      s"pageRank: dampNum*(n+1)*scale = ${BigInt(dampNum) * BigInt(n + 1) * BigInt(scale)} " +
+        s"overflows the 64-bit update intermediate - lower `scale` (n=$n)")
 
     // out-weight pre-joined ONCE; this frame is the per-iteration probe side
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
@@ -91,7 +115,8 @@ object Graph {
     val base = (dampDen - dampNum) * scale / dampDen
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
     var it = 0
-    while (it < iterations) {
+    var converged = false
+    while (it < iterations && !converged) {
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank * w DIV out_w").as("c"))
@@ -99,19 +124,79 @@ object Graph {
       // dangling mass: nodes with no out-edges (left anti on the src set)
       val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dsum"))
-      val updated = nodes
+      // ranks (not nodes) feeds the update so the old rank rides along as
+      // __old — the tolerance check then reads the checkpointed round
+      // result instead of paying a second join against the previous frame
+      val updated = ranks.withColumnRenamed("rank", "__old")
         .join(contrib, Seq("node"), "left")
         .crossJoin(dangling)
-        .select(col("node"),
+        .select(col("node"), col("__old"),
           (lit(base) + expr(
             s"$dampNum * (coalesce(c, 0L) + __dsum DIV $n) DIV $dampDen"))
             .as("rank"))
         .localCheckpoint(true)
-      ranks = updated
+      tolerance.foreach { t =>
+        val delta = updated
+          .agg(coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
+          .collect().head.getLong(0)
+        converged = delta <= t
+      }
+      ranks = updated.select(col("node"), col("rank"))
       it += 1
     }
     ew.unpersist()
     nodes.unpersist()
     ranks
+  }
+
+  /** Connected components over an undirected edge list — the second graph
+    * primitive crawl curation asks for after rank (mirror clusters, link
+    * farms, co-citation groups), and the public form of the min-label loop
+    * [[Dedup.nearDupClusters]] has always run on long doc ids. Nodes are
+    * every distinct endpoint (either direction; NULL endpoints dropped —
+    * SQL join semantics, as [[AsofJoin]]); output is `(node, component)`
+    * with `component` = the component's MINIMUM node under the node type's
+    * ordering (works for any orderable key — string hosts included).
+    *
+    * == Algorithm / 100 TB shape ==
+    * Label propagation to a fixpoint: every node starts as its own label;
+    * each round each node takes the min of its label and its neighbors'
+    * labels. Per round: ONE join of the label table into the checkpointed
+    * symmetric edge list + a map-side-combining min agg + a left join back —
+    * no adjacency list is ever collected, per-node state is one label.
+    * Convergence is read off the SAME checkpointed frame the round produced
+    * (a filter over checkpoint blocks, not a second shuffle). Rounds needed
+    * = max component diameter; the `maxIterations` bound fails LOUDLY
+    * rather than returning half-merged components. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIterations: Int = 50): DataFrame = {
+    require(maxIterations >= 1, "connectedComponents: maxIterations must be >= 1")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("component").as("__nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
+      val updated = labels
+        .join(nbrMin.select(col("src").as("node"), col("__nmin")), Seq("node"), "left")
+        .select(col("node"), col("component").as("__old"),
+          least(col("component"), coalesce(col("__nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("component") =!= col("__old")).isEmpty
+      labels = updated.select(col("node"), col("component"))
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIterations rounds — component diameter exceeds the bound")
+    labels
   }
 }

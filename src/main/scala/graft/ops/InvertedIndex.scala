@@ -55,23 +55,35 @@ object InvertedIndex {
     out
   }
 
+  /** Probe the queried terms' index rows ONCE: filter to `terms`, keep
+    * `(term, postings)`, and `localCheckpoint` the ≤ `terms.size`-row
+    * result so the loud-contract validation collect AND the query itself
+    * read the same materialized probe — one index scan per call, not two.
+    * Enforces the shared loud contract: unknown terms and df-capped terms
+    * (NULL postings) throw. */
+  private def probeTerms(index: DataFrame, terms: Seq[String], op: String): DataFrame = {
+    val sub = index.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("postings"))
+      .localCheckpoint(true)
+    val hit = sub.select(col("term"), col("postings").isNotNull.as("stored")).collect()
+    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val missing = terms.filterNot(found.contains)
+    require(missing.isEmpty, s"$op: terms not in the index: ${missing.mkString(", ")}")
+    val capped = terms.filter(t => !found(t))
+    require(capped.isEmpty,
+      s"$op: df-capped terms have no stored postings: ${capped.mkString(", ")}")
+    sub
+  }
+
   /** Conjunctive search: ids of documents holding EVERY term. Loud
     * contract: unknown terms and df-capped terms (NULL postings) throw —
     * a capped term's list was deliberately not stored, and silently
-    * dropping it from the conjunction would return a superset. The check
-    * collects only the queried terms' index rows (≤ `terms.size` rows). */
+    * dropping it from the conjunction would return a superset. The queried
+    * terms' index rows are collected once (≤ `terms.size` rows). */
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll: terms must be non-empty")
     val norm = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim).distinct
-    val hit = index.filter(col("term").isin(norm: _*))
-      .select(col("term"), col("postings").isNotNull.as("stored")).collect()
-    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    val missing = norm.filterNot(found.contains)
-    require(missing.isEmpty, s"searchAll: terms not in the index: ${missing.mkString(", ")}")
-    val capped = norm.filter(t => !found(t))
-    require(capped.isEmpty,
-      s"searchAll: df-capped terms have no stored postings: ${capped.mkString(", ")}")
-    index.filter(col("term").isin(norm: _*))
+    probeTerms(index, norm, "searchAll")
       .select(explode(col("postings")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") === norm.size)
@@ -126,17 +138,9 @@ object InvertedIndex {
     val norm = phrase.map(_.toLowerCase(java.util.Locale.ROOT).trim)
     require(norm.forall(_.nonEmpty), "phraseSearch: empty term in phrase")
     val distinctTerms = norm.distinct
-    val hit = index.filter(col("term").isin(distinctTerms: _*))
-      .select(col("term"), col("postings").isNotNull.as("stored")).collect()
-    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    val missing = distinctTerms.filterNot(found.contains)
-    require(missing.isEmpty, s"phraseSearch: terms not in the index: ${missing.mkString(", ")}")
-    val capped = distinctTerms.filter(t => !found(t))
-    require(capped.isEmpty,
-      s"phraseSearch: df-capped terms have no stored postings: ${capped.mkString(", ")}")
+    val sub = probeTerms(index, distinctTerms, "phraseSearch")
     val slots = broadcast(norm.zipWithIndex.toDF("term", "qidx"))
-    index.filter(col("term").isin(distinctTerms: _*))
-      .join(slots, Seq("term"))
+    sub.join(slots, Seq("term"))
       .select(col("qidx"), explode(col("postings")).as("p"))
       .select(col("qidx"), col("p.id").as("id"), explode(col("p.pos")).as("pos"))
       .select(col("qidx"), col("id"), (col("pos") - col("qidx")).as("base"))
@@ -160,15 +164,8 @@ object InvertedIndex {
     val norm = Seq(termA, termB).map(_.toLowerCase(java.util.Locale.ROOT).trim)
     require(norm.forall(_.nonEmpty), "nearSearch: empty term")
     require(norm.head != norm.last, "nearSearch: terms must differ")
-    val hit = index.filter(col("term").isin(norm: _*))
-      .select(col("term"), col("postings").isNotNull.as("stored")).collect()
-    val found = hit.map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    val missing = norm.filterNot(found.contains)
-    require(missing.isEmpty, s"nearSearch: terms not in the index: ${missing.mkString(", ")}")
-    val capped = norm.filter(t => !found(t))
-    require(capped.isEmpty,
-      s"nearSearch: df-capped terms have no stored postings: ${capped.mkString(", ")}")
-    def side(t: String, a: String) = index.filter(col("term") === t)
+    val sub = probeTerms(index, norm, "nearSearch")
+    def side(t: String, a: String) = sub.filter(col("term") === t)
       .select(explode(col("postings")).as("p"))
       .select(col("p.id").as("id"), col("p.pos").as(a))
     // row-local cross of the two position lists, |pa|×|pb| ints per doc —

@@ -91,4 +91,82 @@ class GraphSpec extends SparkSpec {
       iterations = 3, scale = 1000000L)
     assert(got === want)
   }
+
+  test("pageRank refuses a scale whose UPDATE intermediate overflows on a tiny graph") {
+    // n = 2, maxW = 1: the contrib-side bound dampDen*n*maxW*scale < 2^63
+    // admits scale = 4.6e16, but dampNum*(n+1)*scale = 85*3*4.6e16 > 2^63 —
+    // the ADVICE r11 gap; the update-side guard must catch it
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+    val scale = 46116860184273879L // dampDen*n*maxW*scale = 100*2*1*scale < 2^63
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("src", "dst", "w"), weightCol = "w",
+        iterations = 1, scale = scale)
+    }
+    assert(e.getMessage.contains("update intermediate"))
+  }
+
+  test("pageRank tolerance early-stop equals the fixed-iteration result") {
+    val edges = Seq(
+      ("a", "d", 1L), ("b", "a", 2L), ("c", "a", 5L),
+      ("c", "b", 1L), ("d", "a", 1L), ("d", "c", 3L))
+    // 40 fixed rounds is far past this graph's integer fixpoint; Some(0)
+    // stops at delta == 0, after which every round is a no-op — equality
+    // is guaranteed by construction IF the early stop is sound
+    val fixed = run(edges, iterations = 40, scale = 1000000L)
+    val early = Graph.pageRank(edges.toDF("src", "dst", "w"), weightCol = "w",
+        iterations = 40, scale = 1000000L, tolerance = Some(0L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(early === fixed)
+  }
+
+  test("pageRank tolerance actually stops early (job count on a fixpoint-in-one-round graph)") {
+    // symmetric unweighted 3-cycle: contrib(v) = scale exactly, so
+    // base + 85*scale/100 = scale — delta hits 0 after round 1
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("b", "a"), ("c", "b"), ("a", "c"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 60,
+          scale = 1000000L, tolerance = Some(0L))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+      Thread.sleep(500) // let the async listener bus drain
+      // ~10 setup/round-1/round-2 jobs if the stop fires; 60 rounds x 3+
+      // jobs if it doesn't — anything under 40 proves the early exit
+      assert(jobs < 40, s"expected an early stop, saw $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("connectedComponents labels chains, handles string nodes, drops NULL endpoints") {
+    // chain h1-h2-h3-h4 (diameter 3), pair (m1, m2), NULL-endpoint edge
+    val edges = Seq(
+      (Some("h2"), Some("h1")), (Some("h2"), Some("h3")), (Some("h3"), Some("h4")),
+      (Some("m2"), Some("m1")), (Some("x1"), None))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("h1", "h2", "h3", "h4").forall(got(_) === "h1"))
+    assert(got("m1") === "m1" && got("m2") === "m1")
+    // the NULL-keyed edge contributes nothing — x1 never enters the graph
+    assert(!got.contains("x1"))
+  }
+
+  test("connectedComponents: lexicographic min label and loud non-convergence bound") {
+    // "d10" < "d2" under binary collation — the label is the LEXICOGRAPHIC min
+    val edges = Seq(("d2", "d10"), ("d10", "d9")).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.values.toSet === Set("d10"))
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(
+        Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst"),
+        maxIterations = 1)
+    }
+  }
 }

@@ -2517,6 +2517,23 @@ class OpsSpec extends SparkSpec {
       Seq(null, "r15", null, null))
   }
 
+  test("asofJoin: NULL join keys never match (SQL equality semantics, ADVICE r11)") {
+    import graft.ops.AsofJoin
+    val left = Seq(
+      (Some(1L), 10L, "k1"), (None, 10L, "knull")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Some(1L), 5L, 100L, "r1"), (None, 5L, 101L, "rnull")
+    ).toDF("k", "t", "rid", "rv")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        rightPayload = Seq("rv"), rightTiebreak = "rid")
+      .orderBy("lv").collect()
+      .map(r => r.getString(2) -> Option(r.getString(3)).orNull).toMap
+    // keyed left row matches its keyed right; the NULL-key left row comes
+    // back (left-outer) but must NOT receive the NULL-key right's payload
+    assert(got === Map("k1" -> "r1", "knull" -> null))
+  }
+
   test("bm25TopK: multi-term docs outrank single-term, rarity boosts idf, decimal ties break by id") {
     import graft.ops.Ranking
     val d = Seq(
