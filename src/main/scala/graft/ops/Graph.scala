@@ -71,6 +71,14 @@ object Graph {
     * no-op, so the result equals any larger fixed iteration count —
     * test-pinned). `None` (default) keeps the fixed-iteration contract —
     * bit-identical rounds, no extra jobs. */
+  /** PLANS.md audit hook: the per-iteration plans of [[pageRank]] /
+    * [[connectedComponents]] vanish behind their eager `localCheckpoint`
+    * (Explain sees only the final checkpoint scan), so with
+    * `GRAFT_EXPLAIN_ITER=1` each loop prints round 1's PRE-checkpoint
+    * formatted plan — the shape every later round repeats. */
+  private def explainIter(frame: DataFrame, it: Int): Unit =
+    if (it == 0 && sys.env.contains("GRAFT_EXPLAIN_ITER")) frame.explain("formatted")
+
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                weightCol: String = null, iterations: Int = 5,
                dampNum: Long = 85, dampDen: Long = 100,
@@ -105,9 +113,17 @@ object Graph {
       s"pageRank: dampNum*(n+1)*scale = ${BigInt(dampNum) * BigInt(n + 1) * BigInt(scale)} " +
         s"overflows the 64-bit update intermediate - lower `scale` (n=$n)")
 
-    // out-weight pre-joined ONCE; this frame is the per-iteration probe side
+    // out-weight pre-joined ONCE; this frame is the per-iteration probe
+    // side. Explicitly repartitioned on `src` BEFORE the persist: the
+    // cached plan then carries hashpartitioning(src), so every round's
+    // rank join reuses it and ONLY the node-sized rank table moves — the
+    // edge table never re-shuffles across iterations (a localCheckpoint
+    // would erase the partitioning metadata; persist keeps it, and the
+    // static edge frame has no lineage growth to cut)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val ew = e.join(outW, Seq("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(outW, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count() // materialize before iterating (cut the re-read of `edges`)
     // the dangling check probes the PERSISTED edge frame, not the input
     val srcs = ew.select(col("src")).distinct()
@@ -127,14 +143,15 @@ object Graph {
       // ranks (not nodes) feeds the update so the old rank rides along as
       // __old — the tolerance check then reads the checkpointed round
       // result instead of paying a second join against the previous frame
-      val updated = ranks.withColumnRenamed("rank", "__old")
+      val round = ranks.withColumnRenamed("rank", "__old")
         .join(contrib, Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"), col("__old"),
           (lit(base) + expr(
             s"$dampNum * (coalesce(c, 0L) + __dsum DIV $n) DIV $dampDen"))
             .as("rank"))
-        .localCheckpoint(true)
+      explainIter(round, it)
+      val updated = round.localCheckpoint(true)
       tolerance.foreach { t =>
         val delta = updated
           .agg(coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
@@ -161,9 +178,11 @@ object Graph {
     * == Algorithm / 100 TB shape ==
     * Label propagation to a fixpoint: every node starts as its own label;
     * each round each node takes the min of its label and its neighbors'
-    * labels. Per round: ONE join of the label table into the checkpointed
-    * symmetric edge list + a map-side-combining min agg + a left join back —
-    * no adjacency list is ever collected, per-node state is one label.
+    * labels. Per round: ONE join of the label table into the persisted,
+    * dst-partitioned symmetric edge list (the edge table never re-shuffles
+    * — only node-sized labels move) + a map-side-combining min agg + a left
+    * join back — no adjacency list is ever collected, per-node state is one
+    * label.
     * Convergence is read off the SAME checkpointed frame the round produced
     * (a filter over checkpoint blocks, not a second shuffle). Rounds needed
     * = max component diameter; the `maxIterations` bound fails LOUDLY
@@ -172,11 +191,17 @@ object Graph {
                           dstCol: String = "dst",
                           maxIterations: Int = 50): DataFrame = {
     require(maxIterations >= 1, "connectedComponents: maxIterations must be >= 1")
+    // symmetrized, deduped, then PINNED to hashpartitioning(dst) under a
+    // persist (not a checkpoint, which erases partitioning metadata): the
+    // per-round label join keys on dst, so the corpus-sized edge table
+    // stays in place across every round and only node-sized labels shuffle
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count() // materialize once; rounds reuse the cached partitioning
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)
@@ -186,15 +211,17 @@ object Graph {
       val nbrMin = sym
         .join(labels.select(col("node").as("dst"), col("component").as("__nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
-      val updated = labels
+      val round = labels
         .join(nbrMin.select(col("src").as("node"), col("__nmin")), Seq("node"), "left")
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component"))).as("component"))
-        .localCheckpoint(true)
+      explainIter(round, it)
+      val updated = round.localCheckpoint(true)
       converged = updated.filter(col("component") =!= col("__old")).isEmpty
       labels = updated.select(col("node"), col("component"))
       it += 1
     }
+    sym.unpersist()
     require(converged,
       s"connectedComponents: no fixpoint after $maxIterations rounds — component diameter exceeds the bound")
     labels
