@@ -32,6 +32,10 @@ import graft.ops.Curation
   *                            this column, with:
   * blockedDomains=a.com,b.org   ...blocked registered domains (suffix match)
   * urlPatterns=casino,gambl     ...banned URL regex patterns
+  * hostRanks=<ranks.parquet>  host-rank floor (needs urlCol): a (host, rank)
+  *                            parquet table — e.g. Graph.pageRank over the
+  *                            crawl's host graph, node renamed to host — with:
+  * hostRankMin=850000000000   ...drop docs whose host ranks below this
   * docLineDedup=true          intra-document line dedup
   * spanDedup=true             substring-level span excision
   * spanMinDf=10               ...its hot-run document-frequency floor
@@ -88,7 +92,8 @@ object Curate {
                     classifierPos: Option[String] = None,
                     classifierNeg: Option[String] = None,
                     embeddings: Option[String] = None,
-                    perplexityTarget: Option[String] = None)
+                    perplexityTarget: Option[String] = None,
+                    hostRanks: Option[String] = None)
 
   /** Parse the optional `key=value` overrides into a Config (exposed for the
     * spec). Unknown keys fail loudly — a typo must not silently run the
@@ -116,6 +121,8 @@ object Curate {
         case "urlCol"           => c.copy(urlCol = Some(v))
         case "blockedDomains"   => c.copy(blockedDomains = v.split(",").toSeq.filter(_.nonEmpty))
         case "urlPatterns"      => c.copy(urlPatterns = v.split(",").toSeq.filter(_.nonEmpty))
+        case "hostRanks"        => inputs = inputs.copy(hostRanks = Some(v)); c
+        case "hostRankMin"      => c.copy(hostRankMin = Some(v.toLong))
         case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
         case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
         case "spanMinDf"        => c.copy(spanMinDf = v.toInt)
@@ -155,6 +162,8 @@ object Curate {
       "graft.Curate: classifierPos and classifierNeg must be passed together")
     require(inputs.perplexityTarget.isDefined == cfg.perplexityMaxCe.isDefined,
       "graft.Curate: perplexityTarget and perplexityMaxCe must be passed together")
+    require(inputs.hostRanks.isDefined == cfg.hostRankMin.isDefined,
+      "graft.Curate: hostRanks and hostRankMin must be passed together")
     (cfg, inputs)
   }
 
@@ -194,10 +203,12 @@ object Curate {
     val embeddings = inputs.embeddings.map(p => spark.read.parquet(p))
     val perplexityTarget =
       inputs.perplexityTarget.map(p => DocumentSources.readJsonl(spark, p)._1)
+    val hostRanks = inputs.hostRanks.map(p => spark.read.parquet(p))
 
     val result = Curation.curate(clean, benchmark, config,
       dsirTarget = dsirTarget, classifierSeeds = classifierSeeds,
-      embeddings = embeddings, perplexityTarget = perplexityTarget)
+      embeddings = embeddings, perplexityTarget = perplexityTarget,
+      hostRanks = hostRanks)
 
     DocumentSources.writeJsonl(result.corpus, s"$outDir/curated")
     DocumentSources.writeJsonl(dirty, s"$outDir/rejects")

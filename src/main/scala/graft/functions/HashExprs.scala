@@ -1147,8 +1147,42 @@ object HashExprs {
     private[HashExprs] def modelFor(vocab: IndexedSeq[String],
                                     merges: IndexedSeq[(String, String)]): Model = {
       val key = (vocab, merges)
-      if (models.size >= MaxCachedModels && !models.containsKey(key)) models.clear()
+      // single-entry eviction, not clear() — the trieFor rationale
+      if (models.size >= MaxCachedModels && !models.containsKey(key)) {
+        val it = models.keySet.iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       models.computeIfAbsent(key, k => new Model(k._1, k._2))
+    }
+
+    /** GPT-2's pretokenizer (Radford et al. 2019, the published
+      * `encoder.py` regex): contractions, optionally-space-prefixed
+      * letter/digit/symbol runs, and whitespace runs split so that all but
+      * the last whitespace char of an inter-word run glues forward onto the
+      * next pretoken. `UNICODE_CHARACTER_CLASS` makes Java's `\s`/`\w`
+      * match Python's unicode semantics. */
+    private[HashExprs] val Pretokenizer: java.util.regex.Pattern =
+      java.util.regex.Pattern.compile(
+        "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+        java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+    /** GPT-2's `bytes_to_unicode` table: the 188 printable latin-1 bytes
+      * (33–126, 161–172, 174–255) map to themselves; the remaining 68 map
+      * to `U+0100 + k` in ascending byte order — space (0x20) → 'Ġ'
+      * (U+0120), newline (0x0A) → 'Ċ' (U+010A). Every byte has an image,
+      * so byte-level mode has NO unknown characters — only symbols missing
+      * from the vocab after merges map to `unkId`. */
+    private[HashExprs] val ByteEncoder: Array[Char] = {
+      val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+      val arr = new Array[Char](256)
+      var extra = 0
+      var b = 0
+      while (b < 256) {
+        if (printable(b)) arr(b) = b.toChar
+        else { arr(b) = (256 + extra).toChar; extra += 1 }
+        b += 1
+      }
+      arr
     }
   }
 
@@ -1162,9 +1196,24 @@ object HashExprs {
     * legitimately segment differently (vocab {a,b,c,ab,bc} with the single
     * merge (b,c): merge-rank gives [a, bc] where greedy gives [ab, c]),
     * and budgets/packing quoted in a SPECIFIC tokenizer's tokens need the
-    * merge-rank answer. Caveats shared with the greedy form: no byte-level
-    * fallback (unknown chars are one UNK each) and no word-boundary-marker
-    * handling (strip "Ġ"/"##" from vocab + merges first).
+    * merge-rank answer. Caveats in the default whitespace mode: no
+    * byte-level fallback (unknown chars are one UNK each) and no
+    * word-boundary-marker handling (strip "Ġ"/"##" from vocab + merges
+    * first).
+    *
+    * == Byte-level mode (`byteLevel = true`) ==
+    * The GPT-2 front end (Radford et al. 2019, the published encoder):
+    * text splits on the GPT-2 pretoken regex (contractions,
+    * space-prefixed letter/digit/symbol runs, whitespace runs — whitespace
+    * IS tokenized), each pretoken's UTF-8 bytes map through
+    * `bytes_to_unicode` (space → 'Ġ'), and the merge loop runs within each
+    * pretoken. A production GPT-2/cl100k-family vocab + merges table
+    * therefore applies VERBATIM — 'Ġ' markers are the encoding, not
+    * something to strip — and no character is unknown (every byte has an
+    * image; only post-merge symbols absent from the vocab yield `unkId`).
+    * The two modes legitimately segment differently: whitespace mode sees
+    * the word "cat's" whole, byte-level pretokenizes it as ["cat", "'s"] —
+    * fixture-pinned in HashExprsSpec.
     *
     * Model data (vocab + ranked merges) is constructor data riding the task
     * binary, with a compact `V=…/M=…` plan string; per-word cost is
@@ -1173,14 +1222,16 @@ object HashExprs {
     * rank-priority rewrite has no DuckDB form), so correctness is pinned by
     * fixture tests rather than the oracle — the L53 contract. */
   case class BpeMergeTokenizeIds(child: Expression, vocab: IndexedSeq[String],
-                                 merges: IndexedSeq[(String, String)], unkId: Int)
+                                 merges: IndexedSeq[(String, String)], unkId: Int,
+                                 byteLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "bpe_merge_tokenize_ids"
 
     override def flatArguments: Iterator[Any] =
-      Iterator(child, s"V=${vocab.length}", s"M=${merges.length}", unkId)
+      Iterator(child, s"V=${vocab.length}", s"M=${merges.length}", unkId,
+        if (byteLevel) "byte" else "ws")
     override def stringArgs: Iterator[Any] = flatArguments
 
     @transient private lazy val model: BpeMerge.Model = BpeMerge.modelFor(vocab, merges)
@@ -1230,15 +1281,30 @@ object HashExprs {
     override protected def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       val out = new scala.collection.mutable.ArrayBuffer[Int]()
-      var i = 0
-      val n = s.length
-      while (i < n) {
-        if (Character.isWhitespace(s.charAt(i))) i += 1
-        else {
-          var k = i
-          while (k < n && !Character.isWhitespace(s.charAt(k))) k += 1
-          bpeWord(s.substring(i, k), out)
-          i = k
+      if (byteLevel) {
+        val m = BpeMerge.Pretokenizer.matcher(s)
+        while (m.find()) {
+          val bytes = m.group()
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val sb = new java.lang.StringBuilder(bytes.length)
+          var bi = 0
+          while (bi < bytes.length) {
+            sb.append(BpeMerge.ByteEncoder(bytes(bi) & 0xFF))
+            bi += 1
+          }
+          bpeWord(sb.toString, out)
+        }
+      } else {
+        var i = 0
+        val n = s.length
+        while (i < n) {
+          if (Character.isWhitespace(s.charAt(i))) i += 1
+          else {
+            var k = i
+            while (k < n && !Character.isWhitespace(s.charAt(k))) k += 1
+            bpeWord(s.substring(i, k), out)
+            i = k
+          }
         }
       }
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
@@ -1345,10 +1411,11 @@ object HashExprs {
   }
 
   def bpeMergeTokenizeIds(text: Column, vocab: Seq[String],
-                          merges: Seq[(String, String)], unkId: Int = -1): Column = {
+                          merges: Seq[(String, String)], unkId: Int = -1,
+                          byteLevel: Boolean = false): Column = {
     requireVocab(vocab, "bpeMergeTokenizeIds")
     ColumnBridge.column(BpeMergeTokenizeIds(ColumnBridge.expression(text),
-      vocab.toIndexedSeq, merges.toIndexedSeq, unkId))
+      vocab.toIndexedSeq, merges.toIndexedSeq, unkId, byteLevel))
   }
 
   /** PRECONDITION (oracle parity): [[CharEntropy]] counts UTF-16 code UNITS

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   *
   *   0. URL/domain blocklist filtering ([[UrlFilter.applyFilter]], opt-in;
   *      the only stage that never reads the text at all, so it runs first)
+  *   0b. host-rank floor ([[Graph.pageRank]] as a quality prior, opt-in:
+  *      a `(host, rank)` table — typically PageRank over the crawl's host
+  *      graph — joined on the document's host; documents whose host is
+  *      RANKED below `hostRankMin` drop, unranked hosts pass (fail-open:
+  *      the link-graph prior demotes known-poor hosts, absence of evidence
+  *      is not evidence). Also metadata-only, so it runs with stage 0,
+  *      before any text is read)
   *   1. C4 line-level rule cleaning ([[QualityGates.applyLineRules]],
   *      opt-in; boilerplate/short/unterminated lines are cut IN PLACE and
   *      "lorem ipsum"/curly-brace pages dropped whole)
@@ -147,6 +154,9 @@ object Curation {
     *    selection of the k best target-matching documents
     *    (`dsirTemperature = None` → argmax top-k; `Some(t)` → Gumbel
     *    resampling at temperature t);
+    *  - `hostRankMin = Some(r)` + a `hostRanks` frame on [[curate]]
+    *    (columns `host`, `rank` — [[Graph.pageRank]] output renamed)
+    *    enables the host-rank floor (needs `urlCol`);
     *  - `tokenBudgets` (or `tokenBudgetDefault > 0` alone, a global
     *    budget) enables per-stratum token-budget sampling;
     *  - `upsampleFactors`/`upsampleDefault != 1.0` enables fractional-epoch
@@ -163,6 +173,7 @@ object Curation {
       urlCol: Option[String] = None,
       blockedDomains: Seq[String] = Nil,
       urlPatterns: Seq[String] = Nil,
+      hostRankMin: Option[Long] = None,
       gates: Boolean = true,
       lineRules: Boolean = false,
       lineRuleMinWords: Int = 5,
@@ -255,9 +266,13 @@ object Curation {
              dsirTarget: Option[DataFrame] = None,
              classifierSeeds: Option[(DataFrame, DataFrame)] = None,
              embeddings: Option[DataFrame] = None,
-             perplexityTarget: Option[DataFrame] = None): Result = {
+             perplexityTarget: Option[DataFrame] = None,
+             hostRanks: Option[DataFrame] = None): Result = {
     require(config.dsirKeep.isEmpty || dsirTarget.isDefined,
       "curate: config.dsirKeep is set but no dsirTarget was passed")
+    require(config.hostRankMin.isEmpty ||
+        (hostRanks.isDefined && config.urlCol.isDefined),
+      "curate: config.hostRankMin needs both a hostRanks frame and config.urlCol")
     require(config.perplexityMaxCe.isEmpty || perplexityTarget.isDefined,
       "curate: config.perplexityMaxCe is set but no perplexityTarget was passed")
     require(config.clusterCap.isEmpty || embeddings.isDefined,
@@ -285,6 +300,22 @@ object Curation {
       // all (the C4 ordering — kill blocked sources before touching bytes)
       UrlFilter.applyFilter(d, config.urlCol.get, config.blockedDomains,
         config.urlPatterns)
+    }
+    step("host_rank", config.hostRankMin.isDefined) { d =>
+      // the crawl-quality ensemble's link-graph prior (L96 PageRank over
+      // the host graph, or any (host, rank) table): metadata-only like the
+      // URL filter, so it runs before any text is read. Documents whose
+      // host IS ranked below the floor drop; unranked hosts pass
+      // (fail-open — the prior demotes known-poor hosts, absence is not
+      // evidence). The rank side is host-count-sized and un-hinted (AQE
+      // broadcasts it when small — the q51 label-join reasoning).
+      val ranks = hostRanks.get
+        .select(col("host").as("__rank_host"), col("rank").as("__host_rank"))
+      d.withColumn("__host", UrlFilter.host(col(config.urlCol.get)))
+        .join(ranks, col("__host") === col("__rank_host"), "left")
+        .filter(col("__host_rank").isNull ||
+          col("__host_rank") >= config.hostRankMin.get)
+        .drop("__host", "__rank_host", "__host_rank")
     }
     step("line_rules", config.lineRules) { d =>
       QualityGates.applyLineRules(d, textCol, config.lineRuleMinWords,

@@ -47,16 +47,25 @@ object TextAnalysis {
     * too: budgets/packing quoted in a specific tokenizer's tokens get that
     * tokenizer's segmentation, not a longest-match approximation. See
     * [[graft.functions.HashExprs.BpeMergeTokenizeIds]] for the divergence
-    * example and caveats (no byte fallback, strip boundary markers). */
+    * example and caveats (no byte fallback, strip boundary markers).
+    *
+    * `byteLevel = true` turns on the GPT-2 byte-level front end (pretoken
+    * regex + `bytes_to_unicode` remap): a shipped GPT-2/cl100k-family
+    * vocab + merges table then applies VERBATIM ('Ġ' markers included,
+    * whitespace tokenized, no unknown characters) — the opt-in for
+    * production tokenizer parity. */
   def bpeMergeTokenizeIds(text: Column, vocab: Seq[String],
-                          merges: Seq[(String, String)], unkId: Int = -1): Column =
-    graft.functions.HashExprs.bpeMergeTokenizeIds(text, vocab, merges, unkId)
+                          merges: Seq[(String, String)], unkId: Int = -1,
+                          byteLevel: Boolean = false): Column =
+    graft.functions.HashExprs.bpeMergeTokenizeIds(text, vocab, merges, unkId,
+      byteLevel)
 
   /** Token COUNT under merge-rank BPE — `size` of [[bpeMergeTokenizeIds]]
     * (one expression reference; `size` is a codegen'd builtin). */
   def bpeMergeTokenCount(text: Column, vocab: Seq[String],
-                         merges: Seq[(String, String)]): Column =
-    size(bpeMergeTokenizeIds(text, vocab, merges))
+                         merges: Seq[(String, String)],
+                         byteLevel: Boolean = false): Column =
+    size(bpeMergeTokenizeIds(text, vocab, merges, byteLevel = byteLevel))
 
   /** Punctuation count over a fixed class (engine-portable). */
   def punctCount(text: Column): Column =

@@ -104,7 +104,8 @@ class DocumentSourcesSpec extends SparkSpec {
       "classifierPos=/p.jsonl", "classifierNeg=/n.jsonl", "classifierBias=0.5",
       "classifierNgrams=2", "embeddings=/e.parquet", "clusterCap=9",
       "clusterNumCentroids=8", "badWords=foo,,bar", "maxBadTokens=2",
-      "perplexityTarget=/w.jsonl", "perplexityMaxCe=6.5"))
+      "perplexityTarget=/w.jsonl", "perplexityMaxCe=6.5",
+      "hostRanks=/r.parquet", "hostRankMin=900000"))
     assert(cfg.docLineDedup && cfg.spanDedup && cfg.spanMinDf === 5)
     assert(cfg.nearDupThreshold === None && cfg.dsirKeep === Some(7))
     assert(cfg.dsirTemperature === Some(0.5) && inputs.dsirTarget === Some("/t.jsonl"))
@@ -121,6 +122,8 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(cfg.badWords === Seq("foo", "bar") && cfg.maxBadTokens === 2)
     assert(inputs.perplexityTarget === Some("/w.jsonl"))
     assert(cfg.perplexityMaxCe === Some(6.5))
+    assert(inputs.hostRanks === Some("/r.parquet"))
+    assert(cfg.hostRankMin === Some(900000L))
     // url keys parse, and stray-comma empties are DROPPED (an empty regex
     // would match every URL)
     val (uCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
@@ -142,6 +145,13 @@ class DocumentSourcesSpec extends SparkSpec {
     // classifier seeds must come as a pair
     intercept[IllegalArgumentException] {
       Curate.parseConfig(Curation.Config(), Seq("classifierPos=/p.jsonl"))
+    }
+    // the host-rank floor and its rank table must come as a pair
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("hostRankMin=5"))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.parseConfig(Curation.Config(), Seq("hostRanks=/r.parquet"))
     }
     // the perplexity target and threshold must come as a pair too
     intercept[IllegalArgumentException] {

@@ -322,6 +322,46 @@ class HashExprsSpec extends SparkSpec {
     }
   }
 
+  test("BpeMergeTokenizeIds byteLevel: GPT-2 pretokenizer + bytes_to_unicode, hand-computed") {
+    // GPT-2-style vocab: 'Ġ' (U+0120) IS the encoded space — applies
+    // verbatim, no marker stripping. Pretokens of "the cat's hat!" are
+    // ["the", " cat", "'s", " hat", "!"] (contraction split, leading
+    // space glued onto the following word)
+    val vocab = Seq("the", "Ġcat", "'s", "Ġhat", "!")
+    val merges = Seq(
+      ("t", "h"), ("th", "e"),                    // the
+      ("Ġ", "c"), ("a", "t"), ("Ġc", "at"), // Ġcat
+      ("Ġ", "h"), ("Ġh", "at"),         // Ġhat
+      ("'", "s"))                                 // 's
+    def ids(s: String, v: Seq[String] = vocab,
+            m: Seq[(String, String)] = merges): List[Int] =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.bpeMergeTokenizeIds(col("text"), v, m,
+          byteLevel = true).as("i"))
+        .collect().head.getSeq[Int](0).toList
+    assert(ids("the cat's hat!") === List(0, 1, 2, 3, 4))
+    // the SAME text in whitespace mode segments differently ("cat's" is
+    // one word there) — the documented two-mode divergence
+    val ws = Seq("the cat's hat!").toDF("text")
+      .select(TextAnalysis.bpeMergeTokenizeIds(col("text"), vocab, merges).as("i"))
+      .collect().head.getSeq[Int](0).toList
+    assert(ws === List(0, -1, -1, 2, -1, -1, 4)) // the | c at 's | h at !
+    // non-ASCII goes through UTF-8 bytes: "é" = 0xC3 0xA9 → "Ã©"
+    // (printable bytes map to themselves) — mergeable, NEVER unknown
+    assert(ids("é", v = Seq("Ã©"),
+      m = Seq(("Ã", "©"))) === List(0))
+    // whitespace runs tokenize (GPT-2 semantics): "a  b" pretokenizes as
+    // ["a", " ", " b"] — all but the last inter-word space split off
+    assert(ids("a  b", v = Seq("a", "Ġ", "Ġb"),
+      m = Seq(("Ġ", "b"))) === List(0, 1, 2))
+    // byte-level count form agrees with size-of-ids
+    val cnt = Seq("the cat's hat!").toDF("text")
+      .select(TextAnalysis.bpeMergeTokenCount(col("text"), vocab, merges,
+        byteLevel = true).as("n"))
+      .collect().head.getInt(0)
+    assert(cnt === 5)
+  }
+
   test("bpe token budgets: tokenBudgetSample and packGreedy count in vocab units when asked") {
     import graft.ops.{Packing, Sampling}
     val vocab = Seq("aa", "bb", "aabb")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classifier, Curation, Dedup, Importance, Lexicon, Multimodal, QualityGates, Sampling, Similarity, Sketches, SpanDedup, TextAnalysis}
+import graft.ops.{Classifier, Curation, Dedup, Graph, Importance, Lexicon, Multimodal, QualityGates, Sampling, Similarity, Sketches, SpanDedup, TextAnalysis}
 
 /** Semantic unit tests for the training-data-pipeline operators on corpora
   * small enough to verify by hand (the DuckDB oracle covers them at scale —
@@ -1698,6 +1698,46 @@ class OpsSpec extends SparkSpec {
     assert(audit === Seq(("url_filter", 3L, 1L)))
     assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(r.corpus.columns.toSeq === Seq("doc_id", "text", "source", "url"))
+  }
+
+  test("curation: host-rank floor drops ranked-low hosts, passes unranked (fail-open), ends up in the audit") {
+    val corpus = Seq(
+      (1L, "s", "text one", "https://high.org/a"),   // ranked above the floor
+      (2L, "s", "text two", "https://low.net/b"),    // ranked BELOW -> drops
+      (3L, "s", "text three", "https://new.io/c"),   // unranked -> passes
+      (4L, "s", "text four", "https://spam.bad.com/d") // url filter takes it first
+    ).toDF("doc_id", "text", "source", "url")
+    // rank table as Graph.pageRank would hand it over (node -> host rename);
+    // bad.com's high rank must not matter — the blocklist stage ran first
+    val ranks = Graph.pageRank(
+        Seq(("high.org", "low.net"), ("low.net", "high.org"),
+          ("high.org", "spam.bad.com"), ("spam.bad.com", "high.org"))
+          .toDF("src", "dst"),
+        iterations = 3, scale = 1000000L)
+      .withColumnRenamed("node", "host")
+    val floor = 900000L // high.org (2 in-edges) clears it; low.net does not
+    val got = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("high.org") >= floor && got("low.net") < floor)
+    val r = Curation.curate(corpus,
+      config = Curation.Config(
+        urlCol = Some("url"), blockedDomains = Seq("bad.com"),
+        hostRankMin = Some(floor),
+        gates = false, lineDedup = false, exactDedup = false,
+        nearDupThreshold = None),
+      hostRanks = Some(ranks))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit === Seq(("url_filter", 4L, 3L), ("host_rank", 3L, 2L)))
+    assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    assert(r.corpus.columns.toSeq === Seq("doc_id", "text", "source", "url"))
+    // misconfiguration refuses loudly: the floor without a rank table / urlCol
+    intercept[IllegalArgumentException] {
+      Curation.curate(corpus, config = Curation.Config(
+        urlCol = Some("url"), hostRankMin = Some(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.curate(corpus, config = Curation.Config(hostRankMin = Some(1L)),
+        hostRanks = Some(ranks))
+    }
   }
 
   test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {
