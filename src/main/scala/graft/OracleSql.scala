@@ -784,6 +784,67 @@ object OracleSql {
     lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id)
     SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY cluster"""
 
+  /** Seeded (personalized) PageRank over the symmetrized trade graph,
+    * teleporting only to customer nodes — q111. The q109 recurrence with
+    * the teleport terms concentrated on the seeds:
+    * seedBase = ((15·n·scale) // 100) // s from the (n, s) counts CTE,
+    * the same two-floor order as the Scala driver computation. Symmetric
+    * graph ⇒ dangling share exactly 0 — omitted, as in q109. */
+  private val q111 = {
+    val scale = 1000000000L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+      SELECT nodes.node,
+        CAST(CASE WHEN nodes.node LIKE 'c%'
+               THEN ((15 * cnts.n * $scale) // 100) // cnts.s ELSE 0 END
+          + (85 * COALESCE(sm.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes CROSS JOIN cnts
+      LEFT JOIN (
+        SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.out_w) AS c
+        FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY ew.dst) sm
+        ON sm.node = nodes.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst, COUNT(*) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+    edges AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0),
+    ow AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w,
+             CAST(o.out_w AS BIGINT) AS out_w
+           FROM edges e JOIN ow o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    cnts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS s
+             FROM nodes),
+    r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+    $iters
+    SELECT node, rank FROM r5"""
+  }
+
+  /** Per-node degrees over the two-layer directed trade graph — q112. */
+  private val q112 = """
+    WITH cs AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst, COUNT(*) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+    sp AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst, COUNT(*) AS w
+      FROM lineitem GROUP BY 1, 2),
+    e AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM cs
+          UNION ALL SELECT src, dst, CAST(w AS BIGINT) AS w FROM sp),
+    o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od,
+            CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY src),
+    i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS id,
+            CAST(SUM(w) AS BIGINT) AS iw FROM e GROUP BY dst)
+    SELECT COALESCE(o.node, i.node) AS node,
+      COALESCE(o.od, 0) AS out_deg, COALESCE(i.id, 0) AS in_deg,
+      COALESCE(o.ow, 0) AS out_w, COALESCE(i.iw, 0) AS in_w
+    FROM o FULL OUTER JOIN i ON o.node = i.node"""
+
   /** Connected components over the q31 verified-pair graph with STRING
     * nodes ('d' || doc_id) — q110. Exact transitive closure by recursive
     * CTE; component = lexicographic minimum member (binary collation in
@@ -2449,6 +2510,8 @@ object OracleSql {
     "q107_snapshot_diff"    -> q107,
     "q108_near_search"      -> q108,
     "q109_pagerank"         -> q109,
-    "q110_connected_components" -> q110
+    "q110_connected_components" -> q110,
+    "q111_personalized_pagerank" -> q111,
+    "q112_degrees"          -> q112
   ).map { case (k, v) => k -> clean(v) }
 }

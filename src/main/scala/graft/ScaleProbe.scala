@@ -518,6 +518,21 @@ object ScaleProbe {
           .agg(coalesce(sum(col("rank")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("personalized_pagerank", n) {
+        // q111 shape: pageRank's loop with the seed flag riding the
+        // checkpointed rank table (one extra boolean) — expect the
+        // pagerank row's profile
+        val nn = n / 10
+        val edg = spark.range(n).toDF("eid")
+          .select(pmod(xxhash64(col("eid")), lit(nn)).as("src"),
+            pmod(xxhash64(col("eid"), lit(1)), lit(nn)).as("dst"),
+            (pmod(xxhash64(col("eid"), lit(2)), lit(5)) + 1).as("w"))
+        val seeds = spark.range(nn / 10).toDF("node") // 10% of nodes seeded
+        graft.ops.Graph.personalizedPageRank(edg, seeds, weightCol = "w",
+            iterations = 3, scale = 1000000L)
+          .agg(coalesce(sum(col("rank")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("connected_components", n) {
         // q110 shape: disjoint 8-node chains (diameter 7 ⇒ a FIXED ~8 label
         // rounds at any n) — per round ONE label join into the checkpointed

@@ -1366,17 +1366,52 @@ object SparkEntry {
     * 0 on both engines). Integer fixed-point rank units — bit-identical
     * across engines by construction. `scale = 1e9` clears the overflow
     * guard at every tested sf (n ≈ 16.5k nodes at sf0.1). */
-  private def q109PageRank(s: SparkSession, dir: String): DataFrame = {
-    val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+  /** Directed customer→supplier trade edges (weight = line items
+    * exchanged) — the shared base of the q109/q111/q112 graph tier. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .agg(count(lit(1)).as("w"))
+
+  private def q109PageRank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(s, dir)
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     graft.ops.Graph.pageRank(edges, weightCol = "w", iterations = 5,
       scale = 1000000000L)
+  }
+
+  /** Seeded (personalized) PageRank ([[graft.ops.Graph.personalizedPageRank]])
+    * over the same symmetrized trade graph, teleporting ONLY to the
+    * customer nodes — proximity-to-customers rank, the TrustRank shape.
+    * Scale-invariant seed rule (`node LIKE 'c%'`); symmetric graph ⇒ the
+    * dangling share term is exactly 0 on both engines. Oracle = the seeded
+    * recurrence unrolled as chained CTEs with the (n, s) counts CTE. */
+  private def q111PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(s, dir)
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = edges.select(col("src").as("node"))
+      .filter(col("node").startsWith("c")).distinct()
+    graft.ops.Graph.personalizedPageRank(edges, seeds, weightCol = "w",
+      iterations = 5, scale = 1000000000L)
+  }
+
+  /** Per-node degree/strength report ([[graft.ops.Graph.degrees]]) over
+    * the two-layer DIRECTED trade graph (customer→supplier plus
+    * supplier→part): customers are pure sources, parts pure sinks, and
+    * suppliers carry all four non-zero columns — the zero-fill and both
+    * directions all exercised. */
+  private def q112Degrees(s: SparkSession, dir: String): DataFrame = {
+    val cs = tradeEdges(s, dir)
+    val sp = t(s, dir, "lineitem")
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.degrees(cs.unionByName(sp), weightCol = "w")
   }
 
   /** Connected components ([[graft.ops.Graph.connectedComponents]]) over
@@ -1504,7 +1539,9 @@ object SparkEntry {
     "q107_snapshot_diff"    -> q107SnapshotDiff _,
     "q108_near_search"      -> q108NearSearch _,
     "q109_pagerank"         -> q109PageRank _,
-    "q110_connected_components" -> q110ConnectedComponents _
+    "q110_connected_components" -> q110ConnectedComponents _,
+    "q111_personalized_pagerank" -> q111PersonalizedPagerank _,
+    "q112_degrees"          -> q112Degrees _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

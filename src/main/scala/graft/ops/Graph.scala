@@ -51,6 +51,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** PLANS.md audit hook: the per-iteration plans of [[pageRank]] /
+    * [[connectedComponents]] vanish behind their eager `localCheckpoint`
+    * (Explain sees only the final checkpoint scan), so with
+    * `GRAFT_EXPLAIN_ITER=1` each loop prints round 1's PRE-checkpoint
+    * formatted plan — the shape every later round repeats. */
+  private def explainIter(frame: DataFrame, it: Int): Unit =
+    if (it == 0 && sys.env.contains("GRAFT_EXPLAIN_ITER")) frame.explain("formatted")
+
   /** Weighted PageRank. `edges` needs `srcCol`/`dstCol` (+ `weightCol`,
     * else weight 1); vertices = every node appearing as src or dst.
     * Returns `(node, rank)` — rank in `scale`-denominated integer units.
@@ -71,14 +79,6 @@ object Graph {
     * no-op, so the result equals any larger fixed iteration count —
     * test-pinned). `None` (default) keeps the fixed-iteration contract —
     * bit-identical rounds, no extra jobs. */
-  /** PLANS.md audit hook: the per-iteration plans of [[pageRank]] /
-    * [[connectedComponents]] vanish behind their eager `localCheckpoint`
-    * (Explain sees only the final checkpoint scan), so with
-    * `GRAFT_EXPLAIN_ITER=1` each loop prints round 1's PRE-checkpoint
-    * formatted plan — the shape every later round repeats. */
-  private def explainIter(frame: DataFrame, it: Int): Unit =
-    if (it == 0 && sys.env.contains("GRAFT_EXPLAIN_ITER")) frame.explain("formatted")
-
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                weightCol: String = null, iterations: Int = 5,
                dampNum: Long = 85, dampDen: Long = 100,
@@ -178,6 +178,143 @@ object Graph {
     ew.unpersist()
     nodes.unpersist()
     ranks
+  }
+
+  /** Seeded ("personalized") PageRank — the TrustRank-shaped quality prior
+    * (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004; Haveliwala, WWW 2002):
+    * teleport mass flows ONLY to `seeds`, so rank measures proximity to a
+    * trusted set instead of global centrality — the standard spam-demotion
+    * signal (seed with known-good hosts; link farms that global PageRank
+    * rewards collapse, because their internal mass finds no teleport
+    * re-entry). Same integer fixed-point discipline as [[pageRank]], with
+    * the teleport terms concentrated on the `s` seed nodes:
+    *
+    *   contrib(u→v) = (rank(u) · w(u,v)) DIV out_w(u)
+    *   share        = dangling_sum DIV s            (teleports to seeds)
+    *   seedBase     = ((dampDen−dampNum)·n·scale DIV dampDen) DIV s
+    *   rank'(v)     = [v∈seeds]·seedBase
+    *                  + dampNum·(c(v) + [v∈seeds]·share) DIV dampDen
+    *
+    * Every node still starts at `scale` (total mass n·scale, conserved up
+    * to deterministic floor loss); rounds concentrate it onto the
+    * seed-reachable subgraph, and nodes unreachable from the seed set
+    * decay toward 0 — the number a curation floor compares against.
+    *
+    * Plan shape per iteration is [[pageRank]]'s exactly (the seed flag
+    * rides INSIDE the checkpointed rank table as one boolean — no extra
+    * per-round join); seeds not present in the graph are ignored, and an
+    * empty intersection refuses loudly. Overflow guards extend the
+    * pageRank pair: the update intermediate is bounded by
+    * `dampNum·2n·scale` (contrib ≤ n·scale mass plus a dangling share ≤
+    * n·scale DIV s each round). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           weightCol: String = null, seedCol: String = "node",
+                           iterations: Int = 5,
+                           dampNum: Long = 85, dampDen: Long = 100,
+                           scale: Long = 1000000000000L,
+                           tolerance: Option[Long] = None): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
+    require(tolerance.forall(_ >= 0), "personalizedPageRank: tolerance must be >= 0")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"personalizedPageRank: damping $dampNum/$dampDen must be in (0, 1)")
+    val w = Option(weightCol).map(col).getOrElse(lit(1L)).cast("long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // node set with the seed flag attached ONCE; the flag then rides the
+    // checkpointed rank table through every round
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("__seed", lit(true))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val Array(cRow) = nodes.agg(count(lit(1)),
+      sum(when(col("__seed"), 1L).otherwise(0L))).collect()
+    val n = cRow.getLong(0)
+    val s = cRow.getLong(1)
+    require(n > 0, "personalizedPageRank: empty graph")
+    require(s > 0, "personalizedPageRank: no seed appears in the graph")
+    val maxW = e.agg(max(col("w"))).collect().head.getLong(0)
+    require(maxW > 0, "personalizedPageRank: edge weights must be positive")
+    require(BigInt(dampDen) * BigInt(n) * BigInt(maxW) * BigInt(scale) < BigInt(Long.MaxValue),
+      s"personalizedPageRank: dampDen*n*maxW*scale overflows 64-bit rank math " +
+        s"- lower `scale` (n=$n, maxW=$maxW)")
+    // update intermediate: c <= n*scale total mass, dangling share <= n*scale DIV s
+    require(BigInt(dampNum) * 2 * BigInt(n) * BigInt(scale) < BigInt(Long.MaxValue),
+      s"personalizedPageRank: dampNum*2n*scale overflows the update intermediate " +
+        s"- lower `scale` (n=$n)")
+
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val ew = e.join(outW, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ew.count()
+    e.unpersist()
+    val srcs = ew.select(col("src")).distinct()
+    val danglingFree = srcs.count() == n
+
+    val seedBase = (dampDen - dampNum) * n * scale / dampDen / s
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      val rk = ranks.select(col("node"), col("rank"))
+      val contrib = ew.join(rk, ew("src") === rk("node"))
+        .select(col("dst").as("node"),
+          expr("rank * w DIV out_w").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("c"))
+      val joined = ranks.withColumnRenamed("rank", "__old")
+        .join(contrib, Seq("node"), "left")
+      val round = (if (danglingFree) joined.withColumn("__dsum", lit(0L))
+        else joined.crossJoin(
+          ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__dsum"))))
+        .select(col("node"), col("__seed"), col("__old"),
+          (when(col("__seed"), lit(seedBase)).otherwise(lit(0L)) + expr(
+            s"$dampNum * (coalesce(c, 0L) + " +
+              s"CASE WHEN __seed THEN __dsum DIV $s ELSE 0L END) DIV $dampDen"))
+            .as("rank"))
+      explainIter(round, it)
+      val updated = round.localCheckpoint(true)
+      tolerance.foreach { t =>
+        val delta = updated
+          .agg(coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
+          .collect().head.getLong(0)
+        converged = delta <= t
+      }
+      ranks = updated.select(col("node"), col("__seed"), col("rank"))
+      it += 1
+    }
+    ew.unpersist()
+    nodes.unpersist()
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** Per-node degree/strength report: `(node, out_deg, in_deg, out_w,
+    * in_w)` — the shape diagnostic run BEFORE rank/components (a 10^7-
+    * degree host is a skew candidate for [[Skew]]'s salting, a zero-out-
+    * degree count sizes the dangling term, and degree distributions are
+    * the first link-farm tell). One map-side-combined agg per direction
+    * over the edge list, merged with a full-outer join on the node key —
+    * group count = node count, never edge count. Missing sides read 0. */
+  def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+              weightCol: String = null): DataFrame = {
+    val w = Option(weightCol).map(col).getOrElse(lit(1L)).cast("long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+    val out = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__od"), sum(col("w")).as("__ow"))
+    val in = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("__id"), sum(col("w")).as("__iw"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("__od"), lit(0L)).as("out_deg"),
+        coalesce(col("__id"), lit(0L)).as("in_deg"),
+        coalesce(col("__ow"), lit(0L)).as("out_w"),
+        coalesce(col("__iw"), lit(0L)).as("in_w"))
   }
 
   /** Connected components over an undirected edge list — the second graph

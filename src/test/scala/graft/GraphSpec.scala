@@ -143,6 +143,78 @@ class GraphSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Independent reference for the SEEDED recurrence (scaladoc formulas
+    * verbatim, plain driver-side maps). */
+  private def refPpr(edges: Seq[(String, String, Long)], seeds: Set[String],
+                     iterations: Int, scale: Long, dampNum: Long = 85,
+                     dampDen: Long = 100): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val sInGraph = nodes.filter(seeds).toSet
+    val s = sInGraph.size.toLong
+    val outW = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val seedBase = (dampDen - dampNum) * n * scale / dampDen / s
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (u, _, w) => rank(u) * w / outW(u) }.sum }
+      val dangling = nodes.filterNot(outW.contains).map(rank).sum
+      val share = dangling / s
+      rank = nodes.map(v => v -> (
+        (if (sInGraph(v)) seedBase else 0L) +
+          dampNum * (contrib.getOrElse(v, 0L) +
+            (if (sInGraph(v)) share else 0L)) / dampDen)).toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank matches the independent seeded reference; seeds dominate") {
+    val edges = Seq(
+      ("hub", "a", 1L), ("a", "hub", 1L), ("hub", "b", 1L), ("b", "hub", 1L),
+      ("b", "far", 1L), ("far", "b", 1L),
+      ("isle1", "isle2", 1L), ("isle2", "isle1", 1L)) // unreachable from seeds
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        Seq("hub").toDF("node"), weightCol = "w", iterations = 8,
+        scale = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refPpr(edges, Set("hub"), iterations = 8, scale = 1000000L)
+    assert(got === want)
+    // teleport flows only to the seed: it outranks everything, and the
+    // island pair (no path from the seed set) decays far below the
+    // seed-reachable nodes — the spam-demotion property
+    assert(got("hub") > got("a") && got("hub") > got("b"))
+    assert(got("isle1") < got("far") && got("isle2") < got("far"))
+    // dangling mass teleports to the seeds, not uniformly: a sink graph
+    val sink = Seq(("s1", "drain", 1L), ("s2", "drain", 1L))
+    val g2 = Graph.personalizedPageRank(sink.toDF("src", "dst", "w"),
+        Seq("s1").toDF("node"), weightCol = "w", iterations = 4,
+        scale = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 === refPpr(sink, Set("s1"), iterations = 4, scale = 1000000L))
+    assert(g2("s1") > g2("s2")) // only the seed receives the drain's mass back
+    // seeds absent from the graph refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        Seq("nowhere").toDF("node"), weightCol = "w")
+    }
+    assert(e.getMessage.contains("no seed"))
+  }
+
+  test("degrees: per-direction counts and strengths, zero-filled, node-sized output") {
+    val edges = Seq(
+      ("a", "b", 2L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 5L))
+    val got = Graph.degrees(edges.toDF("src", "dst", "w"), weightCol = "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((2L, 1L, 5L, 5L))) // out: b,c (w 2+3); in: c (w 5)
+    assert(got("b") === ((1L, 1L, 1L, 2L)))
+    assert(got("c") === ((1L, 2L, 5L, 4L)))
+    // unweighted form counts each edge as 1
+    val u = Graph.degrees(edges.map(e => (e._1, e._2)).toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(u("a") === ((2L, 1L)))
+  }
+
   test("connectedComponents labels chains, handles string nodes, drops NULL endpoints") {
     // chain h1-h2-h3-h4 (diameter 3), pair (m1, m2), NULL-endpoint edge
     val edges = Seq(
