@@ -2512,6 +2512,10 @@ object OracleSql {
     "q109_pagerank"         -> q109,
     "q110_connected_components" -> q110,
     "q111_personalized_pagerank" -> q111,
-    "q112_degrees"          -> q112
+    "q112_degrees"          -> q112,
+    // incremental fold equals from-scratch recomputation by the star-graph
+    // equivalence — q110's transitive closure is the oracle VERBATIM (the
+    // q81-reuses-q35 pattern)
+    "q113_incremental_components" -> q110
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -377,4 +377,26 @@ object Graph {
       s"connectedComponents: no fixpoint after $maxIterations rounds — component diameter exceeds the bound")
     labels
   }
+
+  /** Incremental connected components: fold a NEW batch of edges into an
+    * existing `(node, component)` labeling — the continuous-ingest
+    * companion of [[connectedComponents]], as [[Dedup.incrementalNearDups]]
+    * is for the band index. A prior labeling is EQUIVALENT to its star
+    * graph (every node edged to its component id — the component id IS the
+    * component's minimum member, so self-pairs keep singletons alive), and
+    * components of (star ∪ batch) equal components of (full old graph ∪
+    * batch) with identical min labels — so the result matches a from-
+    * scratch recomputation exactly (q113's oracle is q110's SQL verbatim),
+    * while the loop's per-round work is node-sized + batch-sized instead
+    * of history-edge-sized, and rounds follow the BATCH's merge-chain
+    * depth (old components are diameter-≤2 stars). */
+  def incrementalComponents(newEdges: DataFrame, labels: DataFrame,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            nodeCol: String = "node",
+                            componentCol: String = "component",
+                            maxIterations: Int = 50): DataFrame = {
+    val star = labels.select(col(nodeCol).as("src"), col(componentCol).as("dst"))
+    val batch = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    connectedComponents(star.unionByName(batch), maxIterations = maxIterations)
+  }
 }

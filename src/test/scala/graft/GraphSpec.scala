@@ -229,6 +229,23 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains("x1"))
   }
 
+  test("incrementalComponents: batch folds into prior labels and equals full recomputation") {
+    val history = Seq(("a", "b"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val labels = Graph.connectedComponents(history)
+    // the batch bridges two old components (b-c), extends one (y-z), and
+    // brings a brand-new pair (p, q); old singleton component (x,y) keeps
+    // its members via the star self-pairs
+    val batch = Seq(("b", "c"), ("y", "z"), ("p", "q")).toDF("src", "dst")
+    val inc = Graph.incrementalComponents(batch, labels)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = Graph.connectedComponents(history.unionByName(batch))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc === full)
+    assert(Seq("a", "b", "c", "d").forall(inc(_) === "a")) // merged across the bridge
+    assert(Seq("x", "y", "z").forall(inc(_) === "x"))
+    assert(inc("p") === "p" && inc("q") === "p")
+  }
+
   test("connectedComponents: lexicographic min label and loud non-convergence bound") {
     // "d10" < "d2" under binary collation — the label is the LEXICOGRAPHIC min
     val edges = Seq(("d2", "d10"), ("d10", "d9")).toDF("src", "dst")
