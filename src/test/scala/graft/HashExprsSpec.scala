@@ -360,6 +360,18 @@ class HashExprsSpec extends SparkSpec {
         byteLevel = true).as("n"))
       .collect().head.getInt(0)
     assert(cnt === 5)
+    // end-to-end: the byte-level tokenizer plugs into packSequences like
+    // any other — "the cat's hat!" is 5 ids/doc, so 4 docs cut into 5
+    // exact seqLen-4 training rows
+    val docs = (0L until 4L).map(i => (i, "s", "the cat's hat!"))
+      .toDF("doc_id", "source", "text")
+    val packed = graft.ops.Packing.packSequences(docs, seqLen = 4,
+        tokenize = c => TextAnalysis.bpeMergeTokenizeIds(c, vocab, merges,
+          byteLevel = true))
+      .collect().map(r => r.getAs[Long]("seq_id") -> r.getSeq[Int](2).toList).toMap
+    assert(packed.values.flatten.size === 20)
+    assert(packed(0L) === List(0, 1, 2, 3)) // doc 0's first four ids
+    assert(packed(1L) === List(4, 0, 1, 2)) // doc 0's "!" + doc 1 continues
   }
 
   test("bpe token budgets: tokenBudgetSample and packGreedy count in vocab units when asked") {
