@@ -2516,6 +2516,9 @@ object OracleSql {
     // incremental fold equals from-scratch recomputation by the star-graph
     // equivalence — q110's transitive closure is the oracle VERBATIM (the
     // q81-reuses-q35 pattern)
-    "q113_incremental_components" -> q110
+    "q113_incremental_components" -> q110,
+    // persisted-index probe returns the same layout-independent phrase
+    // answer as the in-query-build form — q105's oracle verbatim
+    "q114_phrase_search_indexed" -> q105
   ).map { case (k, v) => k -> clean(v) }
 }

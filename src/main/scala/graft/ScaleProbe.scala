@@ -444,6 +444,21 @@ object ScaleProbe {
         graft.ops.InvertedIndex.buildPositionalPostings(d, maxDf = 10000)
           .agg(coalesce(sum(col("df")), lit(0L))).collect().head.getLong(0)
       }
+      // q114 shape: phrase probe against a PERSISTED positional index —
+      // build outside the timer (the ivf_index_probe pattern); cost is the
+      // two queried terms' index rows (∝ their df), never the corpus scan
+      if (only.forall(_.exists("phrase_probe".startsWith))) {
+        val posPath = s"$outDir/posidx_$n"
+        // head tokens reach df ≈ 0.2n here — size the cap to the corpus,
+        // the pinned q105 lesson (the default cap would refuse loudly)
+        graft.ops.InvertedIndex.buildPositionalPostings(d,
+            maxDf = n.toInt)
+          .write.mode("overwrite").parquet(posPath)
+        timed("phrase_probe", n) {
+          graft.ops.InvertedIndex.phraseSearch(
+            spark.read.parquet(posPath), Seq("w1", "w2")).count()
+        }
+      }
       timed("scd2", n) {
         // q102 shape: ONE key shuffle, two same-partitioning windows with
         // O(1) state — fold version counts so both windows evaluate

@@ -1453,6 +1453,23 @@ object SparkEntry {
       graft.ops.Graph.connectedComponents(history))
   }
 
+  /** Phrase search over a PERSISTED positional index — the production
+    * probe pattern (q81's persisted-IVF precedent): the index is written
+    * to parquet once and the query probes the read-back table, so query
+    * cost is |phrase| index rows against stored postings, not an in-query
+    * index build (q105's wall-time is ~all build; a real caller amortizes
+    * that across every query). Same layout-independent answer ⇒ oracle =
+    * q105's SQL verbatim. */
+  private def q114PhraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q114_pos_index"
+    graft.ops.InvertedIndex.buildPositionalPostings(
+        t(s, dir, "documents"), maxDf = 1000000)
+      .write.mode("overwrite").parquet(path)
+    graft.ops.InvertedIndex.phraseSearch(s.read.parquet(path),
+        Seq("table", "value"))
+      .select(col("id").as("doc_id"), col("n_matches"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1566,7 +1583,8 @@ object SparkEntry {
     "q110_connected_components" -> q110ConnectedComponents _,
     "q111_personalized_pagerank" -> q111PersonalizedPagerank _,
     "q112_degrees"          -> q112Degrees _,
-    "q113_incremental_components" -> q113IncrementalComponents _
+    "q113_incremental_components" -> q113IncrementalComponents _,
+    "q114_phrase_search_indexed" -> q114PhraseSearchIndexed _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
