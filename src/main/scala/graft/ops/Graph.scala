@@ -300,14 +300,17 @@ object Graph {
     * degree count sizes the dangling term, and degree distributions are
     * the first link-farm tell). One map-side-combined agg per direction
     * over the edge list, merged with a full-outer join on the node key —
-    * group count = node count, never edge count. Missing sides read 0. */
+    * group count = node count, never edge count. Missing sides read 0.
+    * NULL endpoints are dropped per side ([[connectedComponents]] /
+    * [[AsofJoin]] semantics — a half-NULL edge still counts for its
+    * non-NULL side, but no NULL node row is ever reported). */
   def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
               weightCol: String = null): DataFrame = {
     val w = Option(weightCol).map(col).getOrElse(lit(1L)).cast("long")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
-    val out = e.groupBy(col("src").as("node"))
+    val out = e.filter(col("src").isNotNull).groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__od"), sum(col("w")).as("__ow"))
-    val in = e.groupBy(col("dst").as("node"))
+    val in = e.filter(col("dst").isNotNull).groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("__id"), sum(col("w")).as("__iw"))
     out.join(in, Seq("node"), "full_outer")
       .select(col("node"),

@@ -213,6 +213,13 @@ class GraphSpec extends SparkSpec {
     val u = Graph.degrees(edges.map(e => (e._1, e._2)).toDF("src", "dst"))
       .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
     assert(u("a") === ((2L, 1L)))
+    // NULL endpoints: no NULL node row; the non-NULL side still counts
+    val withNull = Seq((Some("a"), Some("b")), (Some("a"), None), (None, Some("b")))
+      .toDF("src", "dst")
+    val nd = Graph.degrees(withNull)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nd.keySet === Set("a", "b"))
+    assert(nd("a") === ((2L, 0L)) && nd("b") === ((0L, 2L)))
   }
 
   test("connectedComponents labels chains, handles string nodes, drops NULL endpoints") {
