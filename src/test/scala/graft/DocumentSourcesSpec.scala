@@ -93,6 +93,37 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$outDir/stages/stage_0").exists)
   }
 
+  test("graft.Curate end-to-end with hostRanks: the CLI's rank floor drops ranked-low hosts") {
+    import spark.implicits._
+    val base = tmpDir("graft_curate_hostrank")
+    val corpusDir = s"$base/corpus"; val ranksPath = s"$base/ranks.parquet"
+    val outDir = s"$base/out"
+    Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val t1 = s"the and ${words("alpha", 58)}"
+    val t2 = s"the and ${words("beta", 58)}"
+    val t3 = s"the and ${words("gamma", 58)}"
+    Files.write(java.nio.file.Paths.get(corpusDir, "c.jsonl"), Seq(
+      s"""{"doc_id":1,"source":"web","text":"$t1","url":"https://high.org/a"}""",
+      s"""{"doc_id":2,"source":"web","text":"$t2","url":"https://low.net/b"}""",
+      s"""{"doc_id":3,"source":"web","text":"$t3","url":"https://new.io/c"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    Seq(("high.org", 900000L), ("low.net", 10000L)).toDF("host", "rank")
+      .write.parquet(ranksPath)
+
+    Curate.main(Array(corpusDir, "none", outDir,
+      "urlCol=url", s"hostRanks=$ranksPath", "hostRankMin=500000"))
+
+    val (curated, _) = DocumentSources.readJsonl(spark, s"$outDir/curated")
+    // ranked-high passes, ranked-low drops, unranked passes fail-open
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 3L))
+    val audit = spark.read.json(s"$outDir/audit")
+      .select("stage", "n_in", "n_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit.contains(("host_rank", 3L, 2L)))
+  }
+
   test("graft.Curate options: key=value args reach the full stage set") {
     import graft.ops.Curation
     val (cfg, inputs) = Curate.parseConfig(Curation.Config(), Seq(
