@@ -845,6 +845,19 @@ object OracleSql {
       COALESCE(o.ow, 0) AS out_w, COALESCE(i.iw, 0) AS in_w
     FROM o FULL OUTER JOIN i ON o.node = i.node"""
 
+  /** Unicode NFC normalization — q115. Every row carries a synthesized
+    * NFD suffix (combining acute, chr(769) = U+0301), so DuckDB's
+    * `nfc_normalize` must recompose to the same UTF-8 bytes Java's
+    * Normalizer produces — compared through md5. */
+  private val q115 = """
+    WITH raw AS (SELECT doc_id,
+        coalesce(text, '') || ' cafe' || chr(769) AS r
+      FROM documents)
+    SELECT doc_id,
+      nfc_normalize(r) <> r AS changed,
+      md5(nfc_normalize(r)) AS norm_md5
+    FROM raw"""
+
   /** Connected components over the q31 verified-pair graph with STRING
     * nodes ('d' || doc_id) — q110. Exact transitive closure by recursive
     * CTE; component = lexicographic minimum member (binary collation in
@@ -2519,6 +2532,7 @@ object OracleSql {
     "q113_incremental_components" -> q110,
     // persisted-index probe returns the same layout-independent phrase
     // answer as the in-query-build form — q105's oracle verbatim
-    "q114_phrase_search_indexed" -> q105
+    "q114_phrase_search_indexed" -> q105,
+    "q115_unicode_normalize" -> q115
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1470,6 +1470,19 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_matches"))
   }
 
+  /** Unicode NFC normalization ([[graft.ops.TextAnalysis.unicodeNormalize]]):
+    * each document gets a synthesized NFD suffix (" cafe" + combining
+    * acute U+0301) so normalization REALLY recomposes on every row — the
+    * oracle (DuckDB `nfc_normalize`) must produce the identical UTF-8
+    * bytes, checked through md5. The ASCII corpus body passes through
+    * unchanged (NFC idempotence on ASCII). */
+  private def q115UnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(coalesce(col("text"), lit("")), lit(" cafe\u0301"))
+    t(s, dir, "documents").select(col("doc_id"),
+      (graft.ops.TextAnalysis.unicodeNormalize(raw) =!= raw).as("changed"),
+      md5(graft.ops.TextAnalysis.unicodeNormalize(raw)).as("norm_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1584,7 +1597,8 @@ object SparkEntry {
     "q111_personalized_pagerank" -> q111PersonalizedPagerank _,
     "q112_degrees"          -> q112Degrees _,
     "q113_incremental_components" -> q113IncrementalComponents _,
-    "q114_phrase_search_indexed" -> q114PhraseSearchIndexed _
+    "q114_phrase_search_indexed" -> q114PhraseSearchIndexed _,
+    "q115_unicode_normalize" -> q115UnicodeNormalize _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

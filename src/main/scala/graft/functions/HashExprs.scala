@@ -1405,6 +1405,33 @@ object HashExprs {
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 
+  /** Unicode normalization (JDK `java.text.Normalizer`, forms NFC/NFD/
+    * NFKC/NFKD) — the multilingual-dedup preprocessor: NFD-form "café"
+    * and its NFC twin hash differently through EVERY dedup tier (exact,
+    * MinHash, SimHash, span) until folded to one form, so run this before
+    * hashing on corpora that mix Unicode sources. NFC is cross-engine
+    * oracle-checked (DuckDB `nfc_normalize`, q115); the compatibility
+    * forms (NFKC folds ﬁ→fi, ①→1 — what search/dedup usually wants) are
+    * fixture-pinned since DuckDB ships no NFKC function. One JDK call per
+    * row, no UDF. */
+  case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unicode_normalize"
+    @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+    override protected def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString, f))
+    override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+      copy(child = c)
+  }
+
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"unicodeNormalize: unknown form '$form' (NFC/NFD/NFKC/NFKD)")
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+  }
+
   def mergeSymbolPair(symbols: Column, a: String, b: String): Column = {
     require(a.nonEmpty && b.nonEmpty, "mergeSymbolPair: symbols must be non-empty")
     ColumnBridge.column(MergeSymbolPair(ColumnBridge.expression(symbols), a, b))

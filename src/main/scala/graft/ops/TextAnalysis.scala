@@ -217,6 +217,15 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode normalization (NFC default; NFD/NFKC/NFKD) — run BEFORE any
+    * dedup/hash tier on corpora mixing Unicode sources: NFD "café" and its
+    * NFC twin are different byte strings to every hash until folded. NFKC
+    * additionally folds compatibility forms (ﬁ→fi, ①→1, ｆｕｌｌ→full) —
+    * what search and dedup usually want for multilingual text. See
+    * [[graft.functions.HashExprs.UnicodeNormalize]]. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.HashExprs.unicodeNormalize(text, form)
+
   /** PII patterns for scrub-before-training (emails, phone-like digit runs,
     * IPv4). Deliberately RE2-compatible (no lookaround) so an external SQL
     * engine evaluates the IDENTICAL patterns; conservative by design — a

@@ -322,6 +322,40 @@ class HashExprsSpec extends SparkSpec {
     }
   }
 
+  test("unicodeNormalize: NFC recomposition, NFKC compatibility folds, idempotence, null") {
+    def norm(s: String, form: String = "NFC"): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.unicodeNormalize(col("t"), form).as("n"))
+        .collect().head.getString(0)
+    // NFD "café" (e + combining acute U+0301) recomposes to the single
+    // code point U+00E9 under NFC
+    assert(norm("cafe\u0301") === "café")
+    assert(norm("café") === "café") // idempotent on NFC input
+    // NFKC compatibility folds: ligature fi, circled one, fullwidth F
+    assert(norm("ﬁle", "NFKC") === "file")
+    assert(norm("①", "NFKC") === "1")
+    assert(norm("Ｆ", "NFKC") === "F")
+    // ...which plain NFC deliberately does NOT fold
+    assert(norm("ﬁle") === "ﬁle")
+    // NFD decomposes the precomposed form back out
+    assert(norm("caf\u00e9", "NFD") === "cafe\u0301")
+    // null propagates; unknown form refuses loudly
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.unicodeNormalize(col("t")).as("n")).collect().head
+    assert(nr.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unicodeNormalize(col("t"), "NFX")
+    }
+    // the dedup motivation: the two forms of the SAME text hash identically
+    // only after normalization
+    val pair = Seq(("cafe\u0301 bonjour"), ("café bonjour")).toDF("t")
+      .select(md5(col("t")).as("raw"),
+        md5(TextAnalysis.unicodeNormalize(col("t"))).as("norm"))
+      .collect()
+    assert(pair(0).getString(0) !== pair(1).getString(0))
+    assert(pair(0).getString(1) === pair(1).getString(1))
+  }
+
   test("BpeMergeTokenizeIds byteLevel: GPT-2 pretokenizer + bytes_to_unicode, hand-computed") {
     // GPT-2-style vocab: 'Ġ' (U+0120) IS the encoded space — applies
     // verbatim, no marker stripping. Pretokens of "the cat's hat!" are
