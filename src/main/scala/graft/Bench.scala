@@ -57,9 +57,14 @@ object Bench {
     // the driver captures only the stdout TAIL, which front-truncates once
     // the per-query map outgrows it (BENCH_r11 lost 49/109 timings) — so
     // the full line is ALSO written to a committed file artifact
+    // best-effort: a cwd without write access (spark-submit, containers)
+    // must not crash a fully successful run or override the exit-code
+    // contract below — the stdout line is still the primary channel
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

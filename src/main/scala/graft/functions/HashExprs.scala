@@ -1416,6 +1416,10 @@ object HashExprs {
     * row, no UDF. */
   case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression with CodegenFallback {
+    // validated HERE, not only in the Column wrapper: direct expression
+    // construction must fail at plan time, not per-row on the executor
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"unicode_normalize: unknown form '$form' (NFC/NFD/NFKC/NFKD)")
     override def dataType: DataType = StringType
     override def prettyName: String = "unicode_normalize"
     @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)

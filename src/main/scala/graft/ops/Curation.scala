@@ -309,8 +309,16 @@ object Curation {
       // (fail-open — the prior demotes known-poor hosts, absence is not
       // evidence). The rank side is host-count-sized and un-hinted (AQE
       // broadcasts it when small — the q51 label-join reasoning).
+      val clash = Seq("__host", "__rank_host", "__host_rank")
+        .filter(d.columns.contains)
+      require(clash.isEmpty,
+        s"curate host_rank: input already has reserved column(s) ${clash.mkString(", ")}")
+      // max per host BEFORE the join: a rank table with duplicate host
+      // rows (unioned snapshots, non-pageRank sources) would otherwise
+      // fan out and silently DUPLICATE documents through a left join
       val ranks = hostRanks.get
-        .select(col("host").as("__rank_host"), col("rank").as("__host_rank"))
+        .groupBy(col("host").as("__rank_host"))
+        .agg(max(col("rank")).as("__host_rank"))
       d.withColumn("__host", UrlFilter.host(col(config.urlCol.get)))
         .join(ranks, col("__host") === col("__rank_host"), "left")
         .filter(col("__host_rank").isNull ||

@@ -142,6 +142,9 @@ object Graph {
 
     val base = (dampDen - dampNum) * scale / dampDen
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    // the rank table carries the node set from here on — the persisted
+    // node frame is never read again, so free it before iterating
+    nodes.unpersist()
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
@@ -176,7 +179,6 @@ object Graph {
       it += 1
     }
     ew.unpersist()
-    nodes.unpersist()
     ranks
   }
 
@@ -259,6 +261,9 @@ object Graph {
 
     val seedBase = (dampDen - dampNum) * n * scale / dampDen / s
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    // the rank table carries (node, __seed) from here on — free the
+    // persisted node frame before iterating
+    nodes.unpersist()
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
@@ -290,7 +295,6 @@ object Graph {
       it += 1
     }
     ew.unpersist()
-    nodes.unpersist()
     ranks.select(col("node"), col("rank"))
   }
 

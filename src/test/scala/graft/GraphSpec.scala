@@ -124,11 +124,13 @@ class GraphSpec extends SparkSpec {
     // base + 85*scale/100 = scale — delta hits 0 after round 1
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
       ("b", "a"), ("c", "b"), ("a", "c"))
-    var jobs = 0
+    // AtomicInteger: increments arrive on the async listener-bus thread;
+    // a plain var would have no happens-before edge to the test thread
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -139,7 +141,7 @@ class GraphSpec extends SparkSpec {
       Thread.sleep(500) // let the async listener bus drain
       // ~10 setup/round-1/round-2 jobs if the stop fires; 60 rounds x 3+
       // jobs if it doesn't — anything under 40 proves the early exit
-      assert(jobs < 40, s"expected an early stop, saw $jobs jobs")
+      assert(jobs.get() < 40, s"expected an early stop, saw ${jobs.get()} jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -1718,13 +1718,15 @@ class OpsSpec extends SparkSpec {
     val floor = 900000L // high.org (2 in-edges) clears it; low.net does not
     val got = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("high.org") >= floor && got("low.net") < floor)
+    // rank table deliberately DUPLICATED: the stage must max-aggregate per
+    // host before its left join, or each a-host doc would fan out twice
     val r = Curation.curate(corpus,
       config = Curation.Config(
         urlCol = Some("url"), blockedDomains = Seq("bad.com"),
         hostRankMin = Some(floor),
         gates = false, lineDedup = false, exactDedup = false,
         nearDupThreshold = None),
-      hostRanks = Some(ranks))
+      hostRanks = Some(ranks.unionByName(ranks)))
     val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
     assert(audit === Seq(("url_filter", 4L, 3L), ("host_rank", 3L, 2L)))
     assert(r.corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
