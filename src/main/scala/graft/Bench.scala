@@ -29,19 +29,30 @@ object Bench {
     // slowdowns from invisible neighbor CPU contention; the min of two runs
     // reports each query's steady-state cost instead of whoever got unlucky.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    def onePass() = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                  Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-                }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
-    val runs = (1 to passes).map(_ => onePass().toSeq)
-    val results = runs.head.indices.map { i =>
-      val samples = runs.map(_(i))
-      val (name, _, _) = samples.head
+    def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                    Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+                  }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    val selectedSeq = selected.toSeq
+    // Long iterative queries (graph tier) showed ±35% same-code swings between
+    // rounds — beyond the repo's 1.25x variance band — so they get extra
+    // passes (min-of-3 by default) to make real regressions distinguishable
+    // from microVM neighbor noise. Everything else stays at `passes`.
+    val iterPrefixes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITER", "q109,q110,q111,q113")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val extraIterPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITER_PASSES", "1").toInt
+    val iterSeq = selectedSeq.filter { case (n, _) => iterPrefixes.exists(n.startsWith) }
+    val runs = (1 to passes).map(_ => onePass(selectedSeq)) ++
+      (1 to extraIterPasses).map(_ => onePass(iterSeq))
+    val byName = runs.flatten.groupBy(_._1)
+    val results = selectedSeq.map { case (name, _) =>
+      val samples = byName(name)
       // a failed pass's (short) duration must not masquerade as a fast run:
       // time comes from successful passes only; err set iff ALL passes failed
       val ok = samples.filter(_._3.isEmpty)

@@ -26,13 +26,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as long
-    * (`spark.sql.legacy.parquet.nanosAsLong=true` — set in Verify/Bench);
-    * convert to µs-precision timestamps (integral DIV — a double division
-    * would lose precision at 1.7e18 ns). DuckDB reads the same file at µs
-    * precision natively, so ordering/formatting agree exactly. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.parquet's `ts` has shipped in different physical layouts across
+    * testdata generations — TIMESTAMP(NANOS) (which Spark reads as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), timestamp[us] (arrives as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP — so adapt to the column's actual
+    * type instead of hard-coding one layout. All branches normalize to
+    * µs-precision TIMESTAMP (LTZ; session timezone is UTC, so NTZ→LTZ casts
+    * preserve the wall-clock micros and DuckDB's native µs read of the same
+    * file agrees exactly on ordering/formatting). The nanos branch uses
+    * integral DIV — a double division would lose precision at 1.7e18 ns. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or date-like): cast keeps micros under UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   private val Dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")

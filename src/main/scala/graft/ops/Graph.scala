@@ -385,6 +385,120 @@ object Graph {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the O(log n)-round
+    * alternative to [[connectedComponents]]'s min-label propagation, whose
+    * round count is the component DIAMETER. For host graphs (small diameter,
+    * the curation shape) label propagation wins on per-round cost; for a
+    * 100×-scale web *page* graph with long chains (diameter in the
+    * thousands), contraction is the only shape that terminates in sane
+    * rounds. Same output contract as [[connectedComponents]]: `(node,
+    * component)`, component = minimum member under the node type's ordering
+    * — q110's transitive-closure oracle verifies both verbatim.
+    *
+    * == Rounds ==
+    * large-star: every node u links each STRICTLY GREATER neighbor to the
+    * minimum of its closed neighborhood `m = min(Γ(u) ∪ {u})`:
+    * `(v, m) for v ∈ Γ(u), v > u`. small-star: edges first point
+    * large→small (`u > v`); every node u then links its smaller neighbors
+    * AND itself to `m = min(Γ(u))`: `(v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m`.
+    * Both preserve connectivity and monotonically contract toward stars
+    * centered on component minima (paper, Lemmas 4.1-4.4); alternating
+    * them converges in O(log n) rounds w.h.p.
+    *
+    * == 100 TB shape ==
+    * Each phase is ONE map-side-combining min-agg over the (symmetrized)
+    * edge list keyed by the star center + ONE join of that node-sized min
+    * table back into the edges — the same move-only-node-sized-state
+    * discipline as the label loop, but the edge LIST ITSELF contracts
+    * round-over-round (it only shrinks: both phases emit ≤1 edge per input
+    * edge, dedup'd), so late rounds are nearly free. Convergence = the
+    * large-star phase emitted the same edge set it consumed, checked as an
+    * edge-sized anti-join on the already-checkpointed round result — no
+    * driver-side edge collection anywhere. Per-node state is one edge to
+    * its current center. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String = "src",
+                              dstCol: String = "dst",
+                              maxIterations: Int = 50): DataFrame = {
+    require(maxIterations >= 1, "connectedComponentsStar: maxIterations must be >= 1")
+    // NULL semantics match [[connectedComponents]] exactly (the shared q110
+    // oracle depends on it): a half-NULL edge contributes NOTHING — not
+    // even its non-NULL endpoint
+    val nonNull = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // all distinct endpoints — self-loop-only nodes survive as singletons
+    // (the star loop drops self-edges, so they must be re-attached at the end)
+    val nodes = nonNull.select(col("src").as("node"))
+      .unionByName(nonNull.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // working edge set: undirected support, no self loops
+    var cur = nonNull
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // set equality of two DEDUP'D checkpointed edge frames: equal counts +
+    // empty one-way difference (the cheap form of a symmetric-difference
+    // check; counts over checkpoint blocks are a rescan, not a recompute)
+    def sameEdges(a: DataFrame, aCount: Long, b: DataFrame, bCount: Long): Boolean =
+      aCount == bCount && a.join(b, Seq("src", "dst"), "left_anti").isEmpty
+    var curCount = cur.count()
+    var it = 0
+    var converged = curCount == 0 // an edge-free graph is already all singletons
+    while (!converged && it < maxIterations) {
+      // -------- large-star: u → each strictly greater neighbor gets (v, m)
+      val sym = cur.unionByName(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+      val large = sym.filter(col("dst") > col("src"))
+        .join(mins, Seq("src"))
+        .select(least(col("dst"), col("__m")).as("src"),
+          greatest(col("dst"), col("__m")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val largeCount = large.count()
+      // -------- small-star: edges point large→small; each center u links
+      // its smaller neighbors and itself to min(Γ(u))
+      val bySmall = large.groupBy(col("dst").as("__u"))
+        .agg(min(col("src")).as("__m")) // all src < dst here, so min(Γ(u)) = __m < u
+      val small = large.select(col("dst").as("__u"), col("src").as("__v"))
+        .unionByName(bySmall.select(col("__u"), col("__u").as("__v")))
+        .join(bySmall, Seq("__u"))
+        .select(least(col("__v"), col("__m")).as("src"),
+          greatest(col("__v"), col("__m")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      explainIter(small, it)
+      val next = small.localCheckpoint(true)
+      val nextCount = next.count()
+      // the paper's criterion: converged when BOTH phases changed nothing.
+      // (Large-star alone being a no-op is NOT enough — two min-centered
+      // stars sharing a leaf are a large-star fixpoint with an ambiguous
+      // leaf label; small-star is what collapses them.)
+      converged = sameEdges(large, largeCount, cur, curCount) &&
+        sameEdges(next, nextCount, large, largeCount)
+      cur = next
+      curCount = nextCount
+      it += 1
+    }
+    require(converged,
+      s"connectedComponentsStar: no fixpoint after $maxIterations rounds")
+    // at the fixpoint edges are (m, v) stars with m the component minimum;
+    // v's label is its unique center, m's label is itself, and edge-free
+    // nodes (self-loop-only inputs) are their own component
+    val labels = cur.select(col("dst").as("node"), col("src").as("component"))
+    val out = nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    nodes.unpersist()
+    out
+  }
+
   /** Incremental connected components: fold a NEW batch of edges into an
     * existing `(node, component)` labeling — the continuous-ingest
     * companion of [[connectedComponents]], as [[Dedup.incrementalNearDups]]

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins `SparkEntry.events` against testdata drift: the driver has shipped
+  * `events.parquet` with `ts` as TIMESTAMP(NANOS)-read-as-long, as
+  * timestamp[us] (arrives TIMESTAMP_NTZ), and plain TIMESTAMP across
+  * generations — round 12 lost 17 queries to a hard-coded layout. This writes
+  * a tiny fixture in each of the three logical layouts and asserts the loader
+  * yields byte-identical µs-precision TIMESTAMP rows from every one, so the
+  * next regeneration fails here loudly instead of in the driver run. */
+class EventsLoaderSpec extends SparkSpec {
+
+  // two instants with sub-millisecond µs parts, plus one exactly on a second
+  private val micros = Seq(1704067200123456L, 1704070805000789L, 1704074400000000L)
+
+  private def base = Seq(
+    (1L, micros(0), 10L, "view", 1.5, "{}"),
+    (2L, micros(1), 11L, "click", 2.5, "{}"),
+    (3L, micros(2), 10L, "purchase", 9.99, "{}"))
+
+  private def writeFixture(dir: String, tsType: DataType): Unit = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = base.map { case (id, us, uid, et, v, p) =>
+      val ts: Any = tsType match {
+        case LongType => us * 1000L // the nanos-as-long layout
+        case TimestampType => java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+        case _: TimestampNTZType => java.time.LocalDateTime.ofInstant(
+          java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS), java.time.ZoneOffset.UTC)
+        case other => fail(s"unhandled fixture type $other")
+      }
+      Row(id, ts, uid, et, v, p)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("events loader yields identical µs timestamps from all three ts layouts") {
+    val layouts = Seq[(String, DataType)](
+      ("long-nanos", LongType), ("timestamp-ltz", TimestampType),
+      ("timestamp-ntz", TimestampNTZType))
+    val results = layouts.map { case (label, tsType) =>
+      val dir = SparkSpec.tempDir(s"graft_events_$label")
+      writeFixture(dir, tsType)
+      val df = SparkEntry.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType,
+        s"$label: loader must normalize to TIMESTAMP")
+      val got = df.orderBy("event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (label, got)
+    }
+    val expected = Seq((1L, micros(0)), (2L, micros(1)), (3L, micros(2)))
+    results.foreach { case (label, got) =>
+      assert(got === expected, s"$label layout drifted")
+    }
+  }
+}

@@ -267,4 +267,48 @@ class GraphSpec extends SparkSpec {
         maxIterations = 1)
     }
   }
+
+  test("connectedComponentsStar equals label propagation on a mixed random graph") {
+    // deterministic pseudo-random graph: several components of varied shape
+    // (chain, clique-ish, singletons via self-loop, string keys)
+    val rnd = new scala.util.Random(42)
+    val rand = (1 to 120).map(_ => (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+    val edges = (rand ++ Seq(("zz", "zz"), ("solo", "solo"))).toDF("src", "dst")
+    val star = Graph.connectedComponentsStar(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val label = Graph.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star === label)
+    // self-loop-only nodes survive as their own singleton component
+    assert(star("zz") === "zz" && star("solo") === "solo")
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a long chain") {
+    // chain of 200 nodes: diameter 199. Label propagation needs ~199 rounds
+    // (fails loudly at 30); star contraction lands well inside 30.
+    val chain = (0 until 199)
+      .map(i => (f"c$i%03d", f"c${i + 1}%03d")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, maxIterations = 30)
+    }
+    val got = Graph.connectedComponentsStar(chain, maxIterations = 30)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 200)
+    assert(got.values.toSet === Set("c000"))
+  }
+
+  test("connectedComponentsStar: NULL endpoints dropped, loud non-convergence bound") {
+    val edges = Seq((Some("a"), Some("b")), (Some("x"), None), (None, Some("y")))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponentsStar(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // NULL-keyed edges contribute nothing — not even their non-NULL
+    // endpoint (connectedComponents/q110-oracle semantics)
+    assert(got === Map("a" -> "a", "b" -> "a"))
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponentsStar(
+        (0 until 64).map(i => (f"p$i%02d", f"p${i + 1}%02d")).toDF("src", "dst"),
+        maxIterations = 1)
+    }
+  }
 }
