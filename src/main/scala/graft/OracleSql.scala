@@ -858,6 +858,78 @@ object OracleSql {
       md5(nfc_normalize(r)) AS norm_md5
     FROM raw"""
 
+  /** HTML boilerplate block classification — q116. Mirrors
+    * graft.ops.Boilerplate.scoredBlocks over the same deterministically
+    * synthesized pages: drop script/style/title/comments, split at block
+    * tags, per-block visible text / anchor chars / word + stopword counts,
+    * jusText verdict triple (words >= 10, link_density <= 0.33,
+    * stopword_ratio >= 0.02). Regexes are character-class-only so RE2 and
+    * Java agree byte-for-byte; block_idx numbers NON-EMPTY blocks in
+    * document order (row_number over raw split position = Spark's
+    * filter-then-posexplode). */
+  private val q116 = {
+    val stops = "['the','a','an','and','or','but','of','in','on','at','to'," +
+      "'for','with','by','from','as','is','are','was','were','be','been'," +
+      "'it','that','this','have','has','not','you','i']"
+    val dropRe = "(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>|" +
+      "<title[^>]*>[^<]*</title>|<!--[^>]*-->"
+    val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|" +
+      "blockquote|pre|article|section|header|footer|nav|aside|main|figure|" +
+      "figcaption|form|fieldset|hr|br|html|head|body)[^>]*>"
+    // visible text of a markup fragment: tags → space, 5 entities + &amp;
+    // LAST, whitespace collapsed (Boilerplate.visibleText verbatim)
+    def vis(c: String) =
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($c, '<[^>]+>', ' ', 'g')," +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))"
+    s"""
+    WITH esc AS (SELECT doc_id,
+        replace(replace(replace(coalesce(text, ''), '&', '&amp;'),
+          '<', '&lt;'), '>', '&gt;') AS e
+      FROM documents),
+    pages AS (SELECT doc_id,
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || '</title><style>body { color: #111; }</style></head><body>'
+      || '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/login">Login</a></nav>'
+      || '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>'
+      || '<p>' || substr(e, 1, 200) || '</p><p>' || substr(e, 201, 400) || '</p>'
+      || '<div class="share">Share: <a href="#">Tweet</a> <a href="#">Like</a> <a href="#">Pin</a></div>'
+      || '<p>' || substr(e, 601, 1000000) || '</p>'
+      || '<footer>Copyright 2024 Example Corp <a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
+      || '</body></html>' AS html FROM esc),
+    pre AS (SELECT doc_id,
+        regexp_replace(html, '$dropRe', ' ', 'g') AS h FROM pages),
+    rb AS (SELECT doc_id, regexp_split_to_array(h, '$blockRe') AS bs FROM pre),
+    blk AS (SELECT doc_id, s.pos AS pos, s.b AS b
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(bs) + 1),
+        i -> {'pos': i, 'b': bs[i]})) AS s FROM rb) t),
+    sc AS (SELECT doc_id, pos, ${vis("b")} AS text,
+        CAST(coalesce(list_sum(list_transform(
+          regexp_extract_all(b, '(?i)<a[^>]*>([^<]*)</a>', 1),
+          x -> length(${vis("x")}))), 0) AS BIGINT) AS link_chars
+      FROM blk),
+    sw AS (SELECT doc_id, pos, text, link_chars,
+        CAST(length(text) AS BIGINT) AS chars,
+        CAST(CASE WHEN length(text) = 0 THEN 0
+          ELSE len(string_split(text, ' ')) END AS BIGINT) AS words,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          w -> list_contains($stops, w))) AS BIGINT) AS stop_words
+      FROM sc),
+    nb AS (SELECT doc_id, text, chars, link_chars, words, stop_words,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+          AS BIGINT) AS block_idx
+      FROM sw WHERE chars > 0)
+    SELECT doc_id, block_idx, text, chars, link_chars, words, stop_words,
+      CAST(link_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) AS link_density,
+      CAST(stop_words AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE) AS stopword_ratio,
+      CASE WHEN words >= 10
+        AND CAST(link_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) <= 0.33
+        AND CAST(stop_words AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE) >= 0.02
+      THEN 'content' ELSE 'boilerplate' END AS verdict
+    FROM nb"""
+  }
+
   /** Connected components over the q31 verified-pair graph with STRING
     * nodes ('d' || doc_id) — q110. Exact transitive closure by recursive
     * CTE; component = lexicographic minimum member (binary collation in
@@ -2533,6 +2605,11 @@ object OracleSql {
     // persisted-index probe returns the same layout-independent phrase
     // answer as the in-query-build form — q105's oracle verbatim
     "q114_phrase_search_indexed" -> q105,
-    "q115_unicode_normalize" -> q115
+    "q115_unicode_normalize" -> q115,
+    "q116_html_extract"     -> q116,
+    // large-star/small-star contraction produces the same min-member
+    // labels as the label-propagation loop by construction — q110's
+    // transitive closure is the oracle VERBATIM (the q113 pattern)
+    "q117_components_star"  -> q110
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -559,6 +559,19 @@ object ScaleProbe {
           .agg(coalesce(sum(col("component")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("components_star", n) {
+        // the LONG-CHAIN regime label propagation cannot touch: disjoint
+        // 1000-node chains (diameter 999 ⇒ the label loop would need ~1000
+        // rounds; contraction lands in O(log n)). Round count must stay flat
+        // from 20k to 200k rows — only per-round edge volume grows, and the
+        // working edge set CONTRACTS round-over-round
+        val edg = spark.range(n).toDF("id")
+          .filter(pmod(col("id"), lit(1000)) =!= 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        graft.ops.Graph.connectedComponentsStar(edg, maxIterations = 60)
+          .agg(coalesce(sum(col("component")), lit(0L)))
+          .collect().head.getLong(0)
+      }
     }
     spark.stop()
   }

@@ -1504,6 +1504,48 @@ object SparkEntry {
       md5(graft.ops.TextAnalysis.unicodeNormalize(raw)).as("norm_md5"))
   }
 
+  /** HTML\u2192text boilerplate extraction ([[graft.ops.Boilerplate]]): every
+    * document becomes a deterministic HTML page (nav/h1/share-bar/footer
+    * chrome around the text as `<p>` blocks, entity-escaped), then jusText
+    * block classification scores each block \u2014 the stage between a raw
+    * crawl and this engine's curation stack. Per-block audit rows; the
+    * corpus is keyword soup (stopword density ~0.07, not prose ~0.30), so
+    * the stopword floor is set to 0.02 for this corpus. Entirely row-local
+    * codegen'd column algebra \u2014 zero shuffle. */
+  private def q116HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      txt, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>body { color: #111; }</style></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a> <a href=\"/login\">Login</a></nav>"),
+      lit("<h1>Document "), id, lit("</h1>"),
+      lit("<p>"), substring(esc, 1, 200), lit("</p><p>"), substring(esc, 201, 400), lit("</p>"),
+      lit("<div class=\"share\">Share: <a href=\"#\">Tweet</a> <a href=\"#\">Like</a> <a href=\"#\">Pin</a></div>"),
+      lit("<p>"), substring(esc, 601, 1000000), lit("</p>"),
+      lit("<footer>Copyright 2024 Example Corp <a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a></footer>"),
+      lit("</body></html>"))
+    val pages = t(s, dir, "documents").select(col("doc_id"), html.as("html"))
+    graft.ops.Boilerplate.scoredBlocks(pages, "html", Seq("doc_id"),
+      minWords = 10, maxLinkDensity = 0.33, minStopwordRatio = 0.02)
+  }
+
+  /** Connected components by large-star/small-star contraction
+    * ([[graft.ops.Graph.connectedComponentsStar]], Kiveris et al. 2014) on
+    * q110's verified near-dup pair graph \u2014 same labels by construction
+    * (component = minimum member), so the oracle is q110's transitive-
+    * closure SQL verbatim while the O(log n)-round algorithm takes the
+    * driver correctness gate alongside the O(diameter) label loop. */
+  private def q117ComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.7,
+        numHashes = 64, bands = 16, shingleK = 3)
+      .select(concat(lit("d"), col("id_a")).as("src"),
+        concat(lit("d"), col("id_b")).as("dst"))
+    graft.ops.Graph.connectedComponentsStar(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1619,7 +1661,9 @@ object SparkEntry {
     "q112_degrees"          -> q112Degrees _,
     "q113_incremental_components" -> q113IncrementalComponents _,
     "q114_phrase_search_indexed" -> q114PhraseSearchIndexed _,
-    "q115_unicode_normalize" -> q115UnicodeNormalize _
+    "q115_unicode_normalize" -> q115UnicodeNormalize _,
+    "q116_html_extract"     -> q116HtmlExtract _,
+    "q117_components_star"  -> q117ComponentsStar _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

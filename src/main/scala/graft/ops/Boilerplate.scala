@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML→text boilerplate extraction — the stage between a raw crawl and the
+  * curation stack (jusText: Pomikálek 2011; trafilatura: Barbaresi 2021 —
+  * the published block-classification recipe, re-expressed as Spark column
+  * algebra). A crawl corpus arrives as HTML pages; everything downstream
+  * ([[UrlFilter]], [[QualityGates]], dedup, tokenization) wants the article
+  * text with navigation/footer/share chrome removed.
+  *
+  * == Algorithm (block classification) ==
+  * 1. Drop invisible content: `<script>`/`<style>`/`<title>` bodies and
+  *    HTML comments.
+  * 2. Segment at block-level tag boundaries (`p`, `div`, `h1-6`, `li`,
+  *    `nav`, `footer`, `table` rows/cells, …) — the jusText block unit.
+  * 3. Per block, from the RAW markup compute: visible text (tags stripped,
+  *    entities decoded, whitespace collapsed), anchor-text chars (text
+  *    inside `<a>…</a>`), word count, stopword count.
+  * 4. Verdict per block (the jusText heuristic triple):
+  *    `content` iff `words >= minWords` AND `link_density <= maxLinkDensity`
+  *    AND `stopword_ratio >= minStopwordRatio`; else `boilerplate` — short
+  *    blocks, link lists (nav/share/footer), and stopword-free keyword
+  *    stuffing all fail.
+  *
+  * == 100 TB shape ==
+  * Entirely row-local column algebra over built-in string/array functions —
+  * whole-stage codegen, zero shuffle, embarrassingly parallel: the ideal
+  * scan-stage operator. [[extract]] never explodes (per-row
+  * `transform`/`filter`/`array_join`); [[scoredBlocks]] explodes only for
+  * per-block inspection/audit queries. No UDFs, no driver round-trips.
+  *
+  * == Semantics bounds (documented, oracle-pinned) ==
+  * Regexes are deliberately backtracking-free (character classes only) so
+  * Java (Spark) and RE2 (DuckDB oracle) agree byte-for-byte: anchor text
+  * must not contain nested tags (`<a><b>x</b></a>` counts 0 link chars),
+  * and script/style/comment bodies must not contain `<`/`>`. Real-world
+  * tag soup beyond that still degrades gracefully — unmatched markup is
+  * stripped, never crashes.
+  */
+object Boilerplate {
+
+  /** jusText-style English stopword core — deliberately small and FROZEN
+    * (it is part of the cross-engine contract; the oracle embeds the same
+    * literal list). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "in", "on", "at", "to",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "that", "this", "have", "has", "not", "you", "i")
+
+  /** Block-boundary tags — jusText's block unit plus HTML5 structural tags. */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|blockquote|" +
+      "pre|article|section|header|footer|nav|aside|main|figure|figcaption|" +
+      "form|fieldset|hr|br|html|head|body)[^>]*>"
+
+  /** Invisible content: script/style/title bodies + comments (bodies must
+    * not contain `<`/`>` — see semantics bounds above). */
+  private val DropRe =
+    "(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>|" +
+      "<title[^>]*>[^<]*</title>|<!--[^>]*-->"
+
+  private val LinkRe = "(?i)<a[^>]*>([^<]*)</a>"
+
+  /** The 5 standard entities a text pipeline meets in practice; `&amp;`
+    * decodes LAST so `&amp;lt;` round-trips to the literal `&lt;`. */
+  private def decodeEntities(c: Column): Column = {
+    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    pairs.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+  }
+
+  private def collapseWs(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Visible text of a markup fragment: tags → space, entities decoded,
+    * whitespace collapsed. */
+  private def visibleText(c: Column): Column =
+    collapseWs(decodeEntities(regexp_replace(c, "<[^>]+>", " ")))
+
+  /** Per-block score struct builder (block is RAW markup). */
+  private def score(block: Column, stops: Column): Column = {
+    val text = visibleText(block)
+    val chars = length(text).cast("long")
+    val linkChars = aggregate(
+      transform(regexp_extract_all(block, lit(LinkRe), lit(1)),
+        a => length(visibleText(a)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val words = when(chars === 0, lit(0L))
+      .otherwise(size(split(text, " ")).cast("long"))
+    val stopCount = size(filter(split(lower(text), "[^a-z0-9]+"),
+      w => array_contains(stops, w))).cast("long")
+    struct(text.as("text"), chars.as("chars"), linkChars.as("link_chars"),
+      words.as("words"), stopCount.as("stop_words"))
+  }
+
+  private def verdictCol(s: Column, minWords: Int, maxLinkDensity: Double,
+                         minStopwordRatio: Double): Column = {
+    val ld = s("link_chars").cast("double") / greatest(s("chars"), lit(1L)).cast("double")
+    val sr = s("stop_words").cast("double") / greatest(s("words"), lit(1L)).cast("double")
+    s("words") >= minWords && ld <= maxLinkDensity && sr >= minStopwordRatio
+  }
+
+  /** Per-block audit view: one row per non-empty block of each page —
+    * `(…idCols, block_idx, text, chars, link_chars, words, stop_words,
+    * link_density, stopword_ratio, verdict)`. `block_idx` counts the
+    * page's non-empty blocks in document order (pure-markup segments
+    * vanish before numbering, so the index is stable under reformatting). */
+  def scoredBlocks(df: DataFrame, htmlCol: String, idCols: Seq[String],
+                   minWords: Int = 10, maxLinkDensity: Double = 0.33,
+                   minStopwordRatio: Double = 0.18,
+                   stopwords: Seq[String] = Stopwords): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    val pre = regexp_replace(col(htmlCol), DropRe, " ")
+    val scored = filter(
+      transform(split(pre, BlockTagRe), b => score(b, stops)),
+      s => s("chars") > 0)
+    val exploded = df
+      .withColumn("__s", scored)
+      .select(idCols.map(col) :+ posexplode(col("__s")).as(Seq("block_idx", "s")): _*)
+    exploded.select(
+      idCols.map(col) ++ Seq(
+        col("block_idx").cast("long").as("block_idx"),
+        col("s.text").as("text"),
+        col("s.chars").as("chars"),
+        col("s.link_chars").as("link_chars"),
+        col("s.words").as("words"),
+        col("s.stop_words").as("stop_words"),
+        (col("s.link_chars").cast("double") /
+          greatest(col("s.chars"), lit(1L)).cast("double")).as("link_density"),
+        (col("s.stop_words").cast("double") /
+          greatest(col("s.words"), lit(1L)).cast("double")).as("stopword_ratio"),
+        when(verdictCol(col("s"), minWords, maxLinkDensity, minStopwordRatio),
+          lit("content")).otherwise(lit("boilerplate")).as("verdict")): _*)
+  }
+
+  /** Production form: adds `outCol` = the page's content blocks joined with
+    * `\n` (boilerplate removed) — one row in, one row out, no explode. */
+  def extract(df: DataFrame, htmlCol: String, outCol: String = "clean_text",
+              minWords: Int = 10, maxLinkDensity: Double = 0.33,
+              minStopwordRatio: Double = 0.18,
+              stopwords: Seq[String] = Stopwords): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    val pre = regexp_replace(col(htmlCol), DropRe, " ")
+    val scored = filter(
+      transform(split(pre, BlockTagRe), b => score(b, stops)),
+      s => s("chars") > 0)
+    val content = filter(scored,
+      s => verdictCol(s, minWords, maxLinkDensity, minStopwordRatio))
+    df.withColumn(outCol, array_join(transform(content, s => s("text")), "\n"))
+  }
+}

@@ -124,6 +124,12 @@ object Curation {
     *  - `urlCol = Some(...)` with `blockedDomains`/`urlPatterns` enables
     *    URL/domain blocklist filtering as the FIRST stage
     *    ([[UrlFilter.applyFilter]] — unparseable URLs fail closed);
+    *  - `htmlCol = Some(...)` enables HTML→text boilerplate extraction
+    *    ([[Boilerplate.extract]]) as the first TEXT-touching stage: the
+    *    raw-crawl entry point — `textCol` is (re)written from the page's
+    *    content blocks, the HTML column is dropped, and pages with no
+    *    content blocks drop (`htmlMinWords`/`htmlMaxLinkDensity`/
+    *    `htmlMinStopwordRatio` are the jusText verdict knobs);
     *  - `docLineDedup = true` enables intra-document line dedup;
     *  - `spanDedup = true` enables substring-level span excision
     *    (`spanK`/`spanW`/`spanMinDf`/`spanMinRun` are
@@ -174,6 +180,10 @@ object Curation {
       blockedDomains: Seq[String] = Nil,
       urlPatterns: Seq[String] = Nil,
       hostRankMin: Option[Long] = None,
+      htmlCol: Option[String] = None,
+      htmlMinWords: Int = 10,
+      htmlMaxLinkDensity: Double = 0.33,
+      htmlMinStopwordRatio: Double = 0.18,
       gates: Boolean = true,
       lineRules: Boolean = false,
       lineRuleMinWords: Int = 5,
@@ -324,6 +334,21 @@ object Curation {
         .filter(col("__host_rank").isNull ||
           col("__host_rank") >= config.hostRankMin.get)
         .drop("__host", "__rank_host", "__host_rank")
+    }
+    step("html_extract", config.htmlCol.isDefined) { d =>
+      // the raw-crawl entry point: boilerplate-extract `textCol` from the
+      // HTML column (L102) as the FIRST text-touching stage — everything
+      // downstream (line rules, gates, dedup) judges the article text, not
+      // nav/footer chrome. Pages with no content blocks drop here; the raw
+      // HTML column is dropped so later materialized stages don't carry
+      // the page markup through the whole pipeline.
+      Boilerplate.extract(d, config.htmlCol.get, outCol = "__graft_clean",
+          minWords = config.htmlMinWords,
+          maxLinkDensity = config.htmlMaxLinkDensity,
+          minStopwordRatio = config.htmlMinStopwordRatio)
+        .withColumn(textCol, col("__graft_clean"))
+        .drop("__graft_clean", config.htmlCol.get)
+        .filter(length(col(textCol)) > 0)
     }
     step("line_rules", config.lineRules) { d =>
       QualityGates.applyLineRules(d, textCol, config.lineRuleMinWords,

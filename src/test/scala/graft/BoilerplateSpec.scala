@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Boilerplate
+
+/** [[graft.ops.Boilerplate]] — block segmentation, scoring, and the jusText
+  * verdict triple over hand-built HTML where every number is checkable by
+  * eye. The cross-engine byte agreement is q116's oracle; this pins the
+  * row-local semantics and the documented tag-soup bounds. */
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val page =
+    "<html><head><title>My Page</title><style>body { color: red }</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">About us</a></nav>" +
+      "<!-- tracking comment -->" +
+      "<p>The quick brown fox jumps over the lazy dog and it was not in a hurry at all that day.</p>" +
+      "<script>var x = 1;</script>" +
+      "<div>Share: <a href=\"#\">Tweet</a></div>" +
+      "<p>Tiny.</p>" +
+      "</body></html>"
+
+  private def blocks(html: String, minStopwordRatio: Double = 0.18) =
+    Boilerplate.scoredBlocks(Seq((1L, html)).toDF("id", "html"), "html",
+        Seq("id"), minWords = 10, maxLinkDensity = 0.33,
+        minStopwordRatio = minStopwordRatio)
+      .orderBy("block_idx").collect()
+
+  test("segments at block tags, drops script/style/title/comments, classifies") {
+    val rows = blocks(page)
+    val texts = rows.map(_.getAs[String]("text")).toSeq
+    // title, style, script, comment bodies are GONE (not text-stripped in)
+    assert(!texts.exists(t => t.contains("My Page") || t.contains("color") ||
+      t.contains("var x") || t.contains("tracking")))
+    assert(texts === Seq(
+      "Home About us",
+      "The quick brown fox jumps over the lazy dog and it was not in a hurry at all that day.",
+      "Share: Tweet",
+      "Tiny."))
+    val verdicts = rows.map(r => r.getAs[String]("text") -> r.getAs[String]("verdict")).toMap
+    // nav: 3 words, link_density 1.0 → boilerplate twice over
+    assert(verdicts("Home About us") === "boilerplate")
+    // prose: 19 words, 0 link chars, stopword ratio well over 0.18 → content
+    assert(verdicts.keys.find(_.startsWith("The quick")).map(verdicts) ===
+      Some("content"))
+    // share bar: short + linky; "Tiny.": short → boilerplate
+    assert(verdicts("Share: Tweet") === "boilerplate")
+    assert(verdicts("Tiny.") === "boilerplate")
+  }
+
+  test("link density counts anchor chars against visible chars") {
+    val rows = blocks(page)
+    val nav = rows(0)
+    // "Home About us" = 13 chars; anchors "Home" (4) + "About us" (8) = 12
+    assert(nav.getAs[Long]("chars") === 13L)
+    assert(nav.getAs[Long]("link_chars") === 12L)
+    assert(math.abs(nav.getAs[Double]("link_density") - 12.0 / 13.0) < 1e-12)
+    val prose = rows(1)
+    assert(prose.getAs[Long]("link_chars") === 0L)
+    assert(prose.getAs[Long]("words") === 20L)
+  }
+
+  test("entities decode (&amp; last) and whitespace collapses") {
+    val rows = blocks("<p>fish &amp;&nbsp;chips   are &lt;b&gt;  great &amp;lt;ok&amp;gt;</p>")
+    // &amp;lt; round-trips to the LITERAL "&lt;" — no double decode
+    assert(rows.map(_.getAs[String]("text")).toSeq ===
+      Seq("fish & chips are <b> great &lt;ok&gt;"))
+  }
+
+  test("documented bound: nested tags inside an anchor count zero link chars") {
+    val rows = blocks("<p>read <a href=\"#\"><b>this link</b></a> now maybe</p>")
+    // [^<]* can't cross the nested <b>, so the anchor contributes nothing —
+    // the block still scores, just with link_chars 0 (degrades, not crashes)
+    assert(rows.head.getAs[Long]("link_chars") === 0L)
+    assert(rows.head.getAs[String]("text") === "read this link now maybe")
+  }
+
+  test("extract() keeps only content blocks, joined with newlines") {
+    val two = "<p>The quick brown fox jumps over the lazy dog and it was not in a hurry.</p>" +
+      "<nav><a>Home</a></nav>" +
+      "<p>It is a truth universally acknowledged that a reader wants the clean text only.</p>"
+    val out = Boilerplate.extract(Seq((7L, two)).toDF("id", "html"), "html")
+      .select("clean_text").as[String].collect().head
+    val lines = out.split('\n').toSeq
+    assert(lines.size === 2)
+    assert(lines(0).startsWith("The quick brown fox") &&
+      lines(1).startsWith("It is a truth"))
+    // one row in, one row out — no explode in the production path
+    val df = Boilerplate.extract(Seq((1L, two), (2L, "<p>x</p>")).toDF("id", "html"), "html")
+    assert(df.count() === 2)
+    // a page with no content blocks yields the empty string, not NULL
+    assert(df.filter(col("id") === 2).select("clean_text").as[String].collect().head === "")
+  }
+
+  test("empty and tag-only pages yield zero blocks") {
+    assert(blocks("").isEmpty)
+    assert(blocks("<div><br><hr></div>").isEmpty)
+  }
+}

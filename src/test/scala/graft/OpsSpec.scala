@@ -1742,6 +1742,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation: html_extract rewrites textCol from content blocks, drops the HTML column and empty pages") {
+    val prose = "The quick brown fox jumps over the lazy dog and it was not in a hurry at all that day."
+    val corpus = Seq(
+      (1L, "s", s"<nav><a href='/'>Home</a></nav><p>$prose</p>", "https://good.org/a"),
+      (2L, "s", "<nav><a href='/'>Home Only Nav</a></nav>", "https://good.org/b"), // no content → drops
+      (3L, "s", s"<p>$prose</p><footer><a>Terms</a> <a>Privacy</a> legal</footer>", "https://spam.bad.com/c")
+    ).toDF("doc_id", "source", "html", "url")
+    val r = Curation.curate(corpus, config = Curation.Config(
+      urlCol = Some("url"), blockedDomains = Seq("bad.com"),
+      htmlCol = Some("html"),
+      gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None))
+    val audit = r.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    // url filter (metadata-only) kills doc 3 BEFORE its HTML is ever parsed;
+    // html_extract then drops the nav-only page
+    assert(audit === Seq(("url_filter", 3L, 2L), ("html_extract", 2L, 1L)))
+    val rows = r.corpus.select("doc_id", "text").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+    // textCol carries the extracted prose, chrome gone, html column dropped
+    assert(rows.head.getString(1) === prose)
+    assert(!r.corpus.columns.contains("html"))
+  }
+
   test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {
     import graft.ops.UrlFilter
     val rows = Seq(
