@@ -36,6 +36,13 @@ import graft.ops.Curation
   *                            parquet table — e.g. Graph.pageRank over the
   *                            crawl's host graph, node renamed to host — with:
   * hostRankMin=850000000000   ...drop docs whose host ranks below this
+  * htmlCol=html               raw-crawl entry: boilerplate-extract `text`
+  *                            from this HTML column (first text-touching
+  *                            stage; the column becomes the per-line
+  *                            required field instead of `text`), with:
+  * htmlMinWords=10              ...content-block word floor
+  * htmlMaxLinkDensity=0.33      ...anchor-chars/visible-chars ceiling
+  * htmlMinStopwordRatio=0.18    ...stopword-density floor
   * docLineDedup=true          intra-document line dedup
   * spanDedup=true             substring-level span excision
   * spanMinDf=10               ...its hot-run document-frequency floor
@@ -123,6 +130,10 @@ object Curate {
         case "urlPatterns"      => c.copy(urlPatterns = v.split(",").toSeq.filter(_.nonEmpty))
         case "hostRanks"        => inputs = inputs.copy(hostRanks = Some(v)); c
         case "hostRankMin"      => c.copy(hostRankMin = Some(v.toLong))
+        case "htmlCol"          => c.copy(htmlCol = Some(v))
+        case "htmlMinWords"     => c.copy(htmlMinWords = v.toInt)
+        case "htmlMaxLinkDensity" => c.copy(htmlMaxLinkDensity = v.toDouble)
+        case "htmlMinStopwordRatio" => c.copy(htmlMinStopwordRatio = v.toDouble)
         case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
         case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
         case "spanMinDf"        => c.copy(spanMinDf = v.toInt)
@@ -181,17 +192,24 @@ object Curate {
       Curation.Config(materialize = Curation.parquetMaterializer(s"$outDir/stages")),
       args.drop(3).toSeq)
 
-    // a configured url column must survive the JSONL parse: extend the
-    // fixed document schema with it (string), else the url_filter stage
-    // would fail on an unresolvable column
-    val schema = config.urlCol match {
-      case Some(u) if !DocumentSources.DocumentSchema.fieldNames.contains(u) =>
-        org.apache.spark.sql.types.StructType(
-          DocumentSources.DocumentSchema.fields :+
-            org.apache.spark.sql.types.StructField(u, org.apache.spark.sql.types.StringType))
-      case _ => DocumentSources.DocumentSchema
+    // configured url/html columns must survive the JSONL parse: extend the
+    // fixed document schema with them (string), else their stages would
+    // fail on an unresolvable column
+    val extraCols = (config.urlCol.toSeq ++ config.htmlCol.toSeq)
+      .filterNot(DocumentSources.DocumentSchema.fieldNames.contains).distinct
+    val schema = org.apache.spark.sql.types.StructType(
+      DocumentSources.DocumentSchema.fields ++ extraCols.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+    // a raw-crawl corpus (htmlCol set) carries PAGES, not text: the html
+    // column is what must be present per line — `text` is synthesized by
+    // the html_extract stage
+    val requiredFields = config.htmlCol match {
+      case Some(h) => Seq("doc_id", h)
+      case None => Seq("doc_id", "text")
     }
-    val (clean, dirty) = DocumentSources.readJsonl(spark, corpusPath, schema)
+    val (clean, dirty) =
+      DocumentSources.readJsonl(spark, corpusPath, schema, requiredFields)
     val benchmark =
       if (benchPath == "none") None
       else Some(DocumentSources.readJsonl(spark, benchPath)._1)

@@ -124,6 +124,42 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(audit.contains(("host_rank", 3L, 2L)))
   }
 
+  test("graft.Curate end-to-end with htmlCol: raw HTML pages in, extracted text out") {
+    val base = tmpDir("graft_curate_html")
+    val corpusDir = s"$base/corpus"; val outDir = s"$base/out"
+    Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // enough the/and stopwords + 60 words to clear both the block verdict
+    // (default 0.18 floor needs the synthetic fillers diluted) and the
+    // downstream quality gates — so use the CLI knob to relax the floor
+    val t1 = s"the and ${words("alpha", 58)}"
+    val t2 = s"the and ${words("beta", 58)}"
+    Files.write(java.nio.file.Paths.get(corpusDir, "c.jsonl"), Seq(
+      s"""{"doc_id":1,"source":"web","html":"<nav><a href='/'>Home</a></nav><p>$t1</p>"}""",
+      s"""{"doc_id":2,"source":"web","html":"<p>$t2</p><footer><a>Terms</a></footer>"}""",
+      s"""{"doc_id":3,"source":"web","html":"<nav><a href='/x'>Only nav</a></nav>"}""", // no content → drops
+      """{"doc_id":4,"source":"web","text":"no html field"}""")  // reject: missing html
+      .mkString("\n").getBytes("UTF-8"))
+
+    Curate.main(Array(corpusDir, "none", outDir,
+      "htmlCol=html", "htmlMinStopwordRatio=0.02"))
+
+    val (curated, _) = DocumentSources.readJsonl(spark, s"$outDir/curated")
+    val rows = curated.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    // text is the extracted content block — chrome stripped, html column gone
+    assert(rows(1L) === t1 && rows(2L) === t2)
+    assert(!curated.columns.contains("html"))
+    val rejects = spark.read.json(s"$outDir/rejects")
+    assert(rejects.select("error_reason").collect().map(_.getString(0)).toSeq
+      === Seq("missing required field: html"))
+    val audit = spark.read.json(s"$outDir/audit")
+      .select("stage", "n_in", "n_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit.contains(("html_extract", 3L, 2L)))
+  }
+
   test("graft.Curate options: key=value args reach the full stage set") {
     import graft.ops.Curation
     val (cfg, inputs) = Curate.parseConfig(Curation.Config(), Seq(
@@ -155,6 +191,12 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(cfg.perplexityMaxCe === Some(6.5))
     assert(inputs.hostRanks === Some("/r.parquet"))
     assert(cfg.hostRankMin === Some(900000L))
+    // html knobs parse
+    val (hCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
+      "htmlCol=page", "htmlMinWords=5", "htmlMaxLinkDensity=0.5",
+      "htmlMinStopwordRatio=0.01"))
+    assert(hCfg.htmlCol === Some("page") && hCfg.htmlMinWords === 5)
+    assert(hCfg.htmlMaxLinkDensity === 0.5 && hCfg.htmlMinStopwordRatio === 0.01)
     // url keys parse, and stray-comma empties are DROPPED (an empty regex
     // would match every URL)
     val (uCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
