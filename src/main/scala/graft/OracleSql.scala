@@ -871,11 +871,14 @@ object OracleSql {
     val stops = "['the','a','an','and','or','but','of','in','on','at','to'," +
       "'for','with','by','from','as','is','are','was','were','be','been'," +
       "'it','that','this','have','has','not','you','i']"
-    val dropRe = "(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>|" +
-      "<title[^>]*>[^<]*</title>|<!--[^>]*-->"
+    // the tag-name boundary (Boilerplate.TagEnd verbatim): `<p>`/`<p x>`
+    // match, `<param>`/`<path>` do not
+    val tagEnd = "(?:[^a-zA-Z0-9>][^>]*)?>"
+    val dropRe = s"(?i)<script$tagEnd[^<]*</script>|<style$tagEnd[^<]*</style>|" +
+      s"<title$tagEnd[^<]*</title>|<!--[^>]*-->"
     val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|" +
       "blockquote|pre|article|section|header|footer|nav|aside|main|figure|" +
-      "figcaption|form|fieldset|hr|br|html|head|body)[^>]*>"
+      s"figcaption|form|fieldset|hr|br|html|head|body)$tagEnd"
     // visible text of a markup fragment: tags → space, 5 entities + &amp;
     // LAST, whitespace collapsed (Boilerplate.visibleText verbatim)
     def vis(c: String) =
@@ -906,7 +909,7 @@ object OracleSql {
         i -> {'pos': i, 'b': bs[i]})) AS s FROM rb) t),
     sc AS (SELECT doc_id, pos, ${vis("b")} AS text,
         CAST(coalesce(list_sum(list_transform(
-          regexp_extract_all(b, '(?i)<a[^>]*>([^<]*)</a>', 1),
+          regexp_extract_all(b, '(?i)<a$tagEnd([^<]*)</a>', 1),
           x -> length(${vis("x")}))), 0) AS BIGINT) AS link_chars
       FROM blk),
     sw AS (SELECT doc_id, pos, text, link_chars,

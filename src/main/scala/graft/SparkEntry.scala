@@ -41,8 +41,16 @@ object SparkEntry {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (or date-like): cast keeps micros under UTC
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // cast keeps the wall-clock micros under the UTC session timezone
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // a FOURTH layout must fail here, loudly — a lenient catch-all cast
+        // would return all-NULL timestamps under ansi.enabled=false and
+        // every event query would run "successfully" with wrong results
+        throw new IllegalArgumentException(
+          s"events: unhandled ts layout $other in $dir/events.parquet — " +
+            "extend SparkEntry.events (and EventsLoaderSpec) for it")
     }
   }
 

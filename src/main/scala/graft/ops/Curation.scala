@@ -341,13 +341,19 @@ object Curation {
       // downstream (line rules, gates, dedup) judges the article text, not
       // nav/footer chrome. Pages with no content blocks drop here; the raw
       // HTML column is dropped so later materialized stages don't carry
-      // the page markup through the whole pipeline.
+      // the page markup through the whole pipeline (htmlCol == textCol is
+      // legal — HTML arriving IN the text field — and then nothing extra
+      // is dropped).
+      require(!d.columns.contains("__graft_clean"),
+        "curate html_extract: input already has reserved column __graft_clean")
+      val dropExtra =
+        if (config.htmlCol.get == textCol) Nil else Seq(config.htmlCol.get)
       Boilerplate.extract(d, config.htmlCol.get, outCol = "__graft_clean",
           minWords = config.htmlMinWords,
           maxLinkDensity = config.htmlMaxLinkDensity,
           minStopwordRatio = config.htmlMinStopwordRatio)
         .withColumn(textCol, col("__graft_clean"))
-        .drop("__graft_clean", config.htmlCol.get)
+        .drop("__graft_clean" +: dropExtra: _*)
         .filter(length(col(textCol)) > 0)
     }
     step("line_rules", config.lineRules) { d =>

@@ -424,17 +424,22 @@ object Graph {
     require(maxIterations >= 1, "connectedComponentsStar: maxIterations must be >= 1")
     // NULL semantics match [[connectedComponents]] exactly (the shared q110
     // oracle depends on it): a half-NULL edge contributes NOTHING — not
-    // even its non-NULL endpoint
+    // even its non-NULL endpoint. Persisted because it feeds BOTH the node
+    // set and the working edge set — an expensive caller edge expression
+    // (q117's minhash pair pipeline) must compute once, not once per
+    // derivation (the pageRank `e` discipline).
     val nonNull = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // all distinct endpoints — self-loop-only nodes survive as singletons
     // (the star loop drops self-edges, so they must be re-attached at the end)
     val nodes = nonNull.select(col("src").as("node"))
       .unionByName(nonNull.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // working edge set: undirected support, no self loops
+    // working edge set: undirected support, no self loops. The eager
+    // checkpoint materializes the nonNull cache, so the final node join
+    // reads the cache instead of re-running the caller's edge expression
     var cur = nonNull
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
@@ -491,11 +496,15 @@ object Graph {
       s"connectedComponentsStar: no fixpoint after $maxIterations rounds")
     // at the fixpoint edges are (m, v) stars with m the component minimum;
     // v's label is its unique center, m's label is itself, and edge-free
-    // nodes (self-loop-only inputs) are their own component
+    // nodes (self-loop-only inputs) are their own component. Checkpointed
+    // BEFORE the unpersist (the [[connectedComponents]] return contract —
+    // a lazily-returned frame would re-derive `nodes` from the raw edge
+    // expression on every caller evaluation once the cache is gone)
     val labels = cur.select(col("dst").as("node"), col("src").as("component"))
     val out = nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
-    nodes.unpersist()
+      .localCheckpoint(true)
+    nonNull.unpersist()
     out
   }
 

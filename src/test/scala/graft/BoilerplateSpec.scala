@@ -96,4 +96,18 @@ class BoilerplateSpec extends SparkSpec {
     assert(blocks("").isEmpty)
     assert(blocks("<div><br><hr></div>").isEmpty)
   }
+
+  test("tag-name boundary: <param>/<path>/<picture> are not block breaks, <abbr> is not an anchor") {
+    // <param> starts with listed "p" but must NOT split the paragraph
+    val rows = blocks("<p>alpha beta <param name=\"x\"> gamma <path d=\"M0\"/> delta</p>")
+    assert(rows.map(_.getAs[String]("text")).toSeq ===
+      Seq("alpha beta gamma delta"))
+    // <abbr> starts with "a" but its text is NOT anchor text
+    val ab = blocks("<p>see <abbr title=\"x\">HTML</abbr> and <a href=\"#\">a link</a> here</p>")
+    assert(ab.head.getAs[String]("text") === "see HTML and a link here")
+    assert(ab.head.getAs[Long]("link_chars") === 6L) // "a link" only
+    // the boundary still admits bare and attributed listed tags
+    val pl = blocks("<p class=\"x\">one two</p><pre>three</pre>")
+    assert(pl.map(_.getAs[String]("text")).toSeq === Seq("one two", "three"))
+  }
 }

@@ -32,6 +32,7 @@ class EventsLoaderSpec extends SparkSpec {
         case TimestampType => java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
         case _: TimestampNTZType => java.time.LocalDateTime.ofInstant(
           java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS), java.time.ZoneOffset.UTC)
+        case StringType => s"us:$us" // a hypothetical fourth layout
         case other => fail(s"unhandled fixture type $other")
       }
       Row(id, ts, uid, et, v, p)
@@ -59,5 +60,14 @@ class EventsLoaderSpec extends SparkSpec {
     results.foreach { case (label, got) =>
       assert(got === expected, s"$label layout drifted")
     }
+  }
+
+  test("a fourth, unhandled ts layout fails loudly instead of lenient-casting to NULLs") {
+    val dir = SparkSpec.tempDir("graft_events_badlayout")
+    writeFixture(dir, StringType)
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.events(spark, dir)
+    }
+    assert(e.getMessage.contains("unhandled ts layout"))
   }
 }

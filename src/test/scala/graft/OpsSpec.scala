@@ -1763,6 +1763,22 @@ class OpsSpec extends SparkSpec {
     // textCol carries the extracted prose, chrome gone, html column dropped
     assert(rows.head.getString(1) === prose)
     assert(!r.corpus.columns.contains("html"))
+
+    // htmlCol == textCol is legal: HTML arriving IN the text field is
+    // extracted in place (nothing extra dropped, no unresolvable column)
+    val inPlace = Seq((1L, "s", s"<nav><a href='/'>Home</a></nav><p>$prose</p>"))
+      .toDF("doc_id", "source", "text")
+    val r2 = Curation.curate(inPlace, config = Curation.Config(
+      htmlCol = Some("text"),
+      gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None))
+    assert(r2.corpus.select("text").collect().map(_.getString(0)).toSeq === Seq(prose))
+    // a reserved working column in the input refuses loudly
+    intercept[IllegalArgumentException] {
+      Curation.curate(inPlace.withColumn("__graft_clean", lit("x")),
+        config = Curation.Config(htmlCol = Some("text"), gates = false,
+          lineDedup = false, exactDedup = false, nearDupThreshold = None))
+    }
   }
 
   test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {
