@@ -43,6 +43,7 @@ import graft.ops.Curation
   * htmlMinWords=10              ...content-block word floor
   * htmlMaxLinkDensity=0.33      ...anchor-chars/visible-chars ceiling
   * htmlMinStopwordRatio=0.18    ...stopword-density floor
+  * respectNoindex=true          ...honor <meta name=robots noindex> opt-outs
   * docLineDedup=true          intra-document line dedup
   * spanDedup=true             substring-level span excision
   * spanMinDf=10               ...its hot-run document-frequency floor
@@ -134,6 +135,7 @@ object Curate {
         case "htmlMinWords"     => c.copy(htmlMinWords = v.toInt)
         case "htmlMaxLinkDensity" => c.copy(htmlMaxLinkDensity = v.toDouble)
         case "htmlMinStopwordRatio" => c.copy(htmlMinStopwordRatio = v.toDouble)
+        case "respectNoindex"   => c.copy(respectNoindex = v.toBoolean)
         case "docLineDedup"     => c.copy(docLineDedup = v.toBoolean)
         case "spanDedup"        => c.copy(spanDedup = v.toBoolean)
         case "spanMinDf"        => c.copy(spanMinDf = v.toInt)

@@ -933,6 +933,50 @@ object OracleSql {
     FROM nb"""
   }
 
+  /** Head-metadata extraction — q118. Mirrors
+    * graft.ops.Boilerplate.pageMetadata over the same deterministically
+    * synthesized pages (canonical present for doc_id % 3 != 0 with the
+    * attribute order flipping on parity, robots-noindex on every 5th doc
+    * in both orders, entity-bearing title, html lang from the lang
+    * column). Absent signals are the empty string / false, never NULL. */
+  private val q118 = {
+    // the SQL literal needs every regex single-quote doubled
+    def esc(re: String) = re.replace("'", "''")
+    val title = esc("(?i)<title(?:[^a-zA-Z0-9>][^>]*)?>([^<]*)</title>")
+    val canonRel = esc("(?i)<link[^a-zA-Z0-9>][^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']")
+    val canonHref = esc("(?i)<link[^a-zA-Z0-9>][^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']")
+    val robotsName = esc("(?i)<meta[^a-zA-Z0-9>][^>]*name=[\"']robots[\"'][^>]*content=[\"'][^\"']*noindex[^\"']*[\"']")
+    val robotsContent = esc("(?i)<meta[^a-zA-Z0-9>][^>]*content=[\"'][^\"']*noindex[^\"']*[\"'][^>]*name=[\"']robots[\"']")
+    val langRe = esc("(?i)<html[^a-zA-Z0-9>][^>]*lang=[\"']([^\"']*)[\"']")
+    // decode entities (&amp; LAST) + collapse whitespace — the
+    // Boilerplate.decodeEntities/collapseWs chain without the tag strip
+    def dec(c: String) =
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        s"$c, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))"
+    s"""
+    WITH pages AS (SELECT doc_id,
+      '<html lang="' || coalesce(lang, '') || '"><head>'
+      || '<title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Co</title>'
+      || CASE WHEN doc_id % 3 = 0 THEN ''
+           WHEN doc_id % 2 = 0 THEN '<link rel="canonical" href="https://ex.org/doc/' || CAST(doc_id AS VARCHAR) || '">'
+           ELSE '<link href=''https://ex.org/doc/' || CAST(doc_id AS VARCHAR) || ''' rel=''canonical''>' END
+      || CASE WHEN doc_id % 5 <> 0 THEN ''
+           WHEN doc_id % 2 = 0 THEN '<meta name="robots" content="noindex,nofollow">'
+           ELSE '<meta content=''noindex'' name=''robots''>' END
+      || '</head><body><p>Body text here.</p></body></html>' AS html
+      FROM documents)
+    SELECT doc_id,
+      ${dec(s"regexp_extract(html, '$title', 1)")} AS title,
+      CASE WHEN regexp_extract(html, '$canonRel', 1) <> ''
+        THEN regexp_extract(html, '$canonRel', 1)
+        ELSE regexp_extract(html, '$canonHref', 1) END AS canonical_url,
+      (regexp_matches(html, '$robotsName')
+        OR regexp_matches(html, '$robotsContent')) AS robots_noindex,
+      regexp_extract(html, '$langRe', 1) AS html_lang
+    FROM pages"""
+  }
+
   /** Connected components over the q31 verified-pair graph with STRING
     * nodes ('d' || doc_id) — q110. Exact transitive closure by recursive
     * CTE; component = lexicographic minimum member (binary collation in
@@ -2613,6 +2657,7 @@ object OracleSql {
     // large-star/small-star contraction produces the same min-member
     // labels as the label-propagation loop by construction — q110's
     // transitive closure is the oracle VERBATIM (the q113 pattern)
-    "q117_components_star"  -> q110
+    "q117_components_star"  -> q110,
+    "q118_html_metadata"    -> q118
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1540,6 +1540,35 @@ object SparkEntry {
       minWords = 10, maxLinkDensity = 0.33, minStopwordRatio = 0.02)
   }
 
+  /** Head-metadata extraction ([[graft.ops.Boilerplate.pageMetadata]]):
+    * pages synthesized with deterministically VARYING metadata — canonical
+    * link present for 2/3 of docs with the attribute order flipping on
+    * parity, robots-noindex on every 5th doc (both orders), entity in the
+    * title, `html lang` from the documents table's own lang column — so
+    * every regex alternative and the absent-signal empty-string contract
+    * are all exercised. Row-local, zero shuffle. */
+  private def q118HtmlMetadata(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val canon = when(id % 3 === 0, lit(""))
+      .otherwise(when(id % 2 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://ex.org/doc/"), idS, lit("\">")))
+      .otherwise(
+        concat(lit("<link href='https://ex.org/doc/"), idS, lit("' rel='canonical'>"))))
+    val robots = when(id % 5 =!= 0, lit(""))
+      .otherwise(when(id % 2 === 0,
+        lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+      .otherwise(lit("<meta content='noindex' name='robots'>")))
+    val html = concat(
+      lit("<html lang=\""), coalesce(col("lang"), lit("")), lit("\"><head>"),
+      lit("<title>Doc "), idS, lit(" &amp; Co</title>"), canon, robots,
+      lit("</head><body><p>Body text here.</p></body></html>"))
+    graft.ops.Boilerplate.pageMetadata(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")), "html")
+      .select(col("doc_id"), col("title"), col("canonical_url"),
+        col("robots_noindex"), col("html_lang"))
+  }
+
   /** Connected components by large-star/small-star contraction
     * ([[graft.ops.Graph.connectedComponentsStar]], Kiveris et al. 2014) on
     * q110's verified near-dup pair graph \u2014 same labels by construction
@@ -1671,7 +1700,8 @@ object SparkEntry {
     "q114_phrase_search_indexed" -> q114PhraseSearchIndexed _,
     "q115_unicode_normalize" -> q115UnicodeNormalize _,
     "q116_html_extract"     -> q116HtmlExtract _,
-    "q117_components_star"  -> q117ComponentsStar _
+    "q117_components_star"  -> q117ComponentsStar _,
+    "q118_html_metadata"    -> q118HtmlMetadata _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

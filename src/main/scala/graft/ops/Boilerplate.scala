@@ -143,6 +143,49 @@ object Boilerplate {
           lit("content")).otherwise(lit("boilerplate")).as("verdict")): _*)
   }
 
+  // ------------------------------------------------------------ metadata
+
+  private val TitleRe = s"(?i)<title$TagEnd([^<]*)</title>"
+  // attribute regexes accept both quote styles and both attribute orders;
+  // [^>]* cannot cross a tag boundary, so a rel="stylesheet" link can never
+  // borrow an href from a neighboring tag
+  private val CanonRelFirst =
+    "(?i)<link[^a-zA-Z0-9>][^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']"
+  private val CanonHrefFirst =
+    "(?i)<link[^a-zA-Z0-9>][^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']"
+  private val RobotsNameFirst =
+    "(?i)<meta[^a-zA-Z0-9>][^>]*name=[\"']robots[\"'][^>]*content=[\"'][^\"']*noindex[^\"']*[\"']"
+  private val RobotsContentFirst =
+    "(?i)<meta[^a-zA-Z0-9>][^>]*content=[\"'][^\"']*noindex[^\"']*[\"'][^>]*name=[\"']robots[\"']"
+  private val LangRe = "(?i)<html[^a-zA-Z0-9>][^>]*lang=[\"']([^\"']*)[\"']"
+
+  /** TRUE when the page carries a `<meta name="robots" content="…noindex…">`
+    * opt-out (either attribute order) — the signal a responsible crawl
+    * corpus honors by excluding the page. */
+  def robotsNoindex(html: Column): Column =
+    html.rlike(RobotsNameFirst) || html.rlike(RobotsContentFirst)
+
+  /** Head-metadata extraction — the signals a crawl pipeline reads BEFORE
+    * (or instead of) body text: `title` (entity-decoded, ws-collapsed),
+    * `canonical_url` (`<link rel="canonical">`, both attribute orders — the
+    * canonical-dedup key to feed [[UrlFilter.canonicalizeUrl]] /
+    * [[UrlFilter.latestPerUrl]]), `robots_noindex` (the opt-out flag), and
+    * `html_lang` (the declared `<html lang>`, to cross-check against
+    * detected language). Absent signals yield the empty string / false —
+    * never NULL. Row-local regex extraction, zero shuffle, same
+    * character-class-only Java/RE2 parity discipline as the block tier. */
+  def pageMetadata(df: DataFrame, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val relFirst = regexp_extract(h, CanonRelFirst, 1)
+    val hrefFirst = regexp_extract(h, CanonHrefFirst, 1)
+    df.withColumn("title",
+        collapseWs(decodeEntities(regexp_extract(h, TitleRe, 1))))
+      .withColumn("canonical_url",
+        when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+      .withColumn("robots_noindex", robotsNoindex(h))
+      .withColumn("html_lang", regexp_extract(h, LangRe, 1))
+  }
+
   /** Production form: adds `outCol` = the page's content blocks joined with
     * `\n` (boilerplate removed) — one row in, one row out, no explode. */
   def extract(df: DataFrame, htmlCol: String, outCol: String = "clean_text",

@@ -129,7 +129,10 @@ object Curation {
     *    raw-crawl entry point — `textCol` is (re)written from the page's
     *    content blocks, the HTML column is dropped, and pages with no
     *    content blocks drop (`htmlMinWords`/`htmlMaxLinkDensity`/
-    *    `htmlMinStopwordRatio` are the jusText verdict knobs);
+    *    `htmlMinStopwordRatio` are the jusText verdict knobs;
+    *    `respectNoindex = true` additionally honors the
+    *    `<meta name="robots" … noindex …>` opt-out by dropping those
+    *    pages before extraction);
     *  - `docLineDedup = true` enables intra-document line dedup;
     *  - `spanDedup = true` enables substring-level span excision
     *    (`spanK`/`spanW`/`spanMinDf`/`spanMinRun` are
@@ -184,6 +187,7 @@ object Curation {
       htmlMinWords: Int = 10,
       htmlMaxLinkDensity: Double = 0.33,
       htmlMinStopwordRatio: Double = 0.18,
+      respectNoindex: Boolean = false,
       gates: Boolean = true,
       lineRules: Boolean = false,
       lineRuleMinWords: Int = 5,
@@ -348,7 +352,13 @@ object Curation {
         "curate html_extract: input already has reserved column __graft_clean")
       val dropExtra =
         if (config.htmlCol.get == textCol) Nil else Seq(config.htmlCol.get)
-      Boilerplate.extract(d, config.htmlCol.get, outCol = "__graft_clean",
+      // the robots opt-out is honored BEFORE extraction: a noindex page
+      // contributes nothing, not even its content blocks
+      val src =
+        if (config.respectNoindex)
+          d.filter(!Boilerplate.robotsNoindex(col(config.htmlCol.get)))
+        else d
+      Boilerplate.extract(src, config.htmlCol.get, outCol = "__graft_clean",
           minWords = config.htmlMinWords,
           maxLinkDensity = config.htmlMaxLinkDensity,
           minStopwordRatio = config.htmlMinStopwordRatio)

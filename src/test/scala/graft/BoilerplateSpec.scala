@@ -97,6 +97,28 @@ class BoilerplateSpec extends SparkSpec {
     assert(blocks("<div><br><hr></div>").isEmpty)
   }
 
+  test("pageMetadata: title/canonical/robots/lang, both attribute orders, empty-not-NULL absences") {
+    val pages = Seq(
+      (1L, "<html lang=\"en\"><head><title> Fish &amp; Chips </title>" +
+        "<link rel=\"canonical\" href=\"https://ex.org/a\">" +
+        "<meta name=\"robots\" content=\"noindex,nofollow\"></head><body></body></html>"),
+      (2L, "<html lang='de'><head><title>Zwei</title>" +
+        "<link href='https://ex.org/b' rel='canonical'>" +          // href-first order
+        "<meta content='noindex' name='robots'></head></html>"),    // content-first order
+      (3L, "<html><head><link rel=\"stylesheet\" href=\"/s.css\">" + // no metadata at all
+        "<meta name=\"robots\" content=\"index,follow\"></head></html>"))
+      .toDF("id", "html")
+    val got = Boilerplate.pageMetadata(pages, "html")
+      .orderBy("id")
+      .select("title", "canonical_url", "robots_noindex", "html_lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(got(0) === (("Fish & Chips", "https://ex.org/a", true, "en")))
+    assert(got(1) === (("Zwei", "https://ex.org/b", true, "de")))
+    // stylesheet link lends no canonical; index,follow is not an opt-out;
+    // absences are empty strings, never NULL
+    assert(got(2) === (("", "", false, "")))
+  }
+
   test("tag-name boundary: <param>/<path>/<picture> are not block breaks, <abbr> is not an anchor") {
     // <param> starts with listed "p" but must NOT split the paragraph
     val rows = blocks("<p>alpha beta <param name=\"x\"> gamma <path d=\"M0\"/> delta</p>")

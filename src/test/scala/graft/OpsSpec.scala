@@ -1779,6 +1779,17 @@ class OpsSpec extends SparkSpec {
         config = Curation.Config(htmlCol = Some("text"), gates = false,
           lineDedup = false, exactDedup = false, nearDupThreshold = None))
     }
+
+    // respectNoindex honors the robots opt-out BEFORE extraction
+    val withOptOut = Seq(
+      (1L, "s", s"<p>$prose</p>"),
+      (2L, "s", s"<head><meta name='robots' content='noindex'></head><p>$prose</p>"))
+      .toDF("doc_id", "source", "text")
+    val r3 = Curation.curate(withOptOut, config = Curation.Config(
+      htmlCol = Some("text"), respectNoindex = true,
+      gates = false, lineDedup = false, exactDedup = false,
+      nearDupThreshold = None))
+    assert(r3.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
   test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {

@@ -443,6 +443,28 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("Ingest prepare hook: HTML boilerplate extraction at ingest (row-local => streams as-is)") {
+    val prose = "The quick brown fox jumps over the lazy dog and it was not in a hurry at all that day."
+    val base = SparkSpec.tempDir("graft_ingest_html_")
+    val in = s"$base/in"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.jsonl"), Seq(
+      s"""{"doc_id":1,"text":"<nav><a href='/'>Home</a></nav><p>$prose</p>"}""",
+      s"""{"doc_id":2,"text":"<nav><a href='/x'>Only nav here</a></nav>"}""") // no content → drops
+      .mkString("\n").getBytes("UTF-8"))
+    // the L102 stage as a micro-batch prepare: extract in place, drop
+    // content-free pages — the raw-crawl ingest shape
+    val r = Ingest.run(spark, in, None, out,
+      prepare = d => graft.ops.Boilerplate.extract(d, "text", outCol = "__c")
+        .withColumn("text", col("__c")).drop("__c")
+        .filter(length(col("text")) > 0))
+    assert(r === Ingest.Result(batches = 1, accepted = 1, droppedNearDup = 0,
+      flaggedContaminated = 0))
+    val got = spark.read.parquet(s"$out/corpus").select("doc_id", "text").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(got.head.getString(1) === prose) // chrome gone, prose intact
+  }
+
   test("Ingest crash-idempotence: replayed batch rewrites its own partitions; restart resumes from disk") {
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
     val base = SparkSpec.tempDir("graft_ingest_replay_")
