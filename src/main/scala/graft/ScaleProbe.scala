@@ -516,6 +516,21 @@ object ScaleProbe {
         graft.ops.BpeTrain.trainBpe(d, numMerges = 10, maxWords = Some(10000))
           .merges.size.toLong
       }
+      timed("html_extract", n) {
+        // L102 shape: synthesize chrome-wrapped pages from the doc text and
+        // run the full block-classify + extract pass — entirely row-local
+        // codegen (zero shuffle), so expect ~linear growth at scan speed
+        val pages = d.select(col("doc_id"), concat(
+          lit("<html><head><title>T</title></head><body><nav><a href=\"/\">Home</a> <a href=\"/t\">Tags</a></nav><p>"),
+          coalesce(col("text"), lit("")),
+          lit("</p><footer>Copyright <a href=\"/p\">Privacy</a></footer></body></html>")).as("html"))
+        // stopword floor 0: the synthetic corpus is keyword soup (the q116
+        // sf corpus carries real stopwords; this one doesn't) — a 0 floor
+        // keeps the content blocks alive so `out` is a meaningful checksum
+        graft.ops.Boilerplate.extract(pages, "html", minStopwordRatio = 0.0)
+          .agg(coalesce(sum(length(col("clean_text"))), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("pagerank", n) {
         // q109 shape: edges ∝ rows (avg degree 10 over n/10 nodes, weights
         // 1-5), 3 iterations — per iteration ONE rank-join shuffle into the

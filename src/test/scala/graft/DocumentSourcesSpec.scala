@@ -194,9 +194,10 @@ class DocumentSourcesSpec extends SparkSpec {
     // html knobs parse
     val (hCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
       "htmlCol=page", "htmlMinWords=5", "htmlMaxLinkDensity=0.5",
-      "htmlMinStopwordRatio=0.01"))
+      "htmlMinStopwordRatio=0.01", "respectNoindex=true"))
     assert(hCfg.htmlCol === Some("page") && hCfg.htmlMinWords === 5)
     assert(hCfg.htmlMaxLinkDensity === 0.5 && hCfg.htmlMinStopwordRatio === 0.01)
+    assert(hCfg.respectNoindex)
     // url keys parse, and stray-comma empties are DROPPED (an empty regex
     // would match every URL)
     val (uCfg, _) = Curate.parseConfig(Curation.Config(), Seq(
