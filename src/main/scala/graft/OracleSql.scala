@@ -977,6 +977,57 @@ object OracleSql {
     FROM pages"""
   }
 
+  /** Canonical-link crawl dedup — q119. Mirrors q118's declared-canonical
+    * extraction composed with q92's canonicalize + latest-per-key pipeline:
+    * effective key = declared canonical if present else the fetch URL. */
+  private val q119 = {
+    def esc(re: String) = re.replace("'", "''")
+    val canonRel = esc("(?i)<link[^a-zA-Z0-9>][^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']")
+    val canonHref = esc("(?i)<link[^a-zA-Z0-9>][^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']")
+    s"""
+    WITH pg AS (SELECT doc_id, doc_id AS crawl_ts,
+        'https://m' || (doc_id % 4) || '.mirror.example.org/p/' || (doc_id % 40) || '?utm_source=mirror' AS fetch_url,
+        '<html><head><title>x</title>' ||
+        CASE WHEN doc_id % 2 <> 0 THEN ''
+             WHEN doc_id % 4 = 0 THEN '<link rel="canonical" href="https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '">'
+             ELSE '<link href=''https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || ''' rel=''canonical''>' END
+        || '</head><body></body></html>' AS html
+      FROM documents),
+    du AS (SELECT doc_id, crawl_ts,
+        CASE WHEN (CASE WHEN regexp_extract(html, '$canonRel', 1) <> ''
+            THEN regexp_extract(html, '$canonRel', 1)
+            ELSE regexp_extract(html, '$canonHref', 1) END) <> ''
+          THEN (CASE WHEN regexp_extract(html, '$canonRel', 1) <> ''
+            THEN regexp_extract(html, '$canonRel', 1)
+            ELSE regexp_extract(html, '$canonHref', 1) END)
+          ELSE fetch_url END AS url
+      FROM pg),
+    parts AS (SELECT doc_id, crawl_ts,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1)) AS hostport,
+        regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$$', 1), '#.*$$', '') AS rest0
+      FROM du),
+    canon AS (SELECT doc_id, crawl_ts,
+        CASE WHEN scheme = '' THEN ''
+        ELSE scheme || '://' ||
+          (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                ELSE hostport END) ||
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest0, '(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+              '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g'),
+            '/+$$', '', 'g')
+        END AS canonical_url
+      FROM parts),
+    keep AS (SELECT canonical_url, doc_id,
+        row_number() OVER (PARTITION BY canonical_url
+          ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_versions
+      FROM canon)
+    SELECT canonical_url, doc_id, n_versions FROM keep WHERE rn = 1"""
+  }
+
   /** Connected components over the q31 verified-pair graph with STRING
     * nodes ('d' || doc_id) — q110. Exact transitive closure by recursive
     * CTE; component = lexicographic minimum member (binary collation in
@@ -2658,6 +2709,7 @@ object OracleSql {
     // labels as the label-propagation loop by construction — q110's
     // transitive closure is the oracle VERBATIM (the q113 pattern)
     "q117_components_star"  -> q110,
-    "q118_html_metadata"    -> q118
+    "q118_html_metadata"    -> q118,
+    "q119_canonical_dedup"  -> q119
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1569,6 +1569,40 @@ object SparkEntry {
         col("robots_noindex"), col("html_lang"))
   }
 
+  /** Canonical-link crawl dedup — the L104 ∘ latest-per-URL composition
+    * every crawl pipeline runs: mirror fetches (tracking-tainted mirror
+    * URLs) declare `<link rel=canonical>` pointing at the clean page for
+    * half the docs (both attribute orders), the effective key is
+    * declared-canonical-if-present else the fetch URL, canonicalized
+    * ([[graft.ops.UrlFilter.canonicalizeUrl]]), and the newest crawl
+    * survives per key via ONE max_by agg
+    * ([[graft.ops.UrlFilter.latestPerUrl]]). */
+  private def q119CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val fetch = concat(lit("https://m"), pmod(id, lit(4)),
+      lit(".mirror.example.org/p/"), pmod(id, lit(40)),
+      lit("?utm_source=mirror"))
+    val declared = concat(lit("https://site"), pmod(id, lit(7)),
+      lit(".example.com/page/"), pmod(id, lit(40)))
+    val link = when(pmod(id, lit(2)) =!= 0, lit(""))
+      .otherwise(when(pmod(id, lit(4)) === 0,
+        concat(lit("<link rel=\"canonical\" href=\""), declared, lit("\">")))
+      .otherwise(concat(lit("<link href='"), declared, lit("' rel='canonical'>"))))
+    val html = concat(lit("<html><head><title>x</title>"), link,
+      lit("</head><body></body></html>"))
+    val pages = t(s, dir, "documents")
+      .select(id, html.as("html"), fetch.as("fetch_url"), id.as("crawl_ts"))
+    val eff = graft.ops.Boilerplate.pageMetadata(pages, "html")
+      .withColumn("url",
+        when(col("canonical_url") =!= "", col("canonical_url"))
+          .otherwise(col("fetch_url")))
+      // latestPerUrl owns the canonical_url output name (and refuses a
+      // clash), so the metadata columns leave the frame here
+      .select(col("doc_id"), col("crawl_ts"), col("url"))
+    graft.ops.UrlFilter.latestPerUrl(eff, "url", "crawl_ts")
+      .select(col("canonical_url"), col("doc_id"), col("n_versions"))
+  }
+
   /** Connected components by large-star/small-star contraction
     * ([[graft.ops.Graph.connectedComponentsStar]], Kiveris et al. 2014) on
     * q110's verified near-dup pair graph \u2014 same labels by construction
@@ -1701,7 +1735,8 @@ object SparkEntry {
     "q115_unicode_normalize" -> q115UnicodeNormalize _,
     "q116_html_extract"     -> q116HtmlExtract _,
     "q117_components_star"  -> q117ComponentsStar _,
-    "q118_html_metadata"    -> q118HtmlMetadata _
+    "q118_html_metadata"    -> q118HtmlMetadata _,
+    "q119_canonical_dedup"  -> q119CanonicalDedup _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
