@@ -933,6 +933,52 @@ object OracleSql {
     FROM nb"""
   }
 
+  // ---- shared head-metadata SQL builders: the regexes interpolated below
+  // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
+  // of truth, so a pattern change cannot leave the oracle silently stale
+  private def sqlRe(re: String) = re.replace("'", "''")
+  private def sqlFirstNonEmpty(expr: String, res: Seq[String]): String =
+    res.map(re => s"regexp_extract($expr, '${sqlRe(re)}', 1)")
+      .reduceRight((e, rest) => s"(CASE WHEN $e <> '' THEN $e ELSE $rest END)")
+  private def sqlRobots(expr: String): String =
+    graft.ops.Boilerplate.RobotsRes
+      .map(re => s"regexp_matches($expr, '${sqlRe(re)}')")
+      .mkString("(", " OR ", ")")
+
+  /** The canonicalize + latest-per-key tail q92 and q119 share: the caller
+    * supplies leading CTE(s) ending in `du(doc_id, crawl_ts, url)`.
+    * Mirrors UrlFilter.canonicalizeUrl + latestPerUrl (rule order pinned:
+    * scheme/host lowering, default ports, fragment, tracking params,
+    * separator debris, trailing slashes; newest crawl_ts then greatest
+    * doc_id wins). Plain-string concatenation keeps the `$` regex anchors
+    * out of Scala interpolation. */
+  private def canonicalLatestSql(duCtes: String): String =
+    "\n    WITH " + duCtes + """,
+    parts AS (SELECT doc_id, crawl_ts,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1)) AS hostport,
+        regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', '') AS rest0
+      FROM du),
+    canon AS (SELECT doc_id, crawl_ts,
+        CASE WHEN scheme = '' THEN ''
+        ELSE scheme || '://' ||
+          (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END) ||
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest0, '(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+              '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g'),
+            '/+$', '', 'g')
+        END AS canonical_url
+      FROM parts),
+    keep AS (SELECT canonical_url, doc_id,
+        row_number() OVER (PARTITION BY canonical_url
+          ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_versions
+      FROM canon)
+    SELECT canonical_url, doc_id, n_versions FROM keep WHERE rn = 1"""
+
   /** Head-metadata extraction — q118. Mirrors
     * graft.ops.Boilerplate.pageMetadata over the same deterministically
     * synthesized pages (canonical present for doc_id % 3 != 0 with the
@@ -940,14 +986,7 @@ object OracleSql {
     * in both orders, entity-bearing title, html lang from the lang
     * column). Absent signals are the empty string / false, never NULL. */
   private val q118 = {
-    // the SQL literal needs every regex single-quote doubled
-    def esc(re: String) = re.replace("'", "''")
-    val title = esc("(?i)<title(?:[^a-zA-Z0-9>][^>]*)?>([^<]*)</title>")
-    val canonRel = esc("(?i)<link[^a-zA-Z0-9>][^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']")
-    val canonHref = esc("(?i)<link[^a-zA-Z0-9>][^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']")
-    val robotsName = esc("(?i)<meta[^a-zA-Z0-9>][^>]*name=[\"']robots[\"'][^>]*content=[\"'][^\"']*noindex[^\"']*[\"']")
-    val robotsContent = esc("(?i)<meta[^a-zA-Z0-9>][^>]*content=[\"'][^\"']*noindex[^\"']*[\"'][^>]*name=[\"']robots[\"']")
-    val langRe = esc("(?i)<html[^a-zA-Z0-9>][^>]*lang=[\"']([^\"']*)[\"']")
+    val b = graft.ops.Boilerplate
     // decode entities (&amp; LAST) + collapse whitespace — the
     // Boilerplate.decodeEntities/collapseWs chain without the tag strip
     def dec(c: String) =
@@ -967,25 +1006,20 @@ object OracleSql {
       || '</head><body><p>Body text here.</p></body></html>' AS html
       FROM documents)
     SELECT doc_id,
-      ${dec(s"regexp_extract(html, '$title', 1)")} AS title,
-      CASE WHEN regexp_extract(html, '$canonRel', 1) <> ''
-        THEN regexp_extract(html, '$canonRel', 1)
-        ELSE regexp_extract(html, '$canonHref', 1) END AS canonical_url,
-      (regexp_matches(html, '$robotsName')
-        OR regexp_matches(html, '$robotsContent')) AS robots_noindex,
-      regexp_extract(html, '$langRe', 1) AS html_lang
+      ${dec(s"regexp_extract(html, '${sqlRe(b.TitleRe)}', 1)")} AS title,
+      ${sqlFirstNonEmpty("html", b.CanonRes)} AS canonical_url,
+      ${sqlRobots("html")} AS robots_noindex,
+      ${sqlFirstNonEmpty("html", b.LangRes)} AS html_lang
     FROM pages"""
   }
 
   /** Canonical-link crawl dedup — q119. Mirrors q118's declared-canonical
-    * extraction composed with q92's canonicalize + latest-per-key pipeline:
-    * effective key = declared canonical if present else the fetch URL. */
+    * extraction composed with q92's canonicalize + latest-per-key pipeline
+    * (the [[canonicalLatestSql]] shared tail): effective key = declared
+    * canonical if present else the fetch URL. */
   private val q119 = {
-    def esc(re: String) = re.replace("'", "''")
-    val canonRel = esc("(?i)<link[^a-zA-Z0-9>][^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']")
-    val canonHref = esc("(?i)<link[^a-zA-Z0-9>][^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']")
-    s"""
-    WITH pg AS (SELECT doc_id, doc_id AS crawl_ts,
+    val decl = sqlFirstNonEmpty("html", graft.ops.Boilerplate.CanonRes)
+    canonicalLatestSql(s"""pg AS (SELECT doc_id, doc_id AS crawl_ts,
         'https://m' || (doc_id % 4) || '.mirror.example.org/p/' || (doc_id % 40) || '?utm_source=mirror' AS fetch_url,
         '<html><head><title>x</title>' ||
         CASE WHEN doc_id % 2 <> 0 THEN ''
@@ -994,38 +1028,8 @@ object OracleSql {
         || '</head><body></body></html>' AS html
       FROM documents),
     du AS (SELECT doc_id, crawl_ts,
-        CASE WHEN (CASE WHEN regexp_extract(html, '$canonRel', 1) <> ''
-            THEN regexp_extract(html, '$canonRel', 1)
-            ELSE regexp_extract(html, '$canonHref', 1) END) <> ''
-          THEN (CASE WHEN regexp_extract(html, '$canonRel', 1) <> ''
-            THEN regexp_extract(html, '$canonRel', 1)
-            ELSE regexp_extract(html, '$canonHref', 1) END)
-          ELSE fetch_url END AS url
-      FROM pg),
-    parts AS (SELECT doc_id, crawl_ts,
-        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1)) AS hostport,
-        regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$$', 1), '#.*$$', '') AS rest0
-      FROM du),
-    canon AS (SELECT doc_id, crawl_ts,
-        CASE WHEN scheme = '' THEN ''
-        ELSE scheme || '://' ||
-          (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
-                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-                ELSE hostport END) ||
-          regexp_replace(
-            regexp_replace(regexp_replace(regexp_replace(
-              regexp_replace(rest0, '(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
-              '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g'),
-            '/+$$', '', 'g')
-        END AS canonical_url
-      FROM parts),
-    keep AS (SELECT canonical_url, doc_id,
-        row_number() OVER (PARTITION BY canonical_url
-          ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
-        CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_versions
-      FROM canon)
-    SELECT canonical_url, doc_id, n_versions FROM keep WHERE rn = 1"""
+        CASE WHEN $decl <> '' THEN $decl ELSE fetch_url END AS url
+      FROM pg)""")
   }
 
   /** Connected components over the q31 verified-pair graph with STRING
@@ -2101,8 +2105,7 @@ object OracleSql {
     * newest (crawl_ts, doc_id) survives, n_versions counts the collapse.
     * DuckDB regexp_replace needs the explicit 'g' flag where Spark's is
     * always-global. */
-  private val q92 = """
-    WITH du AS (SELECT doc_id, doc_id AS crawl_ts,
+  private val q92 = canonicalLatestSql("""du AS (SELECT doc_id, doc_id AS crawl_ts,
         CASE doc_id % 5
           WHEN 0 THEN 'HTTPS://Site' || (doc_id % 7) || '.Example.COM:443/page/' || (doc_id % 40) || '/'
           WHEN 1 THEN 'https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '?utm_source=feed&utm_campaign=x'
@@ -2110,31 +2113,7 @@ object OracleSql {
           WHEN 3 THEN 'https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '?id=9&fbclid=abc'
           ELSE 'http://other' || (doc_id % 13) || '.example.net:80/p/' || (doc_id % 40)
         END AS url
-      FROM documents),
-    parts AS (SELECT doc_id, crawl_ts,
-        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1)) AS hostport,
-        regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', '') AS rest0
-      FROM du),
-    canon AS (SELECT doc_id, crawl_ts,
-        CASE WHEN scheme = '' THEN ''
-        ELSE scheme || '://' ||
-          (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-                ELSE hostport END) ||
-          regexp_replace(
-            regexp_replace(regexp_replace(regexp_replace(
-              regexp_replace(rest0, '(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
-              '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g'),
-            '/+$', '', 'g')
-        END AS canonical_url
-      FROM parts),
-    keep AS (SELECT canonical_url, doc_id,
-        row_number() OVER (PARTITION BY canonical_url
-          ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
-        CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_versions
-      FROM canon)
-    SELECT canonical_url, doc_id, n_versions FROM keep WHERE rn = 1"""
+      FROM documents)""")
 
   /** Table profiler — mirrors graft.ops.Profiler.profile(orders): one SELECT
     * per column UNION ALL'd (DuckDB's planner fuses the scans); min/max on

@@ -120,7 +120,9 @@ object Boilerplate {
                    minStopwordRatio: Double = 0.18,
                    stopwords: Seq[String] = Stopwords): DataFrame = {
     val stops = array(stopwords.map(lit): _*)
-    val pre = regexp_replace(col(htmlCol), DropRe, " ")
+    // NULL html (failed fetches) reads as the empty page: zero blocks from
+    // scoredBlocks, "" (not NULL) from extract
+    val pre = regexp_replace(coalesce(col(htmlCol), lit("")), DropRe, " ")
     val scored = filter(
       transform(split(pre, BlockTagRe), b => score(b, stops)),
       s => s("chars") > 0)
@@ -144,26 +146,48 @@ object Boilerplate {
   }
 
   // ------------------------------------------------------------ metadata
+  //
+  // Attribute regexes tolerate whitespace around `=`, both quote styles,
+  // AND unquoted values (valid HTML, common in the wild — an opt-out
+  // defeated by `<meta name=robots content=noindex>` would be worse than
+  // useless). `[^>]*` cannot cross a tag boundary, so a rel="stylesheet"
+  // link can never borrow an href from a neighboring tag. All patterns
+  // stay in the character-class + \b/\s subset Java and RE2 agree on;
+  // `private[graft]` so the DuckDB oracle interpolates the SAME constants
+  // (one source of truth for the cross-engine contract).
 
-  private val TitleRe = s"(?i)<title$TagEnd([^<]*)</title>"
-  // attribute regexes accept both quote styles and both attribute orders;
-  // [^>]* cannot cross a tag boundary, so a rel="stylesheet" link can never
-  // borrow an href from a neighboring tag
-  private val CanonRelFirst =
-    "(?i)<link[^a-zA-Z0-9>][^>]*rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']"
-  private val CanonHrefFirst =
-    "(?i)<link[^a-zA-Z0-9>][^>]*href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']"
-  private val RobotsNameFirst =
-    "(?i)<meta[^a-zA-Z0-9>][^>]*name=[\"']robots[\"'][^>]*content=[\"'][^\"']*noindex[^\"']*[\"']"
-  private val RobotsContentFirst =
-    "(?i)<meta[^a-zA-Z0-9>][^>]*content=[\"'][^\"']*noindex[^\"']*[\"'][^>]*name=[\"']robots[\"']"
-  private val LangRe = "(?i)<html[^a-zA-Z0-9>][^>]*lang=[\"']([^\"']*)[\"']"
+  private[graft] val TitleRe = s"(?i)<title$TagEnd([^<]*)</title>"
+  // canonical href: quoted before unquoted, rel-first before href-first —
+  // first non-empty extraction wins ([[pageMetadata]] and the oracle share
+  // this precedence)
+  private[graft] val CanonRes: Seq[String] = Seq(
+    "(?i)<link[^a-zA-Z0-9>][^>]*rel\\s*=\\s*[\"']?canonical\\b[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)<link[^a-zA-Z0-9>][^>]*href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*rel\\s*=\\s*[\"']?canonical\\b",
+    "(?i)<link[^a-zA-Z0-9>][^>]*rel\\s*=\\s*[\"']?canonical\\b[^>]*href\\s*=\\s*([^\\s\"'>]+)",
+    "(?i)<link[^a-zA-Z0-9>][^>]*href\\s*=\\s*([^\\s\"'>]+)[^>]*rel\\s*=\\s*[\"']?canonical\\b")
+  // robots opt-out: a <meta> tag carrying BOTH name=robots and a noindex
+  // token (either order). Deliberately conservative — `noindex` anywhere
+  // else in that tag's attributes also triggers; over-dropping is the safe
+  // direction for an opt-out detector.
+  private[graft] val RobotsRes: Seq[String] = Seq(
+    "(?i)<meta[^a-zA-Z0-9>][^>]*name\\s*=\\s*[\"']?robots\\b[^>]*noindex",
+    "(?i)<meta[^a-zA-Z0-9>][^>]*noindex[^>]*name\\s*=\\s*[\"']?robots\\b")
+  private[graft] val LangRes: Seq[String] = Seq(
+    "(?i)<html[^a-zA-Z0-9>][^>]*lang\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)<html[^a-zA-Z0-9>][^>]*lang\\s*=\\s*([^\\s\"'>]+)")
+
+  private def firstNonEmpty(h: Column, res: Seq[String]): Column =
+    res.map(re => regexp_extract(h, re, 1))
+      .reduceRight((e, rest) => when(e =!= "", e).otherwise(rest))
 
   /** TRUE when the page carries a `<meta name="robots" content="…noindex…">`
-    * opt-out (either attribute order) — the signal a responsible crawl
-    * corpus honors by excluding the page. */
-  def robotsNoindex(html: Column): Column =
-    html.rlike(RobotsNameFirst) || html.rlike(RobotsContentFirst)
+    * opt-out (either attribute order, quoted or not) — the signal a
+    * responsible crawl corpus honors by excluding the page. NULL html
+    * reads false. */
+  def robotsNoindex(html: Column): Column = {
+    val h = coalesce(html, lit(""))
+    RobotsRes.map(h.rlike).reduce(_ || _)
+  }
 
   /** Head-metadata extraction — the signals a crawl pipeline reads BEFORE
     * (or instead of) body text: `title` (entity-decoded, ws-collapsed),
@@ -171,19 +195,23 @@ object Boilerplate {
     * canonical-dedup key to feed [[UrlFilter.canonicalizeUrl]] /
     * [[UrlFilter.latestPerUrl]]), `robots_noindex` (the opt-out flag), and
     * `html_lang` (the declared `<html lang>`, to cross-check against
-    * detected language). Absent signals yield the empty string / false —
-    * never NULL. Row-local regex extraction, zero shuffle, same
-    * character-class-only Java/RE2 parity discipline as the block tier. */
+    * detected language). Absent signals — including a NULL html column
+    * (failed fetches) — yield the empty string / false, never NULL. The
+    * four output names are part of the contract: a pre-existing column of
+    * the same name refuses loudly ([[UrlFilter.latestPerUrl]] discipline).
+    * Row-local regex extraction, zero shuffle, same character-class-only
+    * Java/RE2 parity discipline as the block tier. */
   def pageMetadata(df: DataFrame, htmlCol: String): DataFrame = {
-    val h = col(htmlCol)
-    val relFirst = regexp_extract(h, CanonRelFirst, 1)
-    val hrefFirst = regexp_extract(h, CanonHrefFirst, 1)
+    val outCols = Seq("title", "canonical_url", "robots_noindex", "html_lang")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"pageMetadata: input already has output column(s) ${clash.mkString(", ")}")
+    val h = coalesce(col(htmlCol), lit(""))
     df.withColumn("title",
         collapseWs(decodeEntities(regexp_extract(h, TitleRe, 1))))
-      .withColumn("canonical_url",
-        when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+      .withColumn("canonical_url", firstNonEmpty(h, CanonRes))
       .withColumn("robots_noindex", robotsNoindex(h))
-      .withColumn("html_lang", regexp_extract(h, LangRe, 1))
+      .withColumn("html_lang", firstNonEmpty(h, LangRes))
   }
 
   /** Production form: adds `outCol` = the page's content blocks joined with
@@ -193,7 +221,9 @@ object Boilerplate {
               minStopwordRatio: Double = 0.18,
               stopwords: Seq[String] = Stopwords): DataFrame = {
     val stops = array(stopwords.map(lit): _*)
-    val pre = regexp_replace(col(htmlCol), DropRe, " ")
+    // NULL html (failed fetches) reads as the empty page: zero blocks from
+    // scoredBlocks, "" (not NULL) from extract
+    val pre = regexp_replace(coalesce(col(htmlCol), lit("")), DropRe, " ")
     val scored = filter(
       transform(split(pre, BlockTagRe), b => score(b, stops)),
       s => s("chars") > 0)

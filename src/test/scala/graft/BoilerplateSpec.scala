@@ -119,6 +119,41 @@ class BoilerplateSpec extends SparkSpec {
     assert(got(2) === (("", "", false, "")))
   }
 
+  test("pageMetadata: unquoted attributes and whitespace around '=' still match; NULL html reads empty/false") {
+    val pages = Seq(
+      (1L, Some("<html lang=en><head><title>One</title>" +
+        "<link rel=canonical href=https://ex.org/u>" +
+        "<meta name=robots content=noindex,nofollow></head></html>")), // all unquoted
+      (2L, Some("<html lang = \"fr\"><head>" +
+        "<link rel = 'canonical' href = \"https://ex.org/v\">" +
+        "<meta name = \"robots\" content = \"noindex\"></head></html>")), // spaces around =
+      (3L, None)) // failed fetch: NULL html
+      .toDF("id", "html")
+    val got = Boilerplate.pageMetadata(pages, "html")
+      .orderBy("id")
+      .select("title", "canonical_url", "robots_noindex", "html_lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(got(0) === (("One", "https://ex.org/u", true, "en")))
+    assert(got(1) === (("", "https://ex.org/v", true, "fr")))
+    // the documented NULL contract: empty string / false, never NULL
+    assert(got(2) === (("", "", false, "")))
+    // extract() on NULL html yields "" too, and robotstxt is not robots
+    val n = Boilerplate.extract(pages, "html").orderBy("id")
+      .select("clean_text").collect().map(_.getString(0))
+    assert(n(2) === "")
+    assert(!Boilerplate.pageMetadata(
+      Seq((1L, "<meta name=\"robotstxt\" content=\"noindex\">")).toDF("i", "h"), "h")
+      .select("robots_noindex").collect().head.getBoolean(0))
+  }
+
+  test("pageMetadata refuses an input that already carries an output column") {
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.pageMetadata(
+        Seq((1L, "<html></html>", "prefetched title")).toDF("id", "html", "title"), "html")
+    }
+    assert(e.getMessage.contains("title"))
+  }
+
   test("tag-name boundary: <param>/<path>/<picture> are not block breaks, <abbr> is not an anchor") {
     // <param> starts with listed "p" but must NOT split the paragraph
     val rows = blocks("<p>alpha beta <param name=\"x\"> gamma <path d=\"M0\"/> delta</p>")
