@@ -867,18 +867,23 @@ object OracleSql {
     * Java agree byte-for-byte; block_idx numbers NON-EMPTY blocks in
     * document order (row_number over raw split position = Spark's
     * filter-then-posexplode). */
-  private val q116 = {
+  /** The q116 verdict triple as one reusable predicate over `nb`'s columns
+    * (shared with q120's rollup — one source for the thresholds). */
+  private val q116Verdict =
+    """words >= 10
+        AND CAST(link_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) <= 0.33
+        AND CAST(stop_words AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE) >= 0.02"""
+
+  /** q116/q120's shared CTE chain: synthesized pages → drop invisible
+    * content → block split → per-block score rows `nb(doc_id, block_idx,
+    * text, chars, link_chars, words, stop_words)`. The drop/block/anchor
+    * regexes are Boilerplate's OWN constants (sqlRe-escaped) — one source
+    * of truth for the cross-engine contract. */
+  private val q116Ctes = {
+    val b = graft.ops.Boilerplate
     val stops = "['the','a','an','and','or','but','of','in','on','at','to'," +
       "'for','with','by','from','as','is','are','was','were','be','been'," +
       "'it','that','this','have','has','not','you','i']"
-    // the tag-name boundary (Boilerplate.TagEnd verbatim): `<p>`/`<p x>`
-    // match, `<param>`/`<path>` do not
-    val tagEnd = "(?:[^a-zA-Z0-9>][^>]*)?>"
-    val dropRe = s"(?i)<script$tagEnd[^<]*</script>|<style$tagEnd[^<]*</style>|" +
-      s"<title$tagEnd[^<]*</title>|<!--[^>]*-->"
-    val blockRe = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|" +
-      "blockquote|pre|article|section|header|footer|nav|aside|main|figure|" +
-      s"figcaption|form|fieldset|hr|br|html|head|body)$tagEnd"
     // visible text of a markup fragment: tags → space, 5 entities + &amp;
     // LAST, whitespace collapsed (Boilerplate.visibleText verbatim)
     def vis(c: String) =
@@ -902,14 +907,14 @@ object OracleSql {
       || '<footer>Copyright 2024 Example Corp <a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
       || '</body></html>' AS html FROM esc),
     pre AS (SELECT doc_id,
-        regexp_replace(html, '$dropRe', ' ', 'g') AS h FROM pages),
-    rb AS (SELECT doc_id, regexp_split_to_array(h, '$blockRe') AS bs FROM pre),
+        regexp_replace(html, '${sqlRe(b.DropRe)}', ' ', 'g') AS h FROM pages),
+    rb AS (SELECT doc_id, regexp_split_to_array(h, '${sqlRe(b.BlockTagRe)}') AS bs FROM pre),
     blk AS (SELECT doc_id, s.pos AS pos, s.b AS b
       FROM (SELECT doc_id, unnest(list_transform(range(1, len(bs) + 1),
         i -> {'pos': i, 'b': bs[i]})) AS s FROM rb) t),
     sc AS (SELECT doc_id, pos, ${vis("b")} AS text,
         CAST(coalesce(list_sum(list_transform(
-          regexp_extract_all(b, '(?i)<a$tagEnd([^<]*)</a>', 1),
+          regexp_extract_all(b, '${sqlRe(b.LinkRe)}', 1),
           x -> length(${vis("x")}))), 0) AS BIGINT) AS link_chars
       FROM blk),
     sw AS (SELECT doc_id, pos, text, link_chars,
@@ -922,16 +927,29 @@ object OracleSql {
     nb AS (SELECT doc_id, text, chars, link_chars, words, stop_words,
         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
           AS BIGINT) AS block_idx
-      FROM sw WHERE chars > 0)
+      FROM sw WHERE chars > 0)"""
+  }
+
+  private val q116 = s"""$q116Ctes
     SELECT doc_id, block_idx, text, chars, link_chars, words, stop_words,
       CAST(link_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) AS link_density,
       CAST(stop_words AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE) AS stopword_ratio,
-      CASE WHEN words >= 10
-        AND CAST(link_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) <= 0.33
-        AND CAST(stop_words AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE) >= 0.02
+      CASE WHEN $q116Verdict
       THEN 'content' ELSE 'boilerplate' END AS verdict
     FROM nb"""
-  }
+
+  /** The production extract path — q120. Per-doc content blocks joined
+    * with newline in block order, md5-pinned; content-free pages are the
+    * empty string (md5('')), never NULL, and every document appears. */
+  private val q120 = s"""$q116Ctes,
+    agg AS (SELECT d.doc_id,
+        coalesce(string_agg(CASE WHEN $q116Verdict THEN nb.text END,
+          chr(10) ORDER BY nb.block_idx), '') AS clean_text
+      FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc_id, md5(clean_text) AS clean_md5,
+      CAST(length(clean_text) AS BIGINT) AS clean_chars
+    FROM agg"""
 
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
@@ -2689,6 +2707,7 @@ object OracleSql {
     // transitive closure is the oracle VERBATIM (the q113 pattern)
     "q117_components_star"  -> q110,
     "q118_html_metadata"    -> q118,
-    "q119_canonical_dedup"  -> q119
+    "q119_canonical_dedup"  -> q119,
+    "q120_html_clean"       -> q120
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1520,7 +1520,14 @@ object SparkEntry {
     * corpus is keyword soup (stopword density ~0.07, not prose ~0.30), so
     * the stopword floor is set to 0.02 for this corpus. Entirely row-local
     * codegen'd column algebra \u2014 zero shuffle. */
-  private def q116HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+  private def q116HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Boilerplate.scoredBlocks(htmlPages(s, dir), "html", Seq("doc_id"),
+      minWords = 10, maxLinkDensity = 0.33, minStopwordRatio = 0.02)
+
+  /** The q116/q120 page synthesis: deterministic chrome (nav/h1/share/
+    * footer) around the entity-escaped document text as `<p>` blocks —
+    * mirrored verbatim in the oracle's `pages` CTE. */
+  private def htmlPages(s: SparkSession, dir: String): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     val esc = regexp_replace(regexp_replace(regexp_replace(
       txt, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
@@ -1535,10 +1542,19 @@ object SparkEntry {
       lit("<p>"), substring(esc, 601, 1000000), lit("</p>"),
       lit("<footer>Copyright 2024 Example Corp <a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a></footer>"),
       lit("</body></html>"))
-    val pages = t(s, dir, "documents").select(col("doc_id"), html.as("html"))
-    graft.ops.Boilerplate.scoredBlocks(pages, "html", Seq("doc_id"),
-      minWords = 10, maxLinkDensity = 0.33, minStopwordRatio = 0.02)
+    t(s, dir, "documents").select(col("doc_id"), html.as("html"))
   }
+
+  /** The PRODUCTION extraction path ([[graft.ops.Boilerplate.extract]]) —
+    * q116 audits per-block verdicts; this pins the one-row-in-one-row-out
+    * array form (content blocks joined with `\n`, no explode) through an
+    * md5 of the extracted text. Content-free pages yield the empty string,
+    * never NULL — md5('') on both engines. */
+  private def q120HtmlClean(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Boilerplate.extract(htmlPages(s, dir), "html",
+        minWords = 10, maxLinkDensity = 0.33, minStopwordRatio = 0.02)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_chars"))
 
   /** Head-metadata extraction ([[graft.ops.Boilerplate.pageMetadata]]):
     * pages synthesized with deterministically VARYING metadata — canonical
@@ -1736,7 +1752,8 @@ object SparkEntry {
     "q116_html_extract"     -> q116HtmlExtract _,
     "q117_components_star"  -> q117ComponentsStar _,
     "q118_html_metadata"    -> q118HtmlMetadata _,
-    "q119_canonical_dedup"  -> q119CanonicalDedup _
+    "q119_canonical_dedup"  -> q119CanonicalDedup _,
+    "q120_html_clean"       -> q120HtmlClean _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -53,23 +53,23 @@ object Boilerplate {
     * non-alphanumeric character and the rest of the tag — so `<p>`/`<p x>`
     * match but `<param>`/`<path>`/`<picture>` (names that merely START with
     * a listed name) do not. Character-class-only, so Java and RE2 agree. */
-  private val TagEnd = "(?:[^a-zA-Z0-9>][^>]*)?>"
+  private[graft] val TagEnd = "(?:[^a-zA-Z0-9>][^>]*)?>"
 
   /** Block-boundary tags — jusText's block unit plus HTML5 structural tags. */
-  private val BlockTagRe =
+  private[graft] val BlockTagRe =
     "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|blockquote|" +
       "pre|article|section|header|footer|nav|aside|main|figure|figcaption|" +
       s"form|fieldset|hr|br|html|head|body)$TagEnd"
 
   /** Invisible content: script/style/title bodies + comments (bodies must
     * not contain `<`/`>` — see semantics bounds above). */
-  private val DropRe =
+  private[graft] val DropRe =
     s"(?i)<script$TagEnd[^<]*</script>|<style$TagEnd[^<]*</style>|" +
       s"<title$TagEnd[^<]*</title>|<!--[^>]*-->"
 
   /** The name boundary matters most here: without it `<abbr>`, `<address>`,
     * `<audio>`, `<area>`… would all count their text as anchor text. */
-  private val LinkRe = s"(?i)<a$TagEnd([^<]*)</a>"
+  private[graft] val LinkRe = s"(?i)<a$TagEnd([^<]*)</a>"
 
   /** The 5 standard entities a text pipeline meets in practice; `&amp;`
     * decodes LAST so `&amp;lt;` round-trips to the literal `&lt;`. */

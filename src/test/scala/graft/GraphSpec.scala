@@ -283,6 +283,23 @@ class GraphSpec extends SparkSpec {
     assert(star("zz") === "zz" && star("solo") === "solo")
   }
 
+  test("connectedComponentsStar equals label propagation across varied random topologies") {
+    // three more seeds with different shapes: sparse (many components),
+    // dense (one giant component), and long-ish chains mixed with cliques —
+    // the two algorithms derive the same labels from entirely different
+    // fixpoints, so agreement across topologies is a strong correctness pin
+    for ((seed, nodes, edges) <- Seq((7, 200, 80), (19, 40, 160), (23, 120, 110))) {
+      val rnd = new scala.util.Random(seed)
+      val es = (1 to edges).map(_ => (s"v${rnd.nextInt(nodes)}", s"v${rnd.nextInt(nodes)}"))
+        .toDF("src", "dst")
+      val star = Graph.connectedComponentsStar(es)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val label = Graph.connectedComponents(es)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(star === label, s"seed=$seed diverged")
+    }
+  }
+
   test("connectedComponentsStar converges in O(log n) rounds on a long chain") {
     // chain of 200 nodes: diameter 199. Label propagation needs ~199 rounds
     // (fails loudly at 30); star contraction lands well inside 30.
