@@ -858,15 +858,6 @@ object OracleSql {
       md5(nfc_normalize(r)) AS norm_md5
     FROM raw"""
 
-  /** HTML boilerplate block classification — q116. Mirrors
-    * graft.ops.Boilerplate.scoredBlocks over the same deterministically
-    * synthesized pages: drop script/style/title/comments, split at block
-    * tags, per-block visible text / anchor chars / word + stopword counts,
-    * jusText verdict triple (words >= 10, link_density <= 0.33,
-    * stopword_ratio >= 0.02). Regexes are character-class-only so RE2 and
-    * Java agree byte-for-byte; block_idx numbers NON-EMPTY blocks in
-    * document order (row_number over raw split position = Spark's
-    * filter-then-posexplode). */
   /** The q116 verdict triple as one reusable predicate over `nb`'s columns
     * (shared with q120's rollup — one source for the thresholds). */
   private val q116Verdict =
@@ -930,6 +921,15 @@ object OracleSql {
       FROM sw WHERE chars > 0)"""
   }
 
+  /** HTML boilerplate block classification — q116. Mirrors
+    * graft.ops.Boilerplate.scoredBlocks over the same deterministically
+    * synthesized pages: drop script/style/title/comments, split at block
+    * tags, per-block visible text / anchor chars / word + stopword counts,
+    * jusText verdict triple (words >= 10, link_density <= 0.33,
+    * stopword_ratio >= 0.02). Regexes stay in the Java/RE2-agreeing subset
+    * (character classes + lazy bodies); block_idx numbers NON-EMPTY blocks
+    * in document order (row_number over raw split position = Spark's
+    * filter-then-posexplode). */
   private val q116 = s"""$q116Ctes
     SELECT doc_id, block_idx, text, chars, link_chars, words, stop_words,
       CAST(link_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) AS link_density,
@@ -949,6 +949,27 @@ object OracleSql {
       GROUP BY d.doc_id)
     SELECT doc_id, md5(clean_text) AS clean_md5,
       CAST(length(clean_text) AS BIGINT) AS clean_chars
+    FROM agg"""
+
+  /** WARC round-trip + HTML tier — q121. The Spark side synthesizes WARC
+    * bytes from q116's pages, parses them back with the real reader, and
+    * extracts; the oracle recomputes the EXPECTED end state straight from
+    * `documents` (url/fetch-epoch by construction, title from the page
+    * chrome, clean_md5 = q120's aggregation verbatim) — so a parser that
+    * loses, duplicates, or corrupts any record around the injected corrupt
+    * member cannot hash-match. `n_dirty_in_file` = the one corrupt record
+    * each synthesized file carries. */
+  private val q121 = s"""$q116Ctes,
+    agg AS (SELECT d.doc_id,
+        coalesce(string_agg(CASE WHEN $q116Verdict THEN nb.text END,
+          chr(10) ORDER BY nb.block_idx), '') AS clean_text
+      FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id
+      GROUP BY d.doc_id)
+    SELECT 'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      CAST(1704067200 + doc_id AS BIGINT) AS fetch_epoch,
+      'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      md5(clean_text) AS clean_md5,
+      CAST(1 AS BIGINT) AS n_dirty_in_file
     FROM agg"""
 
   // ---- shared head-metadata SQL builders: the regexes interpolated below
@@ -2708,6 +2729,7 @@ object OracleSql {
     "q117_components_star"  -> q110,
     "q118_html_metadata"    -> q118,
     "q119_canonical_dedup"  -> q119,
-    "q120_html_clean"       -> q120
+    "q120_html_clean"       -> q120,
+    "q121_warc_extract"     -> q121
   ).map { case (k, v) => k -> clean(v) }
 }

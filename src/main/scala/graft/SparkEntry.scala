@@ -42,7 +42,13 @@ object SparkEntry {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // cast keeps the wall-clock micros under the UTC session timezone
+        // the cast is wall-clock-preserving ONLY under a UTC session
+        // timezone (Verify/Bench set it); any other zone would silently
+        // shift every timestamp — fail as loudly as the unknown-layout arm
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events: NTZ ts layout needs spark.sql.session.timeZone=UTC " +
+            s"(found ${s.conf.get("spark.sql.session.timeZone")}) — " +
+            "a non-UTC cast would silently shift wall-clock micros")
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case other =>
         // a FOURTH layout must fail here, loudly — a lenient catch-all cast
@@ -1633,6 +1639,58 @@ object SparkEntry {
     graft.ops.Graph.connectedComponentsStar(pairs)
   }
 
+  /** WARC crawl-container source end-to-end (L105, [[graft.load.Warc]]):
+    * q116's synthesized pages are encoded as WARC/1.0 response records
+    * (HTTP-framed payload, one gzip member per record, records concatenated
+    * into 16 "files", each led by a warcinfo record AND one deliberately
+    * CORRUPT record), parsed back by the real reader, and fed through the
+    * HTML tier — [[graft.ops.Boilerplate.pageMetadata]] title +
+    * [[graft.ops.Boilerplate.extract]]. The corrupt record must cost
+    * exactly ONE dirty audit row per file and zero clean rows
+    * (`n_dirty_in_file` pins it), and every response record around it must
+    * survive the resync — the oracle recomputes expected results straight
+    * from `documents`, so it matches only if the parser recovers all of
+    * them. Byte synthesis is a typed map over 16 bucket groups (file = the
+    * WARC parallelism unit — at crawl scale buckets number in the
+    * thousands); everything after `parseWarcFiles` is column algebra. */
+  private def q121WarcExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = htmlPages(s, dir)
+      .select(pmod(col("doc_id"), lit(16)).cast("long").as("bucket"),
+        struct(col("doc_id"), col("html")).as("rec"))
+      .groupBy(col("bucket"))
+      // sort_array orders by the struct's leading doc_id — a deterministic
+      // record order inside each synthesized file
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+    val files = grouped.map { case (bucket, recs) =>
+      val name = f"crawl-$bucket%02d.warc.gz"
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(graft.load.Warc.encodeWarcinfoGz(name))
+      // one corrupt member per file: unparseable Content-Length — the
+      // parser must route it dirty and resync on the next version line
+      bos.write(graft.load.Warc.gzipMember(
+        "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      recs.foreach { case (id, html) =>
+        bos.write(graft.load.Warc.encodeResponseGz(
+          s"https://ex.org/doc/$id",
+          java.time.Instant.ofEpochSecond(1704067200L + id).toString, html))
+      }
+      (name, bos.toByteArray)
+    }
+    val (clean, dirtyRecs) = graft.load.Warc.parseWarcFiles(files)
+    val nDirty = dirtyRecs.groupBy(col("warc_file"))
+      .agg(count(lit(1)).as("n_dirty_in_file"))
+    val meta = graft.ops.Boilerplate.pageMetadata(clean, "html")
+    graft.ops.Boilerplate.extract(meta, "html",
+        minWords = 10, maxLinkDensity = 0.33, minStopwordRatio = 0.02)
+      .join(nDirty, Seq("warc_file"))
+      .select(col("url"), col("fetch_ts").cast("long").as("fetch_epoch"),
+        col("title"), md5(col("clean_text")).as("clean_md5"),
+        col("n_dirty_in_file"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1753,7 +1811,8 @@ object SparkEntry {
     "q117_components_star"  -> q117ComponentsStar _,
     "q118_html_metadata"    -> q118HtmlMetadata _,
     "q119_canonical_dedup"  -> q119CanonicalDedup _,
-    "q120_html_clean"       -> q120HtmlClean _
+    "q120_html_clean"       -> q120HtmlClean _,
+    "q121_warc_extract"     -> q121WarcExtract _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

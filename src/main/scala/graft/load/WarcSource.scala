@@ -1,0 +1,273 @@
+package graft.load
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) crawl-container source — the raw-crawl
+  * entry point in front of the HTML tier: `readWarc` yields `(warc_file,
+  * url, fetch_ts, html)` response records that feed
+  * [[graft.ops.Boilerplate.pageMetadata]] →
+  * [[graft.ops.UrlFilter.canonicalizeUrl]] →
+  * [[graft.ops.Boilerplate.extract]] end-to-end (q121). Parses WARC/1.x as
+  * published (WARC-Type/WARC-Target-URI/WARC-Date/Content-Length header
+  * block, CRLF-framed, payload = HTTP response message) — the Common Crawl
+  * layout: gzip, one member per record, members concatenated per file.
+  *
+  * == Malformed-record discipline ==
+  * Same clean/dirty bifurcation as the CSV loaders and [[DocumentSources]]
+  * (reference smartFileProcessor.js:139-163 routes bad rows the same way):
+  * a record with a missing/invalid `Content-Length`, an unparseable
+  * `WARC-Date`, a missing `WARC-Target-URI`, a truncated payload, or
+  * inter-record garbage becomes a DIRTY row `(warc_file, error_reason,
+  * snippet)` — never a crashed load, never a silent drop — and the parser
+  * RESYNCS at the next `WARC/` version line, so one bad record costs one
+  * audit row, not the rest of its file. Non-response records (warcinfo,
+  * request, metadata, revisit) are structural, not dirt: skipped silently.
+  *
+  * == 100 TB shape ==
+  * Gzip members are not splittable and member boundaries are not indexed,
+  * so ONE FILE is the unit of parallelism — exactly how Common Crawl ships
+  * (100k × ~1 GB segment files per crawl): size `spark.read` input to many
+  * files, not one giant one. Each task decompresses and parses its file
+  * stream in one pass (`flatMap`, no driver involvement); a whole
+  * decompressed file must fit in task memory — the documented bound, same
+  * order as the ~1 GB convention. Like [[DocumentSources.readJsonl]], the
+  * returned frames are NOT materialized: each consumer re-reads the
+  * (recoverable) source files, so executor loss replays a file instead of
+  * losing checkpoint blocks.
+  *
+  * The per-record byte work (gzip, CRLF scanning, HTTP framing) is genuine
+  * imperative parsing over binary payloads — the one place the library's
+  * operator-preference ladder bottoms out at typed `flatMap`; everything
+  * from the returned frames on is column algebra again. */
+object Warc {
+
+  /** One parsed record, clean or dirty — `error_reason` IS the routing bit
+    * (NULL = clean). Kept flat so one flatMap pass feeds both outputs. */
+  private[graft] case class Parsed(
+      warc_file: String,
+      url: String,
+      fetch_ts: java.sql.Timestamp,
+      html: String,
+      error_reason: String,
+      snippet: String)
+
+  private def clean(file: String, url: String, ts: java.sql.Timestamp,
+                    html: String): Parsed =
+    Parsed(file, url, ts, html, null, null)
+
+  private def dirty(file: String, reason: String, snippet: String): Parsed =
+    Parsed(file, null, null, null, reason, snippet.take(200))
+
+  // ----------------------------------------------------------------- bytes
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Inflate ALL members of a (possibly multi-member) gzip stream —
+    * `GZIPInputStream` chains concatenated members natively, which is the
+    * member-per-record WARC convention. Non-gzip bytes pass through (plain
+    * `.warc` files are legal too). */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] =
+    if (!isGzip(b)) b
+    else {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 * 1024)
+      val out = new ByteArrayOutputStream(math.max(b.length * 4, 64 * 1024))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
+
+  private def indexOf(data: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = data.length - pat.length
+    while (i <= last) {
+      var j = 0
+      while (j < pat.length && data(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val CrlfCrlf = "\r\n\r\n".getBytes(ISO_8859_1)
+  private val Resync = "\r\nWARC/".getBytes(ISO_8859_1)
+  private val Marker = "WARC/".getBytes(ISO_8859_1)
+
+  private def startsWith(data: Array[Byte], at: Int, pat: Array[Byte]): Boolean =
+    at + pat.length <= data.length && {
+      var j = 0
+      while (j < pat.length && data(at + j) == pat(j)) j += 1
+      j == pat.length
+    }
+
+  // ---------------------------------------------------------------- parser
+
+  /** Parse one file's raw bytes into records. Single forward pass over the
+    * decompressed stream; every anomaly is a dirty row + a resync, never an
+    * exception (except allocation failure on a file that exceeds task
+    * memory — the documented bound). */
+  private[graft] def parseFile(file: String, raw: Array[Byte]): Seq[Parsed] = {
+    val data =
+      try gunzipAll(raw)
+      catch {
+        case e: java.io.IOException =>
+          return Seq(dirty(file, s"gzip decode failed: ${e.getMessage}", ""))
+      }
+    val out = Seq.newBuilder[Parsed]
+    var pos = 0
+    var done = false
+    while (!done && pos < data.length) {
+      // skip inter-record CRLF padding
+      while (pos < data.length &&
+        (data(pos) == '\r'.toByte || data(pos) == '\n'.toByte)) pos += 1
+      if (pos >= data.length) done = true
+      else if (!startsWith(data, pos, Marker)) {
+        // garbage where a version line should be: audit it, resync forward
+        val next = indexOf(data, Resync, pos)
+        val end = if (next < 0) data.length else next
+        out += dirty(file, "garbage between records",
+          new String(data, pos, math.min(80, end - pos), ISO_8859_1))
+        if (next < 0) done = true else pos = next + 2
+      } else {
+        val hdrEnd = indexOf(data, CrlfCrlf, pos)
+        if (hdrEnd < 0) {
+          out += dirty(file, "unterminated header block",
+            new String(data, pos, math.min(80, data.length - pos), ISO_8859_1))
+          done = true
+        } else {
+          val headerText = new String(data, pos, hdrEnd - pos, ISO_8859_1)
+          val headers = headerText.split("\r\n").iterator.drop(1) // version line
+            .map(_.split(":", 2))
+            .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+            .toMap
+          val firstLine = headerText.takeWhile(c => c != '\r' && c != '\n')
+          val lenOpt = headers.get("content-length").flatMap(_.toLongOption)
+          lenOpt match {
+            case None =>
+              out += dirty(file, "missing or invalid Content-Length", firstLine)
+              val next = indexOf(data, Resync, hdrEnd)
+              if (next < 0) done = true else pos = next + 2
+            case Some(len) if hdrEnd + 4 + len > data.length =>
+              out += dirty(file,
+                s"truncated payload: need $len bytes, " +
+                  s"${data.length - hdrEnd - 4} remain", firstLine)
+              done = true
+            case Some(len) =>
+              val pStart = hdrEnd + 4
+              val pEnd = (pStart + len).toInt
+              if (headers.getOrElse("warc-type", "").equalsIgnoreCase("response")) {
+                // WARC 1.0 writes the URI as <uri>, 1.1 bare — accept both
+                val uri = headers.getOrElse("warc-target-uri", "")
+                  .stripPrefix("<").stripSuffix(">")
+                val tsOpt = headers.get("warc-date").flatMap { d =>
+                  try Some(java.sql.Timestamp.from(java.time.Instant.parse(d)))
+                  catch { case _: java.time.format.DateTimeParseException => None }
+                }
+                if (uri.isEmpty)
+                  out += dirty(file, "response record missing WARC-Target-URI", firstLine)
+                else if (tsOpt.isEmpty)
+                  out += dirty(file, "response record missing or invalid WARC-Date",
+                    s"$firstLine uri=$uri")
+                else {
+                  // payload is an HTTP response message — the body starts
+                  // after ITS header block; a bare-content payload (no HTTP
+                  // framing) is the whole payload
+                  val bodyStart =
+                    if (startsWith(data, pStart, "HTTP/".getBytes(ISO_8859_1))) {
+                      val he = indexOf(data, CrlfCrlf, pStart)
+                      if (he < 0 || he + 4 > pEnd) pEnd else he + 4
+                    } else pStart
+                  out += clean(file, uri, tsOpt.get,
+                    new String(data, bodyStart, pEnd - bodyStart, UTF_8))
+                }
+              } // non-response types are structure, not content — skip
+              pos = pEnd
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- encoder
+
+  /** One gzip member holding one WARC/1.0 response record wrapping `html`
+    * as an HTTP 200 message — the writer half of the round-trip (q121's
+    * synthesis, re-crawl interchange, spec fixtures). Fully deterministic:
+    * the record id is a hash of (url, ts), never a random UUID — the
+    * library-wide no-`rand()` discipline. */
+  def encodeResponseGz(url: String, fetchTsIso: String, html: String): Array[Byte] = {
+    val body = html.getBytes(UTF_8)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
+    val rid = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$url@$fetchTsIso".getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+    val header = (s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:$rid>\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: $fetchTsIso\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(ISO_8859_1)
+    gzipMember(header ++ http ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1))
+  }
+
+  /** A minimal warcinfo header record (every real WARC file leads with one
+    * — the parser must skip it, and spec/q121 fixtures prove it does). */
+  def encodeWarcinfoGz(filename: String): Array[Byte] = {
+    val body = s"software: graft\r\nformat: WARC File Format 1.0\r\n".getBytes(ISO_8859_1)
+    val header = (s"WARC/1.0\r\n" +
+      s"WARC-Type: warcinfo\r\n" +
+      s"WARC-Filename: $filename\r\n" +
+      s"Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
+    gzipMember(header ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1))
+  }
+
+  /** One gzip member of arbitrary bytes — `private[graft]` so q121 and the
+    * spec can synthesize deliberately-corrupt members the dirty-routing
+    * path must survive. */
+  private[graft] def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------- source
+
+  /** Parse a `(path, bytes)` dataset of WARC files into (clean, dirty):
+    * clean = `(warc_file, url, fetch_ts, html)` response records, dirty =
+    * `(warc_file, error_reason, snippet)` audit rows. The byte layer for
+    * [[readWarc]], exposed so synthesized in-memory corpora (q121) and
+    * other container transports run the identical parser. */
+  def parseWarcFiles(files: Dataset[(String, Array[Byte])]): (DataFrame, DataFrame) = {
+    val sp = files.sparkSession
+    import sp.implicits._
+    val parsed = files.flatMap { case (path, bytes) => parseFile(path, bytes) }
+    val clean = parsed.filter(col("error_reason").isNull)
+      .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"))
+    val dirtyDf = parsed.filter(col("error_reason").isNotNull)
+      .select(col("warc_file"), col("error_reason"), col("snippet"))
+    (clean, dirtyDf)
+  }
+
+  /** Read WARC files (`.warc` / `.warc.gz`, Common Crawl member-per-record
+    * layout) under `path`. Parallelism = files (gzip members are not
+    * splittable — see the scale note above); each file decompresses and
+    * parses within its task. */
+  def readWarc(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    parseWarcFiles(
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])])
+  }
+}

@@ -32,12 +32,13 @@ import org.apache.spark.sql.functions._
   * per-block inspection/audit queries. No UDFs, no driver round-trips.
   *
   * == Semantics bounds (documented, oracle-pinned) ==
-  * Regexes are deliberately backtracking-free (character classes only) so
-  * Java (Spark) and RE2 (DuckDB oracle) agree byte-for-byte: anchor text
-  * must not contain nested tags (`<a><b>x</b></a>` counts 0 link chars),
-  * and script/style/comment bodies must not contain `<`/`>`. Real-world
-  * tag soup beyond that still degrades gracefully — unmatched markup is
-  * stripped, never crashes.
+  * Regexes stay in the subset where Java (Spark) and RE2 (DuckDB oracle)
+  * agree byte-for-byte — character classes plus lazy quantifiers (both
+  * engines leftmost-first): anchor text must not contain nested tags
+  * (`<a><b>x</b></a>` counts 0 link chars); script/style/comment bodies
+  * MAY contain `<`/`>` (lazy bodies end at the first closing tag, the
+  * browser rule). Real-world tag soup beyond that still degrades
+  * gracefully — unmatched markup is stripped, never crashes.
   */
 object Boilerplate {
 
@@ -61,11 +62,16 @@ object Boilerplate {
       "pre|article|section|header|footer|nav|aside|main|figure|figcaption|" +
       s"form|fieldset|hr|br|html|head|body)$TagEnd"
 
-  /** Invisible content: script/style/title bodies + comments (bodies must
-    * not contain `<`/`>` — see semantics bounds above). */
+  /** Invisible content: script/style/title bodies + comments. Bodies are
+    * LAZY any-char runs (`[\s\S]*?`) — real-world JS (`if (a<b)`,
+    * `document.write('<div>')`) and commented-out markup routinely contain
+    * `<`/`>`, and a body bound of `[^<]*` would leak those fragments into
+    * extracted content. Lazy quantifiers stop at the FIRST closing tag —
+    * the browser's own rule for script parsing — and behave identically in
+    * Java regex and RE2, so the cross-engine contract holds. */
   private[graft] val DropRe =
-    s"(?i)<script$TagEnd[^<]*</script>|<style$TagEnd[^<]*</style>|" +
-      s"<title$TagEnd[^<]*</title>|<!--[^>]*-->"
+    s"(?i)<script$TagEnd[\\s\\S]*?</script>|<style$TagEnd[\\s\\S]*?</style>|" +
+      s"<title$TagEnd[\\s\\S]*?</title>|<!--[\\s\\S]*?-->"
 
   /** The name boundary matters most here: without it `<abbr>`, `<address>`,
     * `<audio>`, `<area>`… would all count their text as anchor text. */

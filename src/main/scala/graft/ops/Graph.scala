@@ -59,6 +59,35 @@ object Graph {
   private def explainIter(frame: DataFrame, it: Int): Unit =
     if (it == 0 && sys.env.contains("GRAFT_EXPLAIN_ITER")) frame.explain("formatted")
 
+  /** Frees the block-manager storage behind an eagerly `localCheckpoint`ed
+    * frame the loop has moved past. Without this, every round's checkpoint
+    * blocks linger until the JVM garbage-collects the RDD and the
+    * ContextCleaner notices — O(rounds × frame-size) executor storage on a
+    * long-running cluster (~30 contraction rounds of retained edge lists at
+    * web scale is real memory/disk pressure). The checkpointed data IS the
+    * RDD's persisted blocks, so unpersisting the `LogicalRDD`'s backing RDD
+    * releases them immediately; the frame must never be read again (callers
+    * free a round's frame only after the NEXT round has materialized).
+    * Non-blocking: removal proceeds while the next round runs. */
+  /** Unpersisting a localCheckpointed RDD is intentional here (the round is
+    * dead by contract), but Spark logs a "cannot be recomputed" WARN per
+    * call — demote that one logger once so iterative queries don't emit
+    * O(rounds) of scary-but-expected noise. */
+  private lazy val quietCheckpointFree: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+
+  private def freeCheckpoint(frame: DataFrame): Unit = {
+    quietCheckpointFree
+    // traverse (not a single match): the loop vars hold a SELECT over the
+    // checkpoint scan, so the LogicalRDD sits one Project below the root
+    frame.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** Weighted PageRank. `edges` needs `srcCol`/`dstCol` (+ `weightCol`,
     * else weight 1); vertices = every node appearing as src or dst.
     * Returns `(node, rank)` — rank in `scale`-denominated integer units.
@@ -175,6 +204,9 @@ object Graph {
           .collect().head.getLong(0)
         converged = delta <= t
       }
+      // the new round is materialized — release the previous round's
+      // checkpoint blocks instead of letting O(rounds) of them pile up
+      freeCheckpoint(ranks)
       ranks = updated.select(col("node"), col("rank"))
       it += 1
     }
@@ -291,6 +323,7 @@ object Graph {
           .collect().head.getLong(0)
         converged = delta <= t
       }
+      freeCheckpoint(ranks) // previous round's blocks — see pageRank
       ranks = updated.select(col("node"), col("__seed"), col("rank"))
       it += 1
     }
@@ -307,11 +340,19 @@ object Graph {
     * group count = node count, never edge count. Missing sides read 0.
     * NULL endpoints are dropped per side ([[connectedComponents]] /
     * [[AsofJoin]] semantics — a half-NULL edge still counts for its
-    * non-NULL side, but no NULL node row is ever reported). */
+    * non-NULL side, but no NULL node row is ever reported).
+    *
+    * EAGER: the projected `(src, dst, w)` edge list is `localCheckpoint`ed
+    * at call time, because it feeds BOTH direction aggs — without the cut,
+    * an expensive caller edge expression (q112's two orders⋈lineitem
+    * rollups) evaluates twice, once per side of the full-outer merge (the
+    * [[connectedComponentsStar]] `nonNull` discipline). The checkpoint
+    * holds only the 3-column projection, never the caller's full rows. */
   def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
               weightCol: String = null): DataFrame = {
     val w = Option(weightCol).map(col).getOrElse(lit(1L)).cast("long")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .localCheckpoint(true)
     val out = e.filter(col("src").isNotNull).groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__od"), sum(col("w")).as("__ow"))
     val in = e.filter(col("dst").isNotNull).groupBy(col("dst").as("node"))
@@ -376,6 +417,7 @@ object Graph {
       explainIter(round, it)
       val updated = round.localCheckpoint(true)
       converged = updated.filter(col("component") =!= col("__old")).isEmpty
+      freeCheckpoint(labels) // previous round's blocks — see pageRank
       labels = updated.select(col("node"), col("component"))
       it += 1
     }
@@ -488,6 +530,12 @@ object Graph {
       // leaf label; small-star is what collapses them.)
       converged = sameEdges(large, largeCount, cur, curCount) &&
         sameEdges(next, nextCount, large, largeCount)
+      // both convergence anti-joins have run — the previous round's edge
+      // set and the intermediate large-star set are dead; release their
+      // checkpoint blocks now instead of holding O(rounds × edge-set)
+      // executor storage until the ContextCleaner notices
+      freeCheckpoint(cur)
+      freeCheckpoint(large)
       cur = next
       curCount = nextCount
       it += 1
@@ -504,6 +552,7 @@ object Graph {
     val out = nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
       .localCheckpoint(true)
+    freeCheckpoint(cur) // `out` is materialized — the fixpoint edges are dead
     nonNull.unpersist()
     out
   }

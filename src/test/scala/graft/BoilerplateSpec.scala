@@ -75,6 +75,27 @@ class BoilerplateSpec extends SparkSpec {
     assert(rows.head.getAs[String]("text") === "read this link now maybe")
   }
 
+  test("script/style/comment bodies containing '<'/'>' are still dropped whole") {
+    // the round-13 bound ([^<]* bodies) leaked exactly these fragments into
+    // content text; the lazy-body DropRe must eat them entirely
+    val soup =
+      "<script>if (a<b) { document.write('<div>injected</div>'); }</script>" +
+        "<style>.x > .y { color: red } /* <b> */</style>" +
+        "<!-- commented-out markup: <p>ghost paragraph</p> -->" +
+        "<p>The quick brown fox jumps over the lazy dog and it was not in a hurry at all.</p>"
+    val rows = blocks(soup)
+    val texts = rows.map(_.getAs[String]("text")).toSeq
+    assert(!texts.exists(t => t.contains("injected") || t.contains("color") ||
+      t.contains("ghost") || t.contains("document.write")))
+    assert(texts.size === 1 && texts.head.startsWith("The quick brown fox"))
+    // lazy bodies end at the FIRST closing tag (the browser rule): a literal
+    // "</script>" inside a JS string ends the script element there
+    val early = blocks("<script>var s = 'x</script>'; more();" +
+      "<p>It is a truth universally acknowledged that a reader wants clean text only.</p>")
+    assert(early.exists(_.getAs[String]("text").startsWith("It is a truth")))
+    assert(!early.exists(_.getAs[String]("text").contains("var s")))
+  }
+
   test("extract() keeps only content blocks, joined with newlines") {
     val two = "<p>The quick brown fox jumps over the lazy dog and it was not in a hurry.</p>" +
       "<nav><a>Home</a></nav>" +

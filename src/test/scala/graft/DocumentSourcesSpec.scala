@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.load.DocumentSources
+import graft.load.{DocumentSources, Warc}
 
 /** JSONL / text document sources: parse, dirty-routing, round-trip, and
   * deterministic identities. */
@@ -281,5 +281,88 @@ class DocumentSourcesSpec extends SparkSpec {
       === again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
     // distinct within the corpus
     assert(collected.map(_.getAs[Long]("doc_id")).distinct.length === 3)
+  }
+
+  // ------------------------------------------------------------------ WARC
+
+  private def iso(epoch: Long) = java.time.Instant.ofEpochSecond(epoch).toString
+
+  test("readWarc round-trips encoded response records from a real .warc.gz file") {
+    val dir = tmpDir("graft_warc")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Warc.encodeWarcinfoGz("f.warc.gz"))
+    bos.write(Warc.encodeResponseGz("https://ex.org/a", iso(1704067200L),
+      "<html><body><p>alpha page</p></body></html>"))
+    bos.write(Warc.encodeResponseGz("https://ex.org/b", iso(1704067260L),
+      "<html><body><p>beta &amp; gamma</p></body></html>"))
+    Files.write(java.nio.file.Paths.get(dir, "f.warc.gz"), bos.toByteArray)
+
+    val (clean, dirty) = Warc.readWarc(spark, dir)
+    val rows = clean.orderBy("url").collect()
+    assert(dirty.isEmpty)
+    assert(rows.length === 2) // warcinfo is structure, not content
+    assert(rows.map(_.getAs[String]("url")).toSeq ===
+      Seq("https://ex.org/a", "https://ex.org/b"))
+    assert(rows(0).getAs[String]("html") === "<html><body><p>alpha page</p></body></html>")
+    // WARC-Date round-trips to the exact UTC instant
+    assert(rows.map(_.getAs[java.sql.Timestamp]("fetch_ts").getTime).toSeq ===
+      Seq(1704067200000L, 1704067260000L))
+    assert(rows.forall(_.getAs[String]("warc_file").endsWith("f.warc.gz")))
+  }
+
+  test("WARC malformed records route dirty with reasons; parser resyncs around them") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val dir = tmpDir("graft_warc_bad")
+    val bos = new java.io.ByteArrayOutputStream()
+    // bad Content-Length — must resync to the next version line
+    bos.write(Warc.gzipMember(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n".getBytes(ISO_8859_1)))
+    bos.write(Warc.encodeResponseGz("https://ex.org/ok1", iso(1704067200L), "<p>one</p>"))
+    // response missing its target URI
+    bos.write(Warc.gzipMember(
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: " + iso(1704067200L) +
+        "\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n").getBytes(ISO_8859_1)))
+    // unparseable WARC-Date
+    bos.write(Warc.gzipMember(
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.org/bad\r\n" +
+        "WARC-Date: yesterday\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n").getBytes(ISO_8859_1)))
+    bos.write(Warc.encodeResponseGz("https://ex.org/ok2", iso(1704067260L), "<p>two</p>"))
+    // truncated payload: claims more bytes than remain — ends the file
+    bos.write(Warc.gzipMember(
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.org/t\r\nContent-Length: 99999\r\n\r\nshort".getBytes(ISO_8859_1)))
+    Files.write(java.nio.file.Paths.get(dir, "bad.warc.gz"), bos.toByteArray)
+
+    val (clean, dirty) = Warc.readWarc(spark, dir)
+    // every good record around the bad ones survives
+    assert(clean.orderBy("url").collect().map(_.getAs[String]("url")).toSeq ===
+      Seq("https://ex.org/ok1", "https://ex.org/ok2"))
+    val reasons = dirty.collect().map(_.getAs[String]("error_reason")).sorted.toSeq
+    assert(reasons === Seq(
+      "missing or invalid Content-Length",
+      "response record missing WARC-Target-URI",
+      "response record missing or invalid WARC-Date",
+      "truncated payload: need 99999 bytes, 5 remain").sorted)
+    // dirt carries its file and a bounded snippet for the audit
+    assert(dirty.collect().forall(r => r.getAs[String]("warc_file").endsWith("bad.warc.gz")
+      && Option(r.getAs[String]("snippet")).forall(_.length <= 200)))
+  }
+
+  test("WARC: plain uncompressed files, bare-content payloads, <uri> brackets, garbage bytes") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val dir = tmpDir("graft_warc_plain")
+    val body = "<p>no http framing</p>"
+    val rec = "WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: <https://ex.org/bare>\r\n" + // 1.0-style brackets
+      s"WARC-Date: ${iso(1704067200L)}\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n" +
+      "junk bytes where a record should start" // trailing garbage → dirty
+    Files.write(java.nio.file.Paths.get(dir, "plain.warc"), rec.getBytes(ISO_8859_1))
+    val (clean, dirty) = Warc.readWarc(spark, dir)
+    val c = clean.collect()
+    assert(c.length === 1)
+    assert(c.head.getAs[String]("url") === "https://ex.org/bare") // brackets stripped
+    assert(c.head.getAs[String]("html") === body)                 // payload = body
+    val d = dirty.collect()
+    assert(d.length === 1 && d.head.getAs[String]("error_reason") === "garbage between records")
   }
 }
