@@ -1023,7 +1023,9 @@ object OracleSql {
     * synthesized pages (canonical present for doc_id % 3 != 0 with the
     * attribute order flipping on parity, robots-noindex on every 5th doc
     * in both orders, entity-bearing title, html lang from the lang
-    * column). Absent signals are the empty string / false, never NULL. */
+    * column, og:title on odd docs in both attribute orders,
+    * double-spaced entity-bearing meta description for doc_id % 3 != 1).
+    * Absent signals are the empty string / false, never NULL. */
   private val q118 = {
     val b = graft.ops.Boilerplate
     // decode entities (&amp; LAST) + collapse whitespace — the
@@ -1042,13 +1044,21 @@ object OracleSql {
       || CASE WHEN doc_id % 5 <> 0 THEN ''
            WHEN doc_id % 2 = 0 THEN '<meta name="robots" content="noindex,nofollow">'
            ELSE '<meta content=''noindex'' name=''robots''>' END
+      || CASE WHEN doc_id % 2 = 0 THEN ''
+           WHEN doc_id % 4 = 1 THEN '<meta property="og:title" content="OG Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Co">'
+           ELSE '<meta content=''OG Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Co'' property=''og:title''>' END
+      || CASE WHEN doc_id % 3 = 1 THEN ''
+           WHEN doc_id % 2 = 0 THEN '<meta name="description" content="Summary  of doc ' || CAST(doc_id AS VARCHAR) || '">'
+           ELSE '<meta content=''Summary  of doc ' || CAST(doc_id AS VARCHAR) || ''' name=''description''>' END
       || '</head><body><p>Body text here.</p></body></html>' AS html
       FROM documents)
     SELECT doc_id,
       ${dec(s"regexp_extract(html, '${sqlRe(b.TitleRe)}', 1)")} AS title,
       ${sqlFirstNonEmpty("html", b.CanonRes)} AS canonical_url,
       ${sqlRobots("html")} AS robots_noindex,
-      ${sqlFirstNonEmpty("html", b.LangRes)} AS html_lang
+      ${sqlFirstNonEmpty("html", b.LangRes)} AS html_lang,
+      ${dec(sqlFirstNonEmpty("html", b.OgTitleRes))} AS og_title,
+      ${dec(sqlFirstNonEmpty("html", b.DescriptionRes))} AS meta_description
     FROM pages"""
   }
 

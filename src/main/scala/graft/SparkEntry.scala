@@ -1581,14 +1581,29 @@ object SparkEntry {
       .otherwise(when(id % 2 === 0,
         lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
       .otherwise(lit("<meta content='noindex' name='robots'>")))
+    // og:title on odd docs (property-first at %4==1, content-first at
+    // %4==3), meta description for %3!=1 (name-first on even docs) — both
+    // entity-bearing, the description with a double space so the
+    // whitespace-collapse contract is pinned cross-engine too
+    val og = when(id % 2 === 0, lit(""))
+      .otherwise(when(id % 4 === 1,
+        concat(lit("<meta property=\"og:title\" content=\"OG Doc "), idS, lit(" &amp; Co\">")))
+      .otherwise(
+        concat(lit("<meta content='OG Doc "), idS, lit(" &amp; Co' property='og:title'>"))))
+    val desc = when(id % 3 === 1, lit(""))
+      .otherwise(when(id % 2 === 0,
+        concat(lit("<meta name=\"description\" content=\"Summary  of doc "), idS, lit("\">")))
+      .otherwise(
+        concat(lit("<meta content='Summary  of doc "), idS, lit("' name='description'>"))))
     val html = concat(
       lit("<html lang=\""), coalesce(col("lang"), lit("")), lit("\"><head>"),
-      lit("<title>Doc "), idS, lit(" &amp; Co</title>"), canon, robots,
+      lit("<title>Doc "), idS, lit(" &amp; Co</title>"), canon, robots, og, desc,
       lit("</head><body><p>Body text here.</p></body></html>"))
     graft.ops.Boilerplate.pageMetadata(
         t(s, dir, "documents").select(col("doc_id"), html.as("html")), "html")
       .select(col("doc_id"), col("title"), col("canonical_url"),
-        col("robots_noindex"), col("html_lang"))
+        col("robots_noindex"), col("html_lang"), col("og_title"),
+        col("meta_description"))
   }
 
   /** Canonical-link crawl dedup — the L104 ∘ latest-per-URL composition

@@ -50,6 +50,30 @@ object Boilerplate {
     "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
     "been", "it", "that", "this", "have", "has", "not", "you", "i")
 
+  /** Per-language stopword cores for [[extractRouted]] — the same
+    * small-and-frozen discipline as [[Stopwords]] (which IS the `en`
+    * entry). Function words only; a multilingual crawl routes each page to
+    * its own list, because an English list scores German prose ~0 and
+    * boilerplate-kills the whole page. */
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Stopwords,
+    "de" -> Seq("der", "die", "das", "und", "oder", "aber", "von", "in",
+      "auf", "zu", "für", "mit", "bei", "aus", "als", "ist", "sind", "war",
+      "waren", "sein", "es", "dass", "nicht", "ein", "eine", "ich", "sie",
+      "wir", "auch", "wie"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "et", "ou", "mais", "de",
+      "dans", "sur", "pour", "avec", "par", "en", "est", "sont", "être",
+      "il", "elle", "que", "ne", "pas", "ce", "je", "nous", "vous", "au",
+      "du", "se"),
+    "es" -> Seq("el", "la", "los", "las", "un", "una", "y", "o", "pero",
+      "de", "en", "sobre", "para", "con", "por", "es", "son", "era", "ser",
+      "que", "no", "este", "esta", "yo", "se", "al", "del", "como", "más",
+      "su"),
+    "it" -> Seq("il", "la", "i", "le", "un", "una", "e", "o", "ma", "di",
+      "in", "su", "per", "con", "da", "è", "sono", "era", "essere", "che",
+      "non", "questo", "questa", "io", "noi", "come", "al", "del", "si",
+      "anche"))
+
   /** Tag-name boundary: after the name comes either `>` immediately or one
     * non-alphanumeric character and the rest of the tag — so `<p>`/`<p x>`
     * match but `<param>`/`<path>`/`<picture>` (names that merely START with
@@ -109,11 +133,14 @@ object Boilerplate {
       words.as("words"), stopCount.as("stop_words"))
   }
 
+  /** `minSr` is a Column so [[extractRouted]] can waive the stopword floor
+    * per row (unsupported language); the list-based paths pass a literal —
+    * bit-identical plans to the pre-routing form. */
   private def verdictCol(s: Column, minWords: Int, maxLinkDensity: Double,
-                         minStopwordRatio: Double): Column = {
+                         minSr: Column): Column = {
     val ld = s("link_chars").cast("double") / greatest(s("chars"), lit(1L)).cast("double")
     val sr = s("stop_words").cast("double") / greatest(s("words"), lit(1L)).cast("double")
-    s("words") >= minWords && ld <= maxLinkDensity && sr >= minStopwordRatio
+    s("words") >= minWords && ld <= maxLinkDensity && sr >= minSr
   }
 
   /** Per-block audit view: one row per non-empty block of each page —
@@ -147,7 +174,7 @@ object Boilerplate {
           greatest(col("s.chars"), lit(1L)).cast("double")).as("link_density"),
         (col("s.stop_words").cast("double") /
           greatest(col("s.words"), lit(1L)).cast("double")).as("stopword_ratio"),
-        when(verdictCol(col("s"), minWords, maxLinkDensity, minStopwordRatio),
+        when(verdictCol(col("s"), minWords, maxLinkDensity, lit(minStopwordRatio)),
           lit("content")).otherwise(lit("boilerplate")).as("verdict")): _*)
   }
 
@@ -181,6 +208,25 @@ object Boilerplate {
   private[graft] val LangRes: Seq[String] = Seq(
     "(?i)<html[^a-zA-Z0-9>][^>]*lang\\s*=\\s*[\"']([^\"']*)[\"']",
     "(?i)<html[^a-zA-Z0-9>][^>]*lang\\s*=\\s*([^\\s\"'>]+)")
+  // Open Graph title / meta description: the `content` value of a <meta>
+  // tag keyed by property=og:title / name=description — the CanonRes
+  // precedence discipline exactly (quoted before unquoted values, key-first
+  // before content-first attribute order). The key name must be followed by
+  // a quote, whitespace, or the tag close — NOT `\b`, which would let
+  // og:title match inside og:title:foo (':' makes a word boundary after
+  // "title"); prefixed names like twitter:description can't match either,
+  // because the value must start right at the opening quote/equals.
+  private val KeyEnd = "[\"'\\s>]"
+  private[graft] val OgTitleRes: Seq[String] = Seq(
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*property\\s*=\\s*[\"']?og:title$KeyEnd[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*property\\s*=\\s*[\"']?og:title$KeyEnd",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*property\\s*=\\s*[\"']?og:title$KeyEnd[^>]*content\\s*=\\s*([^\\s\"'>]+)",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*property\\s*=\\s*[\"']?og:title$KeyEnd")
+  private[graft] val DescriptionRes: Seq[String] = Seq(
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*name\\s*=\\s*[\"']?description$KeyEnd[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']?description$KeyEnd",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*name\\s*=\\s*[\"']?description$KeyEnd[^>]*content\\s*=\\s*([^\\s\"'>]+)",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*name\\s*=\\s*[\"']?description$KeyEnd")
 
   private def firstNonEmpty(h: Column, res: Seq[String]): Column =
     res.map(re => regexp_extract(h, re, 1))
@@ -201,14 +247,20 @@ object Boilerplate {
     * canonical-dedup key to feed [[UrlFilter.canonicalizeUrl]] /
     * [[UrlFilter.latestPerUrl]]), `robots_noindex` (the opt-out flag), and
     * `html_lang` (the declared `<html lang>`, to cross-check against
-    * detected language). Absent signals — including a NULL html column
-    * (failed fetches) — yield the empty string / false, never NULL. The
-    * four output names are part of the contract: a pre-existing column of
-    * the same name refuses loudly ([[UrlFilter.latestPerUrl]] discipline).
-    * Row-local regex extraction, zero shuffle, same character-class-only
-    * Java/RE2 parity discipline as the block tier. */
+    * detected language), `og_title` (Open Graph `<meta property="og:title">`
+    * — the share-card title, often cleaner than `<title>`'s SEO chrome),
+    * and `meta_description` (`<meta name="description">` — the page's own
+    * summary, a quality-classifier and dedup-key signal). og/description
+    * values are entity-decoded and whitespace-collapsed like the title.
+    * Absent signals — including a NULL html column (failed fetches) —
+    * yield the empty string / false, never NULL. The six output names are
+    * part of the contract: a pre-existing column of the same name refuses
+    * loudly ([[UrlFilter.latestPerUrl]] discipline). Row-local regex
+    * extraction, zero shuffle, same Java/RE2 parity discipline as the
+    * block tier. */
   def pageMetadata(df: DataFrame, htmlCol: String): DataFrame = {
-    val outCols = Seq("title", "canonical_url", "robots_noindex", "html_lang")
+    val outCols = Seq("title", "canonical_url", "robots_noindex", "html_lang",
+      "og_title", "meta_description")
     val clash = outCols.filter(df.columns.contains)
     require(clash.isEmpty,
       s"pageMetadata: input already has output column(s) ${clash.mkString(", ")}")
@@ -218,6 +270,10 @@ object Boilerplate {
       .withColumn("canonical_url", firstNonEmpty(h, CanonRes))
       .withColumn("robots_noindex", robotsNoindex(h))
       .withColumn("html_lang", firstNonEmpty(h, LangRes))
+      .withColumn("og_title",
+        collapseWs(decodeEntities(firstNonEmpty(h, OgTitleRes))))
+      .withColumn("meta_description",
+        collapseWs(decodeEntities(firstNonEmpty(h, DescriptionRes))))
   }
 
   /** Production form: adds `outCol` = the page's content blocks joined with
@@ -225,8 +281,37 @@ object Boilerplate {
   def extract(df: DataFrame, htmlCol: String, outCol: String = "clean_text",
               minWords: Int = 10, maxLinkDensity: Double = 0.33,
               minStopwordRatio: Double = 0.18,
-              stopwords: Seq[String] = Stopwords): DataFrame = {
-    val stops = array(stopwords.map(lit): _*)
+              stopwords: Seq[String] = Stopwords): DataFrame =
+    extractWith(df, htmlCol, outCol, minWords, maxLinkDensity,
+      lit(minStopwordRatio), array(stopwords.map(lit): _*))
+
+  /** Language-routed production form: each row's stopword list (and with
+    * it the stopword-ratio floor) is selected by `langCol` — lowercased
+    * lookup into `stopwordsByLang`. A language with NO list ("und" from
+    * [[TextAnalysis.detectLanguage]], or any code outside the map) gets an
+    * empty list AND a WAIVED floor (0.0): no list can score its prose, and
+    * silently boilerplate-killing every unsupported-language page would be
+    * the worst failure mode of a multilingual crawl. The word/link-density
+    * gates still apply unchanged. Still one row in, one row out, row-local
+    * — the per-row list is a literal-map lookup, not a join. */
+  def extractRouted(df: DataFrame, htmlCol: String, langCol: String,
+                    outCol: String = "clean_text",
+                    minWords: Int = 10, maxLinkDensity: Double = 0.33,
+                    minStopwordRatio: Double = 0.18,
+                    stopwordsByLang: Map[String, Seq[String]] = StopwordsByLang): DataFrame = {
+    require(stopwordsByLang.nonEmpty, "extractRouted: stopwordsByLang is empty")
+    val entries = stopwordsByLang.toSeq.sortBy(_._1) // deterministic plan
+    val byLang = map(entries.flatMap { case (l, ws) =>
+      Seq(lit(l), array(ws.map(lit): _*)) }: _*)
+    val listed = element_at(byLang, lower(coalesce(col(langCol), lit(""))))
+    val stops = coalesce(listed, array().cast("array<string>"))
+    val minSr = when(listed.isNotNull, lit(minStopwordRatio)).otherwise(lit(0.0))
+    extractWith(df, htmlCol, outCol, minWords, maxLinkDensity, minSr, stops)
+  }
+
+  private def extractWith(df: DataFrame, htmlCol: String, outCol: String,
+                          minWords: Int, maxLinkDensity: Double,
+                          minSr: Column, stops: Column): DataFrame = {
     // NULL html (failed fetches) reads as the empty page: zero blocks from
     // scoredBlocks, "" (not NULL) from extract
     val pre = regexp_replace(coalesce(col(htmlCol), lit("")), DropRe, " ")
@@ -234,7 +319,7 @@ object Boilerplate {
       transform(split(pre, BlockTagRe), b => score(b, stops)),
       s => s("chars") > 0)
     val content = filter(scored,
-      s => verdictCol(s, minWords, maxLinkDensity, minStopwordRatio))
+      s => verdictCol(s, minWords, maxLinkDensity, minSr))
     df.withColumn(outCol, array_join(transform(content, s => s("text")), "\n"))
   }
 }

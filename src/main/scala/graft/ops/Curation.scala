@@ -130,6 +130,13 @@ object Curation {
     *    content blocks, the HTML column is dropped, and pages with no
     *    content blocks drop (`htmlMinWords`/`htmlMaxLinkDensity`/
     *    `htmlMinStopwordRatio` are the jusText verdict knobs;
+    *    `htmlStopwords` swaps the frozen English stopword core for another
+    *    language's list — the default path is bit-identical;
+    *    `htmlLangRouting = true` instead language-IDs each page
+    *    ([[TextAnalysis.detectLanguage]] over a tag-strip of the raw
+    *    markup) and routes it to its own list from `htmlStopwordsByLang`
+    *    ([[Boilerplate.StopwordsByLang]] default; unsupported languages
+    *    get the stopword floor waived, not a silent kill);
     *    `respectNoindex = true` additionally honors the
     *    `<meta name="robots" … noindex …>` opt-out by dropping those
     *    pages before extraction);
@@ -187,6 +194,9 @@ object Curation {
       htmlMinWords: Int = 10,
       htmlMaxLinkDensity: Double = 0.33,
       htmlMinStopwordRatio: Double = 0.18,
+      htmlStopwords: Seq[String] = Boilerplate.Stopwords,
+      htmlLangRouting: Boolean = false,
+      htmlStopwordsByLang: Map[String, Seq[String]] = Boilerplate.StopwordsByLang,
       respectNoindex: Boolean = false,
       gates: Boolean = true,
       lineRules: Boolean = false,
@@ -358,10 +368,32 @@ object Curation {
         if (config.respectNoindex)
           d.filter(!Boilerplate.robotsNoindex(col(config.htmlCol.get)))
         else d
-      Boilerplate.extract(src, config.htmlCol.get, outCol = "__graft_clean",
-          minWords = config.htmlMinWords,
-          maxLinkDensity = config.htmlMaxLinkDensity,
-          minStopwordRatio = config.htmlMinStopwordRatio)
+      val extracted =
+        if (config.htmlLangRouting) {
+          // multilingual crawl: language-ID (L12) each page off a cheap
+          // tag-strip of its raw markup — marker stopwords are function
+          // words, so the rough text is plenty — then route each row to
+          // its own stopword list; unsupported languages get the waived
+          // floor ([[Boilerplate.extractRouted]]), never a silent kill
+          require(!src.columns.contains("__graft_lang"),
+            "curate html_extract: input already has reserved column __graft_lang")
+          val rough = regexp_replace(
+            coalesce(col(config.htmlCol.get), lit("")), "<[^>]+>", " ")
+          Boilerplate.extractRouted(
+              src.withColumn("__graft_lang", TextAnalysis.detectLanguage(rough)),
+              config.htmlCol.get, "__graft_lang", outCol = "__graft_clean",
+              minWords = config.htmlMinWords,
+              maxLinkDensity = config.htmlMaxLinkDensity,
+              minStopwordRatio = config.htmlMinStopwordRatio,
+              stopwordsByLang = config.htmlStopwordsByLang)
+            .drop("__graft_lang")
+        } else
+          Boilerplate.extract(src, config.htmlCol.get, outCol = "__graft_clean",
+            minWords = config.htmlMinWords,
+            maxLinkDensity = config.htmlMaxLinkDensity,
+            minStopwordRatio = config.htmlMinStopwordRatio,
+            stopwords = config.htmlStopwords)
+      extracted
         .withColumn(textCol, col("__graft_clean"))
         .drop("__graft_clean" +: dropExtra: _*)
         .filter(length(col(textCol)) > 0)

@@ -113,6 +113,30 @@ class BoilerplateSpec extends SparkSpec {
     assert(df.filter(col("id") === 2).select("clean_text").as[String].collect().head === "")
   }
 
+  test("per-language stopwords: a German page flips verdict under its own list; extractRouted routes by lang") {
+    val de = "Der Hund und die Katze sind von der Straße zu dem Haus gelaufen " +
+      "und das Wetter war bei dem Garten wirklich schön."
+    val nl = "De hond en de kat liepen samen naar het grote huis want het " +
+      "weer buiten bleef heel mooi vandaag."
+    val page = s"<p>$de</p>"
+    val one = Seq((1L, page)).toDF("id", "html")
+    // the frozen English core scores German prose ~0 → whole page killed
+    assert(Boilerplate.extract(one, "html")
+      .select("clean_text").as[String].collect().head === "")
+    // its own list flips the verdict (word/link gates unchanged)
+    assert(Boilerplate.extract(one, "html",
+        stopwords = Boilerplate.StopwordsByLang("de"))
+      .select("clean_text").as[String].collect().head === de)
+    // the routed form picks the list per ROW from the lang column; a code
+    // with no list ("und") gets the waived floor, never a silent kill
+    val routed = Boilerplate.extractRouted(
+        Seq((1L, page, "de"), (2L, page, "en"), (3L, s"<p>$nl</p>", "und"))
+          .toDF("id", "html", "lang"),
+        "html", "lang")
+      .orderBy("id").select("clean_text").as[String].collect().toSeq
+    assert(routed === Seq(de, "", nl))
+  }
+
   test("empty and tag-only pages yield zero blocks") {
     assert(blocks("").isEmpty)
     assert(blocks("<div><br><hr></div>").isEmpty)
@@ -165,6 +189,32 @@ class BoilerplateSpec extends SparkSpec {
     assert(!Boilerplate.pageMetadata(
       Seq((1L, "<meta name=\"robotstxt\" content=\"noindex\">")).toDF("i", "h"), "h")
       .select("robots_noindex").collect().head.getBoolean(0))
+  }
+
+  test("pageMetadata: og:title and meta description, both orders, entity decode, prefixed-name rejection") {
+    val pages = Seq(
+      (1L, "<html><head>" +
+        "<meta property=\"og:title\" content=\"Fish &amp; Chips  Tonight\">" +
+        "<meta name=\"description\" content=\"A  summary &amp; more\"></head></html>"),
+      (2L, "<html><head>" +
+        "<meta content='Zwei OG' property='og:title'>" +              // content-first
+        "<meta content='Beschreibung zwei' name='description'></head></html>"),
+      (3L, "<html><head>" +
+        "<meta property=og:title content=Bare>" +                     // unquoted
+        "<meta name=description content=short></head></html>"),
+      (4L, "<html><head>" +
+        "<meta property=\"og:title:extra\" content=\"nope\">" +       // prefixed names
+        "<meta name=\"twitter:description\" content=\"nope\"></head></html>"))
+      .toDF("id", "html")
+    val got = Boilerplate.pageMetadata(pages, "html")
+      .orderBy("id").select("og_title", "meta_description")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // entities decode and runs of whitespace collapse, like title
+    assert(got(0) === (("Fish & Chips Tonight", "A summary & more")))
+    assert(got(1) === (("Zwei OG", "Beschreibung zwei")))
+    assert(got(2) === (("Bare", "short")))
+    // og:title:extra / twitter:description must NOT lend their content
+    assert(got(3) === (("", "")))
   }
 
   test("pageMetadata refuses an input that already carries an output column") {

@@ -1792,6 +1792,27 @@ class OpsSpec extends SparkSpec {
     assert(r3.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("curation: htmlLangRouting language-IDs pages and routes per-language stopword lists") {
+    val en = "The quick brown fox jumps over the lazy dog and it was not in a hurry at all that day."
+    val de = "Der Hund und die Katze sind von der Straße zu dem Haus gelaufen " +
+      "und das Wetter war bei dem Garten wirklich schön."
+    val mixed = Seq((1L, "s", s"<p>$en</p>"), (2L, "s", s"<p>$de</p>"))
+      .toDF("doc_id", "source", "html")
+    val base = Curation.Config(htmlCol = Some("html"), gates = false,
+      lineDedup = false, exactDedup = false, nearDupThreshold = None)
+    // static English list (the default): the German page is boilerplate-
+    // killed at html_extract — the failure mode routing exists to fix
+    val off = Curation.curate(mixed, config = base)
+    assert(off.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // langid-routed: each page is detected (L12) and judged by its own
+    // list — both survive with their prose extracted
+    val on = Curation.curate(mixed, config = base.copy(htmlLangRouting = true))
+    assert(on.corpus.orderBy("doc_id").select("text").collect()
+      .map(_.getString(0)).toSeq === Seq(en, de))
+    val audit = on.audit.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(audit === Seq(("html_extract", 2L, 2L)))
+  }
+
   test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {
     import graft.ops.UrlFilter
     val rows = Seq(
