@@ -563,6 +563,20 @@ object ScaleProbe {
           .agg(coalesce(sum(col("rank")), lit(0L)))
           .collect().head.getLong(0)
       }
+      timed("degrees", n) {
+        // q112 shape: two map-side-combined direction aggs + a full-outer
+        // merge on the node key, both reading ONE eagerly-checkpointed edge
+        // projection (the r14 fix — the caller's edge expression derives
+        // once, not once per side); output node-sized, expect ~linear
+        val nn = n / 10
+        val edg = spark.range(n).toDF("eid")
+          .select(pmod(xxhash64(col("eid")), lit(nn)).as("src"),
+            pmod(xxhash64(col("eid"), lit(1)), lit(nn)).as("dst"),
+            (pmod(xxhash64(col("eid"), lit(2)), lit(5)) + 1).as("w"))
+        graft.ops.Graph.degrees(edg, weightCol = "w")
+          .agg(coalesce(sum(col("out_deg") + col("in_deg")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("connected_components", n) {
         // q110 shape: disjoint 8-node chains (diameter 7 ⇒ a FIXED ~8 label
         // rounds at any n) — per round ONE label join into the checkpointed
