@@ -972,6 +972,65 @@ object OracleSql {
       CAST(1 AS BIGINT) AS n_dirty_in_file
     FROM agg"""
 
+  /** Outlink extraction → host-graph rollup — q122. Mirrors
+    * graft.ops.LinkGraph over the same synthesized pages: anchor-fragment
+    * extraction, href precedence (quoted before unquoted), the three-form
+    * reference resolution (absolute / protocol-relative / root-relative;
+    * javascript:/mailto:/fragment noise resolves empty and leaves the
+    * graph), host extraction, pair rollup. Regex constants are
+    * LinkGraph's own (sqlRe-escaped) — one source of truth. */
+  private val q122 = {
+    val lg = graft.ops.LinkGraph
+    val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+    def hostOf(e: String) = s"lower(regexp_extract($e, '$hostRe', 1))"
+    val scheme = s"lower(regexp_extract(url, '${sqlRe(lg.SchemeRe)}', 1))"
+    s"""
+    WITH pages AS (SELECT doc_id,
+        'https://m' || (doc_id % 4) || '.mirror.example.org/p/' || (doc_id % 40) AS url,
+        '<html><body><p>intro</p>'
+        || '<a href="https://site' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40) || '">Read &amp; more</a>'
+        || '<a href=''/local/' || (doc_id % 10) || '''>local</a>'
+        || CASE WHEN doc_id % 2 = 0 THEN '<a href="//cdn' || (doc_id % 3) || '.example.net/lib.js">cdn</a>' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '<a href=https://u.example.org/up rel=nofollow>u</a>' ELSE '' END
+        || '<a href="javascript:void(0)">js</a><a href="#top">top</a><a href="mailto:a@b.c">mail</a>'
+        || '</body></html>' AS html
+      FROM documents),
+    fr AS (SELECT doc_id, url,
+        unnest(regexp_extract_all(html, '${sqlRe(lg.AnchorFragRe)}', 0)) AS frag
+      FROM pages),
+    lk AS (SELECT url, ${sqlFirstNonEmpty("frag", lg.HrefRes)} AS href FROM fr),
+    rs AS (SELECT url,
+        CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+             WHEN href LIKE '//%' AND $scheme <> '' THEN $scheme || ':' || href
+             WHEN href LIKE '/%' AND ${hostOf("url")} <> ''
+               THEN $scheme || '://' || ${hostOf("url")} || href
+             ELSE '' END AS rurl
+      FROM lk),
+    hp AS (SELECT ${hostOf("url")} AS src_host, ${hostOf("rurl")} AS dst_host
+      FROM rs WHERE rurl <> '')
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM hp WHERE src_host <> '' AND dst_host <> ''
+    GROUP BY 1, 2"""
+  }
+
+  /** robots.txt politeness gate — q123. The oracle derives every verdict
+    * from FIRST PRINCIPLES over the synthesized layout (no parser mirror):
+    * host 0 has a graftbot group (Allow /private, Disallow /secret) that
+    * shadows `*`, other hosts use the `*` group (Disallow /private, Allow
+    * /private/ok, Disallow /tmpK); greedybot's deny-all group never
+    * applies. Paths by doc_id%4: 0=/tmpK/…, 1=/secret/…, 2=/private/ok/…
+    * (longest-match allow), 3=/private/… */
+  private val q123 = """
+    SELECT doc_id,
+      'https://h' || (doc_id % 5) || '.example.org' ||
+        CASE WHEN doc_id % 4 = 0 THEN '/tmp' || (doc_id % 5) || '/f' || doc_id
+             WHEN doc_id % 4 = 1 THEN '/secret/s' || doc_id
+             WHEN doc_id % 4 = 2 THEN '/private/ok/y' || doc_id
+             ELSE '/private/z' || doc_id END AS url,
+      CASE WHEN doc_id % 5 = 0 THEN doc_id % 4 <> 1
+           ELSE doc_id % 4 = 1 OR doc_id % 4 = 2 END AS allowed
+    FROM documents"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -2740,6 +2799,8 @@ object OracleSql {
     "q118_html_metadata"    -> q118,
     "q119_canonical_dedup"  -> q119,
     "q120_html_clean"       -> q120,
-    "q121_warc_extract"     -> q121
+    "q121_warc_extract"     -> q121,
+    "q122_host_graph"       -> q122,
+    "q123_robots_gate"      -> q123
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1706,6 +1706,73 @@ object SparkEntry {
         col("n_dirty_in_file"))
   }
 
+  /** Outlink extraction → host-graph rollup ([[graft.ops.LinkGraph]]):
+    * pages synthesized with the full href mix — absolute (with an entity
+    * in the anchor text), root-relative (→ self-edge), protocol-relative
+    * on even docs, UNQUOTED absolute on every 5th, plus javascript:/
+    * fragment/mailto noise that must leave the graph — rolled up to
+    * `(src_host, dst_host, n_links)`: the edge list [[graft.ops.Graph]]'s
+    * rank/CC tier and Curation's `hostRankMin` prior consume. Row-local
+    * regex + one posexplode + ONE map-side-combined agg keyed by the host
+    * pair. */
+  private def q122HostGraph(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(lit("https://m"), pmod(id, lit(4)),
+      lit(".mirror.example.org/p/"), pmod(id, lit(40)))
+    val html = concat(
+      lit("<html><body><p>intro</p>"),
+      lit("<a href=\"https://site"), pmod(id, lit(7)), lit(".example.com/page/"),
+      pmod(id, lit(40)), lit("\">Read &amp; more</a>"),
+      lit("<a href='/local/"), pmod(id, lit(10)), lit("'>local</a>"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("<a href=\"//cdn"), pmod(id, lit(3)),
+          lit(".example.net/lib.js\">cdn</a>"))).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+        lit("<a href=https://u.example.org/up rel=nofollow>u</a>"))
+        .otherwise(lit("")),
+      lit("<a href=\"javascript:void(0)\">js</a><a href=\"#top\">top</a>" +
+        "<a href=\"mailto:a@b.c\">mail</a>"),
+      lit("</body></html>"))
+    graft.ops.LinkGraph.hostGraph(
+      t(s, dir, "documents").select(id, html.as("html"), url.as("url")),
+      "html", "url")
+  }
+
+  /** robots.txt politeness gate ([[graft.ops.RobotsTxt]]): five synthesized
+    * hosts share a robots body with a greedybot deny-all group (must be
+    * IGNORED for our agent), a `*` group (Disallow /private, Allow
+    * /private/ok — the longest-match pin — and a per-host Disallow /tmpK),
+    * and on host 0 a graftbot-specific group (Allow /private, Disallow
+    * /secret) that must SHADOW the `*` group entirely. URL paths cycle
+    * through all four decision shapes. The oracle derives every verdict
+    * from FIRST PRINCIPLES (a CASE over doc_id arithmetic, no parser
+    * mirror) — a mis-parse anywhere diverges. Parsing is row-local array
+    * algebra; gating is one host join + one max_by agg. */
+  private def q123RobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val k = pmod(id, lit(5))
+    val m = pmod(id, lit(4))
+    val robots = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(5)).as("k")).distinct()
+      .select(concat(lit("h"), col("k"), lit(".example.org")).as("host"),
+        concat(
+          when(col("k") === 0, lit(
+            "User-agent: graftbot\nAllow: /private\nDisallow: /secret\n\n"))
+            .otherwise(lit("")),
+          lit("User-agent: greedybot\nDisallow: /\n\n"),
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+          concat(lit("Disallow: /tmp"), col("k"), lit("\n# generated\n")))
+          .as("robots_txt"))
+    val rules = graft.ops.RobotsTxt.parseRules(robots, userAgent = "graftbot")
+    val urls = t(s, dir, "documents").select(id,
+      concat(lit("https://h"), k, lit(".example.org"),
+        when(m === 0, concat(lit("/tmp"), k, lit("/f"), id))
+          .when(m === 1, concat(lit("/secret/s"), id))
+          .when(m === 2, concat(lit("/private/ok/y"), id))
+          .otherwise(concat(lit("/private/z"), id))).as("url"))
+    graft.ops.RobotsTxt.isAllowed(urls, rules, "url", Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1827,7 +1894,9 @@ object SparkEntry {
     "q118_html_metadata"    -> q118HtmlMetadata _,
     "q119_canonical_dedup"  -> q119CanonicalDedup _,
     "q120_html_clean"       -> q120HtmlClean _,
-    "q121_warc_extract"     -> q121WarcExtract _
+    "q121_warc_extract"     -> q121WarcExtract _,
+    "q122_host_graph"       -> q122HostGraph _,
+    "q123_robots_gate"      -> q123RobotsGate _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -103,13 +103,13 @@ object Boilerplate {
 
   /** The 5 standard entities a text pipeline meets in practice; `&amp;`
     * decodes LAST so `&amp;lt;` round-trips to the literal `&lt;`. */
-  private def decodeEntities(c: Column): Column = {
+  private[graft] def decodeEntities(c: Column): Column = {
     val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
     pairs.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
   }
 
-  private def collapseWs(c: Column): Column =
+  private[graft] def collapseWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
   /** Visible text of a markup fragment: tags → space, entities decoded,
@@ -228,7 +228,7 @@ object Boilerplate {
     s"(?i)<meta[^a-zA-Z0-9>][^>]*name\\s*=\\s*[\"']?description$KeyEnd[^>]*content\\s*=\\s*([^\\s\"'>]+)",
     s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*name\\s*=\\s*[\"']?description$KeyEnd")
 
-  private def firstNonEmpty(h: Column, res: Seq[String]): Column =
+  private[graft] def firstNonEmpty(h: Column, res: Seq[String]): Column =
     res.map(re => regexp_extract(h, re, 1))
       .reduceRight((e, rest) => when(e =!= "", e).otherwise(rest))
 

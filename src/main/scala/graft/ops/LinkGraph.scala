@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlink extraction and host-graph rollup — the stage that turns a parsed
+  * crawl into the LINK GRAPH its quality priors run on: pages → `(src_host,
+  * dst_host, n_links)` edges → [[Graph.pageRank]] /
+  * [[Graph.connectedComponentsStar]] → [[Curation]]'s `hostRankMin` floor.
+  * Together with [[graft.load.Warc]] → [[Boilerplate]] → [[UrlFilter]] this
+  * closes the crawl loop end-to-end.
+  *
+  * == Reference resolution (documented subset) ==
+  * `href` values resolve against the page URL in the three forms a host
+  * graph needs: absolute `http(s)://…` (kept as-is), protocol-relative
+  * `//host/path` (page scheme prepended), and root-relative `/path` (page
+  * scheme + host prepended — the page's PORT is deliberately dropped, the
+  * host is the graph node). Everything else — path-relative (`../x`,
+  * `x.html`), `javascript:`, `mailto:`, bare fragments — resolves to the
+  * empty string and leaves the graph (the curation prior wants host→host
+  * edges; path-relative links are same-host by definition and would only
+  * inflate self-edges, which root-relative links already represent).
+  *
+  * == Markup bounds ==
+  * The [[Boilerplate]] contract: anchors must carry attributes (`<a>` alone
+  * has no href) and their text must not contain nested tags — a
+  * `<a href=x><b>t</b></a>` link is NOT extracted (same documented bound as
+  * L102's anchor-text counting); href values may be quoted or unquoted,
+  * with the [[Boilerplate.CanonRes]] precedence (quoted first). All
+  * patterns stay in the Java/RE2-agreeing subset, `private[graft]`-shared
+  * with the DuckDB oracle.
+  *
+  * == 100 TB shape ==
+  * Extraction is row-local regex algebra + one `posexplode` (links-per-page
+  * is small and bounded by page size); the host rollup is ONE
+  * map-side-combining aggregation keyed by `(src_host, dst_host)` — group
+  * count = distinct host pairs, far below link count. No other shuffle, no
+  * UDFs, no driver round-trips. */
+object LinkGraph {
+
+  /** Full `<a …>text</a>` fragments; see the markup bounds above. */
+  private[graft] val AnchorFragRe = "(?i)<a[^a-zA-Z0-9>][^>]*>[^<]*</a>"
+  /** href value inside one anchor fragment — quoted before unquoted. */
+  private[graft] val HrefRes: Seq[String] = Seq(
+    "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)href\\s*=\\s*([^\\s\"'>]+)")
+  /** Anchor text: between the tag's closing `>` and `</a>`. */
+  private[graft] val AnchorTextRe = "(?i)>([^<]*)</a>"
+  private[graft] val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+  /** Resolve an extracted href against the page's scheme/host — the
+    * documented three-form subset; empty string = leaves the graph. */
+  private def resolve(href: Column, scheme: Column, host: Column): Column =
+    when(href.rlike("(?i)^https?://"), href)
+      .when(href.startsWith("//") && scheme =!= "",
+        concat(scheme, lit(":"), href))
+      .when(href.startsWith("/") && host =!= "",
+        concat(scheme, lit("://"), host, href))
+      .otherwise(lit(""))
+
+  /** One row per extracted anchor of each page: `(…idCols, link_idx, href,
+    * anchor_text, resolved_url, dst_host)` — `link_idx` in document order,
+    * `href` the raw attribute value, `anchor_text` entity-decoded +
+    * ws-collapsed, `resolved_url` the absolute form ("" when unresolvable —
+    * kept, the link audit wants to SEE the javascript:/mailto:/
+    * path-relative mass), `dst_host` the resolved host ("" likewise).
+    * Anchors with no href at all (`<a name=…>`) yield href = "". */
+  def extractLinks(df: DataFrame, htmlCol: String, urlCol: String,
+                   idCols: Seq[String]): DataFrame = {
+    val outCols = Seq("link_idx", "href", "anchor_text", "resolved_url", "dst_host")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"extractLinks: input already has output column(s) ${clash.mkString(", ")}")
+    val h = coalesce(col(htmlCol), lit(""))
+    val pageUrl = coalesce(col(urlCol), lit(""))
+    val scheme = lower(regexp_extract(pageUrl, SchemeRe, 1))
+    val host = UrlFilter.host(pageUrl)
+    val exploded = df
+      .withColumn("__frags", regexp_extract_all(h, lit(AnchorFragRe), lit(0)))
+      .select(col("*"),
+        posexplode(col("__frags")).as(Seq("link_idx", "__frag")))
+    val href = Boilerplate.firstNonEmpty(col("__frag"), HrefRes)
+    val resolved = resolve(href, scheme, host)
+    exploded.select(
+      idCols.map(col) ++ Seq(
+        col("link_idx").cast("long").as("link_idx"),
+        href.as("href"),
+        Boilerplate.collapseWs(Boilerplate.decodeEntities(
+          regexp_extract(col("__frag"), AnchorTextRe, 1))).as("anchor_text"),
+        resolved.as("resolved_url"),
+        UrlFilter.host(resolved).as("dst_host")): _*)
+  }
+
+  /** The host graph: `(src_host, dst_host, n_links)` over every RESOLVED
+    * link (root-relative links surface as self-edges — real, and exactly
+    * what [[Graph.pageRank]]'s self-loop semantics expect). Feed the output
+    * straight to `pageRank(…, weightCol = "n_links")` for the
+    * [[Curation]] `hostRanks` prior. */
+  def hostGraph(df: DataFrame, htmlCol: String, urlCol: String): DataFrame =
+    extractLinks(df, htmlCol, urlCol, Seq(urlCol))
+      .filter(col("dst_host") =!= "")
+      .select(UrlFilter.host(col(urlCol)).as("src_host"), col("dst_host"))
+      .filter(col("src_host") =!= "")
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+}

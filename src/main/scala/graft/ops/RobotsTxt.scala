@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + URL gating (RFC 9309 subset) — the politeness side
+  * of the crawl tier: a responsible corpus excludes what the host asked
+  * crawlers not to fetch, the same contract as [[Boilerplate.robotsNoindex]]
+  * at page level. Feeds [[UrlFilter]]/[[Curation]] the same way the
+  * blocklist does: a per-URL boolean, computed once, joined on host.
+  *
+  * == Supported subset (documented) ==
+  * Groups of `User-agent:` lines followed by `Allow:`/`Disallow:` rules
+  * (comments stripped, other directives — Sitemap, Crawl-delay — ignored);
+  * group SELECTION per RFC: if any group names the caller's agent exactly
+  * (case-insensitive), only those groups apply, else the `*` groups; rules
+  * before any `User-agent:` line belong to no group and are ignored; an
+  * empty rule path (`Disallow:` alone = allow everything) is a no-op and is
+  * dropped. DECISION per the published Google semantics: the longest
+  * matching rule path wins, ties go to Allow; no matching rule (or no rules
+  * for the host at all) = allowed — fail-open, matching the [[Curation]]
+  * host-rank floor's absence-is-not-evidence stance. Paths match as LITERAL
+  * prefixes: the `*`/`$` wildcard extension and query strings are outside
+  * the subset (documented bound; rules containing them simply match
+  * nothing beyond their literal prefix).
+  *
+  * == 100 TB shape ==
+  * Parsing is entirely row-local array algebra over the split lines
+  * (nested transform/filter — robots files are KB-sized, the quadratic
+  * run-reconstruction is microseconds) with ONE explode to rule rows —
+  * host-count-sized output. Gating is one join on host (the rule side is
+  * host-sized — AQE broadcasts it when small) + one max_by-shaped agg per
+  * URL. No UDFs, no driver round-trips. */
+object RobotsTxt {
+
+  private def lineAt(lines: Column, i: Column): Column = element_at(lines, i + 1)
+  private val UaRe = "(?i)^user-agent\\s*:"
+  private val RuleRe = "(?i)^(dis)?allow\\s*:"
+
+  /** Parse one robots.txt per host into effective rules for `userAgent`:
+    * `(host, allow, path)` — already group-selected (exact agent beats
+    * `*`), empty-path no-ops dropped. */
+  def parseRules(robots: DataFrame, hostCol: String = "host",
+                 textCol: String = "robots_txt",
+                 userAgent: String = "*"): DataFrame = {
+    val agent = userAgent.toLowerCase
+    val lines = transform(
+      split(coalesce(col(textCol), lit("")), "\r\n|\r|\n"),
+      l => trim(regexp_replace(l, "#.*", "")))
+    val idx = sequence(lit(0), size(lines) - 1)
+    def isUa(i: Column) = lineAt(lines, i).rlike(UaRe)
+    def uaVal(i: Column) =
+      lower(trim(regexp_replace(lineAt(lines, i), UaRe, "")))
+    def ruleLine(i: Column) = lineAt(lines, i).rlike(RuleRe)
+    def isAllow(i: Column) = lineAt(lines, i).rlike("(?i)^allow\\s*:")
+    def rulePath(i: Column) =
+      trim(regexp_replace(lineAt(lines, i), RuleRe, ""))
+    val uaIdx = filter(idx, i => isUa(i))
+    // a group names our agent somewhere in the file → `*` groups are ignored
+    val hasExact = exists(uaIdx, u => uaVal(u) === lit(agent))
+    val wanted = when(hasExact, lit(agent)).otherwise(lit("*"))
+    // each rule line r is governed by the consecutive User-agent RUN ending
+    // at the nearest ua-line p < r: a ua-line u is in that run iff every
+    // index in [u, p] is a ua-line (count check — set algebra, no fold)
+    val ruleStructs = transform(
+      filter(idx, i => ruleLine(i)),
+      r => {
+        val p = array_max(filter(uaIdx, u => u < r))
+        val run = filter(uaIdx, u =>
+          u <= p && (p - u + 1) === size(filter(uaIdx, x => x >= u && x <= p)))
+        struct(
+          exists(run, u => uaVal(u) === wanted).as("applies"),
+          isAllow(r).as("allow"),
+          rulePath(r).as("path"))
+      })
+    val kept = filter(ruleStructs,
+      s => s("applies") && s("path") =!= "")
+    robots
+      .select(col(hostCol).as("host"),
+        explode(kept).as("r"))
+      .select(col("host"), col("r.allow").as("allow"), col("r.path").as("path"))
+  }
+
+  /** Gate URLs against parsed rules: adds `allowed`. `rules` is
+    * [[parseRules]] output (already agent-selected); URLs on hosts with no
+    * rules — or matching no rule path — are allowed (fail-open). Longest
+    * matching path wins, ties to Allow. */
+  def isAllowed(urls: DataFrame, rules: DataFrame, urlCol: String,
+                idCols: Seq[String]): DataFrame = {
+    val clash = Seq("allowed", "__host", "__path", "__rhost", "__rallow", "__rpath")
+      .filter(urls.columns.contains)
+    require(clash.isEmpty,
+      s"isAllowed: input already has reserved column(s) ${clash.mkString(", ")}")
+    val p0 = regexp_extract(coalesce(col(urlCol), lit("")),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val u = urls.select(
+      (idCols :+ urlCol).map(col) :+
+        UrlFilter.host(col(urlCol)).as("__host") :+
+        when(p0 === "", lit("/")).otherwise(p0).as("__path"): _*)
+    val r = rules.select(col("host").as("__rhost"),
+      col("allow").as("__rallow"), col("path").as("__rpath"))
+    u.join(r, col("__host") === col("__rhost") &&
+        col("__path").startsWith(col("__rpath")), "left")
+      .groupBy((idCols :+ urlCol).map(col): _*)
+      // max over (path length, allow): longest match wins, true beats false
+      .agg(max(when(col("__rpath").isNotNull,
+        struct(length(col("__rpath")).as("len"), col("__rallow").as("allow"))))
+        .as("__best"))
+      .withColumn("allowed",
+        col("__best").isNull || col("__best.allow"))
+      .drop("__best")
+  }
+}

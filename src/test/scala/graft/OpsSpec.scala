@@ -1813,6 +1813,96 @@ class OpsSpec extends SparkSpec {
     assert(audit === Seq(("html_extract", 2L, 2L)))
   }
 
+  test("linkGraph: href mix resolves per the documented subset; host rollup feeds pageRank") {
+    import graft.ops.LinkGraph
+    val pages = Seq(
+      (1L, "https://a.org/p/1",
+        "<a href=\"https://b.org/x\">Read &amp;  more</a>" +  // absolute + entity + ws collapse
+          "<a href='/local'>self</a>" +                        // root-relative → self-edge
+          "<a href=\"//c.net/lib\">cdn</a>" +                  // protocol-relative
+          "<a href=page2.html>rel</a>" +                       // path-relative → dropped
+          "<a href=\"javascript:void(0)\">js</a>" +            // noise → dropped
+          "<a href=\"#top\">frag</a>" +
+          "<a name=\"anchor\">no href</a>" +                   // href = ""
+          "<a href=x><b>nested</b></a>"),                      // nested tags → not extracted
+      (2L, null, "<a href=\"https://b.org/y\">y</a>"))         // NULL page url: no scheme/host
+      .toDF("doc_id", "url", "html")
+    val links = LinkGraph.extractLinks(pages.filter(col("doc_id") === 1L),
+        "html", "url", Seq("doc_id"))
+      .orderBy("link_idx").collect()
+    assert(links.length === 7) // the nested-tag anchor is not a fragment
+    // root-relative resolves against scheme://HOST (page path irrelevant)
+    assert(links.map(_.getAs[String]("resolved_url")).toSeq === Seq(
+      "https://b.org/x", "https://a.org/local",
+      "https://c.net/lib", "", "", "", ""))
+    assert(links(0).getAs[String]("anchor_text") === "Read & more")
+    assert(links(6).getAs[String]("href") === "") // <a name=...> has no href
+    // NULL page url: absolute links still resolve, relative ones cannot
+    val nullUrl = LinkGraph.extractLinks(pages.filter(col("doc_id") === 2L),
+      "html", "url", Seq("doc_id")).collect()
+    assert(nullUrl.head.getAs[String]("resolved_url") === "https://b.org/y")
+    // host rollup: self-edge from the root-relative link, counts per pair
+    val hg = LinkGraph.hostGraph(pages, "html", "url").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hg === Map(("a.org", "b.org") -> 1L, ("a.org", "a.org") -> 1L,
+      ("a.org", "c.net") -> 1L))
+    // the composition the operator exists for: host graph → pageRank prior
+    val ranks = graft.ops.Graph.pageRank(
+        LinkGraph.hostGraph(pages, "html", "url")
+          .withColumnRenamed("src_host", "src").withColumnRenamed("dst_host", "dst"),
+        weightCol = "n_links", iterations = 3, scale = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet === Set("a.org", "b.org", "c.net") && ranks.values.forall(_ > 0))
+    // output-column clash refuses loudly
+    intercept[IllegalArgumentException] {
+      LinkGraph.extractLinks(pages.withColumn("dst_host", lit("x")), "html", "url", Seq("doc_id"))
+    }
+  }
+
+  test("robotsTxt: group selection, multi-UA runs, longest-match, ties to allow, fail-open") {
+    import graft.ops.RobotsTxt
+    val robots = Seq(
+      ("a.org",
+        "# header comment\n" +
+          "Disallow: /orphan\n" +                    // before any group → ignored
+          "User-agent: alpha\nUser-agent: beta\n" +  // multi-UA run
+          "Disallow: /shared\n\n" +
+          "User-agent: *\r\n" +                      // CRLF tolerated
+          "Disallow: /private\r\n" +
+          "Allow: /private/ok\n" +
+          "Disallow:\n" +                            // empty path → no-op
+          "Allow: /tie\nDisallow: /tie\n"),          // equal length → allow wins
+      ("b.org", "User-agent: beta\nDisallow: /\n"))  // beta-only file
+      .toDF("host", "robots_txt")
+    // exact agent: only the (alpha, beta) group on a.org, deny-all on b.org
+    val beta = RobotsTxt.parseRules(robots, userAgent = "beta")
+    assert(beta.collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet ===
+      Set(("a.org", false, "/shared"), ("b.org", false, "/")))
+    // unnamed agent: the * group on a.org; b.org has NO applicable group
+    val star = RobotsTxt.parseRules(robots, userAgent = "someone-else")
+    assert(star.filter(col("host") === "b.org").isEmpty)
+    val urls = Seq(
+      (1L, "https://a.org/orphan/x"),     // orphaned rule never applies
+      (2L, "https://a.org/private/x"),    // disallowed
+      (3L, "https://a.org/private/ok/x"), // longest match → allow
+      (4L, "https://a.org/tie"),          // equal-length tie → allow
+      (5L, "https://b.org/anything"),     // no rules for this agent → open
+      (6L, "https://c.net/x"),            // host absent entirely → open
+      (7L, "https://a.org"))              // bare host: path reads "/"
+      .toDF("id", "url")
+    val got = RobotsTxt.isAllowed(urls, star, "url", Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true, 7L -> true))
+    // the exact-agent view: /shared gated, /private NOT (star group shadowed)
+    val gotBeta = RobotsTxt.isAllowed(
+        Seq((1L, "https://a.org/shared/z"), (2L, "https://a.org/private/x"),
+          (3L, "https://b.org/y")).toDF("id", "url"),
+        beta, "url", Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(gotBeta === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("urlFilter: suffix-domain semantics, pattern match, unparseable URLs fail closed; join path agrees") {
     import graft.ops.UrlFilter
     val rows = Seq(
