@@ -1031,6 +1031,131 @@ object OracleSql {
            ELSE doc_id % 4 = 1 OR doc_id % 4 = 2 END AS allowed
     FROM documents"""
 
+  /** Publication-date extraction — q124. First-principles oracle (the q123
+    * pattern, no extractor mirror): the synthesized month/day are always
+    * calendar-valid (mm ∈ 01..12, dd ∈ 01..28), so the expected date and
+    * winning source follow directly from doc_id%6 — m 0 article meta (the
+    * disagreeing time tag loses), m 1 the INVALID article date falls
+    * through to the time tag (dd2), m 2 time tag, m 3 meta date (the
+    * dateModified decoy loses), m 4 the /YYYY/MM/DD/ permalink, m 5
+    * nothing validates → NULL + ''. A regex mis-parse anywhere in
+    * graft.ops.DateExtract diverges. */
+  private val q124 = """
+    WITH d AS (SELECT doc_id,
+        lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0') AS mm,
+        lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS dd,
+        lpad(CAST(((doc_id + 1) % 28) + 1 AS VARCHAR), 2, '0') AS dd2
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN doc_id % 6 = 5 THEN NULL
+           WHEN doc_id % 6 IN (1, 2) THEN CAST('2024-' || mm || '-' || dd2 AS DATE)
+           ELSE CAST('2024-' || mm || '-' || dd AS DATE) END AS pub_date,
+      CASE doc_id % 6 WHEN 0 THEN 'article_time' WHEN 1 THEN 'time_tag'
+           WHEN 2 THEN 'time_tag' WHEN 3 THEN 'meta_date'
+           WHEN 4 THEN 'url_path' ELSE '' END AS pub_date_source
+    FROM d"""
+
+  /** Frequency-based per-host chrome removal — q125. Mirrors
+    * graft.ops.LineDedup.frequencyBoilerplate over the synthesized
+    * five-line docs: same packed-56-bit-md5 line identity, distinct-doc
+    * count per (host, line hash), drop at >= 3, structure lines (trimmed
+    * length 0) always kept, reassembly in position order. */
+  private val q125 = """
+    WITH d AS (SELECT doc_id, 'h' || (doc_id % 5) AS host,
+        'Copyright Host ' || (doc_id % 5) || ' - All rights reserved' || chr(10) ||
+        chr(10) ||
+        'Doc ' || doc_id || ' body: ' || substr(coalesce(text, ''), 1, 120) || chr(10) ||
+        'Promo ' || (doc_id % 50) || chr(10) ||
+        'Pair ' || (doc_id - doc_id % 2) AS text
+      FROM documents),
+    ml AS (SELECT doc_id, host, string_split(text, chr(10)) AS lines FROM d),
+    lx AS (SELECT doc_id, host,
+        unnest(list_transform(range(1, len(lines) + 1),
+          i -> {'pos': i - 1, 'line': lines[i]})) AS s
+      FROM ml),
+    l2 AS (SELECT doc_id, host, s.pos AS pos, s.line AS line FROM lx),
+    elig AS (SELECT doc_id, host, pos, line,
+        ('0x' || substr(md5(line), 1, 14))::BIGINT AS h
+      FROM l2 WHERE length(trim(line)) >= 1),
+    chrome AS (SELECT host, h FROM elig GROUP BY host, h
+      HAVING COUNT(DISTINCT doc_id) >= 3),
+    kept AS (SELECT e.doc_id, e.pos, e.line FROM elig e
+        LEFT JOIN chrome c ON e.host = c.host AND e.h = c.h
+        WHERE c.h IS NULL
+      UNION ALL SELECT doc_id, pos, line FROM l2 WHERE length(trim(line)) < 1),
+    re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT m.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+      CAST(len(m.lines) AS BIGINT) AS n_lines_total,
+      CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+      CAST(len(m.lines) - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+    FROM ml m LEFT JOIN re r USING (doc_id)"""
+
+  /** Crawl-frontier scheduling — q126. First principles: host from doc_id
+    * arithmetic (not URL parsing — a graft.ops.UrlFilter.host bug
+    * diverges), batch = the same deterministic window, cap at 50. */
+  private val q126 = """
+    WITH u AS (SELECT doc_id,
+        'h' || (doc_id % 7) || '.example.org' AS host,
+        'https://h' || (doc_id % 7) || '.example.org/p' || doc_id AS url,
+        CAST((doc_id * 37) % 101 AS DOUBLE) AS priority
+      FROM documents),
+    r AS (SELECT doc_id, host,
+        row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) - 1 AS batch
+      FROM u)
+    SELECT doc_id, host, CAST(batch AS BIGINT) AS batch FROM r WHERE batch < 50"""
+
+  /** Sitemap parsing — q127. First principles (the q124 pattern): the
+    * synthesized entries' fields follow from doc_id arithmetic — url
+    * entry 0 fully populated (entity-decoded loc, date prefix of the W3C
+    * datetime, priority 0.K), entry 1 minimal (NULL/'' absents), entry 2
+    * (every 4th doc) a sitemap-index child whose garbage lastmod reads
+    * NULL. */
+  private val q127 = """
+    WITH d AS (SELECT doc_id,
+        lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0') AS mm,
+        lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents),
+    e AS (
+      SELECT doc_id, 0 AS entry_idx, 'url' AS kind,
+        'https://ex.org/p/' || doc_id || '?a=1&b=2' AS loc,
+        CAST('2024-' || mm || '-' || dd AS DATE) AS lastmod,
+        'weekly' AS changefreq,
+        CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority
+      FROM d
+      UNION ALL
+      SELECT doc_id, 1, 'url', 'https://ex.org/q/' || doc_id,
+        NULL, '', NULL FROM d
+      UNION ALL
+      SELECT doc_id, 2, 'sitemap', 'https://ex.org/sm/' || doc_id || '.xml',
+        NULL, '', NULL FROM d WHERE doc_id % 4 = 0)
+    SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, kind, loc,
+      lastmod, changefreq, priority FROM e"""
+
+  /** Mojibake repair — q128. The marker chain is
+    * graft.ops.Mojibake.Markers itself (no marker contains an ASCII
+    * quote, so no SQL escaping); the damaged suffix is corrupt()'s output
+    * — both sides derive from the one table. Score counted per marker as
+    * length-delta / marker-length, the Spark formula verbatim. */
+  private val q128 = {
+    val mk = graft.ops.Mojibake.Markers
+    val damaged = graft.ops.Mojibake.corrupt(" Café — naïve don’t")
+    def rep(expr: String) = mk.foldLeft(expr) { case (e, (b, g)) =>
+      s"replace($e, '$b', '$g')" }
+    val score = mk.map { case (b, _) =>
+      s"(length(t) - length(replace(t, '$b', ''))) / ${b.length}" }
+      .mkString(" + ")
+    s"""
+    WITH d AS (SELECT doc_id,
+        coalesce(text, '') || CASE WHEN doc_id % 3 = 0 THEN '$damaged'
+          WHEN doc_id % 3 = 1 THEN ' café déjà vu' ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id, CAST($score AS BIGINT) AS mojibake_score,
+      ${rep("t")} <> t AS changed,
+      md5(${rep("t")}) AS repaired_md5
+    FROM d"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -2801,6 +2926,11 @@ object OracleSql {
     "q120_html_clean"       -> q120,
     "q121_warc_extract"     -> q121,
     "q122_host_graph"       -> q122,
-    "q123_robots_gate"      -> q123
+    "q123_robots_gate"      -> q123,
+    "q124_pub_date"         -> q124,
+    "q125_host_chrome"      -> q125,
+    "q126_frontier"         -> q126,
+    "q127_sitemap"          -> q127,
+    "q128_mojibake"         -> q128
   ).map { case (k, v) => k -> clean(v) }
 }

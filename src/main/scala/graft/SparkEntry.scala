@@ -1773,6 +1773,148 @@ object SparkEntry {
     graft.ops.RobotsTxt.isAllowed(urls, rules, "url", Seq("doc_id"))
   }
 
+  /** Publication-date extraction ([[graft.ops.DateExtract]]): six page
+    * shapes by doc_id%6 pin the full precedence ladder — (0) article meta
+    * beats a disagreeing time tag, both attribute orders; (1) an INVALID
+    * article date (month 13) falls through to the time tag instead of
+    * poisoning the row; (2) time tag alone, quoted and unquoted; (3) meta
+    * name=date alone beside a dateModified decoy that must NOT match;
+    * (4) html carries nothing, the /YYYY/MM/DD/ permalink supplies the
+    * date; (5) a garbage time value and a dateless URL yield NULL + ''.
+    * Row-local regex + gated date parse, zero shuffle. */
+  private def q124PubDate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(6))
+    val mm = lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0")
+    val dd = lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")
+    val dd2 = lpad((pmod(id + 1, lit(28)) + 1).cast("string"), 2, "0")
+    val isoTs = concat(lit("2024-"), mm, lit("-"), dd, lit("T08:30:00Z"))
+    // m==0 ids are all even (doc_id%6==0 ⇒ even), so the attribute-order
+    // flip cycles on doc_id%12 (0 vs 6), not parity
+    val articleMeta = when(pmod(id, lit(12)) === 0,
+        concat(lit("<meta property=\"article:published_time\" content=\""),
+          isoTs, lit("\">")))
+      .otherwise(concat(lit("<meta content='"), isoTs,
+        lit("' property='article:published_time'>")))
+    val timeTag = concat(lit("<time datetime=\"2024-"), mm, lit("-"), dd2,
+      lit("\">then</time>"))
+    val timeTagUnquoted = concat(lit("<time datetime=2024-"), mm, lit("-"), dd2,
+      lit(" class=stamp>then</time>"))
+    val body = when(m === 0, concat(articleMeta, timeTag))
+      .when(m === 1, concat(
+        lit("<meta property=\"article:published_time\" content=\"2024-13-40T08:30:00Z\">"),
+        timeTag))
+      .when(m === 2,
+        when(pmod(id, lit(12)) === 2, timeTagUnquoted).otherwise(timeTag))
+      .when(m === 3, concat(
+        lit("<meta name=\"dateModified\" content=\"2030-01-01\">"),
+        when(pmod(id, lit(12)) === 3,
+          concat(lit("<meta name=\"date\" content=\"2024-"), mm, lit("-"), dd, lit("\">")))
+          .otherwise(concat(lit("<meta content='2024-"), mm, lit("-"), dd,
+            lit("' name='date'>")))))
+      .when(m === 5, lit("<time datetime=\"soon\">soon</time>"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), body,
+      lit("</head><body><p>text</p></body></html>"))
+    val url = when(m === 4,
+        concat(lit("https://blog.example.org/2024/"), mm, lit("/"), dd,
+          lit("/post-"), id))
+      .otherwise(concat(lit("https://blog.example.org/post-"), id))
+    graft.ops.DateExtract.publicationDate(
+        t(s, dir, "documents").select(id, html.as("html"), url.as("url")),
+        "html", "url")
+      .select(col("doc_id"), col("pub_date"), col("pub_date_source"))
+  }
+
+  /** Frequency-based per-host chrome removal
+    * ([[graft.ops.LineDedup.frequencyBoilerplate]]): each doc gets a
+    * per-host copyright line (every doc of the host shares it → dropped
+    * from ALL of them), a blank structure line (always kept), a unique
+    * body line (kept), a `Promo doc_id%50` line whose fate tracks the
+    * corpus size (all its sharers land on ONE host — 5 | 50), and a
+    * `Pair` line shared by exactly two docs on DIFFERENT hosts — kept,
+    * pinning the group scoping. minDocs = 3. */
+  private def q125HostChrome(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val text = concat(
+      lit("Copyright Host "), pmod(id, lit(5)), lit(" - All rights reserved\n"),
+      lit("\n"),
+      lit("Doc "), id, lit(" body: "),
+      substring(coalesce(col("text"), lit("")), 1, 120), lit("\n"),
+      lit("Promo "), pmod(id, lit(50)), lit("\n"),
+      lit("Pair "), id - pmod(id, lit(2)))
+    val docs = t(s, dir, "documents")
+      .select(id, concat(lit("h"), pmod(id, lit(5))).as("host"), text.as("text"))
+    graft.ops.LineDedup.frequencyBoilerplate(docs, "text", "doc_id", "host",
+        minDocs = 3)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_lines_total"), col("n_lines_kept"), col("n_lines_dropped"))
+  }
+
+  /** Crawl-frontier scheduling ([[graft.ops.Frontier.schedule]]): URLs
+    * spread over 7 hosts with a deterministic pseudo-priority
+    * ((doc_id*37)%101 — ties appear once a host holds >101 URLs, pinning
+    * the URL-asc tie-break), capped at 50 per host. The oracle derives
+    * host and batch from FIRST PRINCIPLES (doc_id arithmetic + the same
+    * window), so a host-extraction or ranking bug diverges. */
+  private def q126Frontier(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val urls = t(s, dir, "documents").select(id,
+      concat(lit("https://h"), pmod(id, lit(7)), lit(".example.org/p"), id).as("url"),
+      pmod(id * 37, lit(101)).cast("double").as("priority"))
+    graft.ops.Frontier.schedule(urls, "url", "priority", maxPerHost = 50)
+      .select(col("doc_id"), col("host"), col("batch"))
+  }
+
+  /** Sitemap parsing ([[graft.ops.Sitemap.parseSitemaps]]): every doc
+    * becomes a sitemap with a fully-populated url entry (entity in the
+    * loc, W3C datetime lastmod, priority 0.K), a whitespace-padded
+    * minimal entry (absent fields → NULL/''), and on every 4th doc a
+    * sitemap-index entry whose lastmod is GARBAGE (gated parse → NULL).
+    * First-principles oracle: expected rows from doc_id arithmetic —
+    * any fragment/field mis-parse diverges. */
+  private def q127Sitemap(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val mm = lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0")
+    val dd = lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>https://ex.org/p/"), id, lit("?a=1&amp;b=2</loc>"),
+      lit("<lastmod>2024-"), mm, lit("-"), dd, lit("T10:00:00+00:00</lastmod>"),
+      lit("<changefreq>weekly</changefreq>"),
+      lit("<priority>0."), pmod(id, lit(10)), lit("</priority></url>"),
+      lit("<url>\n  <loc>\n    https://ex.org/q/"), id, lit("\n  </loc>\n</url>"),
+      lit("</urlset>"),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit("<sitemapindex><sitemap><loc>https://ex.org/sm/"), id,
+          lit(".xml</loc><lastmod>not-a-date</lastmod></sitemap></sitemapindex>")))
+        .otherwise(lit("")))
+    graft.ops.Sitemap.parseSitemaps(
+      t(s, dir, "documents").select(id, xml.as("xml")), "xml", Seq("doc_id"))
+  }
+
+  /** Mojibake repair ([[graft.ops.Mojibake]]): every 3rd doc gets a
+    * deliberately DAMAGED suffix (built by [[graft.ops.Mojibake.corrupt]]
+    * from the marker table itself — é/—/ï/’ in their cp1252-mojibake
+    * forms, score 4), the next a CLEAN accented suffix that must pass
+    * through byte-identical (score 0), the rest plain corpus text. The
+    * oracle applies the same marker chain via DuckDB `replace` — shared
+    * constants, one source of truth. */
+  private def q128Mojibake(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val damaged = graft.ops.Mojibake.corrupt(" Café — naïve don’t")
+    val txt = concat(coalesce(col("text"), lit("")),
+      when(pmod(id, lit(3)) === 0, lit(damaged))
+        .when(pmod(id, lit(3)) === 1, lit(" café déjà vu"))
+        .otherwise(lit("")))
+    val docs = t(s, dir, "documents")
+      .select(id, txt.as("text"), txt.as("orig"))
+    graft.ops.Mojibake.repair(docs, "text")
+      .select(col("doc_id"), col("mojibake_score"),
+        (col("text") =!= col("orig")).as("changed"),
+        md5(col("text")).as("repaired_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -1896,7 +2038,12 @@ object SparkEntry {
     "q120_html_clean"       -> q120HtmlClean _,
     "q121_warc_extract"     -> q121WarcExtract _,
     "q122_host_graph"       -> q122HostGraph _,
-    "q123_robots_gate"      -> q123RobotsGate _
+    "q123_robots_gate"      -> q123RobotsGate _,
+    "q124_pub_date"         -> q124PubDate _,
+    "q125_host_chrome"      -> q125HostChrome _,
+    "q126_frontier"         -> q126Frontier _,
+    "q127_sitemap"          -> q127Sitemap _,
+    "q128_mojibake"         -> q128Mojibake _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Publication-date extraction — the temporal signal a crawl corpus needs
+  * for freshness filtering, dedup tie-breaking ([[UrlFilter.latestPerUrl]]
+  * wants a crawl/publish ts), and time-sliced training mixtures. Reads the
+  * signals real pages actually carry, in fixed precedence:
+  *
+  *   1. `<meta property="article:published_time" content="ISO">` — the Open
+  *      Graph article tag, the most reliable when present;
+  *   2. `<time datetime="…">` — the HTML5 element most CMSes emit;
+  *   3. `<meta name="date" content="…">` — the legacy meta form;
+  *   4. the URL path itself — the `/YYYY/MM/DD/` convention of dated
+  *      permalinks (requires a following `/` or end-of-string, so
+  *      `/2024/05/07x` never matches).
+  *
+  * A candidate only wins if it VALIDATES: the attribute value must lead
+  * with `YYYY-MM-DD` (an ISO timestamp's date prefix qualifies) and that
+  * string must parse as a real calendar date — `2024-13-05` at precedence 1
+  * falls through to precedence 2 rather than poisoning the row (to_date's
+  * NULL on impossible dates is the validity check, and DuckDB's
+  * `TRY_CAST(… AS DATE)` agrees with it on zero-padded input — the
+  * cross-engine contract). Attribute regexes follow the
+  * [[Boilerplate.OgTitleRes]] discipline exactly: quoted before unquoted
+  * values, key-first before content-first order, key names terminated by
+  * quote/whitespace/`>` so `name=date` cannot match `name=dateModified`,
+  * all in the Java/RE2-agreeing subset, `private[graft]`-shared with the
+  * oracle.
+  *
+  * == 100 TB shape ==
+  * Row-local regex extraction + a per-row date parse: zero shuffles, zero
+  * UDFs, whole-stage-codegen column algebra — the [[Boilerplate]] scan-stage
+  * shape. Compose with [[Boilerplate.pageMetadata]] in the same projection;
+  * both stay inside one codegen stage over the page scan. */
+object DateExtract {
+
+  private val KeyEnd = "[\"'\\s>]"
+
+  /** `article:published_time` content — og-meta precedence order. */
+  private[graft] val ArticleTimeRes: Seq[String] = Seq(
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*property\\s*=\\s*[\"']?article:published_time$KeyEnd[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*property\\s*=\\s*[\"']?article:published_time$KeyEnd",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*property\\s*=\\s*[\"']?article:published_time$KeyEnd[^>]*content\\s*=\\s*([^\\s\"'>]+)",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*property\\s*=\\s*[\"']?article:published_time$KeyEnd")
+
+  /** `<time datetime="…">` — quoted before unquoted. */
+  private[graft] val TimeDatetimeRes: Seq[String] = Seq(
+    "(?i)<time[^a-zA-Z0-9>][^>]*datetime\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)<time[^a-zA-Z0-9>][^>]*datetime\\s*=\\s*([^\\s\"'>]+)")
+
+  /** `<meta name="date" content="…">` — og-meta precedence order. */
+  private[graft] val MetaDateRes: Seq[String] = Seq(
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*name\\s*=\\s*[\"']?date$KeyEnd[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']?date$KeyEnd",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*name\\s*=\\s*[\"']?date$KeyEnd[^>]*content\\s*=\\s*([^\\s\"'>]+)",
+    s"(?i)<meta[^a-zA-Z0-9>][^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*name\\s*=\\s*[\"']?date$KeyEnd")
+
+  /** Dated-permalink path: captures Y/M/D as one `YYYY-MM-DD` rewrite. */
+  private[graft] val UrlDateRe = "/([0-9]{4})/([0-9]{2})/([0-9]{2})(?:/|$)"
+
+  /** Leading ISO date of an attribute value (timestamp prefixes qualify). */
+  private[graft] val IsoPrefixRe = "^([0-9]{4}-[0-9]{2}-[0-9]{2})"
+
+  /** A validated candidate: NULL unless the source's extraction leads with
+    * an ISO date that parses. The regex gate keeps to_date's input
+    * shape-valid (the [[graft.functions.Standardize]] gated-parse
+    * discipline), so the only NULLs it adds are impossible calendar dates. */
+  private[graft] def candidate(raw: Column): Column = {
+    val iso = regexp_extract(raw, IsoPrefixRe, 1)
+    to_date(when(iso =!= "", iso), "yyyy-MM-dd")
+  }
+
+  /** Adds `pub_date` (DATE, NULL when no source validates) and
+    * `pub_date_source` (`article_time` | `time_tag` | `meta_date` |
+    * `url_path` | `''`) — the first VALID source in the precedence order
+    * wins. NULL html/url read as empty. The two output names refuse a
+    * pre-existing column loudly (the [[Boilerplate.pageMetadata]]
+    * discipline). */
+  def publicationDate(df: DataFrame, htmlCol: String, urlCol: String): DataFrame = {
+    val outCols = Seq("pub_date", "pub_date_source")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"publicationDate: input already has output column(s) ${clash.mkString(", ")}")
+    val h = coalesce(col(htmlCol), lit(""))
+    val u = coalesce(col(urlCol), lit(""))
+    val fromArticle = candidate(Boilerplate.firstNonEmpty(h, ArticleTimeRes))
+    val fromTime = candidate(Boilerplate.firstNonEmpty(h, TimeDatetimeRes))
+    val fromMeta = candidate(Boilerplate.firstNonEmpty(h, MetaDateRes))
+    val fromUrl = candidate(
+      when(regexp_extract(u, UrlDateRe, 1) =!= "",
+        concat_ws("-",
+          regexp_extract(u, UrlDateRe, 1),
+          regexp_extract(u, UrlDateRe, 2),
+          regexp_extract(u, UrlDateRe, 3))).otherwise(lit("")))
+    df.withColumn("pub_date",
+        coalesce(fromArticle, fromTime, fromMeta, fromUrl))
+      .withColumn("pub_date_source",
+        when(fromArticle.isNotNull, lit("article_time"))
+          .when(fromTime.isNotNull, lit("time_tag"))
+          .when(fromMeta.isNotNull, lit("meta_date"))
+          .when(fromUrl.isNotNull, lit("url_path"))
+          .otherwise(lit("")))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling — the step between "URLs we want" and "fetches
+  * we may issue": a polite crawler fetches at most ONE URL per host per
+  * scheduling round (RFC 9309's companion convention; hammering one host
+  * with its whole backlog is the crawl equivalent of a hot key), so the
+  * frontier assigns every URL a `batch` = its position in ITS HOST'S queue,
+  * highest-priority first. Emitting round k = `batch = k` — each round
+  * touches each host at most once by construction, and the best URLs of
+  * every host go out in the earliest rounds. Composes downstream of
+  * [[RobotsTxt.isAllowed]] (gate first — disallowed URLs must not occupy
+  * queue slots) and upstream of the fetch tier; priority typically comes
+  * from [[Graph.pageRank]] over [[LinkGraph.hostGraph]] (the
+  * [[Curation]] `hostRankMin` prior reused as fetch ordering).
+  *
+  * == 100 TB shape ==
+  * ONE window (`row_number` partitioned by host, ordered by priority desc
+  * then URL — a total, deterministic order): one hash shuffle on host,
+  * per-host state is a running count. Hosts number in the hundreds of
+  * millions on a real crawl, so host-partitioning is well-spread; the one
+  * pathological host with a billion queued URLs is exactly what
+  * `maxPerHost` caps (the cap applies AFTER ranking, so it keeps that
+  * host's best). No global sort: a fetch emitter wanting round k reads
+  * `batch = k` — a filter, not an ordering; per-round output order across
+  * hosts is the emitter's business (it's rate-limited per host anyway). */
+object Frontier {
+
+  /** Adds `host` (from `urlCol`, [[UrlFilter.host]] semantics) and `batch`
+    * (0-based politeness round: row_number per host by `priorityCol` desc,
+    * ties broken by URL asc — deterministic under any partitioning), and
+    * drops URLs ranked at or beyond `maxPerHost` (the per-host queue cap).
+    * URL-less rows (empty/NULL → empty host) group under the empty host
+    * like any other — gate them out upstream if they shouldn't schedule.
+    * The two output names refuse pre-existing columns loudly. */
+  def schedule(urls: DataFrame, urlCol: String, priorityCol: String,
+               maxPerHost: Int = Int.MaxValue): DataFrame = {
+    require(maxPerHost >= 1, s"schedule: maxPerHost=$maxPerHost must be >= 1")
+    val outCols = Seq("host", "batch")
+    val clash = outCols.filter(urls.columns.contains)
+    require(clash.isEmpty,
+      s"schedule: input already has output column(s) ${clash.mkString(", ")}")
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    urls.withColumn("host", UrlFilter.host(coalesce(col(urlCol), lit(""))))
+      .withColumn("batch", (row_number().over(w) - 1).cast("long"))
+      .filter(col("batch") < maxPerHost)
+  }
+}

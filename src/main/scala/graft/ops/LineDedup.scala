@@ -82,6 +82,60 @@ object LineDedup {
       .drop("__ld_id", "__keep")
   }
 
+  /** FREQUENCY-based boilerplate line removal, scoped per group (host, in
+    * the crawl case): a line appearing in at least `minDocs` DISTINCT
+    * documents of the same group is template chrome (cookie banner, nav,
+    * footer) and is dropped from EVERY document of that group — including
+    * the first, which distinguishes this from [[perLineDedup]]'s
+    * keep-one-copy contract (chrome deserves zero copies; prose duplicated
+    * across hosts is [[perLineDedup]]'s business). The complement of
+    * [[Boilerplate]]'s per-page block scoring: this pass needs no markup
+    * and catches chrome that scores like prose on any single page.
+    *
+    * Same eligibility contract as [[perLineDedup]]: lines with trimmed
+    * length below `minLineLen` are structure — always kept, never counted.
+    *
+    * == 100 TB shape ==
+    * The [[perLineDedup]] discipline: no shuffle carries line text. The
+    * explode projects to `(group, id, pos, 56-bit line hash)` row-locally;
+    * the frequency count is ONE map-side-combined `count_distinct(id)` agg
+    * keyed by `(group, hash)` (group count = distinct lines, docs-per-line
+    * pre-reduces in each map task); the drop set broadcasts or
+    * shuffle-joins on `(group, hash)` ints via left_anti; reassembly is
+    * the one document-text shuffle, identical to [[perLineDedup]] step 4.
+    * Group skew (one giant host) is bounded: the agg key includes the line
+    * hash, so a hot host spreads over its distinct lines. */
+  def frequencyBoilerplate(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", groupCol: String = "host",
+                           minDocs: Int = 3, minLineLen: Int = 1): DataFrame = {
+    require(minDocs >= 2, s"frequencyBoilerplate: minDocs=$minDocs (< 2 drops everything)")
+    val arr = split(coalesce(col(textCol), lit("")), "\n")
+    val lines = docs.select(col(idCol).as("__fb_id"), col(groupCol).as("__fb_g"),
+      posexplode(arr).as(Seq("pos", "line")))
+    val isEligible = length(trim(col("line"))) >= minLineLen
+    val eligible = lines.filter(isEligible)
+      .select(col("__fb_id"), col("__fb_g"), col("pos"),
+        lineHash(col("line")).as("__h"))
+    val chrome = eligible.groupBy(col("__fb_g"), col("__h"))
+      .agg(count_distinct(col("__fb_id")).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__fb_g"), col("__h"))
+    val keptMarks = eligible
+      .join(chrome, Seq("__fb_g", "__h"), "left_anti")
+      .select(col("__fb_id"), col("pos"))
+      .unionByName(lines.filter(!isEligible).select(col("__fb_id"), col("pos")))
+    val keepLists = keptMarks.groupBy(col("__fb_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    docs.join(keepLists, col(idCol) === col("__fb_id"), "left")
+      .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
+      .withColumn("n_lines_total", size(arr).cast("long"))
+      .withColumn(textCol, graft.functions.HashExprs.keptLines(
+        coalesce(col(textCol), lit("")), col("__keep")))
+      .withColumn("n_lines_kept", size(col("__keep")).cast("long"))
+      .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
+      .drop("__fb_id", "__keep")
+  }
+
   /** INTRA-document line dedup (the RefinedWeb-style repetition-removal
     * step): within each document, every line keeps only its FIRST occurrence
     * — later repeats (template artifacts, generation loops, repeated

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mojibake (double-encoding damage) detection and repair — the
+  * encoding-hygiene pass a crawl corpus needs before any text statistic:
+  * a page whose UTF-8 bytes were mis-decoded as cp1252/Latin-1 and
+  * re-encoded shows the signature two-to-three-character sequences
+  * ("CafÃ©", "donâ€™t"), which poison tokenization, language ID, and
+  * dedup hashes alike. This operator fixes the COMMON-SEQUENCE SUBSET: a
+  * fixed, ordered replace chain over the cp1252-mojibake forms of the
+  * frequent Latin-script letters and punctuation (the
+  * [[TextAnalysis.redactPii]] philosophy — deterministic, auditable,
+  * cross-engine-mirrorable, rather than a full byte-level transcode whose
+  * edge cases no SQL oracle could reproduce). Sequences outside the table
+  * (rare letters, double mojibake) pass through unchanged — detection
+  * still counts them at zero, so `mojibake_score > 0` is precise
+  * (markers ARE damage: the marker strings essentially never occur in
+  * intentional text), while score = 0 is only evidence, not proof.
+  *
+  * == 100 TB shape ==
+  * Score and repair are each one row-local pass per marker — O(markers)
+  * compiled string scans per row, zero shuffles, no UDFs. The marker
+  * table is a code constant (`private[graft]`-shared with the oracle),
+  * not a join side. */
+object Mojibake {
+
+  /** (damaged, repaired) pairs, applied IN ORDER (three-byte punctuation
+    * sequences before two-byte letters — no pair's damaged form contains
+    * another's repaired form, so the chain is order-stable beyond that).
+    * ` ` entries: cp1252 renders the second byte of à/space-family
+    * mojibake as NBSP, not a plain space. */
+  private[graft] val Markers: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã " -> "à",
+    "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã±" -> "ñ",
+    "Ã§" -> "ç", "Ã­" -> "í", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã«" -> "ë", "Ã¯" -> "ï", "Ã¢" -> "â", "Ã´" -> "ô",
+    "Ã®" -> "î", "Ã»" -> "û", "ÃŸ" -> "ß",
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°", "Â·" -> "·")
+
+  private def literal(m: String): String = java.util.regex.Pattern.quote(m)
+
+  /** The damage direction, for fixtures and the q128 synthesis: each
+    * tabled character becomes its mojibake form (untabled characters pass
+    * through). Driver-side only — the engine never "un-repairs". */
+  private[graft] def corrupt(s: String): String = {
+    val reverse = Markers.map { case (bad, good) => good -> bad }.toMap
+    s.map(ch => reverse.getOrElse(ch.toString, ch.toString)).mkString
+  }
+
+  /** Total marker occurrences in `c` (NULL reads 0) — the detection
+    * signal: > 0 is mojibake with near-certainty. Counted per marker as
+    * length-delta / marker-length, then summed — one compiled scan per
+    * marker. */
+  def mojibakeScore(c: Column): Column = {
+    val s = coalesce(c, lit(""))
+    Markers.map { case (bad, _) =>
+      ((length(s) - length(regexp_replace(s, lit(literal(bad)), lit("")))) /
+        bad.length).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** `c` with every tabled damage sequence replaced by its intended
+    * character, in table order. Text with no markers passes through
+    * byte-identical — real accented text is never touched (the damaged
+    * forms all require the Ã/â/Â lead byte). */
+  def repairMojibake(c: Column): Column =
+    Markers.foldLeft(coalesce(c, lit(""))) { case (acc, (bad, good)) =>
+      regexp_replace(acc, lit(literal(bad)),
+        lit(java.util.regex.Matcher.quoteReplacement(good)))
+    }
+
+  /** Corpus form: adds `mojibake_score` and rewrites `textCol` repaired
+    * (audit-friendly: score computed BEFORE repair). */
+  def repair(df: DataFrame, textCol: String = "text"): DataFrame = {
+    require(!df.columns.contains("mojibake_score"),
+      "repair: input already has output column mojibake_score")
+    df.withColumn("mojibake_score", mojibakeScore(col(textCol)))
+      .withColumn(textCol, repairMojibake(col(textCol)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sitemap parsing (sitemaps.org XML) — the crawl seed list: a polite
+  * crawler reads `/sitemap.xml` BEFORE walking links, both for discovery
+  * (pages with no inbound links) and freshness (`lastmod` beats
+  * re-fetch-and-diff). Parses both document kinds from one string column:
+  * `<urlset>` entries (`<url>` → loc/lastmod/changefreq/priority) and
+  * `<sitemapindex>` entries (`<sitemap>` → loc/lastmod, the child sitemaps
+  * to fetch next — expansion is the caller's loop: fetch the `kind =
+  * 'sitemap'` locs, parse again; sitemap nesting is one level by spec).
+  *
+  * Field discipline: `loc` is entity-decoded (URLs legally carry `&amp;`)
+  * and whitespace-trimmed (the spec allows padding inside the element);
+  * `lastmod` validates through the [[DateExtract]] gated parse (a leading
+  * `YYYY-MM-DD` that must be a real calendar date — W3C datetime's date
+  * prefix qualifies, garbage reads NULL, never an error); `changefreq`
+  * reads '' when absent; `priority` is a gated double parse (non-numeric →
+  * NULL). Tag matching tolerates whitespace before `>` but NOT attributes
+  * — sitemap elements carry none by spec, and `<url\\s*>` deliberately
+  * cannot match `<urlset>`. All patterns in the Java/RE2-agreeing subset
+  * (lazy bodies, the [[Boilerplate.DropRe]] precedent),
+  * `private[graft]`-shared with the oracle.
+  *
+  * == 100 TB shape ==
+  * Row-local: two `regexp_extract_all`s + one `posexplode` per sitemap
+  * document, field extraction is per-fragment column algebra — zero
+  * shuffles, no UDFs, the [[Boilerplate]] scan-stage shape. A sitemap file
+  * is ≤ 50k entries / 50 MB by spec, so per-row fragment arrays are
+  * bounded by construction. */
+object Sitemap {
+
+  private[graft] val UrlEntryRe = "(?i)<url\\s*>[\\s\\S]*?</url\\s*>"
+  private[graft] val SitemapEntryRe = "(?i)<sitemap\\s*>[\\s\\S]*?</sitemap\\s*>"
+  private[graft] val LocRe = "(?i)<loc\\s*>\\s*([\\s\\S]*?)\\s*</loc\\s*>"
+  private[graft] val LastmodRe = "(?i)<lastmod\\s*>\\s*([\\s\\S]*?)\\s*</lastmod\\s*>"
+  private[graft] val ChangefreqRe = "(?i)<changefreq\\s*>\\s*([\\s\\S]*?)\\s*</changefreq\\s*>"
+  private[graft] val PriorityRe = "(?i)<priority\\s*>\\s*([\\s\\S]*?)\\s*</priority\\s*>"
+  private[graft] val NumRe = "^[0-9]+(\\.[0-9]+)?$"
+
+  /** One row per entry of each sitemap document: `(…idCols, entry_idx,
+    * kind, loc, lastmod, changefreq, priority)` — `kind` ∈
+    * {'url','sitemap'}, `entry_idx` counts ALL entries of the document
+    * (url entries first in document order, then sitemap entries — a real
+    * file carries only one kind). Entries with no `<loc>` yield loc = ''
+    * (kept: the audit wants to see malformed entries). NULL xml reads as
+    * the empty document — zero rows. The five output names refuse
+    * pre-existing columns loudly. */
+  def parseSitemaps(df: DataFrame, xmlCol: String, idCols: Seq[String]): DataFrame = {
+    val outCols = Seq("entry_idx", "kind", "loc", "lastmod", "changefreq", "priority")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"parseSitemaps: input already has output column(s) ${clash.mkString(", ")}")
+    val x = coalesce(col(xmlCol), lit(""))
+    val entries = concat(
+      transform(regexp_extract_all(x, lit(UrlEntryRe), lit(0)),
+        f => struct(lit("url").as("kind"), f.as("frag"))),
+      transform(regexp_extract_all(x, lit(SitemapEntryRe), lit(0)),
+        f => struct(lit("sitemap").as("kind"), f.as("frag"))))
+    val exploded = df
+      .withColumn("__e", entries)
+      .select(col("*"), posexplode(col("__e")).as(Seq("entry_idx", "e")))
+    val frag = col("e.frag")
+    val pri = regexp_extract(frag, PriorityRe, 1)
+    exploded.select(
+      idCols.map(col) ++ Seq(
+        col("entry_idx").cast("long").as("entry_idx"),
+        col("e.kind").as("kind"),
+        Boilerplate.decodeEntities(regexp_extract(frag, LocRe, 1)).as("loc"),
+        DateExtract.candidate(regexp_extract(frag, LastmodRe, 1)).as("lastmod"),
+        regexp_extract(frag, ChangefreqRe, 1).as("changefreq"),
+        when(pri.rlike(NumRe), pri.cast("double")).as("priority")): _*)
+  }
+}

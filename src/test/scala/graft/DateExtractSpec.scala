@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Date
+
+import graft.ops.DateExtract
+
+/** [[graft.ops.DateExtract]] — the publication-date precedence ladder,
+  * per-source validation fall-through, and the documented attribute-form
+  * bounds. The cross-engine contract is q124's first-principles oracle;
+  * this pins the row-local semantics over hand-built fragments. */
+class DateExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(html: String, url: String = "https://ex.org/p"): (Date, String) = {
+    val r = DateExtract.publicationDate(
+      Seq((html, url)).toDF("html", "url"), "html", "url").head()
+    (r.getAs[Date]("pub_date"), r.getAs[String]("pub_date_source"))
+  }
+
+  test("precedence: article meta beats time tag beats meta date beats url") {
+    val all = "<meta property=\"article:published_time\" content=\"2024-03-05T08:30:00Z\">" +
+      "<time datetime=\"2024-04-06\">x</time>" +
+      "<meta name=\"date\" content=\"2024-05-07\">"
+    assert(one(all, "https://ex.org/2024/06/08/p") ===
+      (Date.valueOf("2024-03-05"), "article_time"))
+    assert(one(all.substring(all.indexOf("<time")), "https://ex.org/2024/06/08/p") ===
+      (Date.valueOf("2024-04-06"), "time_tag"))
+    assert(one("<meta name=\"date\" content=\"2024-05-07\">",
+      "https://ex.org/2024/06/08/p") === (Date.valueOf("2024-05-07"), "meta_date"))
+    assert(one("", "https://ex.org/2024/06/08/p") ===
+      (Date.valueOf("2024-06-08"), "url_path"))
+  }
+
+  test("an invalid higher-precedence candidate falls through, not poisons") {
+    val html = "<meta property=\"article:published_time\" content=\"2024-13-40\">" +
+      "<time datetime=\"2024-04-06\">x</time>"
+    assert(one(html) === (Date.valueOf("2024-04-06"), "time_tag"))
+    // a shape-invalid value (no ISO prefix at all) falls through the same way
+    assert(one("<time datetime=\"soon\">x</time><meta name=\"date\" content=\"2024-05-07\">")
+      === (Date.valueOf("2024-05-07"), "meta_date"))
+  }
+
+  test("both attribute orders and unquoted values extract") {
+    assert(one("<meta content='2024-03-05' property='article:published_time'>")._1
+      === Date.valueOf("2024-03-05"))
+    assert(one("<meta property=article:published_time content=2024-03-05>")._1
+      === Date.valueOf("2024-03-05"))
+    assert(one("<time datetime=2024-04-06 class=stamp>x</time>")._1
+      === Date.valueOf("2024-04-06"))
+    assert(one("<meta content='2024-05-07' name='date'>")._1
+      === Date.valueOf("2024-05-07"))
+  }
+
+  test("key-name bounds: dateModified and og:title-like prefixes do not match") {
+    assert(one("<meta name=\"dateModified\" content=\"2030-01-01\">") ===
+      (null, ""))
+    // a timestamp value's date prefix qualifies; trailing junk after a full
+    // match does not grow the capture
+    assert(one("<meta name=\"date\" content=\"2024-05-07T01:02:03+02:00\">")._1
+      === Date.valueOf("2024-05-07"))
+  }
+
+  test("url dates need the /YYYY/MM/DD/ shape with a boundary") {
+    assert(one("", "https://ex.org/2024/06/08") ===
+      (Date.valueOf("2024-06-08"), "url_path"))
+    assert(one("", "https://ex.org/2024/06/089") === (null, ""))
+    assert(one("", "https://ex.org/2024/6/8/p") === (null, ""))
+  }
+
+  test("NULL html and url read as absent; clash guard refuses") {
+    val r = DateExtract.publicationDate(
+      Seq((Option.empty[String], Option.empty[String])).toDF("html", "url"),
+      "html", "url").head()
+    assert(r.getAs[Date]("pub_date") === null)
+    assert(r.getAs[String]("pub_date_source") === "")
+    val clash = Seq(("x", "y", "z")).toDF("html", "url", "pub_date")
+    val e = intercept[IllegalArgumentException] {
+      DateExtract.publicationDate(clash, "html", "url")
+    }
+    assert(e.getMessage.contains("pub_date"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Mojibake
+
+/** [[graft.ops.Mojibake]] — the marker table's repair/score semantics and
+  * the pass-through guarantee for intentional accented text. The
+  * cross-engine contract is q128's shared-constant oracle. */
+class MojibakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(s: String): (String, Long) = {
+    val r = Mojibake.repair(Seq(Tuple1(s)).toDF("text")).head()
+    (r.getAs[String]("text"), r.getAs[Long]("mojibake_score"))
+  }
+
+  test("repairs the common cp1252 double-encoding sequences, scores before repair") {
+    assert(run("CafÃ© donâ€™t") === (("Café don’t", 2L)))
+    assert(run("â€œquotedâ€“dashâ€¦") === (("“quoted–dash…", 3L)))
+    // letters: umlauts, tilde, cedilla, sharp s
+    assert(run("MÃ¼nchen niÃ±o franÃ§ais StraÃŸe") ===
+      (("München niño français Straße", 4L)))
+  }
+
+  test("clean text — including real accents and the markers' REPAIRED forms — passes through") {
+    for (s <- Seq("plain ascii", "café déjà vu — “fine” …", "", "à ç ü"))
+      assert(run(s) === ((s, 0L)))
+    // NULL reads as empty, not null
+    val r = Mojibake.repair(Seq(Tuple1(Option.empty[String])).toDF("text")).head()
+    assert(r.getAs[String]("text") === "")
+    assert(r.getAs[Long]("mojibake_score") === 0L)
+  }
+
+  test("corrupt is the inverse direction on tabled chars; repair round-trips it") {
+    val s = "Café — naïve don’t «quoted»"
+    val damaged = Mojibake.corrupt(s)
+    assert(damaged !== s)
+    assert(run(damaged) === ((s, 6L)))
+    // clash guard
+    val e = intercept[IllegalArgumentException] {
+      Mojibake.repair(Seq(("x", 1L)).toDF("text", "mojibake_score"))
+    }
+    assert(e.getMessage.contains("mojibake_score"))
+  }
+}

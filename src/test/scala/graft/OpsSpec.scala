@@ -426,6 +426,73 @@ class OpsSpec extends SparkSpec {
     assert(loose(2L) === 1L) // "shared boilerplate" still dedups
   }
 
+  test("frequencyBoilerplate: group-scoped chrome drops from ALL docs, below-threshold and structure lines keep") {
+    val docs = Seq(
+      (1L, "ha", "chrome\nalpha"),
+      (2L, "ha", "chrome\n\nbeta"),     // blank structure line always kept
+      (3L, "ha", "chrome\ngamma\npair"),
+      (4L, "ha", "pair"),               // "pair" in 2 docs < minDocs=3 -> kept
+      (5L, "hb", "chrome\ndelta"))      // "chrome" only once in hb -> kept there
+      .toDF("doc_id", "host", "text")
+    val out = graft.ops.LineDedup.frequencyBoilerplate(docs, minDocs = 3)
+      .select("doc_id", "text", "n_lines_total", "n_lines_kept", "n_lines_dropped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // "chrome" appears in 3 distinct ha docs -> dropped from every one,
+    // including the first — no keep-one-copy
+    assert(out(1L) === (("alpha", 2L, 1L, 1L)))
+    assert(out(2L) === (("\nbeta", 3L, 2L, 1L)))
+    assert(out(3L) === (("gamma\npair", 3L, 2L, 1L)))
+    assert(out(4L) === (("pair", 1L, 1L, 0L)))
+    // same line text on another host does NOT aggregate across groups
+    assert(out(5L) === (("chrome\ndelta", 2L, 2L, 0L)))
+    // a doc whose lines repeat WITHIN it counts once toward the threshold
+    val rep = Seq((1L, "h", "x\nx\nx"), (2L, "h", "x"), (3L, "h", "y"))
+      .toDF("doc_id", "host", "text")
+    val o2 = graft.ops.LineDedup.frequencyBoilerplate(rep, minDocs = 3)
+      .select("doc_id", "n_lines_dropped").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o2 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // only 2 distinct docs carry "x"
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.LineDedup.frequencyBoilerplate(rep, minDocs = 1)
+    }
+    assert(e.getMessage.contains("minDocs"))
+  }
+
+  test("frontier schedule: per-host rounds by priority desc, url tie-break, cap keeps the best") {
+    import graft.ops.Frontier
+    val urls = Seq(
+      ("https://a.org/low", 1.0), ("https://a.org/hi", 9.0),
+      ("https://a.org/mid", 5.0),
+      ("https://b.org/z", 2.0), ("https://b.org/a", 2.0), // tie -> url asc
+      ("https://c.org/only", 0.0))
+      .toDF("url", "priority")
+    val out = Frontier.schedule(urls, "url", "priority")
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("batch")))).toMap
+    assert(out("https://a.org/hi") === (("a.org", 0L)))
+    assert(out("https://a.org/mid") === (("a.org", 1L)))
+    assert(out("https://a.org/low") === (("a.org", 2L)))
+    assert(out("https://b.org/a") === (("b.org", 0L)))
+    assert(out("https://b.org/z") === (("b.org", 1L)))
+    assert(out("https://c.org/only") === (("c.org", 0L)))
+    // the cap drops the per-host TAIL, never the head
+    val capped = Frontier.schedule(urls, "url", "priority", maxPerHost = 2)
+      .collect().map(_.getAs[String]("url")).toSet
+    assert(capped === Set("https://a.org/hi", "https://a.org/mid",
+      "https://b.org/a", "https://b.org/z", "https://c.org/only"))
+    // clash guard refuses; URL-less rows group under the empty host
+    val e = intercept[IllegalArgumentException] {
+      Frontier.schedule(urls.withColumn("batch", lit(1)), "url", "priority")
+    }
+    assert(e.getMessage.contains("batch"))
+    val hostless = Frontier.schedule(
+      Seq(("nope", 1.0), (null.asInstanceOf[String], 2.0)).toDF("url", "priority"),
+      "url", "priority").collect()
+    assert(hostless.forall(_.getAs[String]("host") === ""))
+    assert(hostless.map(_.getAs[Long]("batch")).sorted.toSeq === Seq(0L, 1L))
+  }
+
   test("nearDupClusters: chains collapse to min-id components beyond 2 hops; loud non-convergence bound") {
     // chain 1-2-3-4-5-6 (diameter 5 forces several propagation rounds),
     // a separate pair (10, 11), and a singleton edge pair (20, 21)

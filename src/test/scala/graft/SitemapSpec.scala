@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Date
+
+import graft.ops.Sitemap
+
+/** [[graft.ops.Sitemap]] — fragment extraction for both document kinds and
+  * the per-field gates (entity decode, trim, date/priority validation).
+  * The cross-engine contract is q127's first-principles oracle; this pins
+  * the row-local semantics. */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(xml: String) =
+    Sitemap.parseSitemaps(Seq((1L, xml)).toDF("id", "xml"), "xml", Seq("id"))
+      .orderBy("entry_idx").collect()
+
+  test("urlset entries: all fields, entity-decoded trimmed loc, absent fields read NULL/''") {
+    val xml = "<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      "<url><loc>https://ex.org/a?x=1&amp;y=2</loc><lastmod>2024-03-05T10:00:00+00:00</lastmod>" +
+      "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+      "<url>\n  <loc>\n    https://ex.org/b\n  </loc>\n</url>" +
+      "</urlset>"
+    val r = rows(xml)
+    assert(r.length === 2)
+    assert(r(0).getAs[String]("kind") === "url")
+    assert(r(0).getAs[String]("loc") === "https://ex.org/a?x=1&y=2")
+    assert(r(0).getAs[Date]("lastmod") === Date.valueOf("2024-03-05"))
+    assert(r(0).getAs[String]("changefreq") === "daily")
+    assert(r(0).getAs[Double]("priority") === 0.8)
+    assert(r(1).getAs[String]("loc") === "https://ex.org/b")
+    assert(r(1).getAs[Date]("lastmod") === null)
+    assert(r(1).getAs[String]("changefreq") === "")
+    assert(r(1).isNullAt(r(1).fieldIndex("priority")))
+  }
+
+  test("sitemapindex entries parse as kind=sitemap; garbage dates and priorities gate to NULL") {
+    val xml = "<sitemapindex><sitemap><loc>https://ex.org/sm1.xml</loc>" +
+      "<lastmod>yesterday</lastmod></sitemap>" +
+      "<sitemap><loc>https://ex.org/sm2.xml</loc></sitemap></sitemapindex>"
+    val r = rows(xml)
+    assert(r.map(_.getAs[String]("kind")).toSeq === Seq("sitemap", "sitemap"))
+    assert(r.map(_.getAs[String]("loc")).toSeq ===
+      Seq("https://ex.org/sm1.xml", "https://ex.org/sm2.xml"))
+    assert(r.forall(_.getAs[Date]("lastmod") === null))
+    val bad = rows("<urlset><url><loc>x</loc><priority>high</priority></url></urlset>")
+    assert(bad.head.isNullAt(bad.head.fieldIndex("priority")))
+  }
+
+  test("tag bounds: <urlset> never reads as a <url> entry; loc-less entries keep with loc=''") {
+    // a urlset wrapping ONE loc-less url entry: exactly one row, empty loc
+    val r = rows("<urlset><url><lastmod>2024-01-02</lastmod></url></urlset>")
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("loc") === "")
+    assert(r.head.getAs[Date]("lastmod") === Date.valueOf("2024-01-02"))
+    // NULL xml reads as the empty document
+    assert(Sitemap.parseSitemaps(
+      Seq((1L, Option.empty[String])).toDF("id", "xml"), "xml", Seq("id"))
+      .count() === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Sitemap.parseSitemaps(Seq((1L, "x", "y")).toDF("id", "xml", "loc"),
+        "xml", Seq("id"))
+    }
+    assert(e.getMessage.contains("loc"))
+  }
+}
