@@ -1156,6 +1156,16 @@ object OracleSql {
     FROM d"""
   }
 
+  /** WARC fetch gate — q129. First principles: survivors are exactly
+    * doc_id%5 ∈ {0, 4} with the status/content-type the synthesis wrote —
+    * the parser must surface both columns correctly for every survivor,
+    * and the gate must drop 404/non-html/redirect records. */
+  private val q129 = """
+    SELECT doc_id, 200 AS http_status,
+      CASE WHEN doc_id % 5 = 0 THEN 'text/html; charset=utf-8'
+           ELSE 'TEXT/HTML; charset=ISO-8859-1' END AS content_type
+    FROM documents WHERE doc_id % 5 IN (0, 4)"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -2931,6 +2941,7 @@ object OracleSql {
     "q125_host_chrome"      -> q125,
     "q126_frontier"         -> q126,
     "q127_sitemap"          -> q127,
-    "q128_mojibake"         -> q128
+    "q128_mojibake"         -> q128,
+    "q129_fetch_gate"       -> q129
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1915,6 +1915,44 @@ object SparkEntry {
         md5(col("text")).as("repaired_md5"))
   }
 
+  /** WARC fetch gate ([[graft.load.Warc.fetchOk]]): records encoded with
+    * a status/content-type mix by doc_id%5 — 200 text/html (kept), 404
+    * (dropped), 200 image/png (dropped), 301 redirect (dropped),
+    * uppercase TEXT/HTML with a parameter (kept — case-insensitive
+    * prefix). The oracle lists survivors from FIRST PRINCIPLES; the real
+    * parser must surface the status line and Content-Type for them. */
+  private def q129FetchGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(8)).cast("long").as("bucket"),
+        col("doc_id").as("id"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .as[(Long, Seq[Long])]
+    val files = grouped.map { case (bucket, ids) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ids.foreach { id =>
+        val (st, ct) = (id % 5) match {
+          case 0 => (200, "text/html; charset=utf-8")
+          case 1 => (404, "text/html")
+          case 2 => (200, "image/png")
+          case 3 => (301, "text/html")
+          case _ => (200, "TEXT/HTML; charset=ISO-8859-1")
+        }
+        bos.write(graft.load.Warc.encodeResponseGz(
+          s"https://ex.org/doc/$id",
+          java.time.Instant.ofEpochSecond(1704067200L + id).toString,
+          s"<html><body><p>doc $id</p></body></html>", st, ct))
+      }
+      (f"fetch-$bucket%02d.warc.gz", bos.toByteArray)
+    }
+    val (clean, _) = graft.load.Warc.parseWarcFiles(files)
+    clean.filter(graft.load.Warc.fetchOk(col("http_status"), col("content_type")))
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("http_status"), col("content_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2043,7 +2081,8 @@ object SparkEntry {
     "q125_host_chrome"      -> q125HostChrome _,
     "q126_frontier"         -> q126Frontier _,
     "q127_sitemap"          -> q127Sitemap _,
-    "q128_mojibake"         -> q128Mojibake _
+    "q128_mojibake"         -> q128Mojibake _,
+    "q129_fetch_gate"       -> q129FetchGate _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -53,15 +53,17 @@ object Warc {
       url: String,
       fetch_ts: java.sql.Timestamp,
       html: String,
+      http_status: Int,
+      content_type: String,
       error_reason: String,
       snippet: String)
 
   private def clean(file: String, url: String, ts: java.sql.Timestamp,
-                    html: String): Parsed =
-    Parsed(file, url, ts, html, null, null)
+                    html: String, status: Int, ctype: String): Parsed =
+    Parsed(file, url, ts, html, status, ctype, null, null)
 
   private def dirty(file: String, reason: String, snippet: String): Parsed =
-    Parsed(file, null, null, null, reason, snippet.take(200))
+    Parsed(file, null, null, null, 0, null, reason, snippet.take(200))
 
   // ----------------------------------------------------------------- bytes
 
@@ -94,6 +96,8 @@ object Warc {
     }
     -1
   }
+
+  private val StatusRe = "^HTTP/\\S+\\s+([0-9]{3})".r
 
   private val CrlfCrlf = "\r\n\r\n".getBytes(ISO_8859_1)
   private val Resync = "\r\nWARC/".getBytes(ISO_8859_1)
@@ -176,15 +180,31 @@ object Warc {
                     s"$firstLine uri=$uri")
                 else {
                   // payload is an HTTP response message — the body starts
-                  // after ITS header block; a bare-content payload (no HTTP
-                  // framing) is the whole payload
+                  // after ITS header block, whose status line and
+                  // Content-Type ride along as columns; a bare-content
+                  // payload (no HTTP framing) is the whole payload, with
+                  // status 0 / content_type "" meaning UNFRAMED (absence,
+                  // not a verdict — see [[fetchOk]])
+                  var status = 0
+                  var ctype = ""
                   val bodyStart =
                     if (startsWith(data, pStart, "HTTP/".getBytes(ISO_8859_1))) {
                       val he = indexOf(data, CrlfCrlf, pStart)
+                      val hEnd = if (he < 0 || he + 4 > pEnd) pEnd else he
+                      val htext = new String(data, pStart, hEnd - pStart, ISO_8859_1)
+                      val hlines = htext.split("\r\n")
+                      status = StatusRe.findFirstMatchIn(hlines.head)
+                        .map(_.group(1).toInt).getOrElse(0)
+                      ctype = hlines.iterator.drop(1).map(_.split(":", 2))
+                        .collectFirst {
+                          case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
+                            v.trim
+                        }.getOrElse("")
                       if (he < 0 || he + 4 > pEnd) pEnd else he + 4
                     } else pStart
                   out += clean(file, uri, tsOpt.get,
-                    new String(data, bodyStart, pEnd - bodyStart, UTF_8))
+                    new String(data, bodyStart, pEnd - bodyStart, UTF_8),
+                    status, ctype)
                 }
               } // non-response types are structure, not content — skip
               pos = pEnd
@@ -202,9 +222,12 @@ object Warc {
     * synthesis, re-crawl interchange, spec fixtures). Fully deterministic:
     * the record id is a hash of (url, ts), never a random UUID — the
     * library-wide no-`rand()` discipline. */
-  def encodeResponseGz(url: String, fetchTsIso: String, html: String): Array[Byte] = {
+  def encodeResponseGz(url: String, fetchTsIso: String, html: String,
+                       status: Int = 200,
+                       contentType: String = "text/html; charset=utf-8"): Array[Byte] = {
     val body = html.getBytes(UTF_8)
-    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+    val reason = if (status == 200) "OK" else "-"
+    val http = (s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
     val rid = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$url@$fetchTsIso".getBytes(UTF_8))
@@ -244,16 +267,19 @@ object Warc {
   // ---------------------------------------------------------------- source
 
   /** Parse a `(path, bytes)` dataset of WARC files into (clean, dirty):
-    * clean = `(warc_file, url, fetch_ts, html)` response records, dirty =
-    * `(warc_file, error_reason, snippet)` audit rows. The byte layer for
-    * [[readWarc]], exposed so synthesized in-memory corpora (q121) and
-    * other container transports run the identical parser. */
+    * clean = `(warc_file, url, fetch_ts, html, http_status, content_type)`
+    * response records (status 0 / content_type "" = unframed payload),
+    * dirty = `(warc_file, error_reason, snippet)` audit rows. The byte
+    * layer for [[readWarc]], exposed so synthesized in-memory corpora
+    * (q121/q129) and other container transports run the identical
+    * parser. */
   def parseWarcFiles(files: Dataset[(String, Array[Byte])]): (DataFrame, DataFrame) = {
     val sp = files.sparkSession
     import sp.implicits._
     val parsed = files.flatMap { case (path, bytes) => parseFile(path, bytes) }
     val clean = parsed.filter(col("error_reason").isNull)
-      .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"))
+      .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"),
+        col("http_status"), col("content_type"))
     val dirtyDf = parsed.filter(col("error_reason").isNotNull)
       .select(col("warc_file"), col("error_reason"), col("snippet"))
     (clean, dirtyDf)
@@ -269,5 +295,24 @@ object Warc {
       spark.read.format("binaryFile").load(path)
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])])
+  }
+
+  /** The fetch gate a crawl pipeline applies before the HTML tier: TRUE
+    * for 2xx responses (redirect bodies, error pages, and soft-404s carry
+    * no corpus content) whose Content-Type leads with `text/html`
+    * (case-insensitive; parameters like charset follow freely) when
+    * `htmlOnly` — and for UNFRAMED records (status 0, empty type, e.g.
+    * WET-style bare payloads): absence of framing is not evidence against
+    * the record, the [[graft.ops.RobotsTxt]] fail-open stance. Row-local
+    * column predicate — compose as `clean.filter(Warc.fetchOk(col(
+    * "http_status"), col("content_type")))`. */
+  def fetchOk(status: org.apache.spark.sql.Column,
+              contentType: org.apache.spark.sql.Column,
+              htmlOnly: Boolean = true): org.apache.spark.sql.Column = {
+    val statusOk = status === 0 || (status >= 200 && status < 300)
+    val ct = coalesce(contentType, lit(""))
+    val ctypeOk =
+      if (htmlOnly) ct === "" || lower(ct).startsWith("text/html") else lit(true)
+    statusOk && ctypeOk
   }
 }

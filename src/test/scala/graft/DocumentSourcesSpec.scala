@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.load.{DocumentSources, Warc}
 
 /** JSONL / text document sources: parse, dirty-routing, round-trip, and
@@ -364,5 +366,45 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(c.head.getAs[String]("html") === body)                 // payload = body
     val d = dirty.collect()
     assert(d.length === 1 && d.head.getAs[String]("error_reason") === "garbage between records")
+    // an unframed payload reads status 0 / content_type "" — and PASSES
+    // the fetch gate (absence of framing is not evidence)
+    assert(c.head.getAs[Int]("http_status") === 0)
+    assert(c.head.getAs[String]("content_type") === "")
+    assert(clean.filter(Warc.fetchOk(col("http_status"), col("content_type")))
+      .count() === 1L)
+  }
+
+  test("WARC: HTTP status line + Content-Type surface as columns; fetchOk gates on them") {
+    val dir = tmpDir("graft_warc_http")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Warc.encodeResponseGz("https://ex.org/ok", iso(1704067200L),
+      "<p>fine</p>")) // default 200 text/html; charset=utf-8
+    bos.write(Warc.encodeResponseGz("https://ex.org/gone", iso(1704067201L),
+      "<p>404 page</p>", status = 404, contentType = "text/html"))
+    bos.write(Warc.encodeResponseGz("https://ex.org/img", iso(1704067202L),
+      "PNGBYTES", status = 200, contentType = "image/png"))
+    bos.write(Warc.encodeResponseGz("https://ex.org/moved", iso(1704067203L),
+      "", status = 301, contentType = "text/html"))
+    bos.write(Warc.encodeResponseGz("https://ex.org/caps", iso(1704067204L),
+      "<p>caps</p>", status = 204, contentType = "TEXT/HTML; q=1"))
+    Files.write(java.nio.file.Paths.get(dir, "h.warc.gz"), bos.toByteArray)
+    val (clean, dirty) = Warc.readWarc(spark, dir)
+    assert(dirty.isEmpty)
+    val byUrl = clean.collect().map(r => r.getAs[String]("url") ->
+      ((r.getAs[Int]("http_status"), r.getAs[String]("content_type")))).toMap
+    assert(byUrl("https://ex.org/ok") === ((200, "text/html; charset=utf-8")))
+    assert(byUrl("https://ex.org/gone") === ((404, "text/html")))
+    assert(byUrl("https://ex.org/img") === ((200, "image/png")))
+    assert(byUrl("https://ex.org/moved") === ((301, "text/html")))
+    assert(byUrl("https://ex.org/caps") === ((204, "TEXT/HTML; q=1")))
+    // default gate: 2xx AND text/html prefix (case-insensitive)
+    assert(clean.filter(Warc.fetchOk(col("http_status"), col("content_type")))
+      .collect().map(_.getAs[String]("url")).sorted.toSeq ===
+      Seq("https://ex.org/caps", "https://ex.org/ok"))
+    // htmlOnly = false keeps any 2xx
+    assert(clean.filter(Warc.fetchOk(col("http_status"), col("content_type"),
+        htmlOnly = false))
+      .collect().map(_.getAs[String]("url")).sorted.toSeq ===
+      Seq("https://ex.org/caps", "https://ex.org/img", "https://ex.org/ok"))
   }
 }
