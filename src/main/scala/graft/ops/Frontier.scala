@@ -45,8 +45,15 @@ object Frontier {
       s"schedule: input already has output column(s) ${clash.mkString(", ")}")
     val w = Window.partitionBy(col("host"))
       .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    // filter on the RAW row_number (not the derived batch) so Catalyst's
+    // rank-limit pushdown inserts a WindowGroupLimit: the per-host cap then
+    // applies DURING the window sort — each host materializes at most
+    // maxPerHost rows past the exchange, which is the whole point of the
+    // cap on the billion-URL host (plan-pinned in OpsSpec)
     urls.withColumn("host", UrlFilter.host(coalesce(col(urlCol), lit(""))))
-      .withColumn("batch", (row_number().over(w) - 1).cast("long"))
-      .filter(col("batch") < maxPerHost)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerHost)
+      .withColumn("batch", (col("__rn") - 1).cast("long"))
+      .drop("__rn")
   }
 }

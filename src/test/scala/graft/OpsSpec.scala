@@ -476,9 +476,12 @@ class OpsSpec extends SparkSpec {
     assert(out("https://b.org/a") === (("b.org", 0L)))
     assert(out("https://b.org/z") === (("b.org", 1L)))
     assert(out("https://c.org/only") === (("c.org", 0L)))
-    // the cap drops the per-host TAIL, never the head
-    val capped = Frontier.schedule(urls, "url", "priority", maxPerHost = 2)
-      .collect().map(_.getAs[String]("url")).toSet
+    // the cap drops the per-host TAIL, never the head — and it applies
+    // DURING the window sort (rank-limit pushdown), so the billion-URL
+    // host never materializes past the cap
+    val cappedDf = Frontier.schedule(urls, "url", "priority", maxPerHost = 2)
+    assert(cappedDf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val capped = cappedDf.collect().map(_.getAs[String]("url")).toSet
     assert(capped === Set("https://a.org/hi", "https://a.org/mid",
       "https://b.org/a", "https://b.org/z", "https://c.org/only"))
     // clash guard refuses; URL-less rows group under the empty host
