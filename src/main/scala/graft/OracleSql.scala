@@ -1166,6 +1166,23 @@ object OracleSql {
            ELSE 'TEXT/HTML; charset=ISO-8859-1' END AS content_type
     FROM documents WHERE doc_id % 5 IN (0, 4)"""
 
+  /** Charset sniffing + decode — q130. First principles: every variant's
+    * DECODED text is the same page string the synthesis started from
+    * (rebuilt here as a UTF-8 SQL literal — é and € included), so the
+    * md5 only matches if the sniffing ladder picked the right encoding
+    * AND stripped the BOM; the expected charset column pins WHICH rung
+    * won (header / meta / alias / BOM / fallback). */
+  private val q130 = """
+    WITH p AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+    SELECT doc_id,
+      CASE WHEN m = 0 THEN 'utf-8' WHEN m = 3 THEN 'utf-16le'
+           ELSE 'windows-1252' END AS charset,
+      md5('<html><head>' ||
+        CASE WHEN m = 1 THEN '<meta charset=windows-1252>' ELSE '' END ||
+        '</head><body><p>Café € doc ' || doc_id || '</p></body></html>')
+        AS html_md5
+    FROM p"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -2942,6 +2959,7 @@ object OracleSql {
     "q126_frontier"         -> q126,
     "q127_sitemap"          -> q127,
     "q128_mojibake"         -> q128,
-    "q129_fetch_gate"       -> q129
+    "q129_fetch_gate"       -> q129,
+    "q130_charset_decode"   -> q130
   ).map { case (k, v) => k -> clean(v) }
 }

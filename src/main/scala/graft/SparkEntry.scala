@@ -1953,6 +1953,51 @@ object SparkEntry {
         col("http_status"), col("content_type"))
   }
 
+  /** Charset sniffing + decode ([[graft.load.Charsets]]): the same page
+    * text reaches the WARC reader as five REAL byte encodings by doc_id%5
+    * — 0 UTF-8 with a header charset, 1 cp1252 found only by the META
+    * prescan, 2 cp1252 bytes labelled ISO-8859-1 (the WHATWG alias: the
+    * 0x80 byte must come back as €, not U+0080), 3 UTF-16LE behind a BOM
+    * and no label anywhere, 4 cp1252 with no label at all (invalid UTF-8 →
+    * fallback). The oracle rebuilds the expected DECODED text from first
+    * principles; any ladder mis-step (wrong precedence, missing alias,
+    * BOM not stripped) changes the md5. */
+  private def q130CharsetDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(8)).cast("long").as("bucket"),
+        col("doc_id").as("id"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .as[(Long, Seq[Long])]
+    val files = grouped.map { case (bucket, ids) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ids.foreach { id =>
+        val m = id % 5
+        val meta = if (m == 1) "<meta charset=windows-1252>" else ""
+        val page = s"<html><head>$meta</head><body>" +
+          s"<p>Café € doc $id</p></body></html>"
+        val (body, ct) = m match {
+          case 0 => (page.getBytes("UTF-8"), "text/html; charset=utf-8")
+          case 1 => (page.getBytes("windows-1252"), "text/html")
+          case 2 => (page.getBytes("windows-1252"), "text/html; charset=ISO-8859-1")
+          case 3 => (Array(0xff.toByte, 0xfe.toByte) ++ page.getBytes("UTF-16LE"),
+            "text/html")
+          case _ => (page.getBytes("windows-1252"), "text/html")
+        }
+        bos.write(graft.load.Warc.encodeResponseBytesGz(
+          s"https://ex.org/doc/$id",
+          java.time.Instant.ofEpochSecond(1704067200L + id).toString,
+          body, 200, ct))
+      }
+      (f"charset-$bucket%02d.warc.gz", bos.toByteArray)
+    }
+    val (clean, _) = graft.load.Warc.parseWarcFiles(files)
+    clean.select(
+      regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      col("charset"), md5(col("html")).as("html_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2082,7 +2127,8 @@ object SparkEntry {
     "q126_frontier"         -> q126Frontier _,
     "q127_sitemap"          -> q127Sitemap _,
     "q128_mojibake"         -> q128Mojibake _,
-    "q129_fetch_gate"       -> q129FetchGate _
+    "q129_fetch_gate"       -> q129FetchGate _,
+    "q130_charset_decode"   -> q130CharsetDecode _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

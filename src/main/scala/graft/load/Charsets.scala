@@ -1,0 +1,140 @@
+package graft.load
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+/** Charset sniffing + decode for crawl payload bytes — the step between a
+  * WARC record's raw HTTP body and every downstream text operator. Real
+  * crawls are NOT uniformly UTF-8 (Common Crawl is ~95% UTF-8, the rest a
+  * long tail of windows-1252/Shift_JIS/GBK/…), and a blind UTF-8 decode
+  * turns that tail into U+FFFD soup that poisons dedup hashes, language ID,
+  * and quality stats. Precedence follows the HTML5 encoding-sniffing
+  * algorithm's layering (WHATWG HTML §13.2.3.2, published spec):
+  *
+  *   1. '''BOM''' — EF BB BF → UTF-8, FF FE → UTF-16LE, FE FF → UTF-16BE;
+  *      a BOM wins over every label (the spec's rule) and is stripped.
+  *   2. '''Transport label''' — the `charset=` parameter of the HTTP
+  *      Content-Type header (case-insensitive, optional quotes).
+  *   3. '''Meta prescan''' — the first 1024 bytes read as ISO-8859-1
+  *      (ASCII-superset, byte-safe) and scanned for `charset=` inside a
+  *      `<meta>` tag: one regex covers BOTH published forms —
+  *      `<meta charset=X>` and
+  *      `<meta http-equiv=content-type content="…; charset=X">` — because
+  *      both carry the literal `charset=` key inside the tag. 1024 bytes
+  *      is the spec's own prescan bound.
+  *   4. '''Fallback''' — strict UTF-8 (malformed input REPORTs, not
+  *      replaces); if the bytes are not valid UTF-8, windows-1252 — the
+  *      browser-reality default that never fails (every byte maps).
+  *
+  * Labels go through the WHATWG alias table's high-traffic subset:
+  * ISO-8859-1/latin1/ascii are '''windows-1252''' by spec (the bytes
+  * 0x80-0x9F are in live use as cp1252 punctuation on pages labelled
+  * latin1 — the € at 0x80 test vector in CharsetsSpec pins this), utf8 →
+  * UTF-8, utf-16 → UTF-16LE. An unknown/unsupported label falls through
+  * to step 4 rather than crashing the record (the S4 malformed-input
+  * discipline: bad metadata never kills a load). A LABELED decode uses
+  * REPLACE (trust the label, surface U+FFFD for its lies) — only the
+  * unlabeled fallback path retries, exactly the spec's confidence split.
+  *
+  * Row-local byte work inside the WARC flatMap (the one documented
+  * ladder-bottom) — zero shuffles, no driver involvement. */
+object Charsets {
+
+  /** WHATWG alias subset → canonical Java charset name. Lowercased keys. */
+  private[graft] val Aliases: Map[String, String] = Map(
+    "utf-8" -> "UTF-8", "utf8" -> "UTF-8", "unicode-1-1-utf-8" -> "UTF-8",
+    // WHATWG: latin1-family and ascii labels ARE windows-1252
+    "iso-8859-1" -> "windows-1252", "iso8859-1" -> "windows-1252",
+    "iso_8859-1" -> "windows-1252", "latin1" -> "windows-1252",
+    "latin-1" -> "windows-1252", "l1" -> "windows-1252",
+    "ascii" -> "windows-1252", "us-ascii" -> "windows-1252",
+    "windows-1252" -> "windows-1252", "cp1252" -> "windows-1252",
+    "x-cp1252" -> "windows-1252",
+    "utf-16" -> "UTF-16LE", "utf-16le" -> "UTF-16LE",
+    "utf-16be" -> "UTF-16BE")
+
+  /** `charset=` value inside a Content-Type header value. */
+  private val HeaderCharsetRe =
+    "(?i)charset\\s*=\\s*\"?'?([A-Za-z0-9._+:-]+)".r
+
+  /** `charset=` inside a `<meta …>` tag — one pattern for both published
+    * forms (see object doc). `[^>]*` keeps the match inside ONE tag. */
+  private val MetaCharsetRe =
+    "(?is)<meta[^>]*charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9._+:-]+)".r
+
+  /** Resolve a sniffed label to a usable `Charset`, or None for labels
+    * that are unknown AND unsupported by the JVM (→ fallback path). */
+  private[graft] def resolve(label: String): Option[Charset] = {
+    val key = label.trim.toLowerCase
+    Aliases.get(key) match {
+      case Some(canonical) => Some(Charset.forName(canonical))
+      case None =>
+        try if (Charset.isSupported(key)) Some(Charset.forName(key)) else None
+        catch { case _: IllegalArgumentException => None }
+    }
+  }
+
+  private def labeledDecode(b: Array[Byte], off: Int, len: Int,
+                            cs: Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+  }
+
+  /** True iff the slice is well-formed UTF-8 (strict decoder REPORTs). */
+  private[graft] def isValidUtf8(b: Array[Byte], off: Int, len: Int): Boolean =
+    try {
+      StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(b, off, len))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  /** Decode an HTML payload slice with the full sniffing ladder. Returns
+    * `(text, charset)` where `charset` is the lowercased canonical name of
+    * the encoding actually used (`"utf-8"`, `"windows-1252"`,
+    * `"utf-16le"`, …) — surfaced as a column so corpus reports can audit
+    * the encoding mix. Never throws on content: every path ends in a
+    * charset where all byte sequences decode (REPLACE or cp1252). */
+  def decode(bytes: Array[Byte], off: Int, len: Int,
+             contentType: String): (String, String) = {
+    // 1. BOM beats every label
+    if (len >= 3 && (bytes(off) & 0xff) == 0xef &&
+        (bytes(off + 1) & 0xff) == 0xbb && (bytes(off + 2) & 0xff) == 0xbf)
+      return (labeledDecode(bytes, off + 3, len - 3, StandardCharsets.UTF_8),
+        "utf-8")
+    if (len >= 2 && (bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xfe)
+      return (labeledDecode(bytes, off + 2, len - 2, StandardCharsets.UTF_16LE),
+        "utf-16le")
+    if (len >= 2 && (bytes(off) & 0xff) == 0xfe && (bytes(off + 1) & 0xff) == 0xff)
+      return (labeledDecode(bytes, off + 2, len - 2, StandardCharsets.UTF_16BE),
+        "utf-16be")
+    // 2. transport label
+    val fromHeader = Option(contentType)
+      .flatMap(ct => HeaderCharsetRe.findFirstMatchIn(ct).map(_.group(1)))
+      .flatMap(resolve)
+    // 3. meta prescan (first 1024 bytes, byte-safe latin-1 view)
+    val fromMeta =
+      if (fromHeader.isDefined) None
+      else {
+        val n = math.min(1024, len)
+        val head = new String(bytes, off, n, StandardCharsets.ISO_8859_1)
+        MetaCharsetRe.findFirstMatchIn(head).map(_.group(1)).flatMap(resolve)
+      }
+    fromHeader.orElse(fromMeta) match {
+      case Some(cs) =>
+        (labeledDecode(bytes, off, len, cs), cs.name.toLowerCase)
+      case None =>
+        // 4. strict UTF-8, else windows-1252
+        if (isValidUtf8(bytes, off, len))
+          (new String(bytes, off, len, StandardCharsets.UTF_8), "utf-8")
+        else
+          (labeledDecode(bytes, off, len, Charset.forName("windows-1252")),
+            "windows-1252")
+    }
+  }
+
+  def decode(bytes: Array[Byte], contentType: String): (String, String) =
+    decode(bytes, 0, bytes.length, contentType)
+}

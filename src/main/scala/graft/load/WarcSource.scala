@@ -55,15 +55,17 @@ object Warc {
       html: String,
       http_status: Int,
       content_type: String,
+      charset: String,
       error_reason: String,
       snippet: String)
 
   private def clean(file: String, url: String, ts: java.sql.Timestamp,
-                    html: String, status: Int, ctype: String): Parsed =
-    Parsed(file, url, ts, html, status, ctype, null, null)
+                    html: String, status: Int, ctype: String,
+                    charset: String): Parsed =
+    Parsed(file, url, ts, html, status, ctype, charset, null, null)
 
   private def dirty(file: String, reason: String, snippet: String): Parsed =
-    Parsed(file, null, null, null, 0, null, reason, snippet.take(200))
+    Parsed(file, null, null, null, 0, null, null, reason, snippet.take(200))
 
   // ----------------------------------------------------------------- bytes
 
@@ -202,9 +204,12 @@ object Warc {
                         }.getOrElse("")
                       if (he < 0 || he + 4 > pEnd) pEnd else he + 4
                     } else pStart
-                  out += clean(file, uri, tsOpt.get,
-                    new String(data, bodyStart, pEnd - bodyStart, UTF_8),
-                    status, ctype)
+                  // decode via the full sniffing ladder (BOM → header
+                  // charset → meta prescan → strict-UTF-8-else-cp1252) —
+                  // see [[Charsets]]; `charset` records what actually won
+                  val (text, cs) =
+                    Charsets.decode(data, bodyStart, pEnd - bodyStart, ctype)
+                  out += clean(file, uri, tsOpt.get, text, status, ctype, cs)
                 }
               } // non-response types are structure, not content — skip
               pos = pEnd
@@ -224,8 +229,17 @@ object Warc {
     * library-wide no-`rand()` discipline. */
   def encodeResponseGz(url: String, fetchTsIso: String, html: String,
                        status: Int = 200,
-                       contentType: String = "text/html; charset=utf-8"): Array[Byte] = {
-    val body = html.getBytes(UTF_8)
+                       contentType: String = "text/html; charset=utf-8"): Array[Byte] =
+    encodeResponseBytesGz(url, fetchTsIso, html.getBytes(UTF_8), status,
+      contentType)
+
+  /** [[encodeResponseGz]] with a caller-encoded body — the fixture half of
+    * the charset-sniffing round-trip (q130): synthesize cp1252 / UTF-16 /
+    * mislabeled payloads as real bytes and prove [[Charsets.decode]]
+    * recovers the text. */
+  def encodeResponseBytesGz(url: String, fetchTsIso: String,
+                            body: Array[Byte], status: Int = 200,
+                            contentType: String = "text/html; charset=utf-8"): Array[Byte] = {
     val reason = if (status == 200) "OK" else "-"
     val http = (s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
@@ -267,11 +281,12 @@ object Warc {
   // ---------------------------------------------------------------- source
 
   /** Parse a `(path, bytes)` dataset of WARC files into (clean, dirty):
-    * clean = `(warc_file, url, fetch_ts, html, http_status, content_type)`
-    * response records (status 0 / content_type "" = unframed payload),
+    * clean = `(warc_file, url, fetch_ts, html, http_status, content_type,
+    * charset)` response records (status 0 / content_type "" = unframed
+    * payload; charset = the encoding [[Charsets.decode]] actually used),
     * dirty = `(warc_file, error_reason, snippet)` audit rows. The byte
     * layer for [[readWarc]], exposed so synthesized in-memory corpora
-    * (q121/q129) and other container transports run the identical
+    * (q121/q129/q130) and other container transports run the identical
     * parser. */
   def parseWarcFiles(files: Dataset[(String, Array[Byte])]): (DataFrame, DataFrame) = {
     val sp = files.sparkSession
@@ -279,7 +294,7 @@ object Warc {
     val parsed = files.flatMap { case (path, bytes) => parseFile(path, bytes) }
     val clean = parsed.filter(col("error_reason").isNull)
       .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"),
-        col("http_status"), col("content_type"))
+        col("http_status"), col("content_type"), col("charset"))
     val dirtyDf = parsed.filter(col("error_reason").isNotNull)
       .select(col("warc_file"), col("error_reason"), col("snippet"))
     (clean, dirtyDf)

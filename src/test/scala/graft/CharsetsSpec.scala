@@ -1,0 +1,93 @@
+package graft
+
+import graft.load.Charsets
+
+/** The charset-sniffing ladder (graft.load.Charsets): BOM > header label >
+  * meta prescan > strict-UTF-8-else-cp1252 fallback, the WHATWG alias
+  * table, and the trust-the-label REPLACE contract. Pure byte-level unit
+  * tests — the Spark-side round trip is q130 + DocumentSourcesSpec. */
+class CharsetsSpec extends SparkSpec {
+
+  private def cp1252(s: String) = s.getBytes("windows-1252")
+  private def utf8(s: String) = s.getBytes("UTF-8")
+
+  test("BOM beats a contradicting header label and is stripped") {
+    val bytes = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ utf8("Café")
+    val (text, cs) = Charsets.decode(bytes, "text/html; charset=utf-16le")
+    assert(cs === "utf-8")
+    assert(text === "Café") // no ZWNBSP residue
+  }
+
+  test("UTF-16 BOMs select the matching endianness") {
+    val le = Array(0xff.toByte, 0xfe.toByte) ++ "héllo €".getBytes("UTF-16LE")
+    val be = Array(0xfe.toByte, 0xff.toByte) ++ "héllo €".getBytes("UTF-16BE")
+    assert(Charsets.decode(le, "") === (("héllo €", "utf-16le")))
+    assert(Charsets.decode(be, "") === (("héllo €", "utf-16be")))
+  }
+
+  test("header charset label wins over a contradicting meta tag") {
+    val page = "<html><head><meta charset=utf-8></head><body>Café</body></html>"
+    val (text, cs) = Charsets.decode(cp1252(page),
+      "text/html; charset=windows-1252")
+    assert(cs === "windows-1252")
+    assert(text.contains("Café"))
+  }
+
+  test("meta prescan finds both published forms and attribute orders") {
+    val forms = Seq(
+      "<meta charset=windows-1252>",
+      "<meta charset=\"windows-1252\">",
+      "<meta charset='windows-1252' >",
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">",
+      "<meta content='text/html; charset=windows-1252' http-equiv='Content-Type'>")
+    forms.foreach { m =>
+      val page = s"<html><head>$m</head><body>Café €</body></html>"
+      val (text, cs) = Charsets.decode(cp1252(page), "text/html")
+      assert(cs === "windows-1252", s"form: $m")
+      assert(text.contains("Café €"), s"form: $m")
+    }
+  }
+
+  test("meta beyond the 1024-byte prescan bound is ignored") {
+    val pad = "x" * 1100
+    val page = s"<html><body>$pad<meta charset=utf-16le>ascii only</body></html>"
+    val (_, cs) = Charsets.decode(utf8(page), "text/html")
+    assert(cs === "utf-8") // fallback: valid UTF-8, label never seen
+  }
+
+  test("ISO-8859-1 label is windows-1252 by the WHATWG alias: 0x80 is €") {
+    val bytes = utf8("price ") ++ Array(0x80.toByte)
+    val (text, cs) = Charsets.decode(bytes, "text/html; charset=ISO-8859-1")
+    assert(cs === "windows-1252")
+    assert(text === "price €") // real latin-1 would give U+0080
+  }
+
+  test("unlabeled valid UTF-8 stays UTF-8; invalid falls back to cp1252") {
+    assert(Charsets.decode(utf8("naïve €"), "text/html") ===
+      (("naïve €", "utf-8")))
+    // 0xE9 alone is malformed UTF-8 but é in cp1252
+    val (text, cs) = Charsets.decode(utf8("Caf") ++ Array(0xe9.toByte), null)
+    assert(cs === "windows-1252")
+    assert(text === "Café")
+  }
+
+  test("a labeled decode trusts its label: malformed bytes become U+FFFD") {
+    val (text, cs) = Charsets.decode(utf8("Caf") ++ Array(0xe9.toByte),
+      "text/html; charset=utf-8")
+    assert(cs === "utf-8")
+    assert(text === "Caf�") // the label lied; surface it, don't re-guess
+  }
+
+  test("unknown/unsupported labels fall through to the fallback rung") {
+    assert(Charsets.resolve("no-such-charset-xyz").isEmpty)
+    assert(Charsets.resolve("bad name!").isEmpty) // illegal name must not throw
+    val (text, cs) = Charsets.decode(utf8("plain"), "text/html; charset=bogus-9")
+    assert((text, cs) === (("plain", "utf-8")))
+  }
+
+  test("utf-16 label without BOM decodes as UTF-16LE per the alias table") {
+    val bytes = "wide".getBytes("UTF-16LE")
+    assert(Charsets.decode(bytes, "text/html; charset=utf-16") ===
+      (("wide", "utf-16le")))
+  }
+}
