@@ -1183,6 +1183,24 @@ object OracleSql {
         AS html_md5
     FROM p"""
 
+  /** HTML table extraction — q131. First principles: the expected
+    * `(table_idx, row_idx, col_idx, is_header, cell)` grid follows
+    * directly from the synthesis — the decoy `<track>`, the orphan
+    * `<tr>` outside any table, and the inline `<b>`/entity cell all have
+    * exactly one correct reading, so any tag-boundary or text-cleaning
+    * bug diverges. */
+  private val q131 = """
+    SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row_idx,
+      CAST(0 AS BIGINT) AS col_idx, TRUE AS is_header, 'Name' AS cell
+    FROM documents
+    UNION ALL SELECT doc_id, 0, 0, 1, TRUE, 'Value' FROM documents
+    UNION ALL SELECT doc_id, 0, 1, 0, FALSE, 'alpha & beta' FROM documents
+    UNION ALL SELECT doc_id, 0, 1, 1, FALSE, CAST(doc_id AS VARCHAR) FROM documents
+    UNION ALL SELECT doc_id, 0, 2, 0, FALSE, 'row2' FROM documents
+    UNION ALL SELECT doc_id, 0, 2, 1, FALSE, CAST(doc_id * 2 AS VARCHAR) FROM documents
+    UNION ALL SELECT doc_id, 1, 0, 0, FALSE, 'solo ' || (doc_id % 7)
+      FROM documents WHERE doc_id % 3 = 0"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -2960,6 +2978,7 @@ object OracleSql {
     "q127_sitemap"          -> q127,
     "q128_mojibake"         -> q128,
     "q129_fetch_gate"       -> q129,
-    "q130_charset_decode"   -> q130
+    "q130_charset_decode"   -> q130,
+    "q131_table_extract"    -> q131
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -1998,6 +1998,31 @@ object SparkEntry {
       col("charset"), md5(col("html")).as("html_md5"))
   }
 
+  /** HTML table extraction ([[graft.ops.Tables.extractTables]]): every
+    * page carries a 3-row table (header row with an unquoted-attribute
+    * `<th>`, a data row whose first cell holds inline markup + an entity,
+    * id-dependent values), every 3rd doc a second bare `<table>`, plus a
+    * `<track>` decoy the `<tr>` tag boundary must reject and an orphan
+    * row OUTSIDE any table that must not extract. First-principles
+    * oracle: the expected cell grid from doc_id arithmetic. */
+  private def q131TableExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><body><p>prose &amp; noise</p><track src=x>"),
+      lit("<tr><td>orphan</td></tr>"),
+      lit("<table class=\"data\">\n <tr><th>Name</th><th scope=col>Value</th></tr>\n"),
+      lit(" <tr><td><b>alpha</b> &amp; beta</td><td class=v>"), id,
+      lit("</td></tr>\n"),
+      lit(" <tr><td>row2</td><td>"), id * 2, lit("</td></tr>\n</table>"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit("<table><tr><td>solo "), pmod(id, lit(7)),
+          lit("</td></tr></table>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    graft.ops.Tables.extractTables(
+      t(s, dir, "documents").select(id, html.as("html")), "html", Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2128,7 +2153,8 @@ object SparkEntry {
     "q127_sitemap"          -> q127Sitemap _,
     "q128_mojibake"         -> q128Mojibake _,
     "q129_fetch_gate"       -> q129FetchGate _,
-    "q130_charset_decode"   -> q130CharsetDecode _
+    "q130_charset_decode"   -> q130CharsetDecode _,
+    "q131_table_extract"    -> q131TableExtract _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML `<table>` extraction — structured data mining from crawled pages:
+  * one output row per CELL, addressed `(table_idx, row_idx, col_idx)`, with
+  * header flags. Tables are where the web keeps its aligned facts
+  * (specs, standings, prices, infobox-style key/value rows); a
+  * training-data pipeline extracts them separately from running prose
+  * because cell text scores terribly under prose quality gates
+  * ([[QualityGates]]) yet is high-value as structured/tabular corpus —
+  * and because downstream table-QA / table-to-text tasks need the grid,
+  * not a flattened soup.
+  *
+  * == Markup bounds (documented, [[Boilerplate]] discipline) ==
+  * Tags may carry attributes (quoted or unquoted) — the `TagEnd` name
+  * boundary keeps `<track>` from matching `<tr>` — and close explicitly:
+  * browser-style auto-closing of `<tr>`/`<td>` is NOT reproduced (same
+  * class of bound as L102's nested-anchor rule). Nested tables are not
+  * descended into: the non-greedy body means an outer table's match ends
+  * at the FIRST `</table>`, so a nested inner table contributes its cells
+  * to what is matched and anything after it in the outer table is out of
+  * scope — flag-worthy markup, not silently merged. Cell text is the
+  * visible text ([[Boilerplate]] rules: inline tags → space, the 5
+  * standard entities decoded, whitespace collapsed), so `<td><b>x</b></td>`
+  * reads `x`. `<th>` anywhere marks `is_header` — real tables use header
+  * cells in body rows (row headers) too.
+  *
+  * == 100 TB shape ==
+  * Pure row-local regex algebra + three nested `posexplode`s (tables per
+  * page, rows per table, cells per row — all bounded by page size): ZERO
+  * exchanges, no UDFs, the q116 scan-stage shape. Downstream rollups
+  * (cells per table, header detection rates) aggregate on int addresses,
+  * never re-shuffling page text. */
+object Tables {
+
+  import Boilerplate.TagEnd
+
+  /** Whole `<table>…</table>` fragments, non-greedy body. */
+  private[graft] val TableFragRe = s"(?is)<table$TagEnd[\\s\\S]*?</table>"
+  /** `<tr>…</tr>` fragments inside one table fragment. */
+  private[graft] val RowFragRe = s"(?is)<tr$TagEnd[\\s\\S]*?</tr>"
+  /** `<td>/<th>…</td|th>` fragments inside one row fragment. Open/close
+    * tag kinds may differ in sloppy markup (`<td>x</th>`) — the OPEN tag
+    * decides `is_header`, matching browser behavior. */
+  private[graft] val CellFragRe = s"(?is)<t[dh]$TagEnd[\\s\\S]*?</t[dh]\\s*>"
+  /** Open-tag test for a header cell, applied to one cell fragment. */
+  private[graft] val HeaderOpenRe = "(?i)^<th"
+
+  /** Visible text of one cell fragment (the outer td/th tags strip with
+    * every other tag). */
+  private def cellText(c: Column): Column =
+    Boilerplate.collapseWs(Boilerplate.decodeEntities(
+      regexp_replace(c, "<[^>]+>", " ")))
+
+  /** One row per table cell of each page: `(…idCols, table_idx, row_idx,
+    * col_idx, is_header, cell)` — indices in document order, 0-based.
+    * Pages without tables (or tables without closed rows/cells) simply
+    * produce no rows: extraction is a Generate, not a join, so absence
+    * costs nothing. */
+  def extractTables(df: DataFrame, htmlCol: String,
+                    idCols: Seq[String]): DataFrame = {
+    val outCols = Seq("table_idx", "row_idx", "col_idx", "is_header", "cell")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"extractTables: input already has output column(s) ${clash.mkString(", ")}")
+    val h = coalesce(col(htmlCol), lit(""))
+    df.withColumn("__tables", regexp_extract_all(h, lit(TableFragRe), lit(0)))
+      .select(col("*"),
+        posexplode(col("__tables")).as(Seq("table_idx", "__tbl")))
+      .withColumn("__rows",
+        regexp_extract_all(col("__tbl"), lit(RowFragRe), lit(0)))
+      .select(col("*"),
+        posexplode(col("__rows")).as(Seq("row_idx", "__row")))
+      .withColumn("__cells",
+        regexp_extract_all(col("__row"), lit(CellFragRe), lit(0)))
+      .select(col("*"),
+        posexplode(col("__cells")).as(Seq("col_idx", "__cell")))
+      .select(
+        idCols.map(col) ++ Seq(
+          col("table_idx").cast("long").as("table_idx"),
+          col("row_idx").cast("long").as("row_idx"),
+          col("col_idx").cast("long").as("col_idx"),
+          col("__cell").rlike(HeaderOpenRe).as("is_header"),
+          cellText(col("__cell")).as("cell")): _*)
+  }
+
+  /** Per-table shape report over [[extractTables]] output: `(…idCols,
+    * table_idx, n_rows, n_cols_max, n_cells, n_header_cells, is_regular)`
+    * — `is_regular` = every row has the same width, the precondition for
+    * treating row 0 as a schema. ONE map-side-combined two-level agg on
+    * int addresses. */
+  def tableShapes(cells: DataFrame, idCols: Seq[String]): DataFrame = {
+    val byTable = idCols.map(col) :+ col("table_idx")
+    cells
+      .groupBy(byTable :+ col("row_idx"): _*)
+      .agg(count(lit(1)).as("__w"),
+        sum(when(col("is_header"), 1L).otherwise(0L)).as("__h"))
+      .groupBy(byTable: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("__w")).as("n_cols_max"),
+        sum(col("__w")).as("n_cells"),
+        sum(col("__h")).as("n_header_cells"),
+        (min(col("__w")) === max(col("__w"))).as("is_regular"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** HTML table extraction (graft.ops.Tables): grid addressing, tag
+  * boundaries, text cleaning, documented markup bounds, and the shape
+  * report. The corpus-scale oracle is q131. */
+class TablesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cellsOf(html: String) =
+    Tables.extractTables(Seq((1L, html)).toDF("id", "html"), "html", Seq("id"))
+      .orderBy("table_idx", "row_idx", "col_idx")
+      .select("table_idx", "row_idx", "col_idx", "is_header", "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getString(4)))
+      .toSeq
+
+  test("grid addressing: two tables, header flags, inline markup cleaned") {
+    val html =
+      """<p>x</p><table id=t1>
+        |<tr><th>K</th><th>V</th></tr>
+        |<tr><td><i>a</i> &amp; b</td><td>1</td></tr>
+        |</table><table><tr><td>only</td></tr></table>""".stripMargin
+    assert(cellsOf(html) === Seq(
+      (0L, 0L, 0L, true, "K"), (0L, 0L, 1L, true, "V"),
+      (0L, 1L, 0L, false, "a & b"), (0L, 1L, 1L, false, "1"),
+      (1L, 0L, 0L, false, "only")))
+  }
+
+  test("tag boundaries: <track>/<tracks> never match <tr>, <thead> is not <th>") {
+    val html = "<table><thead><tr><th>h</th></tr></thead>" +
+      "<track src=x><tr><td>d</td></tr></table>"
+    assert(cellsOf(html) === Seq(
+      (0L, 0L, 0L, true, "h"), (0L, 1L, 0L, false, "d")))
+  }
+
+  test("rows and cells outside a table are ignored; unclosed rows drop") {
+    assert(cellsOf("<tr><td>orphan</td></tr>") === Seq.empty)
+    assert(cellsOf("<table><tr><td>open") === Seq.empty)
+  }
+
+  test("documented bound: a nested table ends the outer match at the first close") {
+    val html = "<table><tr><td>outer</td></tr>" +
+      "<table><tr><td>inner</td></tr></table>" +
+      "<tr><td>after</td></tr></table>"
+    val got = cellsOf(html)
+    // outer fragment = up to the FIRST </table>: outer + inner cells;
+    // 'after' is out of scope (documented, not silently merged)
+    assert(got.map(_._5) === Seq("outer", "inner"))
+  }
+
+  test("the OPEN tag decides is_header on mismatched close tags") {
+    assert(cellsOf("<table><tr><td>x</th></tr></table>") ===
+      Seq((0L, 0L, 0L, false, "x")))
+  }
+
+  test("NULL html and attribute-order/unquoted forms") {
+    val df = Seq((1L, null: String),
+      (2L, "<table border=1 class=z><tr class=r><th scope=col>A</th></tr></table>"))
+      .toDF("id", "html")
+    val got = Tables.extractTables(df, "html", Seq("id"))
+      .select("id", "cell", "is_header").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((2L, "A", true)))
+  }
+
+  test("tableShapes: widths, header counts, regularity") {
+    val html = "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>" +
+      "<table><tr><td>1</td><td>2</td></tr><tr><td>только</td></tr></table>"
+    val cells = Tables.extractTables(Seq((9L, html)).toDF("id", "html"),
+      "html", Seq("id"))
+    val shapes = Tables.tableShapes(cells, Seq("id"))
+      .orderBy("table_idx")
+      .select("table_idx", "n_rows", "n_cols_max", "n_cells",
+        "n_header_cells", "is_regular")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(shapes === Seq(
+      (0L, 2L, 2L, 4L, 2L, true),
+      (1L, 2L, 2L, 3L, 0L, false)))
+  }
+
+  test("extractTables refuses clashing output columns") {
+    val df = Seq((1L, "<table></table>", 0L)).toDF("id", "html", "row_idx")
+    val e = intercept[IllegalArgumentException] {
+      Tables.extractTables(df, "html", Seq("id"))
+    }
+    assert(e.getMessage.contains("row_idx"))
+  }
+
+  test("extraction plan stays exchange-free (scan-stage shape)") {
+    val df = Seq((1L, "<table><tr><td>x</td></tr></table>")).toDF("id", "html")
+    val plan = Tables.extractTables(df, "html", Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
