@@ -1201,6 +1201,34 @@ object OracleSql {
     UNION ALL SELECT doc_id, 1, 0, 0, FALSE, 'solo ' || (doc_id % 7)
       FROM documents WHERE doc_id % 3 = 0"""
 
+  /** Inbound anchor-text rollup — q132. The link list rebuilds from
+    * doc_id arithmetic (entity already decoded, lowercased — pinning
+    * extractLinks' cleaning), then the same two-level agg + empties-last
+    * tie-break window as LinkGraph.inboundAnchors. */
+  private val q132 = """
+    WITH l AS (
+      SELECT 'https://hub.example.org/t/' || (doc_id % 20) AS dst,
+             'guide & notes ' || (doc_id % 3) AS anchor FROM documents
+      UNION ALL
+      SELECT 'https://m' || (doc_id % 4) || '.mirror.example.org/rel/' ||
+             (doc_id % 5), 'local' FROM documents
+      UNION ALL
+      SELECT 'https://hub.example.org/t/' || (doc_id % 20), ''
+      FROM documents WHERE doc_id % 7 = 0),
+    p AS (SELECT dst, anchor, COUNT(*) AS n FROM l GROUP BY 1, 2),
+    r AS (SELECT dst, anchor, n,
+        row_number() OVER (PARTITION BY dst
+          ORDER BY (anchor <> '') DESC, n DESC, anchor ASC) AS rn
+      FROM p)
+    SELECT dst AS dst_url, CAST(SUM(n) AS BIGINT) AS n_inlinks,
+      CAST(SUM(CASE WHEN anchor <> '' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_anchor_texts,
+      coalesce(MAX(CASE WHEN rn = 1 AND anchor <> '' THEN anchor END), '')
+        AS top_anchor,
+      CAST(coalesce(MAX(CASE WHEN rn = 1 AND anchor <> '' THEN n END), 0)
+        AS BIGINT) AS top_anchor_n
+    FROM r GROUP BY dst"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -2979,6 +3007,7 @@ object OracleSql {
     "q128_mojibake"         -> q128,
     "q129_fetch_gate"       -> q129,
     "q130_charset_decode"   -> q130,
-    "q131_table_extract"    -> q131
+    "q131_table_extract"    -> q131,
+    "q132_inbound_anchors"  -> q132
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2023,6 +2023,33 @@ object SparkEntry {
       t(s, dir, "documents").select(id, html.as("html")), "html", Seq("doc_id"))
   }
 
+  /** Inbound anchor-text rollup ([[graft.ops.LinkGraph.inboundAnchors]]):
+    * every doc links to hub target doc_id%20 with an entity-bearing
+    * anchor cycling on doc_id%3, to a root-relative /rel/ target with a
+    * constant anchor, and every 7th doc adds an EMPTY anchor to its hub
+    * target (counts as an inlink, can never win top_anchor). The oracle
+    * mirrors the two-level agg over the same synthesized link list —
+    * doc_id arithmetic only, no regex mirror — so an extraction,
+    * normalization, or tie-break bug diverges. */
+  private def q132InboundAnchors(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val pageUrl = concat(lit("https://m"), pmod(id, lit(4)),
+      lit(".mirror.example.org/p/"), id)
+    val html = concat(
+      lit("<html><body><a href=\"https://hub.example.org/t/"), pmod(id, lit(20)),
+      lit("\">Guide &amp; notes "), pmod(id, lit(3)), lit("</a>"),
+      lit("<a href='/rel/"), pmod(id, lit(5)), lit("'>Local</a>"),
+      when(pmod(id, lit(7)) === 0,
+        concat(lit("<a href=\"https://hub.example.org/t/"), pmod(id, lit(20)),
+          lit("\"></a>")))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val links = graft.ops.LinkGraph.extractLinks(
+      t(s, dir, "documents").select(id, html.as("html"), pageUrl.as("url")),
+      "html", "url", Seq("doc_id"))
+    graft.ops.LinkGraph.inboundAnchors(links)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2154,7 +2181,8 @@ object SparkEntry {
     "q128_mojibake"         -> q128Mojibake _,
     "q129_fetch_gate"       -> q129FetchGate _,
     "q130_charset_decode"   -> q130CharsetDecode _,
-    "q131_table_extract"    -> q131TableExtract _
+    "q131_table_extract"    -> q131TableExtract _,
+    "q132_inbound_anchors"  -> q132InboundAnchors _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

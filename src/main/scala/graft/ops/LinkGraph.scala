@@ -91,6 +91,50 @@ object LinkGraph {
         UrlFilter.host(resolved).as("dst_host")): _*)
   }
 
+  /** Inbound anchor-text rollup over [[extractLinks]] output: for each
+    * link TARGET, what the web calls it — `(dst_url, n_inlinks,
+    * n_anchor_texts, top_anchor, top_anchor_n)`. Anchor text is the
+    * classic external relevance label (how linking pages describe the
+    * target, independent of the target's own content): training pipelines
+    * use it as weak supervision for retrieval pairs and as a dedup-safe
+    * title surrogate when the target page is boilerplate-heavy.
+    *
+    * Semantics: anchors normalize to lowercase (already entity-decoded +
+    * ws-collapsed by [[extractLinks]]); EMPTY anchors (image links,
+    * `<a href=x></a>`) count as inlinks but can never win `top_anchor` —
+    * if a target has only empty anchors, `top_anchor` = "" with
+    * `top_anchor_n` = 0. Ties break to the lexicographically smallest
+    * anchor, keeping the result partitioning-independent.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined agg on `(dst_url, anchor)` collapses link
+    * volume to distinct pairs, then ONE hash exchange on `dst_url` feeds
+    * both the row_number window and the final per-target agg (the window
+    * partitioning is reused — no third exchange). No text re-shuffles
+    * after the pair agg; unresolvable links (`resolved_url` = "") leave
+    * before any shuffle. */
+  def inboundAnchors(links: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = links
+      .filter(col("resolved_url") =!= "")
+      .groupBy(col("resolved_url").as("dst_url"),
+        lower(col("anchor_text")).as("__anchor"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("dst_url"))
+      .orderBy((col("__anchor") =!= "").desc, col("__n").desc,
+        col("__anchor").asc)
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("dst_url"))
+      .agg(
+        sum(col("__n")).as("n_inlinks"),
+        sum(when(col("__anchor") =!= "", 1L).otherwise(0L)).as("n_anchor_texts"),
+        coalesce(max(when(col("__rn") === 1 && col("__anchor") =!= "",
+          col("__anchor"))), lit("")).as("top_anchor"),
+        coalesce(max(when(col("__rn") === 1 && col("__anchor") =!= "",
+          col("__n"))), lit(0L)).as("top_anchor_n"))
+  }
+
   /** The host graph: `(src_host, dst_host, n_links)` over every RESOLVED
     * link (root-relative links surface as self-edges — real, and exactly
     * what [[Graph.pageRank]]'s self-loop semantics expect). Feed the output

@@ -1929,6 +1929,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("inboundAnchors: normalization, empty-anchor inlinks, tie-break, single exchange pair") {
+    import graft.ops.LinkGraph
+    val pages = Seq(
+      (1L, "https://a.org/1",
+        "<a href=\"https://t.org/x\">Guide &amp; Notes</a>" +   // → "guide & notes"
+          "<a href=\"https://t.org/y\">beta</a>"),
+      (2L, "https://a.org/2",
+        "<a href=\"https://t.org/x\">GUIDE &amp; notes</a>" +   // same after lower
+          "<a href=\"https://t.org/y\">alpha</a>"),             // 1-1 tie with beta
+      (3L, "https://a.org/3",
+        "<a href=\"https://t.org/x\"></a>" +                    // empty: inlink only
+          "<a href=\"https://t.org/z\"></a>" +                  // only-empty target
+          "<a href=\"#frag\">unresolvable</a>"))                // leaves before shuffle
+      .toDF("doc_id", "url", "html")
+    val links = LinkGraph.extractLinks(pages, "html", "url", Seq("doc_id"))
+    val got = LinkGraph.inboundAnchors(links).orderBy("dst_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("https://t.org/x", 3L, 1L, "guide & notes", 2L),  // case-folded merge, empty counted
+      ("https://t.org/y", 2L, 2L, "alpha", 1L),          // tie → lexicographically smallest
+      ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
+  }
+
   test("robotsTxt: group selection, multi-UA runs, longest-match, ties to allow, fail-open") {
     import graft.ops.RobotsTxt
     val robots = Seq(
