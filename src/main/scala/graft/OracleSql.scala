@@ -1229,6 +1229,39 @@ object OracleSql {
         AS BIGINT) AS top_anchor_n
     FROM r GROUP BY dst"""
 
+  /** Unicode script profile — q133. The script classes are
+    * TextAnalysis.Scripts verbatim (one source of truth); DuckDB's RE2
+    * accepts the same `\x{…}` ranges, counts by codepoint exactly as the
+    * Spark side's BMP-only classes do, and the dominant chain replays the
+    * first-wins priority order. */
+  private val q133 = {
+    val sc = graft.ops.TextAnalysis.Scripts
+    val counts = sc.map { case (n, re) =>
+      s"CAST(length(t) - length(regexp_replace(t, '${sqlRe(re)}', '', 'g')) AS BIGINT) AS n_$n"
+    }.mkString(",\n        ")
+    val total = sc.map("n_" + _._1).mkString(" + ")
+    val m = s"greatest(${sc.map("n_" + _._1).mkString(", ")})"
+    val dom = sc.map { case (n, _) => s"WHEN n_$n = m THEN '$n'" }
+      .mkString(" ")
+    s"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') ||
+        CASE WHEN doc_id % 5 = 1 THEN ' Привет мир от документа'
+             WHEN doc_id % 5 = 2 THEN ' γειά σου κόσμε'
+             WHEN doc_id % 5 = 3 THEN ' 安全第一ですから注意'
+             WHEN doc_id % 5 = 4 THEN ' 안녕하세요 세계'
+             ELSE '' END AS t
+      FROM documents),
+    c AS (SELECT doc_id,
+        $counts
+      FROM d),
+    s AS (SELECT *, CAST($total AS BIGINT) AS n_script_chars, $m AS m FROM c)
+    SELECT doc_id, ${sc.map("n_" + _._1).mkString(", ")}, n_script_chars,
+      CASE WHEN n_script_chars = 0 THEN '' $dom ELSE '' END AS dominant_script,
+      CASE WHEN n_script_chars = 0 THEN 0.0
+           ELSE CAST(m AS DOUBLE) / n_script_chars END AS dominant_frac
+    FROM s"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3008,6 +3041,7 @@ object OracleSql {
     "q129_fetch_gate"       -> q129,
     "q130_charset_decode"   -> q130,
     "q131_table_extract"    -> q131,
-    "q132_inbound_anchors"  -> q132
+    "q132_inbound_anchors"  -> q132,
+    "q133_script_profile"   -> q133
   ).map { case (k, v) => k -> clean(v) }
 }

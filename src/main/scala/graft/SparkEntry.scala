@@ -2050,6 +2050,24 @@ object SparkEntry {
     graft.ops.LinkGraph.inboundAnchors(links)
   }
 
+  /** Unicode script profile ([[graft.ops.TextAnalysis.scriptProfile]]):
+    * corpus text (latin-dominant) suffixed by doc_id%5 with Cyrillic /
+    * Greek / CJK / Hangul runs — the oracle applies the SAME shared
+    * script classes via DuckDB regexp_replace, so a range or tie-break
+    * drift diverges on every row. */
+  private def q133ScriptProfile(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val txt = concat(coalesce(col("text"), lit("")),
+      when(pmod(id, lit(5)) === 1, lit(" Привет мир от документа"))
+        .when(pmod(id, lit(5)) === 2, lit(" γειά σου κόσμε"))
+        .when(pmod(id, lit(5)) === 3, lit(" 安全第一ですから注意"))
+        .when(pmod(id, lit(5)) === 4, lit(" 안녕하세요 세계"))
+        .otherwise(lit("")))
+    graft.ops.TextAnalysis.scriptProfile(
+      t(s, dir, "documents").select(id, txt.as("text")), "text")
+      .drop("text")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2182,7 +2200,8 @@ object SparkEntry {
     "q129_fetch_gate"       -> q129FetchGate _,
     "q130_charset_decode"   -> q130CharsetDecode _,
     "q131_table_extract"    -> q131TableExtract _,
-    "q132_inbound_anchors"  -> q132InboundAnchors _
+    "q132_inbound_anchors"  -> q132InboundAnchors _,
+    "q133_script_profile"   -> q133ScriptProfile _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -135,6 +135,67 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(normalizeText(text))
 
+  /** Unicode script ranges (BMP, explicit `\x{…}` classes — the
+    * Java/RE2-agreeing subset, deliberately NOT `\p{script=…}` whose
+    * spelling differs between engines). Listed in tie-break priority
+    * order for [[scriptProfile]]'s dominant-script chain. The latin class
+    * is letters only (× U+00D7 and ÷ U+00F7 excluded); cjk = kana + Han
+    * unified; hangul = jamo + syllables. */
+  private[graft] val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "hangul" -> "[\\x{1100}-\\x{11FF}\\x{AC00}-\\x{D7AF}]")
+
+  /** Unicode script profile — the routing signal UNDER language ID: which
+    * writing system a document is in. [[detectLanguage]]'s marker lists
+    * only cover its supported languages; the script histogram routes
+    * everything else (Cyrillic → the ru/uk/bg family pipeline, CJK → no
+    * whitespace tokenization, mixed-script → likely spam/mojibake — a
+    * known injection-attack surface dedup should see). Output per row:
+    * `n_<script>` counts (all 8), `n_script_chars` (their sum),
+    * `dominant_script` (first script in [[Scripts]] order attaining the
+    * max — deterministic tie-break; '' when no script char at all), and
+    * `dominant_frac` = dominant / script chars (0.0 when none). Counting
+    * is `length(t) - length(remove(class))` per script — digits,
+    * punctuation, and whitespace belong to NO script and dilute nothing.
+    *
+    * == 100 TB shape ==
+    * Row-local compiled regex passes (one per script, 8/row) — zero
+    * shuffles, zero UDFs; whole-stage codegen CSE shares each script's
+    * replace between its count column and the sum. */
+  def scriptProfile(df: DataFrame, textCol: String): DataFrame = {
+    val outCols = Scripts.map("n_" + _._1) ++
+      Seq("n_script_chars", "dominant_script", "dominant_frac")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"scriptProfile: input already has output column(s) ${clash.mkString(", ")}")
+    val t = coalesce(col(textCol), lit(""))
+    val counted = df.select(
+      col("*") +: Scripts.map { case (name, re) =>
+        (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+          .as(s"n_$name")
+      }: _*)
+    val cnts = Scripts.map { case (name, _) => col(s"n_$name") }
+    val total = cnts.reduce(_ + _)
+    val m = greatest(cnts: _*)
+    val dominant = Scripts.foldRight(lit(""): Column) {
+      case ((name, _), rest) =>
+        when(col(s"n_$name") === m, lit(name)).otherwise(rest)
+    }
+    counted
+      .withColumn("n_script_chars", total)
+      .withColumn("dominant_script",
+        when(col("n_script_chars") === 0, lit("")).otherwise(dominant))
+      .withColumn("dominant_frac",
+        when(col("n_script_chars") === 0, lit(0.0))
+          .otherwise(m.cast("double") / col("n_script_chars")))
+  }
+
   /** MD5 content hash (engine-portable for oracles). */
   def contentHash(text: Column): Column = md5(normalizeText(text))
 

@@ -1929,6 +1929,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scriptProfile: counts, dominance, priority tie-break, no-script rows") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "hello Привет"),      // 5 latin vs 6 cyrillic → cyrillic wins
+      (2L, "ab Пр"),             // 2-2 tie → latin (priority order)
+      (3L, "12345 ... !!!"),     // no script chars at all
+      (4L, "καί 安全だ 한"),       // greek 3, cjk 3, hangul 1 → greek by priority
+      (5L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_script_chars",
+        "dominant_script", "dominant_frac")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 5L, 6L, 11L, "cyrillic", 6.0 / 11),
+      (2L, 2L, 2L, 4L, "latin", 0.5),
+      (3L, 0L, 0L, 0L, "", 0.0),
+      (4L, 0L, 0L, 7L, "greek", 3.0 / 7),
+      (5L, 0L, 0L, 0L, "", 0.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scriptProfile(docs.withColumn("n_latin", lit(1L)), "text")
+    }
+    // scan-stage shape: zero exchanges
+    val plan = TextAnalysis.scriptProfile(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("inboundAnchors: normalization, empty-anchor inlinks, tie-break, single exchange pair") {
     import graft.ops.LinkGraph
     val pages = Seq(
