@@ -1262,6 +1262,32 @@ object OracleSql {
     FROM s"""
   }
 
+  /** RSS/Atom feed parsing — q134. First principles (the q127 pattern):
+    * the expected entry grid follows from doc_id arithmetic — entity
+    * decode, link-text trim, the RFC 822 date core (garbage → NULL),
+    * attribute-form Atom href, and channel-level non-leakage all have one
+    * correct reading. */
+  private val q134 = """
+    WITH d AS (SELECT doc_id,
+        lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0') AS mm,
+        lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents),
+    e AS (
+      SELECT doc_id, 0 AS entry_idx, 'rss' AS kind,
+        'Post & notes ' || doc_id AS title,
+        'https://ex.org/rss/' || doc_id AS url,
+        CASE WHEN doc_id % 5 = 0 THEN NULL
+             ELSE CAST('2024-02-' || dd AS DATE) END AS pub_date,
+        'tag:ex.org,' || doc_id AS guid
+      FROM d
+      UNION ALL SELECT doc_id, 1, 'rss', 'bare', '', NULL, '' FROM d
+      UNION ALL SELECT doc_id, 2, 'atom', 'A ' || doc_id,
+        'https://ex.org/atom/' || doc_id,
+        CAST('2024-' || mm || '-' || dd AS DATE),
+        'urn:uuid:' || doc_id FROM d WHERE doc_id % 3 = 0)
+    SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, kind, title,
+      url, pub_date, guid FROM e"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3042,6 +3068,7 @@ object OracleSql {
     "q130_charset_decode"   -> q130,
     "q131_table_extract"    -> q131,
     "q132_inbound_anchors"  -> q132,
-    "q133_script_profile"   -> q133
+    "q133_script_profile"   -> q133,
+    "q134_feed_parse"       -> q134
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2068,6 +2068,37 @@ object SparkEntry {
       .drop("text")
   }
 
+  /** RSS/Atom feed parsing ([[graft.ops.Feeds.parseFeeds]]): every doc is
+    * an RSS channel with a fully-populated item (entity title, padded
+    * link text, RFC 822 pubDate — GARBAGE every 5th doc → NULL — and an
+    * attributed guid) plus a bare item, and every 3rd doc appends an Atom
+    * feed whose entry link is an href ATTRIBUTE. Channel/feed-level
+    * title+link must not leak into rows. First-principles oracle from
+    * doc_id arithmetic (the q127 pattern). */
+  private def q134FeedParse(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val mm = lpad((pmod(id, lit(12)) + 1).cast("string"), 2, "0")
+    val dd = lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")
+    val pubDate = when(pmod(id, lit(5)) === 0, lit("not a date"))
+      .otherwise(concat(lit("Mon, "), dd, lit(" Feb 2024 10:30:00 GMT")))
+    val xml = concat(
+      lit("<rss><channel><title>chan</title><link>https://ex.org/</link>"),
+      lit("<item><title>Post &amp; notes "), id, lit("</title>"),
+      lit("<link> https://ex.org/rss/"), id, lit(" </link>"),
+      lit("<pubDate>"), pubDate, lit("</pubDate>"),
+      lit("<guid isPermaLink=\"false\">tag:ex.org,"), id, lit("</guid></item>"),
+      lit("<item><title>bare</title></item></channel></rss>"),
+      when(pmod(id, lit(3)) === 0, concat(
+        lit("<feed><title>f</title><entry><title>A "), id, lit("</title>"),
+        lit("<link rel=\"alternate\" href=\"https://ex.org/atom/"), id,
+        lit("\"/>"),
+        lit("<updated>2024-"), mm, lit("-"), dd, lit("T00:00:00Z</updated>"),
+        lit("<id>urn:uuid:"), id, lit("</id></entry></feed>")))
+        .otherwise(lit("")))
+    graft.ops.Feeds.parseFeeds(
+      t(s, dir, "documents").select(id, xml.as("xml")), "xml", Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2201,7 +2232,8 @@ object SparkEntry {
     "q130_charset_decode"   -> q130CharsetDecode _,
     "q131_table_extract"    -> q131TableExtract _,
     "q132_inbound_anchors"  -> q132InboundAnchors _,
-    "q133_script_profile"   -> q133ScriptProfile _
+    "q133_script_profile"   -> q133ScriptProfile _,
+    "q134_feed_parse"       -> q134FeedParse _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** RSS 2.0 / Atom feed parsing — the OTHER crawl seed channel next to
+  * [[Sitemap]]: sites announce new content in feeds hours before sitemaps
+  * regenerate and long before inbound links appear, so a freshness-aware
+  * crawler polls feeds for discovery and publish timestamps. Parses both
+  * published formats from one string column: RSS `<item>` →
+  * title/link/pubDate/guid and Atom `<entry>` → title/link-href/updated/id,
+  * normalized to one output shape (`kind` tells them apart).
+  *
+  * Field discipline ([[Sitemap]]'s): text fields entity-decode + trim;
+  * the Atom link is an ATTRIBUTE (`<link href="…"/>`) with the
+  * quoted-before-unquoted precedence of [[LinkGraph.HrefRes]], while the
+  * RSS link is element TEXT — both surface as `url`; dates gate before
+  * parsing (RSS pubDate = RFC 822, its `d MMM yyyy` core extracted by
+  * regex and parsed leniently; Atom updated = ISO 8601 through the
+  * [[DateExtract]] gated parse) so garbage reads NULL, never an error;
+  * `guid` carries RSS `<guid>` (attributes like `isPermaLink` tolerated)
+  * or Atom `<id>`, '' when absent. Channel/feed-level `<title>`/`<link>`
+  * elements OUTSIDE entries never leak into rows — extraction starts from
+  * entry fragments. Tag bounds: entry containers match bare tags only
+  * (`<item\s*>` — the spec shape), field tags tolerate whitespace; all
+  * patterns in the Java/RE2-agreeing subset, `private[graft]`-shared with
+  * the oracle.
+  *
+  * == 100 TB shape ==
+  * Row-local: two `regexp_extract_all`s + one `posexplode` per feed
+  * document, per-fragment column algebra after — zero shuffles, no UDFs,
+  * the [[Boilerplate]] scan-stage shape. Feeds are small by convention
+  * (recent-N entries), so fragment arrays are bounded. */
+object Feeds {
+
+  private[graft] val ItemRe = "(?is)<item\\s*>[\\s\\S]*?</item\\s*>"
+  private[graft] val EntryRe = "(?is)<entry\\s*>[\\s\\S]*?</entry\\s*>"
+  private[graft] val TitleRe = "(?is)<title\\s*>\\s*([\\s\\S]*?)\\s*</title\\s*>"
+  private[graft] val RssLinkRe = "(?is)<link\\s*>\\s*([\\s\\S]*?)\\s*</link\\s*>"
+  private[graft] val AtomHrefRes: Seq[String] = Seq(
+    "(?i)<link[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)<link[^>]*href\\s*=\\s*([^\\s\"'>]+)")
+  private[graft] val PubDateRe =
+    "(?is)<pubdate\\s*>\\s*([\\s\\S]*?)\\s*</pubdate\\s*>"
+  private[graft] val UpdatedRe =
+    "(?is)<updated\\s*>\\s*([\\s\\S]*?)\\s*</updated\\s*>"
+  private[graft] val GuidRe =
+    "(?is)<guid(?:[^a-zA-Z0-9>][^>]*)?>\\s*([\\s\\S]*?)\\s*</guid\\s*>"
+  private[graft] val IdRe = "(?is)<id\\s*>\\s*([\\s\\S]*?)\\s*</id\\s*>"
+  /** The `d MMM yyyy` core of an RFC 822 date — the gate before parsing. */
+  private[graft] val Rfc822CoreRe = "([0-9]{1,2} [A-Za-z]{3} [0-9]{4})"
+
+  /** RFC 822 pubDate → DATE: extract the day-month-year core, parse
+    * leniently (English month abbreviations — the RFC's only legal set). */
+  private def rfc822Date(c: Column): Column = {
+    val core = regexp_extract(c, Rfc822CoreRe, 1)
+    when(core =!= "", to_date(core, "d MMM yyyy"))
+  }
+
+  /** One row per feed entry: `(…idCols, entry_idx, kind, title, url,
+    * pub_date, guid)` — `kind` ∈ {'rss','atom'}, `entry_idx` counts ALL
+    * entries of the document (RSS items first in document order, then
+    * Atom entries — a real feed carries only one kind). Absent fields
+    * read ''/NULL (kept: the audit wants to see bare entries). NULL xml
+    * = the empty document, zero rows. */
+  def parseFeeds(df: DataFrame, xmlCol: String, idCols: Seq[String]): DataFrame = {
+    val outCols = Seq("entry_idx", "kind", "title", "url", "pub_date", "guid")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"parseFeeds: input already has output column(s) ${clash.mkString(", ")}")
+    val x = coalesce(col(xmlCol), lit(""))
+    val entries = concat(
+      transform(regexp_extract_all(x, lit(ItemRe), lit(0)),
+        f => struct(lit("rss").as("kind"), f.as("frag"))),
+      transform(regexp_extract_all(x, lit(EntryRe), lit(0)),
+        f => struct(lit("atom").as("kind"), f.as("frag"))))
+    val exploded = df
+      .withColumn("__e", entries)
+      .select(col("*"), posexplode(col("__e")).as(Seq("entry_idx", "e")))
+    val frag = col("e.frag")
+    val isRss = col("e.kind") === "rss"
+    exploded.select(
+      idCols.map(col) ++ Seq(
+        col("entry_idx").cast("long").as("entry_idx"),
+        col("e.kind").as("kind"),
+        Boilerplate.collapseWs(Boilerplate.decodeEntities(
+          regexp_extract(frag, TitleRe, 1))).as("title"),
+        Boilerplate.decodeEntities(
+          when(isRss, regexp_extract(frag, RssLinkRe, 1))
+            .otherwise(Boilerplate.firstNonEmpty(frag, AtomHrefRes))).as("url"),
+        when(isRss, rfc822Date(regexp_extract(frag, PubDateRe, 1)))
+          .otherwise(DateExtract.candidate(regexp_extract(frag, UpdatedRe, 1)))
+          .as("pub_date"),
+        when(isRss, regexp_extract(frag, GuidRe, 1))
+          .otherwise(regexp_extract(frag, IdRe, 1)).as("guid")): _*)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Feeds
+
+/** RSS/Atom feed parsing (graft.ops.Feeds): both kinds, field gates,
+  * attribute forms, and non-leakage of channel-level elements. The
+  * corpus-scale oracle is q134. */
+class FeedsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rowsOf(xml: String) =
+    Feeds.parseFeeds(Seq((1L, xml)).toDF("id", "xml"), "xml", Seq("id"))
+      .orderBy("entry_idx")
+      .select("entry_idx", "kind", "title", "url", "pub_date", "guid")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        Option(r.getDate(4)).map(_.toString).orNull, r.getString(5)))
+      .toSeq
+
+  test("RSS items and Atom entries parse; channel/feed elements never leak") {
+    val xml =
+      """<rss><channel><title>Chan</title><link>https://site.org/</link>
+        |<item><title>One &amp; only</title><link> https://site.org/1 </link>
+        |<pubDate>Tue, 6 Feb 2024 10:30:00 GMT</pubDate>
+        |<guid isPermaLink="false">g-1</guid></item>
+        |</channel></rss>
+        |<feed><title>F</title>
+        |<entry><title>A</title><link rel="alternate" href="https://site.org/a"/>
+        |<updated>2024-03-04T05:06:07Z</updated><id>id-a</id></entry>
+        |</feed>""".stripMargin
+    assert(rowsOf(xml) === Seq(
+      (0L, "rss", "One & only", "https://site.org/1", "2024-02-06", "g-1"),
+      (1L, "atom", "A", "https://site.org/a", "2024-03-04", "id-a")))
+  }
+
+  test("gated dates: garbage pubDate/updated read NULL, not an error") {
+    val xml = "<item><title>t</title><pubDate>soonish</pubDate></item>" +
+      "<entry><title>u</title><updated>2024-13-40T00:00:00Z</updated></entry>"
+    assert(rowsOf(xml) === Seq(
+      (0L, "rss", "t", "", null, ""),
+      (1L, "atom", "u", "", null, "")))
+  }
+
+  test("atom href: quoted wins over unquoted; unquoted accepted") {
+    val q = "<entry><link href=broken href=\"https://a.org/q\"/></entry>"
+    val u = "<entry><link rel=alternate href=https://a.org/u /></entry>"
+    assert(rowsOf(q).head._4 === "https://a.org/q")
+    assert(rowsOf(u).head._4 === "https://a.org/u")
+  }
+
+  test("bare entries yield ''/NULL fields; NULL xml yields zero rows") {
+    assert(rowsOf("<item></item>") === Seq((0L, "rss", "", "", null, "")))
+    val n = Feeds.parseFeeds(Seq((1L, null: String)).toDF("id", "xml"),
+      "xml", Seq("id"))
+    assert(n.count() === 0L)
+  }
+
+  test("clash guard and exchange-free plan") {
+    intercept[IllegalArgumentException] {
+      Feeds.parseFeeds(Seq((1L, "<item/>", "x")).toDF("id", "xml", "guid"),
+        "xml", Seq("id"))
+    }
+    val plan = Feeds.parseFeeds(Seq((1L, "<item></item>")).toDF("id", "xml"),
+      "xml", Seq("id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
