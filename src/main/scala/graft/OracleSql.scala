@@ -1288,6 +1288,26 @@ object OracleSql {
     SELECT doc_id, CAST(entry_idx AS BIGINT) AS entry_idx, kind, title,
       url, pub_date, guid FROM e"""
 
+  /** robots.txt sitemap discovery — q135. First principles: two absolute
+    * records per host (comment stripped, key case-insensitive), a
+    * relative third on every 3rd host flagged not-absolute; UA groups
+    * and Allow/Disallow rules never surface. */
+  private val q135 = """
+    WITH e AS (
+      SELECT 'h' || doc_id || '.example.org' AS host, 0 AS sitemap_idx,
+        'https://h' || doc_id || '.example.org/sitemap.xml' AS sitemap_url,
+        TRUE AS is_absolute
+      FROM documents
+      UNION ALL
+      SELECT 'h' || doc_id || '.example.org', 1,
+        'https://h' || doc_id || '.example.org/news.xml', TRUE
+      FROM documents
+      UNION ALL
+      SELECT 'h' || doc_id || '.example.org', 2, '/relative.xml', FALSE
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT host, CAST(sitemap_idx AS BIGINT) AS sitemap_idx, sitemap_url,
+      is_absolute FROM e"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3069,6 +3089,7 @@ object OracleSql {
     "q131_table_extract"    -> q131,
     "q132_inbound_anchors"  -> q132,
     "q133_script_profile"   -> q133,
-    "q134_feed_parse"       -> q134
+    "q134_feed_parse"       -> q134,
+    "q135_robots_sitemaps"  -> q135
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2099,6 +2099,26 @@ object SparkEntry {
       t(s, dir, "documents").select(id, xml.as("xml")), "xml", Seq("doc_id"))
   }
 
+  /** robots.txt sitemap discovery ([[graft.ops.RobotsTxt.sitemapUrls]]):
+    * each doc is a host whose robots.txt mixes UA groups + rules (must
+    * NOT surface), two absolute Sitemap records — one lowercase-keyed
+    * with a trailing comment — and, every 3rd doc, a RELATIVE record
+    * surfaced with is_absolute = false. First-principles oracle. */
+  private def q135RobotsSitemaps(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val host = concat(lit("h"), id, lit(".example.org"))
+    val txt = concat(
+      lit("User-agent: *\nDisallow: /tmp\n"),
+      lit("Sitemap: https://h"), id, lit(".example.org/sitemap.xml\n"),
+      lit("sitemap: https://h"), id,
+      lit(".example.org/news.xml   # main feed\n"),
+      when(pmod(id, lit(3)) === 0, lit("Sitemap: /relative.xml\n"))
+        .otherwise(lit("")),
+      lit("User-agent: greedybot\nDisallow: /\n"))
+    graft.ops.RobotsTxt.sitemapUrls(
+      t(s, dir, "documents").select(host.as("host"), txt.as("robots_txt")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2233,7 +2253,8 @@ object SparkEntry {
     "q131_table_extract"    -> q131TableExtract _,
     "q132_inbound_anchors"  -> q132InboundAnchors _,
     "q133_script_profile"   -> q133ScriptProfile _,
-    "q134_feed_parse"       -> q134FeedParse _
+    "q134_feed_parse"       -> q134FeedParse _,
+    "q135_robots_sitemaps"  -> q135RobotsSitemaps _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -81,6 +81,41 @@ object RobotsTxt {
       .select(col("host"), col("r.allow").as("allow"), col("r.path").as("path"))
   }
 
+  /** Sitemap discovery from robots.txt: RFC 9309 §2.3's `Sitemap:`
+    * records are GROUP-INDEPENDENT (legal anywhere in the file, not owned
+    * by any User-agent group — a different scoping than Allow/Disallow,
+    * which is why [[parseRules]] deliberately ignores them) and are how
+    * most sites actually advertise their sitemaps. Output: `(host,
+    * sitemap_idx, sitemap_url, is_absolute)`, one row per record in file
+    * order, comments stripped, key case-insensitive. The RFC requires an
+    * absolute URL; relative values are SURFACED with `is_absolute` =
+    * false rather than dropped (the audit-over-silent-drop house rule) so
+    * the caller decides. Feeds [[Sitemap.parseSitemaps]] — fetch the
+    * absolute locs, parse, recurse once for index files. Row-local line
+    * algebra + one posexplode, host-sized output, zero shuffles. */
+  def sitemapUrls(robots: DataFrame, hostCol: String = "host",
+                  textCol: String = "robots_txt"): DataFrame = {
+    val clash = Seq("sitemap_idx", "sitemap_url", "is_absolute")
+      .filter(robots.columns.contains)
+    require(clash.isEmpty,
+      s"sitemapUrls: input already has output column(s) ${clash.mkString(", ")}")
+    val SitemapRe = "(?i)^sitemap\\s*:"
+    val lines = transform(
+      split(coalesce(col(textCol), lit("")), "\r\n|\r|\n"),
+      l => trim(regexp_replace(l, "#.*", "")))
+    val urls = transform(
+      filter(lines, l => l.rlike(SitemapRe)),
+      l => trim(regexp_replace(l, SitemapRe, "")))
+    robots
+      .withColumn("__sm", filter(urls, u => u =!= ""))
+      .select(col(hostCol).as("host"),
+        posexplode(col("__sm")).as(Seq("sitemap_idx", "sitemap_url")))
+      .select(col("host"), col("sitemap_idx").cast("long").as("sitemap_idx"),
+        col("sitemap_url"),
+        col("sitemap_url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+          .as("is_absolute"))
+  }
+
   /** Gate URLs against parsed rules: adds `allowed`. `rules` is
     * [[parseRules]] output (already agent-selected); URLs on hosts with no
     * rules — or matching no rule path — are allowed (fail-open). Longest

@@ -1985,6 +1985,31 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("robotsTxt.sitemapUrls: group-independent records, comments, case, relative flag") {
+    import graft.ops.RobotsTxt
+    val robots = Seq(
+      ("a.org", "User-agent: *\nDisallow: /x\n" +
+        "Sitemap: https://a.org/sm.xml\n" +           // before any later group
+        "User-agent: bot\n" +
+        "SITEMAP: https://a.org/sm2.xml # trailing\n" + // inside a group: still surfaces
+        "Sitemap:\n" +                                   // empty value → dropped
+        "Sitemap: /rel.xml"),
+      ("b.org", "User-agent: *\nAllow: /"),              // no records → no rows
+      ("c.org", null))
+      .toDF("host", "robots_txt")
+    val got = RobotsTxt.sitemapUrls(robots).orderBy("host", "sitemap_idx")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === Seq(
+      ("a.org", 0L, "https://a.org/sm.xml", true),
+      ("a.org", 1L, "https://a.org/sm2.xml", true),
+      ("a.org", 2L, "/rel.xml", false)))
+    intercept[IllegalArgumentException] {
+      RobotsTxt.sitemapUrls(robots.withColumn("sitemap_url", lit("x")))
+    }
+  }
+
   test("robotsTxt: group selection, multi-UA runs, longest-match, ties to allow, fail-open") {
     import graft.ops.RobotsTxt
     val robots = Seq(
