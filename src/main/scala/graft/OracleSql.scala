@@ -1308,6 +1308,25 @@ object OracleSql {
     SELECT host, CAST(sitemap_idx AS BIGINT) AS sitemap_idx, sitemap_url,
       is_absolute FROM e"""
 
+  /** Registered-domain extraction — q136. First principles: each variant
+    * has exactly one correct eTLD+1 reading under the frozen PSL subset. */
+  private val q136 = """
+    WITH d AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 50 AS k FROM documents)
+    SELECT doc_id,
+      CASE WHEN m = 0 THEN 'www.shop' || k || '.co.uk'
+           WHEN m = 1 THEN 'a.b.site' || k || '.com'
+           WHEN m = 2 THEN 'cdn.news' || k || '.org'
+           WHEN m = 3 THEN 'co.uk'
+           WHEN m = 4 THEN '192.168.' || (doc_id % 256) || '.7'
+           ELSE 'blog' || k || '.github.io' END AS host,
+      CASE WHEN m = 0 THEN 'shop' || k || '.co.uk'
+           WHEN m = 1 THEN 'site' || k || '.com'
+           WHEN m = 2 THEN 'news' || k || '.org'
+           WHEN m = 3 THEN ''
+           WHEN m = 4 THEN '192.168.' || (doc_id % 256) || '.7'
+           ELSE 'blog' || k || '.github.io' END AS reg_domain
+    FROM d"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3090,6 +3109,7 @@ object OracleSql {
     "q132_inbound_anchors"  -> q132,
     "q133_script_profile"   -> q133,
     "q134_feed_parse"       -> q134,
-    "q135_robots_sitemaps"  -> q135
+    "q135_robots_sitemaps"  -> q135,
+    "q136_registered_domain"-> q136
   ).map { case (k, v) => k -> clean(v) }
 }

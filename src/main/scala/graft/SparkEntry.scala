@@ -2119,6 +2119,27 @@ object SparkEntry {
       t(s, dir, "documents").select(host.as("host"), txt.as("robots_txt")))
   }
 
+  /** Registered-domain extraction ([[graft.ops.UrlFilter.registeredDomain]]):
+    * hosts by doc_id%6 cover the PSL ladder — multi-label suffix
+    * (`co.uk`), plain TLD with deep subdomains, a host that IS a public
+    * suffix (→ ''), an IPv4 literal (verbatim), and a private-registry
+    * suffix (`github.io`). First-principles oracle from doc_id
+    * arithmetic. */
+  private def q136RegisteredDomain(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val k = pmod(id, lit(50))
+    val host = when(pmod(id, lit(6)) === 0, concat(lit("www.shop"), k, lit(".co.uk")))
+      .when(pmod(id, lit(6)) === 1, concat(lit("a.b.site"), k, lit(".com")))
+      .when(pmod(id, lit(6)) === 2, concat(lit("cdn.news"), k, lit(".org")))
+      .when(pmod(id, lit(6)) === 3, lit("co.uk"))
+      .when(pmod(id, lit(6)) === 4,
+        concat(lit("192.168."), pmod(id, lit(256)), lit(".7")))
+      .otherwise(concat(lit("blog"), k, lit(".github.io")))
+    t(s, dir, "documents").select(id, host.as("host"))
+      .withColumn("reg_domain",
+        graft.ops.UrlFilter.registeredDomain(col("host")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2254,7 +2275,8 @@ object SparkEntry {
     "q132_inbound_anchors"  -> q132InboundAnchors _,
     "q133_script_profile"   -> q133ScriptProfile _,
     "q134_feed_parse"       -> q134FeedParse _,
-    "q135_robots_sitemaps"  -> q135RobotsSitemaps _
+    "q135_robots_sitemaps"  -> q135RobotsSitemaps _,
+    "q136_registered_domain"-> q136RegisteredDomain _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -44,6 +44,57 @@ object UrlFilter {
       s => s =!= "")
   }
 
+  /** Multi-label public suffixes — a FROZEN high-traffic subset of the
+    * Mozilla Public Suffix List (publicsuffix.org; the full list is
+    * ~10k entries and revisioned — shipping a pinned subset keeps the
+    * operator deterministic and oracle-mirrorable, the
+    * [[graft.ops.Boilerplate]] stopword-list precedent). Single-label
+    * TLDs need no listing: they are the default fallback. Wildcard
+    * (`*.ck`) and exception (`!city.kobe.jp`) PSL rules are outside the
+    * subset — documented bound. */
+  private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "com.mx", "org.mx", "com.ar", "com.tr", "com.sa",
+    "co.za", "org.za", "com.sg", "edu.sg",
+    "com.hk", "com.tw", "org.tw",
+    "co.nz", "net.nz", "org.nz",
+    "com.pl", "com.ua", "com.vn", "co.th", "co.id",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "s3.amazonaws.com", "herokuapp.com")
+
+  /** The registrable domain (eTLD+1) of a lowercased host — the unit
+    * crawl policy actually works in: per-"site" budgets, dedup scopes,
+    * and blocklists all mean `bbc.co.uk`, not `co.uk` (too wide) or
+    * `news.bbc.co.uk` (too narrow). Longest [[MultiLabelSuffixes]] match
+    * plus one label; no match → last label (the plain TLD) plus one.
+    * A host that IS a public suffix, a single label, or '' has no
+    * registrable domain → ''. IPv4 hosts return verbatim (PSL
+    * convention: IPs are their own "domain"). Row-local array algebra
+    * over [[domainSuffixes]] — zero shuffles. */
+  def registeredDomain(host: Column): Column = {
+    val h = coalesce(host, lit(""))
+    val sufs = domainSuffixes(h)
+    val ml = array(MultiLabelSuffixes.map(lit): _*)
+    // smallest index into the most-specific-first chain that is a listed
+    // suffix = the LONGEST public-suffix match; default: the bare TLD.
+    // (index-aware transform, NOT sequence(0, size-1): Spark's sequence
+    // DESCENDS when start > stop, so the empty-host case would yield
+    // [0, -1] and crash the lambda on index 0)
+    val hits = filter(
+      transform(sufs, (s, i) => when(array_contains(ml, s), i).otherwise(-1)),
+      x => x >= 0)
+    val psIdx = when(size(hits) > 0, array_min(hits)).otherwise(size(sufs) - 1)
+    when(h.rlike("^[0-9]+(\\.[0-9]+){3}$"), h)
+      .when(psIdx >= 1, element_at(sufs, psIdx)) // 1-based: element BEFORE ps
+      .otherwise(lit(""))
+  }
+
   /** The three verdict columns, shared by the mark and filter forms.
     * Patterns match against the LOWERCASED URL, so they must be lowercase
     * themselves and non-empty — both enforced loudly (an uppercase pattern

@@ -1985,6 +1985,27 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("registeredDomain: PSL ladder, public-suffix hosts, IPs, degenerates") {
+    import graft.ops.UrlFilter
+    val cases = Seq(
+      "www.bbc.co.uk" -> "bbc.co.uk",       // multi-label suffix
+      "a.b.example.com" -> "example.com",   // plain TLD, deep subdomain
+      "example.org" -> "example.org",       // already eTLD+1
+      "co.uk" -> "",                        // IS a public suffix
+      "uk" -> "",                           // bare TLD
+      "localhost" -> "",                    // single label
+      "10.0.0.1" -> "10.0.0.1",             // IPv4 verbatim
+      "user.github.io" -> "user.github.io", // private-registry suffix
+      "github.io" -> "",                    // the private suffix itself
+      "x.s3.amazonaws.com" -> "x.s3.amazonaws.com", // 3-label listed suffix
+      "" -> "")
+    val got = UrlFilter.registeredDomain(col("h"))
+    val out = cases.map(_._1).toDF("h").select(col("h"), got.as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(out(h) === want, s"host: $h") }
+  }
+
   test("robotsTxt.sitemapUrls: group-independent records, comments, case, relative flag") {
     import graft.ops.RobotsTxt
     val robots = Seq(
