@@ -1327,6 +1327,36 @@ object OracleSql {
            ELSE 'blog' || k || '.github.io' END AS reg_domain
     FROM d"""
 
+  /** Recrawl scheduling — q137. Mirrors Frontier.recrawlPriority over the
+    * same synthesized 4-fetch history: identical lag window (epoch then
+    * hash ordering), change counting with the NULL-first-row → 0
+    * convention, and the floor'd interval interpolation (3600 s .. 30 d
+    * defaults). */
+  private val q137 = """
+    WITH h AS (
+      SELECT 'https://s.org/u' || (doc_id % 40) AS url,
+        1700000000 + (doc_id * 4 + j) * 3600 AS epoch,
+        md5(CASE WHEN (doc_id % 40) % 3 = 0 THEN 'stable-' || (doc_id % 40)
+             WHEN (doc_id % 40) % 3 = 1 THEN 'flux-' || doc_id || '-' || j
+             ELSE 'phase-' || (doc_id % 40) || '-' ||
+                  CAST(floor(j / 2) AS BIGINT) END) AS hsh
+      FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS j) seq),
+    c AS (SELECT url, epoch, hsh,
+        CASE WHEN hsh <> lag(hsh) OVER
+            (PARTITION BY url ORDER BY epoch ASC, hsh ASC)
+          THEN 1 ELSE 0 END AS chg
+      FROM h),
+    a AS (SELECT url, COUNT(*) AS n_fetches, SUM(chg) AS n_changes,
+        MAX(epoch) AS last_epoch
+      FROM c GROUP BY url)
+    SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches,
+      CAST(n_changes AS BIGINT) AS n_changes,
+      CAST(last_epoch AS BIGINT) AS last_epoch,
+      CAST(n_changes AS DOUBLE) / greatest(n_fetches - 1, 1) AS change_rate,
+      CAST(last_epoch + 2592000 - floor((2592000 - 3600) * n_changes /
+        greatest(n_fetches - 1, 1)) AS BIGINT) AS next_due_epoch
+    FROM a"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3110,6 +3140,7 @@ object OracleSql {
     "q133_script_profile"   -> q133,
     "q134_feed_parse"       -> q134,
     "q135_robots_sitemaps"  -> q135,
-    "q136_registered_domain"-> q136
+    "q136_registered_domain"-> q136,
+    "q137_recrawl_priority" -> q137
   ).map { case (k, v) => k -> clean(v) }
 }

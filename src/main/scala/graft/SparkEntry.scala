@@ -2140,6 +2140,28 @@ object SparkEntry {
         graft.ops.UrlFilter.registeredDomain(col("host")))
   }
 
+  /** Recrawl scheduling ([[graft.ops.Frontier.recrawlPriority]]): each doc
+    * contributes 4 fetches of its url-group (doc_id%40); per url-group the
+    * content-hash pattern cycles never-changes / changes-every-fetch /
+    * changes-mid-doc, so change rates span the whole [0, 1] interpolation.
+    * The oracle mirrors the lag window + agg + integer interval arithmetic
+    * over the same synthesized history. */
+  private def q137RecrawlPriority(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val k = pmod(id, lit(40))
+    val hashSeed = when(pmod(k, lit(3)) === 0, concat(lit("stable-"), k))
+      .when(pmod(k, lit(3)) === 1,
+        concat(lit("flux-"), id, lit("-"), col("j")))
+      .otherwise(concat(lit("phase-"), k, lit("-"), floor(col("j") / 2)))
+    val hist = t(s, dir, "documents")
+      .select(id, explode(sequence(lit(0), lit(3))).as("j"))
+      .select(
+        concat(lit("https://s.org/u"), k).as("url"),
+        (lit(1700000000L) + (id * 4 + col("j")) * 3600).as("epoch"),
+        md5(hashSeed).as("h"))
+    graft.ops.Frontier.recrawlPriority(hist, "url", "epoch", "h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2276,7 +2298,8 @@ object SparkEntry {
     "q133_script_profile"   -> q133ScriptProfile _,
     "q134_feed_parse"       -> q134FeedParse _,
     "q135_robots_sitemaps"  -> q135RobotsSitemaps _,
-    "q136_registered_domain"-> q136RegisteredDomain _
+    "q136_registered_domain"-> q136RegisteredDomain _,
+    "q137_recrawl_priority" -> q137RecrawlPriority _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

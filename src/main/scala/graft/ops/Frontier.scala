@@ -56,4 +56,54 @@ object Frontier {
       .withColumn("batch", (col("__rn") - 1).cast("long"))
       .drop("__rn")
   }
+
+  /** Recrawl scheduling from fetch history — the freshness side of the
+    * frontier: how often a page CHANGES decides how often it deserves a
+    * fetch (the published crawl-ordering result: uniform revisit wastes
+    * most of its budget on static pages — Cho & Garcia-Molina,
+    * "Effective Page Refresh Policies for Web Crawlers", TODS 2003).
+    * Input: one row per past fetch `(urlCol, epochCol seconds,
+    * hashCol content identity — [[TextAnalysis.contentHash]] of the
+    * fetched body)`. Per URL:
+    *
+    *  - `n_fetches`, `n_changes` (consecutive-fetch hash transitions,
+    *    fetch order by epoch with hash as the deterministic tie-break),
+    *  - `change_rate` = n_changes / max(n_fetches − 1, 1) ∈ [0, 1]
+    *    (single-fetch URLs read 0 — no evidence, not "static"),
+    *  - `last_epoch`, and `next_due_epoch` = last_epoch + interval, where
+    *    interval interpolates `maxIntervalS` (never changes) down to
+    *    `minIntervalS` (changes every fetch) linearly in change_rate —
+    *    integer arithmetic, floor division, engine-exact.
+    *
+    * Feed `next_due_epoch <= now` into [[schedule]] as the refetch
+    * candidate set. == 100 TB shape == ONE hash exchange on URL feeds
+    * both the lag window and the per-URL agg (same partitioning, no
+    * second shuffle); history tables are append-only parquet, so the
+    * expensive part — the full-history window — can run incrementally on
+    * recent partitions with `last_epoch` carried forward. */
+  def recrawlPriority(history: DataFrame, urlCol: String, epochCol: String,
+                      hashCol: String, minIntervalS: Long = 3600L,
+                      maxIntervalS: Long = 30L * 24 * 3600): DataFrame = {
+    require(minIntervalS >= 1 && maxIntervalS >= minIntervalS,
+      s"recrawlPriority: need 1 <= minIntervalS <= maxIntervalS " +
+        s"(got $minIntervalS, $maxIntervalS)")
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy(col(epochCol).asc, col(hashCol).asc)
+    val changed = when(
+      col(hashCol) =!= lag(col(hashCol), 1).over(w), 1L).otherwise(0L)
+    history
+      .withColumn("__chg", changed)
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum(col("__chg")).as("n_changes"),
+        max(col(epochCol)).cast("long").as("last_epoch"))
+      .withColumn("change_rate",
+        col("n_changes").cast("double") /
+          greatest(col("n_fetches") - 1, lit(1L)))
+      .withColumn("next_due_epoch",
+        col("last_epoch") + lit(maxIntervalS) -
+          floor((lit(maxIntervalS - minIntervalS) * col("n_changes")) /
+            greatest(col("n_fetches") - 1, lit(1L))))
+  }
 }

@@ -1985,6 +1985,38 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("recrawlPriority: change counting, rate bounds, interval interpolation, one exchange") {
+    import graft.ops.Frontier
+    val hist = Seq(
+      // static: 3 fetches, same hash → rate 0, next due at max interval
+      ("u1", 100L, "aaa"), ("u1", 200L, "aaa"), ("u1", 300L, "aaa"),
+      // always changing: 3 fetches, all distinct → rate 1, min interval
+      ("u2", 100L, "a"), ("u2", 200L, "b"), ("u2", 300L, "c"),
+      // half: one change in two transitions → rate 0.5
+      ("u3", 100L, "x"), ("u3", 200L, "x"), ("u3", 300L, "y"),
+      // single fetch: no evidence → rate 0
+      ("u4", 500L, "z"))
+      .toDF("url", "epoch", "h")
+    val got = Frontier.recrawlPriority(hist, "url", "epoch", "h",
+        minIntervalS = 10L, maxIntervalS = 110L)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toSeq
+    assert(got === Seq(
+      ("u1", 3L, 0L, 300L, 0.0, 410L),   // 300 + 110
+      ("u2", 3L, 2L, 300L, 1.0, 310L),   // 300 + 110 - 100
+      ("u3", 3L, 1L, 300L, 0.5, 360L),   // 300 + 110 - 50
+      ("u4", 1L, 0L, 500L, 0.0, 610L)))
+    // the window and the agg share one hash exchange on url
+    val plan = Frontier.recrawlPriority(hist, "url", "epoch", "h")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1)
+    intercept[IllegalArgumentException] {
+      Frontier.recrawlPriority(hist, "url", "epoch", "h", 100L, 10L)
+    }
+  }
+
   test("registeredDomain: PSL ladder, public-suffix hosts, IPs, degenerates") {
     import graft.ops.UrlFilter
     val cases = Seq(
