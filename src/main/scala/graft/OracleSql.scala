@@ -1357,6 +1357,40 @@ object OracleSql {
         greatest(n_fetches - 1, 1)) AS BIGINT) AS next_due_epoch
     FROM a"""
 
+  /** Sentence segmentation — q138. Replays TextAnalysis.splitSentences'
+    * marker algebra in DuckDB — the abbreviation list is the shared
+    * constant, chr(1)/chr(2) the same markers, `\1`-style backrefs where
+    * Spark uses `$1` (the one engine-syntax difference; patterns are
+    * identical). */
+  private val q138 = {
+    val chain0 = "regexp_replace(regexp_replace(t, " +
+      "'e\\.g\\.', 'e' || chr(1) || 'g' || chr(1), 'g'), " +
+      "'i\\.e\\.', 'i' || chr(1) || 'e' || chr(1), 'g')"
+    val abbrChain = graft.ops.TextAnalysis.Abbrevs.foldLeft(chain0) {
+      (e, a) => s"regexp_replace($e, '\\b$a\\.', '$a' || chr(1), 'g')"
+    }
+    val marked = s"regexp_replace(regexp_replace($abbrChain, " +
+      "'([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'), " +
+      "'([.!?]+)\\s+', '\\1' || chr(2), 'g')"
+    s"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') ||
+        ' Dr. Smith paid 3.5 dollars, e.g. at No. 7! Was it late? See Fig. 2 for details.' AS t
+      FROM documents),
+    m AS (SELECT doc_id, string_split($marked, chr(2)) AS parts FROM d),
+    x AS (SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+        i -> {'idx': i - 1, 's': parts[i]})) AS e
+      FROM m),
+    r AS (SELECT doc_id, e.idx AS raw_idx,
+        trim(regexp_replace(e.s, chr(1), '.', 'g')) AS sentence
+      FROM x),
+    f AS (SELECT doc_id, sentence,
+        row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS sent_idx
+      FROM r WHERE sentence <> '')
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+      CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM f"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3141,6 +3175,7 @@ object OracleSql {
     "q134_feed_parse"       -> q134,
     "q135_robots_sitemaps"  -> q135,
     "q136_registered_domain"-> q136,
-    "q137_recrawl_priority" -> q137
+    "q137_recrawl_priority" -> q137,
+    "q138_sentences"        -> q138
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2162,6 +2162,20 @@ object SparkEntry {
     graft.ops.Frontier.recrawlPriority(hist, "url", "epoch", "h")
   }
 
+  /** Sentence segmentation ([[graft.ops.TextAnalysis.sentences]]): corpus
+    * text plus a fixed tail exercising every protection rule — abbreviation
+    * dot (Dr., No., Fig.), decimal point, `e.g.`, and all three
+    * terminators. The oracle replays the marker chain in DuckDB from the
+    * same shared constants. */
+  private def q138Sentences(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val txt = concat(coalesce(col("text"), lit("")),
+      lit(" Dr. Smith paid 3.5 dollars, e.g. at No. 7! Was it late? " +
+        "See Fig. 2 for details."))
+    graft.ops.TextAnalysis.sentences(
+      t(s, dir, "documents").select(id, txt.as("text")), "text", Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2299,7 +2313,8 @@ object SparkEntry {
     "q134_feed_parse"       -> q134FeedParse _,
     "q135_robots_sitemaps"  -> q135RobotsSitemaps _,
     "q136_registered_domain"-> q136RegisteredDomain _,
-    "q137_recrawl_priority" -> q137RecrawlPriority _
+    "q137_recrawl_priority" -> q137RecrawlPriority _,
+    "q138_sentences"        -> q138Sentences _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

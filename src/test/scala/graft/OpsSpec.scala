@@ -1985,6 +1985,32 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("sentences: terminators, abbreviation/decimal/e.g. guards, empties, NULL") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "Dr. Smith arrived. He paid 3.5 dollars, e.g. with coins! Done? Yes."),
+      (2L, "No terminator at the end"),
+      (3L, "Multiple...   spaced.  "),
+      (4L, ""), (5L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs, "text", Seq("doc_id"))
+      .orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 0L, "Dr. Smith arrived."),
+      (1L, 1L, "He paid 3.5 dollars, e.g. with coins!"),
+      (1L, 2L, "Done?"),
+      (1L, 3L, "Yes."),
+      (2L, 0L, "No terminator at the end"),
+      (3L, 0L, "Multiple..."),
+      (3L, 1L, "spaced.")))
+    // n_chars rides along; clash guard refuses
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sentences(docs.withColumn("sentence", lit("x")), "text",
+        Seq("doc_id"))
+    }
+  }
+
   test("recrawlPriority: change counting, rate bounds, interval interpolation, one exchange") {
     import graft.ops.Frontier
     val hist = Seq(
