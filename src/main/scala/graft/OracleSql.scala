@@ -1391,6 +1391,34 @@ object OracleSql {
     FROM f"""
   }
 
+  /** Distributed prefix sum — q139. The oracle is the PLAIN ordered
+    * window sum; the Spark side's two-level range-partitioned
+    * decomposition must telescope to the identical running totals. */
+  private val q139 = """
+    SELECT doc_id, v,
+      SUM(v) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+        AS running_sum
+    FROM (SELECT doc_id, CAST((doc_id * 7) % 101 + 1 AS BIGINT) AS v
+          FROM documents)"""
+
+  /** Crawl-budget apportionment — q140. Mirrors the telescoping quota
+    * over the host-ascending cumulative weight with HUGEINT floor
+    * division (Spark side: decimal `div` = divideToIntegralValue);
+    * weight <= 0 hosts keep audit rows with quota 0 and NULL cum. */
+  private val q140 = """
+    WITH h AS (SELECT 'h' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS host,
+        CAST((doc_id * 13) % 97 - 3 AS BIGINT) AS weight FROM documents),
+    p AS (SELECT host, weight,
+        SUM(weight) OVER (ORDER BY host ASC ROWS UNBOUNDED PRECEDING) AS cum_w
+      FROM h WHERE weight > 0),
+    t AS (SELECT MAX(cum_w) AS total_w FROM p)
+    SELECT host, weight, cum_w,
+      CAST((100000::HUGEINT * cum_w) // total_w -
+           (100000::HUGEINT * (cum_w - weight)) // total_w AS BIGINT) AS quota
+    FROM p, t
+    UNION ALL
+    SELECT host, weight, NULL, CAST(0 AS BIGINT) FROM h WHERE weight <= 0"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3176,6 +3204,8 @@ object OracleSql {
     "q135_robots_sitemaps"  -> q135,
     "q136_registered_domain"-> q136,
     "q137_recrawl_priority" -> q137,
-    "q138_sentences"        -> q138
+    "q138_sentences"        -> q138,
+    "q139_prefix_sum"       -> q139,
+    "q140_budget_alloc"     -> q140
   ).map { case (k, v) => k -> clean(v) }
 }

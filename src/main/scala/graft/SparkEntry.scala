@@ -2176,6 +2176,32 @@ object SparkEntry {
       t(s, dir, "documents").select(id, txt.as("text")), "text", Seq("doc_id"))
   }
 
+  /** Distributed prefix sum ([[graft.ops.PrefixSum.runningSum]]): running
+    * total of a doc_id-derived integral value over doc_id order, computed
+    * with the two-level range-partitioned decomposition — the oracle is
+    * DuckDB's ordinary ordered window sum, so any offset/boundary bug in
+    * the distributed form diverges immediately. */
+  private def q139PrefixSum(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val df = t(s, dir, "documents")
+      .select(id, (pmod(id * 7, lit(101)) + 1).cast("long").as("v"))
+    graft.ops.PrefixSum.runningSum(df, Seq("doc_id"), "v")
+  }
+
+  /** Crawl-budget apportionment ([[graft.ops.Frontier.allocateBudget]]):
+    * each doc a host (zero-padded so lexicographic host order is numeric
+    * order in both engines) with weights spanning negatives and zero
+    * (quota-0 audit rows) and a 100k-page budget. The oracle mirrors the
+    * cumulative-weight telescoping with HUGEINT floor division — quotas
+    * must sum to exactly the budget. */
+  private def q140BudgetAlloc(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val hosts = t(s, dir, "documents").select(
+      concat(lit("h"), lpad(id.cast("string"), 6, "0")).as("host"),
+      (pmod(id * 13, lit(97)) - 3).cast("long").as("w"))
+    graft.ops.Frontier.allocateBudget(hosts, "host", "w", 100000L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2314,7 +2340,9 @@ object SparkEntry {
     "q135_robots_sitemaps"  -> q135RobotsSitemaps _,
     "q136_registered_domain"-> q136RegisteredDomain _,
     "q137_recrawl_priority" -> q137RecrawlPriority _,
-    "q138_sentences"        -> q138Sentences _
+    "q138_sentences"        -> q138Sentences _,
+    "q139_prefix_sum"       -> q139PrefixSum _,
+    "q140_budget_alloc"     -> q140BudgetAlloc _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

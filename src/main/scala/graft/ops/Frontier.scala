@@ -106,4 +106,52 @@ object Frontier {
           floor((lit(maxIntervalS - minIntervalS) * col("n_changes")) /
             greatest(col("n_fetches") - 1, lit(1L))))
   }
+
+  /** Per-host crawl-budget apportionment: split a fetch budget of
+    * `totalBudget` pages across hosts PROPORTIONALLY to an integral
+    * weight (typically [[Graph.pageRank]]'s integer-scaled ranks over
+    * [[LinkGraph.hostGraph]] — the quality prior as crawl allocation).
+    * Exact-sum telescoping over the cumulative weight instead of
+    * largest-remainder ranking:
+    *
+    *   `quota(h) = ⌊B·cum(h)/W⌋ − ⌊B·(cum(h)−w(h))/W⌋`
+    *
+    * where `cum` is the running weight in host-ascending order (a
+    * stable, auditable convention) — quotas telescope to exactly
+    * `totalBudget`, every host gets within ±1 of its real share, and no
+    * global top-R selection is needed: the cumulative sum comes from
+    * [[PrefixSum.runningSum]], so the op scales to hundred-million-host
+    * frames without a single-partition window. Arithmetic is
+    * decimal×long with integral division (`div`) — bit-exact while
+    * `totalBudget × total_weight < 10^38` (require-guarded to 10^12 ×
+    * implied 10^24 headroom). Hosts with weight ≤ 0 keep a row with
+    * quota 0 (audit-over-silent-drop). */
+  def allocateBudget(hosts: DataFrame, hostCol: String, weightCol: String,
+                     totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0 && totalBudget <= 1000000000000L,
+      s"allocateBudget: totalBudget=$totalBudget outside [0, 1e12] " +
+        "(the documented exactness bound)")
+    val clash = Seq("host", "weight", "cum_w", "quota")
+      .filter(hosts.columns.contains(_)) diff Seq(hostCol, weightCol)
+    require(clash.isEmpty,
+      s"allocateBudget: input already has output column(s) ${clash.mkString(", ")}")
+    val base = hosts.select(col(hostCol).as("host"),
+      col(weightCol).cast("long").as("weight"))
+    val pos = base.filter(col("weight") > 0)
+    val cum = PrefixSum.runningSum(pos, Seq("host"), "weight", "cum_w")
+    val tot = cum.agg(max(col("cum_w")).as("__total_w"))
+    // SQL `div` = exact divideToIntegralValue on decimals (the `/`
+    // operator rounds at the result scale — a floor() on top of it can
+    // carry x.999…9 up and break the telescoping sum)
+    val bd = s"CAST($totalBudget AS DECIMAL(20,0))"
+    val alloc = cum.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        expr(s"($bd * cum_w) div __total_w") -
+          expr(s"($bd * (cum_w - weight)) div __total_w"))
+      .drop("__total_w")
+    alloc.unionByName(
+      base.filter(col("weight") <= 0)
+        .withColumn("cum_w", lit(null).cast("long"))
+        .withColumn("quota", lit(0L)))
+  }
 }

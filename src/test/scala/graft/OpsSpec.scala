@@ -1985,6 +1985,56 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("prefixSum: equals the naive cumsum under any partitioning; no global data window") {
+    import graft.ops.PrefixSum
+    val vals = (1L to 200L).map(i => (i, (i * 7) % 13 + 1))
+    val expected = vals.scanLeft((0L, 0L)) { case ((_, acc), (i, v)) =>
+      (i, acc + v) }.tail.toMap
+    for (parts <- Seq(1, 3, 17)) {
+      val df = spark.createDataFrame(vals).toDF("k", "v")
+        .repartition(parts) // arbitrary incoming layout
+      val got = PrefixSum.runningSum(df, Seq("k"), "v", numPartitions = 7)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("running_sum"))
+        .toMap
+      assert(got === expected, s"incoming partitions: $parts")
+    }
+    // the data-sized window is partitioned (by pid); only the
+    // numPartitions-row offset window is global
+    val plan = PrefixSum.runningSum(
+      spark.createDataFrame(vals).toDF("k", "v"), Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"))
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSum(
+        spark.createDataFrame(vals).toDF("k", "running_sum"), Seq("k"),
+        "running_sum")
+    }
+  }
+
+  test("allocateBudget: quotas sum exactly to budget, proportional within 1, audit rows") {
+    import graft.ops.Frontier
+    val hosts = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L),
+      ("zero", 0L), ("neg", -7L)).toDF("h", "w")
+    val got = Frontier.allocateBudget(hosts, "h", "w", 97L)
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("weight"), r.getAs[Long]("quota"))).toMap
+    assert(got.values.map(_._2).sum === 97L)        // exact telescoping
+    assert(got("zero") === ((0L, 0L)) && got("neg") === ((-7L, 0L)))
+    // each positive host within 1 of its real share
+    Seq("a" -> 50L, "b" -> 30L, "c" -> 15L, "d" -> 5L).foreach {
+      case (h, w) =>
+        val share = 97.0 * w / 100.0
+        assert(math.abs(got(h)._2 - share) < 1.0, s"host $h quota ${got(h)._2}")
+    }
+    // budget smaller than host count: still exact
+    val tiny = Frontier.allocateBudget(hosts, "h", "w", 2L)
+      .agg(sum("quota")).collect()(0).getLong(0)
+    assert(tiny === 2L)
+    intercept[IllegalArgumentException] {
+      Frontier.allocateBudget(hosts, "h", "w", -1L)
+    }
+  }
+
   test("sentences: terminators, abbreviation/decimal/e.g. guards, empties, NULL") {
     import graft.ops.TextAnalysis
     val docs = Seq(
