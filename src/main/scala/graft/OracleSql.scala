@@ -1419,6 +1419,17 @@ object OracleSql {
     UNION ALL
     SELECT host, weight, NULL, CAST(0 AS BIGINT) FROM h WHERE weight <= 0"""
 
+  /** Crawl-delay — q141. First principles: exact-agent shadowing, the
+    * `*` fallback, the gated parse, absence, and the multi-UA run each
+    * have one correct verdict per doc_id%5. */
+  private val q141 = """
+    SELECT doc_id, 'h' || doc_id || '.org' AS host,
+      CAST(CASE WHEN doc_id % 5 = 0 THEN 1.5
+           WHEN doc_id % 5 = 1 THEN 10.0
+           WHEN doc_id % 5 = 4 THEN 3.0
+           ELSE NULL END AS DOUBLE) AS crawl_delay
+    FROM documents"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3206,6 +3217,7 @@ object OracleSql {
     "q137_recrawl_priority" -> q137,
     "q138_sentences"        -> q138,
     "q139_prefix_sum"       -> q139,
-    "q140_budget_alloc"     -> q140
+    "q140_budget_alloc"     -> q140,
+    "q141_crawl_delay"      -> q141
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2202,6 +2202,30 @@ object SparkEntry {
     graft.ops.Frontier.allocateBudget(hosts, "host", "w", 100000L)
   }
 
+  /** Crawl-delay extraction ([[graft.ops.RobotsTxt.crawlDelay]]) for
+    * agent `graftbot`: hosts by doc_id%5 — 0 graftbot 1.5 shadowing a
+    * `*` 10 (exact wins), 1 `*`-only 10, 2 invalid value → NULL,
+    * 3 no directive → NULL, 4 multi-UA run carrying 3 → applies.
+    * First-principles oracle. */
+  private def q141CrawlDelay(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(5))
+    val txt = when(m === 0, lit(
+        "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n" +
+          "User-agent: *\nCrawl-delay: 10\n"))
+      .when(m === 1, lit("User-agent: *\nCrawl-delay: 10\n"))
+      .when(m === 2, lit("User-agent: *\nCrawl-delay: fast\n"))
+      .when(m === 3, lit("User-agent: *\nDisallow: /tmp\n"))
+      .otherwise(lit(
+        "User-agent: otherbot\nUser-agent: graftbot\nCrawl-delay: 3\n"))
+    graft.ops.RobotsTxt.crawlDelay(
+      t(s, dir, "documents")
+        .select(id, concat(lit("h"), id, lit(".org")).as("host"),
+          txt.as("robots_txt")),
+      userAgent = "graftbot")
+      .select(col("doc_id"), col("host"), col("crawl_delay"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2342,7 +2366,8 @@ object SparkEntry {
     "q137_recrawl_priority" -> q137RecrawlPriority _,
     "q138_sentences"        -> q138Sentences _,
     "q139_prefix_sum"       -> q139PrefixSum _,
-    "q140_budget_alloc"     -> q140BudgetAlloc _
+    "q140_budget_alloc"     -> q140BudgetAlloc _,
+    "q141_crawl_delay"      -> q141CrawlDelay _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

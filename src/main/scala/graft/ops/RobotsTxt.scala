@@ -81,6 +81,57 @@ object RobotsTxt {
       .select(col("host"), col("r.allow").as("allow"), col("r.path").as("path"))
   }
 
+  /** Per-host `Crawl-delay` (the de-facto politeness directive — absent
+    * from RFC 9309 but honored by Bing/Yandex and half the web's robots
+    * files; a fetch scheduler multiplies it straight into
+    * [[Frontier.schedule]]'s round pacing). GROUP-SCOPED exactly like
+    * Allow/Disallow ([[parseRules]]' selection: exact agent shadows `*`,
+    * multi-UA runs, orphaned directives ignored): adds `crawl_delay`
+    * (double seconds) to each host row — NULL when the selected groups
+    * carry none or the value doesn't parse (gated, never an error).
+    * Multiple applicable values take the MAX — the most conservative
+    * reading is the polite one. Row-local array algebra, zero
+    * shuffles. */
+  def crawlDelay(robots: DataFrame, hostCol: String = "host",
+                 textCol: String = "robots_txt",
+                 userAgent: String = "*"): DataFrame = {
+    require(!robots.columns.contains("crawl_delay"),
+      "crawlDelay: input already has output column crawl_delay")
+    val agent = userAgent.toLowerCase
+    val lines = transform(
+      split(coalesce(col(textCol), lit("")), "\r\n|\r|\n"),
+      l => trim(regexp_replace(l, "#.*", "")))
+    val idx = sequence(lit(0), size(lines) - 1)
+    def lineAt0(i: Column) = element_at(lines, i + 1)
+    def isUa(i: Column) = lineAt0(i).rlike(UaRe)
+    def uaVal(i: Column) = lower(trim(regexp_replace(lineAt0(i), UaRe, "")))
+    val DelayRe = "(?i)^crawl-delay\\s*:"
+    def isDelay(i: Column) = lineAt0(i).rlike(DelayRe)
+    def delayVal(i: Column) = trim(regexp_replace(lineAt0(i), DelayRe, ""))
+    val uaIdx = filter(idx, i => isUa(i))
+    val hasExact = exists(uaIdx, u => uaVal(u) === lit(agent))
+    val wanted = when(hasExact, lit(agent)).otherwise(lit("*"))
+    // same run-reconstruction as parseRules: the delay at line d belongs
+    // to the consecutive UA run ending at the nearest ua-line p < d
+    val applicable = transform(
+      filter(idx, i => isDelay(i)),
+      d => {
+        val p = array_max(filter(uaIdx, u => u < d))
+        val run = filter(uaIdx, u =>
+          u <= p && (p - u + 1) === size(filter(uaIdx, x => x >= u && x <= p)))
+        struct(
+          exists(run, u => uaVal(u) === wanted).as("applies"),
+          delayVal(d).as("v"))
+      })
+    val vals = filter(
+      transform(filter(applicable, s => s("applies")),
+        s => when(s("v").rlike("^[0-9]+(\\.[0-9]+)?$"),
+          s("v").cast("double"))),
+      v => v.isNotNull)
+    robots.withColumn("crawl_delay",
+      when(size(vals) > 0, array_max(vals)))
+  }
+
   /** Sitemap discovery from robots.txt: RFC 9309 §2.3's `Sitemap:`
     * records are GROUP-INDEPENDENT (legal anywhere in the file, not owned
     * by any User-agent group — a different scoping than Allow/Disallow,

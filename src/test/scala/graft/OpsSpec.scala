@@ -1985,6 +1985,27 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("crawlDelay: group scoping, shadowing, max-of-applicable, gates, orphans") {
+    import graft.ops.RobotsTxt
+    val robots = Seq(
+      // exact agent shadows *: 1.5 wins over 10
+      ("a", "User-agent: bot\nCrawl-delay: 1.5\nUser-agent: *\nCrawl-delay: 10"),
+      // two applicable delays → max (the polite reading)
+      ("b", "User-agent: bot\nCrawl-delay: 2\nUser-agent: bot\nCrawl-delay: 7"),
+      // orphaned delay before any UA line → ignored; rest absent
+      ("c", "Crawl-delay: 9\nUser-agent: bot\nDisallow: /x"),
+      // invalid value gated → NULL
+      ("d", "User-agent: bot\nCrawl-delay: soonish"),
+      ("e", null))
+      .toDF("host", "robots_txt")
+    val got = RobotsTxt.crawlDelay(robots, userAgent = "Bot")
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got === Map("a" -> Some(1.5), "b" -> Some(7.0), "c" -> None,
+      "d" -> None, "e" -> None))
+  }
+
   test("prefixSum: equals the naive cumsum under any partitioning; no global data window") {
     import graft.ops.PrefixSum
     val vals = (1L to 200L).map(i => (i, (i * 7) % 13 + 1))
