@@ -1430,6 +1430,15 @@ object OracleSql {
            ELSE NULL END AS DOUBLE) AS crawl_delay
     FROM documents"""
 
+  /** WARC revisit records — q142. First principles: revisit rows are
+    * exactly the doc_id%3 == 0 captures with the synthesized referred
+    * URI and digest — a parser that leaks responses into the revisit
+    * frame (or drops optional headers) diverges. */
+  private val q142 = """
+    SELECT doc_id, 'https://ex.org/doc/' || (doc_id % 40) AS refers_to_uri,
+      'sha1:D' || (doc_id % 16) AS payload_digest
+    FROM documents WHERE doc_id % 3 = 0"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3218,6 +3227,7 @@ object OracleSql {
     "q138_sentences"        -> q138,
     "q139_prefix_sum"       -> q139,
     "q140_budget_alloc"     -> q140,
-    "q141_crawl_delay"      -> q141
+    "q141_crawl_delay"      -> q141,
+    "q142_warc_revisit"     -> q142
   ).map { case (k, v) => k -> clean(v) }
 }

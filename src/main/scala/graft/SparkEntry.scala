@@ -2226,6 +2226,40 @@ object SparkEntry {
       .select(col("doc_id"), col("host"), col("crawl_delay"))
   }
 
+  /** WARC revisit records ([[graft.load.Warc.parseWarcFilesAll]]): every
+    * doc writes a response record; every 3rd doc adds a REVISIT capture
+    * of the same URL referring to its canonical doc_id%40 target with a
+    * doc_id%16 payload digest. The real parser must keep the two record
+    * kinds apart (responses out of the revisit frame and vice versa) and
+    * surface both optional headers. First-principles oracle. */
+  private def q142WarcRevisit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(8)).cast("long").as("bucket"),
+        col("doc_id").as("id"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .as[(Long, Seq[Long])]
+    val files = grouped.map { case (bucket, ids) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ids.foreach { id =>
+        val url = s"https://ex.org/doc/$id"
+        val ts = java.time.Instant.ofEpochSecond(1704067200L + id).toString
+        bos.write(graft.load.Warc.encodeResponseGz(url, ts,
+          s"<html><body><p>doc $id</p></body></html>"))
+        if (id % 3 == 0)
+          bos.write(graft.load.Warc.encodeRevisitGz(url,
+            java.time.Instant.ofEpochSecond(1704067200L + id + 86400).toString,
+            s"https://ex.org/doc/${id % 40}", s"sha1:D${id % 16}"))
+      }
+      (f"revisit-$bucket%02d.warc.gz", bos.toByteArray)
+    }
+    val (_, revisit, _) = graft.load.Warc.parseWarcFilesAll(files)
+    revisit.select(
+      regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      col("refers_to_uri"), col("payload_digest"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2367,7 +2401,8 @@ object SparkEntry {
     "q138_sentences"        -> q138Sentences _,
     "q139_prefix_sum"       -> q139PrefixSum _,
     "q140_budget_alloc"     -> q140BudgetAlloc _,
-    "q141_crawl_delay"      -> q141CrawlDelay _
+    "q141_crawl_delay"      -> q141CrawlDelay _,
+    "q142_warc_revisit"     -> q142WarcRevisit _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -50,22 +50,32 @@ object Warc {
     * (NULL = clean). Kept flat so one flatMap pass feeds both outputs. */
   private[graft] case class Parsed(
       warc_file: String,
+      record_type: String,
       url: String,
       fetch_ts: java.sql.Timestamp,
       html: String,
       http_status: Int,
       content_type: String,
       charset: String,
+      refers_to_uri: String,
+      payload_digest: String,
       error_reason: String,
       snippet: String)
 
   private def clean(file: String, url: String, ts: java.sql.Timestamp,
                     html: String, status: Int, ctype: String,
                     charset: String): Parsed =
-    Parsed(file, url, ts, html, status, ctype, charset, null, null)
+    Parsed(file, "response", url, ts, html, status, ctype, charset,
+      null, null, null, null)
+
+  private def revisitRow(file: String, url: String, ts: java.sql.Timestamp,
+                         refersTo: String, digest: String): Parsed =
+    Parsed(file, "revisit", url, ts, null, 0, null, null, refersTo, digest,
+      null, null)
 
   private def dirty(file: String, reason: String, snippet: String): Parsed =
-    Parsed(file, null, null, null, 0, null, null, reason, snippet.take(200))
+    Parsed(file, "dirty", null, null, null, 0, null, null, null, null,
+      reason, snippet.take(200))
 
   // ----------------------------------------------------------------- bytes
 
@@ -211,7 +221,33 @@ object Warc {
                     Charsets.decode(data, bodyStart, pEnd - bodyStart, ctype)
                   out += clean(file, uri, tsOpt.get, text, status, ctype, cs)
                 }
-              } // non-response types are structure, not content — skip
+              } else if (headers.getOrElse("warc-type", "")
+                  .equalsIgnoreCase("revisit")) {
+                // revisit = "fetched again, content unchanged" (ISO 28500
+                // §6.7.2) — the crawler-side dedup signal: no payload, but
+                // the digest + referred URI tell the pipeline which earlier
+                // capture this fetch duplicates. Same field validation as
+                // response records; WARC 1.0 <uri> brackets accepted on
+                // both URI headers.
+                val uri = headers.getOrElse("warc-target-uri", "")
+                  .stripPrefix("<").stripSuffix(">")
+                val tsOpt = headers.get("warc-date").flatMap { d =>
+                  try Some(java.sql.Timestamp.from(java.time.Instant.parse(d)))
+                  catch { case _: java.time.format.DateTimeParseException => None }
+                }
+                if (uri.isEmpty)
+                  out += dirty(file, "revisit record missing WARC-Target-URI",
+                    firstLine)
+                else if (tsOpt.isEmpty)
+                  out += dirty(file,
+                    "revisit record missing or invalid WARC-Date",
+                    s"$firstLine uri=$uri")
+                else
+                  out += revisitRow(file, uri, tsOpt.get,
+                    headers.getOrElse("warc-refers-to-target-uri", "")
+                      .stripPrefix("<").stripSuffix(">"),
+                    headers.getOrElse("warc-payload-digest", ""))
+              } // other types (warcinfo/request/metadata) are structure — skip
               pos = pEnd
           }
         }
@@ -256,6 +292,29 @@ object Warc {
     gzipMember(header ++ http ++ body ++ "\r\n\r\n".getBytes(ISO_8859_1))
   }
 
+  /** One gzip member holding one revisit record — the writer half for
+    * q142/spec fixtures and re-crawl interchange. `refersTo`/`digest`
+    * empty strings omit their headers (the fields are optional by
+    * spec). */
+  def encodeRevisitGz(url: String, fetchTsIso: String, refersTo: String,
+                      digest: String): Array[Byte] = {
+    val rid = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"revisit:$url@$fetchTsIso".getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+    val opt =
+      (if (refersTo.nonEmpty) s"WARC-Refers-To-Target-URI: $refersTo\r\n" else "") +
+        (if (digest.nonEmpty) s"WARC-Payload-Digest: $digest\r\n" else "")
+    val header = (s"WARC/1.0\r\n" +
+      s"WARC-Type: revisit\r\n" +
+      s"WARC-Record-ID: <urn:graft:$rid>\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: $fetchTsIso\r\n" +
+      opt +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: 0\r\n\r\n").getBytes(ISO_8859_1)
+    gzipMember(header ++ "\r\n\r\n".getBytes(ISO_8859_1))
+  }
+
   /** A minimal warcinfo header record (every real WARC file leads with one
     * — the parser must skip it, and spec/q121 fixtures prove it does). */
   def encodeWarcinfoGz(filename: String): Array[Byte] = {
@@ -289,15 +348,32 @@ object Warc {
     * (q121/q129/q130) and other container transports run the identical
     * parser. */
   def parseWarcFiles(files: Dataset[(String, Array[Byte])]): (DataFrame, DataFrame) = {
+    val (clean, _, dirtyDf) = parseWarcFilesAll(files)
+    (clean, dirtyDf)
+  }
+
+  /** [[parseWarcFiles]] plus the REVISIT frame: `(warc_file, url,
+    * fetch_ts, refers_to_uri, payload_digest)` — one row per
+    * `WARC-Type: revisit` record (ISO 28500 §6.7.2, how Common Crawl
+    * marks "fetched again, content unchanged"). The revisit frame is the
+    * crawl-side dedup input: join `payload_digest` against the response
+    * tier's content digests to resolve duplicates WITHOUT refetching or
+    * re-hashing. Malformed revisit records route dirty like response
+    * records (same reasons, `revisit` wording). */
+  def parseWarcFilesAll(files: Dataset[(String, Array[Byte])])
+      : (DataFrame, DataFrame, DataFrame) = {
     val sp = files.sparkSession
     import sp.implicits._
     val parsed = files.flatMap { case (path, bytes) => parseFile(path, bytes) }
-    val clean = parsed.filter(col("error_reason").isNull)
+    val clean = parsed.filter(col("record_type") === "response")
       .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"),
         col("http_status"), col("content_type"), col("charset"))
-    val dirtyDf = parsed.filter(col("error_reason").isNotNull)
+    val revisit = parsed.filter(col("record_type") === "revisit")
+      .select(col("warc_file"), col("url"), col("fetch_ts"),
+        col("refers_to_uri"), col("payload_digest"))
+    val dirtyDf = parsed.filter(col("record_type") === "dirty")
       .select(col("warc_file"), col("error_reason"), col("snippet"))
-    (clean, dirtyDf)
+    (clean, revisit, dirtyDf)
   }
 
   /** Read WARC files (`.warc` / `.warc.gz`, Common Crawl member-per-record

@@ -374,6 +374,32 @@ class DocumentSourcesSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("WARC revisit records: own frame, optional headers, malformed routes dirty") {
+    val ts = "2024-02-01T00:00:00Z"
+    val full = Warc.encodeRevisitGz("https://a.org/p", ts,
+      "https://a.org/canonical", "sha1:ABC")
+    val bare = Warc.encodeRevisitGz("https://a.org/q", ts, "", "")
+    val resp = Warc.encodeResponseGz("https://a.org/r", ts, "<p>x</p>")
+    // a revisit with a broken date must route dirty, then resync
+    val bad = Warc.gzipMember(
+      ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+        "WARC-Target-URI: https://a.org/bad\r\nWARC-Date: nope\r\n" +
+        "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("ISO-8859-1"))
+    val files = Seq(("m.warc.gz", full ++ bare ++ resp ++ bad))
+      .toDS().map(identity)
+    val (clean, revisit, dirty) = Warc.parseWarcFilesAll(files)
+    assert(clean.select("url").collect().map(_.getString(0)).toSeq ===
+      Seq("https://a.org/r")) // responses never leak into the revisit frame
+    val rv = revisit.orderBy("url").collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("refers_to_uri"),
+        r.getAs[String]("payload_digest"))).toSeq
+    assert(rv === Seq(
+      ("https://a.org/p", "https://a.org/canonical", "sha1:ABC"),
+      ("https://a.org/q", "", ""))) // optional headers read ''
+    val d = dirty.collect().map(_.getAs[String]("error_reason")).toSeq
+    assert(d === Seq("revisit record missing or invalid WARC-Date"))
+  }
+
   test("WARC: HTTP status line + Content-Type surface as columns; fetchOk gates on them") {
     val dir = tmpDir("graft_warc_http")
     val bos = new java.io.ByteArrayOutputStream()
