@@ -1439,6 +1439,25 @@ object OracleSql {
       'sha1:D' || (doc_id % 16) AS payload_digest
     FROM documents WHERE doc_id % 3 = 0"""
 
+  /** ASCII folding — q143. The fold table is TextAnalysis.AsciiFolds
+    * verbatim as a DuckDB literal replace chain (the q128 shared-constant
+    * pattern) — one source of truth, so a table edit cannot leave the
+    * oracle stale. */
+  private val q143 = {
+    def esc(s: String) = s.replace("'", "''")
+    val chain = graft.ops.TextAnalysis.AsciiFolds.foldLeft("t") {
+      case (e, (f, to)) => s"replace($e, '${esc(f)}', '${esc(to)}')" }
+    s"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') ||
+        CASE WHEN doc_id % 4 = 0 THEN ' Café “smart” — naïve…'
+             WHEN doc_id % 4 = 1 THEN ' Ævar straße œuvre'
+             WHEN doc_id % 4 = 2 THEN ' Привет 安全'
+             ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id, md5($chain) AS folded_md5, $chain <> t AS changed
+    FROM d"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3228,6 +3247,7 @@ object OracleSql {
     "q139_prefix_sum"       -> q139,
     "q140_budget_alloc"     -> q140,
     "q141_crawl_delay"      -> q141,
-    "q142_warc_revisit"     -> q142
+    "q142_warc_revisit"     -> q142,
+    "q143_ascii_fold"       -> q143
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2260,6 +2260,24 @@ object SparkEntry {
       col("refers_to_uri"), col("payload_digest"))
   }
 
+  /** ASCII folding ([[graft.ops.TextAnalysis.asciiFold]]): corpus text
+    * suffixed by doc_id%4 with accents + typographic punctuation, a
+    * 2-char-expansion sample (ß/æ/œ), and a Cyrillic/CJK run that must
+    * pass through UNTOUCHED. Oracle = the same fold table as a DuckDB
+    * literal replace chain. */
+  private def q143AsciiFold(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(4))
+    val txt = concat(coalesce(col("text"), lit("")),
+      when(m === 0, lit(" Café “smart” — naïve…"))
+        .when(m === 1, lit(" Ævar straße œuvre"))
+        .when(m === 2, lit(" Привет 安全"))
+        .otherwise(lit("")))
+    val folded = graft.ops.TextAnalysis.asciiFold(txt)
+    t(s, dir, "documents").select(id,
+      md5(folded).as("folded_md5"), (folded =!= txt).as("changed"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2402,7 +2420,8 @@ object SparkEntry {
     "q139_prefix_sum"       -> q139PrefixSum _,
     "q140_budget_alloc"     -> q140BudgetAlloc _,
     "q141_crawl_delay"      -> q141CrawlDelay _,
-    "q142_warc_revisit"     -> q142WarcRevisit _
+    "q142_warc_revisit"     -> q142WarcRevisit _,
+    "q143_ascii_fold"       -> q143AsciiFold _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

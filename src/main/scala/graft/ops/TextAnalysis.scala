@@ -135,6 +135,45 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(normalizeText(text))
 
+  /** ASCII-folding table — ordered literal replacements, one source of
+    * truth for [[asciiFold]] and its oracle mirror (the
+    * [[Mojibake.repair]] marker-table pattern). Latin-1/Latin-Extended
+    * letters to their base ASCII, the typographic punctuation the web
+    * actually serves (smart quotes, en/em dashes, ellipsis, NBSP,
+    * guillemets), and the 2-char expansions (ß→ss, æ→ae, œ→oe). */
+  private[graft] val AsciiFolds: Seq[(String, String)] = Seq(
+    "á"->"a","à"->"a","â"->"a","ä"->"a","ã"->"a","å"->"a",
+    "é"->"e","è"->"e","ê"->"e","ë"->"e",
+    "í"->"i","ì"->"i","î"->"i","ï"->"i",
+    "ó"->"o","ò"->"o","ô"->"o","ö"->"o","õ"->"o","ø"->"o",
+    "ú"->"u","ù"->"u","û"->"u","ü"->"u",
+    "ý"->"y","ÿ"->"y","ñ"->"n","ç"->"c",
+    "Á"->"A","À"->"A","Â"->"A","Ä"->"A","Ã"->"A","Å"->"A",
+    "É"->"E","È"->"E","Ê"->"E","Ë"->"E",
+    "Í"->"I","Ì"->"I","Î"->"I","Ï"->"I",
+    "Ó"->"O","Ò"->"O","Ô"->"O","Ö"->"O","Õ"->"O","Ø"->"O",
+    "Ú"->"U","Ù"->"U","Û"->"U","Ü"->"U",
+    "Ý"->"Y","Ñ"->"N","Ç"->"C",
+    "ß"->"ss","æ"->"ae","œ"->"oe","Æ"->"AE","Œ"->"OE",
+    "’"->"'","‘"->"'","“"->"\"","”"->"\"",
+    "–"->"-","—"->"-","…"->"...",
+    "«"->"\"","»"->"\""," "->" ")
+
+  /** ASCII transliteration — the matching/dedup normalizer a multilingual
+    * corpus needs on top of [[unicodeNormalize]]: "café" and "cafe",
+    * "don’t" and "don't", "naïve—yes" and "naive-yes" should share dedup
+    * keys and blocklist hits, but byte-level hashing keeps them apart.
+    * A FIXED ordered literal-replace chain over [[AsciiFolds]] (not
+    * java.text.Normalizer decomposition, which is JVM-only and
+    * unmirrorable) — deterministic, engine-exact, pass-through for
+    * characters outside the table (CJK/Cyrillic text is NOT mangled into
+    * mojibake: folding only touches the Latin + punctuation subset).
+    * O(table) compiled scans per row, the q128 shape; zero shuffles. */
+  def asciiFold(text: Column): Column =
+    AsciiFolds.foldLeft(coalesce(text, lit(""))) { case (c, (from, to)) =>
+      regexp_replace(c, lit(java.util.regex.Pattern.quote(from)),
+        lit(java.util.regex.Matcher.quoteReplacement(to))) }
+
   /** Sentence-segmentation abbreviation guard: dot-terminated tokens that
     * do NOT end a sentence. Frozen list (the stopword/PSL precedent);
     * `e.g.`/`i.e.` handle their internal dots as special pairs in

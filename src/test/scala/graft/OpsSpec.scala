@@ -1985,6 +1985,25 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("asciiFold: accents, expansions, typographic punctuation, non-Latin pass-through") {
+    import graft.ops.TextAnalysis
+    val cases = Seq(
+      "Café naïve" -> "Cafe naive",
+      "straße Æon œuvre" -> "strasse AEon oeuvre",
+      "don’t “quote” – dash… «x»" -> "don't \"quote\" - dash... \"x\"",
+      "Привет 安全 ελληνικά" -> "Привет 安全 ελληνικά", // untouched scripts
+      "ASCII stays" -> "ASCII stays",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.asciiFold(col("t")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"input: $in") }
+    // NULL reads as ''
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(TextAnalysis.asciiFold(col("t"))).collect()(0).getString(0)
+    assert(n === "")
+  }
+
   test("crawlDelay: group scoping, shadowing, max-of-applicable, gates, orphans") {
     import graft.ops.RobotsTxt
     val robots = Seq(
