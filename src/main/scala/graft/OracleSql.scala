@@ -1458,6 +1458,42 @@ object OracleSql {
     FROM d"""
   }
 
+  /** HTML → Markdown — q144. Replays Boilerplate.MarkdownRules +
+    * MarkdownCleanup verbatim: `$N` replacements become RE2 `\N`,
+    * literal newlines become chr(10) concatenations. */
+  private val q144 = {
+    val b = graft.ops.Boilerplate
+    def repl(r: String): String = {
+      val parts = r.replace("$", "\\").split("\n", -1)
+        .map(p => "'" + p.replace("'", "''") + "'")
+      parts.mkString(" || chr(10) || ")
+    }
+    var e = s"regexp_replace(h, '${sqlRe(b.DropRe)}', ' ', 'g')"
+    b.MarkdownRules.foreach { case (re, r) =>
+      e = s"regexp_replace($e, '${sqlRe(re)}', ${repl(r)}, 'g')" }
+    e = s"replace(replace(replace(replace(replace(replace($e, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&')"
+    b.MarkdownCleanup.foreach { case (re, r) =>
+      e = s"regexp_replace($e, '${sqlRe(re)}', ${repl(r)}, 'g')" }
+    val md = s"trim($e, ' ' || chr(9) || chr(10))"
+    s"""
+    WITH p AS (SELECT doc_id,
+        '<html><head><script>var a = 1 < 2;</script></head><body>'
+        || '<h1>Title &amp; doc ' || doc_id || '</h1>'
+        || '<p>Intro with <a href="https://ex.org/ref/' || (doc_id % 9)
+        || '">a link</a> and text.</p>'
+        || '<h2>Details</h2>'
+        || '<ul><li>first ' || doc_id || '</li><li>second</li></ul>'
+        || '<p>Closing   spaced.</p></body></html>' AS h
+      FROM documents),
+    m AS (SELECT doc_id, $md AS md FROM p)
+    SELECT doc_id, md5(md) AS md_md5,
+      CAST(length(md) AS BIGINT) AS n_chars,
+      regexp_extract(md, '^[^\\n]*', 0) AS first_line
+    FROM m"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3248,6 +3284,7 @@ object OracleSql {
     "q140_budget_alloc"     -> q140,
     "q141_crawl_delay"      -> q141,
     "q142_warc_revisit"     -> q142,
-    "q143_ascii_fold"       -> q143
+    "q143_ascii_fold"       -> q143,
+    "q144_html_markdown"    -> q144
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2278,6 +2278,29 @@ object SparkEntry {
       md5(folded).as("folded_md5"), (folded =!= txt).as("changed"))
   }
 
+  /** HTML → Markdown ([[graft.ops.Boilerplate.toMarkdown]]): pages with
+    * a script body to drop, h1/h2 headings, a quoted-href anchor, list
+    * items, entities, and double-spaced prose. The oracle replays the
+    * shared rule + cleanup tables in DuckDB (`\\N` backrefs, chr(10)
+    * newlines), so a rule edit or ordering drift diverges on every
+    * row. */
+  private def q144HtmlMarkdown(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><script>var a = 1 < 2;</script></head><body>"),
+      lit("<h1>Title &amp; doc "), id, lit("</h1>"),
+      lit("<p>Intro with <a href=\"https://ex.org/ref/"), pmod(id, lit(9)),
+      lit("\">a link</a> and text.</p>"),
+      lit("<h2>Details</h2>"),
+      lit("<ul><li>first "), id, lit("</li><li>second</li></ul>"),
+      lit("<p>Closing   spaced.</p></body></html>"))
+    val md = graft.ops.Boilerplate.toMarkdown(html)
+    t(s, dir, "documents").select(id,
+      md5(md).as("md_md5"),
+      length(md).cast("long").as("n_chars"),
+      regexp_extract(md, "^[^\n]*", 0).as("first_line"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2421,7 +2444,8 @@ object SparkEntry {
     "q140_budget_alloc"     -> q140BudgetAlloc _,
     "q141_crawl_delay"      -> q141CrawlDelay _,
     "q142_warc_revisit"     -> q142WarcRevisit _,
-    "q143_ascii_fold"       -> q143AsciiFold _
+    "q143_ascii_fold"       -> q143AsciiFold _,
+    "q144_html_markdown"    -> q144HtmlMarkdown _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -97,6 +97,54 @@ object Boilerplate {
     s"(?i)<script$TagEnd[\\s\\S]*?</script>|<style$TagEnd[\\s\\S]*?</style>|" +
       s"<title$TagEnd[\\s\\S]*?</title>|<!--[\\s\\S]*?-->"
 
+  /** HTML→Markdown conversion rules, in application order — the shared
+    * table [[toMarkdown]] and its oracle mirror both derive from
+    * (replacements use Java's `$N` syntax; the mirror rewrites to RE2's
+    * `\N`). Headings keep their level, list items bullet, quoted-href
+    * anchors become `[text](url)` (unquoted hrefs and nested-tag anchors
+    * fall through to the plain-text rule — documented bound), block tags
+    * break lines, everything else strips. */
+  private[graft] val MarkdownRules: Seq[(String, String)] =
+    (1 to 6).map(i => s"(?i)<h$i$TagEnd" -> ("\n" + "#" * i + " ")) ++ Seq(
+      s"(?i)</h[1-6]\\s*>" -> "\n",
+      s"(?i)<li$TagEnd" -> "\n- ",
+      "(?i)</li\\s*>" -> "",
+      "(?is)<a[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>" -> "[$2]($1)",
+      s"(?i)<(?:p|div|tr|table|ul|ol|blockquote|pre|article|section)$TagEnd" -> "\n",
+      "(?i)<br\\s*/?\\s*>" -> "\n",
+      "<[^>]+>" -> " ")
+
+  /** Whitespace cleanup after tag conversion: horizontal runs collapse,
+    * newlines shed surrounding spaces, newline runs collapse to ONE (a
+    * blank-line policy would depend on which stripped close tags happened
+    * to sit between blocks — one-line-per-block is the deterministic
+    * reading; `#`/`-` markers carry the structure). Order matters and is
+    * shared with the oracle. */
+  private[graft] val MarkdownCleanup: Seq[(String, String)] = Seq(
+    "[ \\t]+" -> " ",
+    "[ \\t]*\\n[ \\t]*" -> "\n",
+    "\\n{2,}" -> "\n")
+
+  /** HTML → Markdown-lite — the STRUCTURE-KEEPING alternative to
+    * [[extract]]'s flat text: heading levels, list bullets, and link
+    * targets survive, which downstream training corpora increasingly
+    * want (markdown-shaped web text preserves document hierarchy that
+    * flat extraction throws away, and instruction-tuning data quotes
+    * it verbatim). Script/style/comment bodies drop first ([[DropRe]]),
+    * then [[MarkdownRules]] in order, entity decode, and
+    * [[MarkdownCleanup]] + trim. Pure compiled regex chain — the q128
+    * O(rules) shape, zero shuffles, NULL reads ''. */
+  def toMarkdown(html: Column): Column = {
+    val dropped = regexp_replace(coalesce(html, lit("")), DropRe, " ")
+    val converted = MarkdownRules.foldLeft(dropped) {
+      case (c, (re, repl)) => regexp_replace(c, re, repl) }
+    val decoded = decodeEntities(converted)
+    // trim newlines too — plain trim() strips spaces only in BOTH engines,
+    // and the cleanup above funnels leading blanks into a bare "\n"
+    trim(MarkdownCleanup.foldLeft(decoded) {
+      case (c, (re, repl)) => regexp_replace(c, re, repl) }, " \t\n")
+  }
+
   /** The name boundary matters most here: without it `<abbr>`, `<address>`,
     * `<audio>`, `<area>`… would all count their text as anchor text. */
   private[graft] val LinkRe = s"(?i)<a$TagEnd([^<]*)</a>"

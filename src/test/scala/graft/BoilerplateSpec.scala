@@ -225,6 +225,28 @@ class BoilerplateSpec extends SparkSpec {
     assert(e.getMessage.contains("title"))
   }
 
+  test("toMarkdown: headings, bullets, links, script drop, entities, cleanup") {
+    import org.apache.spark.sql.functions.col
+    def md(html: String): String =
+      Seq((1L, html)).toDF("id", "html")
+        .select(Boilerplate.toMarkdown(col("html")).as("md"))
+        .collect()(0).getString(0)
+    val page = "<html><head><script>if (a<b) { x(); }</script></head><body>" +
+      "<h1>Top &amp; first</h1><p>Intro <a href=\"https://x.org/p\">link text</a>.</p>" +
+      "<h3>Sub</h3><ul><li>one</li><li>two  spaced</li></ul>" +
+      "<p>End.</p></body></html>"
+    assert(md(page) ===
+      "# Top & first\nIntro [link text](https://x.org/p).\n" +
+        "### Sub\n- one\n- two spaced\nEnd.")
+    // unquoted href falls through to plain text (documented bound)
+    assert(md("<p>see <a href=/rel>rel link</a></p>") === "see rel link")
+    // <br> breaks; newline runs collapse to one line break
+    assert(md("<p>a</p><br><br><br><p>b</p>") === "a\nb")
+    // <li> boundary: <link> must not bullet
+    assert(md("<p>x <link rel=\"s\" href=\"y\"> z</p>") === "x z")
+    assert(md(null.asInstanceOf[String]) === "")
+  }
+
   test("tag-name boundary: <param>/<path>/<picture> are not block breaks, <abbr> is not an anchor") {
     // <param> starts with listed "p" but must NOT split the paragraph
     val rows = blocks("<p>alpha beta <param name=\"x\"> gamma <path d=\"M0\"/> delta</p>")
