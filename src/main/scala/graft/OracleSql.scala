@@ -1494,6 +1494,30 @@ object OracleSql {
     FROM m"""
   }
 
+  /** Crawl-trap detection — q145. First principles: each synthesized
+    * host isolates one signal, so every statistic (incl. the utm host's
+    * canonical collapse to its distinct doc_id%20 pages) follows from
+    * doc_id arithmetic; the thresholds replay the operator defaults. */
+  private val q145 = """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+    agg AS (
+      SELECT 'clean.example.org' AS host, COUNT(*) AS n, COUNT(*) AS nc,
+        2 AS md, 0 AS nrep, 0 AS mp FROM d WHERE m = 0
+      UNION ALL SELECT 'utm.example.org', COUNT(*),
+        COUNT(DISTINCT doc_id % 20), 2, 0, 1 FROM d WHERE m = 1
+      UNION ALL SELECT 'deep.example.org', COUNT(*), COUNT(*), 10, 0, 0
+        FROM d WHERE m = 2
+      UNION ALL SELECT 'loop.example.org', COUNT(*), COUNT(*), 5, COUNT(*), 0
+        FROM d WHERE m = 3)
+    SELECT host, CAST(n AS BIGINT) AS n_urls, CAST(nc AS BIGINT) AS n_canonical,
+      CAST(n - nc AS DOUBLE) / n AS dup_url_ratio,
+      CAST(md AS BIGINT) AS max_depth,
+      CAST(nrep AS DOUBLE) / n AS repeat_ratio,
+      CAST(mp AS BIGINT) AS max_params,
+      (CAST(n - nc AS DOUBLE) / n >= 0.5 OR md > 8 OR
+       CAST(nrep AS DOUBLE) / n >= 0.3 OR mp > 10) AS trap_suspect
+    FROM agg"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3285,6 +3309,7 @@ object OracleSql {
     "q141_crawl_delay"      -> q141,
     "q142_warc_revisit"     -> q142,
     "q143_ascii_fold"       -> q143,
-    "q144_html_markdown"    -> q144
+    "q144_html_markdown"    -> q144,
+    "q145_crawl_traps"      -> q145
   ).map { case (k, v) => k -> clean(v) }
 }

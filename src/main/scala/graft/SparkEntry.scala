@@ -2301,6 +2301,27 @@ object SparkEntry {
       regexp_extract(md, "^[^\n]*", 0).as("first_line"))
   }
 
+  /** Crawl-trap detection ([[graft.ops.CrawlTraps.hostReport]]): four
+    * synthesized hosts isolate the four signals — clean (nothing fires),
+    * utm (canonical collapse → dup_url_ratio), deep (10-segment paths →
+    * max_depth), loop (`/a/b/a/b/` → repeat_ratio). First-principles
+    * oracle: every statistic follows from doc_id arithmetic and the
+    * canonicalizer's documented utm-strip. */
+  private def q145CrawlTraps(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(4))
+    val url = when(m === 0,
+        concat(lit("https://clean.example.org/art/"), id))
+      .when(m === 1,
+        concat(lit("https://utm.example.org/page/"), pmod(id, lit(20)),
+          lit("?utm_source=s"), id))
+      .when(m === 2,
+        concat(lit("https://deep.example.org/s1/s2/s3/s4/s5/s6/s7/s8/s9/"), id))
+      .otherwise(concat(lit("https://loop.example.org/a/b/a/b/"), id))
+    graft.ops.CrawlTraps.hostReport(
+      t(s, dir, "documents").select(url.as("url")), "url")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2445,7 +2466,8 @@ object SparkEntry {
     "q141_crawl_delay"      -> q141CrawlDelay _,
     "q142_warc_revisit"     -> q142WarcRevisit _,
     "q143_ascii_fold"       -> q143AsciiFold _,
-    "q144_html_markdown"    -> q144HtmlMarkdown _
+    "q144_html_markdown"    -> q144HtmlMarkdown _,
+    "q145_crawl_traps"      -> q145CrawlTraps _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-trap detection — the frontier's immune system: a single
+  * mis-designed site (calendar pages that link to the next day forever,
+  * session-id URL rewrites, faceted-search parameter explosions, path
+  * cycles like `/a/b/a/b/…`) can absorb an unbounded share of the fetch
+  * budget while contributing near-zero distinct content. The published
+  * heuristics (IRLbot's spam/trap controls, Heritrix's path-repeat rule)
+  * are per-HOST statistics over the URL space, which is exactly what this
+  * report computes:
+  *
+  *  - `n_urls` vs `n_canonical` ([[UrlFilter.canonicalizeUrl]] keys):
+  *    a big gap = parameter/session noise (`dup_url_ratio`);
+  *  - `max_depth` over path segments: calendar/pagination traps grow
+  *    absurd depths;
+  *  - `repeat_ratio`: fraction of URLs whose path REPEATS a segment
+  *    (`/a/b/a/b/`) — Heritrix's classic cycle signal;
+  *  - `max_params`: faceted-search explosions carry dozens of `&` keys;
+  *  - `trap_suspect`: any of the above past its threshold.
+  *
+  * Gate the frontier with it: `schedule(urls ⋉ hosts where NOT
+  * trap_suspect)` or demote suspects via [[Frontier.allocateBudget]]
+  * weights.
+  *
+  * == 100 TB shape ==
+  * Row-local URL algebra (host, path segments, param count, canonical
+  * key) then ONE map-side-combined agg on host (count-distinct of the
+  * canonical key is the only wide state; it shuffles `(host, canonical)`
+  * pairs once). No text re-shuffles, no self-joins. */
+object CrawlTraps {
+
+  /** Per-host URL-space pathology report. Thresholds are the documented
+    * defaults; tune per crawl. */
+  def hostReport(urls: DataFrame, urlCol: String,
+                 dupRatioMin: Double = 0.5, depthMax: Int = 8,
+                 repeatRatioMin: Double = 0.3, paramsMax: Int = 10): DataFrame = {
+    val outCols = Seq("host", "n_urls", "n_canonical", "dup_url_ratio",
+      "max_depth", "repeat_ratio", "max_params", "trap_suspect")
+    val clash = outCols.filter(urls.columns.contains(_)) diff Seq(urlCol)
+    require(clash.isEmpty,
+      s"hostReport: input already has output column(s) ${clash.mkString(", ")}")
+    val u = coalesce(col(urlCol), lit(""))
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val nParams = size(filter(split(query, "&"), s => s =!= ""))
+    val rows = urls.select(
+      UrlFilter.host(u).as("host"),
+      UrlFilter.canonicalizeUrl(u).as("__canon"),
+      size(segs).cast("long").as("__depth"),
+      (size(segs) > size(array_distinct(segs))).cast("long").as("__rep"),
+      greatest(nParams, lit(0)).cast("long").as("__np"))
+      .filter(col("host") =!= "")
+    rows.groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("__canon")).as("n_canonical"),
+        max(col("__depth")).as("max_depth"),
+        sum(col("__rep")).as("__n_rep"),
+        max(col("__np")).as("max_params"))
+      .withColumn("dup_url_ratio",
+        (col("n_urls") - col("n_canonical")).cast("double") / col("n_urls"))
+      .withColumn("repeat_ratio",
+        col("__n_rep").cast("double") / col("n_urls"))
+      .withColumn("trap_suspect",
+        col("dup_url_ratio") >= dupRatioMin ||
+          col("max_depth") > depthMax ||
+          col("repeat_ratio") >= repeatRatioMin ||
+          col("max_params") > paramsMax)
+      .select("host", "n_urls", "n_canonical", "dup_url_ratio", "max_depth",
+        "repeat_ratio", "max_params", "trap_suspect")
+  }
+}

@@ -1985,6 +1985,32 @@ class OpsSpec extends SparkSpec {
       ("https://t.org/z", 1L, 0L, "", 0L)))              // only-empty: no top anchor
   }
 
+  test("crawlTraps: dup-ratio, depth, repeat, params thresholds; unparseable urls drop") {
+    import graft.ops.CrawlTraps
+    val urls = (
+      // param explosion: 12 query keys on one url
+      Seq("https://facet.org/s?" + (1 to 12).map(i => s"k$i=v").mkString("&")) ++
+        // same page behind utm noise: 4 urls, 1 canonical
+        (1 to 4).map(i => s"https://dup.org/p?utm_source=u$i") ++
+        // clean host
+        Seq("https://ok.org/a/b", "https://ok.org/a/c") ++
+        // repeated path segments
+        Seq("https://cycle.org/x/y/x/y/1", "https://cycle.org/z/1") ++
+        Seq("not a url", "")) // unparseable: no host → dropped
+      .toDF("url")
+    val got = CrawlTraps.hostReport(urls, "url").collect()
+      .map(r => r.getAs[String]("host") -> r).toMap
+    assert(got.keySet === Set("facet.org", "dup.org", "ok.org", "cycle.org"))
+    assert(got("facet.org").getAs[Long]("max_params") === 12L &&
+      got("facet.org").getAs[Boolean]("trap_suspect"))
+    assert(got("dup.org").getAs[Long]("n_canonical") === 1L &&
+      got("dup.org").getAs[Double]("dup_url_ratio") === 0.75 &&
+      got("dup.org").getAs[Boolean]("trap_suspect"))
+    assert(got("cycle.org").getAs[Double]("repeat_ratio") === 0.5 &&
+      got("cycle.org").getAs[Boolean]("trap_suspect"))
+    assert(!got("ok.org").getAs[Boolean]("trap_suspect"))
+  }
+
   test("asciiFold: accents, expansions, typographic punctuation, non-Latin pass-through") {
     import graft.ops.TextAnalysis
     val cases = Seq(
