@@ -1518,6 +1518,40 @@ object OracleSql {
        CAST(nrep AS DOUBLE) / n >= 0.3 OR mp > 10) AS trap_suspect
     FROM agg"""
 
+  /** Redirect-chain resolution — q146. First principles: chain length IS
+    * doc_id%6, so resolvable starts (m 1–3) land on `p/(i-m)` with hops=m,
+    * the 4-hop chain exceeds the cap, and the m=5 cycle pair never
+    * resolves — a doubling, hop-count, dedup, cap, or cycle bug in the
+    * operator diverges from this arithmetic. */
+  private val q146 = """
+    WITH d AS (SELECT doc_id AS i, doc_id % 6 AS m FROM documents)
+    SELECT 'https://r.example.org/p/' || i AS src_url,
+      CASE WHEN m IN (1, 2, 3) THEN 'https://r.example.org/p/' || (i - m)
+        END AS final_url,
+      CASE WHEN m IN (1, 2, 3) THEN CAST(m AS BIGINT) END AS hops,
+      CASE WHEN m IN (1, 2, 3) THEN 'ok' ELSE 'unresolved' END AS verdict
+    FROM d WHERE m >= 1
+    UNION ALL
+    SELECT 'https://rb.example.org/q/' || i, NULL, NULL, 'unresolved'
+    FROM d WHERE m = 5"""
+
+  /** Payload-type sniffing — q147. First principles: each doc_id%6 arm
+    * wrote one byte shape with one declared label, so the sniffed type
+    * and the mismatch bit follow from the arithmetic; only the honest
+    * HTML arm (m=2) agrees with its header. */
+  private val q147 = """
+    WITH d AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
+    SELECT doc_id,
+      CASE m WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html; charset=utf-8'
+        WHEN 2 THEN 'text/html; charset=utf-8'
+        WHEN 3 THEN 'application/octet-stream'
+        WHEN 4 THEN 'text/xml' ELSE 'image/gif' END AS content_type,
+      CASE m WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png'
+        WHEN 2 THEN 'text/html' WHEN 3 THEN 'text/html'
+        WHEN 4 THEN 'application/xml' ELSE 'text/plain' END AS sniffed_type,
+      m <> 2 AS mismatch
+    FROM d"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3310,6 +3344,8 @@ object OracleSql {
     "q142_warc_revisit"     -> q142,
     "q143_ascii_fold"       -> q143,
     "q144_html_markdown"    -> q144,
-    "q145_crawl_traps"      -> q145
+    "q145_crawl_traps"      -> q145,
+    "q146_redirect_chains"  -> q146,
+    "q147_type_sniff"       -> q147
   ).map { case (k, v) => k -> clean(v) }
 }

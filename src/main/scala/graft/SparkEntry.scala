@@ -2322,6 +2322,83 @@ object SparkEntry {
       t(s, dir, "documents").select(url.as("url")), "url")
   }
 
+  /** Redirect-chain resolution ([[graft.ops.Redirects.resolveChains]]):
+    * chains of length doc_id%6 over one URL space — terminal (m=0),
+    * 1/2/3-hop chains that must resolve with EXACT hop counts, a 4-hop
+    * chain that exceeds maxHops=3 (resolved-but-too-far → unresolved),
+    * and an a↔b cycle pair (never resolves). m=3 docs carry a SECOND
+    * out-edge the min-destination dedup must drop deterministically.
+    * First-principles oracle: every verdict from doc_id arithmetic —
+    * a doubling, hop-count, cap, or cycle bug diverges. */
+  private def q146RedirectChains(s: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val url = concat(lit("https://r.example.org/p/"), i)
+    val urlPrev = concat(lit("https://r.example.org/p/"), i - 1)
+    val urlb = concat(lit("https://rb.example.org/q/"), i)
+    val docs = t(s, dir, "documents")
+      .select(i, pmod(i, lit(6)).as("m"))
+    val chain = docs.filter(col("m").between(1, 4))
+      .select(url.as("src_url"), urlPrev.as("dst_url"))
+    val alt = docs.filter(col("m") === 3)
+      .select(url.as("src_url"),
+        concat(lit("https://z.example.org/alt/"), i).as("dst_url"))
+    val cyc = docs.filter(col("m") === 5)
+      .select(url.as("src_url"), urlb.as("dst_url"))
+      .union(docs.filter(col("m") === 5)
+        .select(urlb.as("src_url"), url.as("dst_url")))
+    graft.ops.Redirects.resolveChains(chain.union(alt).union(cyc), maxHops = 3)
+  }
+
+  /** Payload-type sniffing ([[graft.load.Warc.sniffType]]): six REAL byte
+    * payloads by doc_id%6 ride the WARC round-trip — PDF and PNG magic
+    * bytes mislabelled as text/html (the classic server lie), honest HTML,
+    * HTML behind leading whitespace + a UTF-8 BOM declared as
+    * octet-stream, an XML prolog, and plain text labelled image/gif. The
+    * report joins sniffed vs declared: `mismatch` is the crawl-hygiene
+    * bit. First-principles oracle from the same arithmetic. */
+  private def q147TypeSniff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(8)).cast("long").as("bucket"),
+        col("doc_id").as("id"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .as[(Long, Seq[Long])]
+    val files = grouped.map { case (bucket, ids) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ids.foreach { id =>
+        val (body, ct) = (id % 6) match {
+          case 0 => (s"%PDF-1.7 fake body $id".getBytes("UTF-8"),
+            "text/html")
+          case 1 => (Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+            0x0d.toByte, 0x0a.toByte) ++ s"png$id".getBytes("UTF-8"),
+            "text/html; charset=utf-8")
+          case 2 => (s"<html><body>doc $id</body></html>".getBytes("UTF-8"),
+            "text/html; charset=utf-8")
+          case 3 => (Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+            s"\n  <html><body>bom $id</body></html>".getBytes("UTF-8"),
+            "application/octet-stream")
+          case 4 => (s"<?xml version=\"1.0\"?><feed>$id</feed>".getBytes("UTF-8"),
+            "text/xml")
+          case _ => (s"plain notes for doc $id".getBytes("UTF-8"),
+            "image/gif")
+        }
+        bos.write(graft.load.Warc.encodeResponseBytesGz(
+          s"https://ex.org/doc/$id",
+          java.time.Instant.ofEpochSecond(1704067200L + id).toString,
+          body, 200, ct))
+      }
+      (f"sniff-$bucket%02d.warc.gz", bos.toByteArray)
+    }
+    val (clean, _) = graft.load.Warc.parseWarcFiles(files)
+    clean.select(
+      regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      col("content_type"), col("sniffed_type"),
+      (col("sniffed_type") =!=
+        lower(regexp_extract(col("content_type"), "^([^;]*)", 1)))
+        .as("mismatch"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2467,7 +2544,9 @@ object SparkEntry {
     "q142_warc_revisit"     -> q142WarcRevisit _,
     "q143_ascii_fold"       -> q143AsciiFold _,
     "q144_html_markdown"    -> q144HtmlMarkdown _,
-    "q145_crawl_traps"      -> q145CrawlTraps _
+    "q145_crawl_traps"      -> q145CrawlTraps _,
+    "q146_redirect_chains"  -> q146RedirectChains _,
+    "q147_type_sniff"       -> q147TypeSniff _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

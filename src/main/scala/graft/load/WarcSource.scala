@@ -57,6 +57,8 @@ object Warc {
       http_status: Int,
       content_type: String,
       charset: String,
+      location: String,
+      sniffed_type: String,
       refers_to_uri: String,
       payload_digest: String,
       error_reason: String,
@@ -64,18 +66,19 @@ object Warc {
 
   private def clean(file: String, url: String, ts: java.sql.Timestamp,
                     html: String, status: Int, ctype: String,
-                    charset: String): Parsed =
+                    charset: String, location: String,
+                    sniffed: String): Parsed =
     Parsed(file, "response", url, ts, html, status, ctype, charset,
-      null, null, null, null)
+      location, sniffed, null, null, null, null)
 
   private def revisitRow(file: String, url: String, ts: java.sql.Timestamp,
                          refersTo: String, digest: String): Parsed =
-    Parsed(file, "revisit", url, ts, null, 0, null, null, refersTo, digest,
-      null, null)
+    Parsed(file, "revisit", url, ts, null, 0, null, null, null, null,
+      refersTo, digest, null, null)
 
   private def dirty(file: String, reason: String, snippet: String): Parsed =
-    Parsed(file, "dirty", null, null, null, 0, null, null, null, null,
-      reason, snippet.take(200))
+    Parsed(file, "dirty", null, null, null, 0, null, null, null, null, null,
+      null, reason, snippet.take(200))
 
   // ----------------------------------------------------------------- bytes
 
@@ -121,6 +124,55 @@ object Warc {
       while (j < pat.length && data(at + j) == pat(j)) j += 1
       j == pat.length
     }
+
+  // ------------------------------------------------------------- sniffing
+
+  /** Magic-byte signatures, FIRST MATCH WINS — ordered so longer/stricter
+    * prefixes shadow shorter ones. The classic crawl-hygiene check: servers
+    * mislabel Content-Type constantly (PDFs as text/html, PNGs as
+    * octet-stream), and a pipeline that trusts the header feeds binary
+    * garbage into its text tier. `private[graft]` — the q147 oracle derives
+    * the same verdicts from the synthesis arithmetic, and WarcSniffSpec
+    * pins each rung on literal bytes. */
+  private[graft] val MagicTypes: Seq[(Array[Byte], String)] = Seq(
+    "%PDF-".getBytes(ISO_8859_1) -> "application/pdf",
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) -> "image/png",
+    Array(0xff.toByte, 0xd8.toByte, 0xff.toByte) -> "image/jpeg",
+    "GIF87a".getBytes(ISO_8859_1) -> "image/gif",
+    "GIF89a".getBytes(ISO_8859_1) -> "image/gif",
+    Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte) -> "application/zip",
+    Array(0x1f.toByte, 0x8b.toByte) -> "application/gzip",
+    "OggS".getBytes(ISO_8859_1) -> "audio/ogg",
+    "ID3".getBytes(ISO_8859_1) -> "audio/mpeg")
+
+  /** Container-type sniff over a payload's leading bytes: the magic table
+    * above, then RIFF sub-forms (WEBP/WAVE at offset 8), then `<?xml` /
+    * leading-`<` (after ASCII whitespace and a UTF-8 BOM) as xml/html, else
+    * text/plain; empty payload = "". Byte-local, allocation-free. */
+  private[graft] def sniffType(data: Array[Byte], from: Int, len: Int): String = {
+    if (len <= 0) return ""
+    MagicTypes.collectFirst {
+      case (pat, t) if len >= pat.length && startsWith(data, from, pat) => t
+    }.getOrElse {
+      if (len >= 12 && startsWith(data, from, "RIFF".getBytes(ISO_8859_1))) {
+        if (startsWith(data, from + 8, "WEBP".getBytes(ISO_8859_1))) "image/webp"
+        else if (startsWith(data, from + 8, "WAVE".getBytes(ISO_8859_1))) "audio/wav"
+        else "application/octet-stream"
+      } else {
+        // skip a UTF-8 BOM, then ASCII whitespace, to find the first glyph
+        var i = from
+        val end = from + len
+        if (i + 3 <= end && (data(i) & 0xff) == 0xef &&
+          (data(i + 1) & 0xff) == 0xbb && (data(i + 2) & 0xff) == 0xbf) i += 3
+        while (i < end && (data(i) == ' ' || data(i) == '\t' ||
+          data(i) == '\r' || data(i) == '\n')) i += 1
+        if (i < end && data(i) == '<'.toByte) {
+          if (startsWith(data, i, "<?xml".getBytes(ISO_8859_1))) "application/xml"
+          else "text/html"
+        } else "text/plain"
+      }
+    }
+  }
 
   // ---------------------------------------------------------------- parser
 
@@ -199,6 +251,7 @@ object Warc {
                   // not a verdict — see [[fetchOk]])
                   var status = 0
                   var ctype = ""
+                  var loc = ""
                   val bodyStart =
                     if (startsWith(data, pStart, "HTTP/".getBytes(ISO_8859_1))) {
                       val he = indexOf(data, CrlfCrlf, pStart)
@@ -207,19 +260,28 @@ object Warc {
                       val hlines = htext.split("\r\n")
                       status = StatusRe.findFirstMatchIn(hlines.head)
                         .map(_.group(1).toInt).getOrElse(0)
-                      ctype = hlines.iterator.drop(1).map(_.split(":", 2))
-                        .collectFirst {
-                          case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
-                            v.trim
-                        }.getOrElse("")
+                      val hkv = hlines.iterator.drop(1).map(_.split(":", 2))
+                        .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+                        .toSeq
+                      ctype = hkv.collectFirst {
+                        case ("content-type", v) => v
+                      }.getOrElse("")
+                      loc = hkv.collectFirst {
+                        case ("location", v) => v
+                      }.getOrElse("")
                       if (he < 0 || he + 4 > pEnd) pEnd else he + 4
                     } else pStart
+                  // sniff the CONTAINER type from the body's magic bytes
+                  // (what the payload actually is, independent of the
+                  // server's Content-Type claim) before any text decode
+                  val sniffed = sniffType(data, bodyStart, pEnd - bodyStart)
                   // decode via the full sniffing ladder (BOM → header
                   // charset → meta prescan → strict-UTF-8-else-cp1252) —
                   // see [[Charsets]]; `charset` records what actually won
                   val (text, cs) =
                     Charsets.decode(data, bodyStart, pEnd - bodyStart, ctype)
-                  out += clean(file, uri, tsOpt.get, text, status, ctype, cs)
+                  out += clean(file, uri, tsOpt.get, text, status, ctype, cs,
+                    loc, sniffed)
                 }
               } else if (headers.getOrElse("warc-type", "")
                   .equalsIgnoreCase("revisit")) {
@@ -265,9 +327,10 @@ object Warc {
     * library-wide no-`rand()` discipline. */
   def encodeResponseGz(url: String, fetchTsIso: String, html: String,
                        status: Int = 200,
-                       contentType: String = "text/html; charset=utf-8"): Array[Byte] =
+                       contentType: String = "text/html; charset=utf-8",
+                       location: String = ""): Array[Byte] =
     encodeResponseBytesGz(url, fetchTsIso, html.getBytes(UTF_8), status,
-      contentType)
+      contentType, location)
 
   /** [[encodeResponseGz]] with a caller-encoded body — the fixture half of
     * the charset-sniffing round-trip (q130): synthesize cp1252 / UTF-16 /
@@ -275,10 +338,12 @@ object Warc {
     * recovers the text. */
   def encodeResponseBytesGz(url: String, fetchTsIso: String,
                             body: Array[Byte], status: Int = 200,
-                            contentType: String = "text/html; charset=utf-8"): Array[Byte] = {
+                            contentType: String = "text/html; charset=utf-8",
+                            location: String = ""): Array[Byte] = {
     val reason = if (status == 200) "OK" else "-"
+    val locHdr = if (location.nonEmpty) s"Location: $location\r\n" else ""
     val http = (s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
+      locHdr + s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
     val rid = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$url@$fetchTsIso".getBytes(UTF_8))
       .map(b => f"$b%02x").mkString
@@ -341,8 +406,12 @@ object Warc {
 
   /** Parse a `(path, bytes)` dataset of WARC files into (clean, dirty):
     * clean = `(warc_file, url, fetch_ts, html, http_status, content_type,
-    * charset)` response records (status 0 / content_type "" = unframed
-    * payload; charset = the encoding [[Charsets.decode]] actually used),
+    * charset, location, sniffed_type)` response records (status 0 /
+    * content_type "" = unframed payload; charset = the encoding
+    * [[Charsets.decode]] actually used; location = the HTTP Location
+    * header, "" when absent — the redirect edge [[graft.ops.Redirects]]
+    * consumes; sniffed_type = [[sniffType]]'s magic-byte verdict on the
+    * raw payload),
     * dirty = `(warc_file, error_reason, snippet)` audit rows. The byte
     * layer for [[readWarc]], exposed so synthesized in-memory corpora
     * (q121/q129/q130) and other container transports run the identical
@@ -367,7 +436,8 @@ object Warc {
     val parsed = files.flatMap { case (path, bytes) => parseFile(path, bytes) }
     val clean = parsed.filter(col("record_type") === "response")
       .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"),
-        col("http_status"), col("content_type"), col("charset"))
+        col("http_status"), col("content_type"), col("charset"),
+        col("location"), col("sniffed_type"))
     val revisit = parsed.filter(col("record_type") === "revisit")
       .select(col("warc_file"), col("url"), col("fetch_ts"),
         col("refers_to_uri"), col("payload_digest"))

@@ -49,8 +49,10 @@ object LinkGraph {
   private[graft] val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
   /** Resolve an extracted href against the page's scheme/host — the
-    * documented three-form subset; empty string = leaves the graph. */
-  private def resolve(href: Column, scheme: Column, host: Column): Column =
+    * documented three-form subset; empty string = leaves the graph.
+    * `private[graft]`: [[Redirects.redirectEdges]] resolves HTTP Location
+    * headers with the identical ladder. */
+  private[graft] def resolve(href: Column, scheme: Column, host: Column): Column =
     when(href.rlike("(?i)^https?://"), href)
       .when(href.startsWith("//") && scheme =!= "",
         concat(scheme, lit(":"), href))

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTTP redirect-chain resolution — where did each crawled URL actually
+  * land? A crawl frame full of 301/302/307/308 records is a pointer table
+  * (`url → Location`), and the corpus wants each chain START mapped to its
+  * TERMINAL page: the canonical URL dedup joins on, the page whose content
+  * the redirecting URLs inherit, and the frontier entry a re-crawl should
+  * keep (re-fetching every hop of a chain wastes budget — reference scope
+  * is CSV ingest, smartFileProcessor.js:213-222; this is the crawl-pipeline
+  * axis the WARC tier opened).
+  *
+  * == Semantics ==
+  * One outgoing edge per source (a URL redirects to exactly one place at a
+  * time); when an input carries several — mirrored captures, recrawls — the
+  * lexicographically smallest destination wins, deterministically, and the
+  * dropped mass is visible in the input for auditing. A chain resolves
+  * `ok` when it reaches a URL with NO outgoing edge in ≤ `maxHops` steps:
+  * `(src_url, final_url, hops, 'ok')` with EXACT hop count. Everything
+  * else — loops (`a→b→a`, self-redirects) and chains longer than
+  * `maxHops` (crawler politeness caps at ~5–10; RFC 9110 §15.4 warns on
+  * cycles) — is `(src_url, NULL, NULL, 'unresolved')`: absence of a
+  * terminal is a verdict about the CHAIN, so no partial landing spot is
+  * reported (a partial answer would depend on iteration internals).
+  *
+  * == 100 TB shape ==
+  * Pointer DOUBLING, not linear walking: each round the pointer table
+  * composes with itself (`p∘p`), so reach doubles per round and
+  * `ceil(log2(maxHops+1))` rounds cover any resolvable chain — 4 rounds
+  * for the default cap of 8, each ONE hash join of node-sized frames,
+  * versus `maxHops` sequential joins for the naive walk. State rows stop
+  * advancing the moment they land on a terminal (terminal URLs have no
+  * pointer row, so the left join misses); `localCheckpoint` after each
+  * round keeps lineage flat and prior rounds' blocks are unpersisted once
+  * the next round materializes (the [[Graph]] iteration discipline). No
+  * driver-side data, no collect: verdicts classify in one final left join.
+  */
+object Redirects {
+
+  /** Redirect edges from a WARC clean frame ([[graft.load.Warc]]
+    * `parseWarcFiles` output): 3xx records with a Location header become
+    * `(src_url, dst_url)`; Location resolves absolute / protocol-relative
+    * / root-relative forms against the record's own URL (the
+    * [[LinkGraph]] ladder — RFC 9110 §10.2.2 allows relative Location),
+    * and unresolvable forms (path-relative, empty) drop — a redirect
+    * whose target can't be named can't join a chain. Row-local column
+    * algebra, zero shuffle. */
+  def redirectEdges(clean: DataFrame, urlCol: String = "url",
+                    statusCol: String = "http_status",
+                    locationCol: String = "location"): DataFrame = {
+    val u = coalesce(col(urlCol), lit(""))
+    val scheme = lower(regexp_extract(u, LinkGraph.SchemeRe, 1))
+    val dst = LinkGraph.resolve(coalesce(col(locationCol), lit("")), scheme,
+      UrlFilter.host(u))
+    clean
+      .filter(col(statusCol) >= 300 && col(statusCol) <= 399 &&
+        coalesce(col(locationCol), lit("")) =!= "")
+      .select(u.as("src_url"), dst.as("dst_url"))
+      .filter(col("dst_url") =!= "")
+  }
+
+  /** Resolve every chain start in `edges` to `(src_url, final_url, hops,
+    * verdict)` — see the semantics above. `edges` needs `(src_url,
+    * dst_url)` string columns; every DISTINCT src gets exactly one output
+    * row. */
+  def resolveChains(edges: DataFrame, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 1024,
+      s"resolveChains: maxHops must be in [1, 1024], got $maxHops")
+    // one pointer per node: deterministic min destination; s = steps covered
+    val rounds = {
+      var r = 0
+      while ((1L << r) - 1 < maxHops) r += 1
+      r // smallest r with 2^r - 1 >= maxHops
+    }
+    var p = edges
+      .groupBy(col("src_url").as("u"))
+      .agg(min(col("dst_url")).as("v"))
+      .withColumn("s", lit(1L))
+      .localCheckpoint(true)
+    // state: one row per chain start; cur advances, hops counts exactly
+    var st = p.select(col("u").as("src_url"), col("v").as("cur"),
+      col("s").as("hops"))
+    var prevP = p
+    var prevSt: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pj = p.select(col("u").as("__pu"), col("v").as("__pv"),
+        col("s").as("__ps"))
+      // advance state by the pointer's current reach; a miss means cur is
+      // terminal and the row simply stops moving
+      st = st.join(pj, st("cur") === pj("__pu"), "left")
+        .select(col("src_url"),
+          coalesce(col("__pv"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("__ps"), lit(0L))).as("hops"))
+        .localCheckpoint(true)
+      if (prevSt != null) prevSt.unpersist()
+      prevSt = st
+      if (r < rounds) { // last round's composition would go unused
+        p = p.join(pj, p("v") === pj("__pu"), "left")
+          .select(p("u"), coalesce(col("__pv"), p("v")).as("v"),
+            (p("s") + coalesce(col("__ps"), lit(0L))).as("s"))
+          .localCheckpoint(true)
+        prevP.unpersist()
+        prevP = p
+      }
+    }
+    // classify: cur with no outgoing edge within the cap = ok
+    val term = p.select(col("u").as("__tu")).withColumn("__hit", lit(true))
+    val out = st.join(term, st("cur") === term("__tu"), "left")
+      .select(col("src_url"),
+        when(col("__hit").isNull && col("hops") <= maxHops, col("cur"))
+          .as("final_url"),
+        when(col("__hit").isNull && col("hops") <= maxHops, col("hops"))
+          .as("hops"),
+        when(col("__hit").isNull && col("hops") <= maxHops, lit("ok"))
+          .otherwise(lit("unresolved")).as("verdict"))
+    out
+  }
+}

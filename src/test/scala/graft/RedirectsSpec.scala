@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.load.Warc
+import graft.ops.Redirects
+
+/** Redirect-chain resolution (graft.ops.Redirects) + the WARC parser's
+  * Location capture and magic-byte payload sniffing (graft.load.Warc).
+  * The corpus-scale oracles are q146 (chains) and q147 (sniffing). */
+class RedirectsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def resolve(edges: Seq[(String, String)], maxHops: Int = 8) =
+    Redirects.resolveChains(edges.toDF("src_url", "dst_url"), maxHops)
+      .orderBy("src_url")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3)))
+      .toSeq
+
+  test("linear chain resolves with exact hops; branches into it resolve too") {
+    val got = resolve(Seq("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "c"))
+    assert(got === Seq(
+      ("a", Some("d"), Some(3L), "ok"),
+      ("b", Some("d"), Some(2L), "ok"),
+      ("c", Some("d"), Some(1L), "ok"),
+      ("x", Some("d"), Some(2L), "ok")))
+  }
+
+  test("cycles and self-loops are unresolved with NULL landing spot") {
+    val got = resolve(Seq("a" -> "b", "b" -> "a", "s" -> "s", "in" -> "a"))
+    assert(got === Seq(
+      ("a", None, None, "unresolved"),
+      ("b", None, None, "unresolved"),
+      ("in", None, None, "unresolved"),
+      ("s", None, None, "unresolved")))
+  }
+
+  test("maxHops caps: distance maxHops resolves, distance maxHops+1 does not") {
+    val chain = (0 until 5).map(i => s"n$i" -> s"n${i + 1}")
+    // n0 is 5 hops from the terminal n5; n1 is 4
+    val m = resolve(chain, maxHops = 4)
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("n1") === ((Some("n5"), Some(4L), "ok")))
+    assert(m("n0") === ((None, None, "unresolved")))
+  }
+
+  test("several out-edges per source: lexicographically smallest wins") {
+    val got = resolve(Seq("a" -> "m", "a" -> "z", "z" -> "zz"))
+    // a's winning pointer is m (terminal), never the z branch
+    assert(got.find(_._1 == "a").get === (("a", Some("m"), Some(1L), "ok")))
+  }
+
+  test("WARC round-trip: Location surfaces, redirectEdges resolves relative forms") {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Warc.encodeResponseGz("https://ex.org/a", "2024-01-01T00:00:00Z",
+      "", 301, "text/html", location = "https://ex.org/b"))
+    bos.write(Warc.encodeResponseGz("https://ex.org/b", "2024-01-01T00:00:01Z",
+      "", 302, "text/html", location = "/c")) // root-relative → same host
+    bos.write(Warc.encodeResponseGz("https://ex.org/c", "2024-01-01T00:00:02Z",
+      "<p>landed</p>", 200, "text/html"))
+    val files = Seq(("t.warc.gz", bos.toByteArray)).toDS()
+    val (clean, dirty) = Warc.parseWarcFiles(files)
+    assert(dirty.count() === 0)
+    val byUrl = clean.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("location")).toMap
+    assert(byUrl("https://ex.org/a") === "https://ex.org/b")
+    assert(byUrl("https://ex.org/b") === "/c")
+    assert(byUrl("https://ex.org/c") === "")
+    val out = Redirects.resolveChains(Redirects.redirectEdges(clean))
+      .orderBy("src_url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.get(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      ("https://ex.org/a", "https://ex.org/c", 2L, "ok"),
+      ("https://ex.org/b", "https://ex.org/c", 1L, "ok")))
+  }
+
+  test("redirectEdges drops non-3xx, empty, and unresolvable Locations") {
+    val clean = Seq(
+      ("https://ex.org/ok", 200, "https://ex.org/elsewhere"), // not a redirect
+      ("https://ex.org/r1", 301, ""),                         // no Location
+      ("https://ex.org/r2", 307, "relative/path"),            // unresolvable form
+      ("https://ex.org/r3", 308, "//cdn.ex.org/x")            // protocol-relative
+    ).toDF("url", "http_status", "location")
+    val got = Redirects.redirectEdges(clean).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("https://ex.org/r3", "https://cdn.ex.org/x")))
+  }
+
+  test("sniffType: every magic rung, RIFF sub-forms, BOM/whitespace HTML, empty") {
+    def s(b: Array[Byte]) = Warc.sniffType(b, 0, b.length)
+    def t(str: String) = s(str.getBytes("ISO-8859-1"))
+    assert(t("%PDF-1.4") === "application/pdf")
+    assert(s(Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a).map(_.toByte)) ===
+      "image/png")
+    assert(s(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) ===
+      "image/jpeg")
+    assert(t("GIF89a.....") === "image/gif")
+    assert(s(Array('P'.toByte, 'K'.toByte, 3.toByte, 4.toByte)) ===
+      "application/zip")
+    assert(s(Array(0x1f.toByte, 0x8b.toByte, 8.toByte)) === "application/gzip")
+    assert(t("OggS....") === "audio/ogg")
+    assert(t("ID3....") === "audio/mpeg")
+    assert(t("RIFF1234WEBPVP8 ") === "image/webp")
+    assert(t("RIFF1234WAVEfmt ") === "audio/wav")
+    assert(t("RIFF1234AVI LIST") === "application/octet-stream")
+    assert(t("<?xml version=\"1.0\"?><a/>") === "application/xml")
+    assert(t("<html><body>x</body></html>") === "text/html")
+    assert(s(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "\n  <div>bom then html</div>".getBytes("UTF-8")) === "text/html")
+    assert(t("just words") === "text/plain")
+    assert(s(Array.emptyByteArray) === "")
+  }
+}
