@@ -1552,6 +1552,37 @@ object OracleSql {
       m <> 2 AS mismatch
     FROM d"""
 
+  /** JSON-LD extraction — q148. First principles: each doc_id%5 arm
+    * wrote known blocks, so every field follows from the arithmetic —
+    * incl. the truncated arm where only the regex-tier @type survives
+    * and the two-block arm's document-order block_idx. */
+  private val q148 = """
+    WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'Article' AS ld_type,
+      'Story ' || doc_id AS headline,
+      '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        AS date_published,
+      'Writer ' || (doc_id % 7) AS author_name
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 0, 'WebSite', NULL, NULL, NULL FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 1, 'NewsArticle', 'Update ' || doc_id, NULL,
+      'Desk' FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 0, 'Product', 'Widget ' || (doc_id % 6), NULL,
+      NULL FROM d WHERE m = 2
+    UNION ALL SELECT doc_id, 0, 'Article', NULL, NULL, NULL FROM d WHERE m = 3"""
+
+  /** Hreflang clusters — q149. First principles: every 5-page group
+    * publishes the same symmetric set, so the cluster key is its `ar`
+    * URL, the langs list is constant, and n_pages counts the group's
+    * docs actually present in the table. */
+  private val q149 = """
+    WITH d AS (SELECT (doc_id - doc_id % 5) // 5 AS g FROM documents)
+    SELECT 'https://ml.example.org/ar/art/' || g AS cluster_id,
+      CAST(COUNT(*) AS BIGINT) AS n_pages,
+      CAST(6 AS BIGINT) AS n_langs,
+      'ar,de,en,fr,ja,x-default' AS langs
+    FROM d GROUP BY g"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3346,6 +3377,8 @@ object OracleSql {
     "q144_html_markdown"    -> q144,
     "q145_crawl_traps"      -> q145,
     "q146_redirect_chains"  -> q146,
-    "q147_type_sniff"       -> q147
+    "q147_type_sniff"       -> q147,
+    "q148_jsonld"           -> q148,
+    "q149_hreflang"         -> q149
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2399,6 +2399,83 @@ object SparkEntry {
         .as("mismatch"))
   }
 
+  /** JSON-LD extraction ([[graft.ops.StructuredData.jsonLd]]): five page
+    * shapes by doc_id%5 — a full Article (context, nested author), TWO
+    * blocks on one page (WebSite then NewsArticle, document order pins
+    * block_idx), a single-quoted/extra-attribute script tag, a TRUNCATED
+    * block (regex tier still recovers @type, JSON fields NULL), and no
+    * block at all (no rows). First-principles oracle — any extraction,
+    * JSON-path, or tolerance bug diverges. */
+  private def q148JsonLd(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(5))
+    val dd = lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")
+    val article = concat(
+      lit("<script type=\"application/ld+json\">{\"@context\":" +
+        "\"https://schema.org\",\"@type\":\"Article\",\"headline\":\"Story "),
+      id, lit("\",\"datePublished\":\"2024-03-"), dd,
+      lit("\",\"author\":{\"@type\":\"Person\",\"name\":\"Writer "),
+      pmod(id, lit(7)), lit("\"}}</script>"))
+    val twoBlocks = concat(
+      lit("<script type=\"application/ld+json\">{\"@type\":\"WebSite\"," +
+        "\"name\":\"Site "), pmod(id, lit(4)), lit("\"}</script><p>x</p>" +
+        "<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\"," +
+        "\"headline\":\"Update "), id,
+      lit("\",\"author\":{\"name\":\"Desk\"}}</script>"))
+    val singleQuoted = concat(
+      lit("<script async type='application/ld+json' nonce=abc>" +
+        "{\"@type\":\"Product\",\"headline\":\"Widget "), pmod(id, lit(6)),
+      lit("\"}</script>"))
+    val truncated = concat(
+      lit("<script type=\"application/ld+json\">{\"@type\":\"Article\"," +
+        "\"headline\":\"Broken "), id, lit("\"</script>"))
+    val html = concat(lit("<html><head>"),
+      when(m === 0, article).when(m === 1, twoBlocks)
+        .when(m === 2, singleQuoted).when(m === 3, truncated)
+        .otherwise(lit("")),
+      lit("</head><body><p>visible</p></body></html>"))
+    graft.ops.StructuredData.jsonLd(
+      t(s, dir, "documents").select(id, html.as("html")), "html", Seq("doc_id"))
+  }
+
+  /** Hreflang translation-set rollup
+    * ([[graft.ops.StructuredData.hreflangClusters]]): 5-page groups
+    * (doc_id div 5) each publish the full symmetric alternate set —
+    * quoted, href-before-hreflang (fr, UPPERCASED tag pins lowercasing),
+    * fully unquoted (de), an x-default to the en page, an RSS
+    * rel=alternate WITHOUT hreflang and a stylesheet link that must NOT
+    * match. Every group must collapse to ONE cluster keyed by its `ar`
+    * URL with langs `ar,de,en,fr,ja,x-default`. First-principles
+    * oracle from the group arithmetic. */
+  private def q149Hreflang(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val l = pmod(id, lit(5))
+    val g = ((id - l) / lit(5)).cast("long")
+    val langs = Seq("en", "fr", "de", "ja", "ar")
+    val url = concat(lit("https://ml.example.org/"),
+      element_at(array(langs.map(lit): _*), (l + 1).cast("int")),
+      lit("/art/"), g)
+    val tags = langs.map {
+      case "fr" => concat(lit("<link rel=\"alternate\" " +
+        "href=\"https://ml.example.org/fr/art/"), g,
+        lit("\" hreflang=\"FR\">"))
+      case "de" => concat(lit("<link rel=alternate hreflang=de " +
+        "href=https://ml.example.org/de/art/"), g, lit(">"))
+      case lg => concat(lit(s"""<link rel="alternate" hreflang="$lg" """ +
+        s"""href="https://ml.example.org/$lg/art/"""), g, lit("\">"))
+    }
+    val html = concat(Seq(
+      lit("<html><head><link rel=stylesheet href=/s.css>" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">")) ++
+      tags ++ Seq(
+        concat(lit("<link rel=\"alternate\" hreflang=\"x-default\" " +
+          "href=\"https://ml.example.org/en/art/"), g, lit("\">")),
+        lit("</head><body>x</body></html>")): _*)
+    graft.ops.StructuredData.hreflangClusters(
+      t(s, dir, "documents").select(id, html.as("html"), url.as("url")),
+      "html", "url")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2546,7 +2623,9 @@ object SparkEntry {
     "q144_html_markdown"    -> q144HtmlMarkdown _,
     "q145_crawl_traps"      -> q145CrawlTraps _,
     "q146_redirect_chains"  -> q146RedirectChains _,
-    "q147_type_sniff"       -> q147TypeSniff _
+    "q147_type_sniff"       -> q147TypeSniff _,
+    "q148_jsonld"           -> q148JsonLd _,
+    "q149_hreflang"         -> q149Hreflang _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured page data: JSON-LD (schema.org) blocks and hreflang
+  * alternate clusters — the machine-readable layer a crawl pipeline mines
+  * AFTER [[Boilerplate]] has dealt with the visible text (reference scope
+  * is CSV ingest, smartFileProcessor.js:213-222; this is the
+  * crawl-pipeline axis). Publishers ship article metadata (headline,
+  * publication date, author) as `<script type="application/ld+json">`
+  * far more reliably than as visible markup, and multilingual sites
+  * declare their translation sets as `<link rel="alternate" hreflang>` —
+  * quality classifiers, dedup keys, and parallel-corpus mining feed on
+  * both.
+  *
+  * == 100 TB shape ==
+  * JSON-LD extraction is row-local regex + one `posexplode` (blocks per
+  * page are few and page-bounded) + codegen'd `get_json_object` — zero
+  * shuffles. Hreflang clustering is extraction + ONE map-side-combined
+  * agg on the page URL + ONE agg on the cluster key — two exchanges,
+  * both on page/cluster cardinality, never on link cardinality. */
+object StructuredData {
+
+  /** `<script type=application/ld+json>` bodies — quote-agnostic on the
+    * attribute, other attributes may precede/follow, non-greedy body
+    * (scripts cannot nest). */
+  private[graft] val LdScriptRe =
+    "(?is)<script[^>]*type\\s*=\\s*[\"']?application/ld\\+json[\"']?[^>]*>(.*?)</script>"
+
+  /** First `"@type"` value by REGEX, not JSON path: the `@`-prefixed key
+    * needs engine-specific path quoting, and the regex tier also salvages
+    * the type from TRUNCATED blocks a JSON parser rejects — the crawl
+    * reality where a CDN cut the page mid-script. */
+  private[graft] val LdTypeRe = "\"@type\"\\s*:\\s*\"([^\"]*)\""
+
+  /** One row per JSON-LD block of each page: `(…idCols, block_idx,
+    * ld_type, headline, date_published, author_name)` — `block_idx` in
+    * document order; the three article fields via `get_json_object`
+    * (NULL when the block is malformed JSON or the field is absent —
+    * Spark's tolerant reader, mirrored by a `json_valid` guard on the
+    * oracle side); `ld_type` via [[LdTypeRe]] so truncated blocks still
+    * classify. Pages with no JSON-LD yield no rows. */
+  def jsonLd(df: DataFrame, htmlCol: String, idCols: Seq[String]): DataFrame = {
+    val h = coalesce(col(htmlCol), lit(""))
+    df.withColumn("__blocks", regexp_extract_all(h, lit(LdScriptRe), lit(1)))
+      .select(col("*"), posexplode(col("__blocks")).as(Seq("block_idx", "__json")))
+      .select(idCols.map(col) ++ Seq(
+        col("block_idx").cast("long").as("block_idx"),
+        regexp_extract(col("__json"), LdTypeRe, 1).as("ld_type"),
+        get_json_object(col("__json"), "$.headline").as("headline"),
+        get_json_object(col("__json"), "$.datePublished").as("date_published"),
+        get_json_object(col("__json"), "$.author.name").as("author_name")): _*)
+  }
+
+  /** Whole `<link …>` tags; rel/hreflang/href pulled per-fragment below. */
+  private[graft] val LinkTagRe = "(?i)<link\\b[^>]*>"
+  private[graft] val RelAltRe =
+    "(?i)\\brel\\s*=\\s*[\"']?alternate[\"']?"
+  private[graft] val HreflangRes: Seq[String] = Seq(
+    "(?i)hreflang\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)hreflang\\s*=\\s*([^\\s\"'>]+)")
+  private[graft] val HrefRes: Seq[String] = Seq(
+    "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?i)href\\s*=\\s*([^\\s\"'>]+)")
+
+  /** One row per `<link rel=alternate hreflang=… href=…>` of each page:
+    * `(…idCols, hreflang, alt_url)` — hreflang lowercased (BCP 47 is
+    * case-insensitive; `x-default` passes through as a language slot),
+    * both attribute orders and quote styles accepted, `rel=alternate`
+    * links WITHOUT hreflang (RSS/print variants) excluded. Row-local
+    * regex + one posexplode. */
+  def hreflangAlternates(df: DataFrame, htmlCol: String,
+                         idCols: Seq[String]): DataFrame = {
+    val h = coalesce(col(htmlCol), lit(""))
+    val lang = Boilerplate.firstNonEmpty(col("__tag"), HreflangRes)
+    val href = Boilerplate.firstNonEmpty(col("__tag"), HrefRes)
+    df.withColumn("__tags", regexp_extract_all(h, lit(LinkTagRe), lit(0)))
+      .select(col("*"), posexplode(col("__tags")).as(Seq("__i", "__tag")))
+      .filter(col("__tag").rlike(RelAltRe) && lang =!= "" && href =!= "")
+      .select(idCols.map(col) ++ Seq(
+        lower(lang).as("hreflang"), href.as("alt_url")): _*)
+  }
+
+  /** Translation-set rollup: `(cluster_id, n_pages, n_langs, langs)` —
+    * one row per hreflang cluster, `cluster_id` the lexicographically
+    * smallest alternate URL of the set, `langs` the sorted distinct
+    * language tags, `n_pages` the pages OBSERVED in the corpus (a set
+    * can name alternates the crawl never fetched — n_langs > n_pages is
+    * the gap report).
+    *
+    * Assumes sets are published SYMMETRICALLY (every page lists the full
+    * set including itself — the form search engines require); each
+    * page's min-alternate is then the same cluster id without any
+    * iteration. Asymmetric link graphs need the general machinery:
+    * treat `(url, alt_url)` as edges and run [[Graph.connectedComponents]].
+    */
+  def hreflangClusters(df: DataFrame, htmlCol: String,
+                       urlCol: String): DataFrame = {
+    val alts = hreflangAlternates(df, htmlCol, Seq(urlCol))
+    val perPage = alts.groupBy(col(urlCol))
+      .agg(min(col("alt_url")).as("cluster_id"),
+        collect_set(col("hreflang")).as("__langs"))
+    perPage.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pages"),
+        size(array_distinct(flatten(collect_list(col("__langs")))))
+          .cast("long").as("n_langs"),
+        array_join(array_sort(array_distinct(
+          flatten(collect_list(col("__langs"))))), ",").as("langs"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.StructuredData
+
+/** JSON-LD and hreflang extraction (graft.ops.StructuredData). The
+  * corpus-scale oracles are q148 (JSON-LD) and q149 (hreflang). */
+class StructuredDataSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ld(html: String) =
+    StructuredData.jsonLd(Seq((1L, html)).toDF("id", "html"), "html", Seq("id"))
+      .orderBy("block_idx")
+      .select("block_idx", "ld_type", "headline", "date_published", "author_name")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4)))
+      .toSeq
+
+  test("jsonLd: full article block with nested author") {
+    val got = ld("""<script type="application/ld+json">{"@type":"Article",
+      "headline":"H & sub","datePublished":"2024-05-06",
+      "author":{"@type":"Person","name":"A. Writer"}}</script>""")
+    assert(got === Seq((0L, "Article", "H & sub", "2024-05-06", "A. Writer")))
+  }
+
+  test("jsonLd: two blocks keep document order; missing fields are NULL") {
+    val got = ld(
+      "<script type='application/ld+json'>{\"@type\":\"WebSite\"}</script>" +
+        "<p>x</p>" +
+        "<script data-n=1 type=application/ld+json>" +
+        "{\"@type\":\"NewsArticle\",\"headline\":\"U\"}</script>")
+    assert(got === Seq(
+      (0L, "WebSite", null, null, null),
+      (1L, "NewsArticle", "U", null, null)))
+  }
+
+  test("jsonLd: truncated block still classifies via the regex tier") {
+    val got = ld("<script type=\"application/ld+json\">" +
+      "{\"@type\":\"Article\",\"headline\":\"cut")
+    assert(got === Seq()) // no </script> close → no block at all
+    val got2 = ld("<script type=\"application/ld+json\">" +
+      "{\"@type\":\"Article\",\"headline\":\"cut\"</script>")
+    assert(got2 === Seq((0L, "Article", null, null, null)))
+  }
+
+  test("jsonLd: ordinary scripts and pages without JSON-LD yield no rows") {
+    assert(ld("<script>var x = {\"@type\":\"Nope\"};</script><p>t</p>") === Seq())
+    assert(ld("<p>plain</p>") === Seq())
+  }
+
+  private def alts(html: String) =
+    StructuredData.hreflangAlternates(
+      Seq((1L, html)).toDF("id", "html"), "html", Seq("id"))
+      .orderBy("hreflang")
+      .collect()
+      .map(r => (r.getAs[String]("hreflang"), r.getAs[String]("alt_url")))
+      .toSeq
+
+  test("hreflangAlternates: quote styles, attribute order, case folding, decoys") {
+    val got = alts(
+      "<link rel=stylesheet href=/s.css>" +
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">" +
+        "<link rel=\"alternate\" hreflang=\"en\" href=\"https://ex.org/en\">" +
+        "<link rel=\"alternate\" href=\"https://ex.org/fr\" hreflang=\"FR\">" +
+        "<link rel=alternate hreflang=de href=https://ex.org/de>" +
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://ex.org/en\">")
+    assert(got === Seq(
+      ("de", "https://ex.org/de"), ("en", "https://ex.org/en"),
+      ("fr", "https://ex.org/fr"), ("x-default", "https://ex.org/en")))
+  }
+
+  test("hreflangClusters: symmetric sets collapse; unfetched alternates gap-report") {
+    val set = "<link rel=alternate hreflang=en href=https://ex.org/en/1>" +
+      "<link rel=alternate hreflang=fr href=https://ex.org/fr/1>" +
+      "<link rel=alternate hreflang=de href=https://ex.org/de/1>"
+    // only en+fr pages crawled; de is named but never fetched
+    val df = Seq(
+      ("https://ex.org/en/1", set), ("https://ex.org/fr/1", set)
+    ).toDF("url", "html")
+    val got = StructuredData.hreflangClusters(df, "html", "url").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("cluster_id") === "https://ex.org/de/1")
+    assert(r.getAs[Long]("n_pages") === 2L)
+    assert(r.getAs[Long]("n_langs") === 3L)
+    assert(r.getAs[String]("langs") === "de,en,fr")
+  }
+}
