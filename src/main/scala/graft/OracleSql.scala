@@ -1583,6 +1583,59 @@ object OracleSql {
       'ar,de,en,fr,ja,x-default' AS langs
     FROM d GROUP BY g"""
 
+  /** Code-vs-prose detection — q150. The regexes interpolated are
+    * TextAnalysis's OWN constants (one source of truth, the q133
+    * discipline); features and the is_code verdict recompute from the
+    * same constructed text. Indentation builds via `repeat()` — literal
+    * space runs (and `--` comments) do not survive the
+    * whitespace-collapsing SQL transport, the q144 lesson. */
+  private val q150 = {
+    val ta = graft.ops.TextAnalysis
+    val sym = sqlRe(ta.CodeSymbolRe)
+    val kw = sqlRe(ta.CodeKeywordRe)
+    val ind = sqlRe(ta.CodeIndentRe)
+    val eol = sqlRe(ta.CodeEolRe)
+    s"""
+    WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN coalesce(text, '')
+          WHEN doc_id % 4 = 1 THEN 'def f_' || doc_id || '(x):' || chr(10) ||
+            repeat(' ', 4) || 'return x + ' || (doc_id % 9) || chr(10) ||
+            chr(10) || 'class C' || (doc_id % 5) || ':' || chr(10) ||
+            repeat(' ', 4) || 'import os' || chr(10) ||
+            repeat(' ', 4) || 'y = [1, 2];'
+          WHEN doc_id % 4 = 2 THEN 'int main() {' || chr(10) ||
+            repeat(' ', 2) || 'int v = ' || doc_id || ';' || chr(10) ||
+            repeat(' ', 2) || 'if (v > 0) {' || chr(10) ||
+            repeat(' ', 4) || 'v += 1;' || chr(10) ||
+            repeat(' ', 2) || '}' || chr(10) ||
+            repeat(' ', 2) || 'return v;' || chr(10) || '}'
+          ELSE coalesce(text, '') || chr(10) ||
+            'See for example: result = f(x);'
+        END AS t
+      FROM documents),
+    f AS (SELECT doc_id, t,
+        len(list_filter(string_split(t, chr(10)), x -> x <> '')) AS nl,
+        len(list_filter(string_split(t, chr(10)),
+          x -> x <> '' AND regexp_matches(x, '$ind'))) AS ind,
+        len(list_filter(string_split(t, chr(10)),
+          x -> x <> '' AND regexp_matches(rtrim(x), '$eol'))) AS eol,
+        length(t) - length(regexp_replace(t, '$sym', '', 'g')) AS sym,
+        len(regexp_extract_all(t, '$kw')) AS kw
+      FROM d),
+    g AS (SELECT doc_id, nl, kw,
+        CASE WHEN length(t) = 0 THEN 0.0
+          ELSE CAST(sym AS DOUBLE) / length(t) END AS sr,
+        CASE WHEN nl = 0 THEN 0.0 ELSE CAST(ind AS DOUBLE) / nl END AS ir,
+        CASE WHEN nl = 0 THEN 0.0 ELSE CAST(eol AS DOUBLE) / nl END AS er
+      FROM f)
+    SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+      CAST(kw AS BIGINT) AS keyword_hits,
+      sr AS symbol_ratio, ir AS indent_ratio, er AS eol_ratio,
+      ((sr >= ${ta.CodeSymbolMin} AND kw >= 2) OR ir >= ${ta.CodeIndentMin}
+        OR er >= ${ta.CodeEolMin}) AS is_code
+    FROM g"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3379,6 +3432,7 @@ object OracleSql {
     "q146_redirect_chains"  -> q146,
     "q147_type_sniff"       -> q147,
     "q148_jsonld"           -> q148,
-    "q149_hreflang"         -> q149
+    "q149_hreflang"         -> q149,
+    "q150_code_detect"      -> q150
   ).map { case (k, v) => k -> clean(v) }
 }

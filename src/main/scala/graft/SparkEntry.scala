@@ -2476,6 +2476,32 @@ object SparkEntry {
       "html", "url")
   }
 
+  /** Code-vs-prose detection ([[graft.ops.TextAnalysis.codeProfile]]):
+    * four text shapes by doc_id%4 — real corpus prose, a python-ish
+    * snippet (indent + keywords), a C-ish snippet (braces + `;` line
+    * ends), and prose with one trailing code line (the mixed case). The
+    * oracle recomputes EVERY feature from the same constructed text with
+    * the operator's own regex constants (q133 discipline) — a counting,
+    * line-split, rtrim, or threshold bug diverges. */
+  private def q150CodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(4))
+    val py = concat(lit("def f_"), id, lit("(x):\n    return x + "),
+      pmod(id, lit(9)), lit("\n\nclass C"), pmod(id, lit(5)),
+      lit(":\n    import os\n    y = [1, 2];"))
+    val cish = concat(lit("int main() {\n  int v = "), id,
+      lit(";\n  if (v > 0) {\n    v += 1;\n  }\n  return v;\n}"))
+    val mixed = concat(coalesce(col("text"), lit("")),
+      lit("\nSee for example: result = f(x);"))
+    val body = when(m === 0, coalesce(col("text"), lit("")))
+      .when(m === 1, py).when(m === 2, cish).otherwise(mixed)
+    graft.ops.TextAnalysis.codeProfile(
+      t(s, dir, "documents").select(id, body.as("body")), "body")
+      .select(col("doc_id"), col("n_lines"), col("keyword_hits"),
+        col("symbol_ratio"), col("indent_ratio"), col("eol_ratio"),
+        col("is_code"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2625,7 +2651,8 @@ object SparkEntry {
     "q146_redirect_chains"  -> q146RedirectChains _,
     "q147_type_sniff"       -> q147TypeSniff _,
     "q148_jsonld"           -> q148JsonLd _,
-    "q149_hreflang"         -> q149Hreflang _
+    "q149_hreflang"         -> q149Hreflang _,
+    "q150_code_detect"      -> q150CodeDetect _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

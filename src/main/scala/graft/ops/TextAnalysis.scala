@@ -288,6 +288,65 @@ object TextAnalysis {
           .otherwise(m.cast("double") / col("n_script_chars")))
   }
 
+  /** Code-detection feature classes — the Java/RE2-agreeing subset,
+    * `private[graft]`-shared with the q150 oracle (one source of truth).
+    * Keyword list covers the high-frequency tokens common to the major
+    * languages a crawl actually carries; indent means a 2-space or tab
+    * lead; EOL means a (right-trimmed) `;`/`{`/`}` line end. */
+  private[graft] val CodeSymbolRe = "[{}\\[\\]();=<>#&|]"
+  private[graft] val CodeKeywordRe =
+    "\\b(def|class|import|return|function|var|const|void|public|static|if|else|for|while)\\b"
+  // ` {2}` not a literal two-space run: the oracle SQL transport
+  // whitespace-collapses, and a quantifier survives where a run cannot
+  private[graft] val CodeIndentRe = "^( {2}|\\t)"
+  private[graft] val CodeEolRe = "[;{}]$"
+  private[graft] val CodeSymbolMin = 0.03
+  private[graft] val CodeIndentMin = 0.25
+  private[graft] val CodeEolMin = 0.4
+
+  /** Code-vs-prose detection — the training-mixture routing bit: code
+    * wants its own tokenizer budget, dedup granularity, and sampling
+    * rate, and a prose-quality gate (L31) silently junks good code (low
+    * stopword ratio, "bad" punctuation density). Heuristic feature row,
+    * no model: `n_lines` (nonempty), `keyword_hits`
+    * ([[CodeKeywordRe]] occurrences), `symbol_ratio` (structural-symbol
+    * chars / all chars), `indent_ratio` and `eol_ratio` (fraction of
+    * nonempty lines indented / ending in `;{}` after rtrim), and
+    * `is_code` = (symbol_ratio ≥ 0.03 AND keyword_hits ≥ 2) OR
+    * indent_ratio ≥ 0.25 OR eol_ratio ≥ 0.4 — documented defaults; the
+    * three signals are independent enough that prose rarely crosses two.
+    *
+    * == 100 TB shape ==
+    * Row-local: two compiled regex counts + one line split consumed by
+    * codegen'd higher-order `filter`s — zero shuffles, zero UDFs; line
+    * arrays never leave the row. */
+  def codeProfile(df: DataFrame, textCol: String): DataFrame = {
+    val outCols = Seq("n_lines", "keyword_hits", "symbol_ratio",
+      "indent_ratio", "eol_ratio", "is_code")
+    val clash = outCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"codeProfile: input already has output column(s) ${clash.mkString(", ")}")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = filter(split(t, "\n"), x => x =!= "")
+    val nLines = size(lines).cast("long")
+    val indentN = size(filter(lines, x => x.rlike(CodeIndentRe)))
+    val eolN = size(filter(lines, x => rtrim(x).rlike(CodeEolRe)))
+    val symN = length(t) - length(regexp_replace(t, CodeSymbolRe, ""))
+    val kwN = size(regexp_extract_all(t, lit(CodeKeywordRe), lit(0))).cast("long")
+    val ratio = (n: Column, d: Column) =>
+      when(d === 0, lit(0.0)).otherwise(n.cast("double") / d)
+    df.withColumn("n_lines", nLines)
+      .withColumn("keyword_hits", kwN)
+      .withColumn("symbol_ratio", ratio(symN, length(t)))
+      .withColumn("indent_ratio", ratio(indentN, nLines))
+      .withColumn("eol_ratio", ratio(eolN, nLines))
+      .withColumn("is_code",
+        (col("symbol_ratio") >= CodeSymbolMin &&
+          col("keyword_hits") >= 2) ||
+          col("indent_ratio") >= CodeIndentMin ||
+          col("eol_ratio") >= CodeEolMin)
+  }
+
   /** MD5 content hash (engine-portable for oracles). */
   def contentHash(text: Column): Column = md5(normalizeText(text))
 

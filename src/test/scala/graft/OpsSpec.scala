@@ -3492,4 +3492,25 @@ class OpsSpec extends SparkSpec {
     assert(drift((0, 2)) === 0.0)   // orthogonal
     assert(drift((1, 2)) === 0.0)
   }
+
+  test("codeProfile: code flags by each signal independently, prose stays prose") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog. It was sunny."),
+      (1L, "def f(x):\n    return x + 1\n\nclass C:\n    import os"),
+      (2L, "int main() {\n  int v = 1;\n  return v;\n}"),
+      (3L, ""), // empty: all ratios 0, not code
+      (4L, "one;\ntwo {   \nthree}") // eol signal alone (rtrim'd line 2)
+    ).toDF("doc_id", "body")
+    val m = TextAnalysis.codeProfile(docs, "body").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("keyword_hits"),
+          r.getAs[Double]("indent_ratio"), r.getAs[Double]("eol_ratio"),
+          r.getAs[Boolean]("is_code")))).toMap
+    assert(m(0L)._5 === false)
+    assert(m(1L) === ((4L, 4L, 0.5, 0.0, true))) // indent fires
+    assert(m(2L)._5 === true)                     // symbols + keywords fire
+    assert(m(3L) === ((0L, 0L, 0.0, 0.0, false)))
+    assert(m(4L) === ((3L, 0L, 0.0, 1.0, true)))  // eol alone fires
+  }
 }
