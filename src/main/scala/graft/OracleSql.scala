@@ -1636,6 +1636,48 @@ object OracleSql {
     FROM g"""
   }
 
+  /** Containment near-dups — q151. Mirrors the full chain over the same
+    * constructed corpus (q31 discipline): normalize → 3-shingles →
+    * packed 56-bit hashes → mod-8 sampled shingles → df-capped pair
+    * hits (≥2) → exact intersection / min-size ≥ 0.9. */
+  private val q151 = s"""
+    WITH corpus AS (
+      SELECT doc_id * 2 AS id,
+        coalesce(text, '') || ' appendix notes section ' || doc_id AS text
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL SELECT doc_id * 2 + 1, coalesce(text, '')
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL SELECT doc_id * 2, coalesce(text, '')
+      FROM documents WHERE doc_id % 4 <> 0),
+    toks AS (SELECT id, regexp_split_to_array($dedupNormSql, ' ') AS tk
+      FROM corpus),
+    base AS (SELECT id,
+        list_distinct(list_transform(
+          CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(list_slice(tk, i, i + 2), ' ')) END,
+          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT)) AS sh
+      FROM toks),
+    samp AS (SELECT id, h FROM base,
+      unnest(list_filter(sh, x -> x % 8 = 0)) u(h)),
+    df AS (SELECT h, COUNT(*) AS n FROM samp GROUP BY h),
+    cand AS (SELECT a.id AS id_a, b.id AS id_b
+      FROM samp a
+      JOIN samp b ON a.h = b.h AND a.id < b.id
+      JOIN df ON a.h = df.h
+      WHERE df.n BETWEEN 2 AND 200
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    ver AS (SELECT c.id_a, c.id_b,
+        len(list_intersect(a.sh, b.sh)) AS n_common,
+        CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 0.0
+          ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / least(len(a.sh), len(b.sh)) END AS containment
+      FROM cand c
+      JOIN base a ON c.id_a = a.id
+      JOIN base b ON c.id_b = b.id)
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, containment
+    FROM ver WHERE containment >= 0.9"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3433,6 +3475,7 @@ object OracleSql {
     "q147_type_sniff"       -> q147,
     "q148_jsonld"           -> q148,
     "q149_hreflang"         -> q149,
-    "q150_code_detect"      -> q150
+    "q150_code_detect"      -> q150,
+    "q151_containment"      -> q151
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2502,6 +2502,29 @@ object SparkEntry {
         col("is_code"))
   }
 
+  /** Containment near-dups ([[graft.ops.Dedup.containmentNearDups]]):
+    * every doc_id%4==0 corpus doc appears TWICE — the original (odd
+    * synthetic id) and an EXPANDED copy with an appended tail (even id).
+    * The short side's shingles all sit inside the long side, so
+    * containment is exactly 1.0 while Jaccard is well below it — the
+    * pair class the MinHash tier structurally misses. The oracle mirrors
+    * the full mod-sampling → df-cap → hit-count → exact-intersection
+    * chain over the same constructed corpus (the q31 discipline). */
+  private def q151Containment(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = t(s, dir, "documents")
+      .select(id, coalesce(col("text"), lit("")).as("text"))
+    val pairLong = base.filter(pmod(id, lit(4)) === 0)
+      .select((id * 2).as("doc_id"),
+        concat(col("text"), lit(" appendix notes section "), id).as("text"))
+    val pairShort = base.filter(pmod(id, lit(4)) === 0)
+      .select((id * 2 + 1).as("doc_id"), col("text"))
+    val noise = base.filter(pmod(id, lit(4)) =!= 0)
+      .select((id * 2).as("doc_id"), col("text"))
+    graft.ops.Dedup.containmentNearDups(
+      pairLong.union(pairShort).union(noise), threshold = 0.9)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2652,7 +2675,8 @@ object SparkEntry {
     "q147_type_sniff"       -> q147TypeSniff _,
     "q148_jsonld"           -> q148JsonLd _,
     "q149_hreflang"         -> q149Hreflang _,
-    "q150_code_detect"      -> q150CodeDetect _
+    "q150_code_detect"      -> q150CodeDetect _,
+    "q151_containment"      -> q151Containment _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -295,6 +295,67 @@ object Dedup {
     out
   }
 
+  /** Asymmetric CONTAINMENT near-dups (Broder's containment measure):
+    * pairs where the SMALLER document's shingle set sits inside the
+    * larger one's — `containment` = |A∩B| / min(|A|,|B|). The pairs
+    * Jaccard structurally misses: a quote, syndicated excerpt, or
+    * article-plus-appendix pair has near-total containment but LOW
+    * Jaccard (the union is dominated by the long side), so the L3/L4
+    * MinHash tier never buckets them together. Training-data reality:
+    * quote farms and expanded re-posts survive Jaccard dedup and leak
+    * the same passage into the corpus many times.
+    *
+    * Candidates come from MOD-SAMPLED shingles, not MinHash: if A ⊆ B
+    * then every sampled shingle of A (packed hash ≡ 0 mod `sampleMod`)
+    * is also sampled in B, so containment pairs share sampled shingles
+    * at rate |A∩B|/sampleMod regardless of the size imbalance. Docs
+    * sharing ≥ `minSampleHits` sampled shingles become candidates;
+    * shingles in more than `maxDf` docs are DROPPED before pairing
+    * (boilerplate-shingle guard — the bounded-bucket discipline).
+    *
+    * == 100 TB shape ==
+    * The sampled-shingle join moves corpus-shingles/`sampleMod` rows of
+    * `(id, long)` through ONE exchange; the df cap bounds every
+    * per-shingle group below `maxDf` so pair fan-out is O(df²) bounded;
+    * pair counting is one map-side-combined agg; the exact verify joins
+    * the candidate-sized pair set back to the persisted hash sets (the
+    * [[minhashNearDups]] two-thin-shuffles shape). EAGER like its
+    * sibling: same `materialize` hook, base unpersisted before return. */
+  def containmentNearDups(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", threshold: Double = 0.8,
+                          shingleK: Int = 3, sampleMod: Int = 8,
+                          minSampleHits: Int = 2, maxDf: Int = 200,
+                          materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(sampleMod >= 1, s"containmentNearDups: sampleMod must be >= 1")
+    val base = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sampled = base.select(col("id"),
+      explode(filter(col("sh"), h => pmod(h, lit(sampleMod)) === 0)).as("h"))
+    val candidates = sampled.groupBy(col("h"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minSampleHits)
+      .select("id_a", "id_b")
+    val minSize = least(size(col("__sa")), size(col("__sb")))
+    val verified = candidates
+      .join(base.select(col("id").as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("containment",
+        when(minSize === 0, lit(0.0))
+          .otherwise(col("n_common").cast("double") / minSize))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
+    val out = materialize(verified)
+    base.unpersist()
+    out
+  }
+
   /** End-to-end near-dup RESOLUTION: find near-duplicate pairs
     * ([[minhashNearDups]]), connect them into clusters
     * ([[nearDupClusters]]), and keep ONE representative per cluster — the

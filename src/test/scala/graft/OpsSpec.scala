@@ -3493,6 +3493,42 @@ class OpsSpec extends SparkSpec {
     assert(drift((1, 2)) === 0.0)
   }
 
+  test("containmentNearDups: quote subsumption found at containment 1.0 where Jaccard misses") {
+    import graft.ops.Dedup
+    val core = (1 to 60).map(i => s"token$i").mkString(" ")
+    val long = core + " " + (1 to 40).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),                       // expanded article
+      (2L, core),                       // the contained original
+      (3L, "completely different words about another topic entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentNearDups(docs, threshold = 0.9,
+      minSampleHits = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to the Jaccard tier at its threshold:
+    // |A∩B|/|A∪B| ≈ 58/98 < 0.8
+    val j = docs.filter(col("doc_id") <= 2).agg(
+      Dedup.jaccardSets(
+        first(Dedup.shingleHashes(col("text"))).as("a"),
+        last(Dedup.shingleHashes(col("text"))).as("b"))).head.getDouble(0)
+    assert(j < 0.8)
+  }
+
+  test("containmentNearDups: df cap drops boilerplate shingles, empty docs never pair") {
+    import graft.ops.Dedup
+    // the SAME text on 5 docs: every shingle has df 5 > maxDf 4 → no pairs
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.containmentNearDups(docs, maxDf = 4,
+      minSampleHits = 1).count() === 0)
+    // blank docs: the single empty-string shingle is not mod-8 sampled
+    // (pinned here); identical-empty docs are exact dedup's job (L1)
+    val empties = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.containmentNearDups(empties,
+      minSampleHits = 1).count() === 0)
+  }
+
   test("codeProfile: code flags by each signal independently, prose stays prose") {
     import graft.ops.TextAnalysis
     val docs = Seq(
