@@ -1678,6 +1678,58 @@ object OracleSql {
     SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, containment
     FROM ver WHERE containment >= 0.9"""
 
+  /** Declared-vs-detected language — q152. First principles: each
+    * doc_id%5 arm pins one verdict shape (the marker texts are chosen so
+    * detectLanguage's outcome is known); a lang-attr extraction,
+    * region-subtag, or marker-count bug diverges. */
+  private val q152 = """
+    WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+    SELECT doc_id,
+      CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'en' WHEN 2 THEN ''
+        WHEN 3 THEN 'de' ELSE 'fr' END AS declared,
+      CASE m WHEN 1 THEN 'fr' WHEN 3 THEN 'de' WHEN 4 THEN 'und'
+        ELSE 'en' END AS detected,
+      CASE m WHEN 0 THEN 'match' WHEN 1 THEN 'mismatch'
+        WHEN 2 THEN 'undeclared' WHEN 3 THEN 'match'
+        ELSE 'undetected' END AS verdict
+    FROM d"""
+
+  /** Paragraph dedup — q153. Replays the full chain over the same
+    * constructed corpus (q47 discipline): `\n{2,}` paragraph split,
+    * normalized 56-bit identity, (doc_id, pos) first-wins, reassembly of
+    * the ORIGINAL surviving text joined with blank lines. */
+  private val q153 = s"""
+    WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter for updates!'
+          ELSE 'SUBSCRIBE to our Newsletter -- for UPDATES' END ||
+        chr(10) || chr(10) || coalesce(text, '') || chr(10) || chr(10) ||
+        'common closing paragraph number ' || (doc_id % 7) AS t
+      FROM documents),
+    pp AS (SELECT doc_id, regexp_split_to_array(t, '\\n{2,}') AS paras FROM d),
+    px AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(paras) + 1),
+          i -> {'pos': i - 1, 'para': paras[i]})) AS s
+      FROM pp),
+    p2 AS (SELECT doc_id, s.pos AS pos, s.para AS para,
+        trim(regexp_replace(regexp_replace(lower(s.para),
+          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      FROM px),
+    elig AS (SELECT doc_id, pos, para,
+        row_number() OVER (
+          PARTITION BY ('0x' || substr(md5(norm), 1, 14))::BIGINT
+          ORDER BY doc_id, pos) AS rn
+      FROM p2 WHERE norm <> ''),
+    kept AS (SELECT doc_id, pos, para FROM elig WHERE rn = 1
+      UNION ALL SELECT doc_id, pos, para FROM p2 WHERE norm = ''),
+    re AS (SELECT doc_id,
+        string_agg(para, chr(10) || chr(10) ORDER BY pos) AS t2,
+        COUNT(*) AS nk
+      FROM kept GROUP BY doc_id)
+    SELECT p.doc_id, CAST(len(p.paras) AS BIGINT) AS n_paras_total,
+      CAST(coalesce(r.nk, 0) AS BIGINT) AS n_paras_kept,
+      md5(coalesce(r.t2, '')) AS dedup_md5
+    FROM pp p LEFT JOIN re r USING (doc_id)"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3476,6 +3528,8 @@ object OracleSql {
     "q148_jsonld"           -> q148,
     "q149_hreflang"         -> q149,
     "q150_code_detect"      -> q150,
-    "q151_containment"      -> q151
+    "q151_containment"      -> q151,
+    "q152_lang_mismatch"    -> q152,
+    "q153_para_dedup"       -> q153
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2525,6 +2525,63 @@ object SparkEntry {
       pairLong.union(pairShort).union(noise), threshold = 0.9)
   }
 
+  /** Declared-vs-detected language consistency ([[graft.ops.Boilerplate
+    * .pageMetadata]] `html_lang` × [[graft.ops.TextAnalysis
+    * .detectLanguage]]): the crawl-QC compose — a page claiming `lang=en`
+    * with French prose routes to the wrong stopword list, tokenizer, and
+    * mixture bucket. Five shapes by doc_id%5: agreeing en, `EN-US`
+    * declared over French prose (region subtag stripped → mismatch), no
+    * lang attribute (undeclared), agreeing unquoted `de`, and declared
+    * fr over marker-free gibberish (undetected). First-principles
+    * oracle. */
+  private def q152LangMismatch(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(5))
+    val attr = when(m === 0, lit(" lang=\"en\""))
+      .when(m === 1, lit(" lang=\"EN-US\""))
+      .when(m === 2, lit(""))
+      .when(m === 3, lit(" lang=de"))
+      .otherwise(lit(" lang=\"fr\""))
+    val bodyTxt = when(m === 1, lit("le chat et les chiens et le jour"))
+      .when(m === 3, lit("der hund und die katze und der tag"))
+      .when(m === 4, lit("zzz qqq xxx vvv"))
+      .otherwise(lit("the cat and the dog and the day of note"))
+    val html = concat(lit("<html"), attr,
+      lit("><head><title>t</title></head><body><p>"), bodyTxt,
+      lit(" doc "), id, lit("</p></body></html>"))
+    val meta = graft.ops.Boilerplate.pageMetadata(
+      t(s, dir, "documents").select(id, html.as("html")), "html")
+    val declared = lower(regexp_extract(col("html_lang"), "^([A-Za-z]+)", 1))
+    val detected = graft.ops.TextAnalysis.detectLanguage(
+      regexp_replace(col("html"), "<[^>]*>", " "))
+    meta.select(id, declared.as("declared"), detected.as("detected"),
+      when(declared === "", lit("undeclared"))
+        .when(detected === "und", lit("undetected"))
+        .when(declared === detected, lit("match"))
+        .otherwise(lit("mismatch")).as("verdict"))
+  }
+
+  /** Paragraph-level dedup ([[graft.ops.LineDedup.perParagraphDedup]]):
+    * every doc is subscribe-paragraph + corpus text + closing paragraph;
+    * the subscribe copy alternates between two case/punctuation variants
+    * that must collapse to ONE normalized identity (survives only in
+    * doc 0), and the closing paragraph cycles on doc_id%7 (survives in
+    * the first doc of each residue). The oracle replays the whole chain
+    * — normalize → 56-bit hash → (id, pos) first-wins → reassemble
+    * ORIGINAL text — over the same constructed corpus (q47 discipline). */
+  private def q153ParaDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sub = when(pmod(id, lit(2)) === 0,
+        lit("Subscribe to our newsletter for updates!"))
+      .otherwise(lit("SUBSCRIBE to our Newsletter -- for UPDATES"))
+    val body = concat(sub, lit("\n\n"), coalesce(col("text"), lit("")),
+      lit("\n\ncommon closing paragraph number "), pmod(id, lit(7)))
+    graft.ops.LineDedup.perParagraphDedup(
+      t(s, dir, "documents").select(id, body.as("text")))
+      .select(id, col("n_paras_total"), col("n_paras_kept"),
+        md5(col("text")).as("dedup_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2676,7 +2733,9 @@ object SparkEntry {
     "q148_jsonld"           -> q148JsonLd _,
     "q149_hreflang"         -> q149Hreflang _,
     "q150_code_detect"      -> q150CodeDetect _,
-    "q151_containment"      -> q151Containment _
+    "q151_containment"      -> q151Containment _,
+    "q152_lang_mismatch"    -> q152LangMismatch _,
+    "q153_para_dedup"       -> q153ParaDedup _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -82,6 +82,60 @@ object LineDedup {
       .drop("__ld_id", "__keep")
   }
 
+  /** Corpus-wide PARAGRAPH dedup — the CCNet granularity, between line
+    * level ([[perLineDedup]]) and document level ([[graft.ops.Dedup]]):
+    * syndicated intros, shared closers, and quoted passages repeat as
+    * whole paragraphs across documents that are nowhere near document
+    * dups, and single-line dedup shreds multi-line paragraphs it should
+    * treat as one unit. Identity is the packed 56-bit hash of the
+    * NORMALIZED paragraph ([[TextAnalysis.normalizeText]] — CCNet hashes
+    * normalized paragraphs so case/punctuation variants collapse), while
+    * reassembly keeps the ORIGINAL text of the surviving copy. Paragraph
+    * = a `\n{2,}`-separated block; blocks that normalize to "" (blank or
+    * punctuation-only) are structure — always kept, never counted.
+    * First occurrence ordered by (doc id, position) survives; documents
+    * come back with `textCol` rewritten (survivors joined `\n\n`) plus
+    * `n_paras_total` / `n_paras_kept` / `n_paras_dropped`.
+    *
+    * == 100 TB shape ==
+    * The [[perLineDedup]] discipline verbatim: the explode projects to
+    * `(id, pos, hash)` row-locally so no shuffle carries paragraph TEXT;
+    * survivors are one map-side-combined `min(struct(id, pos))` agg per
+    * hash; keep-marks group to per-doc position lists; reassembly is the
+    * one document-text shuffle, then a row-local indexed filter
+    * (paragraphs per document are few — the O(paras × kept) filter is
+    * noise next to the line variant's compiled pass). Same stored-column
+    * contract on `textCol` as [[perLineDedup]]. */
+  def perParagraphDedup(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val arr = split(coalesce(col(textCol), lit("")), "\n{2,}")
+    val paras = docs.select(col(idCol).as("__pd_id"),
+      posexplode(arr).as(Seq("pos", "para")))
+    val norm = TextAnalysis.normalizeText(col("para"))
+    val isEligible = norm =!= ""
+    val eligible = paras.filter(isEligible)
+      .select(col("__pd_id"), col("pos"), lineHash(norm).as("__h"))
+    val survivors = eligible.groupBy(col("__h"))
+      .agg(min(struct(col("__pd_id").as("id"), col("pos").as("p"))).as("k"))
+      .select(col("k.id").as("__pd_id"), col("k.p").as("pos"))
+    val keptMarks = survivors.unionByName(
+      paras.filter(!isEligible).select(col("__pd_id"), col("pos")))
+    val keepLists = keptMarks.groupBy(col("__pd_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__keep"))
+    val indexed = transform(arr, (p, i) => struct(i.as("i"), p.as("p")))
+    val keptParas = transform(
+      filter(indexed, s => array_contains(col("__keep"), s("i"))),
+      s => s("p"))
+    docs.join(keepLists, col(idCol) === col("__pd_id"), "left")
+      .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
+      .withColumn("n_paras_total", size(arr).cast("long"))
+      .withColumn(textCol, array_join(keptParas, "\n\n"))
+      .withColumn("n_paras_kept", size(col("__keep")).cast("long"))
+      .withColumn("n_paras_dropped",
+        col("n_paras_total") - col("n_paras_kept"))
+      .drop("__pd_id", "__keep")
+  }
+
   /** FREQUENCY-based boilerplate line removal, scoped per group (host, in
     * the crawl case): a line appearing in at least `minDocs` DISTINCT
     * documents of the same group is template chrome (cookie banner, nav,

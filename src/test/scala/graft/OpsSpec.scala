@@ -3493,6 +3493,24 @@ class OpsSpec extends SparkSpec {
     assert(drift((1, 2)) === 0.0)
   }
 
+  test("perParagraphDedup: normalized identity, first-wins, structure kept, originals reassembled") {
+    import graft.ops.LineDedup
+    val docs = Seq(
+      (1L, "Shared INTRO here!\n\nunique one\n\n...\n\nshared closer"),
+      (2L, "shared intro -- HERE\n\nunique two\n\nshared closer"),
+      (3L, "unique three")
+    ).toDF("doc_id", "text")
+    val got = LineDedup.perParagraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getAs[Long]("n_paras_total"),
+        r.getAs[Long]("n_paras_kept")))).toMap
+    // doc 1 keeps everything incl. the punctuation-only "..." structure row
+    assert(got(1L) === (("Shared INTRO here!\n\nunique one\n\n...\n\nshared closer", 4L, 4L)))
+    // doc 2: its intro normalizes to doc 1's (dropped), closer dropped,
+    // ORIGINAL casing of nothing leaks — only the unique paragraph stays
+    assert(got(2L) === (("unique two", 3L, 1L)))
+    assert(got(3L) === (("unique three", 1L, 1L)))
+  }
+
   test("containmentNearDups: quote subsumption found at containment 1.0 where Jaccard misses") {
     import graft.ops.Dedup
     val core = (1 to 60).map(i => s"token$i").mkString(" ")
