@@ -1730,6 +1730,44 @@ object OracleSql {
       md5(coalesce(r.t2, '')) AS dedup_md5
     FROM pp p LEFT JOIN re r USING (doc_id)"""
 
+  /** Host quality prior — q154. Replays the q25 bucket (same SQL
+    * mirror), maps it to the integer score, and applies the additive
+    * smoothing on exact integer sums — every derived double is
+    * deterministic on both engines. */
+  private val q154 = """
+    WITH x AS (
+      SELECT doc_id, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        CAST((length(' ' || lower(text) || ' ') -
+              length(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4 AS INT) AS n_the
+      FROM documents),
+    b AS (SELECT doc_id,
+        CASE WHEN n_chars >= 300 AND n_tokens >= 50 AND n_the > 0 THEN 3
+             WHEN n_chars >= 150 AND n_tokens >= 20 THEN 2
+             WHEN n_punct > n_tokens THEN 0
+             ELSE 1 END AS s
+      FROM x),
+    h AS (SELECT 'h' || (doc_id % 16) || '.example.org' AS host, s FROM b),
+    agg AS (SELECT host, COUNT(*) AS n, SUM(s) AS sm FROM h GROUP BY host),
+    g AS (SELECT CAST(SUM(s) AS DOUBLE) / COUNT(*) AS gm FROM h)
+    SELECT host, CAST(n AS BIGINT) AS n_pages,
+      CAST(sm AS DOUBLE) / n AS mean_score,
+      (sm + 10.0 * gm) / (n + 10.0) AS prior_score
+    FROM agg, g"""
+
+  /** X-Robots-Tag opt-out — q155. First principles: each doc_id%4 arm
+    * wrote one known header/meta shape, so both noindex bits and the
+    * combined gate follow from the arithmetic. */
+  private val q155 = """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+    SELECT doc_id,
+      m IN (1, 3) AS header_noindex,
+      m = 2 AS meta_noindex,
+      m = 0 AS indexable
+    FROM d"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3530,6 +3568,8 @@ object OracleSql {
     "q150_code_detect"      -> q150,
     "q151_containment"      -> q151,
     "q152_lang_mismatch"    -> q152,
-    "q153_para_dedup"       -> q153
+    "q153_para_dedup"       -> q153,
+    "q154_host_prior"       -> q154,
+    "q155_x_robots"         -> q155
   ).map { case (k, v) => k -> clean(v) }
 }

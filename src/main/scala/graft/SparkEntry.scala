@@ -2582,6 +2582,66 @@ object SparkEntry {
         md5(col("text")).as("dedup_md5"))
   }
 
+  /** Host quality prior ([[graft.ops.QualityGates.hostPrior]]): 16
+    * synthesized hosts carve the corpus by doc_id%16, each page scored by
+    * the q25 bucket mapped to high=3/medium=2/low=1/garbled=0; the prior
+    * shrinks host means toward the global mean with α=10. Oracle replays
+    * bucket → score → host agg → shrinkage on the same arithmetic (the
+    * integer-sum discipline keeps every derived double deterministic). */
+  private def q154HostPrior(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(lit("https://h"), pmod(id, lit(16)),
+      lit(".example.org/p/"), id)
+    val bucket = graft.ops.TextAnalysis.qualityBucket(col("text"),
+      length(col("text")))
+    val score = when(bucket === "high", 3).when(bucket === "medium", 2)
+      .when(bucket === "garbled", 0).otherwise(1)
+    graft.ops.QualityGates.hostPrior(
+      t(s, dir, "documents").select(url.as("url"), score.as("score")))
+  }
+
+  /** X-Robots-Tag header opt-out ([[graft.ops.RobotsTxt.headerNoindex]]
+    * × [[graft.ops.Boilerplate.robotsNoindex]]): four WARC shapes by
+    * doc_id%4 — clean, header `noindex` behind an agent prefix, META
+    * robots noindex (header clean), and a directive list ending in
+    * `none`. A compliant pipeline drops a page when EITHER channel opts
+    * out. First-principles oracle; the header must ride the real parse
+    * (a capture bug shows as header_noindex=false on m∈{1,3}). */
+  private def q155XRobots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(8)).cast("long").as("bucket"),
+        col("doc_id").as("id"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .as[(Long, Seq[Long])]
+    val files = grouped.map { case (bucket, ids) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ids.foreach { id =>
+        val meta = if (id % 4 == 2)
+          "<meta name=\"robots\" content=\"noindex, follow\">" else ""
+        val hdrs = (id % 4) match {
+          case 1 => Seq("X-Robots-Tag" -> "googlebot: noindex")
+          case 3 => Seq("X-Robots-Tag" -> "unavailable_after: 1 Jul 2030, none")
+          case _ => Nil
+        }
+        bos.write(graft.load.Warc.encodeResponseGz(
+          s"https://ex.org/doc/$id",
+          java.time.Instant.ofEpochSecond(1704067200L + id).toString,
+          s"<html><head>$meta</head><body><p>doc $id</p></body></html>",
+          200, "text/html; charset=utf-8", extraHeaders = hdrs))
+      }
+      (f"xrobots-$bucket%02d.warc.gz", bos.toByteArray)
+    }
+    val (clean, _) = graft.load.Warc.parseWarcFiles(files)
+    val hn = graft.ops.RobotsTxt.headerNoindex(col("x_robots"))
+    val mn = graft.ops.Boilerplate.robotsNoindex(col("html"))
+    clean.select(
+      regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      hn.as("header_noindex"), mn.as("meta_noindex"),
+      (!hn && !mn).as("indexable"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2735,7 +2795,9 @@ object SparkEntry {
     "q150_code_detect"      -> q150CodeDetect _,
     "q151_containment"      -> q151Containment _,
     "q152_lang_mismatch"    -> q152LangMismatch _,
-    "q153_para_dedup"       -> q153ParaDedup _
+    "q153_para_dedup"       -> q153ParaDedup _,
+    "q154_host_prior"       -> q154HostPrior _,
+    "q155_x_robots"         -> q155XRobots _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

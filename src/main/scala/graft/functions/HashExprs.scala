@@ -965,6 +965,42 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** DEFLATE compression ratio: compressed/raw byte size of the UTF-8
+    * text at the given zlib level — the direct compressibility quality
+    * signal (natural prose lands ~0.4–0.7; repeated-template spam and
+    * boilerplate runs far lower; random/base64 blobs near or above 1.0).
+    * What [[CharEntropy]] approximates order-free, DEFLATE measures with
+    * REPETITION STRUCTURE included — the Gopher-class signal that catches
+    * "the same sentence 200 times" (high entropy, tiny deflate). Empty
+    * text = 0.0 by convention. One `java.util.zip.Deflater` pass per row
+    * (JDK-only, deterministic for a fixed level/strategy); no
+    * SQL-expressible oracle exists (DuckDB ships no zlib surface), so the
+    * accuracy contract is pinned by HashExprsSpec fixtures instead — the
+    * L53/L64 spec-only discipline. */
+  case class DeflateRatio(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "deflate_ratio"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      if (bytes.length == 0) return 0.0
+      val d = new java.util.zip.Deflater(level)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8 * 1024)
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        compressed.toDouble / bytes.length
+      } finally d.end()
+    }
+
+    override protected def withNewChildInternal(c: Expression): DeflateRatio =
+      copy(child = c)
+  }
+
   /** Real-vocabulary subword token count: greedy LONGEST-MATCH segmentation
     * of each whitespace-delimited word against a caller-supplied vocabulary,
     * with a single-character fallback for anything the vocabulary cannot
@@ -1458,6 +1494,12 @@ object HashExprs {
     * non-BMP characters. */
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  /** [[DeflateRatio]] sugar — level 6 is zlib's default speed/size point. */
+  def deflateRatio(text: Column, level: Int = 6): Column = {
+    require(level >= 1 && level <= 9, s"deflateRatio: level in [1,9], got $level")
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text), level))
+  }
 
   def bpeTokenCount(text: Column, vocab: Seq[String]): Column = {
     requireVocab(vocab, "bpeTokenCount")

@@ -58,6 +58,7 @@ object Warc {
       content_type: String,
       charset: String,
       location: String,
+      x_robots: String,
       sniffed_type: String,
       refers_to_uri: String,
       payload_digest: String,
@@ -66,19 +67,19 @@ object Warc {
 
   private def clean(file: String, url: String, ts: java.sql.Timestamp,
                     html: String, status: Int, ctype: String,
-                    charset: String, location: String,
+                    charset: String, location: String, xRobots: String,
                     sniffed: String): Parsed =
     Parsed(file, "response", url, ts, html, status, ctype, charset,
-      location, sniffed, null, null, null, null)
+      location, xRobots, sniffed, null, null, null, null)
 
   private def revisitRow(file: String, url: String, ts: java.sql.Timestamp,
                          refersTo: String, digest: String): Parsed =
-    Parsed(file, "revisit", url, ts, null, 0, null, null, null, null,
+    Parsed(file, "revisit", url, ts, null, 0, null, null, null, null, null,
       refersTo, digest, null, null)
 
   private def dirty(file: String, reason: String, snippet: String): Parsed =
     Parsed(file, "dirty", null, null, null, 0, null, null, null, null, null,
-      null, reason, snippet.take(200))
+      null, null, reason, snippet.take(200))
 
   // ----------------------------------------------------------------- bytes
 
@@ -252,6 +253,7 @@ object Warc {
                   var status = 0
                   var ctype = ""
                   var loc = ""
+                  var xrobots = ""
                   val bodyStart =
                     if (startsWith(data, pStart, "HTTP/".getBytes(ISO_8859_1))) {
                       val he = indexOf(data, CrlfCrlf, pStart)
@@ -269,6 +271,9 @@ object Warc {
                       loc = hkv.collectFirst {
                         case ("location", v) => v
                       }.getOrElse("")
+                      xrobots = hkv.collectFirst {
+                        case ("x-robots-tag", v) => v
+                      }.getOrElse("")
                       if (he < 0 || he + 4 > pEnd) pEnd else he + 4
                     } else pStart
                   // sniff the CONTAINER type from the body's magic bytes
@@ -281,7 +286,7 @@ object Warc {
                   val (text, cs) =
                     Charsets.decode(data, bodyStart, pEnd - bodyStart, ctype)
                   out += clean(file, uri, tsOpt.get, text, status, ctype, cs,
-                    loc, sniffed)
+                    loc, xrobots, sniffed)
                 }
               } else if (headers.getOrElse("warc-type", "")
                   .equalsIgnoreCase("revisit")) {
@@ -328,9 +333,10 @@ object Warc {
   def encodeResponseGz(url: String, fetchTsIso: String, html: String,
                        status: Int = 200,
                        contentType: String = "text/html; charset=utf-8",
-                       location: String = ""): Array[Byte] =
+                       location: String = "",
+                       extraHeaders: Seq[(String, String)] = Nil): Array[Byte] =
     encodeResponseBytesGz(url, fetchTsIso, html.getBytes(UTF_8), status,
-      contentType, location)
+      contentType, location, extraHeaders)
 
   /** [[encodeResponseGz]] with a caller-encoded body — the fixture half of
     * the charset-sniffing round-trip (q130): synthesize cp1252 / UTF-16 /
@@ -339,11 +345,13 @@ object Warc {
   def encodeResponseBytesGz(url: String, fetchTsIso: String,
                             body: Array[Byte], status: Int = 200,
                             contentType: String = "text/html; charset=utf-8",
-                            location: String = ""): Array[Byte] = {
+                            location: String = "",
+                            extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val reason = if (status == 200) "OK" else "-"
     val locHdr = if (location.nonEmpty) s"Location: $location\r\n" else ""
+    val extra = extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
     val http = (s"HTTP/1.1 $status $reason\r\nContent-Type: $contentType\r\n" +
-      locHdr + s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
+      locHdr + extra + s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
     val rid = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$url@$fetchTsIso".getBytes(UTF_8))
       .map(b => f"$b%02x").mkString
@@ -437,7 +445,7 @@ object Warc {
     val clean = parsed.filter(col("record_type") === "response")
       .select(col("warc_file"), col("url"), col("fetch_ts"), col("html"),
         col("http_status"), col("content_type"), col("charset"),
-        col("location"), col("sniffed_type"))
+        col("location"), col("x_robots"), col("sniffed_type"))
     val revisit = parsed.filter(col("record_type") === "revisit")
       .select(col("warc_file"), col("url"), col("fetch_ts"),
         col("refers_to_uri"), col("payload_digest"))

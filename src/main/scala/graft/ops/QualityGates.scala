@@ -245,4 +245,39 @@ object QualityGates {
     withBadWords(docs, words, textCol)
       .filter(col("n_bad_tokens") <= maxBadTokens)
       .drop("n_bad_tokens", "n_bad_distinct", "has_bad_word")
+
+  /** Host-level quality prior with Bayesian shrinkage — the crawl-filter
+    * prior for pages the classifier hasn't scored (new URLs on a known
+    * host) and the frontier-demotion signal for content-farm hosts:
+    * `prior_score` = (Σ score + α·global_mean) / (n + α), so a host with
+    * few pages shrinks toward the corpus mean (one lucky page cannot
+    * whitelist a host) and a host with many converges to its own mean —
+    * the standard additive-smoothing estimator.
+    *
+    * `scoreCol` must be an INTEGER score (e.g. the q25 bucket mapped
+    * high=3/medium=2/low=1/garbled=0): integer sums are
+    * partition-order-exact, so the derived doubles are deterministic —
+    * the engine-exactness discipline above. Hostless URLs drop.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined agg keyed by host (host-sized output) + a
+    * 1-row global mean broadcast onto it — no second pass over pages,
+    * no document text anywhere near a shuffle. */
+  def hostPrior(docs: DataFrame, urlCol: String = "url",
+                scoreCol: String = "score", alpha: Double = 10.0): DataFrame = {
+    require(alpha >= 0, s"hostPrior: alpha must be >= 0, got $alpha")
+    val host = UrlFilter.host(col(urlCol))
+    val scored = docs
+      .select(host.as("host"), col(scoreCol).cast("long").as("__s"))
+      .filter(col("host") =!= "")
+    val byHost = scored.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("__s")).as("__sum"))
+    val global = scored
+      .agg((sum(col("__s")).cast("double") / count(lit(1))).as("__gmean"))
+    byHost.crossJoin(broadcast(global))
+      .select(col("host"), col("n_pages"),
+        (col("__sum").cast("double") / col("n_pages")).as("mean_score"),
+        ((col("__sum") + lit(alpha) * col("__gmean")) /
+          (col("n_pages") + lit(alpha))).as("prior_score"))
+  }
 }

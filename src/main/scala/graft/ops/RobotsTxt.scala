@@ -196,4 +196,17 @@ object RobotsTxt {
         col("__best").isNull || col("__best.allow"))
       .drop("__best")
   }
+
+  /** HTTP-header indexing opt-out: TRUE when an `X-Robots-Tag` value
+    * carries a `noindex` or `none` directive (RFC-less but
+    * Google/Bing-documented; `none` = noindex+nofollow). Matches the
+    * token anywhere in the value — real headers carry agent prefixes
+    * (`googlebot: noindex`) and directive lists
+    * (`noindex, nofollow`). The header-side twin of
+    * [[graft.ops.Boilerplate.robotsNoindex]] (the meta-tag form): a
+    * compliant pipeline honors EITHER — compose as
+    * `!headerNoindex(col("x_robots")) && !robotsNoindex(col("html"))`.
+    * Row-local predicate. */
+  def headerNoindex(xRobots: Column): Column =
+    lower(coalesce(xRobots, lit(""))).rlike("\\b(noindex|none)\\b")
 }

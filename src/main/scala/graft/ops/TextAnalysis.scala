@@ -347,6 +347,15 @@ object TextAnalysis {
           col("eol_ratio") >= CodeEolMin)
   }
 
+  /** DEFLATE compression ratio (compressed/raw bytes, zlib level 6) — the
+    * repetition-aware compressibility quality signal; see
+    * [[graft.functions.HashExprs.DeflateRatio]] for the contract and why
+    * it is spec-only (no SQL-expressible oracle). Compose with
+    * [[charEntropy]]: high entropy + LOW deflate = repeated-structure
+    * spam the order-free entropy can't see. */
+  def compressionRatio(text: Column): Column =
+    graft.functions.HashExprs.deflateRatio(coalesce(text, lit("")))
+
   /** MD5 content hash (engine-portable for oracles). */
   def contentHash(text: Column): Column = md5(normalizeText(text))
 

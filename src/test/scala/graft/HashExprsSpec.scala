@@ -426,4 +426,34 @@ class HashExprsSpec extends SparkSpec {
     assert(byShard === Map(0L -> 3L, 1L -> 3L))
     assert(packed.select("n_tokens").collect().forall(_.getLong(0) === 2L))
   }
+
+  test("deflateRatio: repetition compresses, randomness does not, entropy can't tell") {
+    import graft.functions.HashExprs
+    val rep = ("the same sentence again and again. " * 200).trim
+    // deterministic pseudo-random gibberish (no rand(): LCG over a fixed seed)
+    val rnd = {
+      var x = 123456789L
+      (1 to 4000).map { _ =>
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        ((x >>> 33) % 94 + 33).toChar
+      }.mkString
+    }
+    val docs = Seq((1L, rep), (2L, rnd), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val m = docs.select(col("id"),
+      graft.ops.TextAnalysis.compressionRatio(col("text")).as("r"),
+      HashExprs.charEntropy(coalesce(col("text"), lit(""))).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(1L)._1 < 0.05)            // template spam: tiny deflate ratio
+    assert(m(2L)._1 > 0.8)             // incompressible gibberish
+    assert(m(3L)._1 === 0.0)           // empty convention
+    assert(m(4L)._1 === 0.0)           // null coalesces to empty
+    // entropy alone cannot separate them: the repeated text's entropy is
+    // in the normal prose band, nowhere near zero
+    assert(m(1L)._2 > 2.0)
+    // determinism: same input, same ratio on a second evaluation
+    val again = docs.filter(col("id") === 1L).select(
+      graft.ops.TextAnalysis.compressionRatio(col("text"))).head.getDouble(0)
+    assert(again === m(1L)._1)
+  }
 }

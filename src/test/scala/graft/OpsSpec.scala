@@ -3493,6 +3493,23 @@ class OpsSpec extends SparkSpec {
     assert(drift((1, 2)) === 0.0)
   }
 
+  test("hostPrior: shrinkage pulls small hosts to the global mean, hostless URLs drop") {
+    import graft.ops.QualityGates
+    // big.org: 10 pages at score 3; tiny.org: 1 page at score 0; global mean 30/11
+    val docs = ((1 to 10).map(i => (s"https://big.org/p$i", 3)) :+
+      (("https://tiny.org/x", 0)) :+ (("not a url", 3)))
+      .toDF("url", "score")
+    val m = QualityGates.hostPrior(docs, alpha = 10.0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m.keySet === Set("big.org", "tiny.org"))
+    val gm = 30.0 / 11
+    assert(m("big.org") === ((10L, 3.0, (30 + 10 * gm) / 20)))
+    assert(m("tiny.org") === ((1L, 0.0, (0 + 10 * gm) / 11)))
+    // tiny's one bad page barely moves it off the corpus mean; big earns its own
+    assert(math.abs(m("tiny.org")._3 - gm) < math.abs(0.0 - gm) / 2)
+  }
+
   test("perParagraphDedup: normalized identity, first-wins, structure kept, originals reassembled") {
     import graft.ops.LineDedup
     val docs = Seq(
