@@ -1768,6 +1768,26 @@ object OracleSql {
       m = 0 AS indexable
     FROM d"""
 
+  /** Weighted sampling — q156. Replays the ES exponential key
+    * -ln((h+1)/2^56)/w over the same portable hash and the per-source
+    * top-25 with the id tie-break. */
+  private val q156 = """
+    WITH d AS (SELECT doc_id, source,
+        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+        END AS w
+      FROM documents),
+    keyed AS (SELECT doc_id, source, w,
+        CASE WHEN w <= 0 THEN 1e308
+          ELSE -ln((('0x' || substr(md5('graft:ws:' || doc_id), 1, 14))::BIGINT
+                    + 1.0) / 72057594037927936.0) / w END AS k
+      FROM d),
+    r AS (SELECT doc_id, source, w,
+        row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rk
+      FROM keyed)
+    SELECT source, doc_id, CAST(w AS BIGINT) AS weight
+    FROM r WHERE rk <= 25"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3570,6 +3590,7 @@ object OracleSql {
     "q152_lang_mismatch"    -> q152,
     "q153_para_dedup"       -> q153,
     "q154_host_prior"       -> q154,
-    "q155_x_robots"         -> q155
+    "q155_x_robots"         -> q155,
+    "q156_weighted_sample"  -> q156
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2642,6 +2642,19 @@ object SparkEntry {
       (!hn && !mn).as("indexable"))
   }
 
+  /** Weighted sampling ([[graft.ops.Sampling.weightedSample]]): k=25 per
+    * source with token-count weights — the ES exponential-key law over
+    * the portable hash, so the selected set is a pure function of
+    * (seed, id, weight). Oracle replays key = -ln((h+1)/2^56)/w and the
+    * per-source top-k with the same id tie-break. */
+  private def q156WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.ops.TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+        .cast("long").as("weight"))
+    graft.ops.Sampling.weightedSample(docs, k = 25, weightCol = "weight")
+      .select(col("source"), col("doc_id"), col("weight"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2797,7 +2810,8 @@ object SparkEntry {
     "q152_lang_mismatch"    -> q152LangMismatch _,
     "q153_para_dedup"       -> q153ParaDedup _,
     "q154_host_prior"       -> q154HostPrior _,
-    "q155_x_robots"         -> q155XRobots _
+    "q155_x_robots"         -> q155XRobots _,
+    "q156_weighted_sample"  -> q156WeightedSample _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

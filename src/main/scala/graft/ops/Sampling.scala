@@ -153,6 +153,39 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis scheme in its exponential-clocks form): per
+    * stratum, keep the `k` rows with the SMALLEST key = -ln(u)/w, where
+    * u = (portable 56-bit hash + 1) / 2^56 ∈ (0, 1] and `w` the row's
+    * weight — heavier rows draw systematically smaller keys, giving
+    * exactly the weighted-without-replacement inclusion law. The
+    * importance-sampling companion of [[graft.ops.Importance]]: DSIR (or
+    * any) weights in, a reproducible fixed-size sample out. Rows with
+    * w ≤ 0 can never be sampled (key = +∞; ties beyond that break on id).
+    *
+    * Same no-`rand()` discipline as every sampler here: the key is a pure
+    * function of (seed, id, w), so retries, reruns, and the DuckDB oracle
+    * select the identical sample. ONE exchange on the stratum key for the
+    * per-stratum top-k window — at corpus scale prefer many strata (the
+    * window partitioning carries the parallelism). */
+  def weightedSample(df: DataFrame, k: Int, weightCol: String,
+                     strataCol: String = "source", idCol: String = "doc_id",
+                     seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val h = conv(substring(md5(concat(lit(s"$seed:ws:"),
+      col(idCol).cast("string"))), 1, 14), 16, 10).cast("long")
+    val u = (h.cast("double") + 1.0) / 7.2057594037927936e16 // 2^56
+    val w = col(weightCol).cast("double")
+    val key = when(w <= 0, lit(Double.PositiveInfinity))
+      .otherwise(-log(u) / w)
+    val win = Window.partitionBy(col(strataCol))
+      .orderBy(col("__wkey").asc, col(idCol).asc)
+    df.withColumn("__wkey", key)
+      .withColumn("__wrk", row_number().over(win))
+      .filter(col("__wrk") <= k)
+      .drop("__wkey", "__wrk")
+  }
+
   /** Fractional-epoch mixture upsampling: training recipes weight sources by
     * EPOCH COUNTS, not just down-sampling rates — "2.5 epochs of books, 0.7
     * of web" (the LLaMA/Gopher mixture idiom). A factor `f` replicates every

@@ -3493,6 +3493,30 @@ class OpsSpec extends SparkSpec {
     assert(drift((1, 2)) === 0.0)
   }
 
+  test("weightedSample: heavy rows dominate, zero weights excluded, deterministic reruns") {
+    import graft.ops.Sampling
+    // 50 light rows (w=1) + 5 heavy rows (w=1000): a k=5 sample should be
+    // mostly heavy under the ES law
+    val docs = ((1L to 50L).map(i => (i, "s", 1L)) ++
+      (101L to 105L).map(i => (i, "s", 1000L)) :+ ((200L, "s", 0L)))
+      .toDF("doc_id", "source", "w")
+    val pick = Sampling.weightedSample(docs, k = 5, weightCol = "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick.size === 5)
+    assert(!pick.contains(200L)) // zero weight can never be sampled
+    assert(pick.count(_ >= 101L) >= 4) // heavy ids dominate
+    val again = Sampling.weightedSample(docs, k = 5, weightCol = "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === pick) // pure function of (seed, id, w)
+    // with EQUAL weights the draw is uniform and seed-dependent
+    val flat = (1L to 50L).map(i => (i, "s", 1L)).toDF("doc_id", "source", "w")
+    val a = Sampling.weightedSample(flat, k = 5, weightCol = "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(flat, k = 5, weightCol = "w",
+      seed = "other").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+  }
+
   test("hostPrior: shrinkage pulls small hosts to the global mean, hostless URLs drop") {
     import graft.ops.QualityGates
     // big.org: 10 pages at score 3; tiny.org: 1 page at score 0; global mean 30/11
