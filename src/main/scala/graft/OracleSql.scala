@@ -343,8 +343,8 @@ object OracleSql {
     * the joined slice) → bounded-bucket candidate pairs. Mirrors
     * Dedup.minhashCandidates with k=3, numHashes=64, bands=16, rowsPerBand=4,
     * maxBucket=1000. */
-  private val minhashCtes = s"""
-    toks AS (SELECT doc_id AS id, regexp_split_to_array($dedupNormSql, ' ') AS tk FROM documents),
+  private def minhashCtesFrom(table: String) = s"""
+    toks AS (SELECT doc_id AS id, regexp_split_to_array($dedupNormSql, ' ') AS tk FROM $table),
     base AS (SELECT id,
         list_distinct(list_transform(
           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
@@ -364,6 +364,8 @@ object OracleSql {
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
       JOIN sized sz ON a.band = sz.band AND a.bucket = sz.bucket
       WHERE sz.n BETWEEN 2 AND 1000)"""
+
+  private val minhashCtes = minhashCtesFrom("documents")
 
   private val q27 = s"""
     WITH $minhashCtes
@@ -1787,6 +1789,43 @@ object OracleSql {
       FROM keyed)
     SELECT source, doc_id, CAST(w AS BIGINT) AS weight
     FROM r WHERE rk <= 25"""
+
+  /** Leakage-safe split — q157. Replays the full chain over the
+    * constructed corpus: the shared MinHash-LSH CTEs (parameterized
+    * source), Jaccard ≥ 0.8 edges, recursive transitive closure to
+    * min-label clusters (the q46 walk), then hashSplit's portable bucket
+    * on the cluster representative. */
+  private val q157 = s"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, coalesce(text, '') || ' tail marker'
+      FROM documents WHERE doc_id % 5 = 0),
+    ${minhashCtesFrom("corpus")},
+    jac AS (SELECT p.id_a, p.id_b,
+        CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS j
+      FROM pairs p
+      JOIN base a ON p.id_a = a.id
+      JOIN base b ON p.id_b = b.id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE j >= 0.8
+      UNION SELECT id_b, id_a FROM jac WHERE j >= 0.8),
+    walk AS (
+      SELECT src AS id, dst AS reach FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    lab AS (SELECT id, least(id, MIN(reach)) AS cluster FROM walk GROUP BY id),
+    rep AS (SELECT c.doc_id, l.cluster,
+        coalesce(l.cluster, c.doc_id) AS r
+      FROM corpus c LEFT JOIN lab l ON c.doc_id = l.id),
+    bk AS (SELECT doc_id, cluster,
+        ('0x' || substr(md5('graft:split:' || r), 1, 14))::BIGINT % 10 AS b
+      FROM rep)
+    SELECT doc_id, cluster,
+      CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END
+        AS split
+    FROM bk"""
 
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
@@ -3591,6 +3630,7 @@ object OracleSql {
     "q153_para_dedup"       -> q153,
     "q154_host_prior"       -> q154,
     "q155_x_robots"         -> q155,
-    "q156_weighted_sample"  -> q156
+    "q156_weighted_sample"  -> q156,
+    "q157_leakage_split"    -> q157
   ).map { case (k, v) => k -> clean(v) }
 }

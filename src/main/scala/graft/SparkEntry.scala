@@ -2655,6 +2655,24 @@ object SparkEntry {
       .select(col("source"), col("doc_id"), col("weight"))
   }
 
+  /** Leakage-safe split ([[graft.ops.Dedup.leakageSafeSplit]]): every
+    * doc_id%5==0 doc gets a planted near-dup twin (+1,000,000 id, tiny
+    * tail) — the twin must land in the SAME split as its original
+    * because both hash on the cluster label. Oracle replays the full
+    * chain: minhash candidates → Jaccard ≥ 0.8 → recursive transitive
+    * closure → min-label clusters → hashSplit on the cluster rep. */
+  private def q157LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = t(s, dir, "documents")
+      .select(id, coalesce(col("text"), lit("")).as("text"))
+    val twin = base.filter(pmod(id, lit(5)) === 0)
+      .select((id + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail marker")).as("text"))
+    graft.ops.Dedup.leakageSafeSplit(base.union(twin),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("doc_id"), col("cluster"), col("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2811,7 +2829,8 @@ object SparkEntry {
     "q153_para_dedup"       -> q153ParaDedup _,
     "q154_host_prior"       -> q154HostPrior _,
     "q155_x_robots"         -> q155XRobots _,
-    "q156_weighted_sample"  -> q156WeightedSample _
+    "q156_weighted_sample"  -> q156WeightedSample _,
+    "q157_leakage_split"    -> q157LeakageSplit _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

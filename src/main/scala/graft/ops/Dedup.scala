@@ -295,6 +295,41 @@ object Dedup {
     out
   }
 
+  /** Near-dup-cluster-aware train/val/test split — the anti-leakage
+    * split: a random per-document split puts near-duplicate copies of
+    * the same passage on BOTH sides of the train/eval boundary, so the
+    * model is scored on text it effectively saw (the canonical
+    * contaminated-eval failure; L19 decontamination guards against a
+    * FIXED benchmark, this guards the split itself). The whole near-dup
+    * CLUSTER rides one hash: pairs ([[minhashNearDups]]) → components
+    * ([[nearDupClusters]]) → every member's split key is its cluster
+    * label (own id for singletons) → [[Sampling.hashSplit]] on that key.
+    * Returns the input columns + `cluster` (NULL for singletons) +
+    * `split` — by construction two near-dups can never land in
+    * different splits.
+    *
+    * == 100 TB shape ==
+    * Pair generation and CC inherit their audited bounds; the label join
+    * is duplicate-mass-sized (un-hinted, AQE decides — the q51/L47
+    * reasoning) and the split assignment is row-local hashing. Same
+    * `materialize` hook contract as [[minhashNearDups]]. */
+  def leakageSafeSplit(docs: DataFrame, splits: Seq[(String, Int)],
+                       textCol: String = "text", idCol: String = "doc_id",
+                       threshold: Double = 0.8, numHashes: Int = 64,
+                       bands: Int = 16, shingleK: Int = 3,
+                       maxBucket: Int = 1000, seed: String = "graft",
+                       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val pairs = minhashNearDups(docs, textCol, idCol, threshold, numHashes,
+      bands, shingleK, maxBucket, materialize)
+    val labels = nearDupClusters(pairs)
+    val joined = docs.join(labels, docs(idCol) === labels("id"), "left")
+      .drop("id")
+    Sampling.hashSplit(
+      joined.withColumn("__rep",
+        coalesce(col("cluster"), col(idCol).cast("long"))),
+      splits, "__rep", seed).drop("__rep")
+  }
+
   /** Asymmetric CONTAINMENT near-dups (Broder's containment measure):
     * pairs where the SMALLER document's shingle set sits inside the
     * larger one's — `containment` = |A∩B| / min(|A|,|B|). The pairs

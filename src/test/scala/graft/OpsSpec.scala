@@ -3493,6 +3493,31 @@ class OpsSpec extends SparkSpec {
     assert(drift((1, 2)) === 0.0)
   }
 
+  test("leakageSafeSplit: near-dup clusters land in one split, singletons hash on their own id") {
+    import graft.ops.{Dedup, Sampling}
+    val core = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val other = (1 to 40).map(i => s"omega$i").mkString(" ")
+    val docs = Seq(
+      (1L, core), (2L, core + " tiny tail"),       // near-dup pair
+      (3L, other),                                  // singleton
+      (4L, "short unrelated thing entirely")        // singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.leakageSafeSplit(docs,
+      Seq("train" -> 8, "val" -> 1, "test" -> 1)).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getAs[Any]("cluster")).map(_.asInstanceOf[Long]),
+          r.getAs[String]("split"))))
+      .toMap
+    assert(got(1L)._1 === Some(1L) && got(2L)._1 === Some(1L))
+    assert(got(1L)._2 === got(2L)._2) // the leakage guarantee
+    assert(got(3L)._1 === None && got(4L)._1 === None)
+    // singleton split equals a plain hashSplit on its own id
+    val plain = Sampling.hashSplit(docs.filter(col("doc_id") === 3L),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .head.getAs[String]("split")
+    assert(got(3L)._2 === plain)
+  }
+
   test("weightedSample: heavy rows dominate, zero weights excluded, deterministic reruns") {
     import graft.ops.Sampling
     // 50 light rows (w=1) + 5 heavy rows (w=1000): a k=5 sample should be
