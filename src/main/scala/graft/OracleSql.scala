@@ -1827,6 +1827,22 @@ object OracleSql {
         AS split
     FROM bk"""
 
+  /** Table-to-markdown — q158. First principles from the q131 grid: the
+    * data table's four markdown lines and the solo table's two follow
+    * exactly from doc_id arithmetic (chr(10) joins — the transport
+    * collapses literal newlines). */
+  private val q158 = """
+    SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(3 AS BIGINT) AS n_rows,
+      CAST(2 AS BIGINT) AS n_cols,
+      '| Name | Value |' || chr(10) || '| --- | --- |' || chr(10) ||
+      '| alpha & beta | ' || doc_id || ' |' || chr(10) ||
+      '| row2 | ' || (doc_id * 2) || ' |' AS table_md
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 1, 1,
+      '| solo ' || (doc_id % 7) || ' |' || chr(10) || '| --- |'
+    FROM documents WHERE doc_id % 3 = 0"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3631,6 +3647,7 @@ object OracleSql {
     "q154_host_prior"       -> q154,
     "q155_x_robots"         -> q155,
     "q156_weighted_sample"  -> q156,
-    "q157_leakage_split"    -> q157
+    "q157_leakage_split"    -> q157,
+    "q158_table_markdown"   -> q158
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2673,6 +2673,17 @@ object SparkEntry {
       .select(col("doc_id"), col("cluster"), col("split"))
   }
 
+  /** Table-to-markdown serialization ([[graft.ops.Tables
+    * .toMarkdownTables]]) over the q131 synthesis: the 3-row data table
+    * becomes a GitHub table with the separator after the `<th>` header
+    * row, and the header-less solo table still serializes with row 0 as
+    * its header. First-principles oracle: both markdown strings follow
+    * exactly from the q131 grid arithmetic. */
+  private def q158TableMarkdown(s: SparkSession, dir: String): DataFrame = {
+    val cells = q131TableExtract(s, dir)
+    graft.ops.Tables.toMarkdownTables(cells, Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2830,7 +2841,8 @@ object SparkEntry {
     "q154_host_prior"       -> q154HostPrior _,
     "q155_x_robots"         -> q155XRobots _,
     "q156_weighted_sample"  -> q156WeightedSample _,
-    "q157_leakage_split"    -> q157LeakageSplit _
+    "q157_leakage_split"    -> q157LeakageSplit _,
+    "q158_table_markdown"   -> q158TableMarkdown _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -105,4 +105,50 @@ object Tables {
         sum(col("__h")).as("n_header_cells"),
         (min(col("__w")) === max(col("__w"))).as("is_regular"))
   }
+
+  /** GitHub-markdown serialization of [[extractTables]] grids — the
+    * table-to-text step an LLM corpus actually stores (L126's markdown
+    * conversion flattens table STRUCTURE away; table-QA and structured
+    * pre-training want the grid preserved): one output row per table,
+    * `table_md` = `| a | b |` rows with the GitHub `| --- |` separator
+    * after row 0 (markdown requires a header row, so row 0 plays that
+    * role whether or not the source used `<th>`; the `is_header` flags
+    * remain available on the grid for callers that care). Pipe
+    * characters inside cells escape as `\|` — the one character that
+    * breaks the serialization. `n_cols` is the HEADER row's width (the
+    * width that defines the markdown table); ragged data rows keep their
+    * own cell counts, as GitHub renders them.
+    *
+    * == 100 TB shape ==
+    * Two map-side-combined aggs on int-addressed keys (cells → rows →
+    * tables), output table-sized; the in-group sorts are
+    * `array_sort`/`sort_array` over page-bounded arrays, row-local. */
+  def toMarkdownTables(cells: DataFrame, idCols: Seq[String]): DataFrame = {
+    val byTable = idCols.map(col) :+ col("table_idx")
+    val esc = regexp_replace(col("cell"), "\\|", "\\\\|")
+    val rows = cells
+      .groupBy(byTable :+ col("row_idx"): _*)
+      .agg(concat(lit("| "),
+          array_join(transform(
+            array_sort(collect_list(struct(col("col_idx"), esc.as("c")))),
+            s => s("c")), " | "),
+          lit(" |")).as("row_md"),
+        max(col("col_idx")).as("__nc"))
+    val hdr = element_at(col("__rs"), 1)
+    val sep = concat(lit("| "),
+      array_join(transform(sequence(lit(0), hdr("__nc")), _ => lit("---")),
+        " | "), lit(" |"))
+    val body = array_join(
+      transform(slice(col("__rs"), lit(2), size(col("__rs"))),
+        s => s("row_md")), "\n")
+    rows
+      .groupBy(byTable: _*)
+      .agg(sort_array(collect_list(
+        struct(col("row_idx"), col("row_md"), col("__nc")))).as("__rs"))
+      .select(byTable ++ Seq(
+        size(col("__rs")).cast("long").as("n_rows"),
+        (hdr("__nc") + 1).cast("long").as("n_cols"),
+        concat_ws("\n", hdr("row_md"), sep,
+          when(body === "", null).otherwise(body)).as("table_md")): _*)
+  }
 }

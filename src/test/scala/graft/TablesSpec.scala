@@ -32,6 +32,22 @@ class TablesSpec extends SparkSpec {
       (1L, 0L, 0L, false, "only")))
   }
 
+  test("toMarkdownTables: header separator, pipe escaping, ragged rows, header-less tables") {
+    val html = "<table><tr><th>K</th><th>V</th></tr>" +
+      "<tr><td>a|b</td><td>1</td><td>extra</td></tr></table>" +
+      "<table><tr><td>x</td></tr><tr><td>y</td></tr></table>"
+    val cells = Tables.extractTables(Seq((1L, html)).toDF("id", "html"),
+      "html", Seq("id"))
+    val md = Tables.toMarkdownTables(cells, Seq("id"))
+      .orderBy("table_idx").collect()
+      .map(r => (r.getAs[Long]("table_idx"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_cols"), r.getAs[String]("table_md")))
+    assert(md(0) === ((0L, 2L, 2L,
+      "| K | V |\n| --- | --- |\n| a\\|b | 1 | extra |")))
+    // header-less: row 0 plays header; single column
+    assert(md(1) === ((1L, 2L, 1L, "| x |\n| --- |\n| y |")))
+  }
+
   test("tag boundaries: <track>/<tracks> never match <tr>, <thead> is not <th>") {
     val html = "<table><thead><tr><th>h</th></tr></thead>" +
       "<track src=x><tr><td>d</td></tr></table>"
