@@ -1843,6 +1843,30 @@ object OracleSql {
       '| solo ' || (doc_id % 7) || ' |' || chr(10) || '| --- |'
     FROM documents WHERE doc_id % 3 = 0"""
 
+  /** Banned phrases — q159. The alternation regex is the operator's OWN
+    * [[graft.ops.QualityGates.badPhraseRe]] over the default list (one
+    * source of truth); counts recompute over the same constructed text
+    * after the shared normalization. */
+  private val q159 = {
+    val re = sqlRe(graft.ops.QualityGates.badPhraseRe(
+      graft.ops.QualityGates.BoilerplatePhrases))
+    s"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') ||
+        CASE WHEN doc_id % 4 = 1 THEN ' Click HERE to subscribe!'
+             WHEN doc_id % 4 = 2 THEN ' All rights reserved. ALL RIGHTS RESERVED.'
+             WHEN doc_id % 4 = 3 THEN ' lorem ipsum dolor sit. See our privacy policy.'
+             ELSE '' END AS t
+      FROM documents),
+    n AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9\\s]', ' ', 'g'),
+          '\\s+', ' ', 'g')) AS norm
+      FROM d)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(norm, '$re')) AS BIGINT) AS n_bad_phrases,
+      len(regexp_extract_all(norm, '$re')) > 0 AS has_bad_phrase
+    FROM n"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3648,6 +3672,7 @@ object OracleSql {
     "q155_x_robots"         -> q155,
     "q156_weighted_sample"  -> q156,
     "q157_leakage_split"    -> q157,
-    "q158_table_markdown"   -> q158
+    "q158_table_markdown"   -> q158,
+    "q159_bad_phrases"      -> q159
   ).map { case (k, v) => k -> clean(v) }
 }

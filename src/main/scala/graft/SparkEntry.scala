@@ -2684,6 +2684,24 @@ object SparkEntry {
     graft.ops.Tables.toMarkdownTables(cells, Seq("doc_id"))
   }
 
+  /** Banned-phrase filter ([[graft.ops.QualityGates.withBadPhrases]]):
+    * four text shapes by doc_id%4 — clean corpus text, a cased/punctuated
+    * phrase variant the normalization must catch, the same phrase twice
+    * (count = 2), and two DIFFERENT phrases. Oracle recomputes with the
+    * operator's own alternation regex over the same constructed text. */
+  private def q159BadPhrases(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(4))
+    val body = concat(coalesce(col("text"), lit("")),
+      when(m === 1, lit(" Click HERE to subscribe!"))
+        .when(m === 2, lit(" All rights reserved. ALL RIGHTS RESERVED."))
+        .when(m === 3, lit(" lorem ipsum dolor sit. See our privacy policy."))
+        .otherwise(lit("")))
+    graft.ops.QualityGates.withBadPhrases(
+      t(s, dir, "documents").select(id, body.as("text")))
+      .select(id, col("n_bad_phrases"), col("has_bad_phrase"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2842,7 +2860,8 @@ object SparkEntry {
     "q155_x_robots"         -> q155XRobots _,
     "q156_weighted_sample"  -> q156WeightedSample _,
     "q157_leakage_split"    -> q157LeakageSplit _,
-    "q158_table_markdown"   -> q158TableMarkdown _
+    "q158_table_markdown"   -> q158TableMarkdown _,
+    "q159_bad_phrases"      -> q159BadPhrases _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

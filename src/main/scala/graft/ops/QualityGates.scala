@@ -246,6 +246,47 @@ object QualityGates {
       .filter(col("n_bad_tokens") <= maxBadTokens)
       .drop("n_bad_tokens", "n_bad_distinct", "has_bad_word")
 
+  /** Default boilerplate PHRASES — the multi-word chrome L62's banned
+    * WORDS cannot express ("terms of service" is three innocent words;
+    * the phrase is pure template). Curated from the universal web-chrome
+    * set; callers pass their own list for policy filtering. */
+  private[graft] val BoilerplatePhrases: Seq[String] = Seq(
+    "all rights reserved", "click here to subscribe",
+    "terms of service", "privacy policy", "cookie policy",
+    "sign up for our newsletter", "lorem ipsum dolor",
+    "share this article")
+
+  /** One alternation regex over the NORMALIZED phrase forms — word-
+    * bounded, Java/RE2-identical (normalization leaves only
+    * `[a-z0-9 ]`, so no metacharacter escaping is needed);
+    * `private[graft]`-shared with the q159 oracle. */
+  private[graft] def badPhraseRe(phrases: Seq[String]): String = {
+    val norm = phrases
+      .map(_.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .trim.replaceAll("\\s+", " "))
+      .filter(_.nonEmpty)
+    require(norm.nonEmpty, "badPhraseRe: no non-empty phrases")
+    "\\b(?:" + norm.mkString("|") + ")\\b"
+  }
+
+  /** Multi-word banned-phrase counter — the phrase-level companion of
+    * [[withBadWords]]: counts non-overlapping occurrences of any phrase
+    * (normalized matching, so "Click HERE to subscribe!" hits) and flags
+    * the document. ONE compiled alternation pass per row, zero shuffles;
+    * at a real blocklist's size (hundreds of phrases) the single
+    * alternation still beats per-phrase passes by the compile-once
+    * automaton. */
+  def withBadPhrases(docs: DataFrame,
+                     phrases: Seq[String] = BoilerplatePhrases,
+                     textCol: String = "text"): DataFrame = {
+    val re = badPhraseRe(phrases)
+    val norm = TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
+    docs
+      .withColumn("n_bad_phrases",
+        size(regexp_extract_all(norm, lit(re), lit(0))).cast("long"))
+      .withColumn("has_bad_phrase", col("n_bad_phrases") > 0)
+  }
+
   /** Host-level quality prior with Bayesian shrinkage — the crawl-filter
     * prior for pages the classifier hasn't scored (new URLs on a known
     * host) and the frontier-demotion signal for content-farm hosts:

@@ -3493,6 +3493,28 @@ class OpsSpec extends SparkSpec {
     assert(drift((1, 2)) === 0.0)
   }
 
+  test("withBadPhrases: normalized matching, counts, word boundaries, custom lists") {
+    import graft.ops.QualityGates
+    val docs = Seq(
+      (1L, "prose with no chrome at all"),
+      (2L, "footer: ALL RIGHTS... reserved! and more"),  // normalization catches
+      (3L, "privacy policy privacy policy"),              // count 2
+      (4L, "the balls rights reserved")                   // \b: 'balls' != 'all'
+    ).toDF("doc_id", "text")
+    val m = QualityGates.withBadPhrases(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_bad_phrases"),
+        r.getAs[Boolean]("has_bad_phrase")))).toMap
+    assert(m(1L) === ((0L, false)))
+    assert(m(2L) === ((1L, true)))
+    assert(m(3L) === ((2L, true)))
+    assert(m(4L) === ((0L, false)))
+    // custom list with punctuation normalizes before matching
+    val custom = QualityGates.withBadPhrases(docs,
+      phrases = Seq("No Chrome!")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_bad_phrases")).toMap
+    assert(custom(1L) === 1L)
+  }
+
   test("leakageSafeSplit: near-dup clusters land in one split, singletons hash on their own id") {
     import graft.ops.{Dedup, Sampling}
     val core = (1 to 40).map(i => s"alpha$i").mkString(" ")
