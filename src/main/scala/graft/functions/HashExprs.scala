@@ -1001,6 +1001,67 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Content-defined chunking (Gear rolling hash, the FastCDC family):
+    * split the UTF-8 byte stream at positions where the rolling gear
+    * hash's low `maskBits` are zero (subject to min/max chunk bounds) and
+    * return the packed 56-bit md5 of each chunk, in order. The point over
+    * fixed-size blocks: boundaries are CONTENT-anchored, so an insertion
+    * near the start shifts only the chunks it touches — every chunk after
+    * the next content boundary re-aligns and dedups against the original
+    * (storage-level dedup of re-posted/lightly-edited documents, the
+    * rsync/LBFS/FastCDC trick). Gear table derives from md5 of the byte
+    * value — deterministic, no rand(). Expected chunk ≈ min + 2^maskBits
+    * bytes; max forces a split so adversarial content cannot make
+    * unbounded chunks. Spec-only accuracy contract (HashExprsSpec pins
+    * the re-alignment property); no SQL-expressible oracle — the rolling
+    * recurrence has no non-recursive SQL form, the L53/L64 discipline. */
+  case class CdcChunks(child: Expression, minSize: Int, maskBits: Int,
+                       maxSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cdc_chunks"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val n = bytes.length
+      if (n == 0) return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.emptyLongArray)
+      val mask = (1L << maskBits) - 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def emit(start: Int, end: Int): Unit = { // [start, end)
+        val (h1, h2) = md5Halves(java.util.Arrays.copyOfRange(bytes, start, end))
+        out += (h1 << 28) | h2
+      }
+      var h = 0L
+      var start = 0
+      var i = 0
+      while (i < n) {
+        h = (h << 1) + CdcChunks.Gear(bytes(i) & 0xff)
+        val len = i - start + 1
+        if ((len >= minSize && (h & mask) == 0) || len >= maxSize) {
+          emit(start, i + 1); start = i + 1; h = 0L
+        }
+        i += 1
+      }
+      if (start < n) emit(start, n)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): CdcChunks =
+      copy(child = c)
+  }
+
+  object CdcChunks {
+    /** 256-entry gear table, each value the first 8 md5 bytes of
+      * `"gear:" + byte` — fixed, engine-independent. */
+    private[graft] val Gear: Array[Long] = Array.tabulate(256) { b =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gear:$b".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+  }
+
   /** Real-vocabulary subword token count: greedy LONGEST-MATCH segmentation
     * of each whitespace-delimited word against a caller-supplied vocabulary,
     * with a single-character fallback for anything the vocabulary cannot
@@ -1494,6 +1555,17 @@ object HashExprs {
     * non-BMP characters. */
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  /** [[CdcChunks]] sugar — defaults give ~128-byte expected chunks
+    * (min 64 + 2^6), max 512. */
+  def cdcChunks(text: Column, minSize: Int = 64, maskBits: Int = 6,
+                maxSize: Int = 512): Column = {
+    require(minSize >= 1 && maxSize > minSize && maskBits >= 1 && maskBits <= 48,
+      s"cdcChunks: need 1 <= minSize < maxSize and maskBits in [1,48], " +
+        s"got ($minSize, $maxSize, $maskBits)")
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), minSize,
+      maskBits, maxSize))
+  }
 
   /** [[DeflateRatio]] sugar — level 6 is zlib's default speed/size point. */
   def deflateRatio(text: Column, level: Int = 6): Column = {

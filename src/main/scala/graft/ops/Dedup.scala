@@ -295,6 +295,33 @@ object Dedup {
     out
   }
 
+  /** Content-defined chunk hashes of a text column — see
+    * [[graft.functions.HashExprs.CdcChunks]] for the contract and the
+    * FastCDC re-alignment property. The raw material for storage-level
+    * dedup: explode and group to find byte ranges shared across
+    * lightly-edited document copies. */
+  def cdcChunkHashes(text: Column, minSize: Int = 64, maskBits: Int = 6,
+                     maxSize: Int = 512): Column =
+    graft.functions.HashExprs.cdcChunks(coalesce(text, lit("")), minSize,
+      maskBits, maxSize)
+
+  /** Corpus-wide CDC dedup statistics: `(n_chunks, n_distinct_chunks,
+    * dup_chunk_ratio)` — the fraction of chunk mass that is a repeat of
+    * a chunk seen anywhere in the corpus. One explode of 8-byte hashes
+    * (never chunk text) + one count-distinct agg. */
+  def cdcDedupStats(docs: DataFrame, textCol: String = "text",
+                    minSize: Int = 64, maskBits: Int = 6,
+                    maxSize: Int = 512): DataFrame = {
+    val chunks = docs.select(explode(
+      cdcChunkHashes(col(textCol), minSize, maskBits, maxSize)).as("h"))
+    chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      count_distinct(col("h")).as("n_distinct_chunks"),
+      when(count(lit(1)) === 0, lit(0.0))
+        .otherwise((count(lit(1)) - count_distinct(col("h"))).cast("double") /
+          count(lit(1))).as("dup_chunk_ratio"))
+  }
+
   /** Near-dup-cluster-aware train/val/test split — the anti-leakage
     * split: a random per-document split puts near-duplicate copies of
     * the same passage on BOTH sides of the train/eval boundary, so the

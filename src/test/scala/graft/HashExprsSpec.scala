@@ -427,6 +427,39 @@ class HashExprsSpec extends SparkSpec {
     assert(packed.select("n_tokens").collect().forall(_.getLong(0) === 2L))
   }
 
+  test("cdcChunks: content-anchored boundaries re-align after an insertion") {
+    import graft.functions.HashExprs
+    import graft.ops.Dedup
+    // deterministic pseudo-random content so boundaries actually fire
+    var x = 987654321L
+    val original = (1 to 4000).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % 26 + 'a').toChar
+    }.mkString
+    val edited = "INSERTED PREFIX >> " + original
+    val df = Seq((1L, original), (2L, edited), (3L, "")).toDF("id", "text")
+    val rows = df.select(col("id"),
+      Dedup.cdcChunkHashes(col("text")).as("ch")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(3L).isEmpty)
+    val a = rows(1L); val b = rows(2L)
+    // average chunk size in the expected band (min 64, ~min+64 expected)
+    assert(a.size > 10 && a.size < 80)
+    // THE CDC property: after the first content boundary past the edit,
+    // chunks re-align — the bulk of the original's chunks survive verbatim
+    val shared = a.toSet.intersect(b.toSet).size
+    assert(shared >= a.size - 3,
+      s"only $shared of ${a.size} chunks re-aligned")
+    // a fixed-size blocking of the same edit would share ZERO blocks;
+    // sanity: chunking is deterministic
+    val again = df.filter(col("id") === 1L)
+      .select(Dedup.cdcChunkHashes(col("text"))).head.getSeq[Long](0)
+    assert(again === a)
+    // corpus stats see the duplicate mass
+    val stats = Dedup.cdcDedupStats(df).head
+    assert(stats.getAs[Double]("dup_chunk_ratio") > 0.4)
+  }
+
   test("deflateRatio: repetition compresses, randomness does not, entropy can't tell") {
     import graft.functions.HashExprs
     val rep = ("the same sentence again and again. " * 200).trim
