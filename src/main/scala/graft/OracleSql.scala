@@ -1867,6 +1867,44 @@ object OracleSql {
     FROM n"""
   }
 
+  /** Declarative expectations — q160. Mirrors
+    * [[graft.ops.Expectations.run]] over `orders`: one aggregate CTE
+    * computes every check's violation count (value checks skip NULLs — the
+    * SQL CHECK rule; uniqueness = `count(*) - count(DISTINCT key)`), then
+    * one report row per check with `ratio` as one double division of exact
+    * longs and `passed` from the tolerance inequality on doubles. */
+  private val q160 = {
+    def row(id: String, cols: String, v: String, tol: Double) =
+      s"""SELECT '$id' AS check_id, '$cols' AS columns,
+        CAST(n AS BIGINT) AS n_rows, CAST($v AS BIGINT) AS n_violations,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST($v AS DOUBLE) / CAST(n AS DOUBLE) END AS violation_ratio,
+        CAST($v AS DOUBLE) <= $tol * CAST(n AS DOUBLE) AS passed
+      FROM a"""
+    s"""
+    WITH a AS (SELECT count(*) AS n,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        count(*) - count(DISTINCT o_orderkey) AS v_uq,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)
+            THEN 1 ELSE 0 END) AS v_rg,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END) AS v_st,
+        sum(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+            THEN 1 ELSE 0 END) AS v_re,
+        sum(CASE WHEN NOT (strftime(o_orderdate, '%Y-%m-%d') >= '1996-01-01')
+            THEN 1 ELSE 0 END) AS v_md
+      FROM orders)
+    ${row("not_null(o_custkey)", "o_custkey", "v_nn", 0.0)}
+    UNION ALL ${row("unique(o_orderkey)", "o_orderkey", "v_uq", 0.0)}
+    UNION ALL ${row("in_range(o_totalprice)", "o_totalprice", "v_rg", 0.0)}
+    UNION ALL ${row("in_set(o_orderstatus)", "o_orderstatus", "v_st", 0.0)}
+    UNION ALL ${row("in_set(o_orderstatus)@0.35", "o_orderstatus", "v_st", 0.35)}
+    UNION ALL ${row("matches(o_orderpriority)", "o_orderpriority", "v_re", 0.0)}
+    UNION ALL ${row("satisfies(modern_order)", "o_orderdate", "v_md", 0.0)}"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3673,6 +3711,7 @@ object OracleSql {
     "q156_weighted_sample"  -> q156,
     "q157_leakage_split"    -> q157,
     "q158_table_markdown"   -> q158,
-    "q159_bad_phrases"      -> q159
+    "q159_bad_phrases"      -> q159,
+    "q160_expectations"     -> q160
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2702,6 +2702,27 @@ object SparkEntry {
       .select(id, col("n_bad_phrases"), col("has_bad_phrase"))
   }
 
+  /** Data-quality expectations ([[graft.ops.Expectations]]): a 7-check
+    * declarative suite over `orders` in ONE aggregation pass — completeness,
+    * key uniqueness, range/enum/regex value checks (SQL-CHECK null rule),
+    * a cross-column predicate, and a tolerance-graded variant. Mixed
+    * pass/fail by construction (~40% of totals exceed 300k, 'P' status
+    * ~34%), so the report hash pins exact counts, double ratios, AND both
+    * boolean outcomes. */
+  private def q160Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    graft.ops.Expectations.run(t(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 300000.0),
+      InSet("o_orderstatus", Seq("F", "O")),
+      InSet("o_orderstatus", Seq("F", "O"), tolerance = 0.35),
+      Matches("o_orderpriority", "^[1-3]-"),
+      Satisfies("modern_order",
+        date_format(col("o_orderdate"), "yyyy-MM-dd") >= "1996-01-01",
+        Seq("o_orderdate"))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2861,7 +2882,8 @@ object SparkEntry {
     "q156_weighted_sample"  -> q156WeightedSample _,
     "q157_leakage_split"    -> q157LeakageSplit _,
     "q158_table_markdown"   -> q158TableMarkdown _,
-    "q159_bad_phrases"      -> q159BadPhrases _
+    "q159_bad_phrases"      -> q159BadPhrases _,
+    "q160_expectations"     -> q160Expectations _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the contract a feed must meet
+  * before anything downstream trusts it, evaluated as ONE aggregation pass
+  * over the table (the Deequ/Great-Expectations shape: every check compiles
+  * to a violation-counting aggregate, so a 40-check suite costs one scan,
+  * not 40).
+  *
+  * Reference behavior generalized: ctrl-gee/airline-data-warehouse enforces
+  * NOT NULL + CHECK-constraint predicates per table
+  * (`for supabase/fact table:1-16`, `for supabase/dim tables:2-30`) and
+  * hand-tallies clean/dirty counts per load (`smartFileProcessor.js`,
+  * SURVEY §2.4 A1/A2). This operator is that contract made declarative and
+  * table-wide: a check SUITE producing an audit report, instead of
+  * per-loader ad-hoc predicates.
+  *
+  * == Null semantics ==
+  * Value checks ([[Expectations.InRange]], [[Expectations.InSet]],
+  * [[Expectations.Matches]], [[Expectations.Satisfies]]) follow SQL CHECK
+  * semantics: a NULL value is NOT a violation — completeness is
+  * [[Expectations.NotNull]]'s job, and conflating the two makes a sparse
+  * optional column fail every range check. Pair a value check with a
+  * `NotNull` on the same column to require both.
+  *
+  * == 100 TB shape ==
+  * One `agg` over the full table: map-side partial aggregation does the
+  * counting, the merge is a fixed-width row per partition, and the final
+  * explode to the long report is a 1-row row-local step. [[Expectations
+  * .Unique]] adds `count_distinct` members to the same pass — Spark compiles
+  * multiple distinct aggregates to one Expand pass (rows × #unique-checks
+  * before partial agg — the exact answer's honest price, the
+  * [[Profiler]] discipline; at corpus scale prefer ONE composite-key
+  * uniqueness check over many single-column ones).
+  */
+object Expectations {
+
+  /** One declarative expectation. `tolerance` is the accepted violation
+    * RATIO (0.0 = strict): `passed = n_violations <= tolerance * n_rows`,
+    * evaluated on exact counts so the report is reproducible. */
+  sealed trait Check {
+    def tolerance: Double
+    /** Stable report key, e.g. `not_null(o_custkey)` — a non-zero tolerance
+      * is part of the key (`in_set(x)@0.1`), so the strict and the graded
+      * variant of the same check can share one suite. */
+    final def id: String =
+      if (tolerance == 0.0) baseId else s"$baseId@$tolerance"
+    protected def baseId: String
+    /** Column(s) under test, comma-joined in the report. */
+    def columns: Seq[String]
+  }
+
+  /** Completeness: NULL values are violations. */
+  final case class NotNull(column: String, tolerance: Double = 0.0)
+      extends Check {
+    protected def baseId = s"not_null($column)"
+    def columns: Seq[String] = Seq(column)
+  }
+
+  /** Key uniqueness over the composite key `cols`: violations = rows beyond
+    * the first per duplicated key value (`n - count_distinct(key)`), the
+    * duplicate mass a MERGE would collapse. Rows with any NULL key part are
+    * counted under their (NULL-tagged) key value, so two all-NULL keys are
+    * duplicates of each other — primary-key semantics, not SQL UNIQUE. */
+  final case class Unique(cols: Seq[String], tolerance: Double = 0.0)
+      extends Check {
+    require(cols.nonEmpty, "Unique: need at least one column")
+    protected def baseId = s"unique(${cols.mkString(",")})"
+    def columns: Seq[String] = cols
+  }
+
+  /** Numeric range `[lo, hi]`, inclusive; non-NULL values outside are
+    * violations. The column is cast to double for the comparison. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+                           tolerance: Double = 0.0) extends Check {
+    require(lo <= hi, s"InRange: lo $lo > hi $hi")
+    protected def baseId = s"in_range($column)"
+    def columns: Seq[String] = Seq(column)
+  }
+
+  /** Enum membership — the CHECK ... IN (...) constraint
+    * (`for supabase/fact table:11`, `for supabase/dim tables:6`). */
+  final case class InSet(column: String, values: Seq[String],
+                         tolerance: Double = 0.0) extends Check {
+    require(values.nonEmpty, "InSet: need at least one value")
+    protected def baseId = s"in_set($column)"
+    def columns: Seq[String] = Seq(column)
+  }
+
+  /** Full-string regex match (Java syntax, anchored like SQL `rlike` with
+    * explicit `^...$` left to the caller). */
+  final case class Matches(column: String, regex: String,
+                           tolerance: Double = 0.0) extends Check {
+    protected def baseId = s"matches($column)"
+    def columns: Seq[String] = Seq(column)
+  }
+
+  /** Escape hatch: an arbitrary row predicate that must hold (NULL result
+    * = not a violation, the CHECK rule). `name` keys the report row. */
+  final case class Satisfies(name: String, predicate: Column,
+                             cols: Seq[String] = Nil,
+                             tolerance: Double = 0.0) extends Check {
+    protected def baseId = s"satisfies($name)"
+    def columns: Seq[String] = cols
+  }
+
+  private def violation(c: Check): Column = c match {
+    case NotNull(col0, _) => col(col0).isNull
+    case InRange(col0, lo, hi, _) =>
+      val v = col(col0).cast("double")
+      v.isNotNull && (v < lo || v > hi)
+    case InSet(col0, vs, _) =>
+      col(col0).isNotNull && !col(col0).isin(vs: _*)
+    case Matches(col0, re, _) =>
+      col(col0).isNotNull && !col(col0).rlike(re)
+    case Satisfies(_, p, _, _) => p.isNotNull && !p
+    case _: Unique =>
+      throw new IllegalStateException("Unique handled separately")
+  }
+
+  /** Run the suite: one aggregation pass, one report row per check —
+    * `(check_id, columns, n_rows, n_violations, violation_ratio, passed)`,
+    * in suite order. `violation_ratio` is one double division of exact
+    * longs (0.0 on an empty table). */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "run: empty check suite")
+    require(checks.map(_.id).distinct.size == checks.size,
+      s"run: duplicate check ids in ${checks.map(_.id)}")
+    val aggs = count(lit(1)).as("n__rows") +: checks.zipWithIndex.map {
+      case (u: Unique, i) =>
+        // duplicate mass: rows beyond the first per key value; the struct
+        // wrapper keeps NULL key parts countable (struct() is non-NULL)
+        (count(lit(1)) -
+          count_distinct(struct(u.cols.map(col): _*))).as(s"v__$i")
+      case (c, i) =>
+        sum(when(violation(c), 1L).otherwise(0L)).as(s"v__$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("n__rows")
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      val v = coalesce(col(s"v__$i"), lit(0L))
+      struct(
+        lit(c.id).as("check_id"),
+        lit(c.columns.mkString(",")).as("columns"),
+        n.as("n_rows"),
+        v.as("n_violations"),
+        when(n === 0, lit(0.0))
+          .otherwise(v.cast("double") / n.cast("double"))
+          .as("violation_ratio"),
+        (v.cast("double") <= lit(c.tolerance) * n.cast("double"))
+          .as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Expectations
+import graft.ops.Expectations._
+
+/** Semantics of the declarative expectations suite: per-check violation
+  * definitions (incl. the SQL-CHECK null rule), tolerance thresholds,
+  * uniqueness duplicate-mass counting, the empty-table convention, and the
+  * one-scan claim (a value-check-only suite keeps a single non-Expand
+  * aggregate). The DuckDB oracle (q160) pins the same report at scale. */
+class ExpectationsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val feed = Seq(
+    (1, "a@x.com", "Gold", 10.0),
+    (2, "b@x.com", "Gold", -3.0),     // range violation
+    (2, null, "Silver", 20.0),        // dup key + null email
+    (4, "not-an-email", "Copper", 5.0), // regex + enum violation
+    (5, null, null, 999.0)            // null email/status; range violation
+  ).toDF("id", "email", "status", "amount")
+
+  private def report(checks: Check*): Map[String, (Long, Long, Boolean)] =
+    Expectations.run(feed, checks)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5))))
+      .toMap
+
+  test("not_null counts nulls; value checks skip nulls (SQL CHECK rule)") {
+    val rep = report(
+      NotNull("email"),
+      InRange("amount", 0.0, 100.0),
+      InSet("status", Seq("Gold", "Silver")),
+      Matches("email", "^[^@]+@[^@]+$"))
+    assert(rep("not_null(email)") === ((5L, 2L, false)))
+    // -3 and 999 violate; nulls never do
+    assert(rep("in_range(amount)") === ((5L, 2L, false)))
+    // 'Copper' violates; the NULL status does not
+    assert(rep("in_set(status)") === ((5L, 1L, false)))
+    // 'not-an-email' violates; the two NULL emails do not
+    assert(rep("matches(email)") === ((5L, 1L, false)))
+  }
+
+  test("unique counts duplicate mass beyond the first row per key") {
+    val rep = report(Unique(Seq("id")), Unique(Seq("id", "email")))
+    assert(rep("unique(id)") === ((5L, 1L, false)))
+    // (2, 'b@x.com') vs (2, NULL) differ as composite keys
+    assert(rep("unique(id,email)") === ((5L, 0L, true)))
+  }
+
+  test("tolerance converts a ratio into pass/fail; tolerance keys the id") {
+    val rep = report(
+      NotNull("email", tolerance = 0.5),  // 2/5 = 0.4 <= 0.5 → pass
+      NotNull("email", tolerance = 0.3))  // 0.4 > 0.3 → fail
+    assert(rep("not_null(email)@0.5")._3 === true)
+    assert(rep("not_null(email)@0.3")._3 === false)
+  }
+
+  test("satisfies: NULL predicate result is not a violation") {
+    val rep = report(
+      Satisfies("amount_twice_id", col("amount") >= col("id") * 2,
+        Seq("amount", "id")))
+    // violators: id=2/-3.0 and id=4/5.0 (5 < 8); NULL rows none here
+    assert(rep("satisfies(amount_twice_id)") === ((5L, 2L, false)))
+  }
+
+  test("empty table: ratio 0.0 and every check passes") {
+    val empty = feed.limit(0)
+    val rows = Expectations.run(empty,
+      Seq(NotNull("email"), Unique(Seq("id")))).collect()
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getDouble(4) == 0.0 && r.getBoolean(5)))
+  }
+
+  test("duplicate check ids are rejected") {
+    intercept[IllegalArgumentException] {
+      Expectations.run(feed, Seq(NotNull("email"), NotNull("email")))
+    }
+  }
+
+  test("a value-check-only suite is one non-Expand aggregation pass") {
+    val plan = Expectations.run(feed,
+      Seq(NotNull("email"), InRange("amount", 0, 100),
+        Matches("email", "@"))).queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size === 1)
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+    assert(expands.isEmpty)
+  }
+}
