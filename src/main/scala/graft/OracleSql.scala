@@ -1905,6 +1905,55 @@ object OracleSql {
     UNION ALL ${row("satisfies(modern_order)", "o_orderdate", "v_md", 0.0)}"""
   }
 
+  /** Entity resolution — q161. Mirrors
+    * [[graft.ops.EntityResolution.resolveEntities]] over the q161 name
+    * synthesis (SparkEntry.ErFirstNames/ErLastNames interpolated — one
+    * source of truth): normalize → prefix-3/suffix-3 blocking → blocks of
+    * [2, 4000] → in-block pairs → levenshtein ≤ 2 → exact transitive
+    * closure by recursive CTE with min-id labels (the q110 walk shape);
+    * singletons label themselves via the left join. */
+  private val q161 = {
+    def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    val fn = sqlList(SparkEntry.ErFirstNames)
+    val ln = sqlList(SparkEntry.ErLastNames)
+    s"""
+    WITH RECURSIVE ents AS (SELECT c_custkey AS entity_id,
+        CASE WHEN c_custkey % 3 = 1 THEN left(b, length(b) - 1)
+             WHEN c_custkey % 3 = 2 THEN 'z' || substr(b, 2)
+             ELSE b END AS name
+      FROM (SELECT c_custkey,
+          ($fn)[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] || ' ' ||
+          ($ln)[CAST((c_custkey * 13) % 50 AS INTEGER) + 1] AS b
+        FROM customer)),
+    norm AS (SELECT entity_id AS id,
+        trim(regexp_replace(regexp_replace(lower(coalesce(name, '')),
+          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+      FROM ents),
+    bl AS (SELECT id, unnest(list_distinct(
+        [substr(n, 1, 3), substr(n, greatest(length(n) - 2, 1), 3)])) AS key
+      FROM norm WHERE length(n) > 0),
+    sized AS (SELECT key FROM bl GROUP BY key
+      HAVING count(*) BETWEEN 2 AND 4000),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bl a JOIN bl b ON a.key = b.key AND a.id < b.id
+      JOIN sized s ON a.key = s.key),
+    m AS (SELECT id_a, id_b FROM cand
+      JOIN norm na ON cand.id_a = na.id
+      JOIN norm nb ON cand.id_b = nb.id
+      WHERE levenshtein(na.n, nb.n) <= 2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM m
+      UNION SELECT id_b, id_a FROM m),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    labels AS (SELECT node, least(node, MIN(reach)) AS component
+      FROM walk GROUP BY node)
+    SELECT e.entity_id, e.name,
+      coalesce(l.component, e.entity_id) AS cluster
+    FROM ents e LEFT JOIN labels l ON e.entity_id = l.node"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3712,6 +3761,7 @@ object OracleSql {
     "q157_leakage_split"    -> q157,
     "q158_table_markdown"   -> q158,
     "q159_bad_phrases"      -> q159,
-    "q160_expectations"     -> q160
+    "q160_expectations"     -> q160,
+    "q161_entity_resolution" -> q161
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2723,6 +2723,51 @@ object SparkEntry {
         Seq("o_orderdate"))))
   }
 
+  /** q161's synthetic person names — 40×50 combos indexed by coprime
+    * multipliers of `c_custkey` (period 200), shared verbatim with the
+    * DuckDB oracle (one source of truth for the fixture). */
+  private[graft] val ErFirstNames = Vector(
+    "james", "mary", "robert", "patricia", "john", "jennifer", "michael",
+    "linda", "david", "elizabeth", "william", "barbara", "richard", "susan",
+    "joseph", "jessica", "thomas", "sarah", "charles", "karen",
+    "christopher", "lisa", "daniel", "nancy", "matthew", "betty", "anthony",
+    "sandra", "mark", "margaret", "donald", "ashley", "steven", "kimberly",
+    "andrew", "emily", "paul", "donna", "joshua", "michelle")
+  private[graft] val ErLastNames = Vector(
+    "smith", "johnson", "williams", "brown", "jones", "garcia", "miller",
+    "davis", "rodriguez", "martinez", "hernandez", "lopez", "gonzalez",
+    "wilson", "anderson", "thomas", "taylor", "moore", "jackson", "martin",
+    "lee", "perez", "thompson", "white", "harris", "sanchez", "clark",
+    "ramirez", "lewis", "robinson", "walker", "young", "allen", "king",
+    "wright", "scott", "torres", "nguyen", "hill", "flores", "green",
+    "adams", "nelson", "baker", "hall", "rivera", "campbell", "mitchell",
+    "carter", "roberts")
+
+  /** Fuzzy entity resolution ([[graft.ops.EntityResolution]]): customers
+    * get synthetic person names (40×50 combos, so ~7 records share each
+    * base name) and a third of the records carry a one-edit typo
+    * (`c_custkey%3`: drop last char / replace first char — each breaks at
+    * most ONE of the two block keys). Full pipeline: blocking → bounded
+    * candidates → levenshtein ≤ 2 verify → transitive components; output =
+    * every record + its cluster label, hash-pinning the exact merge
+    * decisions. `maxBlock=4000` keeps the largest shared-prefix block
+    * ('mar*': mary/mark/margaret) below the cap at bench scale too. */
+  private def q161EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey")
+    val fn = elt((pmod(key * 7, lit(40)).cast("int") + 1) +:
+      ErFirstNames.map(lit): _*)
+    val ln = elt((pmod(key * 13, lit(50)).cast("int") + 1) +:
+      ErLastNames.map(lit): _*)
+    val base = concat(fn, lit(" "), ln)
+    val m = pmod(key, lit(3))
+    val name = when(m === 1, base.substr(lit(1), length(base) - 1))
+      .when(m === 2, concat(lit("z"), base.substr(lit(2), length(base))))
+      .otherwise(base)
+    val entities = t(s, dir, "customer")
+      .select(key.as("entity_id"), name.as("name"))
+    graft.ops.EntityResolution.resolveEntities(entities, maxBlock = 4000)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2883,7 +2928,8 @@ object SparkEntry {
     "q157_leakage_split"    -> q157LeakageSplit _,
     "q158_table_markdown"   -> q158TableMarkdown _,
     "q159_bad_phrases"      -> q159BadPhrases _,
-    "q160_expectations"     -> q160Expectations _
+    "q160_expectations"     -> q160Expectations _,
+    "q161_entity_resolution" -> q161EntityResolution _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage) — find the records that denote the
+  * same real-world entity despite typos and formatting drift: normalize →
+  * multi-pass blocking → bounded in-block candidate pairs → edit-distance
+  * verification → connected components, every edge transitive (the
+  * Fellegi–Sunter blocking-and-matching shape that every MDM/dedupe system
+  * runs).
+  *
+  * Reference behavior generalized: ctrl-gee/airline-data-warehouse dedups
+  * passengers only on the EXACT standardized key
+  * (`scripts/uploadPassengers.js:137-166`, SURVEY §2.4 A6) — a typo'd
+  * `full_name` becomes a second customer forever. This operator is the
+  * fuzzy tier above that exact match.
+  *
+  * == Blocking (the scale story) ==
+  * All-pairs matching is O(n²) and dead at corpus scale; candidates come
+  * only from records sharing a BLOCK key. Two passes — normalized prefix-k
+  * and suffix-k — so one edit can break at most one of them (an edit
+  * inside the first k chars leaves the suffix key intact and vice versa;
+  * an edit in the middle leaves both). Every block is bounded by
+  * `maxBlock` with the dropped mass auditable via [[oversizeBlocks]] — the
+  * [[Dedup.minhashCandidates]] bounded-bucket discipline: a skewed key
+  * ("john smith") must not quietly re-create the quadratic join.
+  *
+  * == 100 TB shape ==
+  * One explode (2 block keys/record, id + short key only — never full
+  * rows), one self-join per key group with the in-block quadratic bounded
+  * by `maxBlock`, one `levenshtein` pass over candidates (Catalyst
+  * expression, no UDF), then components over match edges — node-sized
+  * labels against a persisted candidate-sized edge set
+  * ([[Graph.connectedComponents]]' audited bounds).
+  */
+object EntityResolution {
+
+  /** Matching-key normalization: the [[TextAnalysis.normalizeText]]
+    * contract (lower, non-alphanumerics → space, collapsed whitespace) —
+    * one source of truth with the dedup tier. */
+  def normalizeName(name: Column): Column =
+    TextAnalysis.normalizeText(coalesce(name, lit("")))
+
+  /** `(id, block_key)` rows, two keys per record: normalized prefix-k and
+    * suffix-k (deduped — a name shorter than k yields one key). Records
+    * normalizing to empty get no keys (nothing to match on). */
+  def blocks(df: DataFrame, idCol: String = "entity_id",
+             nameCol: String = "name", k: Int = 3): DataFrame = {
+    require(k >= 1, s"blocks: k must be >= 1, got $k")
+    val n = normalizeName(col(nameCol))
+    df.select(col(idCol).as("id"), n.as("__n"))
+      .filter(length(col("__n")) > 0)
+      .select(col("id"), explode(array_distinct(array(
+        substring(col("__n"), 1, k),
+        col("__n").substr(greatest(length(col("__n")) - (k - 1), lit(1)),
+          lit(k))))).as("block_key"))
+  }
+
+  /** Candidate pairs `(id_a < id_b)` from blocks of size `[2, maxBlock]`,
+    * distinct across the two blocking passes. Oversize blocks contribute
+    * nothing here — audit them with [[oversizeBlocks]].
+    *
+    * Implemented as a self-JOIN on the block key (not the LSH tier's
+    * collect_list + in-row pair explode): ER blocks legitimately run to
+    * thousands of members ("mar*" holds every mary, mark, and margaret),
+    * and a collect_list quadratic materializes `size²/2` structs in ONE
+    * row of ONE task — a skew cliff. The join spreads the same quadratic
+    * across the shuffle (AQE splits skewed keys), which is the shape that
+    * survives a 100× block. */
+  def candidates(df: DataFrame, idCol: String = "entity_id",
+                 nameCol: String = "name", k: Int = 3,
+                 maxBlock: Int = 1000): DataFrame = {
+    require(maxBlock >= 2, s"candidates: maxBlock must be >= 2, got $maxBlock")
+    val b = blocks(df, idCol, nameCol, k)
+    val sized = b.groupBy("block_key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBlock))
+      .select("block_key")
+    val in = b.join(sized, "block_key")
+    in.select(col("block_key"), col("id").as("id_a"))
+      .join(in.select(col("block_key"), col("id").as("id_b")), "block_key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** No-silent-caps audit: blocks the `maxBlock` guard drops, with their
+    * sizes — `(block_key, n)` descending. */
+  def oversizeBlocks(df: DataFrame, idCol: String = "entity_id",
+                     nameCol: String = "name", k: Int = 3,
+                     maxBlock: Int = 1000): DataFrame =
+    blocks(df, idCol, nameCol, k)
+      .groupBy("block_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock)
+      .orderBy(col("n").desc, col("block_key"))
+
+  /** Verified match pairs: candidates whose normalized names are within
+    * `maxEdit` Levenshtein edits — `(id_a, id_b, dist, sim)` with
+    * `sim = 1 - dist / max(len_a, len_b)` (one double division of exact
+    * ints; identical empty names match at sim 1.0). */
+  def matches(df: DataFrame, idCol: String = "entity_id",
+              nameCol: String = "name", maxEdit: Int = 2, k: Int = 3,
+              maxBlock: Int = 1000): DataFrame = {
+    require(maxEdit >= 0, s"matches: maxEdit must be >= 0, got $maxEdit")
+    val names = df.select(col(idCol).as("id"),
+      normalizeName(col(nameCol)).as("__n"))
+    val cand = candidates(df, idCol, nameCol, k, maxBlock)
+    cand
+      .join(names.select(col("id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"),
+        greatest(length(col("__na")), length(col("__nb"))).as("__len"))
+      .filter(col("dist") <= maxEdit)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        when(col("__len") === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("dist").cast("double") /
+            col("__len").cast("double")).as("sim"))
+  }
+
+  /** Full resolution: the input columns + `cluster`, the minimum member id
+    * of the match-graph component (singletons label themselves). Transitive
+    * by design: A↔B and B↔C merge A,B,C even if A↔C exceeds `maxEdit` —
+    * the standard ER closure semantics (and its known chaining caveat;
+    * tighten `maxEdit` if chains over-merge). The input must not already
+    * carry a `cluster` or `component` column.
+    *
+    * == The distinct-name collapse (the scale pivot) ==
+    * Records are first grouped by normalized name; the fuzzy tier (blocking
+    * → candidates → levenshtein → components) runs over ONE representative
+    * per distinct name (rep = min member id), and the name→cluster map
+    * joins back to records. Levenshtein depends only on the strings, so
+    * this is equivalent to record-level matching — while the candidate
+    * quadratic and the component graph shrink from records² to
+    * distinct-names², the gap that makes popular names ("john smith" ×
+    * 10⁴ records) survivable. Consequences: records sharing a normalized
+    * name ALWAYS co-cluster (exact duplicates bypass `maxBlock` — the cap
+    * bounds only the fuzzy tier), and records normalizing to EMPTY are
+    * self-singletons (nothing to match on, and two blank names are not the
+    * same entity). */
+  def resolveEntities(df: DataFrame, idCol: String = "entity_id",
+                      nameCol: String = "name", maxEdit: Int = 2,
+                      k: Int = 3, maxBlock: Int = 1000): DataFrame = {
+    require(!df.columns.contains("cluster") && !df.columns.contains("component"),
+      "resolveEntities: input already has a cluster/component column")
+    val normed = df.select(col(idCol).as("id"),
+      normalizeName(col(nameCol)).as("__n"))
+    val reps = normed.filter(length(col("__n")) > 0)
+      .groupBy("__n").agg(min(col("id")).as("rep"))
+    val repEnts = reps.select(col("rep").as(idCol), col("__n").as(nameCol))
+    val edges = matches(repEnts, idCol, nameCol, maxEdit, k, maxBlock)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = Graph.connectedComponents(edges)
+      .withColumnRenamed("node", "rep")
+    // min entity id of the component = min over its names' reps (every
+    // member id >= its name's rep), so the rep-level min label IS the
+    // record-level one
+    val nameCluster = reps.join(labels, Seq("rep"), "left")
+      .select(col("__n"),
+        coalesce(col("component"), col("rep")).as("__cluster"))
+    df.join(nameCluster,
+        normalizeName(col(nameCol)) === nameCluster("__n"), "left")
+      .withColumn("cluster", coalesce(col("__cluster"), col(idCol)))
+      .drop("__n", "__cluster")
+  }
+}

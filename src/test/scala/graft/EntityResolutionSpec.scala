@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.EntityResolution
+
+/** Semantics of the fuzzy entity-resolution tier: blocking recall under
+  * single edits, bounded blocks with the oversize audit, edit-distance
+  * verification, transitive cluster closure, and singleton self-labels.
+  * The DuckDB oracle (q161) pins the full pipeline at scale. */
+class EntityResolutionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    (1L, "John Smith"),
+    (2L, "John Smyth"),     // 1 edit vs 1 (middle — both block keys intact)
+    (3L, "Johx Smith"),     // 1 edit vs 1; 2 edits vs 2
+    (4L, "Mary  Jones!"),   // normalizes to 'mary jones'
+    (5L, "mary jones"),     // exact after normalization
+    (6L, "Zachary Wu"),     // singleton
+    (7L, "")                // empty — no block keys, self-cluster
+  ).toDF("entity_id", "name")
+
+  test("blocks: two keys per record, deduped; empty names excluded") {
+    val b = EntityResolution.blocks(people).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b.contains((1L, "joh")) && b.contains((1L, "ith")))
+    assert(!b.exists(_._1 == 7L))
+    // short-name dedup: 'wu' tail — prefix 'zac', suffix ' wu'
+    assert(b.count(_._1 == 6L) === 2)
+  }
+
+  test("matches: within-maxEdit pairs with normalized similarity") {
+    val m = EntityResolution.matches(people, maxEdit = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m(1L -> 2L) === 1L)
+    assert(m(1L -> 3L) === 1L)
+    assert(m(2L -> 3L) === 2L)
+    assert(m(4L -> 5L) === 0L)
+    assert(!m.keySet.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("resolveEntities: transitive closure, min-id labels, singletons") {
+    val got = EntityResolution.resolveEntities(people)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster")))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+  }
+
+  test("chaining: A~B and B~C merge even when A and C exceed maxEdit") {
+    val chain = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aabb")).toDF("entity_id", "name")
+    // dist(1,3) = 2 > maxEdit 1, but 1~2 (1) and 2~3 (1) chain them
+    val got = EntityResolution.resolveEntities(chain, maxEdit = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster")))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("maxBlock drops oversize blocks; oversizeBlocks audits them") {
+    // 5 names sharing prefix AND suffix keys -> both blocks size 5
+    val crowd = (1L to 5L).map(i => (i, s"aaa${i}zzz")).toDF("entity_id", "name")
+    val cand = EntityResolution.candidates(crowd, maxBlock = 4)
+    assert(cand.count() === 0)
+    val audit = EntityResolution.oversizeBlocks(crowd, maxBlock = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(audit === Set(("aaa", 5L), ("zzz", 5L)))
+    // raising the cap restores the in-block quadratic
+    assert(EntityResolution.candidates(crowd, maxBlock = 5).count() === 10)
+  }
+
+  test("exact-duplicate names co-cluster regardless of the fuzzy-tier cap") {
+    val pop = ((1L to 6L).map(i => (i, "Bob Jones")) :+ (7L, "ann wu"))
+      .toDF("entity_id", "name")
+    val got = EntityResolution.resolveEntities(pop, maxBlock = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster")))
+      .toMap
+    // one distinct name -> no fuzzy candidates at all, yet all six merge
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 7L))
+  }
+}
