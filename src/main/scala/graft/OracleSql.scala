@@ -1954,6 +1954,26 @@ object OracleSql {
     FROM ents e LEFT JOIN labels l ON e.entity_id = l.node"""
   }
 
+  /** Compaction plan — q162. Mirrors
+    * [[graft.ops.Compaction.planCompaction]] over the orders-as-files
+    * synthesis: candidates (< 200 kB) big-first cumsum per month partition,
+    * bin = floor((S-1)/1 MB) as the same double division, keeps get NULL. */
+  private val q162 = s"""
+    WITH f AS (SELECT o_orderkey AS file_id,
+        strftime(o_orderdate, '%Y-%m') AS part,
+        CAST(floor(o_totalprice) AS BIGINT) AS size_bytes
+      FROM orders),
+    b AS (SELECT *,
+        CASE WHEN size_bytes < 200000 THEN 'compact' ELSE 'keep' END AS action,
+        sum(CASE WHEN size_bytes < 200000 THEN size_bytes ELSE 0 END)
+          OVER (PARTITION BY part ORDER BY size_bytes DESC, file_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM f)
+    SELECT file_id, part, size_bytes, action,
+      CASE WHEN action = 'compact'
+           THEN CAST(floor((s - 1) / 1000000.0) AS BIGINT) END AS bin
+    FROM b"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3762,6 +3782,7 @@ object OracleSql {
     "q158_table_markdown"   -> q158,
     "q159_bad_phrases"      -> q159,
     "q160_expectations"     -> q160,
-    "q161_entity_resolution" -> q161
+    "q161_entity_resolution" -> q161,
+    "q162_compaction_plan"  -> q162
   ).map { case (k, v) => k -> clean(v) }
 }

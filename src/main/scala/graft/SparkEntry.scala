@@ -2768,6 +2768,20 @@ object SparkEntry {
     graft.ops.EntityResolution.resolveEntities(entities, maxBlock = 4000)
   }
 
+  /** Compaction planning ([[graft.ops.Compaction.planCompaction]]): orders
+    * as a synthetic file inventory — file = order, partition = order
+    * month, size = ⌊total price⌋ bytes — binned at target 1 MB with a
+    * 200 kB small-file threshold (~60% of files are candidates). The
+    * per-file plan hash-pins every bin assignment and keep decision. */
+  private def q162CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "orders").select(
+      col("o_orderkey").as("file_id"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+      floor(col("o_totalprice")).cast("long").as("size_bytes"))
+    graft.ops.Compaction.planCompaction(files,
+      targetBytes = 1000000L, minBytes = 200000L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2929,7 +2943,8 @@ object SparkEntry {
     "q158_table_markdown"   -> q158TableMarkdown _,
     "q159_bad_phrases"      -> q159BadPhrases _,
     "q160_expectations"     -> q160Expectations _,
-    "q161_entity_resolution" -> q161EntityResolution _
+    "q161_entity_resolution" -> q161EntityResolution _,
+    "q162_compaction_plan"  -> q162CompactionPlan _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

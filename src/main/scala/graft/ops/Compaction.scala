@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planning — the table-maintenance pass every
+  * large-scale lake runs (Delta OPTIMIZE / Iceberg rewrite_data_files):
+  * group a partition's undersized files into target-sized rewrite bins so
+  * scans stop paying per-file open/seek overhead. The PLAN is computed
+  * here (which files, which bin); executing a bin is a plain
+  * read-union-write of its members.
+  *
+  * Reference tie-in: the reference appends per-upload batches with no
+  * compaction story (`scripts/uploadAllSales.js`, SURVEY §2.4 A8/S5) —
+  * exactly the workload that accretes small files; this operator is the
+  * maintenance tier above it (SURVEY §2.4 extension).
+  *
+  * == Binning rule (deterministic, windowable) ==
+  * Per table partition: compaction candidates (`size < minBytes`) are
+  * ordered (size DESC, file_id ASC — big-first keeps bins dense), the
+  * inclusive running sum S over that order feeds `bin = floor((S-1) /
+  * targetBytes)`, i.e. next-fit-decreasing by cumulative mass. This is the
+  * standard distributed compromise: exact first-fit-decreasing needs a
+  * sequential pass per partition, while cumsum binning is ONE window
+  * function — and overfills a bin only by the last file's tail (bins land
+  * within one member of target). Files at or above `minBytes` are `keep`
+  * (NULL bin).
+  *
+  * == 100 TB shape ==
+  * The input is a file INVENTORY (metadata: id, partition, size), not the
+  * data — millions of rows, not terabytes. One window partitioned by the
+  * table-partition columns: parallelism = #partitions, each window local
+  * to its partition; no global sort, no driver loop. A partition with
+  * pathological file counts is still one window group — the same skew the
+  * downstream rewrite would feel, visible in [[compactionSummary]]. */
+object Compaction {
+
+  /** Plan: input columns + `action` (`compact`/`keep`) + `bin` (0-based
+    * per-partition rewrite group; NULL for keeps). */
+  def planCompaction(files: DataFrame, targetBytes: Long, minBytes: Long,
+                     partCols: Seq[String] = Seq("part"),
+                     fileCol: String = "file_id",
+                     sizeCol: String = "size_bytes"): DataFrame = {
+    require(targetBytes >= 1, s"planCompaction: targetBytes must be >= 1, got $targetBytes")
+    require(minBytes >= 0 && minBytes <= targetBytes,
+      s"planCompaction: need 0 <= minBytes <= targetBytes, got $minBytes")
+    val small = col(sizeCol) < minBytes
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(sizeCol).desc, col(fileCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the running sum only over candidates: keeps contribute 0 mass and
+    // take no bin, so their window presence cannot shift a bin boundary;
+    // the double division is exact below 2^53 bytes (9 PB) of candidate
+    // mass PER PARTITION — beyond any real partition
+    val s = sum(when(small, col(sizeCol).cast("long")).otherwise(0L)).over(w)
+    files
+      .withColumn("action", when(small, lit("compact")).otherwise(lit("keep")))
+      .withColumn("bin",
+        when(small, floor((s - 1).cast("double") / targetBytes.toDouble))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Per-(partition, bin) rollup of a [[planCompaction]] plan: member and
+    * byte totals for each rewrite group (keeps excluded) — the job list a
+    * rewrite service would execute, and where partition skew shows. */
+  def compactionSummary(plan: DataFrame,
+                        partCols: Seq[String] = Seq("part"),
+                        sizeCol: String = "size_bytes"): DataFrame =
+    plan.filter(col("action") === "compact")
+      .groupBy((partCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol).cast("long")).as("total_bytes"))
+}

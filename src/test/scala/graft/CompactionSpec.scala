@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.Compaction
+
+/** Hand-checked bin arithmetic for the compaction planner: the
+  * next-fit-decreasing cumsum rule, keep/compact classification at the
+  * minBytes boundary, per-partition independence, deterministic
+  * size-then-id ordering, and zero-byte files. q162's oracle pins the
+  * same plan at scale. */
+class CompactionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def plan(rows: (String, Long, Long)*): Map[Long, (String, Option[Long])] =
+    Compaction.planCompaction(
+        rows.toSeq.toDF("part", "file_id", "size_bytes"),
+        targetBytes = 100L, minBytes = 60L)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+
+  test("cumsum binning: big-first order, bins split at target multiples") {
+    // candidates sorted by size desc: 50(f1) 40(f2) 30(f3) 20(f4) 10(f5)
+    // cumsum: 50 90 120 140 150 -> (S-1)/100: 0 0 1 1 1
+    val got = plan(("p", 1L, 50L), ("p", 2L, 40L), ("p", 3L, 30L),
+      ("p", 4L, 20L), ("p", 5L, 10L))
+    assert(got(1L) === (("compact", Some(0L))))
+    assert(got(2L) === (("compact", Some(0L))))
+    assert(got(3L) === (("compact", Some(1L))))
+    assert(got(4L) === (("compact", Some(1L))))
+    assert(got(5L) === (("compact", Some(1L))))
+  }
+
+  test("minBytes boundary: size == minBytes keeps; below compacts") {
+    val got = plan(("p", 1L, 60L), ("p", 2L, 59L))
+    assert(got(1L) === (("keep", None)))
+    assert(got(2L) === (("compact", Some(0L))))
+  }
+
+  test("keeps contribute no mass: bins are unchanged by large files") {
+    val without = plan(("p", 1L, 50L), ("p", 2L, 50L), ("p", 3L, 50L))
+    val withBig = plan(("p", 1L, 50L), ("p", 2L, 50L), ("p", 3L, 50L),
+      ("p", 9L, 999L))
+    assert(without(3L)._2 === withBig(3L)._2)
+    assert(withBig(9L) === (("keep", None)))
+  }
+
+  test("partitions bin independently") {
+    val got = plan(("a", 1L, 50L), ("a", 2L, 50L), ("a", 3L, 50L),
+      ("b", 4L, 50L))
+    // partition a: cumsum 50 100 150 -> bins 0 0 1; partition b restarts
+    assert(got(1L)._2 === Some(0L))
+    assert(got(2L)._2 === Some(0L))
+    assert(got(3L)._2 === Some(1L))
+    assert(got(4L)._2 === Some(0L))
+  }
+
+  test("ties on size break by file_id; zero-byte files ride the current bin") {
+    val got = plan(("p", 2L, 50L), ("p", 1L, 50L), ("p", 3L, 0L))
+    // order: (50,f1) (50,f2) (0,f3); cumsum 50 100 100 -> bins 0 0 0
+    assert(got(1L)._2 === Some(0L))
+    assert(got(2L)._2 === Some(0L))
+    assert(got(3L)._2 === Some(0L))
+  }
+
+  test("summary rolls up members and bytes per (partition, bin)") {
+    val p = Compaction.planCompaction(
+      Seq(("p", 1L, 50L), ("p", 2L, 40L), ("p", 3L, 30L), ("p", 9L, 200L))
+        .toDF("part", "file_id", "size_bytes"),
+      targetBytes = 100L, minBytes = 60L)
+    val s = Compaction.compactionSummary(p).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(s === Map(("p", 0L) -> ((2L, 90L)), ("p", 1L) -> ((1L, 30L))))
+  }
+}
