@@ -1974,6 +1974,22 @@ object OracleSql {
            THEN CAST(floor((s - 1) / 1000000.0) AS BIGINT) END AS bin
     FROM b"""
 
+  /** Z-order report — q163. Mirrors [[graft.ops.Layout.zOrderReport]]:
+    * the Morton interleave spelled out as shift/and/or terms (bit b of
+    * dim i -> position b*2+i), bucket = top 6 of 20 key bits, then the
+    * per-bucket zone-map extents. */
+  private val q163 = {
+    val terms = (for { (c, i) <- Seq("x", "y").zipWithIndex; b <- 0 until 10 }
+      yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" + ")
+    s"""
+    WITH d AS (SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+        CAST(l_orderkey % 1024 AS BIGINT) AS y FROM lineitem),
+    zb AS (SELECT x, y, ($terms) >> 14 AS bucket FROM d)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+    FROM zb GROUP BY bucket"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3783,6 +3799,7 @@ object OracleSql {
     "q159_bad_phrases"      -> q159,
     "q160_expectations"     -> q160,
     "q161_entity_resolution" -> q161,
-    "q162_compaction_plan"  -> q162
+    "q162_compaction_plan"  -> q162,
+    "q163_zorder_report"    -> q163
   ).map { case (k, v) => k -> clean(v) }
 }

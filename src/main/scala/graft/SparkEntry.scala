@@ -2782,6 +2782,19 @@ object SparkEntry {
       targetBytes = 1000000L, minBytes = 200000L)
   }
 
+  /** Z-order layout report ([[graft.ops.Layout.zOrderReport]]): lineitem
+    * quantized to a 1024x1024 (partkey, orderkey) grid, Morton-interleaved
+    * at 10 bits/dim, bucketed by the 6-bit curve prefix (64 quadrants).
+    * Each bucket's per-dimension [min, max] extent IS the zone map a file
+    * at that position would carry — the multi-dim pruning evidence. */
+  private def q163ZorderReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem").select(
+      pmod(col("l_partkey"), lit(1024)).cast("long").as("x"),
+      pmod(col("l_orderkey"), lit(1024)).cast("long").as("y"))
+    graft.ops.Layout.zOrderReport(d, Seq("x", "y"), bits = 10,
+      numBuckets = 64)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2944,7 +2957,8 @@ object SparkEntry {
     "q159_bad_phrases"      -> q159BadPhrases _,
     "q160_expectations"     -> q160Expectations _,
     "q161_entity_resolution" -> q161EntityResolution _,
-    "q162_compaction_plan"  -> q162CompactionPlan _
+    "q162_compaction_plan"  -> q162CompactionPlan _,
+    "q163_zorder_report"    -> q163ZorderReport _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

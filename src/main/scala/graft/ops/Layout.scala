@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton curve) data layout — multi-dimensional clustering for
+  * scan pruning: interleave the bits of several quantized dimensions into
+  * one sort key, so rows close in ANY dimension land close in the file
+  * order and per-file min/max zone maps prune on every dimension at once
+  * (the Delta/Iceberg `ZORDER BY` mechanism; a linear sort clusters only
+  * its leading column).
+  *
+  * == Key construction ==
+  * `zValue(dims, bits)`: each dimension is masked to its low `bits` bits
+  * (caller quantizes into `[0, 2^bits)` first — out-of-range values
+  * truncate, negatives are rejected) and bit `b` of dimension `i` maps to
+  * output bit `b·D + i`. Pure shift/and/or column algebra — codegen'd,
+  * no UDF, and the same arithmetic is expressible verbatim in the
+  * oracle's SQL.
+  *
+  * == 100 TB shape ==
+  * The WRITE path is [[zOrderLayout]]: `repartitionByRange` on the z-value
+  * (sampled range boundaries — one pass, no global sort materialization)
+  * + `sortWithinPartitions`, i.e. exactly how a lake service lays out
+  * z-ordered files; per-file zone maps then come free from the parquet
+  * writer. [[zOrderReport]] is the EVALUATION side: bucket the keyspace
+  * with `ntile` (deterministic given the explicit tiebreak) and report
+  * per-bucket extents per dimension — the fraction of the domain a
+  * bucket's zone map spans is the fraction of files a point/range
+  * predicate on that dimension must read. */
+object Layout {
+
+  /** Morton interleave of up to 6 dimensions at `bits` bits each
+    * (`D * bits <= 62`). Dimension 0 owns the least-significant bit of
+    * each group. NULL in any dimension → NULL key (order them explicitly
+    * before writing). */
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zValue: need at least one dimension")
+    require(bits >= 1 && dims.size * bits <= 62,
+      s"zValue: need 1 <= bits and dims*bits <= 62, got ${dims.size} x $bits")
+    val d = dims.size
+    val terms = for {
+      (dim, i) <- dims.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(dim.cast("long"), b).bitwiseAND(lit(1L)),
+      b * d + i)
+    val guarded = dims.map(_.cast("long")).map(c =>
+      when(c < 0, lit(null).cast("long")).otherwise(c))
+    // reject negatives loudly (NULL key) rather than interleave sign bits
+    when(guarded.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
+      .otherwise(terms.reduce(_ + _))
+  }
+
+  /** Write-path layout: range-partition on the z-value into `numFiles`
+    * output partitions and sort within each — the distributed z-order
+    * without a global sort. Adds nothing to the schema. */
+  def zOrderLayout(df: DataFrame, dims: Seq[String], bits: Int,
+                   numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"zOrderLayout: numFiles must be >= 1, got $numFiles")
+    val z = zValue(dims.map(col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** Evaluation report: rows bucketed by their z-value PREFIX — the top
+    * `log2(numBuckets)` bits, i.e. the Morton quadrant — then per bucket:
+    * row count + each dimension's `[min, max]` extent, the zone map a file
+    * at that curve position would carry. `numBuckets` must be a power of
+    * two so the bucket is one exact shift (row-local, no global sort or
+    * window — the shape that holds at any scale; a quadrant's extent per
+    * dimension is `domain / 2^(prefixBits/D)`-ish by construction, which
+    * is the pruning win to read off the report). */
+  def zOrderReport(df: DataFrame, dims: Seq[String], bits: Int,
+                   numBuckets: Int): DataFrame = {
+    val log2 = java.lang.Long.numberOfTrailingZeros(numBuckets.toLong)
+    require(numBuckets >= 1 && (1L << log2) == numBuckets.toLong,
+      s"zOrderReport: numBuckets must be a power of two, got $numBuckets")
+    require(log2 <= dims.size * bits,
+      s"zOrderReport: numBuckets $numBuckets exceeds the ${dims.size * bits}-bit keyspace")
+    val z = zValue(dims.map(col), bits)
+    val bucketed = df.withColumn("bucket",
+      shiftright(z, dims.size * bits - log2))
+    val aggs = count(lit(1)).as("n") +: dims.flatMap(dn => Seq(
+      min(col(dn)).as(s"min_$dn"), max(col(dn)).as(s"max_$dn")))
+    bucketed.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Morton-key arithmetic and layout-shape pins: hand-checked interleaves,
+  * truncation/negative/arity guards, quadrant bucketing extents (the
+  * pruning win vs a linear sort), and the write path's range partitioning.
+  * q163's oracle pins the full report at scale. */
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def z(x: Long, y: Long, bits: Int): Option[Long] = {
+    val r = Seq((x, y)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("morton interleave: dimension 0 owns the LSB of each bit group") {
+    // x=0b11, y=0b01 -> bits: pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0
+    assert(z(3L, 1L, 2) === Some(7L))
+    assert(z(0L, 0L, 2) === Some(0L))
+    // only y's bit 1 set -> position 1*2+1 = 3
+    assert(z(0L, 2L, 2) === Some(8L))
+  }
+
+  test("out-of-range values truncate to the low bits; negatives go NULL") {
+    assert(z(3L + 4L, 1L, 2) === z(3L, 1L, 2))
+    assert(z(-1L, 1L, 2) === None)
+  }
+
+  test("arity guard: dims * bits must fit in 62 bits") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x"), col("y")), 32)
+    }
+  }
+
+  test("quadrant report: z-prefix buckets bound BOTH dims; linear only one") {
+    val grid = (for { x <- 0 to 3; y <- 0 to 3 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val rep = Layout.zOrderReport(grid, Seq("x", "y"), bits = 2,
+        numBuckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    // each of the 4 quadrants: 4 rows, extent 1 in x AND y
+    assert(rep.keySet === Set(0L, 1L, 2L, 3L))
+    rep.values.foreach { case (mnx, mxx, mny, mxy) =>
+      assert(mxx - mnx === 1L && mxy - mny === 1L)
+    }
+    // a linear x-sort bucketed the same way leaves y unbounded (extent 3)
+    assert(rep(0L) === ((0L, 1L, 0L, 1L)))
+  }
+
+  test("numBuckets must be a power of two within the keyspace") {
+    val grid = Seq((1L, 1L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Layout.zOrderReport(grid, Seq("x", "y"), bits = 2, numBuckets = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrderReport(grid, Seq("x", "y"), bits = 2, numBuckets = 32)
+    }
+  }
+
+  test("zOrderLayout: range-partitions on the key, schema unchanged") {
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val laid = Layout.zOrderLayout(grid, Seq("x", "y"), bits = 3, numFiles = 4)
+    assert(laid.columns.toSeq === Seq("x", "y"))
+    assert(laid.rdd.getNumPartitions === 4)
+    // range partitioning prints as RepartitionByExpression over a SORT
+    // ordering (ASC) rather than a plain hash expression
+    val plan = laid.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RepartitionByExpression") && plan.contains("ASC"))
+  }
+}
