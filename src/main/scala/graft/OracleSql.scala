@@ -1990,6 +1990,28 @@ object OracleSql {
     FROM zb GROUP BY bucket"""
   }
 
+  /** JL random projection — q164. The ±1 matrix is interpolated from
+    * [[graft.ops.Embeddings.jlMatrix]] (one source of truth) as explicit
+    * signed terms; each projected coordinate folds left-to-right with a
+    * leading 0.0 (so a leading negative sign cannot produce -0.0 where the
+    * operator's `0.0 + (-x)` gives +0.0), scales by 1/sqrt(16) = 0.25
+    * exactly, and rounds at 6 dp. */
+  private val q164 = {
+    val m = graft.ops.Embeddings.jlMatrix(16, 64)
+    val ys = m.map { row =>
+      val terms = row.zipWithIndex.map { case (sgn, i) =>
+        s"${if (sgn > 0) "+" else "-"} v[${i + 1}]" }.mkString(" ")
+      s"round((0.0 $terms) * 0.25, 6)"
+    }
+    val yl = ys.mkString("list_value(", ", ", ")")
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, $yl AS yl FROM e),
+    x AS (SELECT vec_id, unnest(list_transform(range(1, 17),
+        jj -> {'j': jj - 1, 'y': yl[jj]})) AS s FROM p)
+    SELECT vec_id, CAST(s.j AS BIGINT) AS dim, s.y AS y FROM x"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3800,6 +3822,7 @@ object OracleSql {
     "q160_expectations"     -> q160,
     "q161_entity_resolution" -> q161,
     "q162_compaction_plan"  -> q162,
-    "q163_zorder_report"    -> q163
+    "q163_zorder_report"    -> q163,
+    "q164_random_projection" -> q164
   ).map { case (k, v) => k -> clean(v) }
 }

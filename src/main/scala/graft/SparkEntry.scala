@@ -2795,6 +2795,18 @@ object SparkEntry {
       numBuckets = 64)
   }
 
+  /** JL random projection ([[graft.ops.Embeddings.randomProject]]):
+    * 64-dim embeddings sign-projected to 16 dims, long-format output
+    * rounded at 6 dp (the q29 float-parity discipline) so every projected
+    * coordinate is hash-pinned against the oracle's interpolated copy of
+    * the SAME ±1 matrix. */
+  private def q164RandomProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(
+        graft.ops.Embeddings.randomProject(col("embedding"), 16, 64)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 6).as("y"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2958,7 +2970,8 @@ object SparkEntry {
     "q160_expectations"     -> q160Expectations _,
     "q161_entity_resolution" -> q161EntityResolution _,
     "q162_compaction_plan"  -> q162CompactionPlan _,
-    "q163_zorder_report"    -> q163ZorderReport _
+    "q163_zorder_report"    -> q163ZorderReport _,
+    "q164_random_projection" -> q164RandomProjection _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

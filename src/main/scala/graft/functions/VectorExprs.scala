@@ -274,6 +274,49 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Literal-matrix × vector product: `y_j = scale · Σ_i m(j)(i) · x_i`,
+    * the left-to-right fold per output dim — one compiled k×dim
+    * multiply-add loop per row (the [[UnitNormalize]] fix applied to
+    * projections: k interpreted `aggregate`/`zip_with` folds would carry
+    * no CSE). Null input array, null element, or a vector whose length
+    * differs from the matrix width → null. */
+  case class MatVec(child: Expression, matrix: IndexedSeq[IndexedSeq[Double]],
+                    scale: Double)
+    extends UnaryExpression with CodegenFallback {
+
+    require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+      "MatVec: matrix must be non-empty and rectangular")
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "mat_vec"
+    override def nullable: Boolean = true
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"k=${matrix.length}", s"dim=${matrix.head.length}", s"scale=$scale")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private lazy val m: Array[Array[Double]] = matrix.map(_.toArray).toArray
+    private lazy val elemIsFloat = isFloatArray(child.dataType)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val xs = readVector(input.asInstanceOf[ArrayData], elemIsFloat)
+      if (xs == null || xs.length != m.head.length) return null
+      val out = new Array[Any](m.length)
+      var j = 0
+      while (j < m.length) {
+        val row = m(j)
+        var s = 0.0
+        var i = 0
+        while (i < row.length) { s += row(i) * xs(i); i += 1 }
+        out(j) = s * scale
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MatVec =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def cosineSim(a: Column, b: Column): Column =
@@ -284,6 +327,9 @@ object VectorExprs {
 
   def quantizeInt8(vec: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
+
+  def matVec(vec: Column, matrix: IndexedSeq[IndexedSeq[Double]], scale: Double): Column =
+    ColumnBridge.column(MatVec(ColumnBridge.expression(vec), matrix, scale))
 
   def pqEncode(vec: Column, codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
     ColumnBridge.column(PQEncode(ColumnBridge.expression(vec), codebooks))

@@ -99,4 +99,37 @@ object Embeddings {
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         round(Similarity.cosine(col("__ca"), col("__cb")), 6).as("drift_cosine"))
   }
+
+  /** One Johnson–Lindenstrauss sign: ±1 from the parity of the first 56
+    * md5 bits of `"jl:<seed>:<j>:<i>"` — fixed, engine-independent (the
+    * [[Similarity.planeComponent]] derivation discipline), so the oracle
+    * interpolates the SAME matrix. */
+  def jlSign(j: Int, i: Int, seed: String = "graft"): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 14), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** The k×dim JL sign matrix. */
+  def jlMatrix(k: Int, dim: Int, seed: String = "graft"): IndexedSeq[IndexedSeq[Double]] =
+    (0 until k).map(j => (0 until dim).map(i => jlSign(j, i, seed)))
+
+  /** Johnson–Lindenstrauss random projection to `k` dims:
+    * `y_j = (1/√k) Σ_i sign(j,i) · x_i` with a deterministic ±1 matrix
+    * (Achlioptas, "Database-friendly random projections", 2001: sign
+    * matrices satisfy the JL lemma with the same distortion bounds as
+    * Gaussians — and need no floats in the matrix). Pairwise distances are
+    * preserved within 1±ε for k = O(log n / ε²): the cheap front door to
+    * every downstream ANN/clustering tier when the raw dimension is large
+    * (project 1024→64 BEFORE IVF/PQ and the index build cost drops 16×).
+    *
+    * Row-local (one compiled k×dim multiply-add via
+    * [[graft.functions.VectorExprs.MatVec]], no UDF, no shuffle); the
+    * matrix rides the closure as literals — nothing is joined. */
+  def randomProject(vec: Column, k: Int, dim: Int, seed: String = "graft"): Column = {
+    require(k >= 1 && dim >= 1, s"randomProject: need k, dim >= 1, got ($k, $dim)")
+    graft.functions.VectorExprs.matVec(vec, jlMatrix(k, dim, seed),
+      1.0 / math.sqrt(k.toDouble))
+  }
 }

@@ -3655,4 +3655,48 @@ class OpsSpec extends SparkSpec {
     assert(m(3L) === ((0L, 0L, 0.0, 0.0, false)))
     assert(m(4L) === ((3L, 0L, 0.0, 1.0, true)))  // eol alone fires
   }
+
+  test("randomProject: sign matrix is ±1, deterministic, near-balanced") {
+    import graft.ops.Embeddings
+    val m = Embeddings.jlMatrix(16, 64)
+    assert(m.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(m === Embeddings.jlMatrix(16, 64))
+    assert(m !== Embeddings.jlMatrix(16, 64, seed = "other"))
+    val mean = m.flatten.sum / m.flatten.size
+    assert(math.abs(mean) < 0.15) // 1024 fair signs
+  }
+
+  test("randomProject: hand-checked fold order and scale; dim mismatch is null") {
+    import graft.ops.Embeddings
+    import graft.functions.VectorExprs
+    // fixed matrix through the same MatVec path the operator uses
+    val fixed = IndexedSeq(IndexedSeq(1.0, -1.0, 1.0), IndexedSeq(-1.0, -1.0, -1.0))
+    val got = Seq(Seq(2.0f, 3.0f, 5.0f)).toDF("v")
+      .select(VectorExprs.matVec(col("v"), fixed, 0.5).as("y"))
+      .collect()(0).getSeq[Double](0)
+    assert(got === Seq((2.0 - 3.0 + 5.0) * 0.5, (-2.0 - 3.0 - 5.0) * 0.5))
+    // projecting a 3-dim vector through a 64-wide JL matrix -> null
+    val bad = Seq(Seq(1.0f, 2.0f, 3.0f)).toDF("v")
+      .select(Embeddings.randomProject(col("v"), k = 4, dim = 64).as("y"))
+      .collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
+  test("randomProject: distances contract roughly per the JL lemma") {
+    import graft.ops.Embeddings
+    // 64-dim hash-derived vectors; k=16 projection should keep relative
+    // distances within a loose band (sanity, not a proof)
+    val vecs = spark.range(6).toDF("id").withColumn("v",
+      transform(sequence(lit(0), lit(63)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 500.0 - 1.0)))
+    val rows = vecs.select(col("id"), col("v"),
+        Embeddings.randomProject(col("v"), 16, 64).as("p"))
+      .collect().map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      (a, pa) <- rows; (b, pb) <- rows if a != b
+    } yield dist(pa, pb) / dist(a, b)
+    assert(ratios.forall(r => r > 0.4 && r < 1.9))
+  }
 }
