@@ -2012,6 +2012,79 @@ object OracleSql {
     SELECT vec_id, CAST(s.j AS BIGINT) AS dim, s.y AS y FROM x"""
   }
 
+  /** TextRank — q165. Full replay: the q138 sentence-marker chain over the
+    * every-5-tokens '. ' synthesis, distinct normalized tokens per
+    * sentence, in-document overlap edges (>= 2 shared tokens, symmetric),
+    * then the q109 integer fixed-point PageRank unrolled 5 rounds; top-3
+    * per document by (rank DESC, sent_idx). Base rank 15% of scale for
+    * edgeless sentences, matching Graph.pageRank's fixpoint for isolated
+    * nodes. */
+  private val q165 = {
+    val chain0 = "regexp_replace(regexp_replace(t, " +
+      "'e\\.g\\.', 'e' || chr(1) || 'g' || chr(1), 'g'), " +
+      "'i\\.e\\.', 'i' || chr(1) || 'e' || chr(1), 'g')"
+    val abbrChain = graft.ops.TextAnalysis.Abbrevs.foldLeft(chain0) {
+      (e, a) => s"regexp_replace($e, '\\b$a\\.', '$a' || chr(1), 'g')"
+    }
+    val marked = s"regexp_replace(regexp_replace($abbrChain, " +
+      "'([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'), " +
+      "'([.!?]+)\\s+', '\\1' || chr(2), 'g')"
+    val scale = 1000000000L
+    val base = 15L * scale / 100L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+      SELECT nodes.node,
+        CAST($base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT ew.dst AS node, SUM((r.rank * ew.w) // ew.out_w) AS c
+        FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY ew.dst) s
+        USING (node))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH d AS (SELECT doc_id, regexp_replace(coalesce(text, ''),
+        '(\\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1. ', 'g') AS t
+      FROM documents),
+    m AS (SELECT doc_id, string_split($marked, chr(2)) AS parts FROM d),
+    x AS (SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1),
+        i -> {'idx': i - 1, 's': parts[i]})) AS e
+      FROM m),
+    r AS (SELECT doc_id, e.idx AS raw_idx,
+        trim(regexp_replace(e.s, chr(1), '.', 'g')) AS sentence
+      FROM x),
+    f AS (SELECT doc_id, sentence,
+        row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS sent_idx
+      FROM r WHERE sentence <> ''),
+    sn AS (SELECT doc_id, sent_idx, sentence,
+        CAST(doc_id AS VARCHAR) || ':' || CAST(sent_idx AS VARCHAR) AS node
+      FROM f),
+    tk AS (SELECT doc_id, node, unnest(list_distinct(list_filter(
+        string_split(trim(regexp_replace(regexp_replace(lower(sentence),
+          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+        xx -> xx <> ''))) AS tok
+      FROM sn),
+    ov AS (SELECT a.doc_id, a.node AS na, b.node AS nb, count(*) AS w
+      FROM tk a JOIN tk b
+        ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.node < b.node
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+    edges AS (SELECT na AS src, nb AS dst, CAST(w AS BIGINT) AS w FROM ov
+              UNION ALL SELECT nb, na, CAST(w AS BIGINT) FROM ov),
+    ow AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w, CAST(o.out_w AS BIGINT) AS out_w
+      FROM edges e JOIN ow o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+    $iters,
+    ranked AS (SELECT s.doc_id, s.sent_idx, s.sentence,
+        COALESCE(r5.rank, $base) AS rank
+      FROM sn s LEFT JOIN r5 ON s.node = r5.node),
+    top AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY rank DESC, sent_idx ASC) AS pick
+      FROM ranked)
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+      CAST(rank AS BIGINT) AS rank
+    FROM top WHERE pick <= 3"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3823,6 +3896,7 @@ object OracleSql {
     "q161_entity_resolution" -> q161,
     "q162_compaction_plan"  -> q162,
     "q163_zorder_report"    -> q163,
-    "q164_random_projection" -> q164
+    "q164_random_projection" -> q164,
+    "q165_textrank"         -> q165
   ).map { case (k, v) => k -> clean(v) }
 }

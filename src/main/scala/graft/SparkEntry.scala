@@ -2807,6 +2807,19 @@ object SparkEntry {
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
         round(col("col"), 6).as("y"))
 
+  /** TextRank summarization ([[graft.ops.Summarize.textRank]]): document
+    * text gets a sentence boundary every 5 tokens (the q47/q74 synthesis
+    * discipline — the corpus ships no punctuation), then the full
+    * pipeline: segmentation → ≥2-shared-token edges → 5 integer PageRank
+    * iterations → top-3 sentences per document, every pick and its exact
+    * fixed-point rank hash-pinned. */
+  private def q165TextRank(s: SparkSession, dir: String): DataFrame = {
+    val body = regexp_replace(coalesce(col("text"), lit("")),
+      "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")
+    graft.ops.Summarize.textRank(
+      t(s, dir, "documents").select(col("doc_id"), body.as("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -2971,7 +2984,8 @@ object SparkEntry {
     "q161_entity_resolution" -> q161EntityResolution _,
     "q162_compaction_plan"  -> q162CompactionPlan _,
     "q163_zorder_report"    -> q163ZorderReport _,
-    "q164_random_projection" -> q164RandomProjection _
+    "q164_random_projection" -> q164RandomProjection _,
+    "q165_textrank"         -> q165TextRank _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extractive summarization by TextRank (Mihalcea & Tarau, "TextRank:
+  * Bringing Order into Text", EMNLP 2004): sentences are graph nodes,
+  * token-overlap is the edge weight, and PageRank centrality picks the
+  * sentences that the rest of the document "votes for". The curation
+  * use: a faithful per-document digest for dedup keys, preview fields,
+  * and quality review — without a model.
+  *
+  * == Composition (all existing tiers) ==
+  * [[TextAnalysis.sentences]] segments (L122) → distinct normalized
+  * tokens per sentence ([[TextAnalysis.normalizeText]]) → in-document
+  * sentence pairs sharing ≥ `minOverlap` tokens become symmetric weighted
+  * edges → [[Graph.pageRank]] (integer fixed-point, L96) ranks ALL
+  * documents' sentence graphs as ONE disjoint union — with symmetric
+  * edges no node dangles, so the union's fixpoint equals each document's
+  * own (the dangling term every component would otherwise share is zero),
+  * and one pageRank invocation amortizes the per-iteration machinery over
+  * the whole corpus.
+  *
+  * Documented divergence from the paper: edge weight is the raw shared
+  * distinct-token count (exact integers end-to-end, the q109 oracle
+  * discipline), not overlap/(log|sᵢ|+log|sⱼ|) — the float normalization
+  * would reintroduce cross-engine rounding for a constant factor that
+  * rarely reorders sentences within a document.
+  *
+  * == 100 TB shape ==
+  * Token explode shuffles on `(doc, token)` — per-document locality, no
+  * corpus-wide joins; the overlap self-join is bounded by sentences-per-
+  * document (not corpus size); pageRank inherits its audited
+  * node-sized-label bounds. The integer overflow guard inside pageRank
+  * scales with TOTAL sentence count — at extreme corpus sizes lower
+  * `scale` (the guard fails loudly, never silently). */
+object Summarize {
+
+  /** Top-`k` sentences per document by TextRank centrality —
+    * `(idCol, sent_idx, sentence, rank)` with `rank` the exact
+    * fixed-point integer (scale-relative; edgeless sentences hold the
+    * base rank `(1-d)·scale` and lose ties to earlier positions). */
+  def textRank(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", k: Int = 3, minOverlap: Int = 2,
+               iterations: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    require(k >= 1, s"textRank: k must be >= 1, got $k")
+    require(minOverlap >= 1, s"textRank: minOverlap must be >= 1, got $minOverlap")
+    val sents = TextAnalysis.sentences(
+      docs.select(col(idCol), col(textCol)), textCol, Seq(idCol))
+    val node = concat(col(idCol).cast("string"), lit(":"),
+      col("sent_idx").cast("string"))
+    val s2 = sents.select(col(idCol), col("sent_idx"), col("sentence"),
+      node.as("__node"))
+    val toks = s2.select(col(idCol), col("__node"),
+      explode(array_distinct(filter(
+        split(TextAnalysis.normalizeText(col("sentence")), " "),
+        t => t =!= ""))).as("__tok"))
+    val ov = toks.select(col(idCol), col("__tok"), col("__node").as("__na"))
+      .join(toks.select(col(idCol), col("__tok"), col("__node").as("__nb")),
+        Seq(idCol, "__tok"))
+      .filter(col("__na") < col("__nb"))
+      .groupBy("__na", "__nb").agg(count(lit(1)).as("__w"))
+      .filter(col("__w") >= minOverlap)
+    // persisted across the emptiness guard AND pageRank's own edge
+    // normalization — without it the overlap join runs twice (once for
+    // isEmpty, once for pageRank's persist); released after pageRank has
+    // eagerly materialized its checkpointed ranks
+    val edges = ov.select(col("__na").as("src"), col("__nb").as("dst"), col("__w"))
+      .unionByName(
+        ov.select(col("__nb").as("src"), col("__na").as("dst"), col("__w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (100L - 85L) * scale / 100L
+    val ranked =
+      if (edges.isEmpty) { // no votes anywhere
+        edges.unpersist()
+        s2.withColumn("rank", lit(base))
+      } else {
+        val ranks = Graph.pageRank(edges, weightCol = "__w",
+          iterations = iterations, scale = scale)
+        edges.unpersist() // ranks are checkpointed — lineage is flat now
+        s2.join(ranks.withColumnRenamed("node", "__node"), Seq("__node"), "left")
+          .withColumn("rank", coalesce(col("rank"), lit(base)))
+      }
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("rank").desc, col("sent_idx").asc)
+    ranked
+      .withColumn("__pick", row_number().over(w))
+      .filter(col("__pick") <= k)
+      .select(col(idCol), col("sent_idx"), col("sentence"), col("rank"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Summarize
+
+/** TextRank semantics on hand-checked documents: connected sentences
+  * outrank isolated ones, edgeless corpora fall back to base rank with
+  * position tie-breaks, minOverlap gates edges, and per-document
+  * independence holds in the disjoint-union graph. q165's oracle replays
+  * the full pipeline (segmentation → overlap edges → 5 integer PageRank
+  * iterations) at scale. */
+class SummarizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = 15L * 1000000000L / 100L
+
+  test("connected sentences outrank the isolated one; ties break by position") {
+    val doc = Seq((1L,
+      "the cat sat on the mat. the cat ate fish. dogs bark loudly. the cat ran home."
+    )).toDF("doc_id", "text")
+    // s0/s1/s3 share {the, cat} (w=2 triangle); s2 is edgeless
+    val got = Summarize.textRank(doc, k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val ranks = got.toMap
+    assert(ranks(2L) === base)
+    assert(Seq(0L, 1L, 3L).forall(i => ranks(i) > base))
+    assert(ranks(0L) === ranks(1L) && ranks(1L) === ranks(3L)) // symmetric triangle
+    // picks come back rank-desc then position
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 3L, 2L))
+  }
+
+  test("edgeless corpus: everyone holds base rank, first k positions win") {
+    val doc = Seq((1L, "one two. three four. five six.")).toDF("doc_id", "text")
+    val got = Summarize.textRank(doc, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(got === Seq((0L, base), (1L, base)))
+  }
+
+  test("minOverlap gates edges: raising it disconnects weak pairs") {
+    val doc = Seq((1L, "alpha beta gamma. alpha delta epsilon. zeta eta theta."))
+      .toDF("doc_id", "text")
+    // s0-s1 share only {alpha}: connected at minOverlap=1, not at 2
+    val loose = Summarize.textRank(doc, k = 3, minOverlap = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(loose(0L) > base && loose(1L) > base && loose(2L) === base)
+    val strict = Summarize.textRank(doc, k = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(strict.values.forall(_ === base))
+  }
+
+  test("documents rank independently in the union graph") {
+    val docs = Seq(
+      (1L, "spark joins data. spark joins tables. unrelated words here."),
+      (2L, "streams write files. streams write logs. other thing entirely."))
+      .toDF("doc_id", "text")
+    val got = Summarize.textRank(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each doc's own top sentence, one per doc
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === 0L && got(2L) === 0L)
+  }
+}
