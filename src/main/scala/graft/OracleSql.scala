@@ -3897,6 +3897,7 @@ object OracleSql {
     "q162_compaction_plan"  -> q162,
     "q163_zorder_report"    -> q163,
     "q164_random_projection" -> q164,
-    "q165_textrank"         -> q165
+    "q165_textrank"         -> q165,
+    "q166_incremental_er"   -> q161
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2743,16 +2743,12 @@ object SparkEntry {
     "adams", "nelson", "baker", "hall", "rivera", "campbell", "mitchell",
     "carter", "roberts")
 
-  /** Fuzzy entity resolution ([[graft.ops.EntityResolution]]): customers
-    * get synthetic person names (40×50 combos, so ~7 records share each
-    * base name) and a third of the records carry a one-edit typo
-    * (`c_custkey%3`: drop last char / replace first char — each breaks at
-    * most ONE of the two block keys). Full pipeline: blocking → bounded
-    * candidates → levenshtein ≤ 2 verify → transitive components; output =
-    * every record + its cluster label, hash-pinning the exact merge
-    * decisions. `maxBlock=4000` keeps the largest shared-prefix block
-    * ('mar*': mary/mark/margaret) below the cap at bench scale too. */
-  private def q161EntityResolution(s: SparkSession, dir: String): DataFrame = {
+  /** The q161/q166 entity fixture: customers get synthetic person names
+    * (40×50 combos, so ~7 records share each base name) and a third of
+    * the records carry a one-edit typo (`c_custkey%3`: drop last char /
+    * replace first char — each breaks at most ONE of the two block
+    * keys). */
+  private def erEntities(s: SparkSession, dir: String): DataFrame = {
     val key = col("c_custkey")
     val fn = elt((pmod(key * 7, lit(40)).cast("int") + 1) +:
       ErFirstNames.map(lit): _*)
@@ -2763,10 +2759,36 @@ object SparkEntry {
     val name = when(m === 1, base.substr(lit(1), length(base) - 1))
       .when(m === 2, concat(lit("z"), base.substr(lit(2), length(base))))
       .otherwise(base)
-    val entities = t(s, dir, "customer")
-      .select(key.as("entity_id"), name.as("name"))
-    graft.ops.EntityResolution.resolveEntities(entities, maxBlock = 4000)
+    t(s, dir, "customer").select(key.as("entity_id"), name.as("name"))
   }
+
+  /** Fuzzy entity resolution ([[graft.ops.EntityResolution]]) over the
+    * [[erEntities]] fixture: blocking → bounded candidates → levenshtein
+    * ≤ 2 verify → transitive components; output = every record + its
+    * cluster label, hash-pinning the exact merge decisions.
+    * `maxBlock=4000` keeps the largest shared-prefix block ('mar*':
+    * mary/mark/margaret) below the cap at bench scale too. */
+  private def q161EntityResolution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EntityResolution.resolveEntities(erEntities(s, dir),
+      maxBlock = 4000)
+
+  /** Incremental entity resolution ([[graft.ops.EntityResolution
+    * .incrementalResolve]]): the q161 corpus split 80/20 by id — the 80%
+    * slice builds a [[graft.ops.EntityResolution.resolveIndex]], the 20%
+    * batch folds in incrementally, and the combined labeling must EQUAL
+    * q161's from-scratch resolution VERBATIM (the oracle IS q161's SQL —
+    * the q110=q117/q81-reuses-q35 equivalence discipline). */
+  private def q166IncrementalEr(s: SparkSession, dir: String): DataFrame = {
+    val ents = erEntities(s, dir)
+    val er = graft.ops.EntityResolution
+    val index = er.resolveIndex(
+      ents.filter(pmod(col("entity_id"), lit(5)) =!= 0), maxBlock = 4000)
+    val (clusters, _) = er.incrementalResolve(
+      ents.filter(pmod(col("entity_id"), lit(5)) === 0), index,
+      maxBlock = 4000)
+    er.labelRecords(ents, clusters)
+  }
+
 
   /** Compaction planning ([[graft.ops.Compaction.planCompaction]]): orders
     * as a synthetic file inventory — file = order, partition = order
@@ -2985,7 +3007,8 @@ object SparkEntry {
     "q162_compaction_plan"  -> q162CompactionPlan _,
     "q163_zorder_report"    -> q163ZorderReport _,
     "q164_random_projection" -> q164RandomProjection _,
-    "q165_textrank"         -> q165TextRank _
+    "q165_textrank"         -> q165TextRank _,
+    "q166_incremental_er"   -> q166IncrementalEr _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -141,27 +141,115 @@ object EntityResolution {
     * same entity). */
   def resolveEntities(df: DataFrame, idCol: String = "entity_id",
                       nameCol: String = "name", maxEdit: Int = 2,
-                      k: Int = 3, maxBlock: Int = 1000): DataFrame = {
-    require(!df.columns.contains("cluster") && !df.columns.contains("component"),
-      "resolveEntities: input already has a cluster/component column")
+                      k: Int = 3, maxBlock: Int = 1000): DataFrame =
+    labelRecords(df, clustersOf(
+      resolveIndex(df, idCol, nameCol, maxEdit, k, maxBlock)), idCol, nameCol)
+
+  /** The persistable resolution state, one row per distinct normalized
+    * name: `(name, rep, component)` — `rep` = the smallest entity id ever
+    * seen under the name, `component` = the smallest NAME (binary order)
+    * in the name-graph component. Name-graph nodes are the names
+    * themselves (each name's rep is unique to it, so name components and
+    * rep components are isomorphic and `min(rep)` per component equals
+    * the record-level min-id cluster). Persist this table between loads
+    * and fold batches in with [[incrementalResolve]] — the [[Dedup
+    * .incrementalNearDups]]/[[Graph.incrementalComponents]] pattern
+    * applied to ER. */
+  def resolveIndex(df: DataFrame, idCol: String = "entity_id",
+                   nameCol: String = "name", maxEdit: Int = 2,
+                   k: Int = 3, maxBlock: Int = 1000): DataFrame = {
     val normed = df.select(col(idCol).as("id"),
       normalizeName(col(nameCol)).as("__n"))
     val reps = normed.filter(length(col("__n")) > 0)
       .groupBy("__n").agg(min(col("id")).as("rep"))
-    val repEnts = reps.select(col("rep").as(idCol), col("__n").as(nameCol))
-    val edges = matches(repEnts, idCol, nameCol, maxEdit, k, maxBlock)
+    val nameEnts = reps.select(col("__n").as(idCol), col("__n").as(nameCol))
+    val edges = matches(nameEnts, idCol, nameCol, maxEdit, k, maxBlock)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = Graph.connectedComponents(edges)
-      .withColumnRenamed("node", "rep")
-    // min entity id of the component = min over its names' reps (every
-    // member id >= its name's rep), so the rep-level min label IS the
-    // record-level one
-    val nameCluster = reps.join(labels, Seq("rep"), "left")
-      .select(col("__n"),
-        coalesce(col("component"), col("rep")).as("__cluster"))
-    df.join(nameCluster,
-        normalizeName(col(nameCol)) === nameCluster("__n"), "left")
-      .withColumn("cluster", coalesce(col("__cluster"), col(idCol)))
-      .drop("__n", "__cluster")
+      .withColumnRenamed("node", "__n")
+    reps.join(labels, Seq("__n"), "left")
+      .select(col("__n").as("name"), col("rep"),
+        coalesce(col("component"), col("__n")).as("component"))
+  }
+
+  /** `(name, cluster)` from an index: cluster = min rep of the name's
+    * component — the record-level min-id label. */
+  def clustersOf(index: DataFrame): DataFrame =
+    index.join(
+        index.groupBy("component").agg(min(col("rep")).as("cluster")),
+        Seq("component"))
+      .select(col("name"), col("cluster"))
+
+  /** Label records with their entity cluster: input columns + `cluster`
+    * (records normalizing to empty, or to a name absent from the map,
+    * label themselves). */
+  def labelRecords(df: DataFrame, nameClusters: DataFrame,
+                   idCol: String = "entity_id",
+                   nameCol: String = "name"): DataFrame = {
+    require(!df.columns.contains("cluster") && !df.columns.contains("component"),
+      "labelRecords: input already has a cluster/component column")
+    val m = nameClusters.select(col("name").as("__mn"),
+      col("cluster").as("__mc"))
+    df.join(m, normalizeName(col(nameCol)) === col("__mn"), "left")
+      .withColumn("cluster", coalesce(col("__mc"), col(idCol)))
+      .drop("__mn", "__mc")
+  }
+
+  /** Fold a NEW batch of records into an existing [[resolveIndex]] —
+    * per-increment work is batch + candidate-sized, never history-sized,
+    * and the result EQUALS a from-scratch [[resolveIndex]] over old ∪ new
+    * (the L39/L100 incremental equivalence, here because: a prior
+    * labeling is its own star graph; fuzzy edges between two OLD names
+    * are already folded into it; and every edge the union recompute would
+    * add touches a FRESH name — generated here by joining fresh names'
+    * blocks against the full population's bounded blocks). Returns
+    * `(nameClusters, updatedIndex)`.
+    *
+    * Documented cap caveat (shared with every bounded tier): oversize
+    * blocks are judged against the population AT EACH increment, so a
+    * block that crosses `maxBlock` between increments can retain pairs a
+    * full recompute would drop. */
+  def incrementalResolve(newDf: DataFrame, index: DataFrame,
+                         idCol: String = "entity_id",
+                         nameCol: String = "name", maxEdit: Int = 2,
+                         k: Int = 3, maxBlock: Int = 1000): (DataFrame, DataFrame) = {
+    val normed = newDf.select(col(idCol).as("id"),
+      normalizeName(col(nameCol)).as("__n"))
+    val batchReps = normed.filter(length(col("__n")) > 0)
+      .groupBy("__n").agg(min(col("id")).as("brep"))
+    // rep = min entity id EVER seen under the name (least skips nulls)
+    val reps2 = index.select(col("name").as("__n"), col("rep"))
+      .join(batchReps, Seq("__n"), "full")
+      .select(col("__n"), least(col("rep"), col("brep")).as("rep"))
+    val fresh = batchReps
+      .join(index.select(col("name").as("__n")), Seq("__n"), "left_anti")
+      .select("__n")
+    val allNames = index.select(col("name").as("__n")).unionByName(fresh)
+    val allB = blocks(
+      allNames.select(col("__n").as("id"), col("__n").as("nm")), "id", "nm", k)
+    val sized = allB.groupBy("block_key").agg(count(lit(1)).as("__c"))
+      .filter(col("__c").between(2, maxBlock)).select("block_key")
+    val inB = allB.join(sized, "block_key")
+    // pairs touching a fresh name, order-normalized, verified directly on
+    // the (already-normalized) name strings — no record lookup needed
+    val cand = inB.join(fresh.withColumnRenamed("__n", "id"), Seq("id"))
+      .select(col("block_key"), col("id").as("__fa"))
+      .join(inB.select(col("block_key"), col("id").as("__b")), "block_key")
+      .filter(col("__fa") =!= col("__b"))
+      .select(least(col("__fa"), col("__b")).as("na"),
+        greatest(col("__fa"), col("__b")).as("nb"))
+      .distinct()
+    val verified = cand
+      .filter(levenshtein(col("na"), col("nb")) <= maxEdit)
+      .select(col("na").as("src"), col("nb").as("dst"))
+      // fresh singletons must exist as nodes even with no match
+      .unionByName(fresh.select(col("__n").as("src"), col("__n").as("dst")))
+    val labels2 = Graph.incrementalComponents(verified,
+      index.select(col("name").as("node"), col("component")))
+      .withColumnRenamed("node", "__n")
+    val index2 = reps2.join(labels2, Seq("__n"), "left")
+      .select(col("__n").as("name"), col("rep"),
+        coalesce(col("component"), col("__n")).as("component"))
+    (clustersOf(index2), index2)
   }
 }

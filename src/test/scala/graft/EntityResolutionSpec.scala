@@ -80,4 +80,38 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 1L, 7L -> 7L))
   }
+
+  test("incrementalResolve equals a from-scratch resolve over old ∪ new") {
+    val old = Seq((1L, "carl aaaa"), (3L, "carl bbbb"), (5L, "zzz zz"))
+      .toDF("entity_id", "name")
+    val batch = Seq((2L, "carl aabb"), (4L, "qqqq")).toDF("entity_id", "name")
+    val index = EntityResolution.resolveIndex(old)
+    // old clusters: 'carl aaaa' and 'carl bbbb' are 4 edits apart -> separate
+    val (clusters, index2) = EntityResolution.incrementalResolve(batch, index)
+    val union = old.unionByName(batch)
+    val inc = EntityResolution.labelRecords(union, clusters)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster"))).toMap
+    val full = EntityResolution.resolveEntities(union)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster"))).toMap
+    assert(inc === full)
+    // the batch name bridges the two old clusters (2 edits to each)
+    assert(inc(1L) === 1L && inc(2L) === 1L && inc(3L) === 1L)
+    assert(inc(4L) === 4L && inc(5L) === 5L)
+    // the updated index equals the from-scratch index
+    val fullIdx = EntityResolution.resolveIndex(union)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val incIdx = index2
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(incIdx === fullIdx)
+  }
+
+  test("incrementalResolve: a smaller new id under a known name relabels its cluster") {
+    val old = Seq((7L, "bob ray"), (9L, "bob rayy")).toDF("entity_id", "name")
+    val index = EntityResolution.resolveIndex(old)
+    val batch = Seq((2L, "bob ray")).toDF("entity_id", "name")
+    val (clusters, _) = EntityResolution.incrementalResolve(batch, index)
+    val got = EntityResolution.labelRecords(old.unionByName(batch), clusters)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster"))).toMap
+    assert(got === Map(7L -> 2L, 9L -> 2L, 2L -> 2L))
+  }
 }
