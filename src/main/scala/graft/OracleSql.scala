@@ -2085,6 +2085,25 @@ object OracleSql {
     FROM top WHERE pick <= 3"""
   }
 
+  /** Session-window rollup — q167. Sessions via the lag/sum formulation
+    * (identical boundaries: split strictly beyond the gap), one row per
+    * session with start = min whole-second epoch, exact decimal value
+    * sum. */
+  private val q167 = """
+    WITH e AS (SELECT user_id, event_id, value, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+    lagged AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS st FROM lagged),
+    sess AS (SELECT user_id, value, tsec,
+        sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, min(tsec) AS session_start,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(max(tsec) - min(tsec) AS BIGINT) AS span_seconds,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3898,6 +3917,7 @@ object OracleSql {
     "q163_zorder_report"    -> q163,
     "q164_random_projection" -> q164,
     "q165_textrank"         -> q165,
-    "q166_incremental_er"   -> q161
+    "q166_incremental_er"   -> q161,
+    "q167_session_window"   -> q167
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2842,6 +2842,22 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), body.as("text")))
   }
 
+  /** Session-window rollup ([[graft.ops.Sessionize.sessionWindowStats]]):
+    * the engine-native `session_window` aggregation over events, value
+    * pre-cast to DECIMAL(18,2) so the per-session sum is order-independent
+    * (the q37 money discipline). The oracle recomputes sessions with the
+    * lag/sum formulation — boundary semantics proven equal — so this
+    * hash-pins Spark's built-in against the windowed SQL definition. */
+  private def q167SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    graft.ops.Sessionize.sessionWindowStats(ev, gap = "30 minutes")
+      .select(col("user_id"),
+        col("session_start").cast("long").as("session_start"),
+        col("n_events"), col("span_seconds"),
+        col("sum_value").cast("double").as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3008,7 +3024,8 @@ object SparkEntry {
     "q163_zorder_report"    -> q163ZorderReport _,
     "q164_random_projection" -> q164RandomProjection _,
     "q165_textrank"         -> q165TextRank _,
-    "q166_incremental_er"   -> q166IncrementalEr _
+    "q166_incremental_er"   -> q166IncrementalEr _,
+    "q167_session_window"   -> q167SessionWindow _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

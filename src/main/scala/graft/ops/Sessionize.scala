@@ -73,4 +73,37 @@ object Sessionize {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
   }
+
+  /** Always-on analogue of [[sessionStats]] via Spark's `session_window`
+    * (dynamic-gap state merging inside the streaming aggregation — the
+    * engine-native replacement for the lag/sum window, which no unbounded stream can
+    * run): same per-session rollup, one expression usable on BOTH batch
+    * and streaming frames (the [[EventWindows.hoppingCounts]] discipline;
+    * a watermark bounds state only when streaming).
+    *
+    * Boundary semantics AGREE with [[sessionize]] exactly: a session's
+    * end is `last event + gap` INCLUSIVE, so two events exactly `gap`
+    * apart share a session in both formulations (a split needs
+    * `gap > max`) — StreamingSpec pins the boundary case and the
+    * multiset parity.
+    *
+    * Output: `(userCol, session_start, n_events, span_seconds,
+    * sum_value)`. */
+  def sessionWindowStats(events: DataFrame, userCol: String = "user_id",
+                         tsCol: String = "ts", valueCol: String = "value",
+                         gap: String = "30 minutes",
+                         watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    src.groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("span_seconds"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("span_seconds"), col("sum_value"))
+  }
 }

@@ -241,6 +241,61 @@ class StreamingSpec extends SparkSpec {
       === Seq((2L, 3.75)))
   }
 
+  test("session-window rollup: one expression, batch and stream agree; gap boundary pinned") {
+    val base = SparkSpec.tempDir("graft_streamsess_")
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/ev.jsonl"), Seq(
+      // u1: two events 10 min apart (one session), then a 40-min gap (new)
+      """{"ts":"2024-01-01T10:00:00.000Z","user_id":"u1","value":1.0}""",
+      """{"ts":"2024-01-01T10:10:00.000Z","user_id":"u1","value":2.0}""",
+      """{"ts":"2024-01-01T10:50:00.000Z","user_id":"u1","value":4.0}""",
+      // u2: single event
+      """{"ts":"2024-01-01T11:00:00.000Z","user_id":"u2","value":8.0}""")
+      .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val q = graft.ops.Sessionize.sessionWindowStats(
+        spark.readStream.schema(schema).json(in))
+      .writeStream.format("memory").queryName("sess_rollup")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sorted.toSeq
+    val streamed = rows(spark.table("sess_rollup"))
+    val batch = rows(graft.ops.Sessionize.sessionWindowStats(
+      spark.read.schema(schema).json(in)))
+    assert(streamed === batch)
+    assert(batch === Seq(
+      ("u1", "2024-01-01 10:00:00.0", 2L, 600L, 3.0),
+      ("u1", "2024-01-01 10:50:00.0", 1L, 0L, 4.0),
+      ("u2", "2024-01-01 11:00:00.0", 1L, 0L, 8.0)))
+    // multiset parity with the batch lag/sum sessionizer (same gap)
+    val ev = spark.read.schema(schema).json(in)
+      .withColumn("event_id", monotonically_increasing_id())
+    val lagged = graft.ops.Sessionize.sessionStats(ev, maxGapSeconds = 1800L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sorted.toSeq
+    assert(lagged === batch.map(t => (t._1, t._3, t._4, t._5)).sorted)
+    // boundary: events EXACTLY gap apart stay ONE session in BOTH
+    // formulations (session end = last event + gap, inclusive; the batch
+    // rule splits only on gap > max) — one second beyond splits both
+    import spark.implicits._
+    def edge(second: Int) = Seq(
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, 1L),
+      ("u", java.sql.Timestamp.valueOf(f"2024-01-01 10:30:$second%02d"), 1.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    assert(graft.ops.Sessionize.sessionStats(edge(0), maxGapSeconds = 1800L).count() === 1)
+    assert(graft.ops.Sessionize.sessionWindowStats(edge(0), gap = "30 minutes").count() === 1)
+    assert(graft.ops.Sessionize.sessionStats(edge(1), maxGapSeconds = 1800L).count() === 2)
+    assert(graft.ops.Sessionize.sessionWindowStats(edge(1), gap = "30 minutes").count() === 2)
+  }
+
   test("streaming funnel: flatMapGroupsWithState completions equal the batch funnel on in-order arrival") {
     val base = SparkSpec.tempDir("graft_streamfunnel_")
     val in = s"$base/in"
