@@ -2104,6 +2104,13 @@ object OracleSql {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id"""
 
+  /** Bloom-prefiltered join — q168. The oracle is the plain inner join:
+    * the bloom tier must be invisible in the result. */
+  private val q168 = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000.0"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3918,6 +3925,7 @@ object OracleSql {
     "q164_random_projection" -> q164,
     "q165_textrank"         -> q165,
     "q166_incremental_er"   -> q161,
-    "q167_session_window"   -> q167
+    "q167_session_window"   -> q167,
+    "q168_bloom_join"       -> q168
   ).map { case (k, v) => k -> clean(v) }
 }

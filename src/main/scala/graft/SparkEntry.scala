@@ -2858,6 +2858,22 @@ object SparkEntry {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Bloom-prefiltered join ([[graft.ops.BloomJoin.bloomJoin]]): lineitem
+    * probed against the ~5% of orders above 450k — the selective-build
+    * shape where the prefilter sheds most of the probe scan before any
+    * shuffle. The oracle is the PLAIN join: bloom admits no false
+    * negatives and the exact join kills false positives, so equality
+    * row-for-row IS the operator's contract. */
+  private def q168BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.ops.BloomJoin.bloomJoin(
+        t(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L) // ~sized to the hot-order count, 120 kB
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("o_totalprice"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3025,7 +3041,8 @@ object SparkEntry {
     "q164_random_projection" -> q164RandomProjection _,
     "q165_textrank"         -> q165TextRank _,
     "q166_incremental_er"   -> q166IncrementalEr _,
-    "q167_session_window"   -> q167SessionWindow _
+    "q167_session_window"   -> q167SessionWindow _,
+    "q168_bloom_join"       -> q168BloomJoin _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

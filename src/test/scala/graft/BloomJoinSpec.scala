@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.BloomJoin
+
+/** The bloom-prefiltered join's contract: no false negatives (bloomJoin
+  * equals the plain join row-for-row), false positives die at the exact
+  * join, the audit's accounting adds up, and the loud-cap guard refuses
+  * oversize sketches. q168 pins equality-with-plain-join at scale. */
+class BloomJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val probe = (1L to 1000L).map(i => (i, s"p$i"))
+    .toDF("k", "payload")
+  private lazy val build = Seq(10L, 20L, 30L, 999L).map(i => (i, s"b$i"))
+    .toDF("bk", "tag")
+
+  test("bloomJoin equals the plain inner join row-for-row") {
+    val plain = probe.join(build, col("k") === col("bk"))
+      .collect().map(_.toSeq).toSet
+    val bloomed = BloomJoin.bloomJoin(probe, build, "k", "bk",
+        expectedItems = 16L)
+      .collect().map(_.toSeq).toSet
+    assert(bloomed === plain)
+    assert(plain.size === 4)
+  }
+
+  test("prefilter keeps every true match; stats accounting adds up") {
+    val bf = BloomJoin.buildFilter(build, "bk", expectedItems = 16L)
+    val keptKeys = BloomJoin.prefilter(probe, "k", bf)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 20L, 30L, 999L).subsetOf(keptKeys))
+    val s = BloomJoin.prefilterStats(probe, "k", bf, build, "bk").collect()(0)
+    val (n, kept, matched, fp) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    assert(n === 1000L && matched === 4L)
+    assert(kept === matched + fp)
+    assert(s.getDouble(4) === kept.toDouble / 1000.0)
+    // a right-sized filter sheds the overwhelming majority of the probe
+    assert(kept < 100L)
+  }
+
+  test("oversize sketches are refused loudly, not silently clamped") {
+    intercept[IllegalArgumentException] {
+      BloomJoin.buildFilter(build, "bk", expectedItems = Long.MaxValue / 2)
+    }
+  }
+
+  test("string keys hash the same on both sides") {
+    val p = Seq(("alpha", 1), ("beta", 2), ("gamma", 3)).toDF("k", "v")
+    val b = Seq(("beta", 9)).toDF("bk", "w")
+    val got = BloomJoin.bloomJoin(p, b, "k", "bk", expectedItems = 4L)
+      .select("k", "v", "w").collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq("beta", 2, 9)))
+  }
+}
