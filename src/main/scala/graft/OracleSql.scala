@@ -2111,6 +2111,28 @@ object OracleSql {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_totalprice > 450000.0"""
 
+  /** Schema drift — q169. The report enumerated statically (the fixture's
+    * schemas are fixed) with null tallies recomputed from the data; the
+    * injected o_custkey null burst adds the %10 rows on the new side. */
+  private val q169 = """
+    WITH a AS (SELECT
+        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+        CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN o_custkey IS NULL OR o_orderkey % 10 = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS nc2
+      FROM orders)
+    SELECT 'o_orderkey' AS "column", 'unchanged' AS status,
+      'bigint' AS old_type, 'bigint' AS new_type,
+      nk AS n_null_old, nk AS n_null_new FROM a
+    UNION ALL SELECT 'o_custkey', 'unchanged', 'bigint', 'bigint', nc, nc2 FROM a
+    UNION ALL SELECT 'o_orderstatus', 'unchanged', 'string', 'string', ns, ns FROM a
+    UNION ALL SELECT 'o_totalprice', 'type_changed', 'double', 'string', nt, nt FROM a
+    UNION ALL SELECT 'o_orderpriority', 'removed', 'string', NULL, np, NULL FROM a
+    UNION ALL SELECT 'o_channel', 'added', NULL, 'string', NULL, CAST(0 AS BIGINT) FROM a"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3926,6 +3948,7 @@ object OracleSql {
     "q165_textrank"         -> q165,
     "q166_incremental_er"   -> q161,
     "q167_session_window"   -> q167,
-    "q168_bloom_join"       -> q168
+    "q168_bloom_join"       -> q168,
+    "q169_schema_drift"     -> q169
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2874,6 +2874,23 @@ object SparkEntry {
         col("l_extendedprice"), col("o_totalprice"))
   }
 
+  /** Schema drift ([[graft.ops.SchemaDrift.driftReport]]): orders vs a
+    * mutated copy — a column dropped, one added, one type-changed, and a
+    * 10% null burst injected into o_custkey. (o_orderdate is excluded
+    * from the fixture: its Spark type name drifts with the driver's
+    * parquet layout regenerations — the EventsLoader lesson.) */
+  private def q169SchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").drop("o_orderdate")
+    val neu = base.select(
+      col("o_orderkey"),
+      when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("string").as("o_totalprice"),
+      concat(lit("ch"), pmod(col("o_orderkey"), lit(3))).as("o_channel"))
+    graft.ops.SchemaDrift.driftReport(base, neu)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3042,7 +3059,8 @@ object SparkEntry {
     "q165_textrank"         -> q165TextRank _,
     "q166_incremental_er"   -> q166IncrementalEr _,
     "q167_session_window"   -> q167SessionWindow _,
-    "q168_bloom_join"       -> q168BloomJoin _
+    "q168_bloom_join"       -> q168BloomJoin _,
+    "q169_schema_drift"     -> q169SchemaDrift _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

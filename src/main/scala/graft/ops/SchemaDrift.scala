@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Schema and profile drift between two versions of a feed — the
+  * data-contract check a warehouse runs when yesterday's loader meets
+  * today's file: which columns appeared, vanished, or changed type
+  * (metadata-only), and how the null mass moved in the columns both
+  * versions share (one aggregation pass per side).
+  *
+  * Reference behavior generalized: the reference's detector keys on CSV
+  * header SETS (`smartFileProcessor.js:59-101`, SURVEY §2.7) — it can say
+  * "this is the passengers feed", but not "the passengers feed changed
+  * shape since last load". This is that second question, feeding
+  * [[Expectations]] (a drift report is what you write new checks from)
+  * and [[Profiler]] (whose per-column profile this diff is computed
+  * over).
+  *
+  * == 100 TB shape ==
+  * The schema diff is driver-side metadata (no scan at all). The null
+  * tallies are ONE map-side-combined agg per side over its own columns —
+  * two scans total, each fixed-width output; nothing row-sized crosses
+  * the driver. */
+object SchemaDrift {
+
+  /** Per-column drift report over `old` → `new`:
+    * `(column, status, old_type, new_type, n_null_old, n_null_new)` —
+    * status ∈ `added | removed | type_changed | unchanged`; type strings
+    * are Catalyst `simpleString`s; null counts are NULL on the side the
+    * column does not exist. */
+  def driftReport(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val oldTypes = oldDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val newTypes = newDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    // preserve old-schema order, then new-only columns in new-schema order
+    val cols = oldDf.schema.fieldNames.toSeq ++
+      newDf.schema.fieldNames.toSeq.filterNot(oldTypes.contains)
+    require(cols.nonEmpty, "driftReport: both schemas empty")
+
+    def nullCounts(df: DataFrame): DataFrame = {
+      val aggs = df.schema.fieldNames.toSeq.map(n =>
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"nn__$n"))
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = df.schema.fieldNames.toSeq.map(n =>
+        struct(lit(n).as("column"), col(s"nn__$n").as("n_null")))
+      one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+    }
+
+    val statusRows = cols.map { c =>
+      val (ot, nt) = (oldTypes.get(c), newTypes.get(c))
+      val status = (ot, nt) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "unchanged"
+      }
+      struct(lit(c).as("column"), lit(status).as("status"),
+        lit(ot.orNull).cast("string").as("old_type"),
+        lit(nt.orNull).cast("string").as("new_type"))
+    }
+    val statuses = oldDf.sparkSession.range(1)
+      .select(explode(array(statusRows: _*)).as("s")).select(col("s.*"))
+    statuses
+      .join(nullCounts(oldDf).withColumnRenamed("n_null", "n_null_old"),
+        Seq("column"), "left")
+      .join(nullCounts(newDf).withColumnRenamed("n_null", "n_null_new"),
+        Seq("column"), "left")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SchemaDrift
+
+/** Drift-report semantics: added/removed/type_changed/unchanged statuses,
+  * per-side null tallies with NULL on the absent side, and column
+  * ordering. q169 pins the full report against the oracle at scale. */
+class SchemaDriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("statuses, types, and null tallies per column") {
+    val old = Seq((1L, Some("a"), 1.5), (2L, None, 2.5))
+      .toDF("id", "name", "score")
+    val neu = Seq((1L, "x", "s1"), (2L, null, "s2"))
+      .toDF("id", "score", "tag")
+      .select(col("id"), col("score"), col("tag")) // score now string
+    val got = SchemaDrift.driftReport(old, neu).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toMap
+    assert(got("id") === (("unchanged", "bigint", "bigint", Some(0L), Some(0L))))
+    assert(got("name") === (("removed", "string", null, Some(1L), None)))
+    // the new 'score' column carries the null row
+    assert(got("score") === (("type_changed", "double", "string", Some(0L), Some(1L))))
+    assert(got("tag") === (("added", null, "string", None, Some(0L))))
+  }
+
+  test("column order: old schema first, then new-only columns") {
+    val old = Seq((1, 2)).toDF("a", "b")
+    val neu = Seq((1, 2, 3)).toDF("c", "a", "d")
+    val order = SchemaDrift.driftReport(old, neu).collect().map(_.getString(0))
+    assert(order.toSeq === Seq("a", "b", "c", "d"))
+  }
+
+  test("identical frames: every column unchanged with equal tallies") {
+    val df = Seq((1L, "x"), (2L, null)).toDF("id", "v")
+    val rows = SchemaDrift.driftReport(df, df).collect()
+    assert(rows.forall(_.getString(1) == "unchanged"))
+    assert(rows.map(r => (r.getLong(4), r.getLong(5))).toSeq ===
+      Seq((0L, 0L), (1L, 1L)))
+  }
+}
