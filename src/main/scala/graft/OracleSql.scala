@@ -2133,6 +2133,33 @@ object OracleSql {
     UNION ALL SELECT 'o_orderpriority', 'removed', 'string', NULL, np, NULL FROM a
     UNION ALL SELECT 'o_channel', 'added', NULL, 'string', NULL, CAST(0 AS BIGINT) FROM a"""
 
+  /** MAD outliers — q170. Nearest-rank medians (rank ceil(n/2) with
+    * (value, id) tie-breaks — the L34 arithmetic) over the spiked values,
+    * deviation ranks the same way, score = one double division; MAD = 0
+    * groups flag deviators with NULL score. */
+  private val q170 = """
+    WITH e AS (SELECT event_type, event_id,
+        value * CASE WHEN event_id % 997 = 0 THEN 50.0 ELSE 1.0 END AS value
+      FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    m AS (SELECT *, max(CASE WHEN rn = CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
+          THEN value END) OVER (PARTITION BY event_type) AS med
+      FROM r),
+    d AS (SELECT *, abs(value - med) AS dev FROM m),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY dev, event_id) AS rn2
+      FROM d),
+    m2 AS (SELECT *, max(CASE WHEN rn2 = CAST(floor((50 * n + 99) / 100.0) AS BIGINT)
+          THEN dev END) OVER (PARTITION BY event_type) AS mad
+      FROM r2)
+    SELECT event_type, event_id, value, med, mad,
+      CASE WHEN mad > 0 THEN dev / mad END AS score
+    FROM m2
+    WHERE (mad > 0 AND dev / mad > 5.0) OR (mad = 0 AND dev > 0)"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3949,6 +3976,7 @@ object OracleSql {
     "q166_incremental_er"   -> q161,
     "q167_session_window"   -> q167,
     "q168_bloom_join"       -> q168,
-    "q169_schema_drift"     -> q169
+    "q169_schema_drift"     -> q169,
+    "q170_mad_outliers"     -> q170
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2891,6 +2891,17 @@ object SparkEntry {
     graft.ops.SchemaDrift.driftReport(base, neu)
   }
 
+  /** MAD outliers ([[graft.ops.Outliers.madOutliers]]): event values with
+    * a deterministic 50× spike on every 997th event — the robust
+    * median/MAD score must flag exactly the spikes (plus any natural
+    * extremes), each with its exact nearest-rank median, MAD, and score. */
+  private def q170MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val spiked = events(s, dir).select(col("event_type"), col("event_id"),
+      (col("value") * when(pmod(col("event_id"), lit(997)) === 0, lit(50.0))
+        .otherwise(lit(1.0))).as("value"))
+    graft.ops.Outliers.madOutliers(spiked, threshold = 5.0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3060,7 +3071,8 @@ object SparkEntry {
     "q166_incremental_er"   -> q166IncrementalEr _,
     "q167_session_window"   -> q167SessionWindow _,
     "q168_bloom_join"       -> q168BloomJoin _,
-    "q169_schema_drift"     -> q169SchemaDrift _
+    "q169_schema_drift"     -> q169SchemaDrift _,
+    "q170_mad_outliers"     -> q170MadOutliers _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection by median/MAD — the
+  * metric-monitoring standard when means are poisoned by the very
+  * outliers being hunted (one spike drags a z-score's mean and std; the
+  * median and the median-absolute-deviation shrug it off). The
+  * data-quality companion to [[EventWindows.rateAnomalies]]' rate tier:
+  * that flags WHEN too much happened, this flags WHICH values are
+  * implausible.
+  *
+  * Exactness discipline: medians are NEAREST-RANK order statistics
+  * (rank `ceil(n/2)` with deterministic `(value, id)` tie-breaks — the
+  * L34 arithmetic), so every reported median/MAD is an actual data value
+  * and the score is ONE double division of exact selections — the DuckDB
+  * oracle reproduces it bit-for-bit. Interpolated medians would be the
+  * textbook variant; nearest-rank is the cross-engine-exact one.
+  *
+  * `mad = 0` (over half the group identical) leaves no scale to score
+  * against: such groups flag any deviating value (`score` NULL,
+  * deviation > 0) rather than dividing by zero.
+  *
+  * == 100 TB shape ==
+  * Two window sorts partitioned by the group key (value ranks, then
+  * deviation ranks) — per-group locality, parallelism = #groups, no
+  * corpus-wide exchange. The approximate path at extreme group sizes is
+  * [[Sketches]]' GK percentiles; this operator is the exact tier. */
+object Outliers {
+
+  /** Rows whose `|value - median| / MAD` exceeds `threshold` (or deviate
+    * at all when MAD = 0): `(groupCol, idCol, valueCol, med, mad, score)`
+    * — `score` NULL exactly when MAD = 0. */
+  def madOutliers(df: DataFrame, valueCol: String = "value",
+                  groupCol: String = "event_type",
+                  idCol: String = "event_id",
+                  threshold: Double = 5.0): DataFrame = {
+    require(threshold > 0, s"madOutliers: threshold must be > 0, got $threshold")
+    val wg = Window.partitionBy(col(groupCol))
+    val medRank = floor((lit(50L) * count(lit(1)).over(wg) + 99) / lit(100.0))
+      .cast("long")
+    val wv = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val base = df.select(col(groupCol), col(idCol),
+        col(valueCol).cast("double").as(valueCol))
+      .withColumn("__med",
+        max(when(row_number().over(wv).cast("long") === medRank,
+          col(valueCol))).over(wg))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val wd = Window.partitionBy(col(groupCol))
+      .orderBy(col("__dev"), col(idCol))
+    base
+      .withColumn("__mad",
+        max(when(row_number().over(wd).cast("long") === medRank,
+          col("__dev"))).over(wg))
+      .withColumn("score",
+        when(col("__mad") > 0, col("__dev") / col("__mad")))
+      .filter((col("__mad") > 0 && col("score") > threshold) ||
+        (col("__mad") === 0 && col("__dev") > 0))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("__med").as("med"), col("__mad").as("mad"), col("score"))
+  }
+}

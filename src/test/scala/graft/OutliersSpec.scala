@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Outliers
+
+/** Hand-checked MAD arithmetic: nearest-rank medians with tie-breaks,
+  * the score division, the MAD=0 degenerate contract, threshold gating,
+  * and per-group independence. q170 pins the report at scale. */
+class OutliersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hand-checked group: median 3, MAD 1, only the spike flags") {
+    // values 1..5 plus a 100 spike: n=6, medRank=ceil(300/100)=3 -> med=3
+    // devs: 2 1 0 1 2 97 sorted 0 1 1 2 2 97 -> rank3 -> mad=1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("event_type", "event_id", "value")
+    val got = Outliers.madOutliers(df, threshold = 5.0).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(got.toSeq === Seq((5L, 100.0, 3.0, 1.0, 97.0)))
+  }
+
+  test("mad = 0: any deviating value flags with NULL score") {
+    val df = Seq(7.0, 7.0, 7.0, 7.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("event_type", "event_id", "value")
+    val got = Outliers.madOutliers(df).collect()
+    assert(got.length === 1)
+    assert(got(0).getDouble(2) === 9.0 && got(0).getDouble(4) === 0.0)
+    assert(got(0).isNullAt(5))
+  }
+
+  test("groups are independent; clean groups emit nothing") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 1000.0)) ++
+      Seq(("b", 5.0), ("b", 6.0), ("b", 7.0)))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("event_type", "event_id", "value")
+    val got = Outliers.madOutliers(df, threshold = 5.0).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a"))
+    assert(got(0).getDouble(2) === 1000.0)
+  }
+
+  test("threshold gates: the same data flags nothing at a looser bound") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 14.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("event_type", "event_id", "value")
+    // med 3, mad 1, spike score 11
+    assert(Outliers.madOutliers(df, threshold = 5.0).count() === 1)
+    assert(Outliers.madOutliers(df, threshold = 12.0).count() === 0)
+  }
+}
