@@ -2160,6 +2160,25 @@ object OracleSql {
     FROM m2
     WHERE (mad > 0 AND dev / mad > 5.0) OR (mad = 0 AND dev > 0)"""
 
+  /** SCD2 as-of — q171. The q102 history build + the half-open interval
+    * filter at the snapshot instant. */
+  private val q171 = """
+    WITH ordered AS (SELECT user_id, ts, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    changed AS (SELECT user_id, ts, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (SELECT user_id, event_type, ts AS vf,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+      FROM changed)
+    SELECT user_id, event_type,
+      strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      (vt IS NULL) AS is_current
+    FROM v
+    WHERE vf <= TIMESTAMP '2024-01-15 12:00:00'
+      AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 12:00:00')"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3977,6 +3996,7 @@ object OracleSql {
     "q167_session_window"   -> q167,
     "q168_bloom_join"       -> q168,
     "q169_schema_drift"     -> q169,
-    "q170_mad_outliers"     -> q170
+    "q170_mad_outliers"     -> q170,
+    "q171_scd_asof"         -> q171
   ).map { case (k, v) => k -> clean(v) }
 }

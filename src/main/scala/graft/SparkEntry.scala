@@ -2902,6 +2902,23 @@ object SparkEntry {
     graft.ops.Outliers.madOutliers(spiked, threshold = 5.0)
   }
 
+  /** SCD2 as-of snapshot ([[graft.ops.Scd.asOf]]): the q102 history
+    * reconstructed at 2024-01-15 12:00 — exactly one row per user whose
+    * history had begun, each the version covering the instant. Oracle
+    * replays the q102 build + the interval filter. */
+  private def q171ScdAsof(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.ops.Scd.scd2(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id")),
+      keyCols = Seq("user_id"), tsCol = "ts",
+      attrCols = Seq("event_type"), tiebreak = "event_id")
+    graft.ops.Scd.asOf(hist, to_timestamp(lit("2024-01-15 12:00:00")))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3072,7 +3089,8 @@ object SparkEntry {
     "q167_session_window"   -> q167SessionWindow _,
     "q168_bloom_join"       -> q168BloomJoin _,
     "q169_schema_drift"     -> q169SchemaDrift _,
-    "q170_mad_outliers"     -> q170MadOutliers _
+    "q170_mad_outliers"     -> q170MadOutliers _,
+    "q171_scd_asof"         -> q171ScdAsof _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

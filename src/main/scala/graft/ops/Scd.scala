@@ -50,4 +50,15 @@ object Scd {
       .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time snapshot of a [[scd2]] history — "the dimension as it
+    * WAS at `asOfTs`": the version of each key whose half-open
+    * `[valid_from, valid_to)` interval covers the instant; at most one
+    * row per key by the tiling invariant (exactly one for keys whose
+    * history had begun). Row-local filter, no shuffle — with the history
+    * stored partitioned/z-ordered on the validity range, partition
+    * pruning reads only the covering slices. */
+  def asOf(history: DataFrame, asOfTs: org.apache.spark.sql.Column): DataFrame =
+    history.filter(col("valid_from") <= asOfTs &&
+      (col("valid_to").isNull || col("valid_to") > asOfTs))
 }

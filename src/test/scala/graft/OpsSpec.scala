@@ -3699,4 +3699,23 @@ class OpsSpec extends SparkSpec {
     } yield dist(pa, pb) / dist(a, b)
     assert(ratios.forall(r => r > 0.4 && r < 1.9))
   }
+
+  test("Scd.asOf: exactly the covering version per key; pre-history keys absent") {
+    import graft.ops.Scd
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val log = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), "bronze", 1L),
+      ("u1", ts("2024-01-10 00:00:00"), "gold", 2L),
+      ("u2", ts("2024-01-20 00:00:00"), "silver", 3L))
+      .toDF("user_id", "ts", "tier", "event_id")
+    val hist = Scd.scd2(log, Seq("user_id"), "ts", Seq("tier"), "event_id")
+    def snap(at: String) = Scd.asOf(hist, lit(ts(at)))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    // between u1's versions, before u2 exists
+    assert(snap("2024-01-05 00:00:00") === Seq(("u1", "bronze")))
+    // after all updates: current rows only
+    assert(snap("2024-02-01 00:00:00") === Seq(("u1", "gold"), ("u2", "silver")))
+    // boundary: valid_from is inclusive, valid_to exclusive
+    assert(snap("2024-01-10 00:00:00") === Seq(("u1", "gold")))
+  }
 }
