@@ -2179,6 +2179,30 @@ object OracleSql {
     WHERE vf <= TIMESTAMP '2024-01-15 12:00:00'
       AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 12:00:00')"""
 
+  /** Session time allocation — q172. Sessions via the lag/sum
+    * formulation (gap 1800), whole-second bounds, inclusive bucket range
+    * st//3600 .. (en-1)//3600, overlap = min(en, next bucket) - max(st,
+    * bucket), rolled up per hour. */
+  private val q172 = """
+    WITH e AS (SELECT user_id, event_id, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+    lagged AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+    flagged AS (SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS st FROM lagged),
+    sess AS (SELECT user_id, tsec,
+        sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    sp AS (SELECT user_id, session_id, min(tsec) AS st, max(tsec) AS en
+      FROM sess GROUP BY 1, 2),
+    iv AS (SELECT * FROM sp WHERE en > st),
+    al AS (SELECT st, en, unnest(generate_series(st // 3600, (en - 1) // 3600)) AS b
+      FROM iv)
+    SELECT b * 3600 AS bucket_start,
+      CAST(count(*) AS BIGINT) AS n_intervals,
+      CAST(sum(least(en, (b + 1) * 3600) - greatest(st, b * 3600)) AS BIGINT)
+        AS total_seconds
+    FROM al GROUP BY 1"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3997,6 +4021,7 @@ object OracleSql {
     "q168_bloom_join"       -> q168,
     "q169_schema_drift"     -> q169,
     "q170_mad_outliers"     -> q170,
-    "q171_scd_asof"         -> q171
+    "q171_scd_asof"         -> q171,
+    "q172_time_allocation"  -> q172
   ).map { case (k, v) => k -> clean(v) }
 }

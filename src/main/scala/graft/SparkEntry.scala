@@ -2919,6 +2919,22 @@ object SparkEntry {
         col("is_current"))
   }
 
+  /** Session-seconds per hour ([[graft.ops.EventWindows
+    * .allocateIntervals]]): sessions (L16, 30-min gap) time-allocated
+    * across the hour buckets they overlap, then rolled up per hour — the
+    * billing/occupancy view a tumbling count of session STARTS gets
+    * wrong. Hash pins every hour's interval count and allocated
+    * seconds. */
+  private def q172TimeAllocation(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessionize.sessionize(events(s, dir))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    graft.ops.EventWindows.allocateIntervals(sess, "s_start", "s_end", 3600L)
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("overlap_seconds")).as("total_seconds"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3090,7 +3106,8 @@ object SparkEntry {
     "q168_bloom_join"       -> q168BloomJoin _,
     "q169_schema_drift"     -> q169SchemaDrift _,
     "q170_mad_outliers"     -> q170MadOutliers _,
-    "q171_scd_asof"         -> q171ScdAsof _
+    "q171_scd_asof"         -> q171ScdAsof _,
+    "q172_time_allocation"  -> q172TimeAllocation _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -112,4 +112,51 @@ object EventWindows {
           .otherwise(lit(0.0)), 6).as("z"))
       .withColumn("is_anomaly", abs(col("z")) >= zThreshold)
   }
+
+  /** Time-weighted interval allocation — split each `[start, end)`
+    * interval's duration across the fixed calendar buckets it overlaps
+    * (the billing/occupancy primitive: session-seconds per hour, job-
+    * seconds per day — where a tumbling COUNT of starts misattributes
+    * everything to the opening bucket). Whole-second resolution (the
+    * timestamps' epoch seconds; sub-second tails truncate), non-negative
+    * epochs assumed.
+    *
+    * Output: the input columns + `bucket_start` (epoch seconds, a
+    * multiple of `bucketSeconds`) + `overlap_seconds`, one row per
+    * (interval, touched bucket); empty or inverted intervals
+    * (`end <= start`) emit nothing. Row-local explode bounded LOUDLY by
+    * `maxBucketsPerInterval` (an interval spanning a million buckets is
+    * almost always a data bug — corrupt end timestamp — and exploding it
+    * silently is how a job OOMs at 3am; raise the cap deliberately for
+    * genuine month-long intervals).
+    *
+    * == 100 TB shape ==
+    * No shuffle at all: per-row arithmetic + a bounded `sequence`
+    * explode; the downstream per-bucket rollup is the only exchange and
+    * is bucket-count-sized after map-side combine. */
+  def allocateIntervals(df: DataFrame, startCol: String, endCol: String,
+                        bucketSeconds: Long,
+                        maxBucketsPerInterval: Long = 100000L): DataFrame = {
+    require(bucketSeconds >= 1,
+      s"allocateIntervals: bucketSeconds must be >= 1, got $bucketSeconds")
+    require(maxBucketsPerInterval >= 1,
+      s"allocateIntervals: maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val s0 = col(startCol).cast("long")
+    val e0 = col(endCol).cast("long")
+    val w = lit(bucketSeconds)
+    // positive epochs: double-divide-then-truncate == floor, exact < 2^53
+    val b0 = (s0 / w).cast("long")
+    val b1 = ((e0 - 1) / w).cast("long")
+    df.filter(e0 > s0)
+      .filter(when(b1 - b0 + 1 > maxBucketsPerInterval,
+        raise_error(format_string(
+          s"allocateIntervals: interval spans %d buckets (cap $maxBucketsPerInterval) — " +
+            "corrupt end timestamp, or raise maxBucketsPerInterval",
+          b1 - b0 + 1)).cast("boolean")).otherwise(lit(true)))
+      .withColumn("__b", explode(sequence(b0, b1)))
+      .withColumn("bucket_start", col("__b") * w)
+      .withColumn("overlap_seconds",
+        least(e0, (col("__b") + 1) * w) - greatest(s0, col("bucket_start")))
+      .drop("__b")
+  }
 }

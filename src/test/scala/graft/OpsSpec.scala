@@ -3718,4 +3718,35 @@ class OpsSpec extends SparkSpec {
     // boundary: valid_from is inclusive, valid_to exclusive
     assert(snap("2024-01-10 00:00:00") === Seq(("u1", "gold")))
   }
+
+  test("allocateIntervals: hand-checked splits, boundaries, and the loud cap") {
+    import graft.ops.EventWindows
+    def mk(rows: (Long, Long, Long)*) = rows.toSeq
+      .toDF("iv_id", "st", "en")
+      .select(col("iv_id"), col("st").cast("timestamp").as("st"),
+        col("en").cast("timestamp").as("en"))
+    // [50, 250) over 100s buckets: 50 in b0, 100 in b1, 50 in b2
+    val got = EventWindows.allocateIntervals(mk((1L, 50L, 250L)), "st", "en", 100L)
+      .collect().map(r => (r.getLong(r.fieldIndex("bucket_start")),
+        r.getLong(r.fieldIndex("overlap_seconds")))).toSeq
+    assert(got === Seq((0L, 50L), (100L, 100L), (200L, 50L)))
+    // exact bucket alignment: [100, 200) is wholly bucket 1
+    val aligned = EventWindows.allocateIntervals(mk((1L, 100L, 200L)), "st", "en", 100L)
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(aligned === Seq((100L, 100L)))
+    // empty and inverted intervals emit nothing
+    assert(EventWindows.allocateIntervals(
+      mk((1L, 100L, 100L), (2L, 200L, 150L)), "st", "en", 100L).count() === 0)
+    // total allocation equals the interval length
+    val tot = EventWindows.allocateIntervals(mk((1L, 37L, 912L)), "st", "en", 60L)
+      .agg(sum("overlap_seconds")).collect()(0).getLong(0)
+    assert(tot === 912L - 37L)
+    // the cap fires loudly instead of exploding a corrupt interval
+    val ex = intercept[Exception] {
+      EventWindows.allocateIntervals(mk((1L, 0L, 10000000L)), "st", "en", 1L,
+        maxBucketsPerInterval = 1000L).count()
+    }
+    assert(ex.getMessage.contains("allocateIntervals") ||
+      String.valueOf(ex.getCause).contains("allocateIntervals"))
+  }
 }
