@@ -1447,7 +1447,100 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Viterbi segmentation under a unigram piece model (Kudo, ACL 2018,
+    * arXiv:1804.10959 — the SentencePiece unigram decoder): per
+    * whitespace-delimited run, the piece sequence maximizing the sum of
+    * piece log-probabilities, by one O(len × maxPieceLen) DP per run. The
+    * probabilistic counterpart of [[BpeTokenCount]]'s greedy longest-match
+    * walk: greedy takes the longest piece NOW; Viterbi takes the pieces
+    * that are jointly best.
+    *
+    * Determinism: ties resolve to the LONGER final piece (cells accept
+    * strictly-better scores only, and the candidate starting earliest —
+    * the longest piece ending at a cell — writes first). A character no
+    * piece covers becomes its own single-char piece at a floor score of
+    * -1e9 — never preferred, never a crash (training vocabularies keep
+    * every seen character, so the floor only fires on out-of-corpus
+    * inference input). */
+  case class UnigramViterbiPieces(child: Expression,
+                                  pieces: IndexedSeq[(String, Double)])
+    extends UnaryExpression with CodegenFallback {
+
+    require(pieces.nonEmpty, "UnigramViterbiPieces: empty piece table")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "unigram_viterbi_pieces"
+    override def flatArguments: Iterator[Any] = Iterator(child, s"V=${pieces.length}")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    private val Floor = -1e9
+
+    @transient private lazy val lp: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      pieces.foreach { case (p, s) => m.putIfAbsent(p, s) }
+      m
+    }
+    @transient private lazy val maxLen: Int = pieces.map(_._1.length).max
+
+    private def segmentRun(s: String, from: Int, until: Int,
+                           out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      val n = until - from
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = new Array[Int](n + 1) // winning piece length ending at i
+      best(0) = 0.0
+      var i = 0
+      while (i < n) {
+        if (best(i) > Double.NegativeInfinity) {
+          var len = 1
+          val lim = math.min(maxLen, n - i)
+          while (len <= lim) {
+            val score = lp.get(s.substring(from + i, from + i + len))
+            if (score != null) {
+              val cand = best(i) + score
+              if (cand > best(i + len)) { best(i + len) = cand; back(i + len) = len }
+            }
+            len += 1
+          }
+          // unknown-char fallback keeps the DP connected
+          val cand = best(i) + Floor
+          if (cand > best(i + 1)) { best(i + 1) = cand; back(i + 1) = 1 }
+        }
+        i += 1
+      }
+      // reconstruct (reversed walk) into a local buffer, then append in order
+      val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = n
+      while (j > 0) { val l = back(j); rev += s.substring(from + j - l, from + j); j -= l }
+      var k = rev.length - 1
+      while (k >= 0) { out += UTF8String.fromString(rev(k)); k -= 1 }
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        if (Character.isWhitespace(s.charAt(i))) i += 1
+        else {
+          var j = i
+          while (j < n && !Character.isWhitespace(s.charAt(j))) j += 1
+          segmentRun(s, i, j, out)
+          i = j
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): UnigramViterbiPieces =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column sugar
+
+  def unigramViterbiPieces(text: Column, pieces: Seq[(String, Double)]): Column =
+    ColumnBridge.column(UnigramViterbiPieces(ColumnBridge.expression(text),
+      pieces.toIndexedSeq))
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))

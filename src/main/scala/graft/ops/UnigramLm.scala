@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer TRAINING (Kudo, "Subword Regularization", ACL
+  * 2018, arXiv:1804.10959 — the SentencePiece unigram model): learn a
+  * piece vocabulary by EM over Viterbi segmentations, pruning from a
+  * large seed toward the target size — the OTHER mainstream subword
+  * trainer next to [[BpeTrain]]'s merge learning (T5/ALBERT/XLNet ship
+  * unigram vocabularies; GPT-2/RoBERTa ship BPE). Completes the tokenizer
+  * tier: train either family, segment, pack — without leaving the engine.
+  *
+  * Algorithm shape (distributed like [[BpeTrain]]):
+  *  1. ONE corpus aggregation builds the word-frequency table; the corpus
+  *     is never read again.
+  *  2. SEED: every substring of the (capped) word table up to
+  *     `maxPieceLen` chars with summed frequency ≥ `minFreq`, top
+  *     `seedSize` by (freq DESC, piece) — plus every single character,
+  *     which is never prunable (coverage guarantee). Initial
+  *     log-probabilities from the seed counts.
+  *  3. Repeat until ≤ `vocabSize` pieces: `emIters` EM rounds — E:
+  *     Viterbi-segment every WORD under the current model (the compiled
+  *     [[graft.functions.HashExprs.UnigramViterbiPieces]] DP, broadcast
+  *     piece table, distributed over the word table) and count piece
+  *     usage weighted by word frequency; M: `logp = log(count/total)` —
+  *     then PRUNE to `max(vocabSize, ⌈removable × shrink⌉)` pieces by
+  *     (logp DESC, piece), dropping unused non-char pieces first.
+  *  4. One final EM round re-estimates probabilities for the survivors.
+  *
+  * Documented divergence from the paper: pruning ranks pieces by their
+  * estimated probability (expected usage), not by the exact
+  * likelihood-loss of removal — the standard practical simplification;
+  * the EM estimates themselves follow the paper (hard-EM / Viterbi
+  * counts, as SentencePiece's default decoder does for segmentation).
+  *
+  * Scale shape: every E-step is word-table-sized and map-side-combines to
+  * the piece vocabulary (≤ `seedSize + |chars|` rows — the ONLY thing the
+  * driver ever collects, by construction); the model rides each round's
+  * expression closure as literals. Not SQL-expressible (a driver-
+  * sequenced EM loop has no DuckDB form) — fixture-pinned in
+  * UnigramLmSpec, the L53/L64 documented-reason discipline. */
+object UnigramLm {
+
+  /** A trained model: `(piece, logProb)` sorted by piece; feed into
+    * [[segment]] / [[pieceCount]]. */
+  final case class UnigramModel(pieces: Seq[(String, Double)]) {
+    require(pieces.nonEmpty, "UnigramModel: empty")
+  }
+
+  /** Viterbi piece segmentation of a text column under a trained model. */
+  def segment(text: Column, model: UnigramModel): Column =
+    graft.functions.HashExprs.unigramViterbiPieces(
+      TextAnalysis.normalizeText(coalesce(text, lit(""))), model.pieces)
+
+  /** Token count in model pieces — the budget unit for a pipeline whose
+    * tokenizer is a unigram model. */
+  def pieceCount(text: Column, model: UnigramModel): Column =
+    size(segment(text, model)).cast("long")
+
+  /** Train — see class doc. */
+  def trainUnigram(docs: DataFrame, textCol: String = "text",
+                   vocabSize: Int = 1000, seedSize: Int = 8000,
+                   maxPieceLen: Int = 8, emIters: Int = 2,
+                   shrink: Double = 0.75, minFreq: Long = 2L,
+                   maxWords: Option[Int] = None,
+                   materialize: DataFrame => DataFrame = _.localCheckpoint(true)): UnigramModel = {
+    require(vocabSize >= 1, s"trainUnigram: vocabSize must be >= 1, got $vocabSize")
+    require(seedSize >= vocabSize,
+      s"trainUnigram: seedSize $seedSize must be >= vocabSize $vocabSize")
+    require(maxPieceLen >= 1 && emIters >= 1 && minFreq >= 1,
+      s"trainUnigram: bad maxPieceLen/emIters/minFreq ($maxPieceLen, $emIters, $minFreq)")
+    require(shrink > 0 && shrink < 1, s"trainUnigram: shrink must be in (0,1), got $shrink")
+
+    val wc = docs
+      .select(explode(split(TextAnalysis.normalizeText(
+        coalesce(col(textCol), lit(""))), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val words = materialize(maxWords match {
+      case Some(m) => wc.orderBy(col("freq").desc, col("w")).limit(m)
+      case None    => wc
+    })
+
+    // ---- seed: every substring up to maxPieceLen chars, summed freq;
+    // materialized once — it feeds both the capped head and the char set
+    val subCounts = materialize(words
+      .select(explode(flatten(transform(
+        sequence(lit(0), length(col("w")) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
+          l => col("w").substr(i + 1, l))))).as("p"), col("freq"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("c")))
+    val seedHead = subCounts.filter(col("c") >= minFreq)
+      .orderBy(col("c").desc, col("p")).limit(seedSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val charCounts = subCounts.filter(length(col("p")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val chars = charCounts.map(_._1).toSet
+    require(chars.nonEmpty, "trainUnigram: empty corpus")
+    require(vocabSize >= chars.size,
+      s"trainUnigram: vocabSize $vocabSize < ${chars.size} distinct characters — " +
+        "the coverage guarantee needs every character")
+
+    def toModel(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+      val total = counts.map(_._2).sum.toDouble
+      counts.map { case (p, c) => p -> math.log(c / total) }.sortBy(_._1)
+    }
+    var pieces: Seq[(String, Double)] =
+      toModel((seedHead.toMap ++ charCounts.toMap).toSeq)
+
+    // E (Viterbi counts over the word table, model as literals) + M
+    // (re-normalize); unused non-char pieces drop, chars always survive
+    // at a count floor of 1 (coverage)
+    def emRound(): Unit = {
+      val counts = words
+        .select(explode(graft.functions.HashExprs.unigramViterbiPieces(
+          col("w"), pieces)).as("p"), col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = pieces.map(_._1)
+        .filter(p => chars(p) || counts.getOrElse(p, 0L) > 0L)
+      pieces = toModel(kept.map(p => p -> math.max(counts.getOrElse(p, 0L), 1L)))
+    }
+
+    var guard = 0
+    while (pieces.size > vocabSize && guard < 1000) {
+      guard += 1
+      (1 to emIters).foreach(_ => emRound())
+      if (pieces.size > vocabSize) {
+        val removable = pieces.filterNot(p => chars(p._1))
+        val floorN = math.max(vocabSize - chars.size, 0)
+        // keepN < removable.size whenever the loop runs (floorN >=
+        // removable.size would mean pieces.size <= vocabSize) -> progress
+        val keepN = math.max(floorN, math.min(removable.size - 1,
+          math.ceil(removable.size * shrink).toInt))
+        val kept = removable.sortBy { case (p, lp) => (-lp, p) }.take(keepN)
+        // uniform placeholder counts; the emRound below restores real probs
+        pieces = toModel(
+          (kept ++ pieces.filter(p => chars(p._1))).map { case (p, _) => p -> 1L })
+        emRound()
+      }
+    }
+    require(guard < 1000, "trainUnigram: prune loop failed to converge")
+    emRound() // final probabilities for the surviving vocabulary
+    UnigramModel(pieces)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.UnigramLm
+import graft.functions.HashExprs
+
+/** Unigram-LM trainer + Viterbi decoder semantics: hand-checked DP
+  * decisions under a fixed model (joint-best beats greedy, tie rule,
+  * unknown-char floor, whitespace runs), and training pins — character
+  * coverage, target size, lossless round-trip, a frequent piece
+  * surviving pruning, and determinism. Driver-sequenced EM has no DuckDB
+  * form (the L53/L64 documented-reason discipline). */
+class UnigramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def seg(text: String, pieces: Seq[(String, Double)]): Seq[String] =
+    Seq(text).toDF("t")
+      .select(HashExprs.unigramViterbiPieces(col("t"), pieces).as("p"))
+      .collect()(0).getSeq[String](0)
+
+  test("viterbi: joint-best segmentation beats greedy longest-match") {
+    // greedy would take 'abc' then be stuck with bad 'd','e' singles;
+    // viterbi prefers 'ab' + 'cde'
+    val m = Seq("abc" -> -1.0, "ab" -> -2.0, "cde" -> -1.5,
+      "a" -> -8.0, "b" -> -8.0, "c" -> -8.0, "d" -> -8.0, "e" -> -8.0)
+    assert(seg("abcde", m) === Seq("ab", "cde"))
+  }
+
+  test("viterbi: equal-score ties resolve to the longer piece") {
+    // 'aa'(-2) vs 'a'+'a'(-1-1=-2): tie -> the compound wins (first
+    // writer is the candidate starting earliest)
+    val m = Seq("aa" -> -2.0, "a" -> -1.0)
+    assert(seg("aa", m) === Seq("aa"))
+    // strictly better singles win
+    assert(seg("aa", Seq("aa" -> -2.5, "a" -> -1.0)) === Seq("a", "a"))
+  }
+
+  test("viterbi: unknown characters become floor-scored singles; runs split on whitespace") {
+    val m = Seq("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0)
+    assert(seg("azb", m) === Seq("a", "z", "b"))
+    assert(seg("ab  ab", m) === Seq("ab", "ab"))
+  }
+
+  test("training: coverage, size bound, lossless round-trip, piece survival") {
+    // 'spark' dominates; filler words share characters
+    val docs = (Seq.fill(30)("spark sparkly sparks") ++
+      Seq.fill(5)("risky yarns sly pranks"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chars = "sparklyin".toSet // superset check below uses actual corpus chars
+    val model = UnigramLm.trainUnigram(docs, vocabSize = 16, seedSize = 64,
+      maxPieceLen = 5, minFreq = 2L)
+    val vocab = model.pieces.map(_._1).toSet
+    // every corpus character is covered
+    val corpusChars = "spark sparkly sparks risky yarns sly pranks"
+      .replace(" ", "").toSet.map((c: Char) => c.toString)
+    assert(corpusChars.subsetOf(vocab))
+    assert(model.pieces.size <= 16)
+    // the dominant word survives as (or within) a multi-char piece
+    assert(vocab.exists(p => p.length > 1 && "spark".contains(p) || p == "spark"))
+    // lossless: segmenting every training word concatenates back
+    val rt = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w"), concat_ws("", UnigramLm.segment(col("w"), model)).as("r"))
+      .filter(col("w") =!= col("r")).count()
+    assert(rt === 0L)
+    val _ = chars
+  }
+
+  test("training is deterministic") {
+    val docs = Seq.fill(20)("the quick brown fox the quick")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = UnigramLm.trainUnigram(docs, vocabSize = 20, seedSize = 50,
+      maxPieceLen = 4, minFreq = 2L)
+    val b = UnigramLm.trainUnigram(docs, vocabSize = 20, seedSize = 50,
+      maxPieceLen = 4, minFreq = 2L)
+    assert(a.pieces === b.pieces)
+  }
+
+  test("pieceCount gives the segmentation length") {
+    val m = UnigramLm.UnigramModel(Seq("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0))
+    val n = Seq("ab a b!").toDF("text")
+      .select(UnigramLm.pieceCount(col("text"), m)).collect()(0).getLong(0)
+    // normalized 'ab a b' -> [ab, a, b]
+    assert(n === 3L)
+  }
+}
