@@ -2203,6 +2203,38 @@ object OracleSql {
         AS total_seconds
     FROM al GROUP BY 1"""
 
+  /** Triangle counts — q173. The same degree-ordering orientation in SQL:
+    * symmetrize the co-purchase pairs, orient by (degree, node), count
+    * (u→v, u→w, v→w) patterns, explode each triangle to its three
+    * corners; clustering = one double division of exact ints. */
+  private val q173 = """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 4 = 0),
+    pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM sym GROUP BY a),
+    wd AS (SELECT s.a, s.b, da.degree AS dda, db.degree AS ddb
+      FROM sym s JOIN deg da ON s.a = da.node JOIN deg db ON s.b = db.node),
+    o AS (SELECT a AS u, b AS v FROM wd
+      WHERE (dda < ddb) OR (dda = ddb AND a < b)),
+    wg AS (SELECT o1.u AS u, o1.v AS v, o2.v AS w
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v <> o2.v),
+    tri AS (SELECT wg.u, wg.v, wg.w FROM wg
+      JOIN o ON wg.v = o.u AND wg.w = o.v),
+    corners AS (SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+    tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM corners GROUP BY node)
+    SELECT d.node, d.degree,
+      coalesce(tn.triangles, CAST(0 AS BIGINT)) AS triangles,
+      CASE WHEN d.degree < 2 THEN 0.0
+           ELSE 2.0 * coalesce(tn.triangles, 0) / (d.degree * (d.degree - 1))
+      END AS clustering
+    FROM deg d LEFT JOIN tn ON d.node = tn.node"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4022,6 +4054,7 @@ object OracleSql {
     "q169_schema_drift"     -> q169,
     "q170_mad_outliers"     -> q170,
     "q171_scd_asof"         -> q171,
-    "q172_time_allocation"  -> q172
+    "q172_time_allocation"  -> q172,
+    "q173_triangles"        -> q173
   ).map { case (k, v) => k -> clean(v) }
 }

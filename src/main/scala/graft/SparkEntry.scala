@@ -2935,6 +2935,26 @@ object SparkEntry {
         sum(col("overlap_seconds")).as("total_seconds"))
   }
 
+  /** Triangle counting ([[graft.ops.Graph.triangleCounts]]): the part
+    * co-purchase graph — parts sharing an order are linked — counted
+    * exactly under the degree-ordering orientation; per-part degree,
+    * triangle count, and clustering coefficient hash-pinned. */
+  private def q173Triangles(s: SparkSession, dir: String): DataFrame = {
+    // quarter-slice of orders: the full co-purchase graph is atypically
+    // dense (every order links random parts), and wedge volume grows with
+    // degree² — the slice keeps the fixture triangle-rich at a realistic
+    // density
+    val li = t(s, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+    graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3107,7 +3127,8 @@ object SparkEntry {
     "q169_schema_drift"     -> q169SchemaDrift _,
     "q170_mad_outliers"     -> q170MadOutliers _,
     "q171_scd_asof"         -> q171ScdAsof _,
-    "q172_time_allocation"  -> q172TimeAllocation _
+    "q172_time_allocation"  -> q172TimeAllocation _,
+    "q173_triangles"        -> q173Triangles _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

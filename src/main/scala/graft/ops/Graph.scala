@@ -578,4 +578,73 @@ object Graph {
     val batch = newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     connectedComponents(star.unionByName(batch), maxIterations = maxIterations)
   }
+
+  /** Exact triangle counting + local clustering coefficients — the graph-
+    * quality diagnostic next to [[degrees]]: link farms and scraper rings
+    * show as dense triangle clusters, organic link graphs as sparse ones,
+    * and the clustering coefficient is the standard per-node density
+    * score.
+    *
+    * Algorithm: the degree-ordering orientation (Schank & Wagner 2005 /
+    * Suri & Vassilvitskii's MR-ready form, WWW 2011) — orient each
+    * undirected edge from the (degree, node)-smaller endpoint to the
+    * larger, so every node's ORIENTED out-degree is bounded by O(√m)
+    * regardless of its real degree, and each triangle is counted exactly
+    * once at its smallest vertex: wedges (u→v, u→w) join the oriented
+    * edge (v→w). This is THE published fix for the hub blow-up — a
+    * 10⁷-degree node generates 10¹⁴ naive wedges but only arboricity-
+    * bounded oriented ones.
+    *
+    * Input: any edge list; symmetrized, de-duplicated, self-loops
+    * dropped. Output: `(node, degree, triangles, clustering)` for every
+    * endpoint, `clustering = 2T / (d(d-1))` (0.0 when d < 2) — one double
+    * division of exact longs.
+    *
+    * == 100 TB shape ==
+    * The simple-edge frame persists once and feeds the degree agg, the
+    * orientation, the wedge self-join (bounded by oriented out-degree),
+    * and the closing edge join — all key-partitioned shuffles; the
+    * per-triangle explode is 3 rows each into a node-sized agg. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val simple = sym.unionByName(sym.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = simple.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree")) // symmetric: out-rows = degree
+    // orient by (degree, node): u -> v iff (deg_u, u) < (deg_v, v)
+    val withDeg = simple
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
+    val oriented = withDeg.filter(
+        (col("__da") < col("__db")) ||
+        (col("__da") === col("__db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each triangle is exactly one (u→v, u→w, v→w) pattern: wedges come
+    // in both (v,w) orders, but only the one matching the closing edge's
+    // orientation joins — and an orientation has one direction per edge
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") =!= col("w"))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * col("triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+    // node-sized result materializes flat; the edge frames release
+    val result = out.localCheckpoint(true)
+    oriented.unpersist()
+    simple.unpersist()
+    result
+  }
 }

@@ -328,4 +328,31 @@ class GraphSpec extends SparkSpec {
         maxIterations = 1)
     }
   }
+
+  test("triangleCounts: hand-checked triangle, clustering, hubs, and orientation invariance") {
+    import graft.ops.Graph
+    // K3 (1,2,3) + pendant 4 on node 3 + isolated edge 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 2.0 * 1 / (3 * 2))))
+    assert(got(4L) === ((1L, 0L, 0.0)))
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    // input direction/duplication must not matter
+    val messy = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val got2 = Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got2 === got)
+    // K4: every node in C(3,2)=3 triangles, clustering 1.0
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val g4 = Graph.triangleCounts(k4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(g4 === Set((3L, 3L, 1.0)))
+  }
 }
