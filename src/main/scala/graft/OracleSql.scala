@@ -2235,6 +2235,26 @@ object OracleSql {
       END AS clustering
     FROM deg d LEFT JOIN tn ON d.node = tn.node"""
 
+  /** Per-document TF-IDF keywords — q174. The q48 arithmetic at document
+    * granularity: plain idf ln(N/df) over non-empty normalized tokens,
+    * (score DESC, token) ranking, 6 dp rounding. */
+  private val q174 = s"""
+    WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok
+      FROM documents) WHERE length(tok) > 0),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    nt AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (SELECT f.doc_id, f.tok, f.tf, d.df,
+        CAST(f.tf AS DOUBLE) * ln(CAST(nt.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS tfidf
+      FROM tf f JOIN dfc d USING (tok) CROSS JOIN nt),
+    ranked AS (SELECT doc_id, tok, tf, df, tfidf,
+        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, CAST(tf AS BIGINT) AS tf,
+      CAST(df AS BIGINT) AS df, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rank <= 5"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4055,6 +4075,7 @@ object OracleSql {
     "q170_mad_outliers"     -> q170,
     "q171_scd_asof"         -> q171,
     "q172_time_allocation"  -> q172,
-    "q173_triangles"        -> q173
+    "q173_triangles"        -> q173,
+    "q174_keywords"         -> q174
   ).map { case (k, v) => k -> clean(v) }
 }

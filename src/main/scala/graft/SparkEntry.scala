@@ -2955,6 +2955,13 @@ object SparkEntry {
     graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
   }
 
+  /** Per-document keywords ([[graft.ops.Ranking.keywordsTfIdf]]): top-5
+    * tokens per document by tf × ln(N/df), every pick, rank, and rounded
+    * score hash-pinned (the q48 profile at document granularity). */
+  private def q174Keywords(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.keywordsTfIdf(t(s, dir, "documents"), k = 5)
+      .withColumn("tfidf", round(col("tfidf"), 6))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3128,7 +3135,8 @@ object SparkEntry {
     "q170_mad_outliers"     -> q170MadOutliers _,
     "q171_scd_asof"         -> q171ScdAsof _,
     "q172_time_allocation"  -> q172TimeAllocation _,
-    "q173_triangles"        -> q173Triangles _
+    "q173_triangles"        -> q173Triangles _,
+    "q174_keywords"         -> q174Keywords _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -105,4 +105,40 @@ object Ranking {
       .limit(k)
       .select(col("id").as(idCol), col("score"), col("n_terms"))
   }
+
+  /** Per-document TF-IDF keyword extraction — the model-free "what is
+    * this document about" signal a curation pipeline attaches for
+    * preview, routing, and topical dedup keys (the document-granularity
+    * twin of the per-source corpus profile, L29): per document, the top-k
+    * normalized tokens by `tf × ln(N / df)` with deterministic
+    * (score DESC, token) ranking. Plain-idf is the right variant here —
+    * a corpus-universal token scores exactly 0 and never ranks.
+    *
+    * == 100 TB shape ==
+    * One token explode shuffling `(doc, token)` partials, a token-keyed
+    * df aggregation (vocabulary-sized), one broadcast scalar N, and the
+    * per-document top-k window — parallelism on the document key, no
+    * corpus-wide sort. Stopword removal is deliberately NOT built in:
+    * plain idf already zeroes universal terms, and corpus-specific noise
+    * is [[graft.ops.QualityGates]]' job upstream. */
+  def keywordsTfIdf(docs: DataFrame, k: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"keywordsTfIdf: k must be >= 1, got $k")
+    val toks = docs.select(col(idCol),
+        explode(split(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(total))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(col("__n").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"),
+        col("tfidf"))
+  }
 }

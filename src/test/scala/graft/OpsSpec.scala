@@ -3749,4 +3749,22 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("allocateIntervals") ||
       String.valueOf(ex.getCause).contains("allocateIntervals"))
   }
+
+  test("keywordsTfIdf: universal terms score zero; distinctive terms rank first") {
+    import graft.ops.Ranking
+    val docs = Seq(
+      (1L, "common alpha alpha common"),
+      (2L, "common beta common"),
+      (3L, "common gamma gamma gamma")).toDF("doc_id", "text")
+    val got = Ranking.keywordsTfIdf(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(5))))
+      .toMap
+    // 'common' is in every doc -> idf ln(1) = 0; own term wins rank 1
+    assert(got((1L, 1L))._1 === "alpha")
+    assert(got((2L, 1L))._1 === "beta")
+    assert(got((3L, 1L))._1 === "gamma")
+    assert(got((1L, 1L))._2 === 2.0 * math.log(3.0))
+    // rank 2 is the zero-scored universal term (score desc, then token)
+    assert(got((1L, 2L)) === (("common", 0.0)))
+  }
 }
