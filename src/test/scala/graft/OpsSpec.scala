@@ -3763,7 +3763,8 @@ class OpsSpec extends SparkSpec {
     assert(got((1L, 1L))._1 === "alpha")
     assert(got((2L, 1L))._1 === "beta")
     assert(got((3L, 1L))._1 === "gamma")
-    assert(got((1L, 1L))._2 === 2.0 * math.log(3.0))
+    // Spark's log intrinsic can differ from math.log by 1 ulp
+    assert(math.abs(got((1L, 1L))._2 - 2.0 * math.log(3.0)) < 1e-12)
     // rank 2 is the zero-scored universal term (score desc, then token)
     assert(got((1L, 2L)) === (("common", 0.0)))
   }
