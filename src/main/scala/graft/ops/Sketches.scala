@@ -246,4 +246,36 @@ object Sketches {
         (lit(1) + size(filter(col("__cuts"), c => c < col(scoreCol)))).cast("int"))
       .drop("__cuts")
   }
+
+  /** Mergeable vocabulary sketch PARTS (Apache DataSketches HLL via
+    * `hll_sketch_agg`): one binary sketch per `(group, part)` — the
+    * rollup-tree tier the 100 TB corpus report actually runs. Persist the
+    * parts next to the data; when a new ingest lands, sketch ONLY its
+    * part and re-union — corpus-wide distincts without re-reading a byte
+    * of old tokens, and any grouping rollup (per source, per day, global)
+    * folds from the same parts. The union merges registers losslessly in
+    * dense mode; a part still in sparse/coupon mode promotes during the
+    * union, which can shift the estimate by a rounding step vs the
+    * direct one-shot sketch — OpsSpec pins the two within 1% of each
+    * other and both within the error band of exact (unlike resampling
+    * approaches, where the SPLIT itself changes the answer). */
+  def vocabSketchParts(docs: DataFrame, groupCol: String = "source",
+                       partCol: String = "doc_id", textCol: String = "text",
+                       lgK: Int = 12): DataFrame =
+    docs.select(col(groupCol), pmod(col(partCol), lit(8)).as("__part"),
+        explode(split(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .groupBy(col(groupCol), col("__part"))
+      .agg(hll_sketch_agg(col("tok"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Fold sketch parts to per-group estimates: `(group, vocab_est,
+    * n_tokens)` — a parts-count-sized aggregation, no token ever re-read
+    * (`hll_sketch_estimate` reports a rounded BIGINT). */
+  def unionVocabParts(parts: DataFrame,
+                      groupCol: String = "source"): DataFrame =
+    parts.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("vocab_est"),
+        sum(col("n_tokens")).as("n_tokens"))
 }

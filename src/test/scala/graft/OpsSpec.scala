@@ -3768,4 +3768,35 @@ class OpsSpec extends SparkSpec {
     // rank 2 is the zero-scored universal term (score desc, then token)
     assert(got((1L, 2L)) === (("common", 0.0)))
   }
+
+  test("HLL sketch parts: union of parts tracks the direct sketch; estimate near exact") {
+    import graft.ops.Sketches
+    val docs = spark.range(200).toDF("doc_id")
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(2))))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(30)),
+          p => concat(lit("w"), pmod(xxhash64(col("doc_id"), p), lit(400))))))
+    val parts = Sketches.vocabSketchParts(docs)
+    // doc_id parity fixes the source, so each source sees the 4 parts
+    // matching its parity: 8 (source, part) sketch rows
+    assert(parts.count() === 8)
+    val merged = Sketches.unionVocabParts(parts).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // direct one-shot sketch over the same tokens
+    val direct = docs.select(col("source"),
+        explode(split(graft.ops.TextAnalysis.normalizeText(col("text")), " ")).as("tok"))
+      .groupBy("source")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12))).as("est"),
+        countDistinct(col("tok")).as("exact"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for ((src, (est, exact, n)) <- direct) {
+      // sparse->dense promotion in the union path can shift a rounding step
+      assert(math.abs(merged(src)._1 - est).toDouble / exact.toDouble < 0.01)
+      assert(merged(src)._2 === n)
+      assert(math.abs(merged(src)._1 - exact).toDouble / exact.toDouble < 0.05)
+      assert(math.abs(est - exact).toDouble / exact.toDouble < 0.05)
+    }
+  }
 }
