@@ -2255,6 +2255,26 @@ object OracleSql {
       CAST(df AS BIGINT) AS df, round(tfidf, 6) AS tfidf
     FROM ranked WHERE rank <= 5"""
 
+  /** Price histogram — q175. Same IEEE double arithmetic: width =
+    * (max-min)/20, bin = least(floor((x-min)/width), 19), closed last
+    * cell, densified grid. */
+  private val q175 = """
+    WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders),
+    c AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+          ELSE least(CAST(floor((o_totalprice - mm.mn) / ((mm.mx - mm.mn) / 20)) AS BIGINT), 19)
+        END AS bin, count(*) AS n
+      FROM orders CROSS JOIN mm
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY 1),
+    grid AS (SELECT unnest(generate_series(0, 19)) AS bin, mn, mx FROM mm)
+    SELECT CAST(grid.bin AS BIGINT) AS bin,
+      grid.mn + grid.bin * ((grid.mx - grid.mn) / 20) AS lo,
+      CASE WHEN grid.bin = 19 THEN grid.mx
+           ELSE grid.mn + (grid.bin + 1) * ((grid.mx - grid.mn) / 20) END AS hi,
+      CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN c ON grid.bin = c.bin"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4076,6 +4096,7 @@ object OracleSql {
     "q171_scd_asof"         -> q171,
     "q172_time_allocation"  -> q172,
     "q173_triangles"        -> q173,
-    "q174_keywords"         -> q174
+    "q174_keywords"         -> q174,
+    "q175_histogram"        -> q175
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2962,6 +2962,12 @@ object SparkEntry {
     graft.ops.Ranking.keywordsTfIdf(t(s, dir, "documents"), k = 5)
       .withColumn("tfidf", round(col("tfidf"), 6))
 
+  /** Price histogram ([[graft.ops.Profiler.histogram]]): o_totalprice in
+    * 20 equi-width cells, empties densified — every boundary double and
+    * count hash-pinned against the same IEEE arithmetic in SQL. */
+  private def q175Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.histogram(t(s, dir, "orders"), "o_totalprice", 20)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3136,7 +3142,8 @@ object SparkEntry {
     "q171_scd_asof"         -> q171ScdAsof _,
     "q172_time_allocation"  -> q172TimeAllocation _,
     "q173_triangles"        -> q173Triangles _,
-    "q174_keywords"         -> q174Keywords _
+    "q174_keywords"         -> q174Keywords _,
+    "q175_histogram"        -> q175Histogram _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -68,4 +68,38 @@ object Profiler {
     }
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-width histogram of a numeric column — the distribution view the
+    * per-column profile's min/max can't give (skew, modality, and where
+    * the mass actually sits): `bins` equal-width cells over the observed
+    * [min, max], every cell present (empty ones at n = 0 — silent gaps
+    * read as "no data here" ambiguity), the last cell closed so max lands
+    * inside. Degenerate column (min = max) puts everything in bin 0.
+    * NULLs are excluded (their count is [[profile]]'s job).
+    *
+    * Shape: one min/max agg, broadcast to a row-local bin assignment,
+    * one bins-sized count agg, densified against a generated grid — two
+    * scans, nothing corpus-sized shuffles (the q96 densification
+    * discipline). All boundary arithmetic in double, identical IEEE ops
+    * on both engines. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"histogram: bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / bins
+    val binNo = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(floor((col("__v") - col("__mn")) / width),
+        lit((bins - 1).toLong)))
+    val counts = df.select(v.as("__v")).filter(col("__v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .groupBy(binNo.as("bin")).agg(count(lit(1)).as("n"))
+    mm.select(explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"),
+        col("__mn"), col("__mx"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("__mn") + col("bin") * width).as("lo"),
+        when(col("bin") === (bins - 1).toLong, col("__mx"))
+          .otherwise(col("__mn") + (col("bin") + 1) * width).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -3799,4 +3799,26 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(est - exact).toDouble / exact.toDouble < 0.05)
     }
   }
+
+  test("histogram: hand-checked bins, closed last cell, densified empties, degenerate column") {
+    import graft.ops.Profiler
+    val df = Seq(0.0, 1.0, 2.5, 9.9, 10.0, 10.0).toDF("x")
+    val h = Profiler.histogram(df, "x", 4).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // [0,10] in 4 cells of width 2.5; 2.5 lands in bin 1 (left-closed);
+    // max values land in the closed last cell
+    assert(h(0L) === ((0.0, 2.5, 2L)))
+    assert(h(1L) === ((2.5, 5.0, 1L)))
+    assert(h(2L) === ((5.0, 7.5, 0L)))   // densified empty
+    assert(h(3L) === ((7.5, 10.0, 3L)))
+    // degenerate: min == max -> everything in bin 0, empties densified
+    val d = Profiler.histogram(Seq(5.0, 5.0).toDF("x"), "x", 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(d === Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+    // nulls are excluded
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    assert(Profiler.histogram(withNull, "x", 2)
+      .agg(sum("n")).collect()(0).getLong(0) === 2L)
+  }
 }
