@@ -2275,6 +2275,41 @@ object OracleSql {
       CAST(coalesce(c.n, 0) AS BIGINT) AS n
     FROM grid LEFT JOIN c ON grid.bin = c.bin"""
 
+  /** Seasonal rate anomalies — q176. The q96 densified hourly grid keyed
+    * to hour-of-day cells, then the q170 nearest-rank med/MAD per cell
+    * (tie-break on the bucket), anomalies-only output. */
+  private val q176 = """
+    WITH ev AS (
+      SELECT * FROM events
+      WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-15' AND hour(ts) = 13)
+      UNION ALL
+      SELECT * FROM events
+      WHERE strftime(ts, '%Y-%m-%d') = '2024-01-20' AND hour(ts) = 7),
+    c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS b, event_type,
+        COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+    types AS (SELECT DISTINCT event_type FROM c),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS b
+      FROM types CROSS JOIN bounds),
+    f AS (SELECT g.event_type, g.b, CAST(COALESCE(c.n, 0) AS DOUBLE) AS v
+      FROM grid g LEFT JOIN c ON g.b = c.b AND g.event_type = c.event_type),
+    h AS (SELECT *, ((b // 3600) % 24) AS hod FROM f),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hod
+          ORDER BY v, b) AS rn,
+        count(*) OVER (PARTITION BY event_type, hod) AS cnt FROM h),
+    m AS (SELECT *, max(CASE WHEN rn = CAST(floor((50 * cnt + 99) / 100.0) AS BIGINT)
+          THEN v END) OVER (PARTITION BY event_type, hod) AS med FROM r),
+    d AS (SELECT *, abs(v - med) AS dev FROM m),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type, hod
+          ORDER BY dev, b) AS rn2 FROM d),
+    m2 AS (SELECT *, max(CASE WHEN rn2 = CAST(floor((50 * cnt + 99) / 100.0) AS BIGINT)
+          THEN dev END) OVER (PARTITION BY event_type, hod) AS mad FROM r2)
+    SELECT event_type, CAST(hod AS BIGINT) AS hour_of_day, b AS win_start,
+      CAST(v AS BIGINT) AS n_events, med, mad,
+      CASE WHEN mad > 0 THEN dev / mad END AS score
+    FROM m2
+    WHERE (mad > 0 AND dev / mad > 5.0) OR (mad = 0 AND dev > 0)"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4097,6 +4132,7 @@ object OracleSql {
     "q172_time_allocation"  -> q172,
     "q173_triangles"        -> q173,
     "q174_keywords"         -> q174,
-    "q175_histogram"        -> q175
+    "q175_histogram"        -> q175,
+    "q176_seasonal_anomalies" -> q176
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2968,6 +2968,21 @@ object SparkEntry {
   private def q175Histogram(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiler.histogram(t(s, dir, "orders"), "o_totalprice", 20)
 
+  /** Seasonal rate anomalies ([[graft.ops.EventWindows
+    * .seasonalRateAnomalies]]): events with a synthetic one-hour outage
+    * (2024-01-15 13:00 removed) and a one-hour surge (2024-01-20 07:00
+    * doubled) — hour-of-day MAD cells must flag exactly such deviations
+    * against the same hour's own baseline. */
+  private def q176SeasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val isOutage = date_format(col("ts"), "yyyy-MM-dd") === "2024-01-15" &&
+      hour(col("ts")) === 13
+    val isSurge = date_format(col("ts"), "yyyy-MM-dd") === "2024-01-20" &&
+      hour(col("ts")) === 7
+    graft.ops.EventWindows.seasonalRateAnomalies(
+      ev.filter(!isOutage).unionByName(ev.filter(isSurge)), threshold = 5.0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3143,7 +3158,8 @@ object SparkEntry {
     "q172_time_allocation"  -> q172TimeAllocation _,
     "q173_triangles"        -> q173Triangles _,
     "q174_keywords"         -> q174Keywords _,
-    "q175_histogram"        -> q175Histogram _
+    "q175_histogram"        -> q175Histogram _,
+    "q176_seasonal_anomalies" -> q176SeasonalAnomalies _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

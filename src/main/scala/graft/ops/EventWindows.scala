@@ -159,4 +159,55 @@ object EventWindows {
         least(e0, (col("__b") + 1) * w) - greatest(s0, col("bucket_start")))
       .drop("__b")
   }
+
+  /** Seasonal rate anomalies — hourly event counts scored against the
+    * SAME HOUR OF DAY's own distribution (per type), the fix for plain
+    * z-scoring's dawn problem: traffic at 04:00 is always below the
+    * global mean, so [[rateAnomalies]] either flags every night or (at a
+    * tolerant threshold) misses a real 04:00 outage. Composes the
+    * densified grid (absent windows count 0 — an outage IS a missing
+    * window) with [[Outliers.madOutliers]] per (type, hour-of-day) cell:
+    * robust location/scale, so the handful of genuine spikes in a cell's
+    * ~30 samples don't drag the baseline they're scored against.
+    *
+    * Output (anomalies only): `(typeCol, hour_of_day, win_start epoch s,
+    * n_events, med, mad, score)` — the [[Outliers]] MAD = 0 contract
+    * applies per cell. Scale shape: the corpus-sized op is the tumbling
+    * count; everything after runs on the grid (types × hours), and the
+    * MAD windows partition by cell. Types containing `|` are rejected
+    * (it keys the internal cell encoding). */
+  def seasonalRateAnomalies(events: DataFrame, threshold: Double = 5.0,
+                            tsCol: String = "ts",
+                            typeCol: String = "event_type",
+                            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val counts = materialize(events
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("b"), col(typeCol),
+        col("n_events")))
+    val bounds = counts.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+    val grid = counts.select(col(typeCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(typeCol),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("b"))
+    val full = grid.join(counts, Seq("b", typeCol), "left")
+      .select(col("b"), col(typeCol),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val safeType = when(col(typeCol).contains("|"),
+      raise_error(concat(lit("seasonalRateAnomalies: event type contains '|': "),
+        col(typeCol))).cast("string")).otherwise(col(typeCol))
+    val cells = full.select(
+      concat(safeType, lit("|"),
+        pmod((col("b") / 3600).cast("long"), lit(24L))).as("__cell"),
+      col("b"), col("n_events"))
+    Outliers.madOutliers(cells, valueCol = "n_events", groupCol = "__cell",
+        idCol = "b", threshold = threshold)
+      .select(
+        element_at(split(col("__cell"), "\\|"), 1).as(typeCol),
+        element_at(split(col("__cell"), "\\|"), 2).cast("long")
+          .as("hour_of_day"),
+        col("b").as("win_start"),
+        col("n_events").cast("long").as("n_events"),
+        col("med"), col("mad"), col("score"))
+  }
 }

@@ -3821,4 +3821,24 @@ class OpsSpec extends SparkSpec {
     assert(Profiler.histogram(withNull, "x", 2)
       .agg(sum("n")).collect()(0).getLong(0) === 2L)
   }
+
+  test("seasonalRateAnomalies: an outage and a surge flag in their own hour cell") {
+    import graft.ops.EventWindows
+    // 10 days, types 'a' (5/hour) and 'b' (2/hour except: day 5 hour 3
+    // outage for a; day 7 hour 9 surge to 20 for b)
+    val rows = for {
+      day <- 0 until 10; hourOfDay <- 0 until 24
+      base = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .plusSeconds(day * 86400L + hourOfDay * 3600L + 60L))
+      (tpe, n) <- Seq(
+        ("a", if (day == 5 && hourOfDay == 3) 0 else 5),
+        ("b", if (day == 7 && hourOfDay == 9) 20 else 2))
+      i <- 0 until n
+    } yield (tpe, base, i.toLong)
+    val ev = rows.toDF("event_type", "ts", "event_id")
+    val got = EventWindows.seasonalRateAnomalies(ev, threshold = 5.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // exactly the injected cells flag: a@hour3 count 0, b@hour9 count 20
+    assert(got === Set(("a", 3L, 0L), ("b", 9L, 20L)))
+  }
 }
