@@ -178,7 +178,12 @@ object Curation {
     *  - `upsampleFactors`/`upsampleDefault != 1.0` enables fractional-epoch
     *    upsampling (output gains a `copy` column);
     *  - `numShards = Some(n)` enables the final deterministic shard
-    *    shuffle (output gains `shard` and `pos` columns).
+    *    shuffle (output gains `shard` and `pos` columns);
+    *  - `expectations` (a [[Expectations]] check suite) gates the INPUT:
+    *    the whole run aborts loudly if the feed breaks its data contract —
+    *    curating a poisoned feed wastes the entire pipeline's compute and
+    *    ships the damage downstream (one aggregation pass, before any
+    *    stage).
     *
     * `materialize` is applied to every stage's survivor frame — default
     * `localCheckpoint(true)` (single-node / test scale); pass
@@ -186,6 +191,7 @@ object Curation {
     * feeds every deterministic-hash stage (sampling, upsampling, shard
     * shuffle, DSIR resampling). */
   case class Config(
+      expectations: Seq[Expectations.Check] = Nil,
       urlCol: Option[String] = None,
       blockedDomains: Seq[String] = Nil,
       urlPatterns: Seq[String] = Nil,
@@ -316,6 +322,19 @@ object Curation {
         stages ::= ((name, n, m))
         cur = out; n = m
       }
+
+    if (config.expectations.nonEmpty) {
+      // the data-contract gate: checks-count-sized collect, loud failure
+      // naming every broken check before any stage spends a scan
+      val failed = Expectations.run(cur, config.expectations)
+        .filter(!col("passed"))
+        .select(col("check_id"), col("n_violations"), col("violation_ratio"))
+        .collect()
+      require(failed.isEmpty,
+        "curate: input breaks its data contract: " + failed.map(r =>
+          f"${r.getString(0)} (${r.getLong(1)} violations, " +
+            f"ratio ${r.getDouble(2)}%.4f)").mkString("; "))
+    }
 
     step("url_filter",
       config.urlCol.isDefined &&

@@ -3841,4 +3841,23 @@ class OpsSpec extends SparkSpec {
     // exactly the injected cells flag: a@hour3 count 0, b@hour9 count 20
     assert(got === Set(("a", 3L, 0L), ("b", 9L, 20L)))
   }
+
+  test("curate: the expectations gate passes clean feeds and aborts poisoned ones loudly") {
+    import graft.ops.{Curation, Expectations}
+    val clean = Seq((1L, "alpha beta gamma delta", "s1"),
+      (2L, "epsilon zeta eta theta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val contract = Seq(Expectations.NotNull("text"),
+      Expectations.Unique(Seq("doc_id")))
+    val cfg = Curation.Config(expectations = contract, gates = false,
+      lineDedup = false, exactDedup = false, nearDupThreshold = None)
+    assert(Curation.curate(clean, config = cfg).corpus.count() === 2)
+    val poisoned = clean.unionByName(
+      Seq((2L, null.asInstanceOf[String], "s1")).toDF("doc_id", "text", "source"))
+    val ex = intercept[IllegalArgumentException] {
+      Curation.curate(poisoned, config = cfg)
+    }
+    assert(ex.getMessage.contains("not_null(text)") &&
+      ex.getMessage.contains("unique(doc_id)"))
+  }
 }
