@@ -85,21 +85,29 @@ object Profiler {
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins >= 1, s"histogram: bins must be >= 1, got $bins")
     val v = col(valueCol).cast("double")
-    val mm = df.agg(min(v).as("__mn"), max(v).as("__mx"))
-    val width = (col("__mx") - col("__mn")) / bins
-    val binNo = when(col("__mx") === col("__mn"), lit(0L))
-      .otherwise(least(floor((col("__v") - col("__mn")) / width),
-        lit((bins - 1).toLong)))
+    // 1-row scalar agg collected to literals: binding min/max through a
+    // frame would re-derive it per consumer (the count pass AND the grid
+    // — three scans of the table for a two-double answer)
+    val row = df.agg(min(v), max(v)).collect()(0)
+    val spark = df.sparkSession
+    val grid = spark.range(bins.toLong).toDF("bin")
+    if (row.isNullAt(0)) // empty / all-NULL column: bounds unknowable
+      return grid.select(col("bin"),
+        lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+        lit(0L).as("n"))
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val width = (mx - mn) / bins // driver double — the same IEEE op
+    val binNo =
+      if (mx == mn) lit(0L)
+      else least(floor((col("__v") - mn) / width), lit((bins - 1).toLong))
     val counts = df.select(v.as("__v")).filter(col("__v").isNotNull)
-      .crossJoin(broadcast(mm))
       .groupBy(binNo.as("bin")).agg(count(lit(1)).as("n"))
-    mm.select(explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"),
-        col("__mn"), col("__mx"))
+    grid
       .join(counts, Seq("bin"), "left")
       .select(col("bin"),
-        (col("__mn") + col("bin") * width).as("lo"),
-        when(col("bin") === (bins - 1).toLong, col("__mx"))
-          .otherwise(col("__mn") + (col("bin") + 1) * width).as("hi"),
+        (lit(mn) + col("bin") * width).as("lo"),
+        when(col("bin") === (bins - 1).toLong, lit(mx))
+          .otherwise(lit(mn) + (col("bin") + 1) * width).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
 }
