@@ -44,7 +44,7 @@ object Bench {
     // rounds — beyond the repo's 1.25x variance band — so they get extra
     // passes (min-of-3 by default) to make real regressions distinguishable
     // from microVM neighbor noise. Everything else stays at `passes`.
-    val iterPrefixes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITER", "q109,q110,q111,q113,q117")
+    val iterPrefixes = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITER", "q109,q110,q111,q113,q117,q161,q165,q166")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val extraIterPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITER_PASSES", "1").toInt
     val iterSeq = selectedSeq.filter { case (n, _) => iterPrefixes.exists(n.startsWith) }

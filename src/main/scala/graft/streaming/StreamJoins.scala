@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream joins — the always-on form of the
+  * attribution join ([[graft.ops.RangeJoin.intervalJoin]]'s q104
+  * semantics): match each right-stream event to the left-stream events
+  * within its trailing time window, with BOTH sides watermarked and the
+  * range condition bounding state (Spark drops a buffered left row once
+  * the right watermark passes `leftTs + window` — without the time
+  * constraint a stream-stream join must buffer both streams forever,
+  * which is why the API refuses it in append mode).
+  *
+  * One expression serves batch and stream (the
+  * [[graft.ops.Sessionize.sessionWindowStats]] discipline): on static
+  * frames the same join is a plain equi-join with a range residual, so
+  * StreamingSpec pins stream-vs-batch row parity, and the batch tier's
+  * scalable form for skewed keys remains the bucketized
+  * [[graft.ops.RangeJoin.intervalJoin]].
+  *
+  * Output columns: the left columns (prefixed `l_` where they clash)
+  * then the right columns — callers project. Key and timestamp column
+  * names must differ between the two sides (rename before joining);
+  * enforced loudly. */
+object StreamJoins {
+
+  /** Left rows with `leftTs` in `[rightTs - windowSeconds, rightTs]`,
+    * equi-keyed — "clicks within the purchase's trailing window". */
+  def trailingWindowJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTsCol: String, rightTsCol: String,
+                         windowSeconds: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    require(windowSeconds >= 0,
+      s"trailingWindowJoin: windowSeconds must be >= 0, got $windowSeconds")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"trailingWindowJoin: overlapping column names ${clash.mkString(", ")} — " +
+        "rename one side (stream-stream join state keys on distinct columns)")
+    val l = if (left.isStreaming) left.withWatermark(leftTsCol, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTsCol, watermark) else right
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(leftTsCol) >= col(rightTsCol) -
+          expr(s"interval $windowSeconds seconds") &&
+        col(leftTsCol) <= col(rightTsCol))
+  }
+}

@@ -296,6 +296,55 @@ class StreamingSpec extends SparkSpec {
     assert(graft.ops.Sessionize.sessionWindowStats(edge(1), gap = "30 minutes").count() === 2)
   }
 
+  test("stream-stream trailing-window join: both sides streaming, parity with batch") {
+    val base = SparkSpec.tempDir("graft_ssjoin_")
+    val (cin, pin) = (s"$base/clicks", s"$base/purch")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cin))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pin))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$cin/c.jsonl"), Seq(
+      """{"c_user":"u1","c_ts":"2024-01-01T10:00:00.000Z","c_id":1}""",
+      """{"c_user":"u1","c_ts":"2024-01-01T10:08:00.000Z","c_id":2}""",
+      """{"c_user":"u1","c_ts":"2024-01-01T10:20:00.000Z","c_id":3}""",
+      """{"c_user":"u2","c_ts":"2024-01-01T10:05:00.000Z","c_id":4}""")
+      .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$pin/p.jsonl"), Seq(
+      """{"p_user":"u1","p_ts":"2024-01-01T10:10:00.000Z","p_id":100}""",
+      """{"p_user":"u2","p_ts":"2024-01-01T11:00:00.000Z","p_id":200}""")
+      .mkString("\n").getBytes("UTF-8"))
+    import org.apache.spark.sql.types._
+    val cSchema = StructType(Seq(StructField("c_user", StringType),
+      StructField("c_ts", TimestampType), StructField("c_id", LongType)))
+    val pSchema = StructType(Seq(StructField("p_user", StringType),
+      StructField("p_ts", TimestampType), StructField("p_id", LongType)))
+    def joined(c: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamJoins.trailingWindowJoin(
+        c, p, "c_user", "p_user", "c_ts", "p_ts", windowSeconds = 600L)
+    val q = joined(spark.readStream.schema(cSchema).json(cin),
+        spark.readStream.schema(pSchema).json(pin))
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("ss_join")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // u1 purchase at 10:10 window [10:00,10:10] -> clicks 1,2 (not 3);
+    // u2 purchase at 11:00 window [10:50,11:00] -> no click
+    assert(streamed === Seq((1L, 100L), (2L, 100L)))
+    val batch = joined(spark.read.schema(cSchema).json(cin),
+        spark.read.schema(pSchema).json(pin))
+      .select(col("c_id"), col("p_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batch === streamed)
+    // overlapping column names are refused loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamJoins.trailingWindowJoin(
+        spark.read.schema(cSchema).json(cin),
+        spark.read.schema(cSchema).json(cin),
+        "c_user", "c_user", "c_ts", "c_ts", 60L)
+    }
+  }
+
   test("streaming funnel: flatMapGroupsWithState completions equal the batch funnel on in-order arrival") {
     val base = SparkSpec.tempDir("graft_streamfunnel_")
     val in = s"$base/in"
