@@ -1909,7 +1909,9 @@ object OracleSql {
     * [[graft.ops.EntityResolution.resolveEntities]] over the q161 name
     * synthesis (SparkEntry.ErFirstNames/ErLastNames interpolated — one
     * source of truth): normalize → prefix-3/suffix-3 blocking → blocks of
-    * [2, 4000] → in-block pairs → levenshtein ≤ 2 → exact transitive
+    * [2, 4000] DISTINCT NAMES (the operator's fuzzy tier caps name
+    * blocks, not record blocks) → in-block pairs → levenshtein ≤ 2 →
+    * exact transitive
     * closure by recursive CTE with min-id labels (the q110 walk shape);
     * singletons label themselves via the left join. */
   private val q161 = {
@@ -1932,8 +1934,8 @@ object OracleSql {
     bl AS (SELECT id, unnest(list_distinct(
         [substr(n, 1, 3), substr(n, greatest(length(n) - 2, 1), 3)])) AS key
       FROM norm WHERE length(n) > 0),
-    sized AS (SELECT key FROM bl GROUP BY key
-      HAVING count(*) BETWEEN 2 AND 4000),
+    sized AS (SELECT bl.key FROM bl JOIN norm nn ON bl.id = nn.id
+      GROUP BY bl.key HAVING count(DISTINCT nn.n) BETWEEN 2 AND 4000),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bl a JOIN bl b ON a.key = b.key AND a.id < b.id
       JOIN sized s ON a.key = s.key),
@@ -1971,7 +1973,7 @@ object OracleSql {
       FROM f)
     SELECT file_id, part, size_bytes, action,
       CASE WHEN action = 'compact'
-           THEN CAST(floor((s - 1) / 1000000.0) AS BIGINT) END AS bin
+           THEN CAST(floor(greatest(s - 1, 0) / 1000000.0) AS BIGINT) END AS bin
     FROM b"""
 
   /** Z-order report — q163. Mirrors [[graft.ops.Layout.zOrderReport]]:

@@ -2845,11 +2845,17 @@ object SparkEntry {
   /** Session-window rollup ([[graft.ops.Sessionize.sessionWindowStats]]):
     * the engine-native `session_window` aggregation over events, value
     * pre-cast to DECIMAL(18,2) so the per-session sum is order-independent
-    * (the q37 money discipline). The oracle recomputes sessions with the
-    * lag/sum formulation — boundary semantics proven equal — so this
-    * hash-pins Spark's built-in against the windowed SQL definition. */
+    * (the q37 money discipline) and timestamps truncated to whole seconds
+    * so the gap comparison matches the oracle's whole-second lag form
+    * exactly. Boundary semantics proven equal; this hash-pins Spark's
+    * built-in against the windowed SQL definition. */
   private def q167SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    // whole-second truncation BEFORE the gap comparison: session_window
+    // compares full-precision timestamps while the oracle's lag form
+    // measures whole-second gaps — on sub-second data the two could split
+    // differently within one second of the exact boundary
     val ev = events(s, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
       .withColumn("value", col("value").cast("decimal(18,2)"))
     graft.ops.Sessionize.sessionWindowStats(ev, gap = "30 minutes")
       .select(col("user_id"),

@@ -48,15 +48,20 @@ object BloomJoin {
         s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems / " +
         s"maxNumBits=$maxBits — Spark would silently clamp the sketch; raise " +
         "those session confs to cover the build side")
-    build.select(xxhash64(col(keyCol)).as("__h")).distinct()
+    val bf = build.select(xxhash64(col(keyCol)).as("__h")).distinct()
       .agg(ColumnBridge.column(
         new BloomFilterAggregate(ColumnBridge.expression(col("__h")),
           Literal(expectedItems), Literal(bits)).toAggregateExpression()).as("__bf"))
       .collect().head.getAs[Array[Byte]](0)
+    // an EMPTY build side aggregates to NULL — return the empty-filter
+    // convention (every probe false), which keeps the equals-plain-join
+    // contract: no keys, no matches
+    if (bf == null) Array.emptyByteArray else bf
   }
 
   /** `probe` with only the rows whose key MIGHT be in the filter (all true
-    * matches survive; ~FP-rate of the rest leak through). */
+    * matches survive; ~FP-rate of the rest leak through; an empty filter
+    * — empty build side — keeps nothing). */
   def prefilter(probe: DataFrame, keyCol: String,
                 filter: Array[Byte]): DataFrame =
     probe.filter(

@@ -57,7 +57,10 @@ object Compaction {
     files
       .withColumn("action", when(small, lit("compact")).otherwise(lit("keep")))
       .withColumn("bin",
-        when(small, floor((s - 1).cast("double") / targetBytes.toDouble))
+        // greatest(S-1, 0): a partition whose candidates are ALL
+        // zero-byte files keeps S at 0, and floor(-1/target) would emit
+        // the contract-breaking bin -1
+        when(small, floor(greatest(s - 1, lit(0L)).cast("double") / targetBytes.toDouble))
           .otherwise(lit(null).cast("long")))
   }
 

@@ -313,7 +313,23 @@ object Curation {
     // on its own terms (files re-read, tables re-scan); only stage outputs —
     // which otherwise exist solely as lineage — go through `materialize`
     var cur = docs
-    var n = cur.count()
+    // the data-contract gate runs FIRST and its single-pass report
+    // already carries count(*), so a gated run's initial row count comes
+    // free — a poisoned feed aborts after exactly one scan, a clean run
+    // never pays a second counting pass
+    var n =
+      if (config.expectations.nonEmpty) {
+        val rep = Expectations.run(cur, config.expectations)
+          .select(col("check_id"), col("n_rows"), col("n_violations"),
+            col("violation_ratio"), col("passed"))
+          .collect()
+        val failed = rep.filterNot(_.getBoolean(4))
+        require(failed.isEmpty,
+          "curate: input breaks its data contract: " + failed.map(r =>
+            f"${r.getString(0)} (${r.getLong(2)} violations, " +
+              f"ratio ${r.getDouble(3)}%.4f)").mkString("; "))
+        rep.head.getLong(1)
+      } else cur.count()
 
     def step(name: String, enabled: Boolean)(f: DataFrame => DataFrame): Unit =
       if (enabled) {
@@ -322,19 +338,6 @@ object Curation {
         stages ::= ((name, n, m))
         cur = out; n = m
       }
-
-    if (config.expectations.nonEmpty) {
-      // the data-contract gate: checks-count-sized collect, loud failure
-      // naming every broken check before any stage spends a scan
-      val failed = Expectations.run(cur, config.expectations)
-        .filter(!col("passed"))
-        .select(col("check_id"), col("n_violations"), col("violation_ratio"))
-        .collect()
-      require(failed.isEmpty,
-        "curate: input breaks its data contract: " + failed.map(r =>
-          f"${r.getString(0)} (${r.getLong(1)} violations, " +
-            f"ratio ${r.getDouble(2)}%.4f)").mkString("; "))
-    }
 
     step("url_filter",
       config.urlCol.isDefined &&

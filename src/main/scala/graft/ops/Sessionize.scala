@@ -49,61 +49,62 @@ object Sessionize {
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long")).as("span_seconds"),
         sum(col(valueCol)).as("sum_value"))
 
-  /** Always-on variant: Spark's native `session_window` gap aggregation with
-    * a watermark bounding state — the streaming mirror of [[sessionStats]]
-    * (same gap-merge semantics up to the boundary: an event EXACTLY gap
-    * seconds after its predecessor extends the session in the lag form
-    * (`> gap` splits) but starts a new one under `session_window`'s
-    * half-open window; session identity is the window span rather than a
-    * per-user ordinal, since an unbounded stream has no stable ordinal).
-    * Works on batch frames too, which is how the parity test pins the two
-    * formulations against each other. */
+  /** Always-on variant: Spark's native `session_window` gap aggregation
+    * with a watermark bounding state — the streaming mirror of
+    * [[sessionStats]]. Session identity is the window span rather than a
+    * per-user ordinal (an unbounded stream has no stable ordinal).
+    * Boundary semantics MATCH the lag form: a session's end is
+    * `last event + gap` INCLUSIVE, so an event exactly `gap` after its
+    * predecessor extends the session in BOTH formulations (OpsSpec and
+    * StreamingSpec pin it both ways). Precision caveat: [[sessionize]]
+    * measures the gap on whole-second epochs while `session_window`
+    * compares full-precision timestamps — parity is exact on
+    * whole-second data; sub-second timestamps can split differently
+    * within one second of the boundary (truncate first if the two must
+    * agree bit-for-bit, as q167 does).
+    *
+    * Output: `(userCol, session_start, session_end, n_events,
+    * sum_value)`. Works on batch frames too — the parity pin. */
   def sessionStatsStream(events: DataFrame, userCol: String = "user_id",
                          tsCol: String = "ts", valueCol: String = "value",
                          maxGapSeconds: Long = 1800L,
-                         watermark: String = "1 hour"): DataFrame = {
-    val withWm =
-      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
-    withWm
-      .groupBy(session_window(col(tsCol), s"$maxGapSeconds seconds"), col(userCol))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col(valueCol)).as("sum_value"))
+                         watermark: String = "1 hour"): DataFrame =
+    sessionWindowAgg(events, userCol, tsCol, valueCol,
+      s"$maxGapSeconds seconds", watermark)
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
-  }
 
-  /** Always-on analogue of [[sessionStats]] via Spark's `session_window`
-    * (dynamic-gap state merging inside the streaming aggregation — the
-    * engine-native replacement for the lag/sum window, which no unbounded stream can
-    * run): same per-session rollup, one expression usable on BOTH batch
-    * and streaming frames (the [[EventWindows.hoppingCounts]] discipline;
-    * a watermark bounds state only when streaming).
-    *
-    * Boundary semantics AGREE with [[sessionize]] exactly: a session's
-    * end is `last event + gap` INCLUSIVE, so two events exactly `gap`
-    * apart share a session in both formulations (a split needs
-    * `gap > max`) — StreamingSpec pins the boundary case and the
-    * multiset parity.
+  /** [[sessionStatsStream]]'s span-reporting projection — the
+    * per-session rollup shape of [[sessionStats]] (`span_seconds` =
+    * whole-second first-to-last) from the same engine-native
+    * aggregation; one expression serves batch and stream. Same boundary
+    * and precision contract as [[sessionStatsStream]].
     *
     * Output: `(userCol, session_start, n_events, span_seconds,
     * sum_value)`. */
   def sessionWindowStats(events: DataFrame, userCol: String = "user_id",
                          tsCol: String = "ts", valueCol: String = "value",
                          gap: String = "30 minutes",
-                         watermark: String = "1 hour"): DataFrame = {
+                         watermark: String = "1 hour"): DataFrame =
+    sessionWindowAgg(events, userCol, tsCol, valueCol, gap, watermark)
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("span_seconds"), col("sum_value"))
+
+  /** The one shared `session_window` aggregation both projections read
+    * (a doc/semantics fix must land exactly once). */
+  private def sessionWindowAgg(events: DataFrame, userCol: String,
+                               tsCol: String, valueCol: String,
+                               gap: String, watermark: String): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark(tsCol, watermark)
       else events
-    src.groupBy(col(userCol), session_window(col(tsCol), gap))
+    src.groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(
         count(lit(1)).as("n_events"),
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
           .as("span_seconds"),
         sum(col(valueCol)).as("sum_value"))
-      .select(col(userCol),
-        col("session_window.start").as("session_start"),
-        col("n_events"), col("span_seconds"), col("sum_value"))
   }
 }

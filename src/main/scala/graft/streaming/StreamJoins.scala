@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * scalable form for skewed keys remains the bucketized
   * [[graft.ops.RangeJoin.intervalJoin]].
   *
-  * Output columns: the left columns (prefixed `l_` where they clash)
-  * then the right columns — callers project. Key and timestamp column
-  * names must differ between the two sides (rename before joining);
-  * enforced loudly. */
+  * Output columns: the left columns then the right columns — callers
+  * project. ALL column names must differ between the two sides (rename
+  * before joining — stream-stream join state keys on distinct columns);
+  * any overlap is rejected loudly. */
 object StreamJoins {
 
   /** Left rows with `leftTs` in `[rightTs - windowSeconds, rightTs]`,

@@ -55,4 +55,12 @@ class BloomJoinSpec extends SparkSpec {
       .select("k", "v", "w").collect().map(_.toSeq).toSeq
     assert(got === Seq(Seq("beta", 2, 9)))
   }
+
+  test("an empty build side yields an empty join, not a crash") {
+    val emptyBuild = build.filter(col("bk") < 0L)
+    assert(BloomJoin.bloomJoin(probe, emptyBuild, "k", "bk",
+      expectedItems = 16L).count() === 0L)
+    val bf = BloomJoin.buildFilter(emptyBuild, "bk", expectedItems = 16L)
+    assert(BloomJoin.prefilter(probe, "k", bf).count() === 0L)
+  }
 }

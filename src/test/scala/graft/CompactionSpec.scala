@@ -74,4 +74,10 @@ class CompactionSpec extends SparkSpec {
       .toMap
     assert(s === Map(("p", 0L) -> ((2L, 90L)), ("p", 1L) -> ((1L, 30L))))
   }
+
+  test("a partition of only zero-byte candidates bins at 0, not -1") {
+    val got = plan(("p", 1L, 0L), ("p", 2L, 0L))
+    assert(got(1L) === (("compact", Some(0L))))
+    assert(got(2L) === (("compact", Some(0L))))
+  }
 }
