@@ -2312,6 +2312,28 @@ object OracleSql {
     FROM m2
     WHERE (mad > 0 AND dev / mad > 5.0) OR (mad = 0 AND dev > 0)"""
 
+  /** Daily trend — q177. The same exact long moments and single double
+    * division per coefficient. */
+  private val q177 = """
+    WITH daily AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        CAST(sum(day) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        CAST(sum(day * n) AS BIGINT) AS sxy,
+        CAST(sum(day * day) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT event_type, n_points,
+      CASE WHEN n_points * sxx - sx * sx <> 0
+        THEN CAST(n_points * sxy - sx * sy AS DOUBLE)
+          / CAST(n_points * sxx - sx * sx AS DOUBLE) END AS slope,
+      CASE WHEN n_points * sxx - sx * sx <> 0
+        THEN (CAST(sy AS DOUBLE)
+          - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+             / CAST(n_points * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n_points AS DOUBLE) END AS intercept
+    FROM m"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4135,6 +4157,7 @@ object OracleSql {
     "q173_triangles"        -> q173,
     "q174_keywords"         -> q174,
     "q175_histogram"        -> q175,
-    "q176_seasonal_anomalies" -> q176
+    "q176_seasonal_anomalies" -> q176,
+    "q177_daily_trend"      -> q177
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2989,6 +2989,18 @@ object SparkEntry {
       ev.filter(!isOutage).unionByName(ev.filter(isSurge)), threshold = 5.0)
   }
 
+  /** Per-type daily trend ([[graft.ops.Trend.linearTrend]]): events
+    * rolled up to (type, day-of-month) counts, then the exact-moment OLS
+    * slope/intercept per type — rising/falling series detection with
+    * every coefficient one double division of exact longs. */
+  private def q177DailyTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"),
+        dayofmonth(col("ts")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Trend.linearTrend(daily, "day", "n", Seq("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3165,7 +3177,8 @@ object SparkEntry {
     "q173_triangles"        -> q173Triangles _,
     "q174_keywords"         -> q174Keywords _,
     "q175_histogram"        -> q175Histogram _,
-    "q176_seasonal_anomalies" -> q176SeasonalAnomalies _
+    "q176_seasonal_anomalies" -> q176SeasonalAnomalies _,
+    "q177_daily_trend"      -> q177DailyTrend _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

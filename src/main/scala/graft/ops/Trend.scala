@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group linear trend (ordinary least squares on integer points) —
+  * the metric-monitoring question after [[Outliers]]' "which values are
+  * implausible": which series are RISING or FALLING, and how fast
+  * (error-rate creep, corpus-source drift, crawl-rate decay — the L86
+  * Zipf-slope machinery pointed at time series instead of rank-frequency
+  * plots).
+  *
+  * Exactness discipline: x and y enter as integers, the four moment sums
+  * (`Σx, Σy, Σxy, Σx²`) accumulate as exact longs (order-independent),
+  * and `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` is ONE double division
+  * of two exact long expressions — the oracle reproduces it bit-for-bit.
+  * A degenerate group (all x equal — vertical line) yields NULL slope
+  * and intercept rather than a division by zero. 64-bit bound: the
+  * numerator is ≤ n·max|x|·Σ|y| — loud overflow guards are the caller's
+  * scaling job (day indexes and daily counts sit far inside it; the
+  * guard rail of record: n·maxX·maxY < 2⁶³).
+  *
+  * == 100 TB shape ==
+  * ONE map-side-combined aggregation to groups-count rows; the trend
+  * arithmetic is row-local on that tiny frame. Feeding it pre-aggregated
+  * series (e.g. daily counts) keeps x small and exact. */
+object Trend {
+
+  /** `(groupCols…, n_points, slope, intercept)` — OLS over the group's
+    * `(xCol, yCol)` integer points; NULL slope/intercept when the group
+    * has a single distinct x. `intercept = (Σy − slope·Σx) / n` (double,
+    * from the exact sums). */
+  def linearTrend(df: DataFrame, xCol: String, yCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "linearTrend: need at least one group column")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col(xCol).cast("long")).as("__sx"),
+        sum(col(yCol).cast("long")).as("__sy"),
+        sum(col(xCol).cast("long") * col(yCol).cast("long")).as("__sxy"),
+        sum(col(xCol).cast("long") * col(xCol).cast("long")).as("__sxx"))
+    val den = col("n_points") * col("__sxx") - col("__sx") * col("__sx")
+    val num = col("n_points") * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(den =!= 0L, num.cast("double") / den.cast("double"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_points"),
+      slope.as("slope"),
+      when(den =!= 0L,
+        (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+          col("n_points").cast("double")).as("intercept")): _*)
+  }
+}

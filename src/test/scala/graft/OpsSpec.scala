@@ -3860,4 +3860,19 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("not_null(text)") &&
       ex.getMessage.contains("unique(doc_id)"))
   }
+
+  test("linearTrend: hand-checked slope, flat series, vertical degenerate, group independence") {
+    import graft.ops.Trend
+    val pts = (Seq(("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L)) ++
+      Seq(("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L)) ++
+      Seq(("vert", 7L, 1L), ("vert", 7L, 9L)))
+      .toDF("g", "x", "y")
+    val got = Trend.linearTrend(pts, "x", "y", Seq("g")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("up") === ((3L, Some(2.0), Some(0.0))))
+    assert(got("flat") === ((3L, Some(0.0), Some(5.0))))
+    assert(got("vert") === ((2L, None, None)))
+  }
 }
