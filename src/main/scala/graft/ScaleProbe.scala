@@ -601,6 +601,45 @@ object ScaleProbe {
           .agg(coalesce(sum(col("component")), lit(0L)))
           .collect().head.getLong(0)
       }
+
+      timed("entity_resolution", n) {
+        // synthetic person names over the doc ids (the q161 shape): the
+        // distinct-name collapse must hold work near name-count, so 10×
+        // records with the SAME name space should scale sub-linearly
+        val first = (0 until 40).map(i => s"fn$i")
+        val last = (0 until 50).map(i => s"ln$i")
+        val ents = spark.range(n).toDF("entity_id")
+          .withColumn("name", concat(
+            elt((pmod(col("entity_id") * 7, lit(40)).cast("int") + 1) +: first.map(lit): _*),
+            lit(" "),
+            elt((pmod(col("entity_id") * 13, lit(50)).cast("int") + 1) +: last.map(lit): _*),
+            when(pmod(col("entity_id"), lit(3)) === 1, lit("x")).otherwise(lit(""))))
+        graft.ops.EntityResolution.resolveEntities(ents, maxBlock = 4000).count()
+      }
+      timed("textrank", n) {
+        // sentence graphs are per-document; corpus growth adds documents,
+        // not sentence-graph size — near-linear is the pass bar, with the
+        // fixed per-iteration PageRank round overhead amortizing at 10×
+        val body = regexp_replace(coalesce(col("text"), lit("")),
+          "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")
+        graft.ops.Summarize.textRank(
+          d.select(col("doc_id"), body.as("text"))).count()
+      }
+      timed("triangles", n) {
+        // ring-of-cliques: n/10 nodes in 10-cliques chained by bridges —
+        // triangle mass grows linearly, degree-ordering keeps wedges
+        // clique-bounded
+        val m = n / 10
+        val nodes = spark.range(m).toDF("id")
+        val cliq = nodes.select((col("id") / 10).cast("long").as("c"), col("id").as("a"))
+        val e1 = cliq.join(cliq.withColumnRenamed("a", "b"), "c")
+          .filter(col("a") < col("b")).select(col("a").as("src"), col("b").as("dst"))
+        val bridges = nodes.filter(pmod(col("id"), lit(10)) === 0 && col("id") > 0)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        graft.ops.Graph.triangleCounts(e1.unionByName(bridges))
+          .agg(coalesce(sum(col("triangles")), lit(0L)))
+          .collect().head.getLong(0)
+      }
     }
     spark.stop()
   }
