@@ -2334,6 +2334,22 @@ object OracleSql {
           / CAST(n_points AS DOUBLE) END AS intercept
     FROM m"""
 
+  /** LOO target encoding — q178. Same exact arithmetic: global (den,
+    * num) prior, per-category window sums, the own label subtracted,
+    * one double division of cross-multiplied longs. */
+  private val q178 = """
+    WITH d AS (SELECT o_orderkey, o_orderpriority,
+        CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END AS y FROM orders),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS den,
+        CAST(sum(y) AS BIGINT) AS num FROM d),
+    w AS (SELECT d.*, CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+        CAST(sum(y) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS sy FROM d)
+    SELECT o_orderkey, o_orderpriority, CAST(y AS BIGINT) AS y,
+      CASE WHEN g.den * (w.n - 1 + 10) = 0 THEN NULL
+           ELSE CAST(g.den * (w.sy - w.y) + 10 * g.num AS DOUBLE)
+                / CAST(g.den * (w.n - 1 + 10) AS DOUBLE) END AS loo_encoded
+    FROM w CROSS JOIN g"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4158,6 +4174,7 @@ object OracleSql {
     "q174_keywords"         -> q174,
     "q175_histogram"        -> q175,
     "q176_seasonal_anomalies" -> q176,
-    "q177_daily_trend"      -> q177
+    "q177_daily_trend"      -> q177,
+    "q178_target_encoding"  -> q178
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3001,6 +3001,18 @@ object SparkEntry {
     graft.ops.Trend.linearTrend(daily, "day", "n", Seq("event_type"))
   }
 
+  /** Leave-one-out target encoding ([[graft.ops.Encoding
+    * .targetEncodeLoo]]): per order, its priority class's smoothed
+    * high-value rate computed WITHOUT the order's own label (alpha=10
+    * shrinkage toward the global prior) — every per-row encoding one
+    * double division of exact cross-multiplied longs. */
+  private def q178TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      when(col("o_totalprice") > 300000.0, 1L).otherwise(0L).as("y"))
+    graft.ops.Encoding.targetEncodeLoo(d, "o_orderpriority", "y", alpha = 10L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3178,7 +3190,8 @@ object SparkEntry {
     "q174_keywords"         -> q174Keywords _,
     "q175_histogram"        -> q175Histogram _,
     "q176_seasonal_anomalies" -> q176SeasonalAnomalies _,
-    "q177_daily_trend"      -> q177DailyTrend _
+    "q177_daily_trend"      -> q177DailyTrend _,
+    "q178_target_encoding"  -> q178TargetEncoding _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical feature encoding for model training — the tabular-ML prep
+  * tier (the quality classifier L57 consumes hashed text features; these
+  * are its counterparts for CATEGORICAL columns): frequency encoding and
+  * smoothed target encoding, plus the leave-one-out variant that blocks
+  * the classic target-leakage failure (a category's own row voting on its
+  * own label inflates validation scores and collapses in production).
+  *
+  * Exactness discipline: with an integer (0/1) target, every statistic
+  * here is exact integer sums into ONE double division —
+  * `smoothed = (sum_y + alpha·prior_num/prior_den) / (n + alpha)` is
+  * evaluated as a single division of exact cross-multiplied longs over a
+  * rational prior, so the oracle reproduces it bit-for-bit. Continuous
+  * targets work too (double sums; order-dependence applies — pre-cast to
+  * DECIMAL for exact parity, the q37 money discipline).
+  *
+  * == 100 TB shape ==
+  * [[frequencyEncode]]/[[targetEncode]]: one map-side-combined agg to a
+  * category-count-sized table, joined back un-hinted (AQE broadcasts a
+  * small vocabulary). [[targetEncodeLoo]]: the same agg carried by a
+  * window over the category key — one exchange, per-row arithmetic;
+  * no per-row self-join. */
+object Encoding {
+
+  /** `(catCol, n, freq)` — category counts and their corpus fraction
+    * (`n / total`, one double division of exact longs). */
+  def frequencyEncode(df: DataFrame, catCol: String): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+      .withColumn("freq",
+        if (total == 0) lit(0.0)
+        else col("n").cast("double") / total.toDouble)
+  }
+
+  /** Smoothed target encoding table: `(catCol, n, sum_y, encoded)` with
+    * `encoded = (sum_y + alpha · prior) / (n + alpha)` and
+    * `prior = global sum_y / global n` — the add-alpha shrinkage toward
+    * the prior that keeps rare categories from memorizing their few
+    * labels. Exact when the target is integral: the division evaluates
+    * over cross-multiplied longs (`(den·sum_y + alpha·num) /
+    * (den·(n + alpha))` with the prior as the exact rational num/den). */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   alpha: Long = 10L): DataFrame = {
+    require(alpha >= 0, s"targetEncode: alpha must be >= 0, got $alpha")
+    val g = df.agg(count(lit(1)).as("den"),
+      sum(col(targetCol).cast("long")).as("num")).collect()(0)
+    require(!g.isNullAt(0) && g.getLong(0) > 0, "targetEncode: empty input")
+    val (den, num) = (g.getLong(0), if (g.isNullAt(1)) 0L else g.getLong(1))
+    df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast("long")).as("sum_y"))
+      .withColumn("encoded",
+        (lit(den) * col("sum_y") + lit(alpha * num)).cast("double") /
+          (lit(den) * (col("n") + alpha)).cast("double"))
+  }
+
+  /** Leave-one-out target encoding per ROW: the category's smoothed rate
+    * computed WITHOUT the row's own label —
+    * `(sum_y − y + alpha·prior) / (n − 1 + alpha)` — the standard
+    * anti-leakage form for training folds (the plain [[targetEncode]]
+    * table is for inference, where the row's label doesn't exist).
+    * Singleton categories with `alpha = 0` have nothing to encode from
+    * and yield NULL. Adds `loo_encoded` to the input columns. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      alpha: Long = 10L): DataFrame = {
+    require(alpha >= 0, s"targetEncodeLoo: alpha must be >= 0, got $alpha")
+    require(!df.columns.contains("loo_encoded"),
+      "targetEncodeLoo: input already has a loo_encoded column")
+    val g = df.agg(count(lit(1)).as("den"),
+      sum(col(targetCol).cast("long")).as("num")).collect()(0)
+    require(!g.isNullAt(0) && g.getLong(0) > 0, "targetEncodeLoo: empty input")
+    val (den, num) = (g.getLong(0), if (g.isNullAt(1)) 0L else g.getLong(1))
+    val w = Window.partitionBy(col(catCol))
+    val n = count(lit(1)).over(w)
+    val sy = sum(col(targetCol).cast("long")).over(w)
+    val denom = lit(den) * (n - 1 + alpha)
+    df.withColumn("loo_encoded",
+      when(denom === 0L, lit(null).cast("double"))
+        .otherwise(
+          (lit(den) * (sy - col(targetCol).cast("long")) + lit(alpha * num))
+            .cast("double") / denom.cast("double")))
+  }
+}

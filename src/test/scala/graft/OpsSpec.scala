@@ -3875,4 +3875,34 @@ class OpsSpec extends SparkSpec {
     assert(got("flat") === ((3L, Some(0.0), Some(5.0))))
     assert(got("vert") === ((2L, None, None)))
   }
+
+  test("target encoding: hand-checked shrinkage, LOO excludes the own label, singleton NULL") {
+    import graft.ops.Encoding
+    // prior = 3/6 = 0.5; category a: n=4 sum=3; b: n=1 sum=0; c: n=1 sum=0... use:
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 0L), ("b", 0L), ("b", 1L))
+      .toDF("cat", "y")
+    // global: den=6, num=4 -> prior 2/3
+    val te = Encoding.targetEncode(df, "cat", "y", alpha = 2L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // a: (6*3 + 2*4) / (6*(4+2)) = 26/36
+    assert(te("a") === ((4L, 3L, 26.0 / 36.0)))
+    // b: (6*1 + 8) / (6*(2+2)) = 14/24
+    assert(te("b") === ((2L, 1L, 14.0 / 24.0)))
+    val loo = Encoding.targetEncodeLoo(df, "cat", "y", alpha = 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq.sorted
+    // a rows with y=1: (3-1)/3; y=0: 3/3; b rows: exclude own -> 1 or 0
+    assert(loo.filter(_._1 == "a").map(_._3).toSet ===
+      Set(Some(2.0 / 3.0), Some(1.0)))
+    assert(loo.filter(_._1 == "b").map(_._3).toSet === Set(Some(1.0), Some(0.0)))
+    // singleton with alpha 0 -> NULL
+    val single = Encoding.targetEncodeLoo(
+      Seq(("z", 1L)).toDF("cat", "y"), "cat", "y", alpha = 0L).collect()(0)
+    assert(single.isNullAt(2))
+    // frequency encoding
+    val fe = Encoding.frequencyEncode(df, "cat").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(fe === Map("a" -> 4.0 / 6.0, "b" -> 2.0 / 6.0))
+  }
 }
