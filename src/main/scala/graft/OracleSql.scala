@@ -2350,6 +2350,18 @@ object OracleSql {
                 / CAST(g.den * (w.n - 1 + 10) AS DOUBLE) END AS loo_encoded
     FROM w CROSS JOIN g"""
 
+  /** Forward as-of — q179. DuckDB's native ASOF with the flipped
+    * comparison: earliest purchase at-or-after each click. */
+  private val q179 = """
+    WITH c AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+      strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, c.value,
+      strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      p.value AS purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4175,6 +4187,7 @@ object OracleSql {
     "q175_histogram"        -> q175,
     "q176_seasonal_anomalies" -> q176,
     "q177_daily_trend"      -> q177,
-    "q178_target_encoding"  -> q178
+    "q178_target_encoding"  -> q178,
+    "q179_asof_forward"     -> q179
   ).map { case (k, v) => k -> clean(v) }
 }

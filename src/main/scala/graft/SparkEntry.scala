@@ -3013,6 +3013,29 @@ object SparkEntry {
     graft.ops.Encoding.targetEncodeLoo(d, "o_orderpriority", "y", alpha = 10L)
   }
 
+  /** Forward as-of join ([[graft.ops.AsofJoin.asofJoin]],
+    * `direction = "forward"`): each click matched to the user's NEXT
+    * purchase — the conversion-attribution lookup, oracled by DuckDB's
+    * native `ASOF LEFT JOIN ... c.ts <= p.ts` (the q87 discipline
+    * mirrored; the fixture has no same-(user, ts) purchase ties to make
+    * tie resolution engine-dependent). */
+  private def q179AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.ops.AsofJoin.asofJoin(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("ts", "value"), rightTiebreak = "event_id",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_value").as("purchase_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3191,7 +3214,8 @@ object SparkEntry {
     "q175_histogram"        -> q175Histogram _,
     "q176_seasonal_anomalies" -> q176SeasonalAnomalies _,
     "q177_daily_trend"      -> q177DailyTrend _,
-    "q178_target_encoding"  -> q178TargetEncoding _
+    "q178_target_encoding"  -> q178TargetEncoding _,
+    "q179_asof_forward"     -> q179AsofForward _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -4,10 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** As-of (backward temporal) join: for each left row, the single latest right
-  * row with the same key and `rightTs <= leftTs` (or `<` when
+/** As-of (temporal) join: for each left row, the single latest right row
+  * with the same key and `rightTs <= leftTs` (or `<` when
   * `inclusive = false`) — the point-in-time lookup behind feature stores,
   * slowly-changing enrichment, and "state of X when Y happened" queries.
+  * `direction = "forward"` flips the scan for earliest-at-or-after
+  * ("next maintenance window"), `"nearest"` takes the closer of the two
+  * (equidistant → backward) at the cost of a second window sort over the
+  * SAME key exchange.
   *
   * Implementation is the distributed merge formulation, NOT a range join: tag
   * both sides, union, and run ONE window per key ordered by
@@ -44,19 +48,31 @@ object AsofJoin {
     *                      `asof_<name>`, null when no match)
     * @param rightTiebreak breaks right-side ties at equal (key, ts) —
     *                      greatest value wins; pass a unique column
-    * @param inclusive     true → match `rightTs <= leftTs` (ASOF default);
-    *                      false → strictly earlier
+    * @param inclusive     true → match at the same instant too (ASOF
+    *                      default); false → strictly earlier/later
+    * @param direction     `backward` (latest right at-or-before — the
+    *                      ASOF default), `forward` (earliest right
+    *                      at-or-after — "next maintenance window",
+    *                      "following reading"), or `nearest` (closer of
+    *                      the two, equidistant → backward). `nearest`
+    *                      compares distances on the double view of the
+    *                      timestamps (exact for epochs/longs < 2⁵³) and
+    *                      costs a second window SORT over the same
+    *                      exchange, not a second shuffle.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightPayload: Seq[String], rightTiebreak: String,
-               inclusive: Boolean = true): DataFrame = {
+               inclusive: Boolean = true,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin: at least one key column")
     require(rightPayload.nonEmpty, "asofJoin: rightPayload must be non-empty")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
-    // Right sorts BEFORE left at equal ts for inclusive (<=) semantics,
-    // AFTER it for strict (<): the window's "last right seen so far" then
-    // includes/excludes same-instant right rows respectively.
+    // Right sorts BEFORE left at equal ts for inclusive semantics, AFTER
+    // it for strict — in scan order of the respective window (ascending
+    // for backward, descending for forward).
     val (rSide, lSide) = if (inclusive) (0, 1) else (2, 1)
 
     val l = left.select(
@@ -65,7 +81,8 @@ object AsofJoin {
         lit(null).cast(right.schema(rightTiebreak).dataType).as("__tie"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
-          rightPayload.map(c => right.schema(c)))).as("__r")): _*)
+          rightPayload.map(c => right.schema(c)))).as("__r"),
+        lit(null).cast(right.schema(rightTs).dataType).as("__rt")): _*)
     val r = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
@@ -74,14 +91,40 @@ object AsofJoin {
         col(rightTiebreak).as("__tie"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           leftCols.map(c => left.schema(c)))).as("__l"),
-        struct(rightPayload.map(col): _*).as("__r")): _*)
+        struct(rightPayload.map(col): _*).as("__r"),
+        col(rightTs).as("__rt")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val backWin = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward = the same merge scanned DESCENDING: "last right so far"
+    // is then the EARLIEST right at-or-after; at equal (t, side) the
+    // greatest tiebreak still wins (tie ascending in scan order)
+    val fwdWin = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    val u = l.unionByName(r)
+    val matched = direction match {
+      case "backward" =>
+        u.withColumn("__match", last(col("__r"), ignoreNulls = true).over(backWin))
+      case "forward" =>
+        u.withColumn("__match", last(col("__r"), ignoreNulls = true).over(fwdWin))
+      case "nearest" =>
+        val lt = col("__t").cast("double")
+        val bd = lt - col("__bt").cast("double")
+        val fd = col("__ft").cast("double") - lt
+        u.withColumn("__b", last(col("__r"), ignoreNulls = true).over(backWin))
+          .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(backWin))
+          .withColumn("__f", last(col("__r"), ignoreNulls = true).over(fwdWin))
+          .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(fwdWin))
+          .withColumn("__match",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(fd < bd, col("__f"))
+              .otherwise(col("__b"))) // equidistant → backward
+    }
+    matched
       .filter(col("__side") === lSide)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(c => col(s"__match.$c").as(s"asof_$c")): _*)

@@ -3905,4 +3905,40 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(fe === Map("a" -> 4.0 / 6.0, "b" -> 2.0 / 6.0))
   }
+
+  test("asofJoin directions: forward earliest-at-or-after, nearest picks closer, equidistant backward") {
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 10L, "L")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 4L, 100L, "b4"), (1L, 13L, 101L, "f13"), (1L, 30L, 102L, "f30"))
+      .toDF("k", "t", "rid", "rv")
+    def run(dir: String, l: org.apache.spark.sql.DataFrame = left) =
+      AsofJoin.asofJoin(l, right, Seq("k"), "t", "t",
+          rightPayload = Seq("rv"), rightTiebreak = "rid", direction = dir)
+        .orderBy("t").collect().map(r => Option(r.getString(3)).orNull).toSeq
+    assert(run("backward") === Seq("b4"))
+    assert(run("forward") === Seq("f13"))
+    // nearest: b4 is 6 away, f13 is 3 away
+    assert(run("nearest") === Seq("f13"))
+    val mid = Seq((1L, 8L, "M")).toDF("k", "t", "lv") // 4 from b4, 5 from f13
+    assert(run("nearest", mid) === Seq("b4"))
+    // TRUE equidistant -> backward wins
+    val right2 = Seq((1L, 4L, 100L, "b4"), (1L, 12L, 101L, "f12"))
+      .toDF("k", "t", "rid", "rv")
+    val eqd = AsofJoin.asofJoin(Seq((1L, 8L, "Q")).toDF("k", "t", "lv"),
+        right2, Seq("k"), "t", "t", rightPayload = Seq("rv"),
+        rightTiebreak = "rid", direction = "nearest").collect()
+    assert(eqd(0).getString(3) === "b4")
+    val eq = Seq((1L, 23L, "E")).toDF("k", "t", "lv") // 10 from f13, 7 from f30
+    assert(run("nearest", eq) === Seq("f30"))
+    val tie = Seq((2L, 1L, "T")).toDF("k", "t", "lv") // no rights for k=2
+    assert(run("nearest", tie) === Seq(null))
+    // forward inclusive picks the same-instant row; strict skips it
+    val at13 = Seq((1L, 13L, "A")).toDF("k", "t", "lv")
+    assert(run("forward", at13) === Seq("f13"))
+    assert(AsofJoin.asofJoin(at13, right, Seq("k"), "t", "t",
+        rightPayload = Seq("rv"), rightTiebreak = "rid",
+        inclusive = false, direction = "forward")
+      .collect().map(r => r.getString(3)).toSeq === Seq("f30"))
+  }
 }
