@@ -2362,6 +2362,18 @@ object OracleSql {
       p.value AS purchase_value
     FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts"""
 
+  /** Sequence gaps — q180. The same lag arithmetic per partition. */
+  private val q180 = """
+    WITH d AS (SELECT o_orderkey % 4 AS part,
+        CAST(o_orderkey // 4 AS BIGINT) AS seq
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    l AS (SELECT part, seq,
+        lag(seq) OVER (PARTITION BY part ORDER BY seq) AS p
+      FROM d)
+    SELECT part, p + 1 AS gap_start, seq - 1 AS gap_end,
+      seq - p - 1 AS n_missing
+    FROM l WHERE p IS NOT NULL AND seq > p + 1"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4188,6 +4200,7 @@ object OracleSql {
     "q176_seasonal_anomalies" -> q176,
     "q177_daily_trend"      -> q177,
     "q178_target_encoding"  -> q178,
-    "q179_asof_forward"     -> q179
+    "q179_asof_forward"     -> q179,
+    "q180_sequence_gaps"    -> q180
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3036,6 +3036,18 @@ object SparkEntry {
         col("asof_value").as("purchase_value"))
   }
 
+  /** Sequence gaps ([[graft.ops.Expectations.sequenceGaps]]): orders as
+    * four CDC-style partitions (`o_orderkey % 4`) carrying the contiguous
+    * sequence `o_orderkey div 4`, with every 97th order dropped — each
+    * synthetic hole must come back as exactly one interior gap row. */
+  private def q180SequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(pmod(col("o_orderkey"), lit(4)).as("part"),
+        floor(col("o_orderkey") / 4).cast("long").as("seq"))
+    graft.ops.Expectations.sequenceGaps(d, "seq", Seq("part"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3215,7 +3227,8 @@ object SparkEntry {
     "q176_seasonal_anomalies" -> q176SeasonalAnomalies _,
     "q177_daily_trend"      -> q177DailyTrend _,
     "q178_target_encoding"  -> q178TargetEncoding _,
-    "q179_asof_forward"     -> q179AsofForward _
+    "q179_asof_forward"     -> q179AsofForward _,
+    "q180_sequence_gaps"    -> q180SequenceGaps _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -154,4 +154,30 @@ object Expectations {
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Sequence-gap detection — the completeness audit for feeds carrying a
+    * per-partition monotone sequence (CDC offsets, log line numbers,
+    * chunk indexes): one row per INTERIOR gap —
+    * `(groupCols…, gap_start, gap_end, n_missing)` — found with one lag
+    * over the group-ordered sequence. Exterior truncation (a feed that
+    * never delivered its head or tail) is invisible to any method without
+    * an expected range; pair with a [[Check]] on the observed min/max
+    * when the range is contracted. Duplicate sequence values are not
+    * gaps (lag sees an equal neighbor); [[Unique]] owns that check.
+    *
+    * Shape: ONE exchange on the group key, per-group sort, row-local gap
+    * arithmetic — output is gap-count-sized. */
+  def sequenceGaps(df: DataFrame, seqCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "sequenceGaps: need at least one group column")
+    df.select((groupCols.map(col) :+ col(seqCol).cast("long").as("__s")): _*)
+      .withColumn("__p", lag(col("__s"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col("__s").asc)))
+      .filter(col("__p").isNotNull && col("__s") > col("__p") + 1)
+      .select(groupCols.map(col) ++ Seq(
+        (col("__p") + 1).as("gap_start"),
+        (col("__s") - 1).as("gap_end"),
+        (col("__s") - col("__p") - 1).as("n_missing")): _*)
+  }
 }

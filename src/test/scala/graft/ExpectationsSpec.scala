@@ -92,4 +92,16 @@ class ExpectationsSpec extends SparkSpec {
       case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
     assert(expands.isEmpty)
   }
+
+  test("sequenceGaps: interior gaps per group; duplicates and exteriors are not gaps") {
+    val rows = Seq(
+      ("a", 1L), ("a", 2L), ("a", 5L), ("a", 6L), ("a", 9L), // gaps 3-4, 7-8
+      ("b", 10L), ("b", 11L),                                 // none
+      ("c", 1L), ("c", 1L), ("c", 2L))                        // dup, no gap
+      .toDF("g", "seq")
+    val got = Expectations.sequenceGaps(rows, "seq", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(("a", 3L, 4L, 2L), ("a", 7L, 8L, 2L)))
+  }
 }
