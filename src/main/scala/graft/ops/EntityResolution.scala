@@ -45,17 +45,33 @@ object EntityResolution {
 
   /** `(id, block_key)` rows, two keys per record: normalized prefix-k and
     * suffix-k (deduped — a name shorter than k yields one key). Records
-    * normalizing to empty get no keys (nothing to match on). */
+    * normalizing to empty get no keys (nothing to match on).
+    *
+    * `phonetic = true` adds a third pass: Soundex of the first and last
+    * name tokens (prefixed `p:`/`q:` so phonetic buckets never collide
+    * with text keys) — the recall net for sound-alike edits that break
+    * BOTH text keys ("jon" vs "john": the insertion shifts prefix AND
+    * suffix, but both code to J500). Soundex is Spark-native codegen;
+    * the DuckDB oracle has no Soundex, so oracle-checked queries keep
+    * the default off — the phonetic pass is spec-pinned. */
   def blocks(df: DataFrame, idCol: String = "entity_id",
-             nameCol: String = "name", k: Int = 3): DataFrame = {
+             nameCol: String = "name", k: Int = 3,
+             phonetic: Boolean = false): DataFrame = {
     require(k >= 1, s"blocks: k must be >= 1, got $k")
     val n = normalizeName(col(nameCol))
+    val textKeys = Seq(
+      substring(col("__n"), 1, k),
+      col("__n").substr(greatest(length(col("__n")) - (k - 1), lit(1)),
+        lit(k)))
+    val phoneticKeys = if (!phonetic) Nil else {
+      val toks = split(col("__n"), " ")
+      Seq(concat(lit("p:"), soundex(element_at(toks, 1))),
+        concat(lit("q:"), soundex(element_at(toks, -1))))
+    }
     df.select(col(idCol).as("id"), n.as("__n"))
       .filter(length(col("__n")) > 0)
-      .select(col("id"), explode(array_distinct(array(
-        substring(col("__n"), 1, k),
-        col("__n").substr(greatest(length(col("__n")) - (k - 1), lit(1)),
-          lit(k))))).as("block_key"))
+      .select(col("id"), explode(array_distinct(
+        array(textKeys ++ phoneticKeys: _*))).as("block_key"))
   }
 
   /** Candidate pairs `(id_a < id_b)` from blocks of size `[2, maxBlock]`,
@@ -71,9 +87,9 @@ object EntityResolution {
     * survives a 100× block. */
   def candidates(df: DataFrame, idCol: String = "entity_id",
                  nameCol: String = "name", k: Int = 3,
-                 maxBlock: Int = 1000): DataFrame = {
+                 maxBlock: Int = 1000, phonetic: Boolean = false): DataFrame = {
     require(maxBlock >= 2, s"candidates: maxBlock must be >= 2, got $maxBlock")
-    val b = blocks(df, idCol, nameCol, k)
+    val b = blocks(df, idCol, nameCol, k, phonetic)
     val sized = b.groupBy("block_key").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBlock))
       .select("block_key")
@@ -89,8 +105,8 @@ object EntityResolution {
     * sizes — `(block_key, n)` descending. */
   def oversizeBlocks(df: DataFrame, idCol: String = "entity_id",
                      nameCol: String = "name", k: Int = 3,
-                     maxBlock: Int = 1000): DataFrame =
-    blocks(df, idCol, nameCol, k)
+                     maxBlock: Int = 1000, phonetic: Boolean = false): DataFrame =
+    blocks(df, idCol, nameCol, k, phonetic)
       .groupBy("block_key").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlock)
       .orderBy(col("n").desc, col("block_key"))
@@ -101,11 +117,11 @@ object EntityResolution {
     * ints; identical empty names match at sim 1.0). */
   def matches(df: DataFrame, idCol: String = "entity_id",
               nameCol: String = "name", maxEdit: Int = 2, k: Int = 3,
-              maxBlock: Int = 1000): DataFrame = {
+              maxBlock: Int = 1000, phonetic: Boolean = false): DataFrame = {
     require(maxEdit >= 0, s"matches: maxEdit must be >= 0, got $maxEdit")
     val names = df.select(col(idCol).as("id"),
       normalizeName(col(nameCol)).as("__n"))
-    val cand = candidates(df, idCol, nameCol, k, maxBlock)
+    val cand = candidates(df, idCol, nameCol, k, maxBlock, phonetic)
     cand
       .join(names.select(col("id").as("id_a"), col("__n").as("__na")), "id_a")
       .join(names.select(col("id").as("id_b"), col("__n").as("__nb")), "id_b")
@@ -141,9 +157,11 @@ object EntityResolution {
     * same entity). */
   def resolveEntities(df: DataFrame, idCol: String = "entity_id",
                       nameCol: String = "name", maxEdit: Int = 2,
-                      k: Int = 3, maxBlock: Int = 1000): DataFrame =
+                      k: Int = 3, maxBlock: Int = 1000,
+                      phonetic: Boolean = false): DataFrame =
     labelRecords(df, clustersOf(
-      resolveIndex(df, idCol, nameCol, maxEdit, k, maxBlock)), idCol, nameCol)
+      resolveIndex(df, idCol, nameCol, maxEdit, k, maxBlock, phonetic)),
+      idCol, nameCol)
 
   /** The persistable resolution state, one row per distinct normalized
     * name: `(name, rep, component)` — `rep` = the smallest entity id ever
@@ -157,13 +175,14 @@ object EntityResolution {
     * applied to ER. */
   def resolveIndex(df: DataFrame, idCol: String = "entity_id",
                    nameCol: String = "name", maxEdit: Int = 2,
-                   k: Int = 3, maxBlock: Int = 1000): DataFrame = {
+                   k: Int = 3, maxBlock: Int = 1000,
+                   phonetic: Boolean = false): DataFrame = {
     val normed = df.select(col(idCol).as("id"),
       normalizeName(col(nameCol)).as("__n"))
     val reps = normed.filter(length(col("__n")) > 0)
       .groupBy("__n").agg(min(col("id")).as("rep"))
     val nameEnts = reps.select(col("__n").as(idCol), col("__n").as(nameCol))
-    val edges = matches(nameEnts, idCol, nameCol, maxEdit, k, maxBlock)
+    val edges = matches(nameEnts, idCol, nameCol, maxEdit, k, maxBlock, phonetic)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = Graph.connectedComponents(edges)
       .withColumnRenamed("node", "__n")

@@ -114,4 +114,22 @@ class EntityResolutionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster"))).toMap
     assert(got === Map(7L -> 2L, 9L -> 2L, 2L -> 2L))
   }
+
+  test("phonetic blocking: sound-alike edits that break both text keys still resolve") {
+    // single-token 'jon' vs 'john': the insertion changes the first 3
+    // chars AND the last 3, so the text passes never pair them — Soundex
+    // (J500) does
+    val people = Seq((1L, "jon"), (2L, "john")).toDF("entity_id", "name")
+    val plain = EntityResolution.resolveEntities(people)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster"))).toMap
+    assert(plain === Map(1L -> 1L, 2L -> 2L)) // the documented text-key miss
+    val phon = EntityResolution.resolveEntities(people, phonetic = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("cluster"))).toMap
+    assert(phon === Map(1L -> 1L, 2L -> 1L))
+    // phonetic keys are namespaced: a literal name 'p j500' cannot collide
+    val b = EntityResolution.blocks(
+        Seq((9L, "jon")).toDF("entity_id", "name"), phonetic = true)
+      .collect().map(_.getString(1)).toSet
+    assert(b.contains("p:J500") && b.contains("q:J500"))
+  }
 }
