@@ -2374,6 +2374,35 @@ object OracleSql {
       seq - p - 1 AS n_missing
     FROM l WHERE p IS NOT NULL AND seq > p + 1"""
 
+  /** Benford audit — q181. First digit from the STRING of the integer
+    * part (engine-identical), |x| >= 1 domain, densified 9-digit grid,
+    * expectations interpolated from the operator's OWN constants (no
+    * cross-engine log10). */
+  private val q181 = {
+    val exp = graft.ops.Profiler.BenfordExpected.zipWithIndex
+      .map { case (e, i) => s"(${i + 1}, CAST($e AS DOUBLE))" }
+      .mkString(", ")
+    s"""
+    WITH base AS (SELECT o_orderstatus,
+        CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1.0),
+    c AS (SELECT o_orderstatus, digit, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2),
+    t AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_total
+      FROM base GROUP BY 1),
+    e(digit, expected_freq) AS (VALUES $exp),
+    grid AS (SELECT t.o_orderstatus, t.n_total, e.digit, e.expected_freq
+      FROM t CROSS JOIN e)
+    SELECT g.o_orderstatus, g.digit, g.n_total,
+      CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(g.n_total AS DOUBLE)
+        AS observed_freq,
+      g.expected_freq
+    FROM grid g LEFT JOIN c
+      ON g.o_orderstatus = c.o_orderstatus AND g.digit = c.digit"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4201,6 +4230,7 @@ object OracleSql {
     "q177_daily_trend"      -> q177,
     "q178_target_encoding"  -> q178,
     "q179_asof_forward"     -> q179,
-    "q180_sequence_gaps"    -> q180
+    "q180_sequence_gaps"    -> q180,
+    "q181_benford"          -> q181
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3048,6 +3048,14 @@ object SparkEntry {
     graft.ops.Expectations.sequenceGaps(d, "seq", Seq("part"))
   }
 
+  /** Benford audit ([[graft.ops.Profiler.benford]]): first-digit
+    * distribution of order totals per status against the log10(1+1/d)
+    * law — every digit cell (densified), frequency, and interpolated
+    * expectation hash-pinned. */
+  private def q181Benford(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.benford(t(s, dir, "orders"), "o_totalprice",
+      Seq("o_orderstatus"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3228,7 +3236,8 @@ object SparkEntry {
     "q177_daily_trend"      -> q177DailyTrend _,
     "q178_target_encoding"  -> q178TargetEncoding _,
     "q179_asof_forward"     -> q179AsofForward _,
-    "q180_sequence_gaps"    -> q180SequenceGaps _
+    "q180_sequence_gaps"    -> q180SequenceGaps _,
+    "q181_benford"          -> q181Benford _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

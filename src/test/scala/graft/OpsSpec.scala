@@ -3941,4 +3941,24 @@ class OpsSpec extends SparkSpec {
         inclusive = false, direction = "forward")
       .collect().map(r => r.getString(3)).toSeq === Seq("f30"))
   }
+
+  test("benford: digit extraction, densified grid, domain exclusions, frequencies") {
+    import graft.ops.Profiler
+    val df = Seq(("g", 123.4), ("g", 19.0), ("g", 1.02), ("g", 950.0),
+      ("g", 0.5), ("g", -234.0)).toDF("grp", "x")
+    val got = Profiler.benford(df, "x", Seq("grp")).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 0.5 excluded (|x| < 1); -234 counts as digit 2; n_total = 5
+    assert(got.keySet === (1 to 9).toSet)
+    assert(got(1) === ((5L, 3L, 3.0 / 5.0)))
+    assert(got(2) === ((5L, 1L, 1.0 / 5.0)))
+    assert(got(9) === ((5L, 1L, 1.0 / 5.0)))
+    assert(got(5) === ((5L, 0L, 0.0))) // densified empty digit
+    // expectations sum to 1 and match log10(1 + 1/d)
+    val exp = Profiler.benford(df, "x", Seq("grp")).collect()
+      .map(r => r.getInt(1) -> r.getDouble(5)).toMap
+    assert(math.abs(exp.values.sum - 1.0) < 1e-12)
+    assert(exp(1) === math.log10(2.0))
+  }
 }
