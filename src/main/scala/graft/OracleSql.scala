@@ -2403,6 +2403,24 @@ object OracleSql {
       ON g.o_orderstatus = c.o_orderstatus AND g.digit = c.digit"""
   }
 
+  /** Winsorization — q182. Nearest-rank bounds via the q170 window
+    * arithmetic (rank ceil(p·n/100) floored at 1), clip row-local. */
+  private val q182 = """
+    WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice, o_orderkey) AS rn,
+        count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders),
+    m AS (SELECT *,
+        max(CASE WHEN rn = greatest(CAST(floor((5 * n + 99) / 100.0) AS BIGINT), 1)
+          THEN o_totalprice END) OVER (PARTITION BY o_orderstatus) AS lo,
+        max(CASE WHEN rn = greatest(CAST(floor((95 * n + 99) / 100.0) AS BIGINT), 1)
+          THEN o_totalprice END) OVER (PARTITION BY o_orderstatus) AS hi
+      FROM r)
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+      least(greatest(o_totalprice, lo), hi) AS clipped
+    FROM m"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4231,6 +4249,7 @@ object OracleSql {
     "q178_target_encoding"  -> q178,
     "q179_asof_forward"     -> q179,
     "q180_sequence_gaps"    -> q180,
-    "q181_benford"          -> q181
+    "q181_benford"          -> q181,
+    "q182_winsorize"        -> q182
   ).map { case (k, v) => k -> clean(v) }
 }

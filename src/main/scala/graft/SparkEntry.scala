@@ -3056,6 +3056,16 @@ object SparkEntry {
     graft.ops.Profiler.benford(t(s, dir, "orders"), "o_totalprice",
       Seq("o_orderstatus"))
 
+  /** Winsorization ([[graft.ops.Outliers.winsorize]]): order totals
+    * clipped to each status's own [p5, p95] nearest-rank band — every
+    * clipped value an actual group data value, hash-pinned per row. */
+  private def q182Winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.winsorize(
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice")),
+      valueCol = "o_totalprice", groupCol = "o_orderstatus",
+      idCol = "o_orderkey", pLo = 5, pHi = 95)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3237,7 +3247,8 @@ object SparkEntry {
     "q178_target_encoding"  -> q178TargetEncoding _,
     "q179_asof_forward"     -> q179AsofForward _,
     "q180_sequence_gaps"    -> q180SequenceGaps _,
-    "q181_benford"          -> q181Benford _
+    "q181_benford"          -> q181Benford _,
+    "q182_winsorize"        -> q182Winsorize _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

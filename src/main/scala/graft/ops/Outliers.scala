@@ -62,4 +62,34 @@ object Outliers {
       .select(col(groupCol), col(idCol), col(valueCol),
         col("__med").as("med"), col("__mad").as("mad"), col("score"))
   }
+
+  /** Per-group winsorization — clip values to the group's own
+    * `[pLo, pHi]` nearest-rank percentile band: the standard robust
+    * pre-processing for mean-based downstream statistics when dropping
+    * outlier ROWS ([[madOutliers]]' regime) would bias counts. Nearest
+    * rank = `ceil(p·n/100)` with (value, id) tie-breaks — the L34/L156
+    * arithmetic, so both bounds are actual data values and the clip is
+    * cross-engine exact. Adds `clipped`; one group-keyed exchange, both
+    * bound marks ride the same window sort. */
+  def winsorize(df: DataFrame, valueCol: String = "value",
+                groupCol: String = "event_type",
+                idCol: String = "event_id",
+                pLo: Int = 1, pHi: Int = 99): DataFrame = {
+    require(pLo >= 0 && pHi <= 100 && pLo <= pHi,
+      s"winsorize: need 0 <= pLo <= pHi <= 100, got ($pLo, $pHi)")
+    require(!df.columns.contains("clipped"),
+      "winsorize: input already has a clipped column")
+    val wg = Window.partitionBy(col(groupCol))
+    val wv = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val n = count(lit(1)).over(wg)
+    def rank(p: Int) =
+      greatest(floor((lit(p.toLong) * n + 99) / lit(100.0)).cast("long"), lit(1L))
+    val rn = row_number().over(wv).cast("long")
+    df.withColumn("__lo", max(when(rn === rank(pLo), col(valueCol))).over(wg))
+      .withColumn("__hi", max(when(rn === rank(pHi), col(valueCol))).over(wg))
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Outliers
 
 /** Hand-checked MAD arithmetic: nearest-rank medians with tie-breaks,
@@ -45,5 +47,24 @@ class OutliersSpec extends SparkSpec {
     // med 3, mad 1, spike score 11
     assert(Outliers.madOutliers(df, threshold = 5.0).count() === 1)
     assert(Outliers.madOutliers(df, threshold = 12.0).count() === 0)
+  }
+
+  test("winsorize: nearest-rank bounds clip both tails; groups independent") {
+    import graft.ops.Outliers
+    val df = (1 to 10).map(i => ("g", i.toLong, i * 10.0))
+      .toDF("event_type", "event_id", "value")
+    // n=10: p10 rank ceil(1)=1 -> lo=10; p90 rank 9 -> hi=90
+    val got = Outliers.winsorize(df, pLo = 10, pHi = 90).collect()
+      .map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    assert(got(10.0) === 10.0 && got(50.0) === 50.0)
+    assert(got(100.0) === 90.0) // upper tail clips
+    // second group with its own bounds
+    val two = df.unionByName(Seq(("h", 1L, 1.0), ("h", 2L, 1000.0))
+      .toDF("event_type", "event_id", "value"))
+    val h = Outliers.winsorize(two, pLo = 50, pHi = 100)
+      .filter(col("event_type") === "h").collect()
+      .map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    // h: n=2, p50 rank 1 -> lo=1.0; p100 rank 2 -> hi=1000
+    assert(h === Map(1.0 -> 1.0, 1000.0 -> 1000.0))
   }
 }
