@@ -2421,6 +2421,24 @@ object OracleSql {
       least(greatest(o_totalprice, lo), hi) AS clipped
     FROM m"""
 
+  /** Market basket — q183. Distinct items per basket, unordered pair
+    * counts, marginals, and the three ratios as single double divisions
+    * of exact long products. */
+  private val q183 = """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+      FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+    ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY i),
+    p AS (SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT p.item_a, p.item_b, p.n_ab, ca.c AS n_a, cb.c AS n_b,
+      CAST(p.n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+      CAST(p.n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+      CAST(nb.n * p.n_ab AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+    FROM p JOIN ic ca ON p.item_a = ca.i JOIN ic cb ON p.item_b = cb.i
+    CROSS JOIN nb"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4250,6 +4268,7 @@ object OracleSql {
     "q179_asof_forward"     -> q179,
     "q180_sequence_gaps"    -> q180,
     "q181_benford"          -> q181,
-    "q182_winsorize"        -> q182
+    "q182_winsorize"        -> q182,
+    "q183_market_basket"    -> q183
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3066,6 +3066,16 @@ object SparkEntry {
       valueCol = "o_totalprice", groupCol = "o_orderstatus",
       idCol = "o_orderkey", pLo = 5, pHi = 95)
 
+  /** Market-basket pairs ([[graft.ops.MarketBasket.pairStats]]): orders
+    * as baskets of coarsened part families (`l_partkey % 100` — raw part
+    * keys rarely co-repeat), pair support/confidence/lift hash-pinned at
+    * min-support 5. */
+  private def q183MarketBasket(s: SparkSession, dir: String): DataFrame =
+    graft.ops.MarketBasket.pairStats(
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        pmod(col("l_partkey"), lit(100)).as("family")),
+      "l_orderkey", "family", minSupport = 5L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3248,7 +3258,8 @@ object SparkEntry {
     "q179_asof_forward"     -> q179AsofForward _,
     "q180_sequence_gaps"    -> q180SequenceGaps _,
     "q181_benford"          -> q181Benford _,
-    "q182_winsorize"        -> q182Winsorize _
+    "q182_winsorize"        -> q182Winsorize _,
+    "q183_market_basket"    -> q183MarketBasket _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair analysis — support / confidence / lift for item
+  * PAIRS co-occurring in a basket (the association-rule first mile:
+  * cross-sell candidates, bundle detection, and on a corpus, tag/topic
+  * co-occurrence). The transaction-granularity counterpart of
+  * [[Collocations]]' ADJACENT-text PMI: here any two items in the same
+  * basket count, order-free.
+  *
+  * Exactness: all counts are exact longs; `support = n_ab/N`,
+  * `confidence = n_ab/n_a`, and `lift = N·n_ab/(n_a·n_b)` are each ONE
+  * double division of exact long products — the oracle reproduces them
+  * bit-for-bit. Pairs are item-distinct per basket (duplicate items in a
+  * basket count once) and emitted once per unordered pair
+  * (`item_a < item_b`; confidence is reported a→b — mirror for b→a).
+  *
+  * == 100 TB shape ==
+  * The basket self-join is the classic bounded quadratic: distinct items
+  * per basket first (basket-sized groups), then the per-basket pair join
+  * — cost Σ items-per-basket², the same regime as [[Graph
+  * .triangleCounts]]' wedges; a pathological basket is the caller's
+  * `maxBasket` guard (loud, never silent). Item marginals and the pair
+  * counts are map-side-combined aggs; N is one scalar collect. */
+object MarketBasket {
+
+  /** `(item_a, item_b, n_ab, n_a, n_b, support, confidence, lift)` for
+    * pairs with `n_ab >= minSupport`, over `(basketCol, itemCol)` rows.
+    * Baskets larger than `maxBasket` distinct items are refused loudly —
+    * one such basket contributes `maxBasket²/2` pairs and is almost
+    * always a data bug (a default/null basket id funneling everything). */
+  def pairStats(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 2L, maxBasket: Int = 10000): DataFrame = {
+    require(minSupport >= 1, s"pairStats: minSupport must be >= 1, got $minSupport")
+    require(maxBasket >= 2, s"pairStats: maxBasket must be >= 2, got $maxBasket")
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val guarded = bi
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      .filter(when(col("__bn") > maxBasket,
+        raise_error(concat(lit(s"pairStats: basket exceeds $maxBasket distinct items: "),
+          col("__b").cast("string"))).cast("boolean")).otherwise(lit(true)))
+      .drop("__bn")
+    val nBaskets = bi.select(col("__b")).distinct().count()
+    val itemCounts = guarded.groupBy(col("__i").as("__it"))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = guarded.select(col("__b"), col("__i").as("item_a"))
+      .join(guarded.select(col("__b"), col("__i").as("item_b")), "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("__it").as("item_a"), col("__c").as("n_a")),
+        "item_a")
+      .join(itemCounts.select(col("__it").as("item_b"), col("__c").as("n_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / nBaskets.toDouble).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((lit(nBaskets) * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+}

@@ -3961,4 +3961,28 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(exp.values.sum - 1.0) < 1e-12)
     assert(exp(1) === math.log10(2.0))
   }
+
+  test("marketBasket: hand-checked support/confidence/lift, dup items once, loud basket cap") {
+    import graft.ops.MarketBasket
+    // 4 baskets: {x,y} {x,y} {x,z} {y}
+    val rows = Seq((1L, "x"), (1L, "y"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")).toDF("basket", "item")
+    val got = MarketBasket.pairStats(rows, "basket", "item", minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // x,y co-occur in 2 of 4 baskets; n_x=3, n_y=3
+    assert(got(("x", "y")) === ((2L, 2.0 / 4.0, 2.0 / 3.0, 4.0 * 2 / (3.0 * 3.0))))
+    assert(got(("x", "z")) === ((1L, 1.0 / 4.0, 1.0 / 3.0, 4.0 * 1 / (3.0 * 1.0))))
+    assert(!got.contains(("y", "z")))
+    // minSupport prunes
+    assert(MarketBasket.pairStats(rows, "basket", "item", minSupport = 2L)
+      .count() === 1L)
+    // the basket cap fires loudly
+    val big = (1 to 5).map(i => (9L, s"i$i")).toDF("basket", "item")
+    val ex = intercept[Exception] {
+      MarketBasket.pairStats(big, "basket", "item", maxBasket = 4).count()
+    }
+    assert(String.valueOf(ex.getMessage).contains("pairStats") ||
+      String.valueOf(ex.getCause).contains("pairStats"))
+  }
 }
