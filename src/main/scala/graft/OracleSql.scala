@@ -2439,6 +2439,217 @@ object OracleSql {
     FROM p JOIN ic ca ON p.item_a = ca.i JOIN ic cb ON p.item_b = cb.i
     CROSS JOIN nb"""
 
+  /** Equi-depth histogram — q184. Value-keyed cells: cumulative count
+    * before each distinct value (window over values), cell =
+    * (cum_before · cells) integer-div n, then per-cell lo/hi/count
+    * densified against the 16-cell grid. */
+  private val q184 = """
+    WITH vc AS (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+    cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM vc),
+    a AS (SELECT v, c, CAST(((cum - c) * 16) // nn.n AS BIGINT) AS cell
+      FROM cum CROSS JOIN nn),
+    g AS (SELECT cell, min(v) AS lo, max(v) AS hi,
+        CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_values
+      FROM a GROUP BY 1),
+    grid AS (SELECT unnest(generate_series(0, 15)) AS cell)
+    SELECT CAST(grid.cell AS BIGINT) AS cell, g.lo, g.hi,
+      CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+      CAST(coalesce(g.n_values, 0) AS BIGINT) AS n_values
+    FROM grid LEFT JOIN g ON grid.cell = g.cell"""
+
+  /** PSI drift — q185. Reference-side equi-depth edges (the q184 cell
+    * arithmetic at 10 bins), bin = count of edges strictly below the
+    * value (computed per DISTINCT value — bin is a function of v), then
+    * eps-floored frequencies and the (q−p)·ln(q/p) terms under the q91
+    * round-then-ln discipline. */
+  private val q185 = """
+    WITH vc AS (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+      GROUP BY 1),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+    cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM vc),
+    a AS (SELECT v, ((cum - c) * 10) // nn.n AS cell FROM cum CROSS JOIN nn),
+    edges AS (SELECT cell, max(v) AS e FROM a WHERE cell < 9 GROUP BY cell),
+    cv AS (SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+      FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+      GROUP BY 1),
+    rb AS (SELECT (SELECT count(*) FROM edges WHERE edges.e < vc.v) AS bin,
+        CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+    cb AS (SELECT (SELECT count(*) FROM edges WHERE edges.e < cv.v) AS bin,
+        CAST(sum(c) AS BIGINT) AS n FROM cv GROUP BY 1),
+    tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vc),
+    tc AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cv),
+    grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    f AS (SELECT CAST(grid.bin AS BIGINT) AS bin,
+        CAST(coalesce(rb.n, 0) AS BIGINT) AS n_ref,
+        CAST(coalesce(cb.n, 0) AS BIGINT) AS n_cur,
+        round(greatest(CAST(coalesce(rb.n, 0) AS DOUBLE)
+          / CAST(tr.t AS DOUBLE), 1.0e-6), 9) AS p_ref,
+        round(greatest(CAST(coalesce(cb.n, 0) AS DOUBLE)
+          / CAST(tc.t AS DOUBLE), 1.0e-6), 9) AS p_cur
+      FROM grid
+      LEFT JOIN rb ON grid.bin = rb.bin
+      LEFT JOIN cb ON grid.bin = cb.bin
+      CROSS JOIN tr CROSS JOIN tc)
+    SELECT bin, n_ref, n_cur, p_ref, p_cur,
+      round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS term
+    FROM f"""
+
+  /** Seeded BFS — q186. The symmetrized trade graph walked from nation-0
+    * customers; the bounded recursive walk carries (node, hop) and the
+    * final fold takes each node's minimum hop — exactly the
+    * frontier-BFS label (first-reached round = min hop). */
+  private val q186 = """
+    WITH RECURSIVE e0 AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    walk AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node, 0 AS hop
+        FROM customer WHERE c_nationkey = 0
+      UNION
+      SELECT e.dst, w.hop + 1 FROM walk w
+        JOIN e ON w.node = e.src WHERE w.hop < 3)
+    SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node"""
+
+  /** FD discovery — q187. Distinct-pair vs distinct-determinant counts per
+    * requested pair (no NULLs in these columns, so plain DISTINCT mirrors
+    * the struct-wrapped Spark counts). */
+  private val q187 = """
+    SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_det,
+      CAST(count(DISTINCT CAST(o_orderkey AS VARCHAR) || '|'
+        || CAST(o_custkey AS VARCHAR)) AS BIGINT) AS n_pairs,
+      CAST(count(DISTINCT CAST(o_orderkey AS VARCHAR) || '|'
+          || CAST(o_custkey AS VARCHAR))
+        - count(DISTINCT o_orderkey) AS BIGINT) AS n_extra,
+      count(DISTINCT CAST(o_orderkey AS VARCHAR) || '|'
+          || CAST(o_custkey AS VARCHAR))
+        = count(DISTINCT o_orderkey) AS holds
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderstatus', CAST(count(*) AS BIGINT),
+      CAST(count(DISTINCT o_custkey) AS BIGINT),
+      CAST(count(DISTINCT CAST(o_custkey AS VARCHAR) || '|'
+        || o_orderstatus) AS BIGINT),
+      CAST(count(DISTINCT CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus)
+        - count(DISTINCT o_custkey) AS BIGINT),
+      count(DISTINCT CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus)
+        = count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'o_orderstatus', CAST(count(*) AS BIGINT),
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+      CAST(count(DISTINCT o_orderpriority || '|' || o_orderstatus) AS BIGINT),
+      CAST(count(DISTINCT o_orderpriority || '|' || o_orderstatus)
+        - count(DISTINCT o_orderpriority) AS BIGINT),
+      count(DISTINCT o_orderpriority || '|' || o_orderstatus)
+        = count(DISTINCT o_orderpriority)
+    FROM orders"""
+
+  /** Gap interpolation — q188. The q176 densified hourly grid with every
+    * 5th hour blanked, then prev/next anchors via IGNORE NULLS window
+    * passes over the same per-type sort and the linear fill
+    * pv + (nv−pv)·(x−px)/(nx−px) in double. */
+  private val q188 = """
+    WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS b, event_type,
+        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS b
+      FROM (SELECT DISTINCT event_type FROM c) CROSS JOIN bounds),
+    s AS (SELECT g.event_type, g.b,
+        CASE WHEN (g.b // 3600) % 5 = 0 THEN NULL
+             ELSE CAST(coalesce(c.n, 0) AS DOUBLE) END AS v
+      FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.b = c.b),
+    w AS (SELECT event_type, b, v,
+        last_value(CASE WHEN v IS NOT NULL THEN CAST(b AS DOUBLE) END
+          IGNORE NULLS) OVER pw AS px,
+        last_value(v IGNORE NULLS) OVER pw AS pv,
+        first_value(CASE WHEN v IS NOT NULL THEN CAST(b AS DOUBLE) END
+          IGNORE NULLS) OVER nw AS nx,
+        first_value(v IGNORE NULLS) OVER nw AS nv
+      FROM s
+      WINDOW pw AS (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        nw AS (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(b AS BIGINT) AS b, v,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN px IS NOT NULL AND nx IS NOT NULL
+             THEN pv + (nv - pv) * (CAST(b AS DOUBLE) - px) / (nx - px)
+           ELSE NULL END AS filled,
+      CASE WHEN v IS NOT NULL THEN 'observed'
+           WHEN px IS NOT NULL AND nx IS NOT NULL THEN 'interpolated'
+           ELSE 'edge' END AS fill_kind
+    FROM w"""
+
+  /** Change point — q189. Per-type daily counts, prefix sums, candidate
+    * split means as double divisions of exact sums, argmax by
+    * (delta DESC, day ASC, position ASC), single-point groups as the
+    * NULL-split row. */
+  private val q189 = """
+    WITH d AS (SELECT event_type,
+        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    sc AS (SELECT event_type, day, n,
+        CAST(row_number() OVER pw AS BIGINT) AS i,
+        CAST(sum(n) OVER (pw ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum,
+        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+        CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM d
+      WINDOW pw AS (PARTITION BY event_type ORDER BY day)),
+    cand AS (SELECT *,
+        CAST(cum AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+        CAST(tot - cum AS DOUBLE) / CAST(nt - i AS DOUBLE) AS mr
+      FROM sc WHERE i < nt),
+    best AS (SELECT *, abs(mr - ml) AS delta,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY abs(mr - ml) DESC, day ASC, i ASC) AS rn
+      FROM cand)
+    SELECT event_type, nt AS n_points, day AS split_x, i AS n_left,
+      CAST(nt - i AS BIGINT) AS n_right, ml AS mean_left, mr AS mean_right,
+      delta
+    FROM best WHERE rn = 1
+    UNION ALL
+    SELECT event_type, CAST(count(*) AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM d GROUP BY event_type HAVING count(*) < 2"""
+
+  /** Feature scaling — q190. Per-status moments as exact DECIMAL(38,6)
+    * sums of 6-dp-pinned per-row values (the q91 round-then-sum
+    * discipline), population variance, z and min-max unit per row at
+    * 9 dp. */
+  private val q190 = """
+    WITH m AS (SELECT o_orderstatus,
+        CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(round(o_totalprice, 6) AS DECIMAL(38,6))) AS sx,
+        sum(CAST(round(o_totalprice * o_totalprice, 6) AS DECIMAL(38,6)))
+          AS sxx,
+        min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    j AS (SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+        CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean,
+        (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
+          / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE) AS varp,
+        m.mn, m.mx
+      FROM orders o LEFT JOIN m ON o.o_orderstatus = m.o_orderstatus)
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+      CASE WHEN varp > 0.0
+        THEN round((o_totalprice - mean) / sqrt(varp), 9) END AS z,
+      CASE WHEN mx > mn
+        THEN round((o_totalprice - mn) / (mx - mn), 9) END AS unit
+    FROM j"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4269,6 +4480,13 @@ object OracleSql {
     "q180_sequence_gaps"    -> q180,
     "q181_benford"          -> q181,
     "q182_winsorize"        -> q182,
-    "q183_market_basket"    -> q183
+    "q183_market_basket"    -> q183,
+    "q184_equidepth_hist"   -> q184,
+    "q185_psi_drift"        -> q185,
+    "q186_bfs_distances"    -> q186,
+    "q187_functional_deps"  -> q187,
+    "q188_interpolate"      -> q188,
+    "q189_change_point"     -> q189,
+    "q190_scale_features"   -> q190
   ).map { case (k, v) => k -> clean(v) }
 }

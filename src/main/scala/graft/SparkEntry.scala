@@ -3076,6 +3076,95 @@ object SparkEntry {
         pmod(col("l_partkey"), lit(100)).as("family")),
       "l_orderkey", "family", minSupport = 5L)
 
+  /** Equi-depth histogram ([[graft.ops.Profiler.histogramEquiDepth]]):
+    * order totals over 16 equal-frequency cells — value-keyed cell
+    * assignment via exact cumulative long arithmetic riding the L123
+    * distributed prefix sum; every cell's actual lo/hi data values and
+    * counts hash-pinned. */
+  private def q184EquiDepthHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.histogramEquiDepth(t(s, dir, "orders"),
+      "o_totalprice", 16)
+
+  /** PSI numeric drift ([[graft.ops.Profiler.psi]]): finished ('F')
+    * orders' totals as the reference snapshot vs open ('O') orders as
+    * current, 10 reference-quantile bins — per-bin counts, eps-floored
+    * frequencies, and the (q−p)·ln(q/p) terms hash-pinned under the
+    * lexicalDrift round-then-ln discipline. */
+  private def q185PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.ops.Profiler.psi(
+      o.filter(col("o_orderstatus") === "F"),
+      o.filter(col("o_orderstatus") === "O"),
+      "o_totalprice", bins = 10)
+  }
+
+  /** Seeded BFS hop distances ([[graft.ops.Graph.bfsDistances]]): the
+    * undirected customer↔supplier trade graph walked 3 hops out from the
+    * customers of nation 0 — exact integer hop labels, frontier-parallel
+    * rounds, unreached nodes absent. Oracle = the walk unrolled as
+    * chained CTEs with min-hop folding (the q109 discipline). */
+  private def q186BfsDistances(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0L)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.ops.Graph.bfsDistances(tradeEdges(s, dir), seeds,
+      maxHops = 3, directed = false)
+  }
+
+  /** Functional-dependency discovery ([[graft.ops.Profiler.functionalDeps]]):
+    * one aggregation pass certifying `o_orderkey` as a candidate key
+    * (n_det = n) and measuring the violation mass of two non-FDs —
+    * distinct-pair vs distinct-determinant counts hash-pinned. */
+  private def q187FunctionalDeps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.functionalDeps(t(s, dir, "orders"), Seq(
+      ("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderstatus"),
+      ("o_orderpriority", "o_orderstatus")))
+
+  /** Linear gap interpolation ([[graft.ops.EventWindows.interpolate]]):
+    * hourly event counts per type densified onto the full hour grid, every
+    * 5th hour blanked to NULL, then interior-interpolated between the
+    * nearest observed anchors — filled values and observed/interpolated/
+    * edge labels hash-pinned. */
+  private def q188Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("b"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+    val grid = counts.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("b"))
+    val series = grid.join(counts, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"),
+        when(expr("pmod(b div 3600, 5)") === 0L,
+          lit(null).cast("double"))
+          .otherwise(coalesce(col("n"), lit(0L)).cast("double")).as("v"))
+    graft.ops.EventWindows.interpolate(series, "b", "v", Seq("event_type"))
+  }
+
+  /** Change-point detection ([[graft.ops.Trend.changePoint]]): per-type
+    * daily event counts scanned for the split maximizing the left/right
+    * mean gap — exact cumulative long sums, double-division means,
+    * earliest-split tie-break, hash-pinned. */
+  private def q189ChangePoint(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.changePoint(
+      events(s, dir)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400)
+          .cast("long").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      xCol = "day", yCol = "n", groupCols = Seq("event_type"))
+
+  /** Feature scaling ([[graft.ops.Encoding.scaleFeatures]]): order totals
+    * z-scored and min-max normalized within their own status class —
+    * decimal-exact moments, population variance, every scaled row
+    * hash-pinned at 9 dp. */
+  private def q190ScaleFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.scaleFeatures(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")),
+      "o_totalprice", Seq("o_orderstatus"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3259,7 +3348,14 @@ object SparkEntry {
     "q180_sequence_gaps"    -> q180SequenceGaps _,
     "q181_benford"          -> q181Benford _,
     "q182_winsorize"        -> q182Winsorize _,
-    "q183_market_basket"    -> q183MarketBasket _
+    "q183_market_basket"    -> q183MarketBasket _,
+    "q184_equidepth_hist"   -> q184EquiDepthHist _,
+    "q185_psi_drift"        -> q185PsiDrift _,
+    "q186_bfs_distances"    -> q186BfsDistances _,
+    "q187_functional_deps"  -> q187FunctionalDeps _,
+    "q188_interpolate"      -> q188Interpolate _,
+    "q189_change_point"     -> q189ChangePoint _,
+    "q190_scale_features"   -> q190ScaleFeatures _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

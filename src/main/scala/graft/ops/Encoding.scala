@@ -84,4 +84,62 @@ object Encoding {
           (lit(den) * (sy - col(targetCol).cast("long")) + lit(alpha * num))
             .cast("double") / denom.cast("double")))
   }
+
+  /** Numeric feature scaling — the continuous-column companion of the
+    * categorical encoders: per-group z-score and min-max normalization in
+    * one pass, the standardization every distance-based consumer
+    * (embedding mixes, kNN features, regularized linear models) assumes.
+    * Grouped (`groupCols`) because warehouse features are scaled within
+    * their own population — an order total is "large" relative to its
+    * status class, not the global pool; pass a constant group for global
+    * scaling.
+    *
+    * Exactness: moments accumulate as DECIMAL sums of per-row values
+    * fixed at 6 dp (exact, order-free — double summation would differ
+    * between partial-agg orders, the [[graft.ops.Graph.pageRank]]
+    * reasoning applied to Σx and Σx²; x² is squared in DOUBLE row-locally
+    * then pinned to decimal before the sum — a decimal×decimal square
+    * would cross Spark's precision-38 cap, where Spark and DuckDB
+    * rescaling rules diverge, the [[Overlap.lexicalDrift]] round-then-sum
+    * discipline). Mean/variance/z are then a fixed dag of double ops over
+    * those exact decimals — engine-identical. Variance is the population
+    * form `(Σx² − (Σx)²/n)/n`; a zero-variance group z-scores to NULL (no
+    * deviation to measure), min = max min-maxes to NULL likewise.
+    * Output appends `z` and `unit` (min-max to [0,1]) per row, rounded at
+    * 9 dp — the (Σx)² double product at money-squared magnitude sits
+    * beyond 2⁵³, where the final few bits of a subtraction this shaped are
+    * the classic catastrophic-cancellation tail (identical per-engine, but
+    * pinned well inside the stable digits).
+    *
+    * == 100 TB shape ==
+    * One map-side-combined moments agg to a groups-sized table,
+    * broadcast-joined back (AQE), per-row arithmetic — no window over the
+    * data, no second shuffle of the fact rows. */
+  def scaleFeatures(df: DataFrame, valueCol: String,
+                    groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "scaleFeatures: need at least one group column")
+    val clash = Seq("z", "unit").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"scaleFeatures: input already has column(s) ${clash.mkString(", ")}")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val vIn = col(valueCol).cast("double")
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(round(vIn, 6).cast(dec)).as("__sx"),
+        sum(round(vIn * vIn, 6).cast(dec)).as("__sxx"),
+        min(vIn).as("__mn"),
+        max(vIn).as("__mx"))
+    val joined = df.join(m, groupCols, "left")
+    val nD = col("__n").cast("double")
+    val mean = col("__sx").cast("double") / nD
+    val varP = (col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double") / nD) / nD
+    val v = col(valueCol).cast("double")
+    joined.select((df.columns.map(col).toSeq ++ Seq(
+      when(varP > 0.0, round((v - mean) / sqrt(varP), 9)).as("z"),
+      when(col("__mx") > col("__mn"),
+        round((v - col("__mn")) / (col("__mx") - col("__mn")), 9))
+        .as("unit"))): _*)
+  }
 }

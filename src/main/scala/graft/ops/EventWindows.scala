@@ -210,4 +210,62 @@ object EventWindows {
         col("n_events").cast("long").as("n_events"),
         col("med"), col("mad"), col("score"))
   }
+
+  /** Linear gap interpolation over a per-series grid — the metric-pipeline
+    * repair step between densification (a missing window IS a row, the
+    * [[rateAnomalies]] grid discipline) and anything that consumes the
+    * series (trend fits, anomaly scores, charts): interior NULLs fill by
+    * linear interpolation between the nearest observed anchors; LEADING /
+    * TRAILING NULLs stay NULL (extrapolation invents data — flag it,
+    * don't fake it). `fill_kind` labels every row `observed` /
+    * `interpolated` / `edge` so downstream consumers can weight or drop
+    * filled points.
+    *
+    * Anchors ride two IGNORE-NULLS window passes over the SAME
+    * series-partitioned sort (previous anchor = `last(…, ignoreNulls)`
+    * over the preceding frame; next anchor = its mirror over the following
+    * frame — one Sort, two frames, no self-join). The fill is
+    * `pv + (nv − pv) · (x − px) / (nx − px)` in double — identical IEEE
+    * ops on identical inputs on both engines.
+    *
+    * Scale shape: per-series window sorts (group-partitioned — the L34 /
+    * L156 locality), one shuffle on the group key, row-local arithmetic.
+    * A series with duplicate `x` values is a caller bug (which copy
+    * anchors?) and fails loudly. */
+  def interpolate(df: DataFrame, xCol: String, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "interpolate: need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val x = col(xCol).cast("double")
+    val v = col(valueCol).cast("double")
+    val ord = Window.partitionBy(gs: _*).orderBy(col(xCol).asc)
+    // duplicate-x guard rides the SAME sort as the anchor windows (lag
+    // sees the sorted neighbor — no second exchange for the check)
+    val base = df.withColumn("__guard",
+      when(lag(col(xCol), 1).over(ord) === col(xCol), raise_error(concat(
+        lit(s"interpolate: duplicate $xCol within a series: "),
+        col(xCol).cast("string"))).cast("long")).otherwise(lit(0L)))
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    val anchor = when(v.isNotNull, struct(x.as("x"), v.as("v")))
+    val out = base
+      // the guard rides a FILTER (always true on clean input): a plain
+      // projected column would be pruned away under count()-style actions
+      // and the duplicate check would silently not run
+      .filter(col("__guard") === 0L)
+      .withColumn("__p", last(anchor, ignoreNulls = true).over(prevW))
+      .withColumn("__n", first(anchor, ignoreNulls = true).over(nextW))
+    val px = col("__p.x"); val pv = col("__p.v")
+    val nx = col("__n.x"); val nv = col("__n.v")
+    val filled = when(v.isNotNull, v)
+      .when(px.isNotNull && nx.isNotNull,
+        pv + (nv - pv) * (x - px) / (nx - px))
+      .otherwise(lit(null).cast("double"))
+    val kind = when(v.isNotNull, lit("observed"))
+      .when(px.isNotNull && nx.isNotNull, lit("interpolated"))
+      .otherwise(lit("edge"))
+    out.select((gs ++ Seq(col(xCol), v.as(valueCol),
+      filled.as("filled"), kind.as("fill_kind"))): _*)
+  }
 }

@@ -647,4 +647,69 @@ object Graph {
     simple.unpersist()
     result
   }
+
+  /** Minimum-hop BFS distances from a seed set — the crawl-depth /
+    * blast-radius primitive: "how many link hops is each page from the
+    * seed list" drives frontier prioritization (depth caps are the
+    * standard politeness bound), and "which entities are within k hops of
+    * a flagged node" is the fraud/abuse expansion query. The bounded-depth
+    * companion of [[connectedComponents]] (which answers reachability but
+    * not distance).
+    *
+    * Classic frontier-parallel BFS in DataFrame algebra: round h joins the
+    * hop-(h−1) frontier into the edge table, anti-joins everything already
+    * labeled, and labels the survivors h. Each round is ONE join + one
+    * anti-join, both on the node key; `localCheckpoint` cuts lineage per
+    * round ([[pageRank]] discipline) and dead frontiers free their blocks.
+    * Early-exits when a frontier drains. Hop counts are exact integers —
+    * partitioning cannot change a result bit.
+    *
+    * Unreached nodes are ABSENT from the output (at web scale "everything
+    * else" dwarfs the k-hop ball; left-join [[degrees]]' node set and
+    * coalesce if the dense view is wanted). `maxHops` bounds rounds — at
+    * 100 TB an unbounded diameter walk is [[connectedComponentsStar]]'s
+    * job, not BFS's.
+    *
+    * @param directed false symmetrizes edges before walking (link graphs
+    *                 are directed; trade/similarity graphs are not) */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   seedCol: String = "node", maxHops: Int = 10,
+                   directed: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (directed) fwd
+             else fwd.unionByName(fwd.select(col("dst").as("src"),
+               col("src").as("dst"))))
+      .distinct()
+      // the walk probes this table once per round — persist so the
+      // caller's edge expression (often a join/agg) derives exactly once
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .withColumn("hop", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1L
+    var drained = frontier.isEmpty
+    while (!drained && h <= maxHops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+      explainIter(next, (h - 1).toInt)
+      val grown = dist.unionByName(next).localCheckpoint(true)
+      // the new frontier reads the checkpointed union (hop = h slice), so
+      // the pre-union rounds' blocks are dead once `grown` materializes
+      val nf = grown.filter(col("hop") === h)
+      drained = nf.isEmpty
+      freeCheckpoint(dist)
+      dist = grown
+      frontier = nf
+      h += 1
+    }
+    e.unpersist()
+    dist
+  }
 }

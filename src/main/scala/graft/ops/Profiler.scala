@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -109,6 +109,169 @@ object Profiler {
         when(col("bin") === (bins - 1).toLong, lit(mx))
           .otherwise(lit(mn) + (col("bin") + 1) * width).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Equi-depth (equal-frequency) histogram — the quantile-bucket sibling
+    * of [[histogram]]: cell boundaries follow the DATA's mass, so a
+    * heavy-tailed column (where equi-width piles 99% of rows into bin 0)
+    * still resolves its bulk. The standard input to drift metrics ([[psi]])
+    * and optimizer statistics (equi-depth is what ANALYZE actually builds).
+    *
+    * Value-keyed assignment (the deterministic form): distinct values in
+    * ascending order carry their exact cumulative count-before, and a
+    * value's cell is `floor(cum_before * cells / n)` — pure long
+    * arithmetic, identical on both engines, no row-level tie ambiguity
+    * (every copy of a value lands in ONE cell, so a heavy value may
+    * swallow several cells' mass and leave later cells empty — those are
+    * densified at n = 0, the q96 discipline). Output per cell:
+    * `(cell, lo, hi, n, n_values)` with lo/hi the actual min/max data
+    * values inside (NULL for empty cells).
+    *
+    * Shape: one value-keyed agg, then [[PrefixSum.runningSum]] for the
+    * cumulative counts — the distinct-values frame never funnels through a
+    * single-partition global window (the L123 scale rationale) — then a
+    * cells-sized agg densified against a generated grid. NULLs excluded
+    * (their count is [[profile]]'s job). */
+  def histogramEquiDepth(df: DataFrame, valueCol: String,
+                         cells: Int): DataFrame = {
+    require(cells >= 1, s"histogramEquiDepth: cells must be >= 1, got $cells")
+    val spark = df.sparkSession
+    val grid = spark.range(cells.toLong).toDF("cell")
+    val vc = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // 1-row scalar agg collected to a literal (the [[histogram]] min/max
+    // precedent): n binds into the cell arithmetic as a constant
+    val nRow = vc.agg(sum(col("c"))).collect()(0)
+    if (nRow.isNullAt(0))
+      return grid.select(col("cell"),
+        lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+        lit(0L).as("n"), lit(0L).as("n_values"))
+    val n = nRow.getLong(0)
+    val cum = PrefixSum.runningSum(vc, Seq("v"), "c", "__cum")
+    // integer `div`, not `/`: Spark's `/` on longs is double division, and
+    // floor(double) at 2^53-scale products would silently mis-bin
+    val assigned = cum.select(col("v"), col("c"),
+      expr(s"((__cum - c) * ${cells}L) div ${n}L").as("cell"))
+    val agg = assigned.groupBy(col("cell"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n"), count(lit(1)).as("n_values"))
+    grid.join(agg, Seq("cell"), "left")
+      .select(col("cell"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_values"), lit(0L)).as("n_values"))
+  }
+
+  /** Population Stability Index — THE production ML drift metric: how far
+    * a numeric column's distribution moved between a reference snapshot
+    * (training time) and a current one (serving time), over quantile bins
+    * fixed by the REFERENCE (the standard convention — bins follow where
+    * the reference's mass sat, so "the tail grew" is visible as mass
+    * entering a previously-thin bin). Industry folklore thresholds:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted. Complements
+    * [[graft.ops.SchemaDrift]] (shape/null drift) and
+    * [[graft.ops.Overlap.lexicalDrift]] (token drift) with the numeric
+    * leg.
+    *
+    * Bin edges are the reference's [[histogramEquiDepth]] cell maxima
+    * (deterministic actual data values); a value's bin is the count of
+    * edges strictly below it — a row-local sum of `bins - 1` comparisons
+    * against collected literals (bounded driver collect, the q175 min/max
+    * precedent; no join, whole-stage codegen'd). Frequencies floor at
+    * `eps` so empty bins contribute a finite penalty instead of ±∞ (the
+    * standard PSI smoothing). Per-bin `term = (p_cur - p_ref) ·
+    * ln(p_cur / p_ref)` rounded at 6 dp (cross-engine `ln` discipline of
+    * [[Overlap.lexicalDrift]]); total PSI = Σ terms, left to the caller
+    * (per-bin rows show WHERE the drift lives).
+    *
+    * Shape: the reference pass is [[histogramEquiDepth]]'s (value-keyed
+    * agg + prefix sum); each side then pays one row-local bin assignment
+    * + one bins-sized count agg. Nothing corpus-sized shuffles. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, bins: Int,
+          eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"psi: bins must be >= 2, got $bins")
+    require(eps > 0.0, s"psi: eps must be > 0, got $eps")
+    // edges: reference cell maxima for cells 0..bins-2; empty trailing
+    // cells contribute no edge (heavy values swallowed their mass — the
+    // assignment below then simply never reaches those bins on either side)
+    val edges: Seq[Double] = histogramEquiDepth(ref, valueCol, bins)
+      .filter(col("cell") < (bins - 1).toLong && col("hi").isNotNull)
+      .orderBy(col("cell"))
+      .select(col("hi")).collect().map(_.getDouble(0)).toSeq
+    def binOf(v: Column): Column =
+      edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(v > lit(e), 1).otherwise(0)
+      }.cast("long")
+    def sideCounts(df: DataFrame, outCol: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      df.filter(v.isNotNull).select(binOf(v).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(outCol))
+    }
+    val spark = ref.sparkSession
+    val grid = spark.range(bins.toLong).toDF("bin")
+    val r = sideCounts(ref, "n_ref")
+    val c = sideCounts(cur, "n_cur")
+    val withN = grid.join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // bin totals are bins-sized: the window runs over ≤ `bins` rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val p = greatest(col("n_ref").cast("double") /
+      sum(col("n_ref")).over(w).cast("double"), lit(eps))
+    val q = greatest(col("n_cur").cast("double") /
+      sum(col("n_cur")).over(w).cast("double"), lit(eps))
+    withN.select(col("bin"), col("n_ref"), col("n_cur"),
+      round(p, 9).as("p_ref"), round(q, 9).as("p_cur"),
+      round((round(q, 9) - round(p, 9)) * log(round(q, 9) / round(p, 9)), 6)
+        .as("term"))
+  }
+
+  /** Functional-dependency / key discovery — the data-profiling step that
+    * finds STRUCTURE, not just per-column stats: does `det → dep` hold
+    * (every determinant value maps to exactly one dependent value)? Is a
+    * column a candidate key? Denormalized warehouse tables are full of
+    * latent FDs (city → country, key → name), and a VIOLATED expected FD
+    * is a classic dirty-feed tell — the reference's airport lookup
+    * (SURVEY §2.3 J4) silently assumes `iata → airport_name`.
+    *
+    * One row per requested pair: `(determinant, dependent, n, n_det,
+    * n_pairs, n_extra, holds)` where `n_det` = distinct determinant
+    * values, `n_pairs` = distinct (det, dep) combinations, and the FD
+    * holds iff they are equal (`n_extra` = how many extra mappings exist
+    * — the violation mass). NULLs count as regular values via struct
+    * wrapping (a NULL-keyed group that maps to two names is exactly as
+    * broken as a real-keyed one). `n_det = n` certifies a candidate key.
+    *
+    * Shape: ONE aggregation pass carrying every pair's two distinct
+    * counts (the [[profile]] discipline). Exact distinct compiles to
+    * Spark's multi-distinct Expand — rows × (2·pairs) before partial
+    * aggregation, the exact answer's price at audit scale; callers
+    * checking MANY pairs on huge tables should batch them. */
+  def functionalDeps(df: DataFrame,
+                     pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDeps: need at least one pair")
+    pairs.foreach { case (a, b) =>
+      require(df.columns.contains(a) && df.columns.contains(b),
+        s"functionalDeps: unknown column in pair ($a, $b)")
+      require(a != b, s"functionalDeps: pair ($a, $b) is degenerate")
+    }
+    val aggs = count(lit(1)).as("n__") +: pairs.zipWithIndex.flatMap {
+      case ((a, b), i) =>
+        Seq(count_distinct(struct(col(a))).as(s"nd__$i"),
+          count_distinct(struct(col(a), col(b))).as(s"np__$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("determinant"), lit(b).as("dependent"),
+        col("n__").as("n"),
+        col(s"nd__$i").as("n_det"), col(s"np__$i").as("n_pairs"),
+        (col(s"np__$i") - col(s"nd__$i")).as("n_extra"),
+        (col(s"np__$i") === col(s"nd__$i")).as("holds"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
   /** Benford first-digit expectations, `log10(1 + 1/d)` — computed once

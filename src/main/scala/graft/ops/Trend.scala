@@ -49,4 +49,84 @@ object Trend {
         (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
           col("n_points").cast("double")).as("intercept")): _*)
   }
+
+  /** Single change-point detection per group — binary segmentation's first
+    * step (the offline CUSUM alternative whose decision is a closed-form
+    * window computation, not a per-row recurrence): over the group's
+    * series ordered by integer `xCol`, find the split that maximizes the
+    * absolute difference between the left and right segment means. "WHEN
+    * did this metric step" is the follow-up question to [[linearTrend]]'s
+    * "is it moving" and [[Outliers]]' "which points are wild" — a deploy
+    * that doubled error rates is a mean STEP, invisible to a global slope
+    * and too sustained for point outliers.
+    *
+    * Output per group: `(groupCols…, n_points, split_x = last x of the
+    * left segment, n_left, n_right, mean_left, mean_right, delta)`; NULL
+    * split row (with means NULL) for a group with < 2 points — no split
+    * exists. Ties on delta break toward the EARLIEST split (deterministic;
+    * the first moment the level changed).
+    *
+    * Exactness: y sums are exact longs via a cumulative window (long
+    * addition is order-free), each candidate's means are single double
+    * divisions of exact longs, and the argmax orders by (delta DESC, x
+    * ASC) over engine-identical doubles — the [[linearTrend]] discipline
+    * extended to a per-row candidate scan.
+    *
+    * == 100 TB shape ==
+    * One group-partitioned window sort (per-series locality, the L34 /
+    * L156 shape) computing prefix sums, then a groups-sized argmax reduce
+    * (`max_by` on a packed struct — map-side combined, no second sort).
+    * Feed it pre-aggregated series (daily counts), not raw events. */
+  def changePoint(df: DataFrame, xCol: String, yCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "changePoint: need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val ord = Window.partitionBy(gs: _*).orderBy(col(xCol).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(gs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scanned = df
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col(yCol).cast("long")).over(run))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__tot", sum(col(yCol).cast("long")).over(all))
+    // candidate splits: every position but the last (right side non-empty)
+    val cand = scanned.filter(col("__i") < col("__n"))
+      .withColumn("__ml", col("__cum").cast("double") /
+        col("__i").cast("double"))
+      .withColumn("__mr", (col("__tot") - col("__cum")).cast("double") /
+        (col("__n") - col("__i")).cast("double"))
+      .withColumn("__delta", abs(col("__mr") - col("__ml")))
+    // argmax by (delta desc, x asc): max_by over a packed struct — struct
+    // ordering compares fields in sequence, so negate x for the tie-break
+    val best = cand.groupBy(gs: _*)
+      .agg(max(col("__n")).as("n_points"),
+        max_by(
+          struct(col("__i"), col(xCol).cast("long").as("x"),
+            col("__ml"), col("__mr"), col("__delta")),
+          struct(col("__delta"), (-col(xCol).cast("long")).as("nx"),
+            (-col("__i")).as("ni")))
+          .as("__b"))
+    val empty = df.groupBy(gs: _*).agg(count(lit(1)).as("n_points"))
+      .join(best.select(gs: _*), groupCols, "left_anti")
+      .select((gs :+ col("n_points")): _*)
+    val found = best.select((gs ++ Seq(
+      col("n_points"),
+      col("__b.x").as("split_x"),
+      col("__b.__i").as("n_left"),
+      (col("n_points") - col("__b.__i")).as("n_right"),
+      col("__b.__ml").as("mean_left"),
+      col("__b.__mr").as("mean_right"),
+      col("__b.__delta").as("delta"))): _*)
+    // groups with < 2 points have no candidate rows: emit the NULL-split row
+    found.unionByName(empty
+      .select((gs ++ Seq(col("n_points"),
+        lit(null).cast("long").as("split_x"),
+        lit(null).cast("long").as("n_left"),
+        lit(null).cast("long").as("n_right"),
+        lit(null).cast("double").as("mean_left"),
+        lit(null).cast("double").as("mean_right"),
+        lit(null).cast("double").as("delta"))): _*))
+  }
 }

@@ -355,4 +355,31 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(g4 === Set((3L, 3L, 1.0)))
   }
+
+  test("bfsDistances: min-hop labels, direction, hop cap, early drain, cycles terminate") {
+    import spark.implicits._
+    // chain a->b->c->d plus a shortcut a->c and a cycle d->a
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    def run(maxHops: Int, directed: Boolean = true) =
+      Graph.bfsDistances(edges, seeds, maxHops = maxHops,
+          directed = directed).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shortcut wins: c is 1 hop, not 2; the d->a back-edge can't relabel a
+    assert(run(10) === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // hop cap: d (2 hops) is out of a 1-hop ball
+    assert(run(1) === Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+    // undirected: the d->a edge also walks a->d
+    assert(run(10, directed = false) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    // unreached components are absent; multiple seeds fold by min hop
+    val two = Seq(("a", "b"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val got = Graph.bfsDistances(two, Seq("a", "c", "b").toDF("node"),
+        maxHops = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 1L))
+    // maxHops = 0: just the seed labels
+    assert(run(0) === Map("a" -> 0L))
+  }
 }

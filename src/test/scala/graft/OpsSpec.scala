@@ -3985,4 +3985,138 @@ class OpsSpec extends SparkSpec {
     assert(String.valueOf(ex.getMessage).contains("pairStats") ||
       String.valueOf(ex.getCause).contains("pairStats"))
   }
+
+  test("histogramEquiDepth: even split, heavy value swallows cells, densified empties, all-NULL") {
+    import graft.ops.Profiler
+    // 8 distinct values into 4 cells of 2: cell k = {2k+1, 2k+2}
+    val even = Profiler.histogramEquiDepth(
+        (1 to 8).map(_.toDouble).toDF("x"), "x", 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(even(0L) === ((1.0, 2.0, 2L, 2L)))
+    assert(even(1L) === ((3.0, 4.0, 2L, 2L)))
+    assert(even(2L) === ((5.0, 6.0, 2L, 2L)))
+    assert(even(3L) === ((7.0, 8.0, 2L, 2L)))
+    // 6 copies of 1.0 + {2, 3}: value 1 pins cell 0 with 3/4 of the mass,
+    // cells 1-2 are swallowed (densified empty), 2 and 3 land in cell 3
+    val heavy = Profiler.histogramEquiDepth(
+        (Seq.fill(6)(1.0) ++ Seq(2.0, 3.0)).toDF("x"), "x", 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))).toMap
+    assert(heavy(0L) === ((6L, 1L, Some(1.0))))
+    assert(heavy(1L) === ((0L, 0L, None)))
+    assert(heavy(2L) === ((0L, 0L, None)))
+    assert(heavy(3L) === ((2L, 2L, Some(2.0))))
+    // empty / all-NULL input: full grid, NULL bounds, zero counts
+    val nul = Profiler.histogramEquiDepth(
+      Seq[Option[Double]](None, None).toDF("x"), "x", 3).collect()
+    assert(nul.length === 3 && nul.forall(r =>
+      r.isNullAt(1) && r.isNullAt(2) && r.getLong(3) === 0L))
+  }
+
+  test("psi: identical distributions score 0, a full shift scores large, eps keeps terms finite") {
+    import graft.ops.Profiler
+    val ref = (1 to 10).map(_.toDouble).toDF("x")
+    val same = Profiler.psi(ref, ref, "x", bins = 5).collect()
+    assert(same.length === 5)
+    assert(same.forall(_.getDouble(5) === 0.0)) // p = q in every bin
+    assert(same.map(_.getLong(1)).sum === 10L)
+    // all current mass beyond the last reference edge -> bin 4
+    val shifted = Profiler.psi(ref, Seq.fill(10)(9.5).toDF("x"), "x", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(shifted(4L)._2 === 10L && shifted(0L)._2 === 0L)
+    // every term finite (eps floor), total well past the 0.25 "shifted" bar
+    val total = shifted.values.map(_._3).sum
+    assert(!total.isInfinite && total > 0.25)
+  }
+
+  test("functionalDeps: key certified, violation mass counted, NULL determinants are values") {
+    import graft.ops.Profiler
+    val df = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"),
+      (4L, "x", "q")).toDF("id", "a", "b")
+    val got = Profiler.functionalDeps(df,
+        Seq(("id", "a"), ("a", "b"), ("b", "a"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // id is a key: 4 distinct ids over 4 rows, pairs add nothing
+    assert(got(("id", "a")) === ((4L, 4L, 4L, 0L, true)))
+    // a -> b violated: x maps to both p and q
+    assert(got(("a", "b")) === ((4L, 2L, 3L, 1L, false)))
+    // b -> a violated: q maps to both y and x
+    assert(got(("b", "a")) === ((4L, 2L, 3L, 1L, false)))
+    // a NULL determinant mapping to two dependents is a violation like any
+    val withNull = Seq((Option.empty[String], "p"), (None, "q"),
+      (Some("k"), "p")).toDF("a", "b")
+    val nd = Profiler.functionalDeps(withNull, Seq(("a", "b"))).collect()(0)
+    assert(nd.getLong(3) === 2L && nd.getLong(4) === 3L && !nd.getBoolean(6))
+  }
+
+  test("interpolate: interior linear fill, edges stay NULL, duplicate x fails loudly") {
+    import graft.ops.EventWindows
+    val s = Seq(("g", 0L, Some(1.0)), ("g", 1L, None), ("g", 2L, None),
+      ("g", 3L, Some(7.0)), ("g", 4L, None),
+      ("h", 0L, None), ("h", 1L, Some(5.0)))
+      .toDF("grp", "x", "v")
+    val got = EventWindows.interpolate(s, "x", "v", Seq("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))))
+      .toMap
+    assert(got(("g", 0L)) === ((Some(1.0), "observed")))
+    assert(got(("g", 1L)) === ((Some(3.0), "interpolated")))
+    assert(got(("g", 2L)) === ((Some(5.0), "interpolated")))
+    assert(got(("g", 3L)) === ((Some(7.0), "observed")))
+    assert(got(("g", 4L)) === ((None, "edge")))      // trailing: no next anchor
+    assert(got(("h", 0L)) === ((None, "edge")))      // leading: no prev anchor
+    assert(got(("h", 1L)) === ((Some(5.0), "observed")))
+    // duplicate x within a series is a caller bug, not data
+    val ex = intercept[Exception] {
+      EventWindows.interpolate(
+        Seq(("g", 1L, Some(1.0)), ("g", 1L, Some(2.0))).toDF("grp", "x", "v"),
+        "x", "v", Seq("grp")).count()
+    }
+    assert(String.valueOf(ex.getMessage).contains("duplicate") ||
+      String.valueOf(ex.getCause).contains("duplicate"))
+  }
+
+  test("changePoint: step found at the step, all-tie breaks earliest, single point NULL row") {
+    import graft.ops.Trend
+    val step = Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 3L, 1L),
+      ("s", 4L, 9L), ("s", 5L, 9L),
+      ("flat", 1L, 3L), ("flat", 2L, 3L), ("flat", 3L, 3L),
+      ("one", 7L, 42L)).toDF("g", "x", "y")
+    val got = Trend.changePoint(step, "x", "y", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(1) === 5L && s.getLong(2) === 3L &&
+      s.getLong(3) === 3L && s.getLong(4) === 2L)
+    assert(s.getDouble(5) === 1.0 && s.getDouble(6) === 9.0 &&
+      s.getDouble(7) === 8.0)
+    // constant series: every split's delta is exactly 0.0 -> earliest wins
+    val f = got("flat")
+    assert(f.getLong(2) === 1L && f.getDouble(7) === 0.0)
+    // single-point group: no split exists
+    val o = got("one")
+    assert(o.getLong(1) === 1L && o.isNullAt(2) && o.isNullAt(7))
+  }
+
+  test("scaleFeatures: hand-checked z and unit, zero-variance NULLs, group independence") {
+    import graft.ops.Encoding
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 4.0))
+      .toDF("g", "x")
+    val got = Encoding.scaleFeatures(df, "x", Seq("g")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // group a: mean 2, population var 2/3
+    val sd = math.sqrt(2.0 / 3.0)
+    def r9(d: Double) = BigDecimal(d).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", 1.0)) === ((Some(r9((1.0 - 2.0) / sd)), Some(0.0))))
+    assert(got(("a", 2.0)) === ((Some(0.0), Some(0.5))))
+    assert(got(("a", 3.0)) === ((Some(r9((3.0 - 2.0) / sd)), Some(1.0))))
+    // group b: zero variance and min = max -> NULL z and unit
+    assert(got(("b", 4.0)) === ((None, None)))
+  }
 }
