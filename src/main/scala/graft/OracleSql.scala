@@ -2650,6 +2650,112 @@ object OracleSql {
         THEN round((o_totalprice - mn) / (mx - mn), 9) END AS unit
     FROM j"""
 
+  /** Join-size profile — q191. Per-side key counts, exact join size
+    * Σ c_L·c_R, top contributors by (join_rows DESC, key). */
+  private val q191 = """
+    WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        CAST(count(*) AS BIGINT) AS n_left
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+        CAST(count(*) AS BIGINT) AS n_right
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    b AS (SELECT key, n_left, n_right,
+        CAST(n_left * n_right AS BIGINT) AS join_rows
+      FROM l JOIN r USING (key)),
+    s AS (SELECT CAST(coalesce(sum(join_rows), 0) AS BIGINT)
+          AS total_join_rows,
+        CAST(count(*) AS BIGINT) AS n_matching_keys FROM b),
+    t AS (SELECT *, row_number() OVER (ORDER BY join_rows DESC, key) AS rank
+      FROM b)
+    SELECT CAST(rank AS BIGINT) AS rank, key, n_left, n_right, join_rows,
+      round(CAST(join_rows AS DOUBLE) / CAST(total_join_rows AS DOUBLE), 6)
+        AS share,
+      total_join_rows, n_matching_keys
+    FROM t CROSS JOIN s WHERE rank <= 10"""
+
+  /** Distinctive terms — q192. Monroe et al. log-odds with the
+    * pooled-proportional Dirichlet prior (α0 = 100), z from the UNROUNDED
+    * delta, both cuts ordered by the rounded z with token tie-break. */
+  private val q192 = s"""
+    WITH toks AS (SELECT source AS g,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')),
+    c AS (SELECT tok AS token,
+        CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+        CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS y_b
+      FROM toks WHERE tok <> '' GROUP BY 1),
+    t AS (SELECT CAST(sum(y_a) AS BIGINT) AS n_a,
+        CAST(sum(y_b) AS BIGINT) AS n_b FROM c),
+    raw AS (SELECT token, y_a, y_b,
+        ln((CAST(y_a AS DOUBLE) + 100.0 * CAST(y_a + y_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+           / (CAST(n_a AS DOUBLE) + 100.0 - (CAST(y_a AS DOUBLE)
+              + 100.0 * CAST(y_a + y_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))))
+        - ln((CAST(y_b AS DOUBLE) + 100.0 * CAST(y_a + y_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+           / (CAST(n_b AS DOUBLE) + 100.0 - (CAST(y_b AS DOUBLE)
+              + 100.0 * CAST(y_a + y_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))) AS d,
+        CAST(y_a AS DOUBLE) + 100.0 * CAST(y_a + y_b AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS ya,
+        CAST(y_b AS DOUBLE) + 100.0 * CAST(y_a + y_b AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS yb
+      FROM c CROSS JOIN t),
+    sc AS (SELECT token, y_a, y_b, round(d, 6) AS delta,
+        round(d / sqrt(1.0 / ya + 1.0 / yb), 6) AS z FROM raw),
+    ca AS (SELECT 'a' AS side,
+        CAST(row_number() OVER (ORDER BY z DESC, token) AS BIGINT) AS rank,
+        token, y_a, y_b, delta, z FROM sc
+      ORDER BY z DESC, token LIMIT 15),
+    cb AS (SELECT 'b' AS side,
+        CAST(row_number() OVER (ORDER BY z ASC, token) AS BIGINT) AS rank,
+        token, y_a, y_b, delta, z FROM sc
+      ORDER BY z ASC, token LIMIT 15)
+    SELECT * FROM ca UNION ALL SELECT * FROM cb"""
+
+  /** Calibration report — q193. The q72 classifier scores joined to the
+    * true en/non-en labels, q175 equal-width bins over the observed score
+    * range, Wilson intervals from the operator's own frozen z constant. */
+  private val q193 = {
+    val z = graft.ops.Classifier.WilsonZ
+    s"""
+    WITH $q72Ctes,
+    scored AS (SELECT sc.doc_id,
+        CAST(round(CAST(s AS DOUBLE) / n, 6) AS DOUBLE) AS v,
+        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+    mm AS (SELECT min(v) AS mn, max(v) AS mx FROM scored),
+    c AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+          ELSE least(CAST(floor((v - mm.mn) / ((mm.mx - mm.mn) / 8))
+            AS BIGINT), 7) END AS bin,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM scored CROSS JOIN mm GROUP BY 1),
+    grid AS (SELECT unnest(generate_series(0, 7)) AS bin, mn, mx FROM mm),
+    f AS (SELECT CAST(grid.bin AS BIGINT) AS bin,
+        grid.mn + grid.bin * ((grid.mx - grid.mn) / 8) AS lo,
+        CASE WHEN grid.bin = 7 THEN grid.mx
+             ELSE grid.mn + (grid.bin + 1) * ((grid.mx - grid.mn) / 8)
+        END AS hi,
+        c.n, c.n_pos,
+        CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS p,
+        CAST(c.n AS DOUBLE) AS nd
+      FROM grid LEFT JOIN c ON grid.bin = c.bin)
+    SELECT bin, lo, hi,
+      CAST(coalesce(n, 0) AS BIGINT) AS n,
+      CAST(coalesce(n_pos, 0) AS BIGINT) AS n_pos,
+      CASE WHEN n IS NOT NULL THEN round(p, 6) END AS rate,
+      CASE WHEN n IS NOT NULL THEN round(
+        (p + $z * $z / (2.0 * nd)) / (1.0 + $z * $z / nd)
+          - $z * sqrt(p * (1.0 - p) / nd + $z * $z / (4.0 * nd * nd))
+            / (1.0 + $z * $z / nd), 6) END AS wilson_lo,
+      CASE WHEN n IS NOT NULL THEN round(
+        (p + $z * $z / (2.0 * nd)) / (1.0 + $z * $z / nd)
+          + $z * sqrt(p * (1.0 - p) / nd + $z * $z / (4.0 * nd * nd))
+            / (1.0 + $z * $z / nd), 6) END AS wilson_hi
+    FROM f"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -3366,8 +3472,12 @@ object OracleSql {
     * (per-side ln rounded to 9 dp as DECIMAL(20,9), full-outer over seen
     * buckets, count-0 default for unseen), exact decimal per-doc logits,
     * mean-pooled score as ONE double division of exact inputs. */
-  private val q72 = s"""
-    WITH toks AS (SELECT doc_id, lang,
+  /** Shared fastText-shaped classifier CTE chain (fit en vs non-en, score
+    * every document) — the q72 pipeline, reused verbatim by q193's
+    * calibration so the two can never drift apart. */
+  // lazy: referenced by q193, which is declared earlier in the file —
+  // an eager val here would interpolate as null at object-init time
+  private lazy val q72Ctes = s"""toks AS (SELECT doc_id, lang,
         unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
     bt AS (SELECT doc_id, lang,
         ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS b FROM toks),
@@ -3389,7 +3499,10 @@ object OracleSql {
     sc AS (SELECT db.doc_id,
         SUM(db.cnt * COALESCE(w.w, w0.w0)) AS s,
         CAST(SUM(db.cnt) AS BIGINT) AS n
-      FROM db LEFT JOIN w ON db.b = w.b CROSS JOIN w0 GROUP BY 1)
+      FROM db LEFT JOIN w ON db.b = w.b CROSS JOIN w0 GROUP BY 1)"""
+
+  private val q72 = s"""
+    WITH $q72Ctes
     SELECT doc_id, n AS n_features,
       CAST(round(s, 6) AS DOUBLE) AS logit,
       CAST(round(CAST(s AS DOUBLE) / n, 6) AS DOUBLE) AS score,
@@ -4487,6 +4600,9 @@ object OracleSql {
     "q187_functional_deps"  -> q187,
     "q188_interpolate"      -> q188,
     "q189_change_point"     -> q189,
-    "q190_scale_features"   -> q190
+    "q190_scale_features"   -> q190,
+    "q191_join_cardinality" -> q191,
+    "q192_distinctive_terms" -> q192,
+    "q193_calibration"      -> q193
   ).map { case (k, v) => k -> clean(v) }
 }

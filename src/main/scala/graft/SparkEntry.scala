@@ -3165,6 +3165,35 @@ object SparkEntry {
         col("o_totalprice")),
       "o_totalprice", Seq("o_orderstatus"))
 
+  /** Exact join-size profile ([[graft.ops.Skew.joinCardinality]]): the
+    * events⋈orders customer-key join costed WITHOUT running it — per-side
+    * key counts, Σ c_L·c_R total, top-10 contributing keys hash-pinned. */
+  private def q191JoinCardinality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.joinCardinality(
+      events(s, dir).select(col("user_id")),
+      t(s, dir, "orders").select(col("o_custkey").as("user_id")),
+      "user_id", topK = 10)
+
+  /** Distinctive terms ([[graft.ops.Lexicon.distinctiveTerms]]): Monroe et
+    * al. prior-shrunk z-scored log-odds between two document sources, both
+    * top-15 cuts hash-pinned (token counts, delta, z). */
+  private def q192DistinctiveTerms(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Lexicon.distinctiveTerms(t(s, dir, "documents"),
+      groupA = "src0", groupB = "src1", k = 15)
+
+  /** Classifier calibration ([[graft.ops.Classifier.calibrationReport]]):
+    * the q72 en-vs-non-en scores binned over their observed range, per-bin
+    * positive rates + Wilson intervals hash-pinned. */
+  private def q193Calibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = graft.ops.Classifier.fitLogOdds(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"))
+    val scored = graft.ops.Classifier.scoreDocs(docs, w)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+    graft.ops.Classifier.calibrationReport(scored, "score", "y", bins = 8)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3355,7 +3384,10 @@ object SparkEntry {
     "q187_functional_deps"  -> q187FunctionalDeps _,
     "q188_interpolate"      -> q188Interpolate _,
     "q189_change_point"     -> q189ChangePoint _,
-    "q190_scale_features"   -> q190ScaleFeatures _
+    "q190_scale_features"   -> q190ScaleFeatures _,
+    "q191_join_cardinality" -> q191JoinCardinality _,
+    "q192_distinctive_terms" -> q192DistinctiveTerms _,
+    "q193_calibration"      -> q193Calibration _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -163,4 +163,70 @@ object Classifier {
       .filter(col("label")).select(col(idCol))
     docs.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** 95% two-sided normal quantile, frozen as the operator's own constant
+    * and interpolated into the oracle (the
+    * [[graft.ops.Profiler.BenfordExpected]] literal discipline — no
+    * cross-engine inverse-normal). */
+  private[graft] val WilsonZ: Double = 1.959963985
+
+  /** Classifier calibration report — does the SCORE mean anything, or just
+    * the sign? A quality classifier whose 0.9-bucket is 60% positive
+    * over-filters exactly the way a miscalibrated [[fitLogOdds]] model
+    * silently would; mixture pipelines that threshold on score (L57's
+    * filter form) need the score → positive-rate curve, with uncertainty,
+    * before picking the threshold.
+    *
+    * Equal-width score bins over the observed [min, max] (the q175
+    * histogram arithmetic: last cell closed, degenerate range → bin 0,
+    * empty bins densified with NULL stats), each bin carrying its exact
+    * counts, observed positive rate, and the WILSON score interval —
+    * `(p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n)` — the standard
+    * small-n-safe binomial interval (a plain normal interval collapses to
+    * zero width on 0/0 and escapes [0,1] near the edges). Every statistic
+    * is a fixed dag of double ops over exact longs, rounded at 6 dp.
+    *
+    * Scale shape: one min/max scalar agg, one row-local bin assignment +
+    * bins-sized count agg, densified against the generated grid (two
+    * scans, nothing corpus-sized shuffles). */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+                        labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"calibrationReport: bins must be >= 1, got $bins")
+    val v = col(scoreCol).cast("double")
+    val row = scored.filter(v.isNotNull).agg(min(v), max(v)).collect()(0)
+    val spark = scored.sparkSession
+    val grid = spark.range(bins.toLong).toDF("bin")
+    val nullD = lit(null).cast("double")
+    if (row.isNullAt(0))
+      return grid.select(col("bin"), nullD.as("lo"), nullD.as("hi"),
+        lit(0L).as("n"), lit(0L).as("n_pos"), nullD.as("rate"),
+        nullD.as("wilson_lo"), nullD.as("wilson_hi"))
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val width = (mx - mn) / bins
+    val binNo =
+      if (mx == mn) lit(0L)
+      else least(floor((col("__v") - mn) / width), lit((bins - 1).toLong))
+    val counts = scored.select(v.as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .filter(col("__v").isNotNull)
+      .groupBy(binNo.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val z = lit(WilsonZ)
+    val nD = col("n").cast("double")
+    val p = col("n_pos").cast("double") / nD
+    val denom = lit(1.0) + z * z / nD
+    val center = (p + z * z / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      z * z / (lit(4.0) * nD * nD)) / denom
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(mn) + col("bin") * width).as("lo"),
+        when(col("bin") === (bins - 1).toLong, lit(mx))
+          .otherwise(lit(mn) + (col("bin") + 1) * width).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(col("n").isNotNull, round(p, 6)).as("rate"),
+        when(col("n").isNotNull, round(center - half, 6)).as("wilson_lo"),
+        when(col("n").isNotNull, round(center + half, 6)).as("wilson_hi"))
+  }
 }

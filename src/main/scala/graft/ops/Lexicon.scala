@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -202,5 +202,66 @@ object Lexicon {
         round(col("__slope"), 6).as("slope"),
         round((col("sy") - col("__slope") * col("sx")) / col("n").cast("double"), 6)
           .as("intercept"))
+  }
+
+  /** Distinctive terms between two corpora — Monroe, Colaresi & Quinn 2008
+    * ("Fightin' Words"): log-odds-ratio with an informative Dirichlet
+    * prior, z-scored. THE corpus-comparison statistic that plain frequency
+    * ratios get wrong twice over — rare words dominate raw ratios, and
+    * χ²/plain log-odds overweight the high-frequency head; the pooled
+    * prior shrinks rare-word noise and the per-word variance normalizes
+    * the head.
+    *
+    *   α_w   = α0 · y_w / N                    (pooled-proportional prior)
+    *   δ_w   = ln[(y_aw+α_w)/(n_a+α0−y_aw−α_w)]
+    *         − ln[(y_bw+α_w)/(n_b+α0−y_bw−α_w)]
+    *   σ²_w  ≈ 1/(y_aw+α_w) + 1/(y_bw+α_w)
+    *   z_w   = δ_w / √σ²_w
+    *
+    * Every input count is an exact long; the formula is a fixed dag of
+    * double ops (engine-identical), z rounded at 6 dp (the L77 ln
+    * discipline). Output: top-`k` most A-distinctive (side "a", z desc)
+    * and top-`k` most B-distinctive (side "b", z asc) as
+    * `(side, rank, token, y_a, y_b, delta, z)` — ties break on the token
+    * string, both cuts TakeOrderedAndProject.
+    *
+    * Scale shape: ONE token-keyed agg over both corpora (map-side
+    * combined, vocabulary-sized), scalar totals broadcast, row-local
+    * arithmetic on the vocabulary frame, two bounded top-k cuts. */
+  def distinctiveTerms(docs: DataFrame, groupA: String, groupB: String,
+                       groupCol: String = "source", textCol: String = "text",
+                       alpha0: Double = 100.0, k: Int = 15): DataFrame = {
+    require(k >= 1, s"distinctiveTerms: k must be >= 1, got $k")
+    require(alpha0 > 0.0, s"distinctiveTerms: alpha0 must be > 0, got $alpha0")
+    require(groupA != groupB, "distinctiveTerms: groups must differ")
+    val counts = docs.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col(textCol),
+          lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("y_a"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("y_b"))
+      .localCheckpoint(true) // read by the totals agg AND both cuts
+    val tot = counts.agg(sum(col("y_a")).as("n_a"), sum(col("y_b")).as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val yw = (col("y_a") + col("y_b")).cast("double")
+    val alphaW = lit(alpha0) * yw / (na + nb)
+    val ya = col("y_a").cast("double") + alphaW
+    val yb = col("y_b").cast("double") + alphaW
+    val delta = log(ya / (na + alpha0 - ya)) - log(yb / (nb + alpha0 - yb))
+    val z = delta / sqrt(lit(1.0) / ya + lit(1.0) / yb)
+    val scored = counts.crossJoin(broadcast(tot))
+      .select(col("tok").as("token"), col("y_a"), col("y_b"),
+        round(delta, 6).as("delta"), round(z, 6).as("z"))
+      .localCheckpoint(true) // two ordered cuts over one derivation
+    def cut(side: String, ord: Seq[Column]) =
+      scored.orderBy(ord: _*).limit(k)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+        .select(lit(side).as("side"), col("rank").cast("long").as("rank"),
+          col("token"), col("y_a"), col("y_b"), col("delta"), col("z"))
+    cut("a", Seq(col("z").desc, col("token").asc))
+      .unionByName(cut("b", Seq(col("z").asc, col("token").asc)))
   }
 }

@@ -196,4 +196,112 @@ object Multimodal {
     import spark.implicits._
     decodeFeatures(asMediaTable(docs).as[MediaRow]).toDF()
   }
+
+  /** 64-bit perceptual difference hash (dHash) of a decoded image — the
+    * LAION-class image-dedup key: resize to a 9×8 grayscale grid, emit one
+    * bit per horizontally adjacent cell pair (`left < right`). Survives
+    * re-encoding, mild recompression, and small edits that change every
+    * payload byte (where [[byteFeatures]]' content hash sees a brand-new
+    * file), because it keys on the image's gradient STRUCTURE.
+    *
+    * The downsample is our own integer area-average (each cell = mean
+    * BT.601 luma over its exact pixel rectangle, integer arithmetic
+    * throughout) rather than `Graphics2D` interpolation: AWT's scaler makes
+    * no cross-platform bit-determinism promise, and a dedup key must be
+    * stable across JVMs and task retries. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cell = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+        val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+        var sum = 0L; var n = 0L; var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cell(cy)(cx) = if (n == 0) 0L else sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        bits = (bits << 1) | (if (cell(cy)(cx) < cell(cy)(cx + 1)) 1L else 0L)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hashes: `(media_id, dhash, decoded)` — payloads
+    * `ImageIO` cannot decode come back `decoded = false` with a NULL hash
+    * (garbage absorbs, the [[realDecode]] contract), so undecodable bytes
+    * can never alias into one "hash 0" dedup cluster. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null } // realDecode note
+        if (img != null && img.getWidth > 0 && img.getHeight > 0)
+          (r.media_id, Some(dHash64(img)), true)
+        else (r.media_id, Option.empty[Long], false)
+      }
+    }.toDF("media_id", "dhash", "decoded")
+  }
+
+  /** Near-duplicate image pairs by banded dHash + Hamming verify — the
+    * [[Dedup.simhashCandidates]] machinery pointed at pixels: the 64-bit
+    * hash splits into 4 × 16-bit bands, candidates share at least one
+    * exact band (pigeonhole: any pair within Hamming 3 is GUARANTEED a
+    * shared band; 4–`maxHamming` differ-bit pairs are caught only when
+    * their bits cluster — the documented recall bound, same as the L5
+    * text tier), and candidates verify row-locally with
+    * `bit_count(a XOR b) <= maxHamming`. Never all-pairs: the join is on
+    * the band key, bounded by bucket size like every dedup tier here.
+    *
+    * Returns `(id_a, id_b, hamming)` with `id_a < id_b`, one row per pair
+    * (distinct across bands). */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"imageNearDups: maxHamming must be in [0, 64], got $maxHamming")
+    val hashes = imageHashes(media).filter(col("decoded"))
+      .select(col("media_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    val pairs = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val out = pairs.localCheckpoint(true)
+    hashes.unpersist()
+    out
+  }
 }

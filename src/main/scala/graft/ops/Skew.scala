@@ -108,4 +108,49 @@ object Skew {
           / (col("total").cast("double") / col("n_keys").cast("double")), 6)
           .as("skew_factor"))
   }
+
+  /** Exact join-size profile — "will this join explode" BEFORE paying for
+    * it: `|L ⋈ R|` on an equi-key is exactly `Σ_k cL(k)·cR(k)`, so two
+    * per-key count aggregations and a key-count-sized join answer what the
+    * full join would cost, plus WHICH keys carry the blow-up (the hot keys
+    * [[saltedJoin]] then needs salts for). The planner's join-cardinality
+    * estimate, made exact and surfaced as data — the companion of
+    * [[skewReport]] (one table's key mass) for the two-table question.
+    *
+    * One summary row per top contributing key: `(rank, key, n_left,
+    * n_right, join_rows, share)` — `share` of the total join size — plus
+    * the grand totals repeated per row (a report, not a join input). Keys
+    * absent from either side contribute 0 and are left out (they cannot
+    * appear in an inner join). NULL keys likewise (equi-joins drop them).
+    *
+    * Scale shape: each side collapses to its distinct-key counts
+    * (map-side-combined agg, key-count-sized), the count tables join on
+    * the key (AQE broadcasts the smaller), and the top-k cut is
+    * TakeOrderedAndProject — the fact tables are scanned ONCE each and
+    * never joined. */
+  def joinCardinality(left: DataFrame, right: DataFrame, key: String,
+                      topK: Int = 10): DataFrame = {
+    require(topK > 0, s"joinCardinality: topK must be > 0, got $topK")
+    def sideCounts(df: DataFrame, out: String) =
+      df.select(col(key).cast("string").as("key"))
+        .filter(col("key").isNotNull)
+        .groupBy(col("key")).agg(count(lit(1)).as(out))
+    val both = sideCounts(left, "n_left")
+      .join(sideCounts(right, "n_right"), Seq("key"))
+      .withColumn("join_rows", col("n_left") * col("n_right"))
+      .localCheckpoint(true) // read by totals AND the top-k cut
+    val stats = both.agg(
+      coalesce(sum(col("join_rows")), lit(0L)).as("total_join_rows"),
+      count(lit(1)).as("n_matching_keys"))
+    val top = both.orderBy(col("join_rows").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("join_rows").desc, col("key"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("n_left"), col("n_right"),
+        col("join_rows"),
+        round(col("join_rows").cast("double")
+          / col("total_join_rows").cast("double"), 6).as("share"),
+        col("total_join_rows"), col("n_matching_keys"))
+  }
 }

@@ -4101,6 +4101,120 @@ class OpsSpec extends SparkSpec {
     assert(o.getLong(1) === 1L && o.isNullAt(2) && o.isNullAt(7))
   }
 
+  test("dHash: gradient structure pins the bits; near-dup pairs survive edits, not inversions") {
+    import graft.ops.Multimodal
+    def png(f: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = { val c = math.max(0, math.min(255, v)); (c << 16) | (c << 8) | c }
+    // luma strictly rising left->right: every left<right bit is 1
+    val rising = png((x, _) => gray(x * 8))
+    val risingImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rising))
+    assert(Multimodal.dHash64(risingImg) === -1L) // all 64 bits set
+    // falling gradient: every bit 0
+    val falling = png((x, _) => gray(255 - x * 8))
+    assert(Multimodal.dHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(falling))) === 0L)
+    // a small local edit: structure (and most bits) survive
+    val edited = png((x, y) => if (x < 3 && y < 3) gray(200) else gray(x * 8))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", rising, "t"),
+      Multimodal.MediaRow(2L, "image", edited, "t"),
+      Multimodal.MediaRow(3L, "image", falling, "t"),
+      Multimodal.MediaRow(4L, "image", "garbage".getBytes, "t")).toDS()
+    val hashes = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2)))).toMap
+    assert(hashes(1L) === ((Some(-1L), true)))
+    assert(hashes(4L) === ((None, false))) // garbage never aliases to hash 0
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)))       // the edit is a near-dup
+    assert(pairs((1L, 2L)) <= 8L)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+    // determinism: the same payload always hashes identically
+    val again = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(again(2L) === hashes(2L)._1)
+  }
+
+  test("joinCardinality: exact per-key products, NULL keys out, top-k order, totals repeated") {
+    import graft.ops.Skew
+    val left = Seq(Some("a"), Some("a"), Some("b"), None).toDF("k")
+    val right = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("c"), None).toDF("k")
+    val got = Skew.joinCardinality(left, right, "k").collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7)))).toMap
+    // a: 2x3 = 6; b: 1x1 = 1; c only on the right; NULLs can't join
+    assert(got("a")._1 === 1L && got("a")._2 === 2L && got("a")._3 === 3L &&
+      got("a")._4 === 6L && got("a")._6 === 7L && got("a")._7 === 2L)
+    assert(got("b")._1 === 2L && got("b")._4 === 1L)
+    assert(!got.contains("c"))
+    assert(math.abs(got("a")._5 - 6.0 / 7.0) < 1e-6)
+    // topK cuts
+    assert(Skew.joinCardinality(left, right, "k", topK = 1).count() === 1L)
+  }
+
+  test("distinctiveTerms: exclusive terms polarize, shared terms sit at zero, ranks deterministic") {
+    import graft.ops.Lexicon
+    val docs = Seq(
+      (1L, "apple apple banana", "A"), (2L, "carrot carrot banana", "B"),
+      (3L, "noise", "C")) // third source must be ignored
+      .toDF("doc_id", "text", "source")
+    val got = Lexicon.distinctiveTerms(docs, "A", "B", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(6))))
+      .toMap
+    // side a: apple most A-distinctive (z > 0); banana shared (z = 0)
+    assert(got(("a", 1L))._1 === "apple" && got(("a", 1L))._4 > 0.0)
+    assert(got(("a", 2L))._1 === "banana" && got(("a", 2L))._4 === 0.0)
+    assert(got(("a", 1L))._2 === 2L && got(("a", 1L))._3 === 0L)
+    // side b: carrot most B-distinctive (z < 0)
+    assert(got(("b", 1L))._1 === "carrot" && got(("b", 1L))._4 < 0.0)
+    assert(got(("b", 2L))._1 === "banana")
+    // antisymmetry of the exclusive pair (same counts, mirrored roles)
+    assert(math.abs(got(("a", 1L))._4 + got(("b", 1L))._4) < 1e-9)
+  }
+
+  test("calibrationReport: exact rates, hand-computed Wilson bounds, empty bins NULL") {
+    import graft.ops.Classifier
+    val scored = (Seq.fill(1)((0.0, true)) ++ Seq.fill(3)((0.0, false)) ++
+      Seq.fill(3)((1.0, true)) ++ Seq.fill(1)((1.0, false)))
+      .toDF("score", "y")
+    def wilson(pos: Long, n: Long): (Double, Double) = {
+      val z = Classifier.WilsonZ
+      val p = pos.toDouble / n; val nd = n.toDouble
+      val denom = 1.0 + z * z / nd
+      val center = (p + z * z / (2.0 * nd)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)) / denom
+      def r6(d: Double) = BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(center - half), r6(center + half))
+    }
+    val got = Classifier.calibrationReport(scored, "score", "y", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    val (lo0, hi0) = wilson(1, 4); val (lo3, hi3) = wilson(3, 4)
+    assert(got(0L) === ((4L, 1L, Some(0.25), Some(lo0), Some(hi0))))
+    assert(got(3L) === ((4L, 3L, Some(0.75), Some(lo3), Some(hi3))))
+    // interior empty bins densify with NULL stats, not fake zeros
+    assert(got(1L) === ((0L, 0L, None, None, None)))
+    assert(got(2L) === ((0L, 0L, None, None, None)))
+    // Wilson stays inside [0, 1] even at extreme rates on tiny n
+    val ext = Classifier.calibrationReport(
+      Seq((0.5, true)).toDF("score", "y"), "score", "y", bins = 1).collect()(0)
+    assert(ext.getDouble(6) >= 0.0 && ext.getDouble(7) <= 1.0)
+  }
+
   test("scaleFeatures: hand-checked z and unit, zero-variance NULLs, group independence") {
     import graft.ops.Encoding
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 4.0))
