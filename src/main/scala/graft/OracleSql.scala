@@ -2756,6 +2756,188 @@ object OracleSql {
     FROM f"""
   }
 
+  /** Quantile normalization — q194. Within-group ranks with id
+    * tie-break, r* = ceil(r·N/n_g) in exact integer arithmetic, pooled
+    * value at the target rank via "smallest cum ≥ r*" (the pooled rank
+    * intervals partition [1, N], so the containing interval's value IS
+    * the min-cum match). */
+  private val q194 = """
+    WITH b AS (SELECT o_orderstatus AS g, o_orderkey AS id,
+        o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (SELECT g, id, v,
+        CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT)
+          AS r,
+        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng FROM b),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+    p AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+      FROM vc),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    pr AS (SELECT g, id, v, (r * n.n + ng - 1) // ng AS rstar
+      FROM r CROSS JOIN n)
+    SELECT g AS o_orderstatus, id AS o_orderkey, v AS o_totalprice,
+      (SELECT min(p.v) FROM p WHERE p.cum >= pr.rstar) AS normalized
+    FROM pr"""
+
+  /** Semantic types — q195. The battery regexes interpolated from the
+    * operator's own constants (one source of truth), verdicts by the
+    * same cross-multiplied threshold, one aggregate block per synthesized
+    * column. */
+  private val q195 = {
+    val battery = graft.ops.Profiler.SemanticTypes
+    val synth = Seq(
+      "email_c" -> "'u' || CAST(o_orderkey AS VARCHAR) || '@example.com'",
+      "url_c"   -> "'https://ex.com/o/' || CAST(o_orderkey AS VARCHAR)",
+      "int_c"   -> "CAST(o_orderkey AS VARCHAR)",
+      "mixed_c" -> ("CASE WHEN o_orderkey % 2 = 0 THEN 'abc' " +
+        "ELSE CAST(o_orderkey AS VARCHAR) END"),
+      "null_c"  -> "CAST(NULL AS VARCHAR)",
+      "prio_c"  -> "o_orderpriority")
+    synth.map { case (name, e) =>
+      val ms = battery.zipWithIndex.map { case ((_, re), j) =>
+        s"""CAST(sum(CASE WHEN $e IS NOT NULL
+           AND regexp_matches($e, '${sqlRe(re)}') THEN 1 ELSE 0 END)
+           AS BIGINT) AS m$j""" }.mkString(",\n        ")
+      val verdict = battery.zipWithIndex.map { case ((bn, _), j) =>
+        s"WHEN n - n_null > 0 AND m$j * 1000000 >= 900000 * (n - n_null) THEN '$bn'"
+      }.mkString("\n          ")
+      val matched = battery.zipWithIndex.map { case ((bn, _), j) =>
+        s"WHEN matched_type = '$bn' THEN m$j" }.mkString(" ")
+      s"""SELECT "column", n, n_null, matched_type,
+        CAST(CASE $matched ELSE 0 END AS BIGINT) AS n_matched,
+        CASE WHEN n - n_null > 0
+          THEN CAST(CASE $matched ELSE 0 END AS DOUBLE)
+            / CAST(n - n_null AS DOUBLE) END AS match_rate
+      FROM (SELECT '$name' AS "column", n, n_null,
+          CASE WHEN n - n_null = 0 THEN 'empty'
+          $verdict
+          ELSE 'text' END AS matched_type, ${battery.indices.map(j => s"m$j").mkString(", ")}
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null,
+          $ms
+        FROM orders))"""
+    }.mkString("\n    UNION ALL\n    ")
+  }
+
+  /** Integrity report — q196. Three FK profiles (healthy, parent-filtered
+    * broken, NULL-carrying) as count aggregates + left-join orphan
+    * counts. */
+  private val q196 = """
+    WITH po AS (SELECT DISTINCT o_orderkey FROM orders),
+    pf AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT 'l_orderkey' AS fk_column, 'o_orderkey' AS pk_column,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+      CAST(0 AS BIGINT) AS n_fk_null,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN po
+        ON l.l_orderkey = po.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND po.o_orderkey IS NULL)
+        AS n_orphans,
+      round(CAST((SELECT count(*) FROM lineitem l LEFT JOIN po
+        ON l.l_orderkey = po.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND po.o_orderkey IS NULL)
+        AS DOUBLE) / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6)
+        AS orphan_rate,
+      (SELECT count(*) FROM lineitem l LEFT JOIN po
+        ON l.l_orderkey = po.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND po.o_orderkey IS NULL) = 0
+        AS ok
+    UNION ALL
+    SELECT 'lk', 'o_orderkey',
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      CAST(0 AS BIGINT),
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN pf
+        ON l.l_orderkey = pf.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND pf.o_orderkey IS NULL),
+      round(CAST((SELECT count(*) FROM lineitem l LEFT JOIN pf
+        ON l.l_orderkey = pf.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND pf.o_orderkey IS NULL)
+        AS DOUBLE) / CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6),
+      (SELECT count(*) FROM lineitem l LEFT JOIN pf
+        ON l.l_orderkey = pf.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND pf.o_orderkey IS NULL) = 0
+    UNION ALL
+    SELECT 'nk', 'o_orderkey',
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_linenumber % 5 = 0),
+      (SELECT CAST(count(*) AS BIGINT) FROM
+        (SELECT CASE WHEN l_linenumber % 5 = 0 THEN NULL
+            ELSE l_orderkey END AS nk FROM lineitem) l
+        LEFT JOIN po ON l.nk = po.o_orderkey
+        WHERE l.nk IS NOT NULL AND po.o_orderkey IS NULL),
+      round(CAST((SELECT count(*) FROM
+        (SELECT CASE WHEN l_linenumber % 5 = 0 THEN NULL
+            ELSE l_orderkey END AS nk FROM lineitem) l
+        LEFT JOIN po ON l.nk = po.o_orderkey
+        WHERE l.nk IS NOT NULL AND po.o_orderkey IS NULL) AS DOUBLE)
+        / CAST((SELECT count(*) FROM lineitem)
+          - (SELECT count(*) FROM lineitem WHERE l_linenumber % 5 = 0)
+          AS DOUBLE), 6),
+      (SELECT count(*) FROM
+        (SELECT CASE WHEN l_linenumber % 5 = 0 THEN NULL
+            ELSE l_orderkey END AS nk FROM lineitem) l
+        LEFT JOIN po ON l.nk = po.o_orderkey
+        WHERE l.nk IS NOT NULL AND po.o_orderkey IS NULL) = 0"""
+
+  /** CDC apply — q197. The synthesized I/U/D log, latest change per key
+    * by sequence, untouched snapshot keys pass through, deletes drop. */
+  private val q197 = """
+    WITH ch AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 5.0 AS o_totalprice,
+        'U' AS op, o_orderkey * 10 + 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0, 'U',
+        o_orderkey * 10 + 2 FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', o_orderkey * 10
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice, 'I', o_orderkey * 10
+      FROM orders WHERE o_orderkey % 7 = 2),
+    l AS (SELECT * FROM (SELECT ch.*,
+        row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM ch) WHERE rn = 1)
+    SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+    FROM orders s LEFT JOIN (SELECT DISTINCT o_orderkey FROM ch) t
+      ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM l WHERE op <> 'D'"""
+
+  /** Row audit — q198. Per-row comma-joined violated-check ids in suite
+    * order (concat_ws skips the NULL branches on both engines), the SQL
+    * CHECK null rule per check. */
+  private val q198 = """
+    SELECT o_orderkey,
+      concat_ws(',',
+        CASE WHEN o_custkey IS NULL THEN 'not_null(o_custkey)' END,
+        CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+          THEN 'in_range(o_totalprice)' END,
+        CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('F', 'O')
+          THEN 'in_set(o_orderstatus)' END,
+        CASE WHEN o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+          THEN 'matches(o_orderpriority)' END,
+        CASE WHEN NOT (o_orderkey % 2 = 0)
+          THEN 'satisfies(even_key)' END) AS violated,
+      concat_ws(',',
+        CASE WHEN o_custkey IS NULL THEN 'not_null(o_custkey)' END,
+        CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+          THEN 'in_range(o_totalprice)' END,
+        CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('F', 'O')
+          THEN 'in_set(o_orderstatus)' END,
+        CASE WHEN o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+          THEN 'matches(o_orderpriority)' END,
+        CASE WHEN NOT (o_orderkey % 2 = 0)
+          THEN 'satisfies(even_key)' END) = '' AS passed
+    FROM orders"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4603,6 +4785,11 @@ object OracleSql {
     "q190_scale_features"   -> q190,
     "q191_join_cardinality" -> q191,
     "q192_distinctive_terms" -> q192,
-    "q193_calibration"      -> q193
+    "q193_calibration"      -> q193,
+    "q194_quantile_normalize" -> q194,
+    "q195_semantic_types"   -> q195,
+    "q196_integrity_report" -> q196,
+    "q197_apply_cdc"        -> q197,
+    "q198_row_audit"        -> q198
   ).map { case (k, v) => k -> clean(v) }
 }

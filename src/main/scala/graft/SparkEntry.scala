@@ -3194,6 +3194,95 @@ object SparkEntry {
     graft.ops.Classifier.calibrationReport(scored, "score", "y", bins = 8)
   }
 
+  /** Quantile normalization ([[graft.ops.Encoding.quantileNormalize]]):
+    * order totals mapped from each status's own distribution onto the
+    * pooled one — rank-exact, every normalized value an actual pooled
+    * data value, the bucketized rank-interval join underneath. */
+  private def q194QuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.quantileNormalize(
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice")),
+      "o_totalprice", "o_orderstatus", "o_orderkey")
+
+  /** Semantic-type detection ([[graft.ops.Profiler.semanticTypes]]) over a
+    * synthesized column set with known ground truth: email/url/integer
+    * columns detect as themselves, a 50/50 mixed column stays text, an
+    * all-NULL column reports empty, and a real categorical stays text. */
+  private def q195SemanticTypes(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      concat(lit("u"), col("o_orderkey"), lit("@example.com")).as("email_c"),
+      concat(lit("https://ex.com/o/"), col("o_orderkey")).as("url_c"),
+      col("o_orderkey").cast("string").as("int_c"),
+      when(pmod(col("o_orderkey"), lit(2)) === 0, lit("abc"))
+        .otherwise(col("o_orderkey").cast("string")).as("mixed_c"),
+      lit(null).cast("string").as("null_c"),
+      col("o_orderpriority").as("prio_c"))
+    graft.ops.Profiler.semanticTypes(o,
+      Seq("email_c", "url_c", "int_c", "mixed_c", "null_c", "prio_c"))
+  }
+
+  /** Referential-integrity profile ([[graft.ops.Profiler.integrityReport]]):
+    * a healthy FK (lineitem→orders), a deliberately broken one (parent
+    * filtered to ⅔ of its keys), and a NULL-carrying FK — counts, orphan
+    * rates, and verdicts hash-pinned. */
+  private def q196IntegrityReport(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val healthy = graft.ops.Profiler.integrityReport(
+      li.select(col("l_orderkey")), "l_orderkey", o, "o_orderkey")
+    val broken = graft.ops.Profiler.integrityReport(
+      li.select(col("l_orderkey").as("lk")), "lk",
+      o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0), "o_orderkey")
+    val nullFk = graft.ops.Profiler.integrityReport(
+      li.select(when(pmod(col("l_linenumber"), lit(5)) === 0,
+        lit(null).cast("long")).otherwise(col("l_orderkey")).as("nk")), "nk",
+      o, "o_orderkey")
+    healthy.unionByName(broken).unionByName(nullFk)
+  }
+
+  /** CDC apply ([[graft.ops.Scd.applyCdc]]): a synthesized
+    * insert/update/delete log (two competing updates per touched key —
+    * the higher sequence wins; deletes drop keys; inserts add fresh ones)
+    * folded into the orders snapshot, full row set hash-pinned. */
+  private def q197ApplyCdc(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val base = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val u1 = base.filter(pmod(k, lit(7)) === 0).select(k.as("o_orderkey"),
+      col("o_orderstatus"), (col("o_totalprice") + 5.0).as("o_totalprice"),
+      lit("U").as("op"), (k * 10 + 1).as("seq"))
+    val u2 = base.filter(pmod(k, lit(7)) === 0).select(k.as("o_orderkey"),
+      col("o_orderstatus"), (col("o_totalprice") + 10.0).as("o_totalprice"),
+      lit("U").as("op"), (k * 10 + 2).as("seq"))
+    val d = base.filter(pmod(k, lit(7)) === 1).select(k.as("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      lit("D").as("op"), (k * 10).as("seq"))
+    val i = base.filter(pmod(k, lit(7)) === 2).select(
+      (k + 10000000L).as("o_orderkey"), lit("N").as("o_orderstatus"),
+      col("o_totalprice"), lit("I").as("op"), (k * 10).as("seq"))
+    graft.ops.Scd.applyCdc(snap, u1.unionByName(u2).unionByName(d)
+      .unionByName(i), Seq("o_orderkey"), "seq", "op")
+  }
+
+  /** Row-level audit ([[graft.ops.Expectations.rowAudit]]): every order
+    * row labeled with exactly which checks it fails (comma-joined ids in
+    * suite order) — the §2.8 clean/dirty bifurcation generalized to an
+    * arbitrary contract. */
+  private def q198RowAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations._
+    graft.ops.Expectations.rowAudit(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")),
+      Seq(NotNull("o_custkey"),
+        InRange("o_totalprice", 1000.0, 400000.0),
+        InSet("o_orderstatus", Seq("F", "O")),
+        Matches("o_orderpriority", "^[1-3]-"),
+        Satisfies("even_key", pmod(col("o_orderkey"), lit(2)) === 0,
+          Seq("o_orderkey"))))
+      .select(col("o_orderkey"), col("violated"), col("passed"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3387,7 +3476,12 @@ object SparkEntry {
     "q190_scale_features"   -> q190ScaleFeatures _,
     "q191_join_cardinality" -> q191JoinCardinality _,
     "q192_distinctive_terms" -> q192DistinctiveTerms _,
-    "q193_calibration"      -> q193Calibration _
+    "q193_calibration"      -> q193Calibration _,
+    "q194_quantile_normalize" -> q194QuantileNormalize _,
+    "q195_semantic_types"   -> q195SemanticTypes _,
+    "q196_integrity_report" -> q196IntegrityReport _,
+    "q197_apply_cdc"        -> q197ApplyCdc _,
+    "q198_row_audit"        -> q198RowAudit _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -142,4 +142,72 @@ object Encoding {
         round((v - col("__mn")) / (col("__mx") - col("__mn")), 9))
         .as("unit"))): _*)
   }
+
+  /** Quantile normalization — map every group's distribution onto the
+    * POOLED distribution (the microarray-era harmonizer, now the
+    * multi-source feature fix: source A's "high" and source B's "high"
+    * become the same number even when A runs 10× hotter, because each
+    * value is replaced by the pooled value at its own within-group
+    * percentile). [[scaleFeatures]] aligns mean/spread; this aligns the
+    * whole SHAPE — tails included — which z-scores can't do for skewed
+    * sources.
+    *
+    * Arithmetic is rank-exact, no interpolation: within-group rank r of
+    * n_g (ties broken by `idCol` — total order, engine-reproducible) maps
+    * to pooled target rank `r* = ceil(r·N/n_g)` in exact longs, and the
+    * normalized value is the pooled value at rank r* — an actual data
+    * value (the L34 nearest-rank discipline). The pooled rank table is
+    * value-keyed counts + the L123 distributed prefix sum (value v covers
+    * the rank interval (cum−c, cum], and those intervals PARTITION
+    * [1, N]); the lookup is a bucketized point-in-interval join on integer
+    * rank cells (the L91 mechanism on ranks instead of time) — hash-
+    * parallel on the cell key, never a single-task global merge and never
+    * a range explosion.
+    *
+    * Output: `(groupCol, idCol, valueCol, normalized)`; NULL values pass
+    * through with NULL normalized.
+    *
+    * == 100 TB shape ==
+    * One per-group window sort (group locality), one value-keyed agg +
+    * prefix sum (values-sized), one as-of merge of a (group,rank)-sized
+    * probe against the values-sized pooled table. Nothing quadratic. */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                        idCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(col(groupCol), col(idCol), v.as("__v"))
+    val wg = Window.partitionBy(col(groupCol))
+    val rank = row_number().over(
+      wg.orderBy(col("__v").asc, col(idCol).asc)).cast("long")
+    val ranked = base
+      .withColumn("__r", rank)
+      .withColumn("__ng", count(lit(1)).over(wg))
+    val pooled = PrefixSum.runningSum(
+      base.groupBy(col("__v")).agg(count(lit(1)).as("__c")),
+      Seq("__v"), "__c", "__cum")
+    val nRow = base.agg(count(lit(1))).collect()(0)
+    val n = nRow.getLong(0)
+    if (n == 0L)
+      return df.select(col(groupCol), col(idCol), v.as(valueCol))
+        .withColumn("normalized", lit(null).cast("double"))
+    // r* = ceil(r·N/n_g) in exact longs (div floors; +ng-1 lifts to ceil)
+    val bucket = 4096L
+    val probe = ranked
+      .withColumn("__rstar", expr(s"(__r * ${n}L + __ng - 1) div __ng"))
+      .withColumn("__cell", expr(s"(__rstar - 1) div ${bucket}L"))
+    // each pooled value's rank interval (cum-c, cum] explodes into the
+    // integer cells it spans: Σ spans ≈ N/bucket + |values| rows
+    val iv = pooled.select(col("__v").as("__pv"),
+        (col("__cum") - col("__c")).as("__lo"), col("__cum").as("__hi"))
+      .withColumn("__cell", explode(sequence(
+        expr(s"__lo div ${bucket}L"), expr(s"(__hi - 1) div ${bucket}L"))))
+    val matched = probe.join(iv, Seq("__cell"))
+      .filter(col("__rstar") > col("__lo") && col("__rstar") <= col("__hi"))
+      .select(col(groupCol), col(idCol), col("__v").as(valueCol),
+        col("__pv").as("normalized"))
+    // NULL values pass through (they have no percentile)
+    matched.unionByName(df.filter(v.isNull)
+      .select(col(groupCol), col(idCol), v.as(valueCol),
+        lit(null).cast("double").as("normalized")))
+  }
 }

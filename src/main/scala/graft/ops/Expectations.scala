@@ -180,4 +180,33 @@ object Expectations {
         (col("__s") - 1).as("gap_end"),
         (col("__s") - col("__p") - 1).as("n_missing")): _*)
   }
+
+  /** Row-level audit — [[run]] tells you THAT 3% of rows violate; this
+    * tells you WHICH rows and WHY, the generalization of the reference's
+    * clean/dirty bifurcation with a reason column (§2.8,
+    * `smartFileProcessor.js` dirty routing) to an arbitrary check suite:
+    * every row gains `violated` (comma-joined ids of its failed checks,
+    * suite order — stable for grouping/routing) and `passed`. Split on
+    * `passed` for the clean/dirty dataflow; group on `violated` for the
+    * violation-signature report.
+    *
+    * [[Unique]] checks are NOT row-local (a duplicate is a property of
+    * the key group, not the row) and are rejected loudly — run them
+    * table-level via [[run]], or pre-mark survivors with the dedup tier.
+    *
+    * Shape: pure row-local column algebra appended to the frame — no
+    * shuffle, no action, composes under whatever scan is already
+    * happening. */
+  def rowAudit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "rowAudit: empty check suite")
+    require(checks.map(_.id).distinct.size == checks.size,
+      s"rowAudit: duplicate check ids in ${checks.map(_.id)}")
+    val unique = checks.collect { case u: Unique => u.id }
+    require(unique.isEmpty,
+      s"rowAudit: Unique checks are not row-local: ${unique.mkString(", ")}")
+    val flags = checks.map(c => when(violation(c), lit(c.id)))
+    df.withColumn("violated",
+        concat_ws(",", flags: _*))
+      .withColumn("passed", col("violated") === "")
+  }
 }

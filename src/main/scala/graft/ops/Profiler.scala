@@ -274,6 +274,109 @@ object Profiler {
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The semantic-type regex battery, frozen in precedence order and
+    * interpolated into the oracle (one source of truth; every pattern is
+    * deliberately inside the Java-regex ∩ RE2 common subset — anchored,
+    * no backrefs, no lookaround — the [[graft.ops.TextAnalysis]] PII-tier
+    * discipline). */
+  private[graft] val SemanticTypes: Seq[(String, String)] = Seq(
+    "email"    -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "url"      -> "^https?://[^ ]+$",
+    "uuid"     -> ("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "ipv4"     -> "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$",
+    "iso_date" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "integer"  -> "^-?[0-9]+$",
+    "decimal"  -> "^-?[0-9]+\\.[0-9]+$")
+
+  /** Semantic-type detection — data DISCOVERY above [[profile]]'s
+    * statistics: is this string column secretly emails, URLs, UUIDs, IPs,
+    * dates, or stringified numbers? The routing signal for PII handling
+    * (an undeclared email column is a compliance incident), join-key
+    * candidates (two UUID columns probably join), and parser selection.
+    *
+    * One row per requested column: `(column, n, n_null, matched_type,
+    * n_matched, match_rate)` — `matched_type` is the FIRST battery
+    * pattern (fixed precedence, specific before general) whose match rate
+    * over non-null values reaches `threshold`, else `"text"`; an all-NULL
+    * column reports `"empty"`. Rates are single double divisions of exact
+    * longs.
+    *
+    * Shape: ONE aggregation pass carrying |cols|×|battery| row-local
+    * regex-match counters (map-side combined; each regex compiles once
+    * per task) — the [[profile]] single-pass discipline. */
+  def semanticTypes(df: DataFrame, cols: Seq[String],
+                    threshold: Double = 0.9): DataFrame = {
+    require(cols.nonEmpty, "semanticTypes: need at least one column")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticTypes: threshold must be in (0, 1], got $threshold")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val s = col(c).cast("string")
+      Seq(count(lit(1)).as(s"n__$i"),
+        sum(when(s.isNull, 1L).otherwise(0L)).as(s"nn__$i")) ++
+        SemanticTypes.zipWithIndex.map { case ((_, re), j) =>
+          sum(when(s.isNotNull && s.rlike(re), 1L).otherwise(0L))
+            .as(s"m__${i}__$j")
+        }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      val nNonNull = col(s"n__$i") - col(s"nn__$i")
+      // first battery hit at or above threshold wins (cross-multiplied —
+      // no double comparison on the selection path)
+      val thrNum = math.round(threshold * 1e6)
+      val verdict = SemanticTypes.zipWithIndex.foldRight(
+        when(nNonNull === 0L, lit("empty")).otherwise(lit("text"))) {
+        case (((name, _), j), els) =>
+          when(nNonNull > 0L &&
+            col(s"m__${i}__$j") * 1000000L >= lit(thrNum) * nNonNull,
+            lit(name)).otherwise(els)
+      }
+      val matchedN = SemanticTypes.zipWithIndex.foldRight(lit(0L)) {
+        case (((name, _), j), els) =>
+          when(verdict === name, col(s"m__${i}__$j")).otherwise(els)
+      }
+      struct(lit(c).as("column"), col(s"n__$i").as("n"),
+        col(s"nn__$i").as("n_null"), verdict.as("matched_type"),
+        matchedN.as("n_matched"),
+        when(nNonNull > 0L,
+          matchedN.cast("double") / nNonNull.cast("double"))
+          .as("match_rate"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Referential-integrity profile — the J3 semi/anti validation turned
+    * into an audit REPORT: how many child rows point at a parent that
+    * isn't there (the classic broken-feed symptom when a dimension load
+    * lags its facts), plus the NULL-FK mass (which an anti-join can't
+    * see). One row: `(fk_column, pk_column, n_child, n_fk_null,
+    * n_orphans, orphan_rate, ok)` — `orphan_rate` over non-null FKs, `ok`
+    * iff no orphans.
+    *
+    * Shape: one distinct-project of the parent key, one LEFT ANTI join
+    * from the child's non-null FKs (AQE broadcasts a small dimension),
+    * two scalar aggs joined crosswise — 1-row output, fact table scanned
+    * once. */
+  def integrityReport(child: DataFrame, fkCol: String,
+                      parent: DataFrame, pkCol: String): DataFrame = {
+    val fks = child.select(col(fkCol))
+    val totals = fks.agg(count(lit(1)).as("n_child"),
+      sum(when(col(fkCol).isNull, 1L).otherwise(0L)).as("n_fk_null"))
+    val orphans = fks.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    totals.crossJoin(orphans)
+      .select(lit(fkCol).as("fk_column"), lit(pkCol).as("pk_column"),
+        col("n_child"), col("n_fk_null"), col("n_orphans"),
+        when(col("n_child") - col("n_fk_null") > 0L,
+          round(col("n_orphans").cast("double") /
+            (col("n_child") - col("n_fk_null")).cast("double"), 6))
+          .as("orphan_rate"),
+        (col("n_orphans") === 0L).as("ok"))
+  }
+
   /** Benford first-digit expectations, `log10(1 + 1/d)` — computed once
     * here and interpolated into the oracle (one source of truth; the
     * [[graft.ops.Embeddings.jlMatrix]] literal discipline, avoiding 1-ulp

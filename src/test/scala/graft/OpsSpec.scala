@@ -4215,6 +4215,108 @@ class OpsSpec extends SparkSpec {
     assert(ext.getDouble(6) >= 0.0 && ext.getDouble(7) <= 1.0)
   }
 
+  test("quantileNormalize: groups with the same shape land on identical pooled values") {
+    import graft.ops.Encoding
+    // A runs 10x colder than B; after normalization rank k of each group
+    // maps to the SAME pooled value — the harmonization contract
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 10.0), ("B", 5L, 20.0), ("B", 6L, 30.0))
+      .toDF("g", "id", "v")
+    val got = Encoding.quantileNormalize(df, "v", "g", "id").collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // pooled sorted: [1,2,3,10,20,30]; rank r of 3 -> r* = 2r -> values 2,10,30
+    assert(got(1L) === 2.0 && got(2L) === 10.0 && got(3L) === 30.0)
+    assert(got(4L) === 2.0 && got(5L) === 10.0 && got(6L) === 30.0)
+    // duplicate values: id tie-break keeps ranks total; NULLs pass through
+    val withNull = Seq(("A", 1L, Some(5.0)), ("A", 2L, Some(5.0)),
+      ("A", 3L, None)).toDF("g", "id", "v")
+    val g2 = Encoding.quantileNormalize(withNull, "v", "g", "id").collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(g2(1L) === Some(5.0) && g2(2L) === Some(5.0) && g2(3L) === None)
+  }
+
+  test("semanticTypes: battery precedence, inclusive threshold, empty and text verdicts") {
+    import graft.ops.Profiler
+    val df = Seq.tabulate(10)(i => (
+      s"user$i@mail.org",
+      if (i < 9) s"$i" else "x",            // 9/10 integers: exactly at 0.9
+      if (i < 8) s"$i" else "x",            // 8/10: below threshold
+      "2024-01-15",
+      null.asInstanceOf[String]))
+      .toDF("em", "num_at", "num_below", "dt", "nul")
+    val got = Profiler.semanticTypes(df,
+        Seq("em", "num_at", "num_below", "dt", "nul")).collect()
+      .map(r => r.getString(0) -> ((r.getString(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got("em") === (("email", 10L, Some(1.0))))
+    assert(got("num_at") === (("integer", 9L, Some(0.9)))) // >= is inclusive
+    assert(got("num_below")._1 === "text")
+    assert(got("dt") === (("iso_date", 10L, Some(1.0))))
+    assert(got("nul") === (("empty", 0L, None)))
+  }
+
+  test("integrityReport: orphan and NULL-FK accounting on a hand fixture") {
+    import graft.ops.Profiler
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 2L).toDF("pk") // dup parent keys must not matter
+    val r = Profiler.integrityReport(child, "fk", parent, "pk").collect()(0)
+    assert(r.getString(0) === "fk" && r.getString(1) === "pk")
+    assert(r.getLong(2) === 4L && r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3.0) < 1e-6)
+    assert(!r.getBoolean(6))
+    // healthy: zero orphans -> ok
+    val ok = Profiler.integrityReport(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk").collect()(0)
+    assert(ok.getLong(4) === 0L && ok.getBoolean(6) && ok.getDouble(5) === 0.0)
+  }
+
+  test("applyCdc: latest change wins, deletes drop, inserts add, unknown op fails loudly") {
+    import graft.ops.Scd
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b1", "U", 1L), (2L, "b2", "U", 2L), // higher seq wins
+      (3L, "c", "D", 5L),
+      (4L, "d", "I", 7L)).toDF("k", "v", "op", "seq")
+    val got = Scd.applyCdc(snap, changes, Seq("k"), "seq", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+    // a delete then a later re-insert resurrects the key
+    val resurrect = Seq((3L, "c", "D", 1L), (3L, "c9", "I", 2L))
+      .toDF("k", "v", "op", "seq")
+    val g2 = Scd.applyCdc(snap, resurrect, Seq("k"), "seq", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2(3L) === "c9")
+    // corrupt op: protocol break, not a dirty row
+    val ex = intercept[Exception] {
+      Scd.applyCdc(snap, Seq((1L, "z", "X", 1L)).toDF("k", "v", "op", "seq"),
+        Seq("k"), "seq", "op").count()
+    }
+    assert(String.valueOf(ex.getMessage).contains("applyCdc") ||
+      String.valueOf(ex.getCause).contains("applyCdc"))
+  }
+
+  test("rowAudit: per-row violation ids in suite order, Unique rejected loudly") {
+    import graft.ops.Expectations
+    import graft.ops.Expectations._
+    val df = Seq(
+      (1L, Some(10.0), "F"),   // clean
+      (2L, Some(-1.0), "F"),   // range violation
+      (3L, None, "Z"),         // in_set violation (NULL value passes range)
+      (4L, Some(999.0), "Z"))  // range + set
+      .toDF("id", "x", "s")
+    val checks = Seq(InRange("x", 0.0, 100.0), InSet("s", Seq("F", "O")))
+    val got = Expectations.rowAudit(df, checks).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === (("", true)))
+    assert(got(2L) === (("in_range(x)", false)))
+    assert(got(3L) === (("in_set(s)", false)))
+    assert(got(4L) === (("in_range(x),in_set(s)", false))) // suite order
+    intercept[IllegalArgumentException] {
+      Expectations.rowAudit(df, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("scaleFeatures: hand-checked z and unit, zero-variance NULLs, group independence") {
     import graft.ops.Encoding
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 4.0))
