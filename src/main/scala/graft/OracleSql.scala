@@ -2938,6 +2938,94 @@ object OracleSql {
           THEN 'satisfies(even_key)' END) = '' AS passed
     FROM orders"""
 
+  /** Weighted percentiles — q199. Value-keyed weight sums, per-group
+    * cumulative weights over the distinct-value frame, smallest value
+    * with 100·cw ≥ p·W (cross-multiplied longs). */
+  private val q199 = """
+    WITH vw AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2),
+    c AS (SELECT g, v,
+        CAST(sum(w) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cw,
+        CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw FROM vw),
+    p(percentile) AS (VALUES (25), (50), (75), (90), (99))
+    SELECT g AS l_returnflag, CAST(p.percentile AS BIGINT) AS percentile,
+      CAST(min(CASE WHEN cw * 100 >= p.percentile * tw THEN v END)
+        AS DOUBLE) AS value
+    FROM c CROSS JOIN p WHERE tw > 0 GROUP BY 1, 2"""
+
+  /** Correlation — q200. Five exact long moments per (type, day) series,
+    * Pearson r as one double dag, zero-variance → NULL. */
+  private val q200 = """
+    WITH d AS (SELECT event_type,
+        epoch_us(ts) // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        CAST(sum(n) AS BIGINT) AS sx, CAST(sum(u) AS BIGINT) AS sy,
+        CAST(sum(n * u) AS BIGINT) AS sxy,
+        CAST(sum(n * n) AS BIGINT) AS sxx,
+        CAST(sum(u * u) AS BIGINT) AS syy
+      FROM d GROUP BY 1)
+    SELECT event_type, n_points,
+      CASE WHEN CAST(n_points * sxx - sx * sx AS DOUBLE) > 0.0
+          AND CAST(n_points * syy - sy * sy AS DOUBLE) > 0.0
+        THEN round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n_points * syy - sy * sy AS DOUBLE))), 6)
+      END AS corr
+    FROM a"""
+
+  /** Transition matrix — q201. Per-user lead pairs, (from,to) counts,
+    * per-from totals, probs as 6-dp double divisions. */
+  private val q201 = """
+    WITH p AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n, t.n_from,
+      round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS prob
+    FROM c JOIN t USING (from_type)"""
+
+  /** Row diff — q202. The mutated-copy synthesis, full-outer join on the
+    * key, null-safe per-column compares, unchanged rows dropped. */
+  private val q202 = """
+    WITH oldt AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        o_orderpriority FROM orders),
+    newt AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+          AS o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+          ELSE o_totalprice END AS o_totalprice,
+        o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice,
+        o_orderpriority FROM orders WHERE o_orderkey % 13 = 1),
+    j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             WHEN n.o_orderkey IS NULL THEN 'removed'
+             ELSE 'changed' END AS status,
+        CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+          THEN concat_ws(',',
+            CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'o_orderstatus' END,
+            CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              THEN 'o_totalprice' END,
+            CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+              THEN 'o_orderpriority' END)
+        END AS changed_cols
+      FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+    SELECT * FROM j WHERE status <> 'changed' OR changed_cols <> ''"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4790,6 +4878,10 @@ object OracleSql {
     "q195_semantic_types"   -> q195,
     "q196_integrity_report" -> q196,
     "q197_apply_cdc"        -> q197,
-    "q198_row_audit"        -> q198
+    "q198_row_audit"        -> q198,
+    "q199_weighted_percentiles" -> q199,
+    "q200_correlation"      -> q200,
+    "q201_transition_matrix" -> q201,
+    "q202_row_diff"         -> q202
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3283,6 +3283,54 @@ object SparkEntry {
       .select(col("o_orderkey"), col("violated"), col("passed"))
   }
 
+  /** Weighted percentiles ([[graft.ops.Outliers.weightedPercentiles]]):
+    * quantity-weighted price percentiles per return flag — "the p90
+    * shipped unit", not "the p90 line item" — exact cross-multiplied
+    * selection, every value an actual data value. */
+  private def q199WeightedPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.weightedPercentiles(t(s, dir, "lineitem"),
+      valueCol = "l_extendedprice", weightCol = "l_quantity",
+      groupCol = "l_returnflag", ps = Seq(25, 50, 75, 90, 99))
+
+  /** Per-group correlation ([[graft.ops.Trend.correlation]]): does daily
+    * event volume track daily distinct actors, per type — five exact
+    * long moments into one 6-dp double. */
+  private def q200Correlation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.correlation(
+      events(s, dir)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("u")),
+      xCol = "n", yCol = "u", groupCols = Seq("event_type"))
+
+  /** Markov transition matrix ([[graft.ops.Funnel.transitionMatrix]]):
+    * per-user consecutive event pairs → P(next | current), probs exact
+    * per-from rationals at 6 dp. */
+  private def q201TransitionMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitionMatrix(events(s, dir))
+
+  /** Column-granular snapshot diff ([[graft.ops.SchemaDrift.rowDiff]]):
+    * orders vs a mutated copy (removals, additions, status flips, price
+    * bumps — overlapping, so multi-column change signatures appear);
+    * every non-unchanged row's signature hash-pinned. */
+  private def q202RowDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    val k = col("o_orderkey")
+    val mutated = o.filter(pmod(k, lit(13)) =!= 0)
+      .select(k,
+        when(pmod(k, lit(7)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(pmod(k, lit(5)) === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+      .unionByName(o.filter(pmod(k, lit(13)) === 1)
+        .select((k + 20000000L).as("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority")))
+    graft.ops.SchemaDrift.rowDiff(o, mutated, Seq("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3481,7 +3529,11 @@ object SparkEntry {
     "q195_semantic_types"   -> q195SemanticTypes _,
     "q196_integrity_report" -> q196IntegrityReport _,
     "q197_apply_cdc"        -> q197ApplyCdc _,
-    "q198_row_audit"        -> q198RowAudit _
+    "q198_row_audit"        -> q198RowAudit _,
+    "q199_weighted_percentiles" -> q199WeightedPercentiles _,
+    "q200_correlation"      -> q200Correlation _,
+    "q201_transition_matrix" -> q201TransitionMatrix _,
+    "q202_row_diff"         -> q202RowDiff _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

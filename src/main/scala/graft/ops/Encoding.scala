@@ -190,8 +190,12 @@ object Encoding {
     if (n == 0L)
       return df.select(col(groupCol), col(idCol), v.as(valueCol))
         .withColumn("normalized", lit(null).cast("double"))
-    // r* = ceil(r·N/n_g) in exact longs (div floors; +ng-1 lifts to ceil)
-    val bucket = 4096L
+    // r* = ceil(r·N/n_g) in exact longs (div floors; +ng-1 lifts to ceil).
+    // Cell width trades explode rows (≈ N/bucket extra interval rows)
+    // against per-cell join fan-out (≈ bucket candidate comparisons per
+    // probe row when values are near-unique — total work ≈ N·bucket, so
+    // SMALL is right: 64 ⇒ ~64 compares/row and ~N/64 extra rows)
+    val bucket = 64L
     val probe = ranked
       .withColumn("__rstar", expr(s"(__r * ${n}L + __ng - 1) div __ng"))
       .withColumn("__cell", expr(s"(__rstar - 1) div ${bucket}L"))

@@ -149,4 +149,39 @@ object Funnel {
         round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
           .as("retention"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams —
+    * the probabilistic view [[topPaths]]' literal n-gram list can't give:
+    * `P(next = to | current = from)` for every observed pair, the input
+    * to next-step prediction, absorbing-state detection ("90% of sessions
+    * that hit `error` end there"), and journey simulation. Consecutive
+    * pairs come from ONE lag over the (user, ts, tie-break)-ordered
+    * stream — the L16/L89 sessionless adjacency — so a user's stream of
+    * k events contributes exactly k−1 transitions.
+    *
+    * Output per observed `(from, to)`: `(from_type, to_type, n, n_from,
+    * prob)` with `n_from` = Σ transitions leaving `from` (so probs per
+    * `from` sum to 1 exactly as rationals) and `prob` one double division
+    * of exact longs, 6 dp.
+    *
+    * Shape: one per-user window sort (group locality), one
+    * (from,to)-keyed agg (map-side combined, types²-bounded), one
+    * types-sized totals join. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       tiebreak: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("prob"))
+  }
 }

@@ -92,4 +92,52 @@ object Outliers {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Weighted nearest-rank percentiles — the L34 order statistics where
+    * each observation carries integer MASS: token-weighted length
+    * percentiles ("the p90 of tokens lives in documents this long"),
+    * byte-weighted latency, row-weighted file sizes. Unweighted
+    * percentiles answer "the p90 document"; weighted answer "the p90
+    * token" — at corpus scale those differ wildly (a few huge documents
+    * carry most tokens).
+    *
+    * Definition (weighted nearest-rank, exact): per group, sort distinct
+    * values ascending with their summed weights; the p-th percentile is
+    * the SMALLEST value whose cumulative weight `cw` satisfies
+    * `100·cw ≥ p·W` (cross-multiplied exact longs — no double on the
+    * selection path, the L32 discipline). Every output is an actual data
+    * value. Zero-total-weight groups yield NULL.
+    *
+    * Shape: one value-keyed agg (map-side combined), one group-partitioned
+    * window over the DISTINCT-value frame (not the rows), one groups-sized
+    * agg — ties need no id tie-break because aggregation already collapsed
+    * equal values. */
+  def weightedPercentiles(df: DataFrame, valueCol: String, weightCol: String,
+                          groupCol: String, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty, "weightedPercentiles: need at least one percentile")
+    require(ps.forall(p => p >= 1 && p <= 100),
+      s"weightedPercentiles: percentiles must be in [1, 100], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"weightedPercentiles: duplicate percentiles in $ps")
+    val vw = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wg = Window.partitionBy(col(groupCol))
+    val wv = wg.orderBy(col(valueCol).asc)
+    val cum = vw
+      .withColumn("__cw", sum(col("__w")).over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(wg))
+    val picks = ps.map(p =>
+      min(when(col("__cw") * 100L >= lit(p.toLong) * col("__tw"),
+        col(valueCol))).as(s"p$p"))
+    val agg = cum.filter(col("__tw") > 0L)
+      .groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+    // long format: one row per (group, percentile)
+    val stacked = ps.map(p => struct(lit(p.toLong).as("percentile"),
+      col(s"p$p").cast("double").as("value")))
+    agg.select(col(groupCol), explode(array(stacked: _*)).as("s"))
+      .select(col(groupCol), col("s.percentile"), col("s.value"))
+  }
 }

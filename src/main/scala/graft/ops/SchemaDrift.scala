@@ -66,4 +66,45 @@ object SchemaDrift {
       .join(nullCounts(newDf).withColumnRenamed("n_null", "n_null_new"),
         Seq("column"), "left")
   }
+
+  /** Column-granular row diff between two snapshots of a keyed table —
+    * [[driftReport]] answers "did the SHAPE change"; this answers "which
+    * ROWS changed, and in which columns": per key, status ∈
+    * `added | removed | changed` with `changed_cols` the comma-joined
+    * names of the differing columns (shared-schema order — stable for
+    * grouping into a "what kind of update was this batch" report).
+    * Unchanged rows are omitted (at warehouse scale they are the bulk,
+    * and "nothing happened" needs no row). The column-level answer the
+    * document-level L94 content diff can't give — an UPDATE that touched
+    * only `status` audits differently from one that rewrote the payload.
+    *
+    * Comparison is null-safe (`<=>`: NULL→value and value→NULL are
+    * changes, NULL→NULL is not) over the columns BOTH schemas share
+    * beyond the key; added/removed rows report NULL `changed_cols`.
+    *
+    * Shape: one full-outer join on the key (the only shuffle), row-local
+    * comparisons, changed-rows-sized output. */
+  def rowDiff(oldDf: DataFrame, newDf: DataFrame,
+              keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rowDiff: at least one key column")
+    keyCols.foreach(k => require(
+      oldDf.columns.contains(k) && newDf.columns.contains(k),
+      s"rowDiff: key column $k missing from a side"))
+    val shared = oldDf.columns.filter(newDf.columns.contains)
+      .filterNot(keyCols.contains).toSeq
+    val o = oldDf.select((keyCols.map(col) :+
+      lit(1).as("__in_old")) ++ shared.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select((keyCols.map(col) :+
+      lit(1).as("__in_new")) ++ shared.map(c => col(c).as(s"__n_$c")): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    val changedCols = concat_ws(",", shared.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*)
+    j.select((keyCols.map(col) ++ Seq(
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("status"),
+        when(col("__in_old").isNotNull && col("__in_new").isNotNull,
+          changedCols).as("changed_cols"))): _*)
+      .filter(col("status") =!= "changed" || col("changed_cols") =!= "")
+  }
 }

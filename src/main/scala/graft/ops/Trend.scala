@@ -129,4 +129,34 @@ object Trend {
         lit(null).cast("double").as("mean_right"),
         lit(null).cast("double").as("delta"))): _*))
   }
+
+  /** Per-group Pearson correlation on integer series — the
+    * [[linearTrend]] moment machinery pointed at TWO metrics: do daily
+    * volume and daily distinct actors move together, does error rate
+    * track deploy rate — the first feature-engineering / incident-
+    * correlation question. Five exact long moment sums in ONE
+    * map-side-combined agg;
+    * `r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))` is a fixed
+    * dag of double ops over them, rounded at 6 dp. Either series constant
+    * (zero variance) → NULL (no direction to correlate), the vertical-
+    * degenerate rule. 64-bit bound: n·max|x|·max|y| < 2⁶³ — pre-
+    * aggregated daily counts sit far inside it.
+    *
+    * Output: `(groupCols…, n_points, corr)`. */
+  def correlation(df: DataFrame, xCol: String, yCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "correlation: need at least one group column")
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val n = col("n_points")
+    val vx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    agg.select(groupCols.map(col) ++ Seq(col("n_points"),
+      when(vx > 0.0 && vy > 0.0,
+        round(num / (sqrt(vx) * sqrt(vy)), 6)).as("corr")): _*)
+  }
 }

@@ -4317,6 +4317,87 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedPercentiles: mass moves the median, equal values collapse, exact rank rule") {
+    import graft.ops.Outliers
+    // unweighted median of {1,2,3} is 2; with 98% of the MASS on 3 the
+    // weighted median is 3 — the whole point of weighting
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 98L))
+      .toDF("grp", "v", "w")
+    val got = Outliers.weightedPercentiles(df, "v", "w", "grp",
+        Seq(1, 2, 50, 100)).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got(1L) === 1.0)   // cw 1 covers p1 (1% of 100)
+    assert(got(2L) === 2.0)   // cw 2 covers p2
+    assert(got(50L) === 3.0)  // the weighted median
+    assert(got(100L) === 3.0)
+    // duplicate values collapse into one mass point before ranking
+    val dup = Seq(("g", 5.0, 2L), ("g", 5.0, 3L), ("g", 9.0, 5L))
+      .toDF("grp", "v", "w")
+    val g2 = Outliers.weightedPercentiles(dup, "v", "w", "grp", Seq(50, 100))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(g2(50L) === 5.0 && g2(100L) === 9.0)
+  }
+
+  test("correlation: perfect tracks, anti-tracks, zero-variance NULL, hand value") {
+    import graft.ops.Trend
+    val df = (Seq(("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L)) ++
+      Seq(("down", 1L, 9L), ("down", 2L, 6L), ("down", 3L, 3L)) ++
+      Seq(("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L)) ++
+      Seq(("mid", 1L, 1L), ("mid", 2L, 3L), ("mid", 3L, 2L)))
+      .toDF("g", "x", "y")
+    val got = Trend.correlation(df, "x", "y", Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("up") === Some(1.0))
+    assert(got("down") === Some(-1.0))
+    assert(got("flat") === None) // y constant: no direction to correlate
+    // hand: n=3 sx=6 sy=6 sxy=13 sxx=14 syy=14 -> r = 3/6 = 0.5
+    assert(got("mid") === Some(0.5))
+  }
+
+  test("transitionMatrix: consecutive pairs per user, per-from probabilities sum to one") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "a", 3L),
+      (1L, 40L, "c", 4L),
+      (2L, 10L, "a", 5L), (2L, 20L, "b", 6L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.transitionMatrix(ev, tsCol = "ts").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("a", "b")) === ((2L, 3L, 0.666667)))
+    assert(got(("a", "c")) === ((1L, 3L, 0.333333)))
+    assert(got(("b", "a")) === ((1L, 1L, 1.0)))
+    assert(got.size === 3) // no cross-user pair (user2's b has no successor)
+  }
+
+  test("rowDiff: added/removed/changed signatures, null-safe compares, unchanged omitted") {
+    import graft.ops.SchemaDrift
+    val old = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)), (4L, Some("d"), Some(4.0)),
+      (6L, None, Some(6.0))).toDF("k", "s", "v")
+    val neu = Seq((1L, Some("a"), Some(1.0)),        // unchanged -> omitted
+      (2L, Some("B"), Some(2.0)),                    // one column
+      (3L, Some("C"), Some(30.0)),                   // two columns
+      (5L, Some("e"), Some(5.0)),                    // added
+      (6L, None, Some(6.0)))                         // NULL = NULL: unchanged
+      .toDF("k", "s", "v")
+    val got = SchemaDrift.rowDiff(old, neu, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        Option(if (r.isNullAt(2)) null else r.getString(2))))).toMap
+    assert(got(2L) === (("changed", Some("s"))))
+    assert(got(3L) === (("changed", Some("s,v"))))
+    assert(got(4L) === (("removed", None)))
+    assert(got(5L) === (("added", None)))
+    assert(!got.contains(1L) && !got.contains(6L))
+    // NULL -> value IS a change
+    val nu = SchemaDrift.rowDiff(old,
+      Seq((6L, Some("now"), Some(6.0))).toDF("k", "s", "v"), Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(nu(6L) === (("changed", "s")))
+  }
+
   test("scaleFeatures: hand-checked z and unit, zero-variance NULLs, group independence") {
     import graft.ops.Encoding
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 4.0))
