@@ -3026,6 +3026,100 @@ object OracleSql {
       FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
     SELECT * FROM j WHERE status <> 'changed' OR changed_cols <> ''"""
 
+  /** Homoglyph report — q203. Confusable map and script ranges
+    * interpolated from the operator's own constants (RE2 `\x{…}` class
+    * rendering of the same codepoints the Spark side renders as
+    * `\uXXXX`). */
+  private val q203 = {
+    val from = graft.ops.TextAnalysis.Confusables.map(_._1).mkString
+    val to = graft.ops.TextAnalysis.Confusables.map(_._2).mkString
+    def re2Cls(r: (Int, Int)): String =
+      "[\\x{" + f"${r._1}%04x" + "}-\\x{" + f"${r._2}%04x" + "}]"
+    val cyr = re2Cls(graft.ops.TextAnalysis.CyrillicRange)
+    val grk = re2Cls(graft.ops.TextAnalysis.GreekRange)
+    s"""
+    WITH base AS (SELECT c_custkey AS id,
+        CASE WHEN c_custkey % 3 = 0
+               THEN translate('customer#' || CAST(c_custkey // 3 AS VARCHAR),
+                 'co', 'со')
+             WHEN c_custkey % 3 = 2
+               THEN translate('customer#' || CAST(c_custkey // 3 AS VARCHAR),
+                 'o', 'ο')
+             ELSE 'customer#' || CAST(c_custkey // 3 AS VARCHAR)
+        END AS name
+      FROM customer),
+    r AS (SELECT id, name,
+        CAST(len(regexp_extract_all(name, '[A-Za-z]')) AS BIGINT)
+          AS n_latin,
+        CAST(len(regexp_extract_all(name, '$cyr')) AS BIGINT) AS n_cyrillic,
+        CAST(len(regexp_extract_all(name, '$grk')) AS BIGINT) AS n_greek,
+        translate(lower(name), '$from', '$to') AS skeleton
+      FROM base),
+    v AS (SELECT skeleton, CAST(count(DISTINCT name) AS BIGINT)
+        AS n_variants FROM r GROUP BY 1)
+    SELECT r.id, r.name, r.n_latin, r.n_cyrillic, r.n_greek,
+      (r.n_latin > 0 AND (r.n_cyrillic > 0 OR r.n_greek > 0))
+        AS mixed_script,
+      r.skeleton, v.n_variants
+    FROM r JOIN v USING (skeleton)"""
+  }
+
+  /** ABC classification — q204. Exact DECIMAL(18,2) revenue sums, the
+    * (value DESC, key) cumulative walk, cross-multiplied basis-point
+    * boundaries. */
+  private val q204 = """
+    WITH k AS (SELECT o_custkey AS key,
+        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS value
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    c AS (SELECT key, value,
+        sum(value) OVER (ORDER BY value DESC, key) AS cum,
+        sum(value) OVER () AS total FROM k)
+    SELECT key, CAST(value AS DOUBLE) AS value,
+      round(CAST(value AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+      round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+      CASE WHEN cum * 10000 <= 8000 * total THEN 'A'
+           WHEN cum * 10000 <= 9500 * total THEN 'B'
+           ELSE 'C' END AS abc_class
+    FROM c"""
+
+  /** Geo radius join — q205. The oracle is the BRUTE-FORCE cross join +
+    * haversine (no grid) — an independent proof the engine's cell
+    * pruning loses no pair inside the documented domain. */
+  private val q205 = """
+    WITH c AS (SELECT c_custkey AS cid,
+        CAST((c_custkey * 37) % 12000 AS DOUBLE) / 100.0 - 60.0 AS clat,
+        CAST((c_custkey * 73) % 30000 AS DOUBLE) / 100.0 - 150.0 AS clon
+      FROM customer),
+    s AS (SELECT s_suppkey AS sid,
+        CAST((s_suppkey * 41) % 12000 AS DOUBLE) / 100.0 - 60.0 AS slat,
+        CAST((s_suppkey * 53) % 30000 AS DOUBLE) / 100.0 - 150.0 AS slon
+      FROM supplier),
+    p AS (SELECT cid, clat, clon, sid, slat, slon,
+        2.0 * 6371.0088 * asin(sqrt(
+          sin(radians(slat - clat) / 2) * sin(radians(slat - clat) / 2)
+          + cos(radians(clat)) * cos(radians(slat))
+            * sin(radians(slon - clon) / 2) * sin(radians(slon - clon) / 2)))
+          AS d
+      FROM c CROSS JOIN s)
+    SELECT cid, clat, clon, sid, slat, slon, round(d, 6) AS distance_km
+    FROM p WHERE d <= 250.0"""
+
+  /** Attribution — q206. One per-user window carries first touch
+    * (unbounded-preceding first_value) and last touch (lag 1); direct
+    * when nothing preceded. */
+  private val q206 = """
+    WITH w AS (SELECT event_id, user_id, ts, event_type,
+        first_value(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS l
+      FROM events)
+    SELECT event_id, user_id, ts,
+      coalesce(f, 'direct') AS first_touch,
+      coalesce(l, 'direct') AS last_touch
+    FROM w WHERE event_type = 'purchase'"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4882,6 +4976,10 @@ object OracleSql {
     "q199_weighted_percentiles" -> q199,
     "q200_correlation"      -> q200,
     "q201_transition_matrix" -> q201,
-    "q202_row_diff"         -> q202
+    "q202_row_diff"         -> q202,
+    "q203_homoglyph"        -> q203,
+    "q204_abc"              -> q204,
+    "q205_geo_radius"       -> q205,
+    "q206_attribution"      -> q206
   ).map { case (k, v) => k -> clean(v) }
 }

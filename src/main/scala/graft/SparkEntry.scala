@@ -3106,8 +3106,11 @@ object SparkEntry {
   private def q186BfsDistances(s: SparkSession, dir: String): DataFrame = {
     val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0L)
       .select(concat(lit("c"), col("c_custkey")).as("node"))
-    graft.ops.Graph.bfsDistances(tradeEdges(s, dir), seeds,
-      maxHops = 3, directed = false)
+    // checkpointed once (the q109 discipline): the operator's symmetrize
+    // union would otherwise derive the orders⋈lineitem aggregation twice
+    // inside its edge-cache fill
+    graft.ops.Graph.bfsDistances(tradeEdges(s, dir).localCheckpoint(true),
+      seeds, maxHops = 3, directed = false)
   }
 
   /** Functional-dependency discovery ([[graft.ops.Profiler.functionalDeps]]):
@@ -3331,6 +3334,54 @@ object SparkEntry {
     graft.ops.SchemaDrift.rowDiff(o, mutated, Seq("o_orderkey"))
   }
 
+  /** Homoglyph spoof report ([[graft.ops.TextAnalysis.homoglyphReport]]):
+    * customer-name triples sharing a base, one pure-Latin and two
+    * script-spoofed (Cyrillic с/о, Greek ο) — mixed-script flags, script
+    * counts, skeletons, and the 3-variant collisions hash-pinned. */
+  private def q203Homoglyph(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val base = concat(lit("customer#"), floor(k / 3).cast("long"))
+    val named = t(s, dir, "customer").select(k.as("id"),
+      when(pmod(k, lit(3)) === 0, translate(base, "co", "со"))
+        .when(pmod(k, lit(3)) === 2, translate(base, "o", "ο"))
+        .otherwise(base).as("name"))
+    graft.ops.TextAnalysis.homoglyphReport(named, "id", "name")
+  }
+
+  /** ABC / Pareto classification ([[graft.ops.Skew.abcClassification]]):
+    * customers ranked by exact decimal revenue, cumulative share walked
+    * via the distributed prefix sum, A/B/C labels by cross-multiplied
+    * basis points — every row hash-pinned. */
+  private def q204Abc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.abcClassification(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      "o_custkey", "o_totalprice")
+
+  /** Geo radius join ([[graft.ops.Geo.radiusJoin]]): synthesized
+    * customer/supplier coordinates (|lat| ≤ 60, lon within ±150 — inside
+    * the grid's documented domain), all pairs within 250 km. The oracle
+    * is the BRUTE-FORCE cross join + haversine — an independent check
+    * that the grid pruning loses nothing. */
+  private def q205GeoRadius(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val cust = t(s, dir, "customer").select(ck.as("cid"),
+      (pmod(ck * 37, lit(12000)) / 100.0 - 60.0).as("clat"),
+      (pmod(ck * 73, lit(30000)) / 100.0 - 150.0).as("clon"))
+    val sk = col("s_suppkey")
+    val supp = t(s, dir, "supplier").select(sk.as("sid"),
+      (pmod(sk * 41, lit(12000)) / 100.0 - 60.0).as("slat"),
+      (pmod(sk * 53, lit(30000)) / 100.0 - 150.0).as("slon"))
+    graft.ops.Geo.radiusJoin(cust, supp, "clat", "clon", "slat", "slon",
+      radiusKm = 250.0)
+  }
+
+  /** First/last-touch attribution ([[graft.ops.Funnel.attribution]]):
+    * every purchase labeled with the channel that started and the
+    * channel that closed its user's journey, `direct` when nothing
+    * preceded — per-conversion rows hash-pinned. */
+  private def q206Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.attribution(events(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3533,7 +3584,11 @@ object SparkEntry {
     "q199_weighted_percentiles" -> q199WeightedPercentiles _,
     "q200_correlation"      -> q200Correlation _,
     "q201_transition_matrix" -> q201TransitionMatrix _,
-    "q202_row_diff"         -> q202RowDiff _
+    "q202_row_diff"         -> q202RowDiff _,
+    "q203_homoglyph"        -> q203Homoglyph _,
+    "q204_abc"              -> q204Abc _,
+    "q205_geo_radius"       -> q205GeoRadius _,
+    "q206_attribution"      -> q206Attribution _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

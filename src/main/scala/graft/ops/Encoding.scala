@@ -174,8 +174,12 @@ object Encoding {
   def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
                         idCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
+    // materialized once: four consumers (the rank window, the pooled
+    // value agg feeding BOTH prefix-sum branches, and the scalar count)
+    // would otherwise each re-derive the caller's expression
     val base = df.filter(v.isNotNull)
       .select(col(groupCol), col(idCol), v.as("__v"))
+      .localCheckpoint(true)
     val wg = Window.partitionBy(col(groupCol))
     val rank = row_number().over(
       wg.orderBy(col("__v").asc, col(idCol).asc)).cast("long")

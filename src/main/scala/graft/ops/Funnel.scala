@@ -184,4 +184,35 @@ object Funnel {
         round(col("n").cast("double") / col("n_from").cast("double"), 6)
           .as("prob"))
   }
+
+  /** First/last-touch attribution — the marketing-analytics staple over
+    * the same per-user ordered stream as [[transitionMatrix]]: for every
+    * conversion event, which channel STARTED the journey (first touch —
+    * the user's earliest prior event) and which channel CLOSED it (last
+    * touch — the immediately preceding event). Conversions with no prior
+    * event attribute to `"direct"`. Prior events of the conversion type
+    * itself count as touches (a repeat purchase's journey starts at the
+    * previous purchase — the standard convention; filter upstream for
+    * the alternative).
+    *
+    * One per-user window sort carries both answers (first_value over the
+    * unbounded-preceding frame, lag 1) — no self-join, no per-conversion
+    * scan. Output: one row per conversion,
+    * `(idCol, userCol, tsCol, first_touch, last_touch)`. */
+  def attribution(events: DataFrame, convType: String = "purchase",
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type",
+                  tiebreak: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val prevFrame = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("__first", first(col(typeCol)).over(prevFrame))
+      .withColumn("__last", lag(col(typeCol), 1).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(tiebreak), col(userCol), col(tsCol),
+        coalesce(col("__first"), lit("direct")).as("first_touch"),
+        coalesce(col("__last"), lit("direct")).as("last_touch"))
+  }
 }

@@ -38,7 +38,12 @@ object PrefixSum {
     * (ties: `orderCol` values equal → their mutual order follows the
     * tie-break columns if given, else is resolved by the full `orderCols`
     * list — pass a unique key to make the result total). The running sum
-    * INCLUDES the current row. */
+    * INCLUDES the current row.
+    *
+    * The offsets branch re-derives `df` (two plan branches read it); a
+    * caller whose input is itself an expensive derivation should
+    * `localCheckpoint` it first (the [[graft.ops.Profiler.histogramEquiDepth]]
+    * call-site discipline) — a raw table scan is fine to read twice. */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
                  outCol: String = "running_sum",
                  numPartitions: Int = 0): DataFrame = {

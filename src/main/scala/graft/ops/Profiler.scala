@@ -137,9 +137,14 @@ object Profiler {
     require(cells >= 1, s"histogramEquiDepth: cells must be >= 1, got $cells")
     val spark = df.sparkSession
     val grid = spark.range(cells.toLong).toDF("cell")
+    // materialized once: three consumers read it (the scalar total below,
+    // and BOTH branches of the prefix sum — runningSum's offsets side
+    // re-derives its input, so a lazy vc would re-run the corpus scan +
+    // agg three times; plan-audited r14)
     val vc = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // 1-row scalar agg collected to a literal (the [[histogram]] min/max
     // precedent): n binds into the cell arithmetic as a constant
     val nRow = vc.agg(sum(col("c"))).collect()(0)

@@ -128,6 +128,53 @@ object Skew {
     * the key (AQE broadcasts the smaller), and the top-k cut is
     * TakeOrderedAndProject — the fact tables are scanned ONCE each and
     * never joined. */
+  /** ABC (Pareto) classification — the value-mass version of
+    * [[skewReport]]'s row-mass question, and the classic warehouse
+    * contribution analysis: rank keys by their summed value, walk the
+    * cumulative share, and label A (the head carrying `aCut` of the
+    * mass), B (up to `bCut`), C (the tail). "Which 20% of customers
+    * carry 80% of revenue" drives tiering, and the same curve over
+    * corpus sources drives mixture attention.
+    *
+    * Exactness: value sums are DECIMAL(18,2) (exact, order-free — the
+    * money discipline); the cumulative walk rides the L123 distributed
+    * prefix sum over the keys-sized frame ordered by (value DESC, key)
+    * — no single-partition window over the keys; class boundaries
+    * compare cross-multiplied decimals against basis points (`cum·10⁴ ≤
+    * aBp·total`), no double on the decision path. Shares round at 6 dp.
+    *
+    * Output per key: `(key, value, share, cum_share, abc_class)`.
+    * NULL-valued keys contribute nothing and are dropped; `aCut`/`bCut`
+    * are basis points (8000 = 80%). */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+                        aBp: Int = 8000, bBp: Int = 9500): DataFrame = {
+    require(aBp > 0 && aBp < bBp && bBp <= 10000,
+      s"abcClassification: need 0 < aBp < bBp <= 10000, got ($aBp, $bBp)")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val keyed = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(col(valueCol).cast(dec)).as("value"))
+      // materialized once: the prefix sum's two branches + the totals agg
+      // (the runningSum caller contract)
+      .withColumn("__nv", -col("value"))
+      .localCheckpoint(true)
+    val cum = PrefixSum.runningSum(keyed, Seq("__nv", "key"), "value",
+      "__cum")
+    // total from the checkpointed keyed frame (max(cum) would be wrong
+    // the moment a tail key carries a negative adjustment value)
+    val tot = keyed.agg(sum(col("value")).as("__total"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("key"), col("value").cast("double").as("value"),
+        round(col("value").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(col("__cum").cast("double") / col("__total").cast("double"), 6)
+          .as("cum_share"),
+        when(col("__cum") * 10000 <= lit(aBp.toLong) * col("__total"), "A")
+          .when(col("__cum") * 10000 <= lit(bBp.toLong) * col("__total"), "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   def joinCardinality(left: DataFrame, right: DataFrame, key: String,
                       topK: Int = 10): DataFrame = {
     require(topK > 0, s"joinCardinality: topK must be > 0, got $topK")

@@ -632,4 +632,71 @@ object TextAnalysis {
         col("n_langs"), col("n_pii"), col("n_pass_gates"),
         round(col("__esum").cast("double") / col("n_docs"), 6).as("mean_entropy"))
   }
+
+  /** Frozen homoglyph confusable map (Cyrillic + Greek lowercase letters
+    * whose glyphs render identically to Latin) — the working subset of
+    * Unicode UTS #39's confusables table an IDN-spoof check needs; NOT
+    * exhaustive (UTS #39 has thousands of entries — extend the pairs for
+    * a fuller net). One source of truth: the oracle interpolates the same
+    * characters. */
+  private[graft] val Confusables: Seq[(Char, Char)] = Seq(
+    // Cyrillic → Latin look-alikes
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p',
+    'с' -> 'c', 'х' -> 'x', 'у' -> 'y', 'і' -> 'i',
+    'ѕ' -> 's', 'ј' -> 'j', 'һ' -> 'h', 'в' -> 'b',
+    // Greek → Latin look-alikes
+    'ο' -> 'o', 'α' -> 'a', 'ν' -> 'v', 'ρ' -> 'p',
+    'τ' -> 't', 'υ' -> 'u', 'κ' -> 'k', 'ι' -> 'i')
+
+  /** Script ranges checked for mixing, as (lo, hi) codepoints —
+    * class-rendered per engine (Java `\uXXXX`, RE2 `\x{XXXX}`) from this
+    * one table. */
+  private[graft] val CyrillicRange: (Int, Int) = (0x0400, 0x04FF)
+  private[graft] val GreekRange: (Int, Int) = (0x0370, 0x03FF)
+
+  private def javaCls(r: (Int, Int)): String =
+    f"[\\u${r._1}%04x-\\u${r._2}%04x]"
+
+  /** Homoglyph / mixed-script spoof report — the IDN-spoofing and
+    * username-impersonation check a crawl or identity pipeline runs:
+    * `pаypal.com` with a Cyrillic а is a DIFFERENT string to every exact
+    * matcher (and every dedup key) while rendering identically to the
+    * real one. Per row: per-script character counts, a `mixed_script`
+    * flag (Latin plus a confusable script in ONE identifier is the
+    * classic spoof signature — legitimate text is rarely mixed within a
+    * single token), the confusable-folded `skeleton` (lowercase +
+    * [[Confusables]] translate — the UTS #39 skeleton's working subset),
+    * and `n_variants` = how many DISTINCT raw strings share the skeleton
+    * (> 1 = a collision: a spoof candidate pair exists in this corpus).
+    *
+    * Distinct from L127 (ASCII transliteration normalizes for DEDUP;
+    * this DETECTS the confusion and names the colliding set) and from
+    * L101 (NFC folds canonical equivalence, not cross-script identity).
+    *
+    * Shape: row-local counts + translate, one skeleton-keyed agg
+    * (map-side combined) joined back un-hinted — AQE broadcasts the
+    * collision table when small. */
+  def homoglyphReport(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val s = coalesce(col(textCol), lit(""))
+    val from = Confusables.map(_._1).mkString
+    val to = Confusables.map(_._2).mkString
+    val skeleton = translate(lower(s), from, to)
+    val base = df.select(col(idCol), col(textCol),
+      size(regexp_extract_all(s, lit("[A-Za-z]"), lit(0))).cast("long")
+        .as("n_latin"),
+      size(regexp_extract_all(s, lit(javaCls(CyrillicRange)), lit(0)))
+        .cast("long").as("n_cyrillic"),
+      size(regexp_extract_all(s, lit(javaCls(GreekRange)), lit(0)))
+        .cast("long").as("n_greek"),
+      skeleton.as("skeleton"))
+    val flagged = base.withColumn("mixed_script",
+      col("n_latin") > 0L && (col("n_cyrillic") > 0L || col("n_greek") > 0L))
+    val variants = flagged.groupBy(col("skeleton"))
+      .agg(count_distinct(col(textCol)).as("n_variants"))
+    flagged.join(variants, Seq("skeleton"))
+      .select(col(idCol), col(textCol), col("n_latin"), col("n_cyrillic"),
+        col("n_greek"), col("mixed_script"), col("skeleton"),
+        col("n_variants"))
+  }
 }

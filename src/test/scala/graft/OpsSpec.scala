@@ -4398,6 +4398,77 @@ class OpsSpec extends SparkSpec {
     assert(nu(6L) === (("changed", "s")))
   }
 
+  test("homoglyphReport: spoofed twins collide on the skeleton, pure scripts don't flag") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "paypal"), (2L, "pаypal"), // Cyrillic а
+      (3L, "αβγ"),                     // pure Greek: not mixed
+      (4L, "unrelated")).toDF("id", "name")
+    val got = TextAnalysis.homoglyphReport(df, "id", "name").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getString(6), r.getLong(7)))).toMap
+    assert(got(1L) === ((6L, 0L, 0L, false, "paypal", 2L)))
+    assert(got(2L) === ((5L, 1L, 0L, true, "paypal", 2L)))  // collision!
+    assert(got(3L)._4 === false && got(3L)._6 === 1L)       // Greek alone
+    assert(got(4L) === ((9L, 0L, 0L, false, "unrelated", 1L)))
+  }
+
+  test("abcClassification: head carries the mass, inclusive boundaries, exact shares") {
+    import graft.ops.Skew
+    val df = Seq(("k80", 80.0), ("k15", 15.0), ("k5", 5.0)).toDF("k", "v")
+    val got = Skew.abcClassification(df, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4)))).toMap
+    assert(got("k80") === ((80.0, 0.8, 0.8, "A")))   // cum 80% <= 80%: A
+    assert(got("k15") === ((15.0, 0.15, 0.95, "B"))) // cum 95% <= 95%: B
+    assert(got("k5") === ((5.0, 0.05, 1.0, "C")))
+    // multiple rows per key aggregate before ranking
+    val multi = Skew.abcClassification(
+      Seq(("a", 40.0), ("a", 40.0), ("b", 20.0)).toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(multi === Map("a" -> "A", "b" -> "C")) // a: 80/100 = A; b beyond 95
+  }
+
+  test("radiusJoin: haversine boundary, cross-cell adjacency, polar guard, no false pairs") {
+    import graft.ops.Geo
+    val l = Seq((1L, 0.0, 0.0)).toDF("lid", "lat", "lon")
+    val r = Seq((10L, 0.0, 1.0),    // ~111.19 km due east
+      (20L, 0.0, 10.0),             // far: must not appear
+      (30L, 0.5, 0.0))              // ~55.6 km north
+      .toDF("rid", "rlat", "rlon")
+    def ids(radius: Double) =
+      Geo.radiusJoin(l, r, "lat", "lon", "rlat", "rlon", radius)
+        .collect().map(_.getAs[Long]("rid")).toSet
+    assert(ids(112.0) === Set(10L, 30L))
+    assert(ids(110.0) === Set(30L))  // the 111.19 km pair drops out
+    assert(ids(50.0) === Set.empty)
+    // distance value is the haversine
+    val d = Geo.radiusJoin(l, r, "lat", "lon", "rlat", "rlon", 112.0)
+      .filter(col("rid") === 10L).collect()(0).getAs[Double]("distance_km")
+    assert(math.abs(d - 111.19) < 0.1)
+    // polar latitudes fail loudly rather than silently mis-bucket
+    val ex = intercept[Exception] {
+      Geo.radiusJoin(Seq((1L, 80.0, 0.0)).toDF("lid", "lat", "lon"), r,
+        "lat", "lon", "rlat", "rlon", 100.0).count()
+    }
+    assert(String.valueOf(ex.getMessage).contains("polar") ||
+      String.valueOf(ex.getCause).contains("polar"))
+  }
+
+  test("attribution: first and last touch per conversion, direct when nothing preceded") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L),
+      (1L, 30L, "purchase", 3L), (1L, 40L, "purchase", 4L),
+      (2L, 10L, "purchase", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.attribution(ev, tsCol = "ts").collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getString(4)))).toMap
+    assert(got(3L) === (("view", "click")))
+    assert(got(4L) === (("view", "purchase"))) // prior purchase IS a touch
+    assert(got(5L) === (("direct", "direct")))
+    assert(got.size === 3)
+  }
+
   test("scaleFeatures: hand-checked z and unit, zero-variance NULLs, group independence") {
     import graft.ops.Encoding
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 4.0))
