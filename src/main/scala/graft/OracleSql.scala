@@ -3120,6 +3120,95 @@ object OracleSql {
       coalesce(l, 'direct') AS last_touch
     FROM w WHERE event_type = 'purchase'"""
 
+  /** k-anonymity / l-diversity audit — q207. One class-keyed agg; k/l
+    * verdicts are long comparisons, risk an exact-long division at 6 dp. */
+  private val q207 = """
+    WITH q AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_bucket,
+        c_mktsegment AS segment FROM customer),
+    c AS (SELECT nation, bal_bucket, CAST(count(*) AS BIGINT) AS class_size,
+        CAST(count(DISTINCT segment) AS BIGINT) AS n_sensitive
+      FROM q GROUP BY 1, 2)
+    SELECT nation, bal_bucket, class_size, n_sensitive,
+      class_size >= 5 AS k_anonymous,
+      n_sensitive >= 2 AS l_diverse,
+      round(1.0 / CAST(class_size AS DOUBLE), 6) AS risk
+    FROM c"""
+
+  /** Dotted-quad rendering of an unsigned-32-bit long expression — mirrors
+    * graft.ops.Net.longToIpv4's byte arithmetic. */
+  private def sqlDotted(e: String): String =
+    s"CAST(($e) // 16777216 % 256 AS VARCHAR) || '.' || " +
+      s"CAST(($e) // 65536 % 256 AS VARCHAR) || '.' || " +
+      s"CAST(($e) // 256 % 256 AS VARCHAR) || '.' || " +
+      s"CAST(($e) % 256 AS VARCHAR)"
+
+  /** CIDR containment join — q208. The oracle is the BRUTE-FORCE ips ×
+    * blocks cross join + range check (no /16 bucketization) — an
+    * independent proof the engine's cell pruning loses no pair. */
+  private val q208 = s"""
+    WITH i AS (SELECT c_custkey AS cid,
+        (c_custkey * 2654435761) % 4294967296 AS ip_num FROM customer),
+    b AS (SELECT s_suppkey AS sid,
+        8 + (s_suppkey % 9) AS p,
+        (s_suppkey * 2246822519) % 4294967296 AS raw FROM supplier),
+    b2 AS (SELECT sid, p, CAST(power(2, 32 - p) AS BIGINT) AS bs,
+        raw - raw % CAST(power(2, 32 - p) AS BIGINT) AS lo FROM b)
+    SELECT i.cid, ${sqlDotted("i.ip_num")} AS ip, b2.sid,
+      ${sqlDotted("b2.lo")} || '/' || CAST(b2.p AS VARCHAR) AS cidr,
+      CAST(b2.p AS BIGINT) AS prefix
+    FROM i CROSS JOIN b2
+    WHERE i.ip_num BETWEEN b2.lo AND b2.lo + b2.bs - 1"""
+
+  /** EWMA anomalies — q209. The 16 weights are interpolated from
+    * graft.ops.Trend.ewmaWeightLiterals (exact-dyadic doubles, one source
+    * of truth); string→double CAST parses them correctly rounded — i.e.
+    * exactly — where a bare DECIMAL literal's int128→double conversion
+    * could be off by an ulp. */
+  private val q209: String = {
+    val ws = graft.ops.Trend.ewmaWeightLiterals
+    val lagDefs = (1 to 16).map(j => s"lag(v, $j) OVER w AS l$j")
+      .mkString(", ")
+    val num = ws.zipWithIndex.map { case (w, j) =>
+      s"CASE WHEN l${j + 1} IS NOT NULL THEN CAST('$w' AS DOUBLE) * l${j + 1} ELSE 0.0 END"
+    }.mkString(" + ")
+    val den = ws.zipWithIndex.map { case (w, j) =>
+      s"CASE WHEN l${j + 1} IS NOT NULL THEN CAST('$w' AS DOUBLE) ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, day, v, $lagDefs FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    e AS (SELECT event_type, day, v,
+        CASE WHEN ($den) > 0.0 THEN ($num) / ($den) END AS ew
+      FROM l)
+    SELECT event_type, day, v AS value,
+      round(ew, 6) AS ewma_prev,
+      round((v - ew) / (abs(ew) + 1.0), 6) AS rel_residual,
+      coalesce(abs((v - ew) / (abs(ew) + 1.0)) > 0.5, FALSE) AS anomaly
+    FROM e"""
+  }
+
+  /** Set-similarity join — q210. The oracle is the BRUTE-FORCE pairwise
+    * shared-token join (no prefix filter) — an independent proof the
+    * engine's prefix filtering has perfect recall. θ = 19/20 decided by
+    * cross-multiplied longs on both engines. */
+  private val q210 = s"""
+    WITH toksr AS (SELECT doc_id AS id,
+        unnest(list_distinct(regexp_split_to_array($dedupNormSql, ' ')))
+          AS tok
+      FROM documents),
+    t AS (SELECT * FROM toksr WHERE tok <> ''),
+    sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    inter AS (SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS i
+      FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, sa.n AS n_a, sb.n AS n_b, i AS n_common,
+      round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6)
+        AS jaccard
+    FROM inter JOIN sz sa ON inter.ia = sa.id JOIN sz sb ON inter.ib = sb.id
+    WHERE i * 20 >= (sa.n + sb.n - i) * 19"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -4980,6 +5069,10 @@ object OracleSql {
     "q203_homoglyph"        -> q203,
     "q204_abc"              -> q204,
     "q205_geo_radius"       -> q205,
-    "q206_attribution"      -> q206
+    "q206_attribution"      -> q206,
+    "q207_k_anonymity"      -> q207,
+    "q208_cidr_join"        -> q208,
+    "q209_ewma"             -> q209,
+    "q210_setsim_join"      -> q210
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3382,6 +3382,71 @@ object SparkEntry {
   private def q206Attribution(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.attribution(events(s, dir))
 
+  /** k-anonymity / l-diversity audit ([[graft.ops.Privacy.kAnonymityAudit]]):
+    * customer quasi-identifiers (nation, 500-unit balance bucket) against
+    * market segment as the sensitive attribute — per-class sizes, distinct
+    * sensitive counts, k/l verdicts, and the 1/size linkage risk. */
+  private def q207KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = t(s, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") / 500.0).cast("long").as("bal_bucket"),
+      col("c_mktsegment").as("segment"))
+    graft.ops.Privacy.kAnonymityAudit(qi, Seq("nation", "bal_bucket"),
+      "segment", k = 5, l = 2)
+  }
+
+  /** CIDR containment join ([[graft.ops.Net.cidrJoin]]): synthesized
+    * customer IPs against supplier blocks (/8–/16). The oracle is the
+    * BRUTE-FORCE cross join + range check — an independent proof the /16
+    * bucket pruning loses no containment pair (the q205 pattern). */
+  private def q208CidrJoin(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val ips = t(s, dir, "customer").select(ck.as("cid"),
+      graft.ops.Net.longToIpv4(pmod(ck * 2654435761L, lit(4294967296L)))
+        .as("ip"))
+    val sk = col("s_suppkey")
+    val p = (lit(8) + pmod(sk, lit(9))).cast("int")
+    val raw = pmod(sk * 2246822519L, lit(4294967296L))
+    val blockSize = pow(lit(2.0), lit(32) - p).cast("long")
+    val lo = raw - pmod(raw, blockSize)
+    // checkpointed: constructing the dotted strings AND re-parsing them in
+    // one fused codegen stage duplicates the arithmetic subtrees past
+    // janino's 64 KB method limit (observed; Spark then falls back to the
+    // interpreted path). Materializing the supplier-sized block table first
+    // is also the real shape — block lists arrive from storage, not from an
+    // expression chain.
+    val blocks = t(s, dir, "supplier").select(sk.as("sid"),
+      concat(graft.ops.Net.longToIpv4(lo), lit("/"), p.cast("string"))
+        .as("cidr")).localCheckpoint(true)
+    graft.ops.Net.cidrJoin(ips, blocks, "ip", "cidr")
+      .select(col("cid"), col("ip"), col("sid"), col("cidr"),
+        col("cidr_prefix").cast("long").as("prefix"))
+  }
+
+  /** EWMA anomaly flags ([[graft.ops.Trend.ewmaAnomalies]]): daily
+    * per-type event counts against their own 16-day exponentially-weighted
+    * baseline — exact-dyadic weights make the doubles engine-identical. */
+  private def q209Ewma(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.ewmaAnomalies(
+      events(s, dir)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).as("n")),
+      xCol = "day", valueCol = "n", groupCols = Seq("event_type"),
+      threshold = 0.5)
+
+  /** Exact set-similarity join ([[graft.ops.Dedup.setSimilarityJoin]]):
+    * token-set Jaccard ≥ 19/20 document pairs via prefix filtering. The
+    * oracle is the BRUTE-FORCE pairwise token join — an independent proof
+    * the prefix filter has perfect recall. θ is high because the synthetic
+    * corpus shares most unigram vocabulary (70 998 of 124 750 sf0.01 pairs
+    * clear 0.6!) — and high θ is exactly where prefix filtering bites:
+    * prefixes shrink to ~n/20 rare tokens, so the candidate join stays far
+    * below the all-pairs the oracle pays. */
+  private def q210SetSimJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.setSimilarityJoin(t(s, dir, "documents"),
+      thetaNum = 19, thetaDen = 20)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3588,7 +3653,11 @@ object SparkEntry {
     "q203_homoglyph"        -> q203Homoglyph _,
     "q204_abc"              -> q204Abc _,
     "q205_geo_radius"       -> q205GeoRadius _,
-    "q206_attribution"      -> q206Attribution _
+    "q206_attribution"      -> q206Attribution _,
+    "q207_k_anonymity"      -> q207KAnonymity _,
+    "q208_cidr_join"        -> q208CidrJoin _,
+    "q209_ewma"             -> q209Ewma _,
+    "q210_setsim_join"      -> q210SetSimJoin _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -418,6 +418,93 @@ object Dedup {
     out
   }
 
+  /** EXACT token-set similarity join with PREFIX FILTERING (AllPairs /
+    * PPJoin family, Bayardo et al. 2007): every pair of documents whose
+    * token-SET Jaccard is ≥ `thetaNum/thetaDen`, found WITHOUT the n²
+    * all-pairs comparison and WITHOUT the MinHash tier's false-negative
+    * probability. The L3/L4 LSH tier is the scale default; this is the
+    * EXACT-RECALL variant for the cases where a missed pair is a
+    * correctness bug (benchmark decontamination audits, legal-hold dedup)
+    * — the oracle for this operator is the brute-force pairwise join,
+    * independently proving the filter loses nothing.
+    *
+    * Prefix principle: order every document's tokens by GLOBAL rarity
+    * (document frequency asc, token asc — no global rank materialization:
+    * the (df, token) pair IS the order, joined on per doc). If
+    * J(A,B) ≥ θ, the sets must overlap in more than `|A| − ⌈θ|A|⌉`
+    * positions of ANY common ordering, so keeping each doc's first
+    * `|A| − ⌈θ|A|⌉ + 1` rarest tokens as its "prefix" guarantees every
+    * qualifying pair shares ≥ 1 prefix token. Rare-first ordering makes
+    * prefix tokens the LOW-df ones, so the candidate join's per-token
+    * fan-out is small by construction (the discipline the bounded-bucket
+    * cap enforces probabilistically, achieved here exactly).
+    *
+    * Candidate pruning before verify: the length filter
+    * `min·θDen ≥ max·θNum` (J ≤ min/max — cross-multiplied longs, never
+    * doubles). Verify: exact intersection via `array_intersect` on the
+    * materialized per-doc sorted token arrays; the θ decision is
+    * `inter·θDen ≥ union·θNum` (exact); `jaccard` reported at 6 dp.
+    *
+    * Output: `(id_a, id_b, n_a, n_b, n_common, jaccard)`, id_a < id_b.
+    *
+    * == 100 TB shape ==
+    * Three thin shuffles: token-df agg (map-side combined, vocab-sized
+    * out), the prefix-token equi-join (fan-out bounded by rare-token df),
+    * and the candidate-sized verify join against the persisted token-array
+    * table. ⌈θ|A|⌉ is `(θNum·n + θDen − 1) div θDen` — integer throughout. */
+  def setSimilarityJoin(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        thetaNum: Int = 3, thetaDen: Int = 5,
+                        materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(thetaNum > 0 && thetaNum <= thetaDen,
+      s"setSimilarityJoin: need 0 < θ ≤ 1, got $thetaNum/$thetaDen")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(split(
+          TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")))
+          .as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = toks.groupBy(col("id"))
+      .agg(array_sort(collect_list(col("tok"))).as("tks"),
+        count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    // per-doc rarity order + prefix cut: n − ⌈θn⌉ + 1 rarest tokens
+    // ⌈θn⌉ via integer-exact floor((θNum·n + θDen−1)/θDen); the double
+    // floor is exact below 2^53 — far above any token-set size
+    val ceilTheta =
+      floor((col("n") * thetaNum + lit(thetaDen - 1)) / lit(thetaDen)).cast("long")
+    val prefixLen = col("n") - ceilTheta + 1L
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("__df").asc, col("tok").asc)
+    val prefix = toks.join(df, Seq("tok"))
+      .join(sets.select(col("id"), col("n")), Seq("id"))
+      .withColumn("__pos", row_number().over(byRarity))
+      .filter(col("__pos") <= prefixLen)
+      .select(col("tok"), col("id"), col("n"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .filter(least(col("a.n"), col("b.n")) * thetaDen >=
+        greatest(col("a.n"), col("b.n")) * thetaNum)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val verified = candidates
+      .join(sets.select(col("id").as("id_a"), col("tks").as("__ta"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tks").as("__tb"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("__union", col("n_a") + col("n_b") - col("n_common"))
+      .filter(col("n_common") * thetaDen >= col("__union") * thetaNum)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / col("__union").cast("double"), 6)
+          .as("jaccard"))
+    val out = materialize(verified)
+    toks.unpersist(); sets.unpersist()
+    out
+  }
+
   /** End-to-end near-dup RESOLUTION: find near-duplicate pairs
     * ([[minhashNearDups]]), connect them into clusters
     * ([[nearDupClusters]]), and keep ONE representative per cluster — the

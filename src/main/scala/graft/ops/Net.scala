@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IPv4 / CIDR primitives for crawl and access-log enrichment: parse dotted
+  * quads, expand CIDR blocks, and join IPs to the blocks containing them
+  * (geo-IP lookup, bot-range tagging, internal-traffic exclusion — the
+  * standard first joins over any raw access log).
+  *
+  * The scale problem: "which block contains this IP" is a point-in-range
+  * join, and the naive form is |ips| × |blocks| — at 100 TB of logs against
+  * a million-block geo table that cross product is unrunnable. The L91
+  * bucketization discipline applies: carve the 32-bit space into /16 buckets
+  * (65 536 cells). An IP falls in exactly ONE bucket (`ip >> 16`); a block
+  * with prefix ≥ 16 falls in exactly one bucket too, and a wider block
+  * covers `2^(16-p)` consecutive buckets — explode it once on the (small)
+  * block side, never the log side. The join is then an equi-join on the
+  * bucket key with a row-local range check; per-IP fan-out is the number of
+  * blocks overlapping its /16 (real geo tables: a handful), never |blocks|.
+  * Blocks wider than `minPrefix` (default /8 → ≤ 256 cells each) are
+  * rejected LOUDLY rather than silently exploding the build side.
+  *
+  * Determinism: all arithmetic is 64-bit integer (shifts, div, mod — no
+  * doubles anywhere); malformed IPs/CIDRs parse to NULL and drop out of the
+  * join rather than faulting the scan (the S4 tolerance discipline).
+  */
+object Net {
+
+  /** Dotted-quad IPv4 → its unsigned 32-bit value as a long; NULL when the
+    * string is not a well-formed quad of 0–255 octets. */
+  def ipv4ToLong(ip: Column): Column = {
+    val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    val ok = ip.rlike(s"^$oct\\.$oct\\.$oct\\.$oct$$")
+    val p = split(ip, "\\.")
+    val num = element_at(p, 1).cast("long") * 16777216L +
+      element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L +
+      element_at(p, 4).cast("long")
+    when(ok, num)
+  }
+
+  /** Unsigned 32-bit long → dotted quad (the inverse of [[ipv4ToLong]] on
+    * the valid range; out-of-range input yields a NULL, not garbage). */
+  def longToIpv4(n: Column): Column =
+    when(n.between(0L, 4294967295L), concat_ws(".",
+      (n / 16777216L).cast("long") % 256L,
+      (n / 65536L).cast("long") % 256L,
+      (n / 256L).cast("long") % 256L,
+      n % 256L))
+
+  /** `a.b.c.d/p` → struct(lo, hi, prefix): the block's inclusive address
+    * range, with the base address aligned DOWN to the prefix boundary (a
+    * sloppy `10.1.2.3/16` means `10.1.0.0/16`, matching `ipcalc`/inet
+    * semantics). NULL for malformed strings or prefixes outside 0–32. */
+  def cidrRange(cidr: Column): Column = {
+    val parts = split(cidr, "/")
+    val base = ipv4ToLong(element_at(parts, 1))
+    val prefix = when(element_at(parts, 2).rlike("^([0-9]|[12][0-9]|3[0-2])$"),
+      element_at(parts, 2).cast("int"))
+    // 2^(32−p) via pow: exact in double for every power of two ≤ 2^32,
+    // and shiftleft's Column API only takes a literal shift amount
+    val blockSize = pow(lit(2.0), lit(32) - prefix).cast("long")
+    val lo = (base / blockSize).cast("long") * blockSize
+    when(base.isNotNull && prefix.isNotNull && (size(parts) === 2),
+      struct(lo.as("lo"), (lo + blockSize - 1L).as("hi"), prefix.as("prefix")))
+  }
+
+  /** Containment join: every (ip row, block row) pair where the block's
+    * range contains the IP. `ips` keeps all its columns plus `ip_num`;
+    * `blocks` keeps all its columns plus `cidr_lo`/`cidr_hi`/`cidr_prefix`.
+    * Rows with unparseable IPs/CIDRs drop out (inner-join semantics on
+    * validity). Blocks must have prefix ≥ `minPrefix` — wider blocks would
+    * explode into too many bucket cells (a /0 is 65 536 rows); the require
+    * fails the job rather than melting the build side silently.
+    *
+    * Plan shape: blocks explode into their /16 cells (build side, ≤
+    * `2^(16-minPrefix)` rows each); the probe side derives one bucket per
+    * row; equi-join on the cell + row-local range filter. Geo-sized block
+    * tables broadcast under the normal threshold; log-scale probe sides
+    * never replicate.
+    */
+  def cidrJoin(ips: DataFrame, blocks: DataFrame,
+               ipCol: String, cidrCol: String, minPrefix: Int = 8): DataFrame = {
+    require(minPrefix >= 0 && minPrefix <= 32,
+      s"cidrJoin: minPrefix must be in [0,32], got $minPrefix")
+    val withRange = blocks
+      .withColumn("__r", cidrRange(col(cidrCol)))
+      .filter(col("__r").isNotNull)
+      .select(blocks.columns.map(col) :+
+        col("__r.lo").as("cidr_lo") :+
+        col("__r.hi").as("cidr_hi") :+
+        col("__r.prefix").as("cidr_prefix"): _*)
+    // loud wide-block guard: a data-dependent require must run ON the data —
+    // a 1-row agg, not a collect of the table
+    val tooWide = withRange.filter(col("cidr_prefix") < minPrefix)
+      .select(col(cidrCol)).limit(1).collect()
+    require(tooWide.isEmpty,
+      s"cidrJoin: block '${tooWide.headOption.map(_.getString(0)).orNull}' is " +
+        s"wider than /$minPrefix — raise minPrefix deliberately if intended")
+    val exploded = withRange.withColumn("__cell",
+      explode(sequence(shiftright(col("cidr_lo"), 16),
+        shiftright(col("cidr_hi"), 16))))
+    val probes = ips
+      .withColumn("ip_num", ipv4ToLong(col(ipCol)))
+      .filter(col("ip_num").isNotNull)
+      .withColumn("__cell", shiftright(col("ip_num"), 16))
+    probes.join(exploded, Seq("__cell"))
+      .filter(col("ip_num").between(col("cidr_lo"), col("cidr_hi")))
+      .drop("__cell")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk auditing for training-data release: k-anonymity and
+  * l-diversity over a chosen set of quasi-identifier columns.
+  *
+  * The training-data angle: before a corpus (or its metadata) ships, the
+  * release owner needs to know whether the NON-sensitive columns already
+  * single people out — a row whose (nation, segment, balance-bucket)
+  * combination is unique is re-identifiable no matter how well L17's PII
+  * scrub cleaned the text. k-anonymity (every equivalence class over the
+  * quasi-identifiers has ≥ k rows) and l-diversity (every class carries ≥ l
+  * distinct sensitive values — k alone fails when a class is large but
+  * homogeneous: knowing someone is IN the class reveals their sensitive
+  * value) are the standard audit pair (Sweeney 2002; Machanavajjhala 2007).
+  *
+  * Shape at scale: [[kAnonymityAudit]] is ONE aggregation pass over the
+  * quasi-identifier key — map-side combined counts plus one distinct count,
+  * which compiles to the multi-distinct Expand (rows × 2 pre-partial-agg,
+  * the exact answer's documented price — the L176 profile discipline);
+  * output is classes-sized. [[suppressBelowK]] is one window count over the
+  * same key — no join back, the count rides the partition — and streams the
+  * surviving rows through.
+  *
+  * Determinism: class counts are longs; `risk` is 1/size — an exact-long
+  * division rounded at 6 dp, identical across engines. The k/l verdicts are
+  * long comparisons, never doubles.
+  */
+object Privacy {
+
+  /** Per-equivalence-class k-anonymity / l-diversity report over
+    * `quasiCols`, with `sensitiveCol` as the attribute l-diversity protects.
+    *
+    * Output: one row per class — the quasi columns as-is, `class_size`,
+    * `n_sensitive` (distinct sensitive values in the class), `k_anonymous` /
+    * `l_diverse` verdicts, and `risk` = 1/class_size (the re-identification
+    * probability of a member under the class-linkage attack model).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: need ≥ 1 quasi-identifier")
+    require(k >= 1 && l >= 1, s"kAnonymityAudit: k/l must be ≥ 1, got $k/$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("class_size"),
+        col("n_sensitive"),
+        (col("class_size") >= k).as("k_anonymous"),
+        (col("n_sensitive") >= l).as("l_diverse"),
+        round(lit(1.0) / col("class_size").cast("double"), 6).as("risk")): _*)
+  }
+
+  /** k-anonymity enforcement by suppression: keep only rows whose
+    * quasi-identifier class has ≥ k members (the release-safe subset; the
+    * suppressed remainder is the caller's generalize-or-drop decision).
+    * One window count over the class key — no second scan, no join. */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "suppressBelowK: need ≥ 1 quasi-identifier")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= k)
+      .drop("__n")
+  }
+}

@@ -159,4 +159,81 @@ object Trend {
       when(vx > 0.0 && vy > 0.0,
         round(num / (sqrt(vx) * sqrt(vy)), 6)).as("corr")): _*)
   }
+
+  /** EWMA weights for α = 1/4: `w_j = (1/4)·(3/4)^j`, j = 0..15. Dyadic
+    * rationals (denominator 4^(j+1), numerator 3^j < 2^26) — every weight
+    * is EXACTLY representable as a double, which is what makes
+    * [[ewmaAnomalies]] engine-independent (see there). Shared with the
+    * oracle via [[ewmaWeightLiterals]] — one source of truth. */
+  private[graft] val EwmaWeights: Seq[Double] =
+    (0 until 16).map(j => 0.25 * math.pow(0.75, j))
+
+  /** The weights as exact decimal literals (dyadic doubles have finite
+    * decimal expansions; `BigDecimal(double)` renders them exactly, so the
+    * oracle's parser reconstructs the identical bits). */
+  private[graft] def ewmaWeightLiterals: Seq[String] =
+    EwmaWeights.map(w => new java.math.BigDecimal(w).toPlainString)
+
+  /** Per-series EWMA baseline + relative-residual anomaly flags — the
+    * streaming-monitoring staple ([[linearTrend]] answers "is it moving",
+    * [[changePoint]] "when did it step"; this answers "is TODAY off its own
+    * recent baseline", weighting yesterday 4/3× the day before).
+    *
+    * The EWMA here is the 16-term TRUNCATED form over the PRIOR points
+    * (lags 1..16): `ewma_prev = Σ_j w_j·x_{t-1-j} / Σ_j w_j` with
+    * `w_j = (1/4)(3/4)^j` and the normalizer summed over the lags actually
+    * present (series heads and gaps shrink the window instead of biasing
+    * toward zero). Truncation error vs the infinite recurrence is
+    * ≤ (3/4)^16 ≈ 1%, and the payoff is total determinism:
+    *
+    *  - every weight is an exact dyadic double ([[EwmaWeights]]);
+    *  - for integer-valued series with |x| ≤ ~100 000, every product
+    *    `w_j·x` and every partial sum is an exact dyadic with common
+    *    denominator 4^16 and numerator < 2^53 — double addition is then
+    *    ASSOCIATIVE (no rounding at any step), so Spark and any oracle
+    *    engine compute bit-identical sums regardless of evaluation order
+    *    (the L166 exact-moments discipline, extended to weighted sums);
+    *  - the final division of two exact doubles is correctly rounded and
+    *    identical everywhere; 6 dp rounding is then stable.
+    *
+    * A recurrence (`s_t = αx + (1−α)s_{t−1}`) would need per-row state —
+    * not expressible as a window aggregate without a per-group sequential
+    * scan; 16 lags over ONE window spec keep the whole thing in a single
+    * sorted pass.
+    *
+    * Anomaly rule: `rel_residual = (x − ewma_prev) / (|ewma_prev| + 1)`
+    * (the +1 floors the denominator — division-safe and scale-stable for
+    * count series); `|rel_residual| > threshold` flags. Rows with NO prior
+    * point (series head) get NULL ewma/residual and never flag.
+    *
+    * Output: `(groupCols…, xCol, value, ewma_prev 6dp, rel_residual 6dp,
+    * anomaly)`.
+    *
+    * == 100 TB shape ==
+    * ONE window spec (partition by series, order by x) carries all 16 lag
+    * functions — a single Exchange + Sort, per-series locality, row-local
+    * arithmetic after. Feed it pre-aggregated series (daily counts), not
+    * raw events. */
+  def ewmaAnomalies(df: DataFrame, xCol: String, valueCol: String,
+                    groupCols: Seq[String], threshold: Double = 0.5): DataFrame = {
+    require(groupCols.nonEmpty, "ewmaAnomalies: need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(groupCols.map(col): _*).orderBy(col(xCol).asc)
+    val v = col(valueCol).cast("double")
+    val lags = EwmaWeights.zipWithIndex.map { case (w, j) =>
+      (lag(v, j + 1).over(ord), lit(w))
+    }
+    val num = lags.map { case (x, w) => when(x.isNotNull, w * x).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.map { case (x, w) => when(x.isNotNull, w).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val ewma = when(den > 0.0, num / den)
+    val rel = when(ewma.isNotNull, (v - ewma) / (abs(ewma) + 1.0))
+    df.select(groupCols.map(col) ++ Seq(
+      col(xCol),
+      v.as("value"),
+      round(ewma, 6).as("ewma_prev"),
+      round(rel, 6).as("rel_residual"),
+      coalesce(abs(rel) > threshold, lit(false)).as("anomaly")): _*)
+  }
 }

@@ -4487,4 +4487,97 @@ class OpsSpec extends SparkSpec {
     // group b: zero variance and min = max -> NULL z and unit
     assert(got(("b", 4.0)) === ((None, None)))
   }
+
+  test("kAnonymityAudit: class sizes, l-diversity, verdicts, risk; suppress keeps only safe rows") {
+    import graft.ops.Privacy
+    val df = Seq(
+      ("us", 1L, "A"), ("us", 1L, "A"), ("us", 1L, "B"), // class of 3, l=2
+      ("us", 2L, "A"),                                   // singleton
+      ("de", 1L, "A"), ("de", 1L, "A"))                  // class of 2, l=1
+      .toDF("country", "bucket", "diag")
+    val got = Privacy.kAnonymityAudit(df, Seq("country", "bucket"), "diag",
+      k = 2, l = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getDouble(6)))).toMap
+    assert(got(("us", 1L)) === ((3L, 2L, true, true, 0.333333)))
+    assert(got(("us", 2L)) === ((1L, 1L, false, false, 1.0)))
+    assert(got(("de", 1L)) === ((2L, 1L, true, false, 0.5)))
+    val kept = Privacy.suppressBelowK(df, Seq("country", "bucket"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.length === 5 && !kept.contains(("us", 2L)))
+  }
+
+  test("ipv4/cidr: parse boundaries, alignment, containment incl. block edges, wide-block guard") {
+    import graft.ops.Net
+    val parsed = Seq("0.0.0.0", "255.255.255.255", "10.1.2.3", "256.1.1.1",
+      "1.2.3", "a.b.c.d", "01.2.3.4")
+      .toDF("ip").select(Net.ipv4ToLong(col("ip"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(parsed(0) === Some(0L))
+    assert(parsed(1) === Some(4294967295L))
+    assert(parsed(2) === Some(10L * 16777216 + 65536 + 2 * 256 + 3))
+    assert(parsed.drop(3).forall(_.isEmpty)) // 256 octet, short, alpha, leading zero
+    // sloppy base aligns DOWN; /33 and garbage parse NULL
+    val ranges = Seq("10.1.2.3/16", "10.0.0.0/33", "junk")
+      .toDF("c").select(Net.cidrRange(col("c"))).collect()
+    assert(ranges(0).getStruct(0).getLong(0) === 10L * 16777216 + 65536)
+    assert(ranges(1).isNullAt(0) && ranges(2).isNullAt(0))
+    val ips = Seq(("a", "10.1.0.0"), ("b", "10.1.255.255"), ("c", "10.2.0.0"),
+      ("d", "172.16.5.9"), ("e", "bogus")).toDF("tag", "ip")
+    val blocks = Seq(("x", "10.1.0.0/16"), ("y", "172.16.0.0/12")).toDF("bid", "cidr")
+    val pairs = Net.cidrJoin(ips, blocks, "ip", "cidr")
+      .select("tag", "bid").collect().map(r => (r.getString(0), r.getString(1)))
+    // lo and hi are INSIDE; first-out-of-block is not; /12 spans 16 cells
+    assert(pairs.toSet === Set(("a", "x"), ("b", "x"), ("d", "y")))
+    val err = intercept[IllegalArgumentException] {
+      Net.cidrJoin(ips, Seq(("z", "0.0.0.0/4")).toDF("bid", "cidr"), "ip", "cidr")
+    }
+    assert(err.getMessage.contains("wider than /8"))
+  }
+
+  test("ewmaAnomalies: constant baseline, spike flags, head NULL, gaps shrink the normalizer") {
+    import graft.ops.Trend
+    val df = ((1L to 20L).map(d => ("a", d, 100L)) :+ (("a", 21L, 200L)))
+      .toDF("g", "day", "n")
+    val got = Trend.ewmaAnomalies(df, "day", "n", Seq("g"), threshold = 0.5)
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) === ((None, false)))            // series head: no prior
+    assert(got(20L) === ((Some(100.0), false)))    // constant series: exact baseline
+    // the spike: baseline is the constant past, residual (200-100)/101 =
+    // 0.990099 > 0.5 -> flags
+    assert(got(21L) === ((Some(100.0), true)))
+    val flagged = Trend.ewmaAnomalies(df, "day", "n", Seq("g"), threshold = 0.5)
+      .filter(col("anomaly")).collect().map(_.getLong(1))
+    assert(flagged.toSeq === Seq(21L))
+    // two-point series: baseline after one point is that point exactly
+    val two = Seq(("b", 1L, 40L), ("b", 2L, 60L)).toDF("g", "day", "n")
+    val second = Trend.ewmaAnomalies(two, "day", "n", Seq("g"))
+      .filter(col("day") === 2L).collect()(0)
+    assert(second.getDouble(3) === 40.0) // den normalizes the single lag
+    assert(second.getDouble(4) === BigDecimal((60.0 - 40.0) / 41.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("setSimilarityJoin: exact pairs at theta, below-theta excluded, brute-force parity") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),    // 4/6 = 0.667 vs 0
+      (2L, "alpha beta gamma delta epsilon"), // identical to 0
+      (3L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(corpus, thetaNum = 3, thetaDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(got((0L, 2L)) === ((5L, 1.0)))
+    assert(got((0L, 1L)) === ((4L, 0.666667)))
+    assert(got((1L, 2L)) === ((4L, 0.666667)))
+    assert(got.size === 3) // doc 3 shares nothing
+    // raising theta to 4/5 drops the 0.667 pairs, keeps the identical pair
+    val strict = Dedup.setSimilarityJoin(corpus, thetaNum = 4, thetaDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq === Seq((0L, 2L)))
+  }
 }
