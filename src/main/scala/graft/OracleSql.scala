@@ -3209,6 +3209,127 @@ object OracleSql {
     FROM inter JOIN sz sa ON inter.ia = sa.id JOIN sz sb ON inter.ib = sb.id
     WHERE i * 20 >= (sa.n + sb.n - i) * 19"""
 
+  /** 3-core — q211. Peeling unrolled to 12 generated rounds (sf0.01
+    * converges in 3; peeling is monotone, so any engine fixpoint ≤ 12
+    * rounds agrees with round 12 exactly). Every CTE is MATERIALIZED:
+    * round i references round i−1 three times, so DuckDB's default
+    * inlining would expand the chain 3^12-fold (observed as a
+    * file-handle blowout re-opening the parquet per expansion). */
+  private val q211: String = {
+    val rounds = (1 to 12).map { i =>
+      s"""d$i AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM u${i - 1} GROUP BY 1),
+      u$i AS MATERIALIZED (SELECT u.src, u.dst FROM u${i - 1} u
+        JOIN d$i a ON u.src = a.node JOIN d$i b ON u.dst = b.node
+        WHERE a.degree >= 3 AND b.degree >= 3)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS MATERIALIZED (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    u0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+      UNION SELECT b, a FROM e),
+    $rounds
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM u12 GROUP BY 1"""
+  }
+
+  /** A/B z-test — q212. Exact long counts, the identical double dag for
+    * rates/pool/se/z, arms ordered lexicographically via arg_min/arg_max. */
+  private val q212 = """
+    WITH per AS (SELECT user_id,
+        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+          AS variant,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1),
+    a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(conv) AS BIGINT) AS x FROM per GROUP BY 1),
+    p AS (SELECT
+        arg_min(variant, variant) AS variant_a,
+        arg_min(n, variant) AS n_a, arg_min(x, variant) AS conv_a,
+        arg_max(variant, variant) AS variant_b,
+        arg_max(n, variant) AS n_b, arg_max(x, variant) AS conv_b
+      FROM a),
+    m AS (SELECT *,
+        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+          AS pool
+      FROM p),
+    z AS (SELECT *,
+        CASE WHEN sqrt(pool * (1.0 - pool)
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+          THEN (pb - pa) / sqrt(pool * (1.0 - pool)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        END AS zv
+      FROM m)
+    SELECT variant_a, n_a, conv_a, round(pa, 6) AS rate_a,
+      variant_b, n_b, conv_b, round(pb, 6) AS rate_b,
+      round(pb - pa, 6) AS lift, round(zv, 6) AS z_score,
+      coalesce(abs(zv) > 1.96, FALSE) AS significant
+    FROM z"""
+
+  /** Nelson–Aalen hazard — q213. Integer fixed-point steps (d·10⁹ // n)
+    * summed as exact longs — the engine-identical alternative to a
+    * floating d/n accumulation. */
+  private val q213 = """
+    WITH subj AS (SELECT
+        CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+          AS BIGINT) AS duration,
+        CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS event
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    grid AS (SELECT duration AS t, CAST(sum(event) AS BIGINT) AS d_events,
+        CAST(count(*) AS BIGINT) AS n_leaving FROM subj GROUP BY 1),
+    w AS (SELECT t, d_events, n_leaving,
+        sum(n_leaving) OVER ()
+          - coalesce(sum(n_leaving) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS n_risk
+      FROM grid),
+    h AS (SELECT t, n_risk, d_events, n_leaving,
+        d_events * 1000000000 // n_risk AS step FROM w),
+    c AS (SELECT *, sum(step) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h)
+    SELECT t, n_risk, d_events, n_leaving,
+      round(CAST(step AS DOUBLE) / 1e9, 6) AS hazard_step,
+      round(CAST(cum AS DOUBLE) / 1e9, 6) AS cum_hazard
+    FROM c WHERE d_events >= 1"""
+
+  /** Replica digest diff — q214. The 56-bit md5 row hash and XOR combine
+    * mirror SchemaDrift.bucketDigests; chr(1) is the column separator of
+    * record. */
+  private val q214 = """
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+      FROM orders),
+    mut AS (SELECT k,
+        CASE WHEN k % 503 = 0 THEN 'X' ELSE st END AS st, price
+      FROM base WHERE k % 997 <> 0),
+    da AS (SELECT
+        ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 14))::BIGINT % 64
+          AS bucket,
+        CAST(count(*) AS BIGINT) AS n_rows_a,
+        bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || chr(1) || st
+          || chr(1) || price), 1, 14))::BIGINT) AS digest_a
+      FROM base GROUP BY 1),
+    db AS (SELECT
+        ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 14))::BIGINT % 64
+          AS bucket,
+        CAST(count(*) AS BIGINT) AS n_rows_b,
+        bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || chr(1) || st
+          || chr(1) || price), 1, 14))::BIGINT) AS digest_b
+      FROM mut GROUP BY 1)
+    SELECT coalesce(da.bucket, db.bucket) AS bucket,
+      coalesce(n_rows_a, 0) AS n_rows_a,
+      coalesce(n_rows_b, 0) AS n_rows_b,
+      coalesce(digest_a, 0) AS digest_a,
+      coalesce(digest_b, 0) AS digest_b,
+      (coalesce(n_rows_a, 0) = coalesce(n_rows_b, 0)
+        AND coalesce(digest_a, 0) = coalesce(digest_b, 0)) AS buckets_match
+    FROM da FULL OUTER JOIN db ON da.bucket = db.bucket"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -5073,6 +5194,10 @@ object OracleSql {
     "q207_k_anonymity"      -> q207,
     "q208_cidr_join"        -> q208,
     "q209_ewma"             -> q209,
-    "q210_setsim_join"      -> q210
+    "q210_setsim_join"      -> q210,
+    "q211_kcore"            -> q211,
+    "q212_ab_test"          -> q212,
+    "q213_survival"         -> q213,
+    "q214_digest_diff"      -> q214
   ).map { case (k, v) => k -> clean(v) }
 }

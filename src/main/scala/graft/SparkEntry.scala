@@ -3447,6 +3447,68 @@ object SparkEntry {
     graft.ops.Dedup.setSimilarityJoin(t(s, dir, "documents"),
       thetaNum = 19, thetaDen = 20)
 
+  /** 3-core of the strong trade graph ([[graft.ops.Graph.kCore]]): edges
+    * with ≥ 3 shared orders, peeled to the maximal subgraph where every
+    * node keeps ≥ 3 strong partners (3 cascade rounds at sf0.01 — a
+    * single degree filter would NOT give this answer). The oracle unrolls
+    * 12 peeling rounds — monotone, so any fixpoint ≤ 12 rounds matches. */
+  private def q211KCore(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed (the q109 discipline): kCore's symmetrize union reads
+    // the edge expression twice
+    val e = tradeEdges(s, dir).filter(col("w") >= 3).localCheckpoint(true)
+    graft.ops.Graph.kCore(e, k = 3)
+  }
+
+  /** A/B readout ([[graft.ops.Experiment.abTest]]): per-user purchase
+    * conversion, arms by user-id parity — pooled two-proportion z at 6 dp
+    * from exact long counts. */
+  private def q212AbTest(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "control")
+          .otherwise("treatment"))
+    graft.ops.Experiment.abTest(per, "variant", "converted")
+  }
+
+  /** Nelson–Aalen order-fulfilment hazard
+    * ([[graft.ops.Survival.nelsonAalen]]): per line item, duration = days
+    * from order to ship; open lines (`l_linestatus = 'O'`) are
+    * right-censored at their current age — the censoring-aware "how fast
+    * do orders actually ship" curve a naive average of CLOSED lines
+    * overstates. Cumulative hazard exact via integer fixed-point. */
+  private def q213Survival(s: SparkSession, dir: String): DataFrame = {
+    val subjects = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("duration"),
+        when(col("l_linestatus") === "F", 1).otherwise(0).as("event"))
+    graft.ops.Survival.nelsonAalen(subjects, "duration", "event")
+  }
+
+  /** Replica digest diff ([[graft.ops.SchemaDrift.digestDiff]]): orders vs
+    * a sparsely-mutated copy (1/997 dropped, 1/503 status-flipped) over 64
+    * buckets — the KB-sized sync handshake that scopes [[q202RowDiff]]'s
+    * row-level work to mismatched buckets only. Price renders through
+    * DECIMAL(18,2) per the op's cross-engine string contract. */
+  private def q214DigestDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(Dec).cast("string").as("o_price"))
+    val k = col("o_orderkey")
+    val mutated = base.filter(pmod(k, lit(997)) =!= 0)
+      .select(k,
+        when(pmod(k, lit(503)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_price"))
+    graft.ops.SchemaDrift.digestDiff(base, mutated, "o_orderkey",
+      buckets = 64)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3657,7 +3719,11 @@ object SparkEntry {
     "q207_k_anonymity"      -> q207KAnonymity _,
     "q208_cidr_join"        -> q208CidrJoin _,
     "q209_ewma"             -> q209Ewma _,
-    "q210_setsim_join"      -> q210SetSimJoin _
+    "q210_setsim_join"      -> q210SetSimJoin _,
+    "q211_kcore"            -> q211KCore _,
+    "q212_ab_test"          -> q212AbTest _,
+    "q213_survival"         -> q213Survival _,
+    "q214_digest_diff"      -> q214DigestDiff _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A/B experiment readout: the two-proportion pooled z-test over per-unit
+  * conversion rows — the decision-support twin of [[Trend]]'s monitoring
+  * ops ("did the treatment move the rate, or is the gap noise"). The
+  * fixed-horizon frequentist readout is the lingua franca of product
+  * experimentation; this computes it exactly, at any scale, in two
+  * aggregations.
+  *
+  * Statistic: with pooled rate `p = (xa+xb)/(na+nb)`,
+  * `z = (pa − pb) / √(p(1−p)(1/na + 1/nb))` — the classic two-proportion
+  * test (the L183 calibration report's Wilson machinery answers "what IS
+  * the rate"; this answers "are the two rates DIFFERENT"). `significant`
+  * is the two-sided 5% verdict (|z| > 1.96).
+  *
+  * Determinism: counts are exact longs; every rate is one double division
+  * of exact longs; z is a fixed dag of correctly-rounded double ops (÷, ·,
+  * √ — all IEEE-exact given identical inputs), rounded at 6 dp — the L166
+  * discipline. A degenerate pool (p = 0 or 1, or an empty arm) yields NULL
+  * z and a false verdict rather than a division by zero.
+  *
+  * == 100 TB shape ==
+  * ONE map-side-combined agg to an arms-sized frame, one 1-row `min_by`/
+  * `max_by` packing agg, row-local arithmetic on the single row. The input
+  * is per-UNIT rows (one per user, the experiment's randomization unit) —
+  * derive them with a per-user agg first; feeding raw events would count
+  * exposure-weighted conversions, a different (and usually wrong) test. */
+object Experiment {
+
+  /** One-row A/B report over per-unit rows: `variantCol` (exactly two
+    * distinct values — more arms fail LOUDLY; run pairwise contrasts
+    * deliberately, not silently) and boolean/0-1 `convertedCol`. Arms are
+    * ordered lexicographically into a/b; `lift = rate_b − rate_a`. */
+  def abTest(df: DataFrame, variantCol: String,
+             convertedCol: String): DataFrame = {
+    val arms = df.groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(convertedCol).cast("int").cast("long")).as("x"))
+    val packed = arms.agg(
+      count(lit(1)).as("__arms"),
+      min_by(struct(col("variant"), col("n"), col("x")), col("variant"))
+        .as("__a"),
+      max_by(struct(col("variant"), col("n"), col("x")), col("variant"))
+        .as("__b"))
+    val checked = packed.select(
+      // loud arm-count guard riding the same single row — no extra action
+      when(col("__arms") === 2, col("__a"))
+        .otherwise(raise_error(concat(lit("abTest: need exactly 2 variants, got "),
+          col("__arms").cast("string")))).as("__a"),
+      col("__b"))
+    val na = col("__a.n").cast("double"); val nb = col("__b.n").cast("double")
+    val pa = col("__a.x").cast("double") / na
+    val pb = col("__b.x").cast("double") / nb
+    val pool = (col("__a.x") + col("__b.x")).cast("double") /
+      (col("__a.n") + col("__b.n")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = when(se > 0.0, (pb - pa) / se)
+    checked.select(
+      col("__a.variant").as("variant_a"),
+      col("__a.n").as("n_a"), col("__a.x").as("conv_a"),
+      round(pa, 6).as("rate_a"),
+      col("__b.variant").as("variant_b"),
+      col("__b.n").as("n_b"), col("__b.x").as("conv_b"),
+      round(pb, 6).as("rate_b"),
+      round(pb - pa, 6).as("lift"),
+      round(z, 6).as("z_score"),
+      coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+  }
+}

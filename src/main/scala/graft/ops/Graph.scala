@@ -712,4 +712,77 @@ object Graph {
     e.unpersist()
     dist
   }
+
+  /** k-core decomposition (membership for a given k): iteratively peel
+    * every node whose degree in the SURVIVING subgraph is < k until a
+    * fixpoint — what remains is the maximal subgraph where every node
+    * keeps ≥ k neighbors. The standard graph-mining density filter
+    * ([[degrees]] answers "how connected is this node globally"; the
+    * k-core answers "does it sit in a densely-interlocked region once the
+    * dangling periphery is stripped") — spam/collusion rings, community
+    * nuclei, and robust-backbone extraction all start here. Peeling
+    * CASCADES: removing a low-degree node can drop its neighbors below k,
+    * which is why a single degree filter is not enough.
+    *
+    * Per round: ONE map-side-combined degree agg over the surviving
+    * symmetric edge table, a 1-row drain check on the sub-k node set, and
+    * two anti-joins (src side, dst side) against that node-sized set —
+    * the [[bfsDistances]] shape. Edges are `localCheckpoint`ed per round
+    * and dead rounds free their blocks ([[pageRank]] discipline). Rounds
+    * are bounded by the peeling depth (≤ graph degeneracy ≪ n in
+    * practice); `maxRounds` fails LOUDLY rather than returning a
+    * half-peeled subgraph as if it were the core.
+    *
+    * Input edges are treated as an undirected simple graph: both
+    * directions are materialized, duplicates collapse, self-loops and
+    * NULL endpoints drop. Output: `(node, degree)` — each survivor with
+    * its within-core degree (≥ k by construction); empty when the core is
+    * empty. Degrees are exact longs — partitioning cannot change a bit. */
+  def kCore(edges: DataFrame, k: Int,
+            srcCol: String = "src", dstCol: String = "dst",
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    var sym = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      // checkpointed: read by the drain check AND both anti-joins — the
+      // lazy form would run the degree agg three times
+      val bad = deg.filter(col("degree") < k).select(col("node"))
+        .localCheckpoint(true)
+      if (bad.isEmpty) {
+        converged = true
+        freeCheckpoint(bad)
+      } else {
+        explainIter(bad, round)
+        val pruned = sym
+          .join(bad.select(col("node").as("__ba")),
+            col("src") === col("__ba"), "left_anti")
+          .join(bad.select(col("node").as("__bb")),
+            col("dst") === col("__bb"), "left_anti")
+          .localCheckpoint(true)
+        freeCheckpoint(sym)
+        freeCheckpoint(bad)
+        sym = pruned
+        round += 1
+      }
+    }
+    require(converged,
+      s"kCore: no fixpoint within $maxRounds rounds — raise maxRounds " +
+        "(peeling depth exceeds the configured bound)")
+    val out = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    freeCheckpoint(sym)
+    out
+  }
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis over right-censored durations: the Nelson–Aalen
+  * cumulative-hazard estimator — churn/retention's proper statistical
+  * form. The L84 retention matrix answers "what fraction of the day-d
+  * cohort came back"; survival analysis answers the harder question that
+  * CENSORING poisons naive rates: a user who joined last week and hasn't
+  * churned is not evidence of retention FOREVER, only of surviving 7
+  * days. Every still-active subject contributes to the risk set exactly
+  * up to its observed duration and no further.
+  *
+  * Estimator: at each duration t with ≥ 1 observed event,
+  * `H(t) = Σ_{t' ≤ t} d_{t'} / n_{t'}` — events over at-risk count,
+  * accumulated. (The Kaplan–Meier SURVIVAL curve is `exp(−H)` up to
+  * second-order terms; H itself is the sum form, chosen here because a
+  * sum of exact rationals stays engine-exact where a floating product /
+  * exp does not.)
+  *
+  * Exactness discipline: each hazard step is the INTEGER division
+  * `d·10⁹ div n` (exact 64-bit arithmetic — `d` must stay < 2⁶³/10⁹ ≈
+  * 9.2e9 events per distinct duration, comfortably above any real time
+  * grain); the cumulative sum adds exact longs (order-free); the only
+  * doubles are final `/1e9` renderings rounded at 6 dp. Both engines
+  * compute identical bits — the L166 discipline with a fixed-point twist,
+  * because `d/n` summed as doubles would be association-sensitive.
+  *
+  * == 100 TB shape ==
+  * ONE map-side-combined agg collapses subjects to the distinct-duration
+  * grid (time grain bounds it — days → thousands of rows), then one
+  * ordered window over that tiny frame carries the leaving-count prefix
+  * sum (risk set) and the hazard accumulation. Feed it per-SUBJECT rows
+  * (duration + event flag), not raw events. */
+object Survival {
+
+  /** Nelson–Aalen cumulative hazard over per-subject `(durationCol,
+    * eventCol)` rows — duration a non-negative integer (days, weeks…),
+    * event 1 = observed (churned), 0 = right-censored (still active at
+    * that duration). Output, one row per duration with ≥ 1 OBSERVED
+    * event, ordered by the duration values themselves:
+    * `(t, n_risk, d_events, n_leaving, hazard_step, cum_hazard)` —
+    * `n_leaving` counts events AND censorings exiting at t (censored
+    * subjects leave the risk set but contribute no hazard). */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val grid = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(col(eventCol).cast("int").cast("long")).as("d_events"),
+        count(lit(1)).as("n_leaving"))
+    val ord = Window.orderBy(col("t").asc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val total = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the window is over the distinct-DURATION grid (time-grain bounded —
+    // the L34 global-order-on-a-tiny-frame shape), never over subjects
+    grid
+      .withColumn("n_risk",
+        sum(col("n_leaving")).over(total) -
+          coalesce(sum(col("n_leaving")).over(before), lit(0L)))
+      .withColumn("__step", expr("d_events * 1000000000 DIV n_risk"))
+      .withColumn("__cum", sum(col("__step")).over(run))
+      .filter(col("d_events") >= 1L)
+      .select(col("t"), col("n_risk"), col("d_events"), col("n_leaving"),
+        round(col("__step").cast("double") / 1e9, 6).as("hazard_step"),
+        round(col("__cum").cast("double") / 1e9, 6).as("cum_hazard"))
+  }
+}

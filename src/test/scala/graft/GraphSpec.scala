@@ -382,4 +382,32 @@ class GraphSpec extends SparkSpec {
     // maxHops = 0: just the seed labels
     assert(run(0) === Map("a" -> 0L))
   }
+
+  test("kCore: cascading peel, within-core degrees, empty core, loud round bound") {
+    // triangle abc + pendant chain c-d-e: 2-core = the triangle (d's
+    // removal must CASCADE into e... e first, then d — two rounds)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core2 = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k = 1 keeps everything (degrees as in the full graph)
+    val core1 = Graph.kCore(edges, k = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core1 === Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 2L, "e" -> 1L))
+    // k = 3: the triangle's degrees are 2 -> everything peels, empty core
+    assert(Graph.kCore(edges, k = 3).isEmpty)
+    // direction/duplicates/self-loops collapse to the simple graph
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val m = Graph.kCore(messy, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // a 2-round cascade with maxRounds = 1 must fail LOUDLY, not return
+    // a half-peeled graph
+    val err = intercept[IllegalArgumentException] {
+      Graph.kCore(edges, k = 2, maxRounds = 1)
+    }
+    assert(err.getMessage.contains("no fixpoint"))
+  }
 }

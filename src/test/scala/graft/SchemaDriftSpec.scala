@@ -44,4 +44,73 @@ class SchemaDriftSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(4), r.getLong(5))).toSeq ===
       Seq((0L, 0L), (1L, 1L)))
   }
+
+  test("bucketDigests: order/partition-independent, any single change flips its bucket only") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("id", "v")
+    val digA = SchemaDrift.bucketDigests(a, "id", buckets = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reversed row order + different partitioning -> identical digests
+    val shuffled = a.orderBy(col("id").desc).repartition(7)
+    val digB = SchemaDrift.bucketDigests(shuffled, "id", buckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(digA === digB)
+    // one changed value: that row's bucket differs, every other matches;
+    // a dropped row changes its bucket's count
+    val mutated = Seq((1L, "x"), (2L, "CHANGED"), (3L, "z"))
+      .toDF("id", "v")
+    val diff = SchemaDrift.digestDiff(a, mutated, "id", buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5)))).toMap
+    val touched = diff.filter(!_._2._3)
+    // ids 2 (changed) and 4 (dropped) mark exactly their buckets
+    assert(touched.size <= 2 && touched.nonEmpty)
+    assert(diff.values.map(_._1).sum === 4L) // side-a row mass preserved
+    val matchedRows = diff.filter(_._2._3)
+    assert(matchedRows.forall { case (_, (na, nb, _)) => na == nb })
+  }
+
+  test("abTest: hand-checked z, lexicographic arms, degenerate pool NULL, loud arm count") {
+    import graft.ops.Experiment
+    // control 2/4 vs treatment 3/4: pool 5/8
+    val df = Seq(
+      ("control", 1), ("control", 1), ("control", 0), ("control", 0),
+      ("treatment", 1), ("treatment", 1), ("treatment", 1), ("treatment", 0))
+      .toDF("variant", "converted")
+    val r = Experiment.abTest(df, "variant", "converted").collect()(0)
+    assert(r.getString(0) === "control" && r.getString(4) === "treatment")
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 2L)))
+    assert(r.getDouble(3) === 0.5 && r.getDouble(7) === 0.75)
+    val pool = 5.0 / 8.0
+    val se = math.sqrt(pool * (1 - pool) * (1.0 / 4 + 1.0 / 4))
+    def r6(d: Double) = BigDecimal(d).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(9) === r6(0.25 / se))
+    assert(!r.getBoolean(10)) // |z| ~ 0.73 < 1.96
+    // all-converted pool: se = 0 -> NULL z, false verdict
+    val flat = Seq(("a", 1), ("b", 1)).toDF("variant", "converted")
+    val fr = Experiment.abTest(flat, "variant", "converted").collect()(0)
+    assert(fr.isNullAt(9) && !fr.getBoolean(10))
+    // three arms fail loudly
+    val three = Seq(("a", 1), ("b", 0), ("c", 1)).toDF("variant", "converted")
+    val err = intercept[Exception] {
+      Experiment.abTest(three, "variant", "converted").collect()
+    }
+    assert(err.getMessage.contains("exactly 2 variants"))
+  }
+
+  test("nelsonAalen: hand-checked risk sets and hazard, censoring leaves risk set silently") {
+    import graft.ops.Survival
+    // durations: t=1 two events; t=2 one censor; t=3 one event
+    val df = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1))
+      .toDF("duration", "event")
+    val got = Survival.nelsonAalen(df, "duration", "event").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    // t=1: risk 4, d 2 -> step 0.5; t=3: risk 1, d 1 -> step 1.0
+    assert(got(1L) === ((4L, 2L, 2L, 0.5, 0.5)))
+    assert(got(3L) === ((1L, 1L, 1L, 1.0, 1.5)))
+    assert(got.size === 2) // censoring-only t=2 emits no row
+  }
 }
