@@ -1398,8 +1398,8 @@ object OracleSql {
     * decomposition must telescope to the identical running totals. */
   private val q139 = """
     SELECT doc_id, v,
-      SUM(v) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
-        AS running_sum
+      CAST(SUM(v) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING)
+        AS BIGINT) AS running_sum
     FROM (SELECT doc_id, CAST((doc_id * 7) % 101 + 1 AS BIGINT) AS v
           FROM documents)"""
 
@@ -3272,8 +3272,10 @@ object OracleSql {
     FROM z"""
 
   /** Nelson–Aalen hazard — q213. Integer fixed-point steps (d·10⁹ // n)
-    * summed as exact longs — the engine-identical alternative to a
-    * floating d/n accumulation. */
+    * summed as exact longs; hazards render as 9-dp decimal strings via
+    * integer div/mod (the q214 cross-engine string contract — no double
+    * round() whose ULP could differ between engines), and every window
+    * sum is CAST to BIGINT so HUGEINT never reaches the compare. */
   private val q213 = """
     WITH subj AS (SELECT
         CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
@@ -3283,18 +3285,21 @@ object OracleSql {
     grid AS (SELECT duration AS t, CAST(sum(event) AS BIGINT) AS d_events,
         CAST(count(*) AS BIGINT) AS n_leaving FROM subj GROUP BY 1),
     w AS (SELECT t, d_events, n_leaving,
-        sum(n_leaving) OVER ()
+        CAST(sum(n_leaving) OVER ()
           - coalesce(sum(n_leaving) OVER (ORDER BY t
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          AS n_risk
+          AS BIGINT) AS n_risk
       FROM grid),
     h AS (SELECT t, n_risk, d_events, n_leaving,
-        d_events * 1000000000 // n_risk AS step FROM w),
-    c AS (SELECT *, sum(step) OVER (ORDER BY t
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h)
+        CAST(d_events * 1000000000 // n_risk AS BIGINT) AS step FROM w),
+    c AS (SELECT *, CAST(sum(step) OVER (ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum FROM h)
     SELECT t, n_risk, d_events, n_leaving,
-      round(CAST(step AS DOUBLE) / 1e9, 6) AS hazard_step,
-      round(CAST(cum AS DOUBLE) / 1e9, 6) AS cum_hazard
+      CAST(step // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(step % 1000000000 AS VARCHAR), 9, '0') AS hazard_step,
+      CAST(cum // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(cum % 1000000000 AS VARCHAR), 9, '0') AS cum_hazard
     FROM c WHERE d_events >= 1"""
 
   /** Replica digest diff — q214. The 56-bit md5 row hash and XOR combine

@@ -439,9 +439,12 @@ object Dedup {
     * fan-out is small by construction (the discipline the bounded-bucket
     * cap enforces probabilistically, achieved here exactly).
     *
-    * Candidate pruning before verify: the length filter
+    * Candidate pruning before verify: (1) the length filter
     * `min·θDen ≥ max·θNum` (J ≤ min/max — cross-multiplied longs, never
-    * doubles). Verify: exact intersection via `array_intersect` on the
+    * doubles); (2) PPJoin's POSITIONAL filter — each shared prefix token's
+    * ranks bound the achievable overlap (see the inline derivation), and
+    * the tightest bound rides the pair-dedup groupBy for free. Verify:
+    * exact intersection via `array_intersect` on the
     * materialized per-doc sorted token arrays; the θ decision is
     * `inter·θDen ≥ union·θNum` (exact); `jaccard` reported at 6 dp.
     *
@@ -481,12 +484,30 @@ object Dedup {
       .join(sets.select(col("id"), col("n")), Seq("id"))
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
-      .select(col("tok"), col("id"), col("n"))
+      .select(col("tok"), col("id"), col("n"), col("__pos").cast("long"))
+    // POSITIONAL filter (the PPJoin upgrade over plain AllPairs): a match
+    // on token t at global-rarity ranks (pa, pb) bounds the pair's overlap
+    // by min(pa−1, pb−1) [tokens before t in the COMMON order] + 1 [t] +
+    // min(n_a−pa, n_b−pb) [tokens after t] = min(pa,pb) + min(n_a−pa,
+    // n_b−pb). J ≥ θ needs overlap·(θNum+θDen) ≥ (n_a+n_b)·θNum, so pairs
+    // whose TIGHTEST bound (min over shared prefix tokens — the pair
+    // distinct is a groupBy anyway, the min rides it free) falls short are
+    // pruned before the verify join ever sees their token arrays. Sound:
+    // every bound ≥ the true overlap, so a qualifying pair passes all of
+    // them — the brute-force oracle (q210) proves zero recall loss.
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .filter(least(col("a.n"), col("b.n")) * thetaDen >=
         greatest(col("a.n"), col("b.n")) * thetaNum)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (least(col("a.__pos"), col("b.__pos")) +
+          least(col("a.n") - col("a.__pos"),
+            col("b.n") - col("b.__pos"))).as("__ub"),
+        (col("a.n") + col("b.n")).as("__ntot"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__ub")).as("__ub"), min(col("__ntot")).as("__ntot"))
+      .filter(col("__ub") * (thetaNum + thetaDen) >= col("__ntot") * thetaNum)
+      .select(col("id_a"), col("id_b"))
     val verified = candidates
       .join(sets.select(col("id").as("id_a"), col("tks").as("__ta"),
         col("n").as("n_a")), Seq("id_a"))

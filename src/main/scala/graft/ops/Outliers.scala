@@ -106,7 +106,11 @@ object Outliers {
     * the SMALLEST value whose cumulative weight `cw` satisfies
     * `100·cw ≥ p·W` (cross-multiplied exact longs — no double on the
     * selection path, the L32 discipline). Every output is an actual data
-    * value. Zero-total-weight groups yield NULL.
+    * value. Zero-total-weight groups are OMITTED from the output — there
+    * is no data value to report for them, and a NULL row would be
+    * indistinguishable from a NULL-valued pick. Negative weights raise an
+    * error: a negative weight makes the cumulative weight non-monotonic
+    * and would silently corrupt the nearest-rank selection.
     *
     * Shape: one value-keyed agg (map-side combined), one group-partitioned
     * window over the DISTINCT-value frame (not the rows), one groups-sized
@@ -119,10 +123,16 @@ object Outliers {
       s"weightedPercentiles: percentiles must be in [1, 100], got $ps")
     require(ps.distinct.size == ps.size,
       s"weightedPercentiles: duplicate percentiles in $ps")
+    val wLong = col(weightCol).cast("long")
+    // loud, not silent: a negative weight breaks cumulative-weight
+    // monotonicity — the selection would be garbage, so refuse the row
+    val wGuarded = when(wLong < 0L,
+      raise_error(concat(lit("weightedPercentiles: negative weight "),
+        wLong.cast("string")))).otherwise(wLong)
     val vw = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(wGuarded).as("__w"))
     val wg = Window.partitionBy(col(groupCol))
     val wv = wg.orderBy(col(valueCol).asc)
     val cum = vw

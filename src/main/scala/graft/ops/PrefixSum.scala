@@ -40,13 +40,21 @@ object PrefixSum {
     * list — pass a unique key to make the result total). The running sum
     * INCLUDES the current row.
     *
-    * The offsets branch re-derives `df` (two plan branches read it); a
-    * caller whose input is itself an expensive derivation should
-    * `localCheckpoint` it first (the [[graft.ops.Profiler.histogramEquiDepth]]
-    * call-site discipline) — a raw table scan is fine to read twice. */
+    * The range-partitioned frame is materialized INSIDE the operator
+    * (through `materialize`, default `localCheckpoint(true)`; swap in a
+    * durable parquet round-trip for cluster runs — the
+    * [[graft.ops.Curation]] hook discipline). This is correctness, not
+    * caching: the local branch and the offsets branch both read the
+    * partitioned frame, and `repartitionByRange`'s boundary sampling is
+    * seeded per-RDD — were the exchange re-derived rather than reused,
+    * the two branches could disagree on `__pid` and the offsets would be
+    * silently wrong. Materializing pins ONE physical partitioning that
+    * both branches provably share. */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
                  outCol: String = "running_sum",
-                 numPartitions: Int = 0): DataFrame = {
+                 numPartitions: Int = 0,
+                 materialize: DataFrame => DataFrame =
+                   _.localCheckpoint(true)): DataFrame = {
     require(orderCols.nonEmpty, "runningSum: orderCols must be non-empty")
     val clash = Seq(outCol, "__pid", "__local", "__psum", "__offset")
       .filter(df.columns.contains)
@@ -55,7 +63,7 @@ object PrefixSum {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ord = orderCols.map(c => col(c).asc)
-    val parted = df.repartitionByRange(n, ord: _*)
+    val parted = materialize(df.repartitionByRange(n, ord: _*))
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__local",
       sum(col(valueCol)).over(

@@ -137,10 +137,9 @@ object Profiler {
     require(cells >= 1, s"histogramEquiDepth: cells must be >= 1, got $cells")
     val spark = df.sparkSession
     val grid = spark.range(cells.toLong).toDF("cell")
-    // materialized once: three consumers read it (the scalar total below,
-    // and BOTH branches of the prefix sum — runningSum's offsets side
-    // re-derives its input, so a lazy vc would re-run the corpus scan +
-    // agg three times; plan-audited r14)
+    // materialized once: the scalar total below and the prefix sum both
+    // read it — a lazy vc would re-run the corpus scan + agg twice
+    // (runningSum materializes its own partitioned frame internally)
     val vc = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
@@ -224,10 +223,17 @@ object Profiler {
       .partitionBy(lit(1)).rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val p = greatest(col("n_ref").cast("double") /
-      sum(col("n_ref")).over(w).cast("double"), lit(eps))
-    val q = greatest(col("n_cur").cast("double") /
-      sum(col("n_cur")).over(w).cast("double"), lit(eps))
+    // an all-empty side makes the frequency 0/0 = NaN, and greatest(NaN,
+    // eps) is NaN in Spark (NaN sorts greatest — and DuckDB need not
+    // agree); guard the totals so an empty snapshot degrades to the eps
+    // floor instead of NaN-poisoning every term
+    def sideP(n: Column): Column = {
+      val tot = sum(n).over(w).cast("double")
+      greatest(when(tot > 0.0, n.cast("double") / tot).otherwise(lit(0.0)),
+        lit(eps))
+    }
+    val p = sideP(col("n_ref"))
+    val q = sideP(col("n_cur"))
     withN.select(col("bin"), col("n_ref"), col("n_cur"),
       round(p, 9).as("p_ref"), round(q, 9).as("p_cur"),
       round((round(q, 9) - round(p, 9)) * log(round(q, 9) / round(p, 9)), 6)

@@ -155,8 +155,8 @@ object Skew {
       .filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("key"))
       .agg(sum(col(valueCol).cast(dec)).as("value"))
-      // materialized once: the prefix sum's two branches + the totals agg
-      // (the runningSum caller contract)
+      // materialized once: the totals agg below re-reads the keyed frame
+      // (runningSum materializes its own partitioned frame internally)
       .withColumn("__nv", -col("value"))
       .localCheckpoint(true)
     val cum = PrefixSum.runningSum(keyed, Seq("__nv", "key"), "value",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * Exactness discipline: each hazard step is the INTEGER division
   * `d·10⁹ div n` (exact 64-bit arithmetic — `d` must stay < 2⁶³/10⁹ ≈
   * 9.2e9 events per distinct duration, comfortably above any real time
-  * grain); the cumulative sum adds exact longs (order-free); the only
-  * doubles are final `/1e9` renderings rounded at 6 dp. Both engines
-  * compute identical bits — the L166 discipline with a fixed-point twist,
-  * because `d/n` summed as doubles would be association-sensitive.
+  * grain); the cumulative sum adds exact longs (order-free); hazards
+  * render as 9-fractional-digit DECIMAL STRINGS built from integer
+  * div/mod — no double ever enters the output, so any engine that agrees
+  * on 64-bit integer arithmetic agrees on every byte (the
+  * [[SchemaDrift.bucketDigests]] cross-engine string contract; doubles
+  * rounded at N dp can differ by an ULP between engines' round()
+  * implementations).
   *
   * == 100 TB shape ==
   * ONE map-side-combined agg collapses subjects to the distinct-duration
@@ -43,7 +46,8 @@ object Survival {
     * event, ordered by the duration values themselves:
     * `(t, n_risk, d_events, n_leaving, hazard_step, cum_hazard)` —
     * `n_leaving` counts events AND censorings exiting at t (censored
-    * subjects leave the risk set but contribute no hazard). */
+    * subjects leave the risk set but contribute no hazard); hazards are
+    * exact 9-dp decimal strings (e.g. `"0.500000000"`). */
   def nelsonAalen(df: DataFrame, durationCol: String,
                   eventCol: String): DataFrame = {
     val grid = df.groupBy(col(durationCol).cast("long").as("t"))
@@ -64,7 +68,14 @@ object Survival {
       .withColumn("__cum", sum(col("__step")).over(run))
       .filter(col("d_events") >= 1L)
       .select(col("t"), col("n_risk"), col("d_events"), col("n_leaving"),
-        round(col("__step").cast("double") / 1e9, 6).as("hazard_step"),
-        round(col("__cum").cast("double") / 1e9, 6).as("cum_hazard"))
+        fixed9("__step").as("hazard_step"),
+        fixed9("__cum").as("cum_hazard"))
   }
+
+  /** Renders a non-negative ×10⁹ fixed-point long as a 9-fractional-digit
+    * decimal string via integer div/mod only — the engine-exact
+    * cross-engine rendering (`4500000000L` → `"4.500000000"`). */
+  private def fixed9(name: String): Column =
+    concat(expr(s"CAST($name DIV 1000000000 AS STRING)"), lit("."),
+      lpad(expr(s"CAST($name % 1000000000 AS STRING)"), 9, "0"))
 }

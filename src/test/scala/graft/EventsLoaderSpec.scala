@@ -62,6 +62,21 @@ class EventsLoaderSpec extends SparkSpec {
     }
   }
 
+  test("NTZ layout under a non-UTC session timezone fails loudly, never silently shifts") {
+    val dir = SparkSpec.tempDir("graft_events_ntz_tz")
+    writeFixture(dir, TimestampNTZType)
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.events(spark, dir)
+      }
+      assert(e.getMessage.contains("spark.sql.session.timeZone=UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+    // restored to UTC, the same fixture loads fine
+    assert(SparkEntry.events(spark, dir).count() === 3L)
+  }
+
   test("a fourth, unhandled ts layout fails loudly instead of lenient-casting to NULLs") {
     val dir = SparkSpec.tempDir("graft_events_badlayout")
     writeFixture(dir, StringType)

@@ -2065,11 +2065,16 @@ class OpsSpec extends SparkSpec {
       assert(got === expected, s"incoming partitions: $parts")
     }
     // the data-sized window is partitioned (by pid); only the
-    // numPartitions-row offset window is global
+    // numPartitions-row offset window is global. The range exchange lives
+    // BEHIND the in-operator materialization (both branches read the same
+    // checkpointed RDD — the r14 exchange-reuse hazard fix), so the
+    // downstream plan reads a materialized scan, not a live range shuffle
     val plan = PrefixSum.runningSum(
       spark.createDataFrame(vals).toDF("k", "v"), Seq("k"), "v")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange rangepartitioning"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("Exchange rangepartitioning"))
+    assert(plan.contains("windowspecdefinition(__pid"))
     intercept[IllegalArgumentException] {
       PrefixSum.runningSum(
         spark.createDataFrame(vals).toDF("k", "running_sum"), Seq("k"),
@@ -4029,6 +4034,13 @@ class OpsSpec extends SparkSpec {
     // every term finite (eps floor), total well past the 0.25 "shifted" bar
     val total = shifted.values.map(_._3).sum
     assert(!total.isInfinite && total > 0.25)
+    // an EMPTY current side degrades to the eps floor, never NaN
+    // (0/0 would be NaN and greatest(NaN, eps) is NaN in Spark)
+    val emptyCur = Profiler.psi(ref,
+      Seq.empty[Double].toDF("x"), "x", bins = 5).collect()
+    assert(emptyCur.length === 5)
+    assert(emptyCur.forall(r => !r.getDouble(4).isNaN && r.getDouble(4) > 0.0))
+    assert(emptyCur.forall(r => !r.getDouble(5).isNaN))
   }
 
   test("functionalDeps: key certified, violation mass counted, NULL determinants are values") {
@@ -4336,6 +4348,18 @@ class OpsSpec extends SparkSpec {
     val g2 = Outliers.weightedPercentiles(dup, "v", "w", "grp", Seq(50, 100))
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(g2(50L) === 5.0 && g2(100L) === 9.0)
+    // zero-total-weight groups are omitted (documented), and a NEGATIVE
+    // weight fails loudly instead of corrupting the cumulative rank
+    val zw = Seq(("z", 1.0, 0L), ("ok", 2.0, 4L)).toDF("grp", "v", "w")
+    val zg = Outliers.weightedPercentiles(zw, "v", "w", "grp", Seq(50))
+      .collect().map(_.getString(0))
+    assert(zg.toSeq === Seq("ok"))
+    val neg = Seq(("g", 1.0, -3L)).toDF("grp", "v", "w")
+    val err = intercept[Exception] {
+      Outliers.weightedPercentiles(neg, "v", "w", "grp", Seq(50)).collect()
+    }
+    assert(err.getMessage.contains("negative weight") ||
+      Option(err.getCause).exists(_.getMessage.contains("negative weight")))
   }
 
   test("correlation: perfect tracks, anti-tracks, zero-variance NULL, hand value") {

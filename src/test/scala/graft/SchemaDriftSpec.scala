@@ -107,10 +107,10 @@ class SchemaDriftSpec extends SparkSpec {
     val got = Survival.nelsonAalen(df, "duration", "event").collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getDouble(4), r.getDouble(5)))).toMap
+          r.getString(4), r.getString(5)))).toMap
     // t=1: risk 4, d 2 -> step 0.5; t=3: risk 1, d 1 -> step 1.0
-    assert(got(1L) === ((4L, 2L, 2L, 0.5, 0.5)))
-    assert(got(3L) === ((1L, 1L, 1L, 1.0, 1.5)))
+    assert(got(1L) === ((4L, 2L, 2L, "0.500000000", "0.500000000")))
+    assert(got(3L) === ((1L, 1L, 1L, "1.000000000", "1.500000000")))
     assert(got.size === 2) // censoring-only t=2 emits no row
   }
 }
