@@ -3335,6 +3335,153 @@ object OracleSql {
         AND coalesce(digest_a, 0) = coalesce(digest_b, 0)) AS buckets_match
     FROM da FULL OUTER JOIN db ON da.bucket = db.bucket"""
 
+  /** Edit-distance self-join — q215. Brute-force pairwise levenshtein
+    * over DISTINCT names: the recall proof for the q-gram prefix filter
+    * (the q205/q208/q210 brute-force-oracle discipline). */
+  private val q215 = """
+    WITH s AS (SELECT DISTINCT c_name AS s FROM customer
+               WHERE c_name IS NOT NULL AND c_name <> '')
+    SELECT a.s AS s_a, b.s AS s_b,
+      CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM s a JOIN s b ON a.s < b.s
+    WHERE levenshtein(a.s, b.s) <= 2"""
+
+  /** Reciprocal rank fusion — q216. Rank positions only (score scales
+    * never mix); contributions are exact 10⁹ // (60 + rank) integers,
+    * rendered through the q213/q214 decimal-string contract. */
+  private val q216 = """
+    WITH l1 AS (SELECT c_custkey,
+        row_number() OVER (ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2))
+          AS DOUBLE) DESC, c_custkey ASC) AS rnk
+      FROM customer ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+        DESC, c_custkey ASC LIMIT 100),
+    l2 AS (SELECT c_custkey,
+        row_number() OVER (ORDER BY score DESC, c_custkey ASC) AS rnk
+      FROM (SELECT o_custkey AS c_custkey,
+              CAST(count(*) AS DOUBLE) AS score FROM orders GROUP BY 1)
+      ORDER BY score DESC, c_custkey ASC LIMIT 100),
+    u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+    f AS (SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_lists,
+        CAST(min(rnk) AS BIGINT) AS best_rank,
+        CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_e9
+      FROM u GROUP BY 1)
+    SELECT c_custkey, n_lists, best_rank, rrf_e9,
+      CAST(rrf_e9 // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(rrf_e9 % 1000000000 AS VARCHAR), 9, '0') AS rrf_score
+    FROM f"""
+
+  /** Distributed global ranking — q217. The oracle is the PLAIN
+    * single-frame window pair the distributed decomposition must
+    * reproduce exactly. */
+  private val q217 = """
+    SELECT o_orderkey, o_totalprice,
+      CAST(row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        AS BIGINT) AS row_number,
+      CAST(dense_rank() OVER (ORDER BY o_totalprice ASC)
+        AS BIGINT) AS dense_rank
+    FROM orders"""
+
+  /** Sliding-window chunking — q218. Mirrors the exact integer chunk
+    * grid (1 + ceil((n − W)/S) chunks, floor-div form) and the verbatim
+    * whitespace-token slices. */
+  private val q218 = """
+    WITH d AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+          t -> t <> '') AS toks
+      FROM documents),
+    n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+      FROM d WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+        unnest(range(0, 1 + CASE WHEN n > 32 THEN (n - 32 + 15) // 16
+                                 ELSE 0 END)) AS chunk_idx
+      FROM n)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(chunk_idx * 16 AS BIGINT) AS start_tok,
+      CAST(least(32, n - chunk_idx * 16) AS BIGINT) AS n_tok,
+      array_to_string(list_slice(toks, chunk_idx * 16 + 1,
+        chunk_idx * 16 + 32), ' ') AS chunk_text
+    FROM c"""
+
+  /** Pivot → unpivot round trip — q219. The UNION-ALL arms mirror the
+    * melt exactly, NULL cells included. */
+  private val q219 = """
+    WITH p AS (SELECT l_returnflag,
+        CAST(sum(CASE WHEN l_linestatus = 'F'
+          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f,
+        CAST(sum(CASE WHEN l_linestatus = 'O'
+          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, 'F' AS linestatus, f AS sum_qty FROM p
+    UNION ALL
+    SELECT l_returnflag, 'O' AS linestatus, o AS sum_qty FROM p"""
+
+  /** CUBE subtotals — q220. Per-dim GROUPING flags (bit-order-free,
+    * unlike packed grouping_id) + DECIMAL-exact totals. */
+  private val q220 = """
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_o_orderstatus,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_o_orderpriority,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+  /** Two-sample KS — q221. Cumulative counts over the pooled distinct
+    * values; D as the exact rational max |cc_a·n_b − cc_b·n_a| / n_a·n_b,
+    * significance via HUGEINT cross-multiplication (mirrors the Spark
+    * side's DECIMAL(38) compare bit-for-bit). */
+  private val q221 = """
+    WITH base AS (SELECT
+        CASE WHEN o_orderkey % 3 = 0 THEN 'shifted' ELSE 'base' END AS g,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 20000.0
+             ELSE o_totalprice END AS v
+      FROM orders),
+    grid AS (SELECT v,
+        CAST(sum(CASE WHEN g = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN g = 'shifted' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM base GROUP BY 1),
+    cum AS (SELECT v,
+        CAST(sum(c1) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cc1,
+        CAST(sum(c2) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cc2
+      FROM grid),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c2) AS BIGINT) AS n2 FROM grid),
+    d AS (SELECT CAST(max(abs(cc1 * n2 - cc2 * n1)) AS BIGINT) AS d_num,
+        max(n1) AS n_a, max(n2) AS n_b
+      FROM cum, tot)
+    SELECT 'base' AS group_a, 'shifted' AS group_b, n_a, n_b, d_num,
+      CAST(n_a * n_b AS BIGINT) AS d_den,
+      round(CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat,
+      (d_num::HUGEINT * d_num * 1000000 >
+        1844164::HUGEINT * (n_a + n_b) * n_a * n_b) AS significant
+    FROM d"""
+
+  /** Cramér's V — q222. χ²/N in ×10¹² fixed point via HUGEINT floor
+    * division (the q140 // mirror of Spark's DECIMAL div); only the final
+    * χ² and V renderings are doubles. */
+  private val q222 = """
+    WITH cells AS (SELECT coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL') AS a,
+        coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL') AS b,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT a, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    c AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    terms AS (SELECT
+        (n::HUGEINT * n * 1000000000000) // (rt::HUGEINT * ct) AS t
+      FROM cells JOIN r USING (a) JOIN c USING (b)),
+    shape AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        CAST(count(DISTINCT a) AS BIGINT) AS n_rows_cat,
+        CAST(count(DISTINCT b) AS BIGINT) AS n_cols_cat
+      FROM cells)
+    SELECT n, n_rows_cat, n_cols_cat,
+      round(CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / 1e12 - 1.0), 6) AS chi2,
+      CASE WHEN least(n_rows_cat, n_cols_cat) > 1 THEN
+        round(sqrt(greatest(CAST(s AS DOUBLE) / 1e12 - 1.0, 0.0) /
+          CAST(least(n_rows_cat, n_cols_cat) - 1 AS DOUBLE)), 6)
+      END AS v
+    FROM (SELECT sum(t) AS s FROM terms), shape"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -5203,6 +5350,14 @@ object OracleSql {
     "q211_kcore"            -> q211,
     "q212_ab_test"          -> q212,
     "q213_survival"         -> q213,
-    "q214_digest_diff"      -> q214
+    "q214_digest_diff"      -> q214,
+    "q215_edit_join"        -> q215,
+    "q216_rrf_fusion"       -> q216,
+    "q217_global_rank"      -> q217,
+    "q218_sliding_chunks"   -> q218,
+    "q219_pivot_unpivot"    -> q219,
+    "q220_cube"             -> q220,
+    "q221_ks_test"          -> q221,
+    "q222_cramers_v"        -> q222
   ).map { case (k, v) => k -> clean(v) }
 }

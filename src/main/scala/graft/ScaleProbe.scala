@@ -602,19 +602,56 @@ object ScaleProbe {
           .collect().head.getLong(0)
       }
 
-      timed("entity_resolution", n) {
-        // synthetic person names over the doc ids (the q161 shape): the
-        // distinct-name collapse must hold work near name-count, so 10×
-        // records with the SAME name space should scale sub-linearly
+      // synthetic person names over the entity ids (the q161 shape): a
+      // FIXED 40×50-name space, so record growth must be invisible to the
+      // distinct-name collapse
+      def personNames(rows: Long): DataFrame = {
         val first = (0 until 40).map(i => s"fn$i")
         val last = (0 until 50).map(i => s"ln$i")
-        val ents = spark.range(n).toDF("entity_id")
+        spark.range(rows).toDF("entity_id")
           .withColumn("name", concat(
             elt((pmod(col("entity_id") * 7, lit(40)).cast("int") + 1) +: first.map(lit): _*),
             lit(" "),
             elt((pmod(col("entity_id") * 13, lit(50)).cast("int") + 1) +: last.map(lit): _*),
             when(pmod(col("entity_id"), lit(3)) === 1, lit("x")).otherwise(lit(""))))
-        graft.ops.EntityResolution.resolveEntities(ents, maxBlock = 4000).count()
+      }
+      timed("entity_resolution", n) {
+        // the distinct-name collapse must hold work near name-count, so 10×
+        // records with the SAME name space should scale sub-linearly
+        graft.ops.EntityResolution.resolveEntities(
+          personNames(n), maxBlock = 4000).count()
+      }
+      timed("setsim_join", n) {
+        // exact prefix-filtered set-similarity join (q210 shape) on the
+        // WIDE-vocab Zipf corpus — the fixture the filter family assumes:
+        // prefix filtering prunes by RARE tokens, so a corpus whose whole
+        // vocabulary is 500 common tokens (the standard probe corpus) has
+        // no rare prefixes to pick and measures candidate explosion, not
+        // the operator (measured: 492 s at 20k — the documented workload
+        // pathology, like q210's 57%-redundant fixture in reverse). Real
+        // text is Zipf: the 2M-token tail gives every document genuinely
+        // rare prefix tokens and the candidate join stays thin.
+        Dedup.setSimilarityJoin(wide, thetaNum = 3, thetaDen = 5).count()
+      }
+      locally {
+        // q166 shape, split at its real amortization boundary: a deployment
+        // builds the index ONCE (er_index_build — corpus-sized, paid rarely)
+        // and folds each arriving batch against it (er_incremental_fold —
+        // must stay O(batch + candidates), NOT O(corpus))
+        val cut = (n * 8) / 10
+        val all = personNames(n)
+        var index: DataFrame = null
+        timed("er_index_build", n) {
+          index = graft.ops.EntityResolution.resolveIndex(
+            all.filter(col("entity_id") < cut), maxBlock = 4000)
+            .localCheckpoint(true)
+          index.count()
+        }
+        timed("er_incremental_fold", n) {
+          val (labels, _) = graft.ops.EntityResolution.incrementalResolve(
+            all.filter(col("entity_id") >= cut), index, maxBlock = 4000)
+          labels.count()
+        }
       }
       timed("textrank", n) {
         // sentence graphs are per-document; corpus growth adds documents,

@@ -3509,6 +3509,93 @@ object SparkEntry {
       buckets = 64)
   }
 
+  /** Exact edit-distance self-join ([[graft.ops.StringJoin.editDistanceJoin]]):
+    * every pair of distinct customer names within Levenshtein distance 2 —
+    * the zero-padded "Customer#000000NNN" names make a dense typo graph
+    * (digit substitutions). Oracle = the brute-force pairwise join,
+    * independently proving the q-gram prefix filter loses nothing. */
+  private def q215EditJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StringJoin.editDistanceJoin(
+      t(s, dir, "customer").select(col("c_name")), "c_name", maxEdit = 2)
+
+  /** Reciprocal rank fusion ([[graft.ops.Ranking.rrfFuse]]): fuse the
+    * top-100 customers by account balance with the top-100 by order
+    * count — the hybrid-retrieval combiner on rank positions only, exact
+    * ×10⁹ fixed-point contributions. */
+  private def q216RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val byBal = cust
+      .select(col("c_custkey"), col("c_acctbal").cast(Dec).cast("double").as("score"))
+      .orderBy(col("score").desc, col("c_custkey").asc).limit(100)
+    val byOrders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).cast("double").as("score"))
+      .orderBy(col("score").desc, col("c_custkey").asc).limit(100)
+    graft.ops.Ranking.rrfFuse(Seq(byBal, byOrders), idCol = "c_custkey")
+  }
+
+  /** Distributed global ranking ([[graft.ops.PrefixSum.rowNumber]] /
+    * [[graft.ops.PrefixSum.denseRank]]): global row_number over
+    * (o_totalprice, o_orderkey) and dense_rank over o_totalprice via the
+    * two-level range-partitioned decomposition — the oracle is the plain
+    * single-frame window pair, so any boundary/offset bug diverges. */
+  private def q217GlobalRank(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.ops.PrefixSum.denseRank(
+      graft.ops.PrefixSum.rowNumber(o, Seq("o_totalprice", "o_orderkey")),
+      Seq("o_totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("row_number"), col("dense_rank"))
+  }
+
+  /** Sliding-window RAG chunking ([[graft.ops.Chunking.slidingChunks]]):
+    * 32-token windows at stride 16 over the documents table — exact
+    * integer chunk grid, verbatim whitespace-token chunk text. */
+  private def q218SlidingChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.slidingChunks(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      window = 32, stride = 16)
+
+  /** Pivot + unpivot round trip ([[graft.ops.Reshape.pivotTable]] →
+    * [[graft.ops.Reshape.unpivotLong]]): quantity by return flag pivoted
+    * wide on line status, melted back to long — NULL cells (flag/status
+    * combos with no rows) survive the melt, which the oracle's UNION-ALL
+    * arms mirror. */
+  private def q219PivotUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = graft.ops.Reshape.pivotTable(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_linestatus", "l_quantity")
+    graft.ops.Reshape.unpivotLong(wide, Seq("l_returnflag"),
+      Seq("F", "O"), "linestatus", "sum_qty")
+  }
+
+  /** CUBE subtotals ([[graft.ops.Reshape.cubeSummary]]): every subtotal
+    * combination of (status, priority) with per-dim grouping flags and
+    * DECIMAL-exact totals. */
+  private def q220Cube(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Reshape.cubeSummary(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+
+  /** Two-sample Kolmogorov–Smirnov ([[graft.ops.Profiler.ksTest]]):
+    * order totals with a deliberate +20000 shift on one cohort — D held
+    * as an exact rational, significance by exact integer comparison. */
+  private def q221KsTest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      when(pmod(col("o_orderkey"), lit(3)) === 0, lit("shifted"))
+        .otherwise(lit("base")).as("cohort"),
+      when(pmod(col("o_orderkey"), lit(3)) === 0,
+        col("o_totalprice") + 20000.0)
+        .otherwise(col("o_totalprice")).as("v"))
+    graft.ops.Profiler.ksTest(o, "v", "cohort")
+  }
+
+  /** Cramér's V ([[graft.ops.Profiler.cramersV]]): association between
+    * order status and priority — χ² over the contingency table in ×10¹²
+    * fixed point, V normalized by min(R−1, C−1). */
+  private def q222CramersV(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.cramersV(t(s, dir, "orders"),
+      "o_orderstatus", "o_orderpriority")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3723,7 +3810,15 @@ object SparkEntry {
     "q211_kcore"            -> q211KCore _,
     "q212_ab_test"          -> q212AbTest _,
     "q213_survival"         -> q213Survival _,
-    "q214_digest_diff"      -> q214DigestDiff _
+    "q214_digest_diff"      -> q214DigestDiff _,
+    "q215_edit_join"        -> q215EditJoin _,
+    "q216_rrf_fusion"       -> q216RrfFusion _,
+    "q217_global_rank"      -> q217GlobalRank _,
+    "q218_sliding_chunks"   -> q218SlidingChunks _,
+    "q219_pivot_unpivot"    -> q219PivotUnpivot _,
+    "q220_cube"             -> q220Cube _,
+    "q221_ks_test"          -> q221KsTest _,
+    "q222_cramers_v"        -> q222CramersV _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sliding-window document chunking — the retrieval-corpus preparation
+  * step (RAG indexing, embedding-model context packing): split each
+  * document into fixed-size token windows with a configurable overlap so
+  * no answer span is cut at a hard boundary. Complements the two chunkers
+  * already in the house: [[Packing.packSequences]] (concatenates MANY
+  * docs into training windows) and the content-defined chunker
+  * (`Dedup.cdcChunkHashes` — boundaries chosen by content for dedup
+  * stability); this one is the fixed-grid overlapping form an embedding
+  * index wants.
+  *
+  * Chunk grid: token starts at `0, stride, 2·stride, …`; the LAST chunk
+  * is the first one whose window reaches the document end — later starts
+  * would emit windows fully contained in it. So
+  * `n_chunks = 1 + ceil(max(0, n − window) / stride)` (exact integer
+  * arithmetic, mirrored by the oracle), chunk `i` covers tokens
+  * `[i·stride, min(i·stride + window, n))`, and consecutive chunks share
+  * `window − stride` tokens. Empty/whitespace-only documents emit ZERO
+  * rows (there is nothing to embed — callers wanting presence audits
+  * left-join back to the corpus).
+  *
+  * Tokenization is WHITESPACE splitting of the trimmed raw text — chunk
+  * text must stay verbatim-joinable (an embedding input), so no case
+  * folding or punctuation stripping here; normalize downstream if the
+  * embedder wants it.
+  *
+  * == 100 TB shape ==
+  * Entirely row-local: one split + one bounded sequence/transform explode
+  * per document — no shuffle at all (the q131/q133 scan-stage shape).
+  * Output size is `(1/stride)`-ish× token count; with `window = 2·stride`
+  * the corpus roughly doubles — the caller's storage call, stated here so
+  * nobody is surprised at the write. */
+object Chunking {
+
+  /** One row per (document, chunk): `(idCol…, chunk_idx, start_tok,
+    * n_tok, chunk_text)`. `window` in tokens; `stride` ≤ `window` (the
+    * overlap is `window − stride`). */
+  def slidingChunks(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window >= 1, s"slidingChunks: window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"slidingChunks: need 1 <= stride <= window, got stride=$stride window=$window")
+    val toks = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val base = docs.select(col(idCol),
+      filter(toks, t => t =!= "").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0L)
+    // 1 + ceil((n − window)/stride) via integer (n − window + stride − 1) div stride
+    val nChunks = lit(1L) + when(col("__n") > window,
+      expr(s"(__n - $window + ${stride - 1}) DIV $stride")).otherwise(lit(0L))
+    base
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(window.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("n_tok"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * stride + 1L).cast("int"), lit(window)))
+          .as("chunk_text"))
+  }
+}

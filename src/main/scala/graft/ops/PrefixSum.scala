@@ -54,30 +54,133 @@ object PrefixSum {
                  outCol: String = "running_sum",
                  numPartitions: Int = 0,
                  materialize: DataFrame => DataFrame =
-                   _.localCheckpoint(true)): DataFrame = {
-    require(orderCols.nonEmpty, "runningSum: orderCols must be non-empty")
-    val clash = Seq(outCol, "__pid", "__local", "__psum", "__offset")
-      .filter(df.columns.contains)
+                   _.localCheckpoint(true)): DataFrame =
+    scan(df, orderCols, sums = Seq(valueCol -> outCol), leads = Nil,
+      numPartitions, materialize)
+
+  /** Distributed `lead(leadCol, 1) OVER (ORDER BY orderCols)` — the
+    * next-row value under a GLOBAL order, without the single-partition
+    * window. Within a range partition the lead is the ordinary local
+    * window; each partition's LAST row takes the first `leadCol` value of
+    * the next non-empty partition (a partition-count-sized boundary table,
+    * broadcast back — the [[runningSum]] offsets discipline). The global
+    * last row gets NULL. Pass a TOTAL order; genuinely-NULL `leadCol`
+    * values survive (the last-row patch keys on position, not on NULL). */
+  def lead1(df: DataFrame, orderCols: Seq[String], leadCol: String,
+            outCol: String = "lead",
+            numPartitions: Int = 0,
+            materialize: DataFrame => DataFrame =
+              _.localCheckpoint(true)): DataFrame =
+    scan(df, orderCols, sums = Nil, leads = Seq(leadCol -> outCol),
+      numPartitions, materialize)
+
+  /** One range-partitioned pass producing any number of running sums and
+    * lead-1 columns over the same global order — ONE range exchange + one
+    * pid-window pass + one broadcast, however many outputs ride along
+    * (a second [[runningSum]] call would pay the range shuffle again). */
+  private[graft] def scan(df: DataFrame, orderCols: Seq[String],
+                          sums: Seq[(String, String)],
+                          leads: Seq[(String, String)],
+                          numPartitions: Int = 0,
+                          materialize: DataFrame => DataFrame =
+                            _.localCheckpoint(true)): DataFrame = {
+    require(orderCols.nonEmpty, "scan: orderCols must be non-empty")
+    require(sums.nonEmpty || leads.nonEmpty, "scan: nothing to compute")
+    val outCols = sums.map(_._2) ++ leads.map(_._2)
+    require(outCols.distinct.size == outCols.size,
+      s"scan: duplicate output column in ${outCols.mkString(", ")}")
+    val reserved = outCols ++ Seq("__pid", "__rn", "__cnt") ++
+      sums.indices.flatMap(i => Seq(s"__psum$i", s"__offset$i")) ++
+      leads.indices.flatMap(i => Seq(s"__first$i", s"__next$i"))
+    val clash = reserved.filter(df.columns.contains)
     require(clash.isEmpty,
-      s"runningSum: input already has reserved column(s) ${clash.mkString(", ")}")
+      s"scan: input already has reserved column(s) ${clash.mkString(", ")}")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ord = orderCols.map(c => col(c).asc)
     val parted = materialize(df.repartitionByRange(n, ord: _*))
       .withColumn("__pid", spark_partition_id())
-    val local = parted.withColumn("__local",
-      sum(col(valueCol)).over(
-        Window.partitionBy(col("__pid")).orderBy(ord: _*)))
-    val offsets = local.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__psum"))
-      .withColumn("__offset",
-        coalesce(
-          sum(col("__psum")).over(Window.orderBy(col("__pid").asc)
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(outCol, col("__local") + col("__offset"))
-      .drop("__pid", "__local", "__offset")
+    val pw = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    // per-partition locals: running sums + local leads + row position
+    // (position is needed to identify each partition's last row, so a
+    // genuinely-NULL lead value is never mistaken for "end of partition")
+    val withLocals0 = sums.foldLeft(parted) { case (d, (v, out)) =>
+      d.withColumn(out, sum(col(v)).over(pw))
+    }
+    val withLocals1 = leads.foldLeft(withLocals0) { case (d, (v, out)) =>
+      d.withColumn(out, lead(col(v), 1).over(pw))
+    }
+    val local = if (leads.isEmpty) withLocals1
+      else withLocals1.withColumn("__rn", row_number().over(pw))
+    // partition summary: totals per sum column, row count, first lead
+    // values — numPartitions rows, the one permissible global window
+    val sumAggs = sums.zipWithIndex.map { case ((v, _), i) =>
+      sum(col(v)).as(s"__psum$i")
+    }
+    val firstByOrder = leads.zipWithIndex.map { case ((v, _), i) =>
+      min_by(col(v), col("__rn")).as(s"__first$i")
+    }
+    val allAggs = Seq(count(lit(1)).as("__cnt")) ++ sumAggs ++
+      (if (leads.isEmpty) Nil else firstByOrder)
+    val summary0 = local.groupBy(col("__pid"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val bw = Window.orderBy(col("__pid").asc)
+    val withOffsets = sums.zipWithIndex.foldLeft(summary0) { case (d, ((_, _), i)) =>
+      d.withColumn(s"__offset$i",
+        coalesce(sum(col(s"__psum$i")).over(
+          bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    }
+    val withNexts = leads.indices.foldLeft(withOffsets) { case (d, i) =>
+      d.withColumn(s"__next$i", lead(col(s"__first$i"), 1).over(bw))
+    }
+    val summary = withNexts.select(
+      (col("__pid") +: col("__cnt") +:
+        (sums.indices.map(i => col(s"__offset$i")) ++
+          leads.indices.map(i => col(s"__next$i")))): _*)
+    val joined = local.join(broadcast(summary), Seq("__pid"))
+    val withSums = sums.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
+      d.withColumn(out, col(out) + col(s"__offset$i"))
+    }
+    val withLeads = leads.zipWithIndex.foldLeft(withSums) { case (d, ((_, out), i)) =>
+      d.withColumn(out,
+        when(col("__rn") === col("__cnt"), col(s"__next$i")).otherwise(col(out)))
+    }
+    withLeads.drop((Seq("__pid", "__rn", "__cnt") ++
+      sums.indices.map(i => s"__offset$i") ++
+      leads.indices.map(i => s"__next$i")): _*)
+  }
+
+  /** Distributed `row_number() OVER (ORDER BY orderCols)` — the global
+    * sequence number WITHOUT the single-partition window. Pass a TOTAL
+    * order (include a unique key last) or tied rows get an arbitrary-but-
+    * deterministic mutual order within the tie. Built on [[runningSum]]
+    * of the constant 1 — same two-shuffle + broadcast shape. */
+  def rowNumber(df: DataFrame, orderCols: Seq[String],
+                outCol: String = "row_number",
+                numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__one"),
+      "rowNumber: input already has reserved column __one")
+    runningSum(df.withColumn("__one", lit(1L)), orderCols, "__one", outCol,
+      numPartitions).drop("__one")
+  }
+
+  /** Distributed `dense_rank() OVER (ORDER BY orderCols)`: ranks the
+    * DISTINCT order-key tuples (1, 2, 3… with no gaps) and joins the rank
+    * back — the rank table is distinct-key-sized, the join a plain
+    * equi-join Spark may broadcast or shuffle by key cardinality (AQE's
+    * call). Two wide ops over the distinct frame + one join; never a
+    * global data-sized window. */
+  def denseRank(df: DataFrame, orderCols: Seq[String],
+                outCol: String = "dense_rank",
+                numPartitions: Int = 0): DataFrame = {
+    val keys = df.select(orderCols.map(col): _*).distinct()
+    val ranked = rowNumber(keys, orderCols, outCol, numPartitions)
+    // null-safe equi-join: a NULL order key is a rankable value (Spark
+    // ascending sorts NULLS FIRST — note DuckDB defaults NULLS LAST, so
+    // cross-engine mirrors must say NULLS FIRST explicitly)
+    val right = ranked.select(
+      orderCols.map(c => col(c).as(s"__r_$c")) :+ col(outCol): _*)
+    val cond = orderCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    df.join(right, cond).drop(orderCols.map(c => s"__r_$c"): _*)
   }
 }

@@ -440,4 +440,113 @@ object Profiler {
           col("n_total").cast("double")).as("observed_freq"),
         col("expected_freq"))): _*)
   }
+
+  /** Two-sample Kolmogorov–Smirnov test — the DISTRIBUTION-shape drift
+    * check [[psi]]'s fixed-bin form can miss (PSI quantizes into
+    * reference-derived bins; KS compares the full empirical CDFs, so a
+    * within-bin shape change still registers). D = sup_x |F_a(x) −
+    * F_b(x)|, held EXACTLY as the rational `d_num/d_den` with
+    * `d_num = max |cc_a·n_b − cc_b·n_a|` over the pooled distinct values
+    * and `d_den = n_a·n_b` — cross-multiplied longs, no double on the
+    * decision path. Significance at α = 0.05 is the asymptotic criterion
+    * `D > 1.358·√((n_a+n_b)/(n_a·n_b))`, squared into the exact integer
+    * comparison `d_num²·10⁶ > 1844164·(n_a+n_b)·d_den` over DECIMAL(38)
+    * — engine-identical while `d_num < 10¹⁶` (n_a·n_b < 10¹⁶; beyond
+    * that, sample your cohorts — a KS test on 10⁹×10⁹ rows has absurd
+    * power anyway and the overflow NULLs the flag rather than lying).
+    *
+    * Input: rows with a numeric `valueCol` and EXACTLY two non-null
+    * `groupCol` values (loud raise_error otherwise — the
+    * [[graft.ops.Experiment.abTest]] guard pattern); NULL values and NULL
+    * groups are excluded. Output one row: `(group_a, group_b, n_a, n_b,
+    * d_num, d_den, d_stat, significant)`.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined agg to the pooled distinct-value grid, two
+    * [[PrefixSum.runningSum]] passes for the CDF counts (never a global
+    * data-sized window), one scalar max agg. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        col(groupCol).cast("string").as("__g"))
+    val names = base.select(col("__g")).distinct()
+      .agg(count(lit(1)).as("__k"), min(col("__g")).as("__ga"),
+        max(col("__g")).as("__gb"))
+      .select(
+        when(col("__k") === 2, col("__ga"))
+          .otherwise(raise_error(concat(
+            lit("ksTest: need exactly 2 groups, got "),
+            col("__k").cast("string")))).as("__ga"),
+        col("__gb"))
+    val grid = base.crossJoin(broadcast(names))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__g") === col("__ga"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === col("__gb"), 1L).otherwise(0L)).as("__c2"))
+    val cum = PrefixSum.runningSum(
+      PrefixSum.runningSum(grid, Seq("__v"), "__c1", "__cc1"),
+      Seq("__v"), "__c2", "__cc2")
+    val tot = grid.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    val d38 = DecimalType(38, 0)
+    val num = abs(col("__cc1") * col("__n2") - col("__cc2") * col("__n1"))
+    val stat = cum.crossJoin(broadcast(tot))
+      .agg(max(num).as("d_num"), max(col("__n1")).as("n_a"),
+        max(col("__n2")).as("n_b"))
+    stat.crossJoin(broadcast(names))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"),
+        (col("d_num").cast(d38) * col("d_num").cast(d38) * lit(1000000L) >
+          lit(1844164L).cast(d38) * (col("n_a") + col("n_b")) *
+            col("n_a") * col("n_b")).as("significant"))
+  }
+
+  /** Cramér's V — association strength between two CATEGORICAL columns
+    * (the [[functionalDeps]] question made continuous: not "does a
+    * determine b exactly" but "how close"). χ² over the contingency
+    * table, normalized to [0, 1]: `V = √(χ²/(N·min(R−1, C−1)))`.
+    *
+    * Exactness: χ²/N = Σ_ij n_ij²/(r_i·c_j) − 1; each term is computed
+    * as the ×10¹² fixed-point integer `(n_ij²·10¹²) div (r_i·c_j)`
+    * (DECIMAL(38) products — the [[graft.ops.Frontier.allocateBudget]]
+    * HUGEINT-div mirror) and summed as exact integers — order-free,
+    * engine-identical; the only doubles are the final χ² and V
+    * renderings at 6 dp. NULL categories count as regular values (the
+    * functionalDeps discipline). Degenerate tables (one row or one
+    * column, i.e. min(R−1, C−1) = 0) have χ² = 0 by construction and
+    * yield NULL V (the normalizer is 0/0 — no association is definable).
+    *
+    * == 100 TB shape ==
+    * One cell agg (map-side combined, cell-count-sized), two marginal
+    * aggs derived FROM the cell frame (cells, not rows), broadcast joins
+    * of the marginals back onto cells, one scalar sum. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val a = coalesce(col(aCol).cast("string"), lit("NULL"))
+    val b = coalesce(col(bCol).cast("string"), lit("NULL"))
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val rows = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__r"))
+    val cols_ = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
+    val terms = cells
+      .join(broadcast(rows), Seq("__a")).join(broadcast(cols_), Seq("__b"))
+      .select(expr(
+        "CAST(__n AS DECIMAL(38,0)) * __n * 1000000000000 DIV (CAST(__r AS DECIMAL(38,0)) * __c)")
+        .as("__t"))
+    val shape = cells.agg(
+      sum(col("__n")).as("n"),
+      countDistinct(col("__a")).as("n_rows_cat"),
+      countDistinct(col("__b")).as("n_cols_cat"))
+    terms.agg(sum(col("__t")).as("__s")).crossJoin(broadcast(shape))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        round(col("n").cast("double") *
+          (col("__s").cast("double") / 1e12 - 1.0), 6).as("chi2"),
+        when(least(col("n_rows_cat"), col("n_cols_cat")) > 1L,
+          round(sqrt(
+            greatest((col("__s").cast("double") / 1e12 - 1.0), lit(0.0)) /
+              (least(col("n_rows_cat"), col("n_cols_cat")) - 1L)
+                .cast("double")), 6)).as("v"))
+  }
 }

@@ -141,4 +141,56 @@ object Ranking {
       .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"),
         col("tfidf"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: given N independent ranked
+    * lists for the same query (BM25 lexical, embedding ANN, a recency
+    * sort…), fuse them by summing `1/(k0 + rank)` per candidate across
+    * lists. Rank-based, so wildly different score SCALES (BM25 vs cosine)
+    * need no calibration — the whole reason RRF beats score averaging in
+    * practice.
+    *
+    * Inputs are `(idCol, scoreCol)` frames; each is ranked internally by
+    * score DESC with ascending-id tie-break (a total order — cross-engine
+    * reproducible). RRF contributions are EXACT integers
+    * `10⁹ div (k0 + rank)` summed as longs (the [[graft.ops.Survival]]
+    * fixed-point discipline: a sum of `1/x` doubles is association-
+    * sensitive; integer fixed-point is order-free and engine-identical),
+    * rendered as `rrf_score` = value/10⁹ at 9 dp via integer div/mod
+    * string assembly. Output: one row per id appearing in ANY list —
+    * `(idCol, n_lists, best_rank, rrf_e9, rrf_score)`, consumers order by
+    * `rrf_e9` DESC (exact long), id ASC.
+    *
+    * == 100 TB shape ==
+    * Ranked lists are RESULT lists — top-k-bounded by construction (the
+    * retrievers' k, not corpus size) — so each input's ranking window and
+    * the fusion groupBy run over k·N rows total. Enforced, not assumed:
+    * `maxListSize` bounds each input loudly. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String = "doc_id",
+              scoreCol: String = "score", k0: Int = 60,
+              maxListSize: Int = 100000): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(k0 >= 1, s"rrfFuse: k0 must be >= 1, got $k0")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      val n = df.count()
+      require(n <= maxListSize,
+        s"rrfFuse: list $i has $n rows > maxListSize=$maxListSize — " +
+          "RRF fuses top-k RESULT lists; cut the retriever's k first")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      // global window over a ≤ maxListSize frame — the bounded-frame
+      // exception the house global-window rule carves out
+      df.select(col(idCol), col(scoreCol))
+        .withColumn("__rank", row_number().over(w).cast("long"))
+        .select(col(idCol), col("__rank"))
+    }
+    val all = ranked.reduce(_ unionByName _)
+    all.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        min(col("__rank")).as("best_rank"),
+        sum(expr(s"1000000000 DIV (${k0} + __rank)")).as("rrf_e9"))
+      .withColumn("rrf_score",
+        concat(expr("CAST(rrf_e9 DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(rrf_e9 % 1000000000 AS STRING)"), 9, "0")))
+  }
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wide↔long reshaping and multi-level subtotal aggregation — the
+  * report-shaping tier every warehouse front-end asks of its engine:
+  * PIVOT (long → wide: one column per category value), UNPIVOT/melt
+  * (wide → long: one row per (id, former-column)), and CUBE (every
+  * subtotal combination of the grouping dimensions in one pass).
+  *
+  * Engine-exactness discipline: pivot/cube money sums run through
+  * DECIMAL (order-free addition — the q02 `dsum` reasoning) and render
+  * as double only at the edge; the pivot column SET is computed, sorted,
+  * and bounded LOUDLY (a runaway-cardinality pivot column turns a report
+  * into a million-column table — fail, don't OOM).
+  *
+  * == 100 TB shape ==
+  * Pivot: one distinct scan of the pivot column (map-side combined,
+  * value-count-sized result, driver-collect bounded by `maxColumns`) +
+  * ONE grouped aggregation whose map-side combine does the fan-in — the
+  * wide row set never exceeds group-count rows. Cube over d dimensions
+  * expands each row to 2^d grouping sets BEFORE the shuffle (Spark's
+  * Expand) — the exact answer's price; keep d small (≤ 4-ish) and let
+  * partial aggregation absorb the expansion. Unpivot is row-local
+  * (Expand, no shuffle at all). */
+object Reshape {
+
+  /** Long → wide: one row per `groupCols` tuple, one column per distinct
+    * `pivotCol` value (sorted ascending for a deterministic layout),
+    * cells = DECIMAL-exact sum of `valueCol` rendered as double; groups
+    * with no rows for a value get NULL. NULL pivot values are excluded
+    * (a NULL category is not a column). Fails loudly past `maxColumns`
+    * distinct values. */
+  def pivotTable(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+                 valueCol: String, maxColumns: Int = 1000,
+                 decimals: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "pivotTable: groupCols must be non-empty")
+    require(maxColumns >= 1, s"pivotTable: maxColumns must be >= 1, got $maxColumns")
+    val dec = DecimalType(18, decimals)
+    // bounded driver collect: maxColumns+1 rows max — the +1 detects excess
+    val vals = df.select(col(pivotCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+      .orderBy(col("__v").asc).limit(maxColumns + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(vals.size <= maxColumns,
+      s"pivotTable: pivot column $pivotCol has > $maxColumns distinct values — " +
+        "a runaway pivot; aggregate or filter the category first")
+    df.groupBy(groupCols.map(col): _*)
+      .pivot(col(pivotCol).cast("string"), vals)
+      .agg(sum(col(valueCol).cast(dec)).cast("double"))
+  }
+
+  /** Wide → long (melt): one row per (id tuple, value column) with the
+    * former column name in `varName` and its value (cast double) in
+    * `valueName`. Row-local Expand — no shuffle. NULL cells are KEPT
+    * (a melted NULL is information; filter downstream if not). */
+  def unpivotLong(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+                  varName: String = "variable",
+                  valueName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "unpivotLong: valueCols must be non-empty")
+    df.unpivot(idCols.map(col).toArray,
+      valueCols.map(c => col(c).cast("double")).toArray, varName, valueName)
+  }
+
+  /** CUBE subtotals: one row per grouping-set combination of `dims` —
+    * 2^d rows families, each with per-dim `g_<dim>` flags (1 = the dim is
+    * rolled up in this row, 0 = grouped; the bit layout every engine
+    * agrees on, unlike the packed grouping_id whose bit ORDER is
+    * engine-convention) plus DECIMAL-exact `total` and `n_rows`. */
+  def cubeSummary(df: DataFrame, dims: Seq[String], valueCol: String,
+                  decimals: Int = 2): DataFrame = {
+    require(dims.nonEmpty, "cubeSummary: dims must be non-empty")
+    val dec = DecimalType(18, decimals)
+    // grouping() is only legal inside the cube's own aggregate list
+    val aggs = dims.map(c => grouping(col(c)).cast("long").as(s"g_$c")) ++
+      Seq(sum(col(valueCol).cast(dec)).cast("double").as("total"),
+        count(lit(1)).as("n_rows"))
+    df.cube(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(dims.map(col) ++
+        dims.map(c => col(s"g_$c")) ++
+        Seq(col("total"), col("n_rows")): _*)
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Chunking, PrefixSum, Profiler, Ranking, Reshape, StringJoin}
+
+/** Round-15 reshaping/ranking/statistics additions: pivot/unpivot/cube,
+  * sliding chunks, distributed global ranks, edit-distance join, RRF
+  * fusion, KS test, Cramér's V. */
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pivotTable: hand-checked cells, NULL for missing combos, loud cardinality cap") {
+    val df = Seq(("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0),
+      ("b", "x", 7.0)).toDF("g", "p", "v")
+    val wide = Reshape.pivotTable(df, Seq("g"), "p", "v").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+    assert(wide("a") === ((Some(3.0), Some(5.0))))
+    assert(wide("b") === ((Some(7.0), None))) // no (b, y) rows -> NULL cell
+    val err = intercept[IllegalArgumentException] {
+      Reshape.pivotTable(df, Seq("g"), "p", "v", maxColumns = 1)
+    }
+    assert(err.getMessage.contains("distinct values"))
+  }
+
+  test("unpivotLong: melt keeps NULL cells, one row per (id, column)") {
+    val wide = Seq(("a", Some(3.0), Some(5.0)), ("b", Some(7.0), None))
+      .toDF("g", "x", "y")
+    val long = Reshape.unpivotLong(wide, Seq("g"), Seq("x", "y"),
+      "p", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(long.size === 4)
+    assert(long(("a", "x")) === Some(3.0) && long(("b", "y")) === None)
+  }
+
+  test("cubeSummary: 2^d grouping sets, per-dim flags, exact subtotals") {
+    val df = Seq(("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 30.0))
+      .toDF("d1", "d2", "v")
+    val got = Reshape.cubeSummary(df, Seq("d1", "d2"), "v").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)) -> ((r.getDouble(4), r.getLong(5))))
+      .toMap
+    assert(got.size === 8) // 3 cells + 2 d1 subtotals + 2 d2 subtotals + grand
+    assert(got((Some("a"), Some("x"), 0L, 0L)) === ((10.0, 1L)))
+    assert(got((Some("a"), None, 0L, 1L)) === ((30.0, 2L)))    // a subtotal
+    assert(got((None, Some("x"), 1L, 0L)) === ((40.0, 2L)))    // x subtotal
+    assert(got((None, None, 1L, 1L)) === ((60.0, 3L)))         // grand total
+  }
+
+  test("slidingChunks: exact grid, overlap, short doc, tail chunk, empty text") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "a b c"),                              // exactly one window
+      (3L, "  "), (4L, null.asInstanceOf[String]) // no chunks at all
+    ).toDF("doc_id", "text")
+    val got = Chunking.slidingChunks(docs, window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // 7 tokens, W=3, S=2 -> 1 + ceil(4/2) = 3 chunks
+    assert(got((1L, 0L)) === ((0L, 3L, "t0 t1 t2")))
+    assert(got((1L, 1L)) === ((2L, 3L, "t2 t3 t4")))
+    assert(got((1L, 2L)) === ((4L, 3L, "t4 t5 t6")))
+    assert(got((2L, 0L)) === ((0L, 3L, "a b c")))
+    assert(got.size === 4) // docs 3/4 emit nothing
+    // consecutive chunks share window - stride tokens
+    assert(got((1L, 0L))._3.endsWith("t2") && got((1L, 1L))._3.startsWith("t2"))
+    intercept[IllegalArgumentException] {
+      Chunking.slidingChunks(docs, window = 2, stride = 3)
+    }
+  }
+
+  test("rowNumber/denseRank: equal the single-frame windows under any partitioning") {
+    val vals = Seq((10L, 1L), (10L, 2L), (20L, 3L), (5L, 4L), (20L, 5L))
+    val df = vals.toDF("v", "id").repartition(3)
+    val rn = PrefixSum.rowNumber(df, Seq("v", "id")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rn === Map(4L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 5L))
+    val dr = PrefixSum.denseRank(df, Seq("v")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dr === Map(4L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 3L, 5L -> 3L))
+  }
+
+  test("editDistanceJoin: brute-force parity including the short bucket, loud cap") {
+    val strs = Seq("kitten", "sitten", "sitting", "mitten", "ab", "ac",
+      "b", "abc", "abcd", "xyzzy", "kitten") // dup collapses
+    val df = strs.toDF("s")
+    val got = StringJoin.editDistanceJoin(df, "s", maxEdit = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // brute force over distinct strings with Spark's own levenshtein
+    val distinct = strs.distinct
+    val expected = (for {
+      a <- distinct; b <- distinct if a < b
+      d = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b).intValue
+      if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(got === expected)
+    assert(got(("kitten", "sitten")) === 1L)
+    assert(got(("ab", "abcd")) === 2L)   // short-bucket x near pair
+    val err = intercept[IllegalArgumentException] {
+      StringJoin.editDistanceJoin(df, "s", maxEdit = 2, maxShortBucket = 1)
+    }
+    assert(err.getMessage.contains("short"))
+  }
+
+  test("rrfFuse: hand-checked fixed-point scores, n_lists, best_rank, loud list cap") {
+    val l1 = Seq(("a", 9.0), ("b", 5.0)).toDF("doc_id", "score")
+    val l2 = Seq(("b", 100.0), ("c", 1.0)).toDF("doc_id", "score")
+    val got = Ranking.rrfFuse(Seq(l1, l2), k0 = 1).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // a: rank 1 in l1 -> 1e9 div 2 = 500000000; b: rank 2 + rank 1 ->
+    // 1e9 div 3 + 1e9 div 2 = 333333333 + 500000000
+    assert(got("a") === ((1L, 1L, 500000000L, "0.500000000")))
+    assert(got("b") === ((2L, 1L, 833333333L, "0.833333333")))
+    assert(got("c") === ((1L, 2L, 333333333L, "0.333333333")))
+    val err = intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(Seq(l1), maxListSize = 1)
+    }
+    assert(err.getMessage.contains("maxListSize"))
+  }
+
+  test("ksTest: hand-checked exact rational D, loud group-count guard") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Profiler.ksTest(df, "v", "g").collect().head
+    assert(r.getAs[String]("group_a") === "a")
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    // D = |F_a(2) - F_b(2)| = |1.0 - 0.5| = 0.5 -> num 2, den 4
+    assert(r.getAs[Long]("d_num") === 2L && r.getAs[Long]("d_den") === 4L)
+    assert(r.getAs[Double]("d_stat") === 0.5)
+    assert(r.getAs[Boolean]("significant") === false) // tiny n
+    val three = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v")
+    val err = intercept[Exception] {
+      Profiler.ksTest(three, "v", "g").collect()
+    }
+    assert(err.getMessage.contains("exactly 2 groups"))
+  }
+
+  test("cramersV: perfect association 1, independence 0, degenerate NULL") {
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rp = Profiler.cramersV(perfect, "a", "b").collect().head
+    assert(rp.getAs[Double]("v") === 1.0)
+    assert(rp.getAs[Double]("chi2") === 4.0) // chi2 = N for a perfect 2x2
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Profiler.cramersV(indep, "a", "b").collect().head
+    assert(ri.getAs[Double]("chi2") === 0.0 && ri.getAs[Double]("v") === 0.0)
+    val degen = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    val rd = Profiler.cramersV(degen, "a", "b").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("v")))
+  }
+}
