@@ -3482,6 +3482,249 @@ object OracleSql {
       END AS v
     FROM (SELECT sum(t) AS s FROM terms), shape"""
 
+  /** Mann–Whitney U — q223. Midrank sums from the pooled distinct-value
+    * grid (t ties after cum−t rows contribute c1·(2·cum − t + 1) to the
+    * doubled rank sum); the verdict is the exact ×120000/153664 integer
+    * inequality in HUGEINT, mirroring Experiment.mannWhitneyU's
+    * DECIMAL(38). */
+  private val q223 = """
+    WITH base AS (SELECT
+        CASE WHEN o_orderkey % 3 = 0 THEN 'shifted' ELSE 'base' END AS g,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 20000.0
+             ELSE o_totalprice END AS v
+      FROM orders),
+    grid AS (SELECT v,
+        CAST(sum(CASE WHEN g = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN g = 'shifted' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM base GROUP BY 1),
+    cum AS (SELECT v, c1, c2, c1 + c2 AS t,
+        CAST(sum(c1 + c2) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cc
+      FROM grid),
+    stat AS (SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+        CAST(sum(c2) AS BIGINT) AS n_b,
+        CAST(sum(c1 * (2 * cc - t + 1)) AS BIGINT) AS r2a,
+        CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+      FROM cum),
+    u AS (SELECT n_a, n_b, tie_term,
+        CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        n_a + n_b AS nn
+      FROM stat)
+    SELECT 'base' AS group_a, 'shifted' AS group_b, n_a, n_b, u2_a,
+      CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b, tie_term,
+      round(CAST(u2_a - n_a * n_b AS DOUBLE) /
+        (sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 *
+          (CAST(nn + 1 AS DOUBLE) -
+            CAST(tie_term AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)))
+          * 2.0), 6) AS z_score,
+      ((u2_a - n_a * n_b)::HUGEINT * (u2_a - n_a * n_b) * 120000
+          * nn * (nn - 1) >
+        153664::HUGEINT * n_a * n_b *
+          ((nn + 1)::HUGEINT * nn * (nn - 1) - tie_term)) AS significant
+    FROM u"""
+
+  /** Exact ROC AUC — q224. Rank-sum identity AUC = U⁺/(n⁺·n⁻) over the
+    * distinct-score grid; ×10⁹ integer-division decimal string mirrors
+    * Classifier.auc. */
+  private val q224 = """
+    WITH s AS (SELECT o_totalprice AS v,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    grid AS (SELECT v, CAST(sum(y) AS BIGINT) AS cp,
+        CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM s GROUP BY 1),
+    cum AS (SELECT v, cp, cn, cp + cn AS t,
+        CAST(sum(cp + cn) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cc
+      FROM grid),
+    stat AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+        CAST(sum(cn) AS BIGINT) AS n_neg,
+        CAST(sum(cp * (2 * cc - t + 1)) AS BIGINT) AS r2p
+      FROM cum),
+    u AS (SELECT n_pos, n_neg,
+        CAST(r2p - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos
+      FROM stat),
+    f AS (SELECT *, CAST(u2_pos::HUGEINT * 1000000000
+        // (2 * n_pos::HUGEINT * n_neg) AS BIGINT) AS fx
+      FROM u)
+    SELECT n_pos, n_neg, u2_pos,
+      CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        CAST(fx // 1000000000 AS VARCHAR) || '.' ||
+          lpad(CAST(fx % 1000000000 AS VARCHAR), 9, '0') END AS auc,
+      CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        round(CAST(u2_pos AS DOUBLE) /
+          (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6) END AS auc_d
+    FROM f"""
+
+  /** Per-group Gini — q225. Cents-exact mean-difference form on the
+    * per-group distinct-value grid; mirrors Skew.gini. */
+  private val q225 = """
+    WITH cents AS (SELECT o_orderpriority AS g,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    grid AS (SELECT g, c, CAST(count(*) AS BIGINT) AS t
+      FROM cents GROUP BY 1, 2),
+    cb AS (SELECT g, c, t,
+        CAST(coalesce(sum(t) OVER (PARTITION BY g ORDER BY c ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pre
+      FROM grid),
+    stat AS (SELECT g, CAST(sum(t) AS BIGINT) AS n,
+        sum(c::HUGEINT * t) AS tot,
+        sum(c::HUGEINT * (2 * t * pre + t * t + t)) AS s2
+      FROM cb GROUP BY 1),
+    fx AS (SELECT g, n, tot,
+        CAST((s2 - (n + 1)::HUGEINT * tot) * 1000000000
+          // (n::HUGEINT * tot) AS BIGINT) AS f,
+        CAST(s2 - (n + 1)::HUGEINT * tot AS DOUBLE) AS numd,
+        CAST(n::HUGEINT * tot AS DOUBLE) AS dend
+      FROM stat)
+    SELECT g AS "group", n, CAST(tot AS DOUBLE) AS total_cents,
+      CASE WHEN tot > 0 THEN
+        CAST(f // 1000000000 AS VARCHAR) || '.' ||
+          lpad(CAST(f % 1000000000 AS VARCHAR), 9, '0') END AS gini,
+      CASE WHEN tot > 0 THEN round(numd / dend, 6) END AS gini_d
+    FROM fx"""
+
+  /** 1-D Wasserstein — q226. The telescoped CDF-gap integral in exact
+    * cents over the pooled distinct-value grid; mirrors
+    * Profiler.wasserstein (q221's cohorts). */
+  private val q226 = """
+    WITH base AS (SELECT
+        CASE WHEN o_orderkey % 3 = 0 THEN 'shifted' ELSE 'base' END AS g,
+        CAST(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 20000.0
+             ELSE o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders),
+    grid AS (SELECT c,
+        CAST(sum(CASE WHEN g = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN g = 'shifted' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM base GROUP BY 1),
+    cum AS (SELECT c,
+        CAST(sum(c1) OVER (ORDER BY c ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cc1,
+        CAST(sum(c2) OVER (ORDER BY c ASC ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cc2,
+        lead(c) OVER (ORDER BY c ASC) AS nxt
+      FROM grid),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c2) AS BIGINT) AS n2 FROM grid),
+    stat AS (SELECT
+        sum(CASE WHEN nxt IS NOT NULL THEN
+          abs(cc1::HUGEINT * n2 - cc2::HUGEINT * n1) * (nxt - c)
+          ELSE 0::HUGEINT END) AS num,
+        max(n1) AS n_a, max(n2) AS n_b
+      FROM cum, tot),
+    f AS (SELECT n_a, n_b, num, n_a::HUGEINT * n_b * 100 AS den,
+        CAST(num * 1000000000 // (n_a::HUGEINT * n_b * 100) AS BIGINT) AS fx
+      FROM stat)
+    SELECT 'base' AS group_a, 'shifted' AS group_b, n_a, n_b,
+      CAST(num AS DOUBLE) AS emd_num_cents,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN
+        CAST(fx // 1000000000 AS VARCHAR) || '.' ||
+          lpad(CAST(fx % 1000000000 AS VARCHAR), 9, '0') END AS emd,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN
+        round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS emd_d
+    FROM f"""
+
+  /** RFM quintiles — q227. ANSI NTILE over total (metric, custkey)
+    * orders — the closed form PrefixSum.ntileExact reproduces. */
+  private val q227 = """
+    WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        CAST(count(*) AS BIGINT) AS frequency,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (SELECT o_custkey, last_order, frequency, monetary,
+        CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT)
+          AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+          AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+          AS m_score
+      FROM base)
+    SELECT o_custkey, strftime(last_order, '%Y-%m-%d') AS last_order,
+      frequency, monetary, r_score, f_score, m_score,
+      CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        CAST(m_score AS VARCHAR) AS rfm_cell
+    FROM scored"""
+
+  /** Consecutive-day streaks — q228. The rn-difference gaps-and-islands
+    * trick over distinct (user, day); mirrors EventWindows.streaks. */
+  private val q228 = """
+    WITH d AS (SELECT DISTINCT user_id AS u,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day
+      FROM events WHERE ts IS NOT NULL),
+    isl AS (SELECT u, day,
+        day - row_number() OVER (PARTITION BY u ORDER BY day ASC) AS grp
+      FROM d),
+    st AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS len,
+        CAST(min(day) AS BIGINT) AS start FROM isl GROUP BY 1, 2),
+    agg AS (SELECT u, CAST(sum(len) AS BIGINT) AS n_active,
+        CAST(count(*) AS BIGINT) AS n_streaks FROM st GROUP BY 1),
+    pick AS (SELECT u, len, start, row_number() OVER
+        (PARTITION BY u ORDER BY len DESC, start ASC) AS rn FROM st)
+    SELECT u AS user_id, n_active, n_streaks,
+      len AS longest_streak, start AS longest_start
+    FROM agg JOIN pick USING (u) WHERE rn = 1"""
+
+  /** LOCF forward fill — q229. Per-user spine + IGNORE-NULLS carry;
+    * mirrors EventWindows.forwardFill. */
+  private val q229 = """
+    WITH obs AS (SELECT user_id AS u,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS pos,
+        sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    spine AS (SELECT u, unnest(generate_series(lo, hi)) AS pos FROM
+        (SELECT u, min(pos) AS lo, max(pos) AS hi FROM obs GROUP BY 1)),
+    j AS (SELECT s.u, s.pos, o.v FROM spine s
+      LEFT JOIN obs o ON s.u = o.u AND s.pos = o.pos),
+    f AS (SELECT u, pos, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM j)
+    SELECT u AS user_id, pos, CAST(fv AS DOUBLE) AS value,
+      (v IS NULL) AS is_filled
+    FROM f"""
+
+  /** Deterministic Poisson bootstrap — q230. The 56-bit md5 uniform and
+    * Poisson(1) CDF cut points mirror Experiment.bootstrapCI literal for
+    * literal; nearest ranks 5/195 of 200 sorted resample means. */
+  private val q230 = """
+    WITH rows_ AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT unnest(generate_series(0, 199)) AS rb),
+    draws AS (SELECT rb, x,
+        ('0x' || substr(md5('graft:' || CAST(rb AS VARCHAR) || ':' || id),
+          1, 14))::BIGINT / 72057594037927936.0 AS u
+      FROM rows_ CROSS JOIN b),
+    w AS (SELECT rb, x,
+        CASE WHEN u < 0.36787944117144232 THEN 0
+             WHEN u < 0.73575888234288464 THEN 1
+             WHEN u < 0.91969860292860580 THEN 2
+             WHEN u < 0.98101184312384619 THEN 3
+             WHEN u < 0.99634015317265629 THEN 4
+             WHEN u < 0.99940581518241831 THEN 5
+             WHEN u < 0.99991675885071198 THEN 6
+             WHEN u < 0.99998975080332536 THEN 7
+             WHEN u < 0.99999887479740204 THEN 8
+             WHEN u < 0.99999988857452167 THEN 9
+             ELSE 10 END AS w
+      FROM draws),
+    means AS (SELECT rb, CASE WHEN sum(w) > 0 THEN
+        CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS m
+      FROM w GROUP BY 1),
+    ranked AS (SELECT m, row_number() OVER (ORDER BY m ASC, rb ASC) AS rn
+      FROM means),
+    ci AS (SELECT max(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+        max(CASE WHEN rn = 195 THEN m END) AS ci_hi FROM ranked),
+    point AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+      FROM rows_)
+    SELECT n, CAST(200 AS BIGINT) AS n_boot, mean, ci_lo, ci_hi
+    FROM point, ci"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -5358,6 +5601,14 @@ object OracleSql {
     "q219_pivot_unpivot"    -> q219,
     "q220_cube"             -> q220,
     "q221_ks_test"          -> q221,
-    "q222_cramers_v"        -> q222
+    "q222_cramers_v"        -> q222,
+    "q223_mann_whitney"     -> q223,
+    "q224_auc"              -> q224,
+    "q225_gini"             -> q225,
+    "q226_wasserstein"      -> q226,
+    "q227_rfm"              -> q227,
+    "q228_streaks"          -> q228,
+    "q229_forward_fill"     -> q229,
+    "q230_bootstrap"        -> q230
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3596,6 +3596,97 @@ object SparkEntry {
     graft.ops.Profiler.cramersV(t(s, dir, "orders"),
       "o_orderstatus", "o_orderpriority")
 
+  /** The q221 two-cohort fixture (deliberate +20000 shift on every third
+    * order), shared by the rank/EMD tests so their readouts are directly
+    * comparable against the KS verdict on the same data. */
+  private def shiftedCohorts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      when(pmod(col("o_orderkey"), lit(3)) === 0, lit("shifted"))
+        .otherwise(lit("base")).as("cohort"),
+      when(pmod(col("o_orderkey"), lit(3)) === 0,
+        col("o_totalprice") + 20000.0)
+        .otherwise(col("o_totalprice")).as("v"))
+
+  /** Mann–Whitney U ([[graft.ops.Experiment.mannWhitneyU]]): rank-sum
+    * test on the q221 shifted cohorts — midrank algebra on the pooled
+    * distinct-value grid, exact-integer significance inequality. */
+  private def q223MannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.mannWhitneyU(shiftedCohorts(s, dir), "v", "cohort")
+
+  /** Exact ROC AUC ([[graft.ops.Classifier.auc]]): does order total rank
+    * finished orders above the rest — rank-sum identity, exact rational
+    * rendered via the ×10⁹ decimal-string contract. */
+  private def q224Auc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.auc(
+      t(s, dir, "orders").select(col("o_totalprice").as("score"),
+        (col("o_orderstatus") === "F").cast("int").as("label")),
+      "score", "label")
+
+  /** Per-group Gini ([[graft.ops.Skew.gini]]): revenue concentration
+    * within each order priority — cents-exact mean-difference form on the
+    * per-group distinct-value grid. */
+  private def q225Gini(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.gini(t(s, dir, "orders"),
+      "o_orderpriority", "o_totalprice")
+
+  /** 1-D Wasserstein ([[graft.ops.Profiler.wasserstein]]): HOW FAR the
+    * q221 cohorts drifted, in dollars — the telescoped CDF-gap integral
+    * in exact cents, one [[graft.ops.PrefixSum.scan]] pass. */
+  private def q226Wasserstein(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.wasserstein(shiftedCohorts(s, dir), "v", "cohort")
+
+  /** RFM segmentation ([[graft.ops.PrefixSum.ntileExact]] ×3): customer
+    * recency/frequency/monetary quintiles via the distributed closed-form
+    * NTILE — SQL-exact bucket boundaries under total (metric, custkey)
+    * orders. */
+  private def q227Rfm(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(Dec)).as("__m"))
+      .withColumn("monetary", col("__m").cast("double")).drop("__m")
+    val r = graft.ops.PrefixSum.ntileExact(base,
+      Seq("last_order", "o_custkey"), 5, "r_score")
+    val f = graft.ops.PrefixSum.ntileExact(r,
+      Seq("frequency", "o_custkey"), 5, "f_score")
+    val m = graft.ops.PrefixSum.ntileExact(f,
+      Seq("monetary", "o_custkey"), 5, "m_score")
+    m.select(col("o_custkey"),
+      date_format(col("last_order"), "yyyy-MM-dd").as("last_order"),
+      col("frequency"), col("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("rfm_cell"))
+  }
+
+  /** Streak detection ([[graft.ops.EventWindows.streaks]]): per-user
+    * maximal runs of consecutive active days — the rn-difference
+    * gaps-and-islands readout over the distinct (user, day) frame. */
+  private def q228Streaks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.streaks(
+      events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day")),
+      Seq("user_id"), "day")
+
+  /** LOCF forward fill ([[graft.ops.EventWindows.forwardFill]]): each
+    * user's daily purchase total carried across gap days on a generated
+    * per-user spine — the causal fill for point-in-time features. */
+  private def q229ForwardFill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.forwardFill(
+      events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+          col("value")),
+      Seq("user_id"), "day", "value")
+
+  /** Deterministic Poisson-bootstrap CI ([[graft.ops.Experiment
+    * .bootstrapCI]]): 200 hash-seeded resamples of mean order total —
+    * row-local Poisson(1) weights, B-sized agg, nearest-rank CI. */
+  private def q230Bootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.bootstrapCI(t(s, dir, "orders"),
+      "o_totalprice", "o_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3818,7 +3909,15 @@ object SparkEntry {
     "q219_pivot_unpivot"    -> q219PivotUnpivot _,
     "q220_cube"             -> q220Cube _,
     "q221_ks_test"          -> q221KsTest _,
-    "q222_cramers_v"        -> q222CramersV _
+    "q222_cramers_v"        -> q222CramersV _,
+    "q223_mann_whitney"     -> q223MannWhitney _,
+    "q224_auc"              -> q224Auc _,
+    "q225_gini"             -> q225Gini _,
+    "q226_wasserstein"      -> q226Wasserstein _,
+    "q227_rfm"              -> q227Rfm _,
+    "q228_streaks"          -> q228Streaks _,
+    "q229_forward_fill"     -> q229ForwardFill _,
+    "q230_bootstrap"        -> q230Bootstrap _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -229,4 +229,50 @@ object Classifier {
         when(col("n").isNotNull, round(center - half, 6)).as("wilson_lo"),
         when(col("n").isNotNull, round(center + half, 6)).as("wilson_hi"))
   }
+
+  /** Exact ROC AUC — the threshold-free ranking quality of a scorer:
+    * P(score(random positive) > score(random negative)), ties counting ½.
+    * [[calibrationReport]] asks "are the probabilities honest"; this asks
+    * "does the score ORDER the classes" — the standard readout for a
+    * quality-classifier gate where only the cut ranking matters.
+    *
+    * Computed via the rank-sum identity `AUC = U⁺/(n⁺·n⁻)` on the pooled
+    * distinct-SCORE grid — the [[Experiment.mannWhitneyU]] midrank algebra:
+    * `2·U⁺ = Σ c⁺·(2·cum − t + 1) − n⁺·(n⁺+1)` in exact longs, so
+    * `auc = u2⁺ / (2·n⁺·n⁻)` is an exact rational, rendered both as the
+    * ×10⁹ integer-division 9-dp decimal string (the
+    * [[Survival.nelsonAalen]] byte-exact contract) and as a convenience
+    * double. Empty classes yield NULL auc (no ranking is definable).
+    *
+    * == 100 TB shape ==
+    * One map-side-combined agg to the distinct-score grid, one
+    * [[PrefixSum.runningSum]] over the grid, one scalar agg — never
+    * per-row ranks. */
+  def auc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val grid = scored.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__v"),
+        col(labelCol).cast("int").cast("long").as("__y"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__y")).as("__cp"),
+        sum(lit(1L) - col("__y")).as("__cn"))
+      .withColumn("__t", col("__cp") + col("__cn"))
+    val cum = PrefixSum.runningSum(grid, Seq("__v"), "__t", "__cum")
+    val stat = cum.agg(
+      sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+      sum(col("__cp") * (lit(2L) * col("__cum") - col("__t") + 1L)).as("__r2p"))
+    val u2p = col("__r2p") - col("n_pos") * (col("n_pos") + 1L)
+    val fx = expr(
+      "CAST(__u2p AS DECIMAL(38,0)) * 1000000000 DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)")
+      .cast("long")
+    stat.withColumn("__u2p", u2p).withColumn("__fx", fx).select(
+      col("n_pos"), col("n_neg"), col("__u2p").as("u2_pos"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
+        concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0")))
+        .as("auc"),
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
+        round(col("__u2p").cast("double") /
+          (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
+        .as("auc_d"))
+  }
 }

@@ -268,4 +268,83 @@ object EventWindows {
     out.select((gs ++ Seq(col(xCol), v.as(valueCol),
       filled.as("filled"), kind.as("fill_kind"))): _*)
   }
+
+  /** Gaps-and-islands streak detection — maximal runs of CONSECUTIVE
+    * integer positions per series (consecutive active days per user,
+    * unbroken hourly heartbeats per host): the engagement/SLA readout
+    * [[graft.ops.Expectations.sequenceGaps]] inverts (that op reports the
+    * holes; this reports the unbroken runs). The classic rn-difference
+    * trick: over DISTINCT positions per series, `pos − row_number()` is
+    * constant exactly within a consecutive run.
+    *
+    * Output one row per series: `(series…, n_active, n_streaks,
+    * longest_streak, longest_start)` — `longest_start` is the EARLIEST
+    * start among longest streaks (deterministic tie-break).
+    *
+    * == 100 TB shape ==
+    * Distinct collapse (map-side combined), one series-partitioned window
+    * over distinct positions (the [[interpolate]] locality), two grouped
+    * aggs. Nothing global. */
+  def streaks(df: DataFrame, seriesCols: Seq[String],
+              posCol: String): DataFrame = {
+    require(seriesCols.nonEmpty, "streaks: need at least one series column")
+    import org.apache.spark.sql.expressions.Window
+    val gs = seriesCols.map(col)
+    val distinctPos = df
+      .filter(col(posCol).isNotNull)
+      .select((gs :+ col(posCol).cast("long").as("__pos")): _*)
+      .distinct()
+    val w = Window.partitionBy(gs: _*).orderBy(col("__pos").asc)
+    val islands = distinctPos
+      .withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy((gs :+ col("__isl")): _*)
+      .agg(count(lit(1)).as("__len"), min(col("__pos")).as("__start"))
+    islands.groupBy(gs: _*)
+      .agg(sum(col("__len")).as("n_active"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"),
+        // earliest start among longest: argmax on (len, −start)
+        max_by(col("__start"),
+          struct(col("__len"), -col("__start"))).as("longest_start"))
+  }
+
+  /** LOCF forward fill over a dense integer spine — the standard
+    * "carry the last observation forward" gap repair for point-in-time
+    * feature tables ([[interpolate]] smooths BETWEEN anchors; LOCF is the
+    * causal fill that never peeks forward, the only legal choice for
+    * training features). Each series gets a generated spine from its own
+    * min to max observed position; observed rows keep their value, holes
+    * take the latest preceding observation.
+    *
+    * Output: `(series…, pos, value, is_filled)` — `value` the observed or
+    * carried DECIMAL(18,2)-exact value rendered double.
+    *
+    * == 100 TB shape ==
+    * One per-series min/max agg (map-side combined), a row-local
+    * `sequence` explode building the spine (size = position span — the
+    * caller's grain call; document days not millis), one equi-join back,
+    * one series-partitioned IGNORE-NULLS window. A series spanning
+    * millions of positions concentrates its partition — coarsen the
+    * grain first. */
+  def forwardFill(df: DataFrame, seriesCols: Seq[String], posCol: String,
+                  valueCol: String): DataFrame = {
+    require(seriesCols.nonEmpty, "forwardFill: need at least one series column")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = seriesCols.map(col)
+    val obs = df.filter(col(posCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("__pos")): _*)
+      .agg(sum(col(valueCol).cast(dec)).as("__v"))
+    val spine = obs.groupBy(gs: _*)
+      .agg(min(col("__pos")).as("__lo"), max(col("__pos")).as("__hi"))
+      .select((gs :+ explode(sequence(col("__lo"), col("__hi"))).as("__pos")): _*)
+    val joined = spine.join(obs, seriesCols :+ "__pos", "left")
+    val w = Window.partitionBy(gs: _*).orderBy(col("__pos").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    joined
+      .withColumn("__filled", last(col("__v"), ignoreNulls = true).over(w))
+      .select((gs ++ Seq(col("__pos").as("pos"),
+        col("__filled").cast("double").as("value"),
+        col("__v").isNull.as("is_filled"))): _*)
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** A/B experiment readout: the two-proportion pooled z-test over per-unit
   * conversion rows — the decision-support twin of [[Trend]]'s monitoring
@@ -68,5 +69,154 @@ object Experiment {
       round(pb - pa, 6).as("lift"),
       round(z, 6).as("z_score"),
       coalesce(abs(z) > 1.96, lit(false)).as("significant"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+    * test: does one arm's metric distribution stochastically dominate the
+    * other's? [[abTest]] compares proportions, [[graft.ops.Profiler.ksTest]]
+    * compares CDF shape; this is the standard "did the treatment shift the
+    * median-ish mass" readout, robust to the heavy tails that break a
+    * t-test on revenue-like metrics.
+    *
+    * Exactness: ranks never materialize per row — the pooled DISTINCT-value
+    * grid carries per-group counts, and for a value with `t` ties preceded
+    * by `c` rows, its midranks sum to `t·(2c + t + 1)/2` exactly. Doubling
+    * clears the halves: `r2_a = Σ c_a·(2·cum − t + 1)` (all long), so
+    * `u2_a = r2_a − n_a·(n_a+1)` is exactly 2·U_a, and `u2_a + u2_b =
+    * 2·n_a·n_b` by construction (the spec's invariant). Significance is
+    * the normal approximation with tie correction, decided by the EXACT
+    * integer inequality (the [[graft.ops.Profiler.ksTest]] armor):
+    * `(u2_a − n_a·n_b)² · 120000 · N(N−1) > 153664 · n_a·n_b ·
+    * ((N+1)·N·(N−1) − Σ(t³−t))` over DECIMAL(38) — both sides are the
+    * squared z-test at α = 0.05 scaled integer (1.96² = 38416/10⁴; the
+    * ½-unit of u2 and the 12 of σ² fold into 120000/153664·4). Overflow
+    * NULLs the flag rather than lying (≳10⁵ rows per side — sample first;
+    * the z column itself stays a correctly-rounded double at any size).
+    *
+    * == 100 TB shape ==
+    * One map-side-combined agg to the distinct-value grid, one
+    * [[PrefixSum.runningSum]] over the grid, one scalar agg. Never a
+    * data-sized window, never per-row ranks. */
+  def mannWhitneyU(df: DataFrame, valueCol: String,
+                   groupCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        col(groupCol).cast("string").as("__g"))
+    val names = base.select(col("__g")).distinct()
+      .agg(count(lit(1)).as("__k"), min(col("__g")).as("__ga"),
+        max(col("__g")).as("__gb"))
+      .select(
+        when(col("__k") === 2, col("__ga"))
+          .otherwise(raise_error(concat(
+            lit("mannWhitneyU: need exactly 2 groups, got "),
+            col("__k").cast("string")))).as("__ga"),
+        col("__gb"))
+    val grid = base.crossJoin(broadcast(names))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__g") === col("__ga"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === col("__gb"), 1L).otherwise(0L)).as("__c2"))
+      .withColumn("__t", col("__c1") + col("__c2"))
+    val cum = PrefixSum.runningSum(grid, Seq("__v"), "__t", "__cum")
+    val stat = cum.agg(
+      sum(col("__c1")).as("n_a"), sum(col("__c2")).as("n_b"),
+      sum(col("__c1") * (lit(2L) * col("__cum") - col("__t") + 1L)).as("__r2a"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tie_term"))
+    val d38 = DecimalType(38, 0)
+    val nA = col("n_a"); val nB = col("n_b"); val bigN = nA + nB
+    val u2a = col("__r2a") - nA * (nA + 1L)
+    val u2b = lit(2L) * nA * nB - u2a
+    // z via doubles (reporting only; the verdict is the exact inequality):
+    // z = (U_a − n_a·n_b/2)/σ = (u2_a − n_a·n_b)/(2σ)
+    val sigma = sqrt((nA * nB).cast("double") / 12.0 *
+      ((bigN + 1L).cast("double") -
+        col("tie_term").cast("double") / (bigN * (bigN - 1L)).cast("double")))
+    val z = when(sigma > 0.0, (u2a - nA * nB).cast("double") / (sigma * 2.0))
+    stat.crossJoin(broadcast(names)).select(
+      col("__ga").as("group_a"), col("__gb").as("group_b"),
+      nA, nB, u2a.as("u2_a"), u2b.as("u2_b"), col("tie_term"),
+      round(z, 6).as("z_score"),
+      ((u2a - nA * nB).cast(d38) * (u2a - nA * nB) * lit(120000L) *
+        bigN * (bigN - 1L) >
+        lit(153664L).cast(d38) * nA * nB *
+          ((bigN + 1L).cast(d38) * bigN * (bigN - 1L) - col("tie_term")))
+        .as("significant"))
+  }
+
+  /** Cumulative Poisson(1) CDF cut points: a uniform u in [0,1) maps to
+    * the count k with `P(X < k) ≤ u < P(X ≤ k)` — 17-significant-digit
+    * literals every strtod parses to the identical double, so any engine
+    * draws the identical resample weights. */
+  private val PoissonCdf = Seq(
+    0.36787944117144232, 0.73575888234288464, 0.91969860292860580,
+    0.98101184312384619, 0.99634015317265629, 0.99940581518241831,
+    0.99991675885071198, 0.99998975080332536, 0.99999887479740204,
+    0.99999988857452167)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the MEAN of
+    * `valueCol` — the classic "is this metric's CI wide" readout without
+    * distributional assumptions. A true with-replacement bootstrap needs
+    * coordinated multinomial draws (a global shuffle per resample); the
+    * Poisson bootstrap replaces each row's resample count with an
+    * independent Poisson(1) weight — the standard large-scale
+    * approximation (for n in the thousands the total-count jitter is
+    * O(√n/n) of the mass) — which makes every weight a pure ROW-LOCAL
+    * function of (seed, resample index, row id): the [[Sampling.hashBucket]]
+    * no-`rand()` discipline, so every engine, retry, and the oracle draw
+    * byte-identical resamples. The 56-bit md5 prefix over 2⁵⁶ is the
+    * uniform; [[PoissonCdf]] inverts it.
+    *
+    * CI = nearest-rank percentiles (ranks `ceil(α/2·B)` and
+    * `ceil((1−α/2)·B)` of the sorted resample means) at fixed α = 0.05.
+    * Exactness: each resample's numerator is a DECIMAL(18,2)-exact
+    * weighted sum and its denominator an exact long; the mean is ONE
+    * double division of exactly-representable operands — engine-identical
+    * (the [[abTest]] fixed-dag reasoning), and rank selection never
+    * averages, so output doubles are bit-exact resample means.
+    *
+    * == 100 TB shape ==
+    * The explode is B× the data, but the per-resample agg map-side
+    * combines to a B-sized frame before any shuffle; the final windows run
+    * over B rows. Cost is B passes of row-local arithmetic — embarrassingly
+    * parallel, no data-sized state. */
+  def bootstrapCI(df: DataFrame, valueCol: String, idCol: String,
+                  numResamples: Int = 200, seed: String = "graft"): DataFrame = {
+    require(numResamples >= 40 && numResamples % 40 == 0,
+      s"bootstrapCI: numResamples must be a positive multiple of 40 " +
+        s"(keeps the 2.5%/97.5% nearest ranks integral), got $numResamples")
+    val dec = DecimalType(18, 2)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast(dec).as("__x"))
+    val u = conv(substring(md5(concat(lit(s"$seed:"), col("__b").cast("string"),
+      lit(":"), col("__id"))), 1, 14), 16, 10).cast("long").cast("double") /
+      lit(72057594037927936.0) // 2^56
+    val w = PoissonCdf.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (p, k)) =>
+        acc.when(u < p, k.toLong)
+      }.otherwise(lit(PoissonCdf.size.toLong))
+    val perResample = rows
+      .withColumn("__b", explode(sequence(lit(0), lit(numResamples - 1))))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__x")).as("__s"), sum(col("__w")).as("__m"))
+      .select(col("__b"),
+        when(col("__m") > 0L,
+          col("__s").cast("double") / col("__m").cast("double")).as("__mean"))
+    val loRank = numResamples / 40     // ceil(0.025·B)
+    val hiRank = numResamples - loRank // ceil(0.975·B)
+    // B-sized frame: the global sort window is over numResamples rows
+    val ranked = perResample.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__mean").asc, col("__b").asc)))
+    val ci = ranked.agg(
+      max(when(col("__rn") === loRank, col("__mean"))).as("ci_lo"),
+      max(when(col("__rn") === hiRank, col("__mean"))).as("ci_hi"))
+    val point = rows.agg(count(lit(1)).as("n"),
+      (sum(col("__x")).cast("double") /
+        count(lit(1)).cast("double")).as("mean"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n"), lit(numResamples.toLong).as("n_boot"),
+        col("mean"), col("ci_lo"), col("ci_hi"))
   }
 }

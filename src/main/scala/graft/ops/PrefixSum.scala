@@ -74,6 +74,35 @@ object PrefixSum {
     scan(df, orderCols, sums = Nil, leads = Seq(leadCol -> outCol),
       numPartitions, materialize)
 
+  /** Distributed `ntile(k) OVER (ORDER BY orderCols)` — equal-count
+    * buckets 1..k under a global order, SQL-exact: with `n = q·k + r`,
+    * the first `r` buckets take `q+1` rows, the rest `q` (the ANSI
+    * NTILE contract, mirrored closed-form from [[rowNumber]]):
+    * `rn ≤ r·(q+1)` → bucket `(rn−1) div (q+1) + 1`, else
+    * `r + (rn−rq−r−1) div q + 1`. Pass a TOTAL order (unique key last)
+    * or tied rows land in engine-dependent buckets. One scalar count
+    * rides a broadcast 1-row join; everything else is [[rowNumber]]'s
+    * two-shuffle shape. */
+  def ntileExact(df: DataFrame, orderCols: Seq[String], k: Int,
+                 outCol: String = "ntile",
+                 numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"ntileExact: k must be >= 1, got $k")
+    require(!df.columns.contains("__ntrn"),
+      "ntileExact: input already has reserved column __ntrn")
+    val rn = rowNumber(df, orderCols, "__ntrn", numPartitions)
+    val tot = rn.agg(max(col("__ntrn")).as("__ntn"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn(outCol, {
+        val q = expr(s"__ntn DIV $k"); val r = expr(s"__ntn % $k")
+        when(col("__ntrn") <= r * (q + 1L),
+          expr(s"(__ntrn - 1) DIV (__ntn DIV $k + 1) + 1"))
+          .otherwise(
+            r + expr(s"(__ntrn - (__ntn % $k) * (__ntn DIV $k + 1) - 1) " +
+              s"DIV (__ntn DIV $k) + 1"))
+      })
+      .drop("__ntrn", "__ntn")
+  }
+
   /** One range-partitioned pass producing any number of running sums and
     * lead-1 columns over the same global order — ONE range exchange + one
     * pid-window pass + one broadcast, however many outputs ride along

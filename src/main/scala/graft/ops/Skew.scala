@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys at scale.
@@ -173,6 +174,72 @@ object Skew {
         when(col("__cum") * 10000 <= lit(aBp.toLong) * col("__total"), "A")
           .when(col("__cum") * 10000 <= lit(bBp.toLong) * col("__total"), "B")
           .otherwise("C").as("abc_class"))
+  }
+
+  /** Per-group Gini coefficient — the one-number inequality readout of
+    * [[abcClassification]]'s Pareto walk ("how concentrated is value over
+    * keys" as a coefficient instead of per-key classes): 0 = perfectly
+    * even, →1 = one key holds everything. The classic mean-difference
+    * form over ascending-sorted values `G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx)`.
+    *
+    * Exactness: values fix to integer CENTS via DECIMAL(18,2)·100 (the
+    * house money discipline), and the rank-weighted sum never materializes
+    * per-row ranks — on the per-group distinct-value grid a value `v` with
+    * `t` ties after `c` rows contributes `v·(2·t·c + t² + t)` to `2·Σ i·xᵢ`
+    * exactly (tie order is provably irrelevant: tied rows carry equal v).
+    * The coefficient renders as the ×10⁹ integer-division 9-dp decimal
+    * string ([[graft.ops.Survival.nelsonAalen]] contract) plus a 6-dp
+    * convenience double. Negative values raise LOUDLY (Gini is undefined);
+    * an all-zero group yields NULL.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined agg to the (group × distinct value) grid, one
+    * grid-sized window PARTITIONED BY GROUP, one agg back to group rows.
+    * A single group with a huge distinct-value spread concentrates its
+    * grid partition — for the one-giant-group case run the global
+    * [[graft.ops.PrefixSum.runningSum]] form instead. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grid = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        (col(valueCol).cast(dec) * 100).cast("long").as("__c"))
+      .groupBy(col("group"), col("__c")).agg(count(lit(1)).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__c").asc)
+    val cum = grid.withColumn("__cb", // rows strictly before this value
+      coalesce(sum(col("__t")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val stat = cum.groupBy(col("group")).agg(
+      min(col("__c")).as("__minc"),
+      sum(col("__t")).as("n"),
+      sum(col("__c").cast(d38) * col("__t")).as("__tot"),
+      sum(col("__c").cast(d38) *
+        (lit(2L) * col("__t") * col("__cb") +
+          col("__t") * col("__t") + col("__t"))).as("__s2"))
+    // the guard rides the SELECTED n column — a standalone guard column
+    // would be pruned away and the check would silently not run (the
+    // [[EventWindows.interpolate]] lesson)
+    val checked = stat.withColumn("n",
+      when(col("__minc") >= 0L, col("n"))
+        .otherwise(raise_error(concat(
+          lit("gini: negative value in group "), col("group").cast("string"),
+          lit(" — Gini is undefined over negative values"))).cast("long")))
+    val num = col("__s2") - (col("n") + 1L).cast(d38) * col("__tot")
+    val den = col("n").cast(d38) * col("__tot")
+    checked
+      .withColumn("__num", num).withColumn("__den", den)
+      .withColumn("__fx",
+        expr("CAST(__num * 1000000000 DIV __den AS BIGINT)"))
+      .select(col("group"), col("n"),
+        col("__tot").cast("double").as("total_cents"),
+        when(col("__tot") > 0,
+          concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("gini"),
+        when(col("__tot") > 0,
+          round(col("__num").cast("double") / col("__den").cast("double"), 6))
+          .as("gini_d"))
   }
 
   def joinCardinality(left: DataFrame, right: DataFrame, key: String,

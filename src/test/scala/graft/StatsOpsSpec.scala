@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Classifier, EventWindows, Experiment, PrefixSum, Profiler, Skew}
+
+/** Round-15 statistics/warehouse additions: Mann–Whitney U, exact AUC,
+  * per-group Gini, 1-D Wasserstein, exact NTILE, streaks, LOCF forward
+  * fill, Poisson-bootstrap CI. Hand-checked fixtures small enough to
+  * verify on paper; partition-count invariance pinned where the operator
+  * rides the distributed scan. */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mannWhitneyU: hand-checked ranks, tie algebra, u2 invariant") {
+    // a: 1, 2, 2  b: 2, 3 — pooled sorted: 1,(2,2,2),3
+    // midrank of the 2s = (2+3+4)/3 = 3; r_a = 1 + 3 + 3 = 7 → r2a = 14
+    // u2_a = 14 − 3·4 = 2; u2_b = 2·3·2 − 2 = 10; ties: t=3 → 24
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Experiment.mannWhitneyU(df, "v", "g").collect().head
+    assert(r.getAs[String]("group_a") === "a")
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("u2_a") === 2L)
+    assert(r.getAs[Long]("u2_b") === 10L)
+    assert(r.getAs[Long]("tie_term") === 24L)
+    assert(!r.getAs[Boolean]("significant")) // n far too small
+    val err = intercept[Exception] {
+      Experiment.mannWhitneyU(
+        Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v"), "v", "g")
+        .collect()
+    }
+    assert(err.getMessage.contains("need exactly 2 groups"))
+  }
+
+  test("auc: perfect, inverted, and tied scorers hit 1 / 0 / 0.5 exactly") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "label")
+    assert(Classifier.auc(perfect, "score", "label")
+      .collect().head.getAs[String]("auc") === "1.000000000")
+    val inverted = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))
+      .toDF("score", "label")
+    assert(Classifier.auc(inverted, "score", "label")
+      .collect().head.getAs[String]("auc") === "0.000000000")
+    val allTied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))
+      .toDF("score", "label")
+    val r = Classifier.auc(allTied, "score", "label").collect().head
+    assert(r.getAs[String]("auc") === "0.500000000")
+    assert(r.getAs[Long]("u2_pos") === 2L * r.getAs[Long]("n_pos") *
+      r.getAs[Long]("n_neg") / 2)
+  }
+
+  test("gini: equal values → 0, single-holder → (n−1)/n, negatives raise") {
+    val even = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0))
+      .toDF("k", "v")
+    assert(Skew.gini(even, "k", "v").collect().head
+      .getAs[String]("gini") === "0.000000000")
+    // one holder of everything over n=4: G = (n−1)/n = 0.75
+    val one = Seq(("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 12.0))
+      .toDF("k", "v")
+    assert(Skew.gini(one, "k", "v").collect().head
+      .getAs[String]("gini") === "0.750000000")
+    val err = intercept[Exception] {
+      Skew.gini(Seq(("g", -1.0)).toDF("k", "v"), "k", "v").collect()
+    }
+    assert(err.getMessage.contains("undefined over negative"))
+  }
+
+  test("wasserstein: point masses a={0}, b={10} → EMD exactly 10") {
+    val df = Seq(("a", 0.0), ("b", 10.0)).toDF("g", "v")
+    val r = Profiler.wasserstein(df, "v", "g").collect().head
+    assert(r.getAs[String]("emd") === "10.000000000")
+    // shift-invariance of a two-point pair: {1,3} vs {2,4} → EMD 1
+    val df2 = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    assert(Profiler.wasserstein(df2, "v", "g").collect().head
+      .getAs[String]("emd") === "1.000000000")
+  }
+
+  test("ntileExact: ANSI bucket sizes (first r buckets take q+1) at several n, k") {
+    for ((n, k) <- Seq((10, 3), (7, 7), (5, 8), (12, 4), (100, 7))) {
+      val df = spark.range(n.toLong).toDF("id")
+      val got = PrefixSum.ntileExact(df, Seq("id"), k, "b")
+        .orderBy(col("id")).collect().map(_.getAs[Long]("b"))
+      val want = df.withColumn("b",
+        expr(s"ntile($k) OVER (ORDER BY id)").cast("long"))
+        .orderBy(col("id")).collect().map(_.getAs[Long]("b"))
+      assert(got.toSeq === want.toSeq, s"n=$n k=$k")
+    }
+  }
+
+  test("streaks: islands split on gaps, earliest-longest tie-break") {
+    // user 1: days 1,2,3, 5,6, 9 → streaks (3,start 1),(2,start 5),(1,start 9)
+    // user 2: days 4,5 and 7,8 → two length-2 streaks; earliest start wins
+    val df = Seq((1, 1), (1, 2), (1, 3), (1, 5), (1, 6), (1, 9), (1, 9),
+      (2, 4), (2, 5), (2, 7), (2, 8)).toDF("u", "day")
+    val r = EventWindows.streaks(df, Seq("u"), "day").collect()
+      .map(x => x.getAs[Int]("u") ->
+        ((x.getAs[Long]("n_active"), x.getAs[Long]("n_streaks"),
+          x.getAs[Long]("longest_streak"), x.getAs[Long]("longest_start"))))
+      .toMap
+    assert(r(1) === ((6L, 3L, 3L, 1L)))
+    assert(r(2) === ((4L, 2L, 2L, 4L)))
+  }
+
+  test("forwardFill: carries last observation, spine bounded per series") {
+    val df = Seq((1, 10, 5.0), (1, 13, 7.0), (2, 20, 1.0)).toDF("u", "d", "v")
+    val r = EventWindows.forwardFill(df, Seq("u"), "d", "v").collect()
+      .map(x => (x.getAs[Int]("u"), x.getAs[Long]("pos")) ->
+        ((x.getAs[Double]("value"), x.getAs[Boolean]("is_filled")))).toMap
+    assert(r.size === 5) // user 1 spine 10..13, user 2 spine 20..20
+    assert(r((1, 10L)) === ((5.0, false)))
+    assert(r((1, 11L)) === ((5.0, true)))
+    assert(r((1, 12L)) === ((5.0, true)))
+    assert(r((1, 13L)) === ((7.0, false)))
+    assert(r((2, 20L)) === ((1.0, false)))
+  }
+
+  test("bootstrapCI: deterministic across runs, CI brackets the mean") {
+    val df = spark.range(500).select(col("id"),
+      (col("id") % 97).cast("double").as("v"))
+    val a = Experiment.bootstrapCI(df, "v", "id").collect().head
+    val b = Experiment.bootstrapCI(df, "v", "id").collect().head
+    assert(a === b) // pure function of (seed, b, id) — no rand()
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("mean"))
+    assert(a.getAs[Double]("ci_hi") > a.getAs[Double]("mean"))
+    // different seed → different resamples (overwhelmingly)
+    val c = Experiment.bootstrapCI(df, "v", "id", seed = "other").collect().head
+    assert(c.getAs[Double]("ci_lo") !== a.getAs[Double]("ci_lo"))
+  }
+
+  test("scan: runningSum + lead1 agree with single-partition windows at any partitioning") {
+    val df = spark.range(1000).select(col("id"),
+      (col("id") * 7 % 13).cast("long").as("v"))
+    for (parts <- Seq(1, 5, 32)) {
+      val got = PrefixSum.scan(df, Seq("id"),
+        sums = Seq("v" -> "rs"), leads = Seq("v" -> "nx"),
+        numPartitions = parts)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getAs[Long]("rs"), Option(r.get(3))))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      val want = df
+        .withColumn("rs", sum(col("v")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("nx", lead(col("v"), 1).over(w))
+        .orderBy(col("id")).collect()
+        .map(r => (r.getAs[Long]("rs"), Option(r.get(3))))
+      assert(got.toSeq === want.toSeq, s"parts=$parts")
+    }
+  }
+}
