@@ -3725,6 +3725,118 @@ object OracleSql {
     SELECT n, CAST(200 AS BIGINT) AS n_boot, mean, ci_lo, ci_hi
     FROM point, ci"""
 
+  /** Label propagation — q231. The 4 synchronous rounds unrolled as
+    * MATERIALIZED CTEs (the q211 inlining lesson); per-round argmax by
+    * (count DESC, label ASC) via row_number — the exact min_by-struct
+    * mirror. */
+  private val q231: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""v$i AS MATERIALIZED (
+        SELECT s.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+        FROM sym s JOIN l${i - 1} l ON s.dst = l.node GROUP BY 1, 2),
+      l$i AS MATERIALIZED (SELECT node, label FROM (
+        SELECT node, label, row_number() OVER
+          (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v$i)
+        WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS MATERIALIZED (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+        's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e WHERE a <> b
+      UNION SELECT b, a FROM e WHERE a <> b),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM
+      (SELECT a AS node FROM e UNION SELECT b FROM e)),
+    $rounds
+    SELECT node, label FROM l4"""
+  }
+
+  /** DP noisy counts — q232. The CASE thresholds are the ENGINE's own
+    * `Privacy.geometricCdf(1, 13)` doubles rendered shortest-round-trip —
+    * one source of truth, so both engines draw identical noise. */
+  private val q232: String = {
+    val cases = graft.ops.Privacy.geometricCdf(1.0, 13).zipWithIndex
+      .map { case (p, i) => s"WHEN u < $p THEN ${i - 13}" }
+      .mkString("\n             ")
+    s"""
+    WITH exact AS (SELECT o_orderstatus, o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2),
+    keyed AS (SELECT *, concat_ws(chr(1),
+        coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)),
+        coalesce(CAST(o_orderpriority AS VARCHAR), chr(2))) AS gk
+      FROM exact),
+    drawn AS (SELECT *,
+        ('0x' || substr(md5('graft:' || gk), 1, 14))::BIGINT
+          / 72057594037927936.0 AS u
+      FROM keyed),
+    noised AS (SELECT o_orderstatus, o_orderpriority, n,
+        CASE $cases
+             ELSE 13 END AS k
+      FROM drawn)
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(n + k AS BIGINT) AS n_noisy,
+      CAST(greatest(n + k, 0) AS BIGINT) AS n_released
+    FROM noised"""
+  }
+
+  /** Log templates — q233. The mask chain is LogMining.Masks verbatim
+    * (one source of truth), applied with the 'g' flag — DuckDB's
+    * regexp_replace is first-match-only without it. */
+  private val q233: String = {
+    val masked = graft.ops.LogMining.Masks.foldLeft("line") {
+      case (e, (re, ph)) =>
+        s"regexp_replace($e, '${re.replace("'", "''")}', '$ph', 'g')"
+    }
+    s"""
+    WITH lines AS (SELECT
+        strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' evt=' || event_type ||
+        ' user=' || CAST(user_id AS VARCHAR) ||
+        ' ip=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+        CAST(event_id % 256 AS VARCHAR) ||
+        ' dur=' ||
+        CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+          AS line
+      FROM events),
+    masked AS (SELECT line, $masked AS template FROM lines)
+    SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+      min(line) AS example
+    FROM masked GROUP BY 1"""
+  }
+
+  /** Cohort LTV — q234. DECIMAL-exact revenue, per-cohort cumulative
+    * window over the cohorts × ages grid; mirrors Funnel.ltvCurve. */
+  private val q234 = """
+    WITH rows_ AS (SELECT user_id AS u,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS p,
+        CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'),
+    cohorts AS (SELECT u, min(p) AS cohort_pos FROM rows_ GROUP BY 1),
+    sizes AS (SELECT cohort_pos, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM cohorts GROUP BY 1),
+    grid AS (SELECT c.cohort_pos, r.p - c.cohort_pos AS age,
+        sum(r.v) AS rev
+      FROM rows_ r JOIN cohorts c USING (u) GROUP BY 1, 2),
+    cum AS (SELECT cohort_pos, age,
+        sum(rev) OVER (PARTITION BY cohort_pos ORDER BY age ASC
+          ROWS UNBOUNDED PRECEDING) AS cumrev
+      FROM grid)
+    SELECT cohort_pos, CAST(age AS BIGINT) AS age, n_cohort,
+      CAST(cumrev AS DOUBLE) AS cum_revenue,
+      round(CAST(cumrev AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS ltv
+    FROM cum JOIN sizes USING (cohort_pos)"""
+
+  /** Distribution ranks — q235. The ENGINE avoids the global window via
+    * the distinct-value grid; the oracle deliberately uses the native
+    * ANSI windows — an independent derivation that must agree double for
+    * double. */
+  private val q235 = """
+    SELECT o_orderkey, o_totalprice,
+      percent_rank() OVER (ORDER BY o_totalprice) AS percent_rank,
+      cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist
+    FROM orders"""
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -5609,6 +5721,11 @@ object OracleSql {
     "q227_rfm"              -> q227,
     "q228_streaks"          -> q228,
     "q229_forward_fill"     -> q229,
-    "q230_bootstrap"        -> q230
+    "q230_bootstrap"        -> q230,
+    "q231_label_prop"       -> q231,
+    "q232_dp_counts"        -> q232,
+    "q233_log_templates"    -> q233,
+    "q234_ltv_curve"        -> q234,
+    "q235_dist_ranks"       -> q235
   ).map { case (k, v) => k -> clean(v) }
 }

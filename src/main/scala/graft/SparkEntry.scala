@@ -3687,6 +3687,58 @@ object SparkEntry {
     graft.ops.Experiment.bootstrapCI(t(s, dir, "orders"),
       "o_totalprice", "o_orderkey")
 
+  /** Label propagation ([[graft.ops.Graph.labelPropagation]]): 4 exact
+    * synchronous min-tie-break rounds over the strong trade graph — the
+    * oracle unrolls the identical rounds. */
+  private def q231LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir).filter(col("w") >= 3).localCheckpoint(true)
+    graft.ops.Graph.labelPropagation(e, rounds = 4)
+  }
+
+  /** DP noisy counts ([[graft.ops.Privacy.dpCounts]]): ε=1 discrete-
+    * Laplace release of order counts by (status, priority) — noise a pure
+    * function of (seed, group), byte-identical on any engine. */
+  private def q232DpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpCounts(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"))
+
+  /** Log template mining ([[graft.ops.LogMining.logTemplates]]): event
+    * rows rendered as log lines (ts/user/ip/duration variables), masked
+    * to typed placeholders, grouped to a templates-sized table. */
+  private def q233LogTemplates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LogMining.logTemplates(
+      events(s, dir).select(concat(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" evt="),
+        col("event_type"), lit(" user="), col("user_id"),
+        lit(" ip=10.0."), pmod(col("user_id"), lit(256)), lit("."),
+        pmod(col("event_id"), lit(256)),
+        // integer cents: a double rendered to string is engine-formatted
+        // (scientific-notation thresholds differ); integers are not
+        lit(" dur="), (col("value").cast(Dec) * 100).cast("long"))
+        .as("line")),
+      "line")
+
+  /** Cohort LTV curve ([[graft.ops.Funnel.ltvCurve]]): cumulative
+    * purchase revenue per user by cohort age — DECIMAL-exact sums, the
+    * cumulative walk over the cohorts × ages grid. */
+  private def q234LtvCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.ltvCurve(
+      events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+          col("value")),
+      "user_id", "day", "value")
+
+  /** Distribution ranks ([[graft.ops.PrefixSum.distributionRanks]]):
+    * percent_rank + cume_dist over order totals, tie-exact from the
+    * distinct-value grid — never a data-sized global window. */
+  private def q235DistRanks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixSum.distributionRanks(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_totalprice")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("percent_rank"), col("cume_dist"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3917,7 +3969,12 @@ object SparkEntry {
     "q227_rfm"              -> q227Rfm _,
     "q228_streaks"          -> q228Streaks _,
     "q229_forward_fill"     -> q229ForwardFill _,
-    "q230_bootstrap"        -> q230Bootstrap _
+    "q230_bootstrap"        -> q230Bootstrap _,
+    "q231_label_prop"       -> q231LabelProp _,
+    "q232_dp_counts"        -> q232DpCounts _,
+    "q233_log_templates"    -> q233LogTemplates _,
+    "q234_ltv_curve"        -> q234LtvCurve _,
+    "q235_dist_ranks"       -> q235DistRanks _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

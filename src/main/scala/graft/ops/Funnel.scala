@@ -215,4 +215,46 @@ object Funnel {
         coalesce(col("__first"), lit("direct")).as("first_touch"),
         coalesce(col("__last"), lit("direct")).as("last_touch"))
   }
+
+  /** Cohort LTV curve — cumulative revenue per user by cohort age: the
+    * MONEY companion of [[retention]] ("do day-0 cohorts that stick
+    * around also SPEND"), the payback-period readout every acquisition
+    * decision runs on. Cohort = a user's first revenue day; age = days
+    * since; the curve is cumulative revenue per cohort member at each
+    * observed age.
+    *
+    * Exactness: revenue sums ride DECIMAL(18,2) end to end (order-free
+    * addition); the cumulative walk is a per-cohort window over the
+    * cohorts × observed-ages grid (grid-sized, never data-sized);
+    * `ltv` is one double division of the exact cumulative total by the
+    * exact cohort size. Ages with no revenue are ABSENT, not 0 (the
+    * [[retention]] sparse-grid convention) — the cumulative value at the
+    * next observed age still includes everything before it.
+    *
+    * Output: `(cohort_pos, age, n_cohort, cum_revenue DOUBLE, ltv)` —
+    * `cohort_pos` the integer position grain the caller supplied
+    * (days, weeks — any integer). */
+  def ltvCurve(df: DataFrame, userCol: String, posCol: String,
+               valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rows = df.filter(col(posCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("__u"), col(posCol).cast("long").as("__p"),
+        col(valueCol).cast(dec).as("__v"))
+    val cohorts = rows.groupBy(col("__u")).agg(min(col("__p")).as("cohort_pos"))
+    val sizes = cohorts.groupBy(col("cohort_pos"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val grid = rows.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort_pos"), (col("__p") - col("cohort_pos")).as("age"))
+      .agg(sum(col("__v")).as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_pos")).orderBy(col("age").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .withColumn("__cum", sum(col("__rev")).over(w))
+      .join(broadcast(sizes), Seq("cohort_pos"))
+      .select(col("cohort_pos"), col("age"), col("n_cohort"),
+        col("__cum").cast("double").as("cum_revenue"),
+        round(col("__cum").cast("double") /
+          col("n_cohort").cast("double"), 6).as("ltv"))
+  }
 }

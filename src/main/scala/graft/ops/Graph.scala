@@ -557,6 +557,69 @@ object Graph {
     out
   }
 
+  /** Fixed-round synchronous label propagation — community detection by
+    * majority vote ([[connectedComponents]] finds REACHABILITY classes;
+    * LPA finds DENSITY classes inside one component — near-cliques keep
+    * re-electing their own label, bridges lose the vote). Raghavan et
+    * al. 2007's update made deterministic: every node simultaneously
+    * adopts its neighbors' most frequent label, ties by SMALLEST label —
+    * no randomness anywhere, so any engine replays the identical rounds.
+    *
+    * The round count is the CONTRACT, not a convergence bound:
+    * synchronous LPA can 2-cycle on bipartite-ish structure (a known
+    * property), so "run to fixpoint" is not well-defined — callers pick
+    * `rounds` (a handful suffices; labels stabilize inside communities in
+    * O(diameter-of-community)) and the output is the exact round-`rounds`
+    * state, byte-reproducible and oracle-unrollable.
+    *
+    * == 100 TB shape ==
+    * Per round: one node-sized labels join onto the symmetrized edge
+    * frame (shuffle by neighbor), one map-side-combined (node, label)
+    * vote agg, one node-sized argmin agg. Edge frame persisted once;
+    * per-round labels localCheckpointed and the PREVIOUS round's blocks
+    * freed ([[freeCheckpoint]] — one live labels frame, ever). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst", rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val nonNull = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val sym = nonNull.filter(col("src") =!= col("dst"))
+      .unionByName(nonNull.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = nonNull.select(col("src").as("node"))
+      .unionByName(nonNull.select(col("dst").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node").cast("string"))
+      .withColumn("node", col("node").cast("string"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < rounds) {
+      val votes = sym
+        .select(col("src").cast("string").as("node"),
+          col("dst").cast("string").as("__nb"))
+        .join(labels.select(col("node").as("__nb"), col("label")), Seq("__nb"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val voted = votes.groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label"))).as("__newl"))
+      // left join keeps self-loop-only nodes (absent from sym, so never
+      // voted on) at their own label instead of dropping them
+      val next = labels.join(voted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__newl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      explainIter(next, it)
+      freeCheckpoint(labels)
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Incremental connected components: fold a NEW batch of edges into an
     * existing `(node, component)` labeling — the continuous-ingest
     * companion of [[connectedComponents]], as [[Dedup.incrementalNearDups]]

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Log template mining — collapse a log stream to its message TEMPLATES
+  * (the Drain/Spell family's output, reached by deterministic masking
+  * instead of online tree clustering): variable fragments — timestamps,
+  * UUIDs, IPs, hex ids, numbers — mask to typed placeholders, and what
+  * remains is the template; grouping by it turns millions of lines into a
+  * dozens-sized frequency table, the starting point of every log-anomaly
+  * and log-volume analysis.
+  *
+  * Masking is a FIXED ORDERED chain of character-class-only regexes (Java
+  * and RE2 agree — the house [[Boilerplate]] discipline); order matters
+  * and is part of the contract: timestamps before bare numbers (else the
+  * date digits mask as `<N>` fragments), UUIDs before hex, hex before
+  * numbers (a hex id contains digit runs), IPs before numbers (an IP is
+  * four digit runs).
+  *
+  * == 100 TB shape ==
+  * Masking is row-local expression work; the only shuffle is the
+  * template groupBy, map-side-combined to a templates-sized frame.
+  * `min(line)` as the example is order/partition-independent. */
+object LogMining {
+
+  /** The mask chain, exposed for reuse: `(regex, placeholder)` applied in
+    * order. */
+  private[graft] val Masks: Seq[(String, String)] = Seq(
+    // ISO-ish timestamp: date, optional time with optional fraction/zone
+    ("[0-9]{4}-[0-9]{2}-[0-9]{2}([T ][0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?(Z|[+-][0-9]{2}:?[0-9]{2})?)?",
+      "<TS>"),
+    ("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+      "<UUID>"),
+    ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    // long hex runs (ids, hashes) — after UUID so dashes split first
+    ("\\b[0-9a-fA-F]*[0-9][0-9a-fA-F]*[a-fA-F][0-9a-fA-F]{6,}\\b", "<HEX>"),
+    // numbers, incl. decimals and signs
+    ("[+-]?[0-9]+([.][0-9]+)?", "<N>"))
+
+  /** Masks one line column through the chain. */
+  def maskLine(line: Column): Column =
+    Masks.foldLeft(coalesce(line, lit(""))) { case (c, (re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
+
+  /** `(template, n_lines, example)` per distinct template, with
+    * `example` the lexicographically-smallest raw line (deterministic). */
+  def logTemplates(df: DataFrame, lineCol: String): DataFrame =
+    df.filter(col(lineCol).isNotNull)
+      .select(col(lineCol).as("__line"))
+      .withColumn("template", maskLine(col("__line")))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_lines"), min(col("__line")).as("example"))
+}

@@ -103,6 +103,37 @@ object PrefixSum {
       .drop("__ntrn", "__ntn")
   }
 
+  /** Distributed `percent_rank()` + `cume_dist()` over one value column —
+    * the remaining ANSI distribution windows, tie-exact WITHOUT per-row
+    * ranks: on the distinct-value grid a value with `t` ties after
+    * `cum − t` rows has min-rank `cum − t + 1` (percent_rank's numerator)
+    * and `cum` rows ≤ it (cume_dist's), so both are single IEEE divisions
+    * of exact longs joined back by value — engine-identical doubles, no
+    * rounding needed. NULL values are excluded (documented divergence
+    * from the ANSI null-peer-group; filter-or-coalesce first if they
+    * matter). A single row yields percent_rank 0 (the ANSI n=1 case). */
+  def distributionRanks(df: DataFrame, valueCol: String,
+                        numPartitions: Int = 0): DataFrame = {
+    val clash = Seq("percent_rank", "cume_dist").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"distributionRanks: input already has ${clash.mkString(", ")}")
+    val base = df.filter(col(valueCol).isNotNull)
+    val grid = base.groupBy(col(valueCol).as("__drv"))
+      .agg(count(lit(1)).as("__drt"))
+    val cum = scan(grid, Seq("__drv"), sums = Seq("__drt" -> "__drcum"),
+      leads = Nil, numPartitions)
+    val tot = grid.agg(sum(col("__drt")).as("__drn"))
+    val ranks = cum.crossJoin(broadcast(tot)).select(
+      col("__drv"),
+      when(col("__drn") > 1L,
+        (col("__drcum") - col("__drt")).cast("double") /
+          (col("__drn") - 1L).cast("double")).otherwise(lit(0.0))
+        .as("percent_rank"),
+      (col("__drcum").cast("double") / col("__drn").cast("double"))
+        .as("cume_dist"))
+    base.join(ranks, base(valueCol) === ranks("__drv")).drop("__drv")
+  }
+
   /** One range-partitioned pass producing any number of running sums and
     * lead-1 columns over the same global order — ONE range exchange + one
     * pid-window pass + one broadcast, however many outputs ride along

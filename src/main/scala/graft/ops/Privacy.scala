@@ -65,4 +65,64 @@ object Privacy {
       .filter(col("__n") >= k)
       .drop("__n")
   }
+
+  /** CDF cut points of the two-sided geometric distribution (the DISCRETE
+    * Laplace — Ghosh/Roughgarden/Sundararajan 2012's universally-optimal
+    * ε-DP mechanism for counts): P(K = k) ∝ α^|k| with α = e^−ε, clamped
+    * to k ∈ [−maxK, maxK]. Returns the thresholds F(−maxK) … F(maxK−1); a
+    * uniform u maps to the smallest k with u < F(k), else maxK. Closed
+    * forms: F(−m) = α^m/(1+α), F(m) = 1 − α^(m+1)/(1+α) — plain double
+    * arithmetic, shared verbatim by the engine and the SQL oracle builder
+    * so both embed the identical doubles. */
+  private[graft] def geometricCdf(eps: Double, maxK: Int): Seq[Double] = {
+    require(eps > 0 && maxK >= 1, s"geometricCdf: need eps > 0, maxK >= 1")
+    val a = math.exp(-eps)
+    (-maxK to (maxK - 1)).map { k =>
+      if (k < 0) math.pow(a, -k) / (1.0 + a)
+      else 1.0 - math.pow(a, k + 1) / (1.0 + a)
+    }
+  }
+
+  /** ε-differentially-private noisy counts per group — the RELEASE
+    * mechanism the audits above gatekeep: exact counts plus two-sided
+    * geometric noise (discrete Laplace, sensitivity-1 counting query,
+    * ε budget per release). Deterministic by design: the noise draw is a
+    * pure function of (seed, group key) via the portable 56-bit md5
+    * uniform — the [[Sampling.hashBucket]] no-`rand()` discipline — so a
+    * retried task, a re-run, or the oracle releases the identical noisy
+    * table. A DETERMINISTIC seed means ONE release: publishing two tables
+    * with different seeds spends 2ε — rotate seeds only alongside budget
+    * accounting (stated loudly because it is the classic DP deployment
+    * mistake). Noise clamps to ±`maxK` (tail mass ~α^maxK/(1+α), ~4·10⁻⁷
+    * at ε=1, maxK=13 — distortion far below the noise scale itself).
+    *
+    * Output: `(groupCols…, n_noisy, n_released)` — `n_noisy` the raw
+    * mechanism output (possibly negative; the unbiased value downstream
+    * aggregation should consume), `n_released` = max(n_noisy, 0) (the
+    * publishable table). The exact count is deliberately NOT returned.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined count agg to the groups-sized frame; the noise
+    * is row-local expression arithmetic on that frame. Nothing else. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], eps: Double = 1.0,
+               seed: String = "graft", maxK: Int = 13): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts: need >= 1 group column")
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // chr(1)-separated key with chr(2) NULL sentinel (the q214 digest
+    // convention): ("ab","c") vs ("a","bc") and NULL vs '' must all draw
+    // independent noise
+    val key = concat_ws("",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val u = conv(substring(md5(concat(lit(s"$seed:"), key)), 1, 14), 16, 10)
+      .cast("long").cast("double") / lit(72057594037927936.0) // 2^56
+    val noise = geometricCdf(eps, maxK).zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (p, i)) =>
+        acc.when(u < p, (i - maxK).toLong)
+      }.otherwise(lit(maxK.toLong))
+    exact
+      .withColumn("n_noisy", col("__n") + noise)
+      .withColumn("n_released", greatest(col("n_noisy"), lit(0L)))
+      .drop("__n")
+  }
 }

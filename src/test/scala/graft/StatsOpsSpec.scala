@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classifier, EventWindows, Experiment, PrefixSum, Profiler, Skew}
+import graft.ops.{Classifier, EventWindows, Experiment, Funnel, Graph, LogMining, PrefixSum, Privacy, Profiler, Skew}
 
 /** Round-15 statistics/warehouse additions: Mann–Whitney U, exact AUC,
   * per-group Gini, 1-D Wasserstein, exact NTILE, streaks, LOCF forward
@@ -127,6 +127,89 @@ class StatsOpsSpec extends SparkSpec {
     // different seed → different resamples (overwhelmingly)
     val c = Experiment.bootstrapCI(df, "v", "id", seed = "other").collect().head
     assert(c.getAs[Double]("ci_lo") !== a.getAs[Double]("ci_lo"))
+  }
+
+  test("labelPropagation: two triangles over a bridge keep their own labels") {
+    // triangle {1,2,3} — {4,5,6} triangle, bridge 3–4. Hand-traced
+    // synchronous min-tie-break rounds: the left triangle elects "1"; on
+    // the right, round 1 hands node 4 the bridge's label "3" and the
+    // triangle re-elects it thereafter — communities keep ONE internal
+    // label each, and the exact round-4 state is pinned (deterministic
+    // by contract).
+    val edges = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r.size === 6)
+    assert(r("1") === "1" && r("2") === "1" && r("3") === "1")
+    assert(r("4") === "3" && r("5") === "3" && r("6") === "3")
+    // determinism: a second run is byte-identical
+    val r2 = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r2 === r)
+  }
+
+  test("dpCounts: deterministic noise, clamped release, seeds independent") {
+    val df = spark.range(1000).select(
+      (col("id") % 4).cast("string").as("g"))
+    val a = Privacy.dpCounts(df, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_noisy")).toMap
+    val b = Privacy.dpCounts(df, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_noisy")).toMap
+    assert(a === b) // pure function of (seed, group)
+    // noise is bounded by the clamp and centred near the exact 250
+    assert(a.values.forall(v => (v - 250).abs <= 13))
+    val other = Privacy.dpCounts(df, Seq("g"), seed = "other").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_noisy")).toMap
+    assert(other !== a) // different release, different draw
+    val released = Privacy.dpCounts(df, Seq("g")).collect()
+      .map(_.getAs[Long]("n_released"))
+    assert(released.forall(_ >= 0L))
+  }
+
+  test("logTemplates: variables mask to typed placeholders, order respected") {
+    val df = Seq(
+      "2024-01-05T10:20:30 evt=click user=42 ip=10.0.1.2 dur=1234",
+      "2024-01-06T11:21:31 evt=click user=43 ip=10.0.3.4 dur=99",
+      "worker 550e8400-e29b-41d4-a716-446655440000 restarted",
+      "worker 550e8400-e29b-41d4-a716-446655440001 restarted")
+      .toDF("line")
+    val r = LogMining.logTemplates(df, "line").collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("n_lines")).toMap
+    assert(r("<TS> evt=click user=<N> ip=<IP> dur=<N>") === 2L)
+    assert(r("worker <UUID> restarted") === 2L)
+    // the timestamp masks as ONE <TS>, not date fragments of <N>
+    assert(!r.keys.exists(_.contains("<N>-<N>")))
+  }
+
+  test("ltvCurve: cumulative per-cohort revenue, sparse ages, exact sums") {
+    // users 1,2 start day 10 (cohort 10); user 3 starts day 11
+    val df = Seq((1, 10, 5.0), (1, 12, 2.5), (2, 10, 1.0), (3, 11, 4.0),
+      (3, 13, 1.0)).toDF("u", "d", "v")
+    val r = Funnel.ltvCurve(df, "u", "d", "v").collect()
+      .map(x => (x.getAs[Long]("cohort_pos"), x.getAs[Long]("age")) ->
+        ((x.getAs[Long]("n_cohort"), x.getAs[Double]("cum_revenue"))))
+      .toMap
+    assert(r((10L, 0L)) === ((2L, 6.0)))  // 5.0 + 1.0 on day 0
+    assert(r((10L, 2L)) === ((2L, 8.5)))  // + 2.5 at age 2; age 1 absent
+    assert(!r.contains((10L, 1L)))
+    assert(r((11L, 2L)) === ((1L, 5.0)))
+    assert(r.size === 4)
+  }
+
+  test("distributionRanks: tie-exact parity with the ANSI windows") {
+    val df = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 10.0).toDF("v")
+      .withColumn("id", monotonically_increasing_id())
+    val got = PrefixSum.distributionRanks(df, "v")
+      .orderBy(col("v"), col("id")).collect()
+      .map(r => (r.getAs[Double]("percent_rank"), r.getAs[Double]("cume_dist")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val want = df
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .orderBy(col("v"), col("id")).collect()
+      .map(r => (r.getAs[Double]("percent_rank"), r.getAs[Double]("cume_dist")))
+    assert(got.toSeq === want.toSeq)
   }
 
   test("scan: runningSum + lead1 agree with single-partition windows at any partitioning") {
