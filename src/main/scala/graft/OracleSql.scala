@@ -3837,6 +3837,95 @@ object OracleSql {
       cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist
     FROM orders"""
 
+  /** Theil–Sen — q236. Magnitude-division fixed-point slopes (truncation
+    * direction for negatives differs between engines — Spark DIV
+    * truncates, DuckDB // floors — so both divide |Δy| and reapply the
+    * sign), lower nearest-rank median. */
+  private val q236 = """
+    WITH pts AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS x,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points FROM pts
+      GROUP BY 1),
+    pairs AS (SELECT a.g, a.x AS xa, b.x AS xb,
+        b.y - a.y AS dy, b.x - a.x AS dx
+      FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x),
+    slopes AS (SELECT g, xa, xb,
+        CASE WHEN dy >= 0 THEN CAST(dy::HUGEINT * 1000000000 // dx AS BIGINT)
+             ELSE -CAST((-dy)::HUGEINT * 1000000000 // dx AS BIGINT)
+        END AS s
+      FROM pairs),
+    ranked AS (SELECT g, s,
+        row_number() OVER (PARTITION BY g ORDER BY s ASC, xa ASC, xb ASC)
+          AS rn,
+        count(*) OVER (PARTITION BY g) AS npair
+      FROM slopes),
+    med AS (SELECT g,
+        CAST(max(CASE WHEN rn = (npair + 1) // 2 THEN s END) AS BIGINT) AS m,
+        CAST(max(npair) AS BIGINT) AS n_pairs
+      FROM ranked GROUP BY 1)
+    SELECT g AS o_orderpriority, n_points, n_pairs,
+      (CASE WHEN m < 0 THEN '-' ELSE '' END) ||
+        CAST(abs(m) // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(abs(m) % 1000000000 AS VARCHAR), 9, '0') AS slope_cents,
+      round(CAST(m AS DOUBLE) / 1e9, 6) AS slope_d
+    FROM med JOIN np USING (g)"""
+
+  /** Linkage eval — q237. Canonicalized pair sets, exact tp/fp/fn,
+    * 6-dp ratios; mirrors EntityResolution.linkageEval over the
+    * synthetic every-5th vs every-7th partner pairs. */
+  private val q237 = """
+    WITH ks AS (SELECT c_custkey AS k FROM customer),
+    pred AS (SELECT DISTINCT least(k, k + 1000) AS a,
+        greatest(k, k + 1000) AS b
+      FROM ks WHERE k % 5 = 0 AND (k + 1000) IN (SELECT k FROM ks)),
+    gold AS (SELECT DISTINCT least(k, k + 1000) AS a,
+        greatest(k, k + 1000) AS b
+      FROM ks WHERE k % 7 = 0 AND (k + 1000) IN (SELECT k FROM ks)),
+    c AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+        (SELECT CAST(count(*) AS BIGINT) FROM gold) AS n_gold,
+        (SELECT CAST(count(*) AS BIGINT) FROM pred JOIN gold USING (a, b))
+          AS tp)
+    SELECT n_pred, n_gold, tp,
+      CAST(n_pred - tp AS BIGINT) AS fp,
+      CAST(n_gold - tp AS BIGINT) AS fn,
+      round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) AS "precision",
+      round(CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE), 6) AS recall,
+      round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+          * (CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE))
+        / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+          + CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE)), 6) AS f1
+    FROM c"""
+
+  /** Geofence — q238. Integer cross products against the SHARED
+    * Geo.DemoGeofence vertices (quantized with the same rounding). */
+  private val q238: String = {
+    val scale = 100.0
+    val vs = graft.ops.Geo.DemoGeofence.map { case (la, lo) =>
+      (math.round(la * scale), math.round(lo * scale))
+    }
+    val conds = vs.indices.map { i =>
+      val (y1, x1) = vs(i); val (y2, x2) = vs((i + 1) % vs.size)
+      s"(${x2 - x1} * (py - $y1) - ${y2 - y1} * (px - $x1)) >= 0"
+    }.mkString("\n        AND ")
+    s"""
+    WITH pts AS (SELECT c_custkey AS cid,
+        (c_custkey * 37) % 12000 / 100.0 - 60.0 AS clat,
+        (c_custkey * 73) % 30000 / 100.0 - 150.0 AS clon
+      FROM customer),
+    scaled AS (SELECT cid, clat, clon,
+        CAST(CAST(clat AS DECIMAL(18,2)) * 100 AS BIGINT) AS py,
+        CAST(CAST(clon AS DECIMAL(18,2)) * 100 AS BIGINT) AS px
+      FROM pts)
+    SELECT cid, clat, clon,
+      ($conds) AS inside
+    FROM scaled"""
+  }
+
   // ---- shared head-metadata SQL builders: the regexes interpolated below
   // are graft.ops.Boilerplate's OWN constants (private[graft]) — one source
   // of truth, so a pattern change cannot leave the oracle silently stale
@@ -5726,6 +5815,9 @@ object OracleSql {
     "q232_dp_counts"        -> q232,
     "q233_log_templates"    -> q233,
     "q234_ltv_curve"        -> q234,
-    "q235_dist_ranks"       -> q235
+    "q235_dist_ranks"       -> q235,
+    "q236_theil_sen"        -> q236,
+    "q237_linkage_eval"     -> q237,
+    "q238_geofence"         -> q238
   ).map { case (k, v) => k -> clean(v) }
 }

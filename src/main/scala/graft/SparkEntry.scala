@@ -3739,6 +3739,40 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_totalprice"),
         col("percent_rank"), col("cume_dist"))
 
+  /** Theil–Sen robust slope ([[graft.ops.Trend.theilSen]]): daily
+    * revenue trend per order priority — median of all pairwise slopes in
+    * ×10⁹ fixed point, outlier days can't drag it. */
+  private def q236TheilSen(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.theilSen(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+        col("o_totalprice")),
+      "day", "o_totalprice", Seq("o_orderpriority"))
+
+  /** Linkage evaluation ([[graft.ops.EntityResolution.linkageEval]]):
+    * synthetic predicted (every-5th) vs gold (every-7th) partner pairs —
+    * tp at the mod-35 overlap, exact counts, 6-dp ratios. */
+  private def q237LinkageEval(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    def pairsEvery(m: Int): DataFrame = keys
+      .filter(pmod(col("k"), lit(m)) === 0)
+      .select(col("k").as("id_a"), (col("k") + 1000L).as("id_b"))
+      .join(keys.select(col("k").as("id_b")), Seq("id_b"))
+    graft.ops.EntityResolution.linkageEval(pairsEvery(5), pairsEvery(7))
+  }
+
+  /** Geofence membership ([[graft.ops.Geo.pointInConvexPolygon]]):
+    * synthesized customer coordinates against the demo convex quad —
+    * exact integer cross products, zero shuffles. */
+  private def q238Geofence(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    t(s, dir, "customer").select(ck.as("cid"),
+      (pmod(ck * 37, lit(12000)) / 100.0 - 60.0).as("clat"),
+      (pmod(ck * 73, lit(30000)) / 100.0 - 150.0).as("clon"))
+      .withColumn("inside", graft.ops.Geo.pointInConvexPolygon(
+        col("clat"), col("clon"), graft.ops.Geo.DemoGeofence))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -3974,7 +4008,10 @@ object SparkEntry {
     "q232_dp_counts"        -> q232DpCounts _,
     "q233_log_templates"    -> q233LogTemplates _,
     "q234_ltv_curve"        -> q234LtvCurve _,
-    "q235_dist_ranks"       -> q235DistRanks _
+    "q235_dist_ranks"       -> q235DistRanks _,
+    "q236_theil_sen"        -> q236TheilSen _,
+    "q237_linkage_eval"     -> q237LinkageEval _,
+    "q238_geofence"         -> q238Geofence _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

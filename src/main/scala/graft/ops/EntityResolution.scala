@@ -271,4 +271,49 @@ object EntityResolution {
         coalesce(col("component"), col("__n")).as("component"))
     (clustersOf(index2), index2)
   }
+
+  /** Linkage-quality evaluation — predicted match PAIRS against a gold
+    * pair set: the precision/recall/F1 readout that turns "the resolver
+    * ran" into "the resolver is RIGHT", over a labeled sample or a
+    * synthetic-truth corpus. Pairs canonicalize to (least, greatest) and
+    * dedup on BOTH sides first, so orientation and duplicates never
+    * inflate a count; self-pairs are dropped (an entity trivially matches
+    * itself).
+    *
+    * Output one row: `(n_pred, n_gold, tp, fp, fn, precision, recall,
+    * f1)` — counts exact longs, ratios single IEEE divisions rounded
+    * 6 dp; an empty side yields NULL for its undefined ratios.
+    *
+    * == 100 TB shape ==
+    * Two distinct collapses + one inner and two anti joins on the
+    * canonical pair key, all map-side combinable; output is one row. */
+  def linkageEval(predicted: DataFrame, gold: DataFrame,
+                  aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame) = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+    val p = canon(predicted).localCheckpoint(true)
+    val g = canon(gold).localCheckpoint(true)
+    val tp = p.join(g, Seq("__a", "__b")).count()
+    val np = p.count(); val ng = g.count()
+    val fp = np - tp; val fn = ng - tp
+    val spark = predicted.sparkSession
+    import spark.implicits._
+    // ratio arithmetic stays in ENGINE expressions (Spark round, like
+    // every other query's 6-dp contract) — a driver-side math.round
+    // would be a third rounding implementation to keep in sync
+    val prec = when(col("n_pred") > 0L,
+      col("tp").cast("double") / col("n_pred").cast("double"))
+    val rec = when(col("n_gold") > 0L,
+      col("tp").cast("double") / col("n_gold").cast("double"))
+    Seq((np, ng, tp, fp, fn))
+      .toDF("n_pred", "n_gold", "tp", "fp", "fn")
+      .select(col("n_pred"), col("n_gold"), col("tp"), col("fp"), col("fn"),
+        round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+        round(when(prec + rec > 0.0,
+          lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
 }

@@ -83,4 +83,55 @@ object Geo {
       .withColumn("distance_km", round(d, 6))
       .drop("__cy", "__cx", "__lat", "__lon", "__rlat", "__rlon")
   }
+
+  /** Point-in-convex-polygon membership — the geofence predicate
+    * ([[radiusJoin]] asks "near a point"; this asks "inside a region"):
+    * a point is inside a counter-clockwise convex polygon iff every edge
+    * cross product `(v₂−v₁)×(p−v₁)` is ≥ 0 (boundary counts as inside).
+    *
+    * Exactness: coordinates quantize to `scaleDigits` decimals through
+    * DECIMAL (the house money-cast discipline — both engines round the
+    * same way off the .5 knife-edge doubles never sit on), vertices
+    * quantize identically at construction, and every cross product is
+    * exact 64-bit integer arithmetic — no epsilon, no engine drift.
+    * Convexity + CCW orientation are validated LOUDLY at construction
+    * (degenerate/clockwise polygons are caller bugs, not silent
+    * all-false columns). Entirely row-local — a literal-folded chain of
+    * integer comparisons, zero shuffles. */
+  /** Demo geofence (strictly convex, CCW in (lon, lat)) over the test
+    * fixtures' synthesized coordinate space — shared with the oracle
+    * builder so both engines quantize the SAME vertices. */
+  val DemoGeofence: Seq[(Double, Double)] =
+    Seq((-40.0, -120.0), (-40.0, 80.0), (40.0, 100.0), (40.0, -140.0))
+
+  def pointInConvexPolygon(lat: Column, lon: Column,
+                           polygon: Seq[(Double, Double)],
+                           scaleDigits: Int = 2): Column = {
+    require(polygon.size >= 3,
+      s"pointInConvexPolygon: need >= 3 vertices, got ${polygon.size}")
+    require(scaleDigits >= 0 && scaleDigits <= 6,
+      s"pointInConvexPolygon: scaleDigits in [0, 6], got $scaleDigits")
+    val scale = math.pow(10, scaleDigits)
+    val vs = polygon.map { case (la, lo) =>
+      (math.round(la * scale), math.round(lo * scale))
+    }
+    // CCW convexity: every consecutive-edge cross product must be > 0
+    // (collinear consecutive edges rejected too — simplify the polygon)
+    val n = vs.size
+    (0 until n).foreach { i =>
+      val (y1, x1) = vs(i); val (y2, x2) = vs((i + 1) % n)
+      val (y3, x3) = vs((i + 2) % n)
+      val cross = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+      require(cross > 0L,
+        s"pointInConvexPolygon: vertices must be strictly convex counter-" +
+          s"clockwise; edge $i has cross product $cross")
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(18, scaleDigits)
+    val py = (lat.cast(dec) * scale.toLong).cast("long")
+    val px = (lon.cast(dec) * scale.toLong).cast("long")
+    (0 until n).map { i =>
+      val (y1, x1) = vs(i); val (y2, x2) = vs((i + 1) % n)
+      (lit(x2 - x1) * (py - lit(y1)) - lit(y2 - y1) * (px - lit(x1))) >= 0L
+    }.reduce(_ && _)
+  }
 }

@@ -236,4 +236,72 @@ object Trend {
       round(rel, 6).as("rel_residual"),
       coalesce(abs(rel) > threshold, lit(false)).as("anomaly")): _*)
   }
+
+  /** Theil–Sen robust trend — the median of all pairwise slopes: one
+    * wild outlier day drags [[linearTrend]]'s OLS slope arbitrarily far;
+    * Theil–Sen has a 29% breakdown point (Sen 1968), the standard robust
+    * slope for monitoring series with spikes.
+    *
+    * Exactness: x enters as an integer grain, y as integer CENTS
+    * (DECIMAL(18,2)·100); each pair's slope is the ×10⁹ fixed-point
+    * integer `sign·(|Δy|·10⁹ div Δx)` — division on MAGNITUDES because
+    * truncation direction for negatives differs between engines (Spark
+    * DIV truncates toward zero, DuckDB // floors); the median is the
+    * lower nearest-rank element of those exact integers, rendered as the
+    * signed 9-dp decimal string. Pairs with equal x are skipped (their
+    * slope is undefined — the standard convention). Groups over
+    * `maxPoints` raise LOUDLY: the pair join is the deliberate bounded
+    * quadratic ([[MarketBasket.pairStats]]' regime) and a million-point
+    * series means 10¹² pairs — pre-aggregate to a coarser grain first.
+    *
+    * == 100 TB shape ==
+    * One distinct-point collapse per group, a per-group self-join bounded
+    * by `maxPoints²/2`, one per-group sort window over the pair frame,
+    * one group agg. Parallel across groups; the quadratic is per-group
+    * and guarded. */
+  def theilSen(df: DataFrame, xCol: String, yCol: String,
+               groupCols: Seq[String], maxPoints: Int = 3000): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen: need at least one group column")
+    require(maxPoints >= 2, s"theilSen: maxPoints must be >= 2, got $maxPoints")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((gs :+ col(xCol).cast("long").as("__x")) :+
+        (col(yCol).cast(dec) * 100).cast("long").as("__y"): _*)
+      .groupBy((gs :+ col("__x")): _*).agg(sum(col("__y")).as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val guarded = pts
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(when(col("__n") > maxPoints,
+        raise_error(concat(lit(s"theilSen: group exceeds $maxPoints points: "),
+          gs.head.cast("string"))).cast("boolean")).otherwise(lit(true)))
+    val a = guarded.select((gs :+ col("__x").as("__xa")) :+
+      col("__y").as("__ya") :+ col("__n"): _*)
+    val b = guarded.select((gs :+ col("__x").as("__xb")) :+
+      col("__y").as("__yb"): _*)
+    val pairs = a.join(b, groupCols).filter(col("__xa") < col("__xb"))
+      .withColumn("__dy", col("__yb") - col("__ya"))
+      .withColumn("__dx", col("__xb") - col("__xa"))
+      // magnitude division + explicit sign: engine-identical truncation
+      .withColumn("__s", when(col("__dy") >= 0L,
+        expr("CAST(__dy AS DECIMAL(38,0)) * 1000000000 DIV __dx"))
+        .otherwise(-expr("CAST(-__dy AS DECIMAL(38,0)) * 1000000000 DIV __dx"))
+        .cast("long"))
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(pw.orderBy(col("__s").asc,
+        col("__xa").asc, col("__xb").asc)))
+      .withColumn("__np", count(lit(1)).over(pw))
+    val stat = ranked.groupBy(gs: _*).agg(
+      max(col("__n")).as("n_points"),
+      count(lit(1)).as("n_pairs"),
+      max(when(col("__rn") === expr("(__np + 1) DIV 2"),
+        col("__s"))).as("__med"))
+    stat.select((gs ++ Seq(col("n_points"), col("n_pairs"),
+      concat(when(col("__med") < 0L, "-").otherwise(""),
+        expr("CAST(abs(__med) DIV 1000000000 AS STRING)"), lit("."),
+        lpad(expr("CAST(abs(__med) % 1000000000 AS STRING)"), 9, "0"))
+        .as("slope_cents"),
+      round(col("__med").cast("double") / 1e9, 6).as("slope_d"))): _*)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classifier, EventWindows, Experiment, Funnel, Graph, LogMining, PrefixSum, Privacy, Profiler, Skew}
+import graft.ops.{Classifier, EntityResolution, EventWindows, Experiment, Funnel, Geo, Graph, LogMining, PrefixSum, Privacy, Profiler, Skew, Trend}
 
 /** Round-15 statistics/warehouse additions: Mann–Whitney U, exact AUC,
   * per-group Gini, 1-D Wasserstein, exact NTILE, streaks, LOCF forward
@@ -210,6 +210,62 @@ class StatsOpsSpec extends SparkSpec {
       .orderBy(col("v"), col("id")).collect()
       .map(r => (r.getAs[Double]("percent_rank"), r.getAs[Double]("cume_dist")))
     assert(got.toSeq === want.toSeq)
+  }
+
+  test("theilSen: outlier-immune median slope, OLS is not") {
+    // y = 2x exactly, except one wild outlier at x=10
+    val pts = (0 to 9).map(x => ("g", x, if (x == 10) 0.0 else 2.0 * x)) :+
+      (("g", 10, 500.0))
+    val df = pts.toDF("g", "x", "y")
+    val ts = Trend.theilSen(df, "x", "y", Seq("g")).collect().head
+    // slope in CENTS per x-unit: 2.0 dollars = 200 cents
+    assert(ts.getAs[String]("slope_cents") === "200.000000000")
+    assert(ts.getAs[Long]("n_points") === 11L)
+    assert(ts.getAs[Long]("n_pairs") === 55L)
+    val ols = Trend.linearTrend(
+      df.select(col("g"), col("x"), (col("y") * 100).cast("long").as("y")),
+      "x", "y", Seq("g")).collect().head
+    assert(ols.getAs[Double]("slope") > 250.0) // dragged by the outlier
+    val err = intercept[Exception] {
+      Trend.theilSen(df, "x", "y", Seq("g"), maxPoints = 5).collect()
+    }
+    assert(err.getMessage.contains("exceeds 5 points"))
+  }
+
+  test("theilSen: negative slope renders with sign, engine-identical truncation") {
+    val df = Seq(("g", 0, 10.0), ("g", 1, 7.0), ("g", 2, 4.0))
+      .toDF("g", "x", "y")
+    val r = Trend.theilSen(df, "x", "y", Seq("g")).collect().head
+    assert(r.getAs[String]("slope_cents") === "-300.000000000")
+  }
+
+  test("linkageEval: canonicalization, orientation, exact counts") {
+    val pred = Seq((1, 2), (2, 1), (3, 4), (5, 6), (7, 7))
+      .toDF("id_a", "id_b") // (2,1) dups (1,2); (7,7) self-pair dropped
+    val gold = Seq((1, 2), (3, 4), (8, 9)).toDF("id_a", "id_b")
+    val r = EntityResolution.linkageEval(pred, gold).collect().head
+    assert(r.getAs[Long]("n_pred") === 3L)
+    assert(r.getAs[Long]("n_gold") === 3L)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 1L &&
+      r.getAs[Long]("fn") === 1L)
+    assert(r.getAs[Double]("precision") === 0.666667)
+    assert(r.getAs[Double]("f1") === 0.666667)
+  }
+
+  test("pointInConvexPolygon: boundary inclusive, outside excluded, bad polygon raises") {
+    val sq = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    val df = Seq((5.0, 5.0, true), (0.0, 0.0, true), (10.0, 5.0, true),
+      (10.01, 5.0, false), (-0.01, 5.0, false), (5.0, 10.01, false))
+      .toDF("lat", "lon", "want")
+    val got = df.withColumn("inside",
+      Geo.pointInConvexPolygon(col("lat"), col("lon"), sq)).collect()
+    got.foreach(r => assert(r.getAs[Boolean]("inside") ===
+      r.getAs[Boolean]("want"), s"(${r.get(0)}, ${r.get(1)})"))
+    val cw = sq.reverse // clockwise — must be rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Geo.pointInConvexPolygon(col("lat"), col("lon"), cw)
+    }
+    assert(err.getMessage.contains("counter-"))
   }
 
   test("scan: runningSum + lead1 agree with single-partition windows at any partitioning") {
