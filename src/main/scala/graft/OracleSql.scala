@@ -3729,7 +3729,9 @@ object OracleSql {
     * MATERIALIZED CTEs (the q211 inlining lesson); per-round argmax by
     * (count DESC, label ASC) via row_number — the exact min_by-struct
     * mirror. */
-  private val q231: String = {
+  /** The q231/q243 shared LPA CTE chain: strong trade graph → 4
+    * unrolled synchronous rounds ending in `l4(node, label)`. */
+  private def lpaCtes: String = {
     val rounds = (1 to 4).map { i =>
       s"""v$i AS MATERIALIZED (
         SELECT s.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
@@ -3739,8 +3741,7 @@ object OracleSql {
           (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v$i)
         WHERE rn = 1)"""
     }.mkString(",\n    ")
-    s"""
-    WITH e AS MATERIALIZED (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+    s"""e AS MATERIALIZED (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
         's' || CAST(l_suppkey AS VARCHAR) AS b
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1, 2 HAVING count(*) >= 3),
@@ -3748,9 +3749,13 @@ object OracleSql {
       UNION SELECT b, a FROM e WHERE a <> b),
     l0 AS MATERIALIZED (SELECT node, node AS label FROM
       (SELECT a AS node FROM e UNION SELECT b FROM e)),
-    $rounds
-    SELECT node, label FROM l4"""
+    $rounds"""
   }
+
+  private val q231: String =
+    s"""
+    WITH $lpaCtes
+    SELECT node, label FROM l4"""
 
   /** DP noisy counts — q232. The CASE thresholds are the ENGINE's own
     * `Privacy.geometricCdf(1, 13)` doubles rendered shortest-round-trip —
@@ -3900,6 +3905,126 @@ object OracleSql {
         / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
           + CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE)), 6) AS f1
     FROM c"""
+
+  /** ACF — q239. Integer moment algebra over the (group, day) grid,
+    * lag-bounded self join; mirrors Trend.autocorrelation. */
+  private val q239 = """
+    WITH pts AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS x,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        sum(y::HUGEINT) AS s, sum(y::HUGEINT * y) AS yy
+      FROM pts GROUP BY 1),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lg),
+    paired AS (SELECT a.g, l.lg, CAST(count(*) AS BIGINT) AS c,
+        sum(a.y::HUGEINT) AS sa, sum(b.y::HUGEINT) AS sb,
+        sum(a.y::HUGEINT * b.y) AS sab
+      FROM pts a CROSS JOIN lags l
+      JOIN pts b ON b.g = a.g AND b.x = a.x + l.lg
+      GROUP BY 1, 2)
+    SELECT g AS o_orderpriority, CAST(lg AS BIGINT) AS "lag",
+      c AS n_pairs,
+      CASE WHEN yy * n <> s * s THEN
+        round(CAST(n::HUGEINT * n * sab - n::HUGEINT * s * (sa + sb)
+            + c::HUGEINT * s * s AS DOUBLE)
+          / CAST(n::HUGEINT * (n * yy - s * s) AS DOUBLE), 6)
+      END AS acf
+    FROM paired JOIN mom USING (g)"""
+
+  /** Sorted-neighborhood blocking — q240. Native window rank + rank-gap
+    * range join; the engine's bucketed equi-join must emit the identical
+    * pair set. */
+  private val q240 = """
+    WITH base AS (SELECT c_custkey AS id, CAST(c_name AS VARCHAR) AS k
+      FROM customer WHERE c_name IS NOT NULL),
+    ranked AS (SELECT id, k,
+        row_number() OVER (ORDER BY k ASC, id ASC) AS rn FROM base)
+    SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+      CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+    FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 4"""
+
+  /** JSON key profile — q241. json_keys with the invalid/null sentinel
+    * convention; mirrors Profiler.jsonKeys over the synthesized
+    * payloads. */
+  private val q241 = """
+    WITH payloads AS (SELECT CASE
+        WHEN o_orderkey % 101 = 0 THEN NULL
+        WHEN o_orderkey % 97 = 0 THEN 'not json'
+        ELSE '{"status":"' || o_orderstatus || '","price":' ||
+          CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS VARCHAR) ||
+          (CASE WHEN o_orderkey % 3 = 0 THEN ',"rush":true' ELSE '' END)
+          || '}'
+      END AS p FROM orders),
+    keyed AS (SELECT CASE WHEN p IS NULL THEN ['<null>']
+        WHEN json_valid(p) THEN json_keys(p)
+        ELSE ['<invalid_json>'] END AS ks
+      FROM payloads),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM keyed),
+    kk AS (SELECT unnest(ks) AS key FROM keyed)
+    SELECT key, CAST(count(*) AS BIGINT) AS n_docs,
+      round(CAST(count(*) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6) AS ratio
+    FROM kk, tot GROUP BY key"""
+
+  /** Period-over-period — q242. DECIMAL-exact weekly totals, per-group
+    * lag; mirrors Trend.periodOverPeriod. */
+  private val q242 = """
+    WITH grid AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS pos,
+        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders GROUP BY 1, 2),
+    lagged AS (SELECT g, pos, v,
+        lag(pos) OVER (PARTITION BY g ORDER BY pos ASC) AS prev_pos,
+        lag(v) OVER (PARTITION BY g ORDER BY pos ASC) AS pv
+      FROM grid)
+    SELECT g AS o_orderpriority, CAST(pos AS BIGINT) AS pos,
+      CAST(v AS DOUBLE) AS value, CAST(prev_pos AS BIGINT) AS prev_pos,
+      CAST(pv AS DOUBLE) AS prev_value, CAST(v - pv AS DOUBLE) AS delta,
+      CASE WHEN pv <> 0 THEN
+        round(CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 6)
+      END AS pct_change
+    FROM lagged"""
+
+  /** Modularity — q243. Reuses the q231 LPA CTE chain, then the exact
+    * Q·4m² integer algebra; mirrors Graph.modularity. */
+  private val q243: String =
+    s"""
+    WITH $lpaCtes,
+    canon AS MATERIALIZED (SELECT least(a, b) AS a, greatest(a, b) AS b
+      FROM e),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+    bothl AS (SELECT la.label AS la, lb.label AS lb
+      FROM canon c JOIN l4 la ON c.a = la.node JOIN l4 lb ON c.b = lb.node),
+    ein AS (SELECT la AS cy, CAST(count(*) AS BIGINT) AS e_in
+      FROM bothl WHERE la = lb GROUP BY 1),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+      (SELECT a AS n FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+    dsum AS (SELECT l.label AS cy, CAST(sum(d) AS BIGINT) AS dc
+      FROM deg JOIN l4 l ON deg.n = l.node GROUP BY 1),
+    terms AS (SELECT
+        (4::HUGEINT * mm.m * coalesce(e_in, 0) - dc::HUGEINT * dc) AS t
+      FROM dsum LEFT JOIN ein USING (cy), mm),
+    agg AS (SELECT sum(t) AS num,
+        CAST(count(*) AS BIGINT) AS n_communities FROM terms),
+    f AS (SELECT num, n_communities, mm.m AS m_edges,
+        4::HUGEINT * mm.m * mm.m AS den FROM agg, mm),
+    fx AS (SELECT *, CAST(CASE WHEN num >= 0
+        THEN num * 1000000000 // den
+        ELSE -((-num) * 1000000000 // den) END AS BIGINT) AS fxv FROM f)
+    SELECT m_edges, n_communities,
+      CASE WHEN m_edges > 0 THEN
+        (CASE WHEN fxv < 0 THEN '-' ELSE '' END) ||
+        CAST(abs(fxv) // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(abs(fxv) % 1000000000 AS VARCHAR), 9, '0')
+      END AS modularity,
+      CASE WHEN m_edges > 0 THEN
+        round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+      END AS modularity_d
+    FROM fx"""
 
   /** Geofence — q238. Integer cross products against the SHARED
     * Geo.DemoGeofence vertices (quantized with the same rounding). */
@@ -5818,6 +5943,11 @@ object OracleSql {
     "q235_dist_ranks"       -> q235,
     "q236_theil_sen"        -> q236,
     "q237_linkage_eval"     -> q237,
-    "q238_geofence"         -> q238
+    "q238_geofence"         -> q238,
+    "q239_acf"              -> q239,
+    "q240_snm_blocking"     -> q240,
+    "q241_json_keys"        -> q241,
+    "q242_period_over_period" -> q242,
+    "q243_modularity"       -> q243
   ).map { case (k, v) => k -> clean(v) }
 }

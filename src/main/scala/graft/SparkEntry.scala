@@ -3773,6 +3773,62 @@ object SparkEntry {
         col("clat"), col("clon"), graft.ops.Geo.DemoGeofence))
   }
 
+  /** Autocorrelation ([[graft.ops.Trend.autocorrelation]]): r₁…r₇ of
+    * daily revenue per priority — exact DECIMAL(38) moment algebra,
+    * lag-bounded equi-join, one double division per (group, lag). */
+  private def q239Acf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.autocorrelation(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+        col("o_totalprice")),
+      "day", "o_totalprice", Seq("o_orderpriority"), maxLag = 7)
+
+  /** Sorted-neighborhood blocking ([[graft.ops.EntityResolution
+    * .sortedNeighborhood]]): customer names at window 5 — global rank via
+    * the distributed row number, adjacent-bucket equi-join. */
+  private def q240Snm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EntityResolution.sortedNeighborhood(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", window = 5)
+
+  /** JSON key profile ([[graft.ops.Profiler.jsonKeys]]): synthesized
+    * order payloads with an optional key, invalid and NULL rows — key
+    * presence ratios plus the sentinel counts. */
+  private def q241JsonKeys(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val payload = when(pmod(k, lit(101)) === 0, lit(null).cast("string"))
+      .when(pmod(k, lit(97)) === 0, lit("not json"))
+      .otherwise(concat(
+        lit("{\"status\":\""), col("o_orderstatus"), lit("\",\"price\":"),
+        (col("o_totalprice").cast(Dec) * 100).cast("long"),
+        when(pmod(k, lit(3)) === 0, lit(",\"rush\":true")).otherwise(lit("")),
+        lit("}")))
+    graft.ops.Profiler.jsonKeys(
+      t(s, dir, "orders").select(payload.as("payload")), "payload")
+  }
+
+  /** Period-over-period ([[graft.ops.Trend.periodOverPeriod]]): weekly
+    * revenue per priority vs the previous OBSERVED week — DECIMAL-exact
+    * deltas, explicit previous position. */
+  private def q242PoP(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.periodOverPeriod(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .select(col("o_orderpriority"),
+          expr("CAST(__day AS BIGINT) DIV 7").as("week"),
+          col("o_totalprice")),
+      "week", "o_totalprice", Seq("o_orderpriority"))
+
+  /** Modularity ([[graft.ops.Graph.modularity]]): how good are q231's
+    * LPA communities — exact Q·4m² integer algebra over the canonical
+    * trade graph, signed 9-dp rendering. */
+  private def q243Modularity(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir).filter(col("w") >= 3).localCheckpoint(true)
+    graft.ops.Graph.modularity(e,
+      graft.ops.Graph.labelPropagation(e, rounds = 4))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4011,7 +4067,12 @@ object SparkEntry {
     "q235_dist_ranks"       -> q235DistRanks _,
     "q236_theil_sen"        -> q236TheilSen _,
     "q237_linkage_eval"     -> q237LinkageEval _,
-    "q238_geofence"         -> q238Geofence _
+    "q238_geofence"         -> q238Geofence _,
+    "q239_acf"              -> q239Acf _,
+    "q240_snm_blocking"     -> q240Snm _,
+    "q241_json_keys"        -> q241JsonKeys _,
+    "q242_period_over_period" -> q242PoP _,
+    "q243_modularity"       -> q243Modularity _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

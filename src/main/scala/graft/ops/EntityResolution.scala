@@ -272,6 +272,43 @@ object EntityResolution {
     (clustersOf(index2), index2)
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995)
+    * — the OTHER classic ER blocking strategy: sort the whole corpus by a
+    * fuzzy key and pair every record with its ≤ `window−1` successors.
+    * Where [[blocks]] buckets by equality of a derived key (misses pairs
+    * whose keys differ), SNM catches near-misses that SORT adjacently
+    * (typos deep in the string, truncations) — complementary recall; run
+    * both and union the candidates.
+    *
+    * Distributed exactly: the global sort rank comes from
+    * [[graft.ops.PrefixSum.rowNumber]] (never a single-partition window);
+    * a pair at rank distance < w spans at most two adjacent rank buckets
+    * of width w, so the left side explodes to (bucket, bucket+1) and the
+    * join is a plain bounded equi-join — fan-out 2, candidates ≤ n·(w−1).
+    * Ties in the sort key are made total by the id, so output is
+    * deterministic on any engine.
+    *
+    * Output: `(id_a, id_b, key_a, key_b, rank_gap)` — CANDIDATES only;
+    * verify with [[matches]]-style similarity downstream. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         window: Int = 5): DataFrame = {
+    require(window >= 2, s"sortedNeighborhood: window must be >= 2, got $window")
+    val base = df.filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol).as("__id"), col(keyCol).cast("string").as("__k"))
+    val ranked = PrefixSum.rowNumber(base, Seq("__k", "__id"), "__snr")
+      .withColumn("__b", expr(s"(__snr - 1) DIV $window"))
+      .localCheckpoint(true) // both join sides read this frame
+    val left = ranked.select(col("__id").as("id_a"), col("__k").as("key_a"),
+      col("__snr").as("__ra"),
+      explode(array(col("__b"), col("__b") + 1L)).as("__b"))
+    val right = ranked.select(col("__id").as("id_b"), col("__k").as("key_b"),
+      col("__snr").as("__rb"), col("__b"))
+    left.join(right, Seq("__b"))
+      .filter((col("__rb") - col("__ra")).between(1L, (window - 1).toLong))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        (col("__rb") - col("__ra")).as("rank_gap"))
+  }
+
   /** Linkage-quality evaluation — predicted match PAIRS against a gold
     * pair set: the precision/recall/F1 readout that turns "the resolver
     * ran" into "the resolver is RIGHT", over a labeled sample or a

@@ -149,6 +149,11 @@ object PrefixSum {
     val outCols = sums.map(_._2) ++ leads.map(_._2)
     require(outCols.distinct.size == outCols.size,
       s"scan: duplicate output column in ${outCols.mkString(", ")}")
+    val internal = Set("__pid", "__rn", "__cnt")
+    val clash0 = outCols.filter(internal.contains)
+    require(clash0.isEmpty,
+      s"scan: output column(s) ${clash0.mkString(", ")} collide with " +
+        "internal bookkeeping names — pick another name")
     val reserved = outCols ++ Seq("__pid", "__rn", "__cnt") ++
       sums.indices.flatMap(i => Seq(s"__psum$i", s"__offset$i")) ++
       leads.indices.flatMap(i => Seq(s"__first$i", s"__next$i"))

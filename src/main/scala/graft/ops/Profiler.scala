@@ -441,6 +441,37 @@ object Profiler {
         col("expected_freq"))): _*)
   }
 
+  /** Top-level JSON key profile — the schema-inference first pass over a
+    * semi-structured column ([[semanticTypes]] types FLAT columns; real
+    * event payloads hide their schema inside JSON strings): which keys
+    * exist, how often, and how many documents don't parse at all. The
+    * presence ratio is the contract-drift signal — a key sliding from
+    * 100% to 60% presence is an upstream producer change no flat-schema
+    * check sees.
+    *
+    * Output: one row per top-level key `(key, n_docs, ratio)` +
+    * sentinel rows `<invalid_json>` / `<null>` counting unparseable and
+    * NULL payloads (ratio over ALL rows, 6 dp).
+    *
+    * == 100 TB shape ==
+    * Key extraction is row-local (`json_object_keys` + explode, fan-out
+    * = keys per doc); the only shuffle is the keys-sized groupBy + one
+    * 1-row total broadcast. */
+  def jsonKeys(df: DataFrame, jsonCol: String): DataFrame = {
+    val keyed = df.select(
+      when(col(jsonCol).isNull, array(lit("<null>")))
+        .otherwise(coalesce(json_object_keys(col(jsonCol)),
+          array(lit("<invalid_json>")))).as("__ks"))
+      .localCheckpoint(true) // read by totals AND the explode
+    val tot = keyed.agg(count(lit(1)).as("__t"))
+    keyed.select(explode(col("__ks")).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__t").cast("double"), 6)
+          .as("ratio"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test — the DISTRIBUTION-shape drift
     * check [[psi]]'s fixed-bin form can miss (PSI quantizes into
     * reference-derived bins; KS compares the full empirical CDFs, so a

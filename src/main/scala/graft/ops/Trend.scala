@@ -304,4 +304,96 @@ object Trend {
         .as("slope_cents"),
       round(col("__med").cast("double") / 1e9, 6).as("slope_d"))): _*)
   }
+
+  /** Per-series autocorrelation function — r₁…r_maxLag, the "does this
+    * metric remember itself" readout behind seasonality detection and
+    * anomaly-model choice ([[ewmaAnomalies]] ASSUMES short memory; ACF
+    * MEASURES it — a weekly business series shows the r₇ spike before
+    * anyone hardcodes '7').
+    *
+    * Textbook sample ACF with the FULL-series mean and variance:
+    * `r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²`, pairs taken wherever both
+    * integer positions exist (a gapped series pairs what it has — stated,
+    * since regular-grid formulas silently assume density). Expanded to
+    * integer sums so nothing floats until the end:
+    * `r_k·n·D = n²·Σy_ty_{t+k} − n·S·(A_k+B_k) + c_k·S²` with
+    * `D = n·Σy² − S²` — exact DECIMAL(38) throughout, y in cents, one
+    * double division rounded 6 dp. Constant series (D = 0) → NULL.
+    *
+    * == 100 TB shape ==
+    * One distinct-(group, x) collapse, one maxLag-bounded explode +
+    * equi-join on `(group, x + lag)` (fan-out = maxLag, never n²), one
+    * per-(group, lag) agg joined against the per-group moment agg —
+    * all map-side combinable, output groups × maxLag rows. */
+  def autocorrelation(df: DataFrame, xCol: String, yCol: String,
+                      groupCols: Seq[String], maxLag: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "autocorrelation: need >= 1 group column")
+    require(maxLag >= 1, s"autocorrelation: maxLag must be >= 1, got $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((gs :+ col(xCol).cast("long").as("__x")) :+
+        (col(yCol).cast(dec) * 100).cast("long").as("__y"): _*)
+      .groupBy((gs :+ col("__x")): _*).agg(sum(col("__y")).as("__y"))
+      .localCheckpoint(true) // read by moments AND both join sides
+    val moments = pts.groupBy(gs: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y").cast(d38)).as("__s"),
+      sum(col("__y").cast(d38) * col("__y")).as("__yy"))
+    val lagged = pts
+      .withColumn("__lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .select((gs :+ (col("__x") + col("__lag")).as("__x")) :+
+        col("__lag") :+ col("__y").as("__ya"): _*)
+    val paired = lagged
+      .join(pts.select((gs :+ col("__x")) :+ col("__y").as("__yb"): _*),
+        groupCols :+ "__x")
+      .groupBy((gs :+ col("__lag").as("lag")): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(col("__ya").cast(d38)).as("__sa"),
+        sum(col("__yb").cast(d38)).as("__sb"),
+        sum(col("__ya").cast(d38) * col("__yb")).as("__sab"))
+    val n = col("__n").cast(d38)
+    val num = n * n * col("__sab") - n * col("__s") * (col("__sa") + col("__sb")) +
+      col("__c").cast(d38) * col("__s") * col("__s")
+    val den = n * (n * col("__yy") - col("__s") * col("__s"))
+    paired.join(broadcast(moments), groupCols)
+      .select((gs ++ Seq(col("lag"), col("__c").as("n_pairs"),
+        when(col("__yy") * n =!= col("__s") * col("__s"),
+          round(num.cast("double") / den.cast("double"), 6)).as("acf"))): _*)
+  }
+
+  /** Period-over-period comparison — the BI staple (WoW/MoM deltas):
+    * each period's total against the PREVIOUS OBSERVED period, with the
+    * previous period's position made explicit so a gap reads as "vs 3
+    * weeks ago", never silently as "vs last week". Totals are
+    * DECIMAL(18,2)-exact; delta is exact decimal subtraction; pct_change
+    * is one double division (NULL when the previous total is 0 — a
+    * divide-by-zero growth rate is noise, not news).
+    *
+    * == 100 TB shape ==
+    * One map-side-combined agg to the (group × period) grid, one
+    * grid-sized lag window partitioned by group. */
+  def periodOverPeriod(df: DataFrame, posCol: String, valueCol: String,
+                       groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "periodOverPeriod: need >= 1 group column")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    val grid = df.filter(col(posCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
+      .agg(sum(col(valueCol).cast(dec)).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("pos").asc)
+    grid
+      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .select((gs ++ Seq(col("pos"),
+        col("__v").cast("double").as("value"),
+        col("prev_pos"),
+        col("__pv").cast("double").as("prev_value"),
+        (col("__v") - col("__pv")).cast("double").as("delta"),
+        when(col("__pv") =!= 0,
+          round((col("__v") - col("__pv")).cast("double") /
+            col("__pv").cast("double"), 6)).as("pct_change"))): _*)
+  }
 }

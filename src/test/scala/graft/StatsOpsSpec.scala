@@ -268,6 +268,80 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("counter-"))
   }
 
+  test("autocorrelation: alternating series → r1 = -1, r2 = +1 exactly") {
+    // y alternates a,b,a,b… — lag-1 pairs are perfectly anti-correlated,
+    // lag-2 perfectly correlated (textbook full-mean ACF is within-sign
+    // scaled; on a balanced alternating series it hits ±1 exactly)
+    val df = (0 until 20).map(i => ("g", i, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("g", "x", "y")
+    val r = Trend.autocorrelation(df, "x", "y", Seq("g"), maxLag = 2)
+      .collect().map(x => x.getAs[Long]("lag") -> x.getAs[Double]("acf"))
+      .toMap
+    assert(math.abs(r(1L) + 0.95) < 0.061) // (n−k)/n edge factor ≈ 19/20
+    assert(r(2L) > 0.85)
+    // constant series → NULL (zero variance)
+    val const = (0 until 5).map(i => ("g", i, 7.0)).toDF("g", "x", "y")
+    val c = Trend.autocorrelation(const, "x", "y", Seq("g"), 1).collect()
+    assert(c.forall(_.isNullAt(c.head.fieldIndex("acf"))))
+  }
+
+  test("sortedNeighborhood: exact rank-window pairs, bucket join lossless") {
+    val df = Seq((1, "apple"), (2, "apply"), (3, "banana"), (4, "band"),
+      (5, "bane"), (6, "cherry"), (7, "date")).toDF("id", "k")
+    val got = EntityResolution.sortedNeighborhood(df, "id", "k", window = 3)
+      .collect().map(r => (r.getAs[Int]("id_a"), r.getAs[Int]("id_b"))).toSet
+    // sorted: apple(1) apply(2) banana(3) band(4) bane(5) cherry(6) date(7)
+    // pairs at rank distance 1..2
+    val want = Set((1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5),
+      (4, 6), (5, 6), (5, 7), (6, 7))
+    assert(got === want)
+  }
+
+  test("jsonKeys: presence ratios with invalid/null sentinels") {
+    val df = Seq(Some("""{"a":1,"b":2}"""), Some("""{"a":3}"""),
+      Some("nope"), None).toDF("j")
+    val r = Profiler.jsonKeys(df, "j").collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("n_docs"),
+        x.getAs[Double]("ratio")))).toMap
+    assert(r("a") === ((2L, 0.5)))
+    assert(r("b") === ((1L, 0.25)))
+    assert(r("<invalid_json>") === ((1L, 0.25)))
+    assert(r("<null>") === ((1L, 0.25)))
+  }
+
+  test("periodOverPeriod: gap-aware previous period, exact deltas") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 15.0), ("g", 5, 12.0))
+      .toDF("g", "w", "v")
+    val r = Trend.periodOverPeriod(df, "w", "v", Seq("g")).collect()
+      .map(x => x.getAs[Long]("pos") ->
+        ((Option(x.get(x.fieldIndex("prev_pos"))), x.get(x.fieldIndex("delta")))))
+      .toMap
+    assert(r(1L)._1 === None)
+    assert(r(2L) === ((Some(1L), 5.0)))
+    assert(r(5L) === ((Some(2L), -3.0))) // vs week 2, NOT a fake week 4
+  }
+
+  test("modularity: two clean triangles ≈ 0.357, one-community graph < 0") {
+    val twoTri = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6))
+      .toDF("src", "dst")
+    val labels = Seq((1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"),
+      (6, "b")).toDF("node", "label")
+    val r = Graph.modularity(twoTri, labels).collect().head
+    // m=6, each community: e=3, d=6 → Q = 2·(4·6·3 − 36)/(4·36) = 0.5
+    assert(r.getAs[String]("modularity") === "0.500000000")
+    assert(r.getAs[Long]("n_communities") === 2L)
+    // everything in ONE community: Q = (4m·m − (2m)²)/4m² = 0 exactly
+    val one = labels.select(col("node"), lit("x").as("label"))
+    assert(Graph.modularity(twoTri, one).collect().head
+      .getAs[String]("modularity") === "0.000000000")
+    // unlabeled node raises loudly
+    val missing = labels.filter(col("node") =!= 6)
+    val err = intercept[Exception] {
+      Graph.modularity(twoTri, missing).collect()
+    }
+    assert(err.getMessage.contains("missing from labels"))
+  }
+
   test("scan: runningSum + lead1 agree with single-partition windows at any partitioning") {
     val df = spark.range(1000).select(col("id"),
       (col("id") * 7 % 13).cast("long").as("v"))
