@@ -5689,6 +5689,255 @@ object OracleSql {
 
   private def clean(s: String): String = s.trim.replaceAll("\\s+", " ")
 
+  /** Interval coalescing — q244. The per-key sweep mirrored with native
+    * windows: running max end over strictly-earlier rows, new-island
+    * flag, island-sum grouping; mirrors EventWindows.coalesceIntervals. */
+  private val q244 = """
+    WITH iv AS (SELECT o_custkey % 100 AS grp,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS s,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) + o_orderkey % 30 AS e
+      FROM orders),
+    fl AS (SELECT grp, s, e,
+        max(e) OVER (PARTITION BY grp ORDER BY s ASC, e ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (SELECT grp, s, e,
+        sum(CASE WHEN pmax IS NULL OR s > pmax + 2 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY grp ORDER BY s ASC, e ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM fl)
+    SELECT grp, CAST(min(s) AS BIGINT) AS span_start,
+      CAST(max(e) AS BIGINT) AS span_end,
+      CAST(count(*) AS BIGINT) AS n_intervals,
+      CAST(max(e) - min(s) AS BIGINT) AS covered
+    FROM isl GROUP BY grp, isl"""
+
+  /** Snapshot-run compaction — q245. Weekly priority snapshots; runs
+    * break on attr change (IS DISTINCT FROM — the null-safe mirror of
+    * Spark's <=>) or a missed export; mirrors Scd.compactSnapshots. */
+  private val q245 = """
+    WITH snaps AS (SELECT o_custkey % 500 AS key,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS pos,
+        max(o_orderpriority) AS prio
+      FROM orders GROUP BY 1, 2),
+    fl AS (SELECT key, prio, pos,
+        lag(prio) OVER w AS pa, lag(pos) OVER w AS pp
+      FROM snaps WINDOW w AS (PARTITION BY key ORDER BY pos ASC)),
+    flg AS (SELECT key, prio, pos,
+        CASE WHEN pp IS NULL OR pa IS DISTINCT FROM prio OR pos - pp > 1
+          THEN 1 ELSE 0 END AS nw
+      FROM fl),
+    run AS (SELECT key, prio, pos,
+        sum(nw) OVER (PARTITION BY key ORDER BY pos ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM flg),
+    runs AS (SELECT key, prio, r, CAST(min(pos) AS BIGINT) AS valid_from,
+        CAST(max(pos) AS BIGINT) AS valid_to,
+        CAST(count(*) AS BIGINT) AS n_snapshots
+      FROM run GROUP BY 1, 2, 3),
+    hi AS (SELECT max(pos) AS hi FROM snaps)
+    SELECT key, prio, valid_from, valid_to, n_snapshots,
+      valid_to = hi AS is_current
+    FROM runs, hi"""
+
+  /** Seasonal-naive backtest — q246. 52-week-ago forecast via the grid
+    * self equi-join (gap-honest, never a row-offset lag); DECIMAL-exact
+    * error mass, MAE/WAPE single divisions; mirrors
+    * Trend.seasonalNaiveBacktest. */
+  private val q246 = """
+    WITH grid AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS pos,
+        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders GROUP BY 1, 2),
+    j AS (SELECT a.g, a.pos, a.v, b.v AS f
+      FROM grid a LEFT JOIN grid b ON a.g = b.g AND b.pos = a.pos - 52)
+    SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_periods,
+      CAST(count(f) AS BIGINT) AS n_scored,
+      CAST(sum(CASE WHEN f IS NOT NULL THEN abs(v - f) END) AS DOUBLE)
+        AS sum_abs_err,
+      CASE WHEN count(f) > 0 THEN
+        round(CAST(sum(CASE WHEN f IS NOT NULL THEN abs(v - f) END)
+          AS DOUBLE) / count(f), 6) END AS mae,
+      CASE WHEN coalesce(sum(CASE WHEN f IS NOT NULL THEN abs(v) END), 0)
+          <> 0 THEN
+        round(CAST(sum(CASE WHEN f IS NOT NULL THEN abs(v - f) END)
+          AS DOUBLE) /
+          CAST(sum(CASE WHEN f IS NOT NULL THEN abs(v) END) AS DOUBLE), 6)
+      END AS wape
+    FROM j GROUP BY g"""
+
+  /** XmR control chart — q247. Cross-multiplied HUGEINT rule decisions
+    * (the Spark side uses DECIMAL(38) — both exact), single-division
+    * limit rendering; mirrors Trend.controlChart at runLen = 8. */
+  private val q247 = """
+    WITH grid AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS pos,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    mr AS (SELECT g, pos, c,
+        abs(c - lag(c) OVER (PARTITION BY g ORDER BY pos ASC)) AS d
+      FROM grid),
+    mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        sum(c::HUGEINT) AS sx, CAST(count(d) AS BIGINT) AS m,
+        sum(d::HUGEINT) AS smr
+      FROM mr GROUP BY 1),
+    j AS (SELECT mr.g, mr.pos, mr.c, mom.n, mom.sx, mom.m, mom.smr,
+        100 * mr.c::HUGEINT * mom.n * mom.m AS lhs,
+        100 * mom.sx * mom.m AS mid, 266 * mom.smr * mom.n AS spread,
+        CASE WHEN mr.c::HUGEINT * mom.n > mom.sx THEN 1
+             WHEN mr.c::HUGEINT * mom.n < mom.sx THEN -1 ELSE 0 END AS side
+      FROM mr JOIN mom ON mr.g = mom.g)
+    SELECT g AS o_orderpriority, pos, CAST(c AS DOUBLE) / 100.0 AS value,
+      round(CAST(sx AS DOUBLE) / n / 100.0, 6) AS center,
+      CASE WHEN m > 0 THEN round(CAST(mid + spread AS DOUBLE) /
+        CAST(100 * n * m AS DOUBLE) / 100.0, 6) END AS ucl,
+      CASE WHEN m > 0 THEN round(CAST(mid - spread AS DOUBLE) /
+        CAST(100 * n * m AS DOUBLE) / 100.0, 6) END AS lcl,
+      CASE WHEN m > 0 THEN lhs > mid + spread OR lhs < mid - spread
+        ELSE false END AS beyond_limits,
+      side,
+      count(*) OVER rw = 8 AND
+        (sum(side) OVER rw = 8 OR sum(side) OVER rw = -8) AS drift_run
+    FROM j
+    WINDOW rw AS (PARTITION BY g ORDER BY pos ASC
+      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"""
+
+  /** HHI concentration — q248. Customer revenue shares per priority in
+    * exact cents; Σv²/(Σv)² through the ×10⁹ fixed-point contract;
+    * mirrors Skew.hhi. */
+  private val q248 = """
+    WITH kt AS (SELECT o_orderpriority AS grp, o_custkey AS k,
+        sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)::HUGEINT)
+          AS v
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+    st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+        min(v) AS minv, max(v) AS maxv, sum(v) AS tot,
+        sum(v * v) AS ss
+      FROM kt GROUP BY 1),
+    fx AS (SELECT grp, n_keys, maxv, tot, ss,
+        CAST(ss * 1000000000 // (tot * tot) AS BIGINT) AS f
+      FROM st)
+    SELECT grp AS "group", n_keys,
+      CASE WHEN tot > 0 THEN
+        CAST(f // 1000000000 AS VARCHAR) || '.' ||
+          lpad(CAST(f % 1000000000 AS VARCHAR), 9, '0') END AS hhi,
+      CASE WHEN tot > 0 THEN
+        round(CAST(ss AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6) END AS hhi_d,
+      CASE WHEN tot > 0 THEN
+        round(CAST(tot * tot AS DOUBLE) / CAST(ss AS DOUBLE), 6) END
+        AS effective_n,
+      CASE WHEN tot > 0 THEN
+        round(CAST(maxv AS DOUBLE) / CAST(tot AS DOUBLE), 6) END AS top_share
+    FROM fx"""
+
+  /** Weighted SSSP — q249. Bellman–Ford unrolled as 4 min-fold rounds
+    * (one CTE pair per round, node-sized each); mirrors
+    * Graph.shortestPaths' fixed-round contract (early exit is provably
+    * the same result). */
+  private val q249 = """
+    WITH e0 AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        's' || CAST(l_suppkey AS VARCHAR) AS dst,
+        CAST(count(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM e0 UNION SELECT dst, src, w FROM e0),
+    d0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+        CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_nationkey = 0),
+    r1 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+      FROM d0 d JOIN e ON d.node = e.src GROUP BY 1),
+    d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+      (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+    r2 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+      FROM d1 d JOIN e ON d.node = e.src GROUP BY 1),
+    d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+      (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+    r3 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+      FROM d2 d JOIN e ON d.node = e.src GROUP BY 1),
+    d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+      (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1),
+    r4 AS (SELECT e.dst AS node, min(d.dist + e.w) AS dist
+      FROM d3 d JOIN e ON d.node = e.src GROUP BY 1),
+    d4 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+      (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY 1)
+    SELECT node, dist FROM d4"""
+
+  /** DAG layering — q250. Settle rounds unrolled (wave 0 = in-degree-0;
+    * wave i = all preds settled, level 1+max) over the 4-tier orders
+    * graph + injected cycle; depth 3, so 5 unrolled rounds are a proven
+    * fixpoint; mirrors Graph.dagLevels. */
+  private val q250 = """
+    WITH base AS (SELECT (o_orderkey % 4) * 1000 + o_custkey % 25 AS src,
+        (o_orderkey % 4 + 1) * 1000 + (o_orderkey // 4) % 25 AS dst
+      FROM orders WHERE o_orderkey % 4 < 3),
+    e AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM base UNION ALL
+       SELECT * FROM (VALUES (9001, 9002), (9002, 9001), (9002, 9003))
+         AS c(src, dst))),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ind AS (SELECT dst AS node, count(*) AS indeg FROM e GROUP BY 1),
+    s0 AS (SELECT n.node, CAST(0 AS BIGINT) AS lvl FROM nodes n
+      LEFT JOIN ind i ON n.node = i.node WHERE i.node IS NULL),
+    n1 AS (SELECT e.dst AS node, CAST(1 + max(s.lvl) AS BIGINT) AS lvl
+      FROM e JOIN s0 s ON e.src = s.node JOIN ind i ON e.dst = i.node
+      WHERE e.dst NOT IN (SELECT node FROM s0)
+      GROUP BY e.dst, i.indeg HAVING count(*) = i.indeg),
+    s1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM n1),
+    n2 AS (SELECT e.dst AS node, CAST(1 + max(s.lvl) AS BIGINT) AS lvl
+      FROM e JOIN s1 s ON e.src = s.node JOIN ind i ON e.dst = i.node
+      WHERE e.dst NOT IN (SELECT node FROM s1)
+      GROUP BY e.dst, i.indeg HAVING count(*) = i.indeg),
+    s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM n2),
+    n3 AS (SELECT e.dst AS node, CAST(1 + max(s.lvl) AS BIGINT) AS lvl
+      FROM e JOIN s2 s ON e.src = s.node JOIN ind i ON e.dst = i.node
+      WHERE e.dst NOT IN (SELECT node FROM s2)
+      GROUP BY e.dst, i.indeg HAVING count(*) = i.indeg),
+    s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM n3),
+    n4 AS (SELECT e.dst AS node, CAST(1 + max(s.lvl) AS BIGINT) AS lvl
+      FROM e JOIN s3 s ON e.src = s.node JOIN ind i ON e.dst = i.node
+      WHERE e.dst NOT IN (SELECT node FROM s3)
+      GROUP BY e.dst, i.indeg HAVING count(*) = i.indeg),
+    s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM n4),
+    n5 AS (SELECT e.dst AS node, CAST(1 + max(s.lvl) AS BIGINT) AS lvl
+      FROM e JOIN s4 s ON e.src = s.node JOIN ind i ON e.dst = i.node
+      WHERE e.dst NOT IN (SELECT node FROM s4)
+      GROUP BY e.dst, i.indeg HAVING count(*) = i.indeg),
+    s5 AS (SELECT * FROM s4 UNION ALL SELECT * FROM n5)
+    SELECT n.node, s.lvl AS level, s.node IS NULL AS blocked
+    FROM nodes n LEFT JOIN s5 s ON n.node = s.node"""
+
+  /** HITS — q251. Two unnormalized rounds (a₀=1 → h₁ → a₁ → h₂ → a₂)
+    * over the directed trade graph, exact integer path counts; mirrors
+    * Graph.hits at rounds = 2. */
+  private val q251 = """
+    WITH e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h1 AS (SELECT src AS node, count(*)::HUGEINT AS h
+      FROM e GROUP BY 1),
+    h1f AS (SELECT n.node, coalesce(h.h, 0) AS h
+      FROM nodes n LEFT JOIN h1 h ON n.node = h.node),
+    a1 AS (SELECT e.dst AS node, sum(h.h) AS a
+      FROM e JOIN h1f h ON e.src = h.node GROUP BY 1),
+    a1f AS (SELECT n.node, coalesce(a.a, 0) AS a
+      FROM nodes n LEFT JOIN a1 a ON n.node = a.node),
+    h2 AS (SELECT e.src AS node, sum(a.a) AS h
+      FROM e JOIN a1f a ON e.dst = a.node GROUP BY 1),
+    h2f AS (SELECT n.node, coalesce(h.h, 0) AS h
+      FROM nodes n LEFT JOIN h2 h ON n.node = h.node),
+    a2 AS (SELECT e.dst AS node, sum(h.h) AS a
+      FROM e JOIN h2f h ON e.src = h.node GROUP BY 1),
+    a2f AS (SELECT n.node, coalesce(a.a, 0) AS a
+      FROM nodes n LEFT JOIN a2 a ON n.node = a.node)
+    SELECT h.node, CAST(h.h AS BIGINT) AS hub,
+      CAST(a.a AS BIGINT) AS authority
+    FROM h2f h JOIN a2f a ON h.node = a.node"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -5948,6 +6197,14 @@ object OracleSql {
     "q240_snm_blocking"     -> q240,
     "q241_json_keys"        -> q241,
     "q242_period_over_period" -> q242,
-    "q243_modularity"       -> q243
+    "q243_modularity"       -> q243,
+    "q244_coalesce_intervals" -> q244,
+    "q245_compact_snapshots" -> q245,
+    "q246_seasonal_naive"   -> q246,
+    "q247_control_chart"    -> q247,
+    "q248_hhi"              -> q248,
+    "q249_sssp"             -> q249,
+    "q250_dag_levels"       -> q250,
+    "q251_hits"             -> q251
   ).map { case (k, v) => k -> clean(v) }
 }

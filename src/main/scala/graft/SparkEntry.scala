@@ -3829,6 +3829,103 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(e, rounds = 4))
   }
 
+  /** Interval coalescing ([[graft.ops.EventWindows.coalesceIntervals]]):
+    * per customer-bucket order "processing windows" (start = order epoch
+    * day, length = orderkey-derived days) fused into maximal covered
+    * spans at maxGap = 2 days — exact integer sweep, concurrent overlap
+    * counted once. */
+  private def q244Coalesce(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.coalesceIntervals(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long"))
+        .select((col("o_custkey") % 100).as("grp"),
+          col("__day").as("s"),
+          (col("__day") + col("o_orderkey") % 30).as("e")),
+      Seq("grp"), "s", "e", maxGap = 2L)
+
+  /** Snapshot-run compaction ([[graft.ops.Scd.compactSnapshots]]): weekly
+    * per-customer-bucket priority snapshots collapsed into validity
+    * ranges — runs break on attribute change OR a missed weekly export,
+    * `is_current` only at the global latest week. */
+  private def q245CompactSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val snaps = t(s, dir, "orders")
+      .withColumn("__day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+      .groupBy((col("o_custkey") % 500).as("key"),
+        expr("__day DIV 7").as("week"))
+      .agg(max(col("o_orderpriority")).as("prio"))
+    graft.ops.Scd.compactSnapshots(snaps, Seq("key"), "week", Seq("prio"))
+  }
+
+  /** Seasonal-naive backtest ([[graft.ops.Trend.seasonalNaiveBacktest]]):
+    * weekly revenue per priority scored against the 52-week-ago value —
+    * DECIMAL-exact error mass, MAE/WAPE as single IEEE divisions. */
+  private def q246SeasonalNaive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.seasonalNaiveBacktest(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+        .select(col("o_orderpriority"),
+          expr("__day DIV 7").as("week"), col("o_totalprice")),
+      "week", "o_totalprice", Seq("o_orderpriority"), season = 52L)
+
+  /** XmR control chart ([[graft.ops.Trend.controlChart]]): weekly revenue
+    * per priority against Shewhart individuals limits — cross-multiplied
+    * integer rule decisions, Western Electric rules 1 and 2. */
+  private def q247ControlChart(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.controlChart(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+        .select(col("o_orderpriority"),
+          expr("__day DIV 7").as("week"), col("o_totalprice")),
+      "week", "o_totalprice", Seq("o_orderpriority"), runLen = 8)
+
+  /** HHI concentration ([[graft.ops.Skew.hhi]]): customer revenue
+    * concentration within each order priority — exact cents shares, 9-dp
+    * fixed-point HHI, effective-N readout. */
+  private def q248Hhi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.hhi(t(s, dir, "orders"),
+      "o_orderpriority", "o_custkey", "o_totalprice")
+
+  /** Weighted SSSP ([[graft.ops.Graph.shortestPaths]]): Bellman–Ford
+    * relaxation over the undirected weighted trade graph from the
+    * nation-0 customer seeds (q186's seed set), 4 rounds — exact integer
+    * distances, "cheapest path within 4 legs" semantics. */
+  private def q249Sssp(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0L)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.ops.Graph.shortestPaths(tradeEdges(s, dir).localCheckpoint(true),
+      seeds, weightCol = "w", maxRounds = 4, directed = false)
+  }
+
+  /** DAG layering + cycle detection ([[graft.ops.Graph.dagLevels]]): a
+    * 4-tier dependency graph derived from orders plus an injected 2-cycle
+    * with a downstream dependent — tiers settle at levels 0–3, the cycle
+    * and its dependent come back blocked. */
+  private def q250DagLevels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "orders").filter(col("o_orderkey") % 4 < 3)
+      .select((col("o_orderkey") % 4 * 1000 + col("o_custkey") % 25)
+        .as("src"),
+        ((col("o_orderkey") % 4 + 1) * 1000 +
+          expr("o_orderkey DIV 4") % 25).as("dst"))
+    val cyc = Seq((9001L, 9002L), (9002L, 9001L), (9002L, 9003L))
+      .toDF("src", "dst")
+    graft.ops.Graph.dagLevels(base.unionByName(cyc), maxDepth = 6)
+  }
+
+  /** HITS ([[graft.ops.Graph.hits]]): 2 unnormalized rounds over the
+    * DIRECTED customer→supplier trade graph — hubs are buyers, authorities
+    * suppliers; exact path-count integers rendered BIGINT. */
+  private def q251Hits(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.hits(
+      tradeEdges(s, dir).select(col("src"), col("dst")), rounds = 2)
+      .select(col("node"), col("hub").cast("long").as("hub"),
+        col("authority").cast("long").as("authority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4072,7 +4169,15 @@ object SparkEntry {
     "q240_snm_blocking"     -> q240Snm _,
     "q241_json_keys"        -> q241JsonKeys _,
     "q242_period_over_period" -> q242PoP _,
-    "q243_modularity"       -> q243Modularity _
+    "q243_modularity"       -> q243Modularity _,
+    "q244_coalesce_intervals" -> q244Coalesce _,
+    "q245_compact_snapshots" -> q245CompactSnapshots _,
+    "q246_seasonal_naive"   -> q246SeasonalNaive _,
+    "q247_control_chart"    -> q247ControlChart _,
+    "q248_hhi"              -> q248Hhi _,
+    "q249_sssp"             -> q249Sssp _,
+    "q250_dag_levels"       -> q250DagLevels _,
+    "q251_hits"             -> q251Hits _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -347,4 +347,69 @@ object EventWindows {
         col("__filled").cast("double").as("value"),
         col("__v").isNull.as("is_filled"))): _*)
   }
+
+  /** Interval coalescing — merge overlapping (or within-`maxGap`) validity
+    * intervals per key into maximal covered spans: the warehouse "union of
+    * time ranges" primitive behind double-booking audits, SLA uptime
+    * ("total covered seconds, counting concurrent incidents once"), and
+    * contract-coverage reporting. [[allocateIntervals]] apportions ONE
+    * interval across calendar buckets; this fuses MANY intervals into
+    * islands. The classic sweep: per key ordered by `(start, end)`, an
+    * interval opens a NEW island iff its start exceeds the running max end
+    * of all earlier intervals by more than `maxGap`; the island id is the
+    * running sum of those flags.
+    *
+    * Inputs are integer positions (epoch seconds, days — the caller picks
+    * the grain and casts); every comparison and sum is exact 64-bit
+    * integer arithmetic, so the oracle mirrors decision for decision.
+    * `end < start` raises LOUDLY (a negative-length interval is corrupt
+    * data, not a zero-length span). `covered` on the output is the span
+    * length `span_end − span_start` — concurrent overlap counted ONCE,
+    * which is the point of the operator.
+    *
+    * Output one row per merged span:
+    * `(keys…, span_start, span_end, n_intervals, covered)`.
+    *
+    * == 100 TB shape ==
+    * One hash shuffle on the keys feeds both windows (running-max-end and
+    * island-sum share the same partitioning+ordering — Spark plans a
+    * single Exchange+Sort), then one map-side-combined island agg.
+    * Per-key window state is O(1) (the running max). A single key holding
+    * a continent of intervals concentrates its sort partition — shard such
+    * keys by a coarse time bucket first and re-merge bucket boundaries. */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String],
+                        startCol: String, endCol: String,
+                        maxGap: Long = 0L): DataFrame = {
+    require(keyCols.nonEmpty, "coalesceIntervals: need >= 1 key column")
+    require(maxGap >= 0L, "coalesceIntervals: maxGap must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val gs = keyCols.map(col)
+    val rows = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select((gs ++ Seq(col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))): _*)
+      // the guard rides the selected column (the interpolate lesson)
+      .withColumn("__e",
+        when(col("__e") >= col("__s"), col("__e"))
+          .otherwise(raise_error(concat(
+            lit("coalesceIntervals: end < start at start="),
+            col("__s").cast("string"))).cast("long")))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__s").asc, col("__e").asc)
+    val flagged = rows
+      // max end over STRICTLY earlier rows — NULL on each key's first row
+      .withColumn("__pmax",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull ||
+          col("__s") > col("__pmax") + lit(maxGap), lit(1L)).otherwise(lit(0L)))
+      .withColumn("__isl",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy((gs :+ col("__isl")): _*)
+      .agg(min(col("__s")).as("span_start"),
+        max(col("__e")).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select((gs ++ Seq(col("span_start"), col("span_end"),
+        col("n_intervals"),
+        (col("span_end") - col("span_start")).as("covered"))): _*)
+  }
 }

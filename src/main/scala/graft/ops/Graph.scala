@@ -919,4 +919,200 @@ object Graph {
     freeCheckpoint(sym)
     out
   }
+
+  /** Weighted single-source shortest paths — bounded-round Bellman–Ford
+    * relaxation from a seed set: [[bfsDistances]] counts HOPS; this sums
+    * integer edge COSTS (latency, toll, trust-distance), the routing /
+    * cost-propagation primitive. Round i holds the exact shortest
+    * distance using ≤ i edges, so `maxRounds` is a semantic bound, not a
+    * convergence hope: the result is "cheapest path within k legs" —
+    * and when the loop detects a fixpoint early (no distance improved)
+    * that IS the unbounded answer and later rounds are provably no-ops,
+    * so early exit never changes a bit vs the full unroll.
+    *
+    * Weights must be non-negative integers (negative raises LOUDLY —
+    * negative-cycle semantics need a different contract); distances are
+    * exact longs, so partitioning cannot change a result bit. Unreached
+    * nodes are absent ([[bfsDistances]] convention).
+    *
+    * == 100 TB shape ==
+    * Per round: ONE node-keyed join of the current distance table into
+    * the persisted edge table + one map-side-combined min agg back to
+    * node size; `localCheckpoint` per round cuts lineage and dead rounds
+    * free their blocks (the [[pageRank]] discipline). The distance table
+    * never exceeds node count. */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    weightCol: String = "w", seedCol: String = "node",
+                    maxRounds: Int = 10,
+                    directed: Boolean = true): DataFrame = {
+    require(maxRounds >= 0, s"shortestPaths: maxRounds must be >= 0")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      // the guard rides the weight column every relax reads
+      .withColumn("w", when(col("w") >= 0L, col("w"))
+        .otherwise(raise_error(concat(
+          lit("shortestPaths: negative weight on edge from "),
+          col("src").cast("string"))).cast("long")))
+    val e = (if (directed) fwd
+             else fwd.unionByName(fwd.select(col("dst").as("src"),
+               col("src").as("dst"), col("w"))))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxRounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      explainIter(next, it)
+      // fixpoint ⇔ no node improved (new nodes always "improve" from ∞);
+      // counts + one inner join on the two node-sized checkpointed tables
+      val noneImproved = next.join(dist.withColumnRenamed("dist", "__old"),
+        Seq("node")).filter(col("dist") < col("__old")).isEmpty
+      converged = noneImproved && next.count() == dist.count()
+      freeCheckpoint(dist)
+      dist = next
+      it += 1
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** DAG level assignment + cycle detection — topological layering of a
+    * dependency graph (pipeline/job DAGs, table lineage, build graphs):
+    * `level(n)` = length of the LONGEST path from any source (node with
+    * no prerequisites) — i.e. the earliest parallel wave that can run
+    * `n` once all prerequisites finish — and nodes that can never settle
+    * (on a cycle, or downstream of one) come back `blocked` instead of
+    * crashing the scheduler: the cycle's members are exactly the rows an
+    * operator like this must SURFACE, since a lineage loop is a data bug.
+    *
+    * Settle rounds: wave 0 = in-degree-0 nodes; wave i settles every
+    * unsettled node whose in-neighbors are ALL settled, at
+    * `1 + max(pred level)`. After `maxDepth` rounds (or an early empty
+    * wave — provably nothing settles later, so early exit equals the
+    * full unroll) the survivors are blocked (`level` NULL). Levels are
+    * exact integers; partitioning cannot change a bit.
+    *
+    * Output: `(node, level, blocked)` — every distinct endpoint appears.
+    *
+    * == 100 TB shape ==
+    * Per round: one join of the settled-node table into the persisted
+    * DISTINCT edge set + one map-side-combined (count, max) agg per
+    * candidate, checked against the precomputed in-degree — the
+    * [[bfsDistances]] shape. Rounds = DAG depth, the scheduler-wave
+    * count; a real lineage graph is shallow. */
+  def dagLevels(edges: DataFrame, srcCol: String = "src",
+                dstCol: String = "dst", maxDepth: Int = 20): DataFrame = {
+    require(maxDepth >= 1, "dagLevels: maxDepth must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("__indeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = nodes.join(indeg, Seq("node"), "left_anti")
+      .withColumn("level", lit(0L))
+      .localCheckpoint(true)
+    var it = 0
+    var drained = settled.isEmpty
+    while (!drained && it < maxDepth) {
+      val newly = e.join(settled, e("src") === settled("node"))
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("__np"), max(col("level")).as("__ml"))
+        .join(indeg, col("dst") === indeg("node"))
+        .filter(col("__np") === col("__indeg"))
+        .select(col("dst").as("node"), (col("__ml") + 1L).as("level"))
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+      explainIter(newly, it)
+      val grown = settled.unionByName(newly).localCheckpoint(true)
+      drained = grown.count() == settled.count()
+      freeCheckpoint(settled)
+      settled = grown
+      it += 1
+    }
+    val out = nodes.join(settled, Seq("node"), "left")
+      .select(col("node"), col("level"),
+        col("level").isNull.as("blocked"))
+      .localCheckpoint(true)
+    e.unpersist(); indeg.unpersist()
+    freeCheckpoint(settled); freeCheckpoint(nodes)
+    out
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999) — the OTHER classic link
+    * ranking: PageRank scores global endorsement flow; HITS separates
+    * "points at the good stuff" (hub) from "is the good stuff"
+    * (authority) — directories vs destinations, reviewers vs products,
+    * buyers vs suppliers on a trade graph. Mutual recursion
+    * `h(u) = Σ_{u→v} a(v)`, `a(v) = Σ_{u→v} h(u)` run for a FIXED round
+    * count from `a₀ = 1`, WITHOUT per-round normalization: unnormalized
+    * round-k scores are exact path-count integers (DECIMAL(38)
+    * accumulators), so the ORDER — which is what normalized HITS
+    * converges on — is exact and engine-portable, and no float division
+    * ever enters. Round growth is ~(mean degree)², so keep `rounds`
+    * small (2–3 separates leaders decisively; 38 digits bound ~18 rounds
+    * on a degree-100 graph — overflow fails loudly rather than quietly
+    * wrapping).
+    *
+    * Output: `(node, hub, authority)` for every distinct endpoint
+    * (DECIMAL(38,0); 0 for a node with no out/in edges respectively).
+    *
+    * == 100 TB shape ==
+    * Per round: two node-keyed joins + map-side-combined sums over the
+    * persisted edge table ([[pageRank]]'s per-iteration plan without the
+    * dangling/teleport correction). Score tables never exceed node
+    * count; rounds are a small constant. */
+  def hits(edges: DataFrame, srcCol: String = "src",
+           dstCol: String = "dst", rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "hits: rounds must be >= 1")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    // a₀ = 1 for every node
+    var auth = nodes.withColumn("a", lit(1L).cast(d38)).localCheckpoint(true)
+    var hub: DataFrame = null
+    for (it <- 0 until rounds) {
+      // h(u) = Σ_{u→v} a(v)
+      val h = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).cast(d38).as("h"))
+      val hFull = nodes.join(h, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L).cast(d38)).as("h"))
+        .localCheckpoint(true)
+      // a(v) = Σ_{u→v} h(u)
+      val a = e.join(hFull, e("src") === hFull("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).cast(d38).as("a"))
+      val aFull = nodes.join(a, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L).cast(d38)).as("a"))
+        .localCheckpoint(true)
+      explainIter(aFull, it)
+      freeCheckpoint(auth)
+      if (hub != null) freeCheckpoint(hub)
+      auth = aFull
+      hub = hFull
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .localCheckpoint(true)
+    freeCheckpoint(hub); freeCheckpoint(auth); freeCheckpoint(nodes)
+    e.unpersist()
+    out
+  }
 }

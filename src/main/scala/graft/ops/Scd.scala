@@ -106,4 +106,63 @@ object Scd {
     untouched.unionByName(
       latest.filter(col("__op") =!= "D").drop("__op"))
   }
+
+  /** Snapshot-run compaction — the OTHER road into SCD2: [[scd2]] builds
+    * history from an UPDATE LOG, but most lakes only have periodic full
+    * snapshots (one row per key per nightly export). Storing them all is
+    * O(snapshots × keys); compaction collapses each key's run of
+    * CONSECUTIVE snapshots with identical tracked attributes into one
+    * `[valid_from, valid_to]` range (inclusive snapshot positions — the
+    * half-open convention needs the NEXT snapshot's timestamp, which a
+    * gap-riddled export can't promise).
+    *
+    * A key ABSENT from intermediate snapshots closes its run: presence at
+    * positions {1,2,5} with equal attrs is TWO ranges `[1,2]` and
+    * `[5,5]`, never a silent `[1,5]` claiming presence at 3–4 — deletion
+    * evidence is the point of snapshotting. A run thus breaks when (a)
+    * any tracked attribute differs from the previous snapshot, or (b) the
+    * position gap exceeds `step` (the export cadence, default 1).
+    *
+    * Output: `(keys…, attrs…, valid_from, valid_to, n_snapshots,
+    * is_current)` — `is_current` iff `valid_to` equals the GLOBAL latest
+    * snapshot position (a key that vanished before the last export is not
+    * current).
+    *
+    * == 100 TB shape ==
+    * One hash shuffle on the keys feeds the lag window and the run agg
+    * (same partitioning), plus a 1-row global-max broadcast join for
+    * `is_current`. Runs aggregate map-side; output size is change-mass,
+    * not snapshot-mass — the compaction ratio IS the operator's value. */
+  def compactSnapshots(snapshots: DataFrame, keyCols: Seq[String],
+                       posCol: String, attrCols: Seq[String],
+                       step: Long = 1L): DataFrame = {
+    require(keyCols.nonEmpty, "compactSnapshots: at least one key column")
+    require(attrCols.nonEmpty, "compactSnapshots: at least one tracked attribute")
+    require(step >= 1L, "compactSnapshots: step must be >= 1")
+    val gs = keyCols.map(col)
+    val byKey = Window.partitionBy(gs: _*).orderBy(col("__pos").asc)
+    val attrs = struct(attrCols.map(col): _*)
+    val rows = snapshots
+      .filter(col(posCol).isNotNull)
+      .select((gs ++ attrCols.map(col) :+
+        col(posCol).cast("long").as("__pos")): _*)
+    val flagged = rows
+      .withColumn("__pa", lag(attrs, 1).over(byKey))
+      .withColumn("__pp", lag(col("__pos"), 1).over(byKey))
+      .withColumn("__new", // null-safe: a NULL attr equals itself across rows
+        when(col("__pp").isNull || !(col("__pa") <=> attrs) ||
+          col("__pos") - col("__pp") > step, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__run",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = flagged
+      .groupBy((gs ++ attrCols.map(col) :+ col("__run")): _*)
+      .agg(min(col("__pos")).as("valid_from"),
+        max(col("__pos")).as("valid_to"),
+        count(lit(1)).as("n_snapshots"))
+    val hi = rows.agg(max(col("__pos")).as("__hi"))
+    runs.join(broadcast(hi))
+      .select((gs ++ attrCols.map(col) ++ Seq(col("valid_from"),
+        col("valid_to"), col("n_snapshots"),
+        (col("valid_to") === col("__hi")).as("is_current"))): _*)
+  }
 }

@@ -242,6 +242,70 @@ object Skew {
           .as("gini_d"))
   }
 
+  /** Herfindahl–Hirschman concentration index — [[gini]]'s
+    * market-structure sibling, the one regulators and capacity planners
+    * actually quote: `HHI = Σ sᵢ²` over per-key value shares within a
+    * group (1 = monopoly, →1/n = even split). The reciprocal
+    * `effective_n = 1/HHI` reads as "equivalent number of equal-sized
+    * players" — the supplier-diversity / hot-partition readout.
+    *
+    * Exactness: values fix to integer CENTS, per-key totals and the
+    * sum-of-squares accumulate in DECIMAL(38,0) (order-independent), and
+    * `HHI = Σvᵢ²/(Σv)²` renders through the ×10⁹ integer-division 9-dp
+    * string contract plus a 6-dp convenience double; `effective_n` and
+    * `top_share` are single IEEE divisions. Negative values raise LOUDLY
+    * (a negative market share is corrupt input); an all-zero group
+    * yields NULL.
+    *
+    * Output one row per group:
+    * `(group, n_keys, hhi, hhi_d, effective_n, top_share)`.
+    *
+    * == 100 TB shape ==
+    * Two map-side-combined aggs: rows → (group × key) totals → group
+    * moments. No windows, no joins; the grid is the only shuffle and
+    * collapses at the combiner. */
+  def hhi(df: DataFrame, groupCol: String, keyCol: String,
+          valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keyTotals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"), col(keyCol).as("__k"),
+        (col(valueCol).cast(dec) * 100).cast("long").as("__c"))
+      .groupBy(col("group"), col("__k"))
+      .agg(sum(col("__c").cast(d38)).as("__v"))
+    val stat = keyTotals.groupBy(col("group")).agg(
+      count(lit(1)).as("n_keys"),
+      min(col("__v")).as("__minv"),
+      max(col("__v")).as("__maxv"),
+      sum(col("__v")).as("__tot"),
+      sum(col("__v") * col("__v")).as("__ss"))
+    // the guard rides the selected n_keys column (the gini discipline)
+    val checked = stat.withColumn("n_keys",
+      when(col("__minv") >= 0, col("n_keys"))
+        .otherwise(raise_error(concat(
+          lit("hhi: negative key total in group "),
+          col("group").cast("string"),
+          lit(" — shares are undefined over negative values"))).cast("long")))
+    val den = col("__tot") * col("__tot")
+    checked
+      .withColumn("__fx",
+        expr("CAST(__ss * 1000000000 DIV (__tot * __tot) AS BIGINT)"))
+      .select(col("group"), col("n_keys"),
+        when(col("__tot") > 0,
+          concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("hhi"),
+        when(col("__tot") > 0,
+          round(col("__ss").cast("double") / den.cast("double"), 6))
+          .as("hhi_d"),
+        when(col("__tot") > 0,
+          round(den.cast("double") / col("__ss").cast("double"), 6))
+          .as("effective_n"),
+        when(col("__tot") > 0,
+          round(col("__maxv").cast("double") / col("__tot").cast("double"), 6))
+          .as("top_share"))
+  }
+
   def joinCardinality(left: DataFrame, right: DataFrame, key: String,
                       topK: Int = 10): DataFrame = {
     require(topK > 0, s"joinCardinality: topK must be > 0, got $topK")

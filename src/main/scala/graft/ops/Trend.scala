@@ -396,4 +396,129 @@ object Trend {
           round((col("__v") - col("__pv")).cast("double") /
             col("__pv").cast("double"), 6)).as("pct_change"))): _*)
   }
+
+  /** Seasonal-naive forecast backtest — the FLOOR every forecasting model
+    * must beat before it earns a deploy: predict each period as the value
+    * one season earlier (`ŷ_t = y_{t−season}`, the M-competition
+    * benchmark), score the prediction against the actual, and report the
+    * per-group error mass. Teams routinely ship models that lose to this
+    * baseline on intermittent series; this operator makes the comparison
+    * a query instead of a notebook.
+    *
+    * Gap-honest: the seasonal lag is an EQUI-JOIN on `pos − season` over
+    * the observed grid, never a row-offset `lag(season)` — a missing week
+    * must not silently shift the season. Periods with no seasonal
+    * ancestor are excluded from scoring (reported via `n_scored` vs
+    * `n_periods`).
+    *
+    * Exactness: period totals are DECIMAL(18,2); absolute errors sum
+    * exactly in decimal; `mae = Σ|e|/n` and
+    * `wape = Σ|e|/Σ|actual|` (the weighted-MAPE industry standard —
+    * per-row MAPE divisions would sum doubles order-dependently) are each
+    * ONE IEEE division of exact sums. Output one row per group:
+    * `(group…, n_periods, n_scored, sum_abs_err, mae, wape)`.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined agg to the (group × period) grid, one
+    * grid-sized self equi-join on `(group, pos−season)` (AQE broadcasts
+    * it when the grid is small), one agg back to group rows. */
+  def seasonalNaiveBacktest(df: DataFrame, posCol: String, valueCol: String,
+                            groupCols: Seq[String], season: Long): DataFrame = {
+    require(groupCols.nonEmpty, "seasonalNaiveBacktest: need >= 1 group column")
+    require(season >= 1L, "seasonalNaiveBacktest: season must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    val grid = df.filter(col(posCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
+      .agg(sum(col(valueCol).cast(dec)).as("__v"))
+    val anc = grid.select((gs :+ (col("pos") + season).as("pos") :+
+      col("__v").as("__f")): _*)
+    val scored = grid.join(anc, groupCols :+ "pos", "left")
+    scored.groupBy(gs: _*).agg(
+      count(lit(1)).as("n_periods"),
+      count(col("__f")).as("n_scored"),
+      sum(when(col("__f").isNotNull, abs(col("__v") - col("__f"))))
+        .as("__sae"),
+      sum(when(col("__f").isNotNull, abs(col("__v")))).as("__sa"))
+      .select((gs ++ Seq(col("n_periods"), col("n_scored"),
+        col("__sae").cast("double").as("sum_abs_err"),
+        when(col("n_scored") > 0,
+          round(col("__sae").cast("double") / col("n_scored"), 6)).as("mae"),
+        when(col("__sa").isNotNull && col("__sa") =!= 0,
+          round(col("__sae").cast("double") /
+            col("__sa").cast("double"), 6)).as("wape"))): _*)
+  }
+
+  /** XmR (individuals + moving range) control chart — Shewhart process
+    * control over a per-period metric: center line `x̄`, control limits
+    * `x̄ ± 2.66·M̄R` (the d2-derived individuals constant), and the two
+    * Western Electric signals that matter operationally: **rule 1**
+    * (a point beyond a control limit — the process jumped) and **rule 2**
+    * (`runLen` consecutive points on one side of center, default 8 — the
+    * process DRIFTED without ever tripping a limit; exactly what EWMA
+    * ([[ewmaAnomalies]]) smooths over and a global OLS slope
+    * ([[linearTrend]]) averages away).
+    *
+    * Exactness: period totals fix to integer CENTS; with `n` periods,
+    * `Σx`, `m = n−1` moving ranges and `ΣMR` exact longs, every limit
+    * comparison cross-multiplies to integers —
+    * `x > UCL ⇔ 100·x·n·m > 100·Σx·m + 266·ΣMR·n` — so rule flags are
+    * exact and engine-portable; `center/ucl/lcl` render as single IEEE
+    * divisions. Rule 2 needs a strict side (above/below center), also
+    * cross-multiplied; points ON center break a run. Groups with < 2
+    * periods emit NULL limits and false flags (no MR exists).
+    *
+    * Output one row per (group, period): `(group…, pos, value, center,
+    * ucl, lcl, beyond_limits, side, drift_run)` where `drift_run` is true
+    * iff the point closes a window of `runLen` same-side points.
+    *
+    * == 100 TB shape ==
+    * One agg to the (group × period) grid; the MR lag window, the moment
+    * agg, and the rule-2 run window all partition by group over that grid
+    * (map-side-combined agg + broadcast moments join). Nothing global;
+    * per-group state is O(runLen). */
+  def controlChart(df: DataFrame, posCol: String, valueCol: String,
+                   groupCols: Seq[String], runLen: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "controlChart: need >= 1 group column")
+    require(runLen >= 2, "controlChart: runLen must be >= 2")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.filter(col(posCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
+      .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__c"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("pos").asc)
+    val withMr = grid.withColumn("__mr",
+      abs(col("__c") - lag(col("__c"), 1).over(w)))
+    val moments = withMr.groupBy(gs: _*).agg(
+      count(lit(1)).as("__n"), sum(col("__c")).as("__sx"),
+      count(col("__mr")).as("__m"), sum(col("__mr")).as("__smr"))
+    // x ⋛ x̄ ± 2.66·M̄R  ⇔  100·x·n·m ⋛ 100·Σx·m ± 266·ΣMR·n  (m = n−1 > 0);
+    // DECIMAL(38) keeps the four-factor products overflow-proof at any SF
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lhs = lit(100L) * col("__c").cast(d38) * col("__n") * col("__m")
+    val mid = lit(100L) * col("__sx").cast(d38) * col("__m")
+    val spread = lit(266L) * col("__smr").cast(d38) * col("__n")
+    val side = when(col("__c").cast(d38) * col("__n") > col("__sx"), lit(1))
+      .when(col("__c").cast(d38) * col("__n") < col("__sx"), lit(-1))
+      .otherwise(lit(0))
+    val joined = withMr.join(broadcast(moments), groupCols)
+      .withColumn("__side", side)
+    val runW = w.rowsBetween(-(runLen - 1), 0)
+    joined.select((gs ++ Seq(col("pos"),
+      (col("__c").cast("double") / 100.0).as("value"),
+      round(col("__sx").cast("double") / col("__n") / 100.0, 6).as("center"),
+      when(col("__m") > 0, round((mid + spread).cast("double") /
+        (lit(100L) * col("__n") * col("__m")).cast("double") / 100.0, 6))
+        .as("ucl"),
+      when(col("__m") > 0, round((mid - spread).cast("double") /
+        (lit(100L) * col("__n") * col("__m")).cast("double") / 100.0, 6))
+        .as("lcl"),
+      when(col("__m") > 0, lhs > mid + spread || lhs < mid - spread)
+        .otherwise(lit(false)).as("beyond_limits"),
+      col("__side").as("side"),
+      (count(lit(1)).over(runW) === runLen &&
+        (sum(col("__side")).over(runW) === runLen ||
+          sum(col("__side")).over(runW) === -runLen)).as("drift_run"))): _*)
+  }
 }

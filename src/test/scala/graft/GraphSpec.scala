@@ -410,4 +410,73 @@ class GraphSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("no fixpoint"))
   }
+
+  test("shortestPaths: weighted relaxation beats greedy hops, round bound, guard") {
+    // a→b cost 10 direct, but a→c→b costs 2+3 = 5; b→d adds 1
+    val edges = Seq(("a", "b", 10L), ("a", "c", 2L), ("c", "b", 3L),
+      ("b", "d", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.shortestPaths(edges, seeds, maxRounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 5L, "c" -> 2L, "d" -> 6L))
+    // round-bounded: within 1 leg the best a→b is the direct 10
+    val one = Graph.shortestPaths(edges, seeds, maxRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === Map("a" -> 0L, "b" -> 10L, "c" -> 2L))
+    // undirected: d reaches everything backwards
+    val undirected = Graph.shortestPaths(edges, Seq("d").toDF("node"),
+      maxRounds = 5, directed = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(undirected === Map("d" -> 0L, "b" -> 1L, "c" -> 4L, "a" -> 6L))
+    // zero-weight edges are legal; negative weights raise LOUDLY
+    val err = intercept[Exception] {
+      Graph.shortestPaths(Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        seeds, maxRounds = 2).collect()
+    }
+    assert(err.getMessage.contains("negative weight"))
+  }
+
+  test("dagLevels: longest-path waves, cycle + downstream blocked, early drain") {
+    // diamond a→{b,c}→d, plus a long arm a→e→f→d: level(d) = 1 + max = 3
+    val dag = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("a", "e"), ("e", "f"), ("f", "d")).toDF("src", "dst")
+    val got = Graph.dagLevels(dag).collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(got === Map(
+      "a" -> (Some(0L), false), "b" -> (Some(1L), false),
+      "c" -> (Some(1L), false), "e" -> (Some(1L), false),
+      "f" -> (Some(2L), false), "d" -> (Some(3L), false)))
+    // a cycle, its downstream dependent, and a mixed node (one clean pred,
+    // one cycle pred) all block; the clean chain still levels
+    val cyc = Seq(("a", "b"), ("x", "y"), ("y", "x"), ("y", "z"),
+      ("a", "m"), ("y", "m")).toDF("src", "dst")
+    val g2 = Graph.dagLevels(cyc).collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(g2("a") === (Some(0L), false) && g2("b") === (Some(1L), false))
+    assert(g2("x") === (None, true) && g2("y") === (None, true))
+    assert(g2("z") === (None, true) && g2("m") === (None, true))
+  }
+
+  test("hits: hand-checked 2-round path counts on a tiny bipartite graph") {
+    // buyers u1 → {p1, p2}, u2 → {p2}:
+    // h1 = outdeg: u1 = 2, u2 = 1; a1(p1) = 2, a1(p2) = 2 + 1 = 3
+    // h2(u1) = a1(p1) + a1(p2) = 5, h2(u2) = 3
+    // a2(p1) = h2(u1) = 5, a2(p2) = 5 + 3 = 8
+    val e = Seq(("u1", "p1"), ("u1", "p2"), ("u2", "p2")).toDF("src", "dst")
+    val got = Graph.hits(e, rounds = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact()))
+      .toMap
+    assert(got === Map(
+      "u1" -> (5L, 0L), "u2" -> (3L, 0L),
+      "p1" -> (0L, 5L), "p2" -> (0L, 8L)))
+    // one round stops at (outdeg, a1)
+    val r1 = Graph.hits(e, rounds = 1).collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact()))
+      .toMap
+    assert(r1 === Map(
+      "u1" -> (2L, 0L), "u2" -> (1L, 0L),
+      "p1" -> (0L, 2L), "p2" -> (0L, 3L)))
+  }
 }

@@ -362,4 +362,123 @@ class StatsOpsSpec extends SparkSpec {
       assert(got.toSeq === want.toSeq, s"parts=$parts")
     }
   }
+
+  test("coalesceIntervals: merge, gap tolerance, nesting, zero-length, guard") {
+    val df = Seq(("k", 1L, 3L), ("k", 2L, 5L), ("k", 7L, 8L),
+      ("k", 12L, 12L)).toDF("g", "s", "e")
+    // maxGap = 0: [1,5] (overlap), [7,8], [12,12]
+    val tight = EventWindows.coalesceIntervals(df, Seq("g"), "s", "e")
+      .orderBy("span_start").collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("n_intervals"), r.getAs[Long]("covered")))
+    assert(tight.toSeq === Seq((1L, 5L, 2L, 4L), (7L, 8L, 1L, 1L),
+      (12L, 12L, 1L, 0L)))
+    // maxGap = 2: 7 ≤ 5+2 joins the first span; 12 > 8+2 stays apart
+    val loose = EventWindows.coalesceIntervals(df, Seq("g"), "s", "e", 2L)
+      .orderBy("span_start").collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("n_intervals")))
+    assert(loose.toSeq === Seq((1L, 8L, 3L), (12L, 12L, 1L)))
+    // a nested interval extends nothing but counts
+    val nested = EventWindows.coalesceIntervals(
+      Seq(("k", 1L, 10L), ("k", 2L, 3L)).toDF("g", "s", "e"),
+      Seq("g"), "s", "e").collect()
+    assert(nested.length === 1 &&
+      nested.head.getAs[Long]("span_end") === 10L &&
+      nested.head.getAs[Long]("n_intervals") === 2L)
+    val err = intercept[Exception] {
+      EventWindows.coalesceIntervals(
+        Seq(("k", 5L, 4L)).toDF("g", "s", "e"), Seq("g"), "s", "e").collect()
+    }
+    assert(err.getMessage.contains("end < start"))
+  }
+
+  test("compactSnapshots: runs break on attr change AND export gaps; is_current global") {
+    val snaps = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "A"), (2L, 5L, "A")).toDF("k", "pos", "a")
+    val got = graft.ops.Scd.compactSnapshots(snaps, Seq("k"), "pos", Seq("a"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("a"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"),
+        r.getAs[Long]("n_snapshots"), r.getAs[Boolean]("is_current")))
+    // key 2's {1,2} and {5} NEVER merge across the 3–4 hole (deletion
+    // evidence); only ranges ending at the global max pos 5 are current
+    assert(got.toSeq === Seq(
+      (1L, "A", 1L, 2L, 2L, false), (1L, "B", 3L, 4L, 2L, false),
+      (2L, "A", 1L, 2L, 2L, false), (2L, "A", 5L, 5L, 1L, true)))
+    // NULL attrs: null <=> null keeps the run open
+    val withNull = Seq((1L, 1L, null: String), (1L, 2L, null: String))
+      .toDF("k", "pos", "a")
+    val nr = graft.ops.Scd.compactSnapshots(withNull, Seq("k"), "pos", Seq("a"))
+      .collect()
+    assert(nr.length === 1 && nr.head.getAs[Long]("n_snapshots") === 2L)
+  }
+
+  test("seasonalNaiveBacktest: hand-checked errors, gap honesty") {
+    // season=1 over pos 1,2,3 with values 10,12,9 → errors 2,3 at pos 2,3
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, 12.0), ("g", 3L, 9.0))
+      .toDF("grp", "pos", "v")
+    val r = Trend.seasonalNaiveBacktest(df, "pos", "v", Seq("grp"), 1L)
+      .collect().head
+    assert(r.getAs[Long]("n_periods") === 3L)
+    assert(r.getAs[Long]("n_scored") === 2L)
+    assert(r.getAs[Double]("sum_abs_err") === 5.0)
+    assert(r.getAs[Double]("mae") === 2.5)
+    assert(r.getAs[Double]("wape") === math.rint(5.0 / 21.0 * 1e6) / 1e6)
+    // gap honesty: pos 1 and 3 only, season 1 → NOTHING scores (no pos-1
+    // ancestor for 3) — a row-offset lag would have scored 3 against 1
+    val gap = Trend.seasonalNaiveBacktest(
+      Seq(("g", 1L, 10.0), ("g", 3L, 9.0)).toDF("grp", "pos", "v"),
+      "pos", "v", Seq("grp"), 1L).collect().head
+    assert(gap.getAs[Long]("n_scored") === 0L)
+    assert(gap.isNullAt(gap.fieldIndex("mae")))
+  }
+
+  test("controlChart: spike beyond limits, sides, 8-point drift run") {
+    // 10,10,…,10 (pos 1–9), 100 at pos 10: center 19, MR̄ = 90/9 = 10,
+    // UCL = 19 + 26.6 = 45.6 — only the spike is beyond
+    val df = ((1L to 9L).map(p => ("g", p, 10.0)) :+ ("g", 10L, 100.0))
+      .toDF("grp", "pos", "v")
+    val rows = Trend.controlChart(df, "pos", "v", Seq("grp"))
+      .orderBy("pos").collect()
+    assert(rows.map(_.getAs[Boolean]("beyond_limits")).toSeq ===
+      (Seq.fill(9)(false) :+ true))
+    assert(rows.head.getAs[Double]("center") === 19.0)
+    assert(rows.head.getAs[Double]("ucl") === 45.6)
+    assert(rows.head.getAs[Double]("lcl") === -7.6)
+    assert(rows.map(_.getAs[Int]("side")).toSeq ===
+      (Seq.fill(9)(-1) :+ 1))
+    // drift_run closes at pos 8 and 9 (8 consecutive below-center points);
+    // pos 10 breaks the run with its +1
+    assert(rows.map(_.getAs[Boolean]("drift_run")).toSeq ===
+      (Seq.fill(7)(false) ++ Seq(true, true, false)))
+    // < 2 periods: NULL limits, false flags
+    val one = Trend.controlChart(
+      Seq(("g", 1L, 10.0)).toDF("grp", "pos", "v"), "pos", "v", Seq("grp"))
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("ucl")))
+    assert(!one.getAs[Boolean]("beyond_limits"))
+  }
+
+  test("hhi: even split, monopoly, zero total, negative guard") {
+    val even = Skew.hhi(
+      Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
+        .toDF("grp", "k", "v"), "grp", "k", "v").collect().head
+    assert(even.getAs[String]("hhi") === "0.250000000")
+    assert(even.getAs[Double]("effective_n") === 4.0)
+    assert(even.getAs[Double]("top_share") === 0.25)
+    val mono = Skew.hhi(Seq(("g", 1L, 7.0)).toDF("grp", "k", "v"),
+      "grp", "k", "v").collect().head
+    assert(mono.getAs[String]("hhi") === "1.000000000")
+    assert(mono.getAs[Long]("n_keys") === 1L)
+    val zero = Skew.hhi(Seq(("g", 1L, 0.0)).toDF("grp", "k", "v"),
+      "grp", "k", "v").collect().head
+    assert(zero.isNullAt(zero.fieldIndex("hhi")))
+    val err = intercept[Exception] {
+      Skew.hhi(Seq(("g", 1L, -1.0)).toDF("grp", "k", "v"),
+        "grp", "k", "v").collect()
+    }
+    assert(err.getMessage.contains("negative"))
+  }
 }
