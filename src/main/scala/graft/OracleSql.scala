@@ -5938,6 +5938,80 @@ object OracleSql {
       CAST(a.a AS BIGINT) AS authority
     FROM h2f h JOIN a2f a ON h.node = a.node"""
 
+  /** Count-min sketch — q252. The counters are a pure function of the
+    * portable (seed, row, key) md5 family, so the oracle REBUILDS the
+    * identical sketch and the estimates match bit for bit; mirrors
+    * Sketches.countMin/countMinLookup at 4×512. */
+  private val q252 = """
+    WITH ks AS (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cnt AS (SELECT ds.d,
+        ('0x' || substr(md5('graft:cm' || ds.d || ':' ||
+          CAST(k AS VARCHAR)), 1, 14))::BIGINT % 512 AS bucket,
+        CAST(count(*) AS BIGINT) AS c
+      FROM ks, ds GROUP BY 1, 2),
+    dk AS (SELECT DISTINCT k FROM ks),
+    pr AS (SELECT dk.k, ds.d,
+        ('0x' || substr(md5('graft:cm' || ds.d || ':' ||
+          CAST(dk.k AS VARCHAR)), 1, 14))::BIGINT % 512 AS bucket
+      FROM dk, ds),
+    est AS (SELECT pr.k, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+      FROM pr LEFT JOIN cnt c ON pr.d = c.d AND pr.bucket = c.bucket
+      GROUP BY 1),
+    ex AS (SELECT k, CAST(count(*) AS BIGINT) AS "exact" FROM ks GROUP BY 1)
+    SELECT est.k AS o_custkey, est.est, ex."exact",
+      est.est - ex."exact" AS overcount
+    FROM est JOIN ex ON est.k = ex.k"""
+
+  /** Rendezvous rebalance — q253. Winner via row_number over (score
+    * DESC, shard ASC) — the same total order as the Spark fold's
+    * tie-break; mirrors Sharding.rebalanceReport. */
+  private val q253 = """
+    WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_custkey IS NOT NULL),
+    sb AS (SELECT unnest(['s01', 's02', 's03', 's04']) AS sh),
+    sa AS (SELECT unnest(['s01', 's02', 's03', 's04', 's05']) AS sh),
+    fb AS (SELECT k, sh,
+        ('0x' || substr(md5('graft:hrw:' || sh || ':' ||
+          CAST(k AS VARCHAR)), 1, 14))::BIGINT AS sc
+      FROM dk, sb),
+    fw AS (SELECT k, sh FROM (SELECT k, sh,
+        row_number() OVER (PARTITION BY k ORDER BY sc DESC, sh ASC) AS rn
+      FROM fb) WHERE rn = 1),
+    ab AS (SELECT k, sh,
+        ('0x' || substr(md5('graft:hrw:' || sh || ':' ||
+          CAST(k AS VARCHAR)), 1, 14))::BIGINT AS sc
+      FROM dk, sa),
+    aw AS (SELECT k, sh FROM (SELECT k, sh,
+        row_number() OVER (PARTITION BY k ORDER BY sc DESC, sh ASC) AS rn
+      FROM ab) WHERE rn = 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM dk)
+    SELECT fw.sh AS from_shard, aw.sh AS to_shard,
+      CAST(count(*) AS BIGINT) AS n_keys,
+      fw.sh <> aw.sh AS moved,
+      round(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+    FROM fw JOIN aw ON fw.k = aw.k, tot
+    GROUP BY fw.sh, aw.sh, t"""
+
+  /** 2-D skyline — q254. Grid collapse → per-x min-y candidates →
+    * strict running-min dominance over strictly-smaller x; mirrors
+    * Skew.skyline2d on (size, price-cents) per manufacturer. */
+  private val q254 = """
+    WITH pts AS (SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        CAST(count(*) AS BIGINT) AS n_points
+      FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      GROUP BY 1, 2, 3),
+    cand AS (SELECT p_brand, x, min(y) AS y FROM pts GROUP BY 1, 2),
+    fr AS (SELECT p_brand, x, y,
+        min(y) OVER (PARTITION BY p_brand ORDER BY x ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM cand)
+    SELECT f.p_brand, f.x, f.y, p.n_points
+    FROM fr f JOIN pts p
+      ON f.p_brand = p.p_brand AND f.x = p.x AND f.y = p.y
+    WHERE f.pm IS NULL OR f.y < f.pm"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6205,6 +6279,9 @@ object OracleSql {
     "q248_hhi"              -> q248,
     "q249_sssp"             -> q249,
     "q250_dag_levels"       -> q250,
-    "q251_hits"             -> q251
+    "q251_hits"             -> q251,
+    "q252_count_min"        -> q252,
+    "q253_rebalance"        -> q253,
+    "q254_skyline"          -> q254
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -3926,6 +3926,43 @@ object SparkEntry {
       .select(col("node"), col("hub").cast("long").as("hub"),
         col("authority").cast("long").as("authority"))
 
+  /** Count-min sketch ([[graft.ops.Sketches.countMin]] +
+    * [[graft.ops.Sketches.countMinLookup]]): order counts per customer
+    * through a 4×512 deterministic-hash sketch — estimates vs exact
+    * counts, overcount ≥ 0 by construction (the width is deliberately
+    * narrow so collisions are visible and hash-pinned). */
+  private def q252CountMin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val sk = graft.ops.Sketches.countMin(o, "o_custkey",
+      depth = 4, width = 512)
+    val est = graft.ops.Sketches.countMinLookup(sk,
+      o.select(col("o_custkey")), "o_custkey", depth = 4, width = 512)
+    val exact = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("exact"))
+    est.join(exact, "o_custkey")
+      .select(col("o_custkey"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
+  /** Rendezvous rebalance audit ([[graft.ops.Sharding.rebalanceReport]]):
+    * customer keys under s01–s04, then s05 joins — every moved row must
+    * land on the NEW shard (the HRW minimal-movement property, made an
+    * auditable table). */
+  private def q253Rebalance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sharding.rebalanceReport(t(s, dir, "customer"), "c_custkey",
+      Seq("s01", "s02", "s03", "s04"),
+      Seq("s01", "s02", "s03", "s04", "s05"))
+
+  /** 2-D skyline ([[graft.ops.Skew.skyline2d]]): parts not beaten on both
+    * size and price within each manufacturer — exact integer dominance
+    * over the (size, cents) grid. */
+  private def q254Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.skyline2d(
+      t(s, dir, "part").select(col("p_brand"), col("p_size"),
+        (col("p_retailprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      Seq("p_brand"), "p_size", "cents")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4177,7 +4214,10 @@ object SparkEntry {
     "q248_hhi"              -> q248Hhi _,
     "q249_sssp"             -> q249Sssp _,
     "q250_dag_levels"       -> q250DagLevels _,
-    "q251_hits"             -> q251Hits _
+    "q251_hits"             -> q251Hits _,
+    "q252_count_min"        -> q252CountMin _,
+    "q253_rebalance"        -> q253Rebalance _,
+    "q254_skyline"          -> q254Skyline _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

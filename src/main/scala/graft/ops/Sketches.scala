@@ -278,4 +278,67 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("vocab_est"),
         sum(col("n_tokens")).as("n_tokens"))
+
+  /** Count-min sketch counters — the mergeable frequency sketch
+    * (Cormode–Muthukrishnan 2005) behind heavy-hitter detection when the
+    * key space is too wide for an exact per-key agg to be affordable:
+    * `depth × width` integer counters replace |keys| rows, each key's
+    * estimate is `min_j counter[j][h_j(key)]` — an OVERESTIMATE, never
+    * under (collisions only add), with error ≤ 2N/width at probability
+    * 1 − 2^−depth. Unlike the HLL tier above, the hash family here is the
+    * portable (seed, j, key) md5 uniform — the house no-`rand()`
+    * discipline — so an engine-independent oracle can rebuild the EXACT
+    * same counters: the sketch is deterministic, not just statistically
+    * characterized.
+    *
+    * Counters from two partitions/days/sources MERGE by `(d, bucket)`
+    * summation (linearity of the counters) — union the outputs and
+    * re-aggregate; [[countMinLookup]] reads any such union.
+    *
+    * == 100 TB shape ==
+    * One row-local ×depth explode, then one map-side-combined agg that
+    * collapses to depth × width rows REGARDLESS of input size — the
+    * whole point. Weighted counts via `weightCol`. */
+  def countMin(df: DataFrame, keyCol: String, depth: Int = 4,
+               width: Int = 1024, weightCol: Option[String] = None,
+               seed: String = "graft"): DataFrame = {
+    require(depth >= 1 && depth <= 16, "countMin: depth must be in [1,16]")
+    require(width >= 2, "countMin: width must be >= 2")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val pairs = (0 until depth).map { j =>
+      struct(lit(j).cast("long").as("d"), cmBucket(col(keyCol), j, width, seed).as("bucket"))
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(array(pairs: _*)).as("__p"), w.as("__w"))
+      .groupBy(col("__p.d").as("d"), col("__p.bucket").as("bucket"))
+      .agg(sum(col("__w")).as("c"))
+  }
+
+  /** Point estimates from a [[countMin]] counter table for a key set:
+    * `est(key) = min_j counter[j][h_j(key)]` — missing counters read 0
+    * (a key the sketch never saw). `keys` is typically the candidate
+    * heavy-hitter list (top groups from a cheap sample, or a fixed watch
+    * list); the join is (|keys| × depth) vs the depth × width broadcast
+    * counter table — node-local, no wide shuffle. */
+  def countMinLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                     depth: Int = 4, width: Int = 1024,
+                     seed: String = "graft"): DataFrame = {
+    val pairs = (0 until depth).map { j =>
+      struct(lit(j).cast("long").as("d"), cmBucket(col(keyCol), j, width, seed).as("bucket"))
+    }
+    keys.filter(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol), explode(array(pairs: _*)).as("__p"))
+      .select(col(keyCol), col("__p.d").as("d"), col("__p.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Row j of the portable CMS hash family: the 56-bit md5 uniform of
+    * `seed:cmJ:key` mod width — DuckDB:
+    * `('0x' || substr(md5(seed || ':cm' || j || ':' || key), 1, 14))::BIGINT % width`. */
+  private def cmBucket(key: org.apache.spark.sql.Column, j: Int, width: Int,
+                       seed: String): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed:cm$j:"),
+      key.cast("string"))), 1, 14), 16, 10).cast("long"), lit(width.toLong))
 }

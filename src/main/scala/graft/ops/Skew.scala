@@ -306,6 +306,45 @@ object Skew {
           .as("top_share"))
   }
 
+  /** 2-D skyline (Pareto frontier, minimize both axes) — "which offers
+    * are not beaten on BOTH price and latency", the multi-criteria
+    * shortlist query ([[abcClassification]] ranks on ONE value axis; the
+    * skyline keeps exactly the rows no other row dominates: x′ ≤ x,
+    * y′ ≤ y, strict somewhere). Classic sweep, made grid-cheap: collapse
+    * to the per-(group, x) minimum y first — only those candidates can
+    * survive — then a row is on the frontier iff its y is STRICTLY below
+    * every y at a smaller x (running min over strictly-preceding grid
+    * rows; equal y at smaller x dominates). Duplicate full points are
+    * mutually non-dominating and come back with their row count.
+    *
+    * Inputs are integer axes (the caller quantizes money to cents — the
+    * house discipline); every decision is an exact 64-bit comparison.
+    * Output: `(group…, x, y, n_points)` — frontier rows only.
+    *
+    * == 100 TB shape ==
+    * Two map-side-combined aggs collapse rows → (group, x, y) → (group,
+    * x) candidates before the ONLY window, which is group-partitioned
+    * over the distinct-x grid ([[gini]] locality — one giant group wants
+    * the [[graft.ops.PrefixSum]] form). */
+  def skyline2d(df: DataFrame, groupCols: Seq[String], xCol: String,
+                yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "skyline2d: need >= 1 group column")
+    val gs = groupCols.map(col)
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy((gs ++ Seq(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))): _*)
+      .agg(count(lit(1)).as("n_points"))
+    val cand = pts.groupBy((gs :+ col("x")): _*).agg(min(col("y")).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("x").asc)
+    val frontier = cand
+      .withColumn("__pm",
+        min(col("y")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__pm").isNull || col("y") < col("__pm"))
+      .drop("__pm")
+    frontier.join(pts, groupCols ++ Seq("x", "y"))
+  }
+
   def joinCardinality(left: DataFrame, right: DataFrame, key: String,
                       topK: Int = 10): DataFrame = {
     require(topK > 0, s"joinCardinality: topK must be > 0, got $topK")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classifier, EntityResolution, EventWindows, Experiment, Funnel, Geo, Graph, LogMining, PrefixSum, Privacy, Profiler, Skew, Trend}
+import graft.ops.{Classifier, EntityResolution, EventWindows, Experiment, Funnel, Geo, Graph, LogMining, PrefixSum, Privacy, Profiler, Sharding, Sketches, Skew, Trend}
 
 /** Round-15 statistics/warehouse additions: Mann–Whitney U, exact AUC,
   * per-group Gini, 1-D Wasserstein, exact NTILE, streaks, LOCF forward
@@ -459,6 +459,76 @@ class StatsOpsSpec extends SparkSpec {
       .collect().head
     assert(one.isNullAt(one.fieldIndex("ucl")))
     assert(!one.getAs[Boolean]("beyond_limits"))
+  }
+
+  test("countMin: never underestimates, merges by summation, determinism") {
+    val df = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"k$i")).toDF("k")
+    val sk = Sketches.countMin(df, "k", depth = 3, width = 8)
+    // counters collapse to ≤ depth × width rows regardless of input size
+    assert(sk.count() <= 24)
+    val est = Sketches.countMinLookup(sk, df.select("k"), "k",
+      depth = 3, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the one-sided error contract: est ≥ exact, everywhere
+    exact.foreach { case (k, c) => assert(est(k) >= c, s"key $k") }
+    assert(est("hot") >= 50L)
+    // width 8 over 31 keys MUST collide somewhere
+    assert(exact.exists { case (k, c) => est(k) > c })
+    // linearity: sketch(part1) ⊎ sketch(part2) re-aggregated = sketch(whole)
+    val (p1, p2) = (df.limit(40), df.exceptAll(df.limit(40)))
+    val merged = Sketches.countMin(p1, "k", 3, 8)
+      .unionByName(Sketches.countMin(p2, "k", 3, 8))
+      .groupBy("d", "bucket").agg(sum("c").as("c"))
+    val whole = Sketches.countMin(df, "k", 3, 8)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // unseen-key lookups against an empty sketch read 0
+    val zero = Sketches.countMinLookup(whole.filter(lit(false)),
+      Seq("nope").toDF("k"), "k", 3, 8).collect().head
+    assert(zero.getLong(1) === 0L)
+  }
+
+  test("rendezvousAssign/rebalanceReport: determinism, minimal movement") {
+    val keys = spark.range(2000).select(col("id"))
+    val before = Seq("s01", "s02", "s03", "s04")
+    val after = before :+ "s05"
+    val a1 = Sharding.rendezvousAssign(keys, "id", before)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Sharding.rendezvousAssign(keys, "id", before)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 === a2) // pure function of (seed, key, shards)
+    assert(a1.values.toSet.subsetOf(before.toSet))
+    // every shard gets a meaningful share of 2000 keys
+    before.foreach(s => assert(a1.values.count(_ == s) > 300, s))
+    val rep = Sharding.rebalanceReport(keys, "id", before, after).collect()
+    // the HRW property: every moved row lands on the NEW shard
+    rep.filter(_.getAs[Boolean]("moved")).foreach { r =>
+      assert(r.getAs[String]("to_shard") === "s05")
+    }
+    val movedShare = rep.filter(_.getAs[Boolean]("moved"))
+      .map(_.getAs[Double]("share")).sum
+    assert(movedShare > 0.12 && movedShare < 0.28) // ≈ 1/5, not ≈ 4/5
+    // identical topology: nothing moves
+    val same = Sharding.rebalanceReport(keys, "id", before, before).collect()
+    assert(same.forall(!_.getAs[Boolean]("moved")))
+  }
+
+  test("skyline2d: strict dominance, per-x collapse, duplicate survivors") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 3L), ("g", 3L, 3L), ("g", 2L, 7L),
+      ("g", 4L, 1L), ("g", 4L, 1L)).toDF("grp", "x", "y")
+    val got = Skew.skyline2d(df, Seq("grp"), "x", "y")
+      .orderBy("x").collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"),
+        r.getAs[Long]("n_points")))
+    // (3,3) ties the running min — dominated by (2,3); (2,7) collapses
+    // under (2,3); the duplicate (4,1) pair survives with its count
+    assert(got.toSeq === Seq((1L, 5L, 1L), (2L, 3L, 1L), (4L, 1L, 2L)))
+    // two groups never interact
+    val grouped = Skew.skyline2d(
+      Seq(("a", 1L, 1L), ("b", 9L, 9L)).toDF("grp", "x", "y"),
+      Seq("grp"), "x", "y").collect()
+    assert(grouped.length === 2)
   }
 
   test("hhi: even split, monopoly, zero total, negative guard") {
