@@ -6012,6 +6012,103 @@ object OracleSql {
       ON f.p_brand = p.p_brand AND f.x = p.x AND f.y = p.y
     WHERE f.pm IS NULL OR f.y < f.pm"""
 
+  /** Cohen's kappa — q255. Integer marginals, HUGEINT κ·den algebra,
+    * signed magnitude division (// on magnitudes = Spark DIV), mirrors
+    * Classifier.cohenKappa. */
+  private val q255 = """
+    WITH r AS (SELECT o_orderpriority AS a,
+        CASE WHEN o_orderkey % 5 = 0 THEN '5-LOW'
+          ELSE o_orderpriority END AS b
+      FROM orders WHERE o_orderpriority IS NOT NULL),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM r),
+    ma AS (SELECT a AS l, count(*) AS na FROM r GROUP BY 1),
+    mb AS (SELECT b AS l, count(*) AS nb FROM r GROUP BY 1),
+    pe AS (SELECT sum(coalesce(na, 0)::HUGEINT * coalesce(nb, 0)) AS pen
+      FROM ma FULL OUTER JOIN mb USING (l)),
+    fx AS (SELECT n, n_agree, pen,
+        n::HUGEINT * n_agree - pen AS num, n::HUGEINT * n - pen AS den
+      FROM base, pe),
+    fy AS (SELECT *, CASE WHEN num >= 0 THEN
+          CAST(num * 1000000000 // den AS BIGINT)
+        ELSE -CAST((-num) * 1000000000 // den AS BIGINT) END AS f
+      FROM fx)
+    SELECT n, n_agree,
+      CASE WHEN n > 0 THEN
+        round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS po,
+      CASE WHEN n > 0 THEN
+        round(CAST(pen AS DOUBLE) / CAST(n::HUGEINT * n AS DOUBLE), 6)
+      END AS pe,
+      CASE WHEN den > 0 THEN
+        (CASE WHEN f < 0 THEN '-' ELSE '' END) ||
+        CAST(abs(f) // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(abs(f) % 1000000000 AS VARCHAR), 9, '0') END AS kappa,
+      CASE WHEN den > 0 THEN
+        round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS kappa_d
+    FROM fy"""
+
+  /** Benjamini–Hochberg — q256. Rank window, cross-multiplied step-up
+    * test, bottom-up running-min adjusted p's — every double expression
+    * operand-order-identical to Experiment.bhAdjust. */
+  private val q256 = """
+    WITH ids AS (SELECT DISTINCT o_orderkey % 50 AS id FROM orders),
+    tests AS (SELECT id,
+        CAST((id * id) % 97 AS DOUBLE) / 97.0 AS p FROM ids),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests),
+    rk AS (SELECT id, p, CAST(row_number()
+        OVER (ORDER BY p ASC, id ASC) AS BIGINT) AS "rank" FROM tests),
+    fl AS (SELECT rk.id, rk.p, rk."rank", m.m,
+        rk.p * m.m * 10000.0 <= rk."rank" * 500 AS pass,
+        least(1.0, min(rk.p * m.m / rk."rank")
+          OVER (ORDER BY rk."rank" DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adj_p
+      FROM rk, m),
+    ks AS (SELECT max(CASE WHEN pass THEN "rank" END) AS kstar FROM fl)
+    SELECT id, p, "rank", adj_p,
+      "rank" <= coalesce(kstar, 0) AS rejected
+    FROM fl, ks"""
+
+  /** Window funnel — q257. Per-stage min-chaining within the 7-day
+    * window opened by the first signup; mirrors Funnel.windowFunnel's
+    * strictly-increasing, depth-gated semantics. */
+  private val q257 = """
+    WITH ev AS (SELECT user_id AS u,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type AS ty
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE ty = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, min(e.t) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+      WHERE e.ty = 'view' AND e.t > s1.t1 AND e.t <= s1.t1 + 604800
+      GROUP BY 1),
+    s3 AS (SELECT e.u, min(e.t) AS t3 FROM ev e
+      JOIN s2 ON e.u = s2.u JOIN s1 ON e.u = s1.u
+      WHERE e.ty = 'purchase' AND e.t > s2.t2 AND e.t <= s1.t1 + 604800
+      GROUP BY 1)
+    SELECT s1.u, s1.t1 AS entry_pos,
+      CAST(CASE WHEN s3.u IS NOT NULL THEN 3
+        WHEN s2.u IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u"""
+
+  /** Good–Turing — q258. Frequency-of-frequencies over the shared q41
+    * tokenization; mirrors Lexicon.goodTuring. */
+  private val q258 = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT source AS "group", CAST(sum(tf) AS BIGINT) AS n_tokens,
+      CAST(count(*) AS BIGINT) AS vocab,
+      CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CASE WHEN sum(tf) > 0 THEN
+        round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(sum(tf) AS DOUBLE), 6) END AS unseen_mass,
+      CASE WHEN sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) > 0 THEN
+        round(2.0 * CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+      END AS r1_star
+    FROM tf GROUP BY source"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6282,6 +6379,10 @@ object OracleSql {
     "q251_hits"             -> q251,
     "q252_count_min"        -> q252,
     "q253_rebalance"        -> q253,
-    "q254_skyline"          -> q254
+    "q254_skyline"          -> q254,
+    "q255_cohen_kappa"      -> q255,
+    "q256_bh_fdr"           -> q256,
+    "q257_window_funnel"    -> q257,
+    "q258_good_turing"      -> q258
   ).map { case (k, v) => k -> clean(v) }
 }

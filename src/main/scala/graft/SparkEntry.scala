@@ -3963,6 +3963,42 @@ object SparkEntry {
           .cast("long").as("cents")),
       Seq("p_brand"), "p_size", "cents")
 
+  /** Cohen's kappa ([[graft.ops.Classifier.cohenKappa]]): order priority
+    * vs a deterministically-corrupted second rating (every 5th order
+    * flipped to 5-LOW) — chance-corrected agreement, signed 9-dp
+    * fixed-point rendering. */
+  private def q255Kappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.cohenKappa(
+      t(s, dir, "orders").select(col("o_orderpriority").as("a"),
+        when(col("o_orderkey") % 5 === 0, lit("5-LOW"))
+          .otherwise(col("o_orderpriority")).as("b")),
+      "a", "b")
+
+  /** Benjamini–Hochberg FDR ([[graft.ops.Experiment.bhAdjust]]): 50
+    * synthetic test p-values `(i² mod 97)/97` adjusted at α = 5% — the
+    * step-up rejection set and running-min adjusted p's, rank-exact. */
+  private def q256BhFdr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.bhAdjust(
+      t(s, dir, "orders").select((col("o_orderkey") % 50).as("id"))
+        .distinct()
+        .select(col("id"),
+          ((col("id") * col("id")) % 97).cast("double") / 97.0)
+        .toDF("id", "p"),
+      "p", "id", alphaBp = 500)
+
+  /** Window funnel ([[graft.ops.Funnel.windowFunnel]]): signup → view →
+    * purchase within 7 days of the first signup — time-boxed depth per
+    * user, strictly-increasing chaining. */
+  private def q257WindowFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.windowFunnel(events(s, dir),
+      Seq("signup", "view", "purchase"), windowSeconds = 604800L)
+
+  /** Good–Turing unseen mass ([[graft.ops.Lexicon.goodTuring]]): hapax
+    * share and once-seen discount per document source over the shared
+    * q41 tokenization. */
+  private def q258GoodTuring(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Lexicon.goodTuring(t(s, dir, "documents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4217,7 +4253,11 @@ object SparkEntry {
     "q251_hits"             -> q251Hits _,
     "q252_count_min"        -> q252CountMin _,
     "q253_rebalance"        -> q253Rebalance _,
-    "q254_skyline"          -> q254Skyline _
+    "q254_skyline"          -> q254Skyline _,
+    "q255_cohen_kappa"      -> q255Kappa _,
+    "q256_bh_fdr"           -> q256BhFdr _,
+    "q257_window_funnel"    -> q257WindowFunnel _,
+    "q258_good_turing"      -> q258GoodTuring _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

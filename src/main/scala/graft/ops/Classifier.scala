@@ -275,4 +275,60 @@ object Classifier {
           (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")), 6))
         .as("auc_d"))
   }
+
+  /** Cohen's kappa — chance-corrected inter-rater agreement, the labeler
+    * QA readout every labeling/eval pipeline needs before it trusts its
+    * annotations ([[calibrationReport]] asks "is the MODEL honest"; kappa
+    * asks "are the RATERS even measuring the same thing"): raw agreement
+    * `po` inflates on skewed label sets, so
+    * `κ = (po − pe)/(1 − pe)` with `pe = Σ_c p_A(c)·p_B(c)`.
+    *
+    * Exactness: everything reduces to integer counts —
+    * `κ·den = n·agree − Σ_c nA_c·nB_c` over `den = n² − Σ_c nA_c·nB_c` —
+    * accumulated in DECIMAL(38), rendered through the SIGNED ×10⁹
+    * fixed-point 9-dp string ([[graft.ops.Trend.theilSen]] magnitude-
+    * division discipline: κ can be negative — systematic disagreement)
+    * plus 6-dp doubles for po/pe/κ as single IEEE divisions. Rows where
+    * either rating is NULL are excluded (unlabeled ≠ disagreement);
+    * `den = 0` (both raters constant on one label) yields NULL κ.
+    *
+    * Output one row: `(n, n_agree, po, pe, kappa, kappa_d)`.
+    *
+    * == 100 TB shape ==
+    * Two label-sized marginal aggs + one full-outer label join (labels
+    * are enum-sized) + one scan counting agreement — all map-side
+    * combined; no windows. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rated = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val base = rated.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = rated.groupBy(col("__a").as("__l")).agg(count(lit(1)).as("__na"))
+    val mb = rated.groupBy(col("__b").as("__l")).agg(count(lit(1)).as("__nb"))
+    val pe = ma.join(mb, Seq("__l"), "full_outer")
+      .agg(sum(coalesce(col("__na"), lit(0L)).cast(d38) *
+        coalesce(col("__nb"), lit(0L))).as("__pen"))
+    base.join(broadcast(pe))
+      .withColumn("__num",
+        col("n").cast(d38) * col("n_agree") - col("__pen"))
+      .withColumn("__den", col("n").cast(d38) * col("n") - col("__pen"))
+      .withColumn("__fx", when(col("__num") >= 0,
+        expr("CAST(__num * 1000000000 DIV __den AS BIGINT)"))
+        .otherwise(-expr("CAST((-__num) * 1000000000 DIV __den AS BIGINT)")))
+      .select(col("n"), col("n_agree"),
+        when(col("n") > 0, round(col("n_agree").cast("double") /
+          col("n").cast("double"), 6)).as("po"),
+        when(col("n") > 0, round(col("__pen").cast("double") /
+          (col("n").cast(d38) * col("n")).cast("double"), 6)).as("pe"),
+        when(col("__den") > 0,
+          concat(when(col("__fx") < 0L, "-").otherwise(""),
+            expr("CAST(abs(__fx) DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(abs(__fx) % 1000000000 AS STRING)"), 9, "0")))
+          .as("kappa"),
+        when(col("__den") > 0,
+          round(col("__num").cast("double") / col("__den").cast("double"), 6))
+          .as("kappa_d"))
+  }
 }

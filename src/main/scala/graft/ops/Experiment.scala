@@ -219,4 +219,56 @@ object Experiment {
       .select(col("n"), lit(numResamples.toLong).as("n_boot"),
         col("mean"), col("ci_lo"), col("ci_hi"))
   }
+
+  /** Benjamini–Hochberg FDR control — the multiple-comparisons correction
+    * a metrics platform running hundreds of [[abTest]]s per release MUST
+    * apply before anyone ships "23 significant wins" (at α = 0.05, ~5% of
+    * null metrics cross the line by luck; BH caps the expected FALSE
+    * DISCOVERY share of the rejected set at α instead of the familywise
+    * slaughter of Bonferroni).
+    *
+    * Step-up rule on p-values ascending: reject ranks 1..k* where
+    * `k* = max{i : p_(i) ≤ i·α/m}` — the threshold test cross-multiplies
+    * to `p·m·10000 ≤ i·alphaBp` (α arrives in integer BASIS POINTS; p is
+    * data, so the product is one fixed-operand-order IEEE expression both
+    * engines evaluate identically). Adjusted p-values are the standard
+    * running min from the bottom: `q_(i) = min_{j≥i}(m·p_(j)/j) ∧ 1`.
+    * Ties on p break by `idCol` — stated, deterministic.
+    *
+    * Output one row per test:
+    * `(id, p, rank, adj_p, rejected)`.
+    *
+    * == 100 TB shape ==
+    * The frame is TEST-count-sized (one row per metric/experiment — the
+    * input is already an aggregate), so the two global windows (rank,
+    * running min) are bounded by the experiment registry, not by events.
+    * NULL or out-of-range p-values raise LOUDLY — a broken upstream test
+    * must not silently shrink m. */
+  def bhAdjust(df: DataFrame, pCol: String, idCol: String,
+               alphaBp: Int = 500): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000,
+      s"bhAdjust: alphaBp must be in (0, 10000), got $alphaBp")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"),
+      when(col(pCol).isNotNull && col(pCol) >= 0.0 && col(pCol) <= 1.0,
+        col(pCol).cast("double"))
+        .otherwise(raise_error(concat(lit("bhAdjust: invalid p-value for id "),
+          col(idCol).cast("string"))).cast("double")).as("p"))
+    val w = Window.orderBy(col("p").asc, col("id").asc)
+    val ranked = rows
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val down = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = ranked
+      .withColumn("__pass",
+        col("p") * col("__m") * 10000.0 <= col("rank") * lit(alphaBp.toLong))
+      .withColumn("adj_p",
+        least(lit(1.0), min(col("p") * col("__m") / col("rank")).over(down)))
+      .withColumn("__kstar", max(when(col("__pass"), col("rank"))).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    flagged.select(col("id"), col("p"), col("rank"), col("adj_p"),
+      (col("rank") <= coalesce(col("__kstar"), lit(0L))).as("rejected"))
+  }
 }

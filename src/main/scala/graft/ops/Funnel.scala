@@ -257,4 +257,66 @@ object Funnel {
         round(col("__cum").cast("double") /
           col("n_cohort").cast("double"), 6).as("ltv"))
   }
+
+  /** Window funnel — "how deep into signup → view → purchase did each
+    * user get WITHIN the window opened by their first entry event" (the
+    * ClickHouse `windowFunnel` shape): [[funnel]] counts stage
+    * conversions with no deadline; product/abuse analysis usually wants
+    * the TIME-BOXED version — a purchase three months after the signup
+    * session is a different story than one inside the first hour.
+    *
+    * Semantics, stated exactly: the window anchors at the user's EARLIEST
+    * stage-1 event `t₁`; stage k (k ≥ 2) is reached at the earliest
+    * stage-k event with `t > t_{k−1}` and `t ≤ t₁ + windowSeconds`
+    * (strictly increasing timestamps — simultaneous events do not chain);
+    * `depth` is the last stage reached. One anchor per user — the classic
+    * first-touch contract; re-entries open no second window (stated,
+    * deterministic). Timestamps compare as epoch seconds (exact longs).
+    *
+    * Output one row per entered user: `(user, entry_pos, depth)` —
+    * `entry_pos` the epoch second of t₁. Users with no stage-1 event are
+    * absent.
+    *
+    * == 100 TB shape ==
+    * One min-agg per stage, each a type-pushed-down filter scan of
+    * `events` joined user-keyed against the previous stage's ≤-one-row-
+    * per-user table ([[funnel]]'s probe-join shape, stages bounded
+    * small); no windows, no per-user event lists. */
+  def windowFunnel(events: DataFrame, stages: Seq[String],
+                   windowSeconds: Long,
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2, "windowFunnel: at least two stages")
+    require(stages.distinct.size == stages.size,
+      "windowFunnel: stages must be distinct")
+    require(windowSeconds >= 1, "windowFunnel: windowSeconds must be >= 1")
+    val ev = events.select(col(userCol).as("u"),
+      col(tsCol).cast("long").as("t"), col(typeCol).as("ty"))
+      .filter(col("u").isNotNull && col("t").isNotNull)
+    var reached = ev.filter(col("ty") === stages.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t"))
+      .withColumn("entry", col("t"))
+      .withColumn("depth", lit(1L))
+      .localCheckpoint(true)
+    stages.drop(1).zipWithIndex.foreach { case (st, i) =>
+      // only users sitting at EXACTLY the previous depth can advance — a
+      // user who failed stage k must not skip into stage k+1
+      val nxt = ev.filter(col("ty") === st)
+        .join(reached.filter(col("depth") === (i + 1).toLong)
+          .select(col("u"), col("t").as("__pt"),
+            col("entry").as("__e")), Seq("u"))
+        .filter(col("t") > col("__pt") &&
+          col("t") <= col("__e") + windowSeconds)
+        .groupBy(col("u")).agg(min(col("t")).as("__nt"),
+          min(col("__e")).as("__ne"))
+      reached = reached.join(nxt, Seq("u"), "left")
+        .select(col("u"),
+          coalesce(col("__nt"), col("t")).as("t"),
+          col("entry"),
+          when(col("__nt").isNotNull, col("depth") + 1L)
+            .otherwise(col("depth")).as("depth"))
+        .localCheckpoint(true)
+    }
+    reached.select(col("u"), col("entry").as("entry_pos"), col("depth"))
+  }
 }

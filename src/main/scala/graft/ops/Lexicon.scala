@@ -264,4 +264,49 @@ object Lexicon {
     cut("a", Seq(col("z").desc, col("token").asc))
       .unionByName(cut("b", Seq(col("z").asc, col("token").asc)))
   }
+
+  /** Good–Turing unseen-mass report — the vocabulary-coverage readout a
+    * tokenizer/corpus decision needs: "if I sample one MORE token from
+    * this source, what's the probability it's a word I have never seen?"
+    * Good–Turing's estimator is the hapax share `P₀ ≈ N₁/N`, and the
+    * companion discount `r₁* = 2·N₂/N₁` says what a once-seen word's
+    * count is really worth — the smoothing constants behind every
+    * Katz/Kneser-Ney-family LM, computed here as CORPUS DIAGNOSTICS
+    * (rising unseen mass across crawl snapshots = the corpus is still
+    * discovering vocabulary; near-zero = saturated).
+    *
+    * Exact counts over the repo-shared normalize+split tokenization (the
+    * q41 contract, so vocab/hapax agree with the exact vocabulary
+    * report); the two estimates are single IEEE divisions rounded 6 dp —
+    * NULL when their denominator is empty. The empty-string token of an
+    * empty document participates like any token (both engines agree —
+    * the [[docTokens]] convention).
+    *
+    * Output one row per group: `(group, n_tokens, vocab, n1, n2,
+    * unseen_mass, r1_star)`.
+    *
+    * == 100 TB shape ==
+    * One (group, token) hash agg with map-side combine — the q41 shuffle
+    * — then a group-sized fold; the frequency-of-frequencies collapse
+    * happens inside the second agg, nothing wider than the vocabulary
+    * ever shuffles. */
+  def goodTuring(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(groupCol).as("group"),
+      explode(split(TextAnalysis.normalizeText(coalesce(col(textCol),
+        lit(""))), " ")).as("tok"))
+      .groupBy(col("group"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("group")).agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("group"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        when(col("n_tokens") > 0, round(col("n1").cast("double") /
+          col("n_tokens").cast("double"), 6)).as("unseen_mass"),
+        when(col("n1") > 0, round(lit(2.0) * col("n2").cast("double") /
+          col("n1").cast("double"), 6)).as("r1_star"))
+  }
 }

@@ -531,6 +531,100 @@ class StatsOpsSpec extends SparkSpec {
     assert(grouped.length === 2)
   }
 
+  test("cohenKappa: hand-checked κ, perfect, inverse, degenerate NULL") {
+    // (A,A),(A,B),(B,B),(B,B): po = 3/4; pe = (2·1 + 2·3)/16 = 1/2;
+    // κ = (3/4 − 1/2)/(1/2) = 1/2
+    val df = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"))
+      .toDF("a", "b")
+    val r = Classifier.cohenKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_agree") === 3L)
+    assert(r.getAs[Double]("po") === 0.75)
+    assert(r.getAs[Double]("pe") === 0.5)
+    assert(r.getAs[String]("kappa") === "0.500000000")
+    assert(r.getAs[Double]("kappa_d") === 0.5)
+    // perfect agreement over ≥ 2 labels → exactly 1
+    val perfect = Classifier.cohenKappa(
+      Seq(("A", "A"), ("B", "B")).toDF("a", "b"), "a", "b").collect().head
+    assert(perfect.getAs[String]("kappa") === "1.000000000")
+    // systematic swap → exactly −1 (the signed rendering path)
+    val inverse = Classifier.cohenKappa(
+      Seq(("A", "B"), ("B", "A")).toDF("a", "b"), "a", "b").collect().head
+    assert(inverse.getAs[String]("kappa") === "-1.000000000")
+    // both raters constant on one label: pe = 1 → κ undefined → NULL
+    val degen = Classifier.cohenKappa(
+      Seq(("A", "A"), ("A", "A")).toDF("a", "b"), "a", "b").collect().head
+    assert(degen.isNullAt(degen.fieldIndex("kappa")))
+    // NULL ratings are excluded, not counted as disagreement
+    val withNull = Classifier.cohenKappa(
+      Seq(("A", "A"), (null, "B"), ("B", "B"), ("B", "B"),
+        ("A", "B")).toDF("a", "b"), "a", "b").collect().head
+    assert(withNull.getAs[Long]("n") === 4L)
+  }
+
+  test("bhAdjust: textbook step-up set, running-min adjusted p, loud guard") {
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.5))
+      .toDF("id", "p")
+    val rows = Experiment.bhAdjust(df, "p", "id", alphaBp = 500)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, true, false))
+    // adj_p: bottom-up min of m·p/i = 0.04, 0.04, 0.04, 0.5
+    assert(rows.map(_.getAs[Double]("adj_p")).toSeq ===
+      Seq(0.04, 0.04, 0.04, 0.5))
+    // BH beats Bonferroni here: 0.03·4 = 0.12 would fail familywise
+    // nothing rejected when even the smallest p misses α/m
+    val none = Experiment.bhAdjust(
+      Seq((1L, 0.9), (2L, 0.8)).toDF("id", "p"), "p", "id").collect()
+    assert(none.forall(!_.getAs[Boolean]("rejected")))
+    val err = intercept[Exception] {
+      Experiment.bhAdjust(Seq((1L, 1.5)).toDF("id", "p"), "p", "id")
+        .collect()
+    }
+    assert(err.getMessage.contains("invalid p-value"))
+  }
+
+  test("windowFunnel: chaining, deadline, skip gate, simultaneity") {
+    val ev = Seq(
+      (1L, 0L, "s"), (1L, 10L, "v"), (1L, 20L, "p"),   // full depth 3
+      (2L, 0L, "s"), (2L, 5L, "p"), (2L, 10L, "v"),    // p before v: depth 2
+      (3L, 0L, "s"), (3L, 150L, "v"),                  // v after deadline
+      (4L, 0L, "v"),                                   // never entered
+      (5L, 0L, "s"), (5L, 30L, "p"),                   // skip gate: depth 1
+      (6L, 0L, "s"), (6L, 0L, "v")                     // simultaneous: no chain
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.windowFunnel(ev, Seq("s", "v", "p"),
+      windowSeconds = 100L).collect()
+      .map(r => r.getAs[Long]("u") ->
+        (r.getAs[Long]("entry_pos"), r.getAs[Long]("depth"))).toMap
+    assert(got === Map(
+      1L -> (0L, 3L), 2L -> (0L, 2L), 3L -> (0L, 1L),
+      5L -> (0L, 1L), 6L -> (0L, 1L)))
+    // the window anchors at the FIRST entry: a second signup at t=140
+    // does not reopen it
+    val re = Funnel.windowFunnel(Seq(
+      (9L, 0L, "s"), (9L, 140L, "s"), (9L, 150L, "v"))
+      .toDF("user_id", "ts", "event_type"),
+      Seq("s", "v", "p"), windowSeconds = 100L).collect().head
+    assert(re.getAs[Long]("depth") === 1L &&
+      re.getAs[Long]("entry_pos") === 0L)
+  }
+
+  test("goodTuring: hand-checked hapax mass and discount") {
+    val docs = Seq(("s1", "a b a c"), ("s2", "x x y y"))
+      .toDF("source", "text")
+    val got = graft.ops.Lexicon.goodTuring(docs).collect()
+      .map(r => r.getAs[String]("group") -> r).toMap
+    val s1 = got("s1") // tf: a=2, b=1, c=1 → N=4, V=3, n1=2, n2=1
+    assert(s1.getAs[Long]("n_tokens") === 4L)
+    assert(s1.getAs[Long]("vocab") === 3L)
+    assert(s1.getAs[Long]("n1") === 2L && s1.getAs[Long]("n2") === 1L)
+    assert(s1.getAs[Double]("unseen_mass") === 0.5)
+    assert(s1.getAs[Double]("r1_star") === 1.0)
+    val s2 = got("s2") // no hapax → unseen 0, discount NULL
+    assert(s2.getAs[Double]("unseen_mass") === 0.0)
+    assert(s2.isNullAt(s2.fieldIndex("r1_star")))
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
