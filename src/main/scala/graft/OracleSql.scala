@@ -6109,6 +6109,131 @@ object OracleSql {
       END AS r1_star
     FROM tf GROUP BY source"""
 
+  /** Exact k-means — q259. Two Lloyd rounds unrolled (assign via the
+    * (d², cid) rank-1 window, update via HUGEINT floor-division means,
+    * empty clusters carry); mirrors Cluster.kMeans2d. */
+  private val q259 = """
+    WITH pts AS (SELECT c_custkey AS id,
+        (c_custkey * 7919) % 1000 AS x, (c_custkey * 104729) % 1000 AS y
+      FROM customer WHERE c_custkey IS NOT NULL),
+    c0 AS (SELECT cid, cx, cy FROM (SELECT
+        CAST(row_number() OVER (ORDER BY id ASC) AS BIGINT) AS cid,
+        x AS cx, y AS cy FROM pts) WHERE cid <= 5),
+    a1 AS (SELECT id, x, y, cid FROM (SELECT p.id, p.x, p.y, c.cid,
+        row_number() OVER (PARTITION BY p.id ORDER BY
+          (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) ASC, c.cid ASC) AS rn
+      FROM pts p, c0 c) WHERE rn = 1),
+    c1 AS (SELECT c0.cid,
+        CAST(coalesce(s.sx // s.n, c0.cx) AS BIGINT) AS cx,
+        CAST(coalesce(s.sy // s.n, c0.cy) AS BIGINT) AS cy
+      FROM c0 LEFT JOIN (SELECT cid, sum(x) AS sx, sum(y) AS sy,
+        count(*) AS n FROM a1 GROUP BY 1) s ON c0.cid = s.cid),
+    a2 AS (SELECT id, x, y, cid FROM (SELECT p.id, p.x, p.y, c.cid,
+        row_number() OVER (PARTITION BY p.id ORDER BY
+          (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) ASC, c.cid ASC) AS rn
+      FROM pts p, c1 c) WHERE rn = 1),
+    c2 AS (SELECT c1.cid,
+        CAST(coalesce(s.sx // s.n, c1.cx) AS BIGINT) AS cx,
+        CAST(coalesce(s.sy // s.n, c1.cy) AS BIGINT) AS cy
+      FROM c1 LEFT JOIN (SELECT cid, sum(x) AS sx, sum(y) AS sy,
+        count(*) AS n FROM a2 GROUP BY 1) s ON c1.cid = s.cid),
+    af AS (SELECT id, cid, d2 FROM (SELECT p.id, c.cid,
+        (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) AS d2,
+        row_number() OVER (PARTITION BY p.id ORDER BY
+          (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) ASC, c.cid ASC) AS rn
+      FROM pts p, c2 c) WHERE rn = 1)
+    SELECT c2.cid, c2.cx, c2.cy,
+      CAST(coalesce(f.n, 0) AS BIGINT) AS n_points,
+      CAST(coalesce(f.ssd, 0) AS BIGINT) AS ssd
+    FROM c2 LEFT JOIN (SELECT cid, count(*) AS n, sum(d2) AS ssd
+      FROM af GROUP BY 1) f ON c2.cid = f.cid"""
+
+  /** CUPED — q260. Five DECIMAL(38) cent moments, θ/means/ρ² as
+    * fixed-operand-order IEEE expressions; mirrors Experiment.cuped. */
+  private val q260 = """
+    WITH rows_ AS (SELECT 'arm' || CAST(o_orderkey % 2 AS VARCHAR) AS variant,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        CAST(CAST(o_totalprice + CAST(o_custkey % 200 AS DOUBLE)
+          AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    arms AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        sum(y::HUGEINT) AS sy, sum(x::HUGEINT) AS sx
+      FROM rows_ GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+        sum(x::HUGEINT) AS gsx, sum(y::HUGEINT) AS gsy,
+        sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        sum(y::HUGEINT * y) AS syy
+      FROM rows_),
+    w AS (SELECT arms.*, g.*,
+        gn::HUGEINT * sxy - gsx * gsy AS covn,
+        gn::HUGEINT * sxx - gsx * gsx AS varxn,
+        gn::HUGEINT * syy - gsy * gsy AS varyn
+      FROM arms, g)
+    SELECT variant, n,
+      round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_y,
+      round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_x,
+      CASE WHEN varxn > 0 THEN
+        round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+          CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE) *
+          (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) -
+           CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))) / 100.0, 6)
+      ELSE round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+      END AS adj_mean,
+      CASE WHEN varxn > 0 THEN
+        round(CAST(covn AS DOUBLE) / CAST(varxn AS DOUBLE), 6) END AS theta,
+      CASE WHEN varxn > 0 AND varyn > 0 THEN
+        round(CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE) /
+          (CAST(varxn AS DOUBLE) * CAST(varyn AS DOUBLE)), 6) END AS rho2
+    FROM w"""
+
+  /** Golden record — q261. Majority vote per attribute, ties to the
+    * smallest value ((count DESC, value ASC) rank-1); mirrors
+    * EntityResolution.goldenRecord. */
+  private val q261 = """
+    WITH base AS (SELECT c_custkey % 300 AS cluster, c_mktsegment,
+        c_nationkey FROM customer WHERE c_custkey IS NOT NULL),
+    cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_records
+      FROM base GROUP BY 1),
+    seg AS (SELECT cluster, v AS c_mktsegment FROM (SELECT cluster,
+        CAST(c_mktsegment AS VARCHAR) AS v, count(*) AS c,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY count(*) DESC, CAST(c_mktsegment AS VARCHAR) ASC) AS rn
+      FROM base WHERE c_mktsegment IS NOT NULL GROUP BY cluster, v)
+      WHERE rn = 1),
+    nat AS (SELECT cluster, v AS c_nationkey FROM (SELECT cluster,
+        CAST(c_nationkey AS VARCHAR) AS v, count(*) AS c,
+        row_number() OVER (PARTITION BY cluster
+          ORDER BY count(*) DESC, CAST(c_nationkey AS VARCHAR) ASC) AS rn
+      FROM base WHERE c_nationkey IS NOT NULL GROUP BY cluster, v)
+      WHERE rn = 1)
+    SELECT cnt.cluster, seg.c_mktsegment, nat.c_nationkey, cnt.n_records
+    FROM cnt LEFT JOIN seg ON cnt.cluster = seg.cluster
+      LEFT JOIN nat ON cnt.cluster = nat.cluster"""
+
+  /** Inter-arrival regularity — q262. User-ordered gap lags, DECIMAL
+    * dispersion moments, cross-multiplied regular flag; mirrors
+    * Sessionize.interArrivalProfile at minEvents=3, threshold 10%. */
+  private val q262 = """
+    WITH e AS (SELECT user_id AS u, event_id, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    gp AS (SELECT u,
+        t - lag(t) OVER (PARTITION BY u ORDER BY ts, event_id) AS g
+      FROM e),
+    st AS (SELECT u AS "user", CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(g) AS BIGINT) AS n_gaps,
+        sum(g::HUGEINT) AS sg, sum(g::HUGEINT * g) AS sgg
+      FROM gp GROUP BY 1),
+    wv AS (SELECT *, n_gaps::HUGEINT * sgg - sg * sg AS num,
+        n_gaps::HUGEINT * sg AS den FROM st)
+    SELECT "user", n_events, n_gaps,
+      CASE WHEN n_gaps > 0 THEN
+        round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) END AS mean_gap,
+      CASE WHEN n_events >= 3 AND den > 0 THEN
+        round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS vmr,
+      (n_events >= 3 AND den > 0 AND num * 10000 < den * 1000) AS regular
+    FROM wv"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6383,6 +6508,10 @@ object OracleSql {
     "q255_cohen_kappa"      -> q255,
     "q256_bh_fdr"           -> q256,
     "q257_window_funnel"    -> q257,
-    "q258_good_turing"      -> q258
+    "q258_good_turing"      -> q258,
+    "q259_kmeans"           -> q259,
+    "q260_cuped"            -> q260,
+    "q261_golden_record"    -> q261,
+    "q262_inter_arrival"    -> q262
   ).map { case (k, v) => k -> clean(v) }
 }

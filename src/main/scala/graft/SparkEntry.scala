@@ -3999,6 +3999,45 @@ object SparkEntry {
   private def q258GoodTuring(s: SparkSession, dir: String): DataFrame =
     graft.ops.Lexicon.goodTuring(t(s, dir, "documents"))
 
+  /** Exact k-means ([[graft.ops.Cluster.kMeans2d]]): customers on a
+    * pseudo-random 1000×1000 grid, k = 5, 2 Lloyd rounds — integer
+    * centroids, deterministic init and ties, exact SSD. */
+  private def q259KMeans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.kMeans2d(
+      t(s, dir, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") * 7919) % 1000).as("x"),
+        ((col("c_custkey") * 104729) % 1000).as("y")),
+      "id", "x", "y", k = 5, rounds = 2)
+
+  /** CUPED ([[graft.ops.Experiment.cuped]]): order totals split into two
+    * arms by key parity, adjusted by a correlated synthetic pre-period
+    * covariate — θ, adjusted means, ρ² from exact cent moments. */
+  private def q260Cuped(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.cuped(
+      t(s, dir, "orders").select(
+        concat(lit("arm"), (col("o_orderkey") % 2).cast("string"))
+          .as("variant"),
+        col("o_totalprice").as("y"),
+        (col("o_totalprice") +
+          (col("o_custkey") % 200).cast("double")).as("x")),
+      "variant", "y", "x")
+
+  /** Golden record ([[graft.ops.EntityResolution.goldenRecord]]):
+    * customer duplicate-clusters by key bucket consolidated by majority
+    * vote over segment and nation — deterministic survivorship. */
+  private def q261GoldenRecord(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EntityResolution.goldenRecord(
+      t(s, dir, "customer")
+        .select((col("c_custkey") % 300).as("cluster"),
+          col("c_mktsegment"), col("c_nationkey")),
+      "cluster", Seq("c_mktsegment", "c_nationkey"))
+
+  /** Inter-arrival regularity ([[graft.ops.Sessionize.interArrivalProfile]]):
+    * per-user gap dispersion over the event stream — VMR bot signal,
+    * cross-multiplied regular flag. */
+  private def q262InterArrival(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.interArrivalProfile(events(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4257,7 +4296,11 @@ object SparkEntry {
     "q255_cohen_kappa"      -> q255Kappa _,
     "q256_bh_fdr"           -> q256BhFdr _,
     "q257_window_funnel"    -> q257WindowFunnel _,
-    "q258_good_turing"      -> q258GoodTuring _
+    "q258_good_turing"      -> q258GoodTuring _,
+    "q259_kmeans"           -> q259KMeans _,
+    "q260_cuped"            -> q260Cuped _,
+    "q261_golden_record"    -> q261GoldenRecord _,
+    "q262_inter_arrival"    -> q262InterArrival _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic Lloyd k-means over an integer grid — clustering as an
+  * ORACLE-CHECKABLE operator: the usual k-means is unreproducible across
+  * engines (random init, float centroids, platform-order reductions);
+  * this variant pins every source of drift so an independent engine
+  * replays the identical trajectory bit for bit:
+  *
+  *  - init = the k points with the SMALLEST ids (stated; a caller wanting
+  *    k-means++-quality seeds feeds pre-picked seed rows as the smallest
+  *    ids — determinism is the contract, seeding strategy is policy),
+  *  - assignment by exact integer squared distance, ties to the smallest
+  *    centroid id,
+  *  - centroid update = per-axis integer mean `sum DIV n` (truncated =
+  *    floored on the required NON-NEGATIVE grid — negative coordinates
+  *    raise LOUDLY, the cross-engine `DIV` vs `//` hazard the L226 slope
+  *    rendering dodges with magnitudes),
+  *  - an emptied cluster keeps its previous centroid (stated).
+  *
+  * [[Similarity.refineCentroids]] is the float embedding-space cousin for
+  * IVF cells; this is the auditable warehouse form (geo grids, RFM
+  * planes, quantized feature pairs).
+  *
+  * == 100 TB shape ==
+  * Per round: one broadcast join of the k-row centroid table against the
+  * points (row-local argmin fold over k — k is small by contract) + one
+  * map-side-combined k-row agg. No point ever shuffles; rounds are a
+  * small constant. */
+object Cluster {
+
+  /** @return `(cid, cx, cy, n_points, ssd)` after `rounds` update rounds
+    *         and one final assignment; `ssd` is the exact integer
+    *         within-cluster sum of squared distances. */
+  def kMeans2d(points: DataFrame, idCol: String, xCol: String, yCol: String,
+               k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kMeans2d: k must be >= 1")
+    require(rounds >= 0, "kMeans2d: rounds must be >= 0")
+    val pts = points
+      .filter(col(idCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(idCol).as("__id"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      // the guard rides the coordinate the assignment reads
+      .withColumn("__x", when(col("__x") >= 0L && col("__y") >= 0L, col("__x"))
+        .otherwise(raise_error(concat(
+          lit("kMeans2d: negative coordinate at id "),
+          col("__id").cast("string"))).cast("long")))
+      .localCheckpoint(true)
+    // init: the k smallest ids (TakeOrderedAndProject — no global sort),
+    // centroid ids 1..k in id order; the window sees only k rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__id").asc)
+    var cents = pts.orderBy(col("__id").asc).limit(k)
+      .withColumn("cid", row_number().over(w).cast("long"))
+      .select(col("cid"), col("__x").as("cx"), col("__y").as("cy"))
+      .localCheckpoint(true)
+    def assigned(c: DataFrame): DataFrame = {
+      val d2 = (col("__x") - col("cx")) * (col("__x") - col("cx")) +
+        (col("__y") - col("cy")) * (col("__y") - col("cy"))
+      pts.join(broadcast(c))
+        .groupBy(col("__id"), col("__x"), col("__y"))
+        .agg(min(struct(d2.as("d2"), col("cid"))).as("__b"))
+        .select(col("__id"), col("__x"), col("__y"),
+          col("__b.cid").as("cid"), col("__b.d2").as("d2"))
+    }
+    for (_ <- 0 until rounds) {
+      val sums = assigned(cents)
+        .groupBy(col("cid"))
+        .agg(sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+          count(lit(1)).as("__n"))
+      // emptied clusters keep their previous centroid
+      cents = cents.join(sums, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(expr("__sx DIV __n"), col("cx")).as("cx"),
+          coalesce(expr("__sy DIV __n"), col("cy")).as("cy"))
+        .localCheckpoint(true)
+    }
+    assigned(cents).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("d2")).as("ssd"))
+      .join(cents, Seq("cid"), "right")
+      .select(col("cid"), col("cx"), col("cy"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        coalesce(col("ssd"), lit(0L)).as("ssd"))
+  }
+}

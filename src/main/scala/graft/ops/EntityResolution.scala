@@ -353,4 +353,41 @@ object EntityResolution {
         round(when(prec + rec > 0.0,
           lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
   }
+
+  /** Golden-record survivorship — the MDM step AFTER matching: a resolved
+    * cluster of duplicate records must collapse to ONE consolidated row,
+    * and "which value survives" needs a stated rule, not whatever the
+    * last writer left. Per tracked attribute, the rule here is MAJORITY
+    * VOTE over non-null values, ties to the lexicographically smallest
+    * value — fully deterministic, order-independent, engine-portable (the
+    * recency rule most MDM tools default to silently depends on clock
+    * skew; callers wanting it can pre-filter to the latest records).
+    * NULLs never vote (an absent field is missing data, not a vote for
+    * emptiness); an all-null attribute survives as NULL.
+    *
+    * Output one row per cluster: `(cluster, attr…, n_records)`.
+    *
+    * == 100 TB shape ==
+    * Per attribute: one (cluster, value) map-side-combined count agg +
+    * one cluster-sized argmin fold — duplicate-mass-sized, never wider;
+    * attribute results re-join on the cluster key (attrs are bounded
+    * small). */
+  def goldenRecord(records: DataFrame, clusterCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "goldenRecord: need >= 1 attribute column")
+    val base = records.filter(col(clusterCol).isNotNull)
+    val counts = base.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_records"))
+    attrCols.foldLeft(counts) { (acc, a) =>
+      val votes = base.filter(col(a).isNotNull)
+        .groupBy(col(clusterCol).as("cluster"),
+          col(a).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        // (count desc, value asc) argmin via min(struct(-count, value))
+        .groupBy(col("cluster"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("__v"))).as("__b"))
+        .select(col("cluster"), col("__b.__v").as(a))
+      acc.join(votes, Seq("cluster"), "left")
+    }.select((col("cluster") +: attrCols.map(col) :+ col("n_records")): _*)
+  }
 }

@@ -107,4 +107,55 @@ object Sessionize {
           .as("span_seconds"),
         sum(col(valueCol)).as("sum_value"))
   }
+
+  /** Inter-arrival regularity profile — the behavioral bot detector a
+    * crawl/event pipeline runs before sessions are trusted as human
+    * signal: humans arrive in BURSTS (inter-event gap variance ≫ mean —
+    * the Poisson-ish baseline), schedulers and scripted clients arrive
+    * on a CLOCK (variance ≪ mean). The index of dispersion
+    * `VMR = var(gap)/mean(gap)` separates them with no model: ~1 for
+    * memoryless traffic, ≪ 1 for metronome bots, ≫ 1 for bursty humans.
+    *
+    * Exactness: gaps are exact integer seconds from the user-ordered lag
+    * (ties on the timestamp break by `idCol` — the [[sessionize]]
+    * contract); with `m` gaps, `VMR = (m·Σg² − (Σg)²)/(m·Σg)` is ONE
+    * IEEE division of DECIMAL(38) moments, and the `regular` flag
+    * cross-multiplies to exact integers —
+    * `(m·Σg² − (Σg)²)·10⁴ < thresholdBp·m·Σg` — so the decision is
+    * engine-portable. Users with fewer than `minEvents` events (or zero
+    * total gap — all simultaneous) report NULL vmr, false flag.
+    *
+    * Output one row per user: `(user, n_events, n_gaps, mean_gap, vmr,
+    * regular)`.
+    *
+    * == 100 TB shape ==
+    * One user-partitioned lag window + one map-side-combined per-user
+    * moment agg — the [[sessionize]] single-shuffle shape. */
+  def interArrivalProfile(events: DataFrame, userCol: String = "user_id",
+                          tsCol: String = "ts", idCol: String = "event_id",
+                          minEvents: Int = 3,
+                          thresholdBp: Long = 1000L): DataFrame = {
+    require(minEvents >= 2, "interArrivalProfile: minEvents must be >= 2")
+    require(thresholdBp > 0, "interArrivalProfile: thresholdBp must be > 0")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapped = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__g",
+        col(tsCol).cast("long") - lag(col(tsCol).cast("long"), 1).over(w))
+    val stat = gapped.groupBy(col(userCol).as("user")).agg(
+      count(lit(1)).as("n_events"),
+      count(col("__g")).as("n_gaps"),
+      sum(col("__g").cast(d38)).as("__sg"),
+      sum(col("__g").cast(d38) * col("__g")).as("__sgg"))
+    val num = col("n_gaps").cast(d38) * col("__sgg") - col("__sg") * col("__sg")
+    val den = col("n_gaps").cast(d38) * col("__sg")
+    stat.select(col("user"), col("n_events"), col("n_gaps"),
+      when(col("n_gaps") > 0, round(col("__sg").cast("double") /
+        col("n_gaps").cast("double"), 6)).as("mean_gap"),
+      when(col("n_events") >= minEvents && den > 0,
+        round(num.cast("double") / den.cast("double"), 6)).as("vmr"),
+      (col("n_events") >= minEvents && den > 0 &&
+        num * 10000 < den * thresholdBp).as("regular"))
+  }
 }

@@ -625,6 +625,92 @@ class StatsOpsSpec extends SparkSpec {
     assert(s2.isNullAt(s2.fieldIndex("r1_star")))
   }
 
+  test("kMeans2d: hand-traced rounds, empty-cluster carry, tie rule, guard") {
+    // blobs at (0..2, 0..2) and (100..102, 100..102); init = ids 1,2 —
+    // BOTH in blob A, so round 1 must pull c2 across and round 2 settles
+    val pts = Seq((1L, 0L, 0L), (2L, 0L, 2L), (3L, 2L, 0L),
+      (4L, 100L, 100L), (5L, 100L, 102L), (6L, 102L, 100L))
+      .toDF("id", "x", "y")
+    val got = graft.ops.Cluster.kMeans2d(pts, "id", "x", "y",
+      k = 2, rounds = 2).orderBy("cid").collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("cx"),
+        r.getAs[Long]("cy"), r.getAs[Long]("n_points"), r.getAs[Long]("ssd")))
+    assert(got.toSeq === Seq((1L, 0L, 0L, 3L, 8L),
+      (2L, 100L, 100L, 3L, 8L)))
+    // all points identical: cluster 2 empties immediately and carries its
+    // init centroid; every point ties to the smaller cid
+    val same = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 5L, 5L))
+      .toDF("id", "x", "y")
+    val s = graft.ops.Cluster.kMeans2d(same, "id", "x", "y", 2, 2)
+      .orderBy("cid").collect()
+    assert(s(0).getAs[Long]("n_points") === 3L)
+    assert(s(1).getAs[Long]("n_points") === 0L &&
+      s(1).getAs[Long]("cx") === 5L)
+    val err = intercept[Exception] {
+      graft.ops.Cluster.kMeans2d(
+        Seq((1L, -1L, 0L)).toDF("id", "x", "y"), "id", "x", "y", 1, 1)
+        .collect()
+    }
+    assert(err.getMessage.contains("negative coordinate"))
+  }
+
+  test("cuped: perfect covariate collapses arms to the global mean") {
+    // x = y exactly → θ = 1, ρ² = 1, both adjusted means = global mean 25
+    val df = Seq(("A", 10.0, 10.0), ("A", 20.0, 20.0),
+      ("B", 30.0, 30.0), ("B", 40.0, 40.0)).toDF("v", "y", "x")
+    val got = Experiment.cuped(df, "v", "y", "x").orderBy("variant")
+      .collect()
+    assert(got.map(_.getAs[Double]("theta")).toSeq === Seq(1.0, 1.0))
+    assert(got.map(_.getAs[Double]("rho2")).toSeq === Seq(1.0, 1.0))
+    assert(got.map(_.getAs[Double]("adj_mean")).toSeq === Seq(25.0, 25.0))
+    assert(got.map(_.getAs[Double]("mean_y")).toSeq === Seq(15.0, 35.0))
+    // constant covariate: CUPED degrades to the raw means, NULL θ
+    val flat = Experiment.cuped(
+      Seq(("A", 10.0, 7.0), ("B", 30.0, 7.0)).toDF("v", "y", "x"),
+      "v", "y", "x").orderBy("variant").collect()
+    assert(flat.forall(_.isNullAt(flat.head.fieldIndex("theta"))))
+    assert(flat.map(_.getAs[Double]("adj_mean")).toSeq === Seq(10.0, 30.0))
+  }
+
+  test("goldenRecord: majority vote, tie to smallest, NULLs never vote") {
+    val recs = Seq(
+      (1L, "A", "x"), (1L, "A", null), (1L, "B", null),
+      (2L, "A", "p"), (2L, "B", "p"),
+      (3L, null, null)).toDF("cluster", "seg", "code")
+    val got = EntityResolution.goldenRecord(recs, "cluster",
+      Seq("seg", "code")).orderBy("cluster").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[String]("seg"),
+        r.getAs[String]("code"), r.getAs[Long]("n_records")))
+    assert(got.toSeq === Seq(
+      (1L, "A", "x", 3L),       // majority A; only non-null code survives
+      (2L, "A", "p", 2L),       // A-vs-B tie → smallest
+      (3L, null, null, 1L)))    // all-null attr survives as NULL
+  }
+
+  test("interArrivalProfile: metronome bot vs bursty human, degenerate NULLs") {
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 10L, 11L), (1L, 20L, 12L), (1L, 30L, 13L), // bot
+      (2L, 0L, 20L), (2L, 1L, 21L), (2L, 100L, 22L), (2L, 101L, 23L), // human
+      (3L, 0L, 30L), (3L, 9L, 31L),                                   // 2 events
+      (4L, 5L, 40L), (4L, 5L, 41L), (4L, 5L, 42L)                     // simultaneous
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.ops.Sessionize.interArrivalProfile(ev)
+      .collect().map(r => r.getAs[Long]("user") -> r).toMap
+    val bot = got(1L) // gaps 10,10,10 → vmr 0 → regular
+    assert(bot.getAs[Double]("mean_gap") === 10.0)
+    assert(bot.getAs[Double]("vmr") === 0.0)
+    assert(bot.getAs[Boolean]("regular"))
+    val human = got(2L) // gaps 1,99,1 → heavily overdispersed
+    assert(human.getAs[Double]("vmr") > 10.0)
+    assert(!human.getAs[Boolean]("regular"))
+    val two = got(3L) // below minEvents → NULL vmr, never flagged
+    assert(two.isNullAt(two.fieldIndex("vmr")))
+    assert(!two.getAs[Boolean]("regular"))
+    val zero = got(4L) // zero total gap → NULL vmr, never flagged
+    assert(zero.isNullAt(zero.fieldIndex("vmr")))
+    assert(!zero.getAs[Boolean]("regular"))
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
