@@ -6234,6 +6234,112 @@ object OracleSql {
       (n_events >= 3 AND den > 0 AND num * 10000 < den * 1000) AS regular
     FROM wv"""
 
+  /** SAX — q263. Rank-based PAA segments, exact cent moments, portable
+    * sqrt σ, Gaussian-quartile alphabet, ORDER BY-assembled word;
+    * mirrors Trend.saxWords at w = 8. */
+  private val q263 = """
+    WITH grid AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS pos,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    rk AS (SELECT g, pos, c,
+        CAST(row_number() OVER (PARTITION BY g ORDER BY pos ASC)
+          AS BIGINT) AS i,
+        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM grid),
+    segs AS (SELECT g, ((i - 1) * 8) // n AS b,
+        sum(c::HUGEINT) AS ss, CAST(count(*) AS BIGINT) AS sc
+      FROM rk GROUP BY 1, 2),
+    mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points,
+        sum(c::HUGEINT) AS sx, sum(c::HUGEINT * c) AS sxx
+      FROM grid GROUP BY 1),
+    z AS (SELECT s.g, s.b, m.n_points,
+        CASE WHEN sqrt(CAST(m.n_points::HUGEINT * m.sxx - m.sx * m.sx
+            AS DOUBLE)) / CAST(m.n_points AS DOUBLE) > 0.0 THEN
+          (CAST(s.ss AS DOUBLE) / CAST(s.sc AS DOUBLE) -
+           CAST(m.sx AS DOUBLE) / CAST(m.n_points AS DOUBLE)) /
+          (sqrt(CAST(m.n_points::HUGEINT * m.sxx - m.sx * m.sx
+            AS DOUBLE)) / CAST(m.n_points AS DOUBLE))
+        END AS zv
+      FROM segs s JOIN mom m ON s.g = m.g),
+    sym AS (SELECT g, b, n_points,
+        CASE WHEN zv IS NULL THEN NULL
+          WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
+          WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS s
+      FROM z)
+    SELECT g AS o_orderpriority, max(n_points) AS n_points,
+      CASE WHEN count(s) = count(*) THEN
+        string_agg(s, '' ORDER BY b) END AS sax
+    FROM sym GROUP BY g"""
+
+  /** t-closeness — q264. Full class×value grid, integer TVD numerator,
+    * ×10⁹ fixed-point rendering, basis-point violation; mirrors
+    * Privacy.tCloseness at 1500 bp. */
+  private val q264 = """
+    WITH rows_ AS (SELECT o_orderpriority AS q1, o_orderstatus AS q2,
+        CAST(o_custkey % 7 AS VARCHAR) AS v
+      FROM orders WHERE o_custkey IS NOT NULL),
+    cell AS (SELECT q1, q2, v, CAST(count(*) AS BIGINT) AS c
+      FROM rows_ GROUP BY 1, 2, 3),
+    cls AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS n
+      FROM cell GROUP BY 1, 2),
+    gmarg AS (SELECT v, CAST(sum(c) AS BIGINT) AS gv FROM cell GROUP BY 1),
+    big AS (SELECT CAST(sum(gv) AS BIGINT) AS bign FROM gmarg),
+    grid AS (SELECT cls.q1, cls.q2, cls.n, gmarg.v, gmarg.gv,
+        coalesce(cell.c, 0) AS c
+      FROM cls CROSS JOIN gmarg LEFT JOIN cell
+        ON cell.q1 = cls.q1 AND cell.q2 = cls.q2 AND cell.v = gmarg.v),
+    fold AS (SELECT q1, q2, n, bign,
+        sum(abs(c::HUGEINT * bign - gv::HUGEINT * n)) AS s,
+        CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_values
+      FROM grid, big GROUP BY 1, 2, 3, 4),
+    fx AS (SELECT *, 2 * n::HUGEINT * bign AS den,
+        CAST(s * 1000000000 // (2 * n::HUGEINT * bign) AS BIGINT) AS f
+      FROM fold)
+    SELECT q1 AS o_orderpriority, q2 AS o_orderstatus, n, n_values,
+      CAST(f // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(f % 1000000000 AS VARCHAR), 9, '0') AS tvd,
+      round(CAST(s AS DOUBLE) / CAST(den AS DOUBLE), 6) AS tvd_d,
+      s * 10000 > den * 1500 AS violates
+    FROM fx"""
+
+  /** The q265 Hilbert walk: one CTE per level, the classic reflect+swap
+    * rotation with the FULL grid size n (Wikipedia xy2d), matching
+    * Layout.hilbertIndex's per-level column algebra step for step. */
+  private def hilbertCtes(order: Int): String = {
+    val n = 1L << order
+    (0 until order).map { k =>
+      val s = n >> (k + 1)
+      val prev = s"h$k"
+      s"""h${k + 1} AS (SELECT ox, oy,
+        CASE WHEN (y & $s) = 0 THEN
+          (CASE WHEN (x & $s) > 0 THEN ${n - 1} - y ELSE y END)
+        ELSE x END AS x,
+        CASE WHEN (y & $s) = 0 THEN
+          (CASE WHEN (x & $s) > 0 THEN ${n - 1} - x ELSE x END)
+        ELSE y END AS y,
+        d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+      FROM $prev)"""
+    }.mkString(",\n    ")
+  }
+
+  /** Hilbert layout report — q265. 10 unrolled rotation levels over the
+    * 1024² grid, 64 curve-range buckets with zone-map extents; mirrors
+    * Layout.hilbertIndex/hilbertReport. */
+  private val q265 = s"""
+    WITH pts AS (SELECT (c_custkey * 7919) % 1024 AS ox,
+        (c_custkey * 104729) % 1024 AS oy
+      FROM customer WHERE c_custkey IS NOT NULL),
+    h0 AS (SELECT ox, oy, ox AS x, oy AS y, CAST(0 AS BIGINT) AS d
+      FROM pts),
+    ${hilbertCtes(10)}
+    SELECT (d >> 14) AS bucket, CAST(count(*) AS BIGINT) AS n,
+      min(ox) AS min_x, max(ox) AS max_x,
+      min(oy) AS min_y, max(oy) AS max_y
+    FROM h10 GROUP BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6512,6 +6618,9 @@ object OracleSql {
     "q259_kmeans"           -> q259,
     "q260_cuped"            -> q260,
     "q261_golden_record"    -> q261,
-    "q262_inter_arrival"    -> q262
+    "q262_inter_arrival"    -> q262,
+    "q263_sax_words"        -> q263,
+    "q264_t_closeness"      -> q264,
+    "q265_hilbert"          -> q265
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4038,6 +4038,37 @@ object SparkEntry {
   private def q262InterArrival(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sessionize.interArrivalProfile(events(s, dir))
 
+  /** SAX words ([[graft.ops.Trend.saxWords]]): weekly revenue per
+    * priority symbolized into 8-letter words — exact rank segmentation,
+    * portable z-scores, Gaussian-breakpoint alphabet. */
+  private def q263Sax(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.saxWords(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+        .select(col("o_orderpriority"),
+          expr("__day DIV 7").as("week"), col("o_totalprice")),
+      "week", "o_totalprice", Seq("o_orderpriority"), w = 8)
+
+  /** t-closeness ([[graft.ops.Privacy.tCloseness]]): sensitive-bucket
+    * skew of each (priority, status) class vs the population — exact
+    * integer TVD, basis-point threshold. */
+  private def q264TCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.tCloseness(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_orderstatus"), (col("o_custkey") % 7).as("sens")),
+      Seq("o_orderpriority", "o_orderstatus"), "sens")
+
+  /** Hilbert layout report ([[graft.ops.Layout.hilbertReport]]): 64
+    * curve-range buckets over a 1024² grid — per-bucket zone-map
+    * extents, directly comparable to the q163 Morton report. */
+  private def q265Hilbert(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.hilbertReport(
+      t(s, dir, "customer").select(
+        ((col("c_custkey") * 7919) % 1024).as("x"),
+        ((col("c_custkey") * 104729) % 1024).as("y")),
+      "x", "y", order = 10, numBuckets = 64)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4300,7 +4331,10 @@ object SparkEntry {
     "q259_kmeans"           -> q259KMeans _,
     "q260_cuped"            -> q260Cuped _,
     "q261_golden_record"    -> q261GoldenRecord _,
-    "q262_inter_arrival"    -> q262InterArrival _
+    "q262_inter_arrival"    -> q262InterArrival _,
+    "q263_sax_words"        -> q263Sax _,
+    "q264_t_closeness"      -> q264TCloseness _,
+    "q265_hilbert"          -> q265Hilbert _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

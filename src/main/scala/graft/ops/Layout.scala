@@ -86,4 +86,83 @@ object Layout {
       min(col(dn)).as(s"min_$dn"), max(col(dn)).as(s"max_$dn")))
     bucketed.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Hilbert-curve index for TWO dimensions — the curve lake layouts are
+    * converging on over Morton ([[zValue]]): Z-order's quadrant seams
+    * produce jumps (the curve teleports across the domain between
+    * quadrants 1→2), so a file holding a z-range can span a wide x/y
+    * box; the Hilbert curve is CONTINUOUS — every step moves one cell —
+    * so equal-sized curve ranges have provably tighter bounding boxes
+    * (~better zone-map pruning for the same file count).
+    *
+    * The classic bit-rotation walk (per level: quadrant digit
+    * `(3·rx) xor ry`, then reflect+swap when ry = 0), unrolled `order`
+    * times as pure when/xor/and column algebra — codegen'd, no UDF, and
+    * expressible verbatim in the oracle's SQL (the [[zValue]] contract).
+    * Inputs must lie in `[0, 2^order)`; negatives or overflow yield a
+    * NULL key (the [[zValue]] reject rule).
+    *
+    * == 100 TB shape ==
+    * Row-local arithmetic; the write path reuses [[zOrderLayout]]'s
+    * `repartitionByRange` + local sort on this key. `order ≤ 31` keeps
+    * `d` in a long. */
+  def hilbertIndex(df: DataFrame, xCol: String, yCol: String, order: Int,
+                   outCol: String = "hilbert"): DataFrame = {
+    require(order >= 1 && order <= 31,
+      s"hilbertIndex: order must be in [1, 31], got $order")
+    val n = 1L << order
+    // each level reads the PREVIOUS level's materialized columns — a
+    // nested single-Column formulation doubles its expression tree per
+    // level (x' and y' each reference both x and y), which is 2^order
+    // Catalyst nodes; per-step Projects keep the plan linear
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0L, lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0L, lit(1L))
+        .otherwise(lit(0L))
+      cur = cur
+        .withColumn("__hd",
+          col("__hd") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+        .withColumn("__tx", when(ry === 0L,
+          when(rx === 1L, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ty", when(ry === 0L,
+          when(rx === 1L, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__tx"))
+        .withColumn("__hy", col("__ty"))
+        .drop("__tx", "__ty")
+      s >>= 1
+    }
+    cur
+      .withColumn(outCol,
+        when(col(xCol).cast("long") < 0L || col(xCol).cast("long") >= n ||
+          col(yCol).cast("long") < 0L || col(yCol).cast("long") >= n,
+          lit(null).cast("long")).otherwise(col("__hd")))
+      .drop("__hx", "__hy", "__hd")
+  }
+
+  /** [[zOrderReport]]'s twin over the Hilbert key: rows bucketed by the
+    * top curve bits, per bucket the row count and each dimension's
+    * zone-map extent — run both reports on the same data and the
+    * Hilbert boxes read directly against the Morton ones. */
+  def hilbertReport(df: DataFrame, xDim: String, yDim: String, order: Int,
+                    numBuckets: Int): DataFrame = {
+    val log2 = java.lang.Long.numberOfTrailingZeros(numBuckets.toLong)
+    require(numBuckets >= 1 && (1L << log2) == numBuckets.toLong,
+      s"hilbertReport: numBuckets must be a power of two, got $numBuckets")
+    require(log2 <= 2 * order,
+      s"hilbertReport: numBuckets $numBuckets exceeds the ${2 * order}-bit keyspace")
+    hilbertIndex(df, xDim, yDim, order, "__h")
+      .withColumn("bucket", shiftright(col("__h"), 2 * order - log2))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(xDim)).as(s"min_$xDim"), max(col(xDim)).as(s"max_$xDim"),
+        min(col(yDim)).as(s"min_$yDim"), max(col(yDim)).as(s"max_$yDim"))
+  }
 }

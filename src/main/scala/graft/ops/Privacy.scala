@@ -125,4 +125,64 @@ object Privacy {
       .withColumn("n_released", greatest(col("n_noisy"), lit(0L)))
       .drop("__n")
   }
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007) — the third rung
+    * after [[kAnonymityAudit]]'s k and l: l-diversity is satisfiable by a
+    * class whose sensitive mix is WILDLY skewed vs the population ("3
+    * distinct diagnoses" where one is 98% of the class still leaks);
+    * t-closeness bounds the DISTANCE between each class's sensitive
+    * distribution and the global one. For categorical sensitive values
+    * the distance is total variation
+    * `TVD = ½ Σ_v |p_class(v) − p_global(v)|` — and it reduces ENTIRELY
+    * to integers: `TVD·2·n·N = Σ_v |c_v·N − g_v·n|`, accumulated in
+    * DECIMAL(38), rendered through the ×10⁹ fixed-point 9-dp string plus
+    * a 6-dp double; the violation flag cross-multiplies against a
+    * threshold in BASIS POINTS, so the decision is exact and
+    * engine-portable.
+    *
+    * Output one row per equivalence class:
+    * `(quasi…, n, n_values, tvd, tvd_d, violates)`.
+    *
+    * == 100 TB shape ==
+    * One (class × sensitive-value) map-side-combined count agg, one
+    * enum-sized global marginal broadcast back, one class-sized fold.
+    * The value grid is |classes| × |sensitive enum| — audit-sized. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 thresholdBp: Long = 1500L): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: need >= 1 quasi-identifier")
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"tCloseness: thresholdBp must be in (0, 10000], got $thresholdBp")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gs = quasiCols.map(col)
+    val rows = df.filter(col(sensitiveCol).isNotNull)
+      .select((gs :+ col(sensitiveCol).cast("string").as("__v")): _*)
+    val cell = rows.groupBy((gs :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classN = cell.groupBy(gs: _*).agg(sum(col("__c")).as("__n"))
+    val global = cell.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
+    val bigN = global.agg(sum(col("__g")).as("__bigN"))
+    // every (class, value) pair of the FULL grid: values absent from a
+    // class contribute |0·N − g_v·n| — a cross join of the class list
+    // with the enum-sized marginal, then the observed cells join in
+    val grid = classN.crossJoin(broadcast(global))
+      .join(cell, quasiCols :+ "__v", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val folded = grid.join(broadcast(bigN))
+      .withColumn("__term",
+        abs(col("__c").cast(d38) * col("__bigN") -
+          col("__g").cast(d38) * col("__n")))
+      .groupBy((gs ++ Seq(col("__n"), col("__bigN"))): _*)
+      .agg(sum(col("__term")).as("__sum"),
+        sum(when(col("__c") > 0, 1L).otherwise(0L)).as("n_values"))
+    val den = lit(2L) * col("__n").cast(d38) * col("__bigN")
+    folded
+      .withColumn("__den", den)
+      .withColumn("__fx", expr("CAST(__sum * 1000000000 DIV __den AS BIGINT)"))
+      .select((gs ++ Seq(col("__n").as("n"), col("n_values"),
+        concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0")).as("tvd"),
+        round(col("__sum").cast("double") / den.cast("double"), 6)
+          .as("tvd_d"),
+        (col("__sum") * 10000 > den * thresholdBp).as("violates"))): _*)
+  }
 }

@@ -477,6 +477,78 @@ object Trend {
     * agg, and the rule-2 run window all partition by group over that grid
     * (map-side-combined agg + broadcast moments join). Nothing global;
     * per-group state is O(runLen). */
+  /** SAX symbolization (Lin/Keogh 2003) — time series as WORDS: each
+    * series z-normalizes, averages into `w` equal-count segments (PAA),
+    * and each segment maps to a letter by fixed Gaussian breakpoints —
+    * so "two weeks of revenue" becomes `"abdc"`, and similarity search /
+    * motif mining / dedup over millions of series collapses to string
+    * operations the rest of this engine already does at scale.
+    *
+    * Determinism discipline: segment assignment is rank algebra
+    * (`(i−1)·w DIV n` over the distinct-position grid — gap-honest,
+    * exact); segment sums and the series moments are exact DECIMAL(38)
+    * cents; μ, σ = √((nΣx²−(Σx)²)/n²) (IEEE sqrt is correctly rounded —
+    * portable), each PAA mean, and each z-score are fixed-operand-order
+    * IEEE expressions; letters come from literal breakpoints (4-symbol
+    * alphabet: −0.6745/0/0.6745, the N(0,1) quartiles); the word
+    * assembles via an explicitly sorted collect — never a
+    * collection-order concat. A zero-variance series has no z-scores:
+    * NULL word, stated.
+    *
+    * Output one row per series: `(group…, n_points, sax)`.
+    *
+    * == 100 TB shape ==
+    * One grid collapse, one group-partitioned rank window over the grid,
+    * two group-sized aggs. The word is `w` chars; nothing wider than the
+    * grid shuffles. */
+  def saxWords(df: DataFrame, posCol: String, valueCol: String,
+               groupCols: Seq[String], w: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "saxWords: need >= 1 group column")
+    require(w >= 2 && w <= 64, s"saxWords: w must be in [2, 64], got $w")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.filter(col(posCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("__pos")): _*)
+      .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__c"))
+    val win = Window.partitionBy(gs: _*).orderBy(col("__pos").asc)
+    val ranked = grid
+      .withColumn("__i", row_number().over(win).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(gs: _*)))
+      .withColumn("__b", expr(s"((__i - 1) * $w) DIV __n"))
+    val segs = ranked.groupBy((gs :+ col("__b")): _*)
+      .agg(sum(col("__c").cast(d38)).as("__ss"), count(lit(1)).as("__sc"))
+    val moments = ranked.groupBy(gs: _*).agg(
+      count(lit(1)).as("n_points"),
+      sum(col("__c").cast(d38)).as("__sx"),
+      sum(col("__c").cast(d38) * col("__c")).as("__sxx"))
+    val joined = segs.join(moments, groupCols)
+      .withColumn("__mu",
+        col("__sx").cast("double") / col("n_points").cast("double"))
+      .withColumn("__sigma",
+        sqrt((col("n_points").cast(d38) * col("__sxx") -
+          col("__sx") * col("__sx")).cast("double")) /
+          col("n_points").cast("double"))
+      .withColumn("__z",
+        when(col("__sigma") > 0.0,
+          (col("__ss").cast("double") / col("__sc").cast("double") -
+            col("__mu")) / col("__sigma")))
+      .withColumn("__sym",
+        when(col("__z").isNull, lit(null).cast("string"))
+          .when(col("__z") < -0.6745, lit("a"))
+          .when(col("__z") < 0.0, lit("b"))
+          .when(col("__z") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    joined.groupBy(gs: _*)
+      .agg(max(col("n_points")).as("n_points"),
+        when(count(col("__sym")) === count(lit(1)),
+          array_join(transform(
+            array_sort(collect_list(struct(col("__b"), col("__sym")))),
+            e => e.getField("__sym")), "")).as("sax"))
+  }
+
   def controlChart(df: DataFrame, posCol: String, valueCol: String,
                    groupCols: Seq[String], runLen: Int = 8): DataFrame = {
     require(groupCols.nonEmpty, "controlChart: need >= 1 group column")

@@ -75,4 +75,39 @@ class LayoutSpec extends SparkSpec {
     val plan = laid.queryExecution.optimizedPlan.toString
     assert(plan.contains("RepartitionByExpression") && plan.contains("ASC"))
   }
+
+  test("hilbertIndex: order-1 quadrants, full-curve continuity, range guard") {
+    // order 1, the base case: (0,0)→0 (0,1)→1 (1,1)→2 (1,0)→3
+    val base = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+    val got1 = Layout.hilbertIndex(base, "x", "y", order = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got1 === Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    // order 3: the 64-cell curve is a bijection onto 0..63 and CONTINUOUS
+    // — consecutive d values sit in Manhattan-adjacent cells (the property
+    // Morton lacks, and the reason Hilbert boxes are tighter)
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val cells = Layout.hilbertIndex(grid, "x", "y", order = 3)
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq === (0L to 63L))
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+    // out-of-range coordinates yield a NULL key, never a wrapped one
+    val bad = Layout.hilbertIndex(
+      Seq((8L, 0L), (-1L, 3L)).toDF("x", "y"), "x", "y", order = 3)
+      .collect()
+    assert(bad.forall(_.isNullAt(2)))
+    // report buckets tile the curve: per-bucket extents stay sub-domain
+    val rep = Layout.hilbertReport(grid, "x", "y", order = 3,
+      numBuckets = 4).collect()
+    assert(rep.length === 4 && rep.map(_.getAs[Long]("n")).sum === 64L)
+    rep.foreach { r =>
+      val area = (r.getAs[Long]("max_x") - r.getAs[Long]("min_x") + 1) *
+        (r.getAs[Long]("max_y") - r.getAs[Long]("min_y") + 1)
+      assert(area <= 16L, s"bucket spans $area cells") // 64/4 exactly
+    }
+  }
 }

@@ -711,6 +711,40 @@ class StatsOpsSpec extends SparkSpec {
     assert(!zero.getAs[Boolean]("regular"))
   }
 
+  test("saxWords: linear ramp spells aabbccdd, constant series NULL") {
+    // cents 100..800: μ = 450, σ = √3,360,000/8 ≈ 229.1 → z-quartiles
+    // split the 8 points exactly 2/2/2/2 across the alphabet
+    val ramp = (1L to 8L).map(i => ("g", i, i.toDouble)).toDF("grp", "pos", "v")
+    val r = Trend.saxWords(ramp, "pos", "v", Seq("grp"), w = 8)
+      .collect().head
+    assert(r.getAs[Long]("n_points") === 8L)
+    assert(r.getAs[String]("sax") === "aabbccdd")
+    // fewer buckets coarsen: w = 4 averages pairs, same shape
+    val r4 = Trend.saxWords(ramp, "pos", "v", Seq("grp"), w = 4)
+      .collect().head
+    assert(r4.getAs[String]("sax") === "abcd")
+    // constant series: σ = 0 → no z-scores → NULL word, stated
+    val flat = Trend.saxWords(
+      (1L to 8L).map(i => ("g", i, 5.0)).toDF("grp", "pos", "v"),
+      "pos", "v", Seq("grp"), w = 4).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("sax")))
+  }
+
+  test("tCloseness: skewed class flagged, balanced not, exact TVD") {
+    // global: x=3, y=3 → (.5,.5); class A = {x,x}: TVD ½(.5+.5) = 0.5;
+    // class B = {x,y,y,y}: (.25,.75) vs (.5,.5) → TVD 0.25
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"),
+      ("B", "y"), ("B", "y")).toDF("q", "s")
+    val got = Privacy.tCloseness(df, Seq("q"), "s", thresholdBp = 3000L)
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    assert(got("A").getAs[String]("tvd") === "0.500000000")
+    assert(got("A").getAs[Boolean]("violates"))
+    assert(got("A").getAs[Long]("n_values") === 1L)
+    assert(got("B").getAs[String]("tvd") === "0.250000000")
+    assert(!got("B").getAs[Boolean]("violates")) // 0.25 ≤ 30% threshold
+    assert(got("B").getAs[Long]("n_values") === 2L)
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
