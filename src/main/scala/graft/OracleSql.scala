@@ -6340,6 +6340,109 @@ object OracleSql {
       min(oy) AS min_y, max(oy) AS max_y
     FROM h10 GROUP BY 1"""
 
+  /** Segmented regression — q266. Conditional five-moment sums per
+    * segment, fixed-operand-order slope/intercept/projection doubles;
+    * mirrors Trend.segmentedTrend at break 9500. */
+  private val q266 = """
+    WITH daily AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS x,
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+          // 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2),
+    agg AS (SELECT g,
+        CAST(sum(CASE WHEN x < 9500 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN x >= 9500 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN x < 9500 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        CAST(sum(CASE WHEN x < 9500 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        CAST(sum(CASE WHEN x < 9500 THEN x * y ELSE 0 END) AS BIGINT) AS sxy1,
+        CAST(sum(CASE WHEN x < 9500 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+        CAST(sum(CASE WHEN x >= 9500 THEN x ELSE 0 END) AS BIGINT) AS sx2,
+        CAST(sum(CASE WHEN x >= 9500 THEN y ELSE 0 END) AS BIGINT) AS sy2,
+        CAST(sum(CASE WHEN x >= 9500 THEN x * y ELSE 0 END) AS BIGINT) AS sxy2,
+        CAST(sum(CASE WHEN x >= 9500 THEN x * x ELSE 0 END) AS BIGINT) AS sxx2
+      FROM daily GROUP BY 1),
+    fits AS (SELECT g, n1 AS n_pre, n2 AS n_post,
+        CASE WHEN n1 >= 2 AND n1 * sxx1 - sx1 * sx1 <> 0 THEN
+          CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) /
+          CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) END AS b1,
+        CASE WHEN n2 >= 2 AND n2 * sxx2 - sx2 * sx2 <> 0 THEN
+          CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE) /
+          CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) END AS b2,
+        sx1, sy1, sx2, sy2
+      FROM agg),
+    proj AS (SELECT g, n_pre, n_post, b1, b2,
+        CASE WHEN b1 IS NOT NULL THEN
+          (CAST(sy1 AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE)) /
+          CAST(n_pre AS DOUBLE) END AS a1,
+        CASE WHEN b2 IS NOT NULL THEN
+          (CAST(sy2 AS DOUBLE) - b2 * CAST(sx2 AS DOUBLE)) /
+          CAST(n_post AS DOUBLE) END AS a2
+      FROM fits)
+    SELECT g AS o_orderpriority, n_pre, n_post,
+      round(b1, 6) AS slope_pre, round(b2, 6) AS slope_post,
+      round(b2 - b1, 6) AS slope_change,
+      round((a2 + b2 * CAST(9500 AS DOUBLE)) -
+            (a1 + b1 * CAST(9500 AS DOUBLE)), 6) AS level_change
+    FROM proj"""
+
+  /** Apportionment — q267. Hamilton largest-remainder in HUGEINT,
+    * (remainder DESC, key ASC) award rank; mirrors Skew.apportion at
+    * 997 units. */
+  private val q267 = """
+    WITH keys AS (SELECT c_nationkey AS key,
+        sum(CAST(CAST(1.0 AS DECIMAL(18,2)) * 100 AS BIGINT)::HUGEINT) AS w
+      FROM customer GROUP BY 1),
+    tot AS (SELECT sum(w) AS tw FROM keys),
+    based AS (SELECT key, w,
+        CAST(997::HUGEINT * w // tw AS BIGINT) AS base,
+        997::HUGEINT * w % tw AS rem
+      FROM keys, tot),
+    lft AS (SELECT CAST(997 - sum(base) AS BIGINT) AS leftn FROM based),
+    rk AS (SELECT key, w, base, rem,
+        CAST(row_number() OVER (ORDER BY rem DESC, key ASC) AS BIGINT) AS r
+      FROM based)
+    SELECT rk.key, CAST(rk.w AS DOUBLE) AS weight_cents, rk.base,
+      CASE WHEN rk.r <= lft.leftn THEN 1 ELSE 0 END::BIGINT AS extra,
+      rk.base + CASE WHEN rk.r <= lft.leftn THEN 1 ELSE 0 END AS alloc
+    FROM rk, lft"""
+
+  /** Business days — q268. Closed-form weekday counting (epoch day 0 =
+    * Thursday), weekday-holiday list pre-filtered ({8765, 9000}; 8500
+    * is a Saturday); mirrors EventWindows.businessDays. */
+  private val q268 = """
+    WITH iv AS (SELECT o_orderkey,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS s,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) + 1 + o_orderkey % 20 AS e
+      FROM orders),
+    g AS (SELECT o_orderkey, s, e,
+        (e // 7) * 5 + (CASE e % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+          WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END) AS ge,
+        (s // 7) * 5 + (CASE s % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+          WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END) AS gs
+      FROM iv)
+    SELECT o_orderkey, s, e,
+      CAST(ge - gs - len(list_filter([8765, 9000],
+        h -> h >= s AND h < e)) AS BIGINT) AS business_days
+    FROM g"""
+
+  /** Feature hashing — q269. Portable md5 buckets over the shared q41
+    * tokenization, per-(id, bucket) weights + collision counts; mirrors
+    * Encoding.featureHash at 64 dims. */
+  private val q269 = s"""
+    WITH toks AS (SELECT doc_id AS id,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok
+      FROM documents),
+    b AS (SELECT id, tok,
+        ('0x' || substr(md5('graft:fh:' || tok), 1, 14))::BIGINT % 64
+          AS bucket
+      FROM toks)
+    SELECT id, bucket, CAST(count(*) AS BIGINT) AS weight,
+      CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6621,6 +6724,10 @@ object OracleSql {
     "q262_inter_arrival"    -> q262,
     "q263_sax_words"        -> q263,
     "q264_t_closeness"      -> q264,
-    "q265_hilbert"          -> q265
+    "q265_hilbert"          -> q265,
+    "q266_segmented_trend"  -> q266,
+    "q267_apportion"        -> q267,
+    "q268_business_days"    -> q268,
+    "q269_feature_hash"     -> q269
   ).map { case (k, v) => k -> clean(v) }
 }

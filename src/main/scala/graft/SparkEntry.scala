@@ -4069,6 +4069,49 @@ object SparkEntry {
         ((col("c_custkey") * 104729) % 1024).as("y")),
       "x", "y", order = 10, numBuckets = 64)
 
+  /** Segmented regression ([[graft.ops.Trend.segmentedTrend]]): daily
+    * revenue per priority fit before/after epoch day 9500 — slope bend
+    * and level jump at a known intervention. */
+  private def q266SegmentedTrend(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val daily = t(s, dir, "orders")
+      .withColumn("day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+      .groupBy(col("o_orderpriority"), col("day"))
+      .agg(expr("CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) DIV 100 AS BIGINT)")
+        .as("dollars"))
+    graft.ops.Trend.segmentedTrend(daily, "day", "dollars",
+      Seq("o_orderpriority"), breakX = 9500L)
+  }
+
+  /** Apportionment ([[graft.ops.Skew.apportion]]): 997 crawl units
+    * across nations proportional to customer headcount — Hamilton
+    * largest-remainder, Σalloc = 997 exactly. */
+  private def q267Apportion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.apportion(
+      t(s, dir, "customer").select(col("c_nationkey").as("nation"),
+        lit(1.0).as("w")),
+      "nation", "w", units = 997L)
+
+  /** Business days ([[graft.ops.EventWindows.businessDays]]): order
+    * processing windows scored in working days, three holidays (one a
+    * Saturday, filtered at build time). */
+  private def q268BusinessDays(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventWindows.businessDays(
+      t(s, dir, "orders")
+        .withColumn("s",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+        .withColumn("e", col("s") + 1L + col("o_orderkey") % 20)
+        .select(col("o_orderkey"), col("s"), col("e")),
+      "s", "e", holidays = Seq(8500L, 8765L, 9000L))
+
+  /** Feature hashing ([[graft.ops.Encoding.featureHash]]): documents
+    * into a fixed 64-bucket sparse space with collision counts — no
+    * vocabulary pass, portable md5 buckets. */
+  private def q269FeatureHash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.featureHash(t(s, dir, "documents"),
+      "doc_id", "text", dims = 64)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4334,7 +4377,11 @@ object SparkEntry {
     "q262_inter_arrival"    -> q262InterArrival _,
     "q263_sax_words"        -> q263Sax _,
     "q264_t_closeness"      -> q264TCloseness _,
-    "q265_hilbert"          -> q265Hilbert _
+    "q265_hilbert"          -> q265Hilbert _,
+    "q266_segmented_trend"  -> q266SegmentedTrend _,
+    "q267_apportion"        -> q267Apportion _,
+    "q268_business_days"    -> q268BusinessDays _,
+    "q269_feature_hash"     -> q269FeatureHash _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -218,4 +218,42 @@ object Encoding {
       .select(col(groupCol), col(idCol), v.as(valueCol),
         lit(null).cast("double").as("normalized")))
   }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009) — a
+    * fixed-width sparse text vectorizer with NO vocabulary pass: each
+    * token maps straight to `bucket = h(token) mod dims`, so the feature
+    * space is known before any data is read, new tokens never resize
+    * anything, and two corpora vectorize identically without sharing a
+    * dictionary — the property that matters when the vectorizer must run
+    * embarrassingly parallel over 100 TB (a learned vocabulary is a
+    * global artifact; a hash function is not). Collisions are the traded
+    * cost, and they're measurable: distinct tokens per bucket ride along
+    * as `n_tokens`.
+    *
+    * The hash is the portable (seed, token) md5 uniform (the
+    * [[graft.ops.Sketches.countMin]] family) — deterministic across
+    * engines, runs, and retries; tokenization is the repo-shared
+    * normalize+split (the q41 contract).
+    *
+    * Output sparse rows: `(id, bucket, weight, n_tokens)` — `weight` the
+    * term count folded into the bucket, `n_tokens` the DISTINCT tokens
+    * that collided there (1 = clean, >1 = collision).
+    *
+    * == 100 TB shape ==
+    * Row-local normalize/split/hash, one (id, bucket) map-side-combined
+    * agg — output is bounded by rows × dims regardless of vocabulary. */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int, seed: String = "graft"): DataFrame = {
+    require(dims >= 2 && dims <= (1 << 20),
+      s"featureHash: dims must be in [2, 2^20], got $dims")
+    val tok = explode(split(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit(""))), " ")).as("__tok")
+    val bucket = pmod(conv(substring(md5(concat(lit(s"$seed:fh:"),
+      col("__tok"))), 1, 14), 16, 10).cast("long"), lit(dims.toLong))
+    docs.select(col(idCol).as("id"), tok)
+      .select(col("id"), col("__tok"), bucket.as("bucket"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("weight"),
+        countDistinct(col("__tok")).as("n_tokens"))
+  }
 }

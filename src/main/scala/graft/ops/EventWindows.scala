@@ -412,4 +412,44 @@ object EventWindows {
         col("n_intervals"),
         (col("span_end") - col("span_start")).as("covered"))): _*)
   }
+
+  /** Business-day arithmetic — `business_days` in the half-open epoch-day
+    * range `[start, end)`, the SLA/lead-time denominator every ops
+    * dashboard needs ("3 days late" means something different across a
+    * weekend): closed-form weekday counting, no calendar explode —
+    * `g(d) = (d DIV 7)·5 + prefix(d mod 7)` counts weekdays in `[0, d)`
+    * (epoch day 0 = Thursday, so the in-week prefix is [0,1,2,2,2,3,4]),
+    * and the range count is `g(end) − g(start)` minus the WEEKDAY
+    * holidays from the caller's list falling inside the range (weekend
+    * holidays must not double-subtract — filtered at build time).
+    *
+    * All integer arithmetic on non-negative epoch days (`end < start`
+    * raises LOUDLY, the [[coalesceIntervals]] guard; pre-1970 dates are
+    * out of contract). The holiday list is a literal array folded
+    * row-locally — holiday calendars are tens of entries, not data.
+    *
+    * == 100 TB shape ==
+    * Row-local expressions only — zero shuffles, codegen'd, the
+    * holiday fold is O(|holidays|) per row. */
+  def businessDays(df: DataFrame, startCol: String, endCol: String,
+                   holidays: Seq[Long] = Nil): DataFrame = {
+    val prefix = Seq(0L, 1L, 2L, 2L, 2L, 3L, 4L)
+    def g(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(7L))) / lit(7L)).cast("long") * 5L +
+        element_at(array(prefix.map(lit): _*),
+          (pmod(c, lit(7L)) + 1).cast("int"))
+    val s = col(startCol).cast("long")
+    val e0 = col(endCol).cast("long")
+    val e = when(e0 >= s, e0).otherwise(raise_error(concat(
+      lit("businessDays: end < start at start="), s.cast("string")))
+      .cast("long"))
+    // weekday holidays only: day mod 7 ∈ {2, 3} is Sat/Sun (epoch Thu)
+    val hw = holidays.filter(h => { val m = ((h % 7) + 7) % 7; m != 2 && m != 3 })
+    val holidayHits =
+      if (hw.isEmpty) lit(0)
+      else size(filter(array(hw.map(lit): _*),
+        h => h >= s && h < e))
+    df.withColumn("business_days",
+      g(e) - g(s) - holidayHits.cast("long"))
+  }
 }

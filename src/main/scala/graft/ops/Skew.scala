@@ -345,6 +345,65 @@ object Skew {
     frontier.join(pts, groupCols ++ Seq("x", "y"))
   }
 
+  /** Largest-remainder apportionment — split an INTEGER budget across
+    * keys proportionally to weights, exactly: crawl quota across hosts,
+    * sampling budget across sources, shards across tenants. Floating
+    * shares then rounding either over- or under-spends the budget; the
+    * largest-remainder (Hamilton) method is the standard exact fix:
+    * `base_k = units·w_k DIV W`, then the `units − Σbase` leftover units
+    * go to the largest remainders `units·w_k mod W` (ties to the
+    * smallest key — stated). Σalloc = units EXACTLY, by construction.
+    *
+    * Weights fix to cents; negatives raise LOUDLY, an all-zero weight
+    * total raises LOUDLY (no proportion exists). Everything is integer
+    * arithmetic in DECIMAL(38) — engine-portable to the last unit.
+    *
+    * Output: `(key, weight_cents, base, extra, alloc)`.
+    *
+    * == 100 TB shape ==
+    * One key agg, one 1-row total broadcast back, one keys-sized rank
+    * window for the leftover award — the frame is key-count-sized (the
+    * allocation registry), not row-sized. */
+  def apportion(df: DataFrame, keyCol: String, weightCol: String,
+                units: Long): DataFrame = {
+    require(units >= 0, s"apportion: units must be >= 0, got $units")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // materialized: `keys ⋈ agg(keys)` is a self-derivation whose shared
+    // lineage makes `__w` resolve ambiguously after the join; the frame
+    // is key-count-sized, so the checkpoint is cheap and breaks it
+    val keys = df.filter(col(weightCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        (col(weightCol).cast(dec) * 100).cast("long").as("__w"))
+      .groupBy(col("key")).agg(sum(col("__w").cast(d38)).as("__w"))
+      .localCheckpoint(true)
+    val tot = keys.agg(min(col("__w")).as("__minw"), sum(col("__w")).as("__wtot"))
+    val based = keys.join(broadcast(tot))
+      // one guarded copy — the guards ride the weight every expr reads
+      .withColumn("__wg",
+        when(col("__minw") < 0, raise_error(lit(
+          "apportion: negative weight — shares are undefined")).cast(d38))
+          .when(col("__wtot") <= 0, raise_error(lit(
+            "apportion: zero total weight — no proportion exists")).cast(d38))
+          .otherwise(col("__w").cast(d38)))
+      .withColumn("__base",
+        expr(s"CAST(CAST($units AS DECIMAL(38,0)) * __wg DIV __wtot AS BIGINT)"))
+      .withColumn("__rem",
+        expr(s"CAST(CAST($units AS DECIMAL(38,0)) * __wg % __wtot AS DECIMAL(38,0))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("key").asc)
+    val leftW = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    based
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__left", lit(units) - sum(col("__base")).over(leftW))
+      .select(col("key"), col("__w").cast("double").as("weight_cents"),
+        col("__base").as("base"),
+        when(col("__rk") <= col("__left"), 1L).otherwise(0L).as("extra"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   def joinCardinality(left: DataFrame, right: DataFrame, key: String,
                       topK: Int = 10): DataFrame = {
     require(topK > 0, s"joinCardinality: topK must be > 0, got $topK")

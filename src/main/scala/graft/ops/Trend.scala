@@ -50,6 +50,65 @@ object Trend {
           col("n_points").cast("double")).as("intercept")): _*)
   }
 
+  /** Segmented (interrupted-time-series) regression at a KNOWN break —
+    * the "did the deploy change the trajectory" analysis: two
+    * independent OLS fits, before (`x < breakX`) and after
+    * (`x ≥ breakX`), plus the two readouts an ITS report quotes:
+    * `slope_change` (did the trend bend) and `level_change` (did the
+    * metric JUMP at the break — both fits evaluated AT breakX and
+    * differenced). [[changePoint]] finds an unknown step; this
+    * quantifies a known intervention, which is the usual case — the
+    * deploy timestamp is in the release log.
+    *
+    * Exactness: the [[linearTrend]] discipline twice — exact long
+    * moments per segment (order-free), slopes/intercepts/projections as
+    * fixed-operand-order IEEE expressions. Segments with < 2 points (or
+    * zero x-variance) report NULL for their fit and the changes.
+    *
+    * Output per group: `(group…, n_pre, n_post, slope_pre, slope_post,
+    * slope_change, level_change)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined agg carrying both segments' five moments
+    * (conditional sums) — no second scan, no window. */
+  def segmentedTrend(df: DataFrame, xCol: String, yCol: String,
+                     groupCols: Seq[String], breakX: Long): DataFrame = {
+    require(groupCols.nonEmpty, "segmentedTrend: need >= 1 group column")
+    val gs = groupCols.map(col)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    def seg(pre: Boolean, what: org.apache.spark.sql.Column) = {
+      val in = if (pre) x < breakX else x >= breakX
+      sum(when(in, what).otherwise(lit(0L)))
+    }
+    val agg = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(gs: _*)
+      .agg(
+        sum(when(x < breakX, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(x >= breakX, 1L).otherwise(0L)).as("n_post"),
+        seg(pre = true, x).as("__sx1"), seg(pre = true, y).as("__sy1"),
+        seg(pre = true, x * y).as("__sxy1"), seg(pre = true, x * x).as("__sxx1"),
+        seg(pre = false, x).as("__sx2"), seg(pre = false, y).as("__sy2"),
+        seg(pre = false, x * y).as("__sxy2"), seg(pre = false, x * x).as("__sxx2"))
+    def fit(n: String, sx: String, sy: String, sxy: String, sxx: String) = {
+      val den = col(n) * col(sxx) - col(sx) * col(sx)
+      val slope = when(col(n) >= 2L && den =!= 0L,
+        (col(n) * col(sxy) - col(sx) * col(sy)).cast("double") /
+          den.cast("double"))
+      val icept = when(col(n) >= 2L && den =!= 0L,
+        (col(sy).cast("double") - slope * col(sx).cast("double")) /
+          col(n).cast("double"))
+      (slope, icept)
+    }
+    val (b1, a1) = fit("n_pre", "__sx1", "__sy1", "__sxy1", "__sxx1")
+    val (b2, a2) = fit("n_post", "__sx2", "__sy2", "__sxy2", "__sxx2")
+    val bk = lit(breakX).cast("double")
+    agg.select((gs ++ Seq(col("n_pre"), col("n_post"),
+      round(b1, 6).as("slope_pre"), round(b2, 6).as("slope_post"),
+      round(b2 - b1, 6).as("slope_change"),
+      round((a2 + b2 * bk) - (a1 + b1 * bk), 6).as("level_change"))): _*)
+  }
+
   /** Single change-point detection per group — binary segmentation's first
     * step (the offline CUSUM alternative whose decision is a closed-form
     * window computation, not a per-row recurrence): over the group's

@@ -745,6 +745,94 @@ class StatsOpsSpec extends SparkSpec {
     assert(got("B").getAs[Long]("n_values") === 2L)
   }
 
+  test("segmentedTrend: slope bend and level jump at a known break") {
+    // pre: y = 2x on x∈[0,4]; post: y = 100 + 3x on x∈[5,9] —
+    // slopes 2 → 3, and the fits evaluated at x=5 read 10 vs 115
+    val df = ((0L to 4L).map(x => ("g", x, 2 * x)) ++
+      (5L to 9L).map(x => ("g", x, 100 + 3 * x))).toDF("grp", "x", "y")
+    val r = Trend.segmentedTrend(df, "x", "y", Seq("grp"), breakX = 5L)
+      .collect().head
+    assert(r.getAs[Long]("n_pre") === 5L && r.getAs[Long]("n_post") === 5L)
+    assert(r.getAs[Double]("slope_pre") === 2.0)
+    assert(r.getAs[Double]("slope_post") === 3.0)
+    assert(r.getAs[Double]("slope_change") === 1.0)
+    assert(r.getAs[Double]("level_change") === 105.0)
+    // one pre point: no pre fit, NULL changes
+    val thin = Trend.segmentedTrend(
+      Seq(("g", 1L, 5L), ("g", 7L, 1L), ("g", 8L, 2L))
+        .toDF("grp", "x", "y"), "x", "y", Seq("grp"), 5L).collect().head
+    assert(thin.isNullAt(thin.fieldIndex("slope_pre")))
+    assert(thin.isNullAt(thin.fieldIndex("level_change")))
+    assert(thin.getAs[Double]("slope_post") === 1.0)
+  }
+
+  test("apportion: exact budget, largest-remainder award, guards") {
+    val exact = Skew.apportion(
+      Seq((1L, 5.0), (2L, 3.0), (3L, 2.0)).toDF("k", "w"), "k", "w", 10L)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("alloc"))
+      .toMap
+    assert(exact === Map(1L -> 5L, 2L -> 3L, 3L -> 2L))
+    // equal thirds of 10: bases 3+3+3, the leftover unit goes to the
+    // smallest key (stated tie-break); Σalloc = units exactly
+    val thirds = Skew.apportion(
+      Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("k", "w"), "k", "w", 10L)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("alloc"))
+      .toMap
+    assert(thirds === Map(1L -> 4L, 2L -> 3L, 3L -> 3L))
+    assert(thirds.values.sum === 10L)
+    val neg = intercept[Exception] {
+      Skew.apportion(Seq((1L, -1.0), (2L, 2.0)).toDF("k", "w"),
+        "k", "w", 5L).collect()
+    }
+    assert(neg.getMessage.contains("negative weight"))
+    val zero = intercept[Exception] {
+      Skew.apportion(Seq((1L, 0.0)).toDF("k", "w"), "k", "w", 5L).collect()
+    }
+    assert(zero.getMessage.contains("zero total weight"))
+  }
+
+  test("businessDays: weekday algebra, weekend span, holidays, guard") {
+    def bd(s: Long, e: Long, hol: Seq[Long] = Nil): Long =
+      EventWindows.businessDays(Seq((s, e)).toDF("s", "e"), "s", "e", hol)
+        .collect().head.getAs[Long]("business_days")
+    assert(bd(0L, 7L) === 5L)   // epoch week: Thu..Wed has 5 weekdays
+    assert(bd(2L, 4L) === 0L)   // Sat+Sun only
+    assert(bd(5L, 5L) === 0L)   // empty range
+    assert(bd(0L, 14L) === 10L)
+    // day 1 is a Friday holiday; day 2 is a Saturday — filtered, no effect
+    assert(bd(0L, 7L, Seq(1L)) === 4L)
+    assert(bd(0L, 7L, Seq(1L, 2L)) === 4L)
+    // holiday outside the range never subtracts
+    assert(bd(0L, 7L, Seq(10L)) === 5L)
+    val err = intercept[Exception] { bd(5L, 4L) }
+    assert(err.getMessage.contains("end < start"))
+  }
+
+  test("featureHash: fixed space, exact weights, collisions measurable") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Encoding.featureHash(docs, "doc_id", "text", 16)
+      .collect()
+    assert(got.forall(r => r.getAs[Long]("bucket") >= 0L &&
+      r.getAs[Long]("bucket") < 16L))
+    // doc 1's weights sum to its 3 tokens
+    assert(got.filter(_.getAs[Long]("id") == 1L)
+      .map(_.getAs[Long]("weight")).sum === 3L)
+    // 'alpha' folds twice into ONE bucket entry with weight ≥ 2
+    assert(got.filter(_.getAs[Long]("id") == 1L)
+      .exists(_.getAs[Long]("weight") === 2L))
+    // pure function: a second run lands identically
+    val again = graft.ops.Encoding.featureHash(docs, "doc_id", "text", 16)
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+    // dims = 2 over many tokens MUST collide (n_tokens > 1 somewhere)
+    val tight = graft.ops.Encoding.featureHash(
+      Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"),
+      "doc_id", "text", 2).collect()
+    assert(tight.exists(_.getAs[Long]("n_tokens") > 1L))
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
