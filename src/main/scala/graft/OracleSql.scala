@@ -6443,6 +6443,138 @@ object OracleSql {
       CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens
     FROM b GROUP BY 1, 2"""
 
+  /** Cross-correlation — q270. Per-lag pair moments in HUGEINT, split
+    * square roots; mirrors Trend.crossCorrelation at maxLag 4. */
+  private val q270 = """
+    WITH grid AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS x,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS a,
+        CAST(sum(CAST(1.0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS b
+      FROM orders GROUP BY 1, 2),
+    lags AS (SELECT unnest(generate_series(-4, 4)) AS lag),
+    la AS (SELECT g, x + l.lag AS x, l.lag, a FROM grid, lags l),
+    paired AS (SELECT la.g, la.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        sum(la.a::HUGEINT) AS sa, sum(gb.b::HUGEINT) AS sb,
+        sum(la.a::HUGEINT * gb.b) AS sab,
+        sum(la.a::HUGEINT * la.a) AS saa,
+        sum(gb.b::HUGEINT * gb.b) AS sbb
+      FROM la JOIN grid gb ON la.g = gb.g AND la.x = gb.x
+      GROUP BY 1, 2)
+    SELECT g AS o_orderpriority, CAST(lag AS BIGINT) AS lag, n_pairs,
+      CASE WHEN n_pairs::HUGEINT * saa - sa * sa > 0
+            AND n_pairs::HUGEINT * sbb - sb * sb > 0 THEN
+        round(CAST(n_pairs::HUGEINT * sab - sa * sb AS DOUBLE) /
+          (sqrt(CAST(n_pairs::HUGEINT * saa - sa * sa AS DOUBLE)) *
+           sqrt(CAST(n_pairs::HUGEINT * sbb - sb * sb AS DOUBLE))), 6)
+      END AS ccf
+    FROM paired"""
+
+  /** KWIC concordance — q271. Shared-normalization token stream,
+    * 1-based positions, edge-clipped windows; mirrors
+    * TextAnalysis.concordance("join", 3). */
+  private val q271 = s"""
+    WITH toks AS (SELECT doc_id AS id,
+        regexp_split_to_array($dedupNormSql, ' ') AS tk
+      FROM documents),
+    hits AS (SELECT id, tk, CAST(p AS BIGINT) AS pos
+      FROM toks, unnest(range(1, len(tk) + 1)) AS t(p)
+      WHERE tk[p] = 'join')
+    SELECT id, pos,
+      coalesce(array_to_string(tk[greatest(pos - 3, 1):pos - 1], ' '), '')
+        AS "left",
+      coalesce(array_to_string(tk[pos + 1:least(pos + 3, len(tk))], ' '), '')
+        AS "right"
+    FROM hits"""
+
+  /** Contingency residuals — q272. Exact marginals, E = r·c/N one
+    * division, (O−E)/√E fixed order; mirrors
+    * Profiler.contingencyResiduals. */
+  private val q272 = """
+    WITH cells AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL')
+        AS a, coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL') AS b,
+        CAST(count(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT a, CAST(sum(observed) AS BIGINT) AS rn
+      FROM cells GROUP BY 1),
+    c AS (SELECT b, CAST(sum(observed) AS BIGINT) AS cn
+      FROM cells GROUP BY 1),
+    t AS (SELECT CAST(sum(observed) AS BIGINT) AS tn FROM cells)
+    SELECT cells.a, cells.b, cells.observed,
+      round(CAST(r.rn::HUGEINT * c.cn AS DOUBLE) / CAST(t.tn AS DOUBLE), 6)
+        AS expected,
+      round((CAST(cells.observed AS DOUBLE) -
+        CAST(r.rn::HUGEINT * c.cn AS DOUBLE) / CAST(t.tn AS DOUBLE)) /
+        sqrt(CAST(r.rn::HUGEINT * c.cn AS DOUBLE) / CAST(t.tn AS DOUBLE)), 6)
+        AS residual
+    FROM cells JOIN r ON cells.a = r.a JOIN c ON cells.b = c.b, t"""
+
+  /** Time-to-convert — q273. The q257 chaining contract with per-hop
+    * durations, exact nearest-rank percentiles; mirrors
+    * Funnel.timeToConvert. */
+  private val q273 = """
+    WITH ev AS (SELECT user_id AS u,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type AS ty
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE ty = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, min(s1.t1) AS t1, min(e.t) AS t2
+      FROM ev e JOIN s1 ON e.u = s1.u
+      WHERE e.ty = 'view' AND e.t > s1.t1 AND e.t <= s1.t1 + 604800
+      GROUP BY 1),
+    s3 AS (SELECT e.u, min(s2.t2) AS t2, min(e.t) AS t3
+      FROM ev e JOIN s2 ON e.u = s2.u JOIN s1 ON e.u = s1.u
+      WHERE e.ty = 'purchase' AND e.t > s2.t2 AND e.t <= s1.t1 + 604800
+      GROUP BY 1),
+    durs AS (
+      SELECT 'signup' AS from_stage, 'view' AS to_stage, u, t2 - t1 AS d
+        FROM s2
+      UNION ALL
+      SELECT 'view', 'purchase', u, t3 - t2 FROM s3),
+    rk AS (SELECT from_stage, to_stage, d,
+        CAST(row_number() OVER (PARTITION BY from_stage, to_stage
+          ORDER BY d ASC, u ASC) AS BIGINT) AS r,
+        CAST(count(*) OVER (PARTITION BY from_stage, to_stage)
+          AS BIGINT) AS n
+      FROM durs)
+    SELECT from_stage, to_stage, max(n) AS n,
+      CAST(min(d) AS BIGINT) AS min_s,
+      CAST(max(CASE WHEN r = (n + 1) // 2 THEN d END) AS BIGINT) AS p50_s,
+      CAST(max(CASE WHEN r = (9 * n + 9) // 10 THEN d END) AS BIGINT)
+        AS p90_s,
+      CAST(max(d) AS BIGINT) AS max_s
+    FROM rk GROUP BY 1, 2"""
+
+  /** Link prediction — q274. Capped wedge join, exact CN/Jaccard-fp/RA-fp
+    * over the strong trade graph; mirrors Graph.linkPrediction at
+    * maxDegree 64, top-1000 by the unique total order. */
+  private val q274 = """
+    WITH e0 AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM sym GROUP BY 1),
+    ctr AS (SELECT s.dst AS z, s.src AS n, d.deg AS zd
+      FROM sym s JOIN deg d ON s.dst = d.node WHERE d.deg <= 64),
+    pairs AS (SELECT l.n AS u, r.n AS v, l.zd
+      FROM ctr l JOIN ctr r ON l.z = r.z AND l.n < r.n),
+    sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+        CAST(sum(1000000000 // zd) AS BIGINT) AS ra_fp
+      FROM pairs GROUP BY 1, 2),
+    pred AS (SELECT sc.* FROM sc LEFT JOIN sym
+      ON sc.u = sym.src AND sc.v = sym.dst WHERE sym.src IS NULL),
+    j AS (SELECT p.u, p.v, p.common, p.ra_fp, du.deg AS du, dv.deg AS dv
+      FROM pred p JOIN deg du ON p.u = du.node
+        JOIN deg dv ON p.v = dv.node),
+    fx AS (SELECT *, CAST(common::HUGEINT * 1000000000
+        // (du + dv - common) AS BIGINT) AS jfx FROM j)
+    SELECT u, v, common,
+      CAST(jfx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(jfx % 1000000000 AS VARCHAR), 9, '0') AS jaccard,
+      ra_fp
+    FROM fx ORDER BY common DESC, u, v LIMIT 1000"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6728,6 +6860,11 @@ object OracleSql {
     "q266_segmented_trend"  -> q266,
     "q267_apportion"        -> q267,
     "q268_business_days"    -> q268,
-    "q269_feature_hash"     -> q269
+    "q269_feature_hash"     -> q269,
+    "q270_cross_correlation" -> q270,
+    "q271_concordance"      -> q271,
+    "q272_contingency_residuals" -> q272,
+    "q273_time_to_convert"  -> q273,
+    "q274_link_prediction"  -> q274
   ).map { case (k, v) => k -> clean(v) }
 }

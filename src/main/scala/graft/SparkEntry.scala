@@ -4112,6 +4112,48 @@ object SparkEntry {
     graft.ops.Encoding.featureHash(t(s, dir, "documents"),
       "doc_id", "text", dims = 64)
 
+  /** Cross-correlation ([[graft.ops.Trend.crossCorrelation]]): weekly
+    * revenue vs order volume per priority at lags −4..4 — the lead-time
+    * readout, exact moments, split-sqrt rendering. */
+  private def q270CrossCorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.crossCorrelation(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+        .select(col("o_orderpriority"),
+          expr("__day DIV 7").as("week"),
+          col("o_totalprice").as("a"), lit(1.0).as("b")),
+      "week", "a", "b", Seq("o_orderpriority"), maxLag = 4)
+
+  /** KWIC concordance ([[graft.ops.TextAnalysis.concordance]]): every
+    * "join" occurrence with 3-token context windows over the shared
+    * normalization. */
+  private def q271Concordance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.concordance(t(s, dir, "documents"),
+      term = "join", width = 3)
+
+  /** Contingency residuals ([[graft.ops.Profiler.contingencyResiduals]]):
+    * which (priority, status) cells depart from independence — per-cell
+    * standardized residuals beside q222's one-number Cramér's V. */
+  private def q272Residuals(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.contingencyResiduals(t(s, dir, "orders"),
+      "o_orderpriority", "o_orderstatus")
+
+  /** Time-to-convert ([[graft.ops.Funnel.timeToConvert]]): hop-duration
+    * percentiles for signup→view→purchase within 7 days — exact
+    * nearest-rank integer seconds. */
+  private def q273TimeToConvert(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.timeToConvert(events(s, dir),
+      Seq("signup", "view", "purchase"), windowSeconds = 604800L)
+
+  /** Link prediction ([[graft.ops.Graph.linkPrediction]]): top predicted
+    * customer–customer ties on the strong trade graph — common
+    * neighbors, fixed-point Jaccard, resource-allocation index. */
+  private def q274LinkPrediction(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.linkPrediction(
+      tradeEdges(s, dir).filter(col("w") >= 3).select(col("src"), col("dst")))
+      .orderBy(col("common").desc, col("u"), col("v")).limit(1000)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4381,7 +4423,12 @@ object SparkEntry {
     "q266_segmented_trend"  -> q266SegmentedTrend _,
     "q267_apportion"        -> q267Apportion _,
     "q268_business_days"    -> q268BusinessDays _,
-    "q269_feature_hash"     -> q269FeatureHash _
+    "q269_feature_hash"     -> q269FeatureHash _,
+    "q270_cross_correlation" -> q270CrossCorr _,
+    "q271_concordance"      -> q271Concordance _,
+    "q272_contingency_residuals" -> q272Residuals _,
+    "q273_time_to_convert"  -> q273TimeToConvert _,
+    "q274_link_prediction"  -> q274LinkPrediction _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -319,4 +319,64 @@ object Funnel {
     }
     reached.select(col("u"), col("entry").as("entry_pos"), col("depth"))
   }
+
+  /** Time-to-convert distribution — [[windowFunnel]] says HOW FAR users
+    * got; this says HOW LONG each hop took, which is what funnel
+    * optimization actually tunes ("view→purchase p90 is 26 hours — the
+    * retargeting window should be a day, not a week"). Same chaining
+    * contract as [[windowFunnel]] (first-entry anchor, strictly-later
+    * matches inside the window, depth-gated); per adjacent stage pair
+    * the hop durations summarize as exact nearest-rank percentiles over
+    * integer seconds — min, p50, p90, max — never interpolated floats.
+    *
+    * Output one row per stage pair:
+    * `(from_stage, to_stage, n, min_s, p50_s, p90_s, max_s)`.
+    *
+    * == 100 TB shape ==
+    * The [[windowFunnel]] per-stage min-agg chain, then one union of
+    * (stages−1) duration slices and one pair-partitioned rank window —
+    * pairs are a handful, users converted per pair bound each partition. */
+  def timeToConvert(events: DataFrame, stages: Seq[String],
+                    windowSeconds: Long,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2, "timeToConvert: at least two stages")
+    require(stages.distinct.size == stages.size,
+      "timeToConvert: stages must be distinct")
+    require(windowSeconds >= 1, "timeToConvert: windowSeconds must be >= 1")
+    val ev = events.select(col(userCol).as("u"),
+      col(tsCol).cast("long").as("t"), col(typeCol).as("ty"))
+      .filter(col("u").isNotNull && col("t").isNotNull)
+    var reached = ev.filter(col("ty") === stages.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t1"))
+      .localCheckpoint(true)
+    val durations = stages.drop(1).zipWithIndex.map { case (st, i) =>
+      val prevT = if (i == 0) "t1" else s"t${i + 1}"
+      val nxt = ev.filter(col("ty") === st)
+        .join(reached.select(col("u"), col(prevT).as("__pt"),
+          col("t1").as("__e")), Seq("u"))
+        .filter(col("t") > col("__pt") &&
+          col("t") <= col("__e") + windowSeconds)
+        .groupBy(col("u")).agg(min(col("t")).as(s"t${i + 2}"))
+      reached = reached.join(nxt, Seq("u")).localCheckpoint(true)
+      reached.select(lit(stages(i)).as("from_stage"),
+        lit(st).as("to_stage"), col("u"),
+        (col(s"t${i + 2}") - col(prevT)).as("__d"))
+    }
+    val all = durations.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_stage"), col("to_stage"))
+    val ranked = all
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("__d").asc, col("u").asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+    ranked.groupBy(col("from_stage"), col("to_stage"))
+      .agg(max(col("__n")).as("n"),
+        min(col("__d")).as("min_s"),
+        max(when(col("__rk") === expr("(__n + 1) DIV 2"), col("__d")))
+          .as("p50_s"),
+        max(when(col("__rk") === expr("(9 * __n + 9) DIV 10"), col("__d")))
+          .as("p90_s"),
+        max(col("__d")).as("max_s"))
+  }
 }

@@ -649,4 +649,45 @@ object Profiler {
               (least(col("n_rows_cat"), col("n_cols_cat")) - 1L)
                 .cast("double")), 6)).as("v"))
   }
+
+  /** Per-cell contingency residuals — [[cramersV]] condenses association
+    * into ONE number; the follow-up question is always WHICH cells carry
+    * it ("urgent orders fail disproportionately — where exactly?").
+    * Standardized Pearson residuals `(O − E)/√E` answer it: |resid| ≳ 2
+    * flags a cell whose observed count is implausible under
+    * independence, sign says over- vs under-represented.
+    *
+    * Exactness: marginals are exact longs; `E = r·c/N` is one decimal
+    * division rendered double, the residual a fixed-operand-order IEEE
+    * expression on exact inputs (√ correctly rounded — portable); the
+    * exact integer χ² numerator `(O·N − r·c)²` also ships per cell as a
+    * sortable magnitude. NULL categories participate as the "NULL"
+    * level ([[cramersV]] convention).
+    *
+    * Output one row per observed cell: `(a, b, observed, expected,
+    * residual)`.
+    *
+    * == 100 TB shape ==
+    * One cells agg (enum × enum), two marginal re-aggs broadcast back —
+    * the [[cramersV]] plan, kept per-cell instead of folded. */
+  def contingencyResiduals(df: DataFrame, aCol: String,
+                           bCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val a = coalesce(col(aCol).cast("string"), lit("NULL"))
+    val b = coalesce(col(bCol).cast("string"), lit("NULL"))
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("observed"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("observed")).as("__r"))
+    val cols_ = cells.groupBy(col("b")).agg(sum(col("observed")).as("__c"))
+    val tot = cells.agg(sum(col("observed")).as("__t"))
+    val e = (col("__r").cast(d38) * col("__c")).cast("double") /
+      col("__t").cast("double")
+    cells
+      .join(broadcast(rows), Seq("a")).join(broadcast(cols_), Seq("b"))
+      .join(broadcast(tot))
+      .select(col("a"), col("b"), col("observed"),
+        round(e, 6).as("expected"),
+        round((col("observed").cast("double") - e) / sqrt(e), 6)
+          .as("residual"))
+  }
 }

@@ -699,4 +699,42 @@ object TextAnalysis {
         col("n_greek"), col("mixed_script"), col("skeleton"),
         col("n_variants"))
   }
+
+  /** KWIC concordance — every occurrence of a term with its surrounding
+    * context window, the corpus-inspection primitive behind "HOW is this
+    * word actually used here" (sense auditing before a blocklist entry
+    * ships, contamination triage, tokenizer debugging). Lexicography's
+    * oldest tool, expressed as a row-local query instead of a grep over
+    * a sample.
+    *
+    * Matching runs over the repo-shared normalized token stream (the
+    * q41 contract — case/punctuation folded), so "Foo," and "foo" hit
+    * alike; `pos` is the 1-based token position; `left`/`right` are the
+    * space-joined `width`-token windows, clipped at document edges.
+    *
+    * Output: `(id, pos, left, right)` — one row per occurrence; the
+    * term itself is implicit (it's the query).
+    *
+    * == 100 TB shape ==
+    * One normalize + posexplode per document, a selective equality
+    * filter (term frequency decides the fan-out), and row-local array
+    * slicing — no shuffle at all until whatever the caller aggregates. */
+  def concordance(docs: DataFrame, term: String, width: Int = 3,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(term.nonEmpty, "concordance: term must be non-empty")
+    require(width >= 1 && width <= 50,
+      s"concordance: width must be in [1, 50], got $width")
+    val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
+    docs.select(col(idCol).as("id"), toks.as("__tk"))
+      .select(col("id"), col("__tk"),
+        posexplode(col("__tk")).as(Seq("__p", "__t")))
+      .filter(col("__t") === term)
+      .select(col("id"), (col("__p") + 1).cast("long").as("pos"),
+        array_join(slice(col("__tk"),
+          greatest(col("__p") - width + 1, lit(1)),
+          least(col("__p"), lit(width))), " ").as("left"),
+        array_join(slice(col("__tk"), col("__p") + 2, lit(width)), " ")
+          .as("right"))
+  }
 }

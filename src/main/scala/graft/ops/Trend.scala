@@ -422,6 +422,68 @@ object Trend {
           round(num.cast("double") / den.cast("double"), 6)).as("acf"))): _*)
   }
 
+  /** Lagged cross-correlation between TWO metrics — "does ad spend LEAD
+    * revenue, and by how many weeks": [[autocorrelation]] asks whether a
+    * series remembers itself; the CCF asks whether one series predicts
+    * another, lag by lag (negative lags = `b` leads `a`, positive =
+    * `a` leads `b`, lag 0 = plain correlation as the sanity anchor).
+    * Peak location is the lead time a forecasting feature pipeline
+    * should shift by.
+    *
+    * Per lag, Pearson over the PAIRED observations (the standard
+    * sample-CCF form): exact DECIMAL(38) cent moments of the pairs,
+    * `r = (cΣab − ΣaΣb) / (√(cΣa²−(Σa)²)·√(cΣb²−(Σb)²))` with the two
+    * square roots taken SEPARATELY (their decimal product would
+    * overflow 38 digits; IEEE sqrt is correctly rounded, so the split
+    * form is engine-portable). Pairs form by integer-position equi-join
+    * — gap-honest, the [[autocorrelation]] discipline. Zero variance on
+    * either side → NULL.
+    *
+    * Output: `(group…, lag, n_pairs, ccf)` for lag ∈ [−maxLag, maxLag].
+    *
+    * == 100 TB shape ==
+    * One grid collapse (both metrics ride the same row), one
+    * (2·maxLag+1)-fan-out explode + equi-join on `(group, x+lag)`, one
+    * (group × lag) agg. Never n². */
+  def crossCorrelation(df: DataFrame, xCol: String, aCol: String,
+                       bCol: String, groupCols: Seq[String],
+                       maxLag: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "crossCorrelation: need >= 1 group column")
+    require(maxLag >= 1, s"crossCorrelation: maxLag must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val pts = df.filter(col(xCol).isNotNull)
+      .groupBy((gs :+ col(xCol).cast("long").as("__x")): _*)
+      .agg((sum(col(aCol).cast(dec)) * 100).cast("long").as("__a"),
+        (sum(col(bCol).cast(dec)) * 100).cast("long").as("__b"))
+      .localCheckpoint(true) // both join sides read it
+    val lagged = pts
+      .withColumn("__lag",
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))
+      .select((gs :+ (col("__x") + col("__lag")).as("__x")) :+
+        col("__lag") :+ col("__a"): _*)
+    val paired = lagged
+      .join(pts.select((gs :+ col("__x")) :+ col("__b"): _*),
+        groupCols :+ "__x")
+      .groupBy((gs :+ col("__lag").as("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__a").cast(d38)).as("__sa"),
+        sum(col("__b").cast(d38)).as("__sb"),
+        sum(col("__a").cast(d38) * col("__b")).as("__sab"),
+        sum(col("__a").cast(d38) * col("__a")).as("__saa"),
+        sum(col("__b").cast(d38) * col("__b")).as("__sbb"))
+    val c = col("n_pairs").cast(d38)
+    val num = c * col("__sab") - col("__sa") * col("__sb")
+    val da = c * col("__saa") - col("__sa") * col("__sa")
+    val db = c * col("__sbb") - col("__sb") * col("__sb")
+    paired.select((gs ++ Seq(col("lag"), col("n_pairs"),
+      when(da > 0 && db > 0,
+        round(num.cast("double") /
+          (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+        .as("ccf"))): _*)
+  }
+
   /** Period-over-period comparison — the BI staple (WoW/MoM deltas):
     * each period's total against the PREVIOUS OBSERVED period, with the
     * previous period's position made explicit so a gap reads as "vs 3

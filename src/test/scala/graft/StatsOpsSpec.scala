@@ -833,6 +833,101 @@ class StatsOpsSpec extends SparkSpec {
     assert(tight.exists(_.getAs[Long]("n_tokens") > 1L))
   }
 
+  test("crossCorrelation: planted lead detected at the right lag") {
+    // b copies a shifted by +2 positions → ccf peaks (exactly 1) at lag 2
+    val a = Map(1L -> 10.0, 2L -> 30.0, 3L -> 20.0, 4L -> 50.0,
+      5L -> 40.0, 6L -> 60.0)
+    val rows = (1L to 8L).map { x =>
+      ("g", x, a.getOrElse(x, 0.0), a.getOrElse(x - 2, 0.0))
+    }.toDF("grp", "x", "a", "b")
+    val got = Trend.crossCorrelation(rows, "x", "a", "b", Seq("grp"), 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        Option(r.getAs[Any]("ccf")).map(_.asInstanceOf[Double])).toMap
+    assert(got(2L) === Some(1.0))
+    assert(got.keySet === (-3L to 3L).toSet)
+    // zero variance on one side → NULL, not a crash
+    val flat = Trend.crossCorrelation(
+      (1L to 5L).map(x => ("g", x, x.toDouble, 7.0))
+        .toDF("grp", "x", "a", "b"), "x", "a", "b", Seq("grp"), 1)
+      .collect()
+    assert(flat.forall(_.isNullAt(flat.head.fieldIndex("ccf"))))
+  }
+
+  test("concordance: positions, edge-clipped windows, normalization") {
+    val docs = Seq(
+      (1L, "alpha beta JOIN gamma delta epsilon"),
+      (2L, "join at the start"),
+      (3L, "ends with a join"),
+      (4L, "no match here")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.concordance(docs, "join", width = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("pos"), r.getAs[String]("left"),
+          r.getAs[String]("right"))).toMap
+    // "JOIN" matches via normalization; context windows are exact
+    assert(got(1L) === (3L, "alpha beta", "gamma delta"))
+    assert(got(2L) === (1L, "", "at the"))
+    assert(got(3L) === (4L, "with a", ""))
+    assert(!got.contains(4L))
+  }
+
+  test("contingencyResiduals: independence reads zero, planted excess positive") {
+    // perfectly independent 2×2 (all cells 25 of 100): residuals 0
+    val flat = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 25 } yield (a, b)).toDF("a", "b")
+    val r0 = Profiler.contingencyResiduals(flat, "a", "b").collect()
+    assert(r0.forall(_.getAs[Double]("residual") === 0.0))
+    assert(r0.forall(_.getAs[Double]("expected") === 25.0))
+    // excess on the diagonal: (x,p) overloaded → positive residual there,
+    // negative off-diagonal
+    val skew = (Seq.fill(40)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(40)(("y", "q")))
+      .toDF("a", "b")
+    val rs = Profiler.contingencyResiduals(skew, "a", "b").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Double]("residual")).toMap
+    assert(rs(("x", "p")) > 2.0 && rs(("y", "q")) > 2.0)
+    assert(rs(("x", "q")) < -2.0 && rs(("y", "p")) < -2.0)
+  }
+
+  test("timeToConvert: hand percentiles, window discipline inherited") {
+    // three converters with view delays 10, 20, 30; one stalls
+    val ev = Seq(
+      (1L, 0L, "s"), (1L, 10L, "v"),
+      (2L, 0L, "s"), (2L, 20L, "v"), (2L, 25L, "p"),
+      (3L, 0L, "s"), (3L, 30L, "v"),
+      (4L, 0L, "s")).toDF("user_id", "ts", "event_type")
+    val got = Funnel.timeToConvert(ev, Seq("s", "v", "p"), 100L)
+      .collect().map(r => (r.getAs[String]("from_stage"),
+        r.getAs[String]("to_stage")) -> r).toMap
+    val sv = got(("s", "v"))
+    assert(sv.getAs[Long]("n") === 3L)
+    assert(sv.getAs[Long]("min_s") === 10L)
+    assert(sv.getAs[Long]("p50_s") === 20L)   // rank (3+1) DIV 2 = 2
+    assert(sv.getAs[Long]("p90_s") === 30L)   // rank ceil(2.7) = 3
+    assert(sv.getAs[Long]("max_s") === 30L)
+    val vp = got(("v", "p"))
+    assert(vp.getAs[Long]("n") === 1L && vp.getAs[Long]("p50_s") === 5L)
+  }
+
+  test("linkPrediction: wedge scores, existing edges excluded, hub cap") {
+    // square a-b-c-d-a: (a,c) and (b,d) are the predicted diagonals,
+    // each with 2 common neighbors of degree 2 → RA = 2·(10⁹/2)
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(square).collect()
+      .map(r => (r.getAs[String]("u"), r.getAs[String]("v")) ->
+        (r.getAs[Long]("common"), r.getAs[String]("jaccard"),
+          r.getAs[Long]("ra_fp"))).toMap
+    assert(got.keySet === Set(("a", "c"), ("b", "d")))
+    // deg(a)=deg(c)=2, common=2 → Jaccard = 2/(2+2−2) = 1
+    assert(got(("a", "c")) === (2L, "1.000000000", 1000000000L))
+    // hub cap: a star center above maxDegree generates NO wedges
+    val star = (1 to 5).map(i => ("hub", s"n$i")).toDF("src", "dst")
+    assert(Graph.linkPrediction(star, maxDegree = 4).isEmpty)
+    // ...but below the cap its leaves pair up
+    assert(Graph.linkPrediction(star, maxDegree = 5).count() === 10L)
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
