@@ -6575,6 +6575,108 @@ object OracleSql {
       ra_fp
     FROM fx ORDER BY common DESC, u, v LIMIT 1000"""
 
+  /** The q275 IPF unroll: one margin-agg + rescale CTE pair per
+    * half-round, HUGEINT floor division matching Experiment.rake's
+    * ×10⁹ fixed-point trajectory step for step. */
+  private def rakeCtes(rounds: Int): String =
+    (0 until rounds).flatMap { r =>
+      Seq("a", "b").zipWithIndex.map { case (dim, j) =>
+        val k = 2 * r + j
+        val tcol = if (dim == "a") "tA" else "tB"
+        s"""m$k AS (SELECT $dim, sum(n::HUGEINT * w) AS m
+        FROM g$k GROUP BY 1),
+      g${k + 1} AS (SELECT g.a, g.b, g.n, g.tA, g.tB,
+        g.w * (g.$tcol::HUGEINT * 1000000000 * 1000000000 // m.m)
+          // 1000000000 AS w
+        FROM g$k g JOIN m$k m ON g.$dim = m.$dim)"""
+      }
+    }.mkString(",\n    ")
+
+  /** Raking — q275. Full order grid to the every-third-order slice margins, 3 unrolled
+    * fixed-point IPF rounds; mirrors Experiment.rake. */
+  private val q275 = s"""
+    WITH grid0 AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderpriority IS NOT NULL
+        AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+    ta AS (SELECT o_orderpriority AS a, CAST(count(*) AS BIGINT) AS tA
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+    tb AS (SELECT o_orderstatus AS b, CAST(count(*) AS BIGINT) AS tB
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+    g0 AS (SELECT grid0.a, grid0.b, grid0.n, ta.tA, tb.tB,
+        CAST(1000000000 AS HUGEINT) AS w
+      FROM grid0 JOIN ta ON grid0.a = ta.a JOIN tb ON grid0.b = tb.b),
+    ${rakeCtes(3)}
+    SELECT a, b, n, CAST(w AS BIGINT) AS w_fp,
+      round(CAST(n::HUGEINT * w AS DOUBLE) / 1e9, 6) AS weighted
+    FROM g6"""
+
+  /** Multi-touch attribution — q276. Conversion-ordinal windows,
+    * largest-remainder U-shaped splits, direct fallback; mirrors
+    * Funnel.multiTouchAttribution(mode = "u"). */
+  private val q276 = """
+    WITH ev AS (SELECT user_id AS u, event_id, ts, event_type AS ty
+      FROM events),
+    seq AS (SELECT u, event_id, ts, ty,
+        coalesce(sum(CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY u ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+          AS ord
+      FROM ev),
+    convs AS (SELECT u, ord FROM seq WHERE ty = 'purchase'),
+    touches AS (SELECT s.u, s.ord, s.ty AS channel, s.ts, s.event_id
+      FROM seq s JOIN convs c ON s.u = c.u AND s.ord = c.ord
+      WHERE s.ty <> 'purchase'),
+    rk AS (SELECT u, ord, channel,
+        CAST(count(*) OVER (PARTITION BY u, ord) AS BIGINT) AS k,
+        CAST(row_number() OVER (PARTITION BY u, ord
+          ORDER BY ts, event_id) AS BIGINT) AS r
+      FROM touches),
+    cr AS (SELECT channel,
+        CASE WHEN k = 1 THEN 10000 WHEN k = 2 THEN 5000
+          WHEN r = 1 OR r = k THEN 4000
+          ELSE 2000 // (k - 2) +
+            (CASE WHEN r - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END)
+        END AS c
+      FROM rk),
+    tkeys AS (SELECT DISTINCT u, ord FROM touches),
+    direct AS (SELECT 'direct' AS channel, 10000 AS c
+      FROM convs c LEFT JOIN tkeys t ON c.u = t.u AND c.ord = t.ord
+      WHERE t.u IS NULL)
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      CAST(sum(c) AS BIGINT) AS credit_bp
+    FROM (SELECT * FROM cr UNION ALL SELECT * FROM direct)
+    GROUP BY 1"""
+
+  /** Blocking metrics — q277. Canonicalized candidate/gold pair sets,
+    * RR and PC as single divisions; mirrors
+    * EntityResolution.blockingMetrics. */
+  private val q277 = """
+    WITH cand AS (SELECT DISTINCT least(x.c_custkey, y.c_custkey) AS a,
+        greatest(x.c_custkey, y.c_custkey) AS b
+      FROM customer x JOIN customer y
+        ON x.c_mktsegment = y.c_mktsegment
+        AND x.c_nationkey = y.c_nationkey
+        AND x.c_custkey < y.c_custkey),
+    gold AS (SELECT DISTINCT least(x.c_custkey, y.c_custkey) AS a,
+        greatest(x.c_custkey, y.c_custkey) AS b
+      FROM customer x JOIN customer y
+        ON x.c_custkey % 750 = y.c_custkey % 750
+        AND x.c_custkey < y.c_custkey),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cand),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS c FROM gold),
+    cov AS (SELECT CAST(count(*) AS BIGINT) AS c
+      FROM cand JOIN gold ON cand.a = gold.a AND cand.b = gold.b)
+    SELECT nn.n AS n_records, nc.c AS n_candidates, ng.c AS n_gold,
+      cov.c AS n_covered,
+      round(1.0 - CAST(nc.c AS DOUBLE) /
+        CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE), 6) AS reduction_ratio,
+      CASE WHEN ng.c > 0 THEN
+        round(CAST(cov.c AS DOUBLE) / CAST(ng.c AS DOUBLE), 6)
+      END AS pairs_completeness
+    FROM nn, nc, ng, cov"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6865,6 +6967,9 @@ object OracleSql {
     "q271_concordance"      -> q271,
     "q272_contingency_residuals" -> q272,
     "q273_time_to_convert"  -> q273,
-    "q274_link_prediction"  -> q274
+    "q274_link_prediction"  -> q274,
+    "q275_rake"             -> q275,
+    "q276_multi_touch"      -> q276,
+    "q277_blocking_metrics" -> q277
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4154,6 +4154,42 @@ object SparkEntry {
       tradeEdges(s, dir).filter(col("w") >= 3).select(col("src"), col("dst")))
       .orderBy(col("common").desc, col("u"), col("v")).limit(1000)
 
+  /** Raking ([[graft.ops.Experiment.rake]]): reweight the full order
+    * grid to an every-third-order slice's margins on priority × status
+    * (the slice covers every category by construction) — 3 fixed-point
+    * IPF rounds, trajectory-deterministic. */
+  private def q275Rake(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val ref = o.filter(col("o_orderkey") % 3 === 0)
+    graft.ops.Experiment.rake(o, "o_orderpriority", "o_orderstatus",
+      ref.groupBy(col("o_orderpriority")).count(),
+      ref.groupBy(col("o_orderstatus")).count(), rounds = 3)
+  }
+
+  /** Multi-touch attribution ([[graft.ops.Funnel.multiTouchAttribution]]):
+    * U-shaped credit over the event stream — exact basis points,
+    * largest-remainder splits, windows partitioned per conversion. */
+  private def q276MultiTouch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.multiTouchAttribution(events(s, dir),
+      convType = "purchase", mode = "u")
+
+  /** Blocking metrics ([[graft.ops.EntityResolution.blockingMetrics]]):
+    * (segment, nation) equality blocking graded against residue-class
+    * gold pairs — reduction ratio vs pairs completeness. */
+  private def q277BlockingMetrics(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val n = cust.count()
+    val cand = cust.as("x").join(cust.as("y"),
+      expr("x.c_mktsegment = y.c_mktsegment AND " +
+        "x.c_nationkey = y.c_nationkey AND x.c_custkey < y.c_custkey"))
+      .select(col("x.c_custkey").as("p"), col("y.c_custkey").as("q"))
+    val gold = cust.as("x").join(cust.as("y"),
+      expr("x.c_custkey % 750 = y.c_custkey % 750 AND " +
+        "x.c_custkey < y.c_custkey"))
+      .select(col("x.c_custkey").as("p"), col("y.c_custkey").as("q"))
+    graft.ops.EntityResolution.blockingMetrics(cand, gold, n)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4428,7 +4464,10 @@ object SparkEntry {
     "q271_concordance"      -> q271Concordance _,
     "q272_contingency_residuals" -> q272Residuals _,
     "q273_time_to_convert"  -> q273TimeToConvert _,
-    "q274_link_prediction"  -> q274LinkPrediction _
+    "q274_link_prediction"  -> q274LinkPrediction _,
+    "q275_rake"             -> q275Rake _,
+    "q276_multi_touch"      -> q276MultiTouch _,
+    "q277_blocking_metrics" -> q277BlockingMetrics _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -354,6 +354,48 @@ object EntityResolution {
           lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
   }
 
+  /** Blocking-quality metrics (Christen 2012) — the two numbers that
+    * judge a blocking scheme BEFORE the expensive compare stage runs:
+    * reduction ratio `RR = 1 − |candidates| / C(n,2)` (how much of the
+    * quadratic pair space the blocks pruned) and pairs completeness
+    * `PC = |candidates ∩ gold| / |gold|` (how much RECALL the pruning
+    * kept). A scheme is only as good as BOTH — trivial blocking scores
+    * RR≈0/PC=1, over-tight blocking RR≈1/PC≈0; [[linkageEval]] grades
+    * the MATCHER's output, this grades the candidate generator feeding
+    * it.
+    *
+    * Pairs canonicalize (least, greatest) + distinct on both sides (the
+    * [[linkageEval]] contract); counts are exact; both ratios are single
+    * fixed-operand-order IEEE divisions.
+    *
+    * Output one row: `(n_records, n_candidates, n_gold, n_covered,
+    * reduction_ratio, pairs_completeness)`. */
+  def blockingMetrics(candidates: DataFrame, gold: DataFrame,
+                      totalRecords: Long): DataFrame = {
+    require(totalRecords >= 2,
+      s"blockingMetrics: totalRecords must be >= 2, got $totalRecords")
+    def canon(df: DataFrame) = {
+      val Seq(x, y) = df.columns.toSeq.take(2).map(col)
+      df.select(least(x, y).as("a"), greatest(x, y).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    val c = canon(candidates).localCheckpoint(true)
+    val g = canon(gold).localCheckpoint(true)
+    val nc = c.count(); val ng = g.count()
+    val covered = c.join(g, Seq("a", "b"), "left_semi").count()
+    val all = totalRecords * (totalRecords - 1) / 2
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    Seq((totalRecords, nc, ng, covered)).toDF(
+      "n_records", "n_candidates", "n_gold", "n_covered")
+      .select(col("n_records"), col("n_candidates"), col("n_gold"),
+        col("n_covered"),
+        round(lit(1.0) - col("n_candidates").cast("double") / all.toDouble, 6)
+          .as("reduction_ratio"),
+        when(col("n_gold") > 0, round(col("n_covered").cast("double") /
+          col("n_gold").cast("double"), 6)).as("pairs_completeness"))
+  }
+
   /** Golden-record survivorship — the MDM step AFTER matching: a resolved
     * cluster of duplicate records must collapse to ONE consolidated row,
     * and "which value survives" needs a stated rule, not whatever the

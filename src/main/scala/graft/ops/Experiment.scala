@@ -272,6 +272,75 @@ object Experiment {
       (col("rank") <= coalesce(col("__kstar"), lit(0L))).as("rejected"))
   }
 
+  /** Iterative proportional fitting (raking) — reweight a sample so its
+    * marginals match known population targets on two dimensions at once
+    * (post-stratify an experiment to last quarter's mix, debias a survey
+    * panel, rebalance a training corpus across source × language): the
+    * Deming–Stephan alternating scaler, run a FIXED round count with
+    * every multiplier in ×10⁹ integer fixed point and floor division —
+    * so the trajectory, not just the fixpoint, is deterministic and an
+    * independent engine unrolls the identical rounds (the L221 LPA
+    * contract; float IPF converges to the same place but no two engines
+    * agree on the path, and raking is usually REPORTED mid-path).
+    *
+    * Targets arrive as DataFrames `(category, target)` in count units;
+    * both dimensions' targets must cover every observed category
+    * (missing → LOUD failure via the inner-join count check) and carry
+    * equal totals (raking to inconsistent margins oscillates — checked,
+    * LOUD).
+    *
+    * Output one row per (a, b) cell: `(a, b, n, w_fp, weighted)` —
+    * `w_fp` the ×10⁹ multiplier, `weighted = n·w_fp/10⁹` as a double.
+    *
+    * == 100 TB shape ==
+    * The grid is enum × enum; each half-round is one margin agg + one
+    * broadcast factor join on that grid. Rounds are a small constant.
+    * Only the initial cell count touches data mass. */
+  def rake(df: DataFrame, aCol: String, bCol: String,
+           targetsA: DataFrame, targetsB: DataFrame,
+           rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rake: rounds must be in [1, 16]")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grid0 = df
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val ta = targetsA.select(col(targetsA.columns.head).cast("string").as("a"),
+      col(targetsA.columns(1)).cast("long").as("__taT"))
+    val tb = targetsB.select(col(targetsB.columns.head).cast("string").as("b"),
+      col(targetsB.columns(1)).cast("long").as("__tbT"))
+    var grid = grid0.join(broadcast(ta), Seq("a")).join(broadcast(tb), Seq("b"))
+      .withColumn("__w", lit(1000000000L).cast(d38))
+      .localCheckpoint(true)
+    // coverage + consistency guards, LOUD
+    val checks = grid0.count()
+    require(grid.count() == checks,
+      "rake: a target dimension is missing observed categories")
+    val sumA = ta.agg(sum(col("__taT"))).head.getLong(0)
+    val sumB = tb.agg(sum(col("__tbT"))).head.getLong(0)
+    require(sumA == sumB,
+      s"rake: target totals differ ($sumA vs $sumB) — margins inconsistent")
+    for (_ <- 0 until rounds) {
+      for (dim <- Seq("a", "b")) {
+        val tcol = if (dim == "a") "__taT" else "__tbT"
+        val m = grid.groupBy(col(dim))
+          .agg(sum(col("n").cast(d38) * col("__w")).as("__m"))
+        grid = grid.join(broadcast(m), Seq(dim))
+          .withColumn("__f", expr(
+            s"CAST(CAST($tcol AS DECIMAL(38,0)) * 1000000000 * 1000000000 DIV __m AS DECIMAL(38,0))"))
+          .withColumn("__w",
+            expr("CAST(__w * __f DIV 1000000000 AS DECIMAL(38,0))"))
+          .drop("__m", "__f")
+          .localCheckpoint(true)
+      }
+    }
+    grid.select(col("a"), col("b"), col("n"),
+      col("__w").cast("long").as("w_fp"),
+      round((col("n").cast(d38) * col("__w")).cast("double") / 1e9, 6)
+        .as("weighted"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013) — the A/B-platform
     * standard for tightening experiment reads with PRE-period data:
     * adjust each arm's metric by `θ·(x̄_arm − x̄)` where `x` is a

@@ -379,4 +379,83 @@ object Funnel {
           .as("p90_s"),
         max(col("__d")).as("max_s"))
   }
+
+  /** Multi-touch attribution — [[attribution]] credits ONLY the first or
+    * last touch; budget allocation wants the whole path credited:
+    * `linear` splits each conversion's 10,000 basis points evenly over
+    * its touches, `u` gives 40% to the first, 40% to the last, 20% to
+    * the middles (the standard U/position model; k = 2 → 50/50, k = 1 →
+    * 100%). Credit splits are EXACT integers via largest-remainder
+    * ([[graft.ops.Skew.apportion]]'s rule — floats here over/under-spend
+    * basis points and channels dispute pennies): remainders go to the
+    * EARLIEST touches, stated.
+    *
+    * Window contract: each conversion consumes the touches strictly
+    * before it and after the user's previous conversion (touch windows
+    * partition the timeline — no touch is double-credited); ties on the
+    * timestamp break by `tiebreak`. A conversion with no touches credits
+    * 'direct' in full (the [[attribution]] convention).
+    *
+    * Output per channel: `(channel, n_touches, credit_bp)` — Σcredit_bp
+    * = 10,000 × conversions, exactly.
+    *
+    * == 100 TB shape ==
+    * One user-partitioned window pass assigns every event its
+    * conversion ordinal (state O(1)); credits are rank algebra inside
+    * (user, ordinal) windows; one channel-sized final agg. */
+  def multiTouchAttribution(events: DataFrame, convType: String = "purchase",
+                            mode: String = "linear",
+                            userCol: String = "user_id", tsCol: String = "ts",
+                            typeCol: String = "event_type",
+                            tiebreak: String = "event_id"): DataFrame = {
+    require(Seq("linear", "u").contains(mode),
+      s"multiTouchAttribution: mode must be linear|u, got $mode")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    // conversion ordinal: conversions counted over STRICTLY earlier rows
+    // — a touch belongs to ordinal c+1, and so does the conversion row
+    // itself (its own event is not in the strict-prefix count)
+    val seqd = events
+      .withColumn("__ord", coalesce(sum(
+        when(col(typeCol) === convType, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+    // materialized with RENAMED keys: touches ⋈ convs is a self-derivation
+    // of `seqd` (the apportion ambiguity lesson); the frame is
+    // conversion-count-sized
+    val convs = seqd.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__cu"), col("__ord").as("__co"))
+      .localCheckpoint(true)
+    val touches = seqd.filter(col(typeCol) =!= convType)
+      .join(convs, col(userCol) === col("__cu") &&
+        col("__ord") === col("__co"))
+      .select(col(userCol).as("u"), col("__ord").as("ord"),
+        col(typeCol).as("channel"), col(tsCol).as("t"),
+        col(tiebreak).as("tb"))
+    val cw = Window.partitionBy(col("u"), col("ord"))
+    val ranked = touches
+      .withColumn("__k", count(lit(1)).over(cw))
+      .withColumn("__r", row_number().over(
+        cw.orderBy(col("t").asc, col("tb").asc)).cast("long"))
+    val credit =
+      if (mode == "linear")
+        expr("10000 DIV __k") +
+          when(col("__r") <= expr("10000 % __k"), 1L).otherwise(0L)
+      else {
+        when(col("__k") === 1L, lit(10000L))
+          .when(col("__k") === 2L, lit(5000L))
+          .when(col("__r") === 1L || col("__r") === col("__k"), lit(4000L))
+          .otherwise(expr("2000 DIV (__k - 2)") +
+            when(col("__r") - 1L <= expr("2000 % (__k - 2)"), 1L)
+              .otherwise(0L))
+      }
+    val credited = ranked.select(col("channel"), credit.as("__c"))
+    val touched = touches
+      .select(col("u").as("__cu"), col("ord").as("__co")).distinct()
+    val direct = convs.join(touched, Seq("__cu", "__co"), "left_anti")
+      .select(lit("direct").as("channel"), lit(10000L).as("__c"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("__c")).as("credit_bp"))
+  }
 }

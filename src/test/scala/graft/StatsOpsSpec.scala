@@ -928,6 +928,121 @@ class StatsOpsSpec extends SparkSpec {
     assert(Graph.linkPrediction(star, maxDegree = 5).count() === 10L)
   }
 
+  test("rake: margins converge to targets, guards fire") {
+    // sample 2×2 grid (60, 20 / 20, 20); targets: A = (50, 70),
+    // B = (70, 50) — after 3 rounds margins must sit within 1 count
+    val rows = (Seq.fill(60)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(20)(("y", "q")))
+      .toDF("a", "b")
+    val ta = Seq(("x", 50L), ("y", 70L)).toDF("a", "t")
+    val tb = Seq(("p", 70L), ("q", 50L)).toDF("b", "t")
+    val got = Experiment.rake(rows, "a", "b", ta, tb, rounds = 3)
+      .collect()
+    val wa = got.groupBy(_.getAs[String]("a"))
+      .view.mapValues(_.map(_.getAs[Double]("weighted")).sum).toMap
+    val wb = got.groupBy(_.getAs[String]("b"))
+      .view.mapValues(_.map(_.getAs[Double]("weighted")).sum).toMap
+    assert(math.abs(wa("x") - 50.0) < 1.0 && math.abs(wa("y") - 70.0) < 1.0)
+    assert(math.abs(wb("p") - 70.0) < 1.0 && math.abs(wb("q") - 50.0) < 1.0)
+    // determinism: identical trajectory on a re-run
+    val again = Experiment.rake(rows, "a", "b", ta, tb, rounds = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again === got.map(_.toString).sorted.toSeq)
+    // inconsistent totals and missing categories fail LOUDLY
+    val badTot = intercept[IllegalArgumentException] {
+      Experiment.rake(rows, "a", "b", ta,
+        Seq(("p", 70L), ("q", 51L)).toDF("b", "t"))
+    }
+    assert(badTot.getMessage.contains("margins inconsistent"))
+    val missing = intercept[IllegalArgumentException] {
+      Experiment.rake(rows, "a", "b",
+        Seq(("x", 120L)).toDF("a", "t"), tb)
+    }
+    assert(missing.getMessage.contains("missing observed categories"))
+  }
+
+  test("multiTouchAttribution: linear and U splits, windows, direct") {
+    // user 1: ad, email, search → purchase (k=3)
+    // user 2: ad → purchase, then email → purchase (two windows, k=1 each)
+    // user 3: purchase with no touches → direct
+    val ev = Seq(
+      (1L, 1L, "ad"), (1L, 2L, "email"), (1L, 3L, "search"),
+      (1L, 4L, "purchase"),
+      (2L, 1L, "ad"), (2L, 2L, "purchase"), (2L, 3L, "email"),
+      (2L, 4L, "purchase"),
+      (3L, 1L, "purchase")).toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("ts"))
+    val lin = Funnel.multiTouchAttribution(ev, mode = "linear")
+      .collect().map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("credit_bp"))).toMap
+    // k=3 linear: 3334/3333/3333 (remainder to the earliest)
+    assert(lin("ad") === (2L, 3334L + 10000L))
+    assert(lin("email") === (2L, 3333L + 10000L))
+    assert(lin("search") === (1L, 3333L))
+    assert(lin("direct") === (1L, 10000L))
+    assert(lin.values.map(_._2).sum === 4L * 10000L)
+    val u = Funnel.multiTouchAttribution(ev, mode = "u")
+      .collect().map(r => r.getAs[String]("channel") ->
+        r.getAs[Long]("credit_bp")).toMap
+    // k=3 U: 4000 / 2000 / 4000
+    assert(u("ad") === 4000L + 10000L)
+    assert(u("email") === 2000L + 10000L)
+    assert(u("search") === 4000L)
+    assert(u.values.sum === 4L * 10000L)
+  }
+
+  test("blockingMetrics: RR/PC on a hand-checkable universe") {
+    // 6 records; blocking pairs = {1-2, 3-4}; gold = {1-2, 5-6}
+    val cand = Seq((1L, 2L), (3L, 4L), (2L, 1L)).toDF("p", "q") // dup dirs
+    val gold = Seq((1L, 2L), (5L, 6L)).toDF("p", "q")
+    val r = EntityResolution.blockingMetrics(cand, gold, 6L).collect().head
+    assert(r.getAs[Long]("n_candidates") === 2L)
+    assert(r.getAs[Long]("n_gold") === 2L)
+    assert(r.getAs[Long]("n_covered") === 1L)
+    assert(r.getAs[Double]("reduction_ratio") ===
+      math.rint((1.0 - 2.0 / 15.0) * 1e6) / 1e6)
+    assert(r.getAs[Double]("pairs_completeness") === 0.5)
+  }
+
+  test("minimumSpanningForest: matches an independent Kruskal on varied graphs") {
+    def kruskal(edges: Seq[(String, String, Long)]): Set[(String, String, Long)] = {
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val canon = edges.map { case (a, b, w) =>
+        (if (a < b) a else b, if (a < b) b else a, w) }
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      canon.sortBy(e => (e._3, e._1, e._2)).flatMap { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+      }.toSet
+    }
+    val graphs = Seq(
+      // two components + a parallel-edge trap + a heavy cycle edge
+      Seq(("a", "b", 1L), ("b", "c", 2L), ("a", "c", 9L), ("c", "a", 4L),
+        ("x", "y", 7L)),
+      // a ring (unique-order tie-break decides which edge drops)
+      Seq(("a", "b", 3L), ("b", "c", 3L), ("c", "d", 3L), ("d", "a", 3L)),
+      // star + chords
+      Seq(("h", "n1", 5L), ("h", "n2", 5L), ("h", "n3", 5L),
+        ("n1", "n2", 1L), ("n2", "n3", 1L)))
+    graphs.foreach { g =>
+      val got = Graph.minimumSpanningForest(g.toDF("src", "dst", "w"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === kruskal(g), s"graph $g")
+    }
+    // loud bound
+    val err = intercept[IllegalArgumentException] {
+      Graph.minimumSpanningForest(
+        Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+          .toDF("src", "dst", "w"), maxRounds = 1)
+    }
+    assert(err.getMessage.contains("no fixpoint"))
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
