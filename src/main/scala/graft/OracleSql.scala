@@ -6677,6 +6677,64 @@ object OracleSql {
       END AS pairs_completeness
     FROM nn, nc, ng, cov"""
 
+  /** Moving aggregates — q278. One ±4-row frame per group over the
+    * weekly grid; mirrors Trend.movingAggregate. */
+  private val q278 = """
+    WITH grid AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) // 7 AS pos,
+        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders GROUP BY 1, 2)
+    SELECT g AS o_orderpriority, pos, CAST(v AS DOUBLE) AS value,
+      CAST(count(*) OVER w AS BIGINT) AS n_window,
+      round(CAST(sum(v) OVER w AS DOUBLE) /
+        CAST(count(*) OVER w AS DOUBLE), 6) AS ma,
+      CAST(min(v) OVER w AS DOUBLE) AS win_min,
+      CAST(max(v) OVER w AS DOUBLE) AS win_max
+    FROM grid
+    WINDOW w AS (PARTITION BY g ORDER BY pos ASC
+      ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)"""
+
+  /** Price–volume bridge — q279. Conditional period sums, volume at the
+    * old average price, price effect the exact complement; mirrors
+    * Trend.priceVolumeMix 1994 → 1995. */
+  private val q279 = """
+    WITH li AS (SELECT l_returnflag AS seg,
+        CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS p,
+        CAST(l_quantity AS BIGINT) AS q, l_extendedprice AS r
+      FROM lineitem WHERE CAST(year(CAST(l_shipdate AS TIMESTAMP))
+        AS BIGINT) IN (1994, 1995)),
+    agg AS (SELECT seg,
+        CAST(sum(CASE WHEN p = 1994 THEN q ELSE 0 END) AS BIGINT) AS q0,
+        CAST(sum(CASE WHEN p = 1995 THEN q ELSE 0 END) AS BIGINT) AS q1,
+        coalesce(sum(CASE WHEN p = 1994 THEN
+          CAST(r AS DECIMAL(18,2)) END), 0) AS r0,
+        coalesce(sum(CASE WHEN p = 1995 THEN
+          CAST(r AS DECIMAL(18,2)) END), 0) AS r1
+      FROM li GROUP BY 1),
+    eff AS (SELECT seg, q0, q1, r0, r1,
+        round(CAST(r1 - r0 AS DOUBLE), 6) AS delta,
+        CASE WHEN q0 > 0 THEN
+          round(CAST(q1 - q0 AS DOUBLE) *
+            (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 6)
+        ELSE round(CAST(r1 - r0 AS DOUBLE), 6) END AS volume_effect
+      FROM agg)
+    SELECT seg AS l_returnflag, q0, q1,
+      CAST(r0 AS DOUBLE) AS r0, CAST(r1 AS DOUBLE) AS r1, delta,
+      volume_effect,
+      round(delta - volume_effect, 6) AS price_effect
+    FROM eff"""
+
+  /** Freshness — q280. One max/count agg vs the fixed reference instant;
+    * mirrors Expectations.freshness. */
+  private val q280 = """
+    SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS latest_pos,
+      1706660000 - max(CAST(floor(epoch(ts)) AS BIGINT)) AS "lag",
+      1706660000 - max(CAST(floor(epoch(ts)) AS BIGINT)) > 4000 AS stale
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -6970,6 +7028,9 @@ object OracleSql {
     "q274_link_prediction"  -> q274,
     "q275_rake"             -> q275,
     "q276_multi_touch"      -> q276,
-    "q277_blocking_metrics" -> q277
+    "q277_blocking_metrics" -> q277,
+    "q278_moving_agg"       -> q278,
+    "q279_price_volume"     -> q279,
+    "q280_freshness"        -> q280
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4190,6 +4190,38 @@ object SparkEntry {
     graft.ops.EntityResolution.blockingMetrics(cand, gold, n)
   }
 
+  /** Moving aggregates ([[graft.ops.Trend.movingAggregate]]): ±4-week
+    * centered mean/min/max of weekly revenue per priority — edge windows
+    * honest via n_window. */
+  private def q278MovingAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.movingAggregate(
+      t(s, dir, "orders")
+        .withColumn("__day",
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+        .select(col("o_orderpriority"),
+          expr("__day DIV 7").as("week"), col("o_totalprice")),
+      "week", "o_totalprice", Seq("o_orderpriority"), halfWindow = 4)
+
+  /** Price–volume bridge ([[graft.ops.Trend.priceVolumeMix]]): lineitem
+    * revenue moves 1994 → 1995 per return flag, split into volume and
+    * price effects that telescope exactly. */
+  private def q279PriceVolume(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.priceVolumeMix(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("p"),
+        col("l_quantity"), col("l_extendedprice")),
+      "p", Seq("l_returnflag"), "l_quantity", "l_extendedprice",
+      period0 = 1994L, period1 = 1995L)
+
+  /** Freshness audit ([[graft.ops.Expectations.freshness]]): per
+    * user-bucket latest event vs a fixed reference instant — lag and
+    * staleness at a 4000-second budget. */
+  private def q280Freshness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Expectations.freshness(
+      events(s, dir).select((col("user_id") % 10).as("bucket"),
+        col("ts").cast("long").as("pos")),
+      Seq("bucket"), "pos", referencePos = 1706660000L, maxLag = 4000L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4467,7 +4499,10 @@ object SparkEntry {
     "q274_link_prediction"  -> q274LinkPrediction _,
     "q275_rake"             -> q275Rake _,
     "q276_multi_touch"      -> q276MultiTouch _,
-    "q277_blocking_metrics" -> q277BlockingMetrics _
+    "q277_blocking_metrics" -> q277BlockingMetrics _,
+    "q278_moving_agg"       -> q278MovingAgg _,
+    "q279_price_volume"     -> q279PriceVolume _,
+    "q280_freshness"        -> q280Freshness _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

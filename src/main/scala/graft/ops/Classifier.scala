@@ -276,6 +276,69 @@ object Classifier {
         .as("auc_d"))
   }
 
+  /** Isotonic calibration via PAVA — [[calibrationReport]] DIAGNOSES a
+    * miscalibrated scorer; this FIXES it: pool-adjacent-violators over
+    * the score-binned positive rates yields the best monotone
+    * calibration map (the standard post-hoc calibrator beside Platt
+    * scaling — non-parametric, and exact on binned data). The map is
+    * what a serving layer applies: score → calibrated probability.
+    *
+    * Scale contract, stated: the DISTRIBUTED part is the binning agg
+    * (corpus-sized, map-side-combined, ≤ `bins` output rows); PAVA then
+    * runs on the DRIVER over those ≤ `bins` rows — a bounded collect in
+    * the house bins/edges class, NOT a data collect. Pooling arithmetic
+    * is exact rational (weighted sums as longs, pool means compared by
+    * cross-multiplication — no float enters a pooling DECISION); the
+    * published rate is one final IEEE division per pool.
+    *
+    * No SQL oracle BY DESIGN: pooling is a data-dependent sequential
+    * recurrence (no fixed CTE unroll) — the spec pins hand-traced pools
+    * and the monotonicity/mass invariants instead.
+    *
+    * Output one row per bin: `(bin, n, n_pos, raw_rate, calibrated)` —
+    * `calibrated` non-decreasing in `bin`, pool-constant. */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"isotonicCalibration: bins in [2,64]")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val binned = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(greatest(floor(col(scoreCol) * bins), lit(0))
+        .cast("int"), lit(bins - 1)).as("bin"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y").cast("long")).as("n_pos"))
+      .orderBy(col("bin"))
+      .collect()
+    // PAVA over ≤ bins pools: merge while a pool's rate EXCEEDS its
+    // successor's — comparison by cross-multiplication, exact
+    case class Pool(bins: List[Int], n: Long, pos: Long)
+    var pools = List.empty[Pool]
+    binned.foreach { r =>
+      var cur = Pool(List(r.getAs[Int]("bin")), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"))
+      while (pools.nonEmpty &&
+        pools.head.pos * cur.n > cur.pos * pools.head.n) {
+        val p = pools.head
+        pools = pools.tail
+        cur = Pool(p.bins ++ cur.bins, p.n + cur.n, p.pos + cur.pos)
+      }
+      pools = cur :: pools
+    }
+    val rows = pools.reverse.flatMap { p =>
+      val cal = p.pos.toDouble / p.n.toDouble
+      p.bins.map(b => (b, p.n, p.pos, cal))
+    }
+    val perBin = binned.map(r => r.getAs[Int]("bin") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))).toMap
+    rows.map { case (b, _, _, cal) =>
+      val (n, pos) = perBin(b)
+      (b, n, pos, math.rint(pos.toDouble / n.toDouble * 1e6) / 1e6,
+        math.rint(cal * 1e6) / 1e6)
+    }.toDF("bin", "n", "n_pos", "raw_rate", "calibrated")
+  }
+
   /** Cohen's kappa — chance-corrected inter-rater agreement, the labeler
     * QA readout every labeling/eval pipeline needs before it trusts its
     * annotations ([[calibrationReport]] asks "is the MODEL honest"; kappa

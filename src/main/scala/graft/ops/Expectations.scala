@@ -209,4 +209,35 @@ object Expectations {
         concat_ws(",", flags: _*))
       .withColumn("passed", col("violated") === "")
   }
+
+  /** Freshness audit — "which feeds have gone quiet": per group, the
+    * latest observed position against a caller-supplied reference
+    * position (the batch's logical run time — PASSED IN, never
+    * `current_timestamp()`, so retries and backfills reproduce the same
+    * report byte for byte), plus the observation count and the staleness
+    * flag at `maxLag`. The on-call page for a silent upstream is this
+    * table's `stale = true` rows; [[sequenceGaps]] finds holes INSIDE a
+    * feed, this finds feeds whose END went missing.
+    *
+    * Positions are integer grain (epoch seconds, days — caller's call);
+    * everything is exact 64-bit arithmetic.
+    *
+    * Output per group: `(group…, n_rows, latest_pos, lag, stale)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined max/count agg — group-sized output, nothing
+    * else. */
+  def freshness(df: DataFrame, groupCols: Seq[String], posCol: String,
+                referencePos: Long, maxLag: Long): DataFrame = {
+    require(groupCols.nonEmpty, "freshness: need >= 1 group column")
+    require(maxLag >= 0, s"freshness: maxLag must be >= 0, got $maxLag")
+    val gs = groupCols.map(col)
+    df.filter(col(posCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(posCol).cast("long")).as("latest_pos"))
+      .select((gs ++ Seq(col("n_rows"), col("latest_pos"),
+        (lit(referencePos) - col("latest_pos")).as("lag"),
+        (lit(referencePos) - col("latest_pos") > maxLag).as("stale"))): _*)
+  }
 }

@@ -50,6 +50,92 @@ object Trend {
           col("n_points").cast("double")).as("intercept")): _*)
   }
 
+  /** Centered moving-window aggregates — the smoothing/readout basics a
+    * dashboard layer asks for before any model runs: per position, the
+    * mean/min/max over the ±`halfWindow` OBSERVED positions around it
+    * (ROW-based over the distinct-position grid — a gap does not stretch
+    * the window silently; the edge windows are smaller and `n_window`
+    * says so, never a padded fake). [[ewmaAnomalies]] smooths with decay
+    * for alerting; this is the symmetric descriptive smoother.
+    *
+    * Totals are DECIMAL(18,2)-exact; the moving mean is one double
+    * division of the exact window sum by the window count; min/max are
+    * exact decimals rendered double.
+    *
+    * Output: `(group…, pos, value, n_window, ma, win_min, win_max)`.
+    *
+    * == 100 TB shape ==
+    * One grid collapse, ONE group-partitioned window providing all four
+    * frame aggregates (one Exchange+Sort), nothing global. */
+  def movingAggregate(df: DataFrame, posCol: String, valueCol: String,
+                      groupCols: Seq[String], halfWindow: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty, "movingAggregate: need >= 1 group column")
+    require(halfWindow >= 1 && halfWindow <= 1000,
+      s"movingAggregate: halfWindow must be in [1, 1000], got $halfWindow")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.filter(col(posCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
+      .agg(sum(col(valueCol).cast(dec)).as("__v"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("pos").asc)
+      .rowsBetween(-halfWindow, halfWindow)
+    grid.select((gs ++ Seq(col("pos"), col("__v").cast("double").as("value"),
+      count(lit(1)).over(w).as("n_window"),
+      round(sum(col("__v")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double"), 6).as("ma"),
+      min(col("__v")).over(w).cast("double").as("win_min"),
+      max(col("__v")).over(w).cast("double").as("win_max"))): _*)
+  }
+
+  /** Price–volume decomposition — the FP&A bridge "HOW did revenue move":
+    * per segment between two periods, split ΔR into a VOLUME effect
+    * (quantity change at the OLD average price, `(q₁−q₀)·r₀/q₀`) and a
+    * PRICE/MIX effect (defined as the EXACT complement `ΔR − volume`,
+    * stated — the two effects telescope to ΔR by construction, so the
+    * bridge always balances to the penny instead of leaving the usual
+    * "rounding" line). Segments present in only one period report the
+    * whole ΔR as volume (entry/exit — stated).
+    *
+    * Revenue is DECIMAL(18,2)-exact, quantities exact longs; the volume
+    * effect is one fixed-operand-order double expression.
+    *
+    * Output per segment: `(segment…, q0, q1, r0, r1, delta, volume_effect,
+    * price_effect)`.
+    *
+    * == 100 TB shape ==
+    * One (segment × period) agg, one segment-keyed self-pivot via
+    * conditional sums — no windows, no joins. */
+  def priceVolumeMix(df: DataFrame, periodCol: String,
+                     segCols: Seq[String], qtyCol: String,
+                     revCol: String, period0: Long,
+                     period1: Long): DataFrame = {
+    require(segCols.nonEmpty, "priceVolumeMix: need >= 1 segment column")
+    require(period0 != period1, "priceVolumeMix: periods must differ")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = segCols.map(col)
+    val p = col(periodCol).cast("long")
+    val agg = df.filter(p === period0 || p === period1)
+      .groupBy(gs: _*)
+      .agg(sum(when(p === period0, col(qtyCol).cast("long"))
+        .otherwise(0L)).as("q0"),
+        sum(when(p === period1, col(qtyCol).cast("long"))
+          .otherwise(0L)).as("q1"),
+        sum(when(p === period0, col(revCol).cast(dec))).as("__r0"),
+        sum(when(p === period1, col(revCol).cast(dec))).as("__r1"))
+    val r0 = coalesce(col("__r0"), lit(0).cast(dec))
+    val r1 = coalesce(col("__r1"), lit(0).cast(dec))
+    val delta = (r1 - r0).cast("double")
+    val volume = when(col("q0") > 0,
+      round((col("q1") - col("q0")).cast("double") *
+        (r0.cast("double") / col("q0").cast("double")), 6))
+      .otherwise(round(delta, 6))
+    agg.select((gs ++ Seq(col("q0"), col("q1"),
+      r0.cast("double").as("r0"), r1.cast("double").as("r1"),
+      round(delta, 6).as("delta"), volume.as("volume_effect"),
+      round(round(delta, 6) - volume, 6).as("price_effect"))): _*)
+  }
+
   /** Segmented (interrupted-time-series) regression at a KNOWN break —
     * the "did the deploy change the trajectory" analysis: two
     * independent OLS fits, before (`x < breakX`) and after

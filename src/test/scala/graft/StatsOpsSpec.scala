@@ -1043,6 +1043,81 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("no fixpoint"))
   }
 
+  test("movingAggregate: centered frames, honest edges, gap rows") {
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
+      ("g", 5L, 40.0)).toDF("grp", "pos", "v")
+    val got = graft.ops.Trend.movingAggregate(df, "pos", "v", Seq("grp"),
+      halfWindow = 1).orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("n_window"),
+        r.getAs[Double]("ma"), r.getAs[Double]("win_min")))
+    // edge window is 2 rows (no padding); the 3↔5 gap is ROW-based —
+    // pos 5's window reaches back to the OBSERVED pos 3
+    assert(got.toSeq === Seq(
+      (1L, 2L, 15.0, 10.0), (2L, 3L, 20.0, 10.0),
+      (3L, 3L, 30.0, 20.0), (5L, 2L, 35.0, 30.0)))
+  }
+
+  test("priceVolumeMix: bridge balances exactly, entry/exit convention") {
+    // seg A: 10 units @ 5.00 → 12 units @ 6.00: ΔR = 22, volume = 2·5 =
+    // 10, price = 12 exactly; seg B exits (only period 0)
+    val df = Seq(
+      ("A", 1L, 10L, 50.0), ("A", 2L, 12L, 72.0),
+      ("B", 1L, 4L, 8.0)).toDF("seg", "p", "q", "r")
+    val got = graft.ops.Trend.priceVolumeMix(df, "p", Seq("seg"),
+      "q", "r", 1L, 2L).collect()
+      .map(r => r.getAs[String]("seg") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Double]("delta") === 22.0)
+    assert(a.getAs[Double]("volume_effect") === 10.0)
+    assert(a.getAs[Double]("price_effect") === 12.0)
+    val b = got("B")
+    assert(b.getAs[Double]("delta") === -8.0)
+    assert(b.getAs[Double]("volume_effect") === -8.0) // exit: all volume
+    assert(b.getAs[Double]("price_effect") === 0.0)
+    // the bridge always telescopes: delta = volume + price
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("delta") ===
+        r.getAs[Double]("volume_effect") + r.getAs[Double]("price_effect"))
+    }
+  }
+
+  test("freshness: lag algebra and the stale flag") {
+    val df = Seq(("a", 90L), ("a", 95L), ("b", 70L)).toDF("g", "pos")
+    val got = graft.ops.Expectations.freshness(df, Seq("g"), "pos",
+      referencePos = 100L, maxLag = 10L)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("latest_pos"),
+          r.getAs[Long]("lag"), r.getAs[Boolean]("stale"))).toMap
+    assert(got("a") === (2L, 95L, 5L, false))
+    assert(got("b") === (1L, 70L, 30L, true))
+  }
+
+  test("isotonicCalibration: violators pool, monotone, mass preserved") {
+    // bin rates: 0.2, 0.6, 0.4, 0.8 → PAVA pools bins 1,2 to 0.5
+    def rows(bin: Int, n: Int, pos: Int) =
+      (1 to pos).map(_ => ((bin + 0.5) / 10.0, 1)) ++
+        (1 to (n - pos)).map(_ => ((bin + 0.5) / 10.0, 0))
+    val df = (rows(0, 10, 2) ++ rows(1, 10, 6) ++ rows(2, 10, 4) ++
+      rows(3, 10, 8)).toDF("score", "label")
+    val got = Classifier.isotonicCalibration(df, "score", "label", bins = 10)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Double]("raw_rate"), r.getAs[Double]("calibrated"))).toMap
+    assert(got(0) === (0.2, 0.2))
+    assert(got(1) === (0.6, 0.5)) // pooled with bin 2
+    assert(got(2) === (0.4, 0.5))
+    assert(got(3) === (0.8, 0.8))
+    // monotone by construction
+    val cal = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(cal === cal.sorted)
+    // already-monotone input is untouched
+    val mono = (rows(0, 10, 1) ++ rows(1, 10, 5) ++ rows(2, 10, 9))
+      .toDF("score", "label")
+    val m = Classifier.isotonicCalibration(mono, "score", "label")
+      .collect()
+    assert(m.forall(r =>
+      r.getAs[Double]("raw_rate") === r.getAs[Double]("calibrated")))
+  }
+
   test("hhi: even split, monopoly, zero total, negative guard") {
     val even = Skew.hhi(
       Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0), ("g", 4L, 5.0))
