@@ -677,6 +677,44 @@ object ScaleProbe {
           .agg(coalesce(sum(col("triangles")), lit(0L)))
           .collect().head.getLong(0)
       }
+      // pseudo-random sparse graph for the round-15 graph tier: n edges
+      // over n/10 nodes (mean degree ~20 symmetric) — node count grows
+      // WITH the probe, the honest shape for per-node-frame operators
+      def sparseGraph(rows: Long): DataFrame = {
+        val v = math.max(rows / 10, 100L)
+        spark.range(rows)
+          .select(pmod(col("id"), lit(v)).as("src"),
+            pmod(xxhash64(col("id")), lit(v)).as("dst"))
+      }
+      timed("link_prediction", n) {
+        // wedge mass is Σ deg² over sub-cap centers — candidates should
+        // grow ~linearly when degree stays constant as nodes scale
+        graft.ops.Graph.linkPrediction(sparseGraph(n), maxDegree = 64).count()
+      }
+      timed("kmeans_2d", n) {
+        // per round one broadcast k-row join + k-row agg: linear in points
+        graft.ops.Cluster.kMeans2d(
+          spark.range(n).select(col("id"),
+            pmod(col("id") * 7919, lit(1000)).as("x"),
+            pmod(col("id") * 104729, lit(1000)).as("y")),
+          "id", "x", "y", k = 8, rounds = 2).count()
+      }
+      timed("min_spanning_forest", n) {
+        // Borůvka rounds are log(components); forest CC passes are
+        // node-sized — expect ~linear with a round-count constant
+        graft.ops.Graph.minimumSpanningForest(
+          sparseGraph(n).withColumn("w", pmod(xxhash64(col("src"),
+            col("dst")), lit(97)) + 1L)).count()
+      }
+      timed("coalesce_intervals", n) {
+        // one key-hash window pass: linear with the sort constant
+        graft.ops.EventWindows.coalesceIntervals(
+          spark.range(n).select(pmod(col("id"), lit(1000)).as("g"),
+            (col("id") % 10000).as("s"),
+            (col("id") % 10000 + 1 +
+              pmod(xxhash64(col("id")), lit(50))).as("e")),
+          Seq("g"), "s", "e").count()
+      }
     }
     spark.stop()
   }
