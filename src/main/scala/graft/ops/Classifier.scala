@@ -276,6 +276,90 @@ object Classifier {
         .as("auc_d"))
   }
 
+  /** Decision-stump split finder — the inner loop of every tree
+    * ensemble, exposed as a one-pass operator: over an INTEGER-grain
+    * feature and a binary label, the threshold minimizing weighted Gini
+    * impurity (`x ≤ t` left, `x > t` right). What feature-importance
+    * jobs, monotone-binning pipelines, and "is this signal worth a
+    * model" triage actually need — without shipping a modeling library.
+    *
+    * Exactness: class counts cumulate over the distinct-value grid
+    * (ties collapse — order provably irrelevant); the split objective
+    * `f = posL(nL−posL)/nL + posR(nR−posR)/nR` (minimizing f minimizes
+    * weighted Gini — the shared 2/N factor drops) is ranked on the
+    * ×10¹² integer floor-division grid in DECIMAL(38) — deterministic,
+    * engine-portable, ties to the SMALLEST threshold (stated; exact
+    * rational argmin across candidates would need pairwise
+    * cross-multiplication, so the decision grid is 10⁻¹² — recorded).
+    * The degenerate single-value feature yields a NULL threshold.
+    *
+    * Output one row: `(n, n_pos, threshold, n_left, pos_left, n_right,
+    * pos_right, objective_fp, gini_parent, gini_drop)`.
+    *
+    * == 100 TB shape ==
+    * One distinct-value grid agg (map-side combined), ONE
+    * value-ordered cumulative window over the grid, one argmin fold.
+    * Nothing row-scale passes the window. */
+  def bestSplit(df: DataFrame, featureCol: String,
+                labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featureCol).cast("long").as("__v"),
+        col(labelCol).cast("int").cast("long").as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("__nl", sum(col("__n")).over(w))
+      .withColumn("__pl", sum(col("__p")).over(w))
+      .withColumn("__N", sum(col("__n")).over(tot))
+      .withColumn("__P", sum(col("__p")).over(tot))
+      .filter(col("__nl") < col("__N")) // the last value has no right side
+    val nl = col("__nl").cast(d38); val pl = col("__pl").cast(d38)
+    val nr = (col("__N") - col("__nl")).cast(d38)
+    val pr = (col("__P") - col("__pl")).cast(d38)
+    val num = pl * (nl - pl) * nr + pr * (nr - pr) * nl
+    val den = nl * nr
+    val scored = cum
+      .withColumn("__num", num).withColumn("__den", den)
+      .withColumn("__fp",
+        expr("CAST(__num * 1000000000000 DIV __den AS DECIMAL(38,0))"))
+    val best = scored
+      .agg(min(struct(col("__fp"), col("__v"), col("__nl"), col("__pl"),
+        col("__N"), col("__P"))).as("__b"))
+      .select(col("__b.__N").as("n"), col("__b.__P").as("n_pos"),
+        col("__b.__v").as("threshold"),
+        col("__b.__nl").as("n_left"), col("__b.__pl").as("pos_left"),
+        (col("__b.__N") - col("__b.__nl")).as("n_right"),
+        (col("__b.__P") - col("__b.__pl")).as("pos_right"),
+        col("__b.__fp").cast("long").as("objective_fp"))
+    val totals = grid.agg(sum(col("__n")).as("__tn"),
+      sum(col("__p")).as("__tp"))
+    val gParent = lit(2.0) * col("__tp").cast("double") *
+      (col("__tn") - col("__tp")).cast("double") /
+      (col("__tn").cast("double") * col("__tn").cast("double"))
+    // a single-value feature leaves no candidates: emit the NULL-split row
+    val fallback = totals.select(col("__tn").as("n"), col("__tp").as("n_pos"),
+      lit(null).cast("long").as("threshold"),
+      lit(null).cast("long").as("n_left"), lit(null).cast("long").as("pos_left"),
+      lit(null).cast("long").as("n_right"), lit(null).cast("long").as("pos_right"),
+      lit(null).cast("long").as("objective_fp"))
+    val chosen = if (scored.isEmpty) fallback else best
+    chosen.join(broadcast(totals))
+      .select(col("n"), col("n_pos"), col("threshold"), col("n_left"),
+        col("pos_left"), col("n_right"), col("pos_right"),
+        col("objective_fp"),
+        round(gParent, 6).as("gini_parent"),
+        when(col("objective_fp").isNotNull,
+          round(gParent - lit(2.0) * col("objective_fp").cast("double") /
+            1e12 / col("__tn").cast("double"), 6)).as("gini_drop"))
+  }
+
   /** Isotonic calibration via PAVA — [[calibrationReport]] DIAGNOSES a
     * miscalibrated scorer; this FIXES it: pool-adjacent-violators over
     * the score-binned positive rates yields the best monotone
@@ -393,5 +477,65 @@ object Classifier {
         when(col("__den") > 0,
           round(col("__num").cast("double") / col("__den").cast("double"), 6))
           .as("kappa_d"))
+  }
+
+  /** Classification report at a threshold — the deployment-decision twin
+    * of [[auc]] ([[auc]] ranks the scorer threshold-free; shipping a
+    * filter requires picking ONE threshold and knowing what it costs):
+    * confusion counts at `score ≥ threshold` plus the derived rates.
+    *
+    * Exactness: tp/fp/tn/fn are exact conditional counts in ONE agg;
+    * precision `tp/(tp+fp)`, recall `tp/(tp+fn)`, F1 `2tp/(2tp+fp+fn)`,
+    * and accuracy `(tp+tn)/n` are exact rationals rendered through the
+    * ×10⁹ integer-division 9-dp string contract (the [[cohenKappa]]
+    * armor) plus a 6-dp double convenience column each. An undefined
+    * rate (empty denominator — e.g. precision when nothing is predicted
+    * positive) is NULL, never a silent 0. The threshold compares on
+    * DECIMAL(18,6) so `0.5` means exactly 0.5 on both engines.
+    *
+    * Output one row: `(n, n_pos, n_pred_pos, tp, fp, tn, fn, precision,
+    * precision_d, recall, recall_d, f1, f1_d, accuracy, accuracy_d)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined conditional-count agg — single scan, no
+    * shuffle beyond the 1-row fold. */
+  def confusionReport(scored: DataFrame, scoreCol: String, labelCol: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val pred = col(scoreCol).cast(dec6) >= lit(threshold).cast(dec6)
+    val pos = col(labelCol).cast("int") === 1
+    val c = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(pred && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !pos, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && pos, 1L).otherwise(0L)).as("fn"))
+    def rate(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column, name: String) = Seq(
+      when(den > 0L, concat(
+        expr(s"CAST(__${name}_fx DIV 1000000000 AS STRING)"), lit("."),
+        lpad(expr(s"CAST(__${name}_fx % 1000000000 AS STRING)"), 9, "0")))
+        .as(name),
+      when(den > 0L,
+        round(num.cast("double") / den.cast("double"), 6)).as(s"${name}_d"))
+    c.withColumn("__precision_fx",
+        expr("CAST(tp * 1000000000 DIV (tp + fp) AS BIGINT)"))
+      .withColumn("__recall_fx",
+        expr("CAST(tp * 1000000000 DIV (tp + fn) AS BIGINT)"))
+      .withColumn("__f1_fx",
+        expr("CAST(2 * tp * 1000000000 DIV (2 * tp + fp + fn) AS BIGINT)"))
+      .withColumn("__accuracy_fx",
+        expr("CAST((tp + tn) * 1000000000 DIV n AS BIGINT)"))
+      .select(Seq(col("n"), col("n_pos"), col("n_pred_pos"),
+        col("tp"), col("fp"), col("tn"), col("fn")) ++
+        rate(col("tp"), col("tp") + col("fp"), "precision") ++
+        rate(col("tp"), col("tp") + col("fn"), "recall") ++
+        rate(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn"), "f1") ++
+        rate(col("tp") + col("tn"), col("n"), "accuracy"): _*)
   }
 }

@@ -272,6 +272,120 @@ object Experiment {
       (col("rank") <= coalesce(col("__kstar"), lit(0L))).as("rejected"))
   }
 
+  /** Covariate balance (standardized mean differences) — the table every
+    * observational analysis shows BEFORE its estimate: per covariate,
+    * `SMD = (x̄ᵗ − x̄ᶜ) / √((s²ᵗ + s²ᶜ)/2)` between treated and control
+    * (Austin's balance diagnostic; |SMD| < 0.1 is the conventional
+    * "balanced" bar). [[did]] and [[cuped]] ASSUME comparable groups;
+    * this MEASURES it, pre- or post-weighting.
+    *
+    * Exactness: per-arm cent moments in DECIMAL(38) (order-free);
+    * means, population variances, and the SMD are fixed-operand-order
+    * IEEE expressions (√ correctly rounded); zero pooled variance →
+    * NULL smd; the balanced flag cross-checks |SMD| < 0.1 on the same
+    * doubles both engines computed.
+    *
+    * Output one row per covariate: `(covariate, n_treat, n_ctrl,
+    * mean_treat, mean_ctrl, smd, balanced)`.
+    *
+    * == 100 TB shape ==
+    * ONE agg carrying every covariate's six conditional moments —
+    * single scan, no windows; output is |covariates| rows via a
+    * row-local stack. */
+  def covariateBalance(df: DataFrame, treatedCol: String,
+                       covCols: Seq[String]): DataFrame = {
+    require(covCols.nonEmpty, "covariateBalance: need >= 1 covariate")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = col(treatedCol).cast("boolean")
+    val aggs = covCols.flatMap { c =>
+      val v = (col(c).cast(dec) * 100).cast("long")
+      def side(tv: Boolean, what: org.apache.spark.sql.Column) =
+        sum(when(t === tv && col(c).isNotNull, what).otherwise(lit(0L))
+          .cast(d38))
+      Seq(
+        side(true, lit(1L)).as(s"__nt_$c"),
+        side(false, lit(1L)).as(s"__nc_$c"),
+        side(true, v).as(s"__st_$c"), side(false, v).as(s"__sc_$c"),
+        side(true, v.cast(d38) * v).as(s"__qt_$c"),
+        side(false, v.cast(d38) * v).as(s"__qc_$c"))
+    }
+    val wide = df.filter(t.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val rows = covCols.map { c =>
+      val (nt, nc) = (col(s"__nt_$c"), col(s"__nc_$c"))
+      val (st, sc) = (col(s"__st_$c"), col(s"__sc_$c"))
+      val (qt, qc) = (col(s"__qt_$c"), col(s"__qc_$c"))
+      val mt = st.cast("double") / nt.cast("double") / 100.0
+      val mc = sc.cast("double") / nc.cast("double") / 100.0
+      // population variance in cents² via exact moments, then /100² to
+      // currency units — same operand order on both engines
+      val vt = (nt * qt - st * st).cast("double") /
+        (nt * nt).cast("double") / 10000.0
+      val vc = (nc * qc - sc * sc).cast("double") /
+        (nc * nc).cast("double") / 10000.0
+      val pooled = sqrt((vt + vc) / 2.0)
+      val smd = when(nt > 0 && nc > 0 && pooled > 0.0,
+        round((mt - mc) / pooled, 6))
+      struct(lit(c).as("covariate"),
+        nt.cast("long").as("n_treat"), nc.cast("long").as("n_ctrl"),
+        when(nt > 0, round(mt, 6)).as("mean_treat"),
+        when(nc > 0, round(mc, 6)).as("mean_ctrl"),
+        smd.as("smd"),
+        (smd.isNotNull && abs(smd) < 0.1).as("balanced"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Difference-in-differences — the quasi-experimental workhorse when
+    * randomization wasn't available (a rollout hit one region first, a
+    * policy changed for one segment): the treated group's pre→post change
+    * minus the control group's, `DiD = (ȳ₁ᵀ − ȳ₀ᵀ) − (ȳ₁ᶜ − ȳ₀ᶜ)` —
+    * common trends absorb into the control delta, leaving the treatment
+    * effect (under the parallel-trends assumption, which the caller owns
+    * and the output restates via both deltas).
+    *
+    * Exactness: cents sums in DECIMAL(38); the four cell means are
+    * single IEEE divisions; the DiD is a fixed-operand-order expression
+    * of them. Empty cells yield NULL estimates, never a silent 0.
+    *
+    * Output one row: `(n00, n01, n10, n11, mean_ctrl_pre, mean_ctrl_post,
+    * mean_treat_pre, mean_treat_post, delta_ctrl, delta_treat, did)` —
+    * the 0/1 suffixes are (treated, post).
+    *
+    * == 100 TB shape ==
+    * ONE conditional-sum agg to 4 cells; nothing else. */
+  def did(df: DataFrame, treatedCol: String, postCol: String,
+          valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = col(treatedCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    def cell(tv: Boolean, pv: Boolean) =
+      (t === tv) && (p === pv)
+    def n(tv: Boolean, pv: Boolean) =
+      sum(when(cell(tv, pv), 1L).otherwise(0L))
+    def s(tv: Boolean, pv: Boolean) =
+      sum(when(cell(tv, pv),
+        (col(valueCol).cast(dec) * 100).cast("long")).otherwise(0L).cast(d38))
+    val agg = df
+      .filter(t.isNotNull && p.isNotNull && col(valueCol).isNotNull)
+      .agg(n(false, false).as("n00"), n(false, true).as("n01"),
+        n(true, false).as("n10"), n(true, true).as("n11"),
+        s(false, false).as("__s00"), s(false, true).as("__s01"),
+        s(true, false).as("__s10"), s(true, true).as("__s11"))
+    def mean(sc: String, nc: String) =
+      when(col(nc) > 0, col(sc).cast("double") /
+        col(nc).cast("double") / 100.0)
+    val (m00, m01) = (mean("__s00", "n00"), mean("__s01", "n01"))
+    val (m10, m11) = (mean("__s10", "n10"), mean("__s11", "n11"))
+    agg.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      round(m00, 6).as("mean_ctrl_pre"), round(m01, 6).as("mean_ctrl_post"),
+      round(m10, 6).as("mean_treat_pre"), round(m11, 6).as("mean_treat_post"),
+      round(m01 - m00, 6).as("delta_ctrl"),
+      round(m11 - m10, 6).as("delta_treat"),
+      round((m11 - m10) - (m01 - m00), 6).as("did"))
+  }
+
   /** Iterative proportional fitting (raking) — reweight a sample so its
     * marginals match known population targets on two dimensions at once
     * (post-stratify an experiment to last quarter's mix, debias a survey
@@ -399,5 +513,241 @@ object Experiment {
         when(varXN > 0 && varYN > 0,
           round(covN.cast("double") * covN.cast("double") /
             (varXN.cast("double") * varYN.cast("double")), 6)).as("rho2"))
+  }
+
+  /** Welch's t-test — the CONTINUOUS-metric two-sample readout ([[abTest]]
+    * compares proportions; this compares MEANS of revenue-like metrics
+    * whose variances differ between arms, which is why Welch, not pooled
+    * Student, is every experimentation platform's default). Exactly two
+    * groups — more arms fail LOUDLY (the [[abTest]] guard); run
+    * [[anovaF]] first when there are k arms.
+    *
+    * Statistic: `t = (m̄_b − m̄_a) / √(s²_a/n_a + s²_b/n_b)` with SAMPLE
+    * variances, and the Welch–Satterthwaite degrees of freedom
+    * `df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))`.
+    *
+    * Determinism: per-arm cent moments (n, Σy, Σy²) in DECIMAL(38) —
+    * order-free; means and variances are fixed-operand-order IEEE doubles
+    * (`s² = (n·Σy² − (Σy)²)/(n·(n−1))`, exact integer numerator), so both
+    * engines compute bit-identical statistics. `significant` is the
+    * large-sample |t| > 1.96 call (the [[abTest]] convention — at the n
+    * where this engine runs, Welch df is in the thousands and the normal
+    * quantile is the t quantile to 3 dp; tiny-n callers should read
+    * `df_welch` and consult a t table). An arm with n < 2 or zero
+    * variance on both sides yields NULL t.
+    *
+    * Output one row: `(group_a, n_a, mean_a, var_a, group_b, n_b,
+    * mean_b, var_b, t_stat, df_welch, significant)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined moment agg to a 2-row frame, one 1-row
+    * packing agg, row-local arithmetic — the [[abTest]] plan. */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val d38 = DecimalType(38, 0)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        (col(valueCol).cast(dec) * 100).cast("long").as("__y"))
+    val arms = rows.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__y").cast(d38)).as("__s"),
+      sum(col("__y").cast(d38) * col("__y")).as("__q"))
+    val packed = arms.agg(
+      count(lit(1)).as("__arms"),
+      min_by(struct(col("g"), col("n"), col("__s"), col("__q")), col("g"))
+        .as("__a"),
+      max_by(struct(col("g"), col("n"), col("__s"), col("__q")), col("g"))
+        .as("__b"))
+    val checked = packed.select(
+      when(col("__arms") === 2, col("__a"))
+        .otherwise(raise_error(concat(
+          lit("welchT: need exactly 2 groups, got "),
+          col("__arms").cast("string")))).as("__a"),
+      col("__b"))
+    def mean(s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      s.cast("double") / n.cast("double") / 100.0
+    // sample variance in currency²: exact integer numerator, one division
+    def svar(p: String) = {
+      val (n, s, q) = (col(s"$p.n").cast(d38), col(s"$p.__s"), col(s"$p.__q"))
+      (n * q - s * s).cast("double") /
+        (col(s"$p.n").cast("double") * (col(s"$p.n").cast("double") - 1.0)) /
+        10000.0
+    }
+    val (na, nb) = (col("__a.n").cast("double"), col("__b.n").cast("double"))
+    val (ma, mb) = (mean(col("__a.__s"), col("__a.n")),
+      mean(col("__b.__s"), col("__b.n")))
+    val (va, vb) = (svar("__a"), svar("__b"))
+    val (ua, ub) = (va / na, vb / nb)
+    val se2 = ua + ub
+    val t = when(col("__a.n") >= 2 && col("__b.n") >= 2 && se2 > 0.0,
+      (mb - ma) / sqrt(se2))
+    val dfW = when(t.isNotNull,
+      se2 * se2 / (ua * ua / (na - 1.0) + ub * ub / (nb - 1.0)))
+    checked.select(
+      col("__a.g").as("group_a"), col("__a.n").as("n_a"),
+      when(col("__a.n") > 0, round(ma, 6)).as("mean_a"),
+      when(col("__a.n") >= 2, round(va, 6)).as("var_a"),
+      col("__b.g").as("group_b"), col("__b.n").as("n_b"),
+      when(col("__b.n") > 0, round(mb, 6)).as("mean_b"),
+      when(col("__b.n") >= 2, round(vb, 6)).as("var_b"),
+      round(t, 6).as("t_stat"),
+      round(dfW, 6).as("df_welch"),
+      coalesce(abs(t) > 1.96, lit(false)).as("significant"))
+  }
+
+  /** One-way ANOVA F — the k-arm generalization of [[welchT]] ("did ANY
+    * of these five priority tiers move spend?"): between-group vs
+    * within-group variance ratio `F = (SSB/(k−1)) / (SSW/(N−k))`, plus
+    * η² = SSB/SST, the fraction of variance the grouping explains (the
+    * effect size that makes a huge-N significant-but-trivial F legible).
+    *
+    * Exactness: the group-term sum `Σ s_i²/n_i` — the one place a naive
+    * implementation sums order-dependent doubles — is computed in exact
+    * BigInt arithmetic over the collected ARM-SIZED moment frame (the
+    * house bins/edges-sized driver fold; arms are an enum, never data-
+    * scale — a loud `maxArms` guard enforces it), flooring each quotient
+    * to the 1-cent² grid exactly as the oracle's HUGEINT `//` does.
+    * SSB's other term `S²/N` takes the same grid, so `SSB_fx` is one
+    * exact integer subtraction; SSW and F are fixed-operand-order
+    * doubles from exact integers. The sub-cent² floor loss is bounded by
+    * k cents² — invisible against any real sum of squares, and identical
+    * on both engines regardless. Degenerate inputs (k < 2, N ≤ k, zero
+    * within-variance) yield NULL F rather than a division by zero.
+    *
+    * Output one row: `(k, n, ss_between, ss_within, df_between,
+    * df_within, f_stat, eta2)` — sums of squares in currency².
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined moment agg to a k-row frame; the fold is a
+    * k-row collect (arms-sized — the bins/edges collect class). Never a
+    * window, never per-row ranks, nothing data-sized leaves executors. */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String,
+             maxArms: Int = 10000): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val d38 = DecimalType(38, 0)
+    val spark = df.sparkSession
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        (col(valueCol).cast(dec) * 100).cast("long").as("__y"))
+    val arms = rows.groupBy(col("g")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y").cast(d38)).as("__s"),
+      sum(col("__y").cast(d38) * col("__y")).as("__q"))
+      .limit(maxArms + 1).collect()
+    require(arms.length <= maxArms,
+      s"anovaF: more than $maxArms groups — this is an enum-arm test; " +
+        "check the group column")
+    val moments = arms.toSeq.map { r =>
+      (r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger))
+    }
+    val k = moments.size.toLong
+    val n = moments.map(_._1).sum
+    val bigS = moments.map(_._2).sum
+    val bigQ = moments.map(_._3).sum
+    val bigT = moments.map { case (ni, si, _) => si * si / ni }.sum
+    val ssbFx = if (n > 0) bigT - bigS * bigS / n else BigInt(0)
+    val ssb = ssbFx.toDouble / 10000.0
+    val ssw = (bigQ - bigT).toDouble / 10000.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f: Option[Double] =
+      if (k >= 2 && n > k && ssw > 0.0)
+        Some(r6((ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)))
+      else None
+    val eta2: Option[Double] =
+      if (ssb + ssw > 0.0) Some(r6(ssb / (ssb + ssw))) else None
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("ss_between", DoubleType, nullable = false),
+      StructField("ss_within", DoubleType, nullable = false),
+      StructField("df_between", LongType, nullable = false),
+      StructField("df_within", LongType, nullable = false),
+      StructField("f_stat", DoubleType, nullable = true),
+      StructField("eta2", DoubleType, nullable = true)))
+    val row = org.apache.spark.sql.Row(
+      k, n, r6(ssb), r6(ssw), k - 1L, n - k,
+      f.map(java.lang.Double.valueOf).orNull,
+      eta2.map(java.lang.Double.valueOf).orNull)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+  }
+
+  /** Sample-ratio-mismatch check — the FIRST gate of every experiment
+    * readout: before trusting [[abTest]]/[[welchT]], verify the traffic
+    * split actually matches the configured weights (a 50/50 test
+    * observing 52/48 at scale means the assignment or logging pipeline
+    * is broken and EVERY downstream metric is biased — the industry-
+    * standard guard, run at α = 0.001 because SRM is a data-quality
+    * alarm, not a hypothesis).
+    *
+    * χ² goodness-of-fit with integer expected weights `w_i` (50/50 →
+    * `Seq(a→1, b→1)`): with `W = Σw`, each term
+    * `(o_i·W − N·w_i)²/(N·w_i·W)` is computed on the ×10¹² fixed-point
+    * grid (exact integer numerator, [[graft.ops.Profiler.cramersV]]
+    * div-sum discipline) and summed order-free. The verdict compares the
+    * integer χ²_fx against the α = 0.001 critical value for df = k−1
+    * from the standard table (df ≤ 20 — more arms yield a NULL verdict
+    * and the χ² itself, stated). Variants observed in the data but
+    * absent from `weights` fail LOUDLY (a mis-specified check is worse
+    * than none); configured variants with zero traffic participate with
+    * o = 0 — the worst SRM there is.
+    *
+    * Output one row: `(k, n, chi2, df, srm)` — `srm` true = the split
+    * is broken, halt the readout.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined count agg to a k-row frame, broadcast-joined
+    * to the literal weight table, one k-row fold. */
+  def srmCheck(df: DataFrame, variantCol: String,
+               weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty, "srmCheck: need >= 1 expected weight")
+    require(weights.forall(_._2 > 0), "srmCheck: weights must be > 0")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "srmCheck: duplicate variant in weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val wSum = weights.map(_._2).sum
+    val wdf = weights.toDF("g", "__w")
+    val obs = df.select(col(variantCol).cast("string").as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__o"))
+    val cells = obs.join(broadcast(wdf), Seq("g"), "full_outer")
+      .select(
+        when(col("__w").isNotNull, coalesce(col("__o"), lit(0L)))
+          .otherwise(raise_error(concat(
+            lit("srmCheck: observed variant not in weights: "), col("g"))))
+          .as("__o"),
+        col("__w"))
+    val tot = cells.agg(sum(col("__o")).as("__n_tot"))
+    val folded = cells.crossJoin(broadcast(tot))
+      .agg(
+        count(lit(1)).as("k"),
+        max(col("__n_tot")).as("n"),
+        sum(expr(
+          s"""CAST((CAST(__o AS DECIMAL(38,0)) * $wSum - CAST(__n_tot AS DECIMAL(38,0)) * __w)
+             | * (CAST(__o AS DECIMAL(38,0)) * $wSum - CAST(__n_tot AS DECIMAL(38,0)) * __w)
+             | * 1000000000000
+             | DIV (CAST(__n_tot AS DECIMAL(38,0)) * __w * $wSum)
+             | AS DECIMAL(38,0))""".stripMargin.replace("\n", " ")))
+          .as("__chi_fx"))
+    // χ² critical values at α = 0.001 for df 1..20 (standard table),
+    // scaled to the ×10¹² grid for an exact integer verdict
+    val crit: Map[Int, Long] = Map(
+      1 -> 10828L, 2 -> 13816L, 3 -> 16266L, 4 -> 18467L, 5 -> 20515L,
+      6 -> 22458L, 7 -> 24322L, 8 -> 26124L, 9 -> 27877L, 10 -> 29588L,
+      11 -> 31264L, 12 -> 32909L, 13 -> 34528L, 14 -> 36123L, 15 -> 37697L,
+      16 -> 39252L, 17 -> 40790L, 18 -> 42312L, 19 -> 43820L, 20 -> 45315L)
+    val critCol = crit.foldLeft(lit(null).cast("long")) {
+      case (acc, (dfv, c)) => when(col("k") - 1L === dfv, lit(c)).otherwise(acc)
+    }
+    folded.select(col("k"), col("n"),
+      round(col("__chi_fx").cast("double") / 1e12, 6).as("chi2"),
+      (col("k") - 1L).as("df"),
+      when(col("n") > 0 && critCol.isNotNull,
+        col("__chi_fx") > critCol.cast(d38) * 100000000L).as("srm"))
   }
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** FIFO lot allocation — the classic warehouse COGS/backorder problem
+  * ("which purchase lots did each sale consume, at what cost, and what
+  * couldn't be filled"): match time-ordered demand against time-ordered
+  * supply first-in-first-out. The textbook solution is a sequential
+  * cursor over each key's ledger; the SCALABLE shape is the cumulative-
+  * interval reformulation — on each key's quantity axis, lot i supplies
+  * the half-open range `[Σq_<i, Σq_≤i)` and demand j consumes
+  * `[Σd_<j, Σd_≤j)`; an allocation is exactly an overlap of those ranges
+  * and its quantity is the overlap length. FIFO order, tie-broken by id,
+  * is encoded ONCE in the cumulative sums; the matching itself is
+  * order-free and embarrassingly parallel.
+  *
+  * Reference behavior: ctrl-gee/airline-data-warehouse has no inventory
+  * tier; this extends the warehouse-ops operators (L148 compaction, L187
+  * CDC) with the allocation primitive FP&A pipelines ask of a ledger.
+  */
+object Inventory {
+
+  /** FIFO allocation: `lots` and `demands` (same column names: `qtyCol`
+    * integer-grain quantity, `posCol` integer position/epoch, `idCol`
+    * unique line id) matched per `keys`. Returns one row per
+    * (demand, lot) allocation — `(keys…, demand_id, lot_id, allocated,
+    * demand_pos, lot_pos)` — PLUS one row per unfilled demand remainder
+    * with a NULL `lot_id` (`allocated` = the backordered quantity), so
+    * Σ allocated per demand always equals the demand's quantity and the
+    * output is a complete COGS + backorder ledger in one frame.
+    *
+    * FIFO = ascending (`posCol`, `idCol`) per key, exact 64-bit
+    * cumulative sums. Quantities must be ≥ 0 (integer grain — scale
+    * cents/milliunits first); negatives fail LOUDLY (a negative quantity
+    * breaks cumulative monotonicity and would silently corrupt every
+    * downstream allocation). Zero-quantity lines allocate nothing and
+    * emit nothing (empty half-open ranges overlap nothing, by
+    * construction).
+    *
+    * == 100 TB shape ==
+    * Two per-key cumulative windows (partitioned — never global), then
+    * [[RangeJoin.intervalOverlapJoin]]'s canonical-cell bucketized join
+    * on the quantity axis: each range explodes to `span/bucket + 1`
+    * cells, pairs emit exactly once, no dedup shuffle, no quadratic
+    * per-key theta join. Size `bucket` to the typical lot quantity. The
+    * shortage branch is one key-sized supply agg broadcast-joined back. */
+  def fifoAllocate(lots: DataFrame, demands: DataFrame, keys: Seq[String],
+                   qtyCol: String, posCol: String, idCol: String,
+                   bucket: Long = 1000L): DataFrame = {
+    require(keys.nonEmpty, "fifoAllocate: at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(posCol).asc, col(idCol).asc)
+    def cum(df: DataFrame, side: String): DataFrame = df
+      .select(keys.map(col) ++ Seq(
+        when(col(qtyCol).cast("long") >= 0L, col(qtyCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"fifoAllocate: negative $side quantity at id "),
+            col(idCol).cast("string")))).as("__q"),
+        col(posCol).cast("long").as(s"${side}_pos"),
+        col(idCol).as(s"${side}_id")): _*)
+      .withColumn("__end", sum(col("__q")).over(w.orderBy(
+        col(s"${side}_pos").asc, col(s"${side}_id").asc)))
+      .withColumn("__start", col("__end") - col("__q"))
+      .filter(col("__q") > 0L)
+      .drop("__q")
+    val ls = cum(lots, "lot")
+      .withColumnRenamed("__start", "__ls").withColumnRenamed("__end", "__le")
+    val ds = cum(demands, "demand")
+      .withColumnRenamed("__start", "__ds").withColumnRenamed("__end", "__de")
+    val filled = RangeJoin.intervalOverlapJoin(
+      ds, ls, keys, "__ds", "__de", "__ls", "__le", bucket)
+      .select(keys.map(col) ++ Seq(
+        col("demand_id"), col("lot_id"), col("overlap").as("allocated"),
+        col("demand_pos"), col("lot_pos")): _*)
+    // backorder branch: the demand mass beyond each key's total supply
+    val supply = ls.groupBy(keys.map(col): _*)
+      .agg(max(col("__le")).as("__supply"))
+    val short = ds.join(supply, keys, "left")
+      .withColumn("__supply", coalesce(col("__supply"), lit(0L)))
+      .filter(col("__de") > col("__supply"))
+      .select(keys.map(col) ++ Seq(
+        col("demand_id"), lit(null).cast(ls.schema("lot_id").dataType)
+          .as("lot_id"),
+        (col("__de") - greatest(col("__ds"), col("__supply")))
+          .as("allocated"),
+        col("demand_pos"), lit(null).cast("long").as("lot_pos")): _*)
+    filled.unionByName(short)
+  }
+}

@@ -309,4 +309,80 @@ object Lexicon {
         when(col("n1") > 0, round(lit(2.0) * col("n2").cast("double") /
           col("n1").cast("double"), 6)).as("r1_star"))
   }
+
+  /** RAKE phrase-delimiter regex — runs of stopwords and/or punctuation
+    * (whitespace BETWEEN content words is NOT a delimiter; that is the
+    * whole RAKE idea). Shared verbatim with the oracle (Java regex and
+    * RE2 agree on this construct: \b, \s, alternation, non-capturing
+    * groups). Built from the frozen [[Boilerplate.Stopwords]] core. */
+  val RakeDelimRe: String =
+    "(?:\\s*(?:\\b(?:" + Boilerplate.Stopwords.mkString("|") +
+      ")\\b|[^a-z0-9\\s])\\s*)+"
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the degree/frequency
+    * phrase scorer: candidate phrases are maximal stopword-free spans
+    * (split on [[RakeDelimRe]]), each WORD scores `degree/freq` where
+    * `freq` counts its occurrences and `degree` sums the lengths of the
+    * phrases containing it (co-occurrence-rich words win), and a phrase
+    * scores the sum of its words' scores. [[keywordsTfIdf]] ranks single
+    * TERMS per document; RAKE surfaces multi-word PHRASES — this variant
+    * scores corpus-wide (the vocabulary-building use), top-k phrase
+    * types. (Not [[Experiment.rake]] — that is IPF raking, an unrelated
+    * survey-weighting algorithm that happens to share the acronym.)
+    *
+    * Exactness: word scores live on the ×10⁹ DIV grid
+    * (`degree·10⁹ div freq` — exact longs), phrase scores are exact
+    * integer sums of those, and the top-k orders by `(score_fx DESC,
+    * phrase ASC)` — no float enters any decision; the rendered `score`
+    * is the 9-dp DIV-contract string. Phrases longer than
+    * `maxPhraseWords` are dropped (RAKE's classic junk guard), stated.
+    *
+    * Output: `(phrase, n_words, n_occurrences, score_fx, score)` —
+    * top-k by score.
+    *
+    * == 100 TB shape ==
+    * Row-local lowercase/split/explode → one (word) agg (vocabulary-
+    * sized, map-side combined) → phrase-type agg (phrase-type-sized) →
+    * broadcast word-score join back onto DISTINCT phrase words → k-row
+    * TakeOrdered. Nothing data-sized passes a window; `degree·10⁹` needs
+    * < 9.2·10¹⁸ — ~10⁹ corpus tokens at maxPhraseWords 4 (document
+    * before raising). */
+  def rakeKeywords(docs: DataFrame, k: Int = 20,
+                   textCol: String = "text",
+                   maxPhraseWords: Int = 4): DataFrame = {
+    require(k >= 1, s"rakeKeywords: k must be >= 1, got $k")
+    require(maxPhraseWords >= 1,
+      s"rakeKeywords: maxPhraseWords must be >= 1, got $maxPhraseWords")
+    val phrases = docs
+      .select(explode(split(lower(coalesce(col(textCol), lit(""))),
+        RakeDelimRe)).as("__p"))
+      // canonical single-space phrases: inner newlines/tabs are not
+      // delimiters (correct), but the TYPE key must not depend on them
+      .select(trim(regexp_replace(col("__p"), "\\s+", " ")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("__words", split(col("phrase"), "\\s+"))
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .filter(col("n_words") <= maxPhraseWords)
+    val occ = phrases.select(col("phrase"),
+      explode(col("__words")).as("__w"), col("n_words"))
+    val wstats = occ.groupBy(col("__w")).agg(
+      count(lit(1)).as("__freq"),
+      sum(col("n_words")).as("__degree"))
+      .withColumn("__wscore_fx",
+        expr("CAST(__degree * 1000000000 DIV __freq AS BIGINT)"))
+    val ptypes = phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val pwords = ptypes.select(col("phrase"),
+      explode(split(col("phrase"), "\\s+")).as("__w"))
+      .join(wstats.select(col("__w"), col("__wscore_fx")), Seq("__w"))
+      .groupBy(col("phrase")).agg(sum(col("__wscore_fx")).as("score_fx"))
+    ptypes.join(pwords, Seq("phrase"))
+      .orderBy(col("score_fx").desc, col("phrase").asc)
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_fx"),
+        concat(expr("CAST(score_fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(score_fx % 1000000000 AS STRING)"), 9, "0"))
+          .as("score"))
+  }
 }

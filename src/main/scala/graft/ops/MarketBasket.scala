@@ -64,4 +64,56 @@ object MarketBasket {
         ((lit(nBaskets) * col("n_ab")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Item–item cosine similarity over binary basket vectors — the
+    * "customers who bought X also bought Y" scorer ([[pairStats]]' lift
+    * answers "is the co-occurrence above chance"; cosine
+    * `n_ab/√(n_a·n_b)` is the bounded [0,1] similarity the top-k
+    * neighbor lists of an item-based recommender rank by). Per item, the
+    * top-k most similar items.
+    *
+    * Exactness: the RANKING never touches a float — candidates order by
+    * cosine² = `n_ab²/(n_a·n_b)` on the ×10¹² fixed-point DIV grid
+    * (DECIMAL(38) products, engine-identical), grid ties broken by
+    * neighbor ASC (stated, deterministic — a 10⁻¹² decision grid, the
+    * [[graft.ops.Classifier.bestSplit]] convention). The reported
+    * `cosine` is one √ of one division of exact longs, 6 dp.
+    * `minSupport` prunes noise pairs BEFORE the rank.
+    *
+    * Output: `(item, neighbor, n_ab, n_item, n_neighbor, rank, cosine)`
+    * — both directions emitted (a neighbor list per item needs X→Y and
+    * Y→X).
+    *
+    * == 100 TB shape ==
+    * Reuses [[pairStats]]' bounded per-basket pair join (same maxBasket
+    * guard); the rank is a per-item window over candidate pairs — item-
+    * degree-sized partitions, never global. The DECIMAL sort key is
+    * `cosine²` on the ×10¹² DIV grid (order-free, engine-identical). */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+                 k: Int = 10, minSupport: Long = 2L,
+                 maxBasket: Int = 10000): DataFrame = {
+    require(k >= 1, s"itemCosine: k must be >= 1, got $k")
+    val pairs = pairStats(df, basketCol, itemCol, minSupport, maxBasket)
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("n_a"), col("n_b"))
+    val both = pairs.select(
+        col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("n_ab"), col("n_a").as("n_item"), col("n_b").as("n_neighbor"))
+      .unionByName(pairs.select(
+        col("item_b").as("item"), col("item_a").as("neighbor"),
+        col("n_ab"), col("n_b").as("n_item"), col("n_a").as("n_neighbor")))
+    val scored = both.withColumn("__cos2_fx", expr(
+      "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 1000000000000 DIV (CAST(n_item AS DECIMAL(38,0)) * n_neighbor) AS DECIMAL(38,0))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("__cos2_fx").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_ab"),
+        col("n_item"), col("n_neighbor"), col("rank"),
+        round(sqrt(
+          (col("n_ab").cast("double") * col("n_ab").cast("double")) /
+            (col("n_item").cast("double") * col("n_neighbor").cast("double"))),
+          6).as("cosine"))
+  }
 }

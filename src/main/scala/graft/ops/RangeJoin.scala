@@ -59,4 +59,51 @@ object RangeJoin {
       .filter(col(pointTs).between(col("__start"), col("__end")))
       .drop("__cell", "__start", "__end")
   }
+
+  /** Interval-OVERLAP join — both sides are ranges (double-booking
+    * detection across calendars, outage-vs-deploy windows, conflicting
+    * reservations): emit every same-key pair with
+    * `startL < endR AND startR < endL` (half-open overlap) plus the
+    * exact overlap length. The naive theta-join is quadratic per key;
+    * the scalable shape buckets INTEGER positions like [[intervalJoin]]
+    * — with one extra trick that removes the dedup pass entirely: an
+    * overlapping pair shares the cell of `greatest(startL, startR)` (the
+    * overlap's first instant lies inside both ranges), so the equi-join
+    * keeps a pair ONLY in that one canonical cell — each pair emitted
+    * exactly once, no distinct shuffle.
+    *
+    * Positions are integer grain (the caller's epoch unit); all
+    * comparisons exact 64-bit. Pairs are many-to-many by design;
+    * self-join callers pass the same frame twice and filter ids.
+    *
+    * == 100 TB shape ==
+    * Each side explodes to `span/bucket + 1` cells (size the bucket to
+    * the typical interval); the join is a plain (keys, cell) hash join,
+    * AQE-splittable, and the canonical-cell filter prunes duplicate
+    * cells BEFORE they widen the output. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], startL: String, endL: String,
+                          startR: String, endR: String,
+                          bucket: Long = 600L): DataFrame = {
+    require(keys.nonEmpty, "intervalOverlapJoin: at least one key column")
+    require(bucket > 0, "intervalOverlapJoin: bucket must be > 0")
+    val clash = (left.columns.toSet -- keys) intersect
+      (right.columns.toSet -- keys)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: non-key columns collide across sides: $clash — rename before joining")
+    def cellOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / lit(bucket.toDouble)).cast("long")
+    val l = left
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(startL)), cellOf(col(endL)))))
+    val r = right
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(startR)), cellOf(col(endR)))))
+    l.join(r, keys :+ "__cell")
+      .filter(col(startL) < col(endR) && col(startR) < col(endL) &&
+        col("__cell") === cellOf(greatest(col(startL), col(startR))))
+      .withColumn("overlap",
+        least(col(endL), col(endR)) - greatest(col(startL), col(startR)))
+      .drop("__cell")
+  }
 }

@@ -193,4 +193,103 @@ object Ranking {
         concat(expr("CAST(rrf_e9 DIV 1000000000 AS STRING)"), lit("."),
           lpad(expr("CAST(rrf_e9 % 1000000000 AS STRING)"), 9, "0")))
   }
+
+  /** NDCG discount table on the ×10¹² fixed-point grid: `discFx(r) =
+    * ⌊10¹²/log₂(r+1)⌋` for 1-based rank r. Computed ONCE host-side and
+    * shipped as literal longs into both the engine plan and the DuckDB
+    * oracle (the shared-constant pattern) — neither engine ever evaluates
+    * a logarithm, so cross-engine ULP drift is impossible by design. */
+  def ndcgDiscountsFx(k: Int): Seq[Long] =
+    (1 to k).map(r => (1e12 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranking-quality evaluation — the retrieval scoreboard every search /
+    * RAG / recommender change is judged by: macro-averaged Precision@k,
+    * Recall@k, MRR@k, and NDCG@k over a table of (query, rank, relevant)
+    * judgments ([[rrfFuse]] PRODUCES rankings; this GRADES them against
+    * labels). Binary relevance — the dominant judgment shape; graded
+    * gains are a caller-side mapping away and stated out of scope.
+    *
+    * Exactness: every per-query metric is an exact integer before any
+    * float — P@k and Recall@k are rationals on the ×10⁹ DIV grid, MRR's
+    * 1/r likewise, and NDCG@k sums the [[ndcgDiscountsFx]] literal longs
+    * (DCG = Σ discFx(r) over relevant top-k ranks — an order-free integer
+    * sum; IDCG = the exact prefix sum at min(n_rel, k), also integer;
+    * the ratio rides the ×10⁹ cross-multiplied DIV). Macro averages are
+    * one integer sum + ONE division each — deterministic on both engines.
+    * Queries with zero relevant judgments are EXCLUDED from recall/NDCG
+    * averages but kept for P@k/MRR (reported separately — averaging an
+    * undefined recall as 0 is the classic eval bug). Duplicate (query,
+    * rank) pairs fail loudly; ranks must be ≥ 1.
+    *
+    * Output one row: `(n_queries, n_with_rel, p_at_k, recall_at_k, mrr,
+    * ndcg_at_k)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined per-query conditional agg (judgment lists are
+    * result-sized), one 1-row fold. No windows, no sorts, no collects. */
+  def rankEval(judged: DataFrame, queryCol: String, rankCol: String,
+               relCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"rankEval: k must be in [1, 1000], got $k")
+    val discFx = ndcgDiscountsFx(k)
+    val prefixFx = discFx.scanLeft(0L)(_ + _).tail // idcgFx(m) = prefixFx(m-1)
+    val discCol = element_at(
+      lit(discFx.toArray), col("__r").cast("int")) // 1-based
+    val idcgCol = element_at(
+      lit(prefixFx.toArray),
+      least(col("__nrel"), lit(k.toLong)).cast("int"))
+    val rows = judged.select(
+      col(queryCol).cast("string").as("__q"),
+      col(rankCol).cast("long").as("__r"),
+      (col(relCol).cast("int") === 1).as("__rel"))
+      .filter(col("__r").isNotNull)
+    val guarded = rows.select(
+      when(col("__r") >= 1L, col("__r")).otherwise(raise_error(
+        lit("rankEval: ranks must be >= 1"))).as("__r"),
+      col("__q"), col("__rel"))
+    val perQ = guarded.groupBy(col("__q")).agg(
+      count(lit(1)).as("__n_judged"),
+      countDistinct(col("__r")).as("__n_ranks"),
+      sum(when(col("__rel"), 1L).otherwise(0L)).as("__nrel"),
+      sum(when(col("__rel") && col("__r") <= k, 1L).otherwise(0L))
+        .as("__hits"),
+      min(when(col("__rel") && col("__r") <= k, col("__r"))).as("__first"),
+      sum(when(col("__rel") && col("__r") <= k, discCol).otherwise(0L))
+        .as("__dcg_fx"))
+    // the guard rides __nrel — a column every downstream metric reads —
+    // so Catalyst cannot prune the raise_error away with an unused one
+    val checked = perQ.select(
+      col("__q"),
+      when(col("__n_ranks") === col("__n_judged"), col("__nrel"))
+        .otherwise(raise_error(concat(
+          lit("rankEval: duplicate rank within query "), col("__q"))))
+        .as("__nrel"),
+      col("__hits"), col("__first"), col("__dcg_fx"))
+    val metrics = checked.withColumn("__idcg_fx", idcgCol).select(
+      col("__nrel"),
+      expr(s"__hits * 1000000000 DIV $k").as("__p_fx"),
+      when(col("__nrel") > 0,
+        expr("__hits * 1000000000 DIV __nrel")).as("__rec_fx"),
+      coalesce(expr("1000000000 DIV __first"), lit(0L)).as("__mrr_fx"),
+      when(col("__nrel") > 0, expr(
+        "CAST(CAST(__dcg_fx AS DECIMAL(38,0)) * 1000000000 DIV __idcg_fx AS BIGINT)"))
+        .as("__ndcg_fx"))
+    metrics.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("__nrel") > 0, 1L).otherwise(0L)).as("n_with_rel"),
+      sum(col("__p_fx")).as("__sp"), sum(col("__rec_fx")).as("__sr"),
+      sum(col("__mrr_fx")).as("__sm"), sum(col("__ndcg_fx")).as("__sn"))
+      .select(col("n_queries"), col("n_with_rel"),
+        when(col("n_queries") > 0, round(
+          col("__sp").cast("double") / col("n_queries").cast("double") / 1e9,
+          6)).as("p_at_k"),
+        when(col("n_with_rel") > 0, round(
+          col("__sr").cast("double") / col("n_with_rel").cast("double") / 1e9,
+          6)).as("recall_at_k"),
+        when(col("n_queries") > 0, round(
+          col("__sm").cast("double") / col("n_queries").cast("double") / 1e9,
+          6)).as("mrr"),
+        when(col("n_with_rel") > 0, round(
+          col("__sn").cast("double") / col("n_with_rel").cast("double") / 1e9,
+          6)).as("ndcg_at_k"))
+  }
 }

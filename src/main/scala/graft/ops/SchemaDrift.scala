@@ -175,4 +175,59 @@ object SchemaDrift {
           coalesce(col("digest_a"), lit(0L)) === coalesce(col("digest_b"), lit(0L)))
           .as("buckets_match"))
   }
+
+  /** Cross-table column matching by VALUE overlap — the
+    * schema-integration first pass ("which column of THEIR export is
+    * our customer key") run on content, not names: every (left column,
+    * right column) pair scored by EXACT Jaccard of the columns'
+    * distinct value sets. Name-based matching lies (`id` vs `cust_id`);
+    * content overlap doesn't. [[driftReport]] compares two versions of
+    * the SAME schema; this aligns two DIFFERENT ones.
+    *
+    * Values compare as strings (NULLs dropped); Jaccard renders through
+    * the ×10⁹ integer-division 9-dp contract plus a 6-dp double.
+    * Pairs with zero overlap are omitted (at wide schemas the absent
+    * pairs ARE the report's bulk — emitting them is the caller's outer
+    * join against the column lists).
+    *
+    * Output: `(left_col, right_col, n_left, n_right, n_common,
+    * jaccard, jaccard_d)`.
+    *
+    * == 100 TB shape ==
+    * Each side melts row-locally to (column, value), collapses to its
+    * DISTINCT pairs (map-side combined — output is Σ per-column
+    * cardinality, not rows × cols), and the value equi-join runs over
+    * those distinct sets; a hot shared enum value fans out by
+    * |columns|², which is schema-sized, not data-sized. */
+  def columnMatch(left: DataFrame, right: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def melt(df: DataFrame, side: String): DataFrame = {
+      val entries = df.columns.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v")))
+      df.select(explode(array(entries: _*)).as("__e"))
+        .select(col("__e.c").as(s"${side}_col"), col("__e.v").as("v"))
+        .filter(col("v").isNotNull)
+        .distinct()
+    }
+    val l = melt(left, "left").localCheckpoint(true)
+    val r = melt(right, "right").localCheckpoint(true)
+    val sizesL = l.groupBy(col("left_col")).agg(count(lit(1)).as("n_left"))
+    val sizesR = r.groupBy(col("right_col")).agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq("v"))
+      .groupBy(col("left_col"), col("right_col"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizesL), Seq("left_col"))
+      .join(broadcast(sizesR), Seq("right_col"))
+      .withColumn("__fx", expr(
+        "CAST(CAST(n_common AS DECIMAL(38,0)) * 1000000000 DIV " +
+          "(n_left + n_right - n_common) AS BIGINT)"))
+      .select(col("left_col"), col("right_col"), col("n_left"),
+        col("n_right"), col("n_common"),
+        concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0"))
+          .as("jaccard"),
+        round(col("n_common").cast("double") /
+          (col("n_left") + col("n_right") - col("n_common")).cast("double"),
+          6).as("jaccard_d"))
+  }
 }

@@ -1,67 +1,116 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** EXACT edit-distance similarity self-join with q-gram prefix filtering
-  * (the Ed-Join family, Xiao, Wang & Lin, VLDB 2008) — every pair of
-  * DISTINCT strings within Levenshtein distance `maxEdit`, without the
-  * n² all-pairs scan. The string-similarity sibling of
-  * [[Dedup.setSimilarityJoin]] (token sets / Jaccard) — this one is
-  * character-level, the dirty-data workhorse: typo'd SKUs, OCR'd IDs,
-  * misspelled city names. [[EntityResolution]] uses edit distance too,
-  * but inside heuristic soundex/q-gram BLOCKS capped by `maxBlock` —
-  * recall there is engineered-high, not proven. This operator is the
-  * PROVEN-lossless form: the brute-force oracle certifies zero missed
-  * pairs.
+/** EXACT edit-distance similarity self-join — every pair of DISTINCT
+  * strings within Levenshtein distance `maxEdit`, without the n² all-pairs
+  * scan. The string-similarity sibling of [[Dedup.setSimilarityJoin]]
+  * (token sets / Jaccard) — this one is character-level, the dirty-data
+  * workhorse: typo'd SKUs, OCR'd IDs, misspelled city names.
+  * [[EntityResolution]] uses edit distance too, but inside heuristic
+  * soundex/q-gram BLOCKS capped by `maxBlock` — recall there is
+  * engineered-high, not proven. This operator is the PROVEN-lossless
+  * form: the brute-force oracle certifies zero missed pairs.
   *
-  * Filter chain (every step sound, verified by construction):
-  *   1. DISTINCT-string collapse — work scales with distinct strings,
-  *      not records (the [[EntityResolution]] name-collapse discipline).
-  *   2. Length filter: `|len(a) − len(b)| ≤ k` (each edit changes length
-  *      by ≤ 1).
-  *   3. q-gram prefix filter: one edit touches ≤ q of a string's q-gram
-  *      TYPES, so ed ≤ k implies `|G(a) \ G(b)| ≤ q·k` — and with gram
-  *      types globally ordered by rarity (df asc, gram asc), any
-  *      qualifying pair must share a gram among each side's `q·k + 1`
-  *      rarest types. Strings too short to carry `q·k + 1` grams
-  *      (`len < q·(k+1)`) can't rely on that bound — they form a SHORT
-  *      bucket paired brute-force against all strings within the length
-  *      filter of the bucket's range. Distinct strings of bounded length
-  *      are alphabet-bounded in nature, but not in adversarial data:
-  *      `maxShortBucket` fails loudly instead of letting the fallback
-  *      quietly go quadratic.
-  *   4. Verify: `levenshtein(a, b, k)` — Spark's thresholded form bails
-  *      out of the DP early once the distance provably exceeds k.
+  * TWO complete candidate generators, routed by length:
+  *
+  *   - **Deletion neighborhoods** (FastSS / SymSpell family, Bocek et al.
+  *     2007) for strings of `len ≤ deletionMaxLen` when `maxEdit ≤ 2`:
+  *     if `ed(a,b) ≤ k`, deleting the substituted/deleted characters of
+  *     any optimal alignment from each side yields a COMMON core
+  *     reachable by ≤ k deletions from both — so each string emits its
+  *     ≤-k-deletion variants (`1 + len + len·(len−1)/2` for k = 2) and
+  *     candidates are signature equi-join buckets. Crucially this stays
+  *     sharp on ID-SHAPED corpora ("Customer#000012345") where q-gram
+  *     rarity collapses: every signature retains all but k of the
+  *     discriminating characters, so buckets stay near-uniform while a
+  *     gram prefix filter degenerates into one corpus-sized bucket (the
+  *     377 s q215 bench pathology — a 15k² single-gram skew bucket on
+  *     one core).
+  *   - **q-gram prefix filter** (Ed-Join family, Xiao, Wang & Lin, VLDB
+  *     2008) for longer strings, where the deletion neighborhood's
+  *     O(len²) signatures would explode: one edit touches ≤ q gram
+  *     TYPES, so ed ≤ k pairs share a gram among each side's `q·k + 1`
+  *     rarest types (global rarity order: df asc, gram asc).
+  *
+  * Domain split soundness: lengths of a qualifying pair differ by ≤ k,
+  * so with the deletion domain `len ≤ deletionMaxLen` and the gram
+  * domain `len ≥ deletionMaxLen − k + 1`, every pair lands wholly in at
+  * least one domain (both ≤ dMax, or both ≥ dMax − k + 1); overlap
+  * duplicates collapse in the pre-verify distinct. Strings the gram
+  * bound can't cover (`len < q·(k+1)`, only reachable when `maxEdit > 2`
+  * disables the deletion path or `deletionMaxLen` is set below it) form
+  * a SHORT bucket paired brute-force within the length filter, capped
+  * LOUDLY by `maxShortBucket`.
+  *
+  * Verify: `levenshtein(a, b, k)` — Spark's thresholded DP bails early
+  * once the distance provably exceeds k.
   *
   * Output: `(s_a, s_b, dist)` with `s_a < s_b`, `1 ≤ dist ≤ maxEdit`.
   * Join record ids back on the string column if record pairs are needed.
   *
   * == 100 TB shape ==
-  * Distinct collapse (one map-side-combined agg) → gram explode over
-  * DISTINCT strings only → gram-df agg (gram-type-sized) → prefix
-  * equi-join whose fan-out is bounded by rare-gram df (the
-  * [[Dedup.setSimilarityJoin]] argument, character-level) → candidate-
-  * bounded verify. The short-bucket cross pair is broadcast-sized by the
-  * loud cap. */
+  * Distinct collapse (one map-side-combined agg) → per-string signature
+  * explode (≤ `1 + L + L²/2` rows each, L ≤ deletionMaxLen) → signature
+  * equi-join (AQE-splittable hash join; no corpus-sized bucket by the
+  * retained-characters argument) → candidate-bounded verify. Long
+  * strings ride the gram-df prefix join instead. Nothing quadratic in
+  * the corpus, nothing collected. */
 object StringJoin {
 
   def editDistanceJoin(df: DataFrame, strCol: String, maxEdit: Int = 2,
                        q: Int = 2,
-                       maxShortBucket: Int = 100000): DataFrame = {
+                       maxShortBucket: Int = 100000,
+                       deletionMaxLen: Int = 32): DataFrame = {
     require(maxEdit >= 1, s"editDistanceJoin: maxEdit must be >= 1, got $maxEdit")
     require(q >= 2, s"editDistanceJoin: q must be >= 2, got $q")
     val prefixLen = q * maxEdit + 1
     val shortLen = q * (maxEdit + 1) - 1 // longest len WITHOUT q·k+1 grams
+    val delMax = if (maxEdit <= 2) deletionMaxLen else 0
     val strs = df.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull && col("s") =!= "")
       .distinct()
       .withColumn("len", length(col("s")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // ---- long path: prefix-filtered candidates over q-gram types
-    val longs = strs.filter(col("len") > shortLen)
+
+    // ---- deletion-neighborhood path: len ≤ delMax (complete for k ≤ 2)
+    def delOne(s: Column, i: Column): Column = // 0-based char i removed
+      concat(substring(s, lit(1), i.cast("int")), s.substr(i + 2, length(s)))
+    val delCands = if (delMax <= 0) None else {
+      val dels = strs.filter(col("len") <= delMax)
+      val sig1 = transform(sequence(lit(0), (col("len") - 1).cast("int")),
+        i => delOne(col("s"), i))
+      // Spark's sequence(0, -1) DESCENDS instead of emitting empty, so
+      // the two-deletion block guards len ≥ 2 explicitly
+      val sig2 = when(col("len") >= 2,
+        flatten(transform(sequence(lit(0), (col("len") - 2).cast("int")),
+          j => transform(sequence(lit(0), j),
+            // delete higher position j+1 first, then i — 0-based i ≤ j
+            i => delOne(delOne(col("s"), j + 1), i)))))
+        .otherwise(array().cast("array<string>"))
+      val sigs =
+        if (maxEdit == 1) array_distinct(concat(array(col("s")), sig1))
+        else array_distinct(concat(array(col("s")), sig1, sig2))
+      val exploded = dels.select(col("s"), col("len"),
+        explode(sigs).as("__sig"))
+      Some(exploded.as("a").join(exploded.as("b"),
+          col("a.__sig") === col("b.__sig") && col("a.s") < col("b.s") &&
+            abs(col("a.len") - col("b.len")) <= maxEdit)
+        .select(col("a.s").as("s_a"), col("b.s").as("s_b")).distinct())
+    }
+
+    // ---- long path: prefix-filtered candidates over q-gram types.
+    // (A positional "location filter" on the type join was tried and
+    // REVERTED: with min/max-position intervals it is unsound — the
+    // both-prefix witness type the prefix theorem guarantees can exist
+    // only at non-corresponding positions, e.g. an edit destroys "ab"
+    // at the front while another edit creates "ab" at the tail — so it
+    // can drop true pairs.)
+    val gramMin = math.max(delMax - maxEdit + 1, shortLen + 1).toLong
+    val longs = strs.filter(col("len") >= gramMin)
     val grams = longs.select(col("s"), col("len"),
         explode(array_distinct(transform(
           sequence(lit(0), (col("len") - q).cast("int")),
@@ -77,23 +126,30 @@ object StringJoin {
         col("a.g") === col("b.g") && col("a.s") < col("b.s") &&
           abs(col("a.len") - col("b.len")) <= maxEdit)
       .select(col("a.s").as("s_a"), col("b.s").as("s_b")).distinct()
-    // ---- short bucket: strings the gram bound can't cover, paired
-    // brute-force against everything within the length filter
-    val shorts = strs.filter(col("len") <= shortLen)
-    val nShort = shorts.count()
-    require(nShort <= maxShortBucket,
-      s"editDistanceJoin: $nShort distinct strings shorter than ${shortLen + 1} " +
-        s"chars exceeds maxShortBucket=$maxShortBucket — the brute-force " +
-        "short bucket would go quadratic; raise the cap knowingly or " +
-        "pre-filter degenerate strings")
-    val near = strs.filter(col("len") <= shortLen + maxEdit)
-    val shortCands = broadcast(shorts.select(col("s").as("__ss"), col("len").as("__sl")))
-      .join(near,
-        col("__ss") =!= col("s") && abs(col("__sl") - col("len")) <= maxEdit)
-      .select(least(col("__ss"), col("s")).as("s_a"),
-        greatest(col("__ss"), col("s")).as("s_b")).distinct()
+
+    // ---- short bucket: only lengths NEITHER path covers (delMax <
+    // shortLen — i.e. maxEdit > 2 or a deliberately tiny deletionMaxLen)
+    val shortCands = if (delMax > shortLen) None else {
+      val shorts = strs.filter(col("len") <= shortLen && col("len") > delMax)
+      val nShort = shorts.count()
+      require(nShort <= maxShortBucket,
+        s"editDistanceJoin: $nShort distinct strings in the short bucket " +
+          s"(len in (${delMax}, ${shortLen}]) exceeds maxShortBucket=" +
+          s"$maxShortBucket — the brute-force short bucket would go " +
+          "quadratic; raise the cap knowingly or pre-filter degenerate " +
+          "strings")
+      val near = strs.filter(col("len") <= shortLen + maxEdit)
+      Some(broadcast(shorts.select(col("s").as("__ss"), col("len").as("__sl")))
+        .join(near,
+          col("__ss") =!= col("s") && abs(col("__sl") - col("len")) <= maxEdit)
+        .select(least(col("__ss"), col("s")).as("s_a"),
+          greatest(col("__ss"), col("s")).as("s_b")).distinct())
+    }
+
     // ---- verify with the thresholded DP
-    val out = longCands.unionByName(shortCands).distinct()
+    val cands = (delCands.toSeq ++ Seq(longCands) ++ shortCands.toSeq)
+      .reduce(_ unionByName _).distinct()
+    val out = cands
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxEdit).cast("long"))
       .filter(col("dist") >= 0L)

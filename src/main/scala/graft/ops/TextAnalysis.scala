@@ -700,6 +700,96 @@ object TextAnalysis {
         col("n_variants"))
   }
 
+  /** Credential/secret scanning — the curation gate code corpora need
+    * beyond [[redactPii]]'s personal-data tier: training on crawled
+    * repos/pastes WITHOUT this step memorizes live API keys (the
+    * documented LLM-leak class). Pattern families, each a compiled
+    * row-local regex an independent engine can mirror verbatim:
+    *
+    *  - `aws_key`: `AKIA`/`ASIA` + 16 uppercase-alphanumerics (the
+    *    published AWS access-key shape),
+    *  - `jwt`: three dot-joined base64url segments with the `eyJ` JSON
+    *    header prefix,
+    *  - `private_key`: PEM `-----BEGIN ... PRIVATE KEY-----` headers,
+    *  - `generic_token`: an assignment-ish context (`key/token/secret/
+    *    password` ≈ separator) followed by ≥ 20 base64-ish chars — the
+    *    high-entropy-string heuristic with the entropy test replaced by
+    *    a DISTINCT-CHARACTER floor (≥ 8 distinct chars in the span —
+    *    exact integer, engine-portable; Shannon floats are not), so
+    *    `password = "aaaaaaaaaaaaaaaaaaaaaaaa"` stays quiet and real
+    *    tokens fire.
+    *
+    * Output one row per document: `(id, n_aws, n_jwt, n_pem, n_generic,
+    * has_secret)` — counts, not spans (the redaction pass is the
+    * caller's next step; this is the AUDIT).
+    *
+    * == 100 TB shape ==
+    * Row-local compiled regex counts, zero shuffles. */
+  def secretScan(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def countRe(re: String) =
+      size(split(txt, re)) - 1
+    val aws = countRe("(AKIA|ASIA)[0-9A-Z]{16}")
+    val jwt = countRe("eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}")
+    val pem = countRe("-----BEGIN [A-Z ]*PRIVATE KEY-----")
+    // generic: context word, separator, then the candidate span; the
+    // distinct-char floor applies per candidate via a filtered
+    // extraction walk
+    val candidates = regexp_extract_all(txt, lit(GenericSecretRe), lit(1))
+    // empty-string artifacts of the char split are engine-specific —
+    // filtered on BOTH sides so the distinct-char floor is portable
+    val generic = size(filter(candidates,
+      s => size(array_distinct(filter(split(s, ""),
+        c => c =!= ""))) >= 8))
+    docs.select(col(idCol).as("id"),
+      aws.cast("long").as("n_aws"), jwt.cast("long").as("n_jwt"),
+      pem.cast("long").as("n_pem"), generic.cast("long").as("n_generic"))
+      .withColumn("has_secret",
+        col("n_aws") + col("n_jwt") + col("n_pem") + col("n_generic") > 0)
+  }
+
+  /** Shared with the q282 oracle builder — one source for the pattern. */
+  private[graft] val GenericSecretRe =
+    "(?i)(?:api[_-]?key|token|secret|password)[\"']?\\s*[:=]\\s*[\"']?([A-Za-z0-9+/_=-]{20,})"
+
+  /** Fenced-code-block extraction — the markdown/README mining step a
+    * code-data pipeline runs before routing (The Stack-style corpora
+    * keep code and prose on different tokenizer budgets, dedup grains,
+    * and quality gates — L134 DETECTS code-ish text; this EXTRACTS the
+    * explicitly-fenced blocks with their declared language tags, which
+    * is the high-precision slice): ``` fences with an optional info
+    * string, lazily matched in dotall mode so blocks never bleed into
+    * each other; unclosed fences extract nothing (stated — a truncated
+    * crawl must not turn the rest of the document into "code").
+    *
+    * Output one row per block: `(id, block_idx, lang, code, n_lines,
+    * n_chars)` — `lang` lowercased, '' when undeclared; `block_idx`
+    * 1-based document order.
+    *
+    * == 100 TB shape ==
+    * One compiled regex walk + posexplode per document — row-local,
+    * zero shuffles; output is block-mass. */
+  def fencedCodeBlocks(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val blocks = regexp_extract_all(txt, lit(FencedBlockRe), lit(0))
+    docs.select(col(idCol).as("id"),
+      posexplode(blocks).as(Seq("__i", "__b")))
+      .select(col("id"), (col("__i") + 1).cast("long").as("block_idx"),
+        lower(regexp_extract(col("__b"), FencedBlockRe, 1)).as("lang"),
+        regexp_extract(col("__b"), FencedBlockRe, 2).as("code"))
+      .withColumn("n_lines",
+        when(col("code") === "", 0L)
+          .otherwise(size(split(col("code"), "\n", -1)).cast("long")))
+      .withColumn("n_chars", length(col("code")).cast("long"))
+  }
+
+  /** Shared with the q283 oracle builder — one source for the fence
+    * grammar: optional info string, newline, lazy dotall body. */
+  private[graft] val FencedBlockRe =
+    "(?s)```([A-Za-z0-9+#-]*)\\n(.*?)```"
+
   /** KWIC concordance — every occurrence of a term with its surrounding
     * context window, the corpus-inspection primitive behind "HOW is this
     * word actually used here" (sense auditing before a blocklist entry

@@ -800,4 +800,69 @@ object Trend {
         (sum(col("__side")).over(runW) === runLen ||
           sum(col("__side")).over(runW) === -runLen)).as("drift_run"))): _*)
   }
+
+  /** Delta-contribution analysis — the root-cause drilldown every metric
+    * review starts with ("revenue fell 4% — WHICH segment drove it"):
+    * per segment the two period totals, the segment's Δ, and its SHARE
+    * of the total Δ, ranked by |Δ| so the top movers lead.
+    * [[priceVolumeMix]] splits one segment's Δ into price vs volume;
+    * this splits the TOTAL Δ across segments — the step before it.
+    *
+    * Exactness: cent totals in DECIMAL(38) (order-free); shares are the
+    * exact rational `Δ_seg/Δ_total` on the signed ×10⁹ DIV grid
+    * (9-dp string + 6-dp double; total Δ of ZERO → NULL shares — a flat
+    * total makes "share of the move" undefined, stated). The rank
+    * orders by exact `|Δ|` cents DESC, segment ASC — deterministic,
+    * float-free. Shares can exceed 1 or go negative when segments move
+    * opposite ways — that is the analysis working, not a bug (stated).
+    *
+    * Output per segment: `(segment…, v0, v1, delta, share, share_d,
+    * rank)`.
+    *
+    * == 100 TB shape ==
+    * ONE conditional-sum agg to a segment-sized frame + a 1-row total
+    * broadcast; the rank window is global but over the SEGMENT-sized
+    * frame only (the bounded-frame exception, the rrfFuse note). */
+  def deltaContribution(df: DataFrame, periodCol: String,
+                        segCols: Seq[String], valueCol: String,
+                        period0: Long, period1: Long): DataFrame = {
+    require(segCols.nonEmpty, "deltaContribution: need >= 1 segment column")
+    require(period0 != period1, "deltaContribution: periods must differ")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gs = segCols.map(col)
+    val p = col(periodCol).cast("long")
+    val cents = (col(valueCol).cast(dec) * 100).cast("long").cast(d38)
+    val seg = df.filter((p === period0 || p === period1) &&
+        col(valueCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(sum(when(p === period0, cents).otherwise(lit(0L).cast(d38)))
+        .as("__v0"),
+        sum(when(p === period1, cents).otherwise(lit(0L).cast(d38)))
+          .as("__v1"))
+      .withColumn("__d", col("__v1") - col("__v0"))
+    val tot = seg.agg(sum(col("__d")).as("__T"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Seq(abs(col("__d")).desc) ++ gs.map(_.asc): _*)
+    seg.crossJoin(broadcast(tot))
+      .withColumn("__fx", when(col("__T") =!= 0,
+        when(col("__d") * col("__T") >= 0,
+          expr("CAST(abs(__d) * 1000000000 DIV abs(__T) AS BIGINT)"))
+          .otherwise(-expr(
+            "CAST(abs(__d) * 1000000000 DIV abs(__T) AS BIGINT)"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select((gs ++ Seq(
+        round(col("__v0").cast("double") / 100.0, 2).as("v0"),
+        round(col("__v1").cast("double") / 100.0, 2).as("v1"),
+        round(col("__d").cast("double") / 100.0, 2).as("delta"),
+        when(col("__fx").isNotNull,
+          concat(when(col("__fx") < 0L, "-").otherwise(""),
+            expr("CAST(abs(__fx) DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(abs(__fx) % 1000000000 AS STRING)"), 9, "0")))
+          .as("share"),
+        when(col("__T") =!= 0,
+          round(col("__d").cast("double") / col("__T").cast("double"), 6))
+          .as("share_d"),
+        col("rank"))): _*)
+  }
 }

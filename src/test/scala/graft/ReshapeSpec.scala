@@ -99,10 +99,19 @@ class ReshapeSpec extends SparkSpec {
     assert(got === expected)
     assert(got(("kitten", "sitten")) === 1L)
     assert(got(("ab", "abcd")) === 2L)   // short-bucket x near pair
+    // with the deletion path disabled, shorts fall back to the capped
+    // brute-force bucket — the cap must stay loud
     val err = intercept[IllegalArgumentException] {
-      StringJoin.editDistanceJoin(df, "s", maxEdit = 2, maxShortBucket = 1)
+      StringJoin.editDistanceJoin(df, "s", maxEdit = 2, maxShortBucket = 1,
+        deletionMaxLen = 0)
     }
     assert(err.getMessage.contains("short"))
+    // gram-path-only routing (deletion path off) must find the same pairs
+    val gramOnly = StringJoin.editDistanceJoin(df, "s", maxEdit = 2,
+        deletionMaxLen = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gramOnly === got)
   }
 
   test("rrfFuse: hand-checked fixed-point scores, n_lists, best_rank, loud list cap") {
