@@ -7346,6 +7346,222 @@ object OracleSql {
       rank
     FROM ranked"""
 
+  /** Per-segment uplift — q299. Conditional cent moments per segment,
+    * per-segment Welch t; mirrors Experiment.upliftBySegment. */
+  private val q299 = """
+    WITH r AS (SELECT o_orderpriority AS seg, (o_custkey % 2 = 0) AS t,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        o_totalprice IS NOT NULL AS ok
+      FROM orders),
+    a AS (SELECT seg,
+        sum(CASE WHEN t AND ok THEN 1 ELSE 0 END)::HUGEINT AS nt,
+        sum(CASE WHEN NOT t AND ok THEN 1 ELSE 0 END)::HUGEINT AS nc,
+        sum(CASE WHEN t AND ok THEN y ELSE 0 END)::HUGEINT AS st,
+        sum(CASE WHEN NOT t AND ok THEN y ELSE 0 END)::HUGEINT AS sc,
+        sum(CASE WHEN t AND ok THEN y::HUGEINT * y ELSE 0 END)::HUGEINT AS qt,
+        sum(CASE WHEN NOT t AND ok THEN y::HUGEINT * y ELSE 0 END)::HUGEINT
+          AS qc
+      FROM r GROUP BY seg),
+    m AS (SELECT seg, nt, nc,
+        CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0 AS mt,
+        CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0 AS mc,
+        CAST(nt * qt - st * st AS DOUBLE) /
+          (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) / 10000.0 AS vt,
+        CAST(nc * qc - sc * sc AS DOUBLE) /
+          (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) / 10000.0 AS vc
+      FROM a),
+    st2 AS (SELECT *,
+        vt / CAST(nt AS DOUBLE) + vc / CAST(nc AS DOUBLE) AS se2 FROM m),
+    tt AS (SELECT *, CASE WHEN nt >= 2 AND nc >= 2 AND se2 > 0.0 THEN
+        (mt - mc) / sqrt(se2) END AS tstat FROM st2)
+    SELECT seg AS o_orderpriority,
+      CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+      CASE WHEN nt > 0 THEN round(mt, 6) END AS mean_treat,
+      CASE WHEN nc > 0 THEN round(mc, 6) END AS mean_ctrl,
+      CASE WHEN nt > 0 AND nc > 0 THEN round(mt - mc, 6) END AS uplift,
+      round(tstat, 6) AS t_stat,
+      coalesce(abs(tstat) > 1.96, false) AS significant
+    FROM tt"""
+
+  /** Split-conformal — q300. Exact nearest-rank q̂ over the residual
+    * grid, integer-permille rank, test coverage; mirrors
+    * Classifier.conformalIntervals at α = 100‰, 80/20 key split. */
+  private val q300 = """
+    WITH o AS (SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+        CAST(CAST((o_custkey % 3000) * 100.0 AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS hc
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    calr AS (SELECT abs(yc - hc) AS r FROM o WHERE k % 5 < 4),
+    grid AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM calr GROUP BY r),
+    cum AS (SELECT r, sum(c) OVER (ORDER BY r
+        ROWS UNBOUNDED PRECEDING)::BIGINT AS cumc FROM grid),
+    nk AS (SELECT max(cumc) AS n_cal,
+        (900 * (max(cumc) + 1) + 999) // 1000 AS k_rank FROM cum),
+    qh AS (SELECT min(r) AS qhat_cents FROM cum, nk
+      WHERE cumc >= k_rank),
+    pick AS (SELECT n_cal, k_rank,
+        CASE WHEN k_rank <= n_cal THEN qhat_cents END AS qhat_cents
+      FROM nk, qh),
+    testr AS (SELECT abs(yc - hc) AS r FROM o WHERE k % 5 = 4),
+    agg AS (SELECT max(n_cal) AS n_cal, max(k_rank) AS k_rank,
+        max(qhat_cents) AS qhat_cents,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN r <= qhat_cents THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered
+      FROM testr, pick),
+    fx AS (SELECT *, CASE WHEN qhat_cents IS NOT NULL THEN
+        n_covered * 1000000000 // n_test END AS cfx FROM agg)
+    SELECT n_cal, k_rank, qhat_cents,
+      CASE WHEN qhat_cents IS NOT NULL THEN
+        round(CAST(qhat_cents AS DOUBLE) / 100.0, 2) END AS qhat,
+      n_test, n_covered,
+      CASE WHEN cfx IS NOT NULL THEN CAST(cfx // 1000000000 AS VARCHAR)
+        || '.' || lpad(CAST(cfx % 1000000000 AS VARCHAR), 9, '0') END
+        AS coverage,
+      CASE WHEN cfx IS NOT NULL THEN
+        round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6) END
+        AS coverage_d
+    FROM fx"""
+
+  /** B-cubed — q301. (gold × pred) cell grid, ×10⁹ per-cell DIV terms
+    * summed order-free, one division per macro average; mirrors
+    * EntityResolution.bcubed. */
+  private val q301 = """
+    WITH base AS (SELECT CAST(o_custkey % 200 AS VARCHAR) AS g,
+        CASE WHEN o_orderkey % 97 <> 0 THEN
+          CAST(o_custkey % 100 AS VARCHAR) END AS p
+      FROM orders),
+    dropped AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM base
+      WHERE g IS NULL OR p IS NULL),
+    cells AS (SELECT g, p, CAST(count(*) AS BIGINT) AS n FROM base
+      WHERE g IS NOT NULL AND p IS NOT NULL GROUP BY g, p),
+    gs AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM cells GROUP BY g),
+    ps AS (SELECT p, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY p),
+    terms AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+        CAST(count(DISTINCT cells.g) AS BIGINT) AS n_gold,
+        CAST(count(DISTINCT cells.p) AS BIGINT) AS n_pred,
+        sum(n::HUGEINT * n * 1000000000 // np)::HUGEINT AS psum,
+        sum(n::HUGEINT * n * 1000000000 // ng)::HUGEINT AS rsum
+      FROM cells JOIN gs ON cells.g = gs.g JOIN ps ON cells.p = ps.p),
+    d AS (SELECT *,
+        CAST(psum AS DOUBLE) / 1e9 / CAST(n_items AS DOUBLE) AS pr,
+        CAST(rsum AS DOUBLE) / 1e9 / CAST(n_items AS DOUBLE) AS rc
+      FROM terms)
+    SELECT n_items, n_dropped, n_gold, n_pred,
+      CASE WHEN n_items > 0 THEN round(pr, 6) END AS "precision",
+      CASE WHEN n_items > 0 THEN round(rc, 6) END AS recall,
+      CASE WHEN n_items > 0 AND pr + rc > 0.0 THEN
+        round(2.0 * pr * rc / (pr + rc), 6) END AS f1
+    FROM d, dropped"""
+
+  /** Brier decomposition — q302. 10⁻⁶ forecast grid, exact DECIMAL
+    * Brier numerator, per-value REL/RES DIV terms; mirrors
+    * Classifier.brierDecomposition. */
+  private val q302 = """
+    WITH r AS (SELECT
+        CAST(CAST((o_orderkey % 20) / 20.0 AS DECIMAL(18,6)) * 1000000
+          AS BIGINT) AS s,
+        CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+    grid AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS yv FROM r GROUP BY s),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS N0,
+        CAST(sum(yv) AS BIGINT) AS Y0 FROM grid),
+    folded AS (SELECT max(N0) AS n, max(Y0) AS n_pos,
+        sum(n::HUGEINT * s * s - 2::HUGEINT * s * yv * 1000000
+          + yv::HUGEINT * 1000000 * 1000000)::HUGEINT AS bnum,
+        sum((s::HUGEINT * n - yv::HUGEINT * 1000000)
+          * (s::HUGEINT * n - yv::HUGEINT * 1000000)
+          // n::HUGEINT)::HUGEINT AS rel,
+        sum((yv::HUGEINT * N0 - Y0::HUGEINT * n)
+          * (yv::HUGEINT * N0 - Y0::HUGEINT * n)
+          * 1000000000000 // (n::HUGEINT * N0 * N0))::HUGEINT AS res
+      FROM grid, g)
+    SELECT n, n_pos, bnum AS brier_num,
+      CASE WHEN n > 0 THEN
+        round(CAST(bnum AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) END
+        AS brier,
+      CASE WHEN n > 0 THEN
+        round(CAST(rel AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) END
+        AS reliability,
+      CASE WHEN n > 0 THEN
+        round(CAST(res AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) END
+        AS resolution,
+      CASE WHEN n > 0 THEN round(
+        (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+        (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
+        AS uncertainty
+    FROM folded"""
+
+  /** Gains/lift — q303. ANSI NTILE deciles under (score DESC, id),
+    * cumulative capture and lift on the ×10⁹ grid; mirrors
+    * Classifier.gainsTable at k = 10. */
+  private val q303 = """
+    WITH r AS (SELECT (o_custkey % 1000) / 1000.0 AS score,
+        CASE WHEN (o_custkey % 1000) + (o_orderkey % 500) > 900
+          THEN 1 ELSE 0 END AS y,
+        o_orderkey AS id
+      FROM orders),
+    tiled AS (SELECT y, CAST(ntile(10) OVER
+        (ORDER BY score DESC, id ASC) AS BIGINT) AS decile FROM r),
+    byd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(y) AS BIGINT) AS n_pos FROM tiled GROUP BY decile),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS N0,
+        CAST(sum(n_pos) AS BIGINT) AS P0 FROM byd),
+    cumd AS (SELECT byd.*, tot.N0, tot.P0,
+        sum(n_pos) OVER (ORDER BY decile
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pos
+      FROM byd, tot),
+    fx AS (SELECT *,
+        CASE WHEN P0 > 0 THEN cum_pos * 1000000000 // P0 END AS cap_fx,
+        CASE WHEN P0 > 0 AND n > 0 THEN
+          CAST(n_pos::HUGEINT * N0 * 1000000000 // (n::HUGEINT * P0)
+            AS BIGINT) END AS lift_fx
+      FROM cumd)
+    SELECT decile, n, n_pos, cum_pos,
+      CASE WHEN cap_fx IS NOT NULL THEN
+        CAST(cap_fx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(cap_fx % 1000000000 AS VARCHAR), 9, '0') END AS capture,
+      CASE WHEN P0 > 0 THEN
+        round(CAST(cum_pos AS DOUBLE) / CAST(P0 AS DOUBLE), 6) END
+        AS capture_d,
+      CASE WHEN lift_fx IS NOT NULL THEN
+        CAST(lift_fx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(lift_fx % 1000000000 AS VARCHAR), 9, '0') END AS lift,
+      CASE WHEN P0 > 0 AND n > 0 THEN
+        round((CAST(n_pos AS DOUBLE) * CAST(N0 AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(P0 AS DOUBLE)), 6) END AS lift_d
+    FROM fx"""
+
+  /** CEM — q304. Stratum counts, matched totals, the exact control
+    * re-weighting on the ×10⁹ grid; mirrors Experiment.cemMatch. */
+  private val q304 = """
+    WITH r AS (SELECT (o_custkey % 2 = 0) AS t, o_orderpriority,
+        year(CAST(o_orderdate AS TIMESTAMP)) AS order_year
+      FROM orders),
+    strata AS (SELECT o_orderpriority, order_year,
+        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl
+      FROM r GROUP BY 1, 2),
+    s2 AS (SELECT *, n_treat > 0 AND n_ctrl > 0 AS matched FROM strata),
+    tot AS (SELECT sum(n_treat)::HUGEINT AS Mt, sum(n_ctrl)::HUGEINT AS Mc
+      FROM s2 WHERE matched),
+    fx AS (SELECT s2.*, CASE WHEN matched THEN
+        CAST(n_treat::HUGEINT * Mc * 1000000000
+          // (n_ctrl::HUGEINT * Mt) AS BIGINT) END AS wfx,
+        CAST(Mt AS DOUBLE) AS mtd, CAST(Mc AS DOUBLE) AS mcd
+      FROM s2, tot)
+    SELECT o_orderpriority, order_year, n_treat, n_ctrl, matched,
+      CASE WHEN wfx IS NOT NULL THEN CAST(wfx // 1000000000 AS VARCHAR)
+        || '.' || lpad(CAST(wfx % 1000000000 AS VARCHAR), 9, '0') END
+        AS w_ctrl,
+      CASE WHEN matched THEN
+        round((CAST(n_treat AS DOUBLE) * mcd) /
+          (CAST(n_ctrl AS DOUBLE) * mtd), 6) END AS w_ctrl_d
+    FROM fx"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -7660,6 +7876,12 @@ object OracleSql {
     "q295_bitemporal"       -> q295,
     "q296_maintain_agg"     -> q296,
     "q297_rake_keywords"    -> q297,
-    "q298_delta_contribution" -> q298
+    "q298_delta_contribution" -> q298,
+    "q299_uplift"           -> q299,
+    "q300_conformal"        -> q300,
+    "q301_bcubed"           -> q301,
+    "q302_brier"            -> q302,
+    "q303_gains"            -> q303,
+    "q304_cem"              -> q304
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4475,6 +4475,72 @@ object SparkEntry {
         col("o_totalprice"), year(col("o_orderdate")).as("y")),
       "y", Seq("o_orderpriority"), "o_totalprice", 1994L, 1995L)
 
+  /** Per-segment uplift ([[graft.ops.Experiment.upliftBySegment]]):
+    * even- vs odd-customer order value per priority tier — the subgroup
+    * table with per-segment Welch tests. */
+  private def q299Uplift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.upliftBySegment(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_custkey") % 2 === 0).as("treated"), col("o_totalprice")),
+      Seq("o_orderpriority"), "treated", "o_totalprice")
+
+  /** Split-conformal intervals ([[graft.ops.Classifier
+    * .conformalIntervals]]): a deterministic key-derived "model" on an
+    * 80/20 split — exact nearest-rank q̂ at α = 10%, test coverage
+    * audited on the ×10⁹ grid. */
+  private def q300Conformal(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_totalprice").as("y"),
+      ((col("o_custkey") % 3000) * 100.0).as("yhat"))
+    graft.ops.Classifier.conformalIntervals(
+      o.filter(col("o_orderkey") % 5 < 4), o.filter(col("o_orderkey") % 5 === 4),
+      "y", "yhat", alphaPermille = 100)
+  }
+
+  /** B-cubed ER eval ([[graft.ops.EntityResolution.bcubed]]): a pred
+    * clustering that merges gold-cluster pairs (custkey mod 100 vs mod
+    * 200) — per-item precision ~0.5, recall 1, NULLs counted dropped. */
+  private def q301Bcubed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EntityResolution.bcubed(
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 200).as("gold"),
+        when(col("o_orderkey") % 97 =!= 0, col("o_custkey") % 100)
+          .as("pred")),
+      "gold", "pred")
+
+  /** Brier decomposition ([[graft.ops.Classifier.brierDecomposition]]):
+    * a 20-value forecast grid against the expensive-order label —
+    * exact DECIMAL Brier numerator, Murphy REL/RES/UNC split. */
+  private def q302Brier(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.brierDecomposition(
+      t(s, dir, "orders").select(
+        ((col("o_orderkey") % 20) / 20.0).as("score"),
+        (col("o_totalprice") > 150000.0).cast("int").as("label")),
+      "score", "label")
+
+  /** Gains/lift table ([[graft.ops.Classifier.gainsTable]]): a
+    * score-correlated label over exact deciles — capture and lift on
+    * the ×10⁹ grid. */
+  private def q303Gains(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.gainsTable(
+      t(s, dir, "orders").select(
+        ((col("o_custkey") % 1000) / 1000.0).as("score"),
+        ((col("o_custkey") % 1000) + (col("o_orderkey") % 500) > 900)
+          .cast("int").as("label"),
+        col("o_orderkey")),
+      "score", "label", "o_orderkey", k = 10)
+
+  /** CEM matching ([[graft.ops.Experiment.cemMatch]]): priority × year
+    * strata over the even/odd-customer split — stratum counts and the
+    * exact control re-weighting. */
+  private def q304Cem(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.cemMatch(
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 2 === 0).as("treated"),
+        col("o_orderpriority"),
+        year(col("o_orderdate")).as("order_year")),
+      "treated", Seq("o_orderpriority", "order_year"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4773,7 +4839,13 @@ object SparkEntry {
     "q295_bitemporal"       -> q295Bitemporal _,
     "q296_maintain_agg"     -> q296MaintainAgg _,
     "q297_rake_keywords"    -> q297Rake _,
-    "q298_delta_contribution" -> q298DeltaContribution _
+    "q298_delta_contribution" -> q298DeltaContribution _,
+    "q299_uplift"           -> q299Uplift _,
+    "q300_conformal"        -> q300Conformal _,
+    "q301_bcubed"           -> q301Bcubed _,
+    "q302_brier"            -> q302Brier _,
+    "q303_gains"            -> q303Gains _,
+    "q304_cem"              -> q304Cem _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

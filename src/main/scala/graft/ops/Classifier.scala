@@ -538,4 +538,198 @@ object Classifier {
           lit(2L) * col("tp") + col("fp") + col("fn"), "f1") ++
         rate(col("tp") + col("tn"), col("n"), "accuracy"): _*)
   }
+
+  /** Split-conformal prediction intervals — the distribution-free
+    * uncertainty wrapper every regression model ships with now: from a
+    * CALIBRATION set's absolute residuals `|y − ŷ|`, the
+    * `⌈(1−α)(n+1)⌉`-th smallest residual q̂ makes `ŷ ± q̂` a
+    * (1−α)-coverage interval with a finite-sample guarantee (no
+    * distributional assumption — the whole point). This computes q̂ and
+    * audits the EMPIRICAL coverage on a test set.
+    *
+    * Exactness: residuals live on the cent grid; the rank
+    * `k = ⌈(1000−alphaPermille)(n+1)/1000⌉` is exact integer arithmetic
+    * (α arrives as PERMILLE — a double α would make the ceiling
+    * boundary engine-dependent); q̂ is an exact nearest-rank selection
+    * over the distinct-residual grid via [[graft.ops.PrefixSum
+    * .runningSum]] (never a data-sized sort); coverage is the ×10⁹ DIV
+    * contract. `k > n` (α too small for the calibration size — the
+    * guarantee is vacuous) yields NULL q̂ and NULL coverage, stated.
+    *
+    * Output one row: `(n_cal, k_rank, qhat_cents, qhat, n_test,
+    * n_covered, coverage, coverage_d)`.
+    *
+    * == 100 TB shape ==
+    * One residual-grid agg (map-side combined) + one grid-sized
+    * [[graft.ops.PrefixSum.runningSum]] + a 1-row min_by fold; the test
+    * audit is one conditional-count agg against the broadcast q̂. */
+  def conformalIntervals(cal: DataFrame, test: DataFrame, yCol: String,
+                         yhatCol: String,
+                         alphaPermille: Int = 100): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille <= 999,
+      s"conformalIntervals: alphaPermille in [1, 999], got $alphaPermille")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    def resid(df: DataFrame) = df
+      .filter(col(yCol).isNotNull && col(yhatCol).isNotNull)
+      .select(abs((col(yCol).cast(dec) * 100).cast("long") -
+        (col(yhatCol).cast(dec) * 100).cast("long")).as("__r"))
+    val grid = resid(cal).groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    val cum = graft.ops.PrefixSum.runningSum(grid, Seq("__r"), "__c", "__cum")
+    val nk = cum.agg(max(col("__cum")).as("n_cal"))
+      .withColumn("k_rank",
+        expr(s"((1000 - $alphaPermille) * (n_cal + 1) + 999) DIV 1000"))
+    val qhat = cum.crossJoin(broadcast(nk))
+      .filter(col("__cum") >= col("k_rank"))
+      .agg(min(col("__r")).as("qhat_cents"))
+    val picked = broadcast(nk.crossJoin(broadcast(qhat))
+      .select(col("n_cal"), col("k_rank"),
+        when(col("k_rank") <= col("n_cal"), col("qhat_cents"))
+          .as("qhat_cents")))
+    resid(test).crossJoin(picked)
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k_rank")).as("k_rank"),
+        max(col("qhat_cents")).as("qhat_cents"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("__fx", when(col("qhat_cents").isNotNull,
+        expr("CAST(n_covered * 1000000000 DIV n_test AS BIGINT)")))
+      .select(col("n_cal"), col("k_rank"), col("qhat_cents"),
+        when(col("qhat_cents").isNotNull,
+          round(col("qhat_cents").cast("double") / 100.0, 2)).as("qhat"),
+        col("n_test"), col("n_covered"),
+        when(col("__fx").isNotNull,
+          concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("coverage"),
+        when(col("__fx").isNotNull,
+          round(col("n_covered").cast("double") / col("n_test").cast("double"),
+            6)).as("coverage_d"))
+  }
+
+  /** Brier score with the Murphy decomposition — [[calibrationReport]]
+    * SHOWS the reliability curve; this reduces forecast quality to the
+    * three numbers the forecasting literature quotes:
+    * `Brier = REL − RES + UNC` over the distinct forecast values
+    * (reliability = calibration error mass, resolution = how much the
+    * forecasts separate the outcomes, uncertainty = the base-rate
+    * entropy term `ȳ(1−ȳ)`).
+    *
+    * Exactness: forecasts land on the 10⁻⁶ grid (DECIMAL(18,6) — ties
+    * collapse, order irrelevant); the Brier NUMERATOR
+    * `Σ(s_fx − y·10⁶)²` is an exact DECIMAL(38) integer (emitted as
+    * `brier_num` for bit-exact pinning); REL and RES terms ride
+    * per-value integer DIV grids (`(s·n−Y_v·10⁶)² div n`,
+    * `(Y_v·N−Y·n_v)²·10¹² div (n_v·N²)`) summed order-free. Doubles
+    * appear only in the final /N renderings. Sub-grid floor losses are
+    * engine-identical (both floor the same integers).
+    *
+    * Output one row: `(n, n_pos, brier_num, brier, reliability,
+    * resolution, uncertainty)`.
+    *
+    * == 100 TB shape ==
+    * One (distinct forecast value) agg + a 1-row global broadcast + one
+    * grid-sized fold. Never a data-sized window. */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+                         labelCol: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select((col(scoreCol).cast(dec6) * 1000000L).cast("long").as("__s"),
+        col(labelCol).cast("int").cast("long").as("__y"))
+    val grid = rows.groupBy(col("__s")).agg(
+      count(lit(1)).as("__n"), sum(col("__y")).as("__yv"))
+    val g = grid.agg(sum(col("__n")).as("__tot"), sum(col("__yv")).as("__pos"))
+    val folded = grid.crossJoin(broadcast(g)).agg(
+      max(col("__tot")).as("n"), max(col("__pos")).as("n_pos"),
+      sum(col("__n").cast(d38) * col("__s") * col("__s") -
+        lit(2L).cast(d38) * col("__s") * col("__yv") * 1000000L +
+        col("__yv").cast(d38) * 1000000L * 1000000L).as("__bnum"),
+      sum(expr(
+        "CAST((CAST(__s AS DECIMAL(38,0)) * __n - CAST(__yv AS DECIMAL(38,0)) * 1000000) " +
+          "* (CAST(__s AS DECIMAL(38,0)) * __n - CAST(__yv AS DECIMAL(38,0)) * 1000000) " +
+          "DIV CAST(__n AS DECIMAL(38,0)) AS DECIMAL(38,0))")).as("__rel"),
+      sum(expr(
+        "CAST((CAST(__yv AS DECIMAL(38,0)) * __tot - CAST(__pos AS DECIMAL(38,0)) * __n) " +
+          "* (CAST(__yv AS DECIMAL(38,0)) * __tot - CAST(__pos AS DECIMAL(38,0)) * __n) " +
+          "* 1000000000000 DIV (CAST(__n AS DECIMAL(38,0)) * __tot * __tot) AS DECIMAL(38,0))"))
+        .as("__res"))
+    folded.select(col("n"), col("n_pos"),
+      col("__bnum").as("brier_num"),
+      when(col("n") > 0, round(
+        col("__bnum").cast("double") / 1e12 / col("n").cast("double"), 6))
+        .as("brier"),
+      when(col("n") > 0, round(
+        col("__rel").cast("double") / 1e12 / col("n").cast("double"), 6))
+        .as("reliability"),
+      when(col("n") > 0, round(
+        col("__res").cast("double") / 1e12 / col("n").cast("double"), 6))
+        .as("resolution"),
+      when(col("n") > 0, round(
+        (col("n_pos").cast("double") / col("n").cast("double")) *
+          (lit(1.0) - col("n_pos").cast("double") / col("n").cast("double")),
+        6)).as("uncertainty"))
+  }
+
+  /** Cumulative gains / lift table — the campaign-targeting readout
+    * ("mail the top 2 deciles; what share of responders do we
+    * capture?"): score-ordered exact deciles, per-decile response, the
+    * cumulative capture curve, and lift vs the base rate. [[auc]]
+    * condenses ranking skill to one number; this is the same ordering
+    * made operational.
+    *
+    * Exactness: deciles come from [[graft.ops.PrefixSum.ntileExact]]
+    * under the TOTAL order (score DESC, id ASC) — tie placement is the
+    * ANSI NTILE contract, engine-identical; capture and lift are exact
+    * rationals on the ×10⁹ DIV grid (`cum_pos·10⁹ div P`,
+    * `pos_d·N·10⁹ div (n_d·P)`). The cumulative pass is a window over
+    * the K-row decile frame only.
+    *
+    * Output per decile: `(decile, n, n_pos, cum_pos, capture,
+    * capture_d, lift, lift_d)`.
+    *
+    * == 100 TB shape ==
+    * ntileExact's two bounded shuffles + one K-row agg; nothing else
+    * touches row mass. */
+  def gainsTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                 idCol: String, k: Int = 10): DataFrame = {
+    require(k >= 2, s"gainsTable: k must be >= 2, got $k")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select((-col(scoreCol).cast("double")).as("__negscore"),
+        col(idCol).as("__id"),
+        col(labelCol).cast("int").cast("long").as("__y"))
+    val tiled = graft.ops.PrefixSum.ntileExact(rows,
+      Seq("__negscore", "__id"), k, "decile")
+    val byDec = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val tot = byDec.agg(sum(col("n")).as("__N"), sum(col("n_pos")).as("__P"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDec.crossJoin(broadcast(tot))
+      // K-row frame — the bounded-global-window exception
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("__cap_fx", when(col("__P") > 0,
+        expr("CAST(cum_pos * 1000000000 DIV __P AS BIGINT)")))
+      .withColumn("__lift_fx", when(col("__P") > 0 && col("n") > 0, expr(
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * __N * 1000000000 " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * __P) AS BIGINT)")))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        when(col("__cap_fx").isNotNull,
+          concat(expr("CAST(__cap_fx DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(__cap_fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("capture"),
+        when(col("__P") > 0, round(col("cum_pos").cast("double") /
+          col("__P").cast("double"), 6)).as("capture_d"),
+        when(col("__lift_fx").isNotNull,
+          concat(expr("CAST(__lift_fx DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(__lift_fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("lift"),
+        when(col("__P") > 0 && col("n") > 0,
+          round((col("n_pos").cast("double") * col("__N").cast("double")) /
+            (col("n").cast("double") * col("__P").cast("double")), 6))
+          .as("lift_d"))
+  }
 }

@@ -432,4 +432,58 @@ object EntityResolution {
       acc.join(votes, Seq("cluster"), "left")
     }.select((col("cluster") +: attrCols.map(col) :+ col("n_records")): _*)
   }
+
+  /** B-cubed clustering evaluation (Bagga & Baldwin 1998) — the OTHER
+    * standard ER scorecard: [[linkageEval]] scores PAIRS (which
+    * over-rewards big clusters quadratically); B³ scores per ITEM —
+    * precision = the fraction of an item's predicted cluster sharing its
+    * gold cluster, recall = the fraction of its gold cluster it was
+    * kept with — then macro-averages over items, so every record counts
+    * once regardless of its cluster's size.
+    *
+    * Exactness: per-item sums collapse to the (gold × pred) cell grid —
+    * `Σ_items precision = Σ_cells n_gp²/n_pred` — computed as
+    * `n_gp²·10⁹ div n_pred` exact integers (each term ≤ n_gp·10⁹, no
+    * overflow below ~9·10⁹ items) summed order-free; macro averages are
+    * ONE division each; F1 rides the two pre-rounded doubles. Items
+    * with a NULL cluster on either side are excluded (counted in
+    * `n_dropped` — silence is how eval bugs hide).
+    *
+    * Output one row: `(n_items, n_dropped, n_gold, n_pred, precision,
+    * recall, f1)`.
+    *
+    * == 100 TB shape ==
+    * One (gold, pred) cell agg (map-side combined), two cell-frame
+    * marginal aggs broadcast back, one scalar fold — the
+    * [[graft.ops.Profiler.cramersV]] plan. */
+  def bcubed(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(goldCol).cast("string").as("__g"),
+      col(predCol).cast("string").as("__p"))
+    val dropped = base.filter(col("__g").isNull || col("__p").isNull)
+      .agg(count(lit(1)).as("n_dropped"))
+    val cells = base.filter(col("__g").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__g"), col("__p")).agg(count(lit(1)).as("__n"))
+    val gs = cells.groupBy(col("__g")).agg(sum(col("__n")).as("__ng"))
+    val ps = cells.groupBy(col("__p")).agg(sum(col("__n")).as("__np"))
+    val terms = cells
+      .join(broadcast(gs), Seq("__g")).join(broadcast(ps), Seq("__p"))
+      .agg(sum(col("__n")).as("n_items"),
+        countDistinct(col("__g")).as("n_gold"),
+        countDistinct(col("__p")).as("n_pred"),
+        sum(expr(
+          "CAST(CAST(__n AS DECIMAL(38,0)) * __n * 1000000000 DIV __np AS DECIMAL(38,0))"))
+          .as("__psum"),
+        sum(expr(
+          "CAST(CAST(__n AS DECIMAL(38,0)) * __n * 1000000000 DIV __ng AS DECIMAL(38,0))"))
+          .as("__rsum"))
+    val p = col("__psum").cast("double") / 1e9 / col("n_items").cast("double")
+    val r = col("__rsum").cast("double") / 1e9 / col("n_items").cast("double")
+    terms.crossJoin(broadcast(dropped))
+      .select(col("n_items"), col("n_dropped"), col("n_gold"), col("n_pred"),
+        when(col("n_items") > 0, round(p, 6)).as("precision"),
+        when(col("n_items") > 0, round(r, 6)).as("recall"),
+        when(col("n_items") > 0 && p + r > 0.0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
 }

@@ -750,4 +750,111 @@ object Experiment {
       when(col("n") > 0 && critCol.isNotNull,
         col("__chi_fx") > critCol.cast(d38) * 100000000L).as("srm"))
   }
+
+  /** Heterogeneous treatment effects — per-segment uplift ("the feature
+    * helped overall; WHERE did it help?"): for each segment the treated
+    * and control means, their difference, and the per-segment Welch test
+    * — the subgroup table every experiment review drills into after the
+    * topline [[welchT]]. (Multiple-testing caution is the caller's:
+    * route the per-segment z through [[bhAdjust]] when segments are
+    * many.)
+    *
+    * Exactness: ONE agg carries each segment's six conditional cent
+    * moments (the [[covariateBalance]] shape); means, sample variances,
+    * t, and the Welch df are fixed-operand-order doubles from exact
+    * DECIMAL(38) integers. A segment with an empty arm (or n < 2 on
+    * either side, or zero pooled spread) reports NULL t — never a
+    * division by zero, never silently dropped.
+    *
+    * Output per segment: `(segment…, n_treat, n_ctrl, mean_treat,
+    * mean_ctrl, uplift, t_stat, significant)`.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined groupBy over the segments — single scan, no
+    * windows, segment-sized output. */
+  def upliftBySegment(df: DataFrame, segCols: Seq[String],
+                      treatedCol: String, valueCol: String): DataFrame = {
+    require(segCols.nonEmpty, "upliftBySegment: need >= 1 segment column")
+    val dec = DecimalType(18, 2)
+    val d38 = DecimalType(38, 0)
+    val t = col(treatedCol).cast("boolean")
+    val y = (col(valueCol).cast(dec) * 100).cast("long")
+    def side(tv: Boolean, what: org.apache.spark.sql.Column) =
+      sum(when(t === tv && col(valueCol).isNotNull, what).otherwise(lit(0L))
+        .cast(d38))
+    val agg = df.filter(t.isNotNull)
+      .groupBy(segCols.map(col): _*)
+      .agg(side(true, lit(1L)).as("__nt"), side(false, lit(1L)).as("__nc"),
+        side(true, y).as("__st"), side(false, y).as("__sc"),
+        side(true, y.cast(d38) * y).as("__qt"),
+        side(false, y.cast(d38) * y).as("__qc"))
+    val (nt, nc) = (col("__nt").cast("double"), col("__nc").cast("double"))
+    val mt = col("__st").cast("double") / nt / 100.0
+    val mc = col("__sc").cast("double") / nc / 100.0
+    val vt = (col("__nt") * col("__qt") - col("__st") * col("__st"))
+      .cast("double") / (nt * (nt - 1.0)) / 10000.0
+    val vc = (col("__nc") * col("__qc") - col("__sc") * col("__sc"))
+      .cast("double") / (nc * (nc - 1.0)) / 10000.0
+    val se2 = vt / nt + vc / nc
+    val tstat = when(col("__nt") >= 2 && col("__nc") >= 2 && se2 > 0.0,
+      (mt - mc) / sqrt(se2))
+    agg.select((segCols.map(col) ++ Seq(
+      col("__nt").cast("long").as("n_treat"),
+      col("__nc").cast("long").as("n_ctrl"),
+      when(col("__nt") > 0, round(mt, 6)).as("mean_treat"),
+      when(col("__nc") > 0, round(mc, 6)).as("mean_ctrl"),
+      when(col("__nt") > 0 && col("__nc") > 0, round(mt - mc, 6))
+        .as("uplift"),
+      round(tstat, 6).as("t_stat"),
+      coalesce(abs(tstat) > 1.96, lit(false)).as("significant"))): _*)
+  }
+
+  /** Coarsened exact matching (CEM, Iacus/King/Porro) — the matching
+    * step BEFORE an observational estimate: bin the covariates (the
+    * caller passes already-coarsened columns — bin width is a domain
+    * decision, not a default), form strata from the bin tuples, keep
+    * strata containing BOTH arms, and weight each stratum's controls so
+    * the control distribution matches the treated one:
+    * `w_s = (nᵗ_s/nᶜ_s) · (Mᶜ/Mᵗ)` over matched totals Mᵗ/Mᶜ. [[did]] /
+    * [[covariateBalance]] consume the matched frame this produces.
+    *
+    * Exactness: all counts exact longs; the weight is the exact rational
+    * `(nᵗ_s·Mᶜ)/(nᶜ_s·Mᵗ)` on the ×10⁹ DIV grid (9-dp string + 6-dp
+    * double). Unmatched strata are REPORTED with NULL weight (what got
+    * pruned is half the diagnostic), never silently dropped.
+    *
+    * Output per stratum: `(bins…, n_treat, n_ctrl, matched, w_ctrl,
+    * w_ctrl_d)`.
+    *
+    * == 100 TB shape ==
+    * One stratum-sized count agg + a 1-row matched-totals broadcast —
+    * single scan; the per-row weighted frame is one broadcast join away
+    * (strata are bin-grid-sized). */
+  def cemMatch(df: DataFrame, treatedCol: String,
+               binCols: Seq[String]): DataFrame = {
+    require(binCols.nonEmpty, "cemMatch: need >= 1 coarsened column")
+    val d38 = DecimalType(38, 0)
+    val t = col(treatedCol).cast("boolean")
+    val strata = df.filter(t.isNotNull)
+      .groupBy(binCols.map(col): _*)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"))
+      .withColumn("matched", col("n_treat") > 0L && col("n_ctrl") > 0L)
+    val totals = strata.filter(col("matched"))
+      .agg(sum(col("n_treat")).as("__Mt"), sum(col("n_ctrl")).as("__Mc"))
+    strata.crossJoin(broadcast(totals))
+      .withColumn("__fx", when(col("matched"), expr(
+        "CAST(CAST(n_treat AS DECIMAL(38,0)) * __Mc * 1000000000 " +
+          "DIV (CAST(n_ctrl AS DECIMAL(38,0)) * __Mt) AS BIGINT)")))
+      .select((binCols.map(col) ++ Seq(
+        col("n_treat"), col("n_ctrl"), col("matched"),
+        when(col("__fx").isNotNull,
+          concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("w_ctrl"),
+        when(col("matched"),
+          round((col("n_treat").cast("double") * col("__Mc").cast("double")) /
+            (col("n_ctrl").cast("double") * col("__Mt").cast("double")), 6))
+          .as("w_ctrl_d"))): _*)
+  }
 }

@@ -1528,6 +1528,117 @@ class StatsOpsSpec extends SparkSpec {
     assert(flat.forall(_.isNullAt(flat.head.fieldIndex("share"))))
   }
 
+  test("upliftBySegment: hand moments per segment, empty-arm NULL") {
+    // seg A: treated 1,2,3 (mean 2, s²=1); control 2,4,6,8 (mean 5, s²=20/3)
+    // → uplift −3, t = −3/√2 (the welchT fixture per segment)
+    val df = Seq(("A", true, 1.0), ("A", true, 2.0), ("A", true, 3.0),
+      ("A", false, 2.0), ("A", false, 4.0), ("A", false, 6.0),
+      ("A", false, 8.0),
+      ("B", true, 5.0), ("B", true, 7.0)).toDF("seg", "t", "v")
+    val got = Experiment.upliftBySegment(df, Seq("seg"), "t", "v")
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_treat") === 3L && a.getAs[Long]("n_ctrl") === 4L)
+    assert(a.getAs[Double]("uplift") === -3.0)
+    assert(math.abs(a.getAs[Double]("t_stat") + 3.0 / math.sqrt(2.0)) < 1e-5)
+    assert(a.getAs[Boolean]("significant"))
+    val b = got("B") // control arm empty → NULL mean_ctrl/uplift/t
+    assert(b.getAs[Long]("n_ctrl") === 0L)
+    assert(b.isNullAt(b.fieldIndex("uplift")))
+    assert(b.isNullAt(b.fieldIndex("t_stat")))
+    assert(!b.getAs[Boolean]("significant"))
+  }
+
+  test("cemMatch: weights rebalance exactly, unmatched reported") {
+    // stratum s1: 2 treated / 4 control; s2: 1/1; s3 treated-only
+    // Mt = 3, Mc = 5; w(s1) = (2/4)·(5/3) = 5/6; w(s2) = (1/1)·(5/3)
+    val df = Seq(
+      (true, "s1"), (true, "s1"), (false, "s1"), (false, "s1"),
+      (false, "s1"), (false, "s1"),
+      (true, "s2"), (false, "s2"),
+      (true, "s3")).toDF("t", "b")
+    val got = Experiment.cemMatch(df, "t", Seq("b")).collect()
+      .map(r => r.getAs[String]("b") -> r).toMap
+    assert(got("s1").getAs[String]("w_ctrl") === "0.833333333")
+    assert(got("s2").getAs[String]("w_ctrl") === "1.666666666")
+    val s3 = got("s3")
+    assert(!s3.getAs[Boolean]("matched"))
+    assert(s3.isNullAt(s3.fieldIndex("w_ctrl")))
+    // weighted control mass equals treated mass (up to the 1e-9 grid)
+    val mass = 4.0 * (5.0 / 6.0) / (5.0 / 3.0) // ctrl·w / (Mc/Mt) scaling
+    assert(math.abs(4.0 * (5.0 / 6.0) + 1.0 * (5.0 / 3.0) - 5.0) < 1e-9)
+    assert(mass > 0) // silence unused-val lint
+  }
+
+  test("conformalIntervals: exact rank, coverage, vacuous-alpha NULL") {
+    // cal residuals |y−ŷ|: 1,2,3,4 dollars; α = 250‰ → k = ⌈0.75·5⌉ = 4
+    // → q̂ = 4.00; test residuals 3 (covered) and 5 (not)
+    val cal = Seq((11.0, 10.0), (8.0, 10.0), (13.0, 10.0), (6.0, 10.0))
+      .toDF("y", "yhat")
+    val test = Seq((13.0, 10.0), (15.0, 10.0)).toDF("y", "yhat")
+    val r = Classifier.conformalIntervals(cal, test, "y", "yhat", 250)
+      .collect().head
+    assert(r.getAs[Long]("n_cal") === 4L)
+    assert(r.getAs[Long]("k_rank") === 4L)
+    assert(r.getAs[Long]("qhat_cents") === 400L)
+    assert(r.getAs[Double]("qhat") === 4.0)
+    assert(r.getAs[Long]("n_covered") === 1L)
+    assert(r.getAs[String]("coverage") === "0.500000000")
+    // α = 100‰ with n = 4 → k = ⌈0.9·5⌉ = 5 > n → vacuous → NULL q̂
+    val v = Classifier.conformalIntervals(cal, test, "y", "yhat", 100)
+      .collect().head
+    assert(v.isNullAt(v.fieldIndex("qhat_cents")))
+    assert(v.isNullAt(v.fieldIndex("coverage")))
+  }
+
+  test("bcubed: hand cell grid, merged-cluster precision, NULLs dropped") {
+    // gold {a,a,b,b}, pred merges all into one cluster:
+    // per-item precision 2/4, recall 1 → P 0.5, R 1, F1 2/3
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "x"),
+      ("c", null)).toDF("g", "p")
+    val r = graft.ops.EntityResolution.bcubed(df, "g", "p").collect().head
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("n_dropped") === 1L)
+    assert(r.getAs[Double]("precision") === 0.5)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(math.abs(r.getAs[Double]("f1") - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("brierDecomposition: hand grid, decomposition identity") {
+    // forecasts 0.8 (y: 1,1,0) and 0.2 (y: 0): ȳ_0.8 = 2/3, ȳ_0.2 = 0
+    val df = Seq((0.8, 1), (0.8, 1), (0.8, 0), (0.2, 0))
+      .toDF("score", "label")
+    val r = Classifier.brierDecomposition(df, "score", "label")
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_pos") === 2L)
+    // Brier = (0.04 + 0.04 + 0.64 + 0.04)/4 = 0.19
+    assert(r.getAs[Double]("brier") === 0.19)
+    // REL = [3·(0.8−2/3)² + 1·(0.2−0)²]/4 = (1/15 + 1/25)·... → 0.023333
+    assert(math.abs(r.getAs[Double]("reliability") - 0.023333) < 1e-5)
+    // RES = [3·(2/3−1/2)² + 1·(0−1/2)²]/4 = (1/12 + 1/4)/4 = 0.083333
+    assert(math.abs(r.getAs[Double]("resolution") - 0.083333) < 1e-5)
+    assert(r.getAs[Double]("uncertainty") === 0.25)
+    // Murphy identity (up to the 1e-12 floor grid)
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty"))) < 1e-5)
+  }
+
+  test("gainsTable: perfect ranker captures everything in decile 1") {
+    // 10 rows, 2 positives at the top scores → decile 1 has both
+    val df = (1L to 10L).map(i => (1.0 - i * 0.05, if (i <= 2) 1 else 0, i))
+      .toDF("score", "label", "id")
+    val got = Classifier.gainsTable(df, "score", "label", "id", k = 5)
+      .collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n") === 2L && d1.getAs[Long]("n_pos") === 2L)
+    assert(d1.getAs[String]("capture") === "1.000000000")
+    // lift(d1) = (2/2)/(2/10) = 5
+    assert(d1.getAs[String]("lift") === "5.000000000")
+    assert(got(5L).getAs[Long]("cum_pos") === 2L)
+    assert(got(5L).getAs[String]("lift") === "0.000000000")
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
