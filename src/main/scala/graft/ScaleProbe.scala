@@ -633,6 +633,18 @@ object ScaleProbe {
         // rare prefix tokens and the candidate join stays thin.
         Dedup.setSimilarityJoin(wide, thetaNum = 3, thetaDen = 5).count()
       }
+      timed("edit_join_ids", n) {
+        // the q215 shape: ID-strings whose grams are corpus-common — the
+        // corpus that breaks q-gram prefix filtering (one 15k² constant-
+        // gram bucket, 377 s at sf0.1 before the fix) and that the
+        // deletion-neighborhood path must bucket near-uniformly. Output
+        // mass grows ~linearly (each ID's edit-2 neighborhood is a
+        // constant-sized digit ball), so ~linear wall time is the bar.
+        graft.ops.StringJoin.editDistanceJoin(
+          spark.range(n).select(
+            format_string("Customer#%09d", col("id")).as("s")),
+          "s", maxEdit = 2).count()
+      }
       locally {
         // q166 shape, split at its real amortization boundary: a deployment
         // builds the index ONCE (er_index_build — corpus-sized, paid rarely)

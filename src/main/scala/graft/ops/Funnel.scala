@@ -458,4 +458,134 @@ object Funnel {
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"), sum(col("__c")).as("credit_bp"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven counterweight to [[attribution]]'s positional rules and
+    * [[multiTouchAttribution]]'s fixed splits: model journeys as an
+    * absorbing Markov chain (START → channels → CONV/NULL), and credit
+    * each channel by its REMOVAL EFFECT — how much the chain's
+    * START→CONV absorption probability drops when every transition into
+    * that channel is redirected to NULL. A channel that merely sits in
+    * long paths earns little; one that bridges otherwise-dead paths
+    * earns a lot.
+    *
+    * Journeys: per user ordered by (ts, tiebreak), the non-conversion
+    * events are touches; the path ends in CONV if the user has ANY
+    * `convType` event, else NULL; a converting user with zero touches
+    * contributes START→CONV directly (the direct mass). Transition
+    * COUNTS aggregate distributed (channel-enum-sized — `maxChannels`
+    * fails loudly); the absorption solves run on the driver over that
+    * bounded matrix (Gaussian elimination with partial pivoting — the
+    * bins/edges driver-fold class). NO SQL ORACLE by design: the solve
+    * is a data-dependent linear system with no fixed CTE unroll; the
+    * spec pins a hand-solvable chain instead.
+    *
+    * Output per channel: `(channel, n_touches, removal_effect,
+    * attribution)` — attribution = removal effect normalized over
+    * channels (NULL when all effects are 0), plus the chain-level
+    * `base_cvr` repeated per row for context. */
+  def markovAttribution(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts",
+                        typeCol: String = "event_type",
+                        convType: String = "purchase",
+                        tiebreak: String = "event_id",
+                        maxChannels: Int = 100): DataFrame = {
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val touches = events.select(col(userCol).as("__u"), col(tsCol),
+      col(tiebreak), col(typeCol).cast("string").as("__t"))
+    val converted = touches.filter(col("__t") === convType)
+      .select(col("__u")).distinct().withColumn("__conv", lit(true))
+    val paths = touches.filter(col("__t") =!= convType)
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+    val withEnd = paths.join(converted, Seq("__u"), "left")
+      .withColumn("__conv", coalesce(col("__conv"), lit(false)))
+    // edges: START→first, touch→touch, last→CONV/NULL
+    val mid = withEnd.select(
+      when(col("__prev").isNull, lit("__START__")).otherwise(col("__prev"))
+        .as("from"),
+      col("__t").as("to"))
+    val ends = withEnd.filter(col("__next").isNull).select(
+      col("__t").as("from"),
+      when(col("__conv"), lit("__CONV__")).otherwise(lit("__NULL__"))
+        .as("to"))
+    val direct = converted.join(
+        paths.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .select(lit("__START__").as("from"), lit("__CONV__").as("to"))
+    val counts = mid.unionByName(ends).unionByName(direct)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = counts.flatMap(c => Seq(c._1, c._2))
+      .filterNot(Set("__START__", "__CONV__", "__NULL__")).distinct.sorted
+    require(channels.length <= maxChannels,
+      s"markovAttribution: ${channels.length} channels exceeds " +
+        s"maxChannels=$maxChannels — this is an enum-state model")
+    val touchCounts = counts.filter(c =>
+      !Set("__CONV__", "__NULL__").contains(c._2))
+      .groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    // absorbing-chain START→CONV probability with `removed` redirected
+    // to NULL (deterministic driver solve over the bounded state space)
+    def absorption(removed: Option[String]): Double = {
+      val states = "__START__" +: channels.filterNot(removed.contains)
+      val idx = states.zipWithIndex.toMap
+      val k = states.length
+      val q = Array.ofDim[Double](k, k)
+      val r = new Array[Double](k)
+      val rowTot = counts.filter(c => idx.contains(c._1))
+        .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._3).sum }
+      for ((from, to, n) <- counts if idx.contains(from)) {
+        val p = n.toDouble / rowTot(from).toDouble
+        if (to == "__CONV__") r(idx(from)) += p
+        else if (to == "__NULL__") () // absorbed, contributes nothing
+        else if (removed.contains(to)) () // redirected to NULL
+        else if (idx.contains(to)) q(idx(from))(idx(to)) += p
+      }
+      // solve (I − Q) x = r by Gaussian elimination, partial pivoting
+      val a = Array.tabulate(k, k)((i, j) => (if (i == j) 1.0 else 0.0) - q(i)(j))
+      val b = r.clone()
+      for (c <- 0 until k) {
+        val piv = (c until k).maxBy(i => math.abs(a(i)(c)))
+        if (math.abs(a(piv)(c)) > 1e-12) {
+          val (t1, t2) = (a(c), b(c)); a(c) = a(piv); b(c) = b(piv)
+          a(piv) = t1; b(piv) = t2
+          for (i <- c + 1 until k) {
+            val f = a(i)(c) / a(c)(c)
+            for (j <- c until k) a(i)(j) -= f * a(c)(j)
+            b(i) -= f * b(c)
+          }
+        }
+      }
+      val x = new Array[Double](k)
+      for (i <- k - 1 to 0 by -1) {
+        var s = b(i)
+        for (j <- i + 1 until k) s -= a(i)(j) * x(j)
+        x(i) = if (math.abs(a(i)(i)) > 1e-12) s / a(i)(i) else 0.0
+      }
+      x(idx("__START__"))
+    }
+    val base = absorption(None)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val effects = channels.map { c =>
+      val re = if (base > 0) 1.0 - absorption(Some(c)) / base else 0.0
+      c -> math.max(re, 0.0)
+    }
+    val total = effects.map(_._2).sum
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("channel", StringType, nullable = false),
+      StructField("n_touches", LongType, nullable = false),
+      StructField("removal_effect", DoubleType, nullable = false),
+      StructField("attribution", DoubleType, nullable = true),
+      StructField("base_cvr", DoubleType, nullable = false)))
+    val rows = effects.map { case (c, re) =>
+      org.apache.spark.sql.Row(c, touchCounts.getOrElse(c, 0L), r6(re),
+        if (total > 0) java.lang.Double.valueOf(r6(re / total)) else null,
+        r6(base))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
 }

@@ -1639,6 +1639,40 @@ class StatsOpsSpec extends SparkSpec {
     assert(got(5L).getAs[String]("lift") === "0.000000000")
   }
 
+  test("markovAttribution: hand-solvable chain, removal effects, direct-only") {
+    // u1: A→conv, u2: A→(no conv), u3: B→conv
+    // P(START)=⅔A+⅓B; P(A→CONV)=½; P(B→CONV)=1 → base = ⅓+⅓ = ⅔
+    // remove A → ⅓; remove B → ⅓ → RE = 0.5 each, attribution 0.5/0.5
+    val ev = Seq(
+      (1L, 1L, "A", 1L), (1L, 2L, "purchase", 2L),
+      (2L, 1L, "A", 3L),
+      (3L, 1L, "B", 4L), (3L, 2L, "purchase", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.markovAttribution(ev).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    assert(got("A").getAs[Long]("n_touches") === 2L)
+    assert(got("A").getAs[Double]("removal_effect") === 0.5)
+    assert(got("B").getAs[Double]("removal_effect") === 0.5)
+    assert(got("A").getAs[Double]("attribution") === 0.5)
+    assert(got("A").getAs[Double]("base_cvr") === 0.666667)
+    // a longer chain through a bridge channel: C only feeds B
+    // u4: C→B→conv ×2, u5: C→(no conv)
+    val ev2 = ev.unionByName(Seq(
+      (4L, 1L, "C", 6L), (4L, 2L, "B", 7L), (4L, 3L, "purchase", 8L),
+      (5L, 1L, "C", 9L))
+      .toDF("user_id", "ts", "event_type", "event_id"))
+    val got2 = Funnel.markovAttribution(ev2).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // removing C kills u4's path; removing B kills u3+u4's
+    assert(got2("B").getAs[Double]("removal_effect") >
+      got2("C").getAs[Double]("removal_effect"))
+    assert(got2("C").getAs[Double]("removal_effect") > 0.0)
+    // direct-only conversions: no channels → empty attribution table
+    val direct = Seq((9L, 1L, "purchase", 10L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assert(Funnel.markovAttribution(direct).collect().isEmpty)
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
