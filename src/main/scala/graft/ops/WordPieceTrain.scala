@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece vocabulary TRAINING (Schuster & Nakajima 2012;
+  * the BERT-family tokenizer) — the THIRD tokenizer family beside
+  * [[BpeTrain]] (frequency-greedy merges) and [[UnigramLm]] (EM-pruned
+  * likelihood): WordPiece merges the adjacent symbol pair with the best
+  * LIKELIHOOD GAIN `count(ab) / (count(a)·count(b))` instead of the raw
+  * pair count — a rare-but-always-together pair beats a frequent-but-
+  * incidental one. Continuation symbols carry the `##` prefix (BERT's
+  * convention): "word" initializes as `[w, ##o, ##r, ##d]` and a merge
+  * of `(##o, ##r)` produces `##or`.
+  *
+  * Algorithm shape mirrors [[BpeTrain.trainBpe]] exactly — ONE
+  * corpus-sized word-frequency aggregation, then every iteration runs on
+  * the distinct-words-sized table: pair counts and symbol counts
+  * (both map-side-combined, weighted by word frequency), the argmax on
+  * the ×10¹² fixed-point likelihood grid (`p·10¹² div (cnt_a·cnt_b)` —
+  * exact integers, ties → higher pair count, then lexicographic — fully
+  * deterministic), the merge applied LEFT-TO-RIGHT NON-OVERLAPPING via a
+  * fold (`aggregate`) over each word's symbols. `materialize` flattens
+  * each iteration's plan (the [[BpeTrain]] discipline).
+  *
+  * Not SQL-expressible (a driver-sequenced argmax loop) — correctness is
+  * fixture-pinned in OpsSpec against a hand-computed run, plus the
+  * round-trip property: applying the trained merges in rank order
+  * re-segments every training word to exactly the symbols training left.
+  */
+object WordPieceTrain {
+
+  /** `merges` in rank order (symbols carry `##`); `vocab` = initial
+    * symbols (sorted) then merge products in rank order, deduplicated. */
+  final case class WordPieceModel(merges: Seq[(String, String)],
+                                  vocab: Seq[String])
+
+  /** WordPiece merged symbol: the right piece's `##` marker is interior
+    * after the merge and drops. */
+  private def mergedSym(a: String, b: String): String =
+    a + (if (b.startsWith("##")) b.substring(2) else b)
+
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** Left-to-right non-overlapping single-pair merge as a fold over the
+    * symbol array: state = (emitted, pending previous symbol); a pending
+    * `a` followed by `b` emits `merged` and clears, anything else flushes
+    * the pending symbol. Runs on the distinct-words table only. */
+  private def applyMerge(syms: Column, a: String, b: String,
+                         merged: String): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    val step = (st: Column, s: Column) =>
+      when(st.getField("prev") === a && s === b,
+        struct(concat(st.getField("out"), array(lit(merged))).as("out"),
+          lit(null).cast("string").as("prev")))
+        .otherwise(struct(
+          when(st.getField("prev").isNotNull,
+            concat(st.getField("out"), array(st.getField("prev"))))
+            .otherwise(st.getField("out")).as("out"),
+          s.as("prev")))
+    val fin = (st: Column) =>
+      when(st.getField("prev").isNotNull,
+        concat(st.getField("out"), array(st.getField("prev"))))
+        .otherwise(st.getField("out"))
+    aggregate(syms, zero, step, fin)
+  }
+
+  /** Train `numMerges` likelihood-scored merges — see class doc. Stops
+    * early when no pair reaches `minFreq` occurrences. */
+  def trainWordPiece(docs: DataFrame, textCol: String = "text",
+                     numMerges: Int = 100, minFreq: Long = 2L,
+                     maxWords: Option[Int] = None,
+                     materialize: DataFrame => DataFrame =
+                       _.localCheckpoint(true)): WordPieceModel = {
+    require(numMerges > 0,
+      s"trainWordPiece: numMerges must be > 0, got $numMerges")
+    require(minFreq >= 1,
+      s"trainWordPiece: minFreq must be >= 1, got $minFreq")
+    val wordCounts = {
+      val wc = docs
+        .select(explode(split(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      maxWords match {
+        case Some(m) => wc.orderBy(col("freq").desc, col("w")).limit(m)
+        case None    => wc
+      }
+    }
+    // [w, ##o, ##r, ##d] — the BERT continuation convention
+    var words = materialize(wordCounts.select(
+      transform(split(col("w"), ""),
+        (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))
+        .as("syms"),
+      col("freq")))
+    val baseSyms = words
+      .select(explode(col("syms")).as("s")).distinct()
+      .orderBy(col("s")).collect().map(_.getString(0)).toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val symCounts = words
+        .select(explode(col("syms")).as("s"), col("freq"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("__cnt"))
+      val top = words
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .join(symCounts.select(col("s").as("a"), col("__cnt").as("__ca")),
+          Seq("a"))
+        .join(symCounts.select(col("s").as("b"), col("__cnt").as("__cb")),
+          Seq("b"))
+        // likelihood gain on the ×10¹² grid — exact, order-free argmax
+        .withColumn("__score", expr(
+          "CAST(CAST(c AS DECIMAL(38,0)) * 1000000000000 " +
+            "DIV (CAST(__ca AS DECIMAL(38,0)) * __cb) AS DECIMAL(38,0))"))
+        .select(col("a"), col("b"), col("c"), col("__score"))
+        .orderBy(col("__score").desc, col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minFreq) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        words = materialize(words.select(
+          applyMerge(col("syms"), a, b, mergedSym(a, b)).as("syms"),
+          col("freq")))
+      }
+    }
+    WordPieceModel(merges.toSeq,
+      (baseSyms ++ merges.map { case (a, b) => mergedSym(a, b) }).distinct)
+  }
+
+  /** The trained merges applied in rank order to a word's symbol column —
+    * reproduces training segmentation exactly (the round-trip property
+    * the spec pins). */
+  def segmentWith(model: WordPieceModel, word: Column): Column = {
+    val init = transform(split(word, ""),
+      (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))
+    model.merges.foldLeft(init) { case (syms, (a, b)) =>
+      applyMerge(syms, a, b, mergedSym(a, b))
+    }
+  }
+}

@@ -2789,6 +2789,30 @@ class OpsSpec extends SparkSpec {
     assert(m4.merges.nonEmpty)
   }
 
+  test("trainWordPiece: hand likelihood run, ## convention, round-trip, early stop") {
+    import graft.ops.WordPieceTrain
+    // abab x3, ab x2 — syms [a,##b,##a,##b]/[a,##b]:
+    //   counts a=5 ##b=8 ##a=3; pairs (a,##b)=5 (##b,##a)=3 (##a,##b)=3
+    //   scores all tie at 5/(5·8)=3/(8·3)=3/(3·8) -> count tiebreak picks
+    //   (a,##b) -> "ab"; then (##a,##b): 3/(3·3) beats (ab,##a): 3/(5·3)
+    val corpus = (Seq.fill(3)("abab") ++ Seq.fill(2)("ab"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val model = WordPieceTrain.trainWordPiece(corpus, numMerges = 2,
+      materialize = df => df)
+    assert(model.merges === Seq(("a", "##b"), ("##a", "##b")))
+    assert(model.vocab === Seq("##a", "##b", "a", "ab", "##ab"))
+    // round-trip: trained merges re-segment the training words exactly
+    val segs = Seq(("abab", 1), ("ab", 2)).toDF("w", "i")
+      .select(col("w"), WordPieceTrain.segmentWith(model, col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segs("abab") === Seq("ab", "##ab"))
+    assert(segs("ab") === Seq("ab"))
+    // early stop at minFreq: second-best pair count 3 < 4
+    val m2 = WordPieceTrain.trainWordPiece(corpus, numMerges = 5,
+      minFreq = 4, materialize = df => df)
+    assert(m2.merges === Seq(("a", "##b")))
+  }
+
   test("sourceOverlap: identical pair at 1, disjoint pair kept at 0, subset containment; sketch tracks exact") {
     import graft.ops.Overlap
     val docs = Seq(
