@@ -7562,6 +7562,77 @@ object OracleSql {
           (CAST(n_ctrl AS DOUBLE) * mtd), 6) END AS w_ctrl_d
     FROM fx"""
 
+  /** Degree assortativity — q305. Degrees over the multigraph, both
+    * orientations, exact HUGEINT moments; mirrors
+    * Graph.degreeAssortativity. */
+  private val q305 = """
+    WITH e AS (SELECT o_custkey AS src,
+        o_orderkey % 5000 + 1000000 AS dst FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY node),
+    tagged AS (SELECT dj.d AS j, dk.d AS k
+      FROM e JOIN deg dj ON e.src = dj.node
+        JOIN deg dk ON e.dst = dk.node),
+    pairs AS (SELECT j, k FROM tagged
+      UNION ALL SELECT k, j FROM tagged),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS M0,
+        sum(j)::HUGEINT AS sj, sum(j::HUGEINT * j)::HUGEINT AS sj2,
+        sum(j::HUGEINT * k)::HUGEINT AS sjk
+      FROM pairs),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT M0 / 2 AS n_edges, n_nodes,
+      CASE WHEN n_nodes > 0 THEN
+        round(CAST(M0 AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6) END
+        AS mean_deg,
+      CASE WHEN CAST(M0::HUGEINT * sj2 - sj * sj AS DOUBLE) > 0.0 THEN
+        round(CAST(M0::HUGEINT * sjk - sj * sj AS DOUBLE) /
+          CAST(M0::HUGEINT * sj2 - sj * sj AS DOUBLE), 6) END AS r
+    FROM m, nn"""
+
+  /** Robust median decomposition — q306. Cent grid, ±3 position-range
+    * lower-median trend via unnest/regroup, per-season grid-window
+    * median, exact remainder; mirrors Trend.robustDecompose at
+    * period 13. */
+  private val q306 = """
+    WITH base AS (SELECT o_orderpriority AS g,
+        CAST(date_diff('day', DATE '1970-01-01',
+          CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS pos,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2),
+    contrib AS (SELECT g, pos + o AS pos, v AS w
+      FROM base, unnest(range(-3, 4)) AS t(o)),
+    trend AS (SELECT c.g, c.pos,
+        (list_sort(list(c.w)))[(len(list(c.w)) + 1) // 2] AS trend_c
+      FROM contrib c JOIN (SELECT DISTINCT g, pos FROM base) b
+        ON c.g = b.g AND c.pos = b.pos
+      GROUP BY c.g, c.pos),
+    det AS (SELECT base.g, base.pos, base.v, trend.trend_c,
+        base.v - trend.trend_c AS dv, base.pos % 13 AS season
+      FROM base JOIN trend ON base.g = trend.g AND base.pos = trend.pos),
+    sgrid AS (SELECT g, season, dv, CAST(count(*) AS BIGINT) AS c
+      FROM det GROUP BY g, season, dv),
+    scum AS (SELECT *,
+        sum(c) OVER (PARTITION BY g, season ORDER BY dv
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        sum(c) OVER (PARTITION BY g, season)::BIGINT AS n
+      FROM sgrid),
+    smed AS (SELECT g, season, min(dv) AS seasonal_c FROM scum
+      WHERE cum >= (n + 1) // 2 GROUP BY g, season)
+    SELECT det.g AS o_orderpriority, det.pos,
+      det.v AS value_cents, det.trend_c AS trend_cents,
+      smed.seasonal_c AS seasonal_cents,
+      det.v - det.trend_c - smed.seasonal_c AS remainder_cents,
+      round(CAST(det.v AS DOUBLE) / 100.0, 2) AS value,
+      round(CAST(det.trend_c AS DOUBLE) / 100.0, 2) AS trend,
+      round(CAST(smed.seasonal_c AS DOUBLE) / 100.0, 2) AS seasonal,
+      round(CAST(det.v - det.trend_c - smed.seasonal_c AS DOUBLE) / 100.0,
+        2) AS remainder
+    FROM det JOIN smed ON det.g = smed.g AND det.season = smed.season"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -7882,6 +7953,8 @@ object OracleSql {
     "q301_bcubed"           -> q301,
     "q302_brier"            -> q302,
     "q303_gains"            -> q303,
-    "q304_cem"              -> q304
+    "q304_cem"              -> q304,
+    "q305_assortativity"    -> q305,
+    "q306_decompose"        -> q306
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4541,6 +4541,26 @@ object SparkEntry {
         year(col("o_orderdate")).as("order_year")),
       "treated", Seq("o_orderpriority", "order_year"))
 
+  /** Degree assortativity ([[graft.ops.Graph.degreeAssortativity]]):
+    * the customer→order-bucket multigraph — hubs wire to leaves, so r
+    * lands negative; exact moments over both edge orientations. */
+  private def q305Assortativity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeAssortativity(
+      t(s, dir, "orders").select(col("o_custkey").as("src"),
+        (col("o_orderkey") % 5000 + 1000000L).as("dst")))
+
+  /** Robust seasonal decomposition ([[graft.ops.Trend.robustDecompose]]):
+    * weekly order revenue per priority split into median trend, per-week-
+    * of-quarter seasonal, and remainder — all on the exact cent grid. */
+  private def q306Decompose(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.robustDecompose(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        floor(datediff(to_date(col("o_orderdate")), lit("1970-01-01")) / 7)
+          .cast("long").as("week"),
+        col("o_totalprice")),
+      "week", "o_totalprice", Seq("o_orderpriority"),
+      period = 13L, halfTrend = 3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4845,7 +4865,9 @@ object SparkEntry {
     "q301_bcubed"           -> q301Bcubed _,
     "q302_brier"            -> q302Brier _,
     "q303_gains"            -> q303Gains _,
-    "q304_cem"              -> q304Cem _
+    "q304_cem"              -> q304Cem _,
+    "q305_assortativity"    -> q305Assortativity _,
+    "q306_decompose"        -> q306Decompose _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

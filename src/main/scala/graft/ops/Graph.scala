@@ -1274,4 +1274,65 @@ object Graph {
     sym.unpersist(); deg.unpersist()
     out
   }
+
+  /** Degree assortativity (Newman 2002) — does this graph wire hubs to
+    * hubs (social networks, r > 0) or hubs to leaves (the web, r < 0)?
+    * One number that separates graph FAMILIES, and the sanity check
+    * before trusting any degree-based sampling or crawl-frontier
+    * heuristic. Pearson correlation of the endpoint degrees over every
+    * edge counted in BOTH orientations (the undirected convention):
+    * with M = 2·|edges| ordered pairs (j, k),
+    * `r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)` — Σj = Σk and Σj² = Σk²
+    * by orientation symmetry, so the textbook formula collapses to one
+    * exact-moment expression.
+    *
+    * Exactness: degrees and the four moments are exact longs /
+    * DECIMAL(38) (order-free); r is a fixed-operand-order double of the
+    * exact integers, 6 dp. Self-loops count both orientations (degree 2
+    * to their node — the convention degree() already uses); a graph with
+    * zero degree variance (every node equal degree) yields NULL r.
+    *
+    * Output one row: `(n_edges, n_nodes, mean_deg, r)`.
+    *
+    * == 100 TB shape ==
+    * One degree agg, two broadcast-eligible joins tagging each edge's
+    * endpoint degrees, ONE moment agg. Nothing iterative, no windows. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("node").as("src"), col("deg").as("__dj")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("__dk")), Seq("dst"))
+      // both orientations: emit (j,k) and (k,j)
+      .select(explode(array(
+        struct(col("__dj").as("j"), col("__dk").as("k")),
+        struct(col("__dk").as("j"), col("__dj").as("k")))).as("p"))
+      .select(col("p.j").as("j"), col("p.k").as("k"))
+    val m = pairs.agg(
+      count(lit(1)).as("__M"),
+      sum(col("j").cast(d38)).as("__sj"),
+      sum(col("j").cast(d38) * col("j")).as("__sj2"),
+      sum(col("j").cast(d38) * col("k")).as("__sjk"))
+    val nodes = deg.agg(count(lit(1)).as("__nn"))
+    val num = (col("__M") * col("__sjk") - col("__sj") * col("__sj"))
+      .cast("double")
+    val den = (col("__M") * col("__sj2") - col("__sj") * col("__sj"))
+      .cast("double")
+    m.crossJoin(broadcast(nodes)).select(
+      (col("__M") / 2L).as("n_edges"),
+      col("__nn").as("n_nodes"),
+      // M ordered pairs = Σ_v deg(v), so mean degree is M/n (Σj itself
+      // is Σ deg² — each node sources deg(v) ordered pairs)
+      when(col("__nn") > 0, round(
+        col("__M").cast("double") / col("__nn").cast("double"), 6))
+        .as("mean_deg"),
+      when(den > 0.0, round(num / den, 6)).as("r"))
+  }
 }

@@ -865,4 +865,91 @@ object Trend {
           .as("share_d"),
         col("rank"))): _*)
   }
+
+  /** Robust seasonal decomposition by medians — the STL-family
+    * trend/seasonal/remainder split with MEDIANS instead of loess, so a
+    * single outage week cannot bend the trend or leak into the seasonal
+    * profile ([[seasonalNaive]] forecasts from the raw season; this
+    * SEPARATES the components first, which is what anomaly triage and
+    * deseasonalized reporting actually consume):
+    * `value = trend + seasonal + remainder`, where `trend` is the
+    * centered ±`halfTrend` POSITION-RANGE lower-median, `seasonal` is
+    * the per-(group, pos mod period) lower-median of the detrended
+    * series, and `remainder` is the exact complement.
+    *
+    * Exactness: everything lives on the cent grid — the trend median
+    * picks element `⌈w/2⌉` of the SORTED in-range values (lower-median
+    * convention, stated; edge windows are honestly smaller), the
+    * seasonal median is an exact nearest-rank selection via a
+    * per-(group, season) cumulative window over the distinct-value
+    * grid, and the remainder is integer subtraction. Duplicate
+    * positions within a group collapse by summing first (stated).
+    *
+    * Output per (group, pos): `(group…, pos, value_cents, trend_cents,
+    * seasonal_cents, remainder_cents, value, trend, seasonal,
+    * remainder)` — cents for bit-exact pinning, /100 doubles to read.
+    *
+    * == 100 TB shape ==
+    * One grid collapse; the trend window materializes as a
+    * (2·halfTrend+1)-bounded explode + regroup (RANGE semantics on the
+    * position axis — gaps shrink windows, never stretch them); the
+    * seasonal median is two grid-sized partitioned windows. Nothing
+    * collects, nothing global. */
+  def robustDecompose(df: DataFrame, posCol: String, valueCol: String,
+                      groupCols: Seq[String], period: Long,
+                      halfTrend: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty, "robustDecompose: need >= 1 group column")
+    require(period >= 2, s"robustDecompose: period must be >= 2, got $period")
+    require(halfTrend >= 1 && halfTrend <= 500,
+      s"robustDecompose: halfTrend in [1, 500], got $halfTrend")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    val base = df.filter(col(posCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
+      .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__v"))
+    // trend: each row contributes to the ±h centers; keep only centers
+    // that are REAL positions (inner join back onto the grid)
+    val contrib = base.select((gs ++ Seq(
+      explode(sequence(lit(-halfTrend), lit(halfTrend))).as("__o"),
+      col("pos"), col("__v"))): _*)
+      .select((gs ++ Seq((col("pos") + col("__o")).as("pos"),
+        col("__v").as("__w"))): _*)
+    val trend = contrib
+      .join(base.select((gs :+ col("pos")): _*), groupCols :+ "pos")
+      .groupBy((gs :+ col("pos")): _*)
+      .agg(sort_array(collect_list(col("__w"))).as("__win"))
+      .select((gs ++ Seq(col("pos"),
+        element_at(col("__win"),
+          expr("(size(__win) + 1) DIV 2").cast("int")).as("__trend"))): _*)
+    val det = base.join(trend, groupCols :+ "pos")
+      .withColumn("__det", col("__v") - col("__trend"))
+      .withColumn("__season", pmod(col("pos"), lit(period)))
+    // per-(group, season) exact lower median over the distinct-value grid
+    val sgrid = det.groupBy((gs ++ Seq(col("__season"), col("__det"))): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy((gs :+ col("__season")): _*)
+      .orderBy(col("__det").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy((gs :+ col("__season")): _*)
+    val smed = sgrid
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= expr("(__n + 1) DIV 2"))
+      .groupBy((gs :+ col("__season")): _*)
+      .agg(min(col("__det")).as("__seasonal"))
+    det.join(smed, groupCols :+ "__season")
+      .select((gs ++ Seq(col("pos"),
+        col("__v").as("value_cents"),
+        col("__trend").as("trend_cents"),
+        col("__seasonal").as("seasonal_cents"),
+        (col("__v") - col("__trend") - col("__seasonal"))
+          .as("remainder_cents"),
+        round(col("__v").cast("double") / 100.0, 2).as("value"),
+        round(col("__trend").cast("double") / 100.0, 2).as("trend"),
+        round(col("__seasonal").cast("double") / 100.0, 2).as("seasonal"),
+        round((col("__v") - col("__trend") - col("__seasonal"))
+          .cast("double") / 100.0, 2).as("remainder"))): _*)
+  }
 }

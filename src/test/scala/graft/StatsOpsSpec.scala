@@ -1673,6 +1673,50 @@ class StatsOpsSpec extends SparkSpec {
     assert(Funnel.markovAttribution(direct).collect().isEmpty)
   }
 
+  test("degreeAssortativity: star is -1, regular graph NULL, mean degree") {
+    // star K1,3: hubs wire only to leaves → perfectly disassortative
+    val star = Seq(("c", "a"), ("c", "b"), ("c", "d")).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star).collect().head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Double]("mean_deg") === 1.5)
+    assert(r.getAs[Double]("r") === -1.0)
+    // a cycle is degree-regular: zero degree variance → NULL r
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cycle).collect().head
+    assert(c.isNullAt(c.fieldIndex("r")))
+    assert(c.getAs[Double]("mean_deg") === 2.0)
+  }
+
+  test("robustDecompose: hand medians, exact identity, gap windows honest") {
+    // g, pos 1..4, $10/$20 alternating at period 2, halfTrend 1:
+    // trend 1000,1000,2000,1000; seasonal s0=1000 s1=-1000 (hand above)
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 10.0),
+      ("g", 4L, 20.0)).toDF("grp", "p", "v")
+    val got = Trend.robustDecompose(df, "p", "v", Seq("grp"),
+      period = 2L, halfTrend = 1).collect()
+      .map(r => r.getAs[Long]("pos") ->
+        ((r.getAs[Long]("trend_cents"), r.getAs[Long]("seasonal_cents"),
+          r.getAs[Long]("remainder_cents")))).toMap
+    assert(got(1L) === ((1000L, -1000L, 1000L)))
+    assert(got(2L) === ((1000L, 1000L, 0L)))
+    assert(got(3L) === ((2000L, -1000L, 0L)))
+    assert(got(4L) === ((1000L, 1000L, 0L)))
+    // identity: value = trend + seasonal + remainder, exactly, every row
+    val rows = Trend.robustDecompose(df, "p", "v", Seq("grp"), 2L, 1)
+      .collect()
+    assert(rows.forall(r => r.getAs[Long]("value_cents") ===
+      r.getAs[Long]("trend_cents") + r.getAs[Long]("seasonal_cents") +
+        r.getAs[Long]("remainder_cents")))
+    // position gaps SHRINK windows (range semantics): isolated pos 10's
+    // trend window is itself alone
+    val gap = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 10L, 70.0))
+      .toDF("grp", "p", "v")
+    val g10 = Trend.robustDecompose(gap, "p", "v", Seq("grp"), 2L, 1)
+      .collect().find(_.getAs[Long]("pos") === 10L).get
+    assert(g10.getAs[Long]("trend_cents") === 7000L)
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
