@@ -7633,6 +7633,52 @@ object OracleSql {
         2) AS remainder
     FROM det JOIN smed ON det.g = smed.g AND det.season = smed.season"""
 
+  /** Q–Q table — q307. Cent grid, per-group cumulative window, exact
+    * ceil-rank selection at deciles; mirrors Profiler.qqTable over the
+    * q221 shifted cohorts. */
+  private val q307 = """
+    WITH base AS (SELECT
+        CASE WHEN o_orderkey % 3 = 0 THEN 'shifted' ELSE 'base' END AS g,
+        CAST(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 20000.0
+          ELSE o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    grid AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY g, v),
+    cum AS (SELECT *,
+        sum(c) OVER (PARTITION BY g ORDER BY v
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cumc,
+        sum(c) OVER (PARTITION BY g)::BIGINT AS n
+      FROM grid),
+    ranks AS (SELECT g, n, CAST(i AS BIGINT) AS i,
+        (CAST(i AS BIGINT) * n + 9) // 10 AS rnk
+      FROM (SELECT DISTINCT g, n FROM cum), range(1, 11) AS t(i)),
+    quants AS (SELECT cum.g, ranks.i, ranks.rnk, min(cum.v) AS q
+      FROM cum JOIN ranks ON cum.g = ranks.g AND cum.cumc >= ranks.rnk
+      GROUP BY cum.g, ranks.i, ranks.rnk)
+    SELECT a.i, round(CAST(a.i AS DOUBLE) / 10.0, 6) AS p,
+      a.rnk AS rank_a, round(CAST(a.q AS DOUBLE) / 100.0, 2) AS q_a,
+      b.rnk AS rank_b, round(CAST(b.q AS DOUBLE) / 100.0, 2) AS q_b,
+      round(CAST(b.q - a.q AS DOUBLE) / 100.0, 2) AS gap
+    FROM quants a JOIN quants b ON a.i = b.i
+    WHERE a.g = 'base' AND b.g = 'shifted'"""
+
+  /** Delete-impact cascade — q308. Two semi-join hops counted; mirrors
+    * Privacy.deleteImpact over customer → orders → lineitem. */
+  private val q308 = """
+    WITH seed AS (SELECT DISTINCT c_custkey FROM customer
+      WHERE c_custkey % 50 = 0),
+    o AS (SELECT * FROM orders WHERE o_custkey IN
+      (SELECT c_custkey FROM seed)),
+    ok AS (SELECT DISTINCT o_orderkey FROM o WHERE o_orderkey IS NOT NULL),
+    li AS (SELECT * FROM lineitem WHERE l_orderkey IN
+      (SELECT o_orderkey FROM ok))
+    SELECT CAST(1 AS BIGINT) AS step, 'orders' AS "table",
+      (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows,
+      (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_next_keys
+    UNION ALL
+    SELECT 2, 'lineitem',
+      (SELECT CAST(count(*) AS BIGINT) FROM li), 0"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -7955,6 +8001,8 @@ object OracleSql {
     "q303_gains"            -> q303,
     "q304_cem"              -> q304,
     "q305_assortativity"    -> q305,
-    "q306_decompose"        -> q306
+    "q306_decompose"        -> q306,
+    "q307_qq"               -> q307,
+    "q308_delete_impact"    -> q308
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4561,6 +4561,25 @@ object SparkEntry {
       "week", "o_totalprice", Seq("o_orderpriority"),
       period = 13L, halfTrend = 3)
 
+  /** Q–Q table ([[graft.ops.Profiler.qqTable]]): the q221/q226 shifted
+    * cohorts at deciles — exact nearest-rank quantiles side by side,
+    * the readable form of "where do they differ". */
+  private def q307Qq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.qqTable(shiftedCohorts(s, dir), "v", "cohort",
+      k = 10)
+
+  /** Delete-impact cascade ([[graft.ops.Privacy.deleteImpact]]): every
+    * 50th customer erased — the per-table blast radius through
+    * customer → orders → lineitem. */
+  private def q308DeleteImpact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.deleteImpact(
+      t(s, dir, "customer").filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey")),
+      "c_custkey",
+      Seq(
+        ("orders", t(s, dir, "orders"), "o_custkey", "o_orderkey"),
+        ("lineitem", t(s, dir, "lineitem"), "l_orderkey", null)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4867,7 +4886,9 @@ object SparkEntry {
     "q303_gains"            -> q303Gains _,
     "q304_cem"              -> q304Cem _,
     "q305_assortativity"    -> q305Assortativity _,
-    "q306_decompose"        -> q306Decompose _
+    "q306_decompose"        -> q306Decompose _,
+    "q307_qq"               -> q307Qq _,
+    "q308_delete_impact"    -> q308DeleteImpact _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -486,4 +486,88 @@ object EntityResolution {
         when(col("n_items") > 0 && p + r > 0.0,
           round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
   }
+
+  /** Fellegi–Sunter match-weight estimation via EM (Winkler's
+    * unsupervised formulation) — the probabilistic record-linkage
+    * METHODOLOGY underneath [[resolveEntities]]' engineered thresholds:
+    * from candidate pairs' per-field agreement flags, estimate each
+    * field's `m` (P(agree | same entity)) and `u` (P(agree | different))
+    * WITHOUT labels, and emit the log₂ agreement/disagreement weights a
+    * scoring rule sums. A field that agrees often among matches but
+    * rarely by chance (name) earns a big weight; one that agrees by
+    * chance (city) earns little — learned, not hand-tuned.
+    *
+    * The E/M loop runs on the driver over the AGREEMENT-PATTERN frame —
+    * at k fields there are ≤ 2^k patterns (loud `k ≤ 20` guard), so the
+    * distributed work is ONE pattern-count aggregation and the recurrence
+    * touches a bounded frame (the bins/edges driver-fold class).
+    * Deterministic: fixed iteration count, fixed inits, patterns folded
+    * in sorted order, parameters clamped to [10⁻⁶, 1−10⁻⁶].
+    *
+    * NO SQL ORACLE by design (EM is a data-dependent recurrence); the
+    * spec pins planted-parameter recovery and determinism.
+    *
+    * Output per field: `(field, m, u, weight_agree, weight_disagree)`
+    * plus the estimated match `prevalence` repeated per row. */
+  def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String],
+                    iterations: Int = 50, initP: Double = 0.1,
+                    initM: Double = 0.9, initU: Double = 0.1): DataFrame = {
+    require(agreeCols.nonEmpty, "fellegiSunter: need >= 1 agreement column")
+    require(agreeCols.size <= 20,
+      s"fellegiSunter: ${agreeCols.size} fields > 20 — the pattern frame " +
+        "is 2^k; reduce the comparison vector")
+    require(iterations >= 1, "fellegiSunter: iterations must be >= 1")
+    val spark = pairs.sparkSession
+    val k = agreeCols.size
+    val patterns = pairs
+      .groupBy(agreeCols.map(c => col(c).cast("boolean").as(c)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (Array.tabulate(k)(j => r.getBoolean(j)), r.getLong(k)))
+      .sortBy(_._1.map(b => if (b) '1' else '0').mkString)
+    val total = patterns.map(_._2).sum.toDouble
+    def clamp(x: Double) = math.min(math.max(x, 1e-6), 1.0 - 1e-6)
+    var p = initP
+    var m = Array.fill(k)(initM)
+    var u = Array.fill(k)(initU)
+    for (_ <- 1 to iterations) {
+      var wSum = 0.0
+      val mNum = new Array[Double](k); val uNum = new Array[Double](k)
+      for ((g, c) <- patterns) {
+        var pm = p; var pu = 1.0 - p
+        for (j <- 0 until k) {
+          pm *= (if (g(j)) m(j) else 1.0 - m(j))
+          pu *= (if (g(j)) u(j) else 1.0 - u(j))
+        }
+        val w = if (pm + pu > 0) pm / (pm + pu) else 0.0
+        wSum += w * c
+        for (j <- 0 until k if g(j)) {
+          mNum(j) += w * c; uNum(j) += (1.0 - w) * c
+        }
+      }
+      if (wSum > 0 && total - wSum > 0) {
+        m = Array.tabulate(k)(j => clamp(mNum(j) / wSum))
+        u = Array.tabulate(k)(j => clamp(uNum(j) / (total - wSum)))
+        p = clamp(wSum / total)
+      }
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("field", StringType, nullable = false),
+      StructField("m", DoubleType, nullable = false),
+      StructField("u", DoubleType, nullable = false),
+      StructField("weight_agree", DoubleType, nullable = false),
+      StructField("weight_disagree", DoubleType, nullable = false),
+      StructField("prevalence", DoubleType, nullable = false)))
+    val rows = agreeCols.zipWithIndex.map { case (f, j) =>
+      org.apache.spark.sql.Row(f, r6(m(j)), r6(u(j)),
+        r6(log2(m(j) / u(j))),
+        r6(log2((1.0 - m(j)) / (1.0 - u(j)))), r6(p))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

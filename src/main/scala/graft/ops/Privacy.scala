@@ -185,4 +185,55 @@ object Privacy {
           .as("tvd_d"),
         (col("__sum") * 10000 > den * thresholdBp).as("violates"))): _*)
   }
+
+  /** Deletion-impact cascade — the right-to-be-forgotten PLAN: before a
+    * GDPR/CCPA erasure runs, legal and the DBA both ask "how many rows,
+    * in WHICH tables, does deleting these subjects touch?" Seed keys
+    * cascade through the foreign-key chain (customer → orders →
+    * line items…), each hop one distributed semi-join; the report is
+    * the per-table blast radius. The complement of [[kAnonymityAudit]]:
+    * that audits what STAYS, this sizes what GOES.
+    *
+    * `steps` is the FK chain in cascade order: `(table, df, parentCol,
+    * nextKeyCol)` — rows of `df` whose `parentCol` matches the incoming
+    * key set are affected; their DISTINCT `nextKeyCol` values key the
+    * next hop (pass `null` for the last table). A linear chain by
+    * contract (the dominant erasure shape); diamond-shaped schemas run
+    * one call per path and union (stated).
+    *
+    * Output per hop: `(step, table, n_rows, n_next_keys)`.
+    *
+    * == 100 TB shape ==
+    * Per hop ONE semi-join (broadcast-eligible key side — the key set
+    * is subject-sized, not table-sized) + one count/distinct agg; the
+    * driver holds only the per-hop counts (steps are schema-sized). */
+  def deleteImpact(seed: DataFrame, seedCol: String,
+                   steps: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(steps.nonEmpty, "deleteImpact: need >= 1 cascade step")
+    val spark = seed.sparkSession
+    var keys = seed.select(col(seedCol).as("__k")).distinct()
+      .localCheckpoint(true)
+    val report = steps.zipWithIndex.map {
+      case ((table, df, parentCol, nextKeyCol), i) =>
+        val affected = df.join(
+          keys.select(col("__k").as(parentCol)), Seq(parentCol), "left_semi")
+          .localCheckpoint(true)
+        val nRows = affected.count()
+        val nextKeys = Option(nextKeyCol).map { nk =>
+          affected.select(col(nk).as("__k")).filter(col("__k").isNotNull)
+            .distinct().localCheckpoint(true)
+        }
+        val nNext = nextKeys.map(_.count()).getOrElse(0L)
+        nextKeys.foreach(k => keys = k)
+        org.apache.spark.sql.Row((i + 1).toLong, table, nRows, nNext)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_next_keys", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1), schema)
+  }
 }

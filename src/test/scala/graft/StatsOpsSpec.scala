@@ -1717,6 +1717,63 @@ class StatsOpsSpec extends SparkSpec {
     assert(g10.getAs[Long]("trend_cents") === 7000L)
   }
 
+  test("qqTable: hand decile ranks, shift reads in the gap, 2-group guard") {
+    // a: 1..4 dollars; b: a + 10 — every quantile gap is exactly 10
+    val df = (1 to 4).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i + 10.0))).toDF("g", "v")
+    val got = Profiler.qqTable(df, "v", "g", k = 4).collect()
+      .map(r => r.getAs[Long]("i") -> r).toMap
+    // rank(i) = ceil(i·4/4) = i → q_a = i dollars
+    assert((1 to 4).forall { i =>
+      got(i.toLong).getAs[Double]("q_a") === i.toDouble &&
+        got(i.toLong).getAs[Double]("gap") === 10.0
+    })
+    assert(got(2L).getAs[Long]("rank_a") === 2L)
+    assert(got(2L).getAs[Double]("p") === 0.5)
+    val err = intercept[Exception] {
+      Profiler.qqTable(df.withColumn("g", lit("one")), "v", "g").collect()
+    }
+    assert(err.getMessage.contains("need exactly 2 groups"))
+  }
+
+  test("deleteImpact: hand cascade counts, terminal step, key dedup") {
+    val seed = Seq(1L, 2L, 2L).toDF("k") // dup seed keys collapse
+    val orders = Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 13L))
+      .toDF("cust", "ord")
+    val items = Seq((10L, "x"), (10L, "y"), (12L, "z"), (13L, "w"))
+      .toDF("ord", "item")
+    val got = Privacy.deleteImpact(seed, "k", Seq(
+      ("orders", orders, "cust", "ord"),
+      ("items", items, "ord", null)))
+      .collect().map(r => r.getAs[String]("table") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_next_keys")))).toMap
+    // custs {1,2} → orders 10,11,12 (3 rows, 3 keys) → items x,y,z (3 rows)
+    assert(got === Map("orders" -> ((3L, 3L)), "items" -> ((3L, 0L))))
+  }
+
+  test("fellegiSunter: planted m/u recovered, weights ordered, deterministic") {
+    // 200 matched pairs: f1 agrees 90%, f2 70%; 1800 unmatched: 5% / 20%
+    val pairs = ((0 until 200).map(i =>
+      (i % 10 != 9, i % 10 < 7)) ++
+      (0 until 1800).map(i => (i % 20 == 0, i % 5 == 0)))
+      .toDF("f1", "f2")
+    val got = EntityResolution.fellegiSunter(pairs, Seq("f1", "f2"))
+      .collect().map(r => r.getAs[String]("field") -> r).toMap
+    val f1 = got("f1"); val f2 = got("f2")
+    // recovery within EM tolerance on 2k pairs
+    assert(math.abs(f1.getAs[Double]("m") - 0.9) < 0.15)
+    assert(math.abs(f1.getAs[Double]("u") - 0.05) < 0.1)
+    assert(math.abs(f1.getAs[Double]("prevalence") - 0.1) < 0.08)
+    // the discriminating field out-weighs the noisy one
+    assert(f1.getAs[Double]("weight_agree") > f2.getAs[Double]("weight_agree"))
+    assert(f1.getAs[Double]("weight_agree") > 0.0)
+    assert(f1.getAs[Double]("weight_disagree") < 0.0)
+    // deterministic: a second run is bit-identical
+    val again = EntityResolution.fellegiSunter(pairs, Seq("f1", "f2"))
+      .collect().map(r => r.getAs[String]("field") -> r).toMap
+    assert(again("f1").toSeq === f1.toSeq)
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
