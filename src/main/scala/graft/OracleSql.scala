@@ -7679,6 +7679,39 @@ object OracleSql {
     SELECT 2, 'lineitem',
       (SELECT CAST(count(*) AS BIGINT) FROM li), 0"""
 
+  /** Time-decay attribution — q309. Next-conversion lookahead window,
+    * the integer decay ladder (halving at half-life boundaries), ×10⁹
+    * per-conversion normalization; mirrors Funnel.timeDecayAttribution
+    * at halfLife 1800 s, lookback 86400 s. */
+  private val q309 = """
+    WITH ev AS (SELECT user_id AS u,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        event_type AS ty
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    tagged AS (SELECT *, min(CASE WHEN ty = 'purchase' THEN t END)
+        OVER (PARTITION BY u ORDER BY t, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ct
+      FROM ev),
+    touches AS (SELECT u, ct, ty, (ct - t) // 1800 AS steps
+      FROM tagged
+      WHERE ty <> 'purchase' AND ct IS NOT NULL AND ct - t <= 86400),
+    wfx AS (SELECT u, ct, ty, CASE WHEN steps >= 30 THEN 0
+        ELSE 1000000000 // (CAST(1 AS BIGINT) << steps) END AS w
+      FROM touches),
+    tot AS (SELECT u, ct, sum(w)::BIGINT AS tw FROM wfx GROUP BY 1, 2),
+    sh AS (SELECT wfx.ty,
+        CASE WHEN tot.tw > 0 THEN wfx.w * 1000000000 // tot.tw
+          ELSE 0 END AS s
+      FROM wfx JOIN tot ON wfx.u = tot.u AND wfx.ct = tot.ct),
+    agg AS (SELECT ty AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        sum(s)::BIGINT AS cfx
+      FROM sh GROUP BY ty)
+    SELECT channel, n_touches,
+      CAST(cfx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(cfx % 1000000000 AS VARCHAR), 9, '0') AS credit,
+      round(CAST(cfx AS DOUBLE) / 1e9, 6) AS credit_d
+    FROM agg"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8003,6 +8036,7 @@ object OracleSql {
     "q305_assortativity"    -> q305,
     "q306_decompose"        -> q306,
     "q307_qq"               -> q307,
-    "q308_delete_impact"    -> q308
+    "q308_delete_impact"    -> q308,
+    "q309_time_decay"       -> q309
   ).map { case (k, v) => k -> clean(v) }
 }

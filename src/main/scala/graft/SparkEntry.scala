@@ -4580,6 +4580,13 @@ object SparkEntry {
         ("orders", t(s, dir, "orders"), "o_custkey", "o_orderkey"),
         ("lineitem", t(s, dir, "lineitem"), "l_orderkey", null)))
 
+  /** Time-decay attribution ([[graft.ops.Funnel.timeDecayAttribution]]):
+    * per-channel credit halving each 30 minutes before the conversion —
+    * the exact integer decay ladder, shares normalized per conversion. */
+  private def q309TimeDecay(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.timeDecayAttribution(events(s, dir),
+      halfLifeSeconds = 1800L, lookbackSeconds = 86400L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4888,7 +4895,8 @@ object SparkEntry {
     "q305_assortativity"    -> q305Assortativity _,
     "q306_decompose"        -> q306Decompose _,
     "q307_qq"               -> q307Qq _,
-    "q308_delete_impact"    -> q308DeleteImpact _
+    "q308_delete_impact"    -> q308DeleteImpact _,
+    "q309_time_decay"       -> q309TimeDecay _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -459,6 +459,73 @@ object Funnel {
       .agg(count(lit(1)).as("n_touches"), sum(col("__c")).as("credit_bp"))
   }
 
+  /** Time-decay attribution — the fourth credit rule beside first/last
+    * touch, the fixed multi-touch splits, and [[markovAttribution]]:
+    * touches closer to the conversion earn more, halving per
+    * `halfLifeSeconds` (the standard "recency matters" model for short
+    * purchase cycles). Each touch attributes to the NEXT conversion in
+    * its user's (ts, tiebreak) order within `lookbackSeconds`; credits
+    * are normalized per conversion so every conversion distributes
+    * exactly one unit.
+    *
+    * Exactness — the decay LADDER: a touch Δt before its conversion
+    * weighs `10⁹ div 2^⌊Δt/halfLife⌋` (zero beyond `maxHalfLives`) —
+    * exact halving at half-life BOUNDARIES, stated (a continuous
+    * `2^(−Δt/h)` would make the credit depend on cross-engine `pow` ULP;
+    * the ladder is integer arithmetic end to end). Shares ride the ×10⁹
+    * DIV grid per conversion; channel credit is an exact integer sum. A
+    * conversion whose every in-window touch fell off the ladder
+    * distributes nothing (stated — it is effectively direct).
+    *
+    * Output per channel: `(channel, n_touches, credit, credit_d)` —
+    * `credit` = Σ conversion-shares on the 9-dp string contract.
+    *
+    * == 100 TB shape ==
+    * One user-partitioned window (next-conversion lookahead), one
+    * (user, conversion)-keyed normalization agg + join, one channel
+    * agg. No per-conversion fan-out joins. */
+  def timeDecayAttribution(events: DataFrame, convType: String = "purchase",
+                           halfLifeSeconds: Long = 3600L,
+                           lookbackSeconds: Long = 86400L,
+                           userCol: String = "user_id", tsCol: String = "ts",
+                           typeCol: String = "event_type",
+                           tiebreak: String = "event_id",
+                           maxHalfLives: Int = 30): DataFrame = {
+    require(halfLifeSeconds >= 1, "timeDecayAttribution: halfLife >= 1")
+    require(lookbackSeconds >= 1, "timeDecayAttribution: lookback >= 1")
+    require(maxHalfLives >= 1 && maxHalfLives <= 62,
+      s"timeDecayAttribution: maxHalfLives in [1, 62], got $maxHalfLives")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col(tiebreak).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val ev = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__t"), col(tiebreak),
+      col(typeCol).cast("string").as("__ty"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull)
+    val tagged = ev.withColumn("__conv_t",
+      min(when(col("__ty") === convType, col("__t"))).over(w))
+    val touches = tagged
+      .filter(col("__ty") =!= convType && col("__conv_t").isNotNull &&
+        col("__conv_t") - col("__t") <= lookbackSeconds)
+      .withColumn("__steps",
+        expr(s"(__conv_t - __t) DIV $halfLifeSeconds"))
+      .withColumn("__w_fx", when(col("__steps") >= maxHalfLives, 0L)
+        .otherwise(expr("1000000000 DIV CAST(pow(2, __steps) AS BIGINT)")))
+    val totals = touches.groupBy(col("__u"), col("__conv_t"))
+      .agg(sum(col("__w_fx")).as("__tot"))
+    val shares = touches.join(totals, Seq("__u", "__conv_t"))
+      .withColumn("__share_fx", when(col("__tot") > 0,
+        expr("__w_fx * 1000000000 DIV __tot")).otherwise(0L))
+    shares.groupBy(col("__ty").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__share_fx")).as("__credit_fx"))
+      .select(col("channel"), col("n_touches"),
+        concat(expr("CAST(__credit_fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__credit_fx % 1000000000 AS STRING)"), 9, "0"))
+          .as("credit"),
+        round(col("__credit_fx").cast("double") / 1e9, 6).as("credit_d"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * data-driven counterweight to [[attribution]]'s positional rules and
     * [[multiTouchAttribution]]'s fixed splits: model journeys as an

@@ -1774,6 +1774,36 @@ class StatsOpsSpec extends SparkSpec {
     assert(again("f1").toSeq === f1.toSeq)
   }
 
+  test("timeDecayAttribution: hand ladder shares, lookback, ladder falloff") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: A at 0, B at 3600, conv at 7200, halfLife 3600:
+    //   A steps 2 → 1e9/4; B steps 1 → 1e9/2; shares 1/3 and 2/3
+    // u2: C at 0 with conv 100000s later → outside 86400 lookback
+    // u3: D after its only conv → no NEXT conversion, dropped
+    val ev = Seq(
+      (1L, ts(0L), "A", 1L), (1L, ts(3600L), "B", 2L),
+      (1L, ts(7200L), "purchase", 3L),
+      (2L, ts(0L), "C", 4L), (2L, ts(100000L), "purchase", 5L),
+      (3L, ts(10L), "purchase", 6L), (3L, ts(20L), "D", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.ops.Funnel.timeDecayAttribution(ev,
+      halfLifeSeconds = 3600L).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[String]("credit")))).toMap
+    assert(got("A") === ((1L, "0.333333333")))
+    assert(got("B") === ((1L, "0.666666666")))
+    assert(!got.contains("C") && !got.contains("D"))
+    // beyond maxHalfLives the ladder hits zero but the touch still counts
+    val far = Seq(
+      (1L, ts(0L), "A", 1L), (1L, ts(86400L), "purchase", 2L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val f = graft.ops.Funnel.timeDecayAttribution(far,
+      halfLifeSeconds = 60L, maxHalfLives = 10).collect()
+    assert(f.head.getAs[String]("credit") === "0.000000000")
+    assert(f.head.getAs[Long]("n_touches") === 1L)
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
