@@ -7712,6 +7712,63 @@ object OracleSql {
       round(CAST(cfx AS DOUBLE) / 1e9, 6) AS credit_d
     FROM agg"""
 
+  /** Salting plan — q310. Hot keys above target, exact ceil salts, ×10⁹
+    * share; mirrors Skew.saltingPlan at targetRows 2000. */
+  private val q310 = """
+    WITH keys AS (SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0
+        ELSE o_custkey % 1000 END AS join_key FROM orders),
+    counts AS (SELECT join_key, CAST(count(*) AS BIGINT) AS n_rows
+      FROM keys GROUP BY join_key),
+    tot AS (SELECT sum(n_rows)::BIGINT AS total FROM counts),
+    hot AS (SELECT c.join_key, c.n_rows,
+        (c.n_rows + 1999) // 2000 AS n_salts,
+        CAST(c.n_rows::HUGEINT * 1000000000 // t.total::HUGEINT
+          AS BIGINT) AS fx,
+        t.total
+      FROM counts c, tot t WHERE c.n_rows > 2000)
+    SELECT join_key, n_rows, n_salts,
+      CAST(fx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(fx % 1000000000 AS VARCHAR), 9, '0') AS share,
+      round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_d
+    FROM hot"""
+
+  /** Top-N-plus-other — q311. Exact cent ranking per group, the
+    * collapsed tail, signed ×10⁹ shares; mirrors Skew.topNPlusOther at
+    * n = 5. */
+  private val q311 = """
+    WITH keyed AS (SELECT o_orderpriority AS g,
+        CAST(o_custkey % 20 AS VARCHAR) AS k,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER
+        (PARTITION BY g ORDER BY v DESC, k ASC) AS r FROM keyed),
+    head AS (SELECT g, k AS key_out, CAST(1 AS BIGINT) AS n_keys,
+        v AS value_cents FROM ranked WHERE r <= 5),
+    tail AS (SELECT g, '__other__' AS key_out,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        sum(v)::BIGINT AS value_cents
+      FROM ranked WHERE r > 5 GROUP BY g),
+    allr AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+    totals AS (SELECT g, sum(v)::BIGINT AS gt FROM keyed GROUP BY g),
+    fx AS (SELECT allr.*, totals.gt,
+        CASE WHEN totals.gt <> 0 THEN
+          CASE WHEN allr.value_cents::HUGEINT * totals.gt >= 0 THEN
+            CAST(abs(allr.value_cents)::HUGEINT * 1000000000
+              // abs(totals.gt)::HUGEINT AS BIGINT)
+          ELSE -CAST(abs(allr.value_cents)::HUGEINT * 1000000000
+              // abs(totals.gt)::HUGEINT AS BIGINT) END END AS sfx
+      FROM allr JOIN totals ON allr.g = totals.g)
+    SELECT g AS o_orderpriority, key_out, n_keys, value_cents,
+      round(CAST(value_cents AS DOUBLE) / 100.0, 2) AS value,
+      CASE WHEN sfx IS NOT NULL THEN
+        (CASE WHEN sfx < 0 THEN '-' ELSE '' END) ||
+        CAST(abs(sfx) // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(abs(sfx) % 1000000000 AS VARCHAR), 9, '0') END AS share,
+      CASE WHEN gt <> 0 THEN
+        round(CAST(value_cents AS DOUBLE) / CAST(gt AS DOUBLE), 6) END
+        AS share_d
+    FROM fx"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8037,6 +8094,8 @@ object OracleSql {
     "q306_decompose"        -> q306,
     "q307_qq"               -> q307,
     "q308_delete_impact"    -> q308,
-    "q309_time_decay"       -> q309
+    "q309_time_decay"       -> q309,
+    "q310_salting_plan"     -> q310,
+    "q311_topn_other"       -> q311
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -637,12 +637,17 @@ object ScaleProbe {
         // the q215 shape: ID-strings whose grams are corpus-common — the
         // corpus that breaks q-gram prefix filtering (one 15k² constant-
         // gram bucket, 377 s at sf0.1 before the fix) and that the
-        // deletion-neighborhood path must bucket near-uniformly. Output
-        // mass grows ~linearly (each ID's edit-2 neighborhood is a
-        // constant-sized digit ball), so ~linear wall time is the bar.
+        // deletion-neighborhood path must bucket near-uniformly. IDs
+        // spread over the full 9-digit space (×7919 mod 10⁹, bijective)
+        // so the edit-2 ball OVERLAP stays ~constant as the corpus grows
+        // — the probe reads the signature machinery's scaling, not
+        // output-mass growth (a DENSE consecutive-ID corpus multiplies
+        // the true-pair mass ~20× at 10× rows by construction — that
+        // dense case is q215's own committed bench, 11.7 s at sf0.1).
         graft.ops.StringJoin.editDistanceJoin(
           spark.range(n).select(
-            format_string("Customer#%09d", col("id")).as("s")),
+            format_string("Customer#%09d",
+              pmod(col("id") * 7919L, lit(1000000000L))).as("s")),
           "s", maxEdit = 2).count()
       }
       locally {

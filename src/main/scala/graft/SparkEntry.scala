@@ -4587,6 +4587,25 @@ object SparkEntry {
     graft.ops.Funnel.timeDecayAttribution(events(s, dir),
       halfLifeSeconds = 1800L, lookbackSeconds = 86400L)
 
+  /** Salting plan ([[graft.ops.Skew.saltingPlan]]): a deliberately
+    * funneled key (70% of orders on one value) planned at 2,000 rows
+    * per task — the broadcastable hot-key salt table. */
+  private def q310SaltingPlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltingPlan(
+      t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 < 7, 0L)
+          .otherwise(col("o_custkey") % 1000).as("join_key")),
+      Seq("join_key"), targetRows = 2000L)
+
+  /** Top-N-plus-other ([[graft.ops.Skew.topNPlusOther]]): top-5 customer
+    * buckets per priority with the honest `__other__` tail — totals
+    * preserved to the cent. */
+  private def q311TopNOther(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.topNPlusOther(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_custkey") % 20).as("bucket"), col("o_totalprice")),
+      Seq("o_orderpriority"), "bucket", "o_totalprice", n = 5)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4896,7 +4915,9 @@ object SparkEntry {
     "q306_decompose"        -> q306Decompose _,
     "q307_qq"               -> q307Qq _,
     "q308_delete_impact"    -> q308DeleteImpact _,
-    "q309_time_decay"       -> q309TimeDecay _
+    "q309_time_decay"       -> q309TimeDecay _,
+    "q310_salting_plan"     -> q310SaltingPlan _,
+    "q311_topn_other"       -> q311TopNOther _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

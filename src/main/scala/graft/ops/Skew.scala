@@ -429,4 +429,116 @@ object Skew {
           / col("total_join_rows").cast("double"), 6).as("share"),
         col("total_join_rows"), col("n_matching_keys"))
   }
+
+  /** Salting plan — [[skewReport]] DIAGNOSES skew; this emits the PLAN a
+    * salted repartition/join actually consumes: per hot key, how many
+    * salts spread its rows to `targetRows` per task. Keys at or under
+    * the target need no salt and are omitted (at real skew the hot-key
+    * list is tiny — emitting the cold million keys would make the plan
+    * table itself the problem); consumers broadcast this table and salt
+    * `pmod(hash(row), n_salts)` for listed keys, 0 otherwise.
+    *
+    * Exactness: `n_salts = ⌈n/targetRows⌉` exact integer arithmetic,
+    * capped LOUDLY at `maxSalts` (a key needing more salts than the
+    * cluster has cores is a data bug to surface, not to paper over);
+    * `share` of total rows rides the ×10⁹ DIV grid.
+    *
+    * Output per hot key: `(key…, n_rows, n_salts, share, share_d)`.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined count agg + a 1-row total broadcast; output
+    * is hot-key-sized. The plan JOIN back onto data is broadcast by
+    * construction. */
+  def saltingPlan(df: DataFrame, keyCols: Seq[String],
+                  targetRows: Long = 1000000L,
+                  maxSalts: Int = 4096): DataFrame = {
+    require(keyCols.nonEmpty, "saltingPlan: need >= 1 key column")
+    require(targetRows >= 1, s"saltingPlan: targetRows >= 1, got $targetRows")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__total"))
+    counts.filter(col("n_rows") > targetRows)
+      .crossJoin(broadcast(tot))
+      .withColumn("n_salts",
+        expr(s"(n_rows + $targetRows - 1) DIV $targetRows"))
+      .withColumn("n_salts",
+        when(col("n_salts") <= maxSalts, col("n_salts"))
+          .otherwise(raise_error(concat(
+            lit(s"saltingPlan: a key needs more than $maxSalts salts ("),
+            col("n_rows").cast("string"),
+            lit(" rows) — investigate the key, don't spread it")))))
+      .withColumn("__fx", expr(
+        "CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000000 " +
+          "DIV CAST(__total AS DECIMAL(38,0)) AS BIGINT)"))
+      .select((keyCols.map(col) ++ Seq(col("n_rows"), col("n_salts"),
+        concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0"))
+          .as("share"),
+        round(col("n_rows").cast("double") / col("__total").cast("double"),
+          6).as("share_d"))): _*)
+  }
+
+  /** Top-N-plus-other rollup — the reporting staple every dashboard
+    * needs and naive GROUP BY can't give: per group the N biggest keys
+    * by exact value, everything else collapsed into one `__other__` row
+    * whose value and key count are preserved — so the table stays
+    * page-sized while the TOTALS stay honest (dropping the tail is how
+    * dashboards lie). [[abcClassification]] grades the whole
+    * distribution; this formats its head.
+    *
+    * Exactness: ranking by exact cent totals (DESC, key ASC tiebreak) in
+    * a group-partitioned window; shares of the group total on the ×10⁹
+    * DIV grid. Σ value over each group's output rows equals the group
+    * total to the cent, by construction.
+    *
+    * Output: `(group…, key_out, n_keys, value_cents, value, share,
+    * share_d)` — `n_keys` = 1 for named rows, the collapsed count for
+    * `__other__`.
+    *
+    * == 100 TB shape ==
+    * One (group, key) cent agg (map-side combined), one group-
+    * partitioned rank window over the KEY frame (not rows), one
+    * group-sized re-agg for the tail. */
+  def topNPlusOther(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                    valueCol: String, n: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "topNPlusOther: need >= 1 group column")
+    require(n >= 1, s"topNPlusOther: n must be >= 1, got $n")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val gs = groupCols.map(col)
+    val keyed = df.filter(col(valueCol).isNotNull)
+      .groupBy((gs :+ col(keyCol).cast("string").as("__k")): _*)
+      .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__v").desc, col("__k").asc)
+    val ranked = keyed.withColumn("__r", row_number().over(w))
+    val head = ranked.filter(col("__r") <= n)
+      .select((gs ++ Seq(col("__k").as("key_out"), lit(1L).as("n_keys"),
+        col("__v").as("value_cents"))): _*)
+    val tail = ranked.filter(col("__r") > n)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_keys"), sum(col("__v")).as("value_cents"))
+      .select((gs ++ Seq(lit("__other__").as("key_out"), col("n_keys"),
+        col("value_cents"))): _*)
+    val all = head.unionByName(tail)
+    val totals = keyed.groupBy(gs: _*).agg(sum(col("__v")).as("__gt"))
+    all.join(totals, groupCols)
+      .withColumn("__fx", when(col("__gt") =!= 0L,
+        when(col("value_cents").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)) * col("__gt") >= 0,
+          expr("CAST(CAST(abs(value_cents) AS DECIMAL(38,0)) * 1000000000 " +
+            "DIV CAST(abs(__gt) AS DECIMAL(38,0)) AS BIGINT)"))
+          .otherwise(-expr(
+            "CAST(CAST(abs(value_cents) AS DECIMAL(38,0)) * 1000000000 " +
+              "DIV CAST(abs(__gt) AS DECIMAL(38,0)) AS BIGINT)"))))
+      .select((gs ++ Seq(col("key_out"), col("n_keys"), col("value_cents"),
+        round(col("value_cents").cast("double") / 100.0, 2).as("value"),
+        when(col("__fx").isNotNull,
+          concat(when(col("__fx") < 0L, "-").otherwise(""),
+            expr("CAST(abs(__fx) DIV 1000000000 AS STRING)"), lit("."),
+            lpad(expr("CAST(abs(__fx) % 1000000000 AS STRING)"), 9, "0")))
+          .as("share"),
+        when(col("__gt") =!= 0L,
+          round(col("value_cents").cast("double") / col("__gt").cast("double"),
+            6)).as("share_d"))): _*)
+  }
 }

@@ -1804,6 +1804,35 @@ class StatsOpsSpec extends SparkSpec {
     assert(f.head.getAs[Long]("n_touches") === 1L)
   }
 
+  test("saltingPlan: ceil salts for hot keys, cold omitted, loud cap") {
+    val df = (Seq.fill(10)("h") ++ Seq.fill(2)("c")).toDF("k")
+    val got = Skew.saltingPlan(df, Seq("k"), targetRows = 3L).collect()
+    assert(got.length === 1) // only the hot key plans a salt
+    assert(got.head.getAs[String]("k") === "h")
+    assert(got.head.getAs[Long]("n_salts") === 4L) // ceil(10/3)
+    assert(got.head.getAs[String]("share") === "0.833333333")
+    val err = intercept[Exception] {
+      Skew.saltingPlan(df, Seq("k"), targetRows = 3L, maxSalts = 2)
+        .collect()
+    }
+    assert(err.getMessage.contains("more than 2 salts"))
+  }
+
+  test("topNPlusOther: head exact, tail preserved to the cent, shares") {
+    val df = Seq(("g", "a", 5.0), ("g", "b", 3.0), ("g", "c", 2.0),
+      ("g", "d", 1.0)).toDF("grp", "k", "v")
+    val got = Skew.topNPlusOther(df, Seq("grp"), "k", "v", n = 2)
+      .collect().map(r => r.getAs[String]("key_out") -> r).toMap
+    assert(got("a").getAs[Long]("value_cents") === 500L)
+    assert(got("b").getAs[Long]("value_cents") === 300L)
+    val other = got("__other__")
+    assert(other.getAs[Long]("n_keys") === 2L)
+    assert(other.getAs[Long]("value_cents") === 300L)
+    // totals stay honest: Σ output = group total to the cent
+    assert(got.values.map(_.getAs[Long]("value_cents")).sum === 1100L)
+    assert(got("a").getAs[String]("share") === "0.454545454")
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
