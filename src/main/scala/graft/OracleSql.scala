@@ -7769,6 +7769,37 @@ object OracleSql {
         AS share_d
     FROM fx"""
 
+  /** MDE report — q312. Frozen normal quantiles (1.959964 + 0.841621 —
+    * no engine evaluates an inverse CDF), exact counts, fixed-operand-
+    * order closed forms; mirrors Experiment.mdeReport at target 5%. */
+  private val q312 = """
+    WITH r AS (SELECT o_orderpriority AS seg,
+        CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS v,
+        CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS c
+      FROM orders),
+    agg AS (SELECT seg,
+        CAST(sum(CASE WHEN v = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN v <> 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(c) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS n
+      FROM r GROUP BY seg),
+    d AS (SELECT *,
+        CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        least(n_a, n_b) AS n_arm
+      FROM agg),
+    m AS (SELECT *,
+        (1.959964 + 0.841621) *
+          sqrt(2.0 * p * (1.0 - p) / CAST(n_arm AS DOUBLE)) AS mde,
+        n_a > 0 AND n_b > 0 AND p > 0.0 AND p < 1.0 AS ok
+      FROM d)
+    SELECT seg AS o_orderpriority, n_a, n_b, n_arm,
+      CASE WHEN n > 0 THEN round(p, 6) END AS rate,
+      CASE WHEN ok THEN round(mde, 6) END AS mde_abs,
+      CASE WHEN ok THEN round(mde / p, 6) END AS mde_rel,
+      CASE WHEN ok THEN round(
+        2.0 * p * (1.0 - p) * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+          / (p * 0.05 * (p * 0.05)), 2) END AS n_needed
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8096,6 +8127,7 @@ object OracleSql {
     "q308_delete_impact"    -> q308,
     "q309_time_decay"       -> q309,
     "q310_salting_plan"     -> q310,
-    "q311_topn_other"       -> q311
+    "q311_topn_other"       -> q311,
+    "q312_mde"              -> q312
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4606,6 +4606,17 @@ object SparkEntry {
         (col("o_custkey") % 20).as("bucket"), col("o_totalprice")),
       Seq("o_orderpriority"), "bucket", "o_totalprice", n = 5)
 
+  /** Power / MDE report ([[graft.ops.Experiment.mdeReport]]): per
+    * priority tier, what lift the even/odd split could even detect at
+    * 80% power — frozen normal quantiles, exact counts. */
+  private def q312Mde(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.mdeReport(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        when(col("o_custkey") % 2 === 0, "even").otherwise("odd")
+          .as("variant"),
+        (col("o_totalprice") > 150000.0).cast("int").as("converted")),
+      Seq("o_orderpriority"), "variant", "converted")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4917,7 +4928,8 @@ object SparkEntry {
     "q308_delete_impact"    -> q308DeleteImpact _,
     "q309_time_decay"       -> q309TimeDecay _,
     "q310_salting_plan"     -> q310SaltingPlan _,
-    "q311_topn_other"       -> q311TopNOther _
+    "q311_topn_other"       -> q311TopNOther _,
+    "q312_mde"              -> q312Mde _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -809,6 +809,70 @@ object Experiment {
       coalesce(abs(tstat) > 1.96, lit(false)).as("significant"))): _*)
   }
 
+  /** Power / minimum-detectable-effect report — the question to ask
+    * BEFORE [[abTest]], not after: "at this traffic and baseline rate,
+    * what lift could this test even see?" Per segment, the two-sided
+    * α = 5% / power = 80% minimum detectable ABSOLUTE effect for a
+    * two-proportion test at the observed per-arm size
+    * `MDE = (z_{α/2} + z_β)·√(2·p(1−p)/n_arm)`, its relative form, and
+    * the per-arm n a `targetRelMde` would need — the two numbers every
+    * experiment-readiness review quotes. An underpowered segment is the
+    * #1 cause of "we ran it two weeks and learned nothing".
+    *
+    * Determinism: the normal quantiles are FROZEN literals
+    * (z_{α/2} = 1.959964, z_β = 0.841621 — shared with the oracle; no
+    * engine evaluates an inverse CDF), counts and conversion sums are
+    * exact longs, and every output is a fixed-operand-order double of
+    * exact integers at 6 dp. Segments with a degenerate rate (p = 0 or
+    * 1) or an empty arm report NULL MDE (nothing is detectable against
+    * a zero-variance baseline, stated). `n_arm` = the SMALLER arm (the
+    * binding constraint).
+    *
+    * Output per segment: `(segment…, n_a, n_b, n_arm, rate, mde_abs,
+    * mde_rel, n_needed)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined conditional agg to a segment-sized frame,
+    * row-local closed-form arithmetic. */
+  def mdeReport(df: DataFrame, segCols: Seq[String], variantCol: String,
+                convertedCol: String,
+                targetRelMde: Double = 0.05): DataFrame = {
+    require(segCols.nonEmpty, "mdeReport: need >= 1 segment column")
+    require(targetRelMde > 0, "mdeReport: targetRelMde must be > 0")
+    val zSum = 1.959964 + 0.841621 // frozen α/2 and power quantiles
+    val v = col(variantCol).cast("string")
+    val named = df.filter(v.isNotNull)
+      .groupBy(segCols.map(col): _*)
+      .agg(min(v).as("__va0"), countDistinct(v).as("__nv"))
+      // loud 2-arm guard riding the consumed column (Catalyst can't prune)
+      .select((segCols.map(col) :+
+        when(col("__nv") === 2, col("__va0"))
+          .otherwise(raise_error(concat(
+            lit("mdeReport: need exactly 2 variants per segment, got "),
+            col("__nv").cast("string")))).as("__va")): _*)
+    val agg = df.filter(v.isNotNull)
+      .join(broadcast(named), segCols)
+      .groupBy(segCols.map(col): _*)
+      .agg(
+        sum(when(v === col("__va"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(v =!= col("__va"), 1L).otherwise(0L)).as("n_b"),
+        sum(col(convertedCol).cast("int").cast("long")).as("__x"),
+        count(lit(1)).as("__n"))
+    val p = col("__x").cast("double") / col("__n").cast("double")
+    val nArm = least(col("n_a"), col("n_b"))
+    val mdeAbs = lit(zSum) *
+      sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm.cast("double"))
+    val nNeeded = lit(2.0) * p * (lit(1.0) - p) * lit(zSum) * lit(zSum) /
+      (p * targetRelMde * (p * targetRelMde))
+    val ok = col("n_a") > 0 && col("n_b") > 0 && p > 0.0 && p < 1.0
+    agg.select((segCols.map(col) ++ Seq(
+      col("n_a"), col("n_b"), nArm.as("n_arm"),
+      when(col("__n") > 0, round(p, 6)).as("rate"),
+      when(ok, round(mdeAbs, 6)).as("mde_abs"),
+      when(ok, round(mdeAbs / p, 6)).as("mde_rel"),
+      when(ok, round(nNeeded, 2)).as("n_needed"))): _*)
+  }
+
   /** Coarsened exact matching (CEM, Iacus/King/Porro) — the matching
     * step BEFORE an observational estimate: bin the covariates (the
     * caller passes already-coarsened columns — bin width is a domain

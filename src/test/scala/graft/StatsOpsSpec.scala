@@ -1833,6 +1833,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(got("a").getAs[String]("share") === "0.454545454")
   }
 
+  test("mdeReport: closed forms from exact counts, degenerate NULL, guard") {
+    // 100-row arm a (10 conv) + 200-row arm b (30 conv): p = 2/15
+    val df = ((1 to 100).map(i => ("g", "a", if (i <= 10) 1 else 0)) ++
+      (1 to 200).map(i => ("g", "b", if (i <= 30) 1 else 0)))
+      .toDF("seg", "v", "c")
+    val r = Experiment.mdeReport(df, Seq("seg"), "v", "c").collect().head
+    assert(r.getAs[Long]("n_a") === 100L && r.getAs[Long]("n_b") === 200L)
+    assert(r.getAs[Long]("n_arm") === 100L)
+    val p = 40.0 / 300.0
+    val z = 1.959964 + 0.841621
+    assert(math.abs(r.getAs[Double]("mde_abs") -
+      z * math.sqrt(2.0 * p * (1.0 - p) / 100.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("n_needed") -
+      2.0 * p * (1.0 - p) * z * z / (p * 0.05 * (p * 0.05))) < 0.01)
+    // nothing converts → no detectable baseline → NULL MDE
+    val zero = Experiment.mdeReport(
+      Seq(("g", "a", 0), ("g", "b", 0)).toDF("seg", "v", "c"),
+      Seq("seg"), "v", "c").collect().head
+    assert(zero.isNullAt(zero.fieldIndex("mde_abs")))
+    val err = intercept[Exception] {
+      Experiment.mdeReport(
+        Seq(("g", "a", 1), ("g", "b", 0), ("g", "c", 1)).toDF("seg", "v", "c"),
+        Seq("seg"), "v", "c").collect()
+    }
+    assert(err.getMessage.contains("exactly 2 variants"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
