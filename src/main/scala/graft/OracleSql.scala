@@ -7800,6 +7800,41 @@ object OracleSql {
           / (p * 0.05 * (p * 0.05)), 2) END AS n_needed
     FROM m"""
 
+  /** HBOS — q313. Identical equi-width bin doubles, per-feature
+    * −round(ln(density), 9) terms summed in fixed order, (score, id)
+    * top-k; mirrors Outliers.hbos at bins 10, k 20. */
+  private val q313 = """
+    WITH base AS (SELECT o_orderkey AS id,
+        CAST(o_totalprice AS DOUBLE) AS f1,
+        CAST(o_custkey % 100 AS DOUBLE) AS f2
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+    mm AS (SELECT min(f1) AS mn1, max(f1) AS mx1,
+        min(f2) AS mn2, max(f2) AS mx2,
+        CAST(count(*) AS BIGINT) AS n FROM base),
+    binned AS (SELECT base.id, mm.n,
+        CASE WHEN mm.mx1 = mm.mn1 THEN 0 ELSE least(
+          CAST(floor((base.f1 - mm.mn1) * 10 / (mm.mx1 - mm.mn1))
+            AS BIGINT), 9) END AS b1,
+        CASE WHEN mm.mx2 = mm.mn2 THEN 0 ELSE least(
+          CAST(floor((base.f2 - mm.mn2) * 10 / (mm.mx2 - mm.mn2))
+            AS BIGINT), 9) END AS b2
+      FROM base, mm),
+    c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY b1),
+    c2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY b2),
+    scored AS (SELECT binned.id,
+        round(
+          (0.0 - round(ln(CAST(c1.c AS DOUBLE) / CAST(binned.n AS DOUBLE)), 9))
+          + (0.0 - round(ln(CAST(c2.c AS DOUBLE) / CAST(binned.n AS DOUBLE)), 9)),
+          6) AS score
+      FROM binned JOIN c1 ON binned.b1 = c1.b1
+        JOIN c2 ON binned.b2 = c2.b2),
+    top AS (SELECT id, score FROM scored
+      ORDER BY score DESC, id ASC LIMIT 20)
+    SELECT id, score, CAST(row_number() OVER
+      (ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+    FROM top"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8128,6 +8163,7 @@ object OracleSql {
     "q309_time_decay"       -> q309,
     "q310_salting_plan"     -> q310,
     "q311_topn_other"       -> q311,
-    "q312_mde"              -> q312
+    "q312_mde"              -> q312,
+    "q313_hbos"             -> q313
   ).map { case (k, v) => k -> clean(v) }
 }

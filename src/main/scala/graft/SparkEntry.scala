@@ -4617,6 +4617,16 @@ object SparkEntry {
         (col("o_totalprice") > 150000.0).cast("int").as("converted")),
       Seq("o_orderpriority"), "variant", "converted")
 
+  /** HBOS anomalies ([[graft.ops.Outliers.hbos]]): top-20 orders by
+    * composed thin-bin mass over price and a key-derived feature —
+    * deterministic multivariate anomaly ranking. */
+  private def q313Hbos(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.hbos(
+      t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        (col("o_custkey") % 100).cast("double").as("key_feat")),
+      "o_orderkey", Seq("o_totalprice", "key_feat"), bins = 10, k = 20)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4929,7 +4939,8 @@ object SparkEntry {
     "q309_time_decay"       -> q309TimeDecay _,
     "q310_salting_plan"     -> q310SaltingPlan _,
     "q311_topn_other"       -> q311TopNOther _,
-    "q312_mde"              -> q312Mde _
+    "q312_mde"              -> q312Mde _,
+    "q313_hbos"             -> q313Hbos _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -150,4 +150,73 @@ object Outliers {
     agg.select(col(groupCol), explode(array(stacked: _*)).as("s"))
       .select(col(groupCol), col("s.percentile"), col("s.value"))
   }
+
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012), the
+    * MULTIVARIATE anomaly ranker the median/MAD tier can't give (MAD
+    * scores one column; HBOS composes k features under independence):
+    * per feature an equi-width histogram, per row
+    * `score = Σ_f −ln(density_f(bin of row))` — rows landing in thin
+    * bins across several features float to the top. The standard
+    * fast/deterministic baseline before anything learned (isolation
+    * forests randomize; HBOS doesn't, which is why it fits this
+    * engine's reproducibility contract).
+    *
+    * Determinism: bin edges derive from exact per-feature min/max
+    * doubles; `bin = ⌊(v−min)·bins/(max−min)⌋` clamped to the last bin
+    * (both engines compute the identical doubles); each feature's term
+    * is `−round(ln(n_bin/n), 9)` (the q54/q84 ln-parity contract) and
+    * the k-feature sum is a FIXED-ORDER expression chain, not an agg —
+    * engine-identical to the 9th decimal. A constant feature
+    * contributes 0 (one full bin, density 1 — stated). NULL feature
+    * values drop the ROW (scoring a partial vector against full-vector
+    * histograms would mix scales; filter-or-impute upstream, stated).
+    *
+    * Output: top-`k` rows by `(score DESC, id ASC)`:
+    * `(id, score, rank)`.
+    *
+    * == 100 TB shape ==
+    * One min/max agg + one bins-sized count agg per feature (map-side
+    * combined), k broadcast joins of bins-sized tables back onto the
+    * rows, one TakeOrderedAndProject. Nothing row-scale sorts or
+    * collects. */
+  def hbos(df: DataFrame, idCol: String, featureCols: Seq[String],
+           bins: Int = 10, k: Int = 100): DataFrame = {
+    require(featureCols.nonEmpty, "hbos: need >= 1 feature column")
+    require(bins >= 2 && bins <= 100000,
+      s"hbos: bins must be in [2, 100000], got $bins")
+    require(k >= 1, s"hbos: k must be >= 1, got $k")
+    val base = df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(idCol).as("__id") +:
+        featureCols.map(c => col(c).cast("double").as(c))): _*)
+    val withBins = featureCols.foldLeft(base) { (acc, f) =>
+      val mm = acc.agg(min(col(f)).as("__mn"), max(col(f)).as("__mx"))
+      acc.crossJoin(broadcast(mm))
+        .withColumn(s"__bin_$f",
+          when(col("__mx") === col("__mn"), lit(0L))
+            .otherwise(least(
+              floor((col(f) - col("__mn")) * bins /
+                (col("__mx") - col("__mn"))).cast("long"),
+              lit(bins - 1L))))
+        .drop("__mn", "__mx")
+    }
+    val n = withBins.count()
+    val scored = featureCols.foldLeft(withBins) { (acc, f) =>
+      val counts = acc.groupBy(col(s"__bin_$f"))
+        .agg(count(lit(1)).as(s"__c_$f"))
+      acc.join(broadcast(counts), Seq(s"__bin_$f"))
+        // 0.0 − x, not unary minus: a full bin's term must be +0.0 on
+        // both engines (−0.0 renders differently and breaks the hash)
+        .withColumn(s"__t_$f",
+          lit(0.0) - round(log(col(s"__c_$f").cast("double") / n.toDouble),
+            9))
+    }
+    val score = featureCols.map(f => col(s"__t_$f")).reduce(_ + _)
+    scored
+      .select(col("__id").as("id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id").asc)).cast("long"))
+  }
 }

@@ -1860,6 +1860,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("exactly 2 variants"))
   }
 
+  test("hbos: thin-bin row tops, ties break by id, constant feature zero") {
+    // f: eight 1.0s, one 5.0, one 10.0 at bins=2: [1,5]→bin0 (9 rows),
+    // 10→bin1 (1 row): score(10) = −ln(0.1), others −ln(0.9)
+    val df = ((1L to 8L).map(i => (i, 1.0)) ++ Seq((9L, 5.0), (10L, 10.0)))
+      .toDF("id", "f")
+    val got = graft.ops.Outliers.hbos(df, "id", Seq("f"), bins = 2, k = 3)
+      .collect()
+    assert(got.head.getAs[Long]("id") === 10L)
+    assert(math.abs(got.head.getAs[Double]("score") + math.log(0.1)) < 1e-6)
+    assert(got.head.getAs[Long]("rank") === 1L)
+    // score ties (the 0.105361 mass) break by id ASC
+    assert(got.map(_.getAs[Long]("id")).toSeq === Seq(10L, 1L, 2L))
+    // constant feature contributes +0.0 (never −0.0), not NaN
+    val const = graft.ops.Outliers.hbos(
+      Seq((1L, 7.0), (2L, 7.0)).toDF("id", "f"), "id", Seq("f"),
+      bins = 2, k = 2).collect()
+    assert(const.forall(_.getAs[Double]("score") === 0.0))
+    assert(const.forall(r =>
+      !(1.0 / r.getAs[Double]("score") < 0))) // sign bit is positive
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
