@@ -7835,6 +7835,37 @@ object OracleSql {
       (ORDER BY score DESC, id ASC) AS BIGINT) AS rank
     FROM top"""
 
+  /** Capture–recapture — q314. Exact distinct counts, Chapman estimate
+    * + variance with the frozen 1.959964 quantile; mirrors
+    * Overlap.captureRecapture. */
+  private val q314 = """
+    WITH ka AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderkey % 3 <> 0 AND o_custkey IS NOT NULL),
+    kb AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderkey % 5 <> 0 AND o_custkey IS NOT NULL),
+    c AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
+        (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b,
+        (SELECT CAST(count(*) AS BIGINT) FROM ka
+          WHERE k IN (SELECT k FROM kb)) AS n_overlap),
+    d AS (SELECT *,
+        CAST(n_a AS DOUBLE) AS nA, CAST(n_b AS DOUBLE) AS nB,
+        CAST(n_overlap AS DOUBLE) AS m FROM c),
+    e AS (SELECT *,
+        (nA + 1.0) * (nB + 1.0) / (m + 1.0) - 1.0 AS est,
+        (nA + 1.0) * (nB + 1.0) * (nA - m) * (nB - m) /
+          ((m + 1.0) * (m + 1.0) * (m + 2.0)) AS v
+      FROM d)
+    SELECT n_a, n_b, n_overlap, n_a + n_b - n_overlap AS n_union,
+      CASE WHEN n_overlap > 0 THEN round(est, 2) END AS estimate,
+      CASE WHEN n_overlap > 0 THEN
+        round(est - 1.959964 * sqrt(v), 2) END AS ci_low,
+      CASE WHEN n_overlap > 0 THEN
+        round(est + 1.959964 * sqrt(v), 2) END AS ci_high,
+      CASE WHEN n_overlap > 0 AND est > 0.0 THEN
+        round((nA + nB - m) / est, 6) END AS coverage
+    FROM e"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8164,6 +8195,7 @@ object OracleSql {
     "q310_salting_plan"     -> q310,
     "q311_topn_other"       -> q311,
     "q312_mde"              -> q312,
-    "q313_hbos"             -> q313
+    "q313_hbos"             -> q313,
+    "q314_capture_recapture" -> q314
   ).map { case (k, v) => k -> clean(v) }
 }

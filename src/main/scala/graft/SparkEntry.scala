@@ -4627,6 +4627,17 @@ object SparkEntry {
         (col("o_custkey") % 100).cast("double").as("key_feat")),
       "o_orderkey", Seq("o_totalprice", "key_feat"), bins = 10, k = 20)
 
+  /** Capture–recapture ([[graft.ops.Overlap.captureRecapture]]): two
+    * overlapping order "captures" of the customer universe — Chapman's
+    * estimate of how many customers NEITHER saw. */
+  private def q314CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.ops.Overlap.captureRecapture(
+      o.filter(col("o_orderkey") % 3 =!= 0).select(col("o_custkey")),
+      o.filter(col("o_orderkey") % 5 =!= 0).select(col("o_custkey")),
+      "o_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4940,7 +4951,8 @@ object SparkEntry {
     "q310_salting_plan"     -> q310SaltingPlan _,
     "q311_topn_other"       -> q311TopNOther _,
     "q312_mde"              -> q312Mde _,
-    "q313_hbos"             -> q313Hbos _
+    "q313_hbos"             -> q313Hbos _,
+    "q314_capture_recapture" -> q314CaptureRecapture _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

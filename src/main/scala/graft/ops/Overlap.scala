@@ -187,4 +187,58 @@ object Overlap {
               + (lit(1.0) - coalesce(col("sq").cast("double"), lit(0.0)))), 6)
           .as("js_divergence"))
   }
+
+  /** Capture–recapture population estimate (Chapman's bias-corrected
+    * Lincoln–Petersen) — "how many entities EXIST, counting the ones no
+    * crawl ever saw?": two independent captures of the same universe
+    * (two crawls of a site, two vendor dumps of a catalog, two dedup
+    * passes over a customer base) estimate the TRUE population from
+    * their overlap: `N̂ = (n_A+1)(n_B+1)/(m+1) − 1`, the coverage
+    * question [[sourceOverlap]]'s Jaccard can't answer (overlap says how
+    * ALIKE the captures are; Chapman says how much NEITHER saw). The
+    * MDM/dedup planning number: "we hold 1.1M customer records that
+    * resolve to ~700k people — how many people are there really?"
+    *
+    * Exactness: n_A, n_B, and the overlap m are exact distinct counts;
+    * N̂ and Chapman's variance
+    * `(n_A+1)(n_B+1)(n_A−m)(n_B−m)/((m+1)²(m+2))` are fixed-operand-
+    * order doubles of exact longs; the 95% CI uses the frozen 1.959964
+    * quantile (the [[graft.ops.Experiment.mdeReport]] constant). Zero
+    * overlap → NULL estimate (independence is unverifiable and the
+    * estimator diverges, stated). The independence ASSUMPTION is the
+    * caller's to defend — correlated captures bias N̂ low, stated.
+    *
+    * Output one row: `(n_a, n_b, n_overlap, n_union, estimate, ci_low,
+    * ci_high, coverage)` — `coverage` = n_union/N̂, the fraction either
+    * capture saw.
+    *
+    * == 100 TB shape ==
+    * Two distinct-collapses + one key equi-join collapsed to counts —
+    * map-side combined, nothing row-scale beyond the distinct shuffles. */
+  def captureRecapture(a: DataFrame, b: DataFrame,
+                       keyCol: String): DataFrame = {
+    val ka = a.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
+      .distinct()
+    val kb = b.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
+      .distinct()
+    val na = ka.agg(count(lit(1)).as("n_a"))
+    val nb = kb.agg(count(lit(1)).as("n_b"))
+    val m = ka.join(kb, Seq("__k"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+    val z = 1.959964
+    val base = na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+    val (nA, nB, mm) = (col("n_a").cast("double"),
+      col("n_b").cast("double"), col("n_overlap").cast("double"))
+    val est = (nA + 1.0) * (nB + 1.0) / (mm + 1.0) - 1.0
+    val variance = (nA + 1.0) * (nB + 1.0) * (nA - mm) * (nB - mm) /
+      ((mm + 1.0) * (mm + 1.0) * (mm + 2.0))
+    val ok = col("n_overlap") > 0L
+    base.select(col("n_a"), col("n_b"), col("n_overlap"),
+      (col("n_a") + col("n_b") - col("n_overlap")).as("n_union"),
+      when(ok, round(est, 2)).as("estimate"),
+      when(ok, round(est - lit(z) * sqrt(variance), 2)).as("ci_low"),
+      when(ok, round(est + lit(z) * sqrt(variance), 2)).as("ci_high"),
+      when(ok && est > 0.0, round(
+        (nA + nB - mm) / est, 6)).as("coverage"))
+  }
 }

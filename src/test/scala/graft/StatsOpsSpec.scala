@@ -1881,6 +1881,25 @@ class StatsOpsSpec extends SparkSpec {
       !(1.0 / r.getAs[Double]("score") < 0))) // sign bit is positive
   }
 
+  test("captureRecapture: hand Chapman estimate, CI, zero-overlap NULL") {
+    // A {1..6}, B {4..9}: m = 3 → N̂ = 7·7/4 − 1 = 11.25; union 9
+    val a = (1L to 6L).toDF("k")
+    val b = (4L to 9L).toDF("k")
+    val r = graft.ops.Overlap.captureRecapture(a, b, "k").collect().head
+    assert(r.getAs[Long]("n_a") === 6L && r.getAs[Long]("n_b") === 6L)
+    assert(r.getAs[Long]("n_overlap") === 3L)
+    assert(r.getAs[Long]("n_union") === 9L)
+    assert(r.getAs[Double]("estimate") === 11.25)
+    assert(r.getAs[Double]("coverage") === 0.8)
+    val v = 7.0 * 7.0 * 3.0 * 3.0 / (16.0 * 5.0)
+    assert(math.abs(r.getAs[Double]("ci_high") -
+      (11.25 + 1.959964 * math.sqrt(v))) < 0.01)
+    // disjoint captures: the estimator diverges → NULL, never a number
+    val z = graft.ops.Overlap.captureRecapture(
+      (1L to 3L).toDF("k"), (10L to 12L).toDF("k"), "k").collect().head
+    assert(z.isNullAt(z.fieldIndex("estimate")))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
