@@ -7866,6 +7866,39 @@ object OracleSql {
         round((nA + nB - m) / est, 6) END AS coverage
     FROM e"""
 
+  /** Median polish — q315. Two alternating (row, col) exact lower-median
+    * sweeps on the cent grid (ordered-list medians — the oracle twin of
+    * the engine's grid-window selection); mirrors Trend.medianPolish. */
+  private val q315 = """
+    WITH c0 AS (SELECT o_orderpriority AS r,
+        CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) AS c,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2),
+    rm1 AS (SELECT r, (list(v ORDER BY v))[(count(*) + 1) // 2] AS m
+      FROM c0 GROUP BY r),
+    c1 AS (SELECT c0.r, c0.c, c0.v, c0.v - rm1.m AS res, rm1.m AS re
+      FROM c0 JOIN rm1 ON c0.r = rm1.r),
+    cm1 AS (SELECT c, (list(res ORDER BY res))[(count(*) + 1) // 2] AS m
+      FROM c1 GROUP BY c),
+    c2 AS (SELECT c1.r, c1.c, c1.v, c1.res - cm1.m AS res, c1.re,
+        cm1.m AS ce FROM c1 JOIN cm1 ON c1.c = cm1.c),
+    rm2 AS (SELECT r, (list(res ORDER BY res))[(count(*) + 1) // 2] AS m
+      FROM c2 GROUP BY r),
+    c3 AS (SELECT c2.r, c2.c, c2.v, c2.res - rm2.m AS res,
+        c2.re + rm2.m AS re, c2.ce FROM c2 JOIN rm2 ON c2.r = rm2.r),
+    cm2 AS (SELECT c, (list(res ORDER BY res))[(count(*) + 1) // 2] AS m
+      FROM c3 GROUP BY c),
+    c4 AS (SELECT c3.r, c3.c, c3.v, c3.res - cm2.m AS res,
+        c3.re, c3.ce + cm2.m AS ce FROM c3 JOIN cm2 ON c3.c = cm2.c)
+    SELECT r AS row, c AS col, v AS value_cents,
+      re AS row_effect, ce AS col_effect, res AS residual_cents,
+      round(CAST(v AS DOUBLE) / 100.0, 2) AS value,
+      round(CAST(res AS DOUBLE) / 100.0, 2) AS residual
+    FROM c4"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8196,6 +8229,7 @@ object OracleSql {
     "q311_topn_other"       -> q311,
     "q312_mde"              -> q312,
     "q313_hbos"             -> q313,
-    "q314_capture_recapture" -> q314
+    "q314_capture_recapture" -> q314,
+    "q315_median_polish"    -> q315
   ).map { case (k, v) => k -> clean(v) }
 }

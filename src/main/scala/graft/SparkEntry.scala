@@ -4638,6 +4638,15 @@ object SparkEntry {
       "o_custkey")
   }
 
+  /** Median polish ([[graft.ops.Trend.medianPolish]]): priority × year
+    * order revenue split into robust row/column effects + residuals —
+    * two alternating lower-median sweeps on the exact cent grid. */
+  private def q315MedianPolish(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.medianPolish(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        year(col("o_orderdate")).as("order_year"), col("o_totalprice")),
+      "o_orderpriority", "order_year", "o_totalprice", sweeps = 2)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4952,7 +4961,8 @@ object SparkEntry {
     "q311_topn_other"       -> q311TopNOther _,
     "q312_mde"              -> q312Mde _,
     "q313_hbos"             -> q313Hbos _,
-    "q314_capture_recapture" -> q314CaptureRecapture _
+    "q314_capture_recapture" -> q314CaptureRecapture _,
+    "q315_median_polish"    -> q315MedianPolish _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -866,6 +866,86 @@ object Trend {
         col("rank"))): _*)
   }
 
+  /** Exact LOWER MEDIAN of `valCol` per key group via the distinct-value
+    * grid + partitioned cumulative window (never a data-sized sort) —
+    * the idiom [[robustDecompose]]'s seasonal step and [[medianPolish]]
+    * share. */
+  private def groupLowerMedian(df: DataFrame, keys: Seq[String],
+                               valCol: String, out: String): DataFrame = {
+    val gs = keys.map(col)
+    val grid = df.groupBy((gs :+ col(valCol)): _*)
+      .agg(count(lit(1)).as("__glm_c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col(valCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    grid
+      .withColumn("__glm_cum", sum(col("__glm_c")).over(wCum))
+      .withColumn("__glm_n", sum(col("__glm_c")).over(wAll))
+      .filter(col("__glm_cum") >= expr("(__glm_n + 1) DIV 2"))
+      .groupBy(gs: _*)
+      .agg(min(col(valCol)).as(out))
+  }
+
+  /** Tukey median polish — the two-way ROBUST decomposition (the EDA
+    * classic: rows × columns of a summary table split into row effects +
+    * column effects + residuals by alternating MEDIAN sweeps, so one
+    * wild cell cannot drag a whole row's effect the way a two-way ANOVA
+    * mean would): which priority is expensive ACROSS years, which year
+    * is expensive ACROSS priorities, and which single cells buck both —
+    * the residuals are the finding. [[robustDecompose]] splits a SERIES;
+    * this splits a TABLE.
+    *
+    * Fixed `sweeps` alternating (row, then column) lower-median
+    * subtractions on the exact cent grid — every median an actual data
+    * value, every subtraction integer, and
+    * `value = row_effect + column_effect + residual` holds to the cent
+    * on every cell by construction (the overall level folds into the
+    * first row sweep, stated). Duplicate (row, col) observations
+    * collapse by summing first (stated).
+    *
+    * Output per cell: `(row, col, value_cents, row_effect, col_effect,
+    * residual_cents, value, residual)`.
+    *
+    * == 100 TB shape ==
+    * One (row × col) cent collapse, then per sweep two grid-window
+    * lower-medians over the CELL frame (enum × enum — never row mass)
+    * joined back broadcast-style. `sweeps` is a fixed small constant. */
+  def medianPolish(df: DataFrame, rowCol: String, colCol: String,
+                   valueCol: String, sweeps: Int = 2): DataFrame = {
+    require(sweeps >= 1 && sweeps <= 10,
+      s"medianPolish: sweeps in [1, 10], got $sweeps")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cells0 = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+      .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__v"))
+      .withColumn("__res", col("__v"))
+      .withColumn("__re", lit(0L))
+      .withColumn("__ce", lit(0L))
+    val polished = (1 to sweeps).foldLeft(cells0) { (cells, _) =>
+      val rm = groupLowerMedian(cells, Seq("__r"), "__res", "__rm")
+      val afterRow = cells.join(broadcast(rm), Seq("__r"))
+        .withColumn("__res", col("__res") - col("__rm"))
+        .withColumn("__re", col("__re") + col("__rm"))
+        .drop("__rm")
+      val cm = groupLowerMedian(afterRow, Seq("__c"), "__res", "__cm")
+      afterRow.join(broadcast(cm), Seq("__c"))
+        .withColumn("__res", col("__res") - col("__cm"))
+        .withColumn("__ce", col("__ce") + col("__cm"))
+        .drop("__cm")
+    }
+    polished.select(
+      col("__r").as("row"), col("__c").as("col"),
+      col("__v").as("value_cents"),
+      col("__re").as("row_effect"), col("__ce").as("col_effect"),
+      col("__res").as("residual_cents"),
+      round(col("__v").cast("double") / 100.0, 2).as("value"),
+      round(col("__res").cast("double") / 100.0, 2).as("residual"))
+  }
+
   /** Robust seasonal decomposition by medians — the STL-family
     * trend/seasonal/remainder split with MEDIANS instead of loess, so a
     * single outage week cannot bend the trend or leak into the seasonal

@@ -1900,6 +1900,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(z.isNullAt(z.fieldIndex("estimate")))
   }
 
+  test("medianPolish: hand 2x2 sweeps, identity to the cent, one wild cell") {
+    // $10/$20 over $30/$44: effects absorb rows/cols, the 44 sticks out
+    val df = Seq(("r1", "c1", 10.0), ("r1", "c2", 20.0),
+      ("r2", "c1", 30.0), ("r2", "c2", 44.0)).toDF("r", "c", "v")
+    val got = Trend.medianPolish(df, "r", "c", "v").collect()
+      .map(x => (x.getAs[String]("row"), x.getAs[String]("col")) -> x).toMap
+    assert(got(("r1", "c1")).getAs[Long]("row_effect") === 1000L)
+    assert(got(("r2", "c1")).getAs[Long]("row_effect") === 3000L)
+    assert(got(("r1", "c2")).getAs[Long]("col_effect") === 1000L)
+    assert(got(("r1", "c1")).getAs[Long]("residual_cents") === 0L)
+    assert(got(("r2", "c2")).getAs[Long]("residual_cents") === 400L)
+    // value = row_effect + col_effect + residual, to the cent, every cell
+    assert(got.values.forall(x => x.getAs[Long]("value_cents") ===
+      x.getAs[Long]("row_effect") + x.getAs[Long]("col_effect") +
+        x.getAs[Long]("residual_cents")))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
