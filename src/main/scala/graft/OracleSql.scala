@@ -7899,6 +7899,69 @@ object OracleSql {
       round(CAST(res AS DOUBLE) / 100.0, 2) AS residual
     FROM c4"""
 
+  /** DFG performance — q316. Lead pairs per user order, exact gap
+    * stats + grid-window lower median; mirrors
+    * Funnel.transitionPerformance. */
+  private val q316 = """
+    WITH ev AS (SELECT user_id AS u,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        event_type AS ty
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    pairs AS (SELECT ty AS from_type,
+        lead(ty) OVER w AS to_type,
+        lead(t) OVER w - t AS gap
+      FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, event_id)),
+    p2 AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+    stats AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(min(gap) AS BIGINT) AS min_s, sum(gap)::BIGINT AS s,
+        CAST(max(gap) AS BIGINT) AS max_s
+      FROM p2 GROUP BY 1, 2),
+    grid AS (SELECT from_type, to_type, gap,
+        CAST(count(*) AS BIGINT) AS c FROM p2 GROUP BY 1, 2, 3),
+    cum AS (SELECT *,
+        sum(c) OVER (PARTITION BY from_type, to_type ORDER BY gap
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cc,
+        sum(c) OVER (PARTITION BY from_type, to_type)::BIGINT AS nn
+      FROM grid),
+    med AS (SELECT from_type, to_type, CAST(min(gap) AS BIGINT)
+        AS median_s
+      FROM cum WHERE cc >= (nn + 1) // 2 GROUP BY 1, 2)
+    SELECT stats.from_type, stats.to_type, stats.n, stats.min_s,
+      med.median_s,
+      round(CAST(stats.s AS DOUBLE) / CAST(stats.n AS DOUBLE), 6)
+        AS mean_s,
+      stats.max_s
+    FROM stats JOIN med ON stats.from_type = med.from_type
+      AND stats.to_type = med.to_type"""
+
+  /** Trace conformance — q317. Ordered per-user trace strings, exact
+    * step Levenshtein vs 'svcp' with the −1 overflow bucket, ×10⁹
+    * shares; mirrors Funnel.traceConformance at maxDist 100. */
+  private val q317 = """
+    WITH ev AS (SELECT user_id AS u,
+        CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        CAST(event_id AS BIGINT) AS eid,
+        CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+          WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+          WHEN 'error' THEN 'e' END AS ch
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    traces AS (SELECT u, string_agg(ch, '' ORDER BY t, eid) AS tr
+      FROM ev GROUP BY u),
+    scored AS (SELECT CASE WHEN levenshtein(tr, 'svcp') > 100 THEN -1
+        ELSE levenshtein(tr, 'svcp') END AS distance
+      FROM traces),
+    byd AS (SELECT CAST(distance AS BIGINT) AS distance,
+        CAST(count(*) AS BIGINT) AS n_traces FROM scored GROUP BY 1),
+    tot AS (SELECT sum(n_traces)::BIGINT AS t0 FROM byd),
+    fx AS (SELECT byd.*, tot.t0,
+        n_traces * 1000000000 // tot.t0 AS f
+      FROM byd, tot)
+    SELECT distance, n_traces,
+      CAST(f // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(f % 1000000000 AS VARCHAR), 9, '0') AS share,
+      round(CAST(n_traces AS DOUBLE) / CAST(t0 AS DOUBLE), 6) AS share_d
+    FROM fx"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8230,6 +8293,8 @@ object OracleSql {
     "q312_mde"              -> q312,
     "q313_hbos"             -> q313,
     "q314_capture_recapture" -> q314,
-    "q315_median_polish"    -> q315
+    "q315_median_polish"    -> q315,
+    "q316_transition_perf"  -> q316,
+    "q317_trace_conformance" -> q317
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4647,6 +4647,22 @@ object SparkEntry {
         year(col("o_orderdate")).as("order_year"), col("o_totalprice")),
       "o_orderpriority", "order_year", "o_totalprice", sweeps = 2)
 
+  /** DFG performance ([[graft.ops.Funnel.transitionPerformance]]): where
+    * the cycle time goes, per directly-follows edge — exact gap min /
+    * lower-median / mean / max. */
+  private def q316TransitionPerf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitionPerformance(events(s, dir))
+
+  /** Trace conformance ([[graft.ops.Funnel.traceConformance]]): user
+    * journeys vs the designed signup→view→click→purchase path — the
+    * step-edit-distance histogram. */
+  private def q317TraceConformance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.traceConformance(events(s, dir),
+      reference = Seq("signup", "view", "click", "purchase"),
+      alphabet = Map("view" -> "v", "click" -> "c", "signup" -> "s",
+        "purchase" -> "p", "error" -> "e"),
+      maxDist = 100) // full traces run ~60 steps past the 4-step path
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4962,7 +4978,9 @@ object SparkEntry {
     "q312_mde"              -> q312Mde _,
     "q313_hbos"             -> q313Hbos _,
     "q314_capture_recapture" -> q314CaptureRecapture _,
-    "q315_median_polish"    -> q315MedianPolish _
+    "q315_median_polish"    -> q315MedianPolish _,
+    "q316_transition_perf"  -> q316TransitionPerf _,
+    "q317_trace_conformance" -> q317TraceConformance _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -459,6 +459,143 @@ object Funnel {
       .agg(count(lit(1)).as("n_touches"), sum(col("__c")).as("credit_bp"))
   }
 
+  /** Directly-follows performance graph — process mining's first
+    * artifact ([[transitionMatrix]] gives the EDGE PROBABILITIES; the
+    * performance DFG adds WHERE THE TIME GOES): per (from, to) event
+    * pair adjacent in a user's (ts, tiebreak) order, the count and the
+    * exact gap statistics — min / lower-median / max seconds. The
+    * slow-edge table is the bottleneck finding ("payment → confirmation
+    * carries 40% of cycle time").
+    *
+    * Exactness: gaps are exact epoch-second longs; the median is the
+    * exact lower median selected against the per-edge cumulative
+    * distinct-gap grid (never a data-sized sort); means are ONE double
+    * division of an exact sum.
+    *
+    * Output per edge: `(from_type, to_type, n, min_s, median_s, mean_s,
+    * max_s)`.
+    *
+    * == 100 TB shape ==
+    * One user-partitioned lead window (the [[transitionMatrix]]
+    * shuffle), one edge-keyed agg, one edge-partitioned grid window for
+    * the median. */
+  def transitionPerformance(events: DataFrame, userCol: String = "user_id",
+                            tsCol: String = "ts",
+                            typeCol: String = "event_type",
+                            tiebreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col(tiebreak).asc)
+    val pairs = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__t"), col(tiebreak),
+      col(typeCol).cast("string").as("__ty"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull)
+      .withColumn("__nty", lead(col("__ty"), 1).over(w))
+      .withColumn("__nt", lead(col("__t"), 1).over(w))
+      .filter(col("__nty").isNotNull)
+      .select(col("__ty").as("from_type"), col("__nty").as("to_type"),
+        (col("__nt") - col("__t")).as("__gap"))
+    val stats = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"), min(col("__gap")).as("min_s"),
+        sum(col("__gap")).as("__sum"), max(col("__gap")).as("max_s"))
+    val grid = pairs.groupBy(col("from_type"), col("to_type"),
+        col("__gap")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("from_type"), col("to_type"))
+      .orderBy(col("__gap").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("from_type"), col("to_type"))
+    val med = grid
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= expr("(__n + 1) DIV 2"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(min(col("__gap")).as("median_s"))
+    stats.join(med, Seq("from_type", "to_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("min_s"), col("median_s"),
+        round(col("__sum").cast("double") / col("n").cast("double"), 6)
+          .as("mean_s"),
+        col("max_s"))
+  }
+
+  /** Trace conformance — process mining's second question ("how far do
+    * real journeys deviate from the designed path?"): each user's
+    * ordered event-type TRACE compared to a reference sequence by exact
+    * Levenshtein distance over STEPS (insertions = extra events,
+    * deletions = skipped steps, substitutions = wrong steps), reported
+    * as the distance histogram — the conformance curve auditors read
+    * (`distance 0` = fully conformant mass).
+    *
+    * Traces encode each step as one character via the caller's
+    * `alphabet` (event type → char; unmapped types fail LOUDLY — a
+    * conformance check against an incomplete alphabet is wrong
+    * silently); traces longer than `maxTraceLen` fail loudly too (a
+    * million-event "trace" is a data bug, and the DP is O(len²)).
+    * Distance caps at `maxDist` (Spark's thresholded DP; beyond =
+    * reported in the overflow bucket as distance −1, stated).
+    *
+    * Output per distance: `(distance, n_traces, share, share_d)` —
+    * ×10⁹ DIV share of all traces.
+    *
+    * == 100 TB shape ==
+    * One user-partitioned ordered agg building the bounded trace
+    * string, one row-local thresholded Levenshtein, one
+    * distance-grid agg. */
+  def traceConformance(events: DataFrame, reference: Seq[String],
+                       alphabet: Map[String, String],
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       tiebreak: String = "event_id",
+                       maxTraceLen: Int = 1000,
+                       maxDist: Int = 20): DataFrame = {
+    require(reference.nonEmpty, "traceConformance: empty reference path")
+    require(reference.forall(alphabet.contains),
+      "traceConformance: reference steps must be in the alphabet")
+    require(alphabet.values.forall(_.length == 1),
+      "traceConformance: alphabet values must be single characters")
+    require(alphabet.values.toSeq.distinct.size == alphabet.size,
+      "traceConformance: alphabet characters must be distinct")
+    val refStr = reference.map(alphabet).mkString
+    val mapped = alphabet.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) =>
+        when(col("__ty") === k, lit(v)).otherwise(acc)
+    }
+    val traces = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__t"),
+      col(tiebreak).cast("long").as("__tb"),
+      col(typeCol).cast("string").as("__ty"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull)
+      .withColumn("__ch",
+        coalesce(mapped, raise_error(concat(
+          lit("traceConformance: event type not in alphabet: "),
+          col("__ty"))).cast("string")))
+      .groupBy(col("__u"))
+      // order-free agg + deterministic struct sort — no window needed
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__t"), col("__tb"),
+          col("__ch")))),
+        x => x.getField("__ch")), "").as("__trace"))
+    val guarded = traces.select(
+      when(length(col("__trace")) <= maxTraceLen, col("__trace"))
+        .otherwise(raise_error(lit(
+          s"traceConformance: trace exceeds maxTraceLen=$maxTraceLen — " +
+            "session-cut upstream"))).as("__trace"))
+    val scored = guarded.select(
+      levenshtein(col("__trace"), lit(refStr), maxDist).cast("long")
+        .as("distance"))
+    val byDist = scored.groupBy(col("distance"))
+      .agg(count(lit(1)).as("n_traces"))
+    val tot = byDist.agg(sum(col("n_traces")).as("__tot"))
+    byDist.crossJoin(broadcast(tot))
+      .withColumn("__fx",
+        expr("CAST(n_traces * 1000000000 DIV __tot AS BIGINT)"))
+      .select(col("distance"), col("n_traces"),
+        concat(expr("CAST(__fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__fx % 1000000000 AS STRING)"), 9, "0"))
+          .as("share"),
+        round(col("n_traces").cast("double") / col("__tot").cast("double"),
+          6).as("share_d"))
+  }
+
   /** Time-decay attribution — the fourth credit rule beside first/last
     * touch, the fixed multi-touch splits, and [[markovAttribution]]:
     * touches closer to the conversion earn more, halving per

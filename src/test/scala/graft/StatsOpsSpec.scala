@@ -1917,6 +1917,51 @@ class StatsOpsSpec extends SparkSpec {
         x.getAs[Long]("residual_cents")))
   }
 
+  test("transitionPerformance: hand gaps, lower median, edge counts") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0L), "A", 1L), (1L, ts(10L), "B", 2L), (1L, ts(25L), "A", 3L),
+      (2L, ts(0L), "A", 4L), (2L, ts(30L), "B", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.transitionPerformance(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> r).toMap
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Long]("n") === 2L)
+    assert(ab.getAs[Long]("min_s") === 10L && ab.getAs[Long]("max_s") === 30L)
+    assert(ab.getAs[Long]("median_s") === 10L) // lower median of {10, 30}
+    assert(ab.getAs[Double]("mean_s") === 20.0)
+    assert(got(("B", "A")).getAs[Long]("median_s") === 15L)
+  }
+
+  test("traceConformance: hand distances, overflow bucket, alphabet guard") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1 "ab"→0; u2 "b"→1; u3 "abab"→2
+    val ev = Seq(
+      (1L, ts(0L), "x", 1L), (1L, ts(1L), "y", 2L),
+      (2L, ts(0L), "y", 3L),
+      (3L, ts(0L), "x", 4L), (3L, ts(1L), "y", 5L), (3L, ts(2L), "x", 6L),
+      (3L, ts(3L), "y", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val ab = Map("x" -> "a", "y" -> "b")
+    val got = Funnel.traceConformance(ev, Seq("x", "y"), ab).collect()
+      .map(r => r.getAs[Long]("distance") ->
+        ((r.getAs[Long]("n_traces"), r.getAs[String]("share")))).toMap
+    assert(got(0L) === ((1L, "0.333333333")))
+    assert(got(1L) === ((1L, "0.333333333")))
+    assert(got(2L) === ((1L, "0.333333333")))
+    // beyond maxDist lands in the −1 overflow bucket, stated
+    val ov = Funnel.traceConformance(ev, Seq("x", "y"), ab, maxDist = 1)
+      .collect().map(r => r.getAs[Long]("distance")).toSet
+    assert(ov === Set(0L, 1L, -1L))
+    val err = intercept[Exception] {
+      Funnel.traceConformance(ev, Seq("x"), Map("x" -> "a")).collect()
+    }
+    assert(err.getMessage.contains("not in alphabet"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
