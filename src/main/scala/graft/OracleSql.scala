@@ -7962,6 +7962,51 @@ object OracleSql {
       round(CAST(n_traces AS DOUBLE) / CAST(t0 AS DOUBLE), 6) AS share_d
     FROM fx"""
 
+  /** Span corruption — q318. md5 phase (the Sampling idiom), the
+    * stride-20 span grid, row-local list algebra for corrupted/target;
+    * mirrors Packing.spanCorruptionPlan at 150‰ / span 3 (stride 20,
+    * phase mod 18). */
+  private val q318 = """
+    WITH d AS (SELECT doc_id AS id,
+        list_filter(string_split(trim(regexp_replace(regexp_replace(
+          lower(coalesce(text, '')), '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents),
+    b AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n,
+        ('0x' || substr(md5('span-v1:' || CAST(id AS VARCHAR)), 1, 14))
+          ::BIGINT % 18 AS phase
+      FROM d),
+    m AS (SELECT id, n, phase,
+        CASE WHEN n > 0 THEN CAST(len(list_filter(range(0, n),
+          p -> p >= phase AND (p - phase) % 20 < 3)) AS BIGINT)
+          ELSE 0 END AS n_masked,
+        CASE WHEN n > 0 THEN CAST(len(list_filter(range(0, n),
+          p -> p >= phase AND (p - phase) % 20 = 0)) AS BIGINT)
+          ELSE 0 END AS n_spans,
+        CASE WHEN n > 0 THEN coalesce(array_to_string(list_filter(
+          list_transform(range(0, n), p ->
+            CASE WHEN NOT (p >= phase AND (p - phase) % 20 < 3)
+              THEN toks[CAST(p + 1 AS INT)]
+            WHEN (p - phase) % 20 = 0 THEN '<extra_id_' ||
+              CAST(CAST(floor((p - phase) / 20) AS BIGINT) AS VARCHAR)
+              || '>'
+            END),
+          t -> t IS NOT NULL), ' '), '') ELSE '' END AS corrupted,
+        CASE WHEN n > 0 THEN coalesce(array_to_string(list_filter(
+          list_transform(range(0, n), p ->
+            CASE WHEN p >= phase AND (p - phase) % 20 = 0
+              THEN '<extra_id_' ||
+                CAST(CAST(floor((p - phase) / 20) AS BIGINT) AS VARCHAR)
+                || '> ' || toks[CAST(p + 1 AS INT)]
+            WHEN p >= phase AND (p - phase) % 20 < 3
+              THEN toks[CAST(p + 1 AS INT)]
+            END),
+          t -> t IS NOT NULL), ' '), '') ELSE '' END AS target
+      FROM b)
+    SELECT id, n AS n_tokens, CAST(20 AS BIGINT) AS stride, phase,
+      n_masked, n_spans, corrupted, target
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8295,6 +8340,7 @@ object OracleSql {
     "q314_capture_recapture" -> q314,
     "q315_median_polish"    -> q315,
     "q316_transition_perf"  -> q316,
-    "q317_trace_conformance" -> q317
+    "q317_trace_conformance" -> q317,
+    "q318_span_corruption"  -> q318
   ).map { case (k, v) => k -> clean(v) }
 }

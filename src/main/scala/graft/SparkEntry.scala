@@ -4663,6 +4663,13 @@ object SparkEntry {
         "purchase" -> "p", "error" -> "e"),
       maxDist = 100) // full traces run ~60 steps past the 4-step path
 
+  /** Span corruption ([[graft.ops.Packing.spanCorruptionPlan]]): T5-style
+    * (corrupted, target) pairs over documents — md5-phased deterministic
+    * span grid at 15% / span 3. */
+  private def q318SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.spanCorruptionPlan(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4980,7 +4987,8 @@ object SparkEntry {
     "q314_capture_recapture" -> q314CaptureRecapture _,
     "q315_median_polish"    -> q315MedianPolish _,
     "q316_transition_perf"  -> q316TransitionPerf _,
-    "q317_trace_conformance" -> q317TraceConformance _
+    "q317_trace_conformance" -> q317TraceConformance _,
+    "q318_span_corruption"  -> q318SpanCorruption _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

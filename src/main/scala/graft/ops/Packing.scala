@@ -149,4 +149,83 @@ object Packing {
         array_join(slice(col("__toks"), col("__start").cast("int") + 1, lit(chunkSize)), " ")
           .as("chunk_text"): _*)
   }
+
+  /** T5/UL2-style span-corruption pair construction — the denoising-
+    * objective data step ([[packSequences]] packs tokens; this builds
+    * the (corrupted input, target) TRAINING PAIRS): mask ~`ratioPermille`
+    * of each document's tokens in spans of `spanLen`, replace each span
+    * with an ordinal sentinel `<extra_id_N>` in the input, and emit the
+    * masked spans behind their sentinels as the target.
+    *
+    * DETERMINISTIC masking — the whole point at pipeline scale (a rerun,
+    * a task retry, or another engine must corrupt identically): spans
+    * sit on a stride grid (`stride = spanLen·1000/ratioPermille`, so
+    * coverage ≈ the ratio) with a per-document PHASE drawn from the
+    * portable md5 idiom (`seed:doc_id` — the [[graft.ops.Sampling]]
+    * derivation, reproducible in any engine); position p masks iff
+    * `p ≥ phase ∧ (p−phase) mod stride < spanLen`. No `rand()`, no RNG
+    * state, pure row-local array algebra.
+    *
+    * Output per doc: `(id, n_tokens, stride, phase, n_masked, n_spans,
+    * corrupted, target)`.
+    *
+    * == 100 TB shape ==
+    * Zero shuffles — every column derives row-locally from the token
+    * array; the md5 phase is one hash per row. */
+  def spanCorruptionPlan(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         ratioPermille: Int = 150, spanLen: Int = 3,
+                         seed: String = "span-v1"): DataFrame = {
+    require(ratioPermille >= 1 && ratioPermille <= 500,
+      s"spanCorruptionPlan: ratioPermille in [1, 500], got $ratioPermille")
+    require(spanLen >= 1, s"spanCorruptionPlan: spanLen >= 1, got $spanLen")
+    val stride = math.max(spanLen + 1, spanLen * 1000 / ratioPermille)
+    val phaseMod = stride - spanLen + 1
+    val toks = split(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit(""))), " ")
+    val base = docs.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__toks",
+        filter(col("__toks"), t => t =!= ""))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("phase",
+        pmod(conv(substring(md5(concat(lit(s"$seed:"),
+          col("id").cast("string"))), 1, 14), 16, 10).cast("long"),
+          lit(phaseMod.toLong)))
+    def maskedAt(p: Column, phase: Column) =
+      p >= phase && pmod(p - phase, lit(stride.toLong)) < spanLen
+    def ordinalAt(p: Column, phase: Column) = // exact: values ≪ 2^53
+      floor((p - phase) / lit(stride.toLong)).cast("long")
+    val idx = sequence(lit(0L), col("n_tokens") - 1L)
+    val withCols = base
+      .withColumn("n_masked", when(col("n_tokens") > 0,
+        size(filter(idx, p => maskedAt(p, col("phase")))).cast("long"))
+        .otherwise(0L))
+      .withColumn("n_spans", when(col("n_tokens") > 0,
+        size(filter(idx, p => maskedAt(p, col("phase")) &&
+          pmod(p - col("phase"), lit(stride.toLong)) === 0L)).cast("long"))
+        .otherwise(0L))
+      .withColumn("corrupted", when(col("n_tokens") > 0, array_join(
+        filter(
+          transform(idx, p =>
+            when(!maskedAt(p, col("phase")),
+              element_at(col("__toks"), (p + 1L).cast("int")))
+              .when(pmod(p - col("phase"), lit(stride.toLong)) === 0L,
+                concat(lit("<extra_id_"),
+                  ordinalAt(p, col("phase")).cast("string"), lit(">")))),
+          t => t.isNotNull), " ")).otherwise(lit("")))
+      .withColumn("target", when(col("n_tokens") > 0, array_join(
+        filter(
+          transform(idx, p =>
+            when(maskedAt(p, col("phase")) &&
+              pmod(p - col("phase"), lit(stride.toLong)) === 0L,
+              concat(lit("<extra_id_"),
+                ordinalAt(p, col("phase")).cast("string"), lit("> "),
+                element_at(col("__toks"), (p + 1L).cast("int"))))
+              .when(maskedAt(p, col("phase")),
+                element_at(col("__toks"), (p + 1L).cast("int")))),
+          t => t.isNotNull), " ")).otherwise(lit("")))
+    withCols.select(col("id"), col("n_tokens"),
+      lit(stride.toLong).as("stride"), col("phase"),
+      col("n_masked"), col("n_spans"), col("corrupted"), col("target"))
+  }
 }

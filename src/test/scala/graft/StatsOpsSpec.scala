@@ -1962,6 +1962,40 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("not in alphabet"))
   }
 
+  test("spanCorruption: reconstruction identity, grid ratio, determinism") {
+    val text = (0 until 50).map(i => s"a$i").mkString(" ")
+    val docs = Seq((7L, text), (8L, text)).toDF("doc_id", "text")
+    val rows = graft.ops.Packing.spanCorruptionPlan(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val r = rows(7L)
+    assert(r.getAs[Long]("n_tokens") === 50L)
+    assert(r.getAs[Long]("stride") === 20L)
+    // spans sit on the stride grid: ~3 tokens per 20, honest tail
+    assert(r.getAs[Long]("n_masked") >= 6L && r.getAs[Long]("n_masked") <= 9L)
+    assert(r.getAs[Long]("n_spans") >= 2L && r.getAs[Long]("n_spans") <= 3L)
+    // RECONSTRUCTION: splice each target span over its sentinel → original
+    def spans(target: String): Map[String, Seq[String]] = {
+      val parts = target.split("(?=<extra_id_\\d+>)").filter(_.nonEmpty)
+      parts.map { p =>
+        val toks = p.trim.split(" ")
+        toks.head -> toks.tail.toSeq
+      }.toMap
+    }
+    val sp = spans(r.getAs[String]("target"))
+    val rebuilt = r.getAs[String]("corrupted").split(" ").flatMap { t =>
+      if (t.startsWith("<extra_id_")) sp(t) else Seq(t)
+    }
+    assert(rebuilt.toSeq === (0 until 50).map(i => s"a$i"))
+    // corrupted + target partition the tokens exactly
+    assert((50L - r.getAs[Long]("n_masked")) ===
+      r.getAs[String]("corrupted").split(" ")
+        .count(!_.startsWith("<extra_id_")).toLong)
+    // per-doc phases differ by id; same id → identical output on rerun
+    val again = graft.ops.Packing.spanCorruptionPlan(docs).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[String]("corrupted")).toMap
+    assert(again(7L) === r.getAs[String]("corrupted"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
