@@ -8007,6 +8007,19 @@ object OracleSql {
       n_masked, n_spans, corrupted, target
     FROM m"""
 
+  /** Pseudonymization — q319. The identical column-salted sha-256
+    * derivation (both engines emit lowercase hex); mirrors
+    * Privacy.pseudonymize at tokenLen 32. */
+  private val q319 = """
+    SELECT c_custkey,
+      CASE WHEN c_name IS NOT NULL THEN
+        substr(sha256('graft-test-secret:c_name:' || c_name), 1, 32) END
+        AS c_name,
+      CASE WHEN c_mktsegment IS NOT NULL THEN
+        substr(sha256('graft-test-secret:c_mktsegment:' || c_mktsegment),
+          1, 32) END AS c_mktsegment
+    FROM customer"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8341,6 +8354,7 @@ object OracleSql {
     "q315_median_polish"    -> q315,
     "q316_transition_perf"  -> q316,
     "q317_trace_conformance" -> q317,
-    "q318_span_corruption"  -> q318
+    "q318_span_corruption"  -> q318,
+    "q319_pseudonymize"     -> q319
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4670,6 +4670,15 @@ object SparkEntry {
     graft.ops.Packing.spanCorruptionPlan(
       t(s, dir, "documents").select(col("doc_id"), col("text")))
 
+  /** Keyed pseudonymization ([[graft.ops.Privacy.pseudonymize]]):
+    * customer name/phone replaced by column-salted sha-256 tokens —
+    * joinable, deterministic, secret-gated. */
+  private def q319Pseudonymize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.pseudonymize(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment")),
+      Seq("c_name", "c_mktsegment"), secret = "graft-test-secret")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4988,7 +4997,8 @@ object SparkEntry {
     "q315_median_polish"    -> q315MedianPolish _,
     "q316_transition_perf"  -> q316TransitionPerf _,
     "q317_trace_conformance" -> q317TraceConformance _,
-    "q318_span_corruption"  -> q318SpanCorruption _
+    "q318_span_corruption"  -> q318SpanCorruption _,
+    "q319_pseudonymize"     -> q319Pseudonymize _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -591,4 +591,86 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** MMR diversity re-ranking (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the RAG/search post-processor: a top-N retrieval
+    * list re-ordered so each pick balances RELEVANCE against REDUNDANCY
+    * with what's already picked, `argmax λ·rel(d) − (1−λ)·max_cos(d,
+    * picked)`. Ten near-identical top hits become one hit plus nine
+    * diverse ones — what the context window actually wants.
+    *
+    * The candidate list is a RESULT list (top-N-bounded by contract —
+    * `maxCandidates` fails loudly); candidates collect to the driver
+    * and the greedy loop runs there (the bins/edges bounded-collect
+    * class — k·N cosine evaluations over an N-row frame, never the
+    * corpus). Deterministic: ties break by id ASC; doubles compare on
+    * a strict `>` so the first-in-order argmax wins.
+    *
+    * NO SQL ORACLE by design (a sequential greedy argmax has no fixed
+    * CTE unroll); the spec pins a hand-traced pick order where pure
+    * relevance and MMR disagree.
+    *
+    * Output: `(id, rank, relevance, redundancy)` — `redundancy` = the
+    * max cosine against previously picked items at pick time (0 for
+    * the first pick). */
+  def mmrRerank(candidates: DataFrame, idCol: String, relCol: String,
+                embCol: String = "embedding", k: Int = 10,
+                lambda: Double = 0.7,
+                maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda in [0, 1], got $lambda")
+    val spark = candidates.sparkSession
+    val rows = candidates
+      .select(col(idCol).cast("string").as("id"),
+        col(relCol).cast("double").as("rel"),
+        col(embCol).cast("array<double>").as("emb"))
+      .filter(col("rel").isNotNull && col("emb").isNotNull)
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank: more than $maxCandidates candidates — MMR re-ranks " +
+        "RESULT lists; cut the retriever's N first")
+    val cand = rows.map { r =>
+      (r.getString(0), r.getDouble(1), r.getSeq[Double](2).toArray)
+    }.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na > 0 && nb > 0) dot / math.sqrt(na) / math.sqrt(nb) else 0.0
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double)] // (id, rel, redundancy)
+    val pickedEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c): _*)
+    while (picked.size < math.min(k, cand.length) && remaining.nonEmpty) {
+      var best: (String, Double, Double) = null
+      var bestScore = Double.NegativeInfinity
+      for ((_, (id, rel, emb)) <- remaining) {
+        val red =
+          if (pickedEmb.isEmpty) 0.0
+          else pickedEmb.map(pe => cos(emb, pe)).max
+        val score = lambda * rel - (1.0 - lambda) * red
+        if (score > bestScore) { bestScore = score; best = (id, rel, red) }
+      }
+      picked += best
+      pickedEmb += remaining(best._1)._3
+      remaining.remove(best._1)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("relevance", DoubleType, nullable = false),
+      StructField("redundancy", DoubleType, nullable = false)))
+    val out = picked.zipWithIndex.map { case ((id, rel, red), i) =>
+      org.apache.spark.sql.Row(id, (i + 1).toLong, r6(rel), r6(red))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
 }

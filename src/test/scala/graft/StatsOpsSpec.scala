@@ -1996,6 +1996,43 @@ class StatsOpsSpec extends SparkSpec {
     assert(again(7L) === r.getAs[String]("corrupted"))
   }
 
+  test("pseudonymize: deterministic, column-salted, joinable, NULL-safe") {
+    val df = Seq((1L, Some("alice"), Some("alice")),
+      (2L, Some("alice"), Some("bob")), (3L, None, Some("alice")))
+      .toDF("id", "name", "alias")
+    val got = Privacy.pseudonymize(df, Seq("name", "alias"), "sec")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("name")), Option(r.getAs[String]("alias")))))
+      .toMap
+    // same value, same column → same token (joinability)
+    assert(got(1L)._1 === got(2L)._1)
+    // same value, DIFFERENT column → different token (column salt)
+    assert(got(1L)._1 !== got(1L)._2)
+    // NULL stays NULL; tokens are 32 hex chars, never the raw value
+    assert(got(3L)._1.isEmpty)
+    assert(got(1L)._1.get.length === 32)
+    assert(got(1L)._1.get.matches("[0-9a-f]{32}"))
+  }
+
+  test("mmrRerank: diversity beats a duplicate, redundancy reported") {
+    // A and B are identical vectors; pure relevance would pick B second,
+    // MMR at λ=0.7 picks the orthogonal C instead
+    val cands = Seq(
+      ("A", 0.9, Seq(1.0, 0.0)), ("B", 0.8, Seq(1.0, 0.0)),
+      ("C", 0.5, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "embedding")
+    val got = graft.ops.Similarity.mmrRerank(cands, "id", "rel", k = 3)
+      .collect().map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[String]("id"), r.getAs[Double]("redundancy")))).toMap
+    assert(got(1L) === (("A", 0.0)))
+    assert(got(2L)._1 === "C") // 0.35 beats B's 0.56 − 0.3·1.0 = 0.26
+    assert(got(3L) === (("B", 1.0))) // the duplicate, flagged as such
+    // determinism: rerun identical
+    val again = graft.ops.Similarity.mmrRerank(cands, "id", "rel", k = 3)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(again === Seq("A", "C", "B"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
