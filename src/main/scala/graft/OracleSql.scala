@@ -8020,6 +8020,33 @@ object OracleSql {
           1, 32) END AS c_mktsegment
     FROM customer"""
 
+  /** Win matrix — q320. Canonical pair orientation, exact counts, the
+    * frozen-z Wilson interval; mirrors Experiment.winMatrix. */
+  private val q320 = """
+    WITH g AS (SELECT 'm' || CAST(o_custkey % 5 AS VARCHAR) AS a,
+        'm' || CAST(o_orderkey % 5 AS VARCHAR) AS b,
+        o_totalprice AS v
+      FROM orders),
+    g2 AS (SELECT least(a, b) AS item_a, greatest(a, b) AS item_b,
+        CASE WHEN v > 150000.0 THEN a ELSE b END AS w
+      FROM g WHERE a <> b),
+    c AS (SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_games,
+        CAST(sum(CASE WHEN w = item_a THEN 1 ELSE 0 END) AS BIGINT)
+          AS wins_a
+      FROM g2 GROUP BY 1, 2),
+    d AS (SELECT *, CAST(n_games AS DOUBLE) AS nD,
+        CAST(wins_a AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+        1.959963985 AS z FROM c),
+    e AS (SELECT *, 1.0 + z * z / nD AS denom,
+        (p + z * z / (2.0 * nD)) / (1.0 + z * z / nD) AS center,
+        z * sqrt(p * (1.0 - p) / nD + z * z / (4.0 * nD * nD)) /
+          (1.0 + z * z / nD) AS half
+      FROM d)
+    SELECT item_a, item_b, n_games, wins_a, round(p, 6) AS rate_a,
+      round(center - half, 6) AS wilson_lo,
+      round(center + half, 6) AS wilson_hi
+    FROM e"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8355,6 +8382,7 @@ object OracleSql {
     "q316_transition_perf"  -> q316,
     "q317_trace_conformance" -> q317,
     "q318_span_corruption"  -> q318,
-    "q319_pseudonymize"     -> q319
+    "q319_pseudonymize"     -> q319,
+    "q320_win_matrix"       -> q320
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4679,6 +4679,22 @@ object SparkEntry {
         col("c_mktsegment")),
       Seq("c_name", "c_mktsegment"), secret = "graft-test-secret")
 
+  /** Win matrix ([[graft.ops.Experiment.winMatrix]]): synthesized
+    * head-to-head "matches" between five models — exact pair counts,
+    * Wilson 95% intervals on each win rate. */
+  private def q320WinMatrix(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      concat(lit("m"), (col("o_custkey") % 5).cast("string")).as("a"),
+      concat(lit("m"), (col("o_orderkey") % 5).cast("string")).as("b"),
+      col("o_totalprice"))
+      .filter(col("a") =!= col("b"))
+    graft.ops.Experiment.winMatrix(
+      o.select(col("a"), col("b"),
+        when(col("o_totalprice") > 150000.0, col("a")).otherwise(col("b"))
+          .as("winner")),
+      "a", "b", "winner")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4998,7 +5014,8 @@ object SparkEntry {
     "q316_transition_perf"  -> q316TransitionPerf _,
     "q317_trace_conformance" -> q317TraceConformance _,
     "q318_span_corruption"  -> q318SpanCorruption _,
-    "q319_pseudonymize"     -> q319Pseudonymize _
+    "q319_pseudonymize"     -> q319Pseudonymize _,
+    "q320_win_matrix"       -> q320WinMatrix _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

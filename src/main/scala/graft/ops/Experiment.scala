@@ -873,6 +873,125 @@ object Experiment {
       when(ok, round(nNeeded, 2)).as("n_needed"))): _*)
   }
 
+  /** Pairwise win matrix with Wilson intervals — the raw material of
+    * every head-to-head evaluation (model-arena judgments, A/B/n
+    * preference tests, ranker interleaving): per unordered pair the
+    * game count, A's win rate, and the Wilson 95% interval that says
+    * whether 7-of-10 means anything. [[bradleyTerry]] condenses this
+    * matrix into one strength per item; read the matrix first — a
+    * non-transitive cycle is invisible in the strengths.
+    *
+    * Exactness: counts exact; `item_a < item_b` canonical orientation
+    * (winner ties to a side deterministically); rate and the Wilson
+    * bounds are the [[graft.ops.Classifier.calibrationReport]] formula
+    * verbatim (frozen z = 1.959963985), fixed-operand-order doubles at
+    * 6 dp. Self-matches fail LOUDLY (an item can't beat itself; that's
+    * a data bug); winners matching neither side likewise.
+    *
+    * Output per pair: `(item_a, item_b, n_games, wins_a, rate_a,
+    * wilson_lo, wilson_hi)`.
+    *
+    * == 100 TB shape ==
+    * One map-side-combined pair agg — single scan, pair-enum output. */
+  def winMatrix(games: DataFrame, aCol: String, bCol: String,
+                winnerCol: String): DataFrame = {
+    val a0 = col(aCol).cast("string"); val b0 = col(bCol).cast("string")
+    val w0 = col(winnerCol).cast("string")
+    val base = games
+      .filter(a0.isNotNull && b0.isNotNull && w0.isNotNull)
+      .select(least(a0, b0).as("item_a"), greatest(a0, b0).as("item_b"),
+        when(a0 === b0, raise_error(concat(
+          lit("winMatrix: self-match on "), a0)).cast("string"))
+          .otherwise(when(w0 === a0 || w0 === b0, w0)
+            .otherwise(raise_error(concat(
+              lit("winMatrix: winner matches neither side: "), w0))
+              .cast("string"))).as("__w"))
+    val counts = base.groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_games"),
+        sum(when(col("__w") === col("item_a"), 1L).otherwise(0L))
+          .as("wins_a"))
+    val z = lit(graft.ops.Classifier.WilsonZ)
+    val nD = col("n_games").cast("double")
+    val p = col("wins_a").cast("double") / nD
+    val denom = lit(1.0) + z * z / nD
+    val center = (p + z * z / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      z * z / (lit(4.0) * nD * nD)) / denom
+    counts.select(col("item_a"), col("item_b"), col("n_games"),
+      col("wins_a"), round(p, 6).as("rate_a"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
+  /** Bradley–Terry strengths — one number per item from pairwise
+    * outcomes (the arena-leaderboard model: P(i beats j) =
+    * pᵢ/(pᵢ+pⱼ)), fit by the classic MM iteration over the ITEM-PAIR
+    * count frame (items are an enum — loud `maxItems`; the distributed
+    * work is [[winMatrix]]'s one aggregation, the recurrence folds the
+    * bounded frame on the driver deterministically: sorted item order,
+    * fixed `iterations`, uniform init, Σp normalized to the item count
+    * each round). Items with zero wins or zero losses sit at the
+    * boundary — their strengths clamp rather than diverge (stated; add
+    * a pseudo-game prior upstream if that offends).
+    *
+    * NO SQL ORACLE by design (an MM fixpoint has no fixed CTE unroll);
+    * the spec pins the closed-form 2-item case (strength ratio = win
+    * ratio) and ordering on a dominance chain.
+    *
+    * Output per item: `(item, n_wins, n_games, strength, rank)`. */
+  def bradleyTerry(games: DataFrame, aCol: String, bCol: String,
+                   winnerCol: String, iterations: Int = 200,
+                   maxItems: Int = 10000): DataFrame = {
+    require(iterations >= 1, "bradleyTerry: iterations must be >= 1")
+    val spark = games.sparkSession
+    val m = winMatrix(games, aCol, bCol, winnerCol)
+      .select(col("item_a"), col("item_b"), col("n_games"), col("wins_a"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val items = m.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    require(items.length <= maxItems,
+      s"bradleyTerry: ${items.length} items > maxItems=$maxItems")
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    val wins = new Array[Double](k)
+    val pairs = m.map { case (a, b, n, wa) =>
+      wins(idx(a)) += wa.toDouble; wins(idx(b)) += (n - wa).toDouble
+      (idx(a), idx(b), n.toDouble)
+    }
+    var p = Array.fill(k)(1.0)
+    for (_ <- 1 to iterations) {
+      val denom = new Array[Double](k)
+      for ((i, j, n) <- pairs) {
+        val d = n / (p(i) + p(j))
+        denom(i) += d; denom(j) += d
+      }
+      val next = Array.tabulate(k)(i =>
+        if (denom(i) > 0) math.max(wins(i) / denom(i), 1e-9) else p(i))
+      val s = next.sum
+      p = if (s > 0) next.map(_ * k / s) else next
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val games2 = new Array[Long](k)
+    m.foreach { case (a, b, n, _) =>
+      games2(idx(a)) += n; games2(idx(b)) += n
+    }
+    val ranked = items.indices.sortBy(i => (-p(i), items(i)))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("n_wins", LongType, nullable = false),
+      StructField("n_games", LongType, nullable = false),
+      StructField("strength", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    val rows = ranked.zipWithIndex.map { case (i, r) =>
+      org.apache.spark.sql.Row(items(i), wins(i).toLong, games2(i),
+        r6(p(i)), (r + 1).toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Coarsened exact matching (CEM, Iacus/King/Porro) — the matching
     * step BEFORE an observational estimate: bin the covariates (the
     * caller passes already-coarsened columns — bin width is a domain

@@ -2033,6 +2033,52 @@ class StatsOpsSpec extends SparkSpec {
     assert(again === Seq("A", "C", "B"))
   }
 
+  test("winMatrix: hand counts, Wilson interval, loud guards") {
+    val g = Seq(("A", "B", "A"), ("B", "A", "A"), ("A", "B", "A"),
+      ("A", "B", "B")).toDF("a", "b", "w")
+    val r = Experiment.winMatrix(g, "a", "b", "w").collect().head
+    assert(r.getAs[String]("item_a") === "A")
+    assert(r.getAs[Long]("n_games") === 4L && r.getAs[Long]("wins_a") === 3L)
+    assert(r.getAs[Double]("rate_a") === 0.75)
+    val z = 1.959963985; val n = 4.0; val p = 0.75
+    val den = 1.0 + z * z / n
+    val center = (p + z * z / (2.0 * n)) / den
+    assert(math.abs(r.getAs[Double]("wilson_lo") -
+      (center - z * math.sqrt(p * 0.25 / n + z * z / (4 * n * n)) / den))
+      < 1e-6)
+    val self = intercept[Exception] {
+      Experiment.winMatrix(Seq(("A", "A", "A")).toDF("a", "b", "w"),
+        "a", "b", "w").collect()
+    }
+    assert(self.getMessage.contains("self-match"))
+    val stranger = intercept[Exception] {
+      Experiment.winMatrix(Seq(("A", "B", "C")).toDF("a", "b", "w"),
+        "a", "b", "w").collect()
+    }
+    assert(stranger.getMessage.contains("neither side"))
+  }
+
+  test("bradleyTerry: closed-form 2-item ratio, dominance chain order") {
+    // A beats B 3:1 → strengths normalize to 1.5 / 0.5 (ratio = win ratio)
+    val g = Seq(("A", "B", "A"), ("A", "B", "A"), ("A", "B", "A"),
+      ("A", "B", "B")).toDF("a", "b", "w")
+    val got = Experiment.bradleyTerry(g, "a", "b", "w").collect()
+      .map(r => r.getAs[String]("item") ->
+        ((r.getAs[Double]("strength"), r.getAs[Long]("rank")))).toMap
+    assert(math.abs(got("A")._1 - 1.5) < 1e-4)
+    assert(math.abs(got("B")._1 - 0.5) < 1e-4)
+    assert(got("A")._2 === 1L && got("B")._2 === 2L)
+    // dominance chain A>B>C orders strengths monotonically
+    val chain = Seq(("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
+      ("B", "C", "B"), ("B", "C", "B"), ("B", "C", "C"),
+      ("A", "C", "A"), ("A", "C", "A"), ("A", "C", "C"))
+      .toDF("a", "b", "w")
+    val s = Experiment.bradleyTerry(chain, "a", "b", "w").collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Double]("strength"))
+      .toMap
+    assert(s("A") > s("B") && s("B") > s("C"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
