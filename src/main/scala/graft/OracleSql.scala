@@ -8047,6 +8047,47 @@ object OracleSql {
       round(center + half, 6) AS wilson_hi
     FROM e"""
 
+  /** Sentence chunks — q321. The q138 sentence machinery (no salt),
+    * whitespace token counts, the cumulative-grid chunk assignment;
+    * mirrors Packing.sentenceChunks at maxTokens 16. */
+  private val q321 = {
+    val chain0 = "regexp_replace(regexp_replace(t, " +
+      "'e\\.g\\.', 'e' || chr(1) || 'g' || chr(1), 'g'), " +
+      "'i\\.e\\.', 'i' || chr(1) || 'e' || chr(1), 'g')"
+    val abbrChain = graft.ops.TextAnalysis.Abbrevs.foldLeft(chain0) {
+      (e, a) => s"regexp_replace($e, '\\b$a\\.', '$a' || chr(1), 'g')"
+    }
+    val marked = s"regexp_replace(regexp_replace($abbrChain, " +
+      "'([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'), " +
+      "'([.!?]+)\\s+', '\\1' || chr(2), 'g')"
+    s"""
+    WITH d AS (SELECT doc_id AS id,
+        regexp_replace(coalesce(text, ''), '((\\S+ ){8})', '\\1. ', 'g')
+          AS t
+      FROM documents),
+    m AS (SELECT id, string_split($marked, chr(2)) AS parts FROM d),
+    x AS (SELECT id, unnest(list_transform(range(1, len(parts) + 1),
+        i -> {'idx': i - 1, 's': parts[i]})) AS e
+      FROM m),
+    r AS (SELECT id, e.idx AS raw_idx,
+        trim(regexp_replace(e.s, chr(1), '.', 'g')) AS sentence
+      FROM x),
+    f AS (SELECT id, sentence,
+        row_number() OVER (PARTITION BY id ORDER BY raw_idx) - 1
+          AS sent_idx,
+        CAST(len(string_split_regex(sentence, '\\s+')) AS BIGINT) AS tok
+      FROM r WHERE sentence <> ''),
+    a AS (SELECT *,
+        sum(tok) OVER (PARTITION BY id ORDER BY sent_idx
+          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM f)
+    SELECT id, (cum - tok) // 16 AS chunk_id,
+      CAST(count(*) AS BIGINT) AS n_sentences,
+      sum(tok)::BIGINT AS n_tokens,
+      string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+    FROM a GROUP BY id, (cum - tok) // 16"""
+  }
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8383,6 +8424,7 @@ object OracleSql {
     "q317_trace_conformance" -> q317,
     "q318_span_corruption"  -> q318,
     "q319_pseudonymize"     -> q319,
-    "q320_win_matrix"       -> q320
+    "q320_win_matrix"       -> q320,
+    "q321_sentence_chunks"  -> q321
   ).map { case (k, v) => k -> clean(v) }
 }

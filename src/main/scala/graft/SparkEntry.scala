@@ -4695,6 +4695,18 @@ object SparkEntry {
       "a", "b", "winner")
   }
 
+  /** Sentence-aligned chunks ([[graft.ops.Packing.sentenceChunks]]):
+    * documents cut into ~16-token chunks at sentence boundaries — the
+    * RAG chunker that never splits a thought. */
+  private def q321SentenceChunks(s: SparkSession, dir: String): DataFrame =
+    // the synthetic documents carry no punctuation — salt a period every
+    // 8 words so the sentence splitter has real boundaries to respect
+    graft.ops.Packing.sentenceChunks(
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(coalesce(col("text"), lit("")),
+          "((\\S+ ){8})", "$1. ").as("text")),
+      maxTokens = 16)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5015,7 +5027,8 @@ object SparkEntry {
     "q317_trace_conformance" -> q317TraceConformance _,
     "q318_span_corruption"  -> q318SpanCorruption _,
     "q319_pseudonymize"     -> q319Pseudonymize _,
-    "q320_win_matrix"       -> q320WinMatrix _
+    "q320_win_matrix"       -> q320WinMatrix _,
+    "q321_sentence_chunks"  -> q321SentenceChunks _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -150,6 +150,47 @@ object Packing {
           .as("chunk_text"): _*)
   }
 
+  /** Sentence-aligned chunking — the RAG-preferred chunker
+    * ([[chunkDocuments]] cuts at raw token offsets and splits sentences
+    * mid-thought; retrieval quality wants chunk boundaries at SENTENCE
+    * boundaries): sentences segment via [[TextAnalysis.splitSentences]]
+    * (the rule-based, engine-portable splitter), then assign each
+    * sentence to chunk `⌊tokens-before / maxTokens⌋` — boundaries land
+    * at the first sentence crossing each `maxTokens` multiple, so
+    * chunks run ≈ `maxTokens` and a sentence NEVER splits (an oversized
+    * single sentence exceeds the budget alone, stated — this is
+    * assignment on the cumulative grid, deliberately not a stateful
+    * greedy reset, which is what keeps it one window instead of a
+    * sequential fold).
+    *
+    * Output per chunk: `(id, chunk_id, n_sentences, n_tokens,
+    * chunk_text)` — whitespace-token counts, sentences joined by one
+    * space in order.
+    *
+    * == 100 TB shape ==
+    * Row-local sentence split/explode, ONE doc-partitioned cumulative
+    * window, one (doc, chunk) agg with a deterministic in-array sort.
+    * No global windows, no driver state. */
+  def sentenceChunks(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     maxTokens: Int = 64): DataFrame = {
+    require(maxTokens >= 1, s"sentenceChunks: maxTokens >= 1, got $maxTokens")
+    val sents = TextAnalysis.sentences(
+      docs.select(col(idCol).as("id"), col(textCol)), textCol, Seq("id"))
+      .withColumn("__tok", size(split(col("sentence"), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sent_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val assigned = sents
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("chunk_id", expr(s"(__cum - __tok) DIV $maxTokens"))
+    assigned.groupBy(col("id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__tok")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          x => x.getField("sentence")), " ").as("chunk_text"))
+  }
+
   /** T5/UL2-style span-corruption pair construction — the denoising-
     * objective data step ([[packSequences]] packs tokens; this builds
     * the (corrupted input, target) TRAINING PAIRS): mask ~`ratioPermille`

@@ -2079,6 +2079,21 @@ class StatsOpsSpec extends SparkSpec {
     assert(s("A") > s("B") && s("B") > s("C"))
   }
 
+  test("sentenceChunks: boundary math, sentences never split, big sentence") {
+    val docs = Seq((1L, "a b c. d e f. g h i. j k")).toDF("doc_id", "text")
+    val got = graft.ops.Packing.sentenceChunks(docs, maxTokens = 6)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk_text")))).toMap
+    assert(got(0L) === ((2L, 6L, "a b c. d e f.")))
+    assert(got(1L) === ((2L, 5L, "g h i. j k")))
+    // a sentence larger than the budget stays whole — never split
+    val big = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val b = graft.ops.Packing.sentenceChunks(big, maxTokens = 4).collect()
+    assert(b.length === 1 && b.head.getAs[Long]("n_tokens") === 10L)
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
