@@ -8088,6 +8088,37 @@ object OracleSql {
     FROM a GROUP BY id, (cum - tok) // 16"""
   }
 
+  /** IPW ATE — q322. Clipped propensities, ×10⁹ integer weights from
+    * the same doubles, exact HUGEINT weighted sums; mirrors
+    * Experiment.ipwEstimate at clip 10‰. */
+  private val q322 = """
+    WITH r AS (SELECT (o_custkey % 2 = 0) AS t,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        (o_orderkey % 100) / 100.0 AS p0
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+    w AS (SELECT *, least(greatest(p0, 0.01), 0.99) AS p FROM r),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        CAST(sum(CASE WHEN p0 < 0.01 OR p0 > 0.99 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_clipped,
+        sum(CASE WHEN t THEN
+          CAST(round(1e9 / p) AS BIGINT)::HUGEINT * y ELSE 0 END)
+          ::HUGEINT AS st,
+        sum(CASE WHEN NOT t THEN
+          CAST(round(1e9 / (1.0 - p)) AS BIGINT)::HUGEINT * y ELSE 0 END)
+          ::HUGEINT AS sc
+      FROM w),
+    m AS (SELECT *,
+        CAST(st AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) / 100.0 AS mt,
+        CAST(sc AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) / 100.0 AS mc
+      FROM agg)
+    SELECT n, n_treated, n_clipped,
+      CASE WHEN n > 0 THEN round(mt, 6) END AS mean_treated_ipw,
+      CASE WHEN n > 0 THEN round(mc, 6) END AS mean_ctrl_ipw,
+      CASE WHEN n > 0 THEN round(mt - mc, 6) END AS ate
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8425,6 +8456,7 @@ object OracleSql {
     "q318_span_corruption"  -> q318,
     "q319_pseudonymize"     -> q319,
     "q320_win_matrix"       -> q320,
-    "q321_sentence_chunks"  -> q321
+    "q321_sentence_chunks"  -> q321,
+    "q322_ipw"              -> q322
   ).map { case (k, v) => k -> clean(v) }
 }

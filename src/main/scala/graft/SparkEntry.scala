@@ -4707,6 +4707,17 @@ object SparkEntry {
           "((\\S+ ){8})", "$1. ").as("text")),
       maxTokens = 16)
 
+  /** IPW ATE ([[graft.ops.Experiment.ipwEstimate]]): the even/odd split
+    * reweighted by a key-derived propensity — ×10⁹ integer weights,
+    * clipped extremes counted. */
+  private def q322Ipw(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.ipwEstimate(
+      t(s, dir, "orders").select(
+        (col("o_custkey") % 2 === 0).as("treated"),
+        col("o_totalprice"),
+        ((col("o_orderkey") % 100) / 100.0).as("p")),
+      "treated", "o_totalprice", "p")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5028,7 +5039,8 @@ object SparkEntry {
     "q318_span_corruption"  -> q318SpanCorruption _,
     "q319_pseudonymize"     -> q319Pseudonymize _,
     "q320_win_matrix"       -> q320WinMatrix _,
-    "q321_sentence_chunks"  -> q321SentenceChunks _
+    "q321_sentence_chunks"  -> q321SentenceChunks _,
+    "q322_ipw"              -> q322Ipw _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

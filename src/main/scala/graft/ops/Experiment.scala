@@ -992,6 +992,63 @@ object Experiment {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Inverse-propensity-weighted ATE (Horvitz–Thompson) — the third leg
+    * of the observational tier: [[cemMatch]] matches on coarsened bins,
+    * [[did]] needs a time axis; IPW reweights by a caller-supplied
+    * propensity score `p = P(treated | x)` so the treated and control
+    * averages each estimate the WHOLE population's potential outcome:
+    * `ATE = Σ tᵢyᵢ/pᵢ/n − Σ (1−tᵢ)yᵢ/(1−pᵢ)/n`. The propensity model
+    * is the caller's (stated); this is the estimator, exactly.
+    *
+    * Exactness: weights quantize to the ×10⁹ grid
+    * (`w_fx = round(1e9/p)` — deterministic from the same propensity
+    * doubles on both engines), outcomes to cents, and every sum is an
+    * exact DECIMAL(38) integer — order-free; the final means are single
+    * divisions. Propensities outside `[clip, 1−clip]` CLIP to the
+    * bound (Crump-style trimming is the alternative; clipping keeps n
+    * honest) and the output counts how many clipped — silent extreme
+    * weights are how IPW lies.
+    *
+    * Output one row: `(n, n_treated, n_clipped, mean_treated_ipw,
+    * mean_ctrl_ipw, ate)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined conditional agg — single scan. */
+  def ipwEstimate(df: DataFrame, treatedCol: String, yCol: String,
+                  propensityCol: String,
+                  clipPermille: Int = 10): DataFrame = {
+    require(clipPermille >= 1 && clipPermille <= 499,
+      s"ipwEstimate: clipPermille in [1, 499], got $clipPermille")
+    val dec = DecimalType(18, 2)
+    val d38 = DecimalType(38, 0)
+    val clip = clipPermille / 1000.0
+    val t = col(treatedCol).cast("boolean")
+    val p0 = col(propensityCol).cast("double")
+    val p = least(greatest(p0, lit(clip)), lit(1.0 - clip))
+    val y = (col(yCol).cast(dec) * 100).cast("long")
+    // ×10⁹ integer weights from the clipped propensity doubles
+    val wT = round(lit(1e9) / p).cast("long")
+    val wC = round(lit(1e9) / (lit(1.0) - p)).cast("long")
+    val agg = df
+      .filter(t.isNotNull && col(yCol).isNotNull && p0.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(t, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(p0 < clip || p0 > 1.0 - clip, 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(when(t, wT.cast(d38) * y).otherwise(lit(0L).cast(d38)))
+          .as("__st"),
+        sum(when(!t, wC.cast(d38) * y).otherwise(lit(0L).cast(d38)))
+          .as("__sc"))
+    val mt = col("__st").cast("double") / 1e9 /
+      col("n").cast("double") / 100.0
+    val mc = col("__sc").cast("double") / 1e9 /
+      col("n").cast("double") / 100.0
+    agg.select(col("n"), col("n_treated"), col("n_clipped"),
+      when(col("n") > 0, round(mt, 6)).as("mean_treated_ipw"),
+      when(col("n") > 0, round(mc, 6)).as("mean_ctrl_ipw"),
+      when(col("n") > 0, round(mt - mc, 6)).as("ate"))
+  }
+
   /** Coarsened exact matching (CEM, Iacus/King/Porro) — the matching
     * step BEFORE an observational estimate: bin the covariates (the
     * caller passes already-coarsened columns — bin width is a domain

@@ -2094,6 +2094,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(b.length === 1 && b.head.getAs[Long]("n_tokens") === 10L)
   }
 
+  test("ipwEstimate: hand weighted means, clipping counted, RCT sanity") {
+    // p = 0.5 everywhere = a randomized trial: IPW means reduce to
+    // 2·(arm sum)/n — treated {10, 20}, control {30}: mt = 20, mc = 20
+    val rct = Seq((true, 10.0, 0.5), (true, 20.0, 0.5),
+      (false, 30.0, 0.5)).toDF("t", "y", "p")
+    val r = Experiment.ipwEstimate(rct, "t", "y", "p").collect().head
+    assert(r.getAs[Double]("mean_treated_ipw") === 20.0)
+    assert(r.getAs[Double]("mean_ctrl_ipw") === 20.0)
+    assert(r.getAs[Double]("ate") === 0.0)
+    assert(r.getAs[Long]("n_clipped") === 0L)
+    // extreme propensities clip to [0.01, 0.99] and get counted
+    val ext = Seq((true, 10.0, 0.001), (false, 10.0, 0.9995),
+      (true, 10.0, 0.5)).toDF("t", "y", "p")
+    val e = Experiment.ipwEstimate(ext, "t", "y", "p").collect().head
+    assert(e.getAs[Long]("n_clipped") === 2L)
+    // clipped weight = 1e9/0.01 → treated sum uses 100x, never 1000x
+    assert(e.getAs[Double]("mean_treated_ipw") ===
+      BigDecimal((1e11 * 1000 + 2e9 * 1000) / 1e9 / 3.0 / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
