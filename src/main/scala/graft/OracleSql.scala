@@ -8119,6 +8119,53 @@ object OracleSql {
       CASE WHEN n > 0 THEN round(mt - mc, 6) END AS ate
     FROM m"""
 
+  /** Log-rank — q323. Per-time O/E/V on the ×10⁹ HUGEINT grids, the
+    * frozen-χ² exact-integer verdict; mirrors Survival.logRank. */
+  private val q323 = """
+    WITH base AS (SELECT o_orderkey % 50 AS t,
+        CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END AS e,
+        CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+      FROM orders WHERE o_orderkey IS NOT NULL),
+    grid AS (SELECT t,
+        CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        CAST(sum(CASE WHEN g <> 'even' THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+        CAST(sum(CASE WHEN g = 'even' THEN e ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN g <> 'even' THEN e ELSE 0 END) AS BIGINT) AS d2
+      FROM base GROUP BY t),
+    ar AS (SELECT *,
+        (sum(l1) OVER () - coalesce(sum(l1) OVER
+          (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0))::BIGINT AS n1,
+        (sum(l2) OVER () - coalesce(sum(l2) OVER
+          (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0))::BIGINT AS n2
+      FROM grid),
+    kept AS (SELECT *, n1 + n2 AS nt, d1 + d2 AS dt FROM ar
+      WHERE d1 + d2 >= 1 AND n1 + n2 >= 2),
+    folded AS (SELECT
+        CAST(sum(d1) AS BIGINT) AS o_a,
+        sum(dt::HUGEINT * n1 * 1000000000 // nt)::HUGEINT AS e_fx,
+        sum(dt::HUGEINT * n1 * n2 * (nt - dt) * 1000000000
+          // (nt::HUGEINT * nt * (nt - 1)))::HUGEINT AS v_fx
+      FROM kept),
+    counts AS (SELECT
+        CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN g <> 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM base),
+    m AS (SELECT *, o_a::HUGEINT * 1000000000 - e_fx AS diff
+      FROM folded, counts)
+    SELECT 'even' AS group_a, 'odd' AS group_b, n_a, n_b, o_a,
+      CAST(e_fx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(e_fx % 1000000000 AS VARCHAR), 9, '0') AS e_a,
+      round(CAST(e_fx AS DOUBLE) / 1e9, 6) AS e_a_d,
+      CASE WHEN v_fx > 0 THEN round(
+        (CAST(diff AS DOUBLE) / 1e9) * (CAST(diff AS DOUBLE) / 1e9) /
+        (CAST(v_fx AS DOUBLE) / 1e9), 6) END AS chi2,
+      coalesce(CASE WHEN v_fx > 0 THEN
+        diff * diff * 1000000 > v_fx * 3841459::HUGEINT * 1000000000 END,
+        false) AS significant
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8457,6 +8504,7 @@ object OracleSql {
     "q319_pseudonymize"     -> q319,
     "q320_win_matrix"       -> q320,
     "q321_sentence_chunks"  -> q321,
-    "q322_ipw"              -> q322
+    "q322_ipw"              -> q322,
+    "q323_log_rank"         -> q323
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4718,6 +4718,18 @@ object SparkEntry {
         ((col("o_orderkey") % 100) / 100.0).as("p")),
       "treated", "o_totalprice", "p")
 
+  /** Log-rank test ([[graft.ops.Survival.logRank]]): do even- and
+    * odd-customer "lifetimes" churn differently under censoring — exact
+    * O/E/V grids, the frozen-χ² integer verdict. */
+  private def q323LogRank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Survival.logRank(
+      t(s, dir, "orders").select(
+        (col("o_orderkey") % 50).as("dur"),
+        (col("o_totalprice") > 100000.0).cast("int").as("ev"),
+        when(col("o_custkey") % 2 === 0, "even").otherwise("odd")
+          .as("grp")),
+      "dur", "ev", "grp")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5040,7 +5052,8 @@ object SparkEntry {
     "q319_pseudonymize"     -> q319Pseudonymize _,
     "q320_win_matrix"       -> q320WinMatrix _,
     "q321_sentence_chunks"  -> q321SentenceChunks _,
-    "q322_ipw"              -> q322Ipw _
+    "q322_ipw"              -> q322Ipw _,
+    "q323_log_rank"         -> q323LogRank _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

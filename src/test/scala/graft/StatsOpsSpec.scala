@@ -2115,6 +2115,27 @@ class StatsOpsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("logRank: hand O/E/V, singleton risk sets excluded, 2-group guard") {
+    // A: events at t=1,2; B: censored at 1, event at 3 (solo → excluded)
+    // t=1: n=4 d=1 → E=0.5 V=0.25; t=2: n=2 d=1 → E=0.5 V=0.25
+    // O=2, E=1, V=0.5 → χ² = 2.0, not significant
+    val df = Seq(("A", 1L, 1), ("A", 2L, 1), ("B", 1L, 0), ("B", 3L, 1))
+      .toDF("g", "dur", "ev")
+    val r = graft.ops.Survival.logRank(df, "dur", "ev", "g").collect().head
+    assert(r.getAs[String]("group_a") === "A")
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("o_a") === 2L)
+    assert(r.getAs[String]("e_a") === "1.000000000")
+    assert(r.getAs[Double]("chi2") === 2.0)
+    assert(!r.getAs[Boolean]("significant"))
+    val err = intercept[Exception] {
+      graft.ops.Survival.logRank(
+        Seq(("A", 1L, 1), ("B", 1L, 1), ("C", 1L, 1)).toDF("g", "dur", "ev"),
+        "dur", "ev", "g").collect()
+    }
+    assert(err.getMessage.contains("need exactly 2 groups"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
