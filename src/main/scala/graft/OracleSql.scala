@@ -8166,6 +8166,70 @@ object OracleSql {
         false) AS significant
     FROM m"""
 
+  /** McNemar — q324. Concordance cells, discordant χ², exact-integer
+    * frozen-critical verdict; mirrors Experiment.mcnemar. */
+  private val q324 = """
+    WITH r AS (SELECT (o_totalprice > 100000.0) AS a,
+        (o_orderkey % 3 <> 0) AS b
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_both_right,
+        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_only_a,
+        CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_only_b,
+        CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_both_wrong
+      FROM r)
+    SELECT n, n_both_right, n_only_a, n_only_b, n_both_wrong,
+      CASE WHEN n_only_a + n_only_b > 0 THEN round(
+        (CAST(n_only_a AS DOUBLE) - CAST(n_only_b AS DOUBLE)) *
+        (CAST(n_only_a AS DOUBLE) - CAST(n_only_b AS DOUBLE)) /
+        (CAST(n_only_a AS DOUBLE) + CAST(n_only_b AS DOUBLE)), 6) END
+        AS chi2,
+      coalesce(CASE WHEN n_only_a + n_only_b > 0 THEN
+        (n_only_a - n_only_b)::HUGEINT * (n_only_a - n_only_b) * 1000000
+          > (n_only_a + n_only_b)::HUGEINT * 3841459 END, false)
+        AS significant
+    FROM c"""
+
+  /** Spearman — q325. Doubled midranks (2·cum − t + 1) from per-group
+    * grid windows, Pearson over integer double-ranks in HUGEINT;
+    * mirrors Trend.spearman. */
+  private val q325 = """
+    WITH base AS (SELECT o_orderpriority AS g,
+        CAST(o_totalprice AS DOUBLE) AS x,
+        CAST(o_orderkey % 1000 AS DOUBLE) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+    gx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS t FROM base
+      GROUP BY g, x),
+    rx AS (SELECT g, x, 2 * sum(t) OVER (PARTITION BY g ORDER BY x
+        ROWS UNBOUNDED PRECEDING) - t + 1 AS r2x FROM gx),
+    gy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS t FROM base
+      GROUP BY g, y),
+    ry AS (SELECT g, y, 2 * sum(t) OVER (PARTITION BY g ORDER BY y
+        ROWS UNBOUNDED PRECEDING) - t + 1 AS r2y FROM gy),
+    wr AS (SELECT base.g, rx.r2x::BIGINT AS r2x, ry.r2y::BIGINT AS r2y
+      FROM base JOIN rx ON base.g = rx.g AND base.x = rx.x
+        JOIN ry ON base.g = ry.g AND base.y = ry.y),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        sum(r2x)::HUGEINT AS sx, sum(r2y)::HUGEINT AS sy,
+        sum(r2x::HUGEINT * r2x)::HUGEINT AS sxx,
+        sum(r2y::HUGEINT * r2y)::HUGEINT AS syy,
+        sum(r2x::HUGEINT * r2y)::HUGEINT AS sxy
+      FROM wr GROUP BY g)
+    SELECT g AS o_orderpriority, n,
+      CASE WHEN n >= 2
+          AND CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) > 0.0
+          AND CAST(n::HUGEINT * syy - sy * sy AS DOUBLE) > 0.0 THEN
+        round(CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE) /
+          sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) *
+            CAST(n::HUGEINT * syy - sy * sy AS DOUBLE)), 6) END AS rho
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8505,6 +8569,8 @@ object OracleSql {
     "q320_win_matrix"       -> q320,
     "q321_sentence_chunks"  -> q321,
     "q322_ipw"              -> q322,
-    "q323_log_rank"         -> q323
+    "q323_log_rank"         -> q323,
+    "q324_mcnemar"          -> q324,
+    "q325_spearman"         -> q325
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4730,6 +4730,25 @@ object SparkEntry {
           .as("grp")),
       "dur", "ev", "grp")
 
+  /** McNemar's test ([[graft.ops.Experiment.mcnemar]]): two key-derived
+    * "models" judged on the same orders — discordant-pair χ², exact
+    * integer verdict. */
+  private def q324Mcnemar(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.mcnemar(
+      t(s, dir, "orders").select(
+        (col("o_totalprice") > 100000.0).as("a_right"),
+        (col("o_orderkey") % 3 =!= 0).as("b_right")),
+      "a_right", "b_right")
+
+  /** Spearman ρ ([[graft.ops.Trend.spearman]]): monotone association of
+    * order value and a key-derived metric per priority — doubled
+    * midranks, exact moments. */
+  private def q325Spearman(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.spearman(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        col("o_totalprice"), (col("o_orderkey") % 1000).as("k")),
+      "o_totalprice", "k", Seq("o_orderpriority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5053,7 +5072,9 @@ object SparkEntry {
     "q320_win_matrix"       -> q320WinMatrix _,
     "q321_sentence_chunks"  -> q321SentenceChunks _,
     "q322_ipw"              -> q322Ipw _,
-    "q323_log_rank"         -> q323LogRank _
+    "q323_log_rank"         -> q323LogRank _,
+    "q324_mcnemar"          -> q324Mcnemar _,
+    "q325_spearman"         -> q325Spearman _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

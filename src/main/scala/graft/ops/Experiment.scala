@@ -992,6 +992,51 @@ object Experiment {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** McNemar's test — the PAIRED model comparison ([[winMatrix]] scores
+    * independent head-to-heads; McNemar scores two models on the SAME
+    * examples, which is how model evals actually run): only the
+    * DISCORDANT pairs carry information — `b` = A right where B wrong,
+    * `c` = the reverse — and `χ² = (b−c)²/(b+c)` on 1 df. Two models at
+    * 90% vs 89% accuracy can be decisively different or pure noise;
+    * b vs c is what tells.
+    *
+    * Exactness: the 2×2 concordance cells are exact conditional counts
+    * in ONE agg; χ² is one double expression of exact longs;
+    * `significant` is the EXACT cross-multiplied integer comparison
+    * against the frozen χ²₁(5%) = 3.841459 (×10⁶ — no float in the
+    * verdict); `b + c = 0` (no discordance) → NULL χ², false verdict.
+    * (The plain statistic, no continuity correction — stated; apply CC
+    * upstream by preference.)
+    *
+    * Output one row: `(n, n_both_right, n_only_a, n_only_b,
+    * n_both_wrong, chi2, significant)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined conditional-count agg — single scan. */
+  def mcnemar(df: DataFrame, aCorrectCol: String,
+              bCorrectCol: String): DataFrame = {
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    val agg = df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both_right"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n_both_wrong"))
+    val bb = col("n_only_a").cast("double")
+    val cc = col("n_only_b").cast("double")
+    val disc = col("n_only_a") + col("n_only_b")
+    val diff = col("n_only_a") - col("n_only_b")
+    agg.select(col("n"), col("n_both_right"), col("n_only_a"),
+      col("n_only_b"), col("n_both_wrong"),
+      when(disc > 0L,
+        round((bb - cc) * (bb - cc) / (bb + cc), 6)).as("chi2"),
+      coalesce(when(disc > 0L,
+        diff.cast(DecimalType(38, 0)) * diff * 1000000L >
+          disc.cast(DecimalType(38, 0)) * 3841459L), lit(false))
+        .as("significant"))
+  }
+
   /** Inverse-propensity-weighted ATE (Horvitz–Thompson) — the third leg
     * of the observational tier: [[cemMatch]] matches on coarsened bins,
     * [[did]] needs a time axis; IPW reweights by a caller-supplied

@@ -887,6 +887,67 @@ object Trend {
       .agg(min(col(valCol)).as(out))
   }
 
+  /** Spearman rank correlation — [[correlation]]'s Pearson measures
+    * LINEAR association and one outlier owns it; Spearman measures
+    * MONOTONE association on ranks, the robust default for metric pairs
+    * with heavy tails or nonlinear-but-ordered relationships (latency
+    * vs load, spend vs tenure).
+    *
+    * Exactness — ranks never materialize per row as floats: midranks
+    * come from the per-group distinct-value grid DOUBLED to stay
+    * integer (`2·midrank = 2·cum − t + 1`, the Mann–Whitney algebra),
+    * joined back by value; ρ is then Pearson over exact integer
+    * double-ranks — DECIMAL(38) moments (order-free), one √ of one
+    * division at 6 dp. Tie-heavy data is exact by construction. Groups
+    * with < 2 rows or zero rank variance on either axis → NULL ρ.
+    *
+    * Output per group: `(group…, n, rho)`.
+    *
+    * == 100 TB shape ==
+    * Two grid aggs + two grid-window cumulative sums (per-group
+    * partitioned) + two value joins back + ONE moment agg. Never a
+    * data-sized sort. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "spearman: need >= 1 group column")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((gs :+ col(xCol).cast("double").as("__x")
+        :+ col(yCol).cast("double").as("__y")): _*)
+    def ranks(valCol: String, out: String): DataFrame = {
+      val grid = base.groupBy((gs :+ col(valCol)): _*)
+        .agg(count(lit(1)).as("__t"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(gs: _*).orderBy(col(valCol).asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.withColumn("__cum", sum(col("__t")).over(wCum))
+        // doubled midrank: 2·cum − t + 1 — exact integer under ties
+        .withColumn(out, lit(2L) * col("__cum") - col("__t") + 1L)
+        .select((gs :+ col(valCol) :+ col(out)): _*)
+    }
+    val withRanks = base
+      .join(ranks("__x", "__rx"), groupCols :+ "__x")
+      .join(ranks("__y", "__ry"), groupCols :+ "__y")
+    val m = withRanks.groupBy(gs: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx").cast(d38)).as("__sx"),
+      sum(col("__ry").cast(d38)).as("__sy"),
+      sum(col("__rx").cast(d38) * col("__rx")).as("__sxx"),
+      sum(col("__ry").cast(d38) * col("__ry")).as("__syy"),
+      sum(col("__rx").cast(d38) * col("__ry")).as("__sxy"))
+    val covN = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vxN = (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vyN = (col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    m.select((gs :+ col("n") :+
+      when(col("n") >= 2 && vxN > 0.0 && vyN > 0.0,
+        round(covN / sqrt(vxN * vyN), 6)).as("rho")): _*)
+  }
+
   /** Tukey median polish — the two-way ROBUST decomposition (the EDA
     * classic: rows × columns of a summary table split into row effects +
     * column effects + residuals by alternating MEDIAN sweeps, so one

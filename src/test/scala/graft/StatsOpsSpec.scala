@@ -2136,6 +2136,38 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("need exactly 2 groups"))
   }
 
+  test("mcnemar: discordant cells decide, verdicts both ways, no-discord NULL") {
+    val df = (Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false)))
+      .toDF("a", "b")
+    val r = Experiment.mcnemar(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_only_a") === 4L && r.getAs[Long]("n_only_b") === 1L)
+    assert(r.getAs[Double]("chi2") === 1.8) // 9/5
+    assert(!r.getAs[Boolean]("significant"))
+    val strong = (Seq.fill(20)((true, false)) ++ Seq.fill(2)((false, true)))
+      .toDF("a", "b")
+    val s = Experiment.mcnemar(strong, "a", "b").collect().head
+    assert(s.getAs[Boolean]("significant")) // 18²/22 ≈ 14.7 > 3.84
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val g = Experiment.mcnemar(agree, "a", "b").collect().head
+    assert(g.isNullAt(g.fieldIndex("chi2")))
+    assert(!g.getAs[Boolean]("significant"))
+  }
+
+  test("spearman: monotone 1, inverse -1, nonlinear monotone still 1, NULL") {
+    val up = (1 to 5).map(i => ("g", i.toDouble, (i * i).toDouble))
+      .toDF("grp", "x", "y")
+    assert(Trend.spearman(up, "x", "y", Seq("grp")).collect()
+      .head.getAs[Double]("rho") === 1.0) // Pearson would be < 1 here
+    val down = (1 to 5).map(i => ("g", i.toDouble, (10 - i).toDouble))
+      .toDF("grp", "x", "y")
+    assert(Trend.spearman(down, "x", "y", Seq("grp")).collect()
+      .head.getAs[Double]("rho") === -1.0)
+    val flat = (1 to 4).map(i => ("g", i.toDouble, 7.0)).toDF("grp", "x", "y")
+    val f = Trend.spearman(flat, "x", "y", Seq("grp")).collect().head
+    assert(f.isNullAt(f.fieldIndex("rho")))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
