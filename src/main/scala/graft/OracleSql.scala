@@ -8230,6 +8230,44 @@ object OracleSql {
             CAST(n::HUGEINT * syy - sy * sy AS DOUBLE)), 6) END AS rho
     FROM m"""
 
+  /** Kruskal–Wallis — q326. Pooled doubled midranks, per-arm ×10⁹
+    * HUGEINT-floored Σ R²/n, tie-corrected H in fixed operand order;
+    * mirrors Experiment.kruskalWallis at the 5% χ²₄ = 9.488 verdict. */
+  private val q326 = """
+    WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        o_orderpriority AS g
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    grid AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY v),
+    ranked AS (SELECT v, t,
+        2 * sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t + 1
+          AS r2
+      FROM grid),
+    ties AS (SELECT sum(t * t * t - t)::BIGINT AS tsum FROM ranked),
+    arms AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        sum(r2)::HUGEINT AS R2
+      FROM base JOIN ranked ON base.v = ranked.v GROUP BY g),
+    folded AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(n) AS BIGINT) AS n,
+        sum(R2 * R2 * 1000000000 // (4 * n::HUGEINT))::HUGEINT AS srr_fx
+      FROM arms),
+    m AS (SELECT k, n, srr_fx, ties.tsum,
+        12.0 * (CAST(srr_fx AS DOUBLE) / 1e9) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+          3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        1.0 - CAST(ties.tsum AS DOUBLE) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(n AS DOUBLE)) AS c
+      FROM folded, ties)
+    SELECT k, n,
+      CASE WHEN k >= 2 AND n > k THEN round(h, 6) END AS h,
+      CASE WHEN k >= 2 AND n > k AND c > 0 THEN round(h / c, 6) END
+        AS h_corrected,
+      k - 1 AS df,
+      CASE WHEN k >= 2 AND n > k AND c > 0 AND k - 1 = 4 THEN
+        h / c > 9.488 END AS significant
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8571,6 +8609,7 @@ object OracleSql {
     "q322_ipw"              -> q322,
     "q323_log_rank"         -> q323,
     "q324_mcnemar"          -> q324,
-    "q325_spearman"         -> q325
+    "q325_spearman"         -> q325,
+    "q326_kruskal_wallis"   -> q326
   ).map { case (k, v) => k -> clean(v) }
 }

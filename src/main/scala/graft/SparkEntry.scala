@@ -4749,6 +4749,15 @@ object SparkEntry {
         col("o_totalprice"), (col("o_orderkey") % 1000).as("k")),
       "o_totalprice", "k", Seq("o_orderpriority"))
 
+  /** Kruskal–Wallis ([[graft.ops.Experiment.kruskalWallis]]): order
+    * value across the five priorities, rank-based — the nonparametric
+    * ANOVA twin on exact doubled midranks. */
+  private def q326KruskalWallis(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.kruskalWallis(
+      t(s, dir, "orders").select(col("o_totalprice"),
+        col("o_orderpriority")),
+      "o_totalprice", "o_orderpriority")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5074,7 +5083,8 @@ object SparkEntry {
     "q322_ipw"              -> q322Ipw _,
     "q323_log_rank"         -> q323LogRank _,
     "q324_mcnemar"          -> q324Mcnemar _,
-    "q325_spearman"         -> q325Spearman _
+    "q325_spearman"         -> q325Spearman _,
+    "q326_kruskal_wallis"   -> q326KruskalWallis _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

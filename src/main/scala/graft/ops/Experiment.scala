@@ -992,6 +992,98 @@ object Experiment {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Kruskal–Wallis — [[anovaF]]'s NONPARAMETRIC twin ("did ANY of the
+    * k arms shift the metric", robust to the heavy tails that break the
+    * F-test the way [[mannWhitneyU]] is the robust two-arm form): rank
+    * the pooled values, compare per-arm rank sums,
+    * `H = 12/(N(N+1))·Σ Rᵢ²/nᵢ − 3(N+1)`, tie-corrected by
+    * `C = 1 − Σ(t³−t)/(N³−N)`.
+    *
+    * Exactness: DOUBLED midranks from the pooled distinct-value grid
+    * (`2·midrank = 2·cum − t + 1` — exact integers under ties, the
+    * [[mannWhitneyU]] algebra); per-arm rank sums and the tie masses
+    * are exact; `Σ Rᵢ²/nᵢ` floors per arm on the ×10⁹ grid in exact
+    * BigInt over the collected ARM-SIZED frame (the [[anovaF]] driver
+    * fold, same loud `maxArms`) matching the oracle's HUGEINT floor;
+    * H and the corrected H' are fixed-operand-order doubles of those
+    * integers. The 5% verdict compares H' against the embedded
+    * χ²(df = k−1) table (df ≤ 20; beyond → NULL verdict, stated).
+    *
+    * Output one row: `(k, n, h, h_corrected, df, significant)`.
+    *
+    * == 100 TB shape ==
+    * One pooled grid agg + one grid window + one arm agg; the fold is
+    * an arms-sized collect. Never per-row ranks, never a global sort
+    * of row mass. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String,
+                    maxArms: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        col(groupCol).cast("string").as("__g"))
+    val grid = base.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // pooled grid — distinct-value-sized (the mannWhitneyU note)
+    val ranked = grid
+      .withColumn("__cum", sum(col("__t")).over(wCum))
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__t") + 1L)
+    val ties = ranked.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__T"))
+      .collect().head.getLong(0)
+    val arms = base.join(ranked.select(col("__v"), col("__r2")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("__R2"))
+      .limit(maxArms + 1).collect()
+    require(arms.length <= maxArms,
+      s"kruskalWallis: more than $maxArms groups — enum-arm test")
+    val moments = arms.toSeq.map(r =>
+      (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val k = moments.size.toLong
+    val n = moments.map(_._1).sum
+    // Σ Rᵢ²/nᵢ with R = R2/2: Σ R2ᵢ²·10⁹ / (4nᵢ), floored — exact BigInt
+    val srrFx = moments.map { case (ni, r2) =>
+      r2 * r2 * BigInt(1000000000L) / (4 * ni)
+    }.sum
+    val nD = n.toDouble
+    val h = 12.0 * (srrFx.toDouble / 1e9) / (nD * (nD + 1.0)) -
+      3.0 * (nD + 1.0)
+    val c = 1.0 - ties.toDouble / (nD * nD * nD - nD)
+    val hc = if (c > 0) h / c else Double.NaN
+    val crit = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507, 9 -> 16.919,
+      10 -> 18.307, 11 -> 19.675, 12 -> 21.026, 13 -> 22.362,
+      14 -> 23.685, 15 -> 24.996, 16 -> 26.296, 17 -> 27.587,
+      18 -> 28.869, 19 -> 30.144, 20 -> 31.410)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df1 = (k - 1).toInt
+    val sig: Option[Boolean] =
+      if (k >= 2 && n > k && c > 0 && crit.contains(df1))
+        Some(hc > crit(df1))
+      else None
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("h", DoubleType, nullable = true),
+      StructField("h_corrected", DoubleType, nullable = true),
+      StructField("df", LongType, nullable = false),
+      StructField("significant", BooleanType, nullable = true)))
+    val row = org.apache.spark.sql.Row(k, n,
+      if (k >= 2 && n > k) java.lang.Double.valueOf(r6(h)) else null,
+      if (k >= 2 && n > k && c > 0) java.lang.Double.valueOf(r6(hc))
+      else null,
+      k - 1,
+      sig.map(java.lang.Boolean.valueOf).orNull)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+  }
+
   /** McNemar's test — the PAIRED model comparison ([[winMatrix]] scores
     * independent head-to-heads; McNemar scores two models on the SAME
     * examples, which is how model evals actually run): only the

@@ -2168,6 +2168,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("rho")))
   }
 
+  test("kruskalWallis: hand H on doubled ranks, separated groups, guard") {
+    // a {1,2}, b {3,4}: rank sums 3 and 7 → H = 12·29/20 − 15 = 2.4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Experiment.kruskalWallis(df, "v", "g").collect().head
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("h") === 2.4)
+    assert(r.getAs[Double]("h_corrected") === 2.4) // no ties → C = 1
+    assert(!r.getAs[Boolean]("significant"))
+    // three clearly separated big groups → significant
+    val sep = (1 to 30).map(i => ("a", i.toDouble)) ++
+      (1 to 30).map(i => ("b", 100.0 + i)) ++
+      (1 to 30).map(i => ("c", 200.0 + i))
+    val s = Experiment.kruskalWallis(sep.toDF("g", "v"), "v", "g")
+      .collect().head
+    assert(s.getAs[Boolean]("significant"))
+    val err = intercept[Exception] {
+      Experiment.kruskalWallis(df, "v", "g", maxArms = 1)
+    }
+    assert(err.getMessage.contains("more than 1"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
