@@ -944,13 +944,18 @@ object Experiment {
                    maxItems: Int = 10000): DataFrame = {
     require(iterations >= 1, "bradleyTerry: iterations must be >= 1")
     val spark = games.sparkSession
-    val m = winMatrix(games, aCol, bCol, winnerCol)
+    val matrix = winMatrix(games, aCol, bCol, winnerCol)
       .select(col("item_a"), col("item_b"), col("n_games"), col("wins_a"))
-      .collect()
+      .localCheckpoint(true)
+    // guard BEFORE the pair collect — a data-scale id column must fail
+    // loudly here, not OOM the driver on an items² pair frame
+    val nItems = matrix.select(col("item_a").as("i"))
+      .unionAll(matrix.select(col("item_b"))).distinct().count()
+    require(nItems <= maxItems,
+      s"bradleyTerry: $nItems items > maxItems=$maxItems")
+    val m = matrix.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val items = m.flatMap(x => Seq(x._1, x._2)).distinct.sorted
-    require(items.length <= maxItems,
-      s"bradleyTerry: ${items.length} items > maxItems=$maxItems")
     val idx = items.zipWithIndex.toMap
     val k = items.length
     val wins = new Array[Double](k)

@@ -718,8 +718,16 @@ object Funnel {
     val direct = converted.join(
         paths.select(col("__u")).distinct(), Seq("__u"), "left_anti")
       .select(lit("__START__").as("from"), lit("__CONV__").as("to"))
-    val counts = mid.unionByName(ends).unionByName(direct)
+    val grouped = mid.unionByName(ends).unionByName(direct)
       .groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // guard BEFORE the collect — a data-scale event_type column must
+    // fail loudly here, not OOM the driver on a channels² matrix
+    val nPairs = grouped.count()
+    require(nPairs <= (maxChannels.toLong + 3) * (maxChannels.toLong + 3),
+      s"markovAttribution: $nPairs transition cells exceeds the " +
+        s"maxChannels=$maxChannels enum bound — check the event-type column")
+    val counts = grouped
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val channels = counts.flatMap(c => Seq(c._1, c._2))
       .filterNot(Set("__START__", "__CONV__", "__NULL__")).distinct.sorted
