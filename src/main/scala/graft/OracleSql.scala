@@ -8268,6 +8268,47 @@ object OracleSql {
         h / c > 9.488 END AS significant
     FROM m"""
 
+  /** Cronbach's α — q327. Cent-grid item moments, fixed-order item-
+    * variance chain, single-division sample variances; mirrors
+    * Experiment.cronbachAlpha over three derived sub-scores. */
+  private val q327 = """
+    WITH base AS (SELECT
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS i1,
+        CAST(CAST(c_acctbal + (c_custkey % 100) AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS i2,
+        CAST(CAST(c_acctbal * 2.0 - (c_nationkey * 10) AS DECIMAL(18,2))
+          * 100 AS BIGINT) AS i3
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+        AND c_nationkey IS NOT NULL),
+    b2 AS (SELECT *, i1 + i2 + i3 AS tot FROM base),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(i1)::HUGEINT AS s1, sum(i1::HUGEINT * i1)::HUGEINT AS q1,
+        sum(i2)::HUGEINT AS s2, sum(i2::HUGEINT * i2)::HUGEINT AS q2,
+        sum(i3)::HUGEINT AS s3, sum(i3::HUGEINT * i3)::HUGEINT AS q3,
+        sum(tot)::HUGEINT AS st, sum(tot::HUGEINT * tot)::HUGEINT AS qt
+      FROM b2),
+    v AS (SELECT n,
+        CAST(n::HUGEINT * q1 - s1 * s1 AS DOUBLE) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS v1,
+        CAST(n::HUGEINT * q2 - s2 * s2 AS DOUBLE) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS v2,
+        CAST(n::HUGEINT * q3 - s3 * s3 AS DOUBLE) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS v3,
+        CAST(n::HUGEINT * qt - st * st AS DOUBLE) /
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS vt
+      FROM m),
+    a AS (SELECT n, v1 + v2 + v3 AS siv, vt,
+        (3.0 / 2.0) * (1.0 - (v1 + v2 + v3) / vt) AS alpha
+      FROM v)
+    SELECT n, CAST(3 AS BIGINT) AS k,
+      CASE WHEN n >= 2 THEN round(siv, 6) END AS sum_item_var,
+      CASE WHEN n >= 2 THEN round(vt, 6) END AS total_var,
+      CASE WHEN n >= 2 AND vt > 0.0 THEN round(alpha, 6) END AS alpha,
+      coalesce(CASE WHEN n >= 2 AND vt > 0.0 THEN alpha >= 0.7 END,
+        false) AS acceptable
+    FROM a"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8610,6 +8651,7 @@ object OracleSql {
     "q323_log_rank"         -> q323,
     "q324_mcnemar"          -> q324,
     "q325_spearman"         -> q325,
-    "q326_kruskal_wallis"   -> q326
+    "q326_kruskal_wallis"   -> q326,
+    "q327_cronbach"         -> q327
   ).map { case (k, v) => k -> clean(v) }
 }

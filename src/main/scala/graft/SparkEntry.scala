@@ -4758,6 +4758,17 @@ object SparkEntry {
         col("o_orderpriority")),
       "o_totalprice", "o_orderpriority")
 
+  /** Cronbach's α ([[graft.ops.Experiment.cronbachAlpha]]): do three
+    * derived customer sub-scores cohere into one composite — exact
+    * moments, fixed-order item-variance chain. */
+  private def q327Cronbach(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.cronbachAlpha(
+      t(s, dir, "customer").select(
+        col("c_acctbal").as("i1"),
+        (col("c_acctbal") + (col("c_custkey") % 100)).as("i2"),
+        (col("c_acctbal") * 2.0 - (col("c_nationkey") * 10)).as("i3")),
+      Seq("i1", "i2", "i3"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5084,7 +5095,8 @@ object SparkEntry {
     "q323_log_rank"         -> q323LogRank _,
     "q324_mcnemar"          -> q324Mcnemar _,
     "q325_spearman"         -> q325Spearman _,
-    "q326_kruskal_wallis"   -> q326KruskalWallis _
+    "q326_kruskal_wallis"   -> q326KruskalWallis _,
+    "q327_cronbach"         -> q327Cronbach _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

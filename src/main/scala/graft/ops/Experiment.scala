@@ -997,6 +997,59 @@ object Experiment {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Cronbach's alpha — internal-consistency reliability ("do these k
+    * item columns measure ONE thing?"): the gate before averaging
+    * survey items, quality sub-scores, or rubric dimensions into a
+    * composite — `α = k/(k−1) · (1 − Σ s²ᵢ / s²_total)`, with
+    * `s²_total` the variance of the per-row item SUM. α ≥ 0.7 is the
+    * conventional "acceptable" bar (reported, not enforced).
+    *
+    * Exactness: items land on the cent grid; ONE agg carries every
+    * item's exact (Σy, Σy²) moments plus the row-sum's — sample
+    * variances are single divisions of exact DECIMAL(38) integers, and
+    * the `Σ s²ᵢ` sum is a FIXED-ORDER expression chain over the k
+    * columns (never an order-free float agg). Rows with ANY null item
+    * drop (listwise deletion — the standard default, stated). Zero
+    * total variance → NULL α.
+    *
+    * Output one row: `(n, k, sum_item_var, total_var, alpha,
+    * acceptable)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined moment agg — single scan, row-local total. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2,
+      s"cronbachAlpha: need >= 2 item columns, got ${itemCols.size}")
+    val dec = DecimalType(18, 2)
+    val d38 = DecimalType(38, 0)
+    val k = itemCols.size
+    val base = df
+      .filter(itemCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(itemCols.map(c =>
+        (col(c).cast(dec) * 100).cast("long").as(c)): _*)
+      .withColumn("__tot", itemCols.map(col).reduce(_ + _))
+    val aggs = (itemCols :+ "__tot").flatMap { c =>
+      Seq(sum(col(c).cast(d38)).as(s"__s_$c"),
+        sum(col(c).cast(d38) * col(c)).as(s"__q_$c"))
+    }
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    def svar(c: String) = {
+      val nD = col("n").cast("double")
+      (col("n") * col(s"__q_$c") - col(s"__s_$c") * col(s"__s_$c"))
+        .cast("double") / (nD * (nD - 1.0)) / 10000.0
+    }
+    val sumItemVar = itemCols.map(svar).reduce(_ + _) // fixed-order chain
+    val totalVar = svar("__tot")
+    val alpha = (lit(k.toDouble) / (k - 1.0)) *
+      (lit(1.0) - sumItemVar / totalVar)
+    m.select(col("n"), lit(k.toLong).as("k"),
+      when(col("n") >= 2, round(sumItemVar, 6)).as("sum_item_var"),
+      when(col("n") >= 2, round(totalVar, 6)).as("total_var"),
+      when(col("n") >= 2 && totalVar > 0.0, round(alpha, 6)).as("alpha"),
+      coalesce(when(col("n") >= 2 && totalVar > 0.0, alpha >= 0.7),
+        lit(false)).as("acceptable"))
+  }
+
   /** Kruskal–Wallis — [[anovaF]]'s NONPARAMETRIC twin ("did ANY of the
     * k arms shift the metric", robust to the heavy tails that break the
     * F-test the way [[mannWhitneyU]] is the robust two-arm form): rank

@@ -2190,6 +2190,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("more than 1"))
   }
 
+  test("cronbachAlpha: perfect consistency 1, cancelling items NULL, guard") {
+    // i2 = i1 exactly: Σs² = 2v, total var = 4v → α = 2·(1 − ½) = 1
+    val dup = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("i1", "i2")
+    val r = Experiment.cronbachAlpha(dup, Seq("i1", "i2")).collect().head
+    assert(r.getAs[Double]("alpha") === 1.0)
+    assert(r.getAs[Boolean]("acceptable"))
+    // i2 = −i1: the composite is constant → zero total variance → NULL
+    val cancel = Seq((1.0, -1.0), (2.0, -2.0), (3.0, -3.0))
+      .toDF("i1", "i2")
+    val c = Experiment.cronbachAlpha(cancel, Seq("i1", "i2")).collect().head
+    assert(c.isNullAt(c.fieldIndex("alpha")))
+    assert(!c.getAs[Boolean]("acceptable"))
+    val err = intercept[IllegalArgumentException] {
+      Experiment.cronbachAlpha(dup, Seq("i1"))
+    }
+    assert(err.getMessage.contains(">= 2 item columns"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
