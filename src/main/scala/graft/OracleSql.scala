@@ -8309,6 +8309,45 @@ object OracleSql {
         false) AS acceptable
     FROM a"""
 
+  /** Fleiss' κ — q328. Three derived judges per customer, per-item and
+    * chance terms on ×10⁹ HUGEINT grids; mirrors Classifier.fleissKappa. */
+  private val q328 = """
+    WITH ratings AS (
+      SELECT c_custkey AS item,
+        CAST(c_nationkey % 3 AS VARCHAR) AS label FROM customer
+      UNION ALL SELECT c_custkey,
+        CAST((c_custkey // 7) % 3 AS VARCHAR) FROM customer
+      UNION ALL SELECT c_custkey,
+        CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) % 3
+          AS VARCHAR) FROM customer),
+    cells AS (SELECT item, label, CAST(count(*) AS BIGINT) AS c
+      FROM ratings WHERE item IS NOT NULL AND label IS NOT NULL
+      GROUP BY item, label),
+    items AS (SELECT item, CAST(sum(c) AS BIGINT) AS n,
+        sum(c::HUGEINT * c)::HUGEINT AS sq FROM cells GROUP BY item),
+    shape AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        CAST(min(n) AS BIGINT) AS n_raters FROM items),
+    ps AS (SELECT sum((sq - n_raters) * 1000000000
+        // (n_raters::HUGEINT * (n_raters - 1)))::HUGEINT AS p_fx
+      FROM items, shape),
+    labels AS (SELECT label, CAST(sum(c) AS BIGINT) AS cj FROM cells
+      GROUP BY label),
+    es AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+        sum(cj::HUGEINT * cj * 1000000000
+          // (n_items::HUGEINT * n_raters * n_items * n_raters))
+          ::HUGEINT AS e_fx
+      FROM labels, shape),
+    m AS (SELECT shape.n_items, shape.n_raters, es.n_labels,
+        CAST(ps.p_fx AS DOUBLE) / 1e9 / CAST(shape.n_items AS DOUBLE)
+          AS p_bar,
+        CAST(es.e_fx AS DOUBLE) / 1e9 AS p_e
+      FROM shape, ps, es)
+    SELECT n_items, n_raters, n_labels,
+      round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+      CASE WHEN p_e < 1.0 THEN round((p_bar - p_e) / (1.0 - p_e), 6) END
+        AS kappa
+    FROM m"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8652,6 +8691,7 @@ object OracleSql {
     "q324_mcnemar"          -> q324,
     "q325_spearman"         -> q325,
     "q326_kruskal_wallis"   -> q326,
-    "q327_cronbach"         -> q327
+    "q327_cronbach"         -> q327,
+    "q328_fleiss"           -> q328
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4769,6 +4769,19 @@ object SparkEntry {
         (col("c_acctbal") * 2.0 - (col("c_nationkey") * 10)).as("i3")),
       Seq("i1", "i2", "i3"))
 
+  /** Fleiss' κ ([[graft.ops.Classifier.fleissKappa]]): three derived
+    * "judges" label every customer — multi-rater agreement beyond
+    * chance on exact grids. */
+  private def q328Fleiss(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.fleissKappa(
+      t(s, dir, "customer").select(col("c_custkey").as("item"),
+        explode(array(
+          (col("c_nationkey") % 3).cast("string"),
+          (expr("c_custkey DIV 7") % 3).cast("string"),
+          ((col("c_acctbal").cast(Dec) * 100).cast("long") % 3)
+            .cast("string"))).as("label")),
+      "item", "label")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5096,7 +5109,8 @@ object SparkEntry {
     "q324_mcnemar"          -> q324Mcnemar _,
     "q325_spearman"         -> q325Spearman _,
     "q326_kruskal_wallis"   -> q326KruskalWallis _,
-    "q327_cronbach"         -> q327Cronbach _
+    "q327_cronbach"         -> q327Cronbach _,
+    "q328_fleiss"           -> q328Fleiss _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

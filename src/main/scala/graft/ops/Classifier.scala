@@ -479,6 +479,70 @@ object Classifier {
           .as("kappa_d"))
   }
 
+  /** Fleiss' kappa — multi-rater agreement ([[cohenKappa]] handles TWO
+    * raters; labeling pipelines run k judges per example, and "do the
+    * judges agree beyond chance" is the QA gate before trusting the
+    * labels): over (item, rater, label) assignments with a CONSTANT
+    * rater count per item (enforced loudly — Fleiss requires it),
+    * `κ = (P̄ − P̄ₑ)/(1 − P̄ₑ)` with per-item agreement
+    * `Pᵢ = (Σⱼ nᵢⱼ² − n)/(n(n−1))` and chance agreement `P̄ₑ = Σⱼ pⱼ²`.
+    *
+    * Exactness: per-item agreement terms floor on the ×10⁹ DIV grid and
+    * sum order-free (DECIMAL(38)); the chance term's label shares
+    * square exactly (`cⱼ²·10⁹ div (I·n)²`); κ is a fixed-operand-order
+    * double of those integers. P̄ₑ = 1 (every rating one label) →
+    * NULL κ.
+    *
+    * Output one row: `(n_items, n_raters, n_labels, p_bar, p_e,
+    * kappa)`.
+    *
+    * == 100 TB shape ==
+    * One (item, label) cell agg, one item-sized fold, one label-sized
+    * fold — never row-scale beyond the first map-side-combined agg. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast(d38) * col("__c")).as("__sq"))
+    val shape = items.agg(
+      count(lit(1)).as("n_items"),
+      min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
+      .select(col("n_items"),
+        when(col("__nmin") === col("__nmax"), col("__nmin"))
+          .otherwise(raise_error(concat(
+            lit("fleissKappa: rater count varies per item ("),
+            col("__nmin").cast("string"), lit(" vs "),
+            col("__nmax").cast("string"),
+            lit(") — Fleiss requires a constant panel"))))
+          .as("n_raters"))
+    val pSum = items.crossJoin(broadcast(shape))
+      .agg(sum(expr(
+        "CAST((__sq - n_raters) * 1000000000 " +
+          "DIV (CAST(n_raters AS DECIMAL(38,0)) * (n_raters - 1)) AS DECIMAL(38,0))"))
+        .as("__p_fx"))
+    val labels = cells.groupBy(col("__l")).agg(sum(col("__c")).as("__cj"))
+    val eSum = labels.crossJoin(broadcast(shape))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr(
+          "CAST(CAST(__cj AS DECIMAL(38,0)) * __cj * 1000000000 " +
+            "DIV (CAST(n_items AS DECIMAL(38,0)) * n_raters * n_items * n_raters) AS DECIMAL(38,0))"))
+          .as("__e_fx"))
+    val pBar = col("__p_fx").cast("double") / 1e9 /
+      col("n_items").cast("double")
+    val pE = col("__e_fx").cast("double") / 1e9
+    shape.crossJoin(broadcast(pSum)).crossJoin(broadcast(eSum))
+      .select(col("n_items"), col("n_raters"), col("n_labels"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        when(pE < 1.0, round((pBar - pE) / (lit(1.0) - pE), 6))
+          .as("kappa"))
+  }
+
   /** Classification report at a threshold — the deployment-decision twin
     * of [[auc]] ([[auc]] ranks the scorer threshold-free; shipping a
     * filter requires picking ONE threshold and knowing what it costs):

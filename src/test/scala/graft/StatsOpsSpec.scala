@@ -2208,6 +2208,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains(">= 2 item columns"))
   }
 
+  test("fleissKappa: hand two-item panel, varying-panel guard") {
+    // i1: a,a,a (P=1); i2: a,a,b (P=1/3) → P̄=2/3, Pe=26/36 → κ≈−0.2
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b")).toDF("item", "label")
+    val r = Classifier.fleissKappa(df, "item", "label").collect().head
+    assert(r.getAs[Long]("n_items") === 2L && r.getAs[Long]("n_raters") === 3L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 2.0 / 3.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_e") - 26.0 / 36.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("kappa") + 0.2) < 1e-4)
+    val err = intercept[Exception] {
+      Classifier.fleissKappa(
+        Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("item", "label"),
+        "item", "label").collect()
+    }
+    assert(err.getMessage.contains("constant panel"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
