@@ -8348,6 +8348,54 @@ object OracleSql {
         AS kappa
     FROM m"""
 
+  /** Odds ratio — q329. Exact 2×2 cells, ×10⁹ rational OR/RR, Woolf
+    * log-scale CI at the frozen quantile; mirrors Experiment.oddsRatio. */
+  private val q329 = """
+    WITH r AS (SELECT
+        o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+        (o_totalprice > 200000.0) AS o
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+          AS d
+      FROM r),
+    f AS (SELECT *,
+        a > 0 AND b > 0 AND c2 > 0 AND d > 0 AS ok,
+        CAST(a::HUGEINT * d * 1000000000 // (b::HUGEINT * c2) AS BIGINT)
+          AS or_fx,
+        CAST(a::HUGEINT * (c2 + d) * 1000000000
+          // (c2::HUGEINT * (a + b)) AS BIGINT) AS rr_fx,
+        ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+          (CAST(b AS DOUBLE) * CAST(c2 AS DOUBLE))) AS lnor,
+        sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) +
+          1.0 / CAST(c2 AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+      FROM c)
+    SELECT n, a, b, c2 AS c, d,
+      CASE WHEN ok THEN CAST(or_fx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(or_fx % 1000000000 AS VARCHAR), 9, '0') END
+        AS odds_ratio,
+      CASE WHEN ok THEN round((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+        (CAST(b AS DOUBLE) * CAST(c2 AS DOUBLE)), 6) END AS odds_ratio_d,
+      CASE WHEN c2 > 0 AND a + b > 0 THEN
+        CAST(rr_fx // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(rr_fx % 1000000000 AS VARCHAR), 9, '0') END
+        AS relative_risk,
+      CASE WHEN c2 > 0 AND a + b > 0 THEN round(
+        (CAST(a AS DOUBLE) * CAST(c2 + d AS DOUBLE)) /
+        (CAST(c2 AS DOUBLE) * CAST(a + b AS DOUBLE)), 6) END
+        AS relative_risk_d,
+      CASE WHEN ok THEN round(lnor, 6) END AS ln_or,
+      CASE WHEN ok THEN round(lnor - 1.959963985 * se, 6) END AS ci_ln_lo,
+      CASE WHEN ok THEN round(lnor + 1.959963985 * se, 6) END AS ci_ln_hi,
+      coalesce(CASE WHEN ok THEN
+        lnor - 1.959963985 * se > 0.0 OR lnor + 1.959963985 * se < 0.0
+        END, false) AS significant
+    FROM f"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8692,6 +8740,7 @@ object OracleSql {
     "q325_spearman"         -> q325,
     "q326_kruskal_wallis"   -> q326,
     "q327_cronbach"         -> q327,
-    "q328_fleiss"           -> q328
+    "q328_fleiss"           -> q328,
+    "q329_odds_ratio"       -> q329
   ).map { case (k, v) => k -> clean(v) }
 }

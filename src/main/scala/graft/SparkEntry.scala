@@ -4782,6 +4782,16 @@ object SparkEntry {
             .cast("string"))).as("label")),
       "item", "label")
 
+  /** Odds ratio / relative risk ([[graft.ops.Experiment.oddsRatio]]):
+    * urgent-priority exposure vs the expensive-order outcome — exact
+    * rational OR/RR, Woolf log-scale CI. */
+  private def q329OddsRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.oddsRatio(
+      t(s, dir, "orders").select(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("exposed"),
+        (col("o_totalprice") > 200000.0).as("outcome")),
+      "exposed", "outcome")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5110,7 +5120,8 @@ object SparkEntry {
     "q325_spearman"         -> q325Spearman _,
     "q326_kruskal_wallis"   -> q326KruskalWallis _,
     "q327_cronbach"         -> q327Cronbach _,
-    "q328_fleiss"           -> q328Fleiss _
+    "q328_fleiss"           -> q328Fleiss _,
+    "q329_odds_ratio"       -> q329OddsRatio _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

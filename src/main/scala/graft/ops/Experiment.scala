@@ -997,6 +997,81 @@ object Experiment {
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Odds ratio and relative risk — the 2×2 outcome table's effect
+    * sizes ([[abTest]] answers "is the rate difference real?"; OR/RR
+    * answer "HOW STRONG is the association?", the form risk analyses
+    * and incident postmortems quote): exposed-vs-outcome cells a/b/c/d,
+    * `OR = ad/bc`, `RR = (a/(a+b))/(c/(c+d))`, with the Woolf
+    * log-scale 95% CI `ln(OR) ± z·√(1/a+1/b+1/c+1/d)`.
+    *
+    * Exactness: cells are exact counts; OR and RR are exact rationals
+    * on the ×10⁹ DIV grid (9-dp strings + 6-dp doubles); the CI stays
+    * ON THE LOG SCALE (`ln_or`, `ci_ln_lo`, `ci_ln_hi` — the ln-parity
+    * contract; exponentiating is the caller's presentation choice, and
+    * cross-engine `exp` parity is NOT guaranteed the way the integer
+    * grids are, stated); `significant` = the log-CI excludes 0. Any
+    * zero cell → NULL OR/CI (add the Haldane ½ upstream by preference,
+    * stated).
+    *
+    * Output one row: `(n, a, b, c, d, odds_ratio, odds_ratio_d,
+    * relative_risk, relative_risk_d, ln_or, ci_ln_lo, ci_ln_hi,
+    * significant)`.
+    *
+    * == 100 TB shape ==
+    * ONE map-side-combined conditional-count agg — single scan. */
+  def oddsRatio(df: DataFrame, exposedCol: String,
+                outcomeCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val cellsAgg = df.filter(e.isNotNull && o.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L
+    val orFx = expr(
+      "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000000 " +
+        "DIV (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT)")
+    val rrFx = expr(
+      "CAST(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000000 " +
+        "DIV (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT)")
+    val lnOr = log((col("a").cast("double") * col("d").cast("double")) /
+      (col("b").cast("double") * col("c").cast("double")))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    val z = lit(graft.ops.Classifier.WilsonZ)
+    cellsAgg
+      .withColumn("__or_fx", when(ok, orFx))
+      .withColumn("__rr_fx",
+        when(col("c") > 0L && col("a") + col("b") > 0L, rrFx))
+      .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        when(ok, concat(expr("CAST(__or_fx DIV 1000000000 AS STRING)"),
+          lit("."),
+          lpad(expr("CAST(__or_fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("odds_ratio"),
+        when(ok, round(
+          (col("a").cast("double") * col("d").cast("double")) /
+            (col("b").cast("double") * col("c").cast("double")), 6))
+          .as("odds_ratio_d"),
+        when(col("__rr_fx").isNotNull, concat(
+          expr("CAST(__rr_fx DIV 1000000000 AS STRING)"), lit("."),
+          lpad(expr("CAST(__rr_fx % 1000000000 AS STRING)"), 9, "0")))
+          .as("relative_risk"),
+        when(col("__rr_fx").isNotNull, round(
+          (col("a").cast("double") * (col("c") + col("d")).cast("double")) /
+            (col("c").cast("double") * (col("a") + col("b")).cast("double")),
+          6)).as("relative_risk_d"),
+        when(ok, round(lnOr, 6)).as("ln_or"),
+        when(ok, round(lnOr - z * se, 6)).as("ci_ln_lo"),
+        when(ok, round(lnOr + z * se, 6)).as("ci_ln_hi"),
+        coalesce(when(ok, lnOr - z * se > 0.0 || lnOr + z * se < 0.0),
+          lit(false)).as("significant"))
+  }
+
   /** Cronbach's alpha — internal-consistency reliability ("do these k
     * item columns measure ONE thing?"): the gate before averaging
     * survey items, quality sub-scores, or rubric dimensions into a

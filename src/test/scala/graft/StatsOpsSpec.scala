@@ -2225,6 +2225,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("constant panel"))
   }
 
+  test("oddsRatio: hand 2x2, exact OR/RR strings, log CI, zero-cell NULL") {
+    val df = (Seq.fill(10)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false)))
+      .toDF("e", "o")
+    val r = Experiment.oddsRatio(df, "e", "o").collect().head
+    assert(r.getAs[Long]("a") === 10L && r.getAs[Long]("d") === 40L)
+    assert(r.getAs[String]("odds_ratio") === "4.000000000")
+    assert(r.getAs[String]("relative_risk") === "3.000000000")
+    assert(math.abs(r.getAs[Double]("ln_or") - math.log(4.0)) < 1e-5)
+    val se = math.sqrt(0.1 + 0.05 + 0.2 + 0.025)
+    assert(math.abs(r.getAs[Double]("ci_ln_lo") -
+      (math.log(4.0) - 1.959963985 * se)) < 1e-5)
+    assert(r.getAs[Boolean]("significant")) // CI excludes 0
+    // a zero cell → NULL OR and CI, never a division blowup
+    val zero = Seq((true, true), (false, false)).toDF("e", "o")
+    val z = Experiment.oddsRatio(zero, "e", "o").collect().head
+    assert(z.isNullAt(z.fieldIndex("odds_ratio")))
+    assert(!z.getAs[Boolean]("significant"))
+  }
+
   test("itemCosine: hand neighbor list, minSupport prune, both directions") {
     // b1{A,B} b2{A,B} b3{A,C} b4{B}: n_A=3 n_B=3 n_C=1; AB co=2, AC co=1
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
