@@ -7270,7 +7270,8 @@ object OracleSql {
       FROM o WHERE y < 1995 AND k % 10 <> 0
       UNION ALL SELECT grp, p FROM o WHERE y >= 1995)
     SELECT grp, CAST(count(*) AS BIGINT) AS n,
-      sum(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))::HUGEINT AS total
+      CAST(sum(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        AS total
     FROM applied GROUP BY grp HAVING count(*) > 0"""
 
   /** RAKE keywords — q297. The shared delimiter regex verbatim, the
@@ -7455,8 +7456,10 @@ object OracleSql {
         round(2.0 * pr * rc / (pr + rc), 6) END AS f1
     FROM d, dropped"""
 
-  /** Brier decomposition — q302. 10⁻⁶ forecast grid, exact DECIMAL
-    * Brier numerator, per-value REL/RES DIV terms; mirrors
+  /** Brier decomposition — q302. 10⁻⁶ forecast grid, exact Brier
+    * numerator as a digit string, per-value REL/RES DIV terms, all
+    * readouts on the ×10⁹-DIV 9-dp decimal-string contract (no
+    * HUGEINT/DECIMAL or round(double) rendering surface); mirrors
     * Classifier.brierDecomposition. */
   private val q302 = """
     WITH r AS (SELECT
@@ -7478,22 +7481,30 @@ object OracleSql {
         sum((yv::HUGEINT * N0 - Y0::HUGEINT * n)
           * (yv::HUGEINT * N0 - Y0::HUGEINT * n)
           * 1000000000000 // (n::HUGEINT * N0 * N0))::HUGEINT AS res
-      FROM grid, g)
-    SELECT n, n_pos, bnum AS brier_num,
-      CASE WHEN n > 0 THEN
-        round(CAST(bnum AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) END
-        AS brier,
-      CASE WHEN n > 0 THEN
-        round(CAST(rel AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) END
-        AS reliability,
-      CASE WHEN n > 0 THEN
-        round(CAST(res AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6) END
-        AS resolution,
-      CASE WHEN n > 0 THEN round(
-        (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) *
-        (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
-        AS uncertainty
-    FROM folded"""
+      FROM grid, g),
+    fx AS (SELECT *,
+        bnum // (n::HUGEINT * 1000) AS bf,
+        rel // (n::HUGEINT * 1000) AS rf,
+        res // (n::HUGEINT * 1000) AS sf,
+        n_pos::HUGEINT * (n - n_pos) * 1000000000
+          // (n::HUGEINT * n) AS uf
+      FROM folded WHERE n > 0
+      UNION ALL SELECT *, NULL, NULL, NULL, NULL
+      FROM folded WHERE n IS NULL OR n <= 0)
+    SELECT n, n_pos, CAST(bnum AS VARCHAR) AS brier_num,
+      CASE WHEN bf IS NOT NULL THEN
+        CAST(bf // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(bf % 1000000000 AS VARCHAR), 9, '0') END AS brier,
+      CASE WHEN rf IS NOT NULL THEN
+        CAST(rf // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(rf % 1000000000 AS VARCHAR), 9, '0') END AS reliability,
+      CASE WHEN sf IS NOT NULL THEN
+        CAST(sf // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(sf % 1000000000 AS VARCHAR), 9, '0') END AS resolution,
+      CASE WHEN uf IS NOT NULL THEN
+        CAST(uf // 1000000000 AS VARCHAR) || '.' ||
+        lpad(CAST(uf % 1000000000 AS VARCHAR), 9, '0') END AS uncertainty
+    FROM fx"""
 
   /** Gains/lift — q303. ANSI NTILE deciles under (score DESC, id),
     * cumulative capture and lift on the ×10⁹ grid; mirrors

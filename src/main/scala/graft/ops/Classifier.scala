@@ -683,12 +683,17 @@ object Classifier {
     * `Σ(s_fx − y·10⁶)²` is an exact DECIMAL(38) integer (emitted as
     * `brier_num` for bit-exact pinning); REL and RES terms ride
     * per-value integer DIV grids (`(s·n−Y_v·10⁶)² div n`,
-    * `(Y_v·N−Y·n_v)²·10¹² div (n_v·N²)`) summed order-free. Doubles
-    * appear only in the final /N renderings. Sub-grid floor losses are
-    * engine-identical (both floor the same integers).
+    * `(Y_v·N−Y·n_v)²·10¹² div (n_v·N²)`) summed order-free. No doubles
+    * anywhere: the four readouts render through the ×10⁹-DIV 9-dp
+    * decimal-string contract (brier = bnum div (n·10³), etc.;
+    * uncertainty = n_pos·(n−n_pos)·10⁹ div n²) and `brier_num` renders
+    * as its exact digit string — fixed-width cross-engine-stable
+    * renderings, no HUGEINT-vs-DECIMAL or double-rounding surface.
+    * Sub-grid floor losses are engine-identical (both floor the same
+    * non-negative integers).
     *
     * Output one row: `(n, n_pos, brier_num, brier, reliability,
-    * resolution, uncertainty)`.
+    * resolution, uncertainty)` — the last five as strings.
     *
     * == 100 TB shape ==
     * One (distinct forecast value) agg + a 1-row global broadcast + one
@@ -718,21 +723,25 @@ object Classifier {
           "* (CAST(__yv AS DECIMAL(38,0)) * __tot - CAST(__pos AS DECIMAL(38,0)) * __n) " +
           "* 1000000000000 DIV (CAST(__n AS DECIMAL(38,0)) * __tot * __tot) AS DECIMAL(38,0))"))
         .as("__res"))
-    folded.select(col("n"), col("n_pos"),
-      col("__bnum").as("brier_num"),
-      when(col("n") > 0, round(
-        col("__bnum").cast("double") / 1e12 / col("n").cast("double"), 6))
-        .as("brier"),
-      when(col("n") > 0, round(
-        col("__rel").cast("double") / 1e12 / col("n").cast("double"), 6))
-        .as("reliability"),
-      when(col("n") > 0, round(
-        col("__res").cast("double") / 1e12 / col("n").cast("double"), 6))
-        .as("resolution"),
-      when(col("n") > 0, round(
-        (col("n_pos").cast("double") / col("n").cast("double")) *
-          (lit(1.0) - col("n_pos").cast("double") / col("n").cast("double")),
-        6)).as("uncertainty"))
+    def fxStr(c: String) = when(col("n") > 0, concat(
+      expr(s"CAST($c DIV 1000000000 AS STRING)"), lit("."),
+      lpad(expr(s"CAST($c % 1000000000 AS STRING)"), 9, "0")))
+    folded
+      .withColumn("__brier_fx", expr(
+        "CAST(__bnum DIV (CAST(n AS DECIMAL(38,0)) * 1000) AS BIGINT)"))
+      .withColumn("__rel_fx", expr(
+        "CAST(__rel DIV (CAST(n AS DECIMAL(38,0)) * 1000) AS BIGINT)"))
+      .withColumn("__res_fx", expr(
+        "CAST(__res DIV (CAST(n AS DECIMAL(38,0)) * 1000) AS BIGINT)"))
+      .withColumn("__unc_fx", expr(
+        "CAST(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos) * 1000000000 " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .select(col("n"), col("n_pos"),
+        col("__bnum").cast("string").as("brier_num"),
+        fxStr("__brier_fx").as("brier"),
+        fxStr("__rel_fx").as("reliability"),
+        fxStr("__res_fx").as("resolution"),
+        fxStr("__unc_fx").as("uncertainty"))
   }
 
   /** Cumulative gains / lift table — the campaign-targeting readout

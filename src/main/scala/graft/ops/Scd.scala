@@ -221,6 +221,12 @@ object Scd {
     * corrupt feed, failed LOUDLY. Increment-equals-full is exactly what
     * the oracle proves (it recomputes from the applied base state).
     *
+    * `total` is rendered as BIGINT (cents at any realistic scale fit a
+    * long — 9.2e16 dollars — and the fixed-width long is the
+    * cross-engine-stable rendering; DECIMAL(38,0) vs HUGEINT hash
+    * differently); the internal fold still runs on the DECIMAL(38,0)
+    * grid and an out-of-long-range sum fails LOUDLY.
+    *
     * `baseAgg` columns: keys… + `n` (count) + `total` (DECIMAL cent
     * sum, the covariateBalance money grid). Output: same shape.
     *
@@ -262,7 +268,12 @@ object Scd {
           .otherwise(raise_error(lit(
             "maintainAgg: negative count or zero-count residue — the " +
               "change log touches rows the aggregate never held"))).as("n") :+
-        col("total")): _*)
+        when(col("total").between(
+          lit(Long.MinValue).cast(d38), lit(Long.MaxValue).cast(d38)),
+          col("total").cast("long"))
+          .otherwise(raise_error(lit(
+            "maintainAgg: total overflows BIGINT — rescale the cent grid"))
+            .cast("long")).as("total")): _*)
       .filter(col("n") > 0L)
   }
 }

@@ -1465,7 +1465,7 @@ class StatsOpsSpec extends SparkSpec {
     val got = graft.ops.Scd.maintainAgg(base, changes, Seq("grp"),
       "op", "old_v", "new_v").collect()
       .map(r => r.getAs[String]("grp") ->
-        ((r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("total").longValue)))
+        ((r.getAs[Long]("n"), r.getAs[Long]("total"))))
       .toMap
     // g1: n 2→3; total 300 + 400 + (250−100) = 850; g2 drops out (n→0)
     assert(got === Map("g1" -> ((3L, 850L))))
@@ -1611,17 +1611,20 @@ class StatsOpsSpec extends SparkSpec {
     val r = Classifier.brierDecomposition(df, "score", "label")
       .collect().head
     assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_pos") === 2L)
+    // Brier numerator Σ(s−y·10⁶)² = 3·(0.8−…)… = 7.2e11 + 4e10
+    assert(r.getAs[String]("brier_num") === "760000000000")
     // Brier = (0.04 + 0.04 + 0.64 + 0.04)/4 = 0.19
-    assert(r.getAs[Double]("brier") === 0.19)
-    // REL = [3·(0.8−2/3)² + 1·(0.2−0)²]/4 = (1/15 + 1/25)·... → 0.023333
-    assert(math.abs(r.getAs[Double]("reliability") - 0.023333) < 1e-5)
-    // RES = [3·(2/3−1/2)² + 1·(0−1/2)²]/4 = (1/12 + 1/4)/4 = 0.083333
-    assert(math.abs(r.getAs[Double]("resolution") - 0.083333) < 1e-5)
-    assert(r.getAs[Double]("uncertainty") === 0.25)
-    // Murphy identity (up to the 1e-12 floor grid)
-    assert(math.abs(r.getAs[Double]("brier") -
-      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
-        r.getAs[Double]("uncertainty"))) < 1e-5)
+    assert(r.getAs[String]("brier") === "0.190000000")
+    // REL = [3·(0.8−2/3)² + 1·(0.2−0)²]/4 → floor grid 0.023333333
+    assert(r.getAs[String]("reliability") === "0.023333333")
+    // RES = [3·(2/3−1/2)² + 1·(0−1/2)²]/4 = (1/12 + 1/4)/4 → 0.083333333
+    assert(r.getAs[String]("resolution") === "0.083333333")
+    assert(r.getAs[String]("uncertainty") === "0.250000000")
+    // Murphy identity (up to the 1e-9 floor grid: REL and RES each
+    // floor, so brier − (rel − res + unc) lands within 2 ulps)
+    def d(c: String) = r.getAs[String](c).toDouble
+    assert(math.abs(d("brier") -
+      (d("reliability") - d("resolution") + d("uncertainty"))) < 3e-9)
   }
 
   test("gainsTable: perfect ranker captures everything in decile 1") {
