@@ -58,7 +58,24 @@ import org.apache.spark.storage.StorageLevel
   * equi-join (AQE-splittable hash join; no corpus-sized bucket by the
   * retained-characters argument) → candidate-bounded verify. Long
   * strings ride the gram-df prefix join instead. Nothing quadratic in
-  * the corpus, nothing collected. */
+  * the corpus, nothing collected.
+  *
+  * The candidate joins never shuffle STRING mass: each distinct string
+  * gets a packed 64-bit id (`xxhash64(s)`) and each deletion signature
+  * is likewise hashed to 64 bits before the self-join, so exploded rows
+  * are three fixed-width longs (id, len, sig-hash) instead of two
+  * string copies — at `deletionMaxLen = 32` / `maxEdit = 2` that cuts
+  * candidate-join shuffle bytes ~3-5× and makes the join keys
+  * fixed-width comparable. Signature-hash collisions only ADD
+  * candidates (the thresholded-levenshtein verify removes them —
+  * output provably unchanged); a string-ID collision could DROP the
+  * collided pair through the `id_a < id_b` dedup, so ids are counted
+  * once against the distinct-string count and a collision (needs ~10⁹⁺
+  * strings for 50% birthday odds on 64 bits) fails LOUDLY rather than
+  * returning silently-incomplete pairs. Candidate pairs dedup as
+  * 16-byte id pairs and rejoin to the persisted distinct-string table
+  * only at the end — two id-keyed joins against the (already collapsed)
+  * string table, not the exploded mass. */
 object StringJoin {
 
   def editDistanceJoin(df: DataFrame, strCol: String, maxEdit: Int = 2,
@@ -74,11 +91,24 @@ object StringJoin {
       .filter(col("s").isNotNull && col("s") =!= "")
       .distinct()
       .withColumn("len", length(col("s")).cast("long"))
+      .withColumn("__id", xxhash64(col("s")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // 64-bit id-collision guard: a collision would silently DROP the
+    // collided pair (the id_a < id_b dedup below sees one id), so the
+    // astronomically-rare case fails loudly instead. One cheap agg over
+    // the persisted distinct-string table.
+    val idCheck = strs.agg(count(lit(1)).as("n"),
+      count_distinct(col("__id")).as("nid")).head()
+    require(idCheck.getLong(0) == idCheck.getLong(1),
+      "editDistanceJoin: xxhash64 string-id collision (" +
+        s"${idCheck.getLong(0)} strings, ${idCheck.getLong(1)} ids) — " +
+        "a collided pair would be silently dropped; dedupe or salt the " +
+        "input strings")
 
     // ---- deletion-neighborhood path: len ≤ delMax (complete for k ≤ 2)
     def delOne(s: Column, i: Column): Column = // 0-based char i removed
       concat(substring(s, lit(1), i.cast("int")), s.substr(i + 2, length(s)))
+    var delExploded: Option[DataFrame] = None
     val delCands = if (delMax <= 0) None else {
       val dels = strs.filter(col("len") <= delMax)
       val sig1 = transform(sequence(lit(0), (col("len") - 1).cast("int")),
@@ -94,12 +124,20 @@ object StringJoin {
       val sigs =
         if (maxEdit == 1) array_distinct(concat(array(col("s")), sig1))
         else array_distinct(concat(array(col("s")), sig1, sig2))
-      val exploded = dels.select(col("s"), col("len"),
-        explode(sigs).as("__sig"))
+      // hash each signature to 64 bits: collisions only ADD candidates
+      // (verify removes them); the join shuffles 3 longs per row, not
+      // 2 string copies. Persisted so the self-join's two inputs don't
+      // re-run the explode.
+      val exploded = dels.select(col("__id"), col("len"),
+          explode(transform(sigs, s => xxhash64(s))).as("__sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      delExploded = Some(exploded)
       Some(exploded.as("a").join(exploded.as("b"),
-          col("a.__sig") === col("b.__sig") && col("a.s") < col("b.s") &&
+          col("a.__sig") === col("b.__sig") &&
+            col("a.__id") < col("b.__id") &&
             abs(col("a.len") - col("b.len")) <= maxEdit)
-        .select(col("a.s").as("s_a"), col("b.s").as("s_b")).distinct())
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+        .distinct())
     }
 
     // ---- long path: prefix-filtered candidates over q-gram types.
@@ -111,21 +149,21 @@ object StringJoin {
     // can drop true pairs.)
     val gramMin = math.max(delMax - maxEdit + 1, shortLen + 1).toLong
     val longs = strs.filter(col("len") >= gramMin)
-    val grams = longs.select(col("s"), col("len"),
+    val grams = longs.select(col("__id"), col("len"),
         explode(array_distinct(transform(
           sequence(lit(0), (col("len") - q).cast("int")),
           i => col("s").substr(i + 1, lit(q))))).as("g"))
     val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    val byRarity = Window.partitionBy(col("s"))
+    val byRarity = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("g").asc)
     val prefix = grams.join(gdf, Seq("g"))
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
-      .select(col("g"), col("s"), col("len"))
+      .select(col("g"), col("__id"), col("len"))
     val longCands = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.s") < col("b.s") &&
+        col("a.g") === col("b.g") && col("a.__id") < col("b.__id") &&
           abs(col("a.len") - col("b.len")) <= maxEdit)
-      .select(col("a.s").as("s_a"), col("b.s").as("s_b")).distinct()
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
 
     // ---- short bucket: only lengths NEITHER path covers (delMax <
     // shortLen — i.e. maxEdit > 2 or a deliberately tiny deletionMaxLen)
@@ -146,8 +184,19 @@ object StringJoin {
           greatest(col("__ss"), col("s")).as("s_b")).distinct())
     }
 
+    // ---- dedup candidate pairs as 16-byte id pairs, THEN rejoin the
+    // strings (two id-keyed joins against the collapsed string table —
+    // the exploded mass never carries strings)
+    val idPairs = (delCands.toSeq :+ longCands)
+      .reduce(_ unionByName _).distinct()
+    val fromIds = idPairs
+      .join(strs.as("ra"), col("id_a") === col("ra.__id"))
+      .join(strs.as("rb"), col("id_b") === col("rb.__id"))
+      .select(least(col("ra.s"), col("rb.s")).as("s_a"),
+        greatest(col("ra.s"), col("rb.s")).as("s_b"))
+
     // ---- verify with the thresholded DP
-    val cands = (delCands.toSeq ++ Seq(longCands) ++ shortCands.toSeq)
+    val cands = (Seq(fromIds) ++ shortCands.toSeq)
       .reduce(_ unionByName _).distinct()
     val out = cands
       .withColumn("dist",
@@ -155,6 +204,7 @@ object StringJoin {
       .filter(col("dist") >= 0L)
       .select(col("s_a"), col("s_b"), col("dist"))
       .localCheckpoint(true)
+    delExploded.foreach(_.unpersist())
     strs.unpersist()
     out
   }
