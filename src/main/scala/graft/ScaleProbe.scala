@@ -732,6 +732,58 @@ object ScaleProbe {
               pmod(xxhash64(col("id")), lit(50))).as("e")),
           Seq("g"), "s", "e").count()
       }
+      // ---- round-16 probes: the r15 driver-fold operators. Each fold
+      // is enum/vocab-bounded by construction; the probes pin that the
+      // DISTRIBUTED part (one agg / window pass over the row mass) is
+      // what grows, i.e. wall time ~linear at 10x.
+      timed("markov_attribution", n) {
+        // channel alphabet fixed (8 + conversion): the absorbing-chain
+        // solve is (channels+1)^2-bounded on the driver; per-user
+        // windows + the transition agg carry the row mass
+        val users = math.max(n / 20, 10L)
+        val ev = spark.range(n).select(
+          pmod(col("id"), lit(users)).as("user_id"),
+          col("id").as("ts"),
+          when(pmod(xxhash64(col("id")), lit(12)) === 0, lit("purchase"))
+            .otherwise(concat(lit("ch"),
+              pmod(xxhash64(col("id"), lit(1)), lit(8)))).as("event_type"),
+          col("id").as("event_id"))
+        graft.ops.Funnel.markovAttribution(ev).count()
+      }
+      timed("bradley_terry", n) {
+        // item set fixed at 500 — games grow; winMatrix's one agg is
+        // the distributed work, the MM recurrence folds the bounded
+        // item-pair frame on the driver
+        val items = 500L
+        val ia = pmod(xxhash64(col("id")), lit(items))
+        val ib = pmod(ia + 1L +
+          pmod(xxhash64(col("id"), lit(1)), lit(items - 1)), lit(items))
+        val g = spark.range(n).select(
+          concat(lit("i"), ia).as("a"), concat(lit("i"), ib).as("b"),
+          when(pmod(xxhash64(col("id"), lit(2)), lit(3)) === 0,
+            concat(lit("i"), ib)).otherwise(concat(lit("i"), ia)).as("w"))
+        graft.ops.Experiment.bradleyTerry(g, "a", "b", "w",
+          iterations = 50).count()
+      }
+      timed("fellegi_sunter", n) {
+        // 3-field agreement vectors, planted ~10% match prevalence —
+        // the EM folds a 2^3-row pattern frame; the one groupBy over
+        // the pair mass is the distributed work
+        val isM = pmod(xxhash64(col("id")), lit(10)) === 0
+        def fld(s: Int, pm: Int, pu: Int) =
+          when(isM, pmod(xxhash64(col("id"), lit(s)), lit(10)) < pm)
+            .otherwise(pmod(xxhash64(col("id"), lit(s + 7)), lit(10)) < pu)
+        val pairs = spark.range(n).select(
+          fld(1, 9, 2).as("f1"), fld(2, 8, 1).as("f2"), fld(3, 9, 3).as("f3"))
+        graft.ops.EntityResolution.fellegiSunter(pairs, Seq("f1", "f2", "f3"))
+          .count()
+      }
+      timed("wordpiece_train", n) {
+        // like bpe_train: the corpus-sized part is the ONE word-count
+        // agg; each merge round then runs on the bounded word table
+        graft.ops.WordPieceTrain.trainWordPiece(d, numMerges = 10,
+          maxWords = Some(10000)).merges.size.toLong
+      }
     }
     spark.stop()
   }
