@@ -8407,6 +8407,22 @@ object OracleSql {
         END, false) AS significant
     FROM f"""
 
+  /** MP4 metadata round trip — q330. The oracle predicts what the
+    * buildMp4 → parseMp4 pair must produce straight from doc_id/text:
+    * duration_ms = UTF-8 byte length (built on the 90 kHz timescale and
+    * converted back), doc-keyed dimensions, audio trak on odd ids. Any
+    * writer or box-walk defect diverges per row. */
+  private val q330 = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+      'isom' AS major_brand,
+      CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        AS duration_ms,
+      CAST(1 + doc_id % 2 AS BIGINT) AS track_count,
+      CASE WHEN doc_id % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+      CAST(160 + (doc_id % 16) * 8 AS BIGINT) AS width,
+      CAST(120 + (doc_id % 9) * 8 AS BIGINT) AS height
+    FROM documents"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8752,6 +8768,7 @@ object OracleSql {
     "q326_kruskal_wallis"   -> q326,
     "q327_cronbach"         -> q327,
     "q328_fleiss"           -> q328,
-    "q329_odds_ratio"       -> q329
+    "q329_odds_ratio"       -> q329,
+    "q330_mp4_meta"         -> q330
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4792,6 +4792,37 @@ object SparkEntry {
         (col("o_totalprice") > 200000.0).as("outcome")),
       "exposed", "outcome")
 
+  /** MP4 container-metadata round trip ([[graft.ops.Multimodal.buildMp4]]
+    * → [[graft.ops.Multimodal.parseMp4]]): per document, synthesize a
+    * well-formed ISO-BMFF container with doc-derived parameters (duration
+    * = byte length in ms on the 90 kHz movie timescale, doc-keyed
+    * dimensions, an audio trak on odd ids), then box-walk it back. The
+    * oracle predicts the parsed values straight from doc_id/text — the
+    * writer must emit valid boxes AND the parser must walk them
+    * correctly for every row, or the values diverge. Row-local both
+    * ways: zero shuffles. */
+  private def q330Mp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val mp4 = graft.ops.Multimodal.buildMp4(
+          payload, durationMs = payload.length.toLong,
+          width = (160 + (id % 16) * 8).toInt,
+          height = (120 + (id % 9) * 8).toInt,
+          withAudioTrack = id % 2 == 1)
+        val m = graft.ops.Multimodal.parseMp4(mp4).getOrElse(
+          throw new IllegalStateException(
+            s"q330: built container for doc $id failed to parse"))
+        (id, m.major_brand, m.duration_ms, m.track_count.toLong,
+          m.codecs.mkString(","), m.width.toLong, m.height.toLong)
+      })
+      .toDF("media_id", "major_brand", "duration_ms", "track_count",
+        "codecs", "width", "height")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5121,7 +5152,8 @@ object SparkEntry {
     "q326_kruskal_wallis"   -> q326KruskalWallis _,
     "q327_cronbach"         -> q327Cronbach _,
     "q328_fleiss"           -> q328Fleiss _,
-    "q329_odds_ratio"       -> q329OddsRatio _
+    "q329_odds_ratio"       -> q329OddsRatio _,
+    "q330_mp4_meta"         -> q330Mp4Meta _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing (schema, partition sizing, batch iteration, typed
   * output) is real. The IMAGE path decodes for real via `javax.imageio`
-  * (PNG/JPEG/GIF/BMP codecs ship in the JDK) and the AUDIO path via
-  * `javax.sound.sampled` (WAV/AIFF/AU containers ship in the JDK) — zero
-  * extra dependencies for either; VIDEO decode is STUBBED with a
-  * deterministic fake (`fakeDecode`) because no video codec ships in the
-  * JDK — swap `decodeFn` for an ffmpeg-style binding in production.
+  * (PNG/JPEG/GIF/BMP codecs ship in the JDK), the AUDIO path via
+  * `javax.sound.sampled` (WAV/AIFF/AU containers ship in the JDK), and the
+  * VIDEO path parses the ISO-BMFF (MP4) container for real via
+  * [[parseMp4]] — a pure byte-level box-walk (ftyp brand, mvhd
+  * timescale/duration, per-trak tkhd dimensions and stsd codec fourcc;
+  * no codec needed for container METADATA) with [[buildMp4]] as the
+  * writer half for deterministic test containers. Only frame DECODE of
+  * video is out of scope (no JDK video codec) — swap `decodeFn` for an
+  * ffmpeg-style binding in production; non-MP4/corrupt payloads fall
+  * back to the deterministic [[fakeDecode]].
   *
   * Scale notes: payloads stay in executor memory one partition at a time —
   * size `spark.sql.files.maxPartitionBytes` so (rows/partition × max payload)
@@ -47,10 +52,12 @@ object Multimodal {
     * the container format from the payload's magic bytes and returns actual
     * width/height/channels) and audio through `javax.sound.sampled`
     * (WAV/AIFF/AU headers → sample rate, channels, frame-exact duration);
-    * payloads neither reader supports — and the video modality, whose codecs
-    * the JDK does not ship — fall back to the deterministic [[fakeDecode]]
-    * so the pipeline never throws on a corrupt or unsupported payload (the
-    * decode tier of a crawl pipeline must absorb garbage, not die on it). */
+    * video through the [[parseMp4]] ISO-BMFF box-walk (presentation
+    * dimensions, mvhd duration on the real timescale grid, stream count
+    * in `channels`); payloads no reader supports fall back to the
+    * deterministic [[fakeDecode]] so the pipeline never throws on a
+    * corrupt or unsupported payload (the decode tier of a crawl
+    * pipeline must absorb garbage, not die on it). */
   def realDecode(row: MediaRow): MediaFeatures = {
     if (row.modality == "image") {
       val img =
@@ -65,6 +72,17 @@ object Multimodal {
           width = img.getWidth,
           height = img.getHeight,
           channels = img.getColorModel.getNumComponents)
+      }
+    }
+    if (row.modality == "video") {
+      parseMp4(row.payload) match {
+        case Some(m) =>
+          val base = fakeDecode(row) // byte_len + content_hash stay payload-derived
+          return base.copy(
+            width = m.width, height = m.height,
+            channels = m.track_count, // stream count — the video analogue
+            duration_ms = m.duration_ms)
+        case None => () // not ISO-BMFF → fakeDecode fallback below
       }
     }
     if (row.modality == "audio") {
@@ -93,8 +111,8 @@ object Multimodal {
 
   /** Deterministic fake decode: features derived purely from the payload
     * bytes, so tests are stable and the stub is honest about being fake.
-    * Kept as the video path (no JDK video codec) and the
-    * undecodable-payload fallback of [[realDecode]]. */
+    * Kept only as the undecodable-payload fallback of [[realDecode]]
+    * (video payloads that parse as ISO-BMFF take the [[parseMp4]] path). */
   def fakeDecode(row: MediaRow): MediaFeatures = {
     val len  = row.payload.length
     val hash = row.payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
@@ -303,5 +321,196 @@ object Multimodal {
     val out = pairs.localCheckpoint(true)
     hashes.unpersist()
     out
+  }
+
+  // ==================== ISO-BMFF (MP4) container metadata ====================
+
+  /** Container-level video metadata from the [[parseMp4]] box-walk:
+    * `duration_ms` = mvhd duration converted off the movie timescale,
+    * `track_count` = number of `trak` boxes, `codecs` = each trak's
+    * first stsd sample-entry fourcc in trak order, `width`/`height` =
+    * the first trak with a nonzero tkhd presentation width (16.16
+    * fixed-point, floored to pixels). */
+  final case class Mp4Meta(major_brand: String, timescale: Long,
+                           duration_ms: Long, track_count: Int,
+                           codecs: Seq[String], width: Int, height: Int)
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u64(b: Array[Byte], o: Int): Long =
+    (u32(b, o) << 32) | u32(b, o + 4)
+
+  /** Child boxes of `[start, end)` as `(type, bodyStart, bodyEnd)`.
+    * Handles the three ISO-BMFF size forms — u32 size, `size == 1` →
+    * 64-bit largesize after the type, `size == 0` → box extends to the
+    * enclosing end — and STOPS (rather than throws) at a malformed
+    * tail, so a truncated crawl payload yields the boxes that do parse. */
+  private def childBoxes(b: Array[Byte], start: Int,
+                         end: Int): List[(String, Int, Int)] = {
+    var o = start
+    val out = List.newBuilder[(String, Int, Int)]
+    var bad = false
+    while (!bad && o + 8 <= end) {
+      val sz0 = u32(b, o)
+      val tpe = new String(b, o + 4, 4, "ISO-8859-1")
+      val (hdr, sz) =
+        if (sz0 == 1L && o + 16 <= end) (16L, u64(b, o + 8))
+        else if (sz0 == 0L) (8L, (end - o).toLong)
+        else (8L, sz0)
+      if (sz < hdr || sz > (end - o).toLong) bad = true
+      else {
+        out += ((tpe, o + hdr.toInt, o + sz.toInt))
+        o += sz.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** ISO-BMFF (MP4/MOV family) container metadata box-walk — pure byte
+    * parsing, NO codec: `ftyp` (major brand) → `moov` → `mvhd`
+    * (timescale + duration, version 0 and 1 layouts) → per-`trak`
+    * `tkhd` (16.16 presentation width/height, v0/v1) and
+    * `mdia/minf/stbl/stsd` (first sample-entry fourcc = the track's
+    * codec). Unknown boxes skip by size — the format's own forward-
+    * compat contract. Returns None unless both an `ftyp` and an `mvhd`
+    * with a positive timescale parse (the minimum for trustworthy
+    * metadata); any malformed read inside a candidate payload also
+    * yields None rather than throwing (crawl-tier garbage-absorption,
+    * the [[realDecode]] contract). Row-local and allocation-light —
+    * safe inside the mapPartitions decode batch at any scale. */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      var brand: String = null
+      var timescale = 0L
+      var duration = 0L
+      var tracks = 0
+      val codecs = Seq.newBuilder[String]
+      var w = 0
+      var h = 0
+      for ((t1, s1, e1) <- childBoxes(bytes, 0, bytes.length)) t1 match {
+        case "ftyp" if e1 - s1 >= 4 =>
+          brand = new String(bytes, s1, 4, "ISO-8859-1")
+        case "moov" =>
+          for ((t2, s2, e2) <- childBoxes(bytes, s1, e1)) t2 match {
+            case "mvhd" if e2 - s2 >= 20 =>
+              val v = bytes(s2) & 0xff
+              if (v == 1 && e2 - s2 >= 32) {
+                timescale = u32(bytes, s2 + 20)
+                duration = u64(bytes, s2 + 24)
+              } else if (v == 0) {
+                timescale = u32(bytes, s2 + 12)
+                duration = u32(bytes, s2 + 16)
+              }
+            case "trak" =>
+              tracks += 1
+              var codec: String = null
+              for ((t3, s3, e3) <- childBoxes(bytes, s2, e2)) t3 match {
+                case "tkhd" if e3 - s3 >= 84 =>
+                  val v = bytes(s3) & 0xff
+                  // after version/flags: v1 carries 8-byte times and
+                  // duration (32 bytes to the reserved run), v0 20
+                  val base = s3 + 4 + (if (v == 1) 32 else 20)
+                  val wOff = base + 8 + 2 + 2 + 2 + 2 + 36
+                  if (wOff + 8 <= e3) {
+                    val tw = (u32(bytes, wOff) >> 16).toInt
+                    val th = (u32(bytes, wOff + 4) >> 16).toInt
+                    if (w == 0 && tw > 0) { w = tw; h = th }
+                  }
+                case "mdia" =>
+                  for ((t4, s4, e4) <- childBoxes(bytes, s3, e3)
+                       if t4 == "minf";
+                       (t5, s5, e5) <- childBoxes(bytes, s4, e4)
+                       if t5 == "stbl";
+                       (t6, s6, e6) <- childBoxes(bytes, s5, e5)
+                       if t6 == "stsd" && e6 - s6 >= 16)
+                    if (codec == null)
+                      codec = new String(bytes, s6 + 12, 4, "ISO-8859-1")
+                case _ => ()
+              }
+              if (codec != null) codecs += codec
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (brand == null || timescale <= 0L) None
+      else Some(Mp4Meta(brand, timescale,
+        duration * 1000L / timescale, tracks, codecs.result(), w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tpe: String, body: Array[Byte]*): Array[Byte] =
+    be32(8L + body.map(_.length).sum) ++ tpe.getBytes("ISO-8859-1") ++
+      body.toArray.flatten
+  private val UnityMatrix: Array[Byte] =
+    be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  /** The writer half of [[parseMp4]] (the WARC writer/parser precedent):
+    * a minimal-but-well-formed ISO-BMFF container — `ftyp` (isom) +
+    * `moov` (v0 `mvhd` on the conventional 90 kHz movie timescale,
+    * one `avc1` video trak with real tkhd/stsd dimensions, optionally
+    * one `mp4a` audio trak) + `mdat` carrying `payload`. Metadata-level
+    * only (no sample tables — not a playable stream), fully
+    * deterministic: no timestamps, so identical across runs and task
+    * retries, the lineage-recomputation requirement every synthesized
+    * binary column here obeys. */
+  def buildMp4(payload: Array[Byte], durationMs: Long, width: Int,
+               height: Int, withAudioTrack: Boolean = false,
+               timescale: Long = 90000L): Array[Byte] = {
+    require(durationMs >= 0, s"buildMp4: negative duration $durationMs")
+    require(width > 0 && height > 0 && width < 65536 && height < 65536,
+      s"buildMp4: dimensions ${width}x$height out of the 16-bit range")
+    val dur = durationMs * timescale / 1000L
+    require(dur <= 0xffffffffL,
+      s"buildMp4: duration $durationMs ms overflows the v0 mvhd u32 grid")
+    val mvhd = box("mvhd",
+      be32(0), // version 0 + flags
+      be32(0), be32(0), // creation/modification: epoch (deterministic)
+      be32(timescale), be32(dur),
+      be32(0x00010000L), be16(0x0100), be16(0), // rate, volume, reserved
+      new Array[Byte](8), UnityMatrix, new Array[Byte](24),
+      be32(if (withAudioTrack) 3L else 2L)) // next_track_ID
+    def tkhd(trackId: Long, isVideo: Boolean) = box("tkhd",
+      be32(7), // version 0, flags: enabled | in-movie | in-preview
+      be32(0), be32(0), be32(trackId), be32(0), be32(dur),
+      new Array[Byte](8), be16(0), be16(0),
+      be16(if (isVideo) 0 else 0x0100), be16(0), UnityMatrix,
+      be32(if (isVideo) width.toLong << 16 else 0L),
+      be32(if (isVideo) height.toLong << 16 else 0L))
+    def mdhd = box("mdhd", be32(0), be32(0), be32(0),
+      be32(timescale), be32(dur), be16(0x55c4), be16(0)) // lang 'und'
+    def hdlr(handler: String) = box("hdlr", be32(0), be32(0),
+      handler.getBytes("ISO-8859-1"), new Array[Byte](12), Array(0.toByte))
+    val avc1 = be32(86) ++ "avc1".getBytes("ISO-8859-1") ++
+      new Array[Byte](6) ++ be16(1) ++ new Array[Byte](16) ++
+      be16(width) ++ be16(height) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ be16(1) ++
+      new Array[Byte](32) ++ be16(24) ++ be16(0xffff)
+    val mp4a = be32(36) ++ "mp4a".getBytes("ISO-8859-1") ++
+      new Array[Byte](6) ++ be16(1) ++ new Array[Byte](8) ++
+      be16(2) ++ be16(16) ++ be16(0) ++ be16(0) ++ be32(44100L << 16)
+    def stsd(entry: Array[Byte]) = box("stsd", be32(0), be32(1), entry)
+    val vmhd = box("vmhd", be32(1), be16(0), new Array[Byte](6))
+    val smhd = box("smhd", be32(0), be16(0), be16(0))
+    def trak(trackId: Long, isVideo: Boolean) = box("trak",
+      tkhd(trackId, isVideo),
+      box("mdia", mdhd, hdlr(if (isVideo) "vide" else "soun"),
+        box("minf", if (isVideo) vmhd else smhd,
+          box("stbl", stsd(if (isVideo) avc1 else mp4a)))))
+    val traks =
+      if (withAudioTrack) trak(1L, isVideo = true) ++ trak(2L, isVideo = false)
+      else trak(1L, isVideo = true)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0x200L),
+      "isom".getBytes("ISO-8859-1"), "mp41".getBytes("ISO-8859-1"))
+    ftyp ++ box("moov", mvhd, traks) ++ box("mdat", payload)
   }
 }

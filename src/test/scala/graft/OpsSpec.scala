@@ -654,6 +654,70 @@ class OpsSpec extends SparkSpec {
     assert(feats(4L).duration_ms === 500L && feats(4L).byte_len === wav.length)
   }
 
+  test("multimodal: MP4 box-walk — build/parse round trip, v1+largesize, garbage") {
+    // round trip through the writer half (90 kHz timescale exercises the
+    // real duration conversion, not a 1:1 grid)
+    val payload = "the mdat payload".getBytes("UTF-8")
+    val av = Multimodal.buildMp4(payload, durationMs = 1234L,
+      width = 320, height = 240, withAudioTrack = true)
+    val m = Multimodal.parseMp4(av).get
+    assert(m.major_brand === "isom" && m.timescale === 90000L)
+    assert(m.duration_ms === 1234L && m.track_count === 2)
+    assert(m.codecs === Seq("avc1", "mp4a"))
+    assert(m.width === 320 && m.height === 240)
+    val solo = Multimodal.parseMp4(Multimodal.buildMp4(
+      payload, 0L, 1, 1)).get
+    assert(solo.track_count === 1 && solo.codecs === Seq("avc1") &&
+      solo.duration_ms === 0L)
+    // hand-authored boxes the writer never emits: v1 mvhd (64-bit
+    // duration), a largesize mdat, and an unknown box that must skip
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def bx(t: String, b: Array[Byte]) =
+      be32(8L + b.length) ++ t.getBytes("ISO-8859-1") ++ b
+    val mvhdV1 = bx("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(600L) ++ be64(3000L) ++ // 5 s at 600 Hz
+      new Array[Byte](80))
+    val unknown = bx("wide", new Array[Byte](4))
+    val largeMdat = be32(1L) ++ "mdat".getBytes("ISO-8859-1") ++
+      be64(16L + 4L) ++ new Array[Byte](4)
+    val hand = bx("ftyp", "mp42".getBytes("ISO-8859-1") ++ be32(0)) ++
+      unknown ++ bx("moov", mvhdV1) ++ largeMdat
+    val hm = Multimodal.parseMp4(hand).get
+    assert(hm.major_brand === "mp42" && hm.timescale === 600L)
+    assert(hm.duration_ms === 5000L && hm.track_count === 0)
+    // garbage, truncation, and a no-ftyp stream all yield None, not throws
+    assert(Multimodal.parseMp4("not a container".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(av.take(20)).isEmpty)
+    assert(Multimodal.parseMp4(bx("moov", mvhdV1)).isEmpty)
+    assert(Multimodal.parseMp4(null).isEmpty)
+    // determinism: the writer embeds no timestamps
+    assert(java.util.Arrays.equals(av, Multimodal.buildMp4(payload, 1234L,
+      320, 240, withAudioTrack = true)))
+  }
+
+  test("multimodal: video rows with real MP4 payloads decode real metadata") {
+    val mp4 = Multimodal.buildMp4("frames".getBytes, durationMs = 2500L,
+      width = 640, height = 360, withAudioTrack = true)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mp4, "test"),
+      Multimodal.MediaRow(2L, "video", "not mp4 bytes".getBytes, "test"))
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 640 && feats(1L).height === 360)
+    assert(feats(1L).duration_ms === 2500L)
+    assert(feats(1L).channels === 2) // stream count: video + audio trak
+    assert(feats(1L).byte_len === mp4.length)
+    // non-ISO-BMFF video payload falls back to the deterministic stub
+    val stub = Multimodal.fakeDecode(
+      Multimodal.MediaRow(2L, "video", "not mp4 bytes".getBytes, "test"))
+    assert(feats(2L).duration_ms === stub.duration_ms &&
+      feats(2L).width === 0)
+  }
+
   test("multimodal: frame sampling emits n deterministic offsets; resize bounds output size") {
     val media = Multimodal.asMediaTable(docs).as[Multimodal.MediaRow]
     val frames = Multimodal.frameSample(media, n = 4).collect()
