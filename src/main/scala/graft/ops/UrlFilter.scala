@@ -44,36 +44,129 @@ object UrlFilter {
       s => s =!= "")
   }
 
-  /** Multi-label public suffixes — a FROZEN high-traffic subset of the
-    * Mozilla Public Suffix List (publicsuffix.org; the full list is
-    * ~10k entries and revisioned — shipping a pinned subset keeps the
-    * operator deterministic and oracle-mirrorable, the
-    * [[graft.ops.Boilerplate]] stopword-list precedent). Single-label
-    * TLDs need no listing: they are the default fallback. Wildcard
-    * (`*.ck`) and exception (`!city.kobe.jp`) PSL rules are outside the
-    * subset — documented bound. */
+  /** Multi-label public suffixes — a FROZEN, hand-vendored snapshot of
+    * the Mozilla Public Suffix List (publicsuffix.org), curated to the
+    * high-confidence core at authoring time (2026-08; the build sandbox
+    * has no egress, so the full ~10k-entry revisioned file cannot be
+    * fetched — swap these three literals for a vendored copy of the
+    * full list to widen coverage; the RULE ALGEBRA below already
+    * implements the complete PSL semantics). Single-label TLDs need no
+    * listing: they are the algorithm's default `*` rule. */
   private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    // uk
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "co.in", "net.in", "org.in", "ac.in", "gov.in",
-    "co.kr", "or.kr", "ac.kr", "go.kr",
-    "com.mx", "org.mx", "com.ar", "com.tr", "com.sa",
-    "co.za", "org.za", "com.sg", "edu.sg",
-    "com.hk", "com.tw", "org.tw",
-    "co.nz", "net.nz", "org.nz",
-    "com.pl", "com.ua", "com.vn", "co.th", "co.id",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    // au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "gen.nz", "geek.nz", "maori.nz",
+    // jp (organizational second levels; the city wildcards ride
+    // WildcardSuffixes below)
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    // east/southeast asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.kr", "or.kr", "ac.kr", "go.kr", "ne.kr", "re.kr", "pe.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    // south asia / middle east / africa
+    "co.in", "net.in", "org.in", "ac.in", "gov.in", "res.in", "edu.in",
+    "gen.in", "firm.in", "ind.in",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "av.tr", "bel.tr",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "ac.ae", "co.ae", "net.ae", "org.ae", "sch.ae", "gov.ae",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.tz", "or.tz", "ne.tz", "go.tz", "ac.tz", "sc.tz",
+    "co.ug", "or.ug", "ne.ug", "go.ug", "ac.ug", "sc.ug",
+    "com.gh", "org.gh", "edu.gh", "gov.gh",
+    "co.zm", "org.zm", "gov.zm", "ac.zm", "co.zw", "org.zw", "gov.zw",
+    "co.bw", "org.bw", "co.mz", "org.mz", "gov.mz",
+    // americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "adv.br", "eco.br", "blog.br", "wiki.br", "ind.br",
+    "inf.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co",
+    "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "med.ec",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "mil.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "mil.bo",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "mil.gt",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "mil.do",
+    "web.do", "art.do",
+    "com.sv", "org.sv", "edu.sv", "gob.sv", "red.sv",
+    "com.hn", "net.hn", "org.hn", "edu.hn", "gob.hn", "mil.hn",
+    "com.ni", "net.ni", "org.ni", "edu.ni", "gob.ni", "mil.ni",
+    "com.pa", "net.pa", "org.pa", "edu.pa", "gob.pa", "sld.pa",
+    "co.cr", "or.cr", "ed.cr", "fi.cr", "go.cr", "sa.cr", "ac.cr",
+    // europe
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua", "lviv.ua", "odessa.ua", "kharkov.ua",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "publ.pt",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "www.ro", "store.ro",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu",
+    "2000.hu", "bolt.hu", "city.hu", "news.hu",
+    "com.cy", "net.cy", "org.cy", "ltd.cy", "biz.cy", "ac.cy",
+    "gov.cy",
+    "com.mt", "net.mt", "org.mt", "edu.mt", "gov.mt",
+    // private-registry section staples (platform-assigned subdomains)
     "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
-    "s3.amazonaws.com", "herokuapp.com")
+    "s3.amazonaws.com", "herokuapp.com", "netlify.app", "vercel.app",
+    "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudfront.net", "appspot.com", "wixsite.com",
+    "weebly.com", "tumblr.com", "fly.dev", "onrender.com",
+    "readthedocs.io", "neocities.org", "glitch.me", "repl.co")
+
+  /** Wildcard PSL rules (`*.bd` → every `<label>.bd` is a public
+    * suffix), stored as the parent suffix. Same pinned-snapshot caveat
+    * as [[MultiLabelSuffixes]]. */
+  private[graft] val WildcardSuffixes: Seq[String] = Seq(
+    "bd", "ck", "er", "kh", "mm", "np", "pg",
+    // the jp city registries (each paired with its !city exception)
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception PSL rules (`!www.ck` → `www.ck` is NOT a public suffix
+    * despite `*.ck`; it is itself a registrable domain). */
+  private[graft] val ExceptionRules: Seq[String] = Seq(
+    "www.ck", "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
 
   /** The registrable domain (eTLD+1) of a lowercased host — the unit
     * crawl policy actually works in: per-"site" budgets, dedup scopes,
     * and blocklists all mean `bbc.co.uk`, not `co.uk` (too wide) or
-    * `news.bbc.co.uk` (too narrow). Longest [[MultiLabelSuffixes]] match
-    * plus one label; no match → last label (the plain TLD) plus one.
-    * A host that IS a public suffix, a single label, or '' has no
+    * `news.bbc.co.uk` (too narrow).
+    *
+    * Implements the COMPLETE publicsuffix.org rule algebra over the
+    * vendored snapshot: exception rules prevail (`!www.ck` → `www.ck`
+    * is itself registrable), else the matching rule with the most
+    * labels wins among exact ([[MultiLabelSuffixes]]) and wildcard
+    * ([[WildcardSuffixes]]: `*.bd` makes every `<label>.bd` a public
+    * suffix) rules, else the default `*` rule (the bare TLD). The
+    * registrable domain is the public suffix plus one host label. A
+    * host that IS a public suffix, a single label, or '' has no
     * registrable domain → ''. IPv4 hosts return verbatim (PSL
     * convention: IPs are their own "domain"). Row-local array algebra
     * over [[domainSuffixes]] — zero shuffles. */
@@ -81,15 +174,32 @@ object UrlFilter {
     val h = coalesce(host, lit(""))
     val sufs = domainSuffixes(h)
     val ml = array(MultiLabelSuffixes.map(lit): _*)
-    // smallest index into the most-specific-first chain that is a listed
-    // suffix = the LONGEST public-suffix match; default: the bare TLD.
-    // (index-aware transform, NOT sequence(0, size-1): Spark's sequence
-    // DESCENDS when start > stop, so the empty-host case would yield
-    // [0, -1] and crash the lambda on index 0)
+    val wc = array(WildcardSuffixes.map(lit): _*)
+    val ex = array(ExceptionRules.map(lit): _*)
+    // public-suffix candidates as 0-based indexes into the
+    // most-specific-first chain; smallest index = most labels = the
+    // prevailing rule. (index-aware transform, NOT sequence(0, size-1):
+    // Spark's sequence DESCENDS when start > stop, so the empty-host
+    // case would yield [0, -1] and crash the lambda on index 0)
+    // Exact rule: sufs[i] listed → sufs[i] is a public suffix.
+    // Wildcard rule: sufs[i+1] == the rule's parent → sufs[i] is a
+    // public suffix (the chain's i+1 element IS sufs[i] minus its
+    // leftmost label, so no re-splitting needed).
     val hits = filter(
-      transform(sufs, (s, i) => when(array_contains(ml, s), i).otherwise(-1)),
+      transform(sufs, (s, i) => when(
+        array_contains(ml, s) ||
+          (i + 2 <= size(sufs) && array_contains(wc, element_at(sufs, i + 2))),
+        i).otherwise(-1)),
       x => x >= 0)
-    val psIdx = when(size(hits) > 0, array_min(hits)).otherwise(size(sufs) - 1)
+    // Exception rule at chain index i: sufs[i] is NOT a public suffix;
+    // the public suffix is the rule minus its leftmost label = sufs[i+1],
+    // making sufs[i] (the exception itself) the registrable base.
+    val exHits = filter(
+      transform(sufs, (s, i) => when(array_contains(ex, s), i).otherwise(-1)),
+      x => x >= 0)
+    val psIdx = when(size(exHits) > 0, array_min(exHits) + 1)
+      .when(size(hits) > 0, array_min(hits))
+      .otherwise(size(sufs) - 1)
     when(h.rlike("^[0-9]+(\\.[0-9]+){3}$"), h)
       .when(psIdx >= 1, element_at(sufs, psIdx)) // 1-based: element BEFORE ps
       .otherwise(lit(""))

@@ -2241,7 +2241,22 @@ class OpsSpec extends SparkSpec {
       "user.github.io" -> "user.github.io", // private-registry suffix
       "github.io" -> "",                    // the private suffix itself
       "x.s3.amazonaws.com" -> "x.s3.amazonaws.com", // 3-label listed suffix
-      "" -> "")
+      "" -> "",
+      // wildcard rules: *.ck makes every <label>.ck a public suffix
+      "foo.ck" -> "",                       // IS a (wildcard) public suffix
+      "bar.foo.ck" -> "bar.foo.ck",         // one label under it
+      "deep.bar.foo.ck" -> "bar.foo.ck",
+      "ck" -> "",                           // the wildcard parent itself
+      // exception rules: !www.ck carves www.ck back out of *.ck
+      "www.ck" -> "www.ck",
+      "foo.www.ck" -> "www.ck",
+      // the jp city registries: *.kobe.jp with !city.kobe.jp
+      "foo.kobe.jp" -> "",
+      "shop.foo.kobe.jp" -> "shop.foo.kobe.jp",
+      "city.kobe.jp" -> "city.kobe.jp",
+      "ward.city.kobe.jp" -> "city.kobe.jp",
+      // exact rule still beats the default under the same TLD
+      "x.lg.jp" -> "x.lg.jp")
     val got = UrlFilter.registeredDomain(col("h"))
     val out = cases.map(_._1).toDF("h").select(col("h"), got.as("rd"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
