@@ -60,6 +60,21 @@ object FlightStatus {
       .option("startingOffsets", "earliest")
       .load())
 
+  /** S9, transport-agnostic LIVE form — a TCP line stream through the
+    * SAME [[parseEvents]] path as the Kafka source (one JSON payload per
+    * line; Spark's socket source yields the same single `value` column
+    * as the Kafka wire). This is how the produce→consume path is
+    * exercised live in environments without a Kafka broker —
+    * StreamingSpec drives it end-to-end with an in-test TCP producer
+    * serving [[toKafkaShape]] values; swap for [[readKafkaStream]] when
+    * a broker exists. */
+  def readSocketStream(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseEvents(spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load())
+
   /** JSON payload → typed columns (`from_json` with the event schema). Kept
     * separate from the source so tests can drive it with MemoryStream/files. */
   def parseEvents(kafkaShaped: DataFrame): DataFrame =

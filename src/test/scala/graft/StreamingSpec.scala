@@ -42,6 +42,69 @@ class StreamingSpec extends SparkSpec {
     assert(table.filter($"flight_key" === "AA100").count() === 3L)
   }
 
+  test("S8+S9 live wire round trip: TCP producer -> socket source -> parse -> latest-per-key") {
+    // the closest honest stand-in for a broker round trip in a sandbox
+    // with no Kafka jars: REAL network production and consumption — the
+    // producer serializes through toKafkaShape (the S8 wire format) and
+    // the consumer is readSocketStream -> the SAME parseEvents path the
+    // Kafka source uses. Serialization, live-socket ingestion, and the
+    // downstream resolve all execute for real.
+    val delays = Seq(("AA100", 300), ("AA100", 120), ("WN500", 0))
+      .toDF("flight_key", "delay_minutes")
+      .withColumn("update_timestamp",
+        (lit("2024-01-01 10:00:00").cast("timestamp") +
+          expr("make_interval(0, 0, 0, 0, 0, delay_minutes, 0)")))
+    val wire = FlightStatus.toKafkaShape(FlightStatus.buildEvents(delays))
+      .collect().map(_.getString(1))
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var producerErr: Throwable = null
+    val producer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, "UTF-8"))
+        wire.foreach(w.println)
+        w.flush()
+        done.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        sock.close()
+      } catch { case e: Throwable => producerErr = e }
+    })
+    producer.start()
+    val parsed = FlightStatus.readSocketStream(
+      spark, "127.0.0.1", server.getLocalPort)
+    val query = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("wire_status").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("wire_status").count() < wire.length &&
+             System.currentTimeMillis() < deadline) {
+        query.processAllAvailable()
+        Thread.sleep(50)
+      }
+      val table = spark.table("wire_status")
+      assert(table.count() === wire.length.toLong)
+      // fields round-tripped through JSON + the live wire
+      val rows = table.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows === Set(("AA100", "delayed", 300),
+        ("AA100", "delayed", 120), ("WN500", "on-time", 0)))
+      assert(table.filter(col("update_timestamp").isNull).count() === 0L)
+      // and the ST3 resolve over the live-ingested table
+      val latest = FlightStatus.latestStatusPerFlight(table)
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      assert(latest === Map("AA100" -> 300, "WN500" -> 0))
+    } finally {
+      done.countDown()
+      query.stop()
+      server.close()
+      producer.join(10000)
+    }
+    assert(producerErr === null,
+      s"producer thread failed: ${String.valueOf(producerErr)}")
+  }
+
   test("ST3: latest-per-key over the appended table; deterministic survivor") {
     val base = SparkSpec.tempDir("graft_stream3_")
     writeStatusTable(base)
