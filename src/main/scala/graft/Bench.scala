@@ -31,6 +31,12 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     def onePass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) =>
+        // inter-query hygiene OUTSIDE the timer: a 330-query suite shares
+        // one heap, and the r15 in-suite ~2x swings (q63/q68/q81/q211)
+        // were GC contention — isolated re-runs sat at r14 levels. One
+        // collection between queries stops one query's debris from
+        // billing the next; the gc itself is never counted.
+        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1") System.gc()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable =>
