@@ -20,18 +20,27 @@ import graft.ops.TextAnalysis
   *  - on a live session: `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.HashExprs", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
+  }
 }
 
 object GraftExtensions {
 
-  /** Register every function on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every function + the optimizer rules on an existing
+    * session (idempotent — getOrCreate on a pre-built session skips
+    * extension injection, this path covers it). */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) => ColumnBridge.registerFunction(spark, name, b) }
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.ThresholdedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ThresholdedLevenshtein
+  }
 
   private def lit[T](e: Expression, what: String): T = {
     require(e.foldable, s"$what must be a literal")

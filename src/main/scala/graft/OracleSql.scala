@@ -8423,6 +8423,30 @@ object OracleSql {
       CAST(120 + (doc_id % 9) * 8 AS BIGINT) AS height
     FROM documents"""
 
+  /** Thresholded-Levenshtein rewrite — q331. DuckDB recomputes the
+    * same distance-comparison counts directly; the Spark side runs the
+    * optimizer-rewritten thresholded DP — counts must agree exactly. */
+  private val q331 = """
+    WITH d AS (SELECT c_name AS name,
+        CASE c_custkey % 5 WHEN 0 THEN c_name WHEN 1 THEN c_name || 'x'
+          WHEN 2 THEN c_name || 'xy' WHEN 3 THEN c_name || 'xyz'
+          ELSE c_name || 'xyzw' END AS v
+      FROM customer)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN levenshtein(name, v) <= 2 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_le2,
+      CAST(sum(CASE WHEN levenshtein(name, v) < 2 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_lt2,
+      CAST(sum(CASE WHEN levenshtein(name, v) = 2 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_eq2,
+      CAST(sum(CASE WHEN levenshtein(name, v) > 2 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_gt2,
+      CAST(sum(CASE WHEN levenshtein(name, v) >= 3 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_ge3,
+      CAST(sum(CASE WHEN levenshtein(name, v) = 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_eq0
+    FROM d"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8769,6 +8793,7 @@ object OracleSql {
     "q327_cronbach"         -> q327,
     "q328_fleiss"           -> q328,
     "q329_odds_ratio"       -> q329,
-    "q330_mp4_meta"         -> q330
+    "q330_mp4_meta"         -> q330,
+    "q331_lev_rewrite"      -> q331
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4823,6 +4823,33 @@ object SparkEntry {
         "codecs", "width", "height")
   }
 
+  /** Thresholded-Levenshtein rewrite ([[graft.plans
+    * .ThresholdedLevenshtein]]): the NATURAL unthresholded predicates a
+    * user writes, over customer-name variants at exact distances
+    * 0/1/2/3/4 — the session's optimizer rule rewrites every comparison
+    * into the O(k·n) thresholded DP, and the oracle recomputes the same
+    * counts with DuckDB's levenshtein, proving the rewrite
+    * value-identical on real data. */
+  private def q331LevRewrite(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_name").as("name"),
+      (col("c_custkey") % 5).as("m"))
+    val d = c.select(col("name"),
+      when(col("m") === 0, col("name"))
+        .when(col("m") === 1, concat(col("name"), lit("x")))
+        .when(col("m") === 2, concat(col("name"), lit("xy")))
+        .when(col("m") === 3, concat(col("name"), lit("xyz")))
+        .otherwise(concat(col("name"), lit("xyzw"))).as("v"))
+    def cnt(pred: org.apache.spark.sql.Column) =
+      sum(when(pred, 1L).otherwise(0L))
+    d.agg(count(lit(1)).as("n"),
+      cnt(levenshtein(col("name"), col("v")) <= 2).as("n_le2"),
+      cnt(levenshtein(col("name"), col("v")) < 2).as("n_lt2"),
+      cnt(levenshtein(col("name"), col("v")) === 2).as("n_eq2"),
+      cnt(levenshtein(col("name"), col("v")) > 2).as("n_gt2"),
+      cnt(levenshtein(col("name"), col("v")) >= 3).as("n_ge3"),
+      cnt(levenshtein(col("name"), col("v")) === 0).as("n_eq0"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5153,7 +5180,8 @@ object SparkEntry {
     "q327_cronbach"         -> q327Cronbach _,
     "q328_fleiss"           -> q328Fleiss _,
     "q329_odds_ratio"       -> q329OddsRatio _,
-    "q330_mp4_meta"         -> q330Mp4Meta _
+    "q330_mp4_meta"         -> q330Mp4Meta _,
+    "q331_lev_rewrite"      -> q331LevRewrite _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Threshold pushdown for Levenshtein comparisons — a
+  * `Rule[LogicalPlan]` that rewrites the predicate a user naturally
+  * writes, `levenshtein(a, b) <= k`, into Spark's thresholded form
+  * `levenshtein(a, b, k) >= 0`: the unthresholded expression runs the
+  * full O(|a|·|b|) DP, the thresholded one bails in O(k·min(|a|,|b|))
+  * once the distance provably exceeds k — the same early-exit
+  * [[graft.ops.StringJoin.editDistanceJoin]] uses explicitly, applied
+  * automatically to any plan on the session (SQL included, where the
+  * Column-API discipline can't reach).
+  *
+  * Every rewrite is VALUE-equivalent, nulls included (both sides
+  * null-propagate through the same children), because the thresholded
+  * form returns the exact distance when `d <= k` and `-1` when `d > k`:
+  *
+  *   - `d <= k` (k ≥ 1)  ⟺ `lev(a,b,k) >= 0`; `d <= 0` ⟺ `a = b`
+  *   - `d <  k`           ⟺ `d <= k−1`
+  *   - `d >  k` (k ≥ 1)  ⟺ `lev(a,b,k) = −1`; `d > 0` ⟺ `NOT a = b`
+  *   - `d >= k`           ⟺ `d > k−1`
+  *   - `d =  k` (k ≥ 1)  ⟺ `lev(a,b,k) = k`;  `d = 0` ⟺ `a = b`
+  *
+  * Scope guards: the bound must be a foldable non-negative INT literal
+  * (a LONG bound coerces the distance side into a Cast and is left
+  * alone), the Levenshtein must be unthresholded, and `d >= 0` — a
+  * tautology for non-null inputs but null-valued on null ones — is
+  * deliberately not touched. Installed by
+  * [[graft.GraftExtensions]] (`injectOptimizerRule` at session build,
+  * `experimental.extraOptimizations` on a live session). */
+object ThresholdedLevenshtein extends Rule[LogicalPlan] {
+
+  private object IntBound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case _ => None
+    }
+  }
+
+  private def lev3(a: Expression, b: Expression, k: Int): Expression =
+    Levenshtein(a, b, Some(Literal(k)))
+
+  /** d <= k (callers guarantee k >= 0). */
+  private def le(a: Expression, b: Expression, k: Int): Expression =
+    if (k == 0) EqualTo(a, b)
+    else GreaterThanOrEqual(lev3(a, b, k), Literal(0))
+
+  /** d > k (callers guarantee k >= 1; k == 0 routes to [[ne0]]). */
+  private def gt(a: Expression, b: Expression, k: Int): Expression =
+    EqualTo(lev3(a, b, k), Literal(-1))
+
+  /** d > 0. */
+  private def ne0(a: Expression, b: Expression): Expression =
+    Not(EqualTo(a, b))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // d <= k  /  k >= d
+      case LessThanOrEqual(Levenshtein(a, b, None), IntBound(k)) if k >= 0 =>
+        le(a, b, k)
+      case GreaterThanOrEqual(IntBound(k), Levenshtein(a, b, None)) if k >= 0 =>
+        le(a, b, k)
+      // d < k  /  k > d
+      case LessThan(Levenshtein(a, b, None), IntBound(k)) if k >= 1 =>
+        le(a, b, k - 1)
+      case GreaterThan(IntBound(k), Levenshtein(a, b, None)) if k >= 1 =>
+        le(a, b, k - 1)
+      // d > k  /  k < d
+      case GreaterThan(Levenshtein(a, b, None), IntBound(0)) => ne0(a, b)
+      case LessThan(IntBound(0), Levenshtein(a, b, None)) => ne0(a, b)
+      case GreaterThan(Levenshtein(a, b, None), IntBound(k)) if k >= 1 =>
+        gt(a, b, k)
+      case LessThan(IntBound(k), Levenshtein(a, b, None)) if k >= 1 =>
+        gt(a, b, k)
+      // d >= k  /  k <= d
+      case GreaterThanOrEqual(Levenshtein(a, b, None), IntBound(1)) => ne0(a, b)
+      case LessThanOrEqual(IntBound(1), Levenshtein(a, b, None)) => ne0(a, b)
+      case GreaterThanOrEqual(Levenshtein(a, b, None), IntBound(k)) if k >= 2 =>
+        gt(a, b, k - 1)
+      case LessThanOrEqual(IntBound(k), Levenshtein(a, b, None)) if k >= 2 =>
+        gt(a, b, k - 1)
+      // d = k
+      case EqualTo(Levenshtein(a, b, None), IntBound(0)) => EqualTo(a, b)
+      case EqualTo(IntBound(0), Levenshtein(a, b, None)) => EqualTo(a, b)
+      case EqualTo(Levenshtein(a, b, None), IntBound(k)) if k >= 1 =>
+        EqualTo(lev3(a, b, k), Literal(k))
+      case EqualTo(IntBound(k), Levenshtein(a, b, None)) if k >= 1 =>
+        EqualTo(lev3(a, b, k), Literal(k))
+    }
+}

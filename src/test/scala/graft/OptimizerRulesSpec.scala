@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.ThresholdedLevenshtein]]: every comparison form
+  * rewrites to the thresholded O(k·n) expression, results stay
+  * value-identical (nulls included), and out-of-scope shapes are left
+  * alone. The rule installs on the shared test session through
+  * [[GraftExtensions.register]] — the live-session path. */
+class OptimizerRulesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  // parquet-backed (a LocalRelation would let ConvertToLocalRelation
+  // evaluate the whole predicate during optimization, leaving no plan
+  // to inspect)
+  private lazy val fixture: DataFrame = {
+    val dir = SparkSpec.tempDir("graft_lev_") + "/pairs"
+    Seq(
+      ("kitten", "kitten"),   // d = 0
+      ("kitten", "sitten"),   // d = 1
+      ("kitten", "sittin"),   // d = 2
+      ("kitten", "sitting"),  // d = 3
+      ("abcd", "wxyz"),       // d = 4
+      (null, "x"), ("x", null), (null, null))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  /** The optimized plan's thresholded form prints as
+    * `levenshtein(a, b, k)`; the unthresholded as `levenshtein(a, b)`. */
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("every comparison form rewrites and stays value-identical") {
+    // (predicate, expected rows among the 5 non-null pairs)
+    val cases: Seq[(org.apache.spark.sql.Column, Long, Boolean)] = Seq(
+      (levenshtein($"a", $"b") <= 2, 3L, true),
+      (lit(2) >= levenshtein($"a", $"b"), 3L, true),
+      (levenshtein($"a", $"b") < 3, 3L, true),
+      (lit(3) > levenshtein($"a", $"b"), 3L, true),
+      (levenshtein($"a", $"b") > 2, 2L, true),
+      (lit(2) < levenshtein($"a", $"b"), 2L, true),
+      (levenshtein($"a", $"b") >= 3, 2L, true),
+      (lit(3) <= levenshtein($"a", $"b"), 2L, true),
+      (levenshtein($"a", $"b") === 2, 1L, true),
+      (lit(2) === levenshtein($"a", $"b"), 1L, true),
+      // k = 0 / k = 1 boundary forms fold to (in)equality — no
+      // levenshtein at all in the optimized plan, also counted "gone"
+      (levenshtein($"a", $"b") <= 0, 1L, true),
+      (levenshtein($"a", $"b") === 0, 1L, true),
+      (levenshtein($"a", $"b") < 1, 1L, true),
+      (levenshtein($"a", $"b") > 0, 4L, true),
+      (levenshtein($"a", $"b") >= 1, 4L, true))
+    for (((pred, want, mustRewrite), i) <- cases.zipWithIndex) {
+      val q = fixture.filter(pred)
+      val plan = optimized(q)
+      // the unthresholded expression prints as levenshtein(a, b, None)
+      if (mustRewrite)
+        assert(!plan.contains(", None)"),
+          s"case $i not rewritten: $plan")
+      assert(q.count() === want, s"case $i row count")
+    }
+  }
+
+  test("null propagation is preserved through the rewrite") {
+    // as a PROJECTED value (not a filter), null inputs must stay null
+    val out = fixture.select(
+        $"a", $"b", (levenshtein($"a", $"b") <= 2).as("near"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+    val m = out.map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(m(("kitten", "sittin")) === Some(true))
+    assert(m(("kitten", "sitting")) === Some(false))
+    assert(m((null, "x")) === None && m(("x", null)) === None &&
+      m((null, null)) === None)
+  }
+
+  test("out-of-scope shapes are left alone") {
+    // non-literal bound
+    val dyn = fixture.withColumn("k", length($"a") - 5)
+      .filter(levenshtein($"a", $"b") <= $"k")
+    assert(optimized(dyn).contains(", None)"),
+      s"dynamic bound must not gain a threshold: ${optimized(dyn)}")
+    // already-thresholded expression
+    val pre = fixture.filter(levenshtein($"a", $"b", 2) >= 0)
+    assert(pre.count() === 3L)
+    // bare projection of the distance
+    val bare = fixture.select(levenshtein($"a", $"b").as("d"))
+    assert(optimized(bare).contains("levenshtein"))
+  }
+
+  test("SQL-surface predicates rewrite too") {
+    fixture.createOrReplaceTempView("lev_fixture")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM lev_fixture WHERE levenshtein(a, b) <= 1")
+    assert(optimized(q).contains("Some(1)") && !optimized(q).contains(", None)"),
+      s"SQL predicate not rewritten: ${optimized(q)}")
+    assert(q.collect().head.getLong(0) === 2L)
+  }
+}
