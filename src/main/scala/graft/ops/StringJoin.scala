@@ -195,9 +195,15 @@ object StringJoin {
       .select(least(col("ra.s"), col("rb.s")).as("s_a"),
         greatest(col("ra.s"), col("rb.s")).as("s_b"))
 
-    // ---- verify with the thresholded DP
-    val cands = (Seq(fromIds) ++ shortCands.toSeq)
-      .reduce(_ unionByName _).distinct()
+    // ---- verify with the thresholded DP. fromIds is already
+    // pair-distinct (idPairs is, and ids map 1:1 to strings under the
+    // collision guard), so the candidate-mass re-distinct — a full
+    // string-pair shuffle — is paid ONLY when a short bucket exists to
+    // overlap with (maxEdit > 2 configurations).
+    val cands =
+      if (shortCands.isEmpty) fromIds
+      else (Seq(fromIds) ++ shortCands.toSeq)
+        .reduce(_ unionByName _).distinct()
     val out = cands
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxEdit).cast("long"))
