@@ -480,11 +480,15 @@ object Dedup {
     val prefixLen = col("n") - ceilTheta + 1L
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("tok").asc)
+    // persisted: the self-join below reads it for BOTH inputs, and its
+    // lineage (df agg + window over the token mass) is the expensive
+    // part — the frame itself is prefix-sized (n/θDen-ish per doc)
     val prefix = toks.join(df, Seq("tok"))
       .join(sets.select(col("id"), col("n")), Seq("id"))
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
       .select(col("tok"), col("id"), col("n"), col("__pos").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // POSITIONAL filter (the PPJoin upgrade over plain AllPairs): a match
     // on token t at global-rarity ranks (pa, pb) bounds the pair's overlap
     // by min(pa−1, pb−1) [tokens before t in the COMMON order] + 1 [t] +
@@ -522,7 +526,7 @@ object Dedup {
         round(col("n_common").cast("double") / col("__union").cast("double"), 6)
           .as("jaccard"))
     val out = materialize(verified)
-    toks.unpersist(); sets.unpersist()
+    toks.unpersist(); sets.unpersist(); prefix.unpersist()
     out
   }
 
