@@ -156,10 +156,14 @@ object StringJoin {
     val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col("__id"))
       .orderBy(col("__df").asc, col("g").asc)
+    // persisted for the same reason as the deletion path: the self-join
+    // reads it twice and its lineage (gram-df agg + rarity window) is
+    // the expensive part — the q210 lesson, applied here too
     val prefix = grams.join(gdf, Seq("g"))
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
       .select(col("g"), col("__id"), col("len"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val longCands = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.__id") < col("b.__id") &&
           abs(col("a.len") - col("b.len")) <= maxEdit)
@@ -211,6 +215,7 @@ object StringJoin {
       .select(col("s_a"), col("s_b"), col("dist"))
       .localCheckpoint(true)
     delExploded.foreach(_.unpersist())
+    prefix.unpersist()
     strs.unpersist()
     out
   }
