@@ -50,43 +50,47 @@ object Summarize {
       docs.select(col(idCol), col(textCol)), textCol, Seq(idCol))
     val node = concat(col(idCol).cast("string"), lit(":"),
       col("sent_idx").cast("string"))
+    // every frame the plan reads more than once is persisted — the
+    // q210/q215 recompute lesson: s2 feeds tokenization AND the final
+    // rank join, toks feeds BOTH sides of the overlap self-join, ov
+    // feeds BOTH union branches of the symmetric edge list (this one
+    // alone previously re-ran the overlap join + agg twice). All three
+    // are released after the output is eagerly cut.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s2 = sents.select(col(idCol), col("sent_idx"), col("sentence"),
-      node.as("__node"))
+      node.as("__node")).persist(mem)
     val toks = s2.select(col(idCol), col("__node"),
       explode(array_distinct(filter(
         split(TextAnalysis.normalizeText(col("sentence")), " "),
-        t => t =!= ""))).as("__tok"))
+        t => t =!= ""))).as("__tok")).persist(mem)
     val ov = toks.select(col(idCol), col("__tok"), col("__node").as("__na"))
       .join(toks.select(col(idCol), col("__tok"), col("__node").as("__nb")),
         Seq(idCol, "__tok"))
       .filter(col("__na") < col("__nb"))
       .groupBy("__na", "__nb").agg(count(lit(1)).as("__w"))
       .filter(col("__w") >= minOverlap)
-    // persisted across the emptiness guard AND pageRank's own edge
-    // normalization — without it the overlap join runs twice (once for
-    // isEmpty, once for pageRank's persist); released after pageRank has
-    // eagerly materialized its checkpointed ranks
+      .persist(mem)
     val edges = ov.select(col("__na").as("src"), col("__nb").as("dst"), col("__w"))
       .unionByName(
         ov.select(col("__nb").as("src"), col("__na").as("dst"), col("__w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = (100L - 85L) * scale / 100L
     val ranked =
       if (edges.isEmpty) { // no votes anywhere
-        edges.unpersist()
         s2.withColumn("rank", lit(base))
       } else {
         val ranks = Graph.pageRank(edges, weightCol = "__w",
           iterations = iterations, scale = scale)
-        edges.unpersist() // ranks are checkpointed — lineage is flat now
         s2.join(ranks.withColumnRenamed("node", "__node"), Seq("__node"), "left")
           .withColumn("rank", coalesce(col("rank"), lit(base)))
       }
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("rank").desc, col("sent_idx").asc)
-    ranked
+    val out = ranked
       .withColumn("__pick", row_number().over(w))
       .filter(col("__pick") <= k)
       .select(col(idCol), col("sent_idx"), col("sentence"), col("rank"))
+      .localCheckpoint(true)
+    ov.unpersist(); toks.unpersist(); s2.unpersist()
+    out
   }
 }
