@@ -89,16 +89,23 @@ object EntityResolution {
                  nameCol: String = "name", k: Int = 3,
                  maxBlock: Int = 1000, phonetic: Boolean = false): DataFrame = {
     require(maxBlock >= 2, s"candidates: maxBlock must be >= 2, got $maxBlock")
+    // the q210/q215 recompute lesson: `b` (normalize + block-key
+    // explode) feeds the size filter AND both self-join sides — persist
+    // it, cut the candidate set eagerly, release.
     val b = blocks(df, idCol, nameCol, k, phonetic)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = b.groupBy("block_key").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBlock))
       .select("block_key")
     val in = b.join(sized, "block_key")
-    in.select(col("block_key"), col("id").as("id_a"))
+    val out = in.select(col("block_key"), col("id").as("id_a"))
       .join(in.select(col("block_key"), col("id").as("id_b")), "block_key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .localCheckpoint(true)
+    b.unpersist()
+    out
   }
 
   /** No-silent-caps audit: blocks the `maxBlock` guard drops, with their
@@ -246,6 +253,7 @@ object EntityResolution {
     val allNames = index.select(col("name").as("__n")).unionByName(fresh)
     val allB = blocks(
       allNames.select(col("__n").as("id"), col("__n").as("nm")), "id", "nm", k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = allB.groupBy("block_key").agg(count(lit(1)).as("__c"))
       .filter(col("__c").between(2, maxBlock)).select("block_key")
     val inB = allB.join(sized, "block_key")
@@ -266,6 +274,7 @@ object EntityResolution {
     val labels2 = Graph.incrementalComponents(verified,
       index.select(col("name").as("node"), col("component")))
       .withColumnRenamed("node", "__n")
+    allB.unpersist() // labels are eagerly checkpointed — lineage is flat
     val index2 = reps2.join(labels2, Seq("__n"), "left")
       .select(col("__n").as("name"), col("rep"),
         coalesce(col("component"), col("__n")).as("component"))
