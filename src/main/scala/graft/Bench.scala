@@ -33,10 +33,16 @@ object Bench {
       qs.map { case (name, fn) =>
         // inter-query hygiene OUTSIDE the timer: a 330-query suite shares
         // one heap, and the r15 in-suite ~2x swings (q63/q68/q81/q211)
-        // were GC contention — isolated re-runs sat at r14 levels. One
+        // were GC contention — isolated re-runs sat at r14 levels. A
         // collection between queries stops one query's debris from
-        // billing the next; the gc itself is never counted.
-        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1") System.gc()
+        // billing the next; the gc itself is never counted, and only
+        // fires under real pressure (>50% of max heap live) so the
+        // sweep's wall time doesn't pay ~660 needless full GCs.
+        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1") {
+          val rt = Runtime.getRuntime
+          if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2)
+            System.gc()
+        }
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable =>
