@@ -480,15 +480,24 @@ object Dedup {
     val prefixLen = col("n") - ceilTheta + 1L
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("tok").asc)
-    // persisted: the self-join below reads it for BOTH inputs, and its
+    // The self-join below reads this frame for BOTH inputs, and its
     // lineage (df agg + window over the token mass) is the expensive
-    // part — the frame itself is prefix-sized (n/θDen-ish per doc)
-    val prefix = toks.join(df, Seq("tok"))
+    // part — but its SIZE is θ-dependent: the prefix keeps
+    // ≈ (θDen−θNum)/θDen of every document's tokens. At high θ (the
+    // near-dup setting — q210's 0.95 keeps ~5%) caching it is a ~7×
+    // win; at low θ (0.6 keeps ~40% of the whole token mass) the cache
+    // evicts everything else and measured 1.5-2× SLOWER under heap
+    // pressure than paying the recompute (r16 probe). Persist only
+    // when the retained fraction is ≤ 20% (θ ≥ 0.8).
+    val persistPrefix = thetaNum * 5 >= thetaDen * 4
+    val prefix0 = toks.join(df, Seq("tok"))
       .join(sets.select(col("id"), col("n")), Seq("id"))
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
       .select(col("tok"), col("id"), col("n"), col("__pos").cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefix =
+      if (persistPrefix) prefix0.persist(StorageLevel.MEMORY_AND_DISK)
+      else prefix0
     // POSITIONAL filter (the PPJoin upgrade over plain AllPairs): a match
     // on token t at global-rarity ranks (pa, pb) bounds the pair's overlap
     // by min(pa−1, pb−1) [tokens before t in the COMMON order] + 1 [t] +
@@ -526,7 +535,8 @@ object Dedup {
         round(col("n_common").cast("double") / col("__union").cast("double"), 6)
           .as("jaccard"))
     val out = materialize(verified)
-    toks.unpersist(); sets.unpersist(); prefix.unpersist()
+    toks.unpersist(); sets.unpersist()
+    if (persistPrefix) prefix.unpersist()
     out
   }
 
