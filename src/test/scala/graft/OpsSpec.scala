@@ -698,6 +698,26 @@ class OpsSpec extends SparkSpec {
       320, 240, withAudioTrack = true)))
   }
 
+  test("multimodal: parseMp4 fuzz — random bytes never throw") {
+    // the crawl-tier contract: arbitrary garbage yields None (or a
+    // Some for byte strings that happen to parse), NEVER an exception.
+    val rnd = new scala.util.Random(42L)
+    (1 to 500).foreach { i =>
+      val len = rnd.nextInt(200)
+      val bytes = new Array[Byte](len); rnd.nextBytes(bytes)
+      Multimodal.parseMp4(bytes) // must not throw
+    }
+    // adversarial size fields: size 1 without largesize room, giant
+    // u32 size, size pointing past the buffer
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val t = "ftyp".getBytes("ISO-8859-1")
+    assert(Multimodal.parseMp4(be32(1L) ++ t ++ be32(0)).isEmpty)
+    assert(Multimodal.parseMp4(be32(0xffffffffL) ++ t).isEmpty)
+    assert(Multimodal.parseMp4(be32(100L) ++ t ++ new Array[Byte](4)).isEmpty)
+    assert(Multimodal.parseMp4(be32(7L) ++ t).isEmpty) // size < header
+  }
+
   test("multimodal: video rows with real MP4 payloads decode real metadata") {
     val mp4 = Multimodal.buildMp4("frames".getBytes, durationMs = 2500L,
       width = 640, height = 360, withAudioTrack = true)

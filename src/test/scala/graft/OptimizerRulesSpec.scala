@@ -94,6 +94,42 @@ class OptimizerRulesSpec extends SparkSpec {
     assert(optimized(bare).contains("levenshtein"))
   }
 
+  test("randomized equivalence: every operator x bound agrees with the bare distance") {
+    // deterministic fuzz (fixed seed): random string pairs — including
+    // empties, repeats, and non-ASCII — evaluated through each rewritten
+    // comparison must agree with comparing the bare (non-rewritten)
+    // projected distance in Scala.
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abcdeé☃"
+    def randStr() = {
+      val n = rnd.nextInt(8)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val pairs = (1 to 300).map(_ => (randStr(), randStr()))
+    val dir = SparkSpec.tempDir("graft_lev_fuzz_") + "/pairs"
+    pairs.toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val bare = df.select($"a", $"b", levenshtein($"a", $"b").as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    for (k <- 0 to 4) {
+      val got = df.select($"a", $"b",
+          (levenshtein($"a", $"b") <= k).as("le"),
+          (levenshtein($"a", $"b") < k).as("lt"),
+          (levenshtein($"a", $"b") > k).as("gt"),
+          (levenshtein($"a", $"b") >= k).as("ge"),
+          (levenshtein($"a", $"b") === k).as("eq"))
+        .collect()
+      got.foreach { r =>
+        val d = bare((r.getString(0), r.getString(1)))
+        assert(r.getBoolean(2) === (d <= k), s"<= $k on ${r.getString(0)}/${r.getString(1)} d=$d")
+        assert(r.getBoolean(3) === (d < k), s"< $k d=$d")
+        assert(r.getBoolean(4) === (d > k), s"> $k d=$d")
+        assert(r.getBoolean(5) === (d >= k), s">= $k d=$d")
+        assert(r.getBoolean(6) === (d == k), s"== $k d=$d")
+      }
+    }
+  }
+
   test("SQL-surface predicates rewrite too") {
     fixture.createOrReplaceTempView("lev_fixture")
     val q = spark.sql(
