@@ -46,8 +46,21 @@ def main(outdir, sfdir):
             results[name] = f"ROWS_ONLY rows={len(srows)}" + (" EMPTY!" if not srows else "")
             continue
         try:
-            orel = con.sql(oracles[name])
-            ocols, orows = normalize(orel.fetchall(), [c for c in orel.columns])
+            # optional per-oracle watchdog (ORACLE_TIMEOUT_S): lets a
+            # full-inventory sweep at big scale factors survive the
+            # quadratic brute-force oracle shapes (q205/q208/q210/q215)
+            import threading
+            budget = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
+            timer = None
+            if budget > 0:
+                timer = threading.Timer(budget, con.interrupt)
+                timer.start()
+            try:
+                orel = con.sql(oracles[name])
+                ocols, orows = normalize(orel.fetchall(), [c for c in orel.columns])
+            finally:
+                if timer:
+                    timer.cancel()
         except Exception as e:
             results[name] = f"ORACLE_ERROR {e}"
             continue
