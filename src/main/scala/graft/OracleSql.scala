@@ -8447,6 +8447,38 @@ object OracleSql {
         AS BIGINT) AS n_eq0
     FROM d"""
 
+  /** Fill-in-the-middle — q332. Rebuilds every output column from the
+    * operator's own portable-md5 draws (the hashBucket idiom) and
+    * 1-based substring arithmetic; PSM and SPM orders both exercised. */
+  private val q332 = """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        coalesce(text, '') AS t FROM documents),
+    c AS (SELECT doc_id, t, length(t) AS n,
+        ('0x' || substr(md5('fim:apply:' || doc_id), 1, 14))::BIGINT
+          % 1000 < 500 AS applied,
+        ('0x' || substr(md5('fim:mode:' || doc_id), 1, 14))::BIGINT
+          % 1000 < 500 AS spm,
+        ('0x' || substr(md5('fim:cut1:' || doc_id), 1, 14))::BIGINT
+          % (length(t) + 1) AS c1,
+        ('0x' || substr(md5('fim:cut2:' || doc_id), 1, 14))::BIGINT
+          % (length(t) + 1) AS c2
+      FROM d),
+    s AS (SELECT *, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+    SELECT doc_id, applied AS fim_applied,
+      CASE WHEN applied THEN (CASE WHEN spm THEN 'spm' ELSE 'psm' END)
+        END AS fim_mode,
+      CASE WHEN applied THEN lo END AS cut_lo,
+      CASE WHEN applied THEN hi END AS cut_hi,
+      CASE WHEN NOT applied THEN t
+        WHEN spm THEN '<fim_suffix>' || substr(t, hi + 1, n - hi)
+          || '<fim_prefix>' || substr(t, 1, lo)
+          || '<fim_middle>' || substr(t, lo + 1, hi - lo)
+        ELSE '<fim_prefix>' || substr(t, 1, lo)
+          || '<fim_suffix>' || substr(t, hi + 1, n - hi)
+          || '<fim_middle>' || substr(t, lo + 1, hi - lo)
+        END AS fim_text
+    FROM s"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8794,6 +8826,7 @@ object OracleSql {
     "q328_fleiss"           -> q328,
     "q329_odds_ratio"       -> q329,
     "q330_mp4_meta"         -> q330,
-    "q331_lev_rewrite"      -> q331
+    "q331_lev_rewrite"      -> q331,
+    "q332_fim"              -> q332
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -4850,6 +4850,16 @@ object SparkEntry {
       cnt(levenshtein(col("name"), col("v")) === 0).as("n_eq0"))
   }
 
+  /** Fill-in-the-middle transform ([[graft.ops.Packing.fimTransform]]):
+    * the code-model infilling objective over the documents table —
+    * md5-drawn apply gate, PSM/SPM order mix, and character cuts; the
+    * oracle rebuilds every transformed string from the same portable
+    * md5 draws and substring arithmetic. */
+  private def q332Fim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.fimTransform(
+      t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"),
+        col("text")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5181,7 +5191,8 @@ object SparkEntry {
     "q328_fleiss"           -> q328Fleiss _,
     "q329_odds_ratio"       -> q329OddsRatio _,
     "q330_mp4_meta"         -> q330Mp4Meta _,
-    "q331_lev_rewrite"      -> q331LevRewrite _
+    "q331_lev_rewrite"      -> q331LevRewrite _,
+    "q332_fim"              -> q332Fim _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

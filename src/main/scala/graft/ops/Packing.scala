@@ -269,4 +269,68 @@ object Packing {
       lit(stride.toLong).as("stride"), col("phase"),
       col("n_masked"), col("n_spans"), col("corrupted"), col("target"))
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the
+    * code-model pretraining objective beside [[spanCorruptionPlan]]'s
+    * T5 denoising): split each selected document's text at two
+    * deterministic character cuts into (prefix, middle, suffix) and
+    * re-emit it with the middle moved behind sentinel tokens, so the
+    * model learns to infill. Both published orders ship — PSM
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M` and SPM (suffix-first)
+    * `<fim_suffix>S<fim_prefix>P<fim_middle>M` — mixed at
+    * `spmPermille`; `applyPermille` of documents transform at all
+    * (the published recipe trains on a mix of FIM and plain text).
+    *
+    * DETERMINISTIC end to end (rerun/retry/engine-identical, no
+    * `rand()`): the apply gate, the order draw, and both cut points are
+    * independent portable-md5 draws (the [[graft.ops.Sampling
+    * .hashBucket]] idiom; cuts land uniformly in [0, len] via the same
+    * 56-bit prefix mod len+1). Character cuts, not token cuts — the
+    * published FIM operates on the raw document BEFORE tokenization.
+    *
+    * Output per doc: `(idCol, fim_applied, fim_mode, cut_lo, cut_hi,
+    * fim_text)` — unapplied docs pass through verbatim with NULL
+    * mode/cuts.
+    *
+    * == 100 TB shape ==
+    * Zero shuffles: four md5 draws + substring algebra per row. */
+  def fimTransform(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   applyPermille: Int = 500, spmPermille: Int = 500,
+                   prefixTok: String = "<fim_prefix>",
+                   suffixTok: String = "<fim_suffix>",
+                   middleTok: String = "<fim_middle>",
+                   seed: String = "fim"): DataFrame = {
+    require(applyPermille >= 0 && applyPermille <= 1000,
+      s"fimTransform: applyPermille in [0, 1000], got $applyPermille")
+    require(spmPermille >= 0 && spmPermille <= 1000,
+      s"fimTransform: spmPermille in [0, 1000], got $spmPermille")
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val n = length(t)
+    def draw(tag: String) =
+      conv(substring(md5(concat(lit(s"$seed:$tag:"),
+        col(idCol).cast("string"))), 1, 14), 16, 10).cast("long")
+    val applied = Sampling.hashBucket(col(idCol), s"$seed:apply", 1000) <
+      applyPermille
+    val spm = Sampling.hashBucket(col(idCol), s"$seed:mode", 1000) <
+      spmPermille
+    val c1 = pmod(draw("cut1"), n + 1)
+    val c2 = pmod(draw("cut2"), n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val p = t.substr(lit(1), lo)
+    val m = t.substr(lo + 1, hi - lo)
+    val s = t.substr(hi + 1, n - hi)
+    docs.select(col(idCol),
+      applied.as("fim_applied"),
+      when(applied, when(spm, "spm").otherwise("psm")).as("fim_mode"),
+      when(applied, lo).as("cut_lo"),
+      when(applied, hi).as("cut_hi"),
+      when(!applied, t).otherwise(
+        when(spm,
+          concat(lit(suffixTok), s, lit(prefixTok), p, lit(middleTok), m))
+          .otherwise(
+            concat(lit(prefixTok), p, lit(suffixTok), s, lit(middleTok), m)))
+        .as("fim_text"))
+  }
 }

@@ -1999,6 +1999,60 @@ class StatsOpsSpec extends SparkSpec {
     assert(again(7L) === r.getAs[String]("corrupted"))
   }
 
+  test("fimTransform: reconstruction identity, PSM/SPM structure, gates, empty text") {
+    val docs = (1L to 40L).map(i => (i, s"doc$i " * 4)).toDF("doc_id", "text")
+    val rows = graft.ops.Packing.fimTransform(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val applied = rows.values.filter(_.getAs[Boolean]("fim_applied"))
+    assert(applied.nonEmpty && applied.size < rows.size) // both gates fire
+    // RECONSTRUCTION: for every applied doc, the three sentinel-delimited
+    // parts reassemble the original in P+M+S order
+    applied.foreach { r =>
+      val orig = docs.filter(col("doc_id") === r.getAs[Long]("doc_id"))
+        .collect().head.getString(1)
+      val txt = r.getAs[String]("fim_text")
+      val mode = r.getAs[String]("fim_mode")
+      val (p, s, m) =
+        if (mode == "psm") {
+          assert(txt.startsWith("<fim_prefix>"))
+          val a = txt.stripPrefix("<fim_prefix>").split("<fim_suffix>", 2)
+          val b = a(1).split("<fim_middle>", 2)
+          (a(0), b(0), b(1))
+        } else {
+          assert(mode == "spm" && txt.startsWith("<fim_suffix>"))
+          val a = txt.stripPrefix("<fim_suffix>").split("<fim_prefix>", 2)
+          val b = a(1).split("<fim_middle>", 2)
+          (b(0), a(0), b(1))
+        }
+      assert(p + m + s === orig, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(p.length === r.getAs[Long]("cut_lo"))
+      assert((p + m).length === r.getAs[Long]("cut_hi"))
+    }
+    // unapplied docs pass through verbatim with NULL mode/cuts
+    rows.values.filterNot(_.getAs[Boolean]("fim_applied")).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("fim_mode")) &&
+        r.isNullAt(r.fieldIndex("cut_lo")))
+      assert(!r.getAs[String]("fim_text").contains("<fim_"))
+    }
+    // applyPermille = 0 / 1000 pin the gate ends; empty text survives
+    val all0 = graft.ops.Packing.fimTransform(docs, applyPermille = 0)
+      .filter(col("fim_applied")).count()
+    assert(all0 === 0L)
+    val e = graft.ops.Packing.fimTransform(
+      Seq((1L, "")).toDF("doc_id", "text"), applyPermille = 1000)
+      .collect().head
+    assert(e.getAs[Boolean]("fim_applied"))
+    assert(e.getAs[String]("fim_text") ===
+      "<fim_prefix><fim_suffix><fim_middle>" ||
+      e.getAs[String]("fim_text") ===
+        "<fim_suffix><fim_prefix><fim_middle>")
+    // deterministic on rerun
+    val again = graft.ops.Packing.fimTransform(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fim_text")).toMap
+    rows.foreach { case (k, r) =>
+      assert(again(k) === r.getAs[String]("fim_text")) }
+  }
+
   test("pseudonymize: deterministic, column-salted, joinable, NULL-safe") {
     val df = Seq((1L, Some("alice"), Some("alice")),
       (2L, Some("alice"), Some("bob")), (3L, None, Some("alice")))
