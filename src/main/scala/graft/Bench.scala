@@ -23,6 +23,14 @@ object Bench {
     // Failures report in an "errors" map and exit non-zero.
     // Optional subset filter for local profiling: SPARK_GRAFT_ONLY=q28,q31
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Clobber guard, checked BEFORE any work runs: a SUBSET run must
+    // never overwrite the committed full-suite artifact by default —
+    // it has been clobbered twice across rounds. Subset runs require
+    // an explicit SPARK_GRAFT_BENCH_OUT scratch path.
+    require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"),
+      "SPARK_GRAFT_ONLY is set but SPARK_GRAFT_BENCH_OUT is not: a " +
+      "subset bench run would clobber the committed full-suite " +
+      "BENCH_LOCAL.json — set SPARK_GRAFT_BENCH_OUT to a scratch path")
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
     // Two passes, min per query: this host (a microVM) shows sporadic 3-5x

@@ -436,7 +436,11 @@ object Multimodal {
           }
         case _ => ()
       }
-      if (brand == null || timescale <= 0L) None
+      // an adversarial v1 64-bit duration near Long.MaxValue would
+      // overflow the *1000 below into a garbage (possibly negative)
+      // duration_ms — reject it like any other malformed payload
+      if (brand == null || timescale <= 0L ||
+          duration < 0L || duration > Long.MaxValue / 1000L) None
       else Some(Mp4Meta(brand, timescale,
         duration * 1000L / timescale, tracks, codecs.result(), w, h))
     } catch { case scala.util.control.NonFatal(_) => None }

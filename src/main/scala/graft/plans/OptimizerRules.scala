@@ -19,11 +19,19 @@ import org.apache.spark.sql.types.IntegerType
   * null-propagate through the same children), because the thresholded
   * form returns the exact distance when `d <= k` and `-1` when `d > k`:
   *
-  *   - `d <= k` (k ≥ 1)  ⟺ `lev(a,b,k) >= 0`; `d <= 0` ⟺ `a = b`
+  *   - `d <= k` (k ≥ 1)  ⟺ `lev(a,b,k) >= 0`; `d <= 0` ⟺ `lev(a,b,1) = 0`
   *   - `d <  k`           ⟺ `d <= k−1`
-  *   - `d >  k` (k ≥ 1)  ⟺ `lev(a,b,k) = −1`; `d > 0` ⟺ `NOT a = b`
+  *   - `d >  k` (k ≥ 1)  ⟺ `lev(a,b,k) = −1`; `d > 0` ⟺ `lev(a,b,1) ≠ 0`
   *   - `d >= k`           ⟺ `d > k−1`
-  *   - `d =  k` (k ≥ 1)  ⟺ `lev(a,b,k) = k`;  `d = 0` ⟺ `a = b`
+  *   - `d =  k` (k ≥ 1)  ⟺ `lev(a,b,k) = k`;  `d = 0` ⟺ `lev(a,b,1) = 0`
+  *
+  * The k = 0 boundary forms deliberately do NOT fold to plain string
+  * (in)equality: on Spark 4.x `EqualTo` is collation-aware, so under
+  * e.g. UTF8_LCASE `'A' = 'a'` is true while `levenshtein('A','a')`
+  * is 1 — a plain-equality fold would silently flip predicate results
+  * on collated columns. Routing through `lev(a,b,1)` keeps codepoint
+  * semantics (and null propagation) regardless of the columns'
+  * collation, and is still O(min-length) via the threshold early-exit.
   *
   * Scope guards: the bound must be a foldable non-negative INT literal
   * (a LONG bound coerces the distance side into a Cast and is left
@@ -44,18 +52,24 @@ object ThresholdedLevenshtein extends Rule[LogicalPlan] {
   private def lev3(a: Expression, b: Expression, k: Int): Expression =
     Levenshtein(a, b, Some(Literal(k)))
 
+  /** d == 0, collation-safely: `lev(a,b,1) = 0` (NOT `a = b`, which is
+    * collation-aware on Spark 4.x and would flip results on collated
+    * columns — see the scaladoc above). */
+  private def eq0(a: Expression, b: Expression): Expression =
+    EqualTo(lev3(a, b, 1), Literal(0))
+
   /** d <= k (callers guarantee k >= 0). */
   private def le(a: Expression, b: Expression, k: Int): Expression =
-    if (k == 0) EqualTo(a, b)
+    if (k == 0) eq0(a, b)
     else GreaterThanOrEqual(lev3(a, b, k), Literal(0))
 
   /** d > k (callers guarantee k >= 1; k == 0 routes to [[ne0]]). */
   private def gt(a: Expression, b: Expression, k: Int): Expression =
     EqualTo(lev3(a, b, k), Literal(-1))
 
-  /** d > 0. */
+  /** d > 0, collation-safely: `lev(a,b,1) ≠ 0`. */
   private def ne0(a: Expression, b: Expression): Expression =
-    Not(EqualTo(a, b))
+    Not(eq0(a, b))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -84,8 +98,8 @@ object ThresholdedLevenshtein extends Rule[LogicalPlan] {
       case LessThanOrEqual(IntBound(k), Levenshtein(a, b, None)) if k >= 2 =>
         gt(a, b, k - 1)
       // d = k
-      case EqualTo(Levenshtein(a, b, None), IntBound(0)) => EqualTo(a, b)
-      case EqualTo(IntBound(0), Levenshtein(a, b, None)) => EqualTo(a, b)
+      case EqualTo(Levenshtein(a, b, None), IntBound(0)) => eq0(a, b)
+      case EqualTo(IntBound(0), Levenshtein(a, b, None)) => eq0(a, b)
       case EqualTo(Levenshtein(a, b, None), IntBound(k)) if k >= 1 =>
         EqualTo(lev3(a, b, k), Literal(k))
       case EqualTo(IntBound(k), Levenshtein(a, b, None)) if k >= 1 =>

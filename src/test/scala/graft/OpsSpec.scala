@@ -688,6 +688,23 @@ class OpsSpec extends SparkSpec {
     val hm = Multimodal.parseMp4(hand).get
     assert(hm.major_brand === "mp42" && hm.timescale === 600L)
     assert(hm.duration_ms === 5000L && hm.track_count === 0)
+    // an adversarial v1 64-bit duration near Long.MaxValue must be
+    // rejected (None), not silently overflow the *1000 ms conversion
+    val mvhdHuge = bx("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(600L) ++ be64(Long.MaxValue - 7L) ++
+      new Array[Byte](80))
+    val handHuge = bx("ftyp", "mp42".getBytes("ISO-8859-1") ++ be32(0)) ++
+      bx("moov", mvhdHuge)
+    assert(Multimodal.parseMp4(handHuge).isEmpty)
+    // ...and one just under the guard still converts without overflow
+    val okDur = Long.MaxValue / 1000L
+    val mvhdEdge = bx("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(600L) ++ be64(okDur) ++
+      new Array[Byte](80))
+    val handEdge = bx("ftyp", "mp42".getBytes("ISO-8859-1") ++ be32(0)) ++
+      bx("moov", mvhdEdge)
+    val em = Multimodal.parseMp4(handEdge).get
+    assert(em.duration_ms === okDur * 1000L / 600L && em.duration_ms > 0L)
     // garbage, truncation, and a no-ftyp stream all yield None, not throws
     assert(Multimodal.parseMp4("not a container".getBytes).isEmpty)
     assert(Multimodal.parseMp4(av.take(20)).isEmpty)

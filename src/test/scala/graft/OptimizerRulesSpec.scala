@@ -48,8 +48,8 @@ class OptimizerRulesSpec extends SparkSpec {
       (lit(3) <= levenshtein($"a", $"b"), 2L, true),
       (levenshtein($"a", $"b") === 2, 1L, true),
       (lit(2) === levenshtein($"a", $"b"), 1L, true),
-      // k = 0 / k = 1 boundary forms fold to (in)equality — no
-      // levenshtein at all in the optimized plan, also counted "gone"
+      // k = 0 / k = 1 boundary forms fold to lev(a,b,1)-vs-0 — NOT
+      // plain string (in)equality, which is collation-aware on 4.x
       (levenshtein($"a", $"b") <= 0, 1L, true),
       (levenshtein($"a", $"b") === 0, 1L, true),
       (levenshtein($"a", $"b") < 1, 1L, true),
@@ -128,6 +128,28 @@ class OptimizerRulesSpec extends SparkSpec {
         assert(r.getBoolean(6) === (d == k), s"== $k d=$d")
       }
     }
+  }
+
+  test("k = 0 folds keep codepoint semantics on collated columns") {
+    // Under UTF8_LCASE, EqualTo('A','a') is TRUE but levenshtein is 1.
+    // A plain-equality fold of `levenshtein(a,b) = 0` would therefore
+    // flip the predicate on collated columns; the lev(a,b,1)-based fold
+    // must not. Pin both the d=0 and d>0 boundary forms.
+    val dir = SparkSpec.tempDir("graft_lev_coll_") + "/pairs"
+    Seq(("A", "a"), ("A", "A"), ("A", "bb")).toDF("ra", "rb")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(collate($"ra", "UTF8_LCASE").as("a"),
+        collate($"rb", "UTF8_LCASE").as("b"))
+    // sanity: the collation really is case-insensitive for equality
+    assert(df.filter($"a" === $"b").count() === 2L)
+    // d = 0 must match only the codepoint-identical pair
+    assert(df.filter(levenshtein($"a", $"b") === 0).count() === 1L)
+    assert(df.filter(levenshtein($"a", $"b") <= 0).count() === 1L)
+    assert(df.filter(levenshtein($"a", $"b") < 1).count() === 1L)
+    // d > 0 must match the case-differing pair too
+    assert(df.filter(levenshtein($"a", $"b") > 0).count() === 2L)
+    assert(df.filter(levenshtein($"a", $"b") >= 1).count() === 2L)
   }
 
   test("SQL-surface predicates rewrite too") {

@@ -49,16 +49,29 @@ def main(outdir, sfdir):
             # optional per-oracle watchdog (ORACLE_TIMEOUT_S): lets a
             # full-inventory sweep at big scale factors survive the
             # quadratic brute-force oracle shapes (q205/q208/q210/q215)
+            # Race-safe: the timer only interrupts while the query is
+            # still marked running. Without the flag, a timer firing in
+            # the window after fetchall() returns but before cancel()
+            # would interrupt an idle connection and spuriously cancel
+            # the NEXT oracle.
             import threading
             budget = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
             timer = None
+            state = {"running": True}
+            lock = threading.Lock()
+            def _watchdog():
+                with lock:
+                    if state["running"]:
+                        con.interrupt()
             if budget > 0:
-                timer = threading.Timer(budget, con.interrupt)
+                timer = threading.Timer(budget, _watchdog)
                 timer.start()
             try:
                 orel = con.sql(oracles[name])
                 ocols, orows = normalize(orel.fetchall(), [c for c in orel.columns])
             finally:
+                with lock:
+                    state["running"] = False
                 if timer:
                     timer.cancel()
         except Exception as e:
