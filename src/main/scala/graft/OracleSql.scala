@@ -8479,6 +8479,58 @@ object OracleSql {
         END AS fim_text
     FROM s"""
 
+  /** q58's hash-green twin. The EXACT sub-columns (`n_docs`, `n_tokens`
+    * on the shared q41 tokenization) are pinned by value; the sketch
+    * ESTIMATE columns are pinned as accuracy booleans the Spark side
+    * computes against its own exact aggregates — the oracle asserts the
+    * contract (`true`) and a sketch regression hash-mismatches. */
+  private val q58b = s"""
+    WITH toks AS (SELECT source,
+        unnest(regexp_split_to_array($dedupNormSql, ' ')) AS tok FROM documents),
+    tk AS (SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source),
+    d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT d.source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      true AS vocab_ok, true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM d JOIN tk USING (source)"""
+
+  /** FIM → byte-level BPE → packing composition — q333. The oracle
+    * rebuilds the FIM text from the same md5 draws (the q332 mirror) and
+    * pins `n_bytes` as the UTF-8 byte mass of that text (`strlen`); the
+    * Spark side derives the SAME number from the DECODED token ids, so
+    * the equality certifies the tokenize→pack→decode loop byte-for-byte.
+    * The identity booleans (`roundtrip_ok`, `pack_ok`) are computed
+    * Spark-side against its own exact streams; the oracle asserts the
+    * contract (`true`). */
+  private val q333 = """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        coalesce(text, '') AS t FROM documents),
+    c AS (SELECT doc_id, source, t, length(t) AS n,
+        ('0x' || substr(md5('fim:apply:' || doc_id), 1, 14))::BIGINT
+          % 1000 < 500 AS applied,
+        ('0x' || substr(md5('fim:mode:' || doc_id), 1, 14))::BIGINT
+          % 1000 < 500 AS spm,
+        ('0x' || substr(md5('fim:cut1:' || doc_id), 1, 14))::BIGINT
+          % (length(t) + 1) AS c1,
+        ('0x' || substr(md5('fim:cut2:' || doc_id), 1, 14))::BIGINT
+          % (length(t) + 1) AS c2
+      FROM d),
+    s AS (SELECT *, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c),
+    f AS (SELECT doc_id, source, applied,
+      CASE WHEN NOT applied THEN t
+        WHEN spm THEN '<fim_suffix>' || substr(t, hi + 1, n - hi)
+          || '<fim_prefix>' || substr(t, 1, lo)
+          || '<fim_middle>' || substr(t, lo + 1, hi - lo)
+        ELSE '<fim_prefix>' || substr(t, 1, lo)
+          || '<fim_suffix>' || substr(t, hi + 1, n - hi)
+          || '<fim_middle>' || substr(t, lo + 1, hi - lo)
+        END AS fim_text
+      FROM s)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN applied THEN 1 ELSE 0 END) AS BIGINT) AS n_fim_docs,
+      CAST(SUM(strlen(fim_text)) AS BIGINT) AS n_bytes,
+      true AS roundtrip_ok, true AS pack_ok
+    FROM f GROUP BY source"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8542,6 +8594,7 @@ object OracleSql {
     // are different implementations with different estimates (see
     // graft.ops.Sketches) — the driver records its rows-only check
     "q57_span_dedup"        -> q57,
+    "q58b_sketch_exact"     -> q58b,
     "q59_contamination_overlap" -> q59,
     "q60_dsir_weights"      -> q60,
     "q61_pq_topk"           -> q61,
@@ -8827,6 +8880,7 @@ object OracleSql {
     "q329_odds_ratio"       -> q329,
     "q330_mp4_meta"         -> q330,
     "q331_lev_rewrite"      -> q331,
-    "q332_fim"              -> q332
+    "q332_fim"              -> q332,
+    "q333_fim_bpe_pack"     -> q333
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -755,6 +755,58 @@ object SparkEntry {
   private def q58SketchStats(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.corpusStatsSketch(t(s, dir, "documents"))
 
+  /** Hash-green twin of q58 (the q105/q114 pairing discipline): the
+    * sketch query's EXACT sub-columns (`n_docs`, `n_tokens`) are pinned
+    * by value, and the sketch ESTIMATES are pinned as hash-checked
+    * accuracy BOOLEANS — Spark computes "estimate within tolerance of
+    * the exact aggregate" itself, the oracle emits the `true` the
+    * contract demands. An HLL/GK regression (or a tokenization drift
+    * between the sketch and exact paths) flips a boolean and fails the
+    * hash compare, so the accuracy contract that used to live only in
+    * OpsSpec now sits in the driver gate too.
+    *
+    * Tolerances: vocab `rsd = 0.01` → ±5% is 5σ; GK `relErr = 0.001`
+    * gets ±(0.005 + 1/n) rank slack — both far outside honest sketch
+    * noise, tight enough to catch a broken sketch (which lands orders of
+    * magnitude off or on the wrong column). */
+  private def q58bSketchExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sk = graft.ops.Sketches.corpusStatsSketch(docs)
+    // exact vocabulary per source — the IDENTICAL tokenization vocabSketch
+    // uses, so the comparison isolates the sketch itself
+    val exactVocab = docs.select(col("source"),
+        explode(split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
+          " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("vocab_exact"))
+    // empirical CDF position of each sketch percentile value, over the
+    // same per-doc token counts lengthPercentilesSketch aggregates
+    val lengths = docs.select(col("source"),
+      TextAnalysis.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n"))
+    val cdf = lengths.join(broadcast(sk.select(col("source"),
+        col("p50"), col("p90"), col("p99"))), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        avg((col("n") <= col("p50")).cast("double")).as("le50"),
+        avg((col("n") < col("p50")).cast("double")).as("lt50"),
+        avg((col("n") <= col("p90")).cast("double")).as("le90"),
+        avg((col("n") < col("p90")).cast("double")).as("lt90"),
+        avg((col("n") <= col("p99")).cast("double")).as("le99"),
+        avg((col("n") < col("p99")).cast("double")).as("lt99"),
+        count(lit(1)).as("__n"))
+    def pOk(p: Double, le: Column, lt: Column): Column = {
+      val eps = lit(0.005) + lit(1.0) / col("__n")
+      (le >= lit(p) - eps) && (lt <= lit(p) + eps)
+    }
+    sk.join(exactVocab, Seq("source")).join(cdf, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (abs(col("vocab_est") - col("vocab_exact")) <=
+          lit(0.05) * col("vocab_exact")).as("vocab_ok"),
+        pOk(0.50, col("le50"), col("lt50")).as("p50_ok"),
+        pOk(0.90, col("le90"), col("lt90")).as("p90_ok"),
+        pOk(0.99, col("le99"), col("lt99")).as("p99_ok"))
+  }
+
   /** Graded contamination ([[Dedup.contaminationOverlap]]): per training
     * document, the fraction of its distinct 8-token shingles found in the
     * benchmark slice — the GPT-3/PaLM dirty-document metric. Per-doc output
@@ -4860,6 +4912,108 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"),
         col("text")))
 
+  /** Pinned byte-level BPE for the q333 composition: the 256 byte-symbol
+    * base vocab plus eight hand-pinned merges (frequent English pairs on
+    * the GPT-2 byte alphabet — 'Ġ' is the space byte's encoder image).
+    * Small on purpose: the composition identity holds for ANY vocab, and
+    * a fixed one keeps the query rerun- and engine-deterministic with no
+    * driver-side training action inside the query. */
+  private lazy val FimBpeMerges: Seq[(String, String)] = {
+    val G = graft.functions.HashExprs.byteLevelBaseVocab(0x20)
+    Seq((G, "t"), ("h", "e"), (G + "t", "he"), ("i", "n"),
+      ("e", "r"), ("a", "n"), ("r", "e"), ("o", "n"))
+  }
+  private lazy val FimBpeVocab: Seq[String] =
+    graft.functions.HashExprs.byteLevelBaseVocab ++
+      FimBpeMerges.map { case (a, b) => a + b }
+
+  /** Order-sensitive mergeable checksum of an id array placed at global
+    * offset `start`: `Σ (gpos+1)·id mod P`, folded left with
+    * `functions.aggregate` — row-local, and per-group sums of per-row
+    * checksums commute, so both the document side and the packed side of
+    * q333 can compute it DISTRIBUTED and compare one long per stratum
+    * (never collecting a token stream to one row). */
+  private def posChecksum(ids: Column, start: Column, p: Long): Column =
+    aggregate(ids,
+      struct(start.cast("long").as("pos"), lit(0L).as("s")),
+      (acc, x) => struct(
+        (acc.getField("pos") + lit(1L)).as("pos"),
+        pmod(acc.getField("s") + (acc.getField("pos") + lit(1L)) * x.cast("long"),
+          lit(p)).as("s")),
+      acc => acc.getField("s"))
+
+  /** End-to-end code-pretraining composition (the q119/q120 precedent):
+    * FIM transform (L329) → byte-level merge-rank BPE ids (L53) →
+    * fixed-length sequence packing (L54), pinned by the RECONSTRUCTION
+    * IDENTITY — byte-level BPE is lossless, so the packed id stream must
+    * decode back to the exact FIM text bytes:
+    *
+    *   - `roundtrip_ok`: per document, [[graft.functions.HashExprs
+    *     .BpeDecodeIds]] of the ids equals `fim_text` exactly (sentinel
+    *     tokens included — their survival through tokenize/decode is
+    *     also spec-pinned in HashExprsSpec);
+    *   - `pack_ok`: the packed stream carries the same ids at the same
+    *     GLOBAL positions as the document stream — order-sensitive
+    *     position-weighted checksums (mod 1e9+7) agree per stratum, id
+    *     totals agree, no sequence exceeds `seqLen`, and the sequence
+    *     count is exactly `ceil(total/seqLen)`;
+    *   - `n_bytes`: total UTF-8 bytes of the DECODED documents — the
+    *     oracle recomputes it from its own FIM mirror (`strlen`), so a
+    *     single lost or reordered byte anywhere in the composition
+    *     hash-mismatches.
+    *
+    * Everything is distributed: the only shuffles are packSequences' own
+    * stratum window + the final per-source aggregations; checksums merge
+    * associatively instead of collecting token streams. */
+  private def q333FimBpePack(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExprs
+    val seqLen = 256
+    val P = 1000000007L
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val fim = graft.ops.Packing.fimTransform(docs, keep = Seq("source"))
+    val ids = fim.select(col("source"), col("doc_id"), col("fim_applied"),
+      col("fim_text"),
+      HashExprs.bpeMergeTokenizeIds(col("fim_text"), FimBpeVocab,
+        FimBpeMerges, unkId = -1, byteLevel = true).as("ids"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docSide = ids
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+      .withColumn("start", sum(col("n_ids")).over(w) - col("n_ids"))
+      .withColumn("decoded",
+        HashExprs.bpeDecodeIds(col("ids"), FimBpeVocab, byteLevel = true))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fim_applied").cast("long")).as("n_fim_docs"),
+        sum(octet_length(col("decoded")).cast("long")).as("n_bytes"),
+        bool_and(coalesce(col("decoded") === col("fim_text"), lit(false)))
+          .as("roundtrip_ok"),
+        sum(col("n_ids")).as("total_ids"),
+        pmod(sum(posChecksum(col("ids"), col("start"), P)), lit(P))
+          .as("doc_cksum"))
+    val packSide = graft.ops.Packing.packSequences(ids, seqLen,
+        textCol = "ids", orderCol = "doc_id", strataCol = "source",
+        tokenize = c => c)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("pack_ids"),
+        max(col("n_tokens")).as("max_seq"),
+        pmod(sum(posChecksum(col("tokens"), col("seq_id") * seqLen, P)),
+          lit(P)).as("pack_cksum"))
+    docSide.join(packSide, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_fim_docs"), col("n_bytes"),
+        col("roundtrip_ok"),
+        (col("pack_ids") === col("total_ids") &&
+          col("pack_cksum") === col("doc_cksum") &&
+          col("max_seq") <= lit(seqLen.toLong) &&
+          // n_seqs == ceil(total/seqLen), in pure integer algebra (a
+          // long/long Column division would detour through double)
+          col("n_seqs") * lit(seqLen.toLong) >= col("total_ids") &&
+          (col("n_seqs") - lit(1L)) * lit(seqLen.toLong) < col("total_ids"))
+          .as("pack_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -4919,6 +5073,7 @@ object SparkEntry {
     "q56_token_budget_sample" -> q56TokenBudgetSample _,
     "q57_span_dedup"        -> q57SpanDedup _,
     "q58_sketch_stats"      -> q58SketchStats _,
+    "q58b_sketch_exact"     -> q58bSketchExact _,
     "q59_contamination_overlap" -> q59ContaminationOverlap _,
     "q60_dsir_weights"      -> q60DsirWeights _,
     "q61_pq_topk"           -> q61PqTopK _,
@@ -5192,7 +5347,8 @@ object SparkEntry {
     "q329_odds_ratio"       -> q329OddsRatio _,
     "q330_mp4_meta"         -> q330Mp4Meta _,
     "q331_lev_rewrite"      -> q331LevRewrite _,
-    "q332_fim"              -> q332Fim _
+    "q332_fim"              -> q332Fim _,
+    "q333_fim_bpe_pack"     -> q333FimBpePack _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1281,6 +1281,28 @@ object HashExprs {
       }
       arr
     }
+
+    /** Inverse of [[ByteEncoder]]: encoded char → original byte (boxed
+      * types so a missing key is a REAL null, not an unboxed 0). */
+    private[HashExprs] val ByteDecoder:
+        java.util.HashMap[java.lang.Character, java.lang.Byte] = {
+      val m = new java.util.HashMap[java.lang.Character, java.lang.Byte](512)
+      var b = 0
+      while (b < 256) {
+        m.put(Character.valueOf(ByteEncoder(b)), java.lang.Byte.valueOf(b.toByte))
+        b += 1
+      }
+      m
+    }
+
+    /** The 256 single-byte base symbols of a byte-level BPE vocab, in
+      * byte order (GPT-2's `bytes_to_unicode` images) — the canonical
+      * seed a byte-level vocab extends with merge outputs. Public so
+      * callers composing [[BpeMergeTokenizeIds]] (byteLevel) with
+      * [[BpeDecodeIds]] can build matching vocabularies without
+      * re-deriving the encoder table. */
+    def byteLevelBaseVocab: IndexedSeq[String] =
+      ByteEncoder.toIndexedSeq.map(String.valueOf)
   }
 
   /** TRUE merge-rank byte-pair tokenization (Sennrich et al., ACL 2016,
@@ -1408,6 +1430,62 @@ object HashExprs {
     }
 
     override protected def withNewChildInternal(c: Expression): BpeMergeTokenizeIds =
+      copy(child = c)
+  }
+
+  /** The DECODE half of the tokenizer pair — ids back to text. Byte-level
+    * BPE is lossless by construction (every byte has an encoder image, so
+    * `decode(encode(s)) == s` for ANY string), which makes this the
+    * reconstruction-identity anchor for tokenize→pack pipelines (q333):
+    * an id stream that decodes back to the exact source bytes proves the
+    * whole composition preserved the data. Row-local, no shuffle.
+    *
+    * Semantics: each id indexes `vocab`; in `byteLevel` mode the looked-up
+    * symbols' chars map through the inverse `bytes_to_unicode` table back
+    * to raw bytes, then UTF-8-decode; otherwise symbols join with single
+    * spaces (the whitespace-mode convention — intra-word boundaries are
+    * already gone). Any out-of-range id, or (byteLevel) any symbol char
+    * outside the encoder image, yields NULL — a loud signal that the id
+    * stream and vocab don't match, never a silent mojibake. */
+  case class BpeDecodeIds(child: Expression, vocab: IndexedSeq[String],
+                          byteLevel: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "bpe_decode_ids"
+
+    override def flatArguments: Iterator[Any] =
+      Iterator(child, s"V=${vocab.length}", if (byteLevel) "byte" else "ws")
+    override def stringArgs: Iterator[Any] = flatArguments
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val ids = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = ids.numElements()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < n) {
+        val id = ids.getInt(i)
+        if (id < 0 || id >= vocab.length) return null
+        if (!byteLevel && i > 0) sb.append(' ')
+        sb.append(vocab(id))
+        i += 1
+      }
+      if (!byteLevel) UTF8String.fromString(sb.toString)
+      else {
+        val syms = sb.toString
+        val bytes = new Array[Byte](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          val b = BpeMerge.ByteDecoder.get(Character.valueOf(syms.charAt(j)))
+          if (b == null) return null
+          bytes(j) = b.byteValue()
+          j += 1
+        }
+        UTF8String.fromBytes(bytes)
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeDecodeIds =
       copy(child = c)
   }
 
@@ -1638,6 +1716,20 @@ object HashExprs {
     ColumnBridge.column(BpeMergeTokenizeIds(ColumnBridge.expression(text),
       vocab.toIndexedSeq, merges.toIndexedSeq, unkId, byteLevel))
   }
+
+  /** [[BpeDecodeIds]] sugar. In byte-level mode pair it with a vocab
+    * built from [[BpeMerge.byteLevelBaseVocab]] (+ merge outputs) so
+    * `bpeDecodeIds(bpeMergeTokenizeIds(s, ...)) === s` holds exactly. */
+  def bpeDecodeIds(ids: Column, vocab: Seq[String],
+                   byteLevel: Boolean = false): Column = {
+    requireVocab(vocab, "bpeDecodeIds")
+    ColumnBridge.column(BpeDecodeIds(ColumnBridge.expression(ids),
+      vocab.toIndexedSeq, byteLevel))
+  }
+
+  /** Public re-export of the byte-level base vocabulary (see
+    * [[BpeMerge.byteLevelBaseVocab]]). */
+  def byteLevelBaseVocab: IndexedSeq[String] = BpeMerge.byteLevelBaseVocab
 
   /** PRECONDITION (oracle parity): [[CharEntropy]] counts UTF-16 code UNITS
     * (`charAt`/`length`), while SQL engines like DuckDB count code POINTS —

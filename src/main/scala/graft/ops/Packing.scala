@@ -300,7 +300,8 @@ object Packing {
                    prefixTok: String = "<fim_prefix>",
                    suffixTok: String = "<fim_suffix>",
                    middleTok: String = "<fim_middle>",
-                   seed: String = "fim"): DataFrame = {
+                   seed: String = "fim",
+                   keep: Seq[String] = Nil): DataFrame = {
     require(applyPermille >= 0 && applyPermille <= 1000,
       s"fimTransform: applyPermille in [0, 1000], got $applyPermille")
     require(spmPermille >= 0 && spmPermille <= 1000,
@@ -321,7 +322,9 @@ object Packing {
     val p = t.substr(lit(1), lo)
     val m = t.substr(lo + 1, hi - lo)
     val s = t.substr(hi + 1, n - hi)
-    docs.select(col(idCol),
+    // `keep` passes extra columns (e.g. the stratum) through verbatim —
+    // downstream compositions would otherwise need a join to reattach them
+    docs.select((col(idCol) +: keep.map(col)) ++ Seq(
       applied.as("fim_applied"),
       when(applied, when(spm, "spm").otherwise("psm")).as("fim_mode"),
       when(applied, lo).as("cut_lo"),
@@ -331,6 +334,6 @@ object Packing {
           concat(lit(suffixTok), s, lit(prefixTok), p, lit(middleTok), m))
           .otherwise(
             concat(lit(prefixTok), p, lit(suffixTok), s, lit(middleTok), m)))
-        .as("fim_text"))
+        .as("fim_text")): _*)
   }
 }

@@ -60,6 +60,13 @@ object TextAnalysis {
     graft.functions.HashExprs.bpeMergeTokenizeIds(text, vocab, merges, unkId,
       byteLevel)
 
+  /** DECODE half of [[bpeMergeTokenizeIds]] — byte-level BPE is lossless,
+    * so `bpeDecodeIds(bpeMergeTokenizeIds(s, ...)) === s` exactly (the
+    * q333 reconstruction identity). Out-of-range ids → NULL, loudly. */
+  def bpeDecodeIds(ids: Column, vocab: Seq[String],
+                   byteLevel: Boolean = false): Column =
+    graft.functions.HashExprs.bpeDecodeIds(ids, vocab, byteLevel)
+
   /** Token COUNT under merge-rank BPE — `size` of [[bpeMergeTokenizeIds]]
     * (one expression reference; `size` is a codegen'd builtin). */
   def bpeMergeTokenCount(text: Column, vocab: Seq[String],

@@ -408,6 +408,54 @@ class HashExprsSpec extends SparkSpec {
     assert(packed(1L) === List(4, 0, 1, 2)) // doc 0's "!" + doc 1 continues
   }
 
+  test("BpeDecodeIds: lossless byte-level roundtrip, FIM sentinel survival, loud failure modes") {
+    import graft.functions.HashExprs
+    val base = HashExprs.byteLevelBaseVocab
+    assert(base.length === 256 && base.distinct.length === 256)
+    assert(base(0x20) === "Ġ" && base(0x0a) === "Ċ") // Ġ, Ċ
+    val merges = {
+      val G = base(0x20)
+      Seq((G, "t"), ("h", "e"), (G + "t", "he"), ("i", "n"))
+    }
+    val vocab = base ++ merges.map { case (a, b) => a + b }
+    def roundtrip(s: String): (String, List[Int]) = {
+      val r = Seq(s).toDF("text")
+        .select(
+          TextAnalysis.bpeMergeTokenizeIds(col("text"), vocab, merges,
+            byteLevel = true).as("i"))
+        .select(col("i"),
+          TextAnalysis.bpeDecodeIds(col("i"), vocab, byteLevel = true).as("d"))
+        .collect().head
+      (r.getString(1), r.getSeq[Int](0).toList)
+    }
+    // arbitrary text — spaces, newlines, punctuation, non-ASCII, empty
+    for (s <- Seq("the theme of the thing", "a  b\n\tc", "", "é☃ ü",
+        "né the café", "1+1=2!", "   ")) {
+      val (d, _) = roundtrip(s)
+      assert(d === s, s"roundtrip broke on ${s.map(_.toInt)}")
+    }
+    // FIM sentinel survival: tokenize → decode preserves the sentinel
+    // strings byte-for-byte inside a transformed document (the q333
+    // composition's precondition)
+    val fimText = "<fim_prefix>def f(x):<fim_suffix>    return the_y<fim_middle>\n    the_y = x + 1"
+    val (decoded, ids) = roundtrip(fimText)
+    assert(decoded === fimText)
+    assert(decoded.contains("<fim_prefix>") && decoded.contains("<fim_suffix>")
+      && decoded.contains("<fim_middle>"))
+    // the merge vocabulary is actually exercised (merged ids >= 256 appear)
+    assert(ids.exists(_ >= 256))
+    // out-of-range id → NULL, never a silent skip
+    val bad = Seq(Seq(0, 9999)).toDF("i")
+      .select(TextAnalysis.bpeDecodeIds(col("i"), vocab, byteLevel = true).as("d"))
+      .collect().head
+    assert(bad.isNullAt(0))
+    // whitespace mode joins with single spaces
+    val ws = Seq(Seq(0, 1)).toDF("i")
+      .select(TextAnalysis.bpeDecodeIds(col("i"), Seq("ab", "cd")).as("d"))
+      .collect().head.getString(0)
+    assert(ws === "ab cd")
+  }
+
   test("bpe token budgets: tokenBudgetSample and packGreedy count in vocab units when asked") {
     import graft.ops.{Packing, Sampling}
     val vocab = Seq("aa", "bb", "aabb")
