@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.HashExprs", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
+    ext.injectOptimizerRule(_ => graft.plans.SargableYearPredicate)
   }
 }
 
@@ -40,6 +41,10 @@ object GraftExtensions {
         graft.plans.ThresholdedLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ThresholdedLevenshtein
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.SargableYearPredicate))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SargableYearPredicate
   }
 
   private def lit[T](e: Expression, what: String): T = {

@@ -3346,6 +3346,73 @@ object OracleSql {
     FROM s a JOIN s b ON a.s < b.s
     WHERE levenshtein(a.s, b.s) <= 2"""
 
+  // ---- sampled-slice twins (r16 verdict task 3): the four brute-force
+  // quadratic oracles verbatim on a deterministic key slice, so the
+  // recall proofs extend to sf0.1 inside the per-oracle budget.
+
+  /** q205 on the `key % 4 = 0` slice of both sides. */
+  private val q205b = """
+    WITH c AS (SELECT c_custkey AS cid,
+        CAST((c_custkey * 37) % 12000 AS DOUBLE) / 100.0 - 60.0 AS clat,
+        CAST((c_custkey * 73) % 30000 AS DOUBLE) / 100.0 - 150.0 AS clon
+      FROM customer WHERE c_custkey % 4 = 0),
+    s AS (SELECT s_suppkey AS sid,
+        CAST((s_suppkey * 41) % 12000 AS DOUBLE) / 100.0 - 60.0 AS slat,
+        CAST((s_suppkey * 53) % 30000 AS DOUBLE) / 100.0 - 150.0 AS slon
+      FROM supplier WHERE s_suppkey % 4 = 0),
+    p AS (SELECT cid, clat, clon, sid, slat, slon,
+        2.0 * 6371.0088 * asin(sqrt(
+          sin(radians(slat - clat) / 2) * sin(radians(slat - clat) / 2)
+          + cos(radians(clat)) * cos(radians(slat))
+            * sin(radians(slon - clon) / 2) * sin(radians(slon - clon) / 2)))
+          AS d
+      FROM c CROSS JOIN s)
+    SELECT cid, clat, clon, sid, slat, slon, round(d, 6) AS distance_km
+    FROM p WHERE d <= 250.0"""
+
+  /** q208 on the `key % 4 = 0` slice of both sides. */
+  private val q208b = s"""
+    WITH i AS (SELECT c_custkey AS cid,
+        (c_custkey * 2654435761) % 4294967296 AS ip_num FROM customer
+      WHERE c_custkey % 4 = 0),
+    b AS (SELECT s_suppkey AS sid,
+        8 + (s_suppkey % 9) AS p,
+        (s_suppkey * 2246822519) % 4294967296 AS raw FROM supplier
+      WHERE s_suppkey % 4 = 0),
+    b2 AS (SELECT sid, p, CAST(power(2, 32 - p) AS BIGINT) AS bs,
+        raw - raw % CAST(power(2, 32 - p) AS BIGINT) AS lo FROM b)
+    SELECT i.cid, ${sqlDotted("i.ip_num")} AS ip, b2.sid,
+      ${sqlDotted("b2.lo")} || '/' || CAST(b2.p AS VARCHAR) AS cidr,
+      CAST(b2.p AS BIGINT) AS prefix
+    FROM i CROSS JOIN b2
+    WHERE i.ip_num BETWEEN b2.lo AND b2.lo + b2.bs - 1"""
+
+  /** q210 on the `doc_id % 4 = 0` document slice. */
+  private val q210b = s"""
+    WITH toksr AS (SELECT doc_id AS id,
+        unnest(list_distinct(regexp_split_to_array($dedupNormSql, ' ')))
+          AS tok
+      FROM documents WHERE doc_id % 4 = 0),
+    t AS (SELECT * FROM toksr WHERE tok <> ''),
+    sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    inter AS (SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS i
+      FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, sa.n AS n_a, sb.n AS n_b, i AS n_common,
+      round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6)
+        AS jaccard
+    FROM inter JOIN sz sa ON inter.ia = sa.id JOIN sz sb ON inter.ib = sb.id
+    WHERE i * 20 >= (sa.n + sb.n - i) * 19"""
+
+  /** q215 on the `c_custkey % 8 = 0` name slice. */
+  private val q215b = """
+    WITH s AS (SELECT DISTINCT c_name AS s FROM customer
+               WHERE c_custkey % 8 = 0
+                 AND c_name IS NOT NULL AND c_name <> '')
+    SELECT a.s AS s_a, b.s AS s_b,
+      CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM s a JOIN s b ON a.s < b.s
+    WHERE levenshtein(a.s, b.s) <= 2"""
+
   /** Reciprocal rank fusion — q216. Rank positions only (score scales
     * never mix); contributions are exact 10⁹ // (60 + rank) integers,
     * rendered through the q213/q214 decimal-string contract. */
@@ -8531,6 +8598,29 @@ object OracleSql {
       true AS roundtrip_ok, true AS pack_ok
     FROM f GROUP BY source"""
 
+  /** Sargable-year rewrite — q334. The oracle evaluates the SAME
+    * `year(d) ⋛ k` predicates UNREWRITTEN (DuckDB's year over dates is
+    * the identical proleptic calendar), pinning the injected rule's
+    * range rewrites value-identical on real data; money through the
+    * DECIMAL(18,2)→cents contract. */
+  private val q334 = """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN year(d) = 1995 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_eq,
+      CAST(sum(CASE WHEN year(d) >= 1996 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ge,
+      CAST(sum(CASE WHEN year(d) > 1996 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_gt,
+      CAST(sum(CASE WHEN year(d) <= 1994 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_le,
+      CAST(sum(CASE WHEN year(d) < 1994 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lt,
+      CAST(sum(CASE WHEN year(d) = 1995 THEN price END) * 100 AS BIGINT)
+        AS rev_1995_cents
+    FROM d"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -8754,16 +8844,20 @@ object OracleSql {
     "q203_homoglyph"        -> q203,
     "q204_abc"              -> q204,
     "q205_geo_radius"       -> q205,
+    "q205b_geo_radius_slice" -> q205b,
     "q206_attribution"      -> q206,
     "q207_k_anonymity"      -> q207,
     "q208_cidr_join"        -> q208,
+    "q208b_cidr_join_slice" -> q208b,
     "q209_ewma"             -> q209,
     "q210_setsim_join"      -> q210,
+    "q210b_setsim_slice"    -> q210b,
     "q211_kcore"            -> q211,
     "q212_ab_test"          -> q212,
     "q213_survival"         -> q213,
     "q214_digest_diff"      -> q214,
     "q215_edit_join"        -> q215,
+    "q215b_edit_join_slice" -> q215b,
     "q216_rrf_fusion"       -> q216,
     "q217_global_rank"      -> q217,
     "q218_sliding_chunks"   -> q218,
@@ -8881,6 +8975,7 @@ object OracleSql {
     "q330_mp4_meta"         -> q330,
     "q331_lev_rewrite"      -> q331,
     "q332_fim"              -> q332,
-    "q333_fim_bpe_pack"     -> q333
+    "q333_fim_bpe_pack"     -> q333,
+    "q334_year_prune"       -> q334
   ).map { case (k, v) => k -> clean(v) }
 }

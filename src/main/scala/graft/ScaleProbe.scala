@@ -708,6 +708,39 @@ object ScaleProbe {
         // grow ~linearly when degree stays constant as nodes scale
         graft.ops.Graph.linkPrediction(sparseGraph(n), maxDegree = 64).count()
       }
+      timed("hits", n) {
+        // q251 shape (r16 verdict task 1): 2 fixed rounds over the
+        // persisted edge table — per round TWO rank joins (hub from
+        // authority, authority from hub); value growth per round is
+        // ~mean-degree², bounded by the 38-digit guard. Expect ~linear:
+        // round count fixed, per-round join volume ∝ edges
+        graft.ops.Graph.hits(sparseGraph(n), rounds = 2)
+          .agg(coalesce(sum(col("hub") + col("authority")), lit(0L))
+            .cast("long"))
+          .collect().head.getLong(0)
+      }
+      timed("sssp", n) {
+        // q249 shape: weighted Bellman-Ford rounds (fixed maxRounds=4)
+        // over the symmetrized persisted edges — per round ONE
+        // frontier⋈edges join + min agg; frontier ≤ nodes. Expect
+        // ~linear with a fixed round constant
+        val seeds = spark.range(math.max(n / 100, 10L)).toDF("node")
+        graft.ops.Graph.shortestPaths(
+          sparseGraph(n).withColumn("w",
+            pmod(xxhash64(col("src"), col("dst")), lit(97)) + 1L),
+          seeds, weightCol = "w", maxRounds = 4, directed = false)
+          .agg(coalesce(sum(col("dist")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      timed("bfs_distances", n) {
+        // q186 shape: 3 unweighted hops, undirected — the sssp loop with
+        // hop counting; same ~linear expectation
+        val seeds = spark.range(math.max(n / 100, 10L)).toDF("node")
+        graft.ops.Graph.bfsDistances(sparseGraph(n), seeds,
+          maxHops = 3, directed = false)
+          .agg(coalesce(sum(col("hop")), lit(0L)))
+          .collect().head.getLong(0)
+      }
       timed("kmeans_2d", n) {
         // per round one broadcast k-row join + k-row agg: linear in points
         graft.ops.Cluster.kMeans2d(

@@ -502,14 +502,19 @@ object Classifier {
   def fleissKappa(df: DataFrame, itemCol: String,
                   labelCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // materialized tier (PlanLintSpec rule): cells feeds the per-item
+    // AND per-label marginals; items feeds the shape check AND the P̄
+    // fold; shape broadcasts into three readers — none recompute
     val cells = df
       .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(itemCol).as("__i"),
         col(labelCol).cast("string").as("__l"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val items = cells.groupBy(col("__i"))
       .agg(sum(col("__c")).as("__n"),
         sum(col("__c").cast(d38) * col("__c")).as("__sq"))
+      .localCheckpoint(true)
     val shape = items.agg(
       count(lit(1)).as("n_items"),
       min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"))
@@ -521,6 +526,7 @@ object Classifier {
             col("__nmax").cast("string"),
             lit(") — Fleiss requires a constant panel"))))
           .as("n_raters"))
+      .localCheckpoint(true)
     val pSum = items.crossJoin(broadcast(shape))
       .agg(sum(expr(
         "CAST((__sq - n_raters) * 1000000000 " +
@@ -638,7 +644,10 @@ object Classifier {
       .select(abs((col(yCol).cast(dec) * 100).cast("long") -
         (col(yhatCol).cast(dec) * 100).cast("long")).as("__r"))
     val grid = resid(cal).groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    // materialized: cum feeds both the rank pick and the quantile scan —
+    // residual-grid-sized, never recomputed (PlanLintSpec rule)
     val cum = graft.ops.PrefixSum.runningSum(grid, Seq("__r"), "__c", "__cum")
+      .localCheckpoint(true)
     val nk = cum.agg(max(col("__cum")).as("n_cal"))
       .withColumn("k_rank",
         expr(s"((1000 - $alphaPermille) * (n_cal + 1) + 999) DIV 1000"))
@@ -775,8 +784,11 @@ object Classifier {
         col(labelCol).cast("int").cast("long").as("__y"))
     val tiled = graft.ops.PrefixSum.ntileExact(rows,
       Seq("__negscore", "__id"), k, "decile")
+    // materialized: byDec feeds both the totals and the cumulative
+    // readout — K rows, never re-aggregates the tiled frame
     val byDec = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .localCheckpoint(true)
     val tot = byDec.agg(sum(col("n")).as("__N"), sum(col("n_pos")).as("__P"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("decile").asc)

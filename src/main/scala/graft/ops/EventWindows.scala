@@ -91,9 +91,12 @@ object EventWindows {
       .crossJoin(broadcast(bounds))
       .select(col(typeCol),
         explode(sequence(col("lo"), col("hi"), expr(s"interval $size"))).as("ws"))
-    val full = grid.join(counts, Seq("ws", typeCol), "left")
+    // materialized: the densified grid feeds both the stats agg and the
+    // scoring join — types × windows rows, the grid join never recomputes
+    // (PlanLintSpec rule)
+    val full = materialize(grid.join(counts, Seq("ws", typeCol), "left")
       .select(col("ws"), col(typeCol),
-        coalesce(col("n_events"), lit(0L)).as("n_events"))
+        coalesce(col("n_events"), lit(0L)).as("n_events")))
     val stats = full.groupBy(col(typeCol))
       .agg(count(lit(1)).as("cnt"),
         sum(col("n_events")).as("s"),

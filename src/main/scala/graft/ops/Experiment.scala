@@ -715,6 +715,9 @@ object Experiment {
     val wdf = weights.toDF("g", "__w")
     val obs = df.select(col(variantCol).cast("string").as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("__o"))
+    // materialized: cells feed both the total and the χ² fold —
+    // variant-count-sized, the observed agg never recomputes
+    // (PlanLintSpec rule)
     val cells = obs.join(broadcast(wdf), Seq("g"), "full_outer")
       .select(
         when(col("__w").isNotNull, coalesce(col("__o"), lit(0L)))
@@ -722,6 +725,7 @@ object Experiment {
             lit("srmCheck: observed variant not in weights: "), col("g"))))
           .as("__o"),
         col("__w"))
+      .localCheckpoint(true)
     val tot = cells.agg(sum(col("__o")).as("__n_tot"))
     val folded = cells.crossJoin(broadcast(tot))
       .agg(

@@ -139,7 +139,11 @@ object Frontier {
       col(weightCol).cast("long").as("weight"))
     val pos = base.filter(col("weight") > 0)
     val cum = PrefixSum.runningSum(pos, Seq("host"), "weight", "cum_w")
-    val tot = cum.agg(max(col("cum_w")).as("__total_w"))
+    // total weight from a plain SUM over the filtered scan, not
+    // max(cum_w): reading `cum` twice would recompute the whole prefix
+    // scan for a 1-row total (PlanLintSpec rule, fixed structurally —
+    // the sum agg is map-side-combined over the same scan)
+    val tot = pos.agg(sum(col("weight")).as("__total_w"))
     // SQL `div` = exact divideToIntegralValue on decimals (the `/`
     // operator rounds at the result scale — a floor() on top of it can
     // carry x.999…9 up and break the telescoping sum)

@@ -172,11 +172,15 @@ object Funnel {
                        tiebreak: String = "event_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    // materialized: pairs feeds the totals agg AND the prob join —
+    // types²-bounded, so the per-user window sort never recomputes
+    // (PlanLintSpec rule)
     val pairs = events
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val totals = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"))
     pairs.join(totals, Seq("from_type"))
@@ -426,12 +430,16 @@ object Funnel {
     val convs = seqd.filter(col(typeCol) === convType)
       .select(col(userCol).as("__cu"), col("__ord").as("__co"))
       .localCheckpoint(true)
+    // materialized: touches feeds the credit ranking AND the touched-set
+    // anti-join — the ordinal window + conv join never recompute
+    // (PlanLintSpec rule)
     val touches = seqd.filter(col(typeCol) =!= convType)
       .join(convs, col(userCol) === col("__cu") &&
         col("__ord") === col("__co"))
       .select(col(userCol).as("u"), col("__ord").as("ord"),
         col(typeCol).as("channel"), col(tsCol).as("t"),
         col(tiebreak).as("tb"))
+      .localCheckpoint(true)
     val cw = Window.partitionBy(col("u"), col("ord"))
     val ranked = touches
       .withColumn("__k", count(lit(1)).over(cw))
@@ -494,6 +502,9 @@ object Funnel {
       .filter(col("__nty").isNotNull)
       .select(col("__ty").as("from_type"), col("__nty").as("to_type"),
         (col("__nt") - col("__t")).as("__gap"))
+      // materialized: pairs feeds the stats agg AND the median grid —
+      // the per-user lead window never recomputes (PlanLintSpec rule)
+      .localCheckpoint(true)
     val stats = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"), min(col("__gap")).as("min_s"),
         sum(col("__gap")).as("__sum"), max(col("__gap")).as("max_s"))
@@ -582,8 +593,12 @@ object Funnel {
     val scored = guarded.select(
       levenshtein(col("__trace"), lit(refStr), maxDist).cast("long")
         .as("distance"))
+    // materialized: the histogram feeds the total AND the share readout —
+    // ≤ maxDist+2 rows, the trace collect + DP never recompute
+    // (PlanLintSpec rule)
     val byDist = scored.groupBy(col("distance"))
       .agg(count(lit(1)).as("n_traces"))
+      .localCheckpoint(true)
     val tot = byDist.agg(sum(col("n_traces")).as("__tot"))
     byDist.crossJoin(broadcast(tot))
       .withColumn("__fx",
@@ -648,6 +663,10 @@ object Funnel {
         expr(s"(__conv_t - __t) DIV $halfLifeSeconds"))
       .withColumn("__w_fx", when(col("__steps") >= maxHalfLives, 0L)
         .otherwise(expr("1000000000 DIV CAST(pow(2, __steps) AS BIGINT)")))
+      // materialized: touches feeds both the per-conversion totals and
+      // the share join — the session window never recomputes
+      // (PlanLintSpec rule)
+      .localCheckpoint(true)
     val totals = touches.groupBy(col("__u"), col("__conv_t"))
       .agg(sum(col("__w_fx")).as("__tot"))
     val shares = touches.join(totals, Seq("__u", "__conv_t"))

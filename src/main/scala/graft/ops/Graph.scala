@@ -1304,9 +1304,13 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
+    // materialized: the degree table feeds BOTH endpoint joins and the
+    // node count — recomputing it would re-shuffle the edge list per
+    // reader (PlanLintSpec rule)
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val pairs = e
       .join(deg.select(col("node").as("src"), col("deg").as("__dj")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("deg").as("__dk")), Seq("dst"))

@@ -65,10 +65,14 @@ object Inventory {
       .withColumn("__start", col("__end") - col("__q"))
       .filter(col("__q") > 0L)
       .drop("__q")
+    // materialized: each cumulated ledger feeds the overlap join AND the
+    // backorder branch — the FIFO windows never recompute (PlanLintSpec)
     val ls = cum(lots, "lot")
       .withColumnRenamed("__start", "__ls").withColumnRenamed("__end", "__le")
+      .localCheckpoint(true)
     val ds = cum(demands, "demand")
       .withColumnRenamed("__start", "__ds").withColumnRenamed("__end", "__de")
+      .localCheckpoint(true)
     val filled = RangeJoin.intervalOverlapJoin(
       ds, ls, keys, "__ds", "__de", "__ls", "__le", bucket)
       .select(keys.map(col) ++ Seq(

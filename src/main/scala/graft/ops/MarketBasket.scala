@@ -38,6 +38,9 @@ object MarketBasket {
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
+    // materialized: guarded feeds the item counts AND both self-join
+    // sides — the distinct + basket-size window never recompute
+    // (PlanLintSpec rule); itemCounts likewise backs two lookup joins
     val guarded = bi
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
@@ -45,9 +48,11 @@ object MarketBasket {
         raise_error(concat(lit(s"pairStats: basket exceeds $maxBasket distinct items: "),
           col("__b").cast("string"))).cast("boolean")).otherwise(lit(true)))
       .drop("__bn")
+      .localCheckpoint(true)
     val nBaskets = bi.select(col("__b")).distinct().count()
     val itemCounts = guarded.groupBy(col("__i").as("__it"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val pairs = guarded.select(col("__b"), col("__i").as("item_a"))
       .join(guarded.select(col("__b"), col("__i").as("item_b")), "__b")
       .filter(col("item_a") < col("item_b"))
@@ -93,9 +98,12 @@ object MarketBasket {
                  k: Int = 10, minSupport: Long = 2L,
                  maxBasket: Int = 10000): DataFrame = {
     require(k >= 1, s"itemCosine: k must be >= 1, got $k")
+    // materialized: the undirected pair table is self-unioned into both
+    // directions — the pair join/agg never recomputes (PlanLintSpec)
     val pairs = pairStats(df, basketCol, itemCol, minSupport, maxBasket)
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("n_a"), col("n_b"))
+      .localCheckpoint(true)
     val both = pairs.select(
         col("item_a").as("item"), col("item_b").as("neighbor"),
         col("n_ab"), col("n_a").as("n_item"), col("n_b").as("n_neighbor"))

@@ -188,20 +188,30 @@ object Outliers {
     val base = df.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
       .select((col(idCol).as("__id") +:
         featureCols.map(c => col(c).cast("double").as(c))): _*)
-    val withBins = featureCols.foldLeft(base) { (acc, f) =>
-      val mm = acc.agg(min(col(f)).as("__mn"), max(col(f)).as("__mx"))
-      acc.crossJoin(broadcast(mm))
-        .withColumn(s"__bin_$f",
-          when(col("__mx") === col("__mn"), lit(0L))
+    // ONE min/max agg for ALL features (1 row, checkpointed): the old
+    // per-feature fold re-aggregated the growing accumulator, so each
+    // feature's extent subtree appeared duplicated in every later
+    // branch (PlanLintSpec rule, fixed structurally — one pass instead
+    // of F sequential aggs)
+    val mmAggs = featureCols.flatMap(f => Seq(min(col(f)).as(s"__mn_$f"),
+      max(col(f)).as(s"__mx_$f")))
+    val mm = base.agg(mmAggs.head, mmAggs.tail: _*).localCheckpoint(true)
+    val withBins = featureCols.foldLeft(base.crossJoin(broadcast(mm))) {
+      (acc, f) =>
+        acc.withColumn(s"__bin_$f",
+          when(col(s"__mx_$f") === col(s"__mn_$f"), lit(0L))
             .otherwise(least(
-              floor((col(f) - col("__mn")) * bins /
-                (col("__mx") - col("__mn"))).cast("long"),
+              floor((col(f) - col(s"__mn_$f")) * bins /
+                (col(s"__mx_$f") - col(s"__mn_$f"))).cast("long"),
               lit(bins - 1L))))
-        .drop("__mn", "__mx")
-    }
+    }.drop(featureCols.flatMap(f => Seq(s"__mn_$f", s"__mx_$f")): _*)
     val n = withBins.count()
+    // each feature's bin counts come from withBins DIRECTLY (bins depend
+    // only on their own column), not from the join accumulator — so no
+    // join subtree is ever on both sides of a later join; withBins
+    // itself is shuffle-free lineage (scan + broadcast), cheap to re-read
     val scored = featureCols.foldLeft(withBins) { (acc, f) =>
-      val counts = acc.groupBy(col(s"__bin_$f"))
+      val counts = withBins.groupBy(col(s"__bin_$f"))
         .agg(count(lit(1)).as(s"__c_$f"))
       acc.join(broadcast(counts), Seq(s"__bin_$f"))
         // 0.0 − x, not unary minus: a full bin's term must be +0.0 on

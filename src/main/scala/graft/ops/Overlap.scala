@@ -54,7 +54,11 @@ object Overlap {
   def sourceOverlapSketch(docs: DataFrame, textCol: String = "text",
                           groupCol: String = "source", numHashes: Int = 64,
                           shingleK: Int = 3): DataFrame = {
+    // materialized: the signature table feeds BOTH sides of the pair
+    // join — groups × numHashes rows, the corpus-sized signature agg is
+    // never recomputed (PlanLintSpec rule)
     val mins = sourceMinhash(docs, textCol, groupCol, numHashes, shingleK)
+      .localCheckpoint(true)
     val a = mins.select(col(groupCol).as("source_a"), col("pos"), col("v").as("va"))
     val b = mins.select(col(groupCol).as("source_b"), col("pos"), col("v").as("vb"))
     a.join(b, Seq("pos"))
@@ -175,7 +179,7 @@ object Overlap {
     // group sizes from the MATERIALIZED bucket table (n is constant per g) —
     // reading `tot` here would re-run the corpus-sized agg on both sides of
     // the cross pairing (plan-audited)
-    val sizes = p.groupBy(col("g")).agg(max(col("n")).as("n"))
+    val sizes = materialize(p.groupBy(col("g")).agg(max(col("n")).as("n")))
     val pairs = sizes.select(col("g").as("source_a"), col("n").as("n_a"))
       .crossJoin(sizes.select(col("g").as("source_b"), col("n").as("n_b")))
       .filter(col("source_a") < col("source_b"))
@@ -221,12 +225,22 @@ object Overlap {
       .distinct()
     val kb = b.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
       .distinct()
-    val na = ka.agg(count(lit(1)).as("n_a"))
-    val nb = kb.agg(count(lit(1)).as("n_b"))
-    val m = ka.join(kb, Seq("__k"), "left_semi")
-      .agg(count(lit(1)).as("n_overlap"))
+    // ONE full-outer join + ONE agg yields all three counts — each
+    // distinct shuffle runs exactly once instead of ka/kb feeding both a
+    // count and the overlap join (PlanLintSpec rule, fixed structurally:
+    // no cache needed, and strictly fewer stages at 100 TB)
+    val base = ka.withColumn("__ina", lit(1L))
+      .join(kb.withColumn("__inb", lit(1L)), Seq("__k"), "full_outer")
+      .agg(sum(coalesce(col("__ina"), lit(0L))).as("n_a"),
+        sum(coalesce(col("__inb"), lit(0L))).as("n_b"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_overlap"))
+      // empty-input guard: SUM over zero rows is NULL where the previous
+      // per-side COUNT was 0 — keep the 0 contract
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
     val z = 1.959964
-    val base = na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
     val (nA, nB, mm) = (col("n_a").cast("double"),
       col("n_b").cast("double"), col("n_overlap").cast("double"))
     val est = (nA + 1.0) * (nB + 1.0) / (mm + 1.0) - 1.0

@@ -85,11 +85,16 @@ object PrefixSum {
     * two-shuffle shape. */
   def ntileExact(df: DataFrame, orderCols: Seq[String], k: Int,
                  outCol: String = "ntile",
-                 numPartitions: Int = 0): DataFrame = {
+                 numPartitions: Int = 0,
+                 materialize: DataFrame => DataFrame =
+                   _.localCheckpoint(true)): DataFrame = {
     require(k >= 1, s"ntileExact: k must be >= 1, got $k")
     require(!df.columns.contains("__ntrn"),
       "ntileExact: input already has reserved column __ntrn")
-    val rn = rowNumber(df, orderCols, "__ntrn", numPartitions)
+    // materialized: the ranked frame feeds both the scalar max and the
+    // final join — without this the pid-window + offset join recompute
+    // for the 1-row branch (PlanLintSpec rule)
+    val rn = materialize(rowNumber(df, orderCols, "__ntrn", numPartitions))
     val tot = rn.agg(max(col("__ntrn")).as("__ntn"))
     rn.crossJoin(broadcast(tot))
       .withColumn(outCol, {
@@ -113,13 +118,17 @@ object PrefixSum {
     * from the ANSI null-peer-group; filter-or-coalesce first if they
     * matter). A single row yields percent_rank 0 (the ANSI n=1 case). */
   def distributionRanks(df: DataFrame, valueCol: String,
-                        numPartitions: Int = 0): DataFrame = {
+                        numPartitions: Int = 0,
+                        materialize: DataFrame => DataFrame =
+                          _.localCheckpoint(true)): DataFrame = {
     val clash = Seq("percent_rank", "cume_dist").filter(df.columns.contains)
     require(clash.isEmpty,
       s"distributionRanks: input already has ${clash.mkString(", ")}")
     val base = df.filter(col(valueCol).isNotNull)
-    val grid = base.groupBy(col(valueCol).as("__drv"))
-      .agg(count(lit(1)).as("__drt"))
+    // materialized: the value grid feeds both the prefix scan and the
+    // total — recomputing it re-scans the data-sized input (PlanLintSpec)
+    val grid = materialize(base.groupBy(col(valueCol).as("__drv"))
+      .agg(count(lit(1)).as("__drt")))
     val cum = scan(grid, Seq("__drv"), sums = Seq("__drt" -> "__drcum"),
       leads = Nil, numPartitions)
     val tot = grid.agg(sum(col("__drt")).as("__drn"))
@@ -178,16 +187,22 @@ object PrefixSum {
     val local = if (leads.isEmpty) withLocals1
       else withLocals1.withColumn("__rn", row_number().over(pw))
     // partition summary: totals per sum column, row count, first lead
-    // values — numPartitions rows, the one permissible global window
+    // values — numPartitions rows, the one permissible global window.
+    // Aggregated from PARTED, not `local`: the summary needs only raw
+    // values (sum per pid; first source value by order via min_by over
+    // the order tuple — identical to min_by over __rn under the total
+    // order the contract requires), so reading `local` here would
+    // duplicate the pid-window subtree and recompute it for the
+    // broadcast side (the r16 recompute-audit rule, now PlanLintSpec).
     val sumAggs = sums.zipWithIndex.map { case ((v, _), i) =>
       sum(col(v)).as(s"__psum$i")
     }
     val firstByOrder = leads.zipWithIndex.map { case ((v, _), i) =>
-      min_by(col(v), col("__rn")).as(s"__first$i")
+      min_by(col(v), struct(orderCols.map(col): _*)).as(s"__first$i")
     }
     val allAggs = Seq(count(lit(1)).as("__cnt")) ++ sumAggs ++
       (if (leads.isEmpty) Nil else firstByOrder)
-    val summary0 = local.groupBy(col("__pid"))
+    val summary0 = parted.groupBy(col("__pid"))
       .agg(allAggs.head, allAggs.tail: _*)
     val bw = Window.orderBy(col("__pid").asc)
     val withOffsets = sums.zipWithIndex.foldLeft(summary0) { case (d, ((_, _), i)) =>

@@ -156,8 +156,12 @@ object Privacy {
     val gs = quasiCols.map(col)
     val rows = df.filter(col(sensitiveCol).isNotNull)
       .select((gs :+ col(sensitiveCol).cast("string").as("__v")): _*)
+    // materialized: the cell table feeds the class marginal, the global
+    // marginal, AND the grid join — (classes × values)-sized, the
+    // corpus agg never recomputes (PlanLintSpec rule)
     val cell = rows.groupBy((gs :+ col("__v")): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val classN = cell.groupBy(gs: _*).agg(sum(col("__c")).as("__n"))
     val global = cell.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
     val bigN = global.agg(sum(col("__g")).as("__bigN"))

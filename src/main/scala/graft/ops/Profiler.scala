@@ -374,9 +374,13 @@ object Profiler {
     val fks = child.select(col(fkCol))
     val totals = fks.agg(count(lit(1)).as("n_child"),
       sum(when(col(fkCol).isNull, 1L).otherwise(0L)).as("n_fk_null"))
+    // no pre-distinct on the parent side: LEFT ANTI is set-semantics on
+    // the right regardless of duplicates, so the distinct was a pure
+    // extra shuffle — and its Aggregate subtree showed up duplicated
+    // when two reports over the same parent union (PlanLintSpec rule,
+    // fixed structurally: one fewer exchange per report)
     val orphans = fks.filter(col(fkCol).isNotNull)
-      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
-        Seq(fkCol), "left_anti")
+      .join(parent.select(col(pkCol).as(fkCol)), Seq(fkCol), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
     totals.crossJoin(orphans)
       .select(lit(fkCol).as("fk_column"), lit(pkCol).as("pk_column"),
@@ -496,12 +500,17 @@ object Profiler {
     * One map-side-combined agg to the pooled distinct-value grid, two
     * [[PrefixSum.runningSum]] passes for the CDF counts (never a global
     * data-sized window), one scalar max agg. */
-  def ksTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             materialize: DataFrame => DataFrame =
+               _.localCheckpoint(true)): DataFrame = {
     val base = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"),
         col(groupCol).cast("string").as("__g"))
-    val names = base.select(col("__g")).distinct()
+    // both bounded frames are double-read (names: grid build + final
+    // label attach; grid: cumulative scan + totals) — materialized so
+    // neither re-scans the data-sized base (PlanLintSpec rule)
+    val names = materialize(base.select(col("__g")).distinct()
       .agg(count(lit(1)).as("__k"), min(col("__g")).as("__ga"),
         max(col("__g")).as("__gb"))
       .select(
@@ -509,11 +518,11 @@ object Profiler {
           .otherwise(raise_error(concat(
             lit("ksTest: need exactly 2 groups, got "),
             col("__k").cast("string")))).as("__ga"),
-        col("__gb"))
-    val grid = base.crossJoin(broadcast(names))
+        col("__gb")))
+    val grid = materialize(base.crossJoin(broadcast(names))
       .groupBy(col("__v"))
       .agg(sum(when(col("__g") === col("__ga"), 1L).otherwise(0L)).as("__c1"),
-        sum(when(col("__g") === col("__gb"), 1L).otherwise(0L)).as("__c2"))
+        sum(when(col("__g") === col("__gb"), 1L).otherwise(0L)).as("__c2")))
     val cum = PrefixSum.runningSum(
       PrefixSum.runningSum(grid, Seq("__v"), "__c1", "__cc1"),
       Seq("__v"), "__c2", "__cc2")
@@ -555,14 +564,18 @@ object Profiler {
     * [[PrefixSum]] scan pass carrying BOTH cumulative counts AND the
     * next-value lead under a single range exchange — never a global
     * data-sized window, never a second sort. */
-  def wasserstein(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+  def wasserstein(df: DataFrame, valueCol: String, groupCol: String,
+                  materialize: DataFrame => DataFrame =
+                    _.localCheckpoint(true)): DataFrame = {
     val dec = DecimalType(18, 2)
     val d38 = DecimalType(38, 0)
     val base = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select((col(valueCol).cast(dec) * 100).cast("long").as("__c"),
         col(groupCol).cast("string").as("__g"))
-    val names = base.select(col("__g")).distinct()
+    // the ksTest double-read discipline: names and grid are bounded,
+    // materialize both so neither re-scans the data-sized base
+    val names = materialize(base.select(col("__g")).distinct()
       .agg(count(lit(1)).as("__k"), min(col("__g")).as("__ga"),
         max(col("__g")).as("__gb"))
       .select(
@@ -570,11 +583,11 @@ object Profiler {
           .otherwise(raise_error(concat(
             lit("wasserstein: need exactly 2 groups, got "),
             col("__k").cast("string")))).as("__ga"),
-        col("__gb"))
-    val grid = base.crossJoin(broadcast(names))
+        col("__gb")))
+    val grid = materialize(base.crossJoin(broadcast(names))
       .groupBy(col("__c"))
       .agg(sum(when(col("__g") === col("__ga"), 1L).otherwise(0L)).as("__c1"),
-        sum(when(col("__g") === col("__gb"), 1L).otherwise(0L)).as("__c2"))
+        sum(when(col("__g") === col("__gb"), 1L).otherwise(0L)).as("__c2")))
     val scanned = PrefixSum.scan(grid, Seq("__c"),
       sums = Seq("__c1" -> "__cc1", "__c2" -> "__cc2"),
       leads = Seq("__c" -> "__next"))
@@ -622,12 +635,17 @@ object Profiler {
     * One cell agg (map-side combined, cell-count-sized), two marginal
     * aggs derived FROM the cell frame (cells, not rows), broadcast joins
     * of the marginals back onto cells, one scalar sum. */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+               materialize: DataFrame => DataFrame =
+                 _.localCheckpoint(true)): DataFrame = {
     val d38 = DecimalType(38, 0)
     val a = coalesce(col(aCol).cast("string"), lit("NULL"))
     val b = coalesce(col(bCol).cast("string"), lit("NULL"))
-    val cells = df.select(a.as("__a"), b.as("__b"))
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    // the contingency table is read FOUR times (two marginals, the term
+    // join, the shape agg) — materialized; it's enum×enum-sized
+    // (PlanLintSpec rule: never recompute a shuffle subtree per reader)
+    val cells = materialize(df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n")))
     val rows = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__r"))
     val cols_ = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__c"))
     val terms = cells
@@ -671,12 +689,16 @@ object Profiler {
     * One cells agg (enum × enum), two marginal re-aggs broadcast back —
     * the [[cramersV]] plan, kept per-cell instead of folded. */
   def contingencyResiduals(df: DataFrame, aCol: String,
-                           bCol: String): DataFrame = {
+                           bCol: String,
+                           materialize: DataFrame => DataFrame =
+                             _.localCheckpoint(true)): DataFrame = {
     val d38 = DecimalType(38, 0)
     val a = coalesce(col(aCol).cast("string"), lit("NULL"))
     val b = coalesce(col(bCol).cast("string"), lit("NULL"))
-    val cells = df.select(a.as("a"), b.as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("observed"))
+    // the cramersV materialize discipline: cells feed two marginals, the
+    // total, and the final join — enum×enum-sized, never recomputed
+    val cells = materialize(df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("observed")))
     val rows = cells.groupBy(col("a")).agg(sum(col("observed")).as("__r"))
     val cols_ = cells.groupBy(col("b")).agg(sum(col("observed")).as("__c"))
     val tot = cells.agg(sum(col("observed")).as("__t"))
@@ -721,6 +743,9 @@ object Profiler {
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select((col(valueCol).cast(dec) * 100).cast("long").as("__v"),
         col(groupCol).cast("string").as("__g"))
+    // the ksTest materialize discipline: names (1 row), cum (value-grid)
+    // and quants (2k rows) are each double-read below — checkpointed so
+    // no branch re-scans the data-sized base (PlanLintSpec rule)
     val names = base.select(col("__g")).distinct()
       .agg(count(lit(1)).as("__k2"), min(col("__g")).as("__ga"),
         max(col("__g")).as("__gb"))
@@ -730,6 +755,7 @@ object Profiler {
             lit("qqTable: need exactly 2 groups, got "),
             col("__k2").cast("string")))).as("__ga"),
         col("__gb"))
+      .localCheckpoint(true)
     val grid = base.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCum = org.apache.spark.sql.expressions.Window
@@ -740,6 +766,7 @@ object Profiler {
     val cum = grid
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
+      .localCheckpoint(true)
     val points = base.sparkSession.range(1, k + 1).toDF("i")
     val ranks = cum.select(col("__g"), col("__n")).distinct()
       .crossJoin(broadcast(points))
@@ -748,6 +775,7 @@ object Profiler {
       .filter(col("__cum") >= col("__rank"))
       .groupBy(col("__g"), col("i"), col("__rank"))
       .agg(min(col("__v")).as("__q"))
+      .localCheckpoint(true) // read by BOTH group branches below
     val a = quants.crossJoin(broadcast(names))
       .filter(col("__g") === col("__ga"))
       .select(col("i"), col("__rank").as("rank_a"), col("__q").as("__qa"))

@@ -188,14 +188,19 @@ object Sketches {
       }
     }.toDF("g", "tok", "cnt", "pid", "decs"))
 
-    val est = summaries.filter(col("tok") =!= "")
-      .groupBy(col("g"), col("tok")).agg(sum(col("cnt")).as("est"))
-    val errB = summaries.groupBy(col("g"), col("pid")).agg(first(col("decs")).as("d"))
-      .groupBy(col("g")).agg(sum(col("d")).as("err_bound"))
+    // est feeds kth AND the candidate filter; errB/kth are each read by
+    // the candidate filter AND the final readout — all three are bounded
+    // (≤ groups × capacity × partitions / group-count rows), so
+    // materialize rather than recompute the agg per reader (PlanLintSpec)
+    val est = materialize(summaries.filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok")).agg(sum(col("cnt")).as("est")))
+    val errB = materialize(summaries
+      .groupBy(col("g"), col("pid")).agg(first(col("decs")).as("d"))
+      .groupBy(col("g")).agg(sum(col("d")).as("err_bound")))
     val wEst = Window.partitionBy(col("g")).orderBy(col("est").desc, col("tok"))
-    val kth = est.withColumn("__r", row_number().over(wEst))
+    val kth = materialize(est.withColumn("__r", row_number().over(wEst))
       .filter(col("__r") <= k)
-      .groupBy(col("g")).agg(min(col("est")).as("kth_est"))
+      .groupBy(col("g")).agg(min(col("est")).as("kth_est")))
     val cands = est.join(errB, Seq("g")).join(kth, Seq("g"))
       .filter(col("est") + col("err_bound") >= col("kth_est"))
       .select(col("g"), col("tok"))

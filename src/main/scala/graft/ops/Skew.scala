@@ -510,7 +510,12 @@ object Skew {
       .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gs: _*).orderBy(col("__v").desc, col("__k").asc)
+    // materialized: ranked feeds head, tail, AND the totals agg —
+    // (group × keys)-sized, the keyed agg + rank window never recompute
+    // (PlanLintSpec rule; totals below reads ranked, not keyed, so the
+    // keyed subtree has exactly one reader)
     val ranked = keyed.withColumn("__r", row_number().over(w))
+      .localCheckpoint(true)
     val head = ranked.filter(col("__r") <= n)
       .select((gs ++ Seq(col("__k").as("key_out"), lit(1L).as("n_keys"),
         col("__v").as("value_cents"))): _*)
@@ -520,7 +525,7 @@ object Skew {
       .select((gs ++ Seq(lit("__other__").as("key_out"), col("n_keys"),
         col("value_cents"))): _*)
     val all = head.unionByName(tail)
-    val totals = keyed.groupBy(gs: _*).agg(sum(col("__v")).as("__gt"))
+    val totals = ranked.groupBy(gs: _*).agg(sum(col("__v")).as("__gt"))
     all.join(totals, groupCols)
       .withColumn("__fx", when(col("__gt") =!= 0L,
         when(col("value_cents").cast(

@@ -120,6 +120,9 @@ object Survival {
             lit("logRank: need exactly 2 groups, got "),
             col("__k").cast("string")))).as("__ga"),
         col("__gb"))
+      // materialized: names is broadcast into BOTH the grid and the
+      // counts agg — 1 row, the distinct never recomputes (PlanLintSpec)
+      .localCheckpoint(true)
     val grid = base.crossJoin(broadcast(names))
       .groupBy(col("t"))
       .agg(max(col("__ga")).as("__ga"), max(col("__gb")).as("__gb"),

@@ -415,11 +415,15 @@ object Trend {
         (col(yCol).cast(dec) * 100).cast("long").as("__y"): _*)
       .groupBy((gs :+ col("__x")): _*).agg(sum(col("__y")).as("__y"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    // materialized: the guarded point grid feeds BOTH self-join sides —
+    // (group × ≤maxPoints)-sized, the distinct-collapse + count window
+    // never recompute (PlanLintSpec rule)
     val guarded = pts
       .withColumn("__n", count(lit(1)).over(w))
       .filter(when(col("__n") > maxPoints,
         raise_error(concat(lit(s"theilSen: group exceeds $maxPoints points: "),
           gs.head.cast("string"))).cast("boolean")).otherwise(lit(true)))
+      .localCheckpoint(true)
     val a = guarded.select((gs :+ col("__x").as("__xa")) :+
       col("__y").as("__ya") :+ col("__n"): _*)
     val b = guarded.select((gs :+ col("__x").as("__xb")) :+
@@ -767,8 +771,12 @@ object Trend {
       .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
       .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__c"))
     val w = Window.partitionBy(gs: _*).orderBy(col("pos").asc)
+    // materialized: the MR grid feeds the moments agg AND the readout
+    // join — (group × pos)-sized, the grid agg + lag window never
+    // recompute (PlanLintSpec rule)
     val withMr = grid.withColumn("__mr",
       abs(col("__c") - lag(col("__c"), 1).over(w)))
+      .localCheckpoint(true)
     val moments = withMr.groupBy(gs: _*).agg(
       count(lit(1)).as("__n"), sum(col("__c")).as("__sx"),
       count(col("__mr")).as("__m"), sum(col("__mr")).as("__smr"))
@@ -986,17 +994,24 @@ object Trend {
       .withColumn("__res", col("__v"))
       .withColumn("__re", lit(0L))
       .withColumn("__ce", lit(0L))
-    val polished = (1 to sweeps).foldLeft(cells0) { (cells, _) =>
-      val rm = groupLowerMedian(cells, Seq("__r"), "__res", "__rm")
-      val afterRow = cells.join(broadcast(rm), Seq("__r"))
-        .withColumn("__res", col("__res") - col("__rm"))
-        .withColumn("__re", col("__re") + col("__rm"))
-        .drop("__rm")
-      val cm = groupLowerMedian(afterRow, Seq("__c"), "__res", "__cm")
-      afterRow.join(broadcast(cm), Seq("__c"))
-        .withColumn("__res", col("__res") - col("__cm"))
-        .withColumn("__ce", col("__ce") + col("__cm"))
-        .drop("__cm")
+    // each half-sweep's grid is materialized before its double read
+    // (median extraction + effect join) — (rows × cols)-sized, so no
+    // sweep ever replays the previous sweeps' join chain (PlanLintSpec
+    // rule; also turns the 2·sweeps-deep lineage into flat RDD reads)
+    val polished = (1 to sweeps).foldLeft(cells0.localCheckpoint(true)) {
+      (cells, _) =>
+        val rm = groupLowerMedian(cells, Seq("__r"), "__res", "__rm")
+        val afterRow = cells.join(broadcast(rm), Seq("__r"))
+          .withColumn("__res", col("__res") - col("__rm"))
+          .withColumn("__re", col("__re") + col("__rm"))
+          .drop("__rm")
+          .localCheckpoint(true)
+        val cm = groupLowerMedian(afterRow, Seq("__c"), "__res", "__cm")
+        afterRow.join(broadcast(cm), Seq("__c"))
+          .withColumn("__res", col("__res") - col("__cm"))
+          .withColumn("__ce", col("__ce") + col("__cm"))
+          .drop("__cm")
+          .localCheckpoint(true)
     }
     polished.select(
       col("__r").as("row"), col("__c").as("col"),
@@ -1045,9 +1060,13 @@ object Trend {
       s"robustDecompose: halfTrend in [1, 500], got $halfTrend")
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val gs = groupCols.map(col)
+    // materialized: base feeds the contribution explode, the real-grid
+    // join, and the detrend join — (group × pos)-sized, the raw input
+    // is never re-aggregated per reader (PlanLintSpec rule)
     val base = df.filter(col(posCol).isNotNull && col(valueCol).isNotNull)
       .groupBy((gs :+ col(posCol).cast("long").as("pos")): _*)
       .agg((sum(col(valueCol).cast(dec)) * 100).cast("long").as("__v"))
+      .localCheckpoint(true)
     // trend: each row contributes to the ±h centers; keep only centers
     // that are REAL positions (inner join back onto the grid)
     val contrib = base.select((gs ++ Seq(
@@ -1065,6 +1084,7 @@ object Trend {
     val det = base.join(trend, groupCols :+ "pos")
       .withColumn("__det", col("__v") - col("__trend"))
       .withColumn("__season", pmod(col("pos"), lit(period)))
+      .localCheckpoint(true) // read by the seasonal grid AND the readout
     // per-(group, season) exact lower median over the distinct-value grid
     val sgrid = det.groupBy((gs ++ Seq(col("__season"), col("__det"))): _*)
       .agg(count(lit(1)).as("__c"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DateType, IntegerType}
 
 /** Threshold pushdown for Levenshtein comparisons — a
   * `Rule[LogicalPlan]` that rewrites the predicate a user naturally
@@ -104,5 +104,86 @@ object ThresholdedLevenshtein extends Rule[LogicalPlan] {
         EqualTo(lev3(a, b, k), Literal(k))
       case EqualTo(IntBound(k), Levenshtein(a, b, None)) if k >= 1 =>
         EqualTo(lev3(a, b, k), Literal(k))
+    }
+}
+
+/** Sargable year-predicate rewrite — the second injected
+  * `Rule[LogicalPlan]` (r16 verdict task 8): `year(d) ⋛ k` over a
+  * DATE-typed `d` becomes a raw range predicate on `d` itself,
+  *
+  *   - `year(d) =  k` ⟶ `d >= DATE'k-01-01' AND d < DATE'(k+1)-01-01'`
+  *   - `year(d) >= k` ⟶ `d >= DATE'k-01-01'`
+  *   - `year(d) >  k` ⟶ `d >= DATE'(k+1)-01-01'`
+  *   - `year(d) <= k` ⟶ `d <  DATE'(k+1)-01-01'`
+  *   - `year(d) <  k` ⟶ `d <  DATE'k-01-01'`
+  *
+  * which is what makes the predicate USEFUL at 100 TB: `year(d) = 1995`
+  * is opaque to every storage layer (full scan), while the range form
+  * reaches the parquet reader as min/max row-group pruning + partition
+  * pruning (`PushedFilters` shows it; OptimizerRulesSpec asserts it).
+  * Catalyst's own UnwrapCastInBinaryComparison does this for casts but
+  * nothing unwraps `year()`.
+  *
+  * Value-identity argument: for DATE values, `year` is the proleptic
+  * ISO year of the stored epoch-day — timezone-free. Years form
+  * contiguous, gap-free epoch-day intervals `[jan1(k), jan1(k+1))`,
+  * so each comparison above is set-identical. `year(timestamp)` is
+  * covered too, SAFELY: the analyzer resolves it as
+  * `year(cast(ts as date))`, and the rewrite compares that same
+  * date-typed child against date literals — the session-timezone
+  * dependence lives entirely inside the PRESERVED cast, so results
+  * are identical under any timezone (the cast blocks parquet
+  * pushdown, but the predicate still drops the per-row `year()`
+  * extraction and becomes a plain range compare).
+  * NULL propagates identically: `d` NULL makes both the original
+  * (`year(NULL) ⋛ k` → NULL) and every rewritten form (`NULL >= lit`,
+  * `NULL AND NULL`) NULL. Bound guard: foldable INT literal in
+  * [1, 9998] (covers all real data; extreme proleptic years keep the
+  * original plan rather than reason about year-0 rendering). */
+object SargableYearPredicate extends Rule[LogicalPlan] {
+
+  private object IntBound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) if v >= 1 && v <= 9998 => Some(v)
+      case _ => None
+    }
+  }
+
+  private object YearOfDate {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Year(d) if d.dataType == DateType => Some(d)
+      case _ => None
+    }
+  }
+
+  /** DATE literal for January 1 of `y`, as raw epoch days (foldable —
+    * cheaper than a MakeDate the constant-folder must still run). */
+  private def jan1(y: Int): Expression =
+    Literal(java.time.LocalDate.of(y, 1, 1).toEpochDay.toInt, DateType)
+
+  private def geYear(d: Expression, k: Int): Expression =
+    GreaterThanOrEqual(d, jan1(k))
+  private def ltYear(d: Expression, k: Int): Expression =
+    LessThan(d, jan1(k))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // year(d) = k  /  k = year(d)
+      case EqualTo(YearOfDate(d), IntBound(k)) =>
+        And(geYear(d, k), ltYear(d, k + 1))
+      case EqualTo(IntBound(k), YearOfDate(d)) =>
+        And(geYear(d, k), ltYear(d, k + 1))
+      // year(d) >= k  /  k <= year(d)
+      case GreaterThanOrEqual(YearOfDate(d), IntBound(k)) => geYear(d, k)
+      case LessThanOrEqual(IntBound(k), YearOfDate(d)) => geYear(d, k)
+      // year(d) > k  /  k < year(d)
+      case GreaterThan(YearOfDate(d), IntBound(k)) => geYear(d, k + 1)
+      case LessThan(IntBound(k), YearOfDate(d)) => geYear(d, k + 1)
+      // year(d) <= k  /  k >= year(d)
+      case LessThanOrEqual(YearOfDate(d), IntBound(k)) => ltYear(d, k + 1)
+      case GreaterThanOrEqual(IntBound(k), YearOfDate(d)) => ltYear(d, k + 1)
+      // year(d) < k  /  k > year(d)
+      case LessThan(YearOfDate(d), IntBound(k)) => ltYear(d, k)
+      case GreaterThan(IntBound(k), YearOfDate(d)) => ltYear(d, k)
     }
 }

@@ -160,4 +160,85 @@ class OptimizerRulesSpec extends SparkSpec {
       s"SQL predicate not rewritten: ${optimized(q)}")
     assert(q.collect().head.getLong(0) === 2L)
   }
+
+  // ------------------------------------------- SargableYearPredicate
+
+  /** DATE-typed parquet fixture: one row per day across year
+    * boundaries (1993-12-30 .. 1996-01-02) plus nulls. */
+  private lazy val dates: DataFrame = {
+    val dir = SparkSpec.tempDir("graft_year_") + "/dates"
+    val start = java.time.LocalDate.of(1993, 12, 30)
+    val rows = (0 until 735).map(i =>
+      Tuple1(java.sql.Date.valueOf(start.plusDays(i)))) ++
+      Seq(Tuple1(null.asInstanceOf[java.sql.Date]))
+    rows.toDF("d").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def daysIn(y: Int): Long =
+    java.time.Year.of(y).length().toLong
+
+  test("year comparisons over DATE rewrite to ranges and stay value-identical") {
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      (year($"d") === 1994, daysIn(1994)),
+      (lit(1994) === year($"d"), daysIn(1994)),
+      (year($"d") >= 1995, daysIn(1995) + 3),  // + Jan 1-3 1996
+      (lit(1995) <= year($"d"), daysIn(1995) + 3),
+      (year($"d") > 1994, daysIn(1995) + 3),
+      (lit(1994) < year($"d"), daysIn(1995) + 3),
+      (year($"d") <= 1994, daysIn(1994) + 2),  // + Dec 30-31 1993
+      (lit(1994) >= year($"d"), daysIn(1994) + 2),
+      (year($"d") < 1995, daysIn(1994) + 2),
+      (lit(1995) > year($"d"), daysIn(1994) + 2))
+    for (((pred, want), i) <- cases.zipWithIndex) {
+      val q = dates.filter(pred)
+      val plan = optimized(q)
+      assert(!plan.contains("year("),
+        s"year case $i not rewritten: $plan")
+      assert(q.count() === want, s"year case $i row count")
+    }
+  }
+
+  test("the rewritten range reaches the parquet scan as PushedFilters") {
+    val q = dates.filter(year($"d") === 1994)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(d), " +
+      "GreaterThanOrEqual(d,1994-01-01), LessThan(d,1995-01-01)]"),
+      s"range not pushed to the scan:\n$physical")
+  }
+
+  test("year-rewrite null propagation and projected values") {
+    val out = dates.select($"d", (year($"d") === 1994).as("in94"))
+      .collect()
+      .map(r => Option(r.getDate(0)).map(_.toString) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(out(Some("1994-06-15")) === Some(true))
+    assert(out(Some("1995-01-01")) === Some(false))
+    assert(out(None) === None)
+  }
+
+  test("year over TIMESTAMP rewrites through the preserved timezone cast") {
+    // the analyzer resolves year(ts) as year(cast(ts AS DATE)); the
+    // rewrite compares that same date-typed child against date
+    // literals, so the session-timezone dependence stays inside the
+    // PRESERVED cast and values are identical under any timezone
+    val dir = SparkSpec.tempDir("graft_year_ts_") + "/ts"
+    Seq(Tuple1(java.sql.Timestamp.valueOf("1994-06-15 12:00:00")),
+        Tuple1(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("t").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(year($"t") === 1994)
+    val plan = optimized(q)
+    assert(!plan.contains("year(") && plan.contains("as date"),
+      s"timestamp year must rewrite around the kept cast: $plan")
+    assert(q.count() === 1L)
+  }
+
+  test("year SQL-surface predicates rewrite too") {
+    dates.createOrReplaceTempView("year_fixture")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM year_fixture WHERE year(d) = 1995")
+    assert(!optimized(q).contains("year("),
+      s"SQL year predicate not rewritten: ${optimized(q)}")
+    assert(q.collect().head.getLong(0) === daysIn(1995))
+  }
 }
