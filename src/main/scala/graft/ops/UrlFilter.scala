@@ -46,27 +46,58 @@ object UrlFilter {
 
   /** Multi-label public suffixes — a FROZEN, hand-vendored snapshot of
     * the Mozilla Public Suffix List (publicsuffix.org), curated to the
-    * high-confidence core at authoring time (2026-08; the build sandbox
-    * has no egress, so the full ~10k-entry revisioned file cannot be
-    * fetched — swap these three literals for a vendored copy of the
-    * full list to widen coverage; the RULE ALGEBRA below already
-    * implements the complete PSL semantics). Single-label TLDs need no
-    * listing: they are the algorithm's default `*` rule. */
+    * high-confidence core at authoring time (2026-08, expanded r17 to
+    * ~560 entries: the jp prefecture / us state / ca province / cn
+    * province / kr region geographics, the .br category registry, the
+    * fr regulated professions, pl city registries, and more platform
+    * suffixes; the build sandbox has no egress, so the full ~10k-entry
+    * revisioned file cannot be fetched — swap these three literals for
+    * a vendored copy of the full list to widen long-tail coverage; the
+    * RULE ALGEBRA below already implements the complete PSL
+    * semantics). Single-label TLDs need no listing: they are the
+    * algorithm's default `*` rule. */
   private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
     // uk
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
     "plc.uk", "sch.uk", "nhs.uk", "police.uk",
     // au / nz
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au",
+    "wa.au",
     "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
-    "gen.nz", "geek.nz", "maori.nz",
+    "gen.nz", "geek.nz", "maori.nz", "cri.nz", "health.nz", "iwi.nz",
+    "mil.nz", "parliament.nz",
     // jp (organizational second levels; the city wildcards ride
     // WildcardSuffixes below)
     "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
     "gr.jp", "lg.jp",
+    // jp prefecture geographics (all 47)
+    "hokkaido.jp", "aomori.jp", "iwate.jp", "miyagi.jp", "akita.jp",
+    "yamagata.jp", "fukushima.jp", "ibaraki.jp", "tochigi.jp",
+    "gunma.jp", "saitama.jp", "chiba.jp", "tokyo.jp", "kanagawa.jp",
+    "niigata.jp", "toyama.jp", "ishikawa.jp", "fukui.jp",
+    "yamanashi.jp", "nagano.jp", "gifu.jp", "shizuoka.jp", "aichi.jp",
+    "mie.jp", "shiga.jp", "kyoto.jp", "osaka.jp", "hyogo.jp", "nara.jp",
+    "wakayama.jp", "tottori.jp", "shimane.jp", "okayama.jp",
+    "hiroshima.jp", "yamaguchi.jp", "tokushima.jp", "kagawa.jp",
+    "ehime.jp", "kochi.jp", "fukuoka.jp", "saga.jp", "nagasaki.jp",
+    "kumamoto.jp", "oita.jp", "miyazaki.jp", "kagoshima.jp",
+    "okinawa.jp",
     // east/southeast asia
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // cn province geographics
+    "ah.cn", "bj.cn", "cq.cn", "fj.cn", "gd.cn", "gs.cn", "gz.cn",
+    "gx.cn", "ha.cn", "hb.cn", "he.cn", "hi.cn", "hl.cn", "hn.cn",
+    "jl.cn", "js.cn", "jx.cn", "ln.cn", "nm.cn", "nx.cn", "qh.cn",
+    "sc.cn", "sd.cn", "sh.cn", "sn.cn", "sx.cn", "tj.cn", "xj.cn",
+    "xz.cn", "yn.cn", "zj.cn", "hk.cn", "mo.cn", "tw.cn",
     "co.kr", "or.kr", "ac.kr", "go.kr", "ne.kr", "re.kr", "pe.kr",
+    "mil.kr", "es.kr", "ms.kr", "hs.kr", "sc.kr", "kg.kr",
+    // kr region geographics
+    "seoul.kr", "busan.kr", "daegu.kr", "incheon.kr", "gwangju.kr",
+    "daejeon.kr", "ulsan.kr", "gyeonggi.kr", "gangwon.kr",
+    "chungbuk.kr", "chungnam.kr", "jeonbuk.kr", "jeonnam.kr",
+    "gyeongbuk.kr", "gyeongnam.kr", "jeju.kr",
     "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
     "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
     "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
@@ -85,6 +116,7 @@ object UrlFilter {
     "ac.ae", "co.ae", "net.ae", "org.ae", "sch.ae", "gov.ae",
     "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
     "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "edu.za", "law.za", "mil.za", "nom.za", "school.za",
     "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
     "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
     "co.tz", "or.tz", "ne.tz", "go.tz", "ac.tz", "sc.tz",
@@ -96,6 +128,30 @@ object UrlFilter {
     "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
     "art.br", "adv.br", "eco.br", "blog.br", "wiki.br", "ind.br",
     "inf.br",
+    // the .br category registry (long-standing second levels)
+    "agr.br", "am.br", "arq.br", "ato.br", "bio.br", "bmd.br",
+    "cim.br", "cng.br", "cnt.br", "coop.br", "ecn.br", "emp.br",
+    "eng.br", "esp.br", "etc.br", "eti.br", "far.br", "flog.br",
+    "fm.br", "fnd.br", "fot.br", "fst.br", "g12.br", "ggf.br",
+    "imb.br", "jor.br", "lel.br", "mat.br", "med.br", "mus.br",
+    "not.br", "ntr.br", "odo.br", "ppg.br", "pro.br", "psc.br",
+    "psi.br", "qsl.br", "radio.br", "rec.br", "slg.br", "srv.br",
+    "taxi.br", "teo.br", "tmp.br", "trd.br", "tur.br", "tv.br",
+    "vet.br", "vlog.br", "zlg.br",
+    // ca provinces + federal
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    "gc.ca",
+    // us states (RFC 1480 second levels) + federal/tribal
+    "ak.us", "al.us", "ar.us", "az.us", "ca.us", "co.us", "ct.us",
+    "dc.us", "de.us", "fl.us", "ga.us", "hi.us", "ia.us", "id.us",
+    "il.us", "in.us", "ks.us", "ky.us", "la.us", "ma.us", "md.us",
+    "me.us", "mi.us", "mn.us", "mo.us", "ms.us", "mt.us", "nc.us",
+    "nd.us", "ne.us", "nh.us", "nj.us", "nm.us", "nv.us", "ny.us",
+    "oh.us", "ok.us", "or.us", "pa.us", "pr.us", "ri.us", "sc.us",
+    "sd.us", "tn.us", "tx.us", "ut.us", "va.us", "vt.us", "wa.us",
+    "wi.us", "wv.us", "wy.us", "fed.us", "isa.us", "nsn.us", "dni.us",
+    "kids.us",
     "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
     "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
     "mil.ar", "tur.ar",
@@ -118,6 +174,19 @@ object UrlFilter {
     "co.cr", "or.cr", "ed.cr", "fi.cr", "go.cr", "sa.cr", "ac.cr",
     // europe
     "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "info.pl", "biz.pl", "mail.pl", "media.pl", "shop.pl", "sklep.pl",
+    // pl city registries
+    "warszawa.pl", "wroclaw.pl", "krakow.pl", "katowice.pl", "lodz.pl",
+    "lublin.pl", "poznan.pl", "radom.pl", "szczecin.pl", "torun.pl",
+    "gda.pl", "gdansk.pl", "gdynia.pl", "slupsk.pl", "bialystok.pl",
+    "olsztyn.pl", "opole.pl", "rzeszow.pl",
+    // fr categorized + regulated professions
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "avocat.fr", "aeroport.fr", "cci.fr", "chambagri.fr", "greta.fr",
+    "huissier-justice.fr", "medecin.fr", "notaires.fr",
+    "pharmacien.fr", "port.fr", "veterinaire.fr",
+    // es
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
     "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
     "kiev.ua", "lviv.ua", "odessa.ua", "kharkov.ua",
     "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
@@ -136,7 +205,9 @@ object UrlFilter {
     "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
     "cloudfront.net", "appspot.com", "wixsite.com",
     "weebly.com", "tumblr.com", "fly.dev", "onrender.com",
-    "readthedocs.io", "neocities.org", "glitch.me", "repl.co")
+    "readthedocs.io", "neocities.org", "glitch.me", "repl.co",
+    "workers.dev", "surge.sh", "ngrok.io", "webflow.io",
+    "duckdns.org", "ddns.net", "dyndns.org")
 
   /** Wildcard PSL rules (`*.bd` → every `<label>.bd` is a public
     * suffix), stored as the parent suffix. Same pinned-snapshot caveat

@@ -2293,7 +2293,20 @@ class OpsSpec extends SparkSpec {
       "city.kobe.jp" -> "city.kobe.jp",
       "ward.city.kobe.jp" -> "city.kobe.jp",
       // exact rule still beats the default under the same TLD
-      "x.lg.jp" -> "x.lg.jp")
+      "x.lg.jp" -> "x.lg.jp",
+      // r17 long-tail spot checks across the expanded snapshot
+      "loja.example.com.br" -> "example.com.br",   // com.br
+      "clinica.med.br" -> "clinica.med.br",        // .br category 2LD
+      "www.pref.aichi.jp" -> "pref.aichi.jp",      // jp prefecture
+      "site.metro.tokyo.jp" -> "metro.tokyo.jp",
+      "foo.k12.ca.us" -> "k12.ca.us",              // us state 2LD
+      "ville.gouv.fr" -> "ville.gouv.fr",          // fr categorized
+      "biuro.warszawa.pl" -> "biuro.warszawa.pl",  // pl city registry
+      "a.b.gc.ca" -> "b.gc.ca",                    // ca federal
+      "shop.seoul.kr" -> "shop.seoul.kr",          // kr region
+      "cdn.gd.cn" -> "cdn.gd.cn",                  // cn province
+      "me.workers.dev" -> "me.workers.dev",        // platform suffix
+      "x.y.duckdns.org" -> "y.duckdns.org")
     val got = UrlFilter.registeredDomain(col("h"))
     val out = cases.map(_._1).toDF("h").select(col("h"), got.as("rd"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
