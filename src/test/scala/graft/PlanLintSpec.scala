@@ -79,6 +79,84 @@ class PlanLintSpec extends SparkSpec {
     }.map { case (_, nodes) => (nodes.head, nodes.length) }.toSeq
   }
 
+  /** Second lint class (r17): the repo's global-window discipline —
+    * a Window with an EMPTY partitionSpec moves its whole input to one
+    * task, which is only acceptable on provably-bounded frames (enum
+    * grids, top-k results, partition summaries). Every site must be
+    * allowlisted here WITH the boundedness argument; an unexplained
+    * new global window fails the build. */
+  private val GlobalWindowAllowlist: Map[String, String] = {
+    val prefixSumSummary = "PrefixSum partition-summary window — " +
+      "numPartitions rows by construction (the designed exception: " +
+      "the ONE permissible global window, over per-partition totals)"
+    val postLimitRank = "rank window AFTER a limit(k) / " +
+      "TakeOrderedAndProject cut — ≤ k rows by construction"
+    Map(
+      // PrefixSum.scan/runningSum summary windows (numPartitions rows)
+      "q139_prefix_sum" -> prefixSumSummary,
+      "q140_budget_alloc" -> prefixSumSummary,
+      "q184_equidepth_hist" -> prefixSumSummary,
+      "q194_quantile_normalize" -> prefixSumSummary,
+      "q204_abc" -> prefixSumSummary,
+      "q217_global_rank" -> (prefixSumSummary +
+        " — decomposing the global rank WITHOUT a data-sized global " +
+        "window is this query's entire design"),
+      "q221_ks_test" -> prefixSumSummary,
+      "q223_mann_whitney" -> prefixSumSummary,
+      "q224_auc" -> prefixSumSummary,
+      "q226_wasserstein" -> prefixSumSummary,
+      "q235_dist_ranks" -> prefixSumSummary,
+      "q303_gains" -> (prefixSumSummary + "; plus the cumulative " +
+        "readout over the checkpointed K-row decile table"),
+      // post-limit(k) rank windows
+      "q101_skew_report" -> postLimitRank,
+      "q103_top_paths" -> postLimitRank,
+      "q191_join_cardinality" -> postLimitRank,
+      "q192_distinctive_terms" -> (postLimitRank + " (both cuts)"),
+      "q216_rrf_fusion" -> (postLimitRank + " (two top-100 lists)"),
+      "q313_hbos" -> postLimitRank,
+      // bounded analytic grids
+      "q185_psi_drift" -> "fixed bucket grid (10 reference-quantile bins)",
+      "q213_survival" -> ("distinct-duration grid windows (the " +
+        "nelsonAalen boundedness note: durations are an integral grain " +
+        "by contract, the grid collapses duplicates)"),
+      "q323_log_rank" -> ("distinct-duration grid windows (same " +
+        "nelsonAalen note as q213)"),
+      "q286_best_split" -> ("distinct-feature-value candidate grid " +
+        "(the split search is grid-sized by the op's value-collapse)"),
+      "q230_bootstrap" -> "B-resample frame (B bounded by parameter)",
+      "q256_bh_fdr" -> ("the m-hypothesis frame — BH inherently needs " +
+        "the global p-value rank; m = number of tests by contract"),
+      "q267_apportion" -> "party/seat frame (electoral-list-sized)",
+      "q298_delta_contribution" -> ("segment-sized frame (the " +
+        "documented rrfFuse bounded-frame exception)"))
+  }
+
+  test("every single-partition window sits on an allowlisted bounded frame") {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val globals =
+        try fn(spark, SfDir).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }
+        catch {
+          case e: Exception =>
+            fail(s"$name: failed to build/optimize at $SfDir: $e")
+        }
+      if (globals.nonEmpty && !GlobalWindowAllowlist.contains(name))
+        bad += s"$name: ${globals.length} global window(s) over " +
+          globals.map(_.collectLeaves().map(_.nodeName).distinct
+            .mkString("/")).distinct.mkString("; ")
+      spark.catalog.clearCache()
+    }
+    assert(bad.isEmpty,
+      s"\nglobal (single-partition) windows outside the allowlist " +
+        s"(prove the frame bounded and allowlist, or repartition):\n  " +
+        bad.mkString("\n  "))
+  }
+
   test("no registry query recomputes a duplicated shuffle-bearing subtree uncached") {
     // the events loader needs the legacy nanos read on some testdata
     // generations; harmless when the layout is already timestamp
