@@ -185,5 +185,16 @@ object SargableYearPredicate extends Rule[LogicalPlan] {
       // year(d) < k  /  k > year(d)
       case LessThan(YearOfDate(d), IntBound(k)) => ltYear(d, k)
       case GreaterThan(IntBound(k), YearOfDate(d)) => ltYear(d, k)
+      // year(d) IN (k1, k2, …) — OR of per-year ranges. NULL-identical:
+      // d NULL makes every range NULL and the OR of NULLs is NULL,
+      // matching IN's NULL. (A NULL in the VALUE list is out of scope —
+      // IntBound only admits non-null INT literals, so the guard below
+      // leaves such predicates untouched.)
+      case In(YearOfDate(d), ks)
+          if ks.nonEmpty && ks.forall(IntBound.unapply(_).isDefined) =>
+        ks.map { e =>
+          val k = IntBound.unapply(e).get
+          And(geYear(d, k), ltYear(d, k + 1)): Expression
+        }.reduce(Or)
     }
 }

@@ -233,6 +233,21 @@ class OptimizerRulesSpec extends SparkSpec {
     assert(q.count() === 1L)
   }
 
+  test("year IN-list rewrites to an OR of ranges, null-identically") {
+    val q = dates.filter(year($"d").isin(1994, 1996))
+    assert(!optimized(q).contains("year("),
+      s"IN not rewritten: ${optimized(q)}")
+    assert(q.count() === daysIn(1994) + 3) // all of 1994 + Jan 1-3 1996
+    val out = dates.select($"d", year($"d").isin(1994, 1996).as("hit"))
+      .filter($"d".isNull).collect()
+    assert(out.length === 1 && out.head.isNullAt(1),
+      "NULL date must stay NULL through the IN rewrite")
+    // a NULL in the VALUE list is out of scope — left untouched
+    val withNull = dates.filter(
+      year($"d").isin(1994).or(year($"d") === lit(null.asInstanceOf[Integer])))
+    assert(withNull.count() === daysIn(1994))
+  }
+
   test("year SQL-surface predicates rewrite too") {
     dates.createOrReplaceTempView("year_fixture")
     val q = spark.sql(
