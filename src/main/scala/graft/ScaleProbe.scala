@@ -631,7 +631,15 @@ object ScaleProbe {
         // pathology, like q210's 57%-redundant fixture in reverse). Real
         // text is Zipf: the 2M-token tail gives every document genuinely
         // rare prefix tokens and the candidate join stays thin.
-        Dedup.setSimilarityJoin(wide, thetaNum = 3, thetaDen = 5).count()
+        // θ defaults to the 3/5 stress regime; SPARK_GRAFT_SETSIM_THETA
+        // ("19/20") probes the REGISTRY regime instead — q210 runs 19/20,
+        // where prefixes shrink to ~n/20 rare tokens. At 600k docs the
+        // 3/5 regime's candidate spill exceeds the sandbox disk (r17) —
+        // that is the documented workload pathology, not plan drift.
+        val (tn, td) = sys.env.get("SPARK_GRAFT_SETSIM_THETA")
+          .map { s => val Array(a, b) = s.split("/"); (a.toInt, b.toInt) }
+          .getOrElse((3, 5))
+        Dedup.setSimilarityJoin(wide, thetaNum = tn, thetaDen = td).count()
       }
       timed("edit_join_ids", n) {
         // the q215 shape: ID-strings whose grams are corpus-common — the
