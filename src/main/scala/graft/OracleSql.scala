@@ -8598,6 +8598,101 @@ object OracleSql {
       true AS roundtrip_ok, true AS pack_ok
     FROM f GROUP BY source"""
 
+  /** Hard negatives — q335. The q29 cosine dag with the exclusion
+    * anti-filter and the 0.9 ceiling applied BEFORE ranking. */
+  private val q335 = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CASE WHEN sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.v, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.v, x -> x * x)))) END AS cosine
+      FROM q CROSS JOIN e c WHERE c.vec_id <> q.vec_id),
+    surv AS (SELECT * FROM scored
+      WHERE cosine <= 0.9
+        AND neighbor_id % 50 <> (query_id * 3) % 50),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM surv)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
+  /** Heading-path chunking — q336. The full relational mirror of
+    * `Chunking.headingChunks` over the same synthesized markdown:
+    * positional unnest, the lpad(pos)||':'||title running-max carries
+    * (lexicographic max on the zero-padded prefix IS positional max),
+    * parent-scope validity, per-section cumulative // chunking, ORDER
+    * BY-pos string_agg rejoin, md5-pinned text. */
+  private val q336 = """
+    WITH d AS (SELECT doc_id,
+        '# Doc ' || (doc_id % 40) || chr(10) ||
+        substr(coalesce(text, ''), 1, 120) || chr(10) ||
+        '## Part ' || (doc_id % 3) || chr(10) ||
+        substr(coalesce(text, ''), 121, 200) || chr(10) ||
+        CASE WHEN doc_id % 2 = 0 THEN
+          '### Deep ' || (doc_id % 5) || chr(10) ||
+          substr(coalesce(text, ''), 321, 160) || chr(10) ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN
+          '#### not a heading level' || chr(10) ELSE '' END ||
+        '## Part B' || chr(10) ||
+        substr(coalesce(text, ''), 481, 160) AS t
+      FROM documents),
+    ls AS (SELECT doc_id, regexp_split_to_array(t, chr(10)) AS a FROM d),
+    l0 AS (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM ls),
+    l AS (SELECT doc_id, i - 1 AS pos, a[i] AS line,
+        length(regexp_extract(a[i], '^(#{1,3}) ', 1)) AS lvl,
+        trim(regexp_replace(a[i], '^#{1,3} ', '')) AS title
+      FROM l0),
+    m AS (SELECT doc_id, pos, line, lvl,
+        max(CASE WHEN lvl = 1 THEN lpad(CAST(pos AS VARCHAR), 10, '0') || ':' || title END)
+          OVER w AS m1,
+        max(CASE WHEN lvl = 2 THEN lpad(CAST(pos AS VARCHAR), 10, '0') || ':' || title END)
+          OVER w AS m2,
+        max(CASE WHEN lvl = 3 THEN lpad(CAST(pos AS VARCHAR), 10, '0') || ':' || title END)
+          OVER w AS m3
+      FROM l
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    v AS (SELECT doc_id, pos, line, lvl, m1, m3,
+        CAST(substr(m1, 1, 10) AS BIGINT) AS p1,
+        CASE WHEN CAST(substr(m2, 1, 10) AS BIGINT) >
+          coalesce(CAST(substr(m1, 1, 10) AS BIGINT), -1) THEN m2 END AS v2
+      FROM m),
+    vall AS (SELECT doc_id, pos, line, lvl, m1, p1, v2,
+        CAST(substr(v2, 1, 10) AS BIGINT) AS p2,
+        CASE WHEN CAST(substr(m3, 1, 10) AS BIGINT) >
+          coalesce(CAST(substr(v2, 1, 10) AS BIGINT), p1, -1) THEN m3 END
+          AS v3c
+      FROM v),
+    content AS (SELECT doc_id, pos, line,
+        coalesce(p1, -1) AS g1, coalesce(p2, -1) AS g2,
+        coalesce(CAST(substr(v3c, 1, 10) AS BIGINT), -1) AS g3,
+        concat_ws(' > ', substr(m1, 12), substr(v2, 12), substr(v3c, 12))
+          AS path,
+        len(list_filter(regexp_split_to_array(trim(line), '\s+'),
+          x -> x <> '')) AS tok
+      FROM vall WHERE lvl = 0 AND trim(line) <> ''),
+    cumd AS (SELECT *,
+        sum(tok) OVER (PARTITION BY doc_id, g1, g2, g3 ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM content),
+    chunks AS (SELECT doc_id, g1, g2, g3, path,
+        (cum - tok) // 24 AS chunk_idx,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(tok) AS BIGINT) AS n_tokens,
+        md5(string_agg(line, chr(10) ORDER BY pos)) AS chunk_md5
+      FROM cumd GROUP BY 1, 2, 3, 4, 5, 6)
+    SELECT doc_id,
+      CAST(row_number() OVER (PARTITION BY doc_id
+        ORDER BY g1, g2, g3, chunk_idx) AS BIGINT) AS chunk_seq,
+      path AS heading_path, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      n_lines, n_tokens, chunk_md5
+    FROM chunks"""
+
   /** Sargable-year rewrite — q334. The oracle evaluates the SAME
     * `year(d) ⋛ k` predicates UNREWRITTEN (DuckDB's year over dates is
     * the identical proleptic calendar), pinning the injected rule's
@@ -8976,6 +9071,8 @@ object OracleSql {
     "q331_lev_rewrite"      -> q331,
     "q332_fim"              -> q332,
     "q333_fim_bpe_pack"     -> q333,
-    "q334_year_prune"       -> q334
+    "q334_year_prune"       -> q334,
+    "q335_hard_negatives"   -> q335,
+    "q336_heading_chunks"   -> q336
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5098,6 +5098,57 @@ object SparkEntry {
         .cast("long").as("rev_1995_cents"))
   }
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): the
+    * contrastive-training near-miss selector — top-5 most-similar
+    * non-excluded corpus vectors per anchor, under a 0.9 cosine ceiling
+    * (the false-negative guard) and a deterministic synthetic
+    * known-positive pair set (`neighbor % 50 = 3·query % 50` — the
+    * dup-cluster stand-in). The oracle replays the q29 cosine dag with
+    * the same exclusions and ceiling. */
+  private def q335HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < 10)
+    val exclude = emb.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(broadcast(anchors.select(col("vec_id").as("query_id"))))
+      .filter(pmod(col("neighbor_id"), lit(50)) ===
+        pmod(col("query_id") * 3, lit(50)))
+    Similarity.hardNegatives(emb, anchors, exclude, k = 5, maxCosine = 0.9)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Structure-aware chunking ([[graft.ops.Chunking.headingChunks]]):
+    * RAG-ingestion sectioning over synthesized markdown (the q49
+    * synthesize-inputs pattern — headings from doc_id arithmetic,
+    * content lines sliced from the real text) — heading-path scope
+    * rules, the 4-hash not-a-heading line, budget splits at 24 tokens.
+    * The oracle replays the whole relational pipeline: positional line
+    * unnest, the fixed-width pos-packed running-max heading carries,
+    * parent-scope validity, per-section cumulative DIV chunking, and
+    * the ORDER BY-pos string_agg text rejoin (md5-pinned). */
+  private def q336HeadingChunks(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t0 = coalesce(col("text"), lit(""))
+    val md = concat(
+      lit("# Doc "), pmod(id, lit(40)), lit("\n"),
+      substring(t0, 1, 120), lit("\n"),
+      lit("## Part "), pmod(id, lit(3)), lit("\n"),
+      substring(t0, 121, 200), lit("\n"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("### Deep "), pmod(id, lit(5)), lit("\n"),
+          substring(t0, 321, 160), lit("\n"))).otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0, lit("#### not a heading level\n"))
+        .otherwise(lit("")),
+      lit("## Part B\n"),
+      substring(t0, 481, 160))
+    graft.ops.Chunking.headingChunks(
+      t(s, dir, "documents").select(id, md.as("text")), maxTokens = 24)
+      .select(col("doc_id"), col("chunk_seq"), col("heading_path"),
+        col("chunk_idx"), col("n_lines"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5437,7 +5488,9 @@ object SparkEntry {
     "q331_lev_rewrite"      -> q331LevRewrite _,
     "q332_fim"              -> q332Fim _,
     "q333_fim_bpe_pack"     -> q333FimBpePack _,
-    "q334_year_prune"       -> q334YearPrune _
+    "q334_year_prune"       -> q334YearPrune _,
+    "q335_hard_negatives"   -> q335HardNegatives _,
+    "q336_heading_chunks"   -> q336HeadingChunks _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

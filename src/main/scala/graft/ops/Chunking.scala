@@ -64,4 +64,105 @@ object Chunking {
           (col("chunk_idx") * stride + 1L).cast("int"), lit(window)))
           .as("chunk_text"))
   }
+
+  /** Structure-aware (heading-path) chunking — the RAG-ingestion form a
+    * docs site or wiki wants where [[slidingChunks]]'s fixed grid cuts
+    * across section boundaries: markdown-ish text splits into SECTIONS
+    * at ATX headings (`#`…`###`, depth capped at 3 — deeper heading
+    * marks are treated as content), every chunk carries its full heading
+    * path (`"Guide > Install > Linux"`) as retrieval metadata, and long
+    * sections split on a fixed token budget.
+    *
+    * Mechanics — fully relational, no stateful fold: lines posexplode;
+    * each level-l heading packs as the FIXED-WIDTH string
+    * `lpad(pos,10,'0') || ':' || title`, so a per-doc running `max()`
+    * window carries both the position and the title of the most recent
+    * level-l heading (lexicographic max on the zero-padded prefix IS
+    * positional max — the portable trick both engines evaluate
+    * identically). A deeper heading governs only if it appeared AFTER
+    * its parent (`h2.pos > h1.pos`, else it belongs to a previous
+    * branch and is DROPPED from the path — markdown scope rules).
+    * Content lines (non-heading, non-blank) group by
+    * `(doc, h1.pos, h2.pos, h3.pos)` = section; a per-section running
+    * token sum assigns `chunk_idx = (cum − tok) DIV maxTokens` (the
+    * [[Packing.packSequences]] boundary arithmetic — deterministic, no
+    * greedy lookahead); chunk text rejoins in line order via the
+    * sort_array(struct(pos, line)) idiom.
+    *
+    * Output per chunk: `(idCol, chunk_seq, heading_path, chunk_idx,
+    * n_lines, n_tokens, chunk_text)` — `chunk_seq` = the chunk's ordinal
+    * within its document, `heading_path` = " > "-joined governing titles
+    * ('' before any heading). Heading lines themselves are metadata, not
+    * content; documents with no content lines emit zero rows.
+    *
+    * == 100 TB shape ==
+    * One row-local explode, ONE per-doc window pass (all three level
+    * carries share the window spec), one (doc, section)-keyed window,
+    * one group agg — everything partitioned by document, nothing global,
+    * no UDFs. */
+  def headingChunks(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    maxTokens: Int = 64): DataFrame = {
+    require(maxTokens >= 1, s"headingChunks: maxTokens must be >= 1, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__lvl", length(regexp_extract(col("__line"), "^(#{1,3}) ", 1)))
+      .withColumn("__title",
+        when(col("__lvl") > 0, trim(regexp_replace(col("__line"), "^#{1,3} ", ""))))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__pos").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def packed(l: Int) = max(when(col("__lvl") === l,
+      concat(lpad(col("__pos").cast("string"), 10, "0"), lit(":"),
+        col("__title")))).over(w)
+    def pos(c: Column) = substring(c, 1, 10).cast("long")
+    def title(c: Column) = substring(c, 12, 1000000)
+    val carried = lines
+      .withColumn("__m1", packed(1))
+      .withColumn("__m2", packed(2))
+      .withColumn("__m3", packed(3))
+      // scope rules: a deeper heading governs only if it is AFTER its
+      // governing parent (else it belongs to an earlier branch)
+      .withColumn("__p1", pos(col("__m1")))
+      .withColumn("__v2", when(pos(col("__m2")) > coalesce(col("__p1"), lit(-1L)),
+        col("__m2")))
+      .withColumn("__p2", pos(col("__v2")))
+      .withColumn("__v3", when(pos(col("__m3")) >
+        coalesce(col("__p2"), col("__p1"), lit(-1L)), col("__m3")))
+    val content = carried
+      .filter(col("__lvl") === 0 && trim(col("__line")) =!= "")
+      .withColumn("__tok",
+        size(filter(split(trim(col("__line")), "\\s+"), t => t =!= ""))
+          .cast("long"))
+      .withColumn("__g1", coalesce(col("__p1"), lit(-1L)))
+      .withColumn("__g2", coalesce(col("__p2"), lit(-1L)))
+      .withColumn("__g3", coalesce(pos(col("__v3")), lit(-1L)))
+      .withColumn("__path", concat_ws(" > ", title(col("__m1")),
+        title(col("__v2")), title(col("__v3"))))
+    val ws = Window.partitionBy(col("__id"), col("__g1"), col("__g2"),
+        col("__g3")).orderBy(col("__pos").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunked = content
+      .withColumn("__cum", sum(col("__tok")).over(ws))
+      // integer DIV, not double-divide-then-cast: a double detour would
+      // hit the SURVEY §2.12 cast-rounding divergence (Spark truncates,
+      // DuckDB rounds) — both operands are non-negative longs
+      .withColumn("chunk_idx", expr(s"(__cum - __tok) DIV $maxTokens"))
+    val wd = Window.partitionBy(col("__id"))
+      .orderBy(col("__g1").asc, col("__g2").asc, col("__g3").asc,
+        col("chunk_idx").asc)
+    chunked
+      .groupBy(col("__id"), col("__g1"), col("__g2"), col("__g3"),
+        col("__path"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("__tok")).as("n_tokens"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("chunk_text"))
+      .withColumn("chunk_seq", row_number().over(wd).cast("long"))
+      .select(col("__id").as(idCol), col("chunk_seq"),
+        col("__path").as("heading_path"), col("chunk_idx"),
+        col("n_lines"), col("n_tokens"), col("chunk_text"))
+  }
 }

@@ -82,6 +82,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training staple (DPR /
+    * sentence-transformers: train the retriever on the near-misses, not
+    * random negatives): for each anchor query, the top-k most-similar
+    * corpus vectors EXCLUDING (a) the anchor itself, (b) every pair in
+    * `exclude` (known positives and near-duplicates — a mined "negative"
+    * that is secretly a positive poisons the contrastive loss; this is
+    * where the [[Dedup]] tier's near-dup pairs plug in), and (c) anything
+    * at cosine > `maxCosine` (the standard false-negative guard: above
+    * the ceiling a candidate is more likely an unlabeled positive than a
+    * useful negative).
+    *
+    * `exclude` carries `(query_id, neighbor_id)`; it is applied
+    * DIRECTIONALLY as given (pass both orientations for symmetric
+    * dup-pairs). Output: `(query_id, neighbor_id, cosine, rank)` —
+    * rank over the SURVIVORS, so each anchor gets exactly
+    * min(k, survivors) hard negatives.
+    *
+    * == 100 TB shape ==
+    * The [[bruteForceTopK]] scan shape (anchors broadcast, one corpus
+    * pass, two-stage top-k — no per-query reducer hotspot) with one
+    * broadcast LEFT ANTI against the exclusion pairs applied BEFORE
+    * ranking; the ceiling filter is row-local. Swap the scorer for
+    * [[ivfTopK]]'s cell-pruned candidates at full scale (mine from the
+    * index's candidate set, then exclude) — the exclusion algebra is
+    * identical. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    exclude: DataFrame, k: Int,
+                    maxCosine: Double = 1.0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val ex = exclude.select(col("query_id"), col("neighbor_id"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine") <= maxCosine)
+      .join(broadcast(ex), Seq("query_id", "neighbor_id"), "left_anti")
+    topK(scored, k)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

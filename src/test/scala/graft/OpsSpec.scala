@@ -116,6 +116,68 @@ class OpsSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("headingChunks: scope rules, budget split, deep-heading-as-content, blank drop") {
+    import graft.ops.Chunking
+    val md = Seq(
+      (1L, "intro before any heading\n" +
+        "# A\na1 one two three\n" +
+        "## B\nb1 x y\nb2 z\n" +
+        "### C\nc1 q\n" +
+        "## D\nd1 m n\n" +        // new h2: C must drop from the path
+        "# E\ne1 k\n" +           // new h1: B/C/D all drop
+        "#### deep\n" +           // 4+ hashes = content, not a heading
+        "\n   \n" +               // blank lines drop
+        "e2 tail"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = Chunking.headingChunks(md, maxTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getLong(5), r.getString(6))).toSet
+    assert(got === Set(
+      (1L, "", 0L, 4L, "intro before any heading"),
+      (1L, "A", 0L, 4L, "a1 one two three"),
+      (1L, "A > B", 0L, 5L, "b1 x y\nb2 z"),        // 3 + 2 tokens, one chunk
+      (1L, "A > B > C", 0L, 2L, "c1 q"),
+      (1L, "A > D", 0L, 3L, "d1 m n"),               // C dropped, B kept
+      (1L, "E", 0L, 4L, "e1 k\n#### deep"),          // deep mark is content
+      (1L, "E", 1L, 2L, "e2 tail")))                 // budget split at 4
+    // chunk_seq is contiguous from 1 within the doc
+    val seqs = Chunking.headingChunks(md, maxTokens = 4)
+      .filter(col("doc_id") === 1L).select("chunk_seq")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs === (1L to 7L))
+  }
+
+  test("hardNegatives: exclusions and ceiling applied, rank over survivors") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i.toDouble * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val anchors = emb.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(emb, anchors, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exclude each anchor's two nearest (the "known positives")
+    val exPairs = brute.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(-_._3).take(2).map(r => (r._1, r._2))
+    }
+    val exclude = exPairs.toDF("query_id", "neighbor_id")
+    val ceiling = 0.99
+    val got = Similarity.hardNegatives(emb, anchors, exclude, k = 5,
+        maxCosine = ceiling)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+    // reference: survivors ranked after both filters
+    val want = brute.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(r => r._3 <= ceiling && !exPairs.contains((r._1, r._2)))
+        .sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case (r, i) => (q, i + 1, r._2, r._3) }
+    }.toSet
+    assert(got.toSet === want)
+    // no excluded pair and nothing above the ceiling survives
+    assert(got.forall { case (q, _, n, c) =>
+      !exPairs.contains((q, n)) && c <= ceiling })
+    // ranks are contiguous from 1 per anchor (rank over SURVIVORS)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length)) }
+  }
+
   test("lshTopK: subset of brute-force rankings (recall < 1, precision exact on shared pairs)") {
     val emb = (0L until 60L).map { i =>
       (i, Array.tabulate(16)(d => math.cos(i.toDouble * 0.7 + d).toFloat))
