@@ -8716,6 +8716,79 @@ object OracleSql {
         AS rev_1995_cents
     FROM d"""
 
+  /** License detection — q337. Replays `LicenseDetect`: the identical
+    * `doc_id % 8` header synthesis (chr(10) newlines — the `clean`
+    * whitespace collapse), the SPDX tag regex, the lowercase/collapse
+    * normalization, and the SAME priority-ordered fingerprint CASE
+    * chain, then the family map over every vendored id list. */
+  private val q337 = """
+    WITH d AS (SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+          WHEN 1 THEN '/*' || chr(10) ||
+            ' * Licensed under the Apache License, Version 2.0 (the "License");' || chr(10) ||
+            ' * you may not use this file except in compliance with the License.' || chr(10) ||
+            ' */' || chr(10)
+          WHEN 2 THEN '# Permission is hereby granted, free of charge, to any person obtaining a copy' || chr(10) ||
+            '# of this software and associated documentation files.' || chr(10)
+          WHEN 3 THEN '# SPDX-License-Identifier: GPL-3.0-or-later' || chr(10)
+          WHEN 4 THEN '/* Redistributions in binary form must reproduce the above copyright notice.' || chr(10) ||
+            ' * Neither the name of the project nor the names of contributors may be used. */' || chr(10)
+          WHEN 5 THEN '// Redistributions in binary form must reproduce the above copyright notice' || chr(10) ||
+            '// in the documentation provided with the distribution.' || chr(10)
+          WHEN 6 THEN '/* SPDX-License-Identifier: MIT OR Apache-2.0 */' || chr(10)
+          ELSE '' END || coalesce(text, '') AS t
+      FROM documents),
+    h AS (SELECT doc_id, substr(t, 1, 4000) AS head FROM d),
+    x AS (SELECT doc_id,
+        regexp_extract(head,
+          'SPDX-License-Identifier:[ \t]*([A-Za-z0-9][A-Za-z0-9.+-]*(?:[ \t]+(?:OR|AND|WITH)[ \t]+[A-Za-z0-9][A-Za-z0-9.+-]*)*)',
+          1) AS decl,
+        trim(regexp_replace(lower(head), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM h),
+    det AS (SELECT doc_id, decl,
+        CASE
+          WHEN contains(norm, 'licensed under the apache license version 2 0') THEN 'Apache-2.0'
+          WHEN contains(norm, 'permission is hereby granted free of charge to any person obtaining a copy') THEN 'MIT'
+          WHEN contains(norm, 'gnu affero general public license') THEN 'AGPL-3.0'
+          WHEN contains(norm, 'gnu lesser general public license')
+            AND contains(norm, 'either version 3') THEN 'LGPL-3.0'
+          WHEN contains(norm, 'gnu lesser general public license')
+            AND contains(norm, 'either version 2 1') THEN 'LGPL-2.1'
+          WHEN contains(norm, 'gnu general public license')
+            AND contains(norm, 'either version 3') THEN 'GPL-3.0'
+          WHEN contains(norm, 'gnu general public license')
+            AND contains(norm, 'either version 2') THEN 'GPL-2.0'
+          WHEN contains(norm, 'subject to the terms of the mozilla public license v 2 0') THEN 'MPL-2.0'
+          WHEN contains(norm, 'redistributions in binary form must reproduce the above copyright')
+            AND contains(norm, 'neither the name') THEN 'BSD-3-Clause'
+          WHEN contains(norm, 'redistributions in binary form must reproduce the above copyright')
+            AND NOT contains(norm, 'neither the name') THEN 'BSD-2-Clause'
+          WHEN contains(norm, 'permission to use copy modify and or distribute this software for any purpose') THEN 'ISC'
+          WHEN contains(norm, 'this is free and unencumbered software released into the public domain') THEN 'Unlicense'
+          WHEN contains(norm, 'creativecommons org publicdomain zero 1 0') THEN 'CC0-1.0'
+        END AS detected
+      FROM x),
+    fin AS (SELECT doc_id, decl, detected,
+        coalesce(CASE WHEN decl <> '' THEN regexp_extract(decl, '^([A-Za-z0-9.+-]+)', 1)
+          ELSE detected END, 'no-license') AS license
+      FROM det)
+    SELECT license,
+      CASE WHEN license = 'no-license' THEN 'unknown'
+        WHEN license IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC',
+          'Zlib','X11','BSL-1.0','PostgreSQL','Python-2.0','NCSA') THEN 'permissive'
+        WHEN license IN ('MPL-2.0','LGPL-2.1-only','LGPL-2.1-or-later','LGPL-3.0-only',
+          'LGPL-3.0-or-later','LGPL-2.1','LGPL-3.0','EPL-2.0','EPL-1.0','CDDL-1.0')
+          THEN 'weak-copyleft'
+        WHEN license IN ('GPL-2.0-only','GPL-2.0-or-later','GPL-3.0-only','GPL-3.0-or-later',
+          'GPL-2.0','GPL-3.0','AGPL-3.0-only','AGPL-3.0-or-later','AGPL-3.0') THEN 'copyleft'
+        WHEN license IN ('Unlicense','CC0-1.0','WTFPL','0BSD') THEN 'public-domain'
+        ELSE 'unknown' END AS license_family,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN decl <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+      CAST(sum(CASE WHEN detected IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
+    FROM fin GROUP BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9073,6 +9146,7 @@ object OracleSql {
     "q333_fim_bpe_pack"     -> q333,
     "q334_year_prune"       -> q334,
     "q335_hard_negatives"   -> q335,
-    "q336_heading_chunks"   -> q336
+    "q336_heading_chunks"   -> q336,
+    "q337_license_report"   -> q337
   ).map { case (k, v) => k -> clean(v) }
 }

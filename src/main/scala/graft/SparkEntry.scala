@@ -5149,6 +5149,32 @@ object SparkEntry {
         md5(col("chunk_text")).as("chunk_md5"))
   }
 
+  /** License detection ([[graft.ops.LicenseDetect.licenseReport]]): the
+    * code-pretraining compliance histogram — SPDX
+    * `SPDX-License-Identifier:` tags (declared, compound expressions
+    * kept, primary id classifies) layered over normalized-fingerprint
+    * header matching (detected, priority-ordered first match). Headers
+    * are synthesized onto the documents by `doc_id % 8` arithmetic (the
+    * q49/q336 synthesize-inputs pattern): two tag variants (one
+    * compound `MIT OR Apache-2.0`), four famous header texts
+    * (Apache-2.0, MIT, BSD-3 with the neither-the-name clause, BSD-2
+    * without it), and a bare tier. The oracle replays the identical
+    * regex + lowercase/collapse normalization + contains chain. */
+  private def q337LicenseReport(s: SparkSession, dir: String): DataFrame = {
+    val hdr = pmod(col("doc_id"), lit(8))
+    val header = when(hdr === 0, lit("// SPDX-License-Identifier: MIT\n"))
+      .when(hdr === 1, lit("/*\n * Licensed under the Apache License, Version 2.0 (the \"License\");\n * you may not use this file except in compliance with the License.\n */\n"))
+      .when(hdr === 2, lit("# Permission is hereby granted, free of charge, to any person obtaining a copy\n# of this software and associated documentation files.\n"))
+      .when(hdr === 3, lit("# SPDX-License-Identifier: GPL-3.0-or-later\n"))
+      .when(hdr === 4, lit("/* Redistributions in binary form must reproduce the above copyright notice.\n * Neither the name of the project nor the names of contributors may be used. */\n"))
+      .when(hdr === 5, lit("// Redistributions in binary form must reproduce the above copyright notice\n// in the documentation provided with the distribution.\n"))
+      .when(hdr === 6, lit("/* SPDX-License-Identifier: MIT OR Apache-2.0 */\n"))
+      .otherwise(lit(""))
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(header, coalesce(col("text"), lit(""))).as("text"))
+    graft.ops.LicenseDetect.licenseReport(docs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5490,7 +5516,8 @@ object SparkEntry {
     "q333_fim_bpe_pack"     -> q333FimBpePack _,
     "q334_year_prune"       -> q334YearPrune _,
     "q335_hard_negatives"   -> q335HardNegatives _,
-    "q336_heading_chunks"   -> q336HeadingChunks _
+    "q336_heading_chunks"   -> q336HeadingChunks _,
+    "q337_license_report"   -> q337LicenseReport _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

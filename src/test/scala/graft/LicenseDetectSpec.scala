@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.LicenseDetect
+import org.apache.spark.sql.Row
+
+/** Pins [[graft.ops.LicenseDetect]]: the SPDX-tag tier (compound
+  * expressions, primary-id classification, declared ≻ detected), the
+  * normalized-fingerprint tier (priority order, the BSD-3/BSD-2
+  * neither-the-name exclusion), the family map, the head-cap, and
+  * NULL-safety. */
+class LicenseDetectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lic(rows: (Long, String)*) =
+    LicenseDetect.withLicense(rows.toDF("doc_id", "text"))
+      .select("doc_id", "license_declared", "license_detected",
+        "license", "license_family")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+
+  test("SPDX tag is authoritative over a conflicting fingerprint") {
+    val m = lic(1L ->
+      ("// SPDX-License-Identifier: GPL-2.0-only\n" +
+        "Permission is hereby granted, free of charge, to any person obtaining a copy\n"))
+    assert(m(1L) === (("GPL-2.0-only", "MIT", "GPL-2.0-only", "copyleft")))
+  }
+
+  test("compound SPDX expression kept whole; primary id classifies") {
+    val m = lic(1L -> "/* SPDX-License-Identifier: MIT OR Apache-2.0 */")
+    assert(m(1L) === (("MIT OR Apache-2.0", null, "MIT", "permissive")))
+  }
+
+  test("fingerprints: BSD-3 requires neither-the-name, BSD-2 forbids it") {
+    val bsd = "Redistributions in binary form must reproduce the above copyright notice"
+    val m = lic(
+      1L -> (bsd + ". Neither the name of X nor its contributors."),
+      2L -> (bsd + " in the documentation."))
+    assert(m(1L)._3 === "BSD-3-Clause")
+    assert(m(2L)._3 === "BSD-2-Clause")
+  }
+
+  test("fingerprint priority: Apache phrase beats a later MIT phrase") {
+    val m = lic(1L ->
+      ("x Licensed under the Apache License, Version 2.0 y " +
+        "Permission is hereby granted, free of charge, to any person obtaining a copy"))
+    assert(m(1L)._3 === "Apache-2.0")
+  }
+
+  test("GPL family: version phrase disambiguates; lesser/affero disjoint") {
+    val m = lic(
+      1L -> "GNU General Public License as published by the FSF, either version 3",
+      2L -> "GNU General Public License; either version 2 of the License",
+      3L -> "GNU Lesser General Public License, either version 2.1",
+      4L -> "GNU Affero General Public License, either version 3")
+    assert(m(1L)._3 === "GPL-3.0" && m(1L)._4 === "copyleft")
+    assert(m(2L)._3 === "GPL-2.0")
+    assert(m(3L)._3 === "LGPL-2.1" && m(3L)._4 === "weak-copyleft")
+    assert(m(4L)._3 === "AGPL-3.0" && m(4L)._4 === "copyleft")
+  }
+
+  test("no evidence → no-license/unknown; null text safe") {
+    val df = Seq((1L, "plain prose"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = LicenseDetect.withLicense(df)
+      .select("doc_id", "license", "license_family").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) === (("no-license", "unknown")))
+    assert(out(2L) === (("no-license", "unknown")))
+  }
+
+  test("headChars cap: a tag past the cap is not scanned") {
+    val far = ("x" * 200) + "\n// SPDX-License-Identifier: MIT\n"
+    val m = LicenseDetect.withLicense(
+      Seq((1L, far)).toDF("doc_id", "text"), headChars = 100)
+      .select("license").collect().head.getString(0)
+    assert(m === "no-license")
+  }
+
+  test("unknown declared id classifies unknown, not permissive") {
+    val m = lic(1L -> "// SPDX-License-Identifier: SSPL-1.0")
+    assert(m(1L)._3 === "SSPL-1.0" && m(1L)._4 === "unknown")
+  }
+
+  test("filterPermissive keeps permissive + public-domain only") {
+    val df = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\ncode"),
+      (2L, "// SPDX-License-Identifier: GPL-3.0-only\ncode"),
+      (3L, "This is free and unencumbered software released into the public domain.\ncode"),
+      (4L, "no license here")).toDF("doc_id", "text")
+    val kept = LicenseDetect.filterPermissive(df)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("licenseReport counts declared vs detected evidence separately") {
+    val df = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\ncode"),
+      (2L, "Permission is hereby granted, free of charge, to any person obtaining a copy"),
+      (3L, "Permission is hereby granted, free of charge, to any person obtaining a copy")
+    ).toDF("doc_id", "text")
+    val r = LicenseDetect.licenseReport(df).collect()
+    assert(r.toSet === Set(Row("MIT", "permissive", 3L, 1L, 2L)))
+  }
+}
