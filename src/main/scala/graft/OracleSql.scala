@@ -8789,6 +8789,74 @@ object OracleSql {
       CAST(sum(CASE WHEN detected IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
     FROM fin GROUP BY 1, 2"""
 
+  /** Chat template + turn validation — q338. The identical `doc_id % 8`
+    * turn synthesis built as a list of structs, then the GENERIC replay
+    * over the unnested turn table: lag adjacency, arg_min/arg_max
+    * boundary roles, the priority CASE, ORDER BY-pos string_agg ChatML
+    * linearization (md5-pinned), per-role whitespace-token tallies. */
+  private val q338 = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    p AS (SELECT doc_id,
+        substr(t, 1, 80) AS s1, substr(t, 81, 80) AS s2,
+        substr(t, 161, 80) AS s3, substr(t, 241, 80) AS s4,
+        'You are assistant ' || (doc_id % 5) AS sysc,
+        doc_id % 8 AS v
+      FROM d),
+    ts AS (SELECT doc_id, CASE v
+        WHEN 0 THEN [struct_pack(r := 'system', c := sysc),
+          struct_pack(r := 'user', c := s1), struct_pack(r := 'assistant', c := s2)]
+        WHEN 1 THEN [struct_pack(r := 'user', c := s1),
+          struct_pack(r := 'assistant', c := s2),
+          struct_pack(r := 'user', c := s3), struct_pack(r := 'assistant', c := s4)]
+        WHEN 2 THEN [struct_pack(r := 'user', c := s1),
+          struct_pack(r := 'assistant', c := s2), struct_pack(r := 'user', c := s3)]
+        WHEN 3 THEN [struct_pack(r := 'user', c := s1),
+          struct_pack(r := 'user', c := s3), struct_pack(r := 'assistant', c := s2)]
+        WHEN 4 THEN [struct_pack(r := 'user', c := s1),
+          struct_pack(r := 'assistant', c := s2), struct_pack(r := 'system', c := sysc)]
+        WHEN 5 THEN [struct_pack(r := 'narrator', c := s1),
+          struct_pack(r := 'assistant', c := s2)]
+        WHEN 6 THEN [struct_pack(r := 'user', c := ''),
+          struct_pack(r := 'assistant', c := s2)]
+        ELSE [struct_pack(r := 'assistant', c := s2),
+          struct_pack(r := 'user', c := s1)] END AS l
+      FROM p),
+    tu AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ts),
+    turns AS (SELECT doc_id, i, l[i].r AS r, l[i].c AS c, len(l) AS n FROM tu),
+    w AS (SELECT doc_id, i, r, c, n,
+        lag(r) OVER (PARTITION BY doc_id ORDER BY i) AS prev_r
+      FROM turns),
+    agg AS (SELECT doc_id,
+        max(n) AS n_turns,
+        max(CASE WHEN r NOT IN ('system','user','assistant') THEN 1 ELSE 0 END) AS badrole,
+        max(CASE WHEN trim(c) = '' THEN 1 ELSE 0 END) AS emptyc,
+        max(CASE WHEN r = 'system' AND i > 1 THEN 1 ELSE 0 END) AS sysnf,
+        max(CASE WHEN r = prev_r THEN 1 ELSE 0 END) AS consec,
+        arg_min(r, i) FILTER (WHERE r <> 'system') AS first_ns,
+        arg_max(r, i) AS last_r,
+        string_agg('<|im_start|>' || r || chr(10) || c || '<|im_end|>' || chr(10),
+          '' ORDER BY i) AS chat_text,
+        CAST(sum(CASE WHEN r = 'user' THEN
+          len(list_filter(regexp_split_to_array(trim(c), '\s+'), x -> x <> ''))
+          ELSE 0 END) AS BIGINT) AS n_tokens_user,
+        CAST(sum(CASE WHEN r = 'assistant' THEN
+          len(list_filter(regexp_split_to_array(trim(c), '\s+'), x -> x <> ''))
+          ELSE 0 END) AS BIGINT) AS n_tokens_assistant
+      FROM w GROUP BY doc_id),
+    fin AS (SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns,
+        CASE WHEN badrole = 1 THEN 'bad_role'
+          WHEN emptyc = 1 THEN 'empty_content'
+          WHEN sysnf = 1 THEN 'system_not_first'
+          WHEN consec = 1 THEN 'consecutive_same_role'
+          WHEN first_ns IS NOT NULL AND first_ns <> 'user' THEN 'first_not_user'
+          WHEN last_r <> 'assistant' THEN 'last_not_assistant'
+          ELSE 'ok' END AS invalid_reason,
+        chat_text, n_tokens_user, n_tokens_assistant
+      FROM agg)
+    SELECT doc_id, n_turns, invalid_reason = 'ok' AS valid, invalid_reason,
+      n_tokens_user, n_tokens_assistant, md5(chat_text) AS chat_md5
+    FROM fin"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9147,6 +9215,7 @@ object OracleSql {
     "q334_year_prune"       -> q334,
     "q335_hard_negatives"   -> q335,
     "q336_heading_chunks"   -> q336,
-    "q337_license_report"   -> q337
+    "q337_license_report"   -> q337,
+    "q338_chat_template"    -> q338
   ).map { case (k, v) => k -> clean(v) }
 }

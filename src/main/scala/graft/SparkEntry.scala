@@ -5175,6 +5175,44 @@ object SparkEntry {
     graft.ops.LicenseDetect.licenseReport(docs)
   }
 
+  /** Chat-template linearization + turn validation
+    * ([[graft.ops.Chat]]): the SFT-data preparation op — conversations
+    * synthesized from the documents by `doc_id % 8` shape arithmetic
+    * (one clean 3/4-turn shape per violation class: truncated, double
+    * user, trailing system, alien role, blank content,
+    * assistant-first), validated by the priority-ordered rule chain,
+    * ChatML-linearized, and token-tallied per role. The oracle replays
+    * the identical generic logic over an unnested turn table: lag for
+    * adjacency, arg_min/arg_max for the boundary roles, ORDER BY-pos
+    * string_agg for the template, md5-pinned. */
+  private def q338ChatTemplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Chat
+    val t0 = coalesce(col("text"), lit(""))
+    def turn(r: String, c: Column) =
+      struct(lit(r).as("role"), c.as("content"))
+    val s1 = substring(t0, 1, 80); val s2 = substring(t0, 81, 80)
+    val s3 = substring(t0, 161, 80); val s4 = substring(t0, 241, 80)
+    val sys = turn("system",
+      concat(lit("You are assistant "), pmod(col("doc_id"), lit(5)).cast("string")))
+    val u1 = turn("user", s1); val a1 = turn("assistant", s2)
+    val u2 = turn("user", s3); val a2 = turn("assistant", s4)
+    val v = pmod(col("doc_id"), lit(8))
+    val turns = when(v === 0, array(sys, u1, a1))
+      .when(v === 1, array(u1, a1, u2, a2))
+      .when(v === 2, array(u1, a1, u2))
+      .when(v === 3, array(u1, u2, a1))
+      .when(v === 4, array(u1, a1, sys))
+      .when(v === 5, array(turn("narrator", s1), a1))
+      .when(v === 6, array(turn("user", lit("")), a1))
+      .otherwise(array(a1, u1))
+    val convs = t(s, dir, "documents").select(col("doc_id"), turns.as("turns"))
+    Chat.withTurnStats(Chat.linearize(Chat.withValidation(convs)))
+      .select(col("doc_id"), col("n_turns"), col("valid"),
+        coalesce(col("invalid_reason"), lit("ok")).as("invalid_reason"),
+        col("n_tokens_user"), col("n_tokens_assistant"),
+        md5(col("chat_text")).as("chat_md5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5517,7 +5555,8 @@ object SparkEntry {
     "q334_year_prune"       -> q334YearPrune _,
     "q335_hard_negatives"   -> q335HardNegatives _,
     "q336_heading_chunks"   -> q336HeadingChunks _,
-    "q337_license_report"   -> q337LicenseReport _
+    "q337_license_report"   -> q337LicenseReport _,
+    "q338_chat_template"    -> q338ChatTemplate _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation-data preparation — the SFT/chat-tuning twin of the
+  * pretraining tiers: instruction datasets arrive as per-conversation
+  * turn lists `array<struct<role, content>>`, and before they can train
+  * anything the pipeline must (1) VALIDATE turn structure — the published
+  * SFT recipes all filter malformed conversations (role outside the
+  * schema, system prompt not first, two same-role turns in a row, a
+  * conversation that does not end on an assistant turn — the turn the
+  * loss is computed on — or blank content), and (2) LINEARIZE the
+  * structured turns through a chat template into the single training
+  * string (the ChatML convention: `<|im_start|>role\ncontent\n<|im_end|>`
+  * framing per turn, the template shape OpenAI published and most
+  * open-weights chat models reuse with renamed sentinels).
+  *
+  * Validation reports the FIRST failing rule in a fixed priority order
+  * (schema-level problems before ordering problems before trainability
+  * problems), so downstream audits get one stable reason per
+  * conversation rather than a bitmask that changes as rules are added:
+  *
+  *   1. `empty`                 — no turns at all
+  *   2. `bad_role`              — a role outside system/user/assistant
+  *   3. `empty_content`         — a NULL/whitespace-only turn body
+  *   4. `system_not_first`      — a system turn anywhere past position 0
+  *   5. `consecutive_same_role` — adjacent turns with the same role
+  *   6. `first_not_user`        — the first non-system turn is not user
+  *   7. `last_not_assistant`    — the final turn is not assistant
+  *
+  * == 100 TB shape ==
+  * Every rule is a higher-order-function pass over the in-row turn array
+  * (`exists` / `filter` / `zip_with` / `slice` / `aggregate`) — row-local,
+  * zero shuffles, zero UDFs, inside whole-stage codegen. Linearization is
+  * one `transform` + `array_join`. Token tallies fold the array with
+  * `aggregate`. A 100 TB conversation corpus maps straight through scan
+  * stages; the only shuffle anywhere is the caller's own report groupBy. */
+object Chat {
+
+  /** The chat role schema. Tool-call roles are a caller-side extension:
+    * pass a wider list to [[withValidation]]. */
+  val DefaultRoles: Seq[String] = Seq("system", "user", "assistant")
+
+  /** ChatML sentinels (the published convention; swap per tokenizer). */
+  val TurnOpen = "<|im_start|>"
+  val TurnClose = "<|im_end|>"
+
+  /** Whitespace token count of one content string (the L10 convention):
+    * split on whitespace runs, drop empties. NULL-safe (NULL → 0). */
+  private[graft] def tokenCount(c: Column): Column =
+    size(filter(split(trim(coalesce(c, lit(""))), "\\s+"), t => t =!= ""))
+      .cast("long")
+
+  /** Adds `n_turns`, `invalid_reason` (NULL when valid — the first
+    * failing rule in priority order otherwise) and `valid`. */
+  def withValidation(convs: DataFrame, turnsCol: String = "turns",
+                     roles: Seq[String] = DefaultRoles): DataFrame = {
+    require(roles.nonEmpty, "withValidation: roles must be non-empty")
+    val ts = coalesce(col(turnsCol), array())
+    val role = (t: Column) => t.getField("role")
+    val content = (t: Column) => t.getField("content")
+    // turns 2..n, for the position-sensitive rules (length 0 when n <= 1)
+    val tail = slice(ts, lit(2), greatest(size(ts) - 1, lit(0)))
+    val consecutive = size(filter(
+      zip_with(ts, tail, (a, b) => role(a) === role(b)),
+      x => x <=> lit(true))) > 0
+    val firstNonSystem = element_at(
+      filter(ts, t => role(t) =!= "system"), 1)
+    val reason =
+      when(size(ts) === 0, "empty")
+        .when(exists(ts, t => !role(t).isin(roles.map(lit): _*) ||
+          role(t).isNull), "bad_role")
+        .when(exists(ts, t => trim(coalesce(content(t), lit(""))) === ""),
+          "empty_content")
+        .when(exists(tail, t => role(t) === "system"), "system_not_first")
+        .when(consecutive, "consecutive_same_role")
+        .when(role(firstNonSystem) =!= "user", "first_not_user")
+        .when(role(element_at(ts, -1)) =!= "assistant", "last_not_assistant")
+    convs
+      .withColumn("n_turns", size(ts).cast("long"))
+      .withColumn("invalid_reason", reason)
+      .withColumn("valid", reason.isNull)
+  }
+
+  /** Adds `chat_text`: the ChatML linearization
+    * `⟨open⟩role\ncontent⟨close⟩\n` per turn, concatenated in turn order.
+    * NULL content renders as the empty string (validation flags it —
+    * the template itself never throws). */
+  def linearize(convs: DataFrame, turnsCol: String = "turns",
+                turnOpen: String = TurnOpen,
+                turnClose: String = TurnClose): DataFrame = {
+    val ts = coalesce(col(turnsCol), array())
+    convs.withColumn("chat_text",
+      array_join(transform(ts, t => concat(
+        lit(turnOpen), t.getField("role"), lit("\n"),
+        coalesce(t.getField("content"), lit("")), lit(turnClose),
+        lit("\n"))), ""))
+  }
+
+  /** Adds per-role whitespace-token tallies `n_tokens_user` /
+    * `n_tokens_assistant` — the loss-mass audit (assistant tokens are
+    * what an SFT run actually trains on; a corpus whose assistant share
+    * collapses is a labeling bug worth catching in the profile). */
+  def withTurnStats(convs: DataFrame, turnsCol: String = "turns"): DataFrame = {
+    val ts = coalesce(col(turnsCol), array())
+    def roleTokens(r: String): Column = aggregate(
+      filter(ts, t => t.getField("role") === r),
+      lit(0L), (acc, t) => acc + tokenCount(t.getField("content")))
+    convs
+      .withColumn("n_tokens_user", roleTokens("user"))
+      .withColumn("n_tokens_assistant", roleTokens("assistant"))
+  }
+}

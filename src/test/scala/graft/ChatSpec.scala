@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.Chat
+
+/** Pins [[graft.ops.Chat]]: every validation rule and the priority
+  * order, the exact ChatML rendering, per-role token tallies, and
+  * NULL/empty safety. */
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Turn = (String, String)
+  private def conv(rows: (Long, Seq[Turn])*) = {
+    val df = rows.toSeq
+      .map { case (id, ts) => (id, ts.map(t => (t._1, t._2))) }
+      .toDF("conv_id", "raw")
+      .selectExpr("conv_id",
+        "transform(raw, t -> named_struct('role', t._1, 'content', t._2)) AS turns")
+    df
+  }
+
+  private def reasons(rows: (Long, Seq[Turn])*): Map[Long, String] =
+    Chat.withValidation(conv(rows: _*))
+      .select("conv_id", "invalid_reason").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "ok" else r.getString(1))).toMap
+
+  test("a well-formed conversation is valid, with or without system") {
+    val m = reasons(
+      1L -> Seq("system" -> "be nice", "user" -> "hi", "assistant" -> "hello"),
+      2L -> Seq("user" -> "hi", "assistant" -> "hello",
+        "user" -> "more", "assistant" -> "sure"))
+    assert(m(1L) === "ok" && m(2L) === "ok")
+  }
+
+  test("each rule fires, with the documented priority order") {
+    val m = reasons(
+      1L -> Seq.empty,
+      2L -> Seq("narrator" -> "x", "assistant" -> "y"),
+      3L -> Seq("user" -> "  ", "assistant" -> "y"),
+      4L -> Seq("user" -> "x", "assistant" -> "y", "system" -> "z"),
+      5L -> Seq("user" -> "x", "user" -> "y", "assistant" -> "z"),
+      6L -> Seq("assistant" -> "x", "user" -> "y"),
+      7L -> Seq("user" -> "x", "assistant" -> "y", "user" -> "z"))
+    assert(m(1L) === "empty")
+    assert(m(2L) === "bad_role")
+    assert(m(3L) === "empty_content")
+    assert(m(4L) === "system_not_first")
+    assert(m(5L) === "consecutive_same_role")
+    assert(m(6L) === "first_not_user")
+    assert(m(7L) === "last_not_assistant")
+  }
+
+  test("priority: bad_role beats empty_content beats ordering rules") {
+    val m = reasons(
+      1L -> Seq("narrator" -> "", "narrator" -> "x"),
+      2L -> Seq("user" -> "", "user" -> "x"))
+    assert(m(1L) === "bad_role")
+    assert(m(2L) === "empty_content")
+  }
+
+  test("NULL content is empty_content; NULL turns column is empty") {
+    val df = Seq((1L, Seq(("user", null: String), ("assistant", "y"))))
+      .toDF("conv_id", "raw")
+      .selectExpr("conv_id",
+        "transform(raw, t -> named_struct('role', t._1, 'content', t._2)) AS turns")
+    val r1 = Chat.withValidation(df).select("invalid_reason")
+      .collect().head.getString(0)
+    assert(r1 === "empty_content")
+    val df2 = df.selectExpr("conv_id",
+      "CAST(NULL AS array<struct<role:string,content:string>>) AS turns")
+    val r2 = Chat.withValidation(df2).select("invalid_reason")
+      .collect().head.getString(0)
+    assert(r2 === "empty")
+  }
+
+  test("linearize renders the exact ChatML framing in turn order") {
+    val out = Chat.linearize(conv(
+      1L -> Seq("user" -> "hi there", "assistant" -> "hello")))
+      .select("chat_text").collect().head.getString(0)
+    assert(out ===
+      "<|im_start|>user\nhi there<|im_end|>\n" +
+      "<|im_start|>assistant\nhello<|im_end|>\n")
+  }
+
+  test("linearize with custom sentinels; NULL content renders empty") {
+    val df = Seq((1L, Seq(("user", null: String))))
+      .toDF("conv_id", "raw")
+      .selectExpr("conv_id",
+        "transform(raw, t -> named_struct('role', t._1, 'content', t._2)) AS turns")
+    val out = Chat.linearize(df, turnOpen = "<s>", turnClose = "</s>")
+      .select("chat_text").collect().head.getString(0)
+    assert(out === "<s>user\n</s>\n")
+  }
+
+  test("withTurnStats tallies whitespace tokens per role") {
+    val out = Chat.withTurnStats(conv(
+      1L -> Seq("system" -> "sys words here", "user" -> "one two three",
+        "assistant" -> "a  b", "user" -> "four")))
+      .select("n_tokens_user", "n_tokens_assistant").collect().head
+    assert(out.getLong(0) === 4L) // one two three + four
+    assert(out.getLong(1) === 2L) // a b (double space collapses)
+  }
+
+  test("validation leaves valid=true exactly when reason is NULL") {
+    val out = Chat.withValidation(conv(
+      1L -> Seq("user" -> "x", "assistant" -> "y"),
+      2L -> Seq("user" -> "x", "user" -> "y", "assistant" -> "z")))
+      .select("conv_id", "valid").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) === true && out(2L) === false)
+  }
+}
