@@ -8857,6 +8857,44 @@ object OracleSql {
       n_tokens_user, n_tokens_assistant, md5(chat_text) AS chat_md5
     FROM fin"""
 
+  /** ROUGE-L pairs — q339. The LCS DP replayed as a recursive CTE: one
+    * iteration per token of A carrying the whole DP row as a list,
+    * row-update via the running-match-max identity
+    * `new[j] = max(prev[j], max_{k≤j, b_k=a_i}(prev[k-1]+1))` (prev is
+    * non-decreasing, so non-match candidates never win — the standard
+    * row-update reformulation). F on the exact ×10⁹ DIV grid. */
+  private val q339 = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+          '[^a-z0-9]+'), x -> x <> '')[1:25] AS tk
+      FROM documents WHERE doc_id < 60),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tk AS ta, b.tk AS tb
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+    dp AS (
+      SELECT id_a, id_b, 0 AS i, ta, tb,
+        list_transform(range(0, len(tb) + 1), x -> 0) AS row
+      FROM pairs
+      UNION ALL
+      SELECT id_a, id_b, i + 1, ta, tb,
+        list_transform(range(0, len(tb) + 1), j ->
+          CASE WHEN j = 0 THEN 0 ELSE
+            greatest(row[j + 1],
+              coalesce(list_max(list_transform(range(1, j + 1), k ->
+                CASE WHEN tb[k] = ta[i + 1] THEN row[k] + 1 ELSE 0 END)), 0))
+          END) AS row
+      FROM dp WHERE i < len(ta)),
+    fin AS (SELECT id_a, id_b, row[len(tb) + 1] AS lcs,
+        len(ta) AS la, len(tb) AS lb
+      FROM dp WHERE i = len(ta))
+    SELECT id_a, id_b, CAST(lcs AS BIGINT) AS lcs_len,
+      CAST(la AS BIGINT) AS len_a, CAST(lb AS BIGINT) AS len_b,
+      CAST(CASE WHEN la + lb = 0 THEN 0
+        ELSE (CAST(lcs AS BIGINT) * 2000000000) // (la + lb) END AS BIGINT)
+        AS rouge_f_e9
+    FROM fin"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9216,6 +9254,7 @@ object OracleSql {
     "q335_hard_negatives"   -> q335,
     "q336_heading_chunks"   -> q336,
     "q337_license_report"   -> q337,
-    "q338_chat_template"    -> q338
+    "q338_chat_template"    -> q338,
+    "q339_rouge_l"          -> q339
   ).map { case (k, v) => k -> clean(v) }
 }

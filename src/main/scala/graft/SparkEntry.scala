@@ -5213,6 +5213,27 @@ object SparkEntry {
         md5(col("chat_text")).as("chat_md5"))
   }
 
+  /** ROUGE-L pair scoring ([[graft.ops.RougeL]]): the Self-Instruct
+    * dedup signal — exact LCS DP over lowercase word tokens (capped at
+    * 25 — the oracle replays the DP as a recursive-CTE list fold whose
+    * budget is the cap), all pairs over a bounded 60-doc slice (the
+    * brute tier the LSH path is graded against, the q29/q61 precedent).
+    * `rouge_f` on the ×10⁹ integer DIV grid — `F = 2·lcs/(la+lb)` is an
+    * exact rational, so the grid is engine-exact by construction. */
+  private def q339RougeL(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RougeL
+    val toks = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), RougeL.wordTokens(col("text"), maxTokens = 25).as("toks"))
+    val pairs = toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")),
+        col("id_a") < col("id_b"))
+    RougeL.withRougeL(pairs)
+      .withColumn("rouge_f_e9",
+        when(col("len_a") + col("len_b") === 0L, 0L)
+          .otherwise(expr("(lcs_len * 2000000000) DIV (len_a + len_b)")))
+      .select("id_a", "id_b", "lcs_len", "len_a", "len_b", "rouge_f_e9")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5556,7 +5577,8 @@ object SparkEntry {
     "q335_hard_negatives"   -> q335HardNegatives _,
     "q336_heading_chunks"   -> q336HeadingChunks _,
     "q337_license_report"   -> q337LicenseReport _,
-    "q338_chat_template"    -> q338ChatTemplate _
+    "q338_chat_template"    -> q338ChatTemplate _,
+    "q339_rouge_l"          -> q339RougeL _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1614,6 +1614,57 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Longest-common-subsequence length over two token arrays — the core
+    * of ROUGE-L ([[graft.ops.RougeL]], SURVEY §2.11 L336). Classic
+    * two-row O(n·m) DP in one compiled loop per pair (the same reason
+    * every expression in this file exists: a higher-order-function
+    * formulation would interpret n·m lambda steps per row). Token
+    * comparison is exact binary UTF8String equality — callers normalize
+    * upstream ([[graft.ops.RougeL.wordTokens]]); NULL elements compare
+    * equal only to NULL. Empty side → 0. */
+  case class LcsTokenLength(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "lcs_token_length"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]
+      val xb = b.asInstanceOf[ArrayData]
+      val n = xa.numElements(); val m = xb.numElements()
+      if (n == 0 || m == 0) return 0
+      val bt = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) {
+        bt(j) = if (xb.isNullAt(j)) null else xb.getUTF8String(j)
+        j += 1
+      }
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      var i = 0
+      while (i < n) {
+        val ai = if (xa.isNullAt(i)) null else xa.getUTF8String(i)
+        var jj = 1
+        while (jj <= m) {
+          val eq = if (ai == null) bt(jj - 1) == null
+            else ai.equals(bt(jj - 1))
+          var best = if (eq) prev(jj - 1) + 1 else 0
+          if (prev(jj) > best) best = prev(jj)
+          if (cur(jj - 1) > best) best = cur(jj - 1)
+          cur(jj) = best
+          jj += 1
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+        i += 1
+      }
+      prev(m)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsTokenLength =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def unigramViterbiPieces(text: Column, pieces: Seq[(String, Double)]): Column =
@@ -1657,6 +1708,10 @@ object HashExprs {
   def countSpans(positions: Column, len: Column, k: Int, minRun: Int): Column =
     ColumnBridge.column(CountSpans(ColumnBridge.expression(positions),
       ColumnBridge.expression(len), k, minRun))
+
+  def lcsTokenLength(a: Column, b: Column): Column =
+    ColumnBridge.column(LcsTokenLength(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 
   def bigramTopFraction(tokens: Column): Column =
     ColumnBridge.column(BigramTopFraction(ColumnBridge.expression(tokens)))

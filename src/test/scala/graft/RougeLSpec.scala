@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.RougeL
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.ops.RougeL]]: the LCS DP against hand cases (order
+  * sensitivity, repeats, empties), tokenization + cap, the exact-rational
+  * F, the LSH-verified near-dup path against a brute reference, and the
+  * Self-Instruct admission gate. */
+class RougeLSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lcsOf(a: Seq[String], b: Seq[String]): Int =
+    Seq((a, b)).toDF("a", "b")
+      .select(RougeL.lcsLength(col("a"), col("b")).as("l"))
+      .collect().head.getInt(0)
+
+  test("LCS hand cases: order-sensitive, gaps allowed, repeats exact") {
+    assert(lcsOf(Seq("a", "b", "c", "d", "e"), Seq("x", "a", "c", "e", "f", "b")) === 3)
+    assert(lcsOf(Seq("a", "a", "b"), Seq("a", "b", "a")) === 2)
+    assert(lcsOf(Seq("a", "b", "c"), Seq("c", "b", "a")) === 1)
+    assert(lcsOf(Seq("one", "two"), Seq("one", "two")) === 2)
+    assert(lcsOf(Seq("one", "two"), Seq("three", "four")) === 0)
+    assert(lcsOf(Seq.empty, Seq("a")) === 0)
+    assert(lcsOf(Seq("a"), Seq.empty) === 0)
+  }
+
+  test("LCS differs from set intersection: reversal collapses it") {
+    // Jaccard would call these identical; ROUGE-L does not.
+    val fwd = Seq("the", "cat", "sat", "on", "the", "mat")
+    assert(lcsOf(fwd, fwd) === 6)
+    assert(lcsOf(fwd, fwd.reverse) === 3) // "the","on","the" survives; the rest collapses
+  }
+
+  test("wordTokens lowercases, splits on non-alphanumerics, caps") {
+    val out = Seq("Hello, World!  Foo-bar42 baz").toDF("text")
+      .select(RougeL.wordTokens(col("text"), maxTokens = 4).as("t"))
+      .as[Seq[String]].collect().head
+    assert(out === Seq("hello", "world", "foo", "bar42"))
+  }
+
+  test("withRougeL: F is the exact rational 2·lcs/(la+lb)") {
+    val out = RougeL.withRougeL(Seq(
+      (Seq("a", "b", "c"), Seq("a", "c")),
+      (Seq.empty[String], Seq.empty[String]))
+      .toDF("toks_a", "toks_b")).collect()
+    val r0 = out.find(_.getAs[Seq[String]]("toks_a").nonEmpty).get
+    assert(r0.getAs[Long]("lcs_len") === 2L)
+    assert(r0.getAs[Double]("rouge_f") === 2.0 * 2 / 5)
+    val r1 = out.find(_.getAs[Seq[String]]("toks_a").isEmpty).get
+    assert(r1.getAs[Double]("rouge_f") === 0.0)
+  }
+
+  test("nearDups: planted paraphrase found via the LSH path") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base + " again"
+    val docs = (Seq((1L, base), (2L, near)) ++
+      (3L to 40L).map(i => (i, s"completely unrelated content number $i with its own distinct words ${i * 7} and ${i * 13}")))
+      .toDF("doc_id", "text")
+    val pairs = RougeL.nearDups(docs, threshold = 0.8, bands = 32,
+      numHashes = 64, shingleK = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => Set(a, b) === Set(1L, 2L) })
+  }
+
+  test("selfInstructGate: drops near-dups of the pool, keeps the rest") {
+    val pool = Seq((100L, "write a poem about the sea")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "write a poem about the sea today"), // near-dup of pool
+      (2L, "explain quantum tunneling simply")).toDF("doc_id", "text")
+    val kept = RougeL.selfInstructGate(cands, pool, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
+  test("selfInstructGate: empty pool keeps everything at max_rouge_f 0") {
+    val pool = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cands = Seq((1L, "anything at all")).toDF("doc_id", "text")
+    val out = RougeL.selfInstructGate(cands, pool)
+      .select("doc_id", "max_rouge_f").collect()
+    assert(out.length === 1 && out.head.getDouble(1) === 0.0)
+  }
+
+  test("LCS matches a reference DP on random token pairs") {
+    def ref(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.max(math.max(dp(i - 1)(j), dp(i)(j - 1)),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 1 else 0))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val cases = (1 to 60).map { _ =>
+      (Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(4))),
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(4))))
+    }
+    val got = cases.toDF("a", "b")
+      .select(RougeL.lcsLength(col("a"), col("b"))).as[Int].collect()
+    cases.zip(got).foreach { case ((a, b), g) => assert(g === ref(a, b)) }
+  }
+}
