@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
     ext.injectOptimizerRule(_ => graft.plans.SargableYearPredicate)
+    ext.injectOptimizerRule(_ => graft.plans.PrefixEqualityPushdown)
   }
 }
 
@@ -45,6 +46,10 @@ object GraftExtensions {
         graft.plans.SargableYearPredicate))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SargableYearPredicate
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.PrefixEqualityPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PrefixEqualityPushdown
   }
 
   private def lit[T](e: Expression, what: String): T = {

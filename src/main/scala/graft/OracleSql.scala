@@ -8895,6 +8895,24 @@ object OracleSql {
         AS rouge_f_e9
     FROM fin"""
 
+  /** Prefix-equality pushdown — q340. DuckDB evaluates the SAME
+    * substring predicates UNREWRITTEN (1-based char substr semantics
+    * are identical), pinning all three rewrite arms value-identical
+    * on real data. */
+  private val q340 = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN substr(c_name, 1, 9) = 'Customer#' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_name_pre,
+      CAST(sum(CASE WHEN substr(c_mktsegment, 1, 4) = 'AUTO' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_auto_pre,
+      CAST(sum(CASE WHEN 'BUIL' = substr(c_mktsegment, 1, 4) THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_buil_pre,
+      CAST(sum(CASE WHEN substr(c_mktsegment, 1, 12) = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_auto_exact,
+      CAST(sum(CASE WHEN substr(c_name, 1, 2) = 'Customer#' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_impossible
+    FROM customer"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9255,6 +9273,7 @@ object OracleSql {
     "q336_heading_chunks"   -> q336,
     "q337_license_report"   -> q337,
     "q338_chat_template"    -> q338,
-    "q339_rouge_l"          -> q339
+    "q339_rouge_l"          -> q339,
+    "q340_prefix_prune"     -> q340
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5234,6 +5234,24 @@ object SparkEntry {
       .select("id_a", "id_b", "lcs_len", "len_a", "len_b", "rouge_f_e9")
   }
 
+  /** Prefix-equality pushdown ([[graft.plans.PrefixEqualityPushdown]]):
+    * the third injected optimizer rule — `substring(c,1,n) = lit`
+    * becomes `startswith` (parquet `StringStartsWith` pruning) when
+    * `|lit| = n`, exact equality when `|lit| < n`, and a
+    * null-preserving FALSE when `|lit| > n`. All three arms plus both
+    * operand orders counted over the customer table; DuckDB evaluates
+    * the UNREWRITTEN substring predicates. */
+  private def q340PrefixPrune(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    c.agg(count(lit(1)).as("n"),
+      cnt(substring(col("c_name"), 1, 9) === "Customer#").as("n_name_pre"),
+      cnt(substring(col("c_mktsegment"), 1, 4) === "AUTO").as("n_auto_pre"),
+      cnt(lit("BUIL") === substring(col("c_mktsegment"), 1, 4)).as("n_buil_pre"),
+      cnt(substring(col("c_mktsegment"), 1, 12) === "AUTOMOBILE").as("n_auto_exact"),
+      cnt(substring(col("c_name"), 1, 2) === "Customer#").as("n_impossible"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5578,7 +5596,8 @@ object SparkEntry {
     "q336_heading_chunks"   -> q336HeadingChunks _,
     "q337_license_report"   -> q337LicenseReport _,
     "q338_chat_template"    -> q338ChatTemplate _,
-    "q339_rouge_l"          -> q339RougeL _
+    "q339_rouge_l"          -> q339RougeL _,
+    "q340_prefix_prune"     -> q340PrefixPrune _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

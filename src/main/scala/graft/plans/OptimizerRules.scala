@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, IntegerType}
+import org.apache.spark.sql.types.{BooleanType, DateType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Threshold pushdown for Levenshtein comparisons — a
   * `Rule[LogicalPlan]` that rewrites the predicate a user naturally
@@ -196,5 +197,76 @@ object SargableYearPredicate extends Rule[LogicalPlan] {
           val k = IntBound.unapply(e).get
           And(geYear(d, k), ltYear(d, k + 1)): Expression
         }.reduce(Or)
+    }
+}
+
+/** Prefix-equality pushdown — the third injected `Rule[LogicalPlan]`:
+  * `substring(c, 1, n) = 'lit'` (either operand order; `left(c, n)`
+  * arrives here too, ReplaceExpressions having already lowered it to
+  * the same Substring) becomes, by the literal's character length:
+  *
+  *   - `|lit| = n` ⟶ `startswith(c, 'lit')` — the payoff case: a bare
+  *     column's StartsWith reaches the parquet reader as
+  *     `StringStartsWith` (min/max row-group pruning + dictionary
+  *     skipping), where the Substring comparison is opaque to every
+  *     storage layer. OptimizerRulesSpec asserts the `PushedFilters`.
+  *   - `|lit| < n` ⟶ `c = 'lit'` — the prefix window is longer than the
+  *     literal, so only an EXACT, shorter-than-n string can match
+  *     (if `|c| ≥ n` the substring has n > |lit| chars; if `|c| < n`
+  *     the substring IS c). Plain equality pushes down even further.
+  *   - `|lit| > n` ⟶ `if(isnull(c), null, false)` — the substring can
+  *     never exceed n chars; NULL preserved for projection contexts.
+  *
+  * Value-identity: char-prefix equality and byte-prefix equality
+  * coincide because UTF-8 is self-synchronizing — the literal's valid
+  * byte sequence decodes to exactly its n chars wherever it appears as
+  * a prefix. NULL `c` makes every original and rewritten form NULL.
+  *
+  * Scope guards: `c` must be a DEFAULT-collation string
+  * (`isUTF8BinaryCollation` — under e.g. UTF8_LCASE both the equality
+  * and StartsWith are collation-aware and lowercase can change char
+  * LENGTHS, so the |lit|-vs-n case analysis itself is unsound there;
+  * collated columns keep their original plan), the position must be
+  * the literal 1, the length a foldable INT ≥ 1, and the literal
+  * non-null. Installed by [[graft.GraftExtensions]] alongside the
+  * other two rules. */
+object PrefixEqualityPushdown extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  private def isBinaryString(e: Expression): Boolean = e.dataType match {
+    case st: StringType => ColumnBridge.isUTF8BinaryCollation(st)
+    case _ => false
+  }
+
+  private object PrefixShape {
+    def unapply(e: Expression): Option[(Expression, Int)] = e match {
+      case Substring(c, Literal(1, IntegerType), Literal(n: Int, IntegerType))
+          if n >= 1 && isBinaryString(c) => Some((c, n))
+      case _ => None
+    }
+  }
+
+  private object StrLit {
+    def unapply(e: Expression): Option[UTF8String] = e match {
+      case Literal(v: UTF8String, t) if v != null &&
+        t.isInstanceOf[StringType] &&
+        ColumnBridge.isUTF8BinaryCollation(t.asInstanceOf[StringType]) =>
+        Some(v)
+      case _ => None
+    }
+  }
+
+  private def rewrite(c: Expression, n: Int, v: UTF8String): Expression = {
+    val len = v.numChars()
+    if (len == n) StartsWith(c, Literal(v, StringType))
+    else if (len < n) EqualTo(c, Literal(v, StringType))
+    else If(IsNull(c), Literal(null, BooleanType), Literal(false))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case EqualTo(PrefixShape(c, n), StrLit(v)) => rewrite(c, n, v)
+      case EqualTo(StrLit(v), PrefixShape(c, n)) => rewrite(c, n, v)
     }
 }

@@ -19,6 +19,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `StringType.isUTF8BinaryCollation` is `private[sql]` at the
+    * Scala-signature level; the collation guards in
+    * `graft.plans.PrefixEqualityPushdown` need it. */
+  def isUTF8BinaryCollation(st: org.apache.spark.sql.types.StringType): Boolean =
+    st.isUTF8BinaryCollation
+
   /** Register a function builder on an EXISTING session (the
     * `SparkSessionExtensions` path only applies at session construction;
     * `sessionState` is likewise `private[sql]`). */

@@ -256,4 +256,103 @@ class OptimizerRulesSpec extends SparkSpec {
       s"SQL year predicate not rewritten: ${optimized(q)}")
     assert(q.collect().head.getLong(0) === daysIn(1995))
   }
+
+  // ---------------------------------------- PrefixEqualityPushdown
+
+  private lazy val strs: DataFrame = {
+    val dir = SparkSpec.tempDir("graft_prefix_") + "/strs"
+    Seq("apple", "application", "apply", "banana", "app", "ap", "",
+      "ümlaut", null)
+      .map(Tuple1(_)).toDF("s").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("prefix equality: |lit| = n becomes startswith, value-identical") {
+    for (pred <- Seq(substring($"s", 1, 3) === "app",
+                     lit("app") === substring($"s", 1, 3))) {
+      val q = strs.filter(pred)
+      val plan = optimized(q)
+      assert(!plan.contains("substring("), s"not rewritten: $plan")
+      assert(plan.toLowerCase.contains("startswith"), s"no startswith: $plan")
+      assert(q.count() === 4L) // apple, application, apply, app
+    }
+  }
+
+  test("prefix equality: |lit| < n becomes exact equality") {
+    val q = strs.filter(substring($"s", 1, 5) === "app")
+    val plan = optimized(q)
+    assert(!plan.contains("substring("), s"not rewritten: $plan")
+    assert(q.count() === 1L) // only the exact "app"
+  }
+
+  test("prefix equality: |lit| > n is never true, null-preserving") {
+    val q = strs.filter(substring($"s", 1, 2) === "app")
+    assert(!optimized(q).contains("substring("))
+    assert(q.count() === 0L)
+    val out = strs.select($"s", (substring($"s", 1, 2) === "app").as("hit"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(out(Some("apple")) === Some(false))
+    assert(out(None) === None)
+  }
+
+  test("prefix rewrite reaches the parquet scan as StringStartsWith") {
+    val q = strs.filter(substring($"s", 1, 3) === "app")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains(
+      "PushedFilters: [IsNotNull(s), StringStartsWith(s,app)]"),
+      s"prefix not pushed to the scan:\n$physical")
+  }
+
+  test("prefix rewrite: multibyte literals stay value-identical") {
+    val q = strs.filter(substring($"s", 1, 1) === "ü")
+    assert(!optimized(q).contains("substring("))
+    assert(q.count() === 1L)
+    val q6 = strs.filter(substring($"s", 1, 6) === "ümlaut")
+    assert(!optimized(q6).contains("substring("))
+    assert(q6.count() === 1L)
+  }
+
+  test("prefix rewrite null propagation in projection context") {
+    val out = strs.select($"s", (substring($"s", 1, 3) === "app").as("hit"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(out(Some("apple")) === Some(true))
+    assert(out(Some("banana")) === Some(false))
+    assert(out(Some("ap")) === Some(false)) // shorter than the window
+    assert(out(None) === None)
+  }
+
+  test("prefix rewrite out-of-scope shapes are left alone") {
+    // pos != 1
+    val q1 = strs.filter(substring($"s", 2, 3) === "ppl")
+    assert(optimized(q1).contains("substring("), optimized(q1))
+    assert(q1.count() === 3L) // apple, application, apply
+    // dynamic length
+    val q2 = strs.filter(
+      substring($"s", lit(1), length($"s").cast("int")) === "app")
+    assert(optimized(q2).contains("substring("), optimized(q2))
+    // collated column: the |lit|-vs-n analysis is unsound under
+    // LCASE (case mapping can change char lengths) — left untouched
+    // and still evaluated case-insensitively by Spark itself
+    strs.createOrReplaceTempView("prefix_fixture")
+    val q3 = spark.sql("SELECT count(*) AS n FROM prefix_fixture " +
+      "WHERE substring(s COLLATE UTF8_LCASE, 1, 3) = 'APP'")
+    assert(optimized(q3).contains("substring("), optimized(q3))
+    assert(q3.collect().head.getLong(0) === 4L)
+  }
+
+  test("prefix SQL-surface predicates rewrite, including left()") {
+    strs.createOrReplaceTempView("prefix_fixture")
+    for (sql <- Seq(
+      "SELECT count(*) AS n FROM prefix_fixture WHERE substring(s, 1, 3) = 'app'",
+      "SELECT count(*) AS n FROM prefix_fixture WHERE left(s, 3) = 'app'")) {
+      val q = spark.sql(sql)
+      assert(!optimized(q).contains("substring("),
+        s"SQL prefix predicate not rewritten: ${optimized(q)}")
+      assert(q.collect().head.getLong(0) === 4L)
+    }
+  }
 }
