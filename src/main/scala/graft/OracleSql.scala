@@ -8913,6 +8913,23 @@ object OracleSql {
         AS BIGINT) AS n_impossible
     FROM customer"""
 
+  /** PCA moments — q341. The identical ×10⁶ floor-quantization and
+    * exact integer pair sums over the upper triangle (HUGEINT → BIGINT
+    * casts; i/j 0-based to match posexplode). */
+  private val q341 = """
+    WITH e AS (SELECT list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL),
+    ii AS (SELECT q, unnest(range(1, len(q) + 1)) AS i FROM e),
+    ij AS (SELECT q, i, unnest(range(i, len(q) + 1)) AS j FROM ii),
+    cells AS (SELECT i, j, q[i] AS xi, q[j] AS xj FROM ij)
+    SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(xi) AS BIGINT) AS sum_i,
+      CAST(sum(xj) AS BIGINT) AS sum_j,
+      CAST(sum(xi * xj) AS BIGINT) AS sum_ij
+    FROM cells GROUP BY 1, 2"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9274,6 +9291,7 @@ object OracleSql {
     "q337_license_report"   -> q337,
     "q338_chat_template"    -> q338,
     "q339_rouge_l"          -> q339,
-    "q340_prefix_prune"     -> q340
+    "q340_prefix_prune"     -> q340,
+    "q341_pca_moments"      -> q341
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5252,6 +5252,15 @@ object SparkEntry {
       cnt(substring(col("c_name"), 1, 2) === "Customer#").as("n_impossible"))
   }
 
+  /** Exact PCA moments ([[graft.ops.Pca.momentMatrix]]): the
+    * distributed half of embedding whitening — upper-triangle
+    * second moments of the ×10⁶-quantized embeddings, exact integer
+    * sums (the eigen half is driver-side and spec-pinned — no SQL
+    * eigensolver exists, the MMR/Bradley–Terry precedent). 64
+    * dims → 2,080 pair rows hash-pinned. */
+  private def q341PcaMoments(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pca.momentMatrix(t(s, dir, "embeddings"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5597,7 +5606,8 @@ object SparkEntry {
     "q337_license_report"   -> q337LicenseReport _,
     "q338_chat_template"    -> q338ChatTemplate _,
     "q339_rouge_l"          -> q339RougeL _,
-    "q340_prefix_prune"     -> q340PrefixPrune _
+    "q340_prefix_prune"     -> q340PrefixPrune _,
+    "q341_pca_moments"      -> q341PcaMoments _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact PCA / embedding whitening — the retrieval-quality
+  * post-processor (whitening the embedding space is the classic fix for
+  * anisotropic encoder output: after `y = Λ^(−1/2)·Vᵀ·(x − μ)` the
+  * dimensions are decorrelated and unit-variance, which measurably
+  * improves cosine retrieval and is the standard preprocessor before
+  * product quantization): the DISTRIBUTED work is one exact
+  * second-moment pass; the d×d eigen-decomposition happens on the
+  * driver over that bounded matrix — the only honest split at 100 TB
+  * (n is huge, d is not).
+  *
+  * Engine-exactness discipline: raw floats quantize to the ×10⁶ grid
+  * (`floor(x·10⁶ + 0.5)` — floor, not round, dodging the half-even/
+  * half-up cross-engine trap), and every moment is an exact integer
+  * sum in DECIMAL(38), so [[momentMatrix]] is hash-reproducible by any
+  * SQL engine. The eigen tier consumes those exact integers through
+  * deterministic double arithmetic (fixed-order cyclic Jacobi, fixed
+  * sign convention), so two fits on the same corpus are bit-identical —
+  * but it has no SQL mirror (no eigensolver in a query language), the
+  * MMR/Bradley–Terry precedent: moments hash-pinned, eigen spec-pinned.
+  *
+  * == 100 TB shape ==
+  * [[momentMatrix]] explodes d(d+1)/2 integer cells per row BUT
+  * groupBy's partial aggregation collapses them map-side — the shuffle
+  * carries only `partitions × d(d+1)/2` rows regardless of n. The fit
+  * collects the d(d+1)/2 moment rows (loud `maxDim` guard); the
+  * transform is one compiled [[graft.functions.VectorExprs.MatVec]]
+  * multiply-add per row — broadcast-free (the matrix rides the closure
+  * as literals), shuffle-free. Quantization bound: |x| must stay below
+  * ~3·10³ so the per-cell product fits a long before the DECIMAL cast
+  * (embeddings are unit-ish; stated, and [[momentMatrix]] requires it). */
+object Pca {
+
+  private val Grid = 1000000L // the ×10⁶ quantization grid
+
+  /** ×10⁶-grid quantization of a float/double vector (exact longs). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * Grid.toDouble + 0.5d).cast("long"))
+
+  /** Exact upper-triangle second moments: one row per dimension pair
+    * `i ≤ j` (0-based) with `(n, sum_i, sum_j, sum_ij)` — integer sums
+    * of the ×10⁶-quantized values (DECIMAL(38) internally; emitted as
+    * longs, exact at any n where they fit). NULL vectors are skipped. */
+  def momentMatrix(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val base = emb
+      .filter(col(vecCol).isNotNull)
+      .select(quantize(col(vecCol)).as("__q"))
+    base
+      .select(col("__q"), posexplode(col("__q")).as(Seq("__i", "__xi")))
+      .select(col("__i"), col("__xi"), col("__q"),
+        explode(sequence(col("__i"), size(col("__q")) - 1)).as("__j"))
+      .select(col("__i").cast("long").as("i"), col("__j").cast("long").as("j"),
+        col("__xi").as("xi"), element_at(col("__q"), col("__j") + 1).as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).cast("long").as("sum_i"),
+        sum(col("xj").cast("decimal(38,0)")).cast("long").as("sum_j"),
+        sum((col("xi") * col("xj")).cast("decimal(38,0)")).cast("long").as("sum_ij"))
+  }
+
+  /** Deterministic cyclic-Jacobi eigensolver for a symmetric matrix:
+    * fixed sweep order (p < q row-major), fixed rotation formulas,
+    * convergence on off-diagonal mass < 1e−12 (≤ 100 sweeps). Returns
+    * (eigenvalues, eigenvectors as ROWS), sorted by eigenvalue
+    * descending (index-ascending tie-break), each vector's
+    * largest-magnitude component forced positive (the sign fix that
+    * makes two fits bit-identical). */
+  private[graft] def jacobiEigen(sym: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = Array.tabulate(d, d)((i, j) => sym(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      // sign fix: largest-|component| (first on tie) positive
+      var best = 0
+      var m = math.abs(col(0))
+      var k = 1
+      while (k < d) {
+        if (math.abs(col(k)) > m) { m = math.abs(col(k)); best = k }
+        k += 1
+      }
+      if (col(best) < 0) col.map(-_) else col
+    }.toArray
+    (values, vectors)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** A fitted whitening transform: `mean` on the raw scale, principal
+    * `components` as rows (unit eigenvectors, eigenvalue-descending),
+    * population `eigenvalues` (variances along components). */
+  case class WhiteningModel(mean: Array[Double], eigenvalues: Array[Double],
+                            components: Array[Array[Double]]) {
+
+    /** PCA projection (no variance scaling): top-`k` components. */
+    def project(vec: Column, k: Int): Column =
+      matmul(vec, components.take(k))
+
+    /** Full whitening `Λ^(−1/2)·Vᵀ·(x − μ)` over the top-`k`
+      * components; `eps` floors near-zero variances (a collapsed
+      * direction must not explode to ±∞ — it flattens instead). */
+    def whiten(vec: Column, k: Int = Int.MaxValue, eps: Double = 1e-9): Column = {
+      val kk = math.min(k, components.length)
+      val w = Array.tabulate(kk) { r =>
+        val scale = 1.0 / math.sqrt(math.max(eigenvalues(r), 0.0) + eps)
+        components(r).map(_ * scale)
+      }
+      matmul(vec, w)
+    }
+
+    private def matmul(vec: Column, m: Array[Array[Double]]): Column = {
+      val centered = zip_with(vec,
+        typedLit(mean.toSeq), (a, b) => a.cast("double") - b)
+      graft.functions.VectorExprs.matVec(centered,
+        m.map(_.toIndexedSeq).toIndexedSeq, 1.0)
+    }
+  }
+
+  /** Fit on a corpus: one distributed exact-moment pass, then the
+    * driver-side eigen-decomposition of the (bounded, `maxDim`-guarded)
+    * population covariance. */
+  def fit(emb: DataFrame, vecCol: String = "embedding",
+          maxDim: Int = 1024): WhiteningModel = {
+    val rows = momentMatrix(emb, vecCol).collect()
+    require(rows.nonEmpty, "Pca.fit: no non-null vectors")
+    val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    require(d <= maxDim,
+      s"Pca.fit: dimension $d exceeds maxDim=$maxDim (raise it explicitly " +
+        "if a driver-side d x d eigensolve is really intended)")
+    val n = rows.head.getLong(2).toDouble
+    val sumI = new Array[Double](d)
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      if (i == j) sumI(i) = r.getLong(3).toDouble
+    }
+    val g = Grid.toDouble
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val sij = r.getLong(5).toDouble
+      val c = (sij - sumI(i) * sumI(j) / n) / n / (g * g)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    WhiteningModel(sumI.map(_ / n / g), values, vectors)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.Pca
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.ops.Pca]]: exact moments on a hand frame, the Jacobi
+  * eigensolver against closed-form cases, whitening to identity
+  * covariance on correlated data, determinism, the eps floor, and the
+  * maxDim guard. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("momentMatrix: exact integer moments on a hand frame") {
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 5.0f)).toDF("embedding")
+    val m = Pca.momentMatrix(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val M = 1000000L
+    assert(m((0L, 0L)) === ((2L, 4L * M, 4L * M, 10L * M * M)))
+    assert(m((0L, 1L)) === ((2L, 4L * M, 7L * M, 17L * M * M)))
+    assert(m((1L, 1L)) === ((2L, 7L * M, 7L * M, 29L * M * M)))
+  }
+
+  test("jacobiEigen: closed-form 2x2") {
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - r) < 1e-12 && math.abs(vecs(0)(1) - r) < 1e-12)
+    assert(math.abs(math.abs(vecs(1)(0)) - r) < 1e-12)
+    // orthonormal
+    assert(math.abs(vecs(0)(0) * vecs(1)(0) + vecs(0)(1) * vecs(1)(1)) < 1e-12)
+  }
+
+  test("jacobiEigen: diagonal matrix is already solved, sorted desc") {
+    val (vals, vecs) = Pca.jacobiEigen(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(vals.toSeq === Seq(5.0, 3.0, 1.0))
+    assert(vecs(0).toSeq === Seq(0.0, 1.0, 0.0))
+    assert(vecs(2).toSeq === Seq(1.0, 0.0, 0.0))
+  }
+
+  test("fit + whiten: correlated data becomes identity-covariance") {
+    // y = 2x + small noise, means nonzero
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 400).map { _ =>
+      val x = rnd.nextGaussian() * 0.1
+      Seq((x + 0.05).toFloat, (2 * x + rnd.nextGaussian() * 0.01 - 0.03).toFloat)
+    }
+    val df = data.toDF("embedding")
+    val model = Pca.fit(df)
+    assert(model.eigenvalues(0) > model.eigenvalues(1))
+    val w = df.select(model.whiten(col("embedding"), eps = 0.0).as("w"))
+      .as[Seq[Double]].collect()
+    val n = w.length.toDouble
+    val m0 = w.map(_(0)).sum / n
+    val m1 = w.map(_(1)).sum / n
+    val c00 = w.map(v => (v(0) - m0) * (v(0) - m0)).sum / n
+    val c11 = w.map(v => (v(1) - m1) * (v(1) - m1)).sum / n
+    val c01 = w.map(v => (v(0) - m0) * (v(1) - m1)).sum / n
+    // quantization-grid tolerance: the fit saw x10^-6-rounded values
+    assert(math.abs(m0) < 1e-3 && math.abs(m1) < 1e-3)
+    assert(math.abs(c00 - 1.0) < 1e-2, s"c00=$c00")
+    assert(math.abs(c11 - 1.0) < 1e-2, s"c11=$c11")
+    assert(math.abs(c01) < 1e-2, s"c01=$c01")
+  }
+
+  test("project keeps top-k; whiten determinism across fits") {
+    val df = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 0.5f, 0.0f),
+      Seq(-1.0f, -0.5f, 0.0f), Seq(0.5f, 0.2f, 0.0f)).toDF("embedding")
+    val a = Pca.fit(df)
+    val b = Pca.fit(df)
+    assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
+    assert(a.components.map(_.toSeq).toSeq === b.components.map(_.toSeq).toSeq)
+    val p = df.select(a.project(col("embedding"), 2).as("p"))
+      .as[Seq[Double]].collect()
+    assert(p.forall(_.length === 2))
+  }
+
+  test("eps floors a collapsed direction instead of exploding it") {
+    // third dim constant → zero variance
+    val df = Seq(Seq(1.0f, 2.0f, 9.0f), Seq(2.0f, 1.0f, 9.0f),
+      Seq(-1.0f, 0.5f, 9.0f)).toDF("embedding")
+    val model = Pca.fit(df)
+    val w = df.select(model.whiten(col("embedding"), eps = 1e-9).as("w"))
+      .as[Seq[Double]].collect()
+    assert(w.flatten.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("maxDim guard is loud") {
+    val df = Seq(Seq.fill(8)(1.0f)).toDF("embedding")
+    val e = intercept[IllegalArgumentException](Pca.fit(df, maxDim = 4))
+    assert(e.getMessage.contains("maxDim"))
+  }
+}
