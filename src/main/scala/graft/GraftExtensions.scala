@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
     ext.injectOptimizerRule(_ => graft.plans.SargableYearPredicate)
     ext.injectOptimizerRule(_ => graft.plans.PrefixEqualityPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.SargableTruncPredicate)
   }
 }
 
@@ -50,6 +51,10 @@ object GraftExtensions {
         graft.plans.PrefixEqualityPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PrefixEqualityPushdown
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.SargableTruncPredicate))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SargableTruncPredicate
   }
 
   private def lit[T](e: Expression, what: String): T = {

@@ -8930,6 +8930,28 @@ object OracleSql {
       CAST(sum(xi * xj) AS BIGINT) AS sum_ij
     FROM cells GROUP BY 1, 2"""
 
+  /** Sargable trunc rewrite — q342. DuckDB evaluates the SAME
+    * predicates UNREWRITTEN via `date_trunc` (identical proleptic
+    * calendar; ISO Monday weeks both engines); money through the
+    * DECIMAL(18,2)→cents contract. */
+  private val q342 = """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN date_trunc('month', d) = DATE '1995-03-01'
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_mar95,
+      CAST(sum(CASE WHEN date_trunc('quarter', d) = DATE '1995-04-01'
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_q295,
+      CAST(sum(CASE WHEN date_trunc('year', d) > DATE '1995-01-01'
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_after95,
+      CAST(sum(CASE WHEN date_trunc('week', d) = DATE '1995-06-05'
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_wk,
+      CAST(sum(CASE WHEN date_trunc('month', d) <= DATE '1994-06-15'
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+      CAST(sum(CASE WHEN date_trunc('month', d) = DATE '1995-03-01'
+        THEN price END) * 100 AS BIGINT) AS rev_mar95_cents
+    FROM d"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9292,6 +9314,7 @@ object OracleSql {
     "q338_chat_template"    -> q338,
     "q339_rouge_l"          -> q339,
     "q340_prefix_prune"     -> q340,
-    "q341_pca_moments"      -> q341
+    "q341_pca_moments"      -> q341,
+    "q342_trunc_prune"      -> q342
   ).map { case (k, v) => k -> clean(v) }
 }

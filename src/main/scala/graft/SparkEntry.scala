@@ -5261,6 +5261,29 @@ object SparkEntry {
   private def q341PcaMoments(s: SparkSession, dir: String): DataFrame =
     graft.ops.Pca.momentMatrix(t(s, dir, "embeddings"))
 
+  /** Sargable trunc rewrite ([[graft.plans.SargableTruncPredicate]]):
+    * the fourth injected optimizer rule — `trunc(d, unit) ⋛ DATE'L'`
+    * becomes raw ranges (parquet row-group pruning). Month, quarter,
+    * year, and ISO-week forms plus an unaligned `<=` counted over
+    * orders, with March-1995 revenue through the DECIMAL(18,2)→cents
+    * contract; DuckDB evaluates the UNREWRITTEN `date_trunc`
+    * predicates. */
+  private def q342TruncPrune(s: SparkSession, dir: String): DataFrame = {
+    def dt(v: String) = lit(java.sql.Date.valueOf(v))
+    val o = t(s, dir, "orders").select(
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    o.agg(count(lit(1)).as("n"),
+      cnt(trunc(col("d"), "MM") === dt("1995-03-01")).as("n_mar95"),
+      cnt(trunc(col("d"), "QUARTER") === dt("1995-04-01")).as("n_q295"),
+      cnt(trunc(col("d"), "YEAR") > dt("1995-01-01")).as("n_after95"),
+      cnt(trunc(col("d"), "WEEK") === dt("1995-06-05")).as("n_wk"),
+      cnt(trunc(col("d"), "MM") <= dt("1994-06-15")).as("n_le"),
+      (sum(when(trunc(col("d"), "MM") === dt("1995-03-01"), col("price"))) * 100)
+        .cast("long").as("rev_mar95_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5607,7 +5630,8 @@ object SparkEntry {
     "q338_chat_template"    -> q338ChatTemplate _,
     "q339_rouge_l"          -> q339RougeL _,
     "q340_prefix_prune"     -> q340PrefixPrune _,
-    "q341_pca_moments"      -> q341PcaMoments _
+    "q341_pca_moments"      -> q341PcaMoments _,
+    "q342_trunc_prune"      -> q342TruncPrune _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -200,6 +200,133 @@ object SargableYearPredicate extends Rule[LogicalPlan] {
     }
 }
 
+/** Sargable trunc-predicate rewrite — the fourth injected
+  * `Rule[LogicalPlan]`, the monthly-rollup twin of
+  * [[SargableYearPredicate]]: `trunc(d, 'MM') ⋛ DATE'L'` over a
+  * DATE-typed `d` becomes raw range predicates on `d` — the shape the
+  * single most common time-partitioned predicate
+  * (`trunc(d,'MM') = '2024-01-01'`) needs to reach parquet min/max
+  * row-group pruning and partition pruning, where the `trunc()` call is
+  * opaque to every storage layer. Units: YEAR/YYYY/YY, QUARTER,
+  * MON/MONTH/MM, WEEK (ISO Monday start — Spark's own `TruncDate`
+  * convention); any other format literal (including garbage, where
+  * trunc returns NULL) is left untouched.
+  *
+  * With `floor(L)` = the unit-start ≤ L, `next(L)` = the unit-start
+  * after `floor(L)`, and `ceil(L)` = `L` if aligned else `next(L)`
+  * (all computed at REWRITE time on the literal):
+  *
+  *   - `trunc(d) =  L` ⟶ aligned: `d ∈ [L, next(L))`;
+  *                        unaligned: `if(isnull(d), null, false)`
+  *                        (no truncated value is ever unaligned)
+  *   - `trunc(d) >= L` ⟶ `d >= ceil(L)`
+  *   - `trunc(d) >  L` ⟶ `d >= next(L)`
+  *   - `trunc(d) <  L` ⟶ `d <  ceil(L)`
+  *   - `trunc(d) <= L` ⟶ `d <  next(L)`
+  *
+  * Value-identity: `trunc` over DATE is a pure epoch-day mapping
+  * (timezone-free), unit periods tile the day line contiguously and
+  * gap-free, and `trunc(d) ⋛ L ⟺ trunc(d) ⋛ (aligned neighbor of L)`
+  * because trunc's range IS the aligned values — each form above is
+  * set-identical on non-null `d`, and NULL `d` makes both sides NULL.
+  * Bound guard: the date literal's year must sit in [1, 9998] (the
+  * [[SargableYearPredicate]] convention — extreme proleptic dates keep
+  * their original plan). */
+object SargableTruncPredicate extends Rule[LogicalPlan] {
+
+  import java.time.LocalDate
+
+  private def unitOf(fmt: Any): Option[String] = fmt match {
+    case u: UTF8String => u.toString.toUpperCase match {
+      case "YEAR" | "YYYY" | "YY" => Some("YEAR")
+      case "QUARTER" => Some("QUARTER")
+      case "MON" | "MONTH" | "MM" => Some("MONTH")
+      case "WEEK" => Some("WEEK")
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** `trunc(d, unitLiteral)` over a DATE-typed `d`. */
+  private object TruncShape {
+    def unapply(e: Expression): Option[(Expression, String)] = e match {
+      case TruncDate(d, Literal(fmt, _)) if d.dataType == DateType =>
+        unitOf(fmt).map(u => (d, u))
+      case _ => None
+    }
+  }
+
+  /** A non-null DATE literal with a sane year, as epoch days. */
+  private object DateLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(days: Int, DateType) =>
+        val y = LocalDate.ofEpochDay(days.toLong).getYear
+        if (y >= 1 && y <= 9998) Some(days) else None
+      case _ => None
+    }
+  }
+
+  private def floorUnit(days: Int, unit: String): LocalDate = {
+    val ld = LocalDate.ofEpochDay(days.toLong)
+    unit match {
+      case "YEAR" => ld.withDayOfYear(1)
+      case "QUARTER" => LocalDate.of(ld.getYear,
+        ((ld.getMonthValue - 1) / 3) * 3 + 1, 1)
+      case "MONTH" => ld.withDayOfMonth(1)
+      case "WEEK" => ld.minusDays((ld.getDayOfWeek.getValue - 1).toLong)
+    }
+  }
+
+  private def nextUnit(ld: LocalDate, unit: String): LocalDate = unit match {
+    case "YEAR" => ld.plusYears(1)
+    case "QUARTER" => ld.plusMonths(3)
+    case "MONTH" => ld.plusMonths(1)
+    case "WEEK" => ld.plusWeeks(1)
+  }
+
+  private def dlit(ld: LocalDate): Expression =
+    Literal(ld.toEpochDay.toInt, DateType)
+
+  private def rewriteEq(d: Expression, days: Int, unit: String): Expression = {
+    val f = floorUnit(days, unit)
+    if (f.toEpochDay == days.toLong)
+      And(GreaterThanOrEqual(d, dlit(f)), LessThan(d, dlit(nextUnit(f, unit))))
+    else If(IsNull(d), Literal(null, BooleanType), Literal(false))
+  }
+
+  /** ceil(L): L if aligned, else the next unit start. */
+  private def ceilUnit(days: Int, unit: String): LocalDate = {
+    val f = floorUnit(days, unit)
+    if (f.toEpochDay == days.toLong) f else nextUnit(f, unit)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case EqualTo(TruncShape(d, u), DateLit(l)) => rewriteEq(d, l, u)
+      case EqualTo(DateLit(l), TruncShape(d, u)) => rewriteEq(d, l, u)
+      // trunc(d) >= L  /  L <= trunc(d)
+      case GreaterThanOrEqual(TruncShape(d, u), DateLit(l)) =>
+        GreaterThanOrEqual(d, dlit(ceilUnit(l, u)))
+      case LessThanOrEqual(DateLit(l), TruncShape(d, u)) =>
+        GreaterThanOrEqual(d, dlit(ceilUnit(l, u)))
+      // trunc(d) > L  /  L < trunc(d)
+      case GreaterThan(TruncShape(d, u), DateLit(l)) =>
+        GreaterThanOrEqual(d, dlit(nextUnit(floorUnit(l, u), u)))
+      case LessThan(DateLit(l), TruncShape(d, u)) =>
+        GreaterThanOrEqual(d, dlit(nextUnit(floorUnit(l, u), u)))
+      // trunc(d) < L  /  L > trunc(d)
+      case LessThan(TruncShape(d, u), DateLit(l)) =>
+        LessThan(d, dlit(ceilUnit(l, u)))
+      case GreaterThan(DateLit(l), TruncShape(d, u)) =>
+        LessThan(d, dlit(ceilUnit(l, u)))
+      // trunc(d) <= L  /  L >= trunc(d)
+      case LessThanOrEqual(TruncShape(d, u), DateLit(l)) =>
+        LessThan(d, dlit(nextUnit(floorUnit(l, u), u)))
+      case GreaterThanOrEqual(DateLit(l), TruncShape(d, u)) =>
+        LessThan(d, dlit(nextUnit(floorUnit(l, u), u)))
+    }
+}
+
 /** Prefix-equality pushdown — the third injected `Rule[LogicalPlan]`:
   * `substring(c, 1, n) = 'lit'` (either operand order; `left(c, n)`
   * arrives here too, ReplaceExpressions having already lowered it to

@@ -257,6 +257,75 @@ class OptimizerRulesSpec extends SparkSpec {
     assert(q.collect().head.getLong(0) === daysIn(1995))
   }
 
+  // ---------------------------------------- SargableTruncPredicate
+
+  private def d(s: String) = lit(java.sql.Date.valueOf(s))
+
+  test("trunc comparisons rewrite to ranges and stay value-identical") {
+    // fixture: every day 1993-12-30 .. 1996-01-03, plus one NULL
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      (trunc($"d", "MM") === d("1994-06-01"), 30L),       // June 1994
+      (d("1994-06-01") === trunc($"d", "MONTH"), 30L),
+      (trunc($"d", "MM") === d("1994-06-15"), 0L),        // unaligned: never
+      (trunc($"d", "MM") >= d("1994-06-15"), 552L),       // ceil -> Jul 1
+      (lit(java.sql.Date.valueOf("1994-06-15")) <= trunc($"d", "MM"), 552L),
+      (trunc($"d", "MM") > d("1994-06-01"), 552L),        // next -> Jul 1
+      (trunc($"d", "MM") <= d("1994-06-15"), 183L),       // d < Jul 1
+      (trunc($"d", "MM") < d("1994-07-01"), 183L),
+      (trunc($"d", "YEAR") === d("1995-01-01"), 365L),
+      (trunc($"d", "QUARTER") === d("1994-04-01"), 91L),  // Apr+May+Jun
+      (trunc($"d", "WEEK") === d("1994-06-06"), 7L))      // Mon Jun 6
+    for (((pred, want), i) <- cases.zipWithIndex) {
+      val q = dates.filter(pred)
+      val plan = optimized(q)
+      assert(!plan.contains("trunc("), s"trunc case $i not rewritten: $plan")
+      assert(q.count() === want, s"trunc case $i row count")
+    }
+  }
+
+  test("trunc rewrite reaches the parquet scan as PushedFilters") {
+    val q = dates.filter(trunc($"d", "MM") === d("1994-06-01"))
+    val physical = q.queryExecution.executedPlan.toString
+    // (no IsNotNull here: unlike year(), TruncDate is not null-intolerant
+    // in d alone — a bad format literal also nulls — so the constraint
+    // inferencer adds nothing; the RANGE is what buys the pruning)
+    assert(physical.contains("PushedFilters: [" +
+      "GreaterThanOrEqual(d,1994-06-01), LessThan(d,1994-07-01)]"),
+      s"trunc range not pushed to the scan:\n$physical")
+  }
+
+  test("trunc rewrite null propagation, aligned and unaligned") {
+    val out = dates.select($"d",
+      (trunc($"d", "MM") === d("1994-06-01")).as("aligned"),
+      (trunc($"d", "MM") === d("1994-06-15")).as("unaligned"))
+      .filter($"d".isNull).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(1), "aligned form must stay NULL on NULL d")
+    assert(out.head.isNullAt(2), "unaligned form must stay NULL on NULL d")
+  }
+
+  test("trunc out-of-scope shapes are left alone") {
+    // unsupported unit: Spark's trunc returns NULL -> predicate NULL
+    val q1 = dates.filter(trunc($"d", "DAY") === d("1994-06-01"))
+    assert(optimized(q1).contains("trunc("), optimized(q1))
+    assert(q1.count() === 0L)
+    // dynamic format
+    val q2 = dates.filter(
+      expr("trunc(d, CASE WHEN d IS NOT NULL THEN 'MM' ELSE 'YY' END)") ===
+        d("1994-06-01"))
+    assert(optimized(q2).contains("trunc("), optimized(q2))
+    assert(q2.count() === 30L)
+  }
+
+  test("trunc SQL-surface predicates rewrite too") {
+    dates.createOrReplaceTempView("trunc_fixture")
+    val q = spark.sql("SELECT count(*) AS n FROM trunc_fixture " +
+      "WHERE trunc(d, 'MM') = DATE'1995-03-01'")
+    assert(!optimized(q).contains("trunc("),
+      s"SQL trunc predicate not rewritten: ${optimized(q)}")
+    assert(q.collect().head.getLong(0) === 31L)
+  }
+
   // ---------------------------------------- PrefixEqualityPushdown
 
   private lazy val strs: DataFrame = {
