@@ -8952,6 +8952,62 @@ object OracleSql {
         THEN price END) * 100 AS BIGINT) AS rev_mar95_cents
     FROM d"""
 
+  /** Code gates — q343. The identical synthesis (chr(10) newlines),
+    * then the generic replay: string_split line stats, char-based
+    * length() everywhere (NOT strlen — bytes), the two regex passes,
+    * the 300-char autogen head, and the priority CASE; all thresholds
+    * exact-integer cross-multiplied. */
+  private val q343 = """
+    WITH d AS (SELECT source, doc_id, coalesce(text, '') AS t FROM documents),
+    c AS (SELECT source,
+        (CASE WHEN doc_id % 7 = 0
+          THEN '// Code generated by graft-gen. DO NOT EDIT.' || chr(10)
+          ELSE '' END)
+        || substr(t, 1, 40) || chr(10)
+        || substr(t, 41, 40 + (doc_id % 5) * 30) || chr(10)
+        || substr(t, 201, 60)
+        || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || repeat('x=y+1;', 200)
+            ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || repeat('QUJDRA==', 10)
+            ELSE '' END) AS t
+      FROM d),
+    st AS (SELECT source, t,
+        CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        CAST(coalesce(list_max(list_transform(string_split(t, chr(10)),
+          l -> length(l))), 0) AS BIGINT) AS max_line_len,
+        CAST(coalesce(list_sum(list_transform(string_split(t, chr(10)),
+          l -> length(l))), 0) AS BIGINT) AS sum_line_len,
+        CAST(length(t) AS BIGINT) AS n_chars,
+        CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+          AS n_alnum,
+        (contains(lower(substr(t, 1, 300)), 'do not edit')
+          OR contains(lower(substr(t, 1, 300)), 'generated by')
+          OR contains(lower(substr(t, 1, 300)), '@generated')) AS autogen,
+        regexp_matches(t, '[A-Za-z0-9+/=]{64,}') AS has_base64
+      FROM c),
+    v AS (SELECT source,
+        CASE WHEN max_line_len > 1000 THEN 'max_line_len'
+          WHEN sum_line_len > 100 * n_lines THEN 'mean_line_len'
+          WHEN n_alnum * 100 < 25 * n_chars THEN 'low_alnum'
+          WHEN autogen THEN 'autogenerated'
+          WHEN has_base64 THEN 'base64_blob'
+        END AS drop_reason
+      FROM st)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(sum(CASE WHEN drop_reason = 'max_line_len' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_max_line_len,
+      CAST(sum(CASE WHEN drop_reason = 'mean_line_len' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_mean_line_len,
+      CAST(sum(CASE WHEN drop_reason = 'low_alnum' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_low_alnum,
+      CAST(sum(CASE WHEN drop_reason = 'autogenerated' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_autogenerated,
+      CAST(sum(CASE WHEN drop_reason = 'base64_blob' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_base64_blob
+    FROM v GROUP BY source"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9315,6 +9371,7 @@ object OracleSql {
     "q339_rouge_l"          -> q339,
     "q340_prefix_prune"     -> q340,
     "q341_pca_moments"      -> q341,
-    "q342_trunc_prune"      -> q342
+    "q342_trunc_prune"      -> q342,
+    "q343_code_gates"       -> q343
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5284,6 +5284,31 @@ object SparkEntry {
         .cast("long").as("rev_mar95_cents"))
   }
 
+  /** Code-file quality gates ([[graft.ops.CodeGates]]): the
+    * StarCoder/The Stack filter set over documents synthesized into
+    * code shape by `doc_id` arithmetic — autogen banners (%7),
+    * 1200-char minified lines (%9), base64 blobs (%11), and varying
+    * line lengths; every threshold exact-integer (cross-multiplied
+    * means, ×100 alnum percent). The oracle replays line splitting,
+    * the regex passes, and the priority CASE per source. */
+  private def q343CodeGates(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t0 = coalesce(col("text"), lit(""))
+    val code = concat(
+      when(pmod(id, lit(7)) === 0,
+        lit("// Code generated by graft-gen. DO NOT EDIT.\n")).otherwise(lit("")),
+      substring(t0, 1, 40), lit("\n"),
+      substring(t0, lit(41), lit(40) + pmod(id, lit(5)) * 30), lit("\n"),
+      substring(t0, 201, 60),
+      when(pmod(id, lit(9)) === 0,
+        concat(lit("\n"), repeat(lit("x=y+1;"), 200))).otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0,
+        concat(lit("\n"), repeat(lit("QUJDRA=="), 10))).otherwise(lit("")))
+    val docs = t(s, dir, "documents")
+      .select(col("source"), code.as("text"))
+    graft.ops.CodeGates.gateAudit(docs, "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5631,7 +5656,8 @@ object SparkEntry {
     "q339_rouge_l"          -> q339RougeL _,
     "q340_prefix_prune"     -> q340PrefixPrune _,
     "q341_pca_moments"      -> q341PcaMoments _,
-    "q342_trunc_prune"      -> q342TruncPrune _
+    "q342_trunc_prune"      -> q342TruncPrune _,
+    "q343_code_gates"       -> q343CodeGates _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
