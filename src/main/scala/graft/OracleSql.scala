@@ -9008,6 +9008,44 @@ object OracleSql {
         AS BIGINT) AS n_base64_blob
     FROM v GROUP BY source"""
 
+  /** Code units — q344. Identical synthesis, then the generic replay:
+    * positional unnest, signature running sum, arg_min signature line,
+    * trim/blank-drop ORDER BY-pos string_agg fingerprint, and the
+    * corpus-wide fingerprint count window. */
+  private val q344 = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    c AS (SELECT doc_id,
+        '# module ' || (doc_id % 40) || chr(10) ||
+        'def alpha_' || (doc_id % 5) || '():' || chr(10) ||
+        (CASE WHEN doc_id % 13 = 0 THEN '    return shared_' || (doc_id % 4)
+          ELSE '    ' || substr(t, 1, 50) END) || chr(10) ||
+        '    ' || substr(t, 51, 30 + (doc_id % 3) * 10) || chr(10) ||
+        'def beta_' || (doc_id % 7) || '():' || chr(10) ||
+        '    ' || substr(t, 101, 50) AS t
+      FROM d),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM c),
+    l0 AS (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM ls),
+    l AS (SELECT doc_id, i - 1 AS pos, a[i] AS line,
+        CASE WHEN regexp_matches(a[i],
+          '^\s*(def|function|fn)\s+[A-Za-z0-9_]+') THEN 1 ELSE 0 END AS sig
+      FROM l0),
+    u AS (SELECT doc_id, pos, line,
+        sum(sig) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS unit_idx
+      FROM l),
+    g AS (SELECT doc_id, CAST(unit_idx AS BIGINT) AS unit_idx,
+        regexp_extract(arg_min(line, pos),
+          '^\s*(def|function|fn)\s+([A-Za-z0-9_]+)', 2) AS name,
+        CAST(min(pos) AS BIGINT) AS start_line,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        md5(string_agg(trim(line), chr(10) ORDER BY pos)
+          FILTER (WHERE trim(line) <> '')) AS fp_md5
+      FROM u WHERE unit_idx >= 1
+      GROUP BY doc_id, unit_idx)
+    SELECT doc_id, unit_idx, name, start_line, n_lines, fp_md5,
+      CAST(count(*) OVER (PARTITION BY fp_md5) AS BIGINT) AS clone_count
+    FROM g"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9372,6 +9410,7 @@ object OracleSql {
     "q340_prefix_prune"     -> q340,
     "q341_pca_moments"      -> q341,
     "q342_trunc_prune"      -> q342,
-    "q343_code_gates"       -> q343
+    "q343_code_gates"       -> q343,
+    "q344_code_units"       -> q344
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5309,6 +5309,34 @@ object SparkEntry {
     graft.ops.CodeGates.gateAudit(docs, "source")
   }
 
+  /** Function-unit extraction + clone counts
+    * ([[graft.ops.CodeUnits]]): documents synthesized into two-function
+    * modules (preamble + `def alpha_k():` + body slices + `def
+    * beta_m():`), with forced cross-doc clones every 13th doc (a shared
+    * one-line body) — units split on signature lines via the
+    * doc-partitioned running sum, format-insensitive fingerprints,
+    * corpus-wide clone counts. The oracle replays positional unnest,
+    * the running sum, arg_min signatures, the trim/blank-drop
+    * ORDER BY-pos string_agg fingerprint, and the fingerprint window. */
+  private def q344CodeUnits(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t0 = coalesce(col("text"), lit(""))
+    val code = concat_ws("\n",
+      concat(lit("# module "), pmod(id, lit(40)).cast("string")),
+      concat(lit("def alpha_"), pmod(id, lit(5)).cast("string"), lit("():")),
+      when(pmod(id, lit(13)) === 0,
+        concat(lit("    return shared_"), pmod(id, lit(4)).cast("string")))
+        .otherwise(concat(lit("    "), substring(t0, 1, 50))),
+      concat(lit("    "), substring(t0, lit(51), lit(30) + pmod(id, lit(3)) * 10)),
+      concat(lit("def beta_"), pmod(id, lit(7)).cast("string"), lit("():")),
+      concat(lit("    "), substring(t0, 101, 50)))
+    val docs = t(s, dir, "documents").select(id, code.as("text"))
+    graft.ops.CodeUnits.withCloneCounts(
+      graft.ops.CodeUnits.extractFunctions(docs))
+      .withColumn("clone_count", col("clone_count").cast("long"))
+      .withColumn("unit_idx", col("unit_idx").cast("long"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5657,7 +5685,8 @@ object SparkEntry {
     "q340_prefix_prune"     -> q340PrefixPrune _,
     "q341_pca_moments"      -> q341PcaMoments _,
     "q342_trunc_prune"      -> q342TruncPrune _,
-    "q343_code_gates"       -> q343CodeGates _
+    "q343_code_gates"       -> q343CodeGates _,
+    "q344_code_units"       -> q344CodeUnits _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Function-unit extraction + function-level clone detection — the
+  * granularity code-dedup actually runs at (CodeParrot splits files
+  * into functions with a regex pass before dedup; function-level clones
+  * survive file-level MinHash because the surrounding file differs):
+  * a SIGNATURE line (`def` / `function` / `fn` + identifier, any
+  * indent) starts a unit, which runs until the next signature or EOF —
+  * the published regex approximation, stated plainly: nested
+  * definitions split their enclosing unit (a parser would scope them;
+  * a 100 TB pipeline does not parse every language, and clone HASHES
+  * only need stable, deterministic unit boundaries, which this gives).
+  * Lines before the first signature are module preamble and drop.
+  *
+  * Each unit carries a FORMAT-INSENSITIVE clone fingerprint: per-line
+  * trim, blank lines dropped, joined with `\n`, md5'd — so
+  * re-indented/re-spaced copies collide while any token change
+  * separates. Case is preserved (code is case-sensitive).
+  *
+  * == 100 TB shape ==
+  * One positional line explode + ONE doc-partitioned running-sum window
+  * assigns every line its unit (the L333 carry shape), one groupBy per
+  * (doc, unit) builds the unit rows, and clone counting is a plain
+  * hash-partitioned count over the fingerprint key — every stage
+  * data-parallel, no single-partition window anywhere. */
+object CodeUnits {
+
+  /** Signature pattern: the three keyword forms the published regex
+    * splitters use. Extend per language upstream if needed. */
+  val SigRe = "^\\s*(def|function|fn)\\s+([A-Za-z0-9_]+)"
+
+  /** One row per (document, unit): `(idCol, unit_idx (1-based),
+    * name, start_line (0-based), n_lines (raw, blanks included),
+    * fp_md5)`. */
+  def extractFunctions(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    base
+      .withColumn("unit_idx",
+        sum(when(col("line").rlike(SigRe), 1L).otherwise(0L)).over(w))
+      .filter(col("unit_idx") >= 1L)
+      .groupBy(col(idCol), col("unit_idx"))
+      .agg(min("pos").cast("long").as("start_line"),
+        count(lit(1)).as("n_lines"),
+        min_by(col("line"), col("pos")).as("__sig"),
+        sort_array(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      .withColumn("name", regexp_extract(col("__sig"), SigRe, 2))
+      .withColumn("fp_md5", md5(array_join(
+        filter(transform(col("__ls"), x => trim(x.getField("line"))),
+          l => l =!= ""), "\n")))
+      .drop("__sig", "__ls")
+      .select(col(idCol), col("unit_idx"), col("name"), col("start_line"),
+        col("n_lines"), col("fp_md5"))
+  }
+
+  /** Units plus `clone_count` — how many units corpus-wide share the
+    * fingerprint (1 = unique). A hash-partitioned window, scalable. */
+  def withCloneCounts(units: DataFrame): DataFrame =
+    units.withColumn("clone_count",
+      count(lit(1)).over(Window.partitionBy("fp_md5")))
+
+  /** Function-level exact dedup: keep the FIRST occurrence of each
+    * fingerprint (smallest id, then unit_idx — deterministic), the
+    * L1-keep-first convention at function granularity. */
+  def dedupFunctions(units: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("fp_md5")
+      .orderBy(col(idCol).asc, col("unit_idx").asc)
+    units.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** Clone-cluster report: fingerprints appearing more than once, with
+    * the member count and the first (id, unit) — the audit a code-dedup
+    * release documents. */
+  def cloneClusters(units: DataFrame, idCol: String = "doc_id"): DataFrame =
+    units.groupBy("fp_md5")
+      .agg(count(lit(1)).as("n_clones"),
+        min(struct(col(idCol), col("unit_idx"))).as("first"),
+        min(col("name")).as("min_name")) // min, not first: deterministic
+      .filter(col("n_clones") > 1L)
+      .select(col("fp_md5"), col("n_clones"),
+        col("first").getField(idCol).as("first_id"),
+        col("first").getField("unit_idx").as("first_unit"),
+        col("min_name"))
+}

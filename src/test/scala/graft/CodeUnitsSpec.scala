@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.CodeUnits
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.ops.CodeUnits]]: unit boundaries (preamble drop, EOF,
+  * nested-def split as documented), all three signature keywords, the
+  * format-insensitive fingerprint, clone counts, keep-first dedup, and
+  * the cluster report. */
+class CodeUnitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def units(rows: (Long, String)*) =
+    CodeUnits.extractFunctions(rows.toDF("doc_id", "text"))
+
+  test("preamble drops; units run signature-to-signature and to EOF") {
+    val src = "import os\n# header\ndef a():\n    x = 1\n\ndef b():\n    y = 2"
+    val out = units(1L -> src)
+      .select("unit_idx", "name", "start_line", "n_lines")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "a", 2L, 3L), (2L, "b", 5L, 2L)))
+  }
+
+  test("all three signature keywords start units, at any indent") {
+    val src = "def p():\n  1\nfunction js_f() {\n  2\n}\n  fn rust_f() {\n  3\n}"
+    val names = units(1L -> src).select("name").as[String].collect().sorted
+    assert(names.toSeq === Seq("js_f", "p", "rust_f"))
+  }
+
+  test("fingerprint is format-insensitive: trim + blank-drop collide") {
+    val a = "def f():\n    return 1"
+    val b = "def f():\n\n\n        return 1\n"
+    val fps = units(1L -> a, 2L -> b).select("fp_md5").as[String]
+      .collect().distinct
+    assert(fps.length === 1, "re-indented/blank-padded copy must collide")
+    val c = "def f():\n    return 2"
+    val fps2 = units(1L -> a, 3L -> c).select("fp_md5").as[String]
+      .collect().distinct
+    assert(fps2.length === 2, "token change must separate")
+  }
+
+  test("withCloneCounts + dedupFunctions keep-first semantics") {
+    val a = "def f():\n    return 1"
+    val u = CodeUnits.withCloneCounts(units(3L -> a, 1L -> a, 2L -> "def g():\n    return 9"))
+    val counts = u.select("doc_id", "clone_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) === 2L && counts(3L) === 2L && counts(2L) === 1L)
+    val kept = CodeUnits.dedupFunctions(u).select("doc_id").as[Long]
+      .collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L), "smallest doc_id wins the clone pair")
+  }
+
+  test("cloneClusters reports only multi-member fingerprints") {
+    val a = "def f():\n    return 1"
+    val r = CodeUnits.cloneClusters(units(5L -> a, 9L -> a, 2L -> "def g():\n    0"))
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_clones") === 2L)
+    assert(r.head.getAs[Long]("first_id") === 5L)
+    assert(r.head.getAs[String]("min_name") === "f")
+  }
+
+  test("no signatures at all → zero units; empty/NULL text safe") {
+    val out = CodeUnits.extractFunctions(
+      Seq((1L, "just prose\nno code"), (2L, ""), (3L, null: String))
+        .toDF("doc_id", "text"))
+    assert(out.count() === 0L)
+  }
+}
