@@ -9046,6 +9046,31 @@ object OracleSql {
       CAST(count(*) OVER (PARTITION BY fp_md5) AS BIGINT) AS clone_count
     FROM g"""
 
+  /** pass@k — q345. The identical fixed-order product via
+    * list_product over the same k-term sequence (left-to-right IEEE
+    * multiply both engines), with the k > n NULL and n − c < k → 1
+    * guards mirrored. */
+  private val q345 = """
+    WITH s AS (SELECT o_custkey % 97 AS problem,
+        (o_orderkey % 7) < 2 AS ok FROM orders),
+    a AS (SELECT problem, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM s GROUP BY problem)
+    SELECT CAST(problem AS BIGINT) AS problem, n, c,
+      CASE WHEN n < 1 THEN NULL WHEN n - c < 1 THEN 1.0
+        ELSE round(1.0 - list_product(list_transform(range(0, 1),
+          i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))), 6)
+        END AS pass_at_1,
+      CASE WHEN n < 5 THEN NULL WHEN n - c < 5 THEN 1.0
+        ELSE round(1.0 - list_product(list_transform(range(0, 5),
+          i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))), 6)
+        END AS pass_at_5,
+      CASE WHEN n < 10 THEN NULL WHEN n - c < 10 THEN 1.0
+        ELSE round(1.0 - list_product(list_transform(range(0, 10),
+          i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))), 6)
+        END AS pass_at_10
+    FROM a"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9411,6 +9436,7 @@ object OracleSql {
     "q341_pca_moments"      -> q341,
     "q342_trunc_prune"      -> q342,
     "q343_code_gates"       -> q343,
-    "q344_code_units"       -> q344
+    "q344_code_units"       -> q344,
+    "q345_pass_at_k"        -> q345
   ).map { case (k, v) => k -> clean(v) }
 }

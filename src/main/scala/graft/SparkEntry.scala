@@ -5337,6 +5337,17 @@ object SparkEntry {
       .withColumn("unit_idx", col("unit_idx").cast("long"))
   }
 
+  /** pass@k ([[graft.ops.Experiment.passAtK]]): the Codex/HumanEval
+    * unbiased estimator over synthesized eval samples (problem =
+    * custkey mod 97, pass = orderkey mod 7 < 2); both engines evaluate
+    * the identical fixed-order product `1 − ∏(n−c−i)/(n−i)`. */
+  private def q345PassAtK(s: SparkSession, dir: String): DataFrame = {
+    val samples = t(s, dir, "orders").select(
+      pmod(col("o_custkey"), lit(97)).cast("long").as("problem"),
+      (pmod(col("o_orderkey"), lit(7)) < 2).as("ok"))
+    graft.ops.Experiment.passAtK(samples, "problem", "ok", Seq(1, 5, 10))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5686,7 +5697,8 @@ object SparkEntry {
     "q341_pca_moments"      -> q341PcaMoments _,
     "q342_trunc_prune"      -> q342TruncPrune _,
     "q343_code_gates"       -> q343CodeGates _,
-    "q344_code_units"       -> q344CodeUnits _
+    "q344_code_units"       -> q344CodeUnits _,
+    "q345_pass_at_k"        -> q345PassAtK _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

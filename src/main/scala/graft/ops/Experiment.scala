@@ -1371,4 +1371,36 @@ object Experiment {
             (col("n_ctrl").cast("double") * col("__Mt").cast("double")), 6))
           .as("w_ctrl_d"))): _*)
   }
+
+  /** pass@k — the unbiased estimator from the Codex/HumanEval paper
+    * (SURVEY §2.11 L342): per problem with `n` samples of which `c`
+    * pass, `pass@k = 1 − C(n−c, k)/C(n, k)`, evaluated as the
+    * FIXED-ORDER product `1 − ∏_{i=0}^{k−1} (n−c−i)/(n−i)` — each term
+    * one IEEE division, the fold in sequence order, so any engine
+    * reproduces the double bit-for-bit (the naive c/n "pass rate" is
+    * biased for k < n; this is why every code-eval reports this form).
+    * `k > n` yields NULL (the estimator is undefined — more draws than
+    * samples); `n − c < k` is exactly 1 (some draw must hit a pass).
+    *
+    * One map-side-combinable groupBy per problem; the per-k fold runs
+    * over a k-length sequence row-locally. Output: one row per problem
+    * with `n`, `c`, and a `pass_at_<k>` column per requested k
+    * (rounded 6 dp). */
+  def passAtK(samples: DataFrame, problemCol: String, okCol: String,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"passAtK: ks must be non-empty positive ints, got $ks")
+    val agg0 = samples.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(okCol), 1L).otherwise(0L)).as("c"))
+    ks.foldLeft(agg0) { (df, k) =>
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0d),
+        (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+          (col("n") - i).cast("double")))
+      df.withColumn(s"pass_at_$k",
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, 1.0d)
+          .otherwise(round(lit(1.0d) - prod, 6)))
+    }
+  }
 }

@@ -2315,4 +2315,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(ab.getAs[Long]("rank") === 1L)
     assert(ab.getAs[Double]("cosine") === 0.666667) // 2/√9
   }
+
+  test("passAtK: the Codex estimator against hand binomials") {
+    // problem p: n = 10, c = 4 → pass@1 = 0.4 exactly;
+    // pass@3 = 1 − (6·5·4)/(10·9·8) = 1 − 1/6 = 0.833333
+    val samples =
+      ((1 to 4).map(i => ("p", true)) ++ (1 to 6).map(i => ("p", false)) ++
+        (1 to 5).map(i => ("z", false)) ++       // c = 0 → pass@k = 0
+        Seq(("w", true), ("w", true), ("w", false))) // n=3, c=2: n−c=1 < 3 → 1.0
+        .toDF("problem", "ok")
+    val out = Experiment.passAtK(samples, "problem", "ok", Seq(1, 3))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(out("p") === ((10L, 4L, 0.4, 0.833333)))
+    assert(out("z") === ((5L, 0L, 0.0, 0.0)))
+    assert(out("w") === ((3L, 2L, 0.666667, 1.0)))
+  }
+
+  test("passAtK: k > n is NULL (undefined), not clamped") {
+    val samples = Seq(("q", true), ("q", false)).toDF("problem", "ok")
+    val r = Experiment.passAtK(samples, "problem", "ok", Seq(5)).collect().head
+    assert(r.isNullAt(3), "k=5 over n=2 must be NULL")
+  }
 }
