@@ -9071,6 +9071,57 @@ object OracleSql {
         END AS pass_at_10
     FROM a"""
 
+  /** ANN recall — q346. The q35 IVF dag and the q29 brute dag replayed
+    * side by side, semi-joined per query, hits on the exact ×10⁹ DIV
+    * grid. */
+  private val q346 = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id LIMIT 32),
+    ccos AS (SELECT e.vec_id AS id, c.cid,
+        CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos
+      FROM e CROSS JOIN cent c),
+    cells AS (SELECT id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos) WHERE rn = 1),
+    qcells AS (SELECT id AS query_id, cid FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos WHERE id < 10) WHERE rn <= 4),
+    cand AS (SELECT q.query_id, c.id AS neighbor_id
+      FROM qcells q JOIN cells c ON q.cid = c.cid AND c.id <> q.query_id),
+    iscored AS (SELECT query_id, neighbor_id, $cosineSql AS cosine
+      FROM cand
+      JOIN e a ON a.vec_id = query_id
+      JOIN e b ON b.vec_id = neighbor_id),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM iscored) WHERE rank <= 5),
+    bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        $cosineSql AS cosine
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM bscored) WHERE rank <= 5),
+    h AS (SELECT a.query_id, count(*) AS hits FROM approx a
+      JOIN exact x ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY a.query_id),
+    ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+    nap AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id)
+    SELECT ne.query_id, CAST(ne.n_exact AS BIGINT) AS n_exact,
+      CAST(coalesce(nap.n_approx, 0) AS BIGINT) AS n_approx,
+      CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+      CAST((coalesce(h.hits, 0) * 1000000000) // 5 AS BIGINT) AS recall_e9
+    FROM ne
+    LEFT JOIN nap ON nap.query_id = ne.query_id
+    LEFT JOIN h ON h.query_id = ne.query_id"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9437,6 +9488,7 @@ object OracleSql {
     "q342_trunc_prune"      -> q342,
     "q343_code_gates"       -> q343,
     "q344_code_units"       -> q344,
-    "q345_pass_at_k"        -> q345
+    "q345_pass_at_k"        -> q345,
+    "q346_ann_recall"       -> q346
   ).map { case (k, v) => k -> clean(v) }
 }

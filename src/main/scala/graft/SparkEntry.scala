@@ -5348,6 +5348,16 @@ object SparkEntry {
     graft.ops.Experiment.passAtK(samples, "problem", "ok", Seq(1, 5, 10))
   }
 
+  /** ANN recall audit ([[graft.ops.Similarity.recallReport]]): IVF
+    * top-5 (q35's exact parameters) scored against the brute ground
+    * truth per query — hits and the exact ×10⁹ recall grid. The oracle
+    * replays BOTH dags and the semi-join tally. */
+  private def q346AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.recallReport(emb, emb.filter(col("vec_id") < 10), k = 5,
+      numCentroids = 32, nprobe = 4)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5698,7 +5708,8 @@ object SparkEntry {
     "q342_trunc_prune"      -> q342TruncPrune _,
     "q343_code_gates"       -> q343CodeGates _,
     "q344_code_units"       -> q344CodeUnits _,
-    "q345_pass_at_k"        -> q345PassAtK _
+    "q345_pass_at_k"        -> q345PassAtK _,
+    "q346_ann_recall"       -> q346AnnRecall _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -716,4 +716,39 @@ object Similarity {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
+
+  /** ANN recall audit — the index-quality evaluation every approximate
+    * tier must ship with (SURVEY §2.11 L343): run the EXACT brute top-k
+    * ([[bruteForceTopK]] — the ground truth) and the [[ivfTopK]]
+    * approximation over the SAME queries, and report per query how many
+    * approximate neighbors sit in the exact set. `recall_e9` is
+    * `hits·10⁹ DIV k` — an exact integer, never a float mean. Per-query
+    * rows (not a single average) because recall failures cluster: a
+    * query whose true neighbors straddle a cell boundary loses them all
+    * at once, and the distribution is the diagnostic.
+    *
+    * Both sides are persisted before the compare: each carries a
+    * shuffle-bearing top-k window and is read twice (semi-join + per-
+    * query tally) — the PlanLint recompute rule. Queries are a bounded
+    * anchor set by construction (an audit runs on a sample), so the
+    * frames are small. */
+  def recallReport(corpus: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   numCentroids: Int = 256, nprobe: Int = 4): DataFrame = {
+    require(k >= 1, s"recallReport: k must be >= 1, got $k")
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val approx = ivfTopK(corpus, queries, k, idCol, vecCol,
+      numCentroids, nprobe)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy("query_id").agg(count(lit(1)).as("n_approx")),
+        Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_approx", "hits"))
+      .withColumn("recall_e9",
+        expr(s"(hits * 1000000000) DIV $k"))
+  }
 }

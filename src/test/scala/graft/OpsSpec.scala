@@ -4819,4 +4819,36 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(strict.toSeq === Seq((0L, 2L)))
   }
+
+  test("recallReport: one cell makes IVF exhaustive -> recall exactly 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.recallReport(emb,
+      emb.filter(col("vec_id") < 4), k = 3, numCentroids = 1, nprobe = 1)
+      .collect()
+    assert(r.length === 4)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_exact") === 3L)
+      assert(row.getAs[Long]("n_approx") === 3L)
+      assert(row.getAs[Long]("hits") === 3L)
+      assert(row.getAs[Long]("recall_e9") === 1000000000L)
+    }
+  }
+
+  test("recallReport: recall is bounded and hits never exceed k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.recallReport(emb,
+      emb.filter(col("vec_id") < 5), k = 4, numCentroids = 8, nprobe = 1)
+      .collect()
+    r.foreach { row =>
+      val hits = row.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 4L)
+      assert(row.getAs[Long]("recall_e9") === hits * 1000000000L / 4L)
+    }
+  }
 }
