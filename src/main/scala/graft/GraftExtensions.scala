@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SargableYearPredicate)
     ext.injectOptimizerRule(_ => graft.plans.PrefixEqualityPushdown)
     ext.injectOptimizerRule(_ => graft.plans.SargableTruncPredicate)
+    ext.injectOptimizerRule(_ => graft.plans.CastDateStringPrefix)
   }
 }
 
@@ -55,6 +56,10 @@ object GraftExtensions {
         graft.plans.SargableTruncPredicate))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SargableTruncPredicate
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.CastDateStringPrefix))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CastDateStringPrefix
   }
 
   private def lit[T](e: Expression, what: String): T = {

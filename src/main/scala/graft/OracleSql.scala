@@ -9122,6 +9122,24 @@ object OracleSql {
     LEFT JOIN nap ON nap.query_id = ne.query_id
     LEFT JOIN h ON h.query_id = ne.query_id"""
 
+  /** Cast-date-string prefixes — q347. DuckDB evaluates the SAME
+    * predicates UNREWRITTEN over `CAST(d AS VARCHAR)` (identical ISO
+    * `yyyy-MM-dd` rendering both engines). */
+  private val q347 = """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN CAST(d AS VARCHAR) LIKE '1995%' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_y95,
+      CAST(sum(CASE WHEN CAST(d AS VARCHAR) LIKE '1995-03%' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_mar95,
+      CAST(sum(CASE WHEN CAST(d AS VARCHAR) LIKE '1995-0%' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_h195,
+      CAST(sum(CASE WHEN CAST(d AS VARCHAR) = '1995-03-15' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_ides,
+      CAST(sum(CASE WHEN CAST(d AS VARCHAR) LIKE '1995-02-3%' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_impossible
+    FROM d"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9489,6 +9507,7 @@ object OracleSql {
     "q343_code_gates"       -> q343,
     "q344_code_units"       -> q344,
     "q345_pass_at_k"        -> q345,
-    "q346_ann_recall"       -> q346
+    "q346_ann_recall"       -> q346,
+    "q347_cast_date_prune"  -> q347
   ).map { case (k, v) => k -> clean(v) }
 }

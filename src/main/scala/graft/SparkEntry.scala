@@ -5358,6 +5358,23 @@ object SparkEntry {
       numCentroids = 32, nprobe = 4)
   }
 
+  /** Cast-date-string prefix rewrite
+    * ([[graft.plans.CastDateStringPrefix]]): the fifth injected rule —
+    * `CAST(d AS STRING) LIKE 'p%'` / `= 'yyyy-MM-dd'` become raw date
+    * ranges/equality. Year, month, partial-month, full-date, and
+    * calendar-impossible forms counted over orders; DuckDB evaluates
+    * the UNREWRITTEN varchar casts (identical ISO rendering). */
+  private def q347CastDatePrune(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderdate").cast("date").as("d"))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    o.agg(count(lit(1)).as("n"),
+      cnt(col("d").cast("string").like("1995%")).as("n_y95"),
+      cnt(col("d").cast("string").like("1995-03%")).as("n_mar95"),
+      cnt(col("d").cast("string").like("1995-0%")).as("n_h195"),
+      cnt(col("d").cast("string") === "1995-03-15").as("n_ides"),
+      cnt(col("d").cast("string").like("1995-02-3%")).as("n_impossible"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5709,7 +5726,8 @@ object SparkEntry {
     "q343_code_gates"       -> q343CodeGates _,
     "q344_code_units"       -> q344CodeUnits _,
     "q345_pass_at_k"        -> q345PassAtK _,
-    "q346_ann_recall"       -> q346AnnRecall _
+    "q346_ann_recall"       -> q346AnnRecall _,
+    "q347_cast_date_prune"  -> q347CastDatePrune _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -327,6 +327,134 @@ object SargableTruncPredicate extends Rule[LogicalPlan] {
     }
 }
 
+/** Date-as-string prefix rewrite — the fifth injected
+  * `Rule[LogicalPlan]`, aimed at THE classic warehouse antipattern:
+  * `CAST(d AS STRING) LIKE '1995-03%'` (Spark's LikeSimplification has
+  * already lowered the LIKE to `StartsWith(cast(d AS string), p)` by
+  * the time extra rules run) and `CAST(d AS STRING) = '1995-03-15'`.
+  * Because Spark renders DATE as fixed-width, zero-padded `yyyy-MM-dd`,
+  * lexicographic order on the strings IS chronological order — so the
+  * set of dates whose rendering starts with ANY prefix is a CONTIGUOUS
+  * date interval, computable at rewrite time:
+  *
+  *   - each prefix position pads down/up against the `yyyy-MM-dd`
+  *     template (`'199'` → 1990…1999; `'1995-0'` → months 01…09;
+  *     `'1995-03-1'` → days 10…19), then clamps to calendar validity
+  *     (months to [01,12], days to the month's length — `'1995-02-3'`
+  *     has no match and folds to a null-preserving FALSE);
+  *   - a prefix that clashes with the template (a dash where a digit
+  *     goes, a 13th month, an 11-char string) can never match any
+  *     rendering → null-preserving FALSE;
+  *   - full-date equality becomes `d = DATE'…'` directly.
+  *
+  * The result reaches parquet as min/max range pruning where the cast
+  * comparison was opaque. NULL `d` nulls every original and rewritten
+  * form. Scope guards: DATE child only (timestamp renderings carry a
+  * session-timezone time-of-day — out of scope), default-collation
+  * string comparison, years clamped to [1, 9998] (the sibling rules'
+  * convention; year 0 renders specially and stays untouched). */
+object CastDateStringPrefix extends Rule[LogicalPlan] {
+
+  import java.time.LocalDate
+
+  private def isBinaryStringType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case st: StringType =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.isUTF8BinaryCollation(st)
+      case _ => false
+    }
+
+  /** `cast(d AS string)` over a DATE-typed `d`, default collation. */
+  private object DateAsString {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c: Cast if c.child.dataType == DateType &&
+        isBinaryStringType(c.dataType) => Some(c.child)
+      case _ => None
+    }
+  }
+
+  private object StrLit {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, t) if v != null && isBinaryStringType(t) =>
+        Some(v.toString)
+      case _ => None
+    }
+  }
+
+  /** The rewrite for a prefix `p`: `None` = out of scope, leave the
+    * plan alone (non-template characters, or a year window touching
+    * the specially-rendered extremes — year 0 prints `0000`, years
+    * ≥ 10000 print a `+`-prefixed 5+ digit form, so only prefixes whose
+    * ENTIRE year window sits in [1, 9998] are reasoned about);
+    * `Some(None)` = provably matches no rendering (calendar-impossible:
+    * month 13, Feb 30); `Some(Some((lo, hi)))` = the inclusive date
+    * interval whose `yyyy-MM-dd` renderings start with `p`. */
+  private[graft] def prefixRange(p: String): Option[Option[(LocalDate, LocalDate)]] = {
+    val template = "dddd-dd-dd" // d = digit position
+    // 11+ chars can still prefix an exotic rendering ('-0001-01-01' is
+    // 11 chars) — out of scope entirely, leave untouched
+    if (p.length > 10) return None
+    var i = 0
+    while (i < p.length) {
+      val ok = if (template(i) == 'd') p(i).isDigit else p(i) == '-'
+      if (!ok) return None // non-template prefix: could match exotic renderings — untouched
+      i += 1
+    }
+    def part(from: Int, until: Int, pad: Char): String =
+      (from until until).map(j => if (j < p.length) p(j) else pad).mkString
+    val yLo = part(0, 4, '0').toInt
+    val yHi = part(0, 4, '9').toInt
+    if (yLo < 1 || yHi > 9998) return None // window touches the extremes — untouched
+    val mLo = math.max(part(5, 7, '0').toInt, 1)
+    val mHi = math.min(part(5, 7, '9').toInt, 12)
+    if (mLo > mHi) return Some(None)
+    // day digits only appear once year+month are fully specified
+    val dLo = math.max(part(8, 10, '0').toInt, 1)
+    val dHiRaw = part(8, 10, '9').toInt
+    val lastDayHi = LocalDate.of(yHi, mHi, 1).lengthOfMonth
+    val dHi = math.min(dHiRaw, lastDayHi)
+    if (dLo > dHi) return Some(None)
+    Some(Some((LocalDate.of(yLo, mLo, dLo), LocalDate.of(yHi, mHi, dHi))))
+  }
+
+  private def dlit(ld: LocalDate): Expression =
+    Literal(ld.toEpochDay.toInt, DateType)
+
+  private def neverNullSafe(d: Expression): Expression =
+    If(IsNull(d), Literal(null, BooleanType), Literal(false))
+
+  private val FullDate = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+
+  /** Full-date equality: `Some(rewrite)` or `None` = untouched. */
+  private def eqFor(d: Expression, s: String): Option[Expression] = s match {
+    case FullDate(y, m, dd) if y.toInt >= 1 && y.toInt <= 9998 =>
+      try Some(EqualTo(d, dlit(LocalDate.of(y.toInt, m.toInt, dd.toInt))))
+      catch {
+        // template-shaped but calendar-impossible (Feb 30): no in-range
+        // rendering matches, and out-of-range renderings cannot share a
+        // template-valid [1,9998]-year prefix
+        case _: java.time.DateTimeException => Some(neverNullSafe(d))
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case orig @ StartsWith(DateAsString(d), StrLit(p)) =>
+        prefixRange(p) match {
+          case Some(Some((lo, hi))) =>
+            And(GreaterThanOrEqual(d, dlit(lo)),
+              LessThan(d, dlit(hi.plusDays(1))))
+          case Some(None) => neverNullSafe(d)
+          case None => orig
+        }
+      case orig @ EqualTo(DateAsString(d), StrLit(s)) =>
+        eqFor(d, s).getOrElse(orig)
+      case orig @ EqualTo(StrLit(s), DateAsString(d)) =>
+        eqFor(d, s).getOrElse(orig)
+    }
+}
+
 /** Prefix-equality pushdown — the third injected `Rule[LogicalPlan]`:
   * `substring(c, 1, n) = 'lit'` (either operand order; `left(c, n)`
   * arrives here too, ReplaceExpressions having already lowered it to

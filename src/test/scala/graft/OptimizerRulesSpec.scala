@@ -326,6 +326,93 @@ class OptimizerRulesSpec extends SparkSpec {
     assert(q.collect().head.getLong(0) === 31L)
   }
 
+  // ---------------------------------------- CastDateStringPrefix
+
+  test("cast-date LIKE prefixes rewrite to ranges, value-identical") {
+    // fixture: every day 1993-12-30 .. 1996-01-03, plus one NULL
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      ($"d".cast("string").like("1994%"), daysIn(1994)),
+      ($"d".cast("string").like("1994-06%"), 30L),
+      ($"d".cast("string").like("1994-0%"), 273L),   // Jan..Sep 1994
+      ($"d".cast("string").like("1994-1%"), 92L),    // Oct..Dec 1994
+      ($"d".cast("string").like("199%"), 735L),      // all non-null rows
+      ($"d".cast("string").like("1994-06-1%"), 10L), // Jun 10-19
+      ($"d".cast("string").like("1994-13%"), 0L),    // impossible month
+      ($"d".cast("string").like("1994-02-30%"), 0L)) // impossible day
+    for (((pred, want), i) <- cases.zipWithIndex) {
+      val q = dates.filter(pred)
+      val plan = optimized(q)
+      assert(!plan.toLowerCase.contains("cast("),
+        s"cast-like case $i not rewritten: $plan")
+      assert(q.count() === want, s"cast-like case $i row count")
+    }
+  }
+
+  test("cast-date string equality rewrites to date equality") {
+    val q = dates.filter($"d".cast("string") === "1994-06-15")
+    assert(!optimized(q).toLowerCase.contains("cast("), optimized(q))
+    assert(q.count() === 1L)
+    val q2 = dates.filter(lit("1994-02-30") === $"d".cast("string"))
+    assert(q2.count() === 0L)
+    // null propagation in projection context
+    val out = dates.select($"d",
+      ($"d".cast("string") === "1994-06-15").as("hit"))
+      .filter($"d".isNull).collect()
+    assert(out.length === 1 && out.head.isNullAt(1))
+  }
+
+  test("cast-date rewrite reaches the parquet scan") {
+    val q = dates.filter($"d".cast("string").like("1994-06%"))
+    val physical = q.queryExecution.executedPlan.toString
+    // IsNotNull(d) present here: the pre-rewrite StartsWith(cast(d)) IS
+    // null-intolerant in d, so the constraint inferencer keeps it
+    assert(physical.contains("PushedFilters: [IsNotNull(d), " +
+      "GreaterThanOrEqual(d,1994-06-01), LessThan(d,1994-07-01)]"),
+      s"cast-like range not pushed:\n$physical")
+  }
+
+  test("cast-date out-of-scope shapes are left alone") {
+    // year window touching the rendering extremes: untouched
+    val q1 = dates.filter($"d".cast("string").like("9%"))
+    assert(optimized(q1).toLowerCase.contains("cast("), optimized(q1))
+    assert(q1.count() === 0L)
+    // non-template prefix: untouched (and matches nothing here)
+    val q2 = dates.filter($"d".cast("string").like("19x%"))
+    assert(optimized(q2).toLowerCase.contains("cast("), optimized(q2))
+    assert(q2.count() === 0L)
+    // equality against a non-template string: untouched
+    val q3 = dates.filter($"d".cast("string") === "not-a-date")
+    assert(optimized(q3).toLowerCase.contains("cast("), optimized(q3))
+    assert(q3.count() === 0L)
+  }
+
+  test("prefixRange unit cases incl. leap day and clamping") {
+    import graft.plans.CastDateStringPrefix.prefixRange
+    import java.time.LocalDate
+    def r(p: String) = prefixRange(p)
+    assert(r("1995") === Some(Some((LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31)))))
+    assert(r("1995-0") === Some(Some((LocalDate.of(1995, 1, 1), LocalDate.of(1995, 9, 30)))))
+    assert(r("1995-1") === Some(Some((LocalDate.of(1995, 10, 1), LocalDate.of(1995, 12, 31)))))
+    assert(r("1996-02-29") === Some(Some((LocalDate.of(1996, 2, 29), LocalDate.of(1996, 2, 29)))))
+    assert(r("1995-02-29") === Some(None)) // not a leap year
+    assert(r("1995-00") === Some(None))
+    assert(r("1995-02-3") === Some(None)) // Feb has no 30s
+    assert(r("199") === Some(Some((LocalDate.of(1990, 1, 1), LocalDate.of(1999, 12, 31)))))
+    assert(r("1995-04-") === Some(Some((LocalDate.of(1995, 4, 1), LocalDate.of(1995, 4, 30)))))
+    assert(r("") === None)          // year window reaches year 0
+    assert(r("9") === None)         // reaches year 9999
+    assert(r("19x") === None)       // non-template
+    assert(r("1995-03-01x") === None) // 11 chars
+  }
+
+  test("cast-date SQL-surface predicates rewrite too") {
+    dates.createOrReplaceTempView("caststr_fixture")
+    val q = spark.sql("SELECT count(*) AS n FROM caststr_fixture " +
+      "WHERE CAST(d AS STRING) LIKE '1995-03%'")
+    assert(!optimized(q).toLowerCase.contains("cast("), optimized(q))
+    assert(q.collect().head.getLong(0) === 31L)
+  }
+
   // ---------------------------------------- PrefixEqualityPushdown
 
   private lazy val strs: DataFrame = {
