@@ -9140,6 +9140,26 @@ object OracleSql {
         AS BIGINT) AS n_impossible
     FROM d"""
 
+  /** Heaps-law vocabulary growth — q348. First-seen-bucket mins and
+    * window cumsums over the shared normalization; empty docs
+    * contribute their single empty-string token on both engines (the
+    * docTokens convention). */
+  private val q348 = s"""
+    WITH d AS (SELECT doc_id // 50 AS bucket,
+        string_split($normSql, ' ') AS tk FROM documents),
+    pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM d GROUP BY bucket),
+    tok AS (SELECT bucket, unnest(tk) AS tok FROM d),
+    fs AS (SELECT tok, min(bucket) AS fb FROM tok GROUP BY tok),
+    nt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_terms
+      FROM fs GROUP BY fb)
+    SELECT CAST(pb.bucket AS BIGINT) AS bucket, pb.n_docs, pb.n_tokens,
+      CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+      CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+      CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket)
+        AS BIGINT) AS cum_terms
+    FROM pb LEFT JOIN nt ON nt.bucket = pb.bucket"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9508,6 +9528,7 @@ object OracleSql {
     "q344_code_units"       -> q344,
     "q345_pass_at_k"        -> q345,
     "q346_ann_recall"       -> q346,
-    "q347_cast_date_prune"  -> q347
+    "q347_cast_date_prune"  -> q347,
+    "q348_vocab_growth"     -> q348
   ).map { case (k, v) => k -> clean(v) }
 }

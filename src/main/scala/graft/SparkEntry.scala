@@ -5375,6 +5375,14 @@ object SparkEntry {
       cnt(col("d").cast("string").like("1995-02-3%")).as("n_impossible"))
   }
 
+  /** Heaps-law vocabulary growth ([[graft.ops.Lexicon.vocabGrowth]]):
+    * V(N) over 50-doc id buckets — per-bucket docs/tokens/new terms and
+    * the two cumulative columns via the distributed prefix sum. The
+    * oracle replays first-seen-bucket mins and window cumsums over the
+    * shared normalization. */
+  private def q348VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Lexicon.vocabGrowth(t(s, dir, "documents"), bucketWidth = 50L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5727,7 +5735,8 @@ object SparkEntry {
     "q344_code_units"       -> q344CodeUnits _,
     "q345_pass_at_k"        -> q345PassAtK _,
     "q346_ann_recall"       -> q346AnnRecall _,
-    "q347_cast_date_prune"  -> q347CastDatePrune _
+    "q347_cast_date_prune"  -> q347CastDatePrune _,
+    "q348_vocab_growth"     -> q348VocabGrowth _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

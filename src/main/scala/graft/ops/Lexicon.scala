@@ -385,4 +385,42 @@ object Lexicon {
           lpad(expr("CAST(score_fx % 1000000000 AS STRING)"), 9, "0"))
           .as("score"))
   }
+
+  /** Heaps-law vocabulary growth curve (SURVEY §2.11 L345) — V(N), the
+    * distinct-vocabulary count as a function of cumulative token mass:
+    * the corpus-composition diagnostic that tells you whether more data
+    * still buys new vocabulary (V ≈ K·N^β, β ≈ 0.4–0.6 for natural
+    * text; a FLAT tail means the source is exhausted/templated, a
+    * β ≈ 1 tail means boilerplate-free id-like churn — both worth
+    * catching before committing a 100 TB crawl to the mix).
+    *
+    * Docs bucket by `idCol DIV bucketWidth` (deterministic, order- and
+    * partitioning-free); each term's FIRST bucket is one `min`
+    * aggregate, so `new_terms` per bucket needs no sequential pass; the
+    * two cumulative columns ride [[PrefixSum.runningSum]] — the
+    * two-level scan, NOT a single-partition window, so a curve over a
+    * million buckets still parallelizes. All counts exact integers.
+    * Callers size `bucketWidth` to make the curve plot-sized; the
+    * machinery does not require it. */
+  def vocabGrowth(docs: DataFrame, bucketWidth: Long = 50L,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth >= 1, s"vocabGrowth: bucketWidth >= 1, got $bucketWidth")
+    val base = docs.select(
+      expr(s"CAST($idCol AS BIGINT) DIV $bucketWidth").as("bucket"),
+      split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")
+        .as("__tk"))
+    val perBucket = base.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__tk")).cast("long")).as("n_tokens"))
+    val newTerms = base.select(col("bucket"), explode(col("__tk")).as("tok"))
+      .groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val joined = perBucket
+      .join(newTerms, Seq("bucket"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+    PrefixSum.runningSum(
+      PrefixSum.runningSum(joined, Seq("bucket"), "n_tokens", "cum_tokens"),
+      Seq("bucket"), "new_terms", "cum_terms")
+  }
 }

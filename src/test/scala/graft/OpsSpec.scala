@@ -4820,6 +4820,24 @@ class OpsSpec extends SparkSpec {
     assert(strict.toSeq === Seq((0L, 2L)))
   }
 
+  test("vocabGrowth: first-seen buckets and exact cumulative curve") {
+    import spark.implicits._
+    // bucketWidth 2: docs 0-1 -> bucket 0, 2-3 -> bucket 1, 4 -> bucket 2
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "alpha gamma"),
+      (2L, "beta delta"), (3L, "alpha"),
+      (4L, "epsilon alpha zeta")).toDF("doc_id", "text")
+    val out = graft.ops.Lexicon.vocabGrowth(docs, bucketWidth = 2L)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Long]("new_terms"),
+          r.getAs[Long]("cum_terms"))).toMap
+    // bucket 0: alpha,beta,gamma new (3); bucket 1: delta (1); bucket 2: epsilon,zeta (2)
+    assert(out(0L) === ((2L, 4L, 4L, 3L, 3L)))
+    assert(out(1L) === ((2L, 3L, 7L, 1L, 4L)))
+    assert(out(2L) === ((1L, 3L, 10L, 2L, 6L)))
+  }
+
   test("recallReport: one cell makes IVF exhaustive -> recall exactly 1") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
