@@ -9160,6 +9160,54 @@ object OracleSql {
         AS BIGINT) AS cum_terms
     FROM pb LEFT JOIN nt ON nt.bucket = pb.bucket"""
 
+  /** Language segments — q349. Identical synthesis, then the q26 occ()
+    * scoring PER LINE (same markers, same greatest-chain tie-break, und
+    * when nothing fires), islands via IS DISTINCT FROM lag + cumsum. */
+  private val q349 = s"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    c AS (SELECT doc_id,
+        'the cat and the dog of it all' || chr(10) ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'the fox and the hen of old'
+          ELSE 'der hund und die katze der nacht' END) || chr(10) ||
+        'der wagen und die strasse die nacht' || chr(10) ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'le chat et les chiens le jour'
+          ELSE 'der berg und die sonne der tag' END) || chr(10) ||
+        substr(t, 1, 60) ||
+        (CASE WHEN doc_id % 5 = 0 THEN chr(10) ELSE '' END) AS t
+      FROM d),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM c),
+    l0 AS (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM ls),
+    l AS (SELECT doc_id, i - 1 AS pos, a[i] AS line,
+        ' ' || lower(a[i]) || ' ' AS p FROM l0),
+    sc AS (SELECT doc_id, pos, line,
+        ${occ("the")} + ${occ("and")} + ${occ("of")} AS s_en,
+        ${occ("der")} + ${occ("und")} + ${occ("die")} AS s_de,
+        ${occ("le")} + ${occ("et")} + ${occ("les")} AS s_fr,
+        ${occ("el")} + ${occ("y")} + ${occ("los")} AS s_es,
+        ${occ("il")} + ${occ("e")} + ${occ("di")} AS s_it
+      FROM l),
+    det AS (SELECT doc_id, pos, line,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) <= 0 THEN 'und'
+          WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+          WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+          WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+          WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+          ELSE 'it' END AS lang
+      FROM sc),
+    w AS (SELECT doc_id, pos, line, lang,
+        CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY pos)
+          IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg
+      FROM det),
+    seg AS (SELECT doc_id, pos, line, lang,
+        sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
+      FROM w)
+    SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, min(lang) AS lang,
+      CAST(min(pos) AS BIGINT) AS start_line,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(length(line)) AS BIGINT) AS n_chars
+    FROM seg GROUP BY doc_id, seg_idx"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9529,6 +9577,7 @@ object OracleSql {
     "q345_pass_at_k"        -> q345,
     "q346_ann_recall"       -> q346,
     "q347_cast_date_prune"  -> q347,
-    "q348_vocab_growth"     -> q348
+    "q348_vocab_growth"     -> q348,
+    "q349_lang_segments"    -> q349
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5383,6 +5383,29 @@ object SparkEntry {
   private def q348VocabGrowth(s: SparkSession, dir: String): DataFrame =
     Lexicon.vocabGrowth(t(s, dir, "documents"), bucketWidth = 50L)
 
+  /** Per-line language segmentation
+    * ([[graft.ops.TextAnalysis.languageSegments]]): mixed-language docs
+    * synthesized from fixed marker-bearing phrases (en/de/fr by doc_id
+    * arithmetic, a real text slice, a blank every 5th doc) — per-line
+    * marker langid, adjacent same-label coalescing. The oracle replays
+    * the q26 occ() scoring per line plus the lag/cumsum islands. */
+  private def q349LangSegments(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t0 = coalesce(col("text"), lit(""))
+    val md = concat(
+      lit("the cat and the dog of it all\n"),
+      when(pmod(id, lit(2)) === 0, lit("the fox and the hen of old"))
+        .otherwise(lit("der hund und die katze der nacht")), lit("\n"),
+      lit("der wagen und die strasse die nacht\n"),
+      when(pmod(id, lit(3)) === 0, lit("le chat et les chiens le jour"))
+        .otherwise(lit("der berg und die sonne der tag")), lit("\n"),
+      substring(t0, 1, 60),
+      when(pmod(id, lit(5)) === 0, lit("\n")).otherwise(lit("")))
+    TextAnalysis.languageSegments(
+      t(s, dir, "documents").select(id, md.as("text")))
+      .withColumn("seg_idx", col("seg_idx").cast("long"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5736,7 +5759,8 @@ object SparkEntry {
     "q345_pass_at_k"        -> q345PassAtK _,
     "q346_ann_recall"       -> q346AnnRecall _,
     "q347_cast_date_prune"  -> q347CastDatePrune _,
-    "q348_vocab_growth"     -> q348VocabGrowth _
+    "q348_vocab_growth"     -> q348VocabGrowth _,
+    "q349_lang_segments"    -> q349LangSegments _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

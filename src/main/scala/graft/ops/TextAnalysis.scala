@@ -834,4 +834,41 @@ object TextAnalysis {
         array_join(slice(col("__tk"), col("__p") + 2, lit(width)), " ")
           .as("right"))
   }
+
+  /** Per-line language segmentation (SURVEY §2.11 L346) — the CCNet
+    * move, one granularity finer: web documents MIX languages (an
+    * English page quoting German, boilerplate navigation in the site
+    * language around translated body text), and a per-DOCUMENT language
+    * id mislabels every minority span. Each line gets the shared
+    * marker-count language id ([[detectLanguage]] — identical scores
+    * and tie-breaks to the document tier, `und` when no marker fires,
+    * which blank/short lines naturally hit), then adjacent same-label
+    * lines coalesce into segments (gaps-and-islands: a lag change flag
+    * and a running sum, both over ONE doc-partitioned window — never
+    * global). `und` is a first-class label, not merged into neighbors —
+    * callers wanting CCNet's paragraph units filter it out and re-rank.
+    *
+    * Output: one row per (doc, segment): `seg_idx` (1-based), `lang`,
+    * `start_line` (0-based), `n_lines`, `n_chars` (sum of line lengths,
+    * newlines excluded). Row-local scoring + one window family +
+    * one groupBy — scales as a scan. */
+  def languageSegments(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("pos", "line")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    lines
+      .withColumn("lang", detectLanguage(col("line")))
+      .withColumn("__chg",
+        when(lag(col("lang"), 1).over(w).isNull ||
+          lag(col("lang"), 1).over(w) =!= col("lang"), 1L).otherwise(0L))
+      .withColumn("seg_idx", sum(col("__chg")).over(w))
+      .groupBy(col(idCol), col("seg_idx"))
+      .agg(min(col("lang")).as("lang"), // constant within a segment
+        min(col("pos")).cast("long").as("start_line"),
+        count(lit(1)).as("n_lines"),
+        sum(length(col("line")).cast("long")).as("n_chars"))
+  }
 }

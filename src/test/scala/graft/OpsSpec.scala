@@ -4820,6 +4820,35 @@ class OpsSpec extends SparkSpec {
     assert(strict.toSeq === Seq((0L, 2L)))
   }
 
+  test("languageSegments: per-line langid with island coalescing") {
+    import spark.implicits._
+    val doc = "the cat and the dog\n" +     // en
+      "the fox and the hen of it\n" +       // en (coalesces)
+      "der hund und die katze\n" +          // de
+      "\n" +                                 // und (blank)
+      "le chat et les chiens"               // fr
+    val out = graft.ops.TextAnalysis.languageSegments(
+      Seq((7L, doc)).toDF("doc_id", "text"))
+      .orderBy("seg_idx").collect()
+      .map(r => (r.getAs[Long]("seg_idx"), r.getAs[String]("lang"),
+        r.getAs[Long]("start_line"), r.getAs[Long]("n_lines")))
+    assert(out.toSeq === Seq(
+      (1L, "en", 0L, 2L), (2L, "de", 2L, 1L),
+      (3L, "und", 3L, 1L), (4L, "fr", 4L, 1L)))
+  }
+
+  test("languageSegments: single-language doc is one segment; NULL safe") {
+    import spark.implicits._
+    val out = graft.ops.TextAnalysis.languageSegments(Seq(
+      (1L, "the one and only\nthe best of all"),
+      (2L, null: String)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seg_idx"), r.getAs[String]("lang"),
+          r.getAs[Long]("n_lines"))).toMap
+    assert(out(1L) === ((1L, "en", 2L)))
+    assert(out(2L) === ((1L, "und", 1L))) // NULL text -> one empty line
+  }
+
   test("vocabGrowth: first-seen buckets and exact cumulative curve") {
     import spark.implicits._
     // bucketWidth 2: docs 0-1 -> bucket 0, 2-3 -> bucket 1, 4 -> bucket 2
