@@ -9208,6 +9208,73 @@ object OracleSql {
       CAST(sum(length(line)) AS BIGINT) AS n_chars
     FROM seg GROUP BY doc_id, seg_idx"""
 
+  /** ROUGE-N — q350. Gram lists via 1-based inclusive slices joined on
+    * chr(1) (the expression's out-of-alphabet separator), the clip via
+    * per-gram counts + least, P/R on the exact ×10⁹ DIV grid. */
+  private val q350 = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+          '[^a-z0-9]+'), x -> x <> '')[1:25] AS tk
+      FROM documents WHERE doc_id < 60),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tk AS ta, b.tk AS tb
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+    g AS (SELECT id_a, id_b,
+        list_transform(range(1, len(ta) - 1 + 2), i ->
+          array_to_string(ta[i:i], chr(1))) AS ga1,
+        list_transform(range(1, len(tb) - 1 + 2), i ->
+          array_to_string(tb[i:i], chr(1))) AS gb1,
+        list_transform(range(1, len(ta) - 2 + 2), i ->
+          array_to_string(ta[i:i+1], chr(1))) AS ga2,
+        list_transform(range(1, len(tb) - 2 + 2), i ->
+          array_to_string(tb[i:i+1], chr(1))) AS gb2
+      FROM pairs),
+    ca1 AS (SELECT id_a, id_b, g1 AS gr, count(*) AS c
+      FROM (SELECT id_a, id_b, unnest(ga1) AS g1 FROM g) GROUP BY 1, 2, 3),
+    cb1 AS (SELECT id_a, id_b, g1 AS gr, count(*) AS c
+      FROM (SELECT id_a, id_b, unnest(gb1) AS g1 FROM g) GROUP BY 1, 2, 3),
+    ov1 AS (SELECT ca1.id_a, ca1.id_b,
+        CAST(sum(least(ca1.c, cb1.c)) AS BIGINT) AS ov
+      FROM ca1 JOIN cb1 ON cb1.id_a = ca1.id_a AND cb1.id_b = ca1.id_b
+        AND cb1.gr = ca1.gr
+      GROUP BY 1, 2),
+    ca2 AS (SELECT id_a, id_b, g2 AS gr, count(*) AS c
+      FROM (SELECT id_a, id_b, unnest(ga2) AS g2 FROM g) GROUP BY 1, 2, 3),
+    cb2 AS (SELECT id_a, id_b, g2 AS gr, count(*) AS c
+      FROM (SELECT id_a, id_b, unnest(gb2) AS g2 FROM g) GROUP BY 1, 2, 3),
+    ov2 AS (SELECT ca2.id_a, ca2.id_b,
+        CAST(sum(least(ca2.c, cb2.c)) AS BIGINT) AS ov
+      FROM ca2 JOIN cb2 ON cb2.id_a = ca2.id_a AND cb2.id_b = ca2.id_b
+        AND cb2.gr = ca2.gr
+      GROUP BY 1, 2),
+    base AS (SELECT id_a, id_b,
+        CAST(greatest(len(ta), 0) AS BIGINT) AS na1,
+        CAST(greatest(len(tb), 0) AS BIGINT) AS nb1,
+        CAST(greatest(len(ta) - 1, 0) AS BIGINT) AS na2,
+        CAST(greatest(len(tb) - 1, 0) AS BIGINT) AS nb2
+      FROM pairs)
+    SELECT b.id_a, b.id_b,
+      CAST(coalesce(ov1.ov, 0) AS BIGINT) AS ov_1,
+      b.na1 AS ngrams_a_1, b.nb1 AS ngrams_b_1,
+      CAST(CASE WHEN b.na1 = 0 THEN 0
+        ELSE (coalesce(ov1.ov, 0) * 1000000000) // b.na1 END AS BIGINT)
+        AS rouge1_p_e9,
+      CAST(CASE WHEN b.nb1 = 0 THEN 0
+        ELSE (coalesce(ov1.ov, 0) * 1000000000) // b.nb1 END AS BIGINT)
+        AS rouge1_r_e9,
+      CAST(coalesce(ov2.ov, 0) AS BIGINT) AS ov_2,
+      b.na2 AS ngrams_a_2, b.nb2 AS ngrams_b_2,
+      CAST(CASE WHEN b.na2 = 0 THEN 0
+        ELSE (coalesce(ov2.ov, 0) * 1000000000) // b.na2 END AS BIGINT)
+        AS rouge2_p_e9,
+      CAST(CASE WHEN b.nb2 = 0 THEN 0
+        ELSE (coalesce(ov2.ov, 0) * 1000000000) // b.nb2 END AS BIGINT)
+        AS rouge2_r_e9
+    FROM base b
+    LEFT JOIN ov1 ON ov1.id_a = b.id_a AND ov1.id_b = b.id_b
+    LEFT JOIN ov2 ON ov2.id_a = b.id_a AND ov2.id_b = b.id_b"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9578,6 +9645,7 @@ object OracleSql {
     "q346_ann_recall"       -> q346,
     "q347_cast_date_prune"  -> q347,
     "q348_vocab_growth"     -> q348,
-    "q349_lang_segments"    -> q349
+    "q349_lang_segments"    -> q349,
+    "q350_rouge_n"          -> q350
   ).map { case (k, v) => k -> clean(v) }
 }

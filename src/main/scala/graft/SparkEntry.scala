@@ -5406,6 +5406,23 @@ object SparkEntry {
       .withColumn("seg_idx", col("seg_idx").cast("long"))
   }
 
+  /** ROUGE-N ([[graft.ops.RougeL.withRougeN]]): clipped 1-gram and
+    * 2-gram overlaps with exact P/R grids over the q339 bounded pair
+    * slice; the oracle replays gram construction and the
+    * Σ min(count_a, count_b) clip via unnest + least. */
+  private def q350RougeN(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RougeL
+    val toks = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("doc_id"), RougeL.wordTokens(col("text"), maxTokens = 25).as("toks"))
+    val pairs = toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")),
+        col("id_a") < col("id_b"))
+    RougeL.withRougeN(RougeL.withRougeN(pairs, 1), 2)
+      .select("id_a", "id_b", "ov_1", "ngrams_a_1", "ngrams_b_1",
+        "rouge1_p_e9", "rouge1_r_e9", "ov_2", "ngrams_a_2", "ngrams_b_2",
+        "rouge2_p_e9", "rouge2_r_e9")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5760,7 +5777,8 @@ object SparkEntry {
     "q346_ann_recall"       -> q346AnnRecall _,
     "q347_cast_date_prune"  -> q347CastDatePrune _,
     "q348_vocab_growth"     -> q348VocabGrowth _,
-    "q349_lang_segments"    -> q349LangSegments _
+    "q349_lang_segments"    -> q349LangSegments _,
+    "q350_rouge_n"          -> q350RougeN _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

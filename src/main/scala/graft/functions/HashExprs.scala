@@ -1665,6 +1665,73 @@ object HashExprs {
       copy(left = l, right = r)
   }
 
+  /** Clipped n-gram overlap — the ROUGE-N / BLEU-modified-precision
+    * numerator ([[graft.ops.RougeL.withRougeN]], SURVEY §2.11 L347):
+    * `Σ_g min(count_a(g), count_b(g))` over each side's n-grams.
+    * Clipping is the published definition — without it a candidate
+    * repeating one reference word inflates precision without bound.
+    * One hash map of the right side's grams, one pass over the left's —
+    * O(|a| + |b|) per pair, compiled. N-gram identity is exact binary
+    * token-sequence equality. Sides shorter than n have zero grams. */
+  case class ClippedNgramOverlap(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "clipped_ngram_overlap"
+
+    private def grams(x: ArrayData): Array[String] = {
+      val m = x.numElements()
+      if (m < n) return Array.empty
+      val toks = new Array[String](m)
+      var i = 0
+      while (i < m) {
+        toks(i) = if (x.isNullAt(i)) " " else x.getUTF8String(i).toString
+        i += 1
+      }
+      val out = new Array[String](m - n + 1)
+      i = 0
+      while (i <= m - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append('\u0001') // separator outside any token alphabet
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val ga = grams(a.asInstanceOf[ArrayData])
+      val gb = grams(b.asInstanceOf[ArrayData])
+      if (ga.isEmpty || gb.isEmpty) return 0
+      val counts = new java.util.HashMap[String, Integer](gb.length * 2)
+      var i = 0
+      while (i < gb.length) {
+        val prev = counts.get(gb(i))
+        counts.put(gb(i), Integer.valueOf(if (prev == null) 1 else prev.intValue + 1))
+        i += 1
+      }
+      var ov = 0
+      i = 0
+      while (i < ga.length) {
+        val c = counts.get(ga(i))
+        if (c != null && c.intValue > 0) {
+          ov += 1
+          counts.put(ga(i), Integer.valueOf(c.intValue - 1))
+        }
+        i += 1
+      }
+      ov
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ClippedNgramOverlap =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------------------ Column sugar
 
   def unigramViterbiPieces(text: Column, pieces: Seq[(String, Double)]): Column =
@@ -1712,6 +1779,10 @@ object HashExprs {
   def lcsTokenLength(a: Column, b: Column): Column =
     ColumnBridge.column(LcsTokenLength(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  def clippedNgramOverlap(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(ClippedNgramOverlap(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), n))
 
   def bigramTopFraction(tokens: Column): Column =
     ColumnBridge.column(BigramTopFraction(ColumnBridge.expression(tokens)))

@@ -66,6 +66,32 @@ object RougeL {
           .otherwise(col("lcs_len") * 2.0 / (col("len_a") + col("len_b"))))
   }
 
+  /** ROUGE-N over a pair frame (SURVEY §2.11 L347): CLIPPED n-gram
+    * overlap (`Σ_g min(count_a, count_b)` — the published definition;
+    * unclipped counts let a candidate repeating one reference word
+    * inflate precision without bound) plus exact precision/recall on
+    * the ×10⁹ DIV grid — `P = ov/|grams_a|`, `R = ov/|grams_b|` are
+    * exact rationals, so cross-engine agreement is by construction.
+    * The overlap is one compiled O(|a|+|b|) hash pass per pair
+    * ([[HashExprs.ClippedNgramOverlap]]). Empty gram sets score 0. */
+  def withRougeN(pairs: DataFrame, n: Int, aCol: String = "toks_a",
+                 bCol: String = "toks_b"): DataFrame = {
+    require(n >= 1, s"withRougeN: n must be >= 1, got $n")
+    val ga = greatest(size(col(aCol)).cast("long") - (n - 1), lit(0L))
+    val gb = greatest(size(col(bCol)).cast("long") - (n - 1), lit(0L))
+    pairs
+      .withColumn(s"ov_$n",
+        HashExprs.clippedNgramOverlap(col(aCol), col(bCol), n).cast("long"))
+      .withColumn(s"ngrams_a_$n", ga)
+      .withColumn(s"ngrams_b_$n", gb)
+      .withColumn(s"rouge${n}_p_e9",
+        when(col(s"ngrams_a_$n") === 0L, 0L)
+          .otherwise(expr(s"(ov_$n * 1000000000) DIV ngrams_a_$n")))
+      .withColumn(s"rouge${n}_r_e9",
+        when(col(s"ngrams_b_$n") === 0L, 0L)
+          .otherwise(expr(s"(ov_$n * 1000000000) DIV ngrams_b_$n")))
+  }
+
   /** Near-dup instruction pairs: LSH candidates ([[Dedup.minhashCandidates]]
     * — banded, bounded buckets) verified by exact ROUGE-L F ≥ `threshold`.
     * Returns `(id_a, id_b, lcs_len, len_a, len_b, rouge_f)`. */

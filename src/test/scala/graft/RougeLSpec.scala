@@ -82,6 +82,33 @@ class RougeLSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getDouble(1) === 0.0)
   }
 
+  test("withRougeN: clipped overlap and exact P/R grids by hand") {
+    // a: [the, cat, the, cat]  b: [the, cat, sat]
+    // 1-grams: a has the*2 cat*2; b has the*1 cat*1 sat*1
+    //   clipped ov = min(2,1)+min(2,1) = 2; P = 2/4, R = 2/3
+    // 2-grams: a: [the cat, cat the, the cat]; b: [the cat, cat sat]
+    //   clipped ov = min(2,1) = 1; P = 1/3, R = 1/2
+    val out = graft.ops.RougeL.withRougeN(graft.ops.RougeL.withRougeN(
+      Seq((Seq("the", "cat", "the", "cat"), Seq("the", "cat", "sat")))
+        .toDF("toks_a", "toks_b"), 1), 2).collect().head
+    assert(out.getAs[Long]("ov_1") === 2L)
+    assert(out.getAs[Long]("rouge1_p_e9") === 500000000L)
+    assert(out.getAs[Long]("rouge1_r_e9") === 666666666L)
+    assert(out.getAs[Long]("ov_2") === 1L)
+    assert(out.getAs[Long]("rouge2_p_e9") === 333333333L)
+    assert(out.getAs[Long]("rouge2_r_e9") === 500000000L)
+  }
+
+  test("withRougeN: clipping caps repeated-token inflation; empties 0") {
+    val out = graft.ops.RougeL.withRougeN(Seq(
+      (Seq("a", "a", "a", "a"), Seq("a", "b")),
+      (Seq.empty[String], Seq("a", "b"))).toDF("toks_a", "toks_b"), 1)
+      .collect().map(r => r.getAs[Long]("ngrams_a_1") ->
+        (r.getAs[Long]("ov_1"), r.getAs[Long]("rouge1_p_e9"))).toMap
+    assert(out(4L) === ((1L, 250000000L))) // clipped at b's single 'a'
+    assert(out(0L) === ((0L, 0L)))
+  }
+
   test("LCS matches a reference DP on random token pairs") {
     def ref(a: Seq[String], b: Seq[String]): Int = {
       val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
