@@ -94,6 +94,8 @@ class PlanLintSpec extends SparkSpec {
     Map(
       // PrefixSum.scan/runningSum summary windows (numPartitions rows)
       "q139_prefix_sum" -> prefixSumSummary,
+      "q348_vocab_growth" -> (prefixSumSummary +
+        " — two runningSum passes over the bucket table"),
       "q140_budget_alloc" -> prefixSumSummary,
       "q184_equidepth_hist" -> prefixSumSummary,
       "q194_quantile_normalize" -> prefixSumSummary,
