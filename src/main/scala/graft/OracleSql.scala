@@ -9275,6 +9275,48 @@ object OracleSql {
     LEFT JOIN ov1 ON ov1.id_a = b.id_a AND ov1.id_b = b.id_b
     LEFT JOIN ov2 ON ov2.id_a = b.id_a AND ov2.id_b = b.id_b"""
 
+  /** Datasheet — q351. Each column replayed from its own mirror: the
+    * dedup normalization md5, the q24 token convention, the q26 occ()
+    * langid with (count desc, lang asc) majority, the email regex. */
+  private val q351 = s"""
+    WITH b AS (SELECT source, coalesce(text, '') AS t FROM documents),
+    x AS (SELECT source, t, length(t) AS len,
+        md5(trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9\\s]', ' ', 'g'),
+          '\\s+', ' ', 'g'))) AS h,
+        len(list_filter(regexp_split_to_array(trim(t), '\\s+'),
+          x -> x <> '')) AS tk,
+        regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS e,
+        ' ' || lower(t) || ' ' AS p
+      FROM b),
+    sc AS (SELECT source, h, len, tk, e,
+        ${occ("the")} + ${occ("and")} + ${occ("of")} AS s_en,
+        ${occ("der")} + ${occ("und")} + ${occ("die")} AS s_de,
+        ${occ("le")} + ${occ("et")} + ${occ("les")} AS s_fr,
+        ${occ("el")} + ${occ("y")} + ${occ("los")} AS s_es,
+        ${occ("il")} + ${occ("e")} + ${occ("di")} AS s_it
+      FROM x),
+    det AS (SELECT source, h, len, tk, e,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) <= 0 THEN 'und'
+          WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+          WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+          WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+          WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+          ELSE 'it' END AS lang
+      FROM sc),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len) AS BIGINT) AS n_chars,
+        CAST(sum(tk) AS BIGINT) AS n_tokens,
+        CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs,
+        CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs
+      FROM det GROUP BY source),
+    lc AS (SELECT source, lang, count(*) AS n FROM det GROUP BY 1, 2),
+    maj AS (SELECT source, lang AS majority_lang FROM (
+        SELECT source, lang,
+          row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+        FROM lc) WHERE rn = 1)
+    SELECT agg.*, maj.majority_lang
+    FROM agg JOIN maj ON maj.source = agg.source"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9646,6 +9688,7 @@ object OracleSql {
     "q347_cast_date_prune"  -> q347,
     "q348_vocab_growth"     -> q348,
     "q349_lang_segments"    -> q349,
-    "q350_rouge_n"          -> q350
+    "q350_rouge_n"          -> q350,
+    "q351_datasheet"        -> q351
   ).map { case (k, v) => k -> clean(v) }
 }

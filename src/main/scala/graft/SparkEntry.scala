@@ -5423,6 +5423,13 @@ object SparkEntry {
         "rouge2_p_e9", "rouge2_r_e9")
   }
 
+  /** Dataset datasheet ([[graft.ops.Curation.datasheet]]): the
+    * per-source release profile — volume, exact duplication, majority
+    * language, email-PII exposure — each column an independently
+    * mirrored signal. */
+  private def q351Datasheet(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.datasheet(t(s, dir, "documents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5778,7 +5785,8 @@ object SparkEntry {
     "q347_cast_date_prune"  -> q347CastDatePrune _,
     "q348_vocab_growth"     -> q348VocabGrowth _,
     "q349_lang_segments"    -> q349LangSegments _,
-    "q350_rouge_n"          -> q350RougeN _
+    "q350_rouge_n"          -> q350RougeN _,
+    "q351_datasheet"        -> q351Datasheet _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

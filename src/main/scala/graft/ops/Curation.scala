@@ -552,4 +552,48 @@ object Curation {
     val audit = stages.reverse.toDF("stage", "n_in", "n_out")
     Result(cur, audit)
   }
+
+  /** Dataset datasheet (SURVEY §2.11 L348) — the per-source profile
+    * table every corpus release documents (Datasheets for Datasets /
+    * the model-card data section), composed from the library's
+    * individually-oracled signals so the numbers are exact and
+    * reproducible rather than sampled estimates:
+    *
+    *  - volume: `n_docs`, `n_chars`, `n_tokens` (whitespace tokens,
+    *    the L10 convention);
+    *  - duplication: `n_dup_docs` = docs minus distinct normalized-text
+    *    md5s (the L1 exact-dedup key — a release quoting raw doc counts
+    *    without this line overstates its content);
+    *  - language: `majority_lang` by the L12 marker id (count desc,
+    *    lang asc tie-break — deterministic);
+    *  - PII exposure: `n_email_docs`, documents containing an email
+    *    address (the cheapest honest PII proxy; the full L17 scrub
+    *    audit is the per-document tier).
+    *
+    * One scan feeds two aggregates (no shuffle-bearing subtree is read
+    * twice — the projection is scan-level); everything integer-exact. */
+  def datasheet(docs: DataFrame, textCol: String = "text",
+                groupCol: String = "source"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val norm = TextAnalysis.normalizeText(t)
+    val toks = size(filter(split(trim(t), "\\s+"), x => x =!= ""))
+      .cast("long")
+    val email = t.rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val base = docs.select(col(groupCol), length(t).cast("long").as("__len"),
+      md5(norm).as("__h"), toks.as("__t"),
+      TextAnalysis.detectLanguage(t).as("__lang"), email.as("__e"))
+    val agg = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("n_chars"),
+        sum(col("__t")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("__h"))).as("n_dup_docs"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("n_email_docs"))
+    val majority = base.groupBy(col(groupCol), col("__lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("__n")).as("negn"), col("__lang").as("l")))
+        .as("__m"))
+      .select(col(groupCol), col("__m").getField("l").as("majority_lang"))
+    agg.join(majority, Seq(groupCol))
+  }
 }

@@ -4820,6 +4820,23 @@ class OpsSpec extends SparkSpec {
     assert(strict.toSeq === Seq((0L, 2L)))
   }
 
+  test("datasheet: exact per-source volume, dup, majority-lang, PII") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "the cat and the dog of it"),
+      ("a", "THE cat, and the dog of it!"), // dup after normalization
+      ("a", "der hund und die katze"),
+      ("b", "contact me at bob@example.com for the offer and the rest"),
+      ("b", null: String)).toDF("source", "text")
+    val out = graft.ops.Curation.datasheet(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup_docs"), r.getAs[String]("majority_lang"),
+        r.getAs[Long]("n_email_docs"))).toMap
+    assert(out("a") === ((3L, 1L, "en", 0L)))
+    assert(out("b") === ((2L, 0L, "en", 1L))) // en beats und on tie? no:
+    // doc2 is NULL -> und; 1 en vs 1 und -> count tie -> lang asc -> "en"
+  }
+
   test("languageSegments: per-line langid with island coalescing") {
     import spark.implicits._
     val doc = "the cat and the dog\n" +     // en
