@@ -9317,6 +9317,38 @@ object OracleSql {
     SELECT agg.*, maj.majority_lang
     FROM agg JOIN maj ON maj.source = agg.source"""
 
+  /** Matryoshka recall — q352. Two brute dags (full vectors and the
+    * 16-dim list prefix) + the q346 semi-join tally. */
+  private val q352 = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    et AS (SELECT vec_id, v[1:16] AS v FROM e),
+    bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        $cosineSql AS cosine
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM bscored) WHERE rank <= 5),
+    tscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        $cosineSql AS cosine
+      FROM et a JOIN et b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM tscored) WHERE rank <= 5),
+    h AS (SELECT a.query_id, count(*) AS hits FROM approx a
+      JOIN exact x ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY a.query_id),
+    ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+    nap AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id)
+    SELECT ne.query_id, CAST(ne.n_exact AS BIGINT) AS n_exact,
+      CAST(coalesce(nap.n_approx, 0) AS BIGINT) AS n_approx,
+      CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+      CAST((coalesce(h.hits, 0) * 1000000000) // 5 AS BIGINT) AS recall_e9
+    FROM ne
+    LEFT JOIN nap ON nap.query_id = ne.query_id
+    LEFT JOIN h ON h.query_id = ne.query_id"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9689,6 +9721,7 @@ object OracleSql {
     "q348_vocab_growth"     -> q348,
     "q349_lang_segments"    -> q349,
     "q350_rouge_n"          -> q350,
-    "q351_datasheet"        -> q351
+    "q351_datasheet"        -> q351,
+    "q352_mrl_recall"       -> q352
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5430,6 +5430,21 @@ object SparkEntry {
   private def q351Datasheet(s: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.datasheet(t(s, dir, "documents"))
 
+  /** Matryoshka-prefix retrieval eval
+    * ([[graft.ops.Similarity.recallAgainst]]): brute top-5 on the
+    * 16-dim embedding PREFIX scored against the full-64-dim brute
+    * ground truth — the MRL question ("how much retrieval does
+    * truncation cost") answered with the exact recall grid. */
+  private def q352MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val truncated = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    Similarity.recallAgainst(
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5),
+      Similarity.bruteForceTopK(truncated,
+        truncated.filter(col("vec_id") < 10), k = 5), k = 5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5786,7 +5801,8 @@ object SparkEntry {
     "q348_vocab_growth"     -> q348VocabGrowth _,
     "q349_lang_segments"    -> q349LangSegments _,
     "q350_rouge_n"          -> q350RougeN _,
-    "q351_datasheet"        -> q351Datasheet _
+    "q351_datasheet"        -> q351Datasheet _,
+    "q352_mrl_recall"       -> q352MatryoshkaRecall _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -736,11 +736,22 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    numCentroids: Int = 256, nprobe: Int = 4): DataFrame = {
     require(k >= 1, s"recallReport: k must be >= 1, got $k")
-    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id")).persist()
-    val approx = ivfTopK(corpus, queries, k, idCol, vecCol,
-      numCentroids, nprobe)
-      .select(col("query_id"), col("neighbor_id")).persist()
+    recallAgainst(
+      bruteForceTopK(corpus, queries, k, idCol, vecCol),
+      ivfTopK(corpus, queries, k, idCol, vecCol, numCentroids, nprobe), k)
+  }
+
+  /** The recall tail shared by every "candidate tier vs ground truth"
+    * comparison: `exact0`/`approx0` are any two `(query_id, neighbor_id)`
+    * top-k frames — IVF vs brute ([[recallReport]]), truncated-prefix
+    * brute vs full brute (the Matryoshka eval, SURVEY §2.11 L349), an
+    * external index's dump vs the library's truth. Both sides persist
+    * (shuffle-bearing top-k windows, each read twice — the PlanLint
+    * recompute rule). */
+  def recallAgainst(exact0: DataFrame, approx0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAgainst: k must be >= 1, got $k")
+    val exact = exact0.select(col("query_id"), col("neighbor_id")).persist()
+    val approx = approx0.select(col("query_id"), col("neighbor_id")).persist()
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))

@@ -4884,6 +4884,22 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === ((1L, 3L, 10L, 2L, 6L)))
   }
 
+  test("recallAgainst: full-prefix truncation scores recall exactly 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    // truncating to the FULL width changes nothing -> recall 1 everywhere
+    val full = graft.ops.Similarity.bruteForceTopK(emb, q, 4)
+    val same = graft.ops.Similarity.bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")),
+      q.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")), 4)
+    val r = graft.ops.Similarity.recallAgainst(full, same, 4).collect()
+    assert(r.length === 3)
+    r.foreach(row => assert(row.getAs[Long]("recall_e9") === 1000000000L))
+  }
+
   test("recallReport: one cell makes IVF exhaustive -> recall exactly 1") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
