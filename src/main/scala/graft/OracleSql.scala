@@ -9349,6 +9349,28 @@ object OracleSql {
     LEFT JOIN nap ON nap.query_id = ne.query_id
     LEFT JOIN h ON h.query_id = ne.query_id"""
 
+  /** Centroid outliers — q353. The q35 centroid/ccos dag, best cell
+    * per vector via the same (cos desc, cid) argmax, bottom-40 by
+    * (raw cos asc, id). */
+  private val q353 = s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id LIMIT 32),
+    ccos AS (SELECT e.vec_id AS id, c.cid,
+        CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.cv, x -> x * x))) = 0 THEN 0.0
+        ELSE list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2])) /
+          (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END AS cos
+      FROM e CROSS JOIN cent c),
+    best AS (SELECT id, cid, cos FROM (
+        SELECT id, cid, cos,
+          row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos) WHERE rn = 1)
+    SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell,
+      round(cos, 6) AS centroid_cos
+    FROM best ORDER BY cos ASC, id LIMIT 40"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9722,6 +9744,7 @@ object OracleSql {
     "q349_lang_segments"    -> q349,
     "q350_rouge_n"          -> q350,
     "q351_datasheet"        -> q351,
-    "q352_mrl_recall"       -> q352
+    "q352_mrl_recall"       -> q352,
+    "q353_centroid_outliers" -> q353
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5445,6 +5445,14 @@ object SparkEntry {
         truncated.filter(col("vec_id") < 10), k = 5), k = 5)
   }
 
+  /** Centroid-cohesion outliers
+    * ([[graft.ops.Similarity.centroidOutliers]]): the 40 most-isolated
+    * embeddings by nearest-centroid cosine over the q35 centroid
+    * sample — the DataComp junk-filter review queue. */
+  private def q353CentroidOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(t(s, dir, "embeddings"), k = 40,
+      numCentroids = 32)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5802,7 +5810,8 @@ object SparkEntry {
     "q349_lang_segments"    -> q349LangSegments _,
     "q350_rouge_n"          -> q350RougeN _,
     "q351_datasheet"        -> q351Datasheet _,
-    "q352_mrl_recall"       -> q352MatryoshkaRecall _
+    "q352_mrl_recall"       -> q352MatryoshkaRecall _,
+    "q353_centroid_outliers" -> q353CentroidOutliers _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -762,4 +762,46 @@ object Similarity {
       .withColumn("recall_e9",
         expr(s"(hits * 1000000000) DIV $k"))
   }
+
+  /** Nearest-centroid cohesion score (SURVEY §2.11 L350) — the
+    * DataComp-style junk filter's signal: a vector far from EVERY
+    * centroid of the corpus sample sits in no semantic neighborhood
+    * (OCR noise, binary-ish garbage, wrong-modality rows), and dropping
+    * the bottom tail measurably improves what survives into training.
+    * Reuses the IVF machinery end to end: the same bounded md5-ordered
+    * centroid sample, the same compiled nearest-centroid argmax, then
+    * one broadcast join back to the centroid vectors for the exact
+    * cosine. Adds `cell` and `centroid_cos`. Row-local + one broadcast
+    * join — scales as a scan. */
+  def withCentroidScore(emb: DataFrame, numCentroids: Int = 256,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cents = sampleCentroids(emb, numCentroids, idCol, vecCol)
+    require(cents.nonEmpty, "withCentroidScore: empty corpus — no centroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = cents.toDF("cell", "__cv")
+    emb
+      .withColumn("cell", element_at(
+        graft.functions.HashExprs.nearestCentroids(col(vecCol), cents, 1), 1))
+      .join(broadcast(cdf), Seq("cell"))
+      .withColumn("centroid_cos",
+        graft.functions.VectorExprs.cosineSim(col(vecCol), col("__cv")))
+      .drop("__cv")
+  }
+
+  /** The k most-isolated vectors (smallest nearest-centroid cosine,
+    * id tie-break) — a bounded TakeOrderedAndProject, no global
+    * window. The review-queue form; bulk filtering thresholds on
+    * [[withCentroidScore]]'s column directly. */
+  def centroidOutliers(emb: DataFrame, k: Int, numCentroids: Int = 256,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"centroidOutliers: k must be >= 1, got $k")
+    withCentroidScore(emb, numCentroids, idCol, vecCol)
+      .orderBy(col("centroid_cos").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cell"),
+        round(col("centroid_cos"), 6).as("centroid_cos"))
+  }
 }

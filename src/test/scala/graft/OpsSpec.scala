@@ -4884,6 +4884,26 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) === ((1L, 3L, 10L, 2L, 6L)))
   }
 
+  test("centroidOutliers: the planted isolated vector ranks first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // a tight cluster around one direction + one orthogonal outlier
+    val base = (0L until 30L).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(0) = 1.0f
+      (i, v.toSeq)
+    }
+    val outlier = (99L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, -1f))
+    val emb = (base :+ outlier).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.centroidOutliers(emb, k = 3,
+      numCentroids = 8).collect()
+    assert(out.head.getAs[Long]("vec_id") === 99L,
+      "the orthogonal vector must be the most isolated")
+    // a vector that IS a centroid scores cosine 1 with itself — never
+    // in the bottom tail of a 31-vector corpus with 8 centroids
+    assert(out.forall(_.getAs[Double]("centroid_cos") < 1.0))
+  }
+
   test("recallAgainst: full-prefix truncation scores recall exactly 1") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
