@@ -1685,7 +1685,12 @@ object HashExprs {
       val toks = new Array[String](m)
       var i = 0
       while (i < m) {
-        toks(i) = if (x.isNullAt(i)) " " else x.getUTF8String(i).toString
+        // NULL tokens map to a sentinel that EMBEDS the gram separator
+        // (u0001), so it sits outside any real token alphabet (no
+        // tokenizer emits the separator inside a token) and can never
+        // collide with a genuine token; two NULLs still match each
+        // other - consistent with LcsTokenLength's NULL-equals-only-NULL
+        toks(i) = if (x.isNullAt(i)) "N" else x.getUTF8String(i).toString
         i += 1
       }
       val out = new Array[String](m - n + 1)

@@ -59,7 +59,12 @@ object Pca {
       .agg(count(lit(1)).as("n"),
         sum(col("xi").cast("decimal(38,0)")).cast("long").as("sum_i"),
         sum(col("xj").cast("decimal(38,0)")).cast("long").as("sum_j"),
-        sum((col("xi") * col("xj")).cast("decimal(38,0)")).cast("long").as("sum_ij"))
+        // cast BEFORE multiplying: a Long×Long product wraps silently
+        // (ansi off) once |x| exceeds ~3e3 on the ×10⁶ grid, while the
+        // DuckDB oracle's HUGEINT stays exact — decimal(19,0) operands
+        // make the product decimal and exact for any representable x
+        sum(col("xi").cast("decimal(19,0)") * col("xj").cast("decimal(19,0)"))
+          .cast("long").as("sum_ij"))
   }
 
   /** Deterministic cyclic-Jacobi eigensolver for a symmetric matrix:
@@ -183,6 +188,14 @@ object Pca {
     require(d <= maxDim,
       s"Pca.fit: dimension $d exceeds maxDim=$maxDim (raise it explicitly " +
         "if a driver-side d x d eigensolve is really intended)")
+    // ragged input would make per-pair counts differ and silently skew
+    // the covariance (every pair must be observed in every vector); fail
+    // loudly instead of trusting an arbitrary collect-order head row
+    val ns = rows.iterator.map(_.getLong(2)).toSet
+    require(ns.size == 1,
+      s"Pca.fit: embedding vectors have heterogeneous lengths (per-pair " +
+        s"counts ${ns.toSeq.sorted.mkString(",")}) — pad or filter to a " +
+        "uniform dimension first")
     val n = rows.head.getLong(2).toDouble
     val sumI = new Array[Double](d)
     val cov = Array.ofDim[Double](d, d)

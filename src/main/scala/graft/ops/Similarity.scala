@@ -754,13 +754,20 @@ object Similarity {
     val approx = approx0.select(col("query_id"), col("neighbor_id")).persist()
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val report = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(approx.groupBy("query_id").agg(count(lit(1)).as("n_approx")),
         Seq("query_id"), "left")
       .join(hits, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_approx", "hits"))
       .withColumn("recall_e9",
         expr(s"(hits * 1000000000) DIV $k"))
+      // materialize (per-query rows, bounded by the query-set size) so
+      // the inputs' caches can be released here instead of leaking one
+      // pair of persisted frames per audit into the session
+      .localCheckpoint()
+    exact.unpersist()
+    approx.unpersist()
+    report
   }
 
   /** Nearest-centroid cohesion score (SURVEY §2.11 L350) — the

@@ -140,7 +140,10 @@ object ThresholdedLevenshtein extends Rule[LogicalPlan] {
   * (`year(NULL) ⋛ k` → NULL) and every rewritten form (`NULL >= lit`,
   * `NULL AND NULL`) NULL. Bound guard: foldable INT literal in
   * [1, 9998] (covers all real data; extreme proleptic years keep the
-  * original plan rather than reason about year-0 rendering). */
+  * original plan rather than reason about year-0 rendering).
+  * Determinism guard: the equality/IN forms duplicate `d` into both
+  * sides of an And — sound only when `d` is deterministic (Spark's own
+  * rewrite-rule convention), so `YearOfDate` requires it. */
 object SargableYearPredicate extends Rule[LogicalPlan] {
 
   private object IntBound {
@@ -152,7 +155,7 @@ object SargableYearPredicate extends Rule[LogicalPlan] {
 
   private object YearOfDate {
     def unapply(e: Expression): Option[Expression] = e match {
-      case Year(d) if d.dataType == DateType => Some(d)
+      case Year(d) if d.dataType == DateType && d.deterministic => Some(d)
       case _ => None
     }
   }
@@ -231,7 +234,10 @@ object SargableYearPredicate extends Rule[LogicalPlan] {
   * set-identical on non-null `d`, and NULL `d` makes both sides NULL.
   * Bound guard: the date literal's year must sit in [1, 9998] (the
   * [[SargableYearPredicate]] convention — extreme proleptic dates keep
-  * their original plan). */
+  * their original plan). Determinism guard: the equality form
+  * duplicates `d` into both sides of an And, so `TruncShape` requires
+  * `d.deterministic` — a non-deterministic child would otherwise be
+  * evaluated twice with possibly different values. */
 object SargableTruncPredicate extends Rule[LogicalPlan] {
 
   import java.time.LocalDate
@@ -250,7 +256,8 @@ object SargableTruncPredicate extends Rule[LogicalPlan] {
   /** `trunc(d, unitLiteral)` over a DATE-typed `d`. */
   private object TruncShape {
     def unapply(e: Expression): Option[(Expression, String)] = e match {
-      case TruncDate(d, Literal(fmt, _)) if d.dataType == DateType =>
+      case TruncDate(d, Literal(fmt, _))
+          if d.dataType == DateType && d.deterministic =>
         unitOf(fmt).map(u => (d, u))
       case _ => None
     }
@@ -364,11 +371,15 @@ object CastDateStringPrefix extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** `cast(d AS string)` over a DATE-typed `d`, default collation. */
+  /** `cast(d AS string)` over a DATE-typed `d`, default collation.
+    * Requires a deterministic child: the prefix rewrite duplicates `d`
+    * into both sides of an And (and `neverNullSafe` re-evaluates it),
+    * which is only value-sound when each evaluation agrees. */
   private object DateAsString {
     def unapply(e: Expression): Option[Expression] = e match {
       case c: Cast if c.child.dataType == DateType &&
-        isBinaryStringType(c.dataType) => Some(c.child)
+        isBinaryStringType(c.dataType) && c.child.deterministic =>
+        Some(c.child)
       case _ => None
     }
   }
