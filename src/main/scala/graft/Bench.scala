@@ -60,6 +60,23 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
     val selectedSeq = selected.toSeq
+    // Previous committed per-query times, read BEFORE this run overwrites the
+    // artifact: a query that suddenly runs >3x its committed time is either a
+    // real regression or batch contention — the isolated re-pin below tells
+    // them apart automatically (r15/r16/r17 each had one such incident
+    // adjudicated by hand; q210 read 33.6s in-batch vs 2.56s isolated).
+    val committedBench: Map[String, Double] = {
+      val path = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json"))
+      if (java.nio.file.Files.isReadable(path)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // our own machine-written single-line format: grab the queries object
+        val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.Ee+\-]+)""".r.findAllMatchIn(qobj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
     // Long iterative queries (graph tier) showed ±35% same-code swings between
     // rounds — beyond the repo's 1.25x variance band — so they get extra
     // passes (min-of-3 by default) to make real regressions distinguishable
@@ -71,7 +88,7 @@ object Bench {
     val runs = (1 to passes).map(_ => onePass(selectedSeq)) ++
       (1 to extraIterPasses).map(_ => onePass(iterSeq))
     val byName = runs.flatten.groupBy(_._1)
-    val results = selectedSeq.map { case (name, _) =>
+    val batchResults = selectedSeq.map { case (name, _) =>
       val samples = byName(name)
       // a failed pass's (short) duration must not masquerade as a fast run:
       // time comes from successful passes only; err set iff ALL passes failed
@@ -79,11 +96,48 @@ object Bench {
       if (ok.nonEmpty) (name, ok.map(_._2).min, None)
       else (name, samples.map(_._2).max, samples.flatMap(_._3).headOption)
     }
+    // Batch-pass spread (max/min over successful passes): >3x means one pass
+    // hit contention. Only meaningful above a wall floor — a 20ms query's
+    // jitter ratio is noise, not a diagnosis.
+    val spreads: Map[String, Double] = selectedSeq.flatMap { case (name, _) =>
+      val ok = byName(name).filter(_._3.isEmpty).map(_._2)
+      if (ok.size >= 2 && ok.max > 0.5) Some(name -> ok.max / math.max(ok.min, 1e-9))
+      else None
+    }.toMap
+    // Self-diagnosing re-pin: any query whose batch spread exceeds 3x, or
+    // whose best batch time exceeds 3x its previously committed time (and
+    // >1s), is re-run ALONE at end-of-run after a full GC. Both numbers are
+    // reported: `queries` takes the overall min (steady-state cost), and
+    // `repinned` records the isolated reading so a human can see the
+    // contention delta without re-running anything by hand.
+    val repinCandidates = batchResults.collect { case (name, t, None)
+      if spreads.get(name).exists(_ > 3.0) ||
+         (t > 1.0 && committedBench.get(name).exists(c => c > 0 && t > 3 * c)) => name }
+    val repinned: Map[String, Double] =
+      if (repinCandidates.isEmpty || sys.env.getOrElse("SPARK_GRAFT_BENCH_REPIN", "1") != "1") Map.empty
+      else {
+        System.err.println(s"[bench] re-pinning ${repinCandidates.size} outlier(s) in isolation: ${repinCandidates.mkString(",")}")
+        System.gc(); Thread.sleep(200)
+        repinCandidates.flatMap { name =>
+          val fn = selected(name)
+          System.gc()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some(name -> (System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }.toMap
+      }
+    val results = batchResults.map { case (name, t, err) =>
+      (name, repinned.get(name).map(math.min(t, _)).getOrElse(t), err)
+    }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
+    val spreadJson = spreads.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    val repinJson = repinned.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$spreadJson,"repinned":$repinJson,"passes":$passes,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only the stdout TAIL, which front-truncates once
     // the per-query map outgrows it (BENCH_r11 lost 49/109 timings) — so
