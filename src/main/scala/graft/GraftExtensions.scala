@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.PrefixEqualityPushdown)
     ext.injectOptimizerRule(_ => graft.plans.SargableTruncPredicate)
     ext.injectOptimizerRule(_ => graft.plans.CastDateStringPrefix)
+    ext.injectOptimizerRule(_ => graft.plans.SargableDateKey)
   }
 }
 
@@ -60,6 +61,10 @@ object GraftExtensions {
         graft.plans.CastDateStringPrefix))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CastDateStringPrefix
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.SargableDateKey))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SargableDateKey
   }
 
   private def lit[T](e: Expression, what: String): T = {

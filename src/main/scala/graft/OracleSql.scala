@@ -9371,6 +9371,23 @@ object OracleSql {
       round(cos, 6) AS centroid_cos
     FROM best ORDER BY cos ASC, id LIMIT 40"""
 
+  /** Sargable date-key pruning — q354. The filter and probes replay
+    * the yyyyMMdd key arithmetic directly via strftime; revenue is the
+    * standard DECIMAL(18,2)-then-DOUBLE money sum. */
+  private val q354 = """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders),
+    f AS (SELECT * FROM d
+      WHERE CAST(strftime(d, '%Y%m%d') AS INT) >= 19950101
+        AND CAST(strftime(d, '%Y%m%d') AS INT) <= 19951231)
+    SELECT CAST(strftime(d, '%Y%m') AS BIGINT) AS month_key,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      CAST(sum(CASE WHEN strftime(d, '%Y%m%d') = '19950315'
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_ides,
+      CAST(sum(CASE WHEN CAST(strftime(d, '%Y%m%d') AS BIGINT) < 19950701
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_h1
+    FROM f GROUP BY 1"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9745,6 +9762,7 @@ object OracleSql {
     "q350_rouge_n"          -> q350,
     "q351_datasheet"        -> q351,
     "q352_mrl_recall"       -> q352,
-    "q353_centroid_outliers" -> q353
+    "q353_centroid_outliers" -> q353,
+    "q354_datekey_prune"    -> q354
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5453,6 +5453,25 @@ object SparkEntry {
     Similarity.centroidOutliers(t(s, dir, "embeddings"), k = 40,
       numCentroids = 32)
 
+  /** Sargable yyyyMMdd date-key pruning ([[graft.plans.SargableDateKey]]
+    * over F6's `date_key` idiom, `uploadAllSales.js:111`): the INT-key
+    * range filter rewrites to a horizon-bounded raw date range inside
+    * the Filter (PushedFilters-asserted in OptimizerRulesSpec), while
+    * the BIGINT and string-equality probes in the aggregate exercise
+    * the value-exact tier; per-month rollup pins the row sets. */
+  private def q354DateKeyPrune(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("d"), col("o_totalprice"))
+    val dk = graft.functions.Standardize.dateKey(col("d"))
+    o.filter(dk >= 19950101 && dk <= 19951231)
+      .groupBy(date_format(col("d"), "yyyyMM").cast("long").as("month_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        sum(when(date_format(col("d"), "yyyyMMdd") === "19950315", 1L)
+          .otherwise(0L)).as("n_ides"),
+        sum(when(dk.cast("long") < 19950701L, 1L).otherwise(0L)).as("n_h1"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5811,7 +5830,8 @@ object SparkEntry {
     "q350_rouge_n"          -> q350RougeN _,
     "q351_datasheet"        -> q351Datasheet _,
     "q352_mrl_recall"       -> q352MatryoshkaRecall _,
-    "q353_centroid_outliers" -> q353CentroidOutliers _
+    "q353_centroid_outliers" -> q353CentroidOutliers _,
+    "q354_datekey_prune"    -> q354DateKeyPrune _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -466,6 +466,242 @@ object CastDateStringPrefix extends Rule[LogicalPlan] {
     }
 }
 
+/** Sargable yyyyMMdd date-key rewrite — the sixth injected
+  * `Rule[LogicalPlan]`, aimed at the engine's own signature warehouse
+  * key: F6's `date_key` derivation
+  * ([[graft.functions.Standardize.dateKey]], `uploadAllSales.js:111`)
+  * renders a DATE as `date_format(d,'yyyyMMdd')` and compares it as a
+  * string or as an int. Both comparisons are opaque to every storage
+  * layer; this rule turns them back into raw date ranges that reach
+  * parquet min/max row-group pruning and partition pruning.
+  *
+  * Rendering semantics (probed on this Spark build, UTC session):
+  * `date_format` over DATE resolves as
+  * `DateFormatClass(cast(d AS timestamp, tz), 'yyyyMMdd', tz)` with the
+  * SAME session timezone on both sides, so the round trip
+  * date → midnight-local → format-local always renders `d`'s own
+  * calendar date (a DST gap at midnight resolves forward WITHIN the
+  * day, never across a date boundary). Years render proleptic and
+  * signed: year 7 → `00070101`, year 0 → `00000704`, year −5 →
+  * `-00050301`, year 10000 → `+100000101`. Casting the rendering to a
+  * number therefore yields, per year band:
+  *
+  *   - years [1, 9998]: the 8-digit key `y*10000 + m*100 + d` —
+  *     strictly increasing in `d` (calendar order);
+  *   - year 0: values ≤ 1231; negative years: negative values (NOT
+  *     monotone within a year, but uniformly below every guarded key);
+  *   - years ≥ 9999: values ≥ 99990101 — uniformly above every
+  *     guarded key;
+  *   - |year| ≥ 214749: the rendering no longer fits an INT —
+  *     non-ANSI cast yields NULL (probed: year ±214748 still parses,
+  *     ±214749 is NULL). A BIGINT cast never overflows for any
+  *     representable date.
+  *
+  * So with the key literal guarded to imply a year in [1, 9998]
+  * (k ∈ [10101, 99981231]), every exotic band lands on a provably
+  * correct side of every ordering — except the INT-overflow band,
+  * whose NULL cannot be reproduced by any pushable range predicate.
+  * Hence two tiers:
+  *
+  *   - **value-exact, rewritten anywhere** (`transformAllExpressions`):
+  *     the string-equality form (an 8-digit literal with a guarded year
+  *     can only equal an in-band rendering → `d = DATE'…'`, or a
+  *     null-preserving FALSE for calendar-impossible keys like
+  *     19950230), and ALL BIGINT-cast comparison forms (no overflow →
+  *     the function is total, every band argument above applies);
+  *   - **row-set-exact, top-level Filter conjuncts only**: INT-cast
+  *     orderings/equality/IN. In a Filter conjunct NULL keeps no row,
+  *     so bounding the range with the overflow horizon —
+  *     `d < DATE'214749-01-01'` (for ≥-shaped) or
+  *     `d >= DATE'-214748-01-01'` (for <-shaped) — drops exactly the
+  *     rows the original's overflow-NULL dropped, and the bound itself
+  *     is a pushable range predicate. The rewrite never descends into
+  *     Or/Not/CASE or projections, where NULL vs FALSE is observable.
+  *
+  * Ordering keys need not be calendar-valid: `key >= 19950230` uses
+  * the smallest real date whose key is ≥ k (`ceilKey`, here
+  * 1995-03-01), since the key space is gappy but order-isomorphic to
+  * dates inside the band. Scope guards: DATE child only (timestamp
+  * renderings carry time-of-day — out of scope), deterministic child
+  * (range forms duplicate `d`), matching cast/format timezones,
+  * default-collation strings on the equality form, non-ANSI INT cast
+  * (ANSI would THROW on overflow rows where the rewrite silently
+  * filters — those plans keep the original). */
+object SargableDateKey extends Rule[LogicalPlan] {
+
+  import java.time.LocalDate
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.types.LongType
+
+  private def isBinaryStringType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case st: StringType =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.isUTF8BinaryCollation(st)
+      case _ => false
+    }
+
+  /** `date_format(d, 'yyyyMMdd')` over a deterministic DATE-typed `d`,
+    * with the analyzer's cast-to-timestamp and the format sharing one
+    * timezone (ResolveTimeZone assigns the session zone to both; a
+    * hand-built mismatch could shift the rendered date → untouched). */
+  private object KeyRender {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case DateFormatClass(c: Cast, Literal(fmt: UTF8String, ft), ftz)
+          if c.child.dataType == DateType && c.dataType == org.apache.spark.sql.types.TimestampType &&
+             c.child.deterministic && fmt != null && fmt.toString == "yyyyMMdd" &&
+             isBinaryStringType(ft) && c.timeZoneId == ftz && ftz.isDefined =>
+        Some(c.child)
+      case _ => None
+    }
+  }
+
+  /** INT cast of the rendering, non-ANSI (LEGACY and TRY both yield
+    * NULL on overflow — the semantics the filter-tier bounds model). */
+  private object KeyInt {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(KeyRender(d), IntegerType, _, _) if c.evalMode != EvalMode.ANSI =>
+        Some(d)
+      case _ => None
+    }
+  }
+
+  /** BIGINT cast of the rendering — total for every representable date
+    * (max epoch-day year ≈ 5.88M renders 12 digits ≪ 2^63), so any
+    * eval mode is value-identical. */
+  private object KeyLong {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Cast(KeyRender(d), LongType, _, _) => Some(d)
+      case _ => None
+    }
+  }
+
+  /** A key literal whose implied year sits in [1, 9998]. */
+  private object KeyLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) if v >= 10101 && v <= 99981231 => Some(v.toLong)
+      case Literal(v: Long, LongType) if v >= 10101L && v <= 99981231L => Some(v)
+      case _ => None
+    }
+  }
+
+  private object StrKeyLit {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, t) if v != null && isBinaryStringType(t) =>
+        val s = v.toString
+        if (s.length == 8 && s.forall(_.isDigit)) {
+          val y = s.substring(0, 4).toInt
+          if (y >= 1 && y <= 9998) Some(s) else None
+        } else None
+      case _ => None
+    }
+  }
+
+  /** First overflow dates for the INT parse (probed boundaries). */
+  private val OverflowHi = LocalDate.of(214749, 1, 1)
+  private val OverflowLo = LocalDate.of(-214748, 1, 1)
+
+  private def dlit(ld: LocalDate): Expression =
+    Literal(ld.toEpochDay.toInt, DateType)
+
+  private def neverNullSafe(d: Expression): Expression =
+    If(IsNull(d), Literal(null, BooleanType), Literal(false))
+
+  /** The exact date for a calendar-valid key, None otherwise. */
+  private def dateOfExact(k: Long): Option[LocalDate] = {
+    val y = (k / 10000L).toInt; val m = ((k / 100L) % 100L).toInt; val dd = (k % 100L).toInt
+    try Some(LocalDate.of(y, m, dd)) catch { case _: java.time.DateTimeException => None }
+  }
+
+  /** Smallest real date whose yyyyMMdd key is ≥ k (callers guarantee
+    * the implied year ≤ 9998, so every branch lands in [1, 9999]). */
+  private def ceilKey(k: Long): LocalDate = {
+    val y = (k / 10000L).toInt; val m = ((k / 100L) % 100L).toInt; val dd = (k % 100L).toInt
+    if (m == 0) LocalDate.of(y, 1, 1)
+    else if (m > 12) LocalDate.of(y + 1, 1, 1)
+    else if (dd == 0) LocalDate.of(y, m, 1)
+    else if (dd > LocalDate.of(y, m, 1).lengthOfMonth) LocalDate.of(y, m, 1).plusMonths(1)
+    else LocalDate.of(y, m, dd)
+  }
+
+  /** Value-exact equality: the key matches exactly one real date, or
+    * no rendering at all (calendar-impossible → null-preserving FALSE). */
+  private def eqExact(d: Expression, k: Long): Expression =
+    dateOfExact(k).map(ld => EqualTo(d, dlit(ld)): Expression).getOrElse(neverNullSafe(d))
+
+  // Value-exact ordering forms (BIGINT tier — no overflow band exists).
+  private def geExact(d: Expression, k: Long): Expression =
+    GreaterThanOrEqual(d, dlit(ceilKey(k)))
+  private def ltExact(d: Expression, k: Long): Expression =
+    LessThan(d, dlit(ceilKey(k)))
+
+  // Filter-conjunct ordering forms (INT tier): horizon-bounded so the
+  // overflow band's NULL rows are dropped exactly like the original's.
+  private def geFilter(d: Expression, k: Long): Expression =
+    And(GreaterThanOrEqual(d, dlit(ceilKey(k))), LessThan(d, dlit(OverflowHi)))
+  private def ltFilter(d: Expression, k: Long): Expression =
+    And(LessThan(d, dlit(ceilKey(k))), GreaterThanOrEqual(d, dlit(OverflowLo)))
+
+  private def inRewrite(d: Expression, ks: Seq[Long]): Expression = {
+    val eqs = ks.flatMap(dateOfExact).map(ld => EqualTo(d, dlit(ld)): Expression)
+    if (eqs.isEmpty) neverNullSafe(d) else eqs.reduce(Or)
+  }
+
+  /** INT-cast conjunct rewrite; None = leave this conjunct alone. */
+  private def intConjunct(e: Expression): Option[Expression] = e match {
+    case EqualTo(KeyInt(d), KeyLit(k)) => Some(eqExact(d, k))
+    case EqualTo(KeyLit(k), KeyInt(d)) => Some(eqExact(d, k))
+    case GreaterThanOrEqual(KeyInt(d), KeyLit(k)) => Some(geFilter(d, k))
+    case LessThanOrEqual(KeyLit(k), KeyInt(d)) => Some(geFilter(d, k))
+    case GreaterThan(KeyInt(d), KeyLit(k)) => Some(geFilter(d, k + 1))
+    case LessThan(KeyLit(k), KeyInt(d)) => Some(geFilter(d, k + 1))
+    case LessThan(KeyInt(d), KeyLit(k)) => Some(ltFilter(d, k))
+    case GreaterThan(KeyLit(k), KeyInt(d)) => Some(ltFilter(d, k))
+    case LessThanOrEqual(KeyInt(d), KeyLit(k)) => Some(ltFilter(d, k + 1))
+    case GreaterThanOrEqual(KeyLit(k), KeyInt(d)) => Some(ltFilter(d, k + 1))
+    case In(KeyInt(d), ks) if ks.nonEmpty && ks.forall(KeyLit.unapply(_).isDefined) =>
+      Some(inRewrite(d, ks.map(KeyLit.unapply(_).get)))
+    case _ => None
+  }
+
+  /** Descend only through And — a conjunct's NULL keeps no row, which
+    * is the licence the INT-tier bounds rely on; under Or/Not/CASE the
+    * NULL-vs-FALSE difference is observable and everything stays put. */
+  private def rewriteConjuncts(e: Expression): Expression = e match {
+    case And(l, r) => And(rewriteConjuncts(l), rewriteConjuncts(r))
+    case other => intConjunct(other).getOrElse(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Tier 1: value-exact forms, any context.
+    val p1 = plan.transformAllExpressions {
+      // string equality — an 8-digit guarded-year literal can only
+      // equal an in-band rendering (year 0 renders '0000', year ≥ 9999
+      // renders '9999…'/'+…', negatives carry '-': all excluded)
+      case EqualTo(KeyRender(d), StrKeyLit(s)) => eqExact(d, s.toLong)
+      case EqualTo(StrKeyLit(s), KeyRender(d)) => eqExact(d, s.toLong)
+      // BIGINT-cast forms — total, so the band argument is value-exact
+      case EqualTo(KeyLong(d), KeyLit(k)) => eqExact(d, k)
+      case EqualTo(KeyLit(k), KeyLong(d)) => eqExact(d, k)
+      case GreaterThanOrEqual(KeyLong(d), KeyLit(k)) => geExact(d, k)
+      case LessThanOrEqual(KeyLit(k), KeyLong(d)) => geExact(d, k)
+      case GreaterThan(KeyLong(d), KeyLit(k)) => geExact(d, k + 1)
+      case LessThan(KeyLit(k), KeyLong(d)) => geExact(d, k + 1)
+      case LessThan(KeyLong(d), KeyLit(k)) => ltExact(d, k)
+      case GreaterThan(KeyLit(k), KeyLong(d)) => ltExact(d, k)
+      case LessThanOrEqual(KeyLong(d), KeyLit(k)) => ltExact(d, k + 1)
+      case GreaterThanOrEqual(KeyLit(k), KeyLong(d)) => ltExact(d, k + 1)
+      case In(KeyLong(d), ks) if ks.nonEmpty && ks.forall(KeyLit.unapply(_).isDefined) =>
+        inRewrite(d, ks.map(KeyLit.unapply(_).get))
+    }
+    // Tier 2: INT-cast forms, top-level Filter conjuncts only.
+    p1.transform {
+      case f @ Filter(cond, child) =>
+        val rewritten = rewriteConjuncts(cond)
+        if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
+    }
+  }
+}
+
 /** Prefix-equality pushdown — the third injected `Rule[LogicalPlan]`:
   * `substring(c, 1, n) = 'lit'` (either operand order; `left(c, n)`
   * arrives here too, ReplaceExpressions having already lowered it to

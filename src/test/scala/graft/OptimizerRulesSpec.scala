@@ -511,4 +511,168 @@ class OptimizerRulesSpec extends SparkSpec {
       assert(q.collect().head.getLong(0) === 4L)
     }
   }
+
+  // ------------------------------------------------- SargableDateKey
+
+  /** DATE parquet fixture spanning every band the rule reasons about:
+    * normal years, year 0, a negative year, 9999, 10000 (+-prefixed
+    * rendering), both sides of the INT-parse overflow horizon
+    * (|year| = 214749), and NULL. */
+  private lazy val keyed: DataFrame = {
+    val dir = SparkSpec.tempDir("graft_dkey_") + "/dates"
+    spark.sql(
+      """SELECT make_date(y, m, dd) AS d FROM VALUES
+        |  (1994,12,31),(1995,1,1),(1995,3,15),(1995,12,31),(1996,1,1),
+        |  (-5,3,1),(0,7,4),(9999,6,1),(10000,1,1),(214748,12,31),
+        |  (214749,1,1),(-214749,6,1) AS t(y, m, dd)
+        |UNION ALL SELECT CAST(NULL AS DATE)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def intKey = date_format($"d", "yyyyMMdd").cast("int")
+  private def longKey = date_format($"d", "yyyyMMdd").cast("long")
+
+  /** Ground truth: a bare projection of the INT key is OUT of the
+    * rule's scope (no comparison), so it evaluates the original
+    * expression — NULL on the overflow rows. */
+  private lazy val trueKeys: Seq[Option[Int]] =
+    keyed.select(intKey.as("k")).collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+
+  test("int date-key filter conjuncts rewrite to horizon-bounded ranges, row-set-identically") {
+    // sanity: the fixture really exercises the overflow band
+    assert(trueKeys.count(_.isEmpty) === 3, // two overflow rows + NULL date
+      s"fixture lost its overflow band: $trueKeys")
+    assert(trueKeys.flatten.exists(_ < 0) && trueKeys.flatten.exists(_ > 99990000),
+      "fixture must keep a negative-key and a year>=9999 row")
+    val cases: Seq[(org.apache.spark.sql.Column, Int => Boolean)] = Seq(
+      (intKey >= 19950101, _ >= 19950101),
+      (intKey > 19951231, _ > 19951231),
+      (intKey < 19950101, _ < 19950101),
+      (intKey <= 19951231, _ <= 19951231),
+      (intKey === 19950315, _ == 19950315),
+      (lit(19950101) <= intKey, _ >= 19950101),
+      (lit(19950101) > intKey, _ < 19950101),
+      (intKey.isin(19950315, 19960101), k => k == 19950315 || k == 19960101),
+      // calendar-impossible keys: equality matches nothing, orderings
+      // land on the key-space ceiling (19950230 -> 1995-03-01)
+      (intKey === 19950230, _ => false),
+      (intKey >= 19950230, _ >= 19950230))
+    for (((pred, oracle), i) <- cases.zipWithIndex) {
+      val q = keyed.filter(pred)
+      val plan = optimized(q)
+      assert(!plan.contains("date_format"),
+        s"int key case $i not rewritten: $plan")
+      val want = trueKeys.count(_.exists(oracle))
+      assert(q.count() === want, s"int key case $i row count")
+    }
+  }
+
+  test("bigint date-key comparisons are value-exact in any context") {
+    // projection context: the LONG cast never overflows, so the tier-1
+    // rewrite must agree with the true key on EVERY band — including
+    // the rows whose INT cast is NULL
+    val out = keyed.select($"d",
+        (longKey >= 19950101L).as("ge"),
+        (longKey === 19950315L).as("eq"),
+        (longKey < 19950101L).as("lt"))
+      .collect()
+    val plan = optimized(keyed.select((longKey >= 19950101L).as("ge")))
+    assert(!plan.contains("date_format"), s"long tier not rewritten: $plan")
+    val longTrue: Seq[Option[Long]] =
+      keyed.select(longKey.as("k")).collect().toSeq
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(longTrue.count(_.isEmpty) === 1, "only the NULL date lacks a long key")
+    for ((r, t) <- out.zip(longTrue)) t match {
+      case None =>
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+          "NULL date must stay NULL through every long-tier form")
+      case Some(k) =>
+        assert(r.getBoolean(1) === (k >= 19950101L), s"ge at key $k")
+        assert(r.getBoolean(2) === (k == 19950315L), s"eq at key $k")
+        assert(r.getBoolean(3) === (k < 19950101L), s"lt at key $k")
+    }
+  }
+
+  test("string date-key equality is value-exact, impossible keys fold null-preservingly") {
+    val strKey = date_format($"d", "yyyyMMdd")
+    val q = keyed.filter(strKey === "19950315")
+    assert(!optimized(q).contains("date_format"),
+      s"string equality not rewritten: ${optimized(q)}")
+    assert(q.count() === 1L)
+    // projected values: exact date TRUE, others FALSE, NULL stays NULL
+    val out = keyed.select($"d",
+        (strKey === "19950315").as("hit"),
+        (strKey === "19950230").as("imp")) // calendar-impossible
+      .collect()
+    assert(!optimized(keyed.select((strKey === "19950230").as("i")))
+      .contains("date_format"), "impossible key must fold, not evaluate")
+    for (r <- out) {
+      if (r.isNullAt(0)) {
+        assert(r.isNullAt(1) && r.isNullAt(2), "NULL d must stay NULL")
+      } else {
+        assert(r.getBoolean(1) ===
+          (r.getDate(0).toString == "1995-03-15"), s"hit at ${r.getDate(0)}")
+        assert(!r.getBoolean(2), "no rendering has key 19950230")
+      }
+    }
+  }
+
+  test("date-key ranges reach the parquet scan as PushedFilters") {
+    val q = keyed.filter(intKey >= 19950101)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("GreaterThanOrEqual(d,1995-01-01)") &&
+      physical.contains("LessThan(d,"),
+      s"bounded key range not pushed to the scan:\n$physical")
+  }
+
+  test("date-key out-of-scope shapes are left alone") {
+    // INT-cast orderings in PROJECTION context: the overflow band's
+    // NULL is observable there, so tier 2 must not touch them
+    val proj = keyed.select((intKey >= 19950101).as("ge"))
+    assert(optimized(proj).contains("date_format"),
+      s"projected int ordering must stay put: ${optimized(proj)}")
+    // ... and the projected values keep the original NULL semantics
+    val vals = proj.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(vals.count(_.isEmpty) === 3, "overflow rows must project NULL")
+    // disjunctive / negated contexts inside a Filter
+    val orQ = keyed.filter((intKey >= 19950101) || $"d".isNull)
+    assert(optimized(orQ).contains("date_format"),
+      s"Or context must stay put: ${optimized(orQ)}")
+    assert(orQ.count() === 8L) // 7 in-range rows + the NULL date
+    // a Not over a comparison is folded to the inverse comparison by
+    // BooleanSimplification BEFORE extra rules run (exact in 3VL), so
+    // the rewrite legitimately fires on the folded conjunct — assert
+    // the row set instead of the plan shape
+    val notQ = keyed.filter(!(intKey >= 19950101))
+    assert(notQ.count() === trueKeys.count(_.exists(_ < 19950101)))
+    // other formats and widths stay put
+    val fmtQ = keyed.filter(date_format($"d", "yyyyMM") === "199503")
+    assert(optimized(fmtQ).contains("date_format"), optimized(fmtQ))
+    assert(fmtQ.count() === 1L)
+    val nineQ = keyed.filter(date_format($"d", "yyyyMMdd") === "119950315")
+    assert(optimized(nineQ).contains("date_format"), optimized(nineQ))
+    assert(nineQ.count() === 0L)
+    // year-0 and year-9999 literals sit outside the guarded band
+    val y0Q = keyed.filter(date_format($"d", "yyyyMMdd") === "00000704")
+    assert(optimized(y0Q).contains("date_format"), optimized(y0Q))
+    assert(y0Q.count() === 1L)
+  }
+
+  test("date-key SQL-surface predicates rewrite too") {
+    keyed.createOrReplaceTempView("dkey_fixture")
+    val q = spark.sql("SELECT count(*) AS n FROM dkey_fixture " +
+      "WHERE CAST(date_format(d, 'yyyyMMdd') AS INT) = 19950315")
+    assert(!optimized(q).contains("date_format"),
+      s"SQL date-key predicate not rewritten: ${optimized(q)}")
+    assert(q.collect().head.getLong(0) === 1L)
+    // the engine's own F6 derivation is the shape the rule serves
+    val viaF6 = keyed.filter(
+      graft.functions.Standardize.dateKey($"d") === 19950315)
+    assert(!optimized(viaF6).contains("date_format"),
+      s"Standardize.dateKey must rewrite: ${optimized(viaF6)}")
+    assert(viaF6.count() === 1L)
+  }
 }
