@@ -9388,6 +9388,178 @@ object OracleSql {
         THEN 1 ELSE 0 END) AS BIGINT) AS n_h1
     FROM f GROUP BY 1"""
 
+  /** MMR re-rank — q355 (r17 task 4: a recursive-CTE oracle replacing
+    * spec-only evidence). Each recursion step picks the remaining
+    * candidate maximizing λ·rel − (1−λ)·max-cos-to-picked with the
+    * engine's exact tie-break (score DESC, id ASC on the VARCHAR id)
+    * and the engine's dot/√/√ division order; λ terms are explicit
+    * DOUBLE casts so (1.0−0.7) carries the same IEEE bits. */
+  private val q355 = """
+    WITH RECURSIVE cand AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id,
+             CAST(vec_id*37 % 100 AS DOUBLE)/CAST(100 AS DOUBLE) AS rel,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id < 200),
+    mmr AS (
+      SELECT 0 AS rnk, CAST(NULL AS VARCHAR) AS id, CAST(NULL AS DOUBLE) AS rel,
+             CAST(NULL AS DOUBLE) AS red, CAST([] AS VARCHAR[]) AS pids,
+             CAST([] AS DOUBLE[][]) AS pembs
+      UNION ALL
+      SELECT m.rnk + 1, q.id, q.rel, q.red, list_append(m.pids, q.id),
+             list_append(m.pembs, q.emb)
+      FROM mmr m JOIN LATERAL (
+        SELECT * FROM (
+          SELECT c.id, c.rel, c.emb,
+            CASE WHEN len(m.pembs) = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE list_max(list_transform(m.pembs, pe ->
+                   CASE WHEN list_sum(list_transform(c.emb, x -> x*x)) = 0
+                          OR list_sum(list_transform(pe, x -> x*x)) = 0
+                        THEN CAST(0 AS DOUBLE)
+                        ELSE list_sum(list_transform(list_zip(c.emb, pe), x -> x[1]*x[2]))
+                             / sqrt(list_sum(list_transform(c.emb, x -> x*x)))
+                             / sqrt(list_sum(list_transform(pe, x -> x*x))) END))
+            END AS red
+          FROM cand c WHERE NOT list_contains(m.pids, c.id))
+        ORDER BY (CAST(0.7 AS DOUBLE)*rel
+                  - (CAST(1.0 AS DOUBLE)-CAST(0.7 AS DOUBLE))*red) DESC, id
+        LIMIT 1) q ON true
+      WHERE m.rnk < 12)
+    SELECT id, CAST(rnk AS BIGINT) AS rank, round(rel, 6) AS relevance,
+           round(red, 6) AS redundancy
+    FROM mmr WHERE rnk >= 1"""
+
+  /** Fellegi–Sunter EM — q356. The 2^3 pattern frame aggregated from
+    * nation-blocked customer pairs, then 30 EM rounds unrolled as a
+    * recursive CTE carrying (p, m[], u[]); w-weighted sums run over the
+    * bitstring-ordered pattern list (the engine's summation order), and
+    * clamps/log2 mirror the engine's math.min/max and ln/ln(2). */
+  private val q356 = """
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+             c_acctbal AS bal
+      FROM customer WHERE c_custkey < 3000),
+    pairs AS (
+      SELECT (a.seg = b.seg) AS g1, ((a.bal > 0) = (b.bal > 0)) AS g2,
+             (floor(a.bal / CAST(1000 AS DOUBLE)) =
+              floor(b.bal / CAST(1000 AS DOUBLE))) AS g3
+      FROM c a JOIN c b ON a.nk = b.nk AND a.k < b.k),
+    pat AS (SELECT g1, g2, g3, CAST(count(*) AS DOUBLE) AS cnt
+            FROM pairs GROUP BY 1, 2, 3),
+    pl AS (SELECT list(STRUCT_PACK(g := [g1, g2, g3], c := cnt)
+                       ORDER BY g1, g2, g3) AS ps,
+                  sum(cnt) AS total FROM pat),
+    em AS (
+      SELECT 0 AS it, CAST(0.1 AS DOUBLE) AS p,
+             [CAST(0.9 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.9 AS DOUBLE)] AS ma,
+             [CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.1 AS DOUBLE)] AS ua
+      UNION ALL
+      SELECT st.it + 1,
+        CASE WHEN q.ws > 0 AND pl.total - q.ws > 0
+             THEN least(greatest(q.ws / pl.total, CAST(1e-6 AS DOUBLE)),
+                        CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE))
+             ELSE st.p END,
+        CASE WHEN q.ws > 0 AND pl.total - q.ws > 0
+             THEN [least(greatest(q.mn1 / q.ws, CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE)),
+                   least(greatest(q.mn2 / q.ws, CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE)),
+                   least(greatest(q.mn3 / q.ws, CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE))]
+             ELSE st.ma END,
+        CASE WHEN q.ws > 0 AND pl.total - q.ws > 0
+             THEN [least(greatest(q.un1 / (pl.total - q.ws), CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE)),
+                   least(greatest(q.un2 / (pl.total - q.ws), CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE)),
+                   least(greatest(q.un3 / (pl.total - q.ws), CAST(1e-6 AS DOUBLE)), CAST(1 AS DOUBLE) - CAST(1e-6 AS DOUBLE))]
+             ELSE st.ua END
+      FROM em st, pl, LATERAL (
+        SELECT list_sum(list_transform(wl, x -> x.w * x.c)) AS ws,
+          list_sum(list_transform(wl, x -> CASE WHEN x.g[1] THEN x.w * x.c ELSE CAST(0 AS DOUBLE) END)) AS mn1,
+          list_sum(list_transform(wl, x -> CASE WHEN x.g[2] THEN x.w * x.c ELSE CAST(0 AS DOUBLE) END)) AS mn2,
+          list_sum(list_transform(wl, x -> CASE WHEN x.g[3] THEN x.w * x.c ELSE CAST(0 AS DOUBLE) END)) AS mn3,
+          list_sum(list_transform(wl, x -> CASE WHEN x.g[1] THEN (CAST(1 AS DOUBLE) - x.w) * x.c ELSE CAST(0 AS DOUBLE) END)) AS un1,
+          list_sum(list_transform(wl, x -> CASE WHEN x.g[2] THEN (CAST(1 AS DOUBLE) - x.w) * x.c ELSE CAST(0 AS DOUBLE) END)) AS un2,
+          list_sum(list_transform(wl, x -> CASE WHEN x.g[3] THEN (CAST(1 AS DOUBLE) - x.w) * x.c ELSE CAST(0 AS DOUBLE) END)) AS un3
+        FROM (SELECT list_transform(pl.ps, s -> STRUCT_PACK(
+            w := CASE WHEN
+                st.p * (CASE WHEN s.g[1] THEN st.ma[1] ELSE CAST(1 AS DOUBLE) - st.ma[1] END)
+                     * (CASE WHEN s.g[2] THEN st.ma[2] ELSE CAST(1 AS DOUBLE) - st.ma[2] END)
+                     * (CASE WHEN s.g[3] THEN st.ma[3] ELSE CAST(1 AS DOUBLE) - st.ma[3] END)
+              + (CAST(1 AS DOUBLE) - st.p)
+                     * (CASE WHEN s.g[1] THEN st.ua[1] ELSE CAST(1 AS DOUBLE) - st.ua[1] END)
+                     * (CASE WHEN s.g[2] THEN st.ua[2] ELSE CAST(1 AS DOUBLE) - st.ua[2] END)
+                     * (CASE WHEN s.g[3] THEN st.ua[3] ELSE CAST(1 AS DOUBLE) - st.ua[3] END) > 0
+              THEN (st.p * (CASE WHEN s.g[1] THEN st.ma[1] ELSE CAST(1 AS DOUBLE) - st.ma[1] END)
+                         * (CASE WHEN s.g[2] THEN st.ma[2] ELSE CAST(1 AS DOUBLE) - st.ma[2] END)
+                         * (CASE WHEN s.g[3] THEN st.ma[3] ELSE CAST(1 AS DOUBLE) - st.ma[3] END))
+                 / (st.p * (CASE WHEN s.g[1] THEN st.ma[1] ELSE CAST(1 AS DOUBLE) - st.ma[1] END)
+                         * (CASE WHEN s.g[2] THEN st.ma[2] ELSE CAST(1 AS DOUBLE) - st.ma[2] END)
+                         * (CASE WHEN s.g[3] THEN st.ma[3] ELSE CAST(1 AS DOUBLE) - st.ma[3] END)
+                  + (CAST(1 AS DOUBLE) - st.p)
+                         * (CASE WHEN s.g[1] THEN st.ua[1] ELSE CAST(1 AS DOUBLE) - st.ua[1] END)
+                         * (CASE WHEN s.g[2] THEN st.ua[2] ELSE CAST(1 AS DOUBLE) - st.ua[2] END)
+                         * (CASE WHEN s.g[3] THEN st.ua[3] ELSE CAST(1 AS DOUBLE) - st.ua[3] END))
+              ELSE CAST(0 AS DOUBLE) END,
+            c := s.c, g := s.g)) AS wl) ) q
+      WHERE st.it < 30),
+    fin AS (SELECT * FROM em WHERE it = 30)
+    SELECT v.field,
+      round(fin.ma[v.j], 6) AS m, round(fin.ua[v.j], 6) AS u,
+      round(ln(fin.ma[v.j] / fin.ua[v.j]) / ln(CAST(2 AS DOUBLE)), 6) AS weight_agree,
+      round(ln((CAST(1 AS DOUBLE) - fin.ma[v.j]) / (CAST(1 AS DOUBLE) - fin.ua[v.j])) / ln(CAST(2 AS DOUBLE)), 6) AS weight_disagree,
+      round(fin.p, 6) AS prevalence
+    FROM fin, (VALUES ('g_seg', 1), ('g_bal', 2), ('g_bkt', 3)) v(field, j)"""
+
+  /** Bradley–Terry strengths — q357. The win matrix replayed with the
+    * engine's least/greatest canonicalization, then 100 MM rounds
+    * unrolled as a recursive CTE carrying the item-ordered strength
+    * list (win counts are integral doubles — exact; denominator sums
+    * converge under r6 rounding). */
+  private val q357 = """
+    WITH RECURSIVE g AS (
+      SELECT 'P' || CAST(o_custkey % 7 AS VARCHAR) AS a,
+             'P' || CAST((o_custkey // 7) % 7 AS VARCHAR) AS b,
+             CASE WHEN (o_orderkey % 13) < 7
+                  THEN 'P' || CAST(o_custkey % 7 AS VARCHAR)
+                  ELSE 'P' || CAST((o_custkey // 7) % 7 AS VARCHAR) END AS w
+      FROM orders WHERE o_orderkey < 20000),
+    gf AS (SELECT * FROM g WHERE a <> b),
+    mat AS (SELECT least(a, b) AS ia, greatest(a, b) AS ib,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN w = least(a, b) THEN 1 ELSE 0 END) AS DOUBLE) AS wa
+            FROM gf GROUP BY 1, 2),
+    itemtbl AS (
+      SELECT item, row_number() OVER (ORDER BY item) AS inum,
+        (SELECT coalesce(sum(CASE WHEN m2.ia = item THEN m2.wa
+                                  WHEN m2.ib = item THEN m2.n - m2.wa
+                                  ELSE 0 END), 0) FROM mat m2) AS win,
+        (SELECT coalesce(sum(CASE WHEN m2.ia = item OR m2.ib = item
+                                  THEN m2.n ELSE 0 END), 0) FROM mat m2) AS ng
+      FROM (SELECT DISTINCT ia AS item FROM mat
+            UNION SELECT DISTINCT ib FROM mat)),
+    il AS (SELECT list(item ORDER BY item) AS items FROM itemtbl),
+    bt AS (
+      SELECT 0 AS it, list_transform(il.items, x -> CAST(1 AS DOUBLE)) AS p
+      FROM il
+      UNION ALL
+      SELECT st.it + 1, q.pn
+      FROM bt st, il, LATERAL (
+        SELECT list_transform(nrl, x ->
+                 CASE WHEN s > 0 THEN x * CAST(len(nrl) AS DOUBLE) / s
+                      ELSE x END) AS pn
+        FROM (SELECT nrl, list_sum(nrl) AS s FROM (
+          SELECT list(CASE WHEN denom > 0
+                           THEN greatest(win / denom, CAST(1e-9 AS DOUBLE))
+                           ELSE st.p[inum] END ORDER BY inum) AS nrl
+          FROM (
+            SELECT i.inum, i.win,
+              (SELECT coalesce(sum(m2.n / (st.p[list_position(il.items, m2.ia)]
+                                         + st.p[list_position(il.items, m2.ib)])), 0)
+               FROM mat m2 WHERE m2.ia = i.item OR m2.ib = i.item) AS denom
+            FROM itemtbl i)))) q
+      WHERE st.it < 100),
+    fin AS (SELECT p FROM bt WHERE it = 100)
+    SELECT i.item, CAST(i.win AS BIGINT) AS n_wins, CAST(i.ng AS BIGINT) AS n_games,
+      round(fin.p[i.inum], 6) AS strength,
+      CAST(row_number() OVER (ORDER BY fin.p[i.inum] DESC, i.item) AS BIGINT) AS rank
+    FROM fin, itemtbl i"""
+
   val all: Map[String, String] = Map(
     "q01_filter_agg"        -> q01,
     "q02_star_join"         -> q02,
@@ -9763,6 +9935,9 @@ object OracleSql {
     "q351_datasheet"        -> q351,
     "q352_mrl_recall"       -> q352,
     "q353_centroid_outliers" -> q353,
-    "q354_datekey_prune"    -> q354
+    "q354_datekey_prune"    -> q354,
+    "q355_mmr_rerank"       -> q355,
+    "q356_fellegi_sunter"   -> q356,
+    "q357_bradley_terry"    -> q357
   ).map { case (k, v) => k -> clean(v) }
 }

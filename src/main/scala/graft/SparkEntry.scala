@@ -5472,6 +5472,56 @@ object SparkEntry {
         sum(when(dk.cast("long") < 19950701L, 1L).otherwise(0L)).as("n_h1"))
   }
 
+  /** MMR re-rank ([[graft.ops.Similarity.mmrRerank]], previously
+    * spec-only — r17 verdict task 4): greedy maximal-marginal-relevance
+    * over a 200-candidate retrieval slice with a deterministic
+    * relevance grid. The oracle replays the greedy argmax as a k-step
+    * recursive CTE with the same `>`-strict, id-ascending tie-break
+    * and the same dot/√/√ cosine association order. */
+  private def q355MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val cands = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        ((col("vec_id") * 37 % 100).cast("double") / lit(100.0)).as("rel"),
+        col("embedding"))
+    Similarity.mmrRerank(cands, "vec_id", "rel", k = 12)
+  }
+
+  /** Fellegi–Sunter EM ([[graft.ops.EntityResolution.fellegiSunter]],
+    * previously spec-only): m/u/prevalence estimation over
+    * nation-blocked customer pairs with three agreement fields. The
+    * oracle unrolls the 30 EM rounds as a recursive CTE over the
+    * 2^3 pattern frame, pattern-sorted summation order preserved. */
+  private def q356FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 3000)
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    val a = c.select(c.columns.map(x => col(x).as("a_" + x)): _*)
+    val b = c.select(c.columns.map(x => col(x).as("b_" + x)): _*)
+    val pairs = a.join(b,
+        col("a_nk") === col("b_nk") && col("a_k") < col("b_k"))
+      .select((col("a_seg") === col("b_seg")).as("g_seg"),
+        ((col("a_bal") > 0) === (col("b_bal") > 0)).as("g_bal"),
+        (floor(col("a_bal") / lit(1000.0)) ===
+          floor(col("b_bal") / lit(1000.0))).as("g_bkt"))
+    graft.ops.EntityResolution.fellegiSunter(
+      pairs, Seq("g_seg", "g_bal", "g_bkt"), iterations = 30)
+  }
+
+  /** Bradley–Terry strengths ([[graft.ops.Experiment.bradleyTerry]],
+    * previously spec-only): the MM fixed-point over a 7-player
+    * pairwise-outcome table derived from order arithmetic. The oracle
+    * unrolls the 100 MM rounds as a recursive CTE carrying the
+    * strength vector, same clamp/normalize per round. */
+  private def q357BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+    val pa = concat(lit("P"), (col("o_custkey") % 7).cast("string"))
+    val pb = concat(lit("P"), (expr("o_custkey div 7") % 7).cast("string"))
+    val g = o.select(pa.as("a"), pb.as("b"),
+        when(col("o_orderkey") % 13 < 7, pa).otherwise(pb).as("w"))
+      .filter(col("a") =!= col("b"))
+    graft.ops.Experiment.bradleyTerry(g, "a", "b", "w", iterations = 100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5831,7 +5881,10 @@ object SparkEntry {
     "q351_datasheet"        -> q351Datasheet _,
     "q352_mrl_recall"       -> q352MatryoshkaRecall _,
     "q353_centroid_outliers" -> q353CentroidOutliers _,
-    "q354_datekey_prune"    -> q354DateKeyPrune _
+    "q354_datekey_prune"    -> q354DateKeyPrune _,
+    "q355_mmr_rerank"       -> q355MmrRerank _,
+    "q356_fellegi_sunter"   -> q356FellegiSunter _,
+    "q357_bradley_terry"    -> q357BradleyTerry _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Self-generated scale-factor corpus (r17 verdict task 2).
+
+The driver's testdata tops out at sf0.1 (TESTDATA.md, seed=42,
+read-only). This script produces the SAME 10-table star schema at any
+sf — schemas and value domains mirror the driver tables (verified
+against sf0.01 via DuckDB DESCRIBE + min/max probes), but the data is
+OUR OWN (seed=20260816) and lives outside /root/testdata; results on it
+are a second, non-driver scale point, clearly labeled as such.
+
+Row counts scale linearly exactly like the driver corpus:
+  region 5, nation 25, supplier 10k*sf, part 200k*sf, customer 150k*sf,
+  orders 1.5M*sf, lineitem ~6M*sf (1-7 lines/order), events 1M*sf,
+  documents 50k*sf, embeddings 20k*sf.
+
+Usage: python3 tools/gen_sf.py [sf] [outdir]
+       (defaults: sf=1 outdir=/tmp/graft_sf{sf})
+"""
+import sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft_sf{SF:g}"
+SEED = 20260816
+
+import os
+os.makedirs(OUT, exist_ok=True)
+rng = np.random.default_rng(SEED)
+
+def write(name, table):
+    pq.write_table(table, f"{OUT}/{name}.parquet")
+    print(f"{name}: {table.num_rows} rows")
+
+TS = pa.timestamp("us")
+
+def day_ts(days_from_epoch):
+    """Midnight timestamps (µs) from integer days."""
+    return (days_from_epoch.astype("int64") * 86_400_000_000)
+
+EPOCH_1995 = (np.datetime64("1995-01-01") - np.datetime64("1970-01-01")).astype(int)
+
+# ---------------------------------------------------------------- dims
+region = pa.table({
+    "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+    "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+})
+write("region", region)
+
+nkeys = np.arange(25, dtype=np.int32)
+nation = pa.table({
+    "n_nationkey": pa.array(nkeys),
+    "n_name": [f"NATION_{i}" for i in range(25)],
+    "n_regionkey": pa.array((nkeys % 5).astype(np.int32)),
+})
+write("nation", nation)
+
+n_supp = int(10_000 * SF)
+sk = np.arange(n_supp)
+supplier = pa.table({
+    "s_suppkey": pa.array(sk, pa.int64()),
+    "s_name": [f"Supplier#{i:09d}" for i in sk],
+    "s_nationkey": pa.array((sk % 25).astype(np.int32)),
+    "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+})
+write("supplier", supplier)
+
+n_part = int(200_000 * SF)
+pk = np.arange(n_part)
+ADJ = ["small", "red", "blue", "hot", "cold", "green", "shiny", "large"]
+NOUN = ["ring", "widget", "bolt", "gear", "gizmo", "cog", "valve", "spring"]
+part = pa.table({
+    "p_partkey": pa.array(pk, pa.int64()),
+    "p_name": [f"{ADJ[i % 8]} {NOUN[(i // 8) % 8]}" for i in pk],
+    "p_brand": [f"Brand#{i % 26}" for i in pk],
+    "p_type": np.array(["ECONOMY", "SMALL", "STANDARD", "LARGE",
+                        "PROMO", "MEDIUM"])[pk % 6],
+    "p_size": pa.array((pk % 50 + 1).astype(np.int32)),
+    "p_retailprice": np.round(900.0 + pk * 0.1, 2),
+})
+write("part", part)
+
+n_cust = int(150_000 * SF)
+ck = np.arange(n_cust)
+customer = pa.table({
+    "c_custkey": pa.array(ck, pa.int64()),
+    "c_name": [f"Customer#{i:09d}" for i in ck],
+    "c_nationkey": pa.array((ck % 25).astype(np.int32)),
+    "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+    "c_mktsegment": np.array(["MACHINERY", "BUILDING", "AUTOMOBILE",
+                              "HOUSEHOLD", "FURNITURE"])[ck % 5],
+})
+write("customer", customer)
+
+# --------------------------------------------------------------- facts
+n_ord = int(1_500_000 * SF)
+ok = np.arange(n_ord)
+odate_days = EPOCH_1995 + rng.integers(0, 2404, n_ord)  # 1995-01-01..2001-08
+orders = pa.table({
+    "o_orderkey": pa.array(ok, pa.int64()),
+    "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+    "o_orderstatus": np.array(["P", "O", "F"])[rng.integers(0, 3, n_ord)],
+    "o_totalprice": np.round(rng.uniform(900, 500_000, n_ord), 2),
+    "o_orderdate": pa.array(day_ts(odate_days), TS),
+    "o_orderpriority": np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )[rng.integers(0, 5, n_ord)],
+})
+write("orders", orders)
+
+nlines = rng.integers(1, 8, n_ord)          # mean 4 lines/order
+l_ok = np.repeat(ok, nlines)
+n_li = l_ok.size
+l_ln = np.concatenate([np.arange(1, n + 1) for n in nlines]) \
+    if n_ord < 200_000 else None
+if l_ln is None:  # vectorized linenumber for big sf
+    starts = np.zeros(n_li, dtype=np.int64)
+    starts[np.cumsum(nlines)[:-1]] = nlines[:-1]
+    l_ln = np.arange(n_li) - np.repeat(np.cumsum(nlines) - nlines, nlines) + 1
+ship_days = np.repeat(odate_days, nlines) + rng.integers(1, 96, n_li)
+lineitem = pa.table({
+    "l_orderkey": pa.array(l_ok, pa.int64()),
+    "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+    "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+    "l_linenumber": pa.array(l_ln.astype(np.int32)),
+    "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+    "l_extendedprice": np.round(rng.uniform(900, 100_000, n_li), 2),
+    "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
+    "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
+    "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+    "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_li)],
+    "l_shipdate": pa.array(day_ts(ship_days), TS),
+})
+write("lineitem", lineitem)
+
+n_ev = int(1_000_000 * SF)
+ev = np.arange(n_ev)
+EPOCH_2024 = (np.datetime64("2024-01-01") - np.datetime64("1970-01-01")).astype(int)
+ev_us = EPOCH_2024 * 86_400_000_000 + \
+    np.sort(rng.integers(0, 30 * 86_400_000_000, n_ev))
+events = pa.table({
+    "event_id": pa.array(ev, pa.int64()),
+    "ts": pa.array(ev_us, TS),
+    "user_id": pa.array(rng.integers(0, max(int(15_000 * SF), 1), n_ev),
+                        pa.int64()),
+    "event_type": np.array(["click", "view", "purchase", "signup",
+                            "error"])[rng.integers(0, 5, n_ev)],
+    "value": np.round(rng.uniform(0.01, 490.02, n_ev), 2),
+    "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
+})
+write("events", events)
+
+# ---------------------------------------------------- documents (token soup)
+n_doc = int(50_000 * SF)
+VOCAB = np.array(["key", "agg", "row", "scan", "slow", "fast", "table",
+                  "value", "part", "hash", "a", "the", "merge", "batch",
+                  "window", "spark", "order", "data", "column", "join",
+                  "small", "line", "customer", "query", "big", "filter",
+                  "sort", "stream", "vector", "of", "it", "index",
+                  "plan", "shuffle", "cache", "disk"])
+LANGS = np.array(["en", "en", "en", "zh", "es", "de", "fr", "en"])
+doc_rng = np.random.default_rng(SEED + 1)
+lens = doc_rng.integers(20, 90, n_doc)       # words per doc
+texts = []
+for i in range(n_doc):
+    w = VOCAB[doc_rng.integers(0, VOCAB.size, lens[i])]
+    texts.append(" ".join(w))
+# exact duplicates (~4%) and near-duplicates (~2%): dedup queries need both
+dup_idx = doc_rng.integers(0, n_doc, max(n_doc // 25, 1))
+for j, src in enumerate(dup_idx):
+    tgt = (src + 17 + j) % n_doc
+    texts[tgt] = texts[src]
+near_idx = doc_rng.integers(0, n_doc, max(n_doc // 50, 1))
+for j, src in enumerate(near_idx):
+    tgt = (src + 31 + j) % n_doc
+    texts[tgt] = texts[src] + " extra tail token"
+documents = pa.table({
+    "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+    "text": texts,
+    "lang": LANGS[np.arange(n_doc) % 8],
+    "source": [f"src{i % 20}" for i in range(n_doc)],
+    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+})
+write("documents", documents)
+
+# ------------------------------------------------------- embeddings (64-d)
+n_emb = int(20_000 * SF)
+emb_rng = np.random.default_rng(SEED + 2)
+labels = emb_rng.integers(0, 10, n_emb)
+centers = emb_rng.normal(0, 0.15, (10, 64))
+vecs = (centers[labels] +
+        emb_rng.normal(0, 0.08, (n_emb, 64))).astype(np.float32)
+embeddings = pa.table({
+    "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    "label": pa.array(labels.astype(np.int32)),
+})
+write("embeddings", embeddings)
+
+print(f"done -> {OUT}")
