@@ -46,11 +46,15 @@ object UrlFilter {
 
   /** Multi-label public suffixes — a FROZEN, hand-vendored snapshot of
     * the Mozilla Public Suffix List (publicsuffix.org), curated to the
-    * high-confidence core at authoring time (2026-08, expanded r17 to
-    * ~560 entries: the jp prefecture / us state / ca province / cn
+    * high-confidence core at authoring time (2026-08; r17 grew it to
+    * ~560 entries — jp prefecture / us state / ca province / cn
     * province / kr region geographics, the .br category registry, the
-    * fr regulated professions, pl city registries, and more platform
-    * suffixes; the build sandbox has no egress, so the full ~10k-entry
+    * fr regulated professions, pl city registries — and r18 to ~950:
+    * the it regions + province registries, the remaining standard
+    * country registry sets across every continent, the .bg
+    * letter/digit registries, the *.jm / *.fk wildcards, and the
+    * high-traffic half of the blogspot country fleet;
+    * the build sandbox has no egress, so the full ~10k-entry
     * revisioned file cannot be fetched — swap these three literals for
     * a vendored copy of the full list to widen long-tail coverage; the
     * RULE ALGEBRA below already implements the complete PSL
@@ -207,13 +211,150 @@ object UrlFilter {
     "weebly.com", "tumblr.com", "fly.dev", "onrender.com",
     "readthedocs.io", "neocities.org", "glitch.me", "repl.co",
     "workers.dev", "surge.sh", "ngrok.io", "webflow.io",
-    "duckdns.org", "ddns.net", "dyndns.org")
+    "duckdns.org", "ddns.net", "dyndns.org",
+    // ---- r18 expansion (~560 -> ~950): the remaining high-traffic
+    // ICANN second-levels recalled from the public list, each country
+    // the standard com/net/org/edu/gov(-spelling) registry set.
+    // it: institutional + the 20 regions + major province registries
+    "edu.it", "gov.it",
+    "abruzzo.it", "basilicata.it", "calabria.it", "campania.it",
+    "lazio.it", "liguria.it", "lombardia.it", "marche.it", "molise.it",
+    "piemonte.it", "puglia.it", "sardegna.it", "sicilia.it",
+    "toscana.it", "umbria.it", "veneto.it", "aosta.it", "trentino.it",
+    "roma.it", "milano.it", "torino.it", "napoli.it", "bologna.it",
+    "firenze.it", "genova.it", "venezia.it", "palermo.it", "bari.it",
+    // nordics / baltics
+    "com.se", "org.se", "pp.se", "tm.se", "press.se", "parti.se",
+    "aland.fi", "gov.ie", "priv.no",
+    "com.is", "net.is", "org.is", "edu.is", "gov.is", "int.is",
+    "gov.lt", "com.lv", "edu.lv", "gov.lv", "org.lv", "net.lv",
+    "mil.lv", "id.lv", "asn.lv", "conf.lv",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "riik.ee", "pri.ee",
+    // balkans / caucasus / central asia
+    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+    "com.hr", "com.ba", "org.ba", "net.ba", "edu.ba", "gov.ba",
+    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "co.me", "net.me", "org.me", "edu.me", "ac.me", "gov.me",
+    "com.ge", "edu.ge", "gov.ge", "org.ge", "mil.ge", "net.ge",
+    "pvt.ge", "com.am", "net.am", "org.am",
+    "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "org.kz", "edu.kz", "net.kz", "gov.kz", "mil.kz", "com.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "org.kg", "net.kg", "com.kg", "edu.kg", "gov.kg", "mil.kg",
+    "gov.mn", "edu.mn", "org.mn",
+    // south asia
+    "gov.lk", "sch.lk", "net.lk", "int.lk", "com.lk", "org.lk",
+    "edu.lk", "ngo.lk", "soc.lk", "web.lk", "ltd.lk", "ac.lk",
+    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+    // east asia additions
+    "com.la", "net.la", "org.la", "edu.la", "gov.la",
+    "com.mo", "net.mo", "org.mo", "edu.mo", "gov.mo",
+    // middle east
+    "com.jo", "org.jo", "net.jo", "edu.jo", "sch.jo", "gov.jo",
+    "mil.jo", "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw",
+    "org.kw", "com.qa", "edu.qa", "gov.qa", "mil.qa", "net.qa",
+    "org.qa", "sch.qa",
+    "com.om", "co.om", "edu.om", "gov.om", "med.om", "net.om",
+    "org.om", "pro.om",
+    "com.bh", "edu.bh", "net.bh", "org.bh", "gov.bh",
+    "com.ye", "edu.ye", "gov.ye", "net.ye", "mil.ye", "org.ye",
+    "gov.iq", "edu.iq", "mil.iq", "com.iq", "org.iq", "net.iq",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "com.sy", "edu.sy", "gov.sy", "mil.sy", "net.sy", "org.sy",
+    "gov.af", "com.af", "org.af", "net.af", "edu.af",
+    // africa
+    "co.ma", "net.ma", "gov.ma", "org.ma", "ac.ma", "press.ma",
+    "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "intl.tn",
+    "nat.tn", "net.tn", "org.tn", "info.tn", "perso.tn", "tourism.tn",
+    "com.ly", "net.ly", "gov.ly", "plc.ly", "edu.ly", "sch.ly",
+    "med.ly", "org.ly", "id.ly",
+    "com.sd", "net.sd", "org.sd", "edu.sd", "med.sd", "tv.sd",
+    "gov.sd", "info.sd",
+    "com.et", "gov.et", "org.et", "edu.et", "biz.et", "name.et",
+    "info.et", "net.et",
+    "art.sn", "com.sn", "edu.sn", "gouv.sn", "org.sn", "perso.sn",
+    "univ.sn",
+    "org.ci", "or.ci", "com.ci", "co.ci", "edu.ci", "ed.ci", "ac.ci",
+    "net.ci", "go.ci", "asso.ci", "int.ci", "gouv.ci",
+    "co.cm", "com.cm", "gov.cm", "net.cm",
+    "ac.rw", "co.rw", "coop.rw", "gov.rw", "mil.rw", "net.rw",
+    "org.rw",
+    "ac.mw", "biz.mw", "co.mw", "com.mw", "coop.mw", "edu.mw",
+    "gov.mw", "int.mw", "net.mw", "org.mw",
+    "co.na", "com.na", "org.na",
+    "ac.ls", "biz.ls", "co.ls", "edu.ls", "gov.ls", "info.ls",
+    "net.ls", "org.ls", "sc.ls",
+    "co.sz", "ac.sz", "org.sz",
+    "com.mu", "net.mu", "org.mu", "gov.mu", "ac.mu", "co.mu", "or.mu",
+    "org.mg", "nom.mg", "gov.mg", "prd.mg", "tm.mg", "edu.mg",
+    "mil.mg", "com.mg", "co.mg",
+    "ed.ao", "gv.ao", "og.ao", "co.ao", "pb.ao", "it.ao",
+    // caribbean / central america / pacific
+    "com.cu", "edu.cu", "org.cu", "net.cu", "gov.cu", "inf.cu",
+    "co.tt", "com.tt", "org.tt", "net.tt", "biz.tt", "info.tt",
+    "pro.tt", "int.tt", "coop.tt", "gov.tt", "edu.tt",
+    "biz.bb", "co.bb", "com.bb", "edu.bb", "gov.bb", "info.bb",
+    "net.bb", "org.bb", "store.bb", "tv.bb",
+    "com.bs", "net.bs", "org.bs", "edu.bs", "gov.bs",
+    "com.bz", "net.bz", "org.bz", "edu.bz", "gov.bz",
+    "gov.cl", "gob.cl", "co.cl", "mil.cl",
+    "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
+    "ac.fj", "biz.fj", "com.fj", "gov.fj", "info.fj", "mil.fj",
+    "name.fj", "net.fj", "org.fj", "pro.fj",
+    "com.to", "gov.to", "net.to", "org.to", "edu.to", "mil.to",
+    "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
+    "com.vu", "edu.vu", "net.vu", "org.vu",
+    "asso.nc", "nom.nc", "com.pf", "org.pf", "edu.pf",
+    "edu.ki", "biz.ki", "net.ki", "org.ki", "gov.ki", "info.ki",
+    "com.ki", "biz.nr", "info.nr", "gov.nr", "edu.nr", "org.nr",
+    "net.nr", "com.nr",
+    "com.pr", "net.pr", "org.pr", "gov.pr", "edu.pr", "isla.pr",
+    "pro.pr", "biz.pr", "info.pr", "name.pr", "est.pr", "prof.pr",
+    "ac.pr",
+    "com.ht", "shop.ht", "firm.ht", "info.ht", "net.ht", "pro.ht",
+    "org.ht", "med.ht", "art.ht", "coop.ht", "pol.ht", "asso.ht",
+    "edu.ht", "rel.ht", "gouv.ht", "perso.ht",
+    "co.gy", "com.gy", "edu.gy", "gov.gy", "net.gy", "org.gy",
+    "com.aw", "com.cw", "edu.cw", "net.cw", "org.cw",
+    "com.ag", "org.ag", "net.ag", "co.ag", "nom.ag",
+    "off.ai", "com.ai", "net.ai", "org.ai",
+    "com.lc", "net.lc", "co.lc", "org.lc", "edu.lc", "gov.lc",
+    "com.vc", "net.vc", "org.vc", "gov.vc", "mil.vc", "edu.vc",
+    "com.dm", "net.dm", "org.dm", "edu.dm", "gov.dm",
+    "net.kn", "org.kn", "edu.kn", "gov.kn",
+    "com.ms", "edu.ms", "gov.ms", "net.ms", "org.ms",
+    "com.tc", "net.tc", "org.tc", "pro.tc",
+    "com.ky", "edu.ky", "gov.ky", "net.ky", "org.ky",
+    "com.bm", "edu.bm", "gov.bm", "net.bm", "org.bm",
+    // uk crown dependencies / territories
+    "com.gi", "ltd.gi", "gov.gi", "mod.gi", "edu.gi", "org.gi",
+    "co.gg", "net.gg", "org.gg", "co.je", "net.je", "org.je",
+    "co.im", "com.im", "net.im", "org.im", "ac.im", "tt.im", "tv.im",
+    "com.ac", "edu.ac", "gov.ac", "net.ac", "mil.ac", "org.ac",
+    "com.sh", "net.sh", "gov.sh", "org.sh", "mil.sh",
+    "co.gl", "com.gl", "edu.gl", "net.gl", "org.gl",
+    // private-registry: the blogspot country fleet (highest-traffic
+    // members of the ~50-entry family)
+    "blogspot.de", "blogspot.co.uk", "blogspot.fr", "blogspot.it",
+    "blogspot.jp", "blogspot.in", "blogspot.com.br", "blogspot.com.au",
+    "blogspot.ca", "blogspot.mx", "blogspot.nl", "blogspot.se",
+    "blogspot.ch", "blogspot.com.ar", "blogspot.com.es",
+    "blogspot.co.at", "blogspot.pt", "blogspot.ie", "blogspot.gr",
+    "blogspot.fi", "blogspot.cz", "blogspot.ro", "blogspot.hu",
+    "blogspot.sg", "blogspot.kr", "blogspot.tw", "blogspot.hk") ++
+    // bg: the single-letter/digit second-level registries (a.bg..z.bg,
+    // 0.bg..9.bg — the full documented set, generated not typed)
+    (('a' to 'z') ++ ('0' to '9')).map(c => s"$c.bg")
 
   /** Wildcard PSL rules (`*.bd` → every `<label>.bd` is a public
     * suffix), stored as the parent suffix. Same pinned-snapshot caveat
     * as [[MultiLabelSuffixes]]. */
   private[graft] val WildcardSuffixes: Seq[String] = Seq(
-    "bd", "ck", "er", "kh", "mm", "np", "pg",
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
     // the jp city registries (each paired with its !city exception)
     "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
     "sapporo.jp", "sendai.jp", "yokohama.jp")

@@ -2368,7 +2368,27 @@ class OpsSpec extends SparkSpec {
       "shop.seoul.kr" -> "shop.seoul.kr",          // kr region
       "cdn.gd.cn" -> "cdn.gd.cn",                  // cn province
       "me.workers.dev" -> "me.workers.dev",        // platform suffix
-      "x.y.duckdns.org" -> "y.duckdns.org")
+      "x.y.duckdns.org" -> "y.duckdns.org",
+      // r18 long-tail spot checks across the ~950-entry snapshot
+      "www.comune.roma.it" -> "comune.roma.it",    // it province registry
+      "ditta.lombardia.it" -> "ditta.lombardia.it",// it region
+      "shop.example.com.se" -> "example.com.se",   // se categorized
+      "firma.a.bg" -> "firma.a.bg",                // bg letter registry
+      "www.x.9.bg" -> "x.9.bg",                    // bg digit registry
+      "portal.gov.rs" -> "portal.gov.rs",          // rs institutional
+      "uni.edu.ge" -> "uni.edu.ge",                // ge registry
+      "site.com.kz" -> "site.com.kz",              // kz registry
+      "school.ac.lk" -> "school.ac.lk",            // lk registry
+      "min.gov.qa" -> "min.gov.qa",                // qa registry
+      "presse.gouv.ht" -> "presse.gouv.ht",        // ht gouv spelling
+      "shop.com.pr" -> "shop.com.pr",              // pr registry
+      "x.co.gg" -> "x.co.gg",                      // crown dependency
+      "foo.jm" -> "",                              // *.jm wildcard
+      "bar.foo.jm" -> "bar.foo.jm",
+      "gov.fk" -> "",                              // *.fk wildcard
+      "www.gov.fk" -> "www.gov.fk",
+      "me.blogspot.com.br" -> "me.blogspot.com.br",// blogspot fleet
+      "blogspot.de" -> "")                         // the suffix itself
     val got = UrlFilter.registeredDomain(col("h"))
     val out = cases.map(_._1).toDF("h").select(col("h"), got.as("rd"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
