@@ -4296,7 +4296,14 @@ object SparkEntry {
     * (segment, nation) equality blocking graded against residue-class
     * gold pairs — reduction ratio vs pairs completeness. */
   private def q277BlockingMetrics(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
+    // repartition + checkpoint the (tiny) record table BEFORE the pair
+    // expansion: the candidate join multiplies each input split into a
+    // quadratic-per-block pair stream, so the join's STREAM side must
+    // have real parallelism — one parquet split would make a single
+    // task expand all ~90M sf1 pairs through the partial agg (the r18
+    // sf1-sweep finding). The checkpoint severs lineage so the 4 uses
+    // below don't recompute the shuffle.
+    val cust = t(s, dir, "customer").repartition(48).localCheckpoint(true)
     val n = cust.count()
     val cand = cust.as("x").join(cust.as("y"),
       expr("x.c_mktsegment = y.c_mktsegment AND " +

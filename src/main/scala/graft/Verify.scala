@@ -9,8 +9,15 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // lenient JS-style semantics (ansi off), UTC, nanos-as-long — the
     // settings correctness depends on live in GraftSession
-    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // big-sf sweeps (the self-generated sf1 corpus) need more shuffle
+    // partitions than the local core count — a 105M-row hash aggregate
+    // over 12 partitions GC-thrashes a single JVM — and a heartbeat
+    // budget that tolerates full-heap collections
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toString
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", shuf.toInt)
       .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -19,9 +26,21 @@ object Verify {
     // value selects everything, like the other filters)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSeq)
+    // exclusion + resume support for big-sf sweeps: a fatal executor
+    // error (OOM at a new scale) kills the whole JVM, so the sweep must
+    // be restartable without re-running everything that already dumped
+    val exclude = sys.env.get("SPARK_GRAFT_VERIFY_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val skipDone = sys.env.get("SPARK_GRAFT_VERIFY_SKIP_DONE").contains("1")
     val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith)) }
+      only.forall(_.exists(n.startsWith)) &&
+        !exclude.exists(n.startsWith) &&
+        !(skipDone && Files.exists(Paths.get(s"$outDir/$n/_SUCCESS"))) }
     selected.foreach { case (name, fn) =>
+      // name BEFORE running: a fatal crash mid-query must leave the
+      // culprit's name in the log, not just its predecessors'
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

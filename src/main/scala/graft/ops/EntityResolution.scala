@@ -373,9 +373,21 @@ object EntityResolution {
     * the MATCHER's output, this grades the candidate generator feeding
     * it.
     *
-    * Pairs canonicalize (least, greatest) + distinct on both sides (the
+    * Pairs canonicalize (least, greatest) + dedup on both sides (the
     * [[linkageEval]] contract); counts are exact; both ratios are single
     * fixed-operand-order IEEE divisions.
+    *
+    * == 100 TB shape ==
+    * The candidate mass is QUADRATIC per block — at 10× the records it
+    * is ~100× the pairs (the r18 sf1 sweep measured exactly that: 90M
+    * candidate pairs from 150k customers, where the pre-r18 form —
+    * `localCheckpoint` both pair frames, then count + semi-join — GC-
+    * thrashed the JVM to death materializing them). Pair frames are
+    * therefore NEVER materialized here: both sides are tagged, unioned,
+    * and folded in ONE (a, b)-keyed aggregation (map-side partial max
+    * collapses in-block duplicates before the shuffle), and the three
+    * counts come off a second 1-row agg of that stream. One shuffle of
+    * the pair mass, zero storage, spill-safe.
     *
     * Output one row: `(n_records, n_candidates, n_gold, n_covered,
     * reduction_ratio, pairs_completeness)`. */
@@ -386,12 +398,20 @@ object EntityResolution {
     def canon(df: DataFrame) = {
       val Seq(x, y) = df.columns.toSeq.take(2).map(col)
       df.select(least(x, y).as("a"), greatest(x, y).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
-    val c = canon(candidates).localCheckpoint(true)
-    val g = canon(gold).localCheckpoint(true)
-    val nc = c.count(); val ng = g.count()
-    val covered = c.join(g, Seq("a", "b"), "left_semi").count()
+    val tagged = canon(candidates)
+      .select(col("a"), col("b"), lit(1).as("__c"), lit(0).as("__g"))
+      .unionAll(canon(gold)
+        .select(col("a"), col("b"), lit(0).as("__c"), lit(1).as("__g")))
+    val perPair = tagged.groupBy(col("a"), col("b"))
+      .agg(max(col("__c")).as("__c"), max(col("__g")).as("__g"))
+    val row = perPair.agg(
+      sum(col("__c")).as("nc"), sum(col("__g")).as("ng"),
+      sum(when(col("__c") === 1 && col("__g") === 1, 1L).otherwise(0L))
+        .as("covered")).collect()(0)
+    def cnt(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    val nc = cnt(0); val ng = cnt(1); val covered = cnt(2)
     val all = totalRecords * (totalRecords - 1) / 2
     val spark = candidates.sparkSession
     import spark.implicits._

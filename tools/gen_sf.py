@@ -58,10 +58,17 @@ write("nation", nation)
 
 n_supp = int(10_000 * SF)
 sk = np.arange(n_supp)
+# dimension attributes draw INDEPENDENTLY from the rng — modular
+# assignment (i % 25, i % 5, ...) makes attributes mutually determined
+# (ck % 25 fixes ck % 5), which collapses multi-key blocking/grouping
+# into single-key blocks and produces pathological group sizes the
+# driver's random-keyed corpus never shows (measured: q277's
+# (nation, segment) blocking saw 450M candidate pairs at sf1 under
+# modular keys vs ~90M under independent ones)
 supplier = pa.table({
     "s_suppkey": pa.array(sk, pa.int64()),
     "s_name": [f"Supplier#{i:09d}" for i in sk],
-    "s_nationkey": pa.array((sk % 25).astype(np.int32)),
+    "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
     "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
 })
 write("supplier", supplier)
@@ -73,10 +80,10 @@ NOUN = ["ring", "widget", "bolt", "gear", "gizmo", "cog", "valve", "spring"]
 part = pa.table({
     "p_partkey": pa.array(pk, pa.int64()),
     "p_name": [f"{ADJ[i % 8]} {NOUN[(i // 8) % 8]}" for i in pk],
-    "p_brand": [f"Brand#{i % 26}" for i in pk],
+    "p_brand": [f"Brand#{b}" for b in rng.integers(0, 26, n_part)],
     "p_type": np.array(["ECONOMY", "SMALL", "STANDARD", "LARGE",
-                        "PROMO", "MEDIUM"])[pk % 6],
-    "p_size": pa.array((pk % 50 + 1).astype(np.int32)),
+                        "PROMO", "MEDIUM"])[rng.integers(0, 6, n_part)],
+    "p_size": pa.array((rng.integers(0, 50, n_part) + 1).astype(np.int32)),
     "p_retailprice": np.round(900.0 + pk * 0.1, 2),
 })
 write("part", part)
@@ -86,10 +93,10 @@ ck = np.arange(n_cust)
 customer = pa.table({
     "c_custkey": pa.array(ck, pa.int64()),
     "c_name": [f"Customer#{i:09d}" for i in ck],
-    "c_nationkey": pa.array((ck % 25).astype(np.int32)),
+    "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
     "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
     "c_mktsegment": np.array(["MACHINERY", "BUILDING", "AUTOMOBILE",
-                              "HOUSEHOLD", "FURNITURE"])[ck % 5],
+                              "HOUSEHOLD", "FURNITURE"])[rng.integers(0, 5, n_cust)],
 })
 write("customer", customer)
 
