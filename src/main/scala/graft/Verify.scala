@@ -14,10 +14,16 @@ object Verify {
     // over 12 partitions GC-thrashes a single JVM — and a heartbeat
     // budget that tolerates full-heap collections
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toString
+    // single-file corpora need smaller read splits to parallelize the
+    // scan (splits never cut inside a parquet row group, so this pairs
+    // with the generator's row_group_size)
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = graft.api.GraftSession.builder(s"local[$cpus]", shuf.toInt)
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

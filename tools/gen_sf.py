@@ -30,8 +30,14 @@ os.makedirs(OUT, exist_ok=True)
 rng = np.random.default_rng(SEED)
 
 def write(name, table):
-    pq.write_table(table, f"{OUT}/{name}.parquet")
-    print(f"{name}: {table.num_rows} rows")
+    # small row groups: Spark's input splits can't cut inside a row
+    # group, so a single-group file caps ANY query at one task no
+    # matter the cluster (measured: the first r18 sf1 sweep ran every
+    # scan single-threaded). ~64k-row groups give a 6M-row fact table
+    # ~90 splittable groups (pair with maxPartitionBytes at read time).
+    rg = max(4_096, min(65_536, table.num_rows // 16 or 4_096))
+    pq.write_table(table, f"{OUT}/{name}.parquet", row_group_size=rg)
+    print(f"{name}: {table.num_rows} rows (rg={rg})")
 
 TS = pa.timestamp("us")
 
