@@ -9506,6 +9506,133 @@ object OracleSql {
       round(fin.p, 6) AS prevalence
     FROM fin, (VALUES ('g_seg', 1), ('g_bal', 2), ('g_bkt', 3)) v(field, j)"""
 
+  /** Duplicated-substring report — q358 (Lee et al. 2021 ExactSubstr,
+    * k = 8). Same md5 span keys over the normalized token stream, the
+    * global occurrence count, and the gaps-and-islands coverage union;
+    * dup_frac_e9 is exact integer floor-DIV (§2.12 #1), outputs BIGINT/
+    * BOOLEAN only (§2.12 #2). */
+  private val q358 = s"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array($dedupNormSql, ' '),
+               t -> t <> '') AS tk
+      FROM documents),
+    base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+    spans AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(tk[i:i+7], ' ')) AS h
+      FROM base, unnest(generate_series(1, n_tokens - 7)) AS t(i)
+      WHERE n_tokens >= 8),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM spans JOIN dup USING (h)),
+    isl AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 7
+             THEN 1 ELSE 0 END AS ni
+      FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl2 AS (SELECT doc_id, pos,
+        sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+      FROM isl),
+    cov AS (SELECT doc_id, max(pos) + 8 - min(pos) AS c, count(*) AS ns
+      FROM isl2 GROUP BY doc_id, iid),
+    perdoc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered,
+        CAST(sum(ns) AS BIGINT) AS n_dup_spans
+      FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+      coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+      coalesce(p.covered, 0) AS covered_tokens,
+      CASE WHEN b.n_tokens > 0
+           THEN CAST(coalesce(p.covered, 0) * 1000000000 // b.n_tokens AS BIGINT)
+      END AS dup_frac_e9,
+      coalesce(p.covered, 0) * 1000000000 <= 500000000 * b.n_tokens AS keep
+    FROM base b LEFT JOIN perdoc p USING (doc_id)"""
+
+  /** Synthetic scored-response frame shared by the q359/q360 preference
+    * oracles — mirrors SparkEntry.respFrame exactly. */
+  private val respFrameSql = """
+    SELECT doc_id % 97 AS prompt_id, doc_id AS response_id,
+           coalesce(text, '') AS response, n_chars % 1000 AS score
+    FROM documents"""
+
+  /** DPO best/worst pairs — q359. The engine's max_by/min_by lexicographic
+    * tie-breaks replayed as ranked windows (score DESC/ASC, id ASC). */
+  private val q359 = s"""
+    WITH resp AS ($respFrameSql),
+    tok AS (SELECT prompt_id, response_id, score,
+        CAST(CASE WHEN len(trim(response)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(response), '\\s+')) END AS BIGINT) AS nt
+      FROM resp),
+    rk AS (SELECT *,
+        row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, response_id) AS rc,
+        row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, response_id) AS rr,
+        count(*) OVER (PARTITION BY prompt_id) AS n
+      FROM tok),
+    c AS (SELECT prompt_id, response_id AS chosen_id, score AS chosen_score,
+        nt AS chosen_tokens, n FROM rk WHERE rc = 1),
+    r AS (SELECT prompt_id, response_id AS rejected_id, score AS rejected_score,
+        nt AS rejected_tokens FROM rk WHERE rr = 1)
+    SELECT c.prompt_id, c.chosen_id, r.rejected_id,
+      c.chosen_score, r.rejected_score,
+      c.chosen_score - r.rejected_score AS margin,
+      c.chosen_tokens, r.rejected_tokens
+    FROM c JOIN r USING (prompt_id)
+    WHERE c.n >= 2 AND c.chosen_score - r.rejected_score >= 5"""
+
+  /** Preference length-bias audit over the dense margin pairs — q360.
+    * Exact counts; the mean delta is truncating integer division in both
+    * engines (Spark `div` and DuckDB `//` both round toward zero). */
+  private val q360 = s"""
+    WITH resp AS ($respFrameSql),
+    tok AS (SELECT prompt_id, response_id, score,
+        CAST(CASE WHEN len(trim(response)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(response), '\\s+')) END AS BIGINT) AS nt
+      FROM resp),
+    pairs AS (SELECT a.nt - b.nt AS d
+      FROM tok a JOIN tok b
+        ON a.prompt_id = b.prompt_id AND a.score - b.score >= 200)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(coalesce(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_chosen_longer,
+      CAST(coalesce(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rejected_longer,
+      CAST(coalesce(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_equal_len,
+      CAST(coalesce(sum(d), 0) AS BIGINT) AS sum_len_delta,
+      CASE WHEN count(*) > 0
+           THEN CAST(coalesce(sum(d), 0) * 1000000000 // count(*) AS BIGINT)
+      END AS mean_len_delta_e9
+    FROM pairs"""
+
+  /** UniMax allocation — q361. The waterfilling closed form replayed:
+    * caps sorted ascending, prefix-sum feasibility (a prefix set — the
+    * LHS is monotone in rank), saturate-then-share with the +1 remainder
+    * to the lowest ranks; `//` by zero is NULL in DuckDB and the k = n
+    * branch never reads it (same lazy shape as the engine). */
+  private val q361 = """
+    WITH supply AS (SELECT lang,
+        CAST(sum(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END)
+          AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    c AS (SELECT lang, n_tokens, n_tokens * 2 AS cap FROM supply),
+    rk AS (SELECT *,
+        CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS r,
+        sum(cap) OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING) AS p,
+        CAST(count(*) OVER () AS BIGINT) AS n
+      FROM c),
+    f AS (SELECT *, (p + cap * (n - r) <= 200000) AS feasible FROM rk),
+    s AS (SELECT *,
+        coalesce(max(CASE WHEN feasible THEN r END) OVER (), 0) AS k,
+        coalesce(max(CASE WHEN feasible THEN p END) OVER (), 0) AS pk
+      FROM f),
+    a AS (SELECT lang, n_tokens, cap,
+        CASE WHEN r <= k THEN cap
+             ELSE least(cap, (200000 - pk) // (n - k) +
+               CASE WHEN r - k <= (200000 - pk) % (n - k) THEN 1 ELSE 0 END)
+        END AS alloc
+      FROM s)
+    SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap,
+      CAST(alloc AS BIGINT) AS alloc,
+      CASE WHEN n_tokens > 0
+           THEN CAST(alloc * 1000000000 // n_tokens AS BIGINT)
+      END AS epochs_e9
+    FROM a"""
+
   /** Bradley–Terry strengths — q357. The win matrix replayed with the
     * engine's least/greatest canonicalization, then 100 MM rounds
     * unrolled as a recursive CTE carrying the item-ordered strength
@@ -9938,6 +10065,10 @@ object OracleSql {
     "q354_datekey_prune"    -> q354,
     "q355_mmr_rerank"       -> q355,
     "q356_fellegi_sunter"   -> q356,
-    "q357_bradley_terry"    -> q357
+    "q357_bradley_terry"    -> q357,
+    "q358_dup_spans"        -> q358,
+    "q359_dpo_pairs"        -> q359,
+    "q360_dpo_length_bias"  -> q360,
+    "q361_unimax"           -> q361
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -9,7 +9,7 @@ import graft.analytics.Analytics
 import graft.cleanse.Cleanse
 import graft.cleanse.Cleanse.Rule
 import graft.functions.Standardize
-import graft.ops.{Dedup, Embeddings, Lexicon, LineDedup, Multimodal, Packing, QualityGates, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Lexicon, LineDedup, Multimodal, Packing, Preference, QualityGates, Sampling, Similarity, TextAnalysis}
 import graft.streaming.FlightStatus
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -5529,6 +5529,49 @@ object SparkEntry {
     graft.ops.Experiment.bradleyTerry(g, "a", "b", "w", iterations = 100)
   }
 
+  /** Duplicated-substring audit ([[graft.ops.Dedup.duplicatedSpanReport]],
+    * L353): per-document fraction of token positions covered by k-token
+    * spans that occur ≥ 2 times anywhere in the corpus (Lee et al. 2021
+    * ExactSubstr semantics), k = 8 so the synthetic corpus exercises the
+    * island-merge path. The oracle mirrors the md5 span keys and the
+    * gaps-and-islands coverage union in SQL. */
+  private def q358DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanReport(t(s, dir, "documents"), k = 8)
+
+  /** Synthetic scored-response frame for the preference tier: documents
+    * bucketed into prompts of ~5 responses, score an exact integer derived
+    * from n_chars — deterministic, margin-diverse. */
+  private def respFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      (col("doc_id") % 97).as("prompt_id"), col("doc_id").as("response_id"),
+      col("text").as("response"), (col("n_chars") % 1000).as("score"))
+
+  /** DPO best/worst preference pairs ([[graft.ops.Preference.bestWorstPairs]],
+    * L354): per-prompt argmax/argmin with ascending-id tie-breaks and a
+    * minimum margin — the oracle replays both argmaxes as ranked windows. */
+  private def q359DpoPairs(s: SparkSession, dir: String): DataFrame =
+    Preference.bestWorstPairs(respFrame(s, dir), minMargin = 5L)
+
+  /** Preference length-bias audit ([[graft.ops.Preference.lengthBiasAudit]]
+    * over the dense [[graft.ops.Preference.marginPairs]], L354): one row of
+    * exact counts + the e9-grid mean token delta between chosen and
+    * rejected — the verbosity-prior check an RLHF data build runs before
+    * trusting its reward signal. */
+  private def q360DpoLengthBias(s: SparkSession, dir: String): DataFrame =
+    Preference.lengthBiasAudit(
+      Preference.marginPairs(respFrame(s, dir), minMargin = 200L))
+
+  /** UniMax language-budget allocation ([[graft.ops.Sampling.unimaxAllocation]],
+    * L355): exact waterfilling over the per-language token supply with a
+    * 2-epoch cap; the budget pins the threshold so tail languages saturate
+    * and head languages share the remainder — both branches exercised. */
+  private def q361Unimax(s: SparkSession, dir: String): DataFrame =
+    Sampling.unimaxAllocation(
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(graft.ops.TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long")).as("n_tokens")),
+      budget = 200000L, maxEpochs = 2)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5891,7 +5934,11 @@ object SparkEntry {
     "q354_datekey_prune"    -> q354DateKeyPrune _,
     "q355_mmr_rerank"       -> q355MmrRerank _,
     "q356_fellegi_sunter"   -> q356FellegiSunter _,
-    "q357_bradley_terry"    -> q357BradleyTerry _
+    "q357_bradley_terry"    -> q357BradleyTerry _,
+    "q358_dup_spans"        -> q358DupSpans _,
+    "q359_dpo_pairs"        -> q359DpoPairs _,
+    "q360_dpo_length_bias"  -> q360DpoLengthBias _,
+    "q361_unimax"           -> q361Unimax _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1092,6 +1092,80 @@ object Dedup {
     * shingle (the [[shingleHashes]] short-text fallback), so `n_shingles`
     * is always ≥ 1 and the fraction is total.
     */
+  /** Duplicated-substring report — the token-level ExactSubstr audit of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): any k-token span whose normalized text occurs ≥ 2 times
+    * ANYWHERE in the corpus (across documents or repeated within one) is
+    * duplicated; a document's duplication level is the fraction of its
+    * token positions covered by at least one duplicated span. Exact-dedup
+    * (L23) catches whole-document copies and MinHash (L27) near-copies —
+    * this tier catches the third kind of redundancy, verbatim PASSAGES
+    * embedded in otherwise-distinct documents (licenses, templates, quoted
+    * boilerplate), which is the kind shown to drive memorization.
+    *
+    * Span identity is the md5 of the space-joined normalized k-gram —
+    * engine-portable (the MinHash-chain md5 discipline), collision-free by
+    * construction against the string oracle. Coverage is the union of the
+    * duplicated [pos, pos+k) intervals, computed as gaps-and-islands over
+    * ONE doc-partitioned window (the L346 languageSegments shape — bounded
+    * by the document's own span count, never global).
+    *
+    * Scale shape: spans explode to ~(tokens) rows of (id, pos, 32-char
+    * md5); the duplicate set is ONE hash-keyed count agg (map-side
+    * combined, vocabulary-sized) re-joined to the span stream by hash —
+    * both shuffles carry hashes + ints, never text. At 100 TB the span key
+    * would move to the packed 56-bit form ([[shingleHashes]]) to quarter
+    * the shuffle width; the 128-bit key here is the oracle-parity choice.
+    *
+    * Output: one row per document — `(idCol, n_tokens, n_dup_spans,
+    * covered_tokens, dup_frac_e9, keep)`; `dup_frac_e9` is the exact
+    * integer `covered·10⁹ div n_tokens` (NULL for empty docs, §2.12 #1),
+    * `keep` = covered·10⁹ ≤ dropAboveE9·n_tokens (Lee et al. drop docs
+    * above the duplication threshold; empty docs keep). */
+  def duplicatedSpanReport(docs: DataFrame, k: Int = 20,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           dropAboveE9: Long = 500000000L): DataFrame = {
+    require(k >= 2, s"duplicatedSpanReport: k must be >= 2, got $k")
+    require(dropAboveE9 >= 0L && dropAboveE9 <= 1000000000L,
+      s"duplicatedSpanReport: dropAboveE9 must be in [0, 1e9], got $dropAboveE9")
+    val toks0 = split(TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), " ")
+    val base = docs.select(col(idCol).as("id"),
+        filter(toks0, t => t =!= "").as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    // sliding k-gram keys; the n >= k filter guards sequence() against the
+    // descending-range trap (§2.12 #4). pos is the 0-based span start.
+    val spans = base.filter(col("n_tokens") >= k)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(1), (col("n_tokens") - (k - 1)).cast("int")),
+          i => md5(array_join(slice(col("__toks"), i, lit(k)), " ")))))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dupSet = spans.groupBy(col("h")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2L).select(col("h"))
+    val dupPos = spans.join(dupSet, Seq("h")).select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val islands = dupPos
+      .withColumn("__ni", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") > lag(col("pos"), 1).over(w) + (k - 1), 1L).otherwise(0L))
+      .withColumn("__iid", sum(col("__ni")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__iid"))
+      .agg((max(col("pos")) + k - min(col("pos"))).as("__cov"),
+        count(lit(1)).as("__ns"))
+      .groupBy(col("id"))
+      .agg(sum(col("__cov")).as("covered_tokens"), sum(col("__ns")).as("n_dup_spans"))
+    base.select(col("id"), col("n_tokens"))
+      .join(islands, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac_e9", when(col("n_tokens") > 0L,
+        expr("covered_tokens * 1000000000L div n_tokens")))
+      .withColumn("keep",
+        col("covered_tokens") * lit(1000000000L) <= lit(dropAboveE9) * col("n_tokens"))
+  }
+
   def noveltyProfile(docs: DataFrame, shingleK: Int = 3,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-pair preparation for RLHF / DPO training — the relational
+  * step between "N scored responses per prompt" (judge scores, human
+  * ratings, reward-model outputs) and the (chosen, rejected) pair table a
+  * DPO/RM trainer consumes (Rafailov et al. 2023; Ouyang et al. 2022 use
+  * the same pairing for RM data). Everything is exact-integer and
+  * deterministic: scores are BIGINT, every tie breaks on ascending
+  * response id, so the pair table is reproducible run-over-run — the
+  * property that makes a 100 TB preference build auditable.
+  *
+  * Scale shape: [[bestWorstPairs]] is ONE prompt-keyed aggregation
+  * (max_by/min_by over lexicographic structs — map-side combined, no
+  * window, no self-join); [[marginPairs]] is a prompt-keyed self-join
+  * whose per-prompt fan-out is bounded by responses-per-prompt (typically
+  * ≤ 16 in RLHF batches — quadratic only in that small constant);
+  * [[lengthBiasAudit]] folds the pair table to ONE row. Texts ride along
+  * only where the output needs them; the joins shuffle ids + scores.
+  */
+object Preference {
+
+  /** Per-prompt (chosen, rejected) = (argmax score, argmin score), ties on
+    * ascending `idCol`; prompts with fewer than 2 responses or a
+    * chosen−rejected margin below `minMargin` are dropped (margin 0 =
+    * all-tied prompt — never a training signal).
+    *
+    * Output: `(promptCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin, chosen_tokens, rejected_tokens)` — token
+    * counts are whitespace counts over the raw text ([[TextAnalysis.tokens]]),
+    * carried for the length-bias audit. */
+  def bestWorstPairs(resp: DataFrame, promptCol: String = "prompt_id",
+                     idCol: String = "response_id", textCol: String = "response",
+                     scoreCol: String = "score",
+                     minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 0L, s"bestWorstPairs: minMargin must be >= 0, got $minMargin")
+    val row = struct(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("s"),
+      TextAnalysis.tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("nt"))
+    // lexicographic keys: chosen = max (score, -id)  → highest score, then
+    // lowest id; rejected = min (score, id) → lowest score, then lowest id.
+    val chosenKey = struct(col(scoreCol).cast("long"), -col(idCol).cast("long"))
+    val rejectKey = struct(col(scoreCol).cast("long"), col(idCol).cast("long"))
+    resp.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("__n"),
+        max_by(row, chosenKey).as("__c"),
+        min_by(row, rejectKey).as("__r"))
+      .filter(col("__n") >= 2L &&
+        col("__c.s") - col("__r.s") >= minMargin)
+      .select(col(promptCol),
+        col("__c.id").as("chosen_id"), col("__r.id").as("rejected_id"),
+        col("__c.s").as("chosen_score"), col("__r.s").as("rejected_score"),
+        (col("__c.s") - col("__r.s")).as("margin"),
+        col("__c.nt").as("chosen_tokens"), col("__r.nt").as("rejected_tokens"))
+  }
+
+  /** ALL ordered pairs (a, b) within a prompt with
+    * `score(a) − score(b) >= minMargin` — the dense-pair variant (every
+    * supervised comparison the scores imply, what an RM trainer wants when
+    * responses-per-prompt is small). `minMargin >= 1` also guarantees
+    * a ≠ b. Same output columns as [[bestWorstPairs]]. */
+  def marginPairs(resp: DataFrame, promptCol: String = "prompt_id",
+                  idCol: String = "response_id", textCol: String = "response",
+                  scoreCol: String = "score",
+                  minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 1L, s"marginPairs: minMargin must be >= 1, got $minMargin")
+    def side(tag: String) = resp.select(col(promptCol).as("__p"),
+      col(idCol).cast("long").as(s"${tag}_id"),
+      col(scoreCol).cast("long").as(s"${tag}_score"),
+      TextAnalysis.tokenCount(coalesce(col(textCol), lit("")))
+        .cast("long").as(s"${tag}_tokens"))
+    side("chosen").join(side("rejected").withColumnRenamed("__p", "__p2"),
+        col("__p") === col("__p2") &&
+          col("chosen_score") - col("rejected_score") >= minMargin)
+      .select(col("__p").as(promptCol),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"),
+        col("chosen_tokens"), col("rejected_tokens"))
+  }
+
+  /** Length-bias audit over a pair table (any frame with `chosen_tokens` /
+    * `rejected_tokens`): RLHF's best-documented failure mode is the reward
+    * signal secretly preferring LONGER responses (Singhal et al. 2023) —
+    * if `n_chosen_longer` dominates, the pair set trains a verbosity prior,
+    * not a quality prior. ONE aggregation to one row:
+    * `(n_pairs, n_chosen_longer, n_rejected_longer, n_equal_len,
+    * sum_len_delta, mean_len_delta_e9)` — the mean is the exact integer
+    * `sum·10⁹ div n` (§2.12 #1), NULL for an empty pair table. */
+  def lengthBiasAudit(pairs: DataFrame): DataFrame = {
+    val d = col("chosen_tokens") - col("rejected_tokens")
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(d > 0L, 1L).otherwise(0L)).as("n_chosen_longer"),
+        sum(when(d < 0L, 1L).otherwise(0L)).as("n_rejected_longer"),
+        sum(when(d === 0L, 1L).otherwise(0L)).as("n_equal_len"),
+        sum(d).as("sum_len_delta"))
+      .select(col("n_pairs"),
+        coalesce(col("n_chosen_longer"), lit(0L)).as("n_chosen_longer"),
+        coalesce(col("n_rejected_longer"), lit(0L)).as("n_rejected_longer"),
+        coalesce(col("n_equal_len"), lit(0L)).as("n_equal_len"),
+        coalesce(col("sum_len_delta"), lit(0L)).as("sum_len_delta"),
+        when(col("n_pairs") > 0L,
+          expr("sum_len_delta * 1000000000L div n_pairs")).as("mean_len_delta_e9"))
+  }
+}

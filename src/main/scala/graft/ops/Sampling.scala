@@ -280,4 +280,70 @@ object Sampling {
         coalesce(floor(col("weight") * col("t_total")), lit(0L)).cast("long")
           .as("planned_tokens"))
   }
+
+  /** UniMax language-budget allocation (Chung et al., ICLR 2023): given
+    * per-language token supplies, a total training budget `B`, and an
+    * epoch cap `E`, spread the budget as UNIFORMLY as possible across
+    * languages without repeating any language more than `E` epochs —
+    * the multilingual mixture rule that beats temperature sampling by
+    * construction (no head-language domination, no tail over-epoching).
+    *
+    * Waterfilling closed form, exact integers throughout: with caps
+    * `c_i = tokens_i · E` sorted ascending, `k* = max { k : P_k +
+    * c_k·(n−k) <= B }` (P = prefix sum, k = 0 allowed), languages
+    * 1..k* saturate at their cap, the rest share `B − P_{k*}` evenly —
+    * `floor` each, +1 token to the first `(B − P_{k*}) mod (n−k*)` in
+    * (cap, lang) order, so allocations total EXACTLY `min(B, ΣC)` and
+    * the result is deterministic. If the whole supply fits (`ΣC <= B`)
+    * every language just saturates.
+    *
+    * Scale shape: the input is the per-language supply table (≤ a few
+    * hundred rows — the aggregate of a corpus scan, not the corpus), so
+    * the single-partition sort window is bounded by the language count;
+    * the scalar frame (`B`, `n`, `k*`, `P_{k*}`) broadcasts back. The
+    * corpus-sized work (counting `tokens_i`) happens upstream
+    * ([[mixtureRates]]-style one agg) and shuffles only (lang, long).
+    *
+    * Output: `(langCol, n_tokens, cap, alloc, epochs_e9)` — `epochs_e9`
+    * the exact integer `alloc·10⁹ div tokens` (NULL for a zero-supply
+    * language, which always allocates 0). */
+  def unimaxAllocation(supply: DataFrame, budget: Long, maxEpochs: Int = 4,
+                       langCol: String = "lang",
+                       tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 0L, s"unimaxAllocation: budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"unimaxAllocation: maxEpochs must be >= 1, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    // bounded single-partition window: one row per LANGUAGE (the supply
+    // aggregate), never per document — PlanLint-argued. All scalars (n,
+    // k*, P_{k*}) ride the SAME window partitioning, so the whole closed
+    // form is one pass with zero duplicated subtrees.
+    val w = Window.orderBy(col("cap"), col(langCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    supply.select(col(langCol),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("cap")).over(run))
+      .withColumn("n", count(lit(1)).over(full))
+      // feasible(r) ⇔ saturating ranks 1..r leaves every later language
+      // at least cap_r of headroom: P_r + cap_r·(n−r) <= B. The LHS is
+      // non-decreasing in r (caps ascend), so the feasible set is a
+      // prefix and max-over-feasible picks (k*, P_{k*}).
+      .withColumn("feasible",
+        col("p") + col("cap") * (col("n") - col("r")) <= budget)
+      .withColumn("k", coalesce(max(when(col("feasible"), col("r"))).over(full), lit(0L)))
+      .withColumn("pk", coalesce(max(when(col("feasible"), col("p"))).over(full), lit(0L)))
+      .withColumn("__rem", lit(budget) - col("pk"))
+      .withColumn("__m", col("n") - col("k"))
+      .withColumn("alloc",
+        when(col("r") <= col("k"), col("cap"))
+          .otherwise(least(col("cap"),
+            expr("__rem div __m") +
+              when(col("r") - col("k") <= col("__rem") % col("__m"), 1L)
+                .otherwise(0L))))
+      .select(col(langCol), col("n_tokens"), col("cap"), col("alloc"),
+        when(col("n_tokens") > 0L,
+          expr("alloc * 1000000000L div n_tokens")).as("epochs_e9"))
+  }
 }

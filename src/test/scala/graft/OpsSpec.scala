@@ -342,6 +342,34 @@ class OpsSpec extends SparkSpec {
     assert(sel.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("unimaxAllocation: waterfilling saturates the tail, shares the head, totals the budget") {
+    val supply = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "n_tokens")
+    val m = graft.ops.Sampling.unimaxAllocation(supply, budget = 300L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // caps 20/200/2000; only 'a' saturates (k*=1); b and c split 280 evenly
+    assert(m("a") === ((10L, 20L, 20L, 2000000000L)))
+    assert(m("b") === ((100L, 200L, 140L, 1400000000L)))
+    assert(m("c") === ((1000L, 2000L, 140L, 140000000L)))
+    assert(m.values.map(_._3).sum === 300L)
+  }
+
+  test("unimaxAllocation: full-supply budget saturates everyone; remainder +1 goes to low ranks; zero supply is NULL epochs") {
+    val supply = Seq(("a", 3L), ("b", 3L), ("c", 3L), ("z", 0L)).toDF("lang", "n_tokens")
+    val all = graft.ops.Sampling.unimaxAllocation(supply, budget = 10000L, maxEpochs = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(all === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "z" -> 0L))
+    val part = graft.ops.Sampling.unimaxAllocation(supply, budget = 7L, maxEpochs = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // ranks: z(cap 0) saturates; a gets the +1 remainder, b and c share
+    assert(part("z") === ((0L, -1L)))
+    assert(part("a") === ((3L, 1000000000L)))
+    assert(part("b")._1 === 2L && part("c")._1 === 2L)
+    assert(part.values.map(_._1).sum === 7L)
+  }
+
   test("packGreedy: shard breaks at the token budget, per-stratum, deterministic order") {
     val docs = Seq(
       (1L, "a", "one two three four"),        // 4 tokens, cumBefore 0  -> shard 0
@@ -3358,6 +3386,31 @@ class OpsSpec extends SparkSpec {
     // doc 3's shingles: "a b c" claimed by doc 0, "x y z" claimed by doc 2,
     // "b c x" and "c x y" are fresh → 2/4
     assert(m(3L) === ((4, 2L, 0.5)))
+  }
+
+  test("duplicatedSpanReport: cross-doc and within-doc spans, island merge, thresholds") {
+    val d = Seq(
+      (0L, "a b c d e f"),               // shares the "a b c d" passage with doc 1
+      (1L, "x a, B! c d y"),             // same passage behind punctuation/case noise
+      (2L, "p q r p q r p q r"),         // within-doc repeats: every 3-gram duplicated
+      (3L, "a b c m m2 m3 m4 m5 a b c"), // two disjoint islands of the shared prefix
+      (4L, "z z"),                       // shorter than k: no spans
+      (5L, "")                           // empty: NULL frac, keep
+    ).toDF("doc_id", "text")
+    val m = Dedup.duplicatedSpanReport(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))).toMap
+    // doc 0: dup 3-grams "a b c"(pos0) + "b c d"(pos1) merge into one
+    // island covering [0,4) of 6 tokens → 4·1e9 div 6
+    assert(m(0L) === ((6L, 2L, 4L, 666666666L, false)))
+    // doc 1 normalizes to "x a b c d y": dup at pos1,2 → covered 4 of 6
+    assert(m(1L) === ((6L, 2L, 4L, 666666666L, false)))
+    // doc 2: all 7 spans duplicated, full coverage
+    assert(m(2L) === ((9L, 7L, 9L, 1000000000L, false)))
+    // doc 3: "a b c" at pos0 and pos8 — two islands, 6 of 11 covered
+    assert(m(3L) === ((11L, 2L, 6L, 545454545L, false)))
+    assert(m(4L) === ((2L, 0L, 0L, 0L, true)))
+    assert(m(5L) === ((0L, 0L, 0L, -1L, true)))
   }
 
   test("lexicalDrift: identical distributions ~0, disjoint vocabularies = ln 2, symmetric inputs") {

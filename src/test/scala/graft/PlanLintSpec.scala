@@ -131,7 +131,11 @@ class PlanLintSpec extends SparkSpec {
         "the global p-value rank; m = number of tests by contract"),
       "q267_apportion" -> "party/seat frame (electoral-list-sized)",
       "q298_delta_contribution" -> ("segment-sized frame (the " +
-        "documented rrfFuse bounded-frame exception)"))
+        "documented rrfFuse bounded-frame exception)"),
+      "q361_unimax" -> ("language-supply frame — one row per LANGUAGE " +
+        "(the upstream corpus scan aggregates to ≤ a few hundred rows " +
+        "before the waterfilling window; all three window passes share " +
+        "the same bounded frame)"))
   }
 
   test("every single-partition window sits on an allowlisted bounded frame") {

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Preference
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resp = Seq(
+    // prompt 1: scores 10/30/30/5 — chosen ties break to the lower id
+    ("p1", 1L, "a b c", 10L),
+    ("p1", 2L, "a b", 30L),
+    ("p1", 3L, "a b c d", 30L),
+    ("p1", 4L, "x", 5L),
+    // prompt 2: single response — never a pair
+    ("p2", 5L, "solo", 99L),
+    // prompt 3: all-tied — margin 0 drops it at minMargin >= 1
+    ("p3", 6L, "t", 7L), ("p3", 7L, "t t", 7L)
+  ).toDF("prompt_id", "response_id", "response", "score")
+
+  test("bestWorstPairs: argmax/argmin with id tie-breaks, margin + n>=2 filters") {
+    val out = Preference.bestWorstPairs(resp).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "p1")
+    assert(r.getLong(1) === 2L && r.getLong(2) === 4L)     // chosen 2 (tie → min id), rejected 4
+    assert(r.getLong(3) === 30L && r.getLong(4) === 5L && r.getLong(5) === 25L)
+    assert(r.getLong(6) === 2L && r.getLong(7) === 1L)     // token counts
+  }
+
+  test("marginPairs: all ordered pairs at the margin; lengthBiasAudit folds them exactly") {
+    val pairs = Preference.marginPairs(resp, minMargin = 20L)
+    val got = pairs.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 4L), (3L, 4L), (2L, 1L), (3L, 1L)))
+    val a = Preference.lengthBiasAudit(pairs).collect().head
+    // deltas: 2-1=1, 4-1=3, 2-3=-1, 4-3=1 → sum 4, mean 1e9
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ===
+      ((4L, 3L, 1L, 0L, 4L)))
+    assert(a.getLong(5) === 1000000000L)
+  }
+
+  test("lengthBiasAudit: empty pair table gives zeros and NULL mean") {
+    val a = Preference.lengthBiasAudit(
+      Preference.marginPairs(resp, minMargin = 1000L)).collect().head
+    assert(a.getLong(0) === 0L && a.getLong(4) === 0L && a.isNullAt(5))
+  }
+}

@@ -6,28 +6,66 @@ Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
 For each <name> dir in verify_out (spark parquet result), run the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = parquet files in sf_dir),
 then compare: schema (column names), row count, and a hash over the
-column-name-sorted, row-sorted values.
+column-name-sorted values.
+
+Memory-safe at big scale factors (r18): results are consumed in
+fetchmany() batches and folded into an order-independent multiset hash
+(sum of per-row blake2b digests mod 2^128), so a multi-GB result never
+materializes in Python. The per-row normalization (column order, float
+formatting, NULL sentinel) is byte-identical to the old sorted-rows
+compare, so small- and large-result paths agree. When a value mismatch
+is found and both sides are small (<= DIFF_ROWS), the rows are
+re-fetched once to print first-diffs for debugging.
 """
-import sys, os, json, glob
+import sys, os, json, glob, hashlib
 import duckdb
 
-def normalize(rows, cols):
+BATCH = 65_536
+DIFF_ROWS = int(os.environ.get("ORACLE_DIFF_ROWS", "200000"))
+MASK = (1 << 128) - 1
+
+
+def norm_row(r, order):
+    vals = []
+    for i in order:
+        v = r[i]
+        if isinstance(v, float):
+            v = f"{v:.10g}"
+        elif v is None:
+            v = "<NULL>"
+        else:
+            v = str(v)
+        vals.append(v)
+    return vals
+
+
+def stream_hash(rel):
+    """(sorted_cols, row_count, multiset_hash) with bounded memory."""
+    cols = [c for c in rel.columns]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.10g}"
-            elif v is None:
-                v = "<NULL>"
-            else:
-                v = str(v)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort()
-    return sorted(c for c in cols), out
+    acc = 0
+    n = 0
+    while True:
+        batch = rel.fetchmany(BATCH)
+        if not batch:
+            break
+        for r in batch:
+            h = hashlib.blake2b(
+                "\x00".join(norm_row(r, order)).encode("utf-8", "surrogatepass"),
+                digest_size=16,
+            ).digest()
+            acc = (acc + int.from_bytes(h, "big")) & MASK
+        n += len(batch)
+    return sorted(cols), n, acc
+
+
+def fetch_sorted(rel):
+    cols = [c for c in rel.columns]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(norm_row(r, order)) for r in rel.fetchall()]
+    rows.sort()
+    return rows
+
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -36,24 +74,25 @@ def main(outdir, sfdir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     results = {}
+    only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
     for qdir in sorted(glob.glob(os.path.join(outdir, "q*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
-        rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-        scols, srows = normalize(rel.fetchall(), [c for c in rel.columns])
+        if only and name not in only:
+            continue
+        scols, snum, shash = stream_hash(con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
         if name not in oracles:
-            results[name] = f"ROWS_ONLY rows={len(srows)}" + (" EMPTY!" if not srows else "")
+            results[name] = f"ROWS_ONLY rows={snum}" + (" EMPTY!" if not snum else "")
+            _flush(name, results)
             continue
         try:
             # optional per-oracle watchdog (ORACLE_TIMEOUT_S): lets a
             # full-inventory sweep at big scale factors survive the
-            # quadratic brute-force oracle shapes (q205/q208/q210/q215)
+            # quadratic brute-force oracle shapes (q205/q208/q210/q215).
             # Race-safe: the timer only interrupts while the query is
-            # still marked running. Without the flag, a timer firing in
-            # the window after fetchall() returns but before cancel()
-            # would interrupt an idle connection and spuriously cancel
-            # the NEXT oracle.
+            # still marked running — otherwise a timer firing after the
+            # fetch loop finishes would cancel the NEXT oracle.
             import threading
             budget = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
             timer = None
@@ -67,8 +106,7 @@ def main(outdir, sfdir):
                 timer = threading.Timer(budget, _watchdog)
                 timer.start()
             try:
-                orel = con.sql(oracles[name])
-                ocols, orows = normalize(orel.fetchall(), [c for c in orel.columns])
+                ocols, onum, ohash = stream_hash(con.sql(oracles[name]))
             finally:
                 with lock:
                     state["running"] = False
@@ -76,16 +114,23 @@ def main(outdir, sfdir):
                     timer.cancel()
         except Exception as e:
             results[name] = f"ORACLE_ERROR {e}"
+            _flush(name, results)
             continue
         if scols != ocols:
             results[name] = f"SCHEMA_MISMATCH spark={scols} oracle={ocols}"
-        elif len(srows) != len(orows):
-            results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} oracle={len(orows)}"
-        elif srows != orows:
-            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
-            results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
+        elif snum != onum:
+            results[name] = f"ROWCOUNT_MISMATCH spark={snum} oracle={onum}"
+        elif shash != ohash:
+            detail = ""
+            if snum <= DIFF_ROWS:
+                srows = fetch_sorted(con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
+                orows = fetch_sorted(con.sql(oracles[name]))
+                diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+                detail = f" first_diffs={diffs}"
+            results[name] = f"VALUE_MISMATCH{detail}"
         else:
-            results[name] = f"OK rows={len(srows)}"
+            results[name] = f"OK rows={snum}"
+        _flush(name, results)
     width = max(len(k) for k in results)
     nok = 0
     for k in sorted(results):
@@ -94,6 +139,13 @@ def main(outdir, sfdir):
             nok += 1
         print(f"{k:<{width}}  {status[:300]}")
     print(f"\n{nok}/{len(results)} queries pass")
+
+
+def _flush(name, results):
+    """Incremental progress line (big sweeps run for hours)."""
+    if os.environ.get("ORACLE_PROGRESS"):
+        print(f"... {name}: {results[name][:160]}", flush=True)
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
