@@ -1,0 +1,23 @@
+#!/bin/bash
+# Full-registry Verify sweep at the self-generated sf1 corpus
+# (tools/gen_sf.py 1 /tmp/graft_sf1, seed 20260816 — non-driver data).
+# Three concurrent 10-thread slices, resumable (SKIP_DONE), q215 excluded
+# (output-mass-quadratic edit join: its q215b sampled-slice twin carries
+# the sf1 hash evidence; see PLANS.md r18).
+# Usage: tools/run_sf1_sweep.sh [outdir]
+set -u
+OUT=${1:-/tmp/verify_sf1}
+mkdir -p "$OUT"
+for i in 0 1 2; do
+  SPARK_GRAFT_VERIFY_ONLY=$(cat /tmp/sf1run/slice$i.txt) \
+  SPARK_GRAFT_VERIFY_SKIP_DONE=1 \
+  SPARK_GRAFT_CPUS=10 \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+  SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
+  java -Xmx30g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Verify /tmp/graft_sf1 "$OUT" \
+    > /tmp/sf1run/slice$i.log 2>&1 &
+  echo "slice$i pid $!"
+done
+wait
+echo "sweep complete: $(ls "$OUT" | grep -c '^q') query dirs in $OUT"
