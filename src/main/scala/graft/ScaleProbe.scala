@@ -78,6 +78,12 @@ object ScaleProbe {
       timed("simhash_candidates", n) {
         Dedup.simhashCandidates(d).count()
       }
+      timed("dup_span_report", n) {
+        // sum() instead of count(): count() would let the optimizer prune
+        // the coverage aggregation this probe exists to measure
+        Dedup.duplicatedSpanReport(d, k = 8)
+          .agg(sum(col("covered_tokens"))).collect()(0).getLong(0)
+      }
       timed("lsh_topk", n) {
         Similarity.lshTopK(e, probes, k = 5, numPlanes = 12, tables = 4, dim = 64).count()
       }

@@ -69,6 +69,11 @@ def fetch_sorted(rel):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    # big-sf sweeps run the compare BESIDE the still-running Verify slices:
+    # cap DuckDB's parallelism so the oracle doesn't starve the engine
+    threads = os.environ.get("ORACLE_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for p in glob.glob(os.path.join(sfdir, "*.parquet")):
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Incremental sf1 oracle compare: polls the Verify output dir and runs
+tools/compare_oracle.py (ORACLE_ONLY, one query at a time) on each dump
+as its _SUCCESS marker appears, appending one line per query to the
+results file. Resumable: already-recorded queries are skipped.
+
+Usage: python3 tools/sf1_compare_loop.py <verify_out> <sf_dir> <results_file>
+Stops when no new dump has appeared for --idle-minutes (default 45).
+"""
+import sys, os, time, glob, subprocess
+
+outdir, sfdir, results = sys.argv[1], sys.argv[2], sys.argv[3]
+idle_min = float(os.environ.get("IDLE_MINUTES", "45"))
+
+def recorded():
+    if not os.path.exists(results):
+        return set()
+    return {l.split()[0] for l in open(results) if l.strip()}
+
+last_new = time.time()
+while True:
+    done = recorded()
+    ready = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(outdir, "q*"))
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+        and os.path.basename(d) not in done)
+    if ready and not os.path.exists(os.path.join(outdir, "oracle_sql.json")):
+        time.sleep(30)
+        continue
+    for name in ready:
+        env = dict(os.environ, ORACLE_ONLY=name,
+                   ORACLE_TIMEOUT_S=os.environ.get("ORACLE_TIMEOUT_S", "600"),
+                   ORACLE_THREADS=os.environ.get("ORACLE_THREADS", "8"))
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                ["python3", "tools/compare_oracle.py", outdir, sfdir],
+                env=env, capture_output=True, text=True, timeout=1800)
+            lines = [l for l in out.stdout.splitlines() if l.startswith(name)]
+            status = lines[0] if lines else f"{name}  NO_OUTPUT rc={out.returncode} {out.stderr.strip()[:200]}"
+        except subprocess.TimeoutExpired:
+            status = f"{name}  COMPARE_TIMEOUT"
+        except Exception as e:
+            status = f"{name}  COMPARE_ERROR {e}"
+        with open(results, "a") as f:
+            f.write(f"{status}  [{time.time()-t0:.0f}s]\n")
+        last_new = time.time()
+    if not ready:
+        if time.time() - last_new > idle_min * 60:
+            break
+        time.sleep(60)
+
+n = len(recorded())
+print(f"compare loop done: {n} queries recorded in {results}")
