@@ -79,9 +79,13 @@ object ScaleProbe {
         Dedup.simhashCandidates(d).count()
       }
       timed("dup_span_report", n) {
-        // sum() instead of count(): count() would let the optimizer prune
-        // the coverage aggregation this probe exists to measure
-        Dedup.duplicatedSpanReport(d, k = 8)
+        // the synthetic corpus has no natural k-gram repeats, so a 5%
+        // re-id'd slice guarantees duplicated spans and the island/join
+        // stages run at real mass; sum() instead of count() so the
+        // optimizer cannot prune the coverage aggregation being measured
+        val dups = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        Dedup.duplicatedSpanReport(d.unionByName(dups), k = 8)
           .agg(sum(col("covered_tokens"))).collect()(0).getLong(0)
       }
       timed("lsh_topk", n) {
