@@ -4867,7 +4867,8 @@ object OracleSql {
     WITH $q72Ctes
     SELECT doc_id, n AS n_features,
       CAST(round(s, 6) AS DOUBLE) AS logit,
-      CAST(round(CAST(s AS DOUBLE) / n, 6) AS DOUBLE) AS score,
+      CASE WHEN round(CAST(s AS DOUBLE) / n, 6) = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(round(CAST(s AS DOUBLE) / n, 6) AS DOUBLE) END AS score,
       (s > 0) AS label
     FROM sc"""
 
@@ -9633,6 +9634,41 @@ object OracleSql {
       END AS epochs_e9
     FROM a"""
 
+  /** Shared judge-vote CTE chain for q362/q363 — mirrors
+    * SparkEntry.judgeFrame + the (item, judge) min-label dedup + the
+    * (votes desc, label asc) consensus argmax as a ranked window. */
+  private val judgeVotesSql = """
+    jf AS (SELECT o_custkey % 200 AS item_id,
+        'J' || CAST(o_orderkey % 7 AS VARCHAR) AS judge_id,
+        'L' || CAST((o_custkey + o_orderkey) % 3 AS VARCHAR) AS label
+      FROM orders WHERE o_orderkey < 60000),
+    votes AS (SELECT item_id, judge_id, min(label) AS l
+      FROM jf GROUP BY 1, 2),
+    tal AS (SELECT item_id, l, CAST(count(*) AS BIGINT) AS c
+      FROM votes GROUP BY 1, 2),
+    win AS (SELECT item_id, l, c,
+        row_number() OVER (PARTITION BY item_id ORDER BY c DESC, l) AS r,
+        CAST(sum(c) OVER (PARTITION BY item_id) AS BIGINT) AS nj
+      FROM tal)"""
+
+  /** Majority-vote consensus — q362. */
+  private val q362 = s"""
+    WITH $judgeVotesSql
+    SELECT item_id, l AS consensus, c AS n_votes, nj AS n_judges,
+      CAST(c * 1000000000 // nj AS BIGINT) AS vote_share_e9
+    FROM win WHERE r = 1"""
+
+  /** Judge-vs-consensus accuracy — q363. */
+  private val q363 = s"""
+    WITH $judgeVotesSql,
+    cons AS (SELECT item_id, l AS consensus FROM win WHERE r = 1)
+    SELECT v.judge_id, CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CASE WHEN v.l = c.consensus THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_agree,
+      CAST(sum(CASE WHEN v.l = c.consensus THEN 1 ELSE 0 END)
+        * 1000000000 // count(*) AS BIGINT) AS agree_e9
+    FROM votes v JOIN cons c USING (item_id) GROUP BY 1"""
+
   /** Bradley–Terry strengths — q357. The win matrix replayed with the
     * engine's least/greatest canonicalization, then 100 MM rounds
     * unrolled as a recursive CTE carrying the item-ordered strength
@@ -10069,6 +10105,8 @@ object OracleSql {
     "q358_dup_spans"        -> q358,
     "q359_dpo_pairs"        -> q359,
     "q360_dpo_length_bias"  -> q360,
-    "q361_unimax"           -> q361
+    "q361_unimax"           -> q361,
+    "q362_consensus"        -> q362,
+    "q363_judge_accuracy"   -> q363
   ).map { case (k, v) => k -> clean(v) }
 }

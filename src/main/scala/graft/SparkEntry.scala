@@ -5572,6 +5572,27 @@ object SparkEntry {
           .cast("long")).as("n_tokens")),
       budget = 200000L, maxEpochs = 2)
 
+  /** Synthetic judge-vote frame for the consensus tier: ~200 items × 7
+    * judges with deterministic label noise and deliberate double-votes
+    * (one judge sees an item through many orders — the dedup contract). */
+  private def judgeFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 60000)
+      .select((col("o_custkey") % 200).as("item_id"),
+        concat(lit("J"), (col("o_orderkey") % 7).cast("string")).as("judge_id"),
+        concat(lit("L"), ((col("o_custkey") + col("o_orderkey")) % 3).cast("string"))
+          .as("label"))
+
+  /** Majority-vote consensus ([[graft.ops.Classifier.consensusLabels]],
+    * L356): per-item argmax with (votes desc, label asc) tie-break over
+    * deduped judge votes; the oracle replays it as a ranked window. */
+  private def q362Consensus(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.consensusLabels(judgeFrame(s, dir))
+
+  /** Judge-vs-consensus accuracy ([[graft.ops.Classifier.judgeAccuracyReport]],
+    * L356): per-judge exact agreement counts + e9 rate. */
+  private def q363JudgeAccuracy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.judgeAccuracyReport(judgeFrame(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5938,7 +5959,9 @@ object SparkEntry {
     "q358_dup_spans"        -> q358DupSpans _,
     "q359_dpo_pairs"        -> q359DpoPairs _,
     "q360_dpo_length_bias"  -> q360DpoLengthBias _,
-    "q361_unimax"           -> q361Unimax _
+    "q361_unimax"           -> q361Unimax _,
+    "q362_consensus"        -> q362Consensus _,
+    "q363_judge_accuracy"   -> q363JudgeAccuracy _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -817,4 +817,75 @@ object Classifier {
             (col("n").cast("double") * col("__P").cast("double")), 6))
           .as("lift_d"))
   }
+
+  /** Deduped judge votes: one row per (item, judge), ties folded to the
+    * MINIMUM label string — a judge's accidental double-vote must not
+    * count twice, and the fold must be deterministic. Shared by
+    * [[consensusLabels]] and [[judgeAccuracyReport]]. */
+  private def judgeVotes(df: DataFrame, itemCol: String, judgeCol: String,
+                         labelCol: String): DataFrame =
+    df.filter(col(itemCol).isNotNull && col(judgeCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(judgeCol).as("__j"))
+      .agg(min(col(labelCol).cast("string")).as("__l"))
+
+  /** Majority-vote label consensus over a noisy judge panel — the
+    * aggregation step every k-judges-per-example labeling pipeline runs
+    * AFTER [[fleissKappa]] says the panel agrees beyond chance: one
+    * consensus label per item (most votes; ties break to the ascending
+    * label string so reruns and engines agree), with the vote count and
+    * panel size carried for downstream confidence gating.
+    *
+    * Scale shape: two item-keyed aggregations (map-side combined) — the
+    * (item, judge) dedup fold, then (item, label) tallies into ONE
+    * min_by argmax; nothing wider than the item count ever shuffles.
+    *
+    * Output: `(itemCol, consensus, n_votes, n_judges, vote_share_e9)` —
+    * the share is the exact integer `votes·10⁹ div judges`. */
+  def consensusLabels(df: DataFrame, itemCol: String = "item_id",
+                      judgeCol: String = "judge_id",
+                      labelCol: String = "label"): DataFrame =
+    judgeVotes(df, itemCol, judgeCol, labelCol)
+      .groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__i"))
+      // argmax by (votes desc, label asc): min_by over the (−votes, label)
+      // lexicographic key is deterministic on ties
+      .agg(min_by(struct(col("__l"), col("__c")),
+          struct((-col("__c")).as("nc"), col("__l"))).as("__w"),
+        sum(col("__c")).as("n_judges"))
+      .select(col("__i").as(itemCol), col("__w.__l").as("consensus"),
+        col("__w.__c").as("n_votes"), col("n_judges"),
+        expr("__w.__c * 1000000000L div n_judges").as("vote_share_e9"))
+
+  /** Per-judge agreement with the panel consensus — the judge-QA readout
+    * ("which judge should we drop / re-calibrate"): each deduped vote is
+    * compared against [[consensusLabels]] and judges roll up to exact
+    * counts + the e9-grid agreement rate. A judge agreeing with a
+    * consensus their own vote helped elect is the STANDARD report
+    * semantics (leave-one-out is a different, noisier statistic — not
+    * this function).
+    *
+    * Scale shape: the deduped vote table is materialized once
+    * (localCheckpoint — it feeds both the consensus build and the
+    * join-back, the PlanLintSpec recompute rule), the consensus join is
+    * item-keyed, and the rollup is judge-sized.
+    *
+    * Output: `(judgeCol, n_items, n_agree, agree_e9)`. */
+  def judgeAccuracyReport(df: DataFrame, itemCol: String = "item_id",
+                          judgeCol: String = "judge_id",
+                          labelCol: String = "label"): DataFrame = {
+    val votes = judgeVotes(df, itemCol, judgeCol, labelCol).localCheckpoint(true)
+    val consensus = votes
+      .groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__i"))
+      .agg(min_by(col("__l"), struct((-col("__c")).as("nc"), col("__l")))
+        .as("__consensus"))
+    votes.join(consensus, Seq("__i"))
+      .groupBy(col("__j"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__l") === col("__consensus"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("__j").as(judgeCol), col("n_items"), col("n_agree"),
+        expr("n_agree * 1000000000L div n_items").as("agree_e9"))
+  }
 }

@@ -2339,4 +2339,31 @@ class StatsOpsSpec extends SparkSpec {
     val r = Experiment.passAtK(samples, "problem", "ok", Seq(5)).collect().head
     assert(r.isNullAt(3), "k=5 over n=2 must be NULL")
   }
+
+  test("consensusLabels: majority, label-ascending tie-break, double-vote dedup") {
+    val df = Seq(
+      (1L, "j1", "a"), (1L, "j2", "a"), (1L, "j3", "b"),          // a wins 2-1
+      (2L, "j1", "b"), (2L, "j2", "a"),                            // 1-1 tie → "a"
+      (3L, "j1", "c"), (3L, "j1", "a"), (3L, "j2", "c")            // j1 double-vote folds to min "a"
+    ).toDF("item_id", "judge_id", "label")
+    val m = Classifier.consensusLabels(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(m(1L) === (("a", 2L, 3L, 666666666L)))
+    assert(m(2L) === (("a", 1L, 2L, 500000000L)))
+    // item 3 after dedup: j1→"a", j2→"c" → tie → "a"
+    assert(m(3L) === (("a", 1L, 2L, 500000000L)))
+  }
+
+  test("judgeAccuracyReport: agreement with consensus on deduped votes") {
+    val df = Seq(
+      (1L, "j1", "a"), (1L, "j2", "a"), (1L, "j3", "b"),
+      (2L, "j1", "a"), (2L, "j2", "a"), (2L, "j3", "a")
+    ).toDF("item_id", "judge_id", "label")
+    val m = Classifier.judgeAccuracyReport(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m("j1") === ((2L, 2L, 1000000000L)))
+    assert(m("j2") === ((2L, 2L, 1000000000L)))
+    assert(m("j3") === ((2L, 1L, 500000000L)))
+  }
 }

@@ -11,11 +11,22 @@ import sys, os, time, glob, subprocess
 
 outdir, sfdir, results = sys.argv[1], sys.argv[2], sys.argv[3]
 idle_min = float(os.environ.get("IDLE_MINUTES", "45"))
+# optional sharding for concurrent loops: COMPARE_SHARD=i COMPARE_NSHARDS=n
+# (each shard appends to its own results file to avoid write races)
+shard = int(os.environ.get("COMPARE_SHARD", "0"))
+nshards = int(os.environ.get("COMPARE_NSHARDS", "1"))
+import hashlib as _h
+def _mine(name):
+    return int(_h.md5(name.encode()).hexdigest(), 16) % nshards == shard
 
 def recorded():
-    if not os.path.exists(results):
-        return set()
-    return {l.split()[0] for l in open(results) if l.strip()}
+    # union across all shards' results files (same directory, same stem)
+    out = set()
+    stem = os.path.join(os.path.dirname(results) or ".",
+                        os.path.basename(results).split(".")[0])
+    for p in glob.glob(stem + "*"):
+        out |= {l.split()[0] for l in open(p) if l.strip()}
+    return out
 
 last_new = time.time()
 while True:
@@ -23,7 +34,7 @@ while True:
     ready = sorted(
         os.path.basename(d) for d in glob.glob(os.path.join(outdir, "q*"))
         if os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
-        and os.path.basename(d) not in done)
+        and os.path.basename(d) not in done and _mine(os.path.basename(d)))
     if ready and not os.path.exists(os.path.join(outdir, "oracle_sql.json")):
         time.sleep(30)
         continue
