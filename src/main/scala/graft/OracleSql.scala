@@ -9651,6 +9651,30 @@ object OracleSql {
         CAST(sum(c) OVER (PARTITION BY item_id) AS BIGINT) AS nj
       FROM tal)"""
 
+  /** Tokenizer fertility per language — q364. Word mirror = the q24
+    * whitespace count, subword mirror = the q24 BPE-ish regex, chars =
+    * plain length; ratios truncating integer DIV on the e9 grid. */
+  private val q364 = """
+    WITH f AS (SELECT lang,
+        CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+        END AS w,
+        len(regexp_extract_all(coalesce(text, ''),
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS b,
+        length(coalesce(text, '')) AS c
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(w) AS BIGINT) AS n_words,
+      CAST(sum(b) AS BIGINT) AS n_subwords,
+      CAST(sum(c) AS BIGINT) AS n_chars,
+      CASE WHEN sum(w) > 0
+           THEN CAST(sum(b) * 1000000000 // sum(w) AS BIGINT)
+      END AS subwords_per_word_e9,
+      CASE WHEN sum(b) > 0
+           THEN CAST(sum(c) * 1000000000 // sum(b) AS BIGINT)
+      END AS chars_per_subword_e9
+    FROM f GROUP BY lang"""
+
   /** Majority-vote consensus — q362. */
   private val q362 = s"""
     WITH $judgeVotesSql
@@ -10107,6 +10131,7 @@ object OracleSql {
     "q360_dpo_length_bias"  -> q360,
     "q361_unimax"           -> q361,
     "q362_consensus"        -> q362,
-    "q363_judge_accuracy"   -> q363
+    "q363_judge_accuracy"   -> q363,
+    "q364_fertility"        -> q364
   ).map { case (k, v) => k -> clean(v) }
 }

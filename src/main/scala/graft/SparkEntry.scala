@@ -5593,6 +5593,13 @@ object SparkEntry {
   private def q363JudgeAccuracy(s: SparkSession, dir: String): DataFrame =
     graft.ops.Classifier.judgeAccuracyReport(judgeFrame(s, dir))
 
+  /** Per-language tokenizer fertility ([[graft.ops.TextAnalysis.tokenizerFertility]],
+    * L357): exact word/subword/char totals per language + the two e9-grid
+    * fertility ratios — the readout that prices a token budget per
+    * language before UniMax/mixture allocation. */
+  private def q364Fertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(t(s, dir, "documents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5961,7 +5968,8 @@ object SparkEntry {
     "q360_dpo_length_bias"  -> q360DpoLengthBias _,
     "q361_unimax"           -> q361Unimax _,
     "q362_consensus"        -> q362Consensus _,
-    "q363_judge_accuracy"   -> q363JudgeAccuracy _
+    "q363_judge_accuracy"   -> q363JudgeAccuracy _,
+    "q364_fertility"        -> q364Fertility _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

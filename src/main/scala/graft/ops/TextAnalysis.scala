@@ -871,4 +871,33 @@ object TextAnalysis {
         count(lit(1)).as("n_lines"),
         sum(length(col("line")).cast("long")).as("n_chars"))
   }
+
+  /** Per-language tokenizer-fertility grid — the multilingual efficiency
+    * readout a mixture design needs BEFORE committing token budgets
+    * (UniMax/mixture weights count TOKENS, but a language that needs 2×
+    * the subwords per word gets half the content per budgeted token —
+    * the classic fertility gap, e.g. Rust et al. 2021): per `groupCol`,
+    * exact word / BPE-ish-subword / character totals plus the two
+    * fertility ratios on the exact e9 integer grid — `subwords_per_word`
+    * (tokenizer fertility proper) and `chars_per_subword` (compression).
+    * [[bpeishTokenCount]] is the vocab-free proxy; swap
+    * [[bpeTokenCount]] in upstream when a real vocabulary ships.
+    *
+    * Scale shape: ONE scan into one group-keyed agg (map-side combined,
+    * output = language count); NULL ratios for empty groups. */
+  def tokenizerFertility(docs: DataFrame, groupCol: String = "lang",
+                         textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).as("n_words"),
+        sum(bpeishTokenCount(t).cast("long")).as("n_subwords"),
+        sum(length(t).cast("long")).as("n_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        when(col("n_words") > 0L,
+          expr("n_subwords * 1000000000L div n_words")).as("subwords_per_word_e9"),
+        when(col("n_subwords") > 0L,
+          expr("n_chars * 1000000000L div n_subwords")).as("chars_per_subword_e9"))
+  }
 }

@@ -370,6 +370,22 @@ class OpsSpec extends SparkSpec {
     assert(part.values.map(_._1).sum === 7L)
   }
 
+  test("tokenizerFertility: exact totals and e9 ratios per language, empty-group NULLs") {
+    val d = Seq(
+      ("en", "hello world"),          // 2 words, subwords: hello|world = 2, 11 chars
+      ("en", "it's a test"),          // 3 words, subwords: it|'|s|a|test = 5, 11 chars
+      ("zz", ""),                     // 0 words, 0 subwords, 0 chars
+      ("de", null.asInstanceOf[String])
+    ).toDF("lang", "text")
+    val m = graft.ops.TextAnalysis.tokenizerFertility(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(m("en") === ((2L, 5L, 7L, 22L, 1400000000L, 3142857142L)))
+    assert(m("zz") === ((1L, 0L, 0L, 0L, -1L, -1L)))
+    assert(m("de") === ((1L, 0L, 0L, 0L, -1L, -1L)))
+  }
+
   test("packGreedy: shard breaks at the token budget, per-stratum, deterministic order") {
     val docs = Seq(
       (1L, "a", "one two three four"),        // 4 tokens, cumBefore 0  -> shard 0
