@@ -865,16 +865,23 @@ object Classifier {
     * semantics (leave-one-out is a different, noisier statistic — not
     * this function).
     *
-    * Scale shape: the deduped vote table is materialized once
-    * (localCheckpoint — it feeds both the consensus build and the
-    * join-back, the PlanLintSpec recompute rule), the consensus join is
-    * item-keyed, and the rollup is judge-sized.
+    * Scale shape: the deduped vote table is materialized once — it
+    * feeds both the consensus build and the join-back (the
+    * PlanLintSpec recompute rule). The materialization is INPUT-SIZED,
+    * so the default `localCheckpoint(true)` (executor memory+disk) is
+    * right for local/interactive use only; on a 100 TB cluster pass
+    * `materialize = _.persist(StorageLevel.DISK_ONLY)` (same contract
+    * as [[fitLogOdds]]) so the vote table never competes with
+    * shuffle memory. The consensus join is item-keyed and the rollup
+    * is judge-sized either way.
     *
     * Output: `(judgeCol, n_items, n_agree, agree_e9)`. */
   def judgeAccuracyReport(df: DataFrame, itemCol: String = "item_id",
                           judgeCol: String = "judge_id",
-                          labelCol: String = "label"): DataFrame = {
-    val votes = judgeVotes(df, itemCol, judgeCol, labelCol).localCheckpoint(true)
+                          labelCol: String = "label",
+                          materialize: DataFrame => DataFrame =
+                            _.localCheckpoint(true)): DataFrame = {
+    val votes = materialize(judgeVotes(df, itemCol, judgeCol, labelCol))
     val consensus = votes
       .groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__c"))
       .groupBy(col("__i"))

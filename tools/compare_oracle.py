@@ -127,7 +127,9 @@ def main(outdir, sfdir):
             results[name] = f"ROWCOUNT_MISMATCH spark={snum} oracle={onum}"
         elif shash != ohash:
             detail = ""
-            if snum <= DIFF_ROWS:
+            # skip the diff refetch when a watchdog budget is set: the
+            # refetch would re-run a near-budget oracle unbounded
+            if snum <= DIFF_ROWS and budget <= 0:
                 srows = fetch_sorted(con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
                 orows = fetch_sorted(con.sql(oracles[name]))
                 diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
@@ -136,6 +138,9 @@ def main(outdir, sfdir):
         else:
             results[name] = f"OK rows={snum}"
         _flush(name, results)
+    if not results:
+        print("no queries compared (empty outdir or ORACLE_ONLY matched nothing)")
+        sys.exit(2)
     width = max(len(k) for k in results)
     nok = 0
     for k in sorted(results):

@@ -7,8 +7,11 @@
 # Usage: tools/run_sf1_sweep.sh [outdir]
 set -u
 OUT=${1:-/tmp/verify_sf1}
-mkdir -p "$OUT"
+mkdir -p "$OUT" /tmp/sf1run
 for i in 0 1 2; do
+  # fail fast on a missing/empty slice file — an empty VERIFY_ONLY would
+  # launch three full-registry JVMs racing on the same output dir
+  [ -s /tmp/sf1run/slice$i.txt ] || { echo "missing /tmp/sf1run/slice$i.txt" >&2; exit 1; }
   SPARK_GRAFT_VERIFY_ONLY=$(cat /tmp/sf1run/slice$i.txt) \
   SPARK_GRAFT_VERIFY_SKIP_DONE=1 \
   SPARK_GRAFT_CPUS=10 \
