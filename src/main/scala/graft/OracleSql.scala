@@ -1914,7 +1914,7 @@ object OracleSql {
     * exact transitive
     * closure by recursive CTE with min-id labels (the q110 walk shape);
     * singletons label themselves via the left join. */
-  private val q161 = {
+  private def q161Sql(custWhere: String) = {
     def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
     val fn = sqlList(SparkEntry.ErFirstNames)
     val ln = sqlList(SparkEntry.ErLastNames)
@@ -1926,7 +1926,7 @@ object OracleSql {
       FROM (SELECT c_custkey,
           ($fn)[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] || ' ' ||
           ($ln)[CAST((c_custkey * 13) % 50 AS INTEGER) + 1] AS b
-        FROM customer)),
+        FROM customer $custWhere)),
     norm AS (SELECT entity_id AS id,
         trim(regexp_replace(regexp_replace(lower(coalesce(name, '')),
           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
@@ -1955,6 +1955,11 @@ object OracleSql {
       coalesce(l.component, e.entity_id) AS cluster
     FROM ents e LEFT JOIN labels l ON e.entity_id = l.node"""
   }
+  private val q161 = q161Sql("")
+
+  /** q161/q166 on the `c_custkey % 8 = 3` slice — the sf1 twins'
+    * oracle (quadratic pair mass down 64×, inside sandbox disk). */
+  private val q161b = q161Sql("WHERE c_custkey % 8 = 3")
 
   /** Compaction plan — q162. Mirrors
     * [[graft.ops.Compaction.planCompaction]] over the orders-as-files
@@ -2761,9 +2766,10 @@ object OracleSql {
     * value at the target rank via "smallest cum ≥ r*" (the pooled rank
     * intervals partition [1, N], so the containing interval's value IS
     * the min-cum match). */
-  private val q194 = """
+  private def q194Sql(extraWhere: String) = s"""
     WITH b AS (SELECT o_orderstatus AS g, o_orderkey AS id,
-        o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+        o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL $extraWhere),
     r AS (SELECT g, id, v,
         CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT)
           AS r,
@@ -2777,6 +2783,11 @@ object OracleSql {
     SELECT g AS o_orderstatus, id AS o_orderkey, v AS o_totalprice,
       (SELECT min(p.v) FROM p WHERE p.cum >= pr.rstar) AS normalized
     FROM pr"""
+  private val q194 = q194Sql("")
+
+  /** q194 on the `o_orderkey % 10 = 0` slice — the sf1 twin's oracle
+    * (per-row correlated pooled-rank subquery at sf0.1-proven volume). */
+  private val q194b = q194Sql("AND o_orderkey % 10 = 0")
 
   /** Semantic types — q195. The battery regexes interpolated from the
     * operator's own constants (one source of truth), verdicts by the
@@ -9675,6 +9686,149 @@ object OracleSql {
       END AS chars_per_subword_e9
     FROM f GROUP BY lang"""
 
+  /** Kneser–Ney trigram perplexity — q365. Mirrors
+    * graft.ops.LanguageModel.fitTrigramKn/scoreTrigramKn (buckets=4096,
+    * D=0.75, fit on lang='en'): adjacent bucket triples with -1
+    * sentinels, continuation counts as plain COUNT(*) over the unique
+    * tri/bi tables, p1→p2→p3 staged in CTE columns so the double
+    * composition order matches Spark's single expression exactly
+    * (left-assoc products, greatest before add, divide last), per-term
+    * ln rounded to 9 dp as DECIMAL(20,9) — the q76 discipline one
+    * n-gram order up. */
+  private val q365 = s"""
+    WITH bs AS (SELECT doc_id, lang,
+        list_transform(regexp_split_to_array($dedupNormSql, ' '),
+          t -> ('0x' || substr(md5(t), 1, 14))::BIGINT % 4096) AS bs
+      FROM documents),
+    trip AS (SELECT doc_id, lang,
+        unnest(list_transform(range(1, len(bs) + 1),
+          i -> CASE WHEN i <= 2 THEN CAST(-1 AS BIGINT) ELSE bs[i - 2] END)) AS u,
+        unnest(list_transform(range(1, len(bs) + 1),
+          i -> CASE WHEN i = 1 THEN CAST(-1 AS BIGINT) ELSE bs[i - 1] END)) AS v,
+        unnest(list_transform(range(1, len(bs) + 1), i -> bs[i])) AS w
+      FROM bs),
+    tri AS (SELECT u, v, w, COUNT(*) AS c3 FROM trip
+      WHERE lang = 'en' AND u >= 0 GROUP BY 1, 2, 3),
+    bi AS (SELECT v, w, COUNT(*) AS cbi FROM trip
+      WHERE lang = 'en' AND v >= 0 GROUP BY 1, 2),
+    ctx2 AS (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS c2ctx,
+        COUNT(*) AS n3 FROM tri GROUP BY 1, 2),
+    cont3 AS (SELECT v, w, COUNT(*) AS n1p_vw FROM tri GROUP BY 1, 2),
+    ctxc AS (SELECT v, CAST(SUM(n1p_vw) AS BIGINT) AS sum_n1p,
+        COUNT(*) AS n2 FROM cont3 GROUP BY 1),
+    cont1 AS (SELECT w, COUNT(*) AS n1p_w FROM bi GROUP BY 1),
+    nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
+    db AS (SELECT doc_id, u, v, w, COUNT(*) AS cnt FROM trip
+      GROUP BY 1, 2, 3, 4),
+    j AS (SELECT db.doc_id, db.cnt, db.u, db.v,
+        tri.c3, ctx2.c2ctx, ctx2.n3, cont3.n1p_vw, ctxc.sum_n1p, ctxc.n2,
+        cont1.n1p_w, nbt.nb
+      FROM db LEFT JOIN tri ON db.u = tri.u AND db.v = tri.v AND db.w = tri.w
+      LEFT JOIN ctx2 ON db.u = ctx2.u AND db.v = ctx2.v
+      LEFT JOIN cont3 ON db.v = cont3.v AND db.w = cont3.w
+      LEFT JOIN ctxc ON db.v = ctxc.v
+      LEFT JOIN cont1 ON db.w = cont1.w
+      CROSS JOIN nbt),
+    s1 AS (SELECT *, CAST(COALESCE(n1p_w, 0) + 1 AS DOUBLE)
+        / CAST(nb + 4096 AS DOUBLE) AS p1 FROM j),
+    s2 AS (SELECT *, CASE WHEN COALESCE(sum_n1p, 0) > 0 THEN
+          (greatest(CAST(COALESCE(n1p_vw, 0) AS DOUBLE) - 0.75, 0.0)
+            + 0.75 * CAST(n2 AS DOUBLE) * p1) / CAST(sum_n1p AS DOUBLE)
+        ELSE p1 END AS p2 FROM s1),
+    s3 AS (SELECT *, CASE WHEN COALESCE(c2ctx, 0) > 0 THEN
+          (greatest(CAST(COALESCE(c3, 0) AS DOUBLE) - 0.75, 0.0)
+            + 0.75 * CAST(n3 AS DOUBLE) * p2) / CAST(c2ctx AS DOUBLE)
+        ELSE p2 END AS p3 FROM s2),
+    terms AS (SELECT doc_id, cnt,
+        CASE WHEN v = -1 THEN -ln(p1)
+             WHEN u = -1 THEN -ln(p2)
+             ELSE -ln(p3) END AS term FROM s3),
+    ds AS (SELECT doc_id,
+        SUM(cnt * CAST(round(term, 9) AS DECIMAL(20,9))) AS s,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens
+      FROM terms GROUP BY 1)
+    SELECT doc_id, n_tokens, round(CAST(s AS DOUBLE) / n_tokens, 6) AS ce
+    FROM ds"""
+
+  /** k-means refinement — q366. Mirrors graft.ops.Similarity
+    * .refineCentroids (iters=2) over the q75 16-centroid quantizer:
+    * per-iteration assignment = the q75 cosine argmax (same
+    * zero-norm-guarded formula, ties on cid), then per-(cell,dim)
+    * DECIMAL(30,12) sums of the 12-dp-rounded coordinates, then the
+    * scale-12 HALF_UP mean replayed as exact integer arithmetic on the
+    * ×10¹² grid (`mi = (2·si + n) // (2n)` sign-aware; `mi / 1e12` is
+    * ≤ ~10¹² so exact-as-double on both engines). Empty cells fall back
+    * to the previous centroid per dimension (COALESCE). */
+  private val q366 = {
+    def cos(v: String, c: String) = s"""
+      CASE WHEN sqrt(list_sum(list_transform($v, x -> x * x))) *
+                sqrt(list_sum(list_transform($c, x -> x * x))) = 0 THEN 0.0
+      ELSE list_sum(list_transform(list_zip($v, $c), x -> x[1] * x[2])) /
+        (sqrt(list_sum(list_transform($v, x -> x * x))) *
+         sqrt(list_sum(list_transform($c, x -> x * x)))) END"""
+    // one Lloyd iteration: assignment over cent$p, grid means -> per-dim
+    // rows m$k (cell, pos, mean); cex$p is cent$p exploded per dim
+    def iter(k: Int, p: Int) = s"""
+    ccos$k AS (SELECT e.id, c.cid, ${cos("e.v", "c.cv")} AS cos
+      FROM e CROSS JOIN cent$p c),
+    asg$k AS (SELECT id, cid AS cell FROM (
+        SELECT id, cid,
+          row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+        FROM ccos$k) WHERE rn = 1),
+    sums$k AS (SELECT a.cell, f.pos,
+        CAST(SUM(CAST(round(f.x, 12) AS DECIMAL(30,12)))
+          * 1000000000000 AS BIGINT) AS si,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM asg$k a JOIN ef f ON a.id = f.id GROUP BY 1, 2),
+    m$k AS (SELECT cell, pos,
+        CAST(CASE WHEN si >= 0 THEN (2 * si + n) // (2 * n)
+             ELSE -((2 * -si + n) // (2 * n)) END AS DOUBLE)
+          / 1000000000000.0 AS mean
+      FROM sums$k),
+    cex$p AS (SELECT cid, CAST(s.pos AS BIGINT) AS pos, s.x AS x FROM (
+        SELECT cid, unnest(list_transform(range(1, len(cv) + 1),
+          jj -> {'pos': jj - 1, 'x': cv[jj]})) AS s FROM cent$p))"""
+    s"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    ef AS (SELECT id, CAST(s.pos AS BIGINT) AS pos, s.x AS x FROM (
+        SELECT id, unnest(list_transform(range(1, len(v) + 1),
+          jj -> {'pos': jj - 1, 'x': v[jj]})) AS s FROM e)),
+    cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT, vec_id
+      LIMIT 16),
+    ${iter(1, 0)},
+    cent1 AS (SELECT x.cid, list(COALESCE(m.mean, x.x) ORDER BY x.pos) AS cv
+      FROM cex0 x LEFT JOIN m1 m ON m.cell = x.cid AND m.pos = x.pos
+      GROUP BY x.cid),
+    ${iter(2, 1)}
+    SELECT x.cid AS cell, x.pos AS dim, COALESCE(m.mean, x.x) AS v
+    FROM cex1 x LEFT JOIN m2 m ON m.cell = x.cid AND m.pos = x.pos"""
+  }
+
+  /** approxTiles exact regime — q367. Below the GK compress threshold
+    * the sketch keeps every sample (g=1, δ=0) and Spark's query rule
+    * returns the sorted value at rank ceil(p·n) (p ∈ {0.25, 0.5, 0.75}
+    * exact doubles, products exact); tile = 1 + |cutoffs < score|, ties
+    * AT a cutoff take the lower tile. */
+  private val q367 = """
+    WITH s AS (SELECT doc_id, source, n_chars FROM documents),
+    r AS (SELECT doc_id, source, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        count(*) OVER (PARTITION BY source) AS cnt FROM s),
+    cuts AS (SELECT source,
+        max(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT) THEN n_chars END) AS c1,
+        max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN n_chars END) AS c2,
+        max(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN n_chars END) AS c3
+      FROM r GROUP BY source)
+    SELECT s.doc_id, s.source, s.n_chars,
+      CAST(1 + (CASE WHEN c.c1 < s.n_chars THEN 1 ELSE 0 END)
+             + (CASE WHEN c.c2 < s.n_chars THEN 1 ELSE 0 END)
+             + (CASE WHEN c.c3 < s.n_chars THEN 1 ELSE 0 END) AS BIGINT)
+        AS tile_approx
+    FROM s JOIN cuts c ON s.source = c.source"""
+
   /** Majority-vote consensus — q362. */
   private val q362 = s"""
     WITH $judgeVotesSql
@@ -9926,11 +10080,13 @@ object OracleSql {
     "q159_bad_phrases"      -> q159,
     "q160_expectations"     -> q160,
     "q161_entity_resolution" -> q161,
+    "q161b_er_slice"        -> q161b,
     "q162_compaction_plan"  -> q162,
     "q163_zorder_report"    -> q163,
     "q164_random_projection" -> q164,
     "q165_textrank"         -> q165,
     "q166_incremental_er"   -> q161,
+    "q166b_incr_er_slice"   -> q161b,
     "q167_session_window"   -> q167,
     "q168_bloom_join"       -> q168,
     "q169_schema_drift"     -> q169,
@@ -9959,6 +10115,7 @@ object OracleSql {
     "q192_distinctive_terms" -> q192,
     "q193_calibration"      -> q193,
     "q194_quantile_normalize" -> q194,
+    "q194b_quantile_slice"  -> q194b,
     "q195_semantic_types"   -> q195,
     "q196_integrity_report" -> q196,
     "q197_apply_cdc"        -> q197,
@@ -10132,6 +10289,9 @@ object OracleSql {
     "q361_unimax"           -> q361,
     "q362_consensus"        -> q362,
     "q363_judge_accuracy"   -> q363,
-    "q364_fertility"        -> q364
+    "q364_fertility"        -> q364,
+    "q365_kneser_ney"       -> q365,
+    "q366_kmeans_refine"    -> q366,
+    "q367_approx_tiles_exact" -> q367
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -2825,6 +2825,17 @@ object SparkEntry {
     graft.ops.EntityResolution.resolveEntities(erEntities(s, dir),
       maxBlock = 4000)
 
+  /** [[q161EntityResolution]] on the `entity_id % 8 = 3` record slice —
+    * the q210b sampled-slice pattern: the full-corpus oracle replays
+    * quadratic in-block record pairs and spills past the sandbox disk at
+    * sf1, so this twin carries the sf1 hash evidence (slice volume at
+    * sf1 ≈ 1.25× the full sf0.1 corpus; 8 coprime to the mod-3 typo
+    * classes and the 40×50 name grid, so all fixture strata survive). */
+  private def q161bErSlice(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EntityResolution.resolveEntities(
+      erEntities(s, dir).filter(pmod(col("entity_id"), lit(8)) === 3),
+      maxBlock = 4000)
+
   /** Incremental entity resolution ([[graft.ops.EntityResolution
     * .incrementalResolve]]): the q161 corpus split 80/20 by id — the 80%
     * slice builds a [[graft.ops.EntityResolution.resolveIndex]], the 20%
@@ -2833,6 +2844,23 @@ object SparkEntry {
     * the q110=q117/q81-reuses-q35 equivalence discipline). */
   private def q166IncrementalEr(s: SparkSession, dir: String): DataFrame = {
     val ents = erEntities(s, dir)
+    val er = graft.ops.EntityResolution
+    val index = er.resolveIndex(
+      ents.filter(pmod(col("entity_id"), lit(5)) =!= 0), maxBlock = 4000)
+    val (clusters, _) = er.incrementalResolve(
+      ents.filter(pmod(col("entity_id"), lit(5)) === 0), index,
+      maxBlock = 4000)
+    er.labelRecords(ents, clusters)
+  }
+
+  /** [[q166IncrementalEr]] on the `entity_id % 8 = 3` slice (the q161b
+    * twin corpus; 8 coprime to the 80/20 split's mod 5, so both the
+    * index build and the incremental batch stay populated). The oracle
+    * is q161b's from-scratch SQL — incremental must equal from-scratch
+    * VERBATIM on the slice, the same equivalence q166 pins at sf0.1. */
+  private def q166bIncrErSlice(s: SparkSession, dir: String): DataFrame = {
+    val ents = erEntities(s, dir)
+      .filter(pmod(col("entity_id"), lit(8)) === 3)
     val er = graft.ops.EntityResolution
     val index = er.resolveIndex(
       ents.filter(pmod(col("entity_id"), lit(5)) =!= 0), maxBlock = 4000)
@@ -3258,6 +3286,17 @@ object SparkEntry {
     graft.ops.Encoding.quantileNormalize(
       t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey"),
         col("o_totalprice")),
+      "o_totalprice", "o_orderstatus", "o_orderkey")
+
+  /** [[q194QuantileNormalize]] on the `o_orderkey % 10 = 0` order slice —
+    * the oracle's per-row correlated pooled-rank subquery times out at
+    * sf1 over the full table; the %10 slice puts its sf1 volume at the
+    * proven-green sf0.1 scale while keeping every status group and the
+    * full price range (the q210b sampled-slice pattern). */
+  private def q194bQuantileSlice(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.quantileNormalize(
+      t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
       "o_totalprice", "o_orderstatus", "o_orderkey")
 
   /** Semantic-type detection ([[graft.ops.Profiler.semanticTypes]]) over a
@@ -5600,6 +5639,55 @@ object SparkEntry {
   private def q364Fertility(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenizerFertility(t(s, dir, "documents"))
 
+  /** Kneser–Ney trigram perplexity ([[graft.ops.LanguageModel
+    * .fitTrigramKn]]/`scoreTrigramKn`, L358): the CCNet tier's n-gram
+    * upgrade — interpolated KN over hashed bucket triples fitted on the
+    * `lang = 'en'` documents (the q76 seed split), whole corpus scored
+    * by per-token cross-entropy. Counts exact integers, discount 0.75,
+    * per-term ln rounded to 9 dp as DECIMAL(20,9) — the q76 decimal
+    * discipline one n-gram order up. */
+  private def q365KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lm = graft.ops.LanguageModel.fitTrigramKn(
+      docs.filter(col("lang") === "en"))
+    graft.ops.LanguageModel.scoreTrigramKn(docs, lm)
+      .select(col("doc_id"), col("n_tokens"), col("ce"))
+  }
+
+  /** Two deterministic Lloyd iterations ([[graft.ops.Similarity
+    * .refineCentroids]], L359): the q75/q35 16-centroid quantizer refined
+    * over the full embedding corpus, output = every refined coordinate.
+    * The 12-dp fixed-point mean grid makes both iterations replayable in
+    * exact integer arithmetic — the oracle unrolls assignment → decimal
+    * sums → half-up grid means twice (retiring the op from the spec-only
+    * tier). */
+  private def q366KmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val seeds = graft.ops.Similarity.sampleCentroids(emb, 16)
+    val refined = graft.ops.Similarity.refineCentroids(emb, seeds, iters = 2)
+    import s.implicits._
+    refined.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, i) => (cid, i.toLong, x) } }
+      .toDF("cell", "dim", "v")
+  }
+
+  /** GK sketch tiles in the exact regime ([[graft.ops.Sketches
+    * .approxTiles]], L360): per-source quartiles of `n_chars` at
+    * accuracy 10000 over groups of ≤ 2500 docs (even at sf1) — below
+    * the GK compress threshold (`2·ε·n < 2`) the summary keeps every
+    * sample with g=1, δ=0, so `percentile_approx` degenerates to the
+    * EXACT rank-⌈p·n⌉ order statistic and the whole sketch path becomes
+    * oracle-checkable (retiring approxTiles from the spec-only tier;
+    * the lossy-regime behavior stays pinned by OpsSpec's agreement
+    * test). */
+  private def q367ApproxTilesExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.approxTiles(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "n_chars", n = 4, partitionCols = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("tile_approx").cast("long").as("tile_approx"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -5763,11 +5851,13 @@ object SparkEntry {
     "q159_bad_phrases"      -> q159BadPhrases _,
     "q160_expectations"     -> q160Expectations _,
     "q161_entity_resolution" -> q161EntityResolution _,
+    "q161b_er_slice"        -> q161bErSlice _,
     "q162_compaction_plan"  -> q162CompactionPlan _,
     "q163_zorder_report"    -> q163ZorderReport _,
     "q164_random_projection" -> q164RandomProjection _,
     "q165_textrank"         -> q165TextRank _,
     "q166_incremental_er"   -> q166IncrementalEr _,
+    "q166b_incr_er_slice"   -> q166bIncrErSlice _,
     "q167_session_window"   -> q167SessionWindow _,
     "q168_bloom_join"       -> q168BloomJoin _,
     "q169_schema_drift"     -> q169SchemaDrift _,
@@ -5796,6 +5886,7 @@ object SparkEntry {
     "q192_distinctive_terms" -> q192DistinctiveTerms _,
     "q193_calibration"      -> q193Calibration _,
     "q194_quantile_normalize" -> q194QuantileNormalize _,
+    "q194b_quantile_slice"  -> q194bQuantileSlice _,
     "q195_semantic_types"   -> q195SemanticTypes _,
     "q196_integrity_report" -> q196IntegrityReport _,
     "q197_apply_cdc"        -> q197ApplyCdc _,
@@ -5969,7 +6060,10 @@ object SparkEntry {
     "q361_unimax"           -> q361Unimax _,
     "q362_consensus"        -> q362Consensus _,
     "q363_judge_accuracy"   -> q363JudgeAccuracy _,
-    "q364_fertility"        -> q364Fertility _
+    "q364_fertility"        -> q364Fertility _,
+    "q365_kneser_ney"       -> q365KneserNey _,
+    "q366_kmeans_refine"    -> q366KmeansRefine _,
+    "q367_approx_tiles_exact" -> q367ApproxTilesExact _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

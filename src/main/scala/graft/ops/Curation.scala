@@ -156,7 +156,10 @@ object Curation {
     *  - `perplexityMaxCe = Some(ce)` + a `perplexityTarget` on [[curate]]
     *    enables CCNet LM filtering (keep per-token cross-entropy ≤ ce;
     *    `perplexityBuckets`/`perplexityLambda` are
-    *    [[LanguageModel.fitBigramLm]]'s knobs);
+    *    [[LanguageModel.fitBigramLm]]'s knobs; `perplexityModel = "kn3"`
+    *    swaps in the interpolated Kneser–Ney trigram —
+    *    [[LanguageModel.fitTrigramKn]], discounted by
+    *    `perplexityDiscount` — the closer match to CCNet's KenLM);
     *  - `repetitionGates = true` enables the Gopher repetition thresholds
     *    (published defaults; call
     *    [[TextAnalysis.applyRepetitionGates]] directly to tune them);
@@ -214,6 +217,8 @@ object Curation {
       perplexityMaxCe: Option[Double] = None,
       perplexityBuckets: Int = 4096,
       perplexityLambda: Double = 0.9,
+      perplexityModel: String = "bigram",
+      perplexityDiscount: Double = 0.75,
       classifierBuckets: Int = 4096,
       classifierNgrams: Int = 1,
       classifierBias: Double = 0.0,
@@ -305,6 +310,8 @@ object Curation {
       "curate: config.hostRankMin needs both a hostRanks frame and config.urlCol")
     require(config.perplexityMaxCe.isEmpty || perplexityTarget.isDefined,
       "curate: config.perplexityMaxCe is set but no perplexityTarget was passed")
+    require(config.perplexityModel == "bigram" || config.perplexityModel == "kn3",
+      s"curate: perplexityModel must be 'bigram' or 'kn3', got '${config.perplexityModel}'")
     require(config.clusterCap.isEmpty || embeddings.isDefined,
       "curate: config.clusterCap is set but no embeddings frame was passed")
     val spark = docs.sparkSession
@@ -492,9 +499,15 @@ object Curation {
       // the CCNet ordering: LM filtering runs on the deduped, decontaminated
       // corpus (duplicate mass would otherwise dominate what survives a
       // threshold tuned on the clean distribution)
-      LanguageModel.filterByPerplexity(d, perplexityTarget.get,
-        config.perplexityMaxCe.get, textCol, idCol,
-        config.perplexityBuckets, config.perplexityLambda, config.materialize)
+      if (config.perplexityModel == "kn3")
+        LanguageModel.filterByPerplexityKn(d, perplexityTarget.get,
+          config.perplexityMaxCe.get, textCol, idCol,
+          config.perplexityBuckets, config.perplexityDiscount,
+          config.materialize)
+      else
+        LanguageModel.filterByPerplexity(d, perplexityTarget.get,
+          config.perplexityMaxCe.get, textCol, idCol,
+          config.perplexityBuckets, config.perplexityLambda, config.materialize)
     }
     step("cluster_balance", config.clusterCap.isDefined) { d =>
       // only ids the CURRENT survivor set still holds participate: capping

@@ -190,4 +190,148 @@ object LanguageModel {
       .filter(col("ce") <= maxCe).select(col(idCol))
     docs.join(kept, Seq(idCol), "left_semi")
   }
+
+  // ---------------------------------------------------------------- KN3
+
+  /** Fitted interpolated Kneser–Ney trigram model (Kneser & Ney 1995;
+    * the interpolated form of Chen & Goodman 1999 §2.7) over hashed
+    * buckets — the closer match to CCNet's published KenLM n-gram filter
+    * than the [[BigramLm]] tier, same bounded-table discipline:
+    *  - `tri  (u, v, w, c3)`   adjacent bucket-TRIPLE counts (positions
+    *    3..n) — bounded by the TARGET's distinct observed triples
+    *    (≤ target tokens, vocabulary-independent);
+    *  - `ctx2 (u, v, c2ctx, n3)` trigram-context totals: `c2ctx =
+    *    Σ_w c3` (so each context's probabilities sum to exactly 1) and
+    *    `n3 = |{w : c3 > 0}|`, the discount-mass multiplier;
+    *  - `cont3 (v, w, n1p_vw)` continuation counts `|{u : c3(u,v,w)>0}|`
+    *    — KN's middle-order "novel-context" statistic;
+    *  - `ctxc (v, sum_n1p, n2)` its per-context totals;
+    *  - `cont1 (w, n1p_w)` bottom continuation `|{v : c2(v,w)>0}|` over
+    *    the observed adjacent-PAIR types, with `nb` = total pair types.
+    * All derived tables are aggregations of `tri`/the pair table — the
+    * fit is still ONE corpus pass. `discount` is the absolute-discount
+    * D ∈ (0,1), a fixed binary-exact decimal (default 0.75) so both
+    * engines subtract the identical double. */
+  final case class TrigramKn(tri: DataFrame, ctx2: DataFrame,
+                             cont3: DataFrame, ctxc: DataFrame,
+                             cont1: DataFrame, nb: DataFrame,
+                             buckets: Int, discount: Double)
+
+  /** `(keep..., u, v, w)` scoring positions: `u = -1` for positions
+    * 1–2, `v = -1` for position 1 (the [[pairRows]] sentinel scheme one
+    * order up). One row per token. */
+  private def tripleRows(df: DataFrame, textCol: String, keep: Seq[Column],
+                         buckets: Int): DataFrame =
+    bucketSeq(df, textCol, keep, buckets)
+      .select(keep :+ explode(transform(sequence(lit(1), size(col("bs"))),
+        i => struct(
+          when(i <= 2, lit(-1L)).otherwise(element_at(col("bs"), i - 2)).as("u"),
+          when(i === 1, lit(-1L)).otherwise(element_at(col("bs"), i - 1)).as("v"),
+          element_at(col("bs"), i).as("w")))).as("p"): _*)
+      .select(keep :+ col("p.u").as("u") :+ col("p.v").as("v") :+
+        col("p.w").as("w"): _*)
+
+  /** Fit the hashed Kneser–Ney trigram on `target` — see [[TrigramKn]].
+    * Every table returns EAGERLY through `materialize` (the
+    * [[fitBigramLm]] hook contract); the triple scan is persisted once
+    * and feeds all five aggregations. */
+  def fitTrigramKn(target: DataFrame, textCol: String = "text",
+                   buckets: Int = 4096, discount: Double = 0.75,
+                   materialize: DataFrame => DataFrame = _.localCheckpoint(true)): TrigramKn = {
+    require(buckets > 0, s"fitTrigramKn: buckets must be > 0, got $buckets")
+    require(discount > 0 && discount < 1,
+      s"fitTrigramKn: discount must be in (0, 1), got $discount")
+    val rows = tripleRows(target, textCol, Seq.empty, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = materialize(rows.filter(col("u") >= 0L)
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3")))
+    val bi = rows.filter(col("v") >= 0L)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cbi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tri is unique on (u,v,w), so count(*) groupings ARE the distinct
+    // continuation counts — no count_distinct shuffle needed
+    val ctx2 = materialize(tri.groupBy(col("u"), col("v"))
+      .agg(sum(col("c3")).cast("long").as("c2ctx"), count(lit(1)).as("n3")))
+    val cont3 = tri.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("n1p_vw"))
+    val cont3m = materialize(cont3)
+    val ctxc = materialize(cont3m.groupBy(col("v"))
+      .agg(sum(col("n1p_vw")).cast("long").as("sum_n1p"),
+        count(lit(1)).as("n2")))
+    val cont1 = materialize(bi.groupBy(col("w")).agg(count(lit(1)).as("n1p_w")))
+    val nb = materialize(bi.agg(count(lit(1)).as("nb")))
+    bi.unpersist(); rows.unpersist()
+    TrigramKn(tri, ctx2, cont3m, ctxc, cont1, nb, buckets, discount)
+  }
+
+  /** Score a corpus under a fitted [[TrigramKn]] — output identical in
+    * shape to [[scoreBigramLm]] (`n_tokens`, exact `ce_sum`, 6-dp `ce`).
+    *
+    * Per-position probability (all counts exact integers, D the fixed
+    * discount, B = buckets, terms composed in this exact double order on
+    * both engines):
+    *  - `p1(w) = (n1p_w + 1) / (nb + B)` — bottom continuation
+    *    distribution, Laplace-floored so unseen buckets stay positive
+    *    (the one documented deviation from textbook KN, which assigns
+    *    unseen types zero mass and cannot be log-scored);
+    *  - `p2(w|v) = (max(n1p_vw − D, 0) + D·n2(v)·p1(w)) / sum_n1p(v)`
+    *    when context `v` was observed, else `p1(w)`;
+    *  - `p3(w|u,v) = (max(c3 − D, 0) + D·n3(u,v)·p2(w|v)) / c2ctx(u,v)`
+    *    when context `(u,v)` was observed, else `p2(w|v)`.
+    * Position 1 scores `−ln p1`, position 2 `−ln p2`, 3..n `−ln p3`.
+    * Positivity: an observed context always has `n2 ≥ 1` (resp.
+    * `n3 ≥ 1`), so the interpolation mass keeps every scored p > 0.
+    *
+    * Scale shape: the only corpus-sized shuffle is the per-doc
+    * `(id, u, v, w, cnt)` aggregation (ints only); `ctxc`/`cont1` are
+    * ≤ B(+1) rows and broadcast, `tri`/`ctx2`/`cont3` joins stay
+    * un-hinted (the [[scoreBigramLm]] AQE argument). */
+  def scoreTrigramKn(docs: DataFrame, lm: TrigramKn, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     extraCols: Seq[String] = Seq.empty): DataFrame = {
+    val keep = col(idCol) +: extraCols.map(col)
+    val d = lit(lm.discount)
+    val b = lm.buckets
+    val grouped = tripleRows(docs, textCol, keep, lm.buckets)
+      .groupBy(keep :+ col("u") :+ col("v") :+ col("w"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val p1 = (coalesce(col("n1p_w"), lit(0L)) + 1L).cast("double") /
+      (col("nb") + b).cast("double")
+    val p2 = when(coalesce(col("sum_n1p"), lit(0L)) > 0L,
+      (greatest(coalesce(col("n1p_vw"), lit(0L)).cast("double") - d, lit(0.0))
+        + d * col("n2").cast("double") * p1) / col("sum_n1p").cast("double"))
+      .otherwise(p1)
+    val p3 = when(coalesce(col("c2ctx"), lit(0L)) > 0L,
+      (greatest(coalesce(col("c3"), lit(0L)).cast("double") - d, lit(0.0))
+        + d * col("n3").cast("double") * p2) / col("c2ctx").cast("double"))
+      .otherwise(p2)
+    val term = when(col("v") === -1L, -log(p1))
+      .when(col("u") === -1L, -log(p2))
+      .otherwise(-log(p3))
+    grouped
+      .join(lm.tri, Seq("u", "v", "w"), "left")
+      .join(lm.ctx2, Seq("u", "v"), "left")
+      .join(lm.cont3, Seq("v", "w"), "left")
+      .join(broadcast(lm.ctxc), Seq("v"), "left")
+      .join(broadcast(lm.cont1), Seq("w"), "left")
+      .crossJoin(broadcast(lm.nb))
+      .groupBy(keep: _*)
+      .agg(sum(col("cnt").cast(DecimalType(12, 0))
+          * round(term, 9).cast(Dec)).as("ce_sum"),
+        sum(col("cnt")).cast("long").as("n_tokens"))
+      .select(keep :+ col("n_tokens") :+ col("ce_sum") :+
+        round(col("ce_sum").cast("double") / col("n_tokens"), 6).as("ce"): _*)
+  }
+
+  /** [[filterByPerplexity]] with the Kneser–Ney trigram underneath —
+    * the [[Curation]] `perplexityModel = "kn3"` path. */
+  def filterByPerplexityKn(docs: DataFrame, target: DataFrame, maxCe: Double,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           buckets: Int = 4096, discount: Double = 0.75,
+                           materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val lm = fitTrigramKn(target, textCol, buckets, discount, materialize)
+    val kept = scoreTrigramKn(docs, lm, textCol, idCol)
+      .filter(col("ce") <= maxCe).select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
 }

@@ -201,15 +201,21 @@ object Similarity {
   }
 
   /** Deterministic k-means refinement of IVF centroids (Lloyd iterations).
-    * Per-cell means are accumulated as `DECIMAL(30,12)` per dimension — a
-    * decimal sum is EXACT and therefore independent of Spark's aggregation
-    * order, unlike a double sum — so repeated runs over the same corpus yield
-    * bit-identical centroids (the float-determinism blocker documented in
-    * round 3 yields to fixed-point accumulation, the same trick the repo uses
-    * for money). Each iteration is one assignment pass (compiled argmax, no
-    * join) plus one `(cell, dim)` aggregation; the collect is bounded at
-    * `numCentroids × dim` rows. Cells that attract no vectors keep their
-    * previous centroid. Centroid ids are stable across iterations. */
+    * Per-cell means live on the 12-dp fixed-point grid: each coordinate is
+    * rounded to 12 dp (Spark `round` = HALF_UP — the q76 round-then-cast
+    * discipline, dodging the engines' divergent raw double→decimal tie
+    * rounding) and accumulated as `DECIMAL(30,12)` — a decimal sum is
+    * EXACT and therefore independent of Spark's aggregation order, unlike
+    * a double sum — and the mean is the scale-12 HALF_UP decimal quotient.
+    * So repeated runs yield bit-identical centroids AND an external SQL
+    * engine can replay every mean in exact integer arithmetic
+    * (`mi = half_up(si / n)` on the ×10¹² grid; the quotient ≤ ~10¹² is
+    * exact as a double, so `mi / 10¹²` is the correctly-rounded double on
+    * both engines — the q366 oracle). Each iteration is one assignment
+    * pass (compiled argmax, no join) plus one `(cell, dim)` aggregation;
+    * the collect is bounded at `numCentroids × dim` rows. Cells that
+    * attract no vectors keep their previous centroid. Centroid ids are
+    * stable across iterations. */
   def refineCentroids(corpus: DataFrame, centroids: Seq[(Long, Seq[Double])],
                       iters: Int, vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
@@ -224,14 +230,15 @@ object Similarity {
       val sums = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+        .agg(sum(round(col("x"), 12).cast(dec)).as("s"), count(lit(1)).as("n"))
         .collect()
       val means: Map[Long, Map[Int, Double]] = sums
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
           cell -> rows.map { r =>
             r.getInt(1) -> r.getDecimal(2)
-              .divide(java.math.BigDecimal.valueOf(r.getLong(3)), java.math.MathContext.DECIMAL64)
+              .divide(java.math.BigDecimal.valueOf(r.getLong(3)), 12,
+                java.math.RoundingMode.HALF_UP)
               .doubleValue()
           }.toMap
         }

@@ -53,7 +53,9 @@ object UrlFilter {
     * the it regions + province registries, the remaining standard
     * country registry sets across every continent, the .bg
     * letter/digit registries, the *.jm / *.fk wildcards, and the
-    * high-traffic half of the blogspot country fleet;
+    * high-traffic half of the blogspot country fleet; r19 to ~1.3k:
+    * the remaining country registry sets, the rest of the blogspot
+    * fleet, the us k12/cc/lib locality grid, more platform privates;
     * the build sandbox has no egress, so the full ~10k-entry
     * revisioned file cannot be fetched — swap these three literals for
     * a vendored copy of the full list to widen long-tail coverage; the
@@ -345,7 +347,80 @@ object UrlFilter {
     "blogspot.ch", "blogspot.com.ar", "blogspot.com.es",
     "blogspot.co.at", "blogspot.pt", "blogspot.ie", "blogspot.gr",
     "blogspot.fi", "blogspot.cz", "blogspot.ro", "blogspot.hu",
-    "blogspot.sg", "blogspot.kr", "blogspot.tw", "blogspot.hk") ++
+    "blogspot.sg", "blogspot.kr", "blogspot.tw", "blogspot.hk",
+    // ---- r19 expansion (~950 -> ~1.3k): remaining ICANN country
+    // registry sets recalled from the public list (long-tail states),
+    // the rest of the blogspot fleet, and more private-registry
+    // platform staples. Same frozen-snapshot caveat as above.
+    // oceania / pacific
+    "com.fm", "edu.fm", "net.fm", "org.fm",
+    "com.gu", "edu.gu", "net.gu", "org.gu",
+    "com.pw", "co.pw", "ne.pw", "or.pw", "ed.pw", "go.pw", "belau.pw",
+    "com.tl", "gov.tl", "edu.tl", "net.tl", "org.tl",
+    // south / southeast / central asia
+    "com.mv", "edu.mv", "gov.mv", "net.mv", "org.mv", "mil.mv",
+    "biz.mv", "coop.mv", "info.mv", "name.mv", "pro.mv",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    "com.ps", "edu.ps", "gov.ps", "net.ps", "org.ps", "sec.ps",
+    "plo.ps",
+    "com.tj", "edu.tj", "gov.tj", "org.tj", "net.tj", "ac.tj",
+    "biz.tj", "co.tj",
+    "com.tm", "co.tm", "org.tm", "net.tm", "nom.tm", "gov.tm",
+    "mil.tm", "edu.tm",
+    // africa (remaining standard registry sets)
+    "com.sl", "net.sl", "edu.sl", "gov.sl", "org.sl",
+    "com.lr", "edu.lr", "gov.lr", "org.lr", "net.lr",
+    "com.gn", "ac.gn", "gov.gn", "org.gn", "net.gn",
+    "com.ml", "edu.ml", "gouv.ml", "gov.ml", "net.ml", "org.ml",
+    "presse.ml",
+    "gov.bf", "gov.cd",
+    "com.cv", "edu.cv", "int.cv", "nome.cv", "org.cv",
+    "com.st", "edu.st", "gov.st", "org.st", "net.st", "co.st",
+    "mil.st", "store.st",
+    "com.sc", "gov.sc", "edu.sc", "net.sc", "org.sc",
+    "com.so", "net.so", "org.so",
+    "com.ss", "edu.ss", "gov.ss", "net.ss", "org.ss", "biz.ss",
+    "sch.ss",
+    "com.bi", "edu.bi", "or.bi", "org.bi", "co.bi",
+    // caribbean / americas remainders
+    "com.gp", "net.gp", "mobi.gp", "edu.gp", "org.gp", "asso.gp",
+    "com.re", "asso.re", "nom.re",
+    "com.vi", "co.vi", "net.vi", "org.vi", "k12.vi",
+    "gov.sx",
+    "co.ve", "info.ve", "web.ve", "rec.ve", "arts.ve", "firm.ve",
+    "store.ve", "tec.ve", "e12.ve",
+    // europe micro-registries
+    "com.mc", "asso.mc", "tm.mc", "nom.ad",
+    // blogspot fleet: the rest of the country family
+    "blogspot.ae", "blogspot.al", "blogspot.am", "blogspot.ba",
+    "blogspot.be", "blogspot.bg", "blogspot.bj", "blogspot.cf",
+    "blogspot.cl", "blogspot.co.id", "blogspot.co.il",
+    "blogspot.co.ke", "blogspot.co.nz", "blogspot.co.za",
+    "blogspot.com.by", "blogspot.com.co", "blogspot.com.cy",
+    "blogspot.com.ee", "blogspot.com.eg", "blogspot.com.mt",
+    "blogspot.com.ng", "blogspot.com.tr", "blogspot.com.uy",
+    "blogspot.cv", "blogspot.dk", "blogspot.hr", "blogspot.is",
+    "blogspot.li", "blogspot.lt", "blogspot.lu", "blogspot.md",
+    "blogspot.mk", "blogspot.mr", "blogspot.my", "blogspot.no",
+    "blogspot.pe", "blogspot.qa", "blogspot.re", "blogspot.rs",
+    "blogspot.ru", "blogspot.si", "blogspot.sk", "blogspot.sn",
+    "blogspot.td",
+    // private-registry platform staples (round 2)
+    "myshopify.com", "now.sh", "run.app", "cloudfunctions.net",
+    "translate.goog", "trafficmanager.net", "cloudapp.net",
+    "blob.core.windows.net", "elasticbeanstalk.com",
+    "pythonanywhere.com", "eu.org", "hf.space") ++
+    // us 3-label locality registries: the RFC 1480 k12/cc/lib grid
+    // over every state code (the PSL carries the full grid; a handful
+    // of states officially use only part of it — a wrong extra entry
+    // here shifts that state's rare locality hosts one label deeper,
+    // the documented snapshot trade-off)
+    Seq("ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl",
+      "ga", "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma",
+      "md", "me", "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne",
+      "nh", "nj", "nm", "nv", "ny", "oh", "ok", "or", "pa", "ri",
+      "sc", "sd", "tn", "tx", "ut", "va", "vt", "wa", "wi", "wv",
+      "wy").flatMap(st => Seq(s"k12.$st.us", s"cc.$st.us", s"lib.$st.us")) ++
     // bg: the single-letter/digit second-level registries (a.bg..z.bg,
     // 0.bg..9.bg — the full documented set, generated not typed)
     (('a' to 'z') ++ ('0' to '9')).map(c => s"$c.bg")

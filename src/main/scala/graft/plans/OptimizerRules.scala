@@ -671,6 +671,42 @@ object SargableDateKey extends Rule[LogicalPlan] {
     case other => intConjunct(other).getOrElse(other)
   }
 
+  /** Merge redundant date-bound conjuncts: a BETWEEN-shaped pair of
+    * INT-tier rewrites leaves `d < ceil(k2)` AND `d < OverflowHi` (and
+    * the mirrored `≥` pair) in one Filter — both push, but the horizon
+    * bound is subsumed and doubles the scan's PushedFilters. For the
+    * same deterministic operand compared to non-null DATE literals,
+    * `And(d < a, d < b)` ≡ `d < min(a, b)` for EVERY input including
+    * NULL `d` (NULL∧NULL = NULL either way), so keeping only the
+    * tightest `<` (resp. the tightest `≥`) is value-exact — no
+    * key-shape analysis needed, which also lets a user's own redundant
+    * date ranges collapse. Conjunct order is preserved. */
+  private def mergeDateBounds(cond: Expression): Expression = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val cs = conjuncts(cond)
+    if (cs.size < 2) return cond
+    // (shape, operand, literal-epoch-day) per mergeable conjunct
+    def bound(e: Expression): Option[(Boolean, Expression, Int)] = e match {
+      case LessThan(d, Literal(v: Int, DateType)) if d.deterministic =>
+        Some((true, d, v))
+      case GreaterThanOrEqual(d, Literal(v: Int, DateType)) if d.deterministic =>
+        Some((false, d, v))
+      case _ => None
+    }
+    val bounds = cs.map(bound)
+    val drop = Array.fill(cs.size)(false)
+    for (i <- cs.indices; (lt, d, v) <- bounds(i); j <- (i + 1) until cs.size;
+         (lt2, d2, v2) <- bounds(j) if lt2 == lt && d.semanticEquals(d2)) {
+      // keep the tighter bound; on equal literals keep the first
+      if (if (lt) v2 < v else v2 > v) drop(i) = true else drop(j) = true
+    }
+    if (!drop.exists(identity)) cond
+    else cs.indices.filterNot(drop).map(cs).reduce(And)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Tier 1: value-exact forms, any context.
     val p1 = plan.transformAllExpressions {
@@ -693,10 +729,11 @@ object SargableDateKey extends Rule[LogicalPlan] {
       case In(KeyLong(d), ks) if ks.nonEmpty && ks.forall(KeyLit.unapply(_).isDefined) =>
         inRewrite(d, ks.map(KeyLit.unapply(_).get))
     }
-    // Tier 2: INT-cast forms, top-level Filter conjuncts only.
+    // Tier 2: INT-cast forms, top-level Filter conjuncts only; then
+    // collapse the doubled horizon bounds a BETWEEN-shaped pair leaves.
     p1.transform {
       case f @ Filter(cond, child) =>
-        val rewritten = rewriteConjuncts(cond)
+        val rewritten = mergeDateBounds(rewriteConjuncts(cond))
         if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
     }
   }

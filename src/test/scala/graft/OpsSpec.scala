@@ -2405,7 +2405,8 @@ class OpsSpec extends SparkSpec {
       "clinica.med.br" -> "clinica.med.br",        // .br category 2LD
       "www.pref.aichi.jp" -> "pref.aichi.jp",      // jp prefecture
       "site.metro.tokyo.jp" -> "metro.tokyo.jp",
-      "foo.k12.ca.us" -> "k12.ca.us",              // us state 2LD
+      "foo.k12.ca.us" -> "foo.k12.ca.us",          // us k12 locality 3LD (r19)
+      "foo.ca.us" -> "foo.ca.us",                  // us state 2LD
       "ville.gouv.fr" -> "ville.gouv.fr",          // fr categorized
       "biuro.warszawa.pl" -> "biuro.warszawa.pl",  // pl city registry
       "a.b.gc.ca" -> "b.gc.ca",                    // ca federal
@@ -3257,6 +3258,86 @@ class OpsSpec extends SparkSpec {
       uni.map { case (k, v) => k -> v })
     assert(lm.bi.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ===
       bi.map { case (k, v) => k -> v })
+  }
+
+  test("Kneser-Ney trigram: exact decimal ce matches an independent computation; fit tables pin") {
+    import graft.ops.LanguageModel
+    val B = 4096
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % B
+    }
+    val tgtToks = Seq("apple", "banana", "apple", "cherry", "apple", "banana")
+    val target = Seq((0L, tgtToks.mkString(" "))).toDF("doc_id", "text")
+    assert(tgtToks.distinct.map(bucket).distinct.size === tgtToks.distinct.size)
+    // independent model tables (the scoreBigramLm test's discipline, one
+    // n-gram order up: continuation counts are type counts over tri/bi)
+    val tri = tgtToks.sliding(3).map(s => (bucket(s(0)), bucket(s(1)), bucket(s(2))))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tgtToks.zip(tgtToks.tail).map { case (p, c) => (bucket(p), bucket(c)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx2 = tri.groupBy { case ((u, v, _), _) => (u, v) }.view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val cont3 = tri.keys.toSeq.groupBy { case (_, v, w) => (v, w) }.view
+      .mapValues(_.size.toLong).toMap
+    val ctxc = cont3.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val cont1 = bi.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = bi.size.toLong
+    val D = 0.75
+    def p1(w: Long): Double = (cont1.getOrElse(w, 0L) + 1).toDouble / (nb + B).toDouble
+    def p2(v: Long, w: Long): Double = ctxc.get(v) match {
+      case Some((s, n2)) =>
+        (math.max(cont3.getOrElse((v, w), 0L).toDouble - D, 0.0)
+          + D * n2.toDouble * p1(w)) / s.toDouble
+      case None => p1(w)
+    }
+    def p3(u: Long, v: Long, w: Long): Double = ctx2.get((u, v)) match {
+      case Some((c2, n3)) =>
+        (math.max(tri.getOrElse((u, v, w), 0L).toDouble - D, 0.0)
+          + D * n3.toDouble * p2(v, w)) / c2.toDouble
+      case None => p2(v, w)
+    }
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def expected(toks: Seq[String]): (BigDecimal, Long, Double) = {
+      val bs = toks.map(bucket)
+      val terms = bs.indices.map { i =>
+        if (i == 0) r9(-math.log(p1(bs(0))))
+        else if (i == 1) r9(-math.log(p2(bs(0), bs(1))))
+        else r9(-math.log(p3(bs(i - 2), bs(i - 1), bs(i))))
+      }
+      val sum = terms.sum
+      val ce = BigDecimal(sum.toDouble / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (sum, toks.size.toLong, ce)
+    }
+    val docs = Seq(
+      (10L, "apple banana apple cherry"),    // drawn from the target
+      (11L, "quince durian quince durian"),  // fully out-of-target
+      (12L, null.asInstanceOf[String])       // null -> one empty-string token
+    ).toDF("doc_id", "text")
+    val lm = LanguageModel.fitTrigramKn(target, materialize = df => df)
+    // fit-table pins: the continuation counts ARE type counts
+    assert(lm.tri.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      === tri)
+    assert(lm.cont1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === cont1)
+    assert(lm.nb.collect().head.getLong(0) === nb)
+    val out = LanguageModel.scoreTrigramKn(docs, lm).collect()
+      .map(r => r.getLong(0) -> ((BigDecimal(r.getDecimal(2)), r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(out(10L) === expected(Seq("apple", "banana", "apple", "cherry")))
+    assert(out(11L) === expected(Seq("quince", "durian", "quince", "durian")))
+    assert(out(10L)._3 < out(11L)._3)
+    assert(out(12L)._2 === 1L && !out(12L)._3.isNaN)
+    // the filter form (and the Curation kn3 knob's underlying path) keeps
+    // exactly the docs at or under the cutoff
+    val cut = out(10L)._3
+    val kept = LanguageModel.filterByPerplexityKn(docs, target, maxCe = cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === out.filter(_._2._3 <= cut).keySet)
   }
 
   test("perplexity tiles and filter: tile 1 = most target-like; threshold keeps the head") {

@@ -627,6 +627,35 @@ class OptimizerRulesSpec extends SparkSpec {
       s"bounded key range not pushed to the scan:\n$physical")
   }
 
+  test("BETWEEN-shaped date-key range fuses to ONE pushed bound pair (no doubled horizons)") {
+    // the reference's date-dim idiom: date_key BETWEEN k1 AND k2 —
+    // two INT-tier conjuncts whose rewrites each carry a horizon bound;
+    // mergeDateBounds must keep exactly one LessThan and one
+    // GreaterThanOrEqual, and the row set must match ground truth
+    val q = keyed.filter(intKey.between(19950101, 19951231))
+    val plan = optimized(q)
+    assert(!plan.contains("date_format"), s"BETWEEN not rewritten: $plan")
+    val physical = q.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(physical).map(_.group(1)).getOrElse("")
+    assert(pushed.split(", ").count(_.startsWith("LessThan(")) === 1 &&
+      pushed.split(", ").count(_.startsWith("GreaterThanOrEqual(")) === 1,
+      s"BETWEEN must push exactly one bound pair, got: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(d,1995-01-01)") &&
+      pushed.contains("LessThan(d,1996-01-01)"),
+      s"fused range bounds wrong: $pushed")
+    assert(q.count() ===
+      trueKeys.count(_.exists(k => k >= 19950101 && k <= 19951231)))
+    // a user's own redundant range collapses too (value-safe merge)
+    val q2 = keyed.filter(intKey >= 19950101 && intKey >= 19940101)
+    val p2 = q2.queryExecution.executedPlan.toString
+    val pushed2 = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p2).map(_.group(1)).getOrElse("")
+    assert(pushed2.split(", ").count(_.startsWith("GreaterThanOrEqual(")) === 1,
+      s"redundant >= bounds must merge to the tightest: $pushed2")
+    assert(q2.count() === trueKeys.count(_.exists(_ >= 19950101)))
+  }
+
   test("date-key out-of-scope shapes are left alone") {
     // INT-cast orderings in PROJECTION context: the overflow band's
     // NULL is observable there, so tier 2 must not touch them

@@ -99,6 +99,8 @@ class PlanLintSpec extends SparkSpec {
       "q140_budget_alloc" -> prefixSumSummary,
       "q184_equidepth_hist" -> prefixSumSummary,
       "q194_quantile_normalize" -> prefixSumSummary,
+      "q194b_quantile_slice" -> (prefixSumSummary +
+        " — the q194 plan on the %10 order slice (the sf1 twin)"),
       "q204_abc" -> prefixSumSummary,
       "q217_global_rank" -> (prefixSumSummary +
         " — decomposing the global rank WITHOUT a data-sized global " +
