@@ -9645,6 +9645,44 @@ object OracleSql {
       END AS epochs_e9
     FROM a"""
 
+  /** Temperature mixture — q368. Mirrors Sampling.temperatureMixture
+    * (α=0.3, B=200000): u = exp(0.3·ln n) (the probed bit-identical
+    * composition — NOT pow), HALF_UP onto the ×10⁹ grid via the
+    * round-then-cast discipline, then exact HUGEINT largest-remainder
+    * apportionment with the (remainder desc, lang asc) +1 ranking. */
+  private val q368 = """
+    WITH supply AS (SELECT lang,
+        CAST(sum(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END)
+          AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    u AS (SELECT lang, n_tokens,
+        CASE WHEN n_tokens <= 0 THEN CAST(0 AS HUGEINT)
+             ELSE CAST(CAST(round(exp(0.3 * ln(CAST(n_tokens AS DOUBLE))), 9)
+                 AS DECIMAL(25,9)) * 1000000000 AS HUGEINT)
+        END AS u9
+      FROM supply),
+    tot AS (SELECT sum(u9) AS u9t FROM u),
+    q AS (SELECT lang, n_tokens, u9, u9t,
+        CASE WHEN u9t = 0 THEN CAST(0 AS HUGEINT)
+             ELSE 200000 * u9 // u9t END AS base,
+        CASE WHEN u9t = 0 THEN CAST(0 AS HUGEINT)
+             ELSE 200000 * u9 % u9t END AS rem
+      FROM u CROSS JOIN tot),
+    l AS (SELECT *, 200000 - sum(base) OVER () AS leftover,
+        row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM q),
+    a AS (SELECT lang, n_tokens, u9, u9t,
+        base + CASE WHEN u9t > 0 AND rr <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM l)
+    SELECT lang, n_tokens,
+      CAST(CASE WHEN u9t = 0 THEN 0 ELSE u9 * 1000000000 // u9t END
+        AS BIGINT) AS weight_e9,
+      CAST(alloc AS BIGINT) AS alloc,
+      CASE WHEN n_tokens > 0
+           THEN CAST(alloc * 1000000000 // n_tokens AS BIGINT)
+      END AS rate_e9
+    FROM a"""
+
   /** Shared judge-vote CTE chain for q362/q363 — mirrors
     * SparkEntry.judgeFrame + the (item, judge) min-label dedup + the
     * (votes desc, label asc) consensus argmax as a ranked window. */
@@ -10292,6 +10330,7 @@ object OracleSql {
     "q364_fertility"        -> q364,
     "q365_kneser_ney"       -> q365,
     "q366_kmeans_refine"    -> q366,
-    "q367_approx_tiles_exact" -> q367
+    "q367_approx_tiles_exact" -> q367,
+    "q368_temperature_mixture" -> q368
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5688,6 +5688,18 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("tile_approx").cast("long").as("tile_approx"))
 
+  /** Temperature mixture sampling ([[graft.ops.Sampling
+    * .temperatureMixture]], L361): α=0.3 exponent weights over the q361
+    * per-language supply, budget 200k apportioned by largest remainder —
+    * exact ppb weights + allocations totalling the budget, the
+    * classical baseline UniMax (L355) improves on. */
+  private def q368TemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixture(
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(graft.ops.TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long")).as("n_tokens")),
+      budget = 200000L, alpha = 0.3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -6063,7 +6075,8 @@ object SparkEntry {
     "q364_fertility"        -> q364Fertility _,
     "q365_kneser_ney"       -> q365KneserNey _,
     "q366_kmeans_refine"    -> q366KmeansRefine _,
-    "q367_approx_tiles_exact" -> q367ApproxTilesExact _
+    "q367_approx_tiles_exact" -> q367ApproxTilesExact _,
+    "q368_temperature_mixture" -> q368TemperatureMixture _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -346,4 +346,70 @@ object Sampling {
         when(col("n_tokens") > 0L,
           expr("alloc * 1000000000L div n_tokens")).as("epochs_e9"))
   }
+
+  /** Temperature-based mixture sampling (Arivazhagan et al. 2019 §5 —
+    * the mBERT/XLM-R exponent rule, [[unimaxAllocation]]'s classical
+    * baseline): sampling weight `w_l ∝ n_l^α` with temperature exponent
+    * `α ∈ (0, 1]` (α = 1 → proportional, α → 0 → uniform), a token
+    * budget `B` apportioned by largest remainder so allocations total
+    * EXACTLY `B` (when any language has supply).
+    *
+    * Engine-exactness: `n^α` is computed as `exp(α·ln n)` — the two
+    * primitives an external SQL engine reproduces bit-for-bit (probed:
+    * JVM `Math.exp`/`Math.log` and DuckDB `exp`/`ln` agree to the bit
+    * on this composition; `pow()` is deliberately NOT used — its
+    * rounding may route differently) — then quantized HALF_UP onto the
+    * ×10⁹ integer grid. Everything after is exact BigInt arithmetic:
+    * `base_l = ⌊B·u9_l / U9⌋`, `+1` to the `B − Σbase` largest
+    * remainders in (remainder desc, lang asc) order. Zero-supply
+    * languages get weight and allocation 0.
+    *
+    * Scale shape: the input is the bounded per-language supply table
+    * (the aggregate of a corpus scan, ≤ a few hundred rows by
+    * contract — the [[Similarity.sampleCentroids]] bounded-collect
+    * class); the apportionment runs driver-side in exact BigInt and
+    * returns a language-sized local frame.
+    *
+    * Output: `(langCol, n_tokens, weight_e9 = u9·10⁹ div U9 — the
+    * exact ppb share, alloc, rate_e9 = alloc·10⁹ div n_tokens, NULL
+    * for zero supply)`. */
+  def temperatureMixture(supply: DataFrame, budget: Long,
+                         alpha: Double = 0.3, langCol: String = "lang",
+                         tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 0L, s"temperatureMixture: budget must be >= 0, got $budget")
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureMixture: alpha must be in (0, 1], got $alpha")
+    val spark = supply.sparkSession
+    val rows = supply
+      .select(col(langCol).cast("string"), col(tokensCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toIndexedSeq
+    val u9s = rows.map { case (_, n) =>
+      if (n <= 0L) BigInt(0)
+      else BigInt(BigDecimal(math.exp(alpha * math.log(n.toDouble)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue)
+    }
+    val u9Total = u9s.sum
+    val b = BigInt(budget)
+    val (bases, rems) =
+      if (u9Total == 0) (u9s.map(_ => BigInt(0)), u9s.map(_ => BigInt(0)))
+      else (u9s.map(u => b * u / u9Total), u9s.map(u => b * u % u9Total))
+    val leftover = if (u9Total == 0) 0L else (b - bases.sum).toLong
+    // +1 to the `leftover` largest remainders, (rem desc, lang asc)
+    val bump = rows.indices
+      .sortBy(i => (rems(i), rows(i)._1))(Ordering.Tuple2(
+        Ordering[BigInt].reverse, Ordering[String]))
+      .take(math.max(leftover, 0L).toInt).toSet
+    import spark.implicits._
+    rows.indices.map { i =>
+      val (lang, n) = rows(i)
+      val w9 = if (u9Total == 0) 0L else (u9s(i) * 1000000000L / u9Total).toLong
+      val alloc = (bases(i) + (if (bump(i)) 1 else 0)).toLong
+      val rate =
+        if (n > 0L) Some((BigInt(alloc) * 1000000000 / n).toLong) else None
+      (lang, n, w9, alloc, rate)
+    }.toDF(langCol, "n_tokens", "weight_e9", "alloc", "rate_e9")
+  }
 }

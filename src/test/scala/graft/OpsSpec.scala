@@ -342,6 +342,41 @@ class OpsSpec extends SparkSpec {
     assert(sel.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("temperatureMixture: exact apportionment totals the budget; alpha flattens; zero supply zeroes") {
+    import graft.ops.Sampling
+    val supply = Seq(("en", 100000L), ("de", 10000L), ("sw", 100L),
+      ("xx", 0L)).toDF("lang", "n_tokens")
+    def run(alpha: Double, b: Long = 200000L) =
+      Sampling.temperatureMixture(supply, budget = b, alpha = alpha)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val m = run(0.3)
+    // allocations total exactly B; zero supply allocates nothing, NULL rate
+    assert(m.values.map(_._2).sum === 200000L)
+    assert(m("xx") === ((0L, 0L, -1L)))
+    // weights are ppb and sum to ~1e9 (floor slack < n languages)
+    val wsum = m.values.map(_._1).sum
+    assert(wsum <= 1000000000L && wsum > 1000000000L - 4)
+    // alpha = 0.3 flattens vs proportional: head share below its token
+    // share, tail above (n_en/n_sw = 1000 but weights ratio = 1000^0.3)
+    assert(m("en")._1.toDouble / m("sw")._1 < 100.0)
+    assert(m("en")._1 > m("de")._1 && m("de")._1 > m("sw")._1)
+    // alpha = 1 recovers proportional shares (largest-remainder on n_l)
+    val p = run(1.0)
+    assert(p("en")._2 === 200000L * 100000L / 110100L +
+      (if (p("en")._2 > 200000L * 100000L / 110100L) 1 else 0))
+    assert(p.values.map(_._2).sum === 200000L)
+    // independent closed-form check at alpha=0.3: BigInt largest-remainder
+    val u9 = Seq(100000L, 10000L, 100L).map(n =>
+      BigInt(BigDecimal(math.exp(0.3 * math.log(n.toDouble)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue))
+    val tot = u9.sum
+    val bases = u9.map(u => (BigInt(200000) * u / tot).toLong)
+    val want = m("en")._2 + m("de")._2 + m("sw")._2
+    assert(want >= bases.sum && want - bases.sum <= 3)
+  }
+
   test("unimaxAllocation: waterfilling saturates the tail, shares the head, totals the budget") {
     val supply = Seq(("a", 10L), ("b", 100L), ("c", 1000L)).toDF("lang", "n_tokens")
     val m = graft.ops.Sampling.unimaxAllocation(supply, budget = 300L, maxEpochs = 2)
