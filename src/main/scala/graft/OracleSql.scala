@@ -9683,6 +9683,63 @@ object OracleSql {
       END AS rate_e9
     FROM a"""
 
+  /** Corpus BLEU — q369. Mirrors graft.ops.Bleu.corpusBleu over the
+    * drop-every-7th-token candidate synthesis: both sides' token arrays
+    * derive from the normalized text (empty → []), n-grams compare by
+    * the 56-bit md5 prefix of the space-joined slice, clipped matches =
+    * Σ least(c, cr) on the inner join, and the final double composes
+    * division/ln/exp in the engine's exact left-to-right order. DuckDB
+    * `range(a, b)` is empty when b <= a, so short docs need no
+    * descending-sequence guard here (the ENGINE side does — §2.12). */
+  private val q369 = {
+    val grams = (side: String) => s"""
+      SELECT doc_id, nn AS n,
+        unnest(list_transform(range(1, len(ts) - nn + 2),
+          i -> ('0x' || substr(md5(array_to_string(ts[i:i+nn-1], ' ')), 1, 14))::BIGINT)) AS g
+      FROM $side CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS nn)"""
+    s"""
+    WITH base AS (SELECT doc_id, $dedupNormSql AS nt FROM documents),
+    rts AS (SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+        ELSE str_split(nt, ' ') END AS ts FROM base),
+    cts AS (SELECT doc_id, list_transform(
+        list_filter(range(1, len(ts) + 1), i -> i % 7 != 0),
+        i -> ts[i]) AS ts FROM rts),
+    cg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM (${grams("cts")})
+      GROUP BY 1, 2, 3),
+    rg AS (SELECT doc_id, n, g, COUNT(*) AS cr FROM (${grams("rts")})
+      GROUP BY 1, 2, 3),
+    m AS (SELECT n, CAST(SUM(least(c, cr)) AS BIGINT) AS m
+      FROM cg JOIN rg USING (doc_id, n, g) GROUP BY n),
+    tt AS (SELECT nn AS n,
+        CAST(SUM(greatest(len(ts) - nn + 1, 0)) AS BIGINT) AS t
+      FROM cts CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS nn) GROUP BY 1),
+    lens AS (SELECT CAST(coalesce((SELECT SUM(len(ts)) FROM cts), 0) AS BIGINT) AS cand_len,
+        CAST(coalesce((SELECT SUM(len(ts)) FROM rts), 0) AS BIGINT) AS ref_len),
+    w AS (SELECT
+        coalesce((SELECT m FROM m WHERE n = 1), 0) AS m1,
+        coalesce((SELECT m FROM m WHERE n = 2), 0) AS m2,
+        coalesce((SELECT m FROM m WHERE n = 3), 0) AS m3,
+        coalesce((SELECT m FROM m WHERE n = 4), 0) AS m4,
+        coalesce((SELECT t FROM tt WHERE n = 1), 0) AS t1,
+        coalesce((SELECT t FROM tt WHERE n = 2), 0) AS t2,
+        coalesce((SELECT t FROM tt WHERE n = 3), 0) AS t3,
+        coalesce((SELECT t FROM tt WHERE n = 4), 0) AS t4,
+        cand_len, ref_len
+      FROM lens)
+    SELECT m1, m2, m3, m4, t1, t2, t3, t4, cand_len, ref_len,
+      CASE WHEN m1 > 0 AND t1 > 0 AND m2 > 0 AND t2 > 0
+            AND m3 > 0 AND t3 > 0 AND m4 > 0 AND t4 > 0
+        THEN round(
+          (CASE WHEN cand_len >= ref_len OR cand_len = 0 THEN 1.0
+                ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)) END)
+          * exp((((ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                 + ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+                 + ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE)))
+                 + ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE))) / 4.0), 6)
+        ELSE 0.0 END AS bleu
+    FROM w"""
+  }
+
   /** Shared judge-vote CTE chain for q362/q363 — mirrors
     * SparkEntry.judgeFrame + the (item, judge) min-label dedup + the
     * (votes desc, label asc) consensus argmax as a ranked window. */
@@ -10331,6 +10388,7 @@ object OracleSql {
     "q365_kneser_ney"       -> q365,
     "q366_kmeans_refine"    -> q366,
     "q367_approx_tiles_exact" -> q367,
-    "q368_temperature_mixture" -> q368
+    "q368_temperature_mixture" -> q368,
+    "q369_bleu"             -> q369
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5700,6 +5700,21 @@ object SparkEntry {
           .cast("long")).as("n_tokens")),
       budget = 200000L, alpha = 0.3)
 
+  /** Corpus BLEU ([[graft.ops.Bleu.corpusBleu]], L362): candidates are
+    * each document's normalized text with every 7th token dropped
+    * (shorter cand → real brevity penalty; the splice creates unseen
+    * n-grams → precisions < 1), references the original text. One corpus
+    * row: clipped match/total counts per n = 1..4 (exact integers) + the
+    * 6-dp BLEU via the probed exp/ln composition. */
+  private def q369Bleu(s: SparkSession, dir: String): DataFrame = {
+    val ts = TextAnalysis.tokens(
+      TextAnalysis.normalizeText(coalesce(col("text"), lit(""))))
+    val kept = filter(ts, (_, i) => pmod(i + 1, lit(7)) =!= 0)
+    val pairs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", kept).as("cand"), col("text").as("ref"))
+    graft.ops.Bleu.corpusBleu(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -6076,7 +6091,8 @@ object SparkEntry {
     "q365_kneser_ney"       -> q365KneserNey _,
     "q366_kmeans_refine"    -> q366KmeansRefine _,
     "q367_approx_tiles_exact" -> q367ApproxTilesExact _,
-    "q368_temperature_mixture" -> q368TemperatureMixture _
+    "q368_temperature_mixture" -> q368TemperatureMixture _,
+    "q369_bleu"             -> q369Bleu _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

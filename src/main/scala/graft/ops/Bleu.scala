@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus BLEU (Papineni et al., ACL 2002) over candidate/reference text
+  * pairs — the generation-eval staple a training-data pipeline runs when
+  * it grades model outputs, distillation candidates, or round-trip
+  * augmentation against references at corpus scale.
+  *
+  * Semantics (the sacrebleu corpus recipe, two documented deviations):
+  * modified n-gram precision for n = 1..4 — per pair, each candidate
+  * n-gram's matches are CLIPPED at the reference's count of that gram —
+  * summed over the corpus, then
+  * `BLEU = BP · exp((ln p₁ + ln p₂ + ln p₃ + ln p₄) / 4)` with the
+  * brevity penalty `BP = min(1, exp(1 − ref_len/cand_len))`. Deviations:
+  * tokenization is the repo's standard [[TextAnalysis.normalizeText]]
+  * split (not sacrebleu's `13a`), and precisions are UNSMOOTHED — a zero
+  * `m_n` yields `bleu = 0` with the per-n counts still reported (the
+  * caller can apply any published smoothing to the exact counts).
+  *
+  * Engine-exactness: every count is an exact integer; n-grams compare by
+  * the repo's 56-bit md5 prefix (the [[Dedup]] shingle discipline —
+  * collisions vanishingly rare and identical on both engines); the final
+  * double composes division, `ln`, `exp` in one fixed left-to-right
+  * order (the probed bit-identical primitives — `pow()` avoided).
+  *
+  * Scale shape: n-gram extraction is row-local (one array transform per
+  * n); the only wide ops are the `(id, n, gram-hash)` count aggregations
+  * and their equi-join — ints only, no token string ever shuffles — and
+  * the final corpus fold is a single 8-counter aggregate. */
+object Bleu {
+
+  /** The shared token array: empty-safe whitespace split of the
+    * normalized text — grams, totals, and lengths all derive from THIS
+    * array, so the precision denominators stay consistent with the
+    * match counts (an empty side has 0 tokens and 0 grams). */
+  private def toks(c: Column): Column =
+    TextAnalysis.tokens(TextAnalysis.normalizeText(coalesce(c, lit(""))))
+
+  /** `(id, n, g, c)` — hashed n-gram counts of `textCol`, n = 1..maxN.
+    * Gram hash = first 14 md5 hex nibbles of the space-joined slice
+    * (56-bit, non-negative). */
+  private def gramCounts(df: DataFrame, idCol: String, textCol: String,
+                         maxN: Int): DataFrame = {
+    // the size-n+1 >= 1 guard dodges the descending-sequence() gotcha
+    // (§2.12: sequence(1, 0) yields [1, 0], not []) — the empty-array
+    // branch must carry the struct type for flatten to unify
+    df.select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(1), lit(maxN)),
+        n => coalesce(
+          when(size(col("ts")) - n + 1 >= 1, transform(
+            sequence(lit(1), size(col("ts")) - n + 1),
+            i => struct(n.as("n"),
+              conv(substring(md5(concat_ws(" ", slice(col("ts"), i, n))), 1, 14),
+                16, 10).cast("long").as("g")))),
+          array().cast("array<struct<n:int,g:bigint>>"))))).as("s"))
+      .select(col("id"), col("s.n").as("n"), col("s.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Corpus BLEU over `(idCol, candCol, refCol)` pairs: ONE output row —
+    * `m1..m4` clipped matches, `t1..t4` candidate n-gram totals,
+    * `cand_len`, `ref_len`, and `bleu` (6 dp; 0 when any `m_n` is 0).
+    * Empty/NULL text behaves as the empty token sequence of its side. */
+  def corpusBleu(pairs: DataFrame, idCol: String = "doc_id",
+                 candCol: String = "cand", refCol: String = "ref",
+                 maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"corpusBleu: maxN must be in [1, 4], got $maxN")
+    val cand = gramCounts(pairs, idCol, candCol, maxN)
+    val ref = gramCounts(pairs, idCol, refCol, maxN)
+      .withColumnRenamed("c", "cr")
+    // clipped matches: inner join suffices — an unmatched candidate gram
+    // clips to zero and contributes nothing
+    val matches = cand.join(ref, Seq("id", "n", "g"))
+      .groupBy(col("n")).agg(sum(least(col("c"), col("cr"))).as("m"))
+    val lens = pairs.select(
+        size(toks(col(candCol))).cast("long").as("lc"),
+        size(toks(col(refCol))).cast("long").as("lr"))
+      .agg(coalesce(sum(col("lc")), lit(0L)).as("cand_len"),
+        coalesce(sum(col("lr")), lit(0L)).as("ref_len"))
+      .select(col("cand_len"), col("ref_len"),
+        explode(array((1 to maxN).map(lit): _*)).as("n"))
+    // per-n candidate totals Σ max(len−n+1, 0) need the per-pair lengths
+    val tots = pairs.select(size(toks(col(candCol))).cast("long").as("lc"))
+      .select(explode(transform(sequence(lit(1), lit(maxN)),
+        n => struct(n.as("n"), greatest(col("lc") - n + 1, lit(0L)).as("t0")))).as("s"))
+      .select(col("s.n").cast("int").as("n"), col("s.t0").as("t0"))
+      .groupBy(col("n")).agg(sum(col("t0")).as("t"))
+    val byN = lens.join(tots, Seq("n"), "left").join(matches, Seq("n"), "left")
+      .select(col("n"), col("cand_len"), col("ref_len"),
+        coalesce(col("m"), lit(0L)).as("m"), coalesce(col("t"), lit(0L)).as("t"))
+    // fold the bounded (maxN rows) frame to the single corpus row; the
+    // log-precision sum composes left-to-right in ascending n
+    val aggCols = (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("m"))).as(s"m$n")) ++
+      (1 to maxN).map(n =>
+        sum(when(col("n") === n, col("t"))).as(s"t$n"))
+    val agg = byN.groupBy(col("cand_len"), col("ref_len"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val allPos = (1 to maxN).map(n => col(s"m$n") > 0L && col(s"t$n") > 0L)
+      .reduce(_ && _)
+    val logSum = (1 to maxN).map(n =>
+        log(col(s"m$n").cast("double") / col(s"t$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("cand_len") >= col("ref_len") || col("cand_len") === 0L, lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len").cast("double")))
+    val bleu = when(allPos, round(bp * exp(logSum / maxN), 6)).otherwise(lit(0.0))
+    agg.select((1 to maxN).map(n => col(s"m$n")) ++
+      (1 to maxN).map(n => col(s"t$n")) :+
+      col("cand_len") :+ col("ref_len") :+ bleu.as("bleu"): _*)
+  }
+}

@@ -342,6 +342,54 @@ class OpsSpec extends SparkSpec {
     assert(sel.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("corpusBleu: identical pair scores 1; clipping, brevity penalty, zero-match guard") {
+    import graft.ops.Bleu
+    def ng(toks: Seq[String], n: Int): Map[Seq[String], Int] =
+      if (toks.size < n) Map.empty
+      else toks.sliding(n).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    def expected(pairs: Seq[(Seq[String], Seq[String])]): (Seq[Long], Seq[Long], Long, Long, Double) = {
+      val ms = (1 to 4).map { n =>
+        pairs.map { case (c, r) =>
+          val (cg, rg) = (ng(c, n), ng(r, n))
+          cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0)) }.sum.toLong
+        }.sum }
+      val ts = (1 to 4).map(n => pairs.map { case (c, _) =>
+        math.max(c.size - n + 1, 0).toLong }.sum)
+      val (cl, rl) = (pairs.map(_._1.size.toLong).sum, pairs.map(_._2.size.toLong).sum)
+      val bleu =
+        if ((0 to 3).forall(i => ms(i) > 0 && ts(i) > 0)) {
+          val bp = if (cl >= rl || cl == 0) 1.0 else math.exp(1.0 - rl.toDouble / cl)
+          val ls = (0 to 3).map(i => math.log(ms(i).toDouble / ts(i))).reduce(_ + _)
+          BigDecimal(bp * math.exp(ls / 4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        } else 0.0
+      (ms, ts, cl, rl, bleu)
+    }
+    def run(rows: Seq[(Long, String, String)]): (Seq[Long], Seq[Long], Long, Long, Double) = {
+      val out = Bleu.corpusBleu(rows.toDF("doc_id", "cand", "ref")).collect().head
+      ((0 to 3).map(i => out.getLong(i)), (4 to 7).map(i => out.getLong(i)),
+        out.getLong(8), out.getLong(9), out.getDouble(10))
+    }
+    // identical 5-token pair: every precision 1, BP 1 -> bleu exactly 1
+    assert(run(Seq((1L, "a b c d e", "a b c d e"))) ===
+      expected(Seq((Seq("a","b","c","d","e"), Seq("a","b","c","d","e")))))
+    assert(run(Seq((1L, "a b c d e", "a b c d e")))._5 === 1.0)
+    // shorter candidate with a substitution: clipping + brevity penalty
+    val mixed = Seq(
+      (1L, "the cat sat on mat", "the cat sat on the mat"),
+      (2L, "x y z w q", "x y z w q"))
+    val want = expected(Seq(
+      (Seq("the","cat","sat","on","mat"), Seq("the","cat","sat","on","the","mat")),
+      (Seq("x","y","z","w","q"), Seq("x","y","z","w","q"))))
+    assert(run(mixed) === want)
+    assert(want._5 > 0 && want._5 < 1)
+    // no 4-gram match anywhere -> bleu 0, counts still exact
+    val zero = run(Seq((1L, "p q r", "p q r")))
+    assert(zero._5 === 0.0 && zero._1(0) === 3L && zero._2(3) === 0L)
+    // empty candidate: all totals zero, bleu 0
+    val empty = run(Seq((1L, "", "some ref text here")))
+    assert(empty._3 === 0L && empty._5 === 0.0)
+  }
+
   test("temperatureMixture: exact apportionment totals the budget; alpha flattens; zero supply zeroes") {
     import graft.ops.Sampling
     val supply = Seq(("en", 100000L), ("de", 10000L), ("sw", 100L),
