@@ -9740,6 +9740,61 @@ object OracleSql {
     FROM w"""
   }
 
+  /** Corpus chrF — q370. Mirrors graft.ops.Bleu.corpusChrF over the
+    * q369 pair synthesis: character n-grams n = 1..6 of the
+    * space-stripped normalized sides on the 56-bit md5-prefix grid,
+    * corpus-summed clipped matches + per-side totals, per-order P/R
+    * averaged over the populated orders, chrF2 in the engine's exact
+    * double composition order. */
+  private val q370 = {
+    val grams = (side: String) => s"""
+      SELECT doc_id, nn AS n,
+        unnest(list_transform(range(1, length(cs) - nn + 2),
+          i -> ('0x' || substr(md5(substr(cs, i, nn)), 1, 14))::BIGINT)) AS g
+      FROM $side CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS nn)"""
+    val tots = (side: String) => s"""
+      SELECT nn AS n, CAST(SUM(greatest(length(cs) - nn + 1, 0)) AS BIGINT) AS t
+      FROM $side CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS nn)
+      GROUP BY 1"""
+    def pick(cte: String, n: Int) = s"coalesce((SELECT x FROM $cte WHERE n = $n), 0)"
+    val pops = (1 to 6).map(n => s"CASE WHEN tc$n > 0 AND tr$n > 0 THEN 1 ELSE 0 END")
+    def mean(den: String) = (1 to 6).map(n =>
+      s"CASE WHEN tc$n > 0 AND tr$n > 0 THEN CAST(cm$n AS DOUBLE) / CAST($den$n AS DOUBLE) ELSE 0.0 END")
+      .mkString("(", " + ", s") / CAST(eff AS DOUBLE)")
+    s"""
+    WITH base AS (SELECT doc_id, $dedupNormSql AS nt FROM documents),
+    rts AS (SELECT doc_id, nt, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+        ELSE str_split(nt, ' ') END AS ts FROM base),
+    pc AS (SELECT doc_id, replace(array_to_string(list_transform(
+        list_filter(range(1, len(ts) + 1), i -> i % 7 != 0),
+        i -> ts[i]), ' '), ' ', '') AS cs FROM rts),
+    pr AS (SELECT doc_id, replace(nt, ' ', '') AS cs FROM rts),
+    cg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM (${grams("pc")})
+      GROUP BY 1, 2, 3),
+    rg AS (SELECT doc_id, n, g, COUNT(*) AS cr FROM (${grams("pr")})
+      GROUP BY 1, 2, 3),
+    mm AS (SELECT n, CAST(SUM(least(c, cr)) AS BIGINT) AS x
+      FROM cg JOIN rg USING (doc_id, n, g) GROUP BY n),
+    tcs AS (SELECT n, t AS x FROM (${tots("pc")})),
+    trs AS (SELECT n, t AS x FROM (${tots("pr")})),
+    w AS (SELECT
+        ${(1 to 6).map(n => s"${pick("mm", n)} AS cm$n").mkString(", ")},
+        ${(1 to 6).map(n => s"${pick("tcs", n)} AS tc$n").mkString(", ")},
+        ${(1 to 6).map(n => s"${pick("trs", n)} AS tr$n").mkString(", ")}),
+    s1 AS (SELECT *, ${pops.mkString("(", " + ", ")")} AS eff FROM w),
+    s2 AS (SELECT *,
+        CASE WHEN eff = 0 THEN 0.0 ELSE ${mean("tc")} END AS p,
+        CASE WHEN eff = 0 THEN 0.0 ELSE ${mean("tr")} END AS r
+      FROM s1)
+    SELECT ${(1 to 6).map(n => s"CAST(cm$n AS BIGINT) AS cm$n").mkString(", ")},
+      ${(1 to 6).map(n => s"CAST(tc$n AS BIGINT) AS tc$n").mkString(", ")},
+      ${(1 to 6).map(n => s"CAST(tr$n AS BIGINT) AS tr$n").mkString(", ")},
+      CASE WHEN eff = 0 THEN 0.0
+           WHEN 4.0 * p + r > 0.0 THEN round((5.0 * p * r) / (4.0 * p + r), 6)
+           ELSE 0.0 END AS chrf
+    FROM s2"""
+  }
+
   /** Shared judge-vote CTE chain for q362/q363 — mirrors
     * SparkEntry.judgeFrame + the (item, judge) min-label dedup + the
     * (votes desc, label asc) consensus argmax as a ranked window. */
@@ -10389,6 +10444,7 @@ object OracleSql {
     "q366_kmeans_refine"    -> q366,
     "q367_approx_tiles_exact" -> q367,
     "q368_temperature_mixture" -> q368,
-    "q369_bleu"             -> q369
+    "q369_bleu"             -> q369,
+    "q370_chrf"             -> q370
   ).map { case (k, v) => k -> clean(v) }
 }

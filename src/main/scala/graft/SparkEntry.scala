@@ -5715,6 +5715,19 @@ object SparkEntry {
     graft.ops.Bleu.corpusBleu(pairs)
   }
 
+  /** Corpus chrF ([[graft.ops.Bleu.corpusChrF]], L363): the q369 pair
+    * synthesis graded by character n-grams (n = 1..6, β = 2) — BLEU's
+    * standard companion metric, robust to tokenization; all 18 count
+    * columns exact integers + the 6-dp chrF2. */
+  private def q370Chrf(s: SparkSession, dir: String): DataFrame = {
+    val ts = TextAnalysis.tokens(
+      TextAnalysis.normalizeText(coalesce(col("text"), lit(""))))
+    val kept = filter(ts, (_, i) => pmod(i + 1, lit(7)) =!= 0)
+    val pairs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", kept).as("cand"), col("text").as("ref"))
+    graft.ops.Bleu.corpusChrF(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -6092,7 +6105,8 @@ object SparkEntry {
     "q366_kmeans_refine"    -> q366KmeansRefine _,
     "q367_approx_tiles_exact" -> q367ApproxTilesExact _,
     "q368_temperature_mixture" -> q368TemperatureMixture _,
-    "q369_bleu"             -> q369Bleu _
+    "q369_bleu"             -> q369Bleu _,
+    "q370_chrf"             -> q370Chrf _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -112,4 +112,82 @@ object Bleu {
       (1 to maxN).map(n => col(s"t$n")) :+
       col("cand_len") :+ col("ref_len") :+ bleu.as("bleu"): _*)
   }
+
+  // ------------------------------------------------------------- chrF
+
+  /** `(id, n, g, c)` — hashed character-n-gram counts over the
+    * space-stripped normalized text, n = 1..maxN. */
+  private def charGramCounts(df: DataFrame, idCol: String, textCol: String,
+                             maxN: Int): DataFrame = {
+    val s = regexp_replace(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit(""))), " ", "")
+    df.select(col(idCol).as("id"), s.as("cs"))
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(1), lit(maxN)),
+        n => coalesce(
+          when(length(col("cs")) - n + 1 >= 1, transform(
+            sequence(lit(1), length(col("cs")) - n + 1),
+            i => struct(n.as("n"),
+              conv(substring(md5(substring(col("cs"), i, n)), 1, 14),
+                16, 10).cast("long").as("g")))),
+          array().cast("array<struct<n:int,g:bigint>>"))))).as("s"))
+      .select(col("id"), col("s.n").as("n"), col("s.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Corpus chrF (Popović, WMT 2015; the sacrebleu chrF2 aggregation):
+    * character n-grams n = 1..6 over the space-stripped normalized text,
+    * clipped matches and totals summed corpus-wide, per-order precisions
+    * and recalls averaged over the orders BOTH sides populate
+    * (`tc_n > 0` and `tr_n > 0`), then
+    * `chrF_β = (1+β²)·P·R / (β²·P + R)` with β = 2 — 0 when no order is
+    * populated or the denominator is 0.
+    *
+    * Output: ONE row — `cm1..cm6` clipped matches, `tc1..tc6` candidate
+    * totals, `tr1..tr6` reference totals, `chrf` (6 dp). Same exactness
+    * and scale shape as [[corpusBleu]] (integer counts, fixed double
+    * composition order, ints-only shuffles). */
+  def corpusChrF(pairs: DataFrame, idCol: String = "doc_id",
+                 candCol: String = "cand", refCol: String = "ref",
+                 maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"corpusChrF: maxN must be in [1, 6], got $maxN")
+    require(beta > 0, s"corpusChrF: beta must be > 0, got $beta")
+    val cand = charGramCounts(pairs, idCol, candCol, maxN)
+    val ref = charGramCounts(pairs, idCol, refCol, maxN)
+      .withColumnRenamed("c", "cr")
+    val matches = cand.join(ref, Seq("id", "n", "g"))
+      .groupBy(col("n")).agg(sum(least(col("c"), col("cr"))).as("m"))
+    def tot(textCol: String) = {
+      val s = regexp_replace(TextAnalysis.normalizeText(
+        coalesce(col(textCol), lit(""))), " ", "")
+      pairs.select(length(s).cast("long").as("l"))
+        .select(explode(transform(sequence(lit(1), lit(maxN)),
+          n => struct(n.as("n"), greatest(col("l") - n + 1, lit(0L)).as("t0")))).as("s"))
+        .select(col("s.n").cast("int").as("n"), col("s.t0").as("t0"))
+        .groupBy(col("n")).agg(sum(col("t0")).as("t"))
+    }
+    val byN = tot(candCol).withColumnRenamed("t", "tc")
+      .join(tot(refCol).withColumnRenamed("t", "tr"), Seq("n"), "full")
+      .join(matches, Seq("n"), "left")
+      .select(col("n"), coalesce(col("m"), lit(0L)).as("m"),
+        coalesce(col("tc"), lit(0L)).as("tc"), coalesce(col("tr"), lit(0L)).as("tr"))
+    val aggCols = (1 to maxN).map(n => sum(when(col("n") === n, col("m"))).as(s"cm$n")) ++
+      (1 to maxN).map(n => sum(when(col("n") === n, col("tc"))).as(s"tc$n")) ++
+      (1 to maxN).map(n => sum(when(col("n") === n, col("tr"))).as(s"tr$n"))
+    val agg = byN.agg(aggCols.head, aggCols.tail: _*)
+    val pop = (n: Int) => col(s"tc$n") > 0L && col(s"tr$n") > 0L
+    val eff = (1 to maxN).map(n => when(pop(n), 1).otherwise(0)).reduce(_ + _)
+    def meanOver(den: Int => Column) = (1 to maxN).map(n =>
+        when(pop(n), col(s"cm$n").cast("double") / den(n).cast("double"))
+          .otherwise(lit(0.0))).reduce(_ + _) / eff.cast("double")
+    val p = meanOver(n => col(s"tc$n"))
+    val r = meanOver(n => col(s"tr$n"))
+    val b2 = beta * beta
+    val chrf = when(eff === 0, lit(0.0)).otherwise(
+      when(lit(b2) * p + r > 0.0,
+        round((lit(1.0 + b2) * p * r) / (lit(b2) * p + r), 6)).otherwise(lit(0.0)))
+    agg.select((1 to maxN).map(n => col(s"cm$n")) ++
+      (1 to maxN).map(n => col(s"tc$n")) ++
+      (1 to maxN).map(n => col(s"tr$n")) :+ chrf.as("chrf"): _*)
+  }
 }

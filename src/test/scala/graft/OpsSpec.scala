@@ -390,6 +390,27 @@ class OpsSpec extends SparkSpec {
     assert(empty._3 === 0L && empty._5 === 0.0)
   }
 
+  test("corpusChrF: identical pair scores 1; partial overlap between 0 and 1; empty cand 0") {
+    import graft.ops.Bleu
+    def run(rows: Seq[(Long, String, String)]): (Seq[Long], Seq[Long], Seq[Long], Double) = {
+      val out = Bleu.corpusChrF(rows.toDF("doc_id", "cand", "ref")).collect().head
+      ((0 to 5).map(i => out.getLong(i)), (6 to 11).map(i => out.getLong(i)),
+        (12 to 17).map(i => out.getLong(i)), out.getDouble(18))
+    }
+    // identical: every populated order has P = R = 1 -> chrF2 exactly 1
+    val same = run(Seq((1L, "the quick brown fox", "the quick brown fox")))
+    assert(same._4 === 1.0)
+    // chars are space-stripped: "thequickbrownfox" = 16 chars -> t1 = 16
+    assert(same._2(0) === 16L && same._2(0) === same._3(0) && same._1(0) === 16L)
+    // partial overlap: strictly between 0 and 1; counts consistent
+    val part = run(Seq((1L, "the quick red fox", "the quick brown fox")))
+    assert(part._4 > 0.0 && part._4 < 1.0)
+    assert((0 to 5).forall(i => part._1(i) <= math.min(part._2(i), part._3(i))))
+    // empty candidate: no populated order -> 0
+    val empty = run(Seq((1L, "", "abcdef")))
+    assert(empty._4 === 0.0 && empty._2.forall(_ === 0L))
+  }
+
   test("temperatureMixture: exact apportionment totals the budget; alpha flattens; zero supply zeroes") {
     import graft.ops.Sampling
     val supply = Seq(("en", 100000L), ("de", 10000L), ("sw", 100L),
