@@ -9795,6 +9795,30 @@ object OracleSql {
     FROM s2"""
   }
 
+  /** Banded Hamming near-dups — q371. Mirrors
+    * graft.ops.Multimodal.hashNearDups over the synthetic-hash fixture:
+    * 56-bit md5-prefix base per group of 8, member m xors a mask of m
+    * distinct bit positions, then the exact 4×16-bit banding +
+    * bit_count(xor) <= 6 verify with DISTINCT pair collapse. */
+  private val q371 = """
+    WITH h AS (SELECT doc_id AS media_id,
+        xor(('0x' || substr(md5(CAST(doc_id // 8 AS VARCHAR)), 1, 14))::BIGINT,
+          CAST(coalesce(list_sum(list_transform(
+            range(0, CAST(doc_id % 8 AS INTEGER)),
+            j -> (CAST(1 AS BIGINT)
+              << CAST(((doc_id // 8) * 7 + j * 13) % 56 AS INTEGER)))), 0)
+            AS BIGINT)) AS dhash
+      FROM documents),
+    b AS (SELECT media_id, dhash, bb AS band,
+        (dhash >> (bb * 16)) & 65535 AS key
+      FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bb)),
+    p AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+        CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT) AS hamming
+      FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+        AND a.media_id < b2.media_id
+      WHERE bit_count(xor(a.dhash, b2.dhash)) <= 6)
+    SELECT id_a, id_b, hamming FROM p"""
+
   /** Shared judge-vote CTE chain for q362/q363 — mirrors
     * SparkEntry.judgeFrame + the (item, judge) min-label dedup + the
     * (votes desc, label asc) consensus argmax as a ranked window. */
@@ -10445,6 +10469,7 @@ object OracleSql {
     "q367_approx_tiles_exact" -> q367,
     "q368_temperature_mixture" -> q368,
     "q369_bleu"             -> q369,
-    "q370_chrf"             -> q370
+    "q370_chrf"             -> q370,
+    "q371_hash_near_dups"   -> q371
   ).map { case (k, v) => k -> clean(v) }
 }

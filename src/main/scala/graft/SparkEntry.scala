@@ -5728,6 +5728,27 @@ object SparkEntry {
     graft.ops.Bleu.corpusChrF(pairs)
   }
 
+  /** Banded Hamming near-dup pairing ([[graft.ops.Multimodal
+    * .hashNearDups]], L364 — the L180 dHash PAIRING tier made
+    * hash-checkable): synthetic 56-bit hashes in groups of 8 (base =
+    * md5 prefix of the group id; member m flips m distinct bit
+    * positions, so in-group Hamming distances are |m₁−m₂| by
+    * construction), run through the exact 4×16-bit band + bit_count
+    * verify path at maxHamming 6. */
+  private def q371HashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val grp = expr("doc_id div 8").cast("long")
+    val m = pmod(col("doc_id"), lit(8)).cast("int")
+    val h56 = conv(substring(md5(grp.cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    val mask = when(m >= 1, aggregate(sequence(lit(0), m - 1), lit(0L),
+      (acc, j) => acc + call_function("shiftleft", lit(1L),
+        pmod(grp * 7 + j * 13, lit(56)).cast("int")))).otherwise(lit(0L))
+    val hashes = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        h56.bitwiseXOR(mask).as("dhash"))
+    graft.ops.Multimodal.hashNearDups(hashes, maxHamming = 6)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -6106,7 +6127,8 @@ object SparkEntry {
     "q367_approx_tiles_exact" -> q367ApproxTilesExact _,
     "q368_temperature_mixture" -> q368TemperatureMixture _,
     "q369_bleu"             -> q369Bleu _,
-    "q370_chrf"             -> q370Chrf _
+    "q370_chrf"             -> q370Chrf _,
+    "q371_hash_near_dups"   -> q371HashNearDups _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -295,11 +295,20 @@ object Multimodal {
     *
     * Returns `(id_a, id_b, hamming)` with `id_a < id_b`, one row per pair
     * (distinct across bands). */
-  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 6): DataFrame = {
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 6): DataFrame =
+    hashNearDups(imageHashes(media).filter(col("decoded"))
+      .select(col("media_id"), col("dhash")), maxHamming)
+
+  /** The band + verify tier of [[imageNearDups]] over PRECOMPUTED 64-bit
+    * hashes — factored out so the pairing logic (4×16-bit pigeonhole
+    * banding, `bit_count(xor)` verify, never all-pairs) is
+    * oracle-checkable without an image decode (q371 feeds it synthetic
+    * hashes with arithmetically known Hamming structure); the decode
+    * tier stays spec-pinned (L180). Input: `(media_id, dhash)`. */
+  def hashNearDups(hashFrame: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"imageNearDups: maxHamming must be in [0, 64], got $maxHamming")
-    val hashes = imageHashes(media).filter(col("decoded"))
-      .select(col("media_id"), col("dhash"))
+    val hashes = hashFrame.select(col("media_id"), col("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(col("media_id"), col("dhash"),
       explode(array((0 until 4).map(b =>
