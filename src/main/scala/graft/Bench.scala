@@ -4,8 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // big-sf runs (the sf1 corpus) need the same knobs as Verify:
+    // more shuffle partitions than the core count and smaller read
+    // splits for single-file tables; defaults match the sf0.1 artifact
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", shuf.toInt)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Neutral warmup so the first measured query doesn't absorb one-time

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Predicted-vs-measured sf0.1 -> sf1 bench growth table (r19 task 2).
+
+Usage: python3 tools/growth_table.py [BENCH_LOCAL.json] [BENCH_SF1.json]
+
+Prediction model (from the r16-r18 ScaleProbe audits, per query family):
+  - graph/ER iterative tier: round-constant-dominated -> predicted
+    factor 3x (probes measured 1.1-1.6x per round at 10x rows, plus
+    round-count growth);
+  - brute-force audit tiers (q210/q215 family, quadratic by design on
+    a bounded slice): 10x pair mass at 10x rows within banded buckets;
+  - everything else (scans, group-aggs, banded joins): ~linear, 10x
+    with a JVM-constant floor for sub-second queries.
+A measured factor > 2x its prediction earns a PLANS note.
+"""
+import json, sys
+
+GRAPH = ("q109", "q110", "q111", "q113", "q117", "q161", "q165", "q166",
+         "q173", "q186", "q211", "q231", "q243", "q249", "q250", "q251",
+         "q274")
+QUAD = ("q210", "q215", "q205", "q208", "q277")
+
+
+def pred(name, t01):
+    fam = "linear"
+    p = 10.0
+    if name.startswith(GRAPH):
+        fam, p = "graph/iter", 3.0
+    elif name.startswith(QUAD):
+        fam, p = "quad-audit", 10.0
+    # JVM floor: sub-second queries are constant-dominated
+    if t01 < 1.0:
+        p = max(p, 1.0)
+    return fam, p
+
+
+def main(local="BENCH_LOCAL.json", sf1="BENCH_SF1.json"):
+    a = json.load(open(local))["queries"]
+    b = json.load(open(sf1))["queries"]
+    rows = []
+    for name, t1 in sorted(b.items(), key=lambda kv: -kv[1]):
+        t01 = a.get(name)
+        if not t01:
+            continue
+        fam, p = pred(name, t01)
+        g = t1 / t01
+        flag = "  <-- note" if g > 2 * p and t1 > 5 else ""
+        rows.append((name, t01, t1, g, fam, p, flag))
+    print(f"| query | sf0.1 s | sf1 s | growth | family | predicted |")
+    print(f"|---|---|---|---|---|---|")
+    for name, t01, t1, g, fam, p, flag in rows:
+        print(f"| {name} | {t01:.2f} | {t1:.1f} | {g:.1f}x | {fam} | ~{p:.0f}x{flag} |")
+    total01 = sum(a[n] for n, *_ in [(r[0],) for r in rows])
+    total1 = sum(r[2] for r in rows)
+    print(f"\nsubset totals: sf0.1 {total01:.1f} s -> sf1 {total1:.1f} s "
+          f"({total1/total01:.1f}x at 10x data)")
+    outliers = [r for r in rows if r[6]]
+    print(f"outliers beyond 2x their predicted factor (and > 5 s): "
+          f"{[r[0] for r in outliers] or 'none'}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
