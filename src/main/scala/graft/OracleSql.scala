@@ -9819,6 +9819,55 @@ object OracleSql {
       WHERE bit_count(xor(a.dhash, b2.dhash)) <= 6)
     SELECT id_a, id_b, hamming FROM p"""
 
+  /** CDC chunks — q372. Mirrors HashExprs.CdcChunks over the %10
+    * NORMALIZED slice: the Gear recurrence `h = (h·2 + gear[b]) mod
+    * 2⁶⁴` replayed position-by-position in a recursive CTE (state =
+    * one thin row per in-flight doc; the text stays in the joined doc
+    * table, never in recursion state), Java's signed wrap-around
+    * emulated as exact HUGEINT mod-2⁶⁴ with the 256-entry gear table
+    * interpolated UNSIGNED from the engine's own array (one source of
+    * truth). Cut when (len ≥ 64 AND h mod 64 = 0) OR len ≥ 512 —
+    * `h & 63` equals `h mod 64` on the non-negative residue; chunk
+    * hash = the standard 56-bit md5 prefix of the chunk text
+    * (ASCII-only by normalization, so substr = byte slice). */
+  private val q372 = {
+    val m64 = (BigInt(1) << 64) - 1
+    val gear = graft.functions.HashExprs.CdcChunks.Gear
+      .map(g => (BigInt(g) & m64).toString).mkString("[", ", ", "]")
+    s"""
+    WITH RECURSIVE d AS (SELECT doc_id, nt, length(nt) AS n FROM
+        (SELECT doc_id, $dedupNormSql AS nt FROM documents
+         WHERE doc_id % 10 = 0)),
+    gear AS (SELECT CAST($gear AS HUGEINT[]) AS gl),
+    rec AS (
+      SELECT doc_id, 0 AS pos, CAST(0 AS HUGEINT) AS h, 0 AS cstart,
+        false AS cut, 0 AS cs
+      FROM d
+      UNION ALL
+      SELECT doc_id, pos + 1,
+        CASE WHEN cut2 THEN CAST(0 AS HUGEINT) ELSE h2 END,
+        CASE WHEN cut2 THEN pos + 1 ELSE cstart END,
+        cut2, cstart
+      FROM (SELECT s.*,
+          ((s.pos + 1 - s.cstart >= 64 AND s.h2 % 64 = 0)
+            OR s.pos + 1 - s.cstart >= 512) AS cut2
+        FROM (SELECT r.doc_id, r.pos, r.cstart,
+            (r.h * 2 + g.gl[ascii(substr(d2.nt, r.pos + 1, 1)) + 1])
+              % CAST('18446744073709551616' AS HUGEINT) AS h2
+          FROM rec r JOIN d d2 USING (doc_id) CROSS JOIN gear g
+          WHERE r.pos < d2.n) s)),
+    ch AS (SELECT doc_id, cs, pos AS ce FROM rec WHERE cut
+      UNION ALL
+      SELECT r.doc_id, r.cstart, d.n FROM rec r JOIN d USING (doc_id)
+      WHERE r.pos = d.n AND r.cstart < d.n)
+    SELECT ch.doc_id,
+      CAST(row_number() OVER (PARTITION BY ch.doc_id ORDER BY ch.cs) - 1
+        AS BIGINT) AS chunk_idx,
+      ('0x' || substr(md5(substr(d.nt, ch.cs + 1, ch.ce - ch.cs)), 1, 14))::BIGINT
+        AS chunk_hash
+    FROM ch JOIN d USING (doc_id)"""
+  }
+
   /** Shared judge-vote CTE chain for q362/q363 — mirrors
     * SparkEntry.judgeFrame + the (item, judge) min-label dedup + the
     * (votes desc, label asc) consensus argmax as a ranked window. */
@@ -10470,6 +10519,7 @@ object OracleSql {
     "q368_temperature_mixture" -> q368,
     "q369_bleu"             -> q369,
     "q370_chrf"             -> q370,
-    "q371_hash_near_dups"   -> q371
+    "q371_hash_near_dups"   -> q371,
+    "q372_cdc_chunks"       -> q372
   ).map { case (k, v) => k -> clean(v) }
 }

@@ -5749,6 +5749,23 @@ object SparkEntry {
     graft.ops.Multimodal.hashNearDups(hashes, maxHamming = 6)
   }
 
+  /** CDC chunk boundaries on a doc slice ([[graft.functions.HashExprs
+    * .CdcChunks]], L365 — the L145 Gear rolling hash given real hash
+    * evidence): the `doc_id % 10 = 0` slice over NORMALIZED (ASCII-only)
+    * text, every chunk hash + ordinal pinned. The oracle replays the
+    * byte recurrence `h = (h·2 + gear[b]) mod 2⁶⁴` position-by-position
+    * in a recursive CTE over exact HUGEINT arithmetic — the first
+    * rolling-hash recurrence in the registry with a SQL form. */
+  private def q372CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val nt = TextAnalysis.normalizeText(coalesce(col("text"), lit("")))
+    t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashExprs.cdcChunks(nt))
+          .as(Seq("chunk_idx", "chunk_hash")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_agg"        -> q01FilterAgg _,
     "q02_star_join"         -> q02StarJoin _,
@@ -6128,7 +6145,8 @@ object SparkEntry {
     "q368_temperature_mixture" -> q368TemperatureMixture _,
     "q369_bleu"             -> q369Bleu _,
     "q370_chrf"             -> q370Chrf _,
-    "q371_hash_near_dups"   -> q371HashNearDups _
+    "q371_hash_near_dups"   -> q371HashNearDups _,
+    "q372_cdc_chunks"       -> q372CdcChunks _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
