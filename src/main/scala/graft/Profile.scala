@@ -1,0 +1,77 @@
+package graft
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Stage-level profiler (guide §1: measure first): `runMain graft.Profile
+  * q109 q165` runs each matching query once (count, like Bench) under a
+  * listener and prints per-stage wall, task time, shuffle read/write bytes
+  * and records — the local stand-in for the Spark UI's stage table, so
+  * optimization targets are picked from numbers instead of guesses.
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_PROFILE_PASSES. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "1").toInt
+    val spark = graft.api.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    case class St(var name: String = "", var wall: Long = 0, var taskTime: Long = 0,
+                  var tasks: Int = 0, var srBytes: Long = 0, var swBytes: Long = 0,
+                  var inBytes: Long = 0, var maxTask: Long = 0, var spill: Long = 0)
+    val stages = mutable.LinkedHashMap[Int, St]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val st = stages.getOrElseUpdate(i.stageId, St())
+        st.name = i.name.takeWhile(_ != '\n')
+        st.wall += (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(0L)
+        val m = i.taskMetrics
+        st.taskTime += m.executorRunTime
+        st.tasks += i.numTasks
+        st.srBytes += m.shuffleReadMetrics.totalBytesRead
+        st.swBytes += m.shuffleWriteMetrics.bytesWritten
+        st.inBytes += m.inputMetrics.bytesRead
+        st.spill += m.memoryBytesSpilled
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val st = stages.getOrElseUpdate(t.stageId, St())
+        if (t.taskInfo != null && t.taskInfo.duration > st.maxTask)
+          st.maxTask = t.taskInfo.duration
+      }
+    }
+    // warmup identical to Bench so one-time session costs stay out of pass 1
+    spark.range(1000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+    SparkEntry.queries.head._2(spark, sfDir).limit(1).collect()
+
+    val wanted = SparkEntry.queries.filter { case (n, _) =>
+      args.isEmpty || args.exists(n.startsWith) }
+    wanted.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      (1 to passes).foreach { p =>
+        stages.clear()
+        spark.sparkContext.addSparkListener(listener)
+        spark.sparkContext.setJobDescription(s"profile:$name")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are queued (listenerBus is private[spark]) — a
+        // short drain sleep is enough for a local profiler
+        Thread.sleep(400)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"%n===== $name pass $p: wall $wall%.2f s, ${stages.size} stages =====")
+        println(f"${"stage"}%8s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%6s " +
+          f"${"maxtk_ms"}%8s ${"sh_read"}%10s ${"sh_write"}%10s ${"input"}%10s ${"spill"}%8s  name")
+        stages.toSeq.sortBy(-_._2.wall).take(30).foreach { case (id, s) =>
+          println(f"$id%8d ${s.wall}%8d ${s.taskTime}%8d ${s.tasks}%6d ${s.maxTask}%8d " +
+            f"${s.srBytes}%10d ${s.swBytes}%10d ${s.inBytes}%10d ${s.spill}%8d  ${s.name.take(60)}")
+        }
+        val totWall = stages.values.map(_.wall).sum
+        println(f"sum(stage wall) ${totWall / 1000.0}%.2f s over ${stages.size} stages; " +
+          f"wall - stages = ${wall - totWall / 1000.0}%.2f s (driver/planning/gaps)")
+      }
+    }
+    spark.stop()
+  }
+}

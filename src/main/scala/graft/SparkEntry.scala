@@ -1454,14 +1454,49 @@ object SparkEntry {
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .agg(count(lit(1)).as("w"))
 
+  /** [[tradeEdges]] on LONG node ids (r19, optimization guide §2.3 —
+    * narrower types: halve the column, halve its shuffle bytes): customer
+    * c_k ↦ 4k, supplier s_k ↦ 4k+1, part p_k ↦ 4k+2. The string renders
+    * ("c123") are reconstructed EXACTLY at each query's output edge by
+    * [[decodeTradeNode]], so results are bit-identical to the string
+    * graph while every per-round shuffle/cache/join in the iterative tier
+    * carries an 8-byte long instead of a 5–9 char string (r19 stage
+    * profile: the q109 edge build spent 21 s of task CPU dominated by
+    * concat + string-keyed aggregation). ONLY for order-FREE operators
+    * (rank/degree/distance/peel sums and mins): q231/q243's label
+    * tie-breaks and q274's pair canonicalization compare node VALUES, and
+    * long order ≠ the strings' lexicographic order ("c10" < "c2"), so
+    * those stay on [[tradeEdges]]. */
+  private def tradeEdgesL(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 4).as("src"),
+        (col("l_suppkey") * 4 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Exact inverse of [[tradeEdgesL]]'s id encoding: the prefix from the
+    * residue class, the key from the quotient — reconstructs the same
+    * string `concat` on a long key rendered. Ids are non-negative, so
+    * `shiftright(n, 2)` IS `n DIV 4`. */
+  private def decodeTradeNode(n: Column): Column = {
+    val base = shiftright(n, 2).cast("string")
+    when(pmod(n, lit(4)) === 0, concat(lit("c"), base))
+      .when(pmod(n, lit(4)) === 1, concat(lit("s"), base))
+      .otherwise(concat(lit("p"), base))
+  }
+
   private def q109PageRank(s: SparkSession, dir: String): DataFrame = {
     // checkpointed once: the union's two branches would otherwise evaluate
-    // the orders⋈lineitem aggregation twice inside the operator's first job
-    val e0 = tradeEdges(s, dir).localCheckpoint(true)
+    // the orders⋈lineitem aggregation twice inside the operator's first job.
+    // Long node ids through the rank loop ([[tradeEdgesL]], r19) — ranks
+    // are id-representation-free, the string render is re-attached here.
+    val e0 = tradeEdgesL(s, dir).localCheckpoint(true)
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     graft.ops.Graph.pageRank(edges, weightCol = "w", iterations = 5,
       scale = 1000000000L)
+      .select(decodeTradeNode(col("node")).as("node"), col("rank"))
   }
 
   /** Seeded (personalized) PageRank ([[graft.ops.Graph.personalizedPageRank]])
@@ -1475,12 +1510,14 @@ object SparkEntry {
     // re-evaluate the orders⋈lineitem aggregation otherwise (caught at
     // 10.0 s in the committed bench; the customer side of e0 IS the seed
     // set, so seeds read the checkpoint too)
-    val e0 = tradeEdges(s, dir).localCheckpoint(true)
+    // long node ids through the loop ([[tradeEdgesL]], r19) — decode out
+    val e0 = tradeEdgesL(s, dir).localCheckpoint(true)
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val seeds = e0.select(col("src").as("node")).distinct()
     graft.ops.Graph.personalizedPageRank(edges, seeds, weightCol = "w",
       iterations = 5, scale = 1000000000L)
+      .select(decodeTradeNode(col("node")).as("node"), col("rank"))
   }
 
   /** Per-node degree/strength report ([[graft.ops.Graph.degrees]]) over
@@ -1489,12 +1526,16 @@ object SparkEntry {
     * suppliers carry all four non-zero columns — the zero-fill and both
     * directions all exercised. */
   private def q112Degrees(s: SparkSession, dir: String): DataFrame = {
-    val cs = tradeEdges(s, dir)
+    // long node ids through both layers ([[tradeEdgesL]] encoding, r19);
+    // degree/strength sums are id-representation-free — decode at output
+    val cs = tradeEdgesL(s, dir)
     val sp = t(s, dir, "lineitem")
-      .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+      .groupBy((col("l_suppkey") * 4 + 1).as("src"),
+        (col("l_partkey") * 4 + 2).as("dst"))
       .agg(count(lit(1)).as("w"))
     graft.ops.Graph.degrees(cs.unionByName(sp), weightCol = "w")
+      .select(decodeTradeNode(col("node")).as("node"), col("out_deg"),
+        col("in_deg"), col("out_w"), col("in_w"))
   }
 
   /** Connected components ([[graft.ops.Graph.connectedComponents]]) over
@@ -3185,13 +3226,16 @@ object SparkEntry {
     * rounds, unreached nodes absent. Oracle = the walk unrolled as
     * chained CTEs with min-hop folding (the q109 discipline). */
   private def q186BfsDistances(s: SparkSession, dir: String): DataFrame = {
+    // long node ids through the walk ([[tradeEdgesL]], r19): hop minima
+    // are id-representation-free — seeds encode, the output decodes
     val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0L)
-      .select(concat(lit("c"), col("c_custkey")).as("node"))
+      .select((col("c_custkey") * 4).as("node"))
     // checkpointed once (the q109 discipline): the operator's symmetrize
     // union would otherwise derive the orders⋈lineitem aggregation twice
     // inside its edge-cache fill
-    graft.ops.Graph.bfsDistances(tradeEdges(s, dir).localCheckpoint(true),
+    graft.ops.Graph.bfsDistances(tradeEdgesL(s, dir).localCheckpoint(true),
       seeds, maxHops = 3, directed = false)
+      .select(decodeTradeNode(col("node")).as("node"), col("hop"))
   }
 
   /** Functional-dependency discovery ([[graft.ops.Profiler.functionalDeps]]):
@@ -3546,9 +3590,11 @@ object SparkEntry {
     * 12 peeling rounds — monotone, so any fixpoint ≤ 12 rounds matches. */
   private def q211KCore(s: SparkSession, dir: String): DataFrame = {
     // checkpointed (the q109 discipline): kCore's symmetrize union reads
-    // the edge expression twice
-    val e = tradeEdges(s, dir).filter(col("w") >= 3).localCheckpoint(true)
+    // the edge expression twice. Long ids through the peel loop
+    // ([[tradeEdgesL]], r19): peeling reads only degree sums — decode out.
+    val e = tradeEdgesL(s, dir).filter(col("w") >= 3).localCheckpoint(true)
     graft.ops.Graph.kCore(e, k = 3)
+      .select(decodeTradeNode(col("node")).as("node"), col("degree"))
   }
 
   /** A/B readout ([[graft.ops.Experiment.abTest]]): per-user purchase
@@ -4053,10 +4099,13 @@ object SparkEntry {
     * nation-0 customer seeds (q186's seed set), 4 rounds — exact integer
     * distances, "cheapest path within 4 legs" semantics. */
   private def q249Sssp(s: SparkSession, dir: String): DataFrame = {
+    // long node ids through the relax loop ([[tradeEdgesL]], r19):
+    // distance minima are id-representation-free — decode at output
     val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0L)
-      .select(concat(lit("c"), col("c_custkey")).as("node"))
-    graft.ops.Graph.shortestPaths(tradeEdges(s, dir).localCheckpoint(true),
+      .select((col("c_custkey") * 4).as("node"))
+    graft.ops.Graph.shortestPaths(tradeEdgesL(s, dir).localCheckpoint(true),
       seeds, weightCol = "w", maxRounds = 4, directed = false)
+      .select(decodeTradeNode(col("node")).as("node"), col("dist"))
   }
 
   /** DAG layering + cycle detection ([[graft.ops.Graph.dagLevels]]): a
@@ -4079,9 +4128,12 @@ object SparkEntry {
     * DIRECTED customer→supplier trade graph — hubs are buyers, authorities
     * suppliers; exact path-count integers rendered BIGINT. */
   private def q251Hits(s: SparkSession, dir: String): DataFrame =
+    // long node ids through the hub/authority rounds ([[tradeEdgesL]],
+    // r19): path-count sums are id-representation-free — decode at output
     graft.ops.Graph.hits(
-      tradeEdges(s, dir).select(col("src"), col("dst")), rounds = 2)
-      .select(col("node"), col("hub").cast("long").as("hub"),
+      tradeEdgesL(s, dir).select(col("src"), col("dst")), rounds = 2)
+      .select(decodeTradeNode(col("node")).as("node"),
+        col("hub").cast("long").as("hub"),
         col("authority").cast("long").as("authority"))
 
   /** Count-min sketch ([[graft.ops.Sketches.countMin]] +

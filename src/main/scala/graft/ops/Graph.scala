@@ -88,6 +88,61 @@ object Graph {
     }
   }
 
+  /** Scale-adaptive partition count for a per-round-probed cached frame
+    * (optimization guide §2.2/§6: size partitions by DATA, not by a
+    * constant tuned for either local mode or one cluster). Aim for
+    * partitions of `spark.graft.iter.targetPartitionBytes` (default
+    * 256 MB — the cluster shuffle-partition shape), but allow up to
+    * `defaultParallelism` partitions while each still holds at least
+    * `spark.graft.iter.minPartitionBytes` (default 8 MB): the iterative
+    * tier's edge caches at bench scale are tens of MB, where the previous
+    * core-count partitioning paid ~12 ms of task overhead per partition
+    * PER ROUND for partitions holding ~1 MB (measured r19: 5 PageRank
+    * rounds over the q109 trade graph, 32 → 8 partitions = 4.0 → 2.2 s).
+    * Reads REAL bytes from the materialized cache's statistics; `None`
+    * (no usable stats — un-materialized plan, checkpoint scan) keeps the
+    * caller on the session shuffle-partition default, the pre-r19
+    * behavior. Partitioning never changes a result bit in this tier —
+    * every rank/label/distance is exact-integer by design. */
+  private[ops] def adaptivePartitions(df: DataFrame): Option[Int] = {
+    val spark = df.sparkSession
+    val b0 = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (b0 <= 0 || b0 >= (BigInt(1L) << 50)) None
+    else {
+      val b = b0.toLong
+      def conf(k: String, d: Long) =
+        spark.conf.getOption(k).map(_.toLong).getOrElse(d)
+      val minB = math.max(1L, conf("spark.graft.iter.minPartitionBytes", 8L << 20))
+      val tgtB = math.max(minB, conf("spark.graft.iter.targetPartitionBytes", 256L << 20))
+      val par = spark.sparkContext.defaultParallelism.toLong
+      val byMin = math.max(1L, (b + minB - 1) / minB)
+      val byTgt = math.max(par, (b + tgtB - 1) / tgtB)
+      Some(math.min(math.min(byMin, byTgt), 1L << 20).toInt)
+    }
+  }
+
+  /** Persist `df` laid out for per-round probing: a first-pass cache
+    * learns the REAL materialized size, then the frame is re-laid-out as
+    * `hashpartitioning(keys, adaptivePartitions)` under a second persist
+    * and the probe cache is dropped. The extra pass (one cache scan +
+    * one shuffle) is paid ONCE; every round then probes a cache whose
+    * partition count tracks data volume instead of the session constant,
+    * and whose pinned key partitioning lets a cluster-scale sort-merge
+    * round join move only the node-sized side. Callers must eventually
+    * `unpersist()` the returned frame. */
+  private[ops] def persistForRounds(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val probe = df.persist(StorageLevel.MEMORY_AND_DISK)
+    probe.count()
+    val laid = adaptivePartitions(probe) match {
+      case Some(k) => probe.repartition(k, keys.map(col): _*)
+      case None => probe.repartition(keys.map(col): _*)
+    }
+    val out = laid.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    probe.unpersist(false)
+    out
+  }
+
   /** Weighted PageRank. `edges` needs `srcCol`/`dstCol` (+ `weightCol`,
     * else weight 1); vertices = every node appearing as src or dst.
     * Returns `(node, rank)` — rank in `scale`-denominated integer units.
@@ -155,8 +210,13 @@ object Graph {
     // would erase the partitioning metadata; persist keeps it, and the
     // static edge frame has no lineage growth to cut)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val ew = e.join(outW, Seq("src"))
-      .repartition(col("src"))
+    // partition count derived from the MATERIALIZED edge cache's real
+    // bytes (the n/maxW aggs above already materialized `e`), not from
+    // the session shuffle-partition constant — see [[adaptivePartitions]]
+    val ew = (adaptivePartitions(e) match {
+        case Some(k) => e.join(outW, Seq("src")).repartition(k, col("src"))
+        case None => e.join(outW, Seq("src")).repartition(col("src"))
+      })
       .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count() // materialize before iterating (cut the re-read of `edges`)
     e.unpersist() // every downstream frame reads the persisted `ew` now
@@ -283,8 +343,12 @@ object Graph {
         s"- lower `scale` (n=$n)")
 
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val ew = e.join(outW, Seq("src"))
-      .repartition(col("src"))
+    // adaptive partition count from the materialized `e` cache — see
+    // [[adaptivePartitions]] ([[pageRank]] carries the same layout note)
+    val ew = (adaptivePartitions(e) match {
+        case Some(k) => e.join(outW, Seq("src")).repartition(k, col("src"))
+        case None => e.join(outW, Seq("src")).repartition(col("src"))
+      })
       .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count()
     e.unpersist()
@@ -394,13 +458,14 @@ object Graph {
     // persist (not a checkpoint, which erases partitioning metadata): the
     // per-round label join keys on dst, so the corpus-sized edge table
     // stays in place across every round and only node-sized labels shuffle
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count() // materialize once; rounds reuse the cached partitioning
+    // [[persistForRounds]]: first-pass cache → real size → re-laid-out as
+    // hashpartitioning(dst, adaptive count) — rounds reuse the cached
+    // partitioning and partition count tracks data volume (r19)
+    val sym = persistForRounds(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(), Seq("dst"))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)
@@ -584,11 +649,18 @@ object Graph {
     val nonNull = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val sym = nonNull.filter(col("src") =!= col("dst"))
-      .unionByName(nonNull.filter(col("src") =!= col("dst"))
-        .select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the per-round vote join reads the edge table AS STRINGS — cast ONCE
+    // before the persist instead of per round (r19: the casts ran inside
+    // the loop, re-deriving a string copy of the edge table every round),
+    // and lay the cache out on the round join key with an adaptive
+    // partition count ([[persistForRounds]])
+    val sym = persistForRounds(
+      nonNull.filter(col("src") =!= col("dst"))
+        .unionByName(nonNull.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .select(col("src").cast("string").as("node"),
+          col("dst").cast("string").as("__nb")), Seq("__nb"))
     val nodes = nonNull.select(col("src").as("node"))
       .unionByName(nonNull.select(col("dst").as("node"))).distinct()
     var labels = nodes.withColumn("label", col("node").cast("string"))
@@ -597,8 +669,6 @@ object Graph {
     var it = 0
     while (it < rounds) {
       val votes = sym
-        .select(col("src").cast("string").as("node"),
-          col("dst").cast("string").as("__nb"))
         .join(labels.select(col("node").as("__nb"), col("label")), Seq("__nb"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
@@ -813,13 +883,15 @@ object Graph {
     require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = (if (directed) fwd
-             else fwd.unionByName(fwd.select(col("dst").as("src"),
-               col("src").as("dst"))))
-      .distinct()
-      // the walk probes this table once per round — persist so the
-      // caller's edge expression (often a join/agg) derives exactly once
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the walk probes this table once per round — persisted so the
+    // caller's edge expression (often a join/agg) derives exactly once,
+    // laid out on the probe key with an adaptive partition count
+    // ([[persistForRounds]], r19)
+    val e = persistForRounds(
+      (if (directed) fwd
+       else fwd.unionByName(fwd.select(col("dst").as("src"),
+         col("src").as("dst"))))
+        .distinct(), Seq("src"))
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .filter(col("node").isNotNull)
       .withColumn("hop", lit(0L))
@@ -955,11 +1027,12 @@ object Graph {
         .otherwise(raise_error(concat(
           lit("shortestPaths: negative weight on edge from "),
           col("src").cast("string"))).cast("long")))
-    val e = (if (directed) fwd
-             else fwd.unionByName(fwd.select(col("dst").as("src"),
-               col("src").as("dst"), col("w"))))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round relax joins on `src` — adaptive keyed layout (r19)
+    val e = persistForRounds(
+      (if (directed) fwd
+       else fwd.unionByName(fwd.select(col("dst").as("src"),
+         col("src").as("dst"), col("w"))))
+        .distinct(), Seq("src"))
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .filter(col("node").isNotNull)
       .withColumn("dist", lit(0L))
@@ -1013,10 +1086,11 @@ object Graph {
   def dagLevels(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst", maxDepth: Int = 20): DataFrame = {
     require(maxDepth >= 1, "dagLevels: maxDepth must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // settle rounds join on `src` — adaptive keyed layout (r19)
+    val e = persistForRounds(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(), Seq("src"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -1079,10 +1153,12 @@ object Graph {
            dstCol: String = "dst", rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "hits: rounds must be >= 1")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // probed twice per round (once per direction) — adaptive keyed
+    // layout on `src`, the a-step's key ([[persistForRounds]], r19)
+    val e = persistForRounds(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(), Seq("src"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
