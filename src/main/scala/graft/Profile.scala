@@ -20,7 +20,8 @@ object Profile {
 
     case class St(var name: String = "", var wall: Long = 0, var taskTime: Long = 0,
                   var tasks: Int = 0, var srBytes: Long = 0, var swBytes: Long = 0,
-                  var inBytes: Long = 0, var maxTask: Long = 0, var spill: Long = 0)
+                  var inBytes: Long = 0, var maxTask: Long = 0, var spill: Long = 0,
+                  var deser: Long = 0, var gc: Long = 0, var cpu: Long = 0)
     val stages = mutable.LinkedHashMap[Int, St]()
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -35,6 +36,9 @@ object Profile {
         st.swBytes += m.shuffleWriteMetrics.bytesWritten
         st.inBytes += m.inputMetrics.bytesRead
         st.spill += m.memoryBytesSpilled
+        st.deser += m.executorDeserializeTime
+        st.gc += m.jvmGCTime
+        st.cpu += m.executorCpuTime / 1000000L
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val st = stages.getOrElseUpdate(t.stageId, St())
@@ -61,10 +65,10 @@ object Profile {
         Thread.sleep(400)
         spark.sparkContext.removeSparkListener(listener)
         println(f"%n===== $name pass $p: wall $wall%.2f s, ${stages.size} stages =====")
-        println(f"${"stage"}%8s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%6s " +
+        println(f"${"stage"}%8s ${"wall_ms"}%8s ${"task_ms"}%8s ${"cpu_ms"}%8s ${"deser"}%6s ${"gc"}%6s ${"tasks"}%6s " +
           f"${"maxtk_ms"}%8s ${"sh_read"}%10s ${"sh_write"}%10s ${"input"}%10s ${"spill"}%8s  name")
         stages.toSeq.sortBy(-_._2.wall).take(30).foreach { case (id, s) =>
-          println(f"$id%8d ${s.wall}%8d ${s.taskTime}%8d ${s.tasks}%6d ${s.maxTask}%8d " +
+          println(f"$id%8d ${s.wall}%8d ${s.taskTime}%8d ${s.cpu}%8d ${s.deser}%6d ${s.gc}%6d ${s.tasks}%6d ${s.maxTask}%8d " +
             f"${s.srBytes}%10d ${s.swBytes}%10d ${s.inBytes}%10d ${s.spill}%8d  ${s.name.take(60)}")
         }
         val totWall = stages.values.map(_.wall).sum

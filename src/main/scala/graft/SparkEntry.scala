@@ -63,6 +63,23 @@ object SparkEntry {
   private val Dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Scan spread for CPU-dense row-local pipelines (r19; optimization
+    * guide §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): the driver's testdata ships ONE row
+    * group per parquet file and Spark never splits inside a row group,
+    * so every scan is a single task regardless of split conf — heavy
+    * per-row compute (regex/tokenize/shingle/decode) chained onto it
+    * serializes on one core (r19 stage profile: q165's sentence
+    * segmentation, 3.1 s in one task). When the scan already has ≥
+    * session-parallelism splits (the real-cluster, many-files shape)
+    * this is the IDENTITY — no shuffle is added at scale; hash (not
+    * round-robin) partitioning so no sort-before-repartition pass and a
+    * deterministic row→partition map under retries. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the star-join
     * revenue summary — the engine's §3.2 analytics shape on the sf tables. */
   def entry(spark: SparkSession): DataFrame =
@@ -2853,7 +2870,11 @@ object SparkEntry {
     val name = when(m === 1, base.substr(lit(1), length(base) - 1))
       .when(m === 2, concat(lit("z"), base.substr(lit(2), length(base))))
       .otherwise(base)
-    t(s, dir, "customer").select(key.as("entity_id"), name.as("name"))
+    // spread (r19): the name synthesis (two elt()s over 40/50 literals +
+    // substr/concat per row) is CPU-dense and the single-row-group scan
+    // pinned it to one task — 1.3 s serial in the q166 profile, ×3 reuse
+    spread(t(s, dir, "customer"), "c_custkey")
+      .select(key.as("entity_id"), name.as("name"))
   }
 
   /** Fuzzy entity resolution ([[graft.ops.EntityResolution]]) over the
@@ -2863,8 +2884,11 @@ object SparkEntry {
     * `maxBlock=4000` keeps the largest shared-prefix block ('mar*':
     * mary/mark/margaret) below the cap at bench scale too. */
   private def q161EntityResolution(s: SparkSession, dir: String): DataFrame =
-    graft.ops.EntityResolution.resolveEntities(erEntities(s, dir),
-      maxBlock = 4000)
+    // fixture checkpointed (r19): resolveEntities reads it three times
+    // (index normalize, rep agg, label join) — the elt-synthesis ran once
+    // per read before
+    graft.ops.EntityResolution.resolveEntities(
+      erEntities(s, dir).localCheckpoint(true), maxBlock = 4000)
 
   /** [[q161EntityResolution]] on the `entity_id % 8 = 3` record slice —
     * the q210b sampled-slice pattern: the full-corpus oracle replays
@@ -2874,7 +2898,8 @@ object SparkEntry {
     * classes and the 40×50 name grid, so all fixture strata survive). */
   private def q161bErSlice(s: SparkSession, dir: String): DataFrame =
     graft.ops.EntityResolution.resolveEntities(
-      erEntities(s, dir).filter(pmod(col("entity_id"), lit(8)) === 3),
+      erEntities(s, dir).filter(pmod(col("entity_id"), lit(8)) === 3)
+        .localCheckpoint(true),
       maxBlock = 4000)
 
   /** Incremental entity resolution ([[graft.ops.EntityResolution
@@ -2884,7 +2909,9 @@ object SparkEntry {
     * q161's from-scratch resolution VERBATIM (the oracle IS q161's SQL —
     * the q110=q117/q81-reuses-q35 equivalence discipline). */
   private def q166IncrementalEr(s: SparkSession, dir: String): DataFrame = {
-    val ents = erEntities(s, dir)
+    // checkpointed (r19): the fixture feeds the index build, the
+    // incremental batch AND the final labeling — elt-synthesis once
+    val ents = erEntities(s, dir).localCheckpoint(true)
     val er = graft.ops.EntityResolution
     val index = er.resolveIndex(
       ents.filter(pmod(col("entity_id"), lit(5)) =!= 0), maxBlock = 4000)
@@ -2902,6 +2929,7 @@ object SparkEntry {
   private def q166bIncrErSlice(s: SparkSession, dir: String): DataFrame = {
     val ents = erEntities(s, dir)
       .filter(pmod(col("entity_id"), lit(8)) === 3)
+      .localCheckpoint(true)
     val er = graft.ops.EntityResolution
     val index = er.resolveIndex(
       ents.filter(pmod(col("entity_id"), lit(5)) =!= 0), maxBlock = 4000)
@@ -2961,7 +2989,8 @@ object SparkEntry {
     val body = regexp_replace(coalesce(col("text"), lit("")),
       "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")
     graft.ops.Summarize.textRank(
-      t(s, dir, "documents").select(col("doc_id"), body.as("text")))
+      spread(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), body.as("text")))
   }
 
   /** Session-window rollup ([[graft.ops.Sessionize.sessionWindowStats]]):

@@ -98,8 +98,26 @@ object EntityResolution {
       .filter(col("__n").between(2, maxBlock))
       .select("block_key")
     val in = b.join(sized, "block_key")
-    val out = in.select(col("block_key"), col("id").as("id_a"))
-      .join(in.select(col("block_key"), col("id").as("id_b")), "block_key")
+    // Salted pair join (r19; guide §2.5 — hot keys + byte-blind AQE): the
+    // per-block pair mass is quadratic ("mar*" holds every mary, mark and
+    // margaret) while the block rows are byte-tiny, so AQE coalesced the
+    // whole explosion into ONE task (1.45 s single-task stage in the r19
+    // q161 profile, and the worst single block only grows with scale).
+    // Each right row gets a deterministic salt class; left rows replicate
+    // across all `salt` classes — every (a, b) pair still meets exactly
+    // once, in the (block_key, salt(b)) bucket. The right side is pinned
+    // to an EXPLICIT partition count on exactly the join key (never
+    // AQE-coalesced, the q165 tokP pattern), which forces the join — and
+    // the left exchange — to stay that wide.
+    val salt = sys.env.getOrElse("SPARK_GRAFT_ER_SALT", "16").toInt
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val right = in.select(col("block_key"), col("id").as("id_b"),
+        pmod(xxhash64(col("id")), lit(salt)).as("__salt"))
+      .repartition(par, col("block_key"), col("__salt"))
+    val left = in.select(col("block_key"), col("id").as("id_a"),
+      explode(lit((0 until salt).toArray)).as("__salt"))
+    val out = left
+      .join(right, Seq("block_key", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()

@@ -77,7 +77,7 @@ object Graph {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 
-  private def freeCheckpoint(frame: DataFrame): Unit = {
+  private[ops] def freeCheckpoint(frame: DataFrame): Unit = {
     quietCheckpointFree
     // traverse (not a single match): the loop vars hold a SELECT over the
     // checkpoint scan, so the LogicalRDD sits one Project below the root
@@ -104,22 +104,25 @@ object Graph {
     * caller on the session shuffle-partition default, the pre-r19
     * behavior. Partitioning never changes a result bit in this tier —
     * every rank/label/distance is exact-integer by design. */
-  private[ops] def adaptivePartitions(df: DataFrame): Option[Int] = {
-    val spark = df.sparkSession
+  /** Materialized plan size in bytes, when the plan carries usable
+    * statistics (a filled cache does; a checkpoint scan does not). */
+  private[ops] def statsBytes(df: DataFrame): Option[Long] = {
     val b0 = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (b0 <= 0 || b0 >= (BigInt(1L) << 50)) None
-    else {
-      val b = b0.toLong
-      def conf(k: String, d: Long) =
-        spark.conf.getOption(k).map(_.toLong).getOrElse(d)
-      val minB = math.max(1L, conf("spark.graft.iter.minPartitionBytes", 8L << 20))
-      val tgtB = math.max(minB, conf("spark.graft.iter.targetPartitionBytes", 256L << 20))
-      val par = spark.sparkContext.defaultParallelism.toLong
+    if (b0 <= 0 || b0 >= (BigInt(1L) << 50)) None else Some(b0.toLong)
+  }
+
+  private def iterConf(df: DataFrame, key: String, d: Long): Long =
+    df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(d)
+
+  private[ops] def adaptivePartitions(df: DataFrame): Option[Int] =
+    statsBytes(df).map { b =>
+      val minB = math.max(1L, iterConf(df, "spark.graft.iter.minPartitionBytes", 8L << 20))
+      val tgtB = math.max(minB, iterConf(df, "spark.graft.iter.targetPartitionBytes", 256L << 20))
+      val par = df.sparkSession.sparkContext.defaultParallelism.toLong
       val byMin = math.max(1L, (b + minB - 1) / minB)
       val byTgt = math.max(par, (b + tgtB - 1) / tgtB)
-      Some(math.min(math.min(byMin, byTgt), 1L << 20).toInt)
+      math.min(math.min(byMin, byTgt), 1L << 20).toInt
     }
-  }
 
   /** Persist `df` laid out for per-round probing: a first-pass cache
     * learns the REAL materialized size, then the frame is re-laid-out as
@@ -128,19 +131,39 @@ object Graph {
     * one shuffle) is paid ONCE; every round then probes a cache whose
     * partition count tracks data volume instead of the session constant,
     * and whose pinned key partitioning lets a cluster-scale sort-merge
-    * round join move only the node-sized side. Callers must eventually
-    * `unpersist()` the returned frame. */
+    * round join move only the node-sized side.
+    *
+    * TINY frames (under one `minPartitionBytes` — the ER name graphs,
+    * sub-MB at any realistic blocking) skip the relayout: the probe
+    * cache is returned through a narrow `coalesce`, so every round is
+    * one task reading a handful of local cached blocks instead of a
+    * session-parallelism fan of deserialization-dominated no-op tasks
+    * (r19 q166 profile: six 350–400 ms 32-task stages whose task work
+    * was 1–3 ms), and no second cache or count is paid. A frame that
+    * small rides broadcast joins in any sane round plan, so the lost
+    * key-partitioning pin costs nothing at scale either.
+    * Callers must eventually `unpersist()` the returned frame. On the
+    * tiny path that call lands on the coalesce wrapper and is a no-op;
+    * the sub-MB probe blocks are reclaimed by the ContextCleaner once
+    * the query's frames drop out of scope — bounded by construction
+    * (this branch only ever holds < minPartitionBytes). */
   private[ops] def persistForRounds(df: DataFrame, keys: Seq[String]): DataFrame = {
     val probe = df.persist(StorageLevel.MEMORY_AND_DISK)
     probe.count()
-    val laid = adaptivePartitions(probe) match {
-      case Some(k) => probe.repartition(k, keys.map(col): _*)
-      case None => probe.repartition(keys.map(col): _*)
+    val minB = math.max(1L, iterConf(probe, "spark.graft.iter.minPartitionBytes", 8L << 20))
+    (statsBytes(probe), adaptivePartitions(probe)) match {
+      case (Some(b), Some(k)) if b < minB =>
+        if (probe.rdd.getNumPartitions <= k) probe else probe.coalesce(k)
+      case (_, kOpt) =>
+        val laid = kOpt match {
+          case Some(k) => probe.repartition(k, keys.map(col): _*)
+          case None => probe.repartition(keys.map(col): _*)
+        }
+        val out = laid.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        probe.unpersist(false)
+        out
     }
-    val out = laid.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    probe.unpersist(false)
-    out
   }
 
   /** Weighted PageRank. `edges` needs `srcCol`/`dstCol` (+ `weightCol`,

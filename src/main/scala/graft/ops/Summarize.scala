@@ -48,8 +48,32 @@ object Summarize {
     require(minOverlap >= 1, s"textRank: minOverlap must be >= 1, got $minOverlap")
     val sents = TextAnalysis.sentences(
       docs.select(col(idCol), col(textCol)), textCol, Seq(idCol))
-    val node = concat(col(idCol).cast("string"), lit(":"),
-      col("sent_idx").cast("string"))
+    // Sentence-node key (r19, guide §2.3 narrower types): for an INTEGRAL
+    // document id the node is the packed long `doc_id·2²¹ + sent_idx` —
+    // one 8-byte key through the overlap self-join and every PageRank
+    // round instead of a "docid:idx" string. PageRank is id-
+    // representation-free (integer sums/divisions only, no node-order
+    // tie-breaks) and the node never reaches the output, so the packing
+    // cannot change a result bit; the bound guard raises LOUDLY instead
+    // of silently colliding. Non-integral ids keep the string form.
+    val integralId = docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val packBits = 21
+    val node =
+      if (integralId)
+        when(col("sent_idx") >= (1L << packBits) ||
+             abs(col(idCol)) >= (1L << (62 - packBits)),
+          raise_error(concat(lit("textRank: packed node overflow for doc "),
+            col(idCol).cast("string")))
+            .cast("long"))
+          .otherwise(col(idCol).cast("long") * (1L << packBits) + col("sent_idx"))
+      else concat(col(idCol).cast("string"), lit(":"),
+        col("sent_idx").cast("string"))
     // every frame the plan reads more than once is persisted — the
     // q210/q215 recompute lesson: s2 feeds tokenization AND the final
     // rank join, toks feeds BOTH sides of the overlap self-join, ov
@@ -59,23 +83,47 @@ object Summarize {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s2 = sents.select(col(idCol), col("sent_idx"), col("sentence"),
       node.as("__node")).persist(mem)
-    val toks = s2.select(col(idCol), col("__node"),
+    // The overlap self-join is COMPUTE-quadratic per (doc, token) group
+    // on byte-tiny rows — AQE's coalescing is byte-blind and folded it
+    // into ONE task (r19 stage profile: 2.6 s single-task cache fill).
+    // An EXPLICIT partition count is never coalesced (partitioned for
+    // CPU, not bytes — guide §2.5), and PERSISTING the repartitioned
+    // token table keeps its hashpartitioning metadata so the self-join
+    // needs NO exchange at all — both sides read the one cache
+    // co-partitioned on exactly the join key (the pageRank `ew`
+    // pattern; without the persist the exchange map ran once per side).
+    val tokP = s2.select(col(idCol), col("__node"),
       explode(array_distinct(filter(
         split(TextAnalysis.normalizeText(col("sentence")), " "),
-        t => t =!= ""))).as("__tok")).persist(mem)
-    val ov = toks.select(col(idCol), col("__tok"), col("__node").as("__na"))
-      .join(toks.select(col(idCol), col("__tok"), col("__node").as("__nb")),
+        t => t =!= ""))).as("__tok"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol), col("__tok"))
+      .persist(mem)
+    // EAGER cut, not a persist: the pair table feeds the edge union, the
+    // out-weight broadcast and the empty check — under AQE the cached-
+    // plan substitution missed inside broadcast-thread subplans and the
+    // join re-ran per reader (r19 stage profile: two identical 3 MB
+    // exchange maps plus a 23 s-CPU re-join inside the edge-frame fill);
+    // a localCheckpoint replaces the plan with the materialized RDD, so
+    // recompute is structurally impossible.
+    val ov = tokP.select(col(idCol), col("__tok"), col("__node").as("__na"))
+      .join(tokP.select(col(idCol), col("__tok"), col("__node").as("__nb")),
         Seq(idCol, "__tok"))
       .filter(col("__na") < col("__nb"))
       .groupBy("__na", "__nb").agg(count(lit(1)).as("__w"))
       .filter(col("__w") >= minOverlap)
-      .persist(mem)
+      .localCheckpoint(true)
     val edges = ov.select(col("__na").as("src"), col("__nb").as("dst"), col("__w"))
       .unionByName(
         ov.select(col("__nb").as("src"), col("__na").as("dst"), col("__w")))
     val base = (100L - 85L) * scale / 100L
+    // emptiness from a COUNT over the persisted pair table, not
+    // `edges.isEmpty`: the isEmpty probe compiled the overlap join into
+    // a single-task limit-1 plan that re-ran the whole join serially
+    // (r19 stage profile: 2 × 1.8 s single-task stages) — the count
+    // materializes `ov` in parallel and every downstream read reuses it
     val ranked =
-      if (edges.isEmpty) { // no votes anywhere
+      if (ov.count() == 0L) { // no votes anywhere
         s2.withColumn("rank", lit(base))
       } else {
         val ranks = Graph.pageRank(edges, weightCol = "__w",
@@ -90,7 +138,7 @@ object Summarize {
       .filter(col("__pick") <= k)
       .select(col(idCol), col("sent_idx"), col("sentence"), col("rank"))
       .localCheckpoint(true)
-    ov.unpersist(); toks.unpersist(); s2.unpersist()
+    Graph.freeCheckpoint(ov); tokP.unpersist(); s2.unpersist()
     out
   }
 }
