@@ -80,6 +80,18 @@ object SparkEntry {
     if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
   }
 
+  /** The documents table, [[spread]] by doc_id — used SELECTIVELY by the
+    * readers whose scan-chained row-local work measured heavy enough to
+    * repay the exchange (q116's whole extraction pipeline ran as ONE
+    * 5.2 s task; q157/q60/q63/q57/q321/q51/q165/q78 each had 0.4–1 s
+    * serialized scan-chained stages and improved 20–45 %). A
+    * registry-wide switch was MEASURED AND REVERTED: the ~100 light
+    * documents readers each paid ~0.3–1 s for the extra exchange in the
+    * full-suite bench, outweighing the wins (371 → 394 s). At real
+    * multi-split scale the spread is the identity either way. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"), "doc_id")
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the star-join
     * revenue summary — the engine's §3.2 analytics shape on the sf tables. */
   def entry(spark: SparkSession): DataFrame =
@@ -759,7 +771,7 @@ object SparkEntry {
     * cut out, plus span/char audit counts. Per-doc output so the oracle
     * hash pins the exact cleaned STRINGS, not just aggregates. */
   private def q57SpanDedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SpanDedup.spanDedup(t(s, dir, "documents"))
+    graft.ops.SpanDedup.spanDedup(docs(s, dir))
       .select(col("doc_id"), col("source"), col("text"),
         col("n_spans_removed"), col("n_chars_removed"))
 
@@ -841,7 +853,7 @@ object SparkEntry {
     * membership flag of the top-50 selection (ties to smaller id). Exact
     * decimal sums make the ranking deterministic on both engines. */
   private def q60DsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs   = t(s, dir, "documents")
+    val docs   = SparkEntry.docs(s, dir)
     val target = docs.filter(col("doc_id") < 20)
     val raw    = docs.filter(col("doc_id") >= 20)
     val w = graft.ops.Importance.dsirWeights(raw, target)
@@ -880,7 +892,7 @@ object SparkEntry {
     * ∝ exp(weight), noise derived from the hash so both engines draw the
     * SAME sample. */
   private def q63DsirResample(s: SparkSession, dir: String): DataFrame = {
-    val docs   = t(s, dir, "documents")
+    val docs   = SparkEntry.docs(s, dir)
     val target = docs.filter(col("doc_id") < 20)
     val raw    = docs.filter(col("doc_id") >= 20)
     graft.ops.Importance.dsirResample(
@@ -1123,7 +1135,7 @@ object SparkEntry {
     * signature component, and 6-dp ratio oracle-reproduced over all 190
     * source pairs. */
   private def q78SourceOverlap(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Overlap.sourceOverlap(t(s, dir, "documents"))
+    graft.ops.Overlap.sourceOverlap(docs(s, dir))
       .select(col("source_a"), col("source_b"),
         col("n_a"), col("n_b"), col("n_common"),
         col("jaccard"), col("containment_a"), col("containment_b"),
@@ -1658,7 +1670,7 @@ object SparkEntry {
       lit("<p>"), substring(esc, 601, 1000000), lit("</p>"),
       lit("<footer>Copyright 2024 Example Corp <a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a></footer>"),
       lit("</body></html>"))
-    t(s, dir, "documents").select(col("doc_id"), html.as("html"))
+    docs(s, dir).select(col("doc_id"), html.as("html"))
   }
 
   /** The PRODUCTION extraction path ([[graft.ops.Boilerplate.extract]]) —
@@ -2774,7 +2786,7 @@ object SparkEntry {
     * closure → min-label clusters → hashSplit on the cluster rep. */
   private def q157LeakageSplit(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val base = t(s, dir, "documents")
+    val base = docs(s, dir)
       .select(id, coalesce(col("text"), lit("")).as("text"))
     val twin = base.filter(pmod(id, lit(5)) === 0)
       .select((id + 1000000L).as("doc_id"),
@@ -2989,8 +3001,7 @@ object SparkEntry {
     val body = regexp_replace(coalesce(col("text"), lit("")),
       "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1. ")
     graft.ops.Summarize.textRank(
-      spread(t(s, dir, "documents"), "doc_id")
-        .select(col("doc_id"), body.as("text")))
+      docs(s, dir).select(col("doc_id"), body.as("text")))
   }
 
   /** Session-window rollup ([[graft.ops.Sessionize.sessionWindowStats]]):
@@ -4942,7 +4953,7 @@ object SparkEntry {
     // the synthetic documents carry no punctuation — salt a period every
     // 8 words so the sentence splitter has real boundaries to respect
     graft.ops.Packing.sentenceChunks(
-      t(s, dir, "documents").select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         regexp_replace(coalesce(col("text"), lit("")),
           "((\\S+ ){8})", "$1. ").as("text")),
       maxTokens = 16)
