@@ -104,6 +104,37 @@ object Graph {
     * caller on the session shuffle-partition default, the pre-r19
     * behavior. Partitioning never changes a result bit in this tier —
     * every rank/label/distance is exact-integer by design. */
+  /** Eager checkpoint with a convergence metric folded into the SAME job
+    * (r19, guide §1.2 "remove unnecessary passes"): every iterative loop
+    * here used to pay a separate post-checkpoint scan job per round just
+    * to read one convergence scalar (an isEmpty filter, a count pair, a
+    * delta agg). An `observe` aggregate rides the checkpoint
+    * materialization instead — the scalar is collected by accumulator
+    * while the round's blocks are written, zero extra job, and at
+    * cluster scale one fewer pass over the node/edge-sized round table
+    * per round. Returns (checkpointed frame, metric value; NULL → 0 —
+    * SUM over zero rows). The wait is bounded and failure is LOUD: a
+    * silently-missing metric must never read as "converged". */
+  private def observedCheckpoint(df: DataFrame,
+      metric: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, metric.as("__m")).localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val row = try Await.result(Future(obs.get), 300.seconds)
+    catch { case e: Throwable => throw new IllegalStateException(
+      "observedCheckpoint: convergence metric not delivered by the " +
+        "checkpoint job — refusing to guess convergence", e) }
+    val v = row.get("__m") match {
+      case None | Some(null) => 0L
+      case Some(n: Number) => n.longValue
+      case other => throw new IllegalStateException(
+        s"observedCheckpoint: non-numeric metric $other")
+    }
+    (cp, v)
+  }
+
   /** Materialized plan size in bytes, when the plan carries usable
     * statistics (a filled cache does; a checkpoint scan does not). */
   private[ops] def statsBytes(df: DataFrame): Option[Long] = {
@@ -280,13 +311,13 @@ object Graph {
             s"$dampNum * (coalesce(c, 0L) + __dsum DIV $n) DIV $dampDen"))
             .as("rank"))
       explainIter(round, it)
-      val updated = round.localCheckpoint(true)
-      tolerance.foreach { t =>
-        val delta = updated
-          .agg(coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
-          .collect().head.getLong(0)
-        converged = delta <= t
+      // tolerance delta rides the checkpoint job ([[observedCheckpoint]])
+      val (updated, delta) = tolerance match {
+        case Some(_) => observedCheckpoint(round,
+          coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
+        case None => (round.localCheckpoint(true), 0L)
       }
+      tolerance.foreach { t => converged = delta <= t }
       // the new round is materialized — release the previous round's
       // checkpoint blocks instead of letting O(rounds) of them pile up
       freeCheckpoint(ranks)
@@ -403,13 +434,13 @@ object Graph {
               s"CASE WHEN __seed THEN __dsum DIV $s ELSE 0L END) DIV $dampDen"))
             .as("rank"))
       explainIter(round, it)
-      val updated = round.localCheckpoint(true)
-      tolerance.foreach { t =>
-        val delta = updated
-          .agg(coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
-          .collect().head.getLong(0)
-        converged = delta <= t
+      // tolerance delta rides the checkpoint job ([[observedCheckpoint]])
+      val (updated, delta) = tolerance match {
+        case Some(_) => observedCheckpoint(round,
+          coalesce(sum(abs(col("rank") - col("__old"))), lit(0L)))
+        case None => (round.localCheckpoint(true), 0L)
       }
+      tolerance.foreach { t => converged = delta <= t }
       freeCheckpoint(ranks) // previous round's blocks — see pageRank
       ranks = updated.select(col("node"), col("__seed"), col("rank"))
       it += 1
@@ -503,8 +534,10 @@ object Graph {
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component"))).as("component"))
       explainIter(round, it)
-      val updated = round.localCheckpoint(true)
-      converged = updated.filter(col("component") =!= col("__old")).isEmpty
+      // convergence scalar rides the checkpoint job ([[observedCheckpoint]])
+      val (updated, changed) = observedCheckpoint(round,
+        sum(when(col("component") =!= col("__old"), 1L).otherwise(0L)))
+      converged = changed == 0L
       freeCheckpoint(labels) // previous round's blocks — see pageRank
       labels = updated.select(col("node"), col("component"))
       it += 1
@@ -570,18 +603,16 @@ object Graph {
     // working edge set: undirected support, no self loops. The eager
     // checkpoint materializes the nonNull cache, so the final node join
     // reads the cache instead of re-running the caller's edge expression
-    var cur = nonNull
+    var (cur, curCount) = observedCheckpoint(nonNull
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), count(lit(1)))
     // set equality of two DEDUP'D checkpointed edge frames: equal counts +
     // empty one-way difference (the cheap form of a symmetric-difference
     // check; counts over checkpoint blocks are a rescan, not a recompute)
     def sameEdges(a: DataFrame, aCount: Long, b: DataFrame, bCount: Long): Boolean =
       aCount == bCount && a.join(b, Seq("src", "dst"), "left_anti").isEmpty
-    var curCount = cur.count()
     var it = 0
     var converged = curCount == 0 // an edge-free graph is already all singletons
     while (!converged && it < maxIterations) {
@@ -590,14 +621,15 @@ object Graph {
       val mins = sym.groupBy(col("src"))
         .agg(min(col("dst")).as("__mn"))
         .select(col("src"), least(col("src"), col("__mn")).as("__m"))
-      val large = sym.filter(col("dst") > col("src"))
-        .join(mins, Seq("src"))
-        .select(least(col("dst"), col("__m")).as("src"),
-          greatest(col("dst"), col("__m")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(true)
-      val largeCount = large.count()
+      // edge counts ride the checkpoint jobs ([[observedCheckpoint]]) —
+      // two count jobs per round removed
+      val (large, largeCount) = observedCheckpoint(
+        sym.filter(col("dst") > col("src"))
+          .join(mins, Seq("src"))
+          .select(least(col("dst"), col("__m")).as("src"),
+            greatest(col("dst"), col("__m")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct(), count(lit(1)))
       // -------- small-star: edges point large→small; each center u links
       // its smaller neighbors and itself to min(Γ(u))
       val bySmall = large.groupBy(col("dst").as("__u"))
@@ -610,8 +642,7 @@ object Graph {
         .filter(col("src") =!= col("dst"))
         .distinct()
       explainIter(small, it)
-      val next = small.localCheckpoint(true)
-      val nextCount = next.count()
+      val (next, nextCount) = observedCheckpoint(small, count(lit(1)))
       // the paper's criterion: converged when BOTH phases changed nothing.
       // (Large-star alone being a no-op is NOT enough — two min-centered
       // stars sharing a leaf are a large-star fixpoint with an ambiguous
@@ -928,11 +959,13 @@ object Graph {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
       explainIter(next, (h - 1).toInt)
-      val grown = dist.unionByName(next).localCheckpoint(true)
+      // frontier size rides the checkpoint job ([[observedCheckpoint]])
+      val (grown, frontierSize) = observedCheckpoint(dist.unionByName(next),
+        sum(when(col("hop") === h, 1L).otherwise(0L)))
       // the new frontier reads the checkpointed union (hop = h slice), so
       // the pre-union rounds' blocks are dead once `grown` materializes
       val nf = grown.filter(col("hop") === h)
-      drained = nf.isEmpty
+      drained = frontierSize == 0L
       freeCheckpoint(dist)
       dist = grown
       frontier = nf
@@ -984,11 +1017,12 @@ object Graph {
     while (!converged && round < maxRounds) {
       val deg = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))
-      // checkpointed: read by the drain check AND both anti-joins — the
-      // lazy form would run the degree agg three times
-      val bad = deg.filter(col("degree") < k).select(col("node"))
-        .localCheckpoint(true)
-      if (bad.isEmpty) {
+      // checkpointed: read by both anti-joins — the lazy form would run
+      // the degree agg per read; the drain scalar rides the checkpoint
+      // job itself ([[observedCheckpoint]])
+      val (bad, nBad) = observedCheckpoint(
+        deg.filter(col("degree") < k).select(col("node")), count(lit(1)))
+      if (nBad == 0L) {
         converged = true
         freeCheckpoint(bad)
       } else {
@@ -1063,19 +1097,24 @@ object Graph {
     var it = 0
     var converged = false
     while (!converged && it < maxRounds) {
+      // prior distances ride the union TAGGED, so the round's ONE min-agg
+      // also yields each node's previous distance — the fixpoint test
+      // (no node improved, no new node ⇔ changed = 0) is then a scalar
+      // riding the checkpoint job ([[observedCheckpoint]]) instead of a
+      // node-table join + two counts per round (r19)
       val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-      explainIter(next, it)
-      // fixpoint ⇔ no node improved (new nodes always "improve" from ∞);
-      // counts + one inner join on the two node-sized checkpointed tables
-      val noneImproved = next.join(dist.withColumnRenamed("dist", "__old"),
-        Seq("node")).filter(col("dist") < col("__old")).isEmpty
-      converged = noneImproved && next.count() == dist.count()
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(false).as("__old"))
+      val nextFull = dist.withColumn("__old", lit(true)).unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"),
+          min(when(col("__old"), col("dist"))).as("__od"))
+      explainIter(nextFull, it)
+      val (cp, changed) = observedCheckpoint(nextFull,
+        sum(when(col("__od").isNull || col("dist") < col("__od"), 1L)
+          .otherwise(0L)))
+      converged = changed == 0L
       freeCheckpoint(dist)
-      dist = next
+      dist = cp.select(col("node"), col("dist"))
       it += 1
     }
     e.unpersist()
@@ -1134,8 +1173,13 @@ object Graph {
         .select(col("dst").as("node"), (col("__ml") + 1L).as("level"))
         .join(settled.select(col("node")), Seq("node"), "left_anti")
       explainIter(newly, it)
-      val grown = settled.unionByName(newly).localCheckpoint(true)
-      drained = grown.count() == settled.count()
+      // newly-settled count rides the checkpoint job: newly is the
+      // level-(it+1) slice, so a zero wave means nothing settled
+      // ([[observedCheckpoint]] — replaces the two count jobs per round)
+      val (grown, newCount) = observedCheckpoint(
+        settled.unionByName(newly),
+        sum(when(col("level") === (it + 1L), 1L).otherwise(0L)))
+      drained = newCount == 0L
       freeCheckpoint(settled)
       settled = grown
       it += 1
